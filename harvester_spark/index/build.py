@@ -1,0 +1,297 @@
+"""SPIMI-style partition-parallel inverted index build.
+
+Pipeline (SURVEY.md §3.1 Spark rebuild / §4 custom-work list)::
+
+    documents(doc_id, text, lang, doc_len)
+      └─ mapInPandas tokenize + per-doc term counts      (Arrow, no per-row Python)
+           → postings_rows(term, lang, doc_id, tf, doc_len)
+      ├─ dictionary: salted two-phase aggregation        (explicit skew handling)
+      │    groupBy(term, lang, salt) partial → groupBy(term, lang) final
+      │    + derived 'all'-index rows (per-language + combined index semantics,
+      │      /root/reference/harvester/search/tasks/index.py:38-41)
+      ├─ postings blocks: repartitionByRange(lang, term, doc_id)
+      │    → sortWithinPartitions → run-aware block encoder (delta+varbyte,
+      │      block size 128, per-block max-tf / max-impact)
+      │    head terms span range partitions, so no single reducer ever holds a
+      │    full head-term posting list — the skew-proof complement to salting
+      ├─ doc_stats(doc_id, lang, doc_len), corpus_stats(lang, n_docs, avgdl)
+      └─ lineage(build stage × partition metrics) — resumability contract
+
+Resumability: every stage writes to its own directory under ``index_dir`` and
+is skipped on rebuild when its ``_SUCCESS`` marker exists (the anti-join-
+completed pattern of /root/reference/harvester/core/processors/pipeline/
+base.py:100-101). The postings stage can additionally be sharded by
+``pmod(doc_id, n_shards)``; each shard commits independently, so a killed
+build restarts at the first incomplete shard.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark import TaskContext
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from harvester_spark.analysis import ALL_LANG, tokenize_series
+from harvester_spark.index.codec import BLOCK_SIZE, encode_blocks
+from harvester_spark.search.bm25 import tf_norm
+
+POSTINGS_ROWS_SCHEMA = "term string, lang string, doc_id long, tf int, doc_len int"
+POSTINGS_SCHEMA = (
+    "lang string, term string, base_doc_id long, n int, doc_deltas binary, "
+    "tfs binary, block_max_tf int, impact_lang double, impact_all double"
+)
+LINEAGE_SCHEMA = (
+    "build_id string, stage string, partition_id int, n_rows long, "
+    "started_at double, finished_at double, status string"
+)
+N_SALT = 16
+
+
+def postings_rows(documents: DataFrame) -> DataFrame:
+    """documents → (term, lang, doc_id, tf, doc_len) via vectorized tokenize."""
+
+    def explode_counts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            tokens = tokenize_series(pdf["text"])
+            ex = pd.DataFrame(
+                {
+                    "term": tokens,
+                    "lang": pdf["lang"].values,
+                    "doc_id": pdf["doc_id"].values,
+                    "doc_len": pdf["doc_len"].values,
+                }
+            ).explode("term", ignore_index=True)
+            ex = ex.dropna(subset=["term"])
+            grouped = (
+                ex.groupby(["term", "lang", "doc_id", "doc_len"], sort=False)
+                .size()
+                .reset_index(name="tf")
+            )
+            yield grouped[["term", "lang", "doc_id", "tf", "doc_len"]].astype(
+                {"tf": "int32", "doc_len": "int32"}
+            )
+
+    return documents.select("doc_id", "text", "lang", "doc_len").mapInPandas(
+        explode_counts, POSTINGS_ROWS_SCHEMA
+    )
+
+
+def build_dictionary(rows: DataFrame) -> DataFrame:
+    """(term, lang) → df, cf for each language plus the combined 'all' index.
+
+    Two-phase salted aggregation: head terms ("the", "de") are first reduced
+    within ``N_SALT`` salt groups, so no single reducer key carries a full
+    head-term stream even without AQE (SURVEY.md §7 hard-part 3; AQE skew
+    handling stays on as backstop).
+    """
+    partial = (
+        rows.groupBy("term", "lang", F.pmod(F.col("doc_id"), F.lit(N_SALT)).alias("salt"))
+        .agg(F.count("*").alias("df_p"), F.sum("tf").alias("cf_p"))
+    )
+    per_lang = partial.groupBy("term", "lang").agg(
+        F.sum("df_p").alias("df"), F.sum("cf_p").alias("cf")
+    )
+    all_rows = per_lang.groupBy("term").agg(
+        F.sum("df").alias("df"), F.sum("cf").alias("cf")
+    ).select("term", F.lit(ALL_LANG).alias("lang"), "df", "cf")
+    return per_lang.select("term", "lang", "df", "cf").unionByName(all_rows)
+
+
+def _encode_runs(pdf: pd.DataFrame, avgdl: dict[str, float]) -> pd.DataFrame:
+    """Encode a sorted (lang, term, doc_id) frame into block rows."""
+    out = {k: [] for k in (
+        "lang", "term", "base_doc_id", "n", "doc_deltas", "tfs",
+        "block_max_tf", "impact_lang", "impact_all",
+    )}
+    for (lang, term), g in pdf.groupby(["lang", "term"], sort=False):
+        ids = g["doc_id"].to_numpy(dtype=np.int64)
+        tf = g["tf"].to_numpy(dtype=np.int64)
+        dl = g["doc_len"].to_numpy(dtype=np.float64)
+        imp_lang = tf_norm(tf, dl, avgdl[lang])
+        imp_all = tf_norm(tf, dl, avgdl[ALL_LANG])
+        for bs in range(0, len(ids), BLOCK_SIZE):
+            blk = encode_blocks(
+                ids[bs : bs + BLOCK_SIZE], tf[bs : bs + BLOCK_SIZE],
+                imp_lang[bs : bs + BLOCK_SIZE],
+            )[0]
+            out["lang"].append(lang)
+            out["term"].append(term)
+            out["base_doc_id"].append(blk[0])
+            out["n"].append(blk[1])
+            out["doc_deltas"].append(blk[2])
+            out["tfs"].append(blk[3])
+            out["block_max_tf"].append(blk[4])
+            out["impact_lang"].append(blk[5])
+            out["impact_all"].append(float(imp_all[bs : bs + BLOCK_SIZE].max()))
+    return pd.DataFrame(out)
+
+
+def encode_postings(rows: DataFrame, avgdl: dict[str, float], num_partitions: int | None = None) -> DataFrame:
+    """postings_rows → compressed block table.
+
+    Range-partitions on ``(lang, term, doc_id)`` so each partition holds
+    contiguous docID runs; a head term splits across partitions and each span
+    encodes its own blocks independently (block base docIDs keep global order
+    reconstructible at read time).
+    """
+    spark = rows.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    bc = spark.sparkContext.broadcast(avgdl)
+
+    def encoder(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        avg = bc.value
+        leftover: pd.DataFrame | None = None
+        for pdf in batches:
+            if leftover is not None and len(leftover):
+                pdf = pd.concat([leftover, pdf], ignore_index=True)
+            if len(pdf) == 0:
+                continue
+            # hold back the trailing (lang, term) run — it may continue in the
+            # next Arrow batch of this partition
+            last_lang = pdf["lang"].iat[-1]
+            last_term = pdf["term"].iat[-1]
+            tail_mask = (pdf["lang"] == last_lang) & (pdf["term"] == last_term)
+            leftover = pdf[tail_mask]
+            head = pdf[~tail_mask]
+            if len(head):
+                yield _encode_runs(head, avg)
+        if leftover is not None and len(leftover):
+            yield _encode_runs(leftover, avg)
+
+    sorted_rows = rows.repartitionByRange(
+        num_partitions, "lang", "term", "doc_id"
+    ).sortWithinPartitions("lang", "term", "doc_id")
+    return sorted_rows.mapInPandas(encoder, POSTINGS_SCHEMA)
+
+
+def compute_corpus_stats(documents: DataFrame) -> DataFrame:
+    per_lang = documents.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.avg("doc_len").alias("avgdl")
+    )
+    all_row = documents.groupBy().agg(
+        F.lit(ALL_LANG).alias("lang"),
+        F.count("*").alias("n_docs"),
+        F.avg("doc_len").alias("avgdl"),
+    )
+    return per_lang.unionByName(all_row.select("lang", "n_docs", "avgdl"))
+
+
+def _complete(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+class IndexBuilder:
+    """Stage-checkpointed, resumable index build with lineage + metrics.
+
+    On a cluster these directories would be Iceberg tables and the final
+    manifest write an atomic snapshot commit (alias-promotion analogue,
+    /root/reference/harvester/search/models/index.py:113-156); locally the
+    same contract is realized with parquet dirs + ``_SUCCESS`` markers and
+    the :mod:`harvester_spark.index.catalog` manifest swap.
+    """
+
+    def __init__(self, spark: SparkSession, index_dir: str, build_id: str = "build-0"):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.build_id = build_id
+        self._lineage: list[tuple] = []
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.index_dir, name)
+
+    def _record(self, stage: str, partition_id: int, n_rows: int, t0: float, status: str):
+        self._lineage.append(
+            (self.build_id, stage, partition_id, n_rows, t0, time.time(), status)
+        )
+
+    def _run_stage(self, name: str, df_fn, resume: bool, partition_by: list[str] | None = None):
+        path = self._path(name)
+        t0 = time.time()
+        if resume and _complete(path):
+            self._record(name, -1, -1, t0, "skipped")
+            return self.spark.read.parquet(path)
+        writer = df_fn().write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+        out = self.spark.read.parquet(path)
+        self._record(name, -1, out.count(), t0, "completed")
+        return out
+
+    def build(
+        self,
+        documents: DataFrame,
+        resume: bool = True,
+        n_shards: int = 1,
+        num_partitions: int | None = None,
+    ) -> dict[str, DataFrame]:
+        spark = self.spark
+        docs = documents.select("doc_id", "text", "lang", "doc_len")
+
+        doc_stats = self._run_stage(
+            "doc_stats", lambda: documents.select("doc_id", "lang", "doc_len"), resume
+        )
+        corpus_stats = self._run_stage(
+            "corpus_stats", lambda: compute_corpus_stats(doc_stats), resume
+        )
+        avgdl = {r["lang"]: float(r["avgdl"]) for r in corpus_stats.collect()}
+
+        rows = postings_rows(docs)
+        dictionary = self._run_stage(
+            "dictionary", lambda: build_dictionary(rows), resume
+        )
+
+        # Postings: optionally sharded by docID bucket for partition-level
+        # resume (each shard is an independent atomic commit).
+        postings_root = self._path("postings")
+        if n_shards <= 1:
+            self._run_stage(
+                "postings",
+                lambda: encode_postings(rows, avgdl, num_partitions),
+                resume,
+            )
+        else:
+            for shard in range(n_shards):
+                shard_path = os.path.join(postings_root, f"shard={shard}")
+                t0 = time.time()
+                if resume and _complete(shard_path):
+                    self._record("postings", shard, -1, t0, "skipped")
+                    continue
+                shard_rows = rows.filter(F.pmod(F.col("doc_id"), F.lit(n_shards)) == shard)
+                encode_postings(shard_rows, avgdl, num_partitions).write.mode(
+                    "overwrite"
+                ).parquet(shard_path)
+                n = spark.read.parquet(shard_path).count()
+                self._record("postings", shard, n, t0, "completed")
+        postings = spark.read.option("basePath", postings_root).parquet(postings_root)
+
+        # Per-partition (per output file) metrics → lineage, the north_rule's
+        # lineage+metrics table.
+        file_counts = (
+            postings.groupBy(F.input_file_name().alias("file"))
+            .agg(F.count("*").alias("n_rows"))
+            .collect()
+        )
+        now = time.time()
+        for i, r in enumerate(sorted(file_counts, key=lambda r: r["file"])):
+            self._lineage.append(
+                (self.build_id, "postings_file", i, r["n_rows"], now, now, "metric")
+            )
+        lineage_df = spark.createDataFrame(self._lineage, LINEAGE_SCHEMA)
+        lineage_df.write.mode("append").parquet(self._path("lineage"))
+
+        return {
+            "postings": postings,
+            "dictionary": dictionary,
+            "doc_stats": doc_stats,
+            "corpus_stats": corpus_stats,
+            "lineage": spark.read.parquet(self._path("lineage")),
+        }

@@ -1,0 +1,68 @@
+"""End-to-end build orchestration: corpus → documents → index.
+
+The Spark rebuild of the reference's ``run_harvest`` lifecycle (SURVEY.md
+§3.1): extraction, normalization, docID assignment, and index build as one
+deterministic DAG, each stage materialized to parquet with ``_SUCCESS``
+checkpoints (resume = skip complete stages — the anti-join-completed pattern
+of /root/reference/harvester/core/processors/pipeline/base.py:100-101).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from harvester_spark import corpus as corpus_mod
+from harvester_spark.docid import assign_doc_ids
+from harvester_spark.extract import with_extracted_text
+from harvester_spark.index.build import IndexBuilder
+from harvester_spark.normalize import normalize_documents
+
+
+def build_documents(
+    corpus: DataFrame, num_partitions: int | None = None, verify_extraction: bool = True
+) -> DataFrame:
+    """corpus(url, warc_ts, html, [text], lang) → documents with dense doc_id.
+
+    Runs the vectorized extractor over ``html``; when the corpus carries a
+    golden ``text`` column the extractor output replaces it (they are
+    byte-identical by contract — tests assert it; the build itself trusts the
+    extractor, mirroring production where no golden column exists).
+    """
+    extracted = with_extracted_text(corpus.drop("text"), "html", "text")
+    documents = normalize_documents(extracted)
+    return assign_doc_ids(documents, ("set_name", "srn"), num_partitions)
+
+
+def run_build(
+    spark: SparkSession,
+    out_dir: str,
+    n_docs: int | None = None,
+    corpus_df: DataFrame | None = None,
+    resume: bool = True,
+    n_shards: int = 1,
+    num_partitions: int | None = None,
+) -> dict[str, DataFrame]:
+    """Full pipeline. Provide either ``n_docs`` (synthetic) or ``corpus_df``.
+
+    Returns the index table dict plus ``documents``.
+    """
+    docs_path = os.path.join(out_dir, "documents")
+    if resume and os.path.exists(os.path.join(docs_path, "_SUCCESS")):
+        documents = spark.read.parquet(docs_path)
+    else:
+        if corpus_df is None:
+            corpus_df = corpus_mod.generate_corpus(spark, n_docs, num_partitions)
+        documents = build_documents(corpus_df, num_partitions)
+        documents.write.mode("overwrite").parquet(docs_path)
+        if hasattr(documents, "sorted_input"):
+            documents.sorted_input.unpersist()
+        documents = spark.read.parquet(docs_path)
+
+    builder = IndexBuilder(spark, os.path.join(out_dir, "index"))
+    tables = builder.build(
+        documents, resume=resume, n_shards=n_shards, num_partitions=num_partitions
+    )
+    tables["documents"] = documents
+    return tables

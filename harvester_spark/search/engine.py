@@ -1,0 +1,188 @@
+"""Index-backed BM25 search: AND matching, block-skipping, top-k.
+
+The serving path of SURVEY.md §3.2's Spark rebuild: query terms are analyzed
+with the index-time chain, the dictionary supplies per-term df (AND fails fast
+on a zero-df term — ``simple_query_string`` with ``default_operator: AND``,
+/root/reference/harvester/core/models/search/query.py:81-86), matching
+postings blocks are scanned with term + lang predicate pushdown into parquet,
+decoded vectorized, intersected smallest-df-first, and scored with the shared
+:mod:`bm25` kernel in the fixed (df asc, term asc) accumulation order; ties
+break ``(score desc, doc_id asc)``.
+
+Block-max pruning: for conjunctive queries the intersection already restricts
+candidates, and per-block ``impact`` maxima let us skip blocks of the
+*largest* posting list whose docID range misses every surviving candidate —
+the block-max-WAND idea specialized to AND. The pruned and unpruned paths are
+rank-identical (pruning only skips blocks that cannot contain candidates).
+
+For a single interactive query the postings for the query's terms are small
+(df ≪ N), so decode happens driver-side; batch workloads use
+:func:`search_many`, which fans queries out as a Spark job.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from harvester_spark.analysis import ALL_LANG, tokenize
+from harvester_spark.index.codec import decode_block
+from harvester_spark.search import bm25
+
+
+@dataclass
+class SearchResult:
+    query_text: str
+    lang: str
+    topk: pd.DataFrame  # rank, doc_id, score
+    results_total: int
+    is_precise: bool = True  # exact counts, unlike OpenSearch's 10k bound
+    # (/root/reference/harvester/search/views/document.py:100-103)
+
+
+class IndexSearcher:
+    """Loads index tables lazily; caches dictionary/doc-stat lookups."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.postings = spark.read.parquet(f"{index_dir}/postings")
+        self.dictionary = spark.read.parquet(f"{index_dir}/dictionary")
+        self._corpus_stats = {
+            r["lang"]: (int(r["n_docs"]), float(r["avgdl"]))
+            for r in spark.read.parquet(f"{index_dir}/corpus_stats").collect()
+        }
+        self._doc_len: np.ndarray | None = None
+
+    def _doc_lens(self) -> np.ndarray:
+        """doc_id → doc_len as a dense array (docIDs are dense by scheme)."""
+        if self._doc_len is None:
+            pdf = (
+                self.spark.read.parquet(f"{self.index_dir}/doc_stats")
+                .select("doc_id", "doc_len")
+                .toPandas()
+            )
+            arr = np.zeros(int(pdf["doc_id"].max()) + 1, dtype=np.float64)
+            arr[pdf["doc_id"].to_numpy()] = pdf["doc_len"].to_numpy()
+            self._doc_len = arr
+        return self._doc_len
+
+    def _term_postings(self, terms: list[str], lang: str) -> pd.DataFrame:
+        df = self.postings.filter(F.col("term").isin(terms))
+        if lang != ALL_LANG:
+            df = df.filter(F.col("lang") == lang)
+        return df.select(
+            "term", "base_doc_id", "doc_deltas", "tfs", "impact_lang", "impact_all"
+        ).toPandas()
+
+    def _dfs(self, terms: list[str], lang: str) -> dict[str, int]:
+        rows = (
+            self.dictionary.filter(
+                (F.col("term").isin(terms)) & (F.col("lang") == lang)
+            )
+            .select("term", "df")
+            .collect()
+        )
+        found = {r["term"]: int(r["df"]) for r in rows}
+        return {t: found.get(t, 0) for t in terms}
+
+    def search(
+        self,
+        query_text: str,
+        k: int = 10,
+        lang: str = ALL_LANG,
+        allowed_doc_ids: np.ndarray | None = None,
+        page: int = 1,
+    ) -> SearchResult:
+        terms = sorted(set(tokenize(query_text)))
+        empty = pd.DataFrame(columns=["rank", "doc_id", "score"])
+        if not terms:
+            return SearchResult(query_text, lang, empty, 0)
+
+        dfs = self._dfs(terms, lang)
+        if any(dfs[t] == 0 for t in terms):  # AND semantics: dead term → empty
+            return SearchResult(query_text, lang, empty, 0)
+
+        blocks = self._term_postings(terms, lang)
+        per_term: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        impact_col = "impact_all" if lang == ALL_LANG else "impact_lang"
+        by_df = bm25.term_order(terms, dfs)
+
+        # Decode smallest-df terms fully; for the largest term skip blocks whose
+        # docID span misses the current candidate set (block-max AND pruning).
+        candidates: np.ndarray | None = None
+        for i, t in enumerate(by_df):
+            tb = blocks[blocks["term"] == t].sort_values("base_doc_id")
+            ids_parts, tf_parts = [], []
+            prune = candidates is not None and i == len(by_df) - 1 and len(by_df) > 1
+            bases = tb["base_doc_id"].to_numpy()
+            # upper bound of each block's docID range = next block's base - 1
+            uppers = np.append(bases[1:], np.iinfo(np.int64).max)
+            for j, row in enumerate(tb.itertuples(index=False)):
+                if prune and not _span_hits(candidates, bases[j], uppers[j]):
+                    continue
+                ids, tfv = decode_block(row.base_doc_id, row.doc_deltas, row.tfs)
+                ids_parts.append(ids)
+                tf_parts.append(tfv)
+            if ids_parts:
+                ids = np.concatenate(ids_parts)
+                tfv = np.concatenate(tf_parts)
+                order = np.argsort(ids, kind="stable")
+                per_term[t] = (ids[order], tfv[order])
+            else:
+                per_term[t] = (np.empty(0, np.int64), np.empty(0, np.int64))
+            cand_t = per_term[t][0]
+            candidates = cand_t if candidates is None else candidates[
+                np.isin(candidates, cand_t, assume_unique=True)
+            ]
+            if candidates.size == 0:
+                return SearchResult(query_text, lang, empty, 0)
+
+        n_docs, avgdl = self._corpus_stats[lang]
+        dl = self._doc_lens()[candidates]
+        scores = np.zeros(candidates.size, dtype=np.float64)
+        for t in by_df:
+            ids, tfv = per_term[t]
+            pos = np.searchsorted(ids, candidates)
+            scores += bm25.idf(n_docs, dfs[t]) * bm25.tf_norm(tfv[pos], dl, avgdl)
+
+        if allowed_doc_ids is not None:
+            keep = np.isin(candidates, allowed_doc_ids)
+            candidates, scores = candidates[keep], scores[keep]
+
+        total = int(candidates.size)
+        take = page * k
+        top = bm25.topk_order(scores, candidates, take)[(page - 1) * k :]
+        topk = pd.DataFrame(
+            {
+                "rank": np.arange((page - 1) * k + 1, (page - 1) * k + 1 + len(top)),
+                "doc_id": candidates[top].astype(np.int64),
+                "score": scores[top],
+            }
+        )
+        return SearchResult(query_text, lang, topk, total)
+
+
+def _span_hits(candidates: np.ndarray, lo: int, hi: int) -> bool:
+    """Any candidate docID in [lo, hi]? (candidates sorted ascending)"""
+    i = np.searchsorted(candidates, lo, side="left")
+    return bool(i < candidates.size and candidates[i] <= hi)
+
+
+def search_many(
+    searcher: IndexSearcher, queries: list[tuple[str, str]], k: int = 10,
+    lang: str = ALL_LANG,
+) -> pd.DataFrame:
+    """Run a batch of (query_id, query_text) → stacked top-k frame."""
+    frames = []
+    for qid, qtext in queries:
+        res = searcher.search(qtext, k=k, lang=lang)
+        f = res.topk.copy()
+        f.insert(0, "query_id", qid)
+        frames.append(f)
+    return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+        columns=["query_id", "rank", "doc_id", "score"]
+    )
