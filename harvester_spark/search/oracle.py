@@ -34,9 +34,11 @@ def brute_force_topk(
     pre-restriction hook for field/date filters (AND with the text match —
     /root/reference/harvester/search/views/document.py:70-94).
     """
+    # Language scoping selects a different index (own N/df/avgdl stats);
+    # field/date filters are NON-SCORING restrictions — they narrow the
+    # candidate set but leave the BM25 statistics index-wide, matching
+    # Lucene/OpenSearch filter-context semantics.
     sub = docs if lang == ALL_LANG else docs[docs["lang"] == lang]
-    if allowed_doc_ids is not None:
-        sub = sub[sub["doc_id"].isin(allowed_doc_ids)]
     sub = sub.reset_index(drop=True)
 
     tokens = [tokenize(t) for t in sub["text"].fillna("")]
@@ -58,6 +60,8 @@ def brute_force_topk(
     match_all = np.ones(n_docs, dtype=bool)
     for t in q_terms:
         match_all &= tf[t] > 0
+    if allowed_doc_ids is not None:
+        match_all &= sub["doc_id"].isin(allowed_doc_ids).to_numpy()
     cand = np.flatnonzero(match_all)
     if cand.size == 0:
         return pd.DataFrame(columns=["rank", "doc_id", "score"])

@@ -1,0 +1,53 @@
+"""Varbyte/delta block codec round-trip tests (property-based + golden)."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from harvester_spark.index.codec import (
+    decode_block,
+    encode_blocks,
+    varbyte_decode,
+    varbyte_encode,
+)
+
+
+def test_varbyte_golden():
+    assert varbyte_encode(np.array([], dtype=np.uint64)) == b""
+    assert varbyte_encode(np.array([0], dtype=np.uint64)) == b"\x00"
+    assert varbyte_encode(np.array([127], dtype=np.uint64)) == b"\x7f"
+    # 128 = 0b1000_0000 -> low 7 bits with continuation, then 1
+    assert varbyte_encode(np.array([128], dtype=np.uint64)) == b"\x80\x01"
+    assert varbyte_encode(np.array([300], dtype=np.uint64)) == b"\xac\x02"
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=300))
+def test_varbyte_roundtrip(values):
+    arr = np.array(values, dtype=np.uint64)
+    assert list(varbyte_decode(varbyte_encode(arr))) == values
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**12), min_size=1, max_size=400, unique=True),
+    st.data(),
+)
+def test_block_roundtrip(ids, data):
+    doc_ids = np.array(sorted(ids), dtype=np.int64)
+    tfs = np.array(
+        data.draw(st.lists(st.integers(1, 1000), min_size=len(ids), max_size=len(ids))),
+        dtype=np.int64,
+    )
+    impacts = tfs.astype(np.float64) / (tfs + 1.0)
+    blocks = encode_blocks(doc_ids, tfs, impacts, block_size=128)
+    got_ids, got_tfs = [], []
+    for base, n, deltas, tf_bytes, max_tf, max_imp in blocks:
+        ids_b, tfs_b = decode_block(base, deltas, tf_bytes)
+        assert len(ids_b) == n
+        assert max_tf == int(tfs_b.max())
+        got_ids.append(ids_b)
+        got_tfs.append(tfs_b)
+    assert list(np.concatenate(got_ids)) == list(doc_ids)
+    assert list(np.concatenate(got_tfs)) == list(tfs)
+    assert all(b[1] <= 128 for b in blocks)
