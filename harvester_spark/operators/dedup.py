@@ -1,0 +1,296 @@
+"""Deduplication operators over ``documents`` — exact, shingle-Jaccard,
+MinHash+LSH, SimHash.
+
+First-class training-data-pipeline components (driver brief): each is a
+(Spark, DuckDB-oracle) pair with fully integer/hash-deterministic outputs so
+value hashes match across engines. Hash function: top-56-bits of md5
+interpreted as int (verified identical in Spark ``conv`` and DuckDB hex-cast).
+
+Scale notes (100 TB): exact dedup is a hash groupBy (shuffle on digest —
+uniform by construction). Shingle-Jaccard is quadratic-in-collision-group and
+is therefore restricted to a candidate subset here; the scale path is
+MinHash banding (LSH), where the shuffle key is the (band, band-signature)
+bucket — uniformly distributed, skew-free, and each bucket's pair expansion
+is bounded by bucket size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W, functions as F
+
+from harvester_spark.analysis import tokens_column
+from harvester_spark.operators.common import SQL_DOC_TOKS, SQL_TOKS, doc_tokens, load
+
+N_MINHASH = 6
+N_BANDS = 3  # rows-per-band = 2
+SHINGLE_K = 4
+JACCARD_SUBSET = 200  # doc_id bound for the quadratic shingle-Jaccard entry
+JACCARD_MIN = 0.20
+
+
+def _hash56(col):
+    """56-bit integer hash of a string column (identical across engines)."""
+    return F.conv(F.substring(F.md5(col), 1, 14), 16, 10).cast("long")
+
+
+_SQL_HASH56 = "CAST(('0x' || substr(md5({col}), 1, 14)) AS BIGINT)"
+
+
+# ---------------------------------------------------------------- exact dedup
+
+
+def dedup_exact(spark, sf_dir):
+    """Exact dedup on the normalized-text digest: canonical doc (min doc_id)
+    + group size. The srn/content-hash upsert analogue
+    (/root/reference/harvester/core/models/datatypes/document.py:133-139)."""
+    docs = load(spark, sf_dir, "documents")
+    digest = F.md5(F.concat_ws(" ", tokens_column(F.col("text"))))
+    return (
+        docs.select(digest.alias("digest"), "doc_id")
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("canonical_doc_id"), F.count("*").alias("n_dupes"))
+    )
+
+
+SQL_DEDUP_EXACT = f"""
+SELECT md5(array_to_string({SQL_TOKS.format(col='text')}, ' ')) AS digest,
+       min(doc_id) AS canonical_doc_id, count(*) AS n_dupes
+FROM documents GROUP BY 1
+"""
+
+# ---------------------------------------------------------------- shingles
+
+
+def _shingles(spark, sf_dir):
+    """(doc_id, shingle) distinct word-{SHINGLE_K}-grams via lead window."""
+    toks = doc_tokens(spark, sf_dir).filter(F.col("doc_id") < JACCARD_SUBSET)
+    w = W.partitionBy("doc_id").orderBy("pos")
+    sh = F.concat_ws(
+        " ",
+        F.col("term"),
+        *[F.lead("term", i).over(w) for i in range(1, SHINGLE_K)],
+    )
+    # shingle and the null-guard MUST be computed in the same projection —
+    # window leads evaluated after a filter would see the truncated rows.
+    return (
+        toks.select(
+            "doc_id",
+            sh.alias("shingle"),
+            F.lead("term", SHINGLE_K - 1).over(w).alias("lead_last"),
+        )
+        .filter(F.col("lead_last").isNotNull())
+        .select("doc_id", "shingle")
+        .distinct()
+    )
+
+
+_SQL_SHINGLES = f"""
+  SELECT DISTINCT doc_id,
+         term || ' ' || lead(term, 1) OVER w || ' ' || lead(term, 2) OVER w
+              || ' ' || lead(term, 3) OVER w AS shingle
+  FROM ({SQL_DOC_TOKS}) WHERE doc_id < {JACCARD_SUBSET}
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(term, 3) OVER w IS NOT NULL
+"""
+
+
+def dedup_shingle_jaccard(spark, sf_dir):
+    """n-gram Jaccard near-dup pairs over a bounded candidate subset:
+    pairs sharing ≥1 shingle, J = |∩| / |∪| ≥ {JACCARD_MIN} (exact int
+    division — identical doubles across engines)."""
+    sh = _shingles(spark, sf_dir).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= JACCARD_MIN)
+        .select("doc_a", "doc_b", "n_inter", "jaccard")
+    )
+
+
+SQL_SHINGLE_JACCARD = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_inter,
+       n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= {JACCARD_MIN}
+"""
+
+# ---------------------------------------------------------------- MinHash
+
+
+def dedup_minhash_signatures(spark, sf_dir):
+    """Per-doc MinHash signature: h_i = min over word-2-shingles of
+    hash56(i || ':' || shingle), i ∈ [0, {N_MINHASH}) — wide layout h0..h5."""
+    toks = doc_tokens(spark, sf_dir)
+    w = W.partitionBy("doc_id").orderBy("pos")
+    sh = (
+        toks.withColumn("nxt", F.lead("term").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "term", "nxt").alias("shingle"))
+        .distinct()
+    )
+    exploded = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(N_MINHASH - 1))).alias("i"),
+        "shingle",
+    ).withColumn(
+        "h", _hash56(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("shingle")))
+    )
+    mins = exploded.groupBy("doc_id", "i").agg(F.min("h").alias("mh"))
+    return mins.groupBy("doc_id").pivot("i", list(range(N_MINHASH))).agg(
+        F.first("mh")
+    ).select(
+        "doc_id", *[F.col(str(i)).alias(f"h{i}") for i in range(N_MINHASH)]
+    )
+
+
+_SQL_SHINGLES2 = f"""
+  SELECT DISTINCT doc_id, term || ' ' || lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS shingle
+  FROM ({SQL_DOC_TOKS})
+  QUALIFY lead(term) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL
+"""
+_sql_minhash_cols = ",\n       ".join(
+    f"min(CASE WHEN i = {i} THEN h END) AS h{i}" for i in range(N_MINHASH)
+)
+SQL_MINHASH_SIGNATURES = f"""
+WITH sh AS ({_SQL_SHINGLES2}),
+hx AS (
+  SELECT doc_id, i,
+         {_SQL_HASH56.format(col="(i || ':' || shingle)")} AS h
+  FROM sh CROSS JOIN (SELECT unnest(range({N_MINHASH})) AS i)
+)
+SELECT doc_id, {_sql_minhash_cols}
+FROM hx GROUP BY doc_id
+"""
+
+
+def dedup_lsh_pairs(spark, sf_dir):
+    """LSH banding over the MinHash signature ({N_BANDS} bands × 2 rows):
+    candidate pairs = docs sharing any band bucket. The 100 TB-scale dedup
+    path — shuffle key is the uniform band signature, never a text term."""
+    sig = dedup_minhash_signatures(spark, sf_dir)
+    bands = []
+    for b in range(N_BANDS):
+        bands.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.col(f"h{2*b}").alias("r0"),
+                F.col(f"h{2*b+1}").alias("r1"),
+            )
+        )
+    all_bands = bands[0]
+    for extra in bands[1:]:
+        all_bands = all_bands.unionByName(extra)
+    a = all_bands.alias("a")
+    b_ = all_bands.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.r0") == F.col("b.r0"))
+            & (F.col("a.r1") == F.col("b.r1"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+_sql_band_rows = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, h{2*b} AS r0, h{2*b+1} AS r1 FROM sig"
+    for b in range(N_BANDS)
+)
+SQL_LSH_PAIRS = f"""
+WITH sh AS ({_SQL_SHINGLES2}),
+hx AS (
+  SELECT doc_id, i,
+         {_SQL_HASH56.format(col="(i || ':' || shingle)")} AS h
+  FROM sh CROSS JOIN (SELECT unnest(range({N_MINHASH})) AS i)
+),
+sig AS (SELECT doc_id, {_sql_minhash_cols} FROM hx GROUP BY doc_id),
+bands AS ({_sql_band_rows})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.r0 = b.r0 AND a.r1 = b.r1 AND a.doc_id < b.doc_id
+"""
+
+# ---------------------------------------------------------------- SimHash
+
+
+def dedup_simhash(spark, sf_dir):
+    """16-bit SimHash per doc: tf-weighted ±1 votes per bit of the term's
+    hash; bit set iff vote sum > 0. Pure integer arithmetic — exact."""
+    tf = (
+        doc_tokens(spark, sf_dir)
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("h", _hash56(F.col("term")))
+    )
+    bits = tf.select(
+        "doc_id",
+        "tf",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("bit"),
+    ).withColumn(
+        "vote",
+        F.col("tf")
+        * F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1),
+    )
+    return (
+        bits.groupBy("doc_id", "bit")
+        .agg(F.sum("vote").alias("v"))
+        .withColumn("bitval", F.when(F.col("v") > 0, F.expr("shiftleft(1, bit)")).otherwise(0))
+        .groupBy("doc_id")
+        .agg(F.sum("bitval").cast("long").alias("simhash"))
+    )
+
+
+SQL_SIMHASH = f"""
+WITH toks AS ({SQL_DOC_TOKS}),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf,
+         {_SQL_HASH56.format(col='term')} AS h
+  FROM toks GROUP BY doc_id, term
+),
+votes AS (
+  SELECT doc_id, bit,
+         sum(tf * (CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END)) AS v
+  FROM tf CROSS JOIN (SELECT unnest(range(16)) AS bit)
+  GROUP BY doc_id, bit
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN v > 0 THEN 1 << bit ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+
+QUERIES = {
+    "dedup_exact": (dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_shingle_jaccard": (dedup_shingle_jaccard, SQL_SHINGLE_JACCARD),
+    "dedup_minhash_signatures": (dedup_minhash_signatures, SQL_MINHASH_SIGNATURES),
+    "dedup_lsh_pairs": (dedup_lsh_pairs, SQL_LSH_PAIRS),
+    "dedup_simhash": (dedup_simhash, SQL_SIMHASH),
+}

