@@ -1,30 +1,31 @@
 """Global dense docID assignment — monotonic + offset, no ``zipWithIndex``.
 
-The scheme named by BASELINE.json's north_rule (SURVEY.md §1.4): documents are
-globally sorted on a unique key (default ``(set_name, srn)``), per-partition
-row counts are collected (one tiny job), an exclusive prefix sum of those
-counts is broadcast, and each row's id becomes
-``offset[partition] + local_position``. Because the sort keys are unique the
-resulting id equals the row's **global rank in the total order** — i.e. it is
-deterministic across runs even if range-partition boundaries differ, and safe
-under task retries (each task recomputes the same local order).
+The scheme named by BASELINE.json's north_rule (SURVEY.md §1.4):
 
-The sorted intermediate is persisted so the counting job and the assignment
-job see the identical physical partitioning (the one cross-job invariant the
-scheme needs); AQE cannot re-coalesce a persisted exchange.
+1. documents are globally sorted on a unique key (default ``(set_name,
+   srn)``) via range partitioning + in-partition sort, and persisted so every
+   downstream job sees the identical physical layout,
+2. per-partition row counts are collected with a JVM-only
+   ``groupBy(spark_partition_id())`` (one tiny job, no Python),
+3. an exclusive prefix sum of those counts becomes a broadcast ``(pid,
+   offset)`` dimension,
+4. each row's id is ``offset[pid] + local_row_number``, where the local row
+   number is recovered from ``monotonically_increasing_id()`` (partition id
+   in the upper 31 bits, consecutive record number in the lower 33) — the
+   whole assignment stays inside whole-stage codegen; no Python pass at all.
+
+Because the sort keys are unique, the id equals the row's **global rank in
+the total order** — deterministic across runs even if range-partition
+boundaries differ, and safe under task retries (a retried task recomputes the
+same local order from the persisted layout).
 """
 
 from __future__ import annotations
 
-from typing import Iterator
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame, functions as F
 
-import numpy as np
-import pandas as pd
-from pyspark import StorageLevel, TaskContext
-from pyspark.sql import DataFrame
-from pyspark.sql import types as T
-
-_COUNT_SCHEMA = "pid int, n long"
+_LOCAL_BITS = 33  # monotonically_increasing_id: record number bits
 
 
 def assign_doc_ids(
@@ -35,9 +36,8 @@ def assign_doc_ids(
 ) -> DataFrame:
     """Return ``df`` with a dense int64 ``id_col``; rows sorted by ``sort_cols``.
 
-    The returned DataFrame is backed by a persisted sorted intermediate; call
-    ``.unpersist()`` on ``result.sorted_input`` (attached attribute) once the
-    result has been written if the session is long-lived.
+    The returned DataFrame exposes ``.sorted_input`` (the persisted sorted
+    intermediate) for explicit unpersist once materialized.
     """
     spark = df.sparkSession
     if num_partitions is None:
@@ -49,35 +49,30 @@ def assign_doc_ids(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
-    def count_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ctx = TaskContext.get()
-        pid = ctx.partitionId() if ctx is not None else 0
-        n = 0
-        for pdf in batches:
-            n += len(pdf)
-        yield pd.DataFrame({"pid": [pid], "n": [n]})
-
-    counts = sorted_df.mapInPandas(count_partition, _COUNT_SCHEMA).collect()
-    offsets: dict[int, int] = {}
+    counts = (
+        sorted_df.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    offsets = []
     acc = 0
-    for row in sorted(counts, key=lambda r: r.pid):
-        offsets[row.pid] = acc
-        acc += row.n
-    bc_offsets = spark.sparkContext.broadcast(offsets)
+    for row in sorted(counts, key=lambda r: r["pid"]):
+        offsets.append((int(row["pid"]), acc))
+        acc += int(row["n"])
+    offsets_df = spark.createDataFrame(offsets or [(0, 0)], "pid int, offset long")
 
-    out_schema = T.StructType(list(df.schema.fields) + [T.StructField(id_col, T.LongType(), False)])
-    in_cols = [f.name for f in df.schema.fields]
-
-    def attach_ids(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ctx = TaskContext.get()
-        pid = ctx.partitionId() if ctx is not None else 0
-        seen = bc_offsets.value.get(pid, 0)
-        for pdf in batches:
-            pdf = pdf[in_cols].copy()
-            pdf[id_col] = np.arange(seen, seen + len(pdf), dtype=np.int64)
-            seen += len(pdf)
-            yield pdf
-
-    result = sorted_df.mapInPandas(attach_ids, out_schema)
-    result.sorted_input = sorted_df  # handle for explicit unpersist
+    mid = F.monotonically_increasing_id()
+    result = (
+        sorted_df.withColumn("_mid", mid)
+        .withColumn("_pid", F.shiftright(F.col("_mid"), _LOCAL_BITS).cast("int"))
+        .withColumn(
+            "_local",
+            F.col("_mid")
+            - F.shiftleft(F.shiftright(F.col("_mid"), _LOCAL_BITS), _LOCAL_BITS),
+        )
+        .join(F.broadcast(offsets_df), F.col("_pid") == F.col("pid"), "inner")
+        .withColumn(id_col, (F.col("offset") + F.col("_local")).cast("long"))
+        .drop("_mid", "_pid", "_local", "pid", "offset")
+    )
+    result.sorted_input = sorted_df
     return result

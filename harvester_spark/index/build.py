@@ -33,7 +33,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark import TaskContext
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from harvester_spark.analysis import ALL_LANG, tokenize_series
@@ -43,7 +43,8 @@ from harvester_spark.search.bm25 import tf_norm
 POSTINGS_ROWS_SCHEMA = "term string, lang string, doc_id long, tf int, doc_len int"
 POSTINGS_SCHEMA = (
     "lang string, term string, base_doc_id long, n int, doc_deltas binary, "
-    "tfs binary, block_max_tf int, impact_lang double, impact_all double"
+    "tfs binary, block_max_tf int, block_sum_tf long, impact_lang double, "
+    "impact_all double"
 )
 LINEAGE_SCHEMA = (
     "build_id string, stage string, partition_id int, n_rows long, "
@@ -83,6 +84,57 @@ def postings_rows(documents: DataFrame) -> DataFrame:
     )
 
 
+def dictionary_from_blocks(postings: DataFrame) -> DataFrame:
+    """(term, lang) → df, cf derived from block metadata — a JVM aggregation
+    over block rows (≈ postings/128), replacing a second full shuffle of raw
+    posting rows. ``df = Σ n``, ``cf = Σ block_sum_tf`` per term; combined
+    'all'-index rows are the per-language sums
+    (per-language + combined index semantics,
+    /root/reference/harvester/search/tasks/index.py:38-41).
+    """
+    per_lang = postings.groupBy("term", "lang").agg(
+        F.sum("n").alias("df"), F.sum("block_sum_tf").alias("cf")
+    )
+    all_rows = per_lang.groupBy("term").agg(
+        F.sum("df").alias("df"), F.sum("cf").alias("cf")
+    ).select("term", F.lit(ALL_LANG).alias("lang"), "df", "cf")
+    return per_lang.select("term", "lang", "df", "cf").unionByName(all_rows)
+
+
+def sample_head_terms(
+    documents: DataFrame,
+    n_docs_total: int,
+    threshold: int,
+    chunk_target: int,
+    sample_rows: int = 20000,
+) -> DataFrame | None:
+    """Estimate head terms (df ≥ threshold) from a seeded document sample.
+
+    Head terms are by definition frequent, so a small sample finds them
+    reliably; a missed borderline term just lands unsalted (≤ ~threshold
+    postings on one reducer — harmless). Returns (term, lang, n_splits) or
+    None when no term can exceed the threshold.
+    """
+    if n_docs_total < threshold:
+        return None
+    frac = min(1.0, sample_rows / n_docs_total)
+    sampled = documents.sample(fraction=frac, seed=42)
+    est = (
+        postings_rows(sampled.select("doc_id", "text", "lang", "doc_len"))
+        .groupBy("term", "lang")
+        .agg((F.count("*") / frac).alias("est_df"))
+        .filter(F.col("est_df") >= threshold / 2)
+        .select(
+            "term",
+            "lang",
+            F.greatest(
+                F.lit(1), F.ceil(F.col("est_df") / chunk_target)
+            ).alias("n_splits"),
+        )
+    )
+    return est
+
+
 def build_dictionary(rows: DataFrame) -> DataFrame:
     """(term, lang) → df, cf for each language plus the combined 'all' index.
 
@@ -108,7 +160,7 @@ def _encode_runs(pdf: pd.DataFrame, avgdl: dict[str, float]) -> pd.DataFrame:
     """Encode a sorted (lang, term, doc_id) frame into block rows."""
     out = {k: [] for k in (
         "lang", "term", "base_doc_id", "n", "doc_deltas", "tfs",
-        "block_max_tf", "impact_lang", "impact_all",
+        "block_max_tf", "block_sum_tf", "impact_lang", "impact_all",
     )}
     for (lang, term), g in pdf.groupby(["lang", "term"], sort=False):
         ids = g["doc_id"].to_numpy(dtype=np.int64)
@@ -117,8 +169,9 @@ def _encode_runs(pdf: pd.DataFrame, avgdl: dict[str, float]) -> pd.DataFrame:
         imp_lang = tf_norm(tf, dl, avgdl[lang])
         imp_all = tf_norm(tf, dl, avgdl[ALL_LANG])
         for bs in range(0, len(ids), BLOCK_SIZE):
+            tf_slice = tf[bs : bs + BLOCK_SIZE]
             blk = encode_blocks(
-                ids[bs : bs + BLOCK_SIZE], tf[bs : bs + BLOCK_SIZE],
+                ids[bs : bs + BLOCK_SIZE], tf_slice,
                 imp_lang[bs : bs + BLOCK_SIZE],
             )[0]
             out["lang"].append(lang)
@@ -128,23 +181,52 @@ def _encode_runs(pdf: pd.DataFrame, avgdl: dict[str, float]) -> pd.DataFrame:
             out["doc_deltas"].append(blk[2])
             out["tfs"].append(blk[3])
             out["block_max_tf"].append(blk[4])
+            out["block_sum_tf"].append(int(tf_slice.sum()))
             out["impact_lang"].append(blk[5])
             out["impact_all"].append(float(imp_all[bs : bs + BLOCK_SIZE].max()))
     return pd.DataFrame(out)
 
 
-def encode_postings(rows: DataFrame, avgdl: dict[str, float], num_partitions: int | None = None) -> DataFrame:
-    """postings_rows → compressed block table.
+HEAD_DF_THRESHOLD = 65536  # postings above this are "head" terms → salted
+HEAD_CHUNK_TARGET = 65536  # target postings per head-term chunk
 
-    Range-partitions on ``(lang, term, doc_id)`` so each partition holds
-    contiguous docID runs; a head term splits across partitions and each span
-    encodes its own blocks independently (block base docIDs keep global order
-    reconstructible at read time).
+
+def encode_postings(
+    rows: DataFrame,
+    avgdl: dict[str, float],
+    num_partitions: int | None = None,
+    head_terms: DataFrame | None = None,
+    n_docs_total: int | None = None,
+) -> DataFrame:
+    """postings_rows → compressed block table via salted hash shuffle.
+
+    Shuffle key is ``(lang, term, chunk)`` where ``chunk`` is 0 for ordinary
+    terms and ``floor(doc_id * n_splits / n_docs)`` for head terms (df ≥
+    {HEAD_DF_THRESHOLD}) — the north-rule's salted-shuffle merge: no reducer
+    ever holds a full head-term posting list, chunks cover contiguous
+    non-overlapping docID ranges (block-span pruning stays effective), the
+    salt is a deterministic function of doc_id (no sampling pass, stable
+    under retries/AQE), and ``head_terms`` is a broadcast-joined dimension
+    derived from the dictionary stage.
     """
     spark = rows.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
     bc = spark.sparkContext.broadcast(avgdl)
+
+    if head_terms is not None and n_docs_total:
+        rows = (
+            rows.join(F.broadcast(head_terms), ["term", "lang"], "left")
+            .withColumn(
+                "chunk",
+                F.when(F.col("n_splits").isNull(), F.lit(0)).otherwise(
+                    F.floor(F.col("doc_id") * F.col("n_splits") / F.lit(n_docs_total))
+                ),
+            )
+            .drop("n_splits")
+        )
+    else:
+        rows = rows.withColumn("chunk", F.lit(0))
 
     def encoder(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         avg = bc.value
@@ -166,9 +248,11 @@ def encode_postings(rows: DataFrame, avgdl: dict[str, float], num_partitions: in
         if leftover is not None and len(leftover):
             yield _encode_runs(leftover, avg)
 
-    sorted_rows = rows.repartitionByRange(
-        num_partitions, "lang", "term", "doc_id"
-    ).sortWithinPartitions("lang", "term", "doc_id")
+    sorted_rows = (
+        rows.repartition(num_partitions, "lang", "term", "chunk")
+        .sortWithinPartitions("lang", "term", "doc_id")
+        .drop("chunk")
+    )
     return sorted_rows.mapInPandas(encoder, POSTINGS_SCHEMA)
 
 
@@ -186,6 +270,22 @@ def compute_corpus_stats(documents: DataFrame) -> DataFrame:
 
 def _complete(path: str) -> bool:
     return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def _parquet_file_rows(path: str) -> dict[str, int]:
+    """Per-file row counts from parquet footers — no Spark job.
+
+    (On a cluster this would read the Iceberg manifest instead.)
+    """
+    import pyarrow.parquet as pq
+
+    counts = {}
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                full = os.path.join(root, f)
+                counts[full] = pq.read_metadata(full).num_rows
+    return counts
 
 
 class IndexBuilder:
@@ -222,9 +322,9 @@ class IndexBuilder:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
-        out = self.spark.read.parquet(path)
-        self._record(name, -1, out.count(), t0, "completed")
-        return out
+        n_rows = sum(_parquet_file_rows(path).values())  # footer read, no job
+        self._record(name, -1, n_rows, t0, "completed")
+        return self.spark.read.parquet(path)
 
     def build(
         self,
@@ -242,12 +342,20 @@ class IndexBuilder:
         corpus_stats = self._run_stage(
             "corpus_stats", lambda: compute_corpus_stats(doc_stats), resume
         )
-        avgdl = {r["lang"]: float(r["avgdl"]) for r in corpus_stats.collect()}
-
-        rows = postings_rows(docs)
-        dictionary = self._run_stage(
-            "dictionary", lambda: build_dictionary(rows), resume
+        stats_rows = corpus_stats.collect()
+        avgdl = {r["lang"]: float(r["avgdl"]) for r in stats_rows}
+        n_docs_total = sum(
+            int(r["n_docs"]) for r in stats_rows if r["lang"] != ALL_LANG
         )
+
+        # Head-term dimension for the salted-shuffle merge: estimated from a
+        # seeded sample (cheap — head terms are frequent by definition), so
+        # the single full tokenize pass feeds ONLY the block encoder and the
+        # dictionary is derived from block metadata afterwards.
+        head_terms = sample_head_terms(
+            docs, n_docs_total, HEAD_DF_THRESHOLD, HEAD_CHUNK_TARGET
+        )
+        rows = postings_rows(docs)
 
         # Postings: optionally sharded by docID bucket for partition-level
         # resume (each shard is an independent atomic commit).
@@ -255,7 +363,9 @@ class IndexBuilder:
         if n_shards <= 1:
             self._run_stage(
                 "postings",
-                lambda: encode_postings(rows, avgdl, num_partitions),
+                lambda: encode_postings(
+                    rows, avgdl, num_partitions, head_terms, n_docs_total
+                ),
                 resume,
             )
         else:
@@ -266,24 +376,25 @@ class IndexBuilder:
                     self._record("postings", shard, -1, t0, "skipped")
                     continue
                 shard_rows = rows.filter(F.pmod(F.col("doc_id"), F.lit(n_shards)) == shard)
-                encode_postings(shard_rows, avgdl, num_partitions).write.mode(
-                    "overwrite"
-                ).parquet(shard_path)
-                n = spark.read.parquet(shard_path).count()
+                encode_postings(
+                    shard_rows, avgdl, num_partitions, head_terms, n_docs_total
+                ).write.mode("overwrite").parquet(shard_path)
+                n = sum(_parquet_file_rows(shard_path).values())
                 self._record("postings", shard, n, t0, "completed")
         postings = spark.read.option("basePath", postings_root).parquet(postings_root)
 
-        # Per-partition (per output file) metrics → lineage, the north_rule's
-        # lineage+metrics table.
-        file_counts = (
-            postings.groupBy(F.input_file_name().alias("file"))
-            .agg(F.count("*").alias("n_rows"))
-            .collect()
+        # Dictionary: JVM aggregation over block metadata (≈1/128th of the
+        # posting rows) — no second shuffle of the raw token stream.
+        dictionary = self._run_stage(
+            "dictionary", lambda: dictionary_from_blocks(postings), resume
         )
+
+        # Per-partition (per output file) metrics → lineage, the north_rule's
+        # lineage+metrics table (footer reads, no Spark job).
         now = time.time()
-        for i, r in enumerate(sorted(file_counts, key=lambda r: r["file"])):
+        for i, (f, n) in enumerate(sorted(_parquet_file_rows(postings_root).items())):
             self._lineage.append(
-                (self.build_id, "postings_file", i, r["n_rows"], now, now, "metric")
+                (self.build_id, "postings_file", i, n, now, now, "metric")
             )
         lineage_df = spark.createDataFrame(self._lineage, LINEAGE_SCHEMA)
         lineage_df.write.mode("append").parquet(self._path("lineage"))

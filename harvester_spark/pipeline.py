@@ -31,6 +31,10 @@ def build_documents(
     extractor, mirroring production where no golden column exists).
     """
     extracted = with_extracted_text(corpus.drop("text"), "html", "text")
+    # Not persisted: the range partitioner's sampling pass re-runs the
+    # extractor once (~cheap, fully parallel), which measures faster than
+    # building a columnar cache of the full text frame. Only the SORTED
+    # frame is persisted (docid correctness requires a pinned layout).
     documents = normalize_documents(extracted)
     return assign_doc_ids(documents, ("set_name", "srn"), num_partitions)
 

@@ -41,6 +41,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # cache builds of wide text frames are CPU-bound on codec work;
+        # local-mode memory is plentiful, so trade space for build speed
+        .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.host", "127.0.0.1")
