@@ -334,6 +334,10 @@ class IndexBuilder:
         num_partitions: int | None = None,
     ) -> dict[str, DataFrame]:
         spark = self.spark
+        if "state" in documents.columns:
+            # only active docs are indexed (soft-deleted/inactive excluded —
+            # /root/reference/harvester/core/views/document.py:42-50)
+            documents = documents.filter(F.col("state") == "active")
         docs = documents.select("doc_id", "text", "lang", "doc_len")
 
         doc_stats = self._run_stage(

@@ -1,0 +1,209 @@
+"""Incremental-update contract: MERGE semantics, delta index == full rebuild,
+webhook streaming ingest."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from harvester_spark.corpus import corpus_pdf, generate_corpus
+from harvester_spark.index.build import IndexBuilder
+from harvester_spark.index.catalog import IndexCatalog
+from harvester_spark.pipeline import run_build
+from harvester_spark.search.engine import IndexSearcher
+from harvester_spark.streaming.incremental import (
+    apply_index_delta,
+    changed_and_deleted,
+    merge_documents,
+    normalize_delta,
+)
+
+N_DOCS = 200
+
+
+def _delta_corpus(spark):
+    """Delta: 2 modified docs (5, 17), 2 new docs (10_001, 10_002), 1 delete (23)."""
+    import pandas as pd
+
+    base_rows = corpus_pdf(np.array([5, 17, 23]))
+    mod = base_rows.copy()
+    mod["html"] = [
+        b"<p>completely new text five alpha</p>",
+        b"<p>completely new text seventeen bravo</p>",
+        base_rows["html"].iloc[2],  # unchanged payload for the delete row
+    ]
+    mod["deleted"] = [False, False, True]
+    new = corpus_pdf(np.array([10_001, 10_002]))
+    new["deleted"] = False
+    pdf = pd.concat([mod, new], ignore_index=True)
+    return spark.createDataFrame(
+        pdf, "url string, warc_ts timestamp, html binary, text string, lang string, deleted boolean"
+    )
+
+
+@pytest.fixture(scope="module")
+def incr(spark, tmp_root):
+    out = os.path.join(tmp_root, "incr")
+    tables = run_build(spark, out, n_docs=N_DOCS, resume=False, num_partitions=4)
+    base = spark.read.parquet(f"{out}/documents")
+    delta = normalize_delta(_delta_corpus(spark))
+    merged = merge_documents(base, delta)
+    merged_path = os.path.join(out, "documents_v2")
+    merged.write.mode("overwrite").parquet(merged_path)
+    merged = spark.read.parquet(merged_path)
+    return out, base, delta, merged
+
+
+def test_merge_semantics(incr, spark):
+    out, base, delta, merged = incr
+    n_base = base.count()
+    assert merged.count() == n_base + 2  # two inserts
+
+    # unchanged doc keeps its row untouched
+    some = base.filter(~F.col("url").rlike("/(00000005|00000017|00000023)$")).first()
+    after = merged.filter(F.col("srn") == some["srn"]).first()
+    assert after["content_hash"] == some["content_hash"]
+    assert after["modified_at"] == some["modified_at"]
+    assert after["doc_id"] == some["doc_id"]
+
+    # updated doc: same doc_id, new hash, bumped modified_at
+    b5 = base.filter(F.col("url").endswith("00000005")).first()
+    a5 = merged.filter(F.col("url").endswith("00000005")).first()
+    assert a5["doc_id"] == b5["doc_id"]
+    assert a5["content_hash"] != b5["content_hash"]
+    assert "completely" in a5["text"]
+
+    # deleted doc: state flipped, deleted_at set, payload kept
+    a23 = merged.filter(F.col("url").endswith("00000023")).first()
+    assert a23["state"] == "deleted"
+    assert a23["deleted_at"] is not None
+
+    # inserts: dense new ids continuing after max base id
+    max_base = base.agg(F.max("doc_id")).collect()[0][0]
+    new_ids = sorted(
+        r["doc_id"]
+        for r in merged.filter(F.col("url").rlike("/1000[12]$|/0010000[12]$")).collect()
+    )
+    inserted = merged.filter(F.col("doc_id") > max_base)
+    assert inserted.count() == 2
+    got = sorted(r["doc_id"] for r in inserted.collect())
+    assert got == [max_base + 1, max_base + 2]
+
+
+def test_changed_and_deleted(incr):
+    out, base, delta, merged = incr
+    fresh, tombstones = changed_and_deleted(base, merged)
+    assert fresh.count() == 4  # 2 updates + 2 inserts
+    assert tombstones.count() == 3  # 2 updated (old postings) + 1 deleted
+
+
+def test_delta_equals_rebuild(incr, spark, tmp_root):
+    """base ∪ delta answers == full-rebuild answers, bit-for-bit."""
+    from harvester_spark.streaming.incremental import DeltaSearcher
+
+    out, base, delta, merged = incr
+    fresh, tombstones = changed_and_deleted(base, merged)
+
+    # incremental path: copy base index dir, apply delta
+    import shutil
+
+    inc_dir = os.path.join(tmp_root, "incr_index")
+    shutil.rmtree(inc_dir, ignore_errors=True)
+    shutil.copytree(f"{out}/index", inc_dir)
+    apply_index_delta(spark, inc_dir, merged, fresh, tombstones)
+
+    # rebuild path: fresh index over the merged table
+    rb = IndexBuilder(spark, os.path.join(tmp_root, "incr_rebuild"))
+    rb.build(merged, resume=False, num_partitions=4)
+
+    ds = DeltaSearcher(spark, inc_dir)
+    rs = IndexSearcher(spark, os.path.join(tmp_root, "incr_rebuild"))
+    for q in ["w00000", "w00000 w00001", "completely", "alpha completely",
+              "term_7", "w00001 w00002"]:
+        for lang in ["all", "en", "nl"]:
+            a = ds.search(q, k=10, lang=lang).topk
+            b = rs.search(q, k=10, lang=lang).topk
+            assert list(a["doc_id"]) == list(b["doc_id"]), (q, lang)
+            assert (
+                np.asarray(a["score"], dtype=np.float64)
+                == np.asarray(b["score"], dtype=np.float64)
+            ).all(), (q, lang)
+
+
+def test_deleted_doc_absent(incr, spark, tmp_root):
+    from harvester_spark.streaming.incremental import DeltaSearcher
+
+    out, base, delta, merged = incr
+    deleted_id = base.filter(F.col("url").endswith("00000023")).first()["doc_id"]
+    inc_dir = os.path.join(tmp_root, "incr_index")
+    ds = DeltaSearcher(spark, inc_dir)
+    res = ds.search("w00000", k=200)
+    assert deleted_id not in set(res.topk["doc_id"])
+
+
+def test_webhook_stream(spark, tmp_root):
+    """End-to-end streaming ingest: file drop → merged version promoted."""
+    from harvester_spark.streaming.webhook import start_webhook_stream
+
+    root = os.path.join(tmp_root, "webhook")
+    out = os.path.join(root, "base")
+    run_build(spark, out, n_docs=60, resume=False, num_partitions=2)
+
+    catalog = IndexCatalog(os.path.join(root, "catalog"))
+    os.makedirs(catalog.version_dir("v000000"), exist_ok=True)
+    import shutil
+
+    for f in os.listdir(f"{out}/documents"):
+        shutil.copy(f"{out}/documents/{f}", catalog.version_dir("v000000"))
+    catalog.promote("v000000")
+    index_dir = os.path.join(root, "index")
+    shutil.copytree(f"{out}/index", index_dir)
+
+    drop = os.path.join(root, "drop")
+    os.makedirs(drop, exist_ok=True)
+    with open(os.path.join(drop, "batch1.json"), "w") as f:
+        f.write(
+            json.dumps(
+                {
+                    "url": "https://example.org/alpha/99999999",
+                    "warc_ts": "2024-01-01T00:00:00.000Z",
+                    "html": "<p>webhook pushed document zebra</p>",
+                    "lang": "en",
+                    "deleted": False,
+                }
+            )
+        )
+    q = start_webhook_stream(
+        spark, drop, catalog, index_dir, os.path.join(root, "ckpt"), available_now=True
+    )
+    q.awaitTermination(120)
+
+    assert catalog.current() != "v000000"
+    docs = spark.read.parquet(catalog.current_dir())
+    pushed = docs.filter(F.col("url").endswith("99999999")).collect()
+    assert len(pushed) == 1 and "zebra" in pushed[0]["text"]
+
+    from harvester_spark.streaming.incremental import DeltaSearcher
+
+    ds = DeltaSearcher(spark, index_dir)
+    hit = ds.search("zebra", k=5)
+    assert list(hit.topk["doc_id"]) == [pushed[0]["doc_id"]]
+
+
+def test_catalog_promotion(tmp_root):
+    cat = IndexCatalog(os.path.join(tmp_root, "cat"))
+    os.makedirs(cat.version_dir("a"))
+    os.makedirs(cat.version_dir("b"))
+    assert cat.current() is None
+    cat.promote("a")
+    assert cat.current() == "a"
+    cat.promote("b")
+    assert cat.current() == "b"
+    with pytest.raises(FileNotFoundError):
+        cat.promote("missing")
+    os.makedirs(cat.version_dir("c"))
+    cat.promote("c")
+    victims = cat.expire(keep=1)
+    assert "c" not in victims and cat.current() == "c"
