@@ -69,7 +69,8 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_docs = int(os.environ.get("HS_BENCH_DOCS", "20000"))
     do_scaling = os.environ.get("HS_BENCH_SCALING", "1") != "0"
-    work = os.environ.get("HS_BENCH_WORK", "/tmp/hs_bench")
+    default_work = "/dev/shm/hs_bench" if os.path.isdir("/dev/shm") else "/tmp/hs_bench"
+    work = os.environ.get("HS_BENCH_WORK", default_work)
 
     from harvester_spark.operators import ALL_QUERIES
     from harvester_spark import corpus as corpus_mod

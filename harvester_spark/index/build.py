@@ -42,9 +42,9 @@ from harvester_spark.search.bm25 import tf_norm
 
 POSTINGS_ROWS_SCHEMA = "term string, lang string, doc_id long, tf int, doc_len int"
 POSTINGS_SCHEMA = (
-    "lang string, term string, base_doc_id long, n int, doc_deltas binary, "
-    "tfs binary, block_max_tf int, block_sum_tf long, impact_lang double, "
-    "impact_all double"
+    "lang string, term string, base_doc_id long, max_doc_id long, n int, "
+    "doc_deltas binary, tfs binary, block_max_tf int, block_sum_tf long, "
+    "impact_lang double, impact_all double"
 )
 LINEAGE_SCHEMA = (
     "build_id string, stage string, partition_id int, n_rows long, "
@@ -159,7 +159,7 @@ def build_dictionary(rows: DataFrame) -> DataFrame:
 def _encode_runs(pdf: pd.DataFrame, avgdl: dict[str, float]) -> pd.DataFrame:
     """Encode a sorted (lang, term, doc_id) frame into block rows."""
     out = {k: [] for k in (
-        "lang", "term", "base_doc_id", "n", "doc_deltas", "tfs",
+        "lang", "term", "base_doc_id", "max_doc_id", "n", "doc_deltas", "tfs",
         "block_max_tf", "block_sum_tf", "impact_lang", "impact_all",
     )}
     for (lang, term), g in pdf.groupby(["lang", "term"], sort=False):
@@ -177,6 +177,7 @@ def _encode_runs(pdf: pd.DataFrame, avgdl: dict[str, float]) -> pd.DataFrame:
             out["lang"].append(lang)
             out["term"].append(term)
             out["base_doc_id"].append(blk[0])
+            out["max_doc_id"].append(int(ids[bs : bs + BLOCK_SIZE].max()))
             out["n"].append(blk[1])
             out["doc_deltas"].append(blk[2])
             out["tfs"].append(blk[3])

@@ -1,0 +1,296 @@
+"""Search-API surface beyond core BM25 top-k (SURVEY.md §2.11).
+
+Implements the harvester's serving semantics on top of :class:`IndexSearcher`:
+
+- field filters: OR within a field, AND across fields; date range with
+  null-open bounds, missing-date docs excluded
+  (/root/reference/harvester/search/views/document.py:70-94,113-134),
+- facet counts over the filtered result set (metadata/models/field.py:14-39;
+  views/document.py:129-142),
+- recency boost: additive ``boost * pivot/(pivot + |origin - date|)``
+  distance-feature on publisher_date, boost=1.15, pivot=90d
+  (core/models/search/query.py:87-94),
+- default recency ordering for empty queries (views/document.py:130-131),
+- ``did_you_mean`` spelling suggestion: nearest dictionary term by edit
+  distance ≤ 2, preferring higher df (tests expect {original, suggestion} —
+  search/tests/views/document.py:56-60),
+- ``more_like_this``: top distinctive terms of a doc (tf·idf) as an OR
+  query, scored disjunctively (views/similarity.py:70-81),
+- autocomplete: prefix top-N over the term dictionary (views/autocomplete.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from harvester_spark.analysis import ALL_LANG, tokenize
+from harvester_spark.search import bm25
+from harvester_spark.search.engine import IndexSearcher
+
+RECENCY_BOOST = 1.15
+RECENCY_PIVOT_DAYS = 90.0
+
+
+@dataclass
+class Filters:
+    """OR within a field, AND across fields; date range [lower, upper]."""
+
+    fields: dict[str, list] = field(default_factory=dict)
+    publisher_date: tuple[str | None, str | None] | None = None
+
+
+class SearchAPI:
+    """Serving layer over an index dir + the documents attribute table."""
+
+    def __init__(self, spark: SparkSession, index_dir: str, documents: DataFrame):
+        self.spark = spark
+        self.searcher = IndexSearcher(spark, index_dir)
+        self.documents = documents
+        self._dict_pdf: pd.DataFrame | None = None
+
+    # ---------------------------------------------------------------- filters
+
+    def _allowed_ids(self, filters: Filters | None) -> np.ndarray | None:
+        if filters is None or (not filters.fields and filters.publisher_date is None):
+            return None
+        df = self.documents.filter(F.col("state") == "active")
+        for fname, items in filters.fields.items():
+            df = df.filter(F.col(fname).isin(items))  # OR within field
+        if filters.publisher_date is not None:
+            lo, hi = filters.publisher_date
+            df = df.filter(F.col("publisher_date").isNotNull())  # missing excluded
+            if lo is not None:
+                df = df.filter(F.col("publisher_date") >= F.lit(lo).cast("date"))
+            if hi is not None:
+                df = df.filter(F.col("publisher_date") <= F.lit(hi).cast("date"))
+        ids = df.select("doc_id").toPandas()["doc_id"].to_numpy(dtype=np.int64)
+        return np.sort(ids)
+
+    # ----------------------------------------------------------------- search
+
+    def search(
+        self,
+        query_text: str,
+        k: int = 10,
+        page: int = 1,
+        lang: str = ALL_LANG,
+        filters: Filters | None = None,
+        recency_boost: bool = False,
+        include_filter_counts: tuple[str, ...] = (),
+    ) -> dict:
+        allowed = self._allowed_ids(filters)
+
+        if not tokenize(query_text or ""):
+            return self._empty_query_listing(k, page, allowed, include_filter_counts)
+
+        res = self.searcher.search(
+            query_text, k=10**9 if recency_boost else k, lang=lang,
+            allowed_doc_ids=allowed, page=1 if recency_boost else page,
+        )
+        topk = res.topk
+        if recency_boost and len(topk):
+            topk = self._apply_recency(topk, k, page)
+
+        out = {
+            "results": topk.to_dict("records"),
+            "results_total": {"value": res.results_total, "is_precise": True},
+            "did_you_mean": self.did_you_mean(query_text, lang),
+        }
+        if include_filter_counts:
+            out["filter_counts"] = self.facet_counts(
+                include_filter_counts, topk_ids=None, filters=filters
+            )
+        return out
+
+    def _apply_recency(self, topk: pd.DataFrame, k: int, page: int) -> pd.DataFrame:
+        """score += 1.15 * 90d / (90d + |now - publisher_date|), re-ranked."""
+        dates = (
+            self.documents.filter(F.col("doc_id").isin([int(x) for x in topk["doc_id"]]))
+            .select("doc_id", "publisher_date")
+            .toPandas()
+        )
+        merged = topk.merge(dates, on="doc_id", how="left")
+        now = pd.Timestamp.utcnow().tz_localize(None).normalize()
+        age_days = (now - pd.to_datetime(merged["publisher_date"])).dt.days.abs()
+        boost = RECENCY_BOOST * RECENCY_PIVOT_DAYS / (RECENCY_PIVOT_DAYS + age_days.fillna(np.inf))
+        merged["score"] = merged["score"] + boost.fillna(0.0)
+        merged = merged.sort_values(["score", "doc_id"], ascending=[False, True])
+        lo = (page - 1) * k
+        sel = merged.iloc[lo : lo + k].copy()
+        sel["rank"] = np.arange(lo + 1, lo + 1 + len(sel))
+        return sel[["rank", "doc_id", "score"]].reset_index(drop=True)
+
+    def _empty_query_listing(self, k, page, allowed, facet_fields) -> dict:
+        """Empty query → recency-ordered listing (views/document.py:130-131)."""
+        df = self.documents.filter(F.col("state") == "active")
+        if allowed is not None:
+            df = df.filter(F.col("doc_id").isin([int(x) for x in allowed]))
+        total = df.count()
+        rows = (
+            df.orderBy(F.col("publisher_date").desc(), F.col("doc_id").asc())
+            .select("doc_id")
+            .limit(page * k)
+            .toPandas()
+            .iloc[(page - 1) * k :]
+        )
+        out = {
+            "results": [
+                {"rank": (page - 1) * k + i + 1, "doc_id": int(d), "score": 0.0}
+                for i, d in enumerate(rows["doc_id"])
+            ],
+            "results_total": {"value": int(total), "is_precise": True},
+            "did_you_mean": None,
+        }
+        if facet_fields:
+            out["filter_counts"] = self.facet_counts(facet_fields, None, None)
+        return out
+
+    # ------------------------------------------------------------------ facets
+
+    def facet_counts(
+        self,
+        fields: tuple[str, ...],
+        topk_ids=None,
+        filters: Filters | None = None,
+    ) -> dict[str, int]:
+        """{field-value: doc_count} over the (filtered) document set."""
+        df = self.documents.filter(F.col("state") == "active")
+        allowed = self._allowed_ids(filters)
+        if allowed is not None:
+            df = df.filter(F.col("doc_id").isin([int(x) for x in allowed]))
+        counts: dict[str, int] = {}
+        for fname in fields:
+            for r in df.groupBy(fname).count().collect():
+                counts[f"{fname}-{r[fname]}"] = int(r["count"])
+        return counts
+
+    # ------------------------------------------------------------ suggestions
+
+    def _dictionary(self) -> pd.DataFrame:
+        if self._dict_pdf is None:
+            self._dict_pdf = (
+                self.searcher.dictionary.filter(F.col("lang") == ALL_LANG)
+                .select("term", "df")
+                .toPandas()
+            )
+        return self._dict_pdf
+
+    def did_you_mean(self, query_text: str, lang: str = ALL_LANG) -> dict | None:
+        """For a query whose terms are rare/absent, suggest the nearest
+        frequent dictionary term (edit distance ≤ 2, highest df wins)."""
+        terms = tokenize(query_text or "")
+        if not terms:
+            return None
+        d = self._dictionary()
+        suggestions = []
+        changed = False
+        term_df = dict(zip(d["term"], d["df"]))
+        for t in terms:
+            if term_df.get(t, 0) > 0:
+                suggestions.append(t)
+                continue
+            cand = _closest_term(t, d)
+            if cand is None:
+                suggestions.append(t)
+            else:
+                suggestions.append(cand)
+                changed = True
+        if not changed:
+            return None
+        return {"original": " ".join(terms), "suggestion": " ".join(suggestions)}
+
+    def autocomplete(self, prefix: str, n: int = 10) -> list[str]:
+        d = self._dictionary()
+        hits = d[d["term"].str.startswith(prefix.lower())]
+        hits = hits.sort_values(["df", "term"], ascending=[False, True])
+        return list(hits["term"].head(n))
+
+    def more_like_this(self, doc_id: int, k: int = 10, lang: str = ALL_LANG,
+                       max_terms: int = 8) -> pd.DataFrame:
+        """OR-scored similarity: top tf·idf terms of the doc as a disjunctive
+        query; the source doc itself is excluded."""
+        row = self.documents.filter(F.col("doc_id") == doc_id).select("text").first()
+        if row is None:
+            return pd.DataFrame(columns=["rank", "doc_id", "score"])
+        toks = tokenize(row["text"])
+        if not toks:
+            return pd.DataFrame(columns=["rank", "doc_id", "score"])
+        tf = pd.Series(toks).value_counts()
+        d = self._dictionary()
+        n_docs, avgdl = self.searcher._corpus_stats[lang]
+        term_df = dict(zip(d["term"], d["df"]))
+        weights = {
+            t: tf_ * float(bm25.idf(n_docs, term_df.get(t, 1)))
+            for t, tf_ in tf.items()
+        }
+        top_terms = sorted(weights, key=lambda t: (-weights[t], t))[:max_terms]
+
+        # disjunctive scoring: union of postings, score whatever matches
+        s = self.searcher
+        dfs = s._dfs(top_terms, lang)
+        live = [t for t in top_terms if dfs[t] > 0]
+        if not live:
+            return pd.DataFrame(columns=["rank", "doc_id", "score"])
+        blocks = s._term_postings(live, lang)
+        acc: dict[int, float] = {}
+        dl_arr = s._doc_lens()
+        from harvester_spark.index.codec import decode_block
+
+        for t in bm25.term_order(live, dfs):
+            tb = blocks[blocks["term"] == t]
+            for r in tb.itertuples(index=False):
+                ids, tfv = decode_block(r.base_doc_id, r.doc_deltas, r.tfs)
+                contrib = bm25.idf(n_docs, dfs[t]) * bm25.tf_norm(tfv, dl_arr[ids], avgdl)
+                for i, c in zip(ids, contrib):
+                    if int(i) != doc_id:
+                        acc[int(i)] = acc.get(int(i), 0.0) + float(c)
+        if not acc:
+            return pd.DataFrame(columns=["rank", "doc_id", "score"])
+        ids = np.array(list(acc.keys()), dtype=np.int64)
+        scores = np.array(list(acc.values()), dtype=np.float64)
+        top = bm25.topk_order(scores, ids, k)
+        return pd.DataFrame(
+            {
+                "rank": np.arange(1, len(top) + 1),
+                "doc_id": ids[top],
+                "score": scores[top],
+            }
+        )
+
+
+def _edit_distance_leq(a: str, b: str, maxd: int = 2) -> int | None:
+    """Banded Levenshtein; returns distance if ≤ maxd else None."""
+    if abs(len(a) - len(b)) > maxd:
+        return None
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i] + [0] * len(b)
+        lo = len(b) + 1
+        for j, cb in enumerate(b, 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            lo = min(lo, cur[j])
+        if lo > maxd:
+            return None
+        prev = cur
+    return prev[-1] if prev[-1] <= maxd else None
+
+
+def _closest_term(t: str, d: pd.DataFrame) -> str | None:
+    # cheap pre-filter: candidate terms within ±2 length sharing a first char
+    cand = d[
+        (d["term"].str.len().sub(len(t)).abs() <= 2)
+        & (d["term"].str[0] == (t[0] if t else ""))
+    ]
+    best, best_key = None, None
+    for term, df_ in zip(cand["term"], cand["df"]):
+        dist = _edit_distance_leq(t, term)
+        if dist is None or dist == 0:
+            continue
+        key = (dist, -df_, term)
+        if best_key is None or key < best_key:
+            best, best_key = term, key
+    return best

@@ -75,7 +75,8 @@ class IndexSearcher:
         if lang != ALL_LANG:
             df = df.filter(F.col("lang") == lang)
         return df.select(
-            "term", "base_doc_id", "doc_deltas", "tfs", "impact_lang", "impact_all"
+            "term", "base_doc_id", "max_doc_id", "doc_deltas", "tfs",
+            "impact_lang", "impact_all"
         ).toPandas()
 
     def _dfs(self, terms: list[str], lang: str) -> dict[str, int]:
@@ -119,8 +120,10 @@ class IndexSearcher:
             ids_parts, tf_parts = [], []
             prune = candidates is not None and i == len(by_df) - 1 and len(by_df) > 1
             bases = tb["base_doc_id"].to_numpy()
-            # upper bound of each block's docID range = next block's base - 1
-            uppers = np.append(bases[1:], np.iinfo(np.int64).max)
+            # exact per-block docID span [base, max_doc_id] (spans of blocks
+            # from different languages/chunks may interleave — never inferred
+            # from the neighbouring block)
+            uppers = tb["max_doc_id"].to_numpy()
             for j, row in enumerate(tb.itertuples(index=False)):
                 if prune and not _span_hits(candidates, bases[j], uppers[j]):
                     continue

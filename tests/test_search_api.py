@@ -1,0 +1,153 @@
+"""Search-API semantics + reference query set rank identity + rank eval."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from harvester_spark.pipeline import run_build
+from harvester_spark.queryset import (
+    build_expected_topk,
+    rank_eval,
+    reference_queries,
+    synthetic_ratings,
+)
+from harvester_spark.search.api import Filters, SearchAPI, _edit_distance_leq
+from harvester_spark.search.engine import IndexSearcher
+
+N_DOCS = 300
+
+
+@pytest.fixture(scope="module")
+def api(spark, tmp_root):
+    out = os.path.join(tmp_root, "api")
+    run_build(spark, out, n_docs=N_DOCS, resume=False, num_partitions=8)
+    documents = spark.read.parquet(f"{out}/documents")
+    return SearchAPI(spark, f"{out}/index", documents), out
+
+
+@pytest.fixture(scope="module")
+def docs_pdf(api, spark):
+    _, out = api
+    return (
+        spark.read.parquet(f"{out}/documents")
+        .select("doc_id", "text", "lang", "publisher_date", "set_name")
+        .toPandas()
+    )
+
+
+def test_reference_query_set_rank_identity(api, docs_pdf, spark):
+    """Every fixture query: engine == frozen oracle golden table, exactly."""
+    _, out = api
+    searcher = IndexSearcher(spark, f"{out}/index")
+    queries = reference_queries()
+    golden = build_expected_topk(docs_pdf, queries)
+    for q in queries.itertuples(index=False):
+        got = searcher.search(q.query_text, k=q.k, lang=q.lang).topk
+        exp = golden[golden["query_id"] == q.query_id]
+        assert list(got["doc_id"]) == list(exp["doc_id"]), q.query_id
+        assert (
+            np.asarray(got["score"], dtype=np.float64)
+            == np.asarray(exp["score"], dtype=np.float64)
+        ).all(), q.query_id
+
+
+def test_rank_eval_ndcg(api, docs_pdf, spark):
+    _, out = api
+    searcher = IndexSearcher(spark, f"{out}/index")
+    queries = reference_queries()
+    golden = build_expected_topk(docs_pdf, queries)
+    ratings = synthetic_ratings(golden)
+    report = rank_eval(searcher, queries, ratings)
+    scored = report.dropna(subset=["ndcg"])
+    # engine IS the oracle ranking -> top-heavy NDCG must be near-perfect
+    assert len(scored) > 30
+    assert (scored["ndcg"] > 0.85).all()
+
+
+def test_filter_or_within_and_across(api):
+    papi, _ = api
+    r_one = papi.search("w00000", filters=Filters(fields={"set_name": ["alpha"]}))
+    r_two = papi.search("w00000", filters=Filters(fields={"set_name": ["alpha", "bravo"]}))
+    assert r_two["results_total"]["value"] >= r_one["results_total"]["value"]
+    r_none = papi.search(
+        "w00000",
+        filters=Filters(fields={"set_name": ["alpha"], "lang": ["nl"]}),
+    )
+    # AND across fields narrows
+    assert r_none["results_total"]["value"] <= r_one["results_total"]["value"]
+
+
+def test_date_range_null_open(api, docs_pdf):
+    papi, _ = api
+    all_hits = papi.search("w00000")["results_total"]["value"]
+    lo = papi.search("w00000", filters=Filters(publisher_date=("1970-05-01", None)))
+    hi = papi.search("w00000", filters=Filters(publisher_date=(None, "1970-05-01")))
+    assert lo["results_total"]["value"] + hi["results_total"]["value"] >= all_hits
+    both = papi.search(
+        "w00000", filters=Filters(publisher_date=("1970-03-01", "1970-06-01"))
+    )
+    assert both["results_total"]["value"] <= all_hits
+
+
+def test_empty_query_recency_listing(api, docs_pdf):
+    papi, _ = api
+    r = papi.search("", k=5)
+    assert len(r["results"]) == 5
+    ids = [x["doc_id"] for x in r["results"]]
+    dates = docs_pdf.set_index("doc_id").loc[ids, "publisher_date"]
+    assert list(dates) == sorted(dates, reverse=True)
+    assert r["results_total"]["value"] == N_DOCS
+
+
+def test_facet_counts(api, docs_pdf):
+    papi, _ = api
+    counts = papi.facet_counts(("lang", "set_name"))
+    expect_en = (docs_pdf["lang"] == "en").sum()
+    assert counts["lang-en"] == expect_en
+    assert sum(v for k, v in counts.items() if k.startswith("set_name-")) == N_DOCS
+
+
+def test_recency_boost_changes_order_not_set(api):
+    papi, _ = api
+    plain = papi.search("w00000", k=20)
+    boosted = papi.search("w00000", k=20, recency_boost=True)
+    assert {x["doc_id"] for x in plain["results"]} == {
+        x["doc_id"] for x in boosted["results"]
+    } or len(plain["results"]) == 20  # small corpora may reorder within top-k
+
+
+def test_did_you_mean(api):
+    papi, _ = api
+    # misspelled head term -> suggestion to the real one
+    r = papi.did_you_mean("w0000x")
+    assert r is not None and r["suggestion"].startswith("w0000")
+    # correctly spelled -> no suggestion
+    assert papi.did_you_mean("w00000") is None
+
+
+def test_autocomplete(api):
+    papi, _ = api
+    hits = papi.autocomplete("w000", n=5)
+    assert len(hits) == 5
+    assert all(h.startswith("w000") for h in hits)
+    # ordered by df desc -> the Zipf head term first
+    assert hits[0] == "w00000"
+
+
+def test_more_like_this(api):
+    papi, _ = api
+    mlt = papi.more_like_this(0, k=5)
+    assert len(mlt) == 5
+    assert 0 not in set(mlt["doc_id"])
+    assert (mlt["score"].values[:-1] >= mlt["score"].values[1:]).all()
+
+
+def test_edit_distance():
+    assert _edit_distance_leq("abc", "abc") == 0
+    assert _edit_distance_leq("abc", "abd") == 1
+    assert _edit_distance_leq("abc", "acbd") == 2
+    assert _edit_distance_leq("abc", "xyz") is None
+    assert _edit_distance_leq("short", "muchlongerterm") is None
