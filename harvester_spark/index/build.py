@@ -3,19 +3,24 @@
 Pipeline (SURVEY.md §3.1 Spark rebuild / §4 custom-work list)::
 
     documents(doc_id, text, lang, doc_len)
-      └─ mapInPandas tokenize + per-doc term counts      (Arrow, no per-row Python)
-           → postings_rows(term, lang, doc_id, tf, doc_len)
-      ├─ dictionary: salted two-phase aggregation        (explicit skew handling)
-      │    groupBy(term, lang, salt) partial → groupBy(term, lang) final
-      │    + derived 'all'-index rows (per-language + combined index semantics,
-      │      /root/reference/harvester/search/tasks/index.py:38-41)
-      ├─ postings blocks: repartitionByRange(lang, term, doc_id)
-      │    → sortWithinPartitions → run-aware block encoder (delta+varbyte,
-      │      block size 128, per-block max-tf / max-impact)
-      │    head terms span range partitions, so no single reducer ever holds a
-      │    full head-term posting list — the skew-proof complement to salting
       ├─ doc_stats(doc_id, lang, doc_len), corpus_stats(lang, n_docs, avgdl)
+      ├─ head-term estimation from a seeded sample → (term, lang, n_splits)
+      ├─ mapInPandas tokenize + per-doc term counts      (Arrow, no per-row Python)
+      │    → postings_rows(term, lang, doc_id, tf, doc_len)
+      ├─ postings blocks: SALTED hash shuffle on (lang, term, chunk) where
+      │    chunk = floor(doc_id·n_splits/N) for head terms (contiguous,
+      │    non-overlapping docID ranges — deterministic, no sampling job)
+      │    → sortWithinPartitions(lang, term, doc_id) → run-aware block
+      │    encoder (delta+varbyte, block 128, per-block max docID / max tf /
+      │    max impact). No reducer ever holds a full head-term posting list.
+      ├─ dictionary: JVM agg over block metadata (df=Σn, cf=Σblock_sum_tf)
+      │    + derived 'all'-index rows (per-language + combined semantics,
+      │    /root/reference/harvester/search/tasks/index.py:38-41)
       └─ lineage(build stage × partition metrics) — resumability contract
+
+    (:func:`build_dictionary` keeps the classic salted two-phase aggregation
+    over raw posting rows as an alternative path; the block-metadata
+    derivation shuffles 128× less.)
 
 Resumability: every stage writes to its own directory under ``index_dir`` and
 is skipped on rebuild when its ``_SUCCESS`` marker exists (the anti-join-
