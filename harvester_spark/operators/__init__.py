@@ -16,8 +16,14 @@ Cross-engine determinism rules used throughout (so value hashes match):
   ``conv``/hex-literal cast (verified identical).
 """
 
-from harvester_spark.operators import dedup, fulltext_queries, relational, similarity
+from harvester_spark.operators import (
+    dedup,
+    fulltext_queries,
+    multimodal,
+    relational,
+    similarity,
+)
 
 ALL_QUERIES: dict = {}
-for mod in (fulltext_queries, dedup, similarity, relational):
+for mod in (fulltext_queries, dedup, similarity, relational, multimodal):
     ALL_QUERIES.update(mod.QUERIES)
