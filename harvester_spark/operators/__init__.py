@@ -18,6 +18,7 @@ Cross-engine determinism rules used throughout (so value hashes match):
 
 from harvester_spark.operators import (
     dedup,
+    file_metadata,
     fulltext_queries,
     multimodal,
     relational,
@@ -25,5 +26,5 @@ from harvester_spark.operators import (
 )
 
 ALL_QUERIES: dict = {}
-for mod in (fulltext_queries, dedup, similarity, relational, multimodal):
+for mod in (fulltext_queries, dedup, similarity, relational, multimodal, file_metadata):
     ALL_QUERIES.update(mod.QUERIES)
