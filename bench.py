@@ -9,11 +9,17 @@ Three sections:
 1. headline operator queries timed on ``$SPARK_GRAFT_SF_DIR`` (default
    /root/testdata/sf0.1) at ``local[$SPARK_GRAFT_CPUS]``,
 2. full-pipeline index build (extract → normalize → docID → SPIMI index) over
-   a deterministic synthetic corpus (``$HS_BENCH_DOCS``, default 20000) —
-   the BASELINE.json "indexed docs/sec" metric,
+   a deterministic synthetic corpus (``$HS_BENCH_DOCS``, default 100000) —
+   the BASELINE.json "indexed docs/sec" metric; a small warm-up build runs
+   first so JIT/python-worker startup is excluded,
 3. scaling evidence (driver-mandated sandbox substitute for N vs 4N
-   executors): the same build at ``local[8]`` and ``local[32]`` on the same
-   corpus parquet; efficiency = thr_4N / (4 * thr_N).
+   executors): the same build, same input, at ``local[N]`` and ``local[4N]``
+   (``$HS_BENCH_SCALING_PAIR``, default "2,8" — the largest pair on this
+   host where 4N physical cores are actually available; the 32-thread tier
+   is SMT/contention-bound, see BENCH.md) over ``$HS_BENCH_SCALING_DOCS``
+   (default 400000) docs; efficiency = thr_4N / (4 * thr_N).
+
+Set HS_BENCH_SCALING=0 to skip section 3 (it costs ~8 minutes).
 """
 
 from __future__ import annotations
@@ -37,76 +43,97 @@ HEADLINE = [
     "dedup_simhash",
     "ann_cosine_topk",
     "ann_lsh_bucketed",
+    "mm_frame_sample",
+    "mm_feature_extract",
     "q1_pricing_summary",
     "j1_priority_first",
     "j5_region_revenue",
     "w2_latest_event_per_user",
     "events_hourly_rollup",
 ]
+WARMUP_DOCS = 2000
 
 
-def _fresh_spark(cpus: int):
+def _fresh_spark(cpus: int, shuffle: int | None = None):
     from harvester_spark.session import get_spark
 
     return get_spark(
-        f"bench-{cpus}", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
+        f"bench-{cpus}", master=f"local[{cpus}]",
+        shuffle_partitions=shuffle or max(8, 2 * cpus),
     )
 
 
-def _build_throughput(spark, corpus_path: str, out_dir: str, n_docs: int) -> float:
+def _timed_build(spark, corpus_path: str, out_dir: str, n_docs: int, parts: int) -> float:
+    """Warm-up build + timed build → docs/sec."""
     from harvester_spark.pipeline import run_build
 
-    shutil.rmtree(out_dir, ignore_errors=True)
     corpus_df = spark.read.parquet(corpus_path)
+    shutil.rmtree(out_dir + "_warm", ignore_errors=True)
+    run_build(spark, out_dir + "_warm", corpus_df=corpus_df.limit(WARMUP_DOCS),
+              resume=False, num_partitions=parts)
+    shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.time()
-    run_build(spark, out_dir, corpus_df=corpus_df, resume=False)
+    run_build(spark, out_dir, corpus_df=corpus_df, resume=False, num_partitions=parts)
     return n_docs / (time.time() - t0)
+
+
+def _corpus(spark, work: str, n_docs: int) -> str:
+    from harvester_spark import corpus as corpus_mod
+
+    path = os.path.join(work, f"corpus_{n_docs}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        corpus_mod.write_corpus(spark, path, n_docs)
+    return path
 
 
 def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_docs = int(os.environ.get("HS_BENCH_DOCS", "20000"))
+    n_docs = int(os.environ.get("HS_BENCH_DOCS", "100000"))
+    scaling_docs = int(os.environ.get("HS_BENCH_SCALING_DOCS", "400000"))
+    pair = tuple(
+        int(x) for x in os.environ.get("HS_BENCH_SCALING_PAIR", "2,8").split(",")
+    )
     do_scaling = os.environ.get("HS_BENCH_SCALING", "1") != "0"
     default_work = "/dev/shm/hs_bench" if os.path.isdir("/dev/shm") else "/tmp/hs_bench"
     work = os.environ.get("HS_BENCH_WORK", default_work)
 
     from harvester_spark.operators import ALL_QUERIES
-    from harvester_spark import corpus as corpus_mod
 
     timings: dict[str, float] = {}
-    spark = _fresh_spark(cpus)
+    spark = _fresh_spark(cpus, shuffle=cpus)
 
-    # 1. headline operator queries on the sf dir
     for name in HEADLINE:
         fn, _sql = ALL_QUERIES[name]
         t0 = time.time()
-        n = fn(spark, sf_dir).count()
+        fn(spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)
 
-    # 2. index-build throughput at local[cpus]
-    corpus_path = os.path.join(work, f"corpus_{n_docs}")
-    if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
-        corpus_mod.write_corpus(spark, corpus_path, n_docs)
-    thr_main = _build_throughput(spark, corpus_path, os.path.join(work, "idx_main"), n_docs)
+    corpus_path = _corpus(spark, work, n_docs)
+    thr_main = _timed_build(
+        spark, corpus_path, os.path.join(work, "idx_main"), n_docs, cpus
+    )
     timings["index_build"] = round(n_docs / thr_main, 3)
+    if do_scaling:
+        scaling_corpus = _corpus(spark, work, scaling_docs)
     spark.stop()
 
-    # 3. scaling: same job, same input, local[8] vs local[32]
     scaling = {}
     if do_scaling:
+        lo, hi = pair
         thr = {}
-        for m in (8, 32):
-            s = _fresh_spark(m)
-            thr[m] = _build_throughput(
-                s, corpus_path, os.path.join(work, f"idx_{m}"), n_docs
+        for m in (lo, hi):
+            s = _fresh_spark(m, shuffle=4 * m)
+            thr[m] = _timed_build(
+                s, scaling_corpus, os.path.join(work, f"idx_{m}"), scaling_docs, 4 * m
             )
             s.stop()
         scaling = {
-            "docs_per_sec_local8": round(thr[8], 1),
-            "docs_per_sec_local32": round(thr[32], 1),
-            "efficiency_8_to_32": round(thr[32] / (4 * thr[8]), 3),
+            "n_docs": scaling_docs,
+            f"docs_per_sec_local{lo}": round(thr[lo], 1),
+            f"docs_per_sec_local{hi}": round(thr[hi], 1),
+            f"efficiency_{lo}_to_{hi}": round(thr[hi] / (4 * thr[lo]), 3),
         }
 
     print(
