@@ -63,6 +63,38 @@ def brute_force_topk(
     if allowed_doc_ids is not None:
         match_all &= sub["doc_id"].isin(allowed_doc_ids).to_numpy()
     cand = np.flatnonzero(match_all)
+    return _score_and_rank(sub, q_terms, tf, dfs, dl, n_docs, avgdl, cand, k)
+
+
+def brute_force_topk_or(
+    docs: pd.DataFrame,
+    query_text: str,
+    k: int = 10,
+    lang: str = ALL_LANG,
+) -> pd.DataFrame:
+    """Disjunctive (OR) exact top-k — oracle for the block-max WAND path."""
+    sub = docs if lang == ALL_LANG else docs[docs["lang"] == lang]
+    sub = sub.reset_index(drop=True)
+    tokens = [tokenize(t) for t in sub["text"].fillna("")]
+    dl = np.array([len(ts) for ts in tokens], dtype=np.float64)
+    n_docs = len(sub)
+    if n_docs == 0:
+        return pd.DataFrame(columns=["rank", "doc_id", "score"])
+    avgdl = float(dl.mean())
+    q_terms = sorted(set(tokenize(query_text)))
+    tf = {t: np.array([ts.count(t) for ts in tokens], dtype=np.float64) for t in q_terms}
+    dfs = {t: int((tf[t] > 0).sum()) for t in q_terms}
+    q_terms = [t for t in q_terms if dfs[t] > 0]
+    if not q_terms:
+        return pd.DataFrame(columns=["rank", "doc_id", "score"])
+    match_any = np.zeros(n_docs, dtype=bool)
+    for t in q_terms:
+        match_any |= tf[t] > 0
+    cand = np.flatnonzero(match_any)
+    return _score_and_rank(sub, q_terms, tf, dfs, dl, n_docs, avgdl, cand, k)
+
+
+def _score_and_rank(sub, q_terms, tf, dfs, dl, n_docs, avgdl, cand, k) -> pd.DataFrame:
     if cand.size == 0:
         return pd.DataFrame(columns=["rank", "doc_id", "score"])
 

@@ -1,0 +1,219 @@
+"""Block-max WAND top-k for disjunctive (OR) queries.
+
+The algorithm of Broder et al. (WAND) with the block-max refinement of Ding &
+Suel: posting blocks carry an exact per-block score upper bound
+(``idf(term) * block_max_impact`` — impact stored at encode time,
+:mod:`harvester_spark.index.codec`), so whole blocks are skipped when the sum
+of upper bounds of the terms that could contain the pivot document cannot
+beat the current k-th score (threshold θ).
+
+Safety invariant (tested): pruning only decides WHICH documents get fully
+scored — every document whose true score could reach the top-k is scored
+EXACTLY with the shared :mod:`bm25` kernel in the fixed (df asc, term asc)
+accumulation order, so surviving scores are bit-identical to the brute-force
+OR oracle and the final ranking equals the oracle's.
+
+Used by ``more_like_this``-style OR queries; conjunctive (AND) search keeps
+the intersection path in :mod:`engine`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from harvester_spark.analysis import ALL_LANG, tokenize
+from harvester_spark.index.codec import decode_block
+from harvester_spark.search import bm25
+
+
+def _monotone_chains(blocks: pd.DataFrame) -> list[list]:
+    """Split a term's blocks into monotone chains (docID-increasing runs).
+
+    Block spans from different languages ('all' queries), docID shards, or
+    delta appends interleave; WAND cursors require monotone streams. Greedy
+    patience assignment: each block (sorted by base) joins the first chain
+    whose last max_doc_id is below its base — minimal chains, each strictly
+    increasing.
+    """
+    chains: list[dict] = []
+    for row in blocks.sort_values("base_doc_id").itertuples(index=False):
+        for ch in chains:
+            if ch["last_max"] < row.base_doc_id:
+                ch["rows"].append(row)
+                ch["last_max"] = row.max_doc_id
+                break
+        else:
+            chains.append({"rows": [row], "last_max": row.max_doc_id})
+    return [ch["rows"] for ch in chains]
+
+
+class _ChainCursor:
+    """Iterates one monotone block chain with lazy decode."""
+
+    __slots__ = ("term", "idf", "rows", "impact_col", "bix", "ids", "tfs", "pos", "exhausted")
+
+    def __init__(self, term: str, idf: float, rows: list, impact_col: str):
+        self.term = term
+        self.idf = idf
+        self.rows = rows
+        self.impact_col = impact_col
+        self.bix = -1
+        self.ids = np.empty(0, np.int64)
+        self.tfs = np.empty(0, np.int64)
+        self.pos = 0
+        self.exhausted = False
+        self._next_block()
+
+    def _next_block(self) -> None:
+        self.bix += 1
+        if self.bix >= len(self.rows):
+            self.exhausted = True
+            return
+        row = self.rows[self.bix]
+        self.ids, self.tfs = decode_block(row.base_doc_id, row.doc_deltas, row.tfs)
+        self.pos = 0
+
+    def current_doc(self) -> int:
+        return np.iinfo(np.int64).max if self.exhausted else int(self.ids[self.pos])
+
+    def current_block_ub(self) -> float:
+        if self.exhausted:
+            return 0.0
+        return self.idf * float(getattr(self.rows[self.bix], self.impact_col))
+
+    def advance_to(self, target: int) -> None:
+        """Move cursor to the first posting with doc_id >= target."""
+        while not self.exhausted:
+            if self.rows[self.bix].max_doc_id < target:
+                self._next_block()
+                continue
+            i = int(np.searchsorted(self.ids, target, side="left"))
+            if i < len(self.ids):
+                self.pos = i
+                return
+            self._next_block()
+
+    def next(self) -> None:
+        self.pos += 1
+        if self.pos >= len(self.ids):
+            self._next_block()
+
+
+def wand_topk(
+    term_blocks: dict[str, pd.DataFrame],
+    dfs: dict[str, int],
+    n_docs: int,
+    avgdl: float,
+    doc_lens: np.ndarray,
+    k: int = 10,
+    impact_col: str = "impact_all",
+) -> tuple[pd.DataFrame, dict]:
+    """Block-max WAND over per-term block tables → (topk frame, stats).
+
+    ``term_blocks[t]`` columns: base_doc_id, max_doc_id, doc_deltas, tfs,
+    impact_lang, impact_all.
+    """
+    terms = [t for t in term_blocks if dfs.get(t, 0) > 0]
+    empty = pd.DataFrame(columns=["rank", "doc_id", "score"])
+    stats = {"scored": 0, "blocks_decoded": 0}
+    if not terms:
+        return empty, stats
+
+    idfs = {t: float(bm25.idf(n_docs, dfs[t])) for t in terms}
+    cursors = [
+        _ChainCursor(t, idfs[t], chain, impact_col)
+        for t in terms
+        for chain in _monotone_chains(term_blocks[t])
+    ]
+    order_terms = bm25.term_order(terms, dfs)
+
+    # exact scorer for one candidate doc: fixed accumulation order
+    def score_doc(doc: int, present: dict[str, int]) -> float:
+        dl = doc_lens[doc]
+        s = 0.0
+        for t in order_terms:
+            tf = present.get(t)
+            if tf:
+                s += idfs[t] * float(bm25.tf_norm(np.float64(tf), np.float64(dl), avgdl))
+        return s
+
+    heap: list[tuple[float, int]] = []  # (score, -doc) min-heap of top-k
+    import heapq
+
+    theta = -np.inf
+    while True:
+        live = [c for c in cursors if not c.exhausted]
+        if not live:
+            break
+        live.sort(key=lambda c: c.current_doc())
+        # find pivot: smallest doc where the prefix sum of block upper
+        # bounds reaches theta
+        ub = 0.0
+        pivot_ix = None
+        for i, c in enumerate(live):
+            ub += c.current_block_ub()
+            # >= (not >): a doc scoring exactly θ can still win its tie on
+            # ascending doc_id — pruning it would break rank identity
+            if len(heap) < k or ub >= theta:
+                pivot_ix = i
+                break
+        if pivot_ix is None:
+            break  # no document can beat theta
+        pivot_doc = live[pivot_ix].current_doc()
+        if live[0].current_doc() == pivot_doc:
+            # all cursors up to pivot are aligned — score the pivot doc
+            present: dict[str, int] = {}
+            for c in live:
+                if c.current_doc() == pivot_doc:
+                    present[c.term] = int(c.tfs[c.pos])
+            s = score_doc(pivot_doc, present)
+            stats["scored"] += 1
+            item = (s, -pivot_doc)
+            if len(heap) < k:
+                heapq.heappush(heap, item)
+            elif item > heap[0]:
+                heapq.heapreplace(heap, item)
+            if len(heap) == k:
+                theta = heap[0][0]
+            for c in live:
+                if c.current_doc() == pivot_doc:
+                    c.next()
+        else:
+            # advance the earliest cursor(s) to the pivot
+            for c in live[:pivot_ix]:
+                c.advance_to(pivot_doc)
+
+    if not heap:
+        return empty, stats
+    rows = sorted(heap, key=lambda x: (-x[0], -x[1]))
+    return (
+        pd.DataFrame(
+            {
+                "rank": np.arange(1, len(rows) + 1),
+                "doc_id": [-d for _s, d in rows],
+                "score": [s for s, _d in rows],
+            }
+        ),
+        stats,
+    )
+
+
+def or_search(searcher, query_text: str, k: int = 10, lang: str = ALL_LANG):
+    """Disjunctive top-k through the index via block-max WAND."""
+    terms = sorted(set(tokenize(query_text)))
+    empty = pd.DataFrame(columns=["rank", "doc_id", "score"])
+    if not terms:
+        return empty
+    dfs = searcher._dfs(terms, lang)
+    live = [t for t in terms if dfs[t] > 0]
+    if not live:
+        return empty
+    blocks = searcher._term_postings(live, lang)
+    term_blocks = {t: blocks[blocks["term"] == t] for t in live}
+    n_docs, avgdl = searcher._corpus_stats[lang]
+    impact_col = "impact_all" if lang == ALL_LANG else "impact_lang"
+    topk, _stats = wand_topk(
+        term_blocks, dfs, n_docs, avgdl, searcher._doc_lens(), k, impact_col
+    )
+    return topk
