@@ -229,37 +229,14 @@ class SearchAPI:
         }
         top_terms = sorted(weights, key=lambda t: (-weights[t], t))[:max_terms]
 
-        # disjunctive scoring: union of postings, score whatever matches
-        s = self.searcher
-        dfs = s._dfs(top_terms, lang)
-        live = [t for t in top_terms if dfs[t] > 0]
-        if not live:
-            return pd.DataFrame(columns=["rank", "doc_id", "score"])
-        blocks = s._term_postings(live, lang)
-        acc: dict[int, float] = {}
-        dl_arr = s._doc_lens()
-        from harvester_spark.index.codec import decode_block
+        # disjunctive scoring through block-max WAND; ask for k+1 so the
+        # source doc can be dropped from its own neighbourhood
+        from harvester_spark.search.wand import or_search
 
-        for t in bm25.term_order(live, dfs):
-            tb = blocks[blocks["term"] == t]
-            for r in tb.itertuples(index=False):
-                ids, tfv = decode_block(r.base_doc_id, r.doc_deltas, r.tfs)
-                contrib = bm25.idf(n_docs, dfs[t]) * bm25.tf_norm(tfv, dl_arr[ids], avgdl)
-                for i, c in zip(ids, contrib):
-                    if int(i) != doc_id:
-                        acc[int(i)] = acc.get(int(i), 0.0) + float(c)
-        if not acc:
-            return pd.DataFrame(columns=["rank", "doc_id", "score"])
-        ids = np.array(list(acc.keys()), dtype=np.int64)
-        scores = np.array(list(acc.values()), dtype=np.float64)
-        top = bm25.topk_order(scores, ids, k)
-        return pd.DataFrame(
-            {
-                "rank": np.arange(1, len(top) + 1),
-                "doc_id": ids[top],
-                "score": scores[top],
-            }
-        )
+        topk = or_search(self.searcher, " ".join(top_terms), k=k + 1, lang=lang)
+        topk = topk[topk["doc_id"] != doc_id].head(k).reset_index(drop=True)
+        topk["rank"] = np.arange(1, len(topk) + 1)
+        return topk
 
 
 def _edit_distance_leq(a: str, b: str, maxd: int = 2) -> int | None:

@@ -1,0 +1,99 @@
+"""Custom stateful streaming operator: gap-based sessionization.
+
+The harvester has no windowing machinery of its own (SURVEY.md §2.10) — but
+the rebuild's streaming surface should cover custom stateful operators, the
+``applyInPandasWithState`` path the driver brief names. Sessionization with
+an inactivity gap is the canonical one: per ``user_id``, events within
+``gap`` of the previous event extend the session, otherwise a new session
+starts. State = the open session; every batch emits all sessions it touched
+(closed ones final, the open one as a running update — "update" output mode,
+last write per (user_id, session_start) wins downstream).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+GAP_MINUTES = 30
+
+OUTPUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, total_value double"
+)
+STATE_SCHEMA = "start_us long, end_us long, n_events long, total_value double"
+_US = 1_000_000
+
+
+def _sessionize_pdf(
+    ts_us: list[int], values: list[float], gap_us: int,
+    open_session: tuple[int, int, int, float] | None,
+) -> tuple[list[tuple[int, int, int, float]], tuple[int, int, int, float]]:
+    """Pure sessionizer: sorted event times + open state → (closed, open)."""
+    sessions: list[tuple[int, int, int, float]] = []
+    cur = open_session
+    for t, v in zip(ts_us, values):
+        if cur is None:
+            cur = (t, t, 1, v)
+        elif t - cur[1] <= gap_us:
+            cur = (cur[0], max(cur[1], t), cur[2] + 1, cur[3] + v)
+        else:
+            sessions.append(cur)
+            cur = (t, t, 1, v)
+    return sessions, cur
+
+
+def sessionize(events, gap_minutes: int = GAP_MINUTES):
+    """Streaming events(user_id, ts, value, ...) → session updates."""
+    gap_us = gap_minutes * 60 * _US
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
+        ts_us = [t // 1000 for t in rows["ts"].astype("int64")]  # ns → µs
+        values = rows["value"].astype(float).tolist()
+        open_session = tuple(state.get) if state.exists else None
+        closed, cur = _sessionize_pdf(ts_us, values, gap_us, open_session)
+        if cur is not None:
+            state.update(cur)
+        out = closed + ([cur] if cur is not None else [])
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(out),
+                "session_start": [pd.Timestamp(s[0], unit="us") for s in out],
+                "session_end": [pd.Timestamp(s[1], unit="us") for s in out],
+                "n_events": [s[2] for s in out],
+                "total_value": [s[3] for s in out],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn, OUTPUT_SCHEMA, STATE_SCHEMA, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def sessionize_batch_oracle(pdf: pd.DataFrame, gap_minutes: int = GAP_MINUTES) -> pd.DataFrame:
+    """Batch reference implementation (pure pandas) for tests."""
+    gap_us = gap_minutes * 60 * _US
+    rows = []
+    for user_id, g in pdf.sort_values("ts").groupby("user_id"):
+        ts_us = [t // 1000 for t in g["ts"].astype("int64")]
+        closed, cur = _sessionize_pdf(ts_us, g["value"].astype(float).tolist(), gap_us, None)
+        for s in closed + ([cur] if cur else []):
+            rows.append(
+                (
+                    user_id,
+                    pd.Timestamp(s[0], unit="us"),
+                    pd.Timestamp(s[1], unit="us"),
+                    s[2],
+                    s[3],
+                )
+            )
+    return pd.DataFrame(
+        rows,
+        columns=["user_id", "session_start", "session_end", "n_events", "total_value"],
+    )
