@@ -338,6 +338,8 @@ class IndexBuilder:
         resume: bool = True,
         n_shards: int = 1,
         num_partitions: int | None = None,
+        head_df_threshold: int = HEAD_DF_THRESHOLD,
+        head_chunk_target: int = HEAD_CHUNK_TARGET,
     ) -> dict[str, DataFrame]:
         spark = self.spark
         if "state" in documents.columns:
@@ -363,7 +365,7 @@ class IndexBuilder:
         # the single full tokenize pass feeds ONLY the block encoder and the
         # dictionary is derived from block metadata afterwards.
         head_terms = sample_head_terms(
-            docs, n_docs_total, HEAD_DF_THRESHOLD, HEAD_CHUNK_TARGET
+            docs, n_docs_total, head_df_threshold, head_chunk_target
         )
         rows = postings_rows(docs)
 
