@@ -350,3 +350,59 @@ QUERIES = {
     "srn_multiget": (srn_multiget, SQL_MULTIGET),
     "t6_union_entities": (t6_union_entities, SQL_T6),
 }
+
+
+# A2 frequency sync: corpus-wide value frequencies MERGEd into the metadata
+# dimension — new values inserted, present ones updated, missing ones
+# soft-deleted (/root/reference/harvester/metadata/tasks.py:31-85).
+
+_A2_EXISTING = [("lang", "en"), ("lang", "fr"), ("lang", "xx"), ("source", "src0")]
+
+
+def a2_frequency_sync(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.lit("lang").alias("field"), F.col("lang").alias("value"))
+        .unionByName(
+            docs.select(F.lit("source").alias("field"), F.col("source").alias("value"))
+        )
+        .groupBy("field", "value")
+        .agg(F.count("*").alias("frequency"))
+    )
+    existing = spark.createDataFrame(_A2_EXISTING, "field string, value string")
+    merged = existing.withColumn("in_dim", F.lit(True)).join(
+        freq, ["field", "value"], "full_outer"
+    )
+    status = (
+        F.when(F.col("in_dim").isNull(), F.lit("new"))
+        .when(F.col("frequency").isNull(), F.lit("deleted"))
+        .otherwise(F.lit("updated"))
+    )
+    return merged.select(
+        "field",
+        "value",
+        F.coalesce("frequency", F.lit(0)).alias("frequency"),
+        status.alias("status"),
+    )
+
+
+_a2_vals = ", ".join(f"('{f}', '{v}')" for f, v in _A2_EXISTING)
+SQL_A2 = f"""
+WITH freq AS (
+  SELECT field, value, count(*) AS frequency FROM (
+    SELECT 'lang' AS field, lang AS value FROM documents
+    UNION ALL
+    SELECT 'source' AS field, source AS value FROM documents
+  ) GROUP BY field, value
+),
+existing(field, value) AS (VALUES {_a2_vals})
+SELECT coalesce(e.field, f.field) AS field,
+       coalesce(e.value, f.value) AS value,
+       coalesce(f.frequency, 0) AS frequency,
+       CASE WHEN e.field IS NULL THEN 'new'
+            WHEN f.frequency IS NULL THEN 'deleted'
+            ELSE 'updated' END AS status
+FROM existing e FULL OUTER JOIN freq f USING (field, value)
+"""
+
+QUERIES["a2_frequency_sync"] = (a2_frequency_sync, SQL_A2)
