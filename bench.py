@@ -104,6 +104,9 @@ def main() -> None:
     timings: dict[str, float] = {}
     spark = _fresh_spark(cpus, shuffle=cpus)
 
+    # warm the session (JIT, python workers, parquet footers) off the clock
+    ALL_QUERIES["ft_doc_stats"][0](spark, sf_dir).count()
+
     for name in HEADLINE:
         fn, _sql = ALL_QUERIES[name]
         t0 = time.time()

@@ -379,6 +379,7 @@ class IndexBuilder:
                     rows, avgdl, num_partitions, head_terms, n_docs_total
                 ),
                 resume,
+                partition_by=["lang"],  # per-language partition pruning
             )
         else:
             for shard in range(n_shards):
@@ -390,7 +391,7 @@ class IndexBuilder:
                 shard_rows = rows.filter(F.pmod(F.col("doc_id"), F.lit(n_shards)) == shard)
                 encode_postings(
                     shard_rows, avgdl, num_partitions, head_terms, n_docs_total
-                ).write.mode("overwrite").parquet(shard_path)
+                ).write.mode("overwrite").partitionBy("lang").parquet(shard_path)
                 n = sum(_parquet_file_rows(shard_path).values())
                 self._record("postings", shard, n, t0, "completed")
         postings = spark.read.option("basePath", postings_root).parquet(postings_root)

@@ -179,8 +179,8 @@ def apply_index_delta(
         for r in spark.read.parquet(f"{index_dir}/corpus_stats").collect()
     }
     rows = postings_rows(fresh_docs.select("doc_id", "text", "lang", "doc_len"))
-    encode_postings(rows, avgdl).write.mode("overwrite").parquet(
-        f"{index_dir}/postings_delta/{delta_name}"
+    encode_postings(rows, avgdl).write.mode("overwrite").partitionBy("lang").parquet(
+        f"{index_dir}/postings_delta/delta={delta_name}"
     )
     tombstones.write.mode("overwrite").parquet(
         f"{index_dir}/tombstones/{delta_name}"
@@ -196,8 +196,10 @@ class DeltaSearcher(IndexSearcher):
         super().__init__(spark, index_dir)
         self._tombstones: np.ndarray | None = None
         delta_root = f"{index_dir}/postings_delta"
+        # delta dirs are written partition-style (delta=<name>/lang=<l>), so
+        # plain partition discovery keeps the lang column
         self._delta = (
-            spark.read.option("recursiveFileLookup", "true").parquet(delta_root)
+            spark.read.option("basePath", delta_root).parquet(delta_root).drop("delta")
             if os.path.isdir(delta_root)
             else None
         )
