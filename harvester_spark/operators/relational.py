@@ -406,3 +406,23 @@ FROM existing e FULL OUTER JOIN freq f USING (field, value)
 """
 
 QUERIES["a2_frequency_sync"] = (a2_frequency_sync, SQL_A2)
+
+
+# A8 exact distinct counts (the reference keeps counts exact;
+# approx_count_distinct stays an opt-in metric — SURVEY.md §2.4 A8).
+
+
+def a8_distinct_users(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+SQL_A8 = """
+SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+QUERIES["a8_distinct_users"] = (a8_distinct_users, SQL_A8)

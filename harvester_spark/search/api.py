@@ -81,11 +81,30 @@ class SearchAPI:
         filters: Filters | None = None,
         recency_boost: bool = False,
         include_filter_counts: tuple[str, ...] = (),
+        operator: str = "and",
     ) -> dict:
         allowed = self._allowed_ids(filters)
 
         if not tokenize(query_text or ""):
             return self._empty_query_listing(k, page, allowed, include_filter_counts)
+
+        if operator == "or":
+            # disjunctive path through block-max WAND; totals are a lower
+            # bound (pruning skips unscored docs) → is_precise=False, the
+            # OpenSearch 10k-bound analogue
+            # (/root/reference/harvester/search/views/document.py:100-103)
+            from harvester_spark.search.wand import or_search
+
+            topk = or_search(
+                self.searcher, query_text, k=page * k, lang=lang,
+                allowed_doc_ids=allowed,
+            )
+            topk = topk.iloc[(page - 1) * k :].reset_index(drop=True)
+            return {
+                "results": topk.to_dict("records"),
+                "results_total": {"value": int(len(topk)), "is_precise": False},
+                "did_you_mean": self.did_you_mean(query_text, lang),
+            }
 
         res = self.searcher.search(
             query_text, k=10**9 if recency_boost else k, lang=lang,

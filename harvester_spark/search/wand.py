@@ -108,6 +108,7 @@ def wand_topk(
     doc_lens: np.ndarray,
     k: int = 10,
     impact_col: str = "impact_all",
+    allowed_doc_ids: np.ndarray | None = None,
 ) -> tuple[pd.DataFrame, dict]:
     """Block-max WAND over per-term block tables → (topk frame, stats).
 
@@ -163,6 +164,13 @@ def wand_topk(
         pivot_doc = live[pivot_ix].current_doc()
         if live[0].current_doc() == pivot_doc:
             # all cursors up to pivot are aligned — score the pivot doc
+            # (filters are non-scoring restrictions: skip disallowed docs
+            # without touching θ or the statistics)
+            if allowed_doc_ids is not None and not _allowed(allowed_doc_ids, pivot_doc):
+                for c in live:
+                    if c.current_doc() == pivot_doc:
+                        c.next()
+                continue
             present: dict[str, int] = {}
             for c in live:
                 if c.current_doc() == pivot_doc:
@@ -199,7 +207,13 @@ def wand_topk(
     )
 
 
-def or_search(searcher, query_text: str, k: int = 10, lang: str = ALL_LANG):
+def _allowed(allowed_sorted: np.ndarray, doc: int) -> bool:
+    i = int(np.searchsorted(allowed_sorted, doc))
+    return i < allowed_sorted.size and int(allowed_sorted[i]) == doc
+
+
+def or_search(searcher, query_text: str, k: int = 10, lang: str = ALL_LANG,
+              allowed_doc_ids: np.ndarray | None = None):
     """Disjunctive top-k through the index via block-max WAND."""
     terms = sorted(set(tokenize(query_text)))
     empty = pd.DataFrame(columns=["rank", "doc_id", "score"])
@@ -214,6 +228,7 @@ def or_search(searcher, query_text: str, k: int = 10, lang: str = ALL_LANG):
     n_docs, avgdl = searcher._corpus_stats[lang]
     impact_col = "impact_all" if lang == ALL_LANG else "impact_lang"
     topk, _stats = wand_topk(
-        term_blocks, dfs, n_docs, avgdl, searcher._doc_lens(), k, impact_col
+        term_blocks, dfs, n_docs, avgdl, searcher._doc_lens(), k, impact_col,
+        allowed_doc_ids=np.sort(allowed_doc_ids) if allowed_doc_ids is not None else None,
     )
     return topk
