@@ -38,7 +38,6 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from harvester_spark.analysis import ALL_LANG, tokenize_series

@@ -244,3 +244,111 @@ QUERIES = {
     "emb_label_centroids": (emb_label_centroids, SQL_EMB_LABEL_CENTROIDS),
     "ann_lsh_bucketed": (ann_lsh_bucketed, SQL_ANN_LSH_BUCKETED),
 }
+
+
+# ------------------------------------------------------------------ IVF ANN
+
+# IVF scale path: coarse quantizer = per-label centroids (deterministic,
+# cross-engine identical after rounding), inverted lists = vectors assigned
+# to their nearest centroid, queries probe n_probe=1 list and re-rank
+# exactly inside it. At 10^9+ vectors the centroid set comes from k-means
+# and each list is a partition — the probe join replaces the O(n²) scan.
+
+_SQL_CENTROIDS = """
+  SELECT label AS cent_id, pos, round(avg(val), 6) AS cval
+  FROM (
+    SELECT label,
+           unnest(range(len(embedding))) AS pos,
+           unnest(CAST(embedding AS DOUBLE[])) AS val
+    FROM embeddings
+  ) GROUP BY label, pos
+"""
+
+
+def _centroids(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        F.col("label").alias("cent_id"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"),
+    )
+    return comp.groupBy("cent_id", "pos").agg(F.round(F.avg("val"), 6).alias("cval"))
+
+
+def _assignments(spark, sf_dir):
+    """vec_id → nearest centroid (by rounded cosine, tie cent_id asc)."""
+    comp = _components(spark, sf_dir)
+    cent = _centroids(spark, sf_dir)
+    dots = (
+        comp.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "cent_id")
+        .agg(
+            F.sum(F.col("val") * F.col("cval")).alias("dot"),
+            F.sum(F.col("val") * F.col("val")).alias("v2"),
+            F.sum(F.col("cval") * F.col("cval")).alias("c2"),
+        )
+        .withColumn("sim", F.round(F.col("dot") / F.sqrt(F.col("v2") * F.col("c2")), 6))
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cent_id").asc())
+    return (
+        dots.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", "cent_id")
+    )
+
+
+_SQL_ASSIGNMENTS = f"""
+  SELECT vec_id, cent_id FROM (
+    SELECT d.vec_id, d.cent_id,
+           row_number() OVER (
+             PARTITION BY d.vec_id
+             ORDER BY round(d.dot / sqrt(d.v2 * d.c2), 6) DESC, d.cent_id ASC
+           ) AS rnk
+    FROM (
+      SELECT c.vec_id, ct.cent_id,
+             sum(c.val * ct.cval) AS dot,
+             sum(c.val * c.val) AS v2,
+             sum(ct.cval * ct.cval) AS c2
+      FROM ({_SQL_COMPONENTS}) c
+      JOIN ({_SQL_CENTROIDS}) ct USING (pos)
+      GROUP BY c.vec_id, ct.cent_id
+    ) d
+  ) WHERE rnk = 1
+"""
+
+
+def ann_ivf_topk(spark, sf_dir):
+    """IVF ANN: probe the query's own centroid list, exact cosine re-rank
+    within it (n_probe=1) — top-{TOP_K} per query vector."""
+    assign = _assignments(spark, sf_dir)
+    cos = _pairwise_cosine(spark, sf_dir)
+    qa = assign.select(F.col("vec_id").alias("qid"), F.col("cent_id").alias("q_cent"))
+    va = assign.select("vec_id", F.col("cent_id").alias("v_cent"))
+    probed = (
+        cos.join(F.broadcast(qa), "qid")
+        .join(F.broadcast(va), "vec_id")
+        .filter(F.col("q_cent") == F.col("v_cent"))
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        probed.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("qid", "rnk", "vec_id", "cos", F.col("q_cent").alias("cent_id"))
+    )
+
+
+SQL_ANN_IVF_TOPK = f"""
+WITH {_SQL_PAIRWISE},
+assign AS ({_SQL_ASSIGNMENTS}),
+probed AS (
+  SELECT c.qid, c.vec_id, c.cos, qa.cent_id
+  FROM cosine c
+  JOIN assign qa ON qa.vec_id = c.qid
+  JOIN assign va ON va.vec_id = c.vec_id
+  WHERE va.cent_id = qa.cent_id
+)
+SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS INT) AS rnk,
+       vec_id, cos, cent_id
+FROM probed QUALIFY rnk <= {TOP_K}
+"""
+
+QUERIES["ann_ivf_topk"] = (ann_ivf_topk, SQL_ANN_IVF_TOPK)

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession
 
 from harvester_spark import corpus as corpus_mod
 from harvester_spark.docid import assign_doc_ids

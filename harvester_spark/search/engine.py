@@ -26,7 +26,7 @@ from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import SparkSession, functions as F
 
 from harvester_spark.analysis import ALL_LANG, tokenize
 from harvester_spark.index.codec import decode_block
