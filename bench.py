@@ -91,7 +91,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_docs = int(os.environ.get("HS_BENCH_DOCS", "100000"))
-    scaling_docs = int(os.environ.get("HS_BENCH_SCALING_DOCS", "400000"))
+    scaling_docs = int(os.environ.get("HS_BENCH_SCALING_DOCS", "250000"))
     pair = tuple(
         int(x) for x in os.environ.get("HS_BENCH_SCALING_PAIR", "2,8").split(",")
     )
@@ -124,20 +124,23 @@ def main() -> None:
 
     scaling = {}
     if do_scaling:
-        lo, hi = pair
-        thr = {}
-        for m in (lo, hi):
-            s = _fresh_spark(m, shuffle=4 * m)
-            thr[m] = _timed_build(
-                s, scaling_corpus, os.path.join(work, f"idx_{m}"), scaling_docs, 4 * m
-            )
-            s.stop()
-        scaling = {
-            "n_docs": scaling_docs,
-            f"docs_per_sec_local{lo}": round(thr[lo], 1),
-            f"docs_per_sec_local{hi}": round(thr[hi], 1),
-            f"efficiency_{lo}_to_{hi}": round(thr[hi] / (4 * thr[lo]), 3),
-        }
+        try:
+            lo, hi = pair
+            thr = {}
+            for m in (lo, hi):
+                s = _fresh_spark(m, shuffle=4 * m)
+                thr[m] = _timed_build(
+                    s, scaling_corpus, os.path.join(work, f"idx_{m}"), scaling_docs, 4 * m
+                )
+                s.stop()
+            scaling = {
+                "n_docs": scaling_docs,
+                f"docs_per_sec_local{lo}": round(thr[lo], 1),
+                f"docs_per_sec_local{hi}": round(thr[hi], 1),
+                f"efficiency_{lo}_to_{hi}": round(thr[hi] / (4 * thr[lo]), 3),
+            }
+        except Exception as exc:  # never lose the whole bench line
+            scaling = {"error": str(exc)[:200]}
 
     print(
         json.dumps(

@@ -345,3 +345,41 @@ QUERIES = {
     "ft_lang_heuristic": (ft_lang_heuristic, SQL_LANG_HEURISTIC),
     "ft_fingerprint": (ft_fingerprint, SQL_FINGERPRINT),
 }
+
+
+# §2.11 author_suggestions: docs MENTIONING a name in their text while
+# LACKING it in the structured authors field — match minus term-filter
+# (/root/reference/harvester/search/views/similarity.py:84-110). The
+# synthetic authors field is the doc's first token (deterministic in both
+# engines), the probe name is a frequent corpus term.
+
+_AUTHOR_NAME = "customer"
+
+
+def author_suggestions(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens_column(F.col("text"))
+    authors = F.array(F.element_at(toks, 1))
+    return (
+        docs.select(
+            "doc_id",
+            authors.alias("authors"),
+            F.array_contains(toks, _AUTHOR_NAME).alias("mentions"),
+        )
+        .filter(F.col("mentions") & ~F.array_contains(F.col("authors"), _AUTHOR_NAME))
+        .select("doc_id", F.element_at("authors", 1).alias("author0"))
+    )
+
+
+SQL_AUTHOR_SUGGESTIONS = f"""
+WITH d AS (
+  SELECT doc_id,
+         {SQL_TOKS.format(col='text')} AS toks
+  FROM documents
+)
+SELECT doc_id, toks[1] AS author0
+FROM d
+WHERE list_contains(toks, '{_AUTHOR_NAME}') AND toks[1] <> '{_AUTHOR_NAME}'
+"""
+
+QUERIES["author_suggestions"] = (author_suggestions, SQL_AUTHOR_SUGGESTIONS)
