@@ -294,3 +294,60 @@ QUERIES = {
     "dedup_lsh_pairs": (dedup_lsh_pairs, SQL_LSH_PAIRS),
     "dedup_simhash": (dedup_simhash, SQL_SIMHASH),
 }
+
+
+# Embedding-cosine near-dup pairs (driver brief): all pairs above a cosine
+# threshold — exact quadratic baseline over a bounded candidate set; the
+# scale path replaces the pair join with the LSH bucket join above.
+
+COS_DUP_THRESHOLD = 0.40  # synthetic embeddings max pairwise cos ~0.46
+COS_DUP_SUBSET = 300  # vec_id bound for the quadratic entry
+
+
+def dedup_embedding_cosine(spark, sf_dir):
+    from harvester_spark.operators.similarity import _components
+
+    comp = _components(spark, sf_dir).filter(F.col("vec_id") < COS_DUP_SUBSET).cache()
+    norms = comp.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nrm")
+    )
+    a = comp.select(F.col("vec_id").alias("va"), "pos", F.col("val").alias("xa"))
+    b = comp.select(F.col("vec_id").alias("vb"), "pos", F.col("val").alias("xb"))
+    dots = (
+        a.join(b, "pos")
+        .filter(F.col("va") < F.col("vb"))
+        .groupBy("va", "vb")
+        .agg(F.sum(F.col("xa") * F.col("xb")).alias("dot"))
+    )
+    na = norms.select(F.col("vec_id").alias("va"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("vec_id").alias("vb"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(F.broadcast(na), "va")
+        .join(F.broadcast(nb), "vb")
+        .withColumn("cos", F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6))
+        .filter(F.col("cos") >= COS_DUP_THRESHOLD)
+        .select("va", "vb", "cos")
+    )
+
+
+SQL_EMBEDDING_COSINE = f"""
+WITH comp AS (
+  SELECT vec_id,
+         unnest(range(len(embedding))) AS pos,
+         unnest(CAST(embedding AS DOUBLE[])) AS val
+  FROM embeddings WHERE vec_id < {COS_DUP_SUBSET}
+),
+norms AS (SELECT vec_id, sqrt(sum(val * val)) AS nrm FROM comp GROUP BY vec_id),
+dots AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb, sum(a.val * b.val) AS dot
+  FROM comp a JOIN comp b ON a.pos = b.pos AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT va, vb, round(dot / (na.nrm * nb.nrm), 6) AS cos
+FROM dots
+JOIN norms na ON na.vec_id = va
+JOIN norms nb ON nb.vec_id = vb
+WHERE round(dot / (na.nrm * nb.nrm), 6) >= {COS_DUP_THRESHOLD}
+"""
+
+QUERIES["dedup_embedding_cosine"] = (dedup_embedding_cosine, SQL_EMBEDDING_COSINE)

@@ -383,3 +383,31 @@ WHERE list_contains(toks, '{_AUTHOR_NAME}') AND toks[1] <> '{_AUTHOR_NAME}'
 """
 
 QUERIES["author_suggestions"] = (author_suggestions, SQL_AUTHOR_SUGGESTIONS)
+
+
+# BPE-ish subword token counting (driver brief: "token counting (whitespace
+# + a BPE-ish regex)"): a GPT-2-style pretokenizer restricted to ASCII
+# classes so Java regex and RE2 agree byte-for-byte (verified).
+
+_BPE_RE = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+
+def ft_bpe_token_count(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    pieces = F.expr(f"regexp_extract_all(lower(text), '{_BPE_RE}', 0)")
+    ws = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return docs.select(
+        "doc_id",
+        F.size(pieces).alias("n_bpe_tokens"),
+        ws.alias("n_ws_tokens"),
+    )
+
+
+SQL_BPE_TOKEN_COUNT = f"""
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS n_bpe_tokens,
+       len(string_split_regex(trim(text), '\\s+')) AS n_ws_tokens
+FROM documents
+"""
+
+QUERIES["ft_bpe_token_count"] = (ft_bpe_token_count, SQL_BPE_TOKEN_COUNT)
