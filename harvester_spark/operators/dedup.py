@@ -151,18 +151,15 @@ def dedup_minhash_signatures(spark, sf_dir):
         .select("doc_id", F.concat_ws(" ", "term", "nxt").alias("shingle"))
         .distinct()
     )
-    exploded = sh.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(N_MINHASH - 1))).alias("i"),
-        "shingle",
-    ).withColumn(
-        "h", _hash56(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("shingle")))
-    )
-    mins = exploded.groupBy("doc_id", "i").agg(F.min("h").alias("mh"))
-    return mins.groupBy("doc_id").pivot("i", list(range(N_MINHASH))).agg(
-        F.first("mh")
-    ).select(
-        "doc_id", *[F.col(str(i)).alias(f"h{i}") for i in range(N_MINHASH)]
+    # one aggregation computes all signature slots (no explode, no pivot —
+    # map-side partial min per slot, a single shuffle on doc_id)
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                _hash56(F.concat(F.lit(f"{i}:"), F.col("shingle")))
+            ).alias(f"h{i}")
+            for i in range(N_MINHASH)
+        ]
     )
 
 
