@@ -37,8 +37,12 @@ TEXT_CAP_CHARS = 1_000_000
 TEXT_CAP_WORDS = 10_000
 
 # Non-greedy, case-insensitive, dot-matches-newline element strippers.
+# Beyond script/style, trafilatura-style main-content extraction drops page
+# chrome: nav / header / footer / aside elements including their text.
 _RE_DROP = re.compile(
-    r"<script\b.*?</script\s*>|<style\b.*?</style\s*>|<noscript\b.*?</noscript\s*>",
+    r"<script\b.*?</script\s*>|<style\b.*?</style\s*>|<noscript\b.*?</noscript\s*>"
+    r"|<nav\b.*?</nav\s*>|<header\b.*?</header\s*>|<footer\b.*?</footer\s*>"
+    r"|<aside\b.*?</aside\s*>",
     re.IGNORECASE | re.DOTALL,
 )
 _RE_COMMENT = re.compile(r"<!--.*?-->", re.DOTALL)

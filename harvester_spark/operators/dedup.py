@@ -348,3 +348,34 @@ WHERE round(dot / (na.nrm * nb.nrm), 6) >= {COS_DUP_THRESHOLD}
 """
 
 QUERIES["dedup_embedding_cosine"] = (dedup_embedding_cosine, SQL_EMBEDDING_COSINE)
+
+
+# SimHash near-dup pairing: candidate pairs whose 16-bit SimHashes differ in
+# ≤ HAMMING_MAX bits (bit_count(xor) — verified identical across engines).
+# Scale path: block on simhash bytes (pigeonhole) instead of the quadratic
+# join; the Hamming check is unchanged.
+
+HAMMING_MAX = 3
+
+
+def dedup_simhash_pairs(spark, sf_dir):
+    sig = dedup_simhash(spark, sf_dir).cache()
+    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.expr("bit_count(sh_a ^ sh_b)"))
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+SQL_SIMHASH_PAIRS = f"""
+WITH sig AS ({SQL_SIMHASH})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+"""
+
+QUERIES["dedup_simhash_pairs"] = (dedup_simhash_pairs, SQL_SIMHASH_PAIRS)

@@ -22,6 +22,9 @@ GOLDEN = [
     # script/style/noscript dropped entirely, incl. their text
     (b"<script>var x = 1 < 2;</script>keep<style>.a{}</style>", "keep"),
     (b"<noscript>nope</noscript>yes", "yes"),
+    # page chrome dropped with its text (trafilatura-style main content)
+    (b"<nav>menu a b</nav><p>content</p><footer>(c) 2024</footer>", "content"),
+    (b"<header>site title</header>body<aside>related</aside>", "body"),
     # comments dropped, including multiline
     (b"<!-- a \n b -->text", "text"),
     # entities unescaped AFTER tag stripping: literal &lt;tag&gt; survives
