@@ -426,3 +426,36 @@ FROM events GROUP BY event_type
 """
 
 QUERIES["a8_distinct_users"] = (a8_distinct_users, SQL_A8)
+
+
+# A9 grouping sets / ROLLUP: absent from the reference (SURVEY §2.4 A9) but
+# table stakes for an analytics engine — subtotals + grand total in one pass.
+
+
+def a9_rollup_revenue(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(cents("l_extendedprice")).alias("rev_c"),
+            F.count("*").alias("n_items"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "rev_c",
+            "n_items",
+        )
+    )
+
+
+SQL_A9 = f"""
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       sum({sql_cents('l_extendedprice')}) AS rev_c,
+       count(*) AS n_items
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+QUERIES["a9_rollup_revenue"] = (a9_rollup_revenue, SQL_A9)
