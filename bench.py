@@ -118,6 +118,25 @@ def main() -> None:
         spark, corpus_path, os.path.join(work, "idx_main"), n_docs, cpus
     )
     timings["index_build"] = round(n_docs / thr_main, 3)
+
+    # engine query latency over the just-built index (reference query set)
+    from harvester_spark.search.engine import IndexSearcher
+    from harvester_spark.queryset import reference_queries
+
+    searcher = IndexSearcher(spark, os.path.join(work, "idx_main", "index"))
+    qset = reference_queries().head(20)
+    lat = []
+    for q in qset.itertuples(index=False):
+        t0 = time.time()
+        searcher.search(q.query_text, k=q.k, lang=q.lang)
+        lat.append(time.time() - t0)
+    lat.sort()
+    query_latency = {
+        "n_queries": len(lat),
+        "mean_sec": round(sum(lat) / len(lat), 4),
+        "p50_sec": round(lat[len(lat) // 2], 4),
+        "max_sec": round(lat[-1], 4),
+    }
     if do_scaling:
         scaling_corpus = _corpus(spark, work, scaling_docs)
     spark.stop()
@@ -151,6 +170,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
                 "n_docs_indexed": n_docs,
+                "query_latency": query_latency,
                 "scaling": scaling,
             }
         )

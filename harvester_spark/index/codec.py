@@ -103,3 +103,28 @@ def decode_block(base_doc_id: int, doc_deltas: bytes, tfs: bytes) -> tuple[np.nd
     deltas = varbyte_decode(doc_deltas).astype(np.int64)
     ids = np.cumsum(deltas) + np.int64(base_doc_id)
     return ids, varbyte_decode(tfs).astype(np.int64)
+
+
+def decode_blocks_batch(
+    bases: np.ndarray, ns: np.ndarray, deltas_list: list[bytes], tfs_list: list[bytes]
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode MANY blocks in one vectorized pass (hot serving path).
+
+    Concatenates the varbyte streams (decodable as one stream), then undoes
+    the per-block delta baseline with a single gather: within a block,
+    ids = cumsum(deltas) + base and the first delta is 0, so the global
+    cumsum minus its value at each block start plus the block base gives
+    every id without a Python-level loop over blocks.
+    """
+    if len(deltas_list) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    all_deltas = varbyte_decode(b"".join(deltas_list)).astype(np.int64)
+    all_tfs = varbyte_decode(b"".join(tfs_list)).astype(np.int64)
+    ns = np.asarray(ns, dtype=np.int64)
+    bases = np.asarray(bases, dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(ns)[:-1]))
+    csum = np.cumsum(all_deltas)
+    block_idx = np.repeat(np.arange(len(ns)), ns)
+    start_cum = csum[starts] - all_deltas[starts]  # cumulative before block
+    ids = csum - start_cum[block_idx] + bases[block_idx]
+    return ids, all_tfs
