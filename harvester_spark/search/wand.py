@@ -109,11 +109,15 @@ def wand_topk(
     k: int = 10,
     impact_col: str = "impact_all",
     allowed_doc_ids: np.ndarray | None = None,
+    require_all: bool = False,
 ) -> tuple[pd.DataFrame, dict]:
     """Block-max WAND over per-term block tables → (topk frame, stats).
 
     ``term_blocks[t]`` columns: base_doc_id, max_doc_id, doc_deltas, tfs,
-    impact_lang, impact_all.
+    impact_lang, impact_all. ``require_all=True`` switches to conjunctive
+    (AND) semantics with the same θ-driven block skipping — the
+    early-terminating fast path whose result totals are imprecise but whose
+    top-k is exact (bounds are upper bounds, so no top-k doc is skipped).
     """
     terms = [t for t in term_blocks if dfs.get(t, 0) > 0]
     empty = pd.DataFrame(columns=["rank", "doc_id", "score"])
@@ -175,6 +179,11 @@ def wand_topk(
             for c in live:
                 if c.current_doc() == pivot_doc:
                     present[c.term] = int(c.tfs[c.pos])
+            if require_all and len(present) < len(terms):
+                for c in live:
+                    if c.current_doc() == pivot_doc:
+                        c.next()
+                continue
             s = score_doc(pivot_doc, present)
             stats["scored"] += 1
             item = (s, -pivot_doc)

@@ -68,3 +68,27 @@ def test_wand_prunes_blocks(wand_env):
     # rank identity on this pair too
     exp = brute_force_topk_or(docs_pdf, "w00000 w01000", k=3)
     assert list(topk["doc_id"]) == list(exp["doc_id"])
+
+
+@pytest.mark.parametrize("query", ["w00000 w00100", "w00001 w00002 w00003", "term_7 w00000"])
+def test_wand_require_all_matches_and_oracle(wand_env, query):
+    """Conjunctive WAND (imprecise totals, exact top-k) == AND oracle top-k."""
+    from harvester_spark.analysis import tokenize
+    from harvester_spark.search.oracle import brute_force_topk
+
+    searcher, docs_pdf = wand_env
+    terms = sorted(set(tokenize(query)))
+    dfs = searcher._dfs(terms, "all")
+    blocks = searcher._term_postings(terms, "all")
+    term_blocks = {t: blocks[blocks["term"] == t] for t in terms}
+    n_docs, avgdl = searcher._corpus_stats["all"]
+    topk, _ = wand_topk(
+        term_blocks, dfs, n_docs, avgdl, searcher._doc_lens(), k=10,
+        impact_col="impact_all", require_all=True,
+    )
+    exp = brute_force_topk(docs_pdf, query, k=10)
+    assert list(topk["doc_id"]) == list(exp["doc_id"]), query
+    assert (
+        np.asarray(topk["score"], dtype=np.float64)
+        == np.asarray(exp["score"], dtype=np.float64)
+    ).all(), query
