@@ -88,6 +88,33 @@ class SearchAPI:
         if not tokenize(query_text or ""):
             return self._empty_query_listing(k, page, allowed, include_filter_counts)
 
+        # quoted groups (simple_query_string phrase syntax): each phrase
+        # narrows the allowed set to docs containing it consecutively; the
+        # residual terms keep plain AND semantics over all query terms
+        phrases, residual = _split_phrases(query_text)
+        if phrases:
+            from harvester_spark.search.phrase import phrase_search
+
+            phrase_ok: np.ndarray | None = None
+            for ph in phrases:
+                res = phrase_search(self.searcher, self.documents, ph, k=10**9, lang=lang)
+                ids = res.topk["doc_id"].to_numpy(dtype=np.int64)
+                phrase_ok = ids if phrase_ok is None else np.intersect1d(phrase_ok, ids)
+                if phrase_ok.size == 0:
+                    break
+            allowed = (
+                phrase_ok
+                if allowed is None
+                else np.intersect1d(allowed, phrase_ok if phrase_ok is not None else allowed)
+            )
+            if allowed is not None and len(allowed) == 0:
+                return {
+                    "results": [],
+                    "results_total": {"value": 0, "is_precise": True},
+                    "did_you_mean": None,
+                }
+            query_text = " ".join(phrases + ([residual] if residual else []))
+
         if operator == "or":
             # disjunctive path through block-max WAND; totals are a lower
             # bound (pruning skips unscored docs) → is_precise=False, the
@@ -256,6 +283,15 @@ class SearchAPI:
         topk = topk[topk["doc_id"] != doc_id].head(k).reset_index(drop=True)
         topk["rank"] = np.arange(1, len(topk) + 1)
         return topk
+
+
+def _split_phrases(query_text: str) -> tuple[list[str], str]:
+    """'"a b" c "d e" f' → (["a b", "d e"], "c f")."""
+    import re
+
+    phrases = re.findall(r'"([^"]+)"', query_text or "")
+    residual = re.sub(r'"[^"]*"', " ", query_text or "").strip()
+    return [p for p in phrases if p.strip()], residual
 
 
 def _edit_distance_leq(a: str, b: str, maxd: int = 2) -> int | None:

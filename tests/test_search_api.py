@@ -151,3 +151,26 @@ def test_edit_distance():
     assert _edit_distance_leq("abc", "acbd") == 2
     assert _edit_distance_leq("abc", "xyz") is None
     assert _edit_distance_leq("short", "muchlongerterm") is None
+
+
+def test_quoted_phrase_in_api(api, docs_pdf, spark):
+    """Quoted phrase narrows AND results to adjacency matches; mixed
+    phrase+term queries intersect both constraints."""
+    papi, out = api
+    phrase_q = '"block max wand"'
+    r_phrase = papi.search(phrase_q, k=100)
+    r_and = papi.search("block max wand", k=100)
+    assert 0 < r_phrase["results_total"]["value"] <= r_and["results_total"]["value"]
+
+    from harvester_spark.search.phrase import brute_force_phrase
+
+    exp = brute_force_phrase(docs_pdf, "block max wand", k=100)
+    assert [x["doc_id"] for x in r_phrase["results"]] == list(exp["doc_id"])
+
+    # scrambled quoted phrase -> (almost certainly) no adjacency matches
+    r_scrambled = papi.search('"wand block max"', k=10)
+    assert r_scrambled["results_total"]["value"] <= r_phrase["results_total"]["value"]
+
+    # mixed: phrase + extra AND term narrows further
+    r_mixed = papi.search('"block max wand" w00000', k=100)
+    assert r_mixed["results_total"]["value"] <= r_phrase["results_total"]["value"]
