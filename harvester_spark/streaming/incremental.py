@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from harvester_spark.analysis import ALL_LANG, tokenize
 from harvester_spark.extract import with_extracted_text
 from harvester_spark.index.build import compute_corpus_stats, encode_postings, postings_rows
-from harvester_spark.index.codec import decode_block
+from harvester_spark.index.codec import decode_blocks_batch
 from harvester_spark.normalize import normalize_documents
 from harvester_spark.search import bm25
 from harvester_spark.search.engine import IndexSearcher, SearchResult
@@ -215,15 +215,14 @@ class DeltaSearcher(IndexSearcher):
             self._tombstones = np.empty(0, dtype=np.int64)
 
     def _decode_term(self, blocks: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
-        ids_parts, tf_parts = [], []
-        for row in blocks.itertuples(index=False):
-            ids, tfv = decode_block(row.base_doc_id, row.doc_deltas, row.tfs)
-            ids_parts.append(ids)
-            tf_parts.append(tfv)
-        if not ids_parts:
+        if len(blocks) == 0:
             return np.empty(0, np.int64), np.empty(0, np.int64)
-        ids = np.concatenate(ids_parts)
-        tfv = np.concatenate(tf_parts)
+        ids, tfv = decode_blocks_batch(
+            blocks["base_doc_id"].to_numpy(),
+            blocks["n"].to_numpy(),
+            [bytes(b) for b in blocks["doc_deltas"]],
+            [bytes(b) for b in blocks["tfs"]],
+        )
         order = np.argsort(ids, kind="stable")
         return ids[order], tfv[order]
 
@@ -247,7 +246,8 @@ class DeltaSearcher(IndexSearcher):
             if lang != ALL_LANG:
                 d = d.filter(F.col("lang") == lang)
             delta_blocks = d.select(
-                "term", "base_doc_id", "doc_deltas", "tfs", "impact_lang", "impact_all"
+                "term", "base_doc_id", "n", "doc_deltas", "tfs",
+                "impact_lang", "impact_all"
             ).toPandas()
 
         per_term: dict[str, tuple[np.ndarray, np.ndarray]] = {}
