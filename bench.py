@@ -91,7 +91,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_docs = int(os.environ.get("HS_BENCH_DOCS", "100000"))
-    scaling_docs = int(os.environ.get("HS_BENCH_SCALING_DOCS", "250000"))
+    scaling_docs = int(os.environ.get("HS_BENCH_SCALING_DOCS", "350000"))
     pair = tuple(
         int(x) for x in os.environ.get("HS_BENCH_SCALING_PAIR", "2,8").split(",")
     )
