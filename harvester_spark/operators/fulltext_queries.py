@@ -303,8 +303,8 @@ _sql_in = lambda xs: ", ".join(f"'{x}'" for x in xs)  # noqa: E731
 SQL_LANG_HEURISTIC = f"""
 WITH toks AS ({SQL_DOC_TOKS})
 SELECT doc_id,
-       sum(CASE WHEN term IN ({_sql_in(_EN_MARKERS)}) THEN 1 ELSE 0 END) AS en_hits,
-       sum(CASE WHEN term IN ({_sql_in(_NL_MARKERS)}) THEN 1 ELSE 0 END) AS nl_hits,
+       CAST(sum(CASE WHEN term IN ({_sql_in(_EN_MARKERS)}) THEN 1 ELSE 0 END) AS BIGINT) AS en_hits,
+       CAST(sum(CASE WHEN term IN ({_sql_in(_NL_MARKERS)}) THEN 1 ELSE 0 END) AS BIGINT) AS nl_hits,
        CASE WHEN sum(CASE WHEN term IN ({_sql_in(_EN_MARKERS)}) THEN 1 ELSE 0 END)
                > sum(CASE WHEN term IN ({_sql_in(_NL_MARKERS)}) THEN 1 ELSE 0 END) THEN 'en'
             WHEN sum(CASE WHEN term IN ({_sql_in(_NL_MARKERS)}) THEN 1 ELSE 0 END)

@@ -119,8 +119,8 @@ def mm_metadata(spark, sf_dir):
 SQL_MM_METADATA = f"""
 WITH media AS ({_SQL_MEDIA})
 SELECT kind, count(*) AS n_media,
-       sum(CAST(n_bytes AS BIGINT)) AS total_bytes,
-       sum(CAST(n_frames AS BIGINT)) AS total_frames
+       CAST(sum(CAST(n_bytes AS BIGINT)) AS BIGINT) AS total_bytes,
+       CAST(sum(CAST(n_frames AS BIGINT)) AS BIGINT) AS total_frames
 FROM media GROUP BY kind
 """
 

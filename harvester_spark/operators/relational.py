@@ -29,10 +29,10 @@ def q1_pricing_summary(spark, sf_dir):
 
 SQL_Q1 = f"""
 SELECT l_returnflag, l_linestatus,
-       sum({sql_cents('l_quantity')}) AS sum_qty_c,
-       sum({sql_cents('l_extendedprice')}) AS sum_base_c,
-       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_c,
-       sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS sum_charge_c,
+       CAST(sum({sql_cents('l_quantity')}) AS BIGINT) AS sum_qty_c,
+       CAST(sum({sql_cents('l_extendedprice')}) AS BIGINT) AS sum_base_c,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_c,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS sum_charge_c,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate < TIMESTAMP '1998-09-02'
@@ -102,7 +102,7 @@ def j5_region_revenue(spark, sf_dir):
 
 SQL_J5 = f"""
 SELECT r.r_name,
-       sum({sql_cents('o.o_totalprice')}) AS revenue_c,
+       CAST(sum({sql_cents('o.o_totalprice')}) AS BIGINT) AS revenue_c,
        count(*) AS n_orders
 FROM orders o
 JOIN customer c ON c.c_custkey = o.o_custkey
@@ -237,7 +237,7 @@ def p6_modified_since(spark, sf_dir):
 
 SQL_P6 = f"""
 SELECT event_type, count(*) AS n_events,
-       sum({sql_cents('value')}) AS value_c
+       CAST(sum({sql_cents('value')}) AS BIGINT) AS value_c
 FROM events WHERE ts >= TIMESTAMP '{CUTOFF}'
 GROUP BY event_type
 """
@@ -267,8 +267,8 @@ def j7_set_integrity(spark, sf_dir):
 SQL_J7 = f"""
 WITH counts AS (
   SELECT event_type,
-         sum(CASE WHEN ts < TIMESTAMP '{CUTOFF}' THEN 1 ELSE 0 END) AS n_historic,
-         sum(CASE WHEN ts >= TIMESTAMP '{CUTOFF}' THEN 1 ELSE 0 END) AS n_current
+         CAST(sum(CASE WHEN ts < TIMESTAMP '{CUTOFF}' THEN 1 ELSE 0 END) AS BIGINT) AS n_historic,
+         CAST(sum(CASE WHEN ts >= TIMESTAMP '{CUTOFF}' THEN 1 ELSE 0 END) AS BIGINT) AS n_current
   FROM events GROUP BY event_type
 )
 SELECT event_type, n_historic, n_current,
@@ -292,7 +292,7 @@ def events_hourly_rollup(spark, sf_dir):
 SQL_EVENTS_HOURLY = f"""
 SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket, event_type,
        count(*) AS n_events,
-       sum({sql_cents('value')}) AS value_c
+       CAST(sum({sql_cents('value')}) AS BIGINT) AS value_c
 FROM events GROUP BY 1, 2
 """
 
@@ -452,7 +452,7 @@ def a9_rollup_revenue(spark, sf_dir):
 SQL_A9 = f"""
 SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
        coalesce(l_linestatus, 'ALL') AS linestatus,
-       sum({sql_cents('l_extendedprice')}) AS rev_c,
+       CAST(sum({sql_cents('l_extendedprice')}) AS BIGINT) AS rev_c,
        count(*) AS n_items
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)

@@ -20,26 +20,32 @@ TABLES = (
 
 
 def canon(v):
+    """TYPED canonicalization: int vs Decimal vs float must NOT collapse.
+
+    The driver hashes typed values (Arrow-side), so a DuckDB HUGEINT
+    (decimal128) result of an integer sum() must FAIL against a Spark BIGINT
+    even when numerically equal — cast the oracle SQL, not the checker.
+    """
+    import decimal
+
     if v is None:
         return None
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, int):
+        return ("i", v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        # driver-style value canonicalization: round to a stable repr
-        return f"{v:.9g}"
+            return ("f", "NaN")
+        return ("f", f"{v:.9g}")
+    if isinstance(v, decimal.Decimal):
+        return ("dec", str(v))
     if hasattr(v, "isoformat"):
-        return v.isoformat()
+        return ("t", v.isoformat())
     if isinstance(v, bytes):
-        return v.hex()
+        return ("x", v.hex())
     if isinstance(v, (list, tuple)):
         return tuple(canon(x) for x in v)
-    try:
-        import decimal
-
-        if isinstance(v, decimal.Decimal):
-            return f"{float(v):.9g}"
-    except Exception:
-        pass
     return v
 
 
@@ -83,9 +89,11 @@ def main():
             print(f"....  {name}: no oracle (rows-only) — spark rows={len(s_rows)}")
             continue
         try:
-            cur = con.execute(sql)
-            o_cols = [d[0].lower() for d in cur.description]
-            o_rows = cur.fetchall()
+            # Fetch via Arrow: fetchall() coerces HUGEINT→int and hides the
+            # exact type the driver hashes; Arrow surfaces decimal128 etc.
+            tbl = con.execute(sql).arrow()
+            o_cols = [c.lower() for c in tbl.column_names]
+            o_rows = [tuple(d.values()) for d in tbl.to_pylist()]
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {str(e)[:200]}")
             n_fail += 1
