@@ -51,13 +51,23 @@ def _monotone_chains(blocks: pd.DataFrame) -> list[list]:
 class _ChainCursor:
     """Iterates one monotone block chain with lazy decode."""
 
-    __slots__ = ("term", "idf", "rows", "impact_col", "bix", "ids", "tfs", "pos", "exhausted")
+    __slots__ = (
+        "term", "idf", "rows", "impact_col", "bix", "ids", "tfs", "pos",
+        "exhausted", "list_ub",
+    )
 
     def __init__(self, term: str, idf: float, rows: list, impact_col: str):
         self.term = term
         self.idf = idf
         self.rows = rows
         self.impact_col = impact_col
+        # Whole-chain upper bound (term-level in Ding & Suel terms): the max
+        # impact over ALL blocks of this chain. Pivot selection and loop
+        # termination MUST use this — the current block's bound says nothing
+        # about later blocks of the same chain.
+        self.list_ub = idf * max(
+            (float(getattr(r, impact_col)) for r in rows), default=0.0
+        )
         self.bix = -1
         self.ids = np.empty(0, np.int64)
         self.tfs = np.empty(0, np.int64)
@@ -152,21 +162,49 @@ def wand_topk(
         if not live:
             break
         live.sort(key=lambda c: c.current_doc())
-        # find pivot: smallest doc where the prefix sum of block upper
-        # bounds reaches theta
+        # Find pivot: smallest doc where the prefix sum of WHOLE-LIST upper
+        # bounds reaches theta. Ding & Suel safety: pivot selection and loop
+        # termination must use term-level bounds — the current block's bound
+        # says nothing about postings in later blocks of the same chain, so
+        # using it here would skip (or never score) high-impact postings
+        # behind a low-impact block.
         ub = 0.0
         pivot_ix = None
         for i, c in enumerate(live):
-            ub += c.current_block_ub()
+            ub += c.list_ub
             # >= (not >): a doc scoring exactly θ can still win its tie on
             # ascending doc_id — pruning it would break rank identity
             if len(heap) < k or ub >= theta:
                 pivot_ix = i
                 break
         if pivot_ix is None:
-            break  # no document can beat theta
+            break  # no document anywhere can beat theta (list-level bounds)
         pivot_doc = live[pivot_ix].current_doc()
         if live[0].current_doc() == pivot_doc:
+            # Block-max refinement: all cursors at the pivot have it inside
+            # their CURRENT blocks, so the sum of current-block bounds (plus
+            # list bounds of cursors that could still join ≤ pivot — none,
+            # they're all > pivot) is a valid bound for the pivot doc.
+            aligned = [c for c in live if c.current_doc() == pivot_doc]
+            bub = sum(c.current_block_ub() for c in aligned)
+            if len(heap) >= k and bub < theta:
+                # No doc in [pivot, d2) can beat θ: inside that range only
+                # the aligned cursors' CURRENT blocks can contribute (the
+                # next unaligned cursor sits at d2 or later), and their
+                # block-max sum is below θ. Advance only to
+                # min(current block boundary)+1 capped by the next unaligned
+                # cursor — never past a block boundary on the strength of
+                # the current block's bound.
+                block_end = min(c.rows[c.bix].max_doc_id for c in aligned)
+                d2 = block_end + 1
+                for c in live:
+                    if c.current_doc() != pivot_doc:
+                        d2 = min(d2, c.current_doc())
+                        break  # live is sorted; first unaligned is smallest
+                d2 = max(d2, pivot_doc + 1)
+                for c in aligned:
+                    c.advance_to(d2)
+                continue
             # all cursors up to pivot are aligned — score the pivot doc
             # (filters are non-scoring restrictions: skip disallowed docs
             # without touching θ or the statistics)

@@ -92,3 +92,111 @@ def test_wand_require_all_matches_and_oracle(wand_env, query):
         np.asarray(topk["score"], dtype=np.float64)
         == np.asarray(exp["score"], dtype=np.float64)
     ).all(), query
+
+
+# ---------------------------------------------------------------------------
+# Adversarial synthetic-block cases: the per-round advisor's repro — a
+# high-impact posting hiding in a LATER block behind a low-impact full block.
+# Current-block bounds must never drive pivot selection / termination.
+# ---------------------------------------------------------------------------
+
+import pandas as pd
+
+from harvester_spark.index.codec import encode_blocks
+from harvester_spark.search import bm25
+
+
+def _mk_blocks(doc_ids, tfs, doc_lens, avgdl, block_size=128):
+    ids = np.asarray(doc_ids, dtype=np.int64)
+    tf = np.asarray(tfs, dtype=np.int64)
+    imp = bm25.tf_norm(tf, doc_lens[ids], avgdl)
+    rows = []
+    for s in range(0, len(ids), block_size):
+        (base, _n, deltas, tfb, _mtf, mimp) = encode_blocks(
+            ids[s : s + block_size], tf[s : s + block_size], imp[s : s + block_size]
+        )[0]
+        rows.append(
+            {
+                "base_doc_id": base,
+                "max_doc_id": int(ids[s : s + block_size][-1]),
+                "doc_deltas": deltas,
+                "tfs": tfb,
+                "impact_all": mimp,
+                "impact_lang": mimp,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def _brute(postings, dfs, n_docs, avgdl, doc_lens, k):
+    """Exact scorer over explicit postings {term: (ids, tfs)}."""
+    scores: dict[int, float] = {}
+    for t in bm25.term_order(list(postings), dfs):
+        w = float(bm25.idf(n_docs, dfs[t]))
+        for d, tf in zip(*postings[t]):
+            scores[int(d)] = scores.get(int(d), 0.0) + w * float(
+                bm25.tf_norm(np.float64(tf), np.float64(doc_lens[int(d)]), avgdl)
+            )
+    items = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return [d for d, _ in items], [s for _, s in items]
+
+
+def test_wand_skewed_block_boundary():
+    """advisor repro: term y's block 1 is 128 low-impact postings; the block
+    AFTER it holds a short-doc high-tf posting that beats θ. Termination /
+    pivoting on current-block bounds would return doc 0; list-level bounds
+    must find doc 500."""
+    n_docs = 1000
+    doc_lens = np.full(n_docs, 100.0)
+    doc_lens[401:529] = 4000.0  # long docs → tiny impact in y's first block
+    doc_lens[900] = 10.0        # short doc → huge impact in y's second block
+    avgdl = float(doc_lens.mean())
+
+    # head term x (docs 0..399, df=400 → modest idf) is fully consumed first
+    # and sets θ ≈ 1.4. Then only y remains, its CURRENT block's UB ≈ 0.6
+    # < θ — but its SECOND block holds doc 900 with true score ≈ 4.3 > θ.
+    # Terminating (or skipping) on the current block's bound drops doc 900.
+    x_ids = np.arange(0, 400)
+    x_tfs = np.ones(400, np.int64)
+    y_ids = np.concatenate([np.arange(401, 529), [900]])
+    y_tfs = np.concatenate([np.ones(128, np.int64), [8]])
+
+    postings = {"x": (x_ids, x_tfs), "y": (y_ids, y_tfs)}
+    dfs = {"x": 400, "y": 129}
+    term_blocks = {
+        "x": _mk_blocks(x_ids, x_tfs, doc_lens, avgdl),
+        "y": _mk_blocks(y_ids, y_tfs, doc_lens, avgdl),
+    }
+    assert len(term_blocks["y"]) == 2  # the trap needs a block boundary
+
+    for k in (1, 2, 5):
+        got, _ = wand_topk(term_blocks, dfs, n_docs, avgdl, doc_lens, k=k)
+        exp_ids, exp_scores = _brute(postings, dfs, n_docs, avgdl, doc_lens, k)
+        assert list(got["doc_id"]) == exp_ids, k
+        assert np.array_equal(np.asarray(got["score"], np.float64), np.asarray(exp_scores)), k
+
+
+def test_wand_fuzz_multiblock_skew():
+    """Randomized multi-term multi-block lists with skewed doc lengths:
+    wand_topk must stay rank- and score-identical to the explicit scorer."""
+    rng = np.random.default_rng(7)
+    n_docs = 5000
+    doc_lens = rng.choice([8.0, 60.0, 400.0, 2500.0], size=n_docs, p=[0.05, 0.6, 0.3, 0.05])
+    avgdl = float(doc_lens.mean())
+    for trial in range(8):
+        postings, dfs, term_blocks = {}, {}, {}
+        for ti in range(rng.integers(2, 5)):
+            t = f"t{ti}"
+            n = int(rng.integers(5, 700))
+            ids = np.sort(rng.choice(n_docs, size=n, replace=False)).astype(np.int64)
+            tfs = rng.integers(1, 9, size=n).astype(np.int64)
+            postings[t] = (ids, tfs)
+            dfs[t] = n
+            term_blocks[t] = _mk_blocks(ids, tfs, doc_lens, avgdl)
+        for k in (1, 3, 10):
+            got, _ = wand_topk(term_blocks, dfs, n_docs, avgdl, doc_lens, k=k)
+            exp_ids, exp_scores = _brute(postings, dfs, n_docs, avgdl, doc_lens, k)
+            assert list(got["doc_id"]) == exp_ids, (trial, k)
+            assert np.array_equal(
+                np.asarray(got["score"], np.float64), np.asarray(exp_scores)
+            ), (trial, k)
