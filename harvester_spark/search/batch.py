@@ -66,12 +66,15 @@ def search_batch(
     )
     if lang != ALL_LANG:
         postings = postings.filter(F.col("lang") == lang)
+    from harvester_spark.search.engine import stats_paths
+
+    doc_stats_path, corpus_stats_path = stats_paths(index_dir)
     stats = {
         r["lang"]: (int(r["n_docs"]), float(r["avgdl"]))
-        for r in spark.read.parquet(f"{index_dir}/corpus_stats").collect()
+        for r in spark.read.parquet(corpus_stats_path).collect()
     }
     n_docs, avgdl = stats[lang]
-    doc_stats = spark.read.parquet(f"{index_dir}/doc_stats").select("doc_id", "doc_len")
+    doc_stats = spark.read.parquet(doc_stats_path).select("doc_id", "doc_len")
 
     decoded = postings.select(
         "term", "base_doc_id", "doc_deltas", "tfs"

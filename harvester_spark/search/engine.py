@@ -22,6 +22,8 @@ For a single interactive query the postings for the query's terms are small
 
 from __future__ import annotations
 
+import json
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -31,6 +33,30 @@ from pyspark.sql import SparkSession, functions as F
 from harvester_spark.analysis import ALL_LANG, tokenize
 from harvester_spark.index.codec import decode_blocks_batch
 from harvester_spark.search import bm25
+
+
+def read_delta_state(index_dir: str) -> dict | None:
+    """The atomically-published delta manifest (None on a fresh index).
+
+    ``apply_index_delta`` stages new stats + delta postings + tombstones and
+    publishes them with one ``os.replace`` of this file, so readers always
+    see a consistent snapshot: either the state before the delta or the
+    state after it, never refreshed stats with missing tombstones."""
+    try:
+        with open(os.path.join(index_dir, "delta_state.json")) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None
+
+
+def stats_paths(index_dir: str) -> tuple[str, str]:
+    """(doc_stats, corpus_stats) paths — routed through the delta manifest
+    when one exists, else the base layout."""
+    state = read_delta_state(index_dir)
+    if state and state.get("stats_dir"):
+        sd = os.path.join(index_dir, state["stats_dir"])
+        return os.path.join(sd, "doc_stats"), os.path.join(sd, "corpus_stats")
+    return os.path.join(index_dir, "doc_stats"), os.path.join(index_dir, "corpus_stats")
 
 
 @dataclass
@@ -58,9 +84,10 @@ class IndexSearcher:
         self.index_dir = index_dir
         self.postings = spark.read.parquet(f"{index_dir}/postings")
         self.dictionary = spark.read.parquet(f"{index_dir}/dictionary")
+        self._doc_stats_path, corpus_stats_path = stats_paths(index_dir)
         self._corpus_stats = {
             r["lang"]: (int(r["n_docs"]), float(r["avgdl"]))
-            for r in spark.read.parquet(f"{index_dir}/corpus_stats").collect()
+            for r in spark.read.parquet(corpus_stats_path).collect()
         }
         self._doc_len: np.ndarray | None = None
         self._pa_postings = self._pa_dictionary = None
@@ -81,7 +108,7 @@ class IndexSearcher:
         """doc_id → doc_len as a dense array (docIDs are dense by scheme)."""
         if self._doc_len is None:
             pdf = (
-                self.spark.read.parquet(f"{self.index_dir}/doc_stats")
+                self.spark.read.parquet(self._doc_stats_path)
                 .select("doc_id", "doc_len")
                 .toPandas()
             )

@@ -161,30 +161,59 @@ def apply_index_delta(
     tombstones: DataFrame,
     delta_name: str = "delta-1",
 ) -> None:
-    """Append delta blocks + tombstones; rewrite the small stats tables.
+    """Append delta blocks + tombstones; publish atomically via manifest.
 
-    doc_stats / corpus_stats are recomputed exactly from the merged documents
-    (they are tiny relative to postings), so scoring stats equal a rebuild.
+    All new state — refreshed doc_stats/corpus_stats (recomputed exactly from
+    the merged documents, tiny relative to postings), the delta's postings
+    blocks, and its tombstone set — is STAGED under new paths and published
+    with a single ``os.replace`` of ``delta_state.json`` as the last step
+    (the IndexCatalog pattern). A searcher opened mid-apply or after a crash
+    sees the previous consistent snapshot, never refreshed n_docs/avgdl with
+    missing tombstones.
+
+    Deltas are SEQUENCED: the manifest orders them, and each tombstone set
+    carries the delta's ordinal. A tombstone recorded at seq N invalidates
+    the doc's postings in base (seq 0) and in every delta with seq < N —
+    update-then-update and update-then-delete across micro-batches fold to
+    latest-wins (the stacked-delta contract: base ∪ deltas == rebuild).
     """
+    import json
+
+    from harvester_spark.search.engine import read_delta_state
+
+    state = read_delta_state(index_dir) or {"seq": 0, "deltas": [], "stats_dir": None}
+    seq = int(state["seq"]) + 1
+
+    stats_dir = f"stats/v{seq:06d}"
     active = merged_documents.filter(F.col("state") == "active")
     active.select("doc_id", "lang", "doc_len").write.mode("overwrite").parquet(
-        f"{index_dir}/doc_stats"
+        f"{index_dir}/{stats_dir}/doc_stats"
     )
-    doc_stats = spark.read.parquet(f"{index_dir}/doc_stats")
+    doc_stats = spark.read.parquet(f"{index_dir}/{stats_dir}/doc_stats")
     compute_corpus_stats(doc_stats).write.mode("overwrite").parquet(
-        f"{index_dir}/corpus_stats"
+        f"{index_dir}/{stats_dir}/corpus_stats"
     )
     avgdl = {
         r["lang"]: float(r["avgdl"])
-        for r in spark.read.parquet(f"{index_dir}/corpus_stats").collect()
+        for r in spark.read.parquet(f"{index_dir}/{stats_dir}/corpus_stats").collect()
     }
     rows = postings_rows(fresh_docs.select("doc_id", "text", "lang", "doc_len"))
     encode_postings(rows, avgdl).write.mode("overwrite").partitionBy("lang").parquet(
         f"{index_dir}/postings_delta/delta={delta_name}"
     )
-    tombstones.write.mode("overwrite").parquet(
-        f"{index_dir}/tombstones/{delta_name}"
-    )
+    tombstones.select(
+        F.col("doc_id").cast("long"), F.lit(seq).cast("long").alias("seq")
+    ).write.mode("overwrite").parquet(f"{index_dir}/tombstones/{delta_name}")
+
+    new_state = {
+        "seq": seq,
+        "deltas": state["deltas"] + [{"name": delta_name, "seq": seq}],
+        "stats_dir": stats_dir,
+    }
+    tmp = os.path.join(index_dir, "delta_state.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(new_state, f)
+    os.replace(tmp, os.path.join(index_dir, "delta_state.json"))  # atomic publish
 
 
 class DeltaSearcher(IndexSearcher):
@@ -193,26 +222,48 @@ class DeltaSearcher(IndexSearcher):
     accumulation order matches) and stats from the refreshed tables."""
 
     def __init__(self, spark: SparkSession, index_dir: str):
+        from harvester_spark.search.engine import read_delta_state
+
         super().__init__(spark, index_dir)
-        self._tombstones: np.ndarray | None = None
+        state = read_delta_state(index_dir)
+        deltas = list(state["deltas"]) if state else []
+        self._delta_seq = {d["name"]: int(d["seq"]) for d in deltas}
+
+        # Only manifest-LISTED deltas are read (a crash can leave staged but
+        # unpublished delta dirs on disk); delta dirs are partition-style
+        # (delta=<name>/lang=<l>), so a basePath read keeps both columns.
         delta_root = f"{index_dir}/postings_delta"
-        # delta dirs are written partition-style (delta=<name>/lang=<l>), so
-        # plain partition discovery keeps the lang column
-        self._delta = (
-            spark.read.option("basePath", delta_root).parquet(delta_root).drop("delta")
-            if os.path.isdir(delta_root)
-            else None
-        )
-        tomb_root = f"{index_dir}/tombstones"
-        if os.path.isdir(tomb_root):
-            pdf = (
-                spark.read.option("recursiveFileLookup", "true")
-                .parquet(tomb_root)
-                .toPandas()
-            )
-            self._tombstones = np.sort(pdf["doc_id"].to_numpy(dtype=np.int64))
-        else:
-            self._tombstones = np.empty(0, dtype=np.int64)
+        self._delta = None
+        if deltas:
+            paths = [f"{delta_root}/delta={d['name']}" for d in deltas]
+            self._delta = spark.read.option("basePath", delta_root).parquet(*paths)
+
+        # Tombstones carry the recording delta's seq: a tombstone at seq N
+        # kills the doc's postings in base (seq 0) and every delta < N.
+        # Fold to per-doc MAX seq; a posting at seq s survives iff
+        # tomb_max_seq(doc) <= s.
+        self._tomb_ids = np.empty(0, dtype=np.int64)
+        self._tomb_maxseq = np.empty(0, dtype=np.int64)
+        if deltas:
+            paths = [f"{index_dir}/tombstones/{d['name']}" for d in deltas]
+            pdf = spark.read.parquet(*paths).toPandas()
+            if len(pdf):
+                folded = pdf.groupby("doc_id")["seq"].max().sort_index()
+                self._tomb_ids = folded.index.to_numpy(dtype=np.int64)
+                self._tomb_maxseq = folded.to_numpy(dtype=np.int64)
+
+    def _filter_tombstoned(
+        self, ids: np.ndarray, tfv: np.ndarray, seq: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Drop postings superseded by a tombstone recorded AFTER ``seq``."""
+        if self._tomb_ids.size == 0 or ids.size == 0:
+            return ids, tfv
+        pos = np.searchsorted(self._tomb_ids, ids)
+        pos_c = np.minimum(pos, self._tomb_ids.size - 1)
+        dead = (self._tomb_ids[pos_c] == ids) & (self._tomb_maxseq[pos_c] > seq)
+        if dead.any():
+            return ids[~dead], tfv[~dead]
+        return ids, tfv
 
     def _decode_term(self, blocks: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
         if len(blocks) == 0:
@@ -246,24 +297,35 @@ class DeltaSearcher(IndexSearcher):
             if lang != ALL_LANG:
                 d = d.filter(F.col("lang") == lang)
             delta_blocks = d.select(
-                "term", "base_doc_id", "n", "doc_deltas", "tfs",
+                "delta", "term", "base_doc_id", "n", "doc_deltas", "tfs",
                 "impact_lang", "impact_all"
             ).toPandas()
 
+        # deltas applied in ascending seq order, each filtered by tombstones
+        # recorded AFTER it — stacked updates/deletes fold to latest-wins
+        delta_order = sorted(self._delta_seq, key=self._delta_seq.get)
         per_term: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         dfs: dict[str, int] = {}
         for t in terms:
             tb = base_blocks[base_blocks["term"] == t]
             ids, tfv = self._decode_term(tb)
-            if self._tombstones.size:
-                keep = ~np.isin(ids, self._tombstones, assume_unique=True)
-                ids, tfv = ids[keep], tfv[keep]
+            ids, tfv = self._filter_tombstoned(ids, tfv, seq=0)
             if delta_blocks is not None:
-                dt = delta_blocks[delta_blocks["term"] == t]
-                d_ids, d_tfv = self._decode_term(dt)
-                if d_ids.size:
-                    ids = np.concatenate([ids, d_ids])
-                    tfv = np.concatenate([tfv, d_tfv])
+                parts_ids, parts_tfv = [ids], [tfv]
+                for name in delta_order:
+                    dt = delta_blocks[
+                        (delta_blocks["term"] == t) & (delta_blocks["delta"] == name)
+                    ]
+                    d_ids, d_tfv = self._decode_term(dt)
+                    d_ids, d_tfv = self._filter_tombstoned(
+                        d_ids, d_tfv, seq=self._delta_seq[name]
+                    )
+                    if d_ids.size:
+                        parts_ids.append(d_ids)
+                        parts_tfv.append(d_tfv)
+                if len(parts_ids) > 1:
+                    ids = np.concatenate(parts_ids)
+                    tfv = np.concatenate(parts_tfv)
                     order = np.argsort(ids, kind="stable")
                     ids, tfv = ids[order], tfv[order]
             per_term[t] = (ids, tfv)

@@ -207,3 +207,102 @@ def test_catalog_promotion(tmp_root):
     cat.promote("c")
     victims = cat.expire(keep=1)
     assert "c" not in victims and cat.current() == "c"
+
+
+def test_stacked_deltas_equal_rebuild(spark, tmp_root):
+    """TWO successive deltas — update-then-update and update-then-delete of
+    the same srn across micro-batches — must still equal a rebuild
+    bit-for-bit (the advisor's stacked-delta repro: tombstones from delta N
+    must filter base AND every delta < N, not base alone)."""
+    import pandas as pd
+    import shutil
+
+    from harvester_spark.streaming.incremental import DeltaSearcher
+
+    out = os.path.join(tmp_root, "stacked")
+    run_build(spark, out, n_docs=N_DOCS, resume=False, num_partitions=4)
+    base = spark.read.parquet(f"{out}/documents")
+    inc_dir = os.path.join(tmp_root, "stacked_index")
+    shutil.rmtree(inc_dir, ignore_errors=True)
+    shutil.copytree(f"{out}/index", inc_dir)
+
+    def mk_delta(doc_ixs, htmls, deleted):
+        pdf = corpus_pdf(np.array(doc_ixs))
+        pdf["html"] = htmls
+        pdf["deleted"] = deleted
+        return spark.createDataFrame(
+            pdf,
+            "url string, warc_ts timestamp, html binary, text string, "
+            "lang string, deleted boolean",
+        )
+
+    # delta 1: update docs 5 and 17
+    d1 = mk_delta(
+        [5, 17],
+        [b"<p>stacked rewrite alpha five</p>", b"<p>stacked rewrite bravo seventeen</p>"],
+        [False, False],
+    )
+    merged1 = merge_documents(base, normalize_delta(d1))
+    m1_path = os.path.join(tmp_root, "stacked_docs_v1")
+    merged1.write.mode("overwrite").parquet(m1_path)
+    merged1 = spark.read.parquet(m1_path)
+    fresh1, tomb1 = changed_and_deleted(base, merged1)
+    apply_index_delta(spark, inc_dir, merged1, fresh1, tomb1, delta_name="delta-0")
+
+    # delta 2: update doc 5 AGAIN, delete doc 17 (both touched by delta 1)
+    d2 = mk_delta(
+        [5, 17],
+        [b"<p>stacked rewrite charlie five again</p>", b"<p>irrelevant</p>"],
+        [False, True],
+    )
+    merged2 = merge_documents(merged1, normalize_delta(d2))
+    m2_path = os.path.join(tmp_root, "stacked_docs_v2")
+    merged2.write.mode("overwrite").parquet(m2_path)
+    merged2 = spark.read.parquet(m2_path)
+    fresh2, tomb2 = changed_and_deleted(merged1, merged2)
+    apply_index_delta(spark, inc_dir, merged2, fresh2, tomb2, delta_name="delta-1")
+
+    rb_dir = os.path.join(tmp_root, "stacked_rebuild")
+    rb = IndexBuilder(spark, rb_dir)
+    rb.build(merged2, resume=False, num_partitions=4)
+
+    ds = DeltaSearcher(spark, inc_dir)
+    rs = IndexSearcher(spark, rb_dir)
+    id5 = base.filter(F.col("url").endswith("00000005")).first()["doc_id"]
+    id17 = base.filter(F.col("url").endswith("00000017")).first()["doc_id"]
+
+    # delta-1's postings for doc 5 ('alpha') are superseded by delta-2
+    assert list(ds.search("alpha", k=10).topk["doc_id"]) == []
+    # delta-2's postings win
+    assert list(ds.search("charlie", k=10).topk["doc_id"]) == [id5]
+    # updated-in-d1 then deleted-in-d2: gone entirely
+    assert id17 not in set(ds.search("w00000", k=N_DOCS).topk["doc_id"])
+    assert list(ds.search("bravo", k=10).topk["doc_id"]) == []
+
+    for q in ["w00000", "w00000 w00001", "stacked", "charlie stacked",
+              "term_7", "w00001 w00002"]:
+        for lang in ["all", "en", "nl"]:
+            a = ds.search(q, k=10, lang=lang).topk
+            b = rs.search(q, k=10, lang=lang).topk
+            assert list(a["doc_id"]) == list(b["doc_id"]), (q, lang)
+            assert (
+                np.asarray(a["score"], dtype=np.float64)
+                == np.asarray(b["score"], dtype=np.float64)
+            ).all(), (q, lang)
+
+    # duplicate-posting detection: df of a term in BOTH d1 and d2 texts for
+    # doc 5 must not be inflated ('stacked'/'rewrite'/'five' appear twice)
+    tot = ds.search("rewrite", k=10)
+    assert tot.results_total == 1 and list(tot.topk["doc_id"]) == [id5]
+
+    # torn-apply consistency: staged-but-unpublished dirs (crash before the
+    # manifest os.replace) must be invisible to a fresh searcher
+    shutil.copytree(f"{inc_dir}/postings_delta/delta=delta-1",
+                    f"{inc_dir}/postings_delta/delta=torn")
+    shutil.copytree(f"{inc_dir}/tombstones/delta-1", f"{inc_dir}/tombstones/torn")
+    shutil.copytree(f"{inc_dir}/stats/v000002", f"{inc_dir}/stats/v000099")
+    ds2 = DeltaSearcher(spark, inc_dir)
+    for q in ["w00000", "charlie stacked", "rewrite"]:
+        a, b = ds2.search(q, k=10).topk, ds.search(q, k=10).topk
+        assert list(a["doc_id"]) == list(b["doc_id"]), q
+        assert (np.asarray(a["score"], np.float64) == np.asarray(b["score"], np.float64)).all(), q
