@@ -284,11 +284,90 @@ FROM votes GROUP BY doc_id
 """
 
 
+# LSH candidates → EXACT Jaccard re-check: the oracle-gated scale path.
+# Unlike dedup_shingle_jaccard (bounded quadratic baseline), this runs over
+# the WHOLE corpus: pair generation is the banded equi-join, and the exact
+# 2-shingle Jaccard is computed only for candidate pairs (two semi-join-shaped
+# hash joins on (doc, shingle) — no all-pairs stage anywhere).
+
+LSH_VERIFY_MIN = 0.50
+
+
+def _shingles2(spark, sf_dir):
+    """(doc_id, shingle) distinct word-2-grams — the MinHash shingle set."""
+    toks = doc_tokens(spark, sf_dir)
+    w = W.partitionBy("doc_id").orderBy("pos")
+    return (
+        toks.withColumn("nxt", F.lead("term").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "term", "nxt").alias("shingle"))
+        .distinct()
+    )
+
+
+def dedup_lsh_jaccard_verified(spark, sf_dir):
+    cand = dedup_lsh_pairs(spark, sf_dir)
+    sh = _shingles2(spark, sf_dir).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    shb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sha, "doc_a")
+        .join(shb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= LSH_VERIFY_MIN)
+        .select("doc_a", "doc_b", "n_inter", "jaccard")
+    )
+
+
+SQL_LSH_JACCARD_VERIFIED = f"""
+WITH sh AS ({_SQL_SHINGLES2}),
+hx AS (
+  SELECT doc_id, i,
+         {_SQL_HASH56.format(col="(i || ':' || shingle)")} AS h
+  FROM sh CROSS JOIN (SELECT unnest(range({N_MINHASH})) AS i)
+),
+sig AS (SELECT doc_id, {_sql_minhash_cols} FROM hx GROUP BY doc_id),
+bands AS ({_sql_band_rows}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.r0 = b.r0 AND a.r1 = b.r1 AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_inter,
+       n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= {LSH_VERIFY_MIN}
+"""
+
+
 QUERIES = {
     "dedup_exact": (dedup_exact, SQL_DEDUP_EXACT),
     "dedup_shingle_jaccard": (dedup_shingle_jaccard, SQL_SHINGLE_JACCARD),
     "dedup_minhash_signatures": (dedup_minhash_signatures, SQL_MINHASH_SIGNATURES),
     "dedup_lsh_pairs": (dedup_lsh_pairs, SQL_LSH_PAIRS),
+    "dedup_lsh_jaccard_verified": (dedup_lsh_jaccard_verified, SQL_LSH_JACCARD_VERIFIED),
     "dedup_simhash": (dedup_simhash, SQL_SIMHASH),
 }
 
@@ -358,15 +437,41 @@ QUERIES["dedup_embedding_cosine"] = (dedup_embedding_cosine, SQL_EMBEDDING_COSIN
 HAMMING_MAX = 3
 
 
+SIMHASH_BANDS = HAMMING_MAX + 1  # pigeonhole: ≤3 differing bits miss ≥1 of 4
+
+
 def dedup_simhash_pairs(spark, sf_dir):
+    """Pigeonhole-banded SimHash pairing: split the 16-bit hash into
+    {SIMHASH_BANDS} bands of 4 bits — any pair within Hamming ≤
+    {HAMMING_MAX} agrees EXACTLY on at least one band, so candidates come
+    from an equi-join on (band_ix, band_bits) (uniform shuffle key, no
+    cartesian product) and only candidates pay the bit_count check.
+    Pairs sharing several bands dedup via distinct."""
+    band_width = 16 // SIMHASH_BANDS
     sig = dedup_simhash(spark, sf_dir).cache()
-    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
-    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BANDS - 1))).alias("band_ix"),
+    ).withColumn(
+        "band_bits",
+        F.expr(f"(simhash >> (band_ix * {band_width})) & {(1 << band_width) - 1}"),
+    )
+    a = bands.select(
+        "band_ix", "band_bits",
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"),
+    )
+    b = bands.select(
+        "band_ix", "band_bits",
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"),
+    )
     return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        a.join(b, ["band_ix", "band_bits"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .withColumn("hamming", F.expr("bit_count(sh_a ^ sh_b)"))
         .filter(F.col("hamming") <= HAMMING_MAX)
         .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
 
 

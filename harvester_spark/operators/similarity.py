@@ -82,6 +82,39 @@ cosine AS (
 """
 
 
+def _cosine_for_pairs(spark, sf_dir, pairs):
+    """Exact rounded cosine computed ONLY for the given (qid, vec_id)
+    candidate pairs — the expensive dot-product job is restricted to the
+    candidates the pruning structure (bucket / centroid list) produced, so
+    at 10^9 vectors the cost is O(|candidates|·dim), not O(n·dim) per query.
+    The query side is tiny (N_QUERIES) → broadcast both its components and
+    the norms."""
+    comp = _components(spark, sf_dir)
+    norms = comp.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nrm")
+    )
+    q = comp.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), "pos", F.col("val").alias("qval")
+    )
+    qn = norms.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("nrm").alias("qnrm")
+    )
+    dots = (
+        pairs.join(comp, "vec_id")            # candidate components only
+        .join(F.broadcast(q), ["qid", "pos"])  # tiny query side
+        .groupBy("qid", "vec_id")
+        .agg(F.sum(F.col("qval") * F.col("val")).alias("dot"))
+    )
+    return (
+        dots.join(F.broadcast(qn), "qid")
+        # candidate-side norms join is left to AQE: broadcast when small,
+        # shuffle-on-vec_id (already the dots partitioning) at scale
+        .join(norms, "vec_id")
+        .withColumn("cos", F.round(F.col("dot") / (F.col("qnrm") * F.col("nrm")), 6))
+        .select("qid", "vec_id", "cos")
+    )
+
+
 def ann_cosine_topk(spark, sf_dir):
     """Exact cosine top-{TOP_K} neighbors for each query vector."""
     cos = _pairwise_cosine(spark, sf_dir)
@@ -195,12 +228,19 @@ def ann_lsh_bucketed(spark, sf_dir):
         .groupBy("vec_id")
         .agg(F.sum("bit").cast("long").alias("bucket"))
     )
-    cos = _pairwise_cosine(spark, sf_dir)
-    qb = planes.select(F.col("vec_id").alias("qid"), F.col("bucket").alias("qbucket"))
-    cand = (
-        cos.join(F.broadcast(qb), "qid")
-        .join(F.broadcast(planes), "vec_id")
-        .filter(F.col("bucket") == F.col("qbucket"))
+    # PRUNE FIRST: candidates come from the bucket equi-join (shuffle key =
+    # bucket id); cosine is then computed ONLY inside the bucket. The full
+    # pairwise job never runs — the point of the LSH scale path.
+    qb = planes.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("bucket").alias("qbucket")
+    )
+    cand_pairs = (
+        planes.join(F.broadcast(qb), planes.bucket == F.col("qbucket"))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", "bucket")
+    )
+    cand = _cosine_for_pairs(spark, sf_dir, cand_pairs.select("qid", "vec_id")).join(
+        cand_pairs, ["qid", "vec_id"]
     )
     w = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     return (
@@ -319,14 +359,20 @@ _SQL_ASSIGNMENTS = f"""
 def ann_ivf_topk(spark, sf_dir):
     """IVF ANN: probe the query's own centroid list, exact cosine re-rank
     within it (n_probe=1) — top-{TOP_K} per query vector."""
-    assign = _assignments(spark, sf_dir)
-    cos = _pairwise_cosine(spark, sf_dir)
-    qa = assign.select(F.col("vec_id").alias("qid"), F.col("cent_id").alias("q_cent"))
-    va = assign.select("vec_id", F.col("cent_id").alias("v_cent"))
-    probed = (
-        cos.join(F.broadcast(qa), "qid")
-        .join(F.broadcast(va), "vec_id")
-        .filter(F.col("q_cent") == F.col("v_cent"))
+    # PRUNE FIRST: probe membership via the centroid-list equi-join, then
+    # compute cosine only for vectors in the probed list(s) — the full
+    # pairwise job never runs.
+    assign = _assignments(spark, sf_dir).cache()
+    qa = assign.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("cent_id").alias("q_cent")
+    )
+    cand_pairs = (
+        assign.join(F.broadcast(qa), assign.cent_id == F.col("q_cent"))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", "q_cent")
+    )
+    probed = _cosine_for_pairs(spark, sf_dir, cand_pairs.select("qid", "vec_id")).join(
+        cand_pairs, ["qid", "vec_id"]
     )
     w = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     return (
