@@ -44,11 +44,14 @@ from harvester_spark.analysis import ALL_LANG, tokenize_series
 from harvester_spark.index.codec import BLOCK_SIZE, encode_blocks
 from harvester_spark.search.bm25 import tf_norm
 
-POSTINGS_ROWS_SCHEMA = "term string, lang string, doc_id long, tf int, doc_len int"
+POSTINGS_ROWS_SCHEMA = (
+    "term string, lang string, doc_id long, tf int, doc_len int, "
+    "pos_list array<int>"
+)
 POSTINGS_SCHEMA = (
     "lang string, term string, base_doc_id long, max_doc_id long, n int, "
     "doc_deltas binary, tfs binary, block_max_tf int, block_sum_tf long, "
-    "impact_lang double, impact_all double"
+    "impact_lang double, impact_all double, positions binary"
 )
 LINEAGE_SCHEMA = (
     "build_id string, stage string, partition_id int, n_rows long, "
@@ -58,32 +61,74 @@ N_SALT = 16
 
 
 def postings_rows(documents: DataFrame) -> DataFrame:
-    """documents → (term, lang, doc_id, tf, doc_len) via vectorized tokenize."""
+    """documents → (term, lang, doc_id, tf, doc_len, pos_list).
 
-    def explode_counts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
+    Vectorized tokenize + positional grouping with NO pandas groupby and NO
+    per-posting Python objects: the flattened (doc, term-code, pos) triples
+    are lexsorted once, group boundaries found with one comparison pass,
+    tf = boundary diffs, and the per-posting ascending position lists are
+    materialized as ONE Arrow ``ListArray.from_arrays(offsets, values)`` —
+    zero-copy over the flat position buffer (``mapInArrow``; an np.split /
+    pandas-list representation costs ~0.5 s per 3k-doc batch, the ListArray
+    costs ~1 ms). Positions are the analyzer's 0-based token indices — the
+    phrase-query substrate.
+    """
+    import itertools
+
+    import pyarrow as pa
+
+    out_schema = pa.schema(
+        [
+            ("term", pa.string()),
+            ("lang", pa.string()),
+            ("doc_id", pa.int64()),
+            ("tf", pa.int32()),
+            ("doc_len", pa.int32()),
+            ("pos_list", pa.list_(pa.int32())),
+        ]
+    )
+
+    def explode_counts(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
+            pdf = rb.to_pandas()
             tokens = tokenize_series(pdf["text"])
-            ex = pd.DataFrame(
-                {
-                    "term": tokens,
-                    "lang": pdf["lang"].values,
-                    "doc_id": pdf["doc_id"].values,
-                    "doc_len": pdf["doc_len"].values,
-                }
-            ).explode("term", ignore_index=True)
-            ex = ex.dropna(subset=["term"])
-            grouped = (
-                ex.groupby(["term", "lang", "doc_id", "doc_len"], sort=False)
-                .size()
-                .reset_index(name="tf")
+            counts = np.fromiter((len(t) for t in tokens), np.int64, len(tokens))
+            total = int(counts.sum())
+            if total == 0:
+                continue
+            doc_rep = np.repeat(np.arange(len(pdf)), counts)
+            flat_terms = np.fromiter(
+                itertools.chain.from_iterable(tokens), dtype=object, count=total
             )
-            yield grouped[["term", "lang", "doc_id", "tf", "doc_len"]].astype(
-                {"tf": "int32", "doc_len": "int32"}
+            before = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            pos = (np.arange(total) - np.repeat(before, counts)).astype(np.int32)
+            codes, uniq = pd.factorize(flat_terms, sort=False)
+            order = np.lexsort((pos, codes, doc_rep))
+            d_s, c_s, p_s = doc_rep[order], codes[order], pos[order]
+            boundary = np.empty(total, dtype=bool)
+            boundary[0] = True
+            boundary[1:] = (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1])
+            starts = np.flatnonzero(boundary)
+            tf = np.diff(np.append(starts, total))
+            first = d_s[starts]
+            offsets = np.append(starts, total).astype(np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(uniq[c_s[starts]], type=pa.string()),
+                    pa.array(pdf["lang"].values[first], type=pa.string()),
+                    pa.array(pdf["doc_id"].values[first], type=pa.int64()),
+                    pa.array(tf.astype(np.int32), type=pa.int32()),
+                    pa.array(
+                        pdf["doc_len"].values[first].astype(np.int32), type=pa.int32()
+                    ),
+                    pa.ListArray.from_arrays(pa.array(offsets), pa.array(p_s)),
+                ],
+                schema=out_schema,
             )
 
-    return documents.select("doc_id", "text", "lang", "doc_len").mapInPandas(
+    return documents.select("doc_id", "text", "lang", "doc_len").mapInArrow(
         explode_counts, POSTINGS_ROWS_SCHEMA
     )
 
@@ -160,35 +205,60 @@ def build_dictionary(rows: DataFrame) -> DataFrame:
     return per_lang.select("term", "lang", "df", "cf").unionByName(all_rows)
 
 
-def _encode_runs(pdf: pd.DataFrame, avgdl: dict[str, float]) -> pd.DataFrame:
-    """Encode a sorted (lang, term, doc_id) frame into block rows."""
+def _encode_runs_arrays(
+    lang: np.ndarray,
+    term: np.ndarray,
+    ids_all: np.ndarray,
+    tf_all: np.ndarray,
+    dl_all: np.ndarray,
+    pos_off: np.ndarray,
+    pos_vals: np.ndarray,
+    avgdl: dict[str, float],
+) -> pd.DataFrame:
+    """Encode sorted (lang, term, doc_id) columnar arrays into block rows.
+
+    Positions stay a FLAT buffer (``pos_vals``) with per-row offsets
+    (``pos_off``, len n+1) — every block's position run is a zero-copy slice,
+    never a per-posting Python object.
+    """
+    from harvester_spark.index.codec import encode_positions
+
     out = {k: [] for k in (
         "lang", "term", "base_doc_id", "max_doc_id", "n", "doc_deltas", "tfs",
-        "block_max_tf", "block_sum_tf", "impact_lang", "impact_all",
+        "block_max_tf", "block_sum_tf", "impact_lang", "impact_all", "positions",
     )}
-    for (lang, term), g in pdf.groupby(["lang", "term"], sort=False):
-        ids = g["doc_id"].to_numpy(dtype=np.int64)
-        tf = g["tf"].to_numpy(dtype=np.int64)
-        dl = g["doc_len"].to_numpy(dtype=np.float64)
-        imp_lang = tf_norm(tf, dl, avgdl[lang])
+    n = len(ids_all)
+    if n == 0:
+        return pd.DataFrame(out)
+    boundary = np.empty(n, dtype=bool)
+    boundary[0] = True
+    boundary[1:] = (term[1:] != term[:-1]) | (lang[1:] != lang[:-1])
+    run_starts = np.flatnonzero(boundary)
+    run_ends = np.append(run_starts[1:], n)
+    for r0, r1 in zip(run_starts, run_ends):
+        lg, tm = lang[r0], term[r0]
+        ids = ids_all[r0:r1].astype(np.int64, copy=False)
+        tf = tf_all[r0:r1].astype(np.int64, copy=False)
+        dl = dl_all[r0:r1].astype(np.float64, copy=False)
+        imp_lang = tf_norm(tf, dl, avgdl[lg])
         imp_all = tf_norm(tf, dl, avgdl[ALL_LANG])
         for bs in range(0, len(ids), BLOCK_SIZE):
-            tf_slice = tf[bs : bs + BLOCK_SIZE]
-            blk = encode_blocks(
-                ids[bs : bs + BLOCK_SIZE], tf_slice,
-                imp_lang[bs : bs + BLOCK_SIZE],
-            )[0]
-            out["lang"].append(lang)
-            out["term"].append(term)
+            be = min(bs + BLOCK_SIZE, len(ids))
+            tf_slice = tf[bs:be]
+            blk = encode_blocks(ids[bs:be], tf_slice, imp_lang[bs:be])[0]
+            flat_pos = pos_vals[pos_off[r0 + bs] : pos_off[r0 + be]]
+            out["lang"].append(lg)
+            out["term"].append(tm)
             out["base_doc_id"].append(blk[0])
-            out["max_doc_id"].append(int(ids[bs : bs + BLOCK_SIZE].max()))
+            out["max_doc_id"].append(int(ids[bs:be].max()))
             out["n"].append(blk[1])
             out["doc_deltas"].append(blk[2])
             out["tfs"].append(blk[3])
             out["block_max_tf"].append(blk[4])
             out["block_sum_tf"].append(int(tf_slice.sum()))
             out["impact_lang"].append(blk[5])
-            out["impact_all"].append(float(imp_all[bs : bs + BLOCK_SIZE].max()))
+            out["impact_all"].append(float(imp_all[bs:be].max()))
+            out["positions"].append(encode_positions(flat_pos, tf_slice))
     return pd.DataFrame(out)
 
 
@@ -233,32 +303,93 @@ def encode_postings(
     else:
         rows = rows.withColumn("chunk", F.lit(0))
 
-    def encoder(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import pyarrow as pa
+
+    out_schema = pa.schema(
+        [
+            ("lang", pa.string()),
+            ("term", pa.string()),
+            ("base_doc_id", pa.int64()),
+            ("max_doc_id", pa.int64()),
+            ("n", pa.int32()),
+            ("doc_deltas", pa.binary()),
+            ("tfs", pa.binary()),
+            ("block_max_tf", pa.int32()),
+            ("block_sum_tf", pa.int64()),
+            ("impact_lang", pa.float64()),
+            ("impact_all", pa.float64()),
+            ("positions", pa.binary()),
+        ]
+    )
+
+    def _unpack(rb: "pa.RecordBatch"):
+        pl = rb.column("pos_list")
+        # ListArray offsets are absolute into the shared values buffer —
+        # rebase both so row i's positions are vals[off[i]:off[i+1]], off[0]=0
+        off = pl.offsets.to_numpy().astype(np.int64)
+        vals = pl.values.to_numpy().astype(np.int32, copy=False)
+        vals = vals[off[0] : off[-1]]
+        off = off - off[0]
+        return (
+            rb.column("lang").to_numpy(zero_copy_only=False),
+            rb.column("term").to_numpy(zero_copy_only=False),
+            rb.column("doc_id").to_numpy(),
+            rb.column("tf").to_numpy(),
+            rb.column("doc_len").to_numpy(),
+            off,
+            vals,
+        )
+
+    def _emit(parts, avg):
+        lang, term, did, tf, dl, off, vals = parts
+        return pa.RecordBatch.from_pandas(
+            _encode_runs_arrays(lang, term, did, tf, dl, off, vals, avg),
+            schema=out_schema, preserve_index=False,
+        )
+
+    def encoder(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
         avg = bc.value
-        leftover: pd.DataFrame | None = None
-        for pdf in batches:
-            if leftover is not None and len(leftover):
-                pdf = pd.concat([leftover, pdf], ignore_index=True)
-            if len(pdf) == 0:
+        lf = None  # leftover trailing (lang, term) run — may continue in the
+        # next Arrow batch of this sorted partition
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            # hold back the trailing (lang, term) run — it may continue in the
-            # next Arrow batch of this partition
-            last_lang = pdf["lang"].iat[-1]
-            last_term = pdf["term"].iat[-1]
-            tail_mask = (pdf["lang"] == last_lang) & (pdf["term"] == last_term)
-            leftover = pdf[tail_mask]
-            head = pdf[~tail_mask]
-            if len(head):
-                yield _encode_runs(head, avg)
-        if leftover is not None and len(leftover):
-            yield _encode_runs(leftover, avg)
+            lang, term, did, tf, dl, off, vals = _unpack(rb)
+            if lf is not None:
+                l_lang, l_term, l_did, l_tf, l_dl, l_off, l_vals = lf
+                lang = np.concatenate([l_lang, lang])
+                term = np.concatenate([l_term, term])
+                did = np.concatenate([l_did, did])
+                tf = np.concatenate([l_tf, tf])
+                dl = np.concatenate([l_dl, dl])
+                off = np.concatenate([l_off[:-1], l_off[-1] + off])
+                vals = np.concatenate([l_vals, vals])
+            n = len(did)
+            # hold back the trailing (lang, term) run
+            chg = np.flatnonzero((term[1:] != term[:-1]) | (lang[1:] != lang[:-1]))
+            tail_start = int(chg[-1]) + 1 if chg.size else 0
+            lf = (
+                lang[tail_start:], term[tail_start:], did[tail_start:],
+                tf[tail_start:], dl[tail_start:],
+                off[tail_start:] - off[tail_start],
+                vals[off[tail_start] : off[-1]].copy(),
+            )
+            if tail_start > 0:
+                yield _emit(
+                    (lang[:tail_start], term[:tail_start], did[:tail_start],
+                     tf[:tail_start], dl[:tail_start],
+                     off[: tail_start + 1], vals[: off[tail_start]]),
+                    avg,
+                )
+        if lf is not None and len(lf[0]):
+            yield _emit(lf, avg)
 
     sorted_rows = (
         rows.repartition(num_partitions, "lang", "term", "chunk")
         .sortWithinPartitions("lang", "term", "doc_id")
         .drop("chunk")
     )
-    return sorted_rows.mapInPandas(encoder, POSTINGS_SCHEMA)
+    return sorted_rows.mapInArrow(encoder, POSTINGS_SCHEMA)
 
 
 def compute_corpus_stats(documents: DataFrame) -> DataFrame:

@@ -105,6 +105,43 @@ def decode_block(base_doc_id: int, doc_deltas: bytes, tfs: bytes) -> tuple[np.nd
     return ids, varbyte_decode(tfs).astype(np.int64)
 
 
+def encode_positions(flat: np.ndarray, counts: np.ndarray) -> bytes:
+    """Per-posting delta-encoded token positions → one varbyte blob.
+
+    ``flat`` concatenates each posting's ascending positions; ``counts`` is
+    the per-posting position count (== tf). The first value of each posting
+    is stored absolute, the rest as diffs — the classic positional-postings
+    layout (Lucene-style; quoted-phrase support the reference gets from
+    OpenSearch, /root/reference/harvester/core/models/search/query.py:81-86).
+    """
+    flat = np.asarray(flat, dtype=np.int64)
+    counts = np.asarray(counts, dtype=np.int64)
+    if flat.size == 0:
+        return b""
+    deltas = flat.copy()
+    deltas[1:] -= flat[:-1]
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    deltas[starts] = flat[starts]  # posting boundaries reset to absolute
+    return varbyte_encode(deltas.astype(np.uint64))
+
+
+def decode_positions(blob: bytes, counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of :func:`encode_positions` → (flat positions, posting starts).
+
+    Vectorized like :func:`decode_blocks_batch`: one varbyte pass, then the
+    per-posting delta baseline undone with a single gather.
+    """
+    counts = np.asarray(counts, dtype=np.int64)
+    vals = varbyte_decode(blob).astype(np.int64)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    if vals.size == 0:
+        return vals, starts
+    csum = np.cumsum(vals)
+    start_cum = csum[starts] - vals[starts]
+    idx = np.repeat(np.arange(len(counts)), counts)
+    return csum - start_cum[idx], starts
+
+
 def decode_blocks_batch(
     bases: np.ndarray, ns: np.ndarray, deltas_list: list[bytes], tfs_list: list[bytes]
 ) -> tuple[np.ndarray, np.ndarray]:

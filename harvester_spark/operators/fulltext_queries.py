@@ -332,8 +332,46 @@ FROM documents
 """
 
 
+# Phrase matching (quoted simple_query_string groups — the reference's
+# OpenSearch phrase semantics, core/models/search/query.py:81-86): docs
+# containing the words CONSECUTIVELY, with occurrence counts. Relational
+# form of the engine's positional-postings path (search/phrase.py): a
+# position-offset self-equi-join on (doc_id, pos+1) — shuffle key is doc_id,
+# no cartesian anywhere.
+
+PHRASE_W0, PHRASE_W1 = "table", "hash"
+
+
+def ft_phrase_match(spark, sf_dir):
+    toks = doc_tokens(spark, sf_dir)
+    a = toks.filter(F.col("term") == PHRASE_W0).select("doc_id", "pos")
+    b = toks.filter(F.col("term") == PHRASE_W1).select(
+        F.col("doc_id").alias("doc_id_b"), F.col("pos").alias("pos_b")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("doc_id") == F.col("doc_id_b"))
+            & (F.col("pos_b") == F.col("pos") + 1),
+        )
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+
+
+SQL_PHRASE_MATCH = f"""
+WITH toks AS ({SQL_DOC_TOKS})
+SELECT a.doc_id, count(*) AS n_occurrences
+FROM toks a
+JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+WHERE a.term = '{PHRASE_W0}' AND b.term = '{PHRASE_W1}'
+GROUP BY a.doc_id
+"""
+
+
 QUERIES = {
     "ft_term_doc_freq": (ft_term_doc_freq, SQL_TERM_DOC_FREQ),
+    "ft_phrase_match": (ft_phrase_match, SQL_PHRASE_MATCH),
     "ft_postings": (ft_postings, SQL_POSTINGS),
     "ft_doc_stats": (ft_doc_stats, SQL_DOC_STATS),
     "ft_corpus_stats": (ft_corpus_stats, SQL_CORPUS_STATS),

@@ -93,12 +93,18 @@ class SearchAPI:
         # residual terms keep plain AND semantics over all query terms
         phrases, residual = _split_phrases(query_text)
         if phrases:
-            from harvester_spark.search.phrase import phrase_search
+            from harvester_spark.search.phrase import phrase_match_ids, phrase_search
 
             phrase_ok: np.ndarray | None = None
             for ph in phrases:
-                res = phrase_search(self.searcher, self.documents, ph, k=10**9, lang=lang)
-                ids = res.topk["doc_id"].to_numpy(dtype=np.int64)
+                if self.searcher.has_positions:
+                    # positional postings: pure index work, no text fetch
+                    ids = phrase_match_ids(self.searcher, ph, lang=lang)
+                else:  # legacy index without positions: candidate-AND+verify
+                    res = phrase_search(
+                        self.searcher, self.documents, ph, k=10**9, lang=lang
+                    )
+                    ids = res.topk["doc_id"].to_numpy(dtype=np.int64)
                 phrase_ok = ids if phrase_ok is None else np.intersect1d(phrase_ok, ids)
                 if phrase_ok.size == 0:
                     break

@@ -84,6 +84,7 @@ class IndexSearcher:
         self.index_dir = index_dir
         self.postings = spark.read.parquet(f"{index_dir}/postings")
         self.dictionary = spark.read.parquet(f"{index_dir}/dictionary")
+        self.has_positions = "positions" in self.postings.columns
         self._doc_stats_path, corpus_stats_path = stats_paths(index_dir)
         self._corpus_stats = {
             r["lang"]: (int(r["n_docs"]), float(r["avgdl"]))
@@ -122,20 +123,24 @@ class IndexSearcher:
         "impact_lang", "impact_all",
     ]
 
-    def _term_postings(self, terms: list[str], lang: str) -> pd.DataFrame:
+    def _term_postings(
+        self, terms: list[str], lang: str, with_positions: bool = False
+    ) -> pd.DataFrame:
+        """Matching postings blocks; the ``positions`` column is read ONLY
+        when asked for (phrase path) — parquet column pruning keeps term/AND
+        queries free of the positional payload."""
+        cols = self._POSTING_COLS + (["positions"] if with_positions else [])
         if self._pa_postings is not None:
             import pyarrow.dataset as ds
 
             flt = ds.field("term").isin(terms)
             if lang != ALL_LANG:
                 flt = flt & (ds.field("lang") == lang)
-            return self._pa_postings.to_table(
-                filter=flt, columns=self._POSTING_COLS
-            ).to_pandas()
+            return self._pa_postings.to_table(filter=flt, columns=cols).to_pandas()
         df = self.postings.filter(F.col("term").isin(terms))
         if lang != ALL_LANG:
             df = df.filter(F.col("lang") == lang)
-        return df.select(*self._POSTING_COLS).toPandas()
+        return df.select(*cols).toPandas()
 
     def _dfs(self, terms: list[str], lang: str) -> dict[str, int]:
         if self._pa_dictionary is not None:

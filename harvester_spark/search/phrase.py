@@ -1,19 +1,23 @@
-"""Phrase queries: exact adjacent-term matching.
+"""Phrase queries: exact adjacent-term matching over POSITIONAL postings.
 
 ``simple_query_string`` accepts quoted phrases; the reference's AND body
-makes a quoted group match documents containing the terms CONSECUTIVELY.
-Our postings store (docID, tf) without positions, so phrase matching runs as
-candidate-AND + verification — the classic "slow phrase" plan:
+makes a quoted group match documents containing the terms CONSECUTIVELY —
+OpenSearch serves this from Lucene's positional postings
+(/root/reference/harvester/core/models/search/query.py:81-86). Our postings
+blocks carry a delta-encoded per-posting position list (``positions``
+column, :mod:`harvester_spark.index.codec`), so phrase matching is pure
+index work:
 
-1. conjunctive index lookup restricts candidates to docs containing every
-   phrase term (usually few),
-2. candidate texts are fetched with a docID-pushdown scan and re-tokenized,
-3. adjacency is verified positionally (numpy; the canonical analyzer is
-   position-stable), scoring stays the plain BM25 AND score of the terms.
+1. decode (docID, tf, positions) for each phrase term — the positions
+   column is read only here (parquet column pruning),
+2. AND-intersect candidates, verify adjacency by position-set intersection
+   (``ok = (ok + 1) ∩ positions[next term]``),
+3. score survivors with the shared BM25 kernel in the fixed accumulation
+   order — identical to the AND score of the constituent terms.
 
-At 10^12 scale step 2 is a semi-join against the documents table with docID
-partition pruning; positional postings (delta-encoded positions per posting)
-are the round-2 alternative when phrase traffic dominates.
+No document text is ever fetched. ``phrase_search`` (candidate-AND +
+driver-side re-tokenization of candidate texts) remains as the fallback for
+indexes built without positions.
 """
 
 from __future__ import annotations
@@ -23,7 +27,101 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from harvester_spark.analysis import ALL_LANG, tokenize
+from harvester_spark.index.codec import decode_block, decode_positions
+from harvester_spark.search import bm25
 from harvester_spark.search.engine import IndexSearcher, SearchResult
+
+
+def _decode_term_positions(blocks: pd.DataFrame):
+    """Blocks of ONE term → (ids asc, tfs, flat positions, posting starts).
+
+    Blocks from different languages/chunks interleave docID ranges; postings
+    are stable-sorted by docID and the per-posting position slices gathered
+    into the same order with one vectorized index build (no Python loop over
+    postings)."""
+    ids_l, tfs_l, flat_l = [], [], []
+    for row in blocks.sort_values("base_doc_id").itertuples(index=False):
+        ids, tfs = decode_block(row.base_doc_id, row.doc_deltas, row.tfs)
+        flat, _starts = decode_positions(bytes(row.positions), tfs)
+        ids_l.append(ids)
+        tfs_l.append(tfs)
+        flat_l.append(flat)
+    if not ids_l:
+        z = np.empty(0, np.int64)
+        return z, z, z, z
+    ids = np.concatenate(ids_l)
+    tfs = np.concatenate(tfs_l)
+    flat = np.concatenate(flat_l)
+    order = np.argsort(ids, kind="stable")
+    src_starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+    new_lens = tfs[order]
+    new_starts = np.concatenate(([0], np.cumsum(new_lens)[:-1]))
+    gidx = (
+        np.repeat(src_starts[order], new_lens)
+        + np.arange(flat.size)
+        - np.repeat(new_starts, new_lens)
+    )
+    return ids[order], new_lens, flat[gidx], new_starts
+
+
+def phrase_match_ids(
+    searcher: IndexSearcher, phrase_text: str, lang: str = ALL_LANG
+) -> np.ndarray:
+    """ALL docIDs containing the exact phrase — via positional postings."""
+    phrase = tokenize(phrase_text)
+    if not phrase:
+        return np.empty(0, np.int64)
+    uniq = sorted(set(phrase))
+    dfs = searcher._dfs(uniq, lang)
+    if any(dfs[t] == 0 for t in uniq):
+        return np.empty(0, np.int64)
+    blocks = searcher._term_postings(uniq, lang, with_positions=True)
+    data = {
+        t: _decode_term_positions(blocks[blocks["term"] == t]) for t in uniq
+    }
+    candidates: np.ndarray | None = None
+    for t in bm25.term_order(uniq, dfs):
+        ids = data[t][0]
+        candidates = ids if candidates is None else candidates[
+            np.isin(candidates, ids, assume_unique=True)
+        ]
+        if candidates.size == 0:
+            return np.empty(0, np.int64)
+
+    matched = []
+    for d in candidates:
+        ok: np.ndarray | None = None
+        for t in phrase:
+            ids, lens, flat, starts = data[t]
+            i = int(np.searchsorted(ids, d))
+            p = flat[starts[i] : starts[i] + lens[i]]
+            ok = p if ok is None else np.intersect1d(ok + 1, p, assume_unique=True)
+            if ok.size == 0:
+                break
+        if ok is not None and ok.size:
+            matched.append(int(d))
+    return np.asarray(matched, dtype=np.int64)
+
+
+def positional_phrase_search(
+    searcher: IndexSearcher,
+    phrase_text: str,
+    k: int = 10,
+    lang: str = ALL_LANG,
+    page: int = 1,
+) -> SearchResult:
+    """Quoted-phrase top-k from positional postings — exact adjacency, BM25
+    scores of the constituent terms (same kernel → comparable with term
+    queries), exact totals, no document fetch."""
+    empty = pd.DataFrame(columns=["rank", "doc_id", "score"])
+    matched = phrase_match_ids(searcher, phrase_text, lang)
+    if matched.size == 0:
+        return SearchResult(phrase_text, lang, empty, 0)
+    base = searcher.search(
+        " ".join(tokenize(phrase_text)), k=k, lang=lang,
+        allowed_doc_ids=matched, page=page,
+    )
+    return SearchResult(phrase_text, lang, base.topk, base.results_total)
 
 
 def _contains_phrase(tokens: list[str], phrase: list[str]) -> bool:

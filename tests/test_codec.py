@@ -51,3 +51,22 @@ def test_block_roundtrip(ids, data):
     assert list(np.concatenate(got_ids)) == list(doc_ids)
     assert list(np.concatenate(got_tfs)) == list(tfs)
     assert all(b[1] <= 128 for b in blocks)
+
+
+def test_positions_roundtrip():
+    import numpy as np
+
+    from harvester_spark.index.codec import decode_positions, encode_positions
+
+    rng = np.random.default_rng(3)
+    for _ in range(20):
+        n_postings = int(rng.integers(1, 50))
+        counts = rng.integers(1, 12, size=n_postings)
+        flat = np.concatenate(
+            [np.sort(rng.choice(5000, size=c, replace=False)) for c in counts]
+        )
+        blob = encode_positions(flat, counts)
+        out, starts = decode_positions(blob, counts)
+        assert np.array_equal(out, flat)
+        assert np.array_equal(starts, np.concatenate(([0], np.cumsum(counts)[:-1])))
+    assert encode_positions(np.empty(0), np.empty(0, int)) == b""

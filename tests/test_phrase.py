@@ -51,3 +51,50 @@ def test_phrase_stricter_than_and(env):
     assert ph.results_total <= and_hits
     assert ph.results_total > 0  # planted phrase exists in order
     assert scrambled.results_total <= ph.results_total  # scrambled ≈ absent
+
+
+# ------------------------- positional-postings path (no document fetch) ----
+
+from harvester_spark.search.phrase import phrase_match_ids, positional_phrase_search
+
+
+@pytest.mark.parametrize("phrase", list(PHRASES) + ["max wand block"])
+@pytest.mark.parametrize("lang", ["all", "en", "nl"])
+def test_positional_phrase_rank_identity(env, phrase, lang):
+    searcher, documents, docs_pdf = env
+    assert searcher.has_positions
+    got = positional_phrase_search(searcher, phrase, k=10, lang=lang).topk
+    exp = brute_force_phrase(docs_pdf, phrase, k=10, lang=lang)
+    assert list(got["doc_id"]) == list(exp["doc_id"]), (phrase, lang)
+    g = np.asarray(got["score"], dtype=np.float64)
+    e = np.asarray(exp["score"], dtype=np.float64)
+    assert g.shape == e.shape and (g == e).all(), (phrase, lang)
+
+
+def test_positional_matches_text_verify_path(env):
+    """Positions path and the legacy candidate-AND+verify path agree on the
+    full match set (totals), and the positional path needs no documents."""
+    searcher, documents, docs_pdf = env
+    for phrase in list(PHRASES)[:3]:
+        pos_ids = set(phrase_match_ids(searcher, phrase).tolist())
+        legacy = phrase_search(searcher, documents, phrase, k=10**6)
+        assert pos_ids == set(
+            docs_pdf[
+                docs_pdf["text"].map(
+                    lambda t: _contains_phrase(
+                        __import__("harvester_spark.analysis", fromlist=["tokenize"]).tokenize(t or ""),
+                        __import__("harvester_spark.analysis", fromlist=["tokenize"]).tokenize(phrase),
+                    )
+                )
+            ]["doc_id"].tolist()
+        )
+        assert legacy.results_total == len(pos_ids)
+
+
+def test_positional_phrase_repeated_term(env):
+    """Phrases with a repeated term exercise the position-set chain."""
+    searcher, documents, docs_pdf = env
+    for q in ["wand wand", "block block max"]:
+        got = positional_phrase_search(searcher, q, k=10).topk
+        exp = brute_force_phrase(docs_pdf, q, k=10)
+        assert list(got["doc_id"]) == list(exp["doc_id"]), q
