@@ -54,7 +54,9 @@ class SearchAPI:
 
     # ---------------------------------------------------------------- filters
 
-    def _allowed_ids(self, filters: Filters | None) -> np.ndarray | None:
+    def _filtered_docs(self, filters: Filters | None) -> DataFrame | None:
+        """The filter predicate as a Spark DataFrame (None = unfiltered).
+        Listing/facet paths consume this directly — no id materialization."""
         if filters is None or (not filters.fields and filters.publisher_date is None):
             return None
         df = self.documents.filter(F.col("state") == "active")
@@ -67,8 +69,20 @@ class SearchAPI:
                 df = df.filter(F.col("publisher_date") >= F.lit(lo).cast("date"))
             if hi is not None:
                 df = df.filter(F.col("publisher_date") <= F.lit(hi).cast("date"))
-        ids = df.select("doc_id").toPandas()["doc_id"].to_numpy(dtype=np.int64)
-        return np.sort(ids)
+        return df
+
+    def _allowed_ids(self, filters: Filters | None):
+        """Filter → :class:`AllowedSet` bitmap aggregated Spark-side.
+
+        Driver transfer is bounded by n_docs/8 bytes however broad the
+        filter is (round-1 verdict: collecting raw matching ids scales with
+        the match count — millions of ids per broad-filter query)."""
+        df = self._filtered_docs(filters)
+        if df is None:
+            return None
+        from harvester_spark.search.allowed import bitmap_from_df
+
+        return bitmap_from_df(df, n_bits=len(self.searcher._doc_lens()))
 
     # ----------------------------------------------------------------- search
 
@@ -83,10 +97,10 @@ class SearchAPI:
         include_filter_counts: tuple[str, ...] = (),
         operator: str = "and",
     ) -> dict:
-        allowed = self._allowed_ids(filters)
-
         if not tokenize(query_text or ""):
-            return self._empty_query_listing(k, page, allowed, include_filter_counts)
+            return self._empty_query_listing(k, page, filters, include_filter_counts)
+
+        allowed = self._allowed_ids(filters)
 
         # quoted groups (simple_query_string phrase syntax): each phrase
         # narrows the allowed set to docs containing it consecutively; the
@@ -108,12 +122,13 @@ class SearchAPI:
                 phrase_ok = ids if phrase_ok is None else np.intersect1d(phrase_ok, ids)
                 if phrase_ok.size == 0:
                     break
-            allowed = (
-                phrase_ok
-                if allowed is None
-                else np.intersect1d(allowed, phrase_ok if phrase_ok is not None else allowed)
-            )
-            if allowed is not None and len(allowed) == 0:
+            if allowed is not None and phrase_ok is not None:
+                # bitmap probe of the (small) phrase match set — no unpack
+                phrase_ok = phrase_ok[allowed.test(phrase_ok)]
+            allowed = phrase_ok if phrase_ok is not None else allowed
+            if allowed is not None and (
+                allowed.size == 0 if isinstance(allowed, np.ndarray) else allowed.count == 0
+            ):
                 return {
                     "results": [],
                     "results_total": {"value": 0, "is_precise": True},
@@ -122,35 +137,45 @@ class SearchAPI:
             query_text = " ".join(phrases + ([residual] if residual else []))
 
         if operator == "or":
-            # disjunctive path through block-max WAND; totals are a lower
-            # bound (pruning skips unscored docs) → is_precise=False, the
+            # disjunctive path through block-max WAND; the total is the
+            # number of docs WAND actually scored — a lower bound on matches
+            # (pruning skips unscored docs) → is_precise=False, the
             # OpenSearch 10k-bound analogue
             # (/root/reference/harvester/search/views/document.py:100-103)
             from harvester_spark.search.wand import or_search
 
-            topk = or_search(
+            topk, stats = or_search(
                 self.searcher, query_text, k=page * k, lang=lang,
-                allowed_doc_ids=allowed,
+                allowed_doc_ids=allowed, with_stats=True,
             )
+            n_found = len(topk)
             topk = topk.iloc[(page - 1) * k :].reset_index(drop=True)
             return {
                 "results": topk.to_dict("records"),
-                "results_total": {"value": int(len(topk)), "is_precise": False},
-                "did_you_mean": self.did_you_mean(query_text, lang),
+                "results_total": {"value": int(stats["scored"]), "is_precise": False},
+                # suggestions only when results are sparse (reference shows
+                # them when needed, not on every query)
+                "did_you_mean": (
+                    self.did_you_mean(query_text, lang) if n_found < k else None
+                ),
             }
 
-        res = self.searcher.search(
-            query_text, k=10**9 if recency_boost else k, lang=lang,
-            allowed_doc_ids=allowed, page=1 if recency_boost else page,
-        )
-        topk = res.topk
-        if recency_boost and len(topk):
-            topk = self._apply_recency(topk, k, page)
+        if recency_boost:
+            res, topk = self._search_recency(query_text, k, page, lang, allowed)
+        else:
+            res = self.searcher.search(
+                query_text, k=k, lang=lang, allowed_doc_ids=allowed, page=page,
+            )
+            topk = res.topk
 
         out = {
             "results": topk.to_dict("records"),
             "results_total": {"value": res.results_total, "is_precise": True},
-            "did_you_mean": self.did_you_mean(query_text, lang),
+            "did_you_mean": (
+                self.did_you_mean(query_text, lang)
+                if res.results_total < max(k, 10)
+                else None
+            ),
         }
         if include_filter_counts:
             out["filter_counts"] = self.facet_counts(
@@ -158,8 +183,44 @@ class SearchAPI:
             )
         return out
 
-    def _apply_recency(self, topk: pd.DataFrame, k: int, page: int) -> pd.DataFrame:
-        """score += 1.15 * 90d / (90d + |now - publisher_date|), re-ranked."""
+    def _search_recency(self, query_text, k, page, lang, allowed):
+        """Bounded recency re-rank: fetch top-(page·k·4) by base score, boost,
+        and grow only while an unfetched doc could still reach the page.
+
+        Soundness: the boost is bounded by {RECENCY_BOOST}; every unfetched
+        doc has base score ≤ the lowest fetched base score, so once
+        ``lowest_fetched_base + RECENCY_BOOST < page-k-th boosted score``
+        (strict — a tie could still win on ascending doc_id) no unfetched
+        doc can enter the page. Replaces the round-1 ``k=10**9`` fetch that
+        re-ranked EVERY match on the driver."""
+        take = page * k
+        fetch = max(4 * take, 64)
+        while True:
+            res = self.searcher.search(
+                query_text, k=fetch, lang=lang, allowed_doc_ids=allowed, page=1,
+            )
+            got = res.topk
+            reranked = self._rerank_recency(got)
+            complete = len(got) >= res.results_total or len(got) < fetch
+            if complete:
+                break
+            f_k = (
+                float(reranked["score"].iloc[take - 1])
+                if take <= len(reranked)
+                else -np.inf
+            )
+            if float(got["score"].iloc[-1]) + RECENCY_BOOST < f_k:
+                break
+            fetch *= 4
+        lo = (page - 1) * k
+        sel = reranked.iloc[lo : lo + k].copy()
+        sel["rank"] = np.arange(lo + 1, lo + 1 + len(sel))
+        return res, sel[["rank", "doc_id", "score"]].reset_index(drop=True)
+
+    def _rerank_recency(self, topk: pd.DataFrame) -> pd.DataFrame:
+        """score += 1.15 * 90d / (90d + |now - publisher_date|), re-sorted."""
+        if not len(topk):
+            return topk
         dates = (
             self.documents.filter(F.col("doc_id").isin([int(x) for x in topk["doc_id"]]))
             .select("doc_id", "publisher_date")
@@ -170,17 +231,16 @@ class SearchAPI:
         age_days = (now - pd.to_datetime(merged["publisher_date"])).dt.days.abs()
         boost = RECENCY_BOOST * RECENCY_PIVOT_DAYS / (RECENCY_PIVOT_DAYS + age_days.fillna(np.inf))
         merged["score"] = merged["score"] + boost.fillna(0.0)
-        merged = merged.sort_values(["score", "doc_id"], ascending=[False, True])
-        lo = (page - 1) * k
-        sel = merged.iloc[lo : lo + k].copy()
-        sel["rank"] = np.arange(lo + 1, lo + 1 + len(sel))
-        return sel[["rank", "doc_id", "score"]].reset_index(drop=True)
+        return merged.sort_values(
+            ["score", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
 
-    def _empty_query_listing(self, k, page, allowed, facet_fields) -> dict:
-        """Empty query → recency-ordered listing (views/document.py:130-131)."""
-        df = self.documents.filter(F.col("state") == "active")
-        if allowed is not None:
-            df = df.filter(F.col("doc_id").isin([int(x) for x in allowed]))
+    def _empty_query_listing(self, k, page, filters, facet_fields) -> dict:
+        """Empty query → recency-ordered listing (views/document.py:130-131).
+        Runs entirely on the filtered DataFrame — no id materialization."""
+        df = self._filtered_docs(filters)
+        if df is None:
+            df = self.documents.filter(F.col("state") == "active")
         total = df.count()
         rows = (
             df.orderBy(F.col("publisher_date").desc(), F.col("doc_id").asc())
@@ -198,7 +258,7 @@ class SearchAPI:
             "did_you_mean": None,
         }
         if facet_fields:
-            out["filter_counts"] = self.facet_counts(facet_fields, None, None)
+            out["filter_counts"] = self.facet_counts(facet_fields, None, filters)
         return out
 
     # ------------------------------------------------------------------ facets
@@ -209,11 +269,11 @@ class SearchAPI:
         topk_ids=None,
         filters: Filters | None = None,
     ) -> dict[str, int]:
-        """{field-value: doc_count} over the (filtered) document set."""
-        df = self.documents.filter(F.col("state") == "active")
-        allowed = self._allowed_ids(filters)
-        if allowed is not None:
-            df = df.filter(F.col("doc_id").isin([int(x) for x in allowed]))
+        """{field-value: doc_count} over the (filtered) document set — one
+        Spark aggregation per facet field, no driver-side id sets."""
+        df = self._filtered_docs(filters)
+        if df is None:
+            df = self.documents.filter(F.col("state") == "active")
         counts: dict[str, int] = {}
         for fname in fields:
             for r in df.groupBy(fname).count().collect():

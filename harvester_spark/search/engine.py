@@ -231,7 +231,9 @@ class IndexSearcher:
             scores += bm25.idf(n_docs, dfs[t]) * bm25.tf_norm(tfv[pos], dl, avgdl)
 
         if allowed_doc_ids is not None:
-            keep = np.isin(candidates, allowed_doc_ids)
+            from harvester_spark.search.allowed import allowed_filter_mask
+
+            keep = allowed_filter_mask(allowed_doc_ids, candidates)
             candidates, scores = candidates[keep], scores[keep]
 
         total = int(candidates.size)

@@ -254,28 +254,38 @@ def wand_topk(
     )
 
 
-def _allowed(allowed_sorted: np.ndarray, doc: int) -> bool:
-    i = int(np.searchsorted(allowed_sorted, doc))
-    return i < allowed_sorted.size and int(allowed_sorted[i]) == doc
+def _allowed(allowed, doc: int) -> bool:
+    if hasattr(allowed, "test_one"):  # AllowedSet bitmap — O(1) probe
+        return allowed.test_one(doc)
+    i = int(np.searchsorted(allowed, doc))
+    return i < allowed.size and int(allowed[i]) == doc
 
 
 def or_search(searcher, query_text: str, k: int = 10, lang: str = ALL_LANG,
-              allowed_doc_ids: np.ndarray | None = None):
-    """Disjunctive top-k through the index via block-max WAND."""
+              allowed_doc_ids=None, with_stats: bool = False):
+    """Disjunctive top-k through the index via block-max WAND.
+
+    ``allowed_doc_ids``: an :class:`~harvester_spark.search.allowed.AllowedSet`
+    bitmap (O(1) probes) or a plain id array (sorted here). With
+    ``with_stats=True`` returns ``(topk, stats)`` so callers can report the
+    scored count as the imprecise results_total."""
     terms = sorted(set(tokenize(query_text)))
     empty = pd.DataFrame(columns=["rank", "doc_id", "score"])
+    stats = {"scored": 0, "blocks_decoded": 0}
     if not terms:
-        return empty
+        return (empty, stats) if with_stats else empty
     dfs = searcher._dfs(terms, lang)
     live = [t for t in terms if dfs[t] > 0]
     if not live:
-        return empty
+        return (empty, stats) if with_stats else empty
     blocks = searcher._term_postings(live, lang)
     term_blocks = {t: blocks[blocks["term"] == t] for t in live}
     n_docs, avgdl = searcher._corpus_stats[lang]
     impact_col = "impact_all" if lang == ALL_LANG else "impact_lang"
-    topk, _stats = wand_topk(
+    if allowed_doc_ids is not None and not hasattr(allowed_doc_ids, "test_one"):
+        allowed_doc_ids = np.sort(allowed_doc_ids)
+    topk, stats = wand_topk(
         term_blocks, dfs, n_docs, avgdl, searcher._doc_lens(), k, impact_col,
-        allowed_doc_ids=np.sort(allowed_doc_ids) if allowed_doc_ids is not None else None,
+        allowed_doc_ids=allowed_doc_ids,
     )
-    return topk
+    return (topk, stats) if with_stats else topk

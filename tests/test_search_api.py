@@ -174,3 +174,66 @@ def test_quoted_phrase_in_api(api, docs_pdf, spark):
     # mixed: phrase + extra AND term narrows further
     r_mixed = papi.search('"block max wand" w00000', k=100)
     assert r_mixed["results_total"]["value"] <= r_phrase["results_total"]["value"]
+
+
+def test_allowed_bitmap_equals_id_filtering(api, docs_pdf, spark):
+    """AllowedSet bitmap filtering == raw-id filtering, and the bitmap is
+    what the filter path now produces."""
+    from harvester_spark.search.allowed import AllowedSet, bitmap_from_df
+
+    papi, _ = api
+    ids = docs_pdf[docs_pdf["set_name"] == "alpha"]["doc_id"].to_numpy()
+    n_bits = len(papi.searcher._doc_lens())
+    aset = AllowedSet.from_ids(ids, n_bits)
+    assert aset.count == len(set(ids))
+    probe = np.arange(n_bits)
+    assert np.array_equal(aset.test(probe), np.isin(probe, ids))
+    assert sorted(aset.to_ids()) == sorted(ids)
+
+    built = papi._allowed_ids(Filters(fields={"set_name": ["alpha"]}))
+    assert built.count == aset.count
+    assert np.array_equal(built.bits, aset.bits)
+
+    r_ids = papi.searcher.search("w00000", k=50, allowed_doc_ids=np.sort(ids))
+    r_set = papi.searcher.search("w00000", k=50, allowed_doc_ids=aset)
+    assert list(r_ids.topk["doc_id"]) == list(r_set.topk["doc_id"])
+    assert r_ids.results_total == r_set.results_total
+
+
+def test_recency_bounded_rerank_is_exact(api):
+    """The bounded doubling re-rank returns exactly what re-ranking EVERY
+    match returns — without fetching every match when the bound holds."""
+    papi, _ = api
+    seen_ks = []
+    real_search = papi.searcher.search
+
+    def spy(query_text, k=10, **kw):
+        seen_ks.append(k)
+        return real_search(query_text, k=k, **kw)
+
+    papi.searcher.search = spy
+    try:
+        got = papi.search("w00000", k=5, recency_boost=True)
+    finally:
+        papi.searcher.search = real_search
+
+    # exhaustive reference: boost every match, take top 5
+    full = real_search("w00000", k=10**9)
+    rer = papi._rerank_recency(full.topk)
+    exp = rer.head(5)
+    assert [x["doc_id"] for x in got["results"]] == list(exp["doc_id"])
+    assert np.allclose(
+        [x["score"] for x in got["results"]], np.asarray(exp["score"]), rtol=0, atol=0
+    )
+    assert got["results_total"]["value"] == full.results_total
+    # never asked for an unbounded fetch
+    assert max(seen_ks) < 10**9
+
+
+def test_did_you_mean_gated_on_sparse_results(api):
+    """Suggestions are computed only when results are sparse — not on every
+    search (round-1: a full-dictionary edit-distance pass per query)."""
+    papi, _ = api
+    plentiful = papi.search("w00000", k=5)
+    assert plentiful["results_total"]["value"] >= 10
+    assert plentiful["did_you_mean"] is None
