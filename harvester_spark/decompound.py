@@ -46,6 +46,92 @@ def decompound_token(token: str, words: frozenset[str], min_len: int = MIN_SUBWO
     return [token]
 
 
+def expand_index_tokens(tokens: list[str], words: frozenset[str]) -> list[str]:
+    """Index-side expansion: every token followed by its sub-words (the
+    stream a flagged ``nl`` build feeds the block encoder)."""
+    return [w for t in tokens for w in decompound_token(t, words)]
+
+
+def decompound_search(searcher, query_text: str, words, k: int = 10, lang: str = "nl"):
+    """Query-side decompound search against a flag-built nl index.
+
+    Each query token becomes a SYNONYM GROUP ``[token] + sub-words``
+    (stacked query tokens, like the search analyzer running the same
+    decompound filter). Semantics (defined, oracle-tested):
+
+    - a document matches iff EVERY group has ≥1 member present (AND over
+      groups, OR within a group),
+    - score = Σ over the UNIQUE member terms present in the doc of
+      ``idf(term) · tf_norm`` — the shared BM25 kernel in the fixed
+      (df asc, term asc) accumulation order, ties (score desc, doc_id asc).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from harvester_spark.analysis import tokenize
+    from harvester_spark.index.codec import decode_blocks_batch
+    from harvester_spark.search import bm25
+
+    words = frozenset(words)
+    q_tokens = tokenize(query_text)
+    empty = pd.DataFrame(columns=["rank", "doc_id", "score"])
+    if not q_tokens:
+        return empty
+    groups = [sorted(set(decompound_token(t, words))) for t in sorted(set(q_tokens))]
+    all_terms = sorted({m for g in groups for m in g})
+    dfs = searcher._dfs(all_terms, lang)
+    live_terms = [t for t in all_terms if dfs[t] > 0]
+    if any(all(dfs[m] == 0 for m in g) for g in groups):
+        return empty  # a group with no live member can never match
+
+    blocks = searcher._term_postings(live_terms, lang)
+    per_term: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    for t in live_terms:
+        tb = blocks[blocks["term"] == t]
+        ids, tfv = decode_blocks_batch(
+            tb["base_doc_id"].to_numpy(),
+            tb["n"].to_numpy(),
+            [bytes(b) for b in tb["doc_deltas"]],
+            [bytes(b) for b in tb["tfs"]],
+        )
+        order = np.argsort(ids, kind="stable")
+        per_term[t] = (ids[order], tfv[order])
+
+    candidates: np.ndarray | None = None
+    for g in groups:
+        union = np.unique(
+            np.concatenate([per_term[m][0] for m in g if dfs[m] > 0])
+        )
+        candidates = union if candidates is None else candidates[
+            np.isin(candidates, union, assume_unique=True)
+        ]
+        if candidates.size == 0:
+            return empty
+
+    n_docs, avgdl = searcher._corpus_stats[lang]
+    dl = searcher._doc_lens()[candidates]
+    scores = np.zeros(candidates.size, dtype=np.float64)
+    for t in bm25.term_order(live_terms, dfs):
+        ids, tfv = per_term[t]
+        pos = np.searchsorted(ids, candidates)
+        pos_c = np.minimum(pos, max(ids.size - 1, 0))
+        hit = (ids[pos_c] == candidates) if ids.size else np.zeros(candidates.size, bool)
+        tf_here = np.where(hit, tfv[pos_c] if ids.size else 0, 0)
+        scores += np.where(
+            hit,
+            bm25.idf(n_docs, dfs[t]) * bm25.tf_norm(tf_here, dl, avgdl),
+            0.0,
+        )
+    top = bm25.topk_order(scores, candidates, k)
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(top) + 1),
+            "doc_id": candidates[top].astype(np.int64),
+            "score": scores[top],
+        }
+    )
+
+
 def decompound_tokens_column(tokens_col: Column, words_bc) -> Column:
     """Array<string> column → decompounded array (vectorized pandas UDF)."""
     from pyspark.sql.functions import pandas_udf

@@ -60,7 +60,7 @@ LINEAGE_SCHEMA = (
 N_SALT = 16
 
 
-def postings_rows(documents: DataFrame) -> DataFrame:
+def postings_rows(documents: DataFrame, decompound_words=None) -> DataFrame:
     """documents → (term, lang, doc_id, tf, doc_len, pos_list).
 
     Vectorized tokenize + positional grouping with NO pandas groupby and NO
@@ -72,10 +72,24 @@ def postings_rows(documents: DataFrame) -> DataFrame:
     pandas-list representation costs ~0.5 s per 3k-doc batch, the ListArray
     costs ~1 ms). Positions are the analyzer's 0-based token indices — the
     phrase-query substrate.
+
+    ``decompound_words``: optional Dutch dictionary (iterable of words).
+    When set, ``nl`` documents get dictionary sub-words APPENDED at the
+    compound token's position — Lucene ``DictionaryCompoundWordTokenFilter``
+    semantics behind the reference's OPENSEARCH_ENABLE_DECOMPOUND_ANALYZERS
+    flag (/root/reference/harvester/search/models/index.py:173-188).
+    ``doc_len`` stays the canonical token count (norms are unaffected by
+    stacked sub-words).
     """
     import itertools
 
     import pyarrow as pa
+
+    words_bc = None
+    if decompound_words:
+        words_bc = documents.sparkSession.sparkContext.broadcast(
+            frozenset(decompound_words)
+        )
 
     out_schema = pa.schema(
         [
@@ -94,6 +108,30 @@ def postings_rows(documents: DataFrame) -> DataFrame:
                 continue
             pdf = rb.to_pandas()
             tokens = tokenize_series(pdf["text"])
+            pos_override = None
+            if words_bc is not None:
+                # flag-gated nl decompound expansion: sub-words appended at
+                # the compound's position (stacked tokens, Lucene-style)
+                from harvester_spark.decompound import decompound_token
+
+                words = words_bc.value
+                langs = pdf["lang"].values
+                new_tokens, pos_override = [], []
+                for i, ts in enumerate(tokens):
+                    if langs[i] == "nl":
+                        tt, pp = [], []
+                        for p, t in enumerate(ts):
+                            for w in decompound_token(t, words):
+                                tt.append(w)
+                                pp.append(p)
+                        new_tokens.append(tt)
+                        pos_override.append(np.asarray(pp, np.int32))
+                    else:
+                        new_tokens.append(ts)
+                        pos_override.append(
+                            np.arange(len(ts), dtype=np.int32)
+                        )
+                tokens = new_tokens
             counts = np.fromiter((len(t) for t in tokens), np.int64, len(tokens))
             total = int(counts.sum())
             if total == 0:
@@ -102,8 +140,11 @@ def postings_rows(documents: DataFrame) -> DataFrame:
             flat_terms = np.fromiter(
                 itertools.chain.from_iterable(tokens), dtype=object, count=total
             )
-            before = np.concatenate(([0], np.cumsum(counts)[:-1]))
-            pos = (np.arange(total) - np.repeat(before, counts)).astype(np.int32)
+            if pos_override is not None:
+                pos = np.concatenate(pos_override).astype(np.int32)
+            else:
+                before = np.concatenate(([0], np.cumsum(counts)[:-1]))
+                pos = (np.arange(total) - np.repeat(before, counts)).astype(np.int32)
             codes, uniq = pd.factorize(flat_terms, sort=False)
             order = np.lexsort((pos, codes, doc_rep))
             d_s, c_s, p_s = doc_rep[order], codes[order], pos[order]
@@ -470,6 +511,7 @@ class IndexBuilder:
         num_partitions: int | None = None,
         head_df_threshold: int = HEAD_DF_THRESHOLD,
         head_chunk_target: int = HEAD_CHUNK_TARGET,
+        decompound_words=None,
     ) -> dict[str, DataFrame]:
         spark = self.spark
         if "state" in documents.columns:
@@ -497,7 +539,17 @@ class IndexBuilder:
         head_terms = sample_head_terms(
             docs, n_docs_total, head_df_threshold, head_chunk_target
         )
-        rows = postings_rows(docs)
+        rows = postings_rows(docs, decompound_words=decompound_words)
+        if decompound_words:
+            # analyzer marker so searchers know the index chain (the
+            # reference records the analyzer in the index settings)
+            import json as _json
+
+            os.makedirs(self.index_dir, exist_ok=True)
+            with open(self._path("analyzer.json"), "w") as f:
+                _json.dump(
+                    {"decompound_nl": True, "n_words": len(list(decompound_words))}, f
+                )
 
         # Postings: optionally sharded by docID bucket for partition-level
         # resume (each shard is an independent atomic commit).
