@@ -1,0 +1,134 @@
+"""Distributed block-max WAND: docID-range-partitioned OR serving.
+
+Round-1 gap (BENCH.md): OR and more-like-this ran a Python cursor loop on
+the driver. Here the docID space is split into contiguous ranges; each range
+runs the SAME ``wand_topk`` kernel over the blocks whose [base, max] span
+overlaps it (straddling blocks are masked to the range with an O(1)
+interval filter), producing an exact per-range top-k; the driver merges the
+k·ranges candidates by (score desc, doc_id asc). Every document is scored
+with global df/idf and corpus stats, so the merged result is EXACTLY the
+driver-side ``or_search`` ranking — per-range WAND only changes which
+blocks get pruned, never any surviving score.
+
+On a cluster the ranges are the postings' docID shards and the doc-length
+sidecar is co-partitioned with them; locally doc_lens ships as one
+broadcast (the per-shard slice at scale).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession, functions as F
+
+from harvester_spark.analysis import ALL_LANG, tokenize
+from harvester_spark.search.wand import wand_topk
+
+
+class RangeInterval:
+    """Allowed-set view of a contiguous docID range [lo, hi]."""
+
+    __slots__ = ("lo", "hi")
+
+    def __init__(self, lo: int, hi: int):
+        self.lo, self.hi = int(lo), int(hi)
+
+    def test_one(self, doc_id: int) -> bool:
+        return self.lo <= doc_id <= self.hi
+
+    def test(self, ids: np.ndarray) -> np.ndarray:
+        ids = np.asarray(ids, dtype=np.int64)
+        return (ids >= self.lo) & (ids <= self.hi)
+
+
+def or_search_batch(
+    spark: SparkSession,
+    searcher,
+    queries: list[tuple[str, str]],
+    k: int = 10,
+    lang: str = ALL_LANG,
+    n_ranges: int | None = None,
+) -> pd.DataFrame:
+    """Batch OR top-k: (query_id, query_text) list → stacked exact top-k.
+
+    One Spark job: postings blocks for ALL queries' terms are scanned with
+    term+lang pushdown, fanned out to docID ranges, per-range WAND runs in
+    executors (applyInPandas, numpy kernel), and the driver merges k·ranges
+    rows per query.
+    """
+    if n_ranges is None:
+        n_ranges = max(4, int(spark.conf.get("spark.sql.shuffle.partitions", "8")) // 2)
+    empty = pd.DataFrame(columns=["query_id", "rank", "doc_id", "score"])
+    q_terms = {qid: sorted(set(tokenize(qtext))) for qid, qtext in queries}
+    all_terms = sorted({t for ts in q_terms.values() for t in ts})
+    if not all_terms:
+        return empty
+    dfs = searcher._dfs(all_terms, lang)  # GLOBAL df → global idf everywhere
+    live_queries = {
+        qid: [t for t in ts if dfs.get(t, 0) > 0] for qid, ts in q_terms.items()
+    }
+    n_docs, avgdl = searcher._corpus_stats[lang]
+    doc_lens = searcher._doc_lens()
+    n_ids = len(doc_lens)
+    step = max(1, (n_ids + n_ranges - 1) // n_ranges)
+    impact_col = "impact_all" if lang == ALL_LANG else "impact_lang"
+
+    sc = spark.sparkContext
+    bc_lens = sc.broadcast(doc_lens)
+    bc_dfs = sc.broadcast(dfs)
+    bc_queries = sc.broadcast(live_queries)
+
+    blocks = searcher.postings.filter(F.col("term").isin(all_terms))
+    if lang != ALL_LANG:
+        blocks = blocks.filter(F.col("lang") == lang)
+    # fan a block out to every range its [base, max] span overlaps
+    fanned = blocks.select(
+        "term", "base_doc_id", "max_doc_id", "n", "doc_deltas", "tfs",
+        "impact_lang", "impact_all",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("base_doc_id") / step),
+                F.floor(F.col("max_doc_id") / step),
+            )
+        ).alias("range_ix"),
+    )
+
+    def run_range(pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(pdf):
+            return pd.DataFrame(columns=["query_id", "doc_id", "score"])
+        rix = int(pdf["range_ix"].iloc[0])
+        interval = RangeInterval(rix * step, (rix + 1) * step - 1)
+        lens = bc_lens.value
+        dfs_g = bc_dfs.value
+        out_rows = []
+        for qid, terms in bc_queries.value.items():
+            if not terms:
+                continue
+            tb = {t: pdf[pdf["term"] == t] for t in terms}
+            if all(len(v) == 0 for v in tb.values()):
+                continue
+            topk, _ = wand_topk(
+                tb, dfs_g, n_docs, avgdl, lens, k=k, impact_col=impact_col,
+                allowed_doc_ids=interval,
+            )
+            for r in topk.itertuples(index=False):
+                out_rows.append((qid, int(r.doc_id), float(r.score)))
+        return pd.DataFrame(out_rows, columns=["query_id", "doc_id", "score"])
+
+    parts = (
+        fanned.groupBy("range_ix")
+        .applyInPandas(run_range, "query_id string, doc_id long, score double")
+        .toPandas()
+    )
+
+    frames = []
+    for qid, _ in queries:
+        sub = parts[parts["query_id"] == qid]
+        sub = sub.sort_values(
+            ["score", "doc_id"], ascending=[False, True]
+        ).head(k).reset_index(drop=True)
+        sub.insert(1, "rank", np.arange(1, len(sub) + 1))
+        frames.append(sub[["query_id", "rank", "doc_id", "score"]])
+    return (
+        pd.concat(frames, ignore_index=True) if frames else empty
+    )

@@ -1,0 +1,61 @@
+"""Distributed (docID-range-partitioned) WAND == driver-side or_search."""
+
+import os
+
+import numpy as np
+import pytest
+
+from harvester_spark.pipeline import run_build
+from harvester_spark.search.distributed import or_search_batch
+from harvester_spark.search.engine import IndexSearcher
+from harvester_spark.search.wand import or_search
+
+N_DOCS = 300
+
+
+@pytest.fixture(scope="module")
+def env(spark, tmp_root):
+    out = os.path.join(tmp_root, "dist")
+    run_build(spark, out, n_docs=N_DOCS, resume=False, num_partitions=8)
+    return spark, IndexSearcher(spark, f"{out}/index")
+
+
+QUERIES = [
+    ("q0", "w00000 w00100 w01000"),
+    ("q1", "w00000 zzznohit"),
+    ("q2", "w04999 w04988 term_7"),
+    ("q3", "block max wand recovery"),
+    ("q4", "w00001"),
+    ("q5", "w00000 w00001 w00002 w00003 w00004"),
+]
+
+
+@pytest.mark.parametrize("lang", ["all", "en", "nl"])
+def test_batch_or_equals_driver_or(env, lang):
+    spark, searcher = env
+    got = or_search_batch(spark, searcher, QUERIES, k=10, lang=lang, n_ranges=5)
+    for qid, qtext in QUERIES:
+        sub = got[got["query_id"] == qid].reset_index(drop=True)
+        exp = or_search(searcher, qtext, k=10, lang=lang)
+        assert list(sub["doc_id"]) == list(exp["doc_id"]), (qid, lang)
+        g = np.asarray(sub["score"], dtype=np.float64)
+        e = np.asarray(exp["score"], dtype=np.float64)
+        assert g.shape == e.shape and (g == e).all(), (qid, lang)
+
+
+def test_batch_or_single_range_degenerate(env):
+    """n_ranges=1 must also agree (whole space in one chunk)."""
+    spark, searcher = env
+    got = or_search_batch(spark, searcher, QUERIES[:2], k=5, n_ranges=1)
+    for qid, qtext in QUERIES[:2]:
+        sub = got[got["query_id"] == qid].reset_index(drop=True)
+        exp = or_search(searcher, qtext, k=5)
+        assert list(sub["doc_id"]) == list(exp["doc_id"]), qid
+
+
+def test_batch_or_empty_and_dead(env):
+    spark, searcher = env
+    got = or_search_batch(
+        spark, searcher, [("qq", "zzznohit qqqnope"), ("qe", "")], k=5
+    )
+    assert len(got) == 0
