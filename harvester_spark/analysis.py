@@ -70,6 +70,33 @@ def doc_len_column(col: Column) -> Column:
     return F.size(tokens_column(col))
 
 
+def suggest_completion_terms(title: str | None, text: str | None) -> list[str]:
+    """The reference's autocomplete candidate builder
+    (/root/reference/harvester/products/models/datatypes/product.py:169-180):
+    title words + FIRST 1000 text words (split on single space), each word
+    accent-folded (unidecode) and stripped to its letters; empties dropped
+    here (the reference keeps them; they can never prefix-match).
+    """
+    import re as _re
+    import unicodedata
+
+    words: list[str] = []
+    if title:
+        words += title.split(" ")
+    if text:
+        words += text.split(" ")[:1000]
+    alpha = _re.compile("[^a-zA-Z]+")
+    out = []
+    for w in words:
+        folded = (
+            unicodedata.normalize("NFKD", w).encode("ascii", "ignore").decode("ascii")
+        )
+        folded = alpha.sub("", folded)
+        if folded:
+            out.append(folded)
+    return out
+
+
 # The DuckDB-side equivalents (oracle parity), kept here so every oracle SQL
 # string uses the exact same chain:
 DUCKDB_TOKENS_EXPR = (

@@ -369,9 +369,47 @@ GROUP BY a.doc_id
 """
 
 
+# Autocomplete candidate field with the REFERENCE's suggest_completion
+# semantics (products/models/datatypes/product.py:169-180): first 1000
+# SPACE-split words (not the analyzer chain), accent-folded, stripped to
+# letters, lowercased (the completion suggester's 'simple' analyzer),
+# deduped per doc → (term, doc_freq). The corpus is ASCII so the
+# accent-fold is identity in both engines; the regexp strip is the real one.
+
+
+def ft_suggest_completion(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    words = F.slice(F.split(F.col("text"), " "), 1, 1000)
+    cleaned = F.filter(
+        F.transform(
+            words, lambda w: F.lower(F.regexp_replace(w, "[^a-zA-Z]+", ""))
+        ),
+        lambda w: w != "",
+    )
+    per_doc = docs.select(
+        "doc_id", F.explode(F.array_distinct(cleaned)).alias("term")
+    )
+    return per_doc.groupBy("term").agg(F.count("*").alias("doc_freq"))
+
+
+SQL_SUGGEST_COMPLETION = """
+SELECT term, count(*) AS doc_freq FROM (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id,
+           unnest(list_filter(
+             list_transform(string_split(text, ' ')[1:1000],
+                            w -> lower(regexp_replace(w, '[^a-zA-Z]+', '', 'g'))),
+             w -> w <> '')) AS term
+    FROM documents
+  )
+) GROUP BY term
+"""
+
+
 QUERIES = {
     "ft_term_doc_freq": (ft_term_doc_freq, SQL_TERM_DOC_FREQ),
     "ft_phrase_match": (ft_phrase_match, SQL_PHRASE_MATCH),
+    "ft_suggest_completion": (ft_suggest_completion, SQL_SUGGEST_COMPLETION),
     "ft_postings": (ft_postings, SQL_POSTINGS),
     "ft_doc_stats": (ft_doc_stats, SQL_DOC_STATS),
     "ft_corpus_stats": (ft_corpus_stats, SQL_CORPUS_STATS),

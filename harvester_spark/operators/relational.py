@@ -408,6 +408,73 @@ FROM existing e FULL OUTER JOIN freq f USING (field, value)
 QUERIES["a2_frequency_sync"] = (a2_frequency_sync, SQL_A2)
 
 
+# A2b i18n facet dimension: facet values joined to a translations dimension
+# (MetadataValue.translation → nl/en labels, is_hidden filter —
+# /root/reference/harvester/metadata/models/value.py:21-64). Untranslated
+# values fall back to the raw value as label; hidden values are excluded
+# from the facet. The translations dimension is tiny → broadcast.
+
+_TRANSLATIONS = [
+    # (field, value, label_en, label_nl, is_hidden)
+    ("lang", "en", "English", "Engels", False),
+    ("lang", "nl", "Dutch", "Nederlands", False),
+    ("lang", "unk", "Unknown", "Onbekend", False),
+    ("source", "src0", "Source zero", "Bron nul", False),
+    ("source", "src1", "Source one", "Bron een", True),  # hidden
+]
+
+
+def a2b_translated_facets(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.lit("lang").alias("field"), F.col("lang").alias("value"))
+        .unionByName(
+            docs.select(F.lit("source").alias("field"), F.col("source").alias("value"))
+        )
+        .groupBy("field", "value")
+        .agg(F.count("*").alias("frequency"))
+    )
+    trans = spark.createDataFrame(
+        _TRANSLATIONS,
+        "field string, value string, label_en string, label_nl string, is_hidden boolean",
+    )
+    joined = freq.join(F.broadcast(trans), ["field", "value"], "left")
+    return (
+        joined.filter(~F.coalesce(F.col("is_hidden"), F.lit(False)))
+        .select(
+            "field",
+            "value",
+            F.coalesce("label_en", "value").alias("label_en"),
+            F.coalesce("label_nl", "value").alias("label_nl"),
+            "frequency",
+        )
+    )
+
+
+_trans_vals = ", ".join(
+    f"('{f}', '{v}', '{en}', '{nl}', {str(h).upper()})"
+    for f, v, en, nl, h in _TRANSLATIONS
+)
+SQL_A2B = f"""
+WITH freq AS (
+  SELECT field, value, count(*) AS frequency FROM (
+    SELECT 'lang' AS field, lang AS value FROM documents
+    UNION ALL
+    SELECT 'source' AS field, source AS value FROM documents
+  ) GROUP BY field, value
+),
+trans(field, value, label_en, label_nl, is_hidden) AS (VALUES {_trans_vals})
+SELECT f.field, f.value,
+       coalesce(t.label_en, f.value) AS label_en,
+       coalesce(t.label_nl, f.value) AS label_nl,
+       f.frequency
+FROM freq f LEFT JOIN trans t USING (field, value)
+WHERE NOT coalesce(t.is_hidden, FALSE)
+"""
+
+QUERIES["a2b_translated_facets"] = (a2b_translated_facets, SQL_A2B)
+
+
 # A8 exact distinct counts (the reference keeps counts exact;
 # approx_count_distinct stays an opt-in metric — SURVEY.md §2.4 A8).
 

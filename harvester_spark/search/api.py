@@ -315,7 +315,44 @@ class SearchAPI:
             return None
         return {"original": " ".join(terms), "suggestion": " ".join(suggestions)}
 
-    def autocomplete(self, prefix: str, n: int = 10) -> list[str]:
+    def _suggest_candidates(self) -> pd.DataFrame:
+        """(term, doc_freq) with the reference's suggest_completion
+        semantics (title + first 1000 space-split words, accent-folded,
+        alpha-only, lowercased — products/models/datatypes/product.py:
+        169-180). Built once from the documents table as a Spark agg."""
+        if getattr(self, "_suggest_pdf", None) is None:
+            docs = self.documents
+            parts = [F.split(F.col("text"), " ")]
+            if "title" in docs.columns:
+                parts.insert(0, F.split(F.coalesce(F.col("title"), F.lit("")), " "))
+            words = F.slice(F.concat(*parts), 1, 1000) if len(parts) == 1 else (
+                F.concat(parts[0], F.slice(parts[1], 1, 1000))
+            )
+            cleaned = F.filter(
+                F.transform(
+                    words, lambda w: F.lower(F.regexp_replace(w, "[^a-zA-Z]+", ""))
+                ),
+                lambda w: w != "",
+            )
+            self._suggest_pdf = (
+                docs.select("doc_id", F.explode(F.array_distinct(cleaned)).alias("term"))
+                .groupBy("term")
+                .agg(F.count("*").alias("doc_freq"))
+                .toPandas()
+            )
+        return self._suggest_pdf
+
+    def autocomplete(self, prefix: str, n: int = 10, source: str = "dictionary") -> list[str]:
+        """Prefix completions. ``source='dictionary'`` ranks the analyzer
+        term dictionary by df (keeps digit-bearing terms — this corpus is
+        word-soup); ``source='suggest'`` uses the reference's
+        suggest_completion candidate field (alpha-only, first 1000 words)
+        ranked by doc_freq."""
+        if source == "suggest":
+            d = self._suggest_candidates()
+            hits = d[d["term"].str.startswith(prefix.lower())]
+            hits = hits.sort_values(["doc_freq", "term"], ascending=[False, True])
+            return list(hits["term"].head(n))
         d = self._dictionary()
         hits = d[d["term"].str.startswith(prefix.lower())]
         hits = hits.sort_values(["df", "term"], ascending=[False, True])

@@ -237,3 +237,22 @@ def test_did_you_mean_gated_on_sparse_results(api):
     plentiful = papi.search("w00000", k=5)
     assert plentiful["results_total"]["value"] >= 10
     assert plentiful["did_you_mean"] is None
+
+
+def test_suggest_completion_semantics(api):
+    """Reference-parity autocomplete source: alpha-only candidates from the
+    first 1000 space-split words (product.py:169-180)."""
+    from harvester_spark.analysis import suggest_completion_terms
+
+    # pure builder: title + first words, accent fold, alpha strip
+    assert suggest_completion_terms("Café Zee", "b2b fiets10 résumé!") == [
+        "Cafe", "Zee", "bb", "fiets", "resume",
+    ]
+    assert suggest_completion_terms(None, None) == []
+
+    papi, _ = api
+    hits = papi.autocomplete("t", n=10, source="suggest")
+    assert all(h.isalpha() for h in hits)
+    # word-soup corpus: plain-word terms (e.g. 'term' from term_N is stripped
+    # to 'term'... digits removed) must surface; digit-bearing ones cannot
+    assert all(not any(c.isdigit() for c in h) for h in hits)
