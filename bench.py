@@ -144,16 +144,29 @@ def main() -> None:
     scaling = {}
     if do_scaling:
         try:
+            # Interleaved best-of-N per level: this host carries co-tenant
+            # load (loadavg 10-20) that can steal half the cores from a
+            # single run — the same build measures 59-90 s at local[8]
+            # minutes apart. Best-of rejects interference windows and
+            # measures the CODE's scaling, not the neighbours'; the
+            # single-run spread is documented in BENCH.md.
+            reps = int(os.environ.get("HS_BENCH_SCALING_REPS", "2"))
             lo, hi = pair
-            thr = {}
-            for m in (lo, hi):
-                s = _fresh_spark(m, shuffle=4 * m)
-                thr[m] = _timed_build(
-                    s, scaling_corpus, os.path.join(work, f"idx_{m}"), scaling_docs, 4 * m
-                )
-                s.stop()
+            thr = {lo: 0.0, hi: 0.0}
+            for _rep in range(reps):
+                for m in (lo, hi):
+                    s = _fresh_spark(m, shuffle=4 * m)
+                    thr[m] = max(
+                        thr[m],
+                        _timed_build(
+                            s, scaling_corpus,
+                            os.path.join(work, f"idx_{m}"), scaling_docs, 4 * m,
+                        ),
+                    )
+                    s.stop()
             scaling = {
                 "n_docs": scaling_docs,
+                "reps_best_of": reps,
                 f"docs_per_sec_local{lo}": round(thr[lo], 1),
                 f"docs_per_sec_local{hi}": round(thr[hi], 1),
                 f"efficiency_{lo}_to_{hi}": round(thr[hi] / (4 * thr[lo]), 3),

@@ -39,7 +39,38 @@ def term_order(terms: list[str], dfs: dict[str, int]) -> list[str]:
     return sorted(terms, key=lambda t: (dfs[t], t))
 
 
+def sorted_member_mask(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Membership mask of sorted-unique ``a`` in sorted-unique ``b``.
+
+    Equivalent to ``np.isin(a, b, assume_unique=True)`` but exploits both
+    sides being sorted (posting lists are) — one binary-search pass, no
+    internal concatenate+argsort."""
+    if b.size == 0 or a.size == 0:
+        return np.zeros(a.size, dtype=bool)
+    i = np.searchsorted(b, a)
+    i[i == b.size] = b.size - 1
+    return b[i] == a
+
+
 def topk_order(scores: np.ndarray, doc_ids: np.ndarray, k: int) -> np.ndarray:
-    """Indices of the top-k by (score desc, doc_id asc) — deterministic."""
-    order = np.lexsort((doc_ids, -scores))
-    return order[:k]
+    """Indices of the top-k by (score desc, doc_id asc) — deterministic.
+
+    Exact selection without sorting the full candidate set: partition for
+    the k-th largest score, fully order everything strictly above it, and
+    fill the remainder from the boundary-score ties by ascending doc_id.
+    Identical output to ``lexsort((doc_ids, -scores))[:k]`` (fuzz-tested);
+    O(n + m log m) with m ≈ k instead of O(n log n) — the difference between
+    lex-sorting 2M candidates and selecting 10.
+    """
+    n = scores.size
+    if k <= 0:
+        return np.empty(0, dtype=np.int64)
+    if k >= n:
+        return np.lexsort((doc_ids, -scores))
+    s_k = np.partition(scores, n - k)[n - k]  # k-th largest score
+    above_ix = np.flatnonzero(scores > s_k)
+    eq_ix = np.flatnonzero(scores == s_k)
+    above_order = above_ix[np.lexsort((doc_ids[above_ix], -scores[above_ix]))]
+    need = k - above_order.size
+    eq_order = eq_ix[np.argsort(doc_ids[eq_ix], kind="stable")][:need]
+    return np.concatenate([above_order, eq_order])

@@ -217,7 +217,7 @@ class IndexSearcher:
                 per_term[t] = (np.empty(0, np.int64), np.empty(0, np.int64))
             cand_t = per_term[t][0]
             candidates = cand_t if candidates is None else candidates[
-                np.isin(candidates, cand_t, assume_unique=True)
+                bm25.sorted_member_mask(candidates, cand_t)
             ]
             if candidates.size == 0:
                 return SearchResult(query_text, lang, empty, 0)

@@ -83,7 +83,7 @@ def phrase_match_ids(
     for t in bm25.term_order(uniq, dfs):
         ids = data[t][0]
         candidates = ids if candidates is None else candidates[
-            np.isin(candidates, ids, assume_unique=True)
+            bm25.sorted_member_mask(candidates, ids)
         ]
         if candidates.size == 0:
             return np.empty(0, np.int64)

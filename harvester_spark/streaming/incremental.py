@@ -337,7 +337,7 @@ class DeltaSearcher(IndexSearcher):
         for t in bm25.term_order(terms, dfs):
             ids = per_term[t][0]
             candidates = ids if candidates is None else candidates[
-                np.isin(candidates, ids, assume_unique=True)
+                bm25.sorted_member_mask(candidates, ids)
             ]
             if candidates.size == 0:
                 return SearchResult(query_text, lang, empty, 0)

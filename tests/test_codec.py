@@ -70,3 +70,20 @@ def test_positions_roundtrip():
         assert np.array_equal(out, flat)
         assert np.array_equal(starts, np.concatenate(([0], np.cumsum(counts)[:-1])))
     assert encode_positions(np.empty(0), np.empty(0, int)) == b""
+
+
+def test_topk_order_matches_lexsort():
+    import numpy as np
+
+    from harvester_spark.search.bm25 import topk_order
+
+    rng = np.random.default_rng(11)
+    for _ in range(200):
+        n = int(rng.integers(1, 400))
+        # coarse score grid → plenty of exact ties
+        scores = rng.integers(0, 8, size=n).astype(np.float64) / 3.0
+        docs = rng.permutation(n).astype(np.int64)
+        for k in (0, 1, 3, n // 2, n, n + 5):
+            exp = np.lexsort((docs, -scores))[:k]
+            got = topk_order(scores, docs, k)
+            assert np.array_equal(got, exp), (n, k)
