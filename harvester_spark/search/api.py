@@ -96,7 +96,12 @@ class SearchAPI:
         recency_boost: bool = False,
         include_filter_counts: tuple[str, ...] = (),
         operator: str = "and",
+        precise_total: bool = True,
     ) -> dict:
+        """``precise_total=False`` routes plain AND queries through the
+        vectorized conjunctive block-max fast path (exact top-k, scored
+        count as an imprecise total — the OpenSearch 10k-bound analogue);
+        filters/phrases/recency keep the exact-total engine path."""
         if not tokenize(query_text or ""):
             return self._empty_query_listing(k, page, filters, include_filter_counts)
 
@@ -162,6 +167,11 @@ class SearchAPI:
 
         if recency_boost:
             res, topk = self._search_recency(query_text, k, page, lang, allowed)
+        elif not precise_total and allowed is None and page == 1:
+            from harvester_spark.search.conjunctive import and_search_fast
+
+            res = and_search_fast(self.searcher, query_text, k=k, lang=lang)
+            topk = res.topk
         else:
             res = self.searcher.search(
                 query_text, k=k, lang=lang, allowed_doc_ids=allowed, page=page,
@@ -170,7 +180,7 @@ class SearchAPI:
 
         out = {
             "results": topk.to_dict("records"),
-            "results_total": {"value": res.results_total, "is_precise": True},
+            "results_total": {"value": res.results_total, "is_precise": res.is_precise},
             "did_you_mean": (
                 self.did_you_mean(query_text, lang)
                 if res.results_total < max(k, 10)
