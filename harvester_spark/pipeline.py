@@ -30,13 +30,19 @@ def build_documents(
     byte-identical by contract — tests assert it; the build itself trusts the
     extractor, mirroring production where no golden column exists).
     """
+    from pyspark import StorageLevel
+
     extracted = with_extracted_text(corpus.drop("text"), "html", "text")
-    # Not persisted: the range partitioner's sampling pass re-runs the
-    # extractor once (~cheap, fully parallel), which measures faster than
-    # building a columnar cache of the full text frame. Only the SORTED
-    # frame is persisted (docid correctness requires a pinned layout).
-    documents = normalize_documents(extracted)
-    return assign_doc_ids(documents, ("set_name", "srn"), num_partitions)
+    # Persist the normalized frame: the range partitioner's SAMPLING pass
+    # executes the full upstream lineage, so without a cache the extractor
+    # runs twice (sampling + sort). With properly-sized input splits
+    # (session.py maxPartitionBytes) the cached variant measures faster at
+    # every parallelism level. The SORTED frame is persisted separately in
+    # assign_doc_ids (docid correctness requires a pinned layout).
+    documents = normalize_documents(extracted).persist(StorageLevel.MEMORY_AND_DISK)
+    result = assign_doc_ids(documents, ("set_name", "srn"), num_partitions)
+    result.normalized_input = documents
+    return result
 
 
 def run_build(
@@ -62,6 +68,8 @@ def run_build(
         documents.write.mode("overwrite").parquet(docs_path)
         if hasattr(documents, "sorted_input"):
             documents.sorted_input.unpersist()
+        if hasattr(documents, "normalized_input"):
+            documents.normalized_input.unpersist()
         documents = spark.read.parquet(docs_path)
 
     builder = IndexBuilder(spark, os.path.join(out_dir, "index"))

@@ -41,6 +41,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Python-heavy per-byte stages (extract/tokenize) need MORE input
+        # splits than the 128 MB default gives: a 470 MB corpus becomes ~4
+        # scan partitions and caps the whole extract phase at 4-way
+        # parallelism regardless of cores. 16 MB ≈ 30 splits there; on a
+        # cluster this maps to Iceberg's read.split.target-size.
+        .config("spark.sql.files.maxPartitionBytes", "16m")
         # cache builds of wide text frames are CPU-bound on codec work;
         # local-mode memory is plentiful, so trade space for build speed
         .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
