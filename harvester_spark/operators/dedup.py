@@ -429,6 +429,82 @@ WHERE round(dot / (na.nrm * nb.nrm), 6) >= {COS_DUP_THRESHOLD}
 QUERIES["dedup_embedding_cosine"] = (dedup_embedding_cosine, SQL_EMBEDDING_COSINE)
 
 
+# Embedding near-dup SCALE path: same-LSH-bucket candidate pairs → exact
+# cosine re-check, CORPUS-WIDE (no vec_id bound) — the oracle-gated twin of
+# the bounded quadratic baseline above. Shuffle keys: bucket id for pair
+# generation, (vec_id, pos) for the candidate-only dot products.
+
+
+def dedup_embedding_lsh_verified(spark, sf_dir):
+    from harvester_spark.operators.similarity import _buckets, _components
+
+    b = _buckets(spark, sf_dir)
+    pairs = (
+        b.select(F.col("vec_id").alias("va"), "bucket")
+        .join(b.select(F.col("vec_id").alias("vb"), "bucket"), "bucket")
+        .filter(F.col("va") < F.col("vb"))
+        .select("va", "vb")
+    )
+    comp = _components(spark, sf_dir).cache()
+    norms = comp.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nrm")
+    )
+    ca = comp.select(F.col("vec_id").alias("va"), "pos", F.col("val").alias("xa"))
+    cb = comp.select(F.col("vec_id").alias("vb"), "pos", F.col("val").alias("xb"))
+    dots = (
+        pairs.join(ca, "va")
+        .join(cb, ["vb", "pos"])
+        .groupBy("va", "vb")
+        .agg(F.sum(F.col("xa") * F.col("xb")).alias("dot"))
+    )
+    na = norms.select(F.col("vec_id").alias("va"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("vec_id").alias("vb"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(na, "va")
+        .join(nb, "vb")
+        .withColumn("cos", F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6))
+        .filter(F.col("cos") >= COS_DUP_THRESHOLD)
+        .select("va", "vb", "cos")
+    )
+
+
+def _sql_embedding_lsh_verified():
+    from harvester_spark.operators.similarity import SQL_PLANES_BUCKETS
+
+    return f"""
+WITH comp AS (
+  SELECT vec_id,
+         unnest(range(len(embedding))) AS pos,
+         unnest(CAST(embedding AS DOUBLE[])) AS val
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(sum(val * val)) AS nrm FROM comp GROUP BY vec_id),
+{SQL_PLANES_BUCKETS},
+pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+dots AS (
+  SELECT p.va, p.vb, sum(ca.val * cb.val) AS dot
+  FROM pairs p
+  JOIN comp ca ON ca.vec_id = p.va
+  JOIN comp cb ON cb.vec_id = p.vb AND cb.pos = ca.pos
+  GROUP BY 1, 2
+)
+SELECT va, vb, round(dot / (na.nrm * nb.nrm), 6) AS cos
+FROM dots
+JOIN norms na ON na.vec_id = va
+JOIN norms nb ON nb.vec_id = vb
+WHERE round(dot / (na.nrm * nb.nrm), 6) >= {COS_DUP_THRESHOLD}
+"""
+
+
+QUERIES["dedup_embedding_lsh_verified"] = (
+    dedup_embedding_lsh_verified,
+    _sql_embedding_lsh_verified(),
+)
+
+
 # SimHash near-dup pairing: candidate pairs whose 16-bit SimHashes differ in
 # ≤ HAMMING_MAX bits (bit_count(xor) — verified identical across engines).
 # Scale path: block on simhash bytes (pigeonhole) instead of the quadratic

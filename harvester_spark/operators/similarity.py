@@ -196,12 +196,11 @@ def _hash_plane_component():
     return None  # documentation anchor; inlined below
 
 
-def ann_lsh_bucketed(spark, sf_dir):
-    """Sign-random-projection LSH: {N_PLANES}-bit bucket per vector from
-    hash-derived hyperplanes; query results = exact cosine re-rank restricted
-    to the query's bucket. The O(n²)→O(n·bucket) scale path."""
+def _buckets(spark, sf_dir):
+    """vec_id → {N_PLANES}-bit sign-random-projection bucket (deterministic
+    hash-derived hyperplanes — identical integers across engines)."""
     comp = _components(spark, sf_dir).cache()
-    planes = (
+    return (
         comp.select("vec_id", "pos", "val")
         .crossJoin(
             F.broadcast(
@@ -228,6 +227,13 @@ def ann_lsh_bucketed(spark, sf_dir):
         .groupBy("vec_id")
         .agg(F.sum("bit").cast("long").alias("bucket"))
     )
+
+
+def ann_lsh_bucketed(spark, sf_dir):
+    """Sign-random-projection LSH: {N_PLANES}-bit bucket per vector from
+    hash-derived hyperplanes; query results = exact cosine re-rank restricted
+    to the query's bucket. The O(n²)→O(n·bucket) scale path."""
+    planes = _buckets(spark, sf_dir)
     # PRUNE FIRST: candidates come from the bucket equi-join (shuffle key =
     # bucket id); cosine is then computed ONLY inside the bucket. The full
     # pairwise job never runs — the point of the LSH scale path.
@@ -250,8 +256,9 @@ def ann_lsh_bucketed(spark, sf_dir):
     )
 
 
-SQL_ANN_LSH_BUCKETED = f"""
-WITH {_SQL_PAIRWISE},
+# planes/buckets CTE fragment (expects a `comp` CTE in scope) — shared by
+# the ANN operator and the embedding near-dup scale path in dedup.py
+SQL_PLANES_BUCKETS = f"""
 planes AS (
   SELECT c.vec_id, p.plane,
          round(sum(c.val * CAST(
@@ -264,7 +271,11 @@ buckets AS (
   SELECT vec_id,
          CAST(sum(CASE WHEN proj > 0 THEN 1 << plane ELSE 0 END) AS BIGINT) AS bucket
   FROM planes GROUP BY vec_id
-),
+)"""
+
+SQL_ANN_LSH_BUCKETED = f"""
+WITH {_SQL_PAIRWISE},
+{SQL_PLANES_BUCKETS},
 cand AS (
   SELECT c.qid, c.vec_id, c.cos, vb.bucket
   FROM cosine c
