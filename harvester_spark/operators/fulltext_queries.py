@@ -86,6 +86,18 @@ FROM ds GROUP BY lang
 # ---------------------------------------------------------------- BM25 top-k
 
 
+def _ranked_top10(scored):
+    """Distributed top-10: ``orderBy().limit()`` compiles to
+    TakeOrderedAndProject (per-partition partial top-k, driver merge of 10-row
+    heads) instead of a single-partition global window; ranking the 10
+    survivors with ``row_number`` is then O(k)."""
+    top = scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(10)
+    w = W.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "doc_id", "score"
+    )
+
+
 def ft_bm25_topk(spark, sf_dir):
     """BM25 (k1=1.2, b=0.75, Lucene idf) AND-match top-10 as a pure
     DataFrame job — the distributed scoring shape of SURVEY.md §3.2.
@@ -123,12 +135,69 @@ def ft_bm25_topk(spark, sf_dir):
         .filter(F.col("nt") == n_terms)  # AND semantics
         .select("doc_id", "score")
     )
-    w = W.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .select("rank", "doc_id", "score")
+    return _ranked_top10(scored)
+
+
+def ft_bm25_or_topk(spark, sf_dir):
+    """Disjunctive (OR) BM25 top-10 — the relational twin of the engine's
+    block-max WAND serving path: same kernel, docs scored over whichever
+    query terms they contain."""
+    toks = doc_tokens(spark, sf_dir)
+    docs_n = load(spark, sf_dir, "documents")
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = docs_n.select(F.count("*").alias("n")).crossJoin(
+        dl.select((F.sum("dl") / F.count("*")).alias("avgdl"))
     )
+    tf = (
+        toks.filter(F.col("term").isin(BM25_TERMS))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("idf", F.log(1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)))
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (F.col("tf") * 2.2)
+            / (F.col("tf") + 1.2 * (1.0 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), 6).alias("score"))
+    )
+    return _ranked_top10(scored)
+
+
+SQL_BM25_OR_TOPK = f"""
+WITH toks AS ({SQL_DOC_TOKS}),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) * 1.0 / count(*) FROM dl) AS avgdl
+),
+tf AS (
+  SELECT term, doc_id, count(*) AS tf FROM toks
+  WHERE term IN ('key', 'value', 'table') GROUP BY term, doc_id
+),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         round(sum(
+           ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+         ), 6) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank,
+       doc_id, score
+FROM scored
+ORDER BY rank LIMIT 10
+"""
 
 
 SQL_BM25_TOPK = f"""
@@ -414,6 +483,7 @@ QUERIES = {
     "ft_doc_stats": (ft_doc_stats, SQL_DOC_STATS),
     "ft_corpus_stats": (ft_corpus_stats, SQL_CORPUS_STATS),
     "ft_bm25_topk": (ft_bm25_topk, SQL_BM25_TOPK),
+    "ft_bm25_or_topk": (ft_bm25_or_topk, SQL_BM25_OR_TOPK),
     "ft_and_match_count": (ft_and_match_count, SQL_AND_MATCH_COUNT),
     "ft_top_terms_per_lang": (ft_top_terms_per_lang, SQL_TOP_TERMS_PER_LANG),
     "ft_autocomplete_prefix": (ft_autocomplete_prefix, SQL_AUTOCOMPLETE_PREFIX),
