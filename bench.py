@@ -33,6 +33,7 @@ import time
 HEADLINE = [
     "ft_term_doc_freq",
     "ft_bm25_topk",
+    "ft_bm25_or_topk",
     "ft_and_match_count",
     "ft_top_terms_per_lang",
     "ft_quality_score",
