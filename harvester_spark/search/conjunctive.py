@@ -30,7 +30,7 @@ import numpy as np
 import pandas as pd
 
 from harvester_spark.analysis import ALL_LANG, tokenize
-from harvester_spark.index.codec import decode_block
+from harvester_spark.index.codec import decode_block, decode_blocks_batch
 from harvester_spark.search import bm25
 from harvester_spark.search.engine import SearchResult
 
@@ -61,52 +61,49 @@ def and_search_fast(
 
     blocks = searcher._term_postings(terms, lang)
 
-    # 1. rare term: full decode + exact per-posting impacts
-    r_ids_l, r_tfs_l = [], []
-    for row in blocks[blocks["term"] == rare].itertuples(index=False):
-        ids, tfs = decode_block(row.base_doc_id, row.doc_deltas, row.tfs)
-        r_ids_l.append(ids)
-        r_tfs_l.append(tfs)
-    r_ids = np.concatenate(r_ids_l) if r_ids_l else np.empty(0, np.int64)
-    r_tfs = np.concatenate(r_tfs_l) if r_tfs_l else np.empty(0, np.int64)
+    # 1. rare term: full batch decode + exact per-posting impacts
+    rb = blocks[blocks["term"] == rare]
+    r_ids, r_tfs = decode_blocks_batch(
+        rb["base_doc_id"].to_numpy(),
+        rb["n"].to_numpy(),
+        [bytes(b) for b in rb["doc_deltas"]],
+        [bytes(b) for b in rb["tfs"]],
+    )
     o = np.argsort(r_ids, kind="stable")
     r_ids, r_tfs = r_ids[o], r_tfs[o]
     if r_ids.size == 0:
         return SearchResult(query_text, lang, empty, 0, is_precise=False)
     r_imp = bm25.tf_norm(r_tfs, doc_lens[r_ids], avgdl)
 
-    # other terms: block metadata sorted by base + lazy decode cache
+    # other terms: block metadata sorted by base + one-shot batch decode
+    # (decode_blocks_batch per overlap set: a Python per-block decode loop
+    # here costs more than the skipping saves on block-dense head terms)
     class _TermBlocks:
-        __slots__ = ("rows", "bases", "maxes", "imps", "cache")
+        __slots__ = ("bases", "maxes", "imps", "ns", "deltas", "tfbufs")
 
         def __init__(self, tb: pd.DataFrame):
             tb = tb.sort_values("base_doc_id").reset_index(drop=True)
-            self.rows = list(tb.itertuples(index=False))
             self.bases = tb["base_doc_id"].to_numpy(np.int64)
             self.maxes = tb["max_doc_id"].to_numpy(np.int64)
             self.imps = tb[impact_col].to_numpy(np.float64)
-            self.cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+            self.ns = tb["n"].to_numpy(np.int64)
+            self.deltas = [bytes(b) for b in tb["doc_deltas"]]
+            self.tfbufs = [bytes(b) for b in tb["tfs"]]
 
         def overlapping(self, lo: int, hi: int) -> np.ndarray:
             """Indices of blocks whose [base, max] intersects [lo, hi]."""
             return np.flatnonzero((self.bases <= hi) & (self.maxes >= lo))
 
         def decoded(self, ixs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-            parts_i, parts_t = [], []
-            for i in map(int, ixs):
-                if i not in self.cache:
-                    row = self.rows[i]
-                    self.cache[i] = decode_block(
-                        row.base_doc_id, row.doc_deltas, row.tfs
-                    )
-                ids, tfs = self.cache[i]
-                parts_i.append(ids)
-                parts_t.append(tfs)
-            if not parts_i:
+            if ixs.size == 0:
                 z = np.empty(0, np.int64)
                 return z, z
-            ids = np.concatenate(parts_i)
-            tfs = np.concatenate(parts_t)
+            ids, tfs = decode_blocks_batch(
+                self.bases[ixs],
+                self.ns[ixs],
+                [self.deltas[i] for i in map(int, ixs)],
+                [self.tfbufs[i] for i in map(int, ixs)],
+            )
             o = np.argsort(ids, kind="stable")
             return ids[o], tfs[o]
 

@@ -254,6 +254,101 @@ def wand_topk(
     )
 
 
+def or_accumulate_topk(
+    term_blocks: dict[str, pd.DataFrame],
+    dfs: dict[str, int],
+    n_docs: int,
+    avgdl: float,
+    doc_lens: np.ndarray,
+    k: int = 10,
+    allowed_doc_ids=None,
+) -> tuple[pd.DataFrame, dict]:
+    """Exhaustive vectorized OR top-k — the dense-accumulator twin of WAND.
+
+    One ``decode_blocks_batch`` pass per term, then a dense float64 score
+    array indexed by doc_id: ``scores[ids] += idf * tf_norm(tf, dl)`` (ids
+    are unique within a term's postings, so fancy-index addition is exact).
+    Terms accumulate in the fixed (df asc, term asc) order, so every doc's
+    float additions happen in exactly the order the WAND scorer and the
+    brute-force oracle use — scores are bit-identical by construction.
+
+    WAND's per-posting Python cursor costs ~10 µs; this path costs ~30 ns
+    per posting but cannot skip. It wins whenever the query has no rare term
+    to drive θ-pruning (head-heavy OR: 30 s → sub-second on a 2M-doc index);
+    :func:`or_search` picks per-query via the cost model. ``stats['scored']``
+    is the EXACT match count here (the accumulator sees every match).
+    """
+    from harvester_spark.index.codec import decode_blocks_batch
+    from harvester_spark.search.allowed import allowed_filter_mask
+
+    terms = [t for t in term_blocks if dfs.get(t, 0) > 0]
+    empty = pd.DataFrame(columns=["rank", "doc_id", "score"])
+    stats = {"scored": 0, "blocks_decoded": 0}
+    if not terms:
+        return empty, stats
+
+    scores = np.zeros(doc_lens.size, dtype=np.float64)
+    matched = np.zeros(doc_lens.size, dtype=bool)
+    for t in bm25.term_order(terms, dfs):
+        tb = term_blocks[t]
+        ids, tfv = decode_blocks_batch(
+            tb["base_doc_id"].to_numpy(),
+            tb["n"].to_numpy(),
+            [bytes(b) for b in tb["doc_deltas"]],
+            [bytes(b) for b in tb["tfs"]],
+        )
+        stats["blocks_decoded"] += len(tb)
+        if ids.size == 0:
+            continue
+        scores[ids] += bm25.idf(n_docs, dfs[t]) * bm25.tf_norm(
+            tfv, doc_lens[ids], avgdl
+        )
+        matched[ids] = True
+
+    candidates = np.flatnonzero(matched)
+    if allowed_doc_ids is not None and candidates.size:
+        keep = allowed_filter_mask(allowed_doc_ids, candidates)
+        candidates = candidates[keep]
+    stats["scored"] = int(candidates.size)
+    if candidates.size == 0:
+        return empty, stats
+    svals = scores[candidates]
+    sel = bm25.topk_order(svals, candidates, k)
+    return (
+        pd.DataFrame(
+            {
+                "rank": np.arange(1, sel.size + 1),
+                "doc_id": candidates[sel].astype(np.int64),
+                "score": svals[sel],
+            }
+        ),
+        stats,
+    )
+
+
+# Cost model for the OR strategy dispatch (measured on this host, but the
+# RATIO is what matters and it is hardware-stable: an interpreted cursor
+# step costs ~300× a vectorized per-posting op).
+_WAND_SEC_PER_POSTING = 8e-6  # Python cursor walk, per posting visited
+_VEC_SEC_PER_POSTING = 3e-8  # numpy decode+accumulate, per posting
+_VEC_FIXED_SEC = 8e-3  # dense-array zeroing + top-k selection
+
+
+def _pick_or_strategy(dfs: dict[str, int], live: list[str]) -> str:
+    """'wand' when θ-pruning can win, else 'accumulate'.
+
+    WAND visits ≈ n_terms × min_df postings when a rare term drives the
+    pivot (its classic win: ``rare OR head``); the accumulator always pays
+    Σ df but at memory-bandwidth cost. Head-heavy queries (no rare term)
+    make the cursor walk degenerate to Σ df Python steps — 30 s vs 0.3 s on
+    a 3-head-term query over 2M docs."""
+    min_df = min(dfs[t] for t in live)
+    sum_df = sum(dfs[t] for t in live)
+    est_wand = _WAND_SEC_PER_POSTING * len(live) * min_df
+    est_vec = _VEC_SEC_PER_POSTING * sum_df + _VEC_FIXED_SEC
+    return "wand" if est_wand < est_vec else "accumulate"
+
+
 def _allowed(allowed, doc: int) -> bool:
     if hasattr(allowed, "test_one"):  # AllowedSet bitmap — O(1) probe
         return allowed.test_one(doc)
@@ -262,13 +357,20 @@ def _allowed(allowed, doc: int) -> bool:
 
 
 def or_search(searcher, query_text: str, k: int = 10, lang: str = ALL_LANG,
-              allowed_doc_ids=None, with_stats: bool = False):
-    """Disjunctive top-k through the index via block-max WAND.
+              allowed_doc_ids=None, with_stats: bool = False,
+              strategy: str = "auto"):
+    """Disjunctive top-k through the index.
 
-    ``allowed_doc_ids``: an :class:`~harvester_spark.search.allowed.AllowedSet`
-    bitmap (O(1) probes) or a plain id array (sorted here). With
-    ``with_stats=True`` returns ``(topk, stats)`` so callers can report the
-    scored count as the imprecise results_total."""
+    ``strategy``: ``'wand'`` (θ-pruned cursor walk — wins when a rare term
+    bounds the pivot), ``'accumulate'`` (exhaustive vectorized dense
+    accumulator — wins on head-heavy queries), or ``'auto'`` (cost model,
+    the default). Both produce bit-identical rankings (shared kernel, fixed
+    accumulation order) — the strategy changes WHERE time goes, never what
+    comes back. ``allowed_doc_ids``: an
+    :class:`~harvester_spark.search.allowed.AllowedSet` bitmap (O(1)
+    probes) or a plain id array (sorted here). With ``with_stats=True``
+    returns ``(topk, stats)`` so callers can report the scored count as the
+    results_total (exact on the accumulate path, a lower bound under WAND)."""
     terms = sorted(set(tokenize(query_text)))
     empty = pd.DataFrame(columns=["rank", "doc_id", "score"])
     stats = {"scored": 0, "blocks_decoded": 0}
@@ -284,8 +386,16 @@ def or_search(searcher, query_text: str, k: int = 10, lang: str = ALL_LANG,
     impact_col = "impact_all" if lang == ALL_LANG else "impact_lang"
     if allowed_doc_ids is not None and not hasattr(allowed_doc_ids, "test_one"):
         allowed_doc_ids = np.sort(allowed_doc_ids)
-    topk, stats = wand_topk(
-        term_blocks, dfs, n_docs, avgdl, searcher._doc_lens(), k, impact_col,
-        allowed_doc_ids=allowed_doc_ids,
-    )
+    if strategy == "auto":
+        strategy = _pick_or_strategy(dfs, live)
+    if strategy == "accumulate":
+        topk, stats = or_accumulate_topk(
+            term_blocks, dfs, n_docs, avgdl, searcher._doc_lens(), k,
+            allowed_doc_ids=allowed_doc_ids,
+        )
+    else:
+        topk, stats = wand_topk(
+            term_blocks, dfs, n_docs, avgdl, searcher._doc_lens(), k, impact_col,
+            allowed_doc_ids=allowed_doc_ids,
+        )
     return (topk, stats) if with_stats else topk

@@ -19,6 +19,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
     work = sys.argv[2] if len(sys.argv) > 2 else "/dev/shm/hs_2m"
+    # 2M docs cache ~5 GB of normalized batches while 32 tasks hold unroll
+    # buffers — the 8g default heap OOMs intermittently. (On a cluster this
+    # is per-executor memory sizing; local[32] concentrates it in one JVM.)
+    os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
 
     from harvester_spark.pipeline import run_build
     from harvester_spark.search.conjunctive import and_search_fast

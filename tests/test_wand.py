@@ -200,3 +200,56 @@ def test_wand_fuzz_multiblock_skew():
             assert np.array_equal(
                 np.asarray(got["score"], np.float64), np.asarray(exp_scores)
             ), (trial, k)
+
+
+# ---------------------------------------------------------------------------
+# Vectorized dense-accumulator OR path: bit-identical to WAND and the oracle,
+# plus the cost-model dispatch.
+# ---------------------------------------------------------------------------
+
+from harvester_spark.search.wand import _pick_or_strategy, or_accumulate_topk
+
+
+@pytest.mark.parametrize("query", OR_QUERIES)
+@pytest.mark.parametrize("lang", ["all", "en", "nl"])
+def test_accumulate_rank_identical(wand_env, query, lang):
+    searcher, docs_pdf = wand_env
+    got = or_search(searcher, query, k=10, lang=lang, strategy="accumulate")
+    exp = brute_force_topk_or(docs_pdf, query, k=10, lang=lang)
+    assert list(got["doc_id"]) == list(exp["doc_id"]), (query, lang)
+    g = np.asarray(got["score"], dtype=np.float64)
+    e = np.asarray(exp["score"], dtype=np.float64)
+    assert g.shape == e.shape and (g == e).all(), (query, lang)
+    # and bit-identical to the WAND strategy
+    w = or_search(searcher, query, k=10, lang=lang, strategy="wand")
+    assert list(got["doc_id"]) == list(w["doc_id"])
+    assert (np.asarray(got["score"]) == np.asarray(w["score"])).all()
+
+
+def test_accumulate_exact_total_and_allowed(wand_env):
+    searcher, docs_pdf = wand_env
+    from harvester_spark.search.oracle import brute_force_topk_or
+
+    topk, stats = or_search(
+        searcher, "w00000 w00001", k=5, strategy="accumulate", with_stats=True
+    )
+    # exact match count: equals the candidate union of the brute oracle
+    exp_all = brute_force_topk_or(docs_pdf, "w00000 w00001", k=10**9)
+    assert stats["scored"] == len(exp_all)
+    # allowed filter restricts both candidates and the exact total
+    allowed = np.asarray(exp_all["doc_id"], dtype=np.int64)[::2]
+    topk_f, stats_f = or_search(
+        searcher, "w00000 w00001", k=5, strategy="accumulate",
+        allowed_doc_ids=allowed, with_stats=True,
+    )
+    assert stats_f["scored"] == allowed.size
+    assert set(topk_f["doc_id"]).issubset(set(allowed.tolist()))
+
+
+def test_or_strategy_dispatch():
+    # head-heavy: no rare term to bound the pivot -> accumulate
+    assert _pick_or_strategy({"a": 600_000, "b": 500_000, "c": 700_000},
+                             ["a", "b", "c"]) == "accumulate"
+    # classic WAND win: rare term drives theta, head lists get skipped
+    assert _pick_or_strategy({"rare": 40, "head": 600_000},
+                             ["rare", "head"]) == "wand"
