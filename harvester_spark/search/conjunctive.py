@@ -30,7 +30,7 @@ import numpy as np
 import pandas as pd
 
 from harvester_spark.analysis import ALL_LANG, tokenize
-from harvester_spark.index.codec import decode_block, decode_blocks_batch
+from harvester_spark.index.codec import decode_blocks_batch
 from harvester_spark.search import bm25
 from harvester_spark.search.engine import SearchResult
 

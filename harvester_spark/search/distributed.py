@@ -1,8 +1,10 @@
-"""Distributed block-max WAND: docID-range-partitioned OR serving.
+"""Distributed OR serving: docID-range-partitioned top-k.
 
 Round-1 gap (BENCH.md): OR and more-like-this ran a Python cursor loop on
 the driver. Here the docID space is split into contiguous ranges; each range
-runs the SAME ``wand_topk`` kernel over the blocks whose [base, max] span
+runs the SAME per-query strategy dispatch as driver ``or_search`` (block-max
+``wand_topk`` for rare-term queries, the dense accumulator for head-heavy
+ones) over the blocks whose [base, max] span
 overlaps it (straddling blocks are masked to the range with an O(1)
 interval filter), producing an exact per-range top-k; the driver merges the
 k·ranges candidates by (score desc, doc_id asc). Every document is scored
@@ -22,7 +24,7 @@ import pandas as pd
 from pyspark.sql import SparkSession, functions as F
 
 from harvester_spark.analysis import ALL_LANG, tokenize
-from harvester_spark.search.wand import wand_topk
+from harvester_spark.search.wand import _pick_or_strategy, or_accumulate_topk, wand_topk
 
 
 class RangeInterval:
@@ -48,6 +50,7 @@ def or_search_batch(
     k: int = 10,
     lang: str = ALL_LANG,
     n_ranges: int | None = None,
+    strategy: str = "auto",
 ) -> pd.DataFrame:
     """Batch OR top-k: (query_id, query_text) list → stacked exact top-k.
 
@@ -107,10 +110,19 @@ def or_search_batch(
             tb = {t: pdf[pdf["term"] == t] for t in terms}
             if all(len(v) == 0 for v in tb.values()):
                 continue
-            topk, _ = wand_topk(
-                tb, dfs_g, n_docs, avgdl, lens, k=k, impact_col=impact_col,
-                allowed_doc_ids=interval,
-            )
+            # same per-query strategy dispatch as driver-side or_search:
+            # per-range dfs are ~df/n_ranges, so the global ratio decides
+            pick = strategy if strategy != "auto" else _pick_or_strategy(dfs_g, terms)
+            if pick == "accumulate":
+                topk, _ = or_accumulate_topk(
+                    tb, dfs_g, n_docs, avgdl, lens, k=k,
+                    allowed_doc_ids=interval,
+                )
+            else:
+                topk, _ = wand_topk(
+                    tb, dfs_g, n_docs, avgdl, lens, k=k, impact_col=impact_col,
+                    allowed_doc_ids=interval,
+                )
             for r in topk.itertuples(index=False):
                 out_rows.append((qid, int(r.doc_id), float(r.score)))
         return pd.DataFrame(out_rows, columns=["query_id", "doc_id", "score"])

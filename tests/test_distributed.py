@@ -59,3 +59,21 @@ def test_batch_or_empty_and_dead(env):
         spark, searcher, [("qq", "zzznohit qqqnope"), ("qe", "")], k=5
     )
     assert len(got) == 0
+
+
+def test_batch_or_accumulate_strategy_identical(env):
+    """Forcing the dense-accumulator branch in executors returns exactly the
+    WAND-branch (and driver) ranking — the strategy changes where time goes,
+    never what comes back."""
+    spark, searcher = env
+    acc = or_search_batch(spark, searcher, QUERIES, k=10, n_ranges=5,
+                          strategy="accumulate")
+    wnd = or_search_batch(spark, searcher, QUERIES, k=10, n_ranges=5,
+                          strategy="wand")
+    for qid, qtext in QUERIES:
+        a = acc[acc["query_id"] == qid].reset_index(drop=True)
+        w = wnd[wnd["query_id"] == qid].reset_index(drop=True)
+        assert list(a["doc_id"]) == list(w["doc_id"]), qid
+        assert (a["score"].to_numpy() == w["score"].to_numpy()).all(), qid
+        drv = or_search(searcher, qtext, k=10)
+        assert list(a["doc_id"]) == list(drv["doc_id"]), qid
