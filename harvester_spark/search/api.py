@@ -51,6 +51,8 @@ class SearchAPI:
         self.searcher = IndexSearcher(spark, index_dir)
         self.documents = documents
         self._dict_pdf: pd.DataFrame | None = None
+        self._pa_docs = None
+        self._pa_docs_tried = False
 
     # ---------------------------------------------------------------- filters
 
@@ -97,6 +99,7 @@ class SearchAPI:
         include_filter_counts: tuple[str, ...] = (),
         operator: str = "and",
         precise_total: bool = True,
+        fetch_fields: tuple[str, ...] = (),
     ) -> dict:
         """``precise_total=False`` routes plain AND queries through the
         vectorized conjunctive block-max fast path (exact top-k, scored
@@ -155,8 +158,11 @@ class SearchAPI:
             )
             n_found = len(topk)
             topk = topk.iloc[(page - 1) * k :].reset_index(drop=True)
+            or_results = topk.to_dict("records")
+            if fetch_fields:
+                self._attach_fields(or_results, fetch_fields)
             return {
-                "results": topk.to_dict("records"),
+                "results": or_results,
                 "results_total": {"value": int(stats["scored"]), "is_precise": False},
                 # suggestions only when results are sparse (reference shows
                 # them when needed, not on every query)
@@ -178,8 +184,11 @@ class SearchAPI:
             )
             topk = res.topk
 
+        records = topk.to_dict("records")
+        if fetch_fields:
+            self._attach_fields(records, fetch_fields)
         out = {
-            "results": topk.to_dict("records"),
+            "results": records,
             "results_total": {"value": res.results_total, "is_precise": res.is_precise},
             "did_you_mean": (
                 self.did_you_mean(query_text, lang)
@@ -192,6 +201,64 @@ class SearchAPI:
                 include_filter_counts, topk_ids=None, filters=filters
             )
         return out
+
+    # ------------------------------------------------------------ hydration
+
+    def _docs_dataset(self):
+        """Lazy pyarrow dataset over the documents parquet — serving-path
+        point lookups without a per-query Spark job (the engine's fast-local
+        pattern). Falls back to a Spark filter when the documents frame is
+        not a plain parquet scan."""
+        if not self._pa_docs_tried:
+            self._pa_docs_tried = True
+            try:
+                import os
+
+                import pyarrow.dataset as ds
+
+                files = [f.removeprefix("file:") for f in self.documents.inputFiles()]
+                if files:
+                    self._pa_docs = ds.dataset(
+                        os.path.dirname(files[0]), format="parquet"
+                    )
+            except Exception:
+                self._pa_docs = None
+        return self._pa_docs
+
+    def fetch_documents(
+        self, doc_ids, fields: tuple[str, ...] | None = None
+    ) -> list[dict]:
+        """``_source``-style hydration: doc_ids → full document records in
+        request order (the reference returns serialized documents from every
+        search hit — search/clients.py:13-21 prepare_results_for_response).
+
+        Row-group statistics prune the parquet point lookups (documents are
+        written in docID order); ~k rows cross the wire, never the table."""
+        ids = [int(d) for d in doc_ids]
+        if not ids:
+            return []
+        cols = list(dict.fromkeys(["doc_id", *fields])) if fields else None
+        dset = self._docs_dataset()
+        if dset is not None:
+            import pyarrow.dataset as ds
+
+            pdf = dset.to_table(
+                columns=cols, filter=ds.field("doc_id").isin(ids)
+            ).to_pandas()
+        else:
+            df = self.documents.filter(F.col("doc_id").isin(ids))
+            if cols:
+                df = df.select(*cols)
+            pdf = df.toPandas()
+        by_id = {int(r["doc_id"]): r for r in pdf.to_dict("records")}
+        return [by_id[i] for i in ids if i in by_id]
+
+    def _attach_fields(self, records: list[dict], fields: tuple[str, ...]) -> None:
+        docs = self.fetch_documents([r["doc_id"] for r in records], fields)
+        by_id = {int(d["doc_id"]): d for d in docs}
+        for r in records:
+            extra = by_id.get(int(r["doc_id"]), {})
+            r.update({k: v for k, v in extra.items() if k != "doc_id"})
 
     def _search_recency(self, query_text, k, page, lang, allowed):
         """Bounded recency re-rank: fetch top-(page·k·4) by base score, boost,

@@ -256,3 +256,36 @@ def test_suggest_completion_semantics(api):
     # word-soup corpus: plain-word terms (e.g. 'term' from term_N is stripped
     # to 'term'... digits removed) must surface; digit-bearing ones cannot
     assert all(not any(c.isdigit() for c in h) for h in hits)
+
+
+# ---------------------------------------------------------------------------
+# _source-style hydration: results come back as document records
+# (prepare_results_for_response, reference search/clients.py:13-21)
+# ---------------------------------------------------------------------------
+
+
+def test_search_fetch_fields_hydrates_results(api, docs_pdf):
+    a, _ = api
+    res = a.search("w00000 w00001", k=5, fetch_fields=("srn", "url", "publisher_date"))
+    assert res["results"]
+    by_id = docs_pdf.set_index("doc_id")
+    for r in res["results"]:
+        assert set(("srn", "url", "publisher_date")) <= set(r)
+        assert r["rank"] >= 1 and "score" in r
+    # OR path hydrates too
+    res_or = a.search("w00000 term_7", k=5, operator="or", fetch_fields=("srn",))
+    assert all("srn" in r for r in res_or["results"])
+
+
+def test_fetch_documents_request_order_and_pruning(api, spark):
+    a, out = api
+    docs = spark.read.parquet(f"{out}/documents").select("doc_id", "srn").toPandas()
+    want = [int(docs["doc_id"].iloc[7]), int(docs["doc_id"].iloc[3]), int(docs["doc_id"].iloc[11])]
+    got = a.fetch_documents(want, fields=("srn",))
+    assert [g["doc_id"] for g in got] == want
+    exp = docs.set_index("doc_id")["srn"]
+    assert [g["srn"] for g in got] == [exp[w] for w in want]
+    # unknown ids are silently absent, full-record fetch returns all columns
+    assert a.fetch_documents([10**9]) == []
+    full = a.fetch_documents(want[:1])
+    assert "text" in full[0] and "state" in full[0]
