@@ -106,8 +106,24 @@ class IndexSearcher:
                 self._pa_postings = self._pa_dictionary = None
 
     def _doc_lens(self) -> np.ndarray:
-        """doc_id → doc_len as a dense array (docIDs are dense by scheme)."""
+        """doc_id → doc_len as a dense array (docIDs are dense by scheme).
+
+        Served from a memory-mapped ``.npy`` sidecar next to the snapshot's
+        doc_stats (stats dirs are versioned per delta seq, so the sidecar is
+        immutable once written): resident cost becomes shared OS page cache
+        instead of an 8-bytes/doc private array per searcher — the round-1
+        "8 GB at 10^9 docs on the serving node" gap. Built lazily from
+        doc_stats on first open and published with an atomic ``os.replace``;
+        falls back to the in-memory array on read-only index dirs."""
         if self._doc_len is None:
+            sidecar = os.path.join(
+                os.path.dirname(self._doc_stats_path), "doc_lens.f8.npy"
+            )
+            try:
+                self._doc_len = np.load(sidecar, mmap_mode="r")
+                return self._doc_len
+            except (FileNotFoundError, ValueError, OSError):
+                pass
             pdf = (
                 self.spark.read.parquet(self._doc_stats_path)
                 .select("doc_id", "doc_len")
@@ -115,7 +131,14 @@ class IndexSearcher:
             )
             arr = np.zeros(int(pdf["doc_id"].max()) + 1, dtype=np.float64)
             arr[pdf["doc_id"].to_numpy()] = pdf["doc_len"].to_numpy()
-            self._doc_len = arr
+            try:
+                tmp = f"{sidecar}.tmp.{os.getpid()}"
+                with open(tmp, "wb") as f:
+                    np.save(f, arr)
+                os.replace(tmp, sidecar)
+                self._doc_len = np.load(sidecar, mmap_mode="r")
+            except OSError:
+                self._doc_len = arr  # read-only index dir
         return self._doc_len
 
     _POSTING_COLS = [

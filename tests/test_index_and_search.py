@@ -187,3 +187,28 @@ def _decode_logical(postings_df):
         .sort_values(["lang", "term", "doc_id"])
         .reset_index(drop=True)
     )
+
+
+def test_doc_lens_mmap_sidecar(spark, tmp_root):
+    """First open builds doc_lens.f8.npy next to the snapshot's doc_stats;
+    later searchers memory-map it (shared page cache, no per-searcher dense
+    copy) and serve identical lengths."""
+    import numpy as np
+
+    from harvester_spark.pipeline import run_build
+    from harvester_spark.search.engine import IndexSearcher
+
+    out = os.path.join(tmp_root, "lens_sidecar")
+    run_build(spark, out, n_docs=120, resume=False, num_partitions=4)
+    idx = f"{out}/index"
+    s1 = IndexSearcher(spark, idx)
+    a1 = s1._doc_lens()
+    sidecar = os.path.join(idx, "doc_lens.f8.npy")
+    assert os.path.exists(sidecar)
+    s2 = IndexSearcher(spark, idx)
+    a2 = s2._doc_lens()
+    assert isinstance(a2, np.memmap)
+    assert np.array_equal(np.asarray(a1), np.asarray(a2))
+    # serving result unchanged through the mmap path
+    r = s2.search("w00000", k=5)
+    assert len(r.topk) == 5
