@@ -219,12 +219,21 @@ def apply_index_delta(
 class DeltaSearcher(IndexSearcher):
     """Searches base ∪ delta postings minus tombstones, bit-identical to a
     full rebuild: df comes from the decoded+filtered postings (so term
-    accumulation order matches) and stats from the refreshed tables."""
+    accumulation order matches) and stats from the refreshed tables.
+
+    Delta-awareness lives at the BLOCK interface (``_dfs`` and
+    ``_term_postings`` are overridden to serve merged, tombstone-filtered
+    synthetic blocks), so every consumer — the inherited AND ``search``,
+    ``or_search`` (both strategies), the conjunctive fast path, distributed
+    range serving — sees the post-delta truth through one path instead of
+    each needing its own merge. Positions are not re-encoded across deltas:
+    phrase search over un-compacted deltas raises; run compaction first."""
 
     def __init__(self, spark: SparkSession, index_dir: str):
         from harvester_spark.search.engine import read_delta_state
 
         super().__init__(spark, index_dir)
+        self._merged_cache: dict[tuple[str, str], tuple[np.ndarray, np.ndarray]] = {}
         state = read_delta_state(index_dir)
         deltas = list(state["deltas"]) if state else []
         self._delta_seq = {d["name"]: int(d["seq"]) for d in deltas}
@@ -277,92 +286,108 @@ class DeltaSearcher(IndexSearcher):
         order = np.argsort(ids, kind="stable")
         return ids[order], tfv[order]
 
-    def search(
-        self,
-        query_text: str,
-        k: int = 10,
-        lang: str = ALL_LANG,
-        allowed_doc_ids: np.ndarray | None = None,
-        page: int = 1,
-    ) -> SearchResult:
-        terms = sorted(set(tokenize(query_text)))
-        empty = pd.DataFrame(columns=["rank", "doc_id", "score"])
-        if not terms:
-            return SearchResult(query_text, lang, empty, 0)
+    def _merged_term_arrays(
+        self, terms: list[str], lang: str
+    ) -> dict[str, tuple[np.ndarray, np.ndarray]]:
+        """Per term: base ∪ deltas (ascending seq, each tombstone-filtered)
+        as sorted (ids, tfs) — exactly the postings a rebuild would hold."""
+        missing = [t for t in terms if (t, lang) not in self._merged_cache]
+        if missing:
+            base_blocks = super()._term_postings(missing, lang)
+            delta_blocks = None
+            if self._delta is not None:
+                d = self._delta.filter(F.col("term").isin(missing))
+                if lang != ALL_LANG:
+                    d = d.filter(F.col("lang") == lang)
+                delta_blocks = d.select(
+                    "delta", "term", "base_doc_id", "n", "doc_deltas", "tfs",
+                    "impact_lang", "impact_all"
+                ).toPandas()
+            delta_order = sorted(self._delta_seq, key=self._delta_seq.get)
+            for t in missing:
+                tb = base_blocks[base_blocks["term"] == t]
+                ids, tfv = self._decode_term(tb)
+                ids, tfv = self._filter_tombstoned(ids, tfv, seq=0)
+                if delta_blocks is not None:
+                    parts_ids, parts_tfv = [ids], [tfv]
+                    for name in delta_order:
+                        dt = delta_blocks[
+                            (delta_blocks["term"] == t)
+                            & (delta_blocks["delta"] == name)
+                        ]
+                        d_ids, d_tfv = self._decode_term(dt)
+                        d_ids, d_tfv = self._filter_tombstoned(
+                            d_ids, d_tfv, seq=self._delta_seq[name]
+                        )
+                        if d_ids.size:
+                            parts_ids.append(d_ids)
+                            parts_tfv.append(d_tfv)
+                    if len(parts_ids) > 1:
+                        ids = np.concatenate(parts_ids)
+                        tfv = np.concatenate(parts_tfv)
+                        order = np.argsort(ids, kind="stable")
+                        ids, tfv = ids[order], tfv[order]
+                if len(self._merged_cache) > 4096:
+                    self._merged_cache.clear()
+                self._merged_cache[(t, lang)] = (ids, tfv)
+        return {t: self._merged_cache[(t, lang)] for t in terms}
 
-        base_blocks = self._term_postings(terms, lang)
-        delta_blocks = None
-        if self._delta is not None:
-            d = self._delta.filter(F.col("term").isin(terms))
-            if lang != ALL_LANG:
-                d = d.filter(F.col("lang") == lang)
-            delta_blocks = d.select(
-                "delta", "term", "base_doc_id", "n", "doc_deltas", "tfs",
-                "impact_lang", "impact_all"
-            ).toPandas()
+    def _dfs(self, terms: list[str], lang: str) -> dict[str, int]:
+        """Post-delta document frequencies (the base dictionary's df counts
+        tombstoned postings — idf must match what a rebuild computes)."""
+        per = self._merged_term_arrays(terms, lang)
+        return {t: int(per[t][0].size) for t in terms}
 
-        # deltas applied in ascending seq order, each filtered by tombstones
-        # recorded AFTER it — stacked updates/deletes fold to latest-wins
-        delta_order = sorted(self._delta_seq, key=self._delta_seq.get)
-        per_term: dict[str, tuple[np.ndarray, np.ndarray]] = {}
-        dfs: dict[str, int] = {}
+    def _term_postings(
+        self, terms: list[str], lang: str, with_positions: bool = False
+    ) -> pd.DataFrame:
+        """Synthetic blocks re-encoded from the merged postings: every
+        block-level consumer (AND/OR/conjunctive/distributed) decodes the
+        post-delta truth without its own merge logic."""
+        if with_positions:
+            raise NotImplementedError(
+                "positional search over un-compacted deltas: positions are "
+                "not re-encoded across delta merges — compact the index "
+                "first (streaming.compaction.compact_index)"
+            )
+        from harvester_spark.index.codec import BLOCK_SIZE, encode_blocks
+
+        per = self._merged_term_arrays(terms, lang)
+        lens = self._doc_lens()
+        _n_all, avg_all = self._corpus_stats[ALL_LANG]
+        avg_lang = avg_all if lang == ALL_LANG else self._corpus_stats[lang][1]
+        rows = []
         for t in terms:
-            tb = base_blocks[base_blocks["term"] == t]
-            ids, tfv = self._decode_term(tb)
-            ids, tfv = self._filter_tombstoned(ids, tfv, seq=0)
-            if delta_blocks is not None:
-                parts_ids, parts_tfv = [ids], [tfv]
-                for name in delta_order:
-                    dt = delta_blocks[
-                        (delta_blocks["term"] == t) & (delta_blocks["delta"] == name)
-                    ]
-                    d_ids, d_tfv = self._decode_term(dt)
-                    d_ids, d_tfv = self._filter_tombstoned(
-                        d_ids, d_tfv, seq=self._delta_seq[name]
-                    )
-                    if d_ids.size:
-                        parts_ids.append(d_ids)
-                        parts_tfv.append(d_tfv)
-                if len(parts_ids) > 1:
-                    ids = np.concatenate(parts_ids)
-                    tfv = np.concatenate(parts_tfv)
-                    order = np.argsort(ids, kind="stable")
-                    ids, tfv = ids[order], tfv[order]
-            per_term[t] = (ids, tfv)
-            dfs[t] = int(ids.size)
-        if any(dfs[t] == 0 for t in terms):
-            return SearchResult(query_text, lang, empty, 0)
-
-        candidates: np.ndarray | None = None
-        for t in bm25.term_order(terms, dfs):
-            ids = per_term[t][0]
-            candidates = ids if candidates is None else candidates[
-                bm25.sorted_member_mask(candidates, ids)
-            ]
-            if candidates.size == 0:
-                return SearchResult(query_text, lang, empty, 0)
-
-        n_docs, avgdl = self._corpus_stats[lang]
-        dl = self._doc_lens()[candidates]
-        scores = np.zeros(candidates.size, dtype=np.float64)
-        for t in bm25.term_order(terms, dfs):
-            ids, tfv = per_term[t]
-            pos = np.searchsorted(ids, candidates)
-            scores += bm25.idf(n_docs, dfs[t]) * bm25.tf_norm(tfv[pos], dl, avgdl)
-
-        if allowed_doc_ids is not None:
-            from harvester_spark.search.allowed import allowed_filter_mask
-
-            keep = allowed_filter_mask(allowed_doc_ids, candidates)
-            candidates, scores = candidates[keep], scores[keep]
-        total = int(candidates.size)
-        take = page * k
-        top = bm25.topk_order(scores, candidates, take)[(page - 1) * k :]
-        topk = pd.DataFrame(
-            {
-                "rank": np.arange((page - 1) * k + 1, (page - 1) * k + 1 + len(top)),
-                "doc_id": candidates[top].astype(np.int64),
-                "score": scores[top],
-            }
+            ids, tfv = per[t]
+            if ids.size == 0:
+                continue
+            imp_all = bm25.tf_norm(tfv, lens[ids], avg_all)
+            imp_lang = (
+                imp_all
+                if lang == ALL_LANG
+                else bm25.tf_norm(tfv, lens[ids], avg_lang)
+            )
+            for j, (base, n, deltas, tfb, _mtf, _mimp) in enumerate(
+                encode_blocks(ids, tfv, imp_all)
+            ):
+                s = j * BLOCK_SIZE
+                e = s + n
+                rows.append(
+                    {
+                        "term": t,
+                        "base_doc_id": int(base),
+                        "max_doc_id": int(ids[e - 1]),
+                        "n": int(n),
+                        "doc_deltas": deltas,
+                        "tfs": tfb,
+                        "impact_lang": float(imp_lang[s:e].max()),
+                        "impact_all": float(imp_all[s:e].max()),
+                    }
+                )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "term", "base_doc_id", "max_doc_id", "n", "doc_deltas",
+                "tfs", "impact_lang", "impact_all",
+            ],
         )
-        return SearchResult(query_text, lang, topk, total)

@@ -306,3 +306,38 @@ def test_stacked_deltas_equal_rebuild(spark, tmp_root):
         a, b = ds2.search(q, k=10).topk, ds.search(q, k=10).topk
         assert list(a["doc_id"]) == list(b["doc_id"]), q
         assert (np.asarray(a["score"], np.float64) == np.asarray(b["score"], np.float64)).all(), q
+
+
+def test_delta_block_interface_serves_or_and_fast_paths(spark, tmp_root):
+    """or_search (both strategies) and the conjunctive fast path over a
+    stacked-delta index equal the rebuilt index — the block interface
+    (_dfs + synthetic _term_postings) carries the post-delta truth to every
+    consumer, not just the inherited AND search."""
+    from harvester_spark.search.conjunctive import and_search_fast
+    from harvester_spark.search.wand import or_search
+    from harvester_spark.streaming.incremental import DeltaSearcher
+
+    inc_dir = os.path.join(tmp_root, "stacked_index")
+    rb_dir = os.path.join(tmp_root, "stacked_rebuild")
+    if not os.path.exists(inc_dir):  # depends on the stacked fixture test
+        pytest.skip("stacked fixture not built")
+    ds = DeltaSearcher(spark, inc_dir)
+    rs = IndexSearcher(spark, rb_dir)
+
+    for q in ["charlie stacked", "w00000 bravo", "alpha w00001", "term_7 w00000"]:
+        for strat in ["wand", "accumulate"]:
+            a = or_search(ds, q, k=10, strategy=strat)
+            b = or_search(rs, q, k=10, strategy=strat)
+            assert list(a["doc_id"]) == list(b["doc_id"]), (q, strat)
+            assert (
+                np.asarray(a["score"], dtype=np.float64)
+                == np.asarray(b["score"], dtype=np.float64)
+            ).all(), (q, strat)
+    for q in ["w00000 w00001", "charlie stacked"]:
+        a = and_search_fast(ds, q, k=10)
+        b = and_search_fast(rs, q, k=10)
+        assert list(a.topk["doc_id"]) == list(b.topk["doc_id"]), q
+        assert (a.topk["score"].to_numpy() == b.topk["score"].to_numpy()).all()
+    # positions are not merged across deltas: loud, not silently base-only
+    with pytest.raises(NotImplementedError):
+        ds._term_postings(["stacked"], "all", with_positions=True)
