@@ -560,3 +560,64 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
 """
 
 QUERIES["dedup_simhash_pairs"] = (dedup_simhash_pairs, SQL_SIMHASH_PAIRS)
+
+
+# Benchmark decontamination (training-data pipeline): drop/flag training
+# docs sharing an n-gram with the evaluation set. The benchmark stand-in is
+# the deterministic doc_id % 97 == 0 subset; n=4 matches the corpus's
+# collision scale. Scale shape: eval-set grams are small by nature -> the
+# distinct benchmark grams broadcast; the corpus side is one explode +
+# broadcast hash join + groupBy(doc_id) — no shuffle of the gram stream.
+
+DECONTAM_N = 4
+DECONTAM_MOD = 97
+
+
+def dedup_decontam_ngrams(spark, sf_dir):
+    """Training docs contaminated by the benchmark subset: shared distinct
+    4-gram count per (non-benchmark) doc — the n-gram-overlap
+    decontamination standard in LLM data pipelines."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens_column(F.col("text")).alias("toks"))
+    n = DECONTAM_N
+    parts = ", ".join(f"toks[i+{j}]" for j in range(n))
+    grams = t.select(
+        "doc_id",
+        F.expr(
+            f"CASE WHEN size(toks) >= {n} THEN transform(sequence(0, size(toks)-{n}),"
+            f" i -> concat_ws(' ', {parts}))"
+            " ELSE cast(array() AS array<string>) END"
+        ).alias("grams"),
+    )
+    ex = grams.select("doc_id", F.explode("grams").alias("g"))
+    bench = (
+        ex.filter(F.col("doc_id") % DECONTAM_MOD == 0).select("g").distinct()
+    )
+    return (
+        ex.filter(F.col("doc_id") % DECONTAM_MOD != 0)
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_shared"))
+        .select("doc_id", "n_shared")
+    )
+
+
+def _sql_decontam() -> str:
+    n = DECONTAM_N
+    parts = " || ' ' || ".join(f"toks[i+{j+1}]" for j in range(n))
+    return f"""
+WITH t AS (SELECT doc_id, {SQL_TOKS.format(col='text')} AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest([{parts} FOR i IN range(0, greatest(len(toks) - {n - 1}, 0))]) AS g
+  FROM t
+),
+bench AS (SELECT DISTINCT g FROM g WHERE doc_id % {DECONTAM_MOD} = 0)
+SELECT g.doc_id, CAST(count(DISTINCT g.g) AS BIGINT) AS n_shared
+FROM g JOIN bench USING (g)
+WHERE g.doc_id % {DECONTAM_MOD} <> 0
+GROUP BY g.doc_id
+"""
+
+
+QUERIES["dedup_decontam_ngrams"] = (dedup_decontam_ngrams, _sql_decontam())

@@ -171,6 +171,60 @@ def ft_bm25_or_topk(spark, sf_dir):
     return _ranked_top10(scored)
 
 
+def ft_gopher_repetition(spark, sf_dir):
+    """Gopher/MassiveText-style repetition signal: duplicate-3-gram ratio
+    per document (``1 - distinct/total``), a standard training-data quality
+    filter. 3-grams come from one array ``transform`` over the tokens
+    column — no per-doc window shuffle; the only exchange is the final
+    groupBy(doc_id), which the tokenize explode already co-partitions."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens_column(F.col("text")).alias("toks"))
+    grams = t.select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN size(toks) >= 3 THEN transform(sequence(0, size(toks)-3),"
+            " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+            " ELSE cast(array() AS array<string>) END"
+        ).alias("grams"),
+    )
+    ex = grams.select("doc_id", F.explode_outer("grams").alias("g"))
+    return (
+        ex.groupBy("doc_id")
+        .agg(F.count("g").alias("n_grams"), F.countDistinct("g").alias("n_distinct"))
+        .withColumn(
+            "rep_ratio",
+            F.when(
+                F.col("n_grams") > 0,
+                F.round(1.0 - F.col("n_distinct") * 1.0 / F.col("n_grams"), 6),
+            ).otherwise(F.lit(0.0)),
+        )
+        .select("doc_id", "n_grams", "n_distinct", "rep_ratio")
+    )
+
+
+SQL_GOPHER_REPETITION = f"""
+WITH t AS (SELECT doc_id, {SQL_TOKS.format(col='text')} AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest([toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+                 FOR i IN range(0, greatest(len(toks) - 2, 0))]) AS g
+  FROM t
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(count(DISTINCT g) AS BIGINT) AS n_distinct
+  FROM g GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.n_grams, CAST(0 AS BIGINT)) AS n_grams,
+       coalesce(a.n_distinct, CAST(0 AS BIGINT)) AS n_distinct,
+       CASE WHEN coalesce(a.n_grams, 0) > 0
+            THEN round(1.0 - a.n_distinct * 1.0 / a.n_grams, 6)
+            ELSE 0.0 END AS rep_ratio
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 SQL_BM25_OR_TOPK = f"""
 WITH toks AS ({SQL_DOC_TOKS}),
 dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
@@ -484,6 +538,7 @@ QUERIES = {
     "ft_corpus_stats": (ft_corpus_stats, SQL_CORPUS_STATS),
     "ft_bm25_topk": (ft_bm25_topk, SQL_BM25_TOPK),
     "ft_bm25_or_topk": (ft_bm25_or_topk, SQL_BM25_OR_TOPK),
+    "ft_gopher_repetition": (ft_gopher_repetition, SQL_GOPHER_REPETITION),
     "ft_and_match_count": (ft_and_match_count, SQL_AND_MATCH_COUNT),
     "ft_top_terms_per_lang": (ft_top_terms_per_lang, SQL_TOP_TERMS_PER_LANG),
     "ft_autocomplete_prefix": (ft_autocomplete_prefix, SQL_AUTOCOMPLETE_PREFIX),
