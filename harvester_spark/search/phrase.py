@@ -27,7 +27,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from harvester_spark.analysis import ALL_LANG, tokenize
-from harvester_spark.index.codec import decode_block, decode_positions
+from harvester_spark.index.codec import decode_blocks_batch, decode_positions
+
+# (doc_id << SHIFT) | position packing for the vectorized adjacency join:
+# positions fit 22 bits (the reference caps extracted text at 10k words —
+# files/models/datatypes/file.py:182-185), doc ids fit the remaining 41.
+_POS_SHIFT = 22
 from harvester_spark.search import bm25
 from harvester_spark.search.engine import IndexSearcher, SearchResult
 
@@ -39,19 +44,24 @@ def _decode_term_positions(blocks: pd.DataFrame):
     are stable-sorted by docID and the per-posting position slices gathered
     into the same order with one vectorized index build (no Python loop over
     postings)."""
-    ids_l, tfs_l, flat_l = [], [], []
-    for row in blocks.sort_values("base_doc_id").itertuples(index=False):
-        ids, tfs = decode_block(row.base_doc_id, row.doc_deltas, row.tfs)
-        flat, _starts = decode_positions(bytes(row.positions), tfs)
-        ids_l.append(ids)
-        tfs_l.append(tfs)
-        flat_l.append(flat)
-    if not ids_l:
+    if not len(blocks):
         z = np.empty(0, np.int64)
         return z, z, z, z
-    ids = np.concatenate(ids_l)
-    tfs = np.concatenate(tfs_l)
-    flat = np.concatenate(flat_l)
+    tb = blocks.sort_values("base_doc_id")
+    ids, tfs = decode_blocks_batch(
+        tb["base_doc_id"].to_numpy(),
+        tb["n"].to_numpy(),
+        [bytes(b) for b in tb["doc_deltas"]],
+        [bytes(b) for b in tb["tfs"]],
+    )
+    # position blobs concatenate in the same block order; decode_positions
+    # undoes the per-posting delta baseline in ONE varbyte pass
+    flat, _starts = decode_positions(
+        b"".join(bytes(b) for b in tb["positions"]), tfs
+    )
+    if ids.size < 2 or bool(np.all(ids[:-1] < ids[1:])):
+        # clean-build fast path: one monotone chain — no re-sort gather
+        return ids, tfs, flat, np.concatenate(([0], np.cumsum(tfs)[:-1]))
     order = np.argsort(ids, kind="stable")
     src_starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
     new_lens = tfs[order]
@@ -88,19 +98,37 @@ def phrase_match_ids(
         if candidates.size == 0:
             return np.empty(0, np.int64)
 
-    matched = []
-    for d in candidates:
-        ok: np.ndarray | None = None
-        for t in phrase:
-            ids, lens, flat, starts = data[t]
-            i = int(np.searchsorted(ids, d))
-            p = flat[starts[i] : starts[i] + lens[i]]
-            ok = p if ok is None else np.intersect1d(ok + 1, p, assume_unique=True)
-            if ok.size == 0:
-                break
-        if ok is not None and ok.size:
-            matched.append(int(d))
-    return np.asarray(matched, dtype=np.int64)
+    # Vectorized adjacency: phrase occurs at base position b in doc d iff
+    # every offset o has (d, b+o) in term phrase[o]'s positions. Encode
+    # (d << SHIFT) | (pos - o) keys per offset (sorted by construction:
+    # docs ascending, positions ascending per doc) and intersect across
+    # offsets, rarest term first — no per-candidate Python loop.
+    keys: np.ndarray | None = None
+    for o in sorted(range(len(phrase)), key=lambda i: (dfs[phrase[i]], phrase[i], i)):
+        t = phrase[o]
+        ids, lens, flat, starts = data[t]
+        sel = np.flatnonzero(bm25.sorted_member_mask(ids, candidates))
+        lens_s = lens[sel]
+        total = int(lens_s.sum())
+        if total == 0:
+            return np.empty(0, np.int64)
+        out_starts = np.concatenate(([0], np.cumsum(lens_s)[:-1]))
+        gidx = (
+            np.repeat(starts[sel], lens_s)
+            + np.arange(total)
+            - np.repeat(out_starts, lens_s)
+        )
+        pos = flat[gidx]
+        docs_rep = np.repeat(ids[sel], lens_s)
+        base = pos - o
+        k = (docs_rep << _POS_SHIFT) | base
+        if o > 0:
+            valid = base >= 0
+            k = k[valid]
+        keys = k if keys is None else keys[bm25.sorted_member_mask(keys, k)]
+        if keys.size == 0:
+            return np.empty(0, np.int64)
+    return np.unique(keys >> _POS_SHIFT).astype(np.int64)
 
 
 def positional_phrase_search(

@@ -348,7 +348,7 @@ class DeltaSearcher(IndexSearcher):
             raise NotImplementedError(
                 "positional search over un-compacted deltas: positions are "
                 "not re-encoded across delta merges — compact the index "
-                "first (streaming.compaction.compact_index)"
+                "first (streaming.compaction.compact / compact_in_place)"
             )
         from harvester_spark.index.codec import BLOCK_SIZE, encode_blocks
 
