@@ -60,7 +60,9 @@ LINEAGE_SCHEMA = (
 N_SALT = 16
 
 
-def postings_rows(documents: DataFrame, decompound_words=None) -> DataFrame:
+def postings_rows(
+    documents: DataFrame, decompound_words=None, common_gram_terms=None
+) -> DataFrame:
     """documents → (term, lang, doc_id, tf, doc_len, pos_list).
 
     Vectorized tokenize + positional grouping with NO pandas groupby and NO
@@ -80,6 +82,16 @@ def postings_rows(documents: DataFrame, decompound_words=None) -> DataFrame:
     flag (/root/reference/harvester/search/models/index.py:173-188).
     ``doc_len`` stays the canonical token count (norms are unaffected by
     stacked sub-words).
+
+    ``common_gram_terms``: optional frequent-term list (the Lucene/ES
+    common-grams model — the list is configuration, typically the previous
+    build's head terms). Adjacent pairs of listed terms additionally emit a
+    bigram token ``"a b"`` at the FIRST term's position, turning
+    head∧head exact-phrase queries from a ~full-corpus positions decode
+    into a rare-term lookup. Bigrams derive from the ORIGINAL token stream
+    (never from stacked decompound sub-words), contain a space so the
+    analyzer can never produce them from query text, and are excluded from
+    scoring/suggestion surfaces (phrase matching is their only consumer).
     """
     import itertools
 
@@ -89,6 +101,11 @@ def postings_rows(documents: DataFrame, decompound_words=None) -> DataFrame:
     if decompound_words:
         words_bc = documents.sparkSession.sparkContext.broadcast(
             frozenset(decompound_words)
+        )
+    cg_bc = None
+    if common_gram_terms:
+        cg_bc = documents.sparkSession.sparkContext.broadcast(
+            frozenset(common_gram_terms)
         )
 
     out_schema = pa.schema(
@@ -108,6 +125,7 @@ def postings_rows(documents: DataFrame, decompound_words=None) -> DataFrame:
                 continue
             pdf = rb.to_pandas()
             tokens = tokenize_series(pdf["text"])
+            orig_tokens = tokens
             pos_override = None
             if words_bc is not None:
                 # flag-gated nl decompound expansion: sub-words appended at
@@ -145,6 +163,40 @@ def postings_rows(documents: DataFrame, decompound_words=None) -> DataFrame:
             else:
                 before = np.concatenate(([0], np.cumsum(counts)[:-1]))
                 pos = (np.arange(total) - np.repeat(before, counts)).astype(np.int32)
+            if cg_bc is not None:
+                # common-grams bigrams from the ORIGINAL stream (consecutive
+                # positions by construction — adjacency is doc equality)
+                if pos_override is not None:
+                    counts_o = np.fromiter(
+                        (len(t) for t in orig_tokens), np.int64, len(orig_tokens)
+                    )
+                    total_o = int(counts_o.sum())
+                    doc_rep_o = np.repeat(np.arange(len(pdf)), counts_o)
+                    flat_o = np.fromiter(
+                        itertools.chain.from_iterable(orig_tokens),
+                        dtype=object,
+                        count=total_o,
+                    )
+                    before_o = np.concatenate(([0], np.cumsum(counts_o)[:-1]))
+                    pos_o = (
+                        np.arange(total_o) - np.repeat(before_o, counts_o)
+                    ).astype(np.int32)
+                else:
+                    doc_rep_o, flat_o, pos_o = doc_rep, flat_terms, pos
+                if flat_o.size >= 2:
+                    member = pd.Index(flat_o).isin(cg_bc.value)
+                    adj = member[:-1] & member[1:] & (doc_rep_o[:-1] == doc_rep_o[1:])
+                    bidx = np.flatnonzero(adj)
+                    if bidx.size:
+                        bi = (
+                            pd.Series(flat_o[bidx]).astype(str)
+                            + " "
+                            + pd.Series(flat_o[bidx + 1]).astype(str)
+                        ).to_numpy(dtype=object)
+                        doc_rep = np.concatenate([doc_rep, doc_rep_o[bidx]])
+                        flat_terms = np.concatenate([flat_terms, bi])
+                        pos = np.concatenate([pos, pos_o[bidx]])
+                        total = flat_terms.size
             codes, uniq = pd.factorize(flat_terms, sort=False)
             order = np.lexsort((pos, codes, doc_rep))
             d_s, c_s, p_s = doc_rep[order], codes[order], pos[order]
@@ -512,6 +564,7 @@ class IndexBuilder:
         head_df_threshold: int = HEAD_DF_THRESHOLD,
         head_chunk_target: int = HEAD_CHUNK_TARGET,
         decompound_words=None,
+        common_gram_terms=None,
     ) -> dict[str, DataFrame]:
         spark = self.spark
         if "state" in documents.columns:
@@ -539,7 +592,19 @@ class IndexBuilder:
         head_terms = sample_head_terms(
             docs, n_docs_total, head_df_threshold, head_chunk_target
         )
-        rows = postings_rows(docs, decompound_words=decompound_words)
+        rows = postings_rows(
+            docs,
+            decompound_words=decompound_words,
+            common_gram_terms=common_gram_terms,
+        )
+        if common_gram_terms:
+            # query-side marker: phrase matching may ONLY rewrite an
+            # adjacent pair to its bigram when the build emitted it
+            import json as _json
+
+            os.makedirs(self.index_dir, exist_ok=True)
+            with open(self._path("common_grams.json"), "w") as f:
+                _json.dump({"terms": sorted(common_gram_terms)}, f)
         if decompound_words:
             # analyzer marker so searchers know the index chain (the
             # reference records the analyzer in the index settings)

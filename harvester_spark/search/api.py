@@ -363,6 +363,9 @@ class SearchAPI:
         if self._dict_pdf is None:
             self._dict_pdf = (
                 self.searcher.dictionary.filter(F.col("lang") == ALL_LANG)
+                # common-grams bigram tokens (contain a space) are a phrase-
+                # matching internal, never a suggestion/autocomplete surface
+                .filter(~F.col("term").contains(" "))
                 .select("term", "df")
                 .toPandas()
             )

@@ -105,6 +105,18 @@ class IndexSearcher:
             except Exception:
                 self._pa_postings = self._pa_dictionary = None
 
+    def common_grams(self) -> frozenset | None:
+        """Common-grams term set the index was built with (None if not).
+        Phrase matching may only rewrite an adjacent pair to its bigram
+        token when the build actually emitted bigrams for these terms."""
+        if not hasattr(self, "_common_grams"):
+            try:
+                with open(os.path.join(self.index_dir, "common_grams.json")) as f:
+                    self._common_grams = frozenset(json.load(f)["terms"])
+            except (FileNotFoundError, KeyError, ValueError):
+                self._common_grams = None
+        return self._common_grams
+
     def _doc_lens(self) -> np.ndarray:
         """doc_id → doc_len as a dense array (docIDs are dense by scheme).
 

@@ -77,37 +77,62 @@ def _decode_term_positions(blocks: pd.DataFrame):
 def phrase_match_ids(
     searcher: IndexSearcher, phrase_text: str, lang: str = ALL_LANG
 ) -> np.ndarray:
-    """ALL docIDs containing the exact phrase — via positional postings."""
+    """ALL docIDs containing the exact phrase — via positional postings.
+
+    Vectorized adjacency: the phrase occurs at base position b in doc d iff
+    every constraint (term_key, offset o) has (d, b+o) in its positions.
+    Constraints are the phrase's offsets — with common-grams builds,
+    adjacent listed-term pairs collapse to ONE bigram-token constraint, so
+    a head∧head phrase becomes a (typically rare) bigram lookup instead of
+    a full-corpus positions decode. Constraints process in df-ascending
+    order; later constraints decode only blocks whose docID span overlaps
+    the surviving candidates and intersect sorted
+    ``(doc << SHIFT) | (pos - o)`` keys — no per-candidate Python loop.
+    """
+    from harvester_spark.search.engine import _span_hits
+
     phrase = tokenize(phrase_text)
     if not phrase:
         return np.empty(0, np.int64)
-    uniq = sorted(set(phrase))
-    dfs = searcher._dfs(uniq, lang)
-    if any(dfs[t] == 0 for t in uniq):
-        return np.empty(0, np.int64)
-    blocks = searcher._term_postings(uniq, lang, with_positions=True)
-    data = {
-        t: _decode_term_positions(blocks[blocks["term"] == t]) for t in uniq
-    }
-    candidates: np.ndarray | None = None
-    for t in bm25.term_order(uniq, dfs):
-        ids = data[t][0]
-        candidates = ids if candidates is None else candidates[
-            bm25.sorted_member_mask(candidates, ids)
-        ]
-        if candidates.size == 0:
-            return np.empty(0, np.int64)
 
-    # Vectorized adjacency: phrase occurs at base position b in doc d iff
-    # every offset o has (d, b+o) in term phrase[o]'s positions. Encode
-    # (d << SHIFT) | (pos - o) keys per offset (sorted by construction:
-    # docs ascending, positions ascending per doc) and intersect across
-    # offsets, rarest term first — no per-candidate Python loop.
+    constraints: list[tuple[str, int]] = [(t, o) for o, t in enumerate(phrase)]
+    cg = searcher.common_grams()
+    if cg:
+        covered = [False] * len(phrase)
+        bigrams: list[tuple[str, int]] = []
+        for o in range(len(phrase) - 1):
+            a, b = phrase[o], phrase[o + 1]
+            if a in cg and b in cg:
+                bigrams.append((f"{a} {b}", o))
+                covered[o] = covered[o + 1] = True
+        constraints = bigrams + [
+            (t, o) for o, t in enumerate(phrase) if not covered[o]
+        ]
+
+    terms = sorted({t for t, _o in constraints})
+    dfs = searcher._dfs(terms, lang)
+    if any(dfs[t] == 0 for t in terms):
+        return np.empty(0, np.int64)
+    blocks = searcher._term_postings(terms, lang, with_positions=True)
+
     keys: np.ndarray | None = None
-    for o in sorted(range(len(phrase)), key=lambda i: (dfs[phrase[i]], phrase[i], i)):
-        t = phrase[o]
-        ids, lens, flat, starts = data[t]
-        sel = np.flatnonzero(bm25.sorted_member_mask(ids, candidates))
+    cand_docs: np.ndarray | None = None
+    for t, o in sorted(constraints, key=lambda c: (dfs[c[0]], c[0], c[1])):
+        tb = blocks[blocks["term"] == t]
+        if cand_docs is not None and len(tb):
+            bases = tb["base_doc_id"].to_numpy()
+            uppers = tb["max_doc_id"].to_numpy()
+            keep = np.fromiter(
+                (_span_hits(cand_docs, int(lo), int(hi)) for lo, hi in zip(bases, uppers)),
+                dtype=bool,
+                count=len(bases),
+            )
+            tb = tb[keep]
+        ids, lens, flat, starts = _decode_term_positions(tb)
+        if cand_docs is not None:
+            sel = np.flatnonzero(bm25.sorted_member_mask(ids, cand_docs))
+        else:
+            sel = np.arange(ids.size)
         lens_s = lens[sel]
         total = int(lens_s.sum())
         if total == 0:
@@ -123,12 +148,12 @@ def phrase_match_ids(
         base = pos - o
         k = (docs_rep << _POS_SHIFT) | base
         if o > 0:
-            valid = base >= 0
-            k = k[valid]
+            k = k[base >= 0]
         keys = k if keys is None else keys[bm25.sorted_member_mask(keys, k)]
         if keys.size == 0:
             return np.empty(0, np.int64)
-    return np.unique(keys >> _POS_SHIFT).astype(np.int64)
+        cand_docs = np.unique(keys >> _POS_SHIFT)
+    return cand_docs.astype(np.int64)
 
 
 def positional_phrase_search(
