@@ -34,8 +34,30 @@ def main() -> None:
     spark = get_spark("bench-2m", master="local[32]", shuffle_partitions=64)
     out = os.path.join(work, f"idx_{n_docs}")
     t0 = time.time()
-    run_build(spark, out, n_docs=n_docs, resume=True, num_partitions=64)
+    tables = run_build(spark, out, n_docs=n_docs, resume=True, num_partitions=64)
     build_sec = round(time.time() - t0, 1)
+
+    # HS_2M_COMMON_GRAMS=1: additionally build a common-grams index (head
+    # terms df >= n_docs/2) and report the head-and-head phrase pathology
+    # on both (BENCH.md worst-case table).
+    cg_searcher = None
+    if os.environ.get("HS_2M_COMMON_GRAMS") == "1":
+        from pyspark.sql import functions as F
+
+        from harvester_spark.index.build import IndexBuilder
+
+        docs = tables["documents"]
+        cg_idx = os.path.join(work, f"idx_{n_docs}_cg")
+        dict_df = spark.read.parquet(f"{out}/index/dictionary")
+        cg_terms = [
+            r["term"]
+            for r in dict_df.filter(
+                (F.col("lang") == "all") & (F.col("df") >= n_docs // 2)
+            ).select("term").collect()
+        ]
+        IndexBuilder(spark, f"{cg_idx}/index").build(
+            docs, resume=True, num_partitions=64, common_gram_terms=cg_terms
+        )
 
     s = IndexSearcher(spark, f"{out}/index")
     s._doc_lens()  # warm the doc-length sidecar off the clock
@@ -59,6 +81,21 @@ def main() -> None:
         "phrase_positional": t(positional_phrase_search, s, "block max wand", 10),
         "or_wand_3head": t(or_search, s, "w00000 w00001 w00002", 10),
     }
+    if os.environ.get("HS_2M_COMMON_GRAMS") == "1":
+        cg_s = IndexSearcher(spark, os.path.join(work, f"idx_{n_docs}_cg", "index"))
+        cg_s._doc_lens()
+        res["phrase_headhead_common_grams"] = t(
+            positional_phrase_search, cg_s, "w00000 w00001", 10
+        )
+        a = positional_phrase_search(cg_s, "w00000 w00001", 10)
+        t1 = time.time()  # single shot — the plain pathology costs ~a minute
+        b = positional_phrase_search(s, "w00000 w00001", 10)
+        res["phrase_headhead_plain"] = round(time.time() - t1, 3)
+        res["cg_equals_plain"] = (
+            list(a.topk["doc_id"]) == list(b.topk["doc_id"])
+            and a.results_total == b.results_total
+        )
+
     # fast path must agree with the exact ranking
     exact = s.search("w00000 w00001 w00002", k=10)
     fast = and_search_fast(s, "w00000 w00001 w00002", k=10)
