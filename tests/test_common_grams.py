@@ -105,3 +105,57 @@ def test_bigrams_hidden_from_suggestions(envs, spark):
     assert all(" " not in t for t in api.autocomplete("w000", 20))
     d = api._dictionary()
     assert not d["term"].str.contains(" ").any()
+
+
+def test_randomized_repetition_battery(spark, tmp_root):
+    """Adversarial adjacency fuzz: 60 docs over a 5-token alphabet (heavy
+    repetition, overlapping occurrences, phrase==doc edge cases), 80 random
+    phrases of length 1-4, plain AND common-grams builds both checked
+    against the text oracle and each other."""
+    import random
+
+    import pandas as pd
+
+    from harvester_spark.corpus import EPOCH, doc_url
+
+    rng = random.Random(42)
+    alpha = ["pa", "pb", "pc", "pd", "pe"]
+    texts = []
+    for i in range(60):
+        n = rng.randint(1, 30)
+        texts.append(" ".join(rng.choice(alpha) for _ in range(n)))
+    pdf = pd.DataFrame(
+        {
+            "url": [doc_url(i) for i in range(60)],
+            "warc_ts": [EPOCH + np.timedelta64(i, "s") for i in range(60)],
+            "html": [f"<p>{t}</p>".encode() for t in texts],
+            "text": texts,
+            "lang": ["en"] * 60,
+        }
+    )
+    corpus = spark.createDataFrame(pdf)
+    out_p = os.path.join(tmp_root, "fuzz_plain")
+    docs = build_documents(corpus, 4, verify_extraction=False)
+    docs.write.mode("overwrite").parquet(f"{out_p}/documents")
+    docs_r = spark.read.parquet(f"{out_p}/documents")
+    IndexBuilder(spark, f"{out_p}/index").build(docs_r, resume=False, num_partitions=4)
+    out_c = os.path.join(tmp_root, "fuzz_cg")
+    IndexBuilder(spark, f"{out_c}/index").build(
+        docs_r, resume=False, num_partitions=4, common_gram_terms=["pa", "pb", "pc"]
+    )
+    plain = IndexSearcher(spark, f"{out_p}/index")
+    cg = IndexSearcher(spark, f"{out_c}/index")
+    docs_pdf = docs_r.select("doc_id", "text", "lang").toPandas()
+
+    for _ in range(80):
+        phrase = " ".join(rng.choice(alpha) for _ in range(rng.randint(1, 4)))
+        exp = brute_force_phrase(docs_pdf, phrase, k=60)
+        a = positional_phrase_search(plain, phrase, k=60)
+        b = positional_phrase_search(cg, phrase, k=60)
+        assert list(a.topk["doc_id"]) == list(exp["doc_id"]), phrase
+        assert list(b.topk["doc_id"]) == list(exp["doc_id"]), phrase
+        assert a.results_total == b.results_total, phrase
+        assert (
+            np.asarray(a.topk["score"], np.float64)
+            == np.asarray(b.topk["score"], np.float64)
+        ).all(), phrase
