@@ -163,7 +163,12 @@ class SearchAPI:
                 self._attach_fields(or_results, fetch_fields)
             return {
                 "results": or_results,
-                "results_total": {"value": int(stats["scored"]), "is_precise": False},
+                # the accumulate strategy scores every match — exact total;
+                # WAND's scored count stays a lower bound (pruning skips)
+                "results_total": {
+                    "value": int(stats["scored"]),
+                    "is_precise": stats.get("strategy") == "accumulate",
+                },
                 # suggestions only when results are sparse (reference shows
                 # them when needed, not on every query)
                 "did_you_mean": (

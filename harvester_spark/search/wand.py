@@ -398,4 +398,6 @@ def or_search(searcher, query_text: str, k: int = 10, lang: str = ALL_LANG,
             term_blocks, dfs, n_docs, avgdl, searcher._doc_lens(), k, impact_col,
             allowed_doc_ids=allowed_doc_ids,
         )
+    # the accumulator sees every match — its scored count is the EXACT total
+    stats["strategy"] = strategy
     return (topk, stats) if with_stats else topk
