@@ -32,7 +32,28 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from harvester_spark.analysis import ALL_LANG, tokenize
 from harvester_spark.extract import with_extracted_text
 from harvester_spark.index.build import compute_corpus_stats, encode_postings, postings_rows
-from harvester_spark.index.codec import decode_blocks_batch
+from harvester_spark.index.codec import decode_blocks_batch, encode_positions
+
+
+def _gather_slices(
+    flat: np.ndarray, starts: np.ndarray, lens: np.ndarray, sel: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Gather per-posting variable-length slices of ``flat`` (described by
+    ``starts``/``lens``) for postings ``sel``, in ``sel`` order →
+    (new_flat, new_starts). One vectorized index build, no Python loop."""
+    lens_s = lens[sel]
+    total = int(lens_s.sum())
+    new_starts = np.zeros(lens_s.size, dtype=np.int64)
+    if lens_s.size > 1:
+        np.cumsum(lens_s[:-1], out=new_starts[1:])
+    if total == 0:
+        return np.empty(0, dtype=flat.dtype), new_starts
+    gidx = (
+        np.repeat(starts[sel], lens_s)
+        + np.arange(total)
+        - np.repeat(new_starts, lens_s)
+    )
+    return flat[gidx], new_starts
 from harvester_spark.normalize import normalize_documents
 from harvester_spark.search import bm25
 from harvester_spark.search.engine import IndexSearcher, SearchResult
@@ -160,6 +181,7 @@ def apply_index_delta(
     fresh_docs: DataFrame,
     tombstones: DataFrame,
     delta_name: str = "delta-1",
+    decompound_words=None,
 ) -> None:
     """Append delta blocks + tombstones; publish atomically via manifest.
 
@@ -176,6 +198,13 @@ def apply_index_delta(
     the doc's postings in base (seq 0) and in every delta with seq < N —
     update-then-update and update-then-delete across micro-batches fold to
     latest-wins (the stacked-delta contract: base ∪ deltas == rebuild).
+
+    Delta postings run through the SAME analyzer chain the base index was
+    built with: the common-grams term list is read back from the index's
+    ``common_grams.json`` marker automatically; a decompound-built index
+    (``analyzer.json``) requires the caller to pass the same
+    ``decompound_words`` — applying a delta tokenized with a different chain
+    would silently diverge from a rebuild.
     """
     import json
 
@@ -197,7 +226,27 @@ def apply_index_delta(
         r["lang"]: float(r["avgdl"])
         for r in spark.read.parquet(f"{index_dir}/{stats_dir}/corpus_stats").collect()
     }
-    rows = postings_rows(fresh_docs.select("doc_id", "text", "lang", "doc_len"))
+    cg_terms = None
+    try:
+        with open(os.path.join(index_dir, "common_grams.json")) as f:
+            cg_terms = json.load(f)["terms"]
+    except (FileNotFoundError, KeyError, ValueError):
+        pass
+    try:
+        with open(os.path.join(index_dir, "analyzer.json")) as f:
+            analyzer = json.load(f)
+    except (FileNotFoundError, ValueError):
+        analyzer = {}
+    if analyzer.get("decompound_nl") and decompound_words is None:
+        raise ValueError(
+            "index was built with the nl decompound analyzer chain; pass the "
+            "same decompound_words so delta postings match the base chain"
+        )
+    rows = postings_rows(
+        fresh_docs.select("doc_id", "text", "lang", "doc_len"),
+        decompound_words=decompound_words,
+        common_gram_terms=cg_terms,
+    )
     encode_postings(rows, avgdl).write.mode("overwrite").partitionBy("lang").parquet(
         f"{index_dir}/postings_delta/delta={delta_name}"
     )
@@ -226,14 +275,20 @@ class DeltaSearcher(IndexSearcher):
     synthetic blocks), so every consumer — the inherited AND ``search``,
     ``or_search`` (both strategies), the conjunctive fast path, distributed
     range serving — sees the post-delta truth through one path instead of
-    each needing its own merge. Positions are not re-encoded across deltas:
-    phrase search over un-compacted deltas raises; run compaction first."""
+    each needing its own merge. Positional phrase search works over
+    un-compacted deltas too: ``with_positions=True`` merges the per-posting
+    position lists (base ∪ deltas, tombstone-filtered) and re-encodes them
+    into the synthetic blocks, so quoted-phrase queries equal a rebuild
+    bit-for-bit without waiting for compaction."""
 
     def __init__(self, spark: SparkSession, index_dir: str):
         from harvester_spark.search.engine import read_delta_state
 
         super().__init__(spark, index_dir)
         self._merged_cache: dict[tuple[str, str], tuple[np.ndarray, np.ndarray]] = {}
+        self._pos_cache: dict[
+            tuple[str, str], tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]
+        ] = {}
         state = read_delta_state(index_dir)
         deltas = list(state["deltas"]) if state else []
         self._delta_seq = {d["name"]: int(d["seq"]) for d in deltas}
@@ -261,18 +316,24 @@ class DeltaSearcher(IndexSearcher):
                 self._tomb_ids = folded.index.to_numpy(dtype=np.int64)
                 self._tomb_maxseq = folded.to_numpy(dtype=np.int64)
 
+    def _dead_mask(self, ids: np.ndarray, seq: int) -> np.ndarray | None:
+        """Postings superseded by a tombstone recorded AFTER ``seq`` (None
+        when nothing is dead)."""
+        if self._tomb_ids.size == 0 or ids.size == 0:
+            return None
+        pos = np.searchsorted(self._tomb_ids, ids)
+        pos_c = np.minimum(pos, self._tomb_ids.size - 1)
+        dead = (self._tomb_ids[pos_c] == ids) & (self._tomb_maxseq[pos_c] > seq)
+        return dead if dead.any() else None
+
     def _filter_tombstoned(
         self, ids: np.ndarray, tfv: np.ndarray, seq: int
     ) -> tuple[np.ndarray, np.ndarray]:
         """Drop postings superseded by a tombstone recorded AFTER ``seq``."""
-        if self._tomb_ids.size == 0 or ids.size == 0:
+        dead = self._dead_mask(ids, seq)
+        if dead is None:
             return ids, tfv
-        pos = np.searchsorted(self._tomb_ids, ids)
-        pos_c = np.minimum(pos, self._tomb_ids.size - 1)
-        dead = (self._tomb_ids[pos_c] == ids) & (self._tomb_maxseq[pos_c] > seq)
-        if dead.any():
-            return ids[~dead], tfv[~dead]
-        return ids, tfv
+        return ids[~dead], tfv[~dead]
 
     def _decode_term(self, blocks: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
         if len(blocks) == 0:
@@ -332,6 +393,91 @@ class DeltaSearcher(IndexSearcher):
                 self._merged_cache[(t, lang)] = (ids, tfv)
         return {t: self._merged_cache[(t, lang)] for t in terms}
 
+    def _filter_tombstoned_pos(
+        self,
+        decoded: tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray],
+        seq: int,
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """Tombstone-filter a positional decode: drop dead postings AND their
+        position slices (one vectorized gather)."""
+        ids, tfs, flat, starts = decoded
+        dead = self._dead_mask(ids, seq)
+        if dead is None:
+            return decoded
+        sel = np.flatnonzero(~dead)
+        flat2, starts2 = _gather_slices(flat, starts, tfs, sel)
+        return ids[sel], tfs[sel], flat2, starts2
+
+    def _merged_term_positional(
+        self, terms: list[str], lang: str
+    ) -> dict[str, tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]]:
+        """Positional twin of :meth:`_merged_term_arrays`: per term the
+        merged, tombstone-filtered (ids asc, tfs, flat positions, posting
+        starts) across base ∪ deltas — exactly the positional postings a
+        rebuild would hold. Feeds the ``with_positions`` synthetic blocks so
+        phrase queries work over un-compacted deltas."""
+        from harvester_spark.search.phrase import _decode_term_positions
+
+        missing = [t for t in terms if (t, lang) not in self._pos_cache]
+        if missing:
+            base_blocks = super()._term_postings(
+                missing, lang, with_positions=True
+            )
+            delta_blocks = None
+            if self._delta is not None:
+                d = self._delta.filter(F.col("term").isin(missing))
+                if lang != ALL_LANG:
+                    d = d.filter(F.col("lang") == lang)
+                delta_blocks = d.select(
+                    "delta", "term", "base_doc_id", "n", "doc_deltas", "tfs",
+                    "positions",
+                ).toPandas()
+            delta_order = sorted(self._delta_seq, key=self._delta_seq.get)
+            for t in missing:
+                tb = base_blocks[base_blocks["term"] == t]
+                parts = [
+                    self._filter_tombstoned_pos(_decode_term_positions(tb), seq=0)
+                ]
+                if delta_blocks is not None:
+                    for name in delta_order:
+                        dt = delta_blocks[
+                            (delta_blocks["term"] == t)
+                            & (delta_blocks["delta"] == name)
+                        ]
+                        if len(dt):
+                            parts.append(
+                                self._filter_tombstoned_pos(
+                                    _decode_term_positions(dt),
+                                    seq=self._delta_seq[name],
+                                )
+                            )
+                parts = [p for p in parts if p[0].size]
+                if not parts:
+                    z = np.empty(0, np.int64)
+                    merged = (z, z.copy(), z.copy(), z.copy())
+                elif len(parts) == 1:
+                    merged = parts[0]
+                else:
+                    ids = np.concatenate([p[0] for p in parts])
+                    tfs = np.concatenate([p[1] for p in parts])
+                    flat = np.concatenate([p[2] for p in parts])
+                    starts_parts, off = [], 0
+                    for p in parts:
+                        starts_parts.append(p[3] + off)
+                        off += p[2].size
+                    starts = np.concatenate(starts_parts)
+                    order = np.argsort(ids, kind="stable")
+                    flat2, starts2 = _gather_slices(flat, starts, tfs, order)
+                    merged = (ids[order], tfs[order], flat2, starts2)
+                if len(self._pos_cache) > 1024:
+                    self._pos_cache.clear()
+                self._pos_cache[(t, lang)] = merged
+                # ids/tfs are identical to the non-positional merge — share
+                if len(self._merged_cache) > 4096:
+                    self._merged_cache.clear()
+                self._merged_cache[(t, lang)] = (merged[0], merged[1])
+        return {t: self._pos_cache[(t, lang)] for t in terms}
+
     def _dfs(self, terms: list[str], lang: str) -> dict[str, int]:
         """Post-delta document frequencies (the base dictionary's df counts
         tombstoned postings — idf must match what a rebuild computes)."""
@@ -342,17 +488,23 @@ class DeltaSearcher(IndexSearcher):
         self, terms: list[str], lang: str, with_positions: bool = False
     ) -> pd.DataFrame:
         """Synthetic blocks re-encoded from the merged postings: every
-        block-level consumer (AND/OR/conjunctive/distributed) decodes the
-        post-delta truth without its own merge logic."""
-        if with_positions:
+        block-level consumer (AND/OR/conjunctive/distributed/phrase) decodes
+        the post-delta truth without its own merge logic. With
+        ``with_positions`` the merged per-posting position lists are
+        re-encoded into each block (delta postings carry positions like the
+        base; only the merge needed to thread them through)."""
+        if with_positions and not self.has_positions:
             raise NotImplementedError(
-                "positional search over un-compacted deltas: positions are "
-                "not re-encoded across delta merges — compact the index "
-                "first (streaming.compaction.compact / compact_in_place)"
+                "positional search over a positionless base index — rebuild "
+                "with positions (the round-2 default) first"
             )
         from harvester_spark.index.codec import BLOCK_SIZE, encode_blocks
 
-        per = self._merged_term_arrays(terms, lang)
+        if with_positions:
+            per_pos = self._merged_term_positional(terms, lang)
+            per = {t: v[:2] for t, v in per_pos.items()}
+        else:
+            per = self._merged_term_arrays(terms, lang)
         lens = self._doc_lens()
         _n_all, avg_all = self._corpus_stats[ALL_LANG]
         avg_lang = avg_all if lang == ALL_LANG else self._corpus_stats[lang][1]
@@ -372,22 +524,25 @@ class DeltaSearcher(IndexSearcher):
             ):
                 s = j * BLOCK_SIZE
                 e = s + n
-                rows.append(
-                    {
-                        "term": t,
-                        "base_doc_id": int(base),
-                        "max_doc_id": int(ids[e - 1]),
-                        "n": int(n),
-                        "doc_deltas": deltas,
-                        "tfs": tfb,
-                        "impact_lang": float(imp_lang[s:e].max()),
-                        "impact_all": float(imp_all[s:e].max()),
-                    }
-                )
-        return pd.DataFrame(
-            rows,
-            columns=[
-                "term", "base_doc_id", "max_doc_id", "n", "doc_deltas",
-                "tfs", "impact_lang", "impact_all",
-            ],
-        )
+                row = {
+                    "term": t,
+                    "base_doc_id": int(base),
+                    "max_doc_id": int(ids[e - 1]),
+                    "n": int(n),
+                    "doc_deltas": deltas,
+                    "tfs": tfb,
+                    "impact_lang": float(imp_lang[s:e].max()),
+                    "impact_all": float(imp_all[s:e].max()),
+                }
+                if with_positions:
+                    _ids, _tfs, flat, starts = per_pos[t]
+                    # postings are contiguous in flat after the merge gather
+                    fs = int(starts[s])
+                    fe = int(starts[e - 1] + tfv[e - 1])
+                    row["positions"] = encode_positions(flat[fs:fe], tfv[s:e])
+                rows.append(row)
+        cols = [
+            "term", "base_doc_id", "max_doc_id", "n", "doc_deltas",
+            "tfs", "impact_lang", "impact_all",
+        ] + (["positions"] if with_positions else [])
+        return pd.DataFrame(rows, columns=cols)

@@ -338,6 +338,76 @@ def test_delta_block_interface_serves_or_and_fast_paths(spark, tmp_root):
         b = and_search_fast(rs, q, k=10)
         assert list(a.topk["doc_id"]) == list(b.topk["doc_id"]), q
         assert (a.topk["score"].to_numpy() == b.topk["score"].to_numpy()).all()
-    # positions are not merged across deltas: loud, not silently base-only
-    with pytest.raises(NotImplementedError):
-        ds._term_postings(["stacked"], "all", with_positions=True)
+    # positional phrase search over the un-compacted stacked deltas must
+    # equal the rebuild bit-for-bit: merged position lists, tombstones
+    # applied ('rewrite alpha' was superseded in delta-2 → empty on BOTH)
+    from harvester_spark.search.phrase import (
+        phrase_match_ids,
+        positional_phrase_search,
+    )
+
+    for ph in [
+        "stacked rewrite",
+        "charlie five again",
+        "rewrite alpha",
+        "rewrite bravo",
+        "w00000 w00001",
+    ]:
+        assert list(phrase_match_ids(ds, ph)) == list(phrase_match_ids(rs, ph)), ph
+    a = positional_phrase_search(ds, "stacked rewrite", k=10)
+    b = positional_phrase_search(rs, "stacked rewrite", k=10)
+    assert list(a.topk["doc_id"]) == list(b.topk["doc_id"])
+    assert (a.topk["score"].to_numpy() == b.topk["score"].to_numpy()).all()
+    assert a.results_total == b.results_total
+
+
+def test_delta_common_grams_phrase(spark, tmp_root):
+    """A delta applied to a common-grams build must emit bigram tokens for
+    its fresh docs (apply_index_delta re-reads the build's term list), so
+    bigram-accelerated phrase matching sees post-delta truth."""
+    import shutil
+
+    from harvester_spark.index.build import IndexBuilder
+    from harvester_spark.search.phrase import phrase_match_ids
+    from harvester_spark.streaming.incremental import DeltaSearcher
+
+    out = os.path.join(tmp_root, "cg_delta")
+    run_build(spark, out, n_docs=60, resume=False, num_partitions=2)
+    docs = spark.read.parquet(f"{out}/documents")
+    cg = ["w00000", "w00001"]
+    idx_dir = os.path.join(tmp_root, "cg_delta_index")
+    IndexBuilder(spark, idx_dir).build(
+        docs, resume=False, num_partitions=2, common_gram_terms=cg
+    )
+
+    import pandas as pd
+
+    pdf = corpus_pdf(np.array([20_001]))
+    pdf["html"] = [b"<p>fresh w00000 w00001 adjacency from the delta</p>"]
+    pdf["deleted"] = False
+    delta = normalize_delta(
+        spark.createDataFrame(
+            pdf,
+            "url string, warc_ts timestamp, html binary, text string, "
+            "lang string, deleted boolean",
+        )
+    )
+    merged = merge_documents(docs, delta)
+    m_path = os.path.join(tmp_root, "cg_delta_docs_v1")
+    merged.write.mode("overwrite").parquet(m_path)
+    merged = spark.read.parquet(m_path)
+    fresh, tombs = changed_and_deleted(docs, merged)
+    apply_index_delta(spark, idx_dir, merged, fresh, tombs)
+
+    rb_dir = os.path.join(tmp_root, "cg_delta_rebuild")
+    IndexBuilder(spark, rb_dir).build(
+        merged, resume=False, num_partitions=2, common_gram_terms=cg
+    )
+    ds = DeltaSearcher(spark, idx_dir)
+    rs = IndexSearcher(spark, rb_dir)
+    assert ds.common_grams() == frozenset(cg)
+    got = phrase_match_ids(ds, "w00000 w00001")
+    want = phrase_match_ids(rs, "w00000 w00001")
+    assert list(got) == list(want)
+    new_id = merged.agg(F.max("doc_id")).collect()[0][0]
+    assert new_id in set(got)  # the fresh doc's bigram posting is served
