@@ -497,6 +497,30 @@ def compute_corpus_stats(documents: DataFrame) -> DataFrame:
     return per_lang.unionByName(all_row.select("lang", "n_docs", "avgdl"))
 
 
+def read_analyzer_markers(index_dir: str) -> tuple[list | None, dict]:
+    """(common_gram_terms, analyzer dict) persisted with an index build.
+
+    ``common_grams.json`` carries the full bigram term list (so deltas and
+    compactions can re-run the identical chain); ``analyzer.json`` records
+    flags whose inputs are NOT persisted (the nl decompound wordlist) — a
+    consumer seeing ``decompound_nl`` must be handed the same wordlist or
+    refuse, never silently re-tokenize with a different chain."""
+    import json
+
+    cg = None
+    try:
+        with open(os.path.join(index_dir, "common_grams.json")) as f:
+            cg = json.load(f)["terms"]
+    except (FileNotFoundError, KeyError, ValueError):
+        pass
+    try:
+        with open(os.path.join(index_dir, "analyzer.json")) as f:
+            analyzer = json.load(f)
+    except (FileNotFoundError, ValueError):
+        analyzer = {}
+    return cg, analyzer
+
+
 def _complete(path: str) -> bool:
     return os.path.exists(os.path.join(path, "_SUCCESS"))
 

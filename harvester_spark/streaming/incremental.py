@@ -226,17 +226,9 @@ def apply_index_delta(
         r["lang"]: float(r["avgdl"])
         for r in spark.read.parquet(f"{index_dir}/{stats_dir}/corpus_stats").collect()
     }
-    cg_terms = None
-    try:
-        with open(os.path.join(index_dir, "common_grams.json")) as f:
-            cg_terms = json.load(f)["terms"]
-    except (FileNotFoundError, KeyError, ValueError):
-        pass
-    try:
-        with open(os.path.join(index_dir, "analyzer.json")) as f:
-            analyzer = json.load(f)
-    except (FileNotFoundError, ValueError):
-        analyzer = {}
+    from harvester_spark.index.build import read_analyzer_markers
+
+    cg_terms, analyzer = read_analyzer_markers(index_dir)
     if analyzer.get("decompound_nl") and decompound_words is None:
         raise ValueError(
             "index was built with the nl decompound analyzer chain; pass the "

@@ -411,3 +411,12 @@ def test_delta_common_grams_phrase(spark, tmp_root):
     assert list(got) == list(want)
     new_id = merged.agg(F.max("doc_id")).collect()[0][0]
     assert new_id in set(got)  # the fresh doc's bigram posting is served
+
+    # compaction must carry the analyzer chain: the folded index keeps the
+    # common-grams marker and answers the bigram phrase identically
+    from harvester_spark.streaming.compaction import compact_in_place
+
+    compact_in_place(spark, idx_dir, merged, num_partitions=2)
+    cs = IndexSearcher(spark, idx_dir)
+    assert cs.common_grams() == frozenset(cg)
+    assert list(phrase_match_ids(cs, "w00000 w00001")) == list(want)
