@@ -492,6 +492,57 @@ GROUP BY a.doc_id
 """
 
 
+# simple_query_string grammar as a RELATIONAL plan — the distributed twin of
+# search/sqs.py (the reference's query language: simple_query_string with
+# ALL default flags, core/models/search/query.py:73-98). The fixed query is
+#   spark -join (c* | "table hash")
+# i.e. MUST 'spark', MUST_NOT 'join', and (prefix-expansion OR exact
+# adjacency). Every leg is a doc_id semi/anti join — shuffle key doc_id
+# throughout, prefix pushdown via LIKE/startswith, no cartesian.
+
+SQS_POS, SQS_NEG, SQS_PREFIX = "spark", "join", "c"
+
+
+def ft_sqs_match(spark, sf_dir):
+    toks = doc_tokens(spark, sf_dir)
+    has_pos = toks.filter(F.col("term") == SQS_POS).select("doc_id").distinct()
+    has_neg = toks.filter(F.col("term") == SQS_NEG).select("doc_id").distinct()
+    has_pre = (
+        toks.filter(F.col("term").startswith(SQS_PREFIX)).select("doc_id").distinct()
+    )
+    a = toks.filter(F.col("term") == PHRASE_W0).select("doc_id", "pos")
+    b = toks.filter(F.col("term") == PHRASE_W1).select(
+        F.col("doc_id").alias("doc_id_b"), F.col("pos").alias("pos_b")
+    )
+    has_ph = (
+        a.join(
+            b,
+            (F.col("doc_id") == F.col("doc_id_b"))
+            & (F.col("pos_b") == F.col("pos") + 1),
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    either = has_pre.unionByName(has_ph).distinct()
+    return (
+        has_pos.join(either, "doc_id", "semi").join(has_neg, "doc_id", "anti")
+    )
+
+
+SQL_SQS_MATCH = f"""
+WITH toks AS ({SQL_DOC_TOKS})
+SELECT d.doc_id
+FROM documents d
+WHERE EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = d.doc_id AND t.term = '{SQS_POS}')
+  AND NOT EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = d.doc_id AND t.term = '{SQS_NEG}')
+  AND (EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = d.doc_id AND t.term LIKE '{SQS_PREFIX}%')
+       OR EXISTS (SELECT 1 FROM toks a JOIN toks b
+                  ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+                  WHERE a.doc_id = d.doc_id
+                    AND a.term = '{PHRASE_W0}' AND b.term = '{PHRASE_W1}'))
+"""
+
+
 # Autocomplete candidate field with the REFERENCE's suggest_completion
 # semantics (products/models/datatypes/product.py:169-180): first 1000
 # SPACE-split words (not the analyzer chain), accent-folded, stripped to
@@ -532,6 +583,7 @@ SELECT term, count(*) AS doc_freq FROM (
 QUERIES = {
     "ft_term_doc_freq": (ft_term_doc_freq, SQL_TERM_DOC_FREQ),
     "ft_phrase_match": (ft_phrase_match, SQL_PHRASE_MATCH),
+    "ft_sqs_match": (ft_sqs_match, SQL_SQS_MATCH),
     "ft_suggest_completion": (ft_suggest_completion, SQL_SUGGEST_COMPLETION),
     "ft_postings": (ft_postings, SQL_POSTINGS),
     "ft_doc_stats": (ft_doc_stats, SQL_DOC_STATS),

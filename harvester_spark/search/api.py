@@ -110,6 +110,43 @@ class SearchAPI:
 
         allowed = self._allowed_ids(filters)
 
+        # full simple_query_string grammar (-negation, | OR, * prefix,
+        # parens) routes through the SQS evaluator; plain AND + quoted
+        # phrases stay on the optimized paths below
+        from harvester_spark.search.sqs import has_operators, sqs_search
+
+        if has_operators(query_text):
+            if recency_boost:
+                res, topk = self._search_recency(
+                    query_text, k, page, lang, allowed,
+                    search_fn=lambda q, **kw: sqs_search(self.searcher, q, **kw),
+                )
+            else:
+                res = sqs_search(
+                    self.searcher, query_text, k=k, lang=lang,
+                    allowed_doc_ids=allowed, page=page,
+                )
+                topk = res.topk
+            records = topk.to_dict("records")
+            if fetch_fields:
+                self._attach_fields(records, fetch_fields)
+            out = {
+                "results": records,
+                "results_total": {
+                    "value": res.results_total, "is_precise": res.is_precise,
+                },
+                "did_you_mean": (
+                    self.did_you_mean(query_text, lang)
+                    if res.results_total < max(k, 10)
+                    else None
+                ),
+            }
+            if include_filter_counts:
+                out["filter_counts"] = self.facet_counts(
+                    include_filter_counts, topk_ids=None, filters=filters
+                )
+            return out
+
         # quoted groups (simple_query_string phrase syntax): each phrase
         # narrows the allowed set to docs containing it consecutively; the
         # residual terms keep plain AND semantics over all query terms
@@ -265,7 +302,7 @@ class SearchAPI:
             extra = by_id.get(int(r["doc_id"]), {})
             r.update({k: v for k, v in extra.items() if k != "doc_id"})
 
-    def _search_recency(self, query_text, k, page, lang, allowed):
+    def _search_recency(self, query_text, k, page, lang, allowed, search_fn=None):
         """Bounded recency re-rank: fetch top-(page·k·4) by base score, boost,
         and grow only while an unfetched doc could still reach the page.
 
@@ -277,8 +314,9 @@ class SearchAPI:
         re-ranked EVERY match on the driver."""
         take = page * k
         fetch = max(4 * take, 64)
+        search = search_fn or self.searcher.search
         while True:
-            res = self.searcher.search(
+            res = search(
                 query_text, k=fetch, lang=lang, allowed_doc_ids=allowed, page=1,
             )
             got = res.topk
