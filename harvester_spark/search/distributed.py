@@ -144,3 +144,155 @@ def or_search_batch(
     return (
         pd.concat(frames, ignore_index=True) if frames else empty
     )
+
+
+def and_search_batch(
+    spark: SparkSession,
+    searcher,
+    queries: list[tuple[str, str]],
+    k: int = 10,
+    lang: str = ALL_LANG,
+    n_ranges: int | None = None,
+) -> tuple[pd.DataFrame, dict]:
+    """Batch conjunctive (AND) top-k over docID ranges — the distributed twin
+    of ``IndexSearcher.search`` for query batches.
+
+    Same fan-out as :func:`or_search_batch`: blocks for all queries' terms
+    scan once with term+lang pushdown, each docID range intersects and
+    scores its slice with GLOBAL df/idf/corpus stats (per-doc scores are
+    range-independent, so the merged ranking equals the driver path
+    exactly), and per-range candidate counts sum to the EXACT total.
+    Returns (stacked top-k frame, {query_id: exact_total}).
+    """
+    if n_ranges is None:
+        n_ranges = max(4, int(spark.conf.get("spark.sql.shuffle.partitions", "8")) // 2)
+    empty = pd.DataFrame(columns=["query_id", "rank", "doc_id", "score"])
+    q_terms = {qid: sorted(set(tokenize(qtext))) for qid, qtext in queries}
+    all_terms = sorted({t for ts in q_terms.values() for t in ts})
+    if not all_terms:
+        return empty, {qid: 0 for qid, _ in queries}
+    dfs = searcher._dfs(all_terms, lang)
+    # AND semantics: any dead term kills the whole query
+    live_queries = {
+        qid: ts
+        for qid, ts in q_terms.items()
+        if ts and all(dfs.get(t, 0) > 0 for t in ts)
+    }
+    totals = {qid: 0 for qid, _ in queries}
+    if not live_queries:
+        return empty, totals
+    n_docs, avgdl = searcher._corpus_stats[lang]
+    doc_lens = searcher._doc_lens()
+    n_ids = len(doc_lens)
+    step = max(1, (n_ids + n_ranges - 1) // n_ranges)
+
+    sc = spark.sparkContext
+    bc_lens = sc.broadcast(doc_lens)
+    bc_dfs = sc.broadcast(dfs)
+    bc_queries = sc.broadcast(live_queries)
+
+    blocks = searcher.postings.filter(F.col("term").isin(all_terms))
+    if lang != ALL_LANG:
+        blocks = blocks.filter(F.col("lang") == lang)
+    fanned = blocks.select(
+        "term", "base_doc_id", "max_doc_id", "n", "doc_deltas", "tfs",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("base_doc_id") / step),
+                F.floor(F.col("max_doc_id") / step),
+            )
+        ).alias("range_ix"),
+    )
+
+    def run_range(pdf: pd.DataFrame) -> pd.DataFrame:
+        from harvester_spark.index.codec import decode_blocks_batch
+        from harvester_spark.search import bm25
+
+        if not len(pdf):
+            return pd.DataFrame(
+                columns=["query_id", "doc_id", "score", "range_total"]
+            )
+        rix = int(pdf["range_ix"].iloc[0])
+        lo, hi = rix * step, (rix + 1) * step - 1
+        lens = bc_lens.value
+        dfs_g = bc_dfs.value
+        decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+
+        def term_arrays(t: str):
+            if t not in decoded:
+                tb = pdf[pdf["term"] == t]
+                if len(tb) == 0:
+                    decoded[t] = (np.empty(0, np.int64), np.empty(0, np.int64))
+                else:
+                    ids, tfv = decode_blocks_batch(
+                        tb["base_doc_id"].to_numpy(),
+                        tb["n"].to_numpy(),
+                        [bytes(b) for b in tb["doc_deltas"]],
+                        [bytes(b) for b in tb["tfs"]],
+                    )
+                    # straddling blocks: mask postings to this range
+                    keep = (ids >= lo) & (ids <= hi)
+                    ids, tfv = ids[keep], tfv[keep]
+                    order = np.argsort(ids, kind="stable")
+                    decoded[t] = (ids[order], tfv[order])
+            return decoded[t]
+
+        out_rows = []
+        for qid, terms in bc_queries.value.items():
+            by_df = bm25.term_order(terms, dfs_g)
+            cand = None
+            for t in by_df:
+                ids, _tfv = term_arrays(t)
+                cand = ids if cand is None else cand[
+                    bm25.sorted_member_mask(cand, ids)
+                ]
+                if cand.size == 0:
+                    break
+            if cand is None or cand.size == 0:
+                continue
+            dl = lens[cand]
+            scores = np.zeros(cand.size, dtype=np.float64)
+            for t in by_df:
+                ids, tfv = term_arrays(t)
+                pos = np.searchsorted(ids, cand)
+                scores += bm25.idf(n_docs, dfs_g[t]) * bm25.tf_norm(
+                    tfv[pos], dl, avgdl
+                )
+            top = bm25.topk_order(scores, cand, k)
+            for i in top:
+                out_rows.append(
+                    (qid, int(cand[i]), float(scores[i]), int(cand.size))
+                )
+        return pd.DataFrame(
+            out_rows, columns=["query_id", "doc_id", "score", "range_total"]
+        )
+
+    parts = (
+        fanned.groupBy("range_ix")
+        .applyInPandas(
+            run_range,
+            "query_id string, doc_id long, score double, range_total long",
+        )
+        .toPandas()
+    )
+
+    frames = []
+    for qid, _ in queries:
+        sub = parts[parts["query_id"] == qid]
+        if len(sub):
+            # each surviving range reports its candidate count once per row;
+            # per-range first-row values sum to the exact global total
+            totals[qid] = int(
+                sub.drop_duplicates("doc_id")
+                .groupby(sub["doc_id"] // step)["range_total"]
+                .first()
+                .sum()
+            )
+        sub = sub.sort_values(
+            ["score", "doc_id"], ascending=[False, True]
+        ).head(k).reset_index(drop=True)
+        sub.insert(1, "rank", np.arange(1, len(sub) + 1))
+        frames.append(sub[["query_id", "rank", "doc_id", "score"]])
+    return (
+        pd.concat(frames, ignore_index=True) if frames else empty
+    ), totals

@@ -61,6 +61,42 @@ def test_batch_or_empty_and_dead(env):
     assert len(got) == 0
 
 
+@pytest.mark.parametrize("lang", ["all", "en"])
+def test_batch_and_equals_driver_search(env, lang):
+    """Distributed conjunctive batch == driver IndexSearcher.search exactly,
+    including exact totals summed from per-range candidate counts."""
+    from harvester_spark.search.distributed import and_search_batch
+
+    spark, searcher = env
+    got, totals = and_search_batch(
+        spark, searcher, QUERIES, k=10, lang=lang, n_ranges=5
+    )
+    for qid, qtext in QUERIES:
+        sub = got[got["query_id"] == qid].reset_index(drop=True)
+        exp = searcher.search(qtext, k=10, lang=lang)
+        assert list(sub["doc_id"]) == list(exp.topk["doc_id"]), (qid, lang)
+        g = np.asarray(sub["score"], dtype=np.float64)
+        e = np.asarray(exp.topk["score"], dtype=np.float64)
+        assert g.shape == e.shape and (g == e).all(), (qid, lang)
+        assert totals[qid] == exp.results_total, (qid, lang)
+
+
+def test_batch_and_single_range_and_dead(env):
+    from harvester_spark.search.distributed import and_search_batch
+
+    spark, searcher = env
+    got, totals = and_search_batch(spark, searcher, QUERIES[:2], k=5, n_ranges=1)
+    for qid, qtext in QUERIES[:2]:
+        sub = got[got["query_id"] == qid].reset_index(drop=True)
+        exp = searcher.search(qtext, k=5)
+        assert list(sub["doc_id"]) == list(exp.topk["doc_id"]), qid
+        assert totals[qid] == exp.results_total, qid
+    got2, totals2 = and_search_batch(
+        spark, searcher, [("qq", "zzznohit w00000"), ("qe", "")], k=5
+    )
+    assert len(got2) == 0 and totals2 == {"qq": 0, "qe": 0}
+
+
 def test_batch_or_accumulate_strategy_identical(env):
     """Forcing the dense-accumulator branch in executors returns exactly the
     WAND-branch (and driver) ranking — the strategy changes where time goes,
