@@ -61,9 +61,12 @@ FROM documents GROUP BY 1
 # ---------------------------------------------------------------- shingles
 
 
-def _shingles(spark, sf_dir):
-    """(doc_id, shingle) distinct word-{SHINGLE_K}-grams via lead window."""
-    toks = doc_tokens(spark, sf_dir).filter(F.col("doc_id") < JACCARD_SUBSET)
+def _shingles(spark, sf_dir, max_doc: int | None = JACCARD_SUBSET):
+    """(doc_id, shingle) distinct word-{SHINGLE_K}-grams via lead window.
+    ``max_doc=None`` → corpus-wide (the scale-path consumers)."""
+    toks = doc_tokens(spark, sf_dir)
+    if max_doc is not None:
+        toks = toks.filter(F.col("doc_id") < max_doc)
     w = W.partitionBy("doc_id").orderBy("pos")
     sh = F.concat_ws(
         " ",
@@ -362,11 +365,165 @@ WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= {LSH_VERIFY_MIN}
 """
 
 
+# Duplicate-cluster assignment — the pipeline step AFTER pair generation:
+# connected components over the LSH candidate graph, cluster_rep = min
+# doc_id in the component ("keep one per cluster" rule is doc_id ==
+# cluster_rep). Distributed min-label propagation WITH pointer jumping
+# (label(doc) := min(label(doc), min-neighbor label, label(label(doc)))):
+# neighbor propagation moves the min one hop per round, pointer jumping
+# halves the remaining chain depth, so rounds = O(log diameter) — the same
+# round bound as Kiveris et al., "Connected Components in MapReduce and
+# Beyond". Each round is two doc_id-keyed joins + one groupBy-min — shuffle
+# keys are doc_id, never text. No driver-side graph: convergence is a
+# scalar count, and every round localCheckpoints its frame so the logical
+# plan stays O(1) across iterations (on a cluster: a reliable checkpoint
+# dir / intermediate table serves the same lineage cut).
+
+
+def connected_components(vertices, pairs):
+    """Connected components over an undirected pair list.
+
+    ``vertices``: DataFrame with a ``doc_id`` column (the full vertex set —
+    singletons keep their own id). ``pairs``: DataFrame (doc_a, doc_b).
+    Returns (doc_id, label) with label = min doc_id in the component.
+    Converges in O(log diameter) rounds; see module comment above.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        vertices.select("doc_id", F.col("doc_id").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    while True:
+        nbr = (
+            edges.join(labels, edges.s == labels.doc_id)
+            .groupBy(F.col("d").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        l1 = labels.join(nbr, "doc_id", "left").select(
+            "doc_id",
+            F.least("label", F.coalesce("nbr_label", "label")).alias("label"),
+        )
+        parent = l1.select(
+            F.col("doc_id").alias("p_doc"), F.col("label").alias("p_label")
+        )
+        nxt = (
+            l1.join(parent, l1.label == parent.p_doc, "left")
+            .select(
+                "doc_id",
+                F.least("label", F.coalesce("p_label", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            nxt.join(labels.withColumnRenamed("label", "old"), "doc_id")
+            .filter(F.col("label") < F.col("old"))
+            .count()
+        )
+        labels = nxt
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_minhash_clusters(spark, sf_dir):
+    labels = connected_components(
+        dedup_minhash_signatures(spark, sf_dir).select("doc_id"),
+        dedup_lsh_pairs(spark, sf_dir),
+    )
+    roots = labels.select("doc_id", F.col("label").alias("cluster_rep"))
+    sizes = roots.groupBy("cluster_rep").agg(F.count("*").alias("cluster_size"))
+    return roots.join(sizes, "cluster_rep").select(
+        "doc_id", "cluster_rep", "cluster_size"
+    )
+
+
+SQL_MINHASH_CLUSTERS = f"""
+WITH RECURSIVE sh AS ({_SQL_SHINGLES2}),
+hx AS (
+  SELECT doc_id, i,
+         {_SQL_HASH56.format(col="(i || ':' || shingle)")} AS h
+  FROM sh CROSS JOIN (SELECT unnest(range({N_MINHASH})) AS i)
+),
+sig AS (SELECT doc_id, {_sql_minhash_cols} FROM hx GROUP BY doc_id),
+bands AS ({_sql_band_rows}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.r0 = b.r0 AND a.r1 = b.r1 AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM cand
+  UNION
+  SELECT doc_b AS s, doc_a AS d FROM cand
+),
+reach(a, b) AS (
+  SELECT doc_id, doc_id FROM sig
+  UNION
+  SELECT r.a, e.d FROM reach r JOIN edges e ON e.s = r.b
+),
+roots AS (SELECT a AS doc_id, min(b) AS cluster_rep FROM reach GROUP BY a),
+sizes AS (
+  SELECT cluster_rep, count(*) AS cluster_size FROM roots GROUP BY 1
+)
+SELECT r.doc_id, r.cluster_rep, s.cluster_size
+FROM roots r JOIN sizes s USING (cluster_rep)
+"""
+
+
+# Cross-corpus boilerplate detection (RefinedWeb/CCNet-style): a shingle
+# occurring in >= BOILER_MIN_DF distinct docs is boilerplate (nav chrome,
+# license blurbs, templated headers); per-doc boilerplate counts feed the
+# "drop docs that are mostly boilerplate" pipeline filter. Complements
+# ft_gopher_repetition (WITHIN-doc repetition) with the ACROSS-doc signal.
+# Plan: shingle → df (one shuffle on shingle), join back (same key, AQE
+# skew-join handles head shingles), per-doc counts (shuffle on doc_id) —
+# corpus-wide, no candidate subset.
+
+BOILER_MIN_DF = 3
+
+
+def dedup_boilerplate_ngrams(spark, sf_dir):
+    sh = _shingles(spark, sf_dir, max_doc=None)
+    df = sh.groupBy("shingle").agg(F.countDistinct("doc_id").alias("df"))
+    return (
+        sh.join(df, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("df") >= BOILER_MIN_DF, 1).otherwise(0)
+            ).cast("long").alias("n_boilerplate"),
+        )
+    )
+
+
+_SQL_SHINGLES_ALL = _SQL_SHINGLES.replace(f"WHERE doc_id < {JACCARD_SUBSET}", "")
+
+SQL_BOILERPLATE_NGRAMS = f"""
+WITH sh AS ({_SQL_SHINGLES_ALL}),
+dfs AS (SELECT shingle, count(DISTINCT doc_id) AS df FROM sh GROUP BY shingle)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN d.df >= {BOILER_MIN_DF} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_boilerplate
+FROM sh s JOIN dfs d ON d.shingle = s.shingle
+GROUP BY s.doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": (dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_boilerplate_ngrams": (dedup_boilerplate_ngrams, SQL_BOILERPLATE_NGRAMS),
     "dedup_shingle_jaccard": (dedup_shingle_jaccard, SQL_SHINGLE_JACCARD),
     "dedup_minhash_signatures": (dedup_minhash_signatures, SQL_MINHASH_SIGNATURES),
     "dedup_lsh_pairs": (dedup_lsh_pairs, SQL_LSH_PAIRS),
+    "dedup_minhash_clusters": (dedup_minhash_clusters, SQL_MINHASH_CLUSTERS),
     "dedup_lsh_jaccard_verified": (dedup_lsh_jaccard_verified, SQL_LSH_JACCARD_VERIFIED),
     "dedup_simhash": (dedup_simhash, SQL_SIMHASH),
 }

@@ -492,6 +492,92 @@ GROUP BY a.doc_id
 """
 
 
+# Per-source quality rollup (RefinedWeb-style domain filtering): web-scale
+# pipelines drop or down-weight whole domains by aggregate signals — doc
+# count, exact-dup rate (distinct normalized-text digests vs docs), token
+# volume, and the share of length outliers (Gopher length rule). One
+# groupBy on source (map-side partial agg), md5 digest is the dedup_exact
+# convention so both engines agree bit-for-bit.
+
+LEN_LO, LEN_HI = 25, 1000
+
+
+def ft_source_quality(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    dl = F.size(tokens_column(F.col("text")))
+    digest = F.md5(F.concat_ws(" ", tokens_column(F.col("text"))))
+    per = docs.select("source", dl.alias("doc_len"), digest.alias("digest"))
+    return per.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("digest").cast("long").alias("n_unique"),
+        F.sum("doc_len").cast("long").alias("sum_tokens"),
+        F.sum(
+            F.when((F.col("doc_len") < LEN_LO) | (F.col("doc_len") > LEN_HI), 1)
+            .otherwise(0)
+        ).cast("long").alias("n_len_outliers"),
+    )
+
+
+SQL_SOURCE_QUALITY = f"""
+WITH per AS (
+  SELECT source,
+         len({SQL_TOKS.format(col='text')}) AS doc_len,
+         md5(array_to_string({SQL_TOKS.format(col='text')}, ' ')) AS digest
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT digest) AS BIGINT) AS n_unique,
+       CAST(sum(doc_len) AS BIGINT) AS sum_tokens,
+       CAST(sum(CASE WHEN doc_len < {LEN_LO} OR doc_len > {LEN_HI}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_len_outliers
+FROM per GROUP BY source
+"""
+
+
+# Unigram-LM quality proxy (CCNet-style, Wenzek et al.): per-doc average
+# negative log-likelihood under the corpus unigram model p(term) =
+# cf(term)/total_tokens — the perplexity-bucketing signal web pipelines use
+# to keep/drop/down-weight documents (low avg_nll ≈ head-term soup, high ≈
+# rare-term noise). Plan: the unigram model is vocabulary-sized →
+# BROADCAST to the per-(doc,term) frame (no shuffle on the skewed term
+# key); the only wide exchange is the doc_id groupBy. round(.,6) because
+# float SUM order is engine-dependent.
+
+
+def ft_unigram_logprob(spark, sf_dir):
+    toks = doc_tokens(spark, sf_dir)
+    tf = toks.groupBy("term").agg(F.count("*").alias("cf"))
+    tot = toks.agg(F.count("*").alias("total"))
+    model = F.broadcast(tf.crossJoin(tot))
+    dt = toks.groupBy("doc_id", "term").agg(F.count("*").alias("dtf"))
+    return (
+        dt.join(model, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("dtf").cast("long").alias("n_tokens"),
+            F.round(
+                -F.sum(F.col("dtf") * F.log(F.col("cf") * 1.0 / F.col("total")))
+                / F.sum("dtf"),
+                6,
+            ).alias("avg_nll"),
+        )
+    )
+
+
+SQL_UNIGRAM_LOGPROB = f"""
+WITH toks AS ({SQL_DOC_TOKS}),
+tf AS (SELECT term, count(*) AS cf FROM toks GROUP BY term),
+tot AS (SELECT count(*) AS total FROM toks),
+dt AS (SELECT doc_id, term, count(*) AS dtf FROM toks GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(sum(dtf) AS BIGINT) AS n_tokens,
+       round(-sum(dtf * ln(cf * 1.0 / total)) / sum(dtf), 6) AS avg_nll
+FROM dt JOIN tf USING (term) CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+
 # simple_query_string grammar as a RELATIONAL plan — the distributed twin of
 # search/sqs.py (the reference's query language: simple_query_string with
 # ALL default flags, core/models/search/query.py:73-98). The fixed query is
@@ -584,6 +670,8 @@ QUERIES = {
     "ft_term_doc_freq": (ft_term_doc_freq, SQL_TERM_DOC_FREQ),
     "ft_phrase_match": (ft_phrase_match, SQL_PHRASE_MATCH),
     "ft_sqs_match": (ft_sqs_match, SQL_SQS_MATCH),
+    "ft_source_quality": (ft_source_quality, SQL_SOURCE_QUALITY),
+    "ft_unigram_logprob": (ft_unigram_logprob, SQL_UNIGRAM_LOGPROB),
     "ft_suggest_completion": (ft_suggest_completion, SQL_SUGGEST_COMPLETION),
     "ft_postings": (ft_postings, SQL_POSTINGS),
     "ft_doc_stats": (ft_doc_stats, SQL_DOC_STATS),
