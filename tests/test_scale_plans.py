@@ -43,7 +43,13 @@ def test_ann_ivf_never_runs_pairwise(spark, monkeypatch):
 
 @pytest.mark.parametrize(
     "opname",
-    ["dedup_simhash_pairs", "dedup_lsh_pairs", "dedup_lsh_jaccard_verified"],
+    [
+        "dedup_simhash_pairs",
+        "dedup_lsh_pairs",
+        "dedup_lsh_jaccard_verified",
+        "dedup_boilerplate_ngrams",
+        "dedup_minhash_clusters",
+    ],
 )
 def test_pair_generation_has_no_cartesian(spark, opname):
     from harvester_spark.operators import dedup
@@ -53,3 +59,18 @@ def test_pair_generation_has_no_cartesian(spark, opname):
     plan = _plan(df)
     assert "CartesianProduct" not in plan, opname
     assert "BroadcastNestedLoopJoin" not in plan, opname
+
+
+def test_unigram_logprob_broadcasts_model(spark):
+    """The unigram model join must be a broadcast (no shuffle on the skewed
+    term key); the only sort-merge/shuffled-hash exchange keys are doc_id."""
+    from harvester_spark.operators.fulltext_queries import ft_unigram_logprob
+
+    df = ft_unigram_logprob(spark, SF_DIR)
+    df.count()
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "SortMergeJoin" in line or "ShuffledHashJoin" in line:
+            assert "doc_id" in line, line
