@@ -536,31 +536,41 @@ FROM per GROUP BY source
 
 
 # Unigram-LM quality proxy (CCNet-style, Wenzek et al.): per-doc average
-# negative log-likelihood under the corpus unigram model p(term) =
-# cf(term)/total_tokens — the perplexity-bucketing signal web pipelines use
+# negative log-likelihood under a BOUNDED corpus unigram model — the top
+# VOCAB_K terms by collection frequency (cf desc, term asc tie-break, so
+# the model is deterministic); out-of-vocabulary tokens get the floor
+# p = 1/total. This is the perplexity-bucketing signal web pipelines use
 # to keep/drop/down-weight documents (low avg_nll ≈ head-term soup, high ≈
-# rare-term noise). Plan: the unigram model is vocabulary-sized →
-# BROADCAST to the per-(doc,term) frame (no shuffle on the skewed term
-# key); the only wide exchange is the doc_id groupBy. round(.,6) because
-# float SUM order is engine-dependent.
+# rare-term noise). Plan: the model is top-K by construction → always
+# BROADCASTable regardless of corpus vocabulary size (a full web vocab is
+# multi-GB; a fixed-K LM vocab mirrors CCNet's fixed SentencePiece vocab).
+# No shuffle ever touches the skewed term key; the only wide exchange is
+# the doc_id groupBy. round(.,6) because float SUM order is
+# engine-dependent.
+
+# 20 < the sf0.01 vocabulary (31 terms), so the OOV floor path is exercised
+# by the oracle gate; at web scale this would be a 10^5-ish configured vocab.
+VOCAB_K = 20
 
 
 def ft_unigram_logprob(spark, sf_dir):
     toks = doc_tokens(spark, sf_dir)
     tf = toks.groupBy("term").agg(F.count("*").alias("cf"))
+    top = tf.orderBy(F.col("cf").desc(), F.col("term").asc()).limit(VOCAB_K)
     tot = toks.agg(F.count("*").alias("total"))
-    model = F.broadcast(tf.crossJoin(tot))
+    model = F.broadcast(top.crossJoin(tot))
     dt = toks.groupBy("doc_id", "term").agg(F.count("*").alias("dtf"))
+    ln_p = F.log(F.coalesce(F.col("cf"), F.lit(1)) * 1.0 / F.col("total"))
     return (
-        dt.join(model, "term")
+        dt.join(model.drop("total"), "term", "left")
+        .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
             F.sum("dtf").cast("long").alias("n_tokens"),
-            F.round(
-                -F.sum(F.col("dtf") * F.log(F.col("cf") * 1.0 / F.col("total")))
-                / F.sum("dtf"),
-                6,
-            ).alias("avg_nll"),
+            F.sum(F.when(F.col("cf").isNull(), F.col("dtf")).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+            F.round(-F.sum(F.col("dtf") * ln_p) / F.sum("dtf"), 6).alias("avg_nll"),
         )
     )
 
@@ -568,12 +578,15 @@ def ft_unigram_logprob(spark, sf_dir):
 SQL_UNIGRAM_LOGPROB = f"""
 WITH toks AS ({SQL_DOC_TOKS}),
 tf AS (SELECT term, count(*) AS cf FROM toks GROUP BY term),
+top AS (SELECT term, cf FROM tf ORDER BY cf DESC, term ASC LIMIT {VOCAB_K}),
 tot AS (SELECT count(*) AS total FROM toks),
 dt AS (SELECT doc_id, term, count(*) AS dtf FROM toks GROUP BY 1, 2)
 SELECT doc_id,
        CAST(sum(dtf) AS BIGINT) AS n_tokens,
-       round(-sum(dtf * ln(cf * 1.0 / total)) / sum(dtf), 6) AS avg_nll
-FROM dt JOIN tf USING (term) CROSS JOIN tot
+       CAST(sum(CASE WHEN cf IS NULL THEN dtf ELSE 0 END) AS BIGINT) AS n_oov,
+       round(-sum(dtf * ln(coalesce(cf, 1) * 1.0 / total)) / sum(dtf), 6)
+           AS avg_nll
+FROM dt LEFT JOIN top USING (term) CROSS JOIN tot
 GROUP BY doc_id
 """
 
