@@ -492,6 +492,152 @@ GROUP BY a.doc_id
 """
 
 
+# Sloppy-phrase proximity ("a b c"~N simple_query_string syntax,
+# search/phrase.py::_sloppy_match_ids): ordered window — positions
+# pa < pb < pc with pc - pa ≤ (m-1) + slop. Relational form: doc_id
+# equi-joins (shuffle key = doc_id, never a cartesian) with the window
+# predicate as a pushed range condition; counts EVERY qualifying ordered
+# triple, so both engines agree without tie-break rules.
+
+SLOP_W = ("key", "value", "table")
+PHRASE_SLOP = 4
+
+
+def ft_phrase_slop(spark, sf_dir):
+    toks = doc_tokens(spark, sf_dir)
+    win = len(SLOP_W) - 1 + PHRASE_SLOP
+    a = toks.filter(F.col("term") == SLOP_W[0]).select("doc_id", F.col("pos").alias("pa"))
+    b = toks.filter(F.col("term") == SLOP_W[1]).select(
+        F.col("doc_id").alias("db"), F.col("pos").alias("pb")
+    )
+    c = toks.filter(F.col("term") == SLOP_W[2]).select(
+        F.col("doc_id").alias("dc"), F.col("pos").alias("pc")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("doc_id") == F.col("db"))
+            & (F.col("pb") > F.col("pa"))
+            & (F.col("pb") <= F.col("pa") + win),
+        )
+        .join(
+            c,
+            (F.col("doc_id") == F.col("dc"))
+            & (F.col("pc") > F.col("pb"))
+            & (F.col("pc") <= F.col("pa") + win),
+        )
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_windows"))
+    )
+
+
+SQL_PHRASE_SLOP = f"""
+WITH toks AS ({SQL_DOC_TOKS})
+SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_windows
+FROM toks a
+JOIN toks b ON b.doc_id = a.doc_id
+           AND b.pos > a.pos AND b.pos <= a.pos + {len(SLOP_W) - 1 + PHRASE_SLOP}
+JOIN toks c ON c.doc_id = a.doc_id
+           AND c.pos > b.pos AND c.pos <= a.pos + {len(SLOP_W) - 1 + PHRASE_SLOP}
+WHERE a.term = '{SLOP_W[0]}' AND b.term = '{SLOP_W[1]}' AND c.term = '{SLOP_W[2]}'
+GROUP BY a.doc_id
+"""
+
+
+# Fuzzy term query (term~N, search/sqs.py::Fuzzy): expand the DICTIONARY
+# within Levenshtein ≤ N (both engines' levenshtein is classic full edit
+# distance over these ASCII terms), then score AND(fuzzy leaf, plain term)
+# with the constant-score-expansion convention: the fuzzy leaf contributes
+# 1.0 per matching doc, the plain term its BM25. Scale shape: the
+# expansion set is a tiny distinct-terms frame → BROADCAST semi-join onto
+# the token stream; a cluster dictionary would prune with a length band /
+# Levenshtein automaton before the distance check (sqs.py::expand_fuzzy).
+
+FUZZY_Q, FUZZY_MAXD, FUZZY_AND_TERM = "valu", 1, "table"
+
+
+def ft_sqs_fuzzy(spark, sf_dir):
+    toks = doc_tokens(spark, sf_dir)
+    docs_n = load(spark, sf_dir, "documents")
+    exp = (
+        toks.select("term")
+        .distinct()
+        .filter(F.levenshtein(F.col("term"), F.lit(FUZZY_Q)) <= FUZZY_MAXD)
+    )
+    fuzzy_docs = toks.join(F.broadcast(exp), "term").select("doc_id").distinct()
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = docs_n.select(F.count("*").alias("n")).crossJoin(
+        dl.select((F.sum("dl") / F.count("*")).alias("avgdl"))
+    )
+    tf = (
+        toks.filter(F.col("term") == FUZZY_AND_TERM)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(fuzzy_docs, "doc_id", "semi")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(df_))
+        .withColumn(
+            "score",
+            F.round(
+                1.0
+                + F.log(1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                * (F.col("tf") * 2.2)
+                / (
+                    F.col("tf")
+                    + 1.2 * (1.0 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))
+                ),
+                6,
+            ),
+        )
+    )
+    # distributed top-k: orderBy+limit compiles to TakeOrderedAndProject
+    # (per-partition heaps + driver merge of 10); the rank window then runs
+    # over 10 rows, never a global single-partition sort
+    top = scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(10)
+    w = W.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "doc_id", "score"
+    )
+
+
+SQL_SQS_FUZZY = f"""
+WITH toks AS ({SQL_DOC_TOKS}),
+exp AS (
+  SELECT DISTINCT term FROM toks WHERE levenshtein(term, '{FUZZY_Q}') <= {FUZZY_MAXD}
+),
+fuzzy_docs AS (SELECT DISTINCT doc_id FROM toks JOIN exp USING (term)),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) * 1.0 / count(*) FROM dl) AS avgdl
+),
+tf AS (
+  SELECT doc_id, count(*) AS tf FROM toks
+  WHERE term = '{FUZZY_AND_TERM}' GROUP BY doc_id
+),
+df AS (SELECT count(*) AS df FROM tf),
+scored AS (
+  SELECT tf.doc_id,
+         round(1.0
+           + ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)), 6) AS score
+  FROM tf
+  JOIN fuzzy_docs USING (doc_id)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats CROSS JOIN df
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank,
+       doc_id, score
+FROM scored
+ORDER BY rank LIMIT 10
+"""
+
+
 # Per-source quality rollup (RefinedWeb-style domain filtering): web-scale
 # pipelines drop or down-weight whole domains by aggregate signals — doc
 # count, exact-dup rate (distinct normalized-text digests vs docs), token
@@ -682,7 +828,9 @@ SELECT term, count(*) AS doc_freq FROM (
 QUERIES = {
     "ft_term_doc_freq": (ft_term_doc_freq, SQL_TERM_DOC_FREQ),
     "ft_phrase_match": (ft_phrase_match, SQL_PHRASE_MATCH),
+    "ft_phrase_slop": (ft_phrase_slop, SQL_PHRASE_SLOP),
     "ft_sqs_match": (ft_sqs_match, SQL_SQS_MATCH),
+    "ft_sqs_fuzzy": (ft_sqs_fuzzy, SQL_SQS_FUZZY),
     "ft_source_quality": (ft_source_quality, SQL_SOURCE_QUALITY),
     "ft_unigram_logprob": (ft_unigram_logprob, SQL_UNIGRAM_LOGPROB),
     "ft_suggest_completion": (ft_suggest_completion, SQL_SUGGEST_COMPLETION),

@@ -520,21 +520,8 @@ def _split_phrases(query_text: str) -> tuple[list[str], str]:
     return [p for p in phrases if p.strip()], residual
 
 
-def _edit_distance_leq(a: str, b: str, maxd: int = 2) -> int | None:
-    """Banded Levenshtein; returns distance if ≤ maxd else None."""
-    if abs(len(a) - len(b)) > maxd:
-        return None
-    prev = list(range(len(b) + 1))
-    for i, ca in enumerate(a, 1):
-        cur = [i] + [0] * len(b)
-        lo = len(b) + 1
-        for j, cb in enumerate(b, 1):
-            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
-            lo = min(lo, cur[j])
-        if lo > maxd:
-            return None
-        prev = cur
-    return prev[-1] if prev[-1] <= maxd else None
+# the one edit-distance kernel lives next to the fuzzy-query machinery
+from harvester_spark.search.sqs import edit_distance_leq as _edit_distance_leq
 
 
 def _closest_term(t: str, d: pd.DataFrame) -> str | None:

@@ -33,6 +33,7 @@ from harvester_spark.index.codec import decode_blocks_batch, decode_positions
 # positions fit 22 bits (the reference caps extracted text at 10k words —
 # files/models/datatypes/file.py:182-185), doc ids fit the remaining 41.
 _POS_SHIFT = 22
+_POS_MASK = (1 << _POS_SHIFT) - 1
 from harvester_spark.search import bm25
 from harvester_spark.search.engine import IndexSearcher, SearchResult
 
@@ -75,9 +76,15 @@ def _decode_term_positions(blocks: pd.DataFrame):
 
 
 def phrase_match_ids(
-    searcher: IndexSearcher, phrase_text: str, lang: str = ALL_LANG
+    searcher: IndexSearcher, phrase_text: str, lang: str = ALL_LANG, slop: int = 0
 ) -> np.ndarray:
-    """ALL docIDs containing the exact phrase — via positional postings.
+    """ALL docIDs containing the phrase — via positional postings.
+
+    ``slop`` > 0 (``"a b"~N`` simple_query_string syntax) relaxes adjacency
+    to ORDERED proximity: positions p_0 < … < p_{m-1} matching the words in
+    order with window (p_last - p_0) ≤ (m-1) + slop; slop=0 is exact
+    adjacency (out-of-order/transposed matching — Lucene's slop ≥ 2
+    extension — is intentionally not implemented; documented subset).
 
     Vectorized adjacency: the phrase occurs at base position b in doc d iff
     every constraint (term_key, offset o) has (d, b+o) in its positions.
@@ -94,6 +101,8 @@ def phrase_match_ids(
     phrase = tokenize(phrase_text)
     if not phrase:
         return np.empty(0, np.int64)
+    if slop > 0 and len(phrase) > 1:
+        return _sloppy_match_ids(searcher, phrase, lang, slop)
 
     constraints: list[tuple[str, int]] = [(t, o) for o, t in enumerate(phrase)]
     cg = searcher.common_grams()
@@ -154,6 +163,82 @@ def phrase_match_ids(
             return np.empty(0, np.int64)
         cand_docs = np.unique(keys >> _POS_SHIFT)
     return cand_docs.astype(np.int64)
+
+
+def _sloppy_match_ids(
+    searcher: IndexSearcher, phrase: list, lang: str, slop: int
+) -> np.ndarray:
+    """Ordered-proximity matching, fully vectorized.
+
+    1. decode positional postings per distinct word, pruning each later
+       word's blocks to the surviving candidate docID span (df-ascending,
+       the exact path's pruning order);
+    2. AND-intersect candidate docs on sorted id arrays;
+    3. greedy minimal-successor chaining over packed
+       ``(doc << SHIFT) | pos`` keys: one ``searchsorted`` per phrase slot
+       advances EVERY start occurrence at once — for a fixed start p_0 the
+       minimal next-position chain minimizes the window end, so checking
+       the greedy chain is exact. No per-candidate Python loop; common-gram
+       bigrams don't apply (they encode adjacency, not proximity)."""
+    from harvester_spark.search.engine import _span_hits
+
+    empty = np.empty(0, np.int64)
+    terms = sorted(set(phrase))
+    dfs = searcher._dfs(terms, lang)
+    if any(dfs[t] == 0 for t in terms):
+        return empty
+    blocks = searcher._term_postings(terms, lang, with_positions=True)
+
+    decoded: dict[str, tuple] = {}
+    cand: np.ndarray | None = None
+    for t in sorted(terms, key=lambda t: (dfs[t], t)):
+        tb = blocks[blocks["term"] == t]
+        if cand is not None and len(tb):
+            bases = tb["base_doc_id"].to_numpy()
+            uppers = tb["max_doc_id"].to_numpy()
+            keep = np.fromiter(
+                (_span_hits(cand, int(lo), int(hi)) for lo, hi in zip(bases, uppers)),
+                dtype=bool,
+                count=len(bases),
+            )
+            tb = tb[keep]
+        ids, lens, flat, starts = _decode_term_positions(tb)
+        decoded[t] = (ids, lens, flat, starts)
+        cand = ids if cand is None else cand[bm25.sorted_member_mask(cand, ids)]
+        if cand.size == 0:
+            return empty
+
+    keys: dict[str, np.ndarray] = {}
+    for t in terms:
+        ids, lens, flat, starts = decoded[t]
+        sel = np.flatnonzero(bm25.sorted_member_mask(ids, cand))
+        lens_s = lens[sel]
+        total = int(lens_s.sum())
+        if total == 0:
+            return empty
+        out_starts = np.concatenate(([0], np.cumsum(lens_s)[:-1]))
+        gidx = (
+            np.repeat(starts[sel], lens_s)
+            + np.arange(total)
+            - np.repeat(out_starts, lens_s)
+        )
+        keys[t] = (np.repeat(ids[sel], lens_s) << _POS_SHIFT) | flat[gidx]
+
+    cur = keys[phrase[0]]
+    start = cur
+    for w in phrase[1:]:
+        nk = keys[w]
+        idx = np.searchsorted(nk, cur + 1, side="left")
+        ok = idx < nk.size
+        nxt = nk[np.minimum(idx, nk.size - 1)]
+        ok &= (nxt >> _POS_SHIFT) == (cur >> _POS_SHIFT)
+        cur, start = nxt[ok], start[ok]
+        if cur.size == 0:
+            return empty
+    win = (cur & _POS_MASK) - (start & _POS_MASK)
+    return np.unique((cur >> _POS_SHIFT)[win <= len(phrase) - 1 + slop]).astype(
+        np.int64
+    )
 
 
 def positional_phrase_search(

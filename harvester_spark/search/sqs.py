@@ -1,26 +1,31 @@
 """``simple_query_string`` operator surface: ``-`` negation, ``|`` OR,
-trailing-``*`` prefix, ``( )`` grouping, quoted phrases — over the index.
+trailing-``*`` prefix, ``~N`` fuzzy terms, ``( )`` grouping, quoted
+phrases with optional ``~N`` slop — over the index.
 
 The reference queries OpenSearch with ``simple_query_string``,
 ``default_operator: and`` and ALL default flags enabled
 (/root/reference/harvester/core/models/search/query.py:73-98), so its users
-type ``-term``, ``a | b``, ``pre*`` and ``"exact phrase"`` in the search
-box. Round 1/2 served only the AND + quoted-phrase subset; this module
-completes the grammar:
+can type ``-term``, ``a | b``, ``pre*``, ``term~1``, ``"exact phrase"``
+and ``"near phrase"~2`` in the search box. This module serves the full
+grammar:
 
-Grammar (Lucene ``SimpleQueryParser`` subset — whitespace = the default
+Grammar (Lucene ``SimpleQueryParser`` — whitespace = the default
 AND operator, ``|`` = OR, equal precedence, LEFT-associative, so
 ``a b | c`` ≡ ``(a AND b) OR c`` and ``a | b c`` ≡ ``(a OR b) AND c``)::
 
     query  := clause ( '|'? clause )*
     clause := '-'? atom
-    atom   := '(' query ')' | '"' words '"' | WORD '*'?
+    atom   := '(' query ')' | '"' words '"' slop? | WORD ('*' | fuzz)?
+    fuzz   := '~' digits?        (max edits; bare ~ = 2, capped at 2)
+    slop   := '~' digits         (ordered proximity window slack)
 
 ``-`` negates only at the start of a whitespace-delimited chunk (so
 ``state-of-the-art`` stays four AND'ed terms, exactly like the plain
 path); other un-grammatical input degrades leniently to terms, never an
-error (SimpleQueryParser contract). ``~N`` fuzzy/slop and ``NEAR`` are not
-implemented (the reference UI never emits them).
+error (SimpleQueryParser contract). Fuzzy matches dictionary terms within
+banded Levenshtein ≤ N; sloppy phrases match ordered proximity (window ≤
+len-1+slop — Lucene's out-of-order slop ≥ 2 transpositions are a
+documented non-goal).
 
 Matching is BooleanQuery semantics per level: positives intersect (AND) or
 union (OR); a negated clause excludes its matches from the level's result
@@ -31,9 +36,9 @@ negative clauses matches nothing.
 Scoring is Lucene BooleanQuery scoring, made bit-deterministic: a node
 contributes only where the WHOLE node matches; leaves contribute the
 shared-kernel BM25 of their term (phrases: constituent terms in
-(df asc, term asc) order, the existing phrase contract), prefixes
-contribute constant 1.0 per matching doc (Lucene's CONSTANT_SCORE rewrite
-for multi-term expansion); children accumulate in parse order. The
+(df asc, term asc) order, the existing phrase contract), prefix and fuzzy
+leaves contribute constant 1.0 per matching doc (Lucene's CONSTANT_SCORE
+rewrite for multi-term expansion); children accumulate in parse order. The
 brute-force oracle walks the SAME tree over re-tokenized text with an
 independent matcher, so engine == oracle holds to the last float bit.
 
@@ -59,6 +64,25 @@ from harvester_spark.search.engine import IndexSearcher, SearchResult
 _WORD_RE = re.compile(r"[A-Za-z0-9_]+", re.ASCII)
 
 
+def edit_distance_leq(a: str, b: str, maxd: int = 2) -> int | None:
+    """Banded Levenshtein; returns distance if ≤ maxd else None. The ONE
+    edit-distance kernel — fuzzy expansion (engine + brute oracle) and
+    ``did_you_mean`` all share it, like the BM25 kernel."""
+    if abs(len(a) - len(b)) > maxd:
+        return None
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i] + [0] * len(b)
+        lo = len(b) + 1
+        for j, cb in enumerate(b, 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            lo = min(lo, cur[j])
+        if lo > maxd:
+            return None
+        prev = cur
+    return prev[-1] if prev[-1] <= maxd else None
+
+
 # ------------------------------------------------------------------ AST
 
 
@@ -73,8 +97,22 @@ class Prefix:
 
 
 @dataclass
+class Fuzzy:
+    """``term~N``: Lucene ``FuzzyQuery`` — matches dictionary terms within
+    Levenshtein distance ≤ ``max_edits`` (capped at 2, Lucene's
+    ``LevenshteinAutomata`` maximum; bare ``~`` defaults to 2)."""
+
+    term: str
+    max_edits: int = 2
+
+
+@dataclass
 class Phrase:
+    """Quoted group; ``slop`` > 0 (``"a b"~N``) relaxes adjacency to an
+    ordered proximity window (see :func:`phrase_match_ids`)."""
+
     words: list
+    slop: int = 0
 
 
 @dataclass
@@ -108,11 +146,14 @@ def _lex(q: str) -> list[tuple[str, str]]:
         if c == '"':
             j = q.find('"', i + 1)
             if j == -1:  # unbalanced quote: lenient — rest of string is the phrase
-                out.append(("PHRASE", q[i + 1 :]))
+                out.append(("PHRASE", (q[i + 1 :], 0)))
                 i = n
             else:
-                out.append(("PHRASE", q[i + 1 : j]))
-                i = j + 1
+                slop, i2 = _tilde_number(q, j + 1)
+                # "a b"~N = phrase slop (Lucene NEAR); bare ~ after a quote
+                # carries no number → slop 0 (lenient, like stray punctuation)
+                out.append(("PHRASE", (q[i + 1 : j], slop if slop is not None else 0)))
+                i = i2
             continue
         if c in "()|":
             out.append((c, c))
@@ -133,11 +174,28 @@ def _lex(q: str) -> list[tuple[str, str]]:
             if i < n and q[i] == "*":
                 out.append(("PREFIX", w))
                 i += 1
+            elif i < n and q[i] == "~":
+                edits, i = _tilde_number(q, i)
+                # term~N = fuzzy; bare ~ defaults to 2, ~0 degrades to the
+                # plain term, N > 2 caps at 2 (Lucene SimpleQueryParser)
+                edits = 2 if edits is None else min(edits, 2)
+                out.append(("WORD", w) if edits == 0 else ("FUZZY", (w, edits)))
             else:
                 out.append(("WORD", w))
             continue
         i += 1  # analyzer-invisible punctuation
     return out
+
+
+def _tilde_number(q: str, i: int) -> tuple[int | None, int]:
+    """Parse ``~[digits]`` at ``q[i:]`` → (number or None, next index).
+    Returns (None, i) when there is no tilde; bare ``~`` gives (None, i+1)."""
+    if i >= len(q) or q[i] != "~":
+        return None, i
+    j = i + 1
+    while j < len(q) and q[j].isdigit():
+        j += 1
+    return (int(q[i + 1 : j]) if j > i + 1 else None), j
 
 
 # --------------------------------------------------------------- parser
@@ -171,13 +229,19 @@ def _parse(tokens: list, pos: int, depth: int = 0):
         if tt == "(":
             node, pos = _parse(tokens, pos + 1, depth + 1)
         elif tt == "PHRASE":
-            words = tokenize(tv)
+            text, slop = tv
+            words = tokenize(text)
             node = (
-                Phrase(words) if len(words) > 1 else (Term(words[0]) if words else None)
+                Phrase(words, slop)
+                if len(words) > 1
+                else (Term(words[0]) if words else None)
             )
             pos += 1
         elif tt == "PREFIX":
             node = Prefix(tv)
+            pos += 1
+        elif tt == "FUZZY":
+            node = Fuzzy(tv[0], tv[1])
             pos += 1
         else:  # WORD
             node = Term(tv)
@@ -199,9 +263,14 @@ def _parse(tokens: list, pos: int, depth: int = 0):
 
 
 def has_operators(query_text: str) -> bool:
-    """True when the query uses grammar beyond plain AND terms + phrases —
-    the router between the optimized plain paths and the SQS evaluator."""
-    return any(tt in ("NOT", "PREFIX", "(", "|") for tt, _tv in _lex(query_text or ""))
+    """True when the query uses grammar beyond plain AND terms + exact
+    phrases — the router between the optimized plain paths and the SQS
+    evaluator (sloppy phrases and fuzzy terms route here too)."""
+    return any(
+        tt in ("NOT", "PREFIX", "FUZZY", "(", "|")
+        or (tt == "PHRASE" and tv[1] > 0)
+        for tt, tv in _lex(query_text or "")
+    )
 
 
 # ------------------------------------------------------- engine evaluation
@@ -217,6 +286,8 @@ class _IndexEval:
         self._postings: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         self._dfs: dict[str, int] = {}
         self._prefix_terms: dict[str, list[str]] = {}
+        self._fuzzy_terms: dict[tuple[str, int], list[str]] = {}
+        self._lang_terms: np.ndarray | None = None
 
     # -- leaf data ---------------------------------------------------------
 
@@ -276,6 +347,48 @@ class _IndexEval:
         self._prefix_terms[prefix] = out
         return out
 
+    def expand_fuzzy(self, term: str, max_edits: int) -> list[str]:
+        """Dictionary terms within Levenshtein ≤ ``max_edits`` of ``term``.
+
+        Candidate pruning is a pushed length band (edit distance ≥ length
+        difference); the banded DP then rejects most survivors in O(maxd)
+        rows. A production-cluster dictionary would serve this from a
+        Levenshtein automaton over the sorted term FST (Lucene's approach);
+        at the sandbox's dictionary sizes the banded scan is exact and fast,
+        and the expansion is cached per (term, max_edits)."""
+        key = (term, max_edits)
+        if key in self._fuzzy_terms:
+            return self._fuzzy_terms[key]
+        if self._lang_terms is None:
+            s = self.searcher
+            if s._pa_dictionary is not None:
+                import pyarrow.dataset as ds
+
+                terms = s._pa_dictionary.to_table(
+                    filter=ds.field("lang") == self.lang, columns=["term"]
+                )["term"].to_pylist()
+            else:
+                from pyspark.sql import functions as F
+
+                terms = [
+                    r["term"]
+                    for r in s.dictionary.filter(F.col("lang") == self.lang)
+                    .select("term")
+                    .collect()
+                ]
+            # bigram common-grams tokens are not user-visible terms
+            self._lang_terms = np.array(
+                sorted({t for t in terms if " " not in t}), dtype=object
+            )
+        cand = self._lang_terms
+        lens = np.char.str_len(cand.astype(str))
+        cand = cand[np.abs(lens - len(term)) <= max_edits]
+        out = sorted(
+            t for t in cand if edit_distance_leq(term, t, max_edits) is not None
+        )
+        self._fuzzy_terms[key] = out
+        return out
+
     # -- match sets --------------------------------------------------------
 
     def match_ids(self, node) -> np.ndarray:
@@ -285,8 +398,12 @@ class _IndexEval:
         if isinstance(node, Term):
             self.load_terms([node.term])
             return self._postings[node.term][0]
-        if isinstance(node, Prefix):
-            terms = self.expand_prefix(node.prefix)
+        if isinstance(node, (Prefix, Fuzzy)):
+            terms = (
+                self.expand_prefix(node.prefix)
+                if isinstance(node, Prefix)
+                else self.expand_fuzzy(node.term, node.max_edits)
+            )
             if not terms:
                 return np.empty(0, np.int64)
             self.load_terms(terms)
@@ -295,7 +412,9 @@ class _IndexEval:
         if isinstance(node, Phrase):
             from harvester_spark.search.phrase import phrase_match_ids
 
-            return phrase_match_ids(self.searcher, " ".join(node.words), self.lang)
+            return phrase_match_ids(
+                self.searcher, " ".join(node.words), self.lang, slop=node.slop
+            )
         if isinstance(node, (And, Or)):
             l_neg, r_neg = isinstance(node.left, Not), isinstance(node.right, Not)
             lm = None if l_neg else self.match_ids(node.left)
@@ -341,10 +460,13 @@ class _IndexEval:
                     tfv[pos], dl[mask], avgdl
                 )
             return mask, scores
-        if isinstance(node, Prefix):
+        if isinstance(node, (Prefix, Fuzzy)):
+            # CONSTANT_SCORE = 1.0: the multi-term-expansion convention
+            # shared by prefix and fuzzy leaves (Lucene's constant-score
+            # rewrite), keeping scores expansion-set-size independent
             pm = self.match_ids(node)
             mask = bm25.sorted_member_mask(M, pm)
-            return mask, mask.astype(np.float64)  # CONSTANT_SCORE = 1.0
+            return mask, mask.astype(np.float64)
         if isinstance(node, Phrase):
             pm = self.match_ids(node)
             mask = bm25.sorted_member_mask(M, pm)
@@ -423,6 +545,34 @@ def sqs_search(
     return SearchResult(query_text, lang, topk, total)
 
 
+def _sloppy_contains(ts: list[str], words: list[str], slop: int) -> bool:
+    """Ordered proximity: strictly increasing positions p_0 < … < p_{m-1}
+    with ts[p_i] == words[i] and window (p_last - p_0) ≤ (m-1) + slop.
+    slop=0 reduces exactly to adjacency. Greedy minimal-successor chaining
+    is optimal for this criterion (fixing p_0, each minimal next position
+    minimizes the window end) — the same algorithm the index path runs
+    vectorized."""
+    pos: dict[str, list[int]] = {}
+    for w in set(words):
+        pos[w] = [i for i, t in enumerate(ts) if t == w]
+        if not pos[w]:
+            return False
+    import bisect
+
+    budget = len(words) - 1 + slop
+    for p0 in pos[words[0]]:
+        cur = p0
+        for w in words[1:]:
+            nxt = bisect.bisect_right(pos[w], cur)
+            if nxt == len(pos[w]):
+                cur = None
+                break
+            cur = pos[w][nxt]
+        if cur is not None and cur - p0 <= budget:
+            return True
+    return False
+
+
 # ------------------------------------------------------ brute-force oracle
 
 
@@ -455,13 +605,25 @@ class _BruteEval:
             for i, ts in enumerate(self.tokens):
                 m[i] = any(t.startswith(node.prefix) for t in ts)
             return m
+        if isinstance(node, Fuzzy):
+            m = np.zeros(n, dtype=bool)
+            for i, ts in enumerate(self.tokens):
+                m[i] = any(
+                    edit_distance_leq(node.term, t, node.max_edits) is not None
+                    for t in set(ts)
+                )
+            return m
         if isinstance(node, Phrase):
             m = np.zeros(n, dtype=bool)
             w = node.words
-            for i, ts in enumerate(self.tokens):
-                m[i] = any(
-                    ts[j : j + len(w)] == w for j in range(len(ts) - len(w) + 1)
-                )
+            if node.slop:
+                for i, ts in enumerate(self.tokens):
+                    m[i] = _sloppy_contains(ts, w, node.slop)
+            else:
+                for i, ts in enumerate(self.tokens):
+                    m[i] = any(
+                        ts[j : j + len(w)] == w for j in range(len(ts) - len(w) + 1)
+                    )
             return m
         if isinstance(node, (And, Or)):
             l_neg, r_neg = isinstance(node.left, Not), isinstance(node.right, Not)
@@ -497,7 +659,7 @@ class _BruteEval:
                     tfv[mask], dl[cand][mask], avgdl
                 )
             return mask, scores
-        if isinstance(node, Prefix):
+        if isinstance(node, (Prefix, Fuzzy)):
             mask = self.match(node)[cand]
             return mask, mask.astype(np.float64)
         if isinstance(node, Phrase):

@@ -98,3 +98,51 @@ def test_positional_phrase_repeated_term(env):
         got = positional_phrase_search(searcher, q, k=10).topk
         exp = brute_force_phrase(docs_pdf, q, k=10)
         assert list(got["doc_id"]) == list(exp["doc_id"]), q
+
+
+# ------------------------------------------------------------- phrase slop
+
+
+from harvester_spark.analysis import tokenize as _tok
+from harvester_spark.search.sqs import _sloppy_contains
+
+
+def _brute_slop_ids(docs_pdf, words, slop):
+    return sorted(
+        int(r.doc_id)
+        for r in docs_pdf.itertuples(index=False)
+        if _sloppy_contains(_tok(r.text or ""), words, slop)
+    )
+
+
+def test_sloppy_phrase_semantics(env):
+    """phrase_match_ids(slop=N) == the independent ordered-proximity oracle;
+    matches grow monotonically with slop; slop=0 equals the exact path."""
+    searcher, _documents, docs_pdf = env
+    for q in ["w00000 w00001", "table hash", "wand wand", "block block max"]:
+        words = q.split()
+        prev: set | None = None
+        for slop in [1, 2, 5]:
+            got = sorted(phrase_match_ids(searcher, q, slop=slop).tolist())
+            assert got == _brute_slop_ids(docs_pdf, words, slop), (q, slop)
+            if prev is not None:
+                assert prev <= set(got), (q, slop)
+            prev = set(got)
+        exact = sorted(phrase_match_ids(searcher, q).tolist())
+        assert exact == _brute_slop_ids(docs_pdf, words, 0), q
+
+
+def test_sloppy_phrase_fuzz(env):
+    """Random phrases × random slops over the built corpus vs the oracle."""
+    import random
+
+    searcher, _documents, docs_pdf = env
+    rng = random.Random(7)
+    vocab = ["table", "hash", "w00000", "w00001", "term_7", "wand", "block", "max"]
+    for _ in range(40):
+        words = [rng.choice(vocab) for _ in range(rng.randint(2, 3))]
+        slop = rng.randint(1, 4)
+        got = sorted(
+            phrase_match_ids(searcher, " ".join(words), slop=slop).tolist()
+        )
+        assert got == _brute_slop_ids(docs_pdf, words, slop), (words, slop)

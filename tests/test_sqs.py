@@ -12,6 +12,7 @@ from harvester_spark.search.api import SearchAPI
 from harvester_spark.search.engine import IndexSearcher
 from harvester_spark.search.sqs import (
     And,
+    Fuzzy,
     Not,
     Or,
     Phrase,
@@ -66,6 +67,16 @@ def test_parse_shapes():
     assert parse("...!") is None
     # uppercase folds like the analyzer
     assert parse("A -B") == And(Term("a"), Not(Term("b")))
+    # fuzzy: bare ~ defaults to 2, ~0 degrades to the term, caps at 2
+    assert parse("valu~1 x") == And(Fuzzy("valu", 1), Term("x"))
+    assert parse("foo~") == Fuzzy("foo", 2)
+    assert parse("foo~0") == Term("foo")
+    assert parse("foo~9") == Fuzzy("foo", 2)
+    # phrase slop; bare ~ after a quote is lenient slop-0
+    assert parse('"x y"~2 z') == And(Phrase(["x", "y"], 2), Term("z"))
+    assert parse('"x y"~ z') == And(Phrase(["x", "y"], 0), Term("z"))
+    # single-word phrase with slop still degrades to a term
+    assert parse('"solo"~3') == Term("solo")
 
 
 def test_has_operators_routing():
@@ -76,6 +87,10 @@ def test_has_operators_routing():
     assert has_operators("a | b")
     assert has_operators("pre*")
     assert has_operators("(a b) c")
+    assert has_operators("a~1")
+    assert has_operators("a~")
+    assert has_operators('"x y"~2')
+    assert not has_operators('"x y"~')  # lenient slop-0 stays a plain phrase
 
 
 # ----------------------------------------------------- engine == oracle
@@ -97,6 +112,14 @@ SQS_QUERIES = [
     "w00000 -zzzz_nohit",  # dead negative term: no-op
     "zzzz_nohit | w00000",  # dead OR branch
     "(w00000 -w00001) | (w00001 -w00000)",  # symmetric difference
+    "w00000~1",  # fuzzy: dense single-substitution family
+    "w00000~1 term_7",
+    "w0000x~1 | term_7",  # fuzzy on an absent term still expands
+    "zzzz_nohit~1",  # fuzzy with an empty expansion
+    '"w00000 w00001"~2',  # ordered proximity
+    '"w00000 w00001"~5 -term_7',
+    '"w00000 term_7"~3',
+    '(w00000~ | w00001) term_7',  # bare ~ = max_edits 2
 ]
 
 
@@ -144,7 +167,14 @@ def test_sqs_fuzz(sqs_env):
         if r < 0.15:
             return f"{rng.choice(vocab)[:4]}*"
         if r < 0.3:
-            return f'"{rng.choice(vocab)} {rng.choice(vocab)}"'
+            slop = "" if rng.random() < 0.5 else f"~{rng.randint(1, 6)}"
+            return f'"{rng.choice(vocab)} {rng.choice(vocab)}"{slop}'
+        if r < 0.42:
+            w = rng.choice(vocab)
+            if rng.random() < 0.5:  # mutate a char so expansion is non-trivial
+                i = rng.randrange(len(w))
+                w = w[:i] + rng.choice("xyz0") + w[i + 1 :]
+            return f"{w}~{rng.choice(['', '1', '2'])}"
         return rng.choice(vocab)
 
     for _ in range(60):
