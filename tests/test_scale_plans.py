@@ -74,3 +74,28 @@ def test_unigram_logprob_broadcasts_model(spark):
     for line in plan.splitlines():
         if "SortMergeJoin" in line or "ShuffledHashJoin" in line:
             assert "doc_id" in line, line
+
+def test_phrase_slop_no_cartesian(spark):
+    """The ordered-window joins must stay doc_id equi-joins with the window
+    predicate pushed as a range condition — never a cartesian product."""
+    from harvester_spark.operators.fulltext_queries import ft_phrase_slop
+
+    df = ft_phrase_slop(spark, SF_DIR)
+    df.count()
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sqs_fuzzy_broadcasts_expansion(spark):
+    """The levenshtein expansion set joins by BROADCAST (it is tiny by
+    construction); no global single-partition window sort — top-k compiles
+    to TakeOrderedAndProject."""
+    from harvester_spark.operators.fulltext_queries import ft_sqs_fuzzy
+
+    df = ft_sqs_fuzzy(spark, SF_DIR)
+    df.count()
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan

@@ -275,7 +275,17 @@ def test_sqs_over_deltas(sqs_env, spark, tmp_root):
     ds = DeltaSearcher(spark, inc)
     merged_pdf = merged.filter("state = 'active'").select(
         "doc_id", "text", "lang").toPandas()
-    for q in ["sqsdelta -w00001", "w00000 -sqsdelta", "sqsdelta | w00001"]:
+    # fuzzy expands over the BASE dictionary (the documented prefix/fuzzy
+    # delta gap) but expanded terms are served through the delta-aware
+    # block view; sloppy phrases read positional postings from the delta
+    for q in [
+        "sqsdelta -w00001",
+        "w00000 -sqsdelta",
+        "sqsdelta | w00001",
+        "w0000x~1 sqsdelta",
+        '"sqsdelta marker"~1',
+        '"sqsdelta unique"~3',
+    ]:
         got = sqs_search(ds, q, k=10).topk
         exp = brute_force_sqs(merged_pdf, q, k=10)
         assert list(got["doc_id"]) == list(exp["doc_id"]), q
