@@ -521,21 +521,32 @@ def _split_phrases(query_text: str) -> tuple[list[str], str]:
 
 
 # the one edit-distance kernel lives next to the fuzzy-query machinery
-from harvester_spark.search.sqs import edit_distance_leq as _edit_distance_leq
 
 
 def _closest_term(t: str, d: pd.DataFrame) -> str | None:
+    """Nearest dictionary term by (edit distance asc, df desc, term asc) —
+    distances via the vectorized shared kernel (sqs.levenshtein_leq_vec),
+    so a wide candidate slice filters in one DP pass, not a Python loop."""
+    from harvester_spark.search.sqs import levenshtein_leq_vec
+
     # cheap pre-filter: candidate terms within ±2 length sharing a first char
     cand = d[
         (d["term"].str.len().sub(len(t)).abs() <= 2)
         & (d["term"].str[0] == (t[0] if t else ""))
     ]
-    best, best_key = None, None
-    for term, df_ in zip(cand["term"], cand["df"]):
-        dist = _edit_distance_leq(t, term)
-        if dist is None or dist == 0:
-            continue
-        key = (dist, -df_, term)
-        if best_key is None or key < best_key:
-            best, best_key = term, key
-    return best
+    terms = np.array(list(cand["term"]), dtype=object)
+    if terms.size == 0:
+        return None
+    dfs = cand["df"].to_numpy()
+    lens = np.array([len(x) for x in terms], dtype=np.int64)
+    width = max(int(lens.max()), 1)
+    mat = terms.astype(f"S{width}").view(np.uint8).reshape(terms.size, width)
+    within2 = levenshtein_leq_vec(mat, lens, t, 2) & (terms != t)
+    if not within2.any():
+        return None
+    within1 = np.zeros(terms.size, dtype=bool)
+    within1[within2] = levenshtein_leq_vec(mat[within2], lens[within2], t, 1)
+    dist = np.where(within1, 1, 2)
+    ix = np.flatnonzero(within2)
+    order = sorted(ix, key=lambda i: (dist[i], -dfs[i], terms[i]))
+    return str(terms[order[0]])

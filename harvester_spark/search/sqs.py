@@ -64,6 +64,62 @@ from harvester_spark.search.engine import IndexSearcher, SearchResult
 _WORD_RE = re.compile(r"[A-Za-z0-9_]+", re.ASCII)
 
 
+def levenshtein_leq_vec(
+    cand_bytes: np.ndarray, cand_lens: np.ndarray, query: str, maxd: int
+) -> np.ndarray:
+    """Vectorized exact Levenshtein ≤ maxd over N fixed-width byte rows.
+
+    One DP column (shape (N, len(query)+1)) advances per candidate char
+    position — O(max_len × |query|) numpy ops total, independent of N, so
+    a multi-million-term dictionary filters in milliseconds instead of a
+    per-term Python loop. Exact prune before the DP: an edit introduces at
+    most ONE new char value, so a candidate missing > maxd of the query's
+    distinct chars cannot be within maxd (padding byte 0 never matches a
+    word char). Returns a boolean keep-mask. The scalar kernel
+    (:func:`edit_distance_leq`) stays the independent oracle the
+    rank-identity tests compare against."""
+    n = cand_bytes.shape[0]
+    q = np.frombuffer(query.encode(), dtype=np.uint8)
+    m = q.size
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    qdist = np.unique(q)
+    if qdist.size > maxd:
+        miss = np.zeros(n, dtype=np.int32)
+        for c in qdist:
+            miss += ~(cand_bytes == c).any(axis=1)
+        pre = miss <= maxd
+        if not pre.all():
+            out = np.zeros(n, dtype=bool)
+            out[pre] = levenshtein_leq_vec(
+                cand_bytes[pre], cand_lens[pre], query, maxd
+            )
+            return out
+    cand_lens = np.asarray(cand_lens, dtype=np.int64)
+    width = min(cand_bytes.shape[1], int(cand_lens.max(initial=0)))
+    col = np.broadcast_to(np.arange(m + 1, dtype=np.int32), (n, m + 1)).copy()
+    dist = np.full(n, np.iinfo(np.int32).max, dtype=np.int32)
+    done = cand_lens == 0
+    dist[done] = m
+    for j in range(1, width + 1):
+        cj = cand_bytes[:, j - 1]
+        new = np.empty_like(col)
+        new[:, 0] = j
+        # the cur[i-1]+1 (insertion) term needs the running minimum, which
+        # is sequential in i — m is the QUERY length (tiny), so this loop
+        # is over ≤ m scalar-vectorized steps, not over candidates
+        for i in range(1, m + 1):
+            new[:, i] = np.minimum(
+                np.minimum(col[:, i] + 1, new[:, i - 1] + 1),
+                col[:, i - 1] + (cj != q[i - 1]),
+            )
+        col = new
+        at_end = cand_lens == j
+        if at_end.any():
+            dist[at_end] = col[at_end, m]
+    return dist <= maxd
+
+
 def edit_distance_leq(a: str, b: str, maxd: int = 2) -> int | None:
     """Banded Levenshtein; returns distance if ≤ maxd else None. The ONE
     edit-distance kernel — fuzzy expansion (engine + brute oracle) and
@@ -273,6 +329,41 @@ def has_operators(query_text: str) -> bool:
     )
 
 
+def _fuzzy_dictionary(
+    searcher: IndexSearcher, lang: str
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(terms, fixed-width byte matrix, lengths) for one language's
+    dictionary, cached ON THE SEARCHER — a 2M-term dictionary encodes once
+    per index snapshot, not once per query (a per-query reload dominated
+    fuzzy latency: 22 s → ms on the 2M bench). Terms are ASCII by the
+    analyzer contract, so 1 byte per char."""
+    cache = searcher.__dict__.setdefault("_sqs_fuzzy_dict", {})
+    if lang not in cache:
+        if searcher._pa_dictionary is not None:
+            import pyarrow.dataset as ds
+
+            terms = searcher._pa_dictionary.to_table(
+                filter=ds.field("lang") == lang, columns=["term"]
+            )["term"].to_pylist()
+        else:
+            from pyspark.sql import functions as F
+
+            terms = [
+                r["term"]
+                for r in searcher.dictionary.filter(F.col("lang") == lang)
+                .select("term")
+                .collect()
+            ]
+        # bigram common-grams tokens are not user-visible terms
+        cand = np.array(sorted({t for t in terms if " " not in t}), dtype=object)
+        lens = np.array([len(t) for t in cand], dtype=np.int64)
+        width = max(int(lens.max()) if lens.size else 0, 1)
+        # fixed-width S dtype encodes + null-pads every term in one shot
+        mat = cand.astype(f"S{width}").view(np.uint8).reshape(len(cand), width)
+        cache[lang] = (cand, mat, lens)
+    return cache[lang]
+
+
 # ------------------------------------------------------- engine evaluation
 
 
@@ -287,7 +378,6 @@ class _IndexEval:
         self._dfs: dict[str, int] = {}
         self._prefix_terms: dict[str, list[str]] = {}
         self._fuzzy_terms: dict[tuple[str, int], list[str]] = {}
-        self._lang_terms: np.ndarray | None = None
 
     # -- leaf data ---------------------------------------------------------
 
@@ -351,41 +441,19 @@ class _IndexEval:
         """Dictionary terms within Levenshtein ≤ ``max_edits`` of ``term``.
 
         Candidate pruning is a pushed length band (edit distance ≥ length
-        difference); the banded DP then rejects most survivors in O(maxd)
-        rows. A production-cluster dictionary would serve this from a
-        Levenshtein automaton over the sorted term FST (Lucene's approach);
-        at the sandbox's dictionary sizes the banded scan is exact and fast,
+        difference); the vectorized DP (:func:`levenshtein_leq_vec`) then
+        filters all survivors at once over the searcher-cached byte matrix.
+        A production-cluster dictionary would serve this from a Levenshtein
+        automaton over the sorted term FST (Lucene's approach); the
+        vectorized scan is exact and ~ms at multi-million-term dictionaries,
         and the expansion is cached per (term, max_edits)."""
         key = (term, max_edits)
         if key in self._fuzzy_terms:
             return self._fuzzy_terms[key]
-        if self._lang_terms is None:
-            s = self.searcher
-            if s._pa_dictionary is not None:
-                import pyarrow.dataset as ds
-
-                terms = s._pa_dictionary.to_table(
-                    filter=ds.field("lang") == self.lang, columns=["term"]
-                )["term"].to_pylist()
-            else:
-                from pyspark.sql import functions as F
-
-                terms = [
-                    r["term"]
-                    for r in s.dictionary.filter(F.col("lang") == self.lang)
-                    .select("term")
-                    .collect()
-                ]
-            # bigram common-grams tokens are not user-visible terms
-            self._lang_terms = np.array(
-                sorted({t for t in terms if " " not in t}), dtype=object
-            )
-        cand = self._lang_terms
-        lens = np.char.str_len(cand.astype(str))
-        cand = cand[np.abs(lens - len(term)) <= max_edits]
-        out = sorted(
-            t for t in cand if edit_distance_leq(term, t, max_edits) is not None
-        )
+        cand, mat, lens = _fuzzy_dictionary(self.searcher, self.lang)
+        band = np.abs(lens - len(term)) <= max_edits
+        keep = levenshtein_leq_vec(mat[band], lens[band], term, max_edits)
+        out = sorted(cand[band][keep].tolist())
         self._fuzzy_terms[key] = out
         return out
 

@@ -28,6 +28,7 @@ def main() -> None:
     from harvester_spark.search.conjunctive import and_search_fast
     from harvester_spark.search.engine import IndexSearcher
     from harvester_spark.search.phrase import positional_phrase_search
+    from harvester_spark.search.sqs import sqs_search
     from harvester_spark.search.wand import or_search
     from harvester_spark.session import get_spark
 
@@ -80,6 +81,13 @@ def main() -> None:
         "three_head_and_fast": t(and_search_fast, s, "w00000 w00001 w00002", 10),
         "phrase_positional": t(positional_phrase_search, s, "block max wand", 10),
         "or_wand_3head": t(or_search, s, "w00000 w00001 w00002", 10),
+        # ~N grammar: fuzzy = dictionary scan + banded DP + expansion OR;
+        # sloppy rare-word phrase = positional chain over pruned blocks;
+        # sloppy head∧head = the decode-heavy pathology (common-grams can't
+        # help: bigrams encode adjacency, not proximity)
+        "fuzzy_1edit": t(sqs_search, s, "w0499x~1", 10),
+        "phrase_slop_rare": t(sqs_search, s, '"block max wand"~3', 10),
+        "phrase_slop_headhead": t(sqs_search, s, '"w00000 w00001"~2', 10),
     }
     if os.environ.get("HS_2M_COMMON_GRAMS") == "1":
         cg_s = IndexSearcher(spark, os.path.join(work, f"idx_{n_docs}_cg", "index"))

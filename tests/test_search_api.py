@@ -14,7 +14,8 @@ from harvester_spark.queryset import (
     reference_queries,
     synthetic_ratings,
 )
-from harvester_spark.search.api import Filters, SearchAPI, _edit_distance_leq
+from harvester_spark.search.api import Filters, SearchAPI
+from harvester_spark.search.sqs import edit_distance_leq as _edit_distance_leq
 from harvester_spark.search.engine import IndexSearcher
 
 N_DOCS = 300
@@ -289,3 +290,39 @@ def test_fetch_documents_request_order_and_pruning(api, spark):
     assert a.fetch_documents([10**9]) == []
     full = a.fetch_documents(want[:1])
     assert "text" in full[0] and "state" in full[0]
+
+
+def test_closest_term_vectorized_equals_scalar():
+    """_closest_term (vectorized kernel) == a scalar-kernel walk with the
+    same candidate pre-filter and (dist, -df, term) tie-break."""
+    import pandas as pd
+
+    from harvester_spark.search.api import _closest_term
+
+    d = pd.DataFrame(
+        {
+            "term": [
+                "w00000", "w00001", "w0000", "w000000", "wx0000",
+                "block", "blocks", "blocked", "b", "zzzz",
+            ],
+            "df": [900, 800, 50, 40, 30, 500, 600, 10, 5, 3],
+        }
+    )
+
+    def scalar(t):
+        cand = d[
+            (d["term"].str.len().sub(len(t)).abs() <= 2)
+            & (d["term"].str[0] == (t[0] if t else ""))
+        ]
+        best, best_key = None, None
+        for term, df_ in zip(cand["term"], cand["df"]):
+            dist = _edit_distance_leq(t, term)
+            if dist is None or dist == 0:
+                continue
+            key = (dist, -df_, term)
+            if best_key is None or key < best_key:
+                best, best_key = term, key
+        return best
+
+    for probe in ["w0000x", "block", "bloc", "w00000", "zz", "qqqq", "blokcs"]:
+        assert _closest_term(probe, d) == scalar(probe), probe

@@ -293,3 +293,33 @@ def test_sqs_over_deltas(sqs_env, spark, tmp_root):
             np.asarray(got["score"], dtype=np.float64)
             == np.asarray(exp["score"], dtype=np.float64)
         ).all(), q
+
+
+# -------------------------------------------- vectorized Levenshtein kernel
+
+
+def test_levenshtein_vec_matches_scalar_kernel():
+    """levenshtein_leq_vec (engine fuzzy expansion) == edit_distance_leq
+    (brute oracle) membership over a randomized dictionary — the two
+    kernels are independent implementations by design."""
+    from harvester_spark.search.sqs import edit_distance_leq, levenshtein_leq_vec
+
+    rng = np.random.default_rng(42)
+    alpha = np.array(list("abcdz_139"))
+    cands = [
+        "".join(rng.choice(alpha, size=rng.integers(0, 9)))
+        for _ in range(400)
+    ] + ["", "a", "abcd", "abcdabcd"]
+    queries = ["abcd", "a", "z_1", "abcdabc", "q"]
+    width = max(len(c) for c in cands)
+    mat = np.zeros((len(cands), width), dtype=np.uint8)
+    lens = np.array([len(c) for c in cands], dtype=np.int64)
+    for ix, c in enumerate(cands):
+        mat[ix, : len(c)] = np.frombuffer(c.encode(), dtype=np.uint8)
+    for q in queries:
+        for maxd in (0, 1, 2):
+            got = levenshtein_leq_vec(mat, lens, q, maxd)
+            exp = np.array(
+                [edit_distance_leq(q, c, maxd) is not None for c in cands]
+            )
+            assert (got == exp).all(), (q, maxd)
