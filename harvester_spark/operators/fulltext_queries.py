@@ -362,10 +362,13 @@ def ft_autocomplete_prefix(spark, sf_dir):
         .groupBy("term")
         .agg(F.countDistinct("doc_id").alias("df"))
     )
+    # distributed top-k: orderBy+limit = TakeOrderedAndProject (per-partition
+    # heaps, driver merge); the rank window then covers 10 rows, never a
+    # global single-partition sort over the whole prefix range
+    top = dfs.orderBy(F.col("df").desc(), F.col("term").asc()).limit(10)
     w = W.orderBy(F.col("df").desc(), F.col("term").asc())
     return (
-        dfs.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 10)
+        top.withColumn("rnk", F.row_number().over(w))
         .select("rnk", "term", "df")
     )
 

@@ -200,9 +200,16 @@ QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
 
 def t1_pagination(spark, sf_dir):
     orders = load(spark, sf_dir, "orders")
+    # page-k pagination = top-(page*size) then slice: orderBy+limit compiles
+    # to TakeOrderedAndProject (per-partition heaps, driver merge of 40), so
+    # the rank window covers 40 rows — never a global single-partition sort.
+    # Deep pagination stays bounded the way OpenSearch bounds it (10k cap).
+    top = orders.orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    ).limit(40)
     w = W.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
     return (
-        orders.withColumn("rn", F.row_number().over(w))
+        top.withColumn("rn", F.row_number().over(w))
         .filter((F.col("rn") > 20) & (F.col("rn") <= 40))
         .select("rn", "o_orderkey", cents("o_totalprice").alias("total_c"))
     )

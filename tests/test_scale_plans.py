@@ -99,3 +99,24 @@ def test_sqs_fuzzy_broadcasts_expansion(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+@pytest.mark.parametrize(
+    "opname",
+    ["t1_pagination", "ft_autocomplete_prefix"],
+)
+def test_topk_windows_rank_after_limit(spark, opname):
+    """Pagination / prefix-suggest top-k must compile to
+    TakeOrderedAndProject (per-partition heaps, driver merge) with the rank
+    window running AFTER the limit — a pre-limit global row_number pulls the
+    whole relation into one partition."""
+    from harvester_spark.operators import fulltext_queries, relational
+
+    fn = getattr(relational, opname, None) or getattr(fulltext_queries, opname)
+    df = fn(spark, SF_DIR)
+    assert df.count() > 0
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    # the window's child must be the limited exchange, not a full Sort of
+    # the source relation: TakeOrdered appears below Window in the plan tree
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject")
