@@ -146,6 +146,206 @@ def or_search_batch(
     )
 
 
+def phrase_search_batch(
+    spark: SparkSession,
+    searcher,
+    queries: list[tuple[str, str, int]],
+    k: int = 10,
+    lang: str = ALL_LANG,
+    n_ranges: int | None = None,
+) -> tuple[pd.DataFrame, dict]:
+    """Batch phrase top-k over docID ranges — the distributed twin of
+    ``positional_phrase_search`` (slop=0) and the sloppy-phrase path.
+
+    ``queries`` is ``(query_id, phrase_text, slop)``. Phrase matching is
+    per-document, so ranges verify independently: positional blocks for all
+    constraint terms scan ONCE with term+lang pushdown (the ``positions``
+    column is read only here), fan out to the ranges their span overlaps,
+    and each range runs the SAME packed-key kernels as the driver path
+    (:func:`harvester_spark.search.phrase.pack_offset_keys` /
+    :func:`chain_slop_keys`) on its masked slice. Scores use GLOBAL
+    df/idf/corpus stats (range-independent), so the k·ranges driver merge
+    equals the driver-side ranking exactly, and per-range match counts sum
+    to the EXACT total. This is the scale path for the head∧head phrase
+    pathology: the ~100M-position decode spreads across executors instead
+    of serializing on the driver.
+    """
+    from harvester_spark.search import bm25
+    from harvester_spark.search.phrase import (
+        _POS_SHIFT as _PS,
+        _decode_term_positions,
+        adjacency_constraints,
+        chain_slop_keys,
+        pack_offset_keys,
+        select_postings,
+    )
+
+    if not searcher.has_positions:
+        raise ValueError("phrase_search_batch requires a positional index")
+    if n_ranges is None:
+        n_ranges = max(4, int(spark.conf.get("spark.sql.shuffle.partitions", "8")) // 2)
+    empty = pd.DataFrame(columns=["query_id", "rank", "doc_id", "score"])
+    cg = searcher.common_grams()
+    specs: dict[str, tuple[list, int, list]] = {}
+    for qid, text, slop in queries:
+        words = tokenize(text)
+        if not words:
+            continue
+        constraints = (
+            adjacency_constraints(words, cg)
+            if slop == 0
+            else [(t, 0) for t in sorted(set(words))]
+        )
+        specs[qid] = (words, int(slop), constraints)
+    totals = {qid: 0 for qid, _t, _s in queries}
+    if not specs:
+        return empty, totals
+    all_terms = sorted(
+        {t for words, _s, cons in specs.values() for t, _o in cons}
+        | {w for words, _s, _c in specs.values() for w in words}
+    )
+    dfs = searcher._dfs(all_terms, lang)
+    # a dead word or dead bigram constraint ⇒ the phrase matches nothing
+    live = {
+        qid: spec
+        for qid, spec in specs.items()
+        if all(dfs.get(t, 0) > 0 for t, _o in spec[2])
+        and all(dfs.get(w, 0) > 0 for w in spec[0])
+    }
+    if not live:
+        return empty, totals
+    n_docs, avgdl = searcher._corpus_stats[lang]
+    doc_lens = searcher._doc_lens()
+    n_ids = len(doc_lens)
+    step = max(1, (n_ids + n_ranges - 1) // n_ranges)
+
+    sc = spark.sparkContext
+    bc_lens = sc.broadcast(doc_lens)
+    bc_dfs = sc.broadcast(dfs)
+    bc_queries = sc.broadcast(live)
+
+    blocks = searcher.postings.filter(F.col("term").isin(all_terms))
+    if lang != ALL_LANG:
+        blocks = blocks.filter(F.col("lang") == lang)
+    fanned = blocks.select(
+        "term", "base_doc_id", "max_doc_id", "n", "doc_deltas", "tfs", "positions",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("base_doc_id") / step),
+                F.floor(F.col("max_doc_id") / step),
+            )
+        ).alias("range_ix"),
+    )
+
+    def run_range(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["query_id", "doc_id", "score", "range_total"]
+        if not len(pdf):
+            return pd.DataFrame(columns=cols)
+        rix = int(pdf["range_ix"].iloc[0])
+        lo, hi = rix * step, (rix + 1) * step - 1
+        lens_g = bc_lens.value
+        dfs_g = bc_dfs.value
+        decoded: dict[str, tuple] = {}
+
+        def dec(t: str):
+            if t not in decoded:
+                ids, lens_, flat, starts = _decode_term_positions(
+                    pdf[pdf["term"] == t]
+                )
+                # straddling blocks: mask whole postings to this range (a
+                # doc's positions all live in its one range)
+                sel = np.flatnonzero((ids >= lo) & (ids <= hi))
+                if sel.size != ids.size:
+                    ids, lens_, flat, starts = select_postings(
+                        ids, lens_, flat, starts, sel
+                    )
+                decoded[t] = (ids, lens_, flat, starts)
+            return decoded[t]
+
+        out_rows = []
+        for qid, (words, slop, constraints) in bc_queries.value.items():
+            if slop == 0:
+                keys = None
+                dead = False
+                for t, o in sorted(
+                    constraints, key=lambda c: (dfs_g[c[0]], c[0], c[1])
+                ):
+                    ids, lens_, flat, _ = dec(t)
+                    if flat.size == 0:
+                        dead = True
+                        break
+                    kk = pack_offset_keys(ids, lens_, flat, o)
+                    keys = kk if keys is None else keys[
+                        bm25.sorted_member_mask(keys, kk)
+                    ]
+                    if keys.size == 0:
+                        dead = True
+                        break
+                matched = (
+                    np.empty(0, np.int64)
+                    if dead or keys is None
+                    else np.unique(keys >> _PS)
+                )
+            else:
+                wkeys: dict[str, np.ndarray] = {}
+                dead = False
+                for t in sorted(set(words)):
+                    ids, lens_, flat, _ = dec(t)
+                    if flat.size == 0:
+                        dead = True
+                        break
+                    wkeys[t] = pack_offset_keys(ids, lens_, flat, 0)
+                matched = (
+                    np.empty(0, np.int64)
+                    if dead
+                    else chain_slop_keys(wkeys, words, slop)
+                )
+            if matched.size == 0:
+                continue
+            dl = lens_g[matched]
+            scores = np.zeros(matched.size, dtype=np.float64)
+            for t in bm25.term_order(sorted(set(words)), dfs_g):
+                ids, tfv, _flat, _ = dec(t)
+                pos = np.searchsorted(ids, matched)
+                scores += bm25.idf(n_docs, dfs_g[t]) * bm25.tf_norm(
+                    tfv[pos], dl, avgdl
+                )
+            top = bm25.topk_order(scores, matched, k)
+            for i in top:
+                out_rows.append(
+                    (qid, int(matched[i]), float(scores[i]), int(matched.size))
+                )
+        return pd.DataFrame(out_rows, columns=cols)
+
+    parts = (
+        fanned.groupBy("range_ix")
+        .applyInPandas(
+            run_range,
+            "query_id string, doc_id long, score double, range_total long",
+        )
+        .toPandas()
+    )
+
+    frames = []
+    for qid, _t, _s in queries:
+        sub = parts[parts["query_id"] == qid]
+        if len(sub):
+            totals[qid] = int(
+                sub.drop_duplicates("doc_id")
+                .groupby(sub["doc_id"] // step)["range_total"]
+                .first()
+                .sum()
+            )
+        sub = sub.sort_values(
+            ["score", "doc_id"], ascending=[False, True]
+        ).head(k).reset_index(drop=True)
+        sub.insert(1, "rank", np.arange(1, len(sub) + 1))
+        frames.append(sub[["query_id", "rank", "doc_id", "score"]])
+    return (
+        pd.concat(frames, ignore_index=True) if frames else empty
+    ), totals
+
+
 def and_search_batch(
     spark: SparkSession,
     searcher,

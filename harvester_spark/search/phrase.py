@@ -75,6 +75,86 @@ def _decode_term_positions(blocks: pd.DataFrame):
     return ids[order], new_lens, flat[gidx], new_starts
 
 
+def select_postings(
+    ids: np.ndarray, lens: np.ndarray, flat: np.ndarray, starts: np.ndarray,
+    sel: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Gather postings (and their position slices) at indices ``sel`` into
+    contiguous arrays — the one slice-gather kernel shared by the driver
+    phrase paths and the per-range distributed kernel."""
+    lens_s = lens[sel]
+    total = int(lens_s.sum())
+    out_starts = np.concatenate(([0], np.cumsum(lens_s)[:-1]))
+    if total == 0:
+        return ids[sel], lens_s, np.empty(0, np.int64), out_starts
+    gidx = (
+        np.repeat(starts[sel], lens_s)
+        + np.arange(total)
+        - np.repeat(out_starts, lens_s)
+    )
+    return ids[sel], lens_s, flat[gidx], out_starts
+
+
+def pack_offset_keys(
+    ids: np.ndarray, lens: np.ndarray, flat: np.ndarray, offset: int
+) -> np.ndarray:
+    """Sorted packed ``(doc << SHIFT) | (pos - offset)`` keys for postings
+    whose ``flat`` positions are contiguous in ``ids``/``lens`` order (ids
+    ascending, positions ascending per doc ⇒ keys ascending)."""
+    docs_rep = np.repeat(ids, lens)
+    base = flat - offset
+    k = (docs_rep << _POS_SHIFT) | base
+    if offset > 0:
+        k = k[base >= 0]
+    return k
+
+
+def chain_slop_keys(
+    keys: dict[str, np.ndarray], phrase: list, slop: int
+) -> np.ndarray:
+    """Greedy minimal-successor chaining over per-word sorted packed keys →
+    sorted docIDs with an ordered match within window (len-1+slop). For a
+    fixed start p_0 the minimal next-position chain minimizes the window
+    end, so checking the greedy chain is exact."""
+    empty = np.empty(0, np.int64)
+    cur = keys[phrase[0]]
+    start = cur
+    for w in phrase[1:]:
+        nk = keys[w]
+        if nk.size == 0:
+            return empty
+        idx = np.searchsorted(nk, cur + 1, side="left")
+        ok = idx < nk.size
+        nxt = nk[np.minimum(idx, nk.size - 1)]
+        ok &= (nxt >> _POS_SHIFT) == (cur >> _POS_SHIFT)
+        cur, start = nxt[ok], start[ok]
+        if cur.size == 0:
+            return empty
+    win = (cur & _POS_MASK) - (start & _POS_MASK)
+    return np.unique((cur >> _POS_SHIFT)[win <= len(phrase) - 1 + slop]).astype(
+        np.int64
+    )
+
+
+def adjacency_constraints(phrase: list, common_grams: set | None) -> list:
+    """The (term, offset) constraint list for an exact phrase — with a
+    common-grams build, adjacent listed-term pairs collapse to one bigram
+    constraint."""
+    constraints: list[tuple[str, int]] = [(t, o) for o, t in enumerate(phrase)]
+    if common_grams:
+        covered = [False] * len(phrase)
+        bigrams: list[tuple[str, int]] = []
+        for o in range(len(phrase) - 1):
+            a, b = phrase[o], phrase[o + 1]
+            if a in common_grams and b in common_grams:
+                bigrams.append((f"{a} {b}", o))
+                covered[o] = covered[o + 1] = True
+        constraints = bigrams + [
+            (t, o) for o, t in enumerate(phrase) if not covered[o]
+        ]
+    return constraints
+
+
 def phrase_match_ids(
     searcher: IndexSearcher, phrase_text: str, lang: str = ALL_LANG, slop: int = 0
 ) -> np.ndarray:
@@ -104,19 +184,7 @@ def phrase_match_ids(
     if slop > 0 and len(phrase) > 1:
         return _sloppy_match_ids(searcher, phrase, lang, slop)
 
-    constraints: list[tuple[str, int]] = [(t, o) for o, t in enumerate(phrase)]
-    cg = searcher.common_grams()
-    if cg:
-        covered = [False] * len(phrase)
-        bigrams: list[tuple[str, int]] = []
-        for o in range(len(phrase) - 1):
-            a, b = phrase[o], phrase[o + 1]
-            if a in cg and b in cg:
-                bigrams.append((f"{a} {b}", o))
-                covered[o] = covered[o + 1] = True
-        constraints = bigrams + [
-            (t, o) for o, t in enumerate(phrase) if not covered[o]
-        ]
+    constraints = adjacency_constraints(phrase, searcher.common_grams())
 
     terms = sorted({t for t, _o in constraints})
     dfs = searcher._dfs(terms, lang)
@@ -140,24 +208,10 @@ def phrase_match_ids(
         ids, lens, flat, starts = _decode_term_positions(tb)
         if cand_docs is not None:
             sel = np.flatnonzero(bm25.sorted_member_mask(ids, cand_docs))
-        else:
-            sel = np.arange(ids.size)
-        lens_s = lens[sel]
-        total = int(lens_s.sum())
-        if total == 0:
+            ids, lens, flat, starts = select_postings(ids, lens, flat, starts, sel)
+        if flat.size == 0:
             return np.empty(0, np.int64)
-        out_starts = np.concatenate(([0], np.cumsum(lens_s)[:-1]))
-        gidx = (
-            np.repeat(starts[sel], lens_s)
-            + np.arange(total)
-            - np.repeat(out_starts, lens_s)
-        )
-        pos = flat[gidx]
-        docs_rep = np.repeat(ids[sel], lens_s)
-        base = pos - o
-        k = (docs_rep << _POS_SHIFT) | base
-        if o > 0:
-            k = k[base >= 0]
+        k = pack_offset_keys(ids, lens, flat, o)
         keys = k if keys is None else keys[bm25.sorted_member_mask(keys, k)]
         if keys.size == 0:
             return np.empty(0, np.int64)
@@ -212,33 +266,12 @@ def _sloppy_match_ids(
     for t in terms:
         ids, lens, flat, starts = decoded[t]
         sel = np.flatnonzero(bm25.sorted_member_mask(ids, cand))
-        lens_s = lens[sel]
-        total = int(lens_s.sum())
-        if total == 0:
+        ids_s, lens_s, flat_s, _ = select_postings(ids, lens, flat, starts, sel)
+        if flat_s.size == 0:
             return empty
-        out_starts = np.concatenate(([0], np.cumsum(lens_s)[:-1]))
-        gidx = (
-            np.repeat(starts[sel], lens_s)
-            + np.arange(total)
-            - np.repeat(out_starts, lens_s)
-        )
-        keys[t] = (np.repeat(ids[sel], lens_s) << _POS_SHIFT) | flat[gidx]
+        keys[t] = pack_offset_keys(ids_s, lens_s, flat_s, 0)
 
-    cur = keys[phrase[0]]
-    start = cur
-    for w in phrase[1:]:
-        nk = keys[w]
-        idx = np.searchsorted(nk, cur + 1, side="left")
-        ok = idx < nk.size
-        nxt = nk[np.minimum(idx, nk.size - 1)]
-        ok &= (nxt >> _POS_SHIFT) == (cur >> _POS_SHIFT)
-        cur, start = nxt[ok], start[ok]
-        if cur.size == 0:
-            return empty
-    win = (cur & _POS_MASK) - (start & _POS_MASK)
-    return np.unique((cur >> _POS_SHIFT)[win <= len(phrase) - 1 + slop]).astype(
-        np.int64
-    )
+    return chain_slop_keys(keys, phrase, slop)
 
 
 def positional_phrase_search(

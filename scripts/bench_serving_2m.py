@@ -89,6 +89,21 @@ def main() -> None:
         "phrase_slop_rare": t(sqs_search, s, '"block max wand"~3', 10),
         "phrase_slop_headhead": t(sqs_search, s, '"w00000 w00001"~2', 10),
     }
+    # distributed twins for the head∧head phrase pathologies: the ~100M-
+    # position decode spreads across executors by docID range instead of
+    # serializing on the driver (best-of-2: Spark jobs)
+    from harvester_spark.search.distributed import phrase_search_batch
+
+    def t2(qs):
+        best = float("inf")
+        for _ in range(2):
+            t1 = time.time()
+            phrase_search_batch(spark, s, qs, k=10, n_ranges=64)
+            best = min(best, time.time() - t1)
+        return round(best, 3)
+
+    res["phrase_headhead_batch"] = t2([("q", "w00000 w00001", 0)])
+    res["phrase_slop_headhead_batch"] = t2([("q", "w00000 w00001", 2)])
     if os.environ.get("HS_2M_COMMON_GRAMS") == "1":
         cg_s = IndexSearcher(spark, os.path.join(work, f"idx_{n_docs}_cg", "index"))
         cg_s._doc_lens()

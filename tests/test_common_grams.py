@@ -159,3 +159,22 @@ def test_randomized_repetition_battery(spark, tmp_root):
             np.asarray(a.topk["score"], np.float64)
             == np.asarray(b.topk["score"], np.float64)
         ).all(), phrase
+
+
+def test_batch_phrase_uses_bigram_constraints_on_cg_index(envs, spark):
+    """phrase_search_batch over a common-grams index == the driver path on
+    the same index (bigram constraints flow through the per-range kernel)."""
+    from harvester_spark.search.distributed import phrase_search_batch
+
+    _plain, cg, _docs, _ = envs
+    qs = [(f"p{i}", ph, 0) for i, ph in enumerate(PHRASES)]
+    got, totals = phrase_search_batch(spark, cg, qs, k=10, n_ranges=3)
+    for qid, ph, _slop in qs:
+        sub = got[got["query_id"] == qid].reset_index(drop=True)
+        exp = positional_phrase_search(cg, ph, k=10)
+        assert list(sub["doc_id"]) == list(exp.topk["doc_id"]), ph
+        assert (
+            np.asarray(sub["score"], np.float64)
+            == np.asarray(exp.topk["score"], np.float64)
+        ).all(), ph
+        assert totals[qid] == exp.results_total, ph

@@ -113,3 +113,39 @@ def test_batch_or_accumulate_strategy_identical(env):
         assert (a["score"].to_numpy() == w["score"].to_numpy()).all(), qid
         drv = or_search(searcher, qtext, k=10)
         assert list(a["doc_id"]) == list(drv["doc_id"]), qid
+
+
+PHRASES = [
+    ("p0", "block max wand", 0),
+    ("p1", "block max wand", 3),
+    ("p2", "w00000 w00001", 0),
+    ("p3", "w00000 w00001", 2),
+    ("p4", "block zzznohit", 0),
+    ("p5", "", 0),
+    ("p6", "wand", 0),  # single-word phrase degrades to a term match
+]
+
+
+@pytest.mark.parametrize("n_ranges", [1, 5])
+def test_batch_phrase_equals_driver_paths(env, n_ranges):
+    """phrase_search_batch == positional_phrase_search (slop 0) and the SQS
+    sloppy path (slop > 0) — docIDs, float64 scores, exact totals."""
+    from harvester_spark.search.distributed import phrase_search_batch
+    from harvester_spark.search.phrase import positional_phrase_search
+    from harvester_spark.search.sqs import sqs_search
+
+    spark, searcher = env
+    got, totals = phrase_search_batch(
+        spark, searcher, PHRASES, k=10, n_ranges=n_ranges
+    )
+    for qid, text, slop in PHRASES:
+        sub = got[got["query_id"] == qid].reset_index(drop=True)
+        if slop == 0 and text:
+            exp = positional_phrase_search(searcher, text, k=10)
+        else:
+            exp = sqs_search(searcher, f'"{text}"~{slop}', k=10)
+        assert list(sub["doc_id"]) == list(exp.topk["doc_id"]), (qid, n_ranges)
+        g = np.asarray(sub["score"], dtype=np.float64)
+        e = np.asarray(exp.topk["score"], dtype=np.float64)
+        assert g.shape == e.shape and (g == e).all(), (qid, n_ranges)
+        assert totals[qid] == exp.results_total, (qid, n_ranges)
