@@ -27,6 +27,26 @@ from harvester_spark.analysis import ALL_LANG, tokenize
 from harvester_spark.search.wand import _pick_or_strategy, or_accumulate_topk, wand_topk
 
 
+def _require_compacted(searcher, what: str) -> None:
+    """Distributed batch serving scans ``searcher.postings`` (the base
+    parquet) directly; over un-compacted deltas it would silently skip the
+    delta postings and tombstones. Freshness for point queries is
+    DeltaSearcher's driver-side job (synthetic merged blocks); batch
+    fan-out runs on compacted snapshots — compaction is bit-identical to a
+    rebuild and tested — matching how segmented engines run bulk scoring
+    on merged segments rather than the live tier."""
+    from harvester_spark.search.engine import read_delta_state
+
+    state = read_delta_state(searcher.index_dir)
+    if state and state.get("deltas"):
+        raise ValueError(
+            f"{what} scans the base postings; index at {searcher.index_dir} "
+            "has un-compacted deltas — compact first "
+            "(harvester_spark.streaming.compaction) or use the driver-side "
+            "search paths, which merge deltas per query"
+        )
+
+
 class RangeInterval:
     """Allowed-set view of a contiguous docID range [lo, hi]."""
 
@@ -59,6 +79,7 @@ def or_search_batch(
     executors (applyInPandas, numpy kernel), and the driver merges k·ranges
     rows per query.
     """
+    _require_compacted(searcher, "or_search_batch")
     if n_ranges is None:
         n_ranges = max(4, int(spark.conf.get("spark.sql.shuffle.partitions", "8")) // 2)
     empty = pd.DataFrame(columns=["query_id", "rank", "doc_id", "score"])
@@ -170,6 +191,7 @@ def phrase_search_batch(
     pathology: the ~100M-position decode spreads across executors instead
     of serializing on the driver.
     """
+    _require_compacted(searcher, "phrase_search_batch")
     from harvester_spark.search import bm25
     from harvester_spark.search.phrase import (
         _POS_SHIFT as _PS,
@@ -364,6 +386,7 @@ def and_search_batch(
     exactly), and per-range candidate counts sum to the EXACT total.
     Returns (stacked top-k frame, {query_id: exact_total}).
     """
+    _require_compacted(searcher, "and_search_batch")
     if n_ranges is None:
         n_ranges = max(4, int(spark.conf.get("spark.sql.shuffle.partitions", "8")) // 2)
     empty = pd.DataFrame(columns=["query_id", "rank", "doc_id", "score"])

@@ -264,10 +264,13 @@ class DeltaSearcher(IndexSearcher):
 
     Delta-awareness lives at the BLOCK interface (``_dfs`` and
     ``_term_postings`` are overridden to serve merged, tombstone-filtered
-    synthetic blocks), so every consumer — the inherited AND ``search``,
-    ``or_search`` (both strategies), the conjunctive fast path, distributed
-    range serving — sees the post-delta truth through one path instead of
-    each needing its own merge. Positional phrase search works over
+    synthetic blocks), so every DRIVER consumer — the inherited AND
+    ``search``, ``or_search`` (both strategies), the conjunctive fast path,
+    phrase search — sees the post-delta truth through one path instead of
+    each needing its own merge. The distributed batch paths
+    (``search.distributed``) scan the base postings parquet directly and
+    refuse un-compacted deltas (guarded): batch fan-out runs on compacted
+    snapshots, like segmented engines bulk-score on merged segments. Positional phrase search works over
     un-compacted deltas too: ``with_positions=True`` merges the per-posting
     position lists (base ∪ deltas, tombstone-filtered) and re-encodes them
     into the synthetic blocks, so quoted-phrase queries equal a rebuild

@@ -420,3 +420,44 @@ def test_delta_common_grams_phrase(spark, tmp_root):
     cs = IndexSearcher(spark, idx_dir)
     assert cs.common_grams() == frozenset(cg)
     assert list(phrase_match_ids(cs, "w00000 w00001")) == list(want)
+
+
+def test_batch_serving_refuses_uncompacted_deltas(spark, tmp_root):
+    """The distributed batch paths scan base postings parquet — on an index
+    with un-compacted deltas they must refuse (stale base scan) and work on
+    the compacted/rebuilt snapshot, equaling the delta-aware driver paths."""
+    from harvester_spark.search.distributed import (
+        and_search_batch,
+        or_search_batch,
+        phrase_search_batch,
+    )
+    from harvester_spark.streaming.incremental import DeltaSearcher
+
+    inc_dir = os.path.join(tmp_root, "stacked_index")
+    rb_dir = os.path.join(tmp_root, "stacked_rebuild")
+    if not os.path.exists(inc_dir):  # depends on the stacked fixture test
+        pytest.skip("stacked fixture not built")
+    ds = DeltaSearcher(spark, inc_dir)
+    with pytest.raises(ValueError, match="un-compacted"):
+        or_search_batch(spark, ds, [("q", "w00000")], k=5)
+    with pytest.raises(ValueError, match="un-compacted"):
+        and_search_batch(spark, ds, [("q", "w00000")], k=5)
+    with pytest.raises(ValueError, match="un-compacted"):
+        phrase_search_batch(spark, ds, [("q", "w00000 w00001", 0)], k=5)
+
+    # on the rebuilt (≡ compacted, bit-identical) snapshot, the batch path
+    # equals the delta-aware driver ranking
+    rs = IndexSearcher(spark, rb_dir)
+    got, totals = phrase_search_batch(
+        spark, rs, [("q", "charlie stacked", 0)], k=10, n_ranges=3
+    )
+    from harvester_spark.search.phrase import positional_phrase_search
+
+    exp = positional_phrase_search(ds, "charlie stacked", k=10)
+    sub = got[got["query_id"] == "q"].reset_index(drop=True)
+    assert list(sub["doc_id"]) == list(exp.topk["doc_id"])
+    assert (
+        np.asarray(sub["score"], np.float64)
+        == np.asarray(exp.topk["score"], np.float64)
+    ).all()
+    assert totals["q"] == exp.results_total
