@@ -23,8 +23,17 @@ from harvester_spark.operators import (
     multimodal,
     relational,
     similarity,
+    training_prep,
 )
 
 ALL_QUERIES: dict = {}
-for mod in (fulltext_queries, dedup, similarity, relational, multimodal, file_metadata):
+for mod in (
+    fulltext_queries,
+    dedup,
+    similarity,
+    relational,
+    multimodal,
+    file_metadata,
+    training_prep,
+):
     ALL_QUERIES.update(mod.QUERIES)

@@ -1,0 +1,213 @@
+"""Training-data preparation operators over ``documents``.
+
+Large-scale-training staples the driver brief calls first-class, beyond the
+dedup/similarity/quality families:
+
+- **sequence packing** (concat-then-chunk): assign every document its token
+  offset in the corpus-order concatenation and the fixed-length pack (context
+  window) range it lands in — the GPT-style "concatenate then split every
+  ``SEQ_LEN`` tokens" layout.
+- **domain mixture sampling**: deterministic hash-based subsampling with a
+  per-source rate — the mixture-reweighting step of corpus assembly.
+- **length bucketing**: integer token-length buckets per language for batch
+  scheduling.
+
+All outputs are integer-only (cross-engine hash-deterministic; see
+operators/__init__ rules).
+
+Scale notes (100 TB): the packing prefix-sum is the textbook scale trap — a
+window ``sum() OVER (ORDER BY doc_id)`` with no partition key collapses the
+whole corpus into ONE task. We compute it as a two-level prefix sum instead:
+per-shard totals (one row per ``PACK_SHARD`` docs) get a tiny driver-side
+cumulative pass, then a broadcast join seeds a PARTITIONED window inside each
+shard — every stage is shuffle-on-shard with bounded partitions. Mixture
+sampling and bucketing are map-only + one uniform groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W, functions as F
+
+from harvester_spark.analysis import tokens_column
+from harvester_spark.operators.common import SQL_TOKS, load
+
+SEQ_LEN = 256  # tokens per packed training sequence
+PACK_SHARD = 64  # docs per prefix-sum shard (tune ~10k at real scale)
+SAMPLE_MOD = 10_000  # basis-point granularity of the mixture sampler
+RATE_FLOOR_BP = 2_000  # every source keeps at least 20%
+BUCKET_W = 16  # tokens per length bucket
+
+
+def _hash56(col):
+    """56-bit integer hash of a string column (identical across engines —
+    same convention as operators/dedup.py)."""
+    return F.conv(F.substring(F.md5(col), 1, 14), 16, 10).cast("long")
+
+
+_SQL_HASH56 = "CAST(('0x' || substr(md5({col}), 1, 14)) AS BIGINT)"
+
+def _n_tokens():
+    return F.size(tokens_column(F.col("text"))).cast("long")
+
+
+_SQL_N_TOKENS = f"CAST(len({SQL_TOKS.format(col='text')}) AS BIGINT)"
+
+
+# ------------------------------------------------------------ sequence packing
+
+
+def pack_sequences(spark, sf_dir):
+    """Concat-then-chunk packing index: for each doc (corpus concatenation in
+    doc_id order), its global token ``start_offset`` and the [pack_first,
+    pack_last] range of SEQ_LEN-token training sequences it spans.
+
+    The reference has no packing analogue (it ships documents to OpenSearch
+    whole); this is the training-data layout step. Two-level prefix sum (see
+    module docstring) — no global single-partition window over documents.
+    """
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", _n_tokens().alias("n_tokens")
+    )
+    docs = docs.withColumn("shard", F.expr(f"doc_id div {PACK_SHARD}"))
+    shard_sums = docs.groupBy("shard").agg(F.sum("n_tokens").alias("shard_tokens"))
+    # one row per PACK_SHARD docs: the cumulative pass runs over n/PACK_SHARD
+    # rows, never the documents relation itself
+    w_sh = W.orderBy("shard").rowsBetween(W.unboundedPreceding, -1)
+    shard_off = shard_sums.select(
+        "shard",
+        F.coalesce(F.sum("shard_tokens").over(w_sh), F.lit(0)).alias("shard_offset"),
+    )
+    w_in = W.partitionBy("shard").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    out = (
+        docs.join(F.broadcast(shard_off), "shard")
+        .withColumn(
+            "start_offset",
+            (
+                F.col("shard_offset")
+                + F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0))
+            ).cast("long"),
+        )
+        .withColumn(
+            "pack_first", F.expr(f"start_offset div {SEQ_LEN}").cast("long")
+        )
+        .withColumn(
+            "pack_last",
+            F.expr(
+                f"(start_offset + greatest(n_tokens, 1) - 1) div {SEQ_LEN}"
+            ).cast("long"),
+        )
+        .withColumn(
+            "packs_spanned", (F.col("pack_last") - F.col("pack_first") + 1)
+        )
+    )
+    return out.select(
+        "doc_id", "n_tokens", "start_offset", "pack_first", "pack_last",
+        "packs_spanned",
+    )
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH d AS (
+  SELECT doc_id, {_SQL_N_TOKENS} AS n_tokens FROM documents
+),
+o AS (
+  SELECT doc_id, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+             ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS start_offset
+  FROM d
+)
+SELECT doc_id, n_tokens, start_offset,
+       start_offset // {SEQ_LEN} AS pack_first,
+       (start_offset + greatest(n_tokens, 1) - 1) // {SEQ_LEN} AS pack_last,
+       (start_offset + greatest(n_tokens, 1) - 1) // {SEQ_LEN}
+         - start_offset // {SEQ_LEN} + 1 AS packs_spanned
+FROM o
+"""
+
+
+# ------------------------------------------------------ domain mixture sample
+
+
+def domain_mixture_sample(spark, sf_dir):
+    """Deterministic mixture sampling: each source gets a hash-derived keep
+    rate in basis points (RATE_FLOOR_BP + hash % (SAMPLE_MOD-RATE_FLOOR_BP)),
+    and a doc survives iff hash56(source:doc_id) % SAMPLE_MOD < rate. Reports
+    per-source totals. Map-only + one groupBy on source — no skew (sources
+    are the grouping key, counts are map-side-combined)."""
+    docs = load(spark, sf_dir, "documents")
+    rate = (
+        F.lit(RATE_FLOOR_BP)
+        + _hash56(F.col("source")) % F.lit(SAMPLE_MOD - RATE_FLOOR_BP)
+    )
+    draw = _hash56(
+        F.concat_ws(":", F.col("source"), F.col("doc_id").cast("string"))
+    ) % F.lit(SAMPLE_MOD)
+    return (
+        docs.select(
+            "source",
+            rate.alias("rate_bp"),
+            F.when(draw < rate, 1).otherwise(0).cast("long").alias("kept"),
+        )
+        .groupBy("source", "rate_bp")
+        .agg(F.count("*").alias("n_docs"), F.sum("kept").alias("n_kept"))
+    )
+
+
+_SQL_RATE = (
+    f"{RATE_FLOOR_BP} + {_SQL_HASH56.format(col='source')}"
+    f" % {SAMPLE_MOD - RATE_FLOOR_BP}"
+)
+_SQL_DRAW = (
+    _SQL_HASH56.format(col="source || ':' || CAST(doc_id AS VARCHAR)")
+    + f" % {SAMPLE_MOD}"
+)
+SQL_DOMAIN_MIXTURE = f"""
+SELECT source, {_SQL_RATE} AS rate_bp,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN {_SQL_DRAW} < {_SQL_RATE} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept
+FROM documents
+GROUP BY source
+"""
+
+
+# ------------------------------------------------------------ length buckets
+
+
+def ft_length_buckets(spark, sf_dir):
+    """Token-length bucketing per language (BUCKET_W-token integer buckets)
+    for training-batch scheduling. Integer division only — no float log2
+    whose boundary rounding could differ across engines."""
+    docs = load(spark, sf_dir, "documents").select(
+        "lang", _n_tokens().alias("n_tokens")
+    )
+    return (
+        docs.withColumn(
+            "bucket_lo",
+            F.expr(f"(n_tokens div {BUCKET_W}) * {BUCKET_W}").cast("long"),
+        )
+        .groupBy("lang", "bucket_lo")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("bucket_tokens"),
+        )
+    )
+
+
+SQL_LENGTH_BUCKETS = f"""
+WITH d AS (SELECT lang, {_SQL_N_TOKENS} AS n_tokens FROM documents)
+SELECT lang, (n_tokens // {BUCKET_W}) * {BUCKET_W} AS bucket_lo,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS bucket_tokens
+FROM d GROUP BY lang, (n_tokens // {BUCKET_W}) * {BUCKET_W}
+"""
+
+
+QUERIES = {
+    "pack_sequences": (pack_sequences, SQL_PACK_SEQUENCES),
+    "domain_mixture_sample": (domain_mixture_sample, SQL_DOMAIN_MIXTURE),
+    "ft_length_buckets": (ft_length_buckets, SQL_LENGTH_BUCKETS),
+}

@@ -120,3 +120,27 @@ def test_topk_windows_rank_after_limit(spark, opname):
     # the window's child must be the limited exchange, not a full Sort of
     # the source relation: TakeOrdered appears below Window in the plan tree
     assert plan.index("Window") < plan.index("TakeOrderedAndProject")
+
+
+def test_pack_sequences_prefix_sum_is_two_level(spark):
+    """The packing prefix-sum must never run a global unpartitioned window
+    over documents: the only SinglePartition exchange feeds the per-shard
+    offset window (one row per PACK_SHARD docs, map-side partial sums), the
+    offsets come back by BROADCAST, and the documents-level cumulative
+    window is PARTITIONED by shard."""
+    import re
+
+    from harvester_spark.operators import training_prep
+
+    df = training_prep.pack_sequences(spark, SF_DIR)
+    assert df.count() > 0
+    plan = _plan(df)
+    assert plan.count("Exchange SinglePartition") == 1
+    assert "BroadcastHashJoin" in plan
+    # doc-level window: sum(n_tokens) partitioned by shard, ordered by doc_id
+    assert re.search(
+        r"Window \[sum\(n_tokens#\d+L\) windowspecdefinition\(shard#\d+L, doc_id",
+        plan,
+    ), plan
+    # ... and the partial per-shard aggregate is map-side combined
+    assert "partial_sum" in plan
