@@ -27,24 +27,113 @@ from harvester_spark.analysis import ALL_LANG, tokenize
 from harvester_spark.search.wand import _pick_or_strategy, or_accumulate_topk, wand_topk
 
 
-def _require_compacted(searcher, what: str) -> None:
-    """Distributed batch serving scans ``searcher.postings`` (the base
-    parquet) directly; over un-compacted deltas it would silently skip the
-    delta postings and tombstones. Freshness for point queries is
-    DeltaSearcher's driver-side job (synthetic merged blocks); batch
-    fan-out runs on compacted snapshots — compaction is bit-identical to a
-    rebuild and tested — matching how segmented engines run bulk scoring
-    on merged segments rather than the live tier."""
+def _delta_context(searcher, what: str):
+    """Seq-tagged view of a possibly-delta'd index for batch fan-out.
+
+    Returns ``(delta_blocks_df_or_None, name→seq map, tomb_ids,
+    tomb_maxseq)``. The batch kernels decode per (term, seq) group, apply
+    latest-wins tombstone filtering with the broadcast folded tombstone
+    arrays, and merge ascending seq — the executor-side twin of
+    DeltaSearcher's driver-side merge, so batch serving over un-compacted
+    deltas equals the delta-aware driver ranking exactly (like per-segment
+    search in a segmented engine, with the range shards as the segments).
+
+    A plain IndexSearcher on a delta'd index is refused: its df/stats/doc
+    lens are pre-delta, so even a merged executor scan would score wrong.
+    """
     from harvester_spark.search.engine import read_delta_state
 
     state = read_delta_state(searcher.index_dir)
-    if state and state.get("deltas"):
+    if not (state and state.get("deltas")):
+        return None, {}, np.empty(0, np.int64), np.empty(0, np.int64)
+    if not hasattr(searcher, "_delta_seq"):
         raise ValueError(
-            f"{what} scans the base postings; index at {searcher.index_dir} "
-            "has un-compacted deltas — compact first "
-            "(harvester_spark.streaming.compaction) or use the driver-side "
-            "search paths, which merge deltas per query"
+            f"{what}: index at {searcher.index_dir} has un-compacted deltas "
+            "— open it with DeltaSearcher (streaming.incremental) so "
+            "df/stats/doc-lens are post-delta"
         )
+    return (
+        searcher._delta,
+        dict(searcher._delta_seq),
+        searcher._tomb_ids,
+        searcher._tomb_maxseq,
+    )
+
+
+def _seq_tagged_blocks(searcher, all_terms, lang, cols, what: str):
+    """Blocks for ``all_terms`` with term+lang pushdown, each row tagged with
+    its delta seq (base = 0): base postings ∪ manifest-listed delta postings.
+    Also returns the folded tombstone arrays and whether a merge is needed."""
+    delta, seq_map, tomb_ids, tomb_maxseq = _delta_context(searcher, what)
+    blocks = searcher.postings.filter(F.col("term").isin(all_terms))
+    if lang != ALL_LANG:
+        blocks = blocks.filter(F.col("lang") == lang)
+    blocks = blocks.select(*cols).withColumn("seq", F.lit(0).cast("long"))
+    if delta is not None:
+        d = delta.filter(F.col("term").isin(all_terms))
+        if lang != ALL_LANG:
+            d = d.filter(F.col("lang") == lang)
+        seq_lit = F.create_map(
+            *[F.lit(x) for kv in seq_map.items() for x in kv]
+        )
+        d = d.select(
+            *cols,
+            F.element_at(seq_lit, F.col("delta")).cast("long").alias("seq"),
+        )
+        blocks = blocks.unionByName(d)
+    return blocks, tomb_ids, tomb_maxseq, bool(seq_map)
+
+
+def _merged_tf_range(pdf_term, tomb_ids, tomb_maxseq, lo, hi):
+    """Executor-side merge of one term's seq-tagged blocks within a docID
+    range: decode per seq, mask to [lo, hi], drop tombstone-superseded
+    postings (latest-wins), merge ascending seq. Pure numpy — equals what
+    DeltaSearcher._merged_term_arrays holds for this range."""
+    from harvester_spark.index.codec import decode_blocks_batch
+    from harvester_spark.streaming.incremental import dead_mask, merge_tf_parts
+
+    parts = []
+    for seq in sorted(pdf_term["seq"].unique()):
+        tb = pdf_term[pdf_term["seq"] == seq]
+        ids, tfv = decode_blocks_batch(
+            tb["base_doc_id"].to_numpy(),
+            tb["n"].to_numpy(),
+            [bytes(b) for b in tb["doc_deltas"]],
+            [bytes(b) for b in tb["tfs"]],
+        )
+        keep = (ids >= lo) & (ids <= hi)
+        ids, tfv = ids[keep], tfv[keep]
+        order = np.argsort(ids, kind="stable")
+        ids, tfv = ids[order], tfv[order]
+        dead = dead_mask(tomb_ids, tomb_maxseq, ids, int(seq))
+        if dead is not None:
+            ids, tfv = ids[~dead], tfv[~dead]
+        parts.append((ids, tfv))
+    return merge_tf_parts(parts)
+
+
+def _merged_pos_range(pdf_term, tomb_ids, tomb_maxseq, lo, hi):
+    """Positional twin of :func:`_merged_tf_range`: per-seq positional
+    decode, range + tombstone mask, ascending-seq merge."""
+    from harvester_spark.search.phrase import _decode_term_positions, select_postings
+    from harvester_spark.streaming.incremental import dead_mask, merge_pos_parts
+
+    parts = []
+    for seq in sorted(pdf_term["seq"].unique()):
+        tb = pdf_term[pdf_term["seq"] == seq]
+        ids, lens_, flat, starts = _decode_term_positions(tb)
+        keep = (ids >= lo) & (ids <= hi)
+        dead = dead_mask(tomb_ids, tomb_maxseq, ids, int(seq))
+        if dead is not None:
+            keep &= ~dead
+        sel = np.flatnonzero(keep)
+        tup = (
+            (ids, lens_, flat, starts)
+            if sel.size == ids.size
+            else select_postings(ids, lens_, flat, starts, sel)
+        )
+        parts.append(tup)
+    return merge_pos_parts(parts)
 
 
 class RangeInterval:
@@ -77,9 +166,11 @@ def or_search_batch(
     One Spark job: postings blocks for ALL queries' terms are scanned with
     term+lang pushdown, fanned out to docID ranges, per-range WAND runs in
     executors (applyInPandas, numpy kernel), and the driver merges k·ranges
-    rows per query.
+    rows per query. Over a DeltaSearcher with un-compacted deltas, delta
+    blocks fan out seq-tagged and each range merges them with latest-wins
+    tombstone filtering, then re-encodes synthetic blocks for the WAND
+    kernel — bit-identical to the delta-aware driver ranking.
     """
-    _require_compacted(searcher, "or_search_batch")
     if n_ranges is None:
         n_ranges = max(4, int(spark.conf.get("spark.sql.shuffle.partitions", "8")) // 2)
     empty = pd.DataFrame(columns=["query_id", "rank", "doc_id", "score"])
@@ -92,6 +183,8 @@ def or_search_batch(
         qid: [t for t in ts if dfs.get(t, 0) > 0] for qid, ts in q_terms.items()
     }
     n_docs, avgdl = searcher._corpus_stats[lang]
+    avg_all = searcher._corpus_stats[ALL_LANG][1]
+    avg_lang = None if lang == ALL_LANG else avgdl
     doc_lens = searcher._doc_lens()
     n_ids = len(doc_lens)
     step = max(1, (n_ids + n_ranges - 1) // n_ranges)
@@ -102,13 +195,17 @@ def or_search_batch(
     bc_dfs = sc.broadcast(dfs)
     bc_queries = sc.broadcast(live_queries)
 
-    blocks = searcher.postings.filter(F.col("term").isin(all_terms))
-    if lang != ALL_LANG:
-        blocks = blocks.filter(F.col("lang") == lang)
-    # fan a block out to every range its [base, max] span overlaps
-    fanned = blocks.select(
+    block_cols = [
         "term", "base_doc_id", "max_doc_id", "n", "doc_deltas", "tfs",
         "impact_lang", "impact_all",
+    ]
+    blocks, tomb_ids, tomb_maxseq, has_deltas = _seq_tagged_blocks(
+        searcher, all_terms, lang, block_cols, "or_search_batch"
+    )
+    bc_tombs = sc.broadcast((tomb_ids, tomb_maxseq))
+    # fan a block out to every range its [base, max] span overlaps
+    fanned = blocks.select(
+        *block_cols, "seq",
         F.explode(
             F.sequence(
                 F.floor(F.col("base_doc_id") / step),
@@ -121,9 +218,25 @@ def or_search_batch(
         if not len(pdf):
             return pd.DataFrame(columns=["query_id", "doc_id", "score"])
         rix = int(pdf["range_ix"].iloc[0])
-        interval = RangeInterval(rix * step, (rix + 1) * step - 1)
+        lo, hi = rix * step, (rix + 1) * step - 1
+        interval = RangeInterval(lo, hi)
         lens = bc_lens.value
         dfs_g = bc_dfs.value
+        if has_deltas:
+            # merge per (term, seq) and re-encode synthetic blocks so the
+            # WAND/accumulator kernels below run unchanged
+            from harvester_spark.streaming.incremental import synth_block_rows
+
+            t_ids, t_maxseq = bc_tombs.value
+            rows = []
+            for t in pdf["term"].unique():
+                ids, tfv = _merged_tf_range(
+                    pdf[pdf["term"] == t], t_ids, t_maxseq, lo, hi
+                )
+                rows.extend(
+                    synth_block_rows(t, ids, tfv, lens, avg_all, avg_lang)
+                )
+            pdf = pd.DataFrame(rows, columns=block_cols)
         out_rows = []
         for qid, terms in bc_queries.value.items():
             if not terms:
@@ -189,9 +302,12 @@ def phrase_search_batch(
     equals the driver-side ranking exactly, and per-range match counts sum
     to the EXACT total. This is the scale path for the head∧head phrase
     pathology: the ~100M-position decode spreads across executors instead
-    of serializing on the driver.
+    of serializing on the driver. Over a DeltaSearcher with un-compacted
+    deltas, positional delta blocks fan out seq-tagged and each range
+    merges them (latest-wins tombstones, position slices gathered) before
+    the packed-key kernels run — equal to the delta-aware driver phrase
+    ranking.
     """
-    _require_compacted(searcher, "phrase_search_batch")
     from harvester_spark.search import bm25
     from harvester_spark.search.phrase import (
         _POS_SHIFT as _PS,
@@ -246,11 +362,16 @@ def phrase_search_batch(
     bc_dfs = sc.broadcast(dfs)
     bc_queries = sc.broadcast(live)
 
-    blocks = searcher.postings.filter(F.col("term").isin(all_terms))
-    if lang != ALL_LANG:
-        blocks = blocks.filter(F.col("lang") == lang)
+    block_cols = [
+        "term", "base_doc_id", "max_doc_id", "n", "doc_deltas", "tfs",
+        "positions",
+    ]
+    blocks, tomb_ids, tomb_maxseq, has_deltas = _seq_tagged_blocks(
+        searcher, all_terms, lang, block_cols, "phrase_search_batch"
+    )
+    bc_tombs = sc.broadcast((tomb_ids, tomb_maxseq))
     fanned = blocks.select(
-        "term", "base_doc_id", "max_doc_id", "n", "doc_deltas", "tfs", "positions",
+        *block_cols, "seq",
         F.explode(
             F.sequence(
                 F.floor(F.col("base_doc_id") / step),
@@ -267,10 +388,16 @@ def phrase_search_batch(
         lo, hi = rix * step, (rix + 1) * step - 1
         lens_g = bc_lens.value
         dfs_g = bc_dfs.value
+        t_ids, t_maxseq = bc_tombs.value
         decoded: dict[str, tuple] = {}
 
         def dec(t: str):
             if t not in decoded:
+                if has_deltas:
+                    decoded[t] = _merged_pos_range(
+                        pdf[pdf["term"] == t], t_ids, t_maxseq, lo, hi
+                    )
+                    return decoded[t]
                 ids, lens_, flat, starts = _decode_term_positions(
                     pdf[pdf["term"] == t]
                 )
@@ -384,9 +511,11 @@ def and_search_batch(
     scores its slice with GLOBAL df/idf/corpus stats (per-doc scores are
     range-independent, so the merged ranking equals the driver path
     exactly), and per-range candidate counts sum to the EXACT total.
-    Returns (stacked top-k frame, {query_id: exact_total}).
+    Returns (stacked top-k frame, {query_id: exact_total}). Over a
+    DeltaSearcher with un-compacted deltas, each range merges seq-tagged
+    base+delta blocks with latest-wins tombstone filtering before
+    intersecting — equal to the delta-aware driver ranking.
     """
-    _require_compacted(searcher, "and_search_batch")
     if n_ranges is None:
         n_ranges = max(4, int(spark.conf.get("spark.sql.shuffle.partitions", "8")) // 2)
     empty = pd.DataFrame(columns=["query_id", "rank", "doc_id", "score"])
@@ -414,11 +543,13 @@ def and_search_batch(
     bc_dfs = sc.broadcast(dfs)
     bc_queries = sc.broadcast(live_queries)
 
-    blocks = searcher.postings.filter(F.col("term").isin(all_terms))
-    if lang != ALL_LANG:
-        blocks = blocks.filter(F.col("lang") == lang)
+    block_cols = ["term", "base_doc_id", "max_doc_id", "n", "doc_deltas", "tfs"]
+    blocks, tomb_ids, tomb_maxseq, has_deltas = _seq_tagged_blocks(
+        searcher, all_terms, lang, block_cols, "and_search_batch"
+    )
+    bc_tombs = sc.broadcast((tomb_ids, tomb_maxseq))
     fanned = blocks.select(
-        "term", "base_doc_id", "max_doc_id", "n", "doc_deltas", "tfs",
+        *block_cols, "seq",
         F.explode(
             F.sequence(
                 F.floor(F.col("base_doc_id") / step),
@@ -428,7 +559,6 @@ def and_search_batch(
     )
 
     def run_range(pdf: pd.DataFrame) -> pd.DataFrame:
-        from harvester_spark.index.codec import decode_blocks_batch
         from harvester_spark.search import bm25
 
         if not len(pdf):
@@ -439,6 +569,7 @@ def and_search_batch(
         lo, hi = rix * step, (rix + 1) * step - 1
         lens = bc_lens.value
         dfs_g = bc_dfs.value
+        t_ids, t_maxseq = bc_tombs.value
         decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
 
         def term_arrays(t: str):
@@ -447,17 +578,9 @@ def and_search_batch(
                 if len(tb) == 0:
                     decoded[t] = (np.empty(0, np.int64), np.empty(0, np.int64))
                 else:
-                    ids, tfv = decode_blocks_batch(
-                        tb["base_doc_id"].to_numpy(),
-                        tb["n"].to_numpy(),
-                        [bytes(b) for b in tb["doc_deltas"]],
-                        [bytes(b) for b in tb["tfs"]],
-                    )
-                    # straddling blocks: mask postings to this range
-                    keep = (ids >= lo) & (ids <= hi)
-                    ids, tfv = ids[keep], tfv[keep]
-                    order = np.argsort(ids, kind="stable")
-                    decoded[t] = (ids[order], tfv[order])
+                    # merges seq-tagged base+delta groups (latest-wins
+                    # tombstones); with no deltas this is one seq-0 decode
+                    decoded[t] = _merged_tf_range(tb, t_ids, t_maxseq, lo, hi)
             return decoded[t]
 
         out_rows = []

@@ -33,6 +33,9 @@ from harvester_spark.analysis import ALL_LANG, tokenize
 from harvester_spark.extract import with_extracted_text
 from harvester_spark.index.build import compute_corpus_stats, encode_postings, postings_rows
 from harvester_spark.index.codec import decode_blocks_batch, encode_positions
+from harvester_spark.normalize import normalize_documents
+from harvester_spark.search import bm25
+from harvester_spark.search.engine import IndexSearcher, SearchResult
 
 
 def _gather_slices(
@@ -54,9 +57,111 @@ def _gather_slices(
         - np.repeat(new_starts, lens_s)
     )
     return flat[gidx], new_starts
-from harvester_spark.normalize import normalize_documents
-from harvester_spark.search import bm25
-from harvester_spark.search.engine import IndexSearcher, SearchResult
+
+
+def dead_mask(
+    tomb_ids: np.ndarray, tomb_maxseq: np.ndarray, ids: np.ndarray, seq: int
+) -> np.ndarray | None:
+    """Mask of postings superseded by a tombstone recorded AFTER ``seq``
+    (None when nothing is dead). Pure function of the folded tombstone
+    arrays — shared by DeltaSearcher (driver) and the distributed batch
+    kernels (executors)."""
+    if tomb_ids.size == 0 or ids.size == 0:
+        return None
+    pos = np.searchsorted(tomb_ids, ids)
+    pos_c = np.minimum(pos, tomb_ids.size - 1)
+    dead = (tomb_ids[pos_c] == ids) & (tomb_maxseq[pos_c] > seq)
+    return dead if dead.any() else None
+
+
+def merge_tf_parts(
+    parts: list[tuple[np.ndarray, np.ndarray]],
+) -> tuple[np.ndarray, np.ndarray]:
+    """Concatenate per-seq (ids, tfs) parts (ascending seq, each already
+    tombstone-filtered) and stable-sort by doc id — the postings a rebuild
+    would hold."""
+    parts = [p for p in parts if p[0].size]
+    if not parts:
+        z = np.empty(0, np.int64)
+        return z, z.copy()
+    if len(parts) == 1:
+        return parts[0]
+    ids = np.concatenate([p[0] for p in parts])
+    tfv = np.concatenate([p[1] for p in parts])
+    order = np.argsort(ids, kind="stable")
+    return ids[order], tfv[order]
+
+
+def merge_pos_parts(
+    parts: list[tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]],
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Positional twin of :func:`merge_tf_parts`: merge per-seq
+    (ids, tfs, flat positions, posting starts) decodes, keeping each
+    posting's position slice contiguous after the sort gather."""
+    parts = [p for p in parts if p[0].size]
+    if not parts:
+        z = np.empty(0, np.int64)
+        return z, z.copy(), z.copy(), z.copy()
+    if len(parts) == 1:
+        return parts[0]
+    ids = np.concatenate([p[0] for p in parts])
+    tfs = np.concatenate([p[1] for p in parts])
+    flat = np.concatenate([p[2] for p in parts])
+    starts_parts, off = [], 0
+    for p in parts:
+        starts_parts.append(p[3] + off)
+        off += p[2].size
+    starts = np.concatenate(starts_parts)
+    order = np.argsort(ids, kind="stable")
+    flat2, starts2 = _gather_slices(flat, starts, tfs, order)
+    return ids[order], tfs[order], flat2, starts2
+
+
+def synth_block_rows(
+    term: str,
+    ids: np.ndarray,
+    tfv: np.ndarray,
+    lens: np.ndarray,
+    avg_all: float,
+    avg_lang: float | None,
+    pos: tuple[np.ndarray, np.ndarray] | None = None,
+) -> list[dict]:
+    """Re-encode merged postings into synthetic block rows (base postings
+    layout, impacts recomputed). ``avg_lang=None`` means the query language
+    is ALL (impact_lang == impact_all). ``pos`` is the merged (flat
+    positions, starts) pair when positional rows are wanted."""
+    from harvester_spark.index.codec import BLOCK_SIZE, encode_blocks
+
+    rows: list[dict] = []
+    if ids.size == 0:
+        return rows
+    imp_all = bm25.tf_norm(tfv, lens[ids], avg_all)
+    imp_lang = (
+        imp_all if avg_lang is None else bm25.tf_norm(tfv, lens[ids], avg_lang)
+    )
+    for j, (base, n, deltas, tfb, _mtf, _mimp) in enumerate(
+        encode_blocks(ids, tfv, imp_all)
+    ):
+        s = j * BLOCK_SIZE
+        e = s + n
+        row = {
+            "term": term,
+            "base_doc_id": int(base),
+            "max_doc_id": int(ids[e - 1]),
+            "n": int(n),
+            "doc_deltas": deltas,
+            "tfs": tfb,
+            "impact_lang": float(imp_lang[s:e].max()),
+            "impact_all": float(imp_all[s:e].max()),
+        }
+        if pos is not None:
+            flat, starts = pos
+            # postings are contiguous in flat after the merge gather
+            fs = int(starts[s])
+            fe = int(starts[e - 1] + tfv[e - 1])
+            row["positions"] = encode_positions(flat[fs:fe], tfv[s:e])
+        rows.append(row)
+    return rows
 
 
 def normalize_delta(delta_corpus: DataFrame) -> DataFrame:
@@ -268,9 +373,12 @@ class DeltaSearcher(IndexSearcher):
     ``search``, ``or_search`` (both strategies), the conjunctive fast path,
     phrase search — sees the post-delta truth through one path instead of
     each needing its own merge. The distributed batch paths
-    (``search.distributed``) scan the base postings parquet directly and
-    refuse un-compacted deltas (guarded): batch fan-out runs on compacted
-    snapshots, like segmented engines bulk-score on merged segments. Positional phrase search works over
+    (``search.distributed``) do the same merge EXECUTOR-side: delta blocks
+    fan out seq-tagged next to base blocks, the folded tombstone arrays
+    ship as one broadcast, and each docID range folds latest-wins locally
+    (per-segment search with range shards as segments — no compaction
+    required, and a plain IndexSearcher on a delta'd index is refused
+    because its df/stats would be stale). Positional phrase search works over
     un-compacted deltas too: ``with_positions=True`` merges the per-posting
     position lists (base ∪ deltas, tombstone-filtered) and re-encodes them
     into the synthetic blocks, so quoted-phrase queries equal a rebuild
@@ -314,12 +422,7 @@ class DeltaSearcher(IndexSearcher):
     def _dead_mask(self, ids: np.ndarray, seq: int) -> np.ndarray | None:
         """Postings superseded by a tombstone recorded AFTER ``seq`` (None
         when nothing is dead)."""
-        if self._tomb_ids.size == 0 or ids.size == 0:
-            return None
-        pos = np.searchsorted(self._tomb_ids, ids)
-        pos_c = np.minimum(pos, self._tomb_ids.size - 1)
-        dead = (self._tomb_ids[pos_c] == ids) & (self._tomb_maxseq[pos_c] > seq)
-        return dead if dead.any() else None
+        return dead_mask(self._tomb_ids, self._tomb_maxseq, ids, seq)
 
     def _filter_tombstoned(
         self, ids: np.ndarray, tfv: np.ndarray, seq: int
@@ -365,24 +468,19 @@ class DeltaSearcher(IndexSearcher):
                 ids, tfv = self._decode_term(tb)
                 ids, tfv = self._filter_tombstoned(ids, tfv, seq=0)
                 if delta_blocks is not None:
-                    parts_ids, parts_tfv = [ids], [tfv]
+                    parts = [(ids, tfv)]
                     for name in delta_order:
                         dt = delta_blocks[
                             (delta_blocks["term"] == t)
                             & (delta_blocks["delta"] == name)
                         ]
                         d_ids, d_tfv = self._decode_term(dt)
-                        d_ids, d_tfv = self._filter_tombstoned(
-                            d_ids, d_tfv, seq=self._delta_seq[name]
+                        parts.append(
+                            self._filter_tombstoned(
+                                d_ids, d_tfv, seq=self._delta_seq[name]
+                            )
                         )
-                        if d_ids.size:
-                            parts_ids.append(d_ids)
-                            parts_tfv.append(d_tfv)
-                    if len(parts_ids) > 1:
-                        ids = np.concatenate(parts_ids)
-                        tfv = np.concatenate(parts_tfv)
-                        order = np.argsort(ids, kind="stable")
-                        ids, tfv = ids[order], tfv[order]
+                    ids, tfv = merge_tf_parts(parts)
                 if len(self._merged_cache) > 4096:
                     self._merged_cache.clear()
                 self._merged_cache[(t, lang)] = (ids, tfv)
@@ -446,24 +544,7 @@ class DeltaSearcher(IndexSearcher):
                                     seq=self._delta_seq[name],
                                 )
                             )
-                parts = [p for p in parts if p[0].size]
-                if not parts:
-                    z = np.empty(0, np.int64)
-                    merged = (z, z.copy(), z.copy(), z.copy())
-                elif len(parts) == 1:
-                    merged = parts[0]
-                else:
-                    ids = np.concatenate([p[0] for p in parts])
-                    tfs = np.concatenate([p[1] for p in parts])
-                    flat = np.concatenate([p[2] for p in parts])
-                    starts_parts, off = [], 0
-                    for p in parts:
-                        starts_parts.append(p[3] + off)
-                        off += p[2].size
-                    starts = np.concatenate(starts_parts)
-                    order = np.argsort(ids, kind="stable")
-                    flat2, starts2 = _gather_slices(flat, starts, tfs, order)
-                    merged = (ids[order], tfs[order], flat2, starts2)
+                merged = merge_pos_parts(parts)
                 if len(self._pos_cache) > 1024:
                     self._pos_cache.clear()
                 self._pos_cache[(t, lang)] = merged
@@ -493,8 +574,6 @@ class DeltaSearcher(IndexSearcher):
                 "positional search over a positionless base index — rebuild "
                 "with positions (the round-2 default) first"
             )
-        from harvester_spark.index.codec import BLOCK_SIZE, encode_blocks
-
         if with_positions:
             per_pos = self._merged_term_positional(terms, lang)
             per = {t: v[:2] for t, v in per_pos.items()}
@@ -502,40 +581,16 @@ class DeltaSearcher(IndexSearcher):
             per = self._merged_term_arrays(terms, lang)
         lens = self._doc_lens()
         _n_all, avg_all = self._corpus_stats[ALL_LANG]
-        avg_lang = avg_all if lang == ALL_LANG else self._corpus_stats[lang][1]
+        avg_lang = None if lang == ALL_LANG else self._corpus_stats[lang][1]
         rows = []
         for t in terms:
             ids, tfv = per[t]
-            if ids.size == 0:
-                continue
-            imp_all = bm25.tf_norm(tfv, lens[ids], avg_all)
-            imp_lang = (
-                imp_all
-                if lang == ALL_LANG
-                else bm25.tf_norm(tfv, lens[ids], avg_lang)
+            rows.extend(
+                synth_block_rows(
+                    t, ids, tfv, lens, avg_all, avg_lang,
+                    pos=per_pos[t][2:] if with_positions else None,
+                )
             )
-            for j, (base, n, deltas, tfb, _mtf, _mimp) in enumerate(
-                encode_blocks(ids, tfv, imp_all)
-            ):
-                s = j * BLOCK_SIZE
-                e = s + n
-                row = {
-                    "term": t,
-                    "base_doc_id": int(base),
-                    "max_doc_id": int(ids[e - 1]),
-                    "n": int(n),
-                    "doc_deltas": deltas,
-                    "tfs": tfb,
-                    "impact_lang": float(imp_lang[s:e].max()),
-                    "impact_all": float(imp_all[s:e].max()),
-                }
-                if with_positions:
-                    _ids, _tfs, flat, starts = per_pos[t]
-                    # postings are contiguous in flat after the merge gather
-                    fs = int(starts[s])
-                    fe = int(starts[e - 1] + tfv[e - 1])
-                    row["positions"] = encode_positions(flat[fs:fe], tfv[s:e])
-                rows.append(row)
         cols = [
             "term", "base_doc_id", "max_doc_id", "n", "doc_deltas",
             "tfs", "impact_lang", "impact_all",

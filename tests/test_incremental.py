@@ -422,10 +422,12 @@ def test_delta_common_grams_phrase(spark, tmp_root):
     assert list(phrase_match_ids(cs, "w00000 w00001")) == list(want)
 
 
-def test_batch_serving_refuses_uncompacted_deltas(spark, tmp_root):
-    """The distributed batch paths scan base postings parquet — on an index
-    with un-compacted deltas they must refuse (stale base scan) and work on
-    the compacted/rebuilt snapshot, equaling the delta-aware driver paths."""
+def test_batch_serving_over_uncompacted_deltas(spark, tmp_root):
+    """The distributed batch paths merge seq-tagged base+delta blocks
+    EXECUTOR-side (latest-wins tombstones): over the stacked un-compacted
+    index they must equal the rebuilt index bit-for-bit — including the
+    update-then-update and update-then-delete docs — with exact totals.
+    A plain IndexSearcher on the delta'd dir is refused (stale df/stats)."""
     from harvester_spark.search.distributed import (
         and_search_batch,
         or_search_batch,
@@ -438,26 +440,59 @@ def test_batch_serving_refuses_uncompacted_deltas(spark, tmp_root):
     if not os.path.exists(inc_dir):  # depends on the stacked fixture test
         pytest.skip("stacked fixture not built")
     ds = DeltaSearcher(spark, inc_dir)
-    with pytest.raises(ValueError, match="un-compacted"):
-        or_search_batch(spark, ds, [("q", "w00000")], k=5)
-    with pytest.raises(ValueError, match="un-compacted"):
-        and_search_batch(spark, ds, [("q", "w00000")], k=5)
-    with pytest.raises(ValueError, match="un-compacted"):
-        phrase_search_batch(spark, ds, [("q", "w00000 w00001", 0)], k=5)
-
-    # on the rebuilt (≡ compacted, bit-identical) snapshot, the batch path
-    # equals the delta-aware driver ranking
     rs = IndexSearcher(spark, rb_dir)
-    got, totals = phrase_search_batch(
-        spark, rs, [("q", "charlie stacked", 0)], k=10, n_ranges=3
-    )
+
+    stale = IndexSearcher(spark, inc_dir)
+    with pytest.raises(ValueError, match="DeltaSearcher"):
+        or_search_batch(spark, stale, [("q", "w00000")], k=5)
+
+    or_qs = [("q1", "charlie stacked"), ("q2", "w00000 bravo"),
+             ("q3", "term_7 rewrite")]
+    for strat in ["auto", "wand", "accumulate"]:
+        got = or_search_batch(spark, ds, or_qs, k=10, n_ranges=3, strategy=strat)
+        want = or_search_batch(spark, rs, or_qs, k=10, n_ranges=3, strategy=strat)
+        for qid, _ in or_qs:
+            a = got[got["query_id"] == qid].reset_index(drop=True)
+            b = want[want["query_id"] == qid].reset_index(drop=True)
+            assert list(a["doc_id"]) == list(b["doc_id"]), (qid, strat)
+            assert (
+                np.asarray(a["score"], np.float64)
+                == np.asarray(b["score"], np.float64)
+            ).all(), (qid, strat)
+
+    and_qs = [("q1", "w00000 w00001"), ("q2", "charlie stacked")]
+    got, tot = and_search_batch(spark, ds, and_qs, k=10, n_ranges=3)
+    want, wtot = and_search_batch(spark, rs, and_qs, k=10, n_ranges=3)
+    assert tot == wtot
+    for qid, _ in and_qs:
+        a = got[got["query_id"] == qid].reset_index(drop=True)
+        b = want[want["query_id"] == qid].reset_index(drop=True)
+        assert list(a["doc_id"]) == list(b["doc_id"]), qid
+        assert (
+            np.asarray(a["score"], np.float64)
+            == np.asarray(b["score"], np.float64)
+        ).all(), qid
+
+    # phrases: 'rewrite alpha' was superseded in delta-2 → empty on BOTH
+    ph_qs = [("q1", "charlie stacked", 0), ("q2", "stacked rewrite", 0),
+             ("q3", "rewrite alpha", 0), ("q4", "w00000 w00001", 1)]
+    got, tot = phrase_search_batch(spark, ds, ph_qs, k=10, n_ranges=3)
+    want, wtot = phrase_search_batch(spark, rs, ph_qs, k=10, n_ranges=3)
+    assert tot == wtot
+    assert tot["q3"] == 0
+    for qid, _t, _s in ph_qs:
+        a = got[got["query_id"] == qid].reset_index(drop=True)
+        b = want[want["query_id"] == qid].reset_index(drop=True)
+        assert list(a["doc_id"]) == list(b["doc_id"]), qid
+        assert (
+            np.asarray(a["score"], np.float64)
+            == np.asarray(b["score"], np.float64)
+        ).all(), qid
+
+    # and the delta-aware driver phrase path agrees with the batch result
     from harvester_spark.search.phrase import positional_phrase_search
 
     exp = positional_phrase_search(ds, "charlie stacked", k=10)
-    sub = got[got["query_id"] == "q"].reset_index(drop=True)
+    sub = got[got["query_id"] == "q1"].reset_index(drop=True)
     assert list(sub["doc_id"]) == list(exp.topk["doc_id"])
-    assert (
-        np.asarray(sub["score"], np.float64)
-        == np.asarray(exp.topk["score"], np.float64)
-    ).all()
-    assert totals["q"] == exp.results_total
+    assert tot["q1"] == exp.results_total
