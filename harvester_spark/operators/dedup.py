@@ -517,8 +517,132 @@ GROUP BY s.doc_id
 """
 
 
+# Exact duplicate-SPAN detection (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better"): find every token span that occurs
+# verbatim >= SPAN_MIN_OCC times anywhere in the corpus (other docs OR the
+# same doc) and emit per-doc REMOVAL RANGES — the step after "this doc has
+# dupes" (boilerplate/LSH) that actual substring dedup pipelines need. The
+# paper builds a suffix array; the Spark-native equivalent is positional
+# k-gram matching: a duplicated span of length >= SPAN_K is exactly a run of
+# duplicated k-gram occurrences, so merging overlapping/adjacent duplicate
+# k-gram windows per doc reconstructs the maximal removal intervals.
+# Plan (100 TB): occurrence count is one shuffle on the gram key (AQE
+# skew-join absorbs head grams on the join back — same shape as
+# dedup_boilerplate_ngrams), then the interval merge is a per-doc window +
+# a groupBy on (doc_id, grp) that reuses the window's partitioning — no
+# extra exchange, no cartesian, nothing quadratic.
+
+SPAN_K = 5
+SPAN_MIN_OCC = 2
+
+
+def _gram_occurrences(spark, sf_dir):
+    """(doc_id, pos, gram): every positional word-{SPAN_K}-gram occurrence
+    (NOT per-doc distinct — within-doc repeats count toward duplication)."""
+    toks = doc_tokens(spark, sf_dir)
+    w = W.partitionBy("doc_id").orderBy("pos")
+    gram = F.concat_ws(
+        " ",
+        F.col("term"),
+        *[F.lead("term", i).over(w) for i in range(1, SPAN_K)],
+    )
+    # gram and the null-guard in one projection (same invariant as _shingles)
+    return (
+        toks.select(
+            "doc_id",
+            "pos",
+            gram.alias("gram"),
+            F.lead("term", SPAN_K - 1).over(w).alias("lead_last"),
+        )
+        .filter(F.col("lead_last").isNotNull())
+        .select("doc_id", "pos", "gram")
+    )
+
+
+def dedup_duplicate_spans(spark, sf_dir):
+    """Per-doc maximal duplicate token spans [span_start, span_end]
+    (0-based, inclusive): merged windows of {SPAN_K}-grams occurring
+    >= {SPAN_MIN_OCC} times corpus-wide."""
+    occ = _gram_occurrences(spark, sf_dir)
+    dup_grams = (
+        occ.groupBy("gram")
+        .agg(F.count("*").alias("n_occ"))
+        .filter(F.col("n_occ") >= SPAN_MIN_OCC)
+        .select("gram")
+    )
+    dup = occ.join(dup_grams, "gram").select("doc_id", "pos")
+    wd = W.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + (SPAN_K - 1)).over(
+        wd.rowsBetween(W.unboundedPreceding, -1)
+    )
+    flagged = dup.select(
+        "doc_id",
+        "pos",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end + 1), 1)
+        .otherwise(0)
+        .alias("new_grp"),
+    )
+    grps = flagged.withColumn(
+        "grp", F.sum("new_grp").over(wd.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return (
+        grps.groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + (SPAN_K - 1)).cast("long").alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
+        )
+    )
+
+
+_SQL_GRAM_OCC = f"""
+  SELECT doc_id, pos,
+         term || ' ' || lead(term, 1) OVER w || ' ' || lead(term, 2) OVER w
+              || ' ' || lead(term, 3) OVER w || ' ' || lead(term, 4) OVER w
+             AS gram
+  FROM ({SQL_DOC_TOKS})
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(term, {SPAN_K - 1}) OVER w IS NOT NULL
+"""
+
+SQL_DUPLICATE_SPANS = f"""
+WITH occ AS ({_SQL_GRAM_OCC}),
+dup_grams AS (
+  SELECT gram FROM occ GROUP BY gram HAVING count(*) >= {SPAN_MIN_OCC}
+),
+dup AS (SELECT doc_id, pos FROM occ JOIN dup_grams USING (gram)),
+flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > coalesce(
+                  max(pos + {SPAN_K - 1}) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  -2) + 1
+              THEN 1 ELSE 0 END AS new_grp
+  FROM dup
+),
+grps AS (
+  SELECT doc_id, pos,
+         sum(new_grp) OVER (
+           PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp
+  FROM flagged
+)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + {SPAN_K - 1} AS BIGINT) AS span_end,
+       CAST(max(pos) + {SPAN_K - 1} - min(pos) + 1 AS BIGINT) AS span_len
+FROM grps GROUP BY doc_id, grp
+"""
+
+
 QUERIES = {
     "dedup_exact": (dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_duplicate_spans": (dedup_duplicate_spans, SQL_DUPLICATE_SPANS),
     "dedup_boilerplate_ngrams": (dedup_boilerplate_ngrams, SQL_BOILERPLATE_NGRAMS),
     "dedup_shingle_jaccard": (dedup_shingle_jaccard, SQL_SHINGLE_JACCARD),
     "dedup_minhash_signatures": (dedup_minhash_signatures, SQL_MINHASH_SIGNATURES),
