@@ -481,6 +481,23 @@ class SearchAPI:
         hits = hits.sort_values(["df", "term"], ascending=[False, True])
         return list(hits["term"].head(n))
 
+    def _mlt_terms(self, text: str | None, lang: str, max_terms: int) -> list[str]:
+        """Top ``max_terms`` tf·idf terms of a doc text (deterministic
+        weight-desc / term-asc tie-break) — the MLT query builder shared by
+        the single-seed and batch paths."""
+        toks = tokenize(text) if text else []
+        if not toks:
+            return []
+        tf = pd.Series(toks).value_counts()
+        d = self._dictionary()
+        n_docs, _avgdl = self.searcher._corpus_stats[lang]
+        term_df = dict(zip(d["term"], d["df"]))
+        weights = {
+            t: tf_ * float(bm25.idf(n_docs, term_df.get(t, 1)))
+            for t, tf_ in tf.items()
+        }
+        return sorted(weights, key=lambda t: (-weights[t], t))[:max_terms]
+
     def more_like_this(self, doc_id: int, k: int = 10, lang: str = ALL_LANG,
                        max_terms: int = 8) -> pd.DataFrame:
         """OR-scored similarity: top tf·idf terms of the doc as a disjunctive
@@ -488,18 +505,9 @@ class SearchAPI:
         row = self.documents.filter(F.col("doc_id") == doc_id).select("text").first()
         if row is None:
             return pd.DataFrame(columns=["rank", "doc_id", "score"])
-        toks = tokenize(row["text"])
-        if not toks:
+        top_terms = self._mlt_terms(row["text"], lang, max_terms)
+        if not top_terms:
             return pd.DataFrame(columns=["rank", "doc_id", "score"])
-        tf = pd.Series(toks).value_counts()
-        d = self._dictionary()
-        n_docs, avgdl = self.searcher._corpus_stats[lang]
-        term_df = dict(zip(d["term"], d["df"]))
-        weights = {
-            t: tf_ * float(bm25.idf(n_docs, term_df.get(t, 1)))
-            for t, tf_ in tf.items()
-        }
-        top_terms = sorted(weights, key=lambda t: (-weights[t], t))[:max_terms]
 
         # disjunctive scoring through block-max WAND; ask for k+1 so the
         # source doc can be dropped from its own neighbourhood
@@ -509,6 +517,51 @@ class SearchAPI:
         topk = topk[topk["doc_id"] != doc_id].head(k).reset_index(drop=True)
         topk["rank"] = np.arange(1, len(topk) + 1)
         return topk
+
+    def more_like_this_batch(
+        self,
+        doc_ids,
+        k: int = 10,
+        lang: str = ALL_LANG,
+        max_terms: int = 8,
+        n_ranges: int | None = None,
+    ) -> pd.DataFrame:
+        """Batch MLT as ONE Spark job: seed texts hydrate through the pyarrow
+        point lookup (row-group pruned — never a per-seed Spark filter), the
+        tiny per-seed tf·idf term selection runs on the driver, and the
+        disjunctive scoring for ALL seeds fans out through
+        ``or_search_batch`` (docID-range chunks, per-range WAND/accumulator
+        dispatch). Per-seed results equal :meth:`more_like_this` exactly.
+        Columns: (seed_doc_id, rank, doc_id, score)."""
+        from harvester_spark.search.distributed import or_search_batch
+
+        cols = ["seed_doc_id", "rank", "doc_id", "score"]
+        ids = [int(d) for d in doc_ids]
+        recs = self.fetch_documents(ids, ("text",))
+        by_id = {int(r["doc_id"]): r.get("text") for r in recs}
+        queries = []
+        for did in ids:
+            terms = self._mlt_terms(by_id.get(did), lang, max_terms)
+            if terms:
+                queries.append((str(did), " ".join(terms)))
+        if not queries:
+            return pd.DataFrame(columns=cols)
+        got = or_search_batch(
+            self.spark, self.searcher, queries, k=k + 1, lang=lang,
+            n_ranges=n_ranges,
+        )
+        out = []
+        for qid, _qtext in queries:
+            sub = got[got["query_id"] == qid]
+            sub = sub[sub["doc_id"] != int(qid)].head(k).copy()
+            if not len(sub):
+                continue
+            sub["rank"] = np.arange(1, len(sub) + 1)
+            sub.insert(0, "seed_doc_id", int(qid))
+            out.append(sub.drop(columns=["query_id"]))
+        if not out:
+            return pd.DataFrame(columns=cols)
+        return pd.concat(out, ignore_index=True)[cols]
 
 
 def _split_phrases(query_text: str) -> tuple[list[str], str]:

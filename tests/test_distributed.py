@@ -149,3 +149,28 @@ def test_batch_phrase_equals_driver_paths(env, n_ranges):
         e = np.asarray(exp.topk["score"], dtype=np.float64)
         assert g.shape == e.shape and (g == e).all(), (qid, n_ranges)
         assert totals[qid] == exp.results_total, (qid, n_ranges)
+
+
+def test_more_like_this_batch_equals_driver(env, tmp_root):
+    """Batch MLT (one or_search_batch job for all seeds) == per-seed
+    more_like_this exactly — docIDs AND float64 scores; missing and
+    empty-text seeds drop out cleanly."""
+    from harvester_spark.search.api import SearchAPI
+
+    spark, _searcher = env
+    out = os.path.join(tmp_root, "dist")
+    docs = spark.read.parquet(f"{out}/documents")
+    api = SearchAPI(spark, f"{out}/index", docs)
+    seeds = [0, 7, 123, N_DOCS - 1]
+    got = api.more_like_this_batch(seeds + [10**9], k=8, n_ranges=4)
+    assert list(got.columns) == ["seed_doc_id", "rank", "doc_id", "score"]
+    assert set(got["seed_doc_id"]) == set(seeds)  # missing seed dropped
+    for s in seeds:
+        sub = got[got["seed_doc_id"] == s].reset_index(drop=True)
+        exp = api.more_like_this(s, k=8)
+        assert list(sub["doc_id"]) == list(exp["doc_id"]), s
+        assert list(sub["rank"]) == list(exp["rank"]), s
+        g = np.asarray(sub["score"], dtype=np.float64)
+        e = np.asarray(exp["score"], dtype=np.float64)
+        assert (g == e).all(), s
+    assert len(api.more_like_this_batch([10**9], k=5)) == 0
