@@ -496,3 +496,123 @@ def test_batch_serving_over_uncompacted_deltas(spark, tmp_root):
     sub = got[got["query_id"] == "q1"].reset_index(drop=True)
     assert list(sub["doc_id"]) == list(exp.topk["doc_id"])
     assert tot["q1"] == exp.results_total
+
+
+def test_fuzz_batch_over_random_stacked_deltas(spark, tmp_root):
+    """Randomized (seeded) workload: three stacked deltas with overlapping
+    updates, inserts, and deletes of the same srns, then EVERY serving
+    surface — driver search, batch OR (both strategies), batch AND, batch
+    phrase — compared between the un-compacted DeltaSearcher and a full
+    rebuild. Guards the executor-side seq-tagged merge against shapes the
+    hand-written stacked test doesn't reach."""
+    import pandas as pd
+    import shutil
+
+    from harvester_spark.search.distributed import (
+        and_search_batch,
+        or_search_batch,
+        phrase_search_batch,
+    )
+    from harvester_spark.streaming.incremental import DeltaSearcher
+
+    rng = np.random.default_rng(1234)
+    vocab = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+             "w00000", "w00001", "w00002", "term_7"]
+
+    out = os.path.join(tmp_root, "fuzzdelta")
+    run_build(spark, out, n_docs=120, resume=False, num_partitions=4)
+    docs = spark.read.parquet(f"{out}/documents")
+    inc_dir = os.path.join(tmp_root, "fuzzdelta_index")
+    shutil.rmtree(inc_dir, ignore_errors=True)
+    shutil.copytree(f"{out}/index", inc_dir)
+
+    def rand_html():
+        n = int(rng.integers(6, 20))
+        words = [vocab[int(i)] for i in rng.integers(0, len(vocab), n)]
+        return ("<p>" + " ".join(words) + "</p>").encode()
+
+    phrases = []
+    for step in range(3):
+        ixs = sorted(set(rng.integers(0, 120, 8).tolist()) | {10_050 + step})
+        pdf = corpus_pdf(np.array(ixs))
+        htmls, dels = [], []
+        for _ in ixs:
+            h = rand_html()
+            htmls.append(h)
+            dels.append(bool(rng.random() < 0.25))
+            toks = h.decode().replace("<p>", "").replace("</p>", "").split()
+            if len(toks) >= 2:
+                j = int(rng.integers(0, len(toks) - 1))
+                phrases.append(" ".join(toks[j:j + 2]))
+        pdf["html"] = htmls
+        pdf["deleted"] = dels
+        delta = spark.createDataFrame(
+            pdf,
+            "url string, warc_ts timestamp, html binary, text string, "
+            "lang string, deleted boolean",
+        )
+        merged = merge_documents(docs, normalize_delta(delta))
+        mp = os.path.join(tmp_root, f"fuzzdelta_docs_v{step}")
+        merged.write.mode("overwrite").parquet(mp)
+        merged = spark.read.parquet(mp)
+        fresh, tomb = changed_and_deleted(docs, merged)
+        apply_index_delta(
+            spark, inc_dir, merged, fresh, tomb, delta_name=f"delta-{step}"
+        )
+        docs = merged
+
+    rb_dir = os.path.join(tmp_root, "fuzzdelta_rebuild")
+    IndexBuilder(spark, rb_dir).build(docs, resume=False, num_partitions=4)
+    ds = DeltaSearcher(spark, inc_dir)
+    rs = IndexSearcher(spark, rb_dir)
+
+    def rand_query(n_terms):
+        return " ".join(
+            vocab[int(i)] for i in rng.integers(0, len(vocab), n_terms)
+        )
+
+    or_qs = [(f"q{i}", rand_query(int(rng.integers(1, 4)))) for i in range(12)]
+    for strat in ["wand", "accumulate"]:
+        got = or_search_batch(spark, ds, or_qs, k=15, n_ranges=3, strategy=strat)
+        want = or_search_batch(spark, rs, or_qs, k=15, n_ranges=3, strategy=strat)
+        for qid, qtext in or_qs:
+            a = got[got["query_id"] == qid].reset_index(drop=True)
+            b = want[want["query_id"] == qid].reset_index(drop=True)
+            assert list(a["doc_id"]) == list(b["doc_id"]), (strat, qtext)
+            assert (
+                np.asarray(a["score"], np.float64)
+                == np.asarray(b["score"], np.float64)
+            ).all(), (strat, qtext)
+
+    and_qs = [(f"a{i}", rand_query(2)) for i in range(8)]
+    got, tot = and_search_batch(spark, ds, and_qs, k=15, n_ranges=3)
+    want, wtot = and_search_batch(spark, rs, and_qs, k=15, n_ranges=3)
+    assert tot == wtot
+    for qid, qtext in and_qs:
+        a = got[got["query_id"] == qid].reset_index(drop=True)
+        b = want[want["query_id"] == qid].reset_index(drop=True)
+        assert list(a["doc_id"]) == list(b["doc_id"]), qtext
+        assert (
+            np.asarray(a["score"], np.float64)
+            == np.asarray(b["score"], np.float64)
+        ).all(), qtext
+
+    ph_sample = [phrases[int(i)] for i in rng.integers(0, len(phrases), 10)]
+    ph_qs = [(f"p{i}", p, 0) for i, p in enumerate(ph_sample)]
+    got, tot = phrase_search_batch(spark, ds, ph_qs, k=15, n_ranges=3)
+    want, wtot = phrase_search_batch(spark, rs, ph_qs, k=15, n_ranges=3)
+    assert tot == wtot
+    for qid, qtext, _ in ph_qs:
+        a = got[got["query_id"] == qid].reset_index(drop=True)
+        b = want[want["query_id"] == qid].reset_index(drop=True)
+        assert list(a["doc_id"]) == list(b["doc_id"]), qtext
+        assert (
+            np.asarray(a["score"], np.float64)
+            == np.asarray(b["score"], np.float64)
+        ).all(), qtext
+
+    # driver paths agree too (same merged truth through a different path)
+    for _qid, qtext in or_qs[:4]:
+        a = ds.search(qtext, k=15).topk
+        b = rs.search(qtext, k=15).topk
+        assert list(a["doc_id"]) == list(b["doc_id"]), qtext
