@@ -42,6 +42,7 @@ HEADLINE = [
     "dedup_minhash_signatures",
     "dedup_lsh_pairs",
     "dedup_simhash",
+    "dedup_duplicate_spans",
     "ann_cosine_topk",
     "ann_lsh_bucketed",
     "mm_frame_sample",

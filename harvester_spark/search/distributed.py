@@ -495,6 +495,139 @@ def phrase_search_batch(
     ), totals
 
 
+def phrase_match_ids_batch(
+    spark: SparkSession,
+    searcher,
+    phrase_text: str,
+    lang: str = ALL_LANG,
+    slop: int = 0,
+    n_ranges: int | None = None,
+) -> np.ndarray:
+    """ALL docIDs matching one phrase, decoded+verified range-parallel.
+
+    The distributed twin of ``phrase.phrase_match_ids`` for the head∧head
+    pathology: the driver path serializes an ~O(sum tf) varbyte position
+    decode in one Python process; here the positional blocks fan out by
+    docID range and each range runs the SAME packed-key kernels
+    (``pack_offset_keys`` intersection for slop=0 incl. common-gram
+    collapse, ``chain_slop_keys`` for slop>0) on its masked slice. Matching
+    is doc-local, ranges partition the docID space, so the concatenated
+    per-range ids are exactly the driver result (sorted, unique). Driver
+    transfer is the match id array itself — the same array the driver path
+    would build. ``phrase_match_ids`` auto-dispatches here when every
+    constraint term is head-scale (min df >= its threshold)."""
+    from harvester_spark.search import bm25
+    from harvester_spark.search.phrase import (
+        _POS_SHIFT as _PS,
+        _decode_term_positions,
+        adjacency_constraints,
+        chain_slop_keys,
+        pack_offset_keys,
+        select_postings,
+    )
+
+    if not searcher.has_positions:
+        raise ValueError("phrase_match_ids_batch requires a positional index")
+    if n_ranges is None:
+        n_ranges = max(4, int(spark.conf.get("spark.sql.shuffle.partitions", "8")))
+    words = tokenize(phrase_text)
+    if not words:
+        return np.empty(0, np.int64)
+    slop = int(slop)
+    sloppy = slop > 0 and len(words) > 1
+    constraints = (
+        [(t, 0) for t in sorted(set(words))]
+        if sloppy
+        else adjacency_constraints(words, searcher.common_grams())
+    )
+    terms = sorted({t for t, _o in constraints})
+    dfs = searcher._dfs(terms, lang)
+    if any(dfs[t] == 0 for t in terms):
+        return np.empty(0, np.int64)
+    n_ids = len(searcher._doc_lens())
+    step = max(1, (n_ids + n_ranges - 1) // n_ranges)
+
+    sc = spark.sparkContext
+    bc_dfs = sc.broadcast(dfs)
+    bc_spec = sc.broadcast((words, slop, constraints))
+
+    block_cols = [
+        "term", "base_doc_id", "max_doc_id", "n", "doc_deltas", "tfs",
+        "positions",
+    ]
+    blocks, tomb_ids, tomb_maxseq, has_deltas = _seq_tagged_blocks(
+        searcher, terms, lang, block_cols, "phrase_match_ids_batch"
+    )
+    bc_tombs = sc.broadcast((tomb_ids, tomb_maxseq))
+    fanned = blocks.select(
+        *block_cols, "seq",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("base_doc_id") / step),
+                F.floor(F.col("max_doc_id") / step),
+            )
+        ).alias("range_ix"),
+    )
+
+    def run_range(pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(pdf):
+            return pd.DataFrame(columns=["doc_id"])
+        rix = int(pdf["range_ix"].iloc[0])
+        lo, hi = rix * step, (rix + 1) * step - 1
+        dfs_g = bc_dfs.value
+        t_ids, t_maxseq = bc_tombs.value
+        wq, sl, cons = bc_spec.value
+        decoded: dict[str, tuple] = {}
+
+        def dec(t: str):
+            if t not in decoded:
+                if has_deltas:
+                    decoded[t] = _merged_pos_range(
+                        pdf[pdf["term"] == t], t_ids, t_maxseq, lo, hi
+                    )
+                    return decoded[t]
+                ids, lens_, flat, starts = _decode_term_positions(
+                    pdf[pdf["term"] == t]
+                )
+                sel = np.flatnonzero((ids >= lo) & (ids <= hi))
+                if sel.size != ids.size:
+                    ids, lens_, flat, starts = select_postings(
+                        ids, lens_, flat, starts, sel
+                    )
+                decoded[t] = (ids, lens_, flat, starts)
+            return decoded[t]
+
+        if not sl:
+            keys = None
+            for t, o in sorted(cons, key=lambda c: (dfs_g[c[0]], c[0], c[1])):
+                ids, lens_, flat, _ = dec(t)
+                if flat.size == 0:
+                    return pd.DataFrame(columns=["doc_id"])
+                kk = pack_offset_keys(ids, lens_, flat, o)
+                keys = kk if keys is None else keys[
+                    bm25.sorted_member_mask(keys, kk)
+                ]
+                if keys.size == 0:
+                    return pd.DataFrame(columns=["doc_id"])
+            matched = np.unique(keys >> _PS)
+        else:
+            wkeys: dict[str, np.ndarray] = {}
+            for t in sorted(set(wq)):
+                ids, lens_, flat, _ = dec(t)
+                if flat.size == 0:
+                    return pd.DataFrame(columns=["doc_id"])
+                wkeys[t] = pack_offset_keys(ids, lens_, flat, 0)
+            matched = chain_slop_keys(wkeys, wq, sl)
+        return pd.DataFrame({"doc_id": matched})
+
+    parts = (
+        fanned.groupBy("range_ix")
+        .applyInPandas(run_range, "doc_id long")
+        .toPandas()
+    )
+    return np.sort(parts["doc_id"].to_numpy(dtype=np.int64, copy=True))
+
+
 def and_search_batch(
     spark: SparkSession,
     searcher,

@@ -136,6 +136,21 @@ def chain_slop_keys(
     )
 
 
+# Cost-model dispatch for phrase matching (mirrors or_search's strategy
+# dispatch): when EVERY constraint term is head-scale, the driver path
+# serializes a huge varbyte position decode in one Python process — fan the
+# decode+verify out by docID range instead (distributed.phrase_match_ids_
+# batch, identical ids). With any rare constraint term the driver path is
+# already fast: the rarest term decodes first and prunes the rest by span.
+PHRASE_BATCH_MIN_DF = 200_000
+
+
+def _dispatch_batch(searcher, dfs: dict) -> bool:
+    if getattr(searcher, "spark", None) is None or not dfs:
+        return False
+    return min(dfs.values()) >= PHRASE_BATCH_MIN_DF
+
+
 def adjacency_constraints(phrase: list, common_grams: set | None) -> list:
     """The (term, offset) constraint list for an exact phrase — with a
     common-grams build, adjacent listed-term pairs collapse to one bigram
@@ -190,6 +205,12 @@ def phrase_match_ids(
     dfs = searcher._dfs(terms, lang)
     if any(dfs[t] == 0 for t in terms):
         return np.empty(0, np.int64)
+    if _dispatch_batch(searcher, dfs):
+        from harvester_spark.search.distributed import phrase_match_ids_batch
+
+        return phrase_match_ids_batch(
+            searcher.spark, searcher, phrase_text, lang=lang, slop=0
+        )
     blocks = searcher._term_postings(terms, lang, with_positions=True)
 
     keys: np.ndarray | None = None
@@ -241,6 +262,12 @@ def _sloppy_match_ids(
     dfs = searcher._dfs(terms, lang)
     if any(dfs[t] == 0 for t in terms):
         return empty
+    if _dispatch_batch(searcher, dfs):
+        from harvester_spark.search.distributed import phrase_match_ids_batch
+
+        return phrase_match_ids_batch(
+            searcher.spark, searcher, " ".join(phrase), lang=lang, slop=slop
+        )
     blocks = searcher._term_postings(terms, lang, with_positions=True)
 
     decoded: dict[str, tuple] = {}

@@ -174,3 +174,32 @@ def test_more_like_this_batch_equals_driver(env, tmp_root):
         e = np.asarray(exp["score"], dtype=np.float64)
         assert (g == e).all(), s
     assert len(api.more_like_this_batch([10**9], k=5)) == 0
+
+
+def test_phrase_match_ids_batch_equals_driver(env):
+    """The distributed match-id path must return EXACTLY the driver ids for
+    exact and sloppy phrases; the auto-dispatch (min-df cost model) must
+    produce the same answer whichever side it picks."""
+    from harvester_spark.search import phrase as ph
+    from harvester_spark.search.distributed import phrase_match_ids_batch
+
+    spark, searcher = env
+    cases = [("w00000 w00001", 0), ("w00000 w00001", 2),
+             ("block max wand", 0), ("w00000 w00002", 3),
+             ("zzznohit w00000", 0), ("w00001", 0)]
+    for text, slop in cases:
+        want = ph.phrase_match_ids(searcher, text, slop=slop)
+        got = phrase_match_ids_batch(spark, searcher, text, slop=slop, n_ranges=5)
+        assert list(got) == list(want), (text, slop)
+
+    # force the dispatch on (threshold 1): phrase_match_ids must route to
+    # the batch path and still return identical ids
+    old = ph.PHRASE_BATCH_MIN_DF
+    ph.PHRASE_BATCH_MIN_DF = 1
+    try:
+        for text, slop in cases:
+            direct = phrase_match_ids_batch(spark, searcher, text, slop=slop)
+            via = ph.phrase_match_ids(searcher, text, slop=slop)
+            assert list(via) == list(direct), (text, slop)
+    finally:
+        ph.PHRASE_BATCH_MIN_DF = old
