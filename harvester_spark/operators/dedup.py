@@ -640,9 +640,128 @@ FROM grps GROUP BY doc_id, grp
 """
 
 
+# The dedup ACTION for duplicate spans (keep-first-occurrence, the Lee et
+# al. removal rule): each duplicated gram's canonical occurrence is the
+# global minimum (doc_id, pos); every LATER occurrence is redundant and its
+# window joins the doc's removal intervals. Per-doc report: how many merged
+# removal spans, how many tokens they cover, and the doc's removal share —
+# the numbers a pipeline uses to rewrite or drop the doc. Same plan shape
+# as dedup_duplicate_spans plus one broadcast-sized min-per-gram aggregate
+# joined back on the gram key.
+
+
+def dedup_span_removal(spark, sf_dir):
+    """Per-doc keep-first-occurrence removal report: redundant duplicate
+    windows merged into intervals; docs with no redundant occurrence (or
+    only canonical ones) report zero removal."""
+    occ = _gram_occurrences(spark, sf_dir)
+    stats = occ.groupBy("gram").agg(
+        F.count("*").alias("n_occ"),
+        F.min(F.struct("doc_id", "pos")).alias("first_occ"),
+    )
+    redundant = (
+        occ.join(stats.filter(F.col("n_occ") >= SPAN_MIN_OCC), "gram")
+        .filter(
+            (F.col("doc_id") > F.col("first_occ.doc_id"))
+            | (
+                (F.col("doc_id") == F.col("first_occ.doc_id"))
+                & (F.col("pos") > F.col("first_occ.pos"))
+            )
+        )
+        .select("doc_id", "pos")
+    )
+    wd = W.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + (SPAN_K - 1)).over(
+        wd.rowsBetween(W.unboundedPreceding, -1)
+    )
+    grps = redundant.select(
+        "doc_id",
+        "pos",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end + 1), 1)
+        .otherwise(0)
+        .alias("new_grp"),
+    ).withColumn(
+        "grp", F.sum("new_grp").over(wd.rowsBetween(W.unboundedPreceding, 0))
+    )
+    spans = grps.groupBy("doc_id", "grp").agg(
+        F.min("pos").alias("s"),
+        (F.max("pos") + (SPAN_K - 1)).alias("e"),
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_remove_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("n_tokens_removed"),
+    )
+    doc_len = doc_tokens(spark, sf_dir).groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens")
+    )
+    return (
+        doc_len.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_remove_spans", F.lit(0)).cast("long").alias("n_remove_spans"),
+            F.coalesce("n_tokens_removed", F.lit(0)).cast("long").alias("n_tokens_removed"),
+            F.round(
+                F.coalesce("n_tokens_removed", F.lit(0)) * 1.0 / F.col("n_tokens"), 6
+            ).alias("removed_share"),
+        )
+    )
+
+
+SQL_SPAN_REMOVAL = f"""
+WITH occ AS ({_SQL_GRAM_OCC}),
+stats AS (
+  SELECT gram, count(*) AS n_occ,
+         min(doc_id * 4194304 + pos) AS first_key
+  FROM occ GROUP BY gram
+),
+redundant AS (
+  SELECT o.doc_id, o.pos
+  FROM occ o JOIN stats s ON s.gram = o.gram
+  WHERE s.n_occ >= {SPAN_MIN_OCC}
+    AND o.doc_id * 4194304 + o.pos > s.first_key
+),
+flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > coalesce(
+                  max(pos + {SPAN_K - 1}) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  -2) + 1
+              THEN 1 ELSE 0 END AS new_grp
+  FROM redundant
+),
+spans AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + {SPAN_K - 1} AS e
+  FROM (
+    SELECT doc_id, pos,
+           sum(new_grp) OVER (
+             PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp
+    FROM flagged
+  ) GROUP BY doc_id, grp
+),
+per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_remove_spans,
+         CAST(sum(e - s + 1) AS BIGINT) AS n_tokens_removed
+  FROM spans GROUP BY doc_id
+),
+doc_len AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+  FROM ({SQL_DOC_TOKS}) GROUP BY doc_id
+)
+SELECT d.doc_id, d.n_tokens,
+       CAST(coalesce(p.n_remove_spans, 0) AS BIGINT) AS n_remove_spans,
+       CAST(coalesce(p.n_tokens_removed, 0) AS BIGINT) AS n_tokens_removed,
+       round(coalesce(p.n_tokens_removed, 0) * 1.0 / d.n_tokens, 6)
+           AS removed_share
+FROM doc_len d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": (dedup_exact, SQL_DEDUP_EXACT),
     "dedup_duplicate_spans": (dedup_duplicate_spans, SQL_DUPLICATE_SPANS),
+    "dedup_span_removal": (dedup_span_removal, SQL_SPAN_REMOVAL),
     "dedup_boilerplate_ngrams": (dedup_boilerplate_ngrams, SQL_BOILERPLATE_NGRAMS),
     "dedup_shingle_jaccard": (dedup_shingle_jaccard, SQL_SHINGLE_JACCARD),
     "dedup_minhash_signatures": (dedup_minhash_signatures, SQL_MINHASH_SIGNATURES),

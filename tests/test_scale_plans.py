@@ -50,6 +50,7 @@ def test_ann_ivf_never_runs_pairwise(spark, monkeypatch):
         "dedup_boilerplate_ngrams",
         "dedup_minhash_clusters",
         "dedup_duplicate_spans",
+        "dedup_span_removal",
     ],
 )
 def test_pair_generation_has_no_cartesian(spark, opname):
