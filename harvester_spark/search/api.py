@@ -47,8 +47,19 @@ class SearchAPI:
     """Serving layer over an index dir + the documents attribute table."""
 
     def __init__(self, spark: SparkSession, index_dir: str, documents: DataFrame):
+        from harvester_spark.search.engine import read_delta_state
+
         self.spark = spark
-        self.searcher = IndexSearcher(spark, index_dir)
+        state = read_delta_state(index_dir)
+        if state and state.get("deltas"):
+            # un-compacted streaming deltas: serve post-delta truth through
+            # the delta-aware searcher (every path — AND, both OR
+            # strategies, phrase, batch fan-out — merges base ∪ deltas)
+            from harvester_spark.streaming.incremental import DeltaSearcher
+
+            self.searcher: IndexSearcher = DeltaSearcher(spark, index_dir)
+        else:
+            self.searcher = IndexSearcher(spark, index_dir)
         self.documents = documents
         self._dict_pdf: pd.DataFrame | None = None
         self._pa_docs = None

@@ -80,6 +80,16 @@ class IndexSearcher:
     """
 
     def __init__(self, spark: SparkSession, index_dir: str, fast_local: bool = True):
+        if type(self) is IndexSearcher:
+            state = read_delta_state(index_dir)
+            if state and state.get("deltas"):
+                raise ValueError(
+                    f"index at {index_dir} has un-compacted deltas; a plain "
+                    "IndexSearcher would serve post-delta stats over "
+                    "base-only postings — open it with DeltaSearcher "
+                    "(streaming.incremental) or compact first "
+                    "(streaming.compaction)"
+                )
         self.spark = spark
         self.index_dir = index_dir
         self.postings = spark.read.parquet(f"{index_dir}/postings")

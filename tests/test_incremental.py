@@ -442,9 +442,9 @@ def test_batch_serving_over_uncompacted_deltas(spark, tmp_root):
     ds = DeltaSearcher(spark, inc_dir)
     rs = IndexSearcher(spark, rb_dir)
 
-    stale = IndexSearcher(spark, inc_dir)
+    # a plain IndexSearcher now refuses the delta'd dir at construction
     with pytest.raises(ValueError, match="DeltaSearcher"):
-        or_search_batch(spark, stale, [("q", "w00000")], k=5)
+        IndexSearcher(spark, inc_dir)
 
     or_qs = [("q1", "charlie stacked"), ("q2", "w00000 bravo"),
              ("q3", "term_7 rewrite")]
@@ -616,3 +616,36 @@ def test_fuzz_batch_over_random_stacked_deltas(spark, tmp_root):
         a = ds.search(qtext, k=15).topk
         b = rs.search(qtext, k=15).topk
         assert list(a["doc_id"]) == list(b["doc_id"]), qtext
+
+
+def test_search_api_auto_delta_searcher(spark, tmp_root):
+    """SearchAPI over an index dir with un-compacted deltas must serve
+    post-delta truth transparently (auto DeltaSearcher), equal to an API
+    over the rebuild."""
+    from harvester_spark.search.api import SearchAPI
+    from harvester_spark.streaming.incremental import DeltaSearcher
+
+    inc_dir = os.path.join(tmp_root, "stacked_index")
+    rb_dir = os.path.join(tmp_root, "stacked_rebuild")
+    docs_path = os.path.join(tmp_root, "stacked_docs_v2")
+    if not os.path.exists(inc_dir):  # depends on the stacked fixture test
+        pytest.skip("stacked fixture not built")
+    docs = spark.read.parquet(docs_path)
+    api_d = SearchAPI(spark, inc_dir, docs)
+    assert isinstance(api_d.searcher, DeltaSearcher)
+    api_r = SearchAPI(spark, rb_dir, docs)
+    for q in ["charlie stacked", "w00000 w00001", "stacked"]:
+        a = api_d.search(q, k=10)
+        b = api_r.search(q, k=10)
+        assert a["results_total"] == b["results_total"], q
+        assert [r["doc_id"] for r in a["results"]] == [
+            r["doc_id"] for r in b["results"]
+        ], q
+    # batch MLT over the delta'd API equals the rebuild's
+    seeds = [0, 3]
+    ga = api_d.more_like_this_batch(seeds, k=5, n_ranges=3)
+    gb = api_r.more_like_this_batch(seeds, k=5, n_ranges=3)
+    assert list(ga["doc_id"]) == list(gb["doc_id"])
+    assert (
+        np.asarray(ga["score"], np.float64) == np.asarray(gb["score"], np.float64)
+    ).all()
