@@ -45,8 +45,9 @@ independent matcher, so engine == oracle holds to the last float bit.
 Scale: every leaf decodes via the block interface (works over
 DeltaSearcher's merged view too); prefix expansion pushes a range filter
 into the dictionary scan. Set algebra runs on sorted int64 id arrays.
-Prefix expansion over a delta'd index uses the BASE dictionary until
-compaction (brand-new delta-only terms won't expand; documented gap).
+Prefix/fuzzy expansion over a delta'd index unions the base dictionary
+with the deltas' distinct term set (DeltaSearcher.delta_terms), so
+brand-new delta-only terms expand before compaction.
 """
 
 from __future__ import annotations
@@ -354,6 +355,9 @@ def _fuzzy_dictionary(
                 .select("term")
                 .collect()
             ]
+        # delta-only terms: the base dictionary lags un-compacted deltas
+        if hasattr(searcher, "delta_terms"):
+            terms = list(terms) + searcher.delta_terms(lang)
         # bigram common-grams tokens are not user-visible terms
         cand = np.array(sorted({t for t in terms if " " not in t}), dtype=object)
         lens = np.array([len(t) for t in cand], dtype=np.int64)
@@ -431,6 +435,11 @@ class _IndexEval:
                 )
                 .select("term")
                 .collect()
+            ]
+        # delta-only terms: the base dictionary lags un-compacted deltas
+        if hasattr(s, "delta_terms"):
+            terms = list(terms) + [
+                t for t in s.delta_terms(self.lang) if prefix <= t < hi
             ]
         # common-grams bigram tokens (contain a space) never surface here
         out = sorted({t for t in terms if t.startswith(prefix) and " " not in t})

@@ -418,6 +418,26 @@ class DeltaSearcher(IndexSearcher):
                 folded = pdf.groupby("doc_id")["seq"].max().sort_index()
                 self._tomb_ids = folded.index.to_numpy(dtype=np.int64)
                 self._tomb_maxseq = folded.to_numpy(dtype=np.int64)
+        self._delta_terms_cache: dict[str, list[str]] = {}
+
+    def delta_terms(self, lang: str) -> list[str]:
+        """Distinct terms present in any delta postings for ``lang`` — terms
+        the BASE dictionary may not know yet. Expansion surfaces (``pre*``
+        prefix, ``term~N`` fuzzy) union these with the base dictionary so
+        delta-only terms expand before compaction; extras whose postings are
+        fully tombstoned are harmless under the expansions' constant-score
+        union semantics (their merged decode is empty)."""
+        if lang not in self._delta_terms_cache:
+            if self._delta is None:
+                self._delta_terms_cache[lang] = []
+            else:
+                d = self._delta
+                if lang != ALL_LANG:
+                    d = d.filter(F.col("lang") == lang)
+                self._delta_terms_cache[lang] = sorted(
+                    r["term"] for r in d.select("term").distinct().collect()
+                )
+        return self._delta_terms_cache[lang]
 
     def _dead_mask(self, ids: np.ndarray, seq: int) -> np.ndarray | None:
         """Postings superseded by a tombstone recorded AFTER ``seq`` (None

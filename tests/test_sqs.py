@@ -275,9 +275,10 @@ def test_sqs_over_deltas(sqs_env, spark, tmp_root):
     ds = DeltaSearcher(spark, inc)
     merged_pdf = merged.filter("state = 'active'").select(
         "doc_id", "text", "lang").toPandas()
-    # fuzzy expands over the BASE dictionary (the documented prefix/fuzzy
-    # delta gap) but expanded terms are served through the delta-aware
-    # block view; sloppy phrases read positional postings from the delta
+    # prefix/fuzzy expansion unions the deltas' distinct term set with the
+    # base dictionary (delta_terms), so the delta-only term 'sqsdelta'
+    # expands too; expanded terms are served through the delta-aware block
+    # view; sloppy phrases read positional postings from the delta
     for q in [
         "sqsdelta -w00001",
         "w00000 -sqsdelta",
@@ -285,6 +286,9 @@ def test_sqs_over_deltas(sqs_env, spark, tmp_root):
         "w0000x~1 sqsdelta",
         '"sqsdelta marker"~1',
         '"sqsdelta unique"~3',
+        "sqsdelt*",
+        "sqsdeltaz~1",
+        "sqsdel* -w00001",
     ]:
         got = sqs_search(ds, q, k=10).topk
         exp = brute_force_sqs(merged_pdf, q, k=10)
