@@ -916,3 +916,57 @@ FROM documents
 """
 
 QUERIES["ft_bpe_token_count"] = (ft_bpe_token_count, SQL_BPE_TOKEN_COUNT)
+
+
+# Adjacent-pair (bigram) statistics: the data-driven SOURCE for the
+# common-grams build list (index/build.py ``common_gram_terms`` — the
+# Lucene/ES common-grams model indexes a bigram token for adjacent listed
+# head-term pairs, collapsing head∧head phrase constraints to one posting
+# lookup; BENCH.md worst-case table). The reference gets its phrase
+# acceleration implicitly from Lucene; here the pair list is chosen from
+# measured adjacency counts. Top pairs by occurrence count with the
+# pair's document frequency — integer-only, unique (n desc, term1, term2)
+# tie-break. Scale: the lead window shuffles on doc_id (uniform), the pair
+# groupBy is map-side partially aggregated (head-pair skew never reaches a
+# single reducer unreduced), and the top-N is TakeOrderedAndProject
+# (per-partition heaps + driver merge — no global sort).
+
+TOP_BIGRAMS_N = 50
+
+
+def ft_top_bigrams(spark, sf_dir):
+    toks = doc_tokens(spark, sf_dir)
+    w = W.partitionBy("doc_id").orderBy("pos")
+    # pair and its null-guard in one projection (same caveat as the shingle
+    # operator: a filter must not be pushed below the window's lead)
+    pairs = toks.select(
+        "doc_id",
+        F.col("term").alias("term1"),
+        F.lead("term", 1).over(w).alias("term2"),
+    ).filter(F.col("term2").isNotNull())
+    return (
+        pairs.groupBy("term1", "term2")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), "term1", "term2")
+        .limit(TOP_BIGRAMS_N)
+    )
+
+
+SQL_TOP_BIGRAMS = f"""
+WITH toks AS ({SQL_DOC_TOKS}),
+big AS (
+  SELECT a.term AS term1, b.term AS term2, a.doc_id
+  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+)
+SELECT term1, term2,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM big GROUP BY term1, term2
+ORDER BY n_occurrences DESC, term1, term2
+LIMIT {TOP_BIGRAMS_N}
+"""
+
+QUERIES["ft_top_bigrams"] = (ft_top_bigrams, SQL_TOP_BIGRAMS)

@@ -146,3 +146,17 @@ def test_pack_sequences_prefix_sum_is_two_level(spark):
     ), plan
     # ... and the partial per-shard aggregate is map-side combined
     assert "partial_sum" in plan
+
+
+def test_top_bigrams_is_take_ordered(spark):
+    """The bigram top-N must compile to TakeOrderedAndProject (per-partition
+    heaps + driver merge), never a global Sort of the full pair relation, and
+    the pair generation must stay a doc-partitioned window (no cartesian)."""
+    from harvester_spark.operators.fulltext_queries import ft_top_bigrams
+
+    df = ft_top_bigrams(spark, SF_DIR)
+    assert df.count() > 0
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
