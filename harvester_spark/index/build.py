@@ -521,6 +521,37 @@ def read_analyzer_markers(index_dir: str) -> tuple[list | None, dict]:
     return cg, analyzer
 
 
+def select_common_gram_terms(documents: DataFrame, n_pairs: int = 32) -> list[str]:
+    """Derive the ``common_gram_terms`` build list from MEASURED adjacency
+    counts: the distinct terms of the top-``n_pairs`` adjacent token pairs
+    (count desc, pair asc — deterministic) under the default analyzer chain.
+    The data-driven alternative to a hand-picked head-term list; the
+    oracle-gated twin of this job is
+    :func:`harvester_spark.operators.fulltext_queries.ft_top_bigrams`.
+    Doc-partitioned lead window + map-side-combined pair count + distributed
+    top-N (TakeOrderedAndProject) — only ``2·n_pairs`` terms reach the
+    driver."""
+    from pyspark.sql import Window as W
+
+    from harvester_spark.analysis import tokens_column
+
+    toks = documents.select(
+        "doc_id", F.posexplode(tokens_column(F.col("text"))).alias("pos", "term")
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    pairs = toks.select(
+        F.col("term").alias("t1"), F.lead("term", 1).over(w).alias("t2")
+    ).filter(F.col("t2").isNotNull())
+    top = (
+        pairs.groupBy("t1", "t2")
+        .count()
+        .orderBy(F.desc("count"), "t1", "t2")
+        .limit(n_pairs)
+        .collect()
+    )
+    return sorted({t for r in top for t in (r["t1"], r["t2"])})
+
+
 def _complete(path: str) -> bool:
     return os.path.exists(os.path.join(path, "_SUCCESS"))
 

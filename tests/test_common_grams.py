@@ -178,3 +178,34 @@ def test_batch_phrase_uses_bigram_constraints_on_cg_index(envs, spark):
             == np.asarray(exp.topk["score"], np.float64)
         ).all(), ph
         assert totals[qid] == exp.results_total, ph
+
+
+def test_derived_term_list_builds_identical_phrase_results(envs, spark, tmp_root):
+    """select_common_gram_terms derives the build list from measured
+    adjacency counts; a build using it must stay phrase-identical to the
+    plain build and actually cover at least one frequent pair."""
+    from harvester_spark.index.build import select_common_gram_terms
+
+    plain, _cg, docs_pdf, cg_dir = envs
+    documents = spark.read.parquet(f"{cg_dir}/documents")
+    derived = select_common_gram_terms(documents, n_pairs=8)
+    assert len(derived) >= 2
+    out_dir = os.path.join(tmp_root, "cg_derived")
+    IndexBuilder(spark, f"{out_dir}/index").build(
+        documents, resume=False, num_partitions=4, common_gram_terms=derived
+    )
+    searcher = IndexSearcher(spark, f"{out_dir}/index")
+    # the derived list must cover at least one adjacent pair in the corpus:
+    # some bigram posting exists (bigram tokens contain a space)
+    assert set(searcher.common_grams()) == set(derived)
+    covered = [f"{a} {b}" for a in derived for b in derived]
+    assert any(searcher._dfs([p], "all")[p] > 0 for p in covered)
+    for ph in PHRASES:
+        want = positional_phrase_search(plain, ph, k=10)
+        got = positional_phrase_search(searcher, ph, k=10)
+        assert want.topk["doc_id"].tolist() == got.topk["doc_id"].tolist()
+        assert (
+            np.asarray(want.topk["score"], np.float64)
+            == np.asarray(got.topk["score"], np.float64)
+        ).all()
+        assert want.results_total == got.results_total
