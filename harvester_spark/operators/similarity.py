@@ -409,3 +409,126 @@ FROM probed QUALIFY rnk <= {TOP_K}
 """
 
 QUERIES["ann_ivf_topk"] = (ann_ivf_topk, SQL_ANN_IVF_TOPK)
+
+
+# ------------------------------------------------------------------ k-means
+
+# The IVF coarse quantizer above seeds its lists from labels; at 10^9+
+# vectors the centroid set comes from k-means (the note on _SQL_CENTROIDS).
+# This is that trainer: Lloyd's algorithm made cross-engine hash-exact by
+# running ENTIRELY in integer arithmetic — components scaled to integers
+# (round(val·10^6), the cents() convention), squared-euclidean distances as
+# integer sums (64·(2·3.2e5)^2 ≈ 2.6e13 ≪ int64), centroid updates as
+# floor(sum/count) (double division of ≤2^31-magnitude integers is exactly
+# rounded in both engines, so the floor is identical). Ties: dist asc,
+# cent_id asc. Seeds: the K lowest vec_ids. Empty clusters drop (both
+# engines identically). Scale shape: centroids are K·dim integers —
+# ALWAYS broadcast / driver-bounded (the MLlib contract); per iteration one
+# exchange for the (vec_id, cent_id) distance agg and one for the argmin
+# window — bounded iteration count, no quadratic stage, comp cached once.
+
+K_CLUSTERS = 8
+KMEANS_ITERS = 3
+_KM_SCALE = 1_000_000
+
+
+def _comp_int(spark, sf_dir):
+    """(vec_id, pos, ival) integer-scaled components."""
+    return _components(spark, sf_dir).select(
+        "vec_id", "pos",
+        F.round(F.col("val") * _KM_SCALE).cast("long").alias("ival"),
+    )
+
+
+def _km_assign(comp, cent):
+    """argmin_c Σ_pos (ival-cval)² with (dist, cent_id) tie-break."""
+    dists = (
+        comp.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "cent_id")
+        .agg(
+            F.sum(
+                (F.col("ival") - F.col("cval")) * (F.col("ival") - F.col("cval"))
+            ).alias("dist")
+        )
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("cent_id").asc())
+    return (
+        dists.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", "cent_id", "dist")
+    )
+
+
+def emb_kmeans_assign(spark, sf_dir):
+    """K-means (K={K_CLUSTERS}, {KMEANS_ITERS} Lloyd iterations) over the
+    embeddings: final (vec_id, cent_id, dist) assignment under the trained
+    centroids — the IVF centroid trainer. Integer-exact (see block comment),
+    full value-hash oracle despite the iterative plan."""
+    spark_ = spark
+    comp = _comp_int(spark, sf_dir).cache()
+    cent_rows = [
+        (int(r["vec_id"]), int(r["pos"]), int(r["ival"]))
+        for r in comp.filter(F.col("vec_id") < K_CLUSTERS).collect()
+    ]
+    for _ in range(KMEANS_ITERS):
+        cent = spark_.createDataFrame(
+            cent_rows, "cent_id long, pos int, cval long"
+        )
+        assign = _km_assign(comp, cent)
+        cent_rows = [
+            (int(r["cent_id"]), int(r["pos"]), int(r["cval"]))
+            for r in (
+                comp.join(assign.select("vec_id", "cent_id"), "vec_id")
+                .groupBy("cent_id", "pos")
+                .agg(
+                    F.floor(F.sum("ival") / F.count("*")).cast("long").alias("cval")
+                )
+                .collect()
+            )
+        ]
+    cent = spark_.createDataFrame(cent_rows, "cent_id long, pos int, cval long")
+    return _km_assign(comp, cent)
+
+
+def _sql_km_assign(cent_cte: str) -> str:
+    return f"""
+  SELECT vec_id, cent_id, dist FROM (
+    SELECT d.vec_id, d.cent_id, d.dist,
+           row_number() OVER (
+             PARTITION BY d.vec_id ORDER BY d.dist ASC, d.cent_id ASC
+           ) AS rnk
+    FROM (
+      SELECT c.vec_id, ct.cent_id,
+             CAST(sum((c.ival - ct.cval) * (c.ival - ct.cval)) AS BIGINT) AS dist
+      FROM comp c JOIN {cent_cte} ct USING (pos)
+      GROUP BY c.vec_id, ct.cent_id
+    ) d
+  ) WHERE rnk = 1"""
+
+
+def _sql_km_update(assign_cte: str) -> str:
+    return f"""
+  SELECT a.cent_id, c.pos,
+         CAST(floor(CAST(sum(c.ival) AS DOUBLE) / count(*)) AS BIGINT) AS cval
+  FROM {assign_cte} a JOIN comp c USING (vec_id)
+  GROUP BY a.cent_id, c.pos"""
+
+
+SQL_EMB_KMEANS_ASSIGN = f"""
+WITH comp AS (
+  SELECT vec_id, pos, CAST(round(val * {_KM_SCALE}) AS BIGINT) AS ival
+  FROM ({_SQL_COMPONENTS})
+),
+c0 AS (
+  SELECT vec_id AS cent_id, pos, ival AS cval FROM comp WHERE vec_id < {K_CLUSTERS}
+),
+a1 AS ({_sql_km_assign('c0')}),
+c1 AS ({_sql_km_update('a1')}),
+a2 AS ({_sql_km_assign('c1')}),
+c2 AS ({_sql_km_update('a2')}),
+a3 AS ({_sql_km_assign('c2')}),
+c3 AS ({_sql_km_update('a3')})
+{_sql_km_assign('c3')}
+"""
+
+QUERIES["emb_kmeans_assign"] = (emb_kmeans_assign, SQL_EMB_KMEANS_ASSIGN)
