@@ -160,3 +160,16 @@ def test_top_bigrams_is_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark):
+    """The k-means distance stage must broadcast the K·dim centroid side
+    (never shuffle components against centroids, never a cartesian)."""
+    from harvester_spark.operators.similarity import emb_kmeans_assign
+
+    df = emb_kmeans_assign(spark, SF_DIR)
+    assert df.count() > 0
+    plan = _plan(df)
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
