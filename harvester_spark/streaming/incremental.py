@@ -27,7 +27,7 @@ import os
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from harvester_spark.analysis import ALL_LANG, tokenize
 from harvester_spark.extract import with_extracted_text
@@ -168,8 +168,20 @@ def normalize_delta(delta_corpus: DataFrame) -> DataFrame:
     """Delta corpus (url, warc_ts, html, lang[, deleted]) → normalized docs.
 
     ``deleted = true`` rows are tombstone seeds (url identifies the doc).
+
+    IN-BATCH LATEST-WINS: a url pushed more than once inside one micro-batch
+    (rapid successive webhooks landing in the same trigger interval — routine
+    at scale) must collapse to ONE row per srn BEFORE the merge join, or the
+    full-outer MERGE fans out and writes duplicate srn rows. Winner is the
+    newest ``warc_ts``; exact-timestamp ties break deterministically
+    (delete beats update, then content_hash desc) — the batch analogue of
+    the reference's row-locked last-write-wins
+    (/root/reference/harvester/core/processors/pipeline/resource.py:119-135).
     """
     has_deleted = "deleted" in delta_corpus.columns
+    if has_deleted:
+        # duplicate urls would also fan out the tombstone re-attach join
+        delta_corpus = delta_corpus.cache()
     extracted = with_extracted_text(
         delta_corpus.drop("text") if "text" in delta_corpus.columns else delta_corpus,
         "html",
@@ -177,12 +189,24 @@ def normalize_delta(delta_corpus: DataFrame) -> DataFrame:
     )
     docs = normalize_documents(extracted)
     if has_deleted:
-        # normalize projects a fixed schema; re-attach the tombstone flag by url
-        docs = docs.join(delta_corpus.select("url", "deleted"), "url", "left")
+        # normalize projects a fixed schema; re-attach the tombstone flag by
+        # (url, warc_ts) — the pair identifies the push within the batch
+        docs = docs.join(
+            delta_corpus.select("url", "warc_ts", "deleted"), ["url", "warc_ts"], "left"
+        )
         docs = docs.withColumn("is_delete", F.coalesce(F.col("deleted"), F.lit(False))).drop("deleted")
     else:
         docs = docs.withColumn("is_delete", F.lit(False))
-    return docs
+    w = W.partitionBy("srn").orderBy(
+        F.col("warc_ts").desc(),
+        F.col("is_delete").desc(),
+        F.col("content_hash").desc(),
+    )
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
 
 def merge_documents(base: DataFrame, delta: DataFrame) -> DataFrame:

@@ -649,3 +649,51 @@ def test_search_api_auto_delta_searcher(spark, tmp_root):
     assert (
         np.asarray(ga["score"], np.float64) == np.asarray(gb["score"], np.float64)
     ).all()
+
+
+def test_in_batch_duplicate_pushes_latest_wins(spark, tmp_root):
+    """A url pushed more than once inside ONE micro-batch must collapse to
+    one row per srn before the merge (the full-outer MERGE would otherwise
+    fan out into duplicate srn/doc_id rows): newest warc_ts wins for
+    updates AND inserts; insert-then-delete in one batch yields one
+    soft-deleted row. Regression for the pre-dedup in normalize_delta."""
+    import pandas as pd
+
+    from harvester_spark.corpus import EPOCH, doc_url
+    from harvester_spark.pipeline import build_documents
+
+    base = build_documents(generate_corpus(spark, 20, 2), 2)
+    p = os.path.join(tmp_root, "duppush_docs")
+    base.write.mode("overwrite").parquet(p)
+    base = spark.read.parquet(p)
+    real_url = base.filter(F.col("doc_id") == 3).select("url").first()["url"]
+
+    pdf = pd.DataFrame(
+        {
+            "url": [real_url, real_url, doc_url(999), doc_url(999),
+                    doc_url(998), doc_url(998)],
+            "warc_ts": [EPOCH + np.timedelta64(s, "s")
+                        for s in (100, 200, 50, 60, 70, 80)],
+            "html": [b"<p>first push</p>", b"<p>second push wins</p>",
+                     b"<p>fresh v1</p>", b"<p>fresh v2 wins</p>",
+                     b"<p>born</p>", b"<p>and deleted</p>"],
+            "lang": ["en"] * 6,
+            "deleted": [False, False, False, False, False, True],
+        }
+    )
+    delta = normalize_delta(spark.createDataFrame(pdf))
+    # one row per srn survives the in-batch dedup
+    assert delta.count() == 3
+    merged = merge_documents(base, delta)
+    assert merged.count() == 22  # 20 base + 2 inserts
+    assert merged.groupBy("srn").count().filter("count > 1").count() == 0
+    assert merged.groupBy("doc_id").count().filter("count > 1").count() == 0
+    rows = {
+        r["url"]: (r["text"], r["state"])
+        for r in merged.filter(
+            F.col("url").isin([real_url, doc_url(999), doc_url(998)])
+        ).collect()
+    }
+    assert rows[real_url] == ("second push wins", "active")
+    assert rows[doc_url(999)] == ("fresh v2 wins", "active")
+    assert rows[doc_url(998)][1] == "deleted"
