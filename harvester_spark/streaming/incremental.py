@@ -339,6 +339,17 @@ def apply_index_delta(
 
     from harvester_spark.search.engine import read_delta_state
 
+    # At-least-once delivery makes NO-OP batches routine (redelivered pushes
+    # whose content hash matches the base): nothing changed, so nothing is
+    # written and no seq is consumed. A PURE-DELETE batch writes tombstones
+    # + refreshed stats but NO postings dir — a partitioned parquet write of
+    # an empty frame produces no footer files and would brick every
+    # subsequent DeltaSearcher read of the manifest's delta list.
+    fresh_docs = fresh_docs.cache()
+    has_postings = not fresh_docs.isEmpty()
+    if not has_postings and tombstones.isEmpty():
+        return
+
     state = read_delta_state(index_dir) or {"seq": 0, "deltas": [], "stats_dir": None}
     seq = int(state["seq"]) + 1
 
@@ -363,21 +374,23 @@ def apply_index_delta(
             "index was built with the nl decompound analyzer chain; pass the "
             "same decompound_words so delta postings match the base chain"
         )
-    rows = postings_rows(
-        fresh_docs.select("doc_id", "text", "lang", "doc_len"),
-        decompound_words=decompound_words,
-        common_gram_terms=cg_terms,
-    )
-    encode_postings(rows, avgdl).write.mode("overwrite").partitionBy("lang").parquet(
-        f"{index_dir}/postings_delta/delta={delta_name}"
-    )
+    if has_postings:
+        rows = postings_rows(
+            fresh_docs.select("doc_id", "text", "lang", "doc_len"),
+            decompound_words=decompound_words,
+            common_gram_terms=cg_terms,
+        )
+        encode_postings(rows, avgdl).write.mode("overwrite").partitionBy(
+            "lang"
+        ).parquet(f"{index_dir}/postings_delta/delta={delta_name}")
     tombstones.select(
         F.col("doc_id").cast("long"), F.lit(seq).cast("long").alias("seq")
     ).write.mode("overwrite").parquet(f"{index_dir}/tombstones/{delta_name}")
 
     new_state = {
         "seq": seq,
-        "deltas": state["deltas"] + [{"name": delta_name, "seq": seq}],
+        "deltas": state["deltas"]
+        + [{"name": delta_name, "seq": seq, "has_postings": has_postings}],
         "stats_dir": stats_dir,
     }
     tmp = os.path.join(index_dir, "delta_state.json.tmp")
@@ -425,9 +438,15 @@ class DeltaSearcher(IndexSearcher):
         # (delta=<name>/lang=<l>), so a basePath read keeps both columns.
         delta_root = f"{index_dir}/postings_delta"
         self._delta = None
-        if deltas:
-            paths = [f"{delta_root}/delta={d['name']}" for d in deltas]
-            self._delta = spark.read.option("basePath", delta_root).parquet(*paths)
+        # pure-delete deltas carry tombstones + a seq but NO postings dir
+        # (manifest has_postings=False; absent key = older manifest = True)
+        post_paths = [
+            f"{delta_root}/delta={d['name']}"
+            for d in deltas
+            if d.get("has_postings", True)
+        ]
+        if post_paths:
+            self._delta = spark.read.option("basePath", delta_root).parquet(*post_paths)
 
         # Tombstones carry the recording delta's seq: a tombstone at seq N
         # kills the doc's postings in base (seq 0) and every delta < N.

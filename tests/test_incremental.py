@@ -697,3 +697,72 @@ def test_in_batch_duplicate_pushes_latest_wins(spark, tmp_root):
     assert rows[real_url] == ("second push wins", "active")
     assert rows[doc_url(999)] == ("fresh v2 wins", "active")
     assert rows[doc_url(998)][1] == "deleted"
+
+
+def test_noop_and_pure_delete_batches(spark, tmp_root):
+    """A NO-OP batch (redelivered pushes whose content matches base — routine
+    under at-least-once delivery) must write nothing and consume no seq; a
+    PURE-DELETE batch records tombstones + stats but no postings dir (an
+    empty partitioned parquet write has no footers and bricked every later
+    DeltaSearcher). Both stacked with an update must stay rebuild-identical,
+    on the driver path and the distributed batch path."""
+    from harvester_spark.search.distributed import or_search_batch
+    from harvester_spark.search.engine import read_delta_state
+    from harvester_spark.search.wand import or_search
+    from harvester_spark.streaming.incremental import DeltaSearcher
+
+    work = os.path.join(tmp_root, "noop_del")
+    run_build(spark, work, n_docs=30, resume=False, num_partitions=4)
+    docs = spark.read.parquet(f"{work}/documents")
+
+    def push(docs, pdf, name):
+        delta = normalize_delta(
+            spark.createDataFrame(
+                pdf,
+                "url string, warc_ts timestamp, html binary, text string, "
+                "lang string, deleted boolean",
+            )
+        )
+        merged = merge_documents(docs, delta)
+        merged.write.mode("overwrite").parquet(f"{work}/docs_{name}")
+        merged = spark.read.parquet(f"{work}/docs_{name}")
+        fresh, tombs = changed_and_deleted(docs, merged)
+        apply_index_delta(
+            spark, f"{work}/index", merged, fresh, tombs, delta_name=name
+        )
+        return merged
+
+    pdf = corpus_pdf(np.array([2, 7]))  # identical content → no-op
+    pdf["deleted"] = False
+    docs = push(docs, pdf, "noop")
+    pdf = corpus_pdf(np.array([5]))  # pure delete
+    pdf["deleted"] = True
+    docs = push(docs, pdf, "del-only")
+    pdf = corpus_pdf(np.array([9]))  # real update
+    pdf["html"] = [b"<p>rewritten nine zulu</p>"]
+    pdf["deleted"] = False
+    docs = push(docs, pdf, "upd")
+
+    state = read_delta_state(f"{work}/index")
+    assert [d["name"] for d in state["deltas"]] == ["del-only", "upd"]
+    assert [d["has_postings"] for d in state["deltas"]] == [False, True]
+
+    s = DeltaSearcher(spark, f"{work}/index")
+    assert 5 not in set(s.search("the", k=100).topk["doc_id"])
+
+    rb = os.path.join(work, "rebuild")
+    IndexBuilder(spark, f"{rb}/index").build(docs, resume=False, num_partitions=4)
+    s2 = IndexSearcher(spark, f"{rb}/index")
+    for q in ["zulu", "the", "customer part"]:
+        a, b = s.search(q, k=20), s2.search(q, k=20)
+        assert list(a.topk["doc_id"]) == list(b.topk["doc_id"]), q
+        assert (a.topk["score"].to_numpy() == b.topk["score"].to_numpy()).all(), q
+        assert a.results_total == b.results_total, q
+
+    got = or_search_batch(
+        spark, s, [("q1", "zulu"), ("q2", "customer part")], k=10, n_ranges=3
+    )
+    for qid, q in [("q1", "zulu"), ("q2", "customer part")]:
+        exp = or_search(s, q, k=10)
+        sub = got[got["query_id"] == qid]
+        assert list(sub["doc_id"]) == list(exp["doc_id"]), q
