@@ -351,7 +351,14 @@ def apply_index_delta(
         return
 
     state = read_delta_state(index_dir) or {"seq": 0, "deltas": [], "stats_dir": None}
-    seq = int(state["seq"]) + 1
+    # IDEMPOTENT per delta_name: foreachBatch retries a crashed batch with
+    # the same batch id (the promote that follows us may not have run), so a
+    # re-apply must overwrite the SAME staged dirs and keep the existing
+    # manifest entry — never append a duplicate name with a fresh seq. The
+    # retry recomputes identical inputs (the base documents version only
+    # advances at the promote), so the overwrite is byte-stable.
+    existing = next((d for d in state["deltas"] if d["name"] == delta_name), None)
+    seq = int(existing["seq"]) if existing else int(state["seq"]) + 1
 
     stats_dir = f"stats/v{seq:06d}"
     active = merged_documents.filter(F.col("state") == "active")
@@ -387,10 +394,10 @@ def apply_index_delta(
         F.col("doc_id").cast("long"), F.lit(seq).cast("long").alias("seq")
     ).write.mode("overwrite").parquet(f"{index_dir}/tombstones/{delta_name}")
 
+    entry = {"name": delta_name, "seq": seq, "has_postings": has_postings}
     new_state = {
-        "seq": seq,
-        "deltas": state["deltas"]
-        + [{"name": delta_name, "seq": seq, "has_postings": has_postings}],
+        "seq": max(int(state["seq"]), seq),
+        "deltas": [d for d in state["deltas"] if d["name"] != delta_name] + [entry],
         "stats_dir": stats_dir,
     }
     tmp = os.path.join(index_dir, "delta_state.json.tmp")

@@ -766,3 +766,40 @@ def test_noop_and_pure_delete_batches(spark, tmp_root):
         exp = or_search(s, q, k=10)
         sub = got[got["query_id"] == qid]
         assert list(sub["doc_id"]) == list(exp["doc_id"]), q
+
+
+def test_reapplied_delta_is_idempotent(spark, tmp_root):
+    """foreachBatch retries a crashed batch with the same batch id, so
+    apply_index_delta must be idempotent per delta_name: the re-apply
+    overwrites the same staged dirs and the manifest is byte-identical —
+    never a duplicate entry with a fresh seq."""
+    import pandas as pd
+
+    from harvester_spark.search.engine import read_delta_state
+    from harvester_spark.streaming.incremental import DeltaSearcher
+
+    work = os.path.join(tmp_root, "retry_idem")
+    run_build(spark, work, n_docs=30, resume=False, num_partitions=4)
+    docs = spark.read.parquet(f"{work}/documents")
+    pdf = corpus_pdf(np.array([9]))
+    pdf["html"] = [b"<p>rewritten nine zulu</p>"]
+    pdf["deleted"] = False
+    delta = normalize_delta(
+        spark.createDataFrame(
+            pdf,
+            "url string, warc_ts timestamp, html binary, text string, "
+            "lang string, deleted boolean",
+        )
+    )
+    merged = merge_documents(docs, delta)
+    merged.write.mode("overwrite").parquet(f"{work}/docs_v2")
+    merged = spark.read.parquet(f"{work}/docs_v2")
+    fresh, tombs = changed_and_deleted(docs, merged)
+    apply_index_delta(spark, f"{work}/index", merged, fresh, tombs, delta_name="delta-0")
+    st1 = read_delta_state(f"{work}/index")
+    apply_index_delta(spark, f"{work}/index", merged, fresh, tombs, delta_name="delta-0")
+    st2 = read_delta_state(f"{work}/index")
+    assert st1 == st2
+    assert len(st2["deltas"]) == 1 and st2["seq"] == 1
+    s = DeltaSearcher(spark, f"{work}/index")
+    assert s.search("zulu", k=5).results_total == 1
