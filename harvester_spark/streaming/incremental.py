@@ -353,14 +353,28 @@ def apply_index_delta(
     state = read_delta_state(index_dir) or {"seq": 0, "deltas": [], "stats_dir": None}
     # IDEMPOTENT per delta_name: foreachBatch retries a crashed batch with
     # the same batch id (the promote that follows us may not have run), so a
-    # re-apply must overwrite the SAME staged dirs and keep the existing
-    # manifest entry — never append a duplicate name with a fresh seq. The
-    # retry recomputes identical inputs (the base documents version only
-    # advances at the promote), so the overwrite is byte-stable.
+    # re-apply keeps the existing seq and REPLACES the manifest entry —
+    # never a duplicate name with a fresh seq. The re-apply stages under
+    # attempt-suffixed dirs (never overwriting dirs the LIVE manifest
+    # references — a reader mid-query must keep its consistent snapshot)
+    # and publishes with the same single os.replace; superseded attempt
+    # dirs stay as unreferenced garbage until compaction, like any
+    # crash-staged dir.
     existing = next((d for d in state["deltas"] if d["name"] == delta_name), None)
-    seq = int(existing["seq"]) if existing else int(state["seq"]) + 1
+    if existing is not None:
+        import re as _re
 
-    stats_dir = f"stats/v{seq:06d}"
+        seq = int(existing["seq"])
+        prev_dir = existing.get("dir", existing["name"])
+        m = _re.search(r"__r(\d+)$", prev_dir)
+        attempt = int(m.group(1)) + 1 if m else 1
+        delta_dir = f"{delta_name}__r{attempt}"
+        stats_dir = f"stats/v{seq:06d}__r{attempt}"
+    else:
+        seq = int(state["seq"]) + 1
+        delta_dir = delta_name
+        stats_dir = f"stats/v{seq:06d}"
+
     active = merged_documents.filter(F.col("state") == "active")
     active.select("doc_id", "lang", "doc_len").write.mode("overwrite").parquet(
         f"{index_dir}/{stats_dir}/doc_stats"
@@ -389,12 +403,15 @@ def apply_index_delta(
         )
         encode_postings(rows, avgdl).write.mode("overwrite").partitionBy(
             "lang"
-        ).parquet(f"{index_dir}/postings_delta/delta={delta_name}")
+        ).parquet(f"{index_dir}/postings_delta/delta={delta_dir}")
     tombstones.select(
         F.col("doc_id").cast("long"), F.lit(seq).cast("long").alias("seq")
-    ).write.mode("overwrite").parquet(f"{index_dir}/tombstones/{delta_name}")
+    ).write.mode("overwrite").parquet(f"{index_dir}/tombstones/{delta_dir}")
 
-    entry = {"name": delta_name, "seq": seq, "has_postings": has_postings}
+    entry = {
+        "name": delta_name, "seq": seq, "has_postings": has_postings,
+        "dir": delta_dir,
+    }
     new_state = {
         "seq": max(int(state["seq"]), seq),
         "deltas": [d for d in state["deltas"] if d["name"] != delta_name] + [entry],
@@ -438,7 +455,12 @@ class DeltaSearcher(IndexSearcher):
         ] = {}
         state = read_delta_state(index_dir)
         deltas = list(state["deltas"]) if state else []
-        self._delta_seq = {d["name"]: int(d["seq"]) for d in deltas}
+        # keyed by the DIR (the `delta=` partition value — differs from the
+        # logical name after a streaming-retry re-stage; absent key = older
+        # manifest = the name itself)
+        self._delta_seq = {
+            d.get("dir", d["name"]): int(d["seq"]) for d in deltas
+        }
 
         # Only manifest-LISTED deltas are read (a crash can leave staged but
         # unpublished delta dirs on disk); delta dirs are partition-style
@@ -448,7 +470,7 @@ class DeltaSearcher(IndexSearcher):
         # pure-delete deltas carry tombstones + a seq but NO postings dir
         # (manifest has_postings=False; absent key = older manifest = True)
         post_paths = [
-            f"{delta_root}/delta={d['name']}"
+            f"{delta_root}/delta={d.get('dir', d['name'])}"
             for d in deltas
             if d.get("has_postings", True)
         ]
@@ -462,7 +484,9 @@ class DeltaSearcher(IndexSearcher):
         self._tomb_ids = np.empty(0, dtype=np.int64)
         self._tomb_maxseq = np.empty(0, dtype=np.int64)
         if deltas:
-            paths = [f"{index_dir}/tombstones/{d['name']}" for d in deltas]
+            paths = [
+                f"{index_dir}/tombstones/{d.get('dir', d['name'])}" for d in deltas
+            ]
             pdf = spark.read.parquet(*paths).toPandas()
             if len(pdf):
                 folded = pdf.groupby("doc_id")["seq"].max().sort_index()

@@ -770,9 +770,10 @@ def test_noop_and_pure_delete_batches(spark, tmp_root):
 
 def test_reapplied_delta_is_idempotent(spark, tmp_root):
     """foreachBatch retries a crashed batch with the same batch id, so
-    apply_index_delta must be idempotent per delta_name: the re-apply
-    overwrites the same staged dirs and the manifest is byte-identical —
-    never a duplicate entry with a fresh seq."""
+    apply_index_delta must be idempotent per delta_name: the re-apply keeps
+    the existing seq, REPLACES the manifest entry (never a duplicate name
+    with a fresh seq), and stages under a fresh attempt dir so readers of
+    the live manifest never see a dir being overwritten."""
     import pandas as pd
 
     from harvester_spark.search.engine import read_delta_state
@@ -799,7 +800,14 @@ def test_reapplied_delta_is_idempotent(spark, tmp_root):
     st1 = read_delta_state(f"{work}/index")
     apply_index_delta(spark, f"{work}/index", merged, fresh, tombs, delta_name="delta-0")
     st2 = read_delta_state(f"{work}/index")
-    assert st1 == st2
     assert len(st2["deltas"]) == 1 and st2["seq"] == 1
+    (e1,), (e2,) = st1["deltas"], st2["deltas"]
+    assert (e2["name"], e2["seq"]) == (e1["name"], e1["seq"]) == ("delta-0", 1)
+    # the re-apply staged FRESH dirs; the previously-published ones survive
+    # untouched for readers of the old manifest
+    assert e2["dir"] != e1["dir"]
+    assert st2["stats_dir"] != st1["stats_dir"]
+    assert os.path.isdir(f"{work}/index/postings_delta/delta={e1['dir']}")
+    assert os.path.isdir(f"{work}/index/{st1['stats_dir']}")
     s = DeltaSearcher(spark, f"{work}/index")
     assert s.search("zulu", k=5).results_total == 1
