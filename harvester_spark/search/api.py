@@ -415,7 +415,7 @@ class SearchAPI:
 
     def _dictionary(self) -> pd.DataFrame:
         if self._dict_pdf is None:
-            self._dict_pdf = (
+            base = (
                 self.searcher.dictionary.filter(F.col("lang") == ALL_LANG)
                 # common-grams bigram tokens (contain a space) are a phrase-
                 # matching internal, never a suggestion/autocomplete surface
@@ -423,6 +423,32 @@ class SearchAPI:
                 .select("term", "df")
                 .toPandas()
             )
+            # Un-compacted deltas: terms first seen by a webhook batch are
+            # absent from the base dictionary — union them (post-delta df
+            # from the merged decode; fully-tombstoned extras drop out) so
+            # autocomplete/did-you-mean see fresh vocabulary before
+            # compaction, like the SQS prefix/fuzzy expansions.
+            if hasattr(self.searcher, "delta_terms"):
+                known = set(base["term"])
+                extra = [
+                    t
+                    for t in self.searcher.delta_terms(ALL_LANG)
+                    if " " not in t and t not in known
+                ]
+                if extra:
+                    dfs = self.searcher._dfs(extra, ALL_LANG)
+                    live = [t for t in extra if dfs.get(t, 0) > 0]
+                    if live:
+                        base = pd.concat(
+                            [
+                                base,
+                                pd.DataFrame(
+                                    {"term": live, "df": [dfs[t] for t in live]}
+                                ),
+                            ],
+                            ignore_index=True,
+                        )
+            self._dict_pdf = base
         return self._dict_pdf
 
     def did_you_mean(self, query_text: str, lang: str = ALL_LANG) -> dict | None:

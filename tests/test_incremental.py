@@ -811,3 +811,50 @@ def test_reapplied_delta_is_idempotent(spark, tmp_root):
     assert os.path.isdir(f"{work}/index/{st1['stats_dir']}")
     s = DeltaSearcher(spark, f"{work}/index")
     assert s.search("zulu", k=5).results_total == 1
+
+
+def test_suggestions_see_delta_only_terms(spark, tmp_root):
+    """autocomplete and did_you_mean must surface vocabulary that first
+    arrived in an un-compacted delta (webhook-ingested docs), with
+    post-delta df — not wait for compaction. Deleted-in-delta terms must
+    NOT suggest."""
+    import pandas as pd
+
+    from harvester_spark.corpus import EPOCH, doc_url
+    from harvester_spark.search.api import SearchAPI
+    from harvester_spark.streaming.incremental import DeltaSearcher
+
+    work = os.path.join(tmp_root, "sugg_delta")
+    run_build(spark, work, n_docs=30, resume=False, num_partitions=4)
+    docs = spark.read.parquet(f"{work}/documents")
+    pdf = pd.DataFrame(
+        {
+            "url": [doc_url(777), doc_url(778)],
+            "warc_ts": [EPOCH + np.timedelta64(s, "s") for s in (10, 20)],
+            "html": [b"<p>xylophonic xylograph melody</p>", b"<p>xylophonic reprise</p>"],
+            "text": ["xylophonic xylograph melody", "xylophonic reprise"],
+            "lang": ["en"] * 2,
+            "deleted": [False, False],
+        }
+    )
+    delta = normalize_delta(
+        spark.createDataFrame(
+            pdf,
+            "url string, warc_ts timestamp, html binary, text string, "
+            "lang string, deleted boolean",
+        )
+    )
+    merged = merge_documents(docs, delta)
+    merged.write.mode("overwrite").parquet(f"{work}/docs_v2")
+    merged = spark.read.parquet(f"{work}/docs_v2")
+    fresh, tombs = changed_and_deleted(docs, merged)
+    apply_index_delta(spark, f"{work}/index", merged, fresh, tombs, delta_name="d0")
+
+    api = SearchAPI(spark, f"{work}/index", merged)
+    assert isinstance(api.searcher, DeltaSearcher)
+    comp = api.autocomplete("xylo", 5)
+    assert "xylophonic" in comp and "xylograph" in comp
+    # df is post-delta: the term in both pushed docs outranks the singleton
+    assert comp.index("xylophonic") < comp.index("xylograph")
+    dym = api.did_you_mean("xylophonik")
+    assert dym is not None and dym["suggestion"] == "xylophonic"
