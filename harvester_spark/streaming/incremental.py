@@ -237,10 +237,17 @@ def merge_documents(base: DataFrame, delta: DataFrame) -> DataFrame:
     joined = base.join(d, base.srn == d.d_srn, "full_outer")
 
     is_insert = F.col("srn").isNull()
-    is_delete = F.coalesce(F.col("is_delete"), F.lit(False))
+    # VERSION GUARD: warc_ts is the push's version. A delta row OLDER than
+    # the base row is a stale replay (at-least-once redelivery of an earlier
+    # batch, or a file source listing batches out of order) and must NOT
+    # regress the doc — updates and deletes apply only when
+    # d_warc_ts >= base warc_ts (equality allowed: re-push with a corrected
+    # payload at the same capture time).
+    not_stale = F.col("srn").isNull() | (F.col("d_warc_ts") >= F.col("warc_ts"))
+    is_delete = F.coalesce(F.col("is_delete"), F.lit(False)) & not_stale
     is_update = (~is_insert) & F.col("d_srn").isNotNull() & (~is_delete) & (
         F.col("content_hash") != F.col("d_hash")
-    )
+    ) & not_stale
 
     def pick(b: str, dcol: str):
         return F.when(is_insert | is_update, F.col(dcol)).otherwise(F.col(b))

@@ -64,10 +64,18 @@ def start_webhook_stream(
     index_dir: str,
     checkpoint_dir: str,
     available_now: bool = False,
+    max_files_per_trigger: int | None = None,
 ):
-    """Start the ingest stream over a JSON drop directory."""
+    """Start the ingest stream over a JSON drop directory.
+
+    ``max_files_per_trigger`` bounds each micro-batch (files per trigger) —
+    with ``available_now`` it drains the backlog as a SEQUENCE of batches
+    instead of one, exercising the stacked-delta path."""
     os.makedirs(drop_dir, exist_ok=True)
-    stream = spark.readStream.schema(WEBHOOK_SCHEMA).json(drop_dir)
+    reader = spark.readStream.schema(WEBHOOK_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    stream = reader.json(drop_dir)
     writer = stream.writeStream.foreachBatch(
         lambda bdf, bid: process_webhook_batch(spark, bdf, bid, docs_catalog, index_dir)
     ).option("checkpointLocation", checkpoint_dir)

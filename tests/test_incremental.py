@@ -672,8 +672,10 @@ def test_in_batch_duplicate_pushes_latest_wins(spark, tmp_root):
         {
             "url": [real_url, real_url, doc_url(999), doc_url(999),
                     doc_url(998), doc_url(998)],
-            "warc_ts": [EPOCH + np.timedelta64(s, "s")
-                        for s in (100, 200, 50, 60, 70, 80)],
+            # pushes must be NEWER than the base doc's warc_ts (version
+            # guard: stale replays are dropped) — days, not seconds
+            "warc_ts": [EPOCH + np.timedelta64(s, "D")
+                        for s in (1000, 2000, 50, 60, 70, 80)],
             "html": [b"<p>first push</p>", b"<p>second push wins</p>",
                      b"<p>fresh v1</p>", b"<p>fresh v2 wins</p>",
                      b"<p>born</p>", b"<p>and deleted</p>"],
@@ -858,3 +860,128 @@ def test_suggestions_see_delta_only_terms(spark, tmp_root):
     assert comp.index("xylophonic") < comp.index("xylograph")
     dym = api.did_you_mean("xylophonik")
     assert dym is not None and dym["suggestion"] == "xylophonic"
+
+
+def test_webhook_stream_multi_batch(spark, tmp_root):
+    """Three sequential micro-batches through the REAL streaming engine
+    (maxFilesPerTrigger=1): insert, update+delete, and a redelivered
+    duplicate of batch 2 (at-least-once no-op). End state must equal a
+    rebuild over the final documents, and the no-op batch must not consume
+    a delta seq."""
+    import shutil
+
+    from harvester_spark.search.engine import read_delta_state
+    from harvester_spark.streaming.incremental import DeltaSearcher
+    from harvester_spark.streaming.webhook import start_webhook_stream
+
+    root = os.path.join(tmp_root, "webhook_multi")
+    out = os.path.join(root, "base")
+    run_build(spark, out, n_docs=40, resume=False, num_partitions=2)
+
+    catalog = IndexCatalog(os.path.join(root, "catalog"))
+    os.makedirs(catalog.version_dir("v000000"), exist_ok=True)
+    for f in os.listdir(f"{out}/documents"):
+        shutil.copy(f"{out}/documents/{f}", catalog.version_dir("v000000"))
+    catalog.promote("v000000")
+    index_dir = os.path.join(root, "index")
+    shutil.copytree(f"{out}/index", index_dir)
+
+    base = spark.read.parquet(f"{out}/documents")
+    victim = base.filter(F.col("doc_id") == 7).first()
+
+    drop = os.path.join(root, "drop")
+    os.makedirs(drop, exist_ok=True)
+    batches = [
+        [{"url": "https://example.org/alpha/88888888",
+          "warc_ts": "2024-01-01T00:00:00.000Z",
+          "html": "<p>streamed quokka document</p>", "lang": "en",
+          "deleted": False}],
+        [{"url": "https://example.org/alpha/88888888",
+          "warc_ts": "2024-01-02T00:00:00.000Z",
+          "html": "<p>streamed quokka document revised wombat</p>",
+          "lang": "en", "deleted": False},
+         {"url": victim["url"], "warc_ts": "2024-01-02T00:00:00.000Z",
+          "html": "<p>x</p>", "lang": "en", "deleted": True}],
+    ]
+    # batch 3 = exact redelivery of batch 2 (at-least-once)
+    batches.append(batches[1])
+    import time
+
+    now = time.time()
+    for i, rows in enumerate(batches):
+        path = os.path.join(drop, f"b{i}.json")
+        with open(path, "w") as f:
+            f.write("\n".join(json.dumps(r) for r in rows))
+        # the file source orders batches by mtime — stagger them so the
+        # three micro-batches process deterministically in drop order
+        os.utime(path, (now - 30 + 10 * i, now - 30 + 10 * i))
+
+    q = start_webhook_stream(
+        spark, drop, catalog, index_dir, os.path.join(root, "ckpt"),
+        available_now=True, max_files_per_trigger=1,
+    )
+    q.awaitTermination(240)
+
+    docs = spark.read.parquet(catalog.current_dir())
+    pushed = docs.filter(F.col("url").endswith("88888888")).collect()
+    assert len(pushed) == 1 and "wombat" in pushed[0]["text"]
+    assert docs.filter(F.col("doc_id") == 7).first()["state"] == "deleted"
+
+    state = read_delta_state(index_dir)
+    # batch 1 and 2 each produced a delta; the redelivered batch 3 no-op'd
+    assert len(state["deltas"]) == 2
+
+    ds = DeltaSearcher(spark, index_dir)
+    rb = os.path.join(root, "rebuild")
+    IndexBuilder(spark, f"{rb}/index").build(docs, resume=False, num_partitions=2)
+    rs = IndexSearcher(spark, f"{rb}/index")
+    for query in ["wombat", "quokka revised", "the", "w00000 w00001"]:
+        a, b = ds.search(query, k=20), rs.search(query, k=20)
+        assert list(a.topk["doc_id"]) == list(b.topk["doc_id"]), query
+        assert (a.topk["score"].to_numpy() == b.topk["score"].to_numpy()).all(), query
+        assert a.results_total == b.results_total, query
+
+
+def test_stale_replay_does_not_regress(spark, tmp_root):
+    """A replayed push whose warc_ts is OLDER than the base row (redelivered
+    early batch, out-of-order file listing) must not regress the doc:
+    updates and deletes apply only when the delta's warc_ts >= base's."""
+    import pandas as pd
+
+    from harvester_spark.pipeline import build_documents
+
+    base = build_documents(generate_corpus(spark, 20, 2), 2)
+    p = os.path.join(tmp_root, "stale_docs")
+    base.write.mode("overwrite").parquet(p)
+    base = spark.read.parquet(p)
+    import datetime
+
+    row = base.filter(F.col("doc_id") == 3).first()
+    stale_ts = row["warc_ts"] - datetime.timedelta(days=1)
+
+    pdf = pd.DataFrame(
+        {
+            "url": [row["url"], row["url"]],
+            "warc_ts": [stale_ts, stale_ts],
+            "html": [b"<p>stale regression</p>", b"<p>x</p>"],
+            "text": ["stale regression", "x"],
+            "lang": ["en", "en"],
+            "deleted": [False, True],
+        }
+    )
+    # two separate single-row batches: stale update, then stale delete
+    for i in range(2):
+        delta = normalize_delta(
+            spark.createDataFrame(
+                pdf.iloc[[i]],
+                "url string, warc_ts timestamp, html binary, text string, "
+                "lang string, deleted boolean",
+            )
+        )
+        merged = merge_documents(base, delta)
+        after = merged.filter(F.col("doc_id") == 3).first()
+        assert after["text"] == row["text"]
+        assert after["state"] == "active"
+        assert after["content_hash"] == row["content_hash"]
+        fresh, tombs = changed_and_deleted(base, merged)
+        assert fresh.count() == 0 and tombs.count() == 0
