@@ -985,3 +985,55 @@ def test_stale_replay_does_not_regress(spark, tmp_root):
         assert after["content_hash"] == row["content_hash"]
         fresh, tombs = changed_and_deleted(base, merged)
         assert fresh.count() == 0 and tombs.count() == 0
+
+
+def test_mlt_surfaces_delta_docs(spark, tmp_root):
+    """more_like_this over an un-compacted delta must rank delta-inserted
+    docs that share the seed's vocabulary (single-seed and batch paths),
+    and tolerate a missing seed id in the batch."""
+    import pandas as pd
+
+    from harvester_spark.corpus import EPOCH, doc_url
+    from harvester_spark.search.api import SearchAPI
+
+    work = os.path.join(tmp_root, "mlt_delta")
+    run_build(spark, work, n_docs=50, resume=False, num_partitions=4)
+    docs = spark.read.parquet(f"{work}/documents")
+    base_text = docs.filter(F.col("doc_id") == 4).first()["text"]
+    words = base_text.split()[:30]
+    pdf = pd.DataFrame(
+        {
+            "url": [doc_url(991), doc_url(992)],
+            "warc_ts": [EPOCH + np.timedelta64(9000, "D")] * 2,
+            "html": [
+                f"<p>{' '.join(words)}</p>".encode(),
+                f"<p>{' '.join(words[:15])} unrelated filler</p>".encode(),
+            ],
+            "lang": ["en"] * 2,
+            "deleted": [False] * 2,
+        }
+    )
+    delta = normalize_delta(
+        spark.createDataFrame(
+            pdf,
+            "url string, warc_ts timestamp, html binary, lang string, "
+            "deleted boolean",
+        )
+    )
+    merged = merge_documents(docs, delta)
+    merged.write.mode("overwrite").parquet(f"{work}/docs_v2")
+    merged = spark.read.parquet(f"{work}/docs_v2")
+    fresh, tombs = changed_and_deleted(docs, merged)
+    apply_index_delta(spark, f"{work}/index", merged, fresh, tombs, delta_name="d0")
+
+    api = SearchAPI(spark, f"{work}/index", merged)
+    delta_ids = {
+        r["doc_id"]
+        for r in merged.filter(F.col("url").rlike("99[12]$")).collect()
+    }
+    single = api.more_like_this(4, k=5)
+    top = list(single["doc_id"])
+    assert delta_ids <= set(top)
+    batch = api.more_like_this_batch([4, 10**9], k=5)
+    sub = batch[batch["seed_doc_id"] == 4] if "seed_doc_id" in batch.columns else batch
+    assert delta_ids <= set(sub["doc_id"])
