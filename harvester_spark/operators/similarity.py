@@ -419,8 +419,10 @@ QUERIES["ann_ivf_topk"] = (ann_ivf_topk, SQL_ANN_IVF_TOPK)
 # running ENTIRELY in integer arithmetic — components scaled to integers
 # (round(val·10^6), the cents() convention), squared-euclidean distances as
 # integer sums (64·(2·3.2e5)^2 ≈ 2.6e13 ≪ int64), centroid updates as
-# floor(sum/count) (double division of ≤2^31-magnitude integers is exactly
-# rounded in both engines, so the floor is identical). Ties: dist asc,
+# floor(sum/count) — exact while per-(centroid,pos) component sums stay
+# below 2^53 (10^9 members × 3.2e5 scale ≈ 3.2e14 ≪ 9·10^15 ✓), because a
+# correctly-rounded double quotient of such integers can only cross an
+# integer boundary when the true quotient IS that integer. Ties: dist asc,
 # cent_id asc. Seeds: the K lowest vec_ids. Empty clusters drop (both
 # engines identically). Scale shape: centroids are K·dim integers —
 # ALWAYS broadcast / driver-bounded (the MLlib contract); per iteration one
