@@ -532,9 +532,12 @@ def test_fuzz_batch_over_random_stacked_deltas(spark, tmp_root):
         return ("<p>" + " ".join(words) + "</p>").encode()
 
     phrases = []
+    last_delta_pdf = None
     for step in range(3):
         ixs = sorted(set(rng.integers(0, 120, 8).tolist()) | {10_050 + step})
         pdf = corpus_pdf(np.array(ixs))
+        # per-step ascending push versions (the version guard drops stale)
+        pdf["warc_ts"] = pdf["warc_ts"] + pd.Timedelta(days=step + 1)
         htmls, dels = [], []
         for _ in ixs:
             h = rand_html()
@@ -546,11 +549,31 @@ def test_fuzz_batch_over_random_stacked_deltas(spark, tmp_root):
                 phrases.append(" ".join(toks[j:j + 2]))
         pdf["html"] = htmls
         pdf["deleted"] = dels
+        # adversarial extras: (a) DUPLICATE pushes of some urls inside the
+        # batch, 12h newer with different content — in-batch latest-wins
+        # must keep these; (b) STALE rows 400 days older than any base —
+        # the version guard must drop them without producing re-index work
+        extras = []
+        for row_ix in rng.choice(len(pdf), size=min(3, len(pdf)), replace=False):
+            dup = pdf.iloc[[int(row_ix)]].copy()
+            dup["warc_ts"] = dup["warc_ts"] + pd.Timedelta(hours=12)
+            dup["html"] = [rand_html()]
+            dup["deleted"] = False
+            extras.append(dup)
+        stale_ix = sorted(set(rng.integers(0, 120, 3).tolist()) - set(ixs))
+        if stale_ix:
+            st = corpus_pdf(np.array(stale_ix))
+            st["warc_ts"] = st["warc_ts"] - pd.Timedelta(days=400)
+            st["html"] = [rand_html() for _ in stale_ix]
+            st["deleted"] = [bool(rng.random() < 0.5) for _ in stale_ix]
+            extras.append(st)
+        pdf = pd.concat([pdf] + extras, ignore_index=True)
         delta = spark.createDataFrame(
             pdf,
             "url string, warc_ts timestamp, html binary, text string, "
             "lang string, deleted boolean",
         )
+        last_delta_pdf = pdf
         merged = merge_documents(docs, normalize_delta(delta))
         mp = os.path.join(tmp_root, f"fuzzdelta_docs_v{step}")
         merged.write.mode("overwrite").parquet(mp)
@@ -560,6 +583,26 @@ def test_fuzz_batch_over_random_stacked_deltas(spark, tmp_root):
             spark, inc_dir, merged, fresh, tomb, delta_name=f"delta-{step}"
         )
         docs = merged
+
+    # at-least-once REDELIVERY of the last batch against the post-merge
+    # base: every row is now same-hash or stale → a true no-op batch that
+    # must write nothing and consume no delta seq
+    from harvester_spark.search.engine import read_delta_state
+
+    redelivered = spark.createDataFrame(
+        last_delta_pdf,
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string, deleted boolean",
+    )
+    re_merged = merge_documents(docs, normalize_delta(redelivered))
+    rmp = os.path.join(tmp_root, "fuzzdelta_docs_redeliver")
+    re_merged.write.mode("overwrite").parquet(rmp)
+    re_merged = spark.read.parquet(rmp)
+    fresh, tomb = changed_and_deleted(docs, re_merged)
+    assert fresh.count() == 0 and tomb.count() == 0
+    apply_index_delta(spark, inc_dir, re_merged, fresh, tomb, delta_name="delta-3")
+    assert len(read_delta_state(inc_dir)["deltas"]) == 3
+    docs = re_merged
 
     rb_dir = os.path.join(tmp_root, "fuzzdelta_rebuild")
     IndexBuilder(spark, rb_dir).build(docs, resume=False, num_partitions=4)
