@@ -610,6 +610,28 @@ class IndexBuilder:
         self._record(name, -1, n_rows, t0, "completed")
         return self.spark.read.parquet(path)
 
+    def _clear_delta_artifacts(self) -> None:
+        """Remove streaming-delta state from the target dir (non-resume).
+
+        Artifacts: ``delta_state.json`` (the manifest readers key on),
+        ``postings_delta/``, ``tombstones/``, versioned ``stats/`` dirs, and
+        the base ``doc_lens.f8.npy`` mmap sidecar. The manifest is removed
+        FIRST so a reader racing the cleanup falls back to base-only layout
+        instead of a manifest referencing deleted dirs."""
+        import shutil
+
+        manifest = self._path("delta_state.json")
+        try:
+            os.remove(manifest)
+        except FileNotFoundError:
+            pass
+        for d in ("postings_delta", "tombstones", "stats"):
+            shutil.rmtree(self._path(d), ignore_errors=True)
+        try:
+            os.remove(self._path("doc_lens.f8.npy"))
+        except FileNotFoundError:
+            pass
+
     def build(
         self,
         documents: DataFrame,
@@ -622,6 +644,14 @@ class IndexBuilder:
         common_gram_terms=None,
     ) -> dict[str, DataFrame]:
         spark = self.spark
+        if not resume:
+            # A fresh (non-resume) rebuild into an existing dir must not
+            # leave the previous lifecycle's delta artifacts behind: a stale
+            # delta_state.json would make a new SearchAPI open DeltaSearcher
+            # and merge OLD delta postings / tombstones / mmap'd doc-length
+            # sidecars over the fresh base. Resume builds keep them — they
+            # continue the same lifecycle (compact_in_place handles folding).
+            self._clear_delta_artifacts()
         if "state" in documents.columns:
             # only active docs are indexed (soft-deleted/inactive excluded —
             # /root/reference/harvester/core/views/document.py:42-50)

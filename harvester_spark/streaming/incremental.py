@@ -179,8 +179,12 @@ def normalize_delta(delta_corpus: DataFrame) -> DataFrame:
     (/root/reference/harvester/core/processors/pipeline/resource.py:119-135).
     """
     has_deleted = "deleted" in delta_corpus.columns
-    if has_deleted:
-        # duplicate urls would also fan out the tombstone re-attach join
+    if has_deleted and not delta_corpus.is_cached:
+        # duplicate urls would also fan out the tombstone re-attach join.
+        # Long-running streams must not leak one cached frame per batch:
+        # process_webhook_batch caches the batch itself and unpersists after
+        # the batch's writes complete; this fallback covers direct one-shot
+        # callers only.
         delta_corpus = delta_corpus.cache()
     extracted = with_extracted_text(
         delta_corpus.drop("text") if "text" in delta_corpus.columns else delta_corpus,
@@ -342,6 +346,26 @@ def apply_index_delta(
     ``decompound_words`` — applying a delta tokenized with a different chain
     would silently diverge from a rebuild.
     """
+    fresh_docs = fresh_docs.cache()
+    try:
+        _apply_index_delta(
+            spark, index_dir, merged_documents, fresh_docs, tombstones,
+            delta_name, decompound_words,
+        )
+    finally:
+        # one cached frame per micro-batch must not outlive the batch
+        fresh_docs.unpersist()
+
+
+def _apply_index_delta(
+    spark: SparkSession,
+    index_dir: str,
+    merged_documents: DataFrame,
+    fresh_docs: DataFrame,
+    tombstones: DataFrame,
+    delta_name: str,
+    decompound_words,
+) -> None:
     import json
 
     from harvester_spark.search.engine import read_delta_state
@@ -352,7 +376,6 @@ def apply_index_delta(
     # + refreshed stats but NO postings dir — a partitioned parquet write of
     # an empty frame produces no footer files and would brick every
     # subsequent DeltaSearcher read of the manifest's delta list.
-    fresh_docs = fresh_docs.cache()
     has_postings = not fresh_docs.isEmpty()
     if not has_postings and tombstones.isEmpty():
         return
@@ -551,7 +574,15 @@ class DeltaSearcher(IndexSearcher):
     ) -> dict[str, tuple[np.ndarray, np.ndarray]]:
         """Per term: base ∪ deltas (ascending seq, each tombstone-filtered)
         as sorted (ids, tfs) — exactly the postings a rebuild would hold."""
-        missing = [t for t in terms if (t, lang) not in self._merged_cache]
+        # Build the per-call result LOCALLY: cache eviction must never drop
+        # entries this call still needs (earlier-cached query terms, or
+        # fresh merges inserted before an eviction mid-loop).
+        result: dict[str, tuple[np.ndarray, np.ndarray]] = {
+            t: self._merged_cache[(t, lang)]
+            for t in terms
+            if (t, lang) in self._merged_cache
+        }
+        missing = [t for t in terms if t not in result]
         if missing:
             base_blocks = super()._term_postings(missing, lang)
             delta_blocks = None
@@ -582,10 +613,13 @@ class DeltaSearcher(IndexSearcher):
                             )
                         )
                     ids, tfv = merge_tf_parts(parts)
-                if len(self._merged_cache) > 4096:
-                    self._merged_cache.clear()
-                self._merged_cache[(t, lang)] = (ids, tfv)
-        return {t: self._merged_cache[(t, lang)] for t in terms}
+                result[t] = (ids, tfv)
+            # Evict only BETWEEN merges, after the call's results are safe.
+            if len(self._merged_cache) > 4096:
+                self._merged_cache.clear()
+            for t in missing:
+                self._merged_cache[(t, lang)] = result[t]
+        return result
 
     def _filter_tombstoned_pos(
         self,
@@ -612,7 +646,12 @@ class DeltaSearcher(IndexSearcher):
         phrase queries work over un-compacted deltas."""
         from harvester_spark.search.phrase import _decode_term_positions
 
-        missing = [t for t in terms if (t, lang) not in self._pos_cache]
+        result: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = {
+            t: self._pos_cache[(t, lang)]
+            for t in terms
+            if (t, lang) in self._pos_cache
+        }
+        missing = [t for t in terms if t not in result]
         if missing:
             base_blocks = super()._term_postings(
                 missing, lang, with_positions=True
@@ -645,15 +684,19 @@ class DeltaSearcher(IndexSearcher):
                                     seq=self._delta_seq[name],
                                 )
                             )
-                merged = merge_pos_parts(parts)
-                if len(self._pos_cache) > 1024:
-                    self._pos_cache.clear()
+                result[t] = merge_pos_parts(parts)
+            # Evict only after this call's results are held locally — a
+            # mid-loop clear dropped entries the return still needed.
+            if len(self._pos_cache) > 1024:
+                self._pos_cache.clear()
+            if len(self._merged_cache) > 4096:
+                self._merged_cache.clear()
+            for t in missing:
+                merged = result[t]
                 self._pos_cache[(t, lang)] = merged
                 # ids/tfs are identical to the non-positional merge — share
-                if len(self._merged_cache) > 4096:
-                    self._merged_cache.clear()
                 self._merged_cache[(t, lang)] = (merged[0], merged[1])
-        return {t: self._pos_cache[(t, lang)] for t in terms}
+        return result
 
     def _dfs(self, terms: list[str], lang: str) -> dict[str, int]:
         """Post-delta document frequencies (the base dictionary's df counts

@@ -38,23 +38,32 @@ def process_webhook_batch(
     """One micro-batch: extract → merge → delta-index → promote."""
     if batch_df.isEmpty():
         return
-    delta_corpus = batch_df.withColumn("html", F.encode(F.col("html"), "UTF-8"))
-    delta = normalize_delta(delta_corpus)
-    base = spark.read.parquet(docs_catalog.current_dir())
-    merged = merge_documents(base, delta)
-    fresh, tombstones = changed_and_deleted(base, merged)
-    new_version = f"v{batch_id + 1:06d}"
-    merged.write.mode("overwrite").parquet(docs_catalog.version_dir(new_version))
-    merged_read = spark.read.parquet(docs_catalog.version_dir(new_version))
-    apply_index_delta(
-        spark,
-        index_dir,
-        merged_read,
-        fresh,
-        tombstones,
-        delta_name=f"delta-{batch_id}",
-    )
-    docs_catalog.promote(new_version)  # atomic publish, last step
+    # Own the cache lifetime here: normalize_delta needs the batch cached
+    # (tombstone re-attach join reads it twice), but a long-lived stream must
+    # not accumulate one cached frame per micro-batch — unpersist once the
+    # batch's writes have all completed (promote is only a manifest swap).
+    delta_corpus = batch_df.withColumn(
+        "html", F.encode(F.col("html"), "UTF-8")
+    ).cache()
+    try:
+        delta = normalize_delta(delta_corpus)
+        base = spark.read.parquet(docs_catalog.current_dir())
+        merged = merge_documents(base, delta)
+        fresh, tombstones = changed_and_deleted(base, merged)
+        new_version = f"v{batch_id + 1:06d}"
+        merged.write.mode("overwrite").parquet(docs_catalog.version_dir(new_version))
+        merged_read = spark.read.parquet(docs_catalog.version_dir(new_version))
+        apply_index_delta(
+            spark,
+            index_dir,
+            merged_read,
+            fresh,
+            tombstones,
+            delta_name=f"delta-{batch_id}",
+        )
+        docs_catalog.promote(new_version)  # atomic publish, last step
+    finally:
+        delta_corpus.unpersist()
 
 
 def start_webhook_stream(

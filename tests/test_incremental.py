@@ -1080,3 +1080,120 @@ def test_mlt_surfaces_delta_docs(spark, tmp_root):
     batch = api.more_like_this_batch([4, 10**9], k=5)
     sub = batch[batch["seed_doc_id"] == 4] if "seed_doc_id" in batch.columns else batch
     assert delta_ids <= set(sub["doc_id"])
+
+
+def test_merged_cache_eviction_keeps_current_terms(incr, spark, tmp_root):
+    """Regression (advisor, round 2): a cache clear triggered while merging
+    must not drop entries the SAME call still returns — a long-lived
+    DeltaSearcher whose query straddled the 4096/1024-entry eviction raised
+    KeyError on the first term cached before the clear."""
+    import shutil
+
+    from harvester_spark.streaming.incremental import DeltaSearcher
+
+    out, base, delta, merged = incr
+    d_fresh, d_tombs = changed_and_deleted(base, merged)
+    inc_dir = os.path.join(tmp_root, "evict_index")
+    shutil.rmtree(inc_dir, ignore_errors=True)
+    shutil.copytree(f"{out}/index", inc_dir)
+    apply_index_delta(spark, inc_dir, merged, d_fresh, d_tombs, delta_name="d0")
+    ds = DeltaSearcher(spark, inc_dir)
+    fresh = DeltaSearcher(spark, inc_dir)
+
+    # Warm one term, then stuff the cache past the threshold so the next
+    # fresh merge fires the eviction mid-call.
+    ds._merged_term_arrays(["w00000"], "all")
+    for i in range(4097):
+        ds._merged_cache[(f"__junk{i}__", "all")] = (
+            np.array([0], dtype=np.int64),
+            np.array([1], dtype=np.int64),
+        )
+    got = ds._merged_term_arrays(["w00000", "completely"], "all")
+    want = fresh._merged_term_arrays(["w00000", "completely"], "all")
+    for t in ("w00000", "completely"):
+        assert np.array_equal(got[t][0], want[t][0]), t
+        assert np.array_equal(got[t][1], want[t][1]), t
+    assert len(got["completely"][0]) > 0  # the delta term really merged
+
+    # positional twin (1024-entry threshold)
+    if ds.has_positions:
+        ds._pos_cache.clear()
+        ds._merged_term_positional(["w00000"], "all")
+        for i in range(1025):
+            ds._pos_cache[(f"__junk{i}__", "all")] = (
+                np.array([0]), np.array([1]), np.array([0]), np.array([0]),
+            )
+        gp = ds._merged_term_positional(["w00000", "completely"], "all")
+        wp = fresh._merged_term_positional(["w00000", "completely"], "all")
+        for t in ("w00000", "completely"):
+            for a, b in zip(gp[t], wp[t]):
+                assert np.array_equal(np.asarray(a), np.asarray(b)), t
+
+
+def test_nonresume_rebuild_clears_stale_delta_artifacts(incr, spark, tmp_root):
+    """Regression (advisor, round 2): build(resume=False) into a dir that
+    served deltas must remove delta_state.json / postings_delta / tombstones
+    / stats / the doc_lens sidecar — otherwise a new SearchAPI would open
+    DeltaSearcher and merge STALE delta postings over the fresh base."""
+    import shutil
+
+    from harvester_spark.streaming.incremental import DeltaSearcher
+
+    out, base, delta, merged = incr
+    fresh, tombstones = changed_and_deleted(base, merged)
+    dirty = os.path.join(tmp_root, "dirty_rebuild")
+    shutil.rmtree(dirty, ignore_errors=True)
+    shutil.copytree(f"{out}/index", dirty)
+    apply_index_delta(spark, dirty, merged, fresh, tombstones, delta_name="d0")
+    assert os.path.exists(os.path.join(dirty, "delta_state.json"))
+    DeltaSearcher(spark, dirty).search("completely", k=5)  # builds sidecars
+    np.save(os.path.join(dirty, "doc_lens.f8.npy"), np.zeros(3))  # stale base sidecar
+
+    IndexBuilder(spark, dirty).build(merged, resume=False, num_partitions=4)
+    for stale in ("delta_state.json", "postings_delta", "tombstones", "stats",
+                  "doc_lens.f8.npy"):
+        assert not os.path.exists(os.path.join(dirty, stale)), stale
+
+    # plain IndexSearcher opens (no un-compacted-delta guard) and matches a
+    # from-scratch rebuild exactly
+    clean = os.path.join(tmp_root, "clean_rebuild")
+    IndexBuilder(spark, clean).build(merged, resume=False, num_partitions=4)
+    a = IndexSearcher(spark, dirty).search("completely", k=10).topk
+    b = IndexSearcher(spark, clean).search("completely", k=10).topk
+    assert list(a["doc_id"]) == list(b["doc_id"])
+    assert list(a["score"]) == list(b["score"])
+
+
+def test_webhook_batches_do_not_accumulate_cached_frames(spark, tmp_root):
+    """Regression (advisor, round 2): one cached DataFrame per micro-batch
+    leaked forever in a long-running stream. After N batches the persistent
+    RDD registry must be back at its pre-stream size."""
+    import shutil
+    from datetime import datetime, timedelta
+
+    from harvester_spark.streaming.webhook import process_webhook_batch
+
+    root = os.path.join(tmp_root, "webhook_nocache")
+    out = os.path.join(root, "base")
+    run_build(spark, out, n_docs=40, resume=False, num_partitions=2)
+    catalog = IndexCatalog(os.path.join(root, "catalog"))
+    os.makedirs(catalog.version_dir("v000000"), exist_ok=True)
+    for f in os.listdir(f"{out}/documents"):
+        shutil.copy(f"{out}/documents/{f}", catalog.version_dir("v000000"))
+    catalog.promote("v000000")
+    index_dir = os.path.join(root, "index")
+    shutil.copytree(f"{out}/index", index_dir)
+
+    def n_persistent():
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    before = n_persistent()
+    t0 = datetime(2024, 1, 1)
+    for bid in range(3):
+        bdf = spark.createDataFrame(
+            [(f"https://example.org/push/{bid:08d}", t0 + timedelta(days=bid),
+              f"<p>pushed doc number {bid} unique zebra{bid}</p>", "en", False)],
+            "url string, warc_ts timestamp, html string, lang string, deleted boolean",
+        )
+        process_webhook_batch(spark, bdf, bid, catalog, index_dir)
+    assert n_persistent() <= before, (before, n_persistent())
