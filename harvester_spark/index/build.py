@@ -240,7 +240,17 @@ def dictionary_from_blocks(postings: DataFrame) -> DataFrame:
     all_rows = per_lang.groupBy("term").agg(
         F.sum("df").alias("df"), F.sum("cf").alias("cf")
     ).select("term", F.lit(ALL_LANG).alias("lang"), "df", "cf")
-    return per_lang.select("term", "lang", "df", "cf").unionByName(all_rows)
+    out = per_lang.select("term", "lang", "df", "cf").unionByName(all_rows)
+    # Range-cluster by (lang, tlen, term) so serving probes (exact term,
+    # prefix range, edit-distance length band) prune to a handful of parquet
+    # row groups instead of scanning the vocabulary — the suggestion surfaces
+    # (did_you_mean / autocomplete / fuzzy expansion) stay O(probe) at a
+    # web-scale dictionary (IndexSearcher.dict_probe).
+    return (
+        out.withColumn("tlen", F.length("term"))
+        .repartitionByRange("lang", "tlen", "term")
+        .sortWithinPartitions("lang", "tlen", "term")
+    )
 
 
 def sample_head_terms(

@@ -413,7 +413,77 @@ class SearchAPI:
 
     # ------------------------------------------------------------ suggestions
 
+    def _probe_terms(
+        self,
+        lang: str,
+        term_lo: str | None = None,
+        term_hi: str | None = None,
+        tlen_lo: int | None = None,
+        tlen_hi: int | None = None,
+    ) -> pd.DataFrame:
+        """Bounded (term, df) probe: base dictionary slice (row-group-pruned
+        via :meth:`IndexSearcher.dict_probe`) unioned with matching
+        un-compacted delta vocabulary (post-delta df, fully-tombstoned extras
+        dropped). Common-grams bigram tokens (contain a space) are a phrase-
+        matching internal, never a suggestion surface. Suggestion paths call
+        this instead of materializing the vocabulary — the last O(vocabulary)
+        driver surface at web scale (reference contract: OpenSearch FST
+        suggesters, search/views/autocomplete.py:25-33)."""
+        base = self.searcher.dict_probe(
+            lang, term_lo=term_lo, term_hi=term_hi,
+            tlen_lo=tlen_lo, tlen_hi=tlen_hi,
+        )
+        base = base[~base["term"].str.contains(" ", regex=False)]
+        if hasattr(self.searcher, "delta_terms"):
+            known = set(base["term"])
+
+            def _in_range(t: str) -> bool:
+                if " " in t or t in known:
+                    return False
+                if term_lo is not None and t < term_lo:
+                    return False
+                if term_hi is not None and t >= term_hi:
+                    return False
+                if tlen_lo is not None and len(t) < tlen_lo:
+                    return False
+                if tlen_hi is not None and len(t) > tlen_hi:
+                    return False
+                return True
+
+            extra = [t for t in self.searcher.delta_terms(lang) if _in_range(t)]
+            if extra:
+                dfs = self.searcher._dfs(extra, lang)
+                live = [t for t in extra if dfs.get(t, 0) > 0]
+                if live:
+                    base = pd.concat(
+                        [base, pd.DataFrame({"term": live, "df": [dfs[t] for t in live]})],
+                        ignore_index=True,
+                    )
+        return base.reset_index(drop=True)
+
+    def _term_dfs(self, terms: list[str], lang: str) -> dict[str, int]:
+        """df per term under the same union semantics as :meth:`_probe_terms`
+        (base df when the base dictionary knows the term, else the merged
+        post-delta df) — an exact-terms probe, never a vocabulary scan."""
+        uniq = sorted(set(terms))
+        if not uniq:
+            return {}
+        base = self.searcher.dict_probe(lang, terms=uniq)
+        out = dict(zip(base["term"], (int(v) for v in base["df"])))
+        missing = [t for t in uniq if t not in out]
+        if missing and hasattr(self.searcher, "delta_terms"):
+            dt = set(self.searcher.delta_terms(lang))
+            cand = [t for t in missing if t in dt]
+            if cand:
+                dfs = self.searcher._dfs(cand, lang)
+                out.update({t: int(d) for t, d in dfs.items() if d > 0})
+        return out
+
     def _dictionary(self) -> pd.DataFrame:
+        """Full 'all'-language dictionary on the driver — DIAGNOSTIC/TEST
+        ONLY. Serving paths (did_you_mean / autocomplete / MLT / SQS
+        expansion) must use the bounded probes above; materializing a
+        web-scale vocabulary here is multi-GB on the driver."""
         if self._dict_pdf is None:
             base = (
                 self.searcher.dictionary.filter(F.col("lang") == ALL_LANG)
@@ -457,15 +527,25 @@ class SearchAPI:
         terms = tokenize(query_text or "")
         if not terms:
             return None
-        d = self._dictionary()
+        term_df = self._term_dfs(terms, ALL_LANG)
         suggestions = []
         changed = False
-        term_df = dict(zip(d["term"], d["df"]))
         for t in terms:
             if term_df.get(t, 0) > 0:
                 suggestions.append(t)
                 continue
-            cand = _closest_term(t, d)
+            # candidate slice probe: edit distance ≤ 2 bounds the length to
+            # ±2 and the suggester keeps the first char (same pre-filter
+            # _closest_term always applied) — a (first-char, length-band)
+            # bucket read, not a vocabulary scan
+            cand_slice = self._probe_terms(
+                ALL_LANG,
+                term_lo=t[0],
+                term_hi=chr(ord(t[0]) + 1),
+                tlen_lo=max(1, len(t) - 2),
+                tlen_hi=len(t) + 2,
+            )
+            cand = _closest_term(t, cand_slice)
             if cand is None:
                 suggestions.append(t)
             else:
@@ -475,12 +555,23 @@ class SearchAPI:
             return None
         return {"original": " ".join(terms), "suggestion": " ".join(suggestions)}
 
-    def _suggest_candidates(self) -> pd.DataFrame:
-        """(term, doc_freq) with the reference's suggest_completion
-        semantics (title + first 1000 space-split words, accent-folded,
-        alpha-only, lowercased — products/models/datatypes/product.py:
-        169-180). Built once from the documents table as a Spark agg."""
-        if getattr(self, "_suggest_pdf", None) is None:
+    def _suggest_dataset(self):
+        """suggest_completion candidates (term, doc_freq) as a PROBEABLE
+        table, with the reference's semantics (title + first 1000 space-split
+        words, accent-folded, alpha-only, lowercased —
+        products/models/datatypes/product.py:169-180).
+
+        Built once per API instance as a Spark agg over the CURRENT documents
+        table (so webhook-merged docs are visible, like OpenSearch indexing
+        suggest fields at ingest), written range-clustered by term, and
+        opened as a pyarrow dataset — prefix probes read only matching row
+        groups; the vocabulary never lands on the driver (the FST-at-index-
+        time analogue of search/views/autocomplete.py:25-33)."""
+        if getattr(self, "_suggest_ds", None) is None:
+            import tempfile
+
+            import pyarrow.dataset as ds
+
             docs = self.documents
             parts = [F.split(F.col("text"), " ")]
             if "title" in docs.columns:
@@ -494,27 +585,41 @@ class SearchAPI:
                 ),
                 lambda w: w != "",
             )
-            self._suggest_pdf = (
+            out_dir = tempfile.mkdtemp(prefix="hs_suggest_")
+            (
                 docs.select("doc_id", F.explode(F.array_distinct(cleaned)).alias("term"))
                 .groupBy("term")
                 .agg(F.count("*").alias("doc_freq"))
-                .toPandas()
+                .repartitionByRange("term")
+                .sortWithinPartitions("term")
+                .write.mode("overwrite")
+                .parquet(out_dir)
             )
-        return self._suggest_pdf
+            self._suggest_ds = ds.dataset(out_dir, format="parquet")
+        return self._suggest_ds
 
     def autocomplete(self, prefix: str, n: int = 10, source: str = "dictionary") -> list[str]:
         """Prefix completions. ``source='dictionary'`` ranks the analyzer
         term dictionary by df (keeps digit-bearing terms — this corpus is
         word-soup); ``source='suggest'`` uses the reference's
         suggest_completion candidate field (alpha-only, first 1000 words)
-        ranked by doc_freq."""
+        ranked by doc_freq. Both sources PROBE a term-range slice (parquet
+        row-group pruning) — neither materializes its vocabulary."""
+        p = (prefix or "").lower()
+        hi = p + "\x7f"  # ASCII analyzer contract: '\x7f' > every token char
         if source == "suggest":
-            d = self._suggest_candidates()
-            hits = d[d["term"].str.startswith(prefix.lower())]
+            import pyarrow.dataset as ds
+
+            flt = (ds.field("term") >= p) & (ds.field("term") < hi) if p else None
+            hits = (
+                self._suggest_dataset()
+                .to_table(filter=flt, columns=["term", "doc_freq"])
+                .to_pandas()
+            )
             hits = hits.sort_values(["doc_freq", "term"], ascending=[False, True])
             return list(hits["term"].head(n))
-        d = self._dictionary()
-        hits = d[d["term"].str.startswith(prefix.lower())]
+        d = self._probe_terms(ALL_LANG, term_lo=p or None, term_hi=hi if p else None)
+        hits = d[d["term"].str.startswith(p)] if p else d
         hits = hits.sort_values(["df", "term"], ascending=[False, True])
         return list(hits["term"].head(n))
 
@@ -526,11 +631,12 @@ class SearchAPI:
         if not toks:
             return []
         tf = pd.Series(toks).value_counts()
-        d = self._dictionary()
         n_docs, _avgdl = self.searcher._corpus_stats[lang]
-        term_df = dict(zip(d["term"], d["df"]))
+        # exact-terms probe (the doc's own vocabulary is bounded) — never a
+        # full-dictionary materialization
+        term_df = self._term_dfs(list(tf.index), ALL_LANG)
         weights = {
-            t: tf_ * float(bm25.idf(n_docs, term_df.get(t, 1)))
+            t: tf_ * float(bm25.idf(n_docs, term_df.get(t, 1) or 1))
             for t, tf_ in tf.items()
         }
         return sorted(weights, key=lambda t: (-weights[t], t))[:max_terms]

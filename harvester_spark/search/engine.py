@@ -187,6 +187,70 @@ class IndexSearcher:
             df = df.filter(F.col("lang") == lang)
         return df.select(*cols).toPandas()
 
+    def dict_probe(
+        self,
+        lang: str,
+        terms: list[str] | None = None,
+        term_lo: str | None = None,
+        term_hi: str | None = None,
+        tlen_lo: int | None = None,
+        tlen_hi: int | None = None,
+    ) -> pd.DataFrame:
+        """Bounded dictionary probe → pandas (term, df) for the predicate.
+
+        The dictionary is written range-clustered by (lang, tlen, term)
+        (build.py ``dictionary_from_blocks`` + the range-partitioned write),
+        so every predicate here reaches the parquet scan as row-group /
+        fragment pruning — a prefix, edit-distance length band, or exact-term
+        probe reads only the matching slice, never the vocabulary. This is
+        the serving contract the reference gets from OpenSearch's FST-backed
+        suggesters (search/views/autocomplete.py:25-33): suggestion surfaces
+        must be O(probe), not O(vocabulary), at a web-scale dictionary.
+
+        ``term_hi`` is exclusive; ``tlen_hi`` inclusive. Predicates are also
+        re-applied exactly after the scan, so indexes written before the
+        ``tlen`` column existed stay correct (just unpruned)."""
+        if self._pa_dictionary is not None:
+            import pyarrow.dataset as ds
+
+            flt = ds.field("lang") == lang
+            if terms is not None:
+                flt = flt & ds.field("term").isin(list(terms))
+            if term_lo is not None:
+                flt = flt & (ds.field("term") >= term_lo)
+            if term_hi is not None:
+                flt = flt & (ds.field("term") < term_hi)
+            if "tlen" in self._pa_dictionary.schema.names:
+                if tlen_lo is not None:
+                    flt = flt & (ds.field("tlen") >= tlen_lo)
+                if tlen_hi is not None:
+                    flt = flt & (ds.field("tlen") <= tlen_hi)
+            pdf = self._pa_dictionary.to_table(
+                filter=flt, columns=["term", "df"]
+            ).to_pandas()
+        else:
+            df = self.dictionary.filter(F.col("lang") == lang)
+            if terms is not None:
+                df = df.filter(F.col("term").isin(list(terms)))
+            if term_lo is not None:
+                df = df.filter(F.col("term") >= term_lo)
+            if term_hi is not None:
+                df = df.filter(F.col("term") < term_hi)
+            if "tlen" in df.columns:
+                if tlen_lo is not None:
+                    df = df.filter(F.col("tlen") >= tlen_lo)
+                if tlen_hi is not None:
+                    df = df.filter(F.col("tlen") <= tlen_hi)
+            pdf = df.select("term", "df").toPandas()
+        # exact post-filter (legacy layouts without tlen)
+        if tlen_lo is not None or tlen_hi is not None:
+            L = pdf["term"].str.len()
+            if tlen_lo is not None:
+                pdf = pdf[L >= tlen_lo]
+            if tlen_hi is not None:
+                pdf = pdf[pdf["term"].str.len() <= tlen_hi]
+        return pdf.reset_index(drop=True)
+
     def _dfs(self, terms: list[str], lang: str) -> dict[str, int]:
         if self._pa_dictionary is not None:
             import pyarrow.dataset as ds

@@ -330,42 +330,37 @@ def has_operators(query_text: str) -> bool:
     )
 
 
-def _fuzzy_dictionary(
-    searcher: IndexSearcher, lang: str
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """(terms, fixed-width byte matrix, lengths) for one language's
-    dictionary, cached ON THE SEARCHER — a 2M-term dictionary encodes once
-    per index snapshot, not once per query (a per-query reload dominated
-    fuzzy latency: 22 s → ms on the 2M bench). Terms are ASCII by the
-    analyzer contract, so 1 byte per char."""
+def _fuzzy_len_bucket(
+    searcher: IndexSearcher, lang: str, tlen: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(terms, byte matrix) for one language's dictionary terms of EXACTLY
+    length ``tlen``, cached on the searcher per (lang, tlen).
+
+    Edit distance ≤ d bounds candidate length to query_len ± d, so fuzzy
+    expansion only ever touches ≤ 2·max_edits+1 length buckets — each a
+    row-group-pruned ``dict_probe`` read, never the vocabulary (round-2
+    verdict: the full-language byte matrix was the last multi-GB driver
+    surface at a 10⁸-term web dictionary). Hot buckets encode once per index
+    snapshot, keeping the cached-matrix latency win (22 s → ms on the 2M
+    bench). Terms are ASCII by the analyzer contract, so 1 byte per char and
+    width == tlen exactly (no padding)."""
     cache = searcher.__dict__.setdefault("_sqs_fuzzy_dict", {})
-    if lang not in cache:
-        if searcher._pa_dictionary is not None:
-            import pyarrow.dataset as ds
-
-            terms = searcher._pa_dictionary.to_table(
-                filter=ds.field("lang") == lang, columns=["term"]
-            )["term"].to_pylist()
-        else:
-            from pyspark.sql import functions as F
-
-            terms = [
-                r["term"]
-                for r in searcher.dictionary.filter(F.col("lang") == lang)
-                .select("term")
-                .collect()
-            ]
+    key = (lang, tlen)
+    if key not in cache:
+        terms = searcher.dict_probe(lang, tlen_lo=tlen, tlen_hi=tlen)["term"].tolist()
         # delta-only terms: the base dictionary lags un-compacted deltas
         if hasattr(searcher, "delta_terms"):
-            terms = list(terms) + searcher.delta_terms(lang)
+            terms = list(terms) + [
+                t for t in searcher.delta_terms(lang) if len(t) == tlen
+            ]
         # bigram common-grams tokens are not user-visible terms
         cand = np.array(sorted({t for t in terms if " " not in t}), dtype=object)
-        lens = np.array([len(t) for t in cand], dtype=np.int64)
-        width = max(int(lens.max()) if lens.size else 0, 1)
-        # fixed-width S dtype encodes + null-pads every term in one shot
-        mat = cand.astype(f"S{width}").view(np.uint8).reshape(len(cand), width)
-        cache[lang] = (cand, mat, lens)
-    return cache[lang]
+        if cand.size:
+            mat = cand.astype(f"S{tlen}").view(np.uint8).reshape(len(cand), tlen)
+        else:
+            mat = np.empty((0, max(tlen, 1)), dtype=np.uint8)
+        cache[key] = (cand, mat)
+    return cache[key]
 
 
 # ------------------------------------------------------- engine evaluation
@@ -449,20 +444,27 @@ class _IndexEval:
     def expand_fuzzy(self, term: str, max_edits: int) -> list[str]:
         """Dictionary terms within Levenshtein ≤ ``max_edits`` of ``term``.
 
-        Candidate pruning is a pushed length band (edit distance ≥ length
-        difference); the vectorized DP (:func:`levenshtein_leq_vec`) then
-        filters all survivors at once over the searcher-cached byte matrix.
-        A production-cluster dictionary would serve this from a Levenshtein
-        automaton over the sorted term FST (Lucene's approach); the
-        vectorized scan is exact and ~ms at multi-million-term dictionaries,
-        and the expansion is cached per (term, max_edits)."""
+        Candidate pruning is a PUSHED length band (edit distance ≥ length
+        difference): only the ≤ 2·max_edits+1 per-length dictionary buckets
+        are read (row-group-pruned probes, cached per (lang, tlen) on the
+        searcher), and the vectorized DP (:func:`levenshtein_leq_vec`)
+        filters each bucket in one pass. A production-cluster dictionary
+        would serve this from a Levenshtein automaton over the sorted term
+        FST (Lucene's approach); the bucketed scan is exact and ~ms at
+        multi-million-term dictionaries, and the expansion is cached per
+        (term, max_edits)."""
         key = (term, max_edits)
         if key in self._fuzzy_terms:
             return self._fuzzy_terms[key]
-        cand, mat, lens = _fuzzy_dictionary(self.searcher, self.lang)
-        band = np.abs(lens - len(term)) <= max_edits
-        keep = levenshtein_leq_vec(mat[band], lens[band], term, max_edits)
-        out = sorted(cand[band][keep].tolist())
+        hits: set[str] = set()
+        for L in range(max(1, len(term) - max_edits), len(term) + max_edits + 1):
+            cand, mat = _fuzzy_len_bucket(self.searcher, self.lang, L)
+            if cand.size == 0:
+                continue
+            lens = np.full(cand.size, L, dtype=np.int64)
+            keep = levenshtein_leq_vec(mat, lens, term, max_edits)
+            hits.update(cand[keep].tolist())
+        out = sorted(hits)
         self._fuzzy_terms[key] = out
         return out
 

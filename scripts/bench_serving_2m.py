@@ -119,6 +119,19 @@ def main() -> None:
             and a.results_total == b.results_total
         )
 
+    # suggestion surfaces: bounded dictionary probes (round-3 rework) — the
+    # cold row includes the probe + per-length bucket encode; warm rows serve
+    # from the per-searcher bucket caches
+    from harvester_spark.search.api import SearchAPI
+
+    api = SearchAPI(spark, f"{out}/index", tables["documents"])
+    t1 = time.time()
+    api.did_you_mean("w0499x")
+    res["did_you_mean_cold"] = round(time.time() - t1, 3)
+    res["did_you_mean"] = t(api.did_you_mean, "w0501x")
+    res["autocomplete_prefix"] = t(api.autocomplete, "w049", 10)
+    res["fuzzy_1edit_warm"] = t(sqs_search, s, "w0499x~1", 10)
+
     # fast path must agree with the exact ranking
     exact = s.search("w00000 w00001 w00002", k=10)
     fast = and_search_fast(s, "w00000 w00001 w00002", k=10)

@@ -326,3 +326,57 @@ def test_closest_term_vectorized_equals_scalar():
 
     for probe in ["w0000x", "block", "bloc", "w00000", "zz", "qqqq", "blokcs"]:
         assert _closest_term(probe, d) == scalar(probe), probe
+
+
+def test_suggestion_paths_never_materialize_vocabulary(api, spark, monkeypatch):
+    """Round-2 verdict item 1: did_you_mean / autocomplete (both sources) /
+    MLT idf / SQS fuzzy+prefix expansion must be bounded probes (exact terms,
+    a prefix range, or an edit-distance length band) — never a
+    full-dictionary toPandas/collect. ``_dictionary()`` is diagnostic-only
+    and forbidden here; every ``dict_probe`` must carry a predicate."""
+    papi, out = api
+    fresh = SearchAPI(spark, f"{out}/index", papi.documents)
+
+    def boom(self):
+        raise AssertionError(
+            "a serving path materialized the full dictionary on the driver"
+        )
+
+    monkeypatch.setattr(SearchAPI, "_dictionary", boom)
+
+    probes: list[int] = []
+    orig = IndexSearcher.dict_probe
+
+    def spy(self, lang, terms=None, term_lo=None, term_hi=None,
+            tlen_lo=None, tlen_hi=None):
+        assert (
+            terms is not None or term_lo is not None or tlen_lo is not None
+        ), "unbounded dictionary probe on a suggestion path"
+        pdf = orig(self, lang, terms=terms, term_lo=term_lo, term_hi=term_hi,
+                   tlen_lo=tlen_lo, tlen_hi=tlen_hi)
+        probes.append(len(pdf))
+        return pdf
+
+    monkeypatch.setattr(IndexSearcher, "dict_probe", spy)
+
+    # did_you_mean: typo corrected, clean query untouched
+    r = fresh.did_you_mean("w0000x")
+    assert r is not None and r["suggestion"].startswith("w0000")
+    assert fresh.did_you_mean("w00000") is None
+    # autocomplete, both sources
+    hits = fresh.autocomplete("w000", n=5)
+    assert hits and all(h.startswith("w000") for h in hits)
+    s_hits = fresh.autocomplete("t", n=5, source="suggest")
+    assert s_hits and all(h.startswith("t") for h in s_hits)
+    # MLT idf lookups are exact-terms probes
+    assert len(fresh.more_like_this(4, k=5)) > 0
+    # SQS fuzzy + prefix expansion through the engine evaluation path
+    from harvester_spark.search.sqs import sqs_search
+
+    fz = sqs_search(fresh.searcher, "w0000x~1", k=5)
+    assert len(fz.topk) > 0
+    pf = sqs_search(fresh.searcher, "w000*", k=5)
+    assert len(pf.topk) > 0
+
+    n_dict = fresh.searcher.dictionary.filter(F.col("lang") == "all").count()
+    assert probes and max(probes) < n_dict
