@@ -970,3 +970,188 @@ LIMIT {TOP_BIGRAMS_N}
 """
 
 QUERIES["ft_top_bigrams"] = (ft_top_bigrams, SQL_TOP_BIGRAMS)
+
+
+# §2.11 did_you_mean WITH COLLATION (round-3): the reference returns the
+# OpenSearch phrase suggester's {original, suggestion} payload
+# (/root/reference/harvester/search/tests/views/document.py:56-60); the
+# phrase suggester COLLATES — a corrected phrase must actually have matches.
+# Shared semantics (engine SearchAPI.did_you_mean + this oracle pair):
+# per absent token, candidates are dictionary terms with the same first
+# char, length within ±2, Levenshtein ≤ 2, ranked by (distance asc, df
+# desc, term asc); the suggestion is the FIRST of the top-10 candidates
+# that co-occurs in at least one document with ALL present tokens of the
+# query (the ES num_candidates-bounded collate). Queries with no present
+# tokens collate trivially (the candidate's own document is the evidence).
+
+DYM_QUERIES = [
+    ("q1", "key tabel"),        # one typo beside a present term → collated fix
+    ("q2", "valu"),             # single absent token → trivial collation
+    ("q3", "scna merge sort"),  # typo with two present anchor terms
+    ("q4", "key value"),        # fully spelled → suggestion NULL
+    ("q5", "qzx"),              # nothing within distance 2 → suggestion NULL
+]
+DYM_TOPN = 10
+
+
+def ft_did_you_mean(spark, sf_dir):
+    dt = doc_tokens(spark, sf_dir).select("doc_id", "term").distinct()
+    dict_df = dt.groupBy("term").agg(F.count("*").alias("df"))
+    q = spark.createDataFrame(
+        [(qid, i, t) for qid, qs in DYM_QUERIES for i, t in enumerate(qs.split())],
+        "query_id string, pos int, tok string",
+    )
+    qp = (
+        q.join(dict_df.withColumnRenamed("term", "tok"), "tok", "left")
+        .na.fill({"df": 0})
+        .select("query_id", "pos", "tok", "df")
+    )
+    present = qp.filter(F.col("df") > 0).select("query_id", "tok")
+    npres = present.groupBy("query_id").agg(F.count("*").alias("n"))
+    # docs matching ALL present tokens of a query (the collation universe)
+    qdocs = (
+        present.join(dt, present.tok == dt.term)
+        .groupBy("query_id", "doc_id")
+        .agg(F.count("*").alias("nm"))
+        .join(npres, "query_id")
+        .filter(F.col("nm") == F.col("n"))
+        .select("query_id", "doc_id")
+    )
+    absent = qp.filter(F.col("df") == 0).select("query_id", "pos", "tok")
+    # candidate generation: first-char equi key + pushed length band, the
+    # absent-token side is a handful of rows → broadcast
+    cand = (
+        dict_df.withColumn("c0", F.substring("term", 1, 1))
+        .join(
+            F.broadcast(absent.withColumn("c0", F.substring("tok", 1, 1))), "c0"
+        )
+        .filter(
+            (F.abs(F.length("term") - F.length("tok")) <= 2)
+            & (F.col("term") != F.col("tok"))
+            & (F.levenshtein("term", "tok") <= 2)
+        )
+        .select(
+            "query_id", "pos", "tok", F.col("term").alias("c"),
+            F.levenshtein("term", "tok").alias("dist"), "df",
+        )
+    )
+    wnd = W.partitionBy("query_id", "pos").orderBy(
+        F.col("dist").asc(), F.col("df").desc(), F.col("c").asc()
+    )
+    cand_top = cand.withColumn("rk", F.row_number().over(wnd)).filter(
+        F.col("rk") <= DYM_TOPN
+    )
+    # collation: candidate appears in a doc matching all present tokens
+    collated = (
+        cand_top.join(dt, cand_top.c == dt.term)
+        .join(qdocs, ["query_id", "doc_id"], "semi")
+        .select("query_id", "pos", "rk")
+        .distinct()
+    )
+    needs = cand_top.join(npres.select("query_id"), "query_id", "semi")
+    trivial = cand_top.join(npres.select("query_id"), "query_id", "anti")
+    eligible = needs.join(collated, ["query_id", "pos", "rk"], "semi").unionByName(
+        trivial
+    )
+    w2 = W.partitionBy("query_id", "pos").orderBy(F.col("rk").asc())
+    best = (
+        eligible.withColumn("rk2", F.row_number().over(w2))
+        .filter(F.col("rk2") == 1)
+        .select("query_id", "pos", "c")
+    )
+    fixed = (
+        qp.join(best, ["query_id", "pos"], "left")
+        .withColumn("ctok", F.coalesce(F.col("c"), F.col("tok")))
+        .withColumn("chg", (F.col("ctok") != F.col("tok")).cast("int"))
+    )
+    agg = fixed.groupBy("query_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "ctok"))),
+                lambda s: s["ctok"],
+            ),
+            " ",
+        ).alias("sugg"),
+        F.max("chg").alias("changed"),
+    )
+    queries = spark.createDataFrame(DYM_QUERIES, "query_id string, query string")
+    return queries.join(agg, "query_id").select(
+        "query_id",
+        "query",
+        F.when(F.col("changed") == 1, F.col("sugg")).alias("suggestion"),
+    )
+
+
+_DYM_Q_VALUES = ", ".join(
+    f"('{qid}', {i}, '{t}')"
+    for qid, qs in DYM_QUERIES
+    for i, t in enumerate(qs.split())
+)
+_DYM_QUERY_VALUES = ", ".join(f"('{qid}', '{qs}')" for qid, qs in DYM_QUERIES)
+
+SQL_DID_YOU_MEAN = f"""
+WITH toks AS ({SQL_DOC_TOKS}),
+dt AS (SELECT DISTINCT doc_id, term FROM toks),
+dict AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY term),
+q(query_id, pos, tok) AS (VALUES {_DYM_Q_VALUES}),
+queries(query_id, query) AS (VALUES {_DYM_QUERY_VALUES}),
+qp AS (
+  SELECT q.query_id, q.pos, q.tok, coalesce(d.df, 0) AS df
+  FROM q LEFT JOIN dict d ON d.term = q.tok
+),
+present AS (SELECT query_id, tok FROM qp WHERE df > 0),
+npres AS (SELECT query_id, count(*) AS n FROM present GROUP BY query_id),
+qdocs AS (
+  SELECT x.query_id, x.doc_id FROM (
+    SELECT p.query_id, t.doc_id, count(*) AS nm
+    FROM present p JOIN dt t ON t.term = p.tok
+    GROUP BY p.query_id, t.doc_id
+  ) x JOIN npres USING (query_id) WHERE x.nm = npres.n
+),
+absent AS (SELECT query_id, pos, tok FROM qp WHERE df = 0),
+cand AS (
+  SELECT a.query_id, a.pos, a.tok, d.term AS c,
+         levenshtein(d.term, a.tok) AS dist, d.df
+  FROM absent a JOIN dict d
+    ON substr(d.term, 1, 1) = substr(a.tok, 1, 1)
+  WHERE abs(length(d.term) - length(a.tok)) <= 2
+    AND d.term <> a.tok AND levenshtein(d.term, a.tok) <= 2
+),
+cand_top AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id, pos ORDER BY dist ASC, df DESC, c ASC) AS rk
+  FROM cand QUALIFY rk <= {DYM_TOPN}
+),
+collated AS (
+  SELECT DISTINCT ct.query_id, ct.pos, ct.rk
+  FROM cand_top ct
+  JOIN dt t ON t.term = ct.c
+  JOIN qdocs qd ON qd.query_id = ct.query_id AND qd.doc_id = t.doc_id
+),
+eligible AS (
+  SELECT ct.query_id, ct.pos, ct.c, ct.rk FROM cand_top ct
+  LEFT JOIN npres np ON np.query_id = ct.query_id
+  LEFT JOIN collated co
+    ON co.query_id = ct.query_id AND co.pos = ct.pos AND co.rk = ct.rk
+  WHERE np.query_id IS NULL OR co.rk IS NOT NULL
+),
+best AS (
+  SELECT query_id, pos, c FROM eligible
+  QUALIFY row_number() OVER (PARTITION BY query_id, pos ORDER BY rk) = 1
+),
+fixed AS (
+  SELECT qp.query_id, qp.pos, qp.tok, coalesce(b.c, qp.tok) AS ctok
+  FROM qp LEFT JOIN best b ON b.query_id = qp.query_id AND b.pos = qp.pos
+),
+agg AS (
+  SELECT query_id,
+         string_agg(ctok, ' ' ORDER BY pos) AS sugg,
+         max(CASE WHEN ctok <> tok THEN 1 ELSE 0 END) AS changed
+  FROM fixed GROUP BY query_id
+)
+SELECT qs.query_id, qs.query,
+       CASE WHEN a.changed = 1 THEN a.sugg END AS suggestion
+FROM queries qs JOIN agg a USING (query_id)
+"""
+
+QUERIES["ft_did_you_mean"] = (ft_did_you_mean, SQL_DID_YOU_MEAN)

@@ -521,13 +521,45 @@ class SearchAPI:
             self._dict_pdf = base
         return self._dict_pdf
 
+    DYM_TOPN = 10  # ES phrase-suggester num_candidates analogue
+
     def did_you_mean(self, query_text: str, lang: str = ALL_LANG) -> dict | None:
-        """For a query whose terms are rare/absent, suggest the nearest
-        frequent dictionary term (edit distance ≤ 2, highest df wins)."""
+        """Phrase-suggester did-you-mean WITH COLLATION.
+
+        Per absent term, candidates (same first char, length ±2, Levenshtein
+        ≤ 2, ranked by distance asc / df desc / term asc) are COLLATED: the
+        first of the top ``DYM_TOPN`` that co-occurs in at least one document
+        with ALL present query terms wins — the corrected phrase is
+        guaranteed to have matches, like the OpenSearch phrase suggester's
+        collate step backing the reference's {original, suggestion} payload
+        (/root/reference/harvester/search/tests/views/document.py:56-60).
+        Queries with no present terms collate trivially. Semantics are
+        oracle-gated via the ``ft_did_you_mean`` operator twin
+        (operators/fulltext_queries.py). Dictionary + collation run on the
+        combined 'all' index, like the reference's suggester field."""
         terms = tokenize(query_text or "")
         if not terms:
             return None
         term_df = self._term_dfs(terms, ALL_LANG)
+        present = [t for t in terms if term_df.get(t, 0) > 0]
+        if not any(term_df.get(t, 0) <= 0 for t in terms):
+            return None  # fully spelled — nothing to correct
+        # collation universe: docIDs matching ALL present terms (decoded
+        # once; candidate checks intersect against it lazily)
+        from harvester_spark.search.sqs import _IndexEval
+
+        ev = _IndexEval(self.searcher, ALL_LANG)
+        collate_ids = None
+        if present:
+            ev.load_terms(present)
+            for p in sorted(set(present)):
+                ids = ev._postings[p][0]
+                collate_ids = (
+                    ids if collate_ids is None
+                    else np.intersect1d(collate_ids, ids, assume_unique=True)
+                )
+                if collate_ids.size == 0:
+                    break
         suggestions = []
         changed = False
         for t in terms:
@@ -535,9 +567,8 @@ class SearchAPI:
                 suggestions.append(t)
                 continue
             # candidate slice probe: edit distance ≤ 2 bounds the length to
-            # ±2 and the suggester keeps the first char (same pre-filter
-            # _closest_term always applied) — a (first-char, length-band)
-            # bucket read, not a vocabulary scan
+            # ±2 and the suggester keeps the first char — a (first-char,
+            # length-band) bucket read, not a vocabulary scan
             cand_slice = self._probe_terms(
                 ALL_LANG,
                 term_lo=t[0],
@@ -545,11 +576,24 @@ class SearchAPI:
                 tlen_lo=max(1, len(t) - 2),
                 tlen_hi=len(t) + 2,
             )
-            cand = _closest_term(t, cand_slice)
-            if cand is None:
+            pick = None
+            for c in _ranked_candidates(t, cand_slice, self.DYM_TOPN):
+                if collate_ids is None:
+                    pick = c  # no present terms: trivially collated
+                    break
+                if collate_ids.size == 0:
+                    break  # present terms never co-occur: nothing collates
+                ev.load_terms([c])
+                hits = np.intersect1d(
+                    collate_ids, ev._postings[c][0], assume_unique=True
+                )
+                if hits.size:
+                    pick = c
+                    break
+            if pick is None:
                 suggestions.append(t)
             else:
-                suggestions.append(cand)
+                suggestions.append(pick)
                 changed = True
         if not changed:
             return None
@@ -719,10 +763,11 @@ def _split_phrases(query_text: str) -> tuple[list[str], str]:
 # the one edit-distance kernel lives next to the fuzzy-query machinery
 
 
-def _closest_term(t: str, d: pd.DataFrame) -> str | None:
-    """Nearest dictionary term by (edit distance asc, df desc, term asc) —
-    distances via the vectorized shared kernel (sqs.levenshtein_leq_vec),
-    so a wide candidate slice filters in one DP pass, not a Python loop."""
+def _ranked_candidates(t: str, d: pd.DataFrame, topn: int) -> list[str]:
+    """Top-``topn`` dictionary candidates for a misspelled term, ranked by
+    (edit distance asc, df desc, term asc) — distances via the vectorized
+    shared kernel (sqs.levenshtein_leq_vec), so a wide candidate slice
+    filters in one DP pass, not a Python loop."""
     from harvester_spark.search.sqs import levenshtein_leq_vec
 
     # cheap pre-filter: candidate terms within ±2 length sharing a first char
@@ -732,17 +777,23 @@ def _closest_term(t: str, d: pd.DataFrame) -> str | None:
     ]
     terms = np.array(list(cand["term"]), dtype=object)
     if terms.size == 0:
-        return None
+        return []
     dfs = cand["df"].to_numpy()
     lens = np.array([len(x) for x in terms], dtype=np.int64)
     width = max(int(lens.max()), 1)
     mat = terms.astype(f"S{width}").view(np.uint8).reshape(terms.size, width)
     within2 = levenshtein_leq_vec(mat, lens, t, 2) & (terms != t)
     if not within2.any():
-        return None
+        return []
     within1 = np.zeros(terms.size, dtype=bool)
     within1[within2] = levenshtein_leq_vec(mat[within2], lens[within2], t, 1)
     dist = np.where(within1, 1, 2)
     ix = np.flatnonzero(within2)
-    order = sorted(ix, key=lambda i: (dist[i], -dfs[i], terms[i]))
-    return str(terms[order[0]])
+    order = sorted(ix, key=lambda i: (dist[i], -dfs[i], terms[i]))[:topn]
+    return [str(terms[i]) for i in order]
+
+
+def _closest_term(t: str, d: pd.DataFrame) -> str | None:
+    """Nearest dictionary term (rank-1 of :func:`_ranked_candidates`)."""
+    r = _ranked_candidates(t, d, 1)
+    return r[0] if r else None

@@ -380,3 +380,37 @@ def test_suggestion_paths_never_materialize_vocabulary(api, spark, monkeypatch):
 
     n_dict = fresh.searcher.dictionary.filter(F.col("lang") == "all").count()
     assert probes and max(probes) < n_dict
+
+
+def test_did_you_mean_collation(spark, tmp_root):
+    """Phrase-suggester collation (round-3): the corrected phrase must have
+    matches. The top-ranked candidate by (dist, df) that never co-occurs
+    with the present terms is rejected in favor of a collating one; if the
+    present terms themselves never co-occur, nothing collates."""
+    from harvester_spark.index.build import IndexBuilder
+
+    rows = [(i, "candy sweet treat shop", "en") for i in range(20)]
+    rows += [
+        (20, "anchor candx harbor dock", "en"),
+        (21, "anchor harbor boat", "en"),
+        (22, "lonely word island", "en"),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, l, len(t.split())) for i, t, l in rows],
+        "doc_id long, text string, lang string, doc_len long",
+    )
+    idx = os.path.join(tmp_root, "dym_collate_idx")
+    IndexBuilder(spark, idx).build(docs, resume=False, num_partitions=2)
+    api = SearchAPI(spark, idx, docs)
+
+    # 'candy' (df 20) outranks 'candx' (df 1) at distance 1, but never
+    # co-occurs with 'anchor' — collation picks 'candx'
+    r = api.did_you_mean("anchor candz")
+    assert r == {"original": "anchor candz", "suggestion": "anchor candx"}
+    # no present anchor terms → trivial collation → highest-df candidate
+    assert api.did_you_mean("candz")["suggestion"] == "candy"
+    # present terms that never co-occur → nothing can collate → None
+    assert api.did_you_mean("anchor lonely candz") is None
+    # fully spelled / hopeless typo → None
+    assert api.did_you_mean("anchor harbor") is None
+    assert api.did_you_mean("zzzzzz") is None
