@@ -22,7 +22,49 @@ from harvester_spark.operators.common import load
 
 N_QUERIES = 5  # vec_id < 5 are the query vectors
 TOP_K = 5
-N_PLANES = 6
+
+# ---------------------------------------------- capacity derivation (round-3)
+# Fixed capacities (64 buckets / 8 centroids) were the round-2 verdict's
+# scale caveat: at 10^9 vectors a fixed bucket count makes every "candidate
+# set" O(n). Capacities now DERIVE from the corpus so candidate sets stay
+# O(target) at any scale, with MULTI-PROBE (Hamming-1 buckets / n_probe
+# centroid lists) buying back the recall that finer partitioning costs.
+# Both engines derive the same integers from the same count — the formulas
+# below are replicated verbatim in the oracle SQL CTEs.
+
+LSH_TARGET_BUCKET = 32        # target vectors per LSH bucket
+LSH_MIN_PLANES = 4
+LSH_MAX_PLANES = 48           # 32·2^48 ≈ 9e15 vectors — effectively unbounded
+IVF_N_PROBE = 2               # query probes its 2 nearest centroid lists
+
+
+def derive_n_planes(n: int) -> int:
+    """Smallest p in [{MIN},{MAX}] with TARGET·2^p ≥ n → expected bucket
+    size ≈ LSH_TARGET_BUCKET at any corpus scale."""
+    p = LSH_MIN_PLANES
+    while p < LSH_MAX_PLANES and (LSH_TARGET_BUCKET << p) < n:
+        p += 1
+    return p
+
+
+def derive_k(n: int) -> int:
+    """IVF centroid count ≈ ⌈√n⌉ (list size ≈ √n — the classic IVF balance
+    of probe cost vs list scan). Written as the float-sqrt CASE chain the
+    DuckDB oracle uses, so both engines get the identical integer."""
+    import math
+
+    k0 = int(math.floor(math.sqrt(float(max(int(n), 1)))))
+    if k0 * k0 >= n:
+        return max(k0, 1)
+    if (k0 + 1) * (k0 + 1) >= n:
+        return k0 + 1
+    return k0 + 2
+
+
+def _n_vectors(spark, sf_dir) -> int:
+    """Corpus size for capacity derivation — a parquet-metadata count (on a
+    cluster: the catalog's row-count statistic), never a scan."""
+    return load(spark, sf_dir, "embeddings").count()
 
 
 def _components(spark, sf_dir):
@@ -196,15 +238,19 @@ def _hash_plane_component():
     return None  # documentation anchor; inlined below
 
 
-def _buckets(spark, sf_dir):
-    """vec_id → {N_PLANES}-bit sign-random-projection bucket (deterministic
-    hash-derived hyperplanes — identical integers across engines)."""
+def _buckets(spark, sf_dir, n_planes: int | None = None):
+    """vec_id → p-bit sign-random-projection bucket (deterministic
+    hash-derived hyperplanes — identical integers across engines), with
+    p = derive_n_planes(corpus size) so buckets hold ≈ LSH_TARGET_BUCKET
+    vectors at any scale."""
+    if n_planes is None:
+        n_planes = derive_n_planes(_n_vectors(spark, sf_dir))
     comp = _components(spark, sf_dir).cache()
     return (
         comp.select("vec_id", "pos", "val")
         .crossJoin(
             F.broadcast(
-                comp.sparkSession.range(N_PLANES).select(F.col("id").cast("int").alias("plane"))
+                comp.sparkSession.range(n_planes).select(F.col("id").cast("int").alias("plane"))
             )
         )
         .withColumn(
@@ -229,22 +275,45 @@ def _buckets(spark, sf_dir):
     )
 
 
-def ann_lsh_bucketed(spark, sf_dir):
-    """Sign-random-projection LSH: {N_PLANES}-bit bucket per vector from
-    hash-derived hyperplanes; query results = exact cosine re-rank restricted
-    to the query's bucket. The O(n²)→O(n·bucket) scale path."""
-    planes = _buckets(spark, sf_dir)
-    # PRUNE FIRST: candidates come from the bucket equi-join (shuffle key =
-    # bucket id); cosine is then computed ONLY inside the bucket. The full
-    # pairwise job never runs — the point of the LSH scale path.
+def _lsh_candidate_pairs(spark, sf_dir, n_planes: int | None = None):
+    """(qid, vec_id, bucket) candidates from the MULTI-PROBE bucket join:
+    each query probes its own bucket plus every Hamming-1 neighbor (one
+    plane's sign flipped — the vectors a near-boundary projection would
+    have dropped). Probe count = n_planes+1, so the expected candidate set
+    is ≈ (p+1)·LSH_TARGET_BUCKET — O(log n · target), never O(n)."""
+    if n_planes is None:
+        n_planes = derive_n_planes(_n_vectors(spark, sf_dir))
+    planes = _buckets(spark, sf_dir, n_planes)
     qb = planes.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("bucket").alias("qbucket")
     )
-    cand_pairs = (
-        planes.join(F.broadcast(qb), planes.bucket == F.col("qbucket"))
+    flips = spark.range(-1, n_planes).select(F.col("id").cast("int").alias("flip"))
+    probes = (
+        qb.crossJoin(F.broadcast(flips))
+        .select(
+            "qid",
+            F.when(F.col("flip") == -1, F.col("qbucket"))
+            .otherwise(
+                F.expr("qbucket ^ shiftleft(CAST(1 AS BIGINT), flip)")
+            )
+            .alias("pbucket"),
+        )
+    )
+    return (
+        planes.join(F.broadcast(probes), planes.bucket == F.col("pbucket"))
         .filter(F.col("vec_id") != F.col("qid"))
         .select("qid", "vec_id", "bucket")
     )
+
+
+def ann_lsh_bucketed(spark, sf_dir):
+    """Sign-random-projection LSH ANN: derived p-bit buckets
+    (p = derive_n_planes(n)), Hamming-1 multi-probe for recall, exact cosine
+    re-rank restricted to the probed candidates. The O(n²)→O(n·log n·target)
+    scale path — the full pairwise job never runs (plan-guard test)."""
+    # PRUNE FIRST: candidates come from the bucket equi-join (shuffle key =
+    # bucket id); cosine is then computed ONLY for probed candidates.
+    cand_pairs = _lsh_candidate_pairs(spark, sf_dir)
     cand = _cosine_for_pairs(spark, sf_dir, cand_pairs.select("qid", "vec_id")).join(
         cand_pairs, ["qid", "vec_id"]
     )
@@ -257,31 +326,47 @@ def ann_lsh_bucketed(spark, sf_dir):
 
 
 # planes/buckets CTE fragment (expects a `comp` CTE in scope) — shared by
-# the ANN operator and the embedding near-dup scale path in dedup.py
+# the ANN operator and the embedding near-dup scale path in dedup.py. The
+# plane count DERIVES from the corpus (nplanes CTE = derive_n_planes twin).
 SQL_PLANES_BUCKETS = f"""
+nparams AS (SELECT count(*) AS n FROM embeddings),
+nplanes AS (
+  SELECT coalesce(min(p), {LSH_MAX_PLANES}) AS p FROM range({LSH_MIN_PLANES}, {LSH_MAX_PLANES}) t(p)
+  WHERE {LSH_TARGET_BUCKET} * (CAST(1 AS BIGINT) << p) >= (SELECT n FROM nparams)
+),
 planes AS (
   SELECT c.vec_id, p.plane,
          round(sum(c.val * CAST(
            (CAST(('0x' || substr(md5(p.plane || ':' || c.pos), 1, 14)) AS BIGINT) % 2001 - 1000)
            AS DOUBLE)), 6) AS proj
-  FROM comp c CROSS JOIN (SELECT unnest(range({N_PLANES})) AS plane) p
+  FROM comp c CROSS JOIN (
+    SELECT CAST(unnest(range((SELECT p FROM nplanes))) AS INT) AS plane
+  ) p
   GROUP BY 1, 2
 ),
 buckets AS (
   SELECT vec_id,
-         CAST(sum(CASE WHEN proj > 0 THEN 1 << plane ELSE 0 END) AS BIGINT) AS bucket
+         CAST(sum(CASE WHEN proj > 0 THEN CAST(1 AS BIGINT) << plane ELSE 0 END) AS BIGINT) AS bucket
   FROM planes GROUP BY vec_id
 )"""
 
 SQL_ANN_LSH_BUCKETED = f"""
 WITH {_SQL_PAIRWISE},
 {SQL_PLANES_BUCKETS},
+probes AS (
+  SELECT qb.vec_id AS qid,
+         CASE WHEN f.flip = -1 THEN qb.bucket
+              ELSE xor(qb.bucket, CAST(1 AS BIGINT) << f.flip) END AS pbucket
+  FROM buckets qb CROSS JOIN (
+    SELECT CAST(unnest(range(-1, (SELECT p FROM nplanes))) AS INT) AS flip
+  ) f
+  WHERE qb.vec_id < {N_QUERIES}
+),
 cand AS (
   SELECT c.qid, c.vec_id, c.cos, vb.bucket
   FROM cosine c
-  JOIN buckets qb ON qb.vec_id = c.qid
   JOIN buckets vb ON vb.vec_id = c.vec_id
-  WHERE vb.bucket = qb.bucket
+  JOIN probes pr ON pr.qid = c.qid AND pr.pbucket = vb.bucket
 )
 SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS INT) AS rnk,
        vec_id, cos, bucket
@@ -297,139 +382,23 @@ QUERIES = {
 }
 
 
-# ------------------------------------------------------------------ IVF ANN
-
-# IVF scale path: coarse quantizer = per-label centroids (deterministic,
-# cross-engine identical after rounding), inverted lists = vectors assigned
-# to their nearest centroid, queries probe n_probe=1 list and re-rank
-# exactly inside it. At 10^9+ vectors the centroid set comes from k-means
-# and each list is a partition — the probe join replaces the O(n²) scan.
-
-_SQL_CENTROIDS = """
-  SELECT label AS cent_id, pos, round(avg(val), 6) AS cval
-  FROM (
-    SELECT label,
-           unnest(range(len(embedding))) AS pos,
-           unnest(CAST(embedding AS DOUBLE[])) AS val
-    FROM embeddings
-  ) GROUP BY label, pos
-"""
-
-
-def _centroids(spark, sf_dir):
-    emb = load(spark, sf_dir, "embeddings")
-    comp = emb.select(
-        F.col("label").alias("cent_id"),
-        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"),
-    )
-    return comp.groupBy("cent_id", "pos").agg(F.round(F.avg("val"), 6).alias("cval"))
-
-
-def _assignments(spark, sf_dir):
-    """vec_id → nearest centroid (by rounded cosine, tie cent_id asc)."""
-    comp = _components(spark, sf_dir)
-    cent = _centroids(spark, sf_dir)
-    dots = (
-        comp.join(F.broadcast(cent), "pos")
-        .groupBy("vec_id", "cent_id")
-        .agg(
-            F.sum(F.col("val") * F.col("cval")).alias("dot"),
-            F.sum(F.col("val") * F.col("val")).alias("v2"),
-            F.sum(F.col("cval") * F.col("cval")).alias("c2"),
-        )
-        .withColumn("sim", F.round(F.col("dot") / F.sqrt(F.col("v2") * F.col("c2")), 6))
-    )
-    w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cent_id").asc())
-    return (
-        dots.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") == 1)
-        .select("vec_id", "cent_id")
-    )
-
-
-_SQL_ASSIGNMENTS = f"""
-  SELECT vec_id, cent_id FROM (
-    SELECT d.vec_id, d.cent_id,
-           row_number() OVER (
-             PARTITION BY d.vec_id
-             ORDER BY round(d.dot / sqrt(d.v2 * d.c2), 6) DESC, d.cent_id ASC
-           ) AS rnk
-    FROM (
-      SELECT c.vec_id, ct.cent_id,
-             sum(c.val * ct.cval) AS dot,
-             sum(c.val * c.val) AS v2,
-             sum(ct.cval * ct.cval) AS c2
-      FROM ({_SQL_COMPONENTS}) c
-      JOIN ({_SQL_CENTROIDS}) ct USING (pos)
-      GROUP BY c.vec_id, ct.cent_id
-    ) d
-  ) WHERE rnk = 1
-"""
-
-
-def ann_ivf_topk(spark, sf_dir):
-    """IVF ANN: probe the query's own centroid list, exact cosine re-rank
-    within it (n_probe=1) — top-{TOP_K} per query vector."""
-    # PRUNE FIRST: probe membership via the centroid-list equi-join, then
-    # compute cosine only for vectors in the probed list(s) — the full
-    # pairwise job never runs.
-    assign = _assignments(spark, sf_dir).cache()
-    qa = assign.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("cent_id").alias("q_cent")
-    )
-    cand_pairs = (
-        assign.join(F.broadcast(qa), assign.cent_id == F.col("q_cent"))
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select("qid", "vec_id", "q_cent")
-    )
-    probed = _cosine_for_pairs(spark, sf_dir, cand_pairs.select("qid", "vec_id")).join(
-        cand_pairs, ["qid", "vec_id"]
-    )
-    w = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
-    return (
-        probed.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= TOP_K)
-        .select("qid", "rnk", "vec_id", "cos", F.col("q_cent").alias("cent_id"))
-    )
-
-
-SQL_ANN_IVF_TOPK = f"""
-WITH {_SQL_PAIRWISE},
-assign AS ({_SQL_ASSIGNMENTS}),
-probed AS (
-  SELECT c.qid, c.vec_id, c.cos, qa.cent_id
-  FROM cosine c
-  JOIN assign qa ON qa.vec_id = c.qid
-  JOIN assign va ON va.vec_id = c.vec_id
-  WHERE va.cent_id = qa.cent_id
-)
-SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS INT) AS rnk,
-       vec_id, cos, cent_id
-FROM probed QUALIFY rnk <= {TOP_K}
-"""
-
-QUERIES["ann_ivf_topk"] = (ann_ivf_topk, SQL_ANN_IVF_TOPK)
-
-
 # ------------------------------------------------------------------ k-means
 
-# The IVF coarse quantizer above seeds its lists from labels; at 10^9+
-# vectors the centroid set comes from k-means (the note on _SQL_CENTROIDS).
-# This is that trainer: Lloyd's algorithm made cross-engine hash-exact by
-# running ENTIRELY in integer arithmetic — components scaled to integers
-# (round(val·10^6), the cents() convention), squared-euclidean distances as
-# integer sums (64·(2·3.2e5)^2 ≈ 2.6e13 ≪ int64), centroid updates as
-# floor(sum/count) — exact while per-(centroid,pos) component sums stay
-# below 2^53 (10^9 members × 3.2e5 scale ≈ 3.2e14 ≪ 9·10^15 ✓), because a
-# correctly-rounded double quotient of such integers can only cross an
-# integer boundary when the true quotient IS that integer. Ties: dist asc,
-# cent_id asc. Seeds: the K lowest vec_ids. Empty clusters drop (both
-# engines identically). Scale shape: centroids are K·dim integers —
-# ALWAYS broadcast / driver-bounded (the MLlib contract); per iteration one
-# exchange for the (vec_id, cent_id) distance agg and one for the argmin
-# window — bounded iteration count, no quadratic stage, comp cached once.
+# IVF coarse-quantizer trainer: Lloyd's algorithm made cross-engine
+# hash-exact by running ENTIRELY in integer arithmetic — components scaled
+# to integers (round(val·10^6), the cents() convention), squared-euclidean
+# distances as integer sums (64·(2·3.2e5)^2 ≈ 2.6e13 ≪ int64), centroid
+# updates as floor(sum/count) — exact while per-(centroid,pos) component
+# sums stay below 2^53 (10^9 members × 3.2e5 scale ≈ 3.2e14 ≪ 9·10^15 ✓),
+# because a correctly-rounded double quotient of such integers can only
+# cross an integer boundary when the true quotient IS that integer. Ties:
+# dist asc, cent_id asc. Seeds: the K lowest vec_ids. Empty clusters drop
+# (both engines identically). K DERIVES from the corpus (derive_k ≈ ⌈√n⌉).
+# Scale shape: centroids are K·dim integers — ALWAYS broadcast /
+# driver-bounded (the MLlib contract); per iteration one exchange for the
+# (vec_id, cent_id) distance agg and one for the argmin window — bounded
+# iteration count, no quadratic stage, comp cached once.
 
-K_CLUSTERS = 8
 KMEANS_ITERS = 3
 _KM_SCALE = 1_000_000
 
@@ -442,9 +411,9 @@ def _comp_int(spark, sf_dir):
     )
 
 
-def _km_assign(comp, cent):
-    """argmin_c Σ_pos (ival-cval)² with (dist, cent_id) tie-break."""
-    dists = (
+def _km_dists(comp, cent):
+    """Integer squared-euclidean distance per (vec_id, cent_id)."""
+    return (
         comp.join(F.broadcast(cent), "pos")
         .groupBy("vec_id", "cent_id")
         .agg(
@@ -453,29 +422,29 @@ def _km_assign(comp, cent):
             ).alias("dist")
         )
     )
+
+
+def _km_assign(comp, cent):
+    """argmin_c Σ_pos (ival-cval)² with (dist, cent_id) tie-break."""
     w = W.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("cent_id").asc())
     return (
-        dists.withColumn("rnk", F.row_number().over(w))
+        _km_dists(comp, cent)
+        .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") == 1)
         .select("vec_id", "cent_id", "dist")
     )
 
 
-def emb_kmeans_assign(spark, sf_dir):
-    """K-means (K={K_CLUSTERS}, {KMEANS_ITERS} Lloyd iterations) over the
-    embeddings: final (vec_id, cent_id, dist) assignment under the trained
-    centroids — the IVF centroid trainer. Integer-exact (see block comment),
-    full value-hash oracle despite the iterative plan."""
-    spark_ = spark
+def _kmeans_train(spark, sf_dir, k: int):
+    """(cached integer components, final centroid DataFrame) after
+    {KMEANS_ITERS} Lloyd iterations from the K-lowest-vec_id seeds."""
     comp = _comp_int(spark, sf_dir).cache()
     cent_rows = [
         (int(r["vec_id"]), int(r["pos"]), int(r["ival"]))
-        for r in comp.filter(F.col("vec_id") < K_CLUSTERS).collect()
+        for r in comp.filter(F.col("vec_id") < k).collect()
     ]
     for _ in range(KMEANS_ITERS):
-        cent = spark_.createDataFrame(
-            cent_rows, "cent_id long, pos int, cval long"
-        )
+        cent = spark.createDataFrame(cent_rows, "cent_id long, pos int, cval long")
         assign = _km_assign(comp, cent)
         cent_rows = [
             (int(r["cent_id"]), int(r["pos"]), int(r["cval"]))
@@ -488,7 +457,16 @@ def emb_kmeans_assign(spark, sf_dir):
                 .collect()
             )
         ]
-    cent = spark_.createDataFrame(cent_rows, "cent_id long, pos int, cval long")
+    return comp, spark.createDataFrame(cent_rows, "cent_id long, pos int, cval long")
+
+
+def emb_kmeans_assign(spark, sf_dir):
+    """K-means (K = derive_k(n) ≈ ⌈√n⌉, {KMEANS_ITERS} Lloyd iterations)
+    over the embeddings: final (vec_id, cent_id, dist) assignment under the
+    trained centroids — the IVF centroid trainer. Integer-exact (see block
+    comment), full value-hash oracle despite the iterative plan."""
+    k = derive_k(_n_vectors(spark, sf_dir))
+    comp, cent = _kmeans_train(spark, sf_dir, k)
     return _km_assign(comp, cent)
 
 
@@ -502,7 +480,7 @@ def _sql_km_assign(cent_cte: str) -> str:
     FROM (
       SELECT c.vec_id, ct.cent_id,
              CAST(sum((c.ival - ct.cval) * (c.ival - ct.cval)) AS BIGINT) AS dist
-      FROM comp c JOIN {cent_cte} ct USING (pos)
+      FROM icomp c JOIN {cent_cte} ct USING (pos)
       GROUP BY c.vec_id, ct.cent_id
     ) d
   ) WHERE rnk = 1"""
@@ -512,25 +490,128 @@ def _sql_km_update(assign_cte: str) -> str:
     return f"""
   SELECT a.cent_id, c.pos,
          CAST(floor(CAST(sum(c.ival) AS DOUBLE) / count(*)) AS BIGINT) AS cval
-  FROM {assign_cte} a JOIN comp c USING (vec_id)
+  FROM {assign_cte} a JOIN icomp c USING (vec_id)
   GROUP BY a.cent_id, c.pos"""
 
 
-SQL_EMB_KMEANS_ASSIGN = f"""
-WITH comp AS (
-  SELECT vec_id, pos, CAST(round(val * {_KM_SCALE}) AS BIGINT) AS ival
-  FROM ({_SQL_COMPONENTS})
-),
+# the derive_k twin + 3-iteration Lloyd chain as reusable CTE text (expects
+# an `icomp` integer-component CTE in scope; produces c3 = final centroids)
+_SQL_KPARAM = """
+kn AS (SELECT count(*) AS n FROM embeddings),
+kparam AS (
+  SELECT CASE WHEN k0*k0 >= n THEN greatest(k0, 1)
+              WHEN (k0+1)*(k0+1) >= n THEN k0+1 ELSE k0+2 END AS k
+  FROM (SELECT n, CAST(floor(sqrt(CAST(greatest(n, 1) AS DOUBLE))) AS BIGINT) AS k0 FROM kn)
+)"""
+
+_SQL_KM_CHAIN = f"""
 c0 AS (
-  SELECT vec_id AS cent_id, pos, ival AS cval FROM comp WHERE vec_id < {K_CLUSTERS}
+  SELECT vec_id AS cent_id, pos, ival AS cval FROM icomp
+  WHERE vec_id < (SELECT k FROM kparam)
 ),
 a1 AS ({_sql_km_assign('c0')}),
 c1 AS ({_sql_km_update('a1')}),
 a2 AS ({_sql_km_assign('c1')}),
 c2 AS ({_sql_km_update('a2')}),
 a3 AS ({_sql_km_assign('c2')}),
-c3 AS ({_sql_km_update('a3')})
+c3 AS ({_sql_km_update('a3')})"""
+
+SQL_EMB_KMEANS_ASSIGN = f"""
+WITH icomp AS (
+  SELECT vec_id, pos, CAST(round(val * {_KM_SCALE}) AS BIGINT) AS ival
+  FROM ({_SQL_COMPONENTS})
+),
+{_SQL_KPARAM},
+{_SQL_KM_CHAIN}
 {_sql_km_assign('c3')}
 """
 
 QUERIES["emb_kmeans_assign"] = (emb_kmeans_assign, SQL_EMB_KMEANS_ASSIGN)
+
+
+# ------------------------------------------------------------------ IVF ANN
+
+# IVF scale path (round-3: k-means quantizer + derived K + multi-probe):
+# coarse quantizer = the integer-exact k-means trainer above with
+# K = derive_k(n) ≈ ⌈√n⌉ centroids, inverted lists = vectors assigned to
+# their nearest centroid (list size ≈ √n), queries probe their IVF_N_PROBE
+# nearest lists and re-rank exactly inside them. At 10^9 vectors the probe
+# join touches ≈ n_probe·√n candidates per query, never O(n); the K·dim
+# centroid table stays broadcast-sized.
+
+
+def _ivf_candidate_pairs(spark, sf_dir):
+    """(qid, vec_id, cent_id) candidates from the IVF probe join: vectors in
+    the query's IVF_N_PROBE nearest centroid lists (integer k-means
+    distances, dist/cent_id tie-break)."""
+    k = derive_k(_n_vectors(spark, sf_dir))
+    comp, cent = _kmeans_train(spark, sf_dir, k)
+    dists = _km_dists(comp, cent)
+    w = W.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("cent_id").asc())
+    ranked = dists.withColumn("rnk", F.row_number().over(w))
+    assign = ranked.filter(F.col("rnk") == 1).select("vec_id", "cent_id")
+    q_probe = (
+        ranked.filter((F.col("vec_id") < N_QUERIES) & (F.col("rnk") <= IVF_N_PROBE))
+        .select(F.col("vec_id").alias("qid"), F.col("cent_id").alias("q_cent"))
+    )
+    return (
+        assign.join(F.broadcast(q_probe), assign.cent_id == F.col("q_cent"))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", "cent_id")
+    )
+
+
+def ann_ivf_topk(spark, sf_dir):
+    """IVF ANN: K = derive_k(n) k-means centroids, queries probe their
+    {IVF_N_PROBE} nearest lists, exact cosine re-rank within them —
+    top-{TOP_K} per query vector. PRUNE FIRST: cosine is computed only for
+    probed-list members; the full pairwise job never runs (plan guard)."""
+    cand_pairs = _ivf_candidate_pairs(spark, sf_dir)
+    probed = _cosine_for_pairs(spark, sf_dir, cand_pairs.select("qid", "vec_id")).join(
+        cand_pairs, ["qid", "vec_id"]
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        probed.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("qid", "rnk", "vec_id", "cos", "cent_id")
+    )
+
+
+SQL_ANN_IVF_TOPK = f"""
+WITH {_SQL_PAIRWISE},
+icomp AS (
+  SELECT vec_id, pos, CAST(round(val * {_KM_SCALE}) AS BIGINT) AS ival
+  FROM ({_SQL_COMPONENTS})
+),
+{_SQL_KPARAM},
+{_SQL_KM_CHAIN},
+ranked AS (
+  SELECT d.vec_id, d.cent_id, d.dist,
+         row_number() OVER (
+           PARTITION BY d.vec_id ORDER BY d.dist ASC, d.cent_id ASC
+         ) AS rnk
+  FROM (
+    SELECT c.vec_id, ct.cent_id,
+           CAST(sum((c.ival - ct.cval) * (c.ival - ct.cval)) AS BIGINT) AS dist
+    FROM icomp c JOIN c3 ct USING (pos)
+    GROUP BY c.vec_id, ct.cent_id
+  ) d
+),
+assign AS (SELECT vec_id, cent_id FROM ranked WHERE rnk = 1),
+qprobe AS (
+  SELECT vec_id AS qid, cent_id FROM ranked
+  WHERE vec_id < {N_QUERIES} AND rnk <= {IVF_N_PROBE}
+),
+probed AS (
+  SELECT c.qid, c.vec_id, c.cos, va.cent_id
+  FROM cosine c
+  JOIN assign va ON va.vec_id = c.vec_id
+  JOIN qprobe qp ON qp.qid = c.qid AND qp.cent_id = va.cent_id
+)
+SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS INT) AS rnk,
+       vec_id, cos, cent_id
+FROM probed QUALIFY rnk <= {TOP_K}
+"""
+
+QUERIES["ann_ivf_topk"] = (ann_ivf_topk, SQL_ANN_IVF_TOPK)
