@@ -1155,3 +1155,71 @@ FROM queries qs JOIN agg a USING (query_id)
 """
 
 QUERIES["ft_did_you_mean"] = (ft_did_you_mean, SQL_DID_YOU_MEAN)
+
+
+# Out-of-order sloppy phrase (round-3: full Lucene slop semantics — engine
+# twin: search/phrase.py chain_slop_keys). A doc matches "w0 w1 w2"~slop iff
+# positions (pa, pb, pc) of the three (distinct) words exist with shifted
+# span max(pa-0, pb-1, pc-2) - min(...) <= slop — equivalently ALL pairwise
+# shifted differences <= slop, which is exactly the band-join predicate
+# below (doc_id equi-join + integer range conditions, no cartesian).
+# Transposed orders match when their displacement fits the budget.
+
+UNORD_SLOP = 2
+
+
+def ft_phrase_slop_unordered(spark, sf_dir):
+    toks = doc_tokens(spark, sf_dir)
+    a = toks.filter(F.col("term") == SLOP_W[0]).select(
+        "doc_id", (F.col("pos") - 0).alias("sa")
+    )
+    b = toks.filter(F.col("term") == SLOP_W[1]).select(
+        F.col("doc_id").alias("db"), (F.col("pos") - 1).alias("sb")
+    )
+    c = toks.filter(F.col("term") == SLOP_W[2]).select(
+        F.col("doc_id").alias("dc"), (F.col("pos") - 2).alias("sc")
+    )
+    s = F.lit(UNORD_SLOP)
+    joined = (
+        a.join(
+            b,
+            (F.col("doc_id") == F.col("db"))
+            & (F.abs(F.col("sb") - F.col("sa")) <= s),
+        )
+        .join(
+            c,
+            (F.col("doc_id") == F.col("dc"))
+            & (F.abs(F.col("sc") - F.col("sa")) <= s)
+            & (F.abs(F.col("sc") - F.col("sb")) <= s),
+        )
+        .withColumn(
+            "span",
+            F.greatest("sa", "sb", "sc") - F.least("sa", "sb", "sc"),
+        )
+    )
+    return joined.groupBy("doc_id").agg(
+        F.min("span").cast("long").alias("best_span"),
+        F.count("*").alias("n_assignments"),
+    )
+
+
+SQL_PHRASE_SLOP_UNORDERED = f"""
+WITH toks AS ({SQL_DOC_TOKS})
+SELECT a.doc_id,
+       CAST(min(greatest(a.pos - 0, b.pos - 1, c.pos - 2)
+              - least(a.pos - 0, b.pos - 1, c.pos - 2)) AS BIGINT) AS best_span,
+       CAST(count(*) AS BIGINT) AS n_assignments
+FROM toks a
+JOIN toks b ON b.doc_id = a.doc_id
+           AND abs((b.pos - 1) - (a.pos - 0)) <= {UNORD_SLOP}
+JOIN toks c ON c.doc_id = a.doc_id
+           AND abs((c.pos - 2) - (a.pos - 0)) <= {UNORD_SLOP}
+           AND abs((c.pos - 2) - (b.pos - 1)) <= {UNORD_SLOP}
+WHERE a.term = '{SLOP_W[0]}' AND b.term = '{SLOP_W[1]}' AND c.term = '{SLOP_W[2]}'
+GROUP BY a.doc_id
+"""
+
+QUERIES["ft_phrase_slop_unordered"] = (
+    ft_phrase_slop_unordered,
+    SQL_PHRASE_SLOP_UNORDERED,
+)

@@ -112,28 +112,61 @@ def pack_offset_keys(
 def chain_slop_keys(
     keys: dict[str, np.ndarray], phrase: list, slop: int
 ) -> np.ndarray:
-    """Greedy minimal-successor chaining over per-word sorted packed keys →
-    sorted docIDs with an ordered match within window (len-1+slop). For a
-    fixed start p_0 the minimal next-position chain minimizes the window
-    end, so checking the greedy chain is exact."""
+    """Lucene sloppy-phrase matching over per-word sorted packed keys →
+    sorted docIDs. FULL Lucene semantics (round-3: the ordered-only subset
+    is gone): a doc matches iff one position per phrase slot exists —
+    DISTINCT positions for repeated words — with
+    ``max_i(p_i - i) - min_i(p_i - i) ≤ slop``. Out-of-order terms cost
+    their displacement, so ``"a b"~2`` matches ``b a`` (transposition = 2),
+    and every ordered window ≤ len-1+slop still matches (for an ordered
+    chain the shifted values are non-decreasing, so the shifted span equals
+    window-(len-1)).
+
+    Vectorized exact check, no per-candidate Python loop:
+
+    - candidate window starts = EVERY shifted position ``p - i + m`` of
+      every slot, packed (the true minimal start is one of them);
+    - per distinct word, its slot occurrences chain greedily to distinct
+      ascending positions inside the staggered intervals
+      ``[v+i_j, v+i_j+slop]`` — greedy is exact because interval lefts and
+      rights both increase with j (exchange argument), and one
+      ``searchsorted`` per slot advances every start at once;
+    - different words can never share a position (one token per position),
+      so cross-word distinctness is free. A start survives iff every word's
+      chain completes.
+
+    Positions must stay ≪ 2^{_POS_SHIFT} - len - slop so the packed
+    position field never carries into docID bits (doc lens are bounded by
+    the extract cap — same assumption the exact path's offset packing
+    already makes)."""
     empty = np.empty(0, np.int64)
-    cur = keys[phrase[0]]
-    start = cur
-    for w in phrase[1:]:
-        nk = keys[w]
-        if nk.size == 0:
+    m = len(phrase)
+    offs: dict[str, list[int]] = {}
+    for i, w in enumerate(phrase):
+        offs.setdefault(w, []).append(i)
+    for w in offs:
+        if keys[w].size == 0:
             return empty
-        idx = np.searchsorted(nk, cur + 1, side="left")
-        ok = idx < nk.size
-        nxt = nk[np.minimum(idx, nk.size - 1)]
-        ok &= (nxt >> _POS_SHIFT) == (cur >> _POS_SHIFT)
-        cur, start = nxt[ok], start[ok]
-        if cur.size == 0:
-            return empty
-    win = (cur & _POS_MASK) - (start & _POS_MASK)
-    return np.unique((cur >> _POS_SHIFT)[win <= len(phrase) - 1 + slop]).astype(
-        np.int64
+    starts = np.unique(
+        np.concatenate([keys[w] + (m - i) for w, oo in offs.items() for i in oo])
     )
+    alive = np.ones(starts.size, dtype=bool)
+    for w, oo in offs.items():
+        kw = keys[w] + m  # packed (doc << SHIFT) | (p + m), still sorted
+        prev: np.ndarray | None = None
+        for i in oo:
+            lo = starts + i if prev is None else np.maximum(starts + i, prev + 1)
+            idx = np.searchsorted(kw, lo, side="left")
+            ok = idx < kw.size
+            cur = kw[np.minimum(idx, kw.size - 1)]
+            # cur beyond the window (or in a later doc — its key is larger
+            # than any same-doc bound) kills the start
+            ok &= cur <= starts + i + slop
+            alive &= ok
+            prev = cur
+        if not alive.any():
+            return empty
+    return np.unique(starts[alive] >> _POS_SHIFT).astype(np.int64)
 
 
 # Cost-model dispatch for phrase matching (mirrors or_search's strategy
@@ -176,10 +209,10 @@ def phrase_match_ids(
     """ALL docIDs containing the phrase — via positional postings.
 
     ``slop`` > 0 (``"a b"~N`` simple_query_string syntax) relaxes adjacency
-    to ORDERED proximity: positions p_0 < … < p_{m-1} matching the words in
-    order with window (p_last - p_0) ≤ (m-1) + slop; slop=0 is exact
-    adjacency (out-of-order/transposed matching — Lucene's slop ≥ 2
-    extension — is intentionally not implemented; documented subset).
+    to FULL Lucene slop: one position per slot (distinct for repeated
+    words) with shifted-position span ``max(p_i - i) - min(p_i - i) ≤
+    slop`` — slop ≥ 2 admits transposed order (:func:`chain_slop_keys`);
+    slop=0 is exact adjacency.
 
     Vectorized adjacency: the phrase occurs at base position b in doc d iff
     every constraint (term_key, offset o) has (d, b+o) in its positions.
@@ -243,18 +276,17 @@ def phrase_match_ids(
 def _sloppy_match_ids(
     searcher: IndexSearcher, phrase: list, lang: str, slop: int
 ) -> np.ndarray:
-    """Ordered-proximity matching, fully vectorized.
+    """Sloppy matching (full Lucene semantics), fully vectorized.
 
     1. decode positional postings per distinct word, pruning each later
        word's blocks to the surviving candidate docID span (df-ascending,
        the exact path's pruning order);
     2. AND-intersect candidate docs on sorted id arrays;
-    3. greedy minimal-successor chaining over packed
-       ``(doc << SHIFT) | pos`` keys: one ``searchsorted`` per phrase slot
-       advances EVERY start occurrence at once — for a fixed start p_0 the
-       minimal next-position chain minimizes the window end, so checking
-       the greedy chain is exact. No per-candidate Python loop; common-gram
-       bigrams don't apply (they encode adjacency, not proximity)."""
+    3. :func:`chain_slop_keys` over packed ``(doc << SHIFT) | pos`` keys —
+       shifted-span ≤ slop with per-word distinct greedy chains, one
+       ``searchsorted`` per slot advancing every candidate window at once.
+       No per-candidate Python loop; common-gram bigrams don't apply (they
+       encode adjacency, not proximity)."""
     from harvester_spark.search.engine import _span_hits
 
     empty = np.empty(0, np.int64)

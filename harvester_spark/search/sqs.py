@@ -23,9 +23,10 @@ AND operator, ``|`` = OR, equal precedence, LEFT-associative, so
 ``state-of-the-art`` stays four AND'ed terms, exactly like the plain
 path); other un-grammatical input degrades leniently to terms, never an
 error (SimpleQueryParser contract). Fuzzy matches dictionary terms within
-banded Levenshtein ≤ N; sloppy phrases match ordered proximity (window ≤
-len-1+slop — Lucene's out-of-order slop ≥ 2 transpositions are a
-documented non-goal).
+banded Levenshtein ≤ N; sloppy phrases match FULL Lucene slop semantics
+(shifted-position span ≤ slop, so slop ≥ 2 admits transposed order —
+``"a b"~2`` matches ``b a``; round-3 closed the former ordered-only
+subset).
 
 Matching is BooleanQuery semantics per level: positives intersect (AND) or
 union (OR); a negated clause excludes its matches from the level's result
@@ -625,29 +626,43 @@ def sqs_search(
 
 
 def _sloppy_contains(ts: list[str], words: list[str], slop: int) -> bool:
-    """Ordered proximity: strictly increasing positions p_0 < … < p_{m-1}
-    with ts[p_i] == words[i] and window (p_last - p_0) ≤ (m-1) + slop.
-    slop=0 reduces exactly to adjacency. Greedy minimal-successor chaining
-    is optimal for this criterion (fixing p_0, each minimal next position
-    minimizes the window end) — the same algorithm the index path runs
-    vectorized."""
+    """FULL Lucene sloppy semantics (round-3), scalar oracle: the doc
+    matches iff one position per phrase slot exists — distinct positions
+    for repeated words — with ``max_i(p_i - i) - min_i(p_i - i) ≤ slop``.
+    Transposed terms cost their displacement (``"a b"~2`` matches ``b a``);
+    every ordered window ≤ len-1+slop still matches. slop=0 keeps exact
+    adjacency. Checked per candidate window start with a per-word greedy
+    distinct chain over staggered intervals (exact by the exchange
+    argument); tests triangulate it against a third, assignment-enumerating
+    brute force."""
+    import bisect
+
     pos: dict[str, list[int]] = {}
     for w in set(words):
         pos[w] = [i for i, t in enumerate(ts) if t == w]
         if not pos[w]:
             return False
-    import bisect
-
-    budget = len(words) - 1 + slop
-    for p0 in pos[words[0]]:
-        cur = p0
-        for w in words[1:]:
-            nxt = bisect.bisect_right(pos[w], cur)
-            if nxt == len(pos[w]):
-                cur = None
+    offs: dict[str, list[int]] = {}
+    for i, w in enumerate(words):
+        offs.setdefault(w, []).append(i)
+    starts = sorted(
+        {p - i for w, oo in offs.items() for i in oo for p in pos[w]}
+    )
+    for v in starts:
+        ok_all = True
+        for w, oo in offs.items():
+            P = pos[w]
+            prev: int | None = None
+            for i in oo:
+                lo = v + i if prev is None else max(v + i, prev + 1)
+                j = bisect.bisect_left(P, lo)
+                if j == len(P) or P[j] > v + i + slop:
+                    ok_all = False
+                    break
+                prev = P[j]
+            if not ok_all:
                 break
-            cur = pos[w][nxt]
-        if cur is not None and cur - p0 <= budget:
+        if ok_all:
             return True
     return False
 

@@ -146,3 +146,77 @@ def test_sloppy_phrase_fuzz(env):
             phrase_match_ids(searcher, " ".join(words), slop=slop).tolist()
         )
         assert got == _brute_slop_ids(docs_pdf, words, slop), (words, slop)
+
+
+# ---------------------------------------------- out-of-order slop (round-3)
+
+
+def _brute_assignment_slop(ts, words, slop):
+    """Third, genuinely independent checker: enumerate ALL per-slot position
+    assignments (itertools.product), require distinct positions, accept if
+    the shifted span max(p_i - i) - min(p_i - i) <= slop."""
+    import itertools
+
+    pos = {w: [i for i, t in enumerate(ts) if t == w] for w in set(words)}
+    if any(not p for p in pos.values()):
+        return False
+    for combo in itertools.product(*[pos[w] for w in words]):
+        if len(set(combo)) != len(combo):
+            continue
+        shifted = [p - i for i, p in enumerate(combo)]
+        if max(shifted) - min(shifted) <= slop:
+            return True
+    return False
+
+
+def test_sloppy_transposition_semantics():
+    """Lucene out-of-order slop: "a b"~2 matches "b a"; ~1 does not; the
+    scalar oracle agrees with the assignment-enumerating brute force on
+    hand-picked boundary cases including repeated words."""
+    cases = [
+        ("b a".split(), ["a", "b"], 1, False),
+        ("b a".split(), ["a", "b"], 2, True),
+        ("a x b".split(), ["a", "b"], 1, True),
+        ("b x a".split(), ["a", "b"], 2, False),   # displacement 3
+        ("b x a".split(), ["a", "b"], 3, True),
+        ("c a b".split(), ["a", "b", "c"], 1, False),
+        ("c a b".split(), ["a", "b", "c"], 3, True),  # c moved 2, span 3
+        # repeated words need DISTINCT positions
+        ("a b".split(), ["a", "a"], 4, False),
+        ("a x a".split(), ["a", "a"], 1, True),
+        ("a a".split(), ["a", "a"], 0, True),
+        ("a b a".split(), ["a", "b", "a"], 0, True),   # the exact phrase
+        ("a b x a".split(), ["a", "b", "a"], 0, False),
+        ("a b x a".split(), ["a", "b", "a"], 1, True),
+    ]
+    for ts, words, slop, want in cases:
+        assert _sloppy_contains(ts, words, slop) is want, (ts, words, slop)
+        assert _brute_assignment_slop(ts, words, slop) is want, (ts, words, slop)
+
+
+def test_sloppy_oracle_matches_brute_fuzz():
+    """Randomized triangulation: scalar oracle == assignment brute force on
+    thousands of tiny texts (incl. repeated query words)."""
+    import random
+
+    rng = random.Random(11)
+    vocab = ["a", "b", "c", "d"]
+    for _ in range(3000):
+        ts = [rng.choice(vocab) for _ in range(rng.randint(1, 9))]
+        m = rng.randint(2, 3)
+        words = [rng.choice(vocab) for _ in range(m)]
+        slop = rng.randint(0, 4)
+        got = _sloppy_contains(ts, words, slop)
+        want = _brute_assignment_slop(ts, words, slop)
+        assert got == want, (ts, words, slop, got, want)
+
+
+def test_sloppy_engine_transpositions(env):
+    """Engine path (chain_slop_keys over the real index) == oracle on
+    transposed-order phrases across slops."""
+    searcher, _documents, docs_pdf = env
+    for q in ["w00001 w00000", "hash table", "max block", "wand wand"]:
+        words = q.split()
+        for slop in [0, 1, 2, 3, 5]:
+            got = sorted(phrase_match_ids(searcher, q, slop=slop).tolist())
+            assert got == _brute_slop_ids(docs_pdf, words, slop), (q, slop)

@@ -77,12 +77,14 @@ def test_unigram_logprob_broadcasts_model(spark):
         if "SortMergeJoin" in line or "ShuffledHashJoin" in line:
             assert "doc_id" in line, line
 
-def test_phrase_slop_no_cartesian(spark):
-    """The ordered-window joins must stay doc_id equi-joins with the window
-    predicate pushed as a range condition — never a cartesian product."""
-    from harvester_spark.operators.fulltext_queries import ft_phrase_slop
+@pytest.mark.parametrize("opname", ["ft_phrase_slop", "ft_phrase_slop_unordered"])
+def test_phrase_slop_no_cartesian(spark, opname):
+    """The window joins (ordered and out-of-order) must stay doc_id
+    equi-joins with the window predicate pushed as a range condition —
+    never a cartesian product."""
+    from harvester_spark.operators import fulltext_queries
 
-    df = ft_phrase_slop(spark, SF_DIR)
+    df = getattr(fulltext_queries, opname)(spark, SF_DIR)
     df.count()
     plan = _plan(df)
     assert "CartesianProduct" not in plan
