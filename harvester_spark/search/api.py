@@ -212,10 +212,13 @@ class SearchAPI:
             return {
                 "results": or_results,
                 # the accumulate strategy scores every match — exact total;
+                # the batch dispatch sums per-range accumulator counts over
+                # disjoint docID ranges (exact when every range accumulated);
                 # WAND's scored count stays a lower bound (pruning skips)
                 "results_total": {
                     "value": int(stats["scored"]),
-                    "is_precise": stats.get("strategy") == "accumulate",
+                    "is_precise": stats.get("strategy") == "accumulate"
+                    or (stats.get("strategy") == "batch" and stats.get("precise", False)),
                 },
                 # suggestions only when results are sparse (reference shows
                 # them when needed, not on every query)

@@ -160,6 +160,7 @@ def or_search_batch(
     lang: str = ALL_LANG,
     n_ranges: int | None = None,
     strategy: str = "auto",
+    with_totals: bool = False,
 ) -> pd.DataFrame:
     """Batch OR top-k: (query_id, query_text) list → stacked exact top-k.
 
@@ -170,12 +171,21 @@ def or_search_batch(
     blocks fan out seq-tagged and each range merges them with latest-wins
     tombstone filtering, then re-encodes synthetic blocks for the WAND
     kernel — bit-identical to the delta-aware driver ranking.
+
+    ``with_totals=True`` returns ``(frame, totals, precise)``: per-query
+    scored counts summed over the disjoint docID ranges. A range scored
+    under the accumulator counts every match in the range, so when ALL of a
+    query's ranges ran accumulate (the head-heavy regime that triggers the
+    single-query dispatch) the sum is the EXACT total; a WAND range makes
+    it a lower bound (``precise[qid]=False``).
     """
     if n_ranges is None:
         n_ranges = max(4, int(spark.conf.get("spark.sql.shuffle.partitions", "8")) // 2)
     empty = pd.DataFrame(columns=["query_id", "rank", "doc_id", "score"])
     q_terms = {qid: sorted(set(tokenize(qtext))) for qid, qtext in queries}
     all_terms = sorted({t for ts in q_terms.values() for t in ts})
+    if with_totals and not all_terms:
+        return empty, {qid: 0 for qid, _ in queries}, {qid: True for qid, _ in queries}
     if not all_terms:
         return empty
     dfs = searcher._dfs(all_terms, lang)  # GLOBAL df → global idf everywhere
@@ -214,9 +224,11 @@ def or_search_batch(
         ).alias("range_ix"),
     )
 
+    out_cols = ["query_id", "doc_id", "score", "rtotal", "rprecise"]
+
     def run_range(pdf: pd.DataFrame) -> pd.DataFrame:
         if not len(pdf):
-            return pd.DataFrame(columns=["query_id", "doc_id", "score"])
+            return pd.DataFrame(columns=out_cols)
         rix = int(pdf["range_ix"].iloc[0])
         lo, hi = rix * step, (rix + 1) * step - 1
         interval = RangeInterval(lo, hi)
@@ -248,24 +260,34 @@ def or_search_batch(
             # per-range dfs are ~df/n_ranges, so the global ratio decides
             pick = strategy if strategy != "auto" else _pick_or_strategy(dfs_g, terms)
             if pick == "accumulate":
-                topk, _ = or_accumulate_topk(
+                topk, rstats = or_accumulate_topk(
                     tb, dfs_g, n_docs, avgdl, lens, k=k,
                     allowed_doc_ids=interval,
                 )
             else:
-                topk, _ = wand_topk(
+                topk, rstats = wand_topk(
                     tb, dfs_g, n_docs, avgdl, lens, k=k, impact_col=impact_col,
                     allowed_doc_ids=interval,
                 )
             for r in topk.itertuples(index=False):
-                out_rows.append((qid, int(r.doc_id), float(r.score)))
-        return pd.DataFrame(out_rows, columns=["query_id", "doc_id", "score"])
+                out_rows.append((qid, int(r.doc_id), float(r.score), 0, True))
+            # per-range summary row: the accumulator's scored count is the
+            # range's EXACT match count (ranges partition docID space)
+            out_rows.append(
+                (qid, -1, 0.0, int(rstats["scored"]), pick == "accumulate")
+            )
+        return pd.DataFrame(out_rows, columns=out_cols)
 
     parts = (
         fanned.groupBy("range_ix")
-        .applyInPandas(run_range, "query_id string, doc_id long, score double")
+        .applyInPandas(
+            run_range,
+            "query_id string, doc_id long, score double, rtotal long, rprecise boolean",
+        )
         .toPandas()
     )
+    summaries = parts[parts["doc_id"] < 0]
+    parts = parts[parts["doc_id"] >= 0]
 
     frames = []
     for qid, _ in queries:
@@ -275,9 +297,15 @@ def or_search_batch(
         ).head(k).reset_index(drop=True)
         sub.insert(1, "rank", np.arange(1, len(sub) + 1))
         frames.append(sub[["query_id", "rank", "doc_id", "score"]])
-    return (
-        pd.concat(frames, ignore_index=True) if frames else empty
-    )
+    stacked = pd.concat(frames, ignore_index=True) if frames else empty
+    if not with_totals:
+        return stacked
+    totals, precise = {}, {}
+    for qid, _ in queries:
+        s = summaries[summaries["query_id"] == qid]
+        totals[qid] = int(s["rtotal"].sum())
+        precise[qid] = bool(s["rprecise"].all()) if len(s) else True
+    return stacked, totals, precise
 
 
 def phrase_search_batch(

@@ -288,6 +288,33 @@ class IndexSearcher:
         if any(dfs[t] == 0 for t in terms):  # AND semantics: dead term → empty
             return SearchResult(query_text, lang, empty, 0)
 
+        # SINGLE-QUERY DISTRIBUTED DISPATCH (round-3): the driver path's
+        # block-span pruning makes rare∧head cheap, but when EVERY term is
+        # head-scale the smallest-df decode alone serializes ≥ min_df
+        # postings in one process — fan out by docID range instead (same
+        # cost model + threshold as the phrase path, phrase._dispatch_batch;
+        # rank-identical: shared kernel, global df/stats; exact total = sum
+        # of disjoint per-range candidate counts).
+        from harvester_spark.search.phrase import _dispatch_batch
+
+        if allowed_doc_ids is None and _dispatch_batch(self, dfs):
+            from harvester_spark.search.distributed import and_search_batch
+
+            stacked, totals = and_search_batch(
+                self.spark, self, [("q", query_text)], k=page * k, lang=lang
+            )
+            top = stacked.iloc[(page - 1) * k :].reset_index(drop=True)
+            topk = pd.DataFrame(
+                {
+                    "rank": np.arange(
+                        (page - 1) * k + 1, (page - 1) * k + 1 + len(top)
+                    ),
+                    "doc_id": top["doc_id"].astype(np.int64),
+                    "score": top["score"].astype(np.float64),
+                }
+            )
+            return SearchResult(query_text, lang, topk, int(totals.get("q", 0)))
+
         blocks = self._term_postings(terms, lang)
         per_term: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         impact_col = "impact_all" if lang == ALL_LANG else "impact_lang"

@@ -349,6 +349,23 @@ def _pick_or_strategy(dfs: dict[str, int], live: list[str]) -> str:
     return "wand" if est_wand < est_vec else "accumulate"
 
 
+# Single-query distributed dispatch (round-3): above this total decode
+# volume a single Python process is the bottleneck — fan the decode across
+# executors by docID range (or_search_batch), exactly like the phrase
+# path's PHRASE_BATCH_MIN_DF dispatch. Below it, driver-side numpy wins on
+# job-launch latency. Measured crossover on the 2M bench is recorded in
+# BENCH.md.
+OR_BATCH_MIN_SUM_DF = 5_000_000
+
+
+def _dispatch_or_batch(searcher, dfs: dict, live: list[str], allowed) -> bool:
+    return (
+        allowed is None
+        and getattr(searcher, "spark", None) is not None
+        and sum(dfs[t] for t in live) >= OR_BATCH_MIN_SUM_DF
+    )
+
+
 def _allowed(allowed, doc: int) -> bool:
     if hasattr(allowed, "test_one"):  # AllowedSet bitmap — O(1) probe
         return allowed.test_one(doc)
@@ -380,6 +397,27 @@ def or_search(searcher, query_text: str, k: int = 10, lang: str = ALL_LANG,
     live = [t for t in terms if dfs[t] > 0]
     if not live:
         return (empty, stats) if with_stats else empty
+    # SINGLE-QUERY DISTRIBUTED DISPATCH: at head-heavy decode volume the
+    # driver path serializes Σdf posting decodes in one process — route
+    # through the docID-range executors instead (rank-identical: shared
+    # kernels, global df/stats). Decided BEFORE any driver-side block load.
+    if strategy == "batch" or (
+        strategy == "auto" and _dispatch_or_batch(searcher, dfs, live, allowed_doc_ids)
+    ):
+        from harvester_spark.search.distributed import or_search_batch
+
+        stacked, totals, precise = or_search_batch(
+            searcher.spark, searcher, [("q", query_text)], k=k, lang=lang,
+            with_totals=True,
+        )
+        topk = stacked[["rank", "doc_id", "score"]].reset_index(drop=True)
+        stats = {
+            "scored": int(totals.get("q", 0)),
+            "blocks_decoded": 0,
+            "strategy": "batch",
+            "precise": bool(precise.get("q", True)),
+        }
+        return (topk, stats) if with_stats else topk
     blocks = searcher._term_postings(live, lang)
     term_blocks = {t: blocks[blocks["term"] == t] for t in live}
     n_docs, avgdl = searcher._corpus_stats[lang]

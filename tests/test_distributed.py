@@ -203,3 +203,70 @@ def test_phrase_match_ids_batch_equals_driver(env):
             assert list(via) == list(direct), (text, slop)
     finally:
         ph.PHRASE_BATCH_MIN_DF = old
+
+
+# ----------------------------------- single-query dispatch (round-3)
+
+
+def test_single_query_or_dispatch_rank_identity(env, monkeypatch):
+    """or_search with the batch dispatch forced (threshold → 0) must return
+    the exact driver ranking, with the exact total marked precise (every
+    range runs the accumulator in the head-heavy regime)."""
+    from harvester_spark.search import wand as wand_mod
+
+    spark, searcher = env
+    for qtext in ["w00000 w00001", "w00000 term_7", "block max wand"]:
+        drv, dstats = wand_mod.or_search(
+            searcher, qtext, k=10, with_stats=True, strategy="accumulate"
+        )
+        monkeypatch.setattr(wand_mod, "OR_BATCH_MIN_SUM_DF", 0)
+        bat, bstats = wand_mod.or_search(searcher, qtext, k=10, with_stats=True)
+        monkeypatch.setattr(wand_mod, "OR_BATCH_MIN_SUM_DF", 5_000_000)
+        assert bstats["strategy"] == "batch", qtext
+        assert list(bat["doc_id"]) == list(drv["doc_id"]), qtext
+        assert list(bat["score"]) == list(drv["score"]), qtext
+        # totals: exact when every range accumulated (the true head-heavy
+        # dispatch regime), a lower bound when a range picked WAND — same
+        # contract as the driver strategies
+        if bstats["precise"]:
+            assert bstats["scored"] == dstats["scored"], qtext
+        else:
+            assert 0 < bstats["scored"] <= dstats["scored"], qtext
+
+
+def test_single_query_and_dispatch_rank_identity(env, monkeypatch):
+    """IndexSearcher.search with the batch dispatch forced must return the
+    exact driver ranking AND the exact total, including paging."""
+    from harvester_spark.search import phrase as phrase_mod
+
+    spark, searcher = env
+    for qtext in ["w00000 w00001", "block max", "w00000 w00001 w00002"]:
+        drv = searcher.search(qtext, k=7)
+        drv2 = searcher.search(qtext, k=3, page=2)
+        monkeypatch.setattr(phrase_mod, "PHRASE_BATCH_MIN_DF", 0)
+        bat = searcher.search(qtext, k=7)
+        bat2 = searcher.search(qtext, k=3, page=2)
+        monkeypatch.setattr(phrase_mod, "PHRASE_BATCH_MIN_DF", 200_000)
+        assert list(bat.topk["doc_id"]) == list(drv.topk["doc_id"]), qtext
+        assert list(bat.topk["score"]) == list(drv.topk["score"]), qtext
+        assert bat.results_total == drv.results_total, qtext
+        assert list(bat2.topk["doc_id"]) == list(drv2.topk["doc_id"]), qtext
+        assert list(bat2.topk["rank"]) == list(drv2.topk["rank"]), qtext
+
+
+def test_or_batch_with_totals_exact(env):
+    """with_totals: per-range accumulator sums over disjoint ranges equal
+    the driver accumulate's exact scored counts."""
+    spark, searcher = env
+    from harvester_spark.search.wand import or_search
+
+    stacked, totals, precise = or_search_batch(
+        spark, searcher, QUERIES, k=10, n_ranges=5,
+        strategy="accumulate", with_totals=True,
+    )
+    for qid, qtext in QUERIES:
+        _, dstats = or_search(
+            searcher, qtext, k=10, with_stats=True, strategy="accumulate"
+        )
+        assert totals[qid] == dstats["scored"], (qid, qtext)
+        assert precise[qid] is True
