@@ -32,14 +32,33 @@ class IndexCatalog:
         return os.path.join(self.root, "versions", name)
 
     def promote(self, name: str) -> None:
-        """Atomically point ``current`` at version ``name`` (alias swap)."""
+        """Atomically point ``current`` at version ``name`` (alias swap).
+
+        The staging file is UNIQUE per promoter (mkstemp): with a shared
+        ``.tmp`` name two concurrent promoters could interleave write and
+        replace and publish a torn manifest (found by
+        tests/test_catalog_concurrency.py). With unique staging, concurrent
+        promotes serialize to last-``os.replace``-wins and a reader can
+        never observe a partial manifest — the Iceberg commit-conflict
+        analogue (last snapshot wins; no torn metadata)."""
+        import tempfile
+
         target = self.version_dir(name)
         if not os.path.isdir(target):
             raise FileNotFoundError(f"index version not built: {target}")
-        tmp = self._manifest_path() + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"current": name, "promoted_at": time.time()}, f)
-        os.replace(tmp, self._manifest_path())  # atomic publish
+        fd, tmp = tempfile.mkstemp(
+            dir=self.root, prefix="current.json.tmp."
+        )
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump({"current": name, "promoted_at": time.time()}, f)
+            os.replace(tmp, self._manifest_path())  # atomic publish
+        except BaseException:
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+            raise
 
     def current(self) -> str | None:
         try:

@@ -1223,3 +1223,46 @@ QUERIES["ft_phrase_slop_unordered"] = (
     ft_phrase_slop_unordered,
     SQL_PHRASE_SLOP_UNORDERED,
 )
+
+
+# Real BPE token counting (round-3): actual byte-pair merges from the frozen
+# 64-merge table (harvester_spark/bpe.py — trained once with the classic
+# Sennrich procedure, committed like GPT-2's merges.txt), applied as pure
+# string replaces inside whole-stage codegen. Replaces nothing: the
+# "BPE-ish" regex pretokenizer (ft_bpe_token_count) stays as the cheap
+# estimator; this is the exact counter training-prep packs by
+# (training_prep.pack_sequences_bpe).
+
+
+def ft_bpe_encode_count(spark, sf_dir):
+    from harvester_spark.bpe import bpe_token_count_col
+
+    docs = load(spark, sf_dir, "documents")
+    words = tokens_column(F.col("text"))
+    total = F.aggregate(
+        F.transform(words, bpe_token_count_col),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return docs.select(
+        "doc_id",
+        total.alias("bpe_tokens"),
+        F.size(words).cast("long").alias("n_words"),
+    )
+
+
+def _sql_bpe_encode_count() -> str:
+    from harvester_spark.bpe import sql_bpe_token_count
+
+    toks = SQL_TOKS.format(col="text")
+    per_word = sql_bpe_token_count("w")
+    return f"""
+SELECT doc_id,
+       CAST(coalesce(list_sum(list_transform({toks}, w -> {per_word})), 0) AS BIGINT)
+         AS bpe_tokens,
+       CAST(len({toks}) AS BIGINT) AS n_words
+FROM documents
+"""
+
+
+QUERIES["ft_bpe_encode_count"] = (ft_bpe_encode_count, _sql_bpe_encode_count())

@@ -211,3 +211,97 @@ QUERIES = {
     "domain_mixture_sample": (domain_mixture_sample, SQL_DOMAIN_MIXTURE),
     "ft_length_buckets": (ft_length_buckets, SQL_LENGTH_BUCKETS),
 }
+
+
+# ------------------------------------------- packing by REAL BPE counts
+
+
+def _pack_by(docs):
+    """The two-level prefix-sum packing layout over a (doc_id, n_tokens)
+    frame — shared by the whitespace and real-BPE counters."""
+    docs = docs.withColumn("shard", F.expr(f"doc_id div {PACK_SHARD}"))
+    shard_sums = docs.groupBy("shard").agg(F.sum("n_tokens").alias("shard_tokens"))
+    w_sh = W.orderBy("shard").rowsBetween(W.unboundedPreceding, -1)
+    shard_off = shard_sums.select(
+        "shard",
+        F.coalesce(F.sum("shard_tokens").over(w_sh), F.lit(0)).alias("shard_offset"),
+    )
+    w_in = W.partitionBy("shard").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    out = (
+        docs.join(F.broadcast(shard_off), "shard")
+        .withColumn(
+            "start_offset",
+            (
+                F.col("shard_offset")
+                + F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0))
+            ).cast("long"),
+        )
+        .withColumn(
+            "pack_first", F.expr(f"start_offset div {SEQ_LEN}").cast("long")
+        )
+        .withColumn(
+            "pack_last",
+            F.expr(
+                f"(start_offset + greatest(n_tokens, 1) - 1) div {SEQ_LEN}"
+            ).cast("long"),
+        )
+        .withColumn(
+            "packs_spanned", (F.col("pack_last") - F.col("pack_first") + 1)
+        )
+    )
+    return out.select(
+        "doc_id", "n_tokens", "start_offset", "pack_first", "pack_last",
+        "packs_spanned",
+    )
+
+
+def pack_sequences_bpe(spark, sf_dir):
+    """Sequence packing by the REAL BPE token counts (frozen merge table,
+    harvester_spark/bpe.py) instead of the whitespace estimate — the counts
+    a real training pipeline packs context windows by. Same two-level
+    prefix-sum plan (no global single-partition window); the BPE fold is
+    pure codegen string replaces, so the extra cost is map-side only."""
+    from harvester_spark.bpe import bpe_token_count_col
+
+    docs = load(spark, sf_dir, "documents")
+    words = tokens_column(F.col("text"))
+    n_bpe = F.aggregate(
+        F.transform(words, bpe_token_count_col),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return _pack_by(docs.select("doc_id", n_bpe.alias("n_tokens")))
+
+
+def _sql_pack_sequences_bpe() -> str:
+    from harvester_spark.bpe import sql_bpe_token_count
+
+    toks = SQL_TOKS.format(col="text")
+    per_word = sql_bpe_token_count("w")
+    n_bpe = (
+        f"CAST(coalesce(list_sum(list_transform({toks}, w -> {per_word})), 0)"
+        " AS BIGINT)"
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, {n_bpe} AS n_tokens FROM documents
+),
+o AS (
+  SELECT doc_id, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+             ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS start_offset
+  FROM d
+)
+SELECT doc_id, n_tokens, start_offset,
+       start_offset // {SEQ_LEN} AS pack_first,
+       (start_offset + greatest(n_tokens, 1) - 1) // {SEQ_LEN} AS pack_last,
+       (start_offset + greatest(n_tokens, 1) - 1) // {SEQ_LEN}
+         - start_offset // {SEQ_LEN} + 1 AS packs_spanned
+FROM o
+"""
+
+
+QUERIES["pack_sequences_bpe"] = (pack_sequences_bpe, _sql_pack_sequences_bpe())

@@ -447,7 +447,12 @@ def _apply_index_delta(
         "deltas": [d for d in state["deltas"] if d["name"] != delta_name] + [entry],
         "stats_dir": stats_dir,
     }
-    tmp = os.path.join(index_dir, "delta_state.json.tmp")
+    # unique staging name: a shared .tmp would let two concurrent publishers
+    # interleave write/replace into a torn manifest (the catalog.promote
+    # defect found by tests/test_catalog_concurrency.py) — foreachBatch
+    # serializes writers in production, but the publish step must be safe
+    # regardless
+    tmp = os.path.join(index_dir, f"delta_state.json.tmp.{os.getpid()}")
     with open(tmp, "w") as f:
         json.dump(new_state, f)
     os.replace(tmp, os.path.join(index_dir, "delta_state.json"))  # atomic publish

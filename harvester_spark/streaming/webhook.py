@@ -27,6 +27,64 @@ from harvester_spark.streaming.incremental import (
 
 WEBHOOK_SCHEMA = "url string, warc_ts timestamp, html string, lang string, deleted boolean"
 
+# Auto-compaction policy (round-3): the delta chain trades write
+# amplification for read amplification — every query merges base ∪ deltas
+# minus tombstones. The streaming loop folds the chain back into a clean
+# base when EITHER trigger fires:
+#   - delta COUNT ≥ COMPACT_MAX_DELTAS (merge cost grows per delta), or
+#   - delta:base postings SIZE ratio ≥ COMPACT_DELTA_RATIO (rewrite cost is
+#     now comparable to what it buys — the classic LSM/lakehouse trigger).
+# Equivalent of the reference's rebuild-into-new-index + alias swap
+# (/root/reference/harvester/search/models/index.py:72-156) driven by a
+# policy instead of an operator.
+COMPACT_MAX_DELTAS = 8
+COMPACT_DELTA_RATIO = 0.5
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
+def should_compact(
+    index_dir: str,
+    max_deltas: int = COMPACT_MAX_DELTAS,
+    ratio: float = COMPACT_DELTA_RATIO,
+) -> bool:
+    """Compaction trigger over the live delta manifest + postings sizes.
+    (On a cluster both inputs come from catalog statistics, not a walk.)"""
+    from harvester_spark.search.engine import read_delta_state
+
+    state = read_delta_state(index_dir)
+    if not state or not state.get("deltas"):
+        return False
+    if len(state["deltas"]) >= max_deltas:
+        return True
+    base = _dir_bytes(os.path.join(index_dir, "postings"))
+    delta = _dir_bytes(os.path.join(index_dir, "postings_delta"))
+    return base > 0 and delta / base >= ratio
+
+
+def recover_interrupted_compaction(index_dir: str) -> None:
+    """Crash recovery for the in-place swap: ``compact_in_place`` renames
+    ``dir → dir.old`` then ``dir.compact → dir``. A crash between the two
+    leaves no live dir — prefer the finished compact build, else restore
+    the old dir. Idempotent; the single-writer foreachBatch loop calls it
+    before each batch."""
+    if os.path.isdir(index_dir):
+        return
+    tmp, old = index_dir + ".compact", index_dir + ".old"
+    if os.path.isdir(tmp) and os.path.exists(os.path.join(tmp, "dictionary")):
+        os.rename(tmp, index_dir)
+    elif os.path.isdir(old):
+        os.rename(old, index_dir)
+
 
 def process_webhook_batch(
     spark: SparkSession,
@@ -34,8 +92,14 @@ def process_webhook_batch(
     batch_id: int,
     docs_catalog: IndexCatalog,
     index_dir: str,
+    compact_max_deltas: int = COMPACT_MAX_DELTAS,
+    compact_ratio: float = COMPACT_DELTA_RATIO,
+    keep_versions: int = 4,
+    decompound_words=None,
 ) -> None:
-    """One micro-batch: extract → merge → delta-index → promote."""
+    """One micro-batch: extract → merge → delta-index → promote →
+    (policy-triggered) compact + version GC."""
+    recover_interrupted_compaction(index_dir)
     if batch_df.isEmpty():
         return
     # Own the cache lifetime here: normalize_delta needs the batch cached
@@ -62,6 +126,18 @@ def process_webhook_batch(
             delta_name=f"delta-{batch_id}",
         )
         docs_catalog.promote(new_version)  # atomic publish, last step
+        if should_compact(index_dir, compact_max_deltas, compact_ratio):
+            from harvester_spark.streaming.compaction import compact_in_place
+
+            # fold deltas + tombstones into a clean base (same analyzer
+            # chain, proven == rebuild by the compaction battery), then GC
+            # superseded document versions — the catalog-expire analogue of
+            # delta GC (the swapped-out .old dir holds the old deltas and is
+            # removed by the swap itself)
+            compact_in_place(
+                spark, index_dir, merged_read, decompound_words=decompound_words
+            )
+            docs_catalog.expire(keep=keep_versions)
     finally:
         delta_corpus.unpersist()
 
@@ -74,19 +150,32 @@ def start_webhook_stream(
     checkpoint_dir: str,
     available_now: bool = False,
     max_files_per_trigger: int | None = None,
+    compact_max_deltas: int = COMPACT_MAX_DELTAS,
+    compact_ratio: float = COMPACT_DELTA_RATIO,
+    keep_versions: int = 4,
+    decompound_words=None,
 ):
     """Start the ingest stream over a JSON drop directory.
 
     ``max_files_per_trigger`` bounds each micro-batch (files per trigger) —
     with ``available_now`` it drains the backlog as a SEQUENCE of batches
-    instead of one, exercising the stacked-delta path."""
+    instead of one, exercising the stacked-delta path. The compaction policy
+    (``compact_max_deltas`` / ``compact_ratio``) runs inside the same
+    serialized foreachBatch loop — single writer, so compaction never races
+    a delta apply."""
     os.makedirs(drop_dir, exist_ok=True)
     reader = spark.readStream.schema(WEBHOOK_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
     stream = reader.json(drop_dir)
     writer = stream.writeStream.foreachBatch(
-        lambda bdf, bid: process_webhook_batch(spark, bdf, bid, docs_catalog, index_dir)
+        lambda bdf, bid: process_webhook_batch(
+            spark, bdf, bid, docs_catalog, index_dir,
+            compact_max_deltas=compact_max_deltas,
+            compact_ratio=compact_ratio,
+            keep_versions=keep_versions,
+            decompound_words=decompound_words,
+        )
     ).option("checkpointLocation", checkpoint_dir)
     if available_now:
         writer = writer.trigger(availableNow=True)

@@ -1197,3 +1197,95 @@ def test_webhook_batches_do_not_accumulate_cached_frames(spark, tmp_root):
         )
         process_webhook_batch(spark, bdf, bid, catalog, index_dir)
     assert n_persistent() <= before, (before, n_persistent())
+
+
+def test_streaming_auto_compaction(spark, tmp_root):
+    """Round-3: the ingest loop's compaction policy fires mid-stream
+    (delta count >= threshold) and serving stays identical to a fresh
+    rebuild BEFORE the trigger (delta chain), ON the triggering batch
+    (compacted base), and AFTER it (new delta over the compacted base).
+    Superseded document versions are GC'd (catalog expire)."""
+    import shutil
+    from datetime import datetime, timedelta
+
+    from harvester_spark.search.engine import read_delta_state
+    from harvester_spark.streaming.incremental import DeltaSearcher
+    from harvester_spark.streaming.webhook import process_webhook_batch
+
+    root = os.path.join(tmp_root, "autocompact")
+    out = os.path.join(root, "base")
+    run_build(spark, out, n_docs=40, resume=False, num_partitions=2)
+    catalog = IndexCatalog(os.path.join(root, "catalog"))
+    os.makedirs(catalog.version_dir("v000000"), exist_ok=True)
+    for f in os.listdir(f"{out}/documents"):
+        shutil.copy(f"{out}/documents/{f}", catalog.version_dir("v000000"))
+    catalog.promote("v000000")
+    index_dir = os.path.join(root, "index")
+    shutil.copytree(f"{out}/index", index_dir)
+
+    def assert_serves_like_rebuild(stage: str):
+        docs = spark.read.parquet(catalog.current_dir())
+        rb = os.path.join(root, f"rb_{stage}")
+        IndexBuilder(spark, rb).build(docs, resume=False, num_partitions=2)
+        rs = IndexSearcher(spark, rb)
+        state = read_delta_state(index_dir)
+        live = (
+            DeltaSearcher(spark, index_dir)
+            if state and state.get("deltas")
+            else IndexSearcher(spark, index_dir)
+        )
+        for q in ["w00000", "w00000 w00001", "pushed zebra0", "zebra2"]:
+            a, b = live.search(q, k=10), rs.search(q, k=10)
+            assert list(a.topk["doc_id"]) == list(b.topk["doc_id"]), (stage, q)
+            assert list(a.topk["score"]) == list(b.topk["score"]), (stage, q)
+            assert a.results_total == b.results_total, (stage, q)
+
+    t0 = datetime(2024, 2, 1)
+    for bid in range(4):
+        bdf = spark.createDataFrame(
+            [(f"https://example.org/push/{bid:08d}", t0 + timedelta(days=bid),
+              f"<p>pushed doc zebra{bid} body text</p>", "en", False)],
+            "url string, warc_ts timestamp, html string, lang string, deleted boolean",
+        )
+        process_webhook_batch(
+            spark, bdf, bid, catalog, index_dir,
+            compact_max_deltas=2, keep_versions=2,
+        )
+        state = read_delta_state(index_dir)
+        n_deltas = len(state["deltas"]) if state else 0
+        if bid == 0:
+            assert n_deltas == 1, "before trigger: one live delta"
+            assert_serves_like_rebuild("before")
+        elif bid == 1:
+            assert n_deltas == 0, "trigger batch: chain folded into the base"
+            assert not os.path.exists(os.path.join(index_dir, "postings_delta"))
+            assert_serves_like_rebuild("during")
+        elif bid == 2:
+            assert n_deltas == 1, "after: fresh delta over the compacted base"
+            assert_serves_like_rebuild("after")
+        else:
+            assert n_deltas == 0, "second trigger fires the same policy"
+            assert_serves_like_rebuild("after2")
+    assert len(catalog.versions()) <= 3  # keep=2 (+ current) — versions GC'd
+
+
+def test_recover_interrupted_compaction(tmp_root):
+    """Crash between the two swap renames: the finished .compact build wins;
+    with no finished build the .old dir is restored. Idempotent."""
+    from harvester_spark.streaming.webhook import recover_interrupted_compaction
+
+    root = os.path.join(tmp_root, "recover")
+    idx = os.path.join(root, "index")
+    # case 1: finished compact build present
+    os.makedirs(os.path.join(idx + ".compact", "dictionary"))
+    os.makedirs(idx + ".old")
+    recover_interrupted_compaction(idx)
+    assert os.path.isdir(os.path.join(idx, "dictionary"))
+    recover_interrupted_compaction(idx)  # no-op when live dir exists
+    assert os.path.isdir(idx)
+    # case 2: only the old dir survives
+    import shutil
+
+    shutil.rmtree(idx)
+    recover_interrupted_compaction(idx)  # .old restored
+    assert os.path.isdir(idx)
