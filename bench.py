@@ -52,6 +52,10 @@ HEADLINE = [
     "j5_region_revenue",
     "w2_latest_event_per_user",
     "events_hourly_rollup",
+    # round-3 additions: collated suggester, derived-K IVF, real BPE
+    "ft_did_you_mean",
+    "ann_ivf_topk",
+    "ft_bpe_encode_count",
 ]
 WARMUP_DOCS = 2000
 

@@ -40,7 +40,12 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # HS_ARROW_BATCH: smaller batches cap per-python-worker RSS on
+        # memory-tight very-large builds (32 workers × batch buffers add up)
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("HS_ARROW_BATCH", "10000"),
+        )
         # Python-heavy per-byte stages (extract/tokenize) need MORE input
         # splits than the 128 MB default gives: a 470 MB corpus becomes ~4
         # scan partitions and caps the whole extract phase at 4-way
