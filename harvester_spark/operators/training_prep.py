@@ -305,3 +305,116 @@ FROM o
 
 
 QUERIES["pack_sequences_bpe"] = (pack_sequences_bpe, _sql_pack_sequences_bpe())
+
+
+# -------------------------------------------- per-source quality selection
+
+
+def corpus_quality_select(spark, sf_dir):
+    """RefinedWeb-style per-source quality selection: rank every doc within
+    its source by quality (type/token ratio desc, token count desc, doc_id
+    asc — the exact-integer-division features of ft_quality_score) and keep
+    the top half. Output is the per-doc rank + kept flag.
+
+    Scale shape: ONE shuffle on source with a per-source sort (AQE skew
+    split on). At 100 TB with one giant domain the exact within-source rank
+    becomes the bottleneck; the production variant computes an approximate
+    per-source quality THRESHOLD from a sample and keeps docs above it
+    (map-only after a tiny broadcast), trading exact top-p% for no sort —
+    this operator keeps the exact semantics the oracle can verify."""
+    from harvester_spark.operators.fulltext_queries import ft_quality_score
+
+    q = ft_quality_score(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    j = q.join(docs, "doc_id")
+    w = W.partitionBy("source").orderBy(
+        F.col("type_token_ratio").desc(), F.col("n_tokens").desc(),
+        F.col("doc_id").asc(),
+    )
+    wc = W.partitionBy("source")
+    return (
+        j.withColumn("q_rank", F.row_number().over(w).cast("long"))
+        .withColumn("n_source_docs", F.count("*").over(wc).cast("long"))
+        .withColumn(
+            "kept",
+            (F.col("q_rank") * 2 <= F.col("n_source_docs")).cast("long"),
+        )
+        .select("source", "doc_id", "q_rank", "n_source_docs", "kept")
+    )
+
+
+def _sql_quality_select() -> str:
+    from harvester_spark.operators.fulltext_queries import SQL_QUALITY_SCORE
+
+    return f"""
+WITH q AS ({SQL_QUALITY_SCORE}),
+j AS (
+  SELECT d.source, q.doc_id, q.n_tokens, q.type_token_ratio
+  FROM q JOIN documents d USING (doc_id)
+)
+SELECT source, doc_id,
+       CAST(row_number() OVER (
+         PARTITION BY source
+         ORDER BY type_token_ratio DESC, n_tokens DESC, doc_id ASC
+       ) AS BIGINT) AS q_rank,
+       CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_source_docs,
+       CAST(CASE WHEN row_number() OVER (
+         PARTITION BY source
+         ORDER BY type_token_ratio DESC, n_tokens DESC, doc_id ASC
+       ) * 2 <= count(*) OVER (PARTITION BY source) THEN 1 ELSE 0 END AS BIGINT)
+         AS kept
+FROM j
+"""
+
+
+QUERIES["corpus_quality_select"] = (corpus_quality_select, _sql_quality_select())
+
+
+# ------------------------------------------ CCNet LM-perplexity buckets
+
+
+def ft_lm_quality_buckets(spark, sf_dir):
+    """CCNet's head/middle/tail corpus split: per language, tercile docs by
+    unigram-LM average negative log-likelihood (ascending — head = most
+    fluent) with a doc_id tie-break, then report per-bucket doc and token
+    totals. The published pipeline keeps 'head' (and sometimes 'middle')
+    for training. One window on (lang) over the already-aggregated per-doc
+    LM scores + one groupBy — no extra pass over tokens."""
+    from harvester_spark.operators.fulltext_queries import ft_unigram_logprob
+
+    lm = ft_unigram_logprob(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = lm.join(docs, "doc_id")
+    w = W.partitionBy("lang").orderBy(F.col("avg_nll").asc(), F.col("doc_id").asc())
+    return (
+        j.withColumn("bucket", F.ntile(3).over(w).cast("long"))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("bucket_tokens"),
+            F.round(F.avg("avg_nll"), 6).alias("mean_nll"),
+        )
+    )
+
+
+def _sql_lm_quality_buckets() -> str:
+    from harvester_spark.operators.fulltext_queries import SQL_UNIGRAM_LOGPROB
+
+    return f"""
+WITH lm AS ({SQL_UNIGRAM_LOGPROB}),
+j AS (
+  SELECT d.lang, lm.doc_id, lm.n_tokens, lm.avg_nll,
+         ntile(3) OVER (
+           PARTITION BY d.lang ORDER BY lm.avg_nll ASC, lm.doc_id ASC
+         ) AS bucket
+  FROM lm JOIN documents d USING (doc_id)
+)
+SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS bucket_tokens,
+       round(avg(avg_nll), 6) AS mean_nll
+FROM j GROUP BY lang, bucket
+"""
+
+
+QUERIES["ft_lm_quality_buckets"] = (ft_lm_quality_buckets, _sql_lm_quality_buckets())

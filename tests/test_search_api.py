@@ -414,3 +414,39 @@ def test_did_you_mean_collation(spark, tmp_root):
     # fully spelled / hopeless typo → None
     assert api.did_you_mean("anchor harbor") is None
     assert api.did_you_mean("zzzzzz") is None
+
+
+def test_dict_probe_exact_on_legacy_layout(api, spark, tmp_root):
+    """Indexes written before the (lang, tlen, term) range-clustered layout
+    have no tlen column — probes must stay EXACT (post-filtered), just
+    unpruned. Rewrites the dictionary without tlen and compares every probe
+    class plus the suggestion surfaces against the new-layout answers."""
+    import shutil
+
+    papi, out = api
+    legacy = os.path.join(tmp_root, "legacy_idx")
+    shutil.rmtree(legacy, ignore_errors=True)
+    shutil.copytree(f"{out}/index", legacy)
+    d = spark.read.parquet(f"{out}/index/dictionary").drop("tlen")
+    tmp_dict = os.path.join(tmp_root, "legacy_dict")
+    d.write.mode("overwrite").parquet(tmp_dict)
+    shutil.rmtree(os.path.join(legacy, "dictionary"))
+    shutil.copytree(tmp_dict, os.path.join(legacy, "dictionary"))
+
+    new_s = IndexSearcher(spark, f"{out}/index")
+    old_s = IndexSearcher(spark, legacy)
+    assert "tlen" not in old_s.dictionary.columns
+    probes = [
+        dict(terms=["w00000", "w00001", "nope"]),
+        dict(term_lo="w000", term_hi="w000\x7f"),
+        dict(tlen_lo=5, tlen_hi=7),
+        dict(term_lo="w", term_hi="x", tlen_lo=4, tlen_hi=8),
+    ]
+    for kw in probes:
+        a = new_s.dict_probe("all", **kw).sort_values("term").reset_index(drop=True)
+        b = old_s.dict_probe("all", **kw).sort_values("term").reset_index(drop=True)
+        assert a.equals(b), kw
+
+    old_api = SearchAPI(spark, legacy, papi.documents)
+    assert old_api.did_you_mean("w0000x") == papi.did_you_mean("w0000x")
+    assert old_api.autocomplete("w000", 5) == papi.autocomplete("w000", 5)
