@@ -1289,3 +1289,75 @@ def test_recover_interrupted_compaction(tmp_root):
     shutil.rmtree(idx)
     recover_interrupted_compaction(idx)  # .old restored
     assert os.path.isdir(idx)
+
+
+def test_single_query_dispatch_over_uncompacted_deltas(incr, spark, tmp_root, monkeypatch):
+    """The round-3 single-query dispatch must stay rank-identical over a
+    DeltaSearcher with un-compacted deltas (ranges merge seq-tagged base ∪
+    delta blocks with tombstone filtering) — compared against a full
+    rebuild, both AND and OR."""
+    import shutil
+
+    from harvester_spark.search import phrase as phrase_mod, wand as wand_mod
+    from harvester_spark.streaming.incremental import DeltaSearcher
+
+    out, base, delta, merged = incr
+    fresh, tombs = changed_and_deleted(base, merged)
+    inc_dir = os.path.join(tmp_root, "dispatch_delta_idx")
+    shutil.rmtree(inc_dir, ignore_errors=True)
+    shutil.copytree(f"{out}/index", inc_dir)
+    apply_index_delta(spark, inc_dir, merged, fresh, tombs, delta_name="d0")
+    rb_dir = os.path.join(tmp_root, "dispatch_delta_rb")
+    IndexBuilder(spark, rb_dir).build(merged, resume=False, num_partitions=4)
+
+    ds = DeltaSearcher(spark, inc_dir)
+    rs = IndexSearcher(spark, rb_dir)
+    monkeypatch.setattr(phrase_mod, "PHRASE_BATCH_MIN_DF", 0)
+    monkeypatch.setattr(wand_mod, "OR_BATCH_MIN_SUM_DF", 0)
+    for q in ["w00000 w00001", "completely alpha", "w00001 w00002"]:
+        a, b = ds.search(q, k=10), rs.search(q, k=10)
+        assert list(a.topk["doc_id"]) == list(b.topk["doc_id"]), q
+        assert list(a.topk["score"]) == list(b.topk["score"]), q
+        assert a.results_total == b.results_total, q
+    for q in ["w00000 completely", "alpha w00001"]:
+        got, gstats = wand_mod.or_search(ds, q, k=10, with_stats=True)
+        want = wand_mod.or_search(rs, q, k=10, strategy="accumulate")
+        assert gstats["strategy"] == "batch", q
+        assert list(got["doc_id"]) == list(want["doc_id"]), q
+        assert list(got["score"]) == list(want["score"]), q
+
+
+def test_did_you_mean_collation_over_deltas(spark, tmp_root):
+    """Collation over a delta'd index: the present anchor term AND the
+    collating candidate both arrive via a webhook delta — the candidate
+    must collate through the merged (base ∪ delta) postings."""
+    import shutil
+    from datetime import datetime
+
+    from harvester_spark.search.api import SearchAPI
+    from harvester_spark.streaming.webhook import process_webhook_batch
+
+    root = os.path.join(tmp_root, "dym_delta")
+    out = os.path.join(root, "base")
+    run_build(spark, out, n_docs=30, resume=False, num_partitions=2)
+    catalog = IndexCatalog(os.path.join(root, "catalog"))
+    os.makedirs(catalog.version_dir("v000000"), exist_ok=True)
+    for f in os.listdir(f"{out}/documents"):
+        shutil.copy(f"{out}/documents/{f}", catalog.version_dir("v000000"))
+    catalog.promote("v000000")
+    index_dir = os.path.join(root, "index")
+    shutil.copytree(f"{out}/index", index_dir)
+
+    bdf = spark.createDataFrame(
+        [("https://example.org/push/90000001", datetime(2024, 3, 1),
+          "<p>quokka zyx habitat island</p>", "en", False)],
+        "url string, warc_ts timestamp, html string, lang string, deleted boolean",
+    )
+    process_webhook_batch(spark, bdf, 0, catalog, index_dir)
+
+    docs = spark.read.parquet(catalog.current_dir())
+    api = SearchAPI(spark, index_dir, docs)
+    # 'quokka' (delta-only) is present; typo 'zyq' should collate to the
+    # delta-only co-occurring 'zyx'
+    r = api.did_you_mean("quokka zyq")
+    assert r == {"original": "quokka zyq", "suggestion": "quokka zyx"}, r
