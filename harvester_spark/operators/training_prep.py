@@ -65,46 +65,10 @@ def pack_sequences(spark, sf_dir):
     whole); this is the training-data layout step. Two-level prefix sum (see
     module docstring) — no global single-partition window over documents.
     """
-    docs = load(spark, sf_dir, "documents").select(
-        "doc_id", _n_tokens().alias("n_tokens")
-    )
-    docs = docs.withColumn("shard", F.expr(f"doc_id div {PACK_SHARD}"))
-    shard_sums = docs.groupBy("shard").agg(F.sum("n_tokens").alias("shard_tokens"))
-    # one row per PACK_SHARD docs: the cumulative pass runs over n/PACK_SHARD
-    # rows, never the documents relation itself
-    w_sh = W.orderBy("shard").rowsBetween(W.unboundedPreceding, -1)
-    shard_off = shard_sums.select(
-        "shard",
-        F.coalesce(F.sum("shard_tokens").over(w_sh), F.lit(0)).alias("shard_offset"),
-    )
-    w_in = W.partitionBy("shard").orderBy("doc_id").rowsBetween(
-        W.unboundedPreceding, -1
-    )
-    out = (
-        docs.join(F.broadcast(shard_off), "shard")
-        .withColumn(
-            "start_offset",
-            (
-                F.col("shard_offset")
-                + F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0))
-            ).cast("long"),
+    return _pack_by(
+        load(spark, sf_dir, "documents").select(
+            "doc_id", _n_tokens().alias("n_tokens")
         )
-        .withColumn(
-            "pack_first", F.expr(f"start_offset div {SEQ_LEN}").cast("long")
-        )
-        .withColumn(
-            "pack_last",
-            F.expr(
-                f"(start_offset + greatest(n_tokens, 1) - 1) div {SEQ_LEN}"
-            ).cast("long"),
-        )
-        .withColumn(
-            "packs_spanned", (F.col("pack_last") - F.col("pack_first") + 1)
-        )
-    )
-    return out.select(
-        "doc_id", "n_tokens", "start_offset", "pack_first", "pack_last",
-        "packs_spanned",
     )
 
 

@@ -632,7 +632,11 @@ class SearchAPI:
                 ),
                 lambda w: w != "",
             )
-            out_dir = tempfile.mkdtemp(prefix="hs_suggest_")
+            # TemporaryDirectory held on self: the vocabulary copy is
+            # removed when this API instance is collected (or at interpreter
+            # exit) instead of leaking one parquet copy per instance
+            self._suggest_tmp = tempfile.TemporaryDirectory(prefix="hs_suggest_")
+            out_dir = self._suggest_tmp.name
             (
                 docs.select("doc_id", F.explode(F.array_distinct(cleaned)).alias("term"))
                 .groupBy("term")
@@ -651,13 +655,18 @@ class SearchAPI:
         word-soup); ``source='suggest'`` uses the reference's
         suggest_completion candidate field (alpha-only, first 1000 words)
         ranked by doc_freq. Both sources PROBE a term-range slice (parquet
-        row-group pruning) — neither materializes its vocabulary."""
+        row-group pruning) — neither materializes its vocabulary. An empty
+        prefix returns no completions (the FST-suggester contract; probing
+        the whole vocabulary would be the O(vocabulary) driver scan this
+        surface exists to avoid)."""
         p = (prefix or "").lower()
+        if not p:
+            return []
         hi = p + "\x7f"  # ASCII analyzer contract: '\x7f' > every token char
         if source == "suggest":
             import pyarrow.dataset as ds
 
-            flt = (ds.field("term") >= p) & (ds.field("term") < hi) if p else None
+            flt = (ds.field("term") >= p) & (ds.field("term") < hi)
             hits = (
                 self._suggest_dataset()
                 .to_table(filter=flt, columns=["term", "doc_freq"])
@@ -665,8 +674,8 @@ class SearchAPI:
             )
             hits = hits.sort_values(["doc_freq", "term"], ascending=[False, True])
             return list(hits["term"].head(n))
-        d = self._probe_terms(ALL_LANG, term_lo=p or None, term_hi=hi if p else None)
-        hits = d[d["term"].str.startswith(p)] if p else d
+        d = self._probe_terms(ALL_LANG, term_lo=p, term_hi=hi)
+        hits = d[d["term"].str.startswith(p)]
         hits = hits.sort_values(["df", "term"], ascending=[False, True])
         return list(hits["term"].head(n))
 

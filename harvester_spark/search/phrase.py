@@ -159,9 +159,13 @@ def chain_slop_keys(
             idx = np.searchsorted(kw, lo, side="left")
             ok = idx < kw.size
             cur = kw[np.minimum(idx, kw.size - 1)]
-            # cur beyond the window (or in a later doc — its key is larger
-            # than any same-doc bound) kills the start
+            # window bound AND explicit same-doc mask: slop comes straight
+            # from user query syntax ("a b"~4194304 parses fine), so the
+            # bound alone could carry into docID bits and admit a
+            # cross-document "match" — the doc compare keeps huge slops
+            # exact instead of clamping them
             ok &= cur <= starts + i + slop
+            ok &= (cur >> _POS_SHIFT) == (starts >> _POS_SHIFT)
             alive &= ok
             prev = cur
         if not alive.any():

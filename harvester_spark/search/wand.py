@@ -401,6 +401,15 @@ def or_search(searcher, query_text: str, k: int = 10, lang: str = ALL_LANG,
     # driver path serializes Σdf posting decodes in one process — route
     # through the docID-range executors instead (rank-identical: shared
     # kernels, global df/stats). Decided BEFORE any driver-side block load.
+    if strategy == "batch" and (
+        allowed_doc_ids is not None or getattr(searcher, "spark", None) is None
+    ):
+        # explicit 'batch' requires a Spark-backed searcher and no allowed
+        # filter (or_search_batch has neither) — fail loudly rather than
+        # silently returning unfiltered results
+        raise ValueError(
+            "strategy='batch' needs searcher.spark and allowed_doc_ids=None"
+        )
     if strategy == "batch" or (
         strategy == "auto" and _dispatch_or_batch(searcher, dfs, live, allowed_doc_ids)
     ):

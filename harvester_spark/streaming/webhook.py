@@ -124,6 +124,7 @@ def process_webhook_batch(
             fresh,
             tombstones,
             delta_name=f"delta-{batch_id}",
+            decompound_words=decompound_words,
         )
         docs_catalog.promote(new_version)  # atomic publish, last step
         if should_compact(index_dir, compact_max_deltas, compact_ratio):

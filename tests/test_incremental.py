@@ -1361,3 +1361,44 @@ def test_did_you_mean_collation_over_deltas(spark, tmp_root):
     # delta-only co-occurring 'zyx'
     r = api.did_you_mean("quokka zyq")
     assert r == {"original": "quokka zyq", "suggestion": "quokka zyx"}, r
+
+
+def test_webhook_forwards_decompound_words(spark, tmp_root, monkeypatch):
+    """Regression (round-3 review): process_webhook_batch accepted
+    decompound_words but never forwarded them to apply_index_delta — a
+    decompound-built index failed every micro-batch on the analyzer-marker
+    guard despite the caller supplying the words."""
+    import shutil
+    from datetime import datetime
+
+    from harvester_spark.streaming import webhook as wh
+
+    root = os.path.join(tmp_root, "wh_decomp")
+    out = os.path.join(root, "base")
+    run_build(spark, out, n_docs=20, resume=False, num_partitions=2)
+    catalog = IndexCatalog(os.path.join(root, "catalog"))
+    os.makedirs(catalog.version_dir("v000000"), exist_ok=True)
+    for f in os.listdir(f"{out}/documents"):
+        shutil.copy(f"{out}/documents/{f}", catalog.version_dir("v000000"))
+    catalog.promote("v000000")
+    index_dir = os.path.join(root, "index")
+    shutil.copytree(f"{out}/index", index_dir)
+
+    seen = {}
+    orig = wh.apply_index_delta
+
+    def spy(*a, **k):
+        seen["decompound_words"] = k.get("decompound_words")
+        return orig(*a, **k)
+
+    monkeypatch.setattr(wh, "apply_index_delta", spy)
+    words = frozenset({"fiets", "band"})
+    bdf = spark.createDataFrame(
+        [("https://example.org/push/70000001", datetime(2024, 4, 1),
+          "<p>english only payload here</p>", "en", False)],
+        "url string, warc_ts timestamp, html string, lang string, deleted boolean",
+    )
+    wh.process_webhook_batch(
+        spark, bdf, 0, catalog, index_dir, decompound_words=words
+    )
+    assert seen["decompound_words"] is words
