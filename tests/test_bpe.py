@@ -66,3 +66,79 @@ def test_reference_encoder_examples():
     assert bpe_encode_py("erer") == ["er", "er"]
     assert bpe_encode_py("keyvalue") == ["key", "v", "alue"] or True  # shape only
     assert sum(1 for _ in bpe_encode_py("zq")) == 2
+
+
+# ---------------------------------------------------------------- property
+
+
+def _priority_bpe(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """True priority-queue BPE (HF-style): repeatedly merge the best-ranked
+    adjacent pair anywhere in the word, leftmost occurrence first."""
+    rank = {m: i for i, m in enumerate(merges)}
+    toks = list(word)
+    while True:
+        best, best_i = None, None
+        for i in range(len(toks) - 1):
+            r = rank.get((toks[i], toks[i + 1]))
+            if r is not None and (best is None or r < best):
+                best, best_i = r, i
+        if best is None:
+            return toks
+        a, b = merges[best]
+        # merge ALL leftmost-first occurrences of this exact pair
+        out, i = [], 0
+        while i < len(toks):
+            if i < len(toks) - 1 and toks[i] == a and toks[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        toks = out
+
+
+def _fold_replace_bpe(word: str, merges: list[tuple[str, str]], sep="\x1f") -> list[str]:
+    """The engine's string formulation, simulated with Python str.replace
+    (same left-to-right non-overlapping semantics as Java and DuckDB)."""
+    s = sep * 2 + "".join(c + sep * 2 for c in word)
+    for a, b in merges:
+        s = s.replace(f"{sep}{a}{sep}{sep}{b}{sep}", f"{sep}{a}{b}{sep}")
+    return [t for t in s.split(sep) if t]
+
+
+def test_fold_equals_priority_bpe_on_random_merge_tables():
+    """The equivalence the engine relies on — one replace pass per merge in
+    training order == priority-queue BPE — proven by fuzz over RANDOM valid
+    merge tables (operands of merge i are single chars or products of
+    earlier merges, the BPE-training invariant), not just the frozen one."""
+    import random
+
+    rng = random.Random(99)
+    alphabet = list("abcd")
+    for trial in range(300):
+        # build a random VALID merge table
+        symbols = list(alphabet)
+        merges: list[tuple[str, str]] = []
+        for _ in range(rng.randint(1, 12)):
+            a, b = rng.choice(symbols), rng.choice(symbols)
+            if (a, b) in merges or len(a + b) > 12:
+                continue
+            merges.append((a, b))
+            symbols.append(a + b)
+        for _ in range(20):
+            w = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 14)))
+            got = _fold_replace_bpe(w, merges)
+            want = _priority_bpe(w, merges)
+            assert got == want, (w, merges, got, want)
+            assert "".join(got) == w  # lossless
+
+
+def test_frozen_table_fold_equals_priority():
+    import random
+
+    rng = random.Random(5)
+    for _ in range(300):
+        w = "".join(
+            rng.choice("abcdehijklmnorstuvwy") for _ in range(rng.randint(1, 14))
+        )
+        assert _fold_replace_bpe(w, BPE_MERGES) == _priority_bpe(w, BPE_MERGES), w
