@@ -8,6 +8,16 @@ an inactivity gap is the canonical one: per ``user_id``, events within
 starts. State = the open session; every batch emits all sessions it touched
 (closed ones final, the open one as a running update — "update" output mode,
 last write per (user_id, session_start) wins downstream).
+
+Late data: events are gap-clustered AS INTERVALS around the open state
+(see ``_sessionize_pdf``), so a late event within ``gap`` of the open
+session extends it — possibly backwards, in which case the superseding
+update row carries the NEW (earlier) session_start and the previously
+emitted row for the old start becomes stale; downstream folding that needs
+exactness under late data should key on overlap (or take the max-n_events
+row per user per covering window). Events older than every reachable
+session form their own immediately-final session. True retractions would
+need complete-mode or a changelog sink — out of scope for this operator.
 """
 
 from __future__ import annotations
@@ -31,18 +41,36 @@ def _sessionize_pdf(
     ts_us: list[int], values: list[float], gap_us: int,
     open_session: tuple[int, int, int, float] | None,
 ) -> tuple[list[tuple[int, int, int, float]], tuple[int, int, int, float]]:
-    """Pure sessionizer: sorted event times + open state → (closed, open)."""
-    sessions: list[tuple[int, int, int, float]] = []
-    cur = open_session
-    for t, v in zip(ts_us, values):
-        if cur is None:
-            cur = (t, t, 1, v)
-        elif t - cur[1] <= gap_us:
-            cur = (cur[0], max(cur[1], t), cur[2] + 1, cur[3] + v)
+    """Pure sessionizer: sorted event times + open state → (closed, open).
+
+    INTERVAL-MERGE semantics (round-3 fix): the open state participates as
+    an interval and events gap-cluster around it, so a cross-batch LATE
+    event within ``gap`` of the open session extends it BACKWARDS
+    (``session_start`` = min) instead of silently keeping the stale start,
+    and an ancient straggler (older than start-gap) becomes its own
+    immediately-closed session instead of wrongly folding in (the old
+    ``t - end <= gap`` test passed for ARBITRARILY old events — any
+    negative difference). The open session is the LAST cluster (max end) —
+    the only one future events can still extend; earlier clusters are
+    final. For in-order input this reduces exactly to the classic forward
+    fold. Watermark-free best effort: a late event whose true session
+    already closed cannot reopen it (update mode has emitted it)."""
+    items = [(t, t, 1, v) for t, v in zip(ts_us, values)]
+    if open_session is not None:
+        items.append(tuple(open_session))
+    items.sort(key=lambda s: (s[0], s[1]))
+    merged: list[tuple[int, int, int, float]] = []
+    for it in items:
+        if merged and it[0] <= merged[-1][1] + gap_us:
+            m = merged[-1]
+            merged[-1] = (
+                m[0], max(m[1], it[1]), m[2] + it[2], m[3] + it[3]
+            )
         else:
-            sessions.append(cur)
-            cur = (t, t, 1, v)
-    return sessions, cur
+            merged.append(it)
+    if not merged:
+        return [], None
+    return merged[:-1], merged[-1]
 
 
 def sessionize(events, gap_minutes: int = GAP_MINUTES):

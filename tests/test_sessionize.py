@@ -99,3 +99,84 @@ def test_streaming_sessionize(spark, tmp_root):
     assert list(f["user_id"]) == list(e["user_id"])
     assert list(f["n_events"]) == list(e["n_events"])
     assert list(f["total_value"]) == list(e["total_value"])
+
+
+def test_pure_sessionizer_out_of_order_and_stragglers():
+    """Round-3 fix: interval-merge semantics for cross-batch late data.
+
+    - a late event within gap of the open session extends it BACKWARDS
+      (min session_start), matching the batch oracle;
+    - an ancient straggler becomes its own immediately-closed session
+      (the old forward fold folded it in: any negative t-end passed <= gap);
+    - two nearby stragglers cluster together."""
+    gap = 30 * MIN
+    # open session [100, 110]
+    open_s = (100 * MIN, 110 * MIN, 2, 5.0)
+    # late event at 80 (within gap of start 100): extends backwards
+    closed, cur = _sessionize_pdf([80 * MIN], [1.0], gap, open_s)
+    assert closed == [] and cur == (80 * MIN, 110 * MIN, 3, 6.0)
+    # ancient stragglers at 0 and 10 (far before start-gap): ONE closed
+    # straggler session, open session untouched
+    closed, cur = _sessionize_pdf([0, 10 * MIN], [1.0, 2.0], gap, open_s)
+    assert closed == [(0, 10 * MIN, 2, 3.0)]
+    assert cur == open_s
+    # mixed batch: straggler + backward extension + forward extension
+    closed, cur = _sessionize_pdf(
+        [0, 85 * MIN, 120 * MIN], [1.0, 1.0, 1.0], gap, open_s
+    )
+    assert closed == [(0, 0, 1, 1.0)]
+    # 4 events: late 85 + state's 2 + forward 120 (the straggler took one)
+    assert cur == (85 * MIN, 120 * MIN, 4, 7.0)
+
+
+def test_streaming_sessionize_out_of_order_batches(spark, tmp_root):
+    """Multi-batch streaming with a LATE cross-batch event: the final
+    update row equals the batch oracle over the union of all events."""
+    drop = os.path.join(tmp_root, "sess_ooo_drop")
+    os.makedirs(drop, exist_ok=True)
+    _write_events(
+        os.path.join(drop, "b1.json"),
+        [
+            {"user_id": 9, "ts": "2024-01-01T01:00:00.000Z", "value": 1.0},
+            {"user_id": 9, "ts": "2024-01-01T01:10:00.000Z", "value": 2.0},
+        ],
+    )
+    # batch 2 delivers an event EARLIER than the open session (late by 20min)
+    _write_events(
+        os.path.join(drop, "b2.json"),
+        [{"user_id": 9, "ts": "2024-01-01T00:45:00.000Z", "value": 4.0}],
+    )
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .json(drop)
+    )
+    q = (
+        sessionize(stream)
+        .writeStream.format("memory")
+        .queryName("sessions_ooo")
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(tmp_root, "sess_ooo_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("select * from sessions_ooo").toPandas()
+    # the final (max n_events) update row is the true merged session
+    final = got.sort_values("n_events").iloc[-1]
+    all_events = pd.DataFrame(
+        {
+            "user_id": [9, 9, 9],
+            "ts": pd.to_datetime(
+                ["2024-01-01T01:00:00Z", "2024-01-01T01:10:00Z",
+                 "2024-01-01T00:45:00Z"]
+            ).tz_localize(None),
+            "value": [1.0, 2.0, 4.0],
+        }
+    )
+    e = sessionize_batch_oracle(all_events)
+    assert len(e) == 1
+    assert final["session_start"] == e["session_start"].iloc[0]
+    assert final["session_end"] == e["session_end"].iloc[0]
+    assert final["n_events"] == e["n_events"].iloc[0]
+    assert final["total_value"] == e["total_value"].iloc[0]
