@@ -253,6 +253,37 @@ def dictionary_from_blocks(postings: DataFrame) -> DataFrame:
     )
 
 
+def build_suggest_table(documents: DataFrame) -> DataFrame:
+    """suggest_completion candidates (term, doc_freq), range-clustered by
+    term for row-group-pruned prefix probes — the reference's
+    index-time completion-suggester build (title + first 1000 space-split
+    words, accent-folded, alpha-only, lowercased —
+    /root/reference/harvester/products/models/datatypes/product.py:169-180).
+    Opt-in build stage (``IndexBuilder.build(suggest=True)``); SearchAPI
+    prefers it over its lazy per-instance build when present and the index
+    carries no un-compacted deltas (delta vocabulary stays fresh via the
+    lazy path)."""
+    parts = [F.split(F.col("text"), " ")]
+    if "title" in documents.columns:
+        parts.insert(0, F.split(F.coalesce(F.col("title"), F.lit("")), " "))
+    words = F.slice(F.concat(*parts), 1, 1000) if len(parts) == 1 else (
+        F.concat(parts[0], F.slice(parts[1], 1, 1000))
+    )
+    cleaned = F.filter(
+        F.transform(words, lambda w: F.lower(F.regexp_replace(w, "[^a-zA-Z]+", ""))),
+        lambda w: w != "",
+    )
+    return (
+        documents.select(
+            "doc_id", F.explode(F.array_distinct(cleaned)).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count("*").alias("doc_freq"))
+        .repartitionByRange("term")
+        .sortWithinPartitions("term")
+    )
+
+
 def sample_head_terms(
     documents: DataFrame,
     n_docs_total: int,
@@ -652,6 +683,7 @@ class IndexBuilder:
         head_chunk_target: int = HEAD_CHUNK_TARGET,
         decompound_words=None,
         common_gram_terms=None,
+        suggest: bool = False,
     ) -> dict[str, DataFrame]:
         spark = self.spark
         if not resume:
@@ -743,6 +775,13 @@ class IndexBuilder:
         dictionary = self._run_stage(
             "dictionary", lambda: dictionary_from_blocks(postings), resume
         )
+
+        if suggest:
+            # index-time completion-suggester table (opt-in; SearchAPI
+            # serves prefix probes from it instead of a per-instance agg)
+            self._run_stage(
+                "suggest", lambda: build_suggest_table(documents), resume
+            )
 
         # Per-partition (per output file) metrics → lineage, the north_rule's
         # lineage+metrics table (footer reads, no Spark job).

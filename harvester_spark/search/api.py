@@ -615,9 +615,21 @@ class SearchAPI:
         groups; the vocabulary never lands on the driver (the FST-at-index-
         time analogue of search/views/autocomplete.py:25-33)."""
         if getattr(self, "_suggest_ds", None) is None:
+            import os
             import tempfile
 
             import pyarrow.dataset as ds
+
+            # prefer the index-time table (IndexBuilder.build(suggest=True))
+            # when the index has no un-compacted deltas — zero serving-node
+            # build cost; with live deltas the lazy per-instance build keeps
+            # delta-doc vocabulary visible (round-2 freshness contract)
+            built = os.path.join(self.searcher.index_dir, "suggest")
+            if os.path.isdir(built) and not (
+                hasattr(self.searcher, "delta_terms")
+            ):
+                self._suggest_ds = ds.dataset(built, format="parquet")
+                return self._suggest_ds
 
             docs = self.documents
             parts = [F.split(F.col("text"), " ")]

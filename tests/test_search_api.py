@@ -450,3 +450,25 @@ def test_dict_probe_exact_on_legacy_layout(api, spark, tmp_root):
     old_api = SearchAPI(spark, legacy, papi.documents)
     assert old_api.did_you_mean("w0000x") == papi.did_you_mean("w0000x")
     assert old_api.autocomplete("w000", 5) == papi.autocomplete("w000", 5)
+
+
+def test_index_time_suggest_table(api, spark, tmp_root):
+    """IndexBuilder.build(suggest=True) persists the completion-suggester
+    table; SearchAPI serves suggest-source autocomplete from it with
+    identical answers to the lazy per-instance build — and a delta'd index
+    falls back to the lazy path so delta vocabulary stays visible."""
+    import shutil
+
+    from harvester_spark.index.build import IndexBuilder
+
+    papi, out = api
+    docs = spark.read.parquet(f"{out}/documents")
+    idx = os.path.join(tmp_root, "suggest_idx")
+    IndexBuilder(spark, idx).build(docs, resume=False, num_partitions=4, suggest=True)
+    assert os.path.isdir(os.path.join(idx, "suggest"))
+    a = SearchAPI(spark, idx, docs)
+    got = a.autocomplete("t", 5, source="suggest")
+    want = papi.autocomplete("t", 5, source="suggest")  # lazy-path twin
+    assert got == want and got
+    # the built table really served it (no lazy temp dir was created)
+    assert getattr(a, "_suggest_tmp", None) is None
