@@ -17,6 +17,7 @@ Cross-engine determinism rules used throughout (so value hashes match):
 """
 
 from harvester_spark.operators import (
+    curation,
     dedup,
     file_metadata,
     fulltext_queries,
@@ -35,5 +36,6 @@ for mod in (
     multimodal,
     file_metadata,
     training_prep,
+    curation,
 ):
     ALL_QUERIES.update(mod.QUERIES)

@@ -1,0 +1,360 @@
+"""Corpus-curation operators: PII redaction, URL canonicalization + dedup,
+Gopher-style absolute quality rules.
+
+The training-pipeline steps that sit between raw crawl and dedup/selection
+(C4 drops lines with PII-ish content, CCNet/RefinedWeb canonicalize URLs
+before url-level dedup, Gopher applies absolute quality rules before any
+ranking). Reference analogue: the harvester normalizes/validates URLs per
+file (files/models/datatypes/file.py:158-166) and scrubs documents during
+normalization; these operators generalize that to corpus scale.
+
+Determinism: the ``documents`` table carries no PII or URLs, so — following
+the ``_files`` precedent in file_metadata.py — each operator first SYNTHESIZES
+its inputs deterministically from ``doc_id`` with expressions that are
+byte-identical in Spark and DuckDB, then applies the real detection /
+canonicalization logic. The logic under test is the regex/normalization
+chain, which unit tests additionally exercise on crafted real-world strings
+(tests/test_curation.py).
+
+Scale notes (100 TB): all three are map-only per-doc passes (regex chains,
+no shuffle) followed by at most one groupBy — pii_redact is pure map + no
+agg, url dedup shuffles once on the canonical url (uniform by construction),
+gopher_rules shuffles once on doc_id for the tf agg. No UDFs anywhere: every
+expression is a JVM-side built-in inside whole-stage codegen.
+
+Regex dialect: ASCII-only classes, no replacement groups, no backrefs —
+the subset where Java regex (Spark) and RE2 (DuckDB) agree; DuckDB's
+``regexp_replace`` needs the explicit ``'g'`` flag to match Spark's
+replace-all semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+from harvester_spark.operators.common import SQL_DOC_TOKS, doc_tokens, load
+
+# ---------------------------------------------------------------- PII redact
+
+RE_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+RE_PHONE = r"\+31[0-9]{9}"
+RE_IP = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def _pages(spark, sf_dir) -> DataFrame:
+    """documents + deterministically synthesized PII suffixes (doc_id-keyed,
+    byte-identical to the oracle's CASE chain)."""
+    docs = load(spark, sf_dir, "documents")
+    email = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.org"),
+        ),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.lit(" call +316"),
+            F.lpad((F.col("doc_id") % 100000000).cast("string"), 8, "0"),
+        ),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(
+            F.lit(" host 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."),
+            (F.expr("doc_id DIV 256") % 256).cast("string"),
+            F.lit("."),
+            (F.col("doc_id") % 200).cast("string"),
+        ),
+    ).otherwise(F.lit(""))
+    return docs.select(
+        "doc_id", F.concat(F.col("text"), email, phone, ip).alias("page_text")
+    )
+
+
+_SQL_PAGES = """
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.org'
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' call +316' || lpad(CAST(doc_id % 100000000 AS VARCHAR), 8, '0')
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR)
+                      || '.' || CAST((doc_id // 256) % 256 AS VARCHAR)
+                      || '.' || CAST(doc_id % 200 AS VARCHAR)
+                 ELSE '' END AS page_text
+  FROM documents
+"""
+
+
+def redact_pii(df: DataFrame, col: str = "page_text") -> DataFrame:
+    """Add pii counts + a redacted copy of ``col``. Redaction order is fixed
+    (email, phone, ip) so both engines transform identically; patterns are
+    disjoint on any one span, so order only matters for determinism."""
+    c = F.col(col)
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(c, RE_EMAIL, "<EMAIL>"), RE_PHONE, "<PHONE>"
+        ),
+        RE_IP,
+        "<IP>",
+    )
+    return df.select(
+        "*",
+        F.size(F.regexp_extract_all(c, F.lit(RE_EMAIL), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(c, F.lit(RE_PHONE), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.size(F.regexp_extract_all(c, F.lit(RE_IP), F.lit(0)))
+        .cast("long")
+        .alias("n_ips"),
+        red.alias("redacted_text"),
+    )
+
+
+def pii_redact(spark, sf_dir) -> DataFrame:
+    """Per-doc PII detection + redaction over the synthesized pages: match
+    counts, redacted length and digest (the full redacted text stays in the
+    pipeline; the digest is what the oracle hashes)."""
+    pages = _pages(spark, sf_dir)
+    r = redact_pii(pages, "page_text")
+    return r.select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        "n_ips",
+        F.length("redacted_text").cast("long").alias("redacted_len"),
+        F.md5("redacted_text").alias("redacted_digest"),
+    )
+
+
+SQL_PII_REDACT = f"""
+WITH pages AS ({_SQL_PAGES}),
+red AS (
+  SELECT doc_id, page_text,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(page_text, '{RE_EMAIL}', '<EMAIL>', 'g'),
+             '{RE_PHONE}', '<PHONE>', 'g'),
+           '{RE_IP}', '<IP>', 'g') AS redacted_text
+  FROM pages
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(page_text, '{RE_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(page_text, '{RE_PHONE}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(page_text, '{RE_IP}')) AS BIGINT) AS n_ips,
+       CAST(length(redacted_text) AS BIGINT) AS redacted_len,
+       md5(redacted_text) AS redacted_digest
+FROM red
+"""
+
+
+# ------------------------------------------------- URL canonicalize + dedup
+
+URL_BASES = 512  # distinct logical pages; ~4 decorated variants each
+
+
+def _decorated_urls(spark, sf_dir) -> DataFrame:
+    """Deterministic decorated-URL synthesis: four variants of the same
+    logical page (host case, trailing slash, utm tracking params,
+    scheme/www/fragment) keyed by doc_id."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    base = (F.col("doc_id") % URL_BASES).cast("string")
+    v = F.col("doc_id") % 4
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://Example.org/a/"), base))
+        .when(v == 1, F.concat(F.lit("https://example.org/a/"), base, F.lit("/")))
+        .when(
+            v == 2,
+            F.concat(
+                F.lit("https://example.org/a/"),
+                base,
+                F.lit("?utm_source=feed&utm_campaign=x"),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("http://www.example.org/a/"), base, F.lit("#frag"))
+        )
+    )
+    return docs.select("doc_id", url.alias("url"))
+
+
+_SQL_URLS = f"""
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN 'https://Example.org/a/' || CAST(doc_id % {URL_BASES} AS VARCHAR)
+           WHEN 1 THEN 'https://example.org/a/' || CAST(doc_id % {URL_BASES} AS VARCHAR) || '/'
+           WHEN 2 THEN 'https://example.org/a/' || CAST(doc_id % {URL_BASES} AS VARCHAR)
+                       || '?utm_source=feed&utm_campaign=x'
+           ELSE 'http://www.example.org/a/' || CAST(doc_id % {URL_BASES} AS VARCHAR) || '#frag'
+         END AS url
+  FROM documents
+"""
+
+
+def canonicalize_url(df: DataFrame, col: str = "url") -> DataFrame:
+    """Add a ``canonical_url`` column: scheme stripped, fragment stripped,
+    utm_* params stripped (dangling separators cleaned), host lowercased and
+    de-www'd, trailing path slash stripped. String-regex chain only — the
+    same chain runs verbatim in the oracle."""
+    s = F.regexp_replace(F.col(col), r"^https?://", "")
+    s = F.regexp_replace(s, r"#.*$", "")
+    s = F.regexp_replace(s, r"utm_[a-z]+=[^&]*&?", "")
+    s = F.regexp_replace(s, r"[?&]+$", "")
+    stripped = df.withColumn("_stripped", s)
+    host = F.regexp_extract(F.col("_stripped"), r"^[^/?#]+", 0)
+    rest = F.col("_stripped").substr(F.length(host) + F.lit(1), F.lit(1 << 30))
+    canon = F.concat(
+        F.regexp_replace(F.lower(host), r"^www\.", ""),
+        F.regexp_replace(rest, r"/$", ""),
+    )
+    return stripped.select(*df.columns, canon.alias("canonical_url"))
+
+
+def url_canonical_dedup(spark, sf_dir) -> DataFrame:
+    """Canonicalize the decorated URLs and group: each canonical page reports
+    how many docs and how many distinct raw spellings collapsed onto it, plus
+    the canonical (min) doc_id — the url-level dedup step CCNet/RefinedWeb
+    run before any content dedup."""
+    urls = canonicalize_url(_decorated_urls(spark, sf_dir))
+    return urls.groupBy("canonical_url").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("url").alias("n_raw_variants"),
+        F.min("doc_id").alias("canonical_doc_id"),
+    )
+
+
+_SQL_CANON = """
+  SELECT doc_id, url,
+         regexp_replace(lower(regexp_extract(s, '^[^/?#]+')), '^www\\.', '', 'g')
+         || regexp_replace(substring(s, length(regexp_extract(s, '^[^/?#]+')) + 1),
+                           '/$', '', 'g') AS canonical_url
+  FROM (
+    SELECT doc_id, url,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             url, '^https?://', '', 'g'), '#.*$', '', 'g'),
+             'utm_[a-z]+=[^&]*&?', '', 'g'), '[?&]+$', '', 'g') AS s
+    FROM urls
+  )
+"""
+
+SQL_URL_CANONICAL_DEDUP = f"""
+WITH urls AS ({_SQL_URLS}),
+canon AS ({_SQL_CANON})
+SELECT canonical_url,
+       count(*) AS n_docs,
+       count(DISTINCT url) AS n_raw_variants,
+       min(doc_id) AS canonical_doc_id
+FROM canon GROUP BY 1
+"""
+
+
+# ------------------------------------------------------- Gopher rule filter
+
+GOPHER_MIN_TOKENS = 50
+GOPHER_MAX_TOKENS = 100_000
+GOPHER_MIN_MEAN_LEN = 3.0
+GOPHER_MAX_MEAN_LEN = 10.0
+GOPHER_MIN_STOP_HITS = 2
+GOPHER_MAX_TOP_RATIO = 0.1
+_STOPWORDS = ("the", "a", "of", "and", "to")
+
+
+def gopher_rules(spark, sf_dir) -> DataFrame:
+    """Gopher's absolute per-doc quality rules (Rae et al. 2021 §A1.1,
+    simplified to the signals the synthetic corpus exercises): token-count
+    window, mean-token-length window, >=2 stopword hits, and a max
+    single-term frequency ratio (the repetition rule). Absolute thresholds —
+    complements corpus_quality_select (relative rank within source) and
+    ft_gopher_repetition (n-gram repetition fractions).
+
+    Plan: tf agg on (doc_id, term), per-doc agg on doc_id — the tf shuffle
+    reuses the same key layout every tf-based operator here uses; all rule
+    math is integer or single-division double (identical across engines)."""
+    toks = doc_tokens(spark, sf_dir)
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).withColumn(
+        "tlen", F.length("term")
+    )
+    agg = tf.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        F.max("tf").cast("long").alias("max_tf"),
+        F.sum(F.col("tf") * F.col("tlen")).cast("long").alias("sum_len"),
+        F.sum(F.when(F.col("term").isin(*_STOPWORDS), F.col("tf")).otherwise(0))
+        .cast("long")
+        .alias("stop_hits"),
+    )
+    mean_len = F.round(F.col("sum_len") * 1.0 / F.col("n_tokens"), 6)
+    top_ratio = F.round(F.col("max_tf") * 1.0 / F.col("n_tokens"), 6)
+    out = agg.select(
+        "doc_id",
+        "n_tokens",
+        mean_len.alias("mean_token_len"),
+        "stop_hits",
+        top_ratio.alias("top_term_ratio"),
+    )
+    r_count = (F.col("n_tokens") >= GOPHER_MIN_TOKENS) & (
+        F.col("n_tokens") <= GOPHER_MAX_TOKENS
+    )
+    r_mean = (F.col("mean_token_len") >= GOPHER_MIN_MEAN_LEN) & (
+        F.col("mean_token_len") <= GOPHER_MAX_MEAN_LEN
+    )
+    r_stop = F.col("stop_hits") >= GOPHER_MIN_STOP_HITS
+    r_rep = F.col("top_term_ratio") <= GOPHER_MAX_TOP_RATIO
+    return out.select(
+        "*",
+        r_count.alias("pass_token_count"),
+        r_mean.alias("pass_mean_len"),
+        r_stop.alias("pass_stopwords"),
+        r_rep.alias("pass_repetition"),
+        (r_count & r_mean & r_stop & r_rep).alias("keep"),
+    )
+
+
+SQL_GOPHER_RULES = f"""
+WITH toks AS ({SQL_DOC_TOKS}),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf, len(term) AS tlen
+  FROM toks GROUP BY doc_id, term
+),
+agg AS (
+  SELECT doc_id,
+         CAST(sum(tf) AS BIGINT) AS n_tokens,
+         CAST(max(tf) AS BIGINT) AS max_tf,
+         CAST(sum(tf * tlen) AS BIGINT) AS sum_len,
+         CAST(sum(CASE WHEN term IN ('the','a','of','and','to') THEN tf ELSE 0 END) AS BIGINT) AS stop_hits
+  FROM tf GROUP BY doc_id
+),
+feat AS (
+  SELECT doc_id, n_tokens,
+         round(sum_len * 1.0 / n_tokens, 6) AS mean_token_len,
+         stop_hits,
+         round(max_tf * 1.0 / n_tokens, 6) AS top_term_ratio
+  FROM agg
+)
+SELECT doc_id, n_tokens, mean_token_len, stop_hits, top_term_ratio,
+       n_tokens BETWEEN {GOPHER_MIN_TOKENS} AND {GOPHER_MAX_TOKENS} AS pass_token_count,
+       mean_token_len BETWEEN {GOPHER_MIN_MEAN_LEN} AND {GOPHER_MAX_MEAN_LEN} AS pass_mean_len,
+       stop_hits >= {GOPHER_MIN_STOP_HITS} AS pass_stopwords,
+       top_term_ratio <= {GOPHER_MAX_TOP_RATIO} AS pass_repetition,
+       (n_tokens BETWEEN {GOPHER_MIN_TOKENS} AND {GOPHER_MAX_TOKENS})
+       AND (mean_token_len BETWEEN {GOPHER_MIN_MEAN_LEN} AND {GOPHER_MAX_MEAN_LEN})
+       AND stop_hits >= {GOPHER_MIN_STOP_HITS}
+       AND top_term_ratio <= {GOPHER_MAX_TOP_RATIO} AS keep
+FROM feat
+"""
+
+
+QUERIES = {
+    "pii_redact": (pii_redact, SQL_PII_REDACT),
+    "url_canonical_dedup": (url_canonical_dedup, SQL_URL_CANONICAL_DEDUP),
+    "gopher_rules": (gopher_rules, SQL_GOPHER_RULES),
+}

@@ -1021,3 +1021,55 @@ GROUP BY g.doc_id
 
 
 QUERIES["dedup_decontam_ngrams"] = (dedup_decontam_ngrams, _sql_decontam())
+
+
+# Keep-best-per-cluster: the selection step every dedup deployment runs after
+# clustering — within each near-duplicate cluster keep the highest-quality
+# member (token count desc, doc_id asc tie-break; integer ordering so both
+# engines agree exactly) and drop the rest. Composes dedup_minhash_clusters
+# with ft_quality_score; reference analogue: the harvester keeps the
+# highest-priority copy on srn collisions (core/models/datatypes/
+# document.py:133-139) — here "priority" is a content-quality signal.
+# Scale shape: clusters (O(log d) label propagation) + one tf-derived
+# quality agg + one window partitioned by cluster_rep (clusters are small
+# by construction — bounded by LSH bucket sizes — so no skew).
+
+
+def dedup_cluster_keep_best(spark, sf_dir):
+    from harvester_spark.operators.fulltext_queries import ft_quality_score
+
+    clusters = dedup_minhash_clusters(spark, sf_dir)
+    q = ft_quality_score(spark, sf_dir).select("doc_id", "n_tokens")
+    j = clusters.join(q, "doc_id")
+    w = W.partitionBy("cluster_rep").orderBy(
+        F.col("n_tokens").desc(), F.col("doc_id").asc()
+    )
+    return (
+        j.withColumn("q_rank", F.row_number().over(w).cast("long"))
+        .select(
+            "doc_id",
+            "cluster_rep",
+            "cluster_size",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (F.col("q_rank") == 1).alias("kept"),
+        )
+    )
+
+
+def _sql_cluster_keep_best() -> str:
+    from harvester_spark.operators.fulltext_queries import SQL_QUALITY_SCORE
+
+    return f"""
+WITH clusters AS ({SQL_MINHASH_CLUSTERS}),
+q AS ({SQL_QUALITY_SCORE})
+SELECT c.doc_id, c.cluster_rep, c.cluster_size,
+       CAST(q.n_tokens AS BIGINT) AS n_tokens,
+       row_number() OVER (
+         PARTITION BY c.cluster_rep
+         ORDER BY q.n_tokens DESC, c.doc_id ASC
+       ) = 1 AS kept
+FROM clusters c JOIN q ON c.doc_id = q.doc_id
+"""
+
+
+QUERIES["dedup_cluster_keep_best"] = (dedup_cluster_keep_best, _sql_cluster_keep_best())

@@ -1,0 +1,97 @@
+"""Curation operators on crafted real-world strings.
+
+The oracle-parity gate (test_oracle_parity.py) proves Spark==DuckDB on the
+synthesized corpus inputs; these tests pin the DETECTION/CANONICALIZATION
+semantics themselves on realistic strings the synthetic corpus can't carry.
+"""
+
+from pyspark.sql import functions as F
+
+from harvester_spark.operators.curation import canonicalize_url, redact_pii
+
+
+def _one(spark, text):
+    df = spark.createDataFrame([(text,)], "page_text string")
+    return redact_pii(df, "page_text").collect()[0]
+
+
+class TestRedactPii:
+    def test_email_variants(self, spark):
+        r = _one(spark, "mail first.last+tag@sub.example.co.uk or bob@x.io now")
+        assert r.n_emails == 2
+        assert r.redacted_text == "mail <EMAIL> or <EMAIL> now"
+
+    def test_phone_and_ip(self, spark):
+        r = _one(spark, "call +31612345678; server at 192.168.1.200 is up")
+        assert (r.n_phones, r.n_ips) == (1, 1)
+        assert r.redacted_text == "call <PHONE>; server at <IP> is up"
+
+    def test_ip_word_boundary(self, spark):
+        # version strings like 1.2.3.4000 must not match as an IP
+        r = _one(spark, "release 1.2.3.4000 shipped")
+        assert r.n_ips == 0
+        assert r.redacted_text == "release 1.2.3.4000 shipped"
+
+    def test_clean_text_untouched(self, spark):
+        t = "no pii in this sentence at all"
+        r = _one(spark, t)
+        assert (r.n_emails, r.n_phones, r.n_ips) == (0, 0, 0)
+        assert r.redacted_text == t
+
+    def test_mixed_counts(self, spark):
+        r = _one(spark, "a@b.org c@d.net +31699999999 +31600000000 10.0.0.1")
+        assert (r.n_emails, r.n_phones, r.n_ips) == (2, 2, 1)
+
+
+def _canon(spark, url):
+    df = spark.createDataFrame([(url,)], "url string")
+    return canonicalize_url(df).collect()[0].canonical_url
+
+
+class TestCanonicalizeUrl:
+    def test_variants_collapse(self, spark):
+        urls = [
+            "https://Example.org/a/5",
+            "https://example.org/a/5/",
+            "https://example.org/a/5?utm_source=feed&utm_campaign=x",
+            "http://www.example.org/a/5#frag",
+            "HTTPS is not a url scheme here",  # no scheme prefix → passthrough-ish
+        ]
+        canons = {u: _canon(spark, u) for u in urls}
+        assert len({canons[u] for u in urls[:4]}) == 1
+        assert canons[urls[0]] == "example.org/a/5"
+
+    def test_keeps_non_tracking_params(self, spark):
+        assert (
+            _canon(spark, "https://example.org/search?q=spark&utm_source=x")
+            == "example.org/search?q=spark"
+        )
+
+    def test_strips_only_leading_www(self, spark):
+        assert _canon(spark, "https://www.wwwexample.org/p") == "wwwexample.org/p"
+        assert _canon(spark, "https://awww.example.org/p") == "awww.example.org/p"
+
+    def test_host_only_url(self, spark):
+        assert _canon(spark, "https://Example.org/") == "example.org"
+
+    def test_preserves_original_columns(self, spark):
+        df = spark.createDataFrame([(7, "https://x.org/a")], "doc_id long, url string")
+        out = canonicalize_url(df)
+        assert out.columns == ["doc_id", "url", "canonical_url"]
+        assert out.collect()[0].doc_id == 7
+
+
+class TestGopherRulesSignal:
+    def test_rules_discriminate(self, spark):
+        # the synthetic corpus must exercise both outcomes of at least the
+        # token-count and stopword rules — otherwise the oracle hash would
+        # pass on a constant column and prove nothing
+        from harvester_spark.operators.curation import gopher_rules
+
+        out = gopher_rules(spark, "/root/testdata/sf0.001")
+        agg = out.agg(
+            F.countDistinct("pass_token_count").alias("c1"),
+            F.countDistinct("pass_stopwords").alias("c2"),
+            F.countDistinct("keep").alias("c3"),
+        ).collect()[0]
+        assert agg.c1 == 2 and agg.c2 == 2 and agg.c3 == 2
