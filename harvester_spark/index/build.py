@@ -694,6 +694,13 @@ class IndexBuilder:
             # sidecars over the fresh base. Resume builds keep them — they
             # continue the same lifecycle (compact_in_place handles folding).
             self._clear_delta_artifacts()
+            # Likewise the previous build's suggest table: left in place,
+            # a suggest=False rebuild (or one that crashes before its
+            # suggest stage) would leave SearchAPI serving the OLD corpus's
+            # vocabulary. suggest=True rewrites it from scratch anyway.
+            import shutil
+
+            shutil.rmtree(self._path("suggest"), ignore_errors=True)
         if "state" in documents.columns:
             # only active docs are indexed (soft-deleted/inactive excluded —
             # /root/reference/harvester/core/views/document.py:42-50)

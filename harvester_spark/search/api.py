@@ -623,41 +623,31 @@ class SearchAPI:
             # prefer the index-time table (IndexBuilder.build(suggest=True))
             # when the index has no un-compacted deltas — zero serving-node
             # build cost; with live deltas the lazy per-instance build keeps
-            # delta-doc vocabulary visible (round-2 freshness contract)
+            # delta-doc vocabulary visible (round-2 freshness contract).
+            # _SUCCESS gate: a suggest stage killed mid-write leaves a
+            # partial dir — fall through to the lazy build, like every
+            # build-stage consumer (index/build.py _complete).
             built = os.path.join(self.searcher.index_dir, "suggest")
-            if os.path.isdir(built) and not (
+            if os.path.isfile(os.path.join(built, "_SUCCESS")) and not (
                 hasattr(self.searcher, "delta_terms")
             ):
                 self._suggest_ds = ds.dataset(built, format="parquet")
                 return self._suggest_ds
 
+            from harvester_spark.index.build import build_suggest_table
+
             docs = self.documents
-            parts = [F.split(F.col("text"), " ")]
-            if "title" in docs.columns:
-                parts.insert(0, F.split(F.coalesce(F.col("title"), F.lit("")), " "))
-            words = F.slice(F.concat(*parts), 1, 1000) if len(parts) == 1 else (
-                F.concat(parts[0], F.slice(parts[1], 1, 1000))
-            )
-            cleaned = F.filter(
-                F.transform(
-                    words, lambda w: F.lower(F.regexp_replace(w, "[^a-zA-Z]+", ""))
-                ),
-                lambda w: w != "",
-            )
+            if "state" in docs.columns:
+                # same active-only filter IndexBuilder.build applies before
+                # its suggest stage — built and lazy tables must answer
+                # identically on the same documents table
+                docs = docs.filter(F.col("state") == "active")
             # TemporaryDirectory held on self: the vocabulary copy is
             # removed when this API instance is collected (or at interpreter
             # exit) instead of leaking one parquet copy per instance
             self._suggest_tmp = tempfile.TemporaryDirectory(prefix="hs_suggest_")
             out_dir = self._suggest_tmp.name
-            (
-                docs.select("doc_id", F.explode(F.array_distinct(cleaned)).alias("term"))
-                .groupBy("term")
-                .agg(F.count("*").alias("doc_freq"))
-                .repartitionByRange("term")
-                .sortWithinPartitions("term")
-                .write.mode("overwrite")
-                .parquet(out_dir)
-            )
+            build_suggest_table(docs).write.mode("overwrite").parquet(out_dir)
             self._suggest_ds = ds.dataset(out_dir, format="parquet")
         return self._suggest_ds
 

@@ -41,7 +41,8 @@ def _sessionize_pdf(
     ts_us: list[int], values: list[float], gap_us: int,
     open_session: tuple[int, int, int, float] | None,
 ) -> tuple[list[tuple[int, int, int, float]], tuple[int, int, int, float]]:
-    """Pure sessionizer: sorted event times + open state → (closed, open).
+    """Pure sessionizer: event times (any order) + open state → (closed,
+    open) — input is sorted internally as part of the interval merge.
 
     INTERVAL-MERGE semantics (round-3 fix): the open state participates as
     an interval and events gap-cluster around it, so a cross-batch LATE
@@ -81,7 +82,7 @@ def sessionize(events, gap_minutes: int = GAP_MINUTES):
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
-        rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
+        rows = pd.concat(list(pdfs), ignore_index=True)
         ts_us = [t // 1000 for t in rows["ts"].astype("int64")]  # ns → µs
         values = rows["value"].astype(float).tolist()
         open_session = tuple(state.get) if state.exists else None
@@ -108,7 +109,7 @@ def sessionize_batch_oracle(pdf: pd.DataFrame, gap_minutes: int = GAP_MINUTES) -
     """Batch reference implementation (pure pandas) for tests."""
     gap_us = gap_minutes * 60 * _US
     rows = []
-    for user_id, g in pdf.sort_values("ts").groupby("user_id"):
+    for user_id, g in pdf.groupby("user_id"):
         ts_us = [t // 1000 for t in g["ts"].astype("int64")]
         closed, cur = _sessionize_pdf(ts_us, g["value"].astype(float).tolist(), gap_us, None)
         for s in closed + ([cur] if cur else []):

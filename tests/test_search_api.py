@@ -472,3 +472,73 @@ def test_index_time_suggest_table(api, spark, tmp_root):
     assert got == want and got
     # the built table really served it (no lazy temp dir was created)
     assert getattr(a, "_suggest_tmp", None) is None
+
+
+def test_nonresume_rebuild_clears_stale_suggest(api, spark, tmp_root):
+    """A fresh (resume=False) rebuild without suggest=True must remove the
+    previous build's suggest table — otherwise SearchAPI would silently
+    serve the OLD corpus's vocabulary from it."""
+    from harvester_spark.index.build import IndexBuilder
+
+    papi, out = api
+    docs = spark.read.parquet(f"{out}/documents")
+    idx = os.path.join(tmp_root, "stale_suggest_idx")
+    IndexBuilder(spark, idx).build(docs, resume=False, num_partitions=4, suggest=True)
+    assert os.path.isdir(os.path.join(idx, "suggest"))
+    IndexBuilder(spark, idx).build(docs, resume=False, num_partitions=4)
+    assert not os.path.isdir(os.path.join(idx, "suggest"))
+    a = SearchAPI(spark, idx, docs)
+    assert a.autocomplete("t", 5, source="suggest") == papi.autocomplete(
+        "t", 5, source="suggest"
+    )
+    assert a._suggest_tmp is not None  # served by the lazy build
+
+
+def test_partial_suggest_dir_falls_back_lazy(api, spark, tmp_root):
+    """A suggest stage killed mid-write (dir exists, no _SUCCESS) must not
+    be preferred — the lazy build serves instead."""
+    from harvester_spark.index.build import IndexBuilder
+
+    papi, out = api
+    docs = spark.read.parquet(f"{out}/documents")
+    idx = os.path.join(tmp_root, "torn_suggest_idx")
+    IndexBuilder(spark, idx).build(docs, resume=False, num_partitions=4, suggest=True)
+    os.remove(os.path.join(idx, "suggest", "_SUCCESS"))
+    a = SearchAPI(spark, idx, docs)
+    got = a.autocomplete("t", 5, source="suggest")
+    assert got == papi.autocomplete("t", 5, source="suggest") and got
+    assert a._suggest_tmp is not None  # lazy fallback, not the torn dir
+
+
+def test_suggest_state_filter_parity(api, spark, tmp_root):
+    """With a soft-delete state column, built and lazy suggest tables must
+    answer identically: both exclude inactive docs' vocabulary."""
+    from pyspark.sql import functions as F
+
+    from harvester_spark.index.build import IndexBuilder
+
+    _, out = api
+    base = spark.read.parquet(f"{out}/documents")
+    docs = base.withColumn(
+        "state",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("active")).otherwise(F.lit("deleted")),
+    ).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 2 == 0, F.col("text")
+        ).otherwise(F.concat(F.col("text"), F.lit(" zzonlydeleted"))),
+    )
+    idx = os.path.join(tmp_root, "state_suggest_idx")
+    IndexBuilder(spark, idx).build(docs, resume=False, num_partitions=4, suggest=True)
+    built = SearchAPI(spark, idx, docs)
+    got = built.autocomplete("t", 5, source="suggest")
+    assert getattr(built, "_suggest_tmp", None) is None  # served from built table
+    assert built.autocomplete("zzonlydeleted", 5, source="suggest") == []
+
+    lazy = SearchAPI(spark, idx, docs)
+    import shutil
+
+    shutil.rmtree(os.path.join(idx, "suggest"))
+    assert lazy.autocomplete("t", 5, source="suggest") == got
+    assert lazy.autocomplete("zzonlydeleted", 5, source="suggest") == []
+    assert lazy._suggest_tmp is not None
