@@ -1266,3 +1266,104 @@ FROM documents
 
 
 QUERIES["ft_bpe_encode_count"] = (ft_bpe_encode_count, _sql_bpe_encode_count())
+
+
+# Winnowing document fingerprints (Schleimer, Wilkerson, Aiken, SIGMOD'03):
+# the local document-fingerprinting algorithm behind MOSS-style near-dup /
+# overlap detection. Per doc: hash every word-K-gram, slide a W-gram window,
+# select each window's minimum hash; the selected set is the fingerprint.
+# Guarantee: any shared run of K+W-1 tokens between two docs shares at least
+# one selected fingerprint — unlike MinHash (corpus-level similarity) this
+# localizes WHERE the overlap is, complementing dedup_duplicate_spans.
+#
+# Determinism trick shared with the oracle: the per-window argmin must
+# tie-break identically in both engines, so (hash, pos) is packed into ONE
+# integer key = (hash56 % 2^40) * 2^20 + pos — min(key) is the lexicographic
+# (hash, pos) min, leftmost-on-tie, decodable exactly. pos < 2^20 bounds
+# docs at ~1M tokens (assert-guarded in IndexBuilder territory; web pages
+# are orders of magnitude under it).
+#
+# Scale shape: one shuffle on doc_id (the ordered-token window); the k-gram
+# build, hashing, window min, and decode are all map-side within the
+# per-doc partition — no joins, no second shuffle; DISTINCT stays inside
+# the same doc_id partitioning.
+
+WINNOW_K = 4  # k-gram length (tokens)
+WINNOW_W = 5  # winnowing window (grams)
+_W_HMOD = 1 << 40
+_W_PMOD = 1 << 20
+
+
+def ft_winnow_fingerprints(spark, sf_dir):
+    from harvester_spark.operators.dedup import _hash56
+
+    toks = doc_tokens(spark, sf_dir)
+    w = W.partitionBy("doc_id").orderBy("pos")
+    gram = F.concat_ws(
+        " ", F.col("term"), *[F.lead("term", i).over(w) for i in range(1, WINNOW_K)]
+    )
+    grams = (
+        toks.select(
+            "doc_id",
+            "pos",
+            gram.alias("gram"),
+            F.lead("term", WINNOW_K - 1).over(w).alias("lead_last"),
+        )
+        .filter(F.col("lead_last").isNotNull())
+        .select(
+            "doc_id",
+            "pos",
+            ((_hash56(F.col("gram")) % _W_HMOD) * _W_PMOD + F.col("pos")).alias("key"),
+        )
+    )
+    wf = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_W - 1)
+    sel = grams.select(
+        "doc_id",
+        F.min("key").over(wf).alias("k"),
+        F.count("*").over(wf).alias("cnt"),
+    ).filter(F.col("cnt") == WINNOW_W)
+    return sel.select(
+        "doc_id",
+        F.expr(f"k DIV {_W_PMOD}").alias("fp_hash"),
+        (F.col("k") % _W_PMOD).alias("fp_pos"),
+    ).distinct()
+
+
+def _sql_winnow_fingerprints() -> str:
+    from harvester_spark.operators.dedup import _SQL_HASH56
+
+    lead_cat = " || ' ' || ".join(
+        f"lead(term, {i}) OVER w" for i in range(1, WINNOW_K)
+    )
+    return f"""
+WITH toks AS ({SQL_DOC_TOKS}),
+grams AS (
+  SELECT doc_id, pos, term || ' ' || {lead_cat} AS gram
+  FROM toks
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(term, {WINNOW_K - 1}) OVER w IS NOT NULL
+),
+keys AS (
+  SELECT doc_id, pos,
+         ({_SQL_HASH56.format(col='gram')} % {_W_HMOD}) * {_W_PMOD} + pos AS key
+  FROM grams
+),
+sel AS (
+  SELECT doc_id,
+         min(key) OVER fw AS k,
+         count(*) OVER fw AS cnt
+  FROM keys
+  WINDOW fw AS (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING)
+)
+SELECT DISTINCT doc_id,
+       CAST(k // {_W_PMOD} AS BIGINT) AS fp_hash,
+       CAST(k % {_W_PMOD} AS BIGINT) AS fp_pos
+FROM sel WHERE cnt = {WINNOW_W}
+"""
+
+
+QUERIES["ft_winnow_fingerprints"] = (
+    ft_winnow_fingerprints,
+    _sql_winnow_fingerprints(),
+)

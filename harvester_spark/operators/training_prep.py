@@ -382,3 +382,47 @@ FROM j GROUP BY lang, bucket
 
 
 QUERIES["ft_lm_quality_buckets"] = (ft_lm_quality_buckets, _sql_lm_quality_buckets())
+
+
+# Deterministic train/validation split: bucket every doc by a salted content-
+# independent hash of its id and carve the val set from fixed buckets. The
+# property that matters at 100 TB: the assignment is a pure per-row function
+# of doc_id (map-only, no shuffle, no sampling state), STABLE under corpus
+# growth and repartitioning — adding docs never reshuffles existing
+# assignments, unlike randomSplit (partition-order-dependent) or any
+# sample() (seed × partitioning dependent). Salt isolates this split from
+# every other hash-bucketed decision in the pipeline.
+
+SPLIT_SALT = "hs-split-v1"
+SPLIT_BUCKETS = 1000
+VAL_BUCKETS = 10  # 1% validation
+
+
+def split_train_val(spark, sf_dir):
+    from harvester_spark.operators.dedup import _hash56
+
+    docs = load(spark, sf_dir, "documents")
+    bucket = (
+        _hash56(F.concat(F.lit(SPLIT_SALT + ":"), F.col("doc_id").cast("string")))
+        % SPLIT_BUCKETS
+    )
+    return docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < VAL_BUCKETS, F.lit("val")).otherwise(F.lit("train")).alias("split"),
+    )
+
+
+def _sql_split_train_val() -> str:
+    from harvester_spark.operators.dedup import _SQL_HASH56
+
+    h = _SQL_HASH56.format(col=f"('{SPLIT_SALT}:' || CAST(doc_id AS VARCHAR))")
+    return f"""
+SELECT doc_id,
+       {h} % {SPLIT_BUCKETS} AS bucket,
+       CASE WHEN {h} % {SPLIT_BUCKETS} < {VAL_BUCKETS} THEN 'val' ELSE 'train' END AS split
+FROM documents
+"""
+
+
+QUERIES["split_train_val"] = (split_train_val, _sql_split_train_val())

@@ -95,3 +95,64 @@ class TestGopherRulesSignal:
             F.countDistinct("keep").alias("c3"),
         ).collect()[0]
         assert agg.c1 == 2 and agg.c2 == 2 and agg.c3 == 2
+
+
+class TestWinnowing:
+    def _fps(self, spark, tmp_path, texts):
+        import pandas as pd
+
+        sf = str(tmp_path / "sf")
+        (tmp_path / "sf").mkdir(exist_ok=True)
+        pd.DataFrame(
+            {
+                "doc_id": range(len(texts)),
+                "text": texts,
+                "lang": ["en"] * len(texts),
+                "source": ["s"] * len(texts),
+                "n_chars": [len(t) for t in texts],
+            }
+        ).to_parquet(sf + "/documents.parquet")
+        from harvester_spark.operators.fulltext_queries import ft_winnow_fingerprints
+
+        rows = ft_winnow_fingerprints(spark, sf).collect()
+        out = {}
+        for r in rows:
+            out.setdefault(r.doc_id, set()).add(r.fp_hash)
+        return out
+
+    def test_shared_run_shares_fingerprint(self, spark, tmp_path):
+        # the winnowing guarantee: a shared run of K+W-1 = 8 tokens must
+        # yield at least one common selected fingerprint
+        shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+        fps = self._fps(
+            spark,
+            tmp_path,
+            [
+                f"one two three four five six {shared} seven eight nine ten",
+                f"red green blue cyan {shared} magenta yellow black white pink",
+                "wholly unrelated words with nothing in common here at all ok",
+            ],
+        )
+        assert fps[0] & fps[1], "shared 8-token run must share a fingerprint"
+        assert not (fps[0] & fps[2]) and not (fps[1] & fps[2])
+
+    def test_short_doc_no_full_window_is_empty(self, spark, tmp_path):
+        # < K+W-1 tokens → no full winnowing window → no fingerprints
+        fps = self._fps(spark, tmp_path, ["just five little words here", "a b"])
+        assert fps == {}
+
+
+def test_split_assignment_stable_under_growth(spark, tmp_path):
+    # the split is a pure function of doc_id: computing it over a corpus
+    # prefix and over the full corpus must agree on the prefix
+    from harvester_spark.operators.training_prep import split_train_val
+
+    sf = "/root/testdata/sf0.001"
+    full = {r.doc_id: r.split for r in split_train_val(spark, sf).collect()}
+    assert set(full.values()) == {"train", "val"}
+    some = (
+        split_train_val(spark, sf)
+        .filter(F.col("doc_id") < 100)
+        .collect()
+    )
+    assert all(full[r.doc_id] == r.split for r in some)
