@@ -220,3 +220,38 @@ def test_ann_capacity_derives_from_corpus(spark, tmp_root):
     # IVF: n_probe·(n/K) candidates per query
     ivf = sim._ivf_candidate_pairs(spark, d).count()
     assert 0 < ivf <= 0.2 * sim.N_QUERIES * n, ivf
+
+
+def test_pii_redact_is_map_only(spark):
+    """PII redaction is a pure per-row regex pass: ZERO exchanges — at
+    100 TB it must pipeline inside the scan stage, never shuffle."""
+    from harvester_spark.operators import curation
+
+    df = curation.pii_redact(spark, SF_DIR)
+    plan = _plan(df)
+    assert "Exchange" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_split_train_val_is_map_only(spark):
+    """The train/val split is a pure function of doc_id: zero exchanges."""
+    from harvester_spark.operators import training_prep
+
+    df = training_prep.split_train_val(spark, SF_DIR)
+    plan = _plan(df)
+    assert "Exchange" not in plan
+
+
+def test_curation_aggregates_have_no_cartesian(spark):
+    """URL dedup / gopher rules / winnowing shuffle only on their agg keys
+    — no cartesian or broadcast-nested-loop anywhere."""
+    from harvester_spark.operators import curation, fulltext_queries
+
+    for fn in (
+        curation.url_canonical_dedup,
+        curation.gopher_rules,
+        fulltext_queries.ft_winnow_fingerprints,
+    ):
+        plan = _plan(fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
