@@ -33,10 +33,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W, functions as F
 
 from harvester_spark.operators.common import SQL_DOC_TOKS, doc_tokens, load
+from harvester_spark.operators.fulltext_queries import _EN_MARKERS, _sql_in
 
 # ---------------------------------------------------------------- PII redact
 
-RE_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+RE_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 RE_PHONE = r"\+31[0-9]{9}"
 RE_IP = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
 
@@ -166,9 +167,13 @@ URL_BASES = 512  # distinct logical pages; ~4 decorated variants each
 def _decorated_urls(spark, sf_dir) -> DataFrame:
     """Deterministic decorated-URL synthesis: four variants of the same
     logical page (host case, trailing slash, utm tracking params,
-    scheme/www/fragment) keyed by doc_id."""
+    scheme/www/fragment) keyed by doc_id. The base uses doc_id DIV 4 so it
+    is INDEPENDENT of the variant selector (doc_id % 4) — with base =
+    doc_id % URL_BASES and 4 | URL_BASES every base would map to exactly
+    one variant and the cross-variant collapse would never occur on corpus
+    data (the constant-column trap the gopher test warns about)."""
     docs = load(spark, sf_dir, "documents").select("doc_id")
-    base = (F.col("doc_id") % URL_BASES).cast("string")
+    base = (F.expr("doc_id DIV 4") % URL_BASES).cast("string")
     v = F.col("doc_id") % 4
     url = (
         F.when(v == 0, F.concat(F.lit("https://Example.org/a/"), base))
@@ -191,11 +196,11 @@ def _decorated_urls(spark, sf_dir) -> DataFrame:
 _SQL_URLS = f"""
   SELECT doc_id,
          CASE doc_id % 4
-           WHEN 0 THEN 'https://Example.org/a/' || CAST(doc_id % {URL_BASES} AS VARCHAR)
-           WHEN 1 THEN 'https://example.org/a/' || CAST(doc_id % {URL_BASES} AS VARCHAR) || '/'
-           WHEN 2 THEN 'https://example.org/a/' || CAST(doc_id % {URL_BASES} AS VARCHAR)
+           WHEN 0 THEN 'https://Example.org/a/' || CAST((doc_id // 4) % {URL_BASES} AS VARCHAR)
+           WHEN 1 THEN 'https://example.org/a/' || CAST((doc_id // 4) % {URL_BASES} AS VARCHAR) || '/'
+           WHEN 2 THEN 'https://example.org/a/' || CAST((doc_id // 4) % {URL_BASES} AS VARCHAR)
                        || '?utm_source=feed&utm_campaign=x'
-           ELSE 'http://www.example.org/a/' || CAST(doc_id % {URL_BASES} AS VARCHAR) || '#frag'
+           ELSE 'http://www.example.org/a/' || CAST((doc_id // 4) % {URL_BASES} AS VARCHAR) || '#frag'
          END AS url
   FROM documents
 """
@@ -208,7 +213,14 @@ def canonicalize_url(df: DataFrame, col: str = "url") -> DataFrame:
     same chain runs verbatim in the oracle."""
     s = F.regexp_replace(F.col(col), r"^https?://", "")
     s = F.regexp_replace(s, r"#.*$", "")
-    s = F.regexp_replace(s, r"utm_[a-z]+=[^&]*&?", "")
+    # utm params must be matched AT a parameter boundary ([?&]) — an
+    # unanchored utm_ pattern would eat the tail of legitimate params like
+    # noutm_x=1. No replacement groups (Java $1 vs RE2 \1 differ), so the
+    # boundary is handled in three passes: &-joined, ?-leading-with-next,
+    # ?-leading-at-end.
+    s = F.regexp_replace(s, r"&utm_[a-z]+=[^&]*", "")
+    s = F.regexp_replace(s, r"\?utm_[a-z]+=[^&]*&", "?")
+    s = F.regexp_replace(s, r"\?utm_[a-z]+=[^&]*$", "")
     s = F.regexp_replace(s, r"[?&]+$", "")
     stripped = df.withColumn("_stripped", s)
     host = F.regexp_extract(F.col("_stripped"), r"^[^/?#]+", 0)
@@ -241,8 +253,11 @@ _SQL_CANON = """
   FROM (
     SELECT doc_id, url,
            regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(regexp_replace(
              url, '^https?://', '', 'g'), '#.*$', '', 'g'),
-             'utm_[a-z]+=[^&]*&?', '', 'g'), '[?&]+$', '', 'g') AS s
+             '&utm_[a-z]+=[^&]*', '', 'g'),
+             '\\?utm_[a-z]+=[^&]*&', '?', 'g'),
+             '\\?utm_[a-z]+=[^&]*$', '', 'g'), '[?&]+$', '', 'g') AS s
     FROM urls
   )
 """
@@ -266,7 +281,6 @@ GOPHER_MIN_MEAN_LEN = 3.0
 GOPHER_MAX_MEAN_LEN = 10.0
 GOPHER_MIN_STOP_HITS = 2
 GOPHER_MAX_TOP_RATIO = 0.1
-_STOPWORDS = ("the", "a", "of", "and", "to")
 
 
 def gopher_rules(spark, sf_dir) -> DataFrame:
@@ -279,7 +293,9 @@ def gopher_rules(spark, sf_dir) -> DataFrame:
 
     Plan: tf agg on (doc_id, term), per-doc agg on doc_id — the tf shuffle
     reuses the same key layout every tf-based operator here uses; all rule
-    math is integer or single-division double (identical across engines)."""
+    math is integer or single-division double (identical across engines).
+    The stopword set is ft_lang_heuristic's _EN_MARKERS — one shared
+    constant, rendered into the oracle SQL from the same tuple."""
     toks = doc_tokens(spark, sf_dir)
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).withColumn(
         "tlen", F.length("term")
@@ -288,7 +304,7 @@ def gopher_rules(spark, sf_dir) -> DataFrame:
         F.sum("tf").cast("long").alias("n_tokens"),
         F.max("tf").cast("long").alias("max_tf"),
         F.sum(F.col("tf") * F.col("tlen")).cast("long").alias("sum_len"),
-        F.sum(F.when(F.col("term").isin(*_STOPWORDS), F.col("tf")).otherwise(0))
+        F.sum(F.when(F.col("term").isin(*_EN_MARKERS), F.col("tf")).otherwise(0))
         .cast("long")
         .alias("stop_hits"),
     )
@@ -330,7 +346,7 @@ agg AS (
          CAST(sum(tf) AS BIGINT) AS n_tokens,
          CAST(max(tf) AS BIGINT) AS max_tf,
          CAST(sum(tf * tlen) AS BIGINT) AS sum_len,
-         CAST(sum(CASE WHEN term IN ('the','a','of','and','to') THEN tf ELSE 0 END) AS BIGINT) AS stop_hits
+         CAST(sum(CASE WHEN term IN ({_sql_in(_EN_MARKERS)}) THEN tf ELSE 0 END) AS BIGINT) AS stop_hits
   FROM tf GROUP BY doc_id
 ),
 feat AS (

@@ -1280,8 +1280,11 @@ QUERIES["ft_bpe_encode_count"] = (ft_bpe_encode_count, _sql_bpe_encode_count())
 # tie-break identically in both engines, so (hash, pos) is packed into ONE
 # integer key = (hash56 % 2^40) * 2^20 + pos — min(key) is the lexicographic
 # (hash, pos) min, leftmost-on-tie, decodable exactly. pos < 2^20 bounds
-# docs at ~1M tokens (assert-guarded in IndexBuilder territory; web pages
-# are orders of magnitude under it).
+# docs at ~1M tokens; the Spark side raise_error()s past the bound (an
+# overflowing pos would bleed into the hash bits and corrupt fingerprints
+# IDENTICALLY in both engines, invisible to the parity gate — fail loudly
+# instead). Web pages sit orders of magnitude under it; the reference's own
+# extractor caps docs at 10k words (file.py:182-185).
 #
 # Scale shape: one shuffle on doc_id (the ordered-token window); the k-gram
 # build, hashing, window min, and decode are all map-side within the
@@ -1313,7 +1316,14 @@ def ft_winnow_fingerprints(spark, sf_dir):
         .select(
             "doc_id",
             "pos",
-            ((_hash56(F.col("gram")) % _W_HMOD) * _W_PMOD + F.col("pos")).alias("key"),
+            (
+                (_hash56(F.col("gram")) % _W_HMOD) * _W_PMOD
+                + F.when(F.col("pos") < _W_PMOD, F.col("pos")).otherwise(
+                    F.raise_error(
+                        F.lit(f"winnowing pos >= {_W_PMOD}: doc exceeds the 2^20-token packing bound")
+                    )
+                )
+            ).alias("key"),
         )
     )
     wf = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_W - 1)

@@ -42,6 +42,11 @@ class TestRedactPii:
         r = _one(spark, "a@b.org c@d.net +31699999999 +31600000000 10.0.0.1")
         assert (r.n_emails, r.n_phones, r.n_ips) == (2, 2, 1)
 
+    def test_mixed_case_email(self, spark):
+        r = _one(spark, "Contact Bob.Smith@Example.COM today")
+        assert r.n_emails == 1
+        assert r.redacted_text == "Contact <EMAIL> today"
+
 
 def _canon(spark, url):
     df = spark.createDataFrame([(url,)], "url string")
@@ -67,9 +72,36 @@ class TestCanonicalizeUrl:
             == "example.org/search?q=spark"
         )
 
+    def test_utm_strip_is_boundary_anchored(self, spark):
+        # a param whose NAME merely contains 'utm_' must survive intact
+        assert (
+            _canon(spark, "https://example.org/p?noutm_x=1")
+            == "example.org/p?noutm_x=1"
+        )
+        # utm leading with a real param following keeps the real param
+        assert (
+            _canon(spark, "https://example.org/p?utm_a=1&q=2")
+            == "example.org/p?q=2"
+        )
+        # utm-only query strings vanish entirely
+        assert (
+            _canon(spark, "https://example.org/p?utm_a=1&utm_b=2")
+            == "example.org/p"
+        )
+
     def test_strips_only_leading_www(self, spark):
         assert _canon(spark, "https://www.wwwexample.org/p") == "wwwexample.org/p"
         assert _canon(spark, "https://awww.example.org/p") == "awww.example.org/p"
+
+    def test_corpus_synthesis_actually_collapses_variants(self, spark):
+        # guard against the degenerate synthesis this operator originally
+        # shipped with (base ≡ variant mod 4 → one spelling per page): on
+        # corpus data some canonical url must absorb >1 raw spelling
+        from harvester_spark.operators.curation import url_canonical_dedup
+
+        out = url_canonical_dedup(spark, "/root/testdata/sf0.001")
+        mx = out.agg(F.max("n_raw_variants").alias("m")).collect()[0].m
+        assert mx > 1
 
     def test_host_only_url(self, spark):
         assert _canon(spark, "https://Example.org/") == "example.org"
@@ -142,17 +174,33 @@ class TestWinnowing:
         assert fps == {}
 
 
+def _write_docs(tmp_path, name, doc_ids):
+    import pandas as pd
+
+    d = tmp_path / name
+    d.mkdir(exist_ok=True)
+    pd.DataFrame(
+        {
+            "doc_id": doc_ids,
+            "text": ["word soup text"] * len(doc_ids),
+            "lang": ["en"] * len(doc_ids),
+            "source": ["s"] * len(doc_ids),
+            "n_chars": [14] * len(doc_ids),
+        }
+    ).to_parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
 def test_split_assignment_stable_under_growth(spark, tmp_path):
-    # the split is a pure function of doc_id: computing it over a corpus
-    # prefix and over the full corpus must agree on the prefix
+    # the split must be a pure function of doc_id: the assignment computed
+    # over a SMALL corpus and over a 30x-grown, differently-partitioned
+    # corpus must agree on the common docs (randomSplit/sample fail this)
     from harvester_spark.operators.training_prep import split_train_val
 
-    sf = "/root/testdata/sf0.001"
-    full = {r.doc_id: r.split for r in split_train_val(spark, sf).collect()}
-    assert set(full.values()) == {"train", "val"}
-    some = (
-        split_train_val(spark, sf)
-        .filter(F.col("doc_id") < 100)
-        .collect()
-    )
-    assert all(full[r.doc_id] == r.split for r in some)
+    small = _write_docs(tmp_path, "small", list(range(100)))
+    grown = _write_docs(tmp_path, "grown", list(range(3000)))
+    a = {r.doc_id: r.split for r in split_train_val(spark, small).collect()}
+    b_df = split_train_val(spark, grown)
+    b = {r.doc_id: r.split for r in b_df.repartition(7).collect()}
+    assert all(b[i] == a[i] for i in range(100))
+    assert set(b.values()) == {"train", "val"}  # ~1% val actually appears
