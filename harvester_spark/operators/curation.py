@@ -374,3 +374,76 @@ QUERIES = {
     "url_canonical_dedup": (url_canonical_dedup, SQL_URL_CANONICAL_DEDUP),
     "gopher_rules": (gopher_rules, SQL_GOPHER_RULES),
 }
+
+
+# ------------------------------------------------ end-to-end curation pass
+
+
+def curate_pipeline(spark, sf_dir) -> DataFrame:
+    """The composed training-data curation pass a real pipeline runs:
+    absolute quality rules (gopher_rules) ∧ near-duplicate-cluster
+    representative selection (dedup_cluster_keep_best; docs with no
+    shingles — too short to cluster — default to kept) → selected, plus the
+    hash-stable train/val split for the survivors. One row per doc with
+    each gate's verdict, so downstream can both filter and audit WHY a doc
+    dropped.
+
+    Scale shape: three independently-computed per-doc columns joined on
+    doc_id — each input keeps its own optimal plan (map-only split, tf-agg
+    rules, LSH clustering), and the final joins shuffle only on doc_id.
+    At 100 TB each stage would be persisted as its own table and the joins
+    co-located by a shared doc_id bucketing; the composition here keeps
+    the exact same dataflow."""
+    from harvester_spark.operators.dedup import dedup_cluster_keep_best
+    from harvester_spark.operators.training_prep import split_train_val
+
+    g = gopher_rules(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("keep_quality")
+    )
+    kb = dedup_cluster_keep_best(spark, sf_dir).select(
+        "doc_id", F.col("kept").alias("kept_rep")
+    )
+    sp = split_train_val(spark, sf_dir).select("doc_id", "split")
+    j = (
+        g.join(kb, "doc_id", "left")
+        .join(sp, "doc_id")
+        .select(
+            "doc_id",
+            "keep_quality",
+            F.coalesce(F.col("kept_rep"), F.lit(True)).alias("keep_dedup"),
+            "split",
+        )
+    )
+    selected = F.col("keep_quality") & F.col("keep_dedup")
+    return j.select(
+        "doc_id",
+        "keep_quality",
+        "keep_dedup",
+        selected.alias("selected"),
+        F.when(selected, F.col("split")).otherwise(F.lit("dropped")).alias(
+            "disposition"
+        ),
+    )
+
+
+def _sql_curate_pipeline() -> str:
+    from harvester_spark.operators.dedup import _sql_cluster_keep_best
+    from harvester_spark.operators.training_prep import _sql_split_train_val
+
+    return f"""
+WITH g AS ({SQL_GOPHER_RULES}),
+kb AS ({_sql_cluster_keep_best()}),
+sp AS ({_sql_split_train_val()})
+SELECT g.doc_id,
+       g.keep AS keep_quality,
+       coalesce(kb.kept, true) AS keep_dedup,
+       (g.keep AND coalesce(kb.kept, true)) AS selected,
+       CASE WHEN g.keep AND coalesce(kb.kept, true) THEN sp.split
+            ELSE 'dropped' END AS disposition
+FROM g
+LEFT JOIN kb ON g.doc_id = kb.doc_id
+JOIN sp ON g.doc_id = sp.doc_id
+"""
+
+
+QUERIES["curate_pipeline"] = (curate_pipeline, _sql_curate_pipeline())

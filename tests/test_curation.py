@@ -204,3 +204,18 @@ def test_split_assignment_stable_under_growth(spark, tmp_path):
     b = {r.doc_id: r.split for r in b_df.repartition(7).collect()}
     assert all(b[i] == a[i] for i in range(100))
     assert set(b.values()) == {"train", "val"}  # ~1% val actually appears
+
+
+def test_curate_pipeline_dispositions(spark):
+    # the composed pass: disposition is 'dropped' exactly for unselected
+    # docs and a split name for survivors; every doc gets exactly one row
+    from harvester_spark.operators.curation import curate_pipeline
+
+    out = curate_pipeline(spark, "/root/testdata/sf0.001").collect()
+    assert len(out) == 500 and len({r.doc_id for r in out}) == 500
+    for r in out:
+        assert r.selected == (r.keep_quality and r.keep_dedup)
+        assert (r.disposition == "dropped") == (not r.selected)
+        if r.selected:
+            assert r.disposition in ("train", "val")
+    assert any(r.selected for r in out) and any(not r.selected for r in out)
