@@ -219,3 +219,100 @@ def test_curate_pipeline_dispositions(spark):
         if r.selected:
             assert r.disposition in ("train", "val")
     assert any(r.selected for r in out) and any(not r.selected for r in out)
+
+
+class TestCrossEngineRegexFuzz:
+    """Direct Spark-vs-DuckDB parity of the curation regex chains on
+    ADVERSARIAL generated strings — the corpus synthesis only exercises the
+    well-formed shapes; dialect drift (Java regex vs RE2) would first show
+    on junk. Deterministic seed; mirrors the 3-engine analyzer parity
+    philosophy (CLAUDE.md)."""
+
+    def _gen_urls(self, n=300):
+        import random
+
+        rng = random.Random(42)
+        schemes = ["https://", "http://", "", "HtTpS://", "ftp://"]
+        hosts = ["Example.org", "www.ex.com", "wwwx.nl", "a.b.c.d", "xn--x",
+                 "WWW.UPPER.ORG", ""]
+        paths = ["", "/", "/a/b", "/p/", "//", "/a..b", "/%20x"]
+        queries = ["", "?", "?q=1", "?utm_a=1", "?utm_a=1&q=2", "?q=1&utm_b=",
+                   "?noutm_x=1", "?utm_=1", "?&", "?utm_a=1&utm_b=2&utm_c=3",
+                   "?a=utm_b=2", "?q=a&b"]
+        frags = ["", "#", "#f", "#a#b", "#utm_x=1"]
+        out = []
+        for _ in range(n):
+            out.append(
+                rng.choice(schemes) + rng.choice(hosts) + rng.choice(paths)
+                + rng.choice(queries) + rng.choice(frags)
+            )
+        return out
+
+    def test_canonicalize_parity(self, spark):
+        import duckdb
+
+        from harvester_spark.operators.curation import _SQL_CANON, canonicalize_url
+
+        urls = self._gen_urls()
+        df = spark.createDataFrame(
+            [(i, u) for i, u in enumerate(urls)], "doc_id long, url string"
+        )
+        got = {
+            r.doc_id: r.canonical_url for r in canonicalize_url(df).collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE urls AS SELECT unnest(range(?)) AS doc_id, unnest(?) AS url",
+            [len(urls), urls],
+        )
+        want = dict(
+            con.execute(f"SELECT doc_id, canonical_url FROM ({_SQL_CANON})").fetchall()
+        )
+        for i, u in enumerate(urls):
+            assert got[i] == want[i], (u, got[i], want[i])
+
+    def test_redact_parity(self, spark):
+        import random
+
+        import duckdb
+
+        from harvester_spark.operators.curation import (
+            RE_EMAIL, RE_IP, RE_PHONE, redact_pii,
+        )
+
+        rng = random.Random(7)
+        frags = ["a@b.io", "x", "Bob.S@Ex.COM", "+31612345678", "+3161234567",
+                 "10.0.0.1", "1.2.3.4000", "..", "@", "user@@x.org", "+31",
+                 "999.999.999.999", "a_b%c@d-e.fg", " ", "v1.2.3.4b", "@x.io"]
+        texts = [
+            " ".join(rng.choice(frags) for _ in range(rng.randint(0, 8)))
+            for _ in range(300)
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, page_text string"
+        )
+        got = {
+            r.doc_id: (r.n_emails, r.n_phones, r.n_ips, r.redacted_text)
+            for r in redact_pii(df).collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE pages AS SELECT unnest(range(?)) AS doc_id, unnest(?) AS page_text",
+            [len(texts), texts],
+        )
+        want = {
+            r[0]: (r[1], r[2], r[3], r[4])
+            for r in con.execute(f"""
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(page_text, '{RE_EMAIL}')) AS BIGINT),
+                       CAST(len(regexp_extract_all(page_text, '{RE_PHONE}')) AS BIGINT),
+                       CAST(len(regexp_extract_all(page_text, '{RE_IP}')) AS BIGINT),
+                       regexp_replace(regexp_replace(regexp_replace(page_text,
+                         '{RE_EMAIL}', '<EMAIL>', 'g'),
+                         '{RE_PHONE}', '<PHONE>', 'g'),
+                         '{RE_IP}', '<IP>', 'g')
+                FROM pages
+            """).fetchall()
+        }
+        for i in got:
+            assert got[i] == want[i], (texts[i], got[i], want[i])
