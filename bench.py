@@ -56,6 +56,12 @@ HEADLINE = [
     "ft_did_you_mean",
     "ann_ivf_topk",
     "ft_bpe_encode_count",
+    # round-3 continuation: curation layer (map-only PII pass, rule agg,
+    # winnowing fingerprints); curate_pipeline is excluded — its iterative
+    # connected-components stage is measured via its components
+    "pii_redact",
+    "gopher_rules",
+    "ft_winnow_fingerprints",
 ]
 WARMUP_DOCS = 2000
 
