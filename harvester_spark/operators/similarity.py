@@ -389,75 +389,137 @@ QUERIES = {
 # to integers (round(val·10^6), the cents() convention), squared-euclidean
 # distances as integer sums (64·(2·3.2e5)^2 ≈ 2.6e13 ≪ int64), centroid
 # updates as floor(sum/count) — exact while per-(centroid,pos) component
-# sums stay below 2^53 (10^9 members × 3.2e5 scale ≈ 3.2e14 ≪ 9·10^15 ✓),
-# because a correctly-rounded double quotient of such integers can only
-# cross an integer boundary when the true quotient IS that integer. Ties:
-# dist asc, cent_id asc. Seeds: the K lowest vec_ids. Empty clusters drop
-# (both engines identically). K DERIVES from the corpus (derive_k ≈ ⌈√n⌉).
-# Scale shape: centroids are K·dim integers — ALWAYS broadcast /
-# driver-bounded (the MLlib contract); per iteration one exchange for the
-# (vec_id, cent_id) distance agg and one for the argmin window — bounded
-# iteration count, no quadratic stage, comp cached once.
+# sums stay below 2^53 (10^9 members × 3.2e5 scale ≈ 3.2e14 ≪ 9·10^15 ✓):
+# the driver combines partial sums in arbitrary-precision Python ints, so
+# the bound exists only to stay bit-identical with the ORACLE's
+# floor(double-quotient) formulation. Ties: dist asc, cent_id asc. Seeds:
+# the K lowest vec_ids. Empty clusters drop (both engines identically).
+# K DERIVES from the corpus (derive_k ≈ ⌈√n⌉).
+#
+# Execution (round-3 continuation): dense integer linear algebra is the
+# one place the exploded JVM form loses — Σ(x−c)² per (vec, cent) as an
+# explode→broadcast-join→groupBy shuffles n·K·dim rows PER ITERATION. The
+# kernel instead ships the K·dim centroid matrix in the UDF closure (the
+# same always-broadcast contract) and computes ‖x‖² − 2·X·Cᵀ + ‖c‖² with
+# int64 matmul over Arrow batches: each Lloyd iteration is ONE map-only
+# pass over the cached array-form vectors with ZERO exchanges (plan
+# guard), emitting K·dim partial sums per batch for the driver combine.
+# np.argsort(dist, kind='stable') reproduces the (dist asc, cent_id asc)
+# tie-break exactly. Batch memory is B·K·8 bytes for the distance matrix
+# (HS_ARROW_BATCH caps B; at 10⁹-vector K≈√n scale, chunk the matmul).
+# The DuckDB oracle keeps the relational formulation — the value-hash gate
+# proves the two executions identical.
 
 KMEANS_ITERS = 3
 _KM_SCALE = 1_000_000
 
 
-def _comp_int(spark, sf_dir):
-    """(vec_id, pos, ival) integer-scaled components."""
-    return _components(spark, sf_dir).select(
-        "vec_id", "pos",
-        F.round(F.col("val") * _KM_SCALE).cast("long").alias("ival"),
+def _ivec(spark, sf_dir):
+    """(vec_id, ivals: array<long>) integer-scaled embeddings — same
+    per-component round(double·SCALE) as the oracle's icomp CTE."""
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.round(x * _KM_SCALE).cast("long"),
+        ).alias("ivals"),
     )
 
 
-def _km_dists(comp, cent):
-    """Integer squared-euclidean distance per (vec_id, cent_id)."""
-    return (
-        comp.join(F.broadcast(cent), "pos")
-        .groupBy("vec_id", "cent_id")
-        .agg(
-            F.sum(
-                (F.col("ival") - F.col("cval")) * (F.col("ival") - F.col("cval"))
-            ).alias("dist")
-        )
-    )
+def _km_topc(ivec, cids, C, n_top: int):
+    """Per-vector ``n_top`` nearest centroids (integer sq-euclidean; ties
+    dist asc, cent_id asc) as (vec_id, cent_id, dist, rnk) — one map-only
+    Arrow pass, centroid matrix in the closure."""
+    import numpy as np
+    import pandas as pd
+
+    cid_arr = np.asarray(cids, dtype=np.int64)
+    C = np.asarray(C, dtype=np.int64)
+    C2 = (C * C).sum(1)
+    k_out = min(n_top, len(cid_arr))
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["ivals"].to_numpy()).astype(np.int64, copy=False)
+            D = (X * X).sum(1)[:, None] - 2 * (X @ C.T) + C2[None, :]
+            order = np.argsort(D, axis=1, kind="stable")[:, :k_out]
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), k_out),
+                    "cent_id": cid_arr[order].ravel(),
+                    "dist": np.take_along_axis(D, order, axis=1).ravel(),
+                    "rnk": np.tile(np.arange(1, k_out + 1), len(pdf)),
+                }
+            )
+
+    return ivec.mapInPandas(gen, "vec_id long, cent_id long, dist long, rnk int")
 
 
-def _km_assign(comp, cent):
-    """argmin_c Σ_pos (ival-cval)² with (dist, cent_id) tie-break."""
-    w = W.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("cent_id").asc())
-    return (
-        _km_dists(comp, cent)
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") == 1)
-        .select("vec_id", "cent_id", "dist")
-    )
+def _km_partials(ivec, cids, C):
+    """One Lloyd step's per-batch partials: argmin assignment fused with
+    per-centroid component sums/counts — (cent_ix, count, sums) rows,
+    K rows per Arrow batch, combined on the driver."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(C, dtype=np.int64)
+    C2 = (C * C).sum(1)
+    k = len(C)
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["ivals"].to_numpy()).astype(np.int64, copy=False)
+            D = (X * X).sum(1)[:, None] - 2 * (X @ C.T) + C2[None, :]
+            a = D.argmin(1)  # first min == lowest cent index on ties
+            sums = np.zeros((k, X.shape[1]), dtype=np.int64)
+            counts = np.zeros(k, dtype=np.int64)
+            np.add.at(sums, a, X)
+            np.add.at(counts, a, 1)
+            nz = np.flatnonzero(counts)
+            yield pd.DataFrame(
+                {
+                    "cent_ix": nz.astype("int64"),
+                    "n": counts[nz],
+                    "sums": [sums[i].tolist() for i in nz],
+                }
+            )
+
+    return ivec.mapInPandas(gen, "cent_ix long, n long, sums array<long>")
 
 
 def _kmeans_train(spark, sf_dir, k: int):
-    """(cached integer components, final centroid DataFrame) after
+    """(cached array-form vectors, centroid ids, centroid matrix) after
     {KMEANS_ITERS} Lloyd iterations from the K-lowest-vec_id seeds."""
-    comp = _comp_int(spark, sf_dir).cache()
-    cent_rows = [
-        (int(r["vec_id"]), int(r["pos"]), int(r["ival"]))
-        for r in comp.filter(F.col("vec_id") < k).collect()
-    ]
+    ivec = _ivec(spark, sf_dir).cache()
+    seeds = sorted(
+        (int(r["vec_id"]), [int(v) for v in r["ivals"]])
+        for r in ivec.filter(F.col("vec_id") < k).collect()
+    )
+    cids = [c for c, _ in seeds]
+    C = [v for _, v in seeds]
     for _ in range(KMEANS_ITERS):
-        cent = spark.createDataFrame(cent_rows, "cent_id long, pos int, cval long")
-        assign = _km_assign(comp, cent)
-        cent_rows = [
-            (int(r["cent_id"]), int(r["pos"]), int(r["cval"]))
-            for r in (
-                comp.join(assign.select("vec_id", "cent_id"), "vec_id")
-                .groupBy("cent_id", "pos")
-                .agg(
-                    F.floor(F.sum("ival") / F.count("*")).cast("long").alias("cval")
-                )
-                .collect()
-            )
-        ]
-    return comp, spark.createDataFrame(cent_rows, "cent_id long, pos int, cval long")
+        acc: dict[int, tuple[int, list[int]]] = {}
+        for r in _km_partials(ivec, cids, C).collect():
+            ix, n, s = int(r["cent_ix"]), int(r["n"]), [int(v) for v in r["sums"]]
+            if ix in acc:
+                n0, s0 = acc[ix]
+                acc[ix] = (n0 + n, [a + b for a, b in zip(s0, s)])
+            else:
+                acc[ix] = (n, s)
+        # floor(sum/count) on exact ints == the oracle's floor(double
+        # quotient) while sums < 2^53 (block comment); empty clusters drop
+        new_cids, new_C = [], []
+        for ix in sorted(acc):
+            n, s = acc[ix]
+            new_cids.append(cids[ix])
+            new_C.append([v // n for v in s])
+        cids, C = new_cids, new_C
+    return ivec, cids, C
 
 
 def emb_kmeans_assign(spark, sf_dir):
@@ -466,8 +528,8 @@ def emb_kmeans_assign(spark, sf_dir):
     trained centroids — the IVF centroid trainer. Integer-exact (see block
     comment), full value-hash oracle despite the iterative plan."""
     k = derive_k(_n_vectors(spark, sf_dir))
-    comp, cent = _kmeans_train(spark, sf_dir, k)
-    return _km_assign(comp, cent)
+    ivec, cids, C = _kmeans_train(spark, sf_dir, k)
+    return _km_topc(ivec, cids, C, 1).select("vec_id", "cent_id", "dist")
 
 
 def _sql_km_assign(cent_cte: str) -> str:
@@ -545,10 +607,8 @@ def _ivf_candidate_pairs(spark, sf_dir):
     the query's IVF_N_PROBE nearest centroid lists (integer k-means
     distances, dist/cent_id tie-break)."""
     k = derive_k(_n_vectors(spark, sf_dir))
-    comp, cent = _kmeans_train(spark, sf_dir, k)
-    dists = _km_dists(comp, cent)
-    w = W.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("cent_id").asc())
-    ranked = dists.withColumn("rnk", F.row_number().over(w))
+    ivec, cids, C = _kmeans_train(spark, sf_dir, k)
+    ranked = _km_topc(ivec, cids, C, IVF_N_PROBE)
     assign = ranked.filter(F.col("rnk") == 1).select("vec_id", "cent_id")
     q_probe = (
         ranked.filter((F.col("vec_id") < N_QUERIES) & (F.col("rnk") <= IVF_N_PROBE))

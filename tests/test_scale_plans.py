@@ -164,15 +164,17 @@ def test_top_bigrams_is_take_ordered(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_kmeans_assignment_broadcasts_centroids(spark):
-    """The k-means distance stage must broadcast the K·dim centroid side
-    (never shuffle components against centroids, never a cartesian)."""
+def test_kmeans_assignment_is_map_only(spark):
+    """The k-means assignment must carry the K·dim centroid matrix to the
+    data (UDF closure — the broadcast contract), never shuffle components
+    against centroids: the final plan is scan→mapInPandas with ZERO
+    exchanges, no cartesian, no join."""
     from harvester_spark.operators.similarity import emb_kmeans_assign
 
     df = emb_kmeans_assign(spark, SF_DIR)
     assert df.count() > 0
     plan = _plan(df)
-    assert "BroadcastExchange" in plan
+    assert "Exchange" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
