@@ -316,3 +316,61 @@ class TestCrossEngineRegexFuzz:
         }
         for i in got:
             assert got[i] == want[i], (texts[i], got[i], want[i])
+
+
+def test_winnowing_triangulates_against_classic_algorithm(spark, tmp_path):
+    """Spark==DuckDB proves engine parity but both share the packed-key
+    window-min FORMULATION; this triangulates it against an independent
+    straight-from-the-paper implementation (per window: argmin by
+    (hash, pos), dedup selections), on small-vocab docs where repeated
+    grams force hash ties through the tie-break."""
+    import hashlib
+    import random
+
+    from harvester_spark.operators.fulltext_queries import (
+        WINNOW_K, WINNOW_W, _W_HMOD, ft_winnow_fingerprints,
+    )
+
+    rng = random.Random(99)
+    vocab = ["aa", "bb", "cc"]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 25)))
+        for _ in range(40)
+    ]
+
+    def classic(tokens):
+        grams = [
+            " ".join(tokens[i : i + WINNOW_K])
+            for i in range(len(tokens) - WINNOW_K + 1)
+        ]
+        hs = [
+            int(hashlib.md5(g.encode()).hexdigest()[:14], 16) % _W_HMOD
+            for g in grams
+        ]
+        sel = set()
+        for s in range(len(hs) - WINNOW_W + 1):
+            win = [(hs[i], i) for i in range(s, s + WINNOW_W)]
+            h, i = min(win)
+            sel.add((i, h))
+        return sel
+
+    sf = _write_docs(tmp_path, "winnow", list(range(len(texts))))
+    # overwrite texts column with the crafted ones
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(sf + "/documents.parquet")
+
+    got = {}
+    for r in ft_winnow_fingerprints(spark, sf).collect():
+        got.setdefault(r.doc_id, set()).add((r.fp_pos, r.fp_hash))
+    for i, t in enumerate(texts):
+        want = classic(t.split()) if t else set()
+        assert got.get(i, set()) == want, (i, t)
