@@ -24,6 +24,7 @@ from harvester_spark.operators import (
     multimodal,
     relational,
     similarity,
+    text_analytics,
     training_prep,
 )
 
@@ -37,5 +38,6 @@ for mod in (
     file_metadata,
     training_prep,
     curation,
+    text_analytics,
 ):
     ALL_QUERIES.update(mod.QUERIES)

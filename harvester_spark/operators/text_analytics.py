@@ -1,0 +1,306 @@
+"""Text-analytics operators over ``documents`` — the search-surface and
+corpus-exploration features a fulltext engine serves beside ranking:
+
+- ``ft_snippet_topk``: Lucene-highlighter-style best-fragment snippets for
+  the BM25 top-10 (the reference surfaces result documents through
+  OpenSearch, whose highlighter picks the best term-dense fragment; here the
+  deterministic window-scored equivalent, prune-first on the 10 result docs).
+- ``ft_keyword_extract``: per-document top-N TF-IDF keywords (the classic
+  corpus-exploration signal; same idf family as the BM25 kernel).
+- ``ft_cooccur_pmi``: windowed term co-occurrence with PMI scoring (the
+  distributional-statistics workload a training-data pipeline runs to audit
+  corpus composition; Church & Hanks 1990).
+
+All three follow the module contract of operators/__init__.py: the Spark
+plan is the scale plan (prune-first semi-joins, map-side-combinable aggs,
+no cartesian products), and the DuckDB oracle is a full value-hash twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W, functions as F
+
+from harvester_spark.operators.common import SQL_DOC_TOKS, doc_tokens, load
+from harvester_spark.operators.fulltext_queries import (
+    BM25_TERMS,
+    SQL_BM25_TOPK,
+    ft_bm25_topk,
+)
+
+# ------------------------------------------------------------- snippets
+
+SNIP_W = 8  # snippet window length (tokens)
+
+
+def ft_snippet_topk(spark, sf_dir):
+    """Best-snippet extraction for the BM25 top-10: for each result doc,
+    the ``SNIP_W``-token window anchored at a query-term hit that maximizes
+    (distinct query terms, total hits), tie-break earliest start.
+
+    Scale shape: everything after the ranking is pruned to the 10 result
+    docs FIRST (broadcast semi-join), so the hit×hit window join and the
+    snippet-text reassembly touch ~10 docs of tokens regardless of corpus
+    size — the highlighter never rescans the corpus. The window join is a
+    doc-local position band (no cartesian), like the sloppy-phrase kernel.
+    """
+    top = ft_bm25_topk(spark, sf_dir)  # rank, doc_id, score
+    ids = F.broadcast(top.select("doc_id"))
+    toks = doc_tokens(spark, sf_dir).join(ids, "doc_id", "semi")
+    hits = toks.filter(F.col("term").isin(BM25_TERMS)).select(
+        "doc_id", "pos", "term"
+    )
+    a = hits.select("doc_id", F.col("pos").alias("apos"))
+    b = hits.select(
+        F.col("doc_id").alias("db"), F.col("pos").alias("bpos"), "term"
+    )
+    wins = (
+        a.join(
+            b,
+            (F.col("doc_id") == F.col("db"))
+            & (F.col("bpos") >= F.col("apos"))
+            & (F.col("bpos") <= F.col("apos") + (SNIP_W - 1)),
+        )
+        .groupBy("doc_id", "apos")
+        .agg(
+            F.countDistinct("term").alias("n_terms"),
+            F.count("*").alias("n_hits"),
+        )
+    )
+    wbest = W.partitionBy("doc_id").orderBy(
+        F.col("n_terms").desc(), F.col("n_hits").desc(), F.col("apos").asc()
+    )
+    best = (
+        wins.withColumn("rk", F.row_number().over(wbest))
+        .filter(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            F.col("apos").cast("long").alias("snip_start"),
+            "n_terms",
+            "n_hits",
+        )
+    )
+    snip = (
+        toks.join(
+            best.select("doc_id", "snip_start"),
+            ["doc_id"],
+        )
+        .filter(
+            (F.col("pos") >= F.col("snip_start"))
+            & (F.col("pos") <= F.col("snip_start") + (SNIP_W - 1))
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "term"))),
+                    lambda s: s["term"],
+                ),
+                " ",
+            ).alias("snippet")
+        )
+    )
+    return top.join(best, "doc_id").join(snip, "doc_id").select(
+        "rank", "doc_id", "score", "snip_start", "n_terms", "n_hits", "snippet"
+    )
+
+
+SQL_SNIPPET_TOPK = f"""
+WITH toks AS ({SQL_DOC_TOKS}),
+top AS (SELECT * FROM ({SQL_BM25_TOPK})),
+ptoks AS (SELECT t.doc_id, t.pos, t.term FROM toks t JOIN top USING (doc_id)),
+hits AS (
+  SELECT doc_id, pos, term FROM ptoks
+  WHERE term IN ('key', 'value', 'table')
+),
+wins AS (
+  SELECT a.doc_id, a.pos AS apos,
+         count(DISTINCT b.term) AS n_terms, count(*) AS n_hits
+  FROM hits a
+  JOIN hits b ON b.doc_id = a.doc_id
+             AND b.pos BETWEEN a.pos AND a.pos + {SNIP_W - 1}
+  GROUP BY a.doc_id, a.pos
+),
+best AS (
+  SELECT doc_id, CAST(apos AS BIGINT) AS snip_start,
+         CAST(n_terms AS BIGINT) AS n_terms, CAST(n_hits AS BIGINT) AS n_hits
+  FROM wins
+  QUALIFY row_number() OVER (
+    PARTITION BY doc_id ORDER BY n_terms DESC, n_hits DESC, apos ASC) = 1
+),
+snip AS (
+  SELECT b.doc_id, string_agg(t.term, ' ' ORDER BY t.pos) AS snippet
+  FROM best b
+  JOIN ptoks t ON t.doc_id = b.doc_id
+              AND t.pos BETWEEN b.snip_start AND b.snip_start + {SNIP_W - 1}
+  GROUP BY b.doc_id
+)
+SELECT top.rank, top.doc_id, top.score,
+       best.snip_start, best.n_terms, best.n_hits, snip.snippet
+FROM top JOIN best USING (doc_id) JOIN snip USING (doc_id)
+"""
+
+
+# ------------------------------------------------------- keyword extraction
+
+KW_TOPN = 3
+
+
+def ft_keyword_extract(spark, sf_dir):
+    """Per-document top-``KW_TOPN`` TF-IDF keywords. idf = ln((N+1)/(df+1))
+    (smoothed; same ln both engines), score ``round(.,6)``, ties break on
+    term asc so every top-k is totally ordered.
+
+    Scale shape: tf agg shuffles on (doc_id, term) with map-side combine;
+    df is a second map-side-combined agg reusing the (doc, term) grain (one
+    row per posting, countDistinct-free); tf⋈df is a plain equi-join on term
+    (vocabulary-sized — NOT broadcast; AQE may elect to at small scale);
+    the per-doc top-k window re-partitions on doc_id, bounded per group.
+    """
+    tf = (
+        doc_tokens(spark, sf_dir)
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = load(spark, sf_dir, "documents").select(F.count("*").alias("n"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf") * F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)), 6
+            ),
+        )
+    )
+    wk = W.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= KW_TOPN)
+        .select("doc_id", "rk", "term", "tf", "df", "score")
+    )
+
+
+SQL_KEYWORD_EXTRACT = f"""
+WITH toks AS ({SQL_DOC_TOKS}),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, term
+),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         round(tf.tf * ln((n.n + 1.0) / (df.df + 1.0)), 6) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, CAST(rk AS INT) AS rk, term, tf, df, score
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rk
+  FROM scored
+) WHERE rk <= {KW_TOPN}
+"""
+
+
+# ---------------------------------------------------- PMI co-occurrence
+
+PMI_DIST = 3  # max forward distance (tokens) between pair members
+PMI_MINC = 5  # min pair count (noise floor)
+PMI_TOPN = 50
+
+
+def ft_cooccur_pmi(spark, sf_dir):
+    """Windowed co-occurrence PMI (Church & Hanks 1990): directed pairs
+    (a before b, gap ≤ ``PMI_DIST``), PMI = ln((c_ab/N_pairs) /
+    ((cf_a/N_tok)·(cf_b/N_tok))), min count ``PMI_MINC``, top-``PMI_TOPN``
+    by (pmi desc, ta asc, tb asc).
+
+    Scale shape: pair generation is a doc-local position band self-join
+    (≤ ``PMI_DIST``·N_tok rows, linear — no cartesian); pair counts shuffle
+    once on (ta, tb) with map-side combine; unigram marginals are a second
+    map-side agg; totals are 1-row broadcasts; final top-k is
+    TakeOrderedAndProject.
+    """
+    toks = doc_tokens(spark, sf_dir)
+    a = toks.select("doc_id", F.col("pos").alias("apos"), F.col("term").alias("ta"))
+    b = toks.select(
+        F.col("doc_id").alias("db"), F.col("pos").alias("bpos"),
+        F.col("term").alias("tb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("doc_id") == F.col("db"))
+        & (F.col("bpos") > F.col("apos"))
+        & (F.col("bpos") <= F.col("apos") + PMI_DIST),
+    ).select("ta", "tb")
+    pc = pairs.groupBy("ta", "tb").agg(F.count("*").alias("c_ab"))
+    npairs = pc.select(F.sum("c_ab").alias("n_pairs"))
+    cf = toks.groupBy("term").agg(F.count("*").alias("cf"))
+    ntok = cf.select(F.sum("cf").alias("n_tok"))
+    scored = (
+        pc.filter(F.col("c_ab") >= PMI_MINC)
+        .join(cf.select(F.col("term").alias("ta"), F.col("cf").alias("cf_a")), "ta")
+        .join(cf.select(F.col("term").alias("tb"), F.col("cf").alias("cf_b")), "tb")
+        .crossJoin(F.broadcast(npairs))
+        .crossJoin(F.broadcast(ntok))
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(
+                    (F.col("c_ab") / F.col("n_pairs"))
+                    / ((F.col("cf_a") / F.col("n_tok")) * (F.col("cf_b") / F.col("n_tok")))
+                ),
+                6,
+            ),
+        )
+        .select("ta", "tb", "c_ab", "cf_a", "cf_b", "pmi")
+    )
+    top = scored.orderBy(
+        F.col("pmi").desc(), F.col("ta").asc(), F.col("tb").asc()
+    ).limit(PMI_TOPN)
+    wr = W.orderBy(F.col("pmi").desc(), F.col("ta").asc(), F.col("tb").asc())
+    return top.withColumn("rk", F.row_number().over(wr)).select(
+        "rk", "ta", "tb", "c_ab", "pmi"
+    )
+
+
+SQL_COOCCUR_PMI = f"""
+WITH toks AS ({SQL_DOC_TOKS}),
+pairs AS (
+  SELECT a.term AS ta, b.term AS tb
+  FROM toks a
+  JOIN toks b ON b.doc_id = a.doc_id
+             AND b.pos > a.pos AND b.pos <= a.pos + {PMI_DIST}
+),
+pc AS (
+  SELECT ta, tb, CAST(count(*) AS BIGINT) AS c_ab FROM pairs GROUP BY ta, tb
+),
+npairs AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n_pairs FROM pc),
+cf AS (SELECT term, CAST(count(*) AS BIGINT) AS cf FROM toks GROUP BY term),
+ntok AS (SELECT CAST(sum(cf) AS BIGINT) AS n_tok FROM cf),
+scored AS (
+  SELECT pc.ta, pc.tb, pc.c_ab,
+         round(ln((pc.c_ab * 1.0 / np.n_pairs)
+                / ((ca.cf * 1.0 / nt.n_tok) * (cb.cf * 1.0 / nt.n_tok))), 6)
+           AS pmi
+  FROM pc
+  JOIN cf ca ON ca.term = pc.ta
+  JOIN cf cb ON cb.term = pc.tb
+  CROSS JOIN npairs np CROSS JOIN ntok nt
+  WHERE pc.c_ab >= {PMI_MINC}
+)
+SELECT CAST(row_number() OVER (ORDER BY pmi DESC, ta ASC, tb ASC) AS INT) AS rk,
+       ta, tb, c_ab, pmi
+FROM scored
+ORDER BY rk LIMIT {PMI_TOPN}
+"""
+
+
+QUERIES = {
+    "ft_snippet_topk": (ft_snippet_topk, SQL_SNIPPET_TOPK),
+    "ft_keyword_extract": (ft_keyword_extract, SQL_KEYWORD_EXTRACT),
+    "ft_cooccur_pmi": (ft_cooccur_pmi, SQL_COOCCUR_PMI),
+}

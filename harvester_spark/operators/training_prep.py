@@ -426,3 +426,106 @@ FROM documents
 
 
 QUERIES["split_train_val"] = (split_train_val, _sql_split_train_val())
+
+
+# Exact stratified quota sampling (round-3 continuation): take EXACTLY
+# ceil(n_s * QUOTA_BP / 10000) docs per stratum (lang), the ones with the
+# smallest salted hashes — the "give me exactly X tokens of each domain"
+# selection real training mixes pin, where Bernoulli sampling
+# (domain_mixture_sample) only hits the quota in expectation.
+#
+# Scale shape — exact order statistics WITHOUT a full per-stratum sort:
+# 1. one cheap count agg per stratum (map-side combined);
+# 2. hashes are uniform on [0, 2^56), so the q_s-th smallest is
+#    concentrated near q_s/n_s * 2^56; filter to a 2x-expected cutoff —
+#    the candidate set is ~2*q_s rows, << n_s (Chernoff: the true quota
+#    set escapes the cutoff with prob < exp(-q_s/4));
+# 3. rank ONLY the candidates (per-stratum window over the pruned set)
+#    and keep rank <= q_s. A raise_error guard fails loudly if a stratum's
+#    candidate pool ever falls short of its quota (never silently
+#    under-sample), mirroring the winnowing pos-bound guard.
+# The oracle computes the TRUE order statistic over the full stratum; the
+# value-hash gate proves the pruned execution selects the identical set.
+
+QUOTA_BP = 1_000  # 10% per stratum
+QUOTA_SALT = "hs-quota-v1"
+_QUOTA_HSPACE = 1 << 56
+
+
+def stratified_quota_sample(spark, sf_dir):
+    from harvester_spark.operators.dedup import _hash56
+
+    docs = load(spark, sf_dir, "documents")
+    h = _hash56(
+        F.concat(F.lit(QUOTA_SALT + ":"), F.col("doc_id").cast("string"))
+    )
+    d = docs.select("doc_id", "lang", h.alias("h"))
+    quotas = d.groupBy("lang").agg(F.count("*").alias("n_s")).select(
+        "lang",
+        "n_s",
+        F.expr(f"(n_s * {QUOTA_BP} + 9999) DIV 10000").alias("q_s"),
+    )
+    # cutoff = 2x the expected q_s-th-smallest hash (integer arithmetic)
+    cutoff = (F.lit(_QUOTA_HSPACE) / F.col("n_s")).cast("long") * (
+        2 * F.col("q_s")
+    )
+    cand = d.join(F.broadcast(quotas.withColumn("cut", cutoff)), "lang").filter(
+        F.col("h") < F.col("cut")
+    )
+    wq = W.partitionBy("lang").orderBy(F.col("h").asc(), F.col("doc_id").asc())
+    ranked = cand.withColumn("rk", F.row_number().over(wq))
+    # Guard: every stratum's candidate pool must cover its quota. The guard
+    # frame is the PRESERVED side of a left join (one row per stratum,
+    # never empty), so it is evaluated even when the candidate set is empty
+    # — an inner join would let AQE prune the empty side and skip the
+    # raise_error, silently under-sampling (regression-tested).
+    pool = ranked.groupBy("lang").agg(F.max("rk").alias("pool"))
+    chk = quotas.join(pool, "lang", "left").select(
+        "lang",
+        F.when(
+            F.coalesce(F.col("pool"), F.lit(0)) >= F.col("q_s"), F.lit(1)
+        )
+        .otherwise(
+            F.raise_error(
+                F.lit("stratified_quota_sample: candidate pool under quota — widen cutoff")
+            )
+        )
+        .alias("ok"),
+    )
+    kept = ranked.filter(F.col("rk") <= F.col("q_s")).select(
+        "lang", "doc_id", F.col("rk").cast("long").alias("rk")
+    )
+    # guard passes ⇒ each stratum keeps q_s ≥ 1 rows, so the left join is
+    # row-identical to the inner join (no null padding to filter)
+    return (
+        chk.filter(F.col("ok") == 1)
+        .join(kept, "lang", "left")
+        .select("doc_id", "lang", "rk")
+    )
+
+
+def _sql_stratified_quota_sample() -> str:
+    from harvester_spark.operators.dedup import _SQL_HASH56
+
+    h = _SQL_HASH56.format(col=f"('{QUOTA_SALT}:' || CAST(doc_id AS VARCHAR))")
+    return f"""
+WITH d AS (SELECT doc_id, lang, {h} AS h FROM documents),
+q AS (
+  SELECT lang, (count(*) * {QUOTA_BP} + 9999) // 10000 AS q_s
+  FROM d GROUP BY lang
+),
+ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY h ASC, doc_id ASC) AS rk
+  FROM d
+)
+SELECT r.doc_id, r.lang, CAST(r.rk AS BIGINT) AS rk
+FROM ranked r JOIN q USING (lang)
+WHERE r.rk <= q.q_s
+"""
+
+
+QUERIES["stratified_quota_sample"] = (
+    stratified_quota_sample,
+    _sql_stratified_quota_sample(),
+)

@@ -1,0 +1,167 @@
+"""Semantics tests for the text-analytics operators (snippets, keywords,
+PMI) and the exact stratified quota sampler.
+
+The oracle-parity gate proves Spark==DuckDB on the corpus; these tests pin
+the semantics on crafted corpora where the right answer is known by hand,
+and guard the non-degeneracy of the corpus-level signals (an oracle can
+pass on a constant column and prove nothing).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from harvester_spark.operators import text_analytics as ta
+from harvester_spark.operators import training_prep as tp
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_TEST_DIR", "/root/testdata/sf0.001")
+
+
+def _mini_corpus(spark, tmp_root, name, rows):
+    """Write a crafted documents.parquet; rows = [(doc_id, text, lang)]."""
+    d = os.path.join(tmp_root, name)
+    spark.createDataFrame(
+        [(i, t, lang, "src", len(t)) for i, t, lang in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    return d
+
+
+class TestSnippets:
+    def test_adjacent_terms_win_and_text_matches(self, spark, tmp_root):
+        # doc 0: the three flagship terms adjacent at pos 2 — best window
+        # must anchor there with all 3 distinct terms; doc 1 carries the
+        # terms far apart, so its best window holds fewer distinct terms.
+        rows = [
+            (0, "aa bb key value table cc dd ee ff gg", "en"),
+            (1, "key aa bb cc dd ee ff gg hh ii jj kk value aa bb cc dd ee "
+                "ff gg hh ii jj kk table", "en"),
+        ]
+        sf = _mini_corpus(spark, tmp_root, "snip1", rows)
+        out = {r.doc_id: r for r in ta.ft_snippet_topk(spark, sf).collect()}
+        assert out[0].n_terms == 3
+        assert out[0].snip_start == 2
+        assert out[0].snippet == "key value table cc dd ee ff gg"
+        assert out[1].n_terms == 1  # gaps exceed the 8-token window
+
+    def test_tie_breaks_earliest_window(self, spark, tmp_root):
+        # doc 0: two (3-term, 3-hit) windows tie → earliest anchor wins;
+        # doc 1: a richer late window beats a poorer early one
+        rows = [
+            (0, "key value table xx yy zz ww vv uu tt key value table", "en"),
+            (1, "aa key bb cc dd ee ff gg hh ii jj kk key value table", "en"),
+        ]
+        sf = _mini_corpus(spark, tmp_root, "snip2", rows)
+        out = {r.doc_id: r for r in ta.ft_snippet_topk(spark, sf).collect()}
+        assert out[0].snip_start == 0 and out[0].n_terms == 3
+        assert out[1].snip_start == 12 and out[1].n_terms == 3
+
+    def test_window_truncates_at_doc_end(self, spark, tmp_root):
+        rows = [(0, "aa bb cc dd ee key value table", "en")]
+        sf = _mini_corpus(spark, tmp_root, "snip3", rows)
+        r = ta.ft_snippet_topk(spark, sf).collect()[0]
+        assert r.snip_start == 5
+        assert r.snippet == "key value table"  # only 3 tokens remain
+
+    def test_corpus_snippets_contain_a_query_term(self, spark):
+        rows = ta.ft_snippet_topk(spark, SF_DIR).collect()
+        assert len(rows) == 10
+        for r in rows:
+            assert any(t in r.snippet.split() for t in ta.BM25_TERMS)
+        # non-degenerate: the highlighter discriminates across result docs
+        assert len({r.snippet for r in rows}) > 1
+
+
+class TestKeywordExtract:
+    def test_rare_repeated_term_ranks_first(self, spark, tmp_root):
+        rows = [
+            (0, "zebra zebra zebra common common", "en"),
+            (1, "common common other words here", "en"),
+            (2, "common more filler text rows", "en"),
+        ]
+        sf = _mini_corpus(spark, tmp_root, "kw1", rows)
+        out = ta.ft_keyword_extract(spark, sf)
+        top0 = out.filter("doc_id = 0 and rk = 1").collect()[0]
+        assert top0.term == "zebra" and top0.tf == 3
+        # 'common' appears in every doc → idf ln(4/4)=0 → score 0, never #1
+        assert not out.filter("term = 'common' and rk = 1").collect()
+
+    def test_topn_is_totally_ordered(self, spark):
+        out = ta.ft_keyword_extract(spark, SF_DIR)
+        # rk is dense 1..KW_TOPN per doc, no duplicates
+        bad = (
+            out.groupBy("doc_id")
+            .agg(F.count("*").alias("c"), F.countDistinct("rk").alias("d"),
+                 F.max("rk").alias("m"))
+            .filter((F.col("c") != F.col("d")) | (F.col("m") > ta.KW_TOPN))
+        )
+        assert bad.count() == 0
+        # non-degenerate: scores vary across the corpus
+        assert out.select("score").distinct().count() > 1
+
+
+class TestCooccurPmi:
+    def test_collocation_beats_independent_pairs(self, spark, tmp_root):
+        # 'san francisco' always adjacent (6x) among independent filler —
+        # it must be the top PMI pair; fillers co-occur by chance only.
+        filler = "aa bb cc dd ee ff gg hh"
+        rows = [
+            (i, f"san francisco {filler[: 2 + 3 * (i % 5)]} san francisco", "en")
+            for i in range(3)
+        ]
+        sf = _mini_corpus(spark, tmp_root, "pmi1", rows)
+        top = ta.ft_cooccur_pmi(spark, sf).filter("rk = 1").collect()[0]
+        assert (top.ta, top.tb) == ("san", "francisco")
+        assert top.c_ab >= ta.PMI_MINC
+
+    def test_corpus_pmi_is_discriminating(self, spark):
+        rows = ta.ft_cooccur_pmi(spark, SF_DIR).collect()
+        assert len(rows) == ta.PMI_TOPN
+        assert len({r.pmi for r in rows}) > 1
+        assert all(r.c_ab >= ta.PMI_MINC for r in rows)
+
+
+class TestStratifiedQuotaSample:
+    def test_exact_quota_per_stratum(self, spark):
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        n_by_lang = {r.lang: r.c for r in
+                     docs.groupBy("lang").agg(F.count("*").alias("c")).collect()}
+        out = tp.stratified_quota_sample(spark, SF_DIR)
+        got = {r.lang: r.c for r in
+               out.groupBy("lang").agg(F.count("*").alias("c")).collect()}
+        for lang, n in n_by_lang.items():
+            want = (n * tp.QUOTA_BP + 9999) // 10000
+            assert got[lang] == want, (lang, n)
+
+    def test_selects_the_true_smallest_hashes(self, spark, tmp_root):
+        # brute-force twin on a crafted corpus: the pruned execution must
+        # pick exactly the quota-many smallest salted hashes per stratum
+        import hashlib
+
+        rows = [(i, f"doc {i} text", "en" if i % 3 else "nl") for i in range(200)]
+        sf = _mini_corpus(spark, tmp_root, "quota1", rows)
+
+        def h56(doc_id):
+            m = hashlib.md5(f"{tp.QUOTA_SALT}:{doc_id}".encode()).hexdigest()
+            return int(m[:14], 16)
+
+        want = set()
+        for lang in ("en", "nl"):
+            ids = sorted((h56(i), i) for i, _, l in rows if l == lang)
+            q = (len(ids) * tp.QUOTA_BP + 9999) // 10000
+            want |= {i for _, i in ids[:q]}
+        got = {r.doc_id for r in tp.stratified_quota_sample(spark, sf).collect()}
+        assert got == want
+
+    def test_guard_fires_on_undersized_candidate_pool(self, spark, tmp_root, monkeypatch):
+        # shrink the hash space constant → cutoff ~0 → empty candidate pool;
+        # the operator must FAIL LOUDLY, never silently under-sample (and
+        # this proves Catalyst cannot prune the raise_error guard away)
+        rows = [(i, f"doc {i}", "en") for i in range(50)]
+        sf = _mini_corpus(spark, tmp_root, "quota2", rows)
+        monkeypatch.setattr(tp, "_QUOTA_HSPACE", 1)
+        with pytest.raises(Exception, match="under quota"):
+            tp.stratified_quota_sample(spark, sf).collect()
