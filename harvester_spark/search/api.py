@@ -111,6 +111,7 @@ class SearchAPI:
         operator: str = "and",
         precise_total: bool = True,
         fetch_fields: tuple[str, ...] = (),
+        highlight: bool = False,
     ) -> dict:
         """``precise_total=False`` routes plain AND queries through the
         vectorized conjunctive block-max fast path (exact top-k, scored
@@ -141,6 +142,8 @@ class SearchAPI:
             records = topk.to_dict("records")
             if fetch_fields:
                 self._attach_fields(records, fetch_fields)
+            if highlight:
+                self._attach_highlights(records, query_text)
             out = {
                 "results": records,
                 "results_total": {
@@ -209,6 +212,8 @@ class SearchAPI:
             or_results = topk.to_dict("records")
             if fetch_fields:
                 self._attach_fields(or_results, fetch_fields)
+            if highlight:
+                self._attach_highlights(or_results, query_text)
             return {
                 "results": or_results,
                 # the accumulate strategy scores every match — exact total;
@@ -243,6 +248,8 @@ class SearchAPI:
         records = topk.to_dict("records")
         if fetch_fields:
             self._attach_fields(records, fetch_fields)
+        if highlight:
+            self._attach_highlights(records, query_text)
         out = {
             "results": records,
             "results_total": {"value": res.results_total, "is_precise": res.is_precise},
@@ -315,6 +322,21 @@ class SearchAPI:
         for r in records:
             extra = by_id.get(int(r["doc_id"]), {})
             r.update({k: v for k, v in extra.items() if k != "doc_id"})
+
+    def _attach_highlights(self, records: list[dict], query_text: str) -> None:
+        """Best-fragment ``<em>`` snippets on the k result docs (bounded text
+        point-fetch; semantics == operators.text_analytics.ft_snippet_topk —
+        see search/highlight.py for the shared window ranker)."""
+        from harvester_spark.search.highlight import highlight_text
+
+        if not records:
+            return
+        docs = self.fetch_documents([r["doc_id"] for r in records], ("text",))
+        text_by_id = {int(d["doc_id"]): d.get("text") for d in docs}
+        for r in records:
+            r["highlight"] = highlight_text(
+                text_by_id.get(int(r["doc_id"]), ""), query_text
+            )
 
     def _search_recency(self, query_text, k, page, lang, allowed, search_fn=None):
         """Bounded recency re-rank: fetch top-(page·k·4) by base score, boost,
