@@ -96,9 +96,16 @@ def process_webhook_batch(
     compact_ratio: float = COMPACT_DELTA_RATIO,
     keep_versions: int = 4,
     decompound_words=None,
+    dedup_content: bool = False,
 ) -> None:
     """One micro-batch: extract → merge → delta-index → promote →
-    (policy-triggered) compact + version GC."""
+    (policy-triggered) compact + version GC.
+
+    ``dedup_content=True`` turns on exact current-content dedup at the
+    ingest seam (streaming/content_dedup.py): pushes whose text already
+    lives in the corpus under a different srn are dropped before the merge
+    (bounded digest-partition probe + doc_id point verification — never a
+    corpus scan)."""
     recover_interrupted_compaction(index_dir)
     if batch_df.isEmpty():
         return
@@ -109,11 +116,32 @@ def process_webhook_batch(
     delta_corpus = batch_df.withColumn(
         "html", F.encode(F.col("html"), "UTF-8")
     ).cache()
+    cached_frames = []
     try:
         delta = normalize_delta(delta_corpus)
         base = spark.read.parquet(docs_catalog.current_dir())
+        if dedup_content:
+            from harvester_spark.streaming.content_dedup import (
+                ensure_digest_table,
+                filter_seen_content,
+            )
+
+            ensure_digest_table(spark, base, index_dir)
+            delta = delta.cache()
+            cached_frames.append(delta)
+            delta = filter_seen_content(
+                spark, delta, docs_catalog.current_dir(), index_dir
+            )
+            if delta.isEmpty():  # all pushes were duplicates: no-op batch
+                return
         merged = merge_documents(base, delta)
         fresh, tombstones = changed_and_deleted(base, merged)
+        if dedup_content:
+            # the digest append after promote must not recompute the merge
+            # (another base scan); fresh is batch-sized — cache it across
+            # the index apply
+            fresh = fresh.cache()
+            cached_frames.append(fresh)
         new_version = f"v{batch_id + 1:06d}"
         merged.write.mode("overwrite").parquet(docs_catalog.version_dir(new_version))
         merged_read = spark.read.parquet(docs_catalog.version_dir(new_version))
@@ -127,6 +155,12 @@ def process_webhook_batch(
             decompound_words=decompound_words,
         )
         docs_catalog.promote(new_version)  # atomic publish, last step
+        if dedup_content:
+            from harvester_spark.streaming.content_dedup import append_digests
+
+            # after promote: a crash here loses digest rows (future
+            # duplicates possible, false drops never); compaction heals
+            append_digests(spark, fresh, index_dir)
         if should_compact(index_dir, compact_max_deltas, compact_ratio):
             from harvester_spark.streaming.compaction import compact_in_place
 
@@ -139,8 +173,15 @@ def process_webhook_batch(
                 spark, index_dir, merged_read, decompound_words=decompound_words
             )
             docs_catalog.expire(keep=keep_versions)
+            if dedup_content:
+                from harvester_spark.streaming.content_dedup import build_digest_table
+
+                # GC stale sidecar rows + re-bound the file count
+                build_digest_table(spark, merged_read, index_dir)
     finally:
         delta_corpus.unpersist()
+        for f in cached_frames:
+            f.unpersist()
 
 
 def start_webhook_stream(
@@ -155,6 +196,7 @@ def start_webhook_stream(
     compact_ratio: float = COMPACT_DELTA_RATIO,
     keep_versions: int = 4,
     decompound_words=None,
+    dedup_content: bool = False,
 ):
     """Start the ingest stream over a JSON drop directory.
 
@@ -176,6 +218,7 @@ def start_webhook_stream(
             compact_ratio=compact_ratio,
             keep_versions=keep_versions,
             decompound_words=decompound_words,
+            dedup_content=dedup_content,
         )
     ).option("checkpointLocation", checkpoint_dir)
     if available_now:
