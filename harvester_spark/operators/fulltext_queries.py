@@ -138,10 +138,10 @@ def ft_bm25_topk(spark, sf_dir):
     return _ranked_top10(scored)
 
 
-def ft_bm25_or_topk(spark, sf_dir):
-    """Disjunctive (OR) BM25 top-10 — the relational twin of the engine's
-    block-max WAND serving path: same kernel, docs scored over whichever
-    query terms they contain."""
+def bm25_or_scored(spark, sf_dir):
+    """(doc_id, score) over whichever flagship terms a doc contains — the
+    disjunctive kernel shared by ft_bm25_or_topk and the hybrid-RRF fusion
+    (text_analytics.hybrid_rrf_topk). ONE BM25 formula repo-wide."""
     toks = doc_tokens(spark, sf_dir)
     docs_n = load(spark, sf_dir, "documents")
     dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
@@ -168,7 +168,14 @@ def ft_bm25_or_topk(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.round(F.sum("contrib"), 6).alias("score"))
     )
-    return _ranked_top10(scored)
+    return scored
+
+
+def ft_bm25_or_topk(spark, sf_dir):
+    """Disjunctive (OR) BM25 top-10 — the relational twin of the engine's
+    block-max WAND serving path: same kernel, docs scored over whichever
+    query terms they contain."""
+    return _ranked_top10(bm25_or_scored(spark, sf_dir))
 
 
 def ft_gopher_repetition(spark, sf_dir):

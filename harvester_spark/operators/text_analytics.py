@@ -304,3 +304,115 @@ QUERIES = {
     "ft_keyword_extract": (ft_keyword_extract, SQL_KEYWORD_EXTRACT),
     "ft_cooccur_pmi": (ft_cooccur_pmi, SQL_COOCCUR_PMI),
 }
+
+
+# ---------------------------------------------------- hybrid RRF retrieval
+
+# Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR'09): the
+# standard way modern search stacks combine a sparse (BM25) and a dense
+# (embedding-cosine) retriever without score calibration. Each doc's fused
+# score sums 1/(K + rank) over the lists that retrieved it (union
+# semantics: one-list docs keep their single term).
+#
+# Scale shape: each leg is the repo's existing ranked retriever — the
+# sparse leg is the shared BM25-OR kernel (TakeOrdered-style rank <= N),
+# the dense leg is cosine vs the query vector (the labeled brute-force
+# baseline here; the IVF/LSH operators are the candidate-generation scale
+# path and plug in unchanged since fusion only consumes (doc, rank)). The
+# fusion itself is a full-outer join of two <=N-row frames — negligible.
+
+RRF_K = 60
+RRF_N = 50   # depth of each retriever's list
+RRF_TOPN = 20
+RRF_QID = 0  # the dense leg's query vector
+
+
+def hybrid_rrf_topk(spark, sf_dir):
+    from harvester_spark.operators.fulltext_queries import bm25_or_scored
+    from harvester_spark.operators.similarity import _pairwise_cosine
+
+    # each leg: distributed TakeOrderedAndProject to N rows FIRST, then a
+    # window over the N survivors only (the _ranked_top10 pattern — a global
+    # row_number before the limit would single-partition the whole corpus)
+    wb = W.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    bm = (
+        bm25_or_scored(spark, sf_dir)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(RRF_N)
+        .withColumn("r_bm", F.row_number().over(wb))
+        .select("doc_id", "r_bm")
+    )
+    wc = W.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    cs = (
+        _pairwise_cosine(spark, sf_dir)
+        .filter(F.col("qid") == RRF_QID)
+        .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+        .limit(RRF_N)
+        .withColumn("r_cos", F.row_number().over(wc))
+        .select(F.col("vec_id").alias("doc_id"), "r_cos")
+    )
+    fused = bm.join(cs, "doc_id", "full").withColumn(
+        "rrf",
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("r_bm")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("r_cos")), F.lit(0.0)),
+            6,
+        ),
+    )
+    top = fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc()).limit(RRF_TOPN)
+    wr = W.orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(wr)).select(
+        "rank", "doc_id", "rrf", "r_bm", "r_cos"
+    )
+
+
+def _sql_hybrid_rrf() -> str:
+    from harvester_spark.operators.similarity import _SQL_PAIRWISE
+
+    return f"""
+WITH toks AS ({SQL_DOC_TOKS}),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) * 1.0 / count(*) FROM dl) AS avgdl
+),
+tf AS (
+  SELECT term, doc_id, count(*) AS tf FROM toks
+  WHERE term IN ('key', 'value', 'table') GROUP BY term, doc_id
+),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         round(sum(
+           ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+         ), 6) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+bm AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS r_bm
+  FROM scored QUALIFY r_bm <= {RRF_N}
+),
+{_SQL_PAIRWISE},
+cosr AS (
+  SELECT vec_id AS doc_id,
+         CAST(row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS INT) AS r_cos
+  FROM cosine WHERE qid = {RRF_QID} QUALIFY r_cos <= {RRF_N}
+),
+fused AS (
+  SELECT doc_id, bm.r_bm, cosr.r_cos,
+         round(coalesce(1.0 / ({RRF_K} + bm.r_bm), 0)
+             + coalesce(1.0 / ({RRF_K} + cosr.r_cos), 0), 6) AS rrf
+  FROM bm FULL JOIN cosr USING (doc_id)
+)
+SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS INT) AS rank,
+       doc_id, rrf, r_bm, r_cos
+FROM fused
+ORDER BY rank LIMIT {RRF_TOPN}
+"""
+
+
+QUERIES["hybrid_rrf_topk"] = (hybrid_rrf_topk, _sql_hybrid_rrf())

@@ -165,3 +165,26 @@ class TestStratifiedQuotaSample:
         monkeypatch.setattr(tp, "_QUOTA_HSPACE", 1)
         with pytest.raises(Exception, match="under quota"):
             tp.stratified_quota_sample(spark, sf).collect()
+
+
+class TestHybridRrf:
+    def test_fusion_math_and_union_semantics(self, spark):
+        rows = ta.hybrid_rrf_topk(spark, SF_DIR).collect()
+        assert len(rows) == ta.RRF_TOPN
+        assert [r.rank for r in rows] == list(range(1, ta.RRF_TOPN + 1))
+        # rrf is exactly the sum of the reciprocal-rank terms of the legs
+        # that retrieved the doc (union semantics: missing leg adds 0)
+        for r in rows:
+            want = 0.0
+            if r.r_bm is not None:
+                want += 1.0 / (ta.RRF_K + r.r_bm)
+            if r.r_cos is not None:
+                want += 1.0 / (ta.RRF_K + r.r_cos)
+            assert r.rrf == round(want, 6)
+            assert r.r_bm is not None or r.r_cos is not None
+        # non-degenerate: both retrievers contribute to the fused list
+        assert any(r.r_bm is not None for r in rows)
+        assert any(r.r_cos is not None for r in rows)
+        # ordering: rrf strictly non-increasing, ties broken by doc_id
+        for a, b in zip(rows, rows[1:]):
+            assert (a.rrf, -a.doc_id) >= (b.rrf, -b.doc_id) or a.rrf > b.rrf
