@@ -62,6 +62,11 @@ HEADLINE = [
     "pii_redact",
     "gopher_rules",
     "ft_winnow_fingerprints",
+    # round-3 session 2: search surfaces (prune-first highlighter, RRF
+    # fusion of the BM25 and cosine legs) + exact quota sampling
+    "ft_snippet_topk",
+    "hybrid_rrf_topk",
+    "stratified_quota_sample",
 ]
 WARMUP_DOCS = 2000
 
