@@ -67,6 +67,7 @@ HEADLINE = [
     "ft_snippet_topk",
     "hybrid_rrf_topk",
     "stratified_quota_sample",
+    "events_sessionize",
 ]
 WARMUP_DOCS = 2000
 

@@ -533,3 +533,80 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 QUERIES["a9_rollup_revenue"] = (a9_rollup_revenue, SQL_A9)
+
+
+# Batch gap-sessionization over events — the distributed twin of the
+# streaming stateful operator (streaming/sessionize.py, same 30-minute
+# inactivity gap). With the streaming path's pandas oracle and this
+# operator's DuckDB oracle, one contract is checked four ways:
+# applyInPandasWithState == pandas fold == Spark window job == SQL
+# (tests/test_text_analytics.py::TestEventsSessionize closes the square).
+#
+# Scale shape: ONE shuffle on user_id; both windows (lag, running sum) and
+# the final groupBy reuse that partitioning (no second exchange — the
+# classic sessionization plan). Millisecond integer arithmetic end to end:
+# epoch-ms lag for the gap test, exact BIGINT sums, money as integer cents.
+
+SESSION_GAP_MS = 30 * 60 * 1000  # == streaming/sessionize.GAP_MINUTES
+
+
+def events_sessionize(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    ).withColumn(
+        # ts is TIMESTAMP_NTZ; the session tz is pinned UTC (session.py), so
+        # the cast keeps wall time == UTC epoch — identical to DuckDB's
+        # naive-as-UTC epoch_ms
+        "tms",
+        F.unix_millis(F.col("ts").cast("timestamp")),
+    )
+    w = W.partitionBy("user_id").orderBy(F.col("tms").asc(), F.col("event_id").asc())
+    prev = F.lag("tms").over(w)
+    is_new = F.when(
+        prev.isNull() | ((F.col("tms") - prev) > SESSION_GAP_MS), 1
+    ).otherwise(0)
+    run = (
+        ev.withColumn("is_new", is_new)
+        .withColumn(
+            "session_seq",
+            F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, 0)),
+        )
+    )
+    return run.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.sum(cents("value")).alias("value_cents"),
+        (F.max("tms") - F.min("tms")).alias("duration_ms"),
+    )
+
+
+SQL_EVENTS_SESSIONIZE = f"""
+WITH ev AS (
+  SELECT user_id, ts, event_id, value, epoch_ms(ts) AS tms FROM events
+),
+flagged AS (
+  SELECT *,
+         CASE WHEN lag(tms) OVER w IS NULL
+                OR tms - lag(tms) OVER w > {30 * 60 * 1000}
+              THEN 1 ELSE 0 END AS is_new
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY tms ASC, event_id ASC)
+),
+runs AS (
+  SELECT *,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY tms ASC, event_id ASC
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum({sql_cents('value')}) AS BIGINT) AS value_cents,
+       CAST(max(tms) - min(tms) AS BIGINT) AS duration_ms
+FROM runs
+GROUP BY user_id, session_seq
+"""
+
+QUERIES["events_sessionize"] = (events_sessionize, SQL_EVENTS_SESSIONIZE)

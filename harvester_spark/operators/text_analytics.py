@@ -43,7 +43,11 @@ def ft_snippet_topk(spark, sf_dir):
     size — the highlighter never rescans the corpus. The window join is a
     doc-local position band (no cartesian), like the sloppy-phrase kernel.
     """
-    top = ft_bm25_topk(spark, sf_dir)  # rank, doc_id, score
+    # materialize the 10-row ranking ONCE (bounded collect, the serving
+    # path's bounded-rerank contract) — it is consumed by three joins below
+    # and re-deriving it would re-scan the corpus each time
+    tdf = ft_bm25_topk(spark, sf_dir)  # rank, doc_id, score
+    top = spark.createDataFrame(tdf.collect(), tdf.schema)
     ids = F.broadcast(top.select("doc_id"))
     toks = doc_tokens(spark, sf_dir).join(ids, "doc_id", "semi")
     hits = toks.filter(F.col("term").isin(BM25_TERMS)).select(

@@ -188,3 +188,59 @@ class TestHybridRrf:
         # ordering: rrf strictly non-increasing, ties broken by doc_id
         for a, b in zip(rows, rows[1:]):
             assert (a.rrf, -a.doc_id) >= (b.rrf, -b.doc_id) or a.rrf > b.rrf
+
+
+class TestEventsSessionize:
+    def test_matches_streaming_pandas_oracle(self, spark):
+        """Four-way triangulation closure: the distributed batch sessionizer
+        must produce the same session boundaries as the streaming operator's
+        pure-pandas reference (which the applyInPandasWithState path is
+        already tested against), on the real events table."""
+        import pandas as pd
+
+        from harvester_spark.operators.relational import events_sessionize
+        from harvester_spark.streaming.sessionize import sessionize_batch_oracle
+
+        got = (
+            events_sessionize(spark, SF_DIR)
+            .select("user_id", "session_start", "session_end", "n_events")
+            .toPandas()
+            .sort_values(["user_id", "session_start"])
+            .reset_index(drop=True)
+        )
+        pdf = pd.read_parquet(f"{SF_DIR}/events.parquet")[["user_id", "ts", "value"]]
+        # the pandas oracle expects ns-resolution datetimes (its int64 // 1000
+        # -> us); parquet reads as datetime64[us] under pandas 2
+        pdf["ts"] = pdf["ts"].astype("datetime64[ns]")
+        want = (
+            sessionize_batch_oracle(pdf)[
+                ["user_id", "session_start", "session_end", "n_events"]
+            ]
+            .sort_values(["user_id", "session_start"])
+            .reset_index(drop=True)
+        )
+        got["n_events"] = got["n_events"].astype("int64")
+        want["n_events"] = want["n_events"].astype("int64")
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_sessions_are_gap_separated_and_internally_dense(self, spark):
+        from harvester_spark.operators.relational import (
+            SESSION_GAP_MS,
+            events_sessionize,
+        )
+
+        out = events_sessionize(spark, SF_DIR).toPandas()
+        # session_seq dense per user; consecutive sessions separated > gap
+        for _uid, g in out.groupby("user_id"):
+            g = g.sort_values("session_seq")
+            assert list(g["session_seq"]) == list(range(1, len(g) + 1))
+            prev_end = None
+            for r in g.itertuples(index=False):
+                assert r.session_end >= r.session_start
+                if prev_end is not None:
+                    gap_ms = (r.session_start - prev_end).total_seconds() * 1000
+                    assert gap_ms > SESSION_GAP_MS
+                prev_end = r.session_end
+        # non-degenerate: multi-event sessions AND multi-session users exist
+        assert (out["n_events"] > 1).any()
+        assert out.groupby("user_id").size().max() > 1
