@@ -428,28 +428,36 @@ FROM documents
 QUERIES["split_train_val"] = (split_train_val, _sql_split_train_val())
 
 
-# Exact stratified quota sampling (round-3 continuation): take EXACTLY
-# ceil(n_s * QUOTA_BP / 10000) docs per stratum (lang), the ones with the
-# smallest salted hashes — the "give me exactly X tokens of each domain"
-# selection real training mixes pin, where Bernoulli sampling
-# (domain_mixture_sample) only hits the quota in expectation.
+# Exact stratified quota sampling: take EXACTLY ceil(n_s * QUOTA_BP / 10000)
+# docs per stratum (lang), the ones with the smallest salted hashes — the
+# "give me exactly X tokens of each domain" selection real training mixes
+# pin, where Bernoulli sampling (domain_mixture_sample) only hits the quota
+# in expectation.
 #
-# Scale shape — exact order statistics WITHOUT a full per-stratum sort:
-# 1. one cheap count agg per stratum (map-side combined);
-# 2. hashes are uniform on [0, 2^56), so the q_s-th smallest is
-#    concentrated near q_s/n_s * 2^56; filter to a 2x-expected cutoff —
-#    the candidate set is ~2*q_s rows, << n_s (Chernoff: the true quota
-#    set escapes the cutoff with prob < exp(-q_s/4));
-# 3. rank ONLY the candidates (per-stratum window over the pruned set)
-#    and keep rank <= q_s. A raise_error guard fails loudly if a stratum's
-#    candidate pool ever falls short of its quota (never silently
-#    under-sample), mirroring the winnowing pos-bound guard.
-# The oracle computes the TRUE order statistic over the full stratum; the
-# value-hash gate proves the pruned execution selects the identical set.
+# Scale shape — DISTRIBUTED exact order-statistic selection, no per-stratum
+# sort anywhere (the first cut of this operator ranked a ~2*quota candidate
+# set in one per-stratum window partition; at a 10% quota that is n/5 rows
+# on one executor — fixed):
+# 1. one count agg per stratum (map-side combined);
+# 2. hashes are uniform on [0, 2^56), so the q_s-th smallest concentrates
+#    near q_s/n_s * 2^56; filter to a 2x-expected cutoff — the candidate
+#    set is ~2*q_s rows (Chernoff: the true quota set escapes the cutoff
+#    with prob < exp(-q_s/4); shortfall raises, never under-samples);
+# 3. histogram the candidates into 4096 hash-range buckets per stratum (one
+#    map-side agg, <= strata x 4096 rows to the driver), cumulative-sum on
+#    the driver to locate each stratum's BOUNDARY bucket: buckets wholly
+#    below it are kept outright (map-only broadcast-join filter), buckets
+#    above dropped, and ONLY the boundary bucket — ~|cand|/4096 rows — is
+#    ranked exactly by (h, doc_id) to take its remaining
+#    q_s - cum_below slots.
+# The oracle computes the TRUE order statistic over the full stratum with a
+# plain window; the value-hash gate proves the bucketed execution selects
+# the identical set.
 
 QUOTA_BP = 1_000  # 10% per stratum
 QUOTA_SALT = "hs-quota-v1"
 _QUOTA_HSPACE = 1 << 56
+_QUOTA_BUCKETS = 4096
 
 
 def stratified_quota_sample(spark, sf_dir):
@@ -460,48 +468,73 @@ def stratified_quota_sample(spark, sf_dir):
         F.concat(F.lit(QUOTA_SALT + ":"), F.col("doc_id").cast("string"))
     )
     d = docs.select("doc_id", "lang", h.alias("h"))
-    quotas = d.groupBy("lang").agg(F.count("*").alias("n_s")).select(
-        "lang",
-        "n_s",
-        F.expr(f"(n_s * {QUOTA_BP} + 9999) DIV 10000").alias("q_s"),
-    )
-    # cutoff = 2x the expected q_s-th-smallest hash (integer arithmetic)
-    cutoff = (F.lit(_QUOTA_HSPACE) / F.col("n_s")).cast("long") * (
-        2 * F.col("q_s")
-    )
-    cand = d.join(F.broadcast(quotas.withColumn("cut", cutoff)), "lang").filter(
-        F.col("h") < F.col("cut")
-    )
-    wq = W.partitionBy("lang").orderBy(F.col("h").asc(), F.col("doc_id").asc())
-    ranked = cand.withColumn("rk", F.row_number().over(wq))
-    # Guard: every stratum's candidate pool must cover its quota. The guard
-    # frame is the PRESERVED side of a left join (one row per stratum,
-    # never empty), so it is evaluated even when the candidate set is empty
-    # — an inner join would let AQE prune the empty side and skip the
-    # raise_error, silently under-sampling (regression-tested).
-    pool = ranked.groupBy("lang").agg(F.max("rk").alias("pool"))
-    chk = quotas.join(pool, "lang", "left").select(
-        "lang",
-        F.when(
-            F.coalesce(F.col("pool"), F.lit(0)) >= F.col("q_s"), F.lit(1)
+    counts = {
+        r["lang"]: r["n_s"]
+        for r in d.groupBy("lang").agg(F.count("*").alias("n_s")).collect()
+    }
+    quotas = {
+        lang: (n * QUOTA_BP + 9_999) // 10_000 for lang, n in counts.items() if n > 0
+    }
+    # 2x-expected-order-statistic cutoff per stratum (driver arithmetic —
+    # exact Python ints, no float rounding)
+    cuts = {
+        lang: min(_QUOTA_HSPACE, (_QUOTA_HSPACE // counts[lang]) * 2 * q)
+        for lang, q in quotas.items()
+    }
+    cut_df = F.broadcast(
+        spark.createDataFrame(
+            [(lang, c) for lang, c in sorted(cuts.items())], "lang string, cut long"
         )
-        .otherwise(
-            F.raise_error(
-                F.lit("stratified_quota_sample: candidate pool under quota — widen cutoff")
+    )
+    bwidth = _QUOTA_HSPACE // _QUOTA_BUCKETS
+    cand = (
+        d.join(cut_df, "lang")
+        .filter(F.col("h") < F.col("cut"))
+        .withColumn("bkt", (F.col("h") / bwidth).cast("long"))
+    )
+    hist = {
+        (r["lang"], r["bkt"]): r["c"]
+        for r in cand.groupBy("lang", "bkt").agg(F.count("*").alias("c")).collect()
+    }
+    # driver cumsum: per stratum, find the boundary bucket and the number of
+    # slots it contributes; buckets below are kept wholesale
+    keep_below: list[tuple[str, int]] = []   # (lang, boundary_bkt)
+    boundary: list[tuple[str, int, int]] = []  # (lang, boundary_bkt, slots)
+    for lang, q in quotas.items():
+        cum = 0
+        bks = sorted(b for (l, b) in hist if l == lang)
+        found = False
+        for b in bks:
+            c = hist[(lang, b)]
+            if cum + c >= q:
+                keep_below.append((lang, b))
+                if q - cum > 0:
+                    boundary.append((lang, b, q - cum))
+                found = True
+                break
+            cum += c
+        if not found:
+            raise ValueError(
+                f"stratified_quota_sample: candidate pool under quota for "
+                f"stratum {lang!r} ({cum} < {q}) — widen cutoff"
             )
+    kb_df = F.broadcast(
+        spark.createDataFrame(keep_below, "lang string, bbkt long")
+    )
+    whole = cand.join(kb_df, "lang").filter(F.col("bkt") < F.col("bbkt"))
+    bd_df = F.broadcast(
+        spark.createDataFrame(boundary, "blang string, bbkt long, slots long")
+    )
+    wq = W.partitionBy("lang", "bkt").orderBy(F.col("h").asc(), F.col("doc_id").asc())
+    edge = (
+        cand.join(
+            bd_df,
+            (F.col("lang") == F.col("blang")) & (F.col("bkt") == F.col("bbkt")),
         )
-        .alias("ok"),
+        .withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= F.col("slots"))
     )
-    kept = ranked.filter(F.col("rk") <= F.col("q_s")).select(
-        "lang", "doc_id", F.col("rk").cast("long").alias("rk")
-    )
-    # guard passes ⇒ each stratum keeps q_s ≥ 1 rows, so the left join is
-    # row-identical to the inner join (no null padding to filter)
-    return (
-        chk.filter(F.col("ok") == 1)
-        .join(kept, "lang", "left")
-        .select("doc_id", "lang", "rk")
-    )
+    return whole.select("doc_id", "lang").unionByName(edge.select("doc_id", "lang"))
 
 
 def _sql_stratified_quota_sample() -> str:
@@ -519,7 +552,7 @@ ranked AS (
          row_number() OVER (PARTITION BY lang ORDER BY h ASC, doc_id ASC) AS rk
   FROM d
 )
-SELECT r.doc_id, r.lang, CAST(r.rk AS BIGINT) AS rk
+SELECT r.doc_id, r.lang
 FROM ranked r JOIN q USING (lang)
 WHERE r.rk <= q.q_s
 """

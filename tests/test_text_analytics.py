@@ -158,8 +158,8 @@ class TestStratifiedQuotaSample:
 
     def test_guard_fires_on_undersized_candidate_pool(self, spark, tmp_root, monkeypatch):
         # shrink the hash space constant → cutoff ~0 → empty candidate pool;
-        # the operator must FAIL LOUDLY, never silently under-sample (and
-        # this proves Catalyst cannot prune the raise_error guard away)
+        # the operator must FAIL LOUDLY, never silently under-sample (the
+        # driver-side cumsum sees the shortfall and raises)
         rows = [(i, f"doc {i}", "en") for i in range(50)]
         sf = _mini_corpus(spark, tmp_root, "quota2", rows)
         monkeypatch.setattr(tp, "_QUOTA_HSPACE", 1)
