@@ -257,3 +257,39 @@ def test_curation_aggregates_have_no_cartesian(spark):
         plan = _plan(fn(spark, SF_DIR))
         assert "CartesianProduct" not in plan, fn.__name__
         assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+
+
+@pytest.mark.parametrize(
+    "opname", ["ft_snippet_topk", "ft_cooccur_pmi", "hybrid_rrf_topk"]
+)
+def test_text_analytics_no_cartesian(spark, opname):
+    """Session-2 operators: the snippet hit-window join and the PMI pair
+    join are doc-local position bands (doc_id equi + range condition); the
+    RRF legs join on doc_id. 1-row broadcast stats crossJoins are fine
+    (BroadcastNestedLoopJoin over a single row), a CartesianProduct between
+    data-sized sides is not."""
+    from harvester_spark.operators import text_analytics
+
+    df = getattr(text_analytics, opname)(spark, SF_DIR)
+    df.count()
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, opname
+    for line in plan.splitlines():
+        if "SortMergeJoin" in line or "ShuffledHashJoin" in line:
+            assert "doc_id" in line or "term" in line or "vec_id" in line or "pos" in line, line
+
+
+def test_quota_sampler_has_no_perstratum_sort(spark):
+    """The quota sampler's only window must be the boundary-bucket one
+    (partitioned by (lang, bkt)) — never a per-stratum global rank, and no
+    global sort of the candidate set."""
+    from harvester_spark.operators import training_prep
+
+    df = training_prep.stratified_quota_sample(spark, SF_DIR)
+    df.count()
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "Window" in line and "row_number" in line:
+            # the ranking window is keyed by BOTH lang and the hash bucket
+            assert "lang" in line and "bkt" in line, line
