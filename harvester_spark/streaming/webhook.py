@@ -143,7 +143,12 @@ def process_webhook_batch(
             fresh = fresh.cache()
             cached_frames.append(fresh)
         new_version = f"v{batch_id + 1:06d}"
-        merged.write.mode("overwrite").parquet(docs_catalog.version_dir(new_version))
+        # small row groups: the versioned documents table serves point
+        # lookups (fetch_fields / highlight / content-dedup verification) —
+        # see pipeline.run_build for the measured rationale
+        merged.write.mode("overwrite").option(
+            "parquet.block.size", 4 * 1024 * 1024
+        ).parquet(docs_catalog.version_dir(new_version))
         merged_read = spark.read.parquet(docs_catalog.version_dir(new_version))
         apply_index_delta(
             spark,

@@ -130,6 +130,13 @@ def main() -> None:
     res["did_you_mean_cold"] = round(time.time() - t1, 3)
     res["did_you_mean"] = t(api.did_you_mean, "w0501x")
     res["autocomplete_prefix"] = t(api.autocomplete, "w049", 10)
+    # highlight cost at 2M docs: bounded by the k result docs (one pyarrow
+    # text point-fetch + O(hits x window) per doc) — the delta vs the plain
+    # search row IS the highlighter
+    res["search_and_k10"] = t(api.search, "w00000 w00001", 10)
+    res["search_and_k10_highlight"] = t(
+        api.search, "w00000 w00001", 10, highlight=True
+    )
     res["fuzzy_1edit_warm"] = t(sqs_search, s, "w0499x~1", 10)
 
     # fast path must agree with the exact ranking
