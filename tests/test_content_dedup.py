@@ -183,3 +183,36 @@ def test_digest_sidecar_is_partition_pruned(spark, env):
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "dp" in m.group(1) and "IN" in m.group(1), plan
+
+
+def test_stream_level_flag_plumbs_through(spark, tmp_root):
+    """dedup_content must reach the foreachBatch loop through
+    start_webhook_stream: a drop-dir batch with one duplicate-of-base push
+    and one novel push ingests only the novel one."""
+    import json
+
+    from harvester_spark.streaming.webhook import start_webhook_stream
+
+    catalog, index_dir = _setup(spark, tmp_root, "cdedup_stream", n_docs=20)
+    doc0 = corpus_pdf([0]).iloc[0]
+    drop = os.path.join(tmp_root, "cdedup_stream", "drop")
+    os.makedirs(drop, exist_ok=True)
+    rows = [
+        {"url": "https://example.org/alpha/70000051",
+         "warc_ts": "2024-06-01T00:00:00.000Z",
+         "html": doc0.html.decode("utf-8"), "lang": doc0.lang, "deleted": False},
+        {"url": "https://example.org/alpha/70000052",
+         "warc_ts": "2024-06-01T00:00:00.000Z",
+         "html": "<p>streamed novel capybara text</p>", "lang": "en",
+         "deleted": False},
+    ]
+    with open(os.path.join(drop, "batch1.json"), "w") as f:
+        f.write("\n".join(json.dumps(r) for r in rows))
+    q = start_webhook_stream(
+        spark, drop, catalog, index_dir,
+        os.path.join(tmp_root, "cdedup_stream", "ckpt"),
+        available_now=True, dedup_content=True,
+    )
+    q.awaitTermination(120)
+    assert not _has_url(spark, catalog, rows[0]["url"])  # duplicate dropped
+    assert _has_url(spark, catalog, rows[1]["url"])      # novel kept
