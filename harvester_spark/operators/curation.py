@@ -32,7 +32,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
-from harvester_spark.operators.common import SQL_DOC_TOKS, doc_tokens, load
+from harvester_spark.analysis import tokens_column
+from harvester_spark.operators.common import SQL_DOC_TOKS, SQL_TOKS, doc_tokens, load
+from harvester_spark.operators.dedup import _SQL_HASH56, _hash56
 from harvester_spark.operators.fulltext_queries import _EN_MARKERS, _sql_in
 
 # ---------------------------------------------------------------- PII redact
@@ -369,10 +371,114 @@ FROM feat
 """
 
 
+# ------------------------------------- hashed linear quality classifier
+
+# fastText-style model-based quality scoring (the CCNet / GPT-3 "looks like
+# reference text" filter): hashing-trick features (unigrams + word bigrams,
+# fastText wordNgrams=2) → bucketed weight lookup → mean-pooled logit.
+# The weight table is synthesized deterministically from the bucket index
+# (Knuth multiplicative hash onto a symmetric integer range) — the sandbox
+# stand-in for trained weights; the Spark-side structure (feature hashing,
+# weight application, pooling, thresholding) is the real pipeline stage.
+# All arithmetic is EXACT int64 until the final reporting division: the
+# decision is made on the integer logit sum (sigmoid is monotone, so
+# thresholding the logit == thresholding the probability).
+CLS_BUCKETS = 4096
+CLS_KNUTH = 2654435761  # Knuth's 2^32 multiplicative constant
+CLS_WMOD = 2_000_001  # weight range [-1e6, 1e6] milli-units after the shift
+CLS_WOFF = 1_000_000
+
+
+def classifier_features(toks: F.Column) -> F.Column:
+    """Unigrams ++ adjacent-word bigrams ('a_b') from a token array.
+    zip_with pads the shifted copy with null → the dangling last pair
+    concats to null and is filtered; no length branching needed."""
+    shifted = F.slice(toks, 2, F.greatest(F.size(toks), F.lit(1)))
+    bigrams = F.filter(
+        F.zip_with(toks, shifted, lambda a, b: F.concat(a, F.lit("_"), b)),
+        lambda x: x.isNotNull(),
+    )
+    return F.concat(toks, bigrams)
+
+
+def classifier_weight(feat: F.Column) -> F.Column:
+    """Deterministic bucket weight in [-1e6, 1e6] (integer milli-units)."""
+    bucket = _hash56(feat) % CLS_BUCKETS
+    return (bucket * CLS_KNUTH) % CLS_WMOD - CLS_WOFF
+
+
+def quality_classifier_score(spark, sf_dir) -> DataFrame:
+    """Per-doc classifier verdict: feature count, exact integer logit sum,
+    mean-pooled score (reporting only, round 6), keep = logit >= 0.
+
+    Scale shape: ZERO shuffles — tokenize, feature expansion, hashing,
+    weight lookup and pooling are all array expressions inside one
+    whole-stage-codegen map over the documents scan (classifier scoring is
+    embarrassingly parallel; this is the plan a 100 TB filter pass needs).
+    tests/test_scale_plans.py asserts the no-Exchange plan."""
+    docs = load(spark, sf_dir, "documents")
+    feats = classifier_features(tokens_column(F.col("text")))
+    weights = F.transform(feats, classifier_weight)
+    logit = F.aggregate(
+        weights, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    out = docs.select(
+        "doc_id",
+        F.size(feats).cast("long").alias("n_feats"),
+        logit.alias("logit_sum_milli"),
+    )
+    score = F.when(F.col("n_feats") == 0, F.lit(0.0)).otherwise(
+        F.round(F.col("logit_sum_milli") / (F.col("n_feats") * 1_000_000.0), 6)
+    )
+    return out.select(
+        "doc_id",
+        "n_feats",
+        "logit_sum_milli",
+        score.alias("score"),
+        ((F.col("n_feats") > 0) & (F.col("logit_sum_milli") >= 0)).alias("keep"),
+    )
+
+
+_SQL_CLS_W = (
+    f"(({_SQL_HASH56.format(col='f')} % {CLS_BUCKETS}) * {CLS_KNUTH})"
+    f" % {CLS_WMOD} - {CLS_WOFF}"
+)
+
+SQL_QUALITY_CLASSIFIER = f"""
+WITH base AS (
+  SELECT doc_id, {SQL_TOKS.format(col='text')} AS toks FROM documents
+),
+feats AS (
+  SELECT doc_id,
+         list_concat(
+           toks,
+           list_transform(range(1, greatest(len(toks), 1)),
+                          i -> toks[i] || '_' || toks[i + 1])
+         ) AS fs
+  FROM base
+),
+scored AS (
+  SELECT doc_id,
+         CAST(len(fs) AS BIGINT) AS n_feats,
+         CAST(coalesce(
+           list_aggregate(list_transform(fs, f -> {_SQL_CLS_W}), 'sum'), 0)
+         AS BIGINT) AS logit_sum_milli
+  FROM feats
+)
+SELECT doc_id, n_feats, logit_sum_milli,
+       CASE WHEN n_feats = 0 THEN 0.0
+            ELSE round(logit_sum_milli / (n_feats * 1000000.0), 6)
+       END AS score,
+       (n_feats > 0 AND logit_sum_milli >= 0) AS keep
+FROM scored
+"""
+
+
 QUERIES = {
     "pii_redact": (pii_redact, SQL_PII_REDACT),
     "url_canonical_dedup": (url_canonical_dedup, SQL_URL_CANONICAL_DEDUP),
     "gopher_rules": (gopher_rules, SQL_GOPHER_RULES),
+    "quality_classifier_score": (quality_classifier_score, SQL_QUALITY_CLASSIFIER),
 }
 
 

@@ -374,3 +374,75 @@ def test_winnowing_triangulates_against_classic_algorithm(spark, tmp_path):
     for i, t in enumerate(texts):
         want = classic(t.split()) if t else set()
         assert got.get(i, set()) == want, (i, t)
+
+
+class TestQualityClassifier:
+    """The hashed-linear classifier's semantics on crafted inputs (the
+    oracle gate proves Spark==DuckDB; these pin WHAT is computed)."""
+
+    def _score(self, spark, tmp_path, texts):
+        import pandas as pd
+        from harvester_spark.operators.curation import quality_classifier_score
+
+        import os
+
+        pdf = pd.DataFrame(
+            {"doc_id": range(len(texts)), "text": texts, "lang": "en",
+             "source": "t", "n_chars": [len(t) for t in texts]}
+        )
+        d = str(tmp_path / "cls")
+        os.makedirs(d, exist_ok=True)
+        pdf.to_parquet(f"{d}/documents.parquet", index=False)
+        return {
+            r["doc_id"]: r
+            for r in quality_classifier_score(spark, d).collect()
+        }
+
+    def test_weight_matches_hashlib(self, spark, tmp_path):
+        # single-token doc: logit == the bucket weight of that unigram,
+        # recomputed here from first principles (md5 → 56-bit int → bucket
+        # → Knuth-shifted weight)
+        import hashlib
+        from harvester_spark.operators.curation import (
+            CLS_BUCKETS, CLS_KNUTH, CLS_WMOD, CLS_WOFF,
+        )
+
+        tok = "spark"
+        h56 = int(hashlib.md5(tok.encode()).hexdigest()[:14], 16)
+        expect = (h56 % CLS_BUCKETS) * CLS_KNUTH % CLS_WMOD - CLS_WOFF
+        row = self._score(spark, tmp_path, [tok])[0]
+        assert row["n_feats"] == 1
+        assert row["logit_sum_milli"] == expect
+
+    def test_features_are_unigrams_plus_bigrams(self, spark, tmp_path):
+        # "a b c" → 3 unigrams + 2 bigrams; logit = sum over all five,
+        # bigrams hashed as 'a_b' / 'b_c'
+        import hashlib
+        from harvester_spark.operators.curation import (
+            CLS_BUCKETS, CLS_KNUTH, CLS_WMOD, CLS_WOFF,
+        )
+
+        def w(f):
+            h56 = int(hashlib.md5(f.encode()).hexdigest()[:14], 16)
+            return (h56 % CLS_BUCKETS) * CLS_KNUTH % CLS_WMOD - CLS_WOFF
+
+        row = self._score(spark, tmp_path, ["a b c"])[0]
+        assert row["n_feats"] == 5
+        assert row["logit_sum_milli"] == sum(
+            w(f) for f in ["a", "b", "c", "a_b", "b_c"]
+        )
+        assert row["keep"] == (row["logit_sum_milli"] >= 0)
+
+    def test_empty_text_dropped(self, spark, tmp_path):
+        row = self._score(spark, tmp_path, ["", "real text here"])[0]
+        assert row["n_feats"] == 0
+        assert row["score"] == 0.0
+        assert not row["keep"]
+
+    def test_discriminates_on_corpus(self, spark):
+        # both verdicts must occur on the synthetic corpus — a constant
+        # keep column would let the oracle pass while proving nothing
+        from harvester_spark.operators.curation import quality_classifier_score
+
+        out = quality_classifier_score(spark, "/root/testdata/sf0.001")
+        assert out.select(F.countDistinct("keep")).collect()[0][0] == 2

@@ -293,3 +293,15 @@ def test_quota_sampler_has_no_perstratum_sort(spark):
         if "Window" in line and "row_number" in line:
             # the ranking window is keyed by BOTH lang and the hash bucket
             assert "lang" in line and "bkt" in line, line
+
+
+def test_quality_classifier_is_map_only(spark):
+    """The hashed-linear classifier is a pure per-row array-expression pass
+    (tokenize → feature-hash → weight-sum): ZERO exchanges — at 100 TB the
+    filter must pipeline inside the documents scan, never shuffle."""
+    from harvester_spark.operators import curation
+
+    df = curation.quality_classifier_score(spark, SF_DIR)
+    plan = _plan(df)
+    assert "Exchange" not in plan
+    assert "CartesianProduct" not in plan
