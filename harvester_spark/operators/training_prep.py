@@ -562,3 +562,130 @@ QUERIES["stratified_quota_sample"] = (
     stratified_quota_sample,
     _sql_stratified_quota_sample(),
 )
+
+
+# ------------------------------------------------ distributed BPE trainer
+
+# The trainer that PRODUCES merge tables like the frozen asset in bpe.py
+# (which stays frozen — oracle SQL embeds it). Classic Sennrich BPE over the
+# analyzer word-frequency table: count adjacent symbol pairs weighted by word
+# frequency, merge the most frequent (ties lexicographic), repeat. The
+# sandbox reference is tools/train_bpe.py (driver-resident Counter); this is
+# its distributed twin for a 10^8-word web vocabulary.
+#
+# Scale shape: ONE corpus-wide tokenize + groupBy(word) builds the histogram
+# (persisted — every iteration reuses it); each Lloyd-style iteration is one
+# map-side-combined pair agg over the VOCABULARY (not the corpus) plus a
+# 1-row TakeOrdered collect (the bounded-driver contract emb_kmeans_assign
+# documents). Re-segmentation is a pure string-replace column stacked onto
+# the persisted histogram — bpe.py's double-separator rendering makes one
+# left-to-right replace pass per merge EXACT BPE (see bpe.py docstring).
+
+BPE_TRAIN_N = 8  # merges learned by the queries() entry
+
+
+def bpe_train_merges(spark, sf_dir, n_merges: int = BPE_TRAIN_N):
+    """Learn the top ``n_merges`` BPE merges from the corpus; returns one row
+    per merge: (merge_ix, lhs, rhs, merged, pair_count). Deterministic —
+    equals tools/train_bpe.train on the same parquet (tested)."""
+    from harvester_spark.bpe import SEP
+    from harvester_spark.operators.common import doc_tokens
+
+    hist = (
+        doc_tokens(spark, sf_dir)
+        .groupBy(F.col("term").alias("word"))
+        .agg(F.count("*").cast("long").alias("freq"))
+        .persist()
+    )
+    seg = F.concat(
+        F.lit(SEP * 2), F.regexp_replace(F.col("word"), "(.)", "$1" + SEP * 2)
+    )
+    learned = []
+    try:
+        for k in range(1, n_merges + 1):
+            s = F.filter(F.split(seg, SEP * 2), lambda t: t != F.lit(""))
+            shifted = F.slice(s, 2, F.greatest(F.size(s), F.lit(1)))
+            prs = F.filter(
+                F.zip_with(
+                    s, shifted, lambda x, y: F.struct(x.alias("a"), y.alias("b"))
+                ),
+                lambda p: p.getField("b").isNotNull(),
+            )
+            agg = (
+                hist.select(F.explode(prs).alias("p"), "freq")
+                .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+                .agg(F.sum("freq").cast("long").alias("cnt"))
+            )
+            top = agg.orderBy(F.desc("cnt"), "a", "b").limit(1).collect()
+            if not top:
+                raise ValueError(
+                    f"BPE training exhausted pairs after {k - 1} merges"
+                )
+            best = top[0]
+            learned.append(
+                (k, best["a"], best["b"], best["a"] + best["b"], best["cnt"])
+            )
+            seg = F.replace(
+                seg,
+                F.lit(f"{SEP}{best['a']}{SEP}{SEP}{best['b']}{SEP}"),
+                F.lit(f"{SEP}{best['a']}{best['b']}{SEP}"),
+            )
+    finally:
+        hist.unpersist()
+    return spark.createDataFrame(
+        learned,
+        "merge_ix INT, lhs STRING, rhs STRING, merged STRING, pair_count LONG",
+    )
+
+
+def _sql_bpe_train(n_merges: int = BPE_TRAIN_N) -> str:
+    """Chained-CTE twin: stage k counts pairs over seg(k-1), picks the argmax
+    (cnt desc, a asc, b asc), and replaces — the same double-separator
+    replace bpe.py proves exact."""
+    parts = [
+        f"""
+words AS (
+  SELECT unnest({SQL_TOKS.format(col='text')}) AS word FROM documents
+),
+hist AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM words GROUP BY word),
+seg0 AS MATERIALIZED (
+  SELECT word, freq,
+         repeat(chr(31),2) || regexp_replace(word, '(.)', '\\1' || repeat(chr(31),2), 'g') AS seg
+  FROM hist
+)"""
+    ]
+    for k in range(1, n_merges + 1):
+        parts.append(
+            f"""
+syms{k} AS (
+  SELECT freq, list_filter(string_split(seg, repeat(chr(31),2)), t -> t <> '') AS s
+  FROM seg{k - 1}
+),
+pairs{k} AS (
+  SELECT unnest(list_transform(range(1, greatest(len(s),1)), i -> s[i])) AS a,
+         unnest(list_transform(range(1, greatest(len(s),1)), i -> s[i+1])) AS b,
+         freq
+  FROM syms{k}
+),
+best{k} AS MATERIALIZED (
+  SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt
+  FROM pairs{k} GROUP BY a, b
+  ORDER BY cnt DESC, a, b LIMIT 1
+),
+seg{k} AS MATERIALIZED (
+  SELECT word, freq,
+         replace(seg,
+           chr(31) || (SELECT a FROM best{k}) || chr(31) || chr(31) || (SELECT b FROM best{k}) || chr(31),
+           chr(31) || (SELECT a || b FROM best{k}) || chr(31)) AS seg
+  FROM seg{k - 1}
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT {k} AS merge_ix, a AS lhs, b AS rhs, a || b AS merged,"
+        f" cnt AS pair_count FROM best{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return "WITH " + ",".join(parts) + "\n" + union
+
+
+QUERIES["bpe_train_merges"] = (bpe_train_merges, _sql_bpe_train())

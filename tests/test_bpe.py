@@ -142,3 +142,55 @@ def test_frozen_table_fold_equals_priority():
             rng.choice("abcdehijklmnorstuvwy") for _ in range(rng.randint(1, 14))
         )
         assert _fold_replace_bpe(w, BPE_MERGES) == _priority_bpe(w, BPE_MERGES), w
+
+
+def test_distributed_trainer_equals_reference_trainer(spark):
+    """bpe_train_merges (distributed: histogram + per-iteration pair agg)
+    must reproduce tools/train_bpe.train (driver Counter fold) exactly —
+    merge sequence AND pair counts — on the same corpus. 16 merges covers
+    multi-char symbol merges (merges whose operands are earlier merges)."""
+    import collections
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.train_bpe import train
+    from harvester_spark.operators.training_prep import bpe_train_merges
+
+    n = 16
+    got = bpe_train_merges(spark, "/root/testdata/sf0.001", n_merges=n)
+    rows = sorted(got.collect(), key=lambda r: r["merge_ix"])
+    assert [(r["lhs"], r["rhs"]) for r in rows] == train(
+        "/root/testdata/sf0.001/documents.parquet", n
+    )
+    # counts: recompute pair frequency of each learned merge independently
+    import duckdb
+
+    con = duckdb.connect()
+    words = [
+        r[0]
+        for r in con.sql(
+            "WITH t AS (SELECT unnest(string_split_regex(lower(text), '\\W+')) AS w "
+            "FROM read_parquet('/root/testdata/sf0.001/documents.parquet')) "
+            "SELECT w FROM t WHERE w <> ''"
+        ).fetchall()
+    ]
+    vocab = collections.Counter(tuple(w) for w in words)
+    for r in rows:
+        pairs = collections.Counter()
+        for sym, c in vocab.items():
+            for i in range(len(sym) - 1):
+                pairs[(sym[i], sym[i + 1])] += c
+        assert pairs[(r["lhs"], r["rhs"])] == r["pair_count"]
+        a, b = r["lhs"], r["rhs"]
+        new_vocab = collections.Counter()
+        for sym, c in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i < len(sym) - 1 and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new_vocab[tuple(out)] += c
+        vocab = new_vocab
