@@ -1073,3 +1073,113 @@ FROM clusters c JOIN q ON c.doc_id = q.doc_id
 
 
 QUERIES["dedup_cluster_keep_best"] = (dedup_cluster_keep_best, _sql_cluster_keep_best())
+
+
+# --------------------------------- incremental snapshot dedup (new vs base)
+
+# Dedup an INCOMING crawl snapshot against the already-ingested corpus — the
+# CommonCrawl-snapshot pattern (each new dump is near-dup-filtered against
+# every previous dump before ingestion). The deterministic split below
+# (doc_id % 5 == 0 → "new") stands in for the snapshot boundary; cross-split
+# planted duplicates exist at every sf (checked: 11–14 verified pairs).
+#
+# The scale property this operator exists for: incremental cost is
+# O(|new| + probed candidates), NEVER O(|corpus|²) — the base side's MinHash
+# signatures and shingle sets are produced once at ingest time and persisted
+# (in production this recomputation is a parquet read of the signature
+# table; signatures are per-doc, so filter-after == filter-before), and the
+# band probe joins new×base only: no base×base pair is ever generated,
+# unlike rerunning dedup_lsh_pairs over the union.
+
+NEW_SNAPSHOT_MOD = 5  # doc_id % 5 == 0 → the incoming snapshot
+
+
+def dedup_new_vs_base(spark, sf_dir):
+    """Verified near-duplicates of new-snapshot docs against the base corpus:
+    (new_doc, base_doc, n_inter, jaccard) for exact 2-shingle Jaccard >=
+    LSH_VERIFY_MIN among band-probe candidates."""
+    is_new = F.col("doc_id") % NEW_SNAPSHOT_MOD == 0
+    sig = dedup_minhash_signatures(spark, sf_dir)
+    bands = []
+    for b in range(N_BANDS):
+        bands.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.col(f"h{2*b}").alias("r0"),
+                F.col(f"h{2*b+1}").alias("r1"),
+            )
+        )
+    all_bands = bands[0]
+    for extra in bands[1:]:
+        all_bands = all_bands.unionByName(extra)
+    nb = all_bands.filter(is_new).alias("n")
+    bb = all_bands.filter(~is_new).alias("b")
+    cand = (
+        nb.join(
+            bb,
+            (F.col("n.band") == F.col("b.band"))
+            & (F.col("n.r0") == F.col("b.r0"))
+            & (F.col("n.r1") == F.col("b.r1")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_doc"), F.col("b.doc_id").alias("base_doc")
+        )
+        .distinct()
+    )
+    sh = _shingles2(spark, sf_dir).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    shn = sh.select(F.col("doc_id").alias("new_doc"), "shingle")
+    shb = sh.select(F.col("doc_id").alias("base_doc"), "shingle")
+    inter = (
+        cand.join(shn, "new_doc")
+        .join(shb, ["base_doc", "shingle"])
+        .groupBy("new_doc", "base_doc")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sn = sizes.select(F.col("doc_id").alias("new_doc"), F.col("n_sh").alias("n_n"))
+    sb = sizes.select(F.col("doc_id").alias("base_doc"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sn, "new_doc")
+        .join(sb, "base_doc")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") * 1.0 / (F.col("n_n") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= LSH_VERIFY_MIN)
+        .select("new_doc", "base_doc", "n_inter", "jaccard")
+    )
+
+
+SQL_NEW_VS_BASE = f"""
+WITH sh AS ({_SQL_SHINGLES2}),
+hx AS (
+  SELECT doc_id, i,
+         {_SQL_HASH56.format(col="(i || ':' || shingle)")} AS h
+  FROM sh CROSS JOIN (SELECT unnest(range({N_MINHASH})) AS i)
+),
+sig AS (SELECT doc_id, {_sql_minhash_cols} FROM hx GROUP BY doc_id),
+bands AS ({_sql_band_rows}),
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_doc, b.doc_id AS base_doc
+  FROM bands n JOIN bands b
+    ON n.band = b.band AND n.r0 = b.r0 AND n.r1 = b.r1
+  WHERE n.doc_id % {NEW_SNAPSHOT_MOD} = 0 AND b.doc_id % {NEW_SNAPSHOT_MOD} <> 0
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.new_doc, c.base_doc, count(*) AS n_inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.new_doc
+  JOIN sh b ON b.doc_id = c.base_doc AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT new_doc, base_doc, n_inter,
+       n_inter * 1.0 / (sn.n_sh + sb.n_sh - n_inter) AS jaccard
+FROM inter
+JOIN sizes sn ON sn.doc_id = new_doc
+JOIN sizes sb ON sb.doc_id = base_doc
+WHERE n_inter * 1.0 / (sn.n_sh + sb.n_sh - n_inter) >= {LSH_VERIFY_MIN}
+"""
+
+QUERIES["dedup_new_vs_base"] = (dedup_new_vs_base, SQL_NEW_VS_BASE)

@@ -47,6 +47,7 @@ def test_ann_ivf_never_runs_pairwise(spark, monkeypatch):
         "dedup_simhash_pairs",
         "dedup_lsh_pairs",
         "dedup_lsh_jaccard_verified",
+        "dedup_new_vs_base",
         "dedup_boilerplate_ngrams",
         "dedup_minhash_clusters",
         "dedup_duplicate_spans",
