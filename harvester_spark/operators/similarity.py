@@ -675,3 +675,131 @@ FROM probed QUALIFY rnk <= {TOP_K}
 """
 
 QUERIES["ann_ivf_topk"] = (ann_ivf_topk, SQL_ANN_IVF_TOPK)
+
+
+# ------------------------------------------------------------------ SemDeDup
+
+# Semantic dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540): cluster
+# the corpus with the k-means coarse quantizer above, compute pairwise
+# cosine ONLY within clusters, and prune every vector that has a
+# same-cluster neighbor above SEMDEDUP_THRESHOLD that the keep rule
+# prefers. This is the paper's cost model verbatim: the quadratic pair
+# join is confined to K ≈ √n lists of ≈ √n members (Σ(n/K)²·K = n²/K ≈
+# n^1.5 candidate pairs), never the corpus-wide n² — the cluster id is the
+# uniform shuffle key. Keep rule (the paper's §3: "keep the example with
+# the lowest similarity to the centroid"): within a duplicate pair the
+# member FARTHEST from its centroid wins (max integer k-means dist, tie
+# vec_id asc) — exactly one direction of each unordered pair survives the
+# preference predicate, so each pair's dot product is computed once.
+# Cross-cluster near-dups are missed BY DESIGN (the method's documented
+# recall trade); the oracle computes the identical clustered semantics, so
+# the value-hash gate proves the distributed execution, not brute force.
+# Reference anchor: the batch-dedup role of
+# /root/reference/harvester/core/models/datatypes/document.py (content
+# identity) generalized to embedding space for training-data curation.
+
+SEMDEDUP_THRESHOLD = 0.40  # == dedup.COS_DUP_THRESHOLD (planted near-dups)
+
+
+def _cosine_member_pairs(spark, sf_dir, pairs):
+    """Exact rounded cosine for arbitrary (va, vb) candidate pairs — both
+    sides corpus-resident (unlike ``_cosine_for_pairs`` whose query side is
+    broadcast-tiny). Shuffle keys: va then (vb, pos) for the candidate-only
+    dot products; cost O(|pairs|·dim), never O(n²·dim)."""
+    comp = _components(spark, sf_dir).cache()
+    norms = comp.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nrm")
+    )
+    ca = comp.select(F.col("vec_id").alias("va"), "pos", F.col("val").alias("xa"))
+    cb = comp.select(F.col("vec_id").alias("vb"), "pos", F.col("val").alias("xb"))
+    dots = (
+        pairs.join(ca, "va")
+        .join(cb, ["vb", "pos"])
+        .groupBy("va", "vb")
+        .agg(F.sum(F.col("xa") * F.col("xb")).alias("dot"))
+    )
+    na = norms.select(F.col("vec_id").alias("va"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("vec_id").alias("vb"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(na, "va")
+        .join(nb, "vb")
+        .withColumn("cos", F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6))
+        .select("va", "vb", "cos")
+    )
+
+
+def semdedup_prune(spark, sf_dir):
+    """SemDeDup prune list: (vec_id, cent_id, dist, keeper_id, cos) — every
+    vector with a preferred same-cluster neighbor at cos ≥
+    {SEMDEDUP_THRESHOLD}, with the winning keeper (farthest-from-centroid,
+    tie vec_id asc) and the cosine to it. PRUNE FIRST: cosine runs only on
+    within-cluster preference-directed pairs (plan-guard test keeps the
+    corpus-wide pairwise job unreachable)."""
+    k = derive_k(_n_vectors(spark, sf_dir))
+    ivec, cids, C = _kmeans_train(spark, sf_dir, k)
+    assign = _km_topc(ivec, cids, C, 1).select("vec_id", "cent_id", "dist")
+    a = assign.select(F.col("vec_id").alias("va"), "cent_id", F.col("dist").alias("da"))
+    b = assign.select(F.col("vec_id").alias("vb"), "cent_id", F.col("dist").alias("db"))
+    # exactly one direction of each unordered same-cluster pair: va is the
+    # keeper-preferred member (dist desc, vec_id asc — a total order)
+    pref = a.join(b, "cent_id").filter(
+        (F.col("da") > F.col("db"))
+        | ((F.col("da") == F.col("db")) & (F.col("va") < F.col("vb")))
+    )
+    dup = (
+        pref.join(_cosine_member_pairs(spark, sf_dir, pref.select("va", "vb")), ["va", "vb"])
+        .filter(F.col("cos") >= SEMDEDUP_THRESHOLD)
+    )
+    # per pruned vector: the single best keeper under the same total order
+    w = W.partitionBy("vb").orderBy(F.col("da").desc(), F.col("va").asc())
+    return (
+        dup.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select(
+            F.col("vb").alias("vec_id"),
+            "cent_id",
+            F.col("db").alias("dist"),
+            F.col("va").alias("keeper_id"),
+            "cos",
+        )
+    )
+
+
+SQL_SEMDEDUP_PRUNE = f"""
+WITH icomp AS (
+  SELECT vec_id, pos, CAST(round(val * {_KM_SCALE}) AS BIGINT) AS ival
+  FROM ({_SQL_COMPONENTS})
+),
+{_SQL_KPARAM},
+{_SQL_KM_CHAIN},
+assign AS ({_sql_km_assign('c3')}),
+comp AS ({_SQL_COMPONENTS}),
+norms AS (SELECT vec_id, sqrt(sum(val * val)) AS nrm FROM comp GROUP BY vec_id),
+pref AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb, a.cent_id,
+         a.dist AS da, b.dist AS db
+  FROM assign a JOIN assign b ON a.cent_id = b.cent_id
+  WHERE a.dist > b.dist OR (a.dist = b.dist AND a.vec_id < b.vec_id)
+),
+dots AS (
+  SELECT p.va, p.vb, sum(ca.val * cb.val) AS dot
+  FROM pref p
+  JOIN comp ca ON ca.vec_id = p.va
+  JOIN comp cb ON cb.vec_id = p.vb AND cb.pos = ca.pos
+  GROUP BY 1, 2
+),
+dup AS (
+  SELECT p.va, p.vb, p.cent_id, p.da, p.db,
+         round(d.dot / (na.nrm * nb.nrm), 6) AS cos
+  FROM pref p
+  JOIN dots d ON d.va = p.va AND d.vb = p.vb
+  JOIN norms na ON na.vec_id = p.va
+  JOIN norms nb ON nb.vec_id = p.vb
+  WHERE round(d.dot / (na.nrm * nb.nrm), 6) >= {SEMDEDUP_THRESHOLD}
+)
+SELECT vb AS vec_id, cent_id, db AS dist, va AS keeper_id, cos
+FROM dup
+QUALIFY row_number() OVER (PARTITION BY vb ORDER BY da DESC, va ASC) = 1
+"""
+
+QUERIES["semdedup_prune"] = (semdedup_prune, SQL_SEMDEDUP_PRUNE)

@@ -64,6 +64,25 @@ def test_pair_generation_has_no_cartesian(spark, opname):
     assert "BroadcastNestedLoopJoin" not in plan, opname
 
 
+def test_semdedup_never_runs_pairwise(spark, monkeypatch):
+    """SemDeDup's cosine job must stay confined to within-cluster
+    preference-directed pairs — the corpus-wide pairwise-cosine job must be
+    unreachable, and the pair generation must be an equi-join on cent_id."""
+    from harvester_spark.operators import similarity
+
+    def boom(*a, **k):
+        raise AssertionError("semdedup_prune must not run the full pairwise job")
+
+    monkeypatch.setattr(similarity, "_pairwise_cosine", boom)
+    out = similarity.semdedup_prune(spark, SF_DIR)
+    out.count()  # materialize so AQE finalizes the physical plan
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # non-degenerate: the planted near-dups must actually be pruned
+    assert out.count() > 0
+
+
 def test_unigram_logprob_broadcasts_model(spark):
     """The unigram model join must be a broadcast (no shuffle on the skewed
     term key); the only sort-merge/shuffled-hash exchange keys are doc_id."""
