@@ -689,3 +689,162 @@ seg{k} AS MATERIALIZED (
 
 
 QUERIES["bpe_train_merges"] = (bpe_train_merges, _sql_bpe_train())
+
+
+# --------------------------------------------------------------------- DSIR
+
+# Data Selection via Importance Resampling (DSIR; Xie et al. 2023,
+# arXiv:2302.03169): score every raw document by how target-like it is in a
+# hashed n-gram feature space, then Gumbel-top-k resample — the standard
+# "select web data that looks like the target domain" stage of LM corpus
+# assembly. Reference anchor: the dataset-filtering role of
+# /root/reference/harvester/core/models/datatypes/dataset.py (which curates
+# by source/state) generalized to distribution matching.
+#
+# Determinism: the bucket log-ratios are INTEGER micro-nats (round(1e6*ln)
+# per bucket, identical expression in both engines), so the per-doc
+# importance log-weight is an exact int64 sum; the Gumbel noise derives from
+# md5(salt || doc_id) so the resample is a pure function of the corpus.
+#
+# Scale shape — the paper's own two-pass structure: pass 1 reduces the
+# corpus to a DSIR_BUCKETS-row (bucket, target_count, raw_count) table (one
+# map-side-combined groupBy over hashed features; output is KB-sized
+# regardless of corpus size); the model then joins back by BROADCAST and
+# pass 2 is one partial-aggregated groupBy(doc_id) — shuffle volume is one
+# row per doc, never one row per token. Selection is TakeOrdered (per-
+# partition heaps), rank window AFTER the limit.
+
+DSIR_BUCKETS = 1024
+DSIR_K = 64
+DSIR_SALT = "hs-dsir-v1"
+DSIR_TARGET_LANG = "en"  # target slice: p = en docs, q = the whole pool
+_DSIR_HSPACE = float(1 << 56)
+
+
+def _dsir_feature_buckets(spark, sf_dir):
+    """(doc_id, lang, bucket) — one row per unigram/bigram occurrence."""
+    from harvester_spark.operators.curation import classifier_features
+
+    docs = load(spark, sf_dir, "documents")
+    feats = classifier_features(tokens_column(F.col("text")))
+    return docs.select(
+        "doc_id", "lang", F.explode(feats).alias("f")
+    ).withColumn("bucket", _hash56(F.col("f")) % DSIR_BUCKETS)
+
+
+def dsir_select(spark, sf_dir):
+    """DSIR top-k selection: (rank, doc_id, n_feats, logw_micro,
+    gumbel_micro, key_micro) — the DSIR_K raw docs sampled by importance
+    weight p(features)/q(features) with deterministic Gumbel noise."""
+    fb = _dsir_feature_buckets(spark, sf_dir)
+    dist = fb.groupBy("bucket").agg(
+        F.sum(F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0))
+        .cast("long")
+        .alias("pc"),
+        F.count("*").cast("long").alias("qc"),
+    )
+    tot = dist.agg(
+        F.sum("pc").cast("long").alias("p_tot"),
+        F.sum("qc").cast("long").alias("q_tot"),
+    )
+    lr = (
+        F.round(
+            F.lit(1e6)
+            * F.log((F.col("pc") + 1.0) / (F.col("p_tot") + DSIR_BUCKETS)),
+            0,
+        ).cast("long")
+        - F.round(
+            F.lit(1e6)
+            * F.log((F.col("qc") + 1.0) / (F.col("q_tot") + DSIR_BUCKETS)),
+            0,
+        ).cast("long")
+    )
+    model = F.broadcast(
+        dist.crossJoin(F.broadcast(tot)).select("bucket", lr.alias("lr_micro"))
+    )
+    logw = (
+        fb.join(model, "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_feats"),
+            F.sum("lr_micro").cast("long").alias("logw_micro"),
+        )
+    )
+    u = (
+        _hash56(F.concat(F.lit(DSIR_SALT), F.col("doc_id").cast("string")))
+        + 0.5
+    ) / F.lit(_DSIR_HSPACE)
+    gumbel = F.round(F.lit(-1e6) * F.log(-F.log(u)), 0).cast("long")
+    scored = logw.withColumn("gumbel_micro", gumbel).withColumn(
+        "key_micro", F.col("logw_micro") + F.col("gumbel_micro")
+    )
+    topk = scored.orderBy(
+        F.col("key_micro").desc(), F.col("doc_id").asc()
+    ).limit(DSIR_K)
+    w = W.orderBy(F.col("key_micro").desc(), F.col("doc_id").asc())
+    return topk.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).select(
+        "rank", "doc_id", "n_feats", "logw_micro", "gumbel_micro", "key_micro"
+    )
+
+
+_SQL_DSIR_FB = f"""
+  SELECT doc_id, lang,
+         {_SQL_HASH56.format(col='f')} % {DSIR_BUCKETS} AS bucket
+  FROM (
+    SELECT doc_id, lang,
+           unnest(list_concat(
+             toks,
+             list_transform(range(1, greatest(len(toks), 1)),
+                            i -> toks[i] || '_' || toks[i + 1])
+           )) AS f
+    FROM (SELECT doc_id, lang, {SQL_TOKS.format(col='text')} AS toks
+          FROM documents)
+  )
+"""
+
+SQL_DSIR_SELECT = f"""
+WITH fb AS ({_SQL_DSIR_FB}),
+dist AS (
+  SELECT bucket,
+         CAST(sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS pc,
+         CAST(count(*) AS BIGINT) AS qc
+  FROM fb GROUP BY bucket
+),
+tot AS (
+  SELECT CAST(sum(pc) AS BIGINT) AS p_tot, CAST(sum(qc) AS BIGINT) AS q_tot
+  FROM dist
+),
+model AS (
+  SELECT bucket,
+         CAST(round(1000000.0 * ln((pc + 1.0) / (p_tot + {DSIR_BUCKETS})), 0)
+              AS BIGINT)
+         - CAST(round(1000000.0 * ln((qc + 1.0) / (q_tot + {DSIR_BUCKETS})), 0)
+                AS BIGINT) AS lr_micro
+  FROM dist CROSS JOIN tot
+),
+logw AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_feats,
+         CAST(sum(lr_micro) AS BIGINT) AS logw_micro
+  FROM fb JOIN model USING (bucket)
+  GROUP BY doc_id
+),
+scored AS (
+  SELECT doc_id, n_feats, logw_micro,
+         CAST(round(-1000000.0 * ln(-ln(
+           ({_SQL_HASH56.format(col=f"'{DSIR_SALT}' || CAST(doc_id AS VARCHAR)")}
+            + 0.5) / {_DSIR_HSPACE!r})), 0) AS BIGINT) AS gumbel_micro
+  FROM logw
+)
+SELECT CAST(row_number() OVER (ORDER BY logw_micro + gumbel_micro DESC,
+                               doc_id ASC) AS BIGINT) AS rank,
+       doc_id, n_feats, logw_micro, gumbel_micro,
+       logw_micro + gumbel_micro AS key_micro
+FROM scored
+QUALIFY rank <= {DSIR_K}
+"""
+
+QUERIES["dsir_select"] = (dsir_select, SQL_DSIR_SELECT)

@@ -146,6 +146,35 @@ def test_topk_windows_rank_after_limit(spark, opname):
     assert plan.index("Window") < plan.index("TakeOrderedAndProject")
 
 
+def test_dsir_broadcasts_model_and_selects_target_like(spark):
+    """DSIR's bucket model (KB-sized by construction) must join back by
+    BROADCAST — never a shuffle on the skewed bucket key — and selection
+    must be TakeOrdered with the rank window after the limit. Semantic
+    non-degeneracy: the importance resample must over-represent the target
+    slice, not echo the noise (a constant log-weight would prove nothing)."""
+    from pyspark.sql import functions as F
+
+    from harvester_spark.operators.training_prep import DSIR_TARGET_LANG, dsir_select
+
+    df = dsir_select(spark, SF_DIR)
+    rows = df.collect()
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject")
+    assert len({r.logw_micro for r in rows}) > 1
+    sel = [r.doc_id for r in rows]
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    n_target = docs.filter(F.col("lang") == DSIR_TARGET_LANG).count()
+    sel_target = (
+        docs.filter(F.col("doc_id").isin(sel))
+        .filter(F.col("lang") == DSIR_TARGET_LANG)
+        .count()
+    )
+    assert sel_target / len(sel) > n_target / docs.count()
+
+
 def test_pack_sequences_prefix_sum_is_two_level(spark):
     """The packing prefix-sum must never run a global unpartitioned window
     over documents: the only SinglePartition exchange feeds the per-shard
