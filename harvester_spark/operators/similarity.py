@@ -496,6 +496,15 @@ def _kmeans_train(spark, sf_dir, k: int):
     """(cached array-form vectors, centroid ids, centroid matrix) after
     {KMEANS_ITERS} Lloyd iterations from the K-lowest-vec_id seeds."""
     ivec = _ivec(spark, sf_dir).cache()
+    cids, C = _kmeans_train_ivec(ivec, k)
+    return ivec, cids, C
+
+
+def _kmeans_train_ivec(ivec, k: int):
+    """Lloyd training over any (vec_id, ivals) frame (caller caches): same
+    seeds rule / iteration count / empty-cluster drop as the full-space
+    trainer — shared so the PQ per-subspace codebooks inherit the
+    oracle-pinned semantics verbatim. Returns (centroid ids, matrix)."""
     seeds = sorted(
         (int(r["vec_id"]), [int(v) for v in r["ivals"]])
         for r in ivec.filter(F.col("vec_id") < k).collect()
@@ -519,7 +528,7 @@ def _kmeans_train(spark, sf_dir, k: int):
             new_cids.append(cids[ix])
             new_C.append([v // n for v in s])
         cids, C = new_cids, new_C
-    return ivec, cids, C
+    return cids, C
 
 
 def emb_kmeans_assign(spark, sf_dir):
@@ -803,3 +812,231 @@ QUALIFY row_number() OVER (PARTITION BY vb ORDER BY da DESC, va ASC) = 1
 """
 
 QUERIES["semdedup_prune"] = (semdedup_prune, SQL_SEMDEDUP_PRUNE)
+
+
+# ------------------------------------------------------------------- PQ / ADC
+
+# Product quantization (Jégou et al. 2011, "Product Quantization for Nearest
+# Neighbor Search", IEEE TPAMI): split the D-dim space into PQ_M orthogonal
+# subspaces, train an independent k-means codebook per subspace (REUSING the
+# integer-exact Lloyd trainer — same seed rule, iteration count and
+# empty-cluster drop, so the relational DuckDB chain generalizes by adding
+# the subspace id ``m`` to every key), and store each vector as M small
+# codes. The memory story is the whole point at scale: a 64-dim float32
+# corpus (256 B/vec) compresses to M=4 codes (4 B/vec) — at 10^9+ vectors
+# that's the difference between "codes fit in cluster RAM for a linear scan"
+# and not. Query = ADC (asymmetric distance computation): ONE lookup table
+# of query-subvector→centroid distances per query (M·PQ_KS integers,
+# computed once), then a linear scan over codes that only does LUT adds —
+# the faiss IndexPQ layout. The Spark scan is a zero-exchange Arrow pass
+# emitting per-batch per-query top-(k+1) heaps (superset-safe: a global
+# winner is within its batch's top k+1 even when that batch also holds the
+# one masked self-match), then a bounded per-query merge. Reference anchor:
+# the vector-search role of the reference's OpenSearch index
+# (/root/reference/harvester/search/models/index.py) at a scale where raw
+# embeddings no longer fit.
+
+PQ_M = 4   # subspaces (D=64 → 16 components each; 8-16 subspaces at prod D)
+PQ_KS = 16  # codes per subspace codebook (256 → uint8 codes at prod scale)
+
+
+def _pq_train(spark, sf_dir):
+    """(cached ivec, [(cent_ids, matrix)] per subspace, subspace width)."""
+    dim = len(load(spark, sf_dir, "embeddings").select("embedding").first()[0])
+    assert dim % PQ_M == 0, (dim, PQ_M)
+    sub = dim // PQ_M
+    ivec = _ivec(spark, sf_dir).cache()
+    books = []
+    for m in range(PQ_M):
+        sv = ivec.select(
+            "vec_id", F.slice("ivals", m * sub + 1, sub).alias("ivals")
+        )
+        books.append(_kmeans_train_ivec(sv, PQ_KS))
+    return ivec, books, sub
+
+
+def pq_encode(spark, sf_dir):
+    """PQ encoding: (vec_id, m, code, dist) — per subspace the nearest
+    codebook centroid (integer sq-euclidean; ties dist asc, code asc) and
+    the exact quantization error. The encode pass is ZERO-exchange
+    (plan-guarded): all M codebooks ride in the Arrow kernel's closure."""
+    import numpy as np
+    import pandas as pd
+
+    ivec, books, sub = _pq_train(spark, sf_dir)
+    mats = [
+        (np.asarray(cids, dtype=np.int64), np.asarray(C, dtype=np.int64))
+        for cids, C in books
+    ]
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["ivals"].to_numpy()).astype(np.int64, copy=False)
+            vids = pdf["vec_id"].to_numpy()
+            frames = []
+            for m, (cid_arr, C) in enumerate(mats):
+                Xm = X[:, m * sub : (m + 1) * sub]
+                D = (Xm * Xm).sum(1)[:, None] - 2 * (Xm @ C.T) + (C * C).sum(1)[None, :]
+                ix = np.argsort(D, axis=1, kind="stable")[:, 0]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": vids,
+                            "m": np.full(len(pdf), m, dtype=np.int32),
+                            "code": cid_arr[ix],
+                            "dist": np.take_along_axis(D, ix[:, None], 1).ravel(),
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    return ivec.mapInPandas(gen, "vec_id long, m int, code long, dist long")
+
+
+def pq_adc_topk(spark, sf_dir):
+    """ADC top-{TOP_K}: (qid, rnk, vec_id, adc_dist) — approximate nearest
+    neighbors of each query vector under the PQ code distance
+    Σ_m ||q_m - centroid(code_m(v))||². The scan never touches raw
+    candidate vectors: codes are assigned and LUT-summed in one map-only
+    Arrow pass, each batch emits only its per-query top-(k+1), and the
+    final per-query merge ranks a bounded candidate set."""
+    import numpy as np
+    import pandas as pd
+
+    ivec, books, sub = _pq_train(spark, sf_dir)
+    mats = [
+        (np.asarray(cids, dtype=np.int64), np.asarray(C, dtype=np.int64))
+        for cids, C in books
+    ]
+    # bounded driver collect: N_QUERIES · dim ints (the query side of ADC)
+    qrows = {
+        int(r["vec_id"]): np.asarray([int(v) for v in r["ivals"]], dtype=np.int64)
+        for r in ivec.filter(F.col("vec_id") < N_QUERIES).collect()
+    }
+    qids = sorted(qrows)
+    luts = []
+    for m, (_, C) in enumerate(mats):
+        Qm = np.stack([qrows[q][m * sub : (m + 1) * sub] for q in qids])
+        luts.append(
+            (Qm * Qm).sum(1)[:, None] - 2 * (Qm @ C.T) + (C * C).sum(1)[None, :]
+        )
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["ivals"].to_numpy()).astype(np.int64, copy=False)
+            vids = pdf["vec_id"].to_numpy()
+            adc = np.zeros((len(qids), len(pdf)), dtype=np.int64)
+            for m, (_, C) in enumerate(mats):
+                Xm = X[:, m * sub : (m + 1) * sub]
+                D = (Xm * Xm).sum(1)[:, None] - 2 * (Xm @ C.T) + (C * C).sum(1)[None, :]
+                ix = np.argsort(D, axis=1, kind="stable")[:, 0]
+                adc += luts[m][:, ix]
+            kk = min(TOP_K + 1, len(vids))
+            out = []
+            for qi, qid in enumerate(qids):
+                order = np.lexsort((vids, adc[qi]))[:kk]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "qid": np.full(kk, qid, dtype=np.int64),
+                            "vec_id": vids[order],
+                            "adc_dist": adc[qi][order],
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    part = ivec.mapInPandas(gen, "qid long, vec_id long, adc_dist long")
+    w = W.partitionBy("qid").orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+    return (
+        part.filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("qid", "rnk", "vec_id", "adc_dist")
+    )
+
+
+def _sql_pq_assign(cent_cte: str) -> str:
+    return f"""
+  SELECT m, vec_id, cent_id, dist FROM (
+    SELECT d.m, d.vec_id, d.cent_id, d.dist,
+           row_number() OVER (
+             PARTITION BY d.m, d.vec_id ORDER BY d.dist ASC, d.cent_id ASC
+           ) AS rnk
+    FROM (
+      SELECT c.m, c.vec_id, ct.cent_id,
+             CAST(sum((c.ival - ct.cval) * (c.ival - ct.cval)) AS BIGINT) AS dist
+      FROM scomp c JOIN {cent_cte} ct ON ct.m = c.m AND ct.pos = c.pos
+      GROUP BY c.m, c.vec_id, ct.cent_id
+    ) d
+  ) WHERE rnk = 1"""
+
+
+def _sql_pq_update(assign_cte: str) -> str:
+    return f"""
+  SELECT a.m, a.cent_id, c.pos,
+         CAST(floor(CAST(sum(c.ival) AS DOUBLE) / count(*)) AS BIGINT) AS cval
+  FROM {assign_cte} a JOIN scomp c ON c.m = a.m AND c.vec_id = a.vec_id
+  GROUP BY a.m, a.cent_id, c.pos"""
+
+
+_SQL_PQ_CHAIN = f"""
+scomp AS (
+  SELECT vec_id, pos // ((SELECT max(pos) + 1 FROM icomp) // {PQ_M}) AS m,
+         pos, ival
+  FROM icomp
+),
+pc0 AS (
+  SELECT m, vec_id AS cent_id, pos, ival AS cval FROM scomp
+  WHERE vec_id < {PQ_KS}
+),
+pa1 AS ({_sql_pq_assign('pc0')}),
+pc1 AS ({_sql_pq_update('pa1')}),
+pa2 AS ({_sql_pq_assign('pc1')}),
+pc2 AS ({_sql_pq_update('pa2')}),
+pa3 AS ({_sql_pq_assign('pc2')}),
+pc3 AS ({_sql_pq_update('pa3')}),
+codes AS ({_sql_pq_assign('pc3')})"""
+
+SQL_PQ_ENCODE = f"""
+WITH icomp AS (
+  SELECT vec_id, pos, CAST(round(val * {_KM_SCALE}) AS BIGINT) AS ival
+  FROM ({_SQL_COMPONENTS})
+),
+{_SQL_PQ_CHAIN}
+SELECT vec_id, CAST(m AS INT) AS m, cent_id AS code, dist FROM codes
+"""
+
+SQL_PQ_ADC_TOPK = f"""
+WITH icomp AS (
+  SELECT vec_id, pos, CAST(round(val * {_KM_SCALE}) AS BIGINT) AS ival
+  FROM ({_SQL_COMPONENTS})
+),
+{_SQL_PQ_CHAIN},
+lut AS (
+  SELECT c.vec_id AS qid, ct.m, ct.cent_id AS code,
+         CAST(sum((c.ival - ct.cval) * (c.ival - ct.cval)) AS BIGINT) AS d
+  FROM scomp c JOIN pc3 ct ON ct.m = c.m AND ct.pos = c.pos
+  WHERE c.vec_id < {N_QUERIES}
+  GROUP BY 1, 2, 3
+),
+adc AS (
+  SELECT l.qid, co.vec_id, CAST(sum(l.d) AS BIGINT) AS adc_dist
+  FROM codes co JOIN lut l ON l.m = co.m AND l.code = co.cent_id
+  WHERE co.vec_id <> l.qid
+  GROUP BY 1, 2
+)
+SELECT qid,
+       CAST(row_number() OVER (
+         PARTITION BY qid ORDER BY adc_dist ASC, vec_id ASC
+       ) AS INT) AS rnk,
+       vec_id, adc_dist
+FROM adc QUALIFY rnk <= {TOP_K}
+"""
+
+QUERIES["pq_encode"] = (pq_encode, SQL_PQ_ENCODE)
+QUERIES["pq_adc_topk"] = (pq_adc_topk, SQL_PQ_ADC_TOPK)

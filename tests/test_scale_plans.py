@@ -146,6 +146,28 @@ def test_topk_windows_rank_after_limit(spark, opname):
     assert plan.index("Window") < plan.index("TakeOrderedAndProject")
 
 
+def test_pq_encode_is_zero_exchange_scan(spark, monkeypatch):
+    """PQ encoding must be one map-only Arrow pass (codebooks in the
+    closure) — no Exchange anywhere in the encode plan — and ADC top-k must
+    never touch the brute-force pairwise job or produce a cartesian."""
+    from harvester_spark.operators import similarity
+
+    def boom(*a, **k):
+        raise AssertionError("PQ paths must not run the full pairwise job")
+
+    monkeypatch.setattr(similarity, "_pairwise_cosine", boom)
+    enc = similarity.pq_encode(spark, SF_DIR)
+    assert enc.count() > 0
+    assert "Exchange" not in _plan(enc)
+    top = similarity.pq_adc_topk(spark, SF_DIR)
+    rows = top.collect()
+    assert len(rows) == similarity.N_QUERIES * similarity.TOP_K
+    assert len({r.adc_dist for r in rows}) > 1
+    plan = _plan(top)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_dsir_broadcasts_model_and_selects_target_like(spark):
     """DSIR's bucket model (KB-sized by construction) must join back by
     BROADCAST — never a shuffle on the skewed bucket key — and selection
