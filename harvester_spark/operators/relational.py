@@ -610,3 +610,132 @@ GROUP BY user_id, session_seq
 """
 
 QUERIES["events_sessionize"] = (events_sessionize, SQL_EVENTS_SESSIONIZE)
+
+
+# -------------------------------------------------------- funnel / retention
+
+# Ordered-funnel and cohort-retention analytics over ``events`` — the two
+# standard product-analytics queries a webtext events stream feeds (the
+# reference's metrics/ dashboards consume exactly these shapes from its
+# OpenSearch aggregations; here they are relational plans). Both reuse the
+# sessionize timestamp contract: TIMESTAMP_NTZ under the pinned-UTC session,
+# integer epoch-ms end to end.
+#
+# Scale shape: every join/groupBy in the funnel chain is keyed user_id —
+# ONE shuffle partitioning reused down the chain (step frames are
+# aggregates of the same key, so AQE reuses the exchange); retention is a
+# user_id agg + a (user, week) distinct + a tiny cohort-key agg. No
+# windows, no skewed keys (user activity is bounded), no driver residency.
+
+FUNNEL_STEPS = ("signup", "view", "purchase")
+
+
+def events_funnel(spark, sf_dir):
+    """Per-user ordered funnel over {FUNNEL_STEPS}: first signup, first
+    view strictly after it, first purchase strictly after that —
+    (user_id, t1_ms, t2_ms, t3_ms, depth), missing steps -1."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("tms"),
+    )
+    s1 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("tms").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[1])
+        .join(s1, "user_id")
+        .filter(F.col("tms") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("tms").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[2])
+        .join(s2, "user_id")
+        .filter(F.col("tms") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("tms").alias("t3"))
+    )
+    out = s1.join(s2, "user_id", "left").join(s3, "user_id", "left")
+    depth = (
+        F.lit(1)
+        + F.col("t2").isNotNull().cast("int")
+        + F.col("t3").isNotNull().cast("int")
+    ).cast("long")
+    return out.select(
+        "user_id",
+        F.col("t1").alias("t1_ms"),
+        F.coalesce(F.col("t2"), F.lit(-1)).alias("t2_ms"),
+        F.coalesce(F.col("t3"), F.lit(-1)).alias("t3_ms"),
+        depth.alias("depth"),
+    )
+
+
+SQL_EVENTS_FUNNEL = f"""
+WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS tms FROM events),
+s1 AS (
+  SELECT user_id, min(tms) AS t1 FROM ev
+  WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, min(e.tms) AS t2
+  FROM ev e JOIN s1 USING (user_id)
+  WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.tms > s1.t1
+  GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id, min(e.tms) AS t3
+  FROM ev e JOIN s2 USING (user_id)
+  WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.tms > s2.t2
+  GROUP BY 1
+)
+SELECT s1.user_id,
+       t1 AS t1_ms,
+       coalesce(t2, -1) AS t2_ms,
+       coalesce(t3, -1) AS t3_ms,
+       CAST(1 + CAST(t2 IS NOT NULL AS INT) + CAST(t3 IS NOT NULL AS INT)
+            AS BIGINT) AS depth
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+"""
+
+QUERIES["events_funnel"] = (events_funnel, SQL_EVENTS_FUNNEL)
+
+WEEK_MS = 7 * 86_400_000
+
+
+def events_retention(spark, sf_dir):
+    """Weekly cohort retention: users grouped by the epoch-week of their
+    FIRST event; one row per (cohort_week, week_offset) with the count of
+    cohort users active in that week."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        (F.unix_millis(F.col("ts").cast("timestamp")) / WEEK_MS)
+        .cast("long")
+        .alias("wk"),
+    )
+    first = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    active = ev.distinct()
+    return (
+        active.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("wk") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )
+
+
+SQL_EVENTS_RETENTION = f"""
+WITH ev AS (
+  SELECT DISTINCT user_id, epoch_ms(ts) // {WEEK_MS} AS wk FROM events
+),
+first AS (SELECT user_id, min(wk) AS cohort_week FROM ev GROUP BY 1)
+SELECT cohort_week, wk - cohort_week AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM ev JOIN first USING (user_id)
+GROUP BY 1, 2
+"""
+
+QUERIES["events_retention"] = (events_retention, SQL_EVENTS_RETENTION)
