@@ -68,6 +68,11 @@ HEADLINE = [
     "hybrid_rrf_topk",
     "stratified_quota_sample",
     "events_sessionize",
+    # round-3 session 3: semantic dedup over the k-means quantizer, PQ/ADC
+    # vector search, DSIR importance resampling
+    "semdedup_prune",
+    "pq_adc_topk",
+    "dsir_select",
 ]
 WARMUP_DOCS = 2000
 
