@@ -984,11 +984,16 @@ def _sql_pq_update(assign_cte: str) -> str:
   GROUP BY a.m, a.cent_id, c.pos"""
 
 
-_SQL_PQ_CHAIN = f"""
+def _sql_pq_chain(src: str = "icomp") -> str:
+    """The PQ training + encoding CTE chain over integer components drawn
+    from ``src`` — 'icomp' for raw-vector PQ, 'rcomp' for the IVFPQ
+    residual variant (identical text for 'icomp', keeping the committed
+    pq_encode/pq_adc_topk oracles byte-stable)."""
+    return f"""
 scomp AS (
-  SELECT vec_id, pos // ((SELECT max(pos) + 1 FROM icomp) // {PQ_M}) AS m,
+  SELECT vec_id, pos // ((SELECT max(pos) + 1 FROM {src}) // {PQ_M}) AS m,
          pos, ival
-  FROM icomp
+  FROM {src}
 ),
 pc0 AS (
   SELECT m, vec_id AS cent_id, pos, ival AS cval FROM scomp
@@ -1001,6 +1006,9 @@ pc2 AS ({_sql_pq_update('pa2')}),
 pa3 AS ({_sql_pq_assign('pc2')}),
 pc3 AS ({_sql_pq_update('pa3')}),
 codes AS ({_sql_pq_assign('pc3')})"""
+
+
+_SQL_PQ_CHAIN = _sql_pq_chain("icomp")
 
 SQL_PQ_ENCODE = f"""
 WITH icomp AS (
@@ -1040,3 +1048,193 @@ FROM adc QUALIFY rnk <= {TOP_K}
 
 QUERIES["pq_encode"] = (pq_encode, SQL_PQ_ENCODE)
 QUERIES["pq_adc_topk"] = (pq_adc_topk, SQL_PQ_ADC_TOPK)
+
+
+# ------------------------------------------------------------------- IVF-PQ
+
+# The full faiss-IndexIVFPQ composition (Jégou et al. 2011 §IV): coarse
+# k-means lists (K = derive_k(n) ≈ √n) for candidate selection, PQ
+# codebooks trained on RESIDUALS (x − coarse_centroid(x)) for in-list
+# distances — residual quantization is what makes small codebooks usable,
+# since residuals live in a much tighter ball than raw vectors. Queries
+# probe their IVF_N_PROBE nearest lists; per probed list the query residual
+# builds one M×PQ_KS integer LUT and every candidate costs M lookups.
+# Everything stays in the integer k-means space, so residuals, codebooks,
+# LUTs and ADC sums are exact int64 and the DuckDB twin (the same two CTE
+# chains, with the PQ chain re-rooted at the residual components) value-
+# hash-gates the whole composition.
+#
+# Scale shape: codes join qprobe by BROADCAST (N_QUERIES·n_probe rows),
+# LUT joins by BROADCAST (N_QUERIES·n_probe·M·PQ_KS rows), the only real
+# shuffle is the partial-aggregated groupBy(qid, vec_id) over candidates —
+# candidates ≈ n_probe·n/K ≈ n_probe·√n per query, never O(n).
+
+
+def ann_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ ADC top-{TOP_K}: (qid, rnk, vec_id, adc_dist) — neighbors of
+    each query under residual-PQ code distance, searched only inside the
+    query's {IVF_N_PROBE} probed coarse lists."""
+    import numpy as np
+    import pandas as pd
+
+    k = derive_k(_n_vectors(spark, sf_dir))
+    ivec, cids, C = _kmeans_train(spark, sf_dir, k)
+    Cnp = np.asarray(C, dtype=np.int64)
+    cid_arr = np.asarray(cids, dtype=np.int64)
+    cix = {int(c): i for i, c in enumerate(cids)}
+    dim = Cnp.shape[1]
+    sub = dim // PQ_M
+
+    def res_gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["ivals"].to_numpy()).astype(np.int64, copy=False)
+            D = (X * X).sum(1)[:, None] - 2 * (X @ Cnp.T) + (Cnp * Cnp).sum(1)[None, :]
+            a = np.argsort(D, axis=1, kind="stable")[:, 0]
+            R = X - Cnp[a]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "lst": cid_arr[a],
+                    "ivals": [r.tolist() for r in R],
+                }
+            )
+
+    rvec = ivec.mapInPandas(
+        res_gen, "vec_id long, lst long, ivals array<long>"
+    ).cache()
+    books = []
+    for m in range(PQ_M):
+        sv = rvec.select("vec_id", F.slice("ivals", m * sub + 1, sub).alias("ivals"))
+        books.append(_kmeans_train_ivec(sv, PQ_KS))
+    mats = [
+        (np.asarray(bc, dtype=np.int64), np.asarray(bC, dtype=np.int64))
+        for bc, bC in books
+    ]
+
+    def code_gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["ivals"].to_numpy()).astype(np.int64, copy=False)
+            frames = []
+            for m, (bcid, bC) in enumerate(mats):
+                Xm = X[:, m * sub : (m + 1) * sub]
+                D = (Xm * Xm).sum(1)[:, None] - 2 * (Xm @ bC.T) + (bC * bC).sum(1)[None, :]
+                ix = np.argsort(D, axis=1, kind="stable")[:, 0]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": pdf["vec_id"].to_numpy(),
+                            "lst": pdf["lst"].to_numpy(),
+                            "m": np.full(len(pdf), m, dtype=np.int32),
+                            "code": bcid[ix],
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    codes = rvec.mapInPandas(code_gen, "vec_id long, lst long, m int, code long")
+
+    ranked = _km_topc(ivec, cids, C, IVF_N_PROBE)
+    qprobe = ranked.filter(
+        (F.col("vec_id") < N_QUERIES) & (F.col("rnk") <= IVF_N_PROBE)
+    ).select(F.col("vec_id").alias("qid"), F.col("cent_id").alias("lst"))
+
+    # bounded driver work: query vectors (N_QUERIES·dim ints), probed lists
+    # (N_QUERIES·n_probe rows) and the LUTs they induce
+    qiv = {
+        int(r["vec_id"]): np.asarray([int(v) for v in r["ivals"]], dtype=np.int64)
+        for r in ivec.filter(F.col("vec_id") < N_QUERIES).collect()
+    }
+    probes = sorted((int(r["qid"]), int(r["lst"])) for r in qprobe.collect())
+    lut_rows = []
+    for qid, lst in probes:
+        qres = qiv[qid] - Cnp[cix[lst]]
+        for m, (bcid, bC) in enumerate(mats):
+            qm = qres[m * sub : (m + 1) * sub]
+            d = ((qm[None, :] - bC) ** 2).sum(1)
+            lut_rows += [
+                (qid, lst, m, int(bcid[j]), int(d[j])) for j in range(len(bcid))
+            ]
+    lut = spark.createDataFrame(
+        lut_rows, "qid long, lst long, m int, code long, d long"
+    )
+
+    adc = (
+        codes.join(F.broadcast(qprobe), "lst")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .join(F.broadcast(lut), ["qid", "lst", "m", "code"])
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("d").cast("long").alias("adc_dist"))
+    )
+    w = W.partitionBy("qid").orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+    return (
+        adc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("qid", "rnk", "vec_id", "adc_dist")
+    )
+
+
+SQL_ANN_IVFPQ_TOPK = f"""
+WITH icomp AS (
+  SELECT vec_id, pos, CAST(round(val * {_KM_SCALE}) AS BIGINT) AS ival
+  FROM ({_SQL_COMPONENTS})
+),
+{_SQL_KPARAM},
+{_SQL_KM_CHAIN},
+ranked AS (
+  SELECT d.vec_id, d.cent_id, d.dist,
+         row_number() OVER (
+           PARTITION BY d.vec_id ORDER BY d.dist ASC, d.cent_id ASC
+         ) AS rnk
+  FROM (
+    SELECT c.vec_id, ct.cent_id,
+           CAST(sum((c.ival - ct.cval) * (c.ival - ct.cval)) AS BIGINT) AS dist
+    FROM icomp c JOIN c3 ct USING (pos)
+    GROUP BY c.vec_id, ct.cent_id
+  ) d
+),
+rawassign AS (SELECT vec_id, cent_id FROM ranked WHERE rnk = 1),
+qprobe AS (
+  SELECT vec_id AS qid, cent_id AS lst FROM ranked
+  WHERE vec_id < {N_QUERIES} AND rnk <= {IVF_N_PROBE}
+),
+rcomp AS (
+  SELECT i.vec_id, i.pos, i.ival - ct.cval AS ival
+  FROM icomp i
+  JOIN rawassign a USING (vec_id)
+  JOIN c3 ct ON ct.cent_id = a.cent_id AND ct.pos = i.pos
+),
+{_sql_pq_chain('rcomp')},
+qres AS (
+  SELECT qp.qid, qp.lst, i.pos, i.ival - ct.cval AS rval
+  FROM qprobe qp
+  JOIN icomp i ON i.vec_id = qp.qid
+  JOIN c3 ct ON ct.cent_id = qp.lst AND ct.pos = i.pos
+),
+lut AS (
+  SELECT q.qid, q.lst, p.m, p.cent_id AS code,
+         CAST(sum((q.rval - p.cval) * (q.rval - p.cval)) AS BIGINT) AS d
+  FROM qres q JOIN pc3 p ON p.pos = q.pos
+  GROUP BY 1, 2, 3, 4
+),
+adc AS (
+  SELECT qp.qid, co.vec_id, CAST(sum(l.d) AS BIGINT) AS adc_dist
+  FROM codes co
+  JOIN rawassign a ON a.vec_id = co.vec_id
+  JOIN qprobe qp ON qp.lst = a.cent_id AND qp.qid <> co.vec_id
+  JOIN lut l ON l.qid = qp.qid AND l.lst = a.cent_id
+            AND l.m = co.m AND l.code = co.cent_id
+  GROUP BY 1, 2
+)
+SELECT qid,
+       CAST(row_number() OVER (
+         PARTITION BY qid ORDER BY adc_dist ASC, vec_id ASC
+       ) AS INT) AS rnk,
+       vec_id, adc_dist
+FROM adc QUALIFY rnk <= {TOP_K}
+"""
+
+QUERIES["ann_ivfpq_topk"] = (ann_ivfpq_topk, SQL_ANN_IVFPQ_TOPK)

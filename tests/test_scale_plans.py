@@ -168,6 +168,25 @@ def test_pq_encode_is_zero_exchange_scan(spark, monkeypatch):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_ivfpq_never_runs_pairwise(spark, monkeypatch):
+    """IVF-PQ must search only inside probed coarse lists via broadcast
+    probe/LUT joins — never the brute-force pairwise job, never a
+    cartesian."""
+    from harvester_spark.operators import similarity
+
+    def boom(*a, **k):
+        raise AssertionError("ann_ivfpq_topk must not run the full pairwise job")
+
+    monkeypatch.setattr(similarity, "_pairwise_cosine", boom)
+    out = similarity.ann_ivfpq_topk(spark, SF_DIR)
+    rows = out.collect()
+    assert len(rows) == similarity.N_QUERIES * similarity.TOP_K
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_dsir_broadcasts_model_and_selects_target_like(spark):
     """DSIR's bucket model (KB-sized by construction) must join back by
     BROADCAST — never a shuffle on the skewed bucket key — and selection
