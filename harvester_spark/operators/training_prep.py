@@ -848,3 +848,71 @@ QUALIFY rank <= {DSIR_K}
 """
 
 QUERIES["dsir_select"] = (dsir_select, SQL_DSIR_SELECT)
+
+
+# -------------------------------------------------------- exact quantiles
+
+# Exact distributed order statistics (p50/p90/p99 token length per lang) —
+# the length-distribution report every batch-scheduling / truncation
+# decision reads. NOT approx_percentile: the length domain is bounded
+# (thousands of distinct values no matter how many docs), so the exact
+# answer comes from a (lang, n_tokens) histogram — corpus-sized input, one
+# map-side-combined groupBy down to the bounded histogram, then a window
+# over the HISTOGRAM (bounded rows per lang), never over documents. The
+# same bounded-domain trick as stratified_quota_sample's selection, minus
+# the boundary ranking. Thresholds are integer ceil((n·p)/100) on both
+# engines — no float percent arithmetic.
+
+QUANTILE_PS = (50, 90, 99)
+
+
+def doc_length_quantiles(spark, sf_dir):
+    """(lang, n_docs, p50, p90, p99) — exact discrete quantiles: the
+    smallest length whose cumulative doc count reaches ceil(n·p/100)."""
+    d = load(spark, sf_dir, "documents").select("lang", _n_tokens().alias("n_tokens"))
+    hist = d.groupBy("lang", "n_tokens").agg(F.count("*").cast("long").alias("cnt"))
+    tot = d.groupBy("lang").agg(F.count("*").cast("long").alias("n_docs"))
+    w = (
+        W.partitionBy("lang")
+        .orderBy(F.col("n_tokens").asc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(w))
+    j = cum.join(F.broadcast(tot), "lang")
+    aggs = [
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr(f"(n_docs * {p} + 99) div 100"),
+                F.col("n_tokens"),
+            )
+        )
+        .cast("long")
+        .alias(f"p{p}")
+        for p in QUANTILE_PS
+    ]
+    return j.groupBy("lang", "n_docs").agg(*aggs)
+
+
+SQL_DOC_LENGTH_QUANTILES = f"""
+WITH d AS (SELECT lang, {_SQL_N_TOKENS} AS n_tokens FROM documents),
+hist AS (
+  SELECT lang, n_tokens, CAST(count(*) AS BIGINT) AS cnt FROM d GROUP BY 1, 2
+),
+tot AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM d GROUP BY 1),
+cum AS (
+  SELECT lang, n_tokens,
+         sum(cnt) OVER (PARTITION BY lang ORDER BY n_tokens ASC
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM hist
+)
+SELECT t.lang, t.n_docs,
+       {", ".join(
+           f"CAST(min(CASE WHEN cum >= (t.n_docs * {p} + 99) // 100 "
+           f"THEN n_tokens END) AS BIGINT) AS p{p}"
+           for p in QUANTILE_PS
+       )}
+FROM cum c JOIN tot t USING (lang)
+GROUP BY t.lang, t.n_docs
+"""
+
+QUERIES["doc_length_quantiles"] = (doc_length_quantiles, SQL_DOC_LENGTH_QUANTILES)
