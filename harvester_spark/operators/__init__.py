@@ -24,6 +24,7 @@ from harvester_spark.operators import (
     multimodal,
     relational,
     similarity,
+    sketches,
     text_analytics,
     training_prep,
 )
@@ -39,5 +40,6 @@ for mod in (
     training_prep,
     curation,
     text_analytics,
+    sketches,
 ):
     ALL_QUERIES.update(mod.QUERIES)

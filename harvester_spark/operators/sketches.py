@@ -1,0 +1,486 @@
+"""Sketch operators — the bounded-state primitives a 100 TB corpus forces.
+
+Three classics, each with the property that the *distributed state* is
+O(sketch), never O(corpus) or O(vocabulary):
+
+- **HyperLogLog** distinct counting (Flajolet et al. 2007): register file is
+  ``m = 256`` rows per language no matter how many shingles stream through —
+  the shuffle after the map-side combine is O(langs x m).
+- **Count-min sketch** heavy hitters (Cormode & Muthukrishnan 2005): the
+  d x w counter grid (8 KB) replaces the full n-gram histogram; the exact
+  verification groupBy only ever sees stream rows whose sketch estimate
+  already crossed the threshold, so the term-keyed shuffle is bounded by the
+  *heavy* occurrences, not the vocabulary.
+- **Bloom filter** membership (Bloom 1970): the base corpus's n-gram set is
+  represented as a 64 Kbit bitset (8 KB broadcast to every probe task),
+  replacing the shingle-keyed shuffle join a naive "seen before?" needs.
+
+Reference parity: the reference keeps corpus-level term statistics in
+OpenSearch (shard-local Lucene term dictionaries) and never ships vocabulary
+across nodes for stats queries (/root/reference/harvester/search/clients.py
+facet/stats paths); these sketches are the Spark-native equivalent of that
+"statistics without a vocabulary shuffle" contract.
+
+Determinism: every hash is the top-56-bit md5 idiom (dedup.py:33) so both
+engines compute bit-identical buckets; estimates divide a Python-inlined
+float literal by an *exact* int64 (see ``hll_distinct_shingles``) and are
+``round(.,6)``-ed per the module convention (operators/__init__.py).
+
+All three consume word-3-gram shingles of ``documents.text`` — thousands of
+distinct values per language at every SF (the raw term vocabulary of the
+synthetic table is ~31 terms, degenerate for cardinality sketches; shingles
+are the realistic n-gram domain these sketches exist for at web scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from harvester_spark.operators.common import SQL_TOKS, load
+from harvester_spark.analysis import tokens_column
+
+# ------------------------------------------------------------------ hashing
+
+_SQL_HASH56 = "CAST(('0x' || substr(md5({col}), 1, 14)) AS BIGINT)"
+
+
+def _hash56(col: F.Column) -> F.Column:
+    """Top-56-bits of md5 as a nonnegative int64 (same idiom as dedup.py)."""
+    return F.conv(F.substring(F.md5(col), 1, 14), 16, 10).cast("long")
+
+
+# ------------------------------------------------------- 3-gram shingle feed
+
+# Array-transform shingling: zero windows, zero shuffles — each doc's token
+# array expands to its word-3-grams inside the scan's codegen stage.
+_SPARK_SHINGLES3 = (
+    "transform(sequence(0, size(t) - 3),"
+    " i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))"
+)
+_SQL_SHINGLES3 = "list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])"
+
+
+def _shingle_stream(spark: SparkSession, sf_dir: str, *cols: str) -> DataFrame:
+    """(*cols, shingle): one row per 3-gram OCCURRENCE (docs < 3 tokens drop)."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(*cols, tokens_column(F.col("text")).alias("t"))
+        .filter(F.size("t") >= 3)
+        .select(*cols, F.explode(F.expr(_SPARK_SHINGLES3)).alias("shingle"))
+    )
+
+
+def _sql_shingle_stream(*cols: str, distinct: bool = False, source: str = "documents") -> str:
+    lst = _SQL_SHINGLES3 if not distinct else f"list_distinct({_SQL_SHINGLES3})"
+    sel = ", ".join(cols)
+    sel = sel + ", " if sel else ""
+    return f"""
+      SELECT {sel}unnest({lst}) AS shingle
+      FROM (SELECT {sel}{SQL_TOKS.format(col='text')} AS t FROM {source})
+      WHERE len(t) >= 3
+    """
+
+
+# ------------------------------------------------------------- HyperLogLog
+
+HLL_M = 256  # 2^8 registers per language
+_HLL_WBITS = 48  # 56-bit hash minus 8 bucket bits
+_HLL_RMAX = _HLL_WBITS + 1  # rho of w == 0
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+# Scaled-integer trick: a register holding rho contributes 2^-rho to the
+# harmonic sum; scaling by 2^49 makes every contribution an exact int64
+# (max 256 * 2^49 = 2^57), so BOTH engines sum the same integer and the
+# estimate is ONE division of this literal by that integer.
+_HLL_C = repr(_HLL_ALPHA * HLL_M * HLL_M * float(2**_HLL_RMAX))
+
+
+def _rho_case(col: str) -> str:
+    """rho(w) = leading zeros of the 48-bit value + 1 — a generated integer
+    CASE chain (identical text in both engines; no libm, no bit builtins)."""
+    whens = " ".join(
+        f"WHEN {col} >= {1 << j} THEN {_HLL_WBITS - j}"
+        for j in range(_HLL_WBITS - 1, -1, -1)
+    )
+    return f"CASE {whens} ELSE {_HLL_RMAX} END"
+
+
+def hll_distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language HyperLogLog distinct-3-gram estimate.
+
+    (lang, n_registers, v_zero, s_num, est): the full register-file digest —
+    s_num is the exact scaled harmonic sum, est the HLL estimate with the
+    standard small-range LinearCounting correction (raw <= 2.5m and empty
+    registers exist -> m*ln(m/V)). Relative error ~= 1.04/sqrt(256) = 6.5%.
+
+    Scale shape: one map-side-combined groupBy down to <= langs*256 register
+    rows; the stream itself never shuffles.
+    """
+    sh = _shingle_stream(spark, sf_dir, "lang")
+    wb = sh.select(
+        "lang", _hash56(F.col("shingle")).alias("hv")
+    ).select(
+        "lang",
+        (F.col("hv") % HLL_M).alias("bucket"),
+        F.expr(f"hv DIV {HLL_M}").alias("w"),
+    )
+    reg = wb.groupBy("lang", "bucket").agg(
+        F.max(F.expr(_rho_case("w"))).alias("r")
+    )
+    per = reg.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_registers"),
+        F.sum(F.expr(f"CAST(power(2, {_HLL_RMAX} - r) AS BIGINT)"))
+        .cast("long")
+        .alias("s_present"),
+    )
+    fin = per.select(
+        "lang",
+        "n_registers",
+        (F.lit(HLL_M) - F.col("n_registers")).cast("long").alias("v_zero"),
+        (
+            F.col("s_present")
+            + (F.lit(HLL_M) - F.col("n_registers")) * F.lit(2**_HLL_RMAX)
+        )
+        .cast("long")
+        .alias("s_num"),
+    )
+    est = F.expr(
+        f"round(CASE WHEN {_HLL_C} / s_num <= {2.5 * HLL_M} AND v_zero > 0"
+        f" THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / v_zero)"
+        f" ELSE {_HLL_C} / s_num END, 6)"
+    )
+    return fin.select("lang", "n_registers", "v_zero", "s_num", est.alias("est"))
+
+
+SQL_HLL_DISTINCT_SHINGLES = f"""
+WITH sh AS ({_sql_shingle_stream('lang')}),
+wb AS (
+  SELECT lang, hv % {HLL_M} AS bucket, hv // {HLL_M} AS w
+  FROM (SELECT lang, {_SQL_HASH56.format(col='shingle')} AS hv FROM sh)
+),
+reg AS (
+  SELECT lang, bucket, max({_rho_case('w')}) AS r FROM wb GROUP BY 1, 2
+),
+per AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_registers,
+         CAST(sum(CAST(power(2, {_HLL_RMAX} - r) AS BIGINT)) AS BIGINT) AS s_present
+  FROM reg GROUP BY 1
+),
+fin AS (
+  SELECT lang, n_registers,
+         CAST({HLL_M} - n_registers AS BIGINT) AS v_zero,
+         CAST(s_present + ({HLL_M} - n_registers) * {2**_HLL_RMAX} AS BIGINT) AS s_num
+  FROM per
+)
+SELECT lang, n_registers, v_zero, s_num,
+       round(CASE WHEN {_HLL_C} / s_num <= {2.5 * HLL_M} AND v_zero > 0
+                  THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / v_zero)
+                  ELSE {_HLL_C} / s_num END, 6) AS est
+FROM fin
+"""
+
+
+# -------------------------------------------------- count-min heavy hitters
+
+CMS_D = 4  # hash rows
+CMS_W = 2048  # buckets per row
+HH_DEN = 300  # heavy = frequency >= N / HH_DEN
+
+# The synthetic documents table is near-uniform over 3-grams (max natural
+# share ~0.03%) — real web text is not: boilerplate banners dominate. The
+# operator therefore synthesizes the skew it exists to find (the established
+# pattern: curation._pages), appending one of three deterministic banner
+# phrases twice to every even doc_id. Pure banner 3-grams land ~0.6% of the
+# stream (>= N/300); every natural 3-gram stays two orders of magnitude
+# below. A test pins the non-degeneracy in both directions.
+_BANNERS = (
+    "footer nav copyright",
+    "cookie consent notice",
+    "subscribe newsletter today",
+)
+
+
+def _banner_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    b = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit(_BANNERS[0]))
+        .when(F.col("doc_id") % 3 == 1, F.lit(_BANNERS[1]))
+        .otherwise(F.lit(_BANNERS[2]))
+    )
+    page = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.col("text"), F.lit(" "), b, F.lit(" "), b),
+    ).otherwise(F.col("text"))
+    return docs.select("doc_id", page.alias("text"))
+
+
+_SQL_BANNER_PAGES = f"""
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN text || ' ' || b || ' ' || b
+              ELSE text END AS text
+  FROM (SELECT doc_id, text,
+               CASE doc_id % 3 WHEN 0 THEN '{_BANNERS[0]}'
+                               WHEN 1 THEN '{_BANNERS[1]}'
+                               ELSE '{_BANNERS[2]}' END AS b
+        FROM documents)
+"""
+
+
+def _banner_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = _banner_pages(spark, sf_dir)
+    return (
+        pages.select(tokens_column(F.col("text")).alias("t"))
+        .filter(F.size("t") >= 3)
+        .select(F.explode(F.expr(_SPARK_SHINGLES3)).alias("shingle"))
+    )
+
+
+def _cms_bucket(row: int) -> F.Column:
+    return _hash56(F.concat(F.lit(f"{row}:"), F.col("shingle"))) % CMS_W
+
+
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(shingle, cms_est, exact_cnt) for every 3-gram whose count-min
+    estimate reaches N/{HH_DEN} of the banner-page stream.
+
+    Two passes, the canonical batch shape:
+
+    1. build the d x w counter grid — groupBy(row, bucket) with map-side
+       combine, shuffle O(d*w) cells; collected to the driver (8 KB,
+       bounded by the SKETCH, like the k-means centroid contract);
+    2. re-stream, compute each occurrence's estimate map-side against the
+       broadcast grid, FILTER BEFORE the shuffle — only sketch-heavy
+       occurrences reach the exact groupBy(shingle), so the vocabulary
+       never shuffles (CMS never undercounts, so no true heavy hitter can
+       be filtered out). Plan guard: tests/test_sketches.py.
+    """
+    stream = _banner_shingles(spark, sf_dir)
+    keyed = stream.select(
+        F.posexplode(F.array(*[_cms_bucket(r) for r in range(CMS_D)])).alias(
+            "row", "bucket"
+        )
+    )
+    cells = {
+        (r, b): int(c)
+        for r, b, c in keyed.groupBy("row", "bucket").count().collect()
+    }
+    n_total = sum(c for (r, _), c in cells.items() if r == 0)
+    thr = (n_total + HH_DEN - 1) // HH_DEN
+    grids = [
+        [cells.get((r, b), 0) for b in range(CMS_W)] for r in range(CMS_D)
+    ]
+    grid_df = spark.createDataFrame(
+        [tuple(grids)], ", ".join(f"c{r}: array<bigint>" for r in range(CMS_D))
+    )
+    probed = stream.crossJoin(F.broadcast(grid_df))
+    est = F.least(
+        *[
+            F.element_at(F.col(f"c{r}"), (_cms_bucket(r) + 1).cast("int"))
+            for r in range(CMS_D)
+        ]
+    )
+    return (
+        probed.withColumn("est", est)
+        .filter(F.col("est") >= thr)
+        .groupBy("shingle")
+        .agg(
+            F.min("est").cast("long").alias("cms_est"),
+            F.count("*").cast("long").alias("exact_cnt"),
+        )
+    )
+
+
+_SQL_CMS_STREAM = f"""
+      SELECT unnest({_SQL_SHINGLES3}) AS shingle
+      FROM (SELECT {SQL_TOKS.format(col='text')} AS t
+            FROM ({_SQL_BANNER_PAGES}))
+      WHERE len(t) >= 3
+"""
+
+SQL_CMS_HEAVY_HITTERS = f"""
+WITH stream AS ({_SQL_CMS_STREAM}),
+keyed AS (
+  SELECT shingle, r,
+         {_SQL_HASH56.format(col="CAST(r AS VARCHAR) || ':' || shingle")} % {CMS_W} AS bucket
+  FROM stream CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r)
+),
+cells AS (
+  SELECT r, bucket, CAST(count(*) AS BIGINT) AS c FROM keyed GROUP BY 1, 2
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM stream),
+est AS (
+  SELECT shingle, CAST(min(c) AS BIGINT) AS cms_est
+  FROM (SELECT DISTINCT shingle, r, bucket FROM keyed) sk
+  JOIN cells USING (r, bucket)
+  GROUP BY 1
+),
+exact AS (
+  SELECT shingle, CAST(count(*) AS BIGINT) AS exact_cnt FROM stream GROUP BY 1
+)
+SELECT shingle, cms_est, exact_cnt
+FROM est JOIN exact USING (shingle) CROSS JOIN n
+WHERE cms_est >= (n_total + {HH_DEN - 1}) // {HH_DEN}
+"""
+
+
+# ------------------------------------------------------ Bloom novelty probe
+
+BLOOM_K = 3  # hash functions
+BLOOM_BITS_PER_KEY = 8  # m = next power of two >= 8 * |base n-gram set|
+
+# Same snapshot split as dedup.dedup_new_vs_base (dedup.py:1094).
+_SNAP_MOD = 5
+
+
+def derive_bloom_m(n_base: int) -> int:
+    """Bloom capacity from the base-set cardinality: m = 2^ceil(log2(8n)),
+    i.e. a fixed ~8 bits/key load (k=3 -> ~3% worst-case false positives)
+    at ANY corpus size — the same derived-capacity contract as the ANN
+    surfaces (similarity.derive_n_planes / derive_k). Computed with integer
+    bit_length, never float log2 (power-of-two boundaries would diverge
+    between engines); the oracle's CASE chain below is formula-identical."""
+    v = 8 * n_base - 1
+    return 1 << max(6, v.bit_length() if v > 0 else 1)
+
+
+def _sql_bitlen_case(col: str, maxbits: int = 45) -> str:
+    """Integer bit_length as a generated CASE chain (oracle twin of
+    ``int.bit_length`` in derive_bloom_m)."""
+    whens = " ".join(
+        f"WHEN {col} >= {1 << j} THEN {j + 1}" for j in range(maxbits - 1, -1, -1)
+    )
+    return f"CASE {whens} ELSE 1 END"
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) per-doc DISTINCT 3-grams — array_distinct inside the
+    scan stage, so per-doc dedup costs zero shuffles."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", tokens_column(F.col("text")).alias("t"))
+        .filter(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"array_distinct({_SPARK_SHINGLES3})")).alias(
+                "shingle"
+            ),
+        )
+    )
+
+
+def _bloom_pos(i: int, m: int) -> F.Column:
+    return _hash56(F.concat(F.lit(f"{i}:"), F.col("shingle"))) % m
+
+
+def bloom_snapshot_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per new-snapshot doc: how many of its distinct 3-grams the BASE corpus
+    already contains — (doc_id, n_shingles, n_bloom_seen, n_exact_seen).
+
+    The base n-gram set is folded into a {BLOOM_K}-hash Bloom bitset sized
+    by ``derive_bloom_m`` (a fixed 8 bits/key load at any corpus size) — the
+    bitset rides a broadcast and the probe is pure map-side expressions
+    (word >> bit & 1), so "seen before?" costs the snapshot ZERO
+    shingle-keyed shuffle. Bloom never misses: n_bloom_seen >= n_exact_seen
+    always; the gap is the false positives (~3% at this load). The sizing
+    pass here counts the base set exactly (one scalar agg); at 100 TB you'd
+    feed ``hll_distinct_shingles``'s estimate in instead — HLL's 6.5% error
+    moves the load factor, not correctness. n_exact_seen (a real semi-join
+    against the base n-gram set) is the gate/report-only comparison column —
+    at 100 TB you'd keep only the bloom column; that asymmetry is the point
+    of the operator.
+    """
+    ds = _doc_shingles(spark, sf_dir)
+    is_new = F.col("doc_id") % _SNAP_MOD == 0
+    base = ds.filter(~is_new)
+    new = ds.filter(is_new)
+
+    n_base = base.select("shingle").distinct().count()
+    m = derive_bloom_m(n_base)
+
+    base_pos = (
+        base.select(
+            F.explode(
+                F.array(*[_bloom_pos(i, m) for i in range(BLOOM_K)])
+            ).alias("pos")
+        )
+        .distinct()
+        .collect()
+    )  # bounded by m rows by construction (8 bits/key), not by corpus size
+    words = [0] * (m // 64)
+    for (p,) in base_pos:
+        words[p // 64] |= 1 << (p % 64)
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    words_df = spark.createDataFrame([(words,)], "bw: array<bigint>")
+
+    probed = new.crossJoin(F.broadcast(words_df))
+    for i in range(BLOOM_K):
+        probed = probed.withColumn(f"p{i}", _bloom_pos(i, m))
+    hit = None
+    for i in range(BLOOM_K):
+        bit = F.expr(
+            f"(shiftrightunsigned(element_at(bw, CAST(p{i} DIV 64 AS INT) + 1),"
+            f" CAST(p{i} % 64 AS INT)) & 1) = 1"
+        )
+        hit = bit if hit is None else (hit & bit)
+    bloom_agg = probed.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_shingles"),
+        F.sum(hit.cast("long")).cast("long").alias("n_bloom_seen"),
+    )
+    exact_agg = (
+        new.join(base.select("shingle").distinct(), "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_exact_seen"))
+    )
+    return bloom_agg.join(exact_agg, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        "n_bloom_seen",
+        F.coalesce(F.col("n_exact_seen"), F.lit(0).cast("long")).alias(
+            "n_exact_seen"
+        ),
+    )
+
+
+SQL_BLOOM_SNAPSHOT_NOVELTY = f"""
+WITH ds AS ({_sql_shingle_stream('doc_id', distinct=True)}),
+newsh AS (SELECT * FROM ds WHERE doc_id % {_SNAP_MOD} = 0),
+basesh AS (SELECT DISTINCT shingle FROM ds WHERE doc_id % {_SNAP_MOD} <> 0),
+mval AS (
+  SELECT CAST(power(2, GREATEST(6, {_sql_bitlen_case(f'{BLOOM_BITS_PER_KEY} * CAST(count(*) AS BIGINT) - 1')})) AS BIGINT) AS m
+  FROM basesh
+),
+basepos AS (
+  SELECT DISTINCT
+         {_SQL_HASH56.format(col="CAST(i AS VARCHAR) || ':' || shingle")} % m AS pos
+  FROM basesh CROSS JOIN (SELECT unnest([0, 1, 2]) AS i) CROSS JOIN mval
+),
+probe AS (
+  SELECT doc_id, shingle,
+         {", ".join(_SQL_HASH56.format(col=f"'{i}:' || shingle") + f" % m AS p{i}" for i in range(BLOOM_K))}
+  FROM newsh CROSS JOIN mval
+),
+hits AS (
+  SELECT doc_id,
+         CASE WHEN {" AND ".join(f"p{i} IN (SELECT pos FROM basepos)" for i in range(BLOOM_K))}
+              THEN 1 ELSE 0 END AS hit
+  FROM probe
+),
+bl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(sum(hit) AS BIGINT) AS n_bloom_seen
+  FROM hits GROUP BY 1
+),
+ex AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_exact_seen
+  FROM newsh WHERE shingle IN (SELECT shingle FROM basesh) GROUP BY 1
+)
+SELECT bl.doc_id, n_shingles, n_bloom_seen,
+       COALESCE(ex.n_exact_seen, CAST(0 AS BIGINT)) AS n_exact_seen
+FROM bl LEFT JOIN ex ON bl.doc_id = ex.doc_id
+"""
+
+
+QUERIES = {
+    "hll_distinct_shingles": (hll_distinct_shingles, SQL_HLL_DISTINCT_SHINGLES),
+    "cms_heavy_hitters": (cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS),
+    "bloom_snapshot_novelty": (bloom_snapshot_novelty, SQL_BLOOM_SNAPSHOT_NOVELTY),
+}

@@ -1,0 +1,126 @@
+"""Sketch-operator properties the oracle gate can't see.
+
+The DuckDB oracles pin cross-engine value identity; these tests pin the
+*semantic* guarantees (HLL accuracy, CMS no-false-negatives, Bloom
+no-misses) and the plan shapes (the vocabulary must never shuffle on the
+sketch paths) — the "correct but scale-killer => weak" rule.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from harvester_spark.operators import sketches
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ------------------------------------------------------------- HyperLogLog
+
+
+def test_hll_estimate_within_error_bound(spark):
+    out = {r["lang"]: r for r in sketches.hll_distinct_shingles(spark, SF_DIR).collect()}
+    exact = {
+        r["lang"]: r["n"]
+        for r in sketches._shingle_stream(spark, SF_DIR, "lang")
+        .groupBy("lang")
+        .agg(F.countDistinct("shingle").alias("n"))
+        .collect()
+    }
+    assert set(out) == set(exact) and len(exact) >= 3
+    for lang, ex in exact.items():
+        est = out[lang]["est"]
+        # std error = 1.04/sqrt(256) = 6.5%; 3 sigma ~= 20%
+        assert abs(est - ex) / ex < 0.20, (lang, est, ex)
+        # non-degenerate cardinality: the shingle domain must be in the
+        # thousands, not the ~31-term raw vocabulary
+        assert ex > 500, (lang, ex)
+
+
+def test_hll_plan_never_shuffles_the_stream_by_shingle(spark):
+    plan = _plan(sketches.hll_distinct_shingles(spark, SF_DIR))
+    assert "hashpartitioning(shingle" not in plan
+    # register file: one (lang, bucket) exchange + one (lang) exchange only
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+# -------------------------------------------------- count-min heavy hitters
+
+
+@pytest.fixture(scope="module")
+def cms_rows(spark):
+    return sketches.cms_heavy_hitters(spark, SF_DIR).collect()
+
+
+def test_cms_never_undercounts_and_finds_planted_banners(spark, cms_rows):
+    assert all(r["cms_est"] >= r["exact_cnt"] for r in cms_rows)
+    got = {r["shingle"] for r in cms_rows}
+    assert set(sketches._BANNERS) <= got  # the planted heavy hitters
+    # the sketch must actually FILTER: candidates are a sliver of the
+    # distinct-shingle universe (non-degenerate in the other direction)
+    universe = (
+        sketches._banner_shingles(spark, SF_DIR).distinct().count()
+    )
+    assert len(cms_rows) < universe * 0.01, (len(cms_rows), universe)
+
+
+def test_cms_exact_counts_are_true_counts(spark, cms_rows):
+    stream = sketches._banner_shingles(spark, SF_DIR)
+    truth = {
+        r["shingle"]: r["c"]
+        for r in stream.groupBy("shingle").agg(F.count("*").alias("c")).collect()
+    }
+    for r in cms_rows:
+        assert truth[r["shingle"]] == r["exact_cnt"]
+
+
+def test_cms_plan_filters_before_the_shingle_shuffle(spark):
+    plan = _plan(sketches.cms_heavy_hitters(spark, SF_DIR))
+    # exactly ONE shingle-keyed exchange (the post-filter exact groupBy);
+    # the estimate is attached map-side via the broadcast one-row grid
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BroadcastNestedLoopJoin" in plan
+    # the threshold filter must sit BELOW the exchange (printed after it
+    # in the top-down plan dump)
+    exch = plan.index("Exchange hashpartitioning")
+    filt = plan.index("Filter")
+    assert filt > exch, "heavy-hitter filter must run before the shuffle"
+
+
+# ------------------------------------------------------ Bloom novelty probe
+
+
+@pytest.fixture(scope="module")
+def bloom_rows(spark):
+    return sketches.bloom_snapshot_novelty(spark, SF_DIR).collect()
+
+
+def test_bloom_never_misses(bloom_rows):
+    assert len(bloom_rows) > 50
+    for r in bloom_rows:
+        assert 0 <= r["n_exact_seen"] <= r["n_bloom_seen"] <= r["n_shingles"]
+
+
+def test_bloom_false_positive_rate_bounded(bloom_rows):
+    fp = sum(r["n_bloom_seen"] - r["n_exact_seen"] for r in bloom_rows)
+    probes = sum(r["n_shingles"] for r in bloom_rows)
+    # 8 bits/key, k=3 -> ~3% worst case; allow 5%
+    assert fp / probes < 0.05, (fp, probes)
+
+
+def test_bloom_is_non_degenerate_both_directions(bloom_rows):
+    seen = sum(r["n_exact_seen"] for r in bloom_rows)
+    novel = sum(r["n_shingles"] - r["n_exact_seen"] for r in bloom_rows)
+    assert seen > 0 and novel > 0
+
+
+def test_bloom_capacity_derivation_is_integer_exact():
+    # power-of-two boundaries — exactly where float log2 would diverge
+    assert sketches.derive_bloom_m(0) == 64
+    assert sketches.derive_bloom_m(8) == 64  # 8n-1 = 63 -> 6 bits
+    assert sketches.derive_bloom_m(9) == 128  # 8n-1 = 71 -> 7 bits
+    assert sketches.derive_bloom_m(1 << 20) == 1 << 23
+    assert sketches.derive_bloom_m((1 << 20) + 1) == 1 << 24
