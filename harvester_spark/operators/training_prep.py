@@ -916,3 +916,67 @@ GROUP BY t.lang, t.n_docs
 """
 
 QUERIES["doc_length_quantiles"] = (doc_length_quantiles, SQL_DOC_LENGTH_QUANTILES)
+
+# ------------------------------------------------------- passage chunking
+
+# Retrieval-prep chunking: split every document into overlapping
+# CHUNK_W-token windows on a CHUNK_S stride (the RAG passage layout —
+# neighbors share CHUNK_W - CHUNK_S tokens of context so no answer span is
+# ever cut without a copy). Pure map-side: the token array expands to its
+# windows inside the scan's codegen stage — ZERO exchanges at any corpus
+# size (plan-guarded in tests/test_chunk_passages.py). Contrast with
+# pack_sequences above: packing is corpus-order concatenation (needs the
+# two-level prefix sum); chunking is per-doc and embarrassingly parallel.
+
+CHUNK_W = 32  # tokens per passage window
+CHUNK_S = 24  # stride (overlap = CHUNK_W - CHUNK_S)
+
+
+def chunk_passages(spark, sf_dir):
+    """(doc_id, chunk_ix, start_pos, n_tokens, chunk_digest): every doc's
+    overlapping token windows; the final window may be short, and an empty
+    doc still yields exactly one (empty) chunk so no doc silently drops."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens_column(F.col("text")).alias("t"))
+    e = t.select("doc_id", "t", F.size("t").alias("n")).withColumn(
+        "n_chunks",
+        F.expr(
+            f"1 + CASE WHEN n > {CHUNK_W}"
+            f" THEN (n - {CHUNK_W} + {CHUNK_S - 1}) DIV {CHUNK_S} ELSE 0 END"
+        ),
+    )
+    ch = e.select(
+        "doc_id",
+        "t",
+        F.explode(F.expr("sequence(0, n_chunks - 1)")).alias("chunk_ix"),
+    )
+    ct = F.expr(f"slice(t, chunk_ix * {CHUNK_S} + 1, {CHUNK_W})")
+    return ch.select(
+        "doc_id",
+        F.col("chunk_ix").cast("long").alias("chunk_ix"),
+        (F.col("chunk_ix").cast("long") * CHUNK_S).alias("start_pos"),
+        F.size(ct).cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", ct)).alias("chunk_digest"),
+    )
+
+
+SQL_CHUNK_PASSAGES = f"""
+WITH tk AS (SELECT doc_id, {SQL_TOKS.format(col='text')} AS t FROM documents),
+e AS (
+  SELECT doc_id, t,
+         1 + CASE WHEN len(t) > {CHUNK_W}
+                  THEN (len(t) - {CHUNK_W} + {CHUNK_S - 1}) // {CHUNK_S}
+                  ELSE 0 END AS n_chunks
+  FROM tk
+),
+ch AS (SELECT doc_id, t, unnest(range(0, n_chunks)) AS chunk_ix FROM e)
+SELECT doc_id, CAST(chunk_ix AS BIGINT) AS chunk_ix,
+       CAST(chunk_ix * {CHUNK_S} AS BIGINT) AS start_pos,
+       CAST(len(list_slice(t, chunk_ix * {CHUNK_S} + 1,
+                           chunk_ix * {CHUNK_S} + {CHUNK_W})) AS BIGINT) AS n_tokens,
+       md5(array_to_string(list_slice(t, chunk_ix * {CHUNK_S} + 1,
+                                      chunk_ix * {CHUNK_S} + {CHUNK_W}), ' ')) AS chunk_digest
+FROM ch
+"""
+
+QUERIES["chunk_passages"] = (chunk_passages, SQL_CHUNK_PASSAGES)
