@@ -1384,3 +1384,161 @@ QUERIES["ft_winnow_fingerprints"] = (
     ft_winnow_fingerprints,
     _sql_winnow_fingerprints(),
 )
+
+
+# ------------------------------------------------------------------- BM25F
+
+# Multi-field weighted ranking. The reference scores simple_query_string
+# over a FIELD LIST with per-field weights — OpenSearch's multi-field
+# scoring contract (/root/reference/harvester/core/models/search/query.py:
+# 73-88, the `fields` parameter of get_search_query_body; the boosts live
+# in the search_client SearchConfiguration). BM25F (Robertson & Zaragoza
+# 2009, "simple BM25F") is the principled form: weighted field tf with
+# per-field length normalization folded into ONE saturation, never one
+# BM25 per field summed. The synthetic table has no title column, so the
+# title is derived deterministically as the first TITLE_K tokens (the
+# established synthesis pattern — curation._pages); everything downstream
+# is the real multi-field math.
+#
+# NOTE: this is a relational operator over the documents table. The
+# serving engine's single BM25 kernel (search/bm25.py — rank-identity
+# contract) is untouched; BM25F is a different named scorer with its own
+# oracle.
+
+TITLE_K = 6  # first tokens form the synthesized title field
+BM25F_W_TITLE, BM25F_W_BODY = 3.0, 1.0
+BM25F_B_TITLE, BM25F_B_BODY = 0.5, 0.75
+BM25F_K1 = 1.2
+
+
+def ft_bm25f_topk(spark, sf_dir):
+    """BM25F AND-match top-10 over (title = first {TITLE_K} tokens, body =
+    rest): tf~ = sum_f w_f*tf_f/(1-b_f+b_f*len_f/avglen_f), score =
+    sum_t idf_t * tf~*(k1+1)/(k1+tf~). Same plan skeleton as ft_bm25_topk:
+    term filter before the tf groupBy, df/stats broadcast, one doc agg,
+    TakeOrdered tail. Scores round(.,6); ties doc_id asc."""
+    toks = doc_tokens(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    n_terms = len(BM25_TERMS)
+
+    lens = docs.select(
+        "doc_id", F.size(tokens_column(F.col("text"))).alias("n")
+    ).select(
+        "doc_id",
+        F.least(F.col("n"), F.lit(TITLE_K)).alias("title_len"),
+        F.greatest(F.col("n") - TITLE_K, F.lit(0)).alias("body_len"),
+    )
+    stats = lens.agg(
+        (F.sum("title_len") * 1.0 / F.count("*")).alias("avg_title"),
+        (F.sum("body_len") * 1.0 / F.count("*")).alias("avg_body"),
+        F.count("*").alias("n"),
+    )
+    tf = (
+        toks.filter(F.col("term").isin(BM25_TERMS))
+        .groupBy(
+            "term",
+            "doc_id",
+            F.when(F.col("pos") < TITLE_K, F.lit("title"))
+            .otherwise(F.lit("body"))
+            .alias("field"),
+        )
+        .agg(F.count("*").alias("tf"))
+    )
+    wtf = (
+        tf.join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "wtf",
+            F.when(
+                F.col("field") == "title",
+                F.col("tf")
+                * BM25F_W_TITLE
+                / (
+                    1.0
+                    - BM25F_B_TITLE
+                    + BM25F_B_TITLE * F.col("title_len") / F.col("avg_title")
+                ),
+            ).otherwise(
+                F.col("tf")
+                * BM25F_W_BODY
+                / (
+                    1.0
+                    - BM25F_B_BODY
+                    + BM25F_B_BODY * F.col("body_len") / F.col("avg_body")
+                ),
+            ),
+        )
+        .groupBy("term", "doc_id")
+        .agg(F.sum("wtf").alias("tfd"), F.first("n").alias("n"))
+    )
+    df_ = wtf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        wtf.join(F.broadcast(df_), "term")
+        .withColumn(
+            "idf",
+            F.log(1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        )
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (F.col("tfd") * (BM25F_K1 + 1.0))
+            / (BM25F_K1 + F.col("tfd")),
+        )
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("nt"), F.round(F.sum("contrib"), 6).alias("score"))
+        .filter(F.col("nt") == n_terms)
+        .select("doc_id", "score")
+    )
+    return _ranked_top10(scored)
+
+
+SQL_BM25F_TOPK = f"""
+WITH toks AS ({SQL_DOC_TOKS}),
+lens AS (
+  SELECT doc_id,
+         LEAST(len({SQL_TOKS.format(col='text')}), {TITLE_K}) AS title_len,
+         GREATEST(len({SQL_TOKS.format(col='text')}) - {TITLE_K}, 0) AS body_len
+  FROM documents
+),
+stats AS (
+  SELECT sum(title_len) * 1.0 / count(*) AS avg_title,
+         sum(body_len) * 1.0 / count(*) AS avg_body,
+         count(*) AS n
+  FROM lens
+),
+tf AS (
+  SELECT term, doc_id,
+         CASE WHEN pos < {TITLE_K} THEN 'title' ELSE 'body' END AS field,
+         count(*) AS tf
+  FROM toks WHERE term IN ({", ".join(f"'{t}'" for t in BM25_TERMS)})
+  GROUP BY 1, 2, 3
+),
+wtf AS (
+  SELECT term, tf.doc_id,
+         sum(CASE WHEN field = 'title'
+                  THEN tf * {BM25F_W_TITLE}
+                       / (1.0 - {BM25F_B_TITLE} + {BM25F_B_TITLE} * title_len / avg_title)
+                  ELSE tf * {BM25F_W_BODY}
+                       / (1.0 - {BM25F_B_BODY} + {BM25F_B_BODY} * body_len / avg_body)
+             END) AS tfd,
+         any_value(n) AS n
+  FROM tf JOIN lens USING (doc_id) CROSS JOIN stats
+  GROUP BY 1, 2
+),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM wtf GROUP BY term),
+scored AS (
+  SELECT wtf.doc_id, count(*) AS nt,
+         round(sum(
+           ln(1.0 + (wtf.n - df.df + 0.5) / (df.df + 0.5))
+           * (tfd * {BM25F_K1 + 1.0}) / ({BM25F_K1} + tfd)
+         ), 6) AS score
+  FROM wtf JOIN df USING (term)
+  GROUP BY wtf.doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank,
+       doc_id, score
+FROM scored WHERE nt = {len(BM25_TERMS)}
+ORDER BY rank LIMIT 10
+"""
+
+QUERIES["ft_bm25f_topk"] = (ft_bm25f_topk, SQL_BM25F_TOPK)
