@@ -1542,3 +1542,112 @@ ORDER BY rank LIMIT 10
 """
 
 QUERIES["ft_bm25f_topk"] = (ft_bm25f_topk, SQL_BM25F_TOPK)
+
+
+# -------------------------------------------------------------- bigram LM
+
+# One level above ft_unigram_logprob on the CCNet ladder: a PRUNED
+# interpolated bigram language model (the KenLM-recipe shape at Spark
+# scale). Train = two map-side-combined histograms (unigram per lang,
+# bigram per lang pruned to the top BIGRAM_M by count — the standard LM
+# pruning step, so the scoring joins broadcast a bounded model no matter
+# the corpus size); score = one per-doc window (lag) plus three broadcast
+# joins. Per-token log-probs are integer micro-nats (round(1e6*ln(p)) —
+# the DSIR idiom), so each doc's sum is an exact int64 in both engines;
+# the one float expression is written ONCE and fed verbatim to Spark and
+# DuckDB. First token of a doc scores unigram-only (no back-context);
+# unseen bigrams fall back through the 0.3 unigram interpolation weight.
+
+BIGRAM_M = 4096  # pruned bigram rows per language
+_BIGRAM_LOGP = (
+    "CASE WHEN prev IS NULL"
+    " THEN round(1000000.0 * ln((cu + 1.0) / (lt + lv)), 0)"
+    " ELSE round(1000000.0 * ln(0.7 * coalesce(cb, 0) / cv"
+    " + 0.3 * ((cu + 1.0) / (lt + lv))), 0) END"
+)
+
+
+def ft_bigram_lm_logprob(spark, sf_dir):
+    """(doc_id, lang, n_tokens, logp_micro, avg_nll_micro): interpolated
+    bigram-LM log-prob of every doc under the corpus-trained pruned model."""
+    toks = doc_tokens(spark, sf_dir)
+    w = W.partitionBy("doc_id").orderBy("pos")
+    pairs = toks.select(
+        "doc_id", "lang", "term", F.lag("term").over(w).alias("prev")
+    )
+    uni = toks.groupBy("lang", "term").agg(F.count("*").cast("long").alias("cu"))
+    tot = toks.groupBy("lang").agg(
+        F.count("*").cast("long").alias("lt"),
+        F.countDistinct("term").cast("long").alias("lv"),
+    )
+    bi = (
+        pairs.filter(F.col("prev").isNotNull())
+        .groupBy("lang", "prev", "term")
+        .agg(F.count("*").cast("long").alias("cb"))
+    )
+    rw = W.partitionBy("lang").orderBy(
+        F.col("cb").desc(), F.col("prev").asc(), F.col("term").asc()
+    )
+    bi_pruned = (
+        bi.withColumn("rn", F.row_number().over(rw))
+        .filter(F.col("rn") <= BIGRAM_M)
+        .drop("rn")
+    )
+    cv = uni.select("lang", F.col("term").alias("prev"), F.col("cu").alias("cv"))
+    scored = (
+        pairs.join(F.broadcast(uni), ["lang", "term"], "left")
+        .join(F.broadcast(cv), ["lang", "prev"], "left")
+        .join(F.broadcast(bi_pruned), ["lang", "prev", "term"], "left")
+        .join(F.broadcast(tot), "lang")
+        .withColumn("lp", F.expr(f"CAST({_BIGRAM_LOGP} AS BIGINT)"))
+    )
+    return scored.groupBy("doc_id", "lang").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum("lp").cast("long").alias("logp_micro"),
+        F.round(-F.sum("lp") * 1.0 / F.count("*"), 6).alias("avg_nll_micro"),
+    )
+
+
+SQL_BIGRAM_LM_LOGPROB = f"""
+WITH toks AS ({SQL_DOC_TOKS}),
+pairs AS (
+  SELECT doc_id, lang, term,
+         lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM toks
+),
+uni AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS cu FROM toks GROUP BY 1, 2),
+tot AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS lt,
+         CAST(count(DISTINCT term) AS BIGINT) AS lv
+  FROM toks GROUP BY 1
+),
+bi AS (
+  SELECT lang, prev, term, CAST(count(*) AS BIGINT) AS cb
+  FROM pairs WHERE prev IS NOT NULL GROUP BY 1, 2, 3
+),
+bi_pruned AS (
+  SELECT lang, prev, term, cb FROM bi
+  QUALIFY row_number() OVER (PARTITION BY lang
+                             ORDER BY cb DESC, prev ASC, term ASC) <= {BIGRAM_M}
+),
+joined AS (
+  SELECT p.doc_id AS doc_id, p.lang AS lang, p.prev AS prev,
+         u.cu AS cu, c.cv AS cv, b.cb AS cb, t.lt AS lt, t.lv AS lv
+  FROM pairs p
+  LEFT JOIN uni u ON p.lang = u.lang AND p.term = u.term
+  LEFT JOIN (SELECT lang, term AS prev, cu AS cv FROM uni) c
+         ON p.lang = c.lang AND p.prev = c.prev
+  LEFT JOIN bi_pruned b ON p.lang = b.lang AND p.prev = b.prev AND p.term = b.term
+  JOIN tot t ON p.lang = t.lang
+),
+scored AS (
+  SELECT doc_id, lang, CAST({_BIGRAM_LOGP} AS BIGINT) AS lp FROM joined
+)
+SELECT doc_id, lang,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(lp) AS BIGINT) AS logp_micro,
+       round(-sum(lp) * 1.0 / count(*), 6) AS avg_nll_micro
+FROM scored GROUP BY doc_id, lang
+"""
+
+QUERIES["ft_bigram_lm_logprob"] = (ft_bigram_lm_logprob, SQL_BIGRAM_LM_LOGPROB)
