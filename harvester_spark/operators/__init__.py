@@ -21,6 +21,7 @@ from harvester_spark.operators import (
     dedup,
     file_metadata,
     fulltext_queries,
+    graph,
     multimodal,
     relational,
     similarity,
@@ -41,5 +42,6 @@ for mod in (
     curation,
     text_analytics,
     sketches,
+    graph,
 ):
     ALL_QUERIES.update(mod.QUERIES)

@@ -1,0 +1,58 @@
+"""host_pagerank invariants beyond the oracle gate."""
+
+from pyspark.sql import functions as F
+
+from harvester_spark.operators.graph import (
+    PR_ITERS,
+    PR_UNIT,
+    _edges,
+    host_pagerank,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_pagerank_conserves_mass_and_ranks_are_nondegenerate(spark):
+    rows = host_pagerank(spark, SF_DIR).collect()
+    total = sum(r["rank_unit"] for r in rows)
+    # every integer division truncates < 1 unit per (edge|node) per
+    # iteration — mass loss is bounded far under 0.1%
+    assert abs(total - PR_UNIT) < PR_UNIT * 0.001, total
+    assert all(r["rank_unit"] > 0 for r in rows)
+    # a real ranking, not a uniform fixed point
+    assert len({r["rank_unit"] for r in rows}) > 5
+
+
+def test_pagerank_orders_by_in_weight_share(spark):
+    """The top-ranked host must be one with above-average weighted in-degree
+    (sanity that the edge synthesis drives the ranking)."""
+    ranks = {r["host"]: r["rank_unit"] for r in host_pagerank(spark, SF_DIR).collect()}
+    inw = {
+        r["dst"]: r["iw"]
+        for r in _edges(spark, SF_DIR)
+        .groupBy("dst")
+        .agg(F.sum("w").alias("iw"))
+        .collect()
+    }
+    top_host = max(ranks, key=lambda h: (ranks[h], h))
+    avg_in = sum(inw.values()) / len(inw)
+    assert inw.get(top_host, 0) > avg_in, (top_host, inw.get(top_host), avg_in)
+
+
+def test_pagerank_iterations_converge(spark):
+    """After PR_ITERS=8 damped iterations the ranking is stable: one more
+    iteration must not reorder the hosts (integer ranks move < 1%)."""
+    import harvester_spark.operators.graph as g
+
+    base = {r["host"]: r["rank_unit"] for r in host_pagerank(spark, SF_DIR).collect()}
+    orig = g.PR_ITERS
+    try:
+        g.PR_ITERS = orig + 1
+        more = {r["host"]: r["rank_unit"] for r in host_pagerank(spark, SF_DIR).collect()}
+    finally:
+        g.PR_ITERS = orig
+    order = sorted(base, key=lambda h: (-base[h], h))
+    order2 = sorted(more, key=lambda h: (-more[h], h))
+    assert order == order2
+    for h in base:
+        assert abs(base[h] - more[h]) < 0.01 * PR_UNIT
