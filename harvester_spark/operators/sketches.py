@@ -104,36 +104,34 @@ def _rho_case(col: str) -> str:
     return f"CASE {whens} ELSE {_HLL_RMAX} END"
 
 
-def hll_distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-language HyperLogLog distinct-3-gram estimate.
-
-    (lang, n_registers, v_zero, s_num, est): the full register-file digest —
-    s_num is the exact scaled harmonic sum, est the HLL estimate with the
-    standard small-range LinearCounting correction (raw <= 2.5m and empty
-    registers exist -> m*ln(m/V)). Relative error ~= 1.04/sqrt(256) = 6.5%.
-
-    Scale shape: one map-side-combined groupBy down to <= langs*256 register
-    rows; the stream itself never shuffles.
-    """
-    sh = _shingle_stream(spark, sf_dir, "lang")
-    wb = sh.select(
-        "lang", _hash56(F.col("shingle")).alias("hv")
-    ).select(
-        "lang",
+def hll_registers(df: DataFrame, value: F.Column, *keys: str) -> DataFrame:
+    """(*keys, bucket, r) register rows for distinct-count(value) per key —
+    one map-side-combined groupBy down to <= |keys|*256 rows. Also used as
+    the streaming state shape (streaming/windowed.windowed_user_hll)."""
+    wb = df.select(*keys, _hash56(value).alias("hv")).select(
+        *keys,
         (F.col("hv") % HLL_M).alias("bucket"),
         F.expr(f"hv DIV {HLL_M}").alias("w"),
     )
-    reg = wb.groupBy("lang", "bucket").agg(
+    return wb.groupBy(*keys, "bucket").agg(
         F.max(F.expr(_rho_case("w"))).alias("r")
     )
-    per = reg.groupBy("lang").agg(
+
+
+def hll_fold_registers(reg: DataFrame, *keys: str) -> DataFrame:
+    """(*keys, n_registers, v_zero, s_num, est) — the stateless estimate
+    fold over register rows, shared by the batch operators and the
+    streaming consumer. s_num is the exact scaled harmonic sum; est applies
+    the standard small-range LinearCounting correction (raw <= 2.5m and
+    empty registers exist -> m*ln(m/V))."""
+    per = reg.groupBy(*keys).agg(
         F.count("*").cast("long").alias("n_registers"),
         F.sum(F.expr(f"CAST(power(2, {_HLL_RMAX} - r) AS BIGINT)"))
         .cast("long")
         .alias("s_present"),
     )
     fin = per.select(
-        "lang",
+        *keys,
         "n_registers",
         (F.lit(HLL_M) - F.col("n_registers")).cast("long").alias("v_zero"),
         (
@@ -148,7 +146,25 @@ def hll_distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / v_zero)"
         f" ELSE {_HLL_C} / s_num END, 6)"
     )
-    return fin.select("lang", "n_registers", "v_zero", "s_num", est.alias("est"))
+    return fin.select(
+        *keys, "n_registers", "v_zero", "s_num", est.alias("est")
+    )
+
+
+def hll_distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language HyperLogLog distinct-3-gram estimate.
+
+    (lang, n_registers, v_zero, s_num, est): the full register-file digest.
+    Relative error ~= 1.04/sqrt(256) = 6.5% — cardinality-INVARIANT, so
+    m=256 is not a scale parameter the way LSH planes are.
+
+    Scale shape: one map-side-combined groupBy down to <= langs*256 register
+    rows; the stream itself never shuffles.
+    """
+    sh = _shingle_stream(spark, sf_dir, "lang")
+    return hll_fold_registers(
+        hll_registers(sh, F.col("shingle"), "lang"), "lang"
+    )
 
 
 SQL_HLL_DISTINCT_SHINGLES = f"""
@@ -176,6 +192,71 @@ SELECT lang, n_registers, v_zero, s_num,
                   THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / v_zero)
                   ELSE {_HLL_C} / s_num END, 6) AS est
 FROM fin
+"""
+
+
+# ------------------------------------------------ hourly distinct-user HLL
+
+
+def events_hll_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour HLL distinct-user estimate over ``events`` —
+    (hour_bucket, n_registers, v_zero, s_num, est, exact_users).
+
+    The batch twin of streaming/windowed.windowed_user_hll: the register
+    rows are byte-identical to what the watermarked streaming agg emits
+    (parity-tested), so "distinct users per window" costs bounded state in
+    both modes — 256 register rows per window instead of a per-user set.
+    exact_users is the gate/report comparison column (a real
+    count-distinct); at stream scale you'd keep only the sketch.
+    """
+    ev = load(spark, sf_dir, "events")
+    hour = F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hour_bucket")
+    reg = hll_registers(
+        ev.select(hour, "user_id"), F.col("user_id").cast("string"), "hour_bucket"
+    )
+    folded = hll_fold_registers(reg, "hour_bucket")
+    exact = (
+        ev.select(hour, "user_id")
+        .groupBy("hour_bucket")
+        .agg(F.countDistinct("user_id").cast("long").alias("exact_users"))
+    )
+    return folded.join(exact, "hour_bucket")
+
+
+SQL_EVENTS_HLL_HOURLY = f"""
+WITH ev AS (
+  SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+         CAST(user_id AS VARCHAR) AS uid, user_id
+  FROM events
+),
+wb AS (
+  SELECT hour_bucket, hv % {HLL_M} AS bucket, hv // {HLL_M} AS w
+  FROM (SELECT hour_bucket, {_SQL_HASH56.format(col='uid')} AS hv FROM ev)
+),
+reg AS (
+  SELECT hour_bucket, bucket, max({_rho_case('w')}) AS r FROM wb GROUP BY 1, 2
+),
+per AS (
+  SELECT hour_bucket, CAST(count(*) AS BIGINT) AS n_registers,
+         CAST(sum(CAST(power(2, {_HLL_RMAX} - r) AS BIGINT)) AS BIGINT) AS s_present
+  FROM reg GROUP BY 1
+),
+fin AS (
+  SELECT hour_bucket, n_registers,
+         CAST({HLL_M} - n_registers AS BIGINT) AS v_zero,
+         CAST(s_present + ({HLL_M} - n_registers) * {2**_HLL_RMAX} AS BIGINT) AS s_num
+  FROM per
+),
+exact AS (
+  SELECT hour_bucket, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+  FROM ev GROUP BY 1
+)
+SELECT fin.hour_bucket, n_registers, v_zero, s_num,
+       round(CASE WHEN {_HLL_C} / s_num <= {2.5 * HLL_M} AND v_zero > 0
+                  THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / v_zero)
+                  ELSE {_HLL_C} / s_num END, 6) AS est,
+       exact_users
+FROM fin JOIN exact ON fin.hour_bucket = exact.hour_bucket
 """
 
 
@@ -481,6 +562,7 @@ FROM bl LEFT JOIN ex ON bl.doc_id = ex.doc_id
 
 QUERIES = {
     "hll_distinct_shingles": (hll_distinct_shingles, SQL_HLL_DISTINCT_SHINGLES),
+    "events_hll_hourly": (events_hll_hourly, SQL_EVENTS_HLL_HOURLY),
     "cms_heavy_hitters": (cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS),
     "bloom_snapshot_novelty": (bloom_snapshot_novelty, SQL_BLOOM_SNAPSHOT_NOVELTY),
 }

@@ -34,3 +34,33 @@ def windowed_counts(
             "value_c",
         )
     )
+
+
+def windowed_user_hll(
+    events: DataFrame, window: str = WINDOW, late_threshold: str = LATE_THRESHOLD
+) -> DataFrame:
+    """Streaming events(ts, user_id) → watermarked per-window HLL register
+    rows (window_start, bucket, r).
+
+    Distinct-count-per-window is exactly what a watermarked stream cannot
+    answer with bounded state naively (the per-user set grows without
+    bound); the HLL register file IS the bounded state: 256 rows per open
+    window, merged by max — an algebraic aggregate Spark can partial-merge,
+    so this is one streaming-legal groupBy((window, bucket)).max(rho).
+    The register rows are byte-identical to the batch twin's
+    (operators/sketches.events_hll_hourly — parity-tested); fold them with
+    sketches.hll_fold_registers to read estimates.
+    """
+    from harvester_spark.operators.sketches import HLL_M, _hash56, _rho_case
+
+    keyed = events.select("ts", _hash56(F.col("user_id").cast("string")).alias("hv")).select(
+        "ts",
+        (F.col("hv") % HLL_M).alias("bucket"),
+        F.expr(f"hv DIV {HLL_M}").alias("w"),
+    )
+    return (
+        keyed.withWatermark("ts", late_threshold)
+        .groupBy(F.window("ts", window).alias("win"), F.col("bucket"))
+        .agg(F.max(F.expr(_rho_case("w"))).alias("r"))
+        .select(F.col("win.start").alias("window_start"), "bucket", "r")
+    )

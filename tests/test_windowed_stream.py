@@ -65,3 +65,69 @@ def test_watermark_drops_too_late(spark, tmp_root):
     assert got[("2024-01-01 11:00:00", "click")] == (1, 400)
     # hour-13 not emitted in append mode (watermark hasn't passed it)
     assert ("2024-01-01 13:00:00", "view") not in got
+
+
+def test_streaming_hll_registers_match_batch(spark, tmp_root):
+    """Register-level parity: the watermarked streaming HLL, fed the events
+    table in two arbitrary chunks, must finalize byte-identical register
+    rows to the batch operator for every closed window — and the shared
+    fold then yields identical estimates."""
+    import pyspark.sql.functions as F
+
+    from harvester_spark.operators.sketches import (
+        events_hll_hourly,
+        hll_fold_registers,
+        hll_registers,
+    )
+    from harvester_spark.streaming.windowed import windowed_user_hll
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("ts", "user_id")
+    src = os.path.join(tmp_root, "hll_src")
+    # two chunks in event-time order so the final watermark closes all but
+    # the tail window
+    ev.orderBy("ts").limit(600).coalesce(1).write.json(os.path.join(src, "b1"))
+    ev.orderBy(F.col("ts").desc()).limit(400).coalesce(1).write.json(
+        os.path.join(src, "b2")
+    )
+
+    stream = spark.readStream.schema("ts timestamp, user_id long").json(
+        os.path.join(src, "*")
+    )
+    out_dir = os.path.join(tmp_root, "hll_out")
+    q = (
+        windowed_user_hll(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmp_root, "hll_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(out_dir).select(
+        (F.unix_timestamp("window_start") / 3600).cast("long").alias("hour_bucket"),
+        "bucket",
+        "r",
+    )
+    emitted_hours = {r["hour_bucket"] for r in got.select("hour_bucket").distinct().collect()}
+    assert len(emitted_hours) > 100  # append mode finalized most windows
+
+    hour = F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hour_bucket")
+    batch_reg = hll_registers(
+        ev.select(hour, "user_id"), F.col("user_id").cast("string"), "hour_bucket"
+    ).filter(F.col("hour_bucket").isin(list(emitted_hours)))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch_reg.collect()))
+
+    # the shared fold over streaming registers == the batch operator
+    stream_est = {
+        r["hour_bucket"]: r["est"]
+        for r in hll_fold_registers(got, "hour_bucket").collect()
+    }
+    batch_est = {
+        r["hour_bucket"]: r["est"]
+        for r in events_hll_hourly(spark, sf_dir).collect()
+        if r["hour_bucket"] in emitted_hours
+    }
+    assert stream_est == batch_est
