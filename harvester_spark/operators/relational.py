@@ -739,3 +739,235 @@ GROUP BY 1, 2
 """
 
 QUERIES["events_retention"] = (events_retention, SQL_EVENTS_RETENTION)
+
+
+# ------------------------------------------------------------- as-of join
+
+# The driver brief names as-of joins a first-class custom operator Spark
+# lacks. Spark-first form: the UNION-WINDOW technique — tag dimension and
+# fact rows, union, and carry the last dimension value forward with
+# last(ignorenulls) over an event-time window per key. ONE shuffle on the
+# join key, no inequality join, no BroadcastNestedLoopJoin (plan-guarded);
+# on a real cluster a skewed key set gets salted by time range first.
+# Oracle: DuckDB's native ASOF LEFT JOIN — an independent implementation
+# of the same semantics, so the value hash cross-checks the union-window
+# trick against a purpose-built engine feature.
+#
+# Dimension synthesis (no rates table in testdata): a slowly-changing
+# per-event_type daily rate, kept only every third day so the as-of MUST
+# reach back across days (and events before the first retained day get
+# NULL — the left-join contract). Rates derive from md5(type:day), so the
+# dimension is a pure function of the events table.
+
+_ASOF_DAY = 86400
+
+
+def _asof_dim(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp("ts") / _ASOF_DAY).cast("long")
+    dim = (
+        ev.select("event_type", day.alias("day_int"))
+        .distinct()
+        .filter(F.col("day_int") % 3 == 0)
+    )
+    rate = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(":", F.col("event_type"), F.col("day_int").cast("string"))
+                ),
+                1,
+                14,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    )
+    return dim.select(
+        "event_type",
+        (F.col("day_int") * _ASOF_DAY).alias("eff_epoch"),
+        rate.alias("rate_cents"),
+    )
+
+
+_SQL_ASOF_DIM = f"""
+  SELECT event_type, day_int * {_ASOF_DAY} AS eff_epoch,
+         CAST(('0x' || substr(md5(event_type || ':' || CAST(day_int AS VARCHAR)), 1, 14)) AS BIGINT) % 10000 AS rate_cents
+  FROM (SELECT DISTINCT event_type,
+               CAST(floor(epoch(ts) / {_ASOF_DAY}) AS BIGINT) AS day_int
+        FROM events)
+  WHERE day_int % 3 = 0
+"""
+
+
+def j9_asof_rates(spark, sf_dir):
+    """Each event joined to the latest dimension rate effective at or
+    before its timestamp: (event_id, event_type, ev_epoch, rate_cents
+    NULLable)."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.unix_timestamp("ts").cast("long").alias("ev_epoch"),
+    )
+    dim = _asof_dim(spark, sf_dir)
+    tagged = ev.select(
+        "event_type",
+        F.col("ev_epoch").alias("epoch"),
+        F.lit(0).alias("is_dim"),
+        F.lit(None).cast("long").alias("rate"),
+        "event_id",
+    ).unionByName(
+        dim.select(
+            "event_type",
+            F.col("eff_epoch").alias("epoch"),
+            F.lit(1).alias("is_dim"),
+            F.col("rate_cents").alias("rate"),
+            F.lit(None).cast("long").alias("event_id"),
+        )
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy(F.col("epoch").asc(), F.col("is_dim").desc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    carried = tagged.withColumn(
+        "rate_cents", F.last("rate", ignorenulls=True).over(w)
+    )
+    return carried.filter(F.col("is_dim") == 0).select(
+        "event_id",
+        "event_type",
+        F.col("epoch").alias("ev_epoch"),
+        "rate_cents",
+    )
+
+
+SQL_J9_ASOF = f"""
+WITH dim AS ({_SQL_ASOF_DIM}),
+ev AS (
+  SELECT event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ev_epoch
+  FROM events
+)
+SELECT ev.event_id, ev.event_type, ev.ev_epoch, dim.rate_cents
+FROM ev ASOF LEFT JOIN dim
+  ON ev.event_type = dim.event_type AND ev.ev_epoch >= dim.eff_epoch
+"""
+
+QUERIES["j9_asof_rates"] = (j9_asof_rates, SQL_J9_ASOF)
+
+
+# ------------------------------------------------------------- range join
+
+# The second custom join the driver brief names. A naive interval-
+# containment join compiles to BroadcastNestedLoopJoin (the scale-killer);
+# the Spark-first form BUCKETS the time axis: each window explodes into the
+# hour buckets it covers (bounded by its duration), events key to their own
+# hour bucket, and the join is a pure equi-join on (event_type, bucket)
+# with the range predicate as a post-filter. Plan-guarded: no BNLJ, no
+# cartesian. Window synthesis: one maintenance window per (event_type,
+# even day) with md5-derived non-hour-aligned start and 1-4 h duration
+# (never crossing midnight, so windows of one type never overlap and the
+# bucket explode adds no duplicates).
+
+_RJ_BUCKET = 3600
+
+
+def _maintenance_windows(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp("ts") / _ASOF_DAY).cast("long")
+    base = (
+        ev.select("event_type", day.alias("win_day"))
+        .distinct()
+        .filter(F.col("win_day") % 2 == 0)
+    )
+
+    def h(prefix):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.lit(prefix),
+                        F.col("event_type"),
+                        F.col("win_day").cast("string"),
+                    )
+                ),
+                1,
+                14,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    start = F.col("win_day") * _ASOF_DAY + h("s") % 64800
+    dur = F.lit(3600) + h("d") % 10800
+    return base.select(
+        "event_type",
+        "win_day",
+        start.alias("start_epoch"),
+        (start + dur).alias("end_epoch"),
+    )
+
+
+_SQL_MAINT_WINDOWS = f"""
+  SELECT event_type, win_day,
+         win_day * {_ASOF_DAY}
+           + CAST(('0x' || substr(md5('s' || ':' || event_type || ':' || CAST(win_day AS VARCHAR)), 1, 14)) AS BIGINT) % 64800 AS start_epoch,
+         win_day * {_ASOF_DAY}
+           + CAST(('0x' || substr(md5('s' || ':' || event_type || ':' || CAST(win_day AS VARCHAR)), 1, 14)) AS BIGINT) % 64800
+           + 3600 + CAST(('0x' || substr(md5('d' || ':' || event_type || ':' || CAST(win_day AS VARCHAR)), 1, 14)) AS BIGINT) % 10800 AS end_epoch
+  FROM (SELECT DISTINCT event_type,
+               CAST(floor(epoch(ts) / {_ASOF_DAY}) AS BIGINT) AS win_day
+        FROM events)
+  WHERE win_day % 2 = 0
+"""
+
+
+def j10_range_join_windows(spark, sf_dir):
+    """Events inside their type's maintenance windows:
+    (event_id, event_type, ev_epoch, win_day, start_epoch, end_epoch)."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.unix_timestamp("ts").cast("long").alias("ev_epoch"),
+    )
+    win = _maintenance_windows(spark, sf_dir)
+    win_b = win.select(
+        "*",
+        F.explode(
+            F.expr(
+                f"sequence(start_epoch DIV {_RJ_BUCKET},"
+                f" (end_epoch - 1) DIV {_RJ_BUCKET})"
+            )
+        ).alias("bucket"),
+    )
+    ev_b = ev.withColumn("bucket", F.expr(f"ev_epoch DIV {_RJ_BUCKET}"))
+    return (
+        ev_b.join(win_b, ["event_type", "bucket"])
+        .filter(
+            (F.col("ev_epoch") >= F.col("start_epoch"))
+            & (F.col("ev_epoch") < F.col("end_epoch"))
+        )
+        .select(
+            "event_id", "event_type", "ev_epoch", "win_day",
+            "start_epoch", "end_epoch",
+        )
+    )
+
+
+SQL_J10_RANGE = f"""
+WITH win AS ({_SQL_MAINT_WINDOWS}),
+ev AS (
+  SELECT event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ev_epoch
+  FROM events
+)
+SELECT ev.event_id, ev.event_type, ev.ev_epoch, win.win_day,
+       win.start_epoch, win.end_epoch
+FROM ev JOIN win ON ev.event_type = win.event_type
+                AND ev.ev_epoch >= win.start_epoch
+                AND ev.ev_epoch < win.end_epoch
+"""
+
+QUERIES["j10_range_join_windows"] = (j10_range_join_windows, SQL_J10_RANGE)
