@@ -73,6 +73,15 @@ HEADLINE = [
     "semdedup_prune",
     "pq_adc_topk",
     "dsir_select",
+    # round-3 session 4: bounded-state sketches, graph centrality, the
+    # interval joins, LM scoring
+    "hll_distinct_shingles",
+    "cms_heavy_hitters",
+    "bloom_snapshot_novelty",
+    "chunk_passages",
+    "ft_bigram_lm_logprob",
+    "host_pagerank",
+    "j9_asof_rates",
 ]
 WARMUP_DOCS = 2000
 
