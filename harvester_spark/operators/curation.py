@@ -553,3 +553,109 @@ JOIN sp ON g.doc_id = sp.doc_id
 
 
 QUERIES["curate_pipeline"] = (curate_pipeline, _sql_curate_pipeline())
+
+
+# ------------------------------------------------- C4 exact line dedup
+
+# C4's corpus-wide deduplication rule (Raffel et al. 2020 §2.2): any LINE
+# that occurs more than once in the whole corpus is kept only at its FIRST
+# occurrence; every later occurrence is cut out of its document and the
+# survivors are re-joined. This is the exact-line counterpart of the n-gram
+# span recipes in dedup.py (dedup_duplicate_spans / dedup_span_removal):
+# lines PARTITION the token stream (non-overlapping), so removal needs no
+# interval merging and the document reassembles by concatenating survivors.
+# The synthetic corpus carries no newlines, so a "line" is a fixed
+# LINE_K-token group (the trailing partial group is a line too — nothing is
+# silently dropped); natural word-soup repetition makes ~6% of lines
+# corpus-wide duplicates (non-degeneracy pinned by tests).
+#
+# Scale shape (the 100 TB C4 pass): line construction is a pure array
+# expression inside the scan (no explode-then-regroup); then exactly TWO
+# key shuffles — (1) line-hash → min(first-occurrence) agg, map-side
+# combined, joined straight back on the same key (co-partitioned under
+# AQE), (2) doc_id for the reassembly agg. Line text never travels with
+# the first-occurrence agg — only the 56-bit hash and the (doc_id, line_ix)
+# struct, so shuffle volume is O(lines · 24 bytes), not O(corpus bytes).
+
+LINE_K = 5
+
+
+def _doc_lines(docs: DataFrame) -> DataFrame:
+    """documents → (doc_id, line_ix, line): non-overlapping LINE_K-token
+    groups built as one array expression (zero exchanges up to here)."""
+    toks = tokens_column(F.col("text"))
+    n_lines = F.ceil(F.size(toks) / F.lit(LINE_K)).cast("int")
+    lines = F.when(F.size(toks) == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda i: F.array_join(F.slice(toks, i * LINE_K + 1, LINE_K), " "),
+        )
+    )
+    return docs.select(
+        "doc_id", F.posexplode(lines).alias("line_ix", "line")
+    )
+
+
+def c4_line_dedup(spark, sf_dir) -> DataFrame:
+    """Per-doc C4 line-dedup report: total lines, removed (seen earlier
+    anywhere, including earlier in the SAME doc), kept count, and the md5
+    of the reassembled surviving text."""
+    docs = load(spark, sf_dir, "documents")
+    lined = _doc_lines(docs).withColumn("lh", _hash56(F.col("line")))
+    first = lined.groupBy("lh").agg(
+        F.min(F.struct("doc_id", "line_ix")).alias("f")
+    )
+    j = lined.join(first, "lh")
+    kept = (F.col("doc_id") == F.col("f.doc_id")) & (
+        F.col("line_ix") == F.col("f.line_ix")
+    )
+    agg = j.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.when(kept, 0).otherwise(1)).cast("long").alias("n_removed"),
+        F.array_sort(
+            F.collect_list(F.when(kept, F.struct("line_ix", "line")))
+        ).alias("ks"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_lines",
+        "n_removed",
+        (F.col("n_lines") - F.col("n_removed")).alias("n_kept"),
+        F.md5(
+            F.array_join(F.transform("ks", lambda x: x["line"]), " ")
+        ).alias("kept_md5"),
+    )
+
+
+# Oracle partitions by the line STRING (the true semantics) while the
+# engine partitions by its 56-bit hash — the value-hash gate therefore
+# also proves the hash is collision-free on this corpus.
+SQL_C4_LINE_DEDUP = f"""
+WITH base AS (
+  SELECT doc_id, {SQL_TOKS.format(col='text')} AS t FROM documents
+),
+lines AS (
+  SELECT doc_id, ix AS line_ix,
+         array_to_string(t[ix*{LINE_K}+1 : ix*{LINE_K}+{LINE_K}], ' ') AS line
+  FROM (
+    SELECT doc_id, t, unnest(range((len(t)+{LINE_K}-1)//{LINE_K})) AS ix
+    FROM base
+  )
+),
+ranked AS (
+  SELECT doc_id, line_ix, line,
+         row_number() OVER (PARTITION BY line ORDER BY doc_id, line_ix) AS rk
+  FROM lines
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       CAST(count(*) FILTER (WHERE rk = 1) AS BIGINT) AS n_kept,
+       md5(coalesce(
+         string_agg(line, ' ' ORDER BY line_ix) FILTER (WHERE rk = 1), ''
+       )) AS kept_md5
+FROM ranked GROUP BY doc_id
+"""
+
+
+QUERIES["c4_line_dedup"] = (c4_line_dedup, SQL_C4_LINE_DEDUP)

@@ -446,3 +446,47 @@ class TestQualityClassifier:
 
         out = quality_classifier_score(spark, "/root/testdata/sf0.001")
         assert out.select(F.countDistinct("keep")).collect()[0][0] == 2
+
+
+class TestC4LineDedup:
+    def _run(self, spark, tmp_path, rows):
+        from harvester_spark.operators.curation import c4_line_dedup
+
+        d = str(tmp_path / "c4corpus")
+        spark.createDataFrame(
+            [(i, t, "en", "s", len(t)) for i, t in enumerate(rows, start=1)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        return {r.doc_id: r for r in c4_line_dedup(spark, d).collect()}
+
+    def test_keep_first_across_and_within_docs(self, spark, tmp_path):
+        out = self._run(
+            spark,
+            tmp_path,
+            [
+                "a b c d e x y z w v",  # doc 1: both lines unique
+                "a b c d e q r s t u",  # doc 2: first line dups doc 1's
+                "p p p p p p p p p p",  # doc 3: second line dups its own first
+            ],
+        )
+        assert (out[1].n_lines, out[1].n_removed) == (2, 0)
+        assert (out[2].n_removed, out[2].n_kept) == (1, 1)
+        assert (out[3].n_removed, out[3].n_kept) == (1, 1)
+
+    def test_trailing_partial_group_is_a_line(self, spark, tmp_path):
+        out = self._run(spark, tmp_path, ["a b c d e f g"])
+        assert (out[1].n_lines, out[1].n_removed) == (2, 0)
+
+    def test_corpus_removal_nondegenerate(self, spark):
+        # the synthetic corpus must exercise BOTH outcomes: real duplicate
+        # lines exist (removal happens) and most lines survive — otherwise
+        # the oracle hash could pass on a constant column
+        from harvester_spark.operators.curation import c4_line_dedup
+
+        r = (
+            c4_line_dedup(spark, "/root/testdata/sf0.001")
+            .agg(F.sum("n_removed").alias("rm"), F.sum("n_lines").alias("n"))
+            .collect()[0]
+        )
+        assert r.rm > 0
+        assert r.rm < 0.2 * r.n
