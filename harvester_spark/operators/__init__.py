@@ -26,6 +26,7 @@ from harvester_spark.operators import (
     relational,
     similarity,
     sketches,
+    substring,
     text_analytics,
     training_prep,
 )
@@ -43,5 +44,6 @@ for mod in (
     text_analytics,
     sketches,
     graph,
+    substring,
 ):
     ALL_QUERIES.update(mod.QUERIES)

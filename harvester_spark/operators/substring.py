@@ -1,0 +1,145 @@
+"""Trigram-index-accelerated substring search (the Google Code Search /
+Zoekt recipe: Cox, "Regular Expression Matching with a Trigram Index",
+2012 — public write-up of the codesearch design).
+
+Exact substring match ("grep the corpus") is the one retrieval mode the
+tokenized inverted index cannot answer: the analyzer (ASCII ``\\W+``)
+destroys intra-token and cross-token character structure. The classic
+scale answer is a CHARACTER-trigram index: a document can contain the
+needle only if it contains every trigram of the needle, so the trigram
+posting lists prune the corpus to a candidate set that is then verified
+exactly. Beyond-reference surface: the reference's search contract stops
+at simple_query_string (core/models/search/query.py) — this operator adds
+the grep-style exact-substring mode a code/web corpus needs.
+
+Scale shape (100 TB): at scale the trigram postings are a BUILT index
+(exactly like the term postings in index/build.py — one groupBy(trigram)
+over the corpus, stored sorted); a query then reads only the needle's
+|needle|-2 posting lists, AND-intersects them (groupBy(doc_id) count ==
+n_grams — map-side combinable), and the exact ``contains`` verification
+touches ONLY candidate documents via a semi-join back to the doc store.
+Shuffle volume is O(candidate postings), never O(corpus text). This
+operator runs the same dataflow inline: trigram extraction is a pure
+array expression in the scan, the posting filter ``tg IN needle_grams``
+is pushed below the only gram-keyed exchange, and the verify join is
+doc_id-keyed. The candidate superset property (no false negatives) and
+the bounded-verify shape are test-pinned (tests/test_substring.py).
+
+Determinism: raw-text byte semantics (no lowercasing — grep semantics);
+first_pos is 1-based in both engines (Spark ``instr`` == DuckDB
+``strpos``); occurrence counts via non-overlapping ``replace`` length
+arithmetic, identical in both engines; integer division (``div`` / ``//``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from harvester_spark.operators.common import load
+
+# Needle set spans the selectivity range on the synthetic corpus:
+# ~28 hits / 2 hits / 1 hit / 0 hits at sf0.01 (non-degeneracy test-pinned).
+NEEDLES = [
+    "merge batch",
+    "window sort merge",
+    "slow fast table",
+    "qqqzzz xx",
+]
+
+
+def needle_trigrams(needle: str) -> list[str]:
+    """Distinct character trigrams of a needle (sorted for determinism)."""
+    if len(needle) < 3:
+        raise ValueError(
+            f"substring_search: needle {needle!r} shorter than 3 chars — "
+            "a trigram index cannot prune; route to a full scan explicitly"
+        )
+    return sorted({needle[i : i + 3] for i in range(len(needle) - 2)})
+
+
+def doc_trigrams(docs: DataFrame) -> DataFrame:
+    """documents → (doc_id, tg): DISTINCT character trigrams per doc, built
+    as one array expression inside the scan (no UDF, no pre-explode)."""
+    n = F.length("text")
+    grams = F.when(n < 3, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - 2),
+                lambda i: F.col("text").substr(i, F.lit(3)),
+            )
+        )
+    )
+    return docs.select("doc_id", F.explode(grams).alias("tg"))
+
+
+def trigram_candidates(
+    spark: SparkSession, docs: DataFrame, needles: list[str]
+) -> DataFrame:
+    """(needle, doc_id) candidate pairs: docs containing EVERY trigram of
+    the needle. Guaranteed superset of the true match set (a substring
+    occurrence contains all its trigrams) — never a false negative."""
+    gram_rows = [
+        (needle, g) for needle in needles for g in needle_trigrams(needle)
+    ]
+    gram_dim = F.broadcast(
+        spark.createDataFrame(gram_rows, "needle string, tg string")
+    )
+    n_grams = F.broadcast(
+        spark.createDataFrame(
+            [(n, len(needle_trigrams(n))) for n in needles],
+            "needle string, n_grams int",
+        )
+    )
+    all_grams = sorted({g for _, g in gram_rows})
+    postings = doc_trigrams(docs).filter(F.col("tg").isin(all_grams))
+    return (
+        postings.join(gram_dim, "tg")
+        .groupBy("needle", "doc_id")
+        .agg(F.count("*").alias("c"))
+        .join(n_grams, "needle")
+        .filter(F.col("c") == F.col("n_grams"))
+        .select("needle", "doc_id")
+    )
+
+
+def ft_substring_search(spark, sf_dir) -> DataFrame:
+    """Exact substring hits for each needle: (needle, doc_id, first_pos,
+    n_occ) — trigram-pruned candidates, then exact verification on the
+    candidate set only."""
+    docs = load(spark, sf_dir, "documents")
+    cand = trigram_candidates(spark, docs, NEEDLES)
+    verified = (
+        cand.join(docs.select("doc_id", "text"), "doc_id")
+        .withColumn("first_pos", F.expr("instr(text, needle)").cast("long"))
+        .filter(F.col("first_pos") > 0)
+    )
+    return verified.select(
+        "needle",
+        "doc_id",
+        "first_pos",
+        F.expr(
+            "(length(text) - length(replace(text, needle, ''))) div length(needle)"
+        )
+        .cast("long")
+        .alias("n_occ"),
+    )
+
+
+def _sql_values() -> str:
+    return ", ".join(f"('{n}')" for n in NEEDLES)
+
+
+SQL_SUBSTRING_SEARCH = f"""
+WITH needles(needle) AS (VALUES {_sql_values()})
+SELECT n.needle, d.doc_id,
+       CAST(strpos(d.text, n.needle) AS BIGINT) AS first_pos,
+       CAST((length(d.text) - length(replace(d.text, n.needle, '')))
+            // length(n.needle) AS BIGINT) AS n_occ
+FROM documents d, needles n
+WHERE strpos(d.text, n.needle) > 0
+"""
+
+
+QUERIES = {
+    "ft_substring_search": (ft_substring_search, SQL_SUBSTRING_SEARCH),
+}
