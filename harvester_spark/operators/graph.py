@@ -29,7 +29,7 @@ Overflow bound: 85 * rank * w needs rank * w < 1.08e17; rank <= RANK_UNIT
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from harvester_spark.operators.common import load
 
@@ -159,3 +159,125 @@ it{k} AS MATERIALIZED (
 QUERIES = {
     "host_pagerank": (host_pagerank, _sql_host_pagerank()),
 }
+
+
+# -------------------------------------------- crawl budget apportionment
+
+# Largest-remainder (Hamilton) apportionment of a fixed global crawl budget
+# across hosts, proportional to PageRank mass — the "how many pages may each
+# host get this crawl cycle" decision a frontier scheduler makes from the
+# centrality signal above. All integer: base_i = (B*r_i) DIV W,
+# rem_i = (B*r_i) MOD W, and the L = B - Σbase leftover seats go to the L
+# largest remainders (ties: host asc). Σquota == B EXACTLY (test-pinned),
+# and quota is monotone in rank.
+#
+# Scale shape: base/remainder are map-only behind one scalar broadcast (W);
+# the top-L-remainders selection reuses the distributed order-statistic
+# recipe from stratified_quota_sample (training_prep.py) — histogram the
+# remainders into 4096 range buckets (one map-side agg, ≤4097 rows to the
+# driver), cumulative-sum from the top to find the boundary bucket, keep
+# whole buckets above it outright, and rank ONLY the boundary bucket
+# (~n/4096 rows) by (rem desc, host asc). No global sort, no
+# single-partition window, nothing O(hosts) on the driver.
+#
+# Overflow: B * rank_unit <= 1e6 * 1e9 = 1e15 < 2^63.
+
+CRAWL_BUDGET = 1_000_000
+_REM_BUCKETS = 4096
+
+
+def crawl_budget_allocate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(host, rank_unit, base_quota, extra, quota): exact integer
+    apportionment of CRAWL_BUDGET pages by PageRank share."""
+    return allocate_budget(spark, host_pagerank(spark, sf_dir), CRAWL_BUDGET)
+
+
+def allocate_budget(
+    spark: SparkSession, pr: DataFrame, budget: int
+) -> DataFrame:
+    """Largest-remainder apportionment of ``budget`` over (host, rank_unit)
+    rows; Σquota == budget exactly."""
+    tot = F.broadcast(pr.agg(F.sum("rank_unit").cast("long").alias("W")))
+    scored = (
+        pr.crossJoin(tot)
+        .select(
+            "host",
+            "rank_unit",
+            F.expr(f"CAST(({budget} * rank_unit) DIV W AS BIGINT)").alias(
+                "base_quota"
+            ),
+            F.expr(f"CAST(({budget} * rank_unit) % W AS BIGINT)").alias(
+                "rem"
+            ),
+        )
+        .cache()
+    )
+    row = scored.agg(
+        F.sum("base_quota").cast("long").alias("b"),
+        F.max("rem").cast("long").alias("mx"),
+    ).collect()[0]
+    leftover = budget - row.b
+    extras = None
+    if leftover > 0:
+        bwidth = max((row.mx + 1) // _REM_BUCKETS, 1)
+        bucketed = scored.withColumn(
+            "bkt", F.expr(f"rem DIV {bwidth}").cast("long")
+        )
+        hist = {
+            r.bkt: r.c
+            for r in bucketed.groupBy("bkt").agg(F.count("*").alias("c")).collect()
+        }
+        cum_above, bstar, slots = 0, None, 0
+        for b in sorted(hist, reverse=True):
+            if cum_above + hist[b] >= leftover:
+                bstar, slots = b, leftover - cum_above
+                break
+            cum_above += hist[b]
+        whole = bucketed.filter(F.col("bkt") > bstar).select("host")
+        wq = W.partitionBy("bkt").orderBy(
+            F.col("rem").desc(), F.col("host").asc()
+        )
+        edge = (
+            bucketed.filter(F.col("bkt") == bstar)
+            .withColumn("rk", F.row_number().over(wq))
+            .filter(F.col("rk") <= slots)
+            .select("host")
+        )
+        extras = whole.unionByName(edge).withColumn("extra", F.lit(1))
+    out = scored if extras is None else scored.join(extras, "host", "left")
+    extra = (
+        F.lit(0).cast("long")
+        if extras is None
+        else F.coalesce(F.col("extra"), F.lit(0)).cast("long")
+    )
+    return out.select(
+        "host",
+        "rank_unit",
+        "base_quota",
+        extra.alias("extra"),
+        (F.col("base_quota") + extra).cast("long").alias("quota"),
+    )
+
+
+def _sql_crawl_budget() -> str:
+    return f"""
+WITH pr AS MATERIALIZED (SELECT * FROM ({_sql_host_pagerank()})),
+tot AS (SELECT CAST(sum(rank_unit) AS BIGINT) AS W FROM pr),
+scored AS (
+  SELECT host, rank_unit,
+         CAST(({CRAWL_BUDGET} * rank_unit) // W AS BIGINT) AS base_quota,
+         CAST(({CRAWL_BUDGET} * rank_unit) % W AS BIGINT) AS rem
+  FROM pr CROSS JOIN tot
+),
+l AS (SELECT CAST({CRAWL_BUDGET} - sum(base_quota) AS BIGINT) AS L FROM scored),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY rem DESC, host ASC) AS rk FROM scored
+)
+SELECT host, rank_unit, base_quota,
+       CAST(CASE WHEN rk <= L THEN 1 ELSE 0 END AS BIGINT) AS extra,
+       CAST(base_quota + CASE WHEN rk <= L THEN 1 ELSE 0 END AS BIGINT) AS quota
+FROM ranked CROSS JOIN l
+"""
+
+
+QUERIES["crawl_budget_allocate"] = (crawl_budget_allocate, _sql_crawl_budget())
