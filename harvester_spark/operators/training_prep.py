@@ -980,3 +980,75 @@ FROM ch
 """
 
 QUERIES["chunk_passages"] = (chunk_passages, SQL_CHUNK_PASSAGES)
+
+
+# ------------------------------------------ deterministic training order
+
+# The last step before a training run reads the corpus: a GLOBAL shuffle of
+# the selected documents into shard files, reproducible run-to-run. Spark's
+# own randomness (rand(), repartition's round-robin, randomSplit) is
+# partition-order dependent — two runs over the same corpus can emit
+# different orders. The stable recipe is the same salted-hash trick as
+# split_train_val: order_key = h56(salt || doc_id) is a pure per-row
+# function, so the induced permutation is independent of partitioning,
+# cluster size, and input file layout.
+#
+# Shard capacity is DERIVED from corpus size (the derive_n_planes contract:
+# never a fixed constant that breaks at 100×): n_shards = max(n // DOCS_PER
+# _SHARD, 1), so the per-shard row_number window partition is ~DOCS_PER_
+# SHARD rows by construction — the window never concentrates the corpus on
+# one executor no matter how big n gets, and each shard is one training
+# file. One shuffle total (on shard); the within-shard ordering rides the
+# same exchange via the window sort.
+
+ORDER_SALT = "hs-order-v1"
+DOCS_PER_SHARD = 100
+
+
+def train_order_shuffle(spark, sf_dir):
+    """(doc_id, shard, order_key, pos): reproducible global training order —
+    shard = derived-capacity bucket of the salted hash, pos = 1-based rank
+    inside the shard by (order_key, doc_id)."""
+    from harvester_spark.operators.dedup import _hash56
+
+    docs = load(spark, sf_dir, "documents")
+    n = docs.count()
+    n_shards = max(n // DOCS_PER_SHARD, 1)
+    key = _hash56(
+        F.concat(F.lit(ORDER_SALT + ":"), F.col("doc_id").cast("string"))
+    )
+    keyed = docs.select(
+        "doc_id", key.alias("order_key"), (key % n_shards).alias("shard")
+    )
+    w = W.partitionBy("shard").orderBy(
+        F.col("order_key").asc(), F.col("doc_id").asc()
+    )
+    return keyed.select(
+        "doc_id",
+        "shard",
+        "order_key",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
+
+
+def _sql_train_order_shuffle() -> str:
+    from harvester_spark.operators.dedup import _SQL_HASH56
+
+    h = _SQL_HASH56.format(col=f"('{ORDER_SALT}:' || CAST(doc_id AS VARCHAR))")
+    return f"""
+WITH cap AS (
+  SELECT greatest(count(*) // {DOCS_PER_SHARD}, 1) AS s FROM documents
+),
+keyed AS (
+  SELECT doc_id, {h} AS order_key, {h} % s AS shard
+  FROM documents CROSS JOIN cap
+)
+SELECT doc_id, shard, order_key,
+       CAST(row_number() OVER (
+         PARTITION BY shard ORDER BY order_key ASC, doc_id ASC
+       ) AS BIGINT) AS pos
+FROM keyed
+"""
+
+
+QUERIES["train_order_shuffle"] = (train_order_shuffle, _sql_train_order_shuffle())
