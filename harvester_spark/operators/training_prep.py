@@ -1052,3 +1052,83 @@ FROM keyed
 
 
 QUERIES["train_order_shuffle"] = (train_order_shuffle, _sql_train_order_shuffle())
+
+
+# --------------------------------------- inverse cloze task (ICT) pairs
+
+# Self-supervised (query, context) pair mining for retrieval-model training
+# (Lee et al. 2019, "Latent Retrieval for Weakly Supervised Open Domain
+# Question Answering"): from every document, lift out one ICT_Q_LEN-token
+# span as the pseudo-query and keep the remainder as its positive context.
+# The span start is the salted doc_id hash — a pure per-row function, so the
+# mined pairs are reproducible and partitioning-independent (the
+# split_train_val / train_order_shuffle contract).
+#
+# Scale shape: ZERO exchanges — tokenize, span selection, context excision
+# and the overlap statistic are all array expressions inside one
+# whole-stage-codegen map over the scan (plan test-guarded). At 100 TB this
+# is a pure pipelined pass like quality_classifier_score.
+
+ICT_SALT = "hs-ict-v1"
+ICT_Q_LEN = 4
+
+
+def ict_pairs(spark, sf_dir):
+    """(doc_id, q_start, query, n_ctx, ctx_md5, overlap): one ICT pair per
+    doc — query = the lifted span (0-based q_start), context = the doc with
+    the span removed, overlap = |distinct query terms still in context|."""
+    from harvester_spark.operators.dedup import _hash56
+
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens_column(F.col("text"))
+    n = F.size(toks)
+    qs = _hash56(
+        F.concat(F.lit(ICT_SALT + ":"), F.col("doc_id").cast("string"))
+    ) % F.greatest(n - (ICT_Q_LEN - 1), F.lit(1))
+    base = docs.select("doc_id", toks.alias("t"), qs.cast("long").alias("q_start"))
+    query_arr = F.slice("t", F.col("q_start") + 1, ICT_Q_LEN)
+    ctx = F.concat(
+        F.slice("t", 1, F.col("q_start").cast("int")),
+        F.slice(
+            "t",
+            F.col("q_start") + ICT_Q_LEN + 1,
+            F.greatest(F.size("t") - F.col("q_start") - ICT_Q_LEN, F.lit(0)).cast("int"),
+        ),
+    )
+    return base.select(
+        "doc_id",
+        "q_start",
+        F.array_join(query_arr, " ").alias("query"),
+        F.size(ctx).cast("long").alias("n_ctx"),
+        F.md5(F.array_join(ctx, " ")).alias("ctx_md5"),
+        F.size(F.array_intersect(query_arr, ctx)).cast("long").alias("overlap"),
+    )
+
+
+def _sql_ict_pairs() -> str:
+    from harvester_spark.operators.dedup import _SQL_HASH56
+
+    h = _SQL_HASH56.format(col=f"('{ICT_SALT}:' || CAST(doc_id AS VARCHAR))")
+    t = SQL_TOKS.format(col="text")
+    return f"""
+WITH base AS (
+  SELECT doc_id, {t} AS t,
+         {h} % greatest(len({t}) - {ICT_Q_LEN - 1}, 1) AS q_start
+  FROM documents
+),
+cut AS (
+  SELECT doc_id, q_start,
+         t[q_start + 1 : q_start + {ICT_Q_LEN}] AS query_arr,
+         list_concat(t[1 : q_start], t[q_start + {ICT_Q_LEN} + 1 : len(t)]) AS ctx
+  FROM base
+)
+SELECT doc_id, CAST(q_start AS BIGINT) AS q_start,
+       array_to_string(query_arr, ' ') AS query,
+       CAST(len(ctx) AS BIGINT) AS n_ctx,
+       md5(array_to_string(ctx, ' ')) AS ctx_md5,
+       CAST(len(list_intersect(query_arr, ctx)) AS BIGINT) AS overlap
+FROM cut
+"""
+
+
+QUERIES["ict_pairs"] = (ict_pairs, _sql_ict_pairs())

@@ -59,3 +59,50 @@ class TestTrainOrderShuffle:
         )
         ids = [r.doc_id for r in rows]
         assert ids != sorted(ids)
+
+
+class TestIctPairs:
+    def _one(self, spark, tmp_path, text, doc_id=1):
+        from harvester_spark.operators.training_prep import ict_pairs
+
+        d = str(tmp_path / "ict")
+        spark.createDataFrame(
+            [(doc_id, text, "en", "s", len(text))],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        return ict_pairs(spark, d).collect()[0]
+
+    def test_span_excised_exactly(self, spark, tmp_path):
+        import hashlib
+
+        r = self._one(spark, tmp_path, "a b c d e f g h i j")
+        toks = "a b c d e f g h i j".split()
+        q = toks[r.q_start : r.q_start + 4]
+        ctx = toks[: r.q_start] + toks[r.q_start + 4 :]
+        assert r.query == " ".join(q)
+        assert r.n_ctx == len(ctx) == 6
+        assert r.ctx_md5 == hashlib.md5(" ".join(ctx).encode()).hexdigest()
+        assert 0 <= r.q_start <= len(toks) - 4
+
+    def test_overlap_counts_distinct_shared_terms(self, spark, tmp_path):
+        # force q_start by trying doc_ids until the span is known — instead
+        # craft a doc where EVERY 4-token span shares exactly its repeated
+        # terms with the rest: all tokens identical -> overlap == 1
+        r = self._one(spark, tmp_path, "x x x x x x x x")
+        assert r.overlap == 1
+
+    def test_map_only_plan(self, spark):
+        from harvester_spark.operators.training_prep import ict_pairs
+
+        df = ict_pairs(spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+    def test_corpus_queries_nondegenerate(self, spark):
+        from harvester_spark.operators.training_prep import ict_pairs
+
+        out = ict_pairs(spark, "/root/testdata/sf0.001")
+        # span starts must vary (a constant q_start would mean the hash is
+        # degenerate) and contexts must be non-empty
+        assert out.select(F.countDistinct("q_start")).collect()[0][0] > 10
+        assert out.filter(F.col("n_ctx") == 0).count() == 0
