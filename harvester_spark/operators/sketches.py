@@ -560,9 +560,149 @@ FROM bl LEFT JOIN ex ON bl.doc_id = ex.doc_id
 """
 
 
+# ------------------------------------- windowed CMS (streaming batch twin)
+
+# Per-WINDOW heavy hitters with bounded state — the streaming counterpart
+# of cms_heavy_hitters, sharing one cell shape with
+# streaming/windowed.windowed_key_cms exactly like the HLL pair above:
+# the stream maintains only the d x w counter grid per open window
+# (groupBy(window, row, bucket).count() — algebraic, partial-merged,
+# append-mode legal), and heavy keys are read off the finalized grid with
+# the relational probe below. Cell rows are byte-identical between modes
+# (parity-tested in tests/test_windowed_stream.py).
+#
+# Unlike the banner-shingle operator (driver-broadcast 8 KB grid — fine
+# for ONE global sketch), the per-window probe here stays fully
+# RELATIONAL: distinct (window, key, row, bucket) joined back to the cell
+# table on its own key, then min over rows — one equi-join, no grid ever
+# on the driver, which is the shape that survives 10^5 open windows.
+# The exact-count verification joins the stream against the BROADCAST
+# heavy-key set (<= CMS_EV_DEN keys per window by construction), so the
+# full stream never shuffles on key.
+#
+# Key synthesis (events carry no page column): one deterministic dominant
+# key ('hot', every third event — ~33% of each window) over the per-user
+# tail, following the banner-pages precedent. Windows are DAILY: ~330
+# events/day at sf0.01, threshold ceil(N_day/8) ≈ 42, hot ≈ 110 — two
+# orders above any user key (non-degeneracy test-pinned).
+
+CMS_EV_DEN = 8  # heavy = window frequency >= ceil(N_window / 8)
+DAY_S = 86400
+
+
+def event_key() -> F.Column:
+    """Deterministic skewed key for the events stream."""
+    return F.when(F.col("event_id") % 3 == 0, F.lit("hot")).otherwise(
+        F.concat(F.lit("u"), F.col("user_id").cast("string"))
+    )
+
+
+_SQL_EVENT_KEY = (
+    "CASE WHEN event_id % 3 = 0 THEN 'hot' "
+    "ELSE 'u' || CAST(user_id AS VARCHAR) END"
+)
+
+
+def cms_key_buckets(key: F.Column) -> F.Column:
+    """array of CMS_D bucket ids for a key (row r salted as 'r:key')."""
+    return F.array(
+        *[
+            _hash56(F.concat(F.lit(f"{r}:"), key)) % CMS_W
+            for r in range(CMS_D)
+        ]
+    )
+
+
+def cms_heavy_from_cells(
+    keyed: DataFrame, cells: DataFrame, *wkeys: str
+) -> DataFrame:
+    """Relational CMS probe: keyed (wkeys..., key, row, bucket) x cells
+    (wkeys..., row, bucket, c) -> per-(wkeys, key) min-over-rows estimate."""
+    on = [*wkeys, "row", "bucket"]
+    return (
+        keyed.select(*wkeys, "key", "row", "bucket")
+        .distinct()
+        .join(cells, on)
+        .groupBy(*wkeys, "key")
+        .agg(F.min("c").cast("long").alias("cms_est"))
+    )
+
+
+def events_cms_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(day_bucket, key, cms_est, exact_cnt) for every key whose count-min
+    estimate reaches ceil(N_day / CMS_EV_DEN) within its day window."""
+    ev = load(spark, sf_dir, "events").select(
+        F.floor(F.unix_timestamp("ts") / DAY_S).cast("long").alias("day_bucket"),
+        event_key().alias("key"),
+    )
+    keyed = ev.select(
+        "day_bucket",
+        "key",
+        F.posexplode(cms_key_buckets(F.col("key"))).alias("row", "bucket"),
+    )
+    cells = keyed.groupBy("day_bucket", "row", "bucket").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    nd = ev.groupBy("day_bucket").agg(F.count("*").cast("long").alias("n_day"))
+    est = cms_heavy_from_cells(keyed, cells, "day_bucket")
+    heavy = est.join(nd, "day_bucket").filter(
+        F.col("cms_est") >= F.expr(f"(n_day + {CMS_EV_DEN - 1}) DIV {CMS_EV_DEN}")
+    )
+    exact = (
+        ev.join(
+            F.broadcast(heavy.select("day_bucket", "key")), ["day_bucket", "key"]
+        )
+        .groupBy("day_bucket", "key")
+        .agg(F.count("*").cast("long").alias("exact_cnt"))
+    )
+    return heavy.select("day_bucket", "key", "cms_est").join(
+        exact, ["day_bucket", "key"]
+    )
+
+
+SQL_EVENTS_CMS_DAILY = f"""
+WITH ev AS (
+  SELECT CAST(floor(epoch(ts) / {DAY_S}) AS BIGINT) AS day_bucket,
+         {_SQL_EVENT_KEY} AS key
+  FROM events
+),
+keyed AS (
+  SELECT day_bucket, key, r AS row,
+         {_SQL_HASH56.format(col="CAST(r AS VARCHAR) || ':' || key")} % {CMS_W} AS bucket
+  FROM ev CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r)
+),
+cells AS (
+  SELECT day_bucket, row, bucket, CAST(count(*) AS BIGINT) AS c
+  FROM keyed GROUP BY 1, 2, 3
+),
+nd AS (
+  SELECT day_bucket, CAST(count(*) AS BIGINT) AS n_day FROM ev GROUP BY 1
+),
+est AS (
+  SELECT day_bucket, key, CAST(min(c) AS BIGINT) AS cms_est
+  FROM (SELECT DISTINCT day_bucket, key, row, bucket FROM keyed) k
+  JOIN cells USING (day_bucket, row, bucket)
+  GROUP BY 1, 2
+),
+heavy AS (
+  SELECT e.day_bucket, e.key, e.cms_est
+  FROM est e JOIN nd USING (day_bucket)
+  WHERE cms_est >= (n_day + {CMS_EV_DEN - 1}) // {CMS_EV_DEN}
+),
+exact AS (
+  SELECT day_bucket, key, CAST(count(*) AS BIGINT) AS exact_cnt
+  FROM ev SEMI JOIN heavy USING (day_bucket, key)
+  GROUP BY 1, 2
+)
+SELECT day_bucket, key, cms_est, exact_cnt
+FROM heavy JOIN exact USING (day_bucket, key)
+"""
+
+
 QUERIES = {
     "hll_distinct_shingles": (hll_distinct_shingles, SQL_HLL_DISTINCT_SHINGLES),
     "events_hll_hourly": (events_hll_hourly, SQL_EVENTS_HLL_HOURLY),
     "cms_heavy_hitters": (cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS),
     "bloom_snapshot_novelty": (bloom_snapshot_novelty, SQL_BLOOM_SNAPSHOT_NOVELTY),
+    "events_cms_daily": (events_cms_daily, SQL_EVENTS_CMS_DAILY),
 }

@@ -64,3 +64,30 @@ def windowed_user_hll(
         .agg(F.max(F.expr(_rho_case("w"))).alias("r"))
         .select(F.col("win.start").alias("window_start"), "bucket", "r")
     )
+
+
+def windowed_key_cms(
+    events: DataFrame, window: str = "1 day", late_threshold: str = LATE_THRESHOLD
+) -> DataFrame:
+    """Streaming events(ts, key) → watermarked per-window count-min cells
+    (window_start, row, bucket, c).
+
+    Per-key frequency in a window naively needs O(distinct keys) state; the
+    CMS grid is the bounded replacement: ≤ CMS_D × CMS_W cells per open
+    window, maintained by one streaming-legal append-mode
+    groupBy((window, row, bucket)).count() — counts are algebraic, so Spark
+    partial-merges them map-side. Cell rows are byte-identical to the batch
+    twin's (operators/sketches.events_cms_daily — parity-tested); read
+    heavy hitters off a finalized grid with sketches.cms_heavy_from_cells.
+    """
+    from harvester_spark.operators.sketches import cms_key_buckets
+
+    keyed = events.select(
+        "ts", F.posexplode(cms_key_buckets(F.col("key"))).alias("row", "bucket")
+    )
+    return (
+        keyed.withWatermark("ts", late_threshold)
+        .groupBy(F.window("ts", window).alias("win"), "row", "bucket")
+        .agg(F.count("*").cast("long").alias("c"))
+        .select(F.col("win.start").alias("window_start"), "row", "bucket", "c")
+    )

@@ -131,3 +131,104 @@ def test_streaming_hll_registers_match_batch(spark, tmp_root):
         if r["hour_bucket"] in emitted_hours
     }
     assert stream_est == batch_est
+
+
+def test_streaming_cms_cells_match_batch(spark, tmp_root):
+    """Cell-level parity: the watermarked streaming CMS grid, fed the keyed
+    event stream in two chunks, must finalize byte-identical cells to the
+    batch operator's grid for every closed window — and the shared
+    relational probe then yields identical heavy hitters."""
+    import pyspark.sql.functions as F
+
+    from harvester_spark.operators.sketches import (
+        CMS_EV_DEN,
+        DAY_S,
+        cms_heavy_from_cells,
+        cms_key_buckets,
+        event_key,
+        events_cms_daily,
+    )
+    from harvester_spark.streaming.windowed import windowed_key_cms
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "ts", event_key().alias("key")
+    )
+    src = os.path.join(tmp_root, "cms_src")
+    ev.orderBy("ts").limit(600).coalesce(1).write.json(os.path.join(src, "b1"))
+    ev.orderBy(F.col("ts").desc()).limit(400).coalesce(1).write.json(
+        os.path.join(src, "b2")
+    )
+
+    stream = spark.readStream.schema("ts timestamp, key string").json(
+        os.path.join(src, "*")
+    )
+    out_dir = os.path.join(tmp_root, "cms_out")
+    q = (
+        windowed_key_cms(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmp_root, "cms_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(out_dir).select(
+        (F.unix_timestamp("window_start") / DAY_S).cast("long").alias("day_bucket"),
+        "row",
+        "bucket",
+        "c",
+    )
+    emitted = {r["day_bucket"] for r in got.select("day_bucket").distinct().collect()}
+    assert len(emitted) > 20  # append mode finalized most daily windows
+
+    day = F.floor(F.unix_timestamp("ts") / DAY_S).cast("long").alias("day_bucket")
+    keyed = (
+        ev.select(day, "key")
+        .select(
+            "day_bucket",
+            "key",
+            F.posexplode(cms_key_buckets(F.col("key"))).alias("row", "bucket"),
+        )
+        .filter(F.col("day_bucket").isin(list(emitted)))
+    )
+    batch_cells = keyed.groupBy("day_bucket", "row", "bucket").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, batch_cells.collect())
+    )
+
+    # heavy hitters read off the STREAMED grid == the batch operator
+    nd = (
+        ev.select(day)
+        .groupBy("day_bucket")
+        .agg(F.count("*").cast("long").alias("n_day"))
+    )
+    stream_heavy = {
+        (r.day_bucket, r.key, r.cms_est)
+        for r in cms_heavy_from_cells(keyed, got, "day_bucket")
+        .join(nd, "day_bucket")
+        .filter(
+            F.col("cms_est")
+            >= F.expr(f"(n_day + {CMS_EV_DEN - 1}) DIV {CMS_EV_DEN}")
+        )
+        .select("day_bucket", "key", "cms_est")
+        .collect()
+    }
+    batch_heavy = {
+        (r.day_bucket, r.key, r.cms_est)
+        for r in events_cms_daily(spark, sf_dir).collect()
+        if r.day_bucket in emitted
+    }
+    assert stream_heavy == batch_heavy
+    # the dominant synthesized key is heavy in every emitted window, and
+    # the tail is not all-heavy (discrimination, both directions)
+    heavy_days = {d for d, k, _ in batch_heavy if k == "hot"}
+    assert len(heavy_days) > 0.9 * len(emitted)
+    n_keys = (
+        ev.select(day, "key").distinct().filter(F.col("day_bucket").isin(list(emitted))).count()
+    )
+    assert len(batch_heavy) < 0.5 * n_keys  # the tail is NOT all-heavy
