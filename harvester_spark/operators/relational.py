@@ -971,3 +971,111 @@ FROM ev JOIN win ON ev.event_type = win.event_type
 """
 
 QUERIES["j10_range_join_windows"] = (j10_range_join_windows, SQL_J10_RANGE)
+
+
+# ----------------------------------------------------- Z-order data layout
+
+# Multi-dimensional data clustering for scan pruning — the lakehouse
+# OPTIMIZE ZORDER BY (c1, c2) operation (Delta/Iceberg): interleave the
+# bits of the per-dimension codes so rows close in BOTH dimensions land in
+# the same file, giving every file tight min/max stats on BOTH columns —
+# the stats a format-level reader uses to skip files for 2-D predicates.
+# Output is the layout's stats table (file_id, n_rows, per-dim min/max):
+# exactly what the pruning decision consumes; clustering quality (mean
+# bounding-box area ≪ a row-order layout's) is test-pinned.
+#
+# Scale shape: ONE scalar min/max agg (broadcast as literals), then the
+# scaled codes, 32-bit Morton interleave and file assignment are pure
+# integer map expressions; the only keyed shuffle is the groupBy(file_id)
+# stats agg. No global sort: files are fixed-width zval ranges (uniform
+# dims → balanced files; a production pass would range-partition by
+# sampled zval quantiles — same dataflow, one extra sampling agg). File
+# COUNT is derived from corpus size (derive_n_planes contract):
+# n_files = max(n // Z_ROWS_PER_FILE, 1).
+#
+# Integer-exact everywhere: scaled = ((v - min) * 65535) DIV max(range,1)
+# on nonnegative int64, interleave via DIV/%/× (floor == trunc, identical
+# in Spark DIV and DuckDB //).
+
+Z_ROWS_PER_FILE = 250
+_Z_SPACE = 1 << 32
+
+
+def _interleave_expr(x: str, y: str, div: str) -> str:
+    """32-bit Morton code of two 16-bit nonnegative codes (engine-shared
+    arithmetic; ``div`` is the engine's integer-division token)."""
+    terms = []
+    for i in range(16):
+        terms.append(f"(({x} {div} {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"(({y} {div} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+def zorder_layout(spark, sf_dir):
+    """(file_id, n_rows, min_ck, max_ck, min_day, max_day): per-file
+    min/max pruning stats after Z-ordering orders on (o_custkey, day)."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("ck"),
+        F.floor(F.unix_timestamp("o_orderdate") / 86400).cast("long").alias("d"),
+    )
+    st = o.agg(
+        F.min("ck").alias("mnc"), F.max("ck").alias("mxc"),
+        F.min("d").alias("mnd"), F.max("d").alias("mxd"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    n_files = max(st.n // Z_ROWS_PER_FILE, 1)
+    width = (_Z_SPACE + n_files - 1) // n_files
+    sx = f"((ck - {st.mnc}) * 65535) DIV {max(st.mxc - st.mnc, 1)}"
+    sy = f"((d - {st.mnd}) * 65535) DIV {max(st.mxd - st.mnd, 1)}"
+    coded = o.withColumn("sx", F.expr(sx).cast("long")).withColumn(
+        "sy", F.expr(sy).cast("long")
+    )
+    z = coded.withColumn(
+        "z", F.expr(_interleave_expr("sx", "sy", "DIV")).cast("long")
+    )
+    return (
+        z.select("ck", "d", F.expr(f"z DIV {width}").cast("long").alias("file_id"))
+        .groupBy("file_id")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("ck").cast("long").alias("min_ck"),
+            F.max("ck").cast("long").alias("max_ck"),
+            F.min("d").cast("long").alias("min_day"),
+            F.max("d").cast("long").alias("max_day"),
+        )
+    )
+
+
+def _sql_zorder_layout() -> str:
+    inter = _interleave_expr("sx", "sy", "//")
+    return f"""
+WITH o AS (
+  SELECT o_custkey AS ck,
+         CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS d
+  FROM orders
+),
+st AS (
+  SELECT min(ck) AS mnc, max(ck) AS mxc, min(d) AS mnd, max(d) AS mxd,
+         greatest(count(*) // {Z_ROWS_PER_FILE}, 1) AS nf
+  FROM o
+),
+coded AS (
+  SELECT ck, d,
+         ((ck - mnc) * 65535) // greatest(mxc - mnc, 1) AS sx,
+         ((d - mnd) * 65535) // greatest(mxd - mnd, 1) AS sy,
+         nf
+  FROM o CROSS JOIN st
+),
+z AS (
+  SELECT ck, d, ({inter}) AS z, ({_Z_SPACE} + nf - 1) // nf AS width
+  FROM coded
+)
+SELECT CAST(z // width AS BIGINT) AS file_id,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(ck) AS BIGINT) AS min_ck, CAST(max(ck) AS BIGINT) AS max_ck,
+       CAST(min(d) AS BIGINT) AS min_day, CAST(max(d) AS BIGINT) AS max_day
+FROM z GROUP BY 1
+"""
+
+
+QUERIES["zorder_layout"] = (zorder_layout, _sql_zorder_layout())
