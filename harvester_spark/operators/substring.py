@@ -143,3 +143,140 @@ WHERE strpos(d.text, n.needle) > 0
 QUERIES = {
     "ft_substring_search": (ft_substring_search, SQL_SUBSTRING_SEARCH),
 }
+
+
+# ------------------------------------------------- regex over the trigram index
+
+# Cox's second codesearch stage: a REGEX can be answered by the same
+# trigram index by compiling the pattern into a boolean query over
+# required literal trigrams — every match of ``merge (batch|window)``
+# must contain all trigrams of "merge " AND (all trigrams of "batch" OR
+# all of "window"). Candidates satisfying the boolean query are then
+# verified with the real regex engine. Supported pattern class here:
+# ``.*``-separated segments, each a literal or one parenthesized literal
+# alternation (prefix(a|b)suffix) — enough for the AND-of-ORs plan shape;
+# anything wider is a ValueError, not a silent full scan.
+#
+# Scale shape: the boolean query evaluates RELATIONALLY — postings join
+# the (pattern, group, alt, trigram) dim (broadcast — it is query-sized),
+# then three bounded aggs: alt satisfied (count == alt's gram count),
+# group satisfied (any alt), pattern candidate (all groups). The regex
+# engine runs ONLY on the candidate semi-join. Regex dialect: literals,
+# ``|``, ``()``, ``.*`` — the subset where Java regex (Spark) and RE2
+# (DuckDB) agree on both matching and leftmost-first extraction.
+
+REGEXES = [
+    "merge (batch|window)",
+    "slow .* fast",
+    "(fast|slow) table",
+    "key agg row .* hash",
+]
+
+
+def regex_required_groups(pattern: str) -> list[list[list[str]]]:
+    """pattern → AND-groups, each a list of OR-alternatives, each the
+    alternative's trigram list. Groups whose every alternative is shorter
+    than 3 chars are unprunable and dropped (they constrain nothing)."""
+    import re as _re
+
+    groups: list[list[list[str]]] = []
+    for seg in pattern.split(".*"):
+        if not seg:
+            continue
+        m = _re.fullmatch(r"([^()|]*)\(([^()]+)\)([^()|]*)", seg)
+        if m:
+            alts = [m.group(1) + a + m.group(3) for a in m.group(2).split("|")]
+        elif _re.fullmatch(r"[^()|*+?\[\]{}\\^$.]*", seg):
+            alts = [seg]
+        else:
+            raise ValueError(
+                f"regex_search: unsupported pattern segment {seg!r} — "
+                "supported class is .*-separated literals with one (a|b) "
+                "alternation per segment"
+            )
+        if any(len(a) < 3 for a in alts):
+            continue
+        groups.append([needle_trigrams(a) for a in alts])
+    return groups
+
+
+def regex_candidates(
+    spark: SparkSession, docs: DataFrame, patterns: list[str]
+) -> DataFrame:
+    """(pattern, doc_id) candidates satisfying every pattern's trigram
+    AND-of-ORs. Superset of the true regex match set."""
+    dim_rows, size_rows, ngroups_rows = [], [], []
+    for p in patterns:
+        groups = regex_required_groups(p)
+        if not groups:
+            raise ValueError(
+                f"regex_search: pattern {p!r} has no prunable literals — "
+                "route to a full scan explicitly"
+            )
+        ngroups_rows.append((p, len(groups)))
+        for gix, alts in enumerate(groups):
+            for aix, grams in enumerate(alts):
+                size_rows.append((p, gix, aix, len(grams)))
+                dim_rows.extend((p, gix, aix, g) for g in grams)
+    gram_dim = F.broadcast(
+        spark.createDataFrame(
+            dim_rows, "pattern string, gix int, aix int, tg string"
+        )
+    )
+    alt_size = F.broadcast(
+        spark.createDataFrame(
+            size_rows, "pattern string, gix int, aix int, n_grams int"
+        )
+    )
+    n_groups = F.broadcast(
+        spark.createDataFrame(ngroups_rows, "pattern string, n_groups int")
+    )
+    all_grams = sorted({r[3] for r in dim_rows})
+    postings = doc_trigrams(docs).filter(F.col("tg").isin(all_grams))
+    sat_alt = (
+        postings.join(gram_dim, "tg")
+        .groupBy("pattern", "doc_id", "gix", "aix")
+        .agg(F.count("*").alias("c"))
+        .join(alt_size, ["pattern", "gix", "aix"])
+        .filter(F.col("c") == F.col("n_grams"))
+    )
+    sat_group = sat_alt.select("pattern", "doc_id", "gix").distinct()
+    return (
+        sat_group.groupBy("pattern", "doc_id")
+        .agg(F.countDistinct("gix").alias("g"))
+        .join(n_groups, "pattern")
+        .filter(F.col("g") == F.col("n_groups"))
+        .select("pattern", "doc_id")
+    )
+
+
+def ft_regex_search(spark, sf_dir) -> DataFrame:
+    """Exact regex hits per pattern: (pattern, doc_id, match) — trigram
+    boolean-query candidates, regex-verified; match = leftmost match."""
+    docs = load(spark, sf_dir, "documents")
+    cand = regex_candidates(spark, docs, REGEXES)
+    return (
+        cand.join(docs.select("doc_id", "text"), "doc_id")
+        .filter(F.expr("regexp_like(text, pattern)"))
+        .select(
+            "pattern",
+            "doc_id",
+            F.expr("regexp_extract(text, pattern, 0)").alias("match"),
+        )
+    )
+
+
+def _sql_regex_values() -> str:
+    return ", ".join(f"('{p}')" for p in REGEXES)
+
+
+SQL_REGEX_SEARCH = f"""
+WITH pats(pattern) AS (VALUES {_sql_regex_values()})
+SELECT p.pattern, d.doc_id,
+       regexp_extract(d.text, p.pattern, 0) AS match
+FROM documents d, pats p
+WHERE regexp_matches(d.text, p.pattern)
+"""
+
+
+QUERIES["ft_regex_search"] = (ft_regex_search, SQL_REGEX_SEARCH)

@@ -105,3 +105,86 @@ class TestSubstringSemantics:
         assert hits.filter(F.col("needle") == "qqqzzz xx").count() == 0
         # and at least one needle really hits (non-degeneracy)
         assert hits.count() > 0
+
+
+class TestRegexSearch:
+    def test_required_groups_parse(self):
+        from harvester_spark.operators.substring import regex_required_groups
+
+        # no ".*": one segment, the prefix folds into BOTH alternatives —
+        # candidates need all trigrams of "merge batch" OR of "merge window"
+        g = regex_required_groups("merge (batch|window)")
+        assert len(g) == 1
+        assert len(g[0]) == 2  # two alternatives
+        assert all("mer" in alt for alt in g[0])
+        # ".*" splits segments into independent AND groups
+        g3 = regex_required_groups("merge .* (batch|window)")
+        assert len(g3) == 2
+        # prefix folds into each alternative
+        g2 = regex_required_groups("pre(a|b)post")
+        assert len(g2) == 1 and len(g2[0]) == 2
+
+    def test_unprunable_group_dropped_not_fatal(self):
+        from harvester_spark.operators.substring import regex_required_groups
+
+        # "(a|b)" has only 1-char alternatives -> contributes nothing, but
+        # the "merge" literal still prunes
+        g = regex_required_groups("merge .* (a|b)")
+        assert len(g) == 1
+
+    def test_unsupported_pattern_refused(self):
+        import pytest as _pytest
+
+        from harvester_spark.operators.substring import (
+            regex_candidates,
+            regex_required_groups,
+        )
+
+        with _pytest.raises(ValueError):
+            regex_required_groups("nested (a(b|c)) group")
+        with _pytest.raises(ValueError):
+            regex_required_groups("cls[abc]+")
+
+    def test_fully_unprunable_pattern_refused(self, spark):
+        import pytest as _pytest
+
+        from harvester_spark.operators.substring import regex_candidates
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        with _pytest.raises(ValueError):
+            regex_candidates(spark, docs, ["(a|b)"])
+
+    def test_candidates_superset_of_regex_matches(self, spark):
+        from harvester_spark.operators.substring import (
+            REGEXES,
+            regex_candidates,
+        )
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        cand = {
+            (r.pattern, r.doc_id)
+            for r in regex_candidates(spark, docs, REGEXES).collect()
+        }
+        for p in REGEXES:
+            truth = {
+                (p, r.doc_id)
+                for r in docs.filter(F.expr(f"regexp_like(text, '{p}')")).collect()
+            }
+            assert truth <= cand
+
+    def test_alternation_semantics(self, spark, tmp_path, monkeypatch):
+        import harvester_spark.operators.substring as mod
+        from harvester_spark.operators.substring import ft_regex_search
+
+        monkeypatch.setattr(mod, "REGEXES", ["merge (batch|window)"])
+        d = str(tmp_path / "rx")
+        spark.createDataFrame(
+            [
+                (1, "a merge batch b", "en", "s", 1),
+                (2, "a merge window b", "en", "s", 1),
+                (3, "a merge nothing b", "en", "s", 1),
+            ],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        got = {(r.doc_id, r.match) for r in ft_regex_search(spark, d).collect()}
+        assert got == {(1, "merge batch"), (2, "merge window")}
