@@ -82,6 +82,14 @@ HEADLINE = [
     "ft_bigram_lm_logprob",
     "host_pagerank",
     "j9_asof_rates",
+    # round-3 session 5: C4 line dedup, trigram substring/regex search,
+    # budget apportionment, per-window CMS, Z-order layout
+    "c4_line_dedup",
+    "ft_substring_search",
+    "ft_regex_search",
+    "crawl_budget_allocate",
+    "events_cms_daily",
+    "zorder_layout",
 ]
 WARMUP_DOCS = 2000
 
