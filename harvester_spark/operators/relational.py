@@ -1079,3 +1079,115 @@ FROM z GROUP BY 1
 
 
 QUERIES["zorder_layout"] = (zorder_layout, _sql_zorder_layout())
+
+
+# --------------------------------------- TPC-H-shaped analytics (Q3, Q18)
+
+# Two more canonical warehouse shapes over the TPC-H-ish tables, rounding
+# out q1/j5: the top-k join-aggregate (Q3 shipping priority) and the
+# having-filtered semi-join (Q18 large-volume customers). Both follow the
+# money-determinism rules (integer cents per row before any sum) and carry
+# unique top-k tie-breaks.
+#
+# Scale shape — Q3: the customer dim filter broadcasts (segment filter
+# first), orders⋈lineitem shuffles once on the order key, and the top-10
+# is TakeOrdered (distributed partial top-k), never a global sort.
+# Q18: lineitem aggregates once on l_orderkey (map-side combined), the
+# HAVING threshold prunes before any join, and only qualifying orders
+# (~1% by construction) reach the orders/customer joins.
+
+
+def q3_shipping_priority(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-01-01"
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1998-01-01"
+    )
+    rev = F.sum(
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("long")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(
+            rev.alias("revenue_c"),
+            F.floor(F.min(F.unix_timestamp("o_orderdate")) / 86400)
+            .cast("long")
+            .alias("o_day"),
+        )
+        .orderBy(F.col("revenue_c").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+SQL_Q3 = """
+SELECT l_orderkey,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c,
+       CAST(floor(min(epoch(o_orderdate)) / 86400) AS BIGINT) AS o_day
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey
+ORDER BY revenue_c DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+Q18_QTY_C = 250 * 100  # HAVING sum(quantity-cents) > this
+
+
+def q18_large_volume_customers(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(cents("l_quantity")).alias("sum_qty_c"))
+        .filter(F.col("sum_qty_c") > Q18_QTY_C)
+    )
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.floor(F.unix_timestamp("o_orderdate") / 86400)
+            .cast("long")
+            .alias("o_day"),
+            cents("o_totalprice").alias("total_c"),
+            "sum_qty_c",
+        )
+        .orderBy(F.col("total_c").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+SQL_Q18 = f"""
+WITH big AS (
+  SELECT l_orderkey, CAST(sum({sql_cents('l_quantity')}) AS BIGINT) AS sum_qty_c
+  FROM lineitem GROUP BY 1 HAVING sum({sql_cents('l_quantity')}) > {Q18_QTY_C}
+)
+SELECT c_name, c_custkey, o_orderkey,
+       CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS o_day,
+       {sql_cents('o_totalprice')} AS total_c,
+       sum_qty_c
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_c DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+
+QUERIES["q3_shipping_priority"] = (q3_shipping_priority, SQL_Q3)
+QUERIES["q18_large_volume_customers"] = (q18_large_volume_customers, SQL_Q18)
