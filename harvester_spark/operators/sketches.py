@@ -699,10 +699,97 @@ FROM heavy JOIN exact USING (day_bucket, key)
 """
 
 
+# --------------------------------------- sliding-window distinct-user HLL
+
+# The SLIDING-window mode of the tumbling pair above: "distinct users in
+# the trailing day, readable every 6 hours". A sliding window multiplies
+# state by (size/slide); with a per-user set that is catastrophic — with
+# the HLL register file it is exactly SLIDE_FACTOR x 256 rows per open
+# span. Each event belongs to exactly SLIDE_FACTOR windows (starts at
+# slide multiples in (ts - size, ts]); the batch operator EXPLODES the
+# event into those starts with one array expression — bounded fan-out,
+# the j10 range-join bucketing argument — and reuses hll_registers /
+# hll_fold_registers unchanged. The streaming twin is the same
+# groupBy(window(ts, size, slide)) with Spark's native sliding window
+# (alignment: epoch multiples of the slide — identical arithmetic,
+# parity-tested cell-for-cell in tests/test_windowed_stream.py).
+
+SLIDE_S = 21_600  # 6 hours
+WIN_S = 86_400  # 1 day
+SLIDE_FACTOR = WIN_S // SLIDE_S
+
+
+def sliding_starts(ts_col: str) -> F.Column:
+    """array of the SLIDE_FACTOR window starts (epoch seconds) containing
+    a timestamp."""
+    base = F.expr(
+        f"(CAST(floor(unix_timestamp({ts_col})) AS BIGINT) DIV {SLIDE_S})"
+        f" * {SLIDE_S}"
+    )
+    return F.array(
+        *[(base - k * SLIDE_S).cast("long") for k in range(SLIDE_FACTOR)]
+    )
+
+
+def events_hll_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(win_start, n_registers, v_zero, s_num, est, exact_users) per
+    sliding 1-day/6-hour window over events."""
+    ev = load(spark, sf_dir, "events").select(
+        F.explode(sliding_starts("ts")).alias("win_start"), "user_id"
+    )
+    folded = hll_fold_registers(
+        hll_registers(ev, F.col("user_id").cast("string"), "win_start"),
+        "win_start",
+    )
+    exact = ev.groupBy("win_start").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_users")
+    )
+    return folded.join(exact, "win_start")
+
+
+SQL_EVENTS_HLL_SLIDING = f"""
+WITH ev AS (
+  SELECT ((CAST(floor(epoch(ts)) AS BIGINT) // {SLIDE_S}) - k) * {SLIDE_S}
+           AS win_start,
+         CAST(user_id AS VARCHAR) AS uid, user_id
+  FROM events CROSS JOIN (SELECT unnest(range({SLIDE_FACTOR})) AS k)
+),
+wb AS (
+  SELECT win_start, hv % {HLL_M} AS bucket, hv // {HLL_M} AS w
+  FROM (SELECT win_start, {_SQL_HASH56.format(col='uid')} AS hv FROM ev)
+),
+reg AS (
+  SELECT win_start, bucket, max({_rho_case('w')}) AS r FROM wb GROUP BY 1, 2
+),
+per AS (
+  SELECT win_start, CAST(count(*) AS BIGINT) AS n_registers,
+         CAST(sum(CAST(power(2, {_HLL_RMAX} - r) AS BIGINT)) AS BIGINT) AS s_present
+  FROM reg GROUP BY 1
+),
+fin AS (
+  SELECT win_start, n_registers,
+         CAST({HLL_M} - n_registers AS BIGINT) AS v_zero,
+         CAST(s_present + ({HLL_M} - n_registers) * {2**_HLL_RMAX} AS BIGINT) AS s_num
+  FROM per
+),
+exact AS (
+  SELECT win_start, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+  FROM ev GROUP BY 1
+)
+SELECT fin.win_start, n_registers, v_zero, s_num,
+       round(CASE WHEN {_HLL_C} / s_num <= {2.5 * HLL_M} AND v_zero > 0
+                  THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / v_zero)
+                  ELSE {_HLL_C} / s_num END, 6) AS est,
+       exact_users
+FROM fin JOIN exact ON fin.win_start = exact.win_start
+"""
+
+
 QUERIES = {
     "hll_distinct_shingles": (hll_distinct_shingles, SQL_HLL_DISTINCT_SHINGLES),
     "events_hll_hourly": (events_hll_hourly, SQL_EVENTS_HLL_HOURLY),
     "cms_heavy_hitters": (cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS),
     "bloom_snapshot_novelty": (bloom_snapshot_novelty, SQL_BLOOM_SNAPSHOT_NOVELTY),
     "events_cms_daily": (events_cms_daily, SQL_EVENTS_CMS_DAILY),
+    "events_hll_sliding": (events_hll_sliding, SQL_EVENTS_HLL_SLIDING),
 }

@@ -37,7 +37,10 @@ def windowed_counts(
 
 
 def windowed_user_hll(
-    events: DataFrame, window: str = WINDOW, late_threshold: str = LATE_THRESHOLD
+    events: DataFrame,
+    window: str = WINDOW,
+    late_threshold: str = LATE_THRESHOLD,
+    slide: str | None = None,
 ) -> DataFrame:
     """Streaming events(ts, user_id) → watermarked per-window HLL register
     rows (window_start, bucket, r).
@@ -58,9 +61,12 @@ def windowed_user_hll(
         (F.col("hv") % HLL_M).alias("bucket"),
         F.expr(f"hv DIV {HLL_M}").alias("w"),
     )
+    win = (
+        F.window("ts", window, slide) if slide else F.window("ts", window)
+    ).alias("win")
     return (
         keyed.withWatermark("ts", late_threshold)
-        .groupBy(F.window("ts", window).alias("win"), F.col("bucket"))
+        .groupBy(win, F.col("bucket"))
         .agg(F.max(F.expr(_rho_case("w"))).alias("r"))
         .select(F.col("win.start").alias("window_start"), "bucket", "r")
     )

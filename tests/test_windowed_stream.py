@@ -232,3 +232,56 @@ def test_streaming_cms_cells_match_batch(spark, tmp_root):
         ev.select(day, "key").distinct().filter(F.col("day_bucket").isin(list(emitted))).count()
     )
     assert len(batch_heavy) < 0.5 * n_keys  # the tail is NOT all-heavy
+
+
+def test_streaming_sliding_hll_matches_batch(spark, tmp_root):
+    """Sliding-window mode: Spark's native window(ts, '1 day', '6 hours')
+    in the stream must finalize register rows byte-identical to the batch
+    operator's explicit SLIDE_FACTOR-fan-out — same alignment arithmetic,
+    SLIDE_FACTOR x 256 bounded state per open span."""
+    import pyspark.sql.functions as F
+
+    from harvester_spark.operators.sketches import (
+        hll_registers,
+        sliding_starts,
+    )
+    from harvester_spark.streaming.windowed import windowed_user_hll
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("ts", "user_id")
+    src = os.path.join(tmp_root, "shll_src")
+    ev.orderBy("ts").limit(600).coalesce(1).write.json(os.path.join(src, "b1"))
+    ev.orderBy(F.col("ts").desc()).limit(400).coalesce(1).write.json(
+        os.path.join(src, "b2")
+    )
+    stream = spark.readStream.schema("ts timestamp, user_id long").json(
+        os.path.join(src, "*")
+    )
+    out_dir = os.path.join(tmp_root, "shll_out")
+    q = (
+        windowed_user_hll(stream, window="1 day", slide="6 hours")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmp_root, "shll_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(out_dir).select(
+        F.unix_timestamp("window_start").cast("long").alias("win_start"),
+        "bucket",
+        "r",
+    )
+    emitted = {r["win_start"] for r in got.select("win_start").distinct().collect()}
+    assert len(emitted) > 20
+
+    batch_reg = hll_registers(
+        ev.select(F.explode(sliding_starts("ts")).alias("win_start"), "user_id"),
+        F.col("user_id").cast("string"),
+        "win_start",
+    ).filter(F.col("win_start").isin(list(emitted)))
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, batch_reg.collect())
+    )
