@@ -1191,3 +1191,123 @@ LIMIT 100
 
 QUERIES["q3_shipping_priority"] = (q3_shipping_priority, SQL_Q3)
 QUERIES["q18_large_volume_customers"] = (q18_large_volume_customers, SQL_Q18)
+
+
+# ------------------------------------------- hourly anomaly z-score
+
+# Ops-analytics shape over the event stream: per event_type, flag hours
+# whose count deviates from the TRAILING 24-hour baseline — the alerting
+# query every ingest pipeline runs. Hours are DENSIFIED first (a missing
+# hour is c=0, not a missing row — skipping gaps would corrupt the
+# baseline); the trailing mean/variance come from integer window sums
+# (s1 = Σc, s2 = Σc², var = (24·s2 − s1²)/(24·23) — Cauchy-Schwarz keeps
+# the numerator ≥ 0 exactly), and the ONE float expression
+# z = (24c − s1) / sqrt(...) is a single shared string evaluated on
+# identical integers in both engines (IEEE sqrt/division are correctly
+# rounded, so the rounded z is bit-stable — the micro-nat idiom).
+#
+# Scale shape: one groupBy((type, hour)) count, a bounded hours×types
+# densification (sequence explode — calendar-sized, not corpus-sized),
+# and per-type time-ordered windows whose partitions are calendar-bounded.
+
+_AZ_WIN = 24  # trailing baseline hours
+
+
+def _az_z_expr(div: str) -> str:
+    w, wm1 = _AZ_WIN, _AZ_WIN - 1
+    return (
+        f"CASE WHEN {w} * s2 = s1 * s1 THEN NULL ELSE "
+        f"round(({w}.0 * c - s1) / ({w}.0 * sqrt("
+        f"({w} * s2 - s1 * s1) / ({w}.0 * {wm1}.0))), 6) END"
+    )
+
+
+def events_anomaly_zscore(spark, sf_dir):
+    """(event_type, hour_bucket, c, z, is_anomaly): hourly counts vs the
+    trailing 24-hour baseline; rows emitted only once the baseline window
+    is full."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hour"),
+    )
+    b = ev.agg(F.min("hour").alias("mn"), F.max("hour").alias("mx")).collect()[0]
+    counts = ev.groupBy("event_type", "hour").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    hours = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.lit(b.mn), F.lit(b.mx))).alias("hour"),
+        )
+    )
+    dens = hours.join(counts, ["event_type", "hour"], "left").select(
+        "event_type", "hour", F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c")
+    )
+    wt = (
+        W.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-_AZ_WIN, -1)
+    )
+    scored = dens.select(
+        "event_type",
+        F.col("hour").alias("hour_bucket"),
+        "c",
+        F.sum("c").over(wt).cast("long").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).over(wt).cast("long").alias("s2"),
+    ).filter(F.col("hour_bucket") >= b.mn + _AZ_WIN)
+    z = F.expr(_az_z_expr("DIV"))
+    # zero-variance baseline (24*s2 == s1²): z is undefined, but ANY
+    # deviation from the constant baseline is an anomaly by definition
+    flat_dev = (F.expr(f"{_AZ_WIN} * s2 = s1 * s1")) & (
+        F.expr(f"{_AZ_WIN} * c != s1")
+    )
+    return scored.select(
+        "event_type",
+        "hour_bucket",
+        "c",
+        z.alias("z"),
+        ((z.isNotNull() & (F.abs(z) >= 3.0)) | flat_dev).alias("is_anomaly"),
+    )
+
+
+def _sql_events_anomaly() -> str:
+    w = _AZ_WIN
+    return f"""
+WITH ev AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour
+  FROM events
+),
+b AS (SELECT min(hour) AS mn, max(hour) AS mx FROM ev),
+counts AS (
+  SELECT event_type, hour, CAST(count(*) AS BIGINT) AS c
+  FROM ev GROUP BY 1, 2
+),
+hours AS (
+  SELECT event_type, CAST(h AS BIGINT) AS hour
+  FROM (SELECT DISTINCT event_type FROM ev)
+  CROSS JOIN (SELECT unnest(range((SELECT mn FROM b), (SELECT mx FROM b) + 1)) AS h)
+),
+dens AS (
+  SELECT hours.event_type, hours.hour, coalesce(counts.c, 0) AS c
+  FROM hours LEFT JOIN counts USING (event_type, hour)
+),
+scored AS (
+  SELECT event_type, hour AS hour_bucket, c,
+         CAST(sum(c) OVER tw AS BIGINT) AS s1,
+         CAST(sum(c * c) OVER tw AS BIGINT) AS s2
+  FROM dens
+  WINDOW tw AS (PARTITION BY event_type ORDER BY hour
+                ROWS BETWEEN {w} PRECEDING AND 1 PRECEDING)
+  QUALIFY hour >= (SELECT mn FROM b) + {w}
+)
+SELECT event_type, hour_bucket, c,
+       {_az_z_expr('//')} AS z,
+       ((({_az_z_expr('//')}) IS NOT NULL AND abs({_az_z_expr('//')}) >= 3.0)
+        OR ({w} * s2 = s1 * s1 AND {w} * c != s1)) AS is_anomaly
+FROM scored
+"""
+
+
+QUERIES["events_anomaly_zscore"] = (events_anomaly_zscore, _sql_events_anomaly())

@@ -36,3 +36,57 @@ def test_q18_having_prunes_before_join(spark):
     # discrimination: qualifying orders are a small minority
     n_orders = spark.read.parquet(f"{SF}/orders.parquet").count()
     assert len(rows) < 0.1 * n_orders
+
+
+def test_anomaly_zscore_discriminates(spark):
+    from harvester_spark.operators.relational import events_anomaly_zscore
+
+    out = events_anomaly_zscore(spark, SF)
+    n = out.count()
+    anom = out.filter("is_anomaly").count()
+    # both outcomes occur, anomalies are the minority, baselines densified
+    assert 0 < anom < 0.1 * n
+    assert out.filter(F.col("z").isNull()).count() == 0
+    # a zero-count hour in a dense series must carry a NEGATIVE z
+    neg = out.filter((F.col("c") == 0) & (F.col("z") < 0)).count()
+    assert neg > 0
+
+
+def test_anomaly_baseline_excludes_current_hour(spark, tmp_path):
+    from harvester_spark.operators.relational import events_anomaly_zscore
+
+    # 25 hours of flat counts then one spike: the spike hour's z must be
+    # large positive, and the spike must NOT deflate its own baseline
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h in range(26):
+        # "flat": constant baseline (zero variance); "var": alternating 1/3
+        for etype, n in (
+            ("flat", 2 if h < 25 else 12),
+            ("var", (1 if h % 2 else 3) if h < 25 else 12),
+        ):
+            for i in range(n):
+                ts = base + datetime.timedelta(hours=h, minutes=5 + i)
+                rows.append((eid, ts, 1, etype, 1.0, "{}"))
+                eid += 1
+    d = str(tmp_path / "anom")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = {
+        (r.event_type, r.hour_bucket): r
+        for r in events_anomaly_zscore(spark, d).collect()
+    }
+    spike = max(h for _, h in out)
+    # constant baseline -> zero variance -> z undefined, but the deviation
+    # is still flagged (the flat_dev branch)
+    assert out[("flat", spike)].z is None and out[("flat", spike)].is_anomaly
+    # varying baseline -> a real z, large positive at the spike
+    assert out[("var", spike)].z > 3 and out[("var", spike)].is_anomaly
+    flat = min(h for _, h in out)
+    assert out[("flat", flat)].z is None and not out[("flat", flat)].is_anomaly
+    assert not out[("var", flat)].is_anomaly
