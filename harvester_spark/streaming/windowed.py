@@ -97,3 +97,35 @@ def windowed_key_cms(
         .agg(F.count("*").cast("long").alias("c"))
         .select(F.col("win.start").alias("window_start"), "row", "bucket", "c")
     )
+
+
+def windowed_session_counts(
+    events: DataFrame, gap: str = "30 minutes", late_threshold: str = LATE_THRESHOLD
+) -> DataFrame:
+    """Streaming events(ts, user_id) → finalized gap-based sessions via
+    Spark's NATIVE session window (the third window mode next to the
+    tumbling/sliding twins above): (user_id, session_start, session_end,
+    n_events), session_end = last event + gap (Spark's half-open contract).
+
+    This is the built-in counterpart of the two custom sessionizers the
+    repo already carries — streaming/sessionize.py (applyInPandasWithState)
+    and operators/relational.events_sessionize (batch lag/cumsum) — and is
+    parity-tested against the batch one: identical sessions with
+    session_end == batch max-ts + gap. Boundary note: session_window merges
+    on diff < gap (half-open window), the batch twin on diff <= gap; they
+    disagree only for a consecutive-event spacing of EXACTLY the gap
+    (measure-zero on real timestamps; absent from the corpus by test).
+    State is one (start, end, count) triple per open session — bounded by
+    ACTIVE sessions, never by history.
+    """
+    return (
+        events.withWatermark("ts", late_threshold)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -285,3 +285,72 @@ def test_streaming_sliding_hll_matches_batch(spark, tmp_root):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, batch_reg.collect())
     )
+
+
+def test_streaming_session_window_matches_batch_sessionize(spark, tmp_root):
+    """Native session_window stream == batch lag/cumsum sessionizer on
+    every finalized session (start, end+gap, count), including sessions
+    whose events arrive split across micro-batches."""
+    import pyspark.sql.functions as F
+
+    from harvester_spark.operators.relational import (
+        SESSION_GAP_MS,
+        events_sessionize,
+    )
+    from harvester_spark.streaming.windowed import windowed_session_counts
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("ts", "user_id")
+    # precondition for exact parity: no consecutive same-user spacing of
+    # exactly the gap (the half-open vs closed boundary)
+    from pyspark.sql import Window as W
+
+    tms = F.unix_millis(F.col("ts").cast("timestamp"))
+    diffs = ev.withColumn(
+        "d", tms - F.lag(tms).over(W.partitionBy("user_id").orderBy("ts"))
+    )
+    assert diffs.filter(F.col("d") == SESSION_GAP_MS).count() == 0
+
+    src = os.path.join(tmp_root, "sess_src")
+    # parquet source: JSON would truncate the microsecond timestamps and
+    # shift session boundaries off the batch twin's. Watermarks need a
+    # zoned TIMESTAMP; the session tz is pinned UTC so the cast keeps
+    # wall time (the events_sessionize tms contract).
+    evz = ev.select(F.col("ts").cast("timestamp").alias("ts"), "user_id")
+    evz.orderBy("ts").limit(600).coalesce(1).write.parquet(os.path.join(src, "b1"))
+    evz.orderBy(F.col("ts").desc()).limit(400).coalesce(1).write.parquet(
+        os.path.join(src, "b2")
+    )
+    stream = spark.readStream.schema("ts timestamp, user_id long").parquet(
+        os.path.join(src, "*")
+    )
+    out_dir = os.path.join(tmp_root, "sess_out")
+    q = (
+        windowed_session_counts(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmp_root, "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r.user_id, str(r.session_start), str(r.session_end)): r.n_events
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert len(got) > 50  # most sessions finalized
+
+    batch = {
+        (
+            r.user_id,
+            str(r.session_start),
+            str(r.session_end + __import__("datetime").timedelta(
+                milliseconds=SESSION_GAP_MS
+            )),
+        ): r.n_events
+        for r in events_sessionize(spark, sf_dir).collect()
+    }
+    for k, n in got.items():
+        assert batch.get(k) == n, k
