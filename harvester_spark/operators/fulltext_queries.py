@@ -1651,3 +1651,89 @@ FROM scored GROUP BY doc_id, lang
 """
 
 QUERIES["ft_bigram_lm_logprob"] = (ft_bigram_lm_logprob, SQL_BIGRAM_LM_LOGPROB)
+
+
+# ------------------------------------------------- lexical diversity signal
+
+# Per-doc lexical-diversity quality signals (the CCNet/Gopher companion to
+# ft_quality_score): type-token ratio and hapax share — generated word-soup
+# and template boilerplate sit far below natural text on both. Integer
+# counts; the two ratios are single shared divisions rounded to 6 (exact
+# integers in, correctly-rounded IEEE division out — bit-stable).
+#
+# Scale shape: ZERO exchanges — distinct-count and hapax-count are array
+# expressions inside the scan (hapax via sort + neighbor comparison, no
+# per-token map lookup), whole-stage-codegen end to end (plan-guarded).
+
+
+def ft_lexical_diversity(spark, sf_dir):
+    """(doc_id, n_tokens, n_types, n_hapax, ttr, hapax_ratio)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens_column(F.col("text"))
+    srt = F.array_sort(toks)
+    # a sorted token is a hapax iff it differs from BOTH neighbors
+    hapax = F.size(
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(srt), F.lit(1))),
+                # F.get is 0-based and NULL-safe at both boundaries
+                lambda i: (
+                    (F.get(srt, i - 1) != F.coalesce(F.get(srt, i - 2), F.lit(" ")))
+                    & (F.get(srt, i - 1) != F.coalesce(F.get(srt, i), F.lit(" ")))
+                ).cast("int"),
+            ),
+            lambda x: x == 1,
+        )
+    )
+    base = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_types"),
+        F.when(F.size(toks) == 0, F.lit(0))
+        .otherwise(hapax)
+        .cast("long")
+        .alias("n_hapax"),
+    )
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        F.when(F.col("n_tokens") == 0, 0.0)
+        .otherwise(F.round(F.col("n_types") / F.col("n_tokens"), 6))
+        .alias("ttr"),
+        F.when(F.col("n_tokens") == 0, 0.0)
+        .otherwise(F.round(F.col("n_hapax") / F.col("n_tokens"), 6))
+        .alias("hapax_ratio"),
+    )
+
+
+SQL_LEXICAL_DIVERSITY = f"""
+WITH base AS (
+  SELECT doc_id, {SQL_TOKS.format(col='text')} AS t FROM documents
+),
+tc AS (
+  SELECT doc_id, term, count(*) AS c
+  FROM (SELECT doc_id, unnest(t) AS term FROM base) GROUP BY 1, 2
+),
+agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(count(*) FILTER (WHERE c = 1) AS BIGINT) AS n_hapax
+  FROM tc GROUP BY 1
+)
+SELECT b.doc_id,
+       CAST(len(b.t) AS BIGINT) AS n_tokens,
+       coalesce(a.n_types, 0) AS n_types,
+       coalesce(a.n_hapax, 0) AS n_hapax,
+       CASE WHEN len(b.t) = 0 THEN 0.0
+            ELSE round(coalesce(a.n_types, 0) / CAST(len(b.t) AS DOUBLE), 6)
+       END AS ttr,
+       CASE WHEN len(b.t) = 0 THEN 0.0
+            ELSE round(coalesce(a.n_hapax, 0) / CAST(len(b.t) AS DOUBLE), 6)
+       END AS hapax_ratio
+FROM base b LEFT JOIN agg a USING (doc_id)
+"""
+
+
+QUERIES["ft_lexical_diversity"] = (ft_lexical_diversity, SQL_LEXICAL_DIVERSITY)

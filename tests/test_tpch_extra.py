@@ -90,3 +90,24 @@ def test_anomaly_baseline_excludes_current_hour(spark, tmp_path):
     flat = min(h for _, h in out)
     assert out[("flat", flat)].z is None and not out[("flat", flat)].is_anomaly
     assert not out[("var", flat)].is_anomaly
+
+
+def test_lexical_diversity_semantics_and_plan(spark, tmp_path):
+    from harvester_spark.operators.fulltext_queries import ft_lexical_diversity
+
+    d = str(tmp_path / "lex")
+    spark.createDataFrame(
+        [
+            (1, "a b a c b d", "en", "s", 11),   # types {a,b,c,d}, hapax {c,d}
+            (2, "x x x x", "en", "s", 7),         # 1 type, 0 hapax
+            (3, "unique words only here", "en", "s", 22),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {r.doc_id: r for r in ft_lexical_diversity(spark, d).collect()}
+    assert (out[1].n_tokens, out[1].n_types, out[1].n_hapax) == (6, 4, 2)
+    assert (out[2].n_types, out[2].n_hapax) == (1, 0)
+    assert out[3].ttr == 1.0 and out[3].hapax_ratio == 1.0
+    # map-only: zero exchanges
+    df = ft_lexical_diversity(spark, SF)
+    assert "Exchange" not in _plan(df)
