@@ -793,3 +793,118 @@ QUERIES = {
     "events_cms_daily": (events_cms_daily, SQL_EVENTS_CMS_DAILY),
     "events_hll_sliding": (events_hll_sliding, SQL_EVENTS_HLL_SLIDING),
 }
+
+
+# ------------------------------------------------ snapshot drift (KL)
+
+# Corpus drift monitor between crawl snapshots: per language, the
+# KL divergence of the BASE corpus's source-mixture from the NEW
+# snapshot's (add-one smoothed over the union category set) — the "did
+# this crawl's composition shift" gate a recurring pipeline runs before
+# accepting a snapshot (CCNet re-crawls monitor exactly this). Micro-nat
+# idiom (the DSIR/bigram-LM contract): every per-category term is rounded
+# to integer micro-nats by ONE shared float expression evaluated on
+# identical integer counts in both engines, and the per-lang KL is then
+# an exact int64 sum.
+#
+# Snapshot synthesis (one corpus, no second crawl in testdata): drop every
+# 5th doc and relabel every 7th doc's source to 'src_new' — a real mixture
+# shift plus a new category, so smoothing and the union category set are
+# both exercised (non-degeneracy test-pinned).
+#
+# Scale shape: two (lang, source) count aggs (map-side combined) full-outer
+# joined on their own key, per-lang totals broadcast back — nothing larger
+# than |langs × sources| ever shuffles twice.
+
+_DRIFT_EXPR = (
+    "CAST(round(1000000.0 * ((bc + 1.0) / (nb + s_cats))"
+    " * ln(((bc + 1.0) / (nb + s_cats)) / ((sc + 1.0) / (ns + s_cats))))"
+    " AS BIGINT)"
+)
+
+
+def _snapshot(docs: DataFrame) -> DataFrame:
+    return docs.filter(F.col("doc_id") % 5 != 0).select(
+        "lang",
+        F.when(F.col("doc_id") % 7 == 0, F.lit("src_new"))
+        .otherwise(F.col("source"))
+        .alias("source"),
+    )
+
+
+def snapshot_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, n_base, n_snap, n_cats, kl_micronat): smoothed
+    KL(base || snapshot) over the source mixture, integer micro-nats."""
+    docs = load(spark, sf_dir, "documents")
+    bc = (
+        docs.select("lang", "source")
+        .groupBy("lang", "source")
+        .agg(F.count("*").cast("long").alias("bc"))
+    )
+    sc = (
+        _snapshot(docs)
+        .groupBy("lang", "source")
+        .agg(F.count("*").cast("long").alias("sc"))
+    )
+    cells = (
+        bc.join(sc, ["lang", "source"], "full_outer")
+        .select(
+            "lang",
+            "source",
+            F.coalesce(F.col("bc"), F.lit(0)).cast("long").alias("bc"),
+            F.coalesce(F.col("sc"), F.lit(0)).cast("long").alias("sc"),
+        )
+    )
+    tot = cells.groupBy("lang").agg(
+        F.sum("bc").cast("long").alias("nb"),
+        F.sum("sc").cast("long").alias("ns"),
+        F.count("*").cast("long").alias("s_cats"),
+    )
+    terms = cells.join(F.broadcast(tot), "lang").select(
+        "lang", "nb", "ns", "s_cats", F.expr(_DRIFT_EXPR).alias("t")
+    )
+    return terms.groupBy("lang").agg(
+        F.min("nb").alias("n_base"),
+        F.min("ns").alias("n_snap"),
+        F.min("s_cats").alias("n_cats"),
+        F.sum("t").cast("long").alias("kl_micronat"),
+    )
+
+
+SQL_SNAPSHOT_DRIFT_KL = f"""
+WITH snap AS (
+  SELECT lang,
+         CASE WHEN doc_id % 7 = 0 THEN 'src_new' ELSE source END AS source
+  FROM documents WHERE doc_id % 5 <> 0
+),
+bcnt AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS bc
+  FROM documents GROUP BY 1, 2
+),
+scnt AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS sc
+  FROM snap GROUP BY 1, 2
+),
+cells AS (
+  SELECT coalesce(bcnt.lang, scnt.lang) AS lang,
+         coalesce(bcnt.source, scnt.source) AS source,
+         coalesce(bc, 0) AS bc, coalesce(sc, 0) AS sc
+  FROM bcnt FULL OUTER JOIN scnt
+    ON bcnt.lang = scnt.lang AND bcnt.source = scnt.source
+),
+tot AS (
+  SELECT lang, CAST(sum(bc) AS BIGINT) AS nb, CAST(sum(sc) AS BIGINT) AS ns,
+         CAST(count(*) AS BIGINT) AS s_cats
+  FROM cells GROUP BY 1
+),
+terms AS (
+  SELECT cells.lang, nb, ns, s_cats, {_DRIFT_EXPR} AS t
+  FROM cells JOIN tot ON cells.lang = tot.lang
+)
+SELECT lang, min(nb) AS n_base, min(ns) AS n_snap, min(s_cats) AS n_cats,
+       CAST(sum(t) AS BIGINT) AS kl_micronat
+FROM terms GROUP BY 1
+"""
+
+
+QUERIES["snapshot_drift_kl"] = (snapshot_drift_kl, SQL_SNAPSHOT_DRIFT_KL)

@@ -124,3 +124,29 @@ def test_bloom_capacity_derivation_is_integer_exact():
     assert sketches.derive_bloom_m(9) == 128  # 8n-1 = 71 -> 7 bits
     assert sketches.derive_bloom_m(1 << 20) == 1 << 23
     assert sketches.derive_bloom_m((1 << 20) + 1) == 1 << 24
+
+
+class TestSnapshotDriftKL:
+    def test_identity_snapshot_zero_drift(self, spark, tmp_path):
+        from harvester_spark.operators.sketches import snapshot_drift_kl
+
+        # doc_ids chosen so the synthesis drops/relabels NOTHING:
+        # snapshot == base -> every KL term is ln(1) == 0 exactly
+        d = str(tmp_path / "drift0")
+        spark.createDataFrame(
+            [(i, "t", "en", f"s{i % 2}", 1) for i in (1, 2, 3, 4, 6)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        rows = snapshot_drift_kl(spark, d).collect()
+        assert rows and all(r.kl_micronat == 0 for r in rows)
+
+    def test_corpus_drift_positive(self, spark):
+        from harvester_spark.operators.sketches import snapshot_drift_kl
+
+        rows = snapshot_drift_kl(spark, "/root/testdata/sf0.001").collect()
+        assert rows
+        # the synthesized shift must register: drift > 0 for every lang,
+        # and the new category is counted
+        assert all(r.kl_micronat > 0 for r in rows)
+        assert all(r.n_cats > 1 for r in rows)
+        assert all(r.n_snap < r.n_base for r in rows)
