@@ -90,6 +90,9 @@ HEADLINE = [
     "crawl_budget_allocate",
     "events_cms_daily",
     "zorder_layout",
+    "q3_shipping_priority",
+    "events_anomaly_zscore",
+    "snapshot_drift_kl",
 ]
 WARMUP_DOCS = 2000
 

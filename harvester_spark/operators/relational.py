@@ -1214,11 +1214,24 @@ _AZ_WIN = 24  # trailing baseline hours
 
 
 def _az_z_expr(div: str) -> str:
+    # z in INTEGER micro-units. round(x, 6) is NOT cross-engine stable for
+    # sqrt-derived values sitting on a .5 boundary (Spark converts the full
+    # double to decimal HALF_UP; DuckDB scales and rounds — 1-ulp flips
+    # observed at sf0.001). floor(x * 1e6 + 0.5) is three IEEE ops with one
+    # correctly-rounded result each -> bit-identical on identical integer
+    # inputs; negatives mirror through -floor(-x ... ) (half away from 0).
+    # Literal dialect trap: Spark parses "24.0" as DECIMAL (DuckDB as
+    # DOUBLE) — a BIGINT / DECIMAL division then truncates to decimal
+    # scale and the engines diverge. "24.0e0" parses as DOUBLE in BOTH.
     w, wm1 = _AZ_WIN, _AZ_WIN - 1
+    zx = (
+        f"(({w}.0e0 * c - s1) / ({w}.0e0 * sqrt("
+        f"({w} * s2 - s1 * s1) / ({w}.0e0 * {wm1}.0e0))))"
+    )
     return (
-        f"CASE WHEN {w} * s2 = s1 * s1 THEN NULL ELSE "
-        f"round(({w}.0 * c - s1) / ({w}.0 * sqrt("
-        f"({w} * s2 - s1 * s1) / ({w}.0 * {wm1}.0))), 6) END"
+        f"CASE WHEN {w} * s2 = s1 * s1 THEN NULL "
+        f"WHEN {zx} >= 0 THEN CAST(floor({zx} * 1.0e6 + 0.5e0) AS BIGINT) "
+        f"ELSE CAST(-floor(-{zx} * 1.0e6 + 0.5e0) AS BIGINT) END"
     )
 
 
@@ -1267,8 +1280,10 @@ def events_anomaly_zscore(spark, sf_dir):
         "event_type",
         "hour_bucket",
         "c",
-        z.alias("z"),
-        ((z.isNotNull() & (F.abs(z) >= 3.0)) | flat_dev).alias("is_anomaly"),
+        z.alias("z_micro"),
+        ((z.isNotNull() & (F.abs(z) >= 3_000_000)) | flat_dev).alias(
+            "is_anomaly"
+        ),
     )
 
 
@@ -1303,8 +1318,9 @@ scored AS (
   QUALIFY hour >= (SELECT mn FROM b) + {w}
 )
 SELECT event_type, hour_bucket, c,
-       {_az_z_expr('//')} AS z,
-       ((({_az_z_expr('//')}) IS NOT NULL AND abs({_az_z_expr('//')}) >= 3.0)
+       {_az_z_expr('//')} AS z_micro,
+       ((({_az_z_expr('//')}) IS NOT NULL
+         AND abs({_az_z_expr('//')}) >= 3000000)
         OR ({w} * s2 = s1 * s1 AND {w} * c != s1)) AS is_anomaly
 FROM scored
 """

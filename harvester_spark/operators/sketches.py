@@ -816,9 +816,11 @@ QUERIES = {
 # joined on their own key, per-lang totals broadcast back — nothing larger
 # than |langs × sources| ever shuffles twice.
 
+# e0-suffixed literals: Spark parses bare "1.0" as DECIMAL (DuckDB as
+# DOUBLE) and decimal division truncates — "1.0e0" is DOUBLE in both.
 _DRIFT_EXPR = (
-    "CAST(round(1000000.0 * ((bc + 1.0) / (nb + s_cats))"
-    " * ln(((bc + 1.0) / (nb + s_cats)) / ((sc + 1.0) / (ns + s_cats))))"
+    "CAST(round(1.0e6 * ((bc + 1.0e0) / (nb + s_cats))"
+    " * ln(((bc + 1.0e0) / (nb + s_cats)) / ((sc + 1.0e0) / (ns + s_cats))))"
     " AS BIGINT)"
 )
 

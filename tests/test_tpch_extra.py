@@ -46,9 +46,9 @@ def test_anomaly_zscore_discriminates(spark):
     anom = out.filter("is_anomaly").count()
     # both outcomes occur, anomalies are the minority, baselines densified
     assert 0 < anom < 0.1 * n
-    assert out.filter(F.col("z").isNull()).count() == 0
+    assert out.filter(F.col("z_micro").isNull()).count() == 0
     # a zero-count hour in a dense series must carry a NEGATIVE z
-    neg = out.filter((F.col("c") == 0) & (F.col("z") < 0)).count()
+    neg = out.filter((F.col("c") == 0) & (F.col("z_micro") < 0)).count()
     assert neg > 0
 
 
@@ -84,11 +84,11 @@ def test_anomaly_baseline_excludes_current_hour(spark, tmp_path):
     spike = max(h for _, h in out)
     # constant baseline -> zero variance -> z undefined, but the deviation
     # is still flagged (the flat_dev branch)
-    assert out[("flat", spike)].z is None and out[("flat", spike)].is_anomaly
+    assert out[("flat", spike)].z_micro is None and out[("flat", spike)].is_anomaly
     # varying baseline -> a real z, large positive at the spike
-    assert out[("var", spike)].z > 3 and out[("var", spike)].is_anomaly
+    assert out[("var", spike)].z_micro > 3_000_000 and out[("var", spike)].is_anomaly
     flat = min(h for _, h in out)
-    assert out[("flat", flat)].z is None and not out[("flat", flat)].is_anomaly
+    assert out[("flat", flat)].z_micro is None and not out[("flat", flat)].is_anomaly
     assert not out[("var", flat)].is_anomaly
 
 
