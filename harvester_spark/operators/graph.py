@@ -161,6 +161,169 @@ QUERIES = {
 }
 
 
+# ---------------------------------------------------------------- HITS
+
+# Kleinberg hubs & authorities over the same host graph — the second classic
+# crawl-prioritization signal next to PageRank (a good HUB host is a directory
+# worth re-crawling for link discovery; a good AUTHORITY host is content worth
+# fetching deeply). Same integer-exact-iteration contract as host_pagerank:
+# scores are fixed-point HITS_UNIT shares, every update is
+# multiply-then-integer-divide on nonnegative int64, and the per-sweep L1
+# normalization divides by q = greatest(total DIV HITS_UNIT, 1) — a pure
+# integer expression, so the divisor (and therefore every score) is
+# bit-identical in Spark `DIV` and DuckDB `//`. (The textbook L2 norm needs a
+# sqrt; L1 keeps the iteration rational and changes nothing about the
+# ranking fixed point.)
+#
+# Scale shape per sweep: one src-keyed equi-join + dst groupBy (authority
+# update), one dst-keyed equi-join + src groupBy (hub update), one scalar agg
+# each for the normalizer — nothing host-count-sized on the driver;
+# localCheckpoint cuts the 2·HITS_ITERS-deep lineage.
+#
+# Overflow bound: normalized scores are ≤ ~2·HITS_UNIT (= 2e6), so the update
+# term score*w needs w < 4.6e12 docs per host pair, and the normalizer sum
+# Σ score*w < 2e6 · Σw keeps int64 headroom up to ~4.6e12 total edges.
+
+HITS_ITERS = 4
+HITS_UNIT = 10**6
+
+
+def hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(host, auth_unit, hub_unit) after HITS_ITERS weighted hub/authority
+    sweeps, both in integer 1e-6 shares of the total mass."""
+    edges = _edges(spark, sf_dir).cache()
+    nodes = (
+        edges.select(F.col("src").alias("host"))
+        .union(edges.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    n_df = F.broadcast(nodes.agg(F.count("*").cast("long").alias("n")))
+    hub = nodes.crossJoin(n_df).select(
+        "host", F.expr(f"CAST({HITS_UNIT} DIV n AS BIGINT)").alias("h")
+    )
+    auth = None
+    for _ in range(HITS_ITERS):
+        araw = (
+            edges.join(hub.select(F.col("host").alias("src"), "h"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("h") * F.col("w")).cast("long").alias("ar"))
+        )
+        qa = F.broadcast(
+            araw.agg(
+                F.expr(
+                    f"CAST(greatest(sum(ar) DIV {HITS_UNIT},"
+                    f" CAST(1 AS BIGINT)) AS BIGINT)"
+                ).alias("qa")
+            )
+        )
+        auth = (
+            nodes.join(araw.withColumnRenamed("dst", "host"), "host", "left")
+            .crossJoin(qa)
+            .select(
+                "host",
+                F.expr(
+                    "CAST(coalesce(ar, CAST(0 AS BIGINT)) DIV qa AS BIGINT)"
+                ).alias("a"),
+            )
+            .localCheckpoint()
+        )
+        hraw = (
+            edges.join(auth.select(F.col("host").alias("dst"), "a"), "dst")
+            .groupBy("src")
+            .agg(F.sum(F.col("a") * F.col("w")).cast("long").alias("hr"))
+        )
+        qh = F.broadcast(
+            hraw.agg(
+                F.expr(
+                    f"CAST(greatest(sum(hr) DIV {HITS_UNIT},"
+                    f" CAST(1 AS BIGINT)) AS BIGINT)"
+                ).alias("qh")
+            )
+        )
+        hub = (
+            nodes.join(hraw.withColumnRenamed("src", "host"), "host", "left")
+            .crossJoin(qh)
+            .select(
+                "host",
+                F.expr(
+                    "CAST(coalesce(hr, CAST(0 AS BIGINT)) DIV qh AS BIGINT)"
+                ).alias("h"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        nodes.join(auth, "host", "left")
+        .join(hub, "host", "left")
+        .select(
+            "host",
+            F.coalesce("a", F.lit(0)).cast("long").alias("auth_unit"),
+            F.coalesce("h", F.lit(0)).cast("long").alias("hub_unit"),
+        )
+    )
+
+
+def _sql_hits() -> str:
+    hash_doc = _SQL_HASH56.format(col="CAST(doc_id AS VARCHAR)")
+    parts = [
+        f"""WITH e AS (
+  SELECT source AS src,
+         'src' || CAST({hash_doc} % {PR_FANOUT} AS VARCHAR) AS dst
+  FROM documents
+),
+edges AS MATERIALIZED (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+  FROM e WHERE src <> dst GROUP BY 1, 2
+),
+nodes AS MATERIALIZED (
+  SELECT src AS host FROM edges UNION SELECT dst FROM edges
+),
+nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+h0 AS MATERIALIZED (
+  SELECT host, CAST({HITS_UNIT} // n AS BIGINT) AS h FROM nodes CROSS JOIN nn
+)"""
+    ]
+    for k in range(1, HITS_ITERS + 1):
+        parts.append(
+            f""",
+ar{k} AS MATERIALIZED (
+  SELECT e.dst AS host, CAST(sum(h.h * e.w) AS BIGINT) AS ar
+  FROM edges e JOIN h{k - 1} h ON e.src = h.host GROUP BY 1
+),
+qa{k} AS MATERIALIZED (
+  SELECT CAST(greatest(sum(ar) // {HITS_UNIT}, 1) AS BIGINT) AS qa FROM ar{k}
+),
+a{k} AS MATERIALIZED (
+  SELECT nodes.host,
+         CAST(coalesce(ar, CAST(0 AS BIGINT)) // qa AS BIGINT) AS a
+  FROM nodes LEFT JOIN ar{k} USING (host) CROSS JOIN qa{k}
+),
+hr{k} AS MATERIALIZED (
+  SELECT e.src AS host, CAST(sum(a.a * e.w) AS BIGINT) AS hr
+  FROM edges e JOIN a{k} a ON e.dst = a.host GROUP BY 1
+),
+qh{k} AS MATERIALIZED (
+  SELECT CAST(greatest(sum(hr) // {HITS_UNIT}, 1) AS BIGINT) AS qh FROM hr{k}
+),
+h{k} AS MATERIALIZED (
+  SELECT nodes.host,
+         CAST(coalesce(hr, CAST(0 AS BIGINT)) // qh AS BIGINT) AS h
+  FROM nodes LEFT JOIN hr{k} USING (host) CROSS JOIN qh{k}
+)"""
+        )
+    parts.append(
+        f"""
+SELECT nodes.host,
+       CAST(coalesce(a, 0) AS BIGINT) AS auth_unit,
+       CAST(coalesce(h, 0) AS BIGINT) AS hub_unit
+FROM nodes LEFT JOIN a{HITS_ITERS} USING (host)
+           LEFT JOIN h{HITS_ITERS} USING (host)"""
+    )
+    return "".join(parts)
+
+
+QUERIES["hits_scores"] = (hits_scores, _sql_hits())
+
+
 # -------------------------------------------- crawl budget apportionment
 
 # Largest-remainder (Hamilton) apportionment of a fixed global crawl budget

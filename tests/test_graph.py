@@ -3,9 +3,11 @@
 from pyspark.sql import functions as F
 
 from harvester_spark.operators.graph import (
+    HITS_UNIT,
     PR_ITERS,
     PR_UNIT,
     _edges,
+    hits_scores,
     host_pagerank,
 )
 
@@ -56,3 +58,35 @@ def test_pagerank_iterations_converge(spark):
     assert order == order2
     for h in base:
         assert abs(base[h] - more[h]) < 0.01 * PR_UNIT
+
+
+def test_hits_mass_and_nondegeneracy(spark):
+    """Both score vectors carry ~HITS_UNIT total mass (the integer L1
+    normalizer q = greatest(S DIV UNIT, 1) can overshoot by at most S/q - UNIT
+    < UNIT/q, well under 5% here) and produce real, DIFFERENT rankings."""
+    rows = hits_scores(spark, SF_DIR).collect()
+    ta = sum(r["auth_unit"] for r in rows)
+    th = sum(r["hub_unit"] for r in rows)
+    assert abs(ta - HITS_UNIT) < 0.05 * HITS_UNIT, ta
+    assert abs(th - HITS_UNIT) < 0.05 * HITS_UNIT, th
+    assert len({r["auth_unit"] for r in rows}) > 5
+    assert len({r["hub_unit"] for r in rows}) > 5
+    auth_order = [r["host"] for r in sorted(rows, key=lambda r: (-r["auth_unit"], r["host"]))]
+    hub_order = [r["host"] for r in sorted(rows, key=lambda r: (-r["hub_unit"], r["host"]))]
+    assert auth_order != hub_order  # hubs and authorities are distinct signals
+
+
+def test_hits_top_authority_has_high_in_weight(spark):
+    """The top authority must sit above the average weighted in-degree —
+    the edge synthesis, not an artifact, drives the ranking."""
+    rows = hits_scores(spark, SF_DIR).collect()
+    inw = {
+        r["dst"]: r["iw"]
+        for r in _edges(spark, SF_DIR)
+        .groupBy("dst")
+        .agg(F.sum("w").alias("iw"))
+        .collect()
+    }
+    top = max(rows, key=lambda r: (r["auth_unit"], r["host"]))
+    avg_in = sum(inw.values()) / len(inw)
+    assert inw.get(top["host"], 0) > avg_in
