@@ -24,6 +24,7 @@ from harvester_spark.operators import (
     graph,
     multimodal,
     relational,
+    retrieval,
     similarity,
     sketches,
     substring,
@@ -45,5 +46,6 @@ for mod in (
     sketches,
     graph,
     substring,
+    retrieval,
 ):
     ALL_QUERIES.update(mod.QUERIES)

@@ -1,0 +1,322 @@
+"""Retrieval-training and query-understanding operators.
+
+Three classic IR surfaces the reference exposes only through OpenSearch
+internals, re-expressed as verifiable (Spark, DuckDB-oracle) pairs:
+
+- ``ft_rm3_expansion`` — RM3/RM1 pseudo-relevance feedback (Lavrenko &
+  Croft 2001): the top-10 BM25 feedback documents vote expansion terms with
+  weight Σ_d score(d)·tf(t,d)/dl(d). This is the server-side analogue of
+  the reference's query-expansion needs (its OpenSearch config relies on
+  analyzer synonyms; RM3 is the corpus-driven version a web-scale engine
+  runs instead).
+- ``hard_negative_mine`` — BM25 hard negatives for bi-encoder / reranker
+  training (DPR, Karpukhin et al. 2020): for each (query, positive) pair,
+  the top-ranked non-positive documents under the SAME BM25 contract as
+  serving. A first-class LLM-retrieval-training component.
+- ``ft_more_like_this`` — the reference's More-Like-This API
+  (/root/reference/harvester/search/views/document.py similar-documents
+  endpoint → OpenSearch ``more_like_this``) as a relational pipeline:
+  select the source doc's top-25 interesting terms by tf·idf (Lucene MLT's
+  term-selection heuristic), then rank the corpus by the length-normalized
+  tf·idf dot product.
+
+Determinism contract (operators/__init__.py): BM25 uses the ONE repo-wide
+formula (k1=1.2, b=0.75, Lucene idf — identical expression text to
+fulltext_queries.SQL_BM25_TOPK); per-doc float scores are round(.,6)
+because double SUM order is engine-dependent; every top-k carries a unique
+tie-break (term asc / doc_id asc).
+
+Scale shapes:
+- RM3: the feedback set is k=10 rows by construction → broadcast semi-join
+  prunes the token scan to 10 documents before any aggregation; the only
+  corpus-sized work is the BM25 feedback query itself (already the serving
+  plan).
+- hard negatives: the query-term dimension (NQ·QLEN ≤ 96 rows) is
+  broadcast into the postings join — the classic impact-join; per-query
+  top-5 is one window partitioned by q_id (shuffles candidate rows once,
+  keyed by query — the fan-out a training-data miner wants to distribute).
+- MLT: the source document is ONE row; its term vector (≤25 rows after
+  selection) is broadcast, so the corpus-side cost is a single filtered
+  tf aggregation + TakeOrdered top-10.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W, functions as F
+
+from harvester_spark.operators.common import SQL_DOC_TOKS, doc_tokens, load
+from harvester_spark.operators.fulltext_queries import (
+    BM25_TERMS,
+    SQL_BM25_OR_TOPK,
+    ft_bm25_or_topk,
+)
+
+RM3_N_TERMS = 20  # expansion terms returned
+HN_N_QUERIES = 16  # deterministic query set: the 16 smallest doc_ids
+HN_Q_LEN = 6  # first 6 distinct tokens (by first position) form the query
+HN_TOP_NEG = 5  # negatives kept per query
+MLT_MAX_TERMS = 25  # Lucene MLT default max_query_terms
+MLT_TOP_K = 10
+
+
+# ---------------------------------------------------------------- RM3
+
+
+def ft_rm3_expansion(spark, sf_dir):
+    """(rank, term, weight): top-20 RM1 expansion terms for the flagship OR
+    query — weight(t) = round(Σ_{d∈top10} bm25(d)·tf(t,d)/dl(d), 6),
+    original query terms excluded, ties term asc.
+
+    The feedback top-10 is ``ft_bm25_or_topk`` verbatim (rank identity
+    already oracle-gated), so both engines expand from the same documents.
+    """
+    fb = ft_bm25_or_topk(spark, sf_dir).select("doc_id", "score")
+    toks = doc_tokens(spark, sf_dir)
+    tf = (
+        toks.join(F.broadcast(fb), "doc_id")  # prunes the scan to 10 docs
+        .groupBy("doc_id", "score", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    w = (
+        tf.join(F.broadcast(dl), "doc_id")
+        .filter(~F.col("term").isin(BM25_TERMS))
+        .withColumn("contrib", F.col("score") * F.col("tf") / F.col("dl"))
+        .groupBy("term")
+        .agg(F.round(F.sum("contrib"), 6).alias("weight"))
+    )
+    top = w.orderBy(F.col("weight").desc(), F.col("term").asc()).limit(RM3_N_TERMS)
+    wq = W.orderBy(F.col("weight").desc(), F.col("term").asc())
+    return top.withColumn("rank", F.row_number().over(wq)).select(
+        "rank", "term", "weight"
+    )
+
+
+SQL_RM3_EXPANSION = f"""
+WITH fb AS MATERIALIZED (
+  SELECT doc_id, score FROM ({SQL_BM25_OR_TOPK})
+),
+toks AS ({SQL_DOC_TOKS}),
+tf AS (
+  SELECT f.doc_id, f.score, t.term, count(*) AS tf
+  FROM toks t JOIN fb f USING (doc_id)
+  GROUP BY 1, 2, 3
+),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+w AS (
+  SELECT term, round(sum(tf.score * tf.tf / dl.dl), 6) AS weight
+  FROM tf JOIN dl USING (doc_id)
+  WHERE term NOT IN ('key', 'value', 'table')
+  GROUP BY term
+)
+SELECT CAST(row_number() OVER (ORDER BY weight DESC, term ASC) AS INT) AS rank,
+       term, weight
+FROM w ORDER BY rank LIMIT {RM3_N_TERMS}
+"""
+
+
+# ------------------------------------------------------- hard negatives
+
+
+def hard_negative_mine(spark, sf_dir):
+    """(q_id, rank, neg_doc_id, score): per query, the top-5 BM25-OR ranked
+    documents EXCLUDING the positive (the query's own source doc).
+
+    Queries are deterministic: for each of the 16 smallest doc_ids, the
+    first HN_Q_LEN distinct tokens by first position. Scoring is the
+    repo-wide BM25 formula over whichever query terms a document contains;
+    df is the corpus-global document frequency of each query term.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = doc_tokens(spark, sf_dir)
+
+    qdocs = docs.select("doc_id").orderBy("doc_id").limit(HN_N_QUERIES)
+    first = (
+        toks.join(F.broadcast(qdocs), "doc_id")
+        .groupBy("doc_id", "term")
+        .agg(F.min("pos").alias("p0"))
+    )
+    wsel = W.partitionBy("doc_id").orderBy(F.col("p0").asc(), F.col("term").asc())
+    qterms = (
+        first.withColumn("r", F.row_number().over(wsel))
+        .filter(F.col("r") <= HN_Q_LEN)
+        .select(F.col("doc_id").alias("q_id"), "term")
+    )  # ≤ 96 rows by construction
+
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = docs.select(F.count("*").alias("n")).crossJoin(
+        dl.select((F.sum("dl") / F.count("*")).alias("avgdl"))
+    )
+    tf = (
+        toks.join(F.broadcast(qterms.select("term").distinct()), "term")
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        F.broadcast(qterms)
+        .join(tf, "term")
+        .filter(F.col("doc_id") != F.col("q_id"))  # positive excluded
+        .join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        )
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (F.col("tf") * 2.2)
+            / (F.col("tf") + 1.2 * (1.0 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy("q_id", "doc_id")
+        .agg(F.round(F.sum("contrib"), 6).alias("score"))
+    )
+    wr = W.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= HN_TOP_NEG)
+        .select("q_id", "rank", F.col("doc_id").alias("neg_doc_id"), "score")
+    )
+
+
+SQL_HARD_NEGATIVES = f"""
+WITH toks AS ({SQL_DOC_TOKS}),
+qd AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT {HN_N_QUERIES}),
+first AS (
+  SELECT t.doc_id, t.term, min(pos) AS p0
+  FROM toks t JOIN qd USING (doc_id) GROUP BY 1, 2
+),
+qterms AS (
+  SELECT doc_id AS q_id, term FROM (
+    SELECT doc_id, term,
+           row_number() OVER (PARTITION BY doc_id ORDER BY p0 ASC, term ASC) AS r
+    FROM first
+  ) WHERE r <= {HN_Q_LEN}
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) * 1.0 / count(*) FROM dl) AS avgdl
+),
+tf AS (
+  SELECT term, doc_id, count(*) AS tf FROM toks
+  WHERE term IN (SELECT DISTINCT term FROM qterms) GROUP BY term, doc_id
+),
+dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT q.q_id, tf.doc_id,
+         round(sum(
+           ln(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5))
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+         ), 6) AS score
+  FROM qterms q JOIN tf USING (term) JOIN dfq USING (term)
+       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+  WHERE tf.doc_id <> q.q_id
+  GROUP BY 1, 2
+)
+SELECT q_id, rank, neg_doc_id, score FROM (
+  SELECT q_id,
+         CAST(row_number() OVER (
+           PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS INT) AS rank,
+         doc_id AS neg_doc_id, score
+  FROM scored
+) WHERE rank <= {HN_TOP_NEG}
+"""
+
+
+# --------------------------------------------------------------- MLT
+
+
+def ft_more_like_this(spark, sf_dir):
+    """(rank, doc_id, score): top-10 documents most like the smallest-id
+    source doc. Term selection = Lucene MLT's heuristic (the source doc's
+    top-25 terms by tf·idf, idf = ln((n+1)/(df+1)), ties term asc);
+    candidate score = round(Σ_t w(t)·tf_d(t)/dl_d, 6), source excluded.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = doc_tokens(spark, sf_dir)
+    n_df = F.broadcast(docs.agg(F.count("*").alias("n")))
+
+    src = docs.select("doc_id").orderBy("doc_id").limit(1)
+    src_tf = (
+        toks.join(F.broadcast(src), "doc_id")
+        .groupBy("term")
+        .agg(F.count("*").alias("stf"))
+    )
+    # global df, computed only for the source doc's own terms
+    df_ = (
+        toks.join(F.broadcast(src_tf.select("term")), "term")
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    sel = (
+        src_tf.join(df_, "term")
+        .crossJoin(n_df)
+        .withColumn(
+            "w", F.col("stf") * F.log((F.col("n") + 1.0) / (F.col("df") + 1.0))
+        )
+        .orderBy(F.col("w").desc(), F.col("term").asc())
+        .limit(MLT_MAX_TERMS)
+        .select("term", "w")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    tf = (
+        toks.join(F.broadcast(sel), "term")
+        .groupBy("doc_id", "term", "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(src.withColumnRenamed("doc_id", "src_id"), F.col("doc_id") == F.col("src_id"), "left_anti")
+        .withColumn("contrib", F.col("w") * F.col("tf") / F.col("dl"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), 6).alias("score"))
+    )
+    top = scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(MLT_TOP_K)
+    wr = W.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(wr)).select(
+        "rank", "doc_id", "score"
+    )
+
+
+SQL_MORE_LIKE_THIS = f"""
+WITH toks AS ({SQL_DOC_TOKS}),
+nn AS (SELECT count(*) AS n FROM documents),
+src AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 1),
+src_tf AS (
+  SELECT term, count(*) AS stf FROM toks JOIN src USING (doc_id) GROUP BY term
+),
+dfq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks
+  WHERE term IN (SELECT term FROM src_tf) GROUP BY term
+),
+sel AS (
+  SELECT term, stf * ln((n + 1.0) / (df + 1.0)) AS w
+  FROM src_tf JOIN dfq USING (term) CROSS JOIN nn
+  ORDER BY w DESC, term ASC LIMIT {MLT_MAX_TERMS}
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+tf AS (
+  SELECT doc_id, t.term, w, count(*) AS tf
+  FROM toks t JOIN sel USING (term) GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT tf.doc_id, round(sum(w * tf / dl.dl), 6) AS score
+  FROM tf JOIN dl USING (doc_id)
+  WHERE tf.doc_id NOT IN (SELECT doc_id FROM src)
+  GROUP BY tf.doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank,
+       doc_id, score
+FROM scored ORDER BY rank LIMIT {MLT_TOP_K}
+"""
+
+
+QUERIES = {
+    "ft_rm3_expansion": (ft_rm3_expansion, SQL_RM3_EXPANSION),
+    "hard_negative_mine": (hard_negative_mine, SQL_HARD_NEGATIVES),
+    "ft_more_like_this": (ft_more_like_this, SQL_MORE_LIKE_THIS),
+}

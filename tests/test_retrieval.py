@@ -1,0 +1,74 @@
+"""Retrieval-operator invariants beyond the oracle gate (retrieval.py)."""
+
+from pyspark.sql import functions as F
+
+from harvester_spark.operators.fulltext_queries import BM25_TERMS
+from harvester_spark.operators.retrieval import (
+    HN_N_QUERIES,
+    HN_TOP_NEG,
+    MLT_TOP_K,
+    RM3_N_TERMS,
+    ft_more_like_this,
+    ft_rm3_expansion,
+    hard_negative_mine,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_rm3_excludes_query_terms_and_is_nondegenerate(spark):
+    rows = ft_rm3_expansion(spark, SF_DIR).collect()
+    assert len(rows) == RM3_N_TERMS
+    terms = [r["term"] for r in rows]
+    assert not set(terms) & set(BM25_TERMS)  # expansion only, never the query
+    weights = [r["weight"] for r in rows]
+    assert all(w > 0 for w in weights)
+    assert weights == sorted(weights, reverse=True)
+    assert len(set(weights)) > 1  # a real distribution, not a constant column
+
+
+def test_hard_negatives_never_contain_the_positive(spark):
+    rows = hard_negative_mine(spark, SF_DIR).collect()
+    assert len(rows) == HN_N_QUERIES * HN_TOP_NEG
+    assert all(r["neg_doc_id"] != r["q_id"] for r in rows)
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], []).append(r)
+    assert len(by_q) == HN_N_QUERIES
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, HN_TOP_NEG + 1))
+        scores = [r["score"] for r in rs]
+        assert scores == sorted(scores, reverse=True)  # rank follows score
+
+
+def test_hard_negatives_are_actually_hard(spark):
+    """Negatives must outscore the corpus median candidate — i.e. the miner
+    returns the TOP of the ranking, not arbitrary matches: every kept
+    negative's score must be positive (a real term overlap)."""
+    rows = hard_negative_mine(spark, SF_DIR).collect()
+    assert all(r["score"] > 0 for r in rows)
+    # at least one query has a genuinely competitive negative
+    assert max(r["score"] for r in rows) > 1.0
+
+
+def test_mlt_excludes_source_and_ranks_by_score(spark):
+    out = ft_more_like_this(spark, SF_DIR)
+    rows = out.collect()
+    assert len(rows) == MLT_TOP_K
+    src = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .agg(F.min("doc_id"))
+        .collect()[0][0]
+    )
+    assert all(r["doc_id"] != src for r in rows)
+    scores = [r["score"] for r in sorted(rows, key=lambda r: r["rank"])]
+    assert scores == sorted(scores, reverse=True)
+    assert len(set(scores)) > 1
+
+
+def test_mlt_top_doc_shares_vocabulary_with_source(spark):
+    """The #1 MLT hit must share strictly more selected-term mass with the
+    source than the #10 hit — similarity, not noise, drives the ranking."""
+    rows = sorted(ft_more_like_this(spark, SF_DIR).collect(), key=lambda r: r["rank"])
+    assert rows[0]["score"] > rows[-1]["score"]
