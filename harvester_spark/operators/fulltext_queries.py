@@ -1737,3 +1737,39 @@ FROM base b LEFT JOIN agg a USING (doc_id)
 
 
 QUERIES["ft_lexical_diversity"] = (ft_lexical_diversity, SQL_LEXICAL_DIVERSITY)
+
+
+# Tokenizer fertility (BPE subtokens per whitespace word, per language) —
+# the standard multilingual-pipeline health metric (a tokenizer with high
+# fertility on a language inflates its training cost and truncates its
+# effective context). Integer sums (engine-exact) with one final division,
+# round(.,6); reuses the frozen BPE merge table (bpe.py) end to end.
+def ft_bpe_fertility(spark, sf_dir):
+    per_doc = ft_bpe_encode_count(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        per_doc.join(docs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.sum("bpe_tokens").cast("long").alias("bpe_tokens"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.round(
+                F.sum("bpe_tokens") * 1.0 / F.sum("n_words"), 6
+            ).alias("fertility"),
+        )
+    )
+
+
+def _sql_bpe_fertility() -> str:
+    return f"""
+WITH per_doc AS ({_sql_bpe_encode_count()})
+SELECT lang,
+       CAST(sum(bpe_tokens) AS BIGINT) AS bpe_tokens,
+       CAST(sum(n_words) AS BIGINT) AS n_words,
+       round(sum(bpe_tokens) * 1.0 / sum(n_words), 6) AS fertility
+FROM per_doc JOIN (SELECT doc_id, lang FROM documents) USING (doc_id)
+GROUP BY lang
+"""
+
+
+QUERIES["ft_bpe_fertility"] = (ft_bpe_fertility, _sql_bpe_fertility())

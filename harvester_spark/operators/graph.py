@@ -444,3 +444,76 @@ FROM ranked CROSS JOIN l
 
 
 QUERIES["crawl_budget_allocate"] = (crawl_budget_allocate, _sql_crawl_budget())
+
+
+# ------------------------------------------------------------ co-citation
+
+# Host co-citation similarity (Small 1973, applied to the web graph): two
+# hosts are related when the same sources link to both — the link-graph
+# signal behind "related sites" and seed-list expansion for a focused crawl.
+# cocite_w(d1, d2) = Σ_src min(w(src,d1), w(src,d2)) over each source's
+# out-edges, d1 < d2 — all integer, engine-exact.
+#
+# Scale shape: the pair generation is a self-join of out-edges keyed on src,
+# whose fan-out is out_degree² — unbounded on hub sources at web scale, so
+# the out-edge list is CAPPED to the top-COCITE_CAP edges per source by
+# (w desc, dst asc) FIRST (one window keyed on src), the standard
+# degree-capping any production co-citation job applies. The cap binds even
+# at sandbox scale (out-degree 16 > 12) so the capped path is what the
+# oracle gate verifies (max out-degree is 16 already at sf0.001).
+
+COCITE_CAP = 12
+
+
+def host_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(host_a, host_b, cocite_w): co-citation weight for every host pair
+    sharing at least one capped in-linking source, host_a < host_b."""
+    edges = _edges(spark, sf_dir)
+    wc = W.partitionBy("src").orderBy(F.col("w").desc(), F.col("dst").asc())
+    capped = (
+        edges.withColumn("r", F.row_number().over(wc))
+        .filter(F.col("r") <= COCITE_CAP)
+        .select("src", "dst", "w")
+    )
+    a = capped.select("src", F.col("dst").alias("host_a"), F.col("w").alias("wa"))
+    b = capped.select("src", F.col("dst").alias("host_b"), F.col("w").alias("wb"))
+    return (
+        a.join(b, "src")
+        .filter(F.col("host_a") < F.col("host_b"))
+        .select(
+            "host_a",
+            "host_b",
+            F.least(F.col("wa"), F.col("wb")).alias("mw"),
+        )
+        .groupBy("host_a", "host_b")
+        .agg(F.sum("mw").cast("long").alias("cocite_w"))
+    )
+
+
+def _sql_cocitation() -> str:
+    hash_doc = _SQL_HASH56.format(col="CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH e AS (
+  SELECT source AS src,
+         'src' || CAST({hash_doc} % {PR_FANOUT} AS VARCHAR) AS dst
+  FROM documents
+),
+edges AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+  FROM e WHERE src <> dst GROUP BY 1, 2
+),
+capped AS (
+  SELECT src, dst, w FROM (
+    SELECT src, dst, w,
+           row_number() OVER (PARTITION BY src ORDER BY w DESC, dst ASC) AS r
+    FROM edges
+  ) WHERE r <= {COCITE_CAP}
+)
+SELECT a.dst AS host_a, b.dst AS host_b,
+       CAST(sum(least(a.w, b.w)) AS BIGINT) AS cocite_w
+FROM capped a JOIN capped b ON a.src = b.src AND a.dst < b.dst
+GROUP BY 1, 2
+"""
+
+
+QUERIES["host_cocitation"] = (host_cocitation, _sql_cocitation())

@@ -320,3 +320,97 @@ QUERIES = {
     "hard_negative_mine": (hard_negative_mine, SQL_HARD_NEGATIVES),
     "ft_more_like_this": (ft_more_like_this, SQL_MORE_LIKE_THIS),
 }
+
+
+# ------------------------------------------------------------- percolate
+
+# Reverse search (the OpenSearch/ES *percolator*): a registry of stored
+# queries is matched against documents — the "saved search / alerting"
+# surface a harvester runs over every fresh crawl batch. Stored queries are
+# synthesized deterministically from the corpus itself: the top
+# 2·PERC_N_QUERIES vocabulary terms by (df desc, term asc) are paired
+# head-with-tail (query i = {t_i, t_{i+N}}; the synthetic corpus vocabulary
+# is a fixed 31-word soup at every sf, so N = 12 probes 24 of them), giving
+# AND-queries whose
+# selectivities genuinely spread (head∧head vs head∧tail) — non-degeneracy
+# is test-pinned.
+#
+# Scale shape: the query registry is broadcast (a percolator registry is
+# small by construction — thousands of alerts, not billions); matching is
+# one semi-join of the distinct (doc, term) stream against the registry and
+# a (qid, doc) count == arity aggregation. Per-query match counts are the
+# output — O(#queries) rows, never O(docs).
+
+PERC_N_QUERIES = 12
+
+
+def ft_percolate(spark, sf_dir):
+    """(qid, term_a, term_b, n_matches): #docs matching each stored
+    two-term AND query, qid 1..12 in head-with-tail pairing order."""
+    toks = doc_tokens(spark, sf_dir)
+    dterm = toks.select("doc_id", "term").distinct()
+    df_ = dterm.groupBy("term").agg(F.count("*").alias("df"))
+    top = (
+        df_.orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(2 * PERC_N_QUERIES)
+    )
+    wv = W.orderBy(F.col("df").desc(), F.col("term").asc())
+    ranked = top.withColumn("r", F.row_number().over(wv)).select("term", "r")
+    qa = ranked.filter(F.col("r") <= PERC_N_QUERIES).select(
+        F.col("r").alias("qid"), F.col("term").alias("term_a")
+    )
+    qb = ranked.filter(F.col("r") > PERC_N_QUERIES).select(
+        (F.col("r") - PERC_N_QUERIES).alias("qid"), F.col("term").alias("term_b")
+    )
+    queries = qa.join(qb, "qid")  # PERC_N_QUERIES rows
+    qterms = queries.select("qid", F.col("term_a").alias("term")).union(
+        queries.select("qid", F.col("term_b").alias("term"))
+    )
+    hits = (
+        dterm.join(F.broadcast(qterms), "term")
+        .groupBy("qid", "doc_id")
+        .agg(F.count("*").alias("nt"))
+        .filter(F.col("nt") == 2)  # AND semantics
+        .groupBy("qid")
+        .agg(F.count("*").alias("n_matches"))
+    )
+    return (
+        queries.join(hits, "qid", "left")
+        .select(
+            "qid",
+            "term_a",
+            "term_b",
+            F.coalesce("n_matches", F.lit(0)).cast("long").alias("n_matches"),
+        )
+    )
+
+
+SQL_PERCOLATE = f"""
+WITH toks AS ({SQL_DOC_TOKS}),
+dterm AS (SELECT DISTINCT doc_id, term FROM toks),
+df AS (SELECT term, count(*) AS df FROM dterm GROUP BY term),
+ranked AS (
+  SELECT term, row_number() OVER (ORDER BY df DESC, term ASC) AS r
+  FROM df ORDER BY r LIMIT {2 * PERC_N_QUERIES}
+),
+queries AS (
+  SELECT a.r AS qid, a.term AS term_a, b.term AS term_b
+  FROM ranked a JOIN ranked b ON b.r = a.r + {PERC_N_QUERIES}
+  WHERE a.r <= {PERC_N_QUERIES}
+),
+qterms AS (
+  SELECT qid, term_a AS term FROM queries
+  UNION ALL SELECT qid, term_b FROM queries
+),
+hits AS (
+  SELECT qid, CAST(count(*) AS BIGINT) AS n_matches FROM (
+    SELECT qid, doc_id FROM dterm JOIN qterms USING (term)
+    GROUP BY qid, doc_id HAVING count(*) = 2
+  ) GROUP BY qid
+)
+SELECT qid, term_a, term_b,
+       CAST(coalesce(n_matches, 0) AS BIGINT) AS n_matches
+FROM queries LEFT JOIN hits USING (qid)
+"""
+
+QUERIES["ft_percolate"] = (ft_percolate, SQL_PERCOLATE)

@@ -90,3 +90,29 @@ def test_hits_top_authority_has_high_in_weight(spark):
     top = max(rows, key=lambda r: (r["auth_unit"], r["host"]))
     avg_in = sum(inw.values()) / len(inw)
     assert inw.get(top["host"], 0) > avg_in
+
+
+def test_cocitation_cap_binds_and_matches_bruteforce(spark):
+    """The per-source out-degree cap must actually bind on this corpus
+    (otherwise the capped path is untested), and the distributed result must
+    equal an in-memory reimplementation of capped co-citation exactly."""
+    from harvester_spark.operators.graph import COCITE_CAP, host_cocitation
+
+    edges = _edges(spark, SF_DIR).collect()
+    by_src = {}
+    for e in edges:
+        by_src.setdefault(e["src"], []).append((e["dst"], e["w"]))
+    assert max(len(v) for v in by_src.values()) > COCITE_CAP  # cap binds
+    expected = {}
+    for src, outs in by_src.items():
+        outs = sorted(outs, key=lambda t: (-t[1], t[0]))[:COCITE_CAP]
+        for i in range(len(outs)):
+            for j in range(i + 1, len(outs)):
+                (d1, w1), (d2, w2) = outs[i], outs[j]
+                a, b = min(d1, d2), max(d1, d2)
+                expected[(a, b)] = expected.get((a, b), 0) + min(w1, w2)
+    got = {
+        (r["host_a"], r["host_b"]): r["cocite_w"]
+        for r in host_cocitation(spark, SF_DIR).collect()
+    }
+    assert got == expected

@@ -72,3 +72,16 @@ def test_mlt_top_doc_shares_vocabulary_with_source(spark):
     source than the #10 hit — similarity, not noise, drives the ranking."""
     rows = sorted(ft_more_like_this(spark, SF_DIR).collect(), key=lambda r: r["rank"])
     assert rows[0]["score"] > rows[-1]["score"]
+
+
+def test_percolate_registry_is_nondegenerate(spark):
+    from harvester_spark.operators.retrieval import PERC_N_QUERIES, ft_percolate
+
+    rows = ft_percolate(spark, SF_DIR).collect()
+    assert len(rows) == PERC_N_QUERIES
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    counts = [r["n_matches"] for r in rows]
+    assert all(0 <= c < n_docs for c in counts)  # AND is selective
+    assert len(set(counts)) >= 3  # selectivities genuinely spread
+    assert max(counts) > 0  # the registry actually fires
+    assert all(r["term_a"] != r["term_b"] for r in rows)

@@ -244,3 +244,15 @@ class TestEventsSessionize:
         # non-degenerate: multi-event sessions AND multi-session users exist
         assert (out["n_events"] > 1).any()
         assert out.groupby("user_id").size().max() > 1
+
+
+def test_bpe_fertility_at_least_one(spark):
+    """Every word is >= 1 BPE token, so fertility >= 1 per language; the
+    word-soup corpus must yield a real (non-unit) fertility somewhere."""
+    from harvester_spark.operators.fulltext_queries import ft_bpe_fertility
+
+    rows = ft_bpe_fertility(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    assert all(r["fertility"] >= 1.0 for r in rows)
+    assert any(r["fertility"] > 1.0 for r in rows)
+    assert all(r["bpe_tokens"] >= r["n_words"] > 0 for r in rows)

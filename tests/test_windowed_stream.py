@@ -311,7 +311,7 @@ def test_streaming_session_window_matches_batch_sessionize(spark, tmp_root):
     )
     assert diffs.filter(F.col("d") == SESSION_GAP_MS).count() == 0
 
-    src = os.path.join(tmp_root, "sess_src")
+    src = os.path.join(tmp_root, "swin_src")
     # parquet source: JSON would truncate the microsecond timestamps and
     # shift session boundaries off the batch twin's. Watermarks need a
     # zoned TIMESTAMP; the session tz is pinned UTC so the cast keeps
@@ -324,13 +324,13 @@ def test_streaming_session_window_matches_batch_sessionize(spark, tmp_root):
     stream = spark.readStream.schema("ts timestamp, user_id long").parquet(
         os.path.join(src, "*")
     )
-    out_dir = os.path.join(tmp_root, "sess_out")
+    out_dir = os.path.join(tmp_root, "swin_out")
     q = (
         windowed_session_counts(stream)
         .writeStream.format("parquet")
         .option("path", out_dir)
         .outputMode("append")
-        .option("checkpointLocation", os.path.join(tmp_root, "sess_ckpt"))
+        .option("checkpointLocation", os.path.join(tmp_root, "swin_ckpt"))
         .trigger(availableNow=True)
         .start()
     )
