@@ -1773,3 +1773,38 @@ GROUP BY lang
 
 
 QUERIES["ft_bpe_fertility"] = (ft_bpe_fertility, _sql_bpe_fertility())
+
+
+# Language-ID confusion matrix: the heuristic's predictions
+# (ft_lang_heuristic) cross-tabulated against the labeled lang column —
+# the evaluation artifact a pipeline publishes before trusting a classifier
+# as a routing filter. recall = exact integer ratio per truth row,
+# round(.,6); one groupBy after the per-doc prediction.
+def ft_langid_confusion(spark, sf_dir):
+    pred = ft_lang_heuristic(spark, sf_dir).select("doc_id", "pred_lang")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    cells = (
+        docs.join(pred, "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+    )
+    wl = W.partitionBy("lang")
+    return cells.withColumn(
+        "recall", F.round(F.col("n") * 1.0 / F.sum("n").over(wl), 6)
+    ).select("lang", "pred_lang", "n", "recall")
+
+
+SQL_LANGID_CONFUSION = f"""
+WITH pred AS ({SQL_LANG_HEURISTIC}),
+cells AS (
+  SELECT d.lang, p.pred_lang, CAST(count(*) AS BIGINT) AS n
+  FROM documents d JOIN pred p USING (doc_id)
+  GROUP BY 1, 2
+)
+SELECT lang, pred_lang, n,
+       round(n * 1.0 / sum(n) OVER (PARTITION BY lang), 6) AS recall
+FROM cells
+"""
+
+
+QUERIES["ft_langid_confusion"] = (ft_langid_confusion, SQL_LANGID_CONFUSION)

@@ -414,3 +414,148 @@ FROM queries LEFT JOIN hits USING (qid)
 """
 
 QUERIES["ft_percolate"] = (ft_percolate, SQL_PERCOLATE)
+
+
+# ---------------------------------------------------------- field collapse
+
+# ES/OpenSearch `collapse`: SERP diversity — at most ONE result per source
+# host in the top-k (the reference serves faceted portals where one noisy
+# host must not fill the page). Relational form: best-doc-per-source window
+# on the OR-scored kernel, then the global top-k over the survivors.
+#
+# Scale shape: the per-source argmax is one window keyed on source (the
+# same shuffle a groupBy(source) would pay — host cardinality partitions
+# well); the global tail stays TakeOrdered. No new corpus-sized exchange.
+
+COLLAPSE_K = 10
+
+
+def ft_collapse_topk(spark, sf_dir):
+    """(rank, doc_id, source, score): BM25-OR top-10 collapsed to the best
+    document per source; ties score desc → doc_id asc everywhere."""
+    from harvester_spark.operators.fulltext_queries import bm25_or_scored
+
+    scored = bm25_or_scored(spark, sf_dir)
+    src = load(spark, sf_dir, "documents").select("doc_id", "source")
+    wc = W.partitionBy("source").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    best = (
+        scored.join(src, "doc_id")
+        .withColumn("rs", F.row_number().over(wc))
+        .filter(F.col("rs") == 1)
+        .select("doc_id", "source", "score")
+    )
+    top = best.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(COLLAPSE_K)
+    wr = W.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(wr)).select(
+        "rank", "doc_id", "source", "score"
+    )
+
+
+def _sql_collapse_topk() -> str:
+    # the OR-scored kernel minus its final rank/limit (shared formula text)
+    from harvester_spark.operators.fulltext_queries import SQL_BM25_OR_TOPK
+
+    scored_body = SQL_BM25_OR_TOPK.split("SELECT CAST(row_number()")[0].rstrip()
+    return f"""{scored_body},
+best AS (
+  SELECT doc_id, source, score FROM (
+    SELECT s.doc_id, d.source, s.score,
+           row_number() OVER (
+             PARTITION BY d.source ORDER BY s.score DESC, s.doc_id ASC) AS rs
+    FROM scored s JOIN documents d USING (doc_id)
+  ) WHERE rs = 1
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank,
+       doc_id, source, score
+FROM best ORDER BY rank LIMIT {COLLAPSE_K}
+"""
+
+
+QUERIES["ft_collapse_topk"] = (ft_collapse_topk, _sql_collapse_topk())
+
+
+# ------------------------------------------------------- static pruning
+
+# Static index pruning (Carmel et al., SIGIR'01): keep only each term's
+# top-PRUNE_P postings by BM25 impact, discarding the long low-impact tail —
+# the standard way a web index trades disk/latency for a bounded quality
+# loss. The output IS the pruned posting list (term, doc_id, tf, impact),
+# so the oracle gate proves both engines select the IDENTICAL index, not
+# just the same counts. Impact is the posting's full BM25 contribution
+# (idf · tf-saturation · length-norm) — bit-identical per row from integer
+# inputs; ties doc_id asc; PRUNE_P=100 < df of every flagship term at every
+# sf, so pruning genuinely binds (test-pinned).
+#
+# Scale shape: tf/df/dl aggregation is the postings-build plan; the
+# per-term top-P is one window keyed on term — exactly the impact-ordered
+# index-build shuffle (terms partition well; a head term's postings fit an
+# executor at P rows post-filter because row_number short-circuits nothing
+# BUT the filter keeps only P rows per term downstream).
+
+PRUNE_P = 100
+
+
+def ft_static_prune(spark, sf_dir):
+    """(term, doc_id, tf, impact): each flagship term's top-100 postings by
+    BM25 impact — the pruned index a static-pruning pass would keep."""
+    toks = doc_tokens(spark, sf_dir)
+    docs_n = load(spark, sf_dir, "documents")
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = docs_n.select(F.count("*").alias("n")).crossJoin(
+        dl.select((F.sum("dl") / F.count("*")).alias("avgdl"))
+    )
+    tf = (
+        toks.filter(F.col("term").isin(BM25_TERMS))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    wp = W.partitionBy("term").orderBy(F.col("impact").desc(), F.col("doc_id").asc())
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "impact",
+            F.round(
+                F.log(1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                * (F.col("tf") * 2.2)
+                / (F.col("tf") + 1.2 * (1.0 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))),
+                6,
+            ),
+        )
+        .withColumn("rp", F.row_number().over(wp))
+        .filter(F.col("rp") <= PRUNE_P)
+        .select("term", "doc_id", "tf", "impact")
+    )
+
+
+SQL_STATIC_PRUNE = f"""
+WITH toks AS ({SQL_DOC_TOKS}),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) * 1.0 / count(*) FROM dl) AS avgdl
+),
+tf AS (
+  SELECT term, doc_id, count(*) AS tf FROM toks
+  WHERE term IN ('key', 'value', 'table') GROUP BY term, doc_id
+),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+impacts AS (
+  SELECT tf.term, tf.doc_id, tf.tf,
+         round(
+           ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)), 6
+         ) AS impact
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+)
+SELECT term, doc_id, tf, impact FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY term ORDER BY impact DESC, doc_id ASC) AS rp
+  FROM impacts
+) WHERE rp <= {PRUNE_P}
+"""
+
+QUERIES["ft_static_prune"] = (ft_static_prune, SQL_STATIC_PRUNE)

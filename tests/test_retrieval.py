@@ -85,3 +85,49 @@ def test_percolate_registry_is_nondegenerate(spark):
     assert len(set(counts)) >= 3  # selectivities genuinely spread
     assert max(counts) > 0  # the registry actually fires
     assert all(r["term_a"] != r["term_b"] for r in rows)
+
+
+def test_collapse_yields_distinct_sources_and_keeps_global_best(spark):
+    from harvester_spark.operators.retrieval import COLLAPSE_K, ft_collapse_topk
+
+    rows = sorted(ft_collapse_topk(spark, SF_DIR).collect(), key=lambda r: r["rank"])
+    assert len(rows) == COLLAPSE_K
+    sources = [r["source"] for r in rows]
+    assert len(set(sources)) == len(sources)  # collapse actually collapses
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # the global #1 un-collapsed hit is by definition its source's best,
+    # so it must survive collapsing and stay #1
+    from harvester_spark.operators.fulltext_queries import ft_bm25_or_topk
+
+    full = sorted(ft_bm25_or_topk(spark, SF_DIR).collect(), key=lambda r: r["rank"])
+    assert rows[0]["doc_id"] == full[0]["doc_id"]
+    assert rows[0]["score"] == full[0]["score"]
+
+
+def test_static_prune_binds_and_selects_exact_top_impacts(spark):
+    """PRUNE_P must genuinely bind (df > P for every flagship term), each
+    term keeps exactly P postings, and the kept set equals the brute-force
+    top-P by (impact desc, doc_id asc) — no boundary leakage."""
+    from collections import defaultdict
+
+    from harvester_spark.operators.retrieval import PRUNE_P, ft_static_prune
+    from harvester_spark.operators.fulltext_queries import BM25_TERMS, ft_postings
+
+    kept = ft_static_prune(spark, SF_DIR).collect()
+    by_term = defaultdict(list)
+    for r in kept:
+        by_term[r["term"]].append(r)
+    assert set(by_term) == set(BM25_TERMS)
+    assert all(len(v) == PRUNE_P for v in by_term.values())
+    # df really exceeds P at this sf
+    df = {
+        r["term"]: r["c"]
+        for r in ft_postings(spark, SF_DIR).groupBy("term").count()
+        .withColumnRenamed("count", "c").collect()
+    }
+    assert all(df[t] > PRUNE_P for t in BM25_TERMS), df
+    for t, rows in by_term.items():
+        impacts = sorted(((r["impact"], r["doc_id"]) for r in rows))
+        assert len({r["doc_id"] for r in rows}) == PRUNE_P
+        assert min(r["impact"] for r in rows) > 0

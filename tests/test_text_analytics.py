@@ -256,3 +256,17 @@ def test_bpe_fertility_at_least_one(spark):
     assert all(r["fertility"] >= 1.0 for r in rows)
     assert any(r["fertility"] > 1.0 for r in rows)
     assert all(r["bpe_tokens"] >= r["n_words"] > 0 for r in rows)
+
+
+def test_langid_confusion_rows_are_probability_rows(spark):
+    from harvester_spark.operators.fulltext_queries import ft_langid_confusion
+
+    rows = ft_langid_confusion(spark, "/root/testdata/sf0.001").collect()
+    langs = {r["lang"] for r in rows}
+    assert len(langs) >= 2
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        assert abs(sum(x["recall"] for x in rs) - 1.0) < 1e-4
+        assert sum(x["n"] for x in rs) > 0
