@@ -22,6 +22,7 @@ from harvester_spark.operators import (
     file_metadata,
     fulltext_queries,
     graph,
+    index_stats,
     multimodal,
     relational,
     retrieval,
@@ -47,5 +48,6 @@ for mod in (
     graph,
     substring,
     retrieval,
+    index_stats,
 ):
     ALL_QUERIES.update(mod.QUERIES)

@@ -1,0 +1,166 @@
+"""Index-layout analytics: what the physical index costs before building it.
+
+Two planning operators a web-scale indexer runs against the raw corpus:
+
+- ``postings_varbyte_size`` — the exact byte size the repo's own block
+  codec (index/codec.py: BLOCK_SIZE=128, per-block ``[0, diff(doc_ids)]``
+  doc deltas + raw tfs, little-endian base-128 varbyte) will spend per
+  term, computed RELATIONALLY. The gate proves both engines agree; a
+  pytest proves the relational count equals ``len()`` of the real
+  ``encode_blocks`` output byte-for-byte, so this is a true codec twin,
+  not an approximation.
+- ``index_shard_skew`` — postings volume per term-hash shard for a
+  NSHARDS-way term-partitioned index, with each shard's share and skew
+  factor (share·NSHARDS). This is the number that decides whether a
+  term-sharded build needs salting (the head-term salted-chunk machinery
+  in index/build.py exists because this skew is >1 on Zipfian corpora).
+
+Scale shapes: both are one postings aggregation (the SPIMI stats plan)
+plus one narrow window keyed on term (varbyte needs the per-term doc-gap,
+which the index build's sort provides for free); nothing driver-sized.
+
+Determinism: everything is integer arithmetic; the varbyte length is a
+shared CASE-threshold expression string (powers of 128 up to 2^56) used
+verbatim by both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W, functions as F
+
+from harvester_spark.operators.common import SQL_DOC_TOKS, doc_tokens
+
+BLOCK = 128  # == index.codec.BLOCK_SIZE
+NSHARDS = 32
+
+_SQL_HASH56 = "CAST(('0x' || substr(md5({col}), 1, 14)) AS BIGINT)"
+
+
+def _vb_len(col: str) -> str:
+    """Shared varbyte-length expression: bytes = 1 + #thresholds crossed.
+    Thresholds 128^k, k=1..7 cover values < 2^56 (doc gaps and tfs)."""
+    terms = ["1"] + [
+        f"CASE WHEN {col} >= {128 ** k} THEN 1 ELSE 0 END" for k in range(1, 8)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def postings_varbyte_size(spark, sf_dir):
+    """(term, df, n_blocks, bytes_docs, bytes_tfs, total_bytes): exact
+    block-codec byte cost per flagship term."""
+    from harvester_spark.operators.fulltext_queries import BM25_TERMS
+
+    tf = (
+        doc_tokens(spark, sf_dir)
+        .filter(F.col("term").isin(BM25_TERMS))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    wt = W.partitionBy("term").orderBy("doc_id")
+    rows = (
+        tf.withColumn("rn", F.row_number().over(wt) - 1)
+        .withColumn("blk", F.expr(f"rn DIV {BLOCK}"))
+        .withColumn(
+            "delta",
+            F.when(
+                F.col("rn") % BLOCK == 0, F.lit(0).cast("long")
+            ).otherwise(F.col("doc_id") - F.lag("doc_id").over(wt)),
+        )
+        .withColumn("b_doc", F.expr(_vb_len("delta")))
+        .withColumn("b_tf", F.expr(_vb_len("tf")))
+    )
+    return rows.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"),
+        F.countDistinct("blk").cast("long").alias("n_blocks"),
+        F.sum("b_doc").cast("long").alias("bytes_docs"),
+        F.sum("b_tf").cast("long").alias("bytes_tfs"),
+        (F.sum("b_doc") + F.sum("b_tf")).cast("long").alias("total_bytes"),
+    )
+
+
+SQL_VARBYTE_SIZE = f"""
+WITH toks AS ({SQL_DOC_TOKS}),
+tf AS (
+  SELECT term, doc_id, count(*) AS tf FROM toks
+  WHERE term IN ('key', 'value', 'table') GROUP BY term, doc_id
+),
+seq AS (
+  SELECT term, doc_id, tf,
+         row_number() OVER (PARTITION BY term ORDER BY doc_id) - 1 AS rn,
+         lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id) AS prev
+  FROM tf
+),
+rows_ AS (
+  SELECT term, tf, rn // {BLOCK} AS blk,
+         CASE WHEN rn % {BLOCK} = 0 THEN 0 ELSE doc_id - prev END AS delta
+  FROM seq
+)
+SELECT term,
+       CAST(count(*) AS BIGINT) AS df,
+       CAST(count(DISTINCT blk) AS BIGINT) AS n_blocks,
+       CAST(sum({_vb_len('delta')}) AS BIGINT) AS bytes_docs,
+       CAST(sum({_vb_len('tf')}) AS BIGINT) AS bytes_tfs,
+       CAST(sum({_vb_len('delta')}) + sum({_vb_len('tf')}) AS BIGINT)
+         AS total_bytes
+FROM rows_ GROUP BY term
+"""
+
+
+def index_shard_skew(spark, sf_dir):
+    """(shard, n_terms, n_postings, share, skew): postings volume of each
+    term-hash shard in a NSHARDS-way term-partitioned index."""
+    post = (
+        doc_tokens(spark, sf_dir)
+        .select("term", "doc_id")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    sharded = post.withColumn(
+        "shard",
+        (F.conv(F.substring(F.md5(F.col("term")), 1, 14), 16, 10).cast("long") % NSHARDS),
+    )
+    tot = F.broadcast(sharded.agg(F.sum("df").cast("long").alias("tot")))
+    return (
+        sharded.groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_terms"),
+            F.sum("df").cast("long").alias("n_postings"),
+        )
+        .crossJoin(tot)
+        .select(
+            "shard",
+            "n_terms",
+            "n_postings",
+            F.round(F.col("n_postings") * 1.0 / F.col("tot"), 6).alias("share"),
+            F.round(F.col("n_postings") * NSHARDS * 1.0 / F.col("tot"), 6).alias(
+                "skew"
+            ),
+        )
+    )
+
+
+SQL_SHARD_SKEW = f"""
+WITH toks AS ({SQL_DOC_TOKS}),
+post AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term
+),
+sharded AS (
+  SELECT term, df, {_SQL_HASH56.format(col='term')} % {NSHARDS} AS shard
+  FROM post
+),
+tot AS (SELECT CAST(sum(df) AS BIGINT) AS tot FROM sharded)
+SELECT shard,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(df) AS BIGINT) AS n_postings,
+       round(sum(df) * 1.0 / tot, 6) AS share,
+       round(sum(df) * {NSHARDS} * 1.0 / tot, 6) AS skew
+FROM sharded CROSS JOIN tot
+GROUP BY shard, tot
+"""
+
+
+QUERIES = {
+    "postings_varbyte_size": (postings_varbyte_size, SQL_VARBYTE_SIZE),
+    "index_shard_skew": (index_shard_skew, SQL_SHARD_SKEW),
+}

@@ -1,0 +1,48 @@
+"""index_stats operators: codec byte-parity and shard-skew invariants."""
+
+import numpy as np
+
+from harvester_spark.operators.fulltext_queries import BM25_TERMS, ft_postings
+from harvester_spark.operators.index_stats import (
+    NSHARDS,
+    index_shard_skew,
+    postings_varbyte_size,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_varbyte_size_matches_real_codec_byte_for_byte(spark):
+    """The relational estimate must equal len() of the actual
+    index/codec.py encode_blocks output — same blocks, same deltas, same
+    varbyte — or it is not a codec twin."""
+    from harvester_spark.index.codec import encode_blocks
+
+    got = {r["term"]: r for r in postings_varbyte_size(spark, SF_DIR).collect()}
+    posts = ft_postings(spark, SF_DIR).collect()
+    assert set(got) == set(BM25_TERMS)
+    for t in BM25_TERMS:
+        rows = sorted((r["doc_id"], r["tf"]) for r in posts if r["term"] == t)
+        ids = np.array([d for d, _ in rows], dtype=np.uint64)
+        tfs = np.array([tf for _, tf in rows], dtype=np.uint64)
+        blocks = encode_blocks(ids, tfs, np.ones(len(ids), dtype=np.float64))
+        bytes_docs = sum(len(b[2]) for b in blocks)
+        bytes_tfs = sum(len(b[3]) for b in blocks)
+        g = got[t]
+        assert g["df"] == len(rows)
+        assert g["n_blocks"] == len(blocks)
+        assert g["bytes_docs"] == bytes_docs, (t, g["bytes_docs"], bytes_docs)
+        assert g["bytes_tfs"] == bytes_tfs, (t, g["bytes_tfs"], bytes_tfs)
+        assert g["total_bytes"] == bytes_docs + bytes_tfs
+
+
+def test_shard_skew_shares_sum_to_one_and_skew_is_real(spark):
+    rows = index_shard_skew(spark, SF_DIR).collect()
+    assert 1 < len(rows) <= NSHARDS
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-3
+    # a Zipfian term distribution hashed into shards is NOT uniform:
+    # at least one shard must be visibly over its fair share
+    assert max(r["skew"] for r in rows) > 1.2
+    assert all(r["n_terms"] > 0 and r["n_postings"] > 0 for r in rows)
+    total = sum(r["n_postings"] for r in rows)
+    assert all(abs(r["n_postings"] * NSHARDS / total - r["skew"]) < 1e-3 for r in rows)
