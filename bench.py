@@ -93,6 +93,14 @@ HEADLINE = [
     "q3_shipping_priority",
     "events_anomaly_zscore",
     "snapshot_drift_kl",
+    # round-3 session 6: link analysis (HITS), retrieval training (RM3
+    # feedback, hard negatives), reverse search, index planning
+    "hits_scores",
+    "ft_rm3_expansion",
+    "hard_negative_mine",
+    "ft_percolate",
+    "ft_static_prune",
+    "postings_varbyte_size",
 ]
 WARMUP_DOCS = 2000
 

@@ -559,3 +559,81 @@ SELECT term, doc_id, tf, impact FROM (
 """
 
 QUERIES["ft_static_prune"] = (ft_static_prune, SQL_STATIC_PRUNE)
+
+
+# ------------------------------------------------------ proximity distance
+
+# Minimal pair distance (the proximity signal behind sloppy-phrase RANKING,
+# as opposed to slop MATCHING which ft_phrase_slop covers): for every doc
+# containing both probe terms, the minimum token distance between an
+# occurrence of each. Uses the classic merged-order identity: the minimum
+# |pa - pb| over all cross pairs is always achieved by two positions that
+# are ADJACENT in the merged position order — so one lag() window keyed on
+# doc_id replaces the quadratic cross join of occurrence lists.
+#
+# Scale shape: filter to the two terms' occurrences (predicate reaches the
+# scan), one doc_id-keyed window, one groupBy(doc_id). O(occurrences), not
+# O(tf_a · tf_b) per doc.
+
+PROX_A, PROX_B = "table", "hash"  # == ft_phrase_match's probe pair
+
+
+def ft_min_pair_distance(spark, sf_dir):
+    """(doc_id, n_a, n_b, min_dist) for docs containing BOTH probe terms;
+    min_dist >= 1 (adjacent tokens) by tokenizer construction."""
+    occ = (
+        doc_tokens(spark, sf_dir)
+        .filter(F.col("term").isin([PROX_A, PROX_B]))
+        .select("doc_id", "term", "pos")
+    )
+    wd = W.partitionBy("doc_id").orderBy("pos")
+    dists = (
+        occ.withColumn("pterm", F.lag("term").over(wd))
+        .withColumn("ppos", F.lag("pos").over(wd))
+        .filter(F.col("pterm").isNotNull() & (F.col("pterm") != F.col("term")))
+        .groupBy("doc_id")
+        .agg(F.min(F.col("pos") - F.col("ppos")).cast("long").alias("min_dist"))
+    )
+    counts = occ.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("term") == PROX_A, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("term") == PROX_B, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+    )
+    return (
+        counts.filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
+        .join(dists, "doc_id")
+        .select("doc_id", "n_a", "n_b", "min_dist")
+    )
+
+
+SQL_MIN_PAIR_DISTANCE = f"""
+WITH toks AS ({SQL_DOC_TOKS}),
+occ AS (
+  SELECT doc_id, term, pos FROM toks WHERE term IN ('{PROX_A}', '{PROX_B}')
+),
+lagged AS (
+  SELECT doc_id, term, pos,
+         lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS pterm,
+         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS ppos
+  FROM occ
+),
+dists AS (
+  SELECT doc_id, CAST(min(pos - ppos) AS BIGINT) AS min_dist
+  FROM lagged WHERE pterm IS NOT NULL AND pterm <> term
+  GROUP BY doc_id
+),
+counts AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN term = '{PROX_A}' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN term = '{PROX_B}' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM occ GROUP BY doc_id
+)
+SELECT doc_id, n_a, n_b, min_dist
+FROM counts JOIN dists USING (doc_id)
+WHERE n_a > 0 AND n_b > 0
+"""
+
+QUERIES["ft_min_pair_distance"] = (ft_min_pair_distance, SQL_MIN_PAIR_DISTANCE)

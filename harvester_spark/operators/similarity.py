@@ -1238,3 +1238,50 @@ FROM adc QUALIFY rnk <= {TOP_K}
 """
 
 QUERIES["ann_ivfpq_topk"] = (ann_ivfpq_topk, SQL_ANN_IVFPQ_TOPK)
+
+
+# ------------------------------------------------------------- ANN recall
+
+# Recall@k of the LSH path against the exact brute-force ranking — the
+# evaluation number that decides whether derived capacity (n_planes,
+# multi-probe) is sufficient before anyone trusts the ANN index. An eval
+# operator NEEDS the exact baseline by definition, so the pairwise job here
+# is the labeled bounded one (N_QUERIES query rows), not a corpus-wide scan.
+def ann_lsh_recall(spark, sf_dir):
+    """(qid, n_hits, recall): |LSH top-k ∩ exact top-k| / k per query."""
+    exact = ann_cosine_topk(spark, sf_dir).select("qid", "vec_id")
+    approx = ann_lsh_bucketed(spark, sf_dir).select("qid", "vec_id")
+    hits = exact.join(approx, ["qid", "vec_id"]).groupBy("qid").agg(
+        F.count("*").alias("n_hits")
+    )
+    qids = exact.select("qid").distinct()
+    return (
+        qids.join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)) * 1.0 / TOP_K, 6
+            ).alias("recall"),
+        )
+    )
+
+
+SQL_ANN_LSH_RECALL = f"""
+WITH exact AS MATERIALIZED (
+  SELECT qid, vec_id FROM ({SQL_ANN_COSINE_TOPK})
+),
+apx AS MATERIALIZED (
+  SELECT qid, vec_id FROM ({SQL_ANN_LSH_BUCKETED})
+),
+hits AS (
+  SELECT qid, CAST(count(*) AS BIGINT) AS n_hits
+  FROM exact JOIN apx USING (qid, vec_id) GROUP BY qid
+)
+SELECT qid,
+       CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+       round(coalesce(n_hits, 0) * 1.0 / {TOP_K}, 6) AS recall
+FROM (SELECT DISTINCT qid FROM exact) LEFT JOIN hits USING (qid)
+"""
+
+QUERIES["ann_lsh_recall"] = (ann_lsh_recall, SQL_ANN_LSH_RECALL)
