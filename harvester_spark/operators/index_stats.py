@@ -160,7 +160,88 @@ GROUP BY shard, tot
 """
 
 
+# ------------------------------------------------- block-max WAND metadata
+
+# The per-block score upper bounds Block-Max WAND (Ding & Suel, SIGIR'11)
+# skips on: for every BLOCK=128-posting block of each flagship term, the
+# max of the BM25 tf-normalization impact tf*(k1+1)/(tf+k1*(1-b+b*dl/avgdl))
+# — exactly what index/codec.py encode_blocks stores as block_max_impact and
+# search/wand.py multiplies by idf for its θ pruning. Computed RELATIONALLY
+# from the raw corpus so an indexer can cost pruning effectiveness before
+# building; a pytest proves the micro-unit bounds equal the real codec's
+# float block_max_impact on the same postings, so this is a true metadata
+# twin. The impact is ONE shared float-expression string (e0 double
+# literals per the cross-engine decimal trap); bounds are integer
+# micro-units via the floor(x*1e6+0.5) idiom — no float ever reaches the
+# value hash.
+#
+# Scale shape: the SPIMI tf aggregation plus one per-term window (same
+# plan family as postings_varbyte_size); output is O(df/128) rows per term.
+
+_IMPACT = "(tf * 2.2e0) / (tf + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * dl / avgdl))"
+_IMPACT_MICRO = f"CAST(floor({_IMPACT} * 1.0e6 + 0.5e0) AS BIGINT)"
+
+
+def block_max_impacts(spark, sf_dir):
+    """(term, blk, base_doc_id, max_doc_id, n_postings, max_tf, ub_micro):
+    per-128-posting-block BM25 impact upper bounds — the Block-Max WAND
+    pruning metadata (search/wand.py) as a relational planning table."""
+    from harvester_spark.operators.fulltext_queries import BM25_TERMS
+
+    toks = doc_tokens(spark, sf_dir)
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    avgdl = F.broadcast(
+        dl.agg((F.sum("dl") * 1.0 / F.count("*")).alias("avgdl"))
+    )
+    tf = (
+        toks.filter(F.col("term").isin(BM25_TERMS))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    wt = W.partitionBy("term").orderBy("doc_id")
+    rows = (
+        tf.join(dl, "doc_id")
+        .crossJoin(avgdl)
+        .withColumn("imp_micro", F.expr(_IMPACT_MICRO))
+        .withColumn("rn", F.row_number().over(wt) - 1)
+        .withColumn("blk", F.expr(f"rn DIV {BLOCK}"))
+    )
+    return rows.groupBy("term", "blk").agg(
+        F.min("doc_id").cast("long").alias("base_doc_id"),
+        F.max("doc_id").cast("long").alias("max_doc_id"),
+        F.count("*").cast("long").alias("n_postings"),
+        F.max("tf").cast("long").alias("max_tf"),
+        F.max("imp_micro").cast("long").alias("ub_micro"),
+    )
+
+
+SQL_BLOCK_MAX = f"""
+WITH toks AS ({SQL_DOC_TOKS}),
+dls AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+),
+avg_ AS (SELECT sum(dl) * 1.0 / count(*) AS avgdl FROM dls),
+tfs_ AS (
+  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM toks
+  WHERE term IN ('key', 'value', 'table') GROUP BY term, doc_id
+),
+rows_ AS (
+  SELECT term, tfs_.doc_id AS doc_id, tf, {_IMPACT_MICRO} AS imp_micro,
+         row_number() OVER (PARTITION BY term ORDER BY tfs_.doc_id) - 1 AS rn
+  FROM tfs_ JOIN dls ON tfs_.doc_id = dls.doc_id CROSS JOIN avg_
+)
+SELECT term, rn // {BLOCK} AS blk,
+       CAST(min(doc_id) AS BIGINT) AS base_doc_id,
+       CAST(max(doc_id) AS BIGINT) AS max_doc_id,
+       CAST(count(*) AS BIGINT) AS n_postings,
+       CAST(max(tf) AS BIGINT) AS max_tf,
+       CAST(max(imp_micro) AS BIGINT) AS ub_micro
+FROM rows_ GROUP BY term, rn // {BLOCK}
+"""
+
+
 QUERIES = {
     "postings_varbyte_size": (postings_varbyte_size, SQL_VARBYTE_SIZE),
     "index_shard_skew": (index_shard_skew, SQL_SHARD_SKEW),
+    "block_max_impacts": (block_max_impacts, SQL_BLOCK_MAX),
 }

@@ -36,6 +36,48 @@ def test_varbyte_size_matches_real_codec_byte_for_byte(spark):
         assert g["total_bytes"] == bytes_docs + bytes_tfs
 
 
+def test_block_max_impacts_match_real_codec_bounds(spark):
+    """The relational ub_micro must equal the micro-floored
+    block_max_impact the real codec stores (impacts from the ONE shared
+    bm25.tf_norm kernel) — same blocks, same maxima — or it is not a
+    Block-Max WAND metadata twin."""
+    from harvester_spark.index.codec import encode_blocks
+    from harvester_spark.operators.common import doc_tokens
+    from harvester_spark.operators.index_stats import block_max_impacts
+    from harvester_spark.search import bm25
+
+    got = {
+        (r["term"], r["blk"]): r
+        for r in block_max_impacts(spark, SF_DIR).collect()
+    }
+    dl = {
+        r["doc_id"]: r["cnt"]
+        for r in doc_tokens(spark, SF_DIR).groupBy("doc_id").count()
+        .withColumnRenamed("count", "cnt").collect()
+    }
+    avgdl = sum(dl.values()) * 1.0 / len(dl)
+    posts = ft_postings(spark, SF_DIR).collect()
+    seen = set()
+    for t in BM25_TERMS:
+        rows = sorted((r["doc_id"], r["tf"]) for r in posts if r["term"] == t)
+        ids = np.array([d for d, _ in rows], dtype=np.uint64)
+        tfs = np.array([tf for _, tf in rows], dtype=np.uint64)
+        imps = bm25.tf_norm(
+            tfs, np.array([dl[int(d)] for d in ids], dtype=np.float64), avgdl
+        )
+        blocks = encode_blocks(ids, tfs, imps)
+        for bix, (base, n, _, _, max_tf, max_imp) in enumerate(blocks):
+            g = got[(t, bix)]
+            seen.add((t, bix))
+            assert g["base_doc_id"] == base
+            assert g["max_doc_id"] == int(ids[bix * 128 : bix * 128 + n][-1])
+            assert g["n_postings"] == n
+            assert g["max_tf"] == max_tf
+            want = int(np.floor(max_imp * 1e6 + 0.5))
+            assert g["ub_micro"] == want, (t, bix, g["ub_micro"], want)
+    assert seen == set(got)
+
+
 def test_shard_skew_shares_sum_to_one_and_skew_is_real(spark):
     rows = index_shard_skew(spark, SF_DIR).collect()
     assert 1 < len(rows) <= NSHARDS
