@@ -1808,3 +1808,98 @@ FROM cells
 
 
 QUERIES["ft_langid_confusion"] = (ft_langid_confusion, SQL_LANGID_CONFUSION)
+
+
+# ------------------------------------------- Dirichlet query likelihood
+
+# The second classic ranking family next to BM25: Dirichlet-smoothed query
+# likelihood (Zhai & Lafferty 2001; Lucene's LMDirichletSimilarity, which
+# the reference could select per-field instead of BM25 —
+# /root/reference/harvester/search/models/index.py only configures
+# analyzers, so BM25 stays the default and this is the alternative).
+# score(D, q) = Σ_t ln((tf + μ·cf_t/|C|) / (dl + μ)), μ = 2000 (Lucene's
+# default). EVERY doc scores every query term (tf = 0 rows fall back to
+# the collection model), so the spine is documents × the 3-term dim — a
+# broadcast nested loop over a 3-row side, map-only. Per-term log-probs
+# are integer micro-nats via the ONE shared expression string (the
+# bigram-LM idiom), so the doc score is an exact int64 sum in both
+# engines; ranking ties break on doc_id asc. This intentionally does NOT
+# touch search/bm25.py — ONE BM25 formula repo-wide stays true.
+
+DIR_MU = 2000
+_DIR_LP = (
+    f"CAST(round(1000000.0e0 * ln((tf + {DIR_MU}.0e0 * cf / ct)"
+    f" / (dl + {DIR_MU}.0e0)), 0) AS BIGINT)"
+)
+
+
+def ft_lm_dirichlet_topk(spark, sf_dir):
+    """(rank, doc_id, logp_micro): top-10 docs by Dirichlet-smoothed query
+    likelihood of the flagship query, scores in integer micro-nats."""
+    toks = doc_tokens(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    cf = (
+        toks.filter(F.col("term").isin(BM25_TERMS))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("cf"))
+    )
+    ct = toks.agg(F.count("*").cast("long").alias("ct"))
+    tf = (
+        toks.filter(F.col("term").isin(BM25_TERMS))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    scored = (
+        docs.join(dl, "doc_id", "left")
+        .crossJoin(F.broadcast(cf))
+        .join(tf, ["term", "doc_id"], "left")
+        .crossJoin(F.broadcast(ct))
+        .fillna(0, ["tf", "dl"])
+        .withColumn("lp", F.expr(_DIR_LP))
+        .groupBy("doc_id")
+        .agg(F.sum("lp").cast("long").alias("logp_micro"))
+    )
+    top = scored.orderBy(
+        F.col("logp_micro").desc(), F.col("doc_id").asc()
+    ).limit(10)
+    w = W.orderBy(F.col("logp_micro").desc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "doc_id", "logp_micro"
+    )
+
+
+SQL_LM_DIRICHLET = f"""
+WITH toks AS ({SQL_DOC_TOKS}),
+dls AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+cfs AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS cf FROM toks
+  WHERE term IN ('key', 'value', 'table') GROUP BY 1
+),
+ctt AS (SELECT CAST(count(*) AS BIGINT) AS ct FROM toks),
+tfs_ AS (
+  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM toks
+  WHERE term IN ('key', 'value', 'table') GROUP BY 1, 2
+),
+joined AS (
+  SELECT d.doc_id AS doc_id, coalesce(tfs_.tf, 0) AS tf,
+         coalesce(dls.dl, 0) AS dl, cfs.cf AS cf, ctt.ct AS ct
+  FROM (SELECT doc_id FROM documents) d
+  LEFT JOIN dls USING (doc_id)
+  CROSS JOIN cfs
+  LEFT JOIN tfs_ ON tfs_.term = cfs.term AND tfs_.doc_id = d.doc_id
+  CROSS JOIN ctt
+),
+scored AS (
+  SELECT doc_id, CAST(sum({_DIR_LP}) AS BIGINT) AS logp_micro
+  FROM joined GROUP BY doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY logp_micro DESC, doc_id ASC) AS INT)
+         AS rank,
+       doc_id, logp_micro
+FROM scored
+ORDER BY logp_micro DESC, doc_id ASC LIMIT 10
+"""
+
+
+QUERIES["ft_lm_dirichlet_topk"] = (ft_lm_dirichlet_topk, SQL_LM_DIRICHLET)

@@ -517,3 +517,144 @@ GROUP BY 1, 2
 
 
 QUERIES["host_cocitation"] = (host_cocitation, _sql_cocitation())
+
+
+# ---------------------------------------------------------------- TextRank
+
+# TextRank keyword extraction (Mihalcea & Tarau, EMNLP'04): PageRank over
+# the word co-occurrence graph — the graph-centrality companion to the
+# frequency-based ft_keyword_extract. Nodes are corpus terms; an undirected
+# edge (a, b) weights how often b occurs within TR_WINDOW tokens after a in
+# any document (both directions emitted, self-pairs dropped). The damped
+# update is the classic TextRank form r_v = 0.15 + 0.85·Σ w_uv/out_u·r_u —
+# no 1/N teleport scaling and no dangling mass (the graph is symmetric by
+# construction, so every node with an out-edge has in-edges; non-degeneracy
+# is test-pinned). Same integer-exact-iteration contract as host_pagerank:
+# fixed-point TR_UNIT micro-scores, multiply-then-integer-divide on
+# nonnegative int64 (Spark DIV == DuckDB //), TR_ITERS sweeps unrolled as
+# MATERIALIZED CTEs in the oracle, bit-identical tables in both engines.
+#
+# Scale shape: edge construction is TR_WINDOW lead() columns over the
+# (doc_id, pos) token window — map-side, no self-join — then one (src, dst)
+# groupBy; each sweep is one src-keyed equi-join + dst groupBy, ranks stay
+# a DataFrame, localCheckpoint cuts the lineage. Overflow: 85·r·w needs
+# r·w < 1.08e17; r stays ≤ ~V·TR_UNIT shares of a V-term vocabulary, so
+# int64 holds for V·Σw up to ~1e11 — parameterize TR_UNIT down for a
+# 10^9-edge web vocabulary.
+
+TR_ITERS = 4
+TR_UNIT = 10**6
+TR_WINDOW = 2
+
+
+def _word_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from harvester_spark.operators.common import doc_tokens
+
+    toks = doc_tokens(spark, sf_dir)
+    w = W.partitionBy("doc_id").orderBy("pos")
+    pairs = None
+    for d in range(1, TR_WINDOW + 1):
+        p = toks.select(
+            F.col("term").alias("src"),
+            F.lead("term", d).over(w).alias("dst"),
+        ).filter(F.col("dst").isNotNull())
+        pairs = p if pairs is None else pairs.unionByName(p)
+    both = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return (
+        both.filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+
+
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(term, rank_unit): TextRank centrality of every corpus term after
+    TR_ITERS damped sweeps, in integer 1e-6 fixed-point units."""
+    edges = _word_edges(spark, sf_dir).cache()
+    nodes = edges.select(F.col("src").alias("term")).distinct()
+    outw = edges.groupBy("src").agg(F.sum("w").cast("long").alias("wout"))
+
+    ranks = nodes.select("term", F.lit(TR_UNIT).cast("long").alias("r"))
+    for _ in range(TR_ITERS):
+        contrib = (
+            edges.join(ranks.select(F.col("term").alias("src"), "r"), "src")
+            .join(outw, "src")
+            .select(
+                F.col("dst").alias("term"),
+                F.expr("(85 * r * w) DIV (100 * wout)").alias("c"),
+            )
+            .groupBy("term")
+            .agg(F.sum("c").cast("long").alias("c"))
+        )
+        ranks = (
+            nodes.join(contrib, "term", "left")
+            .select(
+                "term",
+                F.expr(
+                    f"CAST({15 * TR_UNIT} DIV 100"
+                    f" + coalesce(c, CAST(0 AS BIGINT)) AS BIGINT)"
+                ).alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("term", F.col("r").alias("rank_unit"))
+
+
+def _sql_textrank() -> str:
+    from harvester_spark.operators.common import SQL_DOC_TOKS
+
+    leads = ",\n".join(
+        f"p{d} AS (\n"
+        f"  SELECT term AS src,\n"
+        f"         lead(term, {d}) OVER (PARTITION BY doc_id ORDER BY pos)"
+        f" AS dst\n  FROM toks\n)"
+        for d in range(1, TR_WINDOW + 1)
+    )
+    unions = "\n  UNION ALL\n".join(
+        f"  SELECT src, dst FROM p{d} WHERE dst IS NOT NULL"
+        for d in range(1, TR_WINDOW + 1)
+    )
+    parts = [
+        f"""WITH toks AS ({SQL_DOC_TOKS}),
+{leads},
+fwd AS (
+{unions}
+),
+both_ AS (
+  SELECT src, dst FROM fwd UNION ALL SELECT dst AS src, src AS dst FROM fwd
+),
+edges AS MATERIALIZED (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+  FROM both_ WHERE src <> dst GROUP BY 1, 2
+),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS term FROM edges),
+outw AS MATERIALIZED (
+  SELECT src, CAST(sum(w) AS BIGINT) AS wout FROM edges GROUP BY 1
+),
+it0 AS MATERIALIZED (
+  SELECT term, CAST({TR_UNIT} AS BIGINT) AS r FROM nodes
+)"""
+    ]
+    for k in range(1, TR_ITERS + 1):
+        parts.append(
+            f""",
+c{k} AS MATERIALIZED (
+  SELECT e.dst AS term,
+         CAST(sum((85 * r.r * e.w) // (100 * o.wout)) AS BIGINT) AS c
+  FROM edges e JOIN it{k - 1} r ON e.src = r.term JOIN outw o ON e.src = o.src
+  GROUP BY 1
+),
+it{k} AS MATERIALIZED (
+  SELECT nodes.term,
+         CAST({15 * TR_UNIT} // 100
+              + coalesce(c, CAST(0 AS BIGINT)) AS BIGINT) AS r
+  FROM nodes LEFT JOIN c{k} USING (term)
+)"""
+        )
+    parts.append(f"\nSELECT term, r AS rank_unit FROM it{TR_ITERS}")
+    return "".join(parts)
+
+
+QUERIES["textrank_keywords"] = (textrank_keywords, _sql_textrank())

@@ -116,3 +116,22 @@ def test_cocitation_cap_binds_and_matches_bruteforce(spark):
         for r in host_cocitation(spark, SF_DIR).collect()
     }
     assert got == expected
+
+
+def test_textrank_nondegenerate_and_tracks_cooccurrence_hubness(spark):
+    """Ranks must spread (a real centrality, not a constant column) and the
+    top TextRank term must sit in the top quartile by weighted degree —
+    centrality may reorder hubs but cannot crown a leaf."""
+    from harvester_spark.operators.graph import _word_edges, textrank_keywords
+
+    rows = textrank_keywords(spark, SF_DIR).collect()
+    ranks = {r["term"]: r["rank_unit"] for r in rows}
+    assert len(ranks) > 10
+    assert len(set(ranks.values())) > len(ranks) // 2  # not collapsed
+    assert max(ranks.values()) > 2 * min(ranks.values())
+    deg = {}
+    for e in _word_edges(spark, SF_DIR).collect():
+        deg[e["src"]] = deg.get(e["src"], 0) + e["w"]
+    top_tr = max(ranks, key=lambda t: (ranks[t], t))
+    q = sorted(deg.values())[3 * len(deg) // 4]
+    assert deg[top_tr] >= q
