@@ -1327,3 +1327,146 @@ FROM scored
 
 
 QUERIES["events_anomaly_zscore"] = (events_anomaly_zscore, _sql_events_anomaly())
+
+
+# ---------------------------------------------------- click attribution
+
+# Last-touch click→purchase attribution — the event⋈event as-of join with
+# a window bound (the web-analytics sibling of j9's event⋈dimension as-of;
+# the reference tracks harvest provenance per document, a web pipeline
+# tracks conversion provenance per event). Each purchase is attributed to
+# the SAME USER's latest click at or before it, but only if that click is
+# at most ATTR_WINDOW_S seconds earlier.
+#
+# Spark-first plan: the union-window technique again — ONE shuffle on
+# user_id, no inequality join (a naive ts-range self-join of two event
+# streams is quadratic in hot users). Clicks are first deduped to one row
+# per (user, second) keeping max event_id: DuckDB's ASOF picks an
+# ARBITRARY row among equal timestamps, so the dedup is what makes both
+# engines deterministic — and it is the plan you want anyway (hot users
+# double-click). Oracle: DuckDB's native ASOF JOIN + the window filter —
+# an independent engine feature cross-checking the union-window trick.
+# Timestamps are integer epoch-seconds on BOTH sides (DuckDB epoch() is
+# fractional — floor before CAST, the j9 contract).
+
+ATTR_WINDOW_S = 3600
+
+
+def events_attribution(spark, sf_dir):
+    """(purchase_id, user_id, click_id, lag_sec): every purchase with a
+    same-user click at most ATTR_WINDOW_S seconds before it, attributed
+    last-touch (latest qualifying click; click ties broken max event_id)."""
+    ev = load(spark, sf_dir, "events")
+    epoch = F.unix_timestamp("ts").cast("long")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", epoch.alias("epoch"), "event_id")
+        .groupBy("user_id", "epoch")
+        .agg(F.max("event_id").cast("long").alias("click_id"))
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", epoch.alias("epoch")
+    )
+    tagged = clicks.select(
+        "user_id",
+        "epoch",
+        F.lit(1).alias("is_click"),
+        "click_id",
+        F.lit(None).cast("long").alias("purchase_id"),
+    ).unionByName(
+        buys.select(
+            "user_id",
+            "epoch",
+            F.lit(0).alias("is_click"),
+            F.lit(None).cast("long").alias("click_id"),
+            "purchase_id",
+        )
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("epoch").asc(), F.col("is_click").desc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    carried = tagged.withColumn(
+        "c_id", F.last("click_id", ignorenulls=True).over(w)
+    ).withColumn(
+        "c_ep",
+        F.last(
+            F.when(F.col("is_click") == 1, F.col("epoch")), ignorenulls=True
+        ).over(w),
+    )
+    return (
+        carried.filter(
+            (F.col("is_click") == 0)
+            & F.col("c_id").isNotNull()
+            & (F.col("epoch") - F.col("c_ep") <= ATTR_WINDOW_S)
+        )
+        .select(
+            "purchase_id",
+            "user_id",
+            F.col("c_id").alias("click_id"),
+            (F.col("epoch") - F.col("c_ep")).cast("long").alias("lag_sec"),
+        )
+    )
+
+
+SQL_EVENTS_ATTRIBUTION = f"""
+WITH clicks AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS c_ep,
+         CAST(max(event_id) AS BIGINT) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+),
+buys AS (
+  SELECT event_id AS purchase_id, user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS p_ep
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT buys.purchase_id AS purchase_id, buys.user_id AS user_id,
+       clicks.click_id AS click_id,
+       CAST(buys.p_ep - clicks.c_ep AS BIGINT) AS lag_sec
+FROM buys ASOF JOIN clicks
+  ON buys.user_id = clicks.user_id AND buys.p_ep >= clicks.c_ep
+WHERE buys.p_ep - clicks.c_ep <= {ATTR_WINDOW_S}
+"""
+
+QUERIES["events_attribution"] = (events_attribution, SQL_EVENTS_ATTRIBUTION)
+
+
+# Multi-touch twin of the stream-stream interval join
+# (streaming/attribution.py): the SAME attribution_pairs function run in
+# batch mode — the queries() gate for the plan the stream executes. Equi-
+# join on user_id (the equality conjunct keys the shuffle; the time range
+# is a post-filter — no BNLJ), lag in exact integer microseconds.
+def events_attribution_pairs(spark, sf_dir):
+    """(user_id, purchase_id, click_id, lag_us): every same-user
+    (click, purchase) pair with the purchase within ATTR_WINDOW_S of the
+    click — multi-touch attribution, the batch twin of the stream-stream
+    join."""
+    from harvester_spark.streaming.attribution import attribution_pairs
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    buys = ev.filter(F.col("event_type") == "purchase")
+    return attribution_pairs(clicks, buys, window_s=ATTR_WINDOW_S)
+
+
+SQL_EVENTS_ATTRIBUTION_PAIRS = f"""
+WITH c AS (
+  SELECT event_id AS click_id, user_id, ts FROM events
+  WHERE event_type = 'click'
+),
+p AS (
+  SELECT event_id AS purchase_id, user_id, ts FROM events
+  WHERE event_type = 'purchase'
+)
+SELECT p.user_id AS user_id, p.purchase_id AS purchase_id,
+       c.click_id AS click_id,
+       CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS lag_us
+FROM c JOIN p ON c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL {ATTR_WINDOW_S} SECOND
+"""
+
+QUERIES["events_attribution_pairs"] = (
+    events_attribution_pairs,
+    SQL_EVENTS_ATTRIBUTION_PAIRS,
+)
