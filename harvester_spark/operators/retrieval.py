@@ -637,3 +637,195 @@ WHERE n_a > 0 AND n_b > 0
 """
 
 QUERIES["ft_min_pair_distance"] = (ft_min_pair_distance, SQL_MIN_PAIR_DISTANCE)
+
+
+# ------------------------------------------------------ MMR diversification
+
+# Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98) — the SERP /
+# training-data diversity reranker: greedily pick K documents maximizing
+# λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s) over a bounded candidate pool. The
+# relevance leg is the repo's ONE BM25 OR kernel; the similarity leg is
+# embedding cosine over the vec_id ≡ doc_id convention (hybrid_rrf_topk).
+#
+# Determinism: the greedy argmax is taken over INTEGERS — rel_micro =
+# round(1e6·score) of the already-round(.,6) BM25 score, cos_micro via the
+# floor(x·1e6+0.5) idiom in ONE shared expression string, and the
+# objective obj = 7·rel_micro − 3·maxsim_micro (λ = 0.7 scaled by 10, kept
+# as an exact integer) — so the pick sequence is bit-identical across
+# engines; ties break doc_id asc. The DuckDB oracle unrolls the K greedy
+# steps as MATERIALIZED CTEs (the k-means/pagerank contract).
+#
+# Scale shape: the candidate pool is MMR_C rows by CONSTRUCTION (TakeOrdered
+# over the corpus-sized OR scoring — the serving plan), so everything after
+# the cut is O(C²·dim) work on broadcast-sized frames: the pos-keyed
+# component join runs over C vectors only (semi-join prune first), and each
+# greedy step is one broadcast semi/anti join + a C-row TakeOrdered.
+# Nothing corpus-sized is ever iterated; localCheckpoint materializes each
+# pick so the K-step loop doesn't re-execute the candidate query.
+
+MMR_C = 20
+MMR_K = 5
+_MMR_COS_MICRO = "CAST(floor(dot / (na * nb) * 1.0e6 + 0.5e0) AS BIGINT)"
+
+
+def ft_mmr_topk(spark, sf_dir):
+    """(pick, doc_id, rel_micro, maxsim_micro, obj): the K MMR picks in
+    greedy order from the top-MMR_C BM25-OR pool, λ = 0.7."""
+    from harvester_spark.operators.fulltext_queries import bm25_or_scored
+    from harvester_spark.operators.similarity import _components
+
+    cand = (
+        bm25_or_scored(spark, sf_dir)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(MMR_C)
+        .select(
+            "doc_id",
+            F.expr("CAST(round(score * 1.0e6, 0) AS BIGINT)").alias("rel_micro"),
+        )
+        .cache()
+    )
+    ids = F.broadcast(cand.select(F.col("doc_id").alias("vec_id")))
+    comp = _components(spark, sf_dir).join(ids, "vec_id", "semi")
+    norms = comp.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nrm")
+    )
+    a = comp.select(F.col("vec_id").alias("va"), "pos", F.col("val").alias("xa"))
+    b = comp.select(F.col("vec_id").alias("vb"), "pos", F.col("val").alias("xb"))
+    sims = (
+        a.join(b, "pos")
+        .filter(F.col("va") != F.col("vb"))
+        .groupBy("va", "vb")
+        .agg(F.sum(F.col("xa") * F.col("xb")).alias("dot"))
+        .join(
+            F.broadcast(
+                norms.select(F.col("vec_id").alias("va"), F.col("nrm").alias("na"))
+            ),
+            "va",
+        )
+        .join(
+            F.broadcast(
+                norms.select(F.col("vec_id").alias("vb"), F.col("nrm").alias("nb"))
+            ),
+            "vb",
+        )
+        .select("va", "vb", F.expr(_MMR_COS_MICRO).alias("cos_micro"))
+        .cache()
+    )
+    picks = (
+        cand.orderBy(F.col("rel_micro").desc(), F.col("doc_id").asc())
+        .limit(1)
+        .select(
+            F.lit(1).alias("pick"),
+            "doc_id",
+            "rel_micro",
+            F.lit(0).cast("long").alias("maxsim_micro"),
+            (F.col("rel_micro") * 7).cast("long").alias("obj"),
+        )
+        .localCheckpoint()
+    )
+    for k in range(2, MMR_K + 1):
+        sel = F.broadcast(picks.select("doc_id"))
+        ms = (
+            sims.join(sel.withColumnRenamed("doc_id", "vb"), "vb", "semi")
+            .join(sel.withColumnRenamed("doc_id", "va"), "va", "anti")
+            .groupBy("va")
+            .agg(F.max("cos_micro").cast("long").alias("maxsim_micro"))
+            .withColumnRenamed("va", "doc_id")
+        )
+        nxt = (
+            cand.join(ms, "doc_id")
+            .select(
+                F.lit(k).alias("pick"),
+                "doc_id",
+                "rel_micro",
+                "maxsim_micro",
+                (F.col("rel_micro") * 7 - F.col("maxsim_micro") * 3)
+                .cast("long")
+                .alias("obj"),
+            )
+            .orderBy(F.col("obj").desc(), F.col("doc_id").asc())
+            .limit(1)
+            .localCheckpoint()
+        )
+        picks = picks.unionByName(nxt)
+    return picks
+
+
+def _sql_mmr() -> str:
+    cand = f"""
+toks AS ({SQL_DOC_TOKS}),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) * 1.0 / count(*) FROM dl) AS avgdl
+),
+tf AS (
+  SELECT term, doc_id, count(*) AS tf FROM toks
+  WHERE term IN ('key', 'value', 'table') GROUP BY term, doc_id
+),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         round(sum(
+           ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+         ), 6) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+cand AS MATERIALIZED (
+  SELECT doc_id, CAST(round(score * 1.0e6, 0) AS BIGINT) AS rel_micro
+  FROM scored ORDER BY score DESC, doc_id ASC LIMIT {MMR_C}
+),
+comp AS (
+  SELECT vec_id, unnest(range(len(embedding))) AS pos,
+         unnest(CAST(embedding AS DOUBLE[])) AS val
+  FROM embeddings WHERE vec_id IN (SELECT doc_id FROM cand)
+),
+norms AS (SELECT vec_id, sqrt(sum(val * val)) AS nrm FROM comp GROUP BY vec_id),
+sims AS MATERIALIZED (
+  SELECT va, vb, {_MMR_COS_MICRO} AS cos_micro FROM (
+    SELECT a.vec_id AS va, b.vec_id AS vb, sum(a.val * b.val) AS dot,
+           any_value(na.nrm) AS na, any_value(nb.nrm) AS nb
+    FROM comp a JOIN comp b ON a.pos = b.pos AND a.vec_id <> b.vec_id
+    JOIN norms na ON na.vec_id = a.vec_id
+    JOIN norms nb ON nb.vec_id = b.vec_id
+    GROUP BY 1, 2
+  )
+),
+s1 AS MATERIALIZED (
+  SELECT CAST(1 AS INT) AS pick, doc_id, rel_micro,
+         CAST(0 AS BIGINT) AS maxsim_micro,
+         CAST(rel_micro * 7 AS BIGINT) AS obj
+  FROM cand ORDER BY rel_micro DESC, doc_id ASC LIMIT 1
+),
+sel1 AS (SELECT doc_id FROM s1)"""
+    parts = ["WITH " + cand.strip()]
+    for k in range(2, MMR_K + 1):
+        parts.append(
+            f""",
+s{k} AS MATERIALIZED (
+  SELECT CAST({k} AS INT) AS pick, c.doc_id AS doc_id, c.rel_micro AS rel_micro,
+         m.ms AS maxsim_micro,
+         CAST(c.rel_micro * 7 - m.ms * 3 AS BIGINT) AS obj
+  FROM cand c JOIN (
+    SELECT va AS doc_id, CAST(max(cos_micro) AS BIGINT) AS ms
+    FROM sims
+    WHERE vb IN (SELECT doc_id FROM sel{k - 1})
+      AND va NOT IN (SELECT doc_id FROM sel{k - 1})
+    GROUP BY va
+  ) m ON m.doc_id = c.doc_id
+  ORDER BY obj DESC, c.doc_id ASC LIMIT 1
+),
+sel{k} AS (SELECT doc_id FROM sel{k - 1} UNION ALL SELECT doc_id FROM s{k})"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT pick, doc_id, rel_micro, maxsim_micro, obj FROM s{k}"
+        for k in range(1, MMR_K + 1)
+    )
+    parts.append("\n" + union)
+    return "".join(parts)
+
+
+QUERIES["ft_mmr_topk"] = (ft_mmr_topk, _sql_mmr())

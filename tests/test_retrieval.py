@@ -173,3 +173,33 @@ def test_ann_lsh_recall_is_a_real_eval(spark):
     assert all(0.0 <= r <= 1.0 for r in recs)
     assert sum(recs) / len(recs) > 0.5
     assert min(recs) < 1.0  # approximate, not secretly exact
+
+
+def test_mmr_diversity_actually_binds(spark):
+    """MMR must (a) open with the pure-relevance argmax, (b) pick K
+    distinct docs, and (c) DIVERGE from the relevance-only top-K order —
+    if the similarity penalty never changes a pick, the operator proves
+    nothing about diversification."""
+    from pyspark.sql import functions as F
+
+    from harvester_spark.operators.fulltext_queries import bm25_or_scored
+    from harvester_spark.operators.retrieval import MMR_K, ft_mmr_topk
+
+    sf = "/root/testdata/sf0.01"
+    picks = sorted(
+        ft_mmr_topk(spark, sf).collect(), key=lambda r: r["pick"]
+    )
+    assert [r["pick"] for r in picks] == list(range(1, MMR_K + 1))
+    ids = [r["doc_id"] for r in picks]
+    assert len(set(ids)) == MMR_K
+    rel = [
+        r["doc_id"]
+        for r in bm25_or_scored(spark, sf)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(MMR_K)
+        .collect()
+    ]
+    assert ids[0] == rel[0]  # first pick is pure relevance
+    assert ids != rel  # the penalty reorders the tail
+    assert picks[0]["maxsim_micro"] == 0
+    assert all(r["obj"] == 7 * r["rel_micro"] - 3 * r["maxsim_micro"] for r in picks[1:])
