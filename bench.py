@@ -101,6 +101,15 @@ HEADLINE = [
     "ft_percolate",
     "ft_static_prune",
     "postings_varbyte_size",
+    # round-3 session 7: Block-Max WAND planning metadata, the second
+    # ranking family (Dirichlet QL), TextRank centrality, attribution
+    # (as-of + the stream-stream join's batch twin), MMR diversification
+    "block_max_impacts",
+    "ft_lm_dirichlet_topk",
+    "textrank_keywords",
+    "events_attribution",
+    "events_attribution_pairs",
+    "ft_mmr_topk",
 ]
 WARMUP_DOCS = 2000
 
