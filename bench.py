@@ -110,6 +110,7 @@ HEADLINE = [
     "events_attribution",
     "events_attribution_pairs",
     "ft_mmr_topk",
+    "ft_rank_eval_ndcg",
 ]
 WARMUP_DOCS = 2000
 

@@ -203,3 +203,18 @@ def test_mmr_diversity_actually_binds(spark):
     assert ids != rel  # the penalty reorders the tail
     assert picks[0]["maxsim_micro"] == 0
     assert all(r["obj"] == 7 * r["rel_micro"] - 3 * r["maxsim_micro"] for r in picks[1:])
+
+
+def test_rank_eval_ndcg_phrase_grades_actually_discriminate(spark):
+    """nDCG must be < 1 with real spread: the phrase-aware grades exist
+    because a term-overlap grade saturates to 1.0 on this corpus and the
+    eval would prove nothing (the degenerate-synthesis trap)."""
+    from harvester_spark.operators.retrieval import HN_N_QUERIES, ft_rank_eval_ndcg
+
+    rows = ft_rank_eval_ndcg(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == HN_N_QUERIES
+    nd = [r["ndcg"] for r in rows]
+    assert all(0.0 < v <= 1.0 for v in nd)
+    assert max(nd) < 1.0  # BM25 never exactly recovers the phrase order
+    assert len(set(nd)) > HN_N_QUERIES // 3  # per-query spread
+    assert all(r["dcg_micro"] <= r["idcg_micro"] for r in rows)
