@@ -1340,14 +1340,18 @@ QUERIES["events_anomaly_zscore"] = (events_anomaly_zscore, _sql_events_anomaly()
 #
 # Spark-first plan: the union-window technique again — ONE shuffle on
 # user_id, no inequality join (a naive ts-range self-join of two event
-# streams is quadratic in hot users). Clicks are first deduped to one row
-# per (user, second) keeping max event_id: DuckDB's ASOF picks an
-# ARBITRARY row among equal timestamps, so the dedup is what makes both
-# engines deterministic — and it is the plan you want anyway (hot users
-# double-click). Oracle: DuckDB's native ASOF JOIN + the window filter —
-# an independent engine feature cross-checking the union-window trick.
-# Timestamps are integer epoch-seconds on BOTH sides (DuckDB epoch() is
-# fractional — floor before CAST, the j9 contract).
+# streams is quadratic in hot users). Same-second click ties resolve to
+# max event_id WITHOUT a separate dedup exchange: the carry window orders
+# (epoch asc, is_click desc, event_id asc), so among clicks of one second
+# the LAST one carried is the max event_id — the same total order gives
+# the tie rule and the single shuffle. The rule itself is load-bearing:
+# DuckDB's ASOF picks an ARBITRARY row among equal timestamps, so the
+# oracle dedups clicks per (user, second) to max event_id explicitly —
+# both engines land on the identical attribution. Oracle: DuckDB's native
+# ASOF JOIN + the window filter — an independent engine feature cross-
+# checking the union-window trick. Timestamps are integer epoch-seconds
+# on BOTH sides (DuckDB epoch() is fractional — floor before CAST, the
+# j9 contract).
 
 ATTR_WINDOW_S = 3600
 
@@ -1358,11 +1362,10 @@ def events_attribution(spark, sf_dir):
     last-touch (latest qualifying click; click ties broken max event_id)."""
     ev = load(spark, sf_dir, "events")
     epoch = F.unix_timestamp("ts").cast("long")
-    clicks = (
-        ev.filter(F.col("event_type") == "click")
-        .select("user_id", epoch.alias("epoch"), "event_id")
-        .groupBy("user_id", "epoch")
-        .agg(F.max("event_id").cast("long").alias("click_id"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        epoch.alias("epoch"),
+        F.col("event_id").cast("long").alias("click_id"),
     )
     buys = ev.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"), "user_id", epoch.alias("epoch")
@@ -1384,7 +1387,11 @@ def events_attribution(spark, sf_dir):
     )
     w = (
         W.partitionBy("user_id")
-        .orderBy(F.col("epoch").asc(), F.col("is_click").desc())
+        .orderBy(
+            F.col("epoch").asc(),
+            F.col("is_click").desc(),
+            F.coalesce("click_id", "purchase_id").asc(),
+        )
         .rowsBetween(W.unboundedPreceding, 0)
     )
     carried = tagged.withColumn(

@@ -82,3 +82,21 @@ def test_attribution_batch_plan_has_no_nested_loop(spark):
     plan = attribution_pairs(clicks, buys)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_last_touch_attribution_is_one_shuffle_no_joins(spark):
+    """The union-window plan must stay: exactly ONE user-keyed exchange
+    and zero joins — the same-second click tie-break rides the carry
+    window's order, not a separate dedup aggregation."""
+    from harvester_spark.operators.relational import events_attribution
+
+    plan = (
+        events_attribution(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+              "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert j not in plan
