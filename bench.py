@@ -111,6 +111,7 @@ HEADLINE = [
     "events_attribution_pairs",
     "ft_mmr_topk",
     "ft_rank_eval_ndcg",
+    "ft_rank_eval_prk",
 ]
 WARMUP_DOCS = 2000
 

@@ -862,9 +862,10 @@ _NDCG_ADDEND = (
 )
 
 
-def ft_rank_eval_ndcg(spark, sf_dir):
-    """(q_id, dcg_micro, idcg_micro, ndcg): nDCG@10 of the BM25-OR serving
-    ranking vs phrase-aware graded qrels, for the 16 registry queries."""
+def _graded_ranking(spark, sf_dir):
+    """(q_id, doc_id, score, rel): BM25 score + phrase-aware grade for
+    every (registry query, matching doc) — shared by the nDCG and
+    precision/MRR rank-eval metrics."""
     docs = load(spark, sf_dir, "documents")
     toks = doc_tokens(spark, sf_dir)
 
@@ -934,7 +935,7 @@ def ft_rank_eval_ndcg(spark, sf_dir):
         .distinct()
         .withColumn("b3", F.lit(1))
     )
-    graded = (
+    return (
         scored.join(both_, ["q_id", "doc_id"], "left")
         .join(adj, ["q_id", "doc_id"], "left")
         .withColumn(
@@ -945,6 +946,11 @@ def ft_rank_eval_ndcg(spark, sf_dir):
         .select("q_id", "doc_id", "score", "rel")
     )
 
+
+def ft_rank_eval_ndcg(spark, sf_dir):
+    """(q_id, dcg_micro, idcg_micro, ndcg): nDCG@10 of the BM25-OR serving
+    ranking vs phrase-aware graded qrels, for the 16 registry queries."""
+    graded = _graded_ranking(spark, sf_dir)
     wr = W.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("doc_id").asc())
     dcg = (
         graded.withColumn("rnk", F.row_number().over(wr))
@@ -969,7 +975,7 @@ def ft_rank_eval_ndcg(spark, sf_dir):
     )
 
 
-SQL_RANK_EVAL_NDCG = f"""
+_SQL_GRADED_PREFIX = f"""
 WITH toks AS ({SQL_DOC_TOKS}),
 qd AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT {HN_N_QUERIES}),
 first AS (
@@ -1029,7 +1035,9 @@ graded AS (
   FROM scored s
   LEFT JOIN both_ b ON b.q_id = s.q_id AND b.doc_id = s.doc_id
   LEFT JOIN adj a ON a.q_id = s.q_id AND a.doc_id = s.doc_id
-),
+)"""
+
+SQL_RANK_EVAL_NDCG = _SQL_GRADED_PREFIX + f""",
 dcg AS (
   SELECT q_id, CAST(sum({_NDCG_ADDEND}) AS BIGINT) AS dcg_micro FROM (
     SELECT q_id, rel,
@@ -1052,3 +1060,66 @@ FROM dcg JOIN idcg USING (q_id)
 """
 
 QUERIES["ft_rank_eval_ndcg"] = (ft_rank_eval_ndcg, SQL_RANK_EVAL_NDCG)
+
+
+# Precision@10 and MRR@10 over the same graded ranking — the other two
+# metrics the `_rank_eval` API ships (precision / mean_reciprocal_rank
+# metric blocks). "Relevant" = rel == 3 (the phrase grade; rel >= 2 saturates precision to 1.0 on this corpus and proves nothing); the
+# reciprocal rank is integer micro-units from an INTEGER rank, and
+# queries with no relevant doc in the top 10 report 0 (the API's
+# convention), kept via a left join from the query spine.
+
+
+def ft_rank_eval_prk(spark, sf_dir):
+    """(q_id, n_rel_at10, prec_at10, rr_micro): precision@10 and
+    reciprocal rank (micro-units) of the first rel==3 doc per registry
+    query."""
+    graded = _graded_ranking(spark, sf_dir)
+    wr = W.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    top = graded.withColumn("rnk", F.row_number().over(wr)).filter(
+        F.col("rnk") <= NDCG_K
+    )
+    hits = (
+        top.filter(F.col("rel") >= 3)
+        .groupBy("q_id")
+        .agg(
+            F.count("*").cast("long").alias("n_rel_at10"),
+            F.min("rnk").alias("first_rnk"),
+        )
+    )
+    qs = graded.select("q_id").distinct()
+    return qs.join(hits, "q_id", "left").select(
+        "q_id",
+        F.coalesce(F.col("n_rel_at10"), F.lit(0)).cast("long").alias("n_rel_at10"),
+        F.round(
+            F.coalesce(F.col("n_rel_at10"), F.lit(0)) / F.lit(10.0), 6
+        ).alias("prec_at10"),
+        F.coalesce(
+            F.expr("CAST(floor(1.0e6 / first_rnk + 0.5e0) AS BIGINT)"),
+            F.lit(0).cast("long"),
+        ).alias("rr_micro"),
+    )
+
+
+SQL_RANK_EVAL_PRK = _SQL_GRADED_PREFIX + f""",
+top AS (
+  SELECT q_id, rel,
+         row_number() OVER (
+           PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM graded
+),
+hits AS (
+  SELECT q_id, CAST(count(*) AS BIGINT) AS n_rel_at10,
+         CAST(min(rnk) AS BIGINT) AS first_rnk
+  FROM top WHERE rnk <= {NDCG_K} AND rel >= 3 GROUP BY q_id
+),
+qs AS (SELECT DISTINCT q_id FROM graded)
+SELECT qs.q_id AS q_id,
+       CAST(coalesce(n_rel_at10, 0) AS BIGINT) AS n_rel_at10,
+       round(coalesce(n_rel_at10, 0) / 10.0e0, 6) AS prec_at10,
+       coalesce(CAST(floor(1.0e6 / first_rnk + 0.5e0) AS BIGINT),
+                CAST(0 AS BIGINT)) AS rr_micro
+FROM qs LEFT JOIN hits ON hits.q_id = qs.q_id
+"""
+
+QUERIES["ft_rank_eval_prk"] = (ft_rank_eval_prk, SQL_RANK_EVAL_PRK)

@@ -218,3 +218,19 @@ def test_rank_eval_ndcg_phrase_grades_actually_discriminate(spark):
     assert max(nd) < 1.0  # BM25 never exactly recovers the phrase order
     assert len(set(nd)) > HN_N_QUERIES // 3  # per-query spread
     assert all(r["dcg_micro"] <= r["idcg_micro"] for r in rows)
+
+
+def test_rank_eval_prk_spreads_and_handles_zero_hit_queries(spark):
+    """Precision@10/MRR must vary across queries (rel==3 relevance — the
+    rel>=2 version saturates at 1.0 and proves nothing) and zero-hit
+    queries must report 0, not vanish from the output."""
+    from harvester_spark.operators.retrieval import HN_N_QUERIES, ft_rank_eval_prk
+
+    rows = ft_rank_eval_prk(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == HN_N_QUERIES
+    ps = [r["prec_at10"] for r in rows]
+    assert len(set(ps)) > 3 and max(ps) < 1.0
+    zero = [r for r in rows if r["n_rel_at10"] == 0]
+    assert zero and all(r["rr_micro"] == 0 and r["prec_at10"] == 0.0 for r in zero)
+    hit = [r for r in rows if r["n_rel_at10"] > 0]
+    assert hit and all(0 < r["rr_micro"] <= 10**6 for r in hit)
