@@ -1477,3 +1477,50 @@ QUERIES["events_attribution_pairs"] = (
     events_attribution_pairs,
     SQL_EVENTS_ATTRIBUTION_PAIRS,
 )
+
+
+# ------------------------------------------------------------- TPC-H Q6
+
+# The forecast-revenue-change query — the canonical predicate-pushdown /
+# vectorized-scan showcase (no join, no shuffle beyond one scalar agg):
+# every predicate reaches the parquet scan as a PushedFilter and the agg
+# is a map-side partial sum. Money determinism: per-row integer cents
+# (round(extendedprice·discount·100)) then an exact BIGINT sum — float
+# SUM order never matters (the a9/cents contract). Date window shifted to
+# the corpus's 1995–2001 shipdate range; the band predicates bind
+# (test: 1251 of 60k rows at sf0.01).
+
+_Q6_LO, _Q6_HI = "1996-01-01", "1997-01-01"
+
+
+def q6_forecast_revenue(spark, sf_dir):
+    """(n_rows, revenue_cents): Σ extendedprice·discount over the Q6 band
+    — one filtered scan, one scalar aggregate."""
+    li = load(spark, sf_dir, "lineitem")
+    f = li.filter(
+        (F.col("l_shipdate") >= F.lit(_Q6_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_Q6_HI).cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return f.select(
+        F.round(F.col("l_extendedprice") * F.col("l_discount") * 100)
+        .cast("long")
+        .alias("cents")
+    ).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+    )
+
+
+SQL_Q6_FORECAST = f"""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT))
+            AS BIGINT) AS revenue_cents
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{_Q6_LO}' AND l_shipdate < TIMESTAMP '{_Q6_HI}'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+QUERIES["q6_forecast_revenue"] = (q6_forecast_revenue, SQL_Q6_FORECAST)
