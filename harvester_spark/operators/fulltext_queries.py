@@ -1903,3 +1903,129 @@ ORDER BY logp_micro DESC, doc_id ASC LIMIT 10
 
 
 QUERIES["ft_lm_dirichlet_topk"] = (ft_lm_dirichlet_topk, SQL_LM_DIRICHLET)
+
+
+# ------------------------------------------------- significant terms (JLH)
+
+# The OpenSearch/ES `significant_text` aggregation backing "what terms
+# characterize this result set" drill-downs (the reference exposes its
+# cousin, the terms-agg facet counts — search/views/document.py:95-112; this
+# is the significance-scored upgrade every relevance UI grows into). JLH
+# score = (fg_rate − bg_rate) · (fg_rate / bg_rate): absolute lift times
+# relative lift, the ES default.
+#
+# The synthetic corpus has NO term↔metadata association (measured: max
+# per-term lift for any lang/source slice is within 12% of the base rate),
+# so a real-column foreground would make the score degenerate — the repo
+# rule for that (CLAUDE.md) is deterministic in-operator synthesis plus a
+# discrimination test. Foreground = doc_id % 5 == 0; those docs get ONE
+# topic token (3-way by doc_id % 3) appended to their text; background
+# noise docs (doc_id % 17 == 0) get the same token so bg_df is nonzero and
+# the score has to beat real noise. Identical synthesis expression in both
+# engines; the test pins that topic terms out-rank every organic term.
+#
+# Scale shape: fg term-df is one groupBy over the FILTERED token stream;
+# bg term-df is the index dictionary (one groupBy over the full stream at
+# build time — serving would read the dictionary, not re-scan). The two
+# meet in one equi-join on term; the 1-row (n_fg, n_bg) stats frame is a
+# broadcast crossJoin; the tail is TakeOrdered(20), never a global sort.
+# All doubles derive from the same integer-ratio expression string in both
+# engines (e0 literals, mirrored-negative micro-unit rounding).
+
+SIG_TOPICS = ("alphatopic", "betatopic", "gammatopic")
+SIG_MIN_FG_DF = 3  # ES min_doc_count default
+
+# text with the deterministic topical overlay (shared expression string)
+_SIG_TEXT = (
+    "CASE WHEN doc_id % 5 = 0 OR doc_id % 17 = 0 THEN "
+    "text || ' ' || CASE doc_id % 3 "
+    "WHEN 0 THEN 'alphatopic' WHEN 1 THEN 'betatopic' "
+    "ELSE 'gammatopic' END "
+    "ELSE text END"
+)
+
+_SIG_JLH = (
+    "((fg_df * 1.0e0 / n_fg) - (df * 1.0e0 / n_bg))"
+    " * ((fg_df * 1.0e0 / n_fg) / (df * 1.0e0 / n_bg))"
+)
+_SIG_JLH_MICRO = (
+    f"CASE WHEN {_SIG_JLH} >= 0e0 "
+    f"THEN CAST(floor({_SIG_JLH} * 1.0e6 + 0.5e0) AS BIGINT) "
+    f"ELSE CAST(-floor(-({_SIG_JLH}) * 1.0e6 + 0.5e0) AS BIGINT) END"
+)
+
+
+def ft_significant_terms(spark, sf_dir):
+    """(rank, term, fg_df, df, jlh_micro): top-20 terms most significant
+    for the foreground slice (doc_id % 5 == 0 over the topic-overlaid
+    corpus) vs the whole corpus, JLH-scored in integer micro-units; ties
+    term asc."""
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "is_fg", (F.col("doc_id") % 5 == 0)
+    )
+    toks = docs.select(
+        "doc_id",
+        "is_fg",
+        F.explode(tokens_column(F.expr(_SIG_TEXT))).alias("term"),
+    )
+
+    term_doc = toks.select("term", "doc_id", "is_fg").distinct()
+    bg = term_doc.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    fg = (
+        term_doc.filter(F.col("is_fg"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("fg_df"))
+        .filter(F.col("fg_df") >= SIG_MIN_FG_DF)
+    )
+    stats = docs.agg(
+        F.count("*").cast("long").alias("n_bg"),
+        F.sum(F.col("is_fg").cast("long")).cast("long").alias("n_fg"),
+    )
+    scored = (
+        fg.join(bg, "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("jlh_micro", F.expr(_SIG_JLH_MICRO))
+        .select("term", "fg_df", "df", "jlh_micro")
+    )
+    top = scored.orderBy(F.col("jlh_micro").desc(), F.col("term").asc()).limit(20)
+    w = W.orderBy(F.col("jlh_micro").desc(), F.col("term").asc())
+    return top.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).select("rank", "term", "fg_df", "df", "jlh_micro")
+
+
+SQL_SIGNIFICANT_TERMS = f"""
+WITH synth AS (
+  SELECT doc_id, doc_id % 5 = 0 AS is_fg, {_SIG_TEXT} AS text2
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, is_fg,
+         unnest({SQL_TOKS.format(col='text2')}) AS term
+  FROM synth
+),
+term_doc AS (SELECT DISTINCT term, doc_id, is_fg FROM toks),
+bg AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM term_doc GROUP BY 1),
+fg AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS fg_df FROM term_doc
+  WHERE is_fg GROUP BY 1
+  HAVING count(*) >= {SIG_MIN_FG_DF}
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_bg,
+         CAST(sum(CASE WHEN is_fg THEN 1 ELSE 0 END) AS BIGINT) AS n_fg
+  FROM synth
+),
+scored AS (
+  SELECT term, fg_df, df, {_SIG_JLH_MICRO} AS jlh_micro
+  FROM fg JOIN bg USING (term) CROSS JOIN stats
+)
+SELECT CAST(row_number() OVER (ORDER BY jlh_micro DESC, term ASC) AS INT)
+         AS rank,
+       term, fg_df, df, jlh_micro
+FROM scored
+ORDER BY jlh_micro DESC, term ASC LIMIT 20
+"""
+
+
+QUERIES["ft_significant_terms"] = (ft_significant_terms, SQL_SIGNIFICANT_TERMS)
