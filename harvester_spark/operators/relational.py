@@ -1524,3 +1524,49 @@ WHERE l_shipdate >= TIMESTAMP '{_Q6_LO}' AND l_shipdate < TIMESTAMP '{_Q6_HI}'
 """
 
 QUERIES["q6_forecast_revenue"] = (q6_forecast_revenue, SQL_Q6_FORECAST)
+
+
+# ----------------------------------------------- search_after pagination
+
+# ES/OpenSearch `search_after` — THE deep-pagination contract at scale
+# (page-number paging tops out at the 10k window cap t1_pagination models;
+# the reference's paginator — core/views/document.py pagination over search
+# results — inherits exactly that cap). A cursor is the sort-key tuple of
+# the last row served; the next page is the top-k STRICTLY AFTER it in
+# (ts desc, event_id asc) order. No window over the full table, no global
+# sort: the cursor predicate pushes to the scan (ts <= cursor prunes whole
+# files/row-groups by min/max stats) and the tail is TakeOrdered(k) —
+# per-partition heaps, driver merge of k rows. Page 10^6 costs the same as
+# page 1.
+
+_SA_TS = "2024-01-15 12:00:00"
+_SA_ID = 4000
+
+
+def t7_search_after(spark, sf_dir):
+    """(ts, event_id, user_id, event_type): the 20 events strictly after
+    the cursor (ts desc, event_id asc) — cursor semantics: older ts, or
+    same ts with larger event_id."""
+    ev = load(spark, sf_dir, "events")
+    cur_ts = F.lit(_SA_TS).cast("timestamp")
+    after = ev.filter(
+        (F.col("ts") < cur_ts)
+        | ((F.col("ts") == cur_ts) & (F.col("event_id") > _SA_ID))
+    )
+    return (
+        after.orderBy(F.col("ts").desc(), F.col("event_id").asc())
+        .limit(20)
+        .select("ts", "event_id", "user_id", "event_type")
+    )
+
+
+SQL_T7_SEARCH_AFTER = f"""
+SELECT ts, event_id, user_id, event_type
+FROM events
+WHERE ts < TIMESTAMP '{_SA_TS}'
+   OR (ts = TIMESTAMP '{_SA_TS}' AND event_id > {_SA_ID})
+ORDER BY ts DESC, event_id ASC
+LIMIT 20
+"""
+
+QUERIES["t7_search_after"] = (t7_search_after, SQL_T7_SEARCH_AFTER)

@@ -112,11 +112,28 @@ class SearchAPI:
         precise_total: bool = True,
         fetch_fields: tuple[str, ...] = (),
         highlight: bool = False,
+        search_after: tuple[float, int] | None = None,
     ) -> dict:
         """``precise_total=False`` routes plain AND queries through the
         vectorized conjunctive block-max fast path (exact top-k, scored
         count as an imprecise total — the OpenSearch 10k-bound analogue);
-        filters/phrases/recency keep the exact-total engine path."""
+        filters/phrases/recency keep the exact-total engine path.
+
+        ``search_after=(score, doc_id)`` is the ES deep-pagination cursor
+        (sort key of the last row served): the next k strictly after it in
+        (score desc, doc_id asc) order, at page-1 cost regardless of depth
+        — the scale path past the 10k page window. Supported on the plain
+        AND / quoted-phrase path (with filters); OR, SQS-operator and
+        recency queries raise, like ES rejects search_after with
+        incompatible request shapes."""
+        if search_after is not None:
+            from harvester_spark.search.sqs import has_operators as _has_ops
+
+            if _has_ops(query_text) or operator == "or" or recency_boost or page != 1:
+                raise ValueError(
+                    "search_after supports the plain AND/phrase path only "
+                    "(no OR / SQS operators / recency_boost / page)"
+                )
         if not tokenize(query_text or ""):
             return self._empty_query_listing(k, page, filters, include_filter_counts)
 
@@ -234,7 +251,10 @@ class SearchAPI:
 
         if recency_boost:
             res, topk = self._search_recency(query_text, k, page, lang, allowed)
-        elif not precise_total and allowed is None and page == 1:
+        elif (
+            not precise_total and allowed is None and page == 1
+            and search_after is None
+        ):
             from harvester_spark.search.conjunctive import and_search_fast
 
             res = and_search_fast(self.searcher, query_text, k=k, lang=lang)
@@ -242,6 +262,7 @@ class SearchAPI:
         else:
             res = self.searcher.search(
                 query_text, k=k, lang=lang, allowed_doc_ids=allowed, page=page,
+                search_after=search_after,
             )
             topk = res.topk
 

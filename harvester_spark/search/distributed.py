@@ -663,6 +663,7 @@ def and_search_batch(
     k: int = 10,
     lang: str = ALL_LANG,
     n_ranges: int | None = None,
+    search_after: dict[str, tuple[float, int]] | None = None,
 ) -> tuple[pd.DataFrame, dict]:
     """Batch conjunctive (AND) top-k over docID ranges — the distributed twin
     of ``IndexSearcher.search`` for query batches.
@@ -672,6 +673,10 @@ def and_search_batch(
     scores its slice with GLOBAL df/idf/corpus stats (per-doc scores are
     range-independent, so the merged ranking equals the driver path
     exactly), and per-range candidate counts sum to the EXACT total.
+    ``search_after[qid] = (score, doc_id)`` applies the ES deep-pagination
+    cursor per range — one mask over that range's scored candidates before
+    its local top-k, so the merged page-after-cursor is exact while the
+    reported totals stay cursor-independent (ES semantics).
     Returns (stacked top-k frame, {query_id: exact_total}). Over a
     DeltaSearcher with un-compacted deltas, each range merges seq-tagged
     base+delta blocks with latest-wins tombstone filtering before
@@ -765,10 +770,27 @@ def and_search_batch(
                 scores += bm25.idf(n_docs, dfs_g[t]) * bm25.tf_norm(
                     tfv[pos], dl, avgdl
                 )
-            top = bm25.topk_order(scores, cand, k)
+            sa = (search_after or {}).get(qid)
+            if sa is not None:
+                # ES deep-pagination cursor: one mask over this range's
+                # scored candidates; range_total stays cursor-independent
+                s0, d0 = sa
+                keep_sa = (scores < s0) | ((scores == s0) & (cand > d0))
+                cand_k, scores_k = cand[keep_sa], scores[keep_sa]
+                if cand_k.size == 0:
+                    # totals-carrier sentinel (filtered out of the ranking
+                    # on the driver): a cursor-emptied range must still
+                    # report its candidate count
+                    out_rows.append(
+                        (qid, int(lo), float("-inf"), int(cand.size))
+                    )
+                    continue
+            else:
+                cand_k, scores_k = cand, scores
+            top = bm25.topk_order(scores_k, cand_k, k)
             for i in top:
                 out_rows.append(
-                    (qid, int(cand[i]), float(scores[i]), int(cand.size))
+                    (qid, int(cand_k[i]), float(scores_k[i]), int(cand.size))
                 )
         return pd.DataFrame(
             out_rows, columns=["query_id", "doc_id", "score", "range_total"]
@@ -795,6 +817,7 @@ def and_search_batch(
                 .first()
                 .sum()
             )
+        sub = sub[np.isfinite(sub["score"])]  # drop totals-carrier sentinels
         sub = sub.sort_values(
             ["score", "doc_id"], ascending=[False, True]
         ).head(k).reset_index(drop=True)

@@ -278,7 +278,19 @@ class IndexSearcher:
         lang: str = ALL_LANG,
         allowed_doc_ids: np.ndarray | None = None,
         page: int = 1,
+        search_after: tuple[float, int] | None = None,
     ) -> SearchResult:
+        """``search_after=(score, doc_id)`` is the ES/OpenSearch deep-
+        pagination cursor: return the top-k STRICTLY AFTER that sort key in
+        (score desc, doc_id asc) order. Page N costs the same as page 1 —
+        the cursor is one vectorized mask over the scored candidates, never
+        a ``page*k`` fetch — so it has no 10k-window cap. Cursor scores
+        come from this engine, so float equality is exact (one shared BM25
+        kernel). Mutually exclusive with ``page``; ranks in the result are
+        cursor-relative (1..k), matching ES semantics where absolute
+        offsets are unknowable without a count."""
+        if search_after is not None and page != 1:
+            raise ValueError("search_after and page are mutually exclusive")
         terms = sorted(set(tokenize(query_text)))
         empty = pd.DataFrame(columns=["rank", "doc_id", "score"])
         if not terms:
@@ -300,15 +312,17 @@ class IndexSearcher:
         if allowed_doc_ids is None and _dispatch_batch(self, dfs):
             from harvester_spark.search.distributed import and_search_batch
 
+            sa = {"q": search_after} if search_after is not None else None
             stacked, totals = and_search_batch(
-                self.spark, self, [("q", query_text)], k=page * k, lang=lang
+                self.spark, self, [("q", query_text)],
+                k=k if search_after is not None else page * k,
+                lang=lang, search_after=sa,
             )
-            top = stacked.iloc[(page - 1) * k :].reset_index(drop=True)
+            off = 0 if search_after is not None else (page - 1) * k
+            top = stacked.iloc[off:].reset_index(drop=True)
             topk = pd.DataFrame(
                 {
-                    "rank": np.arange(
-                        (page - 1) * k + 1, (page - 1) * k + 1 + len(top)
-                    ),
+                    "rank": np.arange(off + 1, off + 1 + len(top)),
                     "doc_id": top["doc_id"].astype(np.int64),
                     "score": top["score"].astype(np.float64),
                 }
@@ -373,11 +387,21 @@ class IndexSearcher:
             candidates, scores = candidates[keep], scores[keep]
 
         total = int(candidates.size)
-        take = page * k
-        top = bm25.topk_order(scores, candidates, take)[(page - 1) * k :]
+        if search_after is not None:
+            # the cursor is one O(|matches|) mask — page depth never grows
+            # the fetch (vs the page*k fetch below)
+            s0, d0 = search_after
+            after = (scores < s0) | ((scores == s0) & (candidates > d0))
+            candidates, scores = candidates[after], scores[after]
+            top = bm25.topk_order(scores, candidates, k)
+            off = 0
+        else:
+            take = page * k
+            top = bm25.topk_order(scores, candidates, take)[(page - 1) * k :]
+            off = (page - 1) * k
         topk = pd.DataFrame(
             {
-                "rank": np.arange((page - 1) * k + 1, (page - 1) * k + 1 + len(top)),
+                "rank": np.arange(off + 1, off + 1 + len(top)),
                 "doc_id": candidates[top].astype(np.int64),
                 "score": scores[top],
             }
