@@ -2029,3 +2029,173 @@ ORDER BY jlh_micro DESC, term ASC LIMIT 20
 
 
 QUERIES["ft_significant_terms"] = (ft_significant_terms, SQL_SIGNIFICANT_TERMS)
+
+
+# --------------------------------------------- dis_max best_fields ranking
+
+# ES `multi_match type=best_fields` — the OTHER multi-field combination
+# the reference's field-list queries can request (OpenSearch's default
+# multi_match type; the reference passes a fields list to
+# simple_query_string — core/models/search/query.py:73-88 — whose
+# cross-field scoring has two canonical modes: the fielded-saturation
+# BM25F above, and this one). Each field is scored as its own BM25 index
+# (field-local tf, length norm, df) over the full AND query; a doc
+# qualifies if at least ONE field matches all terms; the combined score is
+# Lucene's DisjunctionMaxQuery: max over matching fields plus
+# tie_breaker · (sum − max). Fields are the same deterministic synthesis
+# as BM25F (title = first TITLE_K tokens, body = rest).
+#
+# Same scale skeleton as ft_bm25_topk: term filter before the tf groupBy,
+# broadcast df/stats, two doc-keyed aggs, TakeOrdered(10) tail. The
+# serving kernel (search/bm25.py) is untouched.
+
+DISMAX_TIE_BREAKER = 0.3
+
+
+def ft_dismax_topk(spark, sf_dir):
+    """(rank, doc_id, n_fields, score): top-10 docs by dis_max best_fields
+    over (title, body); score = max + 0.3·(sum − max), round(.,6); ties
+    doc_id asc."""
+    toks = doc_tokens(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    n_terms = len(BM25_TERMS)
+
+    lens = docs.select(
+        "doc_id", F.size(tokens_column(F.col("text"))).alias("n_toks")
+    ).select(
+        "doc_id",
+        F.least(F.col("n_toks"), F.lit(TITLE_K)).alias("title_len"),
+        F.greatest(F.col("n_toks") - TITLE_K, F.lit(0)).alias("body_len"),
+    )
+    stats = lens.agg(
+        (F.sum("title_len") * 1.0 / F.count("*")).alias("avg_title"),
+        (F.sum("body_len") * 1.0 / F.count("*")).alias("avg_body"),
+        F.count("*").alias("n"),
+    )
+    tf = (
+        toks.filter(F.col("term").isin(BM25_TERMS))
+        .groupBy(
+            "term",
+            "doc_id",
+            F.when(F.col("pos") < TITLE_K, F.lit("title"))
+            .otherwise(F.lit("body"))
+            .alias("field"),
+        )
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term", "field").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    contrib = (
+        tf.join(F.broadcast(df_), ["term", "field"])
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "flen",
+            F.when(F.col("field") == "title", F.col("title_len")).otherwise(
+                F.col("body_len")
+            ),
+        )
+        .withColumn(
+            "favg",
+            F.when(F.col("field") == "title", F.col("avg_title")).otherwise(
+                F.col("avg_body")
+            ),
+        )
+        .withColumn(
+            "idf",
+            F.log(1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        )
+        .withColumn(
+            "c",
+            F.col("idf")
+            * (F.col("tf") * (BM25F_K1 + 1.0))
+            / (
+                F.col("tf")
+                + BM25F_K1
+                * (1.0 - 0.75 + 0.75 * F.col("flen") / F.col("favg"))
+            ),
+        )
+    )
+    per_field = (
+        contrib.groupBy("doc_id", "field")
+        .agg(F.count("*").alias("nt"), F.sum("c").alias("s_f"))
+        .filter(F.col("nt") == n_terms)  # per-field AND match
+    )
+    scored = (
+        per_field.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_fields"),
+            F.max("s_f").alias("smax"),
+            F.sum("s_f").alias("ssum"),
+        )
+        .withColumn(
+            "score",
+            F.round(
+                F.col("smax")
+                + DISMAX_TIE_BREAKER * (F.col("ssum") - F.col("smax")),
+                6,
+            ),
+        )
+        .select("doc_id", "n_fields", "score")
+    )
+    top = scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(10)
+    w = W.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        "rank", "doc_id", "n_fields", "score"
+    )
+
+
+SQL_DISMAX_TOPK = f"""
+WITH toks AS ({SQL_DOC_TOKS}),
+lens AS (
+  SELECT doc_id,
+         LEAST(len({SQL_TOKS.format(col='text')}), {TITLE_K}) AS title_len,
+         GREATEST(len({SQL_TOKS.format(col='text')}) - {TITLE_K}, 0) AS body_len
+  FROM documents
+),
+stats AS (
+  SELECT sum(title_len) * 1.0 / count(*) AS avg_title,
+         sum(body_len) * 1.0 / count(*) AS avg_body,
+         count(*) AS n
+  FROM lens
+),
+tf AS (
+  SELECT term, doc_id,
+         CASE WHEN pos < {TITLE_K} THEN 'title' ELSE 'body' END AS field,
+         count(*) AS tf
+  FROM toks WHERE term IN ({", ".join(f"'{t}'" for t in BM25_TERMS)})
+  GROUP BY 1, 2, 3
+),
+df AS (SELECT term, field, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1, 2),
+contrib AS (
+  SELECT tf.term, tf.doc_id, tf.field,
+         ln(1.0 + (n - df.df + 0.5) / (df.df + 0.5))
+         * (tf * {BM25F_K1 + 1.0})
+         / (tf + {BM25F_K1} * (1.0 - 0.75 + 0.75
+            * (CASE WHEN tf.field = 'title' THEN title_len ELSE body_len END)
+            / (CASE WHEN tf.field = 'title' THEN avg_title ELSE avg_body END)))
+         AS c
+  FROM tf
+  JOIN df USING (term, field)
+  JOIN lens USING (doc_id)
+  CROSS JOIN stats
+),
+per_field AS (
+  SELECT doc_id, field, count(*) AS nt, sum(c) AS s_f
+  FROM contrib GROUP BY 1, 2
+  HAVING count(*) = {len(BM25_TERMS)}
+),
+scored AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fields,
+         round(max(s_f) + {DISMAX_TIE_BREAKER} * (sum(s_f) - max(s_f)), 6)
+           AS score
+  FROM per_field GROUP BY doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank,
+       doc_id, n_fields, score
+FROM scored
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+QUERIES["ft_dismax_topk"] = (ft_dismax_topk, SQL_DISMAX_TOPK)
