@@ -24,6 +24,7 @@ from harvester_spark.operators import (
     graph,
     index_stats,
     multimodal,
+    ranking_ext,
     relational,
     retrieval,
     similarity,
@@ -49,5 +50,6 @@ for mod in (
     substring,
     retrieval,
     index_stats,
+    ranking_ext,
 ):
     ALL_QUERIES.update(mod.QUERIES)

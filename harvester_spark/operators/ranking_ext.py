@@ -1,0 +1,376 @@
+"""Second-ranking-family extensions: explain, common-terms, rescore, spans.
+
+Five OpenSearch/Lucene serving surfaces the reference reaches only through
+its OpenSearch cluster, re-expressed as verifiable (Spark, DuckDB-oracle)
+pairs over the ONE repo-wide BM25 contract:
+
+- ``ft_explain_score`` — the ``_explain`` API: per-(doc, term) BM25 score
+  decomposition (tf, df, dl, idf, contribution) for the flagship OR
+  query's top-10 documents. The reference surfaces opaque OpenSearch
+  scores (/root/reference/harvester/search/views/document.py search
+  endpoints); explain is how a ranking engineer audits them.
+- ``ft_common_terms_topk`` — Lucene ``CommonTermsQuery``: query terms are
+  split by document frequency at ``CT_CUTOFF`` — low-frequency terms are
+  REQUIRED (candidate gate), high-frequency terms only contribute score.
+  This is the classic stop-word-free way to keep head terms from
+  exploding the candidate set: at web scale candidates come from the
+  rare-term postings only (25 docs here, not 398).
+- ``ft_rescore_topk`` — the ES ``rescore`` window: first-pass disjunctive
+  BM25 selects ``RESCORE_WINDOW`` candidates; only that bounded window is
+  re-scored with an exact-adjacency phrase bonus
+  (``query_weight*orig + rescore_query_weight*phrase_tf``). The corpus
+  never sees the phrase scan — the same bounded-rerank shape as the
+  recency boost (search/api.py `_search_recency`).
+- ``ft_span_first`` — Lucene ``SpanFirstQuery(term, end)``: documents
+  whose first occurrence of the term falls inside the leading window,
+  with the in-window occurrence count.
+- ``ft_span_not`` — Lucene ``SpanNotQuery(include, exclude, pre, post)``:
+  adjacent-bigram include spans surviving removal of spans that overlap
+  an exclude term within [start-pre, start+1+post].
+
+Determinism contract (operators/__init__.py): the BM25 expression text is
+identical to fulltext_queries.SQL_BM25_TOPK (one formula repo-wide);
+ln-derived components use the integer micro-unit idiom
+``CAST(floor(x * 1.0e6 + 0.5e0) AS BIGINT)`` (all components positive);
+per-doc scores are round(.,6); every top-k tie-breaks (score desc,
+doc_id asc); array sizes/positions are cast BIGINT on both engines
+(Spark ``size``/``pos`` are INT, DuckDB ``len``/``range`` are BIGINT).
+
+Scale shapes:
+- explain: the per-term join-back is semi-joined to the broadcast 10-row
+  top list — bounded output, no second corpus pass beyond the tf agg the
+  scoring already did.
+- common-terms: the REQUIRED set is rare by construction, so the gating
+  filter keeps the scored candidate set at Σ df(rare) rows; head terms
+  join into that small set (at cluster scale: the WAND must-have list).
+- rescore: phrase extraction runs on |window| = 50 docs via a broadcast
+  semi-join on the token-array scan — O(window), not O(corpus).
+- spans: one array expression per document, zero extra exchanges beyond
+  the per-doc aggregation the tokenizer explode already co-partitions
+  (span_first) or none at all (span_not is map-only + filter).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W, functions as F
+
+from harvester_spark.analysis import tokens_column
+from harvester_spark.operators.common import SQL_DOC_TOKS, SQL_TOKS, doc_tokens, load
+from harvester_spark.operators.fulltext_queries import BM25_TERMS, bm25_or_scored
+
+# CommonTermsQuery: rare iff df < CT_CUTOFF_NUM/CT_CUTOFF_DEN of corpus size
+# (integer cross-engine comparison: df * DEN < n * NUM).
+CT_TERMS = ["dup", "scan", "merge"]  # 'dup' is the corpus's only rare term
+CT_CUTOFF_NUM, CT_CUTOFF_DEN = 3, 10  # cutoff_frequency = 0.3
+
+RESCORE_WINDOW = 50
+RESCORE_PHRASE = ("key", "value")  # exact-adjacency rescore query
+# rescore_query_weight = 0.5, query_weight = 1 (ES score_mode=total)
+
+SPAN_TERM = "value"
+SPAN_END = 8  # SpanFirstQuery end boundary (positions 0..7)
+
+SPAN_INC = ("key", "value")  # SpanNot include: adjacent bigram
+SPAN_EXC = "slow"  # SpanNot exclude term
+SPAN_PRE, SPAN_POST = 1, 1
+
+
+def _bm25_components(spark, sf_dir, terms):
+    """Per-(doc, term) BM25 components over ``terms`` — the shared
+    decomposition both explain and common-terms build on. Columns:
+    doc_id, term, tf, df, dl, n, idf, contrib."""
+    toks = doc_tokens(spark, sf_dir)
+    docs_n = load(spark, sf_dir, "documents")
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = docs_n.select(F.count("*").alias("n")).crossJoin(
+        dl.select((F.sum("dl") / F.count("*")).alias("avgdl"))
+    )
+    tf = (
+        toks.filter(F.col("term").isin(list(terms)))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        )
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (F.col("tf") * 2.2)
+            / (F.col("tf") + 1.2 * (1.0 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))),
+        )
+    )
+
+
+def _sql_components(terms) -> str:
+    """DuckDB CTE block computing the same per-(doc, term) components."""
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+toks AS ({SQL_DOC_TOKS}),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) * 1.0 / count(*) FROM dl) AS avgdl
+),
+tf AS (
+  SELECT term, doc_id, count(*) AS tf FROM toks
+  WHERE term IN ({in_list}) GROUP BY term, doc_id
+),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+comps AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df, dl.dl, stats.n,
+         ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5)) AS idf,
+         ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS contrib
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+)"""
+
+
+def ft_explain_score(spark, sf_dir):
+    """ES ``_explain`` twin: per-term decomposition for the flagship OR
+    top-10. The 10-row top list is broadcast back into the component rows
+    — the audit costs one bounded join, never a second corpus pass."""
+    comps = _bm25_components(spark, sf_dir, BM25_TERMS)
+    scored = comps.groupBy("doc_id").agg(F.round(F.sum("contrib"), 6).alias("score"))
+    top = scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(10)
+    w = W.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    top = top.withColumn("rank", F.row_number().over(w))
+    return (
+        comps.join(F.broadcast(top), "doc_id")
+        .select(
+            "rank",
+            "doc_id",
+            "score",
+            "term",
+            "tf",
+            "df",
+            "dl",
+            F.floor(F.col("idf") * 1.0e6 + 0.5).cast("long").alias("idf_micro"),
+            F.floor(F.col("contrib") * 1.0e6 + 0.5).cast("long").alias("contrib_micro"),
+        )
+    )
+
+
+SQL_EXPLAIN_SCORE = f"""
+WITH {_sql_components(BM25_TERMS)},
+scored AS (SELECT doc_id, round(sum(contrib), 6) AS score FROM comps GROUP BY doc_id),
+top AS (
+  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank,
+         doc_id, score
+  FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
+)
+SELECT top.rank, c.doc_id, top.score, c.term,
+       CAST(c.tf AS BIGINT) AS tf, CAST(c.df AS BIGINT) AS df,
+       CAST(c.dl AS BIGINT) AS dl,
+       CAST(floor(c.idf * 1.0e6 + 0.5e0) AS BIGINT) AS idf_micro,
+       CAST(floor(c.contrib * 1.0e6 + 0.5e0) AS BIGINT) AS contrib_micro
+FROM comps c JOIN top USING (doc_id)
+"""
+
+
+def ft_common_terms_topk(spark, sf_dir):
+    """Lucene CommonTermsQuery: low-df terms REQUIRED (all must match),
+    high-df terms score-only. Rare is an integer predicate
+    ``df * DEN < n * NUM`` so both engines agree exactly; the candidate
+    set is gated by the rare postings alone."""
+    comps = _bm25_components(spark, sf_dir, CT_TERMS)
+    rare_flag = (F.col("df") * CT_CUTOFF_DEN < F.col("n") * CT_CUTOFF_NUM).cast("int")
+    df_n = comps.select("term", "df", "n").distinct()
+    rare_total = df_n.agg(
+        F.sum((F.col("df") * CT_CUTOFF_DEN < F.col("n") * CT_CUTOFF_NUM).cast("int")).alias(
+            "rare_total"
+        )
+    )
+    scored = (
+        comps.withColumn("rare", rare_flag)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("rare").alias("n_rare"),
+            F.round(F.sum("contrib"), 6).alias("score"),
+        )
+        .crossJoin(F.broadcast(rare_total))
+        .filter(F.col("n_rare") == F.col("rare_total"))
+        .select("doc_id", "score")
+    )
+    top = scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(10)
+    w = W.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "doc_id", "score"
+    )
+
+
+SQL_COMMON_TERMS_TOPK = f"""
+WITH {_sql_components(CT_TERMS)},
+rare_total AS (
+  SELECT count(*) AS rt FROM (SELECT DISTINCT term, df, n FROM comps)
+  WHERE df * {CT_CUTOFF_DEN} < n * {CT_CUTOFF_NUM}
+),
+scored AS (
+  SELECT doc_id,
+         sum(CASE WHEN df * {CT_CUTOFF_DEN} < n * {CT_CUTOFF_NUM} THEN 1 ELSE 0 END) AS n_rare,
+         round(sum(contrib), 6) AS score
+  FROM comps GROUP BY doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank,
+       doc_id, score
+FROM scored CROSS JOIN rare_total WHERE n_rare = rt
+ORDER BY rank LIMIT 10
+"""
+
+
+def ft_rescore_topk(spark, sf_dir):
+    """ES rescore window: disjunctive BM25 top-50, then ONLY those 50 docs
+    get the exact-adjacency phrase bonus (broadcast semi-join onto the
+    token-array scan — the phrase never scans the corpus). Combined =
+    round(orig + 0.5 * phrase_tf, 6)."""
+    a, b = RESCORE_PHRASE
+    scored = bm25_or_scored(spark, sf_dir)
+    win = scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(
+        RESCORE_WINDOW
+    )
+    tarr = load(spark, sf_dir, "documents").select(
+        "doc_id", tokens_column(F.col("text")).alias("toks")
+    )
+    ph = tarr.join(F.broadcast(win.select("doc_id")), "doc_id").select(
+        "doc_id",
+        F.expr(
+            f"CASE WHEN size(toks) >= 2 THEN size(filter(sequence(0, size(toks)-2),"
+            f" i -> toks[i] = '{a}' AND toks[i+1] = '{b}'))"
+            f" ELSE 0 END"
+        )
+        .cast("long")
+        .alias("phrase_tf"),
+    )
+    combined = (
+        win.join(ph, "doc_id")
+        .withColumn("combined", F.round(F.col("score") + 0.5 * F.col("phrase_tf"), 6))
+        .select("doc_id", F.col("score").alias("orig_score"), "phrase_tf", "combined")
+    )
+    top = combined.orderBy(F.col("combined").desc(), F.col("doc_id").asc()).limit(10)
+    w = W.orderBy(F.col("combined").desc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "doc_id", F.col("combined").alias("score"), "orig_score", "phrase_tf"
+    )
+
+
+_T = SQL_TOKS.format(col="text")
+
+SQL_RESCORE_TOPK = f"""
+WITH {_sql_components(BM25_TERMS)},
+scored AS (SELECT doc_id, round(sum(contrib), 6) AS score FROM comps GROUP BY doc_id),
+win AS (SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id ASC LIMIT {RESCORE_WINDOW}),
+tarr AS (SELECT doc_id, {_T} AS toks FROM documents),
+ph AS (
+  SELECT w.doc_id, w.score AS orig_score,
+         CAST(len([i FOR i IN range(0, greatest(len(t.toks) - 1, 0))
+                   IF t.toks[i+1] = '{RESCORE_PHRASE[0]}' AND t.toks[i+2] = '{RESCORE_PHRASE[1]}']) AS BIGINT)
+           AS phrase_tf
+  FROM win w JOIN tarr t USING (doc_id)
+),
+combined AS (
+  SELECT doc_id, orig_score, phrase_tf,
+         round(orig_score + 0.5e0 * phrase_tf, 6) AS combined
+  FROM ph
+)
+SELECT CAST(row_number() OVER (ORDER BY combined DESC, doc_id ASC) AS INT) AS rank,
+       doc_id, combined AS score, orig_score, phrase_tf
+FROM combined ORDER BY rank LIMIT 10
+"""
+
+
+def ft_span_first(spark, sf_dir):
+    """SpanFirstQuery(term, end): docs whose first '{term}' occurrence is
+    inside positions [0, end); returns first position + in-window count.
+    One term-filtered aggregation — the postings shape serving uses."""
+    toks = doc_tokens(spark, sf_dir)
+    return (
+        toks.filter(F.col("term") == SPAN_TERM)
+        .groupBy("doc_id")
+        .agg(
+            F.min("pos").cast("long").alias("first_pos"),
+            F.sum(F.when(F.col("pos") < SPAN_END, 1).otherwise(0)).alias("n_within"),
+        )
+        .filter(F.col("first_pos") < SPAN_END)
+        .select("doc_id", "first_pos", "n_within")
+    )
+
+
+SQL_SPAN_FIRST = f"""
+WITH toks AS ({SQL_DOC_TOKS})
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS first_pos,
+       CAST(sum(CASE WHEN pos < {SPAN_END} THEN 1 ELSE 0 END) AS BIGINT) AS n_within
+FROM toks WHERE term = '{SPAN_TERM}'
+GROUP BY doc_id HAVING min(pos) < {SPAN_END}
+"""
+
+
+def ft_span_not(spark, sf_dir):
+    """SpanNotQuery(include=adjacent bigram, exclude=term, pre=1, post=1):
+    per doc, bigram start positions surviving removal of any start s with
+    an exclude occurrence in [s-pre, s+1+post]. Map-only array
+    expressions — zero exchanges."""
+    a, b = SPAN_INC
+    lo, hi = -SPAN_PRE, 1 + SPAN_POST
+    docs = load(spark, sf_dir, "documents")
+    s = docs.select(
+        "doc_id",
+        tokens_column(F.col("text")).alias("toks"),
+    ).select(
+        "doc_id",
+        F.expr(
+            f"CASE WHEN size(toks) >= 2 THEN filter(sequence(0, size(toks)-2),"
+            f" i -> toks[i] = '{a}' AND toks[i+1] = '{b}')"
+            f" ELSE cast(array() AS array<int>) END"
+        ).alias("starts"),
+        F.expr(
+            f"CASE WHEN size(toks) >= 1 THEN filter(sequence(0, size(toks)-1),"
+            f" j -> toks[j] = '{SPAN_EXC}')"
+            f" ELSE cast(array() AS array<int>) END"
+        ).alias("excl"),
+    )
+    return (
+        s.filter(F.size("starts") > 0)
+        .select(
+            "doc_id",
+            F.size("starts").cast("long").alias("n_spans"),
+            F.expr(
+                f"size(filter(starts, s -> size(filter(excl,"
+                f" j -> j >= s + ({lo}) AND j <= s + {hi})) = 0))"
+            )
+            .cast("long")
+            .alias("n_kept"),
+        )
+    )
+
+
+SQL_SPAN_NOT = f"""
+WITH t AS (SELECT doc_id, {_T} AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+         [i FOR i IN range(0, greatest(len(toks) - 1, 0))
+            IF toks[i+1] = '{SPAN_INC[0]}' AND toks[i+2] = '{SPAN_INC[1]}'] AS starts,
+         [j FOR j IN range(0, len(toks)) IF toks[j+1] = '{SPAN_EXC}'] AS excl
+  FROM t
+)
+SELECT doc_id, CAST(len(starts) AS BIGINT) AS n_spans,
+       CAST(len(list_filter(starts, s -> len(list_filter(excl,
+              j -> j >= s + ({-SPAN_PRE}) AND j <= s + {1 + SPAN_POST})) = 0)) AS BIGINT)
+         AS n_kept
+FROM s WHERE len(starts) > 0
+"""
+
+
+QUERIES = {
+    "ft_explain_score": (ft_explain_score, SQL_EXPLAIN_SCORE),
+    "ft_common_terms_topk": (ft_common_terms_topk, SQL_COMMON_TERMS_TOPK),
+    "ft_rescore_topk": (ft_rescore_topk, SQL_RESCORE_TOPK),
+    "ft_span_first": (ft_span_first, SQL_SPAN_FIRST),
+    "ft_span_not": (ft_span_not, SQL_SPAN_NOT),
+}
