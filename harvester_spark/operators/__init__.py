@@ -19,6 +19,7 @@ Cross-engine determinism rules used throughout (so value hashes match):
 from harvester_spark.operators import (
     curation,
     dedup,
+    es_aggs,
     file_metadata,
     fulltext_queries,
     graph,
@@ -51,5 +52,6 @@ for mod in (
     retrieval,
     index_stats,
     ranking_ext,
+    es_aggs,
 ):
     ALL_QUERIES.update(mod.QUERIES)

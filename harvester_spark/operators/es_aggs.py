@@ -1,0 +1,208 @@
+"""ES aggregation-framework surfaces: pipeline aggs, composite paging,
+adjacency matrix.
+
+The reference's analytics all flow through OpenSearch aggregations
+(/root/reference/harvester/search/views/ filters/metrics endpoints expose
+terms + date_histogram aggs). Three aggregation families it gets from the
+ES framework but the repo had not yet twinned:
+
+- ``events_pipeline_aggs`` — a date_histogram (hourly) with PIPELINE
+  aggregations layered on: ``cumulative_sum``, ``derivative``, and a
+  trailing ``moving_fn`` average (window 3), the ES syntax for
+  second-order analytics over histogram buckets. Buckets are densified
+  over the full [min, max] hour span (ES ``min_doc_count: 0`` +
+  ``extended_bounds``) so the derivative is defined on every bucket edge.
+- ``composite_agg_page`` — the ES ``composite`` aggregation: the ONLY
+  paginated agg, keyed by an ``after`` cursor over the multi-source
+  bucket key tuple. Twin of t7_search_after on the aggregation side.
+- ``adjacency_matrix_terms`` — the ES ``adjacency_matrix`` agg: named
+  term filters a/b/c and the doc counts of every filter and pairwise
+  intersection (the co-occurrence matrix ES builds for graph exploration).
+
+Determinism contract: hour buckets are ``floor(epoch/3600)`` BIGINTs
+(events_hourly_rollup convention — DuckDB epoch() is FRACTIONAL, floor
+first); money is integer cents; the moving average is
+multiply-then-integer-divide on nonnegative int64 (``sum*1000 DIV cnt``,
+exact in both engines — the host_pagerank idiom); every count is CAST
+BIGINT in the oracle (DuckDB sum → HUGEINT otherwise).
+
+Scale shapes:
+- pipeline aggs: the corpus-sized work is ONE hourly groupBy (map-side
+  partial); the pipeline windows then run over the bucket frame, whose
+  cardinality is time-bounded by construction (8,760 rows/year at hourly
+  grain) — a single-partition window over buckets is the right plan, the
+  same bounded-frame argument as events_anomaly_zscore.
+- composite: bucket agg + cursor filter + TakeOrdered(size) — the page is
+  bounded, the agg is one shuffle, and at a real cluster the cursor
+  predicate prunes bucket groups before the limit.
+- adjacency matrix: per-doc boolean flags from one array scan, a single
+  global agg (map-side combined), then a 6-row unpivot — no joins, no
+  per-pair passes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from harvester_spark.analysis import tokens_column
+from harvester_spark.operators.common import SQL_TOKS, cents, load, sql_cents
+
+MAVG_W = 3  # trailing moving_fn window (buckets)
+
+COMPOSITE_AFTER = ("src12", "es")  # after-key cursor (source, lang)
+COMPOSITE_SIZE = 10
+
+ADJ_A, ADJ_B, ADJ_C = "key", "value", "dup"
+
+
+def events_pipeline_aggs(spark, sf_dir):
+    """Hourly date_histogram + cumulative_sum / derivative / moving_fn(3).
+    Densified buckets (min_doc_count: 0) so lag() is the true derivative."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hour_bucket")
+    ).agg(F.count("*").alias("n_events"), F.sum(cents("value")).alias("value_c"))
+    span = hourly.agg(
+        F.min("hour_bucket").alias("lo"), F.max("hour_bucket").alias("hi")
+    )
+    grid = span.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("hour_bucket")
+    )
+    dense = (
+        grid.join(hourly, "hour_bucket", "left")
+        .select(
+            "hour_bucket",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("value_c", F.lit(0)).alias("value_c"),
+        )
+    )
+    # Bucket-frame windows: cardinality is time-bounded (≈720 buckets for
+    # the 30-day corpus), so the unpartitioned window is the right plan.
+    return dense.selectExpr(
+        "hour_bucket",
+        "n_events",
+        "value_c",
+        "sum(value_c) OVER (ORDER BY hour_bucket"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c",
+        "value_c - lag(value_c) OVER (ORDER BY hour_bucket) AS deriv_c",
+        f"(sum(value_c) OVER (ORDER BY hour_bucket"
+        f" ROWS BETWEEN {MAVG_W - 1} PRECEDING AND CURRENT ROW) * 1000)"
+        f" DIV count(*) OVER (ORDER BY hour_bucket"
+        f" ROWS BETWEEN {MAVG_W - 1} PRECEDING AND CURRENT ROW) AS mavg_milli_c",
+    )
+
+
+SQL_EVENTS_PIPELINE_AGGS = f"""
+WITH hourly AS (
+  SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum({sql_cents('value')}) AS BIGINT) AS value_c
+  FROM events GROUP BY 1
+),
+grid AS (
+  SELECT unnest(generate_series((SELECT min(hour_bucket) FROM hourly),
+                                (SELECT max(hour_bucket) FROM hourly))) AS hour_bucket
+),
+dense AS (
+  SELECT g.hour_bucket,
+         coalesce(h.n_events, CAST(0 AS BIGINT)) AS n_events,
+         coalesce(h.value_c, CAST(0 AS BIGINT)) AS value_c
+  FROM grid g LEFT JOIN hourly h USING (hour_bucket)
+)
+SELECT hour_bucket, n_events, value_c,
+       CAST(sum(value_c) OVER (ORDER BY hour_bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_c,
+       value_c - lag(value_c) OVER (ORDER BY hour_bucket) AS deriv_c,
+       (CAST(sum(value_c) OVER (ORDER BY hour_bucket
+             ROWS BETWEEN {MAVG_W - 1} PRECEDING AND CURRENT ROW) AS BIGINT) * 1000)
+         // CAST(count(*) OVER (ORDER BY hour_bucket
+             ROWS BETWEEN {MAVG_W - 1} PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS mavg_milli_c
+FROM dense
+"""
+
+
+def composite_agg_page(spark, sf_dir):
+    """ES composite aggregation: one page of (source, lang) buckets after
+    the cursor, ordered by the bucket key tuple. The cursor predicate
+    prunes bucket groups before the bounded TakeOrdered page."""
+    src_after, lang_after = COMPOSITE_AFTER
+    docs = load(spark, sf_dir, "documents")
+    buckets = docs.groupBy("source", "lang").agg(
+        F.count("*").alias("doc_count"), F.sum("n_chars").alias("chars")
+    )
+    page = buckets.filter(
+        (F.col("source") > src_after)
+        | ((F.col("source") == src_after) & (F.col("lang") > lang_after))
+    )
+    return page.orderBy(F.col("source").asc(), F.col("lang").asc()).limit(
+        COMPOSITE_SIZE
+    )
+
+
+SQL_COMPOSITE_AGG_PAGE = f"""
+SELECT source, lang, CAST(count(*) AS BIGINT) AS doc_count,
+       CAST(sum(n_chars) AS BIGINT) AS chars
+FROM documents
+GROUP BY source, lang
+HAVING source > '{COMPOSITE_AFTER[0]}'
+    OR (source = '{COMPOSITE_AFTER[0]}' AND lang > '{COMPOSITE_AFTER[1]}')
+ORDER BY source ASC, lang ASC LIMIT {COMPOSITE_SIZE}
+"""
+
+
+def adjacency_matrix_terms(spark, sf_dir):
+    """ES adjacency_matrix: doc counts for named term filters a/b/c and
+    their pairwise intersections — one array scan, one global agg, a
+    6-row stack unpivot."""
+    docs = load(spark, sf_dir, "documents")
+    flags = docs.select(
+        tokens_column(F.col("text")).alias("toks")
+    ).select(
+        *[
+            F.expr(f"CAST(exists(toks, t -> t = '{term}') AS INT)").alias(name)
+            for name, term in (("a", ADJ_A), ("b", ADJ_B), ("c", ADJ_C))
+        ]
+    )
+    sums = flags.agg(
+        F.sum("a").alias("na"),
+        F.sum("b").alias("nb"),
+        F.sum("c").alias("nc"),
+        F.sum(F.col("a") * F.col("b")).alias("nab"),
+        F.sum(F.col("a") * F.col("c")).alias("nac"),
+        F.sum(F.col("b") * F.col("c")).alias("nbc"),
+    )
+    return sums.selectExpr(
+        "stack(6, 'a', na, 'b', nb, 'c', nc,"
+        " 'a&b', nab, 'a&c', nac, 'b&c', nbc) AS (filter_key, doc_count)"
+    )
+
+
+SQL_ADJACENCY_MATRIX = f"""
+WITH flags AS (
+  SELECT CAST(len(list_filter({SQL_TOKS.format(col='text')}, t -> t = '{ADJ_A}')) > 0 AS INT) AS a,
+         CAST(len(list_filter({SQL_TOKS.format(col='text')}, t -> t = '{ADJ_B}')) > 0 AS INT) AS b,
+         CAST(len(list_filter({SQL_TOKS.format(col='text')}, t -> t = '{ADJ_C}')) > 0 AS INT) AS c
+  FROM documents
+),
+sums AS (
+  SELECT CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb,
+         CAST(sum(c) AS BIGINT) AS nc,
+         CAST(sum(a * b) AS BIGINT) AS nab, CAST(sum(a * c) AS BIGINT) AS nac,
+         CAST(sum(b * c) AS BIGINT) AS nbc
+  FROM flags
+)
+SELECT 'a' AS filter_key, na AS doc_count FROM sums
+UNION ALL SELECT 'b', nb FROM sums
+UNION ALL SELECT 'c', nc FROM sums
+UNION ALL SELECT 'a&b', nab FROM sums
+UNION ALL SELECT 'a&c', nac FROM sums
+UNION ALL SELECT 'b&c', nbc FROM sums
+"""
+
+
+QUERIES = {
+    "events_pipeline_aggs": (events_pipeline_aggs, SQL_EVENTS_PIPELINE_AGGS),
+    "composite_agg_page": (composite_agg_page, SQL_COMPOSITE_AGG_PAGE),
+    "adjacency_matrix_terms": (adjacency_matrix_terms, SQL_ADJACENCY_MATRIX),
+}
