@@ -1132,3 +1132,108 @@ FROM cut
 
 
 QUERIES["ict_pairs"] = (ict_pairs, _sql_ict_pairs())
+
+
+# --- T5 span corruption (Raffel et al. 2020, §3.1.4) -----------------------
+#
+# The denoising objective a seq2seq training pipeline derives from raw text:
+# contiguous token spans are replaced by sentinel tokens in the input; the
+# target is the sequence of sentinels each followed by the tokens it masked.
+# Fixed span length 3, block-partitioned so spans never overlap (the
+# practical variant of mean_noise_span_length=3), selection rate 15%
+# (SPAN_SEL_NUM / SPAN_SEL_DEN).
+#
+# Determinism: block j of doc d is selected iff
+# hash56('t5span:d:j') % SPAN_SEL_DEN < SPAN_SEL_NUM — the same salted-hash
+# convention as train_order_shuffle / split_train_val, so masking is
+# partitioning-independent and reproducible across engines. Sentinel
+# ordinals are the 0-based rank of the block among the doc's selected
+# blocks. No final sentinel is appended (documented simplification).
+#
+# Scale shape: map-only — every column is one array expression over the
+# tokenized text; there is NO exchange at all. At 100 TB this is the ideal
+# operator: pure narrow transformation, whole-stage-codegen end to end.
+
+SPAN_SALT = "t5span"
+SPAN_LEN = 3
+SPAN_SEL_NUM, SPAN_SEL_DEN = 3, 20  # 15% of blocks
+
+
+def span_corruption_pairs(spark, sf_dir):
+    """(doc_id, n_masked, input_text, target_text): T5-style span-corruption
+    pairs. Blocks of SPAN_LEN tokens; selected blocks become <extra_id_k>
+    in the input and '<extra_id_k> t t t' segments in the target."""
+    hash_j = (
+        f"CAST(conv(substring(md5(concat('{SPAN_SALT}:', CAST(doc_id AS STRING),"
+        f" ':', CAST(j AS STRING))), 1, 14), 16, 10) AS BIGINT)"
+    )
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", tokens_column(F.col("text")).alias("toks")
+    ).withColumn("nb", F.expr(f"size(toks) DIV {SPAN_LEN}"))
+    s = t.withColumn(
+        "sel",
+        F.expr(
+            f"CASE WHEN nb > 0 THEN filter(sequence(0, nb - 1),"
+            f" j -> {hash_j} % {SPAN_SEL_DEN} < {SPAN_SEL_NUM})"
+            f" ELSE cast(array() AS array<int>) END"
+        ),
+    )
+    return s.select(
+        "doc_id",
+        (F.size("sel") * SPAN_LEN).cast("long").alias("n_masked"),
+        F.expr(
+            f"concat_ws(' ', flatten(concat("
+            f"  CASE WHEN nb > 0 THEN transform(sequence(0, nb - 1),"
+            f"    j -> CASE WHEN array_contains(sel, j)"
+            f"      THEN array(concat('<extra_id_',"
+            f"                 CAST(array_position(sel, j) - 1 AS STRING), '>'))"
+            f"      ELSE slice(toks, {SPAN_LEN} * j + 1, {SPAN_LEN}) END)"
+            f"  ELSE cast(array() AS array<array<string>>) END,"
+            f"  array(slice(toks, {SPAN_LEN} * nb + 1,"
+            f"        size(toks) - {SPAN_LEN} * nb)))))"
+        ).alias("input_text"),
+        F.expr(
+            f"concat_ws(' ', transform(sel,"
+            f" (j, k) -> concat('<extra_id_', CAST(k AS STRING), '> ',"
+            f"   toks[{SPAN_LEN} * j], ' ', toks[{SPAN_LEN} * j + 1], ' ',"
+            f"   toks[{SPAN_LEN} * j + 2])))"
+        ).alias("target_text"),
+    )
+
+
+def _sql_span_corruption() -> str:
+    tk = SQL_TOKS.format(col="text")
+    h = (
+        f"CAST(('0x' || substr(md5('{SPAN_SALT}:' || CAST(doc_id AS VARCHAR)"
+        f" || ':' || CAST(j AS VARCHAR)), 1, 14)) AS BIGINT)"
+    )
+    L = SPAN_LEN
+    return f"""
+WITH t AS (SELECT doc_id, {tk} AS toks FROM documents),
+b AS (SELECT doc_id, toks, len(toks) // {L} AS nb FROM t),
+s AS (
+  SELECT doc_id, toks, nb,
+         [j FOR j IN range(0, nb)
+            IF {h} % {SPAN_SEL_DEN} < {SPAN_SEL_NUM}] AS sel
+  FROM b
+)
+SELECT doc_id,
+       CAST({L} * len(sel) AS BIGINT) AS n_masked,
+       array_to_string(flatten(list_append(
+         [CASE WHEN list_contains(sel, j)
+            THEN ['<extra_id_' || CAST(list_position(sel, j) - 1 AS VARCHAR) || '>']
+            ELSE toks[{L} * j + 1 : {L} * j + {L}] END
+          FOR j IN range(0, nb)],
+         toks[{L} * nb + 1 : len(toks)])), ' ') AS input_text,
+       coalesce(array_to_string(
+         ['<extra_id_' || CAST(k AS VARCHAR) || '> '
+            || toks[{L} * sel[k + 1] + 1] || ' '
+            || toks[{L} * sel[k + 1] + 2] || ' '
+            || toks[{L} * sel[k + 1] + 3]
+          FOR k IN range(0, len(sel))], ' '), '') AS target_text
+FROM s
+"""
+
+
+QUERIES["span_corruption_pairs"] = (span_corruption_pairs, _sql_span_corruption())
