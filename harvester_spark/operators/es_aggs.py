@@ -42,7 +42,7 @@ Scale shapes:
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window as W, functions as F
 
 from harvester_spark.analysis import tokens_column
 from harvester_spark.operators.common import SQL_TOKS, cents, load, sql_cents
@@ -206,3 +206,64 @@ QUERIES = {
     "composite_agg_page": (composite_agg_page, SQL_COMPOSITE_AGG_PAGE),
     "adjacency_matrix_terms": (adjacency_matrix_terms, SQL_ADJACENCY_MATRIX),
 }
+
+
+# --- ES percentiles aggregation (exact order-statistic contract) -----------
+#
+# ES serves percentiles from a t-digest sketch; the VERIFIABLE contract is
+# the exact discrete percentile (percentile_disc): the value at rank
+# ceil(q*n) of the sorted per-type distribution. Integer cents + integer
+# target ranks ((q*n + 99) DIV 100) keep both engines bit-identical — no
+# interpolation doubles.
+#
+# Scale shape: one shuffle keyed by event_type (the window partition), one
+# pass — rank selection inside the window, then a per-type single-row agg.
+# At cluster scale the per-type partitions are the natural parallel unit;
+# a skewed type would go through the same two-level order-statistic
+# histogram trick stratified_quota_sample uses.
+
+PCT_QS = (50, 90, 99)
+
+
+def events_percentiles(spark, sf_dir):
+    """(event_type, n, p50_c, p90_c, p99_c): exact discrete percentiles of
+    the value distribution per event type, in integer cents."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", cents("value").alias("c"), "event_id"
+    )
+    w = W.partitionBy("event_type").orderBy(F.col("c").asc(), F.col("event_id").asc())
+    ranked = ev.select(
+        "event_type",
+        "c",
+        F.row_number().over(w).cast("long").alias("r"),
+        F.count("*").over(W.partitionBy("event_type")).cast("long").alias("n"),
+    )
+    # integer target rank: (n*q + 99) DIV 100 — ceil(q*n/100) without doubles
+    ranked = ranked.withColumn("r50", F.expr(f"(n * {PCT_QS[0]} + 99) DIV 100"))
+    ranked = ranked.withColumn("r90", F.expr(f"(n * {PCT_QS[1]} + 99) DIV 100"))
+    ranked = ranked.withColumn("r99", F.expr(f"(n * {PCT_QS[2]} + 99) DIV 100"))
+    return ranked.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max(F.when(F.col("r") == F.col("r50"), F.col("c"))).alias("p50_c"),
+        F.max(F.when(F.col("r") == F.col("r90"), F.col("c"))).alias("p90_c"),
+        F.max(F.when(F.col("r") == F.col("r99"), F.col("c"))).alias("p99_c"),
+    )
+
+
+SQL_EVENTS_PERCENTILES = f"""
+WITH ranked AS (
+  SELECT event_type, {sql_cents('value')} AS c,
+         CAST(row_number() OVER (PARTITION BY event_type
+              ORDER BY {sql_cents('value')} ASC, event_id ASC) AS BIGINT) AS r,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM events
+)
+SELECT event_type, max(n) AS n,
+       max(CASE WHEN r = (n * {PCT_QS[0]} + 99) // 100 THEN c END) AS p50_c,
+       max(CASE WHEN r = (n * {PCT_QS[1]} + 99) // 100 THEN c END) AS p90_c,
+       max(CASE WHEN r = (n * {PCT_QS[2]} + 99) // 100 THEN c END) AS p99_c
+FROM ranked GROUP BY event_type
+"""
+
+
+QUERIES["events_percentiles"] = (events_percentiles, SQL_EVENTS_PERCENTILES)

@@ -374,3 +374,84 @@ QUERIES = {
     "ft_span_first": (ft_span_first, SQL_SPAN_FIRST),
     "ft_span_not": (ft_span_not, SQL_SPAN_NOT),
 }
+
+
+# --- Lucene intervals query (ES `intervals`, ordered + max_gaps) -----------
+#
+# Distinct from phrase slop: slop is a per-edit budget on the move distance;
+# an ordered INTERVAL match requires occurrences i1 < i2 < i3 of the terms
+# in order whose total stretch (end - start + 1 - n_terms) is <= max_gaps.
+# A document end-position e of the last term admits a match iff
+#   ∃ x2 ∈ p2: x2 < e ∧ ∃ x1 ∈ p1: x1 < x2 ∧ x1 >= e - max_gaps - (n-1)
+# (if any witness chain exists, the minimal chain ending at e also
+# qualifies — Lucene's minimal-interval semantics per end position).
+# n_intervals counts qualifying end positions.
+#
+# Scale shape: map-only — per-term position arrays and the nested-exists
+# check are array expressions over the tokenized text; the only exchange
+# would be a downstream consumer's. At 100 TB: narrow scan, codegen.
+
+IV_TERMS = ("key", "value", "table")
+IV_MAX_GAPS = 2
+
+
+def ft_intervals_ordered(spark, sf_dir):
+    """ES intervals query (ordered, max_gaps): per-doc count of last-term
+    end positions admitting an in-order chain within the gap budget."""
+    a, b, c = IV_TERMS
+    slack = IV_MAX_GAPS + len(IV_TERMS) - 1
+    docs = load(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id",
+        tokens_column(F.col("text")).alias("toks"),
+    ).select(
+        "doc_id",
+        *[
+            F.expr(
+                f"CASE WHEN size(toks) >= 1 THEN filter(sequence(0, size(toks)-1),"
+                f" i -> toks[i] = '{t}') ELSE cast(array() AS array<int>) END"
+            ).alias(name)
+            for name, t in (("p1", a), ("p2", b), ("p3", c))
+        ],
+    )
+    return (
+        pos.select(
+            "doc_id",
+            F.expr(
+                f"size(filter(p3, e -> exists(p2, x2 -> x2 < e AND"
+                f" exists(p1, x1 -> x1 < x2 AND x1 >= e - {slack}))))"
+            )
+            .cast("long")
+            .alias("n_intervals"),
+        )
+        .filter(F.col("n_intervals") > 0)
+    )
+
+
+def _sql_intervals_ordered() -> str:
+    tk = _T
+    a, b, c = IV_TERMS
+    slack = IV_MAX_GAPS + len(IV_TERMS) - 1
+    return f"""
+WITH t AS (SELECT doc_id, {tk} AS toks FROM documents),
+pos AS (
+  SELECT doc_id,
+         [i FOR i IN range(0, len(toks)) IF toks[i+1] = '{a}'] AS p1,
+         [i FOR i IN range(0, len(toks)) IF toks[i+1] = '{b}'] AS p2,
+         [i FOR i IN range(0, len(toks)) IF toks[i+1] = '{c}'] AS p3
+  FROM t
+)
+SELECT doc_id,
+       CAST(len(list_filter(p3, e ->
+         len(list_filter(p2, x2 -> x2 < e AND
+           len(list_filter(p1, x1 -> x1 < x2 AND x1 >= e - {slack})) > 0)) > 0
+       )) AS BIGINT) AS n_intervals
+FROM pos
+WHERE len(list_filter(p3, e ->
+        len(list_filter(p2, x2 -> x2 < e AND
+          len(list_filter(p1, x1 -> x1 < x2 AND x1 >= e - {slack})) > 0)) > 0
+      )) > 0
+"""
+
+
+QUERIES["ft_intervals_ordered"] = (ft_intervals_ordered, _sql_intervals_ordered())

@@ -1237,3 +1237,73 @@ FROM s
 
 
 QUERIES["span_corruption_pairs"] = (span_corruption_pairs, _sql_span_corruption())
+
+
+# --- Temperature-scaled mixture weights (multilingual-LM sampling) ---------
+#
+# The p_i^alpha / Σ p_j^alpha re-weighting every multilingual / multi-domain
+# LM pipeline applies before sampling (XLM-R, mT5: alpha≈0.3 upsamples the
+# tail). Input shares p_i are exact integer token counts per source; the
+# pow() outputs go through the micro-unit idiom (the pow/ln/sqrt rule —
+# round-trip doubles are not cross-engine stable at .5 decimal boundaries,
+# the 1e6 floor grid is).
+#
+# Scale shape: one map-side-combined groupBy(source) over the corpus, then
+# all arithmetic on the |sources|-row frame (broadcast-scale by
+# construction — domains/languages are a small dimension at any corpus
+# size).
+
+MIX_ALPHA = 0.3
+
+
+def mixture_temperature_weights(spark, sf_dir):
+    """(source, tok_n, share_micro, weight_micro): temperature-scaled
+    sampling weights — weight ∝ (tok_n/total)^alpha, micro-normalized."""
+    docs = load(spark, sf_dir, "documents")
+    per_src = (
+        docs.select("source", tokens_column(F.col("text")).alias("toks"))
+        .groupBy("source")
+        .agg(F.sum(F.size("toks").cast("long")).alias("tok_n"))
+    )
+    tot = per_src.agg(F.sum("tok_n").alias("total"))
+    powed = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "tok_n",
+        (F.col("tok_n") * 1.0 / F.col("total")).alias("share"),
+        F.pow(F.col("tok_n") * 1.0 / F.col("total"), F.lit(MIX_ALPHA)).alias("pw"),
+    )
+    z = powed.agg(F.sum("pw").alias("z"))
+    return powed.crossJoin(F.broadcast(z)).select(
+        "source",
+        "tok_n",
+        F.floor(F.col("share") * 1.0e6 + 0.5).cast("long").alias("share_micro"),
+        F.floor(F.col("pw") / F.col("z") * 1.0e6 + 0.5).cast("long").alias("weight_micro"),
+    )
+
+
+def _sql_mixture_temperature() -> str:
+    tk = SQL_TOKS.format(col="text")
+    return f"""
+WITH per_src AS (
+  SELECT source, CAST(sum(len({tk})) AS BIGINT) AS tok_n
+  FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(sum(tok_n) AS BIGINT) AS total FROM per_src),
+powed AS (
+  SELECT source, tok_n,
+         tok_n * 1.0e0 / total AS share,
+         pow(tok_n * 1.0e0 / total, {MIX_ALPHA}e0) AS pw
+  FROM per_src CROSS JOIN tot
+),
+z AS (SELECT sum(pw) AS z FROM powed)
+SELECT source, tok_n,
+       CAST(floor(share * 1.0e6 + 0.5e0) AS BIGINT) AS share_micro,
+       CAST(floor(pw / z * 1.0e6 + 0.5e0) AS BIGINT) AS weight_micro
+FROM powed CROSS JOIN z
+"""
+
+
+QUERIES["mixture_temperature_weights"] = (
+    mixture_temperature_weights,
+    _sql_mixture_temperature(),
+)
