@@ -455,3 +455,116 @@ WHERE len(list_filter(p3, e ->
 
 
 QUERIES["ft_intervals_ordered"] = (ft_intervals_ordered, _sql_intervals_ordered())
+
+
+# --- ES terms_set query (per-doc minimum_should_match) ----------------------
+#
+# ES `terms_set`: match docs containing at least `m` of the query terms
+# (minimum_should_match_script / _field); score is the usual BM25 sum over
+# the terms the doc DOES contain. m = TS_MIN_MATCH of TS_TERMS here.
+#
+# Scale shape: identical to the OR kernel (one tf agg over the term-filtered
+# postings, one per-doc agg); the m-of-n gate is a HAVING on the counted
+# distinct terms — no extra pass, and at serving time the WAND upper-bound
+# dispatch applies unchanged (m-of-n tightens the threshold).
+
+TS_TERMS = ["dup", "key", "value", "table"]
+TS_MIN_MATCH = 2
+
+
+def ft_terms_set_match(spark, sf_dir):
+    """terms_set m-of-n: BM25 top-10 over docs matching >= TS_MIN_MATCH of
+    TS_TERMS, plus the matched-term count."""
+    comps = _bm25_components(spark, sf_dir, TS_TERMS)
+    scored = (
+        comps.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_matched"),
+            F.round(F.sum("contrib"), 6).alias("score"),
+        )
+        .filter(F.col("n_matched") >= TS_MIN_MATCH)
+    )
+    top = scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(10)
+    w = W.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "doc_id", "n_matched", "score"
+    )
+
+
+SQL_TERMS_SET_MATCH = f"""
+WITH {_sql_components(TS_TERMS)},
+scored AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched,
+         round(sum(contrib), 6) AS score
+  FROM comps GROUP BY doc_id HAVING count(*) >= {TS_MIN_MATCH}
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank,
+       doc_id, n_matched, score
+FROM scored ORDER BY rank LIMIT 10
+"""
+
+
+# --- ES rank_feature query (saturation function) ----------------------------
+#
+# ES `rank_feature`: a static per-document feature folded into the score via
+# the saturation function boost * x / (x + pivot) — the standard way to blend
+# pagerank/recency/length priors into BM25 without unbounded dominance.
+# Feature here: n_chars (the corpus's static doc-value), pivot = its
+# corpus-wide mean ES default analogue (fixed constant RF_PIVOT so both
+# engines share one literal); boost RF_BOOST.
+#
+# Scale shape: the feature join is docs-side (doc_id keyed, same partitioning
+# as dl), the saturation is a scalar expression — zero cost over the OR
+# kernel. Serving-side this is a WAND-compatible additive prior: the
+# feature's max saturates at boost, so block upper bounds stay valid with a
+# +boost slack.
+
+RF_PIVOT = 1200  # saturation pivot (chars)
+RF_BOOST = 2.0
+
+
+def ft_rank_feature_topk(spark, sf_dir):
+    """BM25 OR + rank_feature(n_chars) saturation top-10:
+    combined = round(bm25 + boost * x/(x+pivot), 6)."""
+    scored = bm25_or_scored(spark, sf_dir)
+    feats = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return _take10(
+        scored.join(feats, "doc_id").select(
+            "doc_id",
+            F.round(
+                F.col("score")
+                + RF_BOOST * F.col("n_chars") / (F.col("n_chars") + F.lit(RF_PIVOT)),
+                6,
+            ).alias("score"),
+        )
+    )
+
+
+def _take10(scored):
+    top = scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(10)
+    w = W.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "doc_id", "score"
+    )
+
+
+SQL_RANK_FEATURE_TOPK = f"""
+WITH {_sql_components(BM25_TERMS)},
+-- round(.,6) BEFORE the blend, exactly like the Spark side's shared OR
+-- kernel (bm25_or_scored) — both engines must blend from the SAME 6dp base
+-- or the final rounding flips at .5 boundaries.
+scored AS (SELECT doc_id, round(sum(contrib), 6) AS bm25 FROM comps GROUP BY doc_id),
+combined AS (
+  SELECT s.doc_id,
+         round(s.bm25 + {RF_BOOST}e0 * d.n_chars * 1.0e0
+               / (d.n_chars + {RF_PIVOT}), 6) AS score
+  FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank,
+       doc_id, score
+FROM combined ORDER BY rank LIMIT 10
+"""
+
+
+QUERIES["ft_terms_set_match"] = (ft_terms_set_match, SQL_TERMS_SET_MATCH)
+QUERIES["ft_rank_feature_topk"] = (ft_rank_feature_topk, SQL_RANK_FEATURE_TOPK)
