@@ -1570,3 +1570,80 @@ LIMIT 20
 """
 
 QUERIES["t7_search_after"] = (t7_search_after, SQL_T7_SEARCH_AFTER)
+
+
+# ------------------------------------------- TPC-H Q4/Q16 shapes
+
+# Q4 (order-priority checking), adapted to the synthetic schema: the
+# reference grid lacks l_commitdate/l_receiptdate, so "late" is defined as
+# a lineitem shipping more than 60 days after its order date. The shape is
+# the point: a quarter-filtered fact scan with a DECORRELATED EXISTS —
+# Spark executes it as a left-semi join with the non-equi lateness
+# predicate folded into the join, so the probe never materializes the
+# per-order lineitem fan-out.
+#
+# Scale: both inputs filter before the shuffle (quarter predicate pushes
+# to the orders scan); the semi-join shuffles each side once on orderkey;
+# the final priority rollup is a 5-row map-side-combined agg.
+
+
+def q4_order_priority(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+SQL_Q4 = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+"""
+
+
+# Q16 (parts/supplier relationship), adapted: suppliers-per-(brand, type)
+# excluding one brand and every supplier with a negative account balance
+# (the NOT IN correlated exclusion). Shape: broadcast anti-join against the
+# tiny bad-supplier dim BEFORE the fact join, broadcast part dim, then a
+# count(DISTINCT) rollup — the exclusion never shuffles the fact table.
+
+
+def q16_supplier_part_counts(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#13")
+    bad = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+SQL_Q16 = """
+SELECT p_brand, p_type, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#13'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type
+"""
+
+
+QUERIES["q4_order_priority"] = (q4_order_priority, SQL_Q4)
+QUERIES["q16_supplier_part_counts"] = (q16_supplier_part_counts, SQL_Q16)

@@ -33,6 +33,8 @@ arithmetic, identical in both engines; integer division (``div`` / ``//``).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from harvester_spark.operators.common import load
@@ -280,3 +282,88 @@ WHERE regexp_matches(d.text, p.pattern)
 
 
 QUERIES["ft_regex_search"] = (ft_regex_search, SQL_REGEX_SEARCH)
+
+
+# ------------------------------------------- wildcard over the trigram index
+
+# ES `wildcard` query (`*` = any run, `?` = one char), answered by the same
+# trigram index: every literal run of >= 3 chars must appear in a matching
+# document, so candidates = docs containing all trigrams of all prunable
+# runs (AND across runs — a superset by construction: a LIKE match contains
+# every literal run as a substring). Exact verification is SQL LIKE
+# (`*`→`%`, `?`→`_`, implicit anchors) on the candidate semi-join ONLY.
+# A pattern with no >= 3-char literal run raises ValueError — the explicit
+# "this needs a full scan" refusal, same policy as the regex parser.
+
+WILDCARDS = [
+    "merge*batch",
+    "merg? b?tch",
+    "dup*dup",
+]
+
+
+def _wildcard_runs(pattern: str) -> list[str]:
+    runs = [r for r in re.split(r"[*?]", pattern) if len(r) >= 3]
+    if not runs:
+        raise ValueError(
+            f"wildcard_search: pattern {pattern!r} has no literal run of "
+            ">= 3 chars — a trigram index cannot prune; route to a full "
+            "scan explicitly"
+        )
+    return sorted(set(runs))
+
+
+def _wildcard_like(pattern: str) -> str:
+    return "%" + pattern.replace("*", "%").replace("?", "_") + "%"
+
+
+def ft_wildcard_search(spark, sf_dir) -> DataFrame:
+    """(pattern, doc_id) wildcard matches: trigram-pruned run candidates
+    intersected per pattern, LIKE-verified on the semi-join only."""
+    docs = load(spark, sf_dir, "documents")
+    run_rows = [(p, r) for p in WILDCARDS for r in _wildcard_runs(p)]
+    all_runs = sorted({r for _, r in run_rows})
+    run_dim = F.broadcast(
+        spark.createDataFrame(run_rows, "pattern string, needle string")
+    )
+    n_runs = F.broadcast(
+        spark.createDataFrame(
+            [(p, len(_wildcard_runs(p))) for p in WILDCARDS],
+            "pattern string, n_runs int",
+        )
+    )
+    like_dim = F.broadcast(
+        spark.createDataFrame(
+            [(p, _wildcard_like(p)) for p in WILDCARDS], "pattern string, lk string"
+        )
+    )
+    cand = (
+        trigram_candidates(spark, docs, all_runs)
+        .join(run_dim, "needle")
+        .groupBy("pattern", "doc_id")
+        .agg(F.countDistinct("needle").alias("c"))
+        .join(n_runs, "pattern")
+        .filter(F.col("c") == F.col("n_runs"))
+        .select("pattern", "doc_id")
+    )
+    return (
+        cand.join(docs.select("doc_id", "text"), "doc_id")
+        .join(like_dim, "pattern")
+        .filter(F.expr("text LIKE lk"))
+        .select("pattern", "doc_id")
+    )
+
+
+def _sql_wildcard_values() -> str:
+    return ", ".join(f"('{p}', '{_wildcard_like(p)}')" for p in WILDCARDS)
+
+
+SQL_WILDCARD_SEARCH = f"""
+WITH pats(pattern, lk) AS (VALUES {_sql_wildcard_values()})
+SELECT p.pattern, d.doc_id
+FROM documents d, pats p
+WHERE d.text LIKE p.lk
+"""
+
+
+QUERIES["ft_wildcard_search"] = (ft_wildcard_search, SQL_WILDCARD_SEARCH)

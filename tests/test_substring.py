@@ -188,3 +188,37 @@ class TestRegexSearch:
         ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
         got = {(r.doc_id, r.match) for r in ft_regex_search(spark, d).collect()}
         assert got == {(1, "merge batch"), (2, "merge window")}
+
+
+class TestWildcard:
+    def test_unprunable_pattern_refused(self):
+        import pytest
+
+        from harvester_spark.operators.substring import _wildcard_runs
+
+        with pytest.raises(ValueError):
+            _wildcard_runs("a?b*c")  # no >=3-char literal run
+        assert _wildcard_runs("merg? b?tch") == ["merg", "tch"]
+
+    def test_candidates_superset_of_like(self, spark):
+        """Every LIKE match must be in the trigram candidate set (no false
+        negatives) — verified by comparing against a raw full-scan LIKE."""
+        from pyspark.sql import functions as F
+
+        from harvester_spark.operators.substring import (
+            WILDCARDS,
+            _wildcard_like,
+            ft_wildcard_search,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = {
+            (r["pattern"], r["doc_id"])
+            for r in ft_wildcard_search(spark, sf).collect()
+        }
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        want = set()
+        for p in WILDCARDS:
+            for r in docs.filter(F.col("text").like(_wildcard_like(p))).collect():
+                want.add((p, r["doc_id"]))
+        assert got == want
