@@ -1183,3 +1183,127 @@ WHERE n_inter * 1.0 / (sn.n_sh + sb.n_sh - n_inter) >= {LSH_VERIFY_MIN}
 """
 
 QUERIES["dedup_new_vs_base"] = (dedup_new_vs_base, SQL_NEW_VS_BASE)
+
+
+# ------------------------------------------- LSH precision/recall eval
+
+# The dedup twin of ann_lsh_recall: how good are the banded MinHash
+# candidates as a predictor of true near-duplicates? Ground truth = exact
+# 2-shingle Jaccard >= LSH_VERIFY_MIN over the bounded eval subset
+# (doc_id < JACCARD_SUBSET — the quadratic truth join is labeled
+# evaluation-only, same policy as dedup_shingle_jaccard); predicted = the
+# corpus LSH banding restricted to the same subset. Output is ONE row of
+# integer counts + multiply-then-integer-divide micro rates (nonnegative
+# int64 only — no float division).
+#
+# Scale shape: the predicted side is the production banded equi-join; only
+# the TRUTH side is quadratic, and it is bounded by construction. This is
+# how a 100 TB pipeline tunes its band/row parameters: sample a subset,
+# compute exact truth there, sweep the banding against it.
+
+
+def dedup_lsh_pr_eval(spark, sf_dir):
+    """(n_pred, n_truth, tp, fp, fn, precision_micro, recall_micro) of LSH
+    banding vs exact-Jaccard truth on the bounded subset."""
+    pred = (
+        dedup_lsh_pairs(spark, sf_dir)
+        .filter(
+            (F.col("doc_a") < JACCARD_SUBSET) & (F.col("doc_b") < JACCARD_SUBSET)
+        )
+        .withColumn("p", F.lit(1))
+    )
+    sh = _shingles2(spark, sf_dir).filter(F.col("doc_id") < JACCARD_SUBSET).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    truth = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            F.col("n_inter") * 1.0
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            >= LSH_VERIFY_MIN
+        )
+        .select("doc_a", "doc_b")
+        .withColumn("t", F.lit(1))
+    )
+    j = pred.select("doc_a", "doc_b", "p").join(
+        truth, ["doc_a", "doc_b"], "full_outer"
+    )
+    agg = j.agg(
+        F.sum(F.coalesce("p", F.lit(0))).alias("n_pred"),
+        F.sum(F.coalesce("t", F.lit(0))).alias("n_truth"),
+        F.sum(F.coalesce("p", F.lit(0)) * F.coalesce("t", F.lit(0))).alias("tp"),
+    )
+    return agg.selectExpr(
+        "n_pred",
+        "n_truth",
+        "tp",
+        "n_pred - tp AS fp",
+        "n_truth - tp AS fn",
+        "CASE WHEN n_pred > 0 THEN (tp * 1000000) DIV n_pred END AS precision_micro",
+        "CASE WHEN n_truth > 0 THEN (tp * 1000000) DIV n_truth END AS recall_micro",
+    )
+
+
+SQL_LSH_PR_EVAL = f"""
+WITH sh_all AS ({_SQL_SHINGLES2}),
+hx AS (
+  SELECT doc_id, i,
+         {_SQL_HASH56.format(col="(i || ':' || shingle)")} AS h
+  FROM sh_all CROSS JOIN (SELECT unnest(range({N_MINHASH})) AS i)
+),
+sig AS (SELECT doc_id, {_sql_minhash_cols} FROM hx GROUP BY doc_id),
+bands AS ({_sql_band_rows}),
+pred AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.r0 = b.r0 AND a.r1 = b.r1 AND a.doc_id < b.doc_id
+  WHERE a.doc_id < {JACCARD_SUBSET} AND b.doc_id < {JACCARD_SUBSET}
+),
+sh AS (SELECT * FROM sh_all WHERE doc_id < {JACCARD_SUBSET}),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= {LSH_VERIFY_MIN}
+),
+j AS (
+  SELECT coalesce(p.mark, 0) AS p, coalesce(t.mark, 0) AS t
+  FROM (SELECT doc_a, doc_b, 1 AS mark FROM pred) p
+  FULL OUTER JOIN (SELECT doc_a, doc_b, 1 AS mark FROM truth) t
+    USING (doc_a, doc_b)
+),
+agg AS (
+  SELECT CAST(sum(p) AS BIGINT) AS n_pred,
+         CAST(sum(t) AS BIGINT) AS n_truth,
+         CAST(sum(p * t) AS BIGINT) AS tp
+  FROM j
+)
+SELECT n_pred, n_truth, tp,
+       n_pred - tp AS fp, n_truth - tp AS fn,
+       CASE WHEN n_pred > 0 THEN (tp * 1000000) // n_pred END AS precision_micro,
+       CASE WHEN n_truth > 0 THEN (tp * 1000000) // n_truth END AS recall_micro
+FROM agg
+"""
+
+
+QUERIES["dedup_lsh_pr_eval"] = (dedup_lsh_pr_eval, SQL_LSH_PR_EVAL)
