@@ -1647,3 +1647,104 @@ GROUP BY p_brand, p_type
 
 QUERIES["q4_order_priority"] = (q4_order_priority, SQL_Q4)
 QUERIES["q16_supplier_part_counts"] = (q16_supplier_part_counts, SQL_Q16)
+
+
+# Q14 (promotion effect): share of revenue from PROMO parts in one month.
+# Shape: month-filtered fact scan, broadcast part dim, ONE conditional agg.
+# Revenue in exact integer cents; the share is multiply-then-integer-divide
+# micro basis (promo_c * 1e6 DIV total_c) — no float division.
+
+
+def q14_promo_revenue(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-02-01")
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev_c = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+        "long"
+    )
+    agg = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(
+            F.when(F.col("p_type") == "PROMO", rev_c).otherwise(0).alias("promo_c"),
+            rev_c.alias("rev_c"),
+        )
+        .agg(F.sum("promo_c").alias("promo_c"), F.sum("rev_c").alias("total_c"))
+    )
+    return agg.selectExpr(
+        "promo_c", "total_c", "(promo_c * 1000000) DIV total_c AS promo_share_micro"
+    )
+
+
+SQL_Q14 = """
+WITH agg AS (
+  SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+                  THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS promo_c,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+              AS BIGINT) AS total_c
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-02-01'
+)
+SELECT promo_c, total_c, (promo_c * 1000000) // total_c AS promo_share_micro
+FROM agg
+"""
+
+
+# Q19 (discounted revenue): the OR-of-ANDs predicate — three disjoint
+# (brand, size-range, quantity-range) branches. Shape: the whole disjunction
+# is ONE residual filter under a broadcast hash join; Catalyst pushes the
+# common l_quantity bounds and the dim-side p_size/p_brand bounds into the
+# scans, so neither side reads rows no branch can accept.
+
+
+def q19_discounted_revenue(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    rev_c = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+        "long"
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(branch)
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(rev_c).alias("revenue_c"),
+        )
+    )
+
+
+SQL_Q19 = """
+SELECT CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+            AS BIGINT) AS revenue_c
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+QUERIES["q14_promo_revenue"] = (q14_promo_revenue, SQL_Q14)
+QUERIES["q19_discounted_revenue"] = (q19_discounted_revenue, SQL_Q19)
