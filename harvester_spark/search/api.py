@@ -113,6 +113,9 @@ class SearchAPI:
         fetch_fields: tuple[str, ...] = (),
         highlight: bool = False,
         search_after: tuple[float, int] | None = None,
+        rescore_phrase: str | None = None,
+        rescore_window: int = 50,
+        rescore_weight: float = 0.5,
     ) -> dict:
         """``precise_total=False`` routes plain AND queries through the
         vectorized conjunctive block-max fast path (exact top-k, scored
@@ -133,6 +136,14 @@ class SearchAPI:
                 raise ValueError(
                     "search_after supports the plain AND/phrase path only "
                     "(no OR / SQS operators / recency_boost / page)"
+                )
+        if rescore_phrase is not None:
+            from harvester_spark.search.sqs import has_operators as _has_ops
+
+            if _has_ops(query_text) or recency_boost or search_after is not None:
+                raise ValueError(
+                    "rescore_phrase supports the plain AND/OR path only "
+                    "(no SQS operators / recency_boost / search_after)"
                 )
         if not tokenize(query_text or ""):
             return self._empty_query_listing(k, page, filters, include_filter_counts)
@@ -211,6 +222,12 @@ class SearchAPI:
                     "did_you_mean": None,
                 }
             query_text = " ".join(phrases + ([residual] if residual else []))
+
+        if rescore_phrase is not None:
+            return self._search_rescore(
+                query_text, rescore_phrase, rescore_window, rescore_weight,
+                k, page, lang, allowed, operator, fetch_fields, highlight,
+            )
 
         if operator == "or":
             # disjunctive path through block-max WAND; the total is the
@@ -393,6 +410,63 @@ class SearchAPI:
         sel = reranked.iloc[lo : lo + k].copy()
         sel["rank"] = np.arange(lo + 1, lo + 1 + len(sel))
         return res, sel[["rank", "doc_id", "score"]].reset_index(drop=True)
+
+    def _search_rescore(
+        self, query_text, phrase, window, weight, k, page, lang, allowed,
+        operator, fetch_fields, highlight,
+    ) -> dict:
+        """ES ``rescore`` window: first-pass top-``window`` docs (AND via the
+        engine, OR via block-max WAND) get an exact-adjacency phrase bonus
+        ``weight * phrase_tf`` from the positional index; docs below the
+        window keep their original score (the documented ES contract — no
+        exactness claim beyond the window, unlike the recency re-rank's
+        bounded-growth guarantee, because phrase_tf is unbounded). Twin of
+        operators.ranking_ext.ft_rescore_topk; phrase counting is
+        :func:`phrase_tf_for_docs` — O(window) decode, never a corpus
+        positions pass."""
+        from harvester_spark.search.phrase import phrase_tf_for_docs
+
+        fetch = max(window, page * k)
+        if operator == "or":
+            from harvester_spark.search.wand import or_search
+
+            topk, stats = or_search(
+                self.searcher, query_text, k=fetch, lang=lang,
+                allowed_doc_ids=allowed, with_stats=True,
+            )
+            total = {
+                "value": int(stats["scored"]),
+                "is_precise": stats.get("strategy") == "accumulate"
+                or (stats.get("strategy") == "batch" and stats.get("precise", False)),
+            }
+        else:
+            res = self.searcher.search(
+                query_text, k=fetch, lang=lang, allowed_doc_ids=allowed, page=1,
+            )
+            topk = res.topk
+            total = {"value": res.results_total, "is_precise": res.is_precise}
+        topk = topk.reset_index(drop=True).copy()
+        topk["orig_score"] = topk["score"].astype(np.float64)
+        win_ids = topk["doc_id"].iloc[:window].to_numpy(dtype=np.int64)
+        tfs = phrase_tf_for_docs(self.searcher, phrase, win_ids, lang=lang)
+        if tfs:
+            in_win = topk.index < window
+            bonus = topk["doc_id"].map(lambda d: tfs.get(int(d), 0)) * float(weight)
+            topk.loc[in_win, "score"] = (
+                topk.loc[in_win, "score"] + bonus[in_win]
+            )
+        topk = topk.sort_values(
+            ["score", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        lo = (page - 1) * k
+        sel = topk.iloc[lo : lo + k].copy()
+        sel["rank"] = np.arange(lo + 1, lo + 1 + len(sel))
+        records = sel[["rank", "doc_id", "score", "orig_score"]].to_dict("records")
+        if fetch_fields:
+            self._attach_fields(records, fetch_fields)
+        if highlight:
+            self._attach_highlights(records, query_text)
+        return {"results": records, "results_total": total, "did_you_mean": None}
 
     def _rerank_recency(self, topk: pd.DataFrame) -> pd.DataFrame:
         """score += 1.15 * 90d / (90d + |now - publisher_date|), re-sorted."""

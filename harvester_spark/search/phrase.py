@@ -421,3 +421,61 @@ def brute_force_phrase(
     return brute_force_topk(
         docs_pdf, " ".join(phrase), k=k, lang=lang, allowed_doc_ids=ok
     )
+
+
+def phrase_tf_for_docs(
+    searcher: IndexSearcher,
+    phrase_text: str,
+    doc_ids: np.ndarray,
+    lang: str = ALL_LANG,
+) -> dict[int, int]:
+    """Exact-adjacency occurrence COUNTS of the phrase inside the given doc
+    set only — the ES ``rescore`` primitive (SearchAPI.search
+    rescore_phrase=...).
+
+    Same constraint chain as :func:`phrase_match_ids` (common-grams
+    collapse included), but candidates start PINNED to the caller's bounded
+    window, so only posting blocks whose docID span overlaps those docs are
+    decoded — O(window) work, never a corpus-wide positions pass. The
+    surviving packed base keys are reduced to per-doc counts with one
+    ``np.unique``. Returns {doc_id: n_occurrences}, omitting zero-count
+    docs."""
+    from harvester_spark.search.engine import _span_hits
+
+    phrase = tokenize(phrase_text)
+    cand_docs = np.unique(np.asarray(doc_ids, dtype=np.int64))
+    if not phrase or cand_docs.size == 0:
+        return {}
+    constraints = adjacency_constraints(phrase, searcher.common_grams())
+    terms = sorted({t for t, _o in constraints})
+    dfs = searcher._dfs(terms, lang)
+    if any(dfs[t] == 0 for t in terms):
+        return {}
+    blocks = searcher._term_postings(terms, lang, with_positions=True)
+    keys: np.ndarray | None = None
+    for t, o in sorted(constraints, key=lambda c: (dfs[c[0]], c[0], c[1])):
+        tb = blocks[blocks["term"] == t]
+        if len(tb):
+            bases = tb["base_doc_id"].to_numpy()
+            uppers = tb["max_doc_id"].to_numpy()
+            keep = np.fromiter(
+                (
+                    _span_hits(cand_docs, int(lo), int(hi))
+                    for lo, hi in zip(bases, uppers)
+                ),
+                dtype=bool,
+                count=len(bases),
+            )
+            tb = tb[keep]
+        ids, lens, flat, starts = _decode_term_positions(tb)
+        sel = np.flatnonzero(bm25.sorted_member_mask(ids, cand_docs))
+        ids, lens, flat, starts = select_postings(ids, lens, flat, starts, sel)
+        if flat.size == 0:
+            return {}
+        k = pack_offset_keys(ids, lens, flat, o)
+        keys = k if keys is None else keys[bm25.sorted_member_mask(keys, k)]
+        if keys.size == 0:
+            return {}
+        cand_docs = np.unique(keys >> _POS_SHIFT)
+    uniq, counts = np.unique((keys >> _POS_SHIFT).astype(np.int64), return_counts=True)
+    return {int(d): int(c) for d, c in zip(uniq, counts)}
