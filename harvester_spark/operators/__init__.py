@@ -32,6 +32,7 @@ from harvester_spark.operators import (
     sketches,
     substring,
     text_analytics,
+    tpch_ext,
     training_prep,
 )
 
@@ -53,5 +54,6 @@ for mod in (
     index_stats,
     ranking_ext,
     es_aggs,
+    tpch_ext,
 ):
     ALL_QUERIES.update(mod.QUERIES)
