@@ -20,6 +20,7 @@ from harvester_spark.operators import (
     curation,
     dedup,
     es_aggs,
+    es_ext,
     file_metadata,
     fulltext_queries,
     graph,
@@ -54,6 +55,7 @@ for mod in (
     index_stats,
     ranking_ext,
     es_aggs,
+    es_ext,
     tpch_ext,
 ):
     ALL_QUERIES.update(mod.QUERIES)

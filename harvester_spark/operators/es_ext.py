@@ -1,0 +1,268 @@
+"""ES/OpenSearch query-DSL tail: function_score decay, boosting query,
+match_phrase_prefix, _termvectors, top_hits aggregation.
+
+Five more OpenSearch serving surfaces the reference reaches only through
+its cluster config (/root/reference/harvester/search/), re-expressed as
+verifiable (Spark, DuckDB-oracle) pairs:
+
+- ``ft_function_score_topk`` — ``function_score`` with a ``gauss`` decay
+  on a numeric field (n_chars; the synthetic corpus has no timestamp) and
+  ``boost_mode: multiply``. The decay multiplier is computed in integer
+  MICRO-UNITS from ONE shared expression string (the exp/ln micro idiom
+  of operators/__init__.py), and the blend is pure int64 arithmetic
+  (bm25_micro · decay_micro DIV 1e6) — no cross-engine float product.
+- ``ft_boosting_topk`` — the ``boosting`` query: docs matching the
+  negative term keep their positive BM25 demoted by negative_boost = 0.5
+  (integer halving of the micro score). The negative set is a broadcast
+  left join, not a second scoring pass.
+- ``ft_phrase_prefix`` — ``match_phrase_prefix``: the final query term is
+  a prefix that expands against the dictionary ('key s*' → key followed
+  by any s-term). Relational form: position adjacency with a prefix
+  predicate on the second leg — the serving engine does the same through
+  IndexSearcher.dict_probe + the positional chain kernel.
+- ``ft_term_vectors`` — the ``_termvectors`` API with term_statistics:
+  per (doc, term) tf, sorted position list, first position, and the
+  corpus-wide doc_freq.
+- ``es_top_hits_per_bucket`` — the ``top_hits`` sub-aggregation: top-3
+  events per event_type bucket by (value desc, event_id asc).
+
+Scale shapes:
+- function_score/boosting: bounded joins onto the already-aggregated
+  per-doc score frame (one row per candidate doc); the decay input is a
+  broadcast-able doc attribute; TakeOrdered tail.
+- phrase_prefix: the prefix leg filters BEFORE the position join, so the
+  join is |postings(key)| ⋈ |postings(s*)| on doc_id — an equi-join,
+  never a cartesian; at cluster scale the prefix expansion is a bounded
+  dictionary probe (dict_probe), not a vocabulary scan.
+- term_vectors: the per-doc leg prunes to the requested docs at the scan
+  (pushed IN filter); only the df join touches corpus-wide stats, and it
+  joins on the tiny distinct-term set of those docs.
+- top_hits: ``row_number() <= k`` compiles to WindowGroupLimit (partial
+  per-partition top-k BEFORE the shuffle) — each mapper ships at most k
+  rows per bucket, the classic distributed grouped-top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W, functions as F
+
+from harvester_spark.operators.common import SQL_DOC_TOKS, load, doc_tokens
+from harvester_spark.operators.fulltext_queries import BM25_TERMS, bm25_or_scored
+from harvester_spark.operators.ranking_ext import _sql_components
+
+QUERIES: dict = {}
+
+# gauss(n_chars; origin=300, offset=50, scale=100): multiplier 1.0 inside
+# |n_chars-300| <= 50, half-life at distance `scale` beyond the offset.
+_GAUSS_ORIGIN, _GAUSS_OFFSET, _GAUSS_SCALE2 = 300, 50, 10000
+
+# ONE shared expression string — identical text on both engines (the
+# micro-unit idiom: exp is libm/JVM 1-ulp territory, so the result is
+# pinned to int64 micro-units immediately).
+_DECAY_MICRO_EXPR = (
+    "CAST(floor(exp(-(greatest(abs(n_chars - 300) - 50, 0)"
+    " * greatest(abs(n_chars - 300) - 50, 0))"
+    " * ln(2.0e0) / 10000.0e0) * 1.0e6 + 0.5e0) AS BIGINT)"
+)
+
+# Recover the round(.,6) BM25 double into exact int64 micro-units (the
+# value IS a 6dp decimal, so *1e6 is integral up to float noise).
+_BM25_MICRO_EXPR = "CAST(floor(score * 1.0e6 + 0.5e0) AS BIGINT)"
+
+_SQL_OR_SCORED = f"""
+WITH {_sql_components(BM25_TERMS)},
+scored AS (SELECT doc_id, round(sum(contrib), 6) AS score FROM comps GROUP BY doc_id)
+"""
+
+
+def _take10_micro(scored):
+    top = scored.orderBy(F.col("score_micro").desc(), F.col("doc_id").asc()).limit(10)
+    w = W.orderBy(F.col("score_micro").desc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "doc_id", "score_micro"
+    )
+
+
+def ft_function_score_topk(spark, sf_dir):
+    """function_score gauss-decay top-10: bm25_micro · decay_micro DIV 1e6
+    — all-integer blend over the shared OR kernel."""
+    scored = bm25_or_scored(spark, sf_dir)
+    feats = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    combined = (
+        scored.join(feats, "doc_id")
+        .withColumn("bm25_micro", F.expr(_BM25_MICRO_EXPR))
+        .withColumn("decay_micro", F.expr(_DECAY_MICRO_EXPR))
+        .selectExpr(
+            "doc_id", "(bm25_micro * decay_micro) DIV 1000000 AS score_micro"
+        )
+    )
+    return _take10_micro(combined)
+
+
+SQL_FUNCTION_SCORE_TOPK = f"""
+{_SQL_OR_SCORED},
+combined AS (
+  SELECT s.doc_id,
+         ({_BM25_MICRO_EXPR} * {_DECAY_MICRO_EXPR}) // 1000000 AS score_micro
+  FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS INT) AS rank,
+       doc_id, score_micro
+FROM combined ORDER BY rank LIMIT 10
+"""
+
+QUERIES["ft_function_score_topk"] = (ft_function_score_topk, SQL_FUNCTION_SCORE_TOPK)
+
+
+_NEG_TERM = "slow"  # boosting-query negative leg; negative_boost = 0.5
+
+
+def ft_boosting_topk(spark, sf_dir):
+    """boosting-query top-10: positive BM25 OR, docs containing the
+    negative term demoted to half (integer DIV on the micro score)."""
+    scored = bm25_or_scored(spark, sf_dir).withColumn(
+        "bm25_micro", F.expr(_BM25_MICRO_EXPR)
+    )
+    neg = (
+        doc_tokens(spark, sf_dir)
+        .filter(F.col("term") == _NEG_TERM)
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_neg", F.lit(1))
+    )
+    combined = scored.join(neg, "doc_id", "left").selectExpr(
+        "doc_id",
+        "CASE WHEN is_neg IS NULL THEN bm25_micro"
+        " ELSE bm25_micro DIV 2 END AS score_micro",
+    )
+    return _take10_micro(combined)
+
+
+SQL_BOOSTING_TOPK = f"""
+{_SQL_OR_SCORED},
+neg AS (
+  SELECT DISTINCT doc_id FROM ({SQL_DOC_TOKS}) WHERE term = '{_NEG_TERM}'
+),
+combined AS (
+  SELECT s.doc_id,
+         CASE WHEN n.doc_id IS NULL THEN {_BM25_MICRO_EXPR}
+              ELSE {_BM25_MICRO_EXPR} // 2 END AS score_micro
+  FROM scored s LEFT JOIN neg n USING (doc_id)
+)
+SELECT CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS INT) AS rank,
+       doc_id, score_micro
+FROM combined ORDER BY rank LIMIT 10
+"""
+
+QUERIES["ft_boosting_topk"] = (ft_boosting_topk, SQL_BOOSTING_TOPK)
+
+
+_PP_FIRST, _PP_PREFIX = "key", "s"  # match_phrase_prefix: "key s*"
+
+
+def ft_phrase_prefix(spark, sf_dir):
+    """match_phrase_prefix hits: first term followed immediately by ANY
+    term with the prefix; per doc the occurrence count and how many
+    distinct expansions matched."""
+    toks = doc_tokens(spark, sf_dir)
+    a = toks.filter(F.col("term") == _PP_FIRST).select("doc_id", "pos")
+    b = toks.filter(F.col("term").startswith(_PP_PREFIX)).select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("pos").alias("pos_b"),
+        F.col("term").alias("expansion"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("doc_id") == F.col("doc_id_b"))
+            & (F.col("pos_b") == F.col("pos") + 1),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("expansion").alias("n_expansions"),
+        )
+    )
+
+
+SQL_PHRASE_PREFIX = f"""
+WITH toks AS ({SQL_DOC_TOKS})
+SELECT a.doc_id, count(*) AS n_occurrences,
+       count(DISTINCT b.term) AS n_expansions
+FROM toks a
+JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+WHERE a.term = '{_PP_FIRST}' AND b.term LIKE '{_PP_PREFIX}%'
+GROUP BY a.doc_id
+"""
+
+QUERIES["ft_phrase_prefix"] = (ft_phrase_prefix, SQL_PHRASE_PREFIX)
+
+
+_TV_DOCS = (1, 2, 3)  # _termvectors request
+
+
+def ft_term_vectors(spark, sf_dir):
+    """_termvectors with term_statistics: per (doc, term) tf, ordered
+    positions, first position, corpus doc_freq."""
+    toks = doc_tokens(spark, sf_dir)
+    per_doc = (
+        toks.filter(F.col("doc_id").isin(*_TV_DOCS))
+        .groupBy("doc_id", "term")
+        .agg(
+            F.count("*").alias("tf"),
+            F.min("pos").cast("long").alias("first_pos"),
+            F.array_join(F.sort_array(F.collect_list("pos")), ",").alias(
+                "positions_csv"
+            ),
+        )
+    )
+    df_ = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("doc_freq"))
+    return per_doc.join(df_, "term").select(
+        "doc_id", "term", "tf", "doc_freq", "first_pos", "positions_csv"
+    )
+
+
+SQL_TERM_VECTORS = f"""
+WITH toks AS ({SQL_DOC_TOKS}),
+per_doc AS (
+  SELECT doc_id, term, count(*) AS tf,
+         CAST(min(pos) AS BIGINT) AS first_pos,
+         string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos) AS positions_csv
+  FROM toks WHERE doc_id IN (1, 2, 3)
+  GROUP BY doc_id, term
+),
+df AS (SELECT term, count(DISTINCT doc_id) AS doc_freq FROM toks GROUP BY term)
+SELECT doc_id, term, tf, doc_freq, first_pos, positions_csv
+FROM per_doc JOIN df USING (term)
+"""
+
+QUERIES["ft_term_vectors"] = (ft_term_vectors, SQL_TERM_VECTORS)
+
+
+def es_top_hits_per_bucket(spark, sf_dir):
+    """top_hits sub-aggregation: top-3 events per event_type by
+    (value desc, event_id asc) — row_number <= k compiles to
+    WindowGroupLimit (per-partition partial top-k before the shuffle)."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("event_type", "rnk", "event_id", "value")
+    )
+
+
+SQL_TOP_HITS = """
+SELECT event_type, CAST(rnk AS INT) AS rnk, event_id, value
+FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id ASC) AS rnk
+  FROM events
+)
+WHERE rnk <= 3
+"""
+
+QUERIES["es_top_hits_per_bucket"] = (es_top_hits_per_bucket, SQL_TOP_HITS)
