@@ -1307,3 +1307,92 @@ QUERIES["mixture_temperature_weights"] = (
     mixture_temperature_weights,
     _sql_mixture_temperature(),
 )
+
+
+# Token-budget selection: fill a training-token budget with the
+# highest-quality documents first — the "give me the best 25% of the
+# corpus by tokens" greedy a real data mix pins down. The order is the
+# deterministic total order (quality desc, doc_id asc) with quality =
+# type/token ratio in integer micro-units; selection = the maximal PREFIX
+# of that order whose inclusive token cumsum fits the budget (cumsum is
+# strictly increasing, so the kept set is exactly {cum <= B}).
+#
+# Scale shape — NO global sort / full-corpus window anywhere:
+# 1. per-doc (n_tokens, q_micro) agg (one shuffle, map-side combined);
+# 2. 4096-bucket histogram on q_micro DIV 256 → (bucket, Σtokens) —
+#    <= 4096 rows to the driver;
+# 3. driver cumsum descending locates the BOUNDARY bucket: buckets above
+#    it are kept outright (map-only filter), buckets below dropped, and
+#    only the boundary bucket — ~n/4096 docs — is ordered exactly and
+#    prefix-cut at the remaining budget.
+# The oracle runs the TRUE full-corpus window cumsum; the value-hash gate
+# proves the bucketed execution selects the identical set.
+
+BUDGET_DEN = 4  # budget = total corpus tokens // 4
+_TB_BWIDTH = 256  # q_micro in [0, 1e6] → <= 3907 buckets
+
+
+def _doc_quality(spark, sf_dir):
+    """(doc_id, n_tokens, q_micro): integer type/token-ratio quality."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens_column(F.col("text"))).alias("term")
+    )
+    return toks.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.expr("(count(DISTINCT term) * 1000000) DIV count(*)").alias("q_micro"),
+    )
+
+
+def token_budget_select(spark, sf_dir):
+    q = _doc_quality(spark, sf_dir)
+    q = q.withColumn("bkt", F.expr(f"q_micro DIV {_TB_BWIDTH}"))
+    hist = {
+        r["bkt"]: r["tok"]
+        for r in q.groupBy("bkt").agg(F.sum("n_tokens").alias("tok")).collect()
+    }
+    total = sum(hist.values())
+    budget = total // BUDGET_DEN
+    cum = 0
+    bbkt, remaining = None, 0
+    for b in sorted(hist, reverse=True):
+        if cum + hist[b] > budget:
+            bbkt, remaining = b, budget - cum
+            break
+        cum += hist[b]
+    if bbkt is None:  # budget covers everything
+        return q.select("doc_id", "q_micro", "n_tokens")
+    whole = q.filter(F.col("bkt") > bbkt)
+    w = W.orderBy(F.col("q_micro").desc(), F.col("doc_id").asc())
+    edge = (
+        q.filter(F.col("bkt") == bbkt)
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .filter(F.col("cum") <= remaining)
+    )
+    return whole.select("doc_id", "q_micro", "n_tokens").unionByName(
+        edge.select("doc_id", "q_micro", "n_tokens")
+    )
+
+
+def _sql_token_budget_select() -> str:
+    tk = SQL_TOKS.format(col="text")
+    return f"""
+WITH q AS (
+  SELECT doc_id, CAST(len({tk}) AS BIGINT) AS n_tokens,
+         (CAST(len(list_distinct({tk})) AS BIGINT) * 1000000)
+           // CAST(len({tk}) AS BIGINT) AS q_micro
+  FROM documents
+),
+b AS (SELECT CAST(sum(n_tokens) AS BIGINT) // {BUDGET_DEN} AS budget FROM q),
+ordered AS (
+  SELECT doc_id, q_micro, n_tokens,
+         sum(n_tokens) OVER (ORDER BY q_micro DESC, doc_id ASC
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM q
+)
+SELECT doc_id, q_micro, n_tokens
+FROM ordered, b WHERE cum <= budget
+"""
+
+
+QUERIES["token_budget_select"] = (token_budget_select, _sql_token_budget_select())

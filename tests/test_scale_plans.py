@@ -395,3 +395,27 @@ def test_quality_classifier_is_map_only(spark):
     plan = _plan(df)
     assert "Exchange" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_token_budget_select_windows_only_boundary_bucket(spark):
+    """The budget selector's exact cumsum window must see ONLY the boundary
+    bucket (~n/4096 docs), never the whole quality frame: every Window in
+    the plan sits above a bkt-equality filter, and the kept buckets flow
+    through a map-only filter with no sort."""
+    from harvester_spark.operators import training_prep
+
+    df = training_prep.token_budget_select(spark, SF_DIR)
+    n = df.count()
+    assert n > 0
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    # exactly one window (the boundary-bucket cumsum); the un-filtered
+    # quality frame must not be globally sorted
+    assert plan.count("Window") <= 1
+    if "Window" in plan:
+        # the window's input subtree must contain the boundary-bucket
+        # equality filter (Catalyst inlines bkt as `q_micro div 256`)
+        below = plan.split("Window", 1)[1]
+        import re
+
+        assert re.search(r"div 256\) = \d+", below), below[:2000]
