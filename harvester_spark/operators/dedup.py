@@ -1307,3 +1307,131 @@ FROM agg
 
 
 QUERIES["dedup_lsh_pr_eval"] = (dedup_lsh_pr_eval, SQL_LSH_PR_EVAL)
+
+
+# TF-IDF cosine near-dup pairs with rare-shingle blocking — the exact
+# lexical-vector twin of dedup_embedding_lsh_verified: candidate pairs
+# come from a BLOCKING key (a shared shingle with df in the rare band),
+# never an all-pairs product, and the exact cosine runs on candidates
+# only. Candidate volume is bounded by construction: Σ_s C(df_s, 2) ≤
+# (RARE_SH_MAX − 1)/2 · |rare shingles| — the equi-join on the shingle
+# key is the only pair generator (plan-guarded: no cartesian).
+#
+# Determinism: idf is pinned to int64 KILO-units (milli-idf keeps
+# w = tf·idf ≤ ~4e5, so Σw² and every dot product stay far inside int64);
+# the cosine is the micro-unit idiom over an exact-integer dot and
+# double-sqrt of the exact-integer norm product (CAST to DOUBLE before
+# multiplying — the int64 product n2a·n2b could overflow, the double one
+# cannot).
+
+RARE_SH_MIN, RARE_SH_MAX = 2, 4  # blocking band: shingle df ∈ [2, 4]
+TFIDF_TAU_MICRO = 850_000  # cosine ≥ 0.85
+
+_IDF_KILO_EXPR = (
+    "CAST(floor(ln((n + 1.0e0) / (df + 1.0e0)) * 1.0e3 + 0.5e0) AS BIGINT)"
+)
+_COS_MICRO_EXPR = (
+    "CAST(floor(dot / sqrt(CAST(n2_a AS DOUBLE) * n2_b) * 1.0e6 + 0.5e0)"
+    " AS BIGINT)"
+)
+
+
+def dedup_tfidf_cosine_pairs(spark, sf_dir):
+    toks = doc_tokens(spark, sf_dir)
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    n_docs = load(spark, sf_dir, "documents").select(F.count("*").alias("n"))
+    dft = tf.groupBy("term").agg(F.count("*").alias("df"))
+    w = (
+        tf.join(F.broadcast(dft), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id", "term", (F.col("tf") * F.expr(_IDF_KILO_EXPR)).alias("w")
+        )
+    )
+    n2 = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    sh = _shingles(spark, sf_dir, max_doc=None)
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c").between(RARE_SH_MIN, RARE_SH_MAX))
+        .select("shingle")
+    )
+    blocked = sh.join(rare, "shingle")
+    cand = (
+        blocked.select("shingle", F.col("doc_id").alias("doc_a"))
+        .join(
+            blocked.select("shingle", F.col("doc_id").alias("doc_b")), "shingle"
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    wa = w.select(
+        F.col("doc_id").alias("doc_a"), "term", F.col("w").alias("w_a")
+    )
+    wb = w.select(
+        F.col("doc_id").alias("doc_b2"),
+        F.col("term").alias("term_b"),
+        F.col("w").alias("w_b"),
+    )
+    dots = (
+        cand.join(wa, "doc_a")
+        .join(
+            wb,
+            (F.col("doc_b") == F.col("doc_b2"))
+            & (F.col("term") == F.col("term_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("w_a") * F.col("w_b")).alias("dot"))
+    )
+    na = n2.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("n2_a"))
+    nb = n2.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("n2_b"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn("cos_micro", F.expr(_COS_MICRO_EXPR))
+        .filter(F.col("cos_micro") >= TFIDF_TAU_MICRO)
+        .select("doc_a", "doc_b", "dot", "cos_micro")
+    )
+
+
+SQL_TFIDF_COSINE_PAIRS = f"""
+WITH toks AS ({SQL_DOC_TOKS}),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+nd AS (SELECT count(*) AS n FROM documents),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+w AS (
+  SELECT doc_id, term, tf * {_IDF_KILO_EXPR} AS w
+  FROM tf JOIN dft USING (term) CROSS JOIN nd
+),
+n2 AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2 FROM w GROUP BY 1),
+sh AS ({{shingles}}),
+rare AS (
+  SELECT shingle FROM sh GROUP BY shingle
+  HAVING count(*) BETWEEN {RARE_SH_MIN} AND {RARE_SH_MAX}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN rare USING (shingle)
+  JOIN sh b ON b.shingle = a.shingle AND a.doc_id < b.doc_id
+),
+dots AS (
+  SELECT doc_a, doc_b, CAST(sum(wa.w * wb.w) AS BIGINT) AS dot
+  FROM cand
+  JOIN w wa ON wa.doc_id = doc_a
+  JOIN w wb ON wb.doc_id = doc_b AND wb.term = wa.term
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, dot,
+       {_COS_MICRO_EXPR} AS cos_micro
+FROM dots
+JOIN (SELECT doc_id, n2 AS n2_a FROM n2) na ON na.doc_id = doc_a
+JOIN (SELECT doc_id, n2 AS n2_b FROM n2) nb ON nb.doc_id = doc_b
+WHERE {_COS_MICRO_EXPR} >= {TFIDF_TAU_MICRO}
+""".format(shingles=_SQL_SHINGLES_ALL)
+
+
+QUERIES["dedup_tfidf_cosine_pairs"] = (
+    dedup_tfidf_cosine_pairs,
+    SQL_TFIDF_COSINE_PAIRS,
+)

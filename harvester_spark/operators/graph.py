@@ -658,3 +658,100 @@ it{k} AS MATERIALIZED (
 
 
 QUERIES["textrank_keywords"] = (textrank_keywords, _sql_textrank())
+
+
+# Triangle counting (Suri & Vassilvitskii "Counting Triangles and the Curse
+# of the Last Reducer", WWW'11): the MapReduce-classic degree-ordered
+# orientation. Every undirected edge points from its lower-(deg, node)
+# endpoint to the higher one, so each triangle is generated EXACTLY once —
+# as a wedge at its lowest-ordered vertex (the pivot) closed by a third
+# oriented edge — and the wedge join's fan-out per node is bounded by the
+# oriented out-degree, which is O(sqrt(m)) on ANY graph. That bound is the
+# whole point at web scale: the naive undirected wedge join explodes on
+# hub nodes; the oriented one cannot.
+#
+# Graph: a synthesized 16-node hash graph over documents (same device as
+# host_pagerank's PR_FANOUT target space) — two 56-bit salted hashes per
+# doc give a deterministic, partitioning-independent edge multiset.
+
+TRI_NODES = 16
+
+
+def host_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    ha = _hash56(F.concat(F.col("doc_id").cast("string"), F.lit(":a"))) % TRI_NODES
+    hb = _hash56(F.concat(F.col("doc_id").cast("string"), F.lit(":b"))) % TRI_NODES
+    e = (
+        docs.select(
+            F.least(ha, hb).alias("u"), F.greatest(ha, hb).alias("v")
+        )
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
+    ed = e.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    # orient lower (deg, node) → higher; u < v already breaks degree ties
+    fwd = (F.col("deg_u") < F.col("deg_v")) | (F.col("deg_u") == F.col("deg_v"))
+    o = ed.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(fwd, F.col("deg_v")).otherwise(F.col("deg_u")).alias("deg_dst"),
+    )
+    o1 = o.select(
+        F.col("src").alias("pivot"), F.col("dst").alias("w1"),
+        F.col("deg_dst").alias("d1"),
+    )
+    o2 = o.select(
+        F.col("src").alias("pivot"), F.col("dst").alias("w2"),
+        F.col("deg_dst").alias("d2"),
+    )
+    wedges = o1.join(o2, "pivot").filter(
+        (F.col("d1") < F.col("d2"))
+        | ((F.col("d1") == F.col("d2")) & (F.col("w1") < F.col("w2")))
+    )
+    closer = o.select(F.col("src").alias("w1"), F.col("dst").alias("w2"))
+    tri = wedges.join(closer, ["w1", "w2"], "left_semi")
+    return tri.groupBy("pivot").agg(F.count("*").alias("n_triangles"))
+
+
+def _sql_host_triangles() -> str:
+    ha = _SQL_HASH56.format(col="(CAST(doc_id AS VARCHAR) || ':a')")
+    hb = _SQL_HASH56.format(col="(CAST(doc_id AS VARCHAR) || ':b')")
+    return f"""
+WITH h AS (
+  SELECT {ha} % {TRI_NODES} AS a, {hb} % {TRI_NODES} AS b FROM documents
+),
+e AS (
+  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM h WHERE a <> b
+),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT u AS node FROM e UNION ALL SELECT v FROM e
+  ) GROUP BY node
+),
+o AS (
+  SELECT CASE WHEN du.deg <= dv.deg THEN e.u ELSE e.v END AS src,
+         CASE WHEN du.deg <= dv.deg THEN e.v ELSE e.u END AS dst,
+         CASE WHEN du.deg <= dv.deg THEN dv.deg ELSE du.deg END AS deg_dst
+  FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+)
+SELECT o1.src AS pivot, CAST(count(*) AS BIGINT) AS n_triangles
+FROM o o1
+JOIN o o2 ON o2.src = o1.src
+         AND (o1.deg_dst < o2.deg_dst
+              OR (o1.deg_dst = o2.deg_dst AND o1.dst < o2.dst))
+WHERE EXISTS (
+  SELECT 1 FROM o o3 WHERE o3.src = o1.dst AND o3.dst = o2.dst
+)
+GROUP BY o1.src
+"""
+
+
+QUERIES["host_triangles"] = (host_triangles, _sql_host_triangles())

@@ -419,3 +419,41 @@ def test_token_budget_select_windows_only_boundary_bucket(spark):
         import re
 
         assert re.search(r"div 256\) = \d+", below), below[:2000]
+
+
+def test_tfidf_pairs_block_on_shingle_equijoin(spark):
+    """The TF-IDF pair generator must come from the rare-shingle equi-join:
+    no CartesianProduct, and the only BroadcastNestedLoopJoin allowed is the
+    single-row corpus-count scalar (the same shape every BM25 op uses) —
+    exactly one, never a pair-side product."""
+    from harvester_spark.operators import dedup
+
+    df = dedup.dedup_tfidf_cosine_pairs(spark, SF_DIR)
+    assert df.count() > 0
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    # every nested-loop is the bare 1-row scalar Cross — never a doc-keyed
+    # product (a pair-side NLJ would carry a doc_a/doc_b condition)
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "Cross" in line and "doc" not in line, line
+    # the pair join itself is a hash equi-join on the shingle key
+    assert any(
+        "shingle" in line
+        for line in plan.splitlines()
+        if "HashJoin" in line or "SortMergeJoin" in line
+    )
+
+
+def test_triangle_count_no_cartesian_and_oriented(spark):
+    """The triangle wedge join must be an equi-join on the pivot (never a
+    cartesian), and the closing check a semi-join — the degree-ordered
+    orientation is what bounds the wedge fan-out at O(sqrt(m))."""
+    from harvester_spark.operators import graph
+
+    df = graph.host_triangles(spark, SF_DIR)
+    assert df.count() > 0
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan
