@@ -267,3 +267,86 @@ FROM ranked GROUP BY event_type
 
 
 QUERIES["events_percentiles"] = (events_percentiles, SQL_EVENTS_PERCENTILES)
+
+
+# -------------------------------------------- CUBE / pivot rollup shapes
+
+# GROUP BY CUBE(event_type, hour-of-day): the multi-dimensional facet
+# rollup (every marginal plus the grand total in ONE pass). Spark compiles
+# cube() to an Expand node — each input row fans out into its 4 grouping
+# sets BEFORE one ordinary hash aggregate, so the cost is 4× map rows, not
+# 4 scans; the gid is derived from explicit NULL tests (the raw columns
+# are never NULL) instead of grouping_id() so both engines label grouping
+# sets identically regardless of their internal bit order.
+
+
+def events_cube(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour("ts").cast("long").alias("hour_of_day"),
+        cents("value").alias("value_c"),
+    )
+    return (
+        ev.cube("event_type", "hour_of_day")
+        .agg(F.count("*").alias("n"), F.sum("value_c").alias("sum_value_c"))
+        .selectExpr(
+            "event_type",
+            "hour_of_day",
+            "CASE WHEN event_type IS NULL THEN 2 ELSE 0 END"
+            " + CASE WHEN hour_of_day IS NULL THEN 1 ELSE 0 END AS gid",
+            "n",
+            "sum_value_c",
+        )
+    )
+
+
+SQL_EVENTS_CUBE = f"""
+SELECT event_type, hour_of_day,
+       CASE WHEN event_type IS NULL THEN 2 ELSE 0 END
+       + CASE WHEN hour_of_day IS NULL THEN 1 ELSE 0 END AS gid,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(value_c) AS BIGINT) AS sum_value_c
+FROM (
+  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour_of_day,
+         {sql_cents('value')} AS value_c
+  FROM events
+)
+GROUP BY CUBE (event_type, hour_of_day)
+"""
+
+QUERIES["events_cube"] = (events_cube, SQL_EVENTS_CUBE)
+
+
+# Pivoted daily counts: the "one column per category" report shape.
+# Spark's pivot() pre-lists the categories (no extra distinct pass) and
+# compiles to ONE aggregate with conditional legs — exactly the FILTER
+# aggregation the oracle spells out; absent cells coalesce to 0 on both.
+
+_PIVOT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+def events_pivot_daily(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").select(
+        F.to_date("ts").cast("string").alias("day"), "event_type"
+    )
+    piv = ev.groupBy("day").pivot("event_type", list(_PIVOT_TYPES)).count()
+    return piv.select(
+        "day",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}")
+            for t in _PIVOT_TYPES
+        ],
+    )
+
+
+SQL_EVENTS_PIVOT = f"""
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+       {", ".join(
+           f"CAST(count(*) FILTER (event_type = '{t}') AS BIGINT) AS n_{t}"
+           for t in _PIVOT_TYPES
+       )}
+FROM events
+GROUP BY 1
+"""
+
+QUERIES["events_pivot_daily"] = (events_pivot_daily, SQL_EVENTS_PIVOT)

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import Window as W, functions as F
 
-from harvester_spark.operators.common import SQL_DOC_TOKS, doc_tokens
+from harvester_spark.operators.common import SQL_DOC_TOKS, doc_tokens, load
 
 BLOCK = 128  # == index.codec.BLOCK_SIZE
 NSHARDS = 32
@@ -245,3 +245,44 @@ QUERIES = {
     "index_shard_skew": (index_shard_skew, SQL_SHARD_SKEW),
     "block_max_impacts": (block_max_impacts, SQL_BLOCK_MAX),
 }
+
+
+# Zone-map / data-skipping statistics — the min/max block metadata a
+# lakehouse scan uses for predicate pruning (Parquet row-group stats,
+# Iceberg manifest value bounds). Per 20-doc block: value bounds, row
+# count, and whether a `n_chars >= threshold` scan could SKIP the block
+# entirely (max below the predicate). At 100 TB this table IS the
+# difference between reading every file and reading the 2% that can
+# match — the skip fraction is the headline number a layout (zorder_layout)
+# is optimized for. One map-side-combined agg; no joins.
+
+ZONE_BLOCK = 20
+ZONE_NCHARS_MIN = 520  # probe predicate n_chars >= 520: ~1/3 of blocks skip
+
+
+def zonemap_stats(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.expr(f"doc_id DIV {ZONE_BLOCK}").alias("block"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("n_chars").alias("min_nc"),
+            F.max("n_chars").alias("max_nc"),
+        )
+        .withColumn(
+            "skippable",
+            (F.col("max_nc") < ZONE_NCHARS_MIN).cast("int"),
+        )
+    )
+
+
+SQL_ZONEMAP_STATS = f"""
+SELECT doc_id // {ZONE_BLOCK} AS block,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       min(n_chars) AS min_nc, max(n_chars) AS max_nc,
+       CAST(max(n_chars) < {ZONE_NCHARS_MIN} AS INT) AS skippable
+FROM documents
+GROUP BY 1
+"""
+
+QUERIES["zonemap_stats"] = (zonemap_stats, SQL_ZONEMAP_STATS)

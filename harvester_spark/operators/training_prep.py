@@ -1396,3 +1396,58 @@ FROM ordered, b WHERE cum <= budget
 
 
 QUERIES["token_budget_select"] = (token_budget_select, _sql_token_budget_select())
+
+
+# Weighted sampling without replacement (Efraimidis–Spirakis 2006, the
+# "A-ES" one-pass reservoir): each item draws an exponential clock
+# key = -ln(u)/w from its salted uniform hash u and its weight w; the K
+# SMALLEST keys are a weighted sample without replacement — the standard
+# way a training mix samples documents with probability proportional to
+# size/quality in ONE distributed pass. Selection compiles to TakeOrdered
+# (per-partition heaps + driver merge of K-row heads), never a global
+# sort; the key is pinned to int64 nano-units from ONE shared expression
+# string (ln is libm/JVM 1-ulp territory).
+
+WSAMPLE_K = 100
+WSAMPLE_SALT = "hs-wsample-v1"
+# -ln(u)/w with u = (h+1)/2^56  ⇒  (56·ln2 − ln(h+1)) / w, nano-pinned
+_WSAMPLE_KEY_EXPR = (
+    "CAST(floor((56.0e0 * ln(2.0e0) - ln(h + 1.0e0))"
+    " / CAST(n_chars AS DOUBLE) * 1.0e9 + 0.5e0) AS BIGINT)"
+)
+
+
+def weighted_sample_topk(spark, sf_dir):
+    from harvester_spark.operators.dedup import _hash56
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    h = _hash56(
+        F.concat(F.lit(WSAMPLE_SALT + ":"), F.col("doc_id").cast("string"))
+    )
+    keyed = docs.withColumn("h", h).withColumn(
+        "key_nano", F.expr(_WSAMPLE_KEY_EXPR)
+    )
+    return (
+        keyed.orderBy(F.col("key_nano").asc(), F.col("doc_id").asc())
+        .limit(WSAMPLE_K)
+        .select("doc_id", "n_chars", "key_nano")
+    )
+
+
+def _sql_weighted_sample() -> str:
+    from harvester_spark.operators.dedup import _SQL_HASH56
+
+    h = _SQL_HASH56.format(col=f"('{WSAMPLE_SALT}:' || CAST(doc_id AS VARCHAR))")
+    return f"""
+SELECT doc_id, n_chars, key_nano
+FROM (
+  SELECT doc_id, n_chars,
+         {_WSAMPLE_KEY_EXPR.replace('h +', f'{h} +')} AS key_nano
+  FROM documents
+)
+ORDER BY key_nano ASC, doc_id ASC
+LIMIT {WSAMPLE_K}
+"""
+
+
+QUERIES["weighted_sample_topk"] = (weighted_sample_topk, _sql_weighted_sample())

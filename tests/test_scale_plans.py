@@ -457,3 +457,30 @@ def test_triangle_count_no_cartesian_and_oriented(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftSemi" in plan
+
+
+def test_weighted_sample_is_takeordered_and_biased(spark):
+    """A-ES weighted sampling must compile to TakeOrderedAndProject (never a
+    global sort), and the sample must actually be weight-biased: the mean
+    n_chars of the sample exceeds the corpus mean by a real margin (an
+    unweighted sample would center on the mean and prove nothing)."""
+    from harvester_spark.operators import training_prep
+    from harvester_spark.operators.common import load
+
+    df = training_prep.weighted_sample_topk(spark, SF_DIR)
+    rows = df.collect()
+    assert len(rows) == training_prep.WSAMPLE_K
+    assert "TakeOrderedAndProject" in _plan(df)
+    sample_mean = sum(r.n_chars for r in rows) / len(rows)
+    corpus = load(spark, SF_DIR, "documents").agg({"n_chars": "avg"}).first()[0]
+    assert sample_mean > corpus * 1.1, (sample_mean, corpus)
+
+
+def test_zonemap_has_skippable_and_unskippable_blocks(spark):
+    """The zone-map probe predicate must discriminate: some blocks skip,
+    some do not (all-0 or all-1 skippable proves nothing about pruning)."""
+    from harvester_spark.operators import index_stats
+
+    rows = index_stats.zonemap_stats(spark, SF_DIR).collect()
+    skips = {r.skippable for r in rows}
+    assert skips == {0, 1}, rows
