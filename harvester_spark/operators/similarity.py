@@ -1285,3 +1285,160 @@ FROM (SELECT DISTINCT qid FROM exact) LEFT JOIN hits USING (qid)
 """
 
 QUERIES["ann_lsh_recall"] = (ann_lsh_recall, SQL_ANN_LSH_RECALL)
+
+
+# Johnson–Lindenstrauss random sign projection (Achlioptas 2003: the ±1
+# database-friendly JL matrix): 64-dim embeddings → JL_DIM=16 components,
+# proj_j = (1/√k)·Σ_p sign(j,p)·x_p with sign(j,p) = ±1 derived from
+# md5("jl:j:p") IN-ENGINE, so both engines construct the identical matrix
+# with no shipped constants. √16 = 4 ⟹ the scale is the exact binary
+# 0.25 — no irrational factor in the arithmetic; the component sums are
+# round(.,6) like every embedding reduction in this module.
+#
+# Scale: the sign table is k·d rows (1024 here) — broadcast by
+# construction at ANY corpus size; the projection is one explode +
+# broadcast join + (vec_id, j) aggregate, embarrassingly parallel with a
+# single shuffle on vec_id. This is the standard pre-step that makes
+# downstream ANN/cluster passes 4× cheaper per vector.
+
+JL_DIM = 16
+
+
+def _jl_signs(spark):
+    """(j, pos, sgn ∈ {-1, 1}) — the deterministic ±1 projection matrix."""
+    j = spark.range(JL_DIM).toDF("j")
+    p = spark.range(64).toDF("pos")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("jl:"),
+                    F.col("j").cast("string"),
+                    F.lit(":"),
+                    F.col("pos").cast("string"),
+                )
+            ),
+            1,
+            14,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return j.crossJoin(p).select(
+        "j", "pos", (1 - 2 * (h % 2)).cast("long").alias("sgn")
+    )
+
+
+_SQL_JL_SIGNS = f"""
+  SELECT j, pos,
+         1 - 2 * (CAST(('0x' || substr(md5('jl:' || CAST(j AS VARCHAR)
+                        || ':' || CAST(pos AS VARCHAR)), 1, 14)) AS BIGINT)
+                  % 2) AS sgn
+  FROM range({JL_DIM}) t1(j), range(64) t2(pos)
+"""
+
+
+def jl_project(spark, sf_dir):
+    comp = _components(spark, sf_dir)
+    signs = _jl_signs(spark)
+    return (
+        comp.join(F.broadcast(signs), "pos")
+        .groupBy("vec_id", "j")
+        .agg(F.round(F.sum(F.col("val") * F.col("sgn")) / 4.0, 6).alias("proj"))
+    )
+
+
+SQL_JL_PROJECT = f"""
+WITH comp AS ({_SQL_COMPONENTS}),
+signs AS ({_SQL_JL_SIGNS})
+SELECT vec_id, j, round(sum(val * sgn) / 4.0, 6) AS proj
+FROM comp JOIN signs USING (pos)
+GROUP BY vec_id, j
+"""
+
+QUERIES["jl_project"] = (jl_project, SQL_JL_PROJECT)
+
+
+# JL distance-preservation eval over a bounded labeled pair subset: the
+# squared-euclidean distance before vs after projection and the distortion
+# ratio — the ε in the JL guarantee, MEASURED (k=16 from d=64 trades 4×
+# compute for a wide but bounded distortion band; the eval is what tells a
+# pipeline whether that band is acceptable for its recall target).
+
+JL_EVAL_MAX_ID = 30  # pairs over vec_id < 30 → C(30,2) = 435 rows
+
+
+def jl_distortion_eval(spark, sf_dir):
+    comp = _components(spark, sf_dir).filter(F.col("vec_id") < JL_EVAL_MAX_ID)
+    a = comp.select(
+        F.col("vec_id").alias("va"), "pos", F.col("val").alias("xa")
+    )
+    b = comp.select(
+        F.col("vec_id").alias("vb"), F.col("pos").alias("pos_b"),
+        F.col("val").alias("xb"),
+    )
+    d2o = (
+        a.join(b, (F.col("pos") == F.col("pos_b")) & (F.col("va") < F.col("vb")))
+        .groupBy("va", "vb")
+        .agg(
+            F.round(
+                F.sum((F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))), 6
+            ).alias("d2_orig")
+        )
+    )
+    proj = jl_project(spark, sf_dir).filter(F.col("vec_id") < JL_EVAL_MAX_ID)
+    pa = proj.select(
+        F.col("vec_id").alias("va"), "j", F.col("proj").alias("pa")
+    )
+    pb = proj.select(
+        F.col("vec_id").alias("vb"), F.col("j").alias("j_b"),
+        F.col("proj").alias("pb"),
+    )
+    d2p = (
+        pa.join(pb, (F.col("j") == F.col("j_b")) & (F.col("va") < F.col("vb")))
+        .groupBy("va", "vb")
+        .agg(
+            F.round(
+                F.sum((F.col("pa") - F.col("pb")) * (F.col("pa") - F.col("pb"))), 6
+            ).alias("d2_proj")
+        )
+    )
+    return (
+        d2o.join(d2p, ["va", "vb"])
+        .withColumn(
+            "ratio_micro",
+            F.expr(
+                "CAST(floor(d2_proj / d2_orig * 1.0e6 + 0.5e0) AS BIGINT)"
+            ),
+        )
+        .select("va", "vb", "d2_orig", "d2_proj", "ratio_micro")
+    )
+
+
+SQL_JL_DISTORTION = f"""
+WITH comp AS ({_SQL_COMPONENTS}),
+sub AS (SELECT * FROM comp WHERE vec_id < {JL_EVAL_MAX_ID}),
+d2o AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         round(sum((a.val - b.val) * (a.val - b.val)), 6) AS d2_orig
+  FROM sub a JOIN sub b ON b.pos = a.pos AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+),
+signs AS ({_SQL_JL_SIGNS}),
+proj AS (
+  SELECT vec_id, j, round(sum(val * sgn) / 4.0, 6) AS proj
+  FROM sub JOIN signs USING (pos)
+  GROUP BY vec_id, j
+),
+d2p AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         round(sum((a.proj - b.proj) * (a.proj - b.proj)), 6) AS d2_proj
+  FROM proj a JOIN proj b ON b.j = a.j AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT va, vb, d2_orig, d2_proj,
+       CAST(floor(d2_proj / d2_orig * 1.0e6 + 0.5e0) AS BIGINT) AS ratio_micro
+FROM d2o JOIN d2p USING (va, vb)
+"""
+
+QUERIES["jl_distortion_eval"] = (jl_distortion_eval, SQL_JL_DISTORTION)
