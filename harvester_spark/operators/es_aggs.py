@@ -350,3 +350,56 @@ GROUP BY 1
 """
 
 QUERIES["events_pivot_daily"] = (events_pivot_daily, SQL_EVENTS_PIVOT)
+
+
+# Per-user event-type Markov transition matrix — the sequence-analytics
+# rollup behind session flow analysis ("what follows a click?"). One
+# window per user (ts, event_id total order — the same contract the
+# sessionizer uses), lag pairs, then a tiny (from, to) aggregate;
+# probabilities are integer micro-units of the per-from row total. One
+# shuffle on user_id, map-side-combined count agg.
+
+
+def events_markov_transitions(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    pairs = (
+        ev.withColumn("from_type", F.lag("event_type").over(w))
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", F.col("event_type").alias("to_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    tot = pairs.groupBy(F.col("from_type").alias("ft")).agg(
+        F.sum("n").alias("row_total")
+    )
+    return (
+        pairs.join(F.broadcast(tot), pairs.from_type == F.col("ft"))
+        .selectExpr(
+            "from_type", "to_type", "n",
+            "(n * 1000000) DIV row_total AS prob_micro",
+        )
+    )
+
+
+SQL_MARKOV_TRANSITIONS = """
+WITH pairs AS (
+  SELECT from_type, event_type AS to_type, CAST(count(*) AS BIGINT) AS n
+  FROM (
+    SELECT event_type,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts ASC, event_id ASC) AS from_type
+    FROM events
+  )
+  WHERE from_type IS NOT NULL
+  GROUP BY 1, 2
+),
+tot AS (SELECT from_type AS ft, CAST(sum(n) AS BIGINT) AS row_total
+        FROM pairs GROUP BY 1)
+SELECT from_type, to_type, n, (n * 1000000) // row_total AS prob_micro
+FROM pairs JOIN tot ON ft = from_type
+"""
+
+QUERIES["events_markov_transitions"] = (
+    events_markov_transitions,
+    SQL_MARKOV_TRANSITIONS,
+)

@@ -286,3 +286,67 @@ GROUP BY 1
 """
 
 QUERIES["zonemap_stats"] = (zonemap_stats, SQL_ZONEMAP_STATS)
+
+
+# Dictionary front-coding size estimate — the Lucene/OpenSearch term-
+# dictionary block compression (each block stores its first term whole,
+# the rest as (lcp_len, suffix)). Blocks here are per first letter, which
+# is exactly how the serving dictionary is partitioned (the round-3
+# probe-layout buckets) — so every window is a bounded per-letter
+# partition, never a global dictionary sort. LCP of adjacent sorted terms
+# is computed relationally with one array expression: prefix equality at
+# k implies it at every k' < k, so the equal-prefix set is exactly
+# {1..LCP} and its SIZE is the LCP — no UDF, no loop.
+
+# Spark higher-order-function form; the DuckDB twin below says the same
+# thing in list_filter/range (1-based substr in BOTH engines).
+_LCP_EXPR = (
+    "CASE WHEN prev IS NULL THEN 0 ELSE "
+    "size(filter(sequence(1, least(length(term), length(prev))),"
+    " k -> substr(term, 1, k) = substr(prev, 1, k))) END"
+)
+
+
+def dict_front_coding_size(spark, sf_dir):
+    terms = (
+        doc_tokens(spark, sf_dir)
+        .select("term")
+        .distinct()
+        .withColumn("letter", F.substring("term", 1, 1))
+    )
+    w = W.partitionBy("letter").orderBy("term")
+    lcp = terms.withColumn("prev", F.lag("term").over(w)).withColumn(
+        "lcp", F.expr(_LCP_EXPR).cast("long")
+    )
+    return lcp.groupBy("letter").agg(
+        F.count("*").alias("n_terms"),
+        F.sum(F.length("term")).cast("long").alias("raw_bytes"),
+        F.sum(F.length("term") - F.col("lcp") + 1).cast("long").alias("coded_bytes"),
+    )
+
+
+SQL_DICT_FRONT_CODING = f"""
+WITH terms AS (
+  SELECT DISTINCT term FROM ({{doc_toks}})
+),
+lagged AS (
+  SELECT substr(term, 1, 1) AS letter, term,
+         lag(term) OVER (PARTITION BY substr(term, 1, 1)
+                         ORDER BY term) AS prev
+  FROM terms
+),
+lcps AS (
+  SELECT letter, term,
+         CASE WHEN prev IS NULL THEN 0 ELSE
+           len(list_filter(range(1, least(length(term), length(prev)) + 1),
+                           k -> substr(term, 1, k) = substr(prev, 1, k)))
+         END AS lcp
+  FROM lagged
+)
+SELECT letter, CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(length(term)) AS BIGINT) AS raw_bytes,
+       CAST(sum(length(term) - lcp + 1) AS BIGINT) AS coded_bytes
+FROM lcps GROUP BY letter
+""".format(doc_toks=SQL_DOC_TOKS)
+
+QUERIES["dict_front_coding_size"] = (dict_front_coding_size, SQL_DICT_FRONT_CODING)
