@@ -34,6 +34,16 @@ from harvester_spark.search.engine import IndexSearcher
 RECENCY_BOOST = 1.15
 RECENCY_PIVOT_DAYS = 90.0
 
+# function_score gauss decay over the index's own doc-length sidecar
+# (tokens; the built corpus is log-normal 50–2000): multiplier 1 inside
+# |dl − 150| ≤ 30, half-life 100 tokens beyond. Served EXACTLY via the
+# threshold algorithm in _search_multiplier — the multiplier is ≤ 1, so
+# BM25 is a monotone upper bound on the combined score.
+FS_DL_ORIGIN = 150.0
+FS_DL_OFFSET = 30.0
+FS_DL_SCALE2 = 10000.0
+FS_UNIT = 1_000_000  # integer micro-units, same idiom as the operator twins
+
 
 @dataclass
 class Filters:
@@ -116,6 +126,8 @@ class SearchAPI:
         rescore_phrase: str | None = None,
         rescore_window: int = 50,
         rescore_weight: float = 0.5,
+        gauss_decay: bool = False,
+        negative_term: str | None = None,
     ) -> dict:
         """``precise_total=False`` routes plain AND queries through the
         vectorized conjunctive block-max fast path (exact top-k, scored
@@ -144,6 +156,20 @@ class SearchAPI:
                 raise ValueError(
                     "rescore_phrase supports the plain AND/OR path only "
                     "(no SQS operators / recency_boost / search_after)"
+                )
+        if gauss_decay or negative_term is not None:
+            from harvester_spark.search.sqs import has_operators as _has_ops
+
+            if (
+                _has_ops(query_text)
+                or recency_boost
+                or search_after is not None
+                or rescore_phrase is not None
+            ):
+                raise ValueError(
+                    "gauss_decay/negative_term support the plain AND/OR path "
+                    "only (no SQS operators / recency_boost / search_after / "
+                    "rescore_phrase)"
                 )
         if not tokenize(query_text or ""):
             return self._empty_query_listing(k, page, filters, include_filter_counts)
@@ -227,6 +253,12 @@ class SearchAPI:
             return self._search_rescore(
                 query_text, rescore_phrase, rescore_window, rescore_weight,
                 k, page, lang, allowed, operator, fetch_fields, highlight,
+            )
+
+        if gauss_decay or negative_term is not None:
+            return self._search_multiplier(
+                query_text, k, page, lang, allowed, operator,
+                gauss_decay, negative_term, fetch_fields, highlight,
             )
 
         if operator == "or":
@@ -467,6 +499,134 @@ class SearchAPI:
         if highlight:
             self._attach_highlights(records, query_text)
         return {"results": records, "results_total": total, "did_you_mean": None}
+
+    def _first_pass(self, query_text, fetch, lang, allowed, operator):
+        """Exact top-``fetch`` by BM25 (AND engine / OR block-max WAND) —
+        the shared first stage of rescore and function_score."""
+        if operator == "or":
+            from harvester_spark.search.wand import or_search
+
+            topk, stats = or_search(
+                self.searcher, query_text, k=fetch, lang=lang,
+                allowed_doc_ids=allowed, with_stats=True,
+            )
+            total = {
+                "value": int(stats["scored"]),
+                "is_precise": stats.get("strategy") == "accumulate"
+                or (stats.get("strategy") == "batch" and stats.get("precise", False)),
+            }
+        else:
+            res = self.searcher.search(
+                query_text, k=fetch, lang=lang, allowed_doc_ids=allowed, page=1,
+            )
+            topk = res.topk
+            total = {"value": res.results_total, "is_precise": res.is_precise}
+        return topk.reset_index(drop=True), total
+
+    def _term_member_ids(self, term: str, lang: str) -> np.ndarray:
+        """Sorted docIDs containing ``term`` (analyzer applied) — one term
+        decode, df-bounded; DeltaSearcher's synthetic merged blocks make
+        this post-delta-correct with no extra logic."""
+        from harvester_spark.index.codec import decode_blocks_batch
+
+        toks = tokenize(term)
+        if not toks:
+            return np.empty(0, np.int64)
+        tb = self.searcher._term_postings([toks[0]], lang)
+        if not len(tb):
+            return np.empty(0, np.int64)
+        ids, _ = decode_blocks_batch(
+            tb["base_doc_id"].to_numpy(),
+            tb["n"].to_numpy(),
+            [bytes(b) for b in tb["doc_deltas"]],
+            [bytes(b) for b in tb["tfs"]],
+        )
+        return np.unique(ids)
+
+    def _search_multiplier(
+        self, query_text, k, page, lang, allowed, operator,
+        gauss_decay, negative_term, fetch_fields, highlight,
+        initial_fetch: int | None = None,
+    ) -> dict:
+        """EXACT function_score / boosting serving via the threshold
+        algorithm (Fagin's TA with a monotone bound): both transforms are
+        per-doc multipliers m(doc) ∈ (0, 1] on the BM25 score —
+
+        - ``gauss_decay``: m = gauss(doc_len; origin, offset, scale) from
+          the index's own doc-length sidecar (zero extra fetch),
+        - ``negative_term``: m halved for docs containing the term
+          (ES boosting query, negative_boost = 0.5; one df-bounded decode).
+
+        Fetch the top-``fetch`` docs by BM25 (exact engine order), combine
+        in int64 micro-units exactly like the operator twins
+        (bm25_micro · m_micro DIV 1e6), and STOP when the page-k-th
+        combined score strictly beats the lowest fetched bm25_micro — every
+        unfetched doc's combined score is bounded by its BM25, which is at
+        most that value. Otherwise grow the window 4× (exhausting all
+        matches also certifies exactness). Worst case = scoring all
+        matches, which is what the non-bounded engines do on every query;
+        typical case = one window.
+
+        The returned ``fs_fetch_used`` / ``fs_iterations`` expose the
+        certificate for tests."""
+        need = page * k
+        fetch = initial_fetch or max(4 * need, 64)
+        neg_ids = (
+            self._term_member_ids(negative_term, lang)
+            if negative_term is not None
+            else None
+        )
+        iters = 0
+        while True:
+            iters += 1
+            topk, total = self._first_pass(query_text, fetch, lang, allowed, operator)
+            ids = topk["doc_id"].to_numpy(dtype=np.int64)
+            bm = np.floor(
+                topk["score"].to_numpy(dtype=np.float64) * FS_UNIT + 0.5
+            ).astype(np.int64)
+            m = np.full(ids.shape, FS_UNIT, dtype=np.int64)
+            if gauss_decay and ids.size:
+                dl = np.asarray(self.searcher._doc_lens(), dtype=np.float64)[ids]
+                dist = np.maximum(np.abs(dl - FS_DL_ORIGIN) - FS_DL_OFFSET, 0.0)
+                m = np.floor(
+                    np.exp(-(dist * dist) * np.log(2.0) / FS_DL_SCALE2) * FS_UNIT
+                    + 0.5
+                ).astype(np.int64)
+            if neg_ids is not None and neg_ids.size and ids.size:
+                mask = np.isin(ids, neg_ids)
+                m[mask] = m[mask] // 2
+            combined = (bm * m) // FS_UNIT
+            order = np.lexsort((ids, -combined))
+            exhausted = len(ids) < fetch
+            certified = (
+                len(order) >= need
+                and bm.size > 0
+                and int(combined[order[need - 1]]) > int(bm[-1])
+            )
+            if exhausted or certified:
+                break
+            fetch *= 4
+        sel = order[(page - 1) * k : page * k]
+        records = [
+            {
+                "rank": (page - 1) * k + i + 1,
+                "doc_id": int(ids[j]),
+                "score_micro": int(combined[j]),
+                "orig_score": float(topk["score"].iloc[j]),
+            }
+            for i, j in enumerate(sel)
+        ]
+        if fetch_fields:
+            self._attach_fields(records, fetch_fields)
+        if highlight:
+            self._attach_highlights(records, query_text)
+        return {
+            "results": records,
+            "results_total": total,
+            "did_you_mean": None,
+            "fs_fetch_used": fetch,
+            "fs_iterations": iters,
+        }
 
     def _rerank_recency(self, topk: pd.DataFrame) -> pd.DataFrame:
         """score += 1.15 * 90d / (90d + |now - publisher_date|), re-sorted."""
