@@ -112,6 +112,24 @@ HEADLINE = [
     "ft_mmr_topk",
     "ft_rank_eval_ndcg",
     "ft_rank_eval_prk",
+    # round-3 session 8: ES DSL tail (dis_max, rescore window, JLH
+    # significance), pipeline aggs over the densified histogram, the
+    # OR-of-ANDs pushdown shape
+    "ft_dismax_topk",
+    "ft_rescore_topk",
+    "ft_significant_terms",
+    "events_pipeline_aggs",
+    "q19_discounted_revenue",
+    # round-3 session 9: TPC-H completion (Q21's folded exists/not-exists),
+    # function_score decay, budget selection, A-ES sampling, oriented
+    # triangle counting, blocked TF-IDF pairs, JL projection
+    "q21_waiting_suppliers",
+    "ft_function_score_topk",
+    "token_budget_select",
+    "weighted_sample_topk",
+    "host_triangles",
+    "dedup_tfidf_cosine_pairs",
+    "jl_project",
 ]
 WARMUP_DOCS = 2000
 

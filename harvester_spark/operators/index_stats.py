@@ -350,3 +350,73 @@ FROM lcps GROUP BY letter
 """.format(doc_toks=SQL_DOC_TOKS)
 
 QUERIES["dict_front_coding_size"] = (dict_front_coding_size, SQL_DICT_FRONT_CODING)
+
+
+# Gorilla-style timestamp compression estimate (Facebook's in-memory TSDB,
+# VLDB'15): per user-series, first timestamp stored whole, then
+# delta-of-delta in variable-width buckets (0 bits when the cadence is
+# steady, 7/9/12/32 otherwise) — the standard way an event store shrinks
+# time columns ~10×. Relationally: two lag windows on the sessionizer's
+# (ts, event_id) order and one CASE over |dod|; output per-user raw vs
+# coded bits. One shuffle on user_id; integer-exact everywhere.
+
+
+def _dod_bits_case(col: str) -> str:
+    return (
+        f"CASE WHEN {col} IS NULL THEN 64 "  # first delta: stored whole
+        f"WHEN {col} = 0 THEN 1 "
+        f"WHEN {col} BETWEEN -63 AND 64 THEN 9 "
+        f"WHEN {col} BETWEEN -255 AND 256 THEN 12 "
+        f"WHEN {col} BETWEEN -2047 AND 2048 THEN 15 "
+        f"ELSE 36 END"
+    )
+
+
+def ts_gorilla_bits(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        # unix_timestamp == DuckDB floor(epoch()) under the UTC session tz
+        # (events_hourly_rollup convention)
+        F.unix_timestamp("ts").cast("long").alias("sec"),
+    )
+    w = W.partitionBy("user_id").orderBy(F.col("sec").asc(), F.col("event_id").asc())
+    d = ev.withColumn("delta", F.col("sec") - F.lag("sec").over(w))
+    dd = d.withColumn("dod", F.col("delta") - F.lag("delta").over(w))
+    # rows: first row (delta null) costs the full 64-bit header; second row
+    # (dod null but delta present) stores the raw delta (64); rest by CASE
+    bits = (
+        "CASE WHEN delta IS NULL THEN 64 ELSE " + _dod_bits_case("dod") + " END"
+    )
+    return dd.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        (F.count("*") * 64).cast("long").alias("raw_bits"),
+        F.sum(F.expr(bits)).cast("long").alias("coded_bits"),
+    )
+
+
+SQL_TS_GORILLA_BITS = f"""
+WITH d AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - lag(CAST(floor(epoch(ts)) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT) ASC,
+                   event_id ASC) AS delta,
+         event_id
+  FROM events
+),
+dd AS (
+  SELECT user_id, delta,
+         delta - lag(delta) OVER (PARTITION BY user_id
+                                  ORDER BY sec ASC, event_id ASC) AS dod
+  FROM d
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(*) * 64 AS BIGINT) AS raw_bits,
+       CAST(sum(CASE WHEN delta IS NULL THEN 64
+                ELSE {_dod_bits_case('dod')} END) AS BIGINT) AS coded_bits
+FROM dd GROUP BY user_id
+"""
+
+QUERIES["ts_gorilla_bits"] = (ts_gorilla_bits, SQL_TS_GORILLA_BITS)
