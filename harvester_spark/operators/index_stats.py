@@ -420,3 +420,44 @@ FROM dd GROUP BY user_id
 """
 
 QUERIES["ts_gorilla_bits"] = (ts_gorilla_bits, SQL_TS_GORILLA_BITS)
+
+
+# Heaps'-law vocabulary growth — |V(n)| at docID checkpoints, the curve
+# that sizes a term dictionary before you build it (V ≈ K·n^β, β < 1).
+# ONE pass: each term's FIRST appearance (min doc_id over the stream),
+# then a broadcast checkpoint join counts terms first seen before each
+# cut — never a per-checkpoint distinct over a growing prefix (the naive
+# form is quadratic in checkpoints × corpus).
+
+VOCAB_CUTS = (50, 100, 200, 500)
+
+
+def vocab_growth(spark, sf_dir):
+    first = (
+        doc_tokens(spark, sf_dir)
+        .groupBy("term")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    cuts = spark.createDataFrame(
+        [(int(c),) for c in VOCAB_CUTS], "cut long"
+    )
+    return (
+        first.crossJoin(F.broadcast(cuts))
+        .filter(F.col("first_doc") < F.col("cut"))
+        .groupBy("cut")
+        .agg(F.count("*").alias("vocab_size"))
+    )
+
+
+SQL_VOCAB_GROWTH = f"""
+WITH first AS (
+  SELECT term, min(doc_id) AS first_doc
+  FROM ({SQL_DOC_TOKS}) GROUP BY term
+),
+cuts AS (SELECT unnest({list(VOCAB_CUTS)}) AS cut)
+SELECT cut, CAST(count(*) AS BIGINT) AS vocab_size
+FROM first JOIN cuts ON first_doc < cut
+GROUP BY cut
+"""
+
+QUERIES["vocab_growth"] = (vocab_growth, SQL_VOCAB_GROWTH)
