@@ -461,3 +461,230 @@ GROUP BY cut
 """
 
 QUERIES["vocab_growth"] = (vocab_growth, SQL_VOCAB_GROWTH)
+
+
+# ------------------------------------------------------- codec bake-off
+# Per-term postings-compression comparison across the three docID codecs a
+# Lucene-class engine actually chooses between (reference parity: the
+# OpenSearch index behind search/models/index.py stores postings with
+# Lucene's FOR blocks; the repo's own delta codec is varbyte):
+#
+# - varbyte  — the repo's block codec (index/codec.py), bytes from the
+#   shared ``_vb_len`` CASE string × 8;
+# - FOR      — Lucene ForUtil: per 128-posting block, all deltas packed at
+#   bit-width = bit_length(max delta), + 8-bit width header per block;
+# - Elias-Fano — Vigna's quasi-succinct indices (the Lucene
+#   "EliasFanoDocIdSet" / Pisa default): with n = df and universe
+#   u = max_doc+1, low bits l = floor(log2(u/n)), total = n·l + n + (u>>l).
+#
+# All integer arithmetic. floor(log2(u/n)) == length(bin(u DIV n)) - 1:
+# no integer lies strictly between u/n and u DIV n + 1, so flooring the
+# quotient first cannot change which power of two is crossed — the same
+# bit_length derivation the Bloom capacity uses (no float log2 anywhere).
+# Scale shape: one (term, doc_id) distinct, one per-term window, two
+# grouped aggs — the SPIMI stats plan; output is one row per dictionary
+# term. ``best`` is ONE shared CASE string on already-aliased columns.
+
+_BEST_CODEC = (
+    "CASE WHEN ef_bits <= vb_bits AND ef_bits <= for_bits THEN 'ef' "
+    "WHEN for_bits <= vb_bits THEN 'for' ELSE 'vb' END"
+)
+
+
+def postings_codec_compare(spark, sf_dir):
+    """(term, df, n_blocks, vb_bits, for_bits, ef_bits, best) over the
+    ENTIRE dictionary — the table an index planner picks codecs from."""
+    post = doc_tokens(spark, sf_dir).select("term", "doc_id").distinct()
+    wt = W.partitionBy("term").orderBy("doc_id")
+    rows = (
+        post.withColumn("rn", F.row_number().over(wt) - 1)
+        .withColumn("blk", F.expr(f"rn DIV {BLOCK}"))
+        .withColumn(
+            "delta",
+            F.when(F.col("rn") % BLOCK == 0, F.lit(0).cast("long")).otherwise(
+                F.col("doc_id") - F.lag("doc_id").over(wt)
+            ),
+        )
+        .withColumn("vb", F.expr(_vb_len("delta")))
+        .withColumn(
+            "dbits",
+            F.expr("CASE WHEN delta = 0 THEN 0 ELSE length(bin(delta)) END"),
+        )
+    )
+    blks = rows.groupBy("term", "blk").agg(
+        F.count("*").alias("cnt"),
+        F.max("dbits").alias("bwidth"),
+        F.sum("vb").alias("vb_bytes"),
+        F.max("doc_id").alias("mx"),
+    )
+    per = blks.groupBy("term").agg(
+        F.sum("cnt").cast("long").alias("df"),
+        F.count("*").cast("long").alias("n_blocks"),
+        (F.sum("vb_bytes") * 8).cast("long").alias("vb_bits"),
+        F.sum(F.col("cnt") * F.col("bwidth") + 8).cast("long").alias("for_bits"),
+        F.max("mx").cast("long").alias("max_doc"),
+    )
+    ef = per.withColumn(
+        "l", F.expr("length(bin((max_doc + 1) DIV df)) - 1").cast("int")
+    ).withColumn(
+        "ef_bits",
+        (
+            F.col("df") * F.col("l")
+            + F.col("df")
+            + F.expr("shiftright(max_doc + 1, l)")
+        ).cast("long"),
+    )
+    return ef.select(
+        "term", "df", "n_blocks", "vb_bits", "for_bits", "ef_bits",
+        F.expr(_BEST_CODEC).alias("best"),
+    )
+
+
+SQL_CODEC_COMPARE = f"""
+WITH post AS (
+  SELECT DISTINCT term, doc_id FROM ({SQL_DOC_TOKS})
+),
+seq AS (
+  SELECT term, doc_id,
+         row_number() OVER (PARTITION BY term ORDER BY doc_id) - 1 AS rn,
+         lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id) AS prev
+  FROM post
+),
+rows_ AS (
+  SELECT term, doc_id, rn // {BLOCK} AS blk,
+         CASE WHEN rn % {BLOCK} = 0 THEN 0 ELSE doc_id - prev END AS delta
+  FROM seq
+),
+blks AS (
+  SELECT term, blk, count(*) AS cnt,
+         max(CASE WHEN delta = 0 THEN 0 ELSE length(bin(delta)) END) AS bwidth,
+         sum({_vb_len('delta')}) AS vb_bytes,
+         max(doc_id) AS mx
+  FROM rows_ GROUP BY term, blk
+),
+per AS (
+  SELECT term,
+         CAST(sum(cnt) AS BIGINT) AS df,
+         CAST(count(*) AS BIGINT) AS n_blocks,
+         CAST(sum(vb_bytes) * 8 AS BIGINT) AS vb_bits,
+         CAST(sum(cnt * bwidth + 8) AS BIGINT) AS for_bits,
+         CAST(max(mx) AS BIGINT) AS max_doc
+  FROM blks GROUP BY term
+),
+ef AS (
+  SELECT term, df, n_blocks, vb_bits, for_bits,
+         CAST(df * (length(bin((max_doc + 1) // df)) - 1) + df
+              + ((max_doc + 1) >> (length(bin((max_doc + 1) // df)) - 1))
+              AS BIGINT) AS ef_bits
+  FROM per
+)
+SELECT term, df, n_blocks, vb_bits, for_bits, ef_bits,
+       {_BEST_CODEC} AS best
+FROM ef
+"""
+
+QUERIES["postings_codec_compare"] = (postings_codec_compare, SQL_CODEC_COMPARE)
+
+
+# -------------------------------------------------- roaring containers
+# Roaring-bitmap sizing for docID sets (Chambi/Lemire et al.; Lucene keeps
+# live-docs and filter caches in exactly this structure). The docID space
+# splits into fixed-width containers; each container independently picks
+# the cheapest of three encodings: sorted 16-bit array (2 B/entry), plain
+# bitmap (width/8 B), or run-length (2 B header + 4 B/run). Container
+# width here is {RR_CONTAINER} (not 2^16) so every regime actually occurs
+# at test scale — the decision rule and the agg shape are width-agnostic.
+# Three list classes exercise the three regimes: flagship-term postings
+# (dense-ish → bitmap), a match-all "_live" docs list (fully contiguous →
+# run, Lucene's live-docs case), and a sparse "_sparse" filter list
+# (doc_id % 37 — array). Runs are counted with ONE lag window per
+# (term, container): a run starts where doc_id != prev + 1.
+# Scale shape: one distinct, one bounded window, two grouped aggs; the
+# (term, container) key partitions arbitrarily wide.
+
+RR_CONTAINER = 64
+_RR_BYTES = "least(2 + 4 * runs, 2 * n_c, 8)"
+_RR_TYPE = (
+    "CASE WHEN 2 + 4 * runs < least(2 * n_c, 8) THEN 'run' "
+    "WHEN 2 * n_c <= 8 THEN 'array' ELSE 'bitmap' END"
+)
+
+
+def postings_roaring_size(spark, sf_dir):
+    """(term, n_containers, n_array, n_bitmap, n_run, total_bytes) for the
+    flagship postings plus the live-docs and sparse-filter docID sets."""
+    from harvester_spark.operators.fulltext_queries import BM25_TERMS
+
+    post = (
+        doc_tokens(spark, sf_dir)
+        .select("term", "doc_id")
+        .filter(F.col("term").isin(BM25_TERMS))
+        .distinct()
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    live = docs.select(F.lit("_live").alias("term"), "doc_id")
+    sparse = docs.filter(F.expr("doc_id % 37 = 0")).select(
+        F.lit("_sparse").alias("term"), "doc_id"
+    )
+    w = W.partitionBy("term", "ctr").orderBy("doc_id")
+    per_ctr = (
+        post.unionByName(live)
+        .unionByName(sparse)
+        .withColumn("ctr", F.expr(f"doc_id DIV {RR_CONTAINER}"))
+        .withColumn("prev", F.lag("doc_id").over(w))
+        .withColumn(
+            "rs",
+            F.expr("CASE WHEN prev IS NULL OR doc_id <> prev + 1 THEN 1 ELSE 0 END"),
+        )
+        .groupBy("term", "ctr")
+        .agg(F.count("*").alias("n_c"), F.sum("rs").alias("runs"))
+        .withColumn("ctype", F.expr(_RR_TYPE))
+        .withColumn("cbytes", F.expr(_RR_BYTES))
+    )
+    return per_ctr.groupBy("term").agg(
+        F.count("*").cast("long").alias("n_containers"),
+        F.sum(F.expr("CASE WHEN ctype = 'array' THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("n_array"),
+        F.sum(F.expr("CASE WHEN ctype = 'bitmap' THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("n_bitmap"),
+        F.sum(F.expr("CASE WHEN ctype = 'run' THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("n_run"),
+        F.sum("cbytes").cast("long").alias("total_bytes"),
+    )
+
+
+SQL_ROARING_SIZE = f"""
+WITH post AS (
+  SELECT DISTINCT term, doc_id FROM ({SQL_DOC_TOKS})
+  WHERE term IN ('key', 'value', 'table')
+  UNION ALL SELECT '_live' AS term, doc_id FROM documents
+  UNION ALL SELECT '_sparse' AS term, doc_id FROM documents WHERE doc_id % 37 = 0
+),
+seq AS (
+  SELECT term, doc_id, doc_id // {RR_CONTAINER} AS ctr,
+         lag(doc_id) OVER (PARTITION BY term, doc_id // {RR_CONTAINER}
+                           ORDER BY doc_id) AS prev
+  FROM post
+),
+per_ctr AS (
+  SELECT term, ctr, count(*) AS n_c,
+         sum(CASE WHEN prev IS NULL OR doc_id <> prev + 1 THEN 1 ELSE 0 END)
+           AS runs
+  FROM seq GROUP BY term, ctr
+),
+typed AS (
+  SELECT term, {_RR_TYPE} AS ctype, {_RR_BYTES} AS cbytes FROM per_ctr
+)
+SELECT term,
+       CAST(count(*) AS BIGINT) AS n_containers,
+       CAST(sum(CASE WHEN ctype = 'array' THEN 1 ELSE 0 END) AS BIGINT) AS n_array,
+       CAST(sum(CASE WHEN ctype = 'bitmap' THEN 1 ELSE 0 END) AS BIGINT) AS n_bitmap,
+       CAST(sum(CASE WHEN ctype = 'run' THEN 1 ELSE 0 END) AS BIGINT) AS n_run,
+       CAST(sum(cbytes) AS BIGINT) AS total_bytes
+FROM typed GROUP BY term
+"""
+
+QUERIES["postings_roaring_size"] = (postings_roaring_size, SQL_ROARING_SIZE)

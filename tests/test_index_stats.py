@@ -88,3 +88,60 @@ def test_shard_skew_shares_sum_to_one_and_skew_is_real(spark):
     assert all(r["n_terms"] > 0 and r["n_postings"] > 0 for r in rows)
     total = sum(r["n_postings"] for r in rows)
     assert all(abs(r["n_postings"] * NSHARDS / total - r["skew"]) < 1e-3 for r in rows)
+
+
+def test_roaring_containers_hit_all_three_regimes(spark):
+    """The three docID-set classes must each land in a DIFFERENT container
+    encoding — otherwise the decision rule is untested by the data: _live
+    (contiguous) → run, _sparse (doc_id % 37) → array, flagship postings
+    (dense-ish) → bitmap. An all-one-type output would pass the oracle on
+    arithmetic alone and prove nothing about the regime switch."""
+    from harvester_spark.operators.index_stats import postings_roaring_size
+
+    rows = {r["term"]: r for r in postings_roaring_size(spark, SF_DIR).collect()}
+    live, sparse = rows["_live"], rows["_sparse"]
+    assert live["n_run"] == live["n_containers"] and live["n_run"] > 0
+    assert sparse["n_array"] == sparse["n_containers"] and sparse["n_array"] > 0
+    assert any(
+        rows[t]["n_bitmap"] > 0 for t in BM25_TERMS
+    ), "no flagship container chose bitmap — density regime untested"
+    # run containers must be the cheapest possible: 6 bytes each
+    assert live["total_bytes"] == 6 * live["n_containers"]
+
+
+def test_codec_compare_formulas_are_lawful(spark):
+    """Cross-codec sanity on the full dictionary: Elias-Fano can never
+    exceed varbyte on these dense lists; FOR block cost is lower-bounded
+    by its own header; every codec spends at least 1 bit per posting; and
+    the EF low-bit derivation length(bin(u DIV n)) - 1 equals
+    floor(log2(u/n)) recomputed in Python."""
+    import math
+
+    from harvester_spark.operators.index_stats import postings_codec_compare
+
+    rows = postings_codec_compare(spark, SF_DIR).collect()
+    assert len(rows) > 10  # whole dictionary, not a term sample
+    for r in rows:
+        assert r["ef_bits"] >= r["df"]
+        assert r["for_bits"] >= 8 * r["n_blocks"] + r["df"]
+        assert r["vb_bits"] >= 8 * r["df"]  # varbyte: >= 1 byte per posting
+        assert r["ef_bits"] <= r["vb_bits"], r
+        assert r["best"] in ("ef", "for", "vb")
+    # recompute one EF size end-to-end from the raw postings
+    from harvester_spark.operators.common import doc_tokens
+    import pyspark.sql.functions as F
+
+    t0 = min(r["term"] for r in rows)
+    ids = sorted(
+        x["doc_id"]
+        for x in doc_tokens(spark, SF_DIR)
+        .filter(F.col("term") == t0)
+        .select("doc_id")
+        .distinct()
+        .collect()
+    )
+    n, u = len(ids), ids[-1] + 1
+    l = max(0, math.floor(math.log2(u / n)))
+    expect = n * l + n + (u >> l)
+    got = {r["term"]: r["ef_bits"] for r in rows}[t0]
+    assert got == expect, (t0, got, expect)
