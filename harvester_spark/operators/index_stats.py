@@ -688,3 +688,128 @@ FROM typed GROUP BY term
 """
 
 QUERIES["postings_roaring_size"] = (postings_roaring_size, SQL_ROARING_SIZE)
+
+
+# ----------------------------------------------------- MaxScore split
+# The MaxScore essential/non-essential list partition (Turtle & Flood
+# 1995) — the third dynamic-pruning family next to the repo's WAND
+# (search/wand.py) and the block-max metadata above. Terms sorted by
+# ascending score upper bound; the maximal prefix whose UB sum cannot
+# reach the current threshold θ (the k-th best score) is NON-essential:
+# those postings are only ever probed as lookups from essential-list
+# candidates, never traversed. This table is the planning twin: per query
+# term, its global BM25 upper bound, the running prefix sum, and the
+# essential verdict at θ = the exact 10th-best disjunctive score.
+#
+# Determinism: bounds and θ go through the micro-unit idiom (the ONE
+# shared contrib string with e0 float literals); every comparison after
+# that is int64. max(micro(x)) == micro(max(x)) since floor(x·1e6+0.5) is
+# monotone. Scale shape: the SPIMI tf agg + a per-term max (tiny), the
+# same top-k plan serving runs for θ, and a window over #query-terms rows.
+
+_CONTRIB = (
+    "ln(1.0e0 + (n - df + 0.5e0) / (df + 0.5e0))"
+    " * (tf * 2.2e0)"
+    " / (tf + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * dl / avgdl))"
+)
+_MICRO = "CAST(floor({x} * 1.0e6 + 0.5e0) AS BIGINT)"
+MAXSCORE_K = 10
+
+
+def ft_maxscore_split(spark, sf_dir):
+    """(term, df, ub_micro, cum_ub_micro, essential): MaxScore list
+    partition for the flagship disjunction at θ = exact 10th-best score."""
+    from harvester_spark.operators.fulltext_queries import BM25_TERMS
+
+    toks = doc_tokens(spark, sf_dir)
+    docs_n = load(spark, sf_dir, "documents")
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = docs_n.select(F.count("*").alias("n")).crossJoin(
+        dl.select((F.sum("dl") / F.count("*")).alias("avgdl"))
+    )
+    tf = (
+        toks.filter(F.col("term").isin(BM25_TERMS))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    contrib = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("c", F.expr(_CONTRIB))
+    )
+    theta = (
+        contrib.groupBy("doc_id")
+        .agg(F.round(F.sum("c"), 6).alias("score"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                W.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            ),
+        )
+        .filter(F.col("rnk") == MAXSCORE_K)
+        .select(F.expr(_MICRO.format(x="score")).alias("theta_micro"))
+    )
+    ub = contrib.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"),
+        F.max(F.expr(_MICRO.format(x="c"))).alias("ub_micro"),
+    )
+    wc = W.orderBy(F.col("ub_micro").asc(), F.col("term").asc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return (
+        ub.withColumn("cum_ub_micro", F.sum("ub_micro").over(wc))
+        .crossJoin(F.broadcast(theta))
+        .select(
+            "term",
+            "df",
+            "ub_micro",
+            "cum_ub_micro",
+            F.expr(
+                "CASE WHEN cum_ub_micro > theta_micro THEN 1 ELSE 0 END"
+            ).alias("essential"),
+        )
+    )
+
+
+SQL_MAXSCORE_SPLIT = f"""
+WITH toks AS ({SQL_DOC_TOKS}),
+dls AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) * 1.0 / count(*) FROM dls) AS avgdl
+),
+tfs_ AS (
+  SELECT term, doc_id, count(*) AS tf FROM toks
+  WHERE term IN ('key', 'value', 'table') GROUP BY term, doc_id
+),
+dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM tfs_ GROUP BY term),
+contrib AS (
+  SELECT term, doc_id, {_CONTRIB} AS c
+  FROM tfs_ JOIN dfs USING (term) JOIN dls USING (doc_id) CROSS JOIN stats
+),
+theta AS (
+  SELECT {_MICRO.format(x='score')} AS theta_micro FROM (
+    SELECT round(sum(c), 6) AS score,
+           row_number() OVER (ORDER BY round(sum(c), 6) DESC, doc_id ASC) AS rnk
+    FROM contrib GROUP BY doc_id
+  ) WHERE rnk = {MAXSCORE_K}
+),
+ub AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df,
+         max({_MICRO.format(x='c')}) AS ub_micro
+  FROM contrib GROUP BY term
+),
+cum AS (
+  SELECT term, df, ub_micro,
+         sum(ub_micro) OVER (ORDER BY ub_micro ASC, term ASC
+                             ROWS UNBOUNDED PRECEDING) AS cum_ub_micro
+  FROM ub
+)
+SELECT term, df, ub_micro, CAST(cum_ub_micro AS BIGINT) AS cum_ub_micro,
+       CASE WHEN cum_ub_micro > theta_micro THEN 1 ELSE 0 END AS essential
+FROM cum CROSS JOIN theta
+"""
+
+QUERIES["ft_maxscore_split"] = (ft_maxscore_split, SQL_MAXSCORE_SPLIT)

@@ -145,3 +145,42 @@ def test_codec_compare_formulas_are_lawful(spark):
     expect = n * l + n + (u >> l)
     got = {r["term"]: r["ef_bits"] for r in rows}[t0]
     assert got == expect, (t0, got, expect)
+
+
+def test_maxscore_split_is_safe_and_discriminates(spark):
+    """MaxScore safety: a document containing ONLY non-essential terms can
+    never reach θ, so skipping those lists as drivers is rank-safe. Verify
+    against the brute-force disjunctive scores; require the split itself to
+    be non-degenerate (at least one list on each side)."""
+    from harvester_spark.operators.fulltext_queries import bm25_or_scored
+    from harvester_spark.operators.index_stats import (
+        MAXSCORE_K,
+        ft_maxscore_split,
+    )
+    from harvester_spark.operators.common import doc_tokens
+    import pyspark.sql.functions as F
+
+    split = {r["term"]: r for r in ft_maxscore_split(spark, SF_DIR).collect()}
+    ess = {t for t, r in split.items() if r["essential"]}
+    non = set(split) - ess
+    assert ess and non, f"degenerate split: {split}"
+
+    scores = {
+        r["doc_id"]: r["score"] for r in bm25_or_scored(spark, SF_DIR).collect()
+    }
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    theta = ranked[MAXSCORE_K - 1][1]
+
+    # docs whose flagship terms are all non-essential
+    toks = (
+        doc_tokens(spark, SF_DIR)
+        .filter(F.col("term").isin(list(split)))
+        .groupBy("doc_id")
+        .agg(F.collect_set("term").alias("ts"))
+        .collect()
+    )
+    only_non = [r["doc_id"] for r in toks if set(r["ts"]) <= non]
+    assert only_non, "no doc exercises the non-essential-only case"
+    worst = max(scores[d] for d in only_non)
+    # micro-unit floors can understate each UB by < 1e-6
+    assert worst <= theta + len(non) * 1e-6, (worst, theta)
