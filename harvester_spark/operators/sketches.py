@@ -910,3 +910,102 @@ FROM terms GROUP BY 1
 
 
 QUERIES["snapshot_drift_kl"] = (snapshot_drift_kl, SQL_SNAPSHOT_DRIFT_KL)
+
+
+# ---------------------------------------------- HLL measured-error eval
+# "Measure, don't guess": the sketch family's accuracy claim (sigma =
+# 1.04/sqrt(m) = 6.5% at m=256) verified against exact distinct counts at
+# FOUR cardinalities from one stream — the hash-nested subsets
+# hv % s == 0 for s in 1,4,16,64 give ~D, D/4, D/16, D/64 distinct
+# shingles, so one operator exercises both estimator regimes (raw HLL on
+# the large groups, the LinearCounting small-range correction on the
+# smallest; a pytest pins that BOTH branches actually fire). The exact leg
+# is a labeled shingle-keyed distinct — the eval needs ground truth by
+# definition; the sketch leg stays O(m) state. Same eval pattern as
+# jl_distortion_eval / ann_lsh_recall / dedup_lsh_pr_eval.
+
+_HLL_EVAL_SCALES = (1, 4, 16, 64)
+
+
+def hll_error_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(scale, exact, est, err_micro): HLL estimate vs exact distinct
+    3-gram count on nested hash subsets of the corpus shingle stream.
+
+    The subset hash is md5('sub|' || shingle) — INDEPENDENT of the HLL
+    value hash. Reusing hv here is the classic sketch-correlation bug:
+    hv % s == 0 forces bucket = hv % m onto 1/s of the register file and
+    the estimator collapses (measured: est 74 vs exact 4112 at s=4).
+    A pytest pins this independence by construction."""
+    sh = _shingle_stream(spark, sf_dir).select(
+        "shingle",
+        _hash56(F.concat(F.lit("sub|"), F.col("shingle"))).alias("sv"),
+    )
+    scales = ",".join(str(s) for s in _HLL_EVAL_SCALES)
+    sub = sh.select(
+        "shingle",
+        F.explode(
+            F.expr(f"filter(array({scales}), s -> sv % s = 0)")
+        ).alias("scale"),
+    )
+    est = hll_fold_registers(
+        hll_registers(sub, F.col("shingle"), "scale"), "scale"
+    ).select("scale", "est")
+    exact = sub.groupBy("scale").agg(
+        F.countDistinct("shingle").cast("long").alias("exact")
+    )
+    return exact.join(est, "scale").select(
+        "scale",
+        "exact",
+        "est",
+        F.expr(
+            "CAST(floor(abs(est - exact) * 1.0e6 / exact + 0.5e0) AS BIGINT)"
+        ).alias("err_micro"),
+    )
+
+
+SQL_HLL_ERROR_EVAL = f"""
+WITH sh AS (
+  SELECT shingle, {_SQL_HASH56.format(col="'sub|' || shingle")} AS sv
+  FROM ({_sql_shingle_stream()})
+),
+sub AS (
+  SELECT shingle, unnest(list_filter({list(_HLL_EVAL_SCALES)}, s -> sv % s = 0))
+           AS scale
+  FROM sh
+),
+wb AS (
+  SELECT scale, hv % {HLL_M} AS bucket, hv // {HLL_M} AS w
+  FROM (SELECT scale, {_SQL_HASH56.format(col='shingle')} AS hv FROM sub)
+),
+reg AS (
+  SELECT scale, bucket, max({_rho_case('w')}) AS r FROM wb GROUP BY 1, 2
+),
+per AS (
+  SELECT scale, CAST(count(*) AS BIGINT) AS n_registers,
+         CAST(sum(CAST(power(2, {_HLL_RMAX} - r) AS BIGINT)) AS BIGINT) AS s_present
+  FROM reg GROUP BY 1
+),
+fin AS (
+  SELECT scale, n_registers,
+         CAST({HLL_M} - n_registers AS BIGINT) AS v_zero,
+         CAST(s_present + ({HLL_M} - n_registers) * {2**_HLL_RMAX} AS BIGINT) AS s_num
+  FROM per
+),
+est AS (
+  SELECT scale,
+         round(CASE WHEN {_HLL_C} / s_num <= {2.5 * HLL_M} AND v_zero > 0
+                    THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / v_zero)
+                    ELSE {_HLL_C} / s_num END, 6) AS est
+  FROM fin
+),
+exact AS (
+  SELECT scale, CAST(count(DISTINCT shingle) AS BIGINT) AS exact FROM sub
+  GROUP BY scale
+)
+SELECT scale, exact, est,
+       CAST(floor(abs(est - exact) * 1.0e6 / exact + 0.5e0) AS BIGINT)
+         AS err_micro
+FROM exact JOIN est USING (scale)
+"""
+
+QUERIES["hll_error_eval"] = (hll_error_eval, SQL_HLL_ERROR_EVAL)

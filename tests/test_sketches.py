@@ -150,3 +150,23 @@ class TestSnapshotDriftKL:
         assert all(r.kl_micronat > 0 for r in rows)
         assert all(r.n_cats > 1 for r in rows)
         assert all(r.n_snap < r.n_base for r in rows)
+
+
+def test_hll_error_eval_bounded_and_exercises_both_branches(spark):
+    """Measured HLL error must stay within ~3 sigma (1.04/sqrt(256) = 6.5%)
+    at every nested cardinality, and the four scales must cover BOTH
+    estimator branches (raw harmonic-mean HLL on the big subsets, the
+    LinearCounting small-range correction on the small ones). A correlated
+    subset hash collapses the register file and fails the 20% bound by an
+    order of magnitude (est 74 vs exact 4112) — this test is the guard."""
+    rows = {r["scale"]: r for r in sketches.hll_error_eval(spark, SF_DIR).collect()}
+    assert set(rows) == set(sketches._HLL_EVAL_SCALES)
+    for s, r in rows.items():
+        assert r["exact"] > 0
+        assert r["err_micro"] <= 200_000, (s, dict(r.asDict()))
+    # nested subsets: cardinality must strictly decrease with scale
+    exacts = [rows[s]["exact"] for s in sorted(rows)]
+    assert exacts == sorted(exacts, reverse=True) and exacts[0] > exacts[-1]
+    # branch coverage: smallest subset under the LC cutoff, largest above
+    assert rows[max(rows)]["exact"] < 2.5 * sketches.HLL_M
+    assert rows[1]["exact"] > 2.5 * sketches.HLL_M
