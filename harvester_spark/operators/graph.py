@@ -755,3 +755,81 @@ GROUP BY o1.src
 
 
 QUERIES["host_triangles"] = (host_triangles, _sql_host_triangles())
+
+
+# ---------------------------------------------- frontier politeness schedule
+# The other half of crawl planning (crawl_budget_allocate says HOW MANY
+# pages per host; this says WHEN): a Heritrix/Nutch-style polite frontier.
+# Every host gets a deterministic crawl delay (1..5 s from the md5-hash
+# idiom — robots.txt Crawl-delay stands in); within a host, candidates are
+# fetched best-first (n_chars desc as the priority, doc_id tiebreak), so
+# candidate p of a host dispatches at t = p * delay(host). The global
+# output is the first FRONTIER_TOPK dispatches across all hosts — the
+# interleaving a polite fetcher actually executes, where a slow (high
+# delay) host's queue naturally yields to fast hosts.
+#
+# Scale shape: ONE per-host window (frontier queues are per-host by
+# definition — the partitioning IS the politeness domain) and a
+# TakeOrdered global cut; no global sort, nothing driver-resident. The
+# final slot numbering is a window over the already-cut TOPK rows.
+
+FRONTIER_TOPK = 100
+
+
+def frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(slot, doc_id, host, pos_in_host, delay_s, fetch_at_s): the first
+    FRONTIER_TOPK polite-crawl dispatches."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("source").alias("host"), "n_chars"
+    )
+    wh = W.partitionBy("host").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    sched = (
+        docs.withColumn("pos_in_host", F.row_number().over(wh) - 1)
+        .withColumn("delay_s", (F.lit(1) + _hash56(F.col("host")) % 5).cast("long"))
+        .withColumn("fetch_at_s", (F.col("pos_in_host") * F.col("delay_s")).cast("long"))
+    )
+    top = sched.orderBy(
+        F.col("fetch_at_s").asc(), F.col("host").asc(), F.col("doc_id").asc()
+    ).limit(FRONTIER_TOPK)
+    ws = W.orderBy(F.col("fetch_at_s").asc(), F.col("host").asc(), F.col("doc_id").asc())
+    return top.select(
+        F.row_number().over(ws).alias("slot"),
+        "doc_id",
+        "host",
+        F.col("pos_in_host").cast("long").alias("pos_in_host"),
+        "delay_s",
+        "fetch_at_s",
+    )
+
+
+def _sql_frontier() -> str:
+    hash_host = _SQL_HASH56.format(col="host")
+    return f"""
+WITH cand AS (
+  SELECT doc_id, source AS host, n_chars FROM documents
+),
+sched AS (
+  SELECT doc_id, host,
+         row_number() OVER (PARTITION BY host
+                            ORDER BY n_chars DESC, doc_id ASC) - 1
+           AS pos_in_host,
+         CAST(1 + {hash_host} % 5 AS BIGINT) AS delay_s
+  FROM cand
+),
+top AS (
+  SELECT doc_id, host, pos_in_host,
+         delay_s, CAST(pos_in_host * delay_s AS BIGINT) AS fetch_at_s
+  FROM sched
+  ORDER BY fetch_at_s ASC, host ASC, doc_id ASC LIMIT {FRONTIER_TOPK}
+)
+SELECT CAST(row_number() OVER (ORDER BY fetch_at_s ASC, host ASC, doc_id ASC)
+            AS INT) AS slot,
+       doc_id, host, CAST(pos_in_host AS BIGINT) AS pos_in_host,
+       delay_s, fetch_at_s
+FROM top
+"""
+
+
+QUERIES["frontier_schedule"] = (frontier_schedule, _sql_frontier())

@@ -135,3 +135,31 @@ def test_textrank_nondegenerate_and_tracks_cooccurrence_hubness(spark):
     top_tr = max(ranks, key=lambda t: (ranks[t], t))
     q = sorted(deg.values())[3 * len(deg) // 4]
     assert deg[top_tr] >= q
+
+
+def test_frontier_schedule_is_polite_and_takeordered(spark):
+    """Politeness: within a host, consecutive dispatches are exactly
+    delay_s apart starting at 0 (fetch_at = pos * delay). The global cut
+    must interleave several hosts in time order, and the physical plan
+    must cut with TakeOrdered, not a global sort."""
+    from harvester_spark.operators.graph import FRONTIER_TOPK, frontier_schedule
+
+    df = frontier_schedule(spark, SF_DIR)
+    rows = df.collect()
+    assert 0 < len(rows) <= FRONTIER_TOPK
+    assert [r["slot"] for r in rows] == list(range(1, len(rows) + 1))
+    times = [r["fetch_at_s"] for r in rows]
+    assert times == sorted(times)
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r["host"], []).append(r)
+    assert len(by_host) >= 3, "schedule must interleave hosts"
+    delays = set()
+    for host, hs in by_host.items():
+        hs.sort(key=lambda r: r["pos_in_host"])
+        for r in hs:
+            assert r["fetch_at_s"] == r["pos_in_host"] * r["delay_s"]
+        delays.add(hs[0]["delay_s"])
+    assert len(delays) >= 2, "all hosts got the same delay — hash degenerate"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
