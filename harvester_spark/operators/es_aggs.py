@@ -403,3 +403,56 @@ QUERIES["events_markov_transitions"] = (
     events_markov_transitions,
     SQL_MARKOV_TRANSITIONS,
 )
+
+
+# ------------------------------------------------------------- rare_terms
+# The ES ``rare_terms`` aggregation — the long-tail complement of ``terms``
+# (and of cms_heavy_hitters): buckets whose doc count is AT MOST
+# ``max_doc_count``, ordered rarest-first. ES bounds its state with a
+# CuckooFilter because a terms-agg ordered ascending would have to
+# materialize every bucket; relationally the same bound comes from the
+# threshold filter below the agg and a TakeOrdered cut with a unique
+# (doc_count asc, shingle asc) key. Domain is the word-3-gram shingle
+# stream (the term vocabulary of the synthetic corpus is ~31 head words —
+# no tail to aggregate; shingles are the Zipfian domain, the same choice
+# the sketch operators document).
+#
+# Scale shape: one map-side-combined groupBy(shingle) → threshold filter →
+# TakeOrdered(RARE_SIZE); nothing vocabulary-sized leaves the executors.
+
+RARE_MAX_DOC_COUNT = 2
+RARE_SIZE = 50
+
+
+def es_rare_terms(spark, sf_dir):
+    """(shingle, doc_count): the RARE_SIZE rarest shingle buckets with
+    doc_count <= RARE_MAX_DOC_COUNT, rarest first."""
+    from harvester_spark.operators.sketches import _shingle_stream
+
+    sh = _shingle_stream(spark, sf_dir, "doc_id")
+    counts = sh.groupBy("shingle").agg(
+        F.countDistinct("doc_id").cast("long").alias("doc_count")
+    )
+    return (
+        counts.filter(F.col("doc_count") <= RARE_MAX_DOC_COUNT)
+        .orderBy(F.col("doc_count").asc(), F.col("shingle").asc())
+        .limit(RARE_SIZE)
+    )
+
+
+def _sql_rare_terms() -> str:
+    from harvester_spark.operators.sketches import _sql_shingle_stream
+
+    return f"""
+WITH sh AS ({_sql_shingle_stream('doc_id')}),
+counts AS (
+  SELECT shingle, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_count
+  FROM sh GROUP BY shingle
+)
+SELECT shingle, doc_count FROM counts
+WHERE doc_count <= {RARE_MAX_DOC_COUNT}
+ORDER BY doc_count ASC, shingle ASC LIMIT {RARE_SIZE}
+"""
+
+
+QUERIES["es_rare_terms"] = (es_rare_terms, _sql_rare_terms())

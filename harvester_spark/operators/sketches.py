@@ -34,7 +34,7 @@ are the realistic n-gram domain these sketches exist for at web scale).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from harvester_spark.operators.common import SQL_TOKS, load
 from harvester_spark.analysis import tokens_column
@@ -1009,3 +1009,136 @@ FROM exact JOIN est USING (scale)
 """
 
 QUERIES["hll_error_eval"] = (hll_error_eval, SQL_HLL_ERROR_EVAL)
+
+
+# ---------------------------------------- quantile histogram sketch + eval
+# The fourth sketch: mergeable quantiles (HdrHistogram-style), completing
+# distinct (HLL) / frequency (CMS) / membership (Bloom). Values go to
+# exact integer cents (the money idiom), then to a log-scale bucket with a
+# 4-bit mantissa: v < 16 exact, else bucket = 16 + (exp-5)*8 + top3, with
+# exp = length(bin(v)) — INTEGER bit tricks only, so bucket assignment is
+# bit-identical in both engines (a float log_gamma bucketer like DDSketch's
+# would be engine-divergent at boundaries). Relative error of the bucket
+# midpoint is <= 2^-4 = 6.25% by construction; the eval MEASURES it per
+# percentile against the exact order statistic. Sketch state is <= ~112
+# buckets no matter the corpus (map-side combined groupBy; merging sketches
+# is adding histograms) — the cumulative window runs over that bounded
+# frame, same argument as events_pipeline_aggs. The exact leg is the
+# labeled ground truth: one distinct-cents agg + one bounded window.
+
+QS_PCTS = (50, 90, 99)
+
+# {shr}/{shl} filled per engine; the formula text is otherwise identical.
+_QS_BUCKET_T = (
+    "CASE WHEN v < 16 THEN v "
+    "ELSE 16 + (length(bin(v)) - 5) * 8 + ({shr} - 8) END"
+)
+_QS_REP_T = (
+    "CASE WHEN b < 16 THEN b "
+    "ELSE {shl} END"
+)
+
+
+def _qs_spark_bucket() -> str:
+    return _QS_BUCKET_T.format(shr="shiftright(v, length(bin(v)) - 4)")
+
+
+def _qs_spark_rep() -> str:
+    return _QS_REP_T.format(
+        shl="shiftleft(2 * (8 + (b - 16) % 8) + 1, (b - 16) DIV 8)"
+    )
+
+
+def _qs_sql_bucket() -> str:
+    return _QS_BUCKET_T.format(shr="(v >> (length(bin(v)) - 4))")
+
+
+def _qs_sql_rep() -> str:
+    return _QS_REP_T.format(
+        shl="((2 * (8 + (b - 16) % 8) + 1) << ((b - 16) // 8))"
+    )
+
+
+def quantile_sketch_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(q_pct, exact_cents, est_cents, err_micro): histogram-sketch
+    quantile estimate vs the exact order statistic of events.value."""
+    ev = load(spark, sf_dir, "events").select(
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("v")
+    )
+    hist = (
+        ev.withColumn("b", F.expr(_qs_spark_bucket()))
+        .groupBy("b")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    wb = W.orderBy("b").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = hist.withColumn("cum", F.sum("cnt").over(wb)).crossJoin(
+        F.broadcast(ev.agg(F.count("*").cast("long").alias("n")))
+    )
+    pcts = spark.createDataFrame([(int(p),) for p in QS_PCTS], "q_pct long")
+    est = (
+        cum.crossJoin(F.broadcast(pcts))
+        .filter(F.col("cum") * 100 >= F.col("q_pct") * F.col("n"))
+        .groupBy("q_pct")
+        .agg(F.min("b").alias("b"))
+        .withColumn("est_cents", F.expr(_qs_spark_rep()).cast("long"))
+    )
+    vc = ev.groupBy("v").agg(F.count("*").cast("long").alias("cnt"))
+    wv = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    vcum = vc.withColumn("cum", F.sum("cnt").over(wv)).crossJoin(
+        F.broadcast(ev.agg(F.count("*").cast("long").alias("n")))
+    )
+    exact = (
+        vcum.crossJoin(F.broadcast(pcts))
+        .filter(F.col("cum") * 100 >= F.col("q_pct") * F.col("n"))
+        .groupBy("q_pct")
+        .agg(F.min("v").cast("long").alias("exact_cents"))
+    )
+    return exact.join(est.select("q_pct", "est_cents"), "q_pct").select(
+        "q_pct",
+        "exact_cents",
+        "est_cents",
+        F.expr(
+            "CAST(floor(abs(est_cents - exact_cents) * 1.0e6 / exact_cents"
+            " + 0.5e0) AS BIGINT)"
+        ).alias("err_micro"),
+    )
+
+
+SQL_QUANTILE_SKETCH_EVAL = f"""
+WITH ev AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS v FROM events
+),
+n_ AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ev),
+hist AS (
+  SELECT {_qs_sql_bucket()} AS b, CAST(count(*) AS BIGINT) AS cnt
+  FROM ev GROUP BY 1
+),
+cum AS (
+  SELECT b, sum(cnt) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS cum
+  FROM hist
+),
+pcts AS (SELECT unnest({list(QS_PCTS)}) AS q_pct),
+est AS (
+  SELECT q_pct, CAST({_qs_sql_rep()} AS BIGINT) AS est_cents FROM (
+    SELECT q_pct, min(b) AS b
+    FROM cum CROSS JOIN n_ CROSS JOIN pcts
+    WHERE cum * 100 >= q_pct * n GROUP BY q_pct
+  )
+),
+vc AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM ev GROUP BY v),
+vcum AS (
+  SELECT v, sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+  FROM vc
+),
+exact AS (
+  SELECT q_pct, CAST(min(v) AS BIGINT) AS exact_cents
+  FROM vcum CROSS JOIN n_ CROSS JOIN pcts
+  WHERE cum * 100 >= q_pct * n GROUP BY q_pct
+)
+SELECT q_pct, exact_cents, est_cents,
+       CAST(floor(abs(est_cents - exact_cents) * 1.0e6 / exact_cents + 0.5e0)
+            AS BIGINT) AS err_micro
+FROM exact JOIN est USING (q_pct)
+"""
+
+QUERIES["quantile_sketch_eval"] = (quantile_sketch_eval, SQL_QUANTILE_SKETCH_EVAL)

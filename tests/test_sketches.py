@@ -170,3 +170,16 @@ def test_hll_error_eval_bounded_and_exercises_both_branches(spark):
     # branch coverage: smallest subset under the LC cutoff, largest above
     assert rows[max(rows)]["exact"] < 2.5 * sketches.HLL_M
     assert rows[1]["exact"] > 2.5 * sketches.HLL_M
+
+
+def test_quantile_sketch_error_within_mantissa_bound(spark):
+    """The histogram sketch's midpoint estimate must stay within the 4-bit
+    mantissa's 2^-4 = 6.25% relative-error guarantee at every probed
+    percentile, on ground truth from the exact order statistic."""
+    rows = {r["q_pct"]: r for r in sketches.quantile_sketch_eval(spark, SF_DIR).collect()}
+    assert set(rows) == set(sketches.QS_PCTS)
+    for q, r in rows.items():
+        assert r["exact_cents"] > 0
+        assert r["err_micro"] <= 62_500, (q, dict(r.asDict()))
+    # non-degenerate: percentiles must actually spread across buckets
+    assert len({r["est_cents"] for r in rows.values()}) == len(rows)
