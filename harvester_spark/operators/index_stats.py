@@ -813,3 +813,98 @@ FROM cum CROSS JOIN theta
 """
 
 QUERIES["ft_maxscore_split"] = (ft_maxscore_split, SQL_MAXSCORE_SPLIT)
+
+
+# ------------------------------------------------------- Zipf slope fit
+# The rank-frequency power-law exponent of the corpus vocabulary — the
+# companion planning number to vocab_growth (Heaps): cf(rank) ~ C·rank^s
+# with s near -1 means the head term carries ~ 1/H_V of ALL postings, the
+# quantitative justification for the salted head-term merge
+# (index/build.py). Least-squares fit of ln(cf) on ln(rank), done in
+# INTEGER milli-nat units end-to-end: x,y = floor(ln(v)·1e3+0.5) (the
+# micro idiom at 1e3), then slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) as pure
+# int64 arithmetic with a half-den rounding — no float division anywhere,
+# so both engines emit the identical micro-slope. Bounds: V ≤ 2^20 terms ×
+# milli-logs ≤ 2^14 keep every product < 2^63 (larger dictionaries would
+# fit on the top-K head + bucketed tail, as the docstring plan).
+#
+# Scale shape: one term agg (dictionary-sized, not corpus-sized), one
+# rank window over the dictionary, one scalar agg.
+
+_MILLILN = "CAST(floor(ln({v}) * 1.0e3 + 0.5e0) AS BIGINT)"
+# {div} is the integer-division token: Spark spells it DIV, DuckDB //.
+_DIVROUND = (
+    "CASE WHEN {num} >= 0 THEN ({num} * 1000000 + {den} {div} 2) {div} {den} "
+    "ELSE -((-({num}) * 1000000 + {den} {div} 2) {div} {den}) END"
+)
+
+
+def ft_zipf_slope(spark, sf_dir):
+    """(n_terms, slope_micro, intercept_milli): log-log least-squares fit
+    of collection frequency against frequency rank."""
+    cf = (
+        doc_tokens(spark, sf_dir)
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("cf"))
+    )
+    wr = W.orderBy(F.col("cf").desc(), F.col("term").asc())
+    xy = cf.withColumn("rank", F.row_number().over(wr).cast("long")).select(
+        F.expr(_MILLILN.format(v="rank")).alias("x"),
+        F.expr(_MILLILN.format(v="cf")).alias("y"),
+    )
+    s = xy.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    sl = s.withColumn(
+        "slope_micro",
+        F.expr(
+            _DIVROUND.format(
+                num="(n * sxy - sx * sy)", den="(n * sxx - sx * sx)", div="DIV"
+            )
+        ),
+    )
+    return sl.select(
+        F.col("n").alias("n_terms"),
+        "slope_micro",
+        F.expr("(sy * 1000000 - slope_micro * sx) DIV (n * 1000000)").alias(
+            "intercept_milli"
+        ),
+    )
+
+
+SQL_ZIPF_SLOPE = f"""
+WITH cf AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS cf
+  FROM ({SQL_DOC_TOKS}) GROUP BY term
+),
+xy AS (
+  SELECT {_MILLILN.format(v='rank')} AS x, {_MILLILN.format(v='cf')} AS y
+  FROM (
+    SELECT cf, CAST(row_number() OVER (ORDER BY cf DESC, term ASC) AS BIGINT)
+             AS rank
+    FROM cf
+  )
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM xy
+),
+sl AS (
+  SELECT n, {_DIVROUND.format(num="(n * sxy - sx * sy)",
+                              den="(n * sxx - sx * sx)", div="//")} AS slope_micro,
+         sx, sy
+  FROM s
+)
+SELECT n AS n_terms, slope_micro,
+       (sy * 1000000 - slope_micro * sx) // (n * 1000000) AS intercept_milli
+FROM sl
+"""
+
+QUERIES["ft_zipf_slope"] = (ft_zipf_slope, SQL_ZIPF_SLOPE)

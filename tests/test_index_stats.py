@@ -184,3 +184,42 @@ def test_maxscore_split_is_safe_and_discriminates(spark):
     worst = max(scores[d] for d in only_non)
     # micro-unit floors can understate each UB by < 1e-6
     assert worst <= theta + len(non) * 1e-6, (worst, theta)
+
+
+def test_zipf_slope_matches_integer_least_squares(spark):
+    """Recompute the fit from the raw collection frequencies with the same
+    milli-nat integer pipeline in plain Python — the operator must match
+    EXACTLY (the whole point of the integer-division rounding), and the
+    slope must be negative (frequency falls with rank)."""
+    import math
+
+    from harvester_spark.operators.common import doc_tokens
+    from harvester_spark.operators.index_stats import ft_zipf_slope
+    import pyspark.sql.functions as F
+
+    row = ft_zipf_slope(spark, SF_DIR).collect()[0]
+    cf = sorted(
+        (
+            (r["cf"], r["term"])
+            for r in doc_tokens(spark, SF_DIR)
+            .groupBy("term")
+            .agg(F.count("*").alias("cf"))
+            .collect()
+        ),
+        key=lambda t: (-t[0], t[1]),
+    )
+    xs = [math.floor(math.log(i + 1) * 1e3 + 0.5) for i in range(len(cf))]
+    ys = [math.floor(math.log(c) * 1e3 + 0.5) for c, _ in cf]
+    n = len(cf)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    num, den = n * sxy - sx * sy, n * sxx - sx * sx
+    if num >= 0:
+        slope = (num * 1_000_000 + den // 2) // den
+    else:
+        slope = -((-num * 1_000_000 + den // 2) // den)
+    assert row["n_terms"] == n
+    assert row["slope_micro"] == slope
+    assert row["slope_micro"] < 0
+    assert row["intercept_milli"] == (sy * 1_000_000 - slope * sx) // (n * 1_000_000)
