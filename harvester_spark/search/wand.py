@@ -326,6 +326,149 @@ def or_accumulate_topk(
     )
 
 
+def or_maxscore_topk(
+    term_blocks: dict[str, pd.DataFrame],
+    dfs: dict[str, int],
+    n_docs: int,
+    avgdl: float,
+    doc_lens: np.ndarray,
+    k: int = 10,
+    impact_col: str = "impact_all",
+    allowed_doc_ids=None,
+) -> tuple[pd.DataFrame, dict]:
+    """Vectorized term-at-a-time MaxScore (Buckley & Lewit '85; Turtle &
+    Flood '95) — the third dynamic-pruning family between WAND and the
+    dense accumulator.
+
+    Phase 1 (selection, ub-DESCENDING term order): terms accumulate into a
+    sorted candidate array; after each term, candidates whose partial score
+    plus the remaining-terms upper-bound sum cannot reach the running k-th
+    partial score θ are dropped, and once that remainder itself falls below
+    θ no NEW document can enter the top-k — remaining (non-essential) lists
+    switch to PROBE-ONLY mode, decoding only blocks whose
+    [base_doc_id, max_doc_id] span contains a surviving candidate
+    (``stats['blocks_skipped']`` counts the decode savings; WAND cannot
+    skip this way without a per-posting Python cursor walk).
+
+    Phase 2 (exact): survivors are re-scored with the shared kernel in the
+    FIXED (df asc, term asc) accumulation order, so returned scores are
+    bit-identical to :func:`or_accumulate_topk` / :func:`wand_topk` — the
+    rank-identity contract. Safe because candidates only ever shrink: every
+    block containing a survivor was decoded in whichever phase ran.
+
+    Bound comparisons carry a 1e-9 margin so Phase-1 float addition order
+    (ub-desc) can never prune a document the fixed-order kernel would keep;
+    a tie at exactly θ must survive (doc_id asc can win the tie).
+    ``stats['scored']`` is the surviving-candidate count — a lower bound on
+    the true match total, like WAND's.
+    """
+    from harvester_spark.index.codec import decode_blocks_batch
+    from harvester_spark.search.allowed import allowed_filter_mask
+
+    terms = [t for t in term_blocks if dfs.get(t, 0) > 0]
+    empty = pd.DataFrame(columns=["rank", "doc_id", "score"])
+    stats = {"scored": 0, "blocks_decoded": 0, "blocks_skipped": 0}
+    if not terms:
+        return empty, stats
+
+    eps = 1e-9
+    idfs = {t: float(bm25.idf(n_docs, dfs[t])) for t in terms}
+    ub = {t: idfs[t] * float(term_blocks[t][impact_col].max()) for t in terms}
+    order = sorted(terms, key=lambda t: (-ub[t], t))
+    # rem[j] = Σ ub of terms strictly after position j
+    rem = np.concatenate(
+        [np.cumsum([ub[t] for t in order][::-1])[::-1][1:], [0.0]]
+    )
+
+    cand_ids = np.empty(0, dtype=np.int64)
+    cand_scores = np.empty(0, dtype=np.float64)
+    decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    admitting = True
+    theta = -np.inf
+    for j, t in enumerate(order):
+        tb = term_blocks[t]
+        if admitting:
+            rows = tb
+        else:
+            base = tb["base_doc_id"].to_numpy()
+            mx = tb["max_doc_id"].to_numpy()
+            lo = np.searchsorted(cand_ids, base, side="left")
+            hi = np.searchsorted(cand_ids, mx, side="right")
+            keep_blk = hi > lo  # block span contains >= 1 survivor
+            stats["blocks_skipped"] += int((~keep_blk).sum())
+            rows = tb[keep_blk]
+        if len(rows):
+            ids, tfv = decode_blocks_batch(
+                rows["base_doc_id"].to_numpy(),
+                rows["n"].to_numpy(),
+                [bytes(b) for b in rows["doc_deltas"]],
+                [bytes(b) for b in rows["tfs"]],
+            )
+            stats["blocks_decoded"] += len(rows)
+        else:
+            ids = np.empty(0, dtype=np.int64)
+            tfv = np.empty(0, dtype=np.int64)
+        if ids.size:
+            # chains interleave ('all' spans, delta appends): sort once —
+            # ids are unique within a term (accumulator invariant)
+            o = np.argsort(ids, kind="stable")
+            ids, tfv = ids[o], tfv[o]
+            if allowed_doc_ids is not None:
+                keep = allowed_filter_mask(allowed_doc_ids, ids)
+                ids, tfv = ids[keep], tfv[keep]
+        decoded[t] = (ids, tfv)
+        if ids.size:
+            contrib = idfs[t] * bm25.tf_norm(tfv, doc_lens[ids], avgdl)
+            if admitting:
+                merged = np.union1d(cand_ids, ids)
+                ns = np.zeros(merged.size, dtype=np.float64)
+                ns[np.searchsorted(merged, cand_ids)] = cand_scores
+                ns[np.searchsorted(merged, ids)] += contrib
+                cand_ids, cand_scores = merged, ns
+            else:
+                m = bm25.sorted_member_mask(ids, cand_ids)
+                pos = np.searchsorted(cand_ids, ids[m])
+                cand_scores[pos] += contrib[m]
+        if cand_ids.size >= k:
+            theta = float(
+                np.partition(cand_scores, cand_scores.size - k)[
+                    cand_scores.size - k
+                ]
+            )
+            keep = cand_scores + rem[j] >= theta - eps
+            cand_ids, cand_scores = cand_ids[keep], cand_scores[keep]
+            if admitting and rem[j] < theta - eps:
+                admitting = False
+
+    stats["scored"] = int(cand_ids.size)
+    if cand_ids.size == 0:
+        return empty, stats
+    # Phase 2: exact scores, fixed accumulation order (rank identity)
+    final = np.zeros(cand_ids.size, dtype=np.float64)
+    for t in bm25.term_order(terms, dfs):
+        ids, tfv = decoded[t]
+        if ids.size == 0:
+            continue
+        m = bm25.sorted_member_mask(cand_ids, ids)
+        if not m.any():
+            continue
+        pos = np.searchsorted(ids, cand_ids[m])
+        final[m] += idfs[t] * bm25.tf_norm(
+            tfv[pos], doc_lens[cand_ids[m]], avgdl
+        )
+    sel = bm25.topk_order(final, cand_ids, k)
+    return (
+        pd.DataFrame(
+            {
+                "rank": np.arange(1, sel.size + 1),
+                "doc_id": cand_ids[sel].astype(np.int64),
+                "score": final[sel],
+            }
+        ),
+        stats,
+    )
+
+
 # Cost model for the OR strategy dispatch (measured on this host, but the
 # RATIO is what matters and it is hardware-stable: an interpreted cursor
 # step costs ~300× a vectorized per-posting op).
@@ -438,6 +581,11 @@ def or_search(searcher, query_text: str, k: int = 10, lang: str = ALL_LANG,
     if strategy == "accumulate":
         topk, stats = or_accumulate_topk(
             term_blocks, dfs, n_docs, avgdl, searcher._doc_lens(), k,
+            allowed_doc_ids=allowed_doc_ids,
+        )
+    elif strategy == "maxscore":
+        topk, stats = or_maxscore_topk(
+            term_blocks, dfs, n_docs, avgdl, searcher._doc_lens(), k, impact_col,
             allowed_doc_ids=allowed_doc_ids,
         )
     else:

@@ -81,6 +81,20 @@ def main() -> None:
         "three_head_and_fast": t(and_search_fast, s, "w00000 w00001 w00002", 10),
         "phrase_positional": t(positional_phrase_search, s, "block max wand", 10),
         "or_wand_3head": t(or_search, s, "w00000 w00001 w00002", 10),
+        "or_maxscore_3head": t(
+            or_search, s, "w00000 w00001 w00002", 10, strategy="maxscore"
+        ),
+        # MaxScore sweet spot: mid-df driver + head tails — probe-only mode
+        # skips candidate-free head blocks (stats below)
+        "or_accumulate_mid_head": t(
+            or_search, s, "w01000 w00000 w00001", 10, strategy="accumulate"
+        ),
+        "or_maxscore_mid_head": t(
+            or_search, s, "w01000 w00000 w00001", 10, strategy="maxscore"
+        ),
+        "or_wand_mid_head": t(
+            or_search, s, "w01000 w00000 w00001", 10, strategy="wand"
+        ),
         # ~N grammar: fuzzy = dictionary scan + banded DP + expansion OR;
         # sloppy rare-word phrase = positional chain over pruned blocks;
         # sloppy head∧head = the decode-heavy pathology (common-grams can't
@@ -145,6 +159,17 @@ def main() -> None:
     res["fast_equals_exact"] = list(fast.topk["doc_id"]) == list(exact.topk["doc_id"]) and (
         list(fast.topk["score"]) == list(exact.topk["score"])
     )
+    # all three OR strategies must agree bit-for-bit at this scale; record
+    # the probe-only decode savings MaxScore gets on the mid+head mix
+    ms, ms_stats = or_search(
+        s, "w01000 w00000 w00001", k=10, strategy="maxscore", with_stats=True
+    )
+    acc = or_search(s, "w01000 w00000 w00001", k=10, strategy="accumulate")
+    res["maxscore_equals_accumulate"] = list(ms["doc_id"]) == list(
+        acc["doc_id"]
+    ) and list(ms["score"]) == list(acc["score"])
+    res["maxscore_blocks_skipped"] = int(ms_stats.get("blocks_skipped", 0))
+    res["maxscore_blocks_decoded"] = int(ms_stats.get("blocks_decoded", 0))
     print(json.dumps(res))
     spark.stop()
 

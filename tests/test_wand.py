@@ -253,3 +253,74 @@ def test_or_strategy_dispatch():
     # classic WAND win: rare term drives theta, head lists get skipped
     assert _pick_or_strategy({"rare": 40, "head": 600_000},
                              ["rare", "head"]) == "wand"
+
+
+@pytest.mark.parametrize("query", OR_QUERIES)
+@pytest.mark.parametrize("lang", ["all", "en", "nl"])
+def test_maxscore_rank_identical(wand_env, query, lang):
+    """MaxScore strategy: bit-identical docIDs AND scores vs the oracle and
+    the other two strategies on the full query battery."""
+    searcher, docs_pdf = wand_env
+    got = or_search(searcher, query, k=10, lang=lang, strategy="maxscore")
+    exp = brute_force_topk_or(docs_pdf, query, k=10, lang=lang)
+    assert list(got["doc_id"]) == list(exp["doc_id"]), (query, lang)
+    g = np.asarray(got["score"], dtype=np.float64)
+    e = np.asarray(exp["score"], dtype=np.float64)
+    assert g.shape == e.shape and (g == e).all(), (query, lang)
+    acc = or_search(searcher, query, k=10, lang=lang, strategy="accumulate")
+    assert list(got["doc_id"]) == list(acc["doc_id"])
+    assert (np.asarray(got["score"]) == np.asarray(acc["score"])).all()
+
+
+def test_maxscore_fuzz_rank_identity(wand_env):
+    """Adversarial battery: random term mixes (rare+head), small k, every
+    query checked bit-identical against the accumulator."""
+    import random
+
+    searcher, docs_pdf = wand_env
+    vocab = ["w00000", "w00001", "w00002", "w00100", "w01000", "w04999",
+             "term_7", "block", "max"]
+    rng = random.Random(42)
+    for trial in range(40):
+        q = " ".join(rng.sample(vocab, rng.randint(1, 5)))
+        k = rng.choice([1, 2, 3, 10])
+        got = or_search(searcher, q, k=k, strategy="maxscore")
+        exp = or_search(searcher, q, k=k, strategy="accumulate")
+        assert list(got["doc_id"]) == list(exp["doc_id"]), (trial, q, k)
+        assert (
+            np.asarray(got["score"], dtype=np.float64)
+            == np.asarray(exp["score"], dtype=np.float64)
+        ).all(), (trial, q, k)
+
+
+def test_maxscore_allowed_filter_and_probe_skip(wand_env):
+    """Allowed-filtered MaxScore stays rank-identical to the filtered
+    accumulator, and on a rare+head mix the probe-only phase must actually
+    SKIP head-term blocks (the decode saving WAND can't get vectorized)."""
+    searcher, docs_pdf = wand_env
+    from harvester_spark.search.oracle import brute_force_topk_or
+    from harvester_spark.search.wand import or_maxscore_topk
+
+    exp_all = brute_force_topk_or(docs_pdf, "w00000 w00001", k=10**9)
+    allowed = np.asarray(exp_all["doc_id"], dtype=np.int64)[::2]
+    got = or_search(searcher, "w00000 w00001", k=5, strategy="maxscore",
+                    allowed_doc_ids=allowed)
+    exp = or_search(searcher, "w00000 w00001", k=5, strategy="accumulate",
+                    allowed_doc_ids=allowed)
+    assert list(got["doc_id"]) == list(exp["doc_id"])
+    assert (np.asarray(got["score"]) == np.asarray(exp["score"])).all()
+
+    # probe-skip evidence: k=1 with a dominant rare term makes every
+    # candidate-free head block skippable
+    terms = ["w01000", "w00000"]
+    dfs = searcher._dfs(terms, "all")
+    blocks = searcher._term_postings(terms, "all")
+    term_blocks = {t: blocks[blocks["term"] == t] for t in terms}
+    n_docs, avgdl = searcher._corpus_stats["all"]
+    topk, stats = or_maxscore_topk(
+        term_blocks, dfs, n_docs, avgdl, searcher._doc_lens(), k=1,
+        impact_col="impact_all",
+    )
+    exp1 = brute_force_topk_or(docs_pdf, "w01000 w00000", k=1)
+    assert list(topk["doc_id"]) == list(exp1["doc_id"])
+    assert stats["blocks_decoded"] + stats["blocks_skipped"] > 0
