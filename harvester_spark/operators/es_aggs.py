@@ -456,3 +456,127 @@ ORDER BY doc_count ASC, shingle ASC LIMIT {RARE_SIZE}
 
 
 QUERIES["es_rare_terms"] = (es_rare_terms, _sql_rare_terms())
+
+
+# --- ES extended_stats + percentile_ranks (metric-agg tail) ----------------
+#
+# ``extended_stats`` — count/min/max/sum/avg/variance/std per event type
+# from ONE map-side-combined agg over integer-cent moments (s1 = Σc,
+# s2 = Σc²; c ≤ 2^16 cents keeps s2 sums < 2^63 up to ~10^9 rows per type —
+# past that the moments shard by type-salt and re-add, same plan). The
+# derived stats leave integers only at the last step: avg is an exact
+# integer-division micro-unit; population variance goes through the ONE
+# shared micro-idiom string on (n·s2 − s1²)/n²; std is its sqrt in MILLI
+# units (coarser on purpose — sqrt is the least cross-engine-stable float,
+# so give it 1000× more rounding slack).
+#
+# ``percentile_ranks`` — the inverse of events_percentiles: for fixed probe
+# values, the fraction of events at or below each probe, as exact
+# integer micro-percents ((cnt_le · 10^8) DIV n). The probe table is a
+# 3-row broadcast; the only corpus-sized work is one conditional agg.
+
+_EXT_VAR_MICRO = (
+    "CAST(floor((n * s2 - s1 * s1) * 1.0e6 / (n * n) + 0.5e0) AS BIGINT)"
+)
+_EXT_STD_MILLI = (
+    "CAST(floor(sqrt((n * s2 - s1 * s1) * 1.0e0 / (n * n)) * 1.0e3 + 0.5e0)"
+    " AS BIGINT)"
+)
+
+
+def events_extended_stats(spark, sf_dir):
+    """(event_type, n, min_c, max_c, sum_c, avg_micro, var_micro,
+    std_milli): the ES extended_stats metric agg on integer-cent moments."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", cents("value").alias("c")
+    )
+    m = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("c").cast("long").alias("min_c"),
+        F.max("c").cast("long").alias("max_c"),
+        F.sum("c").cast("long").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    )
+    return m.select(
+        "event_type",
+        "n",
+        "min_c",
+        "max_c",
+        F.col("s1").alias("sum_c"),
+        F.expr("(s1 * 1000000 + n DIV 2) DIV n").alias("avg_micro"),
+        F.expr(_EXT_VAR_MICRO).alias("var_micro"),
+        F.expr(_EXT_STD_MILLI).alias("std_milli"),
+    )
+
+
+SQL_EVENTS_EXTENDED_STATS = f"""
+WITH m AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(min({sql_cents('value')}) AS BIGINT) AS min_c,
+         CAST(max({sql_cents('value')}) AS BIGINT) AS max_c,
+         CAST(sum({sql_cents('value')}) AS BIGINT) AS s1,
+         CAST(sum({sql_cents('value')} * {sql_cents('value')}) AS BIGINT) AS s2
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n, min_c, max_c, s1 AS sum_c,
+       (s1 * 1000000 + n // 2) // n AS avg_micro,
+       {_EXT_VAR_MICRO} AS var_micro,
+       {_EXT_STD_MILLI} AS std_milli
+FROM m
+"""
+
+QUERIES["events_extended_stats"] = (events_extended_stats, SQL_EVENTS_EXTENDED_STATS)
+
+
+PR_PROBES_C = (1000, 5000, 10000)  # cents: value <= 10.00 / 50.00 / 100.00
+
+
+def events_percentile_ranks(spark, sf_dir):
+    """(event_type, probe_c, pct_micro): exact integer micro-percent of
+    events with value at or below each probe — ES percentile_ranks."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", cents("value").alias("c")
+    )
+    probes = spark.createDataFrame(
+        [(int(p),) for p in PR_PROBES_C], "probe_c long"
+    )
+    return (
+        ev.crossJoin(F.broadcast(probes))
+        .groupBy("event_type", "probe_c")
+        .agg(
+            F.sum(F.expr("CASE WHEN c <= probe_c THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("cnt_le"),
+            F.count("*").cast("long").alias("n"),
+        )
+        .select(
+            "event_type",
+            "probe_c",
+            F.expr("(cnt_le * 100000000) DIV n").alias("pct_micro"),
+        )
+    )
+
+
+SQL_EVENTS_PERCENTILE_RANKS = f"""
+WITH ev AS (
+  SELECT event_type, {sql_cents('value')} AS c FROM events
+),
+probes AS (SELECT unnest({list(PR_PROBES_C)}) AS probe_c),
+agg AS (
+  SELECT event_type, probe_c,
+         CAST(sum(CASE WHEN c <= probe_c THEN 1 ELSE 0 END) AS BIGINT)
+           AS cnt_le,
+         CAST(count(*) AS BIGINT) AS n
+  FROM ev CROSS JOIN probes
+  GROUP BY event_type, probe_c
+)
+SELECT event_type, CAST(probe_c AS BIGINT) AS probe_c,
+       (cnt_le * 100000000) // n AS pct_micro
+FROM agg
+"""
+
+QUERIES["events_percentile_ranks"] = (
+    events_percentile_ranks,
+    SQL_EVENTS_PERCENTILE_RANKS,
+)
