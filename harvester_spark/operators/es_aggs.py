@@ -580,3 +580,71 @@ QUERIES["events_percentile_ranks"] = (
     events_percentile_ranks,
     SQL_EVENTS_PERCENTILE_RANKS,
 )
+
+
+# --- ES auto_date_histogram -------------------------------------------------
+#
+# ES picks the LARGEST calendar interval that keeps the bucket count at or
+# under the target; the twin makes the choice relationally and
+# deterministically: span_s = max − min epoch second (one scalar agg, both
+# engines on the floored-epoch BIGINT convention), then ONE shared CASE
+# ladder (minute → hour → day) chooses the smallest rung whose bucket count
+# span_s/interval fits AUTO_DH_TARGET, and the histogram groups on
+# epoch DIV interval. Two scans of events (scalar agg + grouped agg) — the
+# grouped agg is map-side combined; the interval choice broadcast is one
+# row. min_doc_count: 0 densification is events_pipeline_aggs' job; this
+# agg returns observed buckets (the ES default).
+
+AUTO_DH_TARGET = 50
+_AUTO_DH_IVALS = (60, 3600, 86400)  # the minute/hour/day rungs
+
+_AUTO_DH_CASE = (
+    f"CASE WHEN span_s <= {AUTO_DH_TARGET * _AUTO_DH_IVALS[0]}"
+    f" THEN {_AUTO_DH_IVALS[0]} "
+    f"WHEN span_s <= {AUTO_DH_TARGET * _AUTO_DH_IVALS[1]}"
+    f" THEN {_AUTO_DH_IVALS[1]} "
+    f"ELSE {_AUTO_DH_IVALS[2]} END"
+)
+
+
+def events_auto_date_histogram(spark, sf_dir):
+    """(interval_s, bucket_start_s, n): date histogram at the largest
+    ladder interval that fits AUTO_DH_TARGET buckets."""
+    ev = load(spark, sf_dir, "events").select(
+        F.unix_timestamp("ts").cast("long").alias("sec")
+    )
+    span = ev.agg(
+        (F.max("sec") - F.min("sec")).cast("long").alias("span_s")
+    ).select(F.expr(_AUTO_DH_CASE).cast("long").alias("interval_s"))
+    return (
+        ev.crossJoin(F.broadcast(span))
+        .groupBy("interval_s", F.expr("sec DIV interval_s * interval_s").alias("bucket_start_s"))
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(
+            "interval_s",
+            F.col("bucket_start_s").cast("long").alias("bucket_start_s"),
+            "n",
+        )
+    )
+
+
+SQL_AUTO_DATE_HISTOGRAM = f"""
+WITH ev AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events
+),
+iv AS (
+  SELECT CAST({_AUTO_DH_CASE} AS BIGINT) AS interval_s FROM (
+    SELECT CAST(max(sec) - min(sec) AS BIGINT) AS span_s FROM ev
+  )
+)
+SELECT interval_s,
+       CAST(sec // interval_s * interval_s AS BIGINT) AS bucket_start_s,
+       CAST(count(*) AS BIGINT) AS n
+FROM ev CROSS JOIN iv
+GROUP BY interval_s, sec // interval_s * interval_s
+"""
+
+QUERIES["events_auto_date_histogram"] = (
+    events_auto_date_histogram,
+    SQL_AUTO_DATE_HISTOGRAM,
+)

@@ -833,3 +833,78 @@ FROM top
 
 
 QUERIES["frontier_schedule"] = (frontier_schedule, _sql_frontier())
+
+
+# ------------------------------------------------------ anchor-text rollup
+# Anchor-text aggregation — the webgraph enrichment every web ranker feeds
+# on (Common Crawl publishes it as a first-class dataset; the reference's
+# OpenSearch mapping boosts title/anchor-ish fields): for each TARGET host,
+# the top-K anchor phrases pointing at it, by link count. Links are the
+# same per-doc md5-derived edges host_pagerank walks; the anchor phrase is
+# the linking document's leading bigram (the deterministic stand-in for
+# <a> text). Scale shape: one groupBy (dst, anchor) — map-side combined —
+# then the per-dst top-K via row_number ≤ K, which Spark compiles to a
+# WindowGroupLimit partial top-K on each side of the one dst-keyed
+# exchange; ties break (links desc, anchor asc) so the cut is unique.
+
+ANCHOR_TOPK = 3
+
+
+def anchor_text_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(dst, anchor, links, rk): top-K anchor bigrams per target host."""
+    from harvester_spark.analysis import tokens_column
+
+    docs = load(spark, sf_dir, "documents")
+    dst = F.concat(
+        F.lit("src"),
+        (_hash56(F.col("doc_id").cast("string")) % PR_FANOUT).cast("string"),
+    )
+    links = docs.select(
+        F.col("source").alias("src"),
+        dst.alias("dst"),
+        tokens_column(F.col("text")).alias("t"),
+    ).filter(F.size("t") >= 2)
+    anch = links.filter(F.col("src") != F.col("dst")).select(
+        "dst", F.expr("concat(t[0], ' ', t[1])").alias("anchor")
+    )
+    counts = anch.groupBy("dst", "anchor").agg(
+        F.count("*").cast("long").alias("links")
+    )
+    wk = W.partitionBy("dst").orderBy(F.col("links").desc(), F.col("anchor").asc())
+    return (
+        counts.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= ANCHOR_TOPK)
+        .select("dst", "anchor", "links", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def _sql_anchor_text() -> str:
+    from harvester_spark.operators.common import SQL_TOKS
+
+    hash_doc = _SQL_HASH56.format(col="CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH links AS (
+  SELECT source AS src,
+         'src' || CAST({hash_doc} % {PR_FANOUT} AS VARCHAR) AS dst,
+         {SQL_TOKS.format(col='text')} AS t
+  FROM documents
+),
+anch AS (
+  SELECT dst, t[1] || ' ' || t[2] AS anchor
+  FROM links WHERE len(t) >= 2 AND src <> dst
+),
+counts AS (
+  SELECT dst, anchor, CAST(count(*) AS BIGINT) AS links
+  FROM anch GROUP BY dst, anchor
+)
+SELECT dst, anchor, links, rk FROM (
+  SELECT dst, anchor, links,
+         CAST(row_number() OVER (PARTITION BY dst
+              ORDER BY links DESC, anchor ASC) AS INT) AS rk
+  FROM counts
+)
+WHERE rk <= {ANCHOR_TOPK}
+"""
+
+
+QUERIES["anchor_text_topk"] = (anchor_text_topk, _sql_anchor_text())
