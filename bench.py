@@ -130,6 +130,11 @@ HEADLINE = [
     "host_triangles",
     "dedup_tfidf_cosine_pairs",
     "jl_project",
+    # session-10: MaxScore split, codec bake-off, quantile sketch, frontier
+    "ft_maxscore_split",
+    "postings_codec_compare",
+    "quantile_sketch_eval",
+    "frontier_schedule",
 ]
 WARMUP_DOCS = 2000
 
