@@ -1442,3 +1442,50 @@ FROM d2o JOIN d2p USING (va, vb)
 """
 
 QUERIES["jl_distortion_eval"] = (jl_distortion_eval, SQL_JL_DISTORTION)
+
+
+# PQ recall eval — the eval-family row for the ADC path (the sibling of
+# ann_lsh_recall): |ADC top-k ∩ exact-cosine top-k| / k per query. PQ
+# trades exactness for a codes-only scan; this MEASURES what that trade
+# costs on this corpus, oracle-gated like everything else. Same bounded
+# join shape as ann_lsh_recall (both sides are k rows per query).
+
+
+def ann_pq_recall_eval(spark, sf_dir):
+    """(qid, n_hits, recall): ADC top-k overlap with the exact top-k."""
+    exact = ann_cosine_topk(spark, sf_dir).select("qid", "vec_id")
+    approx = pq_adc_topk(spark, sf_dir).select("qid", "vec_id")
+    hits = exact.join(approx, ["qid", "vec_id"]).groupBy("qid").agg(
+        F.count("*").alias("n_hits")
+    )
+    qids = exact.select("qid").distinct()
+    return (
+        qids.join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)) * 1.0 / TOP_K, 6
+            ).alias("recall"),
+        )
+    )
+
+
+SQL_ANN_PQ_RECALL = f"""
+WITH exact AS MATERIALIZED (
+  SELECT qid, vec_id FROM ({SQL_ANN_COSINE_TOPK})
+),
+apx AS MATERIALIZED (
+  SELECT qid, vec_id FROM ({SQL_PQ_ADC_TOPK})
+),
+hits AS (
+  SELECT qid, CAST(count(*) AS BIGINT) AS n_hits
+  FROM exact JOIN apx USING (qid, vec_id) GROUP BY qid
+)
+SELECT qid,
+       CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+       round(coalesce(n_hits, 0) * 1.0 / {TOP_K}, 6) AS recall
+FROM (SELECT DISTINCT qid FROM exact) LEFT JOIN hits USING (qid)
+"""
+
+QUERIES["ann_pq_recall_eval"] = (ann_pq_recall_eval, SQL_ANN_PQ_RECALL)
