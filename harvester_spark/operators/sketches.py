@@ -1142,3 +1142,44 @@ FROM exact JOIN est USING (q_pct)
 """
 
 QUERIES["quantile_sketch_eval"] = (quantile_sketch_eval, SQL_QUANTILE_SKETCH_EVAL)
+
+
+# Batch twin of the streaming windowed value histogram (streaming/
+# windowed.windowed_value_hist): per-hour log-bucket counts, the same
+# (bucket, cnt) state rows the stream maintains — counts are algebraic, so
+# Spark partial-merges them map-side in BOTH modes, and merging two
+# histograms is adding them (the mergeable-sketch property
+# quantile_sketch_eval's accuracy bound applies to). Hour buckets use the
+# floored-epoch BIGINT convention.
+
+
+def events_value_hist_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(hour_bucket, b, cnt): hourly log-bucket histogram of value cents."""
+    ev = load(spark, sf_dir, "events").select(
+        F.expr("CAST(floor(unix_timestamp(ts) / 3600) AS BIGINT)").alias(
+            "hour_bucket"
+        ),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("v"),
+    )
+    return (
+        ev.withColumn("b", F.expr(_qs_spark_bucket()))
+        .groupBy("hour_bucket", "b")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+SQL_EVENTS_VALUE_HIST_HOURLY = f"""
+WITH ev AS (
+  SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+         CAST(round(value * 100) AS BIGINT) AS v
+  FROM events
+)
+SELECT hour_bucket, {_qs_sql_bucket()} AS b,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM ev GROUP BY hour_bucket, {_qs_sql_bucket()}
+"""
+
+QUERIES["events_value_hist_hourly"] = (
+    events_value_hist_hourly,
+    SQL_EVENTS_VALUE_HIST_HOURLY,
+)

@@ -129,3 +129,32 @@ def windowed_session_counts(
             "n_events",
         )
     )
+
+
+def windowed_value_hist(
+    events: DataFrame, window: str = WINDOW, late_threshold: str = LATE_THRESHOLD
+) -> DataFrame:
+    """Streaming events(ts, value) → watermarked per-window log-bucket
+    histogram rows (window_start, b, cnt).
+
+    Per-window quantiles naively need the full value multiset as state; the
+    ~112-bucket log histogram (operators/sketches quantile sketch — 4-bit
+    mantissa, integer bin()/shift bucketing) is the bounded replacement,
+    and counts are algebraic so this is one streaming-legal append-mode
+    groupBy((window, b)).count() with map-side partial merge. Bucket rows
+    are byte-identical to the batch twin
+    (operators/sketches.events_value_hist_hourly — parity-tested); read
+    quantile estimates off a finalized histogram with the midpoint rule
+    quantile_sketch_eval pins to <= 6.25% relative error.
+    """
+    from harvester_spark.operators.sketches import _qs_spark_bucket
+
+    keyed = events.select(
+        "ts", F.expr("CAST(round(value * 100) AS BIGINT)").alias("v")
+    ).select("ts", F.expr(_qs_spark_bucket()).alias("b"))
+    return (
+        keyed.withWatermark("ts", late_threshold)
+        .groupBy(F.window("ts", window).alias("win"), "b")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .select(F.col("win.start").alias("window_start"), "b", "cnt")
+    )

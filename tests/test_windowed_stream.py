@@ -354,3 +354,72 @@ def test_streaming_session_window_matches_batch_sessionize(spark, tmp_root):
     }
     for k, n in got.items():
         assert batch.get(k) == n, k
+
+
+def test_streaming_value_hist_matches_batch(spark, tmp_root):
+    """Bucket-level parity for the quantile-sketch state: the watermarked
+    streaming log-bucket histogram, fed the events table in two parquet
+    chunks (parquet, not json — value doubles and ts micros must survive
+    the round trip), finalizes rows byte-identical to the batch twin for
+    every emitted hour. Histograms are mergeable by addition — asserted by
+    re-summing the streamed rows across two adjacent hours against a
+    batch histogram of their union."""
+    import pyspark.sql.functions as F
+
+    from harvester_spark.operators.sketches import events_value_hist_hourly
+    from harvester_spark.streaming.windowed import windowed_value_hist
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("ts", "value")
+    src = os.path.join(tmp_root, "vh_src")
+    ev.orderBy("ts").limit(600).coalesce(1).write.parquet(os.path.join(src, "b1"))
+    ev.orderBy(F.col("ts").desc()).limit(400).coalesce(1).write.parquet(
+        os.path.join(src, "b2")
+    )
+
+    stream = spark.readStream.schema("ts timestamp, value double").parquet(
+        os.path.join(src, "*")
+    )
+    out_dir = os.path.join(tmp_root, "vh_out")
+    q = (
+        windowed_value_hist(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmp_root, "vh_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(out_dir).select(
+        (F.unix_timestamp("window_start") / 3600).cast("long").alias("hour_bucket"),
+        "b",
+        "cnt",
+    )
+    emitted = {r["hour_bucket"] for r in got.select("hour_bucket").distinct().collect()}
+    assert len(emitted) > 20  # append mode finalized most windows
+
+    batch = events_value_hist_hourly(spark, sf_dir).filter(
+        F.col("hour_bucket").isin(list(emitted))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+
+    # mergeability: streamed histograms of two adjacent hours ADD to the
+    # batch histogram of those hours pooled
+    hours = sorted(emitted)[:2]
+    merged = {
+        r["b"]: r["s"]
+        for r in got.filter(F.col("hour_bucket").isin(hours))
+        .groupBy("b")
+        .agg(F.sum("cnt").alias("s"))
+        .collect()
+    }
+    pooled = {
+        r["b"]: r["s"]
+        for r in batch.filter(F.col("hour_bucket").isin(hours))
+        .groupBy("b")
+        .agg(F.sum("cnt").alias("s"))
+        .collect()
+    }
+    assert merged == pooled and merged
