@@ -908,3 +908,79 @@ FROM sl
 """
 
 QUERIES["ft_zipf_slope"] = (ft_zipf_slope, SQL_ZIPF_SLOPE)
+
+
+# ----------------------------------------------- balanced merge plan
+# The reduce-side of a SPIMI build: NSHARDS term-hash shards must be
+# assigned to MERGERS merge tasks so the slowest merger (max postings
+# volume) finishes early — the stage that decides build wall-clock when
+# shard skew (index_shard_skew) is real. Snake (boustrophedon) assignment
+# on the volume-descending rank: rank r goes to merger r % (2·M) folded —
+# a one-pass relational approximation of LPT that needs no iterative bin
+# state, deterministic in both engines. Output: per-merger shard count,
+# load, and the balance factor load·M / total (1.0 = perfect).
+#
+# Scale shape: shard volumes are an NSHARDS-row frame by construction, so
+# the rank window is bounded; the corpus-sized work is the one postings
+# agg it shares with index_shard_skew.
+
+MERGERS = 8
+_SNAKE = (
+    f"CASE WHEN (rk DIV {MERGERS}) % 2 = 0 THEN rk % {MERGERS} "
+    f"ELSE {MERGERS - 1} - (rk % {MERGERS}) END"
+)
+
+
+def shard_merge_plan(spark, sf_dir):
+    """(merger, n_shards, load, balance): snake-LPT assignment of the
+    NSHARDS term-hash shards onto MERGERS merge tasks."""
+    vols = index_shard_skew(spark, sf_dir).select("shard", "n_postings")
+    wr = W.orderBy(F.col("n_postings").desc(), F.col("shard").asc())
+    ranked = vols.withColumn("rk", F.row_number().over(wr) - 1).withColumn(
+        "merger", F.expr(_SNAKE).cast("long")
+    )
+    tot = F.broadcast(
+        ranked.agg(F.sum("n_postings").cast("long").alias("tot"))
+    )
+    return (
+        ranked.groupBy("merger")
+        .agg(
+            F.count("*").cast("long").alias("n_shards"),
+            F.sum("n_postings").cast("long").alias("load"),
+        )
+        .crossJoin(tot)
+        .select(
+            "merger",
+            "n_shards",
+            "load",
+            F.round(F.col("load") * MERGERS * 1.0 / F.col("tot"), 6).alias(
+                "balance"
+            ),
+        )
+    )
+
+
+_SQL_SNAKE = _SNAKE.replace("DIV", "//")
+
+SQL_SHARD_MERGE_PLAN = f"""
+WITH vols AS (
+  SELECT shard, n_postings FROM ({SQL_SHARD_SKEW})
+),
+ranked AS (
+  SELECT shard, n_postings,
+         row_number() OVER (ORDER BY n_postings DESC, shard ASC) - 1 AS rk
+  FROM vols
+),
+asg AS (
+  SELECT n_postings, CAST({_SQL_SNAKE} AS BIGINT) AS merger FROM ranked
+),
+tot AS (SELECT CAST(sum(n_postings) AS BIGINT) AS tot FROM asg)
+SELECT merger,
+       CAST(count(*) AS BIGINT) AS n_shards,
+       CAST(sum(n_postings) AS BIGINT) AS load,
+       round(sum(n_postings) * {MERGERS} * 1.0 / tot, 6) AS balance
+FROM asg CROSS JOIN tot
+GROUP BY merger, tot
+"""
+
+QUERIES["shard_merge_plan"] = (shard_merge_plan, SQL_SHARD_MERGE_PLAN)
