@@ -324,3 +324,19 @@ def test_maxscore_allowed_filter_and_probe_skip(wand_env):
     exp1 = brute_force_topk_or(docs_pdf, "w01000 w00000", k=1)
     assert list(topk["doc_id"]) == list(exp1["doc_id"])
     assert stats["blocks_decoded"] + stats["blocks_skipped"] > 0
+
+
+def test_maxscore_edges_empty_allowed_and_large_k(wand_env):
+    searcher, docs_pdf = wand_env
+    # allowed set excludes every match -> clean empty frame
+    got = or_search(searcher, "w00000 w00001", k=5, strategy="maxscore",
+                    allowed_doc_ids=np.asarray([10**9], dtype=np.int64))
+    assert len(got) == 0
+    # k far beyond the match count -> all matches, still rank-identical
+    got = or_search(searcher, "w01000", k=10**6, strategy="maxscore")
+    exp = or_search(searcher, "w01000", k=10**6, strategy="accumulate")
+    assert list(got["doc_id"]) == list(exp["doc_id"])
+    assert (np.asarray(got["score"]) == np.asarray(exp["score"])).all()
+    # dead-term-only query
+    got = or_search(searcher, "zzznohit", k=5, strategy="maxscore")
+    assert len(got) == 0
