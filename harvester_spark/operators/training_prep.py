@@ -1451,3 +1451,80 @@ LIMIT {WSAMPLE_K}
 
 
 QUERIES["weighted_sample_topk"] = (weighted_sample_topk, _sql_weighted_sample())
+
+
+# ------------------------------------------------------- MLM mask plan
+# BERT-style masked-language-model corruption planning — the bidirectional
+# sibling of span_corruption_pairs (T5): each token position draws a
+# salted-hash lot; 15% are selected, and selected positions split 80/10/10
+# into [MASK] / random-token / keep-original (Devlin et al. 2018). Both
+# draws come from the one md5 idiom on (doc_id, pos, salt) so the plan is
+# partitioning-independent and the oracle recomputes it exactly. The
+# output is the per-doc corruption accounting a data loader would assert
+# against (counts, not token arrays — the arrays are a map-only decode of
+# the same hashes at feed time). ONE map-side agg after the existing
+# tokenize explode; no joins, no windows.
+
+MLM_SALT = "mlmv1"
+MLM_SEL_PCT = 15  # of positions
+_MLM_LOT = "{h} % 100"  # selection lot
+_MLM_SUB = "({h} DIV 100) % 10"  # 0-7 [MASK], 8 random, 9 keep
+
+
+def mlm_mask_plan(spark, sf_dir):
+    """(doc_id, n_tokens, n_selected, n_mask, n_random, n_keep): the
+    80/10/10 MLM corruption plan per document."""
+    from harvester_spark.operators.common import doc_tokens
+
+    toks = doc_tokens(spark, sf_dir).select(
+        "doc_id",
+        "pos",
+        _hash56(
+            F.concat_ws(":", F.lit(MLM_SALT), F.col("doc_id"), F.col("pos"))
+        ).alias("h"),
+    )
+    lot = _MLM_LOT.format(h="h")
+    sub = _MLM_SUB.format(h="h")
+    sel = f"CASE WHEN {lot} < {MLM_SEL_PCT} THEN 1 ELSE 0 END"
+    return toks.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(F.expr(sel)).cast("long").alias("n_selected"),
+        F.sum(F.expr(f"CASE WHEN {lot} < {MLM_SEL_PCT} AND {sub} < 8 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("n_mask"),
+        F.sum(F.expr(f"CASE WHEN {lot} < {MLM_SEL_PCT} AND {sub} = 8 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("n_random"),
+        F.sum(F.expr(f"CASE WHEN {lot} < {MLM_SEL_PCT} AND {sub} = 9 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("n_keep"),
+    )
+
+
+def _sql_mlm_mask_plan() -> str:
+    from harvester_spark.operators.common import SQL_DOC_TOKS
+
+    h = _SQL_HASH56.format(
+        col=f"'{MLM_SALT}' || ':' || CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)"
+    )
+    lot = _MLM_LOT.format(h="h")
+    sub = _MLM_SUB.format(h="h").replace("DIV", "//")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, pos, {h} AS h FROM ({SQL_DOC_TOKS})
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN {lot} < {MLM_SEL_PCT} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_selected,
+       CAST(sum(CASE WHEN {lot} < {MLM_SEL_PCT} AND {sub} < 8 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_mask,
+       CAST(sum(CASE WHEN {lot} < {MLM_SEL_PCT} AND {sub} = 8 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_random,
+       CAST(sum(CASE WHEN {lot} < {MLM_SEL_PCT} AND {sub} = 9 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_keep
+FROM toks GROUP BY doc_id
+"""
+
+
+QUERIES["mlm_mask_plan"] = (mlm_mask_plan, _sql_mlm_mask_plan())

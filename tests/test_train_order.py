@@ -106,3 +106,23 @@ class TestIctPairs:
         # degenerate) and contexts must be non-empty
         assert out.select(F.countDistinct("q_start")).collect()[0][0] > 10
         assert out.filter(F.col("n_ctx") == 0).count() == 0
+
+
+def test_mlm_mask_plan_ratios_and_determinism(spark):
+    """Corpus-level 15% selection and 80/10/10 split within tolerance; all
+    categories populated; per-doc accounting internally consistent."""
+    from harvester_spark.operators.training_prep import mlm_mask_plan
+
+    rows = mlm_mask_plan(spark, "/root/testdata/sf0.001").collect()
+    nt = sum(r["n_tokens"] for r in rows)
+    ns = sum(r["n_selected"] for r in rows)
+    nm = sum(r["n_mask"] for r in rows)
+    nr = sum(r["n_random"] for r in rows)
+    nk = sum(r["n_keep"] for r in rows)
+    assert nt > 500 and ns > 0 and nm > 0 and nr > 0 and nk > 0
+    assert nm + nr + nk == ns
+    assert abs(ns / nt - 0.15) < 0.03
+    assert abs(nm / ns - 0.80) < 0.08
+    for r in rows:
+        assert r["n_mask"] + r["n_random"] + r["n_keep"] == r["n_selected"]
+        assert r["n_selected"] <= r["n_tokens"]
