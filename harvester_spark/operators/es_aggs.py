@@ -648,3 +648,64 @@ QUERIES["events_auto_date_histogram"] = (
     events_auto_date_histogram,
     SQL_AUTO_DATE_HISTOGRAM,
 )
+
+
+# --- ES filters agg ---------------------------------------------------------
+#
+# The ``filters`` aggregation: named predicate buckets + the
+# ``other_bucket`` for events matching none — ONE conditional pass, no
+# joins (a doc can land in several named buckets, so the named counts are
+# independent conditional sums, exactly ES semantics). Sub-metric per
+# bucket: exact cent sum.
+
+_FILTERS_CASES = (
+    ("clicks", "event_type = 'click'"),
+    ("errors", "event_type = 'error'"),
+    ("big", "value >= 100.0e0"),
+)
+
+
+def events_filters_agg(spark, sf_dir):
+    """(bucket, n, value_c): named filter buckets plus other_bucket — ONE
+    scan: every bucket is a conditional sum in a single map-side agg, then
+    a 4-row stack() unpivot (the adjacency_matrix_terms plan shape)."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", "value", cents("value").alias("c")
+    )
+    other = " AND ".join(f"NOT ({p})" for _, p in _FILTERS_CASES)
+    cases = list(_FILTERS_CASES) + [("_other", other)]
+    aggs = []
+    for i, (_, pred) in enumerate(cases):
+        aggs.append(
+            F.sum(F.expr(f"CASE WHEN {pred} THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias(f"n{i}")
+        )
+        aggs.append(
+            F.sum(F.expr(f"CASE WHEN {pred} THEN c ELSE 0 END"))
+            .cast("long")
+            .alias(f"v{i}")
+        )
+    one = ev.agg(*aggs)
+    stack = ", ".join(
+        f"'{name}', n{i}, v{i}" for i, (name, _) in enumerate(cases)
+    )
+    return one.selectExpr(
+        f"stack({len(cases)}, {stack}) AS (bucket, n, value_c)"
+    )
+
+
+def _sql_filters_agg() -> str:
+    other = " AND ".join(f"NOT ({p})" for _, p in _FILTERS_CASES)
+    legs = []
+    for name, pred in _FILTERS_CASES + (("_other", other),):
+        legs.append(f"""
+SELECT '{name}' AS bucket,
+       CAST(sum(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN {pred} THEN {sql_cents('value')} ELSE 0 END)
+            AS BIGINT) AS value_c
+FROM events""")
+    return " UNION ALL ".join(legs)
+
+
+QUERIES["events_filters_agg"] = (events_filters_agg, _sql_filters_agg())
