@@ -709,3 +709,138 @@ FROM events""")
 
 
 QUERIES["events_filters_agg"] = (events_filters_agg, _sql_filters_agg())
+
+
+# ----------------------------------------- terms agg shard-accuracy eval
+
+# The ES/OpenSearch `terms` aggregation is APPROXIMATE on a sharded index:
+# each shard returns only its local top `shard_size` terms, the coordinator
+# sums what it received, and every response carries
+# `doc_count_error_upper_bound` — the worst-case undercount, computed as
+# the sum over non-reporting shards of the LAST (smallest) count that
+# shard did return. The reference's facet endpoints consume exactly this
+# agg (/root/reference/harvester/search/views/document.py filters/metrics)
+# and silently inherit the approximation; this operator MEASURES it on the
+# repo's corpus: the merged coordinator counts vs the exact global counts,
+# per final top-K term, with the ES error bound alongside — so the
+# "measure, don't guess" row proves the bound is honored
+# (underestimate <= err_upper_bound, test-pinned).
+#
+# Sharding is doc_id % NSHARDS_TA (the docID-range layout of the serving
+# tier); counts are document frequency over distinct (doc, term) — the ES
+# doc_count. Measured at sf0.01 (SHARD_SIZE_TA=12): underestimates 91-192
+# on the mid-frequency terms, bound always >= the true undercount.
+#
+# Scale shape: ONE distinct + ONE (shard, term) groupBy over the token
+# stream (both map-side combinable); per-shard tops are a
+# WindowGroupLimit partial top-k (never a global sort); the bound join is
+# bounded K_FINAL×NSHARDS_TA rows against a broadcast 4-row shard-min dim.
+
+NSHARDS_TA = 4
+SHARD_SIZE_TA = 12
+K_FINAL_TA = 10
+
+
+def terms_shard_error_eval(spark, sf_dir):
+    """(rnk, term, merged_count, exact_count, underestimate,
+    err_upper_bound): the coordinator-merged top-{K_FINAL_TA} of a sharded
+    terms agg vs exact global doc counts, with the ES
+    doc_count_error_upper_bound."""
+    from harvester_spark.operators.common import doc_tokens
+
+    dt = doc_tokens(spark, sf_dir).select("doc_id", "term").distinct()
+    sh = (
+        dt.withColumn("s", F.col("doc_id") % NSHARDS_TA)
+        .groupBy("s", "term")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    wsh = W.partitionBy("s").orderBy(F.col("cnt").desc(), F.col("term").asc())
+    ret = (
+        sh.withColumn("r", F.row_number().over(wsh))
+        .filter(F.col("r") <= SHARD_SIZE_TA)
+        .select("s", "term", "cnt")
+    )
+    smin = ret.groupBy("s").agg(F.min("cnt").alias("last_cnt"))
+    merged = ret.groupBy("term").agg(F.sum("cnt").cast("long").alias("merged_count"))
+    top = (
+        merged.orderBy(F.col("merged_count").desc(), F.col("term").asc())
+        .limit(K_FINAL_TA)
+    )
+    # bound: for each final term, sum last_cnt over shards that did NOT
+    # return it — bounded K×S rows, both sides broadcastable
+    bound = (
+        top.crossJoin(F.broadcast(smin))
+        .join(ret.select("s", "term", F.lit(1).alias("got")), ["s", "term"], "left")
+        .groupBy("term")
+        .agg(
+            F.sum(
+                F.when(F.col("got").isNull(), F.col("last_cnt")).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("err_upper_bound")
+        )
+    )
+    exact = dt.groupBy("term").agg(F.count("*").cast("long").alias("exact_count"))
+    w = W.orderBy(F.col("merged_count").desc(), F.col("term").asc())
+    return (
+        top.join(bound, "term")
+        .join(exact, "term")
+        .withColumn("rnk", F.row_number().over(w))
+        .select(
+            "rnk",
+            "term",
+            "merged_count",
+            "exact_count",
+            (F.col("exact_count") - F.col("merged_count"))
+            .cast("long")
+            .alias("underestimate"),
+            "err_upper_bound",
+        )
+    )
+
+
+from harvester_spark.operators.common import SQL_TOKS as _SQL_TOKS_TA
+
+SQL_TERMS_SHARD_ERROR = f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, term
+  FROM (SELECT doc_id, unnest({_SQL_TOKS_TA.format(col='text')}) AS term
+        FROM documents)
+),
+sh AS (
+  SELECT doc_id % {NSHARDS_TA} AS s, term, CAST(count(*) AS BIGINT) AS cnt
+  FROM dt GROUP BY 1, 2
+),
+ret AS (
+  SELECT s, term, cnt FROM sh
+  QUALIFY row_number() OVER (PARTITION BY s ORDER BY cnt DESC, term ASC)
+          <= {SHARD_SIZE_TA}
+),
+smin AS (SELECT s, min(cnt) AS last_cnt FROM ret GROUP BY s),
+merged AS (
+  SELECT term, CAST(sum(cnt) AS BIGINT) AS merged_count FROM ret GROUP BY term
+),
+top AS (
+  SELECT term, merged_count FROM merged
+  ORDER BY merged_count DESC, term ASC LIMIT {K_FINAL_TA}
+),
+bound AS (
+  SELECT t.term,
+         CAST(sum(CASE WHEN r.term IS NULL THEN m.last_cnt ELSE 0 END)
+              AS BIGINT) AS err_upper_bound
+  FROM top t CROSS JOIN smin m
+  LEFT JOIN ret r ON r.s = m.s AND r.term = t.term
+  GROUP BY t.term
+),
+exact AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS exact_count FROM dt GROUP BY term
+)
+SELECT CAST(row_number() OVER (ORDER BY t.merged_count DESC, t.term ASC)
+            AS INT) AS rnk,
+       t.term, t.merged_count, e.exact_count,
+       CAST(e.exact_count - t.merged_count AS BIGINT) AS underestimate,
+       b.err_upper_bound
+FROM top t JOIN bound b ON b.term = t.term JOIN exact e ON e.term = t.term
+"""
+
+QUERIES["terms_shard_error_eval"] = (terms_shard_error_eval, SQL_TERMS_SHARD_ERROR)
