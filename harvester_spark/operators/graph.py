@@ -908,3 +908,96 @@ WHERE rk <= {ANCHOR_TOPK}
 
 
 QUERIES["anchor_text_topk"] = (anchor_text_topk, _sql_anchor_text())
+
+
+# ------------------------------------------------------ recrawl scheduling
+
+# Change-rate-driven recrawl scheduling (Cho & Garcia-Molina 2003,
+# "Estimating frequency of change"): a crawler that revisits every page at
+# the same cadence wastes fetches on static pages and staleness on fast-
+# moving ones. Per page, from its visit history: the Cho estimator for the
+# per-visit change probability, λ̂ = -ln((n - X + 0.5) / (n + 0.5)) (the
+# +0.5 regularizer keeps X == n finite and X == 0 at exactly 0), and the
+# revisit interval ∝ observed-gap / λ̂, capped at RECRAWL_CAP_S — the
+# frequency-class table a Heritrix-style scheduler (frontier_schedule)
+# consumes. The reference re-harvests whole sets on a fixed schedule
+# (/root/reference/harvester/core/models/datatypes/dataset.py harvest
+# lifecycle); per-page adaptive recrawl is what that becomes at web scale.
+#
+# Page synthesis: the events table is the fetch log — page = user_id,
+# visit = event, "changed" = event_type IN ('click','purchase','signup')
+# (measured at sf0.01: change ratios span 0.41-0.73 across 150 pages, so
+# the estimator orders pages non-degenerately).
+#
+# Determinism: one shared λ expression string in both engines; ln() output
+# goes through the micro-nat idiom (floor(x·1e6 + 0.5), x ≥ 0 always since
+# the ratio ≤ 1); every division after that is integer DIV/// on
+# nonnegative int64. Timestamps: Spark unix_timestamp() truncates to
+# seconds == DuckDB floor(epoch()).
+#
+# Scale shape: ONE map-side-combinable groupBy(page) over the fetch log —
+# no joins, no windows, nothing driver-sized; the output is page-dim-sized
+# and feeds TakeOrdered dispatch (frontier_schedule), never a global sort.
+
+RECRAWL_CAP_S = 30 * 86400  # 30-day ceiling on the revisit interval
+
+_LAM_MICRO = (
+    "CAST(floor(-ln((n_visits - n_changes + 0.5e0) / (n_visits + 0.5e0))"
+    " * 1.0e6 + 0.5e0) AS BIGINT)"
+)
+# interval = gap_s·1e6 / λ_micro, floor-div, capped; λ == 0 → cap
+_INTERVAL = (
+    f"CAST(least((gap_s * 1000000) {{div}} greatest(lam_micro, 1),"
+    f" {RECRAWL_CAP_S}) AS BIGINT)"
+)
+
+
+def recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(page_id, n_visits, n_changes, span_s, gap_s, lam_micro,
+    interval_s): per-page Cho change-rate estimate and the capped optimal
+    revisit interval."""
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("page_id"),
+        F.unix_timestamp("ts").cast("long").alias("sec"),
+        F.col("event_type").isin("click", "purchase", "signup").alias("chg"),
+    )
+    per = ev.groupBy("page_id").agg(
+        F.count("*").cast("long").alias("n_visits"),
+        F.sum(F.col("chg").cast("long")).cast("long").alias("n_changes"),
+        (F.max("sec") - F.min("sec")).cast("long").alias("span_s"),
+    )
+    return (
+        per.withColumn(
+            "gap_s",
+            F.expr("CAST(span_s DIV greatest(n_visits - 1, 1) AS BIGINT)"),
+        )
+        .withColumn("lam_micro", F.expr(_LAM_MICRO))
+        .withColumn("interval_s", F.expr(_INTERVAL.format(div="DIV")))
+        .select(
+            "page_id", "n_visits", "n_changes", "span_s", "gap_s",
+            "lam_micro", "interval_s",
+        )
+    )
+
+
+SQL_RECRAWL = f"""
+WITH per AS (
+  SELECT user_id AS page_id,
+         CAST(count(*) AS BIGINT) AS n_visits,
+         CAST(sum(CASE WHEN event_type IN ('click','purchase','signup')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+         CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT)
+           AS span_s
+  FROM events GROUP BY user_id
+),
+gaps AS (
+  SELECT *, CAST(span_s // greatest(n_visits - 1, 1) AS BIGINT) AS gap_s
+  FROM per
+),
+lam AS (SELECT *, {_LAM_MICRO} AS lam_micro FROM gaps)
+SELECT page_id, n_visits, n_changes, span_s, gap_s, lam_micro,
+       {_INTERVAL.format(div='//')} AS interval_s
+FROM lam
+"""
+
+QUERIES["recrawl_schedule"] = (recrawl_schedule, SQL_RECRAWL)
