@@ -659,3 +659,81 @@ FROM ranked GROUP BY doc_id
 
 
 QUERIES["c4_line_dedup"] = (c4_line_dedup, SQL_C4_LINE_DEDUP)
+
+
+# -------------------------------------------------- URL path-template mining
+
+# Crawl-frontier URL pattern mining: collapsing paths to templates
+# (digit runs → {N}) is how a crawler discovers site structure — which
+# sections are infinite calendar/pagination traps, where the content pages
+# live, what to budget per pattern (the per-pattern sibling of
+# crawl_budget_allocate's per-host quotas). The reference filters URLs one
+# at a time (P10 url-check); template rollups are the aggregate view that
+# scales that judgment to a billion-URL frontier.
+#
+# URL synthesis (documents carry no URL column — CLAUDE.md rule:
+# deterministic in-operator synthesis, non-degenerate): three path
+# families keyed by doc_id % 3 over the source host, with page/month ids
+# derived from doc_id so each family yields MANY urls per template
+# (templates must aggregate, not mirror urls 1:1).
+#
+# Scale shape: template extraction is a map-only regexp_replace; the
+# rollup is ONE groupBy (host, template) with map-side partial counts;
+# the distinct-URL count rides the same shuffle key. No windows, no joins.
+
+def _templated_urls(spark, sf_dir) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    v = F.col("doc_id") % 3
+    pid = (F.expr("doc_id DIV 3") % 200).cast("string")
+    mo = (1 + F.col("doc_id") % 12).cast("string")
+    rev = (F.col("doc_id") % 7).cast("string")
+    url = (
+        F.when(v == 0, F.concat(F.lit("/p/"), pid, F.lit("/review-"), rev))
+        .when(v == 1, F.concat(F.lit("/blog/2024/"), mo, F.lit("/post-"), pid))
+        .otherwise(F.concat(F.lit("/a/"), pid))
+    )
+    return docs.select("doc_id", F.col("source").alias("host"), url.alias("url"))
+
+
+_SQL_TPL_URLS = """
+  SELECT doc_id, source AS host,
+         CASE doc_id % 3
+           WHEN 0 THEN '/p/' || CAST((doc_id // 3) % 200 AS VARCHAR)
+                       || '/review-' || CAST(doc_id % 7 AS VARCHAR)
+           WHEN 1 THEN '/blog/2024/' || CAST(1 + doc_id % 12 AS VARCHAR)
+                       || '/post-' || CAST((doc_id // 3) % 200 AS VARCHAR)
+           ELSE '/a/' || CAST((doc_id // 3) % 200 AS VARCHAR)
+         END AS url
+  FROM documents
+"""
+
+
+def url_path_templates(spark, sf_dir) -> DataFrame:
+    """(host, template, n_urls, n_pages, sample_url): per-host URL path
+    templates (digit runs collapsed to {N}) with crawl volume and distinct
+    page counts."""
+    urls = _templated_urls(spark, sf_dir)
+    tpl = urls.withColumn(
+        "template", F.regexp_replace(F.col("url"), "[0-9]+", "{N}")
+    )
+    return tpl.groupBy("host", "template").agg(
+        F.count("*").cast("long").alias("n_urls"),
+        F.countDistinct("url").cast("long").alias("n_pages"),
+        F.min("url").alias("sample_url"),
+    )
+
+
+SQL_URL_PATH_TEMPLATES = f"""
+WITH urls AS ({_SQL_TPL_URLS}),
+tpl AS (
+  SELECT host, url, regexp_replace(url, '[0-9]+', '{{N}}', 'g') AS template
+  FROM urls
+)
+SELECT host, template,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_pages,
+       min(url) AS sample_url
+FROM tpl GROUP BY host, template
+"""
+
+QUERIES["url_path_templates"] = (url_path_templates, SQL_URL_PATH_TEMPLATES)
