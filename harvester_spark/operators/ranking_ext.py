@@ -568,3 +568,283 @@ FROM combined ORDER BY rank LIMIT 10
 
 QUERIES["ft_terms_set_match"] = (ft_terms_set_match, SQL_TERMS_SET_MATCH)
 QUERIES["ft_rank_feature_topk"] = (ft_rank_feature_topk, SQL_RANK_FEATURE_TOPK)
+
+
+# ------------------------------------------------- pointwise linear LTR
+
+# The learning-to-rank serving shape (ES `rescore` with a model, or the
+# LTR plugin the reference's OpenSearch tier would grow into): first-pass
+# BM25 proposes, a feature vector per (query, doc) is assembled, and a
+# pointwise linear model re-scores. The MODEL here is a fixed integer
+# weight vector (training is out of scope — what the gate must prove is
+# the feature-extraction + blend plan, the part that runs at corpus
+# scale); features are the standard LTR basics: the BM25 score itself,
+# match completeness, raw tf mass, doc length, and a document-quality
+# prior (n_chars). Everything blends in int64 micro-units — the BM25
+# double is recovered through the ONE shared _BM25_MICRO_EXPR string, the
+# rest are exact integers, so both engines agree bit-for-bit.
+#
+# Scale shape: the feature join is the OR kernel's own aggregation plus
+# ONE broadcast-dim join (documents n_chars is doc-keyed, rides the same
+# key); the tail is TakeOrdered(LTR_K), never a global sort.
+
+LTR_K = 20
+# (w_bm25, w_match, w_tf, w_dl, w_chars) — relevance dominates, quality
+# prior nudges, length penalizes slightly
+LTR_W = (3, 500_000, 20_000, -100, 10)
+
+_LTR_SCORE = (
+    f"CAST({LTR_W[0]} * bm25_micro + {LTR_W[1]} * n_match"
+    f" + {LTR_W[2]} * tf_sum + {LTR_W[3]} * dl"
+    f" + {LTR_W[4]} * n_chars AS BIGINT)"
+)
+
+
+def ltr_pointwise_topk(spark, sf_dir):
+    """(rank, doc_id, bm25_micro, n_match, tf_sum, dl, n_chars, ltr_micro):
+    top-{LTR_K} under the fixed pointwise linear model over the flagship
+    OR query's feature vectors."""
+    comps = _bm25_components(spark, sf_dir, BM25_TERMS)
+    feats = (
+        comps.groupBy("doc_id")
+        .agg(
+            F.round(F.sum("contrib"), 6).alias("score"),
+            F.count("*").cast("long").alias("n_match"),
+            F.sum("tf").cast("long").alias("tf_sum"),
+            F.max("dl").cast("long").alias("dl"),
+        )
+        .join(load(spark, sf_dir, "documents").select("doc_id", "n_chars"), "doc_id")
+        .withColumn("bm25_micro", F.expr("CAST(floor(score * 1.0e6 + 0.5e0) AS BIGINT)"))
+        .withColumn("ltr_micro", F.expr(_LTR_SCORE))
+    )
+    top = feats.orderBy(F.col("ltr_micro").desc(), F.col("doc_id").asc()).limit(LTR_K)
+    w = W.orderBy(F.col("ltr_micro").desc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "doc_id", "bm25_micro", "n_match", "tf_sum", "dl",
+        "n_chars", "ltr_micro",
+    )
+
+
+SQL_LTR_POINTWISE = f"""
+WITH {_sql_components(BM25_TERMS)},
+feats AS (
+  SELECT c.doc_id,
+         CAST(floor(round(sum(c.contrib), 6) * 1.0e6 + 0.5e0) AS BIGINT)
+           AS bm25_micro,
+         CAST(count(*) AS BIGINT) AS n_match,
+         CAST(sum(c.tf) AS BIGINT) AS tf_sum,
+         CAST(max(c.dl) AS BIGINT) AS dl
+  FROM comps c GROUP BY c.doc_id
+),
+scored AS (
+  SELECT f.doc_id, f.bm25_micro, f.n_match, f.tf_sum, f.dl,
+         d.n_chars, {_LTR_SCORE} AS ltr_micro
+  FROM feats f JOIN documents d USING (doc_id)
+)
+SELECT CAST(row_number() OVER (ORDER BY ltr_micro DESC, doc_id ASC) AS INT)
+         AS rank,
+       doc_id, bm25_micro, n_match, tf_sum, dl, n_chars, ltr_micro
+FROM scored ORDER BY rank LIMIT {LTR_K}
+"""
+
+QUERIES["ltr_pointwise_topk"] = (ltr_pointwise_topk, SQL_LTR_POINTWISE)
+
+
+# --------------------------------------------- ranker agreement (Kendall)
+
+# When two ranking families serve the same query (the repo carries BM25
+# and Dirichlet QL — the Lucene per-field similarity choice), the eval
+# question is HOW MUCH they disagree: overlap@k and Kendall's tau over the
+# common documents. This is the offline A/B diagnostic a relevance team
+# runs before an interleaving experiment — and the integer twin of it:
+# ranks are exact ints, tau is concordant/discordant pair counts with the
+# mirrored-floor micro division (no float sums anywhere).
+#
+# Scale shape: both rankers end in TakeOrdered({AGREE_K}); everything
+# after operates on two broadcast-sized 50-row lists (the pair join is
+# ≤ 50², bounded by construction).
+
+AGREE_K = 50
+AGREE_LEVELS = (10, 25, 50)
+
+# mirrored-floor integer tau: (c-d)·1e6 / (c+d), exact floor toward -inf
+# avoided by the CASE mirror (both engines floor nonneg identically)
+_TAU = (
+    "CASE WHEN n_pairs = 0 THEN 0"
+    " WHEN conc >= disc THEN ((conc - disc) * 1000000) {div} n_pairs"
+    " ELSE -(((disc - conc) * 1000000) {div} n_pairs) END"
+)
+
+
+def ranker_agreement_eval(spark, sf_dir):
+    """(k, n_common, jaccard_milli, conc, disc, tau_micro): BM25 vs
+    Dirichlet-QL agreement at cut-offs {AGREE_LEVELS}."""
+    scored_a = bm25_or_scored(spark, sf_dir)
+    wa = W.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    top_a = (
+        scored_a.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(AGREE_K)
+        .withColumn("ra", F.row_number().over(wa).cast("long"))
+        .select("doc_id", "ra")
+    )
+    top_b = _dirichlet_topn(spark, sf_dir, AGREE_K).select("doc_id", "rb")
+    both = F.broadcast(top_a.join(top_b, "doc_id"))
+    out = None
+    for k in AGREE_LEVELS:
+        ck = both.filter((F.col("ra") <= k) & (F.col("rb") <= k))
+        i = ck.alias("i")
+        j = ck.alias("j")
+        pairs = i.join(j, F.col("i.doc_id") < F.col("j.doc_id")).select(
+            (
+                (F.col("i.ra") - F.col("j.ra")) * (F.col("i.rb") - F.col("j.rb"))
+                > 0
+            ).alias("is_conc")
+        )
+        row = (
+            ck.agg(F.count("*").cast("long").alias("n_common"))
+            .crossJoin(
+                pairs.agg(
+                    F.coalesce(F.sum(F.col("is_conc").cast("long")), F.lit(0))
+                    .cast("long")
+                    .alias("conc"),
+                    F.coalesce(
+                        F.sum((~F.col("is_conc")).cast("long")), F.lit(0)
+                    )
+                    .cast("long")
+                    .alias("disc"),
+                )
+            )
+            .select(
+                F.lit(k).cast("long").alias("k"),
+                "n_common",
+                F.expr(
+                    f"CAST((n_common * 1000) DIV ({2 * k} - n_common) AS BIGINT)"
+                ).alias("jaccard_milli"),
+                "conc",
+                "disc",
+                F.expr(
+                    "CAST("
+                    + _TAU.format(div="DIV").replace("n_pairs", "(conc + disc)")
+                    + " AS BIGINT)"
+                ).alias("tau_micro"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _dirichlet_topn(spark, sf_dir, n):
+    """Top-n Dirichlet-QL docs (rb rank) — the ft_lm_dirichlet_topk kernel
+    with a parameterized cut."""
+    from harvester_spark.operators.fulltext_queries import _DIR_LP
+
+    toks = doc_tokens(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    cf = (
+        toks.filter(F.col("term").isin(BM25_TERMS))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("cf"))
+    )
+    ct = toks.agg(F.count("*").cast("long").alias("ct"))
+    tf = (
+        toks.filter(F.col("term").isin(BM25_TERMS))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    scored = (
+        docs.join(dl, "doc_id", "left")
+        .crossJoin(F.broadcast(cf))
+        .join(tf, ["term", "doc_id"], "left")
+        .crossJoin(F.broadcast(ct))
+        .fillna(0, ["tf", "dl"])
+        .withColumn("lp", F.expr(_DIR_LP))
+        .groupBy("doc_id")
+        .agg(F.sum("lp").cast("long").alias("logp_micro"))
+    )
+    wb = W.orderBy(F.col("logp_micro").desc(), F.col("doc_id").asc())
+    return (
+        scored.orderBy(F.col("logp_micro").desc(), F.col("doc_id").asc())
+        .limit(n)
+        .withColumn("rb", F.row_number().over(wb).cast("long"))
+    )
+
+
+def _sql_ranker_agreement() -> str:
+    from harvester_spark.operators.fulltext_queries import _DIR_LP
+
+    in_list = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    legs = []
+    for k in AGREE_LEVELS:
+        legs.append(f"""
+SELECT CAST({k} AS BIGINT) AS k,
+       (SELECT CAST(count(*) AS BIGINT) FROM common
+        WHERE ra <= {k} AND rb <= {k}) AS n_common,
+       CAST(((SELECT count(*) FROM common WHERE ra <= {k} AND rb <= {k}) * 1000)
+            // ({2 * k} - (SELECT count(*) FROM common
+                           WHERE ra <= {k} AND rb <= {k})) AS BIGINT)
+         AS jaccard_milli,
+       (SELECT CAST(coalesce(sum(CASE WHEN (i.ra - j.ra) * (i.rb - j.rb) > 0
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT)
+        FROM common i JOIN common j ON i.doc_id < j.doc_id
+        WHERE i.ra <= {k} AND i.rb <= {k} AND j.ra <= {k} AND j.rb <= {k})
+         AS conc,
+       (SELECT CAST(coalesce(sum(CASE WHEN (i.ra - j.ra) * (i.rb - j.rb) < 0
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT)
+        FROM common i JOIN common j ON i.doc_id < j.doc_id
+        WHERE i.ra <= {k} AND i.rb <= {k} AND j.ra <= {k} AND j.rb <= {k})
+         AS disc""")
+    leg_sql = " UNION ALL ".join(
+        f"SELECT k, n_common, jaccard_milli, conc, disc, "
+        f"CAST({_TAU.format(div='//').replace('n_pairs', '(conc + disc)')} AS BIGINT)"
+        f" AS tau_micro FROM ({leg})"
+        for leg in legs
+    )
+    return f"""
+WITH {_sql_components(BM25_TERMS)},
+scored_a AS (
+  SELECT doc_id, round(sum(contrib), 6) AS score FROM comps GROUP BY doc_id
+),
+top_a AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT)
+           AS ra
+  FROM scored_a ORDER BY score DESC, doc_id ASC LIMIT {AGREE_K}
+),
+dls AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+cfs AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS cf FROM toks
+  WHERE term IN ({in_list}) GROUP BY 1
+),
+ctt AS (SELECT CAST(count(*) AS BIGINT) AS ct FROM toks),
+tfs_ AS (
+  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM toks
+  WHERE term IN ({in_list}) GROUP BY 1, 2
+),
+joined AS (
+  SELECT d.doc_id AS doc_id, coalesce(tfs_.tf, 0) AS tf,
+         coalesce(dls.dl, 0) AS dl, cfs.cf AS cf, ctt.ct AS ct
+  FROM (SELECT doc_id FROM documents) d
+  LEFT JOIN dls USING (doc_id)
+  CROSS JOIN cfs
+  LEFT JOIN tfs_ ON tfs_.term = cfs.term AND tfs_.doc_id = d.doc_id
+  CROSS JOIN ctt
+),
+scored_b AS (
+  SELECT doc_id, CAST(sum({_DIR_LP}) AS BIGINT) AS logp_micro
+  FROM joined GROUP BY doc_id
+),
+top_b AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY logp_micro DESC, doc_id ASC)
+              AS BIGINT) AS rb
+  FROM scored_b ORDER BY logp_micro DESC, doc_id ASC LIMIT {AGREE_K}
+),
+common AS MATERIALIZED (
+  SELECT doc_id, ra, rb FROM top_a JOIN top_b USING (doc_id)
+)
+{leg_sql}
+"""
+
+
+QUERIES["ranker_agreement_eval"] = (ranker_agreement_eval, _sql_ranker_agreement())
