@@ -673,18 +673,23 @@ QUERIES["c4_line_dedup"] = (c4_line_dedup, SQL_C4_LINE_DEDUP)
 #
 # URL synthesis (documents carry no URL column — CLAUDE.md rule:
 # deterministic in-operator synthesis, non-degenerate): three path
-# families keyed by doc_id % 3 over the source host, with page/month ids
-# derived from doc_id so each family yields MANY urls per template
-# (templates must aggregate, not mirror urls 1:1).
+# families keyed by doc_id % 3, with page/month ids derived from doc_id.
+# The /a/ family's page space is TPL_PAGES=50 so the template genuinely
+# aggregates (n_urls > n_pages) at every test SF — the 1:1-mirror trap
+# the session-11 test pins.
 #
 # Scale shape: template extraction is a map-only regexp_replace; the
-# rollup is ONE groupBy (host, template) with map-side partial counts;
-# the distinct-URL count rides the same shuffle key. No windows, no joins.
+# rollup is ONE groupBy(template) with map-side partial counts; the
+# distinct URL/host counts ride the same shuffle key. No windows, no
+# joins.
+
+TPL_PAGES = 50  # /a/ and /p/ page-id space
+
 
 def _templated_urls(spark, sf_dir) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "source")
     v = F.col("doc_id") % 3
-    pid = (F.expr("doc_id DIV 3") % 200).cast("string")
+    pid = (F.expr("doc_id DIV 3") % TPL_PAGES).cast("string")
     mo = (1 + F.col("doc_id") % 12).cast("string")
     rev = (F.col("doc_id") % 7).cast("string")
     url = (
@@ -695,30 +700,31 @@ def _templated_urls(spark, sf_dir) -> DataFrame:
     return docs.select("doc_id", F.col("source").alias("host"), url.alias("url"))
 
 
-_SQL_TPL_URLS = """
+_SQL_TPL_URLS = f"""
   SELECT doc_id, source AS host,
          CASE doc_id % 3
-           WHEN 0 THEN '/p/' || CAST((doc_id // 3) % 200 AS VARCHAR)
+           WHEN 0 THEN '/p/' || CAST((doc_id // 3) % {TPL_PAGES} AS VARCHAR)
                        || '/review-' || CAST(doc_id % 7 AS VARCHAR)
            WHEN 1 THEN '/blog/2024/' || CAST(1 + doc_id % 12 AS VARCHAR)
-                       || '/post-' || CAST((doc_id // 3) % 200 AS VARCHAR)
-           ELSE '/a/' || CAST((doc_id // 3) % 200 AS VARCHAR)
+                       || '/post-' || CAST((doc_id // 3) % {TPL_PAGES} AS VARCHAR)
+           ELSE '/a/' || CAST((doc_id // 3) % {TPL_PAGES} AS VARCHAR)
          END AS url
   FROM documents
 """
 
 
 def url_path_templates(spark, sf_dir) -> DataFrame:
-    """(host, template, n_urls, n_pages, sample_url): per-host URL path
-    templates (digit runs collapsed to {N}) with crawl volume and distinct
-    page counts."""
+    """(template, n_urls, n_pages, n_hosts, sample_url): URL path
+    templates (digit runs collapsed to {N}) with crawl volume, distinct
+    page count and host spread."""
     urls = _templated_urls(spark, sf_dir)
     tpl = urls.withColumn(
         "template", F.regexp_replace(F.col("url"), "[0-9]+", "{N}")
     )
-    return tpl.groupBy("host", "template").agg(
+    return tpl.groupBy("template").agg(
         F.count("*").cast("long").alias("n_urls"),
         F.countDistinct("url").cast("long").alias("n_pages"),
+        F.countDistinct("host").cast("long").alias("n_hosts"),
         F.min("url").alias("sample_url"),
     )
 
@@ -729,11 +735,12 @@ tpl AS (
   SELECT host, url, regexp_replace(url, '[0-9]+', '{{N}}', 'g') AS template
   FROM urls
 )
-SELECT host, template,
+SELECT template,
        CAST(count(*) AS BIGINT) AS n_urls,
        CAST(count(DISTINCT url) AS BIGINT) AS n_pages,
+       CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
        min(url) AS sample_url
-FROM tpl GROUP BY host, template
+FROM tpl GROUP BY template
 """
 
 QUERIES["url_path_templates"] = (url_path_templates, SQL_URL_PATH_TEMPLATES)
