@@ -1183,3 +1183,235 @@ QUERIES["events_value_hist_hourly"] = (
     events_value_hist_hourly,
     SQL_EVENTS_VALUE_HIST_HOURLY,
 )
+
+
+# ------------------------------------------------ KMV / theta set-op sketch
+# The fifth sketch closes the one gap the other four leave open: SET
+# OPERATIONS on cardinalities. HLL unions cleanly (register max) but cannot
+# intersect; a KMV/theta sketch (Bar-Yossef et al. 2002; Dasgupta et al.,
+# "Theta sketch framework", 2016) keeps the K smallest distinct hash values
+# per set, and any pair of sketches composes: theta = min(theta_a, theta_b),
+# the retained entries below theta form a uniform sample of the union, and
+# |retained ∩ condition| * SPACE / theta estimates union / intersection /
+# difference cardinalities — the "how many shingles do snapshot A and B
+# SHARE" question a 100 TB dedup planner actually asks before committing to
+# a full shingle-keyed join.
+#
+# Scale shape: one distinct on (set, hash48) then row_number ≤ K — Spark
+# plans the rank filter as WindowGroupLimit, so each map task forwards at
+# most K rows per set and the post-shuffle state is O(K) per set, never
+# O(distinct). Every cross-sketch op joins frames of ≤ K rows (broadcast by
+# construction). The exact leg (labeled, eval-only) is the usual ground
+# truth: one distinct + one flag agg, same pattern as hll_error_eval.
+#
+# Determinism: 48-bit top-of-md5 hashes (12 hex chars) keep EVERY estimate
+# numerator inside int64 — retained ≤ 2(K-1) = 510, and 510 * 2^48 ≈ 1.4e17
+# ≪ 2^63; the estimate itself is an exact integer DIV, so both engines agree
+# bit-for-bit (no float estimator anywhere). Sets smaller than K degrade to
+# EXACT counts through the same formula (theta = SPACE ⇒ est = retained).
+
+K_KMV = 256
+KMV_SPACE = 1 << 48  # 48-bit hash space: est numerators stay < 2^63
+
+_SQL_HASH48 = "CAST(('0x' || substr(md5({col}), 1, 12)) AS BIGINT)"
+
+
+def _hash48(col: F.Column) -> F.Column:
+    """Top-48-bits of md5 as a nonnegative int64 (hash56's small sibling)."""
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
+
+
+# Overlapping doc subsets: A = even docIDs, B = docIDs % 3 == 0 (their
+# shingle sets overlap via the docs in both, plus cross-doc shared 3-grams).
+_KMV_EST = f"CAST((retained * {KMV_SPACE}) {{div}} theta AS BIGINT)"
+_KMV_ERR = "CAST((abs(est - exact) * 1000) {div} greatest(exact, 1) AS BIGINT)"
+
+
+def kmv_theta_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(measure, retained, theta, est, exact, err_permille): KMV/theta
+    sketch estimates vs exact distinct 3-gram counts for two overlapping
+    doc subsets and their union / intersection / difference."""
+    sh = _shingle_stream(spark, sf_dir, "doc_id")
+    tags = F.array(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("a")),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("b")),
+    )
+    tagged = (
+        sh.select(F.explode(tags).alias("st"), "shingle")
+        .filter(F.col("st").isNotNull())
+    )
+    hv = tagged.select("st", _hash48(F.col("shingle")).alias("h")).distinct()
+    w = W.partitionBy("st").orderBy(F.col("h").asc())
+    sk = (
+        hv.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= K_KMV)
+        .select("st", "h")
+        .cache()
+    )
+    per = sk.groupBy("st").agg(
+        F.count("*").cast("long").alias("n"),
+        F.max("h").cast("long").alias("hmax"),
+    ).select(
+        "st",
+        F.expr(
+            f"CASE WHEN n = {K_KMV} THEN hmax"
+            f" ELSE CAST({KMV_SPACE} AS BIGINT) END"
+        ).alias("theta"),
+    )
+
+    # Per-set rows: retained = entries strictly below the set's own theta.
+    per_set = (
+        sk.join(F.broadcast(per), "st")
+        .filter(F.col("h") < F.col("theta"))
+        .groupBy("st", "theta")
+        .agg(F.count("*").cast("long").alias("retained"))
+    )
+    exact_set = tagged.groupBy("st").agg(
+        F.countDistinct("shingle").cast("long").alias("exact")
+    )
+    set_rows = per_set.join(exact_set, "st").select(
+        F.concat(F.lit("set_"), F.col("st")).alias("measure"),
+        "retained",
+        "theta",
+        F.expr(_KMV_EST.format(div="DIV")).alias("est"),
+        "exact",
+    )
+
+    # Cross-set rows share theta_u = min(theta_a, theta_b).
+    th_u = F.broadcast(per.agg(F.min("theta").cast("long").alias("theta")))
+    au = (
+        sk.filter(F.col("st") == "a")
+        .crossJoin(th_u)
+        .filter(F.col("h") < F.col("theta"))
+        .select("h")
+    )
+    bu = (
+        sk.filter(F.col("st") == "b")
+        .crossJoin(th_u)
+        .filter(F.col("h") < F.col("theta"))
+        .select("h")
+    )
+    union_h = au.union(bu).distinct()
+    inter_h = au.join(bu, "h", "left_semi")
+    anb_h = au.join(bu, "h", "left_anti")
+
+    flags = (
+        tagged.distinct()
+        .groupBy("shingle")
+        .agg(
+            F.max((F.col("st") == "a").cast("int")).alias("ia"),
+            F.max((F.col("st") == "b").cast("int")).alias("ib"),
+        )
+    )
+    cross_ex = flags.agg(
+        F.sum(F.expr("CAST(ia * ib AS BIGINT)")).cast("long").alias("x_inter"),
+        F.sum(F.expr("CAST(greatest(ia, ib) AS BIGINT)")).cast("long").alias("x_union"),
+        F.sum(F.expr("CAST(ia * (1 - ib) AS BIGINT)")).cast("long").alias("x_anb"),
+    )
+
+    def cross_row(name: str, hdf: DataFrame, exact_col: str) -> DataFrame:
+        return (
+            hdf.agg(F.count("*").cast("long").alias("retained"))
+            .crossJoin(th_u)
+            .crossJoin(F.broadcast(cross_ex.select(F.col(exact_col).alias("exact"))))
+            .select(
+                F.lit(name).alias("measure"),
+                "retained",
+                "theta",
+                F.expr(_KMV_EST.format(div="DIV")).alias("est"),
+                "exact",
+            )
+        )
+
+    out = (
+        set_rows.unionByName(cross_row("union", union_h, "x_union"))
+        .unionByName(cross_row("intersection", inter_h, "x_inter"))
+        .unionByName(cross_row("a_not_b", anb_h, "x_anb"))
+    )
+    return out.select(
+        "measure",
+        "retained",
+        "theta",
+        "est",
+        "exact",
+        F.expr(_KMV_ERR.format(div="DIV")).alias("err_permille"),
+    )
+
+
+SQL_KMV_THETA_EVAL = f"""
+WITH sh AS ({_sql_shingle_stream("doc_id")}),
+tagged AS (
+  SELECT unnest(list_filter([
+           CASE WHEN doc_id % 2 = 0 THEN 'a' END,
+           CASE WHEN doc_id % 3 = 0 THEN 'b' END], x -> x IS NOT NULL)) AS st,
+         shingle
+  FROM sh
+),
+hv AS (SELECT DISTINCT st, {_SQL_HASH48.format(col='shingle')} AS h FROM tagged),
+sk AS MATERIALIZED (
+  SELECT st, h FROM (
+    SELECT st, h, row_number() OVER (PARTITION BY st ORDER BY h) AS rn FROM hv
+  ) WHERE rn <= {K_KMV}
+),
+per AS MATERIALIZED (
+  SELECT st,
+         CASE WHEN count(*) = {K_KMV} THEN max(h)
+              ELSE CAST({KMV_SPACE} AS BIGINT) END AS theta
+  FROM sk GROUP BY 1
+),
+pset AS (
+  SELECT s.st, p.theta, CAST(count(*) AS BIGINT) AS retained
+  FROM sk s JOIN per p USING (st) WHERE s.h < p.theta GROUP BY 1, 2
+),
+exset AS (
+  SELECT st, CAST(count(DISTINCT shingle) AS BIGINT) AS exact
+  FROM tagged GROUP BY 1
+),
+set_rows AS (
+  SELECT 'set_' || st AS measure, retained, theta,
+         {_KMV_EST.format(div="//")} AS est, exact
+  FROM pset JOIN exset USING (st)
+),
+thu AS (SELECT CAST(min(theta) AS BIGINT) AS theta FROM per),
+au AS (SELECT h FROM sk, thu WHERE st = 'a' AND h < theta),
+bu AS (SELECT h FROM sk, thu WHERE st = 'b' AND h < theta),
+uni AS (SELECT DISTINCT h FROM (SELECT h FROM au UNION ALL SELECT h FROM bu)),
+intr AS (SELECT h FROM au WHERE h IN (SELECT h FROM bu)),
+anb AS (SELECT h FROM au WHERE h NOT IN (SELECT h FROM bu)),
+flags AS (
+  SELECT shingle,
+         max(CASE WHEN st = 'a' THEN 1 ELSE 0 END) AS ia,
+         max(CASE WHEN st = 'b' THEN 1 ELSE 0 END) AS ib
+  FROM tagged GROUP BY 1
+),
+exc AS (
+  SELECT CAST(sum(ia * ib) AS BIGINT) AS x_inter,
+         CAST(sum(greatest(ia, ib)) AS BIGINT) AS x_union,
+         CAST(sum(ia * (1 - ib)) AS BIGINT) AS x_anb
+  FROM flags
+),
+cross_rows AS (
+  SELECT 'union' AS measure,
+         (SELECT CAST(count(*) AS BIGINT) FROM uni) AS retained,
+         theta, x_union AS exact FROM thu, exc
+  UNION ALL
+  SELECT 'intersection',
+         (SELECT CAST(count(*) AS BIGINT) FROM intr), theta, x_inter
+  FROM thu, exc
+  UNION ALL
+  SELECT 'a_not_b',
+         (SELECT CAST(count(*) AS BIGINT) FROM anb), theta, x_anb
+  FROM thu, exc
+),
+allrows AS (
+  SELECT measure, retained, theta, est, exact FROM set_rows
+  UNION ALL
+  SELECT measure, retained, theta, {_KMV_EST.format(div="//")} AS est, exact
+  FROM cross_rows
+)
+SELECT measure, retained, theta, est, exact,
+       {_KMV_ERR.format(div="//")} AS err_permille
+FROM allrows
+"""
+
+QUERIES["kmv_theta_eval"] = (kmv_theta_eval, SQL_KMV_THETA_EVAL)
