@@ -844,3 +844,139 @@ FROM top t JOIN bound b ON b.term = t.term JOIN exact e ON e.term = t.term
 """
 
 QUERIES["terms_shard_error_eval"] = (terms_shard_error_eval, SQL_TERMS_SHARD_ERROR)
+
+
+# ------------------------------------------------------------- matrix_stats
+# The ES matrix_stats aggregation (the matrix-aggs module the reference's
+# OpenSearch backend ships by default): pairwise covariance and correlation
+# across numeric fields in ONE pass. Twin over the lineitem numeric tuple
+# (quantity units, extendedprice DOLLARS, discount/tax CENTS — units chosen
+# so every moment stays in int64 headroom through SF10, see bounds below).
+#
+# Integer determinism: covariance is SHIFT-INVARIANT, so values are first
+# demeaned by the per-field INTEGER mean (one broadcast 1-row pass); the
+# demeaned cross-moments are exact int64 sums (|dp| <= ~1e5 dollars =>
+# sum(dp^2) <= n*1e10 = 6e17 at SF10). cov_milli then needs only
+# truncating SIGNED division, sign-split so Spark DIV (trunc) and DuckDB //
+# (floor) agree: both branches divide NONNEGATIVE numerators. Correlation
+# converts two already-integer milli-moments through one shared float
+# expression (the sqrt micro idiom with mirrored negatives).
+#
+# Scale shape: one scan computes all 4 + 10 moment sums map-side (a single
+# 1-row agg, no shuffle beyond the final combine); the 10 output pair rows
+# unpivot from that 1-row frame via one inline explode. Nothing is
+# field-count-squared except the bounded 10-element literal array.
+
+_MS_FIELDS = (
+    ("quantity", "CAST(l_quantity AS BIGINT)"),
+    ("price_usd", "CAST(round(l_extendedprice * 100) AS BIGINT) DIV 100"),
+    ("discount_c", "CAST(round(l_discount * 100) AS BIGINT)"),
+    ("tax_c", "CAST(round(l_tax * 100) AS BIGINT)"),
+)
+
+# Signed truncating division: both operands nonnegative in each branch.
+_SDIV = "(CASE WHEN {num} >= 0 THEN ({num}) {div} ({den}) ELSE -((-({num})) {div} ({den})) END)"
+
+# corr from integer milli-moments through one shared float string.
+_MS_CORR = (
+    "CAST(CASE WHEN {covn} >= 0 "
+    "THEN floor({covn} * 1.0e6 / sqrt(CAST({va} AS DOUBLE) * CAST({vb} AS DOUBLE)) + 0.5e0) "
+    "ELSE -floor(-({covn}) * 1.0e6 / sqrt(CAST({va} AS DOUBLE) * CAST({vb} AS DOUBLE)) + 0.5e0) "
+    "END AS BIGINT)"
+)
+
+
+def _ms_covn_milli(a: str, b: str, div: str) -> str:
+    """1000 * n * cov(a, b) from demeaned integer sums (exact up to the two
+    truncating divisions): 1000*s_ab - 1000*s_a*s_b/n, |s_a| < n."""
+    t2 = _SDIV.format(num=f"1000 * s_{a} * s_{b}", den="n", div=div)
+    return f"(1000 * s_{a}_{b} - {t2})"
+
+
+def es_matrix_stats(spark, sf_dir):
+    """(field_a, field_b, n, mean_a_milli, mean_b_milli, cov_milli,
+    corr_micro): the ES matrix_stats agg over four lineitem numerics —
+    population covariance (milli) and Pearson correlation (micro) for
+    every unordered field pair, plus self-pairs (variance rows)."""
+    li = load(spark, sf_dir, "lineitem")
+    names = [n for n, _ in _MS_FIELDS]
+    vals = li.select(
+        *[F.expr(e).alias(n) for n, e in _MS_FIELDS]
+    )
+    means = F.broadcast(
+        vals.agg(
+            F.count("*").cast("long").alias("n"),
+            *[
+                F.expr(f"CAST(sum({n}) DIV count(*) AS BIGINT)").alias(f"m_{n}")
+                for n in names
+            ],
+        )
+    )
+    dm = vals.crossJoin(means).select(
+        "n", *[F.expr(f"{n} - m_{n}").alias(f"d_{n}") for n in names],
+        *[F.col(f"m_{n}") for n in names],
+    )
+    pairs = [(a, b) for i, a in enumerate(names) for b in names[i:]]
+    agg = dm.groupBy("n", *[f"m_{n}" for n in names]).agg(
+        *[F.sum(f"d_{n}").cast("long").alias(f"s_{n}") for n in names],
+        *[
+            F.sum(F.expr(f"d_{a} * d_{b}")).cast("long").alias(f"s_{a}_{b}")
+            for a, b in pairs
+        ],
+    )
+    structs = []
+    for a, b in pairs:
+        covn = _ms_covn_milli(a, b, "DIV")
+        va = _ms_covn_milli(a, a, "DIV")
+        vb = _ms_covn_milli(b, b, "DIV")
+        structs.append(
+            f"struct('{a}' AS field_a, '{b}' AS field_b, n, "
+            f"CAST(1000 * m_{a} + {_SDIV.format(num=f'1000 * s_{a}', den='n', div='DIV')} AS BIGINT) AS mean_a_milli, "
+            f"CAST(1000 * m_{b} + {_SDIV.format(num=f'1000 * s_{b}', den='n', div='DIV')} AS BIGINT) AS mean_b_milli, "
+            f"CAST({_SDIV.format(num=covn, den='n', div='DIV')} AS BIGINT) AS cov_milli, "
+            f"{_MS_CORR.format(covn=covn, va=va, vb=vb)} AS corr_micro)"
+        )
+    return agg.select(
+        F.explode(F.expr("array(" + ", ".join(structs) + ")")).alias("r")
+    ).select("r.*")
+
+
+def _sql_matrix_stats() -> str:
+    names = [n for n, _ in _MS_FIELDS]
+    exprs = {n: e.replace(" DIV ", " // ") for n, e in _MS_FIELDS}
+    pairs = [(a, b) for i, a in enumerate(names) for b in names[i:]]
+    val_sel = ", ".join(f"{exprs[n]} AS {n}" for n in names)
+    mean_sel = ", ".join(
+        f"CAST(sum({n}) // count(*) AS BIGINT) AS m_{n}" for n in names
+    )
+    dm_sel = ", ".join(f"v.{n} - m.m_{n} AS d_{n}" for n in names)
+    m_cols = ", ".join(f"m.m_{n}" for n in names)
+    s_sel = ", ".join(
+        [f"CAST(sum(d_{n}) AS BIGINT) AS s_{n}" for n in names]
+        + [f"CAST(sum(d_{a} * d_{b}) AS BIGINT) AS s_{a}_{b}" for a, b in pairs]
+    )
+    rows = []
+    for a, b in pairs:
+        covn = _ms_covn_milli(a, b, "//")
+        va = _ms_covn_milli(a, a, "//")
+        vb = _ms_covn_milli(b, b, "//")
+        rows.append(
+            f"SELECT '{a}' AS field_a, '{b}' AS field_b, n, "
+            f"CAST(1000 * m_{a} + {_SDIV.format(num=f'1000 * s_{a}', den='n', div='//')} AS BIGINT) AS mean_a_milli, "
+            f"CAST(1000 * m_{b} + {_SDIV.format(num=f'1000 * s_{b}', den='n', div='//')} AS BIGINT) AS mean_b_milli, "
+            f"CAST({_SDIV.format(num=covn, den='n', div='//')} AS BIGINT) AS cov_milli, "
+            f"{_MS_CORR.format(covn=covn, va=va, vb=vb)} AS corr_micro FROM s"
+        )
+    return f"""
+WITH vals AS (SELECT {val_sel} FROM lineitem),
+m AS (SELECT CAST(count(*) AS BIGINT) AS n, {mean_sel} FROM vals),
+dm AS (SELECT m.n, {m_cols}, {dm_sel} FROM vals v CROSS JOIN m),
+s AS (
+  SELECT n, {', '.join(f'm_{n}' for n in names)}, {s_sel}
+  FROM dm GROUP BY n, {', '.join(f'm_{n}' for n in names)}
+)
+{' UNION ALL '.join(rows)}
+"""
+
+
+QUERIES["es_matrix_stats"] = (es_matrix_stats, _sql_matrix_stats())
