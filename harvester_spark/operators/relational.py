@@ -1329,6 +1329,207 @@ FROM scored
 QUERIES["events_anomaly_zscore"] = (events_anomaly_zscore, _sql_events_anomaly())
 
 
+# ------------------------------------------- CUSUM changepoint detection
+
+# Page's CUSUM (1954) over the hourly event stream — the LEVEL-SHIFT
+# detector next to events_anomaly_zscore's spike detector (a z-score
+# forgets after its 24 h window; CUSUM accumulates small sustained drifts
+# until they cross a decision threshold, which is how crawl-rate /
+# ingest-health monitors actually catch slow regressions).
+#
+# The recurrence S_t = max(0, S_{t-1} + d_t) looks inherently sequential,
+# but has an exact RELATIONAL closed form: with prefix sums
+# P_t = Σ_{j<=t} d_j (P_0 = 0), S_t = P_t - min_{0<=j<=t} P_j — one
+# running-sum window plus one running-min window, both per event_type,
+# partitions calendar-bounded (same densified-hours argument as the
+# z-score above). The downward detector mirrors through the prefix MAX.
+# Everything is integer milli-units: d = 1000·c - mean_milli with the
+# per-type integer mean, so both engines agree bit-for-bit; the decision
+# threshold h = 5·sd_floor·1000 uses floor(sqrt(mean)) — exact except on
+# perfect squares, where IEEE sqrt of an int is exact anyway.
+
+_CUSUM_H_SD = 5  # decision threshold in floor(sqrt(mean)) units
+
+
+def events_cusum_changepoint(spark, sf_dir):
+    """(event_type, hour_bucket, c, s_pos_milli, s_neg_milli, h_milli,
+    alarm_up, alarm_down): two-sided CUSUM over densified hourly counts."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hour"),
+    )
+    b = ev.agg(F.min("hour").alias("mn"), F.max("hour").alias("mx")).collect()[0]
+    counts = ev.groupBy("event_type", "hour").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    hours = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.lit(b.mn), F.lit(b.mx))).alias("hour"),
+        )
+    )
+    dens = hours.join(counts, ["event_type", "hour"], "left").select(
+        "event_type", "hour", F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c")
+    )
+    # integer per-type mean via whole-partition window sums (DIV, no float)
+    wall = W.partitionBy("event_type")
+    dev = dens.select(
+        "event_type",
+        "hour",
+        "c",
+        F.sum("c").over(wall).cast("long").alias("tot"),
+        F.count("*").over(wall).cast("long").alias("nh"),
+    ).select(
+        "event_type",
+        "hour",
+        "c",
+        F.expr("CAST((1000 * tot) DIV nh AS BIGINT)").alias("mean_milli"),
+        F.expr("CAST(tot DIV nh AS BIGINT)").alias("mean_c"),
+    ).select(
+        "event_type",
+        "hour",
+        "c",
+        "mean_milli",
+        F.expr(
+            "CAST(greatest(CAST(floor(sqrt(CAST(mean_c AS DOUBLE))) AS BIGINT), 1)"
+            " AS BIGINT)"
+        ).alias("sd_floor"),
+    ).select(
+        "event_type",
+        "hour",
+        "c",
+        F.expr(f"CAST({_CUSUM_H_SD} * 1000 * sd_floor AS BIGINT)").alias("h_milli"),
+        # Page's slack k = sd/2 keeps noise from accumulating: only
+        # sustained shifts beyond half a standard deviation build mass.
+        F.expr("1000 * c - mean_milli - 500 * sd_floor").alias("dp"),
+        F.expr("mean_milli - 1000 * c - 500 * sd_floor").alias("dn"),
+    )
+    wcum = W.partitionBy("event_type").orderBy("hour").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return (
+        dev.select(
+            "event_type",
+            F.col("hour").alias("hour_bucket"),
+            "c",
+            "h_milli",
+            F.sum("dp").over(wcum).cast("long").alias("cp"),
+            F.sum("dn").over(wcum).cast("long").alias("cn"),
+        )
+        .select(
+            "event_type",
+            "hour_bucket",
+            "c",
+            "h_milli",
+            "cp",
+            "cn",
+            F.min("cp")
+            .over(
+                W.partitionBy("event_type")
+                .orderBy("hour_bucket")
+                .rowsBetween(W.unboundedPreceding, W.currentRow)
+            )
+            .cast("long")
+            .alias("pmin"),
+            F.min("cn")
+            .over(
+                W.partitionBy("event_type")
+                .orderBy("hour_bucket")
+                .rowsBetween(W.unboundedPreceding, W.currentRow)
+            )
+            .cast("long")
+            .alias("nmin"),
+        )
+        .select(
+            "event_type",
+            "hour_bucket",
+            "c",
+            F.expr("CAST(cp - least(CAST(0 AS BIGINT), pmin) AS BIGINT)").alias(
+                "s_pos_milli"
+            ),
+            F.expr("CAST(cn - least(CAST(0 AS BIGINT), nmin) AS BIGINT)").alias(
+                "s_neg_milli"
+            ),
+            "h_milli",
+            F.expr("cp - least(CAST(0 AS BIGINT), pmin) > h_milli").alias("alarm_up"),
+            F.expr("cn - least(CAST(0 AS BIGINT), nmin) > h_milli").alias(
+                "alarm_down"
+            ),
+        )
+    )
+
+
+def _sql_events_cusum() -> str:
+    return f"""
+WITH ev AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour
+  FROM events
+),
+b AS (SELECT min(hour) AS mn, max(hour) AS mx FROM ev),
+counts AS (
+  SELECT event_type, hour, CAST(count(*) AS BIGINT) AS c
+  FROM ev GROUP BY 1, 2
+),
+hours AS (
+  SELECT event_type, CAST(h AS BIGINT) AS hour
+  FROM (SELECT DISTINCT event_type FROM ev)
+  CROSS JOIN (SELECT unnest(range((SELECT mn FROM b), (SELECT mx FROM b) + 1)) AS h)
+),
+dens AS (
+  SELECT hours.event_type, hours.hour, coalesce(counts.c, 0) AS c
+  FROM hours LEFT JOIN counts USING (event_type, hour)
+),
+means AS (
+  SELECT event_type, hour, c,
+         CAST((1000 * sum(c) OVER tw) // (count(*) OVER tw) AS BIGINT)
+           AS mean_milli,
+         greatest(CAST(floor(sqrt(CAST(
+               (sum(c) OVER tw) // (count(*) OVER tw) AS DOUBLE)))
+               AS BIGINT), 1) AS sd_floor
+  FROM dens
+  WINDOW tw AS (PARTITION BY event_type)
+),
+dev AS (
+  SELECT event_type, hour, c,
+         CAST({_CUSUM_H_SD} * 1000 * sd_floor AS BIGINT) AS h_milli,
+         1000 * c - mean_milli - 500 * sd_floor AS dp,
+         mean_milli - 1000 * c - 500 * sd_floor AS dn
+  FROM means
+),
+cums AS (
+  SELECT event_type, hour AS hour_bucket, c, h_milli,
+         CAST(sum(dp) OVER cw AS BIGINT) AS cp,
+         CAST(sum(dn) OVER cw AS BIGINT) AS cn
+  FROM dev
+  WINDOW cw AS (PARTITION BY event_type ORDER BY hour
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+mm AS (
+  SELECT event_type, hour_bucket, c, h_milli, cp, cn,
+         CAST(min(cp) OVER cw AS BIGINT) AS pmin,
+         CAST(min(cn) OVER cw AS BIGINT) AS nmin
+  FROM cums
+  WINDOW cw AS (PARTITION BY event_type ORDER BY hour_bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, hour_bucket, c,
+       CAST(cp - least(CAST(0 AS BIGINT), pmin) AS BIGINT) AS s_pos_milli,
+       CAST(cn - least(CAST(0 AS BIGINT), nmin) AS BIGINT) AS s_neg_milli,
+       h_milli,
+       cp - least(CAST(0 AS BIGINT), pmin) > h_milli AS alarm_up,
+       cn - least(CAST(0 AS BIGINT), nmin) > h_milli AS alarm_down
+FROM mm
+"""
+
+
+QUERIES["events_cusum_changepoint"] = (
+    events_cusum_changepoint,
+    _sql_events_cusum(),
+)
+
+
 # ---------------------------------------------------- click attribution
 
 # Last-touch click→purchase attribution — the event⋈event as-of join with
