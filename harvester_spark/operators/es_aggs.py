@@ -980,3 +980,110 @@ s AS (
 
 
 QUERIES["es_matrix_stats"] = (es_matrix_stats, _sql_matrix_stats())
+
+
+# ------------------------------------------------------- moving_fn ewma
+# The ES moving_fn EWMA (MovingFunctions.ewma) on the hourly date_histogram
+# — the smoother ops dashboards layer over event counts. ES's ewma iterates
+# avg = alpha*v + (1-alpha)*avg across the window seeding from its OLDEST
+# value; with alpha = 1/4 over an 8-bucket window that recurrence has an
+# EXACT integer closed form: scaling by 4^7, the oldest value weighs 3^7
+# and lag k in [0..6] weighs 3^k * 4^(6-k) — the weights sum to exactly
+# 4^7 = 16384, so ewma_milli = (1000 * weighted_sum) DIV 16384 is
+# bit-identical in both engines with NO float anywhere (compare the
+# truncated-geometric approximations most ports settle for). Rows emit
+# once the window is full, the events_anomaly_zscore convention.
+#
+# Scale shape: one (type, hour) groupBy + calendar-bounded densification +
+# a per-type lag chain over time-bounded partitions — identical cost
+# envelope to events_pipeline_aggs.
+
+_EWMA_W = 8  # ES moving_fn window
+_EWMA_WEIGHTS = [3**k * 4 ** (6 - k) for k in range(7)] + [3**7]  # lag 0..7
+
+
+def events_moving_ewma(spark, sf_dir):
+    """(event_type, hour_bucket, c, ewma_milli): exact integer ES
+    moving_fn EWMA (alpha=1/4, window 8) over densified hourly counts."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hour"),
+    )
+    b = ev.agg(F.min("hour").alias("mn"), F.max("hour").alias("mx")).collect()[0]
+    counts = ev.groupBy("event_type", "hour").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    hours = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.lit(b.mn), F.lit(b.mx))).alias("hour"),
+        )
+    )
+    dens = hours.join(counts, ["event_type", "hour"], "left").select(
+        "event_type", "hour", F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c")
+    )
+    wt = W.partitionBy("event_type").orderBy("hour")
+    lagged = dens.select(
+        "event_type",
+        F.col("hour").alias("hour_bucket"),
+        "c",
+        *[
+            F.lag("c", k).over(wt).cast("long").alias(f"l{k}")
+            for k in range(1, _EWMA_W)
+        ],
+    ).filter(F.col("hour_bucket") >= b.mn + _EWMA_W - 1)
+    num = " + ".join(
+        f"{w} * {'c' if k == 0 else f'l{k}'}" for k, w in enumerate(_EWMA_WEIGHTS)
+    )
+    return lagged.select(
+        "event_type",
+        "hour_bucket",
+        "c",
+        F.expr(f"CAST((1000 * ({num})) DIV {4**7} AS BIGINT)").alias("ewma_milli"),
+    )
+
+
+def _sql_events_moving_ewma() -> str:
+    num = " + ".join(
+        f"{w} * {'c' if k == 0 else f'l{k}'}"
+        for k, w in enumerate(_EWMA_WEIGHTS)
+    )
+    lags = ",\n         ".join(
+        f"CAST(lag(c, {k}) OVER tw AS BIGINT) AS l{k}"
+        for k in range(1, _EWMA_W)
+    )
+    return f"""
+WITH ev AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour
+  FROM events
+),
+b AS (SELECT min(hour) AS mn, max(hour) AS mx FROM ev),
+counts AS (
+  SELECT event_type, hour, CAST(count(*) AS BIGINT) AS c
+  FROM ev GROUP BY 1, 2
+),
+hours AS (
+  SELECT event_type, CAST(h AS BIGINT) AS hour
+  FROM (SELECT DISTINCT event_type FROM ev)
+  CROSS JOIN (SELECT unnest(range((SELECT mn FROM b), (SELECT mx FROM b) + 1)) AS h)
+),
+dens AS (
+  SELECT hours.event_type, hours.hour, coalesce(counts.c, 0) AS c
+  FROM hours LEFT JOIN counts USING (event_type, hour)
+),
+lagged AS (
+  SELECT event_type, hour AS hour_bucket, c,
+         {lags}
+  FROM dens
+  WINDOW tw AS (PARTITION BY event_type ORDER BY hour)
+  QUALIFY hour >= (SELECT mn FROM b) + {_EWMA_W - 1}
+)
+SELECT event_type, hour_bucket, c,
+       CAST((1000 * ({num})) // {4**7} AS BIGINT) AS ewma_milli
+FROM lagged
+"""
+
+
+QUERIES["events_moving_ewma"] = (events_moving_ewma, _sql_events_moving_ewma())
