@@ -1001,3 +1001,182 @@ FROM lam
 """
 
 QUERIES["recrawl_schedule"] = (recrawl_schedule, SQL_RECRAWL)
+
+
+# ------------------------------------------------------------- TrustRank
+# Gyöngyi, Garcia-Molina & Pedersen (VLDB 2004): PageRank with the teleport
+# restricted to a trusted SEED set, plus the derived spam-mass signal
+# (what fraction of a host's PageRank arrives from un-trusted flow) — the
+# third crawl-prioritization signal next to host_pagerank / hits_scores,
+# and the one an adversarial web corpus actually needs before spending
+# crawl budget. Same integer contract as host_pagerank: both walks run in
+# the SAME loop over the same weighted host graph, every update is
+# multiply-then-integer-divide on nonnegative int64, dangling mass
+# redistributes to ALL nodes for the PR walk but ONLY to seeds for the TR
+# walk (trust never leaks to the teleport of untrusted hosts), and the
+# final spam-mass division is sign-split so Spark DIV and DuckDB //
+# agree on the (seed) hosts whose trust exceeds their rank.
+#
+# Seed selection is hash-deterministic (smallest md5('seed|'||host), host
+# tie-break) — content-independent, so the oracle CTE twin reproduces it
+# relationally. Scale shape per sweep: one src-keyed equi-join + one dst
+# groupBy carrying BOTH walks' contributions (the second walk is two extra
+# int64 columns on the same shuffle, not a second pass), two scalar
+# dangling aggs, localCheckpoint lineage cut.
+
+TR_SEEDS = 4
+TR_ITERS = PR_ITERS
+
+
+def host_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(host, is_seed, rank_unit, trust_unit, spam_mass_milli): PageRank
+    and seed-teleport TrustRank after {TR_ITERS} joint damped iterations,
+    spam mass = (rank - trust) / rank in signed milli-units."""
+    edges = _edges(spark, sf_dir).cache()
+    nodes = (
+        edges.select(F.col("src").alias("host"))
+        .union(edges.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    wseed = W.orderBy(
+        _hash56(F.concat(F.lit("seed|"), F.col("host"))).asc(), F.col("host").asc()
+    )
+    nodes = nodes.withColumn(
+        "is_seed", F.row_number().over(wseed) <= TR_SEEDS
+    ).localCheckpoint()
+    outw = edges.groupBy("src").agg(F.sum("w").cast("long").alias("wout"))
+    n_df = F.broadcast(nodes.agg(F.count("*").cast("long").alias("n")))
+
+    ranks = nodes.crossJoin(n_df).select(
+        "host",
+        "is_seed",
+        F.expr(f"CAST({PR_UNIT} DIV n AS BIGINT)").alias("r"),
+        F.expr(
+            f"CASE WHEN is_seed THEN CAST({PR_UNIT} DIV {TR_SEEDS} AS BIGINT)"
+            " ELSE CAST(0 AS BIGINT) END"
+        ).alias("t"),
+    )
+    for _ in range(TR_ITERS):
+        contrib = (
+            edges.join(
+                ranks.select(F.col("host").alias("src"), "r", "t"), "src"
+            )
+            .join(outw, "src")
+            .select(
+                F.col("dst").alias("host"),
+                F.expr("(85 * r * w) DIV (100 * wout)").alias("cr"),
+                F.expr("(85 * t * w) DIV (100 * wout)").alias("ct"),
+            )
+            .groupBy("host")
+            .agg(
+                F.sum("cr").cast("long").alias("cr"),
+                F.sum("ct").cast("long").alias("ct"),
+            )
+        )
+        dang = F.broadcast(
+            ranks.join(outw, ranks["host"] == outw["src"], "left_anti").agg(
+                F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dgr"),
+                F.coalesce(F.sum("t"), F.lit(0)).cast("long").alias("dgt"),
+            )
+        )
+        ranks = (
+            nodes.join(contrib, "host", "left")
+            .crossJoin(dang)
+            .crossJoin(n_df)
+            .select(
+                "host",
+                "is_seed",
+                F.expr(
+                    f"CAST({15 * PR_UNIT} DIV (100 * n)"
+                    f" + (85 * dgr) DIV (100 * n)"
+                    f" + coalesce(cr, CAST(0 AS BIGINT)) AS BIGINT)"
+                ).alias("r"),
+                F.expr(
+                    f"CAST(CASE WHEN is_seed THEN {15 * PR_UNIT} DIV (100 * {TR_SEEDS})"
+                    f" + (85 * dgt) DIV (100 * {TR_SEEDS}) ELSE 0 END"
+                    f" + coalesce(ct, CAST(0 AS BIGINT)) AS BIGINT)"
+                ).alias("t"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(
+        "host",
+        "is_seed",
+        F.col("r").alias("rank_unit"),
+        F.col("t").alias("trust_unit"),
+        F.expr(
+            "CASE WHEN r = 0 THEN CAST(0 AS BIGINT)"
+            " WHEN r - t >= 0 THEN CAST((1000 * (r - t)) DIV r AS BIGINT)"
+            " ELSE CAST(-((1000 * (t - r)) DIV r) AS BIGINT) END"
+        ).alias("spam_mass_milli"),
+    )
+
+
+def _sql_host_trustrank() -> str:
+    hash_doc = _SQL_HASH56.format(col="CAST(doc_id AS VARCHAR)")
+    seed_hash = _SQL_HASH56.format(col="'seed|' || host")
+    parts = [
+        f"""WITH e AS (
+  SELECT source AS src,
+         'src' || CAST({hash_doc} % {PR_FANOUT} AS VARCHAR) AS dst
+  FROM documents
+),
+edges AS MATERIALIZED (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+  FROM e WHERE src <> dst GROUP BY 1, 2
+),
+nodes AS MATERIALIZED (
+  SELECT host,
+         row_number() OVER (ORDER BY {seed_hash} ASC, host ASC)
+           <= {TR_SEEDS} AS is_seed
+  FROM (SELECT src AS host FROM edges UNION SELECT dst FROM edges)
+),
+outw AS MATERIALIZED (
+  SELECT src, CAST(sum(w) AS BIGINT) AS wout FROM edges GROUP BY 1
+),
+nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+it0 AS MATERIALIZED (
+  SELECT host, is_seed, CAST({PR_UNIT} // n AS BIGINT) AS r,
+         CASE WHEN is_seed THEN CAST({PR_UNIT} // {TR_SEEDS} AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS t
+  FROM nodes CROSS JOIN nn
+)"""
+    ]
+    for k in range(1, TR_ITERS + 1):
+        parts.append(
+            f""",
+c{k} AS MATERIALIZED (
+  SELECT e.dst AS host,
+         CAST(sum((85 * r.r * e.w) // (100 * o.wout)) AS BIGINT) AS cr,
+         CAST(sum((85 * r.t * e.w) // (100 * o.wout)) AS BIGINT) AS ct
+  FROM edges e JOIN it{k - 1} r ON e.src = r.host JOIN outw o ON e.src = o.src
+  GROUP BY 1
+),
+d{k} AS MATERIALIZED (
+  SELECT CAST(coalesce(sum(r.r), 0) AS BIGINT) AS dgr,
+         CAST(coalesce(sum(r.t), 0) AS BIGINT) AS dgt
+  FROM it{k - 1} r LEFT JOIN outw o ON r.host = o.src WHERE o.src IS NULL
+),
+it{k} AS MATERIALIZED (
+  SELECT nodes.host, nodes.is_seed,
+         CAST({15 * PR_UNIT} // (100 * n) + (85 * dgr) // (100 * n)
+              + coalesce(cr, CAST(0 AS BIGINT)) AS BIGINT) AS r,
+         CAST(CASE WHEN is_seed THEN {15 * PR_UNIT} // (100 * {TR_SEEDS})
+                   + (85 * dgt) // (100 * {TR_SEEDS}) ELSE 0 END
+              + coalesce(ct, CAST(0 AS BIGINT)) AS BIGINT) AS t
+  FROM nodes LEFT JOIN c{k} USING (host) CROSS JOIN d{k} CROSS JOIN nn
+)"""
+        )
+    parts.append(
+        f"""
+SELECT host, is_seed, r AS rank_unit, t AS trust_unit,
+       CASE WHEN r = 0 THEN CAST(0 AS BIGINT)
+            WHEN r - t >= 0 THEN CAST((1000 * (r - t)) // r AS BIGINT)
+            ELSE CAST(-((1000 * (t - r)) // r) AS BIGINT) END
+         AS spam_mass_milli
+FROM it{TR_ITERS}"""
+    )
+    return "".join(parts)
+
+
+QUERIES["host_trustrank"] = (host_trustrank, _sql_host_trustrank())
