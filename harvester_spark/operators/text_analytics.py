@@ -420,3 +420,126 @@ ORDER BY rank LIMIT {RRF_TOPN}
 
 
 QUERIES["hybrid_rrf_topk"] = (hybrid_rrf_topk, _sql_hybrid_rrf())
+
+
+# ------------------------------------------- Dunning LLR collocations
+# Dunning (1993) log-likelihood-ratio collocations over ADJACENT bigrams —
+# the significance-test complement to ft_cooccur_pmi (PMI over-rewards
+# rare pairs; LLR is the 2x2 contingency G-test that stays calibrated at
+# low counts, which is why Lucene's significant_terms offers it as a
+# heuristic). Counts are the exact integer contingency table per bigram:
+# k11 = c(w1 w2), k12 = c1 - k11, k21 = c2 - k11, k22 = N - c1 - c2 + k11,
+# with c1/c2 the LEFT/RIGHT positional unigram marginals (so every row of
+# the table is nonnegative by construction). The ONLY float is the final
+# G = 2 * sum(xlx) evaluated through one shared expression string on
+# identical integers (micro floor idiom) — the ft_bigram_lm_logprob
+# contract.
+#
+# Scale shape: bigrams from one array transform (zero extra shuffle over
+# the token scan), one (w1, w2) groupBy with map-side combine, two
+# marginal aggs joined back by key, 1-row total broadcast, TakeOrdered
+# tail. No driver vocabulary, no cartesian.
+
+LLR_TOPN = 100
+LLR_MINC = 3
+
+_XLX = "(CASE WHEN {x} = 0 THEN 0.0e0 ELSE CAST({x} AS DOUBLE) * ln(CAST({x} AS DOUBLE)) END)"
+
+
+def _llr_expr() -> str:
+    g = (
+        "(2.0e0 * ("
+        + " + ".join(
+            _XLX.format(x=x)
+            for x in ("k11", "k12", "k21", "k22", "nn")
+        )
+        + " - "
+        + " - ".join(_XLX.format(x=x) for x in ("c1", "(nn - c1)", "c2", "(nn - c2)"))
+        + "))"
+    )
+    # G >= 0 up to float rounding; clamp the floor at zero like the
+    # micro-nat idiom (negatives here are pure rounding dust).
+    return (
+        f"CAST(greatest(floor({g} * 1.0e6 + 0.5e0), 0.0e0) AS BIGINT)"
+    )
+
+
+def ft_llr_collocations(spark, sf_dir):
+    """(rnk, w1, w2, k11, c1, c2, nn, llr_micro): top-{LLR_TOPN} adjacent
+    bigrams by Dunning log-likelihood ratio (min count {LLR_MINC})."""
+    toks = doc_tokens(spark, sf_dir)
+    a = toks.select("doc_id", F.col("pos").alias("apos"), F.col("term").alias("w1"))
+    b = toks.select(
+        F.col("doc_id").alias("db"), F.col("pos").alias("bpos"),
+        F.col("term").alias("w2"),
+    )
+    bg = a.join(
+        b,
+        (F.col("doc_id") == F.col("db")) & (F.col("bpos") == F.col("apos") + 1),
+    ).select("w1", "w2")
+    pc = bg.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("k11"))
+    left = pc.groupBy("w1").agg(F.sum("k11").cast("long").alias("c1"))
+    right = pc.groupBy("w2").agg(F.sum("k11").cast("long").alias("c2"))
+    nn = F.broadcast(pc.agg(F.sum("k11").cast("long").alias("nn")))
+    scored = (
+        pc.filter(F.col("k11") >= LLR_MINC)
+        .join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(nn)
+        .select(
+            "w1", "w2", "k11", "c1", "c2", "nn",
+            F.expr("CAST(c1 - k11 AS BIGINT)").alias("k12"),
+            F.expr("CAST(c2 - k11 AS BIGINT)").alias("k21"),
+            F.expr("CAST(nn - c1 - c2 + k11 AS BIGINT)").alias("k22"),
+        )
+        .select(
+            "w1", "w2", "k11", "c1", "c2", "nn",
+            F.expr(_llr_expr()).alias("llr_micro"),
+        )
+    )
+    wr = W.orderBy(F.col("llr_micro").desc(), F.col("w1").asc(), F.col("w2").asc())
+    return (
+        scored.orderBy(
+            F.col("llr_micro").desc(), F.col("w1").asc(), F.col("w2").asc()
+        )
+        .limit(LLR_TOPN)
+        .withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .select("rnk", "w1", "w2", "k11", "c1", "c2", "nn", "llr_micro")
+    )
+
+
+def _sql_llr() -> str:
+    return f"""
+WITH toks AS ({SQL_DOC_TOKS}),
+bg AS (
+  SELECT a.term AS w1, b.term AS w2
+  FROM toks a JOIN toks b
+    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+pc AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS k11 FROM bg GROUP BY 1, 2
+),
+lft AS (SELECT w1, CAST(sum(k11) AS BIGINT) AS c1 FROM pc GROUP BY 1),
+rgt AS (SELECT w2, CAST(sum(k11) AS BIGINT) AS c2 FROM pc GROUP BY 1),
+tot AS (SELECT CAST(sum(k11) AS BIGINT) AS nn FROM pc),
+tab AS (
+  SELECT w1, w2, k11, c1, c2, nn,
+         CAST(c1 - k11 AS BIGINT) AS k12,
+         CAST(c2 - k11 AS BIGINT) AS k21,
+         CAST(nn - c1 - c2 + k11 AS BIGINT) AS k22
+  FROM pc JOIN lft USING (w1) JOIN rgt USING (w2) CROSS JOIN tot
+  WHERE k11 >= {LLR_MINC}
+),
+scored AS (
+  SELECT w1, w2, k11, c1, c2, nn, {_llr_expr()} AS llr_micro FROM tab
+)
+SELECT CAST(row_number() OVER (ORDER BY llr_micro DESC, w1 ASC, w2 ASC)
+            AS BIGINT) AS rnk,
+       w1, w2, k11, c1, c2, nn, llr_micro
+FROM scored
+ORDER BY llr_micro DESC, w1 ASC, w2 ASC
+LIMIT {LLR_TOPN}
+"""
+
+
+QUERIES["ft_llr_collocations"] = (ft_llr_collocations, _sql_llr())
