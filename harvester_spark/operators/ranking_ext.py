@@ -848,3 +848,171 @@ common AS MATERIALIZED (
 
 
 QUERIES["ranker_agreement_eval"] = (ranker_agreement_eval, _sql_ranker_agreement())
+
+
+# ------------------------------------------------- Clarity-score QPP
+# Query performance prediction (Cronen-Townsend, Zhou & Croft, SIGIR 2002):
+# the CLARITY of a query is KL(P(w | top-k docs) || P(w | corpus)) — an
+# unfocused head query draws its top-k from all over the corpus and lands
+# near the corpus LM (clarity ~ 0); a topical query's result LM diverges
+# sharply. Ships next to ft_rank_eval_* as the PRE-JUDGMENT eval: it
+# predicts which queries will rank badly before any qrels exist. The
+# pre-retrieval predictor avg-idf rides along for comparison (the classic
+# cheap proxy).
+#
+# Determinism: the result LM is quantized per (doc, term) BEFORE summing —
+# p_num = sum_d (tf * 1e9 DIV dl) is an integer, so the distributed sum is
+# order-free; each term's KL contribution quantizes to micro-nats through
+# ONE shared float string on identical integers (sign-split mirror floor),
+# and clarity is the exact integer sum of those contributions — the
+# ft_bigram_lm_logprob contract extended to a per-query reduction.
+#
+# Scale shape: scoring reuses the flagship component join (term-filtered
+# scan, broadcast df); top-k per query is a WindowGroupLimit rank; the LM
+# join touches only the K * avg_dl token rows of the top documents
+# (broadcast semi-join on the 60-row top list); corpus marginals are the
+# one map-side cf agg the engine already computes. No driver loops.
+
+QPP_QUERIES = {
+    "head": ("key", "value"),
+    "mixed": ("table", "merge"),
+    "rare": ("dup", "scan"),
+}
+QPP_K = 20
+_QPP_SCALE = 10**9
+
+_QPP_X = (
+    "((CAST(p_num AS DOUBLE) / (CAST(n_topk AS DOUBLE) * 1.0e9)) * "
+    "ln((CAST(p_num AS DOUBLE) * n_tok) / "
+    "(CAST(n_topk AS DOUBLE) * 1.0e9 * cf)))"
+)
+_QPP_CONTRIB = (
+    f"CASE WHEN {_QPP_X} >= 0 THEN CAST(floor({_QPP_X} * 1.0e6 + 0.5e0) AS BIGINT) "
+    f"ELSE CAST(-floor(-({_QPP_X}) * 1.0e6 + 0.5e0) AS BIGINT) END"
+)
+_QPP_IDF_MICRO = (
+    "CAST(floor(ln(1.0e0 + (CAST(n AS DOUBLE) - df + 0.5e0) / (df + 0.5e0))"
+    " * 1.0e6 + 0.5e0) AS BIGINT)"
+)
+
+
+def ft_clarity_qpp(spark, sf_dir):
+    """(query_id, n_topk, avg_idf_micro, clarity_micro): Clarity-score
+    QPP + avg-idf pre-retrieval predictor for {QPP_QUERIES}."""
+    all_terms = sorted({t for ts in QPP_QUERIES.values() for t in ts})
+    comps = _bm25_components(spark, sf_dir, all_terms)
+    qt = spark.createDataFrame(
+        [(q, t) for q, ts in sorted(QPP_QUERIES.items()) for t in ts],
+        "query_id string, term string",
+    )
+    scored = (
+        qt.join(comps, "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("contrib"), 6).alias("score"))
+    )
+    wq = W.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    topk = (
+        scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= QPP_K)
+        .select("query_id", "doc_id")
+    )
+    nt = topk.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_topk")
+    )
+
+    toks = doc_tokens(spark, sf_dir)
+    tf_all = toks.groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    dl = tf_all.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    cf = toks.groupBy("term").agg(F.count("*").cast("long").alias("cf"))
+    n_tok = F.broadcast(toks.agg(F.count("*").cast("long").alias("n_tok")))
+
+    pn = (
+        topk.join(tf_all, "doc_id")
+        .join(dl, "doc_id")
+        .groupBy("query_id", "term")
+        .agg(
+            F.sum(F.expr(f"(tf * {_QPP_SCALE}) DIV dl")).cast("long").alias("p_num")
+        )
+    )
+    clarity = (
+        pn.join(F.broadcast(nt), "query_id")
+        .join(cf, "term")
+        .crossJoin(n_tok)
+        .select("query_id", F.expr(_QPP_CONTRIB).alias("x"))
+        .groupBy("query_id")
+        .agg(F.sum("x").cast("long").alias("clarity_micro"))
+    )
+    idf = (
+        qt.join(comps.select("term", "df", "n").distinct(), "term")
+        .select("query_id", F.expr(_QPP_IDF_MICRO).alias("idf_micro"))
+        .groupBy("query_id")
+        .agg(
+            F.expr("CAST(sum(idf_micro) DIV count(*) AS BIGINT)").alias(
+                "avg_idf_micro"
+            )
+        )
+    )
+    return (
+        nt.join(idf, "query_id")
+        .join(clarity, "query_id")
+        .select("query_id", "n_topk", "avg_idf_micro", "clarity_micro")
+    )
+
+
+def _sql_clarity() -> str:
+    all_terms = sorted({t for ts in QPP_QUERIES.values() for t in ts})
+    qvals = ", ".join(
+        f"('{q}', '{t}')" for q, ts in sorted(QPP_QUERIES.items()) for t in ts
+    )
+    return f"""
+WITH {_sql_components(all_terms)},
+qt AS (SELECT * FROM (VALUES {qvals}) v(query_id, term)),
+scored AS (
+  SELECT query_id, doc_id, round(sum(contrib), 6) AS score
+  FROM qt JOIN comps USING (term)
+  GROUP BY 1, 2
+),
+topk AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC) AS rn
+    FROM scored
+  ) WHERE rn <= {QPP_K}
+),
+nt AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS n_topk FROM topk GROUP BY 1
+),
+tf_all AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+),
+dla AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf_all GROUP BY 1),
+cf AS (SELECT term, CAST(count(*) AS BIGINT) AS cf FROM toks GROUP BY 1),
+ntok AS (SELECT CAST(count(*) AS BIGINT) AS n_tok FROM toks),
+pn AS (
+  SELECT query_id, term,
+         CAST(sum((tf * {_QPP_SCALE}) // dl) AS BIGINT) AS p_num
+  FROM topk JOIN tf_all USING (doc_id) JOIN dla USING (doc_id)
+  GROUP BY 1, 2
+),
+clarity AS (
+  SELECT query_id, CAST(sum({_QPP_CONTRIB}) AS BIGINT) AS clarity_micro
+  FROM pn JOIN nt USING (query_id) JOIN cf USING (term) CROSS JOIN ntok
+  GROUP BY 1
+),
+idf AS (
+  SELECT query_id,
+         CAST(sum({_QPP_IDF_MICRO}) // count(*) AS BIGINT) AS avg_idf_micro
+  FROM qt JOIN (SELECT DISTINCT term, df, n FROM comps) c USING (term)
+  GROUP BY 1
+)
+SELECT query_id, n_topk, avg_idf_micro, clarity_micro
+FROM nt JOIN idf USING (query_id) JOIN clarity USING (query_id)
+"""
+
+
+QUERIES["ft_clarity_qpp"] = (ft_clarity_qpp, _sql_clarity())
