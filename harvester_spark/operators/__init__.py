@@ -27,6 +27,7 @@ from harvester_spark.operators import (
     index_stats,
     multimodal,
     ranking_ext,
+    ranking_models,
     relational,
     retrieval,
     similarity,
@@ -54,6 +55,7 @@ for mod in (
     retrieval,
     index_stats,
     ranking_ext,
+    ranking_models,
     es_aggs,
     es_ext,
     tpch_ext,

