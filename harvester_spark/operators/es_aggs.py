@@ -1087,3 +1087,356 @@ FROM lagged
 
 
 QUERIES["events_moving_ewma"] = (events_moving_ewma, _sql_events_moving_ewma())
+
+
+# ------------------------------------------------------- string_stats
+
+# ES string_stats with show_distribution: per language, length stats plus
+# the Shannon entropy (bits) of the character distribution. Characters
+# come from a position explode (sequence/range + substring — Spark split
+# on '' and DuckDB string_split_regex('') disagree on empties, so neither
+# is used). Entropy contributions are rounded to integer micro-bits PER
+# CHARACTER — both engines round the same (cnt, tot) integers, so the
+# per-lang sum is an exact int64. Scale: the char explode is the token
+# explode's shape (map-side-combinable groupBy on (lang, ch)); the
+# distribution itself is ≤ |alphabet| rows per language.
+_ENT_TERM = (
+    "CAST(round(1000000.0e0 * cnt * ln(tot * 1.0e0 / cnt)"
+    " / (tot * ln(2.0e0)), 0) AS BIGINT)"
+)
+
+
+def es_string_stats(spark, sf_dir):
+    """(lang, n_docs, min_len, max_len, avg_len_milli, total_chars,
+    entropy_micro): ES string_stats over documents.text per language —
+    entropy is the char-distribution Shannon entropy in micro-bits."""
+    docs = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    lens = docs.select("lang", "text", F.length("text").alias("len"))
+    doc_stats = lens.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("len").cast("long").alias("min_len"),
+        F.max("len").cast("long").alias("max_len"),
+        F.sum("len").cast("long").alias("sum_len"),
+    )
+    chars = lens.select(
+        "lang",
+        F.explode(F.sequence(F.lit(1), F.col("len"))).alias("i"),
+        "text",
+    ).select("lang", F.expr("substring(text, i, 1)").alias("ch"))
+    dist = chars.groupBy("lang", "ch").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    tot = dist.groupBy("lang").agg(F.sum("cnt").cast("long").alias("tot"))
+    ent = (
+        dist.join(F.broadcast(tot), "lang")
+        .withColumn("e", F.expr(_ENT_TERM))
+        .groupBy("lang")
+        .agg(
+            F.max("tot").alias("total_chars"),
+            F.sum("e").cast("long").alias("entropy_micro"),
+        )
+    )
+    return (
+        doc_stats.join(ent, "lang")
+        .withColumn(
+            "avg_len_milli",
+            F.expr("CAST(round(sum_len * 1000.0e0 / n_docs, 0) AS BIGINT)"),
+        )
+        .select(
+            "lang", "n_docs", "min_len", "max_len", "avg_len_milli",
+            "total_chars", "entropy_micro",
+        )
+    )
+
+
+SQL_STRING_STATS = f"""
+WITH lens AS (
+  SELECT lang, text, CAST(length(text) AS BIGINT) AS len
+  FROM documents WHERE length(text) > 0
+),
+doc_stats AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(min(len) AS BIGINT) AS min_len,
+         CAST(max(len) AS BIGINT) AS max_len,
+         CAST(sum(len) AS BIGINT) AS sum_len
+  FROM lens GROUP BY 1
+),
+chars AS (
+  SELECT lang, substring(text, CAST(i AS INT), 1) AS ch
+  FROM (
+    SELECT lang, text, unnest(range(1, len + 1)) AS i FROM lens
+  )
+),
+dist AS (
+  SELECT lang, ch, CAST(count(*) AS BIGINT) AS cnt FROM chars GROUP BY 1, 2
+),
+tots AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS tot FROM dist GROUP BY 1),
+ent AS (
+  SELECT lang, max(tot) AS total_chars,
+         CAST(sum({_ENT_TERM}) AS BIGINT) AS entropy_micro
+  FROM dist JOIN tots USING (lang) GROUP BY 1
+)
+SELECT lang, n_docs, min_len, max_len,
+       CAST(round(sum_len * 1000.0e0 / n_docs, 0) AS BIGINT) AS avg_len_milli,
+       total_chars, entropy_micro
+FROM doc_stats JOIN ent USING (lang)
+"""
+
+QUERIES["es_string_stats"] = (es_string_stats, SQL_STRING_STATS)
+
+
+# --------------------------------- median_absolute_deviation + boxplot
+
+# ES boxplot + median_absolute_deviation per event_type, on the DISCRETE
+# ceil-rank percentile contract events_percentiles pins (value at rank
+# ceil(q·n/100) under the total order (cents asc, event_id asc)) — exact
+# integers end to end, no interpolation to diverge on. MAD reuses the
+# same discrete median over |c − median| deviations (tie-break event_id).
+# Scale: two ranking windows partitioned BY event_type — the partition
+# key carries the shuffle; no global ordering anywhere.
+
+
+def es_mad_boxplot(spark, sf_dir):
+    """(event_type, n, min_c, q1_c, med_c, q3_c, max_c, mad_c): discrete
+    boxplot + median-absolute-deviation of value cents per event type."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", cents("value").alias("c"), "event_id"
+    )
+    w = W.partitionBy("event_type").orderBy(
+        F.col("c").asc(), F.col("event_id").asc()
+    )
+    ranked = ev.select(
+        "event_type", "c", "event_id",
+        F.row_number().over(w).cast("long").alias("r"),
+        F.count("*").over(W.partitionBy("event_type")).cast("long").alias("n"),
+    )
+    box = ranked.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.min("c").alias("min_c"),
+        F.max(F.when(F.col("r") == F.expr("(n * 25 + 99) DIV 100"), F.col("c"))).alias("q1_c"),
+        F.max(F.when(F.col("r") == F.expr("(n * 50 + 99) DIV 100"), F.col("c"))).alias("med_c"),
+        F.max(F.when(F.col("r") == F.expr("(n * 75 + 99) DIV 100"), F.col("c"))).alias("q3_c"),
+        F.max("c").alias("max_c"),
+    )
+    dev = ev.join(
+        F.broadcast(box.select("event_type", "med_c")), "event_type"
+    ).select(
+        "event_type", "event_id",
+        F.abs(F.col("c") - F.col("med_c")).alias("d"),
+    )
+    w2 = W.partitionBy("event_type").orderBy(
+        F.col("d").asc(), F.col("event_id").asc()
+    )
+    mad = (
+        dev.select(
+            "event_type", "d",
+            F.row_number().over(w2).cast("long").alias("r"),
+            F.count("*").over(W.partitionBy("event_type")).cast("long").alias("n"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.max(
+                F.when(F.col("r") == F.expr("(n * 50 + 99) DIV 100"), F.col("d"))
+            ).alias("mad_c")
+        )
+    )
+    return box.join(mad, "event_type").select(
+        "event_type", "n", "min_c", "q1_c", "med_c", "q3_c", "max_c", "mad_c"
+    )
+
+
+SQL_MAD_BOXPLOT = f"""
+WITH ev AS (
+  SELECT event_type, {sql_cents('value')} AS c, event_id FROM events
+),
+ranked AS (
+  SELECT event_type, c, event_id,
+         CAST(row_number() OVER (PARTITION BY event_type
+              ORDER BY c ASC, event_id ASC) AS BIGINT) AS r,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM ev
+),
+box AS (
+  SELECT event_type, max(n) AS n, min(c) AS min_c,
+         max(CASE WHEN r = (n * 25 + 99) // 100 THEN c END) AS q1_c,
+         max(CASE WHEN r = (n * 50 + 99) // 100 THEN c END) AS med_c,
+         max(CASE WHEN r = (n * 75 + 99) // 100 THEN c END) AS q3_c,
+         max(c) AS max_c
+  FROM ranked GROUP BY event_type
+),
+dev AS (
+  SELECT ev.event_type, ev.event_id, abs(ev.c - box.med_c) AS d
+  FROM ev JOIN box USING (event_type)
+),
+dranked AS (
+  SELECT event_type, d,
+         CAST(row_number() OVER (PARTITION BY event_type
+              ORDER BY d ASC, event_id ASC) AS BIGINT) AS r,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM dev
+),
+mad AS (
+  SELECT event_type,
+         max(CASE WHEN r = (n * 50 + 99) // 100 THEN d END) AS mad_c
+  FROM dranked GROUP BY event_type
+)
+SELECT event_type, n, min_c, q1_c, med_c, q3_c, max_c, mad_c
+FROM box JOIN mad USING (event_type)
+"""
+
+QUERIES["es_mad_boxplot"] = (es_mad_boxplot, SQL_MAD_BOXPLOT)
+
+
+# ------------------------------------------------------------- t_test
+
+# ES t_test (type=welch) between two event segments. The moments
+# (n, Σc, Σc²) are exact int64 from ONE conditional scan; the t statistic
+# is ONE shared float-expression string over those six integers — s·s is
+# forced to double BEFORE squaring (s * 1.0e0 * s) because Σcents squared
+# overflows int64 at ~1e10 rows. Scale: single scan, single output row.
+TT_A, TT_B = "purchase", "view"
+_TT_MICRO = (
+    "CAST(round(1000000.0e0 * ((s1 * 1.0e0 / n1) - (s2 * 1.0e0 / n2))"
+    " / sqrt(((q1 - s1 * 1.0e0 * s1 / n1) / (n1 - 1)) / n1"
+    " + ((q2 - s2 * 1.0e0 * s2 / n2) / (n2 - 1)) / n2), 0) AS BIGINT)"
+)
+
+
+def es_t_test(spark, sf_dir):
+    """(n1, n2, mean1_milli, mean2_milli, t_micro): Welch's t between the
+    value distributions of '{purchase}' and '{view}' events."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", cents("value").alias("c")
+    )
+    a = (F.col("event_type") == TT_A).cast("long")
+    b = (F.col("event_type") == TT_B).cast("long")
+    mo = ev.agg(
+        F.sum(a).cast("long").alias("n1"),
+        F.sum(a * F.col("c")).cast("long").alias("s1"),
+        F.sum(a * F.col("c") * F.col("c")).cast("long").alias("q1"),
+        F.sum(b).cast("long").alias("n2"),
+        F.sum(b * F.col("c")).cast("long").alias("s2"),
+        F.sum(b * F.col("c") * F.col("c")).cast("long").alias("q2"),
+    )
+    return mo.select(
+        "n1", "n2",
+        F.expr("CAST(round(s1 * 1000.0e0 / n1, 0) AS BIGINT)").alias("mean1_milli"),
+        F.expr("CAST(round(s2 * 1000.0e0 / n2, 0) AS BIGINT)").alias("mean2_milli"),
+        F.expr(_TT_MICRO).alias("t_micro"),
+    )
+
+
+SQL_T_TEST = f"""
+WITH mo AS (
+  SELECT
+    CAST(sum(CASE WHEN event_type = '{TT_A}' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(sum(CASE WHEN event_type = '{TT_A}' THEN {sql_cents('value')} ELSE 0 END) AS BIGINT) AS s1,
+    CAST(sum(CASE WHEN event_type = '{TT_A}' THEN {sql_cents('value')} * {sql_cents('value')} ELSE 0 END) AS BIGINT) AS q1,
+    CAST(sum(CASE WHEN event_type = '{TT_B}' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+    CAST(sum(CASE WHEN event_type = '{TT_B}' THEN {sql_cents('value')} ELSE 0 END) AS BIGINT) AS s2,
+    CAST(sum(CASE WHEN event_type = '{TT_B}' THEN {sql_cents('value')} * {sql_cents('value')} ELSE 0 END) AS BIGINT) AS q2
+  FROM events
+)
+SELECT n1, n2,
+       CAST(round(s1 * 1000.0e0 / n1, 0) AS BIGINT) AS mean1_milli,
+       CAST(round(s2 * 1000.0e0 / n2, 0) AS BIGINT) AS mean2_milli,
+       {_TT_MICRO} AS t_micro
+FROM mo
+"""
+
+QUERIES["es_t_test"] = (es_t_test, SQL_T_TEST)
+
+
+# ----------------------------------------- bucket_count_ks_test (KS)
+
+# ES bucket_count_ks_test reframed as the exact two-sample
+# Kolmogorov-Smirnov statistic between two event segments' value
+# distributions: D = max_x |F1(x) − F2(x)| evaluated at every observed
+# cents value. Cross-multiplied to integers: D_num = max |ca·nb − cb·na|
+# (exact while na·nb < 2^63 — ~3e9 rows per side); ONE division at the
+# end. Scale: the cumulative window runs over the DISTINCT cents domain
+# (bounded by value cardinality, not row count) — at cluster scale a
+# range-partitioned prefix-sum (the two-level token_budget_select shape)
+# replaces the single-partition window; at this domain size (≤ ~50k
+# distinct cents) one partition is the right plan.
+KS_A, KS_B = "purchase", "click"
+
+
+def events_ks_test(spark, sf_dir):
+    """(n_a, n_b, d_num, d_milli, c_at_max): exact two-sample KS distance
+    between '{purchase}' and '{click}' value distributions."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin([KS_A, KS_B])
+    ).select("event_type", cents("value").alias("c"))
+    per = ev.groupBy("c").agg(
+        F.sum((F.col("event_type") == KS_A).cast("long")).alias("a"),
+        F.sum((F.col("event_type") == KS_B).cast("long")).alias("b"),
+    )
+    w = W.orderBy("c").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = per.select(
+        "c",
+        F.sum("a").over(w).cast("long").alias("ca"),
+        F.sum("b").over(w).cast("long").alias("cb"),
+    )
+    tots = per.agg(
+        F.sum("a").cast("long").alias("n_a"),
+        F.sum("b").cast("long").alias("n_b"),
+    )
+    d = cum.crossJoin(F.broadcast(tots)).withColumn(
+        "dnum", F.abs(F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a"))
+    )
+    mx = d.agg(F.max("dnum").alias("d_num"))
+    at = (
+        d.join(F.broadcast(mx), F.col("dnum") == F.col("d_num"))
+        .agg(F.min("c").alias("c_at_max"))
+    )
+    return (
+        tots.crossJoin(F.broadcast(mx))
+        .crossJoin(F.broadcast(at))
+        .select(
+            "n_a", "n_b", "d_num",
+            F.expr(
+                "CAST(round(d_num * 1000.0e0 / (n_a * 1.0e0 * n_b), 0) AS BIGINT)"
+            ).alias("d_milli"),
+            "c_at_max",
+        )
+    )
+
+
+SQL_KS_TEST = f"""
+WITH ev AS (
+  SELECT event_type, {sql_cents('value')} AS c FROM events
+  WHERE event_type IN ('{KS_A}', '{KS_B}')
+),
+per AS (
+  SELECT c,
+         CAST(sum(CASE WHEN event_type = '{KS_A}' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(sum(CASE WHEN event_type = '{KS_B}' THEN 1 ELSE 0 END) AS BIGINT) AS b
+  FROM ev GROUP BY c
+),
+cum AS (
+  SELECT c,
+         CAST(sum(a) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING
+              AND CURRENT ROW) AS BIGINT) AS ca,
+         CAST(sum(b) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING
+              AND CURRENT ROW) AS BIGINT) AS cb
+  FROM per
+),
+tots AS (
+  SELECT CAST(sum(a) AS BIGINT) AS n_a, CAST(sum(b) AS BIGINT) AS n_b FROM per
+),
+d AS (
+  SELECT c, abs(ca * n_b - cb * n_a) AS dnum FROM cum CROSS JOIN tots
+),
+mx AS (SELECT max(dnum) AS d_num FROM d),
+at_ AS (
+  SELECT min(c) AS c_at_max FROM d JOIN mx ON d.dnum = mx.d_num
+)
+SELECT n_a, n_b, d_num,
+       CAST(round(d_num * 1000.0e0 / (n_a * 1.0e0 * n_b), 0) AS BIGINT)
+         AS d_milli,
+       c_at_max
+FROM tots CROSS JOIN mx CROSS JOIN at_
+"""
+
+QUERIES["events_ks_test"] = (events_ks_test, SQL_KS_TEST)
