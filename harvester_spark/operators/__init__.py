@@ -36,6 +36,7 @@ from harvester_spark.operators import (
     text_analytics,
     tpch_ext,
     training_prep,
+    web_econ,
 )
 
 ALL_QUERIES: dict = {}
@@ -59,5 +60,6 @@ for mod in (
     es_aggs,
     es_ext,
     tpch_ext,
+    web_econ,
 ):
     ALL_QUERIES.update(mod.QUERIES)
