@@ -1025,12 +1025,12 @@ QUERIES["recrawl_schedule"] = (recrawl_schedule, SQL_RECRAWL)
 # dangling aggs, localCheckpoint lineage cut.
 
 TR_SEEDS = 4
-TR_ITERS = PR_ITERS
+TRUST_ITERS = PR_ITERS
 
 
 def host_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(host, is_seed, rank_unit, trust_unit, spam_mass_milli): PageRank
-    and seed-teleport TrustRank after {TR_ITERS} joint damped iterations,
+    and seed-teleport TrustRank after {TRUST_ITERS} joint damped iterations,
     spam mass = (rank - trust) / rank in signed milli-units."""
     edges = _edges(spark, sf_dir).cache()
     nodes = (
@@ -1056,7 +1056,7 @@ def host_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE CAST(0 AS BIGINT) END"
         ).alias("t"),
     )
-    for _ in range(TR_ITERS):
+    for _ in range(TRUST_ITERS):
         contrib = (
             edges.join(
                 ranks.select(F.col("host").alias("src"), "r", "t"), "src"
@@ -1142,7 +1142,7 @@ it0 AS MATERIALIZED (
   FROM nodes CROSS JOIN nn
 )"""
     ]
-    for k in range(1, TR_ITERS + 1):
+    for k in range(1, TRUST_ITERS + 1):
         parts.append(
             f""",
 c{k} AS MATERIALIZED (
@@ -1174,7 +1174,7 @@ SELECT host, is_seed, r AS rank_unit, t AS trust_unit,
             WHEN r - t >= 0 THEN CAST((1000 * (r - t)) // r AS BIGINT)
             ELSE CAST(-((1000 * (t - r)) // r) AS BIGINT) END
          AS spam_mass_milli
-FROM it{TR_ITERS}"""
+FROM it{TRUST_ITERS}"""
     )
     return "".join(parts)
 
