@@ -1016,3 +1016,123 @@ FROM nt JOIN idf USING (query_id) JOIN clarity USING (query_id)
 
 
 QUERIES["ft_clarity_qpp"] = (ft_clarity_qpp, _sql_clarity())
+
+
+# ------------------------------------------- post-retrieval QPP: NQC/WIG
+
+# The two post-retrieval query-performance predictors that complete the
+# QPP family next to clarity (ft_clarity_qpp): NQC (normalized query
+# commitment, Shtok et al. 2012 — std of the top-k retrieval scores over
+# the corpus-wide mean score; spiky score curves predict success) and WIG
+# (weighted information gain, Zhou & Croft 2007 — mean top-k score minus
+# the corpus-wide mean). Same {QPP_QUERIES} registry and the ONE repo
+# BM25 kernel.
+#
+# Determinism: scores quantize to micro ints first; the top-k variance is
+# the integer-moment idiom (n·s2 − s1², exact), the corpus mean is an
+# exact integer floor-division, WIG is a pure integer difference, and
+# only NQC's final sqrt touches doubles — through ONE shared expression
+# string on identical integer inputs, reported in milli (the
+# events_extended_stats sqrt-slack precedent). Both predictors omit the
+# 1/sqrt(|q|) normalizer: every registry query has the same length, so it
+# is a global constant that cannot reorder queries (documented, matching
+# the per-query-constant folding in ranker_agreement_eval).
+#
+# Scale shape: the scoring plan is the flagship impact join; the moment
+# aggregation is one q-keyed window top-k + two tiny aggs. Nothing new
+# touches the corpus. Overflow: s_micro ≤ ~3e7 → s2 ≤ 20·9e14 = 1.8e16,
+# var_num ≤ 20·1.8e16 = 3.6e17 < int64.
+
+_NQC_MILLI = (
+    "CAST(floor(sqrt(CAST(var_num AS DOUBLE)) * 1000.0e0"
+    " / (CAST(n_topk AS DOUBLE) * CAST(mu_all AS DOUBLE)) + 0.5e0) AS BIGINT)"
+)
+_S_MICRO = "CAST(floor(score * 1.0e6 + 0.5e0) AS BIGINT)"
+
+
+def ft_qpp_nqc_wig(spark, sf_dir):
+    """(query_id, n_topk, mu_all_micro, wig_micro, nqc_milli): NQC and
+    WIG post-retrieval predictors for the {QPP_QUERIES} registry."""
+    all_terms = sorted({t for ts in QPP_QUERIES.values() for t in ts})
+    comps = _bm25_components(spark, sf_dir, all_terms)
+    qt = spark.createDataFrame(
+        [(q, t) for q, ts in sorted(QPP_QUERIES.items()) for t in ts],
+        "query_id string, term string",
+    )
+    scored = (
+        qt.join(comps, "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("contrib"), 6).alias("score"))
+        .withColumn("s", F.expr(_S_MICRO))
+    )
+    allm = scored.groupBy("query_id").agg(
+        F.expr("CAST(sum(s) DIV count(*) AS BIGINT)").alias("mu_all")
+    )
+    wq = W.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    topm = (
+        scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= QPP_K)
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("long").alias("n_topk"),
+            F.sum("s").cast("long").alias("s1"),
+            F.sum(F.col("s") * F.col("s")).cast("long").alias("s2"),
+        )
+        .withColumn("var_num", F.expr("n_topk * s2 - s1 * s1"))
+    )
+    return (
+        topm.join(allm, "query_id")
+        .select(
+            "query_id",
+            "n_topk",
+            F.col("mu_all").alias("mu_all_micro"),
+            F.expr("CAST(s1 DIV n_topk - mu_all AS BIGINT)").alias("wig_micro"),
+            F.expr(_NQC_MILLI).alias("nqc_milli"),
+        )
+    )
+
+
+def _sql_nqc_wig() -> str:
+    all_terms = sorted({t for ts in QPP_QUERIES.values() for t in ts})
+    qvals = ", ".join(
+        f"('{q}', '{t}')" for q, ts in sorted(QPP_QUERIES.items()) for t in ts
+    )
+    return f"""
+WITH {_sql_components(all_terms)},
+qt AS (SELECT * FROM (VALUES {qvals}) v(query_id, term)),
+scored AS (
+  SELECT query_id, doc_id, score, {_S_MICRO} AS s FROM (
+    SELECT query_id, doc_id, round(sum(contrib), 6) AS score
+    FROM qt JOIN comps USING (term)
+    GROUP BY 1, 2
+  )
+),
+allm AS (
+  SELECT query_id, CAST(sum(s) // count(*) AS BIGINT) AS mu_all
+  FROM scored GROUP BY 1
+),
+topm AS (
+  SELECT query_id,
+         CAST(count(*) AS BIGINT) AS n_topk,
+         CAST(sum(s) AS BIGINT) AS s1,
+         CAST(sum(s * s) AS BIGINT) AS s2
+  FROM (
+    SELECT query_id, s,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC) AS rn
+    FROM scored
+  ) WHERE rn <= {QPP_K}
+  GROUP BY 1
+)
+SELECT query_id, n_topk,
+       mu_all AS mu_all_micro,
+       CAST(s1 // n_topk - mu_all AS BIGINT) AS wig_micro,
+       {_NQC_MILLI} AS nqc_milli
+FROM (SELECT *, n_topk * s2 - s1 * s1 AS var_num
+      FROM topm JOIN allm USING (query_id))
+"""
+
+
+QUERIES["ft_qpp_nqc_wig"] = (ft_qpp_nqc_wig, _sql_nqc_wig())

@@ -1123,3 +1123,196 @@ FROM qs LEFT JOIN hits ON hits.q_id = qs.q_id
 """
 
 QUERIES["ft_rank_eval_prk"] = (ft_rank_eval_prk, SQL_RANK_EVAL_PRK)
+
+
+# ------------------------------------------- rank eval: MAP / ERR / RBP
+
+# The remaining `_rank_eval` metric blocks next to nDCG and precision/MRR:
+# mean_average_precision, expected_reciprocal_rank (Chapelle et al. 2009),
+# and rank-biased precision (Moffat & Zobel 2008, p = 4/5) — the standard
+# graded-judgment eval battery a relevance team runs on the same qrels.
+# Same 16-query registry, same phrase-aware graded ranking
+# (_graded_ranking), "relevant" for the binary metrics = rel == 3 (the
+# phrase grade — rel >= 2 saturates on this corpus and proves nothing,
+# the ft_rank_eval_prk precedent).
+#
+# Every metric is an EXACT integer rational, no floats anywhere:
+# - AP@10: P@r = cum_rel/r; each relevant rank contributes
+#   cum_rel·(2520/r) with 2520 = lcm(1..10), so the per-query numerator
+#   is an exact int and ap_micro = num·1e6 DIV (2520·min(R,10)).
+# - ERR@10 with grades g ∈ {1,2,3}: R_r = (2^g−1)/8, and the stopping
+#   product Π_{i<r}(1−R_i) has numerator 7^a·5^b·1^c where (a,b,c) are
+#   the cumulative grade counts BEFORE rank r — so over the common
+#   denominator D = 2520·8^10 each rank contributes
+#   g_num·7^a·5^b·(2520 DIV r)·8^(10−r), max 2.4e12, sum ≤ D ≈ 2.7e12,
+#   and err_micro = sum·1e6 DIV D stays under int64 (2.7e18 < 9.2e18).
+# - RBP@10 (p=4/5): term (1−p)p^(r−1) = 4^(r−1)/5^r; over D = 5^10 each
+#   relevant rank contributes 4^(r−1)·5^(10−r) (the truncated-at-k lower
+#   bound, the metric's standard reported form).
+# Integer powers go through CAST(round(power(..)) AS BIGINT) — the true
+# values are integers < 2^53, so round() absorbs any libm ulp and both
+# engines agree bit-for-bit.
+#
+# Scale shape: everything downstream of _graded_ranking (whose plan is
+# the hard_negative_mine impact join) is two q_id-keyed windows over ≤
+# 16·10 rows — nothing new touches the corpus.
+
+_LCM10 = 2520
+_ERR_DEN = _LCM10 * 8**NDCG_K
+_RBP_DEN = 5**NDCG_K
+
+# cumulative-count columns a (rel==1 before r) / b (rel==2 before r) and
+# the rank rnk are exact ints; one shared contribution string per metric.
+_ERR_CONTRIB = (
+    "CAST((CAST(round(power(2.0e0, rel)) AS BIGINT) - 1)"
+    " * CAST(round(power(7.0e0, a)) AS BIGINT)"
+    " * CAST(round(power(5.0e0, b)) AS BIGINT)"
+    f" * ({_LCM10} {{div}} rnk)"
+    f" * CAST(round(power(8.0e0, {NDCG_K} - rnk)) AS BIGINT) AS BIGINT)"
+)
+_RBP_CONTRIB = (
+    "CAST((CASE WHEN rel >= 3 THEN 1 ELSE 0 END)"
+    " * CAST(round(power(4.0e0, rnk - 1)) AS BIGINT)"
+    f" * CAST(round(power(5.0e0, {NDCG_K} - rnk)) AS BIGINT) AS BIGINT)"
+)
+
+
+def ft_rank_eval_map(spark, sf_dir):
+    """(q_id, n_rel_total, n_rel_at10, ap_micro): average precision@10 of
+    the BM25 serving ranking vs the phrase qrels (rel == 3 relevant),
+    exact integer micro-units, 0 for queries with no relevant doc."""
+    graded = _graded_ranking(spark, sf_dir)
+    wr = W.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    ranked = graded.withColumn("rnk", F.row_number().over(wr)).withColumn(
+        "rel3", (F.col("rel") >= 3).cast("long")
+    )
+    wc = (
+        W.partitionBy("q_id")
+        .orderBy("rnk")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    top = ranked.filter(F.col("rnk") <= NDCG_K).withColumn(
+        "cum", F.sum("rel3").over(wc)
+    )
+    ap = (
+        top.filter(F.col("rel3") == 1)
+        .withColumn("c", F.expr(f"cum * ({_LCM10} DIV rnk)"))
+        .groupBy("q_id")
+        .agg(
+            F.sum("c").cast("long").alias("ap_num"),
+            F.count("*").cast("long").alias("n_rel_at10"),
+        )
+    )
+    rtot = graded.groupBy("q_id").agg(
+        F.sum((F.col("rel") >= 3).cast("long")).cast("long").alias("n_rel_total")
+    )
+    return rtot.join(ap, "q_id", "left").select(
+        "q_id",
+        "n_rel_total",
+        F.coalesce("n_rel_at10", F.lit(0)).cast("long").alias("n_rel_at10"),
+        F.expr(
+            f"CAST(coalesce(ap_num, 0) * 1000000 DIV "
+            f"({_LCM10} * greatest(least(n_rel_total, {NDCG_K}), 1)) AS BIGINT)"
+        ).alias("ap_micro"),
+    )
+
+
+SQL_RANK_EVAL_MAP = _SQL_GRADED_PREFIX + f""",
+ranked AS (
+  SELECT q_id, rel,
+         CASE WHEN rel >= 3 THEN 1 ELSE 0 END AS rel3,
+         row_number() OVER (
+           PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM graded
+),
+top AS (
+  SELECT q_id, rel3, rnk,
+         sum(rel3) OVER (PARTITION BY q_id ORDER BY rnk
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM ranked WHERE rnk <= {NDCG_K}
+),
+ap AS (
+  SELECT q_id, CAST(sum(cum * ({_LCM10} // rnk)) AS BIGINT) AS ap_num,
+         CAST(count(*) AS BIGINT) AS n_rel_at10
+  FROM top WHERE rel3 = 1 GROUP BY q_id
+),
+rtot AS (
+  SELECT q_id,
+         CAST(sum(CASE WHEN rel >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_rel_total
+  FROM graded GROUP BY q_id
+)
+SELECT r.q_id AS q_id, r.n_rel_total AS n_rel_total,
+       CAST(coalesce(a.n_rel_at10, 0) AS BIGINT) AS n_rel_at10,
+       CAST(coalesce(a.ap_num, 0) * 1000000 //
+            ({_LCM10} * greatest(least(r.n_rel_total, {NDCG_K}), 1))
+         AS BIGINT) AS ap_micro
+FROM rtot r LEFT JOIN ap a ON a.q_id = r.q_id
+"""
+
+QUERIES["ft_rank_eval_map"] = (ft_rank_eval_map, SQL_RANK_EVAL_MAP)
+
+
+def ft_rank_eval_err_rbp(spark, sf_dir):
+    """(q_id, err_micro, rbp_micro): ERR@10 (graded cascade) and RBP@10
+    (p = 4/5, rel == 3 relevant) of the BM25 serving ranking — exact
+    integer rationals over denominators 2520·8^10 and 5^10."""
+    graded = _graded_ranking(spark, sf_dir)
+    wr = W.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    ranked = graded.withColumn("rnk", F.row_number().over(wr)).filter(
+        F.col("rnk") <= NDCG_K
+    )
+    wprev = W.partitionBy("q_id").orderBy("rnk").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    cum = ranked.withColumn(
+        "a", F.coalesce(F.sum((F.col("rel") == 1).cast("long")).over(wprev), F.lit(0))
+    ).withColumn(
+        "b", F.coalesce(F.sum((F.col("rel") == 2).cast("long")).over(wprev), F.lit(0))
+    )
+    agg = cum.groupBy("q_id").agg(
+        F.sum(F.expr(_ERR_CONTRIB.format(div="DIV"))).cast("long").alias("err_num"),
+        F.sum(F.expr(_RBP_CONTRIB)).cast("long").alias("rbp_num"),
+    )
+    return agg.select(
+        "q_id",
+        F.expr(f"CAST(err_num * 1000000 DIV {_ERR_DEN} AS BIGINT)").alias(
+            "err_micro"
+        ),
+        F.expr(f"CAST(rbp_num * 1000000 DIV {_RBP_DEN} AS BIGINT)").alias(
+            "rbp_micro"
+        ),
+    )
+
+
+SQL_RANK_EVAL_ERR_RBP = _SQL_GRADED_PREFIX + f""",
+ranked AS (
+  SELECT q_id, rel,
+         row_number() OVER (
+           PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM graded
+),
+cum AS (
+  SELECT q_id, rel, rnk,
+         coalesce(sum(CASE WHEN rel = 1 THEN 1 ELSE 0 END) OVER (
+           PARTITION BY q_id ORDER BY rnk
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS a,
+         coalesce(sum(CASE WHEN rel = 2 THEN 1 ELSE 0 END) OVER (
+           PARTITION BY q_id ORDER BY rnk
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b
+  FROM ranked WHERE rnk <= {NDCG_K}
+),
+agg AS (
+  SELECT q_id,
+         CAST(sum({_ERR_CONTRIB.format(div='//')}) AS BIGINT) AS err_num,
+         CAST(sum({_RBP_CONTRIB}) AS BIGINT) AS rbp_num
+  FROM cum GROUP BY q_id
+)
+SELECT q_id,
+       CAST(err_num * 1000000 // {_ERR_DEN} AS BIGINT) AS err_micro,
+       CAST(rbp_num * 1000000 // {_RBP_DEN} AS BIGINT) AS rbp_micro
+FROM agg
+"""
+
+QUERIES["ft_rank_eval_err_rbp"] = (ft_rank_eval_err_rbp, SQL_RANK_EVAL_ERR_RBP)
