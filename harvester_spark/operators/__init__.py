@@ -17,6 +17,7 @@ Cross-engine determinism rules used throughout (so value hashes match):
 """
 
 from harvester_spark.operators import (
+    click_models,
     curation,
     dedup,
     es_aggs,
@@ -42,6 +43,7 @@ from harvester_spark.operators import (
 ALL_QUERIES: dict = {}
 for mod in (
     fulltext_queries,
+    click_models,
     dedup,
     similarity,
     relational,

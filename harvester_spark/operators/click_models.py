@@ -1,0 +1,304 @@
+"""Click-model analytics over the interaction log — the feedback loop of a
+web-scale search tier.
+
+The reference records user interactions only implicitly (harvest metrics);
+a production search engine closes the loop with click modeling: position
+bias must be removed from click-through logs before clicks can train or
+evaluate rankers (unbiased LTR). Three operators:
+
+- ``events_ctr_position`` — the naive position-CTR curve (the biased
+  baseline every click-model paper starts from).
+- ``click_model_pbm`` — the Position-Based Model (Craswell et al. 2008;
+  EM formulation as in Chuklin/Markov/de Rijke, *Click Models for Web
+  Search* 2015): P(click) = γ_position · α_item, with γ (examination) and
+  α (attractiveness) estimated by EM. Three EM iterations are UNROLLED
+  with all parameters in integer milli-units — every E-step latent and
+  M-step mean is multiply-then-integer-divide on nonnegative int64, the
+  host_pagerank / k-means integer-exact-iteration contract — so Spark and
+  the DuckDB chained-CTE oracle agree bit-for-bit.
+- ``coclick_item_sim`` — item-item co-click cosine similarity (the
+  classic "related items" / query-suggestion signal): ranking by cosine²
+  = co²/(n_i·n_j), an exact integer rational that orders identically to
+  cosine on nonnegatives, so no float ever enters the top-k.
+
+Click synthesis (events carry no click-per-impression label): every event
+row is an impression of item = props.k at position 1 + event_id % 10;
+the label is drawn deterministically as u < γ_true(p)·α_true(item)/1000
+with u = md5-derived uniform in [0,1000) — Philox-style determinism,
+partitioning-independent, and NON-degenerate by construction (both a real
+position effect γ_true = 1000/p and a real item effect α_true spread over
+[150,849] exist for the EM to find; test-pinned).
+
+Scale shape (the plan a 100 TB click log needs): the impression relation
+is scanned once and cached; each EM iteration is two BROADCAST hash joins
+(γ is |positions| rows, α is |items| rows — parameter tables are always
+dimension-sized, never log-sized) plus two map-side-combinable groupBys.
+Nothing log-sized reaches the driver. The co-click self-join fans out per
+(user, item-pair) bounded by the per-user distinct-item count — the
+standard cap-and-salt guard at planetary scale is documented on the
+operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from harvester_spark.operators.common import load
+
+QUERIES: dict = {}
+
+N_POS = 10
+PBM_ITERS = 3
+_MILLI = 1000
+
+# --- deterministic impression/click synthesis (shared by all three ops)
+
+# item attractiveness spread over [150, 849] milli, coprime stride so the
+# item→alpha map is a permutation-ish scatter (non-degenerate)
+_ALPHA_TRUE = "CAST(150 + (item * 37) % 700 AS BIGINT)"
+_GAMMA_TRUE = f"CAST({_MILLI} {{div}} p AS BIGINT)"
+
+_SQL_IMPR = f"""
+  SELECT event_id,
+         1 + event_id % {N_POS} AS p,
+         CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS item,
+         CASE WHEN CAST(('0x' || substr(md5('ck' || CAST(event_id AS VARCHAR)), 1, 14)) AS BIGINT) % {_MILLI}
+              < ({_GAMMA_TRUE.format(div='//')} * {_ALPHA_TRUE}) // {_MILLI}
+              THEN 1 ELSE 0 END AS c
+  FROM events
+"""
+
+
+def _impressions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    item = F.regexp_extract(F.col("props"), "[0-9]+", 0).cast("long")
+    p = (F.lit(1) + F.col("event_id") % N_POS).cast("long")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ck"), F.col("event_id").cast("string"))), 1, 14
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _MILLI
+    )
+    return (
+        ev.select("event_id", p.alias("p"), item.alias("item"), u.alias("u"))
+        .withColumn(
+            "c",
+            F.expr(
+                f"CASE WHEN u < ({_GAMMA_TRUE.format(div='DIV')} * {_ALPHA_TRUE}) DIV {_MILLI}"
+                " THEN 1 ELSE 0 END"
+            ).cast("long"),
+        )
+        .select("event_id", "p", "item", "c")
+    )
+
+
+# ------------------------------------------------ position-CTR baseline
+
+
+def events_ctr_position(spark, sf_dir):
+    """(p, n_impr, n_clicks, ctr_micro, gamma_true_milli): the raw
+    position-CTR curve of the synthesized click log — the biased estimate
+    the PBM exists to correct."""
+    impr = _impressions(spark, sf_dir)
+    return (
+        impr.groupBy("p")
+        .agg(
+            F.count("*").cast("long").alias("n_impr"),
+            F.sum("c").cast("long").alias("n_clicks"),
+        )
+        .withColumn(
+            "ctr_micro", F.expr("CAST(n_clicks * 1000000 DIV n_impr AS BIGINT)")
+        )
+        .withColumn("gamma_true_milli", F.expr(_GAMMA_TRUE.format(div="DIV")))
+        .select("p", "n_impr", "n_clicks", "ctr_micro", "gamma_true_milli")
+    )
+
+
+SQL_CTR_POSITION = f"""
+WITH impr AS ({_SQL_IMPR})
+SELECT p,
+       CAST(count(*) AS BIGINT) AS n_impr,
+       CAST(sum(c) AS BIGINT) AS n_clicks,
+       CAST(CAST(sum(c) AS BIGINT) * 1000000 // count(*) AS BIGINT) AS ctr_micro,
+       {_GAMMA_TRUE.format(div='//')} AS gamma_true_milli
+FROM impr GROUP BY p
+"""
+
+QUERIES["events_ctr_position"] = (events_ctr_position, SQL_CTR_POSITION)
+
+
+# --------------------------------------------------------- PBM via EM
+
+# E-step latents for an unclicked impression (clicked ⇒ both examined and
+# attractive, deterministically 1000):
+#   P(E=1 | C=0) = γ(1−α) / (1 − γα),  P(A=1 | C=0) = α(1−γ) / (1 − γα)
+# in milli: numerators γ·(1000−α)·1000 and α·(1000−γ)·1000 over
+# denom = 1000·1000 − γ·α (guarded ≥ 1, reachable only if BOTH params
+# saturate at exactly 1000). M-step: per-parameter integer mean.
+_E_DENOM = f"greatest({_MILLI * _MILLI} - g * a, CAST(1 AS BIGINT))"
+_E_EXAM = (
+    f"CAST(CASE WHEN c = 1 THEN {_MILLI}"
+    f" ELSE (g * ({_MILLI} - a) * {_MILLI}) {{div}} ({_E_DENOM}) END AS BIGINT)"
+)
+_E_ATTR = (
+    f"CAST(CASE WHEN c = 1 THEN {_MILLI}"
+    f" ELSE (a * ({_MILLI} - g) * {_MILLI}) {{div}} ({_E_DENOM}) END AS BIGINT)"
+)
+
+
+def click_model_pbm(spark, sf_dir):
+    """(p, n_impr, gamma_true_milli, gamma_em_milli): examination
+    probability per position after {PBM_ITERS} integer-exact EM
+    iterations, next to the planted truth."""
+    impr = _impressions(spark, sf_dir).cache()
+    gamma = impr.select("p").distinct().withColumn(
+        "g", F.lit(_MILLI // 2).cast("long")
+    )
+    alpha = impr.select("item").distinct().withColumn(
+        "a", F.lit(_MILLI // 2).cast("long")
+    )
+    for _ in range(PBM_ITERS):
+        est = (
+            impr.join(F.broadcast(gamma), "p")
+            .join(F.broadcast(alpha), "item")
+            .withColumn("ee", F.expr(_E_EXAM.format(div="DIV")))
+            .withColumn("ea", F.expr(_E_ATTR.format(div="DIV")))
+        )
+        gamma = est.groupBy("p").agg(
+            F.expr("CAST(sum(ee) DIV count(*) AS BIGINT)").alias("g")
+        ).localCheckpoint()
+        alpha = est.groupBy("item").agg(
+            F.expr("CAST(sum(ea) DIV count(*) AS BIGINT)").alias("a")
+        ).localCheckpoint()
+    counts = impr.groupBy("p").agg(F.count("*").cast("long").alias("n_impr"))
+    return (
+        counts.join(gamma, "p")
+        .withColumn("gamma_true_milli", F.expr(_GAMMA_TRUE.format(div="DIV")))
+        .select(
+            "p", "n_impr", "gamma_true_milli", F.col("g").alias("gamma_em_milli")
+        )
+    )
+
+
+def _sql_pbm() -> str:
+    parts = [
+        f"""WITH impr AS MATERIALIZED ({_SQL_IMPR}),
+g0 AS MATERIALIZED (
+  SELECT DISTINCT p, CAST({_MILLI // 2} AS BIGINT) AS g FROM impr
+),
+a0 AS MATERIALIZED (
+  SELECT DISTINCT item, CAST({_MILLI // 2} AS BIGINT) AS a FROM impr
+)"""
+    ]
+    for k in range(1, PBM_ITERS + 1):
+        parts.append(
+            f""",
+e{k} AS MATERIALIZED (
+  SELECT i.p, i.item,
+         {_E_EXAM.format(div='//')} AS ee,
+         {_E_ATTR.format(div='//')} AS ea
+  FROM impr i JOIN g{k - 1} USING (p) JOIN a{k - 1} USING (item)
+),
+g{k} AS MATERIALIZED (
+  SELECT p, CAST(sum(ee) // count(*) AS BIGINT) AS g FROM e{k} GROUP BY p
+),
+a{k} AS MATERIALIZED (
+  SELECT item, CAST(sum(ea) // count(*) AS BIGINT) AS a FROM e{k} GROUP BY item
+)"""
+        )
+    parts.append(
+        f"""
+SELECT p, CAST(count(*) AS BIGINT) AS n_impr,
+       {_GAMMA_TRUE.format(div='//')} AS gamma_true_milli,
+       max(g) AS gamma_em_milli
+FROM impr JOIN g{PBM_ITERS} USING (p)
+GROUP BY p"""
+    )
+    return "".join(parts)
+
+
+QUERIES["click_model_pbm"] = (click_model_pbm, _sql_pbm())
+
+
+# ------------------------------------------------ co-click item cosine
+
+# "Users who clicked X also clicked Y": item-item cosine over the binary
+# user-item click matrix. Ranking uses cosine² = co² / (n_i · n_j) — an
+# exact integer rational, order-identical to cosine for nonnegative
+# counts, so the top-k needs no float and no sqrt. At planetary scale the
+# per-user self-join is capped (drop users with > L distinct clicked
+# items — power users add O(L²) pairs and mostly noise) and the pair
+# groupBy is the one shuffle; here the item space is compacted to
+# {COCLICK_ITEMS} so sandbox-SF co-occurrence is dense (non-degenerate).
+
+COCLICK_ITEMS = 30
+COCLICK_K = 20
+
+
+def coclick_item_sim(spark, sf_dir):
+    """(rank, item_i, item_j, co, n_i, n_j, cos2_micro): top-{COCLICK_K}
+    co-clicked item pairs by cosine² of the binary user-item matrix."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    ui = (
+        ev.select(
+            "user_id",
+            (F.regexp_extract(F.col("props"), "[0-9]+", 0).cast("long") % COCLICK_ITEMS).alias("item"),
+        )
+        .distinct()
+    )
+    ni = ui.groupBy("item").agg(F.count("*").cast("long").alias("n"))
+    a = ui.select("user_id", F.col("item").alias("item_i"))
+    b = ui.select("user_id", F.col("item").alias("item_j"))
+    co = (
+        a.join(b, "user_id")
+        .filter(F.col("item_i") < F.col("item_j"))
+        .groupBy("item_i", "item_j")
+        .agg(F.count("*").cast("long").alias("co"))
+    )
+    scored = (
+        co.join(F.broadcast(ni.withColumnRenamed("item", "item_i").withColumnRenamed("n", "n_i")), "item_i")
+        .join(F.broadcast(ni.withColumnRenamed("item", "item_j").withColumnRenamed("n", "n_j")), "item_j")
+        .withColumn(
+            "cos2_micro", F.expr("CAST(co * co * 1000000 DIV (n_i * n_j) AS BIGINT)")
+        )
+    )
+    top = scored.orderBy(
+        F.col("cos2_micro").desc(), F.col("item_i").asc(), F.col("item_j").asc()
+    ).limit(COCLICK_K)
+    w = W.orderBy(
+        F.col("cos2_micro").desc(), F.col("item_i").asc(), F.col("item_j").asc()
+    )
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "item_i", "item_j", "co", "n_i", "n_j", "cos2_micro"
+    )
+
+
+SQL_COCLICK = f"""
+WITH ui AS (
+  SELECT DISTINCT user_id,
+         CAST(regexp_extract(props, '[0-9]+') AS BIGINT) % {COCLICK_ITEMS} AS item
+  FROM events WHERE event_type = 'click'
+),
+ni AS (SELECT item, CAST(count(*) AS BIGINT) AS n FROM ui GROUP BY item),
+co AS (
+  SELECT a.item AS item_i, b.item AS item_j, CAST(count(*) AS BIGINT) AS co
+  FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT item_i, item_j, co, ni.n AS n_i, nj.n AS n_j,
+         CAST(co * co * 1000000 // (ni.n * nj.n) AS BIGINT) AS cos2_micro
+  FROM co JOIN ni ON ni.item = co.item_i JOIN ni nj ON nj.item = co.item_j
+)
+SELECT CAST(row_number() OVER (
+         ORDER BY cos2_micro DESC, item_i ASC, item_j ASC) AS INT) AS rank,
+       item_i, item_j, co, n_i, n_j, cos2_micro
+FROM scored
+ORDER BY rank LIMIT {COCLICK_K}
+"""
+
+QUERIES["coclick_item_sim"] = (coclick_item_sim, SQL_COCLICK)
