@@ -1668,3 +1668,160 @@ FROM (SELECT DISTINCT qid FROM exact) LEFT JOIN hits USING (qid)
 """
 
 QUERIES["sq8_recall_eval"] = (sq8_recall_eval, SQL_SQ8_RECALL)
+
+
+# --------------------------------------- binary (1-bit) sign quantization
+
+# The cheapest rung of the quantization ladder, below SQ8 (64 B/vec) and
+# PQ (4 B/vec): ONE bit per dimension — 8 B per 64-dim vector, fitting a
+# billion vectors in 8 GB of executor memory — with Hamming distance as
+# the similarity surrogate (faiss IndexBinaryFlat / the classic sign-LSH
+# sketch of Charikar 2002 applied as a storage format). Each dimension
+# binarizes against its corpus MEAN, but the threshold comparison is
+# division-free: bit = (n·ival > Σival) on exact integers, so no rounding
+# seam exists anywhere. Codes pack into two nonnegative 32-bit words per
+# vector (packing 64 bits into one int64 would put bit 63 in the sign
+# position and overflow DuckDB's checked << 63), and the distance is
+# bit_count(xor) per word — both engines agree bit-for-bit on nonneg
+# int64. 2^pos goes through CAST(round(power(2,pos))) (exact < 2^53; the
+# round absorbs libm ulp).
+#
+# Scale shape: the per-dim stats are ONE dim-bounded agg (64 rows,
+# broadcast back); code construction is a map + vec_id groupBy; the scan
+# is a broadcast nested loop of the N_QUERIES query codes against the
+# codes relation — a deliberate, condition-free Cross NLJ over 8-byte
+# rows (binary quantization IS the linear-scan format; the win is memory
+# traffic, not candidate pruning). Top-k is a qid-keyed window.
+
+
+def _sign_codes(spark, sf_dir):
+    """(vec_id, w0, w1): per-vector 2×32-bit sign code words."""
+    icomp = _components(spark, sf_dir).withColumn(
+        "ival", F.round(F.col("val") * _KM_SCALE).cast("long")
+    )
+    dstats = icomp.groupBy("pos").agg(
+        F.count("*").cast("long").alias("n"), F.sum("ival").cast("long").alias("s")
+    )
+    bits = icomp.join(F.broadcast(dstats), "pos").withColumn(
+        "bit", F.expr("CASE WHEN n * ival > s THEN 1 ELSE 0 END").cast("long")
+    )
+    return bits.groupBy("vec_id").agg(
+        F.expr(
+            "CAST(sum(CASE WHEN pos < 32 THEN"
+            " bit * CAST(round(power(2.0e0, pos)) AS BIGINT)"
+            " ELSE 0 END) AS BIGINT)"
+        ).alias("w0"),
+        F.expr(
+            "CAST(sum(CASE WHEN pos >= 32 THEN"
+            " bit * CAST(round(power(2.0e0, pos - 32)) AS BIGINT)"
+            " ELSE 0 END) AS BIGINT)"
+        ).alias("w1"),
+    )
+
+
+def ann_sign_hamming_topk(spark, sf_dir):
+    """(qid, rnk, vec_id, ham): top-{TOP_K} neighbors per query vector by
+    Hamming distance between 64-bit sign codes."""
+    codes = _sign_codes(spark, sf_dir).cache()
+    q = codes.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("w0").alias("q0"),
+        F.col("w1").alias("q1"),
+    )
+    ham = (
+        codes.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn(
+            "ham",
+            F.expr(
+                "CAST(bit_count(w0 ^ q0) + bit_count(w1 ^ q1) AS BIGINT)"
+            ),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.col("ham").asc(), F.col("vec_id").asc())
+    return (
+        ham.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("qid", "rnk", "vec_id", "ham")
+    )
+
+
+_SQL_SIGN_CHAIN = f"""
+icomp AS (
+  SELECT vec_id, pos, CAST(round(val * {_KM_SCALE}) AS BIGINT) AS ival
+  FROM ({_SQL_COMPONENTS})
+),
+dstats AS (
+  SELECT pos, CAST(count(*) AS BIGINT) AS n, CAST(sum(ival) AS BIGINT) AS s
+  FROM icomp GROUP BY pos
+),
+bits AS (
+  SELECT vec_id, pos, CASE WHEN n * ival > s THEN 1 ELSE 0 END AS bit
+  FROM icomp JOIN dstats USING (pos)
+),
+codes AS MATERIALIZED (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN pos < 32 THEN
+           bit * CAST(round(power(2.0e0, pos)) AS BIGINT) ELSE 0 END)
+           AS BIGINT) AS w0,
+         CAST(sum(CASE WHEN pos >= 32 THEN
+           bit * CAST(round(power(2.0e0, pos - 32)) AS BIGINT) ELSE 0 END)
+           AS BIGINT) AS w1
+  FROM bits GROUP BY vec_id
+),
+sham AS (
+  SELECT q.vec_id AS qid, c.vec_id,
+         CAST(bit_count(xor(q.w0, c.w0)) + bit_count(xor(q.w1, c.w1))
+           AS BIGINT) AS ham
+  FROM codes q JOIN codes c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+)"""
+
+SQL_ANN_SIGN_HAMMING = f"""
+WITH {_SQL_SIGN_CHAIN}
+SELECT qid,
+       CAST(row_number() OVER (
+         PARTITION BY qid ORDER BY ham ASC, vec_id ASC) AS INT) AS rnk,
+       vec_id, ham
+FROM sham QUALIFY rnk <= {TOP_K}
+"""
+
+QUERIES["ann_sign_hamming_topk"] = (ann_sign_hamming_topk, SQL_ANN_SIGN_HAMMING)
+
+
+def ann_sign_recall_eval(spark, sf_dir):
+    """(qid, n_hits, recall): sign-code Hamming top-k overlap with the
+    exact cosine top-k — the third recall rung next to
+    ann_pq_recall_eval and sq8_recall_eval (same truth, same k), pricing
+    what the 8 B/vector format costs in fidelity."""
+    exact = ann_cosine_topk(spark, sf_dir).select("qid", "vec_id")
+    approx = ann_sign_hamming_topk(spark, sf_dir).select("qid", "vec_id")
+    hits = exact.join(approx, ["qid", "vec_id"]).groupBy("qid").agg(
+        F.count("*").alias("n_hits")
+    )
+    qids = exact.select("qid").distinct()
+    return qids.join(hits, "qid", "left").select(
+        "qid",
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        F.round(F.coalesce("n_hits", F.lit(0)) * 1.0 / TOP_K, 6).alias("recall"),
+    )
+
+
+SQL_ANN_SIGN_RECALL = f"""
+WITH exact AS MATERIALIZED (
+  SELECT qid, vec_id FROM ({SQL_ANN_COSINE_TOPK})
+),
+apx AS MATERIALIZED (
+  SELECT qid, vec_id FROM ({SQL_ANN_SIGN_HAMMING})
+),
+hits AS (
+  SELECT qid, CAST(count(*) AS BIGINT) AS n_hits
+  FROM exact JOIN apx USING (qid, vec_id) GROUP BY qid
+)
+SELECT qid,
+       CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+       round(coalesce(n_hits, 0) * 1.0 / {TOP_K}, 6) AS recall
+FROM (SELECT DISTINCT qid FROM exact) LEFT JOIN hits USING (qid)
+"""
+
+QUERIES["ann_sign_recall_eval"] = (ann_sign_recall_eval, SQL_ANN_SIGN_RECALL)
