@@ -1180,3 +1180,208 @@ FROM it{TRUST_ITERS}"""
 
 
 QUERIES["host_trustrank"] = (host_trustrank, _sql_host_trustrank())
+
+
+# ---------------------------------------------------------------- SALSA
+
+# Lempel & Moran's SALSA — the degree-normalized cousin of HITS (and what
+# production link-analysis stacks actually ran, e.g. Twitter's WTF
+# recommender): hubs and authorities are the stationary walks on the
+# bipartite link graph where every step divides by the local degree, so
+# scores conserve mass and no per-sweep normalizer is needed. Same
+# integer-exact-iteration contract as host_pagerank: scores are
+# fixed-point SALSA_UNIT shares, every edge contribution is
+# multiply-then-integer-divide on nonnegative int64 ((h·w) DIV wout on
+# the authority sweep, (a·w) DIV win on the hub sweep), DuckDB oracle
+# unrolled as chained MATERIALIZED CTEs.
+#
+# Scale shape per sweep: one src-keyed equi-join + dst groupBy, one
+# dst-keyed join + src groupBy — identical to the HITS plan, minus the
+# two scalar normalizer aggs (SALSA's degree division makes the walk
+# stochastic by construction). localCheckpoint cuts the unrolled lineage.
+# Overflow: scores ≤ SALSA_UNIT = 1e9, so score·w needs per-pair weights
+# w < 9.2e9 — 1e8-docs-per-host-pair headroom at 100 TB.
+
+SALSA_ITERS = 4
+SALSA_UNIT = 10**9
+
+
+def salsa_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(host, salsa_auth_unit, salsa_hub_unit) after {SALSA_ITERS}
+    degree-normalized sweeps, integer 1e-9 shares of the walk mass."""
+    edges = _edges(spark, sf_dir).cache()
+    nodes = (
+        edges.select(F.col("src").alias("host"))
+        .union(edges.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").cast("long").alias("wout"))
+    inw = edges.groupBy("dst").agg(F.sum("w").cast("long").alias("win"))
+    n_df = F.broadcast(nodes.agg(F.count("*").cast("long").alias("n")))
+    hub = nodes.crossJoin(n_df).select(
+        "host", F.expr(f"CAST({SALSA_UNIT} DIV n AS BIGINT)").alias("h")
+    )
+    auth = None
+    for _ in range(SALSA_ITERS):
+        auth = (
+            edges.join(hub.select(F.col("host").alias("src"), "h"), "src")
+            .join(outw, "src")
+            .select(
+                F.col("dst").alias("host"),
+                F.expr("(h * w) DIV wout").alias("ac"),
+            )
+            .groupBy("host")
+            .agg(F.sum("ac").cast("long").alias("a"))
+            .localCheckpoint()
+        )
+        hub = (
+            edges.join(auth.select(F.col("host").alias("dst"), "a"), "dst")
+            .join(inw, "dst")
+            .select(
+                F.col("src").alias("host"),
+                F.expr("(a * w) DIV win").alias("hc"),
+            )
+            .groupBy("host")
+            .agg(F.sum("hc").cast("long").alias("h"))
+            .localCheckpoint()
+        )
+    return (
+        nodes.join(auth, "host", "left")
+        .join(hub, "host", "left")
+        .select(
+            "host",
+            F.coalesce("a", F.lit(0)).cast("long").alias("salsa_auth_unit"),
+            F.coalesce("h", F.lit(0)).cast("long").alias("salsa_hub_unit"),
+        )
+    )
+
+
+def _sql_salsa() -> str:
+    hash_doc = _SQL_HASH56.format(col="CAST(doc_id AS VARCHAR)")
+    parts = [
+        f"""WITH e AS (
+  SELECT source AS src,
+         'src' || CAST({hash_doc} % {PR_FANOUT} AS VARCHAR) AS dst
+  FROM documents
+),
+edges AS MATERIALIZED (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+  FROM e WHERE src <> dst GROUP BY 1, 2
+),
+nodes AS MATERIALIZED (
+  SELECT src AS host FROM edges UNION SELECT dst FROM edges
+),
+outw AS MATERIALIZED (
+  SELECT src, CAST(sum(w) AS BIGINT) AS wout FROM edges GROUP BY src
+),
+inw AS MATERIALIZED (
+  SELECT dst, CAST(sum(w) AS BIGINT) AS win FROM edges GROUP BY dst
+),
+nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+h0 AS MATERIALIZED (
+  SELECT host, CAST({SALSA_UNIT} // n AS BIGINT) AS h FROM nodes CROSS JOIN nn
+)"""
+    ]
+    for k in range(1, SALSA_ITERS + 1):
+        parts.append(
+            f""",
+a{k} AS MATERIALIZED (
+  SELECT e.dst AS host, CAST(sum((h.h * e.w) // o.wout) AS BIGINT) AS a
+  FROM edges e JOIN h{k - 1} h ON e.src = h.host
+       JOIN outw o ON o.src = e.src
+  GROUP BY 1
+),
+h{k} AS MATERIALIZED (
+  SELECT e.src AS host, CAST(sum((a.a * e.w) // i.win) AS BIGINT) AS h
+  FROM edges e JOIN a{k} a ON e.dst = a.host
+       JOIN inw i ON i.dst = e.dst
+  GROUP BY 1
+)"""
+        )
+    parts.append(
+        f"""
+SELECT nodes.host,
+       CAST(coalesce(a, 0) AS BIGINT) AS salsa_auth_unit,
+       CAST(coalesce(h, 0) AS BIGINT) AS salsa_hub_unit
+FROM nodes LEFT JOIN a{SALSA_ITERS} USING (host)
+           LEFT JOIN h{SALSA_ITERS} USING (host)"""
+    )
+    return "".join(parts)
+
+
+QUERIES["salsa_scores"] = (salsa_scores, _sql_salsa())
+
+
+# ------------------------------------------------------ link reciprocity
+
+# Reciprocal-link fraction per host — the classic nepotism / link-farm
+# signal (Davison 2000): organic hosts link asymmetrically, farms trade
+# links. recip_milli = reciprocated out-neighbors / out-neighbors, exact
+# integer milli. Scale shape: one self-semi-join of the (src, dst) edge
+# relation on the flipped key — edge-count-sized, never doc-sized; the
+# host rollup is a map-side-combinable groupBy.
+
+
+def host_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(host, n_out, n_recip, w_out, recip_milli): out-degree, count of
+    reciprocated out-neighbors, out-weight, and the reciprocity ratio."""
+    edges = _edges(spark, sf_dir).cache()
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    recip = (
+        edges.join(rev, ["src", "dst"], "semi")
+        .groupBy("src")
+        .agg(F.count("*").cast("long").alias("n_recip"))
+    )
+    deg = edges.groupBy("src").agg(
+        F.count("*").cast("long").alias("n_out"),
+        F.sum("w").cast("long").alias("w_out"),
+    )
+    return (
+        deg.join(recip, "src", "left")
+        .select(
+            F.col("src").alias("host"),
+            "n_out",
+            F.coalesce("n_recip", F.lit(0)).cast("long").alias("n_recip"),
+            "w_out",
+            F.expr(
+                "CAST(coalesce(n_recip, 0) * 1000 DIV n_out AS BIGINT)"
+            ).alias("recip_milli"),
+        )
+    )
+
+
+def _sql_reciprocity() -> str:
+    hash_doc = _SQL_HASH56.format(col="CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH e AS (
+  SELECT source AS src,
+         'src' || CAST({hash_doc} % {PR_FANOUT} AS VARCHAR) AS dst
+  FROM documents
+),
+edges AS MATERIALIZED (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+  FROM e WHERE src <> dst GROUP BY 1, 2
+),
+recip AS (
+  SELECT a.src, CAST(count(*) AS BIGINT) AS n_recip
+  FROM edges a
+  WHERE EXISTS (SELECT 1 FROM edges b
+                WHERE b.src = a.dst AND b.dst = a.src)
+  GROUP BY a.src
+),
+deg AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS n_out,
+         CAST(sum(w) AS BIGINT) AS w_out
+  FROM edges GROUP BY src
+)
+SELECT d.src AS host, d.n_out AS n_out,
+       CAST(coalesce(r.n_recip, 0) AS BIGINT) AS n_recip,
+       d.w_out AS w_out,
+       CAST(coalesce(r.n_recip, 0) * 1000 // d.n_out AS BIGINT) AS recip_milli
+FROM deg d LEFT JOIN recip r ON r.src = d.src
+"""
+
+
+QUERIES["host_reciprocity"] = (host_reciprocity, _sql_reciprocity())
