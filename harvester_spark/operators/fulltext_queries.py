@@ -2199,3 +2199,142 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
 QUERIES["ft_dismax_topk"] = (ft_dismax_topk, SQL_DISMAX_TOPK)
+
+
+# ----------------------------------------------------- Kneser-Ney bigram
+
+# The third rung of the LM ladder (unigram → interpolated bigram →
+# modified-context bigram): interpolated Kneser-Ney (Kneser & Ney 1995;
+# Chen & Goodman 1999's interpolated form) with absolute discount
+# D = 3/4 — the smoothing KenLM ships as its default and the one that
+# actually matters for CCNet-style perplexity filtering, because the
+# continuation probability P_cont(w) ∝ |distinct left contexts of w|
+# de-weights tokens that are frequent only inside one collocation.
+#
+#   P(w|v) = (max(c(vw) − D, 0) + D·N1+(v·)·P_cont(w)) / c(v·)
+#   P_cont(w) = (N1+(·w) + 1) / (B + V)        (add-one over bigram types
+#                                               so doc-initial-only tokens
+#                                               keep finite mass)
+# with c(v·) the bigram-left mass of v, N1+(v·)/N1+(·w) distinct right /
+# left continuation counts, B = bigram types, V = vocab — ALL exact
+# integers, fed through ONE shared micro-nat float string (the
+# ft_bigram_lm_logprob contract), so per-doc sums are exact int64.
+# First tokens and unseen left contexts back off to P_cont alone; unseen
+# or PRUNED bigrams keep only the continuation term (max(0−D,0) = 0 —
+# KN's backoff is exactly what model pruning needs: dropping a bigram row
+# degrades gracefully to the continuation estimate).
+#
+# Scale shape: identical to ft_bigram_lm_logprob — histogram aggs are
+# map-side-combinable and vocab-bounded, the bigram table is pruned to
+# BIGRAM_M rows per language before broadcast, scoring is one lag window
+# plus broadcast joins.
+
+_KN_LOGP = (
+    "CASE WHEN prev IS NULL OR cv IS NULL"
+    " THEN round(1000000.0e0 * ln((coalesce(nl, 0) + 1.0e0) / (bt + lv)), 0)"
+    " ELSE round(1000000.0e0 * ln("
+    "(greatest(coalesce(cb, 0) - 0.75e0, 0.0e0)"
+    " + 0.75e0 * n1p * ((coalesce(nl, 0) + 1.0e0) / (bt + lv))) / cv), 0) END"
+)
+
+
+def ft_kneser_ney_logprob(spark, sf_dir):
+    """(doc_id, lang, n_tokens, logp_micro, avg_nll_micro): interpolated
+    Kneser-Ney bigram log-prob of every doc under the corpus-trained
+    pruned model."""
+    toks = doc_tokens(spark, sf_dir)
+    w = W.partitionBy("doc_id").orderBy("pos")
+    pairs = toks.select(
+        "doc_id", "lang", "term", F.lag("term").over(w).alias("prev")
+    )
+    bp = pairs.filter(F.col("prev").isNotNull())
+    left = bp.groupBy("lang", "prev").agg(
+        F.count("*").cast("long").alias("cv"),
+        F.countDistinct("term").cast("long").alias("n1p"),
+    )
+    right = bp.groupBy("lang", "term").agg(
+        F.countDistinct("prev").cast("long").alias("nl")
+    )
+    bi = bp.groupBy("lang", "prev", "term").agg(
+        F.count("*").cast("long").alias("cb")
+    )
+    consts = bi.groupBy("lang").agg(F.count("*").cast("long").alias("bt")).join(
+        toks.groupBy("lang").agg(F.countDistinct("term").cast("long").alias("lv")),
+        "lang",
+    )
+    rw = W.partitionBy("lang").orderBy(
+        F.col("cb").desc(), F.col("prev").asc(), F.col("term").asc()
+    )
+    bi_pruned = (
+        bi.withColumn("rn", F.row_number().over(rw))
+        .filter(F.col("rn") <= BIGRAM_M)
+        .drop("rn")
+    )
+    scored = (
+        pairs.join(F.broadcast(left), ["lang", "prev"], "left")
+        .join(F.broadcast(right), ["lang", "term"], "left")
+        .join(F.broadcast(bi_pruned), ["lang", "prev", "term"], "left")
+        .join(F.broadcast(consts), "lang")
+        .withColumn("lp", F.expr(f"CAST({_KN_LOGP} AS BIGINT)"))
+    )
+    return scored.groupBy("doc_id", "lang").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum("lp").cast("long").alias("logp_micro"),
+        F.round(-F.sum("lp") * 1.0 / F.count("*"), 6).alias("avg_nll_micro"),
+    )
+
+
+SQL_KNESER_NEY_LOGPROB = f"""
+WITH toks AS ({SQL_DOC_TOKS}),
+pairs AS (
+  SELECT doc_id, lang, term,
+         lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM toks
+),
+bp AS (SELECT * FROM pairs WHERE prev IS NOT NULL),
+leftc AS (
+  SELECT lang, prev, CAST(count(*) AS BIGINT) AS cv,
+         CAST(count(DISTINCT term) AS BIGINT) AS n1p
+  FROM bp GROUP BY 1, 2
+),
+rightc AS (
+  SELECT lang, term, CAST(count(DISTINCT prev) AS BIGINT) AS nl
+  FROM bp GROUP BY 1, 2
+),
+bi AS (
+  SELECT lang, prev, term, CAST(count(*) AS BIGINT) AS cb
+  FROM bp GROUP BY 1, 2, 3
+),
+consts AS (
+  SELECT b.lang AS lang, b.bt AS bt, v.lv AS lv
+  FROM (SELECT lang, CAST(count(*) AS BIGINT) AS bt FROM bi GROUP BY 1) b
+  JOIN (SELECT lang, CAST(count(DISTINCT term) AS BIGINT) AS lv
+        FROM toks GROUP BY 1) v USING (lang)
+),
+bi_pruned AS (
+  SELECT lang, prev, term, cb FROM bi
+  QUALIFY row_number() OVER (PARTITION BY lang
+                             ORDER BY cb DESC, prev ASC, term ASC) <= {BIGRAM_M}
+),
+joined AS (
+  SELECT p.doc_id AS doc_id, p.lang AS lang, p.prev AS prev,
+         l.cv AS cv, l.n1p AS n1p, r.nl AS nl, b.cb AS cb,
+         c.bt AS bt, c.lv AS lv
+  FROM pairs p
+  LEFT JOIN leftc l ON p.lang = l.lang AND p.prev = l.prev
+  LEFT JOIN rightc r ON p.lang = r.lang AND p.term = r.term
+  LEFT JOIN bi_pruned b ON p.lang = b.lang AND p.prev = b.prev
+                        AND p.term = b.term
+  JOIN consts c ON p.lang = c.lang
+),
+scored AS (
+  SELECT doc_id, lang, CAST({_KN_LOGP} AS BIGINT) AS lp FROM joined
+)
+SELECT doc_id, lang,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(lp) AS BIGINT) AS logp_micro,
+       round(-sum(lp) * 1.0 / count(*), 6) AS avg_nll_micro
+FROM scored GROUP BY doc_id, lang
+"""
+
+QUERIES["ft_kneser_ney_logprob"] = (ft_kneser_ney_logprob, SQL_KNESER_NEY_LOGPROB)

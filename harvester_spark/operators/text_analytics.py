@@ -543,3 +543,90 @@ LIMIT {LLR_TOPN}
 
 
 QUERIES["ft_llr_collocations"] = (ft_llr_collocations, _sql_llr())
+
+
+# ------------------------------------------------------------ readability
+
+# Flesch reading ease + Flesch-Kincaid grade level — the readability
+# signals a curation pipeline buckets web text by (next to the Gopher /
+# quality-score rules this module's siblings implement). Both formulas
+# need (words, sentences, syllables); on this corpus:
+# - words = analyzer token count (the repo-wide ASCII \\W+ contract),
+# - syllables = ASCII vowel-group runs [aeiou]+ (the standard heuristic),
+# - sentences: the word-soup corpus has NO punctuation, so sentence
+#   boundaries are SYNTHESIZED as occurrences of the stop token 'the'
+#   plus one — a per-doc count that genuinely varies (the corpus-synthesis
+#   non-degeneracy rule: a constant S would collapse the W/S term for
+#   every doc and the gate would prove nothing).
+#
+# Exactness: both formulas are integer milli via round-half-up integer
+# division on nonnegative counts ((num + den DIV 2) DIV den — identical
+# in Spark DIV and DuckDB //); flesch_milli may legitimately go negative
+# for long-run docs (it is 206835 minus two nonneg terms).
+#
+# Scale shape: one token groupBy per doc (shared shape with dl) plus a
+# map-only regexp count on the raw text — no joins beyond doc_id.
+
+_FLESCH_T1 = "((1015 * n_words + n_sents DIV 2) DIV n_sents)"
+_FLESCH_T2 = "((84600 * n_syll + n_words DIV 2) DIV n_words)"
+_FK_T1 = "((390 * n_words + n_sents DIV 2) DIV n_sents)"
+_FK_T2 = "((11800 * n_syll + n_words DIV 2) DIV n_words)"
+
+
+def ft_readability(spark, sf_dir):
+    """(doc_id, n_words, n_sents, n_syll, flesch_milli, fk_grade_milli):
+    Flesch reading ease and Flesch-Kincaid grade per document."""
+    docs = load(spark, sf_dir, "documents")
+    toks = doc_tokens(spark, sf_dir)
+    counts = toks.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_words"),
+        (F.sum((F.col("term") == "the").cast("long")) + 1)
+        .cast("long")
+        .alias("n_sents"),
+    )
+    syll = docs.select(
+        "doc_id",
+        F.expr("CAST(size(regexp_extract_all(lower(text), '[aeiou]+', 0)) AS BIGINT)")
+        .alias("n_syll"),
+    )
+    return (
+        counts.join(syll, "doc_id")
+        .withColumn(
+            "flesch_milli",
+            F.expr(f"CAST(206835 - {_FLESCH_T1} - {_FLESCH_T2} AS BIGINT)"),
+        )
+        .withColumn(
+            "fk_grade_milli",
+            F.expr(f"CAST({_FK_T1} + {_FK_T2} - 15590 AS BIGINT)"),
+        )
+        .select(
+            "doc_id", "n_words", "n_sents", "n_syll",
+            "flesch_milli", "fk_grade_milli",
+        )
+    )
+
+
+SQL_READABILITY = f"""
+WITH toks AS ({SQL_DOC_TOKS}),
+counts AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(CASE WHEN term = 'the' THEN 1 ELSE 0 END) + 1 AS BIGINT)
+           AS n_sents
+  FROM toks GROUP BY doc_id
+),
+syll AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '[aeiou]+')) AS BIGINT)
+           AS n_syll
+  FROM documents
+)
+SELECT doc_id, n_words, n_sents, n_syll,
+       CAST(206835 - {_FLESCH_T1.replace("DIV", "//")}
+            - {_FLESCH_T2.replace("DIV", "//")} AS BIGINT) AS flesch_milli,
+       CAST({_FK_T1.replace("DIV", "//")} + {_FK_T2.replace("DIV", "//")}
+            - 15590 AS BIGINT) AS fk_grade_milli
+FROM counts JOIN syll USING (doc_id)
+"""
+
+QUERIES["ft_readability"] = (ft_readability, SQL_READABILITY)
