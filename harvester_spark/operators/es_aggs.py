@@ -1440,3 +1440,201 @@ FROM tots CROSS JOIN mx CROSS JOIN at_
 """
 
 QUERIES["events_ks_test"] = (events_ks_test, SQL_KS_TEST)
+
+
+# ------------------------------------------------- moving_fn Holt linear
+
+# The ES moving_fn double-exponential smoother (MovingFunctions.holt) next
+# to events_moving_ewma — level + trend, so it anticipates drift the EWMA
+# lags behind. Convention (documented, deterministic): over each full
+# 8-bucket window seed level = v0, trend = v1 − v0, then for k = 1..7
+#   l_k = α·v_k + (1−α)(l_{k−1} + b_{k−1}),  b_k = β(l_k − l_{k−1}) + (1−β)b_{k−1}
+# with α = β = 1/2, and report the one-step forecast l_7 + b_7. Because α
+# and β are dyadic, the forecast is an EXACT linear form over the window
+# values with integer weights on denominator 2^14 — the weights are
+# derived once with exact Fractions at import (no float ever touches the
+# recurrence) and the per-row evaluation is one integer dot product. The
+# weighted sum can be negative on falling trends, so the milli conversion
+# goes through the sign-split _SDIV (floor == trunc only on nonneg).
+#
+# Scale shape: identical to events_moving_ewma — densified hourly counts,
+# one per-type lag chain, map-only arithmetic.
+
+_HOLT_W = 8
+
+
+def _holt_weights():
+    from fractions import Fraction
+
+    alpha = beta = Fraction(1, 2)
+    n = _HOLT_W
+    # l/b as weight vectors over v_0..v_{n-1}
+    l = [Fraction(0)] * n
+    b = [Fraction(0)] * n
+    l[0] = Fraction(1)
+    b[0], b[1] = Fraction(-1), Fraction(1)
+    for k in range(1, n):
+        lp = list(l)
+        l = [(1 - alpha) * (lv + bv) for lv, bv in zip(l, b)]
+        l[k] += alpha
+        b = [beta * (lv - lpv) + (1 - beta) * bv for lv, lpv, bv in zip(l, lp, b)]
+    f = [lv + bv for lv, bv in zip(l, b)]
+    den = 2 ** 14
+    w = [x * den for x in f]
+    assert all(x.denominator == 1 for x in w) and sum(f) == 1
+    return [int(x) for x in w], den
+
+
+_HOLT_WEIGHTS, _HOLT_DEN = _holt_weights()
+
+
+def events_moving_holt(spark, sf_dir):
+    """(event_type, hour_bucket, c, holt_milli): exact integer Holt
+    linear (alpha=beta=1/2, window 8) one-step forecast over densified
+    hourly counts."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hour"),
+    )
+    b = ev.agg(F.min("hour").alias("mn"), F.max("hour").alias("mx")).collect()[0]
+    counts = ev.groupBy("event_type", "hour").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    hours = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.lit(b.mn), F.lit(b.mx))).alias("hour"),
+        )
+    )
+    dens = hours.join(counts, ["event_type", "hour"], "left").select(
+        "event_type", "hour", F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c")
+    )
+    wt = W.partitionBy("event_type").orderBy("hour")
+    lagged = dens.select(
+        "event_type",
+        F.col("hour").alias("hour_bucket"),
+        "c",
+        *[
+            F.lag("c", k).over(wt).cast("long").alias(f"l{k}")
+            for k in range(1, _HOLT_W)
+        ],
+    ).filter(F.col("hour_bucket") >= b.mn + _HOLT_W - 1)
+    # weight index i is the window position (oldest first) = lag (W-1-i)
+    num = " + ".join(
+        f"({w}) * {'c' if (_HOLT_W - 1 - i) == 0 else f'l{_HOLT_W - 1 - i}'}"
+        for i, w in enumerate(_HOLT_WEIGHTS)
+    )
+    return lagged.select(
+        "event_type",
+        "hour_bucket",
+        "c",
+        F.expr(
+            "CAST("
+            + _SDIV.format(num=f"1000 * ({num})", den=_HOLT_DEN, div="DIV")
+            + " AS BIGINT)"
+        ).alias("holt_milli"),
+    )
+
+
+def _sql_events_moving_holt() -> str:
+    num = " + ".join(
+        f"({w}) * {'c' if (_HOLT_W - 1 - i) == 0 else f'l{_HOLT_W - 1 - i}'}"
+        for i, w in enumerate(_HOLT_WEIGHTS)
+    )
+    lags = ",\n         ".join(
+        f"CAST(lag(c, {k}) OVER tw AS BIGINT) AS l{k}"
+        for k in range(1, _HOLT_W)
+    )
+    return f"""
+WITH ev AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour
+  FROM events
+),
+b AS (SELECT min(hour) AS mn, max(hour) AS mx FROM ev),
+counts AS (
+  SELECT event_type, hour, CAST(count(*) AS BIGINT) AS c
+  FROM ev GROUP BY 1, 2
+),
+hours AS (
+  SELECT event_type, CAST(h AS BIGINT) AS hour
+  FROM (SELECT DISTINCT event_type FROM ev)
+  CROSS JOIN (SELECT unnest(range((SELECT mn FROM b), (SELECT mx FROM b) + 1)) AS h)
+),
+dens AS (
+  SELECT hours.event_type, hours.hour, coalesce(counts.c, 0) AS c
+  FROM hours LEFT JOIN counts USING (event_type, hour)
+),
+lagged AS (
+  SELECT event_type, hour AS hour_bucket, c,
+         {lags}
+  FROM dens
+  WINDOW tw AS (PARTITION BY event_type ORDER BY hour)
+)
+SELECT event_type, hour_bucket, c,
+       CAST({_SDIV.format(num=f"1000 * ({num})", den=_HOLT_DEN, div="//")}
+         AS BIGINT) AS holt_milli
+FROM lagged
+WHERE hour_bucket >= (SELECT mn FROM b) + {_HOLT_W - 1}
+"""
+
+
+QUERIES["events_moving_holt"] = (events_moving_holt, _sql_events_moving_holt())
+
+
+# ------------------------------------------------- diversified_sampler
+
+# The ES diversified_sampler aggregation: cap documents per dedup-field
+# value (here: per source host, max {DS_PER_VALUE}) before running the
+# sub-aggregation, so one over-represented host cannot dominate the
+# sample's statistics. ES picks the per-value survivors by shard doc
+# order (irreproducible); this pins the documented deterministic variant:
+# per-source rank by (md5(doc_id), doc_id) — an unbiased salted-hash
+# order — keep the first {DS_PER_VALUE}, then a terms sub-agg on lang
+# with avg n_chars in exact integer micro.
+#
+# Scale shape: one source-keyed window top-N (WindowGroupLimit at the
+# scan — no global sort), then a tiny lang groupBy. Nothing else.
+
+DS_PER_VALUE = 2
+
+
+def es_diversified_sampler(spark, sf_dir):
+    """(lang, n_sampled, n_sources, avg_chars_micro): terms sub-agg over
+    the per-source diversified sample (max {DS_PER_VALUE} docs/source)."""
+    docs = load(spark, sf_dir, "documents")
+    wsrc = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    sample = docs.withColumn("rn", F.row_number().over(wsrc)).filter(
+        F.col("rn") <= DS_PER_VALUE
+    )
+    return sample.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_sampled"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.expr("CAST(sum(n_chars) * 1000000 DIV count(*) AS BIGINT)").alias(
+            "avg_chars_micro"
+        ),
+    )
+
+
+SQL_DIVERSIFIED_SAMPLER = f"""
+WITH sample AS (
+  SELECT * FROM (
+    SELECT doc_id, lang, source, n_chars,
+           row_number() OVER (
+             PARTITION BY source
+             ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+    FROM documents
+  ) WHERE rn <= {DS_PER_VALUE}
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_sampled,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(CAST(sum(n_chars) AS BIGINT) * 1000000 // count(*) AS BIGINT)
+         AS avg_chars_micro
+FROM sample GROUP BY lang
+"""
+
+QUERIES["es_diversified_sampler"] = (es_diversified_sampler, SQL_DIVERSIFIED_SAMPLER)
