@@ -1116,3 +1116,282 @@ QUERIES["docid_reorder_gain"] = (
     docid_reorder_gain,
     SQL_DOCID_REORDER.format(toks=SQL_TOKS.format(col="text")),
 )
+
+
+# ---------------------------------------------------- next-word index plan
+
+# Phrase-query acceleration planning (Williams, Zobel & Bahle 2004, "Fast
+# phrase querying with combined indexes"): store a NEXT-WORD index — for
+# frequent first words, postings of (word, next-word) pairs — so a phrase
+# resolves by ONE bigram postings read instead of decoding and
+# intersecting two positional lists. This is the planning row the repo's
+# positional phrase path (search/phrase.py) would consult before
+# materializing such an index: for the corpus' top phrases, the decode
+# cost with and without the next-word entry.
+#
+# Cost model (positions decoded): full positional intersect reads cf(t1) +
+# cf(t2) postings-with-positions; the next-word entry reads exactly
+# cf(t1 t2) occurrences. in_index marks bigrams whose FIRST word is in the
+# top-{NW_F} words by collection frequency — Williams et al.'s "common
+# first word" criterion — and nw_postings_total is the storage price: the
+# total occurrences the next-word index stores for those first words.
+#
+# Scale shape: one lag window (the bigram stream), two map-side-combined
+# histograms, broadcast joins of the tiny top lists; TakeOrdered tail.
+
+NW_TOP = 10  # phrases reported
+NW_F = 64  # first-word cut for index membership
+
+
+def nextword_index_plan(spark, sf_dir):
+    """(rank, t1, t2, cf_bigram, cf1, cf2, in_index, cost_full, cost_nw,
+    speedup_milli, nw_postings_total): decode-cost plan for the corpus'
+    top-{NW_TOP} bigram phrases under a next-word index."""
+    toks = doc_tokens(spark, sf_dir)
+    wd = W.partitionBy("doc_id").orderBy("pos")
+    pairs = toks.select(
+        F.lag("term").over(wd).alias("t1"), F.col("term").alias("t2")
+    ).filter(F.col("t1").isNotNull())
+    cf = toks.groupBy("term").agg(F.count("*").cast("long").alias("cf"))
+    wcf = W.orderBy(F.col("cf").desc(), F.col("term").asc())
+    topf = (
+        cf.orderBy(F.col("cf").desc(), F.col("term").asc())
+        .limit(NW_F)
+        .select(F.col("term").alias("t1"))
+        .withColumn("in_idx", F.lit(1).cast("long"))
+    )
+    bi = pairs.groupBy("t1", "t2").agg(
+        F.count("*").cast("long").alias("cf_bigram")
+    )
+    nw_total = F.broadcast(
+        bi.join(F.broadcast(topf), "t1", "semi")
+        .agg(F.sum("cf_bigram").cast("long").alias("nw_postings_total"))
+    )
+    top_bi = (
+        bi.orderBy(
+            F.col("cf_bigram").desc(), F.col("t1").asc(), F.col("t2").asc()
+        )
+        .limit(NW_TOP)
+    )
+    out = (
+        top_bi.join(
+            F.broadcast(cf.select(F.col("term").alias("t1"), F.col("cf").alias("cf1"))),
+            "t1",
+        )
+        .join(
+            F.broadcast(cf.select(F.col("term").alias("t2"), F.col("cf").alias("cf2"))),
+            "t2",
+        )
+        .join(F.broadcast(topf), "t1", "left")
+        .crossJoin(nw_total)
+        .withColumn("in_index", F.coalesce("in_idx", F.lit(0)).cast("long"))
+        .withColumn("cost_full", F.expr("CAST(cf1 + cf2 AS BIGINT)"))
+        .withColumn("cost_nw", F.col("cf_bigram"))
+        .withColumn(
+            "speedup_milli",
+            F.expr("CAST((cf1 + cf2) * 1000 DIV cf_bigram AS BIGINT)"),
+        )
+    )
+    w = W.orderBy(F.col("cf_bigram").desc(), F.col("t1").asc(), F.col("t2").asc())
+    return out.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "t1", "t2", "cf_bigram", "cf1", "cf2", "in_index",
+        "cost_full", "cost_nw", "speedup_milli", "nw_postings_total",
+    )
+
+
+SQL_NEXTWORD_PLAN = f"""
+WITH toks AS ({SQL_DOC_TOKS}),
+pairs AS (
+  SELECT t1, term AS t2 FROM (
+    SELECT term, lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS t1
+    FROM toks
+  ) WHERE t1 IS NOT NULL
+),
+cf AS (SELECT term, CAST(count(*) AS BIGINT) AS cf FROM toks GROUP BY term),
+topf AS (
+  SELECT term AS t1, CAST(1 AS BIGINT) AS in_idx
+  FROM cf ORDER BY cf DESC, term ASC LIMIT {NW_F}
+),
+bi AS (
+  SELECT t1, t2, CAST(count(*) AS BIGINT) AS cf_bigram
+  FROM pairs GROUP BY 1, 2
+),
+nwt AS (
+  SELECT CAST(sum(cf_bigram) AS BIGINT) AS nw_postings_total
+  FROM bi WHERE t1 IN (SELECT t1 FROM topf)
+),
+top_bi AS (
+  SELECT t1, t2, cf_bigram FROM bi
+  ORDER BY cf_bigram DESC, t1 ASC, t2 ASC LIMIT {NW_TOP}
+)
+SELECT CAST(row_number() OVER (
+         ORDER BY b.cf_bigram DESC, b.t1 ASC, b.t2 ASC) AS INT) AS rank,
+       b.t1 AS t1, b.t2 AS t2, b.cf_bigram AS cf_bigram,
+       c1.cf AS cf1, c2.cf AS cf2,
+       CAST(coalesce(f.in_idx, 0) AS BIGINT) AS in_index,
+       CAST(c1.cf + c2.cf AS BIGINT) AS cost_full,
+       b.cf_bigram AS cost_nw,
+       CAST((c1.cf + c2.cf) * 1000 // b.cf_bigram AS BIGINT) AS speedup_milli,
+       nwt.nw_postings_total AS nw_postings_total
+FROM top_bi b
+JOIN cf c1 ON c1.term = b.t1
+JOIN cf c2 ON c2.term = b.t2
+LEFT JOIN topf f ON f.t1 = b.t1
+CROSS JOIN nwt
+ORDER BY rank
+"""
+
+QUERIES["nextword_index_plan"] = (nextword_index_plan, SQL_NEXTWORD_PLAN)
+
+
+# ---------------------------------------------------- consistent hashing
+
+# Shard routing under a consistent-hash ring with virtual nodes (Karger et
+# al. 1997; the ES/OpenSearch routing story once shard counts stop being
+# fixed): {CH_N} shards × {CH_V} vnodes at md5-derived ring positions,
+# every doc routed to its successor vnode (wrap-around). The eval adds a
+# shard ({CH_N}→{CH_N + 1}) and measures the defining property: documents
+# move ONLY onto the new shard (n_moved_in == 0 for every old shard —
+# test-pinned) and the moved fraction ≈ 1/(n+1), vs mod-hashing which
+# reshuffles nearly everything.
+#
+# Scale shape: the ring is {CH_N + 1}·{CH_V} rows — broadcast into one
+# doc-keyed map pass (min-over-candidates, no shuffle); the rollup is one
+# tiny groupBy. Routing never touches anything doc-count-sized twice.
+
+CH_N = 8
+CH_V = 8
+
+
+def _ch_assign_sql(n: int, alias: str) -> str:
+    hpos = _SQL_HASH56.format(
+        col=f"'vn' || CAST(s AS VARCHAR) || '_' || CAST(v AS VARCHAR)"
+    )
+    return f"""
+vn{alias} AS (
+  SELECT CAST(s AS BIGINT) AS shard, {hpos} AS vpos
+  FROM (SELECT unnest(range({n})) AS s)
+  CROSS JOIN (SELECT unnest(range({CH_V})) AS v)
+),
+asg{alias} AS (
+  SELECT doc_id, shard AS shard{alias} FROM (
+    SELECT d.doc_id, v.shard, v.vpos,
+           row_number() OVER (
+             PARTITION BY d.doc_id
+             ORDER BY (v.vpos < d.dpos) ASC, v.vpos ASC) AS rn
+    FROM (SELECT doc_id,
+                 {_SQL_HASH56.format(col="'doc' || CAST(doc_id AS VARCHAR)")}
+                   AS dpos
+          FROM documents) d
+    CROSS JOIN vn{alias} v
+  ) WHERE rn = 1
+)"""
+
+
+def consistent_hash_eval(spark, sf_dir):
+    """(shard, n_docs_new, n_docs_old, n_moved_in): ring assignment at
+    {CH_N + 1} shards vs {CH_N}, per new-ring shard."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("doc"), F.col("doc_id").cast("string"))), 1, 14
+            ),
+            16,
+            10,
+        ).cast("long").alias("dpos"),
+    )
+
+    def assign(n: int, out: str):
+        vn = (
+            spark.range(n * CH_V)
+            .select(
+                (F.col("id") % n).cast("long").alias("shard"),
+                F.expr(f"id DIV {n}").cast("long").alias("v"),
+            )
+            .select(
+                "shard",
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("vn"),
+                                F.col("shard").cast("string"),
+                                F.lit("_"),
+                                F.col("v").cast("string"),
+                            )
+                        ),
+                        1,
+                        14,
+                    ),
+                    16,
+                    10,
+                ).cast("long").alias("vpos"),
+            )
+        )
+        wd = W.partitionBy("doc_id").orderBy(
+            (F.col("vpos") < F.col("dpos")).asc(), F.col("vpos").asc()
+        )
+        return (
+            docs.crossJoin(F.broadcast(vn))
+            .withColumn("rn", F.row_number().over(wd))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", F.col("shard").alias(out))
+        )
+
+    old = assign(CH_N, "shard_old")
+    new = assign(CH_N + 1, "shard_new")
+    j = old.join(new, "doc_id")
+    return (
+        j.groupBy(F.col("shard_new").alias("shard"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs_new"),
+            F.sum((F.col("shard_old") == F.col("shard_new")).cast("long"))
+            .cast("long")
+            .alias("n_stayed"),
+        )
+        .join(
+            j.groupBy(F.col("shard_old").alias("shard")).agg(
+                F.count("*").cast("long").alias("n_docs_old")
+            ),
+            "shard",
+            "full",
+        )
+        .select(
+            F.col("shard").cast("long").alias("shard"),
+            F.coalesce("n_docs_new", F.lit(0)).cast("long").alias("n_docs_new"),
+            F.coalesce("n_docs_old", F.lit(0)).cast("long").alias("n_docs_old"),
+            (
+                F.coalesce("n_docs_new", F.lit(0)) - F.coalesce("n_stayed", F.lit(0))
+            ).cast("long").alias("n_moved_in"),
+        )
+    )
+
+
+def _sql_consistent_hash() -> str:
+    # vnode generation differs from Spark's range trick, but the
+    # (shard, v) pairs and therefore the md5 ring are identical sets.
+    return f"""
+WITH {_ch_assign_sql(CH_N, 'o')},
+{_ch_assign_sql(CH_N + 1, 'n')[1:]},
+j AS (SELECT doc_id, shardo, shardn FROM asgo JOIN asgn USING (doc_id)),
+nw AS (
+  SELECT shardn AS shard, CAST(count(*) AS BIGINT) AS n_docs_new,
+         CAST(sum(CASE WHEN shardo = shardn THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_stayed
+  FROM j GROUP BY 1
+),
+od AS (
+  SELECT shardo AS shard, CAST(count(*) AS BIGINT) AS n_docs_old
+  FROM j GROUP BY 1
+)
+SELECT CAST(coalesce(nw.shard, od.shard) AS BIGINT) AS shard,
+       CAST(coalesce(n_docs_new, 0) AS BIGINT) AS n_docs_new,
+       CAST(coalesce(n_docs_old, 0) AS BIGINT) AS n_docs_old,
+       CAST(coalesce(n_docs_new, 0) - coalesce(n_stayed, 0) AS BIGINT)
+         AS n_moved_in
+FROM nw FULL OUTER JOIN od ON nw.shard = od.shard
+"""
+
+
+QUERIES["consistent_hash_eval"] = (consistent_hash_eval, _sql_consistent_hash())

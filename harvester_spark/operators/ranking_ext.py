@@ -1136,3 +1136,161 @@ FROM (SELECT *, n_topk * s2 - s1 * s1 AS var_num
 
 
 QUERIES["ft_qpp_nqc_wig"] = (ft_qpp_nqc_wig, _sql_nqc_wig())
+
+
+# --------------------------------------------------- CombMNZ rank fusion
+
+# The second fusion family next to hybrid_rrf_topk: CombMNZ (Fox & Shaw
+# 1994; Lee 1997) — min-max-normalize each ranker's scores over its own
+# top pool, sum them, and multiply by the number of lists that retrieved
+# the doc, rewarding cross-ranker consensus where RRF only counts ranks.
+# Fuses the repo's two ranking families (BM25-OR and Dirichlet-QL — the
+# ranker_agreement_eval pair) over their top-{FUSE_POOL} pools.
+#
+# Determinism: both raw scores quantize to micro ints first (the BM25
+# double through the ONE shared floor string, Dirichlet is already
+# integer micro-nats); min-max normalization is (s − mn)·1e6 DIV
+# greatest(mx − mn, 1) on nonnegative differences; the fused score is a
+# pure integer product. Unique tie-break (fused desc, doc_id asc).
+#
+# Scale shape: two TakeOrdered(FUSE_POOL) serving plans (each the
+# existing ranker's plan), two scalar min/max aggs broadcast back over
+# 20-row frames, one outer join of two 20-row lists. Fusion itself costs
+# nothing at any scale.
+
+FUSE_POOL = 20
+FUSE_K = 10
+
+
+def hybrid_combmnz_topk(spark, sf_dir):
+    """(rank, doc_id, n_lists, na_micro, nb_micro, fused): CombMNZ fusion
+    of the BM25-OR and Dirichlet-QL top-{FUSE_POOL} pools."""
+    scored_a = bm25_or_scored(spark, sf_dir)
+    top_a = (
+        scored_a.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(FUSE_POOL)
+        .withColumn("sa", F.expr("CAST(floor(score * 1.0e6 + 0.5e0) AS BIGINT)"))
+        .select("doc_id", "sa")
+    )
+    amm = F.broadcast(
+        top_a.agg(
+            F.min("sa").cast("long").alias("mna"),
+            F.max("sa").cast("long").alias("mxa"),
+        )
+    )
+    na = top_a.crossJoin(amm).select(
+        "doc_id",
+        F.expr(
+            "CAST((sa - mna) * 1000000 DIV greatest(mxa - mna, CAST(1 AS BIGINT))"
+            " AS BIGINT)"
+        ).alias("na_micro"),
+    )
+    top_b = _dirichlet_topn(spark, sf_dir, FUSE_POOL).select("doc_id", "logp_micro")
+    bmm = F.broadcast(
+        top_b.agg(
+            F.min("logp_micro").cast("long").alias("mnb"),
+            F.max("logp_micro").cast("long").alias("mxb"),
+        )
+    )
+    nb = top_b.crossJoin(bmm).select(
+        "doc_id",
+        F.expr(
+            "CAST((logp_micro - mnb) * 1000000"
+            " DIV greatest(mxb - mnb, CAST(1 AS BIGINT)) AS BIGINT)"
+        ).alias("nb_micro"),
+    )
+    fused = (
+        na.join(nb, "doc_id", "full")
+        .select(
+            "doc_id",
+            F.coalesce("na_micro", F.lit(0)).cast("long").alias("na_micro"),
+            F.coalesce("nb_micro", F.lit(0)).cast("long").alias("nb_micro"),
+            (
+                (F.col("na_micro").isNotNull().cast("long"))
+                + (F.col("nb_micro").isNotNull().cast("long"))
+            ).alias("n_lists"),
+        )
+        .withColumn(
+            "fused", F.expr("CAST(n_lists * (na_micro + nb_micro) AS BIGINT)")
+        )
+    )
+    top = fused.orderBy(F.col("fused").desc(), F.col("doc_id").asc()).limit(FUSE_K)
+    w = W.orderBy(F.col("fused").desc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "doc_id", "n_lists", "na_micro", "nb_micro", "fused"
+    )
+
+
+def _sql_combmnz() -> str:
+    from harvester_spark.operators.fulltext_queries import _DIR_LP
+
+    in_list = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return f"""
+WITH {_sql_components(BM25_TERMS)},
+scored_a AS (
+  SELECT doc_id, round(sum(contrib), 6) AS score FROM comps GROUP BY doc_id
+),
+top_a AS (
+  SELECT doc_id, CAST(floor(score * 1.0e6 + 0.5e0) AS BIGINT) AS sa
+  FROM scored_a ORDER BY score DESC, doc_id ASC LIMIT {FUSE_POOL}
+),
+amm AS (SELECT min(sa) AS mna, max(sa) AS mxa FROM top_a),
+na AS (
+  SELECT doc_id,
+         CAST((sa - mna) * 1000000 // greatest(mxa - mna, 1) AS BIGINT)
+           AS na_micro
+  FROM top_a CROSS JOIN amm
+),
+dls AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+cfs AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS cf FROM toks
+  WHERE term IN ({in_list}) GROUP BY 1
+),
+ctt AS (SELECT CAST(count(*) AS BIGINT) AS ct FROM toks),
+tfs_ AS (
+  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM toks
+  WHERE term IN ({in_list}) GROUP BY 1, 2
+),
+joined AS (
+  SELECT d.doc_id AS doc_id, coalesce(tfs_.tf, 0) AS tf,
+         coalesce(dls.dl, 0) AS dl, cfs.cf AS cf, ctt.ct AS ct
+  FROM (SELECT doc_id FROM documents) d
+  LEFT JOIN dls USING (doc_id)
+  CROSS JOIN cfs
+  LEFT JOIN tfs_ ON tfs_.term = cfs.term AND tfs_.doc_id = d.doc_id
+  CROSS JOIN ctt
+),
+scored_b AS (
+  SELECT doc_id, CAST(sum({_DIR_LP}) AS BIGINT) AS logp_micro
+  FROM joined GROUP BY doc_id
+),
+top_b AS (
+  SELECT doc_id, logp_micro
+  FROM scored_b ORDER BY logp_micro DESC, doc_id ASC LIMIT {FUSE_POOL}
+),
+bmm AS (SELECT min(logp_micro) AS mnb, max(logp_micro) AS mxb FROM top_b),
+nb AS (
+  SELECT doc_id,
+         CAST((logp_micro - mnb) * 1000000 // greatest(mxb - mnb, 1)
+           AS BIGINT) AS nb_micro
+  FROM top_b CROSS JOIN bmm
+),
+fused AS (
+  SELECT coalesce(na.doc_id, nb.doc_id) AS doc_id,
+         CAST(coalesce(na.na_micro, 0) AS BIGINT) AS na_micro,
+         CAST(coalesce(nb.nb_micro, 0) AS BIGINT) AS nb_micro,
+         CAST((na.doc_id IS NOT NULL)::INT + (nb.doc_id IS NOT NULL)::INT
+           AS BIGINT) AS n_lists
+  FROM na FULL OUTER JOIN nb ON na.doc_id = nb.doc_id
+)
+SELECT CAST(row_number() OVER (
+         ORDER BY n_lists * (na_micro + nb_micro) DESC, doc_id ASC) AS INT)
+         AS rank,
+       doc_id, n_lists, na_micro, nb_micro,
+       CAST(n_lists * (na_micro + nb_micro) AS BIGINT) AS fused
+FROM fused
+ORDER BY rank LIMIT {FUSE_K}
+"""
+
+
+QUERIES["hybrid_combmnz_topk"] = (hybrid_combmnz_topk, _sql_combmnz())
