@@ -1,0 +1,441 @@
+"""Semantics + parity guards for session-12 operators.
+
+What each test pins:
+- MAP/ERR/RBP: recomputed end-to-end in pure-Python exact Fractions from
+  the same graded ranking — the metric arithmetic must match the Spark
+  integer-rational kernels EXACTLY (floor micro), and the metric columns
+  must be non-constant (saturated qrels prove nothing).
+- NQC/WIG: integer moments recomputed from the scored list; WIG is an
+  exact integer check, NQC an exact shared-float-string check.
+- PBM: the EM must actually RECOVER the planted position bias (monotone
+  head, large head/tail ratio) — not just match the oracle; the click
+  synthesis must be non-degenerate (both labels present, many items).
+- Sign quantization: codes, packing, and Hamming top-k recomputed in
+  pure Python from the raw embeddings — codec-parity discipline.
+- SALSA: walk-mass conservation within the truncation budget and
+  authority ordering consistent with in-weight mass at the head (the
+  stationary law of the degree-normalized walk).
+- Holt: the dyadic weight table must track a perfect linear ramp exactly
+  (l_k = v_k, b_k = b ⇒ forecast = v_8) — the defining property of
+  double-exponential smoothing, and a closed-form check of the unroll.
+- Kneser-Ney: all log-probs negative (P < 1 structurally) and the model
+  genuinely differs from the interpolated-bigram LM.
+- Readability: per-doc Flesch/FK recomputed exactly in Python.
+- CombMNZ: fused = n_lists·(na+nb) accounting and consensus docs present.
+- Consistent hashing: THE invariant — adding a shard moves documents
+  ONLY onto the new shard; totals conserved; balance non-degenerate.
+- Diversified sampler: per-source cap recomputed exactly in Python.
+- Next-word plan: every reported phrase is genuinely accelerated and its
+  first word qualifies for the index on this Zipfian corpus.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+from fractions import Fraction
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+TOKEN_RE = re.compile(r"\W+", re.ASCII)
+
+
+def _toks(text: str) -> list[str]:
+    return [t for t in TOKEN_RE.split(text.lower()) if t]
+
+
+# ------------------------------------------------------ rank-eval metrics
+
+
+@pytest.fixture(scope="module")
+def graded_rows(spark):
+    from harvester_spark.operators.retrieval import _graded_ranking
+
+    return [
+        (r["q_id"], r["doc_id"], float(r["score"]), int(r["rel"]))
+        for r in _graded_ranking(spark, SF_DIR).collect()
+    ]
+
+
+def _ranked(graded_rows, q):
+    rows = sorted(
+        (r for r in graded_rows if r[0] == q), key=lambda r: (-r[2], r[1])
+    )
+    return rows
+
+
+def test_map_matches_exact_fraction_recompute(spark):
+    from harvester_spark.operators.retrieval import (
+        NDCG_K,
+        _graded_ranking,
+        ft_rank_eval_map,
+    )
+
+    graded = [
+        (r["q_id"], r["doc_id"], float(r["score"]), int(r["rel"]))
+        for r in _graded_ranking(spark, SF_DIR).collect()
+    ]
+    got = {r["q_id"]: r for r in ft_rank_eval_map(spark, SF_DIR).collect()}
+    assert len(got) == 16
+    aps = set()
+    for q in got:
+        rows = _ranked(graded, q)
+        rel_total = sum(1 for r in rows if r[3] >= 3)
+        ap = Fraction(0)
+        cum = 0
+        for i, r in enumerate(rows[:NDCG_K], start=1):
+            if r[3] >= 3:
+                cum += 1
+                ap += Fraction(cum, i)
+        denom = max(min(rel_total, NDCG_K), 1)
+        expect = (ap * 1_000_000) / denom
+        assert got[q]["ap_micro"] == int(expect)  # floor of exact rational
+        assert got[q]["n_rel_total"] == rel_total
+        aps.add(got[q]["ap_micro"])
+    assert len(aps) > 3  # non-constant metric
+
+
+def test_err_rbp_match_exact_fraction_recompute(spark, graded_rows):
+    from harvester_spark.operators.retrieval import (
+        NDCG_K,
+        ft_rank_eval_err_rbp,
+    )
+
+    got = {r["q_id"]: r for r in ft_rank_eval_err_rbp(spark, SF_DIR).collect()}
+    assert len(got) == 16
+    errs, rbps = set(), set()
+    for q in got:
+        rows = _ranked(graded_rows, q)[:NDCG_K]
+        err = Fraction(0)
+        stop = Fraction(1)
+        rbp = Fraction(0)
+        for i, r in enumerate(rows, start=1):
+            rr = Fraction(2 ** r[3] - 1, 8)
+            err += Fraction(1, i) * rr * stop
+            stop *= 1 - rr
+            if r[3] >= 3:
+                rbp += Fraction(1, 5) * Fraction(4, 5) ** (i - 1)
+        assert got[q]["err_micro"] == int(err * 1_000_000)
+        assert got[q]["rbp_micro"] == int(rbp * 1_000_000)
+        assert 0 <= got[q]["err_micro"] <= 1_000_000
+        assert 0 <= got[q]["rbp_micro"] <= 1_000_000
+        errs.add(got[q]["err_micro"])
+        rbps.add(got[q]["rbp_micro"])
+    assert len(errs) > 3 and len(rbps) > 3
+
+
+def test_nqc_wig_match_integer_recompute(spark):
+    from harvester_spark.operators.ranking_ext import (
+        QPP_K,
+        QPP_QUERIES,
+        _bm25_components,
+        ft_qpp_nqc_wig,
+    )
+    from pyspark.sql import functions as F
+
+    all_terms = sorted({t for ts in QPP_QUERIES.values() for t in ts})
+    comps = _bm25_components(spark, SF_DIR, all_terms)
+    got = {r["query_id"]: r for r in ft_qpp_nqc_wig(spark, SF_DIR).collect()}
+    assert set(got) == set(QPP_QUERIES)
+    qt = [(q, t) for q, ts in QPP_QUERIES.items() for t in ts]
+    scored = (
+        spark.createDataFrame(qt, "query_id string, term string")
+        .join(comps, "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("contrib"), 6).alias("score"))
+        .collect()
+    )
+    byq: dict[str, list] = {}
+    for r in scored:
+        byq.setdefault(r["query_id"], []).append(
+            (math.floor(r["score"] * 1e6 + 0.5), r["doc_id"])
+        )
+    for q, rows in byq.items():
+        mu_all = sum(s for s, _ in rows) // len(rows)
+        top = sorted(rows, key=lambda x: (-x[0], x[1]))[:QPP_K]
+        n = len(top)
+        s1 = sum(s for s, _ in top)
+        s2 = sum(s * s for s, _ in top)
+        var_num = n * s2 - s1 * s1
+        assert got[q]["mu_all_micro"] == mu_all
+        assert got[q]["wig_micro"] == s1 // n - mu_all
+        assert got[q]["nqc_milli"] == math.floor(
+            math.sqrt(float(var_num)) * 1000.0 / (float(n) * float(mu_all)) + 0.5
+        )
+    # spiky-vs-flat discrimination exists
+    assert len({r["nqc_milli"] for r in got.values()}) > 1
+
+
+# --------------------------------------------------------------- PBM / CTR
+
+
+def test_pbm_recovers_planted_position_bias(spark):
+    from harvester_spark.operators.click_models import click_model_pbm
+
+    rows = {r["p"]: r for r in click_model_pbm(spark, SF_DIR).collect()}
+    assert set(rows) == set(range(1, 11))
+    g = {p: rows[p]["gamma_em_milli"] for p in rows}
+    assert g[1] > g[2] > g[3]  # monotone head
+    assert g[1] > 2 * g[10]  # planted 10x bias visible through EM scale
+    assert g[1] >= 700  # head position genuinely examined
+
+
+def test_click_synthesis_non_degenerate(spark):
+    from harvester_spark.operators.click_models import _impressions
+
+    impr = _impressions(spark, SF_DIR).collect()
+    labels = {r["c"] for r in impr}
+    assert labels == {0, 1}  # both click outcomes occur
+    assert len({r["item"] for r in impr}) >= 50  # many attractiveness cells
+    by_p: dict[int, list[int]] = {}
+    for r in impr:
+        by_p.setdefault(r["p"], []).append(r["c"])
+    ctr = {p: sum(v) / len(v) for p, v in by_p.items()}
+    assert ctr[1] > ctr[5] > 0  # raw position bias exists pre-model
+
+
+def test_coclick_cos2_accounting(spark):
+    from harvester_spark.operators.click_models import coclick_item_sim
+
+    rows = coclick_item_sim(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["item_i"] < r["item_j"]
+        assert r["co"] <= min(r["n_i"], r["n_j"])
+        assert r["cos2_micro"] == r["co"] * r["co"] * 1_000_000 // (
+            r["n_i"] * r["n_j"]
+        )
+        assert r["cos2_micro"] <= 1_000_000
+
+
+# ------------------------------------------------- sign quantization
+
+
+def test_sign_codes_match_pure_python(spark):
+    from harvester_spark.operators.common import load
+    from harvester_spark.operators.similarity import (
+        _KM_SCALE,
+        N_QUERIES,
+        TOP_K,
+        ann_sign_hamming_topk,
+    )
+
+    emb = {
+        int(r["vec_id"]): [int(round(float(v) * _KM_SCALE)) for v in r["embedding"]]
+        for r in load(spark, SF_DIR, "embeddings").collect()
+    }
+    dim = len(next(iter(emb.values())))
+    n = len(emb)
+    sums = [sum(v[d] for v in emb.values()) for d in range(dim)]
+    codes = {}
+    for vid, v in emb.items():
+        bits = [1 if n * v[d] > sums[d] else 0 for d in range(dim)]
+        w0 = sum(b << i for i, b in enumerate(bits[:32]))
+        w1 = sum(b << i for i, b in enumerate(bits[32:64]))
+        codes[vid] = (w0, w1)
+    expect = {}
+    for q in range(N_QUERIES):
+        hams = sorted(
+            (
+                (
+                    bin(codes[q][0] ^ c[0]).count("1")
+                    + bin(codes[q][1] ^ c[1]).count("1"),
+                    vid,
+                )
+                for vid, c in codes.items()
+                if vid != q
+            )
+        )[:TOP_K]
+        expect[q] = hams
+    got: dict[int, list] = {}
+    for r in ann_sign_hamming_topk(spark, SF_DIR).collect():
+        got.setdefault(r["qid"], []).append((r["rnk"], r["ham"], r["vec_id"]))
+    for q in expect:
+        rows = sorted(got[q])
+        assert [(h, v) for _, h, v in rows] == expect[q]
+
+
+# ------------------------------------------------------------------ SALSA
+
+
+def test_salsa_mass_conserved_and_head_tracks_inweight(spark):
+    from harvester_spark.operators.graph import SALSA_UNIT, _edges, salsa_scores
+
+    rows = salsa_scores(spark, SF_DIR).collect()
+    a_sum = sum(r["salsa_auth_unit"] for r in rows)
+    h_sum = sum(r["salsa_hub_unit"] for r in rows)
+    edges = _edges(spark, SF_DIR).collect()
+    budget = 2 * 4 * len(edges)  # <=1 truncation per edge per half-sweep
+    assert SALSA_UNIT - budget <= a_sum <= SALSA_UNIT
+    assert SALSA_UNIT - budget <= h_sum <= SALSA_UNIT
+    # stationary authority of the degree-normalized walk ~ in-weight mass
+    win: dict[str, int] = {}
+    for e in edges:
+        win[e["dst"]] = win.get(e["dst"], 0) + e["w"]
+    top_auth = max(rows, key=lambda r: (r["salsa_auth_unit"], r["host"]))
+    top_win = max(win.items(), key=lambda kv: (kv[1], kv[0]))[0]
+    assert top_auth["host"] == top_win
+    assert len({r["salsa_auth_unit"] for r in rows}) > 3
+
+
+def test_reciprocity_accounting(spark):
+    from harvester_spark.operators.graph import host_reciprocity
+
+    rows = host_reciprocity(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_recip"] <= r["n_out"]
+        assert r["recip_milli"] == r["n_recip"] * 1000 // r["n_out"]
+
+
+# ------------------------------------------------------------------- Holt
+
+
+def test_holt_weights_track_linear_ramp_exactly():
+    from harvester_spark.operators.es_aggs import _HOLT_DEN, _HOLT_W, _HOLT_WEIGHTS
+
+    assert sum(_HOLT_WEIGHTS) == _HOLT_DEN
+    for a, b in ((5, 3), (100, -7), (0, 1)):
+        vals = [a + b * i for i in range(_HOLT_W)]
+        num = sum(w * v for w, v in zip(_HOLT_WEIGHTS, vals))
+        # perfect linear series: forecast == next point, exactly
+        assert num == _HOLT_DEN * (a + b * _HOLT_W)
+
+
+def test_holt_operator_emits_full_windows_only(spark):
+    from harvester_spark.operators.es_aggs import events_moving_holt
+
+    rows = events_moving_holt(spark, SF_DIR).collect()
+    assert rows
+    by_type: dict[str, int] = {}
+    for r in rows:
+        by_type[r["event_type"]] = by_type.get(r["event_type"], 0) + 1
+    assert len(set(by_type.values())) == 1  # same densified span per type
+    assert len({r["holt_milli"] for r in rows}) > 10
+
+
+# ------------------------------------------------------------ Kneser-Ney
+
+
+def test_kneser_ney_is_a_proper_distinct_model(spark):
+    from harvester_spark.operators.fulltext_queries import (
+        ft_bigram_lm_logprob,
+        ft_kneser_ney_logprob,
+    )
+
+    kn = {r["doc_id"]: r for r in ft_kneser_ney_logprob(spark, SF_DIR).collect()}
+    bi = {r["doc_id"]: r for r in ft_bigram_lm_logprob(spark, SF_DIR).collect()}
+    assert set(kn) == set(bi)
+    assert all(r["logp_micro"] < 0 for r in kn.values())  # P < 1 structurally
+    diff = sum(1 for d in kn if kn[d]["logp_micro"] != bi[d]["logp_micro"])
+    assert diff > len(kn) * 0.9  # genuinely different smoothing
+
+
+# ------------------------------------------------------------ readability
+
+
+def test_readability_matches_pure_python(spark):
+    from harvester_spark.operators.common import load
+    from harvester_spark.operators.text_analytics import ft_readability
+
+    docs = {
+        int(r["doc_id"]): r["text"]
+        for r in load(spark, SF_DIR, "documents").collect()
+    }
+    got = {r["doc_id"]: r for r in ft_readability(spark, SF_DIR).collect()}
+    assert set(got) == set(docs)
+    flesch_vals = set()
+    for d, text in docs.items():
+        toks = _toks(text)
+        w = len(toks)
+        s = toks.count("the") + 1
+        y = len(re.findall(r"[aeiou]+", text.lower()))
+        t1 = (1015 * w + s // 2) // s
+        t2 = (84600 * y + w // 2) // w
+        assert got[d]["flesch_milli"] == 206835 - t1 - t2
+        g1 = (390 * w + s // 2) // s
+        g2 = (11800 * y + w // 2) // w
+        assert got[d]["fk_grade_milli"] == g1 + g2 - 15590
+        flesch_vals.add(got[d]["flesch_milli"])
+    assert len(flesch_vals) > 10  # per-doc variation, not a constant
+
+
+# -------------------------------------------------------------- CombMNZ
+
+
+def test_combmnz_accounting_and_consensus(spark):
+    from harvester_spark.operators.ranking_ext import hybrid_combmnz_topk
+
+    rows = hybrid_combmnz_topk(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["fused"] == r["n_lists"] * (r["na_micro"] + r["nb_micro"])
+        assert 0 <= r["na_micro"] <= 1_000_000
+        assert 0 <= r["nb_micro"] <= 1_000_000
+    assert rows[0]["n_lists"] == 2  # the top fused doc is a consensus doc
+
+
+# --------------------------------------------------- consistent hashing
+
+
+def test_consistent_hash_moves_only_to_new_shard(spark):
+    from harvester_spark.operators.common import load
+    from harvester_spark.operators.index_stats import CH_N, consistent_hash_eval
+
+    rows = {r["shard"]: r for r in consistent_hash_eval(spark, SF_DIR).collect()}
+    n_docs = load(spark, SF_DIR, "documents").count()
+    assert sum(r["n_docs_new"] for r in rows.values()) == n_docs
+    assert sum(r["n_docs_old"] for r in rows.values()) == n_docs
+    for s, r in rows.items():
+        if s < CH_N:
+            assert r["n_moved_in"] == 0  # THE consistent-hashing invariant
+    assert rows[CH_N]["n_moved_in"] == rows[CH_N]["n_docs_new"] > 0
+    assert len({r["n_docs_new"] for r in rows.values()}) > 1
+
+
+# ------------------------------------------------- diversified sampler
+
+
+def test_diversified_sampler_cap_matches_python(spark):
+    from harvester_spark.operators.common import load
+    from harvester_spark.operators.es_aggs import DS_PER_VALUE, es_diversified_sampler
+
+    docs = load(spark, SF_DIR, "documents").collect()
+    by_src: dict[str, list] = {}
+    for r in docs:
+        by_src.setdefault(r["source"], []).append(r)
+    picked = []
+    for src, rows in by_src.items():
+        rows.sort(key=lambda r: (hashlib.md5(str(r["doc_id"]).encode()).hexdigest(), r["doc_id"]))
+        picked.extend(rows[:DS_PER_VALUE])
+    expect: dict[str, tuple] = {}
+    for lang in {r["lang"] for r in picked}:
+        sel = [r for r in picked if r["lang"] == lang]
+        expect[lang] = (
+            len(sel),
+            len({r["source"] for r in sel}),
+            sum(r["n_chars"] for r in sel) * 1_000_000 // len(sel),
+        )
+    got = {
+        r["lang"]: (r["n_sampled"], r["n_sources"], r["avg_chars_micro"])
+        for r in es_diversified_sampler(spark, SF_DIR).collect()
+    }
+    assert got == expect
+
+
+# ---------------------------------------------------- next-word planning
+
+
+def test_nextword_plan_accelerates_head_phrases(spark):
+    from harvester_spark.operators.index_stats import nextword_index_plan
+
+    rows = nextword_index_plan(spark, SF_DIR).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r["cost_nw"] < r["cost_full"]  # the whole point
+        assert r["speedup_milli"] == r["cost_full"] * 1000 // r["cost_nw"]
+        assert r["in_index"] == 1  # head phrases start with head words here
+        assert r["speedup_milli"] > 2000  # >= 2x acceleration, genuinely useful
