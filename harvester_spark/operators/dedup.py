@@ -1435,3 +1435,128 @@ QUERIES["dedup_tfidf_cosine_pairs"] = (
     dedup_tfidf_cosine_pairs,
     SQL_TFIDF_COSINE_PAIRS,
 )
+
+
+# ---------------------------------------------- content-defined chunking
+
+# CDC storage dedup (the LBFS/rsync/restic family; Muthitacharoen et al.
+# SOSP 2001): chunk boundaries are declared wherever a rolling
+# content hash of the last {CDC_W} characters hits 0 mod {CDC_MOD}, so
+# INSERTIONS SHIFT BOUNDARIES LOCALLY instead of re-aligning every chunk
+# the way a fixed grid does — near-duplicate documents then share most of
+# their chunks and a content-addressed store keeps each chunk once. This
+# is the STORAGE-layer dedup rung under the repo's document-level family
+# (exact / MinHash / SimHash / spans): it prices byte-level savings, not
+# document removal.
+#
+# Determinism: the "rolling" hash at position p is the md5-derived 56-bit
+# integer of substring(text, p−{CDC_W}+1, {CDC_W}) — content-defined and
+# alignment-free exactly like a Gear/Rabin window (md5 replaces the
+# incremental polynomial; same boundary semantics, engine-identical).
+# Chunk identity is md5 of the chunk text. Every figure is an exact
+# integer; dedup_milli = duplicated bytes / total bytes.
+#
+# Scale shape: ONE position-explode map (no shuffle — the window runs
+# inside the per-doc partition), one boundary lag window keyed by doc,
+# one chunk-hash groupBy (THE content-addressed store build), one scalar
+# rollup. At petabyte scale the explode becomes the mapInPandas rolling
+# kernel; the plan shape (map → chunk-hash exchange → rollup) is
+# unchanged.
+
+CDC_W = 8  # rolling window (chars)
+CDC_MOD = 64  # boundary divisor => expected ~64-char chunks
+
+
+def cdc_chunk_dedup(spark, sf_dir):
+    """(n_chunks, n_distinct_chunks, dup_chunks, total_bytes, dup_bytes,
+    dedup_milli): corpus-level content-defined-chunking dedup figures."""
+    docs = load(spark, sf_dir, "documents").filter(F.length("text") >= 1)
+    pos = docs.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(1), F.length("text"))).alias("p"),
+    )
+    bnd = pos.filter(
+        (
+            (F.col("p") >= CDC_W)
+            & (
+                F.conv(
+                    F.substring(
+                        F.md5(F.expr(f"substring(text, p - {CDC_W - 1}, {CDC_W})")),
+                        1,
+                        14,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % CDC_MOD
+                == 0
+            )
+        )
+        | (F.col("p") == F.length("text"))
+    )
+    wl = W.partitionBy("doc_id").orderBy("p")
+    chunks = bnd.select(
+        "doc_id",
+        "text",
+        F.coalesce(F.lag("p").over(wl), F.lit(0)).alias("prev"),
+        "p",
+    ).select(
+        F.expr("substring(text, prev + 1, p - prev)").alias("chunk"),
+        (F.col("p") - F.col("prev")).cast("long").alias("len"),
+    )
+    store = chunks.groupBy(F.md5("chunk").alias("h")).agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.max("len").cast("long").alias("len"),
+    )
+    return store.agg(
+        F.sum("cnt").cast("long").alias("n_chunks"),
+        F.count("*").cast("long").alias("n_distinct_chunks"),
+        F.sum(F.col("cnt") - 1).cast("long").alias("dup_chunks"),
+        F.sum(F.col("cnt") * F.col("len")).cast("long").alias("total_bytes"),
+        F.sum((F.col("cnt") - 1) * F.col("len")).cast("long").alias("dup_bytes"),
+    ).withColumn(
+        "dedup_milli",
+        F.expr("CAST(dup_bytes * 1000 DIV total_bytes AS BIGINT)"),
+    )
+
+
+SQL_CDC_CHUNK_DEDUP = f"""
+WITH pos AS (
+  SELECT doc_id, text, CAST(p AS BIGINT) AS p
+  FROM documents
+  CROSS JOIN LATERAL (SELECT unnest(range(1, length(text) + 1)) AS p)
+  WHERE length(text) >= 1
+),
+bnd AS (
+  SELECT doc_id, text, p FROM pos
+  WHERE (p >= {CDC_W} AND
+         CAST(('0x' || substr(md5(substring(text, p - {CDC_W - 1}, {CDC_W})),
+                              1, 14)) AS BIGINT) % {CDC_MOD} = 0)
+     OR p = length(text)
+),
+chunks AS (
+  SELECT substring(text, prev + 1, p - prev) AS chunk,
+         CAST(p - prev AS BIGINT) AS len
+  FROM (
+    SELECT doc_id, text, p,
+           coalesce(lag(p) OVER (PARTITION BY doc_id ORDER BY p), 0) AS prev
+    FROM bnd
+  )
+),
+store AS (
+  SELECT md5(chunk) AS h, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(max(len) AS BIGINT) AS len
+  FROM chunks GROUP BY 1
+)
+SELECT CAST(sum(cnt) AS BIGINT) AS n_chunks,
+       CAST(count(*) AS BIGINT) AS n_distinct_chunks,
+       CAST(sum(cnt - 1) AS BIGINT) AS dup_chunks,
+       CAST(sum(cnt * len) AS BIGINT) AS total_bytes,
+       CAST(sum((cnt - 1) * len) AS BIGINT) AS dup_bytes,
+       CAST(CAST(sum((cnt - 1) * len) AS BIGINT) * 1000
+            // CAST(sum(cnt * len) AS BIGINT) AS BIGINT) AS dedup_milli
+FROM store
+"""
+
+QUERIES["cdc_chunk_dedup"] = (cdc_chunk_dedup, SQL_CDC_CHUNK_DEDUP)

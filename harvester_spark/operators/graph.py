@@ -1385,3 +1385,88 @@ FROM deg d LEFT JOIN recip r ON r.src = d.src
 
 
 QUERIES["host_reciprocity"] = (host_reciprocity, _sql_reciprocity())
+
+
+# ----------------------------------------------------- degree assortativity
+
+# Newman's degree-assortativity coefficient over the host graph: across
+# directed edges, the Pearson correlation between the source's out-degree
+# and the destination's in-degree (weighted degrees). Spam farms and
+# mirror clusters show up as strong positive assortativity; organic web
+# graphs are famously disassortative — the one-number structural health
+# check next to host_reciprocity. Moments are exact integers over the
+# edge relation; only the final Pearson touches doubles, through the
+# es_matrix_stats sign-split micro string on identical integer inputs.
+#
+# Scale shape: two degree groupBys + two broadcast joins back onto edges
+# + one scalar agg. Edge-count-sized throughout.
+
+_ASSORT_MICRO = (
+    "CAST(CASE WHEN covn >= 0 "
+    "THEN floor(covn * 1.0e6 / sqrt(CAST(va AS DOUBLE) * CAST(vb AS DOUBLE)) + 0.5e0) "
+    "ELSE -floor(-(covn) * 1.0e6 / sqrt(CAST(va AS DOUBLE) * CAST(vb AS DOUBLE)) + 0.5e0) "
+    "END AS BIGINT)"
+)
+
+
+def host_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(m, sx, sy, covn, assort_micro): edge count, degree sums, n·cov
+    numerator, and the degree-assortativity Pearson in micro-units."""
+    edges = _edges(spark, sf_dir).cache()
+    outd = edges.groupBy("src").agg(F.sum("w").cast("long").alias("x"))
+    ind = edges.groupBy("dst").agg(F.sum("w").cast("long").alias("y"))
+    e = edges.join(outd, "src").join(ind, "dst")
+    agg = e.agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("sy2"),
+    )
+    return agg.select(
+        "m",
+        "sx",
+        "sy",
+        F.expr("CAST(m * sxy - sx * sy AS BIGINT)").alias("covn"),
+        F.expr(
+            "CAST(m * sx2 - sx * sx AS BIGINT)"
+        ).alias("va"),
+        F.expr(
+            "CAST(m * sy2 - sy * sy AS BIGINT)"
+        ).alias("vb"),
+    ).select("m", "sx", "sy", "covn", F.expr(_ASSORT_MICRO).alias("assort_micro"))
+
+
+def _sql_assortativity() -> str:
+    hash_doc = _SQL_HASH56.format(col="CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH e0 AS (
+  SELECT source AS src,
+         'src' || CAST({hash_doc} % {PR_FANOUT} AS VARCHAR) AS dst
+  FROM documents
+),
+edges AS MATERIALIZED (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+  FROM e0 WHERE src <> dst GROUP BY 1, 2
+),
+outd AS (SELECT src, CAST(sum(w) AS BIGINT) AS x FROM edges GROUP BY src),
+ind AS (SELECT dst, CAST(sum(w) AS BIGINT) AS y FROM edges GROUP BY dst),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sx2,
+         CAST(sum(y * y) AS BIGINT) AS sy2
+  FROM edges JOIN outd USING (src) JOIN ind USING (dst)
+)
+SELECT m, sx, sy,
+       CAST(m * sxy - sx * sy AS BIGINT) AS covn,
+       {_ASSORT_MICRO.replace("covn", "(m * sxy - sx * sy)")
+                      .replace("va", "(m * sx2 - sx * sx)")
+                      .replace("vb", "(m * sy2 - sy * sy)")} AS assort_micro
+FROM m
+"""
+
+
+QUERIES["host_assortativity"] = (host_assortativity, _sql_assortativity())

@@ -362,3 +362,209 @@ FROM sl
 """
 
 QUERIES["heaps_law_fit"] = (heaps_law_fit, SQL_HEAPS)
+
+
+# ----------------------------------------------------------- bot scoring
+
+# Rule-based bot/automation detection over the interaction log — the
+# traffic-curation step every web analytics (and LLM-training-data) tier
+# runs before trusting its click/usage signals. Three classic per-client
+# features, each an exact integer:
+# - request rate (events/hour, milli) over the client's active span,
+# - inter-arrival REGULARITY: the squared coefficient of variation of
+#   event gaps — humans are bursty (CV² ≈ 1, the Poisson value), cron-like
+#   automation is metronomic (CV² → 0). Exact integer moments over gaps
+#   in MINUTES, reported milli (the unit choice keeps
+#   n·Σgap² · 1000 inside int64 up to ~9e15 gap-minute² mass per client —
+#   documented overflow bound),
+# - error ratio (milli) — scrapers hit dead endpoints.
+# Flags fire against fixed thresholds chosen at the distribution medians
+# (RATE > {BOT_RATE_T}, CV² < {BOT_CV2_T} with ≥ 5 gaps, err ≥
+# {BOT_ERR_T}) so both flag values occur on organic traffic; bot_score
+# sums the flags. Timestamps go through unix_micros(CAST(ts AS
+# TIMESTAMP)) / epoch_us — exact integer µs, no fractional-epoch seam
+# (the CLAUDE.md epoch() gotcha).
+#
+# Scale shape: one user-keyed lag window + one groupBy — the sessionize
+# cost envelope; thresholds are literals, nothing reaches the driver.
+
+BOT_RATE_T = 100  # events/hour milli
+BOT_CV2_T = 900  # CV^2 milli
+BOT_ERR_T = 250  # error-ratio milli
+
+_BOT_FLAGS = (
+    "CAST((rate_milli > {rate_t}) AS BIGINT) + "
+    "CAST((n_gaps >= 5 AND cv2_milli < {cv2_t}) AS BIGINT) + "
+    "CAST((err_milli >= {err_t}) AS BIGINT)"
+)
+
+
+def events_bot_detection(spark, sf_dir):
+    """(user_id, n_events, rate_milli, cv2_milli, err_milli, bot_score):
+    per-client automation features + rule score."""
+    ev = load(spark, sf_dir, "events").selectExpr(
+        "user_id",
+        "event_id",
+        "event_type",
+        "unix_micros(CAST(ts AS TIMESTAMP)) AS us",
+    )
+    g = ev.withColumn(
+        "gap_m", F.expr("(us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)) DIV 60000000")
+    )
+    per = g.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum((F.col("event_type") == "error").cast("long")).cast("long").alias("n_err"),
+        F.expr("CAST((max(us) - min(us)) DIV 1000000 AS BIGINT)").alias("span_s"),
+        F.count("gap_m").cast("long").alias("n_gaps"),
+        F.coalesce(F.sum("gap_m"), F.lit(0)).cast("long").alias("g1"),
+        F.coalesce(F.sum(F.col("gap_m") * F.col("gap_m")), F.lit(0)).cast("long").alias("g2"),
+    )
+    feats = per.select(
+        "user_id",
+        "n_events",
+        "n_gaps",
+        F.expr("CAST(n_events * 3600000 DIV greatest(span_s, 1) AS BIGINT)").alias("rate_milli"),
+        F.expr(
+            "CAST((n_gaps * g2 - g1 * g1) * 1000 DIV greatest(g1 * g1, 1) AS BIGINT)"
+        ).alias("cv2_milli"),
+        F.expr("CAST(n_err * 1000 DIV n_events AS BIGINT)").alias("err_milli"),
+    )
+    return feats.select(
+        "user_id",
+        "n_events",
+        "rate_milli",
+        "cv2_milli",
+        "err_milli",
+        F.expr(
+            _BOT_FLAGS.format(rate_t=BOT_RATE_T, cv2_t=BOT_CV2_T, err_t=BOT_ERR_T)
+        ).alias("bot_score"),
+    )
+
+
+SQL_BOT_DETECTION = f"""
+WITH ev AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch_us(ts)) AS BIGINT) AS us
+  FROM events
+),
+g AS (
+  SELECT user_id, event_type, us,
+         (us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id))
+           // 60000000 AS gap_m
+  FROM ev
+),
+per AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_err,
+         CAST((max(us) - min(us)) // 1000000 AS BIGINT) AS span_s,
+         CAST(count(gap_m) AS BIGINT) AS n_gaps,
+         CAST(coalesce(sum(gap_m), 0) AS BIGINT) AS g1,
+         CAST(coalesce(sum(gap_m * gap_m), 0) AS BIGINT) AS g2
+  FROM g GROUP BY user_id
+),
+feats AS (
+  SELECT user_id, n_events, n_gaps,
+         CAST(n_events * 3600000 // greatest(span_s, 1) AS BIGINT)
+           AS rate_milli,
+         CAST((n_gaps * g2 - g1 * g1) * 1000 // greatest(g1 * g1, 1)
+           AS BIGINT) AS cv2_milli,
+         CAST(n_err * 1000 // n_events AS BIGINT) AS err_milli
+  FROM per
+)
+SELECT user_id, n_events, rate_milli, cv2_milli, err_milli,
+       CAST({_BOT_FLAGS.format(rate_t=BOT_RATE_T, cv2_t=BOT_CV2_T,
+                               err_t=BOT_ERR_T)} AS BIGINT) AS bot_score
+FROM feats
+"""
+
+QUERIES["events_bot_detection"] = (events_bot_detection, SQL_BOT_DETECTION)
+
+
+# ------------------------------------------------------- Gini / Lorenz
+
+# Traffic-concentration analytics: the Lorenz curve and Gini coefficient
+# of per-client event volume — the standard inequality read on any web
+# log (a handful of clients generating most traffic is the capacity-
+# planning and abuse-triage signal). With counts sorted ascending and
+# ranked i = 1..n, Gini has the EXACT closed form
+#   G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx)
+# — pure integers end to end (the numerator is nonnegative for ascending
+# order by the rearrangement inequality), reported micro. Lorenz is the
+# decile cumulative-share curve off the same ranked prefix sums.
+#
+# Scale shape: one user groupBy, one global rank + running sum over the
+# CLIENT-count-sized relation (clients ≪ events; at 10^9 clients this is
+# the one justified global sort — it IS the statistic), one scalar agg
+# broadcast back. Deciles are a map expression on the rank.
+
+
+def events_gini_lorenz(spark, sf_dir):
+    """(decile, n_users_cum, events_cum, cum_share_micro, gini_micro):
+    Lorenz decile points + the exact Gini of per-user event counts."""
+    ev = load(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(F.count("*").cast("long").alias("x"))
+    wr = W.orderBy(F.col("x").asc(), F.col("user_id").asc())
+    ranked = per.withColumn("i", F.row_number().over(wr).cast("long"))
+    tot = F.broadcast(
+        ranked.agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("x").cast("long").alias("s"),
+            F.sum(F.col("i") * F.col("x")).cast("long").alias("six"),
+        )
+    )
+    wc = W.orderBy("i").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = ranked.withColumn("cum", F.sum("x").over(wc).cast("long"))
+    dec = (
+        cum.crossJoin(tot)
+        .withColumn("decile", F.expr("CAST(((i - 1) * 10) DIV n + 1 AS BIGINT)"))
+        .groupBy("decile")
+        .agg(
+            F.max("i").cast("long").alias("n_users_cum"),
+            F.max("cum").cast("long").alias("events_cum"),
+            F.expr("CAST(max(cum) * 1000000 DIV max(s) AS BIGINT)").alias(
+                "cum_share_micro"
+            ),
+            F.expr(
+                "CAST((2 * max(six) - (max(n) + 1) * max(s)) * 1000000"
+                " DIV (max(n) * max(s)) AS BIGINT)"
+            ).alias("gini_micro"),
+        )
+    )
+    return dec.select(
+        "decile", "n_users_cum", "events_cum", "cum_share_micro", "gini_micro"
+    )
+
+
+SQL_GINI_LORENZ = """
+WITH per AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS x FROM events GROUP BY user_id
+),
+ranked AS (
+  SELECT user_id, x,
+         CAST(row_number() OVER (ORDER BY x ASC, user_id ASC) AS BIGINT) AS i
+  FROM per
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s,
+         CAST(sum(i * x) AS BIGINT) AS six
+  FROM ranked
+),
+cum AS (
+  SELECT i, x,
+         CAST(sum(x) OVER (ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM ranked
+)
+SELECT CAST(((i - 1) * 10) // n + 1 AS BIGINT) AS decile,
+       CAST(max(i) AS BIGINT) AS n_users_cum,
+       CAST(max(cum) AS BIGINT) AS events_cum,
+       CAST(max(cum) * 1000000 // max(s) AS BIGINT) AS cum_share_micro,
+       CAST((2 * max(six) - (max(n) + 1) * max(s)) * 1000000
+            // (max(n) * max(s)) AS BIGINT) AS gini_micro
+FROM cum CROSS JOIN tot
+GROUP BY 1
+"""
+
+QUERIES["events_gini_lorenz"] = (events_gini_lorenz, SQL_GINI_LORENZ)
