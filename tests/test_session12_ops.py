@@ -43,6 +43,10 @@ SF_DIR = "/root/testdata/sf0.001"
 TOKEN_RE = re.compile(r"\W+", re.ASCII)
 
 
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
 def _toks(text: str) -> list[str]:
     return [t for t in TOKEN_RE.split(text.lower()) if t]
 
@@ -439,3 +443,145 @@ def test_nextword_plan_accelerates_head_phrases(spark):
         assert r["speedup_milli"] == r["cost_full"] * 1000 // r["cost_nw"]
         assert r["in_index"] == 1  # head phrases start with head words here
         assert r["speedup_milli"] > 2000  # >= 2x acceleration, genuinely useful
+
+
+# --------------------------------------------------- bot / gini / graph
+
+
+def test_bot_features_match_python_and_flags_split(spark):
+    from harvester_spark.operators.common import load
+    from harvester_spark.operators.web_econ import events_bot_detection
+
+    ev = sorted(
+        (
+            (r["user_id"], int(r["ts"].timestamp() * 1_000_000), r["event_id"],
+             r["event_type"])
+            for r in load(spark, SF_DIR, "events").collect()
+        ),
+        key=lambda t: (t[0], t[1], t[2]),
+    )
+    by_u: dict[int, list] = {}
+    for u, us, eid, et in ev:
+        by_u.setdefault(u, []).append((us, et))
+    got = {r["user_id"]: r for r in events_bot_detection(spark, SF_DIR).collect()}
+    assert set(got) == set(by_u)
+    scores = set()
+    for u, rows in by_u.items():
+        gaps = [(b[0] - a[0]) // 60_000_000 for a, b in zip(rows, rows[1:])]
+        n = len(rows)
+        span_s = (rows[-1][0] - rows[0][0]) // 1_000_000
+        g1, g2 = sum(gaps), sum(g * g for g in gaps)
+        ng = len(gaps)
+        assert got[u]["rate_milli"] == n * 3600000 // max(span_s, 1)
+        assert got[u]["cv2_milli"] == (ng * g2 - g1 * g1) * 1000 // max(g1 * g1, 1)
+        n_err = sum(1 for _, et in rows if et == "error")
+        assert got[u]["err_milli"] == n_err * 1000 // n
+        scores.add(got[u]["bot_score"])
+    assert len(scores) >= 2  # thresholds genuinely split the population
+
+
+def test_gini_matches_exact_python(spark):
+    from harvester_spark.operators.common import load
+    from harvester_spark.operators.web_econ import events_gini_lorenz
+
+    per: dict[int, int] = {}
+    for r in load(spark, SF_DIR, "events").collect():
+        per[r["user_id"]] = per.get(r["user_id"], 0) + 1
+    xs = [x for _, x in sorted(per.items(), key=lambda kv: (kv[1], kv[0]))]
+    n, s = len(xs), sum(xs)
+    six = sum(i * x for i, x in enumerate(xs, start=1))
+    gini = (2 * six - (n + 1) * s) * 1_000_000 // (n * s)
+    rows = sorted(events_gini_lorenz(spark, SF_DIR).collect(), key=lambda r: r["decile"])
+    assert all(r["gini_micro"] == gini for r in rows)
+    assert 0 < gini < 1_000_000
+    shares = [r["cum_share_micro"] for r in rows]
+    assert shares == sorted(shares)  # Lorenz curve is monotone
+    assert shares[-1] == 1_000_000  # full mass at the last decile
+    assert rows[-1]["events_cum"] == s and rows[-1]["n_users_cum"] == n
+
+
+def test_assortativity_matches_python_pearson(spark):
+    import math
+
+    from harvester_spark.operators.graph import _edges, host_assortativity
+
+    edges = [(e["src"], e["dst"], e["w"]) for e in _edges(spark, SF_DIR).collect()]
+    outd: dict[str, int] = {}
+    ind: dict[str, int] = {}
+    for s, d, w in edges:
+        outd[s] = outd.get(s, 0) + w
+        ind[d] = ind.get(d, 0) + w
+    xy = [(outd[s], ind[d]) for s, d, _ in edges]
+    m = len(xy)
+    sx = sum(x for x, _ in xy)
+    sy = sum(y for _, y in xy)
+    sxy = sum(x * y for x, y in xy)
+    sx2 = sum(x * x for x, _ in xy)
+    sy2 = sum(y * y for _, y in xy)
+    covn = m * sxy - sx * sy
+    va, vb = m * sx2 - sx * sx, m * sy2 - sy * sy
+    expect = (
+        math.floor(covn * 1e6 / math.sqrt(float(va) * float(vb)) + 0.5)
+        if covn >= 0
+        else -math.floor(-covn * 1e6 / math.sqrt(float(va) * float(vb)) + 0.5)
+    )
+    row = host_assortativity(spark, SF_DIR).collect()[0]
+    assert (row["m"], row["sx"], row["sy"], row["covn"]) == (m, sx, sy, covn)
+    assert row["assort_micro"] == expect
+
+
+def test_cdc_chunks_match_pure_python(spark):
+    from harvester_spark.operators.common import load
+    from harvester_spark.operators.dedup import CDC_MOD, CDC_W, cdc_chunk_dedup
+
+    store: dict[str, list] = {}
+    for r in load(spark, SF_DIR, "documents").collect():
+        text = r["text"]
+        prev = 0
+        for p in range(1, len(text) + 1):
+            is_b = p == len(text)
+            if not is_b and p >= CDC_W:
+                h = int(
+                    hashlib.md5(text[p - CDC_W : p].encode()).hexdigest()[:14], 16
+                )
+                is_b = h % CDC_MOD == 0
+            if is_b:
+                chunk = text[prev:p]
+                store.setdefault(
+                    hashlib.md5(chunk.encode()).hexdigest(), []
+                ).append(len(chunk))
+                prev = p
+    n_chunks = sum(len(v) for v in store.values())
+    dup_chunks = sum(len(v) - 1 for v in store.values())
+    total = sum(sum(v) for v in store.values())
+    dup_bytes = sum((len(v) - 1) * v[0] for v in store.values())
+    row = cdc_chunk_dedup(spark, SF_DIR).collect()[0]
+    assert row["n_chunks"] == n_chunks
+    assert row["n_distinct_chunks"] == len(store)
+    assert row["dup_chunks"] == dup_chunks
+    assert row["total_bytes"] == total
+    assert row["dup_bytes"] == dup_bytes
+    assert row["dedup_milli"] == dup_bytes * 1000 // total
+    assert dup_chunks > 0  # near-dup docs genuinely share chunks
+
+
+def test_pbm_plan_uses_broadcast_parameter_joins(spark):
+    from pyspark.sql import functions as F
+
+    from harvester_spark.operators.click_models import _E_EXAM, _impressions
+
+    # The EM iterations localCheckpoint eagerly, so the iteration joins
+    # vanish from the FINAL plan; guard the iteration shape directly: one
+    # E-step join of the log against both (broadcast-hinted) parameter
+    # tables must compile to broadcast joins only.
+    impr = _impressions(spark, SF_DIR)
+    gamma = impr.select("p").distinct().withColumn("g", F.lit(500).cast("long"))
+    alpha = impr.select("item").distinct().withColumn("a", F.lit(500).cast("long"))
+    est = (
+        impr.join(F.broadcast(gamma), "p")
+        .join(F.broadcast(alpha), "item")
+        .withColumn("ee", F.expr(_E_EXAM.format(div="DIV")))
+    )
+    plan = _plan(est)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
