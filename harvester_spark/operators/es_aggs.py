@@ -1638,3 +1638,352 @@ FROM sample GROUP BY lang
 """
 
 QUERIES["es_diversified_sampler"] = (es_diversified_sampler, SQL_DIVERSIFIED_SAMPLER)
+
+
+# ------------------------------------------------- Markov absorption
+
+# The funnel question the transition matrix alone can't answer: starting
+# from a transient state, what is the probability the user's NEXT
+# terminal outcome is a purchase vs an error? Model: 'purchase'/'error'
+# are absorbing (their outgoing events are ignored — the user's journey
+# ends at the first terminal, documented), the other types are transient,
+# and the absorption probabilities A_t(s) = P(s,t) + Σ_{s'} P(s,s')·A_t(s')
+# are solved by {ABS_ITERS} UNROLLED fixed-point iterations from A_0 = 0
+# — the host_pagerank integer contract: P in exact micro (n·1e6 DIV
+# row_total), each update multiply-then-DIV on nonnegative int64, chained
+# MATERIALIZED CTEs in the oracle. K iterations compute absorption within
+# K steps; both targets ride the same iteration.
+#
+# Scale shape: the transition matrix is |types|² rows — everything after
+# the one user-keyed lag window is broadcast-sized.
+
+ABS_TARGETS = ("purchase", "error")
+ABS_ITERS = 6
+
+
+def events_absorption_prob(spark, sf_dir):
+    """(state, n_out, p_purchase_micro, p_error_micro): probability the
+    next terminal outcome is purchase/error, per transient state, within
+    {ABS_ITERS} steps."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    pairs = (
+        ev.withColumn("from_type", F.lag("event_type").over(w))
+        .filter(F.col("from_type").isNotNull())
+        .filter(~F.col("from_type").isin(*ABS_TARGETS))
+        .groupBy("from_type", F.col("event_type").alias("to_type"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tot = pairs.groupBy("from_type").agg(
+        F.sum("n").cast("long").alias("row_total")
+    )
+    p = pairs.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        F.expr("CAST(n * 1000000 DIV row_total AS BIGINT)").alias("pm"),
+    ).cache()
+    states = p.select(F.col("from_type").alias("state")).distinct()
+    direct = states
+    for t in ABS_TARGETS:
+        direct = direct.join(
+            p.filter(F.col("to_type") == t).select(
+                F.col("from_type").alias("state"), F.col("pm").alias(f"d_{t}")
+            ),
+            "state",
+            "left",
+        )
+    direct = direct.select(
+        "state",
+        *[
+            F.coalesce(f"d_{t}", F.lit(0)).cast("long").alias(f"d_{t}")
+            for t in ABS_TARGETS
+        ],
+    ).cache()
+    a = direct.select(
+        "state", *[F.lit(0).cast("long").alias(f"a_{t}") for t in ABS_TARGETS]
+    )
+    trans = p.filter(~F.col("to_type").isin(*ABS_TARGETS))
+    for _ in range(ABS_ITERS):
+        rec = (
+            trans.join(
+                a.select(F.col("state").alias("to_type"),
+                         *[F.col(f"a_{t}").alias(f"pa_{t}") for t in ABS_TARGETS]),
+                "to_type",
+            )
+            .groupBy("from_type")
+            .agg(
+                *[
+                    F.expr(f"CAST(sum(pm * pa_{t}) DIV 1000000 AS BIGINT)").alias(
+                        f"r_{t}"
+                    )
+                    for t in ABS_TARGETS
+                ]
+            )
+        )
+        a = (
+            direct.join(rec.withColumnRenamed("from_type", "state"), "state", "left")
+            .select(
+                "state",
+                *[
+                    F.expr(f"CAST(d_{t} + coalesce(r_{t}, 0) AS BIGINT)").alias(
+                        f"a_{t}"
+                    )
+                    for t in ABS_TARGETS
+                ],
+            )
+            .localCheckpoint()
+        )
+    return (
+        tot.withColumnRenamed("from_type", "state")
+        .join(a, "state")
+        .select(
+            "state",
+            F.col("row_total").alias("n_out"),
+            F.col("a_purchase").alias("p_purchase_micro"),
+            F.col("a_error").alias("p_error_micro"),
+        )
+    )
+
+
+def _sql_absorption() -> str:
+    t0, t1 = ABS_TARGETS
+    parts = [
+        f"""WITH pairs AS (
+  SELECT from_type, event_type AS to_type, CAST(count(*) AS BIGINT) AS n
+  FROM (
+    SELECT event_type,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts ASC, event_id ASC) AS from_type
+    FROM events
+  )
+  WHERE from_type IS NOT NULL
+    AND from_type NOT IN ('{t0}', '{t1}')
+  GROUP BY 1, 2
+),
+tot AS MATERIALIZED (
+  SELECT from_type, CAST(sum(n) AS BIGINT) AS row_total
+  FROM pairs GROUP BY 1
+),
+p AS MATERIALIZED (
+  SELECT from_type, to_type,
+         CAST(n * 1000000 // row_total AS BIGINT) AS pm
+  FROM pairs JOIN tot USING (from_type)
+),
+states AS MATERIALIZED (SELECT DISTINCT from_type AS state FROM p),
+direct AS MATERIALIZED (
+  SELECT s.state,
+         CAST(coalesce(p0.pm, 0) AS BIGINT) AS d_{t0},
+         CAST(coalesce(p1.pm, 0) AS BIGINT) AS d_{t1}
+  FROM states s
+  LEFT JOIN p p0 ON p0.from_type = s.state AND p0.to_type = '{t0}'
+  LEFT JOIN p p1 ON p1.from_type = s.state AND p1.to_type = '{t1}'
+),
+trans AS MATERIALIZED (
+  SELECT * FROM p WHERE to_type NOT IN ('{t0}', '{t1}')
+),
+a0 AS MATERIALIZED (
+  SELECT state, CAST(0 AS BIGINT) AS a_{t0}, CAST(0 AS BIGINT) AS a_{t1}
+  FROM states
+)"""
+    ]
+    for k in range(1, ABS_ITERS + 1):
+        parts.append(
+            f""",
+r{k} AS MATERIALIZED (
+  SELECT t.from_type AS state,
+         CAST(sum(t.pm * a.a_{t0}) // 1000000 AS BIGINT) AS r_{t0},
+         CAST(sum(t.pm * a.a_{t1}) // 1000000 AS BIGINT) AS r_{t1}
+  FROM trans t JOIN a{k - 1} a ON a.state = t.to_type
+  GROUP BY 1
+),
+a{k} AS MATERIALIZED (
+  SELECT d.state,
+         CAST(d.d_{t0} + coalesce(r.r_{t0}, 0) AS BIGINT) AS a_{t0},
+         CAST(d.d_{t1} + coalesce(r.r_{t1}, 0) AS BIGINT) AS a_{t1}
+  FROM direct d LEFT JOIN r{k} r ON r.state = d.state
+)"""
+        )
+    parts.append(
+        f"""
+SELECT tot.from_type AS state, tot.row_total AS n_out,
+       a.a_{t0} AS p_{t0}_micro, a.a_{t1} AS p_{t1}_micro
+FROM tot JOIN a{ABS_ITERS} a ON a.state = tot.from_type"""
+    )
+    return "".join(parts)
+
+
+QUERIES["events_absorption_prob"] = (events_absorption_prob, _sql_absorption())
+
+
+# ----------------------------------------------------------- RFM segments
+
+# Recency-Frequency-Monetary segmentation — the classic behavioral
+# rollup (Hughes 1994) a usage-analytics tier derives from the same event
+# log. All three metrics are exact integers (recency in seconds against
+# the corpus max timestamp, monetary in round-per-row cents); quintile
+# scores use ntile(5) over TOTALLY ORDERED frames (metric + user_id
+# tie-break), which both engines implement with the same
+# floor-bucket-boundary rule, so the scores are engine-identical.
+#
+# Scale shape: one user groupBy; the three ntile windows run over the
+# client-count-sized relation.
+
+
+def events_rfm_segments(spark, sf_dir):
+    """(user_id, recency_s, frequency, monetary_cents, r_q, f_q, m_q,
+    rfm_code): RFM quintile segmentation per client."""
+    ev = load(spark, sf_dir, "events").selectExpr(
+        "user_id",
+        "unix_micros(CAST(ts AS TIMESTAMP)) AS us",
+        "CAST(round(value * 100) AS BIGINT) AS cents",
+    )
+    mx = F.broadcast(ev.agg(F.max("us").alias("mxus")))
+    per = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max("us").alias("uus"),
+            F.count("*").cast("long").alias("frequency"),
+            F.sum("cents").cast("long").alias("monetary_cents"),
+        )
+        .crossJoin(mx)
+        .select(
+            "user_id",
+            F.expr("CAST((mxus - uus) DIV 1000000 AS BIGINT)").alias("recency_s"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    wr = W.orderBy(F.col("recency_s").asc(), F.col("user_id").asc())
+    wf = W.orderBy(F.col("frequency").desc(), F.col("user_id").asc())
+    wm = W.orderBy(F.col("monetary_cents").desc(), F.col("user_id").asc())
+    scored = (
+        per.withColumn("r_q", F.ntile(5).over(wr).cast("long"))
+        .withColumn("f_q", F.ntile(5).over(wf).cast("long"))
+        .withColumn("m_q", F.ntile(5).over(wm).cast("long"))
+    )
+    return scored.select(
+        "user_id", "recency_s", "frequency", "monetary_cents",
+        "r_q", "f_q", "m_q",
+        F.expr("CAST(r_q * 100 + f_q * 10 + m_q AS BIGINT)").alias("rfm_code"),
+    )
+
+
+SQL_RFM_SEGMENTS = """
+WITH ev AS (
+  SELECT user_id, CAST(floor(epoch_us(ts)) AS BIGINT) AS us,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+mx AS (SELECT max(us) AS mxus FROM ev),
+per AS (
+  SELECT user_id,
+         CAST((mxus - max(us)) // 1000000 AS BIGINT) AS recency_s,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum(cents) AS BIGINT) AS monetary_cents
+  FROM ev CROSS JOIN mx
+  GROUP BY user_id, mxus
+),
+scored AS (
+  SELECT user_id, recency_s, frequency, monetary_cents,
+         CAST(ntile(5) OVER (ORDER BY recency_s ASC, user_id ASC) AS BIGINT)
+           AS r_q,
+         CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id ASC) AS BIGINT)
+           AS f_q,
+         CAST(ntile(5) OVER (ORDER BY monetary_cents DESC, user_id ASC)
+           AS BIGINT) AS m_q
+  FROM per
+)
+SELECT user_id, recency_s, frequency, monetary_cents, r_q, f_q, m_q,
+       CAST(r_q * 100 + f_q * 10 + m_q AS BIGINT) AS rfm_code
+FROM scored
+"""
+
+QUERIES["events_rfm_segments"] = (events_rfm_segments, SQL_RFM_SEGMENTS)
+
+
+# -------------------------------------------------------- SCD2 intervals
+
+# Slowly-Changing-Dimension type 2 from the change log — the warehouse
+# shape the reference's harvest-state history would take in a lakehouse:
+# per entity (user), collapse CONSECUTIVE equal states into runs, emit one
+# row per run with [valid_from, valid_to) microsecond validity and an
+# is_current flag on the open run. Run numbering is the standard
+# gaps-and-islands prefix sum over the (ts, event_id) total order; all
+# timestamps are exact integer µs (unix_micros / epoch_us parity).
+#
+# Scale shape: two user-keyed windows (lag + running sum) and one run
+# groupBy — one shuffle on the entity key, the sessionizer envelope.
+
+
+def events_scd2_intervals(spark, sf_dir):
+    """(user_id, version, state, valid_from_us, valid_to_us, is_current):
+    type-2 validity intervals of each user's event_type state."""
+    ev = load(spark, sf_dir, "events").selectExpr(
+        "user_id",
+        "event_id",
+        "event_type AS state",
+        "unix_micros(CAST(ts AS TIMESTAMP)) AS us",
+    )
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    marked = ev.withColumn(
+        "chg",
+        (
+            F.coalesce(
+                (F.lag("state").over(w) != F.col("state")).cast("long"), F.lit(1)
+            )
+        ),
+    )
+    wc = W.partitionBy("user_id").orderBy("us", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    runs = marked.withColumn("version", F.sum("chg").over(wc).cast("long"))
+    per_run = runs.groupBy("user_id", "version").agg(
+        F.min_by("state", F.struct(F.col("us"), F.col("event_id"))).alias("state"),
+        F.min("us").cast("long").alias("valid_from_us"),
+    )
+    wl = W.partitionBy("user_id").orderBy("version")
+    return per_run.select(
+        "user_id",
+        "version",
+        "state",
+        "valid_from_us",
+        F.lead("valid_from_us").over(wl).cast("long").alias("valid_to_us"),
+        F.lead("valid_from_us").over(wl).isNull().cast("long").alias("is_current"),
+    )
+
+
+SQL_SCD2_INTERVALS = """
+WITH ev AS (
+  SELECT user_id, event_id, event_type AS state,
+         CAST(floor(epoch_us(ts)) AS BIGINT) AS us
+  FROM events
+),
+marked AS (
+  SELECT user_id, event_id, state, us,
+         CASE WHEN lag(state) OVER w IS DISTINCT FROM state THEN 1 ELSE 0 END
+           AS chg
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+runs AS (
+  SELECT user_id, state, us,
+         CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS version
+  FROM marked
+),
+per_run AS (
+  SELECT user_id, version, min(state) AS state,
+         CAST(min(us) AS BIGINT) AS valid_from_us
+  FROM runs GROUP BY 1, 2
+)
+SELECT user_id, version, state, valid_from_us,
+       CAST(lead(valid_from_us) OVER wl AS BIGINT) AS valid_to_us,
+       CAST((lead(valid_from_us) OVER wl IS NULL) AS BIGINT) AS is_current
+FROM per_run
+WINDOW wl AS (PARTITION BY user_id ORDER BY version)
+"""
+
+QUERIES["events_scd2_intervals"] = (events_scd2_intervals, SQL_SCD2_INTERVALS)
