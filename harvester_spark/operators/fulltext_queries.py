@@ -2338,3 +2338,140 @@ FROM scored GROUP BY doc_id, lang
 """
 
 QUERIES["ft_kneser_ney_logprob"] = (ft_kneser_ney_logprob, SQL_KNESER_NEY_LOGPROB)
+
+
+# --------------------------------------------- JM lambda EM (deleted interp)
+
+# Tuning the Jelinek-Mercer interpolation weight by EM on the corpus
+# itself (Jelinek & Mercer 1980's deleted-interpolation estimation, the
+# procedure behind every λ anyone ships in an interpolated LM): per
+# language, iterate
+#   e_tok = λ·P_bi / (λ·P_bi + (1−λ)·P_uni),   λ' = mean(e_tok)
+# over all bigram positions. {JM_EM_ITERS} iterations are UNROLLED with λ
+# in integer milli — the E-step ratio is multiply-then-DIV on exact
+# integer micro probabilities (P_bi = cb·1e6 DIV cv, P_uni = cu·1e6 DIV
+# lt), the M-step an integer mean — so both engines agree bit-for-bit
+# (the PBM/PageRank iteration contract). Sandbox behavior worth pinning:
+# on a corpus this size bigram MLEs beat smoothed unigrams on seen
+# bigrams, so EM pushes λ UP from 500 — the guard asserts strict
+# monotone growth, i.e. the estimator genuinely moves.
+#
+# Scale shape: the token-level E-step is one scan over the lag-windowed
+# bigram stream joined against two broadcast vocab-bounded histograms;
+# λ is |lang| rows. Per iteration: one scan, one tiny groupBy. At 100 TB
+# the histograms prune to top-M like ft_bigram_lm_logprob (documented).
+
+JM_EM_ITERS = 3
+_JM_E = (
+    "CAST((lam * pb) * 1000 {div}"
+    " greatest(lam * pb + (1000 - lam) * pu, CAST(1 AS BIGINT)) AS BIGINT)"
+)
+
+
+def ft_jm_lambda_em(spark, sf_dir):
+    """(lang, n_tokens_em, lambda1_milli, lambda2_milli, lambda3_milli):
+    per-language JM interpolation weight after each EM iteration."""
+    toks = doc_tokens(spark, sf_dir)
+    w = W.partitionBy("doc_id").orderBy("pos")
+    pairs = toks.select(
+        "lang", "term", F.lag("term").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    uni = toks.groupBy("lang", "term").agg(F.count("*").cast("long").alias("cu"))
+    lt = toks.groupBy("lang").agg(F.count("*").cast("long").alias("lt"))
+    cv = pairs.groupBy("lang", "prev").agg(F.count("*").cast("long").alias("cv"))
+    bi = pairs.groupBy("lang", "prev", "term").agg(
+        F.count("*").cast("long").alias("cb")
+    )
+    ptab = (
+        pairs.join(F.broadcast(bi), ["lang", "prev", "term"])
+        .join(F.broadcast(cv), ["lang", "prev"])
+        .join(F.broadcast(uni), ["lang", "term"])
+        .join(F.broadcast(lt), "lang")
+        .select(
+            "lang",
+            F.expr("CAST(cb * 1000000 DIV cv AS BIGINT)").alias("pb"),
+            F.expr("CAST(cu * 1000000 DIV lt AS BIGINT)").alias("pu"),
+        )
+        .cache()
+    )
+    lam = ptab.select("lang").distinct().withColumn(
+        "lam", F.lit(500).cast("long")
+    )
+    trail = []
+    for _ in range(JM_EM_ITERS):
+        lam = (
+            ptab.join(F.broadcast(lam), "lang")
+            .withColumn("e", F.expr(_JM_E.format(div="DIV")))
+            .groupBy("lang")
+            .agg(F.expr("CAST(sum(e) DIV count(*) AS BIGINT)").alias("lam"))
+            .localCheckpoint()
+        )
+        trail.append(lam)
+    n = ptab.groupBy("lang").agg(F.count("*").cast("long").alias("n_tokens_em"))
+    out = n
+    for i, t in enumerate(trail, start=1):
+        out = out.join(
+            t.withColumnRenamed("lam", f"lambda{i}_milli"), "lang"
+        )
+    return out.select(
+        "lang", "n_tokens_em",
+        *[f"lambda{i}_milli" for i in range(1, JM_EM_ITERS + 1)],
+    )
+
+
+def _sql_jm_lambda() -> str:
+    parts = [
+        f"""WITH toks AS ({SQL_DOC_TOKS}),
+pairs AS MATERIALIZED (
+  SELECT lang, term, prev FROM (
+    SELECT lang, term,
+           lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+    FROM toks
+  ) WHERE prev IS NOT NULL
+),
+uni AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS cu FROM toks GROUP BY 1, 2),
+lt AS (SELECT lang, CAST(count(*) AS BIGINT) AS lt FROM toks GROUP BY 1),
+cv AS (SELECT lang, prev, CAST(count(*) AS BIGINT) AS cv FROM pairs GROUP BY 1, 2),
+bi AS (
+  SELECT lang, prev, term, CAST(count(*) AS BIGINT) AS cb
+  FROM pairs GROUP BY 1, 2, 3
+),
+ptab AS MATERIALIZED (
+  SELECT p.lang,
+         CAST(cb * 1000000 // cv AS BIGINT) AS pb,
+         CAST(cu * 1000000 // lt AS BIGINT) AS pu
+  FROM pairs p
+  JOIN bi USING (lang, prev, term)
+  JOIN cv USING (lang, prev)
+  JOIN uni ON uni.lang = p.lang AND uni.term = p.term
+  JOIN lt ON lt.lang = p.lang
+),
+l0 AS MATERIALIZED (
+  SELECT DISTINCT lang, CAST(500 AS BIGINT) AS lam FROM ptab
+)"""
+    ]
+    for k in range(1, JM_EM_ITERS + 1):
+        parts.append(
+            f""",
+l{k} AS MATERIALIZED (
+  SELECT lang, CAST(sum({_JM_E.format(div='//')}) // count(*) AS BIGINT) AS lam
+  FROM ptab JOIN l{k - 1} USING (lang)
+  GROUP BY lang
+)"""
+        )
+    sel = ", ".join(
+        f"l{k}.lam AS lambda{k}_milli" for k in range(1, JM_EM_ITERS + 1)
+    )
+    joins = " ".join(
+        f"JOIN l{k} USING (lang)" for k in range(1, JM_EM_ITERS + 1)
+    )
+    parts.append(
+        f"""
+SELECT lang, CAST(count_rows AS BIGINT) AS n_tokens_em, {sel}
+FROM (SELECT lang, count(*) AS count_rows FROM ptab GROUP BY lang) n
+{joins}"""
+    )
+    return "".join(parts)
+
+
+QUERIES["ft_jm_lambda_em"] = (ft_jm_lambda_em, _sql_jm_lambda())

@@ -1316,3 +1316,163 @@ FROM agg
 """
 
 QUERIES["ft_rank_eval_err_rbp"] = (ft_rank_eval_err_rbp, SQL_RANK_EVAL_ERR_RBP)
+
+
+# ------------------------------------------------ BM25 parameter sweep
+
+# Relevance-engineering's bread and butter: sweep BM25's (k1, b) over a
+# small grid and score each point by mean nDCG@10 against the SAME
+# phrase-aware qrels the rank-eval family uses — judgments don't depend
+# on the scorer, so ONE corpus scan scores EVERY grid point (the grid
+# rides the component join as a broadcast VALUES dimension; this is the
+# plan a 100 TB tuning job needs — grid size multiplies the aggregation,
+# never the scan). The serving default (k1=1.2, b=0.75) must appear in
+# the grid so the sweep is anchored to ft_rank_eval_ndcg.
+#
+# Determinism: per-(grid, query, doc) scores are round(.,6) doubles from
+# ONE shared parameterized formula string (k1/b arrive as integer milli
+# columns), then quantize to micro; DCG addends reuse the integer
+# _NDCG_ADDEND; per-query nDCG and the grid mean are exact integer
+# ratios.
+
+BM25_GRID = [(800, 250), (800, 750), (1200, 250), (1200, 750), (2000, 250), (2000, 750)]
+_GRID_CONTRIB = (
+    "ln(1.0e0 + (n - df + 0.5e0) / (df + 0.5e0))"
+    " * (tf * (k1m / 1000.0e0 + 1.0e0))"
+    " / (tf + (k1m / 1000.0e0) * (1.0e0 - bm / 1000.0e0"
+    " + (bm / 1000.0e0) * dl / avgdl))"
+)
+
+
+def bm25_grid_tune_eval(spark, sf_dir):
+    """(k1_milli, b_milli, n_queries, mean_ndcg_micro): mean nDCG@10 of
+    each BM25 grid point over the 16-query registry's phrase qrels."""
+    graded = _graded_ranking(spark, sf_dir).select("q_id", "doc_id", "rel").cache()
+
+    # rebuild raw components (tf, df, dl, n, avgdl) for the registry terms
+    docs = load(spark, sf_dir, "documents")
+    toks = doc_tokens(spark, sf_dir)
+    qdocs = docs.select("doc_id").orderBy("doc_id").limit(HN_N_QUERIES)
+    first = (
+        toks.join(F.broadcast(qdocs), "doc_id")
+        .groupBy("doc_id", "term")
+        .agg(F.min("pos").alias("p0"))
+    )
+    wsel = W.partitionBy("doc_id").orderBy(F.col("p0").asc(), F.col("term").asc())
+    qterms = (
+        first.withColumn("r", F.row_number().over(wsel))
+        .filter(F.col("r") <= HN_Q_LEN)
+        .select(F.col("doc_id").alias("q_id"), "term")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = docs.select(F.count("*").alias("n")).crossJoin(
+        dl.select((F.sum("dl") / F.count("*")).alias("avgdl"))
+    )
+    tf = (
+        toks.join(F.broadcast(qterms.select("term").distinct()), "term")
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    grid = spark.createDataFrame(
+        [(k, b) for k, b in BM25_GRID], "k1m long, bm long"
+    )
+    scored = (
+        F.broadcast(qterms)
+        .join(tf, "term")
+        .join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(grid))
+        .withColumn("contrib", F.expr(_GRID_CONTRIB))
+        .groupBy("k1m", "bm", "q_id", "doc_id")
+        .agg(F.round(F.sum("contrib"), 6).alias("score"))
+    )
+    wr = W.partitionBy("k1m", "bm", "q_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    dcg = (
+        scored.join(graded, ["q_id", "doc_id"])
+        .withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= NDCG_K)
+        .withColumn("addend", F.expr(_NDCG_ADDEND))
+        .groupBy("k1m", "bm", "q_id")
+        .agg(F.sum("addend").cast("long").alias("dcg_micro"))
+    )
+    wi = W.partitionBy("q_id").orderBy(F.col("rel").desc(), F.col("doc_id").asc())
+    idcg = (
+        graded.withColumn("rnk", F.row_number().over(wi))
+        .filter(F.col("rnk") <= NDCG_K)
+        .withColumn("addend", F.expr(_NDCG_ADDEND))
+        .groupBy("q_id")
+        .agg(F.sum("addend").cast("long").alias("idcg_micro"))
+    )
+    return (
+        dcg.join(F.broadcast(idcg), "q_id")
+        .withColumn(
+            "ndcg_micro",
+            F.expr("CAST(dcg_micro * 1000000 DIV idcg_micro AS BIGINT)"),
+        )
+        .groupBy("k1m", "bm")
+        .agg(
+            F.count("*").cast("long").alias("n_queries"),
+            F.expr("CAST(sum(ndcg_micro) DIV count(*) AS BIGINT)").alias(
+                "mean_ndcg_micro"
+            ),
+        )
+        .select(
+            F.col("k1m").alias("k1_milli"),
+            F.col("bm").alias("b_milli"),
+            "n_queries",
+            "mean_ndcg_micro",
+        )
+    )
+
+
+def _sql_grid_tune() -> str:
+    gvals = ", ".join(f"({k}, {b})" for k, b in BM25_GRID)
+    return (
+        _SQL_GRADED_PREFIX
+        + f""",
+grid AS (SELECT * FROM (VALUES {gvals}) g(k1m, bm)),
+gscored AS (
+  SELECT k1m, bm, q.q_id, tf.doc_id,
+         round(sum({_GRID_CONTRIB
+                    .replace('(n - df', '(stats.n - dfq.df')
+                    .replace('(df + 0.5e0)', '(dfq.df + 0.5e0)')
+                    .replace('(tf *', '(tf.tf *')
+                    .replace('(tf +', '(tf.tf +')
+                    .replace('* dl /', '* dl.dl /')
+                    .replace('/ avgdl', '/ stats.avgdl')}), 6) AS score
+  FROM qsel q JOIN tf USING (term) JOIN dfq USING (term)
+       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats CROSS JOIN grid
+  GROUP BY 1, 2, 3, 4
+),
+gdcg AS (
+  SELECT k1m, bm, q_id, CAST(sum({_NDCG_ADDEND}) AS BIGINT) AS dcg_micro
+  FROM (
+    SELECT s.k1m, s.bm, s.q_id, g.rel,
+           row_number() OVER (PARTITION BY s.k1m, s.bm, s.q_id
+                              ORDER BY s.score DESC, s.doc_id ASC) AS rnk
+    FROM gscored s JOIN graded g ON g.q_id = s.q_id AND g.doc_id = s.doc_id
+  ) WHERE rnk <= {NDCG_K} GROUP BY 1, 2, 3
+),
+gidcg AS (
+  SELECT q_id, CAST(sum({_NDCG_ADDEND}) AS BIGINT) AS idcg_micro FROM (
+    SELECT q_id, rel,
+           row_number() OVER (
+             PARTITION BY q_id ORDER BY rel DESC, doc_id ASC) AS rnk
+    FROM graded
+  ) WHERE rnk <= {NDCG_K} GROUP BY q_id
+)
+SELECT CAST(k1m AS BIGINT) AS k1_milli, CAST(bm AS BIGINT) AS b_milli,
+       CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(sum(dcg_micro * 1000000 // idcg_micro) // count(*) AS BIGINT)
+         AS mean_ndcg_micro
+FROM gdcg JOIN gidcg USING (q_id)
+GROUP BY 1, 2
+"""
+    )
+
+
+QUERIES["bm25_grid_tune_eval"] = (bm25_grid_tune_eval, _sql_grid_tune())
