@@ -585,3 +585,29 @@ def test_pbm_plan_uses_broadcast_parameter_joins(spark):
     plan = _plan(est)
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+# ------------------------------------------------------- tuning pair
+
+
+def test_grid_tune_anchors_to_serving_default(spark):
+    from harvester_spark.operators.retrieval import BM25_GRID, bm25_grid_tune_eval
+
+    rows = {(r["k1_milli"], r["b_milli"]): r for r in bm25_grid_tune_eval(spark, SF_DIR).collect()}
+    assert set(rows) == set(BM25_GRID)
+    assert (1200, 750) in rows  # the serving default is always swept
+    vals = {r["mean_ndcg_micro"] for r in rows.values()}
+    assert len(vals) > 1  # the sweep genuinely discriminates
+    assert all(0 < r["mean_ndcg_micro"] <= 1_000_000 for r in rows.values())
+    assert all(r["n_queries"] == 16 for r in rows.values())
+
+
+def test_jm_lambda_em_moves_monotonically(spark):
+    from harvester_spark.operators.fulltext_queries import ft_jm_lambda_em
+
+    rows = ft_jm_lambda_em(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # seen-bigram MLEs dominate smoothed unigrams on this corpus: EM
+        # must push lambda strictly up from its 500 start each iteration
+        assert 500 < r["lambda1_milli"] < r["lambda2_milli"] < r["lambda3_milli"] < 1000
