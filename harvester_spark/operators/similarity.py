@@ -1825,3 +1825,97 @@ FROM (SELECT DISTINCT qid FROM exact) LEFT JOIN hits USING (qid)
 """
 
 QUERIES["ann_sign_recall_eval"] = (ann_sign_recall_eval, SQL_ANN_SIGN_RECALL)
+
+
+# --------------------------------------------- late interaction (MaxSim)
+
+# ColBERT's MaxSim operator (Khattab & Zaharia, SIGIR 2020): queries and
+# documents are BAGS of token vectors and the score is
+# Σ_{query token} max_{doc token} ⟨q_t, d_t⟩ — late interaction, the
+# retrieval family between single-vector ANN and cross-encoders. The
+# corpus carries one 64-dim vector per doc, so token vectors are derived
+# by the documented convention: each vector splits into {MS_PARTS}
+# contiguous {64 // MS_PARTS}-dim sub-vectors (the fixed "token" views;
+# at 100 TB these are real per-token embeddings and the plan is
+# unchanged). Everything is integer: sub-vector dots are exact int64 over
+# the round(val·1e6) components (16·(5e6)² ≈ 4e14 « int64), max/sum are
+# integer, ties (score desc, vec_id asc).
+#
+# Scale shape: this is the LABELED brute-force MaxSim baseline (the
+# ann_cosine_topk discipline): one equi-join on the sub-position key,
+# two-level aggregation (dot → max over doc parts → sum over query
+# parts). The production path prunes candidates per sub-vector first
+# (ColBERTv2/PLAID's IVF-per-token) and reuses ann_ivf_topk's
+# centroid-join shape; the operator prices the exact target.
+
+MS_PARTS = 4
+
+
+def ann_maxsim_topk(spark, sf_dir):
+    """(qid, rnk, vec_id, maxsim): top-{TOP_K} neighbors per query under
+    the ColBERT MaxSim late-interaction score over {MS_PARTS}
+    sub-vectors."""
+    sub = 64 // MS_PARTS
+    comp = _components(spark, sf_dir).select(
+        "vec_id",
+        F.expr(f"pos DIV {sub}").cast("long").alias("part"),
+        F.expr(f"pos % {sub}").cast("long").alias("k"),
+        F.round(F.col("val") * _KM_SCALE).cast("long").alias("ival"),
+    )
+    q = comp.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("part").alias("qpart"),
+        "k",
+        F.col("ival").alias("qval"),
+    )
+    dots = (
+        comp.join(F.broadcast(q), "k")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id", "qpart", "part")
+        .agg(F.sum(F.col("qval") * F.col("ival")).cast("long").alias("dot"))
+    )
+    best = dots.groupBy("qid", "vec_id", "qpart").agg(
+        F.max("dot").cast("long").alias("best")
+    )
+    score = best.groupBy("qid", "vec_id").agg(
+        F.sum("best").cast("long").alias("maxsim")
+    )
+    w = W.partitionBy("qid").orderBy(F.col("maxsim").desc(), F.col("vec_id").asc())
+    return (
+        score.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("qid", "rnk", "vec_id", "maxsim")
+    )
+
+
+SQL_ANN_MAXSIM = f"""
+WITH comp AS (
+  SELECT vec_id,
+         CAST(pos // {64 // MS_PARTS} AS BIGINT) AS part,
+         CAST(pos % {64 // MS_PARTS} AS BIGINT) AS k,
+         CAST(round(val * {_KM_SCALE}) AS BIGINT) AS ival
+  FROM ({_SQL_COMPONENTS})
+),
+dots AS (
+  SELECT q.vec_id AS qid, c.vec_id, q.part AS qpart, c.part,
+         CAST(sum(q.ival * c.ival) AS BIGINT) AS dot
+  FROM comp q JOIN comp c ON c.k = q.k AND c.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+  GROUP BY 1, 2, 3, 4
+),
+best AS (
+  SELECT qid, vec_id, qpart, CAST(max(dot) AS BIGINT) AS best
+  FROM dots GROUP BY 1, 2, 3
+),
+score AS (
+  SELECT qid, vec_id, CAST(sum(best) AS BIGINT) AS maxsim
+  FROM best GROUP BY 1, 2
+)
+SELECT qid,
+       CAST(row_number() OVER (
+         PARTITION BY qid ORDER BY maxsim DESC, vec_id ASC) AS INT) AS rnk,
+       vec_id, maxsim
+FROM score QUALIFY rnk <= {TOP_K}
+"""
+
+QUERIES["ann_maxsim_topk"] = (ann_maxsim_topk, SQL_ANN_MAXSIM)

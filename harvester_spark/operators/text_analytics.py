@@ -630,3 +630,146 @@ FROM counts JOIN syll USING (doc_id)
 """
 
 QUERIES["ft_readability"] = (ft_readability, SQL_READABILITY)
+
+
+# -------------------------------------------------------- word segmentation
+
+# Run-on query segmentation (the "didyoumean" → "did you mean" surface;
+# Norvig's unigram-LM segmenter, *Beautiful Data* 2009, restricted to the
+# one-split case a search box actually hits — two words typed without the
+# space). Queries are SYNTHESIZED with planted truth: the corpus'
+# top-{SEG_Q} bigrams concatenated (runon = t1||t2, true split =
+# len(t1)); the segmenter must recover the split from the unigram LM
+# alone. Every candidate split s scores lp(w1) + lp(w2) with lp =
+# round(1e6·ln(cu/ct)) micro-nats for in-vocab words (the
+# ft_bigram_lm_logprob float-string contract) and a fixed
+# length-penalized OOV floor (−10e6 − len·1e6 — any all-vocab split
+# dominates); best split = max score, tie s asc.
+#
+# Recovery is NOT guaranteed by construction — a competing split into two
+# higher-mass vocab words can legitimately win — which is what makes the
+# recovery-rate guard meaningful.
+#
+# Scale shape: candidates = |queries| × word length (bounded explode);
+# two broadcast joins against the vocab histogram; one per-query argmin
+# window. Nothing corpus-sized beyond the one vocab scan.
+
+SEG_Q = 12
+_SEG_LP = "CAST(round(1000000.0e0 * ln(CAST({cu} AS DOUBLE) / {ct}), 0) AS BIGINT)"
+
+
+def ft_word_segment(spark, sf_dir):
+    """(runon, true_split, best_split, recovered, best_score_micro):
+    unigram-LM one-split segmentation of planted run-on bigrams."""
+    toks = doc_tokens(spark, sf_dir)
+    wd = W.partitionBy("doc_id").orderBy("pos")
+    pairs = toks.select(
+        F.lag("term").over(wd).alias("t1"), F.col("term").alias("t2")
+    ).filter(F.col("t1").isNotNull())
+    top_bi = (
+        pairs.groupBy("t1", "t2")
+        .agg(F.count("*").alias("cfb"))
+        .orderBy(F.col("cfb").desc(), F.col("t1").asc(), F.col("t2").asc())
+        .limit(SEG_Q)
+        .select(
+            F.concat("t1", "t2").alias("runon"),
+            F.length("t1").cast("long").alias("true_split"),
+        )
+    )
+    vocab = toks.groupBy("term").agg(F.count("*").cast("long").alias("cu"))
+    ct_df = F.broadcast(toks.agg(F.count("*").cast("long").alias("ct")))
+    cand = top_bi.select(
+        "runon",
+        "true_split",
+        F.explode(F.sequence(F.lit(1), F.length("runon") - 1)).alias("s"),
+    ).select(
+        "runon",
+        "true_split",
+        "s",
+        F.expr("substring(runon, 1, s)").alias("w1"),
+        F.expr("substring(runon, s + 1, length(runon) - s)").alias("w2"),
+    )
+    v1 = vocab.select(F.col("term").alias("w1"), F.col("cu").alias("cu1"))
+    v2 = vocab.select(F.col("term").alias("w2"), F.col("cu").alias("cu2"))
+    scored = (
+        cand.join(F.broadcast(v1), "w1", "left")
+        .join(F.broadcast(v2), "w2", "left")
+        .crossJoin(ct_df)
+        .withColumn(
+            "lp1",
+            F.expr(
+                f"CASE WHEN cu1 IS NULL THEN -10000000 - length(w1) * 1000000"
+                f" ELSE {_SEG_LP.format(cu='cu1', ct='ct')} END"
+            ),
+        )
+        .withColumn(
+            "lp2",
+            F.expr(
+                f"CASE WHEN cu2 IS NULL THEN -10000000 - length(w2) * 1000000"
+                f" ELSE {_SEG_LP.format(cu='cu2', ct='ct')} END"
+            ),
+        )
+        .withColumn("score", F.expr("CAST(lp1 + lp2 AS BIGINT)"))
+    )
+    wq = W.partitionBy("runon").orderBy(F.col("score").desc(), F.col("s").asc())
+    best = scored.withColumn("rn", F.row_number().over(wq)).filter(
+        F.col("rn") == 1
+    )
+    return best.select(
+        "runon",
+        "true_split",
+        F.col("s").alias("best_split"),
+        (F.col("s") == F.col("true_split")).cast("long").alias("recovered"),
+        F.col("score").alias("best_score_micro"),
+    )
+
+
+SQL_WORD_SEGMENT = f"""
+WITH toks AS ({SQL_DOC_TOKS}),
+pairs AS (
+  SELECT t1, term AS t2 FROM (
+    SELECT term, lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS t1
+    FROM toks
+  ) WHERE t1 IS NOT NULL
+),
+top_bi AS (
+  SELECT t1 || t2 AS runon, CAST(length(t1) AS BIGINT) AS true_split
+  FROM (
+    SELECT t1, t2, count(*) AS cfb FROM pairs GROUP BY 1, 2
+    ORDER BY cfb DESC, t1 ASC, t2 ASC LIMIT {SEG_Q}
+  )
+),
+vocab AS (SELECT term, CAST(count(*) AS BIGINT) AS cu FROM toks GROUP BY term),
+ctt AS (SELECT CAST(count(*) AS BIGINT) AS ct FROM toks),
+cand AS (
+  SELECT runon, true_split, CAST(s AS BIGINT) AS s,
+         substring(runon, 1, s) AS w1,
+         substring(runon, s + 1, length(runon) - s) AS w2
+  FROM top_bi
+  CROSS JOIN LATERAL (SELECT unnest(range(1, length(runon))) AS s)
+),
+scored AS (
+  SELECT runon, true_split, s,
+         CAST((CASE WHEN v1.cu IS NULL
+               THEN -10000000 - length(w1) * 1000000
+               ELSE {_SEG_LP.format(cu='v1.cu', ct='ct')} END)
+            + (CASE WHEN v2.cu IS NULL
+               THEN -10000000 - length(w2) * 1000000
+               ELSE {_SEG_LP.format(cu='v2.cu', ct='ct')} END) AS BIGINT)
+           AS score
+  FROM cand
+  LEFT JOIN vocab v1 ON v1.term = cand.w1
+  LEFT JOIN vocab v2 ON v2.term = cand.w2
+  CROSS JOIN ctt
+)
+SELECT runon, true_split, s AS best_split,
+       CAST((s = true_split) AS BIGINT) AS recovered,
+       score AS best_score_micro
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY runon
+                               ORDER BY score DESC, s ASC) AS rn
+  FROM scored
+) WHERE rn = 1
+"""
+
+QUERIES["ft_word_segment"] = (ft_word_segment, SQL_WORD_SEGMENT)

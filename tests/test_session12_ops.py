@@ -611,3 +611,58 @@ def test_jm_lambda_em_moves_monotonically(spark):
         # seen-bigram MLEs dominate smoothed unigrams on this corpus: EM
         # must push lambda strictly up from its 500 start each iteration
         assert 500 < r["lambda1_milli"] < r["lambda2_milli"] < r["lambda3_milli"] < 1000
+
+
+# ------------------------------------------------ MaxSim + segmentation
+
+
+def test_maxsim_matches_pure_python(spark):
+    from harvester_spark.operators.common import load
+    from harvester_spark.operators.similarity import (
+        _KM_SCALE,
+        MS_PARTS,
+        N_QUERIES,
+        TOP_K,
+        ann_maxsim_topk,
+    )
+
+    emb = {
+        int(r["vec_id"]): [int(round(float(v) * _KM_SCALE)) for v in r["embedding"]]
+        for r in load(spark, SF_DIR, "embeddings").collect()
+    }
+    sub = 64 // MS_PARTS
+
+    def parts(v):
+        return [v[i * sub : (i + 1) * sub] for i in range(MS_PARTS)]
+
+    expect = {}
+    for q in range(N_QUERIES):
+        qp = parts(emb[q])
+        scored = []
+        for vid, v in emb.items():
+            if vid == q:
+                continue
+            dp = parts(v)
+            s = sum(
+                max(sum(a * b for a, b in zip(qv, dv)) for dv in dp) for qv in qp
+            )
+            scored.append((-s, vid))
+        expect[q] = [(-ns, vid) for ns, vid in sorted(scored)[:TOP_K]]
+    got: dict[int, list] = {}
+    for r in ann_maxsim_topk(spark, SF_DIR).collect():
+        got.setdefault(r["qid"], []).append((r["rnk"], r["maxsim"], r["vec_id"]))
+    for q in expect:
+        rows = sorted(got[q])
+        assert [(s, v) for _, s, v in rows] == expect[q]
+
+
+def test_word_segment_recovers_planted_splits(spark):
+    from harvester_spark.operators.text_analytics import ft_word_segment
+
+    rows = ft_word_segment(spark, SF_DIR).collect()
+    assert rows
+    rec = sum(r["recovered"] for r in rows)
+    assert rec >= len(rows) * 3 // 4  # LM recovery, not guaranteed by design
+    for r in rows:
+        assert 1 <= r["best_split"] <= len(r["runon"]) - 1
+        assert r["best_score_micro"] < 0
