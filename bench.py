@@ -135,6 +135,18 @@ HEADLINE = [
     "postings_codec_compare",
     "quantile_sketch_eval",
     "frontier_schedule",
+    # session-11: SQ8 scalar-quantized ADC scan, change-rate recrawl
+    "sq8_adc_topk",
+    "recrawl_schedule",
+    # session-12: PBM click-model EM, binary sign-code scan, the
+    # one-scan-all-grid-points BM25 sweep, CDC storage dedup, Lorenz/Gini,
+    # CombMNZ fusion
+    "click_model_pbm",
+    "ann_sign_hamming_topk",
+    "bm25_grid_tune_eval",
+    "cdc_chunk_dedup",
+    "events_gini_lorenz",
+    "hybrid_combmnz_topk",
 ]
 WARMUP_DOCS = 2000
 

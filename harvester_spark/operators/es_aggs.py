@@ -1987,3 +1987,95 @@ WINDOW wl AS (PARTITION BY user_id ORDER BY version)
 """
 
 QUERIES["events_scd2_intervals"] = (events_scd2_intervals, SQL_SCD2_INTERVALS)
+
+
+# --------------------------------- serial_diff + cumulative_cardinality
+
+# The two pipeline aggregations missing from events_pipeline_aggs'
+# cumulative_sum/derivative/moving_fn set: ES `serial_diff` (lag-k
+# differencing — here lag 7 over the DAILY histogram, the
+# week-over-week seasonality remover) and `cumulative_cardinality`
+# (running distinct-user count). Cumulative cardinality is computed
+# EXACTLY without any running distinct state: a user contributes 1 on
+# their FIRST-SEEN day only (min-day per user), and the running sum of
+# first-seen counts IS the cumulative cardinality — the standard
+# first-touch rewrite that turns an O(n·days) distinct window into one
+# groupBy + one prefix sum. Days are densified (min_doc_count: 0) so the
+# lag-7 difference is calendar-true.
+#
+# Scale shape: one user groupBy (first-seen), two day groupBys, one
+# day-ordered window over the day-count-sized frame.
+
+SD_LAG = 7
+
+
+def events_serial_diff_ccard(spark, sf_dir):
+    """(day_bucket, n_events, serial_diff_7, cum_users): daily histogram
+    with lag-{SD_LAG} serial difference and exact cumulative user
+    cardinality."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+    )
+    daily = ev.groupBy("day").agg(F.count("*").cast("long").alias("n_events"))
+    span = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    grid = span.select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    first = ev.groupBy("user_id").agg(F.min("day").alias("fday"))
+    newu = first.groupBy(F.col("fday").alias("day")).agg(
+        F.count("*").cast("long").alias("new_users")
+    )
+    dens = (
+        grid.join(daily, "day", "left")
+        .join(newu, "day", "left")
+        .select(
+            "day",
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+            F.coalesce("new_users", F.lit(0)).cast("long").alias("new_users"),
+        )
+    )
+    wd = W.orderBy("day")
+    wc = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return dens.select(
+        F.col("day").alias("day_bucket"),
+        "n_events",
+        (F.col("n_events") - F.lag("n_events", SD_LAG).over(wd))
+        .cast("long")
+        .alias("serial_diff_7"),
+        F.sum("new_users").over(wc).cast("long").alias("cum_users"),
+    )
+
+
+SQL_SERIAL_DIFF_CCARD = f"""
+WITH ev AS (
+  SELECT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day FROM events
+),
+daily AS (SELECT day, CAST(count(*) AS BIGINT) AS n_events FROM ev GROUP BY 1),
+span AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+grid AS (
+  SELECT CAST(d AS BIGINT) AS day
+  FROM (SELECT unnest(range((SELECT lo FROM span), (SELECT hi FROM span) + 1)) AS d)
+),
+firstd AS (SELECT user_id, min(day) AS fday FROM ev GROUP BY user_id),
+newu AS (
+  SELECT fday AS day, CAST(count(*) AS BIGINT) AS new_users
+  FROM firstd GROUP BY 1
+),
+dens AS (
+  SELECT grid.day, coalesce(daily.n_events, 0) AS n_events,
+         coalesce(newu.new_users, 0) AS new_users
+  FROM grid LEFT JOIN daily USING (day) LEFT JOIN newu USING (day)
+)
+SELECT day AS day_bucket,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(n_events - lag(n_events, {SD_LAG}) OVER (ORDER BY day) AS BIGINT)
+         AS serial_diff_7,
+       CAST(sum(new_users) OVER (ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_users
+FROM dens
+"""
+
+QUERIES["events_serial_diff_ccard"] = (
+    events_serial_diff_ccard,
+    SQL_SERIAL_DIFF_CCARD,
+)
