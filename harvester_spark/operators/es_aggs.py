@@ -2079,3 +2079,126 @@ QUERIES["events_serial_diff_ccard"] = (
     events_serial_diff_ccard,
     SQL_SERIAL_DIFF_CCARD,
 )
+
+
+# ------------------------------------------------------ top session paths
+
+# Top user journeys — the product-analytics rollup over sessionized
+# traffic ("what do the first four steps of a session look like?").
+# Sessions split on the repo's {TP_GAP_S}-second gap contract (the
+# events_sessionize convention: ts + event_id total order); the path key
+# is the first {TP_STEPS} event types joined positionally via
+# NULL-skipping concat_ws (identical semantics both engines — no
+# order-unstable array_agg anywhere). Share is exact milli of the session
+# total.
+#
+# Scale shape: one user-keyed window chain (gap flag → session prefix
+# sum → step rank), one (user, session) groupBy building fixed slot
+# columns (max-of-case — combinable), one path groupBy, TakeOrdered tail.
+
+TP_GAP_S = 1800
+TP_STEPS = 4
+TP_K = 15
+
+
+def events_top_paths(spark, sf_dir):
+    """(rank, path, n_sessions, share_milli): top-{TP_K} session-opening
+    paths (first {TP_STEPS} steps)."""
+    ev = load(spark, sf_dir, "events").selectExpr(
+        "user_id",
+        "event_id",
+        "event_type",
+        "unix_micros(CAST(ts AS TIMESTAMP)) AS us",
+    )
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    flagged = ev.withColumn(
+        "new_s",
+        F.coalesce(
+            (F.col("us") - F.lag("us").over(w) > TP_GAP_S * 1_000_000).cast("long"),
+            F.lit(1),
+        ),
+    )
+    wc = W.partitionBy("user_id").orderBy("us", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    sess = flagged.withColumn("sid", F.sum("new_s").over(wc).cast("long"))
+    ws = W.partitionBy("user_id", "sid").orderBy("us", "event_id")
+    steps = sess.withColumn("step", F.row_number().over(ws)).filter(
+        F.col("step") <= TP_STEPS
+    )
+    slots = steps.groupBy("user_id", "sid").agg(
+        *[
+            F.max(F.when(F.col("step") == k, F.col("event_type"))).alias(f"e{k}")
+            for k in range(1, TP_STEPS + 1)
+        ]
+    )
+    paths = slots.select(
+        F.concat_ws(">", *[f"e{k}" for k in range(1, TP_STEPS + 1)]).alias("path")
+    )
+    counts = paths.groupBy("path").agg(
+        F.count("*").cast("long").alias("n_sessions")
+    )
+    tot = F.broadcast(counts.agg(F.sum("n_sessions").cast("long").alias("t")))
+    scored = counts.crossJoin(tot).withColumn(
+        "share_milli", F.expr("CAST(n_sessions * 1000 DIV t AS BIGINT)")
+    )
+    top = scored.orderBy(F.col("n_sessions").desc(), F.col("path").asc()).limit(
+        TP_K
+    )
+    wr = W.orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+    return top.withColumn("rank", F.row_number().over(wr)).select(
+        "rank", "path", "n_sessions", "share_milli"
+    )
+
+
+SQL_TOP_PATHS = f"""
+WITH ev AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch_us(ts)) AS BIGINT) AS us
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, event_type, us,
+         CASE WHEN us - lag(us) OVER w > {TP_GAP_S * 1_000_000}
+              OR lag(us) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+sess AS (
+  SELECT user_id, event_id, event_type, us,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS sid
+  FROM flagged
+),
+steps AS (
+  SELECT user_id, sid, event_type,
+         row_number() OVER (PARTITION BY user_id, sid
+                            ORDER BY us, event_id) AS step
+  FROM sess
+  QUALIFY step <= {TP_STEPS}
+),
+slots AS (
+  SELECT user_id, sid,
+         {", ".join(
+            f"max(CASE WHEN step = {k} THEN event_type END) AS e{k}"
+            for k in range(1, TP_STEPS + 1)
+         )}
+  FROM steps GROUP BY 1, 2
+),
+counts AS (
+  SELECT concat_ws('>', {", ".join(f"e{k}" for k in range(1, TP_STEPS + 1))})
+           AS path,
+         CAST(count(*) AS BIGINT) AS n_sessions
+  FROM slots GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n_sessions) AS BIGINT) AS t FROM counts)
+SELECT CAST(row_number() OVER (
+         ORDER BY n_sessions DESC, path ASC) AS INT) AS rank,
+       path, n_sessions,
+       CAST(n_sessions * 1000 // t AS BIGINT) AS share_milli
+FROM counts CROSS JOIN tot
+ORDER BY rank LIMIT {TP_K}
+"""
+
+QUERIES["events_top_paths"] = (events_top_paths, SQL_TOP_PATHS)

@@ -1395,3 +1395,104 @@ FROM nw FULL OUTER JOIN od ON nw.shard = od.shard
 
 
 QUERIES["consistent_hash_eval"] = (consistent_hash_eval, _sql_consistent_hash())
+
+
+# ------------------------------------------------------ tiered merge plan
+
+# Lucene TieredMergePolicy's inner decision, one round (the maintenance
+# loop the reference's OpenSearch tier runs continuously): among segments
+# under the max-merged cap, consider every window of {TM_AT_ONCE}
+# consecutive segments in size-DESC order and pick the most BALANCED one
+# — Lucene scores candidates by skew (biggest member / window total;
+# merging a giant with dust wastes I/O), and this operator keeps exactly
+# that criterion as an integer: skew_micro = max_docs·1e6 DIV window_docs,
+# chosen = min skew, tie start asc. Segments are synthesized from the
+# (source, lang) doc-count grid — the natural "one segment per ingest
+# partition" shape a Spark writer produces.
+#
+# Scale shape: segment metadata is catalog-sized (thousands of rows at
+# petabyte scale) — one rank window + one frame aggregation; nothing
+# doc-sized is touched. The windowed frame (ROWS BETWEEN CURRENT AND
+# {TM_AT_ONCE - 1} FOLLOWING) computes every candidate in one pass.
+
+TM_AT_ONCE = 4  # segments merged per round
+TM_MAX_MERGED = 100_000  # doc cap for merge eligibility
+
+
+def tiered_merge_select(spark, sf_dir):
+    """(start_rank, window_docs, max_docs, n_in_window, skew_micro,
+    chosen, members): every candidate merge window over the synthesized
+    segment list, with Lucene's balance score; chosen = 1 on the pick."""
+    docs = load(spark, sf_dir, "documents")
+    segs = docs.groupBy("source", "lang").agg(
+        F.count("*").cast("long").alias("n_docs")
+    ).select(
+        F.concat_ws("_", "source", "lang").alias("seg"),
+        "n_docs",
+    ).filter(F.col("n_docs") <= TM_MAX_MERGED)
+    wr = W.orderBy(F.col("n_docs").desc(), F.col("seg").asc())
+    ranked = segs.withColumn("rnk", F.row_number().over(wr).cast("long"))
+    frame = W.orderBy("rnk").rowsBetween(0, TM_AT_ONCE - 1)
+    cand = (
+        ranked.withColumn("window_docs", F.sum("n_docs").over(frame).cast("long"))
+        .withColumn("max_docs", F.max("n_docs").over(frame).cast("long"))
+        .withColumn("n_in_window", F.count("*").over(frame).cast("long"))
+        .withColumn(
+            "members",
+            F.array_join(
+                F.collect_list("seg").over(frame), ","
+            ),
+        )
+        .filter(F.col("n_in_window") == TM_AT_ONCE)
+        .withColumn(
+            "skew_micro",
+            F.expr("CAST(max_docs * 1000000 DIV window_docs AS BIGINT)"),
+        )
+    )
+    wbest = W.orderBy(F.col("skew_micro").asc(), F.col("rnk").asc())
+    return cand.withColumn(
+        "chosen", (F.row_number().over(wbest) == 1).cast("long")
+    ).select(
+        F.col("rnk").alias("start_rank"),
+        "window_docs",
+        "max_docs",
+        "n_in_window",
+        "skew_micro",
+        "chosen",
+        "members",
+    )
+
+
+SQL_TIERED_MERGE = f"""
+WITH segs AS (
+  SELECT source || '_' || lang AS seg, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source, lang
+  HAVING count(*) <= {TM_MAX_MERGED}
+),
+ranked AS (
+  SELECT seg, n_docs,
+         CAST(row_number() OVER (ORDER BY n_docs DESC, seg ASC) AS BIGINT)
+           AS rnk
+  FROM segs
+),
+cand AS (
+  SELECT rnk,
+         CAST(sum(n_docs) OVER fr AS BIGINT) AS window_docs,
+         CAST(max(n_docs) OVER fr AS BIGINT) AS max_docs,
+         CAST(count(*) OVER fr AS BIGINT) AS n_in_window,
+         string_agg(seg, ',') OVER fr AS members
+  FROM ranked
+  WINDOW fr AS (ORDER BY rnk
+                ROWS BETWEEN CURRENT ROW AND {TM_AT_ONCE - 1} FOLLOWING)
+)
+SELECT rnk AS start_rank, window_docs, max_docs, n_in_window,
+       CAST(max_docs * 1000000 // window_docs AS BIGINT) AS skew_micro,
+       CAST((row_number() OVER (
+         ORDER BY max_docs * 1000000 // window_docs ASC, rnk ASC) = 1)
+         AS BIGINT) AS chosen,
+       members
+FROM cand
+WHERE n_in_window = {TM_AT_ONCE}
+"""
+
+QUERIES["tiered_merge_select"] = (tiered_merge_select, SQL_TIERED_MERGE)
