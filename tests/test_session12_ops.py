@@ -666,3 +666,127 @@ def test_word_segment_recovers_planted_splits(spark):
     for r in rows:
         assert 1 <= r["best_split"] <= len(r["runon"]) - 1
         assert r["best_score_micro"] < 0
+
+
+# --------------------------------- absorption / RFM / SCD2 / pipeline
+
+
+def test_absorption_probabilities_bounded_and_discriminating(spark):
+    from harvester_spark.operators.es_aggs import events_absorption_prob
+
+    rows = {r["state"]: r for r in events_absorption_prob(spark, SF_DIR).collect()}
+    assert rows  # transient states exist
+    for r in rows.values():
+        assert 0 < r["p_purchase_micro"] and 0 < r["p_error_micro"]
+        # a K-step absorption split can never exceed total mass
+        assert r["p_purchase_micro"] + r["p_error_micro"] <= 1_000_000
+    assert "purchase" not in rows and "error" not in rows
+
+
+def test_rfm_quintiles_balanced(spark):
+    from harvester_spark.operators.es_aggs import events_rfm_segments
+
+    rows = events_rfm_segments(spark, SF_DIR).collect()
+    n = len(rows)
+    for col in ("r_q", "f_q", "m_q"):
+        sizes = [0] * 6
+        for r in rows:
+            assert 1 <= r[col] <= 5
+            sizes[r[col]] += 1
+        assert max(sizes[1:]) - min(sizes[1:]) <= 1  # ntile balance law
+    for r in rows:
+        assert r["rfm_code"] == r["r_q"] * 100 + r["f_q"] * 10 + r["m_q"]
+    assert n == len({r["user_id"] for r in rows})
+
+
+def test_scd2_intervals_tile_and_alternate(spark):
+    from harvester_spark.operators.es_aggs import events_scd2_intervals
+
+    by_u: dict[int, list] = {}
+    for r in events_scd2_intervals(spark, SF_DIR).collect():
+        by_u.setdefault(r["user_id"], []).append(r)
+    assert by_u
+    for u, rows in by_u.items():
+        rows.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in rows] == list(range(1, len(rows) + 1))
+        assert sum(r["is_current"] for r in rows) == 1
+        assert rows[-1]["is_current"] == 1
+        for a, b in zip(rows, rows[1:]):
+            assert a["valid_to_us"] == b["valid_from_us"]  # intervals tile
+            assert a["state"] != b["state"]  # runs are maximal
+        assert rows[-1]["valid_to_us"] is None
+
+
+def test_serial_diff_ccard_matches_python(spark):
+    from harvester_spark.operators.common import load
+    from harvester_spark.operators.es_aggs import SD_LAG, events_serial_diff_ccard
+
+    ev = [
+        (r["user_id"], int(r["ts"].timestamp()) // 86400)
+        for r in load(spark, SF_DIR, "events").collect()
+    ]
+    days = sorted({d for _, d in ev})
+    lo, hi = min(days), max(days)
+    daily = {d: 0 for d in range(lo, hi + 1)}
+    for _, d in ev:
+        daily[d] += 1
+    first: dict[int, int] = {}
+    for u, d in ev:
+        first[u] = min(first.get(u, d), d)
+    rows = sorted(
+        events_serial_diff_ccard(spark, SF_DIR).collect(),
+        key=lambda r: r["day_bucket"],
+    )
+    assert [r["day_bucket"] for r in rows] == list(range(lo, hi + 1))
+    cum = 0
+    for i, r in enumerate(rows):
+        d = r["day_bucket"]
+        assert r["n_events"] == daily[d]
+        cum += sum(1 for f in first.values() if f == d)
+        assert r["cum_users"] == cum
+        if i < SD_LAG:
+            assert r["serial_diff_7"] is None
+        else:
+            assert r["serial_diff_7"] == daily[d] - daily[d - SD_LAG]
+    assert rows[-1]["cum_users"] == len(first)
+
+
+def test_tiered_merge_picks_min_skew(spark):
+    from harvester_spark.operators.index_stats import TM_AT_ONCE, tiered_merge_select
+
+    rows = tiered_merge_select(spark, SF_DIR).collect()
+    assert rows
+    chosen = [r for r in rows if r["chosen"] == 1]
+    assert len(chosen) == 1
+    best = min(rows, key=lambda r: (r["skew_micro"], r["start_rank"]))
+    assert chosen[0]["start_rank"] == best["start_rank"]
+    for r in rows:
+        assert r["n_in_window"] == TM_AT_ONCE
+        assert len(r["members"].split(",")) == TM_AT_ONCE
+        # max member >= window average
+        assert r["skew_micro"] >= 1_000_000 // TM_AT_ONCE
+        assert r["max_docs"] <= r["window_docs"]
+
+
+def test_top_paths_accounting(spark):
+    from harvester_spark.operators.common import load
+    from harvester_spark.operators.es_aggs import TP_GAP_S, events_top_paths
+
+    ev = sorted(
+        (
+            (r["user_id"], int(r["ts"].timestamp() * 1_000_000), r["event_id"])
+            for r in load(spark, SF_DIR, "events").collect()
+        )
+    )
+    n_sessions = 0
+    last: dict[int, int] = {}
+    for u, us, _ in ev:
+        if u not in last or us - last[u] > TP_GAP_S * 1_000_000:
+            n_sessions += 1
+        last[u] = us
+    rows = events_top_paths(spark, SF_DIR).collect()
+    assert rows
+    assert sum(r["n_sessions"] for r in rows) <= n_sessions
+    for r in rows:
+        assert 1 <= len(r["path"].split(">")) <= 4
+        assert r["share_milli"] == r["n_sessions"] * 1000 // n_sessions
