@@ -2202,3 +2202,227 @@ ORDER BY rank LIMIT {TP_K}
 """
 
 QUERIES["events_top_paths"] = (events_top_paths, SQL_TOP_PATHS)
+
+
+# ------------------------------------------------------- Benford audit
+
+# Benford's-law first-digit audit of the value column — the classic
+# forensic data-quality gate a warehouse runs on monetary fields
+# (fabricated or truncated feeds break the log-uniform digit law).
+# Expected shares are integer MILLI literals precomputed from
+# log10(1 + 1/d) (identical constants in both engines — no runtime
+# transcendental); the statistic is Pearson's chi² in milli with every
+# step integer: per digit (1000·o − N·p_milli)² DIV (N·p_milli) — the
+# 1000² numerator scale against the 1000 denominator scale nets ×1000.
+# On this corpus the value field IS Benford-like (log-spread positive
+# doubles), so the audit is a positive control: chi²/8 df must land
+# far below the fabricated-data regime (test-pinned).
+#
+# Scale shape: one map (first digit of integer cents) + 9-row groupBy.
+
+_BENFORD_MILLI = {
+    d: round(__import__("math").log10(1 + 1 / d) * 1000) for d in range(1, 10)
+}
+
+
+def events_benford(spark, sf_dir):
+    """(digit, n_obs, obs_share_milli, expected_milli, chi2_milli):
+    first-digit distribution of positive values vs Benford's law."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value") > 0)
+        .select(
+            F.expr(
+                "CAST(substring(CAST(CAST(round(value * 100) AS BIGINT)"
+                " AS STRING), 1, 1) AS BIGINT)"
+            ).alias("digit")
+        )
+    )
+    obs = ev.groupBy("digit").agg(F.count("*").cast("long").alias("n_obs"))
+    exp = spark.createDataFrame(
+        [(d, p) for d, p in sorted(_BENFORD_MILLI.items())],
+        "digit long, expected_milli long",
+    )
+    tot = F.broadcast(obs.agg(F.sum("n_obs").cast("long").alias("n")))
+    j = (
+        F.broadcast(exp)
+        .join(obs, "digit", "left")
+        .crossJoin(tot)
+        .select(
+            "digit",
+            F.coalesce("n_obs", F.lit(0)).cast("long").alias("n_obs"),
+            "expected_milli",
+            "n",
+        )
+    )
+    chi = F.broadcast(
+        j.agg(
+            F.expr(
+                "CAST(sum((1000 * n_obs - n * expected_milli)"
+                " * (1000 * n_obs - n * expected_milli)"
+                " DIV (n * expected_milli)) AS BIGINT)"
+            ).alias("chi2_milli")
+        )
+    )
+    return j.crossJoin(chi).select(
+        "digit",
+        "n_obs",
+        F.expr("CAST(n_obs * 1000 DIV n AS BIGINT)").alias("obs_share_milli"),
+        "expected_milli",
+        "chi2_milli",
+    )
+
+
+def _sql_benford() -> str:
+    evals = ", ".join(f"({d}, {p})" for d, p in sorted(_BENFORD_MILLI.items()))
+    return f"""
+WITH ev AS (
+  SELECT CAST(substring(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR),
+              1, 1) AS BIGINT) AS digit
+  FROM events WHERE value > 0
+),
+obs AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM ev GROUP BY 1),
+exp AS (SELECT * FROM (VALUES {evals}) e(digit, expected_milli)),
+tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM obs),
+j AS (
+  SELECT exp.digit, CAST(coalesce(obs.n_obs, 0) AS BIGINT) AS n_obs,
+         CAST(exp.expected_milli AS BIGINT) AS expected_milli, n
+  FROM exp LEFT JOIN obs ON obs.digit = exp.digit CROSS JOIN tot
+),
+chi AS (
+  SELECT CAST(sum((1000 * n_obs - n * expected_milli)
+              * (1000 * n_obs - n * expected_milli)
+              // (n * expected_milli)) AS BIGINT) AS chi2_milli
+  FROM j
+)
+SELECT digit, n_obs,
+       CAST(n_obs * 1000 // n AS BIGINT) AS obs_share_milli,
+       expected_milli, chi2_milli
+FROM j CROSS JOIN chi
+"""
+
+
+QUERIES["events_benford"] = (events_benford, _sql_benford())
+
+
+# --------------------------------------------------- seasonality ANOVA
+
+# Hour-of-day seasonality strength: one-way ANOVA R² — the share of
+# hourly-count variance explained by the 24-slot time-of-day profile.
+# This is the diagnostic that decides whether a forecaster needs a
+# seasonal component at all. Integer end to end via milli-scaled
+# quadratic forms: A = Σ_g S_g²·1000 DIV n_g, B = S²·1000 DIV N,
+# C = 1000·Σx² ⇒ r² = (A−B)/(C−B) (greatest-0 guarded — the per-group
+# truncation can dip A a hair under B on perfectly flat data). The
+# synthetic log is time-UNIFORM, so the honest answer is ≈ 0: the
+# operator is the negative control proving the statistic doesn't
+# hallucinate seasonality (test-pinned small), with the peak-hour row
+# riding along.
+#
+# Scale shape: densified hourly histogram (the pipeline-aggs grid), one
+# 24-group agg, one scalar agg. Overflow: S²·1000 < int64 needs total
+# events per type < 3e7 per the milli scale — the per-type daily-volume
+# envelope; shard by (type, week) beyond that (documented).
+
+
+def events_seasonality_r2(spark, sf_dir):
+    """(event_type, n_buckets, r2_milli, peak_hour, peak_mean_milli):
+    hour-of-day ANOVA seasonality strength per event type."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hour"),
+    )
+    b = ev.agg(F.min("hour").alias("mn"), F.max("hour").alias("mx")).collect()[0]
+    counts = ev.groupBy("event_type", "hour").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.lit(b.mn), F.lit(b.mx))).alias("hour"),
+        )
+    )
+    dens = grid.join(counts, ["event_type", "hour"], "left").select(
+        "event_type",
+        F.expr("hour % 24").cast("long").alias("hod"),
+        F.coalesce("c", F.lit(0)).cast("long").alias("c"),
+    )
+    g = dens.groupBy("event_type", "hod").agg(
+        F.count("*").cast("long").alias("ng"),
+        F.sum("c").cast("long").alias("sg"),
+    )
+    ga = g.groupBy("event_type").agg(
+        F.sum(F.expr("(sg * sg * 1000) DIV ng")).cast("long").alias("a"),
+        F.sum("sg").cast("long").alias("s"),
+        F.sum("ng").cast("long").alias("n"),
+        F.expr(
+            "max_by(hod, ((sg * 1000) DIV ng) * 100 - hod)"
+        ).alias("peak_hour"),
+        F.max(F.expr("(sg * 1000) DIV ng")).cast("long").alias("peak_mean_milli"),
+    )
+    c2 = dens.groupBy("event_type").agg(
+        (F.sum(F.col("c") * F.col("c")) * 1000).cast("long").alias("cc")
+    )
+    return (
+        ga.join(c2, "event_type")
+        .withColumn("bterm", F.expr("(s * s * 1000) DIV n"))
+        .select(
+            "event_type",
+            F.col("n").alias("n_buckets"),
+            F.expr(
+                "CAST(greatest(a - bterm, 0) * 1000"
+                " DIV greatest(cc - bterm, 1) AS BIGINT)"
+            ).alias("r2_milli"),
+            F.col("peak_hour").cast("long").alias("peak_hour"),
+            "peak_mean_milli",
+        )
+    )
+
+
+SQL_SEASONALITY_R2 = """
+WITH ev AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour
+  FROM events
+),
+b AS (SELECT min(hour) AS mn, max(hour) AS mx FROM ev),
+counts AS (
+  SELECT event_type, hour, CAST(count(*) AS BIGINT) AS c
+  FROM ev GROUP BY 1, 2
+),
+grid AS (
+  SELECT event_type, CAST(h AS BIGINT) AS hour
+  FROM (SELECT DISTINCT event_type FROM ev)
+  CROSS JOIN (SELECT unnest(range((SELECT mn FROM b), (SELECT mx FROM b) + 1)) AS h)
+),
+dens AS (
+  SELECT grid.event_type, grid.hour % 24 AS hod, coalesce(counts.c, 0) AS c
+  FROM grid LEFT JOIN counts USING (event_type, hour)
+),
+g AS (
+  SELECT event_type, hod, CAST(count(*) AS BIGINT) AS ng,
+         CAST(sum(c) AS BIGINT) AS sg
+  FROM dens GROUP BY 1, 2
+),
+ga AS (
+  SELECT event_type,
+         CAST(sum((sg * sg * 1000) // ng) AS BIGINT) AS a,
+         CAST(sum(sg) AS BIGINT) AS s,
+         CAST(sum(ng) AS BIGINT) AS n,
+         CAST(max_by(hod, ((sg * 1000) // ng) * 100 - hod) AS BIGINT) AS peak_hour,
+         CAST(max((sg * 1000) // ng) AS BIGINT) AS peak_mean_milli
+  FROM g GROUP BY 1
+),
+c2 AS (
+  SELECT event_type, CAST(sum(c * c) * 1000 AS BIGINT) AS cc
+  FROM dens GROUP BY 1
+)
+SELECT ga.event_type AS event_type, n AS n_buckets,
+       CAST(greatest(a - (s * s * 1000) // n, 0) * 1000
+            // greatest(cc - (s * s * 1000) // n, 1) AS BIGINT) AS r2_milli,
+       peak_hour, peak_mean_milli
+FROM ga JOIN c2 ON c2.event_type = ga.event_type
+"""
+
+QUERIES["events_seasonality_r2"] = (events_seasonality_r2, SQL_SEASONALITY_R2)
