@@ -790,3 +790,52 @@ def test_top_paths_accounting(spark):
     for r in rows:
         assert 1 <= len(r["path"].split(">")) <= 4
         assert r["share_milli"] == r["n_sessions"] * 1000 // n_sessions
+
+
+# ------------------------------------------------- Benford / seasonality
+
+
+def test_benford_positive_control(spark):
+    from harvester_spark.operators.es_aggs import _BENFORD_MILLI, events_benford
+
+    rows = sorted(events_benford(spark, SF_DIR).collect(), key=lambda r: r["digit"])
+    assert [r["digit"] for r in rows] == list(range(1, 10))
+    assert sum(_BENFORD_MILLI.values()) in (999, 1000, 1001)
+    shares = [r["obs_share_milli"] for r in rows]
+    # digit-law head/tail (strict monotonicity is sampling noise at tiny N)
+    assert shares[0] == max(shares) and shares[0] > 2 * shares[-1]
+    chi2 = rows[0]["chi2_milli"]
+    assert all(r["chi2_milli"] == chi2 for r in rows)
+    # log-spread values sit ORDERS below the fabricated (uniform-digit)
+    # regime, whose chi2_milli lands in the millions at this N
+    assert 0 < chi2 < 500_000
+
+
+def test_seasonality_r2_negative_control_matches_python(spark):
+    from harvester_spark.operators.common import load
+    from harvester_spark.operators.es_aggs import events_seasonality_r2
+
+    ev = [
+        (r["event_type"], int(r["ts"].timestamp()) // 3600)
+        for r in load(spark, SF_DIR, "events").collect()
+    ]
+    lo = min(h for _, h in ev)
+    hi = max(h for _, h in ev)
+    got = {r["event_type"]: r for r in events_seasonality_r2(spark, SF_DIR).collect()}
+    for et in {t for t, _ in ev}:
+        counts = {h: 0 for h in range(lo, hi + 1)}
+        for t, h in ev:
+            if t == et:
+                counts[h] += 1
+        groups: dict[int, list[int]] = {}
+        for h, c in counts.items():
+            groups.setdefault(h % 24, []).append(c)
+        a = sum(sum(v) * sum(v) * 1000 // len(v) for v in groups.values())
+        s = sum(counts.values())
+        n = len(counts)
+        cc = sum(c * c for c in counts.values()) * 1000
+        bterm = s * s * 1000 // n
+        r2 = max(a - bterm, 0) * 1000 // max(cc - bterm, 1)
+        assert got[et]["r2_milli"] == r2
+        assert got[et]["n_buckets"] == n
+        assert r2 < 300  # uniform traffic: no hallucinated seasonality
