@@ -1470,3 +1470,121 @@ FROM m
 
 
 QUERIES["host_assortativity"] = (host_assortativity, _sql_assortativity())
+
+
+# ------------------------------------------------------------- k-core
+
+# k-core membership by iterative peeling (Seidman 1983; the crawl/spam
+# tier's "dense nucleus" extractor — hosts outside the core are leaf-like
+# and cheap to deprioritize). This operator uses its OWN sparse host
+# synthesis (doc → 'h'||md5%fanout with fanout DERIVED as n_docs DIV 2,
+# the derive_n_planes discipline): the shared 20-host _edges graph is
+# near-complete, where peeling is all-or-nothing and proves nothing; a
+# scale-invariant ~2 docs/host ratio keeps a genuine leaf fringe below
+# the fixed k = {KCORE_K} at EVERY scale factor (survivor split
+# test-pinned). {KCORE_ITERS} peel rounds are unrolled as chained
+# MATERIALIZED CTEs — drop every host whose degree within the surviving
+# set is < k, recompute, repeat.
+#
+# Scale shape per round: two semi-joins of edges against survivors + one
+# degree groupBy — edge-count-sized; survivors only ever shrink. The
+# driver-side n_docs is a parquet-metadata count (catalog statistic),
+# never a scan.
+
+KCORE_ITERS = 4
+KCORE_K = 3
+
+
+def host_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(host, degree0, in_core, k): initial undirected distinct-neighbor
+    degree and survival of {KCORE_ITERS} peeling rounds at k={KCORE_K}
+    over the sparse derived-fanout host graph."""
+    docs = load(spark, sf_dir, "documents")
+    fan = max(docs.count() // 2, 20)
+    dst = F.concat(
+        F.lit("h"),
+        (_hash56(F.col("doc_id").cast("string")) % fan).cast("string"),
+    )
+    e0 = docs.select(F.col("source").alias("src"), dst.alias("dst")).filter(
+        F.col("src") != F.col("dst")
+    )
+    und = (
+        e0.select("src", "dst")
+        .union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .cache()
+    )
+    deg0 = und.groupBy("src").agg(F.count("*").cast("long").alias("degree0"))
+    alive = deg0.select(F.col("src").alias("host"))
+    for _ in range(KCORE_ITERS):
+        kept_edges = (
+            und.join(alive.withColumnRenamed("host", "src"), "src", "semi")
+            .join(alive.withColumnRenamed("host", "dst"), "dst", "semi")
+        )
+        deg = kept_edges.groupBy("src").agg(F.count("*").cast("long").alias("d"))
+        alive = (
+            deg.filter(F.col("d") >= KCORE_K)
+            .select(F.col("src").alias("host"))
+            .localCheckpoint()
+        )
+    return (
+        deg0.select(F.col("src").alias("host"), "degree0")
+        .join(alive.withColumn("inc", F.lit(1)), "host", "left")
+        .select(
+            "host",
+            "degree0",
+            F.coalesce("inc", F.lit(0)).cast("long").alias("in_core"),
+            F.lit(KCORE_K).cast("long").alias("k"),
+        )
+    )
+
+
+def _sql_kcore() -> str:
+    hash_doc = _SQL_HASH56.format(col="CAST(doc_id AS VARCHAR)")
+    parts = [
+        f"""WITH fan AS (
+  SELECT greatest(count(*) // 2, 20) AS f FROM documents
+),
+e0 AS (
+  SELECT source AS src,
+         'h' || CAST({hash_doc} % (SELECT f FROM fan) AS VARCHAR) AS dst
+  FROM documents
+),
+edges AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT src, dst FROM e0 WHERE src <> dst
+    UNION
+    SELECT dst, src FROM e0 WHERE src <> dst
+  )
+),
+deg0 AS MATERIALIZED (
+  SELECT src AS host, CAST(count(*) AS BIGINT) AS degree0
+  FROM edges GROUP BY 1
+),
+alive0 AS MATERIALIZED (SELECT host FROM deg0)"""
+    ]
+    for i in range(1, KCORE_ITERS + 1):
+        parts.append(
+            f""",
+deg{i} AS MATERIALIZED (
+  SELECT e.src AS host, CAST(count(*) AS BIGINT) AS d
+  FROM edges e
+  WHERE e.src IN (SELECT host FROM alive{i - 1})
+    AND e.dst IN (SELECT host FROM alive{i - 1})
+  GROUP BY 1
+),
+alive{i} AS MATERIALIZED (
+  SELECT host FROM deg{i} WHERE d >= {KCORE_K}
+)"""
+        )
+    parts.append(
+        f"""
+SELECT d.host, d.degree0,
+       CAST((a.host IS NOT NULL) AS BIGINT) AS in_core,
+       CAST({KCORE_K} AS BIGINT) AS k
+FROM deg0 d LEFT JOIN alive{KCORE_ITERS} a ON a.host = d.host"""
+    )
+    return "".join(parts)
+
+
+QUERIES["host_kcore"] = (host_kcore, _sql_kcore())

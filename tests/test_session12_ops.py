@@ -839,3 +839,16 @@ def test_seasonality_r2_negative_control_matches_python(spark):
         assert got[et]["r2_milli"] == r2
         assert got[et]["n_buckets"] == n
         assert r2 < 300  # uniform traffic: no hallucinated seasonality
+
+
+def test_kcore_splits_and_is_a_fixed_point(spark):
+    from harvester_spark.operators.graph import KCORE_K, host_kcore
+
+    rows = host_kcore(spark, SF_DIR).collect()
+    inc = {r["host"] for r in rows if r["in_core"] == 1}
+    out = {r["host"] for r in rows if r["in_core"] == 0}
+    assert inc and out  # genuinely splits at every SF (derived fanout)
+    # every core member had initial degree >= k (necessary condition)
+    for r in rows:
+        if r["in_core"] == 1:
+            assert r["degree0"] >= KCORE_K
