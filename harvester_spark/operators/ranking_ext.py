@@ -1294,3 +1294,212 @@ ORDER BY rank LIMIT {FUSE_K}
 
 
 QUERIES["hybrid_combmnz_topk"] = (hybrid_combmnz_topk, _sql_combmnz())
+
+
+# ------------------------------------------------ team-draft interleaving
+
+# Online ranker comparison by interleaving (Radlinski, Kurup & Joachims,
+# CIKM 2008): the BM25-OR and Dirichlet-QL top-{IL_K} lists are merged
+# team-draft style — rounds of two picks, the first-picker ALTERNATING
+# deterministically (round 1: A first, round 2: B first, …; the
+# published coin flip replaced by strict alternation so both engines and
+# the unrolled oracle agree bit-for-bit), each team contributing its
+# highest-ranked not-yet-picked document. Clicks on the interleaved list
+# are synthesized with the click_models PBM truth (γ = 1000/pos
+# examination, md5-derived item attractiveness — position-biased the way
+# real interleaving traffic is), and each click credits the team that
+# CONTRIBUTED the document; the winner column is the sign of the credit
+# difference.
+#
+# Determinism/scale: the two input lists are k rows BY CONSTRUCTION, so
+# the draft itself runs on the driver over bounded data (the sq8
+# bounded-collect discipline) while both serving plans and the click
+# scoring stay in Spark; the DuckDB oracle replays the draft as a
+# {2 * IL_K}-step chained-CTE unroll — the cross-engine gate proves the
+# two implementations of the draft are the same function.
+
+IL_K = 10
+_IL_ALPHA = "(150 + {h} % 700)"
+_IL_CLICK = (
+    "CASE WHEN {u} % 1000 <"
+    " ((1000 {div} pos) * {alpha}) {div} 1000 THEN 1 ELSE 0 END"
+)
+
+
+def _il_team(step: int) -> str:
+    rnd = (step + 1) // 2
+    first = "A" if rnd % 2 == 1 else "B"
+    other = "B" if first == "A" else "A"
+    return first if step % 2 == 1 else other
+
+
+def interleave_team_draft_eval(spark, sf_dir):
+    """(pos, doc_id, team, clicked, a_clicks, b_clicks, winner):
+    team-draft interleaving of BM25 vs Dirichlet with PBM-synthesized
+    clicks and per-team credit."""
+    scored_a = bm25_or_scored(spark, sf_dir)
+    top_a = [
+        int(r["doc_id"])
+        for r in scored_a.orderBy(
+            F.col("score").desc(), F.col("doc_id").asc()
+        ).limit(IL_K).collect()
+    ]
+    top_b = [
+        int(r["doc_id"])
+        for r in _dirichlet_topn(spark, sf_dir, IL_K)
+        .orderBy("rb")
+        .collect()
+    ]
+    picked: list[tuple[int, str]] = []
+    have = set()
+    for t in range(1, 2 * IL_K + 1):
+        team = _il_team(t)
+        lst = top_a if team == "A" else top_b
+        for d in lst:
+            if d not in have:
+                have.add(d)
+                picked.append((d, team))
+                break
+    il = spark.createDataFrame(
+        [(i + 1, d, tm) for i, (d, tm) in enumerate(picked)],
+        "pos long, doc_id long, team string",
+    )
+    h_doc = "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 14), 16, 10) AS BIGINT)"
+    u = (
+        "CAST(conv(substring(md5(concat('il', CAST(doc_id AS STRING), '_',"
+        " CAST(pos AS STRING))), 1, 14), 16, 10) AS BIGINT)"
+    )
+    clicked = il.withColumn(
+        "clicked",
+        F.expr(
+            _IL_CLICK.format(
+                u=u, alpha=_IL_ALPHA.format(h=h_doc), div="DIV"
+            )
+        ).cast("long"),
+    )
+    summ = F.broadcast(
+        clicked.agg(
+            F.sum(F.when(F.col("team") == "A", F.col("clicked")).otherwise(0))
+            .cast("long")
+            .alias("a_clicks"),
+            F.sum(F.when(F.col("team") == "B", F.col("clicked")).otherwise(0))
+            .cast("long")
+            .alias("b_clicks"),
+        )
+    )
+    return clicked.crossJoin(summ).select(
+        "pos",
+        "doc_id",
+        "team",
+        "clicked",
+        "a_clicks",
+        "b_clicks",
+        F.expr(
+            "CASE WHEN a_clicks > b_clicks THEN 'A'"
+            " WHEN b_clicks > a_clicks THEN 'B' ELSE 'tie' END"
+        ).alias("winner"),
+    )
+
+
+def _sql_interleave() -> str:
+    from harvester_spark.operators.fulltext_queries import _DIR_LP
+
+    in_list = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    parts = [
+        f"""WITH {_sql_components(BM25_TERMS)},
+scored_a AS (
+  SELECT doc_id, round(sum(contrib), 6) AS score FROM comps GROUP BY doc_id
+),
+top_a AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT)
+           AS ra
+  FROM scored_a ORDER BY score DESC, doc_id ASC LIMIT {IL_K}
+),
+dls AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+cfs AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS cf FROM toks
+  WHERE term IN ({in_list}) GROUP BY 1
+),
+ctt AS (SELECT CAST(count(*) AS BIGINT) AS ct FROM toks),
+tfs_ AS (
+  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM toks
+  WHERE term IN ({in_list}) GROUP BY 1, 2
+),
+joined AS (
+  SELECT d.doc_id AS doc_id, coalesce(tfs_.tf, 0) AS tf,
+         coalesce(dls.dl, 0) AS dl, cfs.cf AS cf, ctt.ct AS ct
+  FROM (SELECT doc_id FROM documents) d
+  LEFT JOIN dls USING (doc_id)
+  CROSS JOIN cfs
+  LEFT JOIN tfs_ ON tfs_.term = cfs.term AND tfs_.doc_id = d.doc_id
+  CROSS JOIN ctt
+),
+scored_b AS (
+  SELECT doc_id, CAST(sum({_DIR_LP}) AS BIGINT) AS logp_micro
+  FROM joined GROUP BY doc_id
+),
+top_b AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY logp_micro DESC, doc_id ASC)
+              AS BIGINT) AS rb
+  FROM scored_b ORDER BY logp_micro DESC, doc_id ASC LIMIT {IL_K}
+),
+picked0 AS MATERIALIZED (
+  SELECT CAST(NULL AS BIGINT) AS doc_id, '' AS team,
+         CAST(0 AS BIGINT) AS pos
+  WHERE false
+)"""
+    ]
+    for t in range(1, 2 * IL_K + 1):
+        team = _il_team(t)
+        lst, rk = ("top_a", "ra") if team == "A" else ("top_b", "rb")
+        parts.append(
+            f""",
+pick{t} AS MATERIALIZED (
+  SELECT doc_id, '{team}' AS team FROM {lst}
+  WHERE doc_id NOT IN (SELECT doc_id FROM picked{t - 1}
+                       WHERE doc_id IS NOT NULL)
+  ORDER BY {rk} ASC LIMIT 1
+),
+picked{t} AS MATERIALIZED (
+  SELECT doc_id, team, pos FROM picked{t - 1}
+  UNION ALL
+  SELECT doc_id, team,
+         (SELECT count(*) FROM picked{t - 1}) + 1 AS pos
+  FROM pick{t}
+)"""
+        )
+    h_doc = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT)"
+    u = (
+        "CAST(('0x' || substr(md5('il' || CAST(doc_id AS VARCHAR) || '_' ||"
+        " CAST(pos AS VARCHAR)), 1, 14)) AS BIGINT)"
+    )
+    last = f"picked{2 * IL_K}"
+    parts.append(
+        f""",
+clicked AS MATERIALIZED (
+  SELECT pos, doc_id, team,
+         CAST({_IL_CLICK.format(u=u, alpha=_IL_ALPHA.format(h=h_doc),
+                                div='//')} AS BIGINT) AS clicked
+  FROM {last}
+),
+summ AS (
+  SELECT CAST(coalesce(sum(CASE WHEN team = 'A' THEN clicked END), 0)
+           AS BIGINT) AS a_clicks,
+         CAST(coalesce(sum(CASE WHEN team = 'B' THEN clicked END), 0)
+           AS BIGINT) AS b_clicks
+  FROM clicked
+)
+SELECT pos, doc_id, team, clicked, a_clicks, b_clicks,
+       CASE WHEN a_clicks > b_clicks THEN 'A'
+            WHEN b_clicks > a_clicks THEN 'B' ELSE 'tie' END AS winner
+FROM clicked CROSS JOIN summ"""
+    )
+    return "".join(parts)
+
+
+QUERIES["interleave_team_draft_eval"] = (
+    interleave_team_draft_eval,
+    _sql_interleave(),
+)

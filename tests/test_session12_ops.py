@@ -852,3 +852,45 @@ def test_kcore_splits_and_is_a_fixed_point(spark):
     for r in rows:
         if r["in_core"] == 1:
             assert r["degree0"] >= KCORE_K
+
+
+def test_team_draft_structure(spark):
+    from harvester_spark.operators.fulltext_queries import bm25_or_scored
+    from harvester_spark.operators.ranking_ext import (
+        IL_K,
+        _dirichlet_topn,
+        interleave_team_draft_eval,
+    )
+    from pyspark.sql import functions as F
+
+    rows = sorted(
+        interleave_team_draft_eval(spark, SF_DIR).collect(), key=lambda r: r["pos"]
+    )
+    docs = [r["doc_id"] for r in rows]
+    assert len(docs) == len(set(docs))  # no doc appears twice
+    assert [r["pos"] for r in rows] == list(range(1, len(rows) + 1))
+    top_a = [
+        int(r["doc_id"])
+        for r in bm25_or_scored(spark, SF_DIR)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(IL_K)
+        .collect()
+    ]
+    top_b = [
+        int(r["doc_id"])
+        for r in _dirichlet_topn(spark, SF_DIR, IL_K).orderBy("rb").collect()
+    ]
+    # every pick is from its team's list, in that list's rank order
+    for team, lst in (("A", top_a), ("B", top_b)):
+        picks = [r["doc_id"] for r in rows if r["team"] == team]
+        idx = [lst.index(d) for d in picks]
+        assert idx == sorted(idx)
+    # overlap docs appear exactly once, credited to ONE team
+    overlap = set(top_a) & set(top_b)
+    assert overlap <= set(docs)
+    # both teams contributed (the draft is fair)
+    teams = {r["team"] for r in rows}
+    assert teams == {"A", "B"}
+    w = rows[0]["winner"]
+    a, b = rows[0]["a_clicks"], rows[0]["b_clicks"]
+    assert w == ("A" if a > b else "B" if b > a else "tie")
