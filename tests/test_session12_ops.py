@@ -894,3 +894,26 @@ def test_team_draft_structure(spark):
     w = rows[0]["winner"]
     a, b = rows[0]["a_clicks"], rows[0]["b_clicks"]
     assert w == ("A" if a > b else "B" if b > a else "tie")
+
+
+def test_slo_dual_window_tames_flappy_alerts(spark):
+    from harvester_spark.operators.es_aggs import (
+        SLO_BURN_MILLI,
+        SLO_MILLI,
+        events_slo_burn,
+    )
+
+    rows = events_slo_burn(spark, SF_DIR).collect()
+    assert rows
+    short_only = sum(
+        1
+        for r in rows
+        if r["tot_1h"] > 0
+        and r["bad_1h"] * 1_000_000 >= SLO_BURN_MILLI * SLO_MILLI * r["tot_1h"]
+    )
+    both = sum(r["alert"] for r in rows)
+    assert 0 < both < short_only  # the AND genuinely filters pages
+    for r in rows:
+        if r["alert"] == 1:
+            assert r["burn_short_milli"] >= SLO_BURN_MILLI
+            assert r["burn_long_milli"] >= SLO_BURN_MILLI
