@@ -2536,3 +2536,58 @@ FROM roll
 """
 
 QUERIES["events_slo_burn"] = (events_slo_burn, SQL_SLO_BURN)
+
+
+# --------------------------------------------------- forecast backtest
+
+# The backtest that justifies (or indicts) a smoother: events_moving_holt
+# forecasts hour t+1 from window [t-7, t]; this operator joins each
+# forecast to the REALIZED next-hour count and reports per-type MAE in
+# milli, next to the persistence baseline (predict tomorrow = today —
+# the bar every forecaster must clear). Errors are exact integer
+# |holt_milli − 1000·actual|; means are integer floor-divisions. No
+# winner is asserted: on time-uniform traffic persistence is strong, and
+# the HONEST comparison is the product (the guard pins accounting, not a
+# victory).
+#
+# Scale shape: the Holt relation (bucket-count-sized) + one lead window
+# + one per-type agg.
+
+
+def events_forecast_eval(spark, sf_dir):
+    """(event_type, n_eval, mae_holt_milli, mae_naive_milli): one-step
+    backtest of the Holt forecast vs persistence."""
+    holt = events_moving_holt(spark, sf_dir)
+    wt = W.partitionBy("event_type").orderBy("hour_bucket")
+    j = holt.withColumn("nxt", F.lead("c").over(wt)).filter(
+        F.col("nxt").isNotNull()
+    )
+    return j.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_eval"),
+        F.expr(
+            "CAST(sum(abs(holt_milli - 1000 * nxt)) DIV count(*) AS BIGINT)"
+        ).alias("mae_holt_milli"),
+        F.expr(
+            "CAST(sum(abs(1000 * c - 1000 * nxt)) DIV count(*) AS BIGINT)"
+        ).alias("mae_naive_milli"),
+    )
+
+
+SQL_FORECAST_EVAL = f"""
+WITH holt AS ({_sql_events_moving_holt()}),
+j AS (
+  SELECT event_type, c, holt_milli,
+         lead(c) OVER (PARTITION BY event_type ORDER BY hour_bucket) AS nxt
+  FROM holt
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_eval,
+       CAST(sum(abs(holt_milli - 1000 * nxt)) // count(*) AS BIGINT)
+         AS mae_holt_milli,
+       CAST(sum(abs(1000 * c - 1000 * nxt)) // count(*) AS BIGINT)
+         AS mae_naive_milli
+FROM j WHERE nxt IS NOT NULL
+GROUP BY event_type
+"""
+
+QUERIES["events_forecast_eval"] = (events_forecast_eval, SQL_FORECAST_EVAL)

@@ -1476,3 +1476,163 @@ GROUP BY 1, 2
 
 
 QUERIES["bm25_grid_tune_eval"] = (bm25_grid_tune_eval, _sql_grid_tune())
+
+
+# ------------------------------------------------ cascade ranking eval
+
+# Multi-stage cascade evaluation (Wang, Lin & Metzler, SIGIR 2011): a
+# cheap stage-1 feature (query-term match COUNT — no tf, no idf, no
+# length norm; the cheapest boolean signal an index answers) prunes to
+# {CASCADE_C} candidates per query, and the expensive BM25 stage-2 runs
+# only on the survivors. The eval prices the trade: per registry query,
+# stage-2 candidate volume saved vs nDCG@10 kept, against the same
+# phrase qrels (judgments don't depend on the scorer). The cascade loses
+# quality ONLY where a relevant doc matched fewer distinct terms than
+# rank-{CASCADE_C}'s — exactly the tail the cascade literature prices.
+#
+# Determinism: stage-1 ranks on (n_match desc, doc_id asc) — exact ints;
+# stage-2 reuses _graded_ranking's round-6 scores; nDCG micro is the
+# integer _NDCG_ADDEND contract with the SAME IDCG for both arms.
+#
+# Scale shape: stage-1 is a (q, doc) countDistinct over the impact join
+# + one q-keyed WindowGroupLimit; stage-2's scan is UNCHANGED (scores
+# come from the same component join) — in production the win is decode
+# volume, priced here by n_full vs n_cascade.
+
+CASCADE_C = 50
+
+
+def ft_cascade_cost_eval(spark, sf_dir):
+    """(q_id, n_full, n_cascade, ndcg_full_micro, ndcg_cascade_micro):
+    candidate volume and quality of the match-count → BM25 cascade vs
+    single-stage BM25."""
+    graded = _graded_ranking(spark, sf_dir).cache()
+
+    toks = doc_tokens(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    qdocs = docs.select("doc_id").orderBy("doc_id").limit(HN_N_QUERIES)
+    first = (
+        toks.join(F.broadcast(qdocs), "doc_id")
+        .groupBy("doc_id", "term")
+        .agg(F.min("pos").alias("p0"))
+    )
+    wsel = W.partitionBy("doc_id").orderBy(F.col("p0").asc(), F.col("term").asc())
+    qterms = (
+        first.withColumn("r", F.row_number().over(wsel))
+        .filter(F.col("r") <= HN_Q_LEN)
+        .select(F.col("doc_id").alias("q_id"), "term")
+    )
+    nmatch = (
+        toks.select("doc_id", "term")
+        .distinct()
+        .join(F.broadcast(qterms), "term")
+        .groupBy("q_id", "doc_id")
+        .agg(F.countDistinct("term").cast("long").alias("n_match"))
+    )
+    w1 = W.partitionBy("q_id").orderBy(
+        F.col("n_match").desc(), F.col("doc_id").asc()
+    )
+    survivors = (
+        nmatch.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= CASCADE_C)
+        .select("q_id", "doc_id")
+    )
+    wr = W.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+
+    def dcg_of(frame, out):
+        return (
+            frame.withColumn("rnk", F.row_number().over(wr))
+            .filter(F.col("rnk") <= NDCG_K)
+            .withColumn("addend", F.expr(_NDCG_ADDEND))
+            .groupBy("q_id")
+            .agg(F.sum("addend").cast("long").alias(out))
+        )
+
+    full_dcg = dcg_of(graded, "dcg_full")
+    casc_dcg = dcg_of(graded.join(survivors, ["q_id", "doc_id"]), "dcg_casc")
+    wi = W.partitionBy("q_id").orderBy(F.col("rel").desc(), F.col("doc_id").asc())
+    idcg = (
+        graded.withColumn("rnk", F.row_number().over(wi))
+        .filter(F.col("rnk") <= NDCG_K)
+        .withColumn("addend", F.expr(_NDCG_ADDEND))
+        .groupBy("q_id")
+        .agg(F.sum("addend").cast("long").alias("idcg"))
+    )
+    counts = graded.groupBy("q_id").agg(F.count("*").cast("long").alias("n_full"))
+    casc_n = survivors.groupBy("q_id").agg(
+        F.count("*").cast("long").alias("n_cascade")
+    )
+    return (
+        counts.join(casc_n, "q_id")
+        .join(full_dcg, "q_id")
+        .join(casc_dcg, "q_id")
+        .join(idcg, "q_id")
+        .select(
+            "q_id",
+            "n_full",
+            "n_cascade",
+            F.expr("CAST(dcg_full * 1000000 DIV idcg AS BIGINT)").alias(
+                "ndcg_full_micro"
+            ),
+            F.expr("CAST(dcg_casc * 1000000 DIV idcg AS BIGINT)").alias(
+                "ndcg_cascade_micro"
+            ),
+        )
+    )
+
+
+SQL_CASCADE_EVAL = _SQL_GRADED_PREFIX + f""",
+nmatch AS (
+  SELECT q.q_id, t.doc_id,
+         CAST(count(DISTINCT t.term) AS BIGINT) AS n_match
+  FROM (SELECT DISTINCT doc_id, term FROM toks) t
+  JOIN qsel q ON q.term = t.term
+  GROUP BY 1, 2
+),
+survivors AS (
+  SELECT q_id, doc_id FROM (
+    SELECT q_id, doc_id,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY n_match DESC, doc_id ASC) AS rn
+    FROM nmatch
+  ) WHERE rn <= {CASCADE_C}
+),
+full_dcg AS (
+  SELECT q_id, CAST(sum({_NDCG_ADDEND}) AS BIGINT) AS dcg_full FROM (
+    SELECT q_id, rel,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY score DESC, doc_id ASC) AS rnk
+    FROM graded
+  ) WHERE rnk <= {NDCG_K} GROUP BY q_id
+),
+casc_dcg AS (
+  SELECT q_id, CAST(sum({_NDCG_ADDEND}) AS BIGINT) AS dcg_casc FROM (
+    SELECT g.q_id, g.rel,
+           row_number() OVER (PARTITION BY g.q_id
+                              ORDER BY g.score DESC, g.doc_id ASC) AS rnk
+    FROM graded g JOIN survivors s ON s.q_id = g.q_id AND s.doc_id = g.doc_id
+  ) WHERE rnk <= {NDCG_K} GROUP BY q_id
+),
+idcg AS (
+  SELECT q_id, CAST(sum({_NDCG_ADDEND}) AS BIGINT) AS idcg FROM (
+    SELECT q_id, rel,
+           row_number() OVER (
+             PARTITION BY q_id ORDER BY rel DESC, doc_id ASC) AS rnk
+    FROM graded
+  ) WHERE rnk <= {NDCG_K} GROUP BY q_id
+),
+counts AS (
+  SELECT q_id, CAST(count(*) AS BIGINT) AS n_full FROM graded GROUP BY q_id
+),
+casc_n AS (
+  SELECT q_id, CAST(count(*) AS BIGINT) AS n_cascade
+  FROM survivors GROUP BY q_id
+)
+SELECT q_id, n_full, n_cascade,
+       CAST(dcg_full * 1000000 // idcg AS BIGINT) AS ndcg_full_micro,
+       CAST(dcg_casc * 1000000 // idcg AS BIGINT) AS ndcg_cascade_micro
+FROM counts JOIN casc_n USING (q_id) JOIN full_dcg USING (q_id)
+     JOIN casc_dcg USING (q_id) JOIN idcg USING (q_id)
+"""
+
+QUERIES["ft_cascade_cost_eval"] = (ft_cascade_cost_eval, SQL_CASCADE_EVAL)

@@ -1919,3 +1919,85 @@ FROM score QUALIFY rnk <= {TOP_K}
 """
 
 QUERIES["ann_maxsim_topk"] = (ann_maxsim_topk, SQL_ANN_MAXSIM)
+
+
+# -------------------------------------------------- embedding drift check
+
+# Vector-pipeline distribution monitoring: when a new embedding snapshot
+# lands (re-encoded corpus, new model version), per-dimension mean shift
+# against the previous snapshot is the first drift alarm — before recall
+# evals, before reindexing. Snapshots are derived deterministically here
+# as the vec_id parity halves (at production scale: two catalog
+# snapshots). Per-dim means are exact integer micro floor-divisions; the
+# aggregate L2 shift goes through one shared sqrt string in milli
+# (events_extended_stats slack discipline); the per-dim rank surfaces
+# top movers.
+#
+# Scale shape: one groupBy(pos % / dim) agg per half — dim-bounded
+# output, single scan.
+
+
+def emb_drift_check(spark, sf_dir):
+    """(pos, mean_a_micro, mean_b_micro, diff_micro, mover_rank,
+    l2_shift_milli): per-dimension mean shift between the vec_id-parity
+    snapshot halves plus the corpus-level L2 drift."""
+    icomp = _components(spark, sf_dir).select(
+        "pos",
+        F.expr("vec_id % 2").alias("half"),
+        F.round(F.col("val") * _KM_SCALE).cast("long").alias("ival"),
+    )
+    per = icomp.groupBy("pos", "half").agg(
+        F.expr("CAST(sum(ival) DIV count(*) AS BIGINT)").alias("mean")
+    )
+    a = per.filter(F.col("half") == 0).select("pos", F.col("mean").alias("mean_a_micro"))
+    b = per.filter(F.col("half") == 1).select("pos", F.col("mean").alias("mean_b_micro"))
+    d = a.join(b, "pos").withColumn(
+        "diff_micro", F.expr("CAST(mean_a_micro - mean_b_micro AS BIGINT)")
+    )
+    l2 = F.broadcast(
+        d.agg(
+            F.expr(
+                "CAST(floor(sqrt(CAST(sum(diff_micro * diff_micro) AS DOUBLE))"
+                " / 1000.0e0 + 0.5e0) AS BIGINT)"
+            ).alias("l2_shift_milli")
+        )
+    )
+    wr = W.orderBy(F.expr("abs(diff_micro)").desc(), F.col("pos").asc())
+    return (
+        d.withColumn("mover_rank", F.row_number().over(wr).cast("long"))
+        .crossJoin(l2)
+        .select(
+            "pos", "mean_a_micro", "mean_b_micro", "diff_micro",
+            "mover_rank", "l2_shift_milli",
+        )
+    )
+
+
+SQL_EMB_DRIFT = f"""
+WITH icomp AS (
+  SELECT pos, vec_id % 2 AS half,
+         CAST(round(val * {_KM_SCALE}) AS BIGINT) AS ival
+  FROM ({_SQL_COMPONENTS})
+),
+per AS (
+  SELECT pos, half, CAST(sum(ival) // count(*) AS BIGINT) AS mean
+  FROM icomp GROUP BY 1, 2
+),
+d AS (
+  SELECT a.pos, a.mean AS mean_a_micro, b.mean AS mean_b_micro,
+         CAST(a.mean - b.mean AS BIGINT) AS diff_micro
+  FROM per a JOIN per b ON a.pos = b.pos AND a.half = 0 AND b.half = 1
+),
+l2 AS (
+  SELECT CAST(floor(sqrt(CAST(sum(diff_micro * diff_micro) AS DOUBLE))
+              / 1000.0e0 + 0.5e0) AS BIGINT) AS l2_shift_milli
+  FROM d
+)
+SELECT pos, mean_a_micro, mean_b_micro, diff_micro,
+       CAST(row_number() OVER (ORDER BY abs(diff_micro) DESC, pos ASC)
+         AS BIGINT) AS mover_rank,
+       l2_shift_milli
+FROM d CROSS JOIN l2
+"""
+
+QUERIES["emb_drift_check"] = (emb_drift_check, SQL_EMB_DRIFT)

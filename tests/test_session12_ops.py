@@ -917,3 +917,59 @@ def test_slo_dual_window_tames_flappy_alerts(spark):
         if r["alert"] == 1:
             assert r["burn_short_milli"] >= SLO_BURN_MILLI
             assert r["burn_long_milli"] >= SLO_BURN_MILLI
+
+
+# -------------------------------------- cascade / drift / forecast evals
+
+
+def test_cascade_saves_candidates_and_tracks_quality(spark):
+    from harvester_spark.operators.retrieval import CASCADE_C, ft_cascade_cost_eval
+
+    rows = ft_cascade_cost_eval(spark, SF_DIR).collect()
+    assert len(rows) == 16
+    for r in rows:
+        assert r["n_cascade"] <= min(CASCADE_C, r["n_full"])
+        # pruning can only LOSE quality, never gain it
+        assert r["ndcg_cascade_micro"] <= r["ndcg_full_micro"]
+    saved = sum(r["n_full"] - r["n_cascade"] for r in rows)
+    assert saved > 0  # the cascade genuinely prunes on this corpus
+    kept = sum(r["ndcg_cascade_micro"] for r in rows) / max(
+        sum(r["ndcg_full_micro"] for r in rows), 1
+    )
+    assert kept > 0.5  # and keeps most of the quality
+
+
+def test_emb_drift_matches_python(spark):
+    from harvester_spark.operators.common import load
+    from harvester_spark.operators.similarity import _KM_SCALE, emb_drift_check
+
+    means: dict[tuple, list] = {}
+    for r in load(spark, SF_DIR, "embeddings").collect():
+        h = r["vec_id"] % 2
+        for pos, v in enumerate(r["embedding"]):
+            means.setdefault((pos, h), []).append(int(round(float(v) * _KM_SCALE)))
+    got = {r["pos"]: r for r in emb_drift_check(spark, SF_DIR).collect()}
+    s2 = 0
+    for pos in got:
+        ma = sum(means[(pos, 0)]) // len(means[(pos, 0)])
+        mb = sum(means[(pos, 1)]) // len(means[(pos, 1)])
+        assert got[pos]["mean_a_micro"] == ma
+        assert got[pos]["mean_b_micro"] == mb
+        assert got[pos]["diff_micro"] == ma - mb
+        s2 += (ma - mb) ** 2
+    l2 = math.floor(math.sqrt(float(s2)) / 1000.0 + 0.5)
+    assert all(r["l2_shift_milli"] == l2 for r in got.values())
+    ranks = sorted(r["mover_rank"] for r in got.values())
+    assert ranks == list(range(1, len(got) + 1))
+
+
+def test_forecast_eval_accounting(spark):
+    from harvester_spark.operators.es_aggs import events_forecast_eval
+
+    rows = events_forecast_eval(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["n_eval"] > 0
+        assert r["mae_holt_milli"] >= 0 and r["mae_naive_milli"] >= 0
+    # the two baselines genuinely differ somewhere (not the same column)
+    assert any(r["mae_holt_milli"] != r["mae_naive_milli"] for r in rows)
