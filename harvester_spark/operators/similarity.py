@@ -1928,7 +1928,10 @@ QUERIES["ann_maxsim_topk"] = (ann_maxsim_topk, SQL_ANN_MAXSIM)
 # against the previous snapshot is the first drift alarm — before recall
 # evals, before reindexing. Snapshots are derived deterministically here
 # as the vec_id parity halves (at production scale: two catalog
-# snapshots). Per-dim means are exact integer micro floor-divisions; the
+# snapshots). Per-dim means are exact integer micro divisions through the
+# explicit sign-split (truncating) idiom — component sums can be
+# negative, where bare DIV/"//" semantics are not part of the repo's
+# cross-engine contract; the
 # aggregate L2 shift goes through one shared sqrt string in milli
 # (events_extended_stats slack discipline); the per-dim rank surfaces
 # top movers.
@@ -1947,7 +1950,10 @@ def emb_drift_check(spark, sf_dir):
         F.round(F.col("val") * _KM_SCALE).cast("long").alias("ival"),
     )
     per = icomp.groupBy("pos", "half").agg(
-        F.expr("CAST(sum(ival) DIV count(*) AS BIGINT)").alias("mean")
+        F.expr(
+            "CAST(CASE WHEN sum(ival) >= 0 THEN sum(ival) DIV count(*)"
+            " ELSE -((-sum(ival)) DIV count(*)) END AS BIGINT)"
+        ).alias("mean")
     )
     a = per.filter(F.col("half") == 0).select("pos", F.col("mean").alias("mean_a_micro"))
     b = per.filter(F.col("half") == 1).select("pos", F.col("mean").alias("mean_b_micro"))
@@ -1980,7 +1986,9 @@ WITH icomp AS (
   FROM ({_SQL_COMPONENTS})
 ),
 per AS (
-  SELECT pos, half, CAST(sum(ival) // count(*) AS BIGINT) AS mean
+  SELECT pos, half,
+         CAST(CASE WHEN sum(ival) >= 0 THEN sum(ival) // count(*)
+              ELSE -((-sum(ival)) // count(*)) END AS BIGINT) AS mean
   FROM icomp GROUP BY 1, 2
 ),
 d AS (
