@@ -2591,3 +2591,205 @@ GROUP BY event_type
 """
 
 QUERIES["events_forecast_eval"] = (events_forecast_eval, SQL_FORECAST_EVAL)
+
+
+# ------------------------------------------------------ CUPED A/B test
+
+# CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM 2013) — the
+# experimentation-platform workhorse: adjust each user's experiment-
+# period metric by their PRE-period covariate, y' = y − θ(x − x̄), with
+# θ = cov(x,y)/var(x), shrinking metric variance without bias. Here the
+# log's first {CUPED_SPLIT_DAY} days are the pre-period, the rest the
+# experiment; the metric is per-user value cents; arms are the
+# deterministic md5 split. Everything integer: moments are exact cents,
+# θ is micro via sign-split division, adjustments are micro products;
+# the reported per-arm variance-reduction ratio must be computed on the
+# SAME integer adjusted values in both engines.
+#
+# Scale shape: two per-user aggs (pre/exp) + one join + three scalar
+# aggs — user-count-sized after the first groupBy.
+# Overflow: |θ_micro| ≤ ~1e7 here, x cents ≤ ~5e4·days ⇒ θ·x ≤ 1e12;
+# variance sums need (Σy')² < int64 ⇒ variances are computed on
+# CENTS-scale adjusted values (milli-cents DIV 1000, sign-split) —
+# squares stay ≤ ~1e14 per arm at this SF (bound documented).
+
+CUPED_SPLIT_DAY = 15
+
+
+def events_cuped_abtest(spark, sf_dir):
+    """(arm, n_users, mean_cents_milli, cuped_mean_cents_milli,
+    var_plain_milli2, var_cuped_milli2, var_reduction_milli): per-arm
+    CUPED-adjusted experiment metric and variance reduction."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    d0 = ev.agg(F.min("day").alias("d0")).collect()[0]["d0"]
+    split = d0 + CUPED_SPLIT_DAY
+    pre = ev.filter(F.col("day") < split).groupBy("user_id").agg(
+        F.sum("cents").cast("long").alias("x")
+    )
+    exp = ev.filter(F.col("day") >= split).groupBy("user_id").agg(
+        F.sum("cents").cast("long").alias("y")
+    )
+    u = (
+        pre.join(exp, "user_id", "full")
+        .select(
+            "user_id",
+            F.coalesce("x", F.lit(0)).cast("long").alias("x"),
+            F.coalesce("y", F.lit(0)).cast("long").alias("y"),
+        )
+        .withColumn(
+            "arm",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("ab"), F.col("user_id").cast("string"))),
+                        1,
+                        14,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+            ),
+        )
+        .cache()
+    )
+    mom = F.broadcast(
+        u.agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sx2"),
+        )
+    )
+    # theta_micro = 1e6 * (n*sxy - sx*sy) / (n*sx2 - sx^2), sign-split
+    theta = (
+        "CAST(CASE WHEN (n * sxy - sx * sy) >= 0"
+        " THEN ((n * sxy - sx * sy) * 1000000) {div}"
+        " greatest(n * sx2 - sx * sx, CAST(1 AS BIGINT))"
+        " ELSE -((-(n * sxy - sx * sy) * 1000000) {div}"
+        " greatest(n * sx2 - sx * sx, CAST(1 AS BIGINT))) END AS BIGINT)"
+    )
+    # adjusted metric in MILLI-cents: y*1000 - theta_micro*(x - sx/n)/1000
+    adj = (
+        "CAST(y * 1000 - (CASE WHEN (x * n - sx) >= 0"
+        " THEN (th * ((x * n - sx) {div} n)) {div} 1000"
+        " ELSE -((th * ((sx - x * n) {div} n)) {div} 1000) END) AS BIGINT)"
+    )
+    withadj = (
+        u.crossJoin(mom)
+        .withColumn("th", F.expr(theta.format(div="DIV")))
+        .withColumn("ym", F.expr("CAST(y * 1000 AS BIGINT)"))
+        .withColumn("ya", F.expr(adj.format(div="DIV")))
+        .withColumn("yc", F.expr("CAST(y AS BIGINT)"))
+        .withColumn(
+            "yac",
+            F.expr(
+                "CAST(CASE WHEN ya >= 0 THEN ya DIV 1000"
+                " ELSE -((-ya) DIV 1000) END AS BIGINT)"
+            ),
+        )
+    )
+    per = withadj.groupBy("arm").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.expr("CAST(sum(ym) DIV count(*) AS BIGINT)").alias("mean_cents_milli"),
+        F.expr("CAST(sum(ya) DIV count(*) AS BIGINT)").alias(
+            "cuped_mean_cents_milli"
+        ),
+        F.expr(
+            "CAST((count(*) * sum(yc * yc) - sum(yc) * sum(yc))"
+            " DIV (count(*) * count(*)) AS BIGINT)"
+        ).alias("var_plain_c2"),
+        F.expr(
+            "CAST((count(*) * sum(yac * yac) - sum(yac) * sum(yac))"
+            " DIV (count(*) * count(*)) AS BIGINT)"
+        ).alias("var_cuped_c2"),
+    )
+    return per.withColumn(
+        "var_reduction_milli",
+        F.expr(
+            "CAST(var_cuped_c2 * 1000"
+            " DIV greatest(var_plain_c2, CAST(1 AS BIGINT)) AS BIGINT)"
+        ),
+    ).select(
+        "arm", "n_users", "mean_cents_milli", "cuped_mean_cents_milli",
+        "var_plain_c2", "var_cuped_c2", "var_reduction_milli",
+    )
+
+
+def _sql_cuped() -> str:
+    theta = (
+        "CAST(CASE WHEN (n * sxy - sx * sy) >= 0"
+        " THEN ((n * sxy - sx * sy) * 1000000) //"
+        " greatest(n * sx2 - sx * sx, 1)"
+        " ELSE -((-(n * sxy - sx * sy) * 1000000) //"
+        " greatest(n * sx2 - sx * sx, 1)) END AS BIGINT)"
+    )
+    adj = (
+        "CAST(y * 1000 - (CASE WHEN (x * n - sx) >= 0"
+        " THEN (th * ((x * n - sx) // n)) // 1000"
+        " ELSE -((th * ((sx - x * n) // n)) // 1000) END) AS BIGINT)"
+    )
+    return f"""
+WITH ev AS (
+  SELECT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+d0 AS (SELECT min(day) AS d0 FROM ev),
+pre AS (
+  SELECT user_id, CAST(sum(cents) AS BIGINT) AS x FROM ev
+  WHERE day < (SELECT d0 FROM d0) + {CUPED_SPLIT_DAY} GROUP BY 1
+),
+expp AS (
+  SELECT user_id, CAST(sum(cents) AS BIGINT) AS y FROM ev
+  WHERE day >= (SELECT d0 FROM d0) + {CUPED_SPLIT_DAY} GROUP BY 1
+),
+u AS MATERIALIZED (
+  SELECT coalesce(pre.user_id, expp.user_id) AS user_id,
+         CAST(coalesce(x, 0) AS BIGINT) AS x,
+         CAST(coalesce(y, 0) AS BIGINT) AS y,
+         CAST(('0x' || substr(md5('ab' ||
+           CAST(coalesce(pre.user_id, expp.user_id) AS VARCHAR)), 1, 14))
+           AS BIGINT) % 2 AS arm
+  FROM pre FULL OUTER JOIN expp ON pre.user_id = expp.user_id
+),
+mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sx2
+  FROM u
+),
+withadj AS (
+  SELECT arm, ym, ya, CAST(ym // 1000 AS BIGINT) AS yc,
+         CAST(CASE WHEN ya >= 0 THEN ya // 1000
+              ELSE -((-ya) // 1000) END AS BIGINT) AS yac
+  FROM (
+  SELECT arm, ym, {adj} AS ya FROM (
+    SELECT arm, x, y, n, sx, CAST(y * 1000 AS BIGINT) AS ym, {theta} AS th
+    FROM u CROSS JOIN mom
+  ))
+),
+per AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(ym) // count(*) AS BIGINT) AS mean_cents_milli,
+         CAST(sum(ya) // count(*) AS BIGINT) AS cuped_mean_cents_milli,
+         CAST((count(*) * sum(yc * yc) - sum(yc) * sum(yc))
+              // (count(*) * count(*)) AS BIGINT) AS var_plain_c2,
+         CAST((count(*) * sum(yac * yac) - sum(yac) * sum(yac))
+              // (count(*) * count(*)) AS BIGINT) AS var_cuped_c2
+  FROM withadj GROUP BY arm
+)
+SELECT arm, n_users, mean_cents_milli, cuped_mean_cents_milli,
+       var_plain_c2, var_cuped_c2,
+       CAST(var_cuped_c2 * 1000 // greatest(var_plain_c2, 1)
+         AS BIGINT) AS var_reduction_milli
+FROM per
+"""
+
+
+QUERIES["events_cuped_abtest"] = (events_cuped_abtest, _sql_cuped())

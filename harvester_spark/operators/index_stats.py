@@ -1496,3 +1496,75 @@ WHERE n_in_window = {TM_AT_ONCE}
 """
 
 QUERIES["tiered_merge_select"] = (tiered_merge_select, SQL_TIERED_MERGE)
+
+
+# --------------------------------------------- Elias gamma/delta sizes
+
+# The two universal codes missing from the codec bake-off
+# (postings_codec_compare covers varbyte/FOR/Elias-Fano;
+# postings_roaring_size the container zoo): Elias γ (2·⌊log2 g⌋ + 1 bits
+# per gap) and Elias δ (⌊log2 g⌋ + 2·⌊log2(⌊log2 g⌋ + 1)⌋ + 1), the
+# textbook gap codes every IR-compression survey benchmarks first
+# (Witten/Moffat/Bell). Gaps here are the +1-shifted docID deltas
+# (first-in-list = doc_id + 1, γ/δ need positive ints); bit counts are
+# pure length(bin(x)) arithmetic — the EF discipline, no float log2.
+#
+# Scale shape: one distinct (term, doc_id) scan, one lag window, one
+# term rollup — the postings_codec_compare plan.
+
+
+def postings_gamma_delta_size(spark, sf_dir):
+    """(term, df, gamma_bits, delta_bits, vs_gamma_milli): per-term Elias
+    gamma/delta postings sizes and their ratio."""
+    post = doc_tokens(spark, sf_dir).select("term", "doc_id").distinct()
+    wt = W.partitionBy("term").orderBy("doc_id")
+    rows = post.withColumn(
+        "gap",
+        F.coalesce(
+            F.col("doc_id") - F.lag("doc_id").over(wt), F.col("doc_id") + 1
+        ).cast("long"),
+    ).withColumn("lb", F.expr("length(bin(gap)) - 1").cast("long"))
+    sized = rows.withColumn(
+        "gbits", F.expr("CAST(2 * lb + 1 AS BIGINT)")
+    ).withColumn(
+        "dbits",
+        F.expr("CAST(lb + 2 * (length(bin(lb + 1)) - 1) + 1 AS BIGINT)"),
+    )
+    return sized.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("gbits").cast("long").alias("gamma_bits"),
+        F.sum("dbits").cast("long").alias("delta_bits"),
+        F.expr(
+            "CAST(sum(dbits) * 1000 DIV sum(gbits) AS BIGINT)"
+        ).alias("vs_gamma_milli"),
+    )
+
+
+SQL_GAMMA_DELTA = f"""
+WITH post AS (
+  SELECT DISTINCT term, doc_id FROM ({SQL_DOC_TOKS})
+),
+rows_ AS (
+  SELECT term,
+         coalesce(doc_id - lag(doc_id) OVER (PARTITION BY term
+                                             ORDER BY doc_id),
+                  doc_id + 1) AS gap
+  FROM post
+),
+sized AS (
+  SELECT term, CAST(2 * lb + 1 AS BIGINT) AS gbits,
+         CAST(lb + 2 * (length(bin(lb + 1)) - 1) + 1 AS BIGINT) AS dbits
+  FROM (SELECT term, CAST(length(bin(gap)) - 1 AS BIGINT) AS lb FROM rows_)
+)
+SELECT term, CAST(count(*) AS BIGINT) AS df,
+       CAST(sum(gbits) AS BIGINT) AS gamma_bits,
+       CAST(sum(dbits) AS BIGINT) AS delta_bits,
+       CAST(CAST(sum(dbits) AS BIGINT) * 1000 // CAST(sum(gbits) AS BIGINT)
+         AS BIGINT) AS vs_gamma_milli
+FROM sized GROUP BY term
+"""
+
+QUERIES["postings_gamma_delta_size"] = (
+    postings_gamma_delta_size,
+    SQL_GAMMA_DELTA,
+)

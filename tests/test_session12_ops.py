@@ -977,3 +977,42 @@ def test_forecast_eval_accounting(spark):
         assert r["mae_holt_milli"] >= 0 and r["mae_naive_milli"] >= 0
     # the two baselines genuinely differ somewhere (not the same column)
     assert any(r["mae_holt_milli"] != r["mae_naive_milli"] for r in rows)
+
+
+def test_gamma_delta_match_python(spark):
+    from harvester_spark.operators.common import load
+    from harvester_spark.operators.index_stats import postings_gamma_delta_size
+
+    posts: dict[str, list[int]] = {}
+    for r in load(spark, SF_DIR, "documents").collect():
+        for t in set(_toks(r["text"])):
+            posts.setdefault(t, []).append(r["doc_id"])
+    got = {r["term"]: r for r in postings_gamma_delta_size(spark, SF_DIR).collect()}
+    assert set(got) == set(posts)
+    for t, ids in posts.items():
+        ids.sort()
+        gaps = [ids[0] + 1] + [b - a for a, b in zip(ids, ids[1:])]
+        gb = sum(2 * (g.bit_length() - 1) + 1 for g in gaps)
+        db = sum(
+            (g.bit_length() - 1) + 2 * (g.bit_length()).bit_length() - 2 + 1
+            for g in gaps
+        )
+        assert got[t]["gamma_bits"] == gb
+        assert got[t]["delta_bits"] == db
+        assert got[t]["df"] == len(ids)
+
+
+def test_cuped_accounting_and_weak_covariate_control(spark):
+    from harvester_spark.operators.es_aggs import events_cuped_abtest
+
+    rows = {r["arm"]: r for r in events_cuped_abtest(spark, SF_DIR).collect()}
+    assert set(rows) == {0, 1}
+    for r in rows.values():
+        assert r["n_users"] > 0
+        assert r["var_plain_c2"] >= 0 and r["var_cuped_c2"] >= 0
+        assert r["var_reduction_milli"] == r["var_cuped_c2"] * 1000 // max(
+            r["var_plain_c2"], 1
+        )
+        # uniform-random traffic: the pre-period covariate is weak, so
+        # CUPED must report ~no reduction (the no-hallucination control)
+        assert 800 <= r["var_reduction_milli"] <= 1200
