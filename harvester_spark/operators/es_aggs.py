@@ -2793,3 +2793,108 @@ FROM per
 
 
 QUERIES["events_cuped_abtest"] = (events_cuped_abtest, _sql_cuped())
+
+
+# ---------------------------------------------------- Markov entropy rate
+
+# The predictability number on top of events_markov_transitions: the
+# empirical entropy rate H = Σ_s π(s) · H(next | s) of the event-type
+# chain, with π the empirical from-state frequencies — how many nats the
+# next user action actually carries (0 = deterministic journeys, ln(5) ≈
+# 1.609 = uniform chaos; this corpus sits near the top, the honest
+# read on synthetic traffic). Per-row contributions are micro-nats
+# through ONE shared float string on exact integer counts (−n·ln(n/tot)
+# summed then normalized), so both engines agree bit-for-bit.
+#
+# Scale shape: the transition matrix is |types|² rows; one lag window on
+# the log is the only corpus-sized work (the markov_transitions plan).
+
+_ME_CONTRIB = (
+    "CAST(floor(-(CAST(n AS DOUBLE)) * ln(CAST(n AS DOUBLE) / row_total)"
+    " * 1.0e6 + 0.5e0) AS BIGINT)"
+)
+
+
+def events_markov_entropy(spark, sf_dir):
+    """(from_type, n_from, h_cond_micro, pi_milli, h_rate_micro):
+    per-state conditional entropy (micro-nats), state weight, and the
+    chain's entropy rate."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    pairs = (
+        ev.withColumn("from_type", F.lag("event_type").over(w))
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", F.col("event_type").alias("to_type"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tot = pairs.groupBy("from_type").agg(F.sum("n").cast("long").alias("row_total"))
+    hc = (
+        pairs.join(F.broadcast(tot), "from_type")
+        .withColumn("c", F.expr(_ME_CONTRIB))
+        .groupBy("from_type")
+        .agg(
+            F.expr("CAST(sum(c) DIV max(row_total) AS BIGINT)").alias(
+                "h_cond_micro"
+            ),
+            F.max("row_total").cast("long").alias("n_from"),
+        )
+    )
+    g = F.broadcast(hc.agg(F.sum("n_from").cast("long").alias("g")))
+    rate = F.broadcast(
+        hc.crossJoin(g)
+        .agg(
+            F.expr(
+                "CAST(sum(h_cond_micro * n_from) DIV max(g) AS BIGINT)"
+            ).alias("h_rate_micro")
+        )
+    )
+    return (
+        hc.crossJoin(g)
+        .crossJoin(rate)
+        .select(
+            "from_type",
+            "n_from",
+            "h_cond_micro",
+            F.expr("CAST(n_from * 1000 DIV g AS BIGINT)").alias("pi_milli"),
+            "h_rate_micro",
+        )
+    )
+
+
+SQL_MARKOV_ENTROPY = f"""
+WITH pairs AS (
+  SELECT from_type, event_type AS to_type, CAST(count(*) AS BIGINT) AS n
+  FROM (
+    SELECT event_type,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts ASC, event_id ASC) AS from_type
+    FROM events
+  )
+  WHERE from_type IS NOT NULL
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT from_type, CAST(sum(n) AS BIGINT) AS row_total
+  FROM pairs GROUP BY 1
+),
+hc AS (
+  SELECT from_type,
+         CAST(sum({_ME_CONTRIB}) // max(row_total) AS BIGINT) AS h_cond_micro,
+         CAST(max(row_total) AS BIGINT) AS n_from
+  FROM pairs JOIN tot USING (from_type)
+  GROUP BY from_type
+),
+g AS (SELECT CAST(sum(n_from) AS BIGINT) AS g FROM hc),
+rate AS (
+  SELECT CAST(sum(h_cond_micro * n_from) // max(g) AS BIGINT) AS h_rate_micro
+  FROM hc CROSS JOIN g
+)
+SELECT from_type, n_from, h_cond_micro,
+       CAST(n_from * 1000 // g AS BIGINT) AS pi_milli,
+       h_rate_micro
+FROM hc CROSS JOIN g CROSS JOIN rate
+"""
+
+QUERIES["events_markov_entropy"] = (events_markov_entropy, SQL_MARKOV_ENTROPY)

@@ -2475,3 +2475,89 @@ FROM (SELECT lang, count(*) AS count_rows FROM ptab GROUP BY lang) n
 
 
 QUERIES["ft_jm_lambda_em"] = (ft_jm_lambda_em, _sql_jm_lambda())
+
+
+# ------------------------------------------------------- term burstiness
+
+# Church & Gale burstiness: how much a term CLUMPS — E[tf | tf > 0] =
+# cf/df. Function words spread evenly (ratio ≈ 1); topical terms burst
+# (a doc that mentions them once mentions them again). The signal feeds
+# two consumers the repo already ships: DFR ranking models (the
+# within-doc elite-set assumption) and quality scoring (burst-heavy docs
+# are listy/spammy). Exact integers: burst_milli = cf·1000 DIV df, the
+# corpus baseline rides along, and the ratio column is
+# burst·1000 DIV baseline. Top-{BURST_K} by (burst desc, term asc) plus
+# the same count of the LEAST bursty (burst asc) — both tails matter.
+#
+# Scale shape: one token groupBy (cf, df via countDistinct) + two
+# TakeOrdered tails.
+
+BURST_K = 15
+
+
+def ft_term_burstiness(spark, sf_dir):
+    """(term, cf, df, burst_milli, vs_baseline_milli, tail): the
+    {BURST_K} most and least bursty terms (min df 5)."""
+    toks = doc_tokens(spark, sf_dir)
+    stats = toks.groupBy("term").agg(
+        F.count("*").cast("long").alias("cf"),
+        F.countDistinct("doc_id").cast("long").alias("df"),
+    ).filter(F.col("df") >= 5)
+    base = F.broadcast(
+        stats.agg(
+            F.expr("CAST(sum(cf) * 1000 DIV sum(df) AS BIGINT)").alias("baseline")
+        )
+    )
+    scored = stats.crossJoin(base).select(
+        "term",
+        "cf",
+        "df",
+        F.expr("CAST(cf * 1000 DIV df AS BIGINT)").alias("burst_milli"),
+        F.expr(
+            "CAST((cf * 1000 DIV df) * 1000 DIV baseline AS BIGINT)"
+        ).alias("vs_baseline_milli"),
+    )
+    hi = (
+        scored.orderBy(F.col("burst_milli").desc(), F.col("term").asc())
+        .limit(BURST_K)
+        .withColumn("tail", F.lit("bursty"))
+    )
+    lo = (
+        scored.orderBy(F.col("burst_milli").asc(), F.col("term").asc())
+        .limit(BURST_K)
+        .withColumn("tail", F.lit("even"))
+    )
+    return hi.unionByName(lo)
+
+
+SQL_TERM_BURSTINESS = f"""
+WITH toks AS ({SQL_DOC_TOKS}),
+stats AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS cf,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM toks GROUP BY term
+  HAVING count(DISTINCT doc_id) >= 5
+),
+base AS (
+  SELECT CAST(CAST(sum(cf) AS BIGINT) * 1000 // CAST(sum(df) AS BIGINT)
+    AS BIGINT) AS baseline FROM stats
+),
+scored AS (
+  SELECT term, cf, df,
+         CAST(cf * 1000 // df AS BIGINT) AS burst_milli,
+         CAST((cf * 1000 // df) * 1000 // baseline AS BIGINT)
+           AS vs_baseline_milli
+  FROM stats CROSS JOIN base
+)
+SELECT * FROM (
+  SELECT term, cf, df, burst_milli, vs_baseline_milli, 'bursty' AS tail
+  FROM scored ORDER BY burst_milli DESC, term ASC LIMIT {BURST_K}
+)
+UNION ALL
+SELECT * FROM (
+  SELECT term, cf, df, burst_milli, vs_baseline_milli, 'even' AS tail
+  FROM scored ORDER BY burst_milli ASC, term ASC LIMIT {BURST_K}
+)
+"""
+
+QUERIES["ft_term_burstiness"] = (ft_term_burstiness, SQL_TERM_BURSTINESS)

@@ -1588,3 +1588,100 @@ FROM deg0 d LEFT JOIN alive{KCORE_ITERS} a ON a.host = d.host"""
 
 
 QUERIES["host_kcore"] = (host_kcore, _sql_kcore())
+
+
+# ------------------------------------------------------ reachability probe
+
+# BFS frontier probe from the strongest hub: hop-by-hop reachable-set
+# growth over the DIRECTED host graph, seeded at the max-out-weight host
+# — the cheap empirical stand-in for diameter/ball-growth statistics
+# (Broder et al.'s bow-tie measurements ran exactly these probes at web
+# scale). {REACH_HOPS} rounds are unrolled: frontier_{k+1} = out-
+# neighbors of frontier_k minus everything already reached — two
+# semi/anti joins per hop, the connected-components discipline.
+#
+# Scale shape per hop: one edges⋈frontier equi-join + one anti-join
+# against the reached set; sets only grow, frontiers shrink to empty.
+
+REACH_HOPS = 4
+
+
+def host_reach_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(hop, frontier_size, reached_size): BFS ball growth from the
+    max-out-weight seed host."""
+    edges = _edges(spark, sf_dir).cache()
+    outw = edges.groupBy("src").agg(F.sum("w").cast("long").alias("wout"))
+    seed = (
+        outw.orderBy(F.col("wout").desc(), F.col("src").asc())
+        .limit(1)
+        .select(F.col("src").alias("host"))
+    )
+    reached = seed
+    frontier = seed
+    out = [(0, 1, 1)]
+    rows = []
+    for hop in range(1, REACH_HOPS + 1):
+        nxt = (
+            edges.join(frontier.withColumnRenamed("host", "src"), "src", "semi")
+            .select(F.col("dst").alias("host"))
+            .distinct()
+            .join(reached, "host", "anti")
+            .localCheckpoint()
+        )
+        reached = reached.union(nxt).distinct().localCheckpoint()
+        frontier = nxt
+        rows.append((hop, nxt.count(), reached.count()))
+    data = out + rows
+    return spark.createDataFrame(
+        [(int(h), int(f), int(r)) for h, f, r in data],
+        "hop long, frontier_size long, reached_size long",
+    )
+
+
+def _sql_reach() -> str:
+    hash_doc = _SQL_HASH56.format(col="CAST(doc_id AS VARCHAR)")
+    parts = [
+        f"""WITH e AS (
+  SELECT source AS src,
+         'src' || CAST({hash_doc} % {PR_FANOUT} AS VARCHAR) AS dst
+  FROM documents
+),
+edges AS MATERIALIZED (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+  FROM e WHERE src <> dst GROUP BY 1, 2
+),
+seed AS MATERIALIZED (
+  SELECT src AS host FROM (
+    SELECT src, sum(w) AS wout FROM edges GROUP BY src
+    ORDER BY wout DESC, src ASC LIMIT 1
+  )
+),
+reached0 AS MATERIALIZED (SELECT host FROM seed),
+frontier0 AS MATERIALIZED (SELECT host FROM seed)"""
+    ]
+    for k in range(1, REACH_HOPS + 1):
+        parts.append(
+            f""",
+frontier{k} AS MATERIALIZED (
+  SELECT DISTINCT e.dst AS host FROM edges e
+  WHERE e.src IN (SELECT host FROM frontier{k - 1})
+    AND e.dst NOT IN (SELECT host FROM reached{k - 1})
+),
+reached{k} AS MATERIALIZED (
+  SELECT host FROM reached{k - 1}
+  UNION
+  SELECT host FROM frontier{k}
+)"""
+        )
+    legs = ["SELECT CAST(0 AS BIGINT) AS hop, CAST(1 AS BIGINT) AS frontier_size, CAST(1 AS BIGINT) AS reached_size"]
+    for k in range(1, REACH_HOPS + 1):
+        legs.append(
+            f"SELECT CAST({k} AS BIGINT),"
+            f" (SELECT CAST(count(*) AS BIGINT) FROM frontier{k}),"
+            f" (SELECT CAST(count(*) AS BIGINT) FROM reached{k})"
+        )
+    parts.append("\n" + "\nUNION ALL\n".join(legs))
+    return "".join(parts)
+
+
+QUERIES["host_reach_probe"] = (host_reach_probe, _sql_reach())
