@@ -1016,3 +1016,44 @@ def test_cuped_accounting_and_weak_covariate_control(spark):
         # uniform-random traffic: the pre-period covariate is weak, so
         # CUPED must report ~no reduction (the no-hallucination control)
         assert 800 <= r["var_reduction_milli"] <= 1200
+
+
+def test_burstiness_tails_and_arithmetic(spark):
+    from harvester_spark.operators.fulltext_queries import ft_term_burstiness
+
+    rows = ft_term_burstiness(spark, SF_DIR).collect()
+    hi = [r for r in rows if r["tail"] == "bursty"]
+    lo = [r for r in rows if r["tail"] == "even"]
+    assert hi and lo
+    for r in rows:
+        assert r["burst_milli"] == r["cf"] * 1000 // r["df"]
+        assert r["burst_milli"] >= 1000  # cf >= df always
+    assert min(r["burst_milli"] for r in hi) >= max(r["burst_milli"] for r in lo)
+
+
+def test_reach_probe_monotone(spark):
+    from harvester_spark.operators.graph import host_reach_probe
+
+    rows = sorted(host_reach_probe(spark, SF_DIR).collect(), key=lambda r: r["hop"])
+    assert rows[0]["reached_size"] == 1
+    reached = [r["reached_size"] for r in rows]
+    assert reached == sorted(reached)  # balls only grow
+    for a, b in zip(rows, rows[1:]):
+        assert b["reached_size"] == a["reached_size"] + b["frontier_size"]
+    assert rows[1]["frontier_size"] > 0  # the hub actually expands
+
+
+def test_markov_entropy_bounds(spark):
+    import math
+
+    from harvester_spark.operators.es_aggs import events_markov_entropy
+
+    rows = events_markov_entropy(spark, SF_DIR).collect()
+    assert rows
+    hmax = int(math.log(5) * 1e6)
+    rate = rows[0]["h_rate_micro"]
+    assert all(r["h_rate_micro"] == rate for r in rows)
+    for r in rows:
+        assert 0 <= r["h_cond_micro"] <= hmax + 10
+    assert 0 < rate <= hmax + 10
+    assert sum(r["pi_milli"] for r in rows) >= 990  # weights ~ sum to 1
