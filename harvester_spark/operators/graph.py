@@ -1685,3 +1685,102 @@ reached{k} AS MATERIALIZED (
 
 
 QUERIES["host_reach_probe"] = (host_reach_probe, _sql_reach())
+
+
+# ------------------------------------------------- pagerank convergence
+
+# The convergence certificate for host_pagerank's fixed iteration count:
+# per-iteration L1 delta Σ|r_k − r_{k−1}| in rank units, for every k up
+# to PR_ITERS — the table that justifies (or indicts) stopping at 8
+# sweeps. Power iteration contracts the L1 error by the damping factor,
+# so successive deltas must shrink ~0.85× (monotone decrease is
+# test-pinned); the final row's delta over PR_UNIT is the residual the
+# ranking carries. Same integer chain as host_pagerank — the deltas are
+# exact int64 sums of absolute differences of the SAME iteration tables.
+#
+# Scale shape: the pagerank chain plus one host-keyed join and scalar
+# agg per iteration — nothing new touches the corpus.
+
+
+def pagerank_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(iter, l1_delta_unit, residual_milli): L1 movement of each power
+    iteration and its share of total rank mass."""
+    edges = _edges(spark, sf_dir).cache()
+    nodes = (
+        edges.select(F.col("src").alias("host"))
+        .union(edges.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").cast("long").alias("wout"))
+    n_df = F.broadcast(nodes.agg(F.count("*").cast("long").alias("n")))
+    ranks = nodes.crossJoin(n_df).select(
+        "host", F.expr(f"CAST({PR_UNIT} DIV n AS BIGINT)").alias("r")
+    )
+    deltas = []
+    for k in range(1, PR_ITERS + 1):
+        contrib = (
+            edges.join(ranks.select(F.col("host").alias("src"), "r"), "src")
+            .join(outw, "src")
+            .select(
+                F.col("dst").alias("host"),
+                F.expr("(85 * r * w) DIV (100 * wout)").alias("c"),
+            )
+            .groupBy("host")
+            .agg(F.sum("c").cast("long").alias("c"))
+        )
+        dang = F.broadcast(
+            ranks.join(outw, ranks["host"] == outw["src"], "left_anti").agg(
+                F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dg")
+            )
+        )
+        nxt = (
+            nodes.join(contrib, "host", "left")
+            .crossJoin(dang)
+            .crossJoin(n_df)
+            .select(
+                "host",
+                F.expr(
+                    f"CAST({15 * PR_UNIT} DIV (100 * n)"
+                    f" + (85 * dg) DIV (100 * n)"
+                    f" + coalesce(c, CAST(0 AS BIGINT)) AS BIGINT)"
+                ).alias("r"),
+            )
+            .localCheckpoint()
+        )
+        d = (
+            ranks.withColumnRenamed("r", "rp")
+            .join(nxt, "host")
+            .agg(F.sum(F.expr("abs(r - rp)")).cast("long").alias("d"))
+            .collect()[0]["d"]
+        )
+        deltas.append((k, int(d)))
+        ranks = nxt
+    return spark.createDataFrame(
+        [
+            (k, d, d * 1000 // PR_UNIT)
+            for k, d in deltas
+        ],
+        "iter long, l1_delta_unit long, residual_milli long",
+    )
+
+
+def _sql_pagerank_convergence() -> str:
+    base = _sql_host_pagerank()
+    # reuse the full unrolled chain, tap every consecutive pair
+    chain = base[: base.rindex("\nSELECT host")]
+    legs = []
+    for k in range(1, PR_ITERS + 1):
+        legs.append(
+            f"""SELECT CAST({k} AS BIGINT) AS iter,
+       (SELECT CAST(sum(abs(a.r - b.r)) AS BIGINT)
+        FROM it{k} a JOIN it{k - 1} b ON a.host = b.host) AS l1_delta_unit,
+       (SELECT CAST(sum(abs(a.r - b.r)) * 1000 // {PR_UNIT} AS BIGINT)
+        FROM it{k} a JOIN it{k - 1} b ON a.host = b.host) AS residual_milli"""
+        )
+    return chain + "\n" + "\nUNION ALL\n".join(legs)
+
+
+QUERIES["pagerank_convergence"] = (
+    pagerank_convergence,
+    _sql_pagerank_convergence(),
+)

@@ -1057,3 +1057,16 @@ def test_markov_entropy_bounds(spark):
         assert 0 <= r["h_cond_micro"] <= hmax + 10
     assert 0 < rate <= hmax + 10
     assert sum(r["pi_milli"] for r in rows) >= 990  # weights ~ sum to 1
+
+
+def test_pagerank_convergence_contracts(spark):
+    from harvester_spark.operators.graph import PR_UNIT, pagerank_convergence
+
+    rows = sorted(
+        pagerank_convergence(spark, SF_DIR).collect(), key=lambda r: r["iter"]
+    )
+    deltas = [r["l1_delta_unit"] for r in rows]
+    assert deltas == sorted(deltas, reverse=True)  # power iteration contracts
+    assert all(a > b for a, b in zip(deltas, deltas[1:]))
+    # the 8-sweep residual justifies host_pagerank's fixed iteration count
+    assert deltas[-1] < PR_UNIT // 10_000
