@@ -379,3 +379,95 @@ ORDER BY score_cm DESC, doc_id ASC LIMIT 10
 """
 
 QUERIES["ft_sdm_topk"] = (ft_sdm_topk, SQL_SDM)
+
+
+# ------------------------------------------- DFI (divergence from independence)
+
+# Lucene's fourth pluggable similarity family (DFISimilarity, chi-squared
+# independence measure; Kocabaş/Dinçer/Karaoğlan, IRJ 2014) — the last one
+# missing after BM25 / LM-Dirichlet / LM-JM / DFR PL2. Under independence
+# a term's expected frequency in a doc is dl·cf/tdl; only tf ABOVE
+# expectation contributes (Lucene clamps at 0), and the gate is the exact
+# integer cross-multiplication tf·tdl > cf·dl so no float boundary ever
+# decides inclusion. The measure is chi² = (tf−ex)²/ex and the per-term
+# gain log2(chi² + 1) in integer micro-units via ONE shared string.
+#
+# Scale shape: identical to PL2 — only matching (tf ≥ 1) docs are scored,
+# the spine is the (term, doc) tf agg, every dim (cf, dl totals) broadcast.
+# ex is recomputed inline from the same three BIGINTs in both engines
+# ((1.0e0·cf)·dl/tdl — double products exact below 2^53, identical IEEE).
+
+_DFI_EX = "(1.0e0 * cf * dl / tdl)"
+_DFI_GAIN = (
+    "CASE WHEN tf * tdl <= cf * dl THEN CAST(0 AS BIGINT) "
+    "ELSE CAST(round(1000000.0e0 * log2("
+    f"(tf - {_DFI_EX}) * (tf - {_DFI_EX}) / {_DFI_EX} + 1.0e0"
+    "), 0) AS BIGINT) END"
+)
+
+
+def ft_dfi_topk(spark, sf_dir):
+    """(rank, doc_id, score_micro): top-10 docs by Lucene DFI (chi-squared)
+    similarity over the flagship OR query — only docs whose tf exceeds the
+    independence expectation contribute (integer-gated).
+
+    Reference parity: OpenSearch exposes this as ``similarity: {type: DFI,
+    independence_measure: chisquared}`` per field; the reference's index
+    bodies (/root/reference/harvester/search/models/index.py) keep the BM25
+    default, so this is the A/B alternative a ranking engineer would test.
+    """
+    toks = doc_tokens(spark, sf_dir)
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    tdl = toks.agg(F.count("*").cast("long").alias("tdl"))
+    tf = (
+        toks.filter(F.col("term").isin(BM25_TERMS))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    cf = (
+        toks.filter(F.col("term").isin(BM25_TERMS))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("cf"))
+    )
+    scored = (
+        tf.join(F.broadcast(cf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(tdl))
+        .withColumn("gain", F.expr(_DFI_GAIN))
+        .groupBy("doc_id")
+        .agg(F.sum("gain").cast("long").alias("score_micro"))
+    )
+    top = scored.orderBy(
+        F.col("score_micro").desc(), F.col("doc_id").asc()
+    ).limit(10)
+    w = W.orderBy(F.col("score_micro").desc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "doc_id", "score_micro"
+    )
+
+
+SQL_DFI = f"""
+WITH toks AS ({SQL_DOC_TOKS}),
+dls AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+tdls AS (SELECT CAST(count(*) AS BIGINT) AS tdl FROM toks),
+tfs_ AS (
+  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM toks
+  WHERE term IN {_TERMS_SQL} GROUP BY 1, 2
+),
+cfs AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tfs_ GROUP BY 1),
+scored AS (
+  SELECT doc_id, CAST(sum({_DFI_GAIN}) AS BIGINT) AS score_micro
+  FROM (
+    SELECT t.doc_id, t.tf, c.cf, d.dl, s.tdl
+    FROM tfs_ t JOIN cfs c USING (term) JOIN dls d USING (doc_id)
+    CROSS JOIN tdls s
+  ) GROUP BY doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS INT)
+         AS rank,
+       doc_id, score_micro
+FROM scored
+ORDER BY score_micro DESC, doc_id ASC LIMIT 10
+"""
+
+QUERIES["ft_dfi_topk"] = (ft_dfi_topk, SQL_DFI)

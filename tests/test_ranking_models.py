@@ -117,3 +117,55 @@ def test_pl2_term_filter_pushed_before_tf_agg(spark):
     assert "CartesianProduct" not in plan, plan
     # the candidate tf agg must be fed by a term IN (...) filter
     assert "key" in plan and "value" in plan and "table" in plan
+
+
+def test_dfi_topk_contract_and_gate_fires_both_ways(spark):
+    """DFI top-k contract + the independence gate must be NON-degenerate.
+
+    The clamp `tf·tdl <= cf·dl → 0` must actually zero out some matching
+    (term, doc) cells on this corpus AND let others through — if every
+    cell passed (gate dead) DFI collapses to a plain chi² sum and the
+    oracle would still agree; if every cell were clamped the scores would
+    be all-zero and rank would be decided purely by the doc_id tie-break.
+    """
+    from pyspark.sql import functions as F
+
+    from harvester_spark.operators.common import doc_tokens
+    from harvester_spark.operators.fulltext_queries import BM25_TERMS
+    from harvester_spark.operators.ranking_models import ft_dfi_topk
+
+    rows = _check_topk(ft_dfi_topk(spark, SF_DIR), "score_micro")
+    assert rows[0]["score_micro"] > 0, "all DFI scores zero — gate ate everything"
+
+    toks = doc_tokens(spark, SF_DIR)
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    tdl = toks.count()
+    tf = (
+        toks.filter(F.col("term").isin(BM25_TERMS))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    cf = (
+        toks.filter(F.col("term").isin(BM25_TERMS))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("cf"))
+    )
+    cells = tf.join(F.broadcast(cf), "term").join(dl, "doc_id")
+    gated = cells.filter(
+        F.col("tf") * F.lit(tdl) <= F.col("cf") * F.col("dl")
+    ).count()
+    passed = cells.filter(
+        F.col("tf") * F.lit(tdl) > F.col("cf") * F.col("dl")
+    ).count()
+    assert gated >= 1, "independence gate never fires — clamp is dead code"
+    assert passed >= 1, "independence gate clamps every cell"
+
+
+def test_dfi_plan_broadcast_spine(spark):
+    from harvester_spark.operators.ranking_models import ft_dfi_topk
+
+    plan = _plan(ft_dfi_topk(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    # cf + tdl dims ride broadcast joins; the 1-row tdl crossJoin compiles
+    # to a condition-free BroadcastNestedLoopJoin Cross (CLAUDE.md session-9)
+    assert "BroadcastNestedLoopJoin" in plan
