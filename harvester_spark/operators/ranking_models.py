@@ -471,3 +471,101 @@ ORDER BY score_micro DESC, doc_id ASC LIMIT 10
 """
 
 QUERIES["ft_dfi_topk"] = (ft_dfi_topk, SQL_DFI)
+
+
+# ------------------------------------------- IB (information-based, LL)
+
+# Lucene's FIFTH pluggable similarity family (IBSimilarity; Clinchant &
+# Gaussier, SIGIR 2010) — with DFI above this completes the whole zoo
+# (BM25 / LM-Dirichlet / LM-JM / DFR-PL2 / DFI / IB). Configuration is
+# Lucene's common preset: distribution LL (log-logistic), lambda DF
+# (λ_t = (df+1)/(N+1)), normalization H2 with c = 1 (the same tfn string
+# PL2 uses — literally _PL2_TFN, so the two families share one
+# normalization seam). DistributionLL scores −ln(λ/(tfn+λ)) =
+# ln(1 + tfn/λ); with λ rational the gain is
+#   ln(1 + tfn·(N+1)/(df+1))
+# computed left-associative in ONE shared string (double × BIGINT
+# promotes identically in both engines; N+1 and df+1 are exact in
+# double far below 2^53).
+#
+# Scale shape: identical to PL2/DFI — only matching (tf ≥ 1) docs score,
+# spine = the (term, doc) tf agg; df is a ≤3-row broadcast dim derived
+# from the SAME tf spine (df = #rows per term), nd/tdl a 1-row broadcast.
+
+_IB_GAIN = (
+    "CAST(round(1000000.0e0 * ln("
+    "1.0e0 + tfn * (nd + 1) / (1.0e0 * (df + 1))"
+    "), 0) AS BIGINT)"
+)
+
+
+def ft_ib_ll_topk(spark, sf_dir):
+    """(rank, doc_id, score_micro): top-10 docs by Lucene IB similarity
+    (log-logistic distribution, DF lambda, H2 normalization, c = 1) over
+    the flagship OR query — only matching documents are scored.
+
+    Reference parity: OpenSearch exposes this as ``similarity: {type: IB,
+    distribution: ll, lambda: df, normalization: h2}`` per field; the
+    reference keeps the BM25 default
+    (/root/reference/harvester/search/models/index.py), so this is the
+    last A/B alternative in the similarity zoo.
+    """
+    toks = doc_tokens(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    stats = docs.agg(F.count("*").cast("long").alias("nd")).crossJoin(
+        toks.agg(F.count("*").cast("long").alias("tdl"))
+    )
+    tf = (
+        toks.filter(F.col("term").isin(BM25_TERMS))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    df_dim = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_dim), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("tfn", F.expr(_PL2_TFN))
+        .withColumn("gain", F.expr(_IB_GAIN))
+        .groupBy("doc_id")
+        .agg(F.sum("gain").cast("long").alias("score_micro"))
+    )
+    top = scored.orderBy(
+        F.col("score_micro").desc(), F.col("doc_id").asc()
+    ).limit(10)
+    w = W.orderBy(F.col("score_micro").desc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "doc_id", "score_micro"
+    )
+
+
+SQL_IB_LL = f"""
+WITH toks AS ({SQL_DOC_TOKS}),
+dls AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS nd,
+         (SELECT CAST(count(*) AS BIGINT) FROM toks) AS tdl
+),
+tfs_ AS (
+  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM toks
+  WHERE term IN {_TERMS_SQL} GROUP BY 1, 2
+),
+dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfs_ GROUP BY 1),
+normed AS (
+  SELECT t.doc_id, t.tf, f.df, d.dl, s.nd, s.tdl, {_PL2_TFN} AS tfn
+  FROM tfs_ t JOIN dfs f USING (term) JOIN dls d USING (doc_id)
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT doc_id, CAST(sum({_IB_GAIN}) AS BIGINT) AS score_micro
+  FROM normed GROUP BY doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS INT)
+         AS rank,
+       doc_id, score_micro
+FROM scored
+ORDER BY score_micro DESC, doc_id ASC LIMIT 10
+"""
+
+QUERIES["ft_ib_ll_topk"] = (ft_ib_ll_topk, SQL_IB_LL)

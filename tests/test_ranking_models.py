@@ -161,6 +161,27 @@ def test_dfi_topk_contract_and_gate_fires_both_ways(spark):
     assert passed >= 1, "independence gate clamps every cell"
 
 
+def test_ib_ll_topk_contract_and_family_distinct(spark):
+    """IB-LL top-k contract + the zoo must not collapse: IB's DF-lambda
+    weighting must produce a different doc ordering than PL2 (same tfn,
+    different information model) and than DFI (different gate) on this
+    corpus — measured distinct at sf0.001, pinned so a refactor that
+    accidentally rewires IB onto another family's gain string fails."""
+    from harvester_spark.operators.ranking_models import (
+        ft_dfi_topk,
+        ft_dfr_pl2_topk,
+        ft_ib_ll_topk,
+    )
+
+    rows = _check_topk(ft_ib_ll_topk(spark, SF_DIR), "score_micro")
+    assert rows[0]["score_micro"] > 0
+    ib = [r["doc_id"] for r in rows]
+    pl2 = [r["doc_id"] for r in ft_dfr_pl2_topk(spark, SF_DIR).collect()]
+    dfi = [r["doc_id"] for r in ft_dfi_topk(spark, SF_DIR).collect()]
+    assert ib != pl2, "IB ranking identical to PL2 — DF-lambda leg dead"
+    assert ib != dfi, "IB ranking identical to DFI"
+
+
 def test_dfi_plan_broadcast_spine(spark):
     from harvester_spark.operators.ranking_models import ft_dfi_topk
 
