@@ -773,3 +773,83 @@ FROM (
 """
 
 QUERIES["ft_word_segment"] = (ft_word_segment, SQL_WORD_SEGMENT)
+
+
+# ---------------------------------------------- vocabulary richness (Yule)
+
+# Yule's characteristic K (Yule 1944), Simpson's D, and Guiraud's R per
+# language — the classical vocabulary-richness triple a corpus auditor
+# reads next to heaps_law_fit / ft_zipf_slope / ft_lexical_diversity.
+# K = 10^4·(Σ_t cf_t² − N)/N² (length-robust repeat-rate), D =
+# Σ_t cf_t(cf_t−1)/(N(N−1)) (probability two random tokens are the same
+# type), R = V/√N. The spine is ONE per-(lang, term) cf agg; the three
+# statistics are map-only arithmetic over its per-lang rollup.
+#
+# Determinism: Σcf² and Σcf(cf−1) are exact BIGINTs; the final ratios
+# divide those BIGINTs in DOUBLE inside shared strings (identical IEEE op
+# order both engines; N² ≤ 2^53 at every test SF) and round to fixed
+# micro/milli units. sqrt is IEEE-correctly-rounded in both engines, so
+# the Guiraud string is exact-reproducible too.
+
+_YULE_K = "CAST(round(1.0e10 * (s2 - n) / (1.0e0 * n * n), 0) AS BIGINT)"
+_SIMPSON_D = "CAST(round(1.0e6 * sd / (1.0e0 * n * (n - 1)), 0) AS BIGINT)"
+_GUIRAUD_R = "CAST(round(1000.0e0 * v / sqrt(1.0e0 * n), 0) AS BIGINT)"
+
+
+def ft_yule_k(spark, sf_dir):
+    """(lang, n_tokens, n_types, yule_k_micro, simpson_d_micro,
+    guiraud_r_milli): vocabulary-richness statistics per language.
+
+    Scale shape: the cf agg is the same map-side-combinable
+    (lang, term) shuffle every dictionary build already pays; the rollup
+    is one map-only projection per language — no second shuffle, no
+    driver materialization of the vocabulary.
+    """
+    toks = doc_tokens(spark, sf_dir)
+    cf = toks.groupBy("lang", "term").agg(
+        F.count("*").cast("long").alias("cf")
+    )
+    per_lang = cf.groupBy("lang").agg(
+        F.sum("cf").cast("long").alias("n"),
+        F.count("*").cast("long").alias("v"),
+        F.sum(F.col("cf") * F.col("cf")).cast("long").alias("s2"),
+        F.sum(F.col("cf") * (F.col("cf") - F.lit(1)))
+        .cast("long")
+        .alias("sd"),
+    )
+    return (
+        per_lang.select(
+            "lang",
+            F.col("n").alias("n_tokens"),
+            F.col("v").alias("n_types"),
+            F.expr(_YULE_K).alias("yule_k_micro"),
+            F.expr(_SIMPSON_D).alias("simpson_d_micro"),
+            F.expr(_GUIRAUD_R).alias("guiraud_r_milli"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_YULE_K = f"""
+WITH toks AS ({SQL_DOC_TOKS}),
+cfs AS (
+  SELECT lang, term, CAST(count(*) AS BIGINT) AS cf
+  FROM toks GROUP BY 1, 2
+),
+per_lang AS (
+  SELECT lang,
+         CAST(sum(cf) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS v,
+         CAST(sum(cf * cf) AS BIGINT) AS s2,
+         CAST(sum(cf * (cf - 1)) AS BIGINT) AS sd
+  FROM cfs GROUP BY 1
+)
+SELECT lang, n AS n_tokens, v AS n_types,
+       {_YULE_K} AS yule_k_micro,
+       {_SIMPSON_D} AS simpson_d_micro,
+       {_GUIRAUD_R} AS guiraud_r_milli
+FROM per_lang
+ORDER BY lang
+"""
+
+QUERIES["ft_yule_k"] = (ft_yule_k, SQL_YULE_K)

@@ -270,3 +270,38 @@ def test_langid_confusion_rows_are_probability_rows(spark):
     for lang, rs in by_lang.items():
         assert abs(sum(x["recall"] for x in rs) - 1.0) < 1e-4
         assert sum(x["n"] for x in rs) > 0
+
+
+def test_yule_k_exact_python_recompute(spark):
+    """All three richness statistics recomputed exactly in Python
+    (collections.Counter over the contract tokenizer) at sf0.001 — the
+    integer sums are exact and the double ratios follow the same IEEE op
+    order, so equality is EXACT, not approximate."""
+    import math
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    rows = ta.ft_yule_k(spark, "/root/testdata/sf0.001").collect()
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    tok = re.compile(r"\W+", re.ASCII)
+    by_lang: dict[str, Counter] = {}
+    for lang, text in zip(docs["lang"], docs["text"]):
+        c = by_lang.setdefault(lang, Counter())
+        c.update(t for t in tok.split(text.lower()) if t)
+    assert {r["lang"] for r in rows} == set(by_lang)
+    for r in rows:
+        c = by_lang[r["lang"]]
+        n = sum(c.values())
+        v = len(c)
+        s2 = sum(cf * cf for cf in c.values())
+        sd = sum(cf * (cf - 1) for cf in c.values())
+        assert r["n_tokens"] == n and r["n_types"] == v
+        assert r["yule_k_micro"] == round(1.0e10 * (s2 - n) / (1.0 * n * n))
+        assert r["simpson_d_micro"] == round(1.0e6 * sd / (1.0 * n * (n - 1)))
+        assert r["guiraud_r_milli"] == round(1000.0 * v / math.sqrt(1.0 * n))
+        # positive controls: the corpus repeats terms (K, D > 0) and has
+        # more tokens than types (otherwise every stat degenerates to 0)
+        assert r["yule_k_micro"] > 0 and r["simpson_d_micro"] > 0
+        assert n > v
