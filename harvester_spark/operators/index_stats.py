@@ -1568,3 +1568,150 @@ QUERIES["postings_gamma_delta_size"] = (
     postings_gamma_delta_size,
     SQL_GAMMA_DELTA,
 )
+
+
+# ------------------------------------------- partitioned Elias-Fano (PEF)
+
+# Ottaviano & Venturini, "Partitioned Elias-Fano Indexes" (SIGIR 2014),
+# uniform-partition variant: each postings list is split into 128-entry
+# blocks by rank; every block is EF-coded over its LOCAL universe (docIDs
+# rebased to the previous block's last + 1), plus a 64-bit per-block
+# header (upper bound + endpoint pointer) — the skip structure that makes
+# PEF seekable. Clustered docID runs shrink the local universes, which is
+# exactly where plain EF (one global universe) wastes upper-bits; this
+# operator measures that win per df regime on the real dictionary.
+#
+# All integer arithmetic, same derivation as postings_codec_compare:
+# l = floor(log2(u/n)) == length(bin(u DIV n)) - 1 (flooring the quotient
+# first cannot change which power of two is crossed), EF bits =
+# n·l + n + (u >> l); u_b ≥ n_b always (docIDs strictly increase within a
+# block) so the quotient is ≥ 1 and bin() never sees 0. Output is the
+# per-df-bucket rollup an index planner reads (bucket = bit_length(df)),
+# with the exact global EF from the same spine as the baseline.
+#
+# Scale shape: ONE (term, doc_id) distinct + the per-term rank window the
+# SPIMI stats plan already pays, then two grouped aggs — no extra
+# shuffle beyond codec_compare's own shape; output is ≤64 bucket rows.
+
+PEF_HEADER_BITS = 64
+
+
+def postings_pef_size(spark, sf_dir):
+    """(df_bucket, n_terms, n_blocks, ef_bits, pef_bits, pef_ratio_milli,
+    pef_wins): uniform partitioned-Elias-Fano vs plain EF sizing, rolled
+    up by df bit-length bucket over the whole dictionary."""
+    post = doc_tokens(spark, sf_dir).select("term", "doc_id").distinct()
+    wt = W.partitionBy("term").orderBy("doc_id")
+    rows = post.withColumn("rn", F.row_number().over(wt) - 1).withColumn(
+        "blk", F.expr(f"rn DIV {BLOCK}")
+    )
+    blks = rows.groupBy("term", "blk").agg(
+        F.count("*").cast("long").alias("n_b"),
+        F.max("doc_id").cast("long").alias("last"),
+    )
+    wb = W.partitionBy("term").orderBy("blk")
+    coded = (
+        blks.withColumn(
+            "base", F.coalesce(F.lag("last").over(wb) + 1, F.lit(0))
+        )
+        .withColumn("u_b", F.col("last") - F.col("base") + 1)
+        .withColumn("l_b", F.expr("length(bin(u_b DIV n_b)) - 1"))
+        .withColumn(
+            "bits_b",
+            F.col("n_b") * F.col("l_b")
+            + F.col("n_b")
+            + F.expr("shiftright(u_b, l_b)")
+            + F.lit(PEF_HEADER_BITS),
+        )
+    )
+    per = coded.groupBy("term").agg(
+        F.sum("n_b").cast("long").alias("df"),
+        F.count("*").cast("long").alias("nb"),
+        F.sum("bits_b").cast("long").alias("pef_bits"),
+        F.max("last").cast("long").alias("max_doc"),
+    )
+    ef = per.withColumn(
+        "l", F.expr("length(bin((max_doc + 1) DIV df)) - 1")
+    ).withColumn(
+        "ef_bits",
+        (
+            F.col("df") * F.col("l")
+            + F.col("df")
+            + F.expr("shiftright(max_doc + 1, l)")
+        ).cast("long"),
+    )
+    return (
+        ef.withColumn("df_bucket", F.expr("length(bin(df))").cast("long"))
+        .groupBy("df_bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_terms"),
+            F.sum("nb").cast("long").alias("n_blocks"),
+            F.sum("ef_bits").cast("long").alias("ef_bits"),
+            F.sum("pef_bits").cast("long").alias("pef_bits"),
+            F.expr("CAST((1000 * sum(pef_bits)) DIV sum(ef_bits) AS BIGINT)")
+            .alias("pef_ratio_milli"),
+            F.sum(F.expr("CAST(pef_bits < ef_bits AS BIGINT)"))
+            .cast("long")
+            .alias("pef_wins"),
+        )
+        .orderBy("df_bucket")
+    )
+
+
+SQL_PEF_SIZE = f"""
+WITH post AS (
+  SELECT DISTINCT term, doc_id FROM ({SQL_DOC_TOKS})
+),
+seq AS (
+  SELECT term, doc_id,
+         (row_number() OVER (PARTITION BY term ORDER BY doc_id) - 1)
+           // {BLOCK} AS blk
+  FROM post
+),
+blks AS (
+  SELECT term, blk, CAST(count(*) AS BIGINT) AS n_b,
+         CAST(max(doc_id) AS BIGINT) AS last
+  FROM seq GROUP BY term, blk
+),
+coded AS (
+  SELECT term, n_b, last,
+         coalesce(lag(last) OVER (PARTITION BY term ORDER BY blk) + 1, 0)
+           AS base
+  FROM blks
+),
+bits AS (
+  SELECT term, n_b, last,
+         n_b * (length(bin((last - base + 1) // n_b)) - 1) + n_b
+           + ((last - base + 1)
+              >> (length(bin((last - base + 1) // n_b)) - 1))
+           + {PEF_HEADER_BITS} AS bits_b
+  FROM coded
+),
+per AS (
+  SELECT term,
+         CAST(sum(n_b) AS BIGINT) AS df,
+         CAST(count(*) AS BIGINT) AS nb,
+         CAST(sum(bits_b) AS BIGINT) AS pef_bits,
+         CAST(max(last) AS BIGINT) AS max_doc
+  FROM bits GROUP BY term
+),
+ef AS (
+  SELECT term, df, nb, pef_bits,
+         CAST(df * (length(bin((max_doc + 1) // df)) - 1) + df
+              + ((max_doc + 1) >> (length(bin((max_doc + 1) // df)) - 1))
+              AS BIGINT) AS ef_bits
+  FROM per
+)
+SELECT CAST(length(bin(df)) AS BIGINT) AS df_bucket,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(nb) AS BIGINT) AS n_blocks,
+       CAST(sum(ef_bits) AS BIGINT) AS ef_bits,
+       CAST(sum(pef_bits) AS BIGINT) AS pef_bits,
+       CAST((1000 * sum(pef_bits)) // sum(ef_bits) AS BIGINT)
+         AS pef_ratio_milli,
+       CAST(sum(CAST(pef_bits < ef_bits AS BIGINT)) AS BIGINT) AS pef_wins
+FROM ef
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["postings_pef_size"] = (postings_pef_size, SQL_PEF_SIZE)

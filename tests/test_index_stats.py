@@ -223,3 +223,91 @@ def test_zipf_slope_matches_integer_least_squares(spark):
     assert row["slope_micro"] == slope
     assert row["slope_micro"] < 0
     assert row["intercept_milli"] == (sy * 1_000_000 - slope * sx) // (n * 1_000_000)
+
+
+def test_pef_exact_recompute_and_clustered_win(spark, tmp_path):
+    """Partitioned Elias-Fano guard, two legs:
+
+    1. Exact Python recompute of the whole bucket rollup at sf0.001 —
+       every bit count (blocking, rebasing, low-bit widths, headers) is
+       integer arithmetic, so equality is exact.
+    2. A synthesized corpus where a term's postings are two dense runs at
+       opposite ends of a 4096-doc universe: local rebasing MUST make PEF
+       beat plain EF there (pef_wins >= 1). The driver corpus is too
+       dense for PEF to ever win, so without this leg the win branch
+       (and the whole point of partitioning) would be dead code.
+    """
+    import math
+    from collections import defaultdict
+
+    import pandas as pd
+
+    from harvester_spark.operators.index_stats import (
+        BLOCK,
+        PEF_HEADER_BITS,
+        postings_pef_size,
+    )
+
+    def ef_bits(n, u):
+        l = max(0, math.floor(math.log2(u / n)))
+        return n * l + n + (u >> l)
+
+    def pef_bits(ids):
+        total, base = 0, 0
+        for s in range(0, len(ids), BLOCK):
+            blk = ids[s : s + BLOCK]
+            u_b = blk[-1] - base + 1
+            total += ef_bits(len(blk), u_b) + PEF_HEADER_BITS
+            base = blk[-1] + 1
+        return total
+
+    # --- leg 1: exact recompute on the real corpus
+    import re
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    tok = re.compile(r"\W+", re.ASCII)
+    postings: dict[str, set] = defaultdict(set)
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        for t in set(x for x in tok.split(text.lower()) if x):
+            postings[t].add(int(doc_id))
+    expect: dict[int, list] = {}
+    for t, s in postings.items():
+        ids = sorted(s)
+        b = len(ids).bit_length()
+        row = expect.setdefault(b, [0, 0, 0, 0, 0])
+        row[0] += 1
+        row[1] += (len(ids) + BLOCK - 1) // BLOCK
+        row[2] += ef_bits(len(ids), ids[-1] + 1)
+        p = pef_bits(ids)
+        row[3] += p
+        row[4] += int(p < ef_bits(len(ids), ids[-1] + 1))
+    got = {r["df_bucket"]: r for r in postings_pef_size(spark, SF_DIR).collect()}
+    assert set(got) == set(expect)
+    for b, (nt, nb, efb, pefb, wins) in expect.items():
+        r = got[b]
+        assert (r["n_terms"], r["n_blocks"], r["ef_bits"], r["pef_bits"]) == (
+            nt, nb, efb, pefb
+        ), (b, r)
+        assert r["pef_wins"] == wins
+        assert r["pef_ratio_milli"] == (1000 * pefb) // efb
+
+    # --- leg 2: clustered synthesis where PEF must win
+    run = set(range(128)) | set(range(3968, 4096))
+    synth = pd.DataFrame(
+        {
+            "doc_id": range(4096),
+            "lang": ["en"] * 4096,
+            "text": [
+                "clx" if i in run else f"f{i}" for i in range(4096)
+            ],
+        }
+    )
+    synth.to_parquet(tmp_path / "documents.parquet")
+    rows = postings_pef_size(spark, str(tmp_path)).collect()
+    bucket9 = [r for r in rows if r["df_bucket"] == 9]
+    assert len(bucket9) == 1 and bucket9[0]["n_terms"] == 1
+    assert bucket9[0]["pef_wins"] == 1
+    assert bucket9[0]["pef_bits"] < bucket9[0]["ef_bits"]
+    ids = sorted(run)
+    assert bucket9[0]["pef_bits"] == pef_bits(ids)
+    assert bucket9[0]["ef_bits"] == ef_bits(len(ids), ids[-1] + 1)
