@@ -1784,3 +1784,141 @@ QUERIES["pagerank_convergence"] = (
     pagerank_convergence,
     _sql_pagerank_convergence(),
 )
+
+
+# -------------------------------------------- harmonic centrality (APSP)
+
+# Harmonic centrality (Boldi & Vigna, "Axioms for centrality", 2014) over
+# the host graph within a fixed HARM_HOPS horizon: H(v) = Σ_u 840/d(v,u)
+# for every host u reached in 1..HARM_HOPS hops along edge direction —
+# the centrality family that handles disconnected/unreached pairs
+# natively (∞ distance contributes 0, no closeness blow-up). 840 =
+# lcm(1..8), so every 840/d is an EXACT integer for any horizon up to 8
+# and the scores are exact int64 sums — no float reciprocal anywhere.
+# sum_dist doubles as the (reached-set) closeness numerator.
+#
+# Scale shape: multi-source BFS as |hops| rounds of (frontier ⋈ edges)
+# + anti-join against the settled distance set — the connected-components
+# discipline host_reach_probe uses, with an origin column carried through
+# so ONE pass settles all sources. Pair state is O(hosts²) rows keyed
+# (origin, host): at web scale this is the HyperBall/ANF regime where the
+# exact set would be replaced per-origin by the repo's HLL registers
+# (hll_fold_registers) — the exact variant here is the small-graph oracle
+# twin of that sketch path.
+
+HARM_HOPS = 4
+HARM_UNIT = 840  # lcm(1..8): 840/d exact for every horizon d <= 8
+
+
+def host_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(host, n_reached, sum_dist, harmonic_x840): exact harmonic
+    centrality within HARM_HOPS hops, in 1/840 units; ties (harmonic
+    desc, host asc)."""
+    edges = _edges(spark, sf_dir).select("src", "dst").cache()
+    hosts = (
+        edges.select(F.col("src").alias("host"))
+        .union(edges.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    dist = hosts.select(
+        F.col("host").alias("origin"),
+        F.col("host"),
+        F.lit(0).cast("long").alias("d"),
+    ).localCheckpoint()
+    frontier = dist.select("origin", "host")
+    for k in range(1, HARM_HOPS + 1):
+        nxt = (
+            frontier.join(edges, frontier["host"] == edges["src"])
+            .select("origin", F.col("dst").alias("host"))
+            .distinct()
+            .join(dist.select("origin", "host"), ["origin", "host"], "anti")
+            .localCheckpoint()
+        )
+        dist = dist.union(
+            nxt.withColumn("d", F.lit(k).cast("long"))
+        ).localCheckpoint()
+        frontier = nxt
+    agg = (
+        dist.filter(F.col("d") > 0)
+        .groupBy("origin")
+        .agg(
+            F.count("*").cast("long").alias("n_reached"),
+            F.sum("d").cast("long").alias("sum_dist"),
+            F.sum(F.expr(f"{HARM_UNIT} DIV d")).cast("long").alias(
+                "harmonic_x840"
+            ),
+        )
+    )
+    return (
+        hosts.join(agg, hosts["host"] == agg["origin"], "left")
+        .select(
+            "host",
+            F.coalesce("n_reached", F.lit(0)).cast("long").alias("n_reached"),
+            F.coalesce("sum_dist", F.lit(0)).cast("long").alias("sum_dist"),
+            F.coalesce("harmonic_x840", F.lit(0))
+            .cast("long")
+            .alias("harmonic_x840"),
+        )
+        .orderBy(F.col("harmonic_x840").desc(), F.col("host").asc())
+    )
+
+
+def _sql_harmonic() -> str:
+    hash_doc = _SQL_HASH56.format(col="CAST(doc_id AS VARCHAR)")
+    parts = [
+        f"""WITH e AS (
+  SELECT source AS src,
+         'src' || CAST({hash_doc} % {PR_FANOUT} AS VARCHAR) AS dst
+  FROM documents
+),
+edges AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM e WHERE src <> dst
+),
+hosts AS MATERIALIZED (
+  SELECT src AS host FROM edges UNION SELECT dst FROM edges
+),
+d0 AS MATERIALIZED (
+  SELECT host AS origin, host, CAST(0 AS BIGINT) AS d FROM hosts
+),
+f0 AS MATERIALIZED (SELECT origin, host FROM d0)"""
+    ]
+    for k in range(1, HARM_HOPS + 1):
+        parts.append(
+            f""",
+f{k} AS MATERIALIZED (
+  SELECT DISTINCT f.origin, e.dst AS host
+  FROM f{k - 1} f JOIN edges e ON e.src = f.host
+  WHERE NOT EXISTS (
+    SELECT 1 FROM d{k - 1} dd
+    WHERE dd.origin = f.origin AND dd.host = e.dst
+  )
+),
+d{k} AS MATERIALIZED (
+  SELECT origin, host, d FROM d{k - 1}
+  UNION ALL
+  SELECT origin, host, CAST({k} AS BIGINT) FROM f{k}
+)"""
+        )
+    parts.append(
+        f"""
+SELECT h.host,
+       CAST(coalesce(a.n_reached, 0) AS BIGINT) AS n_reached,
+       CAST(coalesce(a.sum_dist, 0) AS BIGINT) AS sum_dist,
+       CAST(coalesce(a.h840, 0) AS BIGINT) AS harmonic_x840
+FROM hosts h
+LEFT JOIN (
+  SELECT origin,
+         CAST(count(*) AS BIGINT) AS n_reached,
+         CAST(sum(d) AS BIGINT) AS sum_dist,
+         CAST(sum({HARM_UNIT} // d) AS BIGINT) AS h840
+  FROM d{HARM_HOPS} WHERE d > 0 GROUP BY origin
+) a ON a.origin = h.host
+ORDER BY harmonic_x840 DESC, h.host ASC"""
+    )
+    return "".join(parts)
+
+
+QUERIES["host_harmonic_centrality"] = (
+    host_harmonic_centrality,
+    _sql_harmonic(),
+)

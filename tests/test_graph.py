@@ -163,3 +163,55 @@ def test_frontier_schedule_is_polite_and_takeordered(spark):
     assert len(delays) >= 2, "all hosts got the same delay — hash degenerate"
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_harmonic_centrality_exact_bfs_recompute(spark):
+    """Exact Python all-pairs-BFS recompute of the harmonic table, plus
+    the non-degeneracy the reciprocal weighting needs: some pair at
+    distance >= 2 must exist (measured: max finite distance 2 at
+    sf0.001), otherwise harmonic == 840·n_reached everywhere and the
+    840/d unit is dead weight."""
+    from collections import deque
+
+    from harvester_spark.operators.graph import (
+        HARM_HOPS,
+        HARM_UNIT,
+        _edges,
+        host_harmonic_centrality,
+    )
+
+    adj: dict[str, list] = {}
+    hosts = set()
+    for e in _edges(spark, SF_DIR).collect():
+        adj.setdefault(e["src"], []).append(e["dst"])
+        hosts.update((e["src"], e["dst"]))
+    expect = {}
+    for s in sorted(hosts):
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            if dist[u] >= HARM_HOPS:
+                continue
+            for v in adj.get(u, []):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        ds = [d for d in dist.values() if d > 0]
+        expect[s] = (
+            len(ds),
+            sum(ds),
+            sum(HARM_UNIT // d for d in ds),
+        )
+    rows = host_harmonic_centrality(spark, SF_DIR).collect()
+    assert {r["host"] for r in rows} == hosts
+    for r in rows:
+        assert (
+            r["n_reached"], r["sum_dist"], r["harmonic_x840"]
+        ) == expect[r["host"]], r["host"]
+    # ordering contract + reciprocal non-degeneracy
+    key = [(-r["harmonic_x840"], r["host"]) for r in rows]
+    assert key == sorted(key)
+    assert any(
+        r["harmonic_x840"] != HARM_UNIT * r["n_reached"] for r in rows
+    ), "every reached pair is at distance 1 — 840/d weighting dead"
