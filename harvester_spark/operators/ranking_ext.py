@@ -1503,3 +1503,236 @@ QUERIES["interleave_team_draft_eval"] = (
     interleave_team_draft_eval,
     _sql_interleave(),
 )
+
+
+# ------------------------------------------------ paired sign test (A/B)
+
+# The offline counterpart of interleave_team_draft_eval: an EXACT paired
+# sign test (the classic distribution-free system-comparison test in IR
+# evaluation — Smucker/Allan/Carterette, CIKM 2007, evaluate it next to
+# the t-test) between BM25 and Dirichlet-QL over the 16-query registry's
+# per-query nDCG@10. Both rankers are scored against the SAME phrase
+# qrels, so per query the IDCG cancels and comparing nDCG is comparing
+# the integer dcg_micro sums directly — no float ever decides a win.
+#
+# The two-sided p-value is exact: p = min(1, 2·Σ_{k=0..min(w,l)} C(n,k)
+# / 2^n) with n = wins+losses (ties dropped, the standard treatment).
+# Binomials are exact int64: C(n,k) = Π_{i=1..k}(n−i+1) DIV k! — the
+# full numerator product of a binomial is always divisible by k!, and at
+# n ≤ 16 the products stay far below 2^63. p is reported in FLOORED
+# micro-units ((2·S·10^6) DIV 2^n, capped at 10^6) — integer end to end.
+#
+# Scale shape: the _graded_ranking spine (one corpus scan + broadcast
+# 16-row query dims) plus a second per-(query, doc) scoring leg over the
+# SAME candidates (Dirichlet needs tf = 0 legs: candidates × 6 query
+# terms, left-joined tf); the test statistic folds 16 rows to 1.
+
+SIGN_MU = 2000  # Dirichlet mu, == SDM_MU (ranking_models)
+_SIGN_LP = (
+    "CAST(round(1000000.0e0 * ln("
+    f"(tf + {SIGN_MU}.0e0 * cf / ct) / (dl + {SIGN_MU}.0e0)"
+    "), 0) AS BIGINT)"
+)
+_SIGN_COMB = (
+    "CASE WHEN k = 0 THEN CAST(1 AS BIGINT) ELSE "
+    "aggregate(sequence(1, k), CAST(1 AS BIGINT),"
+    " (acc, i) -> acc * CAST(ne - i + 1 AS BIGINT))"
+    " DIV "
+    "aggregate(sequence(1, k), CAST(1 AS BIGINT),"
+    " (acc, i) -> acc * CAST(i AS BIGINT)) END"
+)
+
+
+def ranker_sign_test(spark, sf_dir):
+    """(n_queries, wins_bm25, wins_dirichlet, ties, sum_delta_dcg_micro,
+    sign_s_tail, sign_p_micro): exact two-sided paired sign test of
+    BM25 vs Dirichlet-QL nDCG@10 over the 16-query registry."""
+    from harvester_spark.operators.retrieval import (
+        HN_N_QUERIES,
+        HN_Q_LEN,
+        NDCG_K,
+        _NDCG_ADDEND,
+        _graded_ranking,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    toks = doc_tokens(spark, sf_dir)
+    graded = _graded_ranking(spark, sf_dir)
+
+    # the registry's (q_id, term) selection — same derivation as
+    # _graded_ranking (retrieval.py): first HN_Q_LEN distinct tokens of
+    # each of the 16 smallest doc_ids, by first position then term.
+    qdocs = docs.select("doc_id").orderBy("doc_id").limit(HN_N_QUERIES)
+    first = (
+        toks.join(F.broadcast(qdocs), "doc_id")
+        .groupBy("doc_id", "term")
+        .agg(F.min("pos").alias("p0"))
+    )
+    wsel = W.partitionBy("doc_id").orderBy(
+        F.col("p0").asc(), F.col("term").asc()
+    )
+    qsel = (
+        first.withColumn("r", F.row_number().over(wsel))
+        .filter(F.col("r") <= HN_Q_LEN)
+        .select(F.col("doc_id").alias("q_id"), "term")
+    )
+
+    qterms = qsel.select("term").distinct()
+    toksq = toks.join(F.broadcast(qterms), "term")
+    tfq = toksq.groupBy("term", "doc_id").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    cfq = toksq.groupBy("term").agg(F.count("*").cast("long").alias("cf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    ct = toks.agg(F.count("*").cast("long").alias("ct"))
+
+    dirs = (
+        graded.select("q_id", "doc_id")
+        .join(F.broadcast(qsel), "q_id")
+        .join(tfq, ["term", "doc_id"], "left")
+        .withColumn("tf", F.coalesce(F.col("tf"), F.lit(0)).cast("long"))
+        .join(F.broadcast(cfq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(ct))
+        .withColumn("lp", F.expr(_SIGN_LP))
+        .groupBy("q_id", "doc_id")
+        .agg(F.sum("lp").cast("long").alias("score_b"))
+    )
+
+    wa_ = W.partitionBy("q_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    dcg_a = (
+        graded.withColumn("rnk", F.row_number().over(wa_))
+        .filter(F.col("rnk") <= NDCG_K)
+        .withColumn("addend", F.expr(_NDCG_ADDEND))
+        .groupBy("q_id")
+        .agg(F.sum("addend").cast("long").alias("dcg_a"))
+    )
+    wb_ = W.partitionBy("q_id").orderBy(
+        F.col("score_b").desc(), F.col("doc_id").asc()
+    )
+    dcg_b = (
+        dirs.join(graded.select("q_id", "doc_id", "rel"), ["q_id", "doc_id"])
+        .withColumn("rnk", F.row_number().over(wb_))
+        .filter(F.col("rnk") <= NDCG_K)
+        .withColumn("addend", F.expr(_NDCG_ADDEND))
+        .groupBy("q_id")
+        .agg(F.sum("addend").cast("long").alias("dcg_b"))
+    )
+    counts = (
+        dcg_a.join(dcg_b, "q_id")
+        .agg(
+            F.count("*").cast("long").alias("nq"),
+            F.sum(F.expr("CAST(dcg_a > dcg_b AS BIGINT)"))
+            .cast("long")
+            .alias("wa"),
+            F.sum(F.expr("CAST(dcg_a < dcg_b AS BIGINT)"))
+            .cast("long")
+            .alias("wb"),
+            F.sum(F.expr("CAST(dcg_a = dcg_b AS BIGINT)"))
+            .cast("long")
+            .alias("ties"),
+            F.sum(F.col("dcg_a") - F.col("dcg_b"))
+            .cast("long")
+            .alias("sum_delta"),
+        )
+        .withColumn("ne", (F.col("wa") + F.col("wb")).cast("long"))
+        .withColumn("m", F.least("wa", "wb").cast("long"))
+    )
+    tail = (
+        counts.select(
+            "*", F.explode(F.expr("sequence(0, m)")).alias("k")
+        )
+        .withColumn("c", F.expr(_SIGN_COMB))
+        .groupBy("nq", "wa", "wb", "ties", "sum_delta", "ne")
+        .agg(F.sum("c").cast("long").alias("s"))
+    )
+    return tail.select(
+        F.col("nq").alias("n_queries"),
+        F.col("wa").alias("wins_bm25"),
+        F.col("wb").alias("wins_dirichlet"),
+        F.col("ties").alias("ties"),
+        F.col("sum_delta").alias("sum_delta_dcg_micro"),
+        F.col("s").alias("sign_s_tail"),
+        F.expr(
+            "least(CAST(1000000 AS BIGINT),"
+            " (2 * s * 1000000) DIV shiftleft(CAST(1 AS BIGINT), ne))"
+        ).alias("sign_p_micro"),
+    )
+
+
+def _sql_sign_test() -> str:
+    from harvester_spark.operators.retrieval import (
+        NDCG_K,
+        _NDCG_ADDEND,
+        _SQL_GRADED_PREFIX,
+    )
+
+    return _SQL_GRADED_PREFIX + f""",
+cfq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS cf FROM toks
+  WHERE term IN (SELECT DISTINCT term FROM qsel) GROUP BY 1
+),
+ctt AS (SELECT CAST(count(*) AS BIGINT) AS ct FROM toks),
+dirs AS (
+  SELECT q_id, doc_id, CAST(sum({_SIGN_LP}) AS BIGINT) AS score_b
+  FROM (
+    SELECT g.q_id, g.doc_id,
+           CAST(coalesce(tf.tf, 0) AS BIGINT) AS tf,
+           cfq.cf, CAST(dl.dl AS BIGINT) AS dl, ctt.ct
+    FROM (SELECT q_id, doc_id FROM graded) g
+    JOIN qsel q ON q.q_id = g.q_id
+    LEFT JOIN tf ON tf.term = q.term AND tf.doc_id = g.doc_id
+    JOIN cfq ON cfq.term = q.term
+    JOIN dl ON dl.doc_id = g.doc_id
+    CROSS JOIN ctt
+  ) GROUP BY 1, 2
+),
+dcg_a AS (
+  SELECT q_id, CAST(sum({_NDCG_ADDEND}) AS BIGINT) AS dcg_a FROM (
+    SELECT q_id, rel,
+           row_number() OVER (
+             PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS rnk
+    FROM graded
+  ) WHERE rnk <= {NDCG_K} GROUP BY q_id
+),
+dcg_b AS (
+  SELECT q_id, CAST(sum({_NDCG_ADDEND}) AS BIGINT) AS dcg_b FROM (
+    SELECT d.q_id, g.rel,
+           row_number() OVER (
+             PARTITION BY d.q_id
+             ORDER BY d.score_b DESC, d.doc_id ASC) AS rnk
+    FROM dirs d JOIN graded g ON g.q_id = d.q_id AND g.doc_id = d.doc_id
+  ) WHERE rnk <= {NDCG_K} GROUP BY q_id
+),
+counts AS (
+  SELECT CAST(count(*) AS BIGINT) AS nq,
+         CAST(sum((dcg_a > dcg_b)::INT) AS BIGINT) AS wa,
+         CAST(sum((dcg_a < dcg_b)::INT) AS BIGINT) AS wb,
+         CAST(sum((dcg_a = dcg_b)::INT) AS BIGINT) AS ties,
+         CAST(sum(dcg_a - dcg_b) AS BIGINT) AS sum_delta
+  FROM dcg_a JOIN dcg_b USING (q_id)
+),
+ext AS (SELECT *, wa + wb AS ne, least(wa, wb) AS m FROM counts),
+ks AS (SELECT ext.*, unnest(range(0, m + 1)) AS k FROM ext),
+combs AS (
+  SELECT nq, wa, wb, ties, sum_delta, ne,
+         list_reduce([CAST(1 AS BIGINT)] || range(1, k + 1),
+                     (a, b) -> a * (ne - b + 1))
+         // list_reduce([CAST(1 AS BIGINT)] || range(1, k + 1),
+                        (a, b) -> a * b) AS c
+  FROM ks
+)
+SELECT nq AS n_queries, wa AS wins_bm25, wb AS wins_dirichlet, ties,
+       sum_delta AS sum_delta_dcg_micro,
+       CAST(sum(c) AS BIGINT) AS sign_s_tail,
+       least(CAST(1000000 AS BIGINT),
+             (2 * CAST(sum(c) AS BIGINT) * 1000000)
+               // (CAST(1 AS BIGINT) << ne)) AS sign_p_micro
+FROM combs
+GROUP BY nq, wa, wb, ties, sum_delta, ne
+"""
+
+
+QUERIES["ranker_sign_test"] = (ranker_sign_test, _sql_sign_test())

@@ -190,3 +190,32 @@ def test_dfi_plan_broadcast_spine(spark):
     # cf + tdl dims ride broadcast joins; the 1-row tdl crossJoin compiles
     # to a condition-free BroadcastNestedLoopJoin Cross (CLAUDE.md session-9)
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_sign_test_exact_binomial_and_nondegenerate(spark):
+    """The sign test's p-value recomputed exactly via math.comb from the
+    reported win/loss counts (the operator's own tail sum must be the
+    true binomial tail), plus the partition law wa+wb+ties == nq and the
+    non-degeneracy the comparison needs: the two rankers genuinely
+    disagree on most queries (measured ne = 15 of 16 at sf0.001 — a
+    near-all-ties table would make the test vacuous)."""
+    import math
+
+    from harvester_spark.operators.ranking_ext import ranker_sign_test
+
+    rows = ranker_sign_test(spark, SF_DIR).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_queries"] == 16
+    assert (
+        r["wins_bm25"] + r["wins_dirichlet"] + r["ties"] == r["n_queries"]
+    )
+    ne = r["wins_bm25"] + r["wins_dirichlet"]
+    assert ne >= 8, "rankers tie almost everywhere — sign test vacuous"
+    m = min(r["wins_bm25"], r["wins_dirichlet"])
+    s = sum(math.comb(ne, k) for k in range(m + 1))
+    assert r["sign_s_tail"] == s
+    assert r["sign_p_micro"] == min(10**6, (2 * s * 10**6) // (1 << ne))
+    # both directions must occur: a ranker that dominates 16/16 on this
+    # corpus would mean the Dirichlet leg degenerated (e.g. all tf=0)
+    assert r["wins_bm25"] >= 1 and r["wins_dirichlet"] >= 1
