@@ -1736,3 +1736,215 @@ GROUP BY nq, wa, wb, ties, sum_delta, ne
 
 
 QUERIES["ranker_sign_test"] = (ranker_sign_test, _sql_sign_test())
+
+
+# ------------------------------------- Kendall tau-b ranker agreement
+
+# The sign test above answers "which ranker wins more queries"; Kendall's
+# τ-b answers the orthogonal question rank-eval suites (trec_eval's
+# `kendalltau`, Voorhees 2001's meta-evaluation) ask: how much do the two
+# SYSTEMS agree on ordering, per query. Computed between BM25 (the graded
+# ranking's score) and Dirichlet-QL (the sign test's score_b leg) over the
+# union of both rankers' top-TAU_K lists — a ≤ 2·TAU_K-doc set per query,
+# so the pair expansion is bounded at C(2·TAU_K, 2) = 780 pairs by
+# construction, never quadratic in candidates (the "labeled bounded"
+# pattern of ann_cosine_topk).
+#
+# τ-b handles ties in either ranking: with n0 = all pairs, n1/n2 = pairs
+# tied in A/B, τ-b = (C − D)/√((n0−n1)(n0−n2)). C/D/n1/n2 are exact
+# int64 counts; the final ratio is ONE shared sign-split floor(+0.5)
+# milli string (negative values mirrored — floor is not symmetric).
+# BM25 score ties compare round-6 doubles (identical in both engines by
+# the graded-ranking contract); Dirichlet ties compare exact micro-nats.
+
+TAU_K = 20  # per-ranker list depth feeding the union
+
+_TAU_B_MILLI = (
+    "CASE WHEN (n0 - n1) * (n0 - n2) = 0 THEN NULL "
+    "WHEN c >= d THEN CAST(floor(1000.0e0 * (c - d)"
+    " / sqrt(1.0e0 * (n0 - n1) * (n0 - n2)) + 0.5e0) AS BIGINT) "
+    "ELSE -CAST(floor(1000.0e0 * (d - c)"
+    " / sqrt(1.0e0 * (n0 - n1) * (n0 - n2)) + 0.5e0) AS BIGINT) END"
+)
+
+
+def ranker_tau_correlation(spark, sf_dir):
+    """(q_id, n_docs, n_pairs, concordant, discordant, ties_a, ties_b,
+    tau_b_milli): per-registry-query Kendall τ-b agreement between the
+    BM25 and Dirichlet-QL rankings over the union of their top-20 lists."""
+    from harvester_spark.operators.retrieval import (
+        HN_N_QUERIES,
+        HN_Q_LEN,
+        _graded_ranking,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    toks = doc_tokens(spark, sf_dir)
+    graded = _graded_ranking(spark, sf_dir)
+
+    qdocs = docs.select("doc_id").orderBy("doc_id").limit(HN_N_QUERIES)
+    first = (
+        toks.join(F.broadcast(qdocs), "doc_id")
+        .groupBy("doc_id", "term")
+        .agg(F.min("pos").alias("p0"))
+    )
+    wsel = W.partitionBy("doc_id").orderBy(
+        F.col("p0").asc(), F.col("term").asc()
+    )
+    qsel = (
+        first.withColumn("r", F.row_number().over(wsel))
+        .filter(F.col("r") <= HN_Q_LEN)
+        .select(F.col("doc_id").alias("q_id"), "term")
+    )
+
+    qterms = qsel.select("term").distinct()
+    toksq = toks.join(F.broadcast(qterms), "term")
+    tfq = toksq.groupBy("term", "doc_id").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    cfq = toksq.groupBy("term").agg(F.count("*").cast("long").alias("cf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    ct = toks.agg(F.count("*").cast("long").alias("ct"))
+
+    dirs = (
+        graded.select("q_id", "doc_id")
+        .join(F.broadcast(qsel), "q_id")
+        .join(tfq, ["term", "doc_id"], "left")
+        .withColumn("tf", F.coalesce(F.col("tf"), F.lit(0)).cast("long"))
+        .join(F.broadcast(cfq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(ct))
+        .withColumn("lp", F.expr(_SIGN_LP))
+        .groupBy("q_id", "doc_id")
+        .agg(F.sum("lp").cast("long").alias("score_b"))
+    )
+
+    both = graded.select("q_id", "doc_id", "score").join(
+        dirs, ["q_id", "doc_id"]
+    )
+    wa_ = W.partitionBy("q_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    wb_ = W.partitionBy("q_id").orderBy(
+        F.col("score_b").desc(), F.col("doc_id").asc()
+    )
+    sel = (
+        both.withColumn("ra", F.row_number().over(wa_))
+        .withColumn("rb", F.row_number().over(wb_))
+        .filter((F.col("ra") <= TAU_K) | (F.col("rb") <= TAU_K))
+        .select("q_id", "doc_id", "score", "score_b")
+    )
+    x, y = sel.alias("x"), sel.alias("y")
+    pairs = x.join(
+        y,
+        (F.col("x.q_id") == F.col("y.q_id"))
+        & (F.col("x.doc_id") < F.col("y.doc_id")),
+    ).select(
+        F.col("x.q_id").alias("q_id"),
+        F.expr(
+            "CASE WHEN x.score > y.score THEN 1"
+            " WHEN x.score < y.score THEN -1 ELSE 0 END"
+        ).alias("sa"),
+        F.expr(
+            "CASE WHEN x.score_b > y.score_b THEN 1"
+            " WHEN x.score_b < y.score_b THEN -1 ELSE 0 END"
+        ).alias("sb"),
+    )
+    per_q = (
+        pairs.groupBy("q_id")
+        .agg(
+            F.count("*").cast("long").alias("n0"),
+            F.sum(F.expr("CAST(sa = 0 AS BIGINT)")).cast("long").alias("n1"),
+            F.sum(F.expr("CAST(sb = 0 AS BIGINT)")).cast("long").alias("n2"),
+            F.sum(F.expr("CAST(sa * sb = 1 AS BIGINT)"))
+            .cast("long")
+            .alias("c"),
+            F.sum(F.expr("CAST(sa * sb = -1 AS BIGINT)"))
+            .cast("long")
+            .alias("d"),
+        )
+    )
+    n_docs = sel.groupBy("q_id").agg(F.count("*").cast("long").alias("n_docs"))
+    return (
+        per_q.join(n_docs, "q_id")
+        .withColumn("tau_b_milli", F.expr(_TAU_B_MILLI))
+        .select(
+            "q_id",
+            "n_docs",
+            F.col("n0").alias("n_pairs"),
+            F.col("c").alias("concordant"),
+            F.col("d").alias("discordant"),
+            F.col("n1").alias("ties_a"),
+            F.col("n2").alias("ties_b"),
+            "tau_b_milli",
+        )
+    )
+
+
+def _sql_tau_correlation() -> str:
+    from harvester_spark.operators.retrieval import _SQL_GRADED_PREFIX
+
+    return _SQL_GRADED_PREFIX + f""",
+cfq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS cf FROM toks
+  WHERE term IN (SELECT DISTINCT term FROM qsel) GROUP BY 1
+),
+ctt AS (SELECT CAST(count(*) AS BIGINT) AS ct FROM toks),
+dirs AS (
+  SELECT q_id, doc_id, CAST(sum({_SIGN_LP}) AS BIGINT) AS score_b
+  FROM (
+    SELECT g.q_id, g.doc_id,
+           CAST(coalesce(tf.tf, 0) AS BIGINT) AS tf,
+           cfq.cf, CAST(dl.dl AS BIGINT) AS dl, ctt.ct
+    FROM (SELECT q_id, doc_id FROM graded) g
+    JOIN qsel q ON q.q_id = g.q_id
+    LEFT JOIN tf ON tf.term = q.term AND tf.doc_id = g.doc_id
+    JOIN cfq ON cfq.term = q.term
+    JOIN dl ON dl.doc_id = g.doc_id
+    CROSS JOIN ctt
+  ) GROUP BY 1, 2
+),
+ab_scores AS (
+  SELECT g.q_id, g.doc_id, g.score, d.score_b
+  FROM graded g JOIN dirs d ON d.q_id = g.q_id AND d.doc_id = g.doc_id
+),
+sel AS (
+  SELECT q_id, doc_id, score, score_b FROM (
+    SELECT *,
+           row_number() OVER (
+             PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS ra,
+           row_number() OVER (
+             PARTITION BY q_id ORDER BY score_b DESC, doc_id ASC) AS rb
+    FROM ab_scores
+  ) WHERE ra <= {TAU_K} OR rb <= {TAU_K}
+),
+pairs AS (
+  SELECT x.q_id,
+         CASE WHEN x.score > y.score THEN 1
+              WHEN x.score < y.score THEN -1 ELSE 0 END AS sa,
+         CASE WHEN x.score_b > y.score_b THEN 1
+              WHEN x.score_b < y.score_b THEN -1 ELSE 0 END AS sb
+  FROM sel x JOIN sel y
+    ON x.q_id = y.q_id AND x.doc_id < y.doc_id
+),
+per_q AS (
+  SELECT q_id,
+         CAST(count(*) AS BIGINT) AS n0,
+         CAST(sum((sa = 0)::INT) AS BIGINT) AS n1,
+         CAST(sum((sb = 0)::INT) AS BIGINT) AS n2,
+         CAST(sum((sa * sb = 1)::INT) AS BIGINT) AS c,
+         CAST(sum((sa * sb = -1)::INT) AS BIGINT) AS d
+  FROM pairs GROUP BY q_id
+),
+nd_ AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_docs FROM sel GROUP BY 1)
+SELECT p.q_id, n.n_docs, p.n0 AS n_pairs, p.c AS concordant,
+       p.d AS discordant, p.n1 AS ties_a, p.n2 AS ties_b,
+       {_TAU_B_MILLI} AS tau_b_milli
+FROM per_q p JOIN nd_ n USING (q_id)
+"""
+
+
+QUERIES["ranker_tau_correlation"] = (
+    ranker_tau_correlation,
+    _sql_tau_correlation(),
+)

@@ -569,3 +569,204 @@ ORDER BY score_micro DESC, doc_id ASC LIMIT 10
 """
 
 QUERIES["ft_ib_ll_topk"] = (ft_ib_ll_topk, SQL_IB_LL)
+
+
+# --------------------------------------- SMART lnc.ltc vector-space cosine
+
+# The pre-probabilistic classic (Salton & Buckley 1988; SMART notation
+# lnc.ltc): doc weights 1+ln(tf) cosine-normalized over the WHOLE document
+# vector, query weights (1+ln(qtf))·ln(N/df) with qtf = 1. Lucene shipped
+# exactly this as ClassicSimilarity/TFIDFSimilarity before BM25 became the
+# default — the sixth and last similarity family after BM25 / LM-Dirichlet /
+# LM-JM / DFR-PL2 / DFI / IB (the reference keeps OpenSearch's BM25 default,
+# /root/reference/harvester/search/models/index.py, so like the others this
+# is the A/B alternative).
+#
+# Determinism: per-(doc, term) weights are integer micro-units via ONE
+# shared string (_LNC_W); the doc norm is Σ dwm² — an EXACT int64 sum, so
+# the engine-dependent float-sum-order problem never arises (a double
+# Σ(1+ln tf)² would differ in ulps between engines). The final score
+# divides two deterministic doubles (int64→double conversion and IEEE
+# sqrt/division are bit-identical in both engines) and floors at +0.5 in
+# micro-weight units. Overflow: dwm ≤ round(1e6·(1+ln tf)) ≈ 8e6 at
+# tf ≈ 1e3, so dwm² ≤ 6.4e13 and a 10^4-distinct-term doc stays < 2^63.
+#
+# Scale shape: the norm is one (doc_id, term) tf agg + one doc_id agg over
+# the SAME exploded-tokens scan the dl agg already pays; the dot is the
+# PL2 shape (only matching docs score; df/N broadcast dims). At 100 TB the
+# norm table is a per-doc scalar materialized once per snapshot next to dl.
+
+_LNC_W = "CAST(round(1000000.0e0 * (1.0e0 + ln(tf)), 0) AS BIGINT)"
+_LTC_W = "CAST(round(1000000.0e0 * ln(1.0e0 * nd / df), 0) AS BIGINT)"
+_COS_SCORE = "CAST(floor(1.0e0 * dot / sqrt(1.0e0 * n2) + 0.5e0) AS BIGINT)"
+
+
+def ft_tfidf_lnc_ltc_topk(spark, sf_dir):
+    """(rank, doc_id, score_micro): top-10 docs by SMART lnc.ltc cosine
+    (Lucene ClassicSimilarity's family) over the flagship OR query —
+    doc-side 1+ln(tf) weights cosine-normalized over the full doc vector,
+    query-side ln(N/df) idf; integer micro-weight units end to end."""
+    toks = doc_tokens(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    tf_all = toks.groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    norms = (
+        tf_all.withColumn("dwm", F.expr(_LNC_W))
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("dwm") * F.col("dwm")).cast("long").alias("n2"))
+    )
+    nd = docs.agg(F.count("*").cast("long").alias("nd"))
+    tf = tf_all.filter(F.col("term").isin(BM25_TERMS))
+    df_dim = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    dots = (
+        tf.join(F.broadcast(df_dim), "term")
+        .crossJoin(F.broadcast(nd))
+        .withColumn("dwm", F.expr(_LNC_W))
+        .withColumn("qwm", F.expr(_LTC_W))
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("qwm") * F.col("dwm")).cast("long").alias("dot"))
+    )
+    scored = dots.join(norms, "doc_id").withColumn(
+        "score_micro", F.expr(_COS_SCORE)
+    )
+    top = scored.orderBy(
+        F.col("score_micro").desc(), F.col("doc_id").asc()
+    ).limit(10)
+    w = W.orderBy(F.col("score_micro").desc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "doc_id", "score_micro"
+    )
+
+
+SQL_TFIDF_LNC_LTC = f"""
+WITH toks AS ({SQL_DOC_TOKS}),
+tf_all AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+),
+norms AS (
+  SELECT doc_id, CAST(sum(dwm * dwm) AS BIGINT) AS n2
+  FROM (SELECT doc_id, {_LNC_W} AS dwm FROM tf_all)
+  GROUP BY doc_id
+),
+nds AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+tfs_ AS (SELECT * FROM tf_all WHERE term IN {_TERMS_SQL}),
+dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfs_ GROUP BY 1),
+dots AS (
+  SELECT doc_id, CAST(sum(qwm * dwm) AS BIGINT) AS dot
+  FROM (
+    SELECT t.doc_id, {_LNC_W} AS dwm, {_LTC_W} AS qwm
+    FROM tfs_ t JOIN dfs f USING (term) CROSS JOIN nds
+  ) GROUP BY doc_id
+),
+scored AS (
+  SELECT doc_id, {_COS_SCORE} AS score_micro
+  FROM dots JOIN norms USING (doc_id)
+)
+SELECT CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS INT)
+         AS rank,
+       doc_id, score_micro
+FROM scored
+ORDER BY score_micro DESC, doc_id ASC LIMIT 10
+"""
+
+QUERIES["ft_tfidf_lnc_ltc_topk"] = (ft_tfidf_lnc_ltc_topk, SQL_TFIDF_LNC_LTC)
+
+
+# ------------------------------------------------------------------ BM25+
+
+# Lv & Zhai (CIKM 2011, "Lower-Bounding Term Frequency Normalization"):
+# long documents can score BELOW the tf = 0 baseline under plain BM25, so
+# BM25+ adds δ = 1 to the saturated-tf component, guaranteeing every match
+# beats every non-match regardless of dl. Same k1 = 1.2 / b = 0.75 /
+# Lucene idf as the repo-wide kernel (search/bm25.py) — deliberately a
+# SEPARATE formula registered under its own name (the "never introduce a
+# second BM25" invariant protects the serving kernel; this is an A/B
+# ranking operator, never wired into the engine).
+#
+# The δ term makes multi-term matches outrank tf-heavy single-term matches
+# (each matched term contributes ≥ idf·δ) — the family-distinct ordering
+# the pytest pins. Floats follow the ft_bm25_topk contract exactly:
+# contribs summed over ≤ 3 terms, round(., 6) vs ulp noise.
+
+BM25PLUS_DELTA = 1.0
+
+
+def ft_bm25plus_topk(spark, sf_dir):
+    """(rank, doc_id, score): top-10 docs by BM25+ (k1=1.2, b=0.75, δ=1,
+    Lucene idf) over the flagship OR query — the lower-bounded tf
+    normalization of Lv & Zhai 2011."""
+    toks = doc_tokens(spark, sf_dir)
+    docs_n = load(spark, sf_dir, "documents")
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = docs_n.select(F.count("*").alias("n")).crossJoin(
+        dl.select((F.sum("dl") / F.count("*")).alias("avgdl"))
+    )
+    tf = (
+        toks.filter(F.col("term").isin(BM25_TERMS))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        )
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (
+                (F.col("tf") * 2.2)
+                / (
+                    F.col("tf")
+                    + 1.2 * (1.0 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))
+                )
+                + BM25PLUS_DELTA
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), 6).alias("score"))
+    )
+    top = scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(10)
+    w = W.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "doc_id", "score"
+    )
+
+
+SQL_BM25PLUS = f"""
+WITH toks AS ({SQL_DOC_TOKS}),
+dls AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) * 1.0e0 / count(*) FROM dls) AS avgdl
+),
+tfs_ AS (
+  SELECT term, doc_id, count(*) AS tf FROM toks
+  WHERE term IN {_TERMS_SQL} GROUP BY 1, 2
+),
+dfs AS (SELECT term, count(*) AS df FROM tfs_ GROUP BY 1),
+scored AS (
+  SELECT doc_id,
+         round(sum(
+           ln(1.0e0 + (n - df + 0.5e0) / (df + 0.5e0))
+           * ((tf * 2.2e0)
+              / (tf + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * dl / avgdl))
+              + {BM25PLUS_DELTA}e0)
+         ), 6) AS score
+  FROM tfs_ t JOIN dfs f USING (term) JOIN dls d USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT)
+         AS rank,
+       doc_id, score
+FROM scored
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+QUERIES["ft_bm25plus_topk"] = (ft_bm25plus_topk, SQL_BM25PLUS)

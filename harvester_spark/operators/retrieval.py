@@ -1636,3 +1636,154 @@ FROM counts JOIN casc_n USING (q_id) JOIN full_dcg USING (q_id)
 """
 
 QUERIES["ft_cascade_cost_eval"] = (ft_cascade_cost_eval, SQL_CASCADE_EVAL)
+
+
+# ------------------------------------------- RM3 second-pass re-retrieval
+
+# ft_rm3_expansion (above) stops where most "query expansion" demos stop —
+# at the expansion TERM list. The actual RM3 run (Abdul-Jaleel et al.,
+# TREC 2004) re-queries with the interpolated model
+# P'(t|Q) = α·P_mle(t|Q) + (1−α)·RM1(t) and ranks by KL divergence, i.e.
+# score(d) = Σ_t P'(t|Q)·ln P(t|d). This operator is that second pass:
+# the top-RM3_RR_TERMS expansion terms (taken verbatim from the
+# oracle-gated ft_rm3_expansion ranking, so both engines expand from
+# identical terms) joined with the originals under integer micro
+# interpolation weights, scored by Dirichlet-smoothed query likelihood
+# (μ = 2000, the repo-wide SDM_MU) over ALL documents.
+#
+# Determinism: interpolation weights are exact integers — originals get
+# 600000 DIV |Q| each (α = 0.6); expansion term t gets
+# (400000 · w_micro(t)) DIV Σ w_micro over the selected five, where
+# w_micro recovers the round-6 expansion weight exactly
+# (CAST(round(weight · 1e6)) of an already-round-6 double is the same
+# int64 in both engines). Per-(doc, term) log-probs are the shared
+# micro-nat Dirichlet string; doc scores are exact int64
+# Σ weight·lp_micro (≤ 6e5 · 2e7 · 8 terms ≈ 1e14, far inside int64).
+#
+# Scale shape: stage 1 + the expansion vote are ft_rm3_expansion's plan
+# (one BM25-OR serving pass + a 10-doc broadcast semi-join); stage 2 is
+# the JM/Dirichlet all-docs spine — documents × a ≤ 8-row broadcast term
+# dim, one tf left join, one doc_id agg. Nothing new shuffles at 100 TB
+# beyond what one extra ranked query costs.
+
+RM3_RR_TERMS = 5  # expansion terms carried into the second pass
+RM3_ORIG_W = 600_000 // len(BM25_TERMS)  # α = 0.6 split over originals
+RM3_EXP_POOL = 400_000  # (1 − α) split over expansion terms by RM1 mass
+
+_RM3_LP = (
+    "CAST(round(1000000.0e0 * ln("
+    "(tf + 2000.0e0 * cf / ct) / (dl + 2000.0e0)"
+    "), 0) AS BIGINT)"
+)
+
+
+def ft_rm3_rerank_topk(spark, sf_dir):
+    """(rank, doc_id, score_units): top-10 docs of the RM3 second-pass
+    retrieval — Dirichlet QL under the α = 0.6 interpolated query model of
+    the 3 originals + top-5 RM1 expansion terms, exact integer units
+    (micro-weight × micro-nats)."""
+    exp = (
+        ft_rm3_expansion(spark, sf_dir)
+        .filter(F.col("rank") <= RM3_RR_TERMS)
+        .select(
+            "term",
+            F.round(F.col("weight") * 1e6).cast("long").alias("wm"),
+        )
+    )
+    wsum = exp.agg(F.sum("wm").cast("long").alias("wsum"))
+    exp_w = (
+        exp.crossJoin(F.broadcast(wsum))
+        .select(
+            "term",
+            F.expr(f"({RM3_EXP_POOL} * wm) DIV wsum").cast("long").alias("wt"),
+        )
+    )
+    orig_w = spark.createDataFrame(
+        [(t, RM3_ORIG_W) for t in BM25_TERMS], "term string, wt long"
+    )
+    qmodel = (
+        orig_w.unionByName(exp_w)
+        .groupBy("term")
+        .agg(F.sum("wt").cast("long").alias("wt"))
+    )
+
+    toks = doc_tokens(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    ct = toks.agg(F.count("*").cast("long").alias("ct"))
+    toksq = toks.join(F.broadcast(qmodel.select("term")), "term")
+    cfq = toksq.groupBy("term").agg(F.count("*").cast("long").alias("cf"))
+    tfq = toksq.groupBy("term", "doc_id").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    dim = qmodel.join(cfq, "term")  # (term, wt, cf) — ≤ 8 rows
+    scored = (
+        docs.crossJoin(F.broadcast(dim))
+        .join(tfq, ["term", "doc_id"], "left")
+        .join(dl, "doc_id", "left")
+        .crossJoin(F.broadcast(ct))
+        .fillna(0, ["tf", "dl"])
+        .withColumn("lp", F.expr(_RM3_LP))
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("wt") * F.col("lp")).cast("long").alias("score_units"))
+    )
+    top = scored.orderBy(
+        F.col("score_units").desc(), F.col("doc_id").asc()
+    ).limit(10)
+    wq = W.orderBy(F.col("score_units").desc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(wq)).select(
+        "rank", "doc_id", "score_units"
+    )
+
+
+_RM3_ORIG_VALUES = ", ".join(f"('{t}', {RM3_ORIG_W})" for t in BM25_TERMS)
+
+SQL_RM3_RERANK = f"""
+WITH expansion AS MATERIALIZED ({SQL_RM3_EXPANSION}),
+exp5 AS (
+  SELECT term, CAST(round(weight * 1e6) AS BIGINT) AS wm
+  FROM expansion WHERE rank <= {RM3_RR_TERMS}
+),
+wsums AS (SELECT CAST(sum(wm) AS BIGINT) AS wsum FROM exp5),
+exp_w AS (
+  SELECT term, CAST(({RM3_EXP_POOL} * wm) // wsum AS BIGINT) AS wt
+  FROM exp5 CROSS JOIN wsums
+),
+orig_w(term, wt) AS (VALUES {_RM3_ORIG_VALUES}),
+qmodel AS (
+  SELECT term, CAST(sum(wt) AS BIGINT) AS wt FROM (
+    SELECT term, CAST(wt AS BIGINT) AS wt FROM orig_w
+    UNION ALL SELECT term, wt FROM exp_w
+  ) GROUP BY term
+),
+toks AS ({SQL_DOC_TOKS}),
+dls AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+ctt AS (SELECT CAST(count(*) AS BIGINT) AS ct FROM toks),
+toksq AS (SELECT t.* FROM toks t JOIN qmodel q USING (term)),
+cfq AS (SELECT term, CAST(count(*) AS BIGINT) AS cf FROM toksq GROUP BY 1),
+tfq AS (
+  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+  FROM toksq GROUP BY 1, 2
+),
+dim AS (SELECT q.term, q.wt, c.cf FROM qmodel q JOIN cfq c USING (term)),
+joined AS (
+  SELECT d.doc_id AS doc_id, dim.wt AS wt, coalesce(tfq.tf, 0) AS tf,
+         coalesce(dls.dl, 0) AS dl, dim.cf AS cf, ctt.ct AS ct
+  FROM (SELECT doc_id FROM documents) d
+  CROSS JOIN dim
+  LEFT JOIN tfq ON tfq.term = dim.term AND tfq.doc_id = d.doc_id
+  LEFT JOIN dls ON dls.doc_id = d.doc_id
+  CROSS JOIN ctt
+),
+scored AS (
+  SELECT doc_id, CAST(sum(wt * {_RM3_LP}) AS BIGINT) AS score_units
+  FROM joined GROUP BY doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY score_units DESC, doc_id ASC) AS INT)
+         AS rank,
+       doc_id, score_units
+FROM scored
+ORDER BY score_units DESC, doc_id ASC LIMIT 10
+"""
+
+QUERIES["ft_rm3_rerank_topk"] = (ft_rm3_rerank_topk, SQL_RM3_RERANK)

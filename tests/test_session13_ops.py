@@ -1,0 +1,316 @@
+"""Semantics + parity guards for session-13 operators.
+
+What each test pins:
+- lnc.ltc: the full top-10 (ids AND integer micro scores) recomputed
+  end-to-end in pure Python from the corpus text — weights, exact int64
+  norm accumulation, IEEE sqrt/division, floor(+0.5) — the codec-parity
+  discipline. Plus family-distinct ordering vs BM25.
+- BM25+: the defining lower bound (every matched term contributes
+  ≥ idf·δ, so score ≥ δ·Σ idf over matched terms) recomputed per top
+  doc, and the δ-induced multi-term preference vs plain BM25.
+- RM3 second pass: the interpolated query model recomputed exactly in
+  Python (weights from the oracle-gated expansion ranking, Dirichlet
+  micro-nats, int64 Σ wt·lp), and the expansion must actually MOVE the
+  ranking relative to the unexpanded query (else the op proves nothing).
+- Kendall τ-b: exact Python recompute for every registry query from the
+  two score columns (concordant/discordant/tie counts and the
+  sign-split milli ratio), plus non-degeneracy: the rankers genuinely
+  agree more than chance (τ > 0 somewhere) and genuinely disagree
+  somewhere (τ < 1000 somewhere).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+TOKEN_RE = re.compile(r"\W+", re.ASCII)
+
+
+def _toks(text: str) -> list[str]:
+    return [t for t in TOKEN_RE.split(text.lower()) if t]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    return {r["doc_id"]: _toks(r["text"]) for r in rows}
+
+
+# ------------------------------------------------------ SMART lnc.ltc
+
+
+def test_tfidf_lnc_ltc_matches_pure_python_recompute(spark, corpus):
+    from harvester_spark.operators.fulltext_queries import BM25_TERMS
+    from harvester_spark.operators.ranking_models import ft_tfidf_lnc_ltc_topk
+
+    nd = len(corpus)
+    tf = {d: Counter(ts) for d, ts in corpus.items()}
+    df = {
+        t: sum(1 for d in corpus if tf[d][t] > 0)
+        for t in BM25_TERMS
+    }
+    scored = {}
+    for d, cnt in tf.items():
+        if not cnt:
+            continue
+        n2 = 0
+        for c in cnt.values():
+            dwm = int(round(1e6 * (1.0 + math.log(c))))
+            n2 += dwm * dwm
+        dot = 0
+        for t in BM25_TERMS:
+            if cnt[t] > 0:
+                dwm = int(round(1e6 * (1.0 + math.log(cnt[t]))))
+                qwm = int(round(1e6 * math.log(nd / df[t])))
+                dot += qwm * dwm
+        if dot > 0:
+            scored[d] = int(math.floor(dot / math.sqrt(n2) + 0.5))
+    expect = sorted(scored.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [
+        (r["doc_id"], r["score_micro"])
+        for r in ft_tfidf_lnc_ltc_topk(spark, SF_DIR)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == expect
+    assert len(got) == 10
+
+
+def test_tfidf_family_distinct_from_bm25(spark):
+    from harvester_spark.operators.fulltext_queries import ft_bm25_or_topk
+    from harvester_spark.operators.ranking_models import ft_tfidf_lnc_ltc_topk
+
+    a = [r["doc_id"] for r in ft_tfidf_lnc_ltc_topk(spark, SF_DIR).orderBy("rank").collect()]
+    b = [r["doc_id"] for r in ft_bm25_or_topk(spark, SF_DIR).orderBy("rank").collect()]
+    assert a != b  # cosine normalization is a different length model
+
+
+# ------------------------------------------------------------- BM25+
+
+
+def test_bm25plus_lower_bound_and_multi_term_preference(spark, corpus):
+    from harvester_spark.operators.fulltext_queries import BM25_TERMS
+    from harvester_spark.operators.ranking_models import (
+        BM25PLUS_DELTA,
+        ft_bm25plus_topk,
+    )
+
+    nd = len(corpus)
+    tf = {d: Counter(ts) for d, ts in corpus.items()}
+    df = {t: sum(1 for d in corpus if tf[d][t] > 0) for t in BM25_TERMS}
+    idf = {
+        t: math.log(1.0 + (nd - df[t] + 0.5) / (df[t] + 0.5))
+        for t in BM25_TERMS
+    }
+    rows = ft_bm25plus_topk(spark, SF_DIR).orderBy("rank").collect()
+    assert len(rows) == 10
+    for r in rows:
+        matched = [t for t in BM25_TERMS if tf[r["doc_id"]][t] > 0]
+        lower = BM25PLUS_DELTA * sum(idf[t] for t in matched)
+        # δ guarantees every match contributes at least idf·δ
+        assert r["score"] >= lower - 1e-6
+    # δ rewards matching MORE terms: the top doc must match the maximum
+    # number of query terms found anywhere in the corpus
+    max_matched = max(
+        sum(1 for t in BM25_TERMS if cnt[t] > 0) for cnt in tf.values()
+    )
+    top_matched = sum(
+        1 for t in BM25_TERMS if tf[rows[0]["doc_id"]][t] > 0
+    )
+    assert top_matched == max_matched
+
+
+# --------------------------------------------------- RM3 second pass
+
+
+def test_rm3_rerank_matches_python_recompute_and_moves_ranking(spark, corpus):
+    from harvester_spark.operators.fulltext_queries import BM25_TERMS
+    from harvester_spark.operators.retrieval import (
+        RM3_EXP_POOL,
+        RM3_ORIG_W,
+        RM3_RR_TERMS,
+        ft_rm3_expansion,
+        ft_rm3_rerank_topk,
+    )
+
+    exp = [
+        (r["term"], int(round(r["weight"] * 1e6)))
+        for r in ft_rm3_expansion(spark, SF_DIR).orderBy("rank").collect()
+    ][:RM3_RR_TERMS]
+    assert len(exp) == RM3_RR_TERMS
+    assert not set(t for t, _ in exp) & set(BM25_TERMS)  # genuinely new terms
+    wsum = sum(w for _, w in exp)
+    weights = Counter()
+    for t in BM25_TERMS:
+        weights[t] += RM3_ORIG_W
+    for t, w in exp:
+        weights[t] += (RM3_EXP_POOL * w) // wsum
+
+    tf = {d: Counter(ts) for d, ts in corpus.items()}
+    dl = {d: len(ts) for d, ts in corpus.items()}
+    ct = sum(dl.values())
+    cf = Counter()
+    for ts in corpus.values():
+        for t in ts:
+            if t in weights:
+                cf[t] += 1
+    scored = {}
+    for d in corpus:
+        s = 0
+        for t, wt in weights.items():
+            lp = int(
+                round(
+                    1e6
+                    * math.log(
+                        (tf[d][t] + 2000.0 * cf[t] / ct) / (dl[d] + 2000.0)
+                    )
+                )
+            )
+            s += wt * lp
+        scored[d] = s
+    expect = sorted(scored.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [
+        (r["doc_id"], r["score_units"])
+        for r in ft_rm3_rerank_topk(spark, SF_DIR).orderBy("rank").collect()
+    ]
+    assert got == expect
+
+    # the expansion must move the ranking vs the α-mass-only query
+    # (otherwise the second pass proved nothing)
+    unexpanded = {}
+    for d in corpus:
+        s = 0
+        for t in BM25_TERMS:
+            lp = int(
+                round(
+                    1e6
+                    * math.log(
+                        (tf[d][t] + 2000.0 * cf[t] / ct) / (dl[d] + 2000.0)
+                    )
+                )
+            )
+            s += RM3_ORIG_W * lp
+        unexpanded[d] = s
+    base = [d for d, _ in sorted(unexpanded.items(), key=lambda kv: (-kv[1], kv[0]))[:10]]
+    assert [d for d, _ in got] != base
+
+
+# --------------------------------------------------- Kendall tau-b
+
+
+def test_tau_b_matches_exact_python_recompute(spark):
+    from harvester_spark.operators.ranking_ext import (
+        TAU_K,
+        ranker_tau_correlation,
+    )
+    from harvester_spark.operators.retrieval import _graded_ranking
+
+    got = {
+        r["q_id"]: r
+        for r in ranker_tau_correlation(spark, SF_DIR).collect()
+    }
+    assert len(got) == 16
+
+    # recompute score_b (Dirichlet micro-nats) for every candidate
+    graded = [
+        (r["q_id"], r["doc_id"], float(r["score"]))
+        for r in _graded_ranking(spark, SF_DIR).collect()
+    ]
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    corpus = {r["doc_id"]: _toks(r["text"]) for r in docs}
+    from harvester_spark.operators.retrieval import HN_N_QUERIES, HN_Q_LEN
+
+    q_ids = sorted(corpus)[:HN_N_QUERIES]
+    qsel = {}
+    for q in q_ids:
+        firsts = {}
+        for i, t in enumerate(corpus[q]):
+            firsts.setdefault(t, i)
+        ordered = sorted(firsts.items(), key=lambda kv: (kv[1], kv[0]))
+        qsel[q] = [t for t, _ in ordered[:HN_Q_LEN]]
+    all_terms = set(t for ts in qsel.values() for t in ts)
+    cf = Counter()
+    ct = 0
+    for ts in corpus.values():
+        ct += len(ts)
+        for t in ts:
+            if t in all_terms:
+                cf[t] += 1
+    tf = {d: Counter(ts) for d, ts in corpus.items()}
+    dl = {d: len(ts) for d, ts in corpus.items()}
+
+    def score_b(q, d):
+        s = 0
+        for t in qsel[q]:
+            lp = int(
+                round(
+                    1e6
+                    * math.log(
+                        (tf[d][t] + 2000.0 * cf[t] / ct) / (dl[d] + 2000.0)
+                    )
+                )
+            )
+            s += lp
+        return s
+
+    taus = set()
+    for q in q_ids:
+        cand = [(d, sa) for (qq, d, sa) in graded if qq == q]
+        sb = {d: score_b(q, d) for d, _ in cand}
+        ra = {
+            d: i + 1
+            for i, (d, _) in enumerate(
+                sorted(cand, key=lambda kv: (-kv[1], kv[0]))
+            )
+        }
+        rb = {
+            d: i + 1
+            for i, d in enumerate(
+                sorted(sb, key=lambda d: (-sb[d], d))
+            )
+        }
+        sel = sorted(d for d, _ in cand if ra[d] <= TAU_K or rb[d] <= TAU_K)
+        sa = dict(cand)
+        c = d_ = n1 = n2 = n0 = 0
+        for i in range(len(sel)):
+            for j in range(i + 1, len(sel)):
+                x, y = sel[i], sel[j]
+                s1 = (sa[x] > sa[y]) - (sa[x] < sa[y])
+                s2 = (sb[x] > sb[y]) - (sb[x] < sb[y])
+                n0 += 1
+                n1 += s1 == 0
+                n2 += s2 == 0
+                c += s1 * s2 == 1
+                d_ += s1 * s2 == -1
+        r = got[q]
+        assert (r["n_docs"], r["n_pairs"]) == (len(sel), n0)
+        assert (r["concordant"], r["discordant"]) == (c, d_)
+        assert (r["ties_a"], r["ties_b"]) == (n1, n2)
+        den = (n0 - n1) * (n0 - n2)
+        if den == 0:
+            assert r["tau_b_milli"] is None
+        else:
+            x = 1000.0 * (c - d_) / math.sqrt(den)
+            expect = (
+                int(math.floor(x + 0.5))
+                if c >= d_
+                else -int(math.floor(-x + 0.5))
+            )
+            assert r["tau_b_milli"] == expect
+        taus.add(r["tau_b_milli"])
+    # the two rankers genuinely correlate AND genuinely disagree
+    assert any(t is not None and t > 0 for t in taus)
+    assert any(t is not None and t < 1000 for t in taus)
+    assert len(taus) > 3
