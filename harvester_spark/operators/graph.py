@@ -1922,3 +1922,124 @@ QUERIES["host_harmonic_centrality"] = (
     host_harmonic_centrality,
     _sql_harmonic(),
 )
+
+
+# ---------------------------------------------- Adamic-Adar link prediction
+
+# Adamic & Adar (2003): for a NON-adjacent host pair, score the likelihood
+# of a future link by their common neighbors, down-weighting promiscuous
+# ones — AA(u,v) = Σ_{z ∈ N(u)∩N(v)} 1/ln(deg(z)). This is the classic
+# seed-list-expansion / "related sites" predictor one step up from raw
+# co-citation (host_cocitation counts common neighbors unweighted); a
+# focused crawler uses it to rank which unlinked host pairs belong to the
+# same topical cluster.
+#
+# Semantics: undirected view of the weighted host digraph (an edge in
+# either direction makes hosts adjacent); deg(z) = distinct undirected
+# neighbors. A common neighbor structurally has deg ≥ 2, so 1/ln(deg) is
+# always finite. Predicted pairs EXCLUDE already-adjacent pairs (it is
+# link prediction, not edge scoring) via an anti-join on the undirected
+# edge set. Per-z weight is ONE shared micro string
+# (round(1e6/ln(deg))); pair scores are exact int64 sums of those.
+#
+# Scale shape: neighbors-of-z self-join (the wedge expansion) — the same
+# frontier host_cocitation/host_triangles pay; at web scale the standard
+# mitigation applies (cap per-hub neighbor lists / orient by degree as
+# host_triangles does) and the final anti-join is an equi-join on the
+# normalized (a < b) pair key. Top-15 bounded output, unique tie-break.
+
+AA_TOP = 15
+_AA_W = "CAST(round(1000000.0e0 / ln(1.0e0 * deg), 0) AS BIGINT)"
+
+
+def host_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(rank, host_a, host_b, n_common, aa_micro): top-15 NON-adjacent
+    host pairs by Adamic-Adar common-neighbor score, per-neighbor weights
+    in integer micro-units."""
+    edges = _edges(spark, sf_dir)
+    und = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .union(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .distinct()
+    )
+    deg = und.groupBy("a").agg(F.count("*").cast("long").alias("deg"))
+    nbrs = und.select(F.col("a").alias("z"), F.col("b").alias("n"))
+    x, y = nbrs.alias("x"), nbrs.alias("y")
+    wedges = (
+        x.join(
+            y,
+            (F.col("x.z") == F.col("y.z"))
+            & (F.col("x.n") < F.col("y.n")),
+        )
+        .select(
+            F.col("x.z").alias("z"),
+            F.col("x.n").alias("host_a"),
+            F.col("y.n").alias("host_b"),
+        )
+        .join(deg.select(F.col("a").alias("z"), "deg"), "z")
+        .withColumn("w", F.expr(_AA_W))
+    )
+    adj = und.filter(F.col("a") < F.col("b")).select(
+        F.col("a").alias("host_a"), F.col("b").alias("host_b")
+    )
+    scored = (
+        wedges.join(adj, ["host_a", "host_b"], "left_anti")
+        .groupBy("host_a", "host_b")
+        .agg(
+            F.count("*").cast("long").alias("n_common"),
+            F.sum("w").cast("long").alias("aa_micro"),
+        )
+    )
+    top = scored.orderBy(
+        F.col("aa_micro").desc(), F.col("host_a").asc(), F.col("host_b").asc()
+    ).limit(AA_TOP)
+    w = W.orderBy(
+        F.col("aa_micro").desc(), F.col("host_a").asc(), F.col("host_b").asc()
+    )
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "host_a", "host_b", "n_common", "aa_micro"
+    )
+
+
+def _sql_adamic_adar() -> str:
+    hash_doc = _SQL_HASH56.format(col="CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH e0 AS (
+  SELECT source AS src,
+         'src' || CAST({hash_doc} % {PR_FANOUT} AS VARCHAR) AS dst
+  FROM documents
+),
+edges AS MATERIALIZED (
+  SELECT src, dst FROM e0 WHERE src <> dst GROUP BY 1, 2
+),
+und AS MATERIALIZED (
+  SELECT src AS a, dst AS b FROM edges
+  UNION
+  SELECT dst AS a, src AS b FROM edges
+),
+deg AS (SELECT a AS z, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY 1),
+wedges AS (
+  SELECT x.a AS z, x.b AS host_a, y.b AS host_b
+  FROM und x JOIN und y ON x.a = y.a AND x.b < y.b
+),
+adj AS (SELECT a AS host_a, b AS host_b FROM und WHERE a < b),
+scored AS (
+  SELECT w.host_a, w.host_b,
+         CAST(count(*) AS BIGINT) AS n_common,
+         CAST(sum({_AA_W}) AS BIGINT) AS aa_micro
+  FROM wedges w JOIN deg USING (z)
+  WHERE NOT EXISTS (
+    SELECT 1 FROM adj
+    WHERE adj.host_a = w.host_a AND adj.host_b = w.host_b
+  )
+  GROUP BY 1, 2
+)
+SELECT CAST(row_number() OVER (
+         ORDER BY aa_micro DESC, host_a ASC, host_b ASC) AS INT) AS rank,
+       host_a, host_b, n_common, aa_micro
+FROM scored
+ORDER BY aa_micro DESC, host_a ASC, host_b ASC LIMIT {AA_TOP}
+"""
+
+
+QUERIES["host_adamic_adar"] = (host_adamic_adar, _sql_adamic_adar())

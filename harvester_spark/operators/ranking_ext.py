@@ -52,6 +52,8 @@ Scale shapes:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Window as W, functions as F
 
 from harvester_spark.analysis import tokens_column
@@ -1948,3 +1950,191 @@ QUERIES["ranker_tau_correlation"] = (
     ranker_tau_correlation,
     _sql_tau_correlation(),
 )
+
+
+# --------------------------------------------- rank-biased overlap (RBO)
+
+# Webber/Moffat/Zobel (TOIS 2010): the top-weighted ranker-agreement
+# metric — τ-b (above) weighs every pair equally; RBO discounts depth
+# geometrically, which is what you actually want when comparing SERVING
+# rankings (only the head is ever shown). Truncated RBO@K:
+#   rbo = (1−p) Σ_{d=1..K} p^(d−1) · |A_d ∩ B_d| / d.
+# p is chosen = 1/2 DELIBERATELY: the weights become dyadic rationals
+# 1/(d·2^d), so with the common denominator D = lcm(1..K)·2^K every
+# per-depth addend is an EXACT int64 (overlap_d · D/(d·2^d)) and the
+# whole metric is an exact integer in D-units — no libm power() call
+# whose ulps could differ between engines ever runs (p = 0.9 would need
+# power(0.9, d), which is exactly the cross-engine trap CLAUDE.md bans).
+# A doc with ranks (ra, rb) is inside both prefixes from depth
+# m = max(ra, rb) on, so its contribution is Σ_{d=m..K} w_d — computed
+# by exploding d = m..K against a K-row broadcast weight dim (VALUES
+# twin in the oracle; both sides read the same Python-computed table).
+#
+# Scale shape: two row_number windows over the per-query candidate lists
+# (partition-by-query, the family's one shuffle), a ≤ K·K-row explode,
+# and a 16-row final agg. Rankings: A = BM25 (graded score), B =
+# Dirichlet-QL (the sign test's score_b leg).
+
+RBO_K = 20
+_RBO_D = math.lcm(*range(1, RBO_K + 1)) * (1 << RBO_K)
+_RBO_W = {d: _RBO_D // (d * (1 << d)) for d in range(1, RBO_K + 1)}
+
+
+def ranker_rbo_overlap(spark, sf_dir):
+    """(q_id, overlap_at_k, rbo_units, rbo_micro): truncated RBO@20 with
+    p = 1/2 between the BM25 and Dirichlet-QL rankings per registry
+    query — exact integer D-units (D = lcm(1..20)·2^20) plus floored
+    micro-units."""
+    from harvester_spark.operators.retrieval import (
+        HN_N_QUERIES,
+        HN_Q_LEN,
+        _graded_ranking,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    toks = doc_tokens(spark, sf_dir)
+    graded = _graded_ranking(spark, sf_dir)
+
+    qdocs = docs.select("doc_id").orderBy("doc_id").limit(HN_N_QUERIES)
+    first = (
+        toks.join(F.broadcast(qdocs), "doc_id")
+        .groupBy("doc_id", "term")
+        .agg(F.min("pos").alias("p0"))
+    )
+    wsel = W.partitionBy("doc_id").orderBy(
+        F.col("p0").asc(), F.col("term").asc()
+    )
+    qsel = (
+        first.withColumn("r", F.row_number().over(wsel))
+        .filter(F.col("r") <= HN_Q_LEN)
+        .select(F.col("doc_id").alias("q_id"), "term")
+    )
+    qterms = qsel.select("term").distinct()
+    toksq = toks.join(F.broadcast(qterms), "term")
+    tfq = toksq.groupBy("term", "doc_id").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    cfq = toksq.groupBy("term").agg(F.count("*").cast("long").alias("cf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    ct = toks.agg(F.count("*").cast("long").alias("ct"))
+    dirs = (
+        graded.select("q_id", "doc_id")
+        .join(F.broadcast(qsel), "q_id")
+        .join(tfq, ["term", "doc_id"], "left")
+        .withColumn("tf", F.coalesce(F.col("tf"), F.lit(0)).cast("long"))
+        .join(F.broadcast(cfq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(ct))
+        .withColumn("lp", F.expr(_SIGN_LP))
+        .groupBy("q_id", "doc_id")
+        .agg(F.sum("lp").cast("long").alias("score_b"))
+    )
+
+    wa_ = W.partitionBy("q_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    wb_ = W.partitionBy("q_id").orderBy(
+        F.col("score_b").desc(), F.col("doc_id").asc()
+    )
+    both = (
+        graded.select("q_id", "doc_id", "score")
+        .join(dirs, ["q_id", "doc_id"])
+        .withColumn("ra", F.row_number().over(wa_))
+        .withColumn("rb", F.row_number().over(wb_))
+        .withColumn("m", F.greatest("ra", "rb"))
+        .filter(F.col("m") <= RBO_K)
+    )
+    wdim = spark.createDataFrame(
+        [(d, w) for d, w in _RBO_W.items()], "d int, w long"
+    )
+    per_q = (
+        both.select("q_id", F.explode(F.expr(f"sequence(m, {RBO_K})")).alias("d"))
+        .join(F.broadcast(wdim), "d")
+        .groupBy("q_id")
+        .agg(F.sum("w").cast("long").alias("rbo_units"))
+    )
+    ov = both.groupBy("q_id").agg(
+        F.count("*").cast("long").alias("overlap_at_k")
+    )
+    qids = graded.select("q_id").distinct()
+    return (
+        qids.join(ov, "q_id", "left")
+        .join(per_q, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce(F.col("overlap_at_k"), F.lit(0))
+            .cast("long")
+            .alias("overlap_at_k"),
+            F.coalesce(F.col("rbo_units"), F.lit(0))
+            .cast("long")
+            .alias("rbo_units"),
+            # units·1e6 overflows int64 (units ≤ D ≈ 2.4e14) — exact
+            # two-step long division: ((u·1e3) DIV D)·1e3 + (((u·1e3)
+            # % D)·1e3) DIV D == floor(u·1e6/D), every operand < 2.5e17.
+            F.expr(
+                f"((coalesce(rbo_units, 0) * 1000) DIV {_RBO_D}) * 1000"
+                f" + (((coalesce(rbo_units, 0) * 1000) % {_RBO_D}) * 1000)"
+                f" DIV {_RBO_D}"
+            ).cast("long").alias("rbo_micro"),
+        )
+    )
+
+
+def _sql_rbo_overlap() -> str:
+    from harvester_spark.operators.retrieval import _SQL_GRADED_PREFIX
+
+    wvals = ", ".join(f"({d}, {w})" for d, w in sorted(_RBO_W.items()))
+    return _SQL_GRADED_PREFIX + f""",
+cfq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS cf FROM toks
+  WHERE term IN (SELECT DISTINCT term FROM qsel) GROUP BY 1
+),
+ctt AS (SELECT CAST(count(*) AS BIGINT) AS ct FROM toks),
+dirs AS (
+  SELECT q_id, doc_id, CAST(sum({_SIGN_LP}) AS BIGINT) AS score_b
+  FROM (
+    SELECT g.q_id, g.doc_id,
+           CAST(coalesce(tf.tf, 0) AS BIGINT) AS tf,
+           cfq.cf, CAST(dl.dl AS BIGINT) AS dl, ctt.ct
+    FROM (SELECT q_id, doc_id FROM graded) g
+    JOIN qsel q ON q.q_id = g.q_id
+    LEFT JOIN tf ON tf.term = q.term AND tf.doc_id = g.doc_id
+    JOIN cfq ON cfq.term = q.term
+    JOIN dl ON dl.doc_id = g.doc_id
+    CROSS JOIN ctt
+  ) GROUP BY 1, 2
+),
+ab AS (
+  SELECT q_id, doc_id, greatest(ra, rb) AS m FROM (
+    SELECT g.q_id, g.doc_id,
+           row_number() OVER (
+             PARTITION BY g.q_id ORDER BY g.score DESC, g.doc_id ASC) AS ra,
+           row_number() OVER (
+             PARTITION BY g.q_id ORDER BY d.score_b DESC, d.doc_id ASC) AS rb
+    FROM graded g JOIN dirs d ON d.q_id = g.q_id AND d.doc_id = g.doc_id
+  ) WHERE greatest(ra, rb) <= {RBO_K}
+),
+wdim(d, w) AS (VALUES {wvals}),
+per_q AS (
+  SELECT q_id, CAST(sum(w) AS BIGINT) AS rbo_units
+  FROM (SELECT q_id, unnest(range(m, {RBO_K} + 1)) AS d FROM ab)
+  JOIN wdim USING (d)
+  GROUP BY q_id
+),
+ov AS (
+  SELECT q_id, CAST(count(*) AS BIGINT) AS overlap_at_k FROM ab GROUP BY 1
+)
+SELECT q.q_id,
+       CAST(coalesce(ov.overlap_at_k, 0) AS BIGINT) AS overlap_at_k,
+       CAST(coalesce(p.rbo_units, 0) AS BIGINT) AS rbo_units,
+       CAST(((coalesce(p.rbo_units, 0) * 1000) // {_RBO_D}) * 1000
+            + (((coalesce(p.rbo_units, 0) * 1000) % {_RBO_D}) * 1000)
+              // {_RBO_D} AS BIGINT)
+         AS rbo_micro
+FROM (SELECT DISTINCT q_id FROM graded) q
+LEFT JOIN ov USING (q_id)
+LEFT JOIN per_q p USING (q_id)
+"""
+
+
+QUERIES["ranker_rbo_overlap"] = (ranker_rbo_overlap, _sql_rbo_overlap())

@@ -1787,3 +1787,114 @@ ORDER BY score_units DESC, doc_id ASC LIMIT 10
 """
 
 QUERIES["ft_rm3_rerank_topk"] = (ft_rm3_rerank_topk, SQL_RM3_RERANK)
+
+
+# --------------------------------------------------------------- bpref
+
+# Buckley & Voorhees (SIGIR 2004): the binary-preference metric built for
+# INCOMPLETE judgments — it only looks at the relative order of judged
+# docs, so it is the standard metric when qrels are a sampled pool (the
+# situation every web-scale harvest's eval set is in). Over the graded
+# candidate pool (every candidate is judged; rel >= 3 = relevant, the
+# phrase grade — see ft_rank_eval_map's threshold note):
+#
+#   bpref = (1/R) Σ_{r ∈ rel retrieved} (1 − min(n_above(r), M)/M),
+#   M = min(R, N)
+#
+# with n_above(r) = judged-nonrelevant docs ranked above r. Exact integer
+# rational: numerator = Σ (M − min(n_above, M)) over relevant docs, value
+# = numerator/(R·M), reported as floored micro-units (1e6·num) DIV (R·M).
+# NULL when R = 0 or N = 0 (the metric is undefined, and coercing to 0
+# would alias "no relevant docs" with "all relevant ranked last").
+#
+# Scale shape: one window (running nonrel count) over the per-query
+# ranking _graded_ranking already materializes + one groupBy(q_id) — the
+# same partition-by-query shuffle every rank-eval op in this family pays.
+
+
+def ft_rank_eval_bpref(spark, sf_dir):
+    """(q_id, n_rel, n_nonrel, bpref_micro): binary-preference metric of
+    the BM25 serving ranking vs the phrase qrels, exact floored
+    micro-units; NULL where R = 0 or N = 0."""
+    graded = _graded_ranking(spark, sf_dir)
+    wr = W.partitionBy("q_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    ranked = graded.withColumn("rnk", F.row_number().over(wr)).withColumn(
+        "rel3", (F.col("rel") >= 3).cast("long")
+    )
+    wc = (
+        W.partitionBy("q_id")
+        .orderBy("rnk")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    above = ranked.withColumn(
+        "nonrel_above",
+        F.coalesce(F.sum(1 - F.col("rel3")).over(wc), F.lit(0)).cast("long"),
+    )
+    totals = ranked.groupBy("q_id").agg(
+        F.sum("rel3").cast("long").alias("n_rel"),
+        F.sum(1 - F.col("rel3")).cast("long").alias("n_nonrel"),
+    )
+    contrib = (
+        above.filter(F.col("rel3") == 1)
+        .join(totals, "q_id")
+        .withColumn("m", F.least("n_rel", "n_nonrel"))
+        .withColumn("c", F.expr("m - least(nonrel_above, m)"))
+        .groupBy("q_id")
+        .agg(F.sum("c").cast("long").alias("num"))
+    )
+    return (
+        totals.join(contrib, "q_id", "left")
+        .withColumn("num", F.coalesce(F.col("num"), F.lit(0)).cast("long"))
+        .withColumn(
+            "bpref_micro",
+            F.expr(
+                "CASE WHEN n_rel = 0 OR n_nonrel = 0 THEN NULL "
+                "ELSE (1000000 * num) DIV (n_rel * least(n_rel, n_nonrel))"
+                " END"
+            ).cast("long"),
+        )
+        .select("q_id", "n_rel", "n_nonrel", "bpref_micro")
+    )
+
+
+SQL_RANK_EVAL_BPREF = _SQL_GRADED_PREFIX + """,
+ranked AS (
+  SELECT q_id, doc_id, rel,
+         CASE WHEN rel >= 3 THEN 1 ELSE 0 END AS rel3,
+         row_number() OVER (
+           PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM graded
+),
+above AS (
+  SELECT *,
+         CAST(coalesce(sum(1 - rel3) OVER (
+           PARTITION BY q_id ORDER BY rnk
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS nonrel_above
+  FROM ranked
+),
+totals AS (
+  SELECT q_id, CAST(sum(rel3) AS BIGINT) AS n_rel,
+         CAST(sum(1 - rel3) AS BIGINT) AS n_nonrel
+  FROM ranked GROUP BY q_id
+),
+contrib AS (
+  SELECT a.q_id,
+         CAST(sum(least(t.n_rel, t.n_nonrel)
+                  - least(a.nonrel_above, least(t.n_rel, t.n_nonrel)))
+              AS BIGINT) AS num
+  FROM above a JOIN totals t USING (q_id)
+  WHERE a.rel3 = 1
+  GROUP BY a.q_id
+)
+SELECT t.q_id, t.n_rel, t.n_nonrel,
+       CASE WHEN t.n_rel = 0 OR t.n_nonrel = 0 THEN NULL
+            ELSE CAST((1000000 * coalesce(c.num, 0))
+                      // (t.n_rel * least(t.n_rel, t.n_nonrel)) AS BIGINT)
+       END AS bpref_micro
+FROM totals t LEFT JOIN contrib c USING (q_id)
+"""
+
+QUERIES["ft_rank_eval_bpref"] = (ft_rank_eval_bpref, SQL_RANK_EVAL_BPREF)

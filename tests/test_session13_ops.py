@@ -314,3 +314,191 @@ def test_tau_b_matches_exact_python_recompute(spark):
     assert any(t is not None and t > 0 for t in taus)
     assert any(t is not None and t < 1000 for t in taus)
     assert len(taus) > 3
+
+
+# ------------------------------------------------------------ bpref
+
+
+def test_bpref_matches_exact_python_recompute(spark):
+    from harvester_spark.operators.retrieval import (
+        _graded_ranking,
+        ft_rank_eval_bpref,
+    )
+
+    graded = [
+        (r["q_id"], r["doc_id"], float(r["score"]), int(r["rel"]))
+        for r in _graded_ranking(spark, SF_DIR).collect()
+    ]
+    got = {r["q_id"]: r for r in ft_rank_eval_bpref(spark, SF_DIR).collect()}
+    assert len(got) == 16
+    vals = set()
+    for q in got:
+        rows = sorted(
+            (r for r in graded if r[0] == q), key=lambda r: (-r[2], r[1])
+        )
+        rel = [r[3] >= 3 for r in rows]
+        R = sum(rel)
+        N = len(rel) - R
+        M = min(R, N)
+        assert (got[q]["n_rel"], got[q]["n_nonrel"]) == (R, N)
+        if R == 0 or N == 0:
+            assert got[q]["bpref_micro"] is None
+            continue
+        num = 0
+        nonrel_above = 0
+        for is_rel in rel:
+            if is_rel:
+                num += M - min(nonrel_above, M)
+            else:
+                nonrel_above += 1
+        assert got[q]["bpref_micro"] == (1_000_000 * num) // (R * M)
+        vals.add(got[q]["bpref_micro"])
+    assert len(vals) > 3  # non-constant metric
+
+
+# -------------------------------------------------------------- RBO
+
+
+def test_rbo_matches_exact_fraction_recompute(spark, corpus):
+    from fractions import Fraction
+
+    from harvester_spark.operators.ranking_ext import (
+        RBO_K,
+        _RBO_D,
+        ranker_rbo_overlap,
+    )
+    from harvester_spark.operators.retrieval import (
+        HN_N_QUERIES,
+        HN_Q_LEN,
+        _graded_ranking,
+    )
+
+    graded = [
+        (r["q_id"], r["doc_id"], float(r["score"]))
+        for r in _graded_ranking(spark, SF_DIR).collect()
+    ]
+    q_ids = sorted(corpus)[:HN_N_QUERIES]
+    qsel = {}
+    for q in q_ids:
+        firsts = {}
+        for i, t in enumerate(corpus[q]):
+            firsts.setdefault(t, i)
+        ordered = sorted(firsts.items(), key=lambda kv: (kv[1], kv[0]))
+        qsel[q] = [t for t, _ in ordered[:HN_Q_LEN]]
+    all_terms = set(t for ts in qsel.values() for t in ts)
+    cf = Counter()
+    ct = 0
+    for ts in corpus.values():
+        ct += len(ts)
+        for t in ts:
+            if t in all_terms:
+                cf[t] += 1
+    tf = {d: Counter(ts) for d, ts in corpus.items()}
+    dl = {d: len(ts) for d, ts in corpus.items()}
+
+    got = {r["q_id"]: r for r in ranker_rbo_overlap(spark, SF_DIR).collect()}
+    assert len(got) == 16
+    vals = set()
+    for q in q_ids:
+        cand = [(d, sa) for (qq, d, sa) in graded if qq == q]
+        sb = {
+            d: sum(
+                int(
+                    round(
+                        1e6
+                        * math.log(
+                            (tf[d][t] + 2000.0 * cf[t] / ct)
+                            / (dl[d] + 2000.0)
+                        )
+                    )
+                )
+                for t in qsel[q]
+            )
+            for d, _ in cand
+        }
+        ra = {
+            d: i + 1
+            for i, (d, _) in enumerate(
+                sorted(cand, key=lambda kv: (-kv[1], kv[0]))
+            )
+        }
+        rb = {
+            d: i + 1
+            for i, d in enumerate(sorted(sb, key=lambda d: (-sb[d], d)))
+        }
+        # exact RBO@K with p = 1/2 as a Fraction, then D-units and micro
+        rbo = Fraction(0)
+        units = 0
+        overlap = 0
+        for d in ra:
+            m = max(ra[d], rb[d])
+            if m <= RBO_K:
+                overlap += 1
+                for depth in range(m, RBO_K + 1):
+                    rbo += Fraction(1, depth * 2**depth)
+                    units += _RBO_D // (depth * 2**depth)
+        assert got[q]["overlap_at_k"] == overlap
+        assert got[q]["rbo_units"] == units
+        assert Fraction(units, _RBO_D) == rbo  # D-units are EXACT
+        assert got[q]["rbo_micro"] == (units * 1_000_000) // _RBO_D
+        vals.add(got[q]["rbo_micro"])
+    assert len(vals) > 3
+
+
+# ------------------------------------------------------ Adamic-Adar
+
+
+def test_adamic_adar_matches_python_recompute(spark):
+    import hashlib
+
+    from harvester_spark.operators.graph import (
+        AA_TOP,
+        PR_FANOUT,
+        host_adamic_adar,
+    )
+
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "source")
+        .collect()
+    )
+    edges = set()
+    for r in rows:
+        h = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:14], 16)
+        dst = f"src{h % PR_FANOUT}"
+        if r["source"] != dst:
+            edges.add((r["source"], dst))
+    und = set()
+    for a, b in edges:
+        und.add((a, b))
+        und.add((b, a))
+    nbrs = {}
+    for a, b in und:
+        nbrs.setdefault(a, set()).add(b)
+    deg = {z: len(ns) for z, ns in nbrs.items()}
+    scores = {}
+    commons = {}
+    for z, ns in nbrs.items():
+        w = int(round(1e6 / math.log(deg[z])))
+        for a in ns:
+            for b in ns:
+                if a < b and (a, b) not in und:
+                    scores[(a, b)] = scores.get((a, b), 0) + w
+                    commons[(a, b)] = commons.get((a, b), 0) + 1
+    expect = sorted(
+        scores.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+    )[:AA_TOP]
+    got = [
+        (
+            (r["host_a"], r["host_b"]),
+            r["aa_micro"],
+            r["n_common"],
+        )
+        for r in host_adamic_adar(spark, SF_DIR).orderBy("rank").collect()
+    ]
+    assert [(p, s) for p, s, _ in got] == expect
+    for p, _, c in got:
+        assert commons[p] == c
+        # every common neighbor has undirected degree >= 2 structurally
+        assert c >= 1
+    assert len(set(s for _, s, _ in got)) > 2  # weighted, not just counts
