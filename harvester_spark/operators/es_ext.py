@@ -266,3 +266,181 @@ WHERE rnk <= 3
 """
 
 QUERIES["es_top_hits_per_bucket"] = (es_top_hits_per_bucket, SQL_TOP_HITS)
+
+
+# ------------------------------------------- synonym-graph expansion
+
+# Lucene/OpenSearch SynonymGraphFilter at QUERY time: each query term
+# becomes an OR-group {term, synonym}; group tf in a doc is the sum over
+# the group's members and the group's df/idf is computed over the
+# EXPANDED match set — exactly how Lucene scores a synonym-expanded
+# TermQuery wrapped in a SynonymQuery (one idf for the blended postings).
+# The reference's index config relies on analyzer synonym files
+# (/root/reference/harvester/search/models/index.py analyzers); a
+# web-scale engine derives them from the corpus instead: here each
+# flagship term's synonym is its max-PMI co-occurring term
+# (micro-nat PMI, co-doc support ≥ SYN_MIN_CODF, candidates outside the
+# query itself; tie → term asc), so both engines derive identical
+# synonym tables from data — no shipped wordlist.
+#
+# Determinism: PMI is ONE shared micro string over exact BIGINT counts;
+# group scores follow the ft_bm25_topk float contract (≤ 2-member sums
+# per group, round(.,6) vs ulp noise); top-10 ties break doc_id asc.
+#
+# Scale shape: the synonym vote is a (query-matching docs) ⋈ (their
+# distinct terms) equi-join on doc_id — Σ df(q)·distinct-terms rows,
+# bounded by the query's df like every serving-path candidate walk; the
+# scoring pass is the BM25 OR spine over ≤ 6 terms with broadcast dims.
+
+SYN_MIN_CODF = 5
+
+_PMI_MICRO = (
+    "CAST(round(1000000.0e0 * ln("
+    "(1.0e0 * n_ab * nd) / (1.0e0 * n_a * n_b)"
+    "), 0) AS BIGINT)"
+)
+
+
+def ft_synonym_graph_topk(spark, sf_dir):
+    """(rank, doc_id, score): top-10 docs under synonym-graph OR scoring —
+    each flagship term OR-blended with its max-PMI corpus synonym
+    (SynonymQuery semantics: group tf summed, one idf per group)."""
+    toks = doc_tokens(spark, sf_dir)
+    docs_n = load(spark, sf_dir, "documents")
+    dt = toks.select("doc_id", "term").distinct().cache()
+    nd = docs_n.agg(F.count("*").cast("long").alias("nd"))
+    dfs = dt.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+
+    qdt = dt.filter(F.col("term").isin(BM25_TERMS)).select(
+        F.col("term").alias("qt"), "doc_id"
+    )
+    co = (
+        qdt.join(dt, "doc_id")
+        .filter(~F.col("term").isin(BM25_TERMS))
+        .groupBy("qt", "term")
+        .agg(F.count("*").cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= SYN_MIN_CODF)
+    )
+    pmi = (
+        co.join(
+            F.broadcast(dfs.select(F.col("term").alias("qt"), F.col("df").alias("n_a"))),
+            "qt",
+        )
+        .join(F.broadcast(dfs.select("term", F.col("df").alias("n_b"))), "term")
+        .crossJoin(F.broadcast(nd))
+        .withColumn("pmi", F.expr(_PMI_MICRO))
+    )
+    wsyn = W.partitionBy("qt").orderBy(F.col("pmi").desc(), F.col("term").asc())
+    syn = (
+        pmi.withColumn("rn", F.row_number().over(wsyn))
+        .filter(F.col("rn") == 1)
+        .select("qt", F.col("term").alias("syn"))
+    )
+    groups = (
+        syn.select(F.col("qt").alias("grp"), F.col("qt").alias("term"))
+        .unionByName(syn.select(F.col("qt").alias("grp"), F.col("syn").alias("term")))
+    )
+
+    tf = (
+        toks.join(F.broadcast(groups), "term")
+        .groupBy("grp", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_g = tf.groupBy("grp").agg(F.count("*").alias("df"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = docs_n.select(F.count("*").alias("n")).crossJoin(
+        dl.select((F.sum("dl") / F.count("*")).alias("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(df_g), "grp")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        )
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (F.col("tf") * 2.2)
+            / (
+                F.col("tf")
+                + 1.2 * (1.0 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), 6).alias("score"))
+    )
+    top = scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(10)
+    w = W.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "doc_id", "score"
+    )
+
+
+_SYN_TERMS_SQL = "('" + "', '".join(BM25_TERMS) + "')"
+
+SQL_SYNONYM_GRAPH = f"""
+WITH toks AS ({SQL_DOC_TOKS}),
+dt AS MATERIALIZED (SELECT DISTINCT doc_id, term FROM toks),
+nds AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY 1),
+qdt AS (SELECT term AS qt, doc_id FROM dt WHERE term IN {_SYN_TERMS_SQL}),
+co AS (
+  SELECT q.qt, d.term, CAST(count(*) AS BIGINT) AS n_ab
+  FROM qdt q JOIN dt d USING (doc_id)
+  WHERE d.term NOT IN {_SYN_TERMS_SQL}
+  GROUP BY 1, 2
+  HAVING count(*) >= {SYN_MIN_CODF}
+),
+pmi AS (
+  SELECT co.qt, co.term,
+         {_PMI_MICRO} AS pmi
+  FROM co
+  JOIN (SELECT term AS qt, df AS n_a FROM dfs) a USING (qt)
+  JOIN (SELECT term, df AS n_b FROM dfs) b USING (term)
+  CROSS JOIN nds
+),
+syn AS (
+  SELECT qt, term AS syn FROM (
+    SELECT qt, term,
+           row_number() OVER (
+             PARTITION BY qt ORDER BY pmi DESC, term ASC) AS rn
+    FROM pmi
+  ) WHERE rn = 1
+),
+groups AS (
+  SELECT qt AS grp, qt AS term FROM syn
+  UNION ALL
+  SELECT qt AS grp, syn AS term FROM syn
+),
+tf AS (
+  SELECT g.grp, t.doc_id, count(*) AS tf
+  FROM toks t JOIN groups g USING (term)
+  GROUP BY 1, 2
+),
+df_g AS (SELECT grp, count(*) AS df FROM tf GROUP BY 1),
+dls AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) * 1.0e0 / count(*) FROM dls) AS avgdl
+),
+scored AS (
+  SELECT doc_id,
+         round(sum(
+           ln(1.0e0 + (n - df + 0.5e0) / (df + 0.5e0))
+           * (tf * 2.2e0)
+           / (tf + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * dl / avgdl))
+         ), 6) AS score
+  FROM tf JOIN df_g USING (grp) JOIN dls USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT)
+         AS rank,
+       doc_id, score
+FROM scored
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+QUERIES["ft_synonym_graph_topk"] = (ft_synonym_graph_topk, SQL_SYNONYM_GRAPH)

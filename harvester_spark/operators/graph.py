@@ -2043,3 +2043,120 @@ ORDER BY aa_micro DESC, host_a ASC, host_b ASC LIMIT {AA_TOP}
 
 
 QUERIES["host_adamic_adar"] = (host_adamic_adar, _sql_adamic_adar())
+
+
+# ------------------------------------- label-propagation communities
+
+# Raghavan/Albert/Kumara (2007): near-linear community detection — each
+# node adopts its neighborhood's most frequent label; communities emerge
+# as fixed points. The crawl application is grouping hosts into topical
+# clusters for scheduling and mixture balancing (domain_mixture_sample's
+# upstream). SYNCHRONOUS propagation with LPA_ITERS = 4 unrolled rounds
+# and a fully deterministic update: argmax neighbor label by (count desc,
+# label asc) — no randomized order, so both engines walk identical label
+# states (bipartite-ish graphs can oscillate under sync LPA; a FIXED
+# unroll is deterministic either way and the test pins real convergence
+# on this corpus). Uses the same sparse derived-fanout synthesis as
+# host_kcore (fanout = n_docs DIV 2): the shared 20-host graph is
+# near-complete and collapses to one community, proving nothing.
+#
+# Scale shape per round: one edges⋈labels equi-join + one (node, label)
+# count + one per-node argmax window — the connected-components /
+# pagerank family's plan; labels stay a DataFrame end to end.
+
+LPA_ITERS = 4
+
+
+def host_labelprop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(host, label, comm_size) after {LPA_ITERS} synchronous deterministic
+    label-propagation rounds over the sparse derived-fanout host graph —
+    label = the community representative's host name."""
+    docs = load(spark, sf_dir, "documents")
+    fan = max(docs.count() // 2, 20)
+    dst = F.concat(
+        F.lit("h"),
+        (_hash56(F.col("doc_id").cast("string")) % fan).cast("string"),
+    )
+    e0 = docs.select(F.col("source").alias("src"), dst.alias("dst")).filter(
+        F.col("src") != F.col("dst")
+    )
+    und = (
+        e0.select("src", "dst")
+        .union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .cache()
+    )
+    labels = und.select(F.col("src").alias("host")).distinct().withColumn(
+        "label", F.col("host")
+    )
+    wv = W.partitionBy("host").orderBy(
+        F.col("c").desc(), F.col("label").asc()
+    )
+    for _ in range(LPA_ITERS):
+        labels = (
+            und.join(
+                labels.select(F.col("host").alias("dst"), "label"), "dst"
+            )
+            .groupBy(F.col("src").alias("host"), "label")
+            .agg(F.count("*").cast("long").alias("c"))
+            .withColumn("rn", F.row_number().over(wv))
+            .filter(F.col("rn") == 1)
+            .select("host", "label")
+            .localCheckpoint()
+        )
+    sizes = labels.groupBy("label").agg(
+        F.count("*").cast("long").alias("comm_size")
+    )
+    return labels.join(sizes, "label").select("host", "label", "comm_size")
+
+
+def _sql_labelprop(sf_dir: str) -> str:
+    # fanout must match the Spark side's parquet-count derivation; the
+    # oracle recomputes it from the same table (a scalar subquery).
+    hash_doc = _SQL_HASH56.format(col="CAST(doc_id AS VARCHAR)")
+    rounds = []
+    prev = "lab0"
+    for i in range(1, LPA_ITERS + 1):
+        cur = f"lab{i}"
+        rounds.append(f""",
+{cur} AS MATERIALIZED (
+  SELECT host, label FROM (
+    SELECT u.src AS host, l.label,
+           row_number() OVER (
+             PARTITION BY u.src
+             ORDER BY count(*) DESC, l.label ASC) AS rn
+    FROM und u JOIN {prev} l ON l.host = u.dst
+    GROUP BY u.src, l.label
+  ) WHERE rn = 1
+)""")
+        prev = cur
+    return f"""
+WITH fan AS (
+  SELECT greatest(CAST(count(*) AS BIGINT) // 2, 20) AS f FROM documents
+),
+e0 AS (
+  SELECT source AS src,
+         'h' || CAST({hash_doc} % (SELECT f FROM fan) AS VARCHAR) AS dst
+  FROM documents
+),
+und AS MATERIALIZED (
+  SELECT src, dst FROM e0 WHERE src <> dst
+  UNION
+  SELECT dst AS src, src AS dst FROM e0 WHERE src <> dst
+),
+lab0 AS MATERIALIZED (
+  SELECT DISTINCT src AS host, src AS label FROM und
+){"".join(rounds)},
+sizes AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS comm_size
+  FROM {prev} GROUP BY label
+)
+SELECT l.host, l.label, s.comm_size
+FROM {prev} l JOIN sizes s USING (label)
+"""
+
+
+QUERIES["host_labelprop_communities"] = (
+    host_labelprop_communities,
+    _sql_labelprop(""),
+)

@@ -1715,3 +1715,92 @@ GROUP BY 1 ORDER BY 1
 """
 
 QUERIES["postings_pef_size"] = (postings_pef_size, SQL_PEF_SIZE)
+
+
+# ------------------------------------------------- trie / FST dictionary
+
+# Lucene's terms index is an FST (Mihov/Daciuk minimal acyclic automaton);
+# dict_front_coding_size (above) measures the BLOCK-level prefix
+# compression of the on-disk dictionary, this operator measures the
+# AUTOMATON: trie node/edge counts (prefix sharing — the FST's left side)
+# and the distinct-suffix count (an upper bound on the minimal
+# automaton's right-language states — suffix sharing is exactly what FST
+# minimization adds over a trie, so `suffix sharing potential` =
+# trie_edges − n_distinct_suffixes is the headroom). All exact integer
+# counts:
+#   trie_edges = |distinct non-empty prefixes| (nodes = edges + 1 root),
+#   saved_chars = Σ len(term) − trie_edges (chars deduped by the trie).
+#
+# Scale shape: vocabulary-sized, never corpus-sized — one distinct-terms
+# agg (the dictionary build already pays it) + one prefix/suffix explode
+# of |V|·avg_len rows + two distinct counts. At a 10^8-term web
+# vocabulary this is the FST-sizing job you run before choosing the
+# terms-index block structure.
+
+
+def dict_fst_size(spark, sf_dir):
+    """(n_terms, total_chars, trie_edges, trie_saved_chars,
+    n_distinct_suffixes, suffix_share_potential): exact trie/FST sizing
+    statistics of the corpus term dictionary."""
+    terms = doc_tokens(spark, sf_dir).select("term").distinct().cache()
+    base = terms.agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.sum(F.length("term")).cast("long").alias("total_chars"),
+    )
+    pieces = terms.select(
+        "term", F.explode(F.expr("sequence(1, length(term))")).alias("i")
+    )
+    prefixes = pieces.select(
+        F.expr("substring(term, 1, i)").alias("p")
+    ).agg(F.countDistinct("p").cast("long").alias("trie_edges"))
+    suffixes = pieces.select(
+        F.expr("substring(term, i)").alias("s")
+    ).agg(F.countDistinct("s").cast("long").alias("n_distinct_suffixes"))
+    return (
+        base.crossJoin(prefixes)
+        .crossJoin(suffixes)
+        .select(
+            "n_terms",
+            "total_chars",
+            "trie_edges",
+            (F.col("total_chars") - F.col("trie_edges"))
+            .cast("long")
+            .alias("trie_saved_chars"),
+            "n_distinct_suffixes",
+            (F.col("trie_edges") - F.col("n_distinct_suffixes"))
+            .cast("long")
+            .alias("suffix_share_potential"),
+        )
+    )
+
+
+SQL_DICT_FST_SIZE = f"""
+WITH terms AS MATERIALIZED (
+  SELECT DISTINCT term FROM ({SQL_DOC_TOKS})
+),
+base AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_terms,
+         CAST(sum(length(term)) AS BIGINT) AS total_chars
+  FROM terms
+),
+pieces AS MATERIALIZED (
+  SELECT term, unnest(range(1, length(term) + 1)) AS i FROM terms
+),
+pfx AS (
+  SELECT CAST(count(DISTINCT substr(term, 1, i)) AS BIGINT) AS trie_edges
+  FROM pieces
+),
+sfx AS (
+  SELECT CAST(count(DISTINCT substr(term, i)) AS BIGINT)
+           AS n_distinct_suffixes
+  FROM pieces
+)
+SELECT b.n_terms, b.total_chars, p.trie_edges,
+       CAST(b.total_chars - p.trie_edges AS BIGINT) AS trie_saved_chars,
+       s.n_distinct_suffixes,
+       CAST(p.trie_edges - s.n_distinct_suffixes AS BIGINT)
+         AS suffix_share_potential
+FROM base b CROSS JOIN pfx p CROSS JOIN sfx s
+"""
+
+QUERIES["dict_fst_size"] = (dict_fst_size, SQL_DICT_FST_SIZE)

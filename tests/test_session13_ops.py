@@ -502,3 +502,129 @@ def test_adamic_adar_matches_python_recompute(spark):
         # every common neighbor has undirected degree >= 2 structurally
         assert c >= 1
     assert len(set(s for _, s, _ in got)) > 2  # weighted, not just counts
+
+
+# ------------------------------------------- label propagation (LPA)
+
+
+def test_labelprop_matches_sync_python_recompute(spark):
+    import hashlib
+
+    from harvester_spark.operators.graph import (
+        LPA_ITERS,
+        host_labelprop_communities,
+    )
+
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "source")
+        .collect()
+    )
+    fan = max(len(rows) // 2, 20)
+    und = set()
+    for r in rows:
+        h = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:14], 16)
+        dst = f"h{h % fan}"
+        if r["source"] != dst:
+            und.add((r["source"], dst))
+            und.add((dst, r["source"]))
+    nbrs = {}
+    for a, b in und:
+        nbrs.setdefault(a, []).append(b)
+    labels = {h: h for h in nbrs}
+    for _ in range(LPA_ITERS):
+        nxt = {}
+        for h, ns in nbrs.items():
+            cnt = Counter(labels[n] for n in ns)
+            nxt[h] = min(cnt, key=lambda l: (-cnt[l], l))
+        labels = nxt
+    sizes = Counter(labels.values())
+    got = {
+        r["host"]: (r["label"], r["comm_size"])
+        for r in host_labelprop_communities(spark, SF_DIR).collect()
+    }
+    assert got == {h: (l, sizes[l]) for h, l in labels.items()}
+    # non-degenerate: real communities formed (many, not one blob, and
+    # hubs actually absorbed leaves: some community has > 1 member)
+    assert len(sizes) > 1
+    assert max(sizes.values()) > 1
+
+
+# ------------------------------------------------------ FST sizing
+
+
+def test_dict_fst_size_matches_python_recompute(spark, corpus):
+    from harvester_spark.operators.index_stats import dict_fst_size
+
+    vocab = set(t for ts in corpus.values() for t in ts)
+    prefixes = set()
+    suffixes = set()
+    total = 0
+    for t in vocab:
+        total += len(t)
+        for i in range(1, len(t) + 1):
+            prefixes.add(t[:i])
+            suffixes.add(t[i - 1:])
+    r = dict_fst_size(spark, SF_DIR).collect()[0]
+    assert r["n_terms"] == len(vocab)
+    assert r["total_chars"] == total
+    assert r["trie_edges"] == len(prefixes)
+    assert r["trie_saved_chars"] == total - len(prefixes)
+    assert r["n_distinct_suffixes"] == len(suffixes)
+    assert r["suffix_share_potential"] == len(prefixes) - len(suffixes)
+    # the corpus vocabulary genuinely shares prefixes (else the trie
+    # stat proves nothing)
+    assert r["trie_saved_chars"] > 0
+
+
+# ---------------------------------------------- synonym-graph query
+
+
+def test_synonym_graph_expansion_is_real_and_moves_ranking(spark, corpus):
+    from harvester_spark.operators.es_ext import (
+        SYN_MIN_CODF,
+        ft_synonym_graph_topk,
+    )
+    from harvester_spark.operators.fulltext_queries import (
+        BM25_TERMS,
+        ft_bm25_or_topk,
+    )
+
+    # recompute the max-PMI synonym table exactly
+    dt = {d: set(ts) for d, ts in corpus.items()}
+    nd = len(corpus)
+    df = Counter()
+    for ts in dt.values():
+        for t in ts:
+            df[t] += 1
+    syn = {}
+    for qt in BM25_TERMS:
+        best = None
+        for c in df:
+            if c in BM25_TERMS:
+                continue
+            n_ab = sum(1 for ts in dt.values() if qt in ts and c in ts)
+            if n_ab < SYN_MIN_CODF:
+                continue
+            pmi = int(round(1e6 * math.log(n_ab * nd / (df[qt] * df[c]))))
+            key = (-pmi, c)
+            if best is None or key < best[0]:
+                best = (key, c)
+        assert best is not None  # a synonym exists for every query term
+        syn[qt] = best[1]
+    assert len(set(syn.values())) >= 1
+    assert not set(syn.values()) & set(BM25_TERMS)
+
+    got = [
+        r["doc_id"]
+        for r in ft_synonym_graph_topk(spark, SF_DIR).orderBy("rank").collect()
+    ]
+    plain = [
+        r["doc_id"]
+        for r in ft_bm25_or_topk(spark, SF_DIR).orderBy("rank").collect()
+    ]
+    assert len(got) == 10
+    # expansion must actually move the ranking (the synonym postings
+    # blend into group tf/df — identical output would mean the synonym
+    # derivation or the blend is dead code)
+    assert got != plain
