@@ -744,3 +744,129 @@ FROM tpl GROUP BY template
 """
 
 QUERIES["url_path_templates"] = (url_path_templates, SQL_URL_PATH_TEMPLATES)
+
+
+# ------------------------------------------------- secret/key scanning
+
+# Training-data pipelines scan for leaked credentials before release
+# (the Copilot-era lesson; CommonCrawl curation stacks run
+# detect-secrets-style entropy scans next to the PII pass above). The
+# detector is Shannon entropy over a long token's characters — random
+# keys are near the alphabet's max entropy, natural-language and
+# serial-numbered tokens far below it.
+#
+# The corpus contains no real secrets, so the operator PLANTS them
+# deterministically (the planted-γ doctrine of click_model_pbm): docs
+# with doc_id % 97 == 0 get ' ' || md5(doc_id) appended — a 32-char hex
+# token whose char entropy ≈ ln 16. Both engines synthesize the same
+# input inside the query, and the recovery test pins flagged docs ==
+# exactly the planted set with ZERO false positives over the natural
+# long tokens.
+#
+# Determinism: per-character contributions are integer micro-nats
+# (round(1e6·c·ln c) — an engine-ordered double Σ c·ln c would drift by
+# ulps); token entropy is h_micro = round(1e6·ln n) − (Σ cm) DIV n,
+# a FLOORED exact-integer estimator, and the flag threshold compares
+# integers only.
+#
+# Scale shape: candidate tokens are length-filtered BEFORE the char
+# explode (≥ SECRET_MIN_LEN chars — a tiny fraction of the stream), so
+# the explode is candidates·len, never corpus-chars; one (doc, token)
+# agg + one doc agg.
+
+SECRET_MIN_LEN = 24
+SECRET_MIN_ENT = 2_300_000  # micro-nats; ln(16) ≈ 2.77e6, word-soup ≪
+
+_CHAR_CM = "CAST(round(1000000.0e0 * c * ln(1.0e0 * c), 0) AS BIGINT)"
+# {div} placeholder: Spark integer division is DIV, DuckDB's is //
+_TOK_ENT = (
+    "CAST(round(1000000.0e0 * ln(1.0e0 * n), 0) AS BIGINT) - (sum_cm {div} n)"
+)
+
+
+def curation_secret_entropy(spark, sf_dir):
+    """(doc_id, n_secret_tokens, max_entropy_micro): docs containing
+    high-entropy long tokens (planted md5 secrets), flagged by the
+    integer micro-nat character-entropy detector."""
+    docs = load(spark, sf_dir, "documents")
+    text2 = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 97 == 0,
+            F.concat(F.lit(" "), F.md5(F.col("doc_id").cast("string"))),
+        ).otherwise(F.lit("")),
+    )
+    toks = docs.select(
+        "doc_id", F.explode(tokens_column(text2)).alias("tok")
+    )
+    cand = (
+        toks.filter(F.length("tok") >= SECRET_MIN_LEN)
+        .select("doc_id", "tok")
+        .distinct()
+    )
+    chars = cand.select(
+        "doc_id",
+        "tok",
+        F.explode(F.expr("split(tok, '(?!^)(?!$)')")).alias("ch"),
+    )
+    ent = (
+        chars.groupBy("doc_id", "tok", "ch")
+        .agg(F.count("*").cast("long").alias("c"))
+        .withColumn("cm", F.expr(_CHAR_CM))
+        .groupBy("doc_id", "tok")
+        .agg(F.sum("cm").cast("long").alias("sum_cm"))
+        .withColumn("n", F.length("tok").cast("long"))
+        .withColumn("h_micro", F.expr(_TOK_ENT.format(div="DIV")))
+    )
+    return (
+        ent.filter(F.col("h_micro") >= SECRET_MIN_ENT)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_secret_tokens"),
+            F.max("h_micro").cast("long").alias("max_entropy_micro"),
+        )
+    )
+
+
+SQL_SECRET_ENTROPY = f"""
+WITH docs2 AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 97 = 0
+                      THEN ' ' || md5(CAST(doc_id AS VARCHAR))
+                      ELSE '' END AS text
+  FROM documents
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest({SQL_TOKS.format(col='text')}) AS tok FROM docs2
+  ) WHERE length(tok) >= {SECRET_MIN_LEN}
+),
+chars AS (
+  SELECT doc_id, tok, unnest(string_split(tok, '')) AS ch FROM cand
+),
+ent AS (
+  SELECT doc_id, tok, CAST(sum_cm AS BIGINT) AS sum_cm,
+         CAST(length(tok) AS BIGINT) AS n
+  FROM (
+    SELECT doc_id, tok, sum(cm) AS sum_cm
+    FROM (
+      SELECT doc_id, tok, {_CHAR_CM} AS cm
+      FROM (
+        SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+        FROM chars GROUP BY doc_id, tok, ch
+      )
+    ) GROUP BY doc_id, tok
+  )
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_secret_tokens,
+       CAST(max(h_micro) AS BIGINT) AS max_entropy_micro
+FROM (SELECT doc_id, {_TOK_ENT.format(div='//')} AS h_micro FROM ent)
+WHERE h_micro >= {SECRET_MIN_ENT}
+GROUP BY doc_id
+"""
+
+QUERIES["curation_secret_entropy"] = (
+    curation_secret_entropy,
+    SQL_SECRET_ENTROPY,
+)

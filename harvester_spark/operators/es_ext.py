@@ -444,3 +444,143 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
 QUERIES["ft_synonym_graph_topk"] = (ft_synonym_graph_topk, SQL_SYNONYM_GRAPH)
+
+
+# -------------------------------------------------- phonetic analyzer
+
+# The OpenSearch phonetic plugin (analysis-phonetic, Soundex encoder):
+# index-time each token emits its phonetic code so "herman" matches
+# "hermann". Spark ships American Soundex as a builtin (F.soundex —
+# h/w transparent, vowel reset, adjacent-code merge); the oracle
+# reimplements the SAME automaton relationally in DuckDB list algebra
+# (char→code map; h/w REMOVED, which makes merge-across-h/w automatic;
+# vowels kept as '0' separators through the adjacency dedup, dropped
+# after; the first letter's code joins the dedup only when the first
+# letter is not h/w) — parity over the full vocabulary is what the gate
+# proves, and a pytest pins a third pure-Python automaton against both.
+#
+# The corpus' pure-alpha vocabulary has no natural soundex collisions,
+# so the operator synthesizes one VARIANT per base term by vowel
+# rotation (a→e→i→o→u→a, parallel translate) — soundex-INVARIANT by
+# construction (every vowel maps to '0'), so variants MUST collapse into
+# their base term's bucket through the real encoder, and buckets with
+# n_forms > n_base prove the collapse (the corpus-synthesis
+# non-degeneracy doctrine: a bucket table over collision-free input
+# would prove nothing).
+#
+# Scale shape: vocabulary-sized — one distinct-terms agg, a map-only
+# encode, one code groupBy; df join rides the same distinct spine.
+
+PHON_TOP = 20
+
+
+def ft_phonetic_buckets(spark, sf_dir):
+    """(rank, code, n_forms, n_base, df_base): top-20 soundex buckets over
+    the pure-alpha vocabulary ∪ vowel-rotated variants — n_forms counts
+    all collapsed surface forms, n_base the real corpus terms, df_base
+    their summed document frequency."""
+    toks = doc_tokens(spark, sf_dir)
+    base = (
+        toks.filter(F.col("term").rlike("^[a-z]+$"))
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").cast("long").alias("df"))
+    )
+    forms = base.select(
+        "term", F.lit(1).alias("is_base"), "df"
+    ).unionByName(
+        base.filter(F.length("term") >= 3).select(
+            F.translate("term", "aeiou", "eioua").alias("term"),
+            F.lit(0).alias("is_base"),
+            F.lit(0).cast("long").alias("df"),
+        )
+    ).groupBy("term").agg(
+        F.max("is_base").alias("is_base"), F.max("df").cast("long").alias("df")
+    )
+    buckets = (
+        forms.withColumn("code", F.soundex("term"))
+        .groupBy("code")
+        .agg(
+            F.count("*").cast("long").alias("n_forms"),
+            F.sum("is_base").cast("long").alias("n_base"),
+            F.sum(F.col("df") * F.col("is_base")).cast("long").alias("df_base"),
+        )
+    )
+    top = buckets.orderBy(
+        F.col("n_forms").desc(), F.col("code").asc()
+    ).limit(PHON_TOP)
+    w = W.orderBy(F.col("n_forms").desc(), F.col("code").asc())
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "code", "n_forms", "n_base", "df_base"
+    )
+
+
+SQL_PHONETIC_BUCKETS = f"""
+WITH toks AS ({SQL_DOC_TOKS}),
+base AS MATERIALIZED (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM toks WHERE regexp_matches(term, '^[a-z]+$') GROUP BY 1
+),
+forms AS MATERIALIZED (
+  SELECT term, CAST(max(is_base) AS BIGINT) AS is_base,
+         CAST(max(df) AS BIGINT) AS df
+  FROM (
+    SELECT term, 1 AS is_base, df FROM base
+    UNION ALL
+    SELECT list_aggregate(list_transform(string_split(term, ''), c ->
+             CASE WHEN c = 'a' THEN 'e' WHEN c = 'e' THEN 'i'
+                  WHEN c = 'i' THEN 'o' WHEN c = 'o' THEN 'u'
+                  WHEN c = 'u' THEN 'a' ELSE c END), 'string_agg', '')
+             AS term,
+           0 AS is_base, CAST(0 AS BIGINT) AS df
+    FROM base WHERE length(term) >= 3
+  ) GROUP BY term
+),
+coded AS (
+  SELECT term, is_base, df,
+         upper(substr(term, 1, 1)) ||
+         substr(
+           coalesce(list_aggregate(
+             list_filter(
+               dedup[CASE WHEN first_hw THEN 1 ELSE 2 END:],
+               c -> c <> '0'),
+             'string_agg', ''), '')
+           || '000', 1, 3) AS code
+  FROM (
+    SELECT term, is_base, df, first_hw,
+           list_filter(kept, (c, i) -> i = 1 OR kept[i - 1] <> c) AS dedup
+    FROM (
+      SELECT term, is_base, df,
+             codes0[1] = '-' AS first_hw,
+             list_filter(codes0, c -> c <> '-') AS kept
+      FROM (
+        SELECT term, is_base, df,
+          list_transform(string_split(term, ''), c ->
+            CASE
+              WHEN c IN ('b','f','p','v') THEN '1'
+              WHEN c IN ('c','g','j','k','q','s','x','z') THEN '2'
+              WHEN c IN ('d','t') THEN '3'
+              WHEN c = 'l' THEN '4'
+              WHEN c IN ('m','n') THEN '5'
+              WHEN c = 'r' THEN '6'
+              WHEN c IN ('h','w') THEN '-'
+              ELSE '0'
+            END) AS codes0
+        FROM forms
+      )
+    )
+  )
+),
+buckets AS (
+  SELECT code, CAST(count(*) AS BIGINT) AS n_forms,
+         CAST(sum(is_base) AS BIGINT) AS n_base,
+         CAST(sum(df * is_base) AS BIGINT) AS df_base
+  FROM coded GROUP BY code
+)
+SELECT CAST(row_number() OVER (
+         ORDER BY n_forms DESC, code ASC) AS INT) AS rank,
+       code, n_forms, n_base, df_base
+FROM buckets
+ORDER BY n_forms DESC, code ASC LIMIT {PHON_TOP}
+"""
+
+QUERIES["ft_phonetic_buckets"] = (ft_phonetic_buckets, SQL_PHONETIC_BUCKETS)

@@ -1804,3 +1804,121 @@ FROM base b CROSS JOIN pfx p CROSS JOIN sfx s
 """
 
 QUERIES["dict_fst_size"] = (dict_fst_size, SQL_DICT_FST_SIZE)
+
+
+# ------------------------------------------- DocValues delta bit-packing
+
+# Lucene's numeric DocValues writer picks, per 128-value block, the
+# narrowest delta encoding: store block min, bit-pack (v − min) in
+# bit_length(max − min) bits (0 bits for constant blocks). This operator
+# sizes that layout for the documents.n_chars column in docID order and
+# compares three codecs exactly:
+#   raw        = 8 bytes/value,
+#   global     = one (min, width) for the whole column,
+#   per-block  = 128-value blocks, each with a 9-byte header
+#                (packed min vlong ≈ 8 B + width byte).
+# Widths come from the pure length(bin(hi − lo)) idiom (the
+# postings_gamma_delta_size discipline) — no float log2 near integer
+# boundaries. NO winner is asserted structurally: on a value-random
+# docID order per-block headers can outweigh the width saving (the
+# honest negative-control stance of events_forecast_eval); the pytest
+# pins the exact arithmetic, not a direction.
+#
+# Scale shape: one block-keyed min/max/count agg + a 1-row global agg —
+# the zonemap_stats plan; the block key doc_id DIV 128 never reshuffles
+# more than the rollup itself.
+
+DV_BLOCK = 128
+_DV_BITS = "CASE WHEN hi = lo THEN 0 ELSE length(bin(hi - lo)) END"
+
+
+def docvalues_delta_size(spark, sf_dir):
+    """(n_rows, n_blocks, raw_bytes, global_packed_bytes, packed_bytes,
+    blocked_vs_global): exact per-block delta bit-packing size of the
+    n_chars DocValues column vs global and raw encodings."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("v")
+    )
+    blocks = (
+        docs.groupBy((F.col("doc_id") / DV_BLOCK).cast("long").alias("blk"))
+        .agg(
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+            F.count("*").cast("long").alias("n_b"),
+        )
+        .withColumn("bits", F.expr(_DV_BITS).cast("long"))
+        .withColumn("bytes", F.expr("9 + (n_b * bits + 7) DIV 8").cast("long"))
+    )
+    agg = blocks.agg(
+        F.sum("n_b").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_blocks"),
+        F.sum("bytes").cast("long").alias("packed_bytes"),
+    )
+    glob = (
+        docs.agg(
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+            F.count("*").cast("long").alias("n_b"),
+        )
+        .withColumn("bits", F.expr(_DV_BITS).cast("long"))
+        .select(
+            F.expr("9 + (n_b * bits + 7) DIV 8")
+            .cast("long")
+            .alias("global_packed_bytes")
+        )
+    )
+    return (
+        agg.crossJoin(F.broadcast(glob))
+        .select(
+            "n_rows",
+            "n_blocks",
+            (F.col("n_rows") * 8).cast("long").alias("raw_bytes"),
+            "global_packed_bytes",
+            "packed_bytes",
+            (F.col("packed_bytes") - F.col("global_packed_bytes"))
+            .cast("long")
+            .alias("blocked_vs_global"),
+        )
+    )
+
+
+SQL_DOCVALUES_DELTA_SIZE = f"""
+WITH vals AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS v FROM documents
+),
+blocks AS (
+  SELECT CAST(9 + (n_b * bits + 7) // 8 AS BIGINT) AS bytes, n_b
+  FROM (
+    SELECT n_b, CAST({_DV_BITS} AS BIGINT) AS bits
+    FROM (
+      SELECT doc_id // {DV_BLOCK} AS blk, min(v) AS lo, max(v) AS hi,
+             CAST(count(*) AS BIGINT) AS n_b
+      FROM vals GROUP BY 1
+    )
+  )
+),
+agg AS (
+  SELECT CAST(sum(n_b) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS n_blocks,
+         CAST(sum(bytes) AS BIGINT) AS packed_bytes
+  FROM blocks
+),
+gstats AS (
+  SELECT CAST(9 + (n_b * bits + 7) // 8 AS BIGINT) AS global_packed_bytes
+  FROM (
+    SELECT n_b, CAST({_DV_BITS} AS BIGINT) AS bits
+    FROM (
+      SELECT min(v) AS lo, max(v) AS hi, CAST(count(*) AS BIGINT) AS n_b
+      FROM vals
+    )
+  )
+)
+SELECT a.n_rows, a.n_blocks,
+       CAST(a.n_rows * 8 AS BIGINT) AS raw_bytes,
+       g.global_packed_bytes, a.packed_bytes,
+       CAST(a.packed_bytes - g.global_packed_bytes AS BIGINT)
+         AS blocked_vs_global
+FROM agg a CROSS JOIN gstats g
+"""
+
+QUERIES["docvalues_delta_size"] = (docvalues_delta_size, SQL_DOCVALUES_DELTA_SIZE)

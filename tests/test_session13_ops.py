@@ -628,3 +628,147 @@ def test_synonym_graph_expansion_is_real_and_moves_ranking(spark, corpus):
     # blend into group tf/df — identical output would mean the synonym
     # derivation or the blend is dead code)
     assert got != plain
+
+
+# --------------------------------------------------- phonetic buckets
+
+
+def _py_soundex(term: str) -> str:
+    """American Soundex, the Spark/Apache Commons automaton: h/w
+    transparent, vowels reset, adjacent codes merged."""
+    CODE = {}
+    for chars, d in (
+        ("bfpv", "1"), ("cgjkqsxz", "2"), ("dt", "3"),
+        ("l", "4"), ("mn", "5"), ("r", "6"), ("hw", "-"),
+    ):
+        for ch in chars:
+            CODE[ch] = d
+    codes0 = [CODE.get(c, "0") for c in term]
+    kept = [c for c in codes0 if c != "-"]
+    dedup = [c for i, c in enumerate(kept) if i == 0 or kept[i - 1] != c]
+    start = 0 if codes0[0] == "-" else 1
+    digits = "".join(c for c in dedup[start:] if c != "0")
+    return (term[0].upper() + (digits + "000")[:3])
+
+
+def test_phonetic_buckets_match_python_soundex_and_collapse(spark, corpus):
+    from harvester_spark.operators.es_ext import ft_phonetic_buckets
+
+    base = sorted(
+        set(
+            t
+            for ts in corpus.values()
+            for t in ts
+            if re.fullmatch(r"[a-z]+", t)
+        )
+    )
+    df = Counter()
+    for ts in corpus.values():
+        for t in set(ts):
+            if t in set(base):
+                df[t] += 1
+    rot = str.maketrans("aeiou", "eioua")
+    forms = {t: (1, df[t]) for t in base}
+    for t in base:
+        if len(t) >= 3:
+            v = t.translate(rot)
+            if v not in forms:
+                forms[v] = (0, 0)
+    buckets = {}
+    for t, (is_base, d) in forms.items():
+        c = _py_soundex(t)
+        nf, nb, dfb = buckets.get(c, (0, 0, 0))
+        buckets[c] = (nf + 1, nb + is_base, dfb + d)
+    expect = sorted(
+        ((c, *v) for c, v in buckets.items()),
+        key=lambda r: (-r[1], r[0]),
+    )[:20]
+    got = [
+        (r["code"], r["n_forms"], r["n_base"], r["df_base"])
+        for r in ft_phonetic_buckets(spark, SF_DIR).orderBy("rank").collect()
+    ]
+    assert got == expect
+    # the vowel-rotated variants genuinely collapse through the encoder
+    assert any(nf > nb for _, nf, nb, _ in got)
+    # and a real base term shares its bucket with a variant, not only
+    # variant-only buckets (the synthesis touches the corpus vocabulary)
+    assert any(nf > nb and nb >= 1 for _, nf, nb, _ in got)
+
+
+# ------------------------------------------------ secret entropy scan
+
+
+def test_secret_scan_recovers_planted_exactly(spark, corpus):
+    import hashlib
+
+    from harvester_spark.operators.curation import (
+        SECRET_MIN_ENT,
+        SECRET_MIN_LEN,
+        curation_secret_entropy,
+    )
+
+    got = {
+        r["doc_id"]: r
+        for r in curation_secret_entropy(spark, SF_DIR).collect()
+    }
+    planted = {d for d in corpus if d % 97 == 0}
+    assert set(got) == planted  # full recovery, zero false positives
+    assert planted  # the plant is non-empty at this sf
+    for d in planted:
+        secret = hashlib.md5(str(d).encode()).hexdigest()
+        cnt = Counter(secret)
+        n = len(secret)
+        sum_cm = sum(int(round(1e6 * c * math.log(c))) for c in cnt.values())
+        h = int(round(1e6 * math.log(n))) - sum_cm // n
+        assert h >= SECRET_MIN_ENT
+        assert got[d]["max_entropy_micro"] >= h  # ≥: doc may hold others
+        assert got[d]["n_secret_tokens"] >= 1
+    # natural corpus long tokens must NOT trip the detector
+    for d, ts in corpus.items():
+        if d in planted:
+            continue
+        assert d not in got
+        for t in ts:
+            if len(t) >= SECRET_MIN_LEN:
+                cnt = Counter(t)
+                sum_cm = sum(
+                    int(round(1e6 * c * math.log(c))) for c in cnt.values()
+                )
+                h = int(round(1e6 * math.log(len(t)))) - sum_cm // len(t)
+                assert h < SECRET_MIN_ENT
+
+
+# --------------------------------------------------- DocValues sizing
+
+
+def test_docvalues_delta_size_matches_python_recompute(spark):
+    from harvester_spark.operators.index_stats import (
+        DV_BLOCK,
+        docvalues_delta_size,
+    )
+
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "n_chars")
+        .collect()
+    )
+    blocks = {}
+    for r in rows:
+        blocks.setdefault(r["doc_id"] // DV_BLOCK, []).append(r["n_chars"])
+    def bits(lo, hi):
+        return 0 if hi == lo else (hi - lo).bit_length()
+    packed = sum(
+        9 + (len(vs) * bits(min(vs), max(vs)) + 7) // 8
+        for vs in blocks.values()
+    )
+    allv = [r["n_chars"] for r in rows]
+    gbytes = 9 + (len(allv) * bits(min(allv), max(allv)) + 7) // 8
+    r = docvalues_delta_size(spark, SF_DIR).collect()[0]
+    assert r["n_rows"] == len(allv)
+    assert r["n_blocks"] == len(blocks)
+    assert r["raw_bytes"] == 8 * len(allv)
+    assert r["packed_bytes"] == packed
+    assert r["global_packed_bytes"] == gbytes
+    assert r["blocked_vs_global"] == packed - gbytes
+    # packing beats raw 8B/value on this column (bit_length ≪ 64)
+    assert r["packed_bytes"] < r["raw_bytes"]
