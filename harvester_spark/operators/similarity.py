@@ -2009,3 +2009,467 @@ FROM d CROSS JOIN l2
 """
 
 QUERIES["emb_drift_check"] = (emb_drift_check, SQL_EMB_DRIFT)
+
+
+# --------------------------------------------- Matryoshka prefix-dim ANN
+
+# Kusupati et al. (NeurIPS 2022, "Matryoshka Representation Learning"):
+# embeddings trained so every PREFIX of the vector is itself a usable
+# embedding — serving stacks exploit it with funnel ("adaptive")
+# retrieval: shortlist with the cheap low-dim prefix, rerank the
+# shortlist with full dims. Two labeled brute-force evals (the
+# ann_cosine_topk baseline discipline — the scale path for stage 1 is
+# any of the pruning structures, IVF/LSH/sign, over the prefix dims):
+#
+# - emb_matryoshka_recall: per prefix width P ∈ MRL_DIMS and query,
+#   top-{TOP_K} by prefix-P cosine vs the exact 64-dim top-{TOP_K} —
+#   how much recall each truncation level alone retains.
+# - ann_matryoshka_rerank: the funnel — prefix-MRL_FUNNEL_P cosine
+#   shortlist of MRL_SHORTLIST candidates, exact full-dim rerank of the
+#   shortlist only, recall vs exact top-{TOP_K}. The pytest pins the
+#   defining property funnel-recall ≥ prefix-only recall per query.
+#
+# Determinism: cosines are round(.,6) on the same double pipeline as
+# every ANN eval here; rankings tie-break vec_id asc; recall is
+# round(n_hits/k, 6).
+
+MRL_DIMS = (8, 16, 32)
+MRL_FUNNEL_P = 8
+MRL_SHORTLIST = 50
+
+
+def _prefix_cosine(spark, sf_dir, p_dim):
+    """(qid, vec_id, cos) over the first p_dim components only."""
+    comp = _components(spark, sf_dir).filter(F.col("pos") < p_dim)
+    norms = comp.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nrm")
+    )
+    q = comp.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), "pos", F.col("val").alias("qval")
+    )
+    dots = (
+        F.broadcast(q)
+        .join(comp, "pos")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(F.sum(F.col("qval") * F.col("val")).alias("dot"))
+    )
+    qn = norms.select(F.col("vec_id").alias("qid"), F.col("nrm").alias("qnrm"))
+    return (
+        dots.join(F.broadcast(qn), "qid")
+        .join(norms, "vec_id")
+        .withColumn(
+            "cos", F.round(F.col("dot") / (F.col("qnrm") * F.col("nrm")), 6)
+        )
+        .select("qid", "vec_id", "cos")
+    )
+
+
+def _sql_prefix_cosine(p_dim, alias):
+    return f"""
+comp_{alias} AS (
+  SELECT vec_id, pos, val FROM ({_SQL_COMPONENTS}) WHERE pos < {p_dim}
+),
+norms_{alias} AS (
+  SELECT vec_id, sqrt(sum(val * val)) AS nrm FROM comp_{alias} GROUP BY vec_id
+),
+dots_{alias} AS (
+  SELECT q.vec_id AS qid, c.vec_id, sum(q.val * c.val) AS dot
+  FROM comp_{alias} q JOIN comp_{alias} c
+    ON q.pos = c.pos AND c.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+  GROUP BY 1, 2
+),
+cos_{alias} AS (
+  SELECT qid, d.vec_id, round(dot / (qn.nrm * cn.nrm), 6) AS cos
+  FROM dots_{alias} d
+  JOIN norms_{alias} qn ON qn.vec_id = d.qid
+  JOIN norms_{alias} cn ON cn.vec_id = d.vec_id
+)"""
+
+
+def emb_matryoshka_recall(spark, sf_dir):
+    """(p_dim, qid, n_hits, recall): per truncation width and query, the
+    overlap of the prefix-dim cosine top-{TOP_K} with the exact top-k."""
+    exact = ann_cosine_topk(spark, sf_dir).select("qid", "vec_id")
+    outs = []
+    for p in MRL_DIMS:
+        cos = _prefix_cosine(spark, sf_dir, p)
+        w = W.partitionBy("qid").orderBy(
+            F.col("cos").desc(), F.col("vec_id").asc()
+        )
+        top = (
+            cos.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= TOP_K)
+            .select(F.lit(p).cast("int").alias("p_dim"), "qid", "vec_id")
+        )
+        outs.append(top)
+    approx = outs[0]
+    for o in outs[1:]:
+        approx = approx.unionByName(o)
+    hits = approx.join(exact, ["qid", "vec_id"]).groupBy("p_dim", "qid").agg(
+        F.count("*").alias("n_hits")
+    )
+    grid = (
+        exact.select("qid")
+        .distinct()
+        .crossJoin(
+            spark.createDataFrame([(p,) for p in MRL_DIMS], "p_dim int")
+        )
+    )
+    return grid.join(hits, ["p_dim", "qid"], "left").select(
+        "p_dim",
+        "qid",
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        F.round(F.coalesce("n_hits", F.lit(0)) * 1.0 / TOP_K, 6).alias(
+            "recall"
+        ),
+    )
+
+
+def _sql_matryoshka_recall():
+    legs = []
+    tops = []
+    for p in MRL_DIMS:
+        legs.append(_sql_prefix_cosine(p, f"p{p}"))
+        tops.append(f"""
+SELECT {p} AS p_dim, qid, vec_id FROM (
+  SELECT qid, vec_id,
+         row_number() OVER (
+           PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rnk
+  FROM cos_p{p}
+) WHERE rnk <= {TOP_K}""")
+    return f"""
+WITH {_SQL_PAIRWISE},
+exact AS MATERIALIZED (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (
+             PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rnk
+    FROM cosine
+  ) WHERE rnk <= {TOP_K}
+),{",".join(legs)},
+approx AS ({" UNION ALL ".join(tops)}),
+hits AS (
+  SELECT a.p_dim, a.qid, CAST(count(*) AS BIGINT) AS n_hits
+  FROM approx a JOIN exact e ON e.qid = a.qid AND e.vec_id = a.vec_id
+  GROUP BY 1, 2
+),
+grid AS (
+  SELECT p_dim, qid
+  FROM (SELECT DISTINCT qid FROM exact)
+  CROSS JOIN (SELECT unnest([{", ".join(str(p) for p in MRL_DIMS)}]) AS p_dim)
+)
+SELECT CAST(g.p_dim AS INT) AS p_dim, g.qid,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       round(coalesce(h.n_hits, 0) * 1.0e0 / {TOP_K}, 6) AS recall
+FROM grid g LEFT JOIN hits h ON h.p_dim = g.p_dim AND h.qid = g.qid
+"""
+
+
+QUERIES["emb_matryoshka_recall"] = (
+    emb_matryoshka_recall,
+    _sql_matryoshka_recall(),
+)
+
+
+def ann_matryoshka_rerank(spark, sf_dir):
+    """(qid, n_hits_funnel, n_hits_prefix, recall_funnel, recall_prefix):
+    funnel retrieval — prefix-{MRL_FUNNEL_P} shortlist of
+    {MRL_SHORTLIST}, exact full-dim rerank of the shortlist — vs the
+    prefix-only top-{TOP_K}, both measured against the exact top-k."""
+    exact = ann_cosine_topk(spark, sf_dir).select("qid", "vec_id")
+    pcos = _prefix_cosine(spark, sf_dir, MRL_FUNNEL_P)
+    w = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    ranked = pcos.withColumn("rnk", F.row_number().over(w))
+    shortlist = ranked.filter(F.col("rnk") <= MRL_SHORTLIST).select(
+        "qid", "vec_id"
+    )
+    prefix_top = ranked.filter(F.col("rnk") <= TOP_K).select("qid", "vec_id")
+    # exact rerank on the shortlist ONLY (the candidate-restricted job)
+    full = _cosine_for_pairs(spark, sf_dir, shortlist)
+    reranked = (
+        full.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("qid", "vec_id")
+    )
+    hf = reranked.join(exact, ["qid", "vec_id"]).groupBy("qid").agg(
+        F.count("*").alias("nf")
+    )
+    hp = prefix_top.join(exact, ["qid", "vec_id"]).groupBy("qid").agg(
+        F.count("*").alias("np")
+    )
+    qids = exact.select("qid").distinct()
+    return (
+        qids.join(hf, "qid", "left")
+        .join(hp, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("nf", F.lit(0)).cast("long").alias("n_hits_funnel"),
+            F.coalesce("np", F.lit(0)).cast("long").alias("n_hits_prefix"),
+            F.round(F.coalesce("nf", F.lit(0)) * 1.0 / TOP_K, 6).alias(
+                "recall_funnel"
+            ),
+            F.round(F.coalesce("np", F.lit(0)) * 1.0 / TOP_K, 6).alias(
+                "recall_prefix"
+            ),
+        )
+    )
+
+
+def _sql_matryoshka_rerank():
+    return f"""
+WITH {_SQL_PAIRWISE},
+exact AS MATERIALIZED (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (
+             PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rnk
+    FROM cosine
+  ) WHERE rnk <= {TOP_K}
+),{_sql_prefix_cosine(MRL_FUNNEL_P, "f")},
+ranked AS (
+  SELECT qid, vec_id,
+         row_number() OVER (
+           PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rnk
+  FROM cos_f
+),
+shortlist AS (SELECT qid, vec_id FROM ranked WHERE rnk <= {MRL_SHORTLIST}),
+prefix_top AS (SELECT qid, vec_id FROM ranked WHERE rnk <= {TOP_K}),
+reranked AS (
+  SELECT qid, vec_id FROM (
+    SELECT c.qid, c.vec_id,
+           row_number() OVER (
+             PARTITION BY c.qid ORDER BY c.cos DESC, c.vec_id ASC) AS rnk
+    FROM cosine c JOIN shortlist s
+      ON s.qid = c.qid AND s.vec_id = c.vec_id
+  ) WHERE rnk <= {TOP_K}
+),
+hf AS (
+  SELECT r.qid, CAST(count(*) AS BIGINT) AS nf
+  FROM reranked r JOIN exact e ON e.qid = r.qid AND e.vec_id = r.vec_id
+  GROUP BY 1
+),
+hp AS (
+  SELECT p.qid, CAST(count(*) AS BIGINT) AS np
+  FROM prefix_top p JOIN exact e ON e.qid = p.qid AND e.vec_id = p.vec_id
+  GROUP BY 1
+)
+SELECT q.qid,
+       CAST(coalesce(hf.nf, 0) AS BIGINT) AS n_hits_funnel,
+       CAST(coalesce(hp.np, 0) AS BIGINT) AS n_hits_prefix,
+       round(coalesce(hf.nf, 0) * 1.0e0 / {TOP_K}, 6) AS recall_funnel,
+       round(coalesce(hp.np, 0) * 1.0e0 / {TOP_K}, 6) AS recall_prefix
+FROM (SELECT DISTINCT qid FROM exact) q
+LEFT JOIN hf USING (qid)
+LEFT JOIN hp USING (qid)
+"""
+
+
+QUERIES["ann_matryoshka_rerank"] = (
+    ann_matryoshka_rerank,
+    _sql_matryoshka_rerank(),
+)
+
+
+# ---------------------------------------- PCA top component (power iter)
+
+# The missing linear-algebra primitive next to JL (random projection),
+# k-means (VQ), PQ/SQ (codebooks): the top principal component, used for
+# embedding whitening/debiasing (Mu & Viswanath 2018 remove the top PC
+# before similarity) and as the split axis of spill trees. Computed by
+# POWER ITERATION with the repo's integer-exact-iteration contract
+# (k-means/pagerank/BPE discipline): both engines walk bit-identical
+# states, the oracle unrolls the loop as chained CTEs.
+#
+# NON-DEGENERACY (the corpus-synthesis doctrine): the synthetic
+# embeddings are near-isotropic (measured λ2/λ1 ≈ 0.93–0.99), where NO
+# power method converges in bounded rounds and an "eigenvector" output
+# proves nothing. Both engines therefore plant the SAME rank-one spike
+# in-query — q'_ij = q_ij + t_i·g_j with md5-derived t_i ∈ [−1000, 1000]
+# (per vector) and g_j ∈ [−4, 4] (per dim), an exact integer PRODUCT (no
+# division, so no trunc-vs-floor seam) — and the pytest pins recovery:
+# the returned direction must align with the planted g (|cos| > 0.99
+# against a pure-Python recompute). On real anisotropic embeddings the
+# plant is simply dropped.
+#
+# Integer pipeline per iteration (PCA_ITERS = 4, unrolled):
+#   q   = round(val·1e3) + t_i·g_j  milli components + planted spike
+#   c   = q − mean                  centered against the sign-split
+#                                   floored integer mean
+#   u_i = Σ_j c_ij·v_j              exact int64
+#   u\'  = sign-split (u·1e4) DIV max|u|      — normalized to ±1e4
+#   w_j = Σ_i c_ij·u\'_i             exact int64
+#   v\'  = sign-split (w·1e6) DIV max|w|      — normalized to ±1e6
+# Sign-split is MANDATORY everywhere a negative divides: Spark DIV
+# truncates toward zero, DuckDB // floors (CLAUDE.md). Overflow: |c| ≤
+# ~9e3 ⇒ w ≤ n·9e3·1e4 and w·1e6 < 2^63 up to n ≈ 1e5 vectors; beyond
+# that drop the u\' unit a decade (the documented k-means-kernel dial).
+#
+# Scale shape per iteration: one broadcast of the 64-row v, one vec_id
+# agg (u), a 1-row max, one pos agg (w) — two narrow shuffles per
+# iteration over the exploded components, nothing driver-resident.
+
+PCA_ITERS = 4
+_PCA_Q = 1000
+_PCA_UU = 10_000  # u\' unit
+_PCA_UV = 1_000_000  # v unit
+# sign-split magnitude-only normalization; {x}: value, {m}: max|x| > 0
+_PCA_NORM = (
+    "CASE WHEN {x} >= 0 THEN ({x} * {unit}) {div} {m} "
+    "ELSE -((-({x}) * {unit}) {div} {m}) END"
+)
+
+
+def _pca_t(col):
+    """Planted per-vector spike coefficient in [-1000, 1000]."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("pcat:"), col.cast("string"))), 1, 14),
+            16,
+            10,
+        ).cast("long")
+        % 2001
+        - 1000
+    )
+
+
+def _pca_g(col):
+    """Planted per-dimension direction component in [-4, 4]."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("pcag:"), col.cast("string"))), 1, 14),
+            16,
+            10,
+        ).cast("long")
+        % 9
+        - 4
+    )
+
+
+_SQL_PCA_T = (
+    "(CAST(('0x' || substr(md5('pcat:' || CAST({c} AS VARCHAR)), 1, 14))"
+    " AS BIGINT) % 2001 - 1000)"
+)
+_SQL_PCA_G = (
+    "(CAST(('0x' || substr(md5('pcag:' || CAST({c} AS VARCHAR)), 1, 14))"
+    " AS BIGINT) % 9 - 4)"
+)
+
+
+def emb_pca_power(spark, sf_dir):
+    """(pos, v_micro): the top principal direction of the centered
+    milli-quantized embeddings after {PCA_ITERS} integer power
+    iterations, components in ±1e6 units."""
+    comp = _components(spark, sf_dir)
+    icomp = comp.select(
+        "vec_id",
+        "pos",
+        (
+            F.round(F.col("val") * _PCA_Q).cast("long")
+            + _pca_t(F.col("vec_id")) * _pca_g(F.col("pos"))
+        ).cast("long").alias("q"),
+    )
+    mu = icomp.groupBy("pos").agg(
+        F.expr("CAST(sum(q) AS BIGINT)").alias("s"),
+        F.count("*").cast("long").alias("n"),
+    ).select(
+        "pos",
+        # Σq can be NEGATIVE — sign-split (Spark DIV truncates, DuckDB //
+        # floors; they differ on negative dividends)
+        F.expr(
+            "CASE WHEN s >= 0 THEN s DIV n ELSE -((-s) DIV n) END"
+        ).cast("long").alias("mu"),
+    )
+    cent = (
+        icomp.join(F.broadcast(mu), "pos")
+        .select("vec_id", "pos", (F.col("q") - F.col("mu")).cast("long").alias("c"))
+        .cache()
+    )
+    v = mu.select("pos", F.lit(_PCA_UV).cast("long").alias("v"))
+    for _ in range(PCA_ITERS):
+        u = (
+            cent.join(F.broadcast(v), "pos")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("c") * F.col("v")).cast("long").alias("u"))
+        )
+        umax = u.agg(F.max(F.abs("u")).cast("long").alias("m"))
+        un = u.crossJoin(F.broadcast(umax)).select(
+            "vec_id",
+            F.expr(
+                _PCA_NORM.format(x="u", m="m", unit=_PCA_UU, div="DIV")
+            ).cast("long").alias("uu"),
+        )
+        w = (
+            cent.join(un, "vec_id")
+            .groupBy("pos")
+            .agg(F.sum(F.col("c") * F.col("uu")).cast("long").alias("w"))
+        )
+        wmax = w.agg(F.max(F.abs("w")).cast("long").alias("m"))
+        v = (
+            w.crossJoin(F.broadcast(wmax))
+            .select(
+                "pos",
+                F.expr(
+                    _PCA_NORM.format(x="w", m="m", unit=_PCA_UV, div="DIV")
+                ).cast("long").alias("v"),
+            )
+            .localCheckpoint()
+        )
+    return v.select("pos", F.col("v").alias("v_micro"))
+
+
+def _sql_pca_power():
+    steps = []
+    prev_v = "v0"
+    for t in range(1, PCA_ITERS + 1):
+        un_norm = _PCA_NORM.format(x="u", m="m", unit=_PCA_UU, div="//")
+        v_norm = _PCA_NORM.format(x="w", m="m", unit=_PCA_UV, div="//")
+        steps.append(f""",
+u{t} AS MATERIALIZED (
+  SELECT c.vec_id, CAST(sum(c.c * v.v) AS BIGINT) AS u
+  FROM cent c JOIN {prev_v} v USING (pos) GROUP BY 1
+),
+um{t} AS (SELECT CAST(max(abs(u)) AS BIGINT) AS m FROM u{t}),
+un{t} AS MATERIALIZED (
+  SELECT vec_id, CAST({un_norm} AS BIGINT) AS uu
+  FROM u{t} CROSS JOIN um{t}
+),
+w{t} AS MATERIALIZED (
+  SELECT c.pos, CAST(sum(c.c * n.uu) AS BIGINT) AS w
+  FROM cent c JOIN un{t} n USING (vec_id) GROUP BY 1
+),
+wm{t} AS (SELECT CAST(max(abs(w)) AS BIGINT) AS m FROM w{t}),
+v{t} AS MATERIALIZED (
+  SELECT pos, CAST({v_norm} AS BIGINT) AS v
+  FROM w{t} CROSS JOIN wm{t}
+)""")
+        prev_v = f"v{t}"
+    return f"""
+WITH comp AS ({_SQL_COMPONENTS}),
+icomp AS MATERIALIZED (
+  SELECT vec_id, pos,
+         CAST(round(val * {_PCA_Q})
+              + {_SQL_PCA_T.format(c='vec_id')}
+                * {_SQL_PCA_G.format(c='pos')} AS BIGINT) AS q
+  FROM comp
+),
+mu AS (
+  SELECT pos,
+         CAST(CASE WHEN s >= 0 THEN s // n ELSE -((-s) // n) END AS BIGINT)
+           AS mu
+  FROM (
+    SELECT pos, CAST(sum(q) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+    FROM icomp GROUP BY pos
+  )
+),
+cent AS MATERIALIZED (
+  SELECT i.vec_id, i.pos, CAST(i.q - m.mu AS BIGINT) AS c
+  FROM icomp i JOIN mu m USING (pos)
+),
+v0 AS (SELECT pos, CAST({_PCA_UV} AS BIGINT) AS v FROM mu){"".join(steps)}
+SELECT pos, v AS v_micro FROM {prev_v}
+"""
+
+
+QUERIES["emb_pca_power"] = (emb_pca_power, _sql_pca_power())

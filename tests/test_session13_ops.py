@@ -772,3 +772,62 @@ def test_docvalues_delta_size_matches_python_recompute(spark):
     assert r["blocked_vs_global"] == packed - gbytes
     # packing beats raw 8B/value on this column (bit_length ≪ 64)
     assert r["packed_bytes"] < r["raw_bytes"]
+
+
+# ------------------------------------------------- Matryoshka family
+
+
+def test_matryoshka_recall_bounds_and_schema(spark):
+    from harvester_spark.operators.similarity import (
+        MRL_DIMS,
+        TOP_K,
+        emb_matryoshka_recall,
+    )
+
+    rows = emb_matryoshka_recall(spark, SF_DIR).collect()
+    assert len(rows) == 5 * len(MRL_DIMS)
+    for r in rows:
+        assert 0 <= r["n_hits"] <= TOP_K
+        assert abs(r["recall"] - r["n_hits"] / TOP_K) < 1e-9
+    # truncation genuinely loses recall somewhere (isotropic prefixes
+    # are NOT the full vector) and retains some signal somewhere
+    assert any(r["n_hits"] < TOP_K for r in rows)
+    assert any(r["n_hits"] > 0 for r in rows)
+
+
+def test_matryoshka_funnel_dominates_prefix_only(spark):
+    from harvester_spark.operators.similarity import ann_matryoshka_rerank
+
+    rows = ann_matryoshka_rerank(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    # the defining funnel property: exact rerank of the prefix shortlist
+    # can only improve on the prefix-only top-k — and genuinely does
+    assert all(r["n_hits_funnel"] >= r["n_hits_prefix"] for r in rows)
+    assert any(r["n_hits_funnel"] > r["n_hits_prefix"] for r in rows)
+
+
+# ----------------------------------------------- PCA power iteration
+
+
+def test_pca_power_recovers_planted_direction(spark):
+    import hashlib
+
+    import numpy as np
+
+    from harvester_spark.operators.similarity import emb_pca_power
+
+    def h56(sv: str) -> int:
+        return int(hashlib.md5(sv.encode()).hexdigest()[:14], 16)
+
+    g = np.array([h56(f"pcag:{j}") % 9 - 4 for j in range(64)], dtype=float)
+    rows = emb_pca_power(spark, SF_DIR).collect()
+    assert len(rows) == 64
+    v = np.zeros(64)
+    for r in rows:
+        v[r["pos"]] = r["v_micro"]
+    assert np.abs(v).max() == 1_000_000  # normalized: some |component| = unit
+    cos = abs(v @ g / (np.linalg.norm(v) * np.linalg.norm(g)))
+    # the planted rank-one spike must be recovered through 4 integer
+    # power iterations — near-isotropic data alone would sit ≈ 0.2-0.35
+    # (measured), so this threshold separates recovery from drift
+    assert cos > 0.99
