@@ -1560,3 +1560,247 @@ FROM store
 """
 
 QUERIES["cdc_chunk_dedup"] = (cdc_chunk_dedup, SQL_CDC_CHUNK_DEDUP)
+
+
+# ---------------------------------------------- Broder CONTAINMENT pairs
+
+# Broder (SEQUENCES 1997) defines TWO near-dup measures: resemblance
+# (Jaccard — everything above) and CONTAINMENT c(A,B) = |A∩B|/|A|, the
+# asymmetric one that catches quote-expansion pages, boilerplate-wrapped
+# reposts, and prefix/superset articles that resemblance MISSES (a small
+# doc fully inside a big one has Jaccard ≈ |A|/|B| but containment 1.0).
+# This operator re-checks the LSH candidate pairs with exact DIRECTIONAL
+# containment in floored micro-units ((n_inter·1e6) DIV n — nonnegative,
+# no trunc/floor seam).
+#
+# Honest recall caveat (documented, test-pinned only on what it claims):
+# the candidate generator is the RESEMBLANCE-tuned banding
+# (dedup_lsh_pairs), so extreme-asymmetry pairs below the banding's
+# Jaccard threshold are out of reach here; a production containment pass
+# hashes only the CONTAINED side's shingles (Broder's modified sketch).
+# The scale shape is unchanged from dedup_lsh_jaccard_verified: banded
+# equi-join for candidates, two (doc, shingle) hash joins for the exact
+# check — candidates only, never all-pairs.
+
+
+def dedup_containment_pairs(spark, sf_dir):
+    """(doc_a, doc_b, n_inter, n_a, n_b, cont_ab_micro, cont_ba_micro,
+    max_cont_micro): exact directional shingle containment for every LSH
+    candidate pair, floored micro-units."""
+    cand = dedup_lsh_pairs(spark, sf_dir)
+    sh = _shingles2(spark, sf_dir).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_sh"))
+    sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    shb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sha, "doc_a")
+        .join(shb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "cont_ab_micro",
+            F.expr("(n_inter * 1000000) DIV n_a").cast("long"),
+        )
+        .withColumn(
+            "cont_ba_micro",
+            F.expr("(n_inter * 1000000) DIV n_b").cast("long"),
+        )
+        .withColumn(
+            "max_cont_micro",
+            F.greatest("cont_ab_micro", "cont_ba_micro").cast("long"),
+        )
+        .select(
+            "doc_a", "doc_b", "n_inter", "n_a", "n_b",
+            "cont_ab_micro", "cont_ba_micro", "max_cont_micro",
+        )
+    )
+
+
+SQL_CONTAINMENT_PAIRS = f"""
+WITH sh AS ({_SQL_SHINGLES2}),
+hx AS (
+  SELECT doc_id, i,
+         {_SQL_HASH56.format(col="(i || ':' || shingle)")} AS h
+  FROM sh CROSS JOIN (SELECT unnest(range({N_MINHASH})) AS i)
+),
+sig AS (SELECT doc_id, {_sql_minhash_cols} FROM hx GROUP BY doc_id),
+bands AS ({_sql_band_rows}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.r0 = b.r0 AND a.r1 = b.r1 AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+       CAST((n_inter * 1000000) // sa.n_sh AS BIGINT) AS cont_ab_micro,
+       CAST((n_inter * 1000000) // sb.n_sh AS BIGINT) AS cont_ba_micro,
+       CAST(greatest((n_inter * 1000000) // sa.n_sh,
+                     (n_inter * 1000000) // sb.n_sh) AS BIGINT)
+         AS max_cont_micro
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+"""
+
+QUERIES["dedup_containment_pairs"] = (
+    dedup_containment_pairs,
+    SQL_CONTAINMENT_PAIRS,
+)
+
+
+# ------------------------------------------------ b-bit minhash (b = 1)
+
+# Li & König (WWW 2010, "b-Bit Minwise Hashing"): storing only the
+# LOWEST b bits of each minhash shrinks sketches 64/b-fold; for b = 1
+# two docs' bits agree with probability A = J + (1−J)/2, so
+# Ĵ = 2A − 1 recovers resemblance from bit agreement. This evaluates
+# that estimator against EXACT Jaccard on the bounded labeled subset
+# (the dedup_shingle_jaccard quadratic-baseline discipline,
+# doc_id < {JACCARD_SUBSET}) with BBIT_K = 24 independent minhashes
+# (salt prefix 'b<i>:' keeps them independent of the 6-slot LSH
+# signature family — correlated hash families are exactly the
+# hll_error_eval trap).
+#
+# All integer: bits are min-hash % 2; agreement counts are exact int64;
+# j_exact_micro = (n_inter·1e6) DIV union; j_est_micro clamps the
+# unbiased 2A−1 at 0 ((2·n_agree − K) can go negative on disjoint
+# docs — that clamp is part of the estimator, not a fudge).
+#
+# Scale shape: the sketch is one groupBy(doc_id) with K map-side partial
+# mins (the dedup_minhash_signatures plan, K=24 instead of 6); the
+# quadratic pair stage is the LABELED bounded baseline — the corpus-wide
+# path pairs sketches through banding exactly as dedup_lsh_pairs does.
+
+BBIT_K = 24
+
+
+def dedup_bbit_minhash_eval(spark, sf_dir):
+    """(doc_a, doc_b, n_agree, j_exact_micro, j_est_micro, abs_err_micro):
+    1-bit minhash resemblance estimate vs exact Jaccard for every pair of
+    the bounded subset with intersecting shingle sets."""
+    sh_all = _shingles2(spark, sf_dir).filter(
+        F.col("doc_id") < JACCARD_SUBSET
+    ).cache()
+    bits = sh_all.groupBy("doc_id").agg(
+        *[
+            (
+                F.min(_hash56(F.concat(F.lit(f"b{i}:"), F.col("shingle")))) % 2
+            ).cast("long").alias(f"b{i}")
+            for i in range(BBIT_K)
+        ]
+    )
+    sizes = sh_all.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_sh")
+    )
+    sha = sh_all.select(F.col("doc_id").alias("doc_a"), "shingle")
+    shb = sh_all.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        sha.join(shb, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_inter"))
+    )
+    ba = bits.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"b{i}").alias(f"a{i}") for i in range(BBIT_K)],
+    )
+    bb = bits.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"b{i}").alias(f"c{i}") for i in range(BBIT_K)],
+    )
+    agree_expr = " + ".join(
+        f"CAST(a{i} = c{i} AS BIGINT)" for i in range(BBIT_K)
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(ba, "doc_a")
+        .join(bb, "doc_b")
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_agree", F.expr(agree_expr).cast("long"))
+        .withColumn(
+            "j_exact_micro",
+            F.expr(
+                "(n_inter * 1000000) DIV (n_a + n_b - n_inter)"
+            ).cast("long"),
+        )
+        .withColumn(
+            "j_est_micro",
+            F.expr(
+                f"greatest(CAST(0 AS BIGINT),"
+                f" ((2 * n_agree - {BBIT_K}) * 1000000) DIV {BBIT_K})"
+            ).cast("long"),
+        )
+        .withColumn(
+            "abs_err_micro", F.abs(F.col("j_est_micro") - F.col("j_exact_micro")).cast("long")
+        )
+        .select(
+            "doc_a", "doc_b", "n_agree",
+            "j_exact_micro", "j_est_micro", "abs_err_micro",
+        )
+    )
+
+
+_sql_bbit_cols = ",\n       ".join(
+    f"CAST(min(CASE WHEN i = {i} THEN h END) % 2 AS BIGINT) AS b{i}"
+    for i in range(BBIT_K)
+)
+_sql_bbit_agree = " + ".join(
+    f"CAST(ba.b{i} = bb.b{i} AS BIGINT)" for i in range(BBIT_K)
+)
+
+SQL_BBIT_MINHASH_EVAL = f"""
+WITH sh AS MATERIALIZED (
+  SELECT * FROM ({_SQL_SHINGLES2}) WHERE doc_id < {JACCARD_SUBSET}
+),
+hx AS (
+  SELECT doc_id, i,
+         {_SQL_HASH56.format(col="('b' || i || ':' || shingle)")} AS h
+  FROM sh CROSS JOIN (SELECT unnest(range({BBIT_K})) AS i)
+),
+bits AS MATERIALIZED (
+  SELECT doc_id, {_sql_bbit_cols}
+  FROM hx GROUP BY doc_id
+),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS n_inter
+  FROM sh a JOIN sh b ON b.shingle = a.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       CAST({_sql_bbit_agree} AS BIGINT) AS n_agree,
+       CAST((i.n_inter * 1000000) // (sa.n_sh + sb.n_sh - i.n_inter)
+            AS BIGINT) AS j_exact_micro,
+       CAST(greatest(0, ((2 * ({_sql_bbit_agree}) - {BBIT_K}) * 1000000)
+                        // {BBIT_K}) AS BIGINT) AS j_est_micro,
+       CAST(abs(greatest(0, ((2 * ({_sql_bbit_agree}) - {BBIT_K}) * 1000000)
+                            // {BBIT_K})
+                - (i.n_inter * 1000000) // (sa.n_sh + sb.n_sh - i.n_inter))
+            AS BIGINT) AS abs_err_micro
+FROM inter i
+JOIN bits ba ON ba.doc_id = i.doc_a
+JOIN bits bb ON bb.doc_id = i.doc_b
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+"""
+
+QUERIES["dedup_bbit_minhash_eval"] = (
+    dedup_bbit_minhash_eval,
+    SQL_BBIT_MINHASH_EVAL,
+)

@@ -831,3 +831,83 @@ def test_pca_power_recovers_planted_direction(spark):
     # power iterations — near-isotropic data alone would sit ≈ 0.2-0.35
     # (measured), so this threshold separates recovery from drift
     assert cos > 0.99
+
+
+# ---------------------------------------------- Broder containment
+
+
+def test_containment_exact_recompute_and_asymmetry(spark, corpus):
+    from harvester_spark.operators.dedup import dedup_containment_pairs
+
+    def shingles(ts):
+        return set(
+            f"{a} {b}" for a, b in zip(ts, ts[1:])
+        )
+
+    sh = {d: shingles(ts) for d, ts in corpus.items()}
+    rows = dedup_containment_pairs(spark, SF_DIR).collect()
+    assert rows  # the LSH banding finds candidates on this corpus
+    for r in rows:
+        A, B = sh[r["doc_a"]], sh[r["doc_b"]]
+        inter = len(A & B)
+        assert (r["n_inter"], r["n_a"], r["n_b"]) == (inter, len(A), len(B))
+        assert r["cont_ab_micro"] == (inter * 1_000_000) // len(A)
+        assert r["cont_ba_micro"] == (inter * 1_000_000) // len(B)
+        # containment dominates resemblance structurally
+        jac = (inter * 1_000_000) // (len(A) + len(B) - inter)
+        assert r["max_cont_micro"] >= jac
+    # the measure is genuinely ASYMMETRIC on this corpus (else reporting
+    # two directions is dead weight)
+    assert any(r["cont_ab_micro"] != r["cont_ba_micro"] for r in rows)
+
+
+# ------------------------------------------------- 1-bit minhash
+
+
+def test_bbit_minhash_recompute_and_discrimination(spark, corpus):
+    import hashlib
+
+    from harvester_spark.operators.dedup import (
+        BBIT_K,
+        JACCARD_SUBSET,
+        dedup_bbit_minhash_eval,
+    )
+
+    def h56(sv: str) -> int:
+        return int(hashlib.md5(sv.encode()).hexdigest()[:14], 16)
+
+    sh = {
+        d: set(f"{a} {b}" for a, b in zip(ts, ts[1:]))
+        for d, ts in corpus.items()
+        if d < JACCARD_SUBSET
+    }
+    bits = {
+        d: [min(h56(f"b{i}:{s}") for s in ss) % 2 for i in range(BBIT_K)]
+        for d, ss in sh.items()
+        if ss
+    }
+    rows = dedup_bbit_minhash_eval(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        A, B = sh[r["doc_a"]], sh[r["doc_b"]]
+        inter = len(A & B)
+        assert inter > 0
+        agree = sum(
+            1
+            for i in range(BBIT_K)
+            if bits[r["doc_a"]][i] == bits[r["doc_b"]][i]
+        )
+        assert r["n_agree"] == agree
+        assert r["j_exact_micro"] == (inter * 1_000_000) // (
+            len(A) + len(B) - inter
+        )
+        est = max(0, ((2 * agree - BBIT_K) * 1_000_000) // BBIT_K)
+        assert r["j_est_micro"] == est
+        assert r["abs_err_micro"] == abs(est - r["j_exact_micro"])
+    # the estimator DISCRIMINATES: bit agreement over the top-exact-J
+    # quartile beats the bottom quartile (Pr[agree] = J + (1−J)/2)
+    ordered = sorted(rows, key=lambda r: r["j_exact_micro"])
+    q = max(len(ordered) // 4, 1)
+    lo = sum(r["n_agree"] for r in ordered[:q]) / q
+    hi = sum(r["n_agree"] for r in ordered[-q:]) / q
+    assert hi > lo
