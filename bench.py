@@ -147,6 +147,17 @@ HEADLINE = [
     "cdc_chunk_dedup",
     "events_gini_lorenz",
     "hybrid_combmnz_topk",
+    # session-13 additions
+    "ft_tfidf_lnc_ltc_topk",
+    "ft_rm3_rerank_topk",
+    "ranker_tau_correlation",
+    "host_labelprop_communities",
+    "dict_fst_size",
+    "ft_synonym_graph_topk",
+    "curation_secret_entropy",
+    "emb_pca_power",
+    "ann_matryoshka_rerank",
+    "dedup_containment_pairs",
 ]
 WARMUP_DOCS = 2000
 
