@@ -1922,3 +1922,277 @@ FROM agg a CROSS JOIN gstats g
 """
 
 QUERIES["docvalues_delta_size"] = (docvalues_delta_size, SQL_DOCVALUES_DELTA_SIZE)
+
+
+# ------------------------------------------------ BP128 / FOR postings
+
+# The codec the SIMD era actually ships (Lemire & Boytsov 2015,
+# "Decoding billions of integers per second"; Lucene's Lucene99 postings
+# use the same binary-packing shape): fixed 128-entry blocks, each
+# bit-packing its d-gaps at the BLOCK's max gap width — completing the
+# codec bake-off next to varbyte (above), γ/δ, Elias-Fano/PEF and
+# roaring. Layout costed here, per {BLOCK}-entry block:
+#   5-byte doc header (4 B first-docID base + 1 B width)
+#   + ceil(rest·width_doc / 8)          gaps of entries 2..n, width =
+#                                       max length(bin(gap)) in block
+#   1-byte tf header + ceil(n·width_tf / 8)
+# Widths from the pure length(bin(...)) idiom; constant-gap blocks of
+# width 0 cost headers only (the FOR degenerate case). Exact integers
+# end to end; same flagship-term spine as postings_varbyte_size so the
+# two tables compare directly.
+#
+# Scale shape: identical to the varbyte op — one (term, doc) tf agg, one
+# per-term window for gaps, one (term, blk) agg, one term agg.
+
+
+def postings_bp128_size(spark, sf_dir):
+    """(term, df, n_blocks, bytes_docs, bytes_tfs, total_bytes): exact
+    BP128/FOR binary-packing byte cost per flagship term."""
+    from harvester_spark.operators.fulltext_queries import BM25_TERMS
+
+    tf = (
+        doc_tokens(spark, sf_dir)
+        .filter(F.col("term").isin(BM25_TERMS))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    wt = W.partitionBy("term").orderBy("doc_id")
+    rows = (
+        tf.withColumn("rn", F.row_number().over(wt) - 1)
+        .withColumn("blk", F.expr(f"rn DIV {BLOCK}"))
+        .withColumn("is_first", (F.col("rn") % BLOCK == 0).cast("int"))
+        .withColumn(
+            "delta",
+            F.when(F.col("is_first") == 1, F.lit(0).cast("long")).otherwise(
+                F.col("doc_id") - F.lag("doc_id").over(wt)
+            ),
+        )
+    )
+    blocks = rows.groupBy("term", "blk").agg(
+        F.count("*").cast("long").alias("n_b"),
+        F.max(
+            F.when(F.col("is_first") == 0, F.expr("length(bin(delta))"))
+        ).alias("wd_raw"),
+        F.max(F.expr("length(bin(tf))")).cast("long").alias("wt_"),
+    ).withColumn(
+        "wd", F.coalesce(F.col("wd_raw"), F.lit(0)).cast("long")
+    ).withColumn(
+        "bytes_doc",
+        F.expr("5 + ((n_b - 1) * wd + 7) DIV 8").cast("long"),
+    ).withColumn(
+        "bytes_tf",
+        F.expr("1 + (n_b * wt_ + 7) DIV 8").cast("long"),
+    )
+    return blocks.groupBy("term").agg(
+        F.sum("n_b").cast("long").alias("df"),
+        F.count("*").cast("long").alias("n_blocks"),
+        F.sum("bytes_doc").cast("long").alias("bytes_docs"),
+        F.sum("bytes_tf").cast("long").alias("bytes_tfs"),
+        (F.sum("bytes_doc") + F.sum("bytes_tf"))
+        .cast("long")
+        .alias("total_bytes"),
+    )
+
+
+SQL_BP128_SIZE = f"""
+WITH toks AS ({SQL_DOC_TOKS}),
+tf AS (
+  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM toks
+  WHERE term IN ('key', 'value', 'table') GROUP BY term, doc_id
+),
+seq AS (
+  SELECT term, doc_id, tf,
+         row_number() OVER (PARTITION BY term ORDER BY doc_id) - 1 AS rn,
+         doc_id - lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id)
+           AS lag_delta
+  FROM tf
+),
+rows_ AS (
+  SELECT term, tf, rn // {BLOCK} AS blk,
+         CASE WHEN rn % {BLOCK} = 0 THEN 1 ELSE 0 END AS is_first,
+         CASE WHEN rn % {BLOCK} = 0 THEN 0 ELSE lag_delta END AS delta
+  FROM seq
+),
+blocks AS (
+  SELECT term, blk,
+         CAST(count(*) AS BIGINT) AS n_b,
+         CAST(coalesce(max(CASE WHEN is_first = 0
+                                THEN length(bin(delta)) END), 0) AS BIGINT)
+           AS wd,
+         CAST(max(length(bin(tf))) AS BIGINT) AS wt_
+  FROM rows_ GROUP BY 1, 2
+),
+sized AS (
+  SELECT term, n_b,
+         CAST(5 + ((n_b - 1) * wd + 7) // 8 AS BIGINT) AS bytes_doc,
+         CAST(1 + (n_b * wt_ + 7) // 8 AS BIGINT) AS bytes_tf
+  FROM blocks
+)
+SELECT term, CAST(sum(n_b) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(sum(bytes_doc) AS BIGINT) AS bytes_docs,
+       CAST(sum(bytes_tf) AS BIGINT) AS bytes_tfs,
+       CAST(sum(bytes_doc) + sum(bytes_tf) AS BIGINT) AS total_bytes
+FROM sized GROUP BY term
+"""
+
+QUERIES["postings_bp128_size"] = (postings_bp128_size, SQL_BP128_SIZE)
+
+
+# --------------------------------------- impact quantization quality
+
+# Anh & Moffat (2005, impact-ordered indexes) and Lucene's feature
+# quantization store a SMALL integer impact per posting instead of the
+# float contribution; block_max_impacts (above) sizes the codec, this
+# operator measures what quantization does to RANKING quality — the
+# ann_pq_recall_eval discipline applied to text scoring. For each
+# quantization width in IQ_LEVELS (15 = 4-bit, 255 = 8-bit): quantize
+# every per-(term, doc) BM25 contribution to
+# floor(contrib·L / max_contrib), rank by the integer impact sum, and
+# compare the top-10 with the exact float ranking.
+#
+# Determinism: contributions are round(.,6)-ed BEFORE quantization in
+# both engines (identical doubles), so the floor is a deterministic
+# function; everything after is exact int64. The exact ranking is
+# bm25_or_scored — the ONE disjunctive kernel.
+#
+# Scale shape: the contribution spine is the BM25 OR plan; the global
+# max is a 1-row broadcast; per level one integer agg — the level dim
+# multiplies the ranked agg, never the corpus scan.
+
+IQ_LEVELS = (15, 255)
+
+
+def ft_impact_quantization_eval(spark, sf_dir):
+    """(n_levels, n_overlap, sum_abs_shift): per quantization width, the
+    overlap of the impact-sum top-10 with the exact BM25 top-10 and the
+    total |rank shift| of exact-top-10 docs under quantized ranking."""
+    from harvester_spark.operators.fulltext_queries import (
+        BM25_TERMS,
+        bm25_or_scored,
+    )
+
+    toks = doc_tokens(spark, sf_dir)
+    docs_n = load(spark, sf_dir, "documents")
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = docs_n.select(F.count("*").alias("n")).crossJoin(
+        dl.select((F.sum("dl") / F.count("*")).alias("avgdl"))
+    )
+    tf = (
+        toks.filter(F.col("term").isin(BM25_TERMS))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    contrib = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "c6",
+            F.round(
+                F.log(1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                * (F.col("tf") * 2.2)
+                / (
+                    F.col("tf")
+                    + 1.2 * (1.0 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))
+                ),
+                6,
+            ),
+        )
+        .select("term", "doc_id", "c6")
+        .cache()
+    )
+    gmax = contrib.agg(F.max("c6").alias("gmax"))
+    exact = bm25_or_scored(spark, sf_dir)
+    wx = W.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    top_exact = (
+        exact.withColumn("re", F.row_number().over(wx))
+        .filter(F.col("re") <= 10)
+        .select("doc_id", "re")
+    )
+    outs = []
+    for lv in IQ_LEVELS:
+        scored_q = (
+            contrib.crossJoin(F.broadcast(gmax))
+            .withColumn(
+                "q",
+                F.expr(f"CAST(floor(c6 * {lv}.0e0 / gmax) AS BIGINT)"),
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("q").cast("long").alias("sq"))
+        )
+        wq = W.orderBy(F.col("sq").desc(), F.col("doc_id").asc())
+        ranked_q = scored_q.withColumn("rq", F.row_number().over(wq))
+        joined = top_exact.join(ranked_q.select("doc_id", "rq"), "doc_id")
+        outs.append(
+            joined.agg(
+                F.lit(lv).cast("long").alias("n_levels"),
+                F.sum((F.col("rq") <= 10).cast("long"))
+                .cast("long")
+                .alias("n_overlap"),
+                F.sum(F.abs(F.col("rq") - F.col("re")))
+                .cast("long")
+                .alias("sum_abs_shift"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def _sql_impact_quant():
+    from harvester_spark.operators.fulltext_queries import SQL_BM25_OR_TOPK
+
+    levels = []
+    for lv in IQ_LEVELS:
+        levels.append(f"""
+SELECT {lv} AS n_levels,
+       CAST(sum(CASE WHEN rq <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_overlap,
+       CAST(sum(abs(rq - re)) AS BIGINT) AS sum_abs_shift
+FROM top_exact e
+JOIN (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY sq DESC, doc_id ASC) AS rq
+  FROM (
+    SELECT doc_id,
+           CAST(sum(CAST(floor(c6 * {lv}.0e0 / gmax) AS BIGINT)) AS BIGINT)
+             AS sq
+    FROM contrib CROSS JOIN gmaxs GROUP BY doc_id
+  )
+) q USING (doc_id)""")
+    return f"""
+WITH toks AS ({SQL_DOC_TOKS}),
+dls AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) * 1.0e0 / count(*) FROM dls) AS avgdl
+),
+tfs_ AS (
+  SELECT term, doc_id, count(*) AS tf FROM toks
+  WHERE term IN ('key', 'value', 'table') GROUP BY 1, 2
+),
+dfs AS (SELECT term, count(*) AS df FROM tfs_ GROUP BY 1),
+contrib AS MATERIALIZED (
+  SELECT term, doc_id,
+         round(
+           ln(1.0e0 + (n - df + 0.5e0) / (df + 0.5e0))
+           * (tf * 2.2e0)
+           / (tf + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * dl / avgdl)), 6)
+           AS c6
+  FROM tfs_ t JOIN dfs USING (term) JOIN dls USING (doc_id)
+  CROSS JOIN stats
+),
+gmaxs AS (SELECT max(c6) AS gmax FROM contrib),
+top_exact AS MATERIALIZED (
+  SELECT doc_id, rank AS re FROM ({SQL_BM25_OR_TOPK})
+){" UNION ALL ".join(levels)}
+"""
+
+
+QUERIES["ft_impact_quantization_eval"] = (
+    ft_impact_quantization_eval,
+    _sql_impact_quant(),
+)

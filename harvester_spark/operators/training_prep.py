@@ -1528,3 +1528,103 @@ FROM toks GROUP BY doc_id
 
 
 QUERIES["mlm_mask_plan"] = (mlm_mask_plan, _sql_mlm_mask_plan())
+
+
+# --------------------------------------- in-batch negative conflicts
+
+# Contrastive retrieval training (DPR/ICT — ict_pairs above) treats every
+# OTHER document in the batch as a negative. When two same-host (or
+# near-duplicate) documents land in one batch they become FALSE negatives
+# — the model is pushed to separate documents that are actually related,
+# a well-documented quality leak in dense-retriever training. This
+# operator audits the train_order_shuffle batching for exactly that:
+# batches are SHARD-LOCAL (how real per-worker loaders batch, and the
+# scale-safe plan — the window partitions by shard exactly like
+# train_order_shuffle; a single global row_number would serialize the
+# corpus through one partition), sliced every BATCH_SIZE rows of the
+# within-shard salted-hash order; conflict = a same-batch pair sharing
+# documents.source.
+#
+# Everything exact integers: per (batch, source) count c contributes
+# C(c, 2) = c·(c−1) DIV 2 conflict pairs. Output: per-batch rows
+# (batch_key, n_docs, n_conflict_pairs), batch_key = shard·2^32 + local
+# index (injective); zero-conflict batches included — an audit that
+# silently drops clean batches would under-report the denominator.
+
+BATCH_SIZE = 32
+
+
+def train_inbatch_conflicts(spark, sf_dir):
+    """(batch_key, n_docs, n_conflict_pairs): per shard-local training
+    batch of the salted-hash order, how many same-source
+    (false-negative) pairs it contains."""
+    from harvester_spark.operators.dedup import _hash56
+
+    docs = load(spark, sf_dir, "documents")
+    n = docs.count()
+    n_shards = max(n // DOCS_PER_SHARD, 1)
+    key = _hash56(
+        F.concat(F.lit(ORDER_SALT + ":"), F.col("doc_id").cast("string"))
+    )
+    keyed = docs.select(
+        "doc_id", "source", key.alias("order_key"),
+        (key % n_shards).alias("shard"),
+    )
+    w = W.partitionBy("shard").orderBy(
+        F.col("order_key").asc(), F.col("doc_id").asc()
+    )
+    batched = keyed.withColumn(
+        "batch_key",
+        (
+            F.col("shard") * F.lit(2**32)
+            + F.expr(f"(row_number() OVER (PARTITION BY shard ORDER BY "
+                     f"order_key ASC, doc_id ASC) - 1) DIV {BATCH_SIZE}")
+        ).cast("long"),
+    )
+    per_src = batched.groupBy("batch_key", "source").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    return per_src.groupBy("batch_key").agg(
+        F.sum("c").cast("long").alias("n_docs"),
+        F.sum(F.expr("(c * (c - 1)) DIV 2")).cast("long").alias(
+            "n_conflict_pairs"
+        ),
+    )
+
+
+def _sql_inbatch_conflicts() -> str:
+    from harvester_spark.operators.dedup import _SQL_HASH56
+
+    h = _SQL_HASH56.format(col=f"('{ORDER_SALT}:' || CAST(doc_id AS VARCHAR))")
+    return f"""
+WITH nsh AS (
+  SELECT greatest(CAST(count(*) AS BIGINT) // {DOCS_PER_SHARD}, 1) AS ns
+  FROM documents
+),
+keyed AS (
+  SELECT doc_id, source, {h} AS order_key,
+         {h} % (SELECT ns FROM nsh) AS shard
+  FROM documents
+),
+batched AS (
+  SELECT source,
+         shard * 4294967296
+         + (row_number() OVER (
+              PARTITION BY shard ORDER BY order_key ASC, doc_id ASC) - 1)
+           // {BATCH_SIZE} AS batch_key
+  FROM keyed
+),
+per_src AS (
+  SELECT batch_key, source, CAST(count(*) AS BIGINT) AS c
+  FROM batched GROUP BY 1, 2
+)
+SELECT batch_key, CAST(sum(c) AS BIGINT) AS n_docs,
+       CAST(sum((c * (c - 1)) // 2) AS BIGINT) AS n_conflict_pairs
+FROM per_src GROUP BY batch_key
+"""
+
+
+QUERIES["train_inbatch_conflicts"] = (
+    train_inbatch_conflicts,
+    _sql_inbatch_conflicts(),
+)

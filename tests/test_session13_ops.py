@@ -911,3 +911,120 @@ def test_bbit_minhash_recompute_and_discrimination(spark, corpus):
     lo = sum(r["n_agree"] for r in ordered[:q]) / q
     hi = sum(r["n_agree"] for r in ordered[-q:]) / q
     assert hi > lo
+
+
+# ----------------------------------------------------- BP128 sizing
+
+
+def test_bp128_matches_python_recompute(spark, corpus):
+    from harvester_spark.operators.fulltext_queries import BM25_TERMS
+    from harvester_spark.operators.index_stats import BLOCK, postings_bp128_size
+
+    got = {r["term"]: r for r in postings_bp128_size(spark, SF_DIR).collect()}
+    assert set(got) == set(BM25_TERMS)
+    for term in BM25_TERMS:
+        postings = sorted(
+            (d, sum(1 for t in ts if t == term))
+            for d, ts in corpus.items()
+            if term in ts
+        )
+        bytes_doc = bytes_tf = n_blocks = 0
+        for b0 in range(0, len(postings), BLOCK):
+            blk = postings[b0 : b0 + BLOCK]
+            n_blocks += 1
+            gaps = [
+                blk[i][0] - blk[i - 1][0] for i in range(1, len(blk))
+            ]
+            wd = max((g.bit_length() for g in gaps), default=0)
+            wt = max(tf.bit_length() for _, tf in blk)
+            bytes_doc += 5 + (len(gaps) * wd + 7) // 8
+            bytes_tf += 1 + (len(blk) * wt + 7) // 8
+        r = got[term]
+        assert r["df"] == len(postings)
+        assert r["n_blocks"] == n_blocks
+        assert r["bytes_docs"] == bytes_doc
+        assert r["bytes_tfs"] == bytes_tf
+        assert r["total_bytes"] == bytes_doc + bytes_tf
+        # binary packing genuinely beats 8B/posting raw
+        assert r["total_bytes"] < 16 * len(postings)
+
+
+# -------------------------------------------- impact quantization
+
+
+def test_impact_quantization_quality_ordering(spark):
+    from harvester_spark.operators.index_stats import (
+        IQ_LEVELS,
+        ft_impact_quantization_eval,
+    )
+
+    rows = {
+        r["n_levels"]: r
+        for r in ft_impact_quantization_eval(spark, SF_DIR).collect()
+    }
+    assert set(rows) == set(IQ_LEVELS)
+    for r in rows.values():
+        assert 0 <= r["n_overlap"] <= 10
+    # more quantization levels can only help on this corpus: 8-bit must
+    # dominate 4-bit on overlap and not lose on total rank shift
+    assert rows[255]["n_overlap"] >= rows[15]["n_overlap"]
+    assert rows[255]["sum_abs_shift"] <= rows[15]["sum_abs_shift"]
+    # 8-bit impacts preserve the serving top-10 essentially intact —
+    # the property impact-ordered indexes rely on
+    assert rows[255]["n_overlap"] >= 9
+
+
+# ------------------------------------------- in-batch conflicts
+
+
+def test_inbatch_conflicts_match_python_recompute(spark):
+    import hashlib
+
+    from harvester_spark.operators.training_prep import (
+        BATCH_SIZE,
+        DOCS_PER_SHARD,
+        ORDER_SALT,
+        train_inbatch_conflicts,
+    )
+
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "source")
+        .collect()
+    )
+    n_shards = max(len(rows) // DOCS_PER_SHARD, 1)
+
+    def h56(sv: str) -> int:
+        return int(hashlib.md5(sv.encode()).hexdigest()[:14], 16)
+
+    keyed = [
+        (h56(f"{ORDER_SALT}:{r['doc_id']}"), r["doc_id"], r["source"])
+        for r in rows
+    ]
+    shards = {}
+    for k, d, src in keyed:
+        shards.setdefault(k % n_shards, []).append((k, d, src))
+    expect = {}
+    for sh, members in shards.items():
+        members.sort()
+        for i, (_, _, src) in enumerate(members):
+            bk = sh * 2**32 + i // BATCH_SIZE
+            expect.setdefault(bk, []).append(src)
+    want = {
+        bk: (
+            len(srcs),
+            sum(
+                c * (c - 1) // 2 for c in Counter(srcs).values()
+            ),
+        )
+        for bk, srcs in expect.items()
+    }
+    got = {
+        r["batch_key"]: (r["n_docs"], r["n_conflict_pairs"])
+        for r in train_inbatch_conflicts(spark, SF_DIR).collect()
+    }
+    assert got == want
+    # the audit finds real conflicts on this corpus (20 sources ⇒
+    # birthday collisions inside 32-doc batches are near-certain)
+    assert sum(v[1] for v in got.values()) > 0
+    assert any(v[1] == 0 or v[1] > 0 for v in got.values())
