@@ -2196,3 +2196,120 @@ QUERIES["ft_impact_quantization_eval"] = (
     ft_impact_quantization_eval,
     _sql_impact_quant(),
 )
+
+
+# ------------------------------------------- shard top-k merge safety
+
+# The distributed-serving correctness question (the docID-range fan-out
+# in search/distributed.py relies on it): when each of N_MERGE_SHARDS
+# shards returns its LOCAL top-k', is the GLOBAL top-k guaranteed
+# inside the union? It is iff every global-top-k doc sits at local rank
+# ≤ k' on its shard — so the planning quantity is max local rank of the
+# global winners per shard (terms_shard_error_eval asks the same
+# question for aggregations; this is the retrieval twin). Sharding is
+# doc_id % N (the uniform router); scoring is bm25_or_scored, the ONE
+# disjunctive kernel.
+#
+# Output per shard (all shards, zero-hit shards included — a fan-out
+# planner needs the denominator): n_global_hits and the max local rank
+# those hits reach. k' = max over shards of max_local_rank is the safe
+# per-shard fetch depth; with a uniform router it concentrates near
+# k/N + slack, the fan-out economy the serving path banks on.
+#
+# Scale shape: one global top-k (TakeOrdered), one partition-by-shard
+# window over the SAME scored frame, one shard groupBy.
+
+N_MERGE_SHARDS = 4
+
+
+def shard_topk_merge_eval(spark, sf_dir):
+    """(shard, n_global_hits, max_local_rank): per doc_id % 4 shard, how
+    many of the global BM25 top-10 it owns and the deepest local rank a
+    global winner reaches there."""
+    from harvester_spark.operators.fulltext_queries import bm25_or_scored
+
+    scored = bm25_or_scored(spark, sf_dir).withColumn(
+        "shard", (F.col("doc_id") % N_MERGE_SHARDS).cast("long")
+    )
+    wg = W.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    wl = W.partitionBy("shard").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    ranked = scored.withColumn("rg", F.row_number().over(wg)).withColumn(
+        "rl", F.row_number().over(wl)
+    )
+    hits = (
+        ranked.filter(F.col("rg") <= 10)
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_global_hits"),
+            F.max("rl").cast("long").alias("max_local_rank"),
+        )
+    )
+    shards = spark.createDataFrame(
+        [(s,) for s in range(N_MERGE_SHARDS)], "shard long"
+    )
+    return shards.join(hits, "shard", "left").select(
+        "shard",
+        F.coalesce("n_global_hits", F.lit(0)).cast("long").alias(
+            "n_global_hits"
+        ),
+        F.coalesce("max_local_rank", F.lit(0)).cast("long").alias(
+            "max_local_rank"
+        ),
+    )
+
+
+def _sql_shard_topk_merge() -> str:
+    from harvester_spark.operators.fulltext_queries import SQL_BM25_OR_TOPK
+
+    # the OR kernel's full scored frame, not just its top-10: rebuild the
+    # scored CTE the same way the Spark side does
+    return f"""
+WITH toks AS ({SQL_DOC_TOKS}),
+dls AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) * 1.0e0 / count(*) FROM dls) AS avgdl
+),
+tfs_ AS (
+  SELECT term, doc_id, count(*) AS tf FROM toks
+  WHERE term IN ('key', 'value', 'table') GROUP BY 1, 2
+),
+dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM tfs_ GROUP BY 1),
+scored AS (
+  SELECT doc_id,
+         round(sum(
+           ln(1.0e0 + (n - df + 0.5e0) / (df + 0.5e0))
+           * (tf * 2.2e0)
+           / (tf + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * dl / avgdl))
+         ), 6) AS score
+  FROM tfs_ t JOIN dfs USING (term) JOIN dls USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY doc_id
+),
+ranked AS (
+  SELECT doc_id, doc_id % {N_MERGE_SHARDS} AS shard,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rg,
+         row_number() OVER (
+           PARTITION BY doc_id % {N_MERGE_SHARDS}
+           ORDER BY score DESC, doc_id ASC) AS rl
+  FROM scored
+),
+hits AS (
+  SELECT shard, CAST(count(*) AS BIGINT) AS n_global_hits,
+         CAST(max(rl) AS BIGINT) AS max_local_rank
+  FROM ranked WHERE rg <= 10 GROUP BY shard
+)
+SELECT s.shard,
+       CAST(coalesce(h.n_global_hits, 0) AS BIGINT) AS n_global_hits,
+       CAST(coalesce(h.max_local_rank, 0) AS BIGINT) AS max_local_rank
+FROM (SELECT unnest(range({N_MERGE_SHARDS})) AS shard) s
+LEFT JOIN hits h USING (shard)
+"""
+
+
+QUERIES["shard_topk_merge_eval"] = (
+    shard_topk_merge_eval,
+    _sql_shard_topk_merge(),
+)

@@ -1415,3 +1415,99 @@ FROM allrows
 """
 
 QUERIES["kmv_theta_eval"] = (kmv_theta_eval, SQL_KMV_THETA_EVAL)
+
+
+# ---------------------------------------------- AMQ structure bake-off
+
+# bloom_snapshot_novelty (above) uses one approximate-membership
+# structure; this sizes the three standard AMQs against each other at
+# the SAME derived capacity and target FPR — the planning query a
+# crawler runs before choosing its frontier dedup structure:
+#   Bloom   (Bloom 1970):        m = n·k/ln2 bits, k = log2(1/ε)
+#   Cuckoo  (Fan et al. 2014):   (log2(1/ε)+3)-bit fingerprints at
+#                                α = 0.955 load
+#   Quotient(Bender et al. 2012): 2^q slots (next pow2 ≥ n/0.75) of
+#                                r+3 bits, r = log2(1/ε)
+# ε = 2^-8 keeps every exponent integer. Irrational constants enter as
+# FIXED RATIONALS (1/ln2 → 14427/10000; 1/0.955 → 10000/9550; 1/0.75 →
+# 10000/7500) so both engines size from exact integer arithmetic — a
+# float ln2 at a capacity boundary is exactly the divergence
+# derive_bloom_m's bit_length contract exists to prevent. Next-pow2 via
+# 1 << length(bin(x−1)) (the integer bit_length idiom).
+#
+# Scale shape: ONE distinct-count over corpus 2-shingles (the dedup
+# spine's cardinality — at 100 TB you would feed the HLL estimate in
+# instead, same sizing arithmetic); everything after is a 1-row map.
+
+AMQ_EPS_LOG2 = 8  # ε = 2^-8
+
+
+def amq_filter_compare(spark, sf_dir):
+    """(n_items, bloom_bits, bloom_k, cuckoo_bits, qf_bits,
+    bloom_bpi_milli, cuckoo_bpi_milli, qf_bpi_milli): exact integer
+    sizing of Bloom vs cuckoo vs quotient filters for the corpus
+    2-shingle set at ε = 2^-{AMQ_EPS_LOG2}."""
+    from harvester_spark.operators.dedup import _shingles2
+
+    n_df = _shingles2(spark, sf_dir).agg(
+        F.countDistinct("shingle").cast("long").alias("n")
+    )
+    k = AMQ_EPS_LOG2
+    f_cuckoo = AMQ_EPS_LOG2 + 3
+    r_qf = AMQ_EPS_LOG2 + 3
+    return n_df.select(
+        F.col("n").alias("n_items"),
+        F.expr(f"(n * {k} * 14427) DIV 10000").cast("long").alias("bloom_bits"),
+        F.lit(k).cast("long").alias("bloom_k"),
+        F.expr(f"((n * 10000) DIV 9550 + 1) * {f_cuckoo}")
+        .cast("long")
+        .alias("cuckoo_bits"),
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT),"
+            f" length(bin((n * 10000) DIV 7500 - 1))) * {r_qf}"
+        )
+        .cast("long")
+        .alias("qf_bits"),
+        F.expr(f"(((n * {k} * 14427) DIV 10000) * 1000) DIV n")
+        .cast("long")
+        .alias("bloom_bpi_milli"),
+        F.expr(f"((((n * 10000) DIV 9550 + 1) * {f_cuckoo}) * 1000) DIV n")
+        .cast("long")
+        .alias("cuckoo_bpi_milli"),
+        F.expr(
+            f"((shiftleft(CAST(1 AS BIGINT),"
+            f" length(bin((n * 10000) DIV 7500 - 1))) * {r_qf}) * 1000) DIV n"
+        )
+        .cast("long")
+        .alias("qf_bpi_milli"),
+    )
+
+
+def _sql_amq_compare() -> str:
+    from harvester_spark.operators.dedup import _SQL_SHINGLES2
+
+    k = AMQ_EPS_LOG2
+    f = AMQ_EPS_LOG2 + 3
+    return f"""
+WITH ns AS (
+  SELECT CAST(count(DISTINCT shingle) AS BIGINT) AS n
+  FROM ({_SQL_SHINGLES2})
+),
+sized AS (
+  SELECT n,
+         CAST((n * {k} * 14427) // 10000 AS BIGINT) AS bloom_bits,
+         CAST(((n * 10000) // 9550 + 1) * {f} AS BIGINT) AS cuckoo_bits,
+         CAST((CAST(1 AS BIGINT) << length(bin((n * 10000) // 7500 - 1)))
+              * {f} AS BIGINT) AS qf_bits
+  FROM ns
+)
+SELECT n AS n_items, bloom_bits, CAST({k} AS BIGINT) AS bloom_k,
+       cuckoo_bits, qf_bits,
+       CAST((bloom_bits * 1000) // n AS BIGINT) AS bloom_bpi_milli,
+       CAST((cuckoo_bits * 1000) // n AS BIGINT) AS cuckoo_bpi_milli,
+       CAST((qf_bits * 1000) // n AS BIGINT) AS qf_bpi_milli
+FROM sized
+"""
+
+
+QUERIES["amq_filter_compare"] = (amq_filter_compare, _sql_amq_compare())

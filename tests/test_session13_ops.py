@@ -1028,3 +1028,82 @@ def test_inbatch_conflicts_match_python_recompute(spark):
     # birthday collisions inside 32-doc batches are near-certain)
     assert sum(v[1] for v in got.values()) > 0
     assert any(v[1] == 0 or v[1] > 0 for v in got.values())
+
+
+# ------------------------------------------------------ AMQ bake-off
+
+
+def test_amq_compare_matches_python_recompute(spark, corpus):
+    from harvester_spark.operators.sketches import (
+        AMQ_EPS_LOG2,
+        amq_filter_compare,
+    )
+
+    n = len(
+        set(
+            f"{a} {b}"
+            for ts in corpus.values()
+            for a, b in zip(ts, ts[1:])
+        )
+    )
+    k = AMQ_EPS_LOG2
+    f = AMQ_EPS_LOG2 + 3
+    bloom = (n * k * 14427) // 10000
+    cuckoo = ((n * 10000) // 9550 + 1) * f
+    qf = (1 << ((n * 10000) // 7500 - 1).bit_length()) * f
+    r = amq_filter_compare(spark, SF_DIR).collect()[0]
+    assert r["n_items"] == n
+    assert r["bloom_bits"] == bloom
+    assert r["bloom_k"] == k
+    assert r["cuckoo_bits"] == cuckoo
+    assert r["qf_bits"] == qf
+    assert r["bloom_bpi_milli"] == (bloom * 1000) // n
+    assert r["cuckoo_bpi_milli"] == (cuckoo * 1000) // n
+    assert r["qf_bpi_milli"] == (qf * 1000) // n
+    # sanity: all three sit in the 10–25 bits/item band at ε = 2^-8
+    # (the quotient filter pays the pow2 round-up, so it is the widest)
+    for col in ("bloom_bpi_milli", "cuckoo_bpi_milli", "qf_bpi_milli"):
+        assert 10_000 <= r[col] <= 25_000
+    assert r["qf_bpi_milli"] >= r["bloom_bpi_milli"]
+
+
+# ------------------------------------------------- shard top-k merge
+
+
+def test_shard_topk_merge_matches_python_recompute(spark, corpus):
+    from harvester_spark.operators.index_stats import (
+        N_MERGE_SHARDS,
+        shard_topk_merge_eval,
+    )
+    from harvester_spark.operators.fulltext_queries import bm25_or_scored
+
+    scored = [
+        (r["doc_id"], float(r["score"]))
+        for r in bm25_or_scored(spark, SF_DIR).collect()
+    ]
+    glob = sorted(scored, key=lambda kv: (-kv[1], kv[0]))
+    top10 = [d for d, _ in glob[:10]]
+    local_rank = {}
+    for sh in range(N_MERGE_SHARDS):
+        members = sorted(
+            (kv for kv in scored if kv[0] % N_MERGE_SHARDS == sh),
+            key=lambda kv: (-kv[1], kv[0]),
+        )
+        for i, (d, _) in enumerate(members, start=1):
+            local_rank[d] = i
+    expect = {}
+    for sh in range(N_MERGE_SHARDS):
+        hits = [d for d in top10 if d % N_MERGE_SHARDS == sh]
+        expect[sh] = (
+            len(hits),
+            max((local_rank[d] for d in hits), default=0),
+        )
+    got = {
+        r["shard"]: (r["n_global_hits"], r["max_local_rank"])
+        for r in shard_topk_merge_eval(spark, SF_DIR).collect()
+    }
+    assert got == expect
+    assert sum(v[0] for v in got.values()) == 10  # winners all accounted
+    # the fan-out economy: per-shard fetch depth k' ≪ shard size — local
+    # rank of a global winner never exceeds 10 (k' = k suffices here)
+    assert all(v[1] <= 10 for v in got.values())
