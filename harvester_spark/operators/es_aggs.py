@@ -2898,3 +2898,99 @@ FROM hc CROSS JOIN g CROSS JOIN rate
 """
 
 QUERIES["events_markov_entropy"] = (events_markov_entropy, SQL_MARKOV_ENTROPY)
+
+
+# ---------------------------------------------------- geohash_grid agg
+
+# The one OpenSearch agg family absent so far: geo bucketing. The corpus
+# has no coordinates, so both engines PLANT the same md5-derived ones
+# in-query (lat/lon in exact MILLI-degrees — the planted-input doctrine:
+# synthesis must be identical and integer): lat_milli ∈ [−90000, 89999],
+# lon_milli ∈ [−180000, 179999]. A precision-1 geohash is 5 interleaved
+# bisection bits (lon₂ lat₁ lon₁ lat₀ lon₀ from the MSB): with milli
+# coordinates the bisections are pure integer arithmetic —
+#   lon3 = ((lon + 180000)·8) DIV 360000 (3 bits),
+#   lat2 = ((lat + 90000)·4) DIV 180000 (2 bits)
+# — so NO float trigonometry or log ever runs (a web-mercator tile_y
+# would need ln∘tan, exactly the cross-engine float trap). The cell id
+# and its base32 char are shared expressions; operands are nonnegative
+# after the shift so DIV and // agree.
+#
+# Scale shape: map-only hash + one cell groupBy — the a1_facet_counts
+# plan with a computed key.
+
+GEO_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+_GEO_LON3 = "(((lon_milli + 180000) * 8) {div} 360000)"
+_GEO_LAT2 = "(((lat_milli + 90000) * 4) {div} 180000)"
+# interleave lon₂ lat₁ lon₁ lat₀ lon₀ (geohash char bit order)
+_GEO_CELL = (
+    f"(({_GEO_LON3} {{div}} 4) % 2) * 16"
+    f" + (({_GEO_LAT2} {{div}} 2) % 2) * 8"
+    f" + (({_GEO_LON3} {{div}} 2) % 2) * 4"
+    f" + ({_GEO_LAT2} % 2) * 2"
+    f" + ({_GEO_LON3} % 2)"
+)
+
+
+def es_geohash_grid(spark, sf_dir):
+    """(rank, cell, geohash, n_docs): precision-1 geohash_grid buckets of
+    the planted document coordinates, top-15 by count."""
+    from harvester_spark.operators.dedup import _hash56
+
+    docs = load(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        (
+            _hash56(F.concat(F.lit("lat:"), F.col("doc_id").cast("string")))
+            % 180000
+            - 90000
+        ).alias("lat_milli"),
+        (
+            _hash56(F.concat(F.lit("lon:"), F.col("doc_id").cast("string")))
+            % 360000
+            - 180000
+        ).alias("lon_milli"),
+    )
+    cells = planted.withColumn(
+        "cell", F.expr(_GEO_CELL.format(div="DIV")).cast("long")
+    )
+    agg = cells.groupBy("cell").agg(F.count("*").cast("long").alias("n_docs"))
+    agg = agg.withColumn(
+        "geohash",
+        F.expr(f"substring('{GEO_ALPHABET}', CAST(cell AS INT) + 1, 1)"),
+    )
+    top = agg.orderBy(F.col("n_docs").desc(), F.col("cell").asc()).limit(15)
+    w = W.orderBy(F.col("n_docs").desc(), F.col("cell").asc())
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "cell", "geohash", "n_docs"
+    )
+
+
+def _sql_geohash_grid() -> str:
+    from harvester_spark.operators.dedup import _SQL_HASH56
+
+    lat = _SQL_HASH56.format(col="('lat:' || CAST(doc_id AS VARCHAR))")
+    lon = _SQL_HASH56.format(col="('lon:' || CAST(doc_id AS VARCHAR))")
+    cell = _GEO_CELL.format(div="//")
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         {lat} % 180000 - 90000 AS lat_milli,
+         {lon} % 360000 - 180000 AS lon_milli
+  FROM documents
+),
+cells AS (SELECT CAST({cell} AS BIGINT) AS cell FROM planted),
+agg AS (
+  SELECT cell, CAST(count(*) AS BIGINT) AS n_docs FROM cells GROUP BY 1
+)
+SELECT CAST(row_number() OVER (ORDER BY n_docs DESC, cell ASC) AS INT)
+         AS rank,
+       cell,
+       substr('{GEO_ALPHABET}', CAST(cell AS INT) + 1, 1) AS geohash,
+       n_docs
+FROM agg
+ORDER BY n_docs DESC, cell ASC LIMIT 15
+"""
+
+
+QUERIES["es_geohash_grid"] = (es_geohash_grid, _sql_geohash_grid())

@@ -2313,3 +2313,80 @@ QUERIES["shard_topk_merge_eval"] = (
     shard_topk_merge_eval,
     _sql_shard_topk_merge(),
 )
+
+
+# ------------------------------------------------- skip-list structure
+
+# Lucene's MultiLevelSkipListWriter: every SKIP_INTERVAL-th posting gets
+# a level-0 skip entry, every SKIP_INTERVAL-th of those a level-1 entry,
+# and so on — the structure WAND/MaxScore block skipping (wand.py)
+# actually traverses. Exact integer sizing per flagship term:
+#   levels   = #thresholds df ≥ 8^k crossed (the _vb_len CASE-chain
+#              idiom — no float log8 at a power boundary)
+#   pointers = Σ_k df DIV 8^k   (k = 1..levels)
+#   bytes    = pointers · {SKIP_ENTRY_BYTES} (docID delta + file offset
+#              + child pointer, the Lucene entry shape)
+#
+# Scale shape: rides the same (term, doc) tf agg every postings-sizing
+# op uses; the level arithmetic is a 3-row map.
+
+SKIP_INTERVAL = 8
+SKIP_MAX_LEVELS = 6  # 8^6 = 262144 — covers any df this corpus reaches
+SKIP_ENTRY_BYTES = 10
+
+
+def postings_skiplist_size(spark, sf_dir):
+    """(term, df, n_levels, n_pointers, skip_bytes): exact multi-level
+    skip-list cost per flagship term at interval {SKIP_INTERVAL}."""
+    from harvester_spark.operators.fulltext_queries import BM25_TERMS
+
+    df_ = (
+        doc_tokens(spark, sf_dir)
+        .filter(F.col("term").isin(BM25_TERMS))
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").cast("long").alias("df"))
+    )
+    levels = " + ".join(
+        f"CASE WHEN df >= {SKIP_INTERVAL ** k} THEN 1 ELSE 0 END"
+        for k in range(1, SKIP_MAX_LEVELS + 1)
+    )
+    pointers = " + ".join(
+        f"(df DIV {SKIP_INTERVAL ** k})" for k in range(1, SKIP_MAX_LEVELS + 1)
+    )
+    return df_.select(
+        "term",
+        "df",
+        F.expr(f"({levels})").cast("long").alias("n_levels"),
+        F.expr(f"({pointers})").cast("long").alias("n_pointers"),
+        F.expr(f"({pointers}) * {SKIP_ENTRY_BYTES}")
+        .cast("long")
+        .alias("skip_bytes"),
+    )
+
+
+def _sql_skiplist_size() -> str:
+    levels = " + ".join(
+        f"CASE WHEN df >= {SKIP_INTERVAL ** k} THEN 1 ELSE 0 END"
+        for k in range(1, SKIP_MAX_LEVELS + 1)
+    )
+    pointers = " + ".join(
+        f"(df // {SKIP_INTERVAL ** k})" for k in range(1, SKIP_MAX_LEVELS + 1)
+    )
+    return f"""
+WITH toks AS ({SQL_DOC_TOKS}),
+dfs AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM toks
+  WHERE term IN ('key', 'value', 'table') GROUP BY 1
+)
+SELECT term, df,
+       CAST({levels} AS BIGINT) AS n_levels,
+       CAST({pointers} AS BIGINT) AS n_pointers,
+       CAST(({pointers}) * {SKIP_ENTRY_BYTES} AS BIGINT) AS skip_bytes
+FROM dfs
+"""
+
+
+QUERIES["postings_skiplist_size"] = (
+    postings_skiplist_size,
+    _sql_skiplist_size(),
+)

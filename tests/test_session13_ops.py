@@ -1107,3 +1107,92 @@ def test_shard_topk_merge_matches_python_recompute(spark, corpus):
     # the fan-out economy: per-shard fetch depth k' ≪ shard size — local
     # rank of a global winner never exceeds 10 (k' = k suffices here)
     assert all(v[1] <= 10 for v in got.values())
+
+
+# ---------------------------------------------------- skip-list size
+
+
+def test_skiplist_size_matches_python_recompute(spark, corpus):
+    from harvester_spark.operators.fulltext_queries import BM25_TERMS
+    from harvester_spark.operators.index_stats import (
+        SKIP_ENTRY_BYTES,
+        SKIP_INTERVAL,
+        SKIP_MAX_LEVELS,
+        postings_skiplist_size,
+    )
+
+    got = {
+        r["term"]: r for r in postings_skiplist_size(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(BM25_TERMS)
+    for term in BM25_TERMS:
+        df = sum(1 for ts in corpus.values() if term in ts)
+        levels = sum(
+            1
+            for k in range(1, SKIP_MAX_LEVELS + 1)
+            if df >= SKIP_INTERVAL**k
+        )
+        pointers = sum(
+            df // SKIP_INTERVAL**k for k in range(1, SKIP_MAX_LEVELS + 1)
+        )
+        r = got[term]
+        assert r["df"] == df
+        assert r["n_levels"] == levels
+        assert r["n_pointers"] == pointers
+        assert r["skip_bytes"] == pointers * SKIP_ENTRY_BYTES
+        assert levels >= 1  # flagship terms are frequent enough to skip
+
+
+# ----------------------------------------------------- geohash grid
+
+
+def _ref_geohash1(lat: float, lon: float) -> str:
+    """Independent reference: canonical geohash bisection, 1 char."""
+    alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+    lat_rng, lon_rng = [-90.0, 90.0], [-180.0, 180.0]
+    bits = []
+    for i in range(5):
+        if i % 2 == 0:  # even bit (from 0): longitude
+            mid = (lon_rng[0] + lon_rng[1]) / 2
+            bits.append(1 if lon >= mid else 0)
+            lon_rng[0 if lon >= mid else 1] = mid
+        else:
+            mid = (lat_rng[0] + lat_rng[1]) / 2
+            bits.append(1 if lat >= mid else 0)
+            lat_rng[0 if lat >= mid else 1] = mid
+    cell = 0
+    for b in bits:
+        cell = cell * 2 + b
+    return alphabet[cell]
+
+
+def test_geohash_grid_matches_reference_bisection(spark):
+    import hashlib
+
+    from harvester_spark.operators.es_aggs import es_geohash_grid
+
+    def h56(sv: str) -> int:
+        return int(hashlib.md5(sv.encode()).hexdigest()[:14], 16)
+
+    ids = [
+        r["doc_id"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    cells = Counter()
+    for d in ids:
+        lat = (h56(f"lat:{d}") % 180000 - 90000) / 1000.0
+        lon = (h56(f"lon:{d}") % 360000 - 180000) / 1000.0
+        cells[_ref_geohash1(lat, lon)] += 1
+    got = es_geohash_grid(spark, SF_DIR).orderBy("rank").collect()
+    expect = sorted(cells.items(), key=lambda kv: (-kv[1], kv[0]))
+    # the operator's cell ids must decode to the SAME base32 chars the
+    # canonical bisection produces, with the same counts
+    got_pairs = [(r["geohash"], r["n_docs"]) for r in got]
+    # tie order between equal-count cells: operator ties on integer cell
+    # id, reference list on char — char order and cell order agree
+    # because the alphabet is ordered by cell value
+    assert got_pairs == expect[: len(got_pairs)]
+    assert sum(cells.values()) == len(ids)
+    assert len(cells) > 10  # planted coordinates genuinely spread
