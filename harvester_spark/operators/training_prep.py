@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W, functions as F
 
 from harvester_spark.analysis import tokens_column
-from harvester_spark.operators.common import SQL_TOKS, load
+from harvester_spark.operators.common import SQL_TOKS, doc_tokens, load
 
 SEQ_LEN = 256  # tokens per packed training sequence
 PACK_SHARD = 64  # docs per prefix-sum shard (tune ~10k at real scale)
@@ -1628,3 +1628,136 @@ QUERIES["train_inbatch_conflicts"] = (
     train_inbatch_conflicts,
     _sql_inbatch_conflicts(),
 )
+
+
+# ------------------------------------------------- held-out OOV rate
+
+# The vocabulary question every tokenizer/LM choice starts with: how
+# much of UNSEEN text falls outside a vocabulary built on the training
+# split? Splits by doc_id parity (deterministic, disjoint, ~50/50 — the
+# split_train_val discipline); vocabulary = distinct train-split terms.
+#
+# NON-DEGENERACY (the corpus-synthesis doctrine): the shared corpus
+# vocabulary is 31 types and saturates both halves — natural OOV is
+# structurally ZERO and would prove nothing. Both engines therefore
+# extend each doc's token stream with ONE planted pseudo-rare token
+# 'v<md5(doc_id) % (n DIV 2)>' — a type space of n/2 drawn n times, so
+# expected df ≈ 2 and a hash-dependent ~1/3 of drawn types land only in
+# the held-out half: genuine, non-trivially-predictable OOV measured
+# through the real join machinery (not a planted answer).
+#
+#   token OOV — occurrences outside the vocab / all occurrences,
+#   type  OOV — distinct unseen terms / distinct held-out terms
+# (token OOV is what perplexity feels; type OOV is the dictionary's
+# marginal growth — Heaps' law, cf. heaps_law_fit/vocab_growth).
+# Exact integer counts; rates in floored micro DIV.
+#
+# Scale shape: one distinct-terms agg on the train half (vocabulary-
+# sized vocab dim), one agg over held-out tokens.
+
+
+def vocab_oov_holdout(spark, sf_dir):
+    """(n_heldout_tokens, n_oov_tokens, n_heldout_types, n_oov_types,
+    token_oov_micro, type_oov_micro): OOV rates of the doc_id-odd
+    held-out split against the doc_id-even training vocabulary, over
+    real tokens ∪ one planted pseudo-rare token per doc."""
+    from harvester_spark.operators.dedup import _hash56
+
+    docs = load(spark, sf_dir, "documents")
+    n = docs.count()
+    k = max(n // 2, 1)
+    rare = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("v"),
+            (
+                _hash56(F.col("doc_id").cast("string")) % k
+            ).cast("string"),
+        ).alias("term"),
+    )
+    toks = doc_tokens(spark, sf_dir).select("doc_id", "term").unionByName(
+        rare
+    )
+    vocab = (
+        toks.filter(F.col("doc_id") % 2 == 0).select("term").distinct()
+        .withColumn("in_vocab", F.lit(1))
+    )
+    held = toks.filter(F.col("doc_id") % 2 == 1).join(
+        vocab, "term", "left"
+    )
+    tok = held.agg(
+        F.count("*").cast("long").alias("n_heldout_tokens"),
+        F.sum((F.col("in_vocab").isNull()).cast("long"))
+        .cast("long")
+        .alias("n_oov_tokens"),
+    )
+    typ = (
+        held.select("term", "in_vocab")
+        .distinct()
+        .agg(
+            F.count("*").cast("long").alias("n_heldout_types"),
+            F.sum((F.col("in_vocab").isNull()).cast("long"))
+            .cast("long")
+            .alias("n_oov_types"),
+        )
+    )
+    return tok.crossJoin(typ).select(
+        "n_heldout_tokens",
+        "n_oov_tokens",
+        "n_heldout_types",
+        "n_oov_types",
+        F.expr("(n_oov_tokens * 1000000) DIV n_heldout_tokens")
+        .cast("long")
+        .alias("token_oov_micro"),
+        F.expr("(n_oov_types * 1000000) DIV n_heldout_types")
+        .cast("long")
+        .alias("type_oov_micro"),
+    )
+
+
+def _sql_vocab_oov() -> str:
+    from harvester_spark.operators.dedup import _SQL_HASH56
+
+    h = _SQL_HASH56.format(col="CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH nk AS (
+  SELECT greatest(CAST(count(*) AS BIGINT) // 2, 1) AS k FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest({SQL_TOKS.format(col='text')}) AS term
+  FROM documents
+  UNION ALL
+  SELECT doc_id,
+         'v' || CAST({h} % (SELECT k FROM nk) AS VARCHAR) AS term
+  FROM documents
+),
+vocab AS MATERIALIZED (
+  SELECT DISTINCT term FROM toks WHERE doc_id % 2 = 0
+),
+held AS MATERIALIZED (
+  SELECT t.term, v.term IS NOT NULL AS in_vocab
+  FROM (SELECT * FROM toks WHERE doc_id % 2 = 1) t
+  LEFT JOIN vocab v ON v.term = t.term
+),
+tok AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_heldout_tokens,
+         CAST(sum(CASE WHEN in_vocab THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_oov_tokens
+  FROM held
+),
+typ AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_heldout_types,
+         CAST(sum(CASE WHEN in_vocab THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_oov_types
+  FROM (SELECT DISTINCT term, in_vocab FROM held)
+)
+SELECT n_heldout_tokens, n_oov_tokens, n_heldout_types, n_oov_types,
+       CAST((n_oov_tokens * 1000000) // n_heldout_tokens AS BIGINT)
+         AS token_oov_micro,
+       CAST((n_oov_types * 1000000) // n_heldout_types AS BIGINT)
+         AS type_oov_micro
+FROM tok CROSS JOIN typ
+"""
+
+
+QUERIES["vocab_oov_holdout"] = (vocab_oov_holdout, _sql_vocab_oov())

@@ -1196,3 +1196,37 @@ def test_geohash_grid_matches_reference_bisection(spark):
     assert got_pairs == expect[: len(got_pairs)]
     assert sum(cells.values()) == len(ids)
     assert len(cells) > 10  # planted coordinates genuinely spread
+
+
+# ------------------------------------------------- held-out OOV rate
+
+
+def test_vocab_oov_matches_python_recompute(spark, corpus):
+    import hashlib
+
+    from harvester_spark.operators.training_prep import vocab_oov_holdout
+
+    def h56(sv: str) -> int:
+        return int(hashlib.md5(sv.encode()).hexdigest()[:14], 16)
+
+    n = len(corpus)
+    k = max(n // 2, 1)
+    streams = {
+        d: list(ts) + [f"v{h56(str(d)) % k}"] for d, ts in corpus.items()
+    }
+    vocab = set(t for d, ts in streams.items() if d % 2 == 0 for t in ts)
+    held_tokens = [t for d, ts in streams.items() if d % 2 == 1 for t in ts]
+    held_types = set(held_tokens)
+    oov_tok = sum(1 for t in held_tokens if t not in vocab)
+    oov_typ = sum(1 for t in held_types if t not in vocab)
+    r = vocab_oov_holdout(spark, SF_DIR).collect()[0]
+    assert r["n_heldout_tokens"] == len(held_tokens)
+    assert r["n_oov_tokens"] == oov_tok
+    assert r["n_heldout_types"] == len(held_types)
+    assert r["n_oov_types"] == oov_typ
+    assert r["token_oov_micro"] == (oov_tok * 1_000_000) // len(held_tokens)
+    assert r["type_oov_micro"] == (oov_typ * 1_000_000) // len(held_types)
+    # non-degenerate: the planted pseudo-rare tail produces REAL OOV,
+    # and the Zipfian signature holds — the unseen tail is TYPES-heavy
+    assert 0 < r["n_oov_tokens"] < len(held_tokens)
+    assert r["type_oov_micro"] > r["token_oov_micro"]
