@@ -2473,3 +2473,166 @@ SELECT pos, v AS v_micro FROM {prev_v}
 
 
 QUERIES["emb_pca_power"] = (emb_pca_power, _sql_pca_power())
+
+
+# ------------------------------------------- IVF n_probe recall sweep
+
+# The tuning curve behind IVF_N_PROBE's value: recall@k and candidate
+# cost per probe depth (the bm25_grid_tune_eval discipline applied to
+# ANN serving). Candidate sets NEST — cand(p) ⊆ cand(4) — so the exact
+# cosine job runs ONCE over the widest probe's candidates and each
+# narrower level is a filter on that frame (no recompute per level, the
+# prune-first contract holds: _pairwise_cosine never runs).
+#
+# Output per (n_probe, qid): candidate count (the cost axis) and
+# top-{TOP_K} overlap with the exact ranking (the quality axis). The
+# pytest pins the monotonicity that makes the sweep meaningful:
+# candidates and recall are non-decreasing in n_probe per query.
+
+IVF_SWEEP_PROBES = (1, 2, 4)
+
+
+def ann_ivf_nprobe_sweep(spark, sf_dir):
+    """(n_probe, qid, n_cand, n_hits, recall): IVF recall/cost curve over
+    probe depths 1/2/4 at the derived K."""
+    pmax = max(IVF_SWEEP_PROBES)
+    k = derive_k(_n_vectors(spark, sf_dir))
+    ivec, cids, C = _kmeans_train(spark, sf_dir, k)
+    ranked = _km_topc(ivec, cids, C, pmax)
+    assign = ranked.filter(F.col("rnk") == 1).select("vec_id", "cent_id")
+    qprobe = (
+        ranked.filter(
+            (F.col("vec_id") < N_QUERIES) & (F.col("rnk") <= pmax)
+        )
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("cent_id").alias("q_cent"),
+            F.col("rnk").alias("probe_rnk"),
+        )
+    )
+    cand = (
+        assign.join(F.broadcast(qprobe), assign.cent_id == F.col("q_cent"))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", "probe_rnk")
+        .cache()
+    )
+    cos = _cosine_for_pairs(
+        spark, sf_dir, cand.select("qid", "vec_id").distinct()
+    ).cache()
+    exact = ann_cosine_topk(spark, sf_dir).select("qid", "vec_id")
+    outs = []
+    for p in IVF_SWEEP_PROBES:
+        cp = (
+            cand.filter(F.col("probe_rnk") <= p)
+            .select("qid", "vec_id")
+            .distinct()
+        )
+        n_cand = cp.groupBy("qid").agg(
+            F.count("*").cast("long").alias("n_cand")
+        )
+        w = W.partitionBy("qid").orderBy(
+            F.col("cos").desc(), F.col("vec_id").asc()
+        )
+        top = (
+            cos.join(cp, ["qid", "vec_id"])
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= TOP_K)
+        )
+        hits = top.join(exact, ["qid", "vec_id"]).groupBy("qid").agg(
+            F.count("*").cast("long").alias("n_hits")
+        )
+        outs.append(
+            exact.select("qid")
+            .distinct()
+            .join(n_cand, "qid", "left")
+            .join(hits, "qid", "left")
+            .select(
+                F.lit(p).cast("long").alias("n_probe"),
+                "qid",
+                F.coalesce("n_cand", F.lit(0)).cast("long").alias("n_cand"),
+                F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+                F.round(
+                    F.coalesce("n_hits", F.lit(0)) * 1.0 / TOP_K, 6
+                ).alias("recall"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def _sql_ivf_nprobe_sweep() -> str:
+    pmax = max(IVF_SWEEP_PROBES)
+    levels = []
+    for p in IVF_SWEEP_PROBES:
+        levels.append(f"""
+SELECT {p} AS n_probe, q.qid,
+       CAST(coalesce(nc.n_cand, 0) AS BIGINT) AS n_cand,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       round(coalesce(h.n_hits, 0) * 1.0e0 / {TOP_K}, 6) AS recall
+FROM (SELECT DISTINCT qid FROM exact) q
+LEFT JOIN (
+  SELECT qid, CAST(count(*) AS BIGINT) AS n_cand
+  FROM (SELECT DISTINCT qid, vec_id FROM cand WHERE probe_rnk <= {p})
+  GROUP BY 1
+) nc USING (qid)
+LEFT JOIN (
+  SELECT t.qid, CAST(count(*) AS BIGINT) AS n_hits
+  FROM (
+    SELECT c.qid, c.vec_id FROM (
+      SELECT c.qid, c.vec_id,
+             row_number() OVER (
+               PARTITION BY c.qid ORDER BY c.cos DESC, c.vec_id ASC) AS rnk
+      FROM cosine c
+      JOIN (SELECT DISTINCT qid, vec_id FROM cand WHERE probe_rnk <= {p}) cp
+        ON cp.qid = c.qid AND cp.vec_id = c.vec_id
+    ) c WHERE rnk <= {TOP_K}
+  ) t JOIN exact e ON e.qid = t.qid AND e.vec_id = t.vec_id
+  GROUP BY 1
+) h USING (qid)""")
+    return f"""
+WITH {_SQL_PAIRWISE},
+exact AS MATERIALIZED (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (
+             PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rnk
+    FROM cosine
+  ) WHERE rnk <= {TOP_K}
+),
+icomp AS (
+  SELECT vec_id, pos, CAST(round(val * {_KM_SCALE}) AS BIGINT) AS ival
+  FROM ({_SQL_COMPONENTS})
+),
+{_SQL_KPARAM},
+{_SQL_KM_CHAIN},
+ranked AS (
+  SELECT d.vec_id, d.cent_id,
+         row_number() OVER (
+           PARTITION BY d.vec_id ORDER BY d.dist ASC, d.cent_id ASC
+         ) AS rnk
+  FROM (
+    SELECT c.vec_id, ct.cent_id,
+           CAST(sum((c.ival - ct.cval) * (c.ival - ct.cval)) AS BIGINT) AS dist
+    FROM icomp c JOIN c3 ct USING (pos)
+    GROUP BY c.vec_id, ct.cent_id
+  ) d
+),
+assign AS (SELECT vec_id, cent_id FROM ranked WHERE rnk = 1),
+qprobe AS (
+  SELECT vec_id AS qid, cent_id AS q_cent, rnk AS probe_rnk FROM ranked
+  WHERE vec_id < {N_QUERIES} AND rnk <= {pmax}
+),
+cand AS MATERIALIZED (
+  SELECT qp.qid, a.vec_id, qp.probe_rnk
+  FROM assign a JOIN qprobe qp ON a.cent_id = qp.q_cent
+  WHERE a.vec_id <> qp.qid
+){" UNION ALL ".join(levels)}
+"""
+
+
+QUERIES["ann_ivf_nprobe_sweep"] = (
+    ann_ivf_nprobe_sweep,
+    _sql_ivf_nprobe_sweep(),
+)
