@@ -1230,3 +1230,39 @@ def test_vocab_oov_matches_python_recompute(spark, corpus):
     # and the Zipfian signature holds — the unseen tail is TYPES-heavy
     assert 0 < r["n_oov_tokens"] < len(held_tokens)
     assert r["type_oov_micro"] > r["token_oov_micro"]
+
+
+# ------------------------------------------------ IVF n_probe sweep
+
+
+def test_ivf_nprobe_sweep_monotone(spark):
+    from harvester_spark.operators.similarity import (
+        IVF_SWEEP_PROBES,
+        TOP_K,
+        ann_ivf_nprobe_sweep,
+    )
+
+    rows = ann_ivf_nprobe_sweep(spark, SF_DIR).collect()
+    assert len(rows) == 5 * len(IVF_SWEEP_PROBES)
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], {})[r["n_probe"]] = r
+    for qid, levels in by_q.items():
+        assert set(levels) == set(IVF_SWEEP_PROBES)
+        ps = sorted(levels)
+        for a, b in zip(ps, ps[1:]):
+            # candidate sets NEST ⇒ both cost and recall are monotone
+            assert levels[b]["n_cand"] >= levels[a]["n_cand"]
+            assert levels[b]["n_hits"] >= levels[a]["n_hits"]
+        for r in levels.values():
+            assert 0 <= r["n_hits"] <= TOP_K
+    # the sweep genuinely trades cost for recall somewhere: deeper
+    # probes add candidates, and some query gains recall from them
+    assert any(
+        lv[max(IVF_SWEEP_PROBES)]["n_cand"] > lv[min(IVF_SWEEP_PROBES)]["n_cand"]
+        for lv in by_q.values()
+    )
+    assert any(
+        lv[max(IVF_SWEEP_PROBES)]["n_hits"] > lv[min(IVF_SWEEP_PROBES)]["n_hits"]
+        for lv in by_q.values()
+    )
