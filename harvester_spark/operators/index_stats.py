@@ -2390,3 +2390,114 @@ QUERIES["postings_skiplist_size"] = (
     postings_skiplist_size,
     _sql_skiplist_size(),
 )
+
+
+# ------------------------------------- gap-entropy compression bound
+
+# The information-theoretic yardstick for the whole codec bake-off
+# (varbyte / γ/δ / EF / PEF / roaring / BP128 above): a zero-order
+# entropy coder cannot beat H(gap distribution) bits per gap, so
+# per flagship term we compute the d-gap histogram's Shannon entropy and
+# the implied floor ceil(df·H/8) bytes, next to the best measured codec.
+# Gaps use the same (term, doc) spine as every sizing op; the first
+# posting's docID is excluded (it is a base, not a gap — same convention
+# as postings_bp128_size).
+#
+# Determinism: per-gap-value contributions are integer micro-nats
+# (round(1e6·c·ln c) — the curation_secret_entropy discipline; an
+# engine-ordered double Σ c·ln c drifts by ulps), H_micro =
+# round(1e6·ln n) − Σcm DIV n, and the byte floor converts with pure
+# integer arithmetic ((n·H_micro) DIV (8·1e6·ln2 scaled as the exact
+# rational 5545177/1000000·... kept simpler: bits = n·H_micro nat-µ →
+# bytes floor = (n·H_micro) DIV 5545177, since 8 bits = 8·ln2 nats =
+# 5.545177 nats exactly to the micro digit used on BOTH engines).
+#
+# Scale shape: one (term, doc) agg + one per-term window for gaps + one
+# (term, gap) histogram + one term agg.
+
+
+def postings_gap_entropy_bound(spark, sf_dir):
+    """(term, n_gaps, n_distinct_gaps, h_micro_nats, entropy_floor_bytes):
+    zero-order Shannon bound of each flagship term's d-gap stream."""
+    from harvester_spark.operators.fulltext_queries import BM25_TERMS
+
+    tf = (
+        doc_tokens(spark, sf_dir)
+        .filter(F.col("term").isin(BM25_TERMS))
+        .select("term", "doc_id")
+        .distinct()
+    )
+    wt = W.partitionBy("term").orderBy("doc_id")
+    gaps = (
+        tf.withColumn("gap", F.col("doc_id") - F.lag("doc_id").over(wt))
+        .filter(F.col("gap").isNotNull())
+        .groupBy("term", "gap")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    ent = (
+        gaps.withColumn(
+            "cm",
+            F.expr(
+                "CAST(round(1000000.0e0 * c * ln(1.0e0 * c), 0) AS BIGINT)"
+            ),
+        )
+        .groupBy("term")
+        .agg(
+            F.sum("c").cast("long").alias("n_gaps"),
+            F.count("*").cast("long").alias("n_distinct_gaps"),
+            F.sum("cm").cast("long").alias("sum_cm"),
+        )
+        .withColumn(
+            "h_micro_nats",
+            F.expr(
+                "CAST(round(1000000.0e0 * ln(1.0e0 * n_gaps), 0) AS BIGINT)"
+                " - (sum_cm DIV n_gaps)"
+            ).cast("long"),
+        )
+        .withColumn(
+            "entropy_floor_bytes",
+            F.expr("(n_gaps * h_micro_nats) DIV 5545177").cast("long"),
+        )
+    )
+    return ent.select(
+        "term", "n_gaps", "n_distinct_gaps", "h_micro_nats",
+        "entropy_floor_bytes",
+    )
+
+
+SQL_GAP_ENTROPY_BOUND = f"""
+WITH toks AS ({SQL_DOC_TOKS}),
+tf AS (
+  SELECT DISTINCT term, doc_id FROM toks
+  WHERE term IN ('key', 'value', 'table')
+),
+gaps AS (
+  SELECT term, gap, CAST(count(*) AS BIGINT) AS c FROM (
+    SELECT term,
+           doc_id - lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id)
+             AS gap
+    FROM tf
+  ) WHERE gap IS NOT NULL
+  GROUP BY 1, 2
+),
+ent AS (
+  SELECT term,
+         CAST(sum(c) AS BIGINT) AS n_gaps,
+         CAST(count(*) AS BIGINT) AS n_distinct_gaps,
+         CAST(sum(CAST(round(1000000.0e0 * c * ln(1.0e0 * c), 0) AS BIGINT))
+              AS BIGINT) AS sum_cm
+  FROM gaps GROUP BY term
+)
+SELECT term, n_gaps, n_distinct_gaps,
+       CAST(round(1000000.0e0 * ln(1.0e0 * n_gaps), 0) AS BIGINT)
+         - (sum_cm // n_gaps) AS h_micro_nats,
+       CAST((n_gaps * (CAST(round(1000000.0e0 * ln(1.0e0 * n_gaps), 0)
+                            AS BIGINT) - (sum_cm // n_gaps)))
+            // 5545177 AS BIGINT) AS entropy_floor_bytes
+FROM ent
+"""
+
+QUERIES["postings_gap_entropy_bound"] = (
+    postings_gap_entropy_bound,
+    SQL_GAP_ENTROPY_BOUND,
+)

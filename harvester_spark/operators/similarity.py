@@ -2636,3 +2636,182 @@ QUERIES["ann_ivf_nprobe_sweep"] = (
     ann_ivf_nprobe_sweep,
     _sql_ivf_nprobe_sweep(),
 )
+
+
+# ---------------------------------------------- clustering purity / NMI
+
+# The external-validity eval for the k-means trainer: the embeddings
+# table carries a ground-truth `label` column, so cluster quality is
+# measurable as purity (Σ over clusters of the majority label count,
+# over n — exact integers end to end) and normalized mutual information
+# (micro-nat numerator/denominator parts reported separately: NMI's
+# final division of two ln-derived quantities has no exact integer form,
+# so the operator returns I_micro, h_cluster_micro, h_label_micro and a
+# floored nmi_milli = (2·I·1000) DIV (Hc + Hl) — one integer division of
+# already-deterministic micro-nat integers).
+#
+# Mutual information uses the n-scaled identity
+#   I = (1/n)·Σ_ij c_ij·ln(c_ij·n/(a_i·b_j))
+# with every per-cell contribution an integer micro-nat via ONE shared
+# string (sum order independent), Σ exact int64, the DIV n floored —
+# the curation_secret_entropy entropy discipline extended to joint
+# distributions.
+#
+# Scale shape: the assignment is emb_kmeans_assign's plan; the
+# contingency table is one (cent_id, label) groupBy (≈ K·|labels| rows),
+# margins two tiny aggs.
+
+_MI_CELL = (
+    "CAST(round(1000000.0e0 * c * ln((1.0e0 * c * n) / (1.0e0 * a * b)),"
+    " 0) AS BIGINT)"
+)
+_ENT_CELL = "CAST(round(1000000.0e0 * c * ln(1.0e0 * c), 0) AS BIGINT)"
+
+
+def emb_kmeans_purity(spark, sf_dir):
+    """(n_vectors, n_clusters, n_labels, purity_milli, i_micro,
+    h_cluster_micro, h_label_micro, nmi_milli): external clustering
+    quality of the k-means assignment against the label column."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    assign = emb_kmeans_assign(spark, sf_dir).select("vec_id", "cent_id")
+    cells = (
+        assign.join(emb, "vec_id")
+        .groupBy("cent_id", "label")
+        .agg(F.count("*").cast("long").alias("c"))
+        .cache()
+    )
+    n_df = cells.agg(F.sum("c").cast("long").alias("n"))
+    am = cells.groupBy("cent_id").agg(F.sum("c").cast("long").alias("a"))
+    bm = cells.groupBy("label").agg(F.sum("c").cast("long").alias("b"))
+    purity = (
+        cells.groupBy("cent_id")
+        .agg(F.max("c").cast("long").alias("mx"))
+        .agg(F.sum("mx").cast("long").alias("pur_num"),
+             F.count("*").cast("long").alias("n_clusters"))
+    )
+    mi = (
+        cells.join(F.broadcast(am), "cent_id")
+        .join(F.broadcast(bm), "label")
+        .crossJoin(F.broadcast(n_df))
+        .withColumn("mc", F.expr(_MI_CELL))
+        .agg(F.sum("mc").cast("long").alias("sum_mc"))
+    )
+    ha = (
+        am.withColumn("c", F.col("a"))
+        .withColumn("ec", F.expr(_ENT_CELL))
+        .agg(F.sum("ec").cast("long").alias("sum_ea"))
+    )
+    hb = (
+        bm.withColumn("c", F.col("b"))
+        .withColumn("ec", F.expr(_ENT_CELL))
+        .agg(
+            F.sum("ec").cast("long").alias("sum_eb"),
+            F.count("*").cast("long").alias("n_labels"),
+        )
+    )
+    lnn = "CAST(round(1000000.0e0 * ln(1.0e0 * n), 0) AS BIGINT)"
+    return (
+        n_df.crossJoin(purity)
+        .crossJoin(mi)
+        .crossJoin(ha)
+        .crossJoin(hb)
+        .withColumn(
+            "i_micro",
+            # Σ_mc ≈ n·I·1e6 ≥ 0 up to rounding, but a near-independent
+            # clustering can round it a few µ-nats NEGATIVE — sign-split
+            # (Spark DIV truncates, DuckDB // floors)
+            F.expr(
+                "CASE WHEN sum_mc >= 0 THEN sum_mc DIV n"
+                " ELSE -((-sum_mc) DIV n) END"
+            ).cast("long"),
+        )
+        .withColumn(
+            "h_cluster_micro",
+            F.expr(f"{lnn} - (sum_ea DIV n)").cast("long"),
+        )
+        .withColumn(
+            "h_label_micro",
+            F.expr(f"{lnn} - (sum_eb DIV n)").cast("long"),
+        )
+        .select(
+            F.col("n").alias("n_vectors"),
+            "n_clusters",
+            "n_labels",
+            F.expr("(pur_num * 1000) DIV n").cast("long").alias("purity_milli"),
+            "i_micro",
+            "h_cluster_micro",
+            "h_label_micro",
+            F.expr(
+                "CASE WHEN i_micro >= 0 THEN (2 * i_micro * 1000)"
+                " DIV (h_cluster_micro + h_label_micro)"
+                " ELSE -((2 * (-i_micro) * 1000)"
+                " DIV (h_cluster_micro + h_label_micro)) END"
+            ).cast("long").alias("nmi_milli"),
+        )
+    )
+
+
+def _sql_kmeans_purity() -> str:
+    lnn = "CAST(round(1000000.0e0 * ln(1.0e0 * n), 0) AS BIGINT)"
+    return f"""
+WITH icomp AS (
+  SELECT vec_id, pos, CAST(round(val * {_KM_SCALE}) AS BIGINT) AS ival
+  FROM ({_SQL_COMPONENTS})
+),
+{_SQL_KPARAM},
+{_SQL_KM_CHAIN},
+assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT c.vec_id, ct.cent_id,
+           row_number() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY sum((c.ival - ct.cval) * (c.ival - ct.cval)) ASC,
+                      ct.cent_id ASC) AS rnk
+    FROM icomp c JOIN c3 ct USING (pos)
+    GROUP BY c.vec_id, ct.cent_id
+  ) WHERE rnk = 1
+),
+cells AS MATERIALIZED (
+  SELECT a.cent_id, e.label, CAST(count(*) AS BIGINT) AS c
+  FROM assign a JOIN embeddings e USING (vec_id)
+  GROUP BY 1, 2
+),
+ns AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+am AS (SELECT cent_id, CAST(sum(c) AS BIGINT) AS a FROM cells GROUP BY 1),
+bm AS (SELECT label, CAST(sum(c) AS BIGINT) AS b FROM cells GROUP BY 1),
+pur AS (
+  SELECT CAST(sum(mx) AS BIGINT) AS pur_num,
+         CAST(count(*) AS BIGINT) AS n_clusters
+  FROM (SELECT cent_id, max(c) AS mx FROM cells GROUP BY 1)
+),
+mi AS (
+  SELECT CAST(sum({_MI_CELL}) AS BIGINT) AS sum_mc
+  FROM cells JOIN am USING (cent_id) JOIN bm USING (label) CROSS JOIN ns
+),
+ha AS (
+  SELECT CAST(sum({_ENT_CELL}) AS BIGINT) AS sum_ea
+  FROM (SELECT a AS c FROM am)
+),
+hb AS (
+  SELECT CAST(sum({_ENT_CELL}) AS BIGINT) AS sum_eb,
+         CAST(count(*) AS BIGINT) AS n_labels
+  FROM (SELECT b AS c FROM bm)
+)
+SELECT n AS n_vectors, n_clusters, n_labels,
+       CAST((pur_num * 1000) // n AS BIGINT) AS purity_milli,
+       CAST(CASE WHEN sum_mc >= 0 THEN sum_mc // n
+                 ELSE -((-sum_mc) // n) END AS BIGINT) AS i_micro,
+       CAST({lnn} - (sum_ea // n) AS BIGINT) AS h_cluster_micro,
+       CAST({lnn} - (sum_eb // n) AS BIGINT) AS h_label_micro,
+       CAST(CASE WHEN sum_mc >= 0 THEN
+              (2 * (sum_mc // n) * 1000)
+              // (({lnn} - (sum_ea // n)) + ({lnn} - (sum_eb // n)))
+            ELSE
+              -((2 * ((-sum_mc) // n) * 1000)
+                // (({lnn} - (sum_ea // n)) + ({lnn} - (sum_eb // n))))
+            END AS BIGINT) AS nmi_milli
+FROM ns CROSS JOIN pur CROSS JOIN mi CROSS JOIN ha CROSS JOIN hb
+"""
+
+
+QUERIES["emb_kmeans_purity"] = (emb_kmeans_purity, _sql_kmeans_purity())

@@ -1266,3 +1266,95 @@ def test_ivf_nprobe_sweep_monotone(spark):
         lv[max(IVF_SWEEP_PROBES)]["n_hits"] > lv[min(IVF_SWEEP_PROBES)]["n_hits"]
         for lv in by_q.values()
     )
+
+
+# ------------------------------------------------ gap entropy bound
+
+
+def test_gap_entropy_bound_matches_python_recompute(spark, corpus):
+    from harvester_spark.operators.fulltext_queries import BM25_TERMS
+    from harvester_spark.operators.index_stats import (
+        postings_gap_entropy_bound,
+        postings_bp128_size,
+    )
+
+    got = {
+        r["term"]: r
+        for r in postings_gap_entropy_bound(spark, SF_DIR).collect()
+    }
+    bp = {
+        r["term"]: r for r in postings_bp128_size(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(BM25_TERMS)
+    for term in BM25_TERMS:
+        docs = sorted(d for d, ts in corpus.items() if term in ts)
+        gaps = Counter(b - a for a, b in zip(docs, docs[1:]))
+        n = sum(gaps.values())
+        sum_cm = sum(
+            int(round(1e6 * c * math.log(c))) for c in gaps.values()
+        )
+        h = int(round(1e6 * math.log(n))) - sum_cm // n
+        r = got[term]
+        assert r["n_gaps"] == n
+        assert r["n_distinct_gaps"] == len(gaps)
+        assert r["h_micro_nats"] == h
+        assert r["entropy_floor_bytes"] == (n * h) // 5545177
+        # the bound is a genuine floor: the measured BP128 doc bytes sit
+        # above it (headers + block-max widths vs per-symbol optimum)
+        assert bp[term]["bytes_docs"] >= r["entropy_floor_bytes"]
+        assert r["h_micro_nats"] > 0
+
+
+# ------------------------------------------------- k-means purity
+
+
+def test_kmeans_purity_matches_python_recompute(spark):
+    from harvester_spark.operators.similarity import (
+        emb_kmeans_assign,
+        emb_kmeans_purity,
+    )
+
+    assign = {
+        r["vec_id"]: r["cent_id"]
+        for r in emb_kmeans_assign(spark, SF_DIR).collect()
+    }
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("vec_id", "label")
+        .collect()
+    }
+    cells = Counter((assign[v], labels[v]) for v in assign)
+    n = sum(cells.values())
+    am = Counter()
+    bm = Counter()
+    for (cid, lab), c in cells.items():
+        am[cid] += c
+        bm[lab] += c
+    pur_num = sum(
+        max(c for (cid2, _), c in cells.items() if cid2 == cid)
+        for cid in am
+    )
+    sum_mc = sum(
+        int(round(1e6 * c * math.log(c * n / (am[cid] * bm[lab]))))
+        for (cid, lab), c in cells.items()
+    )
+    i_micro = sum_mc // n if sum_mc >= 0 else -((-sum_mc) // n)
+    sum_ea = sum(int(round(1e6 * a * math.log(a))) for a in am.values())
+    sum_eb = sum(int(round(1e6 * b * math.log(b))) for b in bm.values())
+    lnn = int(round(1e6 * math.log(n)))
+    hc = lnn - sum_ea // n
+    hl = lnn - sum_eb // n
+    r = emb_kmeans_purity(spark, SF_DIR).collect()[0]
+    assert r["n_vectors"] == n
+    assert r["n_clusters"] == len(am)
+    assert r["n_labels"] == len(bm)
+    assert r["purity_milli"] == (pur_num * 1000) // n
+    assert r["i_micro"] == i_micro
+    assert r["h_cluster_micro"] == hc
+    assert r["h_label_micro"] == hl
+    if i_micro >= 0:
+        assert r["nmi_milli"] == (2 * i_micro * 1000) // (hc + hl)
+    # structural sanity: purity ≥ 1/n_labels trivially; NMI in [-ε, 1000]
+    assert r["purity_milli"] * r["n_labels"] >= 1000
+    assert r["nmi_milli"] <= 1000
