@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from harvester_spark.operators.common import load
+from harvester_spark.operators.common import SQL_DOC_TOKS, load
 
 _SQL_HASH56 = "CAST(('0x' || substr(md5({col}), 1, 14)) AS BIGINT)"
 
@@ -2159,4 +2159,121 @@ FROM {prev} l JOIN sizes s USING (label)
 QUERIES["host_labelprop_communities"] = (
     host_labelprop_communities,
     _sql_labelprop(""),
+)
+
+
+# ----------------------------------------- BM25 × PageRank static prior
+
+# The classic web-ranking fusion (Brin & Page 1998 onward; Lucene's
+# FeatureField/rank_feature is the modern surface — cf. the
+# ft_rank_feature_topk operator): text relevance blended with a
+# query-independent authority prior, score = w_t·bm25 + w_s·ln(1 + PR).
+# Text side: the ONE disjunctive kernel (bm25_or_scored), its round-6
+# score recovered to exact micro integers via CAST(round(score·1e6))
+# (the es_ext boosting-blend discipline). Prior side: host_pagerank's
+# integer rank_unit through ONE shared ln(1+r) micro string, joined via
+# documents.source. Blend = 80·bm25_micro + 20·prior_micro — exact
+# int64 centi-micro units.
+#
+# Scale shape: the PR table is host-cardinality (broadcast); the blend
+# is a map-side join on the scored frame — the serving path would fold
+# the prior into the stored per-doc boost exactly like rank_feature.
+
+PRB_W_TEXT = 80
+PRB_W_STATIC = 20
+_PRB_PRIOR = "CAST(round(1000000.0e0 * ln(1.0e0 + {col}), 0) AS BIGINT)"
+
+
+def ft_bm25_pagerank_blend(spark, sf_dir):
+    """(rank, doc_id, score_cm): top-10 docs by the 0.8·BM25 +
+    0.2·ln(1+PageRank) static-prior blend, exact centi-micro units."""
+    from harvester_spark.operators.fulltext_queries import bm25_or_scored
+
+    pr = host_pagerank(spark, sf_dir).select(
+        F.col("host"), F.col("rank_unit").alias("r")
+    ).withColumn("prior_micro", F.expr(_PRB_PRIOR.format(col="r")))
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    scored = (
+        bm25_or_scored(spark, sf_dir)
+        .withColumn(
+            "bm25_micro", F.round(F.col("score") * 1e6).cast("long")
+        )
+        .join(docs, "doc_id")
+        .join(
+            F.broadcast(pr.select(F.col("host").alias("source"), "prior_micro")),
+            "source",
+            "left",
+        )
+        .withColumn(
+            "score_cm",
+            (
+                F.lit(PRB_W_TEXT) * F.col("bm25_micro")
+                + F.lit(PRB_W_STATIC)
+                * F.coalesce(F.col("prior_micro"), F.lit(0))
+            ).cast("long"),
+        )
+    )
+    top = scored.orderBy(
+        F.col("score_cm").desc(), F.col("doc_id").asc()
+    ).limit(10)
+    w = W.orderBy(F.col("score_cm").desc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "doc_id", "score_cm"
+    )
+
+
+def _sql_bm25_pagerank_blend() -> str:
+    from harvester_spark.operators.fulltext_queries import SQL_BM25_OR_TOPK
+
+    # the PR oracle chain is host_pagerank's own SQL twin — reuse it as a
+    # CTE and blend on top; the BM25 side rebuilds the OR kernel's full
+    # scored frame (SQL_BM25_OR_TOPK truncates to 10).
+    pr_sql = QUERIES["host_pagerank"][1]
+    return f"""
+WITH pr AS MATERIALIZED ({pr_sql}),
+toks AS ({SQL_DOC_TOKS}),
+dls AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) * 1.0e0 / count(*) FROM dls) AS avgdl
+),
+tfs_ AS (
+  SELECT term, doc_id, count(*) AS tf FROM toks
+  WHERE term IN ('key', 'value', 'table') GROUP BY 1, 2
+),
+dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM tfs_ GROUP BY 1),
+scored AS (
+  SELECT doc_id,
+         CAST(round(round(sum(
+           ln(1.0e0 + (n - df + 0.5e0) / (df + 0.5e0))
+           * (tf * 2.2e0)
+           / (tf + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * dl / avgdl))
+         ), 6) * 1e6) AS BIGINT) AS bm25_micro
+  FROM tfs_ t JOIN dfs USING (term) JOIN dls USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY doc_id
+),
+blended AS (
+  SELECT s.doc_id,
+         CAST({PRB_W_TEXT} * s.bm25_micro
+              + {PRB_W_STATIC} * coalesce(p.prior_micro, 0) AS BIGINT)
+           AS score_cm
+  FROM scored s
+  JOIN documents d USING (doc_id)
+  LEFT JOIN (
+    SELECT host, {_PRB_PRIOR.format(col="rank_unit")} AS prior_micro
+    FROM pr
+  ) p ON p.host = d.source
+)
+SELECT CAST(row_number() OVER (ORDER BY score_cm DESC, doc_id ASC) AS INT)
+         AS rank,
+       doc_id, score_cm
+FROM blended
+ORDER BY score_cm DESC, doc_id ASC LIMIT 10
+"""
+
+
+QUERIES["ft_bm25_pagerank_blend"] = (
+    ft_bm25_pagerank_blend,
+    _sql_bm25_pagerank_blend(),
 )

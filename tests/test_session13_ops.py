@@ -1358,3 +1358,47 @@ def test_kmeans_purity_matches_python_recompute(spark):
     # structural sanity: purity ≥ 1/n_labels trivially; NMI in [-ε, 1000]
     assert r["purity_milli"] * r["n_labels"] >= 1000
     assert r["nmi_milli"] <= 1000
+
+
+# --------------------------------------------- BM25 × PageRank blend
+
+
+def test_bm25_pagerank_blend_recompute_and_prior_effect(spark):
+    from harvester_spark.operators.fulltext_queries import (
+        bm25_or_scored,
+        ft_bm25_or_topk,
+    )
+    from harvester_spark.operators.graph import (
+        PRB_W_STATIC,
+        PRB_W_TEXT,
+        ft_bm25_pagerank_blend,
+        host_pagerank,
+    )
+
+    pr = {
+        r["host"]: r["rank_unit"]
+        for r in host_pagerank(spark, SF_DIR).collect()
+    }
+    src = {
+        r["doc_id"]: r["source"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "source")
+        .collect()
+    }
+    blended = {}
+    for r in bm25_or_scored(spark, SF_DIR).collect():
+        bm = int(round(r["score"] * 1e6))
+        prior = int(round(1e6 * math.log(1.0 + pr.get(src[r["doc_id"]], 0))))
+        blended[r["doc_id"]] = PRB_W_TEXT * bm + PRB_W_STATIC * prior
+    expect = sorted(blended.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [
+        (r["doc_id"], r["score_cm"])
+        for r in ft_bm25_pagerank_blend(spark, SF_DIR).orderBy("rank").collect()
+    ]
+    assert got == expect
+    # the static prior genuinely reorders the text-only ranking (hosts
+    # differ in rank mass — the non-degeneracy host_pagerank pins)
+    plain = [
+        r["doc_id"] for r in ft_bm25_or_topk(spark, SF_DIR).orderBy("rank").collect()
+    ]
+    assert [d for d, _ in got] != plain
