@@ -2994,3 +2994,98 @@ ORDER BY n_docs DESC, cell ASC LIMIT 15
 
 
 QUERIES["es_geohash_grid"] = (es_geohash_grid, _sql_geohash_grid())
+
+
+# ------------------------------------------------- geo_distance ranges
+
+# The second half of the OpenSearch geo pair (geohash_grid above):
+# geo_distance range buckets from a fixed origin. Same planted
+# milli-degree coordinates; the metric is the SQUARED equirectangular
+# angular distance in milli-degree² — a pure integer (lat² + lon² from
+# the (0, 0) origin), so range edges compare exact int64 and no
+# haversine trig ever runs (documented flat-model approximation: bucket
+# EDGES are what is being tested, not geodesy). Buckets at 30°/60°/90°
+# edges plus the open tail, every bucket reported (empty ones too —
+# range aggs return all requested ranges).
+#
+# Scale shape: map-only hash + one bucket groupBy (a1_facet_counts).
+
+GEO_EDGES_MDEG = (30_000, 60_000, 90_000)  # milli-degrees
+
+
+def es_geo_distance_ranges(spark, sf_dir):
+    """(bucket, n_docs, min_d2, max_d2): documents per squared-angular-
+    distance range from the (0,0) origin over planted coordinates."""
+    from harvester_spark.operators.dedup import _hash56
+
+    docs = load(spark, sf_dir, "documents")
+    planted = docs.select(
+        (
+            _hash56(F.concat(F.lit("lat:"), F.col("doc_id").cast("string")))
+            % 180000
+            - 90000
+        ).alias("lat"),
+        (
+            _hash56(F.concat(F.lit("lon:"), F.col("doc_id").cast("string")))
+            % 360000
+            - 180000
+        ).alias("lon"),
+    ).select(
+        (F.col("lat") * F.col("lat") + F.col("lon") * F.col("lon"))
+        .cast("long")
+        .alias("d2")
+    )
+    e1, e2, e3 = (e * e for e in GEO_EDGES_MDEG)
+    bucket = F.expr(
+        f"CASE WHEN d2 < {e1} THEN 0 WHEN d2 < {e2} THEN 1 "
+        f"WHEN d2 < {e3} THEN 2 ELSE 3 END"
+    ).cast("long")
+    agg = planted.withColumn("bucket", bucket).groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("d2").cast("long").alias("min_d2"),
+        F.max("d2").cast("long").alias("max_d2"),
+    )
+    grid = spark.createDataFrame([(b,) for b in range(4)], "bucket long")
+    return grid.join(agg, "bucket", "left").select(
+        "bucket",
+        F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+        F.coalesce("min_d2", F.lit(-1)).cast("long").alias("min_d2"),
+        F.coalesce("max_d2", F.lit(-1)).cast("long").alias("max_d2"),
+    )
+
+
+def _sql_geo_distance_ranges() -> str:
+    from harvester_spark.operators.dedup import _SQL_HASH56
+
+    lat = _SQL_HASH56.format(col="('lat:' || CAST(doc_id AS VARCHAR))")
+    lon = _SQL_HASH56.format(col="('lon:' || CAST(doc_id AS VARCHAR))")
+    e1, e2, e3 = (e * e for e in GEO_EDGES_MDEG)
+    return f"""
+WITH planted AS (
+  SELECT CAST(lat * lat + lon * lon AS BIGINT) AS d2 FROM (
+    SELECT {lat} % 180000 - 90000 AS lat,
+           {lon} % 360000 - 180000 AS lon
+    FROM documents
+  )
+),
+agg AS (
+  SELECT CASE WHEN d2 < {e1} THEN 0 WHEN d2 < {e2} THEN 1
+              WHEN d2 < {e3} THEN 2 ELSE 3 END AS bucket,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(min(d2) AS BIGINT) AS min_d2,
+         CAST(max(d2) AS BIGINT) AS max_d2
+  FROM planted GROUP BY 1
+)
+SELECT g.bucket,
+       CAST(coalesce(a.n_docs, 0) AS BIGINT) AS n_docs,
+       CAST(coalesce(a.min_d2, -1) AS BIGINT) AS min_d2,
+       CAST(coalesce(a.max_d2, -1) AS BIGINT) AS max_d2
+FROM (SELECT unnest(range(4)) AS bucket) g
+LEFT JOIN agg a USING (bucket)
+"""
+
+
+QUERIES["es_geo_distance_ranges"] = (
+    es_geo_distance_ranges,
+    _sql_geo_distance_ranges(),
+)

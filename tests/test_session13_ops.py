@@ -1402,3 +1402,46 @@ def test_bm25_pagerank_blend_recompute_and_prior_effect(spark):
         r["doc_id"] for r in ft_bm25_or_topk(spark, SF_DIR).orderBy("rank").collect()
     ]
     assert [d for d, _ in got] != plain
+
+
+# ------------------------------------------------ geo_distance agg
+
+
+def test_geo_distance_ranges_match_python_recompute(spark):
+    import hashlib
+
+    from harvester_spark.operators.es_aggs import (
+        GEO_EDGES_MDEG,
+        es_geo_distance_ranges,
+    )
+
+    def h56(sv: str) -> int:
+        return int(hashlib.md5(sv.encode()).hexdigest()[:14], 16)
+
+    ids = [
+        r["doc_id"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    edges = [e * e for e in GEO_EDGES_MDEG]
+    buckets = {}
+    for d in ids:
+        lat = h56(f"lat:{d}") % 180000 - 90000
+        lon = h56(f"lon:{d}") % 360000 - 180000
+        d2 = lat * lat + lon * lon
+        b = sum(1 for e in edges if d2 >= e)
+        buckets.setdefault(b, []).append(d2)
+    got = {
+        r["bucket"]: (r["n_docs"], r["min_d2"], r["max_d2"])
+        for r in es_geo_distance_ranges(spark, SF_DIR).collect()
+    }
+    assert set(got) == {0, 1, 2, 3}
+    for b in range(4):
+        if b in buckets:
+            vs = buckets[b]
+            assert got[b] == (len(vs), min(vs), max(vs))
+        else:
+            assert got[b] == (0, -1, -1)
+    # planted coordinates populate several rings (non-degenerate)
+    assert sum(1 for b in got.values() if b[0] > 0) >= 3
