@@ -2048,29 +2048,31 @@ QUERIES["host_adamic_adar"] = (host_adamic_adar, _sql_adamic_adar())
 # ------------------------------------- label-propagation communities
 
 # Raghavan/Albert/Kumara (2007): near-linear community detection — each
-# node adopts its neighborhood's most frequent label; communities emerge
-# as fixed points. The crawl application is grouping hosts into topical
-# clusters for scheduling and mixture balancing (domain_mixture_sample's
-# upstream). SYNCHRONOUS propagation with LPA_ITERS = 4 unrolled rounds
-# and a fully deterministic update: argmax neighbor label by (count desc,
-# label asc) — no randomized order, so both engines walk identical label
-# states (bipartite-ish graphs can oscillate under sync LPA; a FIXED
-# unroll is deterministic either way and the test pins real convergence
-# on this corpus). Uses the same sparse derived-fanout synthesis as
-# host_kcore (fanout = n_docs DIV 2): the shared 20-host graph is
-# near-complete and collapses to one community, proving nothing.
+# node adopts its neighborhood's most frequent label. The synthesized
+# host graph is BIPARTITE (source hubs × hashed leaf hosts), where fully
+# synchronous LPA provably oscillates — measured here as ANTI-modular
+# partitions (Q ≈ −0.06…−0.15 at any round count). The fix is the
+# standard one, Cordasco & Gargano (2010) SEMI-SYNCHRONOUS LPA: update
+# one color class at a time. Each iteration runs two deterministic
+# half-rounds — leaves (nodes never appearing as a source) first, from
+# hub labels; then hubs, from the UPDATED leaf labels — with the argmax
+# tie-break (count desc, label asc). Q ≈ +0.30 at LPA_ITERS = 4 on this
+# corpus (host_labelprop_modularity pins it), vs negative for sync.
+# Uses the same sparse derived-fanout synthesis as host_kcore (the
+# shared 20-host graph collapses to one community and proves nothing).
 #
-# Scale shape per round: one edges⋈labels equi-join + one (node, label)
-# count + one per-node argmax window — the connected-components /
-# pagerank family's plan; labels stay a DataFrame end to end.
+# Scale shape per half-round: one edges⋈labels equi-join + one per-node
+# argmax window restricted to the updating side + a union with the
+# carried side — the connected-components / pagerank family's plan;
+# labels stay a DataFrame end to end.
 
 LPA_ITERS = 4
 
 
 def host_labelprop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(host, label, comm_size) after {LPA_ITERS} synchronous deterministic
-    label-propagation rounds over the sparse derived-fanout host graph —
-    label = the community representative's host name."""
+    """(host, label, comm_size) after {LPA_ITERS} semi-synchronous
+    deterministic label-propagation iterations (leaves then hubs per
+    iteration) over the sparse derived-fanout host graph."""
     docs = load(spark, sf_dir, "documents")
     fan = max(docs.count() // 2, 20)
     dst = F.concat(
@@ -2086,14 +2088,25 @@ def host_labelprop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .cache()
     )
-    labels = und.select(F.col("src").alias("host")).distinct().withColumn(
-        "label", F.col("host")
+    hubs = e0.select(F.col("src").alias("host")).distinct().withColumn(
+        "is_hub", F.lit(1)
+    )
+    labels = (
+        und.select(F.col("src").alias("host"))
+        .distinct()
+        .join(F.broadcast(hubs), "host", "left")
+        .select(
+            "host",
+            F.col("host").alias("label"),
+            F.coalesce("is_hub", F.lit(0)).alias("is_hub"),
+        )
     )
     wv = W.partitionBy("host").orderBy(
         F.col("c").desc(), F.col("label").asc()
     )
-    for _ in range(LPA_ITERS):
-        labels = (
+
+    def half_round(labels, update_hubs: int):
+        upd = (
             und.join(
                 labels.select(F.col("host").alias("dst"), "label"), "dst"
             )
@@ -2101,9 +2114,25 @@ def host_labelprop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").cast("long").alias("c"))
             .withColumn("rn", F.row_number().over(wv))
             .filter(F.col("rn") == 1)
-            .select("host", "label")
-            .localCheckpoint()
+            .select("host", F.col("label").alias("new_label"))
         )
+        return (
+            labels.join(upd, "host", "left")
+            .select(
+                "host",
+                F.when(
+                    F.col("is_hub") == update_hubs, F.col("new_label")
+                )
+                .otherwise(F.col("label"))
+                .alias("label"),
+                "is_hub",
+            )
+        )
+
+    for _ in range(LPA_ITERS):
+        labels = half_round(labels, 0).localCheckpoint()
+        labels = half_round(labels, 1).localCheckpoint()
+    labels = labels.select("host", "label")
     sizes = labels.groupBy("label").agg(
         F.count("*").cast("long").alias("comm_size")
     )
@@ -2116,20 +2145,30 @@ def _sql_labelprop(sf_dir: str) -> str:
     hash_doc = _SQL_HASH56.format(col="CAST(doc_id AS VARCHAR)")
     rounds = []
     prev = "lab0"
-    for i in range(1, LPA_ITERS + 1):
-        cur = f"lab{i}"
-        rounds.append(f""",
+    step = 0
+    for _ in range(LPA_ITERS):
+        for update_hubs in (0, 1):
+            step += 1
+            cur = f"lab{step}"
+            rounds.append(f""",
 {cur} AS MATERIALIZED (
-  SELECT host, label FROM (
-    SELECT u.src AS host, l.label,
-           row_number() OVER (
-             PARTITION BY u.src
-             ORDER BY count(*) DESC, l.label ASC) AS rn
-    FROM und u JOIN {prev} l ON l.host = u.dst
-    GROUP BY u.src, l.label
-  ) WHERE rn = 1
+  SELECT l.host,
+         CASE WHEN l.is_hub = {update_hubs} THEN u.new_label
+              ELSE l.label END AS label,
+         l.is_hub
+  FROM {prev} l
+  LEFT JOIN (
+    SELECT host, label AS new_label FROM (
+      SELECT u.src AS host, l2.label,
+             row_number() OVER (
+               PARTITION BY u.src
+               ORDER BY count(*) DESC, l2.label ASC) AS rn
+      FROM und u JOIN {prev} l2 ON l2.host = u.dst
+      GROUP BY u.src, l2.label
+    ) WHERE rn = 1
+  ) u ON u.host = l.host
 )""")
-        prev = cur
+            prev = cur
     return f"""
 WITH fan AS (
   SELECT greatest(CAST(count(*) AS BIGINT) // 2, 20) AS f FROM documents
@@ -2144,8 +2183,12 @@ und AS MATERIALIZED (
   UNION
   SELECT dst AS src, src AS dst FROM e0 WHERE src <> dst
 ),
+hubs AS (SELECT DISTINCT src AS host FROM e0 WHERE src <> dst),
 lab0 AS MATERIALIZED (
-  SELECT DISTINCT src AS host, src AS label FROM und
+  SELECT n.host, n.host AS label,
+         CASE WHEN h.host IS NULL THEN 0 ELSE 1 END AS is_hub
+  FROM (SELECT DISTINCT src AS host FROM und) n
+  LEFT JOIN hubs h USING (host)
 ){"".join(rounds)},
 sizes AS (
   SELECT label, CAST(count(*) AS BIGINT) AS comm_size
@@ -2276,4 +2319,155 @@ ORDER BY score_cm DESC, doc_id ASC LIMIT 10
 QUERIES["ft_bm25_pagerank_blend"] = (
     ft_bm25_pagerank_blend,
     _sql_bm25_pagerank_blend(),
+)
+
+
+# ------------------------------------------- partition modularity (Q)
+
+# The external-validity score for host_labelprop_communities (what
+# purity/NMI are to the k-means trainer): Newman modularity of the
+# final label partition over the same sparse undirected graph,
+#   Q = Σ_c (e_c/m − (d_c/2m)²)
+# with m = |undirected edges|, e_c = intra-community edges, d_c = Σ
+# degrees in c. Exact integer rational via the common denominator 4m²:
+#   Q·4m² = Σ_c (4·m·e_c − d_c²)
+# — reported as q_num/q_den plus a sign-split floored micro quotient
+# (Q can be negative for anti-community partitions; Spark DIV truncates
+# while DuckDB // floors, so magnitudes only). Overflow: d_c ≤ 2m and
+# m ≤ edge count ≈ docs, so Σ d_c² ≤ 4m² ≈ 4e12 at 1M docs — headroom.
+#
+# Scale shape: the labelprop rounds (unchanged) + one edges⋈labels
+# equi-join per endpoint + two tiny aggs.
+
+
+def host_labelprop_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_edges, n_communities, q_num, q_den, q_micro): Newman modularity
+    of the label-propagation partition, exact integer rational."""
+    labels = host_labelprop_communities(spark, sf_dir).select(
+        "host", "label"
+    ).cache()
+    docs = load(spark, sf_dir, "documents")
+    fan = max(docs.count() // 2, 20)
+    dst = F.concat(
+        F.lit("h"),
+        (_hash56(F.col("doc_id").cast("string")) % fan).cast("string"),
+    )
+    e0 = docs.select(F.col("source").alias("src"), dst.alias("dst")).filter(
+        F.col("src") != F.col("dst")
+    )
+    # one undirected edge per unordered pair (a < b)
+    und = (
+        e0.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .cache()
+    )
+    m_df = und.agg(F.count("*").cast("long").alias("m"))
+    la = labels.select(F.col("host").alias("a"), F.col("label").alias("lab_a"))
+    lb = labels.select(F.col("host").alias("b"), F.col("label").alias("lab_b"))
+    intra = (
+        und.join(la, "a")
+        .join(lb, "b")
+        .filter(F.col("lab_a") == F.col("lab_b"))
+        .groupBy(F.col("lab_a").alias("label"))
+        .agg(F.count("*").cast("long").alias("e_c"))
+    )
+    deg = (
+        und.select(F.col("a").alias("host"))
+        .union(und.select(F.col("b").alias("host")))
+        .groupBy("host")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    d_c = (
+        deg.join(labels, "host")
+        .groupBy("label")
+        .agg(F.sum("d").cast("long").alias("d_c"))
+    )
+    per_c = d_c.join(intra, "label", "left").select(
+        "label",
+        "d_c",
+        F.coalesce("e_c", F.lit(0)).cast("long").alias("e_c"),
+    )
+    num = (
+        per_c.crossJoin(F.broadcast(m_df))
+        .select(
+            (4 * F.col("m") * F.col("e_c") - F.col("d_c") * F.col("d_c"))
+            .cast("long")
+            .alias("t")
+        )
+        .agg(
+            F.sum("t").cast("long").alias("q_num"),
+            F.count("*").cast("long").alias("n_communities"),
+        )
+    )
+    return num.crossJoin(F.broadcast(m_df)).select(
+        F.col("m").alias("n_edges"),
+        "n_communities",
+        "q_num",
+        (4 * F.col("m") * F.col("m")).cast("long").alias("q_den"),
+        F.expr(
+            "CASE WHEN q_num >= 0 THEN (q_num * 1000000) DIV (4 * m * m)"
+            " ELSE -(((-q_num) * 1000000) DIV (4 * m * m)) END"
+        ).cast("long").alias("q_micro"),
+    )
+
+
+def _sql_labelprop_modularity() -> str:
+    lp_sql = _sql_labelprop("")
+    hash_doc = _SQL_HASH56.format(col="CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH lp AS MATERIALIZED ({lp_sql}),
+fan2 AS (
+  SELECT greatest(CAST(count(*) AS BIGINT) // 2, 20) AS f FROM documents
+),
+e0 AS (
+  SELECT source AS src,
+         'h' || CAST({hash_doc} % (SELECT f FROM fan2) AS VARCHAR) AS dst
+  FROM documents
+),
+und2 AS MATERIALIZED (
+  SELECT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e0 WHERE src <> dst
+  GROUP BY 1, 2
+),
+ms AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und2),
+intra AS (
+  SELECT la.label, CAST(count(*) AS BIGINT) AS e_c
+  FROM und2 u
+  JOIN lp la ON la.host = u.a
+  JOIN lp lb ON lb.host = u.b
+  WHERE la.label = lb.label
+  GROUP BY 1
+),
+deg AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT a AS host FROM und2 UNION ALL SELECT b AS host FROM und2
+  ) GROUP BY 1
+),
+dcs AS (
+  SELECT l.label, CAST(sum(g.d) AS BIGINT) AS d_c
+  FROM deg g JOIN lp l USING (host) GROUP BY 1
+),
+per_c AS (
+  SELECT d.label, d.d_c, CAST(coalesce(i.e_c, 0) AS BIGINT) AS e_c
+  FROM dcs d LEFT JOIN intra i USING (label)
+),
+agg AS (
+  SELECT CAST(sum(4 * m * e_c - d_c * d_c) AS BIGINT) AS q_num,
+         CAST(count(*) AS BIGINT) AS n_communities
+  FROM per_c CROSS JOIN ms
+)
+SELECT m AS n_edges, n_communities, q_num,
+       CAST(4 * m * m AS BIGINT) AS q_den,
+       CAST(CASE WHEN q_num >= 0 THEN (q_num * 1000000) // (4 * m * m)
+                 ELSE -(((-q_num) * 1000000) // (4 * m * m)) END
+            AS BIGINT) AS q_micro
+FROM agg CROSS JOIN ms
+"""
+
+
+QUERIES["host_labelprop_modularity"] = (
+    host_labelprop_modularity,
+    _sql_labelprop_modularity(),
 )

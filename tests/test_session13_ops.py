@@ -507,9 +507,36 @@ def test_adamic_adar_matches_python_recompute(spark):
 # ------------------------------------------- label propagation (LPA)
 
 
-def test_labelprop_matches_sync_python_recompute(spark):
+def _semisync_lpa(rows, iters):
+    """Semi-synchronous LPA recompute: leaves then hubs per iteration."""
     import hashlib
 
+    fan = max(len(rows) // 2, 20)
+    und = set()
+    hubs = set()
+    for r in rows:
+        h = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:14], 16)
+        dst = f"h{h % fan}"
+        if r["source"] != dst:
+            und.add((r["source"], dst))
+            und.add((dst, r["source"]))
+            hubs.add(r["source"])
+    nbrs = {}
+    for a, b in und:
+        nbrs.setdefault(a, []).append(b)
+    labels = {h: h for h in nbrs}
+    for _ in range(iters):
+        for update_hubs in (False, True):
+            nxt = dict(labels)
+            for h, ns in nbrs.items():
+                if (h in hubs) == update_hubs:
+                    cnt = Counter(labels[n] for n in ns)
+                    nxt[h] = min(cnt, key=lambda l: (-cnt[l], l))
+            labels = nxt
+    return und, hubs, labels
+
+
+def test_labelprop_matches_semisync_python_recompute(spark):
     from harvester_spark.operators.graph import (
         LPA_ITERS,
         host_labelprop_communities,
@@ -520,24 +547,7 @@ def test_labelprop_matches_sync_python_recompute(spark):
         .select("doc_id", "source")
         .collect()
     )
-    fan = max(len(rows) // 2, 20)
-    und = set()
-    for r in rows:
-        h = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:14], 16)
-        dst = f"h{h % fan}"
-        if r["source"] != dst:
-            und.add((r["source"], dst))
-            und.add((dst, r["source"]))
-    nbrs = {}
-    for a, b in und:
-        nbrs.setdefault(a, []).append(b)
-    labels = {h: h for h in nbrs}
-    for _ in range(LPA_ITERS):
-        nxt = {}
-        for h, ns in nbrs.items():
-            cnt = Counter(labels[n] for n in ns)
-            nxt[h] = min(cnt, key=lambda l: (-cnt[l], l))
-        labels = nxt
+    _, _, labels = _semisync_lpa(rows, LPA_ITERS)
     sizes = Counter(labels.values())
     got = {
         r["host"]: (r["label"], r["comm_size"])
@@ -1445,3 +1455,46 @@ def test_geo_distance_ranges_match_python_recompute(spark):
             assert got[b] == (0, -1, -1)
     # planted coordinates populate several rings (non-degenerate)
     assert sum(1 for b in got.values() if b[0] > 0) >= 3
+
+
+# -------------------------------------------------- modularity (Q)
+
+
+def test_labelprop_modularity_matches_python_recompute(spark):
+    from harvester_spark.operators.graph import (
+        LPA_ITERS,
+        host_labelprop_modularity,
+    )
+
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "source")
+        .collect()
+    )
+    und_dir, _, labels = _semisync_lpa(rows, LPA_ITERS)
+    und_pairs = set((min(a, b), max(a, b)) for a, b in und_dir)
+    m = len(und_pairs)
+    e_c = Counter()
+    d_c = Counter()
+    for a, b in und_pairs:
+        if labels[a] == labels[b]:
+            e_c[labels[a]] += 1
+        d_c[labels[a]] += 1
+        d_c[labels[b]] += 1
+    comms = set(d_c)
+    q_num = sum(4 * m * e_c[c] - d_c[c] * d_c[c] for c in comms)
+    r = host_labelprop_modularity(spark, SF_DIR).collect()[0]
+    assert r["n_edges"] == m
+    assert r["n_communities"] == len(comms)
+    assert r["q_num"] == q_num
+    assert r["q_den"] == 4 * m * m
+    expect_micro = (
+        (q_num * 1_000_000) // (4 * m * m)
+        if q_num >= 0
+        else -(((-q_num) * 1_000_000) // (4 * m * m))
+    )
+    assert r["q_micro"] == expect_micro
+    # semi-synchronous LPA is genuinely MODULAR on the bipartite graph —
+    # fully synchronous updates oscillate to Q ≈ −0.06…−0.15 here
+    # (measured), so this pin is exactly what the half-round schedule buys
+    assert r["q_micro"] > 250_000
