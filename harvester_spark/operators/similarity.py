@@ -2815,3 +2815,160 @@ FROM ns CROSS JOIN pur CROSS JOIN mi CROSS JOIN ha CROSS JOIN hb
 
 
 QUERIES["emb_kmeans_purity"] = (emb_kmeans_purity, _sql_kmeans_purity())
+
+
+# ----------------------------------------------- silhouette (internal)
+
+# The INTERNAL validity twin of emb_kmeans_purity (which needs labels):
+# silhouette (Rousseeuw 1987) judges the k-means partition from
+# geometry alone — a(i) mean intra-cluster distance, b(i) min mean
+# distance to another cluster, s = (b−a)/max(a,b). Computed on the
+# LABELED BOUNDED subset vec_id < {SIL_SUBSET} (the quadratic-baseline
+# discipline: all-pairs silhouette is O(n²) by definition; the scale
+# path subsamples exactly like this, per cluster).
+#
+# Exact integers end to end: distances are int64 squared-euclidean on
+# milli-quantized components; a/b are FLOORED integer means (sum DIV
+# count — nonnegative, no seam); s_milli = sign-split
+# 1000·(b−a) DIV max(a,b); singletons get s = 0 (the sklearn/ES
+# convention). Per-cluster means are sign-split floored milli.
+
+SIL_SUBSET = 200
+_SIL_Q = 1000
+
+
+def emb_silhouette(spark, sf_dir):
+    """(cent_id, n_members, mean_s_milli): per-cluster mean silhouette of
+    the k-means assignment over the bounded subset, exact floored
+    integer arithmetic."""
+    k = derive_k(_n_vectors(spark, sf_dir))
+    ivec, cids, C = _kmeans_train(spark, sf_dir, k)
+    assign = (
+        _km_topc(ivec, cids, C, 1)
+        .filter(F.col("vec_id") < SIL_SUBSET)
+        .select("vec_id", "cent_id")
+        .cache()
+    )
+    comp = (
+        _components(spark, sf_dir)
+        .filter(F.col("vec_id") < SIL_SUBSET)
+        .select(
+            "vec_id", "pos",
+            F.round(F.col("val") * _SIL_Q).cast("long").alias("q"),
+        )
+    )
+    x, y = comp.alias("x"), comp.alias("y")
+    d2 = (
+        x.join(
+            y,
+            (F.col("x.pos") == F.col("y.pos"))
+            & (F.col("x.vec_id") != F.col("y.vec_id")),
+        )
+        .groupBy(
+            F.col("x.vec_id").alias("i"), F.col("y.vec_id").alias("j")
+        )
+        .agg(
+            F.sum(
+                (F.col("x.q") - F.col("y.q")) * (F.col("x.q") - F.col("y.q"))
+            ).cast("long").alias("d2")
+        )
+    )
+    ai = assign.select(F.col("vec_id").alias("i"), F.col("cent_id").alias("ci"))
+    aj = assign.select(F.col("vec_id").alias("j"), F.col("cent_id").alias("cj"))
+    pairs = d2.join(ai, "i").join(aj, "j")
+    means = pairs.groupBy("i", "ci", "cj").agg(
+        F.expr("CAST(sum(d2) DIV count(*) AS BIGINT)").alias("md")
+    )
+    a_tbl = means.filter(F.col("ci") == F.col("cj")).select(
+        "i", F.col("md").alias("a")
+    )
+    b_tbl = (
+        means.filter(F.col("ci") != F.col("cj"))
+        .groupBy("i")
+        .agg(F.min("md").cast("long").alias("b"))
+    )
+    s_tbl = (
+        assign.select(F.col("vec_id").alias("i"), "cent_id")
+        .join(a_tbl, "i", "left")
+        .join(b_tbl, "i", "left")
+        .withColumn(
+            "s_milli",
+            F.expr(
+                "CASE WHEN a IS NULL OR b IS NULL THEN CAST(0 AS BIGINT) "
+                "WHEN a = 0 AND b = 0 THEN CAST(0 AS BIGINT) "
+                "WHEN b >= a THEN (1000 * (b - a)) DIV b "
+                "ELSE -((1000 * (a - b)) DIV a) END"
+            ).cast("long"),
+        )
+    )
+    return s_tbl.groupBy("cent_id").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.expr(
+            "CAST(CASE WHEN sum(s_milli) >= 0"
+            " THEN sum(s_milli) DIV count(*)"
+            " ELSE -((-sum(s_milli)) DIV count(*)) END AS BIGINT)"
+        ).alias("mean_s_milli"),
+    )
+
+
+def _sql_silhouette() -> str:
+    return f"""
+WITH icomp AS (
+  SELECT vec_id, pos, CAST(round(val * {_KM_SCALE}) AS BIGINT) AS ival
+  FROM ({_SQL_COMPONENTS})
+),
+{_SQL_KPARAM},
+{_SQL_KM_CHAIN},
+assign AS MATERIALIZED (
+  SELECT vec_id, cent_id FROM (
+    SELECT c.vec_id, ct.cent_id,
+           row_number() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY sum((c.ival - ct.cval) * (c.ival - ct.cval)) ASC,
+                      ct.cent_id ASC) AS rnk
+    FROM icomp c JOIN c3 ct USING (pos)
+    GROUP BY c.vec_id, ct.cent_id
+  ) WHERE rnk = 1 AND vec_id < {SIL_SUBSET}
+),
+sq AS MATERIALIZED (
+  SELECT vec_id, pos, CAST(round(val * {_SIL_Q}) AS BIGINT) AS q
+  FROM ({_SQL_COMPONENTS}) WHERE vec_id < {SIL_SUBSET}
+),
+d2 AS MATERIALIZED (
+  SELECT x.vec_id AS i, y.vec_id AS j,
+         CAST(sum((x.q - y.q) * (x.q - y.q)) AS BIGINT) AS d2
+  FROM sq x JOIN sq y ON x.pos = y.pos AND x.vec_id <> y.vec_id
+  GROUP BY 1, 2
+),
+means AS (
+  SELECT p.i, ai.cent_id AS ci, aj.cent_id AS cj,
+         CAST(sum(p.d2) // count(*) AS BIGINT) AS md
+  FROM d2 p
+  JOIN assign ai ON ai.vec_id = p.i
+  JOIN assign aj ON aj.vec_id = p.j
+  GROUP BY 1, 2, 3
+),
+a_tbl AS (SELECT i, md AS a FROM means WHERE ci = cj),
+b_tbl AS (
+  SELECT i, CAST(min(md) AS BIGINT) AS b FROM means WHERE ci <> cj GROUP BY 1
+),
+s_tbl AS (
+  SELECT asg.cent_id,
+         CAST(CASE WHEN a.a IS NULL OR b.b IS NULL THEN 0
+                   WHEN a.a = 0 AND b.b = 0 THEN 0
+                   WHEN b.b >= a.a THEN (1000 * (b.b - a.a)) // b.b
+                   ELSE -((1000 * (a.a - b.b)) // a.a) END AS BIGINT)
+           AS s_milli
+  FROM assign asg
+  LEFT JOIN a_tbl a ON a.i = asg.vec_id
+  LEFT JOIN b_tbl b ON b.i = asg.vec_id
+)
+SELECT cent_id, CAST(count(*) AS BIGINT) AS n_members,
+       CAST(CASE WHEN sum(s_milli) >= 0 THEN sum(s_milli) // count(*)
+                 ELSE -((-sum(s_milli)) // count(*)) END AS BIGINT)
+         AS mean_s_milli
+FROM s_tbl GROUP BY cent_id
+"""
+
+
+QUERIES["emb_silhouette"] = (emb_silhouette, _sql_silhouette())

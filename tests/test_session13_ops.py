@@ -1498,3 +1498,66 @@ def test_labelprop_modularity_matches_python_recompute(spark):
     # fully synchronous updates oscillate to Q ≈ −0.06…−0.15 here
     # (measured), so this pin is exactly what the half-round schedule buys
     assert r["q_micro"] > 250_000
+
+
+# --------------------------------------------------- silhouette
+
+
+def test_silhouette_matches_python_recompute(spark):
+    from harvester_spark.operators.similarity import (
+        SIL_SUBSET,
+        _SIL_Q,
+        emb_kmeans_assign,
+        emb_silhouette,
+    )
+
+    assign = {
+        r["vec_id"]: r["cent_id"]
+        for r in emb_kmeans_assign(spark, SF_DIR).collect()
+        if r["vec_id"] < SIL_SUBSET
+    }
+    emb = {
+        r["vec_id"]: [int(round(v * _SIL_Q)) for v in r["embedding"]]
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+        if r["vec_id"] < SIL_SUBSET
+    }
+    ids = sorted(assign)
+
+    def d2(i, j):
+        return sum((a - b) ** 2 for a, b in zip(emb[i], emb[j]))
+
+    per_cluster = {}
+    for i in ids:
+        by_c = {}
+        for j in ids:
+            if j != i:
+                by_c.setdefault(assign[j], []).append(d2(i, j))
+        a = None
+        if assign[i] in by_c:
+            vs = by_c[assign[i]]
+            a = sum(vs) // len(vs)
+        bs = [
+            sum(vs) // len(vs) for c, vs in by_c.items() if c != assign[i]
+        ]
+        b = min(bs) if bs else None
+        if a is None or b is None:
+            s = 0
+        elif a == 0 and b == 0:
+            s = 0
+        elif b >= a:
+            s = (1000 * (b - a)) // b
+        else:
+            s = -((1000 * (a - b)) // a)
+        per_cluster.setdefault(assign[i], []).append(s)
+    expect = {}
+    for c, ss in per_cluster.items():
+        tot = sum(ss)
+        mean = tot // len(ss) if tot >= 0 else -((-tot) // len(ss))
+        expect[c] = (len(ss), mean)
+    got = {
+        r["cent_id"]: (r["n_members"], r["mean_s_milli"])
+        for r in emb_silhouette(spark, SF_DIR).collect()
+    }
+    assert got == expect
+    # non-degenerate: scores vary across clusters
+    assert len(set(v[1] for v in got.values())) > 2
