@@ -3089,3 +3089,197 @@ QUERIES["es_geo_distance_ranges"] = (
     es_geo_distance_ranges,
     _sql_geo_distance_ranges(),
 )
+
+
+# ---------------------------------------------- frequent item sets
+
+# The ES `frequent_item_sets` agg (its one market-basket surface) via
+# textbook Apriori (Agrawal & Srikant, VLDB 1994) at max size 3. The
+# 31-type corpus vocabulary saturates any basket built from real tokens
+# (every frequent term co-occurs with every other — the CLAUDE.md
+# degenerate-vocabulary trap), so baskets are PLANTED per doc from a
+# skewed item space — 5 md5-hash draws, 3/4 of them over 6 hot items and
+# 1/4 over 50 cold ones — giving a genuine support gradient: hot
+# singletons ≈ 48% of docs, hot pairs ≈ 21%, hot triples ≈ 8%, cold
+# items ≈ 2.5% (pruned at L1), quadruples ≈ 2% (below minsup). Both
+# engines derive identical baskets from the same integer hash algebra.
+#
+# The Apriori structure is load-bearing, not decorative: L1 semi-joins
+# the baskets down to frequent items BEFORE any pair is formed (cold
+# items never enter a join), and size-3 support counting only runs over
+# the candidate set C3 = join(L2, L2) with ALL three sub-pairs frequent
+# (the downward-closure prune) — broadcast, since |C3| ≤ |L2|² is tiny
+# by construction. Support counts are exact BIGINTs.
+#
+# Scale shape: basket synthesis is map-only; L1 is one groupBy; the
+# pair/triple joins are doc-keyed self-joins whose per-doc width is
+# bounded by the number of FREQUENT items in the basket (≤ 5 here, ≤
+# basket size always) — linear in docs, never quadratic in vocabulary;
+# C3 and L2 ride broadcasts.
+
+FIS_SLOTS = 5
+FIS_HOT = 6
+FIS_COLD = 50
+FIS_MINSUP_DIV = 20  # minsup = max(n_docs/20, 2) — 5% support
+
+
+def _fis_baskets(spark, sf_dir):
+    from harvester_spark.operators.dedup import _hash56
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    slots = docs.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(FIS_SLOTS - 1))).alias("slot")
+    )
+    h = _hash56(
+        F.concat(
+            F.lit("fis|"),
+            F.col("doc_id").cast("string"),
+            F.lit("|"),
+            F.col("slot").cast("string"),
+        )
+    )
+    # h is 56-bit: h/4 as a DOUBLE loses low bits past the 53-bit
+    # mantissa — the quotient MUST stay integer (DIV), like the oracle's //.
+    item = F.expr(
+        f"CASE WHEN h % 4 < 3 THEN concat('i', CAST((h DIV 4) % {FIS_HOT} AS STRING))"
+        f" ELSE concat('i', CAST({FIS_HOT} + (h DIV 4) % {FIS_COLD} AS STRING)) END"
+    )
+    return (
+        slots.select("doc_id", h.alias("h"))
+        .select("doc_id", item.alias("item"))
+        .distinct()
+    )
+
+
+def es_frequent_item_sets(spark, sf_dir):
+    """(k, item_a, item_b, item_c, support): Apriori frequent itemsets
+    (sizes 1-3, support >= n_docs/{FIS_MINSUP_DIV}) over planted skewed
+    baskets; unused item slots are ''."""
+    baskets = _fis_baskets(spark, sf_dir).cache()
+    n_docs = load(spark, sf_dir, "documents").count()
+    minsup = max(n_docs // FIS_MINSUP_DIV, 2)
+
+    l1 = (
+        baskets.groupBy("item")
+        .agg(F.count("*").cast("long").alias("support"))
+        .filter(F.col("support") >= minsup)
+        .cache()
+    )
+    fb = baskets.join(
+        F.broadcast(l1.select("item")), "item", "left_semi"
+    ).cache()
+
+    fa = fb.select("doc_id", F.col("item").alias("a"))
+    fbb = fb.select("doc_id", F.col("item").alias("b"))
+    fc = fb.select("doc_id", F.col("item").alias("c"))
+    l2 = (
+        fa.join(fbb, "doc_id")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("support"))
+        .filter(F.col("support") >= minsup)
+        .cache()
+    )
+    # C3 = downward-closure candidates: (a,b)+(a,c) share the prefix,
+    # and (b,c) must itself be frequent.
+    c3 = (
+        l2.select("a", "b")
+        .join(l2.select("a", F.col("b").alias("c")), "a")
+        .filter(F.col("b") < F.col("c"))
+        .join(
+            l2.select(F.col("a").alias("b"), F.col("b").alias("c")),
+            ["b", "c"],
+            "left_semi",
+        )
+    )
+    l3 = (
+        fa.join(fbb, "doc_id")
+        .filter(F.col("a") < F.col("b"))
+        .join(fc, "doc_id")
+        .filter(F.col("b") < F.col("c"))
+        .join(F.broadcast(c3), ["a", "b", "c"])
+        .groupBy("a", "b", "c")
+        .agg(F.count("*").cast("long").alias("support"))
+        .filter(F.col("support") >= minsup)
+    )
+    out1 = l1.select(
+        F.lit(1).alias("k"), F.col("item").alias("item_a"),
+        F.lit("").alias("item_b"), F.lit("").alias("item_c"), "support",
+    )
+    out2 = l2.select(
+        F.lit(2).alias("k"), F.col("a").alias("item_a"),
+        F.col("b").alias("item_b"), F.lit("").alias("item_c"), "support",
+    )
+    out3 = l3.select(
+        F.lit(3).alias("k"), F.col("a").alias("item_a"),
+        F.col("b").alias("item_b"), F.col("c").alias("item_c"), "support",
+    )
+    return out1.unionByName(out2).unionByName(out3)
+
+
+def _sql_frequent_item_sets() -> str:
+    from harvester_spark.operators.dedup import _SQL_HASH56
+
+    h = _SQL_HASH56.format(
+        col="'fis|' || CAST(doc_id AS VARCHAR) || '|' || CAST(slot AS VARCHAR)"
+    )
+    return f"""
+WITH slots AS (
+  SELECT doc_id, CAST(unnest(range({FIS_SLOTS})) AS BIGINT) AS slot
+  FROM documents
+),
+hs AS (SELECT doc_id, {h} AS h FROM slots),
+baskets AS MATERIALIZED (
+  SELECT DISTINCT doc_id,
+         CASE WHEN h % 4 < 3 THEN 'i' || CAST((h // 4) % {FIS_HOT} AS VARCHAR)
+              ELSE 'i' || CAST({FIS_HOT} + (h // 4) % {FIS_COLD} AS VARCHAR)
+         END AS item
+  FROM hs
+),
+ms AS (
+  SELECT greatest(CAST(count(*) AS BIGINT) // {FIS_MINSUP_DIV}, 2) AS minsup
+  FROM documents
+),
+l1 AS MATERIALIZED (
+  SELECT item, CAST(count(*) AS BIGINT) AS support
+  FROM baskets GROUP BY 1
+  HAVING CAST(count(*) AS BIGINT) >= (SELECT minsup FROM ms)
+),
+fb AS MATERIALIZED (
+  SELECT b.doc_id, b.item FROM baskets b
+  WHERE b.item IN (SELECT item FROM l1)
+),
+l2 AS MATERIALIZED (
+  SELECT x.item AS a, y.item AS b, CAST(count(*) AS BIGINT) AS support
+  FROM fb x JOIN fb y ON x.doc_id = y.doc_id AND x.item < y.item
+  GROUP BY 1, 2
+  HAVING CAST(count(*) AS BIGINT) >= (SELECT minsup FROM ms)
+),
+c3 AS (
+  SELECT p.a, p.b, q.b AS c
+  FROM l2 p JOIN l2 q ON p.a = q.a AND p.b < q.b
+  WHERE EXISTS (SELECT 1 FROM l2 r WHERE r.a = p.b AND r.b = q.b)
+),
+l3 AS (
+  SELECT t.a, t.b, t.c, CAST(count(*) AS BIGINT) AS support
+  FROM (
+    SELECT x.doc_id, x.item AS a, y.item AS b, z.item AS c
+    FROM fb x
+    JOIN fb y ON x.doc_id = y.doc_id AND x.item < y.item
+    JOIN fb z ON x.doc_id = z.doc_id AND y.item < z.item
+  ) t JOIN c3 USING (a, b, c)
+  GROUP BY 1, 2, 3
+  HAVING CAST(count(*) AS BIGINT) >= (SELECT minsup FROM ms)
+)
+SELECT 1 AS k, item AS item_a, '' AS item_b, '' AS item_c, support FROM l1
+UNION ALL
+SELECT 2, a, b, '', support FROM l2
+UNION ALL
+SELECT 3, a, b, c, support FROM l3
+"""
+
+
+QUERIES["es_frequent_item_sets"] = (
+    es_frequent_item_sets,
+    _sql_frequent_item_sets(),
+)

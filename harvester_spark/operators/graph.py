@@ -2471,3 +2471,147 @@ QUERIES["host_labelprop_modularity"] = (
     host_labelprop_modularity,
     _sql_labelprop_modularity(),
 )
+
+
+# ----------------------------------------- per-community conductance
+
+# The INTERNAL cut-quality twin of host_labelprop_modularity (Q scores
+# the partition globally; conductance — Shi & Malik's normalized-cut
+# score, the standard community-quality measure of Leskovec et al.'s
+# NCP plots — scores each community): for community C over the same
+# sparse undirected graph,
+#   phi(C) = cut(C) / min(vol(C), 2m − vol(C))
+# with vol(C) = Σ degrees = d_c and cut(C) = d_c − 2·e_c (every intra
+# edge absorbs 2 of the volume; whatever degree is left crosses the
+# boundary). All three terms come straight from modularity's per_c
+# frame — exact int64 — and the ratio is a floored micro division
+# (cut ≥ 0 and volumes > 0, so no sign split; a community spanning the
+# whole graph has min-vol 0 and NULL phi, documented).
+#
+# Scale shape: identical to host_labelprop_modularity — the LPA rounds
+# plus two label equi-joins and per-label aggs; output is
+# community-cardinality.
+
+
+def host_community_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(label, n_hosts, e_c, d_c, cut, phi_micro): per-LPA-community
+    intra edges, volume, boundary cut, and conductance in micro-units."""
+    labels = host_labelprop_communities(spark, sf_dir).select(
+        "host", "label"
+    ).cache()
+    docs = load(spark, sf_dir, "documents")
+    fan = max(docs.count() // 2, 20)
+    dst = F.concat(
+        F.lit("h"),
+        (_hash56(F.col("doc_id").cast("string")) % fan).cast("string"),
+    )
+    e0 = docs.select(F.col("source").alias("src"), dst.alias("dst")).filter(
+        F.col("src") != F.col("dst")
+    )
+    und = (
+        e0.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .cache()
+    )
+    m_df = F.broadcast(und.agg(F.count("*").cast("long").alias("m")))
+    la = labels.select(F.col("host").alias("a"), F.col("label").alias("lab_a"))
+    lb = labels.select(F.col("host").alias("b"), F.col("label").alias("lab_b"))
+    intra = (
+        und.join(la, "a")
+        .join(lb, "b")
+        .filter(F.col("lab_a") == F.col("lab_b"))
+        .groupBy(F.col("lab_a").alias("label"))
+        .agg(F.count("*").cast("long").alias("e_c"))
+    )
+    deg = (
+        und.select(F.col("a").alias("host"))
+        .union(und.select(F.col("b").alias("host")))
+        .groupBy("host")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    per_c = (
+        deg.join(labels, "host")
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_hosts"),
+            F.sum("d").cast("long").alias("d_c"),
+        )
+        .join(intra, "label", "left")
+        .select(
+            "label",
+            "n_hosts",
+            F.coalesce("e_c", F.lit(0)).cast("long").alias("e_c"),
+            "d_c",
+        )
+    )
+    return per_c.crossJoin(m_df).select(
+        "label",
+        "n_hosts",
+        "e_c",
+        "d_c",
+        (F.col("d_c") - 2 * F.col("e_c")).cast("long").alias("cut"),
+        F.expr(
+            "CASE WHEN least(d_c, 2 * m - d_c) = 0 THEN NULL"
+            " ELSE CAST((1000000 * (d_c - 2 * e_c))"
+            " DIV least(d_c, 2 * m - d_c) AS BIGINT) END"
+        ).alias("phi_micro"),
+    )
+
+
+def _sql_community_conductance() -> str:
+    lp_sql = _sql_labelprop("")
+    hash_doc = _SQL_HASH56.format(col="CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH lp AS MATERIALIZED ({lp_sql}),
+fan2 AS (
+  SELECT greatest(CAST(count(*) AS BIGINT) // 2, 20) AS f FROM documents
+),
+e0 AS (
+  SELECT source AS src,
+         'h' || CAST({hash_doc} % (SELECT f FROM fan2) AS VARCHAR) AS dst
+  FROM documents
+),
+und2 AS MATERIALIZED (
+  SELECT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e0 WHERE src <> dst
+  GROUP BY 1, 2
+),
+ms AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und2),
+intra AS (
+  SELECT la.label, CAST(count(*) AS BIGINT) AS e_c
+  FROM und2 u
+  JOIN lp la ON la.host = u.a
+  JOIN lp lb ON lb.host = u.b
+  WHERE la.label = lb.label
+  GROUP BY 1
+),
+deg AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT a AS host FROM und2 UNION ALL SELECT b AS host FROM und2
+  ) GROUP BY 1
+),
+per_c AS (
+  SELECT l.label, CAST(count(*) AS BIGINT) AS n_hosts,
+         CAST(sum(g.d) AS BIGINT) AS d_c
+  FROM deg g JOIN lp l USING (host) GROUP BY 1
+),
+joined AS (
+  SELECT p.label, p.n_hosts, CAST(coalesce(i.e_c, 0) AS BIGINT) AS e_c,
+         p.d_c
+  FROM per_c p LEFT JOIN intra i USING (label)
+)
+SELECT label, n_hosts, e_c, d_c,
+       CAST(d_c - 2 * e_c AS BIGINT) AS cut,
+       CASE WHEN least(d_c, 2 * m - d_c) = 0 THEN NULL
+            ELSE CAST((1000000 * (d_c - 2 * e_c))
+                 // least(d_c, 2 * m - d_c) AS BIGINT) END AS phi_micro
+FROM joined CROSS JOIN ms
+"""
+
+
+QUERIES["host_community_conductance"] = (
+    host_community_conductance,
+    _sql_community_conductance(),
+)

@@ -52,7 +52,14 @@ from __future__ import annotations
 from pyspark.sql import Window as W, functions as F
 
 from harvester_spark.analysis import tokens_column
-from harvester_spark.operators.common import SQL_DOC_TOKS, SQL_TOKS, doc_tokens, load
+from harvester_spark.operators.common import (
+    SQL_DOC_TOKS,
+    SQL_TOKS,
+    cents,
+    doc_tokens,
+    load,
+    sql_cents,
+)
 from harvester_spark.operators.index_stats import _DIVROUND, _MILLILN, VOCAB_CUTS
 
 QUERIES: dict = {}
@@ -568,3 +575,430 @@ GROUP BY 1
 """
 
 QUERIES["events_gini_lorenz"] = (events_gini_lorenz, SQL_GINI_LORENZ)
+
+
+# ---------------------------------------------- hourly autocorrelation
+
+# The time-series diagnostic the forecasting family (events_moving_holt,
+# events_forecast_eval, events_seasonality_r2) was missing: the sample
+# autocorrelation function of the hourly event-count series at the
+# standard diagnostic lags. FULLY integer-exact — no floats anywhere:
+# with n hours, S = Σx, center through y_h = n·x_h − S (clears the mean
+# without division), then
+#   acf(k) = Σ_h y_h·y_{h+k} / Σ_h y_h²
+# (the standard full-series-variance normalization, so |acf| ≤ 1 and
+# lags are comparable). Both sums are exact int64; the milli ratio is a
+# sign-split floored division (numerators go negative, Spark DIV
+# truncates / DuckDB // floors — magnitudes only).
+#
+# Overflow bound: |y| ≤ n·max(x), so Σy² ≤ n³·max(x)² — at a year of
+# hours (n = 8760) and 10^6 events/hour that is ~7e20: past int64. The
+# scale path centers per-WEEK blocks (same algebra, block-local S) or
+# drops to 128-bit decimal for the two sums; at the sandbox's bounded
+# spans (≤ 720 hours) int64 has 10^4 headroom, documented here.
+#
+# Scale shape: one hourly groupBy (map-side partial) → a calendar-bounded
+# series frame; the lag alignment is an equi-join of the series to itself
+# on hour+k (no window, no single-partition sort of the corpus); the
+# scalar (S, n, den) aggs broadcast.
+
+ACF_LAGS = (1, 2, 3, 6, 12, 24)
+
+
+def events_acf(spark, sf_dir):
+    """(lag, n_hours, num, den, acf_milli): integer-exact sample ACF of
+    the densified hourly event-count series at the diagnostic lags."""
+    ev = load(spark, sf_dir, "events").select(
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hour")
+    )
+    b = ev.agg(F.min("hour").alias("mn"), F.max("hour").alias("mx")).collect()[0]
+    counts = ev.groupBy("hour").agg(F.count("*").cast("long").alias("x"))
+    hours = spark.range(b.mn, b.mx + 1).select(F.col("id").alias("hour"))
+    dens = hours.join(counts, "hour", "left").select(
+        "hour", F.coalesce("x", F.lit(0)).cast("long").alias("x")
+    )
+    tot = F.broadcast(
+        dens.agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("x").cast("long").alias("s"),
+        )
+    )
+    y = dens.crossJoin(tot).select(
+        "hour", (F.col("n") * F.col("x") - F.col("s")).cast("long").alias("y")
+    )
+    den_df = F.broadcast(
+        y.agg(F.sum(F.col("y") * F.col("y")).cast("long").alias("den"))
+    )
+    lags = spark.createDataFrame([(k,) for k in ACF_LAGS], "lag long")
+    lead = y.select(F.col("hour").alias("hour2"), F.col("y").alias("y2"))
+    prod = (
+        y.crossJoin(F.broadcast(lags))
+        .withColumn("hour2", F.col("hour") + F.col("lag"))
+        .join(lead, "hour2")
+        .groupBy("lag")
+        .agg(F.sum(F.col("y") * F.col("y2")).cast("long").alias("num"))
+    )
+    return (
+        prod.crossJoin(den_df)
+        .crossJoin(tot)
+        .select(
+            "lag",
+            F.col("n").alias("n_hours"),
+            "num",
+            "den",
+            F.expr(
+                "CASE WHEN den = 0 THEN NULL"
+                " WHEN num >= 0 THEN CAST((1000 * num) DIV den AS BIGINT)"
+                " ELSE CAST(-((1000 * (-num)) DIV den) AS BIGINT) END"
+            ).alias("acf_milli"),
+        )
+    )
+
+
+SQL_EVENTS_ACF = f"""
+WITH ev AS (
+  SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour FROM events
+),
+b AS (SELECT min(hour) AS mn, max(hour) AS mx FROM ev),
+counts AS (
+  SELECT hour, CAST(count(*) AS BIGINT) AS x FROM ev GROUP BY 1
+),
+dens AS MATERIALIZED (
+  SELECT CAST(h AS BIGINT) AS hour, CAST(coalesce(c.x, 0) AS BIGINT) AS x
+  FROM (SELECT unnest(range((SELECT mn FROM b), (SELECT mx FROM b) + 1)) AS h)
+  LEFT JOIN counts c ON c.hour = h
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s FROM dens
+),
+y AS MATERIALIZED (
+  SELECT hour, CAST(n * x - s AS BIGINT) AS y FROM dens CROSS JOIN tot
+),
+dn AS (SELECT CAST(sum(y * y) AS BIGINT) AS den FROM y),
+lags AS (SELECT CAST(unnest({list(ACF_LAGS)}) AS BIGINT) AS lag),
+prod AS (
+  SELECT lag, CAST(sum(a.y * b2.y) AS BIGINT) AS num
+  FROM y a CROSS JOIN lags JOIN y b2 ON b2.hour = a.hour + lag
+  GROUP BY 1
+)
+SELECT lag, n AS n_hours, num, den,
+       CASE WHEN den = 0 THEN NULL
+            WHEN num >= 0 THEN CAST((1000 * num) // den AS BIGINT)
+            ELSE CAST(-((1000 * (-num)) // den) AS BIGINT) END AS acf_milli
+FROM prod CROSS JOIN dn CROSS JOIN tot
+"""
+
+QUERIES["events_acf"] = (events_acf, SQL_EVENTS_ACF)
+
+
+# ------------------------------------------ Kaplan-Meier survival curve
+
+# Product-limit survival estimate (Kaplan & Meier 1958) of
+# time-to-first-purchase after signup, with REAL right-censoring: a
+# user's clock starts at their first signup second; death = first
+# purchase strictly after it; subjects with no purchase within the
+# KM_HORIZON_H-hour administrative window are censored at the horizon
+# (the horizon is what makes censoring non-degenerate on this corpus —
+# every user eventually purchases, so "censored at end of data" would be
+# structurally empty, the vocab_oov_holdout lesson). The retention /
+# funnel / absorption family had no censoring-aware estimator.
+#
+# Determinism: event times are integer HOURS from integer epoch seconds
+# (unix_timestamp truncates to seconds = DuckDB floor(epoch()) — the
+# CLAUDE.md fractional-epoch rule); the risk set n_t is an integer
+# window cumsum; each KM step ln((n−d)/n) is ONE shared float-expression
+# string on identical integers, rounded half-away-from-zero to integer
+# micro-nats; the survival curve is the exact integer CUMSUM of step
+# micro-nats (Π(1−d/n) in log space — the product itself would need
+# bigint rationals). A d = n_t step (everyone at risk dies) is NULL and
+# both engines' sum() skip NULLs identically — documented, not reachable
+# on this corpus.
+#
+# Scale shape: one per-user agg (shuffle on user_id), one per-hour agg
+# (≤ horizon+1 rows), then windows over the horizon-bounded time frame —
+# the curve frame is O(horizon), never O(users).
+
+KM_HORIZON_H = 72
+
+
+def _km_step_expr() -> str:
+    x = "(ln((n_risk - d) / (1.0e0 * n_risk)))"
+    return (
+        "CASE WHEN d = 0 THEN CAST(0 AS BIGINT)"
+        " WHEN n_risk = d THEN NULL"
+        f" ELSE CAST(-floor(-{x} * 1.0e6 + 0.5e0) AS BIGINT) END"
+    )
+
+
+def events_survival_km(spark, sf_dir):
+    """(t_h, n_risk, d, c, step_micro, cum_lns_micro): Kaplan-Meier
+    curve of hours from first signup to first purchase, administratively
+    censored at {KM_HORIZON_H} h; survival in cumulative micro-nats."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp("ts").cast("long").alias("se"),
+    )
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("se").alias("t0"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("se") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min(F.col("se") - F.col("t0")).alias("gap_s"))
+    )
+    subj = s.join(p, "user_id", "left").select(
+        "user_id",
+        F.expr(
+            f"CASE WHEN gap_s IS NOT NULL AND gap_s DIV 3600 < {KM_HORIZON_H}"
+            f" THEN gap_s DIV 3600 ELSE CAST({KM_HORIZON_H} AS BIGINT) END"
+        ).alias("t_h"),
+        F.expr(
+            f"CASE WHEN gap_s IS NOT NULL AND gap_s DIV 3600 < {KM_HORIZON_H}"
+            " THEN 1 ELSE 0 END"
+        ).cast("long").alias("event"),
+    )
+    n_df = F.broadcast(subj.agg(F.count("*").cast("long").alias("n_subj")))
+    grp = subj.groupBy("t_h").agg(
+        F.sum("event").cast("long").alias("d"),
+        F.sum(1 - F.col("event")).cast("long").alias("c"),
+    )
+    w_prev = W.orderBy("t_h").rowsBetween(W.unboundedPreceding, -1)
+    w_cum = W.orderBy("t_h").rowsBetween(W.unboundedPreceding, 0)
+    curve = grp.crossJoin(n_df).select(
+        "t_h",
+        "d",
+        "c",
+        (
+            F.col("n_subj")
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0))
+        ).cast("long").alias("n_risk"),
+    )
+    stepped = curve.withColumn("step_micro", F.expr(_km_step_expr()))
+    return stepped.select(
+        "t_h",
+        "n_risk",
+        "d",
+        "c",
+        "step_micro",
+        F.sum("step_micro").over(w_cum).cast("long").alias("cum_lns_micro"),
+    )
+
+
+SQL_SURVIVAL_KM = f"""
+WITH ev AS (
+  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS se
+  FROM events
+),
+s AS (
+  SELECT user_id, min(se) AS t0 FROM ev WHERE event_type = 'signup'
+  GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, CAST(min(e.se - s.t0) AS BIGINT) AS gap_s
+  FROM ev e JOIN s USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.se > s.t0
+  GROUP BY 1
+),
+subj AS (
+  SELECT s.user_id,
+         CASE WHEN p.gap_s IS NOT NULL AND p.gap_s // 3600 < {KM_HORIZON_H}
+              THEN p.gap_s // 3600
+              ELSE CAST({KM_HORIZON_H} AS BIGINT) END AS t_h,
+         CASE WHEN p.gap_s IS NOT NULL AND p.gap_s // 3600 < {KM_HORIZON_H}
+              THEN 1 ELSE 0 END AS event
+  FROM s LEFT JOIN p USING (user_id)
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n_subj FROM subj),
+grp AS (
+  SELECT t_h, CAST(sum(event) AS BIGINT) AS d,
+         CAST(sum(1 - event) AS BIGINT) AS c
+  FROM subj GROUP BY 1
+),
+curve AS (
+  SELECT t_h, d, c,
+         CAST(n_subj - coalesce(sum(d + c) OVER (
+           ORDER BY t_h ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS n_risk
+  FROM grp CROSS JOIN nn
+),
+stepped AS (
+  SELECT t_h, n_risk, d, c, {_km_step_expr()} AS step_micro
+  FROM curve
+)
+SELECT t_h, n_risk, d, c, step_micro,
+       CAST(sum(step_micro) OVER (
+         ORDER BY t_h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS cum_lns_micro
+FROM stepped
+"""
+
+QUERIES["events_survival_km"] = (events_survival_km, SQL_SURVIVAL_KM)
+
+
+# ------------------------------------- difference-in-differences (DiD)
+
+# The 2x2 difference-in-differences estimator (Card & Krueger 1994's
+# workhorse) over the event stream: users are hash-assigned to
+# treatment/control, the 30-day span splits into pre/post at day
+# DID_POST_DAY, and the outcome is per-event purchase value in integer
+# cents. The corpus carries no real intervention, so a DID_BOOST_CENTS
+# effect is PLANTED on treated∧post purchase events (the click_model_pbm
+# / emb_pca_power planted-recovery discipline — the estimator machinery,
+# not the synthesis, is what the oracle and the recovery test pin); the
+# 'view' cohort gets NO boost and rides the same pipeline as the placebo
+# arm, so the pair (purchase ≈ boost, view ≈ 0) shows the estimator
+# separates signal from noise rather than reading back a constant.
+#
+# Determinism: treatment = md5-hash parity (content-independent, both
+# engines); day index from integer epoch seconds; cell means are
+# floored milli-cent divisions of exact integer (sum, n) pairs — values
+# are positive so no sign split is needed on the means; the DiD itself
+# is integer subtraction of the four floored means (documented: the
+# floor-then-subtract estimator, bit-identical across engines, within
+# 4 milli-cents of the rational DiD which would overflow int64 on a
+# common denominator at sf ≥ 0.1).
+#
+# Scale shape: one map-side-combined groupBy(event_type) with eight
+# conditional aggregates — no joins, no windows; the global t-min is a
+# 1-row broadcast.
+
+DID_POST_DAY = 15  # day index where the post period starts
+DID_BOOST_CENTS = 50_000  # planted treated∧post effect (purchase arm)
+
+
+def events_did_abtest(spark, sf_dir):
+    """(event_type, n00..n11, m00..m11, did_millicents): 2x2 DiD cell
+    counts, floored milli-cent means, and the DiD estimate; the planted
+    {DID_BOOST_CENTS}-cent effect sits only on the purchase arm."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    mn = F.broadcast(
+        load(spark, sf_dir, "events")
+        .agg(F.min(F.unix_timestamp("ts").cast("long")).alias("mn_se"))
+    )
+    from harvester_spark.operators.graph import _hash56
+
+    rows = (
+        ev.crossJoin(mn)
+        .select(
+            "event_type",
+            (_hash56(F.concat(F.lit("did|"), F.col("user_id").cast("string"))) % 2)
+            .cast("long")
+            .alias("treated"),
+            (
+                (
+                    (F.unix_timestamp("ts").cast("long") - F.col("mn_se"))
+                    / F.lit(86400)
+                ).cast("long")
+                >= DID_POST_DAY
+            )
+            .cast("long")
+            .alias("post"),
+            cents("value").alias("cents"),
+        )
+        .withColumn(
+            "y",
+            (
+                F.col("cents")
+                + F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("treated") == 1)
+                    & (F.col("post") == 1),
+                    F.lit(DID_BOOST_CENTS),
+                ).otherwise(F.lit(0))
+            ).cast("long"),
+        )
+    )
+
+    def cell(t, p, col, how):
+        cond = (F.col("treated") == t) & (F.col("post") == p)
+        if how == "n":
+            return F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(col)
+        return (
+            F.sum(F.when(cond, F.col("y")).otherwise(0)).cast("long").alias(col)
+        )
+
+    agg = rows.groupBy("event_type").agg(
+        cell(0, 0, "n00", "n"), cell(0, 1, "n01", "n"),
+        cell(1, 0, "n10", "n"), cell(1, 1, "n11", "n"),
+        cell(0, 0, "s00", "s"), cell(0, 1, "s01", "s"),
+        cell(1, 0, "s10", "s"), cell(1, 1, "s11", "s"),
+    )
+    m = {
+        f"m{t}{p}": F.expr(f"CAST((1000 * s{t}{p}) DIV n{t}{p} AS BIGINT)")
+        for t in (0, 1) for p in (0, 1)
+    }
+    out = agg.select(
+        "event_type", "n00", "n01", "n10", "n11",
+        *[m[k].alias(k) for k in ("m00", "m01", "m10", "m11")],
+    )
+    return out.withColumn(
+        "did_millicents",
+        (
+            (F.col("m11") - F.col("m10")) - (F.col("m01") - F.col("m00"))
+        ).cast("long"),
+    )
+
+
+def _sql_events_did() -> str:
+    from harvester_spark.operators.graph import _SQL_HASH56
+
+    h = _SQL_HASH56.format(col="'did|' || CAST(user_id AS VARCHAR)")
+    cells_n = ",\n".join(
+        f"         CAST(sum(CASE WHEN treated = {t} AND post = {p} THEN 1"
+        f" ELSE 0 END) AS BIGINT) AS n{t}{p}"
+        for t in (0, 1) for p in (0, 1)
+    )
+    cells_s = ",\n".join(
+        f"         CAST(sum(CASE WHEN treated = {t} AND post = {p} THEN y"
+        f" ELSE 0 END) AS BIGINT) AS s{t}{p}"
+        for t in (0, 1) for p in (0, 1)
+    )
+    means = ",\n".join(
+        f"       CAST((1000 * s{t}{p}) // n{t}{p} AS BIGINT) AS m{t}{p}"
+        for t in (0, 1) for p in (0, 1)
+    )
+    return f"""
+WITH mn AS (
+  SELECT CAST(min(floor(epoch(ts))) AS BIGINT) AS mn_se FROM events
+),
+rows_ AS (
+  SELECT event_type,
+         {h} % 2 AS treated,
+         CASE WHEN (CAST(floor(epoch(ts)) AS BIGINT) - mn_se) // 86400
+                   >= {DID_POST_DAY} THEN 1 ELSE 0 END AS post,
+         {sql_cents('value')} AS cents
+  FROM events CROSS JOIN mn
+  WHERE event_type IN ('purchase', 'view')
+),
+boosted AS (
+  SELECT event_type, treated, post,
+         CAST(cents + CASE WHEN event_type = 'purchase' AND treated = 1
+                            AND post = 1
+                           THEN {DID_BOOST_CENTS} ELSE 0 END AS BIGINT) AS y
+  FROM rows_
+),
+agg AS (
+  SELECT event_type,
+{cells_n},
+{cells_s}
+  FROM boosted GROUP BY 1
+)
+SELECT event_type, n00, n01, n10, n11,
+{means},
+       CAST((CAST((1000 * s11) // n11 AS BIGINT)
+             - CAST((1000 * s10) // n10 AS BIGINT))
+            - (CAST((1000 * s01) // n01 AS BIGINT)
+               - CAST((1000 * s00) // n00 AS BIGINT)) AS BIGINT)
+         AS did_millicents
+FROM agg
+"""
+
+
+QUERIES["events_did_abtest"] = (events_did_abtest, _sql_events_did())

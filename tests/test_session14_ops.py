@@ -1,0 +1,295 @@
+"""Semantics + parity guards for session-14 operators.
+
+What each test pins:
+- events_acf: full pure-Python recompute of the integer ACF pipeline
+  (hour densification, mean-clearing y = n·x − S, exact num/den int64
+  sums, sign-split milli division) from the raw parquet — every value
+  at every lag. Plus non-degeneracy: the series genuinely varies
+  (den > 0) and at least one lag has |acf| > 0.
+- events_survival_km: full pure-Python Kaplan-Meier recompute
+  (subjects, horizon censoring, risk-set cumsum, per-step micro-nat
+  ln, cumulative log-survival) — exact. Plus BOTH classes must be
+  present (deaths ≥ 5, censored ≥ 1 — a horizon that censors nobody
+  proves nothing) and the curve is monotone non-increasing.
+- events_did_abtest: planted-effect recovery — the purchase arm's DiD
+  must land near the planted DID_BOOST_CENTS while the un-boosted view
+  (placebo) arm stays near zero; the estimator separates signal from
+  noise instead of reading back a constant.
+- es_frequent_item_sets: full pure-Python Apriori recompute from the
+  same md5 basket synthesis — the exact (itemset, support) multiset at
+  every size. Plus structural pins: all three sizes non-empty (the
+  support gradient is real), downward closure (every sub-itemset of a
+  frequent itemset is frequent with ≥ its support), and cold items
+  (id ≥ FIS_HOT) never appear (the L1 prune actually bit).
+- host_community_conductance: exact identities against the modularity
+  frame — Σe_c ≤ m, cut = d_c − 2e_c ≥ 0, Σd_c = 2m, phi ∈ [0, 1e6]
+  — plus a full Python recompute of every community's conductance from
+  the collected labels and the re-derived edge list.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _h56(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:14], 16)
+
+
+# ------------------------------------------------------- events_acf
+
+
+def test_events_acf_matches_pure_python_recompute(spark):
+    from harvester_spark.operators.web_econ import ACF_LAGS, events_acf
+
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .selectExpr("CAST(unix_timestamp(ts) AS LONG) AS se")
+        .collect()
+    )
+    hours = [r["se"] // 3600 for r in rows]
+    mn, mx = min(hours), max(hours)
+    counts = Counter(hours)
+    xs = [counts.get(h, 0) for h in range(mn, mx + 1)]
+    n, s = len(xs), sum(xs)
+    ys = [n * x - s for x in xs]
+    den = sum(y * y for y in ys)
+    expect = {}
+    for k in ACF_LAGS:
+        num = sum(ys[i] * ys[i + k] for i in range(n - k))
+        if num >= 0:
+            milli = (1000 * num) // den
+        else:
+            milli = -((1000 * -num) // den)
+        expect[k] = (n, num, den, milli)
+
+    got = {
+        r["lag"]: (r["n_hours"], r["num"], r["den"], r["acf_milli"])
+        for r in events_acf(spark, SF_DIR).collect()
+    }
+    assert got == expect
+    assert den > 0
+    assert any(abs(v[3]) > 0 for v in got.values())
+
+
+# ----------------------------------------------- events_survival_km
+
+
+def test_survival_km_matches_pure_python_recompute(spark):
+    from harvester_spark.operators.web_econ import (
+        KM_HORIZON_H,
+        events_survival_km,
+    )
+
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .selectExpr(
+            "user_id", "event_type", "CAST(unix_timestamp(ts) AS LONG) AS se"
+        )
+        .collect()
+    )
+    t0 = {}
+    for r in rows:
+        if r["event_type"] == "signup":
+            u = r["user_id"]
+            t0[u] = min(t0.get(u, r["se"]), r["se"])
+    gap = {}
+    for r in rows:
+        u = r["user_id"]
+        if r["event_type"] == "purchase" and u in t0 and r["se"] > t0[u]:
+            g = r["se"] - t0[u]
+            gap[u] = min(gap.get(u, g), g)
+    subj = []
+    for u in t0:
+        g = gap.get(u)
+        if g is not None and g // 3600 < KM_HORIZON_H:
+            subj.append((g // 3600, 1))
+        else:
+            subj.append((KM_HORIZON_H, 0))
+    times = sorted({t for t, _ in subj})
+    n_total = len(subj)
+    expect = {}
+    consumed = 0
+    cum = 0
+    for t in times:
+        d = sum(1 for tt, e in subj if tt == t and e == 1)
+        c = sum(1 for tt, e in subj if tt == t and e == 0)
+        n_risk = n_total - consumed
+        if d == 0:
+            step = 0
+        elif n_risk == d:
+            step = None
+        else:
+            x = math.log((n_risk - d) / n_risk)
+            step = -math.floor(-x * 1e6 + 0.5)
+        if step is not None:
+            cum += step
+        expect[t] = (n_risk, d, c, step, cum)
+        consumed += d + c
+
+    got = {
+        r["t_h"]: (
+            r["n_risk"], r["d"], r["c"], r["step_micro"], r["cum_lns_micro"]
+        )
+        for r in events_survival_km(spark, SF_DIR).collect()
+    }
+    assert got == expect
+
+    deaths = sum(v[1] for v in got.values())
+    censored = sum(v[2] for v in got.values())
+    assert deaths >= 5 and censored >= 1  # both classes genuinely present
+    cums = [got[t][4] for t in sorted(got)]
+    assert all(b <= a for a, b in zip(cums, cums[1:]))  # S non-increasing
+
+
+# ----------------------------------------------- events_did_abtest
+
+
+def test_did_recovers_planted_effect_and_placebo_stays_flat(spark):
+    from harvester_spark.operators.web_econ import (
+        DID_BOOST_CENTS,
+        events_did_abtest,
+    )
+
+    got = {
+        r["event_type"]: r["did_millicents"]
+        for r in events_did_abtest(spark, SF_DIR).collect()
+    }
+    planted = DID_BOOST_CENTS * 1000  # milli-cents
+    assert abs(got["purchase"] - planted) < planted // 2
+    assert abs(got["view"]) < planted // 2
+    assert abs(got["purchase"]) > 2 * abs(got["view"])
+
+
+# ------------------------------------------- es_frequent_item_sets
+
+
+def _fis_baskets_py(doc_ids):
+    from harvester_spark.operators.es_aggs import FIS_COLD, FIS_HOT, FIS_SLOTS
+
+    baskets = {}
+    for d in doc_ids:
+        items = set()
+        for slot in range(FIS_SLOTS):
+            h = _h56(f"fis|{d}|{slot}")
+            if h % 4 < 3:
+                items.add(f"i{(h // 4) % FIS_HOT}")
+            else:
+                items.add(f"i{FIS_HOT + (h // 4) % FIS_COLD}")
+        baskets[d] = items
+    return baskets
+
+
+def test_frequent_item_sets_matches_pure_python_apriori(spark):
+    from itertools import combinations
+
+    from harvester_spark.operators.es_aggs import (
+        FIS_HOT,
+        FIS_MINSUP_DIV,
+        es_frequent_item_sets,
+    )
+
+    doc_ids = [
+        r["doc_id"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    baskets = _fis_baskets_py(doc_ids)
+    minsup = max(len(doc_ids) // FIS_MINSUP_DIV, 2)
+
+    support = Counter()
+    for items in baskets.values():
+        for k in (1, 2, 3):
+            for combo in combinations(sorted(items), k):
+                support[combo] += 1
+    expect = {
+        combo: s for combo, s in support.items() if s >= minsup
+    }
+
+    got = {}
+    for r in es_frequent_item_sets(spark, SF_DIR).collect():
+        combo = tuple(
+            x for x in (r["item_a"], r["item_b"], r["item_c"]) if x
+        )
+        assert len(combo) == r["k"]
+        got[combo] = r["support"]
+    assert got == expect
+
+    sizes = Counter(len(c) for c in got)
+    assert sizes[1] > 0 and sizes[2] > 0 and sizes[3] > 0
+    # downward closure: every sub-itemset is frequent with >= support
+    from itertools import combinations as combos
+
+    for itemset, s in got.items():
+        for k in range(1, len(itemset)):
+            for sub in combos(itemset, k):
+                assert sub in got and got[sub] >= s
+    # the L1 prune bit: cold items never survive
+    for itemset in got:
+        for item in itemset:
+            assert int(item[1:]) < FIS_HOT
+
+
+# ------------------------------------- host_community_conductance
+
+
+def test_conductance_matches_python_recompute_and_identities(spark):
+    from harvester_spark.operators.graph import (
+        host_community_conductance,
+        host_labelprop_communities,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "source"
+    ).collect()
+    fan = max(len(docs) // 2, 20)
+    edges = set()
+    for r in docs:
+        dst = f"h{_h56(str(r['doc_id'])) % fan}"
+        src = r["source"]
+        if src != dst:
+            edges.add((min(src, dst), max(src, dst)))
+    m = len(edges)
+    labels = {
+        r["host"]: r["label"]
+        for r in host_labelprop_communities(spark, SF_DIR).collect()
+    }
+    deg = Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    e_c = Counter()
+    for a, b in edges:
+        if labels[a] == labels[b]:
+            e_c[labels[a]] += 1
+    d_c = Counter()
+    n_hosts = Counter()
+    for h, lab in labels.items():
+        d_c[lab] += deg[h]
+        n_hosts[lab] += 1
+    expect = {}
+    for lab in n_hosts:
+        cut = d_c[lab] - 2 * e_c[lab]
+        mv = min(d_c[lab], 2 * m - d_c[lab])
+        phi = None if mv == 0 else (1_000_000 * cut) // mv
+        expect[lab] = (n_hosts[lab], e_c[lab], d_c[lab], cut, phi)
+
+    got = {
+        r["label"]: (r["n_hosts"], r["e_c"], r["d_c"], r["cut"], r["phi_micro"])
+        for r in host_community_conductance(spark, SF_DIR).collect()
+    }
+    assert got == expect
+
+    assert sum(v[1] for v in got.values()) <= m
+    assert sum(v[2] for v in got.values()) == 2 * m
+    for _, (_, _, _, cut, phi) in got.items():
+        assert cut >= 0
+        if phi is not None:
+            assert 0 <= phi <= 1_000_000
