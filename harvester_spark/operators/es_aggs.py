@@ -3283,3 +3283,86 @@ QUERIES["es_frequent_item_sets"] = (
     es_frequent_item_sets,
     _sql_frequent_item_sets(),
 )
+
+
+# -------------------------------------------------- categorize_text
+
+# The ES `categorize_text` aggregation (the ML log-categorization agg):
+# messages group by their token sequence AFTER variable parts — tokens
+# containing digits — are dropped, ES's core categorization rule. The
+# documents corpus is digit-free word soup (the rule would be a no-op →
+# every doc its own category, degenerate), so log lines are SYNTHESIZED
+# from the events table the way an ops pipeline would emit them:
+#   "<event_type> user <user_id> took <cents> ms <props>"
+# — ~10k near-unique strings whose digit tokens (user_id, integer cents
+# of `value`, the props payload number) carry all the variability. The
+# digit-drop rule is therefore load-bearing: it collapses the stream to
+# one category per event_type shape, and the pytest proves the collapse
+# (distinct messages ≫ categories) rather than assuming it.
+#
+# Determinism: the message embeds `value` as INTEGER cents (double→string
+# formatting differs between engines; integers print identically); the
+# tokenizer is the repo's ASCII \W+ contract; the digit test is the
+# ASCII class [0-9] (Java regex and RE2 agree); counts are exact BIGINTs
+# and the example is min(event_id).
+#
+# Scale shape: map-only synthesis + one groupBy(category) with map-side
+# combine — the ES agg's own shape (its categorizer is per-shard with a
+# reduce merge, exactly a Spark partial agg).
+
+
+def es_categorize_text(spark, sf_dir):
+    """(category, n_msgs, n_users, example_event_id): ES
+    categorize_text over synthesized event log lines — token sequence
+    with digit-bearing tokens dropped is the category key."""
+    ev = load(spark, sf_dir, "events")
+    msg = F.concat(
+        F.col("event_type"), F.lit(" user "),
+        F.col("user_id").cast("string"), F.lit(" took "),
+        cents("value").cast("string"), F.lit(" ms "), F.col("props"),
+    )
+    cat = F.array_join(
+        F.filter(
+            F.split(F.lower(msg), r"\W+"),
+            lambda t: (t != "") & ~t.rlike("[0-9]"),
+        ),
+        " ",
+    )
+    return (
+        ev.select(
+            cat.alias("category"),
+            "user_id",
+            "event_id",
+        )
+        .groupBy("category")
+        .agg(
+            F.count("*").cast("long").alias("n_msgs"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.min("event_id").cast("long").alias("example_event_id"),
+        )
+    )
+
+
+SQL_CATEGORIZE_TEXT = f"""
+WITH msgs AS (
+  SELECT event_id, user_id,
+         event_type || ' user ' || CAST(user_id AS VARCHAR) || ' took '
+           || CAST({sql_cents('value')} AS VARCHAR) || ' ms ' || props
+           AS msg
+  FROM events
+),
+cats AS (
+  SELECT event_id, user_id,
+         array_to_string(
+           list_filter(string_split_regex(lower(msg), '\\W+'),
+                       t -> t <> '' AND NOT regexp_matches(t, '[0-9]')),
+           ' ') AS category
+  FROM msgs
+)
+SELECT category, CAST(count(*) AS BIGINT) AS n_msgs,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(min(event_id) AS BIGINT) AS example_event_id
+FROM cats GROUP BY 1
+"""
+
+QUERIES["es_categorize_text"] = (es_categorize_text, SQL_CATEGORIZE_TEXT)

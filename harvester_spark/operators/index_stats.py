@@ -2501,3 +2501,206 @@ QUERIES["postings_gap_entropy_bound"] = (
     postings_gap_entropy_bound,
     SQL_GAP_ENTROPY_BOUND,
 )
+
+
+# ----------------------------------- intersection strategy cost model
+
+# The AND-serving planner's core decision — linear MERGE vs SvS GALLOPING
+# (Demaine, López-Ortiz & Munro, SODA 2000; Lucene picks per-clause by
+# the same df ratio) — evaluated as exact integer comparison counts over
+# the REAL postings of flagship term pairs:
+#   merge_cost  = n_small + n_large            (two-pointer scan)
+#   gallop_cost = Σ_i (2·⌊log2(g_i + 1)⌋ + 1)  (per small-list element:
+#     doubling probes + binary search over the advance g_i it forced in
+#     the large list)
+# with g_i the gap between consecutive insertion positions of the small
+# list's elements in the large list — the standard adaptive-intersection
+# cost measure. ⌊log2(x)⌋ = length(bin(x)) − 1 (the
+# postings_gamma_delta_size idiom, integer in both engines).
+#
+# The corpus gives a genuine regime split: 'dup' (df ≈ 25) vs any head
+# term (df ≈ 380) is the galloping regime; two head terms are the merge
+# regime — a pytest pins both, plus a pure-Python recompute of every
+# row from raw postings.
+#
+# Scale shape: postings come from the term-filtered token scan (the
+# serving plan's posting source); insertion positions ride ONE
+# (pair, doc_id)-ordered window per pair — the union frame is the size
+# of the two postings lists, never corpus-wide; the 4-row output aggs
+# map-side. At serving time the engine reads the same numbers from
+# dictionary df stats — this operator is the offline planner twin.
+
+ISECT_PAIRS = (("dup", "key"), ("dup", "merge"), ("key", "value"),
+               ("scan", "batch"))
+
+
+def postings_intersection_cost_eval(spark, sf_dir):
+    """(term_small, term_large, n_small, n_large, inter_size,
+    merge_cost, gallop_cost): exact comparison-count cost model for
+    merge vs SvS-galloping intersection of flagship term-pair postings."""
+    terms = sorted({t for p in ISECT_PAIRS for t in p})
+    post = (
+        doc_tokens(spark, sf_dir)
+        .filter(F.col("term").isin(terms))
+        .select("term", "doc_id")
+        .distinct()
+        .cache()
+    )
+    dfs = post.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in ISECT_PAIRS], "ta string, tb string"
+    )
+    # role assignment: small = smaller df (term asc tie-break)
+    roles = (
+        pairs.join(
+            F.broadcast(dfs.select(F.col("term").alias("ta"),
+                                   F.col("df").alias("dfa"))), "ta")
+        .join(
+            F.broadcast(dfs.select(F.col("term").alias("tb"),
+                                   F.col("df").alias("dfb"))), "tb")
+        .select(
+            F.expr(
+                "CASE WHEN dfa < dfb OR (dfa = dfb AND ta < tb)"
+                " THEN ta ELSE tb END"
+            ).alias("term_small"),
+            F.expr(
+                "CASE WHEN dfa < dfb OR (dfa = dfb AND ta < tb)"
+                " THEN tb ELSE ta END"
+            ).alias("term_large"),
+        )
+    )
+    rows = (
+        roles.join(
+            post.select(F.col("term").alias("term_small"),
+                        "doc_id", F.lit(1).alias("is_small")),
+            "term_small",
+        )
+        .select("term_small", "term_large", "doc_id", "is_small")
+        .unionByName(
+            roles.join(
+                post.select(F.col("term").alias("term_large"),
+                            "doc_id", F.lit(0).alias("is_small")),
+                "term_large",
+            ).select("term_small", "term_large", "doc_id", "is_small")
+        )
+    )
+    # insertion position r = # large elements <= this small element
+    # (large rows sort before small at equal doc_id: is_small asc)
+    w_pos = (
+        W.partitionBy("term_small", "term_large")
+        .orderBy("doc_id", "is_small")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    w_lag = W.partitionBy("term_small", "term_large").orderBy("doc_id")
+    small_rows = (
+        rows.withColumn(
+            "r", F.sum(1 - F.col("is_small")).over(w_pos).cast("long")
+        )
+        .filter(F.col("is_small") == 1)
+        .withColumn("g", F.col("r") - F.coalesce(
+            F.lag("r").over(w_lag), F.lit(0)))
+    )
+    costs = small_rows.groupBy("term_small", "term_large").agg(
+        F.count("*").cast("long").alias("n_small"),
+        F.sum(
+            F.expr("2 * (length(bin(g + 1)) - 1) + 1")
+        ).cast("long").alias("gallop_cost"),
+    )
+    inter = (
+        rows.groupBy("term_small", "term_large", "doc_id")
+        .agg(F.count("*").alias("k"))
+        .filter(F.col("k") == 2)
+        .groupBy("term_small", "term_large")
+        .agg(F.count("*").cast("long").alias("inter_size"))
+    )
+    nl = rows.filter(F.col("is_small") == 0).groupBy(
+        "term_small", "term_large"
+    ).agg(F.count("*").cast("long").alias("n_large"))
+    return (
+        costs.join(nl, ["term_small", "term_large"])
+        .join(inter, ["term_small", "term_large"], "left")
+        .select(
+            "term_small", "term_large", "n_small", "n_large",
+            F.coalesce("inter_size", F.lit(0)).cast("long").alias(
+                "inter_size"),
+            (F.col("n_small") + F.col("n_large")).cast("long").alias(
+                "merge_cost"),
+            "gallop_cost",
+        )
+    )
+
+
+def _sql_isect_cost() -> str:
+    pvals = ", ".join(f"('{a}', '{b}')" for a, b in ISECT_PAIRS)
+    terms = ", ".join(
+        f"'{t}'" for t in sorted({t for p in ISECT_PAIRS for t in p})
+    )
+    return f"""
+WITH toks AS ({SQL_DOC_TOKS}),
+post AS MATERIALIZED (
+  SELECT DISTINCT term, doc_id FROM toks WHERE term IN ({terms})
+),
+dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY 1),
+pairs AS (SELECT * FROM (VALUES {pvals}) v(ta, tb)),
+roles AS (
+  SELECT CASE WHEN a.df < b.df OR (a.df = b.df AND ta < tb)
+              THEN ta ELSE tb END AS term_small,
+         CASE WHEN a.df < b.df OR (a.df = b.df AND ta < tb)
+              THEN tb ELSE ta END AS term_large
+  FROM pairs JOIN dfs a ON a.term = ta JOIN dfs b ON b.term = tb
+),
+rows_ AS (
+  SELECT r.term_small, r.term_large, p.doc_id, 1 AS is_small
+  FROM roles r JOIN post p ON p.term = r.term_small
+  UNION ALL
+  SELECT r.term_small, r.term_large, p.doc_id, 0 AS is_small
+  FROM roles r JOIN post p ON p.term = r.term_large
+),
+pos AS (
+  SELECT term_small, term_large, doc_id, is_small,
+         CAST(sum(1 - is_small) OVER (
+           PARTITION BY term_small, term_large
+           ORDER BY doc_id, is_small
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS r
+  FROM rows_
+),
+small_rows AS (
+  SELECT term_small, term_large,
+         r - coalesce(lag(r) OVER (
+           PARTITION BY term_small, term_large ORDER BY doc_id
+         ), 0) AS g
+  FROM pos WHERE is_small = 1
+),
+costs AS (
+  SELECT term_small, term_large,
+         CAST(count(*) AS BIGINT) AS n_small,
+         CAST(sum(2 * (length(bin(g + 1)) - 1) + 1) AS BIGINT)
+           AS gallop_cost
+  FROM small_rows GROUP BY 1, 2
+),
+inter AS (
+  SELECT term_small, term_large, CAST(count(*) AS BIGINT) AS inter_size
+  FROM (
+    SELECT term_small, term_large, doc_id
+    FROM rows_ GROUP BY 1, 2, 3 HAVING count(*) = 2
+  ) GROUP BY 1, 2
+),
+nl AS (
+  SELECT term_small, term_large, CAST(count(*) AS BIGINT) AS n_large
+  FROM rows_ WHERE is_small = 0 GROUP BY 1, 2
+)
+SELECT c.term_small, c.term_large, c.n_small, n.n_large,
+       CAST(coalesce(i.inter_size, 0) AS BIGINT) AS inter_size,
+       CAST(c.n_small + n.n_large AS BIGINT) AS merge_cost,
+       c.gallop_cost
+FROM costs c
+JOIN nl n USING (term_small, term_large)
+LEFT JOIN inter i USING (term_small, term_large)
+"""
+
+
+QUERIES["postings_intersection_cost_eval"] = (
+    postings_intersection_cost_eval,
+    _sql_isect_cost(),
+)

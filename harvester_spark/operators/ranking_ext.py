@@ -2138,3 +2138,143 @@ LEFT JOIN per_q p USING (q_id)
 
 
 QUERIES["ranker_rbo_overlap"] = (ranker_rbo_overlap, _sql_rbo_overlap())
+
+
+# ------------------------------------------ exposure fairness of rankings
+
+# Singh & Joachims (KDD 2018) exposure-based group fairness, evaluated on
+# the registry rankings: how much of a ranking's USER ATTENTION (exposure)
+# each document group captures vs its share of the retrieved set (the
+# demographic-parity target over retrieved docs — the repo has no graded
+# group qrels, documented). Exposure uses the DYADIC geometric attention
+# model p = 1/2 (the ranker_rbo_overlap discipline): rank r of K gets
+# 2^(K−r) integer units, so every exposure sum is EXACT int64 and the
+# model is the RBP-user with persistence 1/2 — the standard log-discount
+# curve would need cross-engine log() on every rank (the reason RBO here
+# is p = 1/2, see that operator's docstring).
+#
+# Groups are md5-parity of doc_id — content-independent and reproducible
+# relationally in both engines (the events_did_abtest treatment idiom).
+# Disparity = exposure share − retrieved share, both floored micro
+# divisions on exact integers; their difference may be negative (integer
+# subtraction, no further division — no sign split needed).
+#
+# Scale shape: scoring is the flagship term-filtered component join; the
+# per-query top-K is a WindowGroupLimit rank; everything after is a
+# 2·|queries|-row agg. Nothing corpus-sized beyond the serving plan.
+
+FAIR_K = 20
+
+
+def ft_fairness_exposure_eval(spark, sf_dir):
+    """(query_id, grp, n_docs, exp_units, exp_share_micro,
+    rel_share_micro, disparity_micro): dyadic exposure vs retrieved-set
+    share per md5-parity group over the {QPP_QUERIES} registry top-K."""
+    from harvester_spark.operators.dedup import _hash56
+
+    all_terms = sorted({t for ts in QPP_QUERIES.values() for t in ts})
+    comps = _bm25_components(spark, sf_dir, all_terms)
+    qt = spark.createDataFrame(
+        [(q, t) for q, ts in sorted(QPP_QUERIES.items()) for t in ts],
+        "query_id string, term string",
+    )
+    scored = (
+        qt.join(comps, "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("contrib"), 6).alias("score"))
+    )
+    wq = W.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    ranked = (
+        scored.withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= FAIR_K)
+        .select(
+            "query_id",
+            "rank",
+            (
+                _hash56(F.concat(F.lit("grp|"), F.col("doc_id").cast("string")))
+                % 2
+            ).cast("long").alias("grp"),
+            F.expr(f"CAST(1 AS BIGINT) << ({FAIR_K} - rank)").alias("exp_u"),
+        )
+    )
+    tot = F.broadcast(
+        ranked.groupBy("query_id").agg(
+            F.count("*").cast("long").alias("n_tot"),
+            F.sum("exp_u").cast("long").alias("exp_tot"),
+        )
+    )
+    per_g = ranked.groupBy("query_id", "grp").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("exp_u").cast("long").alias("exp_units"),
+    )
+    return per_g.join(tot, "query_id").select(
+        "query_id",
+        "grp",
+        "n_docs",
+        "exp_units",
+        F.expr(
+            "CAST((1000000 * exp_units) DIV exp_tot AS BIGINT)"
+        ).alias("exp_share_micro"),
+        F.expr("CAST((1000000 * n_docs) DIV n_tot AS BIGINT)").alias(
+            "rel_share_micro"
+        ),
+        F.expr(
+            "CAST((1000000 * exp_units) DIV exp_tot"
+            " - (1000000 * n_docs) DIV n_tot AS BIGINT)"
+        ).alias("disparity_micro"),
+    )
+
+
+def _sql_fairness_exposure() -> str:
+    from harvester_spark.operators.dedup import _SQL_HASH56
+
+    all_terms = sorted({t for ts in QPP_QUERIES.values() for t in ts})
+    qvals = ", ".join(
+        f"('{q}', '{t}')" for q, ts in sorted(QPP_QUERIES.items()) for t in ts
+    )
+    h = _SQL_HASH56.format(col="'grp|' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH {_sql_components(all_terms)},
+qt AS (SELECT * FROM (VALUES {qvals}) v(query_id, term)),
+scored AS (
+  SELECT query_id, doc_id, round(sum(contrib), 6) AS score
+  FROM qt JOIN comps USING (term)
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id,
+         {h} % 2 AS grp,
+         CAST(1 AS BIGINT) << ({FAIR_K} - rank) AS exp_u
+  FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= {FAIR_K}
+),
+tot AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS n_tot,
+         CAST(sum(exp_u) AS BIGINT) AS exp_tot
+  FROM ranked GROUP BY 1
+),
+per_g AS (
+  SELECT query_id, grp, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(exp_u) AS BIGINT) AS exp_units
+  FROM ranked GROUP BY 1, 2
+)
+SELECT p.query_id, p.grp, p.n_docs, p.exp_units,
+       CAST((1000000 * p.exp_units) // t.exp_tot AS BIGINT)
+         AS exp_share_micro,
+       CAST((1000000 * p.n_docs) // t.n_tot AS BIGINT) AS rel_share_micro,
+       CAST((1000000 * p.exp_units) // t.exp_tot
+            - (1000000 * p.n_docs) // t.n_tot AS BIGINT) AS disparity_micro
+FROM per_g p JOIN tot t USING (query_id)
+"""
+
+
+QUERIES["ft_fairness_exposure_eval"] = (
+    ft_fairness_exposure_eval,
+    _sql_fairness_exposure(),
+)

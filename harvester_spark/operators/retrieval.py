@@ -1898,3 +1898,179 @@ FROM totals t LEFT JOIN contrib c USING (q_id)
 """
 
 QUERIES["ft_rank_eval_bpref"] = (ft_rank_eval_bpref, SQL_RANK_EVAL_BPREF)
+
+
+# ------------------------------------------- Rocchio vector-space PRF
+
+# Rocchio (1971) pseudo-relevance feedback — the VECTOR-SPACE classic
+# next to the LM-based RM3 pair (ft_rm3_expansion / ft_rm3_rerank_topk;
+# deliberately a SEPARATE formula family, like BM25+ next to BM25): the
+# query vector moves toward the centroid of the top-RO_FDBK feedback
+# documents, q' = α·q + (β/|F|)·Σ_{d∈F} d, with the standard α = 1,
+# β = 0.75, and the corpus is re-retrieved by the integer dot product
+# q'·d over tf·idf document vectors.
+#
+# Integer algebra (the dedup_tfidf_cosine_pairs discipline — MILLI idf
+# keeps every product in int64): idf_milli through ONE shared ln string;
+# document weights w_dt = tf·idf_milli; centroid component cen_t =
+# Σ_{d∈F} w_dt (exact — the 1/|F| mean and the 0.75 fold into the
+# common scale 4·|F|: wq_t = 4·|F|·idf_milli·[t ∈ q] + 3·cen_t). The
+# expansion vocabulary is capped at the RO_EXP strongest centroid terms
+# (cen desc, term asc) plus the original query terms — Rocchio's
+# standard expansion-term cap. Overflow: wq ≤ 4·5·5500 + 3·5·50·5500 ≈
+# 4e6, w_dt ≤ 50·5500 ≈ 3e5 → per-doc score ≤ 11 terms · 1.2e12 ≈
+# 1.3e13 ≪ int64; at web scale the milli-idf cap and tf ceilings bound
+# the same product (documented).
+#
+# Scale shape: the feedback set is RO_FDBK rows (broadcast semi-join
+# prunes the token scan before aggregation — the RM3 plan); the
+# expansion vocabulary (≤ RO_EXP + |q| rows) broadcasts into ONE
+# term-filtered corpus scan + per-doc agg + TakeOrdered(10).
+
+RO_FDBK = 5
+RO_EXP = 8
+RO_TOPK = 10
+_RO_IDF_MILLI = (
+    "CAST(floor(ln(1.0e0 + (n - df + 0.5e0) / (df + 0.5e0))"
+    " * 1.0e3 + 0.5e0) AS BIGINT)"
+)
+
+
+def ft_rocchio_rerank_topk(spark, sf_dir):
+    """(rank, doc_id, score_int): top-{RO_TOPK} docs by the Rocchio
+    (α=1, β=0.75) expanded-query integer dot product after
+    {RO_FDBK}-doc pseudo-relevance feedback on the flagship query."""
+    from harvester_spark.operators.fulltext_queries import bm25_or_scored
+
+    toks = doc_tokens(spark, sf_dir)
+    n_df = F.broadcast(
+        load(spark, sf_dir, "documents").agg(
+            F.count("*").cast("long").alias("n")
+        )
+    )
+    fdbk = (
+        bm25_or_scored(spark, sf_dir)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(RO_FDBK)
+        .select("doc_id")
+    )
+    tf_all = toks.groupBy("term", "doc_id").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    df_all = tf_all.groupBy("term").agg(
+        F.count("*").cast("long").alias("df")
+    )
+    idf = df_all.crossJoin(n_df).select(
+        "term", F.expr(_RO_IDF_MILLI).alias("idf_m")
+    )
+    cen = (
+        tf_all.join(F.broadcast(fdbk), "doc_id", "left_semi")
+        .join(F.broadcast(idf), "term")
+        .groupBy("term")
+        .agg(F.sum(F.col("tf") * F.col("idf_m")).cast("long").alias("cen"))
+    )
+    w_exp = W.orderBy(F.col("cen").desc(), F.col("term").asc())
+    vocab = (
+        cen.withColumn("rn", F.row_number().over(w_exp))
+        .filter(
+            (F.col("rn") <= RO_EXP) | F.col("term").isin(BM25_TERMS)
+        )
+        .join(F.broadcast(idf), "term")
+        .select(
+            "term",
+            (
+                F.lit(4 * RO_FDBK)
+                * F.when(F.col("term").isin(BM25_TERMS), F.col("idf_m"))
+                .otherwise(F.lit(0))
+                + 3 * F.col("cen")
+            ).cast("long").alias("wq"),
+        )
+    )
+    scored = (
+        tf_all.join(F.broadcast(vocab), "term")
+        .join(F.broadcast(idf), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("wq") * F.col("tf") * F.col("idf_m"))
+            .cast("long")
+            .alias("score_int")
+        )
+    )
+    top = scored.orderBy(
+        F.col("score_int").desc(), F.col("doc_id").asc()
+    ).limit(RO_TOPK)
+    w = W.orderBy(F.col("score_int").desc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "doc_id", "score_int"
+    )
+
+
+def _sql_rocchio() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return f"""
+WITH toks AS ({SQL_DOC_TOKS}),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+dls AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT n FROM nn) AS n,
+         (SELECT sum(dl) * 1.0e0 / count(*) FROM dls) AS avgdl
+),
+qtf AS (
+  SELECT term, doc_id, count(*) AS tf FROM toks
+  WHERE term IN ({terms}) GROUP BY 1, 2
+),
+qdf AS (SELECT term, count(DISTINCT doc_id) AS df FROM qtf GROUP BY 1),
+fdbk AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, round(sum(
+      ln(1.0e0 + (n - df + 0.5e0) / (df + 0.5e0))
+      * (tf * 2.2e0)
+      / (tf + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * dl / avgdl))
+    ), 6) AS score
+    FROM qtf t JOIN qdf USING (term) JOIN dls USING (doc_id)
+    CROSS JOIN stats
+    GROUP BY doc_id
+  ) ORDER BY score DESC, doc_id ASC LIMIT {RO_FDBK}
+),
+tf_all AS (
+  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY 1, 2
+),
+idf AS (
+  SELECT term, {_RO_IDF_MILLI} AS idf_m
+  FROM (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf_all GROUP BY 1)
+  CROSS JOIN nn
+),
+cen AS (
+  SELECT t.term, CAST(sum(t.tf * i.idf_m) AS BIGINT) AS cen
+  FROM tf_all t JOIN idf i USING (term)
+  WHERE t.doc_id IN (SELECT doc_id FROM fdbk)
+  GROUP BY 1
+),
+vocab AS (
+  SELECT c.term,
+         CAST({4 * RO_FDBK} * CASE WHEN c.term IN ({terms})
+                                   THEN i.idf_m ELSE 0 END
+              + 3 * c.cen AS BIGINT) AS wq
+  FROM (
+    SELECT term, cen,
+           row_number() OVER (ORDER BY cen DESC, term ASC) AS rn
+    FROM cen
+  ) c JOIN idf i USING (term)
+  WHERE c.rn <= {RO_EXP} OR c.term IN ({terms})
+),
+scored AS (
+  SELECT t.doc_id,
+         CAST(sum(v.wq * t.tf * i.idf_m) AS BIGINT) AS score_int
+  FROM tf_all t JOIN vocab v USING (term) JOIN idf i USING (term)
+  GROUP BY 1
+)
+SELECT CAST(row_number() OVER (ORDER BY score_int DESC, doc_id ASC) AS INT)
+         AS rank,
+       doc_id, score_int
+FROM scored
+ORDER BY score_int DESC, doc_id ASC LIMIT {RO_TOPK}
+"""
+
+
+QUERIES["ft_rocchio_rerank_topk"] = (ft_rocchio_rerank_topk, _sql_rocchio())

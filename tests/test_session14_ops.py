@@ -293,3 +293,251 @@ def test_conductance_matches_python_recompute_and_identities(spark):
         assert cut >= 0
         if phi is not None:
             assert 0 <= phi <= 1_000_000
+
+
+# ------------------------------------- ft_fairness_exposure_eval
+
+
+def _bm25_rank(corpus, terms, k):
+    nd = len(corpus)
+    tf = {d: Counter(ts) for d, ts in corpus.items()}
+    dls = {d: len(ts) for d, ts in corpus.items()}
+    avgdl = sum(dls.values()) / nd
+    scored = {}
+    for t in terms:
+        df = sum(1 for d in corpus if tf[d][t] > 0)
+        if df == 0:
+            continue
+        idf = math.log(1.0 + (nd - df + 0.5) / (df + 0.5))
+        for d in corpus:
+            f = tf[d][t]
+            if f:
+                scored[d] = scored.get(d, 0.0) + idf * (f * 2.2) / (
+                    f + 1.2 * (1.0 - 0.75 + 0.75 * dls[d] / avgdl)
+                )
+    ranked = sorted(
+        ((round(s, 6), d) for d, s in scored.items()),
+        key=lambda x: (-x[0], x[1]),
+    )
+    return [d for _, d in ranked[:k]]
+
+
+@pytest.fixture(scope="module")
+def corpus14(spark):
+    import re as _re
+
+    tok = _re.compile(r"\W+", _re.ASCII)
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    return {
+        r["doc_id"]: [t for t in tok.split(r["text"].lower()) if t]
+        for r in rows
+    }
+
+
+def test_fairness_exposure_matches_python_recompute(spark, corpus14):
+    from harvester_spark.operators.ranking_ext import (
+        FAIR_K,
+        QPP_QUERIES,
+        ft_fairness_exposure_eval,
+    )
+
+    expect = {}
+    for q, terms in QPP_QUERIES.items():
+        top = _bm25_rank(corpus14, terms, FAIR_K)
+        n_tot = len(top)
+        exp_tot = sum(1 << (FAIR_K - r) for r in range(1, n_tot + 1))
+        per = {}
+        for r, d in enumerate(top, start=1):
+            g = _h56(f"grp|{d}") % 2
+            nd, eu = per.get(g, (0, 0))
+            per[g] = (nd + 1, eu + (1 << (FAIR_K - r)))
+        for g, (nd, eu) in per.items():
+            expect[(q, g)] = (
+                nd,
+                eu,
+                (1_000_000 * eu) // exp_tot,
+                (1_000_000 * nd) // n_tot,
+                (1_000_000 * eu) // exp_tot - (1_000_000 * nd) // n_tot,
+            )
+
+    got = {
+        (r["query_id"], r["grp"]): (
+            r["n_docs"], r["exp_units"], r["exp_share_micro"],
+            r["rel_share_micro"], r["disparity_micro"],
+        )
+        for r in ft_fairness_exposure_eval(spark, SF_DIR).collect()
+    }
+    assert got == expect
+    # both groups present for every query; shares sum to ~1e6 (floor slack)
+    for q in QPP_QUERIES:
+        assert (q, 0) in got and (q, 1) in got
+        assert 999_998 <= got[(q, 0)][2] + got[(q, 1)][2] <= 1_000_000
+        assert got[(q, 0)][4] + got[(q, 1)][4] in (-1, 0, 1, -2, 2)
+
+
+# -------------------------------------- ft_rocchio_rerank_topk
+
+
+def test_rocchio_matches_python_recompute_and_moves_ranking(spark, corpus14):
+    from harvester_spark.operators.fulltext_queries import BM25_TERMS
+    from harvester_spark.operators.retrieval import (
+        RO_EXP,
+        RO_FDBK,
+        RO_TOPK,
+        ft_rocchio_rerank_topk,
+    )
+
+    nd = len(corpus14)
+    tf = {d: Counter(ts) for d, ts in corpus14.items()}
+    df = Counter()
+    for d in corpus14:
+        for t in tf[d]:
+            df[t] += 1
+    idf_m = {
+        t: math.floor(
+            math.log(1.0 + (nd - df[t] + 0.5) / (df[t] + 0.5)) * 1e3 + 0.5
+        )
+        for t in df
+    }
+    fdbk = _bm25_rank(corpus14, BM25_TERMS, RO_FDBK)
+    cen = Counter()
+    for d in fdbk:
+        for t, f in tf[d].items():
+            cen[t] += f * idf_m[t]
+    ranked_terms = sorted(cen, key=lambda t: (-cen[t], t))
+    vocab = set(ranked_terms[:RO_EXP]) | (set(BM25_TERMS) & set(cen))
+    # query terms outside the centroid still carry their alpha term
+    vocab |= set(t for t in BM25_TERMS if t in df)
+    wq = {}
+    for t in vocab:
+        alpha = 4 * RO_FDBK * idf_m[t] if t in BM25_TERMS else 0
+        wq[t] = alpha + 3 * cen.get(t, 0)
+    scores = {}
+    for d in corpus14:
+        s = 0
+        for t in vocab:
+            f = tf[d].get(t, 0)
+            if f:
+                s += wq[t] * f * idf_m[t]
+        if s:
+            scores[d] = s
+    expect = sorted(
+        ((s, d) for d, s in scores.items()), key=lambda x: (-x[0], x[1])
+    )[:RO_TOPK]
+    expect = [
+        (r, d, s) for r, (s, d) in enumerate(expect, start=1)
+    ]
+
+    got = [
+        (r["rank"], r["doc_id"], r["score_int"])
+        for r in ft_rocchio_rerank_topk(spark, SF_DIR)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == expect
+
+    # the feedback expansion must genuinely move the ranking vs plain BM25
+    bm25_top = _bm25_rank(corpus14, BM25_TERMS, RO_TOPK)
+    assert [d for _, d, _ in got] != bm25_top
+
+
+# --------------------------- postings_intersection_cost_eval
+
+
+def test_intersection_cost_matches_python_and_regime_split(spark, corpus14):
+    from bisect import bisect_right
+
+    from harvester_spark.operators.index_stats import (
+        ISECT_PAIRS,
+        postings_intersection_cost_eval,
+    )
+
+    post = {}
+    for d, ts in corpus14.items():
+        for t in set(ts):
+            post.setdefault(t, set()).add(d)
+
+    expect = {}
+    for ta, tb in ISECT_PAIRS:
+        a, b = sorted((ta, tb), key=lambda t: (len(post[t]), t))
+        small = sorted(post[a])
+        large = sorted(post[b])
+        prev = 0
+        gallop = 0
+        for x in small:
+            r = bisect_right(large, x)
+            g = r - prev
+            gallop += 2 * ((g + 1).bit_length() - 1) + 1
+            prev = r
+        expect[(a, b)] = (
+            len(small), len(large), len(post[a] & post[b]),
+            len(small) + len(large), gallop,
+        )
+
+    got = {
+        (r["term_small"], r["term_large"]): (
+            r["n_small"], r["n_large"], r["inter_size"],
+            r["merge_cost"], r["gallop_cost"],
+        )
+        for r in postings_intersection_cost_eval(spark, SF_DIR).collect()
+    }
+    assert got == expect
+
+    # regime split: skewed pairs gallop, balanced pairs merge
+    for (a, b), (ns, nl, _, merge, gallop) in got.items():
+        if nl >= 8 * ns:
+            assert gallop < merge
+        if nl <= 2 * ns:
+            assert merge < gallop
+
+
+# --------------------------------------------- es_categorize_text
+
+
+def test_categorize_text_collapse_is_real_and_exact(spark):
+    from harvester_spark.operators.es_aggs import es_categorize_text
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    import re as _re
+
+    tok = _re.compile(r"\W+", _re.ASCII)
+    msgs = []
+    for r in ev:
+        cents = round(r["value"] * 100)
+        msgs.append(
+            (
+                r["event_id"],
+                r["user_id"],
+                f"{r['event_type']} user {r['user_id']} took {cents} ms "
+                f"{r['props']}",
+            )
+        )
+    expect = {}
+    for eid, uid, m in msgs:
+        cat = " ".join(
+            t for t in tok.split(m.lower())
+            if t and not any(c.isdigit() for c in t)
+        )
+        n, users, ex = expect.get(cat, (0, set(), eid))
+        users.add(uid)
+        expect[cat] = (n + 1, users, min(ex, eid))
+    expect = {
+        c: (n, len(users), ex) for c, (n, users, ex) in expect.items()
+    }
+
+    got = {
+        r["category"]: (r["n_msgs"], r["n_users"], r["example_event_id"])
+        for r in es_categorize_text(spark, SF_DIR).collect()
+    }
+    assert got == expect
+
+    # the digit-drop rule is load-bearing: near-unique messages collapse
+    assert len({m for _, _, m in msgs}) > 0.9 * len(msgs)
+    assert len(got) <= 10
+    assert sum(v[0] for v in got.values()) == len(msgs)
+    for cat in got:
+        assert not any(c.isdigit() for c in cat)
