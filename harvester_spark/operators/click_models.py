@@ -302,3 +302,152 @@ ORDER BY rank LIMIT {COCLICK_K}
 """
 
 QUERIES["coclick_item_sim"] = (coclick_item_sim, SQL_COCLICK)
+
+
+# ---------------------------------------------------- cascade model
+
+# The Cascade Model (Craswell et al., WSDM 2008) — the third classic
+# next to the position-CTR baseline and the PBM EM: the user scans the
+# ranked list top-down, clicks the FIRST attractive item, and stops.
+# Its MLE is CLOSED-FORM (no EM): α̂(d) = clicks(d) / examinations(d),
+# where d is examined iff its rank ≤ the session's first-click rank
+# (every rank if the session has no click) — so the whole estimator is
+# one explode + one per-session min + one groupBy, all exact integers.
+#
+# Session synthesis (events carry no ranked lists): each event row is a
+# session of CAS_DEPTH ranked slots; slot items and the per-slot
+# attraction draw come from independent md5 scatters, attraction uses
+# the SAME planted α_true = 150 + (item·37) % 700 as the PBM — so the
+# recovery test pins that the closed form finds the planted spread
+# (non-degenerate: α̂ is NOT constant, high-α items beat low-α items).
+# Determinism: the md5-uniform u < α_true comparison is pure integer in
+# both engines; α̂ is a floored milli division.
+#
+# Scale shape: explode is map-only (CAS_DEPTH× the log, the standard
+# impression unnesting); first-click is ONE session-keyed window min;
+# the item agg is map-side combinable. Parameter output is item-sized.
+
+CAS_DEPTH = 5
+CAS_ITEMS = 40
+
+
+def click_model_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(item, n_examined, n_clicked, alpha_hat_milli, alpha_true_milli):
+    closed-form cascade-model attractiveness MLE over synthesized
+    top-down-scan sessions with the planted α_true."""
+    ev = load(spark, sf_dir, "events").select("event_id")
+    slots = ev.select(
+        "event_id",
+        F.explode(F.sequence(F.lit(1), F.lit(CAS_DEPTH))).alias("r"),
+    )
+    h_item = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("cs|"),
+                    F.col("event_id").cast("string"),
+                    F.lit("|"),
+                    F.col("r").cast("string"),
+                )
+            ),
+            1,
+            14,
+        ),
+        16,
+        10,
+    ).cast("long")
+    h_u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("cu|"),
+                    F.col("event_id").cast("string"),
+                    F.lit("|"),
+                    F.col("r").cast("string"),
+                )
+            ),
+            1,
+            14,
+        ),
+        16,
+        10,
+    ).cast("long")
+    imp = slots.select(
+        "event_id",
+        "r",
+        (h_item % CAS_ITEMS).alias("item"),
+        (h_u % _MILLI).alias("u"),
+    ).withColumn(
+        "attracted",
+        F.expr(f"CASE WHEN u < {_ALPHA_TRUE} THEN 1 ELSE 0 END"),
+    )
+    wfc = W.partitionBy("event_id")
+    imp = imp.withColumn(
+        "fc",
+        F.min(F.when(F.col("attracted") == 1, F.col("r"))).over(wfc),
+    )
+    examined = imp.filter(
+        F.col("r") <= F.coalesce(F.col("fc"), F.lit(CAS_DEPTH))
+    ).withColumn(
+        "clicked",
+        ((F.col("attracted") == 1) & (F.col("r") == F.col("fc")))
+        .cast("long"),
+    )
+    return (
+        examined.groupBy("item")
+        .agg(
+            F.count("*").cast("long").alias("n_examined"),
+            F.sum("clicked").cast("long").alias("n_clicked"),
+        )
+        .select(
+            "item",
+            "n_examined",
+            "n_clicked",
+            F.expr(
+                f"CAST(({_MILLI} * n_clicked) DIV n_examined AS BIGINT)"
+            ).alias("alpha_hat_milli"),
+            F.expr(f"{_ALPHA_TRUE}").alias("alpha_true_milli"),
+        )
+    )
+
+
+SQL_CASCADE = f"""
+WITH slots AS (
+  SELECT event_id, CAST(r AS BIGINT) AS r
+  FROM events CROSS JOIN (SELECT unnest(range(1, {CAS_DEPTH + 1})) AS r)
+),
+imp AS (
+  SELECT event_id, r,
+         CAST(('0x' || substr(md5('cs|' || CAST(event_id AS VARCHAR)
+           || '|' || CAST(r AS VARCHAR)), 1, 14)) AS BIGINT)
+           % {CAS_ITEMS} AS item,
+         CAST(('0x' || substr(md5('cu|' || CAST(event_id AS VARCHAR)
+           || '|' || CAST(r AS VARCHAR)), 1, 14)) AS BIGINT)
+           % {_MILLI} AS u
+  FROM slots
+),
+att AS (
+  SELECT event_id, r, item,
+         CASE WHEN u < {_ALPHA_TRUE} THEN 1 ELSE 0 END AS attracted
+  FROM imp
+),
+fc AS (
+  SELECT *,
+         min(CASE WHEN attracted = 1 THEN r END)
+           OVER (PARTITION BY event_id) AS fc
+  FROM att
+),
+examined AS (
+  SELECT item,
+         CASE WHEN attracted = 1 AND r = fc THEN 1 ELSE 0 END AS clicked
+  FROM fc WHERE r <= coalesce(fc, {CAS_DEPTH})
+)
+SELECT item, CAST(count(*) AS BIGINT) AS n_examined,
+       CAST(sum(clicked) AS BIGINT) AS n_clicked,
+       CAST(({_MILLI} * CAST(sum(clicked) AS BIGINT)) // count(*)
+            AS BIGINT) AS alpha_hat_milli,
+       {_ALPHA_TRUE} AS alpha_true_milli
+FROM examined GROUP BY item
+"""
+
+QUERIES["click_model_cascade"] = (click_model_cascade, SQL_CASCADE)

@@ -2615,3 +2615,170 @@ QUERIES["host_community_conductance"] = (
     host_community_conductance,
     _sql_community_conductance(),
 )
+
+
+# ------------------------------------------------ bow-tie decomposition
+
+# Broder et al. (WWW 2000) "Graph structure in the web": classify hosts
+# into the bow-tie components relative to the seed's strongly-connected
+# core — CORE (reaches the seed AND is reached by it), IN (reaches the
+# seed only), OUT (reached from the seed only), DISC (neither) — the
+# macro-map every crawl scheduler draws before allocating frontier
+# budget. Reachability is the BOUNDED {BT_HOPS}-hop probe in each
+# direction (the host_reach_probe contract: web diameters make the
+# bounded probe the production form; exact SCC needs unbounded
+# iteration, documented).
+#
+# The shared hub→leaf synthesis is a DAG (no cycles → the seed's SCC
+# would be trivially {{seed}}), so the graph here adds a REVERSE draw:
+# each doc contributes hub→h(md5(doc)) and h(md5('rev|'doc))→hub —
+# two independent hash scatters that close hub→leaf→hub cycles and give
+# all four classes real mass (test-pinned non-degeneracy).
+#
+# Deterministic seed: max total degree, host-asc tie-break. Scale shape
+# per hop: one edges⋈frontier equi-join + distinct (the pagerank-family
+# plan); the two directions are independent (a real run shares one
+# job); classification is two left-semi flags on the host dimension.
+
+BT_HOPS = 4
+
+
+def _bt_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    fan = max(docs.count() // 2, 20)
+    fwd_dst = F.concat(
+        F.lit("h"),
+        (_hash56(F.col("doc_id").cast("string")) % fan).cast("string"),
+    )
+    rev_src = F.concat(
+        F.lit("h"),
+        (
+            _hash56(F.concat(F.lit("rev|"), F.col("doc_id").cast("string")))
+            % fan
+        ).cast("string"),
+    )
+    e = docs.select(
+        F.col("source").alias("src"), fwd_dst.alias("dst")
+    ).unionByName(
+        docs.select(rev_src.alias("src"), F.col("source").alias("dst"))
+    )
+    return e.filter(F.col("src") != F.col("dst")).distinct()
+
+
+def host_bowtie_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(host, in_fwd, in_bwd, cls): bow-tie class of every host relative
+    to the max-degree seed under {BT_HOPS}-hop bounded reachability."""
+    edges = _bt_edges(spark, sf_dir).cache()
+    nodes = (
+        edges.select(F.col("src").alias("host"))
+        .union(edges.select(F.col("dst").alias("host")))
+        .distinct()
+        .cache()
+    )
+    deg = (
+        edges.select(F.col("src").alias("host"))
+        .unionAll(edges.select(F.col("dst").alias("host")))
+        .groupBy("host")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    seed = (
+        deg.orderBy(F.col("deg").desc(), F.col("host").asc())
+        .limit(1)
+        .select("host")
+        .localCheckpoint()
+    )
+    fwd = seed
+    for _ in range(BT_HOPS):
+        step = (
+            edges.join(
+                fwd.withColumnRenamed("host", "src"), "src"
+            ).select(F.col("dst").alias("host"))
+        )
+        fwd = fwd.union(step).distinct().localCheckpoint()
+    bwd = seed
+    for _ in range(BT_HOPS):
+        step = (
+            edges.join(
+                bwd.withColumnRenamed("host", "dst"), "dst"
+            ).select(F.col("src").alias("host"))
+        )
+        bwd = bwd.union(step).distinct().localCheckpoint()
+    out = (
+        nodes.join(
+            fwd.withColumn("in_fwd", F.lit(True)), "host", "left"
+        )
+        .join(bwd.withColumn("in_bwd", F.lit(True)), "host", "left")
+        .select(
+            "host",
+            F.coalesce("in_fwd", F.lit(False)).alias("in_fwd"),
+            F.coalesce("in_bwd", F.lit(False)).alias("in_bwd"),
+        )
+    )
+    return out.withColumn(
+        "cls",
+        F.expr(
+            "CASE WHEN in_fwd AND in_bwd THEN 'CORE'"
+            " WHEN in_bwd THEN 'IN'"
+            " WHEN in_fwd THEN 'OUT'"
+            " ELSE 'DISC' END"
+        ),
+    )
+
+
+def _sql_bowtie() -> str:
+    hash_doc = _SQL_HASH56.format(col="CAST(doc_id AS VARCHAR)")
+    hash_rev = _SQL_HASH56.format(col="'rev|' || CAST(doc_id AS VARCHAR)")
+    parts = [f"""
+WITH fanb AS (
+  SELECT greatest(CAST(count(*) AS BIGINT) // 2, 20) AS f FROM documents
+),
+edges AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT source AS src,
+           'h' || CAST({hash_doc} % (SELECT f FROM fanb) AS VARCHAR) AS dst
+    FROM documents
+    UNION ALL
+    SELECT 'h' || CAST({hash_rev} % (SELECT f FROM fanb) AS VARCHAR) AS src,
+           source AS dst
+    FROM documents
+  ) WHERE src <> dst
+),
+nodes AS MATERIALIZED (
+  SELECT src AS host FROM edges UNION SELECT dst FROM edges
+),
+seed AS MATERIALIZED (
+  SELECT host FROM (
+    SELECT host, CAST(count(*) AS BIGINT) AS deg FROM (
+      SELECT src AS host FROM edges UNION ALL SELECT dst FROM edges
+    ) GROUP BY 1
+  ) ORDER BY deg DESC, host ASC LIMIT 1
+),
+f0 AS (SELECT host FROM seed),
+b0 AS (SELECT host FROM seed)"""]
+    for k in range(1, BT_HOPS + 1):
+        parts.append(f""",
+f{k} AS MATERIALIZED (
+  SELECT host FROM f{k - 1}
+  UNION
+  SELECT e.dst FROM edges e JOIN f{k - 1} r ON e.src = r.host
+),
+b{k} AS MATERIALIZED (
+  SELECT host FROM b{k - 1}
+  UNION
+  SELECT e.src FROM edges e JOIN b{k - 1} r ON e.dst = r.host
+)""")
+    parts.append(f"""
+SELECT n.host,
+       (f.host IS NOT NULL) AS in_fwd,
+       (b.host IS NOT NULL) AS in_bwd,
+       CASE WHEN f.host IS NOT NULL AND b.host IS NOT NULL THEN 'CORE'
+            WHEN b.host IS NOT NULL THEN 'IN'
+            WHEN f.host IS NOT NULL THEN 'OUT'
+            ELSE 'DISC' END AS cls
+FROM nodes n
+LEFT JOIN f{BT_HOPS} f ON f.host = n.host
+LEFT JOIN b{BT_HOPS} b ON b.host = n.host""")
+    return "".join(parts)
+
+
+QUERIES["host_bowtie_classify"] = (host_bowtie_classify, _sql_bowtie())

@@ -2074,3 +2074,232 @@ ORDER BY score_int DESC, doc_id ASC LIMIT {RO_TOPK}
 
 
 QUERIES["ft_rocchio_rerank_topk"] = (ft_rocchio_rerank_topk, _sql_rocchio())
+
+
+# ------------------------------------------------ xQuAD diversification
+
+# Santos, Macdonald & Ounis (WWW 2010) explicit aspect diversification —
+# the ASPECT-aware sibling of ft_mmr_topk (MMR diversifies by pairwise
+# document similarity; xQuAD by coverage of explicit query intents):
+#   pick = argmax (1−λ)·P(d|q) + λ·Σ_a P(a|q)·P(d|a)·Π_{d'∈S}(1−P(d'|a))
+# λ = 1/2, uniform aspect prior. The aspect set is the POOL'S LANGUAGE
+# FACET (the reference's i18n facet dimension — result-set language
+# diversification): term aspects are structurally degenerate on the
+# word-soup corpus (every pool doc contains every flagship term with
+# saturated tf, so term-aspect coverage cannot reorder anything — the
+# CLAUDE.md degenerate-synthesis trap, verified empirically), while the
+# lang facet genuinely partitions the pool. P(d|a) is the graded soft
+# assignment (7/10)·rel_norm for the doc's own facet value and
+# (1/10)·rel_norm otherwise (xQuAD's "relevance to sub-intent a").
+#
+# Integer algebra: rel_norm is the round-6 BM25-OR score recovered to
+# micro and normalized by the pool max; the novelty Π(1−p) folds
+# SEQUENTIALLY in pick order as novel' = novel·(1e6−p) DIV 1e6 (floored
+# per step — the ordered fold is the deterministic contract, mirrored by
+# the oracle's unrolled CTE chain); the objective
+#   obj = 500·n_asp·rel_norm + 500·Σ_a (p_da·novel_a DIV 1e6)
+# clears λ and the 1/n_asp prior exactly (every term ≤ ~1e10 ≪ int64).
+# Greedy ties break (obj desc, doc_id asc).
+#
+# Scale shape: the corpus-sized work is the one BM25-OR scan (the
+# serving plan); the greedy loop runs on the XQ_C-row candidate pool
+# with an |aspects|-row novelty frame — XQ_K bounded mini-jobs, the
+# ft_mmr_topk shape.
+
+XQ_C = 20
+XQ_K = 10
+
+
+def ft_xquad_topk(spark, sf_dir):
+    """(pick, doc_id, lang, rel_norm, cov_units, obj): the {XQ_K} xQuAD
+    picks in greedy order from the top-{XQ_C} BM25-OR pool, aspects =
+    the pool's language facet, λ = 1/2."""
+    from harvester_spark.operators.fulltext_queries import bm25_or_scored
+
+    langs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    cand = (
+        bm25_or_scored(spark, sf_dir)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(XQ_C)
+        .select(
+            "doc_id",
+            F.expr("CAST(round(score * 1.0e6, 0) AS BIGINT)").alias("s_micro"),
+        )
+        .join(langs, "doc_id")
+        .cache()
+    )
+    relmax = F.broadcast(cand.agg(F.max("s_micro").alias("relmax")))
+    pool = cand.crossJoin(relmax).select(
+        "doc_id",
+        "lang",
+        F.expr("CAST((1000000 * s_micro) DIV relmax AS BIGINT)").alias(
+            "rel_norm"
+        ),
+    ).cache()
+    aspects = pool.select(F.col("lang").alias("aspect")).distinct().cache()
+    n_asp = F.broadcast(aspects.agg(F.count("*").cast("long").alias("na")))
+    pmat = (
+        pool.crossJoin(F.broadcast(aspects))
+        .select(
+            "doc_id",
+            "aspect",
+            F.expr(
+                "CASE WHEN lang = aspect THEN (7 * rel_norm) DIV 10"
+                " ELSE rel_norm DIV 10 END"
+            ).cast("long").alias("p_micro"),
+        )
+        .cache()
+    )
+    nov = aspects.select(
+        "aspect", F.lit(1_000_000).cast("long").alias("novel")
+    ).localCheckpoint()
+
+    picks = None
+    for k in range(1, XQ_K + 1):
+        cov = (
+            pmat.join(F.broadcast(nov), "aspect")
+            .groupBy("doc_id")
+            .agg(
+                F.sum(F.expr("(p_micro * novel) DIV 1000000"))
+                .cast("long")
+                .alias("cov_units")
+            )
+        )
+        scored = (
+            pool.join(cov, "doc_id")
+            .crossJoin(n_asp)
+            .select(
+                F.lit(k).alias("pick"),
+                "doc_id",
+                "lang",
+                "rel_norm",
+                "cov_units",
+                (500 * F.col("na") * F.col("rel_norm")
+                 + 500 * F.col("cov_units"))
+                .cast("long")
+                .alias("obj"),
+            )
+        )
+        if picks is not None:
+            scored = scored.join(
+                F.broadcast(picks.select("doc_id")), "doc_id", "left_anti"
+            )
+        nxt = (
+            scored.orderBy(F.col("obj").desc(), F.col("doc_id").asc())
+            .limit(1)
+            .localCheckpoint()
+        )
+        picks = nxt if picks is None else picks.unionByName(nxt)
+        sel_p = pmat.join(
+            F.broadcast(nxt.select("doc_id")), "doc_id", "left_semi"
+        ).select("aspect", F.col("p_micro").alias("p_sel"))
+        nov = (
+            nov.join(F.broadcast(sel_p), "aspect", "left")
+            .select(
+                "aspect",
+                F.expr(
+                    "CAST((novel * (1000000 - coalesce(p_sel, 0)))"
+                    " DIV 1000000 AS BIGINT)"
+                ).alias("novel"),
+            )
+            .localCheckpoint()
+        )
+    return picks.select(
+        "pick", "doc_id", "lang", "rel_norm", "cov_units", "obj"
+    )
+
+
+def _sql_xquad() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    parts = [f"""
+WITH toks AS ({SQL_DOC_TOKS}),
+dls AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) * 1.0e0 / count(*) FROM dls) AS avgdl
+),
+qtf AS (
+  SELECT term, doc_id, count(*) AS tf FROM toks
+  WHERE term IN ({terms}) GROUP BY 1, 2
+),
+qdf AS (SELECT term, count(DISTINCT doc_id) AS df FROM qtf GROUP BY 1),
+orsc AS (
+  SELECT doc_id,
+         CAST(round(round(sum(
+           ln(1.0e0 + (n - df + 0.5e0) / (df + 0.5e0))
+           * (tf * 2.2e0)
+           / (tf + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * dl / avgdl))
+         ), 6) * 1.0e6, 0) AS BIGINT) AS s_micro
+  FROM qtf t JOIN qdf USING (term) JOIN dls USING (doc_id)
+  CROSS JOIN stats GROUP BY doc_id
+),
+cand AS MATERIALIZED (
+  SELECT o.doc_id, o.s_micro, d.lang
+  FROM orsc o JOIN documents d USING (doc_id)
+  ORDER BY o.s_micro DESC, o.doc_id ASC LIMIT {XQ_C}
+),
+pool AS MATERIALIZED (
+  SELECT doc_id, lang,
+         CAST((1000000 * s_micro) // (SELECT max(s_micro) FROM cand)
+              AS BIGINT) AS rel_norm
+  FROM cand
+),
+aspects AS MATERIALIZED (SELECT DISTINCT lang AS aspect FROM pool),
+nasp AS (SELECT CAST(count(*) AS BIGINT) AS na FROM aspects),
+pmat AS MATERIALIZED (
+  SELECT p.doc_id, a.aspect,
+         CAST(CASE WHEN p.lang = a.aspect THEN (7 * p.rel_norm) // 10
+                   ELSE p.rel_norm // 10 END AS BIGINT) AS p_micro
+  FROM pool p CROSS JOIN aspects a
+),
+nov0 AS (
+  SELECT aspect, CAST(1000000 AS BIGINT) AS novel FROM aspects
+)"""]
+    prev_nov = "nov0"
+    prev_picks = None
+    for k in range(1, XQ_K + 1):
+        excl = (
+            f"WHERE s.doc_id NOT IN (SELECT doc_id FROM {prev_picks})"
+            if prev_picks
+            else ""
+        )
+        parts.append(f""",
+sc{k} AS MATERIALIZED (
+  SELECT {k} AS pick, s.doc_id, s.lang, s.rel_norm, s.cov_units,
+         CAST(500 * (SELECT na FROM nasp) * s.rel_norm
+              + 500 * s.cov_units AS BIGINT) AS obj
+  FROM (
+    SELECT p.doc_id, p.lang, p.rel_norm,
+           CAST(sum((m.p_micro * n.novel) // 1000000) AS BIGINT)
+             AS cov_units
+    FROM pool p
+    JOIN pmat m ON m.doc_id = p.doc_id
+    JOIN {prev_nov} n ON n.aspect = m.aspect
+    GROUP BY p.doc_id, p.lang, p.rel_norm
+  ) s {excl}
+  ORDER BY obj DESC, doc_id ASC LIMIT 1
+),
+pk{k} AS MATERIALIZED (
+  {"SELECT * FROM " + prev_picks + " UNION ALL " if prev_picks else ""}
+  SELECT pick, doc_id, lang, rel_norm, cov_units, obj FROM sc{k}
+),
+nov{k} AS MATERIALIZED (
+  SELECT n.aspect,
+         CAST((n.novel * (1000000 - coalesce(m.p_micro, 0))) // 1000000
+              AS BIGINT) AS novel
+  FROM {prev_nov} n
+  LEFT JOIN (
+    SELECT aspect, p_micro FROM pmat
+    WHERE doc_id = (SELECT doc_id FROM sc{k})
+  ) m ON m.aspect = n.aspect
+)""")
+        prev_nov = f"nov{k}"
+        prev_picks = f"pk{k}"
+    parts.append(
+        f"\nSELECT pick, doc_id, lang, rel_norm, cov_units, obj"
+        f" FROM {prev_picks}"
+    )
+    return "".join(parts)
+
+
+QUERIES["ft_xquad_topk"] = (ft_xquad_topk, _sql_xquad())

@@ -1002,3 +1002,95 @@ FROM agg
 
 
 QUERIES["events_did_abtest"] = (events_did_abtest, _sql_events_did())
+
+
+# ------------------------------------------- autocomplete MRR eval
+
+# Offline ranking-quality eval for the suggest surface (the reference's
+# suggest_completion — search/views/autocomplete.py — ranks completions
+# by document frequency; ft_suggest_completion twins the ranking, this
+# operator scores it): for every vocabulary term and prefix length
+# 1..SUG_MAX_PLEN, the "user" types the prefix intending that term, and
+# the reciprocal rank of the term inside its prefix bucket (ordered df
+# desc, term asc — the serving order) is aggregated into MRR, weighted
+# by collection frequency (frequent terms are typed more — the standard
+# log-free offline proxy, same stand-in static_cache_plan documents).
+#
+# Determinism: rr is the floored 1e6 DIV rank; MRR is Σ cf·rr DIV Σ cf
+# — all exact int64. The per-plen MRR is monotone non-decreasing in
+# prefix length BY CONSTRUCTION of nested buckets (a longer prefix can
+# only shrink the bucket and never demote the intended term) — the
+# pytest pins it as the semantic invariant.
+#
+# Scale shape: one dictionary agg (df, cf) + a rank window PARTITIONED
+# BY (plen, prefix) — the dict_probe bucket discipline: at a 10^8-term
+# web dictionary every window partition is one prefix bucket, never the
+# whole vocabulary; the final agg is SUG_MAX_PLEN rows.
+
+SUG_MAX_PLEN = 3
+
+
+def suggest_mrr_eval(spark, sf_dir):
+    """(plen, n_trials, w_total, mrr_micro): cf-weighted mean reciprocal
+    rank of the df-ordered completion list at prefix lengths 1..{SUG_MAX_PLEN}."""
+    toks = doc_tokens(spark, sf_dir)
+    dic = toks.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("long").alias("df"),
+        F.count("*").cast("long").alias("cf"),
+    )
+    plens = spark.range(1, SUG_MAX_PLEN + 1).select(
+        F.col("id").cast("int").alias("plen")
+    )
+    trials = dic.crossJoin(F.broadcast(plens)).filter(
+        F.length("term") >= F.col("plen")
+    ).withColumn("prefix", F.expr("substring(term, 1, plen)"))
+    wr = W.partitionBy("plen", "prefix").orderBy(
+        F.col("df").desc(), F.col("term").asc()
+    )
+    ranked = trials.withColumn("rank", F.row_number().over(wr)).withColumn(
+        "rr_micro", F.expr("CAST(1000000 DIV rank AS BIGINT)")
+    )
+    return (
+        ranked.groupBy("plen")
+        .agg(
+            F.count("*").cast("long").alias("n_trials"),
+            F.sum("cf").cast("long").alias("w_total"),
+            F.sum(F.col("cf") * F.col("rr_micro")).cast("long").alias("wrr"),
+        )
+        .select(
+            "plen",
+            "n_trials",
+            "w_total",
+            F.expr("CAST(wrr DIV w_total AS BIGINT)").alias("mrr_micro"),
+        )
+    )
+
+
+SQL_SUGGEST_MRR = f"""
+WITH toks AS ({SQL_DOC_TOKS}),
+dic AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+         CAST(count(*) AS BIGINT) AS cf
+  FROM toks GROUP BY 1
+),
+trials AS (
+  SELECT term, df, cf, CAST(plen AS INT) AS plen,
+         substring(term, 1, plen) AS prefix
+  FROM dic CROSS JOIN (SELECT unnest(range(1, {SUG_MAX_PLEN + 1})) AS plen)
+  WHERE length(term) >= plen
+),
+ranked AS (
+  SELECT plen, cf,
+         CAST(1000000 // row_number() OVER (
+           PARTITION BY plen, prefix ORDER BY df DESC, term ASC
+         ) AS BIGINT) AS rr_micro
+  FROM trials
+)
+SELECT plen, CAST(count(*) AS BIGINT) AS n_trials,
+       CAST(sum(cf) AS BIGINT) AS w_total,
+       CAST(CAST(sum(cf * rr_micro) AS BIGINT) // CAST(sum(cf) AS BIGINT)
+            AS BIGINT) AS mrr_micro
+FROM ranked GROUP BY 1
+"""
+
+QUERIES["suggest_mrr_eval"] = (suggest_mrr_eval, SQL_SUGGEST_MRR)

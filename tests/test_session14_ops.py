@@ -541,3 +541,239 @@ def test_categorize_text_collapse_is_real_and_exact(spark):
     assert sum(v[0] for v in got.values()) == len(msgs)
     for cat in got:
         assert not any(c.isdigit() for c in cat)
+
+
+# --------------------------------------------------- ft_xquad_topk
+
+
+def test_xquad_matches_python_recompute_and_diversifies(spark, corpus14):
+    from harvester_spark.operators.fulltext_queries import BM25_TERMS
+    from harvester_spark.operators.retrieval import XQ_C, XQ_K, ft_xquad_topk
+
+    langs = {
+        r["doc_id"]: r["lang"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "lang")
+        .collect()
+    }
+    nd = len(corpus14)
+    tf = {d: Counter(ts) for d, ts in corpus14.items()}
+    dls = {d: len(ts) for d, ts in corpus14.items()}
+    avgdl = sum(dls.values()) / nd
+    scored = {}
+    for t in BM25_TERMS:
+        df = sum(1 for d in corpus14 if tf[d][t] > 0)
+        if df == 0:
+            continue
+        idf = math.log(1.0 + (nd - df + 0.5) / (df + 0.5))
+        for d in corpus14:
+            f = tf[d][t]
+            if f:
+                scored[d] = scored.get(d, 0.0) + idf * (f * 2.2) / (
+                    f + 1.2 * (1.0 - 0.75 + 0.75 * dls[d] / avgdl)
+                )
+    or_scores = {d: round(s, 6) for d, s in scored.items()}
+    pool_l = sorted(
+        ((round(s * 1e6), d) for d, s in or_scores.items()),
+        key=lambda x: (-x[0], x[1]),
+    )[:XQ_C]
+    relmax = max(s for s, _ in pool_l)
+    rel = {d: (1_000_000 * s) // relmax for s, d in pool_l}
+    aspects = sorted({langs[d] for d in rel})
+    na = len(aspects)
+
+    def p_da(d, a):
+        r = rel[d]
+        return (7 * r) // 10 if langs[d] == a else r // 10
+
+    novel = {a: 1_000_000 for a in aspects}
+    picked = []
+    expect = []
+    for k in range(1, XQ_K + 1):
+        best = None
+        for d in rel:
+            if d in picked:
+                continue
+            cov = sum(
+                (p_da(d, a) * novel[a]) // 1_000_000 for a in aspects
+            )
+            obj = 500 * na * rel[d] + 500 * cov
+            key = (-obj, d)
+            if best is None or key < best[0]:
+                best = (key, d, rel[d], cov, obj)
+        _, d, r, cov, obj = best
+        picked.append(d)
+        expect.append((k, d, langs[d], r, cov, obj))
+        for a in aspects:
+            novel[a] = (novel[a] * (1_000_000 - p_da(d, a))) // 1_000_000
+
+    got = [
+        (r["pick"], r["doc_id"], r["lang"], r["rel_norm"], r["cov_units"],
+         r["obj"])
+        for r in ft_xquad_topk(spark, SF_DIR).orderBy("pick").collect()
+    ]
+    assert got == expect
+
+    # diversification genuinely reorders vs pure relevance, and the
+    # early picks cover more facet values than the relevance prefix
+    rel_order = [d for _, d in sorted(
+        ((rel[d], d) for d in rel), key=lambda x: (-x[0], x[1])
+    )][:XQ_K]
+    assert [g[1] for g in got] != rel_order
+    k0 = min(5, XQ_K)
+    assert len({g[2] for g in got[:k0]}) >= len(
+        {langs[d] for d in rel_order[:k0]}
+    )
+
+
+# --------------------------------------------- host_bowtie_classify
+
+
+def test_bowtie_matches_python_bfs_and_all_classes(spark):
+    from harvester_spark.operators.graph import BT_HOPS, host_bowtie_classify
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "source"
+    ).collect()
+    fan = max(len(docs) // 2, 20)
+    edges = set()
+    for r in docs:
+        src = r["source"]
+        d1 = f"h{_h56(str(r['doc_id'])) % fan}"
+        d2 = f"h{_h56('rev|' + str(r['doc_id'])) % fan}"
+        if src != d1:
+            edges.add((src, d1))
+        if d2 != src:
+            edges.add((d2, src))
+    nodes = {a for a, _ in edges} | {b for _, b in edges}
+    deg = Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    seed = sorted(nodes, key=lambda h: (-deg[h], h))[0]
+    fwd_adj, bwd_adj = {}, {}
+    for a, b in edges:
+        fwd_adj.setdefault(a, []).append(b)
+        bwd_adj.setdefault(b, []).append(a)
+
+    def bfs(adj):
+        reach = {seed}
+        frontier = {seed}
+        for _ in range(BT_HOPS):
+            nxt = set()
+            for h in frontier:
+                nxt.update(adj.get(h, ()))
+            frontier = nxt - reach
+            reach |= nxt
+        return reach
+
+    fwd, bwd = bfs(fwd_adj), bfs(bwd_adj)
+    expect = {}
+    for h in nodes:
+        f, b = h in fwd, h in bwd
+        cls = "CORE" if f and b else "IN" if b else "OUT" if f else "DISC"
+        expect[h] = (f, b, cls)
+
+    got = {
+        r["host"]: (r["in_fwd"], r["in_bwd"], r["cls"])
+        for r in host_bowtie_classify(spark, SF_DIR).collect()
+    }
+    assert got == expect
+    classes = Counter(v[2] for v in got.values())
+    assert all(classes[c] > 0 for c in ("CORE", "IN", "OUT", "DISC"))
+
+
+# --------------------------------------------- click_model_cascade
+
+
+def test_cascade_matches_python_recompute_and_recovers_alpha(spark):
+    from harvester_spark.operators.click_models import (
+        CAS_DEPTH,
+        CAS_ITEMS,
+        click_model_cascade,
+    )
+
+    eids = [
+        r["event_id"]
+        for r in spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("event_id")
+        .collect()
+    ]
+    n_ex = Counter()
+    n_ck = Counter()
+    for e in eids:
+        slots = []
+        for r in range(1, CAS_DEPTH + 1):
+            item = _h56(f"cs|{e}|{r}") % CAS_ITEMS
+            u = _h56(f"cu|{e}|{r}") % 1000
+            a_true = 150 + (item * 37) % 700
+            slots.append((r, item, u < a_true))
+        fc = next((r for r, _, att in slots if att), None)
+        for r, item, att in slots:
+            if r <= (fc or CAS_DEPTH):
+                n_ex[item] += 1
+                if att and r == fc:
+                    n_ck[item] += 1
+    expect = {
+        item: (
+            n_ex[item],
+            n_ck[item],
+            (1000 * n_ck[item]) // n_ex[item],
+            150 + (item * 37) % 700,
+        )
+        for item in n_ex
+    }
+
+    got = {
+        r["item"]: (
+            r["n_examined"], r["n_clicked"], r["alpha_hat_milli"],
+            r["alpha_true_milli"],
+        )
+        for r in click_model_cascade(spark, SF_DIR).collect()
+    }
+    assert got == expect
+
+    hi = [v[2] for v in got.values() if v[3] >= 700]
+    lo = [v[2] for v in got.values() if v[3] <= 300]
+    assert hi and lo
+    assert sum(hi) / len(hi) > sum(lo) / len(lo) + 200  # planted spread found
+    assert len({v[2] for v in got.values()}) > 1  # not constant
+
+
+# ------------------------------------------------ suggest_mrr_eval
+
+
+def test_suggest_mrr_matches_python_and_monotone_in_prefix_len(spark, corpus14):
+    from harvester_spark.operators.web_econ import SUG_MAX_PLEN, suggest_mrr_eval
+
+    df = Counter()
+    cf = Counter()
+    for ts in corpus14.values():
+        cf.update(ts)
+        df.update(set(ts))
+
+    expect = {}
+    for plen in range(1, SUG_MAX_PLEN + 1):
+        buckets = {}
+        for t in df:
+            if len(t) >= plen:
+                buckets.setdefault(t[:plen], []).append(t)
+        wrr = 0
+        w_tot = 0
+        n = 0
+        for pre, terms in buckets.items():
+            order = sorted(terms, key=lambda t: (-df[t], t))
+            for rank, t in enumerate(order, start=1):
+                wrr += cf[t] * (1_000_000 // rank)
+                w_tot += cf[t]
+                n += 1
+        expect[plen] = (n, w_tot, wrr // w_tot)
+
+    got = {
+        r["plen"]: (r["n_trials"], r["w_total"], r["mrr_micro"])
+        for r in suggest_mrr_eval(spark, SF_DIR).collect()
+    }
+    assert got == expect
+    mrrs = [got[p][2] for p in sorted(got)]
+    assert all(b >= a for a, b in zip(mrrs, mrrs[1:]))  # nested buckets
+    assert mrrs[-1] > mrrs[0]  # longer prefixes genuinely help
