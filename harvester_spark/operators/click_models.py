@@ -451,3 +451,147 @@ FROM examined GROUP BY item
 """
 
 QUERIES["click_model_cascade"] = (click_model_cascade, SQL_CASCADE)
+
+
+# ------------------------------------------- calibration / ECE eval
+
+# Score calibration of a click predictor (Platt/ECE methodology —
+# Naeini et al. AAAI 2015 for the binned ECE): reliability bins of
+# predicted click probability vs observed click rate, and the Expected
+# Calibration Error Σ_b (n_b/N)·|mean_pred_b − mean_obs_b|. Two
+# synthesized cohorts ride the same pipeline:
+#   'calibrated'  — clicks drawn with p_true = p_pred
+#   'miscal'      — clicks drawn with p_true = (7·p_pred)/10 + 50 milli
+# (a planted slope-0.7 + offset miscalibration). The eval must find the
+# plant: ECE(miscal) ≫ ECE(calibrated), and the per-bin observed rates
+# of the miscal cohort track the planted transform — pinned by the
+# pytest, so the metric is shown to DETECT miscalibration rather than
+# reporting a constant.
+#
+# Determinism: p_pred and the click draw are md5 scatters (integer
+# milli comparisons in both engines); per-bin means are floored milli
+# divisions; ECE is an exact integer Σ n_b·|gap| with ONE final floored
+# division by N.
+#
+# Scale shape: map-only synthesis, one groupBy((cohort, bin)) with
+# map-side combine, a cohort-level broadcast for N and ECE — nothing
+# log-sized leaves the executors.
+
+
+def ranker_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cohort, bin, n, mean_pred_milli, mean_obs_milli, gap_milli,
+    ece_milli): reliability-diagram bins + ECE for a calibrated and a
+    planted-miscalibrated click cohort."""
+    ev = load(spark, sf_dir, "events").select("event_id")
+    cohorts = spark.createDataFrame(
+        [("calibrated",), ("miscal",)], "cohort string"
+    )
+    imp = ev.crossJoin(F.broadcast(cohorts)).select(
+        "cohort",
+        "event_id",
+        (
+            100
+            + F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("cp"), F.col("event_id").cast("string"))),
+                    1, 14,
+                ), 16, 10,
+            ).cast("long") % 800
+        ).alias("p_pred"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("cc|"), F.col("cohort"), F.lit("|"),
+                            F.col("event_id").cast("string"),
+                        )
+                    ), 1, 14,
+                ), 16, 10,
+            ).cast("long") % _MILLI
+        ).alias("u"),
+    )
+    clicked = imp.withColumn(
+        "p_true",
+        F.expr(
+            "CASE WHEN cohort = 'calibrated' THEN p_pred"
+            " ELSE (7 * p_pred) DIV 10 + 50 END"
+        ),
+    ).withColumn(
+        "c", F.expr("CASE WHEN u < p_true THEN 1 ELSE 0 END").cast("long")
+    )
+    bins = (
+        clicked.withColumn("bin", F.expr("p_pred DIV 100"))
+        .groupBy("cohort", "bin")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("p_pred").cast("long").alias("sp"),
+            F.sum("c").cast("long").alias("sc"),
+        )
+        .select(
+            "cohort",
+            "bin",
+            "n",
+            F.expr("CAST(sp DIV n AS BIGINT)").alias("mean_pred_milli"),
+            F.expr(f"CAST(({_MILLI} * sc) DIV n AS BIGINT)").alias(
+                "mean_obs_milli"
+            ),
+        )
+        .withColumn(
+            "gap_milli",
+            (F.col("mean_pred_milli") - F.col("mean_obs_milli")).cast("long"),
+        )
+    )
+    ece = bins.groupBy("cohort").agg(
+        F.expr(
+            "CAST(sum(n * abs(gap_milli)) DIV sum(n) AS BIGINT)"
+        ).alias("ece_milli")
+    )
+    return bins.join(F.broadcast(ece), "cohort").select(
+        "cohort", "bin", "n", "mean_pred_milli", "mean_obs_milli",
+        "gap_milli", "ece_milli",
+    )
+
+
+SQL_CALIBRATION = f"""
+WITH imp AS (
+  SELECT cohort, event_id,
+         100 + CAST(('0x' || substr(md5('cp' || CAST(event_id AS VARCHAR)), 1, 14)) AS BIGINT) % 800
+           AS p_pred,
+         CAST(('0x' || substr(md5('cc|' || cohort || '|' || CAST(event_id AS VARCHAR)), 1, 14)) AS BIGINT) % {_MILLI}
+           AS u
+  FROM events
+  CROSS JOIN (SELECT unnest(['calibrated', 'miscal']) AS cohort)
+),
+clicked AS (
+  SELECT cohort, p_pred,
+         CASE WHEN u < CASE WHEN cohort = 'calibrated' THEN p_pred
+                            ELSE (7 * p_pred) // 10 + 50 END
+              THEN 1 ELSE 0 END AS c
+  FROM imp
+),
+bins AS (
+  SELECT cohort, p_pred // 100 AS bin,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(CAST(sum(p_pred) AS BIGINT) // count(*) AS BIGINT)
+           AS mean_pred_milli,
+         CAST(({_MILLI} * CAST(sum(c) AS BIGINT)) // count(*) AS BIGINT)
+           AS mean_obs_milli
+  FROM clicked GROUP BY 1, 2
+),
+gaps AS (
+  SELECT *, CAST(mean_pred_milli - mean_obs_milli AS BIGINT) AS gap_milli
+  FROM bins
+),
+ece AS (
+  SELECT cohort,
+         CAST(CAST(sum(n * abs(gap_milli)) AS BIGINT)
+              // CAST(sum(n) AS BIGINT) AS BIGINT) AS ece_milli
+  FROM gaps GROUP BY 1
+)
+SELECT g.cohort, g.bin, g.n, g.mean_pred_milli, g.mean_obs_milli,
+       g.gap_milli, e.ece_milli
+FROM gaps g JOIN ece e USING (cohort)
+"""
+
+QUERIES["ranker_calibration_ece"] = (ranker_calibration_ece, SQL_CALIBRATION)

@@ -3366,3 +3366,178 @@ FROM cats GROUP BY 1
 """
 
 QUERIES["es_categorize_text"] = (es_categorize_text, SQL_CATEGORIZE_TEXT)
+
+
+# -------------------------------------- Holt-Winters additive seasonal
+
+# Completes the exponential-smoothing family (events_moving_ewma = level,
+# events_moving_holt = level+trend): triple exponential smoothing with an
+# ADDITIVE seasonal component (Winters 1960), period HW_M, window
+# HW_WIN = 3 seasons, α = β = γ = 1/2. Seeding convention (documented,
+# deterministic): l₀ = mean of season 1, b₀ = (mean season 2 − mean
+# season 1)/HW_M, sᵢ = vᵢ − l₀; then the textbook recurrences for
+# k = HW_M..HW_WIN−1 and the one-step forecast l + b + s_{k+1−HW_M}.
+#
+# Because α/β/γ AND the seed divisors are dyadic, the forecast is an
+# EXACT linear form over the window with integer weights on a power-of-2
+# denominator — the events_moving_holt discipline: weights derived once
+# with exact Fractions at import (the assert proves integrality and that
+# a constant series forecasts itself), per-row evaluation is one integer
+# dot product, milli output through the sign-split _SDIV. The corpus has
+# no genuine 4-bucket seasonality (events_seasonality_r2 is the negative
+# control) — the operator is the estimator surface; the pytest plants a
+# pure-seasonal series and pins that the weight vector reproduces it
+# EXACTLY (a real law of these recurrences, verified by the Fraction
+# recompute).
+#
+# Scale shape: densified hourly counts + one per-type lag chain +
+# map-only dot product — identical to events_moving_holt.
+
+HW_M = 4
+HW_WIN = 3 * HW_M
+
+
+def _hw_weights():
+    from fractions import Fraction
+
+    a = b = g = Fraction(1, 2)
+    n, m = HW_WIN, HW_M
+
+    def unit(k):
+        return [Fraction(int(i == k)) for i in range(n)]
+
+    zero = [Fraction(0)] * n
+    lw = [Fraction(1, m) if i < m else Fraction(0) for i in range(n)]
+    bw = [
+        (Fraction(1, m * m) if m <= i < 2 * m else Fraction(0))
+        - (Fraction(1, m * m) if i < m else Fraction(0))
+        for i in range(n)
+    ]
+    s_hist = [
+        [e - l for e, l in zip(unit(k), lw)] for k in range(m)
+    ]
+    for k in range(m, n):
+        l_prev = lw
+        lw = [
+            a * (e - s) + (1 - a) * (lv + bv)
+            for e, s, lv, bv in zip(unit(k), s_hist[k - m], lw, bw)
+        ]
+        bw = [
+            b * (lv - lpv) + (1 - b) * bv
+            for lv, lpv, bv in zip(lw, l_prev, bw)
+        ]
+        s_hist.append(
+            [
+                g * (e - lv) + (1 - g) * s
+                for e, lv, s in zip(unit(k), lw, s_hist[k - m])
+            ]
+        )
+    f = [
+        lv + bv + s
+        for lv, bv, s in zip(lw, bw, s_hist[n + 1 - m - 1])
+    ]
+    den = 1
+    for x in f:
+        q = x.denominator
+        while den % q:
+            den *= 2
+    w = [x * den for x in f]
+    assert all(x.denominator == 1 for x in w)
+    assert sum(f) == 1  # constant series forecasts itself
+    return [int(x) for x in w], den
+
+
+_HW_WEIGHTS, _HW_DEN = _hw_weights()
+
+
+def events_holt_winters(spark, sf_dir):
+    """(event_type, hour_bucket, c, hw_milli): exact integer
+    Holt-Winters additive (alpha=beta=gamma=1/2, period {HW_M}, window
+    {HW_WIN}) one-step forecast over densified hourly counts."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hour"),
+    )
+    b = ev.agg(F.min("hour").alias("mn"), F.max("hour").alias("mx")).collect()[0]
+    counts = ev.groupBy("event_type", "hour").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    hours = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.lit(b.mn), F.lit(b.mx))).alias("hour"),
+        )
+    )
+    dens = hours.join(counts, ["event_type", "hour"], "left").select(
+        "event_type", "hour",
+        F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c"),
+    )
+    wt = W.partitionBy("event_type").orderBy("hour")
+    lagged = dens.select(
+        "event_type",
+        F.col("hour").alias("hour_bucket"),
+        "c",
+        *[
+            F.lag("c", k).over(wt).cast("long").alias(f"l{k}")
+            for k in range(1, HW_WIN)
+        ],
+    ).filter(F.col("hour_bucket") >= b.mn + HW_WIN - 1)
+    num = " + ".join(
+        f"({w}) * {'c' if (HW_WIN - 1 - i) == 0 else f'l{HW_WIN - 1 - i}'}"
+        for i, w in enumerate(_HW_WEIGHTS)
+    )
+    return lagged.select(
+        "event_type",
+        "hour_bucket",
+        "c",
+        F.expr(
+            "CAST("
+            + _SDIV.format(num=f"1000 * ({num})", den=_HW_DEN, div="DIV")
+            + " AS BIGINT)"
+        ).alias("hw_milli"),
+    )
+
+
+def _sql_holt_winters() -> str:
+    num = " + ".join(
+        f"({w}) * v{HW_WIN - 1 - i}" for i, w in enumerate(_HW_WEIGHTS)
+    )
+    lags = ",\n         ".join(
+        f"lag(c, {k}) OVER tw AS v{k}" for k in range(1, HW_WIN)
+    )
+    return f"""
+WITH ev AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour
+  FROM events
+),
+b AS (SELECT min(hour) AS mn, max(hour) AS mx FROM ev),
+counts AS (
+  SELECT event_type, hour, CAST(count(*) AS BIGINT) AS c
+  FROM ev GROUP BY 1, 2
+),
+hours AS (
+  SELECT event_type, CAST(h AS BIGINT) AS hour
+  FROM (SELECT DISTINCT event_type FROM ev)
+  CROSS JOIN (SELECT unnest(range((SELECT mn FROM b), (SELECT mx FROM b) + 1)) AS h)
+),
+dens AS (
+  SELECT hours.event_type, hours.hour, coalesce(counts.c, 0) AS c
+  FROM hours LEFT JOIN counts USING (event_type, hour)
+),
+lagged AS (
+  SELECT event_type, hour AS hour_bucket, c AS v0, c,
+         {lags}
+  FROM dens
+  WINDOW tw AS (PARTITION BY event_type ORDER BY hour)
+  QUALIFY hour >= (SELECT mn FROM b) + {HW_WIN - 1}
+)
+SELECT event_type, hour_bucket, c,
+       CAST({_SDIV.format(num=f"1000 * ({num})", den=_HW_DEN, div="//")}
+            AS BIGINT) AS hw_milli
+FROM lagged
+"""
+
+
+QUERIES["events_holt_winters"] = (events_holt_winters, _sql_holt_winters())

@@ -2704,3 +2704,204 @@ QUERIES["postings_intersection_cost_eval"] = (
     postings_intersection_cost_eval,
     _sql_isect_cost(),
 )
+
+
+# ------------------------------------------ ReDDE resource selection
+
+# Si & Callan (SIGIR 2003) ReDDE federated-search resource selection —
+# the query-time complement of the static shard planners
+# (index_shard_skew / shard_merge_plan / consistent_hash_eval): rank
+# shards by their ESTIMATED count of relevant documents, computed from a
+# small central sample of every shard. The flagship query is scored over
+# the sample with the sample's own BM25 statistics (the central sample
+# index IS the scorer in ReDDE — documented); each of the top SR_K
+# sample hits votes for its home shard, and the vote scales up by the
+# shard's sample rate: est = votes · n_docs / n_sampled. Shards are then
+# admitted in decreasing estimate order until SR_COVER_PCT % of the
+# total estimated relevance mass is covered — the broker's fan-out set.
+#
+# Determinism: shard assignment and sampling are md5 scatters; the BM25
+# top-K carries the (score desc, doc_id asc) tie-break; estimates are
+# floored milli divisions; the admission rule compares exact integers
+# (prev_cum · 100 < total · SR_COVER_PCT).
+#
+# Scale shape: the sample relation is a hash-filtered scan (a 1/SR_RATE
+# fraction of the corpus — at web scale the sample is materialized once,
+# the ReDDE deployment); scoring is the flagship impact join on the
+# sample only; everything after is NSHARDS rows.
+
+SR_SHARDS = 8
+SR_RATE = 4  # sample = 1/4 of docs
+SR_K = 40
+SR_COVER_PCT = 80
+
+
+def shard_select_redde(spark, sf_dir):
+    """(shard, n_docs, n_sampled, votes, est_milli, rank, selected):
+    ReDDE shard relevance estimates for the flagship query and the
+    {SR_COVER_PCT}%-mass fan-out selection."""
+    from harvester_spark.operators.fulltext_queries import BM25_TERMS
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("sh|"), F.col("doc_id").cast("string"))),
+                    1, 14,
+                ), 16, 10,
+            ).cast("long") % SR_SHARDS
+        ).alias("shard"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("smp|"), F.col("doc_id").cast("string"))),
+                    1, 14,
+                ), 16, 10,
+            ).cast("long") % SR_RATE == 0
+        ).alias("sampled"),
+    ).cache()
+    per_shard = docs.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.col("sampled").cast("long")).cast("long").alias("n_sampled"),
+    )
+    sample_ids = docs.filter("sampled").select("doc_id")
+    toks = doc_tokens(spark, sf_dir).join(
+        F.broadcast(sample_ids), "doc_id", "left_semi"
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = sample_ids.agg(F.count("*").alias("n")).crossJoin(
+        dl.agg((F.sum("dl") / F.count("*")).alias("avgdl"))
+    )
+    tf = (
+        toks.filter(F.col("term").isin(BM25_TERMS))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "contrib",
+            F.log(1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            * (F.col("tf") * 2.2)
+            / (F.col("tf") + 1.2 * (1.0 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), 6).alias("score"))
+    )
+    top = scored.orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    ).limit(SR_K)
+    votes = (
+        top.join(docs.select("doc_id", "shard"), "doc_id")
+        .groupBy("shard")
+        .agg(F.count("*").cast("long").alias("votes"))
+    )
+    est = (
+        per_shard.join(votes, "shard", "left")
+        .select(
+            "shard",
+            "n_docs",
+            "n_sampled",
+            F.coalesce("votes", F.lit(0)).cast("long").alias("votes"),
+        )
+        .withColumn(
+            "est_milli",
+            F.expr(
+                "CAST((1000 * votes * n_docs) DIV greatest(n_sampled, 1)"
+                " AS BIGINT)"
+            ),
+        )
+    )
+    wr = W.orderBy(F.col("est_milli").desc(), F.col("shard").asc())
+    ranked = est.withColumn("rank", F.row_number().over(wr)).withColumn(
+        "prev_cum",
+        F.coalesce(
+            F.sum("est_milli").over(wr.rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        ).cast("long"),
+    )
+    tot = F.broadcast(est.agg(F.sum("est_milli").cast("long").alias("tot")))
+    return ranked.crossJoin(tot).select(
+        "shard", "n_docs", "n_sampled", "votes", "est_milli", "rank",
+        F.expr(
+            f"(prev_cum * 100 < tot * {SR_COVER_PCT}) AND est_milli > 0"
+        ).alias("selected"),
+    )
+
+
+def _sql_redde() -> str:
+    terms = ", ".join(
+        f"'{t}'" for t in ("key", "value", "table")
+    )
+    h_sh = _SQL_HASH56.format(col="'sh|' || CAST(doc_id AS VARCHAR)")
+    h_sm = _SQL_HASH56.format(col="'smp|' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH dsh AS MATERIALIZED (
+  SELECT doc_id, {h_sh} % {SR_SHARDS} AS shard,
+         ({h_sm} % {SR_RATE} = 0) AS sampled
+  FROM documents
+),
+per_shard AS (
+  SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_sampled
+  FROM dsh GROUP BY 1
+),
+toks AS (
+  SELECT t.doc_id, t.term FROM ({SQL_DOC_TOKS}) t
+  JOIN dsh ON dsh.doc_id = t.doc_id AND dsh.sampled
+),
+dls AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM dsh WHERE sampled) AS n,
+         (SELECT sum(dl) * 1.0e0 / count(*) FROM dls) AS avgdl
+),
+qtf AS (
+  SELECT term, doc_id, count(*) AS tf FROM toks
+  WHERE term IN ({terms}) GROUP BY 1, 2
+),
+qdf AS (SELECT term, count(DISTINCT doc_id) AS df FROM qtf GROUP BY 1),
+topd AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, round(sum(
+      ln(1.0e0 + (n - df + 0.5e0) / (df + 0.5e0))
+      * (tf * 2.2e0)
+      / (tf + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * dl / avgdl))
+    ), 6) AS score
+    FROM qtf t JOIN qdf USING (term) JOIN dls USING (doc_id)
+    CROSS JOIN stats GROUP BY doc_id
+  ) ORDER BY score DESC, doc_id ASC LIMIT {SR_K}
+),
+votes AS (
+  SELECT d.shard, CAST(count(*) AS BIGINT) AS votes
+  FROM topd JOIN dsh d USING (doc_id) GROUP BY 1
+),
+est AS (
+  SELECT p.shard, p.n_docs, p.n_sampled,
+         CAST(coalesce(v.votes, 0) AS BIGINT) AS votes,
+         CAST((1000 * coalesce(v.votes, 0) * p.n_docs)
+              // greatest(p.n_sampled, 1) AS BIGINT) AS est_milli
+  FROM per_shard p LEFT JOIN votes v USING (shard)
+),
+ranked AS (
+  SELECT *,
+         CAST(row_number() OVER w AS INT) AS rank,
+         CAST(coalesce(sum(est_milli) OVER (
+           w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS prev_cum
+  FROM est
+  WINDOW w AS (ORDER BY est_milli DESC, shard ASC)
+),
+tot AS (SELECT CAST(sum(est_milli) AS BIGINT) AS tot FROM est)
+SELECT shard, n_docs, n_sampled, votes, est_milli, rank,
+       (prev_cum * 100 < tot * {SR_COVER_PCT}) AND est_milli > 0
+         AS selected
+FROM ranked CROSS JOIN tot
+"""
+
+
+QUERIES["shard_select_redde"] = (shard_select_redde, _sql_redde())

@@ -1094,3 +1094,152 @@ FROM ranked GROUP BY 1
 """
 
 QUERIES["suggest_mrr_eval"] = (suggest_mrr_eval, SQL_SUGGEST_MRR)
+
+
+# ------------------------------------- LRU stack-distance cache eval
+
+# Mattson et al. (IBM Sys J 1970) stack-distance analysis — the DYNAMIC
+# complement of static_cache_plan: one pass over the access stream
+# yields the exact LRU hit count for EVERY cache size simultaneously,
+# because an access hits an LRU cache of size C iff its reuse stack
+# distance (1 + the number of DISTINCT other keys touched since this
+# key's previous access) is ≤ C. The stream is the event log in
+# event_id order, keyed by the props payload item.
+#
+# Relational form of the distance: with pos = global access rank,
+# prev = the key's previous pos, and nxt = each access's next pos for
+# the same key, the distinct-key count over (prev, pos) is the count of
+# accesses m in that OPEN interval whose nxt falls at/after pos (each
+# intervening key is counted exactly once — at its LAST access inside
+# the interval; nxt IS NULL counts, the key never recurs). That is a
+# pos-range join — exact, set-based, no sequential LRU state. The
+# pytest runs an ACTUAL LRU simulation at every size and pins equality
+# (the Mattson theorem, executed).
+#
+# Scale shape (documented): the global rank and the range join are
+# log-bounded, not corpus-bounded; at a 10^11-access log the exact form
+# shards the stream into time blocks with per-block Fenwick counting
+# (classic parallel Mattson) — the relational twin here IS the per-block
+# computation. Output is |CACHE_SIZES| rows.
+
+CACHE_SIZES = (4, 16, 64)
+
+
+def cache_lru_stack_distance(spark, sf_dir):
+    """(cache_size, n_accesses, n_cold, n_hits, hit_rate_milli): exact
+    LRU hit counts for every cache size from one stack-distance pass
+    over the event-log access stream."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.regexp_extract(F.col("props"), "[0-9]+", 0).cast("long").alias("key"),
+    )
+    wpos = W.orderBy("event_id")
+    wkey = W.partitionBy("key").orderBy("pos")
+    acc = (
+        ev.withColumn("pos", F.row_number().over(wpos).cast("long"))
+        .withColumn("prev", F.lag("pos").over(wkey))
+        .withColumn("nxt", F.lead("pos").over(wkey))
+        .cache()
+    )
+    reuse = acc.filter(F.col("prev").isNotNull()).select(
+        F.col("pos").alias("apos"), F.col("prev").alias("aprev")
+    )
+    mids = acc.select(F.col("pos").alias("mpos"), F.col("nxt").alias("mnxt"))
+    sd = (
+        reuse.join(
+            mids,
+            (F.col("mpos") > F.col("aprev"))
+            & (F.col("mpos") < F.col("apos"))
+            & (F.col("mnxt").isNull() | (F.col("mnxt") >= F.col("apos"))),
+            "left",
+        )
+        .groupBy("apos")
+        .agg(
+            F.count("mpos").cast("long").alias("sd")  # distinct others
+        )
+    )
+    tot = F.broadcast(
+        acc.agg(
+            F.count("*").cast("long").alias("n_accesses"),
+            F.sum(F.col("prev").isNull().cast("long"))
+            .cast("long")
+            .alias("n_cold"),
+        )
+    )
+    sizes = spark.createDataFrame(
+        [(c,) for c in CACHE_SIZES], "cache_size long"
+    )
+    hits = (
+        sd.crossJoin(F.broadcast(sizes))
+        .groupBy("cache_size")
+        .agg(
+            F.sum((F.col("sd") + 1 <= F.col("cache_size")).cast("long"))
+            .cast("long")
+            .alias("n_hits")
+        )
+    )
+    return (
+        sizes.join(hits, "cache_size", "left")
+        .crossJoin(tot)
+        .select(
+            "cache_size",
+            "n_accesses",
+            "n_cold",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.expr(
+                "CAST((1000 * coalesce(n_hits, 0)) DIV n_accesses AS BIGINT)"
+            ).alias("hit_rate_milli"),
+        )
+    )
+
+
+SQL_LRU_STACK = f"""
+WITH ev AS (
+  SELECT event_id,
+         CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS key
+  FROM events
+),
+acc AS MATERIALIZED (
+  SELECT key,
+         CAST(row_number() OVER (ORDER BY event_id) AS BIGINT) AS pos
+  FROM ev
+),
+linked AS MATERIALIZED (
+  SELECT pos,
+         lag(pos) OVER (PARTITION BY key ORDER BY pos) AS prev,
+         lead(pos) OVER (PARTITION BY key ORDER BY pos) AS nxt
+  FROM acc
+),
+sd AS (
+  SELECT a.pos AS apos, CAST(count(m.pos) AS BIGINT) AS sd
+  FROM linked a
+  LEFT JOIN linked m
+    ON m.pos > a.prev AND m.pos < a.pos
+   AND (m.nxt IS NULL OR m.nxt >= a.pos)
+  WHERE a.prev IS NOT NULL
+  GROUP BY 1
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_accesses,
+         CAST(sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_cold
+  FROM linked
+),
+sizes AS (SELECT CAST(unnest({list(CACHE_SIZES)}) AS BIGINT) AS cache_size),
+hits AS (
+  SELECT cache_size,
+         CAST(sum(CASE WHEN sd + 1 <= cache_size THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hits
+  FROM sd CROSS JOIN sizes GROUP BY 1
+)
+SELECT s.cache_size, t.n_accesses, t.n_cold,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST((1000 * coalesce(h.n_hits, 0)) // t.n_accesses AS BIGINT)
+         AS hit_rate_milli
+FROM sizes s LEFT JOIN hits h USING (cache_size) CROSS JOIN tot t
+"""
+
+QUERIES["cache_lru_stack_distance"] = (
+    cache_lru_stack_distance,
+    SQL_LRU_STACK,
+)

@@ -777,3 +777,225 @@ def test_suggest_mrr_matches_python_and_monotone_in_prefix_len(spark, corpus14):
     mrrs = [got[p][2] for p in sorted(got)]
     assert all(b >= a for a, b in zip(mrrs, mrrs[1:]))  # nested buckets
     assert mrrs[-1] > mrrs[0]  # longer prefixes genuinely help
+
+
+# ------------------------------------------- events_holt_winters
+
+
+def test_holt_winters_matches_fraction_recurrence_and_seasonal_law(spark):
+    from fractions import Fraction
+
+    from harvester_spark.operators.es_aggs import (
+        HW_M,
+        HW_WIN,
+        _HW_DEN,
+        _HW_WEIGHTS,
+        events_holt_winters,
+    )
+
+    def hw_forecast(vs):
+        # independent implementation: the recurrence on VALUES, not the
+        # weight vector the operator compiles to
+        a = b = g = Fraction(1, 2)
+        m = HW_M
+        l = Fraction(sum(vs[:m]), m)
+        tr = (Fraction(sum(vs[m:2 * m]), m) - Fraction(sum(vs[:m]), m)) / m
+        s = [Fraction(v) - l for v in vs[:m]]
+        for k in range(m, len(vs)):
+            l_prev = l
+            l = a * (vs[k] - s[k - m]) + (1 - a) * (l + tr)
+            tr = b * (l - l_prev) + (1 - b) * tr
+            s.append(g * (vs[k] - l) + (1 - g) * s[k - m])
+        return l + tr + s[len(vs) + 1 - m - 1]
+
+    # the compiled weights == the recurrence, on arbitrary integer series
+    probe = [3, 14, 1, 5, 9, 2, 6, 5, 3, 5, 8, 9]
+    w_val = Fraction(
+        sum(w * v for w, v in zip(_HW_WEIGHTS, probe)), _HW_DEN
+    )
+    assert w_val == hw_forecast(probe)
+
+    # pure-seasonal law: a perfectly periodic series forecasts exactly
+    S = [7, -3, -9, 5]
+    vs = [S[k % HW_M] for k in range(HW_WIN)]
+    assert hw_forecast(vs) == S[HW_WIN % HW_M]
+
+    # real data: recompute every output row from the densified series
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .selectExpr(
+            "event_type", "CAST(unix_timestamp(ts) AS LONG) DIV 3600 AS hour"
+        )
+        .collect()
+    )
+    mn = min(r["hour"] for r in rows)
+    mx = max(r["hour"] for r in rows)
+    series = {}
+    for r in rows:
+        series.setdefault(r["event_type"], Counter())[r["hour"]] += 1
+    expect = {}
+    for et, cnt in series.items():
+        xs = [cnt.get(h, 0) for h in range(mn, mx + 1)]
+        for i in range(HW_WIN - 1, len(xs)):
+            win = xs[i - HW_WIN + 1 : i + 1]
+            num = 1000 * sum(w * v for w, v in zip(_HW_WEIGHTS, win))
+            milli = num // _HW_DEN if num >= 0 else -((-num) // _HW_DEN)
+            expect[(et, mn + i)] = (win[-1], milli)
+
+    got = {
+        (r["event_type"], r["hour_bucket"]): (r["c"], r["hw_milli"])
+        for r in events_holt_winters(spark, SF_DIR).collect()
+    }
+    assert got == expect
+
+
+# ------------------------------------------ ranker_calibration_ece
+
+
+def test_calibration_ece_exact_and_detects_planted_miscalibration(spark):
+    from harvester_spark.operators.click_models import ranker_calibration_ece
+
+    eids = [
+        r["event_id"]
+        for r in spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("event_id")
+        .collect()
+    ]
+    bins = {}
+    for cohort in ("calibrated", "miscal"):
+        for e in eids:
+            p = 100 + _h56(f"cp{e}") % 800
+            u = _h56(f"cc|{cohort}|{e}") % 1000
+            p_true = p if cohort == "calibrated" else (7 * p) // 10 + 50
+            c = 1 if u < p_true else 0
+            b = p // 100
+            n, sp, sc = bins.get((cohort, b), (0, 0, 0))
+            bins[(cohort, b)] = (n + 1, sp + p, sc + c)
+    expect = {}
+    ece_num = Counter()
+    ece_den = Counter()
+    for (cohort, b), (n, sp, sc) in bins.items():
+        mp = sp // n
+        mo = (1000 * sc) // n
+        expect[(cohort, b)] = (n, mp, mo, mp - mo)
+        ece_num[cohort] += n * abs(mp - mo)
+        ece_den[cohort] += n
+    ece = {c: ece_num[c] // ece_den[c] for c in ece_num}
+
+    got = {}
+    got_ece = {}
+    for r in ranker_calibration_ece(spark, SF_DIR).collect():
+        got[(r["cohort"], r["bin"])] = (
+            r["n"], r["mean_pred_milli"], r["mean_obs_milli"], r["gap_milli"]
+        )
+        got_ece[r["cohort"]] = r["ece_milli"]
+    assert got == expect
+    assert got_ece == ece
+
+    # the metric finds the plant: miscal cohort clearly worse-calibrated
+    assert got_ece["miscal"] > 3 * max(got_ece["calibrated"], 10)
+    # and the miscal observed rates track the planted 0.7x + 50 transform
+    for (cohort, b), (n, mp, mo, _) in got.items():
+        if cohort == "miscal" and n >= 20:
+            assert abs(mo - ((7 * mp) // 10 + 50)) < 150
+
+
+# --------------------------------------------- shard_select_redde
+
+
+def test_redde_matches_python_recompute_and_selects_properly(spark, corpus14):
+    from harvester_spark.operators.fulltext_queries import BM25_TERMS
+    from harvester_spark.operators.index_stats import (
+        SR_COVER_PCT,
+        SR_K,
+        SR_RATE,
+        SR_SHARDS,
+        shard_select_redde,
+    )
+
+    shard = {d: _h56(f"sh|{d}") % SR_SHARDS for d in corpus14}
+    sampled = {d for d in corpus14 if _h56(f"smp|{d}") % SR_RATE == 0}
+    sample_corpus = {d: corpus14[d] for d in sampled}
+    top = _bm25_rank(sample_corpus, BM25_TERMS, SR_K)
+
+    per = {}
+    for s in range(SR_SHARDS):
+        nd = sum(1 for d in corpus14 if shard[d] == s)
+        ns = sum(1 for d in sampled if shard[d] == s)
+        v = sum(1 for d in top if shard[d] == s)
+        est = (1000 * v * nd) // max(ns, 1)
+        per[s] = (nd, ns, v, est)
+    order = sorted(per, key=lambda s: (-per[s][3], s))
+    tot = sum(v[3] for v in per.values())
+    expect = {}
+    cum = 0
+    for rank, s in enumerate(order, start=1):
+        nd, ns, v, est = per[s]
+        sel = (cum * 100 < tot * SR_COVER_PCT) and est > 0
+        expect[s] = (nd, ns, v, est, rank, sel)
+        cum += est
+
+    got = {
+        r["shard"]: (
+            r["n_docs"], r["n_sampled"], r["votes"], r["est_milli"],
+            r["rank"], r["selected"],
+        )
+        for r in shard_select_redde(spark, SF_DIR).collect()
+    }
+    assert got == expect
+
+    n_sel = sum(1 for v in got.values() if v[5])
+    assert 1 <= n_sel < SR_SHARDS  # fan-out genuinely prunes
+    assert sum(v[2] for v in got.values()) == min(SR_K, len(top))
+
+
+# --------------------------------------- cache_lru_stack_distance
+
+
+def test_lru_stack_distance_equals_actual_lru_simulation(spark):
+    from harvester_spark.operators.web_econ import (
+        CACHE_SIZES,
+        cache_lru_stack_distance,
+    )
+
+    import re as _re
+
+    rows = sorted(
+        (
+            (r["event_id"], int(_re.search(r"[0-9]+", r["props"]).group()))
+            for r in spark.read.parquet(f"{SF_DIR}/events.parquet")
+            .select("event_id", "props")
+            .collect()
+        )
+    )
+    stream = [k for _, k in rows]
+
+    def lru_hits(c):
+        cache = []  # most-recent first
+        hits = 0
+        for k in stream:
+            if k in cache:
+                hits += 1
+                cache.remove(k)
+            elif len(cache) >= c:
+                cache.pop()
+            cache.insert(0, k)
+        return hits
+
+    n = len(stream)
+    cold = len(set(stream))
+    expect = {
+        c: (n, cold, lru_hits(c), (1000 * lru_hits(c)) // n)
+        for c in CACHE_SIZES
+    }
+    got = {
+        r["cache_size"]: (
+            r["n_accesses"], r["n_cold"], r["n_hits"], r["hit_rate_milli"]
+        )
+        for r in cache_lru_stack_distance(spark, SF_DIR).collect()
+    }
+    assert got == expect  # the Mattson theorem, executed
+
+    rates = [got[c][3] for c in sorted(got)]
+    assert all(b >= a for a, b in zip(rates, rates[1:]))  # inclusion property
+    assert 0 < rates[0] and rates[-1] < 1000
