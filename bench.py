@@ -158,6 +158,19 @@ HEADLINE = [
     "emb_pca_power",
     "ann_matryoshka_rerank",
     "dedup_containment_pairs",
+    # session-14: survival/DiD/ACF analytics, Apriori itemsets, Rocchio,
+    # xQuAD facet diversification, cascade clicks, ReDDE fan-out, Mattson
+    # LRU stack distances, Holt-Winters
+    "events_survival_km",
+    "events_acf",
+    "es_frequent_item_sets",
+    "ft_rocchio_rerank_topk",
+    "postings_intersection_cost_eval",
+    "ft_xquad_topk",
+    "click_model_cascade",
+    "shard_select_redde",
+    "cache_lru_stack_distance",
+    "events_holt_winters",
 ]
 WARMUP_DOCS = 2000
 

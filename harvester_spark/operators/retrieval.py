@@ -2113,7 +2113,15 @@ XQ_K = 10
 def ft_xquad_topk(spark, sf_dir):
     """(pick, doc_id, lang, rel_norm, cov_units, obj): the {XQ_K} xQuAD
     picks in greedy order from the top-{XQ_C} BM25-OR pool, aspects =
-    the pool's language facet, λ = 1/2."""
+    the pool's language facet, λ = 1/2.
+
+    The distributed work is the BM25-OR pool scan; the greedy itself
+    runs DRIVER-SIDE over the collected XQ_C-row pool (bounded by
+    construction — the interleave_team_draft_eval / emb_kmeans_assign
+    bounded-collect precedent; a k-step selection over top-C candidates
+    is inherently sequential, and C is a serving constant, never
+    corpus-sized). All arithmetic is the exact integer algebra above.
+    """
     from harvester_spark.operators.fulltext_queries import bm25_or_scored
 
     langs = load(spark, sf_dir, "documents").select("doc_id", "lang")
@@ -2126,86 +2134,40 @@ def ft_xquad_topk(spark, sf_dir):
             F.expr("CAST(round(score * 1.0e6, 0) AS BIGINT)").alias("s_micro"),
         )
         .join(langs, "doc_id")
-        .cache()
     )
-    relmax = F.broadcast(cand.agg(F.max("s_micro").alias("relmax")))
-    pool = cand.crossJoin(relmax).select(
-        "doc_id",
-        "lang",
-        F.expr("CAST((1000000 * s_micro) DIV relmax AS BIGINT)").alias(
-            "rel_norm"
-        ),
-    ).cache()
-    aspects = pool.select(F.col("lang").alias("aspect")).distinct().cache()
-    n_asp = F.broadcast(aspects.agg(F.count("*").cast("long").alias("na")))
-    pmat = (
-        pool.crossJoin(F.broadcast(aspects))
-        .select(
-            "doc_id",
-            "aspect",
-            F.expr(
-                "CASE WHEN lang = aspect THEN (7 * rel_norm) DIV 10"
-                " ELSE rel_norm DIV 10 END"
-            ).cast("long").alias("p_micro"),
-        )
-        .cache()
-    )
-    nov = aspects.select(
-        "aspect", F.lit(1_000_000).cast("long").alias("novel")
-    ).localCheckpoint()
+    rows = cand.collect()  # bounded: XQ_C rows
+    relmax = max(r["s_micro"] for r in rows)
+    rel = {r["doc_id"]: (1_000_000 * r["s_micro"]) // relmax for r in rows}
+    lang = {r["doc_id"]: r["lang"] for r in rows}
+    aspects = sorted(set(lang.values()))
+    na = len(aspects)
 
-    picks = None
+    def p_da(d, a):
+        r = rel[d]
+        return (7 * r) // 10 if lang[d] == a else r // 10
+
+    novel = {a: 1_000_000 for a in aspects}
+    picked: list = []
+    out = []
     for k in range(1, XQ_K + 1):
-        cov = (
-            pmat.join(F.broadcast(nov), "aspect")
-            .groupBy("doc_id")
-            .agg(
-                F.sum(F.expr("(p_micro * novel) DIV 1000000"))
-                .cast("long")
-                .alias("cov_units")
-            )
-        )
-        scored = (
-            pool.join(cov, "doc_id")
-            .crossJoin(n_asp)
-            .select(
-                F.lit(k).alias("pick"),
-                "doc_id",
-                "lang",
-                "rel_norm",
-                "cov_units",
-                (500 * F.col("na") * F.col("rel_norm")
-                 + 500 * F.col("cov_units"))
-                .cast("long")
-                .alias("obj"),
-            )
-        )
-        if picks is not None:
-            scored = scored.join(
-                F.broadcast(picks.select("doc_id")), "doc_id", "left_anti"
-            )
-        nxt = (
-            scored.orderBy(F.col("obj").desc(), F.col("doc_id").asc())
-            .limit(1)
-            .localCheckpoint()
-        )
-        picks = nxt if picks is None else picks.unionByName(nxt)
-        sel_p = pmat.join(
-            F.broadcast(nxt.select("doc_id")), "doc_id", "left_semi"
-        ).select("aspect", F.col("p_micro").alias("p_sel"))
-        nov = (
-            nov.join(F.broadcast(sel_p), "aspect", "left")
-            .select(
-                "aspect",
-                F.expr(
-                    "CAST((novel * (1000000 - coalesce(p_sel, 0)))"
-                    " DIV 1000000 AS BIGINT)"
-                ).alias("novel"),
-            )
-            .localCheckpoint()
-        )
-    return picks.select(
-        "pick", "doc_id", "lang", "rel_norm", "cov_units", "obj"
+        best = None
+        for d in rel:
+            if d in picked:
+                continue
+            cov = sum((p_da(d, a) * novel[a]) // 1_000_000 for a in aspects)
+            obj = 500 * na * rel[d] + 500 * cov
+            key = (-obj, d)
+            if best is None or key < best[0]:
+                best = (key, d, cov, obj)
+        _, d, cov, obj = best
+        picked.append(d)
+        out.append((k, d, lang[d], rel[d], cov, obj))
+        for a in aspects:
+            novel[a] = (novel[a] * (1_000_000 - p_da(d, a))) // 1_000_000
+    return spark.createDataFrame(
+        out,
+        "pick int, doc_id long, lang string, rel_norm long,"
+        " cov_units long, obj long",
     )
 
 
