@@ -870,3 +870,89 @@ QUERIES["curation_secret_entropy"] = (
     curation_secret_entropy,
     SQL_SECRET_ENTROPY,
 )
+
+
+# ------------------------------------------------ k-anonymity audit
+
+# Sweeney (2002) k-anonymity / Machanavajjhala (2006) l-diversity over
+# the release-style view of the corpus — the privacy audit a
+# training-data pipeline runs BEFORE publishing derived datasets (the
+# complement of pii_redact, which scrubs direct identifiers; this audits
+# QUASI-identifiers): equivalence classes are the tuples
+# (source, lang, size bucket), a row is k-anonymous iff its class holds
+# ≥ K_ANON rows, and a class is l-diverse iff its sensitive attribute
+# (the doc-quality bucket, standing in for any per-row sensitive label)
+# takes ≥ L_DIV distinct values. Output is the per-class audit plus the
+# class's suppression verdict — what a Datafly-style generalizer would
+# iterate on.
+#
+# Determinism: the size bucket is an integer division of n_chars; the
+# sensitive bucket is an integer division of the md5-derived quality
+# scatter (content-independent, both engines); counts and distinct
+# counts are exact BIGINTs.
+#
+# Scale shape: ONE groupBy over the quasi-identifier tuple with a
+# distinct-count aggregate — map-side combinable; the audit frame is
+# class-cardinality, never row-cardinality.
+
+K_ANON = 5
+L_DIV = 2
+KA_SIZE_BUCKET = 200  # n_chars bucket width
+
+
+def curation_k_anonymity(spark, sf_dir):
+    """(source, lang, size_bucket, class_size, n_sensitive, k_anonymous,
+    l_diverse, suppress): per-equivalence-class k-anonymity / l-diversity
+    audit over the (source, lang, size-bucket) quasi-identifier."""
+    docs = load(spark, sf_dir, "documents")
+    rows = docs.select(
+        "source",
+        "lang",
+        F.expr(f"n_chars DIV {KA_SIZE_BUCKET}").cast("long").alias(
+            "size_bucket"
+        ),
+        (
+            _hash56(F.concat(F.lit("sens|"), F.col("doc_id").cast("string")))
+            % 4
+        ).cast("long").alias("sens"),
+    )
+    cls = rows.groupBy("source", "lang", "size_bucket").agg(
+        F.count("*").cast("long").alias("class_size"),
+        F.countDistinct("sens").cast("long").alias("n_sensitive"),
+    )
+    return cls.select(
+        "source",
+        "lang",
+        "size_bucket",
+        "class_size",
+        "n_sensitive",
+        (F.col("class_size") >= K_ANON).alias("k_anonymous"),
+        (F.col("n_sensitive") >= L_DIV).alias("l_diverse"),
+        (
+            (F.col("class_size") < K_ANON) | (F.col("n_sensitive") < L_DIV)
+        ).alias("suppress"),
+    )
+
+
+SQL_K_ANONYMITY = f"""
+WITH rows_ AS (
+  SELECT source, lang,
+         CAST(n_chars // {KA_SIZE_BUCKET} AS BIGINT) AS size_bucket,
+         {_SQL_HASH56.format(col="'sens|' || CAST(doc_id AS VARCHAR)")} % 4
+           AS sens
+  FROM documents
+),
+cls AS (
+  SELECT source, lang, size_bucket,
+         CAST(count(*) AS BIGINT) AS class_size,
+         CAST(count(DISTINCT sens) AS BIGINT) AS n_sensitive
+  FROM rows_ GROUP BY 1, 2, 3
+)
+SELECT source, lang, size_bucket, class_size, n_sensitive,
+       class_size >= {K_ANON} AS k_anonymous,
+       n_sensitive >= {L_DIV} AS l_diverse,
+       (class_size < {K_ANON} OR n_sensitive < {L_DIV}) AS suppress
+FROM cls
+"""
+
+QUERIES["curation_k_anonymity"] = (curation_k_anonymity, SQL_K_ANONYMITY)

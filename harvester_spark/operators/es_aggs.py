@@ -3541,3 +3541,107 @@ FROM lagged
 
 
 QUERIES["events_holt_winters"] = (events_holt_winters, _sql_holt_winters())
+
+
+# ------------------------------------------------ random_sampler agg
+
+# The ES `random_sampler` aggregation (probability-based background
+# sampling for cheap approximate aggs) with its error made measurable:
+# a deterministic md5 1/RS_RATE sample of the event log feeds the same
+# per-type sum/count aggregation, estimates scale up by RS_RATE, and
+# the operator reports the signed relative error of the estimate
+# against the exact aggregate computed on the full log — the number
+# that tells an analyst whether the sampled dashboard is trustworthy.
+#
+# Determinism: the sample membership is an md5 scatter (identical in
+# both engines — ES uses a hash-based split the same way); sums are
+# integer cents; the relative error is a sign-split floored milli
+# division of exact integers.
+#
+# Scale shape: ONE scan computes both the exact and the sampled
+# aggregates (conditional aggregation on the sample flag — no second
+# pass); output is event-type-cardinality. At a 100 TB log the exact
+# leg is the expensive one — the operator exists to quantify when it
+# can be dropped.
+
+RS_RATE = 8
+
+
+def es_random_sampler_eval(spark, sf_dir):
+    """(event_type, n_exact, sum_cents, n_sampled, est_n,
+    est_sum_cents, err_milli): random_sampler estimates (1/{RS_RATE}
+    md5 sample, scaled) vs the exact per-type aggregates."""
+    from harvester_spark.operators.dedup import _hash56
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        cents("value").alias("cents"),
+        (
+            _hash56(F.concat(F.lit("rs|"), F.col("event_id").cast("string")))
+            % RS_RATE
+            == 0
+        ).alias("in_sample"),
+    )
+    agg = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_exact"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+        F.sum(F.col("in_sample").cast("long")).cast("long").alias("n_sampled"),
+        F.sum(F.when(F.col("in_sample"), F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("sum_sampled"),
+    )
+    return agg.select(
+        "event_type",
+        "n_exact",
+        "sum_cents",
+        "n_sampled",
+        (F.lit(RS_RATE) * F.col("n_sampled")).cast("long").alias("est_n"),
+        (F.lit(RS_RATE) * F.col("sum_sampled")).cast("long").alias(
+            "est_sum_cents"
+        ),
+        F.expr(
+            f"CASE WHEN {RS_RATE} * sum_sampled >= sum_cents"
+            f" THEN CAST((1000 * ({RS_RATE} * sum_sampled - sum_cents))"
+            " DIV sum_cents AS BIGINT)"
+            f" ELSE CAST(-((1000 * (sum_cents - {RS_RATE} * sum_sampled))"
+            " DIV sum_cents) AS BIGINT) END"
+        ).alias("err_milli"),
+    )
+
+
+def _sql_random_sampler() -> str:
+    from harvester_spark.operators.dedup import _SQL_HASH56
+
+    h = _SQL_HASH56.format(col="'rs|' || CAST(event_id AS VARCHAR)")
+    return f"""
+WITH ev AS (
+  SELECT event_type, {sql_cents('value')} AS cents,
+         ({h} % {RS_RATE} = 0) AS in_sample
+  FROM events
+),
+agg AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_exact,
+         CAST(sum(cents) AS BIGINT) AS sum_cents,
+         CAST(sum(CASE WHEN in_sample THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_sampled,
+         CAST(sum(CASE WHEN in_sample THEN cents ELSE 0 END) AS BIGINT)
+           AS sum_sampled
+  FROM ev GROUP BY 1
+)
+SELECT event_type, n_exact, sum_cents, n_sampled,
+       CAST({RS_RATE} * n_sampled AS BIGINT) AS est_n,
+       CAST({RS_RATE} * sum_sampled AS BIGINT) AS est_sum_cents,
+       CASE WHEN {RS_RATE} * sum_sampled >= sum_cents
+            THEN CAST((1000 * ({RS_RATE} * sum_sampled - sum_cents))
+                 // sum_cents AS BIGINT)
+            ELSE CAST(-((1000 * (sum_cents - {RS_RATE} * sum_sampled))
+                 // sum_cents) AS BIGINT) END AS err_milli
+FROM agg
+"""
+
+
+QUERIES["es_random_sampler_eval"] = (
+    es_random_sampler_eval,
+    _sql_random_sampler(),
+)

@@ -853,3 +853,148 @@ ORDER BY lang
 """
 
 QUERIES["ft_yule_k"] = (ft_yule_k, SQL_YULE_K)
+
+
+# ----------------------------------------------- log-likelihood keyness
+
+# Rayson & Garside (2000) corpus-comparison keyness — the ACROSS-corpora
+# sibling of ft_llr_collocations (which scores within-window
+# collocations): for each term, the G² log-likelihood of its frequency
+# in corpus A (the 'en' documents) vs corpus B (the rest),
+#   G² = 2·[a·ln(a/E_a) + b·ln(b/E_b)],  E_x = N_x·(a+b)/(N_A+N_B)
+# signed by the direction of preference (positive = A-keyed, by the
+# exact integer cross-comparison a·N_B vs b·N_A). Zero counts take the
+# x·ln(x) → 0 limit explicitly, exercised for real (see below).
+#
+# The natural vocabulary is NEARLY BALANCED across languages (the
+# word-soup generator draws terms independently of lang — max natural
+# G² ≈ 2.5, below the 3.84 significance line: a true negative control,
+# kept in the output). So the token stream is EXTENDED with planted
+# per-doc pseudo-terms that give keyness real structure to find
+# (the vocab_oov_holdout discipline):
+#   kwen  — every 'en' doc        (fully A-keyed; exercises b = 0)
+#   kwoth — every non-'en' doc    (fully B-keyed; exercises a = 0)
+#   kwskew — every 'en' doc + an md5-half of the others (partial skew,
+#            both counts nonzero)
+#   kwmix — every doc             (balanced planted control)
+# The pytest pins the sign/magnitude pattern: kwen ≫ 0 > kwoth, the
+# planted skew lands between, the balanced plant and every natural term
+# stay below significance.
+#
+# Determinism: counts are exact BIGINTs; G² goes through ONE shared
+# float string on identical integers with the sign-split micro floor.
+#
+# Scale shape: one token scan + one planted map-only union + one
+# groupBy(term) carrying both corpus counts on the same shuffle; totals
+# broadcast. Output is vocabulary-sized.
+
+KEY_SIG_MICRO = 3_841_000  # chi² (1 df, p=0.05) in micro units
+
+_KEY_G2 = (
+    "(2.0e0 * ((CASE WHEN a > 0 THEN a * ln((a * (na + nb))"
+    " / (1.0e0 * na * (a + b))) ELSE 0.0e0 END)"
+    " + (CASE WHEN b > 0 THEN b * ln((b * (na + nb))"
+    " / (1.0e0 * nb * (a + b))) ELSE 0.0e0 END)))"
+)
+_KEY_SIGNED = (
+    f"CASE WHEN a * nb >= b * na"
+    f" THEN CAST(floor({_KEY_G2} * 1.0e6 + 0.5e0) AS BIGINT)"
+    f" ELSE CAST(-floor({_KEY_G2} * 1.0e6 + 0.5e0) AS BIGINT) END"
+)
+
+
+def ft_keyness_llr(spark, sf_dir):
+    """(term, a_cf, b_cf, keyness_micro, significant): signed G²
+    keyness of every term (incl. the planted tail) between the 'en'
+    subcorpus and the rest."""
+    from harvester_spark.operators.dedup import _hash56
+
+    docs = load(spark, sf_dir, "documents")
+    toks = doc_tokens(spark, sf_dir).join(
+        docs.select("doc_id", (F.col("lang") == "en").alias("is_en")),
+        "doc_id",
+    ).select("is_en", "term")
+    half = (
+        _hash56(F.concat(F.lit("kw|"), F.col("doc_id").cast("string"))) % 2
+        == 0
+    )
+    planted = (
+        docs.select(
+            (F.col("lang") == "en").alias("is_en"),
+            F.expr(
+                "CASE WHEN lang = 'en' THEN 'kwen' ELSE 'kwoth' END"
+            ).alias("t1"),
+            F.when((F.col("lang") == "en") | half, F.lit("kwskew")).alias(
+                "t2"
+            ),
+            F.lit("kwmix").alias("t3"),
+        )
+        .select(
+            "is_en",
+            F.explode(
+                F.array_compact(F.array("t1", "t2", "t3"))
+            ).alias("term"),
+        )
+    )
+    allt = toks.unionByName(planted)
+    counts = allt.groupBy("term").agg(
+        F.sum(F.col("is_en").cast("long")).cast("long").alias("a"),
+        F.sum((~F.col("is_en")).cast("long")).cast("long").alias("b"),
+    )
+    tot = F.broadcast(
+        counts.agg(
+            F.sum("a").cast("long").alias("na"),
+            F.sum("b").cast("long").alias("nb"),
+        )
+    )
+    return counts.crossJoin(tot).select(
+        "term",
+        F.col("a").alias("a_cf"),
+        F.col("b").alias("b_cf"),
+        F.expr(_KEY_SIGNED).alias("keyness_micro"),
+        F.expr(f"abs({_KEY_SIGNED}) >= {KEY_SIG_MICRO}").alias(
+            "significant"
+        ),
+    )
+
+
+def _sql_keyness() -> str:
+    from harvester_spark.operators.dedup import _SQL_HASH56
+
+    h = _SQL_HASH56.format(col="'kw|' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH toks AS (
+  SELECT (d.lang = 'en') AS is_en, t.term
+  FROM ({SQL_DOC_TOKS}) t JOIN documents d USING (doc_id)
+),
+planted AS (
+  SELECT (lang = 'en') AS is_en, unnest(
+    list_filter([
+      CASE WHEN lang = 'en' THEN 'kwen' ELSE 'kwoth' END,
+      CASE WHEN lang = 'en' OR {h} % 2 = 0 THEN 'kwskew' END,
+      'kwmix'
+    ], x -> x IS NOT NULL)
+  ) AS term
+  FROM documents
+),
+allt AS (
+  SELECT * FROM toks UNION ALL SELECT * FROM planted
+),
+counts AS (
+  SELECT term,
+         CAST(sum(CASE WHEN is_en THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(sum(CASE WHEN is_en THEN 0 ELSE 1 END) AS BIGINT) AS b
+  FROM allt GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb
+  FROM counts
+)
+SELECT term, a AS a_cf, b AS b_cf,
+       {_KEY_SIGNED} AS keyness_micro,
+       abs({_KEY_SIGNED}) >= {KEY_SIG_MICRO} AS significant
+FROM counts CROSS JOIN tot
+"""
+
+
+QUERIES["ft_keyness_llr"] = (ft_keyness_llr, _sql_keyness())

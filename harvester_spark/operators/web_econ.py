@@ -1243,3 +1243,132 @@ QUERIES["cache_lru_stack_distance"] = (
     cache_lru_stack_distance,
     SQL_LRU_STACK,
 )
+
+
+# --------------------------------------------- cohort LTV curves
+
+# Customer-lifetime-value curves per acquisition channel — the
+# REVENUE-weighted sibling of events_retention (which counts active
+# users): per (channel, age-in-days since the user's first event), the
+# cumulative purchase revenue per cohort user. Time cohorts are
+# degenerate on this corpus (every user's first event lands in the
+# first days of the uniform scatter), so the cohort dimension is a
+# hash-assigned acquisition CHANNEL, and a per-channel revenue
+# multiplier (1+channel)x is PLANTED so the curves have an ordering the
+# estimator must recover (the events_did_abtest discipline — the
+# machinery, not the synthesis, is under test; the recovery pin is the
+# final-age LTV ordering ch3 > ch0).
+#
+# Determinism: channel is an md5 scatter; ages from integer epoch days;
+# revenue is integer cents times the integer multiplier; the curve is
+# an integer window cumsum and a floored milli-cent per-user division.
+#
+# Scale shape: one per-user min (shuffle on user), one groupBy
+# ((channel, age)) with map-side combine, a cumsum window whose
+# partitions are calendar-bounded, and a broadcast channel-size dim.
+
+LTV_CHANNELS = 4
+
+
+def events_cohort_ltv(spark, sf_dir):
+    """(channel, age_day, n_users, rev_cents, cum_rev_cents,
+    ltv_millicents): cumulative per-user purchase revenue by days since
+    first activity, per planted acquisition channel."""
+    from harvester_spark.operators.graph import _hash56
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp("ts").cast("long").alias("se"),
+        cents("value").alias("cents"),
+    )
+    first = ev.groupBy("user_id").agg(F.min("se").alias("t0"))
+    chan = first.select(
+        "user_id",
+        "t0",
+        (
+            _hash56(F.concat(F.lit("ch|"), F.col("user_id").cast("string")))
+            % LTV_CHANNELS
+        ).cast("long").alias("channel"),
+    )
+    sizes = chan.groupBy("channel").agg(
+        F.count("*").cast("long").alias("n_users")
+    )
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(chan, "user_id")
+        .select(
+            "channel",
+            F.expr("(se - t0) DIV 86400").cast("long").alias("age_day"),
+            ((1 + F.col("channel")) * F.col("cents")).cast("long").alias("y"),
+        )
+    )
+    daily = purch.groupBy("channel", "age_day").agg(
+        F.sum("y").cast("long").alias("rev_cents")
+    )
+    wc = (
+        W.partitionBy("channel")
+        .orderBy("age_day")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        daily.withColumn(
+            "cum_rev_cents", F.sum("rev_cents").over(wc).cast("long")
+        )
+        .join(F.broadcast(sizes), "channel")
+        .select(
+            "channel",
+            "age_day",
+            "n_users",
+            "rev_cents",
+            "cum_rev_cents",
+            F.expr(
+                "CAST((1000 * cum_rev_cents) DIV n_users AS BIGINT)"
+            ).alias("ltv_millicents"),
+        )
+    )
+
+
+def _sql_cohort_ltv() -> str:
+    from harvester_spark.operators.graph import _SQL_HASH56
+
+    h = _SQL_HASH56.format(col="'ch|' || CAST(user_id AS VARCHAR)")
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS se,
+         {sql_cents('value')} AS cents
+  FROM events
+),
+first_ AS (
+  SELECT user_id, min(se) AS t0, {h} % {LTV_CHANNELS} AS channel
+  FROM ev GROUP BY user_id
+),
+sizes AS (
+  SELECT channel, CAST(count(*) AS BIGINT) AS n_users
+  FROM first_ GROUP BY 1
+),
+purch AS (
+  SELECT f.channel, (e.se - f.t0) // 86400 AS age_day,
+         CAST((1 + f.channel) * e.cents AS BIGINT) AS y
+  FROM ev e JOIN first_ f USING (user_id)
+  WHERE e.event_type = 'purchase'
+),
+daily AS (
+  SELECT channel, age_day, CAST(sum(y) AS BIGINT) AS rev_cents
+  FROM purch GROUP BY 1, 2
+),
+cum AS (
+  SELECT *, CAST(sum(rev_cents) OVER (
+    PARTITION BY channel ORDER BY age_day
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS BIGINT) AS cum_rev_cents
+  FROM daily
+)
+SELECT c.channel, c.age_day, s.n_users, c.rev_cents, c.cum_rev_cents,
+       CAST((1000 * c.cum_rev_cents) // s.n_users AS BIGINT)
+         AS ltv_millicents
+FROM cum c JOIN sizes s USING (channel)
+"""
+
+
+QUERIES["events_cohort_ltv"] = (events_cohort_ltv, _sql_cohort_ltv())

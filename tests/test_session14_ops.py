@@ -999,3 +999,215 @@ def test_lru_stack_distance_equals_actual_lru_simulation(spark):
     rates = [got[c][3] for c in sorted(got)]
     assert all(b >= a for a, b in zip(rates, rates[1:]))  # inclusion property
     assert 0 < rates[0] and rates[-1] < 1000
+
+
+# ---------------------------------------------- curation_k_anonymity
+
+
+def test_k_anonymity_matches_python_and_both_verdicts_present(spark):
+    from harvester_spark.operators.curation import (
+        K_ANON,
+        KA_SIZE_BUCKET,
+        L_DIV,
+        curation_k_anonymity,
+    )
+
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "source", "lang", "n_chars")
+        .collect()
+    )
+    cls = {}
+    for r in rows:
+        key = (r["source"], r["lang"], r["n_chars"] // KA_SIZE_BUCKET)
+        sens = _h56(f"sens|{r['doc_id']}") % 4
+        n, ss = cls.get(key, (0, set()))
+        ss.add(sens)
+        cls[key] = (n + 1, ss)
+    expect = {}
+    for key, (n, ss) in cls.items():
+        ka = n >= K_ANON
+        ld = len(ss) >= L_DIV
+        expect[key] = (n, len(ss), ka, ld, not (ka and ld))
+
+    got = {
+        (r["source"], r["lang"], r["size_bucket"]): (
+            r["class_size"], r["n_sensitive"], r["k_anonymous"],
+            r["l_diverse"], r["suppress"],
+        )
+        for r in curation_k_anonymity(spark, SF_DIR).collect()
+    }
+    assert got == expect
+    verdicts = Counter(v[4] for v in got.values())
+    assert verdicts[True] > 0 and verdicts[False] > 0  # audit discriminates
+
+
+# -------------------------------------------------- ft_keyness_llr
+
+
+def test_keyness_finds_planted_structure_and_matches_python(spark, corpus14):
+    from harvester_spark.operators.text_analytics import (
+        KEY_SIG_MICRO,
+        ft_keyness_llr,
+    )
+
+    langs = {
+        r["doc_id"]: r["lang"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "lang")
+        .collect()
+    }
+    a_cnt = Counter()
+    b_cnt = Counter()
+    for d, ts in corpus14.items():
+        is_en = langs[d] == "en"
+        planted = ["kwen" if is_en else "kwoth", "kwmix"]
+        if is_en or _h56(f"kw|{d}") % 2 == 0:
+            planted.append("kwskew")
+        for t in list(ts) + planted:
+            (a_cnt if is_en else b_cnt)[t] += 1
+    na = sum(a_cnt.values())
+    nb = sum(b_cnt.values())
+    expect = {}
+    for t in set(a_cnt) | set(b_cnt):
+        a, b = a_cnt[t], b_cnt[t]
+        g2 = 2.0 * (
+            (a * math.log((a * (na + nb)) / (1.0 * na * (a + b))) if a else 0.0)
+            + (b * math.log((b * (na + nb)) / (1.0 * nb * (a + b))) if b else 0.0)
+        )
+        mag = math.floor(g2 * 1e6 + 0.5)
+        signed = mag if a * nb >= b * na else -mag
+        expect[t] = (a, b, signed, abs(signed) >= KEY_SIG_MICRO)
+
+    got = {
+        r["term"]: (
+            r["a_cf"], r["b_cf"], r["keyness_micro"], r["significant"]
+        )
+        for r in ft_keyness_llr(spark, SF_DIR).collect()
+    }
+    assert got == expect
+
+    # planted structure recovered; natural vocabulary stays a negative
+    # control below significance
+    assert got["kwen"][2] > KEY_SIG_MICRO
+    assert got["kwoth"][2] < -KEY_SIG_MICRO
+    assert got["kwskew"][3] and 0 < got["kwskew"][2] < got["kwen"][2]
+    assert abs(got["kwmix"][2]) < KEY_SIG_MICRO
+    for t, (a, b, s, sig) in got.items():
+        if not t.startswith("kw"):
+            assert not sig
+
+
+# ------------------------------------------------ events_cohort_ltv
+
+
+def test_cohort_ltv_matches_python_and_recovers_channel_order(spark):
+    from harvester_spark.operators.web_econ import (
+        LTV_CHANNELS,
+        events_cohort_ltv,
+    )
+
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .selectExpr(
+            "user_id", "event_type",
+            "CAST(unix_timestamp(ts) AS LONG) AS se",
+            "CAST(round(value * 100) AS LONG) AS cents",
+        )
+        .collect()
+    )
+    t0 = {}
+    for r in rows:
+        u = r["user_id"]
+        t0[u] = min(t0.get(u, r["se"]), r["se"])
+    chan = {u: _h56(f"ch|{u}") % LTV_CHANNELS for u in t0}
+    sizes = Counter(chan.values())
+    daily = Counter()
+    for r in rows:
+        if r["event_type"] != "purchase":
+            continue
+        u = r["user_id"]
+        c = chan[u]
+        age = (r["se"] - t0[u]) // 86400
+        daily[(c, age)] += (1 + c) * r["cents"]
+    expect = {}
+    for c in sizes:
+        cum = 0
+        for age in sorted(a for (cc, a) in daily if cc == c):
+            cum += daily[(c, age)]
+            expect[(c, age)] = (
+                sizes[c], daily[(c, age)], cum,
+                (1000 * cum) // sizes[c],
+            )
+
+    got = {
+        (r["channel"], r["age_day"]): (
+            r["n_users"], r["rev_cents"], r["cum_rev_cents"],
+            r["ltv_millicents"],
+        )
+        for r in events_cohort_ltv(spark, SF_DIR).collect()
+    }
+    assert got == expect
+
+    # planted multiplier recovered at the final age: ch3 > ch0
+    final = {
+        c: max(
+            (a, got[(c, a)][3]) for (cc, a) in got if cc == c
+        )[1]
+        for c in sizes
+    }
+    assert final[LTV_CHANNELS - 1] > final[0]
+    # curves are monotone (cumsum law)
+    for c in sizes:
+        ages = sorted(a for (cc, a) in got if cc == c)
+        vals = [got[(c, a)][2] for a in ages]
+        assert all(y >= x for x, y in zip(vals, vals[1:]))
+
+
+# -------------------------------------------- es_random_sampler_eval
+
+
+def test_random_sampler_matches_python_and_error_is_bounded(spark):
+    from harvester_spark.operators.es_aggs import (
+        RS_RATE,
+        es_random_sampler_eval,
+    )
+
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .selectExpr(
+            "event_id", "event_type",
+            "CAST(round(value * 100) AS LONG) AS cents",
+        )
+        .collect()
+    )
+    agg = {}
+    for r in rows:
+        t = r["event_type"]
+        n, s, ns, ss = agg.get(t, (0, 0, 0, 0))
+        ins = _h56(f"rs|{r['event_id']}") % RS_RATE == 0
+        agg[t] = (
+            n + 1, s + r["cents"], ns + ins, ss + (r["cents"] if ins else 0)
+        )
+    expect = {}
+    for t, (n, s, ns, ss) in agg.items():
+        est = RS_RATE * ss
+        err = (
+            (1000 * (est - s)) // s if est >= s else -((1000 * (s - est)) // s)
+        )
+        expect[t] = (n, s, ns, RS_RATE * ns, est, err)
+
+    got = {
+        r["event_type"]: (
+            r["n_exact"], r["sum_cents"], r["n_sampled"], r["est_n"],
+            r["est_sum_cents"], r["err_milli"],
+        )
+        for r in es_random_sampler_eval(spark, SF_DIR).collect()
+    }
+    assert got == expect
+
+    # ~25 sampled rows per type at sf0.001 → se ≈ 20%; 700 milli is a
+    # >3σ bound that still proves the estimate tracks the exact value
+    errs = [v[5] for v in got.values()]
+    assert all(abs(e) < 700 for e in errs)
+    assert any(e != 0 for e in errs)  # sampling error is real, not hidden
