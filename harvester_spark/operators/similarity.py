@@ -2972,3 +2972,165 @@ FROM s_tbl GROUP BY cent_id
 
 
 QUERIES["emb_silhouette"] = (emb_silhouette, _sql_silhouette())
+
+
+# ------------------------------------------ filtered-kNN recall eval
+
+# The ES/Lucene filtered-kNN surface (`knn` with a `filter`): metadata
+# filtering composes with ANN in two ways — PRE-filter (exact search
+# restricted to the allowed set: the ground truth, always right, costs
+# O(|allowed|)) vs POST-filter (run the ANN structure, then drop
+# disallowed candidates: cheap, but recall degrades as the filter gets
+# selective because the buckets were built filter-blind — the exact
+# failure mode Lucene's filtered HNSW mitigates). This operator measures
+# that degradation on the sign-LSH path: per query, the post-filtered
+# multi-probe candidates' top-K against the filtered-exact top-K.
+#
+# Filter: candidate label parity must equal the query id's parity
+# (~half the corpus per query, deterministic, content-derived). Truth
+# reuses the labeled brute-force kernel (the ann_cosine_topk contract);
+# the ANN leg reuses _lsh_candidate_pairs + _cosine_for_pairs — the
+# prune-first discipline (the pairwise job never feeds the ANN leg).
+#
+# Determinism: cosines are the round-6 shared kernel; recall is a
+# floored milli division of exact counts; ties (cos desc, vec_id asc).
+#
+# Scale shape: truth is the labeled quadratic baseline (bounded by
+# N_QUERIES); the ANN leg is the bucket equi-join + candidate-only
+# cosine — the serving plan whose recall this operator audits.
+
+
+def ann_filtered_recall_eval(spark, sf_dir):
+    """(qid, n_allowed, n_cand, k_truth, hits, recall_milli):
+    post-filter LSH-ANN recall vs the pre-filter exact top-{TOP_K}
+    under the label-parity metadata filter."""
+    labels = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    truth_all = _pairwise_cosine(spark, sf_dir).join(labels, "vec_id")
+    allowed_t = truth_all.filter(
+        (F.col("label") % 2) == (F.col("qid") % 2)
+    )
+    w = W.partitionBy("qid").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    truth = (
+        allowed_t.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("qid", "vec_id")
+        .cache()
+    )
+    n_allowed = (
+        allowed_t.groupBy("qid")
+        .agg(F.count("*").cast("long").alias("n_allowed"))
+    )
+    cand_pairs = (
+        _lsh_candidate_pairs(spark, sf_dir)
+        .join(labels, "vec_id")
+        .filter((F.col("label") % 2) == (F.col("qid") % 2))
+        .select("qid", "vec_id")
+        .distinct()
+        .cache()
+    )
+    n_cand = cand_pairs.groupBy("qid").agg(
+        F.count("*").cast("long").alias("n_cand")
+    )
+    ann = (
+        _cosine_for_pairs(spark, sf_dir, cand_pairs)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("qid", "vec_id")
+    )
+    hits = (
+        truth.join(ann, ["qid", "vec_id"], "left_semi")
+        .groupBy("qid")
+        .agg(F.count("*").cast("long").alias("hits"))
+    )
+    kt = truth.groupBy("qid").agg(
+        F.count("*").cast("long").alias("k_truth")
+    )
+    return (
+        n_allowed.join(n_cand, "qid", "left")
+        .join(kt, "qid", "left")
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            "n_allowed",
+            F.coalesce("n_cand", F.lit(0)).cast("long").alias("n_cand"),
+            F.coalesce("k_truth", F.lit(0)).cast("long").alias("k_truth"),
+            F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
+            F.expr(
+                "CASE WHEN coalesce(k_truth, 0) = 0 THEN NULL"
+                " ELSE CAST((1000 * coalesce(hits, 0))"
+                " DIV k_truth AS BIGINT) END"
+            ).alias("recall_milli"),
+        )
+    )
+
+
+SQL_ANN_FILTERED_RECALL = f"""
+WITH {_SQL_PAIRWISE},
+{SQL_PLANES_BUCKETS},
+allowed_t AS (
+  SELECT c.qid, c.vec_id, c.cos
+  FROM cosine c JOIN embeddings e USING (vec_id)
+  WHERE e.label % 2 = c.qid % 2
+),
+truth AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY cos DESC, vec_id ASC) AS rnk
+    FROM allowed_t
+  ) WHERE rnk <= {TOP_K}
+),
+nallowed AS (
+  SELECT qid, CAST(count(*) AS BIGINT) AS n_allowed
+  FROM allowed_t GROUP BY 1
+),
+probes AS (
+  SELECT qb.vec_id AS qid,
+         CASE WHEN f.flip = -1 THEN qb.bucket
+              ELSE xor(qb.bucket, CAST(1 AS BIGINT) << f.flip) END AS pbucket
+  FROM buckets qb CROSS JOIN (
+    SELECT CAST(unnest(range(-1, (SELECT p FROM nplanes))) AS INT) AS flip
+  ) f
+  WHERE qb.vec_id < {N_QUERIES}
+),
+cand AS (
+  SELECT DISTINCT pr.qid, vb.vec_id
+  FROM buckets vb
+  JOIN probes pr ON pr.pbucket = vb.bucket
+  JOIN embeddings e ON e.vec_id = vb.vec_id
+  WHERE vb.vec_id <> pr.qid AND e.label % 2 = pr.qid % 2
+),
+ncand AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_cand FROM cand GROUP BY 1),
+ann AS (
+  SELECT qid, vec_id FROM (
+    SELECT c.qid, c.vec_id,
+           row_number() OVER (PARTITION BY c.qid
+                              ORDER BY co.cos DESC, c.vec_id ASC) AS rnk
+    FROM cand c JOIN cosine co ON co.qid = c.qid AND co.vec_id = c.vec_id
+  ) WHERE rnk <= {TOP_K}
+),
+hits AS (
+  SELECT t.qid, CAST(count(*) AS BIGINT) AS hits
+  FROM truth t JOIN ann a ON a.qid = t.qid AND a.vec_id = t.vec_id
+  GROUP BY 1
+),
+kt AS (SELECT qid, CAST(count(*) AS BIGINT) AS k_truth FROM truth GROUP BY 1)
+SELECT na.qid, na.n_allowed,
+       CAST(coalesce(nc.n_cand, 0) AS BIGINT) AS n_cand,
+       CAST(coalesce(k.k_truth, 0) AS BIGINT) AS k_truth,
+       CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+       CASE WHEN coalesce(k.k_truth, 0) = 0 THEN NULL
+            ELSE CAST((1000 * coalesce(h.hits, 0)) // k.k_truth AS BIGINT)
+       END AS recall_milli
+FROM nallowed na
+LEFT JOIN ncand nc USING (qid)
+LEFT JOIN kt k USING (qid)
+LEFT JOIN hits h USING (qid)
+"""
+
+QUERIES["ann_filtered_recall_eval"] = (
+    ann_filtered_recall_eval,
+    SQL_ANN_FILTERED_RECALL,
+)

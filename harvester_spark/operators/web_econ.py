@@ -1372,3 +1372,200 @@ FROM cum c JOIN sizes s USING (channel)
 
 
 QUERIES["events_cohort_ltv"] = (events_cohort_ltv, _sql_cohort_ltv())
+
+
+# ------------------------------------------- DAU/MAU stickiness
+
+# The product-analytics engagement ratio (DAU / 28-day MAU): for every
+# day with a full trailing window, the count of distinct daily-active
+# users over the count of distinct 28-day-active users. The MAU is
+# EXACT: each distinct (user, day) activity contributes to the 28
+# window-end days it keeps the user "monthly active" for, and MAU(d) is
+# a distinct count over contributions — the events_hll_sliding
+# explode-into-starts alignment, with exact distinct instead of HLL
+# (the HLL twin is the 100 TB path; this is the ground-truth surface).
+#
+# Determinism: integer epoch days; exact BIGINT counts; stickiness is a
+# floored milli division.
+#
+# Scale shape: the distinct (user, day) reduction happens FIRST (one
+# shuffle, corpus → user-day cardinality); the 28× explode runs on that
+# reduced frame; both counts are map-side-combinable aggs keyed by day.
+
+MAU_WINDOW = 28
+
+
+def events_stickiness_dau_mau(spark, sf_dir):
+    """(day, dau, mau, stickiness_milli): daily actives over exact
+    trailing-{MAU_WINDOW}-day monthly actives."""
+    ud = (
+        load(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.expr("CAST(unix_timestamp(ts) AS LONG) DIV 86400")
+            .cast("long")
+            .alias("day"),
+        )
+        .distinct()
+        .cache()
+    )
+    b = ud.agg(F.min("day").alias("mn"), F.max("day").alias("mx")).collect()[0]
+    dau = ud.groupBy("day").agg(
+        F.countDistinct("user_id").cast("long").alias("dau")
+    )
+    mau = (
+        ud.select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.col("day"), F.col("day") + (MAU_WINDOW - 1)
+                )
+            ).alias("day"),
+        )
+        .distinct()
+        .groupBy("day")
+        .agg(F.count("*").cast("long").alias("mau"))
+    )
+    return (
+        dau.join(mau, "day")
+        .filter(
+            (F.col("day") >= b.mn + MAU_WINDOW - 1) & (F.col("day") <= b.mx)
+        )
+        .select(
+            "day",
+            "dau",
+            "mau",
+            F.expr("CAST((1000 * dau) DIV mau AS BIGINT)").alias(
+                "stickiness_milli"
+            ),
+        )
+    )
+
+
+SQL_STICKINESS = f"""
+WITH ud AS MATERIALIZED (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+  FROM events
+),
+b AS (SELECT min(day) AS mn, max(day) AS mx FROM ud),
+dau AS (
+  SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+  FROM ud GROUP BY 1
+),
+mau AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS mau FROM (
+    SELECT DISTINCT user_id, day + o AS day
+    FROM ud CROSS JOIN (
+      SELECT CAST(unnest(range({MAU_WINDOW})) AS BIGINT) AS o
+    )
+  ) GROUP BY 1
+)
+SELECT d.day, d.dau, m.mau,
+       CAST((1000 * d.dau) // m.mau AS BIGINT) AS stickiness_milli
+FROM dau d JOIN mau m USING (day)
+WHERE d.day >= (SELECT mn FROM b) + {MAU_WINDOW - 1}
+  AND d.day <= (SELECT mx FROM b)
+"""
+
+QUERIES["events_stickiness_dau_mau"] = (
+    events_stickiness_dau_mau,
+    SQL_STICKINESS,
+)
+
+
+# ------------------------------------------- sample-ratio mismatch
+
+# The experimentation-platform guardrail (Fabijan et al., KDD 2019
+# diagnostics): before reading ANY A/B metric, check that the realized
+# assignment split matches the design. The audit runs at the
+# RANDOMIZATION-UNIT grain — here document-level rollout splits (e.g.,
+# which index build serves each doc) where unit == row, so the χ² is
+# valid. (The first draft audited user-randomized assignments at the
+# exposure/event grain and the pytest caught it flagging an HONEST
+# split — clustered exposures inflate χ², the classic
+# cluster-randomization trap; kept as a docstring warning.) Two
+# experiments ride the audit: an honest md5 %2 split (the null
+# control) and a PLANTED broken randomizer (md5 %16 < 5 — a 31.25%
+# share masquerading as 50/50). The audit must flag the plant and pass
+# the honest split — pytest-pinned.
+#
+# Determinism: integer counts; χ² against the 50/50 design for two
+# cells reduces to (a−b)²/n, an exact integer micro division; the 3.84
+# (p=0.05, 1 df) line as a fixed micro constant.
+#
+# Scale shape: one conditional-aggregation scan carrying both
+# experiments on the same shuffle via the experiment dimension.
+
+SRM_SIG_MICRO = 3_841_000
+
+
+def events_srm_check(spark, sf_dir):
+    """(experiment, n_a, n_b, chi2_micro, srm_flag): unit-grain
+    sample-ratio-mismatch χ² vs the 50/50 design for an honest
+    doc-level rollout split and a planted broken randomizer."""
+    from harvester_spark.operators.graph import _hash56
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    honest = docs.select(
+        F.lit("rollout_split").alias("experiment"),
+        (
+            (_hash56(F.concat(F.lit("did|"), F.col("doc_id").cast("string"))) % 2)
+            == 1
+        ).alias("in_a"),
+    )
+    broken = docs.select(
+        F.lit("planted_srm").alias("experiment"),
+        (
+            (_hash56(F.concat(F.lit("srm|"), F.col("doc_id").cast("string"))) % 16)
+            < 5
+        ).alias("in_a"),
+    )
+    both = honest.unionByName(broken)
+    agg = both.groupBy("experiment").agg(
+        F.sum(F.col("in_a").cast("long")).cast("long").alias("n_a"),
+        F.sum((~F.col("in_a")).cast("long")).cast("long").alias("n_b"),
+    )
+    return agg.select(
+        "experiment",
+        "n_a",
+        "n_b",
+        F.expr(
+            "CAST((1000000 * (n_a - n_b) * (n_a - n_b))"
+            " DIV (n_a + n_b) AS BIGINT)"
+        ).alias("chi2_micro"),
+        F.expr(
+            f"(1000000 * (n_a - n_b) * (n_a - n_b)) DIV (n_a + n_b)"
+            f" >= {SRM_SIG_MICRO}"
+        ).alias("srm_flag"),
+    )
+
+
+def _sql_srm() -> str:
+    from harvester_spark.operators.graph import _SQL_HASH56
+
+    h_did = _SQL_HASH56.format(col="'did|' || CAST(doc_id AS VARCHAR)")
+    h_srm = _SQL_HASH56.format(col="'srm|' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH both_g AS (
+  SELECT 'rollout_split' AS experiment, ({h_did} % 2 = 1) AS in_a
+  FROM documents
+  UNION ALL
+  SELECT 'planted_srm', ({h_srm} % 16 < 5) FROM documents
+),
+agg AS (
+  SELECT experiment,
+         CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+  FROM both_g GROUP BY 1
+)
+SELECT experiment, n_a, n_b,
+       CAST((1000000 * (n_a - n_b) * (n_a - n_b)) // (n_a + n_b) AS BIGINT)
+         AS chi2_micro,
+       (1000000 * (n_a - n_b) * (n_a - n_b)) // (n_a + n_b)
+         >= {SRM_SIG_MICRO} AS srm_flag
+FROM agg
+"""
+
+
+QUERIES["events_srm_check"] = (events_srm_check, _sql_srm())

@@ -1211,3 +1211,111 @@ def test_random_sampler_matches_python_and_error_is_bounded(spark):
     errs = [v[5] for v in got.values()]
     assert all(abs(e) < 700 for e in errs)
     assert any(e != 0 for e in errs)  # sampling error is real, not hidden
+
+
+# ------------------------------------------ ann_filtered_recall_eval
+
+
+def test_filtered_recall_truth_leg_and_degradation_is_real(spark):
+    from harvester_spark.operators.similarity import (
+        TOP_K,
+        ann_filtered_recall_eval,
+    )
+
+    emb = {
+        r["vec_id"]: (list(r["embedding"]), r["label"])
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    }
+
+    got = {
+        r["qid"]: (
+            r["n_allowed"], r["n_cand"], r["k_truth"], r["hits"],
+            r["recall_milli"],
+        )
+        for r in ann_filtered_recall_eval(spark, SF_DIR).collect()
+    }
+
+    # truth-side invariants recomputed from raw vectors
+    for qid, (n_allowed, n_cand, k_truth, hits, recall) in got.items():
+        expect_allowed = sum(
+            1 for v, (_, lab) in emb.items()
+            if v != qid and lab % 2 == qid % 2
+        )
+        assert n_allowed == expect_allowed
+        assert k_truth == min(TOP_K, n_allowed)
+        assert 0 <= hits <= k_truth
+        assert recall == (1000 * hits) // k_truth
+        # post-filter candidates are a strict subset of the allowed set
+        assert n_cand < n_allowed
+
+    # the evaluation measures something real: neither all-perfect nor
+    # all-zero across queries
+    recalls = [v[4] for v in got.values()]
+    assert any(r < 1000 for r in recalls)
+    assert any(r > 0 for r in recalls)
+
+
+# ----------------------------------------- events_stickiness_dau_mau
+
+
+def test_stickiness_matches_python_recompute(spark):
+    from harvester_spark.operators.web_econ import (
+        MAU_WINDOW,
+        events_stickiness_dau_mau,
+    )
+
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .selectExpr(
+            "user_id", "CAST(unix_timestamp(ts) AS LONG) DIV 86400 AS day"
+        )
+        .collect()
+    )
+    ud = {(r["user_id"], r["day"]) for r in rows}
+    days = sorted({d for _, d in ud})
+    mn, mx = days[0], days[-1]
+    expect = {}
+    for d in range(mn + MAU_WINDOW - 1, mx + 1):
+        dau = len({u for u, dd in ud if dd == d})
+        if dau == 0:
+            continue  # operator joins on dau days only
+        mau = len({u for u, dd in ud if d - MAU_WINDOW + 1 <= dd <= d})
+        expect[d] = (dau, mau, (1000 * dau) // mau)
+
+    got = {
+        r["day"]: (r["dau"], r["mau"], r["stickiness_milli"])
+        for r in events_stickiness_dau_mau(spark, SF_DIR).collect()
+    }
+    assert got == expect
+    assert all(0 < v[2] <= 1000 for v in got.values())
+
+
+# ------------------------------------------------ events_srm_check
+
+
+def test_srm_flags_planted_break_and_passes_honest_split(spark):
+    from harvester_spark.operators.web_econ import events_srm_check
+
+    doc_ids = [
+        r["doc_id"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    counts = {}
+    for exp, pred in (
+        ("rollout_split", lambda d: _h56(f"did|{d}") % 2 == 1),
+        ("planted_srm", lambda d: _h56(f"srm|{d}") % 16 < 5),
+    ):
+        a = sum(1 for d in doc_ids if pred(d))
+        b = len(doc_ids) - a
+        chi2 = (1_000_000 * (a - b) * (a - b)) // (a + b)
+        counts[exp] = (a, b, chi2, chi2 >= 3_841_000)
+
+    got = {
+        r["experiment"]: (r["n_a"], r["n_b"], r["chi2_micro"], r["srm_flag"])
+        for r in events_srm_check(spark, SF_DIR).collect()
+    }
+    assert got == counts
+    assert got["planted_srm"][3] is True  # the broken randomizer is caught
+    assert got["rollout_split"][3] is False  # the honest split passes
