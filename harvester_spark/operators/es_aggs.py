@@ -3645,3 +3645,121 @@ QUERIES["es_random_sampler_eval"] = (
     es_random_sampler_eval,
     _sql_random_sampler(),
 )
+
+
+# -------------------------------------------------- matrix profile
+
+# Yeh et al. (ICDM 2016) matrix profile — the all-pairs nearest-
+# neighbor-subsequence structure that powers motif discovery and
+# discord (anomaly) detection on the event-rate series: for every
+# length-{MP_M} subsequence of the densified hourly count series, the
+# minimum squared Euclidean distance to any OTHER subsequence outside
+# the trivial-match exclusion zone (|i−j| ≥ m), plus the argmin
+# position. Deliberately the UNNORMALIZED integer distance (counts
+# share one scale; z-normalization would put a per-window sqrt/stddev
+# float into every pair — the profile stays exact int64 this way,
+# documented).
+#
+# Determinism: integer counts, integer squared distances, argmin ties
+# (d2 asc, j asc). The global minimum row is the top motif pair; the
+# global maximum is the top discord.
+#
+# Scale shape: subsequences come from one lag chain (calendar-bounded
+# frame); the all-pairs comparison is the O(T²) exact form — 716²
+# ≈ 5·10⁵ pairs at the sandbox's 30-day hourly span, one banded
+# self-join. The production path for years-long series is STOMP's
+# streaming dot-product recurrence (per-diagonal map over the same
+# frame); this operator is its exact ground-truth twin.
+
+MP_M = 4
+
+
+def events_matrix_profile(spark, sf_dir):
+    """(i, nn_j, d2): the matrix profile of the hourly event-count
+    series at subsequence length {MP_M} (unnormalized integer
+    distances, exclusion zone |i−j| >= {MP_M})."""
+    ev = load(spark, sf_dir, "events").select(
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hour")
+    )
+    b = ev.agg(F.min("hour").alias("mn"), F.max("hour").alias("mx")).collect()[0]
+    counts = ev.groupBy("hour").agg(F.count("*").cast("long").alias("c"))
+    dens = (
+        spark.range(b.mn, b.mx + 1)
+        .select(F.col("id").alias("hour"))
+        .join(counts, "hour", "left")
+        .select(
+            (F.col("hour") - b.mn).alias("i"),
+            F.coalesce("c", F.lit(0)).cast("long").alias("c"),
+        )
+    )
+    wt = W.orderBy("i")
+    subs = dens.select(
+        "i",
+        *[
+            F.lead("c", k).over(wt).cast("long").alias(f"v{k}")
+            for k in range(MP_M)
+        ],
+    ).filter(F.col(f"v{MP_M - 1}").isNotNull()).cache()
+    a = subs.select(
+        F.col("i"), *[F.col(f"v{k}").alias(f"a{k}") for k in range(MP_M)]
+    )
+    bb = subs.select(
+        F.col("i").alias("j"),
+        *[F.col(f"v{k}").alias(f"b{k}") for k in range(MP_M)],
+    )
+    d2 = " + ".join(
+        f"(a{k} - b{k}) * (a{k} - b{k})" for k in range(MP_M)
+    )
+    pairs = (
+        a.join(bb, F.expr(f"abs(i - j) >= {MP_M}"))
+        .withColumn("d2", F.expr(d2).cast("long"))
+    )
+    wmin = W.partitionBy("i").orderBy(F.col("d2").asc(), F.col("j").asc())
+    return (
+        pairs.withColumn("rn", F.row_number().over(wmin))
+        .filter(F.col("rn") == 1)
+        .select("i", F.col("j").alias("nn_j"), "d2")
+    )
+
+
+def _sql_matrix_profile() -> str:
+    leads = ",\n         ".join(
+        f"lead(c, {k}) OVER (ORDER BY i) AS v{k}" for k in range(MP_M)
+    )
+    d2 = " + ".join(
+        f"(x.v{k} - y.v{k}) * (x.v{k} - y.v{k})" for k in range(MP_M)
+    )
+    return f"""
+WITH ev AS (
+  SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour FROM events
+),
+b AS (SELECT min(hour) AS mn, max(hour) AS mx FROM ev),
+counts AS (SELECT hour, CAST(count(*) AS BIGINT) AS c FROM ev GROUP BY 1),
+dens AS (
+  SELECT CAST(h - (SELECT mn FROM b) AS BIGINT) AS i,
+         CAST(coalesce(c.c, 0) AS BIGINT) AS c
+  FROM (SELECT unnest(range((SELECT mn FROM b), (SELECT mx FROM b) + 1)) AS h)
+  LEFT JOIN counts c ON c.hour = h
+),
+subs AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT i,
+         {leads}
+    FROM dens
+  ) WHERE v{MP_M - 1} IS NOT NULL
+),
+pairs AS (
+  SELECT x.i, y.i AS j, CAST({d2} AS BIGINT) AS d2
+  FROM subs x JOIN subs y ON abs(x.i - y.i) >= {MP_M}
+)
+SELECT i, j AS nn_j, d2 FROM (
+  SELECT *, row_number() OVER (PARTITION BY i ORDER BY d2 ASC, j ASC) AS rn
+  FROM pairs
+) WHERE rn = 1
+"""
+
+
+QUERIES["events_matrix_profile"] = (
+    events_matrix_profile,
+    _sql_matrix_profile(),
+)

@@ -2782,3 +2782,127 @@ LEFT JOIN b{BT_HOPS} b ON b.host = n.host""")
 
 
 QUERIES["host_bowtie_classify"] = (host_bowtie_classify, _sql_bowtie())
+
+
+# ------------------------------------- degree distribution + CSN MLE
+
+# Clauset, Shalizi & Newman (SIAM Rev 2009) power-law fitting over the
+# host graph's degree distribution — the sanity check behind every
+# "the web is scale-free" assumption a crawl planner makes (budget
+# allocation, cache sizing, salting thresholds all key on the degree
+# tail): the degree histogram, the exact CCDF, and the continuous-
+# approximation MLE exponent α = 1 + n / Σᵢ ln(dᵢ / (d_min − ½)) at
+# d_min = 1 (so each node contributes ln(2·dᵢ)). The synthesized graph
+# is two-scale (hash leaves ≈ 1-2, source hubs ≈ n/40) rather than a
+# clean power law — the estimator surface is what's tested (exact
+# recompute); the hub/leaf bimodality is itself pinned (the CCDF has a
+# real tail step).
+#
+# Determinism: degrees and histogram are exact BIGINTs; per-degree
+# ln(2d) micro-nats through ONE shared string, summed as n_d-weighted
+# integers; α_micro = 1e6 + (1e12·n) DIV T_micro; CCDF is a floored
+# milli division over a degree-ordered window.
+#
+# Scale shape: one degree agg + one degree-histogram agg (both
+# map-side combinable) + a window over the DISTINCT-degree frame
+# (bounded by max degree, not node count).
+
+_PL_LN2D_MICRO = (
+    "CAST(floor(ln(2.0e0 * d) * 1.0e6 + 0.5e0) AS BIGINT)"
+)
+
+
+def host_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(d, n_d, cum_ge, ccdf_milli, alpha_micro): degree histogram,
+    exact CCDF, and the CSN continuous-MLE power-law exponent of the
+    sparse host graph."""
+    docs = load(spark, sf_dir, "documents")
+    fan = max(docs.count() // 2, 20)
+    dst = F.concat(
+        F.lit("h"),
+        (_hash56(F.col("doc_id").cast("string")) % fan).cast("string"),
+    )
+    e0 = docs.select(F.col("source").alias("src"), dst.alias("dst")).filter(
+        F.col("src") != F.col("dst")
+    )
+    und = e0.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    deg = (
+        und.select(F.col("a").alias("host"))
+        .union(und.select(F.col("b").alias("host")))
+        .groupBy("host")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    hist = deg.groupBy("d").agg(F.count("*").cast("long").alias("n_d"))
+    tot = F.broadcast(
+        hist.agg(
+            F.sum("n_d").cast("long").alias("n"),
+            F.sum(F.expr(f"n_d * {_PL_LN2D_MICRO}"))
+            .cast("long")
+            .alias("t_micro"),
+        )
+    )
+    wd = W.orderBy(F.col("d").desc()).rowsBetween(W.unboundedPreceding, 0)
+    return (
+        hist.withColumn("cum_ge", F.sum("n_d").over(wd).cast("long"))
+        .crossJoin(tot)
+        .select(
+            "d",
+            "n_d",
+            "cum_ge",
+            F.expr("CAST((1000 * cum_ge) DIV n AS BIGINT)").alias(
+                "ccdf_milli"
+            ),
+            F.expr(
+                "CAST(1000000 + (1000000000000 * n) DIV t_micro AS BIGINT)"
+            ).alias("alpha_micro"),
+        )
+    )
+
+
+def _sql_degree_powerlaw() -> str:
+    hash_doc = _SQL_HASH56.format(col="CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH fanp AS (
+  SELECT greatest(CAST(count(*) AS BIGINT) // 2, 20) AS f FROM documents
+),
+e0 AS (
+  SELECT source AS src,
+         'h' || CAST({hash_doc} % (SELECT f FROM fanp) AS VARCHAR) AS dst
+  FROM documents
+),
+und AS (
+  SELECT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e0 WHERE src <> dst GROUP BY 1, 2
+),
+deg AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT a AS host FROM und UNION ALL SELECT b AS host FROM und
+  ) GROUP BY 1
+),
+hist AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS n_d FROM deg GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n_d) AS BIGINT) AS n,
+         CAST(sum(n_d * {_PL_LN2D_MICRO}) AS BIGINT) AS t_micro
+  FROM hist
+)
+SELECT d, n_d,
+       CAST(sum(n_d) OVER (ORDER BY d DESC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_ge,
+       CAST((1000 * sum(n_d) OVER (ORDER BY d DESC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) // n AS BIGINT)
+         AS ccdf_milli,
+       CAST(1000000 + (1000000000000 * n) // t_micro AS BIGINT)
+         AS alpha_micro
+FROM hist CROSS JOIN tot
+"""
+
+
+QUERIES["host_degree_powerlaw"] = (
+    host_degree_powerlaw,
+    _sql_degree_powerlaw(),
+)

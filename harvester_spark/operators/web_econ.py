@@ -1569,3 +1569,253 @@ FROM agg
 
 
 QUERIES["events_srm_check"] = (events_srm_check, _sql_srm())
+
+
+# --------------------------------------- Shapley-value attribution
+
+# Data-driven multi-touch attribution (Shapley 1953 via the simplified
+# coalition estimator of Zhao et al. 2018 — what replaced last-touch in
+# every ads platform; the position-rule sibling of events_attribution's
+# ASOF last-touch): channels are the four non-purchase event types, a
+# user's coalition S is the set of channel types among their FIRST
+# {SHAP_FIRST_K} events (the early journey — full-history sets barely
+# vary on this corpus), v(S) = observed conversion rate of users with
+# exactly that coalition (unobserved coalitions ⇒ v = 0, the standard
+# simplified estimator), and
+#   φ_i = Σ_{S ∌ i} |S|!·(n−|S|−1)!/n! · (v(S∪i) − v(S)).
+# Conversion is value-based (user's purchase total ≥ the cross-
+# multiplied corpus mean — no float division), PLUS a planted lift on
+# 'signup'-containing coalitions so the estimator has a real signal to
+# recover (φ_signup must dominate; natural conversion alone is
+# noise-level, documented).
+#
+# Determinism: coalitions are bitmasks over the sorted channel list;
+# v is a floored milli division; the factorial weights are the exact
+# integers {{6,2,2,6}}/24 (n = 4), so φ_micro is a sign-split
+# (1000·Σ coef·Δv_milli) DIV 24. The Shapley EFFICIENCY identity
+# Σφ = v(full) − v(∅) holds exactly in the pre-floor algebra and
+# within ±4 micro after per-channel flooring — pytest-pinned.
+#
+# Scale shape: per-user first-K selection is one user-keyed window;
+# coalition aggregation is one groupBy(mask) (≤ 2^n rows); the Shapley
+# sum is a 2^n × n dimension join — constant-sized, broadcast.
+
+SHAP_FIRST_K = 6
+SHAP_CHANNELS = ("click", "error", "signup", "view")
+
+
+def events_attribution_shapley(spark, sf_dir):
+    """(channel, shap_micro, n_sub_pairs): simplified Shapley-value
+    attribution over first-{SHAP_FIRST_K}-event coalitions with a
+    planted 'signup' conversion lift."""
+    from harvester_spark.operators.graph import _hash56
+
+    n_ch = len(SHAP_CHANNELS)
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_timestamp("ts").cast("long").alias("se"),
+        cents("value").alias("cents"),
+    )
+    wfk = W.partitionBy("user_id").orderBy("se", "event_id")
+    first_k = (
+        ev.withColumn("rn", F.row_number().over(wfk))
+        .filter(
+            (F.col("rn") <= SHAP_FIRST_K)
+            & (F.col("event_type") != "purchase")
+        )
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    idx = spark.createDataFrame(
+        [(c, i) for i, c in enumerate(SHAP_CHANNELS)],
+        "event_type string, ix int",
+    )
+    masks = (
+        first_k.join(F.broadcast(idx), "event_type")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.expr("CAST(1 AS BIGINT) << ix")).cast("long").alias("mask")
+        )
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").groupBy(
+        "user_id"
+    ).agg(F.sum("cents").cast("long").alias("pc"))
+    tot = F.broadcast(
+        purch.agg(
+            F.count("*").cast("long").alias("nu"),
+            F.sum("pc").cast("long").alias("sc"),
+        )
+    )
+    users = (
+        ev.select("user_id")
+        .distinct()
+        .join(masks, "user_id", "left")
+        .join(purch, "user_id", "left")
+        .crossJoin(tot)
+        .select(
+            "user_id",
+            F.coalesce("mask", F.lit(0)).cast("long").alias("mask"),
+            "pc",
+            "nu",
+            "sc",
+        )
+        .withColumn(
+            "h",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("cv|"), F.col("user_id").cast("string"))),
+                    1, 14,
+                ), 16, 10,
+            ).cast("long"),
+        )
+        .select(
+            "user_id",
+            "mask",
+            F.expr(
+                "CASE WHEN (mask & 4) != 0 AND h % 4 < 3 THEN 1"
+                " WHEN pc IS NOT NULL AND nu * pc >= sc THEN 1"
+                " ELSE 0 END"
+            ).cast("long").alias("conv"),
+        )
+    )
+    vtab = users.groupBy("mask").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("conv").cast("long").alias("n_conv"),
+    ).select(
+        "mask",
+        F.expr("CAST((1000 * n_conv) DIV n_users AS BIGINT)").alias("v_milli"),
+    )
+    all_masks = spark.range(1 << n_ch).select(
+        F.col("id").cast("long").alias("mask")
+    )
+    chans = spark.createDataFrame(
+        [(c, i) for i, c in enumerate(SHAP_CHANNELS)],
+        "channel string, ix int",
+    )
+    # coef(|S|) for n=4: 0!3!, 1!2!, 2!1!, 3!0! = 6, 2, 2, 6
+    pairs = (
+        all_masks.crossJoin(F.broadcast(chans))
+        .filter(F.expr("(mask & (CAST(1 AS BIGINT) << ix)) = 0"))
+        .withColumn("mask_i", F.expr("mask | (CAST(1 AS BIGINT) << ix)"))
+        .withColumn("s_size", F.expr("bit_count(mask)"))
+        .withColumn(
+            "coef",
+            F.expr(
+                "CASE bit_count(mask) WHEN 0 THEN 6 WHEN 1 THEN 2"
+                " WHEN 2 THEN 2 ELSE 6 END"
+            ).cast("long"),
+        )
+        .join(vtab.withColumnRenamed("v_milli", "v_s"), "mask", "left")
+        .join(
+            vtab.select(
+                F.col("mask").alias("mask_i"),
+                F.col("v_milli").alias("v_si"),
+            ),
+            "mask_i",
+            "left",
+        )
+        .select(
+            "channel",
+            (
+                F.col("coef")
+                * (F.coalesce("v_si", F.lit(0)) - F.coalesce("v_s", F.lit(0)))
+            ).cast("long").alias("term"),
+            (F.col("v_s").isNotNull() & F.col("v_si").isNotNull())
+            .cast("long")
+            .alias("observed"),
+        )
+    )
+    return pairs.groupBy("channel").agg(
+        F.expr(
+            "CASE WHEN sum(term) >= 0"
+            " THEN CAST((1000 * sum(term)) DIV 24 AS BIGINT)"
+            " ELSE CAST(-((1000 * (-sum(term))) DIV 24) AS BIGINT) END"
+        ).alias("shap_micro"),
+        F.sum("observed").cast("long").alias("n_sub_pairs"),
+    )
+
+
+def _sql_shapley() -> str:
+    from harvester_spark.operators.graph import _SQL_HASH56
+
+    h = _SQL_HASH56.format(col="'cv|' || CAST(user_id AS VARCHAR)")
+    chvals = ", ".join(
+        f"('{c}', {i})" for i, c in enumerate(SHAP_CHANNELS)
+    )
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_type, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS se,
+         {sql_cents('value')} AS cents
+  FROM events
+),
+first_k AS (
+  SELECT DISTINCT user_id, event_type FROM (
+    SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY se, event_id) AS rn
+    FROM ev
+  ) WHERE rn <= {SHAP_FIRST_K} AND event_type <> 'purchase'
+),
+idx AS (SELECT * FROM (VALUES {chvals}) v(event_type, ix)),
+masks AS (
+  SELECT user_id,
+         CAST(sum(CAST(1 AS BIGINT) << ix) AS BIGINT) AS mask
+  FROM first_k JOIN idx USING (event_type) GROUP BY 1
+),
+purch AS (
+  SELECT user_id, CAST(sum(cents) AS BIGINT) AS pc
+  FROM ev WHERE event_type = 'purchase' GROUP BY 1
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS nu, CAST(sum(pc) AS BIGINT) AS sc
+  FROM purch
+),
+users AS (
+  SELECT u.user_id, coalesce(m.mask, 0) AS mask,
+         CASE WHEN (coalesce(m.mask, 0) & 4) != 0 AND {h} % 4 < 3 THEN 1
+              WHEN p.pc IS NOT NULL AND t.nu * p.pc >= t.sc THEN 1
+              ELSE 0 END AS conv
+  FROM (SELECT DISTINCT user_id FROM ev) u
+  LEFT JOIN masks m USING (user_id)
+  LEFT JOIN purch p USING (user_id)
+  CROSS JOIN tot t
+),
+vtab AS (
+  SELECT mask,
+         CAST((1000 * CAST(sum(conv) AS BIGINT)) // count(*) AS BIGINT)
+           AS v_milli
+  FROM users GROUP BY 1
+),
+chans AS (SELECT * FROM (VALUES {chvals}) v(channel, ix)),
+pairs AS (
+  SELECT c.channel,
+         CAST((CASE bit_count(am.mask) WHEN 0 THEN 6 WHEN 1 THEN 2
+               WHEN 2 THEN 2 ELSE 6 END)
+              * (coalesce(vi.v_milli, 0) - coalesce(vs.v_milli, 0))
+              AS BIGINT) AS term,
+         CASE WHEN vs.v_milli IS NOT NULL AND vi.v_milli IS NOT NULL
+              THEN 1 ELSE 0 END AS observed
+  FROM (SELECT CAST(unnest(range({1 << len(SHAP_CHANNELS)})) AS BIGINT)
+          AS mask) am
+  CROSS JOIN chans c
+  LEFT JOIN vtab vs ON vs.mask = am.mask
+  LEFT JOIN vtab vi ON vi.mask = (am.mask | (CAST(1 AS BIGINT) << c.ix))
+  WHERE (am.mask & (CAST(1 AS BIGINT) << c.ix)) = 0
+)
+SELECT channel,
+       CASE WHEN sum(term) >= 0
+            THEN CAST((1000 * CAST(sum(term) AS BIGINT)) // 24 AS BIGINT)
+            ELSE CAST(-((1000 * (-CAST(sum(term) AS BIGINT))) // 24)
+                 AS BIGINT) END AS shap_micro,
+       CAST(sum(observed) AS BIGINT) AS n_sub_pairs
+FROM pairs GROUP BY 1
+"""
+
+
+QUERIES["events_attribution_shapley"] = (
+    events_attribution_shapley,
+    _sql_shapley(),
+)

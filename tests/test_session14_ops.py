@@ -1319,3 +1319,171 @@ def test_srm_flags_planted_break_and_passes_honest_split(spark):
     assert got == counts
     assert got["planted_srm"][3] is True  # the broken randomizer is caught
     assert got["rollout_split"][3] is False  # the honest split passes
+
+
+# ---------------------------------------- events_attribution_shapley
+
+
+def test_shapley_matches_python_and_recovers_signup_lift(spark):
+    from math import comb
+
+    from harvester_spark.operators.web_econ import (
+        SHAP_CHANNELS,
+        SHAP_FIRST_K,
+        events_attribution_shapley,
+    )
+
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .selectExpr(
+            "user_id", "event_type", "event_id",
+            "CAST(unix_timestamp(ts) AS LONG) AS se",
+            "CAST(round(value * 100) AS LONG) AS cents",
+        )
+        .collect()
+    )
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    idx = {c: i for i, c in enumerate(SHAP_CHANNELS)}
+    purch = {
+        u: sum(r["cents"] for r in rs if r["event_type"] == "purchase")
+        for u, rs in by_user.items()
+    }
+    purch = {u: p for u, p in purch.items() if any(
+        r["event_type"] == "purchase" for r in by_user[u]
+    )}
+    nu, sc = len(purch), sum(purch.values())
+    vstats = {}
+    for u, rs in by_user.items():
+        ordered = sorted(rs, key=lambda r: (r["se"], r["event_id"]))
+        first = [
+            r["event_type"] for r in ordered[:SHAP_FIRST_K]
+            if r["event_type"] != "purchase"
+        ]
+        mask = 0
+        for t in set(first):
+            mask |= 1 << idx[t]
+        if (mask & 4) and _h56(f"cv|{u}") % 4 < 3:
+            conv = 1
+        elif u in purch and nu * purch[u] >= sc:
+            conv = 1
+        else:
+            conv = 0
+        n, c = vstats.get(mask, (0, 0))
+        vstats[mask] = (n + 1, c + conv)
+    v = {m: (1000 * c) // n for m, (n, c) in vstats.items()}
+
+    coef = {0: 6, 1: 2, 2: 2, 3: 6}
+    expect = {}
+    for ch, i in idx.items():
+        term = 0
+        observed = 0
+        for mask in range(16):
+            if mask & (1 << i):
+                continue
+            vs = v.get(mask, 0)
+            vi = v.get(mask | (1 << i), 0)
+            term += coef[bin(mask).count("1")] * (vi - vs)
+            observed += (mask in v) and ((mask | (1 << i)) in v)
+        shap = (
+            (1000 * term) // 24 if term >= 0 else -((1000 * -term) // 24)
+        )
+        expect[ch] = (shap, observed)
+
+    got = {
+        r["channel"]: (r["shap_micro"], r["n_sub_pairs"])
+        for r in events_attribution_shapley(spark, SF_DIR).collect()
+    }
+    assert got == expect
+
+    # planted 'signup' lift dominates every other channel's share
+    others = [v2[0] for c, v2 in got.items() if c != "signup"]
+    assert got["signup"][0] > 2 * max(others)
+
+    # efficiency identity (pre-floor algebra telescopes exactly;
+    # per-channel flooring leaves <= 4 micro of slack)
+    full = (1 << len(SHAP_CHANNELS)) - 1
+    target = (v.get(full, 0) - v.get(0, 0)) * 1000
+    assert abs(sum(s for s, _ in got.values()) - target) <= 4
+
+
+# -------------------------------------------- events_matrix_profile
+
+
+def test_matrix_profile_matches_python_recompute(spark):
+    from harvester_spark.operators.es_aggs import MP_M, events_matrix_profile
+
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .selectExpr("CAST(unix_timestamp(ts) AS LONG) DIV 3600 AS hour")
+        .collect()
+    )
+    hours = [r["hour"] for r in rows]
+    mn, mx = min(hours), max(hours)
+    cnt = Counter(hours)
+    xs = [cnt.get(h, 0) for h in range(mn, mx + 1)]
+    n_sub = len(xs) - MP_M + 1
+    expect = {}
+    for i in range(n_sub):
+        best = None
+        for j in range(n_sub):
+            if abs(i - j) < MP_M:
+                continue
+            d2 = sum(
+                (xs[i + k] - xs[j + k]) ** 2 for k in range(MP_M)
+            )
+            key = (d2, j)
+            if best is None or key < best:
+                best = key
+        expect[i] = (best[1], best[0])
+
+    got = {
+        r["i"]: (r["nn_j"], r["d2"])
+        for r in events_matrix_profile(spark, SF_DIR).collect()
+    }
+    assert got == expect
+    # the profile is informative: motifs (small d2) and discords exist
+    d2s = [v[1] for v in got.values()]
+    assert min(d2s) < max(d2s)
+
+
+# --------------------------------------------- host_degree_powerlaw
+
+
+def test_degree_powerlaw_matches_python_recompute(spark):
+    from harvester_spark.operators.graph import host_degree_powerlaw
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "source"
+    ).collect()
+    fan = max(len(docs) // 2, 20)
+    edges = set()
+    for r in docs:
+        dst = f"h{_h56(str(r['doc_id'])) % fan}"
+        if r["source"] != dst:
+            edges.add((min(r["source"], dst), max(r["source"], dst)))
+    deg = Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    hist = Counter(deg.values())
+    n = sum(hist.values())
+    t_micro = sum(
+        nd * math.floor(math.log(2.0 * d) * 1e6 + 0.5)
+        for d, nd in hist.items()
+    )
+    alpha = 1_000_000 + (10**12 * n) // t_micro
+    expect = {}
+    cum = 0
+    for d in sorted(hist, reverse=True):
+        cum += hist[d]
+        expect[d] = (hist[d], cum, (1000 * cum) // n, alpha)
+
+    got = {
+        r["d"]: (r["n_d"], r["cum_ge"], r["ccdf_milli"], r["alpha_micro"])
+        for r in host_degree_powerlaw(spark, SF_DIR).collect()
+    }
+    assert got == expect
+    # the two-scale structure is real: a leaf mode and a hub tail
+    assert min(got) <= 2 and max(got) >= 10
