@@ -2905,3 +2905,142 @@ FROM ranked CROSS JOIN tot
 
 
 QUERIES["shard_select_redde"] = (shard_select_redde, _sql_redde())
+
+
+# ------------------------------------------ CORI resource selection
+
+# Callan, Lu & Croft (SIGIR 1995) CORI — the STATISTICS-based federated
+# resource-selection classic next to the sample-based shard_select_redde
+# (production brokers run both families; their agreement is itself a
+# signal): each shard is scored as a "giant document" by a tf-idf
+# analogue over shard-level df statistics,
+#   T = df_s / (df_s + 50 + 150·cw_s/avg_cw)
+#   I = ln((NS + 0.5) / cf_t) / ln(NS + 1.0)
+#   bel(q, s) = Σ_t (0.4 + 0.6·T·I) / |q|
+# with df_s = term df inside shard s, cw_s = shard token count, cf_t =
+# number of shards containing t. Same md5 shard assignment as ReDDE so
+# the two operators rank THE SAME shards and can disagree honestly.
+#
+# Determinism: df/cw are exact BIGINTs; T, I and the belief go through
+# ONE shared float-expression string on identical integers (the
+# micro-floor idiom); ranking ties (bel desc, shard asc).
+#
+# Scale shape: everything flows from one (shard, term) df aggregation
+# of the term-filtered scan — dictionary-by-shards sized; no sample
+# materialization (CORI's operational advantage over ReDDE, and why
+# engines keep both: df stats are already in every shard's dictionary).
+
+CORI_DB = 0.4  # default belief
+
+_CORI_BEL = (
+    "(CASE WHEN df_s = 0 THEN 0.0e0 ELSE"
+    f" {CORI_DB}e0 + {1 - CORI_DB:.1f}e0"
+    " * (df_s / (df_s + 50.0e0 + 150.0e0 * cw_s / avg_cw))"
+    f" * (ln(({{ns}} + 0.5e0) / cf_t) / ln({{ns}} + 1.0e0)) END)"
+)
+
+
+def shard_select_cori(spark, sf_dir):
+    """(shard, cw_s, bel_micro, rank): CORI belief scores of the
+    {SR_SHARDS} md5 shards for the flagship query, df-statistics only."""
+    from harvester_spark.operators.fulltext_queries import BM25_TERMS
+
+    toks = doc_tokens(spark, sf_dir).select(
+        "doc_id",
+        "term",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("sh|"), F.col("doc_id").cast("string"))),
+                    1, 14,
+                ), 16, 10,
+            ).cast("long") % SR_SHARDS
+        ).alias("shard"),
+    )
+    cw = toks.groupBy("shard").agg(F.count("*").cast("long").alias("cw_s"))
+    avg_cw = F.broadcast(
+        cw.agg((F.sum("cw_s") / F.count("*")).alias("avg_cw"))
+    )
+    dfs = (
+        toks.filter(F.col("term").isin(BM25_TERMS))
+        .groupBy("shard", "term")
+        .agg(F.countDistinct("doc_id").cast("long").alias("df_s"))
+    )
+    cf = dfs.filter(F.col("df_s") > 0).groupBy("term").agg(
+        F.count("*").cast("long").alias("cf_t")
+    )
+    qterms = spark.createDataFrame(
+        [(t,) for t in BM25_TERMS], "term string"
+    )
+    grid = (
+        cw.crossJoin(F.broadcast(qterms))
+        .join(dfs, ["shard", "term"], "left")
+        .join(F.broadcast(cf), "term", "left")
+        .crossJoin(avg_cw)
+        .select(
+            "shard",
+            "cw_s",
+            F.coalesce("df_s", F.lit(0)).cast("long").alias("df_s"),
+            F.coalesce("cf_t", F.lit(1)).cast("long").alias("cf_t"),
+            "avg_cw",
+        )
+    )
+    nq = len(BM25_TERMS)
+    bel = grid.groupBy("shard", "cw_s").agg(
+        F.expr(
+            "CAST(floor(sum("
+            + _CORI_BEL.format(ns=SR_SHARDS)
+            + f") / {nq}.0e0 * 1.0e6 + 0.5e0) AS BIGINT)"
+        ).alias("bel_micro")
+    )
+    wr = W.orderBy(F.col("bel_micro").desc(), F.col("shard").asc())
+    return bel.withColumn(
+        "rank", F.row_number().over(wr)
+    ).select("shard", "cw_s", "bel_micro", "rank")
+
+
+def _sql_cori() -> str:
+    terms = ", ".join(f"'{t}'" for t in ("key", "value", "table"))
+    tvals = ", ".join(f"('{t}')" for t in ("key", "value", "table"))
+    h_sh = _SQL_HASH56.format(col="'sh|' || CAST(doc_id AS VARCHAR)")
+    nq = 3
+    bel = _CORI_BEL.format(ns=SR_SHARDS)
+    return f"""
+WITH toks AS (
+  SELECT t.doc_id, t.term, {h_sh} % {SR_SHARDS} AS shard
+  FROM ({SQL_DOC_TOKS}) t
+),
+cw AS (SELECT shard, CAST(count(*) AS BIGINT) AS cw_s FROM toks GROUP BY 1),
+acw AS (SELECT sum(cw_s) * 1.0e0 / count(*) AS avg_cw FROM cw),
+dfs AS (
+  SELECT shard, term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df_s
+  FROM toks WHERE term IN ({terms}) GROUP BY 1, 2
+),
+cf AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS cf_t
+  FROM dfs WHERE df_s > 0 GROUP BY 1
+),
+grid AS (
+  SELECT c.shard, c.cw_s,
+         CAST(coalesce(d.df_s, 0) AS BIGINT) AS df_s,
+         CAST(coalesce(f.cf_t, 1) AS BIGINT) AS cf_t,
+         (SELECT avg_cw FROM acw) AS avg_cw
+  FROM cw c
+  CROSS JOIN (SELECT * FROM (VALUES {tvals}) v(term)) q
+  LEFT JOIN dfs d ON d.shard = c.shard AND d.term = q.term
+  LEFT JOIN cf f ON f.term = q.term
+),
+bel AS (
+  SELECT shard, cw_s,
+         CAST(floor(sum({bel}) / {nq}.0e0 * 1.0e6 + 0.5e0) AS BIGINT)
+           AS bel_micro
+  FROM grid GROUP BY 1, 2
+)
+SELECT shard, cw_s, bel_micro,
+       CAST(row_number() OVER (ORDER BY bel_micro DESC, shard ASC) AS INT)
+         AS rank
+FROM bel
+"""
+
+
+QUERIES["shard_select_cori"] = (shard_select_cori, _sql_cori())

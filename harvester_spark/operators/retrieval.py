@@ -2265,3 +2265,167 @@ nov{k} AS MATERIALIZED (
 
 
 QUERIES["ft_xquad_topk"] = (ft_xquad_topk, _sql_xquad())
+
+
+# --------------------------------------------- α-DCG diversity eval
+
+# Clarke et al. (SIGIR 2008) α-DCG — the metric xQuAD optimizes for,
+# closing the diversification loop: rank-discounted aspect gains where
+# an aspect's value HALVES each time another document covering it has
+# already appeared (α = 1/2 — dyadic, so every gain is an exact power
+# of two). Aspects are the pool's language facet with binary coverage
+# (the metric's standard binary-judgment form; the graded p in
+# ft_xquad_topk is the SELECTION model). Two deliberate exactness
+# choices, both documented: the position discount is the dyadic
+# 2^(K−r) attention model (the ft_fairness_exposure_eval discipline —
+# log2 discounts would put cross-engine floats in every cell), and the
+# score is reported UN-normalized (α-DCG, not α-nDCG: the ideal
+# ranking is itself NP-hard / greedy-approximated, so the comparison
+# of two real rankings on identical units is the honest number).
+#
+# Evaluated rankings: the xQuAD picks vs the pure-relevance top-K of
+# the SAME pool. The pytest pins the trade both ways: xQuAD wins the
+# diversity-aware score, pure relevance wins the plain discounted
+# relevance sum — the Pareto trade diversification exists to make.
+#
+# Units: score_units = Σ_r 2^(K−r) · 2^(C_SCALE − c_r), with c_r the
+# count of prior same-facet docs (≤ K−1 < C_SCALE) — exact int64.
+#
+# Scale shape: two bounded rankings + one prior-coverage window per
+# ranking + a 2-row agg. Corpus cost is the two scans already inside
+# the ranking operators.
+
+AD_C_SCALE = 10
+
+
+def ft_alpha_ndcg_eval(spark, sf_dir):
+    """(ranking, alpha_units, rel_units): α-DCG (α = 1/2, dyadic
+    discount) and plain discounted relevance for the xQuAD picks vs the
+    pure-relevance top-{XQ_K} of the same pool."""
+    from harvester_spark.operators.fulltext_queries import bm25_or_scored
+
+    langs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    pool = (
+        bm25_or_scored(spark, sf_dir)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(XQ_C)
+        .select(
+            "doc_id",
+            F.expr("CAST(round(score * 1.0e6, 0) AS BIGINT)").alias("s_micro"),
+        )
+        .join(langs, "doc_id")
+        .cache()
+    )
+    relmax = F.broadcast(pool.agg(F.max("s_micro").alias("relmax")))
+    wrel = W.orderBy(F.col("s_micro").desc(), F.col("doc_id").asc())
+    rel_rank = (
+        pool.withColumn("rank", F.row_number().over(wrel))
+        .filter(F.col("rank") <= XQ_K)
+        .crossJoin(relmax)
+        .select(
+            F.lit("relevance").alias("ranking"),
+            "rank",
+            "doc_id",
+            "lang",
+            F.expr("CAST((1000000 * s_micro) DIV relmax AS BIGINT)").alias(
+                "rel_norm"
+            ),
+        )
+    )
+    xq = ft_xquad_topk(spark, sf_dir).select(
+        F.lit("xquad").alias("ranking"),
+        F.col("pick").alias("rank"),
+        "doc_id",
+        "lang",
+        "rel_norm",
+    )
+    both = rel_rank.unionByName(xq)
+    wprior = (
+        W.partitionBy("ranking", "lang")
+        .orderBy("rank")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    scored = both.withColumn(
+        "c_r", F.coalesce(F.count("*").over(wprior), F.lit(0)).cast("long")
+    ).select(
+        "ranking",
+        F.expr(
+            f"(CAST(1 AS BIGINT) << ({XQ_K} - rank))"
+            f" * (CAST(1 AS BIGINT) << ({AD_C_SCALE} - c_r))"
+        ).cast("long").alias("g"),
+        F.expr(
+            f"(CAST(1 AS BIGINT) << ({XQ_K} - rank)) * rel_norm"
+        ).cast("long").alias("pr"),
+    )
+    return scored.groupBy("ranking").agg(
+        F.sum("g").cast("long").alias("alpha_units"),
+        F.sum("pr").cast("long").alias("rel_units"),
+    )
+
+
+def _sql_alpha_ndcg() -> str:
+    xq_sql = QUERIES["ft_xquad_topk"][1]
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return f"""
+WITH xq AS MATERIALIZED ({xq_sql}),
+toks2 AS ({SQL_DOC_TOKS}),
+dls2 AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY 1),
+stats2 AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) * 1.0e0 / count(*) FROM dls2) AS avgdl
+),
+qtf2 AS (
+  SELECT term, doc_id, count(*) AS tf FROM toks2
+  WHERE term IN ({terms}) GROUP BY 1, 2
+),
+qdf2 AS (SELECT term, count(DISTINCT doc_id) AS df FROM qtf2 GROUP BY 1),
+orsc2 AS (
+  SELECT doc_id,
+         CAST(round(round(sum(
+           ln(1.0e0 + (n - df + 0.5e0) / (df + 0.5e0))
+           * (tf * 2.2e0)
+           / (tf + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * dl / avgdl))
+         ), 6) * 1.0e6, 0) AS BIGINT) AS s_micro
+  FROM qtf2 t JOIN qdf2 USING (term) JOIN dls2 USING (doc_id)
+  CROSS JOIN stats2 GROUP BY doc_id
+),
+pool2 AS MATERIALIZED (
+  SELECT o.doc_id, o.s_micro, d.lang
+  FROM orsc2 o JOIN documents d USING (doc_id)
+  ORDER BY o.s_micro DESC, o.doc_id ASC LIMIT {XQ_C}
+),
+rel_rank AS (
+  SELECT 'relevance' AS ranking, rank, doc_id, lang,
+         CAST((1000000 * s_micro) // (SELECT max(s_micro) FROM pool2)
+              AS BIGINT) AS rel_norm
+  FROM (
+    SELECT *, CAST(row_number() OVER (
+      ORDER BY s_micro DESC, doc_id ASC) AS INT) AS rank
+    FROM pool2
+  ) WHERE rank <= {XQ_K}
+),
+both_r AS (
+  SELECT * FROM rel_rank
+  UNION ALL
+  SELECT 'xquad', pick, doc_id, lang, rel_norm FROM xq
+),
+scored AS (
+  SELECT ranking,
+         (CAST(1 AS BIGINT) << ({XQ_K} - rank))
+           * (CAST(1 AS BIGINT) << ({AD_C_SCALE} - coalesce(c_r, 0))) AS g,
+         (CAST(1 AS BIGINT) << ({XQ_K} - rank)) * rel_norm AS pr
+  FROM (
+    SELECT *, CAST(count(*) OVER (
+      PARTITION BY ranking, lang ORDER BY rank
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ) AS BIGINT) AS c_r
+    FROM both_r
+  )
+)
+SELECT ranking, CAST(sum(g) AS BIGINT) AS alpha_units,
+       CAST(sum(pr) AS BIGINT) AS rel_units
+FROM scored GROUP BY 1
+"""
+
+
+QUERIES["ft_alpha_ndcg_eval"] = (ft_alpha_ndcg_eval, _sql_alpha_ndcg())

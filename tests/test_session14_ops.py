@@ -1487,3 +1487,88 @@ def test_degree_powerlaw_matches_python_recompute(spark):
     assert got == expect
     # the two-scale structure is real: a leaf mode and a hub tail
     assert min(got) <= 2 and max(got) >= 10
+
+
+# ------------------------------------------------ shard_select_cori
+
+
+def test_cori_matches_python_recompute(spark, corpus14):
+    from harvester_spark.operators.fulltext_queries import BM25_TERMS
+    from harvester_spark.operators.index_stats import (
+        SR_SHARDS,
+        shard_select_cori,
+    )
+
+    shard_of = {d: _h56(f"sh|{d}") % SR_SHARDS for d in corpus14}
+    cw = Counter()
+    dfs = Counter()
+    for d, ts in corpus14.items():
+        s = shard_of[d]
+        cw[s] += len(ts)
+        for t in set(ts):
+            if t in BM25_TERMS:
+                dfs[(s, t)] += 1
+    avg_cw = sum(cw.values()) / len(cw)
+    cf = Counter(t for (_, t) in dfs)
+    expect = {}
+    for s in range(SR_SHARDS):
+        bel = 0.0
+        for t in BM25_TERMS:
+            df_s = dfs.get((s, t), 0)
+            if df_s == 0:
+                continue
+            T = df_s / (df_s + 50.0 + 150.0 * cw[s] / avg_cw)
+            I = math.log((SR_SHARDS + 0.5) / cf[t]) / math.log(
+                SR_SHARDS + 1.0
+            )
+            bel += 0.4 + 0.6 * T * I
+        expect[s] = (
+            cw[s],
+            math.floor(bel / len(BM25_TERMS) * 1e6 + 0.5),
+        )
+    order = sorted(expect, key=lambda s: (-expect[s][1], s))
+    ranks = {s: r for r, s in enumerate(order, start=1)}
+
+    got = {
+        r["shard"]: (r["cw_s"], r["bel_micro"], r["rank"])
+        for r in shard_select_cori(spark, SF_DIR).collect()
+    }
+    assert got == {
+        s: (cws, bel, ranks[s]) for s, (cws, bel) in expect.items()
+    }
+    # beliefs genuinely discriminate shards
+    assert len({v[1] for v in got.values()}) > 1
+
+
+# ------------------------------------------------ ft_alpha_ndcg_eval
+
+
+def test_alpha_dcg_pareto_trade_and_recompute(spark):
+    from harvester_spark.operators.retrieval import (
+        AD_C_SCALE,
+        XQ_K,
+        ft_alpha_ndcg_eval,
+        ft_xquad_topk,
+    )
+
+    got = {
+        r["ranking"]: (r["alpha_units"], r["rel_units"])
+        for r in ft_alpha_ndcg_eval(spark, SF_DIR).collect()
+    }
+    # the Pareto trade diversification exists to make:
+    assert got["xquad"][0] > got["relevance"][0]
+    assert got["xquad"][1] < got["relevance"][1]
+
+    # recompute the xquad leg from the (already pinned-exact) picks
+    picks = [
+        (r["pick"], r["lang"], r["rel_norm"])
+        for r in ft_xquad_topk(spark, SF_DIR).orderBy("pick").collect()
+    ]
+    seen = Counter()
+    alpha = 0
+    rel = 0
+    for rank, lang, rn in picks:
+        alpha += (1 << (XQ_K - rank)) * (1 << (AD_C_SCALE - seen[lang]))
+        rel += (1 << (XQ_K - rank)) * rn
+        seen[lang] += 1
+    assert got["xquad"] == (alpha, rel)
