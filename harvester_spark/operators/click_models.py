@@ -595,3 +595,133 @@ FROM gaps g JOIN ece e USING (cohort)
 """
 
 QUERIES["ranker_calibration_ece"] = (ranker_calibration_ece, SQL_CALIBRATION)
+
+
+# ------------------------------------- hourly cascade stats (+ stream)
+
+# The WINDOWED twin of click_model_cascade, built so the SAME derivation
+# is streaming-legal: the whole synthesized session (slots, attraction
+# draws, first-click position) is computed ROW-LOCALLY with higher-order
+# array functions — no per-session window over the stream — and only
+# then exploded into (item, examined, clicked) impression rows. The
+# batch operator aggregates them per (hour, item); the streaming twin
+# (streaming/windowed.windowed_cascade_stats) runs the identical
+# expression chain under a watermark + tumbling window, so per-window
+# sufficient statistics (n_examined, n_clicked) are mergeable integers
+# and the stream's output is row-identical to this operator (parity
+# test, parquet chunks — JSON truncates microseconds).
+#
+# Scale shape: map-only synthesis (CAS_DEPTH-wide arrays), ONE
+# (hour, item)-keyed groupBy with map-side combine; streaming state is
+# bounded by open-windows × items.
+
+_CAS_SLOTS_EXPR = f"""
+transform(
+  transform(sequence(1, {CAS_DEPTH}), r -> named_struct(
+    'r', r,
+    'item', CAST(conv(substring(md5(concat('cs|', CAST(event_id AS STRING),
+              '|', CAST(r AS STRING))), 1, 14), 16, 10) AS BIGINT)
+            % {CAS_ITEMS},
+    'u', CAST(conv(substring(md5(concat('cu|', CAST(event_id AS STRING),
+           '|', CAST(r AS STRING))), 1, 14), 16, 10) AS BIGINT) % {_MILLI}
+  )),
+  s -> named_struct('r', s.r, 'item', s.item,
+                    'att', s.u < 150 + (s.item * 37) % 700)
+)
+"""
+
+
+def cascade_impressions(df: DataFrame) -> DataFrame:
+    """events(ts, event_id) → row-local exploded cascade impressions
+    (ts, item, examined=1 rows with clicked flag) — streaming-legal."""
+    slotted = df.withColumn("slots", F.expr(_CAS_SLOTS_EXPR)).withColumn(
+        "fc",
+        F.expr(
+            "array_min(transform(filter(slots, s -> s.att), s -> s.r))"
+        ),
+    )
+    return slotted.select(
+        "ts",
+        F.explode(
+            F.expr(f"filter(slots, s -> s.r <= coalesce(fc, {CAS_DEPTH}))")
+        ).alias("s"),
+        "fc",
+    ).select(
+        "ts",
+        F.col("s.item").alias("item"),
+        F.expr("CASE WHEN s.att AND s.r = fc THEN 1 ELSE 0 END")
+        .cast("long")
+        .alias("clicked"),
+    )
+
+
+def events_cascade_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(hour_bucket, item, n_examined, n_clicked, alpha_hat_milli):
+    per-hour cascade-model sufficient statistics and attractiveness
+    MLE — the batch twin of the watermarked streaming aggregation."""
+    ev = load(spark, sf_dir, "events").select("ts", "event_id")
+    imp = cascade_impressions(ev)
+    return (
+        imp.select(
+            F.floor(F.unix_timestamp("ts") / 3600)
+            .cast("long")
+            .alias("hour_bucket"),
+            "item",
+            "clicked",
+        )
+        .groupBy("hour_bucket", "item")
+        .agg(
+            F.count("*").cast("long").alias("n_examined"),
+            F.sum("clicked").cast("long").alias("n_clicked"),
+        )
+        .withColumn(
+            "alpha_hat_milli",
+            F.expr(
+                f"CAST(({_MILLI} * n_clicked) DIV n_examined AS BIGINT)"
+            ),
+        )
+    )
+
+
+SQL_CASCADE_HOURLY = f"""
+WITH slotted AS (
+  SELECT ts, event_id,
+         list_transform(
+           list_transform(range(1, {CAS_DEPTH + 1}), r -> {{
+             'r': r,
+             'item': CAST(('0x' || substr(md5('cs|' || CAST(event_id AS VARCHAR)
+                       || '|' || CAST(r AS VARCHAR)), 1, 14)) AS BIGINT)
+                     % {CAS_ITEMS},
+             'u': CAST(('0x' || substr(md5('cu|' || CAST(event_id AS VARCHAR)
+                    || '|' || CAST(r AS VARCHAR)), 1, 14)) AS BIGINT)
+                  % {_MILLI}
+           }}),
+           s -> {{'r': s.r, 'item': s.item,
+                  'att': s.u < 150 + (s.item * 37) % 700}}
+         ) AS slots
+  FROM events
+),
+fcs AS (
+  SELECT ts,
+         slots,
+         list_min(list_transform(list_filter(slots, s -> s.att),
+                                 s -> s.r)) AS fc
+  FROM slotted
+),
+imp AS (
+  SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+         u.s.item AS item,
+         CASE WHEN u.s.att AND u.s.r = fc THEN 1 ELSE 0 END AS clicked
+  FROM fcs,
+       unnest(list_filter(slots, s -> s.r <= coalesce(fc, {CAS_DEPTH})))
+         AS u(s)
+)
+SELECT hour_bucket, item,
+       CAST(count(*) AS BIGINT) AS n_examined,
+       CAST(sum(clicked) AS BIGINT) AS n_clicked,
+       CAST(({_MILLI} * CAST(sum(clicked) AS BIGINT)) // count(*) AS BIGINT)
+         AS alpha_hat_milli
+FROM imp GROUP BY 1, 2
+"""
+
+QUERIES["events_cascade_hourly"] = (events_cascade_hourly, SQL_CASCADE_HOURLY)

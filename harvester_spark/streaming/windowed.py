@@ -158,3 +158,42 @@ def windowed_value_hist(
         .agg(F.count("*").cast("long").alias("cnt"))
         .select(F.col("win.start").alias("window_start"), "b", "cnt")
     )
+
+
+def windowed_cascade_stats(
+    events: DataFrame, window: str = WINDOW, late_threshold: str = LATE_THRESHOLD
+) -> DataFrame:
+    """Streaming events(ts, event_id) → watermarked per-window cascade
+    click-model sufficient statistics (window_start, item, n_examined,
+    n_clicked, alpha_hat_milli).
+
+    The cascade session synthesis (slots, attraction draws, first-click)
+    is computed ROW-LOCALLY with higher-order array functions inside
+    :func:`harvester_spark.operators.click_models.cascade_impressions` —
+    no per-session window touches the stream — so the only stateful
+    operation is one watermarked tumbling-window groupBy over mergeable
+    integer sums. Output rows are identical to the batch twin
+    ``events_cascade_hourly`` (parity-tested with parquet chunks)."""
+    from harvester_spark.operators.click_models import (
+        _MILLI,
+        cascade_impressions,
+    )
+
+    imp = cascade_impressions(events.select("ts", "event_id"))
+    return (
+        imp.withWatermark("ts", late_threshold)
+        .groupBy(F.window("ts", window).alias("win"), F.col("item"))
+        .agg(
+            F.count("*").cast("long").alias("n_examined"),
+            F.sum("clicked").cast("long").alias("n_clicked"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "item",
+            "n_examined",
+            "n_clicked",
+            F.expr(
+                f"CAST(({_MILLI} * n_clicked) DIV n_examined AS BIGINT)"
+            ).alias("alpha_hat_milli"),
+        )
+    )

@@ -1572,3 +1572,65 @@ def test_alpha_dcg_pareto_trade_and_recompute(spark):
         rel += (1 << (XQ_K - rank)) * rn
         seen[lang] += 1
     assert got["xquad"] == (alpha, rel)
+
+
+# -------------------------- events_cascade_hourly + streaming twin
+
+
+def test_cascade_hourly_stream_parity(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from harvester_spark.operators.click_models import events_cascade_hourly
+    from harvester_spark.streaming.windowed import windowed_cascade_stats
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "ts", "event_id"
+    )
+    src = os.path.join(str(tmp_path), "cs_src")
+    # two parquet chunks (JSON truncates microsecond timestamps) so the
+    # stream crosses micro-batches
+    ev.orderBy("ts").limit(600).coalesce(1).write.parquet(
+        os.path.join(src, "b1")
+    )
+    ev.orderBy(F.col("ts").desc()).limit(400).coalesce(1).write.parquet(
+        os.path.join(src, "b2")
+    )
+
+    stream = spark.readStream.schema("ts timestamp, event_id bigint").parquet(
+        os.path.join(src, "*")
+    )
+    out_dir = os.path.join(str(tmp_path), "cs_out")
+    q = (
+        windowed_cascade_stats(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "cs_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(out_dir).select(
+        (F.unix_timestamp("window_start") / 3600)
+        .cast("long")
+        .alias("hour_bucket"),
+        "item",
+        "n_examined",
+        "n_clicked",
+        "alpha_hat_milli",
+    )
+    emitted = {
+        r["hour_bucket"]
+        for r in got.select("hour_bucket").distinct().collect()
+    }
+    assert len(emitted) > 20  # append mode finalized most windows
+
+    batch = events_cascade_hourly(spark, SF_DIR).filter(
+        F.col("hour_bucket").isin(list(emitted))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
