@@ -3044,3 +3044,190 @@ FROM bel
 
 
 QUERIES["shard_select_cori"] = (shard_select_cori, _sql_cori())
+
+
+# ------------------------------------------ hedged-request tail eval
+
+# Dean & Barroso, "The Tail at Scale" (CACM 2013): a fan-out query is as
+# slow as its SLOWEST shard, so per-shard tail latency multiplies at the
+# broker — and hedged requests (send a backup replica request, take the
+# first answer) crush the tail for ~2× the work on the straggler
+# fraction only. This operator quantifies that on a synthesized
+# latency model: per (query, shard, replica), latency = BASE + md5
+# jitter + a 2%-probability straggler spike (the bimodal shape real
+# serving fleets measure). Three policies over the SAME draws:
+#   single  — max over shards of replica-1            (no hedging)
+#   hedged  — max over shards of min(replica-1, -2)   (full hedge)
+#   tied    — hedge only when replica-1 drew the spike (deferred hedge:
+#             the work-bounded variant actually deployed)
+# Output: exact order-statistic p50/p95/p99 and mean per policy.
+#
+# Determinism: latencies are integer milliseconds from md5 scatters;
+# quantiles are EXACT order statistics (row_number over (latency,
+# query_id) — unique tie-break, the repo's top-k rule; index =
+# ceil(q·n) on the 1-based rank); means are floored micro divisions.
+#
+# Scale shape: map-only synthesis over a query×shard×replica grid
+# (dimension explode), one per-query max agg, one per-policy rank
+# window over the query-count-sized frame.
+
+HEDGE_QUERIES = 1000
+HEDGE_SHARDS = 8
+HEDGE_BASE_MS = 10
+HEDGE_SPIKE_MS = 200
+
+
+def serving_hedge_tail_eval(spark, sf_dir):
+    """(policy, n, p50_ms, p95_ms, p99_ms, mean_micro_ms): fan-out
+    latency distribution under no / full / spike-tied hedging over the
+    same planted per-replica latency draws."""
+    grid = (
+        spark.range(HEDGE_QUERIES)
+        .select(F.col("id").alias("q"))
+        .crossJoin(
+            F.broadcast(
+                spark.range(HEDGE_SHARDS).select(F.col("id").alias("s"))
+            )
+        )
+    )
+
+    def lat(rep: int) -> F.Column:
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.lit(f"lat{rep}"), F.col("q").cast("string"),
+                        F.col("s").cast("string"),
+                    )
+                ), 1, 14,
+            ), 16, 10,
+        ).cast("long")
+        h2 = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.lit(f"spk{rep}"), F.col("q").cast("string"),
+                        F.col("s").cast("string"),
+                    )
+                ), 1, 14,
+            ), 16, 10,
+        ).cast("long")
+        return (
+            F.lit(HEDGE_BASE_MS)
+            + h % 20
+            + F.when(h2 % 50 < 1, F.lit(HEDGE_SPIKE_MS)).otherwise(0)
+        ).cast("long")
+
+    drawn = grid.select(
+        "q", "s", lat(1).alias("l1"), lat(2).alias("l2")
+    )
+    per_shard = drawn.select(
+        "q",
+        F.col("l1").alias("single"),
+        F.least("l1", "l2").alias("hedged"),
+        F.expr(
+            f"CASE WHEN l1 >= {HEDGE_SPIKE_MS} THEN least(l1, l2)"
+            " ELSE l1 END"
+        ).cast("long").alias("tied"),
+    )
+    per_q = per_shard.groupBy("q").agg(
+        F.max("single").alias("single"),
+        F.max("hedged").alias("hedged"),
+        F.max("tied").alias("tied"),
+    )
+    pols = per_q.selectExpr(
+        "q", "stack(3, 'single', single, 'hedged', hedged,"
+        " 'tied', tied) AS (policy, lat_ms)"
+    )
+    wp = W.partitionBy("policy").orderBy(F.col("lat_ms").asc(), F.col("q").asc())
+    ranked = pols.withColumn("rk", F.row_number().over(wp))
+    n = HEDGE_QUERIES
+    qpos = {
+        "p50_ms": (50 * n + 99) // 100,
+        "p95_ms": (95 * n + 99) // 100,
+        "p99_ms": (99 * n + 99) // 100,
+    }
+    quants = ranked.groupBy("policy").agg(
+        F.count("*").cast("long").alias("n"),
+        *[
+            F.max(F.when(F.col("rk") == pos, F.col("lat_ms")))
+            .cast("long")
+            .alias(name)
+            for name, pos in qpos.items()
+        ],
+        F.expr("CAST((1000000 * sum(lat_ms)) DIV count(*) AS BIGINT)").alias(
+            "mean_micro_ms"
+        ),
+    )
+    return quants.select(
+        "policy", "n", "p50_ms", "p95_ms", "p99_ms", "mean_micro_ms"
+    )
+
+
+def _sql_hedge() -> str:
+    n = HEDGE_QUERIES
+    qpos = {
+        "p50_ms": (50 * n + 99) // 100,
+        "p95_ms": (95 * n + 99) // 100,
+        "p99_ms": (99 * n + 99) // 100,
+    }
+
+    def lat(rep):
+        return (
+            f"{HEDGE_BASE_MS}"
+            f" + CAST(('0x' || substr(md5('lat{rep}' || '|' ||"
+            f" CAST(q AS VARCHAR) || '|' || CAST(s AS VARCHAR)), 1, 14))"
+            f" AS BIGINT) % 20"
+            f" + CASE WHEN CAST(('0x' || substr(md5('spk{rep}' || '|' ||"
+            f" CAST(q AS VARCHAR) || '|' || CAST(s AS VARCHAR)), 1, 14))"
+            f" AS BIGINT) % 50 < 1 THEN {HEDGE_SPIKE_MS} ELSE 0 END"
+        )
+
+    qsel = ",\n       ".join(
+        f"CAST(max(CASE WHEN rk = {pos} THEN lat_ms END) AS BIGINT)"
+        f" AS {name}"
+        for name, pos in qpos.items()
+    )
+    return f"""
+WITH grid AS (
+  SELECT CAST(q AS BIGINT) AS q, CAST(s AS BIGINT) AS s
+  FROM (SELECT unnest(range({HEDGE_QUERIES})) AS q)
+  CROSS JOIN (SELECT unnest(range({HEDGE_SHARDS})) AS s)
+),
+drawn AS (
+  SELECT q, s,
+         CAST({lat(1)} AS BIGINT) AS l1,
+         CAST({lat(2)} AS BIGINT) AS l2
+  FROM grid
+),
+per_shard AS (
+  SELECT q, l1 AS single, least(l1, l2) AS hedged,
+         CASE WHEN l1 >= {HEDGE_SPIKE_MS} THEN least(l1, l2) ELSE l1 END
+           AS tied
+  FROM drawn
+),
+per_q AS (
+  SELECT q, max(single) AS single, max(hedged) AS hedged,
+         max(tied) AS tied
+  FROM per_shard GROUP BY 1
+),
+pols AS (
+  SELECT q, 'single' AS policy, single AS lat_ms FROM per_q
+  UNION ALL SELECT q, 'hedged', hedged FROM per_q
+  UNION ALL SELECT q, 'tied', tied FROM per_q
+),
+ranked AS (
+  SELECT policy, q, lat_ms,
+         row_number() OVER (PARTITION BY policy
+                            ORDER BY lat_ms ASC, q ASC) AS rk
+  FROM pols
+)
+SELECT policy, CAST(count(*) AS BIGINT) AS n,
+       {qsel},
+       CAST((1000000 * CAST(sum(lat_ms) AS BIGINT)) // count(*) AS BIGINT)
+         AS mean_micro_ms
+FROM ranked GROUP BY policy
+"""
+
+
+QUERIES["serving_hedge_tail_eval"] = (serving_hedge_tail_eval, _sql_hedge())

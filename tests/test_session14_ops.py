@@ -1634,3 +1634,65 @@ def test_cascade_hourly_stream_parity(spark, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, batch.collect())
     )
+
+
+# --------------------------------------------- serving_hedge_tail_eval
+
+
+def test_hedge_tail_matches_python_and_crushes_the_tail(spark):
+    from harvester_spark.operators.index_stats import (
+        HEDGE_BASE_MS,
+        HEDGE_QUERIES,
+        HEDGE_SHARDS,
+        HEDGE_SPIKE_MS,
+        serving_hedge_tail_eval,
+    )
+
+    def lat(rep, q, s):
+        h = _h56(f"lat{rep}|{q}|{s}")
+        h2 = _h56(f"spk{rep}|{q}|{s}")
+        return (
+            HEDGE_BASE_MS + h % 20
+            + (HEDGE_SPIKE_MS if h2 % 50 < 1 else 0)
+        )
+
+    per_q = {"single": [], "hedged": [], "tied": []}
+    for q in range(HEDGE_QUERIES):
+        s1 = h1 = t1 = 0
+        for s in range(HEDGE_SHARDS):
+            l1, l2 = lat(1, q, s), lat(2, q, s)
+            s1 = max(s1, l1)
+            h1 = max(h1, min(l1, l2))
+            t1 = max(t1, min(l1, l2) if l1 >= HEDGE_SPIKE_MS else l1)
+        per_q["single"].append(s1)
+        per_q["hedged"].append(h1)
+        per_q["tied"].append(t1)
+
+    n = HEDGE_QUERIES
+    expect = {}
+    for pol, lats in per_q.items():
+        # exact order statistic with the (lat, q) tie-break == plain
+        # value-sorted order statistic on values
+        vs = sorted(lats)
+        expect[pol] = (
+            n,
+            vs[(50 * n + 99) // 100 - 1],
+            vs[(95 * n + 99) // 100 - 1],
+            vs[(99 * n + 99) // 100 - 1],
+            (1_000_000 * sum(lats)) // n,
+        )
+
+    got = {
+        r["policy"]: (
+            r["n"], r["p50_ms"], r["p95_ms"], r["p99_ms"], r["mean_micro_ms"]
+        )
+        for r in serving_hedge_tail_eval(spark, SF_DIR).collect()
+    }
+    assert got == expect
+
+    # the Dean-Barroso effect: hedging crushes the fan-out tail, and the
+    # work-bounded tied variant keeps nearly all of the win
+    assert got["single"][2] >= HEDGE_SPIKE_MS  # spike dominates p95
+    assert got["hedged"][2] < HEDGE_SPIKE_MS // 4
+    assert got["tied"][3] <= got["single"][3] // 4
+    assert got["tied"][3] <= got["hedged"][3] + 5
