@@ -2906,3 +2906,146 @@ QUERIES["host_degree_powerlaw"] = (
     host_degree_powerlaw,
     _sql_degree_powerlaw(),
 )
+
+
+# ------------------------------------------- max-min fair crawl shares
+
+# Max-min fairness / progressive filling (Bertsekas & Gallager) for
+# crawl capacity: hosts demand fetches (their document counts), the
+# crawler has capacity for half the total, and the water-filling
+# allocation gives every host min(demand, λ) with λ the unique level
+# exhausting capacity — small hosts are served in full, big hosts share
+# the remainder equally. The integer closed form replaces the iterative
+# filling: with demands sorted ascending (rank i, prefix sums P_i),
+# rank i is "feasible" iff P_{i−1} + (n−i+1)·d_i ≤ C; the largest
+# feasible k gets ranks ≤ k their full demand, and the n−k capped hosts
+# split C − P_k as base = DIV and the remainder as +1 to the first
+# (C−P_k) mod (n−k) capped ranks (deterministic, documented). The
+# complement of crawl_budget_allocate (which splits by PageRank
+# priority; this splits by fairness — real schedulers blend both).
+#
+# Determinism: pure int64 arithmetic; ranks tie-break (demand, host).
+# Invariants pinned by pytest: Σ alloc == min(C, Σ demand) EXACTLY;
+# capped allocations differ by ≤ 1 (the max-min property); no host
+# exceeds its demand.
+#
+# Scale shape: one demand agg, one rank window over the HOST dimension
+# (at 10^8 hosts: the token_budget_select histogram + boundary-bucket
+# order-statistic selection — same shape, documented), two scalar aggs.
+
+
+def crawl_maxmin_fairshare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(host, demand, rank, alloc, capped): integer water-filling
+    allocation of half the total fetch demand across hosts."""
+    # demand = docs × a planted per-host refresh-rate multiplier (1..8,
+    # md5): the raw per-host doc counts are near-UNIFORM on this corpus
+    # (≈25 each), which makes water-filling degenerate — k = 0, nobody
+    # served in full (the pytest caught it); the multiplier gives the
+    # allocation both regimes to exercise.
+    dem = (
+        load(spark, sf_dir, "documents")
+        .groupBy(F.col("source").alias("host"))
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .select(
+            "host",
+            (
+                F.col("n_docs")
+                * (1 + _hash56(F.concat(F.lit("dm|"), F.col("host"))) % 8)
+            ).cast("long").alias("demand"),
+        )
+    )
+    cap = F.broadcast(
+        dem.agg(
+            F.expr("CAST(sum(demand) DIV 2 AS BIGINT)").alias("c"),
+            F.count("*").cast("long").alias("n"),
+            F.sum("demand").cast("long").alias("td"),
+        )
+    )
+    wr = W.orderBy(F.col("demand").asc(), F.col("host").asc())
+    ranked = (
+        dem.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .withColumn(
+            "prefix",
+            F.sum("demand").over(wr.rowsBetween(W.unboundedPreceding, 0))
+            .cast("long"),
+        )
+        .crossJoin(cap)
+        .withColumn(
+            "feasible",
+            F.expr("prefix - demand + (n - rank + 1) * demand <= c"),
+        )
+    ).cache()
+    kdf = F.broadcast(
+        ranked.agg(
+            F.coalesce(
+                F.max(F.when(F.col("feasible"), F.col("rank"))), F.lit(0)
+            ).cast("long").alias("k"),
+            F.coalesce(
+                F.max(F.when(F.col("feasible"), F.col("prefix"))), F.lit(0)
+            ).cast("long").alias("pk"),
+        )
+    )
+    return ranked.crossJoin(kdf).select(
+        "host",
+        "demand",
+        "rank",
+        F.expr(
+            "CAST(CASE WHEN td <= c THEN demand"
+            " WHEN rank <= k THEN demand"
+            " ELSE (c - pk) DIV (n - k)"
+            " + CASE WHEN rank - k <= (c - pk) % (n - k) THEN 1 ELSE 0 END"
+            " END AS BIGINT)"
+        ).alias("alloc"),
+        F.expr("td > c AND rank > k").alias("capped"),
+    )
+
+
+def _sql_maxmin() -> str:
+    return """
+WITH dem AS (
+  SELECT host,
+         CAST(n_docs * (1 + CAST(('0x' || substr(md5('dm|' || host), 1, 14)) AS BIGINT) % 8) AS BIGINT) AS demand
+  FROM (
+    SELECT source AS host, CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY 1
+  )
+),
+cap AS (
+  SELECT CAST(sum(demand) // 2 AS BIGINT) AS c,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(demand) AS BIGINT) AS td
+  FROM dem
+),
+ranked AS MATERIALIZED (
+  SELECT host, demand,
+         CAST(row_number() OVER w AS BIGINT) AS rank,
+         CAST(sum(demand) OVER (
+           w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS prefix,
+         c, n, td,
+         (CAST(sum(demand) OVER (
+            w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+          ) AS BIGINT) - demand
+          + (n - row_number() OVER w + 1) * demand) <= c AS feasible
+  FROM dem CROSS JOIN cap
+  WINDOW w AS (ORDER BY demand ASC, host ASC)
+),
+kk AS (
+  SELECT CAST(coalesce(max(CASE WHEN feasible THEN rank END), 0) AS BIGINT)
+           AS k,
+         CAST(coalesce(max(CASE WHEN feasible THEN prefix END), 0)
+              AS BIGINT) AS pk
+  FROM ranked
+)
+SELECT host, demand, rank,
+       CAST(CASE WHEN td <= c THEN demand
+            WHEN rank <= k THEN demand
+            ELSE (c - pk) // (n - k)
+            + CASE WHEN rank - k <= (c - pk) % (n - k) THEN 1 ELSE 0 END
+            END AS BIGINT) AS alloc,
+       td > c AND rank > k AS capped
+FROM ranked CROSS JOIN kk
+"""
+
+
+QUERIES["crawl_maxmin_fairshare"] = (crawl_maxmin_fairshare, _sql_maxmin())

@@ -3134,3 +3134,146 @@ QUERIES["ann_filtered_recall_eval"] = (
     ann_filtered_recall_eval,
     SQL_ANN_FILTERED_RECALL,
 )
+
+
+# ------------------------------------------------ linear CKA vs JL
+
+# Kornblith et al. (ICML 2019) linear Centered Kernel Alignment between
+# the raw embedding matrix X (n × 64) and its sign-JL projection
+# Y = jl_project (n × 16) — the REPRESENTATION-level answer to "what
+# did the projection keep", complementing jl_distortion_eval's
+# pairwise-distance band:
+#   CKA = ||X̄ᵀȲ||²_F / (||X̄ᵀX̄||_F · ||ȲᵀȲ||_F)
+# over column-centered matrices, computed feature-space (64×16 / 64×64
+# / 16×16 cross-moment matrices — never an n×n Gram).
+#
+# Determinism: per-column means and every cross-moment entry are
+# round(·, 6) doubles (identical in both engines — the emb_label_
+# centroids discipline), then scaled to exact MILLI ints so the three
+# Frobenius sums are EXACT int64 (entries ≤ ~5e5 milli, squared ×4096
+# ≤ ~1e14 — headroom documented); only the final ratio touches floats,
+# through ONE shared expression with the floor(+0.5) micro idiom (the
+# int64 product F_xx·F_yy would overflow, so the sqrt multiplies as
+# DOUBLE).
+#
+# Scale shape: the moment matrices are feature²-sized aggregations of
+# vec_id-keyed joins (n·d² rows through map-side-combined sums);
+# nothing n×n is ever formed; output is one row.
+
+
+def emb_cka_jl(spark, sf_dir):
+    """(d_x, d_y, f2_xy, f2_xx, f2_yy, cka_micro): linear CKA between
+    the embeddings and their sign-JL projection."""
+    comp = _components(spark, sf_dir).cache()
+    xmean = comp.groupBy("pos").agg(F.round(F.avg("val"), 6).alias("mx"))
+    xc = comp.join(F.broadcast(xmean), "pos").select(
+        "vec_id", "pos", (F.col("val") - F.col("mx")).alias("x")
+    ).cache()
+    y = jl_project(spark, sf_dir).cache()
+    ymean = y.groupBy("j").agg(F.round(F.avg("proj"), 6).alias("my"))
+    yc = y.join(F.broadcast(ymean), "j").select(
+        "vec_id", "j", (F.col("proj") - F.col("my")).alias("yv")
+    ).cache()
+
+    def frob(entries, a, b):
+        return (
+            entries.groupBy(a, b)
+            .agg(F.round(F.sum("prod"), 6).alias("e"))
+            .select(
+                F.expr(
+                    "CAST(floor(e * 1.0e3 + 0.5e0) AS BIGINT)"
+                ).alias("em")
+            )
+            .agg(F.sum(F.expr("em * em")).cast("long").alias("f2"))
+        )
+
+    xy = xc.join(yc, "vec_id").select(
+        "pos", "j", (F.col("x") * F.col("yv")).alias("prod")
+    )
+    f2_xy = frob(xy, "pos", "j").withColumnRenamed("f2", "f2_xy")
+    xx = xc.join(
+        xc.select(
+            F.col("vec_id"), F.col("pos").alias("pos2"),
+            F.col("x").alias("x2"),
+        ),
+        "vec_id",
+    ).select("pos", "pos2", (F.col("x") * F.col("x2")).alias("prod"))
+    f2_xx = frob(xx, "pos", "pos2").withColumnRenamed("f2", "f2_xx")
+    yy = yc.join(
+        yc.select(
+            F.col("vec_id"), F.col("j").alias("j2"),
+            F.col("yv").alias("y2"),
+        ),
+        "vec_id",
+    ).select("j", "j2", (F.col("yv") * F.col("y2")).alias("prod"))
+    f2_yy = frob(yy, "j", "j2").withColumnRenamed("f2", "f2_yy")
+
+    return (
+        f2_xy.crossJoin(f2_xx)
+        .crossJoin(f2_yy)
+        .select(
+            F.lit(64).alias("d_x"),
+            F.lit(JL_DIM).alias("d_y"),
+            "f2_xy",
+            "f2_xx",
+            "f2_yy",
+            F.expr(
+                "CAST(floor(f2_xy * 1.0e6"
+                " / sqrt(CAST(f2_xx AS DOUBLE) * CAST(f2_yy AS DOUBLE))"
+                " + 0.5e0) AS BIGINT)"
+            ).alias("cka_micro"),
+        )
+    )
+
+
+SQL_EMB_CKA_JL = f"""
+WITH comp AS ({_SQL_COMPONENTS}),
+xmean AS (SELECT pos, round(avg(val), 6) AS mx FROM comp GROUP BY 1),
+xc AS MATERIALIZED (
+  SELECT c.vec_id, c.pos, c.val - m.mx AS x
+  FROM comp c JOIN xmean m USING (pos)
+),
+signs AS ({_SQL_JL_SIGNS}),
+yraw AS (
+  SELECT vec_id, j, round(sum(val * sgn) / 4.0, 6) AS proj
+  FROM comp JOIN signs USING (pos)
+  GROUP BY vec_id, j
+),
+ymean AS (SELECT j, round(avg(proj), 6) AS my FROM yraw GROUP BY 1),
+yc AS MATERIALIZED (
+  SELECT y.vec_id, y.j, y.proj - m.my AS yv
+  FROM yraw y JOIN ymean m USING (j)
+),
+exy AS (
+  SELECT pos, j,
+         CAST(floor(round(sum(x * yv), 6) * 1.0e3 + 0.5e0) AS BIGINT) AS em
+  FROM xc JOIN yc USING (vec_id)
+  GROUP BY 1, 2
+),
+exx AS (
+  SELECT a.pos, b.pos AS pos2,
+         CAST(floor(round(sum(a.x * b.x), 6) * 1.0e3 + 0.5e0) AS BIGINT)
+           AS em
+  FROM xc a JOIN xc b USING (vec_id)
+  GROUP BY 1, 2
+),
+eyy AS (
+  SELECT a.j, b.j AS j2,
+         CAST(floor(round(sum(a.yv * b.yv), 6) * 1.0e3 + 0.5e0) AS BIGINT)
+           AS em
+  FROM yc a JOIN yc b USING (vec_id)
+  GROUP BY 1, 2
+),
+f AS (
+  SELECT (SELECT CAST(sum(em * em) AS BIGINT) FROM exy) AS f2_xy,
+         (SELECT CAST(sum(em * em) AS BIGINT) FROM exx) AS f2_xx,
+         (SELECT CAST(sum(em * em) AS BIGINT) FROM eyy) AS f2_yy
+)
+SELECT 64 AS d_x, {JL_DIM} AS d_y, f2_xy, f2_xx, f2_yy,
+       CAST(floor(f2_xy * 1.0e6
+            / sqrt(CAST(f2_xx AS DOUBLE) * CAST(f2_yy AS DOUBLE))
+            + 0.5e0) AS BIGINT) AS cka_micro
+FROM f
+"""
+
+QUERIES["emb_cka_jl"] = (emb_cka_jl, SQL_EMB_CKA_JL)

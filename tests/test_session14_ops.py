@@ -1696,3 +1696,112 @@ def test_hedge_tail_matches_python_and_crushes_the_tail(spark):
     assert got["hedged"][2] < HEDGE_SPIKE_MS // 4
     assert got["tied"][3] <= got["single"][3] // 4
     assert got["tied"][3] <= got["hedged"][3] + 5
+
+
+# -------------------------------------------------- emb_cka_jl
+
+
+def test_cka_matches_python_recompute_and_is_informative(spark):
+    from harvester_spark.operators.similarity import JL_DIM, emb_cka_jl
+
+    emb = {
+        r["vec_id"]: [float(v) for v in r["embedding"]]
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    }
+    n = len(emb)
+    d = 64
+    # sign-JL projection (the jl_project contract)
+    sgn = {
+        (j, p): 1 - 2 * (_h56(f"jl:{j}:{p}") % 2)
+        for j in range(JL_DIM)
+        for p in range(d)
+    }
+    Y = {
+        v: [
+            round(sum(x[p] * sgn[(j, p)] for p in range(d)) / 4.0, 6)
+            for j in range(JL_DIM)
+        ]
+        for v, x in emb.items()
+    }
+    mx = [round(sum(emb[v][p] for v in emb) / n, 6) for p in range(d)]
+    my = [round(sum(Y[v][j] for v in emb) / n, 6) for j in range(JL_DIM)]
+    xc = {v: [x - m for x, m in zip(emb[v], mx)] for v in emb}
+    yc = {v: [y - m for y, m in zip(Y[v], my)] for v in emb}
+
+    def fe(e):
+        return math.floor(round(e, 6) * 1e3 + 0.5)
+
+    f2_xy = sum(
+        fe(sum(xc[v][p] * yc[v][j] for v in emb)) ** 2
+        for p in range(d)
+        for j in range(JL_DIM)
+    )
+    f2_xx = sum(
+        fe(sum(xc[v][p] * xc[v][q] for v in emb)) ** 2
+        for p in range(d)
+        for q in range(d)
+    )
+    f2_yy = sum(
+        fe(sum(yc[v][j] * yc[v][k] for v in emb)) ** 2
+        for j in range(JL_DIM)
+        for k in range(JL_DIM)
+    )
+    cka = math.floor(
+        f2_xy * 1e6 / math.sqrt(float(f2_xx) * float(f2_yy)) + 0.5
+    )
+
+    row = emb_cka_jl(spark, SF_DIR).collect()[0]
+    assert (
+        row["f2_xy"], row["f2_xx"], row["f2_yy"], row["cka_micro"]
+    ) == (f2_xy, f2_xx, f2_yy, cka)
+    # the projection keeps real but partial structure
+    assert 200_000 < row["cka_micro"] < 950_000
+
+
+# -------------------------------------------- crawl_maxmin_fairshare
+
+
+def test_maxmin_fairshare_invariants_and_recompute(spark):
+    from harvester_spark.operators.graph import crawl_maxmin_fairshare
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "source"
+    ).collect()
+    nd = Counter(r["source"] for r in docs)
+    dem = {h: c * (1 + _h56(f"dm|{h}") % 8) for h, c in nd.items()}
+    td = sum(dem.values())
+    c = td // 2
+    n = len(dem)
+    order = sorted(dem.items(), key=lambda kv: (kv[1], kv[0]))
+    prefix = 0
+    k = pk = 0
+    for i, (h, dd) in enumerate(order, start=1):
+        prefix += dd
+        if prefix - dd + (n - i + 1) * dd <= c:
+            k, pk = i, prefix
+    expect = {}
+    for i, (h, dd) in enumerate(order, start=1):
+        if td <= c or i <= k:
+            alloc = dd
+        else:
+            alloc = (c - pk) // (n - k) + (
+                1 if i - k <= (c - pk) % (n - k) else 0
+            )
+        expect[h] = (dd, i, alloc, td > c and i > k)
+
+    got = {
+        r["host"]: (r["demand"], r["rank"], r["alloc"], r["capped"])
+        for r in crawl_maxmin_fairshare(spark, SF_DIR).collect()
+    }
+    assert got == expect
+
+    # max-min invariants
+    assert sum(v[2] for v in got.values()) == min(c, td)
+    capped = [v[2] for v in got.values() if v[3]]
+    assert capped and max(capped) - min(capped) <= 1
+    for dd, _, alloc, _ in got.values():
+        assert alloc <= dd
+    # fairness binds on this corpus: someone is actually capped below
+    # demand and someone is served in full
+    assert any(v[2] < v[0] for v in got.values())
+    assert any(v[2] == v[0] for v in got.values())
