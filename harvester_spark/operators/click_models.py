@@ -725,3 +725,198 @@ FROM imp GROUP BY 1, 2
 """
 
 QUERIES["events_cascade_hourly"] = (events_cascade_hourly, SQL_CASCADE_HOURLY)
+
+
+# ---------------------------------------------- batched ε-greedy bandit
+
+# The sequential-decision family (absent until now): a BATCHED ε-greedy
+# multi-armed bandit over planted arm CTRs — the production shape of
+# online ranking experiments (policies update per BATCH, not per event;
+# Chapelle & Li's batched-bandit setting): each of BANDIT_ROUNDS rounds
+# allocates BANDIT_N impressions — an ε = 0.2 md5 slice explores a
+# uniform arm, the rest exploit the argmax of the cumulative
+# clicks/pulls estimate from PREVIOUS rounds (ties arm asc; the cold
+# start exploits arm 0) — then observes planted-CTR clicks and updates.
+# The recovery pin: the exploit choice converges to the true best arm
+# and per-round regret collapses after convergence.
+#
+# Determinism: every draw is an md5 scatter keyed (round, impression);
+# the click draw is keyed by the CHOSEN arm too, so the counterfactual
+# stream is well-defined; estimates are floored milli divisions;
+# per-round argmax is a 6-row ORDER BY ... LIMIT 1. The round loop is
+# the PBM/k-means integer-exact-iteration contract — the oracle unrolls
+# it as a CTE chain.
+#
+# Scale shape: each round is one map-only impression synthesis + one
+# arm-keyed groupBy; the policy state is an ARMS-row frame (broadcast);
+# rounds are inherently sequential (that IS the semantics).
+
+BANDIT_ARMS = 6
+BANDIT_ROUNDS = 5
+BANDIT_N = 2000
+BANDIT_EPS_MILLI = 200
+_B_CTR = "CAST(150 + ({arm} * 137) % 700 AS BIGINT)"  # best = arm 5: 835
+
+
+def bandit_batched_egreedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(round, arm, exploit_arm, pulls, clicks, cum_pulls, cum_clicks,
+    est_milli, regret_units): batched ε-greedy over planted arm CTRs;
+    est_milli is the post-round cumulative estimate, regret_units =
+    pulls·(best_ctr − ctr(arm)) in milli-impressions."""
+    best_ctr = max(150 + (a * 137) % 700 for a in range(BANDIT_ARMS))
+    arms = spark.range(BANDIT_ARMS).select(
+        F.col("id").cast("long").alias("arm")
+    )
+    stats = arms.select(
+        "arm",
+        F.lit(0).cast("long").alias("cum_pulls"),
+        F.lit(0).cast("long").alias("cum_clicks"),
+    ).localCheckpoint()
+    out = None
+    for r in range(1, BANDIT_ROUNDS + 1):
+        exploit = F.broadcast(
+            stats.select(
+                F.col("arm").alias("exploit_arm"),
+                F.expr(
+                    "CASE WHEN cum_pulls > 0"
+                    " THEN (1000 * cum_clicks) DIV cum_pulls"
+                    " ELSE CAST(0 AS BIGINT) END"
+                ).alias("est"),
+            )
+            .orderBy(F.col("est").desc(), F.col("exploit_arm").asc())
+            .limit(1)
+            .select("exploit_arm")
+        )
+        imp = (
+            spark.range(BANDIT_N)
+            .select(F.col("id").cast("long").alias("i"))
+            .crossJoin(exploit)
+            .select(
+                F.expr(
+                    f"CASE WHEN CAST(conv(substring(md5(concat('b1|{r}|',"
+                    " CAST(i AS STRING))), 1, 14), 16, 10) AS BIGINT)"
+                    f" % 1000 < {BANDIT_EPS_MILLI}"
+                    f" THEN CAST(conv(substring(md5(concat('b2|{r}|',"
+                    " CAST(i AS STRING))), 1, 14), 16, 10) AS BIGINT)"
+                    f" % {BANDIT_ARMS}"
+                    " ELSE exploit_arm END"
+                ).cast("long").alias("arm"),
+                F.col("i"),
+                F.col("exploit_arm"),
+            )
+            .withColumn(
+                "clicked",
+                F.expr(
+                    f"CASE WHEN CAST(conv(substring(md5(concat('b3|{r}|',"
+                    " CAST(i AS STRING), '|', CAST(arm AS STRING))),"
+                    " 1, 14), 16, 10) AS BIGINT) % 1000"
+                    f" < {_B_CTR.format(arm='arm')} THEN 1 ELSE 0 END"
+                ).cast("long"),
+            )
+        )
+        round_counts = imp.groupBy("arm", "exploit_arm").agg(
+            F.count("*").cast("long").alias("pulls"),
+            F.sum("clicked").cast("long").alias("clicks"),
+        )
+        stats = (
+            stats.join(round_counts.select("arm", "pulls", "clicks"), "arm", "left")
+            .select(
+                "arm",
+                (F.col("cum_pulls") + F.coalesce("pulls", F.lit(0)))
+                .cast("long").alias("cum_pulls"),
+                (F.col("cum_clicks") + F.coalesce("clicks", F.lit(0)))
+                .cast("long").alias("cum_clicks"),
+            )
+            .localCheckpoint()
+        )
+        row = (
+            arms.join(round_counts, "arm", "left")
+            .crossJoin(F.broadcast(exploit.withColumnRenamed(
+                "exploit_arm", "xarm")))
+            .join(stats, "arm")
+            .select(
+                F.lit(r).alias("round"),
+                "arm",
+                F.col("xarm").alias("exploit_arm"),
+                F.coalesce("pulls", F.lit(0)).cast("long").alias("pulls"),
+                F.coalesce("clicks", F.lit(0)).cast("long").alias("clicks"),
+                "cum_pulls",
+                "cum_clicks",
+                F.expr(
+                    "CASE WHEN cum_pulls > 0"
+                    " THEN CAST((1000 * cum_clicks) DIV cum_pulls AS BIGINT)"
+                    " ELSE CAST(0 AS BIGINT) END"
+                ).alias("est_milli"),
+                F.expr(
+                    f"CAST(coalesce(pulls, 0) * ({best_ctr} - {_B_CTR.format(arm='arm')})"
+                    " AS BIGINT)"
+                ).alias("regret_units"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _sql_bandit() -> str:
+    best_ctr = max(150 + (a * 137) % 700 for a in range(BANDIT_ARMS))
+    parts = [f"""
+WITH arms AS (SELECT CAST(unnest(range({BANDIT_ARMS})) AS BIGINT) AS arm),
+st0 AS (
+  SELECT arm, CAST(0 AS BIGINT) AS cum_pulls, CAST(0 AS BIGINT) AS cum_clicks
+  FROM arms
+)"""]
+    prev = "st0"
+    selects = []
+    for r in range(1, BANDIT_ROUNDS + 1):
+        parts.append(f""",
+ex{r} AS MATERIALIZED (
+  SELECT arm AS exploit_arm FROM (
+    SELECT arm, CASE WHEN cum_pulls > 0
+                     THEN (1000 * cum_clicks) // cum_pulls
+                     ELSE CAST(0 AS BIGINT) END AS est
+    FROM {prev}
+  ) ORDER BY est DESC, exploit_arm ASC LIMIT 1
+),
+imp{r} AS (
+  SELECT CASE WHEN CAST(('0x' || substr(md5('b1|{r}|' ||
+              CAST(i AS VARCHAR)), 1, 14)) AS BIGINT) % 1000
+              < {BANDIT_EPS_MILLI}
+         THEN CAST(('0x' || substr(md5('b2|{r}|' ||
+              CAST(i AS VARCHAR)), 1, 14)) AS BIGINT) % {BANDIT_ARMS}
+         ELSE (SELECT exploit_arm FROM ex{r}) END AS arm,
+         i
+  FROM (SELECT CAST(unnest(range({BANDIT_N})) AS BIGINT) AS i)
+),
+rc{r} AS MATERIALIZED (
+  SELECT arm, CAST(count(*) AS BIGINT) AS pulls,
+         CAST(sum(CASE WHEN
+           CAST(('0x' || substr(md5('b3|{r}|' || CAST(i AS VARCHAR)
+                || '|' || CAST(arm AS VARCHAR)), 1, 14)) AS BIGINT) % 1000
+           < {_B_CTR.format(arm='arm')} THEN 1 ELSE 0 END) AS BIGINT) AS clicks
+  FROM imp{r} GROUP BY 1
+),
+st{r} AS MATERIALIZED (
+  SELECT s.arm,
+         CAST(s.cum_pulls + coalesce(c.pulls, 0) AS BIGINT) AS cum_pulls,
+         CAST(s.cum_clicks + coalesce(c.clicks, 0) AS BIGINT) AS cum_clicks
+  FROM {prev} s LEFT JOIN rc{r} c USING (arm)
+)""")
+        selects.append(f"""
+SELECT {r} AS round, a.arm,
+       (SELECT exploit_arm FROM ex{r}) AS exploit_arm,
+       CAST(coalesce(c.pulls, 0) AS BIGINT) AS pulls,
+       CAST(coalesce(c.clicks, 0) AS BIGINT) AS clicks,
+       s.cum_pulls, s.cum_clicks,
+       CASE WHEN s.cum_pulls > 0
+            THEN CAST((1000 * s.cum_clicks) // s.cum_pulls AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS est_milli,
+       CAST(coalesce(c.pulls, 0) * ({best_ctr} - {_B_CTR.format(arm='a.arm')})
+            AS BIGINT) AS regret_units
+FROM arms a
+LEFT JOIN rc{r} c ON c.arm = a.arm
+JOIN st{r} s ON s.arm = a.arm""")
+        prev = f"st{r}"
+    return "".join(parts) + "\nUNION ALL".join(selects)
+
+
+QUERIES["bandit_batched_egreedy"] = (bandit_batched_egreedy, _sql_bandit())

@@ -998,3 +998,114 @@ FROM counts CROSS JOIN tot
 
 
 QUERIES["ft_keyness_llr"] = (ft_keyness_llr, _sql_keyness())
+
+
+# ------------------------------------------------ DP corpus dispersion
+
+# Gries (2008) "Deviation of Proportions" — the corpus-linguistics
+# dispersion measure the burstiness/keyness family was missing: how
+# evenly a term spreads across corpus PARTS (sources here), vs how big
+# the parts are:
+#   DP = ½ · Σ_i |v_i − s_i|,  v_i = part's share of the term's
+#   occurrences, s_i = part's share of all tokens
+# (0 = perfectly proportional, → 1 = concentrated in one part). Exact
+# integer form over the common denominator: with c_i the term's count
+# in part i (total C) and t_i the part's token count (total T),
+#   DP = Σ_i |c_i·T − t_i·C| / (2·C·T)
+# — numerator and denominator exact int64 (c·T ≤ 10⁴·10⁵ at sf0.1,
+# headroom documented), reported as a floored milli quotient plus the
+# raw rational. Terms ordered by dispersion give the
+# boilerplate-vs-bursty split a curation pipeline keys on.
+#
+# Scale shape: one (part, term) count + one part-size count — both
+# map-side-combinable aggs on the same token scan; the |·| fold is a
+# term-keyed sum. Output is vocabulary-sized.
+
+
+def ft_dispersion_dp(spark, sf_dir):
+    """(term, cf, dp_num, dp_den, dp_milli): Gries DP dispersion of
+    every term across the source parts, exact integer rational."""
+    toks = (
+        doc_tokens(spark, sf_dir)
+        .join(
+            load(spark, sf_dir, "documents").select("doc_id", "source"),
+            "doc_id",
+        )
+        .select("source", "term")
+    )
+    parts = toks.groupBy("source").agg(
+        F.count("*").cast("long").alias("t_i")
+    )
+    tt = F.broadcast(parts.agg(F.sum("t_i").cast("long").alias("tt")))
+    ct = toks.groupBy("source", "term").agg(
+        F.count("*").cast("long").alias("c_i")
+    )
+    cf = ct.groupBy("term").agg(F.sum("c_i").cast("long").alias("cf"))
+    # dense (term × part) grid: parts where the term is absent still
+    # contribute |0 − s_i|
+    grid = (
+        cf.crossJoin(F.broadcast(parts))
+        .join(ct, ["term", "source"], "left")
+        .select(
+            "term",
+            "cf",
+            "t_i",
+            F.coalesce("c_i", F.lit(0)).cast("long").alias("c_i"),
+        )
+    )
+    num = (
+        grid.crossJoin(tt)
+        .select(
+            "term",
+            "cf",
+            F.abs(F.col("c_i") * F.col("tt") - F.col("t_i") * F.col("cf"))
+            .cast("long")
+            .alias("a"),
+        )
+        .groupBy("term", "cf")
+        .agg(F.sum("a").cast("long").alias("dp_num"))
+    )
+    return num.crossJoin(tt).select(
+        "term",
+        "cf",
+        "dp_num",
+        (2 * F.col("cf") * F.col("tt")).cast("long").alias("dp_den"),
+        F.expr(
+            "CAST((1000 * dp_num) DIV (2 * cf * tt) AS BIGINT)"
+        ).alias("dp_milli"),
+    )
+
+
+SQL_DISPERSION_DP = f"""
+WITH toks AS (
+  SELECT d.source, t.term
+  FROM ({SQL_DOC_TOKS}) t JOIN documents d USING (doc_id)
+),
+parts AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS t_i FROM toks GROUP BY 1
+),
+tt AS (SELECT CAST(sum(t_i) AS BIGINT) AS tt FROM parts),
+ct AS (
+  SELECT source, term, CAST(count(*) AS BIGINT) AS c_i
+  FROM toks GROUP BY 1, 2
+),
+cf AS (SELECT term, CAST(sum(c_i) AS BIGINT) AS cf FROM ct GROUP BY 1),
+grid AS (
+  SELECT f.term, f.cf, p.t_i, CAST(coalesce(c.c_i, 0) AS BIGINT) AS c_i
+  FROM cf f CROSS JOIN parts p
+  LEFT JOIN ct c ON c.term = f.term AND c.source = p.source
+),
+num AS (
+  SELECT term, cf,
+         CAST(sum(abs(c_i * (SELECT tt FROM tt) - t_i * cf)) AS BIGINT)
+           AS dp_num
+  FROM grid GROUP BY 1, 2
+)
+SELECT term, cf, dp_num,
+       CAST(2 * cf * (SELECT tt FROM tt) AS BIGINT) AS dp_den,
+       CAST((1000 * dp_num) // (2 * cf * (SELECT tt FROM tt)) AS BIGINT)
+         AS dp_milli
+FROM num
+"""
+
+QUERIES["ft_dispersion_dp"] = (ft_dispersion_dp, SQL_DISPERSION_DP)

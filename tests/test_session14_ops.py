@@ -1805,3 +1805,111 @@ def test_maxmin_fairshare_invariants_and_recompute(spark):
     # demand and someone is served in full
     assert any(v[2] < v[0] for v in got.values())
     assert any(v[2] == v[0] for v in got.values())
+
+
+# ---------------------------------------------- ft_dispersion_dp
+
+
+def test_dispersion_dp_matches_python_recompute(spark, corpus14):
+    from harvester_spark.operators.text_analytics import ft_dispersion_dp
+
+    srcs = {
+        r["doc_id"]: r["source"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "source")
+        .collect()
+    }
+    part_tok = Counter()
+    ct = Counter()
+    for d, ts in corpus14.items():
+        s = srcs[d]
+        part_tok[s] += len(ts)
+        for t in ts:
+            ct[(s, t)] += 1
+    tt = sum(part_tok.values())
+    cf = Counter()
+    for (s, t), c in ct.items():
+        cf[t] += c
+    expect = {}
+    for t in cf:
+        num = sum(
+            abs(ct.get((s, t), 0) * tt - part_tok[s] * cf[t])
+            for s in part_tok
+        )
+        den = 2 * cf[t] * tt
+        expect[t] = (cf[t], num, den, (1000 * num) // den)
+
+    got = {
+        r["term"]: (r["cf"], r["dp_num"], r["dp_den"], r["dp_milli"])
+        for r in ft_dispersion_dp(spark, SF_DIR).collect()
+    }
+    assert got == expect
+    # dispersion genuinely varies across the vocabulary (the rare 'dup'
+    # is far less evenly spread than any head term)
+    vals = {t: v[3] for t, v in got.items()}
+    assert vals["dup"] > 3 * min(vals.values())
+
+
+# ------------------------------------------- bandit_batched_egreedy
+
+
+def test_bandit_matches_python_simulation_and_converges(spark):
+    from harvester_spark.operators.click_models import (
+        BANDIT_ARMS,
+        BANDIT_EPS_MILLI,
+        BANDIT_N,
+        BANDIT_ROUNDS,
+        bandit_batched_egreedy,
+    )
+
+    ctr = {a: 150 + (a * 137) % 700 for a in range(BANDIT_ARMS)}
+    best_arm = max(ctr, key=lambda a: (ctr[a], -a))
+    best_ctr = ctr[best_arm]
+    cum_p = Counter()
+    cum_c = Counter()
+    expect = {}
+    for r in range(1, BANDIT_ROUNDS + 1):
+        est = {
+            a: (1000 * cum_c[a]) // cum_p[a] if cum_p[a] else 0
+            for a in range(BANDIT_ARMS)
+        }
+        xarm = sorted(range(BANDIT_ARMS), key=lambda a: (-est[a], a))[0]
+        pulls = Counter()
+        clicks = Counter()
+        for i in range(BANDIT_N):
+            if _h56(f"b1|{r}|{i}") % 1000 < BANDIT_EPS_MILLI:
+                arm = _h56(f"b2|{r}|{i}") % BANDIT_ARMS
+            else:
+                arm = xarm
+            pulls[arm] += 1
+            if _h56(f"b3|{r}|{i}|{arm}") % 1000 < ctr[arm]:
+                clicks[arm] += 1
+        for a in range(BANDIT_ARMS):
+            cum_p[a] += pulls[a]
+            cum_c[a] += clicks[a]
+            expect[(r, a)] = (
+                xarm, pulls[a], clicks[a], cum_p[a], cum_c[a],
+                (1000 * cum_c[a]) // cum_p[a] if cum_p[a] else 0,
+                pulls[a] * (best_ctr - ctr[a]),
+            )
+
+    got = {
+        (r["round"], r["arm"]): (
+            r["exploit_arm"], r["pulls"], r["clicks"], r["cum_pulls"],
+            r["cum_clicks"], r["est_milli"], r["regret_units"],
+        )
+        for r in bandit_batched_egreedy(spark, SF_DIR).collect()
+    }
+    assert got == expect
+
+    # convergence: from round 2 the policy exploits the true best arm,
+    # and regret collapses to the exploration floor
+    for r in range(2, BANDIT_ROUNDS + 1):
+        assert got[(r, 0)][0] == best_arm
+    reg = {
+        r: sum(got[(r, a)][6] for a in range(BANDIT_ARMS))
+        for r in range(1, BANDIT_ROUNDS + 1)
+    }
+    assert all(reg[r] < reg[1] // 5 for r in range(2, BANDIT_ROUNDS + 1))
+    # the best arm's estimate homes in on the planted CTR
+    assert abs(got[(BANDIT_ROUNDS, best_arm)][5] - best_ctr) <= 30
