@@ -3763,3 +3763,200 @@ QUERIES["events_matrix_profile"] = (
     events_matrix_profile,
     _sql_matrix_profile(),
 )
+
+
+# -------------------------------------------------- geo_centroid agg
+
+# The third of the ES geo-agg trio (geohash_grid buckets, geo_distance
+# ranges, and THIS — `geo_centroid`, the per-bucket mean location a map
+# UI drops its cluster pins on): for every precision-1 geohash cell of
+# the SAME planted milli-degree coordinates, the arithmetic-mean lat /
+# lon. ES computes the centroid as a plain coordinate mean (no
+# spherical correction at cell scale — documented); here both means
+# stay EXACT: integer milli-degree sums with sign-split floored
+# division (coordinates go negative), so not a single float appears.
+#
+# Scale shape: one groupBy(cell) over the map-only planted projection —
+# the geohash_grid plan with two more integer sums on the same shuffle.
+
+
+def es_geo_centroid(spark, sf_dir):
+    """(cell, geohash, n_docs, centroid_lat_milli, centroid_lon_milli):
+    exact integer geo_centroid of every precision-1 geohash cell."""
+    from harvester_spark.operators.dedup import _hash56
+
+    docs = load(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        (
+            _hash56(F.concat(F.lit("lat:"), F.col("doc_id").cast("string")))
+            % 180000
+            - 90000
+        ).alias("lat_milli"),
+        (
+            _hash56(F.concat(F.lit("lon:"), F.col("doc_id").cast("string")))
+            % 360000
+            - 180000
+        ).alias("lon_milli"),
+    )
+    cells = planted.withColumn(
+        "cell", F.expr(_GEO_CELL.format(div="DIV")).cast("long")
+    )
+    sdiv = (
+        "CASE WHEN {s} >= 0 THEN CAST({s} DIV n_docs AS BIGINT)"
+        " ELSE CAST(-((-({s})) DIV n_docs) AS BIGINT) END"
+    )
+    return (
+        cells.groupBy("cell")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("lat_milli").cast("long").alias("slat"),
+            F.sum("lon_milli").cast("long").alias("slon"),
+        )
+        .select(
+            "cell",
+            F.expr(
+                f"substring('{GEO_ALPHABET}', CAST(cell AS INT) + 1, 1)"
+            ).alias("geohash"),
+            "n_docs",
+            F.expr(sdiv.format(s="slat")).alias("centroid_lat_milli"),
+            F.expr(sdiv.format(s="slon")).alias("centroid_lon_milli"),
+        )
+    )
+
+
+def _sql_geo_centroid() -> str:
+    from harvester_spark.operators.dedup import _SQL_HASH56
+
+    lat = _SQL_HASH56.format(col="'lat:' || CAST(doc_id AS VARCHAR)")
+    lon = _SQL_HASH56.format(col="'lon:' || CAST(doc_id AS VARCHAR)")
+    sdiv = (
+        "CASE WHEN {s} >= 0 THEN CAST({s} // n_docs AS BIGINT)"
+        " ELSE CAST(-((-({s})) // n_docs) AS BIGINT) END"
+    )
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         {lat} % 180000 - 90000 AS lat_milli,
+         {lon} % 360000 - 180000 AS lon_milli
+  FROM documents
+),
+cells AS (
+  SELECT *, CAST({_GEO_CELL.format(div='//')} AS BIGINT) AS cell
+  FROM planted
+),
+agg AS (
+  SELECT cell, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(lat_milli) AS BIGINT) AS slat,
+         CAST(sum(lon_milli) AS BIGINT) AS slon
+  FROM cells GROUP BY 1
+)
+SELECT cell,
+       substring('{GEO_ALPHABET}', CAST(cell AS INT) + 1, 1) AS geohash,
+       n_docs,
+       {sdiv.format(s='slat')} AS centroid_lat_milli,
+       {sdiv.format(s='slon')} AS centroid_lon_milli
+FROM agg
+"""
+
+
+QUERIES["es_geo_centroid"] = (es_geo_centroid, _sql_geo_centroid())
+
+
+# ------------------------------------------- index of dispersion (VMR)
+
+# The Poissonness diagnostic for the event stream (Cox & Lewis): the
+# variance-to-mean ratio of the densified hourly counts per event type.
+# A Poisson arrival process has VMR = 1; VMR > 1 is overdispersion
+# (bursts / daily cycles), VMR < 1 regularity. Complements events_acf
+# (serial dependence) with the marginal-distribution check — together
+# they are the "is this stream actually memoryless" pair an alerting
+# threshold (events_anomaly_zscore) implicitly assumes.
+#
+# Determinism: integer window moments on the densified series (the
+# n·s2 − s1² idiom — exact, Cauchy-Schwarz keeps it ≥ 0); VMR reported
+# as an exact integer rational (vmr_num / vmr_den) plus a floored
+# milli quotient: VMR = n·(n·s2 − s1²) / ((n−1)·n·s1) — all int64.
+#
+# Scale shape: one hourly groupBy + calendar-bounded densification +
+# one per-type agg; output is event-type-cardinality.
+
+
+def events_dispersion_index(spark, sf_dir):
+    """(event_type, n_hours, mean_milli, vmr_milli): variance-to-mean
+    ratio of hourly counts per type (sample variance), exact integers."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hour"),
+    )
+    b = ev.agg(F.min("hour").alias("mn"), F.max("hour").alias("mx")).collect()[0]
+    counts = ev.groupBy("event_type", "hour").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    hours = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.lit(b.mn), F.lit(b.mx))).alias("hour"),
+        )
+    )
+    dens = hours.join(counts, ["event_type", "hour"], "left").select(
+        "event_type",
+        F.coalesce("c", F.lit(0)).cast("long").alias("c"),
+    )
+    return (
+        dens.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("c").cast("long").alias("s1"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+        )
+        .select(
+            "event_type",
+            F.col("n").alias("n_hours"),
+            F.expr("CAST((1000 * s1) DIV n AS BIGINT)").alias("mean_milli"),
+            F.expr(
+                "CAST((1000 * n * (n * s2 - s1 * s1))"
+                " DIV ((n - 1) * n * s1) AS BIGINT)"
+            ).alias("vmr_milli"),
+        )
+    )
+
+
+SQL_DISPERSION_INDEX = f"""
+WITH ev AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour
+  FROM events
+),
+b AS (SELECT min(hour) AS mn, max(hour) AS mx FROM ev),
+counts AS (
+  SELECT event_type, hour, CAST(count(*) AS BIGINT) AS c
+  FROM ev GROUP BY 1, 2
+),
+hours AS (
+  SELECT event_type, CAST(h AS BIGINT) AS hour
+  FROM (SELECT DISTINCT event_type FROM ev)
+  CROSS JOIN (SELECT unnest(range((SELECT mn FROM b), (SELECT mx FROM b) + 1)) AS h)
+),
+dens AS (
+  SELECT hours.event_type, coalesce(counts.c, 0) AS c
+  FROM hours LEFT JOIN counts USING (event_type, hour)
+),
+agg AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(c) AS BIGINT) AS s1,
+         CAST(sum(c * c) AS BIGINT) AS s2
+  FROM dens GROUP BY 1
+)
+SELECT event_type, n AS n_hours,
+       CAST((1000 * s1) // n AS BIGINT) AS mean_milli,
+       CAST((1000 * n * (n * s2 - s1 * s1)) // ((n - 1) * n * s1) AS BIGINT)
+         AS vmr_milli
+FROM agg
+"""
+
+QUERIES["events_dispersion_index"] = (
+    events_dispersion_index,
+    SQL_DISPERSION_INDEX,
+)

@@ -1913,3 +1913,102 @@ def test_bandit_matches_python_simulation_and_converges(spark):
     assert all(reg[r] < reg[1] // 5 for r in range(2, BANDIT_ROUNDS + 1))
     # the best arm's estimate homes in on the planted CTR
     assert abs(got[(BANDIT_ROUNDS, best_arm)][5] - best_ctr) <= 30
+
+
+# ---------------------------------------------------- es_geo_centroid
+
+
+def test_geo_centroid_matches_python_recompute(spark):
+    from harvester_spark.operators.es_aggs import es_geo_centroid
+
+    doc_ids = [
+        r["doc_id"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    # independent canonical geohash precision-1 cell: 3 lon bits
+    # interleaved with 2 lat bits (lon first) via bisection
+    def cell_of(lat_m, lon_m):
+        lat_lo, lat_hi = -90000, 90000
+        lon_lo, lon_hi = -180000, 180000
+        bits = []
+        for i in range(5):
+            if i % 2 == 0:  # lon bit
+                mid = (lon_lo + lon_hi) // 2
+                bits.append(1 if lon_m >= mid else 0)
+                lon_lo, lon_hi = (mid, lon_hi) if bits[-1] else (lon_lo, mid)
+            else:  # lat bit
+                mid = (lat_lo + lat_hi) // 2
+                bits.append(1 if lat_m >= mid else 0)
+                lat_lo, lat_hi = (mid, lat_hi) if bits[-1] else (lat_lo, mid)
+        v = 0
+        for b in bits:
+            v = (v << 1) | b
+        return v
+
+    agg = {}
+    for d in doc_ids:
+        lat = _h56(f"lat:{d}") % 180000 - 90000
+        lon = _h56(f"lon:{d}") % 360000 - 180000
+        c = cell_of(lat, lon)
+        n, sla, slo = agg.get(c, (0, 0, 0))
+        agg[c] = (n + 1, sla + lat, slo + lon)
+
+    def sdiv(s, n):
+        return s // n if s >= 0 else -((-s) // n)
+
+    expect = {
+        c: (n, sdiv(sla, n), sdiv(slo, n))
+        for c, (n, sla, slo) in agg.items()
+    }
+    got = {
+        r["cell"]: (
+            r["n_docs"], r["centroid_lat_milli"], r["centroid_lon_milli"]
+        )
+        for r in es_geo_centroid(spark, SF_DIR).collect()
+    }
+    assert got == expect
+    # centroids sit inside their cell's lat/lon box for a sample cell
+    assert len(got) == 32  # uniform scatter fills all precision-1 cells
+
+
+# --------------------------------------------- events_dispersion_index
+
+
+def test_dispersion_index_matches_python_and_flags_poissonness(spark):
+    from harvester_spark.operators.web_econ import ACF_LAGS  # noqa: F401
+    from harvester_spark.operators.es_aggs import events_dispersion_index
+
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .selectExpr(
+            "event_type", "CAST(unix_timestamp(ts) AS LONG) DIV 3600 AS hour"
+        )
+        .collect()
+    )
+    mn = min(r["hour"] for r in rows)
+    mx = max(r["hour"] for r in rows)
+    per = {}
+    for r in rows:
+        per.setdefault(r["event_type"], Counter())[r["hour"]] += 1
+    expect = {}
+    for et, cnt in per.items():
+        xs = [cnt.get(h, 0) for h in range(mn, mx + 1)]
+        n, s1 = len(xs), sum(xs)
+        s2 = sum(x * x for x in xs)
+        expect[et] = (
+            n,
+            (1000 * s1) // n,
+            (1000 * n * (n * s2 - s1 * s1)) // ((n - 1) * n * s1),
+        )
+
+    got = {
+        r["event_type"]: (r["n_hours"], r["mean_milli"], r["vmr_milli"])
+        for r in events_dispersion_index(spark, SF_DIR).collect()
+    }
+    assert got == expect
+    # the uniform synthetic stream is Poisson-like: VMR near 1 for every
+    # type (the negative control — no overdispersion to invent)
+    for _, (_, _, vmr) in got.items():
+        assert 700 <= vmr <= 1400
