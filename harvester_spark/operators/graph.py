@@ -3049,3 +3049,165 @@ FROM ranked CROSS JOIN kk
 
 
 QUERIES["crawl_maxmin_fairshare"] = (crawl_maxmin_fairshare, _sql_maxmin())
+
+
+# --------------------------------------------- damping-factor sweep
+
+# PageRank's one tunable swept in a SINGLE job (the bm25_grid_tune_eval
+# discipline applied to the graph side): three damping factors
+# {70, 85, 95}% run as three integer fixed-point walks carried as
+# EXTRA COLUMNS on the same per-iteration edge join + groupBy — the
+# host_trustrank two-walk pattern generalized, so the sweep costs one
+# extra int64 column per grid point, not one extra pass over the graph.
+# The d = 85 column is BIT-IDENTICAL to host_pagerank's output (the
+# cross-operator identity the pytest pins), and the sweep's read-out —
+# how much the induced ranking reorders as damping rises — is the
+# sensitivity a link-spam analyst actually checks.
+#
+# Same integer contract as host_pagerank: multiply-then-integer-divide
+# on nonnegative int64, per-damping dangling redistribution,
+# localCheckpoint lineage cuts.
+
+PR_SWEEP = (70, 85, 95)
+
+
+def pagerank_damping_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(host, r70, r85, r95): integer PageRank mass per host under the
+    three swept damping factors, one shared edge scan per iteration."""
+    edges = _edges(spark, sf_dir).cache()
+    nodes = (
+        edges.select(F.col("src").alias("host"))
+        .union(edges.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").cast("long").alias("wout"))
+    n_df = F.broadcast(nodes.agg(F.count("*").cast("long").alias("n")))
+
+    ranks = nodes.crossJoin(n_df).select(
+        "host",
+        *[
+            F.expr(f"CAST({PR_UNIT} DIV n AS BIGINT)").alias(f"r{d}")
+            for d in PR_SWEEP
+        ],
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(
+                ranks.select(
+                    F.col("host").alias("src"),
+                    *[f"r{d}" for d in PR_SWEEP],
+                ),
+                "src",
+            )
+            .join(outw, "src")
+            .select(
+                F.col("dst").alias("host"),
+                *[
+                    F.expr(f"({d} * r{d} * w) DIV (100 * wout)").alias(f"c{d}")
+                    for d in PR_SWEEP
+                ],
+            )
+            .groupBy("host")
+            .agg(
+                *[
+                    F.sum(f"c{d}").cast("long").alias(f"c{d}")
+                    for d in PR_SWEEP
+                ]
+            )
+        )
+        dang = F.broadcast(
+            ranks.join(outw, ranks["host"] == outw["src"], "left_anti").agg(
+                *[
+                    F.coalesce(F.sum(f"r{d}"), F.lit(0))
+                    .cast("long")
+                    .alias(f"dg{d}")
+                    for d in PR_SWEEP
+                ]
+            )
+        )
+        ranks = (
+            nodes.join(contrib, "host", "left")
+            .crossJoin(dang)
+            .crossJoin(n_df)
+            .select(
+                "host",
+                *[
+                    F.expr(
+                        f"CAST({(100 - d) * PR_UNIT} DIV (100 * n)"
+                        f" + ({d} * dg{d}) DIV (100 * n)"
+                        f" + coalesce(c{d}, CAST(0 AS BIGINT)) AS BIGINT)"
+                    ).alias(f"r{d}")
+                    for d in PR_SWEEP
+                ],
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(
+        "host", *[F.col(f"r{d}").alias(f"r{d}") for d in PR_SWEEP]
+    )
+
+
+def _sql_pr_sweep() -> str:
+    hash_doc = _SQL_HASH56.format(col="CAST(doc_id AS VARCHAR)")
+    init_cols = ",\n         ".join(
+        f"CAST({PR_UNIT} // n AS BIGINT) AS r{d}" for d in PR_SWEEP
+    )
+    parts = [f"""WITH e AS (
+  SELECT source AS src,
+         'src' || CAST({hash_doc} % {PR_FANOUT} AS VARCHAR) AS dst
+  FROM documents
+),
+edges AS MATERIALIZED (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+  FROM e WHERE src <> dst GROUP BY 1, 2
+),
+nodes AS MATERIALIZED (
+  SELECT src AS host FROM edges UNION SELECT dst FROM edges
+),
+outw AS MATERIALIZED (
+  SELECT src, CAST(sum(w) AS BIGINT) AS wout FROM edges GROUP BY 1
+),
+nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+it0 AS MATERIALIZED (
+  SELECT host,
+         {init_cols}
+  FROM nodes CROSS JOIN nn
+)"""]
+    for k in range(1, PR_ITERS + 1):
+        csel = ",\n         ".join(
+            f"CAST(sum(({d} * r.r{d} * e.w) // (100 * o.wout)) AS BIGINT)"
+            f" AS c{d}"
+            for d in PR_SWEEP
+        )
+        dsel = ",\n         ".join(
+            f"CAST(coalesce(sum(r.r{d}), 0) AS BIGINT) AS dg{d}"
+            for d in PR_SWEEP
+        )
+        rsel = ",\n         ".join(
+            f"CAST({(100 - d) * PR_UNIT} // (100 * n)"
+            f" + ({d} * dg{d}) // (100 * n)"
+            f" + coalesce(c{d}, CAST(0 AS BIGINT)) AS BIGINT) AS r{d}"
+            for d in PR_SWEEP
+        )
+        parts.append(f""",
+c{k} AS MATERIALIZED (
+  SELECT e.dst AS host,
+         {csel}
+  FROM edges e JOIN it{k - 1} r ON e.src = r.host JOIN outw o ON e.src = o.src
+  GROUP BY 1
+),
+d{k} AS MATERIALIZED (
+  SELECT {dsel}
+  FROM it{k - 1} r LEFT JOIN outw o ON r.host = o.src WHERE o.src IS NULL
+),
+it{k} AS MATERIALIZED (
+  SELECT nodes.host,
+         {rsel}
+  FROM nodes LEFT JOIN c{k} USING (host) CROSS JOIN d{k} CROSS JOIN nn
+)""")
+    cols = ", ".join(f"r{d}" for d in PR_SWEEP)
+    parts.append(f"\nSELECT host, {cols} FROM it{PR_ITERS}")
+    return "".join(parts)
+
+
+QUERIES["pagerank_damping_sweep"] = (pagerank_damping_sweep, _sql_pr_sweep())

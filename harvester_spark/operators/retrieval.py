@@ -2429,3 +2429,156 @@ FROM scored GROUP BY 1
 
 
 QUERIES["ft_alpha_ndcg_eval"] = (ft_alpha_ndcg_eval, _sql_alpha_ndcg())
+
+
+# --------------------------------------------------- BM25 MaxP passages
+
+# Dai & Callan (SIGIR 2019) BM25-MaxP — the passage-evidence ranking
+# paradigm (retrieve by the BEST PASSAGE, not the whole document; the
+# long-document fix every modern reranker inherits): documents split
+# into overlapping token windows (width {MAXP_W}, stride {MAXP_S}),
+# BM25 computed at PASSAGE level with passage-level df / lengths /
+# avgdl, and a document's score is the max over its passages (best
+# passage reported). Deliberately a different evidence model from
+# ft_bm25_topk — long documents with one relevant region stop being
+# drowned by their own length normalization.
+#
+# Window-membership algebra is kept NONNEGATIVE throughout (w_min =
+# CASE pos ≤ {MAXP_W - 2} THEN 0 ELSE (pos − {MAXP_S}) DIV {MAXP_S}
+# END — Spark DIV truncates toward zero while DuckDB // floors, so a
+# negative intermediate would diverge; the CASE keeps every quotient
+# ≥ 0). Scoring is the ONE repo BM25 formula text on passage stats,
+# round-6; ties (score desc, chunk asc, doc asc).
+#
+# Scale shape: the membership explode is ≤ 2× the token scan (width =
+# 2·stride); passage stats are one (doc, window) agg + one term-passage
+# df agg (both map-side); the per-doc max is a WindowGroupLimit; the
+# final top-k is TakeOrdered.
+
+MAXP_W = 32
+MAXP_S = 16
+MAXP_K = 10
+
+
+def ft_bm25_maxp_topk(spark, sf_dir):
+    """(rank, doc_id, best_chunk, score): top-{MAXP_K} documents by
+    max-passage BM25 over {MAXP_W}-token windows (stride {MAXP_S})."""
+    from harvester_spark.operators.fulltext_queries import BM25_TERMS
+
+    toks = doc_tokens(spark, sf_dir)
+    memb = toks.select(
+        "doc_id",
+        "term",
+        F.explode(
+            F.expr(
+                f"sequence(CASE WHEN pos <= {MAXP_W - 2} THEN 0"
+                f" ELSE (pos - {MAXP_S}) DIV {MAXP_S} END,"
+                f" pos DIV {MAXP_S})"
+            )
+        ).alias("w"),
+    )
+    # clamp to the document's real window count (the tail window absorbs
+    # the remainder)
+    ndoc = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
+    memb = memb.join(ndoc, "doc_id").filter(
+        F.expr(
+            f"w <= CASE WHEN n <= {MAXP_W} THEN 0"
+            f" ELSE (n - {MAXP_W + 1}) DIV {MAXP_S} + 1 END"
+        )
+    )
+    pl = memb.groupBy("doc_id", "w").agg(F.count("*").alias("pl"))
+    np_df = F.broadcast(pl.agg(F.count("*").alias("n_p")))
+    avg = F.broadcast(pl.agg((F.sum("pl") / F.count("*")).alias("avgpl")))
+    ptf = (
+        memb.filter(F.col("term").isin(BM25_TERMS))
+        .groupBy("term", "doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    pdf = ptf.groupBy("term").agg(
+        F.countDistinct("doc_id", "w").alias("df")
+    )
+    scored = (
+        ptf.join(F.broadcast(pdf), "term")
+        .join(pl, ["doc_id", "w"])
+        .crossJoin(np_df)
+        .crossJoin(avg)
+        .withColumn(
+            "contrib",
+            F.log(1.0 + (F.col("n_p") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            * (F.col("tf") * 2.2)
+            / (F.col("tf") + 1.2 * (1.0 - 0.75 + 0.75 * F.col("pl") / F.col("avgpl"))),
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.round(F.sum("contrib"), 6).alias("score"))
+    )
+    wmax = W.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("w").asc()
+    )
+    best = (
+        scored.withColumn("rn", F.row_number().over(wmax))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("w").alias("best_chunk"), "score")
+    )
+    top = best.orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    ).limit(MAXP_K)
+    wr = W.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(wr)).select(
+        "rank", "doc_id", "best_chunk", "score"
+    )
+
+
+def _sql_maxp() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return f"""
+WITH toks AS ({SQL_DOC_TOKS}),
+nd AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+memb AS MATERIALIZED (
+  SELECT t.doc_id, t.term, CAST(u.w AS BIGINT) AS w
+  FROM toks t
+  JOIN nd USING (doc_id),
+  unnest(range(
+    CASE WHEN t.pos <= {MAXP_W - 2} THEN 0
+         ELSE (t.pos - {MAXP_S}) // {MAXP_S} END,
+    t.pos // {MAXP_S} + 1
+  )) AS u(w)
+  WHERE u.w <= CASE WHEN nd.n <= {MAXP_W} THEN 0
+                    ELSE (nd.n - {MAXP_W + 1}) // {MAXP_S} + 1 END
+),
+pl AS (SELECT doc_id, w, count(*) AS pl FROM memb GROUP BY 1, 2),
+np AS (SELECT count(*) AS n_p FROM pl),
+avgp AS (SELECT sum(pl) * 1.0e0 / count(*) AS avgpl FROM pl),
+ptf AS (
+  SELECT term, doc_id, w, count(*) AS tf FROM memb
+  WHERE term IN ({terms}) GROUP BY 1, 2, 3
+),
+pdf AS (
+  SELECT term, count(*) AS df FROM ptf GROUP BY 1
+),
+scored AS (
+  SELECT t.doc_id, t.w,
+         round(sum(
+           ln(1.0e0 + ((SELECT n_p FROM np) - d.df + 0.5e0) / (d.df + 0.5e0))
+           * (t.tf * 2.2e0)
+           / (t.tf + 1.2e0 * (1.0e0 - 0.75e0
+              + 0.75e0 * p.pl / (SELECT avgpl FROM avgp)))
+         ), 6) AS score
+  FROM ptf t JOIN pdf d USING (term) JOIN pl p USING (doc_id, w)
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT doc_id, w AS best_chunk, score FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, w ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT)
+         AS rank,
+       doc_id, best_chunk, score
+FROM best
+ORDER BY score DESC, doc_id ASC LIMIT {MAXP_K}
+"""
+
+
+QUERIES["ft_bm25_maxp_topk"] = (ft_bm25_maxp_topk, _sql_maxp())

@@ -2012,3 +2012,100 @@ def test_dispersion_index_matches_python_and_flags_poissonness(spark):
     # type (the negative control — no overdispersion to invent)
     for _, (_, _, vmr) in got.items():
         assert 700 <= vmr <= 1400
+
+
+# ------------------------------------------------ ft_bm25_maxp_topk
+
+
+def test_maxp_matches_python_recompute_and_differs_from_doc_bm25(spark, corpus14):
+    from harvester_spark.operators.fulltext_queries import BM25_TERMS
+    from harvester_spark.operators.retrieval import (
+        MAXP_K,
+        MAXP_S,
+        MAXP_W,
+        ft_bm25_maxp_topk,
+    )
+
+    # passages via the operator's membership algebra, exactly
+    passages = {}
+    for d, ts in corpus14.items():
+        n = len(ts)
+        w_cap = 0 if n <= MAXP_W else (n - MAXP_W - 1) // MAXP_S + 1
+        for pos, t in enumerate(ts):
+            w_lo = 0 if pos <= MAXP_W - 2 else (pos - MAXP_S) // MAXP_S
+            for w in range(w_lo, pos // MAXP_S + 1):
+                if w <= w_cap:
+                    passages.setdefault((d, w), []).append(t)
+
+    n_p = len(passages)
+    avgpl = sum(len(v) for v in passages.values()) / n_p
+    pdf = Counter()
+    for key, toks in passages.items():
+        for t in set(toks) & set(BM25_TERMS):
+            pdf[t] += 1
+    scores = {}
+    for (d, w), toks in passages.items():
+        tf = Counter(toks)
+        s = 0.0
+        for t in BM25_TERMS:
+            f = tf[t]
+            if not f:
+                continue
+            idf = math.log(1.0 + (n_p - pdf[t] + 0.5) / (pdf[t] + 0.5))
+            s += idf * (f * 2.2) / (
+                f + 1.2 * (1.0 - 0.75 + 0.75 * len(toks) / avgpl)
+            )
+        if s:
+            scores[(d, w)] = round(s, 6)
+    best = {}
+    for (d, w), s in scores.items():
+        cur = best.get(d)
+        if cur is None or (-s, w) < (-cur[1], cur[0]):
+            best[d] = (w, s)
+    expect = sorted(
+        ((s, d, w) for d, (w, s) in best.items()),
+        key=lambda x: (-x[0], x[1]),
+    )[:MAXP_K]
+    expect = [
+        (r, d, w, s) for r, (s, d, w) in enumerate(expect, start=1)
+    ]
+
+    got = [
+        (r["rank"], r["doc_id"], r["best_chunk"], r["score"])
+        for r in ft_bm25_maxp_topk(spark, SF_DIR).orderBy("rank").collect()
+    ]
+    assert got == expect
+
+    # MaxP is a genuinely different evidence model than whole-doc BM25
+    doc_rank = _bm25_rank(corpus14, BM25_TERMS, MAXP_K)
+    assert [d for _, d, _, _ in got] != doc_rank
+
+
+# --------------------------------------------- pagerank_damping_sweep
+
+
+def test_pr_sweep_d85_equals_host_pagerank_and_sweep_reorders(spark):
+    from harvester_spark.operators.graph import (
+        host_pagerank,
+        pagerank_damping_sweep,
+    )
+
+    sweep = {
+        r["host"]: (r["r70"], r["r85"], r["r95"])
+        for r in pagerank_damping_sweep(spark, SF_DIR).collect()
+    }
+    base = {
+        r["host"]: r["rank_unit"]
+        for r in host_pagerank(spark, SF_DIR).collect()
+    }
+    # cross-operator identity: the d=85 walk IS host_pagerank
+    assert {h: v[1] for h, v in sweep.items()} == base
+
+    # mass conservation (approximately PR_UNIT per damping, floor dust)
+    for i in range(3):
+        tot = sum(v[i] for v in sweep.values())
+        assert abs(tot - 10**9) < 10**6
+    # the sweep genuinely changes the mass distribution
+    r70 = sorted(sweep, key=lambda h: (-sweep[h][0], h))
+    r95 = sorted(sweep, key=lambda h: (-sweep[h][2], h))
+    assert r70 != r95
