@@ -171,6 +171,14 @@ HEADLINE = [
     "shard_select_redde",
     "cache_lru_stack_distance",
     "events_holt_winters",
+    # session-14 tail: Shapley attribution, matrix profile, hedged tail,
+    # MaxP passages, the 3-damping PageRank sweep, the batched bandit
+    "events_attribution_shapley",
+    "events_matrix_profile",
+    "serving_hedge_tail_eval",
+    "ft_bm25_maxp_topk",
+    "pagerank_damping_sweep",
+    "bandit_batched_egreedy",
 ]
 WARMUP_DOCS = 2000
 
