@@ -920,3 +920,216 @@ JOIN st{r} s ON s.arm = a.arm""")
 
 
 QUERIES["bandit_batched_egreedy"] = (bandit_batched_egreedy, _sql_bandit())
+
+
+# --------------------------------------------------- batched UCB1
+
+# Auer, Cesa-Bianchi & Fischer (2002) UCB1 beside the ε-greedy batch
+# bandit — the DETERMINISTIC exploration strategy (optimism under
+# uncertainty replaces the random ε slice): each round allocates ALL
+# of its traffic to the arm maximizing
+#   ucb = est + sqrt(2·ln(t) / n_arm)
+# over the cumulative stats, seeded by one warm-up round that pulls
+# every arm equally (UCB is undefined at n = 0 — the standard init).
+# Same planted arm CTRs as bandit_batched_egreedy, so the two
+# strategies are directly comparable on regret; the pytest pins that
+# UCB1 also finds the best arm and that its post-convergence regret is
+# ZERO (no ε floor — the structural difference between the two).
+#
+# Determinism: est is a floored milli division; the confidence radius
+# is ONE shared float string on the integer (t, n) pair with the
+# micro-floor idiom, so the per-round 6-row argmax is bit-identical in
+# both engines; click draws are the same md5 scatter keyed by the
+# chosen arm.
+
+UCB_ROUNDS = 5
+UCB_N = 2000
+_UCB_RAD = (
+    "CAST(floor(sqrt(2.0e0 * ln(CAST({t} AS DOUBLE)) /"
+    " CAST({n} AS DOUBLE)) * 1.0e3 + 0.5e0) AS BIGINT)"
+)
+
+
+def bandit_ucb1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(round, arm, chosen_arm, pulls, clicks, cum_pulls, cum_clicks,
+    ucb_milli, regret_units): batched UCB1 over the planted arm CTRs;
+    round 1 is the equal-pull warm-up."""
+    best_ctr = max(150 + (a * 137) % 700 for a in range(BANDIT_ARMS))
+    arms = spark.range(BANDIT_ARMS).select(
+        F.col("id").cast("long").alias("arm")
+    )
+    stats = arms.select(
+        "arm",
+        F.lit(0).cast("long").alias("cum_pulls"),
+        F.lit(0).cast("long").alias("cum_clicks"),
+    ).localCheckpoint()
+    out = None
+    for r in range(1, UCB_ROUNDS + 1):
+        if r == 1:
+            # warm-up: every arm gets an equal slice
+            imp = spark.range(UCB_N).select(
+                (F.col("id") % BANDIT_ARMS).cast("long").alias("arm"),
+                F.col("id").cast("long").alias("i"),
+            )
+            chosen = None
+        else:
+            t_total = (r - 1) * UCB_N
+            chosen = F.broadcast(
+                stats.select(
+                    F.col("arm").alias("chosen_arm"),
+                    (
+                        F.expr(
+                            "CASE WHEN cum_pulls > 0"
+                            " THEN (1000 * cum_clicks) DIV cum_pulls"
+                            " ELSE CAST(0 AS BIGINT) END"
+                        )
+                        + F.expr(
+                            _UCB_RAD.format(t=t_total, n="cum_pulls")
+                        )
+                    ).alias("ucb"),
+                )
+                .orderBy(F.col("ucb").desc(), F.col("chosen_arm").asc())
+                .limit(1)
+                .select("chosen_arm")
+            )
+            imp = (
+                spark.range(UCB_N)
+                .select(F.col("id").cast("long").alias("i"))
+                .crossJoin(chosen)
+                .select(F.col("chosen_arm").alias("arm"), "i")
+            )
+        imp = imp.withColumn(
+            "clicked",
+            F.expr(
+                f"CASE WHEN CAST(conv(substring(md5(concat('u3|{r}|',"
+                " CAST(i AS STRING), '|', CAST(arm AS STRING))),"
+                " 1, 14), 16, 10) AS BIGINT) % 1000"
+                f" < {_B_CTR.format(arm='arm')} THEN 1 ELSE 0 END"
+            ).cast("long"),
+        )
+        rc = imp.groupBy("arm").agg(
+            F.count("*").cast("long").alias("pulls"),
+            F.sum("clicked").cast("long").alias("clicks"),
+        )
+        stats = (
+            stats.join(rc, "arm", "left")
+            .select(
+                "arm",
+                (F.col("cum_pulls") + F.coalesce("pulls", F.lit(0)))
+                .cast("long").alias("cum_pulls"),
+                (F.col("cum_clicks") + F.coalesce("clicks", F.lit(0)))
+                .cast("long").alias("cum_clicks"),
+            )
+            .localCheckpoint()
+        )
+        t_next = r * UCB_N
+        row = (
+            arms.join(rc, "arm", "left")
+            .join(stats, "arm")
+            .select(
+                F.lit(r).alias("round"),
+                "arm",
+                F.coalesce("pulls", F.lit(0)).cast("long").alias("pulls"),
+                F.coalesce("clicks", F.lit(0)).cast("long").alias("clicks"),
+                "cum_pulls",
+                "cum_clicks",
+                (
+                    F.expr(
+                        "CASE WHEN cum_pulls > 0"
+                        " THEN (1000 * cum_clicks) DIV cum_pulls"
+                        " ELSE CAST(0 AS BIGINT) END"
+                    )
+                    + F.expr(_UCB_RAD.format(t=t_next, n="cum_pulls"))
+                ).cast("long").alias("ucb_milli"),
+                F.expr(
+                    f"CAST(coalesce(pulls, 0)"
+                    f" * ({best_ctr} - {_B_CTR.format(arm='arm')})"
+                    " AS BIGINT)"
+                ).alias("regret_units"),
+            )
+        )
+        if chosen is None:
+            row = row.withColumn("chosen_arm", F.lit(-1).cast("long"))
+        else:
+            row = row.crossJoin(
+                chosen.withColumnRenamed("chosen_arm", "ca")
+            ).withColumn("chosen_arm", F.col("ca")).drop("ca")
+        out_row = row.select(
+            "round", "arm", "chosen_arm", "pulls", "clicks",
+            "cum_pulls", "cum_clicks", "ucb_milli", "regret_units",
+        )
+        out = out_row if out is None else out.unionByName(out_row)
+    return out
+
+
+def _sql_ucb1() -> str:
+    best_ctr = max(150 + (a * 137) % 700 for a in range(BANDIT_ARMS))
+    parts = [f"""
+WITH arms AS (SELECT CAST(unnest(range({BANDIT_ARMS})) AS BIGINT) AS arm),
+ist AS (
+  SELECT arm, CAST(0 AS BIGINT) AS cum_pulls, CAST(0 AS BIGINT) AS cum_clicks
+  FROM arms
+)"""]
+    prev = "ist"
+    selects = []
+    for r in range(1, UCB_ROUNDS + 1):
+        if r == 1:
+            impsrc = f"""
+  SELECT CAST(i % {BANDIT_ARMS} AS BIGINT) AS arm, CAST(i AS BIGINT) AS i
+  FROM (SELECT unnest(range({UCB_N})) AS i)"""
+            chosen_expr = "CAST(-1 AS BIGINT)"
+        else:
+            t_total = (r - 1) * UCB_N
+            parts.append(f""",
+ch{r} AS MATERIALIZED (
+  SELECT arm AS chosen_arm FROM (
+    SELECT arm,
+           CASE WHEN cum_pulls > 0
+                THEN (1000 * cum_clicks) // cum_pulls
+                ELSE CAST(0 AS BIGINT) END
+           + {_UCB_RAD.format(t=t_total, n='cum_pulls')} AS ucb
+    FROM {prev}
+  ) ORDER BY ucb DESC, chosen_arm ASC LIMIT 1
+)""")
+            impsrc = f"""
+  SELECT (SELECT chosen_arm FROM ch{r}) AS arm, CAST(i AS BIGINT) AS i
+  FROM (SELECT unnest(range({UCB_N})) AS i)"""
+            chosen_expr = f"(SELECT chosen_arm FROM ch{r})"
+        parts.append(f""",
+urc{r} AS MATERIALIZED (
+  SELECT arm, CAST(count(*) AS BIGINT) AS pulls,
+         CAST(sum(CASE WHEN
+           CAST(('0x' || substr(md5('u3|{r}|' || CAST(i AS VARCHAR)
+                || '|' || CAST(arm AS VARCHAR)), 1, 14)) AS BIGINT) % 1000
+           < {_B_CTR.format(arm='arm')} THEN 1 ELSE 0 END) AS BIGINT)
+           AS clicks
+  FROM ({impsrc}) GROUP BY 1
+),
+ust{r} AS MATERIALIZED (
+  SELECT s.arm,
+         CAST(s.cum_pulls + coalesce(c.pulls, 0) AS BIGINT) AS cum_pulls,
+         CAST(s.cum_clicks + coalesce(c.clicks, 0) AS BIGINT) AS cum_clicks
+  FROM {prev} s LEFT JOIN urc{r} c USING (arm)
+)""")
+        t_next = r * UCB_N
+        selects.append(f"""
+SELECT {r} AS round, a.arm, {chosen_expr} AS chosen_arm,
+       CAST(coalesce(c.pulls, 0) AS BIGINT) AS pulls,
+       CAST(coalesce(c.clicks, 0) AS BIGINT) AS clicks,
+       s.cum_pulls, s.cum_clicks,
+       CAST(CASE WHEN s.cum_pulls > 0
+            THEN (1000 * s.cum_clicks) // s.cum_pulls
+            ELSE CAST(0 AS BIGINT) END
+            + {_UCB_RAD.format(t=t_next, n='s.cum_pulls')} AS BIGINT)
+         AS ucb_milli,
+       CAST(coalesce(c.pulls, 0)
+            * ({best_ctr} - {_B_CTR.format(arm='a.arm')}) AS BIGINT)
+         AS regret_units
+FROM arms a
+LEFT JOIN urc{r} c ON c.arm = a.arm
+JOIN ust{r} s ON s.arm = a.arm""")
+        prev = f"ust{r}"
+    return "".join(parts) + "\nUNION ALL".join(selects)
+
+
+QUERIES["bandit_ucb1"] = (bandit_ucb1, _sql_ucb1())

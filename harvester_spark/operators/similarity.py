@@ -3277,3 +3277,235 @@ FROM f
 """
 
 QUERIES["emb_cka_jl"] = (emb_cka_jl, SQL_EMB_CKA_JL)
+
+
+# ------------------------------------------- triplet-margin accuracy
+
+# The metric-learning eval (Schroff et al.'s FaceNet objective, read as
+# a diagnostic): over deterministic (anchor, positive, negative)
+# triplets — positive shares the anchor's label, negative is drawn from
+# a different md5-chosen label — the fraction with
+# d²(a, p) < d²(a, n). Complements emb_silhouette / emb_kmeans_purity:
+# silhouette scores the clustering, purity scores a trained quantizer,
+# triplet accuracy scores the RAW embedding geometry against labels
+# directly (what a contrastive fine-tune would optimize).
+#
+# Triplet construction is fully relational: positives via the cyclic
+# next-vec_id-in-label window (lead with first_value wraparound;
+# single-member labels drop), negatives via a rank join into the target
+# label's vec_id order at an md5 offset — no driver sampling. Distances
+# are round-6 double sums (the cosine-kernel discipline); the strict <
+# comparison of two identical round-6 doubles is engine-stable.
+#
+# The raw corpus embeddings are NEAR-ISOTROPIC (the emb_pca_power
+# lesson: label structure in raw euclidean geometry is weak — measured
+# ≈ 0.53 accuracy, an honest near-chance NEGATIVE control kept in the
+# output), so the op also evaluates a PLANTED positive control: a
+# deterministic per-(label, pos) shift added to every vector. The shift
+# cancels EXACTLY inside positive pairs (same label ⇒ same shift) and
+# inflates anchor-negative distances, so the shifted accuracy must be
+# high — the eval is thereby shown to DISCRIMINATE geometry, not to
+# report a constant (the events_benford positive-control discipline).
+#
+# Scale shape: anchors are the bounded labeled subset (vec_id <
+# TRIP_ANCHORS — the emb_silhouette contract); three component joins on
+# the triplet dimension + one scalar agg.
+
+TRIP_ANCHORS = 100
+_TRIP_SHIFT = (  # Spark-syntax twin of the DuckDB shift in the oracle SQL
+    "((CAST(conv(substring(md5(concat('shift|', CAST({lab} AS STRING), ':',"
+    " CAST({pos} AS STRING))), 1, 14), 16, 10) AS BIGINT) % 2001 - 1000)"
+    " / 2500.0e0)"
+)
+
+
+def emb_triplet_margin_eval(spark, sf_dir):
+    """(n_triplets, n_correct, acc_milli): fraction of deterministic
+    label triplets where the anchor sits closer to its positive than
+    to its negative (squared euclidean, round-6)."""
+    from harvester_spark.operators.dedup import _hash56
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    wlab = W.partitionBy("label").orderBy("vec_id")
+    pos = emb.select(
+        "vec_id",
+        "label",
+        F.coalesce(
+            F.lead("vec_id").over(wlab),
+            F.first("vec_id").over(
+                wlab.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+            ),
+        ).alias("pos_id"),
+    )
+    labs = emb.select("label").distinct()
+    nl = F.broadcast(labs.agg(F.count("*").cast("long").alias("n_labels")))
+    lsizes = emb.groupBy("label").agg(
+        F.count("*").cast("long").alias("lsz")
+    )
+    ranked = emb.withColumn(
+        "rn", F.row_number().over(wlab).cast("long")
+    ).select(F.col("label").alias("nlabel"), "rn",
+             F.col("vec_id").alias("neg_id"))
+    anchors = (
+        pos.filter(
+            (F.col("vec_id") < TRIP_ANCHORS)
+            & (F.col("pos_id") != F.col("vec_id"))
+        )
+        .crossJoin(nl)
+        .withColumn(
+            "h",
+            _hash56(F.concat(F.lit("neg|"), F.col("vec_id").cast("string"))),
+        )
+        .withColumn(
+            "nlabel",
+            F.expr("CAST((label + 1 + h % (n_labels - 1)) % n_labels"
+                   " AS INT)"),
+        )
+        .join(
+            F.broadcast(
+                lsizes.select(F.col("label").alias("nlabel"), "lsz")
+            ),
+            "nlabel",
+        )
+        .withColumn("rn", F.expr("h % lsz + 1").cast("long"))
+        .join(F.broadcast(ranked), ["nlabel", "rn"])
+        .select("vec_id", "pos_id", "neg_id")
+    )
+    comp = _components(spark, sf_dir)
+
+    def d2(id_col, val_alias):
+        side = comp.select(
+            F.col("vec_id").alias(id_col), "pos",
+            F.col("val").alias(val_alias),
+        )
+        return side
+
+    a = comp.filter(F.col("vec_id") < TRIP_ANCHORS).select(
+        F.col("vec_id"), "pos", F.col("val").alias("av")
+    )
+    lab_of = emb.select(F.col("vec_id"), F.col("label"))
+    anchors2 = (
+        anchors.join(lab_of, "vec_id")
+        .withColumnRenamed("label", "alab")
+        .join(
+            lab_of.select(
+                F.col("vec_id").alias("neg_id"), F.col("label").alias("nlab")
+            ),
+            "neg_id",
+        )
+    )
+    sh_a = F.expr(_TRIP_SHIFT.format(lab="alab", pos="pos"))
+    sh_n = F.expr(_TRIP_SHIFT.format(lab="nlab", pos="pos"))
+    trip = (
+        anchors2.join(a, "vec_id")
+        .join(d2("pos_id", "pv"), ["pos_id", "pos"])
+        .join(d2("neg_id", "nv"), ["neg_id", "pos"])
+        .groupBy("vec_id", "pos_id", "neg_id")
+        .agg(
+            F.round(
+                F.sum((F.col("av") - F.col("pv")) * (F.col("av") - F.col("pv"))),
+                6,
+            ).alias("d2p"),
+            F.round(
+                F.sum((F.col("av") - F.col("nv")) * (F.col("av") - F.col("nv"))),
+                6,
+            ).alias("d2n"),
+            # planted control: the shift cancels in the positive pair,
+            # so only the negative distance changes
+            F.round(
+                F.sum(
+                    (F.col("av") + sh_a - F.col("nv") - sh_n)
+                    * (F.col("av") + sh_a - F.col("nv") - sh_n)
+                ),
+                6,
+            ).alias("d2n_sh"),
+        )
+    )
+    return trip.agg(
+        F.count("*").cast("long").alias("n_triplets"),
+        F.sum((F.col("d2p") < F.col("d2n")).cast("long"))
+        .cast("long")
+        .alias("raw_correct"),
+        F.sum((F.col("d2p") < F.col("d2n_sh")).cast("long"))
+        .cast("long")
+        .alias("shifted_correct"),
+    ).select(
+        "n_triplets",
+        "raw_correct",
+        F.expr(
+            "CAST((1000 * raw_correct) DIV n_triplets AS BIGINT)"
+        ).alias("raw_acc_milli"),
+        "shifted_correct",
+        F.expr(
+            "CAST((1000 * shifted_correct) DIV n_triplets AS BIGINT)"
+        ).alias("shifted_acc_milli"),
+    )
+
+
+def _sql_triplet() -> str:
+    from harvester_spark.operators.dedup import _SQL_HASH56
+
+    h = _SQL_HASH56.format(col="'neg|' || CAST(vec_id AS VARCHAR)")
+    return f"""
+WITH emb AS (SELECT vec_id, label FROM embeddings),
+pos AS (
+  SELECT vec_id, label,
+         coalesce(
+           lead(vec_id) OVER (PARTITION BY label ORDER BY vec_id),
+           first_value(vec_id) OVER (
+             PARTITION BY label ORDER BY vec_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ) AS pos_id
+  FROM emb
+),
+nl AS (SELECT CAST(count(DISTINCT label) AS BIGINT) AS n_labels FROM emb),
+lsizes AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS lsz FROM emb GROUP BY 1
+),
+ranked AS (
+  SELECT label AS nlabel,
+         CAST(row_number() OVER (PARTITION BY label ORDER BY vec_id)
+              AS BIGINT) AS rn,
+         vec_id AS neg_id
+  FROM emb
+),
+anchors AS (
+  SELECT p.vec_id, p.pos_id, r.neg_id, p.alab, r.nlabel AS nlab
+  FROM (
+    SELECT vec_id, pos_id, label AS alab,
+           CAST((label + 1 + {h} % ((SELECT n_labels FROM nl) - 1))
+                % (SELECT n_labels FROM nl) AS INT) AS nlabel,
+           {h} AS h
+    FROM pos
+    WHERE vec_id < {TRIP_ANCHORS} AND pos_id <> vec_id
+  ) p
+  JOIN lsizes s ON s.label = p.nlabel
+  JOIN ranked r ON r.nlabel = p.nlabel AND r.rn = p.h % s.lsz + 1
+),
+comp AS ({_SQL_COMPONENTS}),
+trip AS (
+  SELECT t.vec_id, t.pos_id, t.neg_id,
+         round(sum((a.val - pv.val) * (a.val - pv.val)), 6) AS d2p,
+         round(sum((a.val - nv.val) * (a.val - nv.val)), 6) AS d2n,
+         round(sum((a.val + ((CAST(('0x' || substr(md5('shift|' || CAST(t.alab AS VARCHAR) || ':' || CAST(a.pos AS VARCHAR)), 1, 14)) AS BIGINT) % 2001 - 1000) / 2500.0e0) - nv.val - ((CAST(('0x' || substr(md5('shift|' || CAST(t.nlab AS VARCHAR) || ':' || CAST(a.pos AS VARCHAR)), 1, 14)) AS BIGINT) % 2001 - 1000) / 2500.0e0))
+               * (a.val + ((CAST(('0x' || substr(md5('shift|' || CAST(t.alab AS VARCHAR) || ':' || CAST(a.pos AS VARCHAR)), 1, 14)) AS BIGINT) % 2001 - 1000) / 2500.0e0) - nv.val - ((CAST(('0x' || substr(md5('shift|' || CAST(t.nlab AS VARCHAR) || ':' || CAST(a.pos AS VARCHAR)), 1, 14)) AS BIGINT) % 2001 - 1000) / 2500.0e0))), 6) AS d2n_sh
+  FROM anchors t
+  JOIN comp a ON a.vec_id = t.vec_id
+  JOIN comp pv ON pv.vec_id = t.pos_id AND pv.pos = a.pos
+  JOIN comp nv ON nv.vec_id = t.neg_id AND nv.pos = a.pos
+  GROUP BY 1, 2, 3
+)
+SELECT CAST(count(*) AS BIGINT) AS n_triplets,
+       CAST(sum(CASE WHEN d2p < d2n THEN 1 ELSE 0 END) AS BIGINT)
+         AS raw_correct,
+       CAST((1000 * CAST(sum(CASE WHEN d2p < d2n THEN 1 ELSE 0 END)
+            AS BIGINT)) // count(*) AS BIGINT) AS raw_acc_milli,
+       CAST(sum(CASE WHEN d2p < d2n_sh THEN 1 ELSE 0 END) AS BIGINT)
+         AS shifted_correct,
+       CAST((1000 * CAST(sum(CASE WHEN d2p < d2n_sh THEN 1 ELSE 0 END)
+            AS BIGINT)) // count(*) AS BIGINT) AS shifted_acc_milli
+FROM trip
+"""
+
+
+QUERIES["emb_triplet_margin_eval"] = (emb_triplet_margin_eval, _sql_triplet())

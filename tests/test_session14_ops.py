@@ -2109,3 +2109,149 @@ def test_pr_sweep_d85_equals_host_pagerank_and_sweep_reorders(spark):
     r70 = sorted(sweep, key=lambda h: (-sweep[h][0], h))
     r95 = sorted(sweep, key=lambda h: (-sweep[h][2], h))
     assert r70 != r95
+
+
+# -------------------------------------------------------- bandit_ucb1
+
+
+def test_ucb1_matches_python_simulation_and_zero_regret_rounds(spark):
+    from harvester_spark.operators.click_models import (
+        BANDIT_ARMS,
+        UCB_N,
+        UCB_ROUNDS,
+        bandit_ucb1,
+    )
+
+    ctr = {a: 150 + (a * 137) % 700 for a in range(BANDIT_ARMS)}
+    best_arm = max(ctr, key=lambda a: (ctr[a], -a))
+    best_ctr = ctr[best_arm]
+
+    def rad(t, n):
+        return math.floor(
+            math.sqrt(2.0 * math.log(float(t)) / float(n)) * 1e3 + 0.5
+        )
+
+    cum_p = Counter()
+    cum_c = Counter()
+    expect = {}
+    for r in range(1, UCB_ROUNDS + 1):
+        if r == 1:
+            alloc = [(i % BANDIT_ARMS, i) for i in range(UCB_N)]
+            chosen = -1
+        else:
+            t = (r - 1) * UCB_N
+            ucb = {
+                a: ((1000 * cum_c[a]) // cum_p[a] if cum_p[a] else 0)
+                + rad(t, cum_p[a])
+                for a in range(BANDIT_ARMS)
+            }
+            chosen = sorted(
+                range(BANDIT_ARMS), key=lambda a: (-ucb[a], a)
+            )[0]
+            alloc = [(chosen, i) for i in range(UCB_N)]
+        pulls = Counter()
+        clicks = Counter()
+        for arm, i in alloc:
+            pulls[arm] += 1
+            if _h56(f"u3|{r}|{i}|{arm}") % 1000 < ctr[arm]:
+                clicks[arm] += 1
+        for a in range(BANDIT_ARMS):
+            cum_p[a] += pulls[a]
+            cum_c[a] += clicks[a]
+        t_next = r * UCB_N
+        for a in range(BANDIT_ARMS):
+            est = (1000 * cum_c[a]) // cum_p[a] if cum_p[a] else 0
+            expect[(r, a)] = (
+                chosen, pulls[a], clicks[a], cum_p[a], cum_c[a],
+                est + rad(t_next, cum_p[a]),
+                pulls[a] * (best_ctr - ctr[a]),
+            )
+
+    got = {
+        (r["round"], r["arm"]): (
+            r["chosen_arm"], r["pulls"], r["clicks"], r["cum_pulls"],
+            r["cum_clicks"], r["ucb_milli"], r["regret_units"],
+        )
+        for r in bandit_ucb1(spark, SF_DIR).collect()
+    }
+    assert got == expect
+
+    # canonical UCB behavior: the best arm wins most exploit rounds, at
+    # least two rounds have ZERO regret (no epsilon floor -- the
+    # structural contrast with bandit_batched_egreedy), and the warm-up
+    # spreads pulls evenly
+    chosen_rounds = [got[(r, 0)][0] for r in range(2, UCB_ROUNDS + 1)]
+    assert sum(1 for c in chosen_rounds if c == best_arm) >= 3
+    reg = {
+        r: sum(got[(r, a)][6] for a in range(BANDIT_ARMS))
+        for r in range(1, UCB_ROUNDS + 1)
+    }
+    assert sum(1 for r in range(2, UCB_ROUNDS + 1) if reg[r] == 0) >= 2
+    warm = [got[(1, a)][1] for a in range(BANDIT_ARMS)]
+    assert max(warm) - min(warm) <= 1
+
+
+# ------------------------------------------- emb_triplet_margin_eval
+
+
+def test_triplet_eval_matches_python_and_controls_separate(spark):
+    from harvester_spark.operators.similarity import (
+        TRIP_ANCHORS,
+        emb_triplet_margin_eval,
+    )
+
+    rows = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    emb = {r["vec_id"]: [float(v) for v in r["embedding"]] for r in rows}
+    lab = {r["vec_id"]: r["label"] for r in rows}
+    labels = sorted(set(lab.values()))
+    nl = len(labels)
+    by_lab = {}
+    for v in sorted(lab):
+        by_lab.setdefault(lab[v], []).append(v)
+
+    def shift(label, pos):
+        return (_h56(f"shift|{label}:{pos}") % 2001 - 1000) / 2500.0
+
+    n_t = raw_c = sh_c = 0
+    for a_id in sorted(emb):
+        if a_id >= TRIP_ANCHORS:
+            continue
+        mem = by_lab[lab[a_id]]
+        ix = mem.index(a_id)
+        p_id = mem[(ix + 1) % len(mem)]
+        if p_id == a_id:
+            continue
+        h = _h56(f"neg|{a_id}")
+        nlabel = (lab[a_id] + 1 + h % (nl - 1)) % nl
+        nmem = by_lab[nlabel]
+        n_id = nmem[h % len(nmem)]
+        d2p = round(
+            sum((x - y) ** 2 for x, y in zip(emb[a_id], emb[p_id])), 6
+        )
+        d2n = round(
+            sum((x - y) ** 2 for x, y in zip(emb[a_id], emb[n_id])), 6
+        )
+        d2n_sh = round(
+            sum(
+                (x + shift(lab[a_id], p) - y - shift(nlabel, p)) ** 2
+                for p, (x, y) in enumerate(zip(emb[a_id], emb[n_id]))
+            ),
+            6,
+        )
+        n_t += 1
+        raw_c += d2p < d2n
+        sh_c += d2p < d2n_sh
+
+    row = emb_triplet_margin_eval(spark, SF_DIR).collect()[0]
+    assert (
+        row["n_triplets"], row["raw_correct"], row["shifted_correct"]
+    ) == (n_t, raw_c, sh_c)
+    assert row["raw_acc_milli"] == (1000 * raw_c) // n_t
+    assert row["shifted_acc_milli"] == (1000 * sh_c) // n_t
+
+    # the controls separate: raw geometry is near-chance (the embeddings
+    # are near-isotropic -- honest negative control), the planted shift
+    # is decisively recovered
+    assert 350 <= row["raw_acc_milli"] <= 680
+    assert row["shifted_acc_milli"] >= 900
+    assert row["shifted_acc_milli"] > row["raw_acc_milli"] + 200
