@@ -3211,3 +3211,153 @@ it{k} AS MATERIALIZED (
 
 
 QUERIES["pagerank_damping_sweep"] = (pagerank_damping_sweep, _sql_pr_sweep())
+
+
+# ----------------------------------------------- HyperBall / ANF
+
+# Palmer-Gibbons-Faloutsos ANF via Boldi-Vigna HyperBall (WSDM 2011) —
+# THE distributed algorithm for neighborhood functions and effective
+# diameter on web graphs: every node carries a 256-register HyperLogLog
+# of its ≤h-hop ball, and one hop is ONE edge join + a (node, bucket)
+# register max — the register file is the mergeable state, exactly the
+# windowed_user_hll discipline lifted onto graph iteration. Runs
+# HB_HOPS hops on the sparse undirected host graph and emits every
+# node's per-depth register digest + estimate (the fold is the shared
+# sketches.hll_fold_registers algebra, s_num an exact int64 so both
+# engines agree bit-for-bit; only the final estimate division is the
+# ONE shared float string).
+#
+# Pinned invariants: est is non-decreasing in h per node (registers
+# only grow), h=0 estimates 1 exactly (LinearCounting at a single
+# filled register), and the pytest BFS-recomputes every TRUE ball size
+# and bounds the relative error at the 1.04/√256 scale.
+#
+# Scale shape per hop: one edges⋈registers equi-join + one
+# map-side-combinable max agg — state is nodes×256 rows, never
+# ball-sized; the classic trillion-edge formulation is this exact plan.
+
+HB_HOPS = 3
+
+
+def host_hyperball_anf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(host, h, n_registers, v_zero, s_num, est): per-node HyperLogLog
+    ball-size digests for hop depths 0..{HB_HOPS} over the sparse
+    undirected host graph."""
+    from harvester_spark.operators.sketches import (
+        HLL_M,
+        _rho_case,
+        hll_fold_registers,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    fan = max(docs.count() // 2, 20)
+    dst = F.concat(
+        F.lit("h"),
+        (_hash56(F.col("doc_id").cast("string")) % fan).cast("string"),
+    )
+    e0 = docs.select(F.col("source").alias("src"), dst.alias("dst")).filter(
+        F.col("src") != F.col("dst")
+    )
+    und = (
+        e0.select("src", "dst")
+        .union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .cache()
+    )
+    nodes = und.select(F.col("src").alias("host")).distinct()
+    hv = _hash56(F.col("host"))
+    # the rho CASE expression needs the raw hash bound as a column first
+    reg = (
+        nodes.withColumn("h56", hv)
+        .select(
+            "host",
+            (F.col("h56") % HLL_M).cast("long").alias("bucket"),
+            F.expr(f"CAST({_rho_case(f'(h56 DIV {HLL_M})')} AS BIGINT)")
+            .alias("r"),
+        )
+        .localCheckpoint()
+    )
+    out = hll_fold_registers(reg, "host").withColumn(
+        "h", F.lit(0).cast("int")
+    )
+    for k in range(1, HB_HOPS + 1):
+        nbr = (
+            und.join(reg.withColumnRenamed("host", "dst"), "dst")
+            .select(F.col("src").alias("host"), "bucket", "r")
+        )
+        reg = (
+            reg.unionByName(nbr)
+            .groupBy("host", "bucket")
+            .agg(F.max("r").alias("r"))
+            .localCheckpoint()
+        )
+        out = out.unionByName(
+            hll_fold_registers(reg, "host").withColumn(
+                "h", F.lit(k).cast("int")
+            )
+        )
+    return out.select("host", "h", "n_registers", "v_zero", "s_num", "est")
+
+
+def _sql_hyperball() -> str:
+    from harvester_spark.operators.sketches import (
+        _HLL_C,
+        _HLL_RMAX,
+        HLL_M,
+        _rho_case,
+    )
+
+    hash_doc = _SQL_HASH56.format(col="CAST(doc_id AS VARCHAR)")
+    hash_host = _SQL_HASH56.format(col="host")
+    fold = f"""
+  SELECT host, {{h}} AS h, CAST(count(*) AS BIGINT) AS n_registers,
+         CAST({HLL_M} - count(*) AS BIGINT) AS v_zero,
+         CAST(sum(CAST(power(2, {_HLL_RMAX} - r) AS BIGINT))
+              + ({HLL_M} - count(*)) * CAST(power(2, {_HLL_RMAX}) AS BIGINT)
+              AS BIGINT) AS s_num
+  FROM reg{{k}} GROUP BY host"""
+    parts = [f"""
+WITH fanh AS (
+  SELECT greatest(CAST(count(*) AS BIGINT) // 2, 20) AS f FROM documents
+),
+e0 AS (
+  SELECT source AS src,
+         'h' || CAST({hash_doc} % (SELECT f FROM fanh) AS VARCHAR) AS dst
+  FROM documents
+),
+und AS MATERIALIZED (
+  SELECT src, dst FROM e0 WHERE src <> dst
+  UNION
+  SELECT dst, src FROM e0 WHERE src <> dst
+),
+nodes AS (SELECT DISTINCT src AS host FROM und),
+reg0 AS MATERIALIZED (
+  SELECT host, CAST(h56 % {HLL_M} AS BIGINT) AS bucket,
+         CAST({_rho_case(f"(h56 // {HLL_M})")} AS BIGINT) AS r
+  FROM (SELECT host, {hash_host} AS h56 FROM nodes)
+)"""]
+    for k in range(1, HB_HOPS + 1):
+        parts.append(f""",
+reg{k} AS MATERIALIZED (
+  SELECT host, bucket, max(r) AS r FROM (
+    SELECT host, bucket, r FROM reg{k - 1}
+    UNION ALL
+    SELECT u.src AS host, p.bucket, p.r
+    FROM und u JOIN reg{k - 1} p ON p.host = u.dst
+  ) GROUP BY 1, 2
+)""")
+    folds = []
+    for k in range(0, HB_HOPS + 1):
+        folds.append(
+            f"SELECT host, h, n_registers, v_zero, s_num,\n"
+            f"       round(CASE WHEN {_HLL_C} / s_num <= {2.5 * HLL_M}"
+            f" AND v_zero > 0\n"
+            f"       THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / v_zero)\n"
+            f"       ELSE {_HLL_C} / s_num END, 6) AS est\n"
+            f"FROM ({fold.format(h=k, k=k)})"
+        )
+    parts.append("\n" + "\nUNION ALL\n".join(folds))
+    return "".join(parts)
+
+
+QUERIES["host_hyperball_anf"] = (host_hyperball_anf, _sql_hyperball())

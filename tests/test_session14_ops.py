@@ -2255,3 +2255,78 @@ def test_triplet_eval_matches_python_and_controls_separate(spark):
     assert 350 <= row["raw_acc_milli"] <= 680
     assert row["shifted_acc_milli"] >= 900
     assert row["shifted_acc_milli"] > row["raw_acc_milli"] + 200
+
+
+# --------------------------------------------------- host_hyperball_anf
+
+
+def test_hyperball_registers_match_python_and_track_true_balls(spark):
+    from harvester_spark.operators.graph import HB_HOPS, host_hyperball_anf
+    from harvester_spark.operators.sketches import HLL_M
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "source"
+    ).collect()
+    fan = max(len(docs) // 2, 20)
+    adj = {}
+    for r in docs:
+        dst = f"h{_h56(str(r['doc_id'])) % fan}"
+        src = r["source"]
+        if src != dst:
+            adj.setdefault(src, set()).add(dst)
+            adj.setdefault(dst, set()).add(src)
+    nodes = sorted(adj)
+
+    # exact balls by BFS
+    balls = {v: [{v}] for v in nodes}
+    for h in range(1, HB_HOPS + 1):
+        for v in nodes:
+            prev = balls[v][h - 1]
+            nxt = set(prev)
+            for u in prev:
+                nxt |= adj.get(u, set())
+            balls[v].append(nxt)
+
+    # recompute the HLL register files exactly
+    W_BITS = 48
+    RMAX = W_BITS + 1
+
+    def rho(w):
+        for j in range(W_BITS - 1, -1, -1):
+            if w >= (1 << j):
+                return W_BITS - j
+        return RMAX
+
+    def digest(members):
+        regs = {}
+        for m in members:
+            hv = _h56(m)
+            b = hv % HLL_M
+            r = rho(hv // HLL_M)
+            regs[b] = max(regs.get(b, 0), r)
+        n_reg = len(regs)
+        s_num = sum(2 ** (RMAX - r) for r in regs.values()) + (
+            HLL_M - n_reg
+        ) * 2**RMAX
+        return n_reg, HLL_M - n_reg, s_num
+
+    got = {
+        (r["host"], r["h"]): (
+            r["n_registers"], r["v_zero"], r["s_num"], r["est"]
+        )
+        for r in host_hyperball_anf(spark, SF_DIR).collect()
+    }
+    for v in nodes:
+        for h in range(HB_HOPS + 1):
+            n_reg, v0, s_num = digest(balls[v][h])
+            assert got[(v, h)][:3] == (n_reg, v0, s_num), (v, h)
+
+    # estimates track the true ball sizes within generous HLL bounds
+    for v in nodes:
+        ests = [got[(v, h)][3] for h in range(HB_HOPS + 1)]
+        assert all(b >= a for a, b in zip(ests, ests[1:]))  # monotone
+        # own ball: LinearCounting of one element = m*ln(m/(m-1)) ~ 1.002
+        assert abs(got[(v, 0)][3] - 1.0) < 0.01
+        true2 = len(balls[v][2])
+        if true2 >= 30:
+            assert abs(got[(v, 2)][3] - true2) / true2 < 0.35
