@@ -3231,3 +3231,94 @@ FROM ranked GROUP BY policy
 
 
 QUERIES["serving_hedge_tail_eval"] = (serving_hedge_tail_eval, _sql_hedge())
+
+
+# ------------------------------------------ filter storage advisor
+
+# The per-filter-value physical-layout decision every engine makes
+# (Lucene: postings vs docvalues bitmap; warehouses: RLE bitmap vs
+# id-list): for each facet value of the two filterable document
+# dimensions (lang, source), store the matching docID set as a delta-
+# varbyte postings run (bytes grow with df and SHRINK with clustering —
+# dense runs have 1-byte gaps) or as a dense bitmap over the docID
+# space (bytes = ⌈N/8⌉, df-independent)? The advisor computes BOTH
+# exact byte costs from the real docID distribution and picks the
+# smaller (ties → postings, the seekable format). The classic rule of
+# thumb (bitmap wins past ~1/8 density with ~1-byte gaps) falls out of
+# the numbers rather than being assumed.
+#
+# Determinism: gaps via a per-value lag window on docIDs; byte lengths
+# through the SHARED _vb_len threshold expression; all counts BIGINT.
+#
+# Scale shape: one (dimension, value)-keyed window over the projected
+# doc table + one agg; output is facet-cardinality. At web scale this
+# runs on the same sorted-docID pass the index build already makes.
+
+
+def filter_storage_advisor(spark, sf_dir):
+    """(dim, value, df, density_milli, postings_bytes, bitmap_bytes,
+    chosen): exact storage-format decision per filterable facet value."""
+    docs = load(spark, sf_dir, "documents")
+    n_df = F.broadcast(docs.agg(F.count("*").cast("long").alias("n")))
+    vals = docs.selectExpr(
+        "doc_id", "stack(2, 'lang', lang, 'source', source) AS (dim, value)"
+    )
+    wv = W.partitionBy("dim", "value").orderBy("doc_id")
+    gaps = vals.withColumn(
+        "gap",
+        (F.col("doc_id") - F.coalesce(
+            F.lag("doc_id").over(wv), F.lit(-1)
+        )).cast("long"),
+    )
+    per = gaps.groupBy("dim", "value").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum(F.expr(_vb_len("gap"))).cast("long").alias("postings_bytes"),
+    )
+    return per.crossJoin(n_df).select(
+        "dim",
+        "value",
+        "df",
+        F.expr("CAST((1000 * df) DIV n AS BIGINT)").alias("density_milli"),
+        "postings_bytes",
+        F.expr("CAST((n + 7) DIV 8 AS BIGINT)").alias("bitmap_bytes"),
+        F.expr(
+            "CASE WHEN postings_bytes <= (n + 7) DIV 8"
+            " THEN 'postings' ELSE 'bitmap' END"
+        ).alias("chosen"),
+    )
+
+
+def _sql_storage_advisor() -> str:
+    return f"""
+WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+vals AS (
+  SELECT doc_id, 'lang' AS dim, lang AS value FROM documents
+  UNION ALL
+  SELECT doc_id, 'source', source FROM documents
+),
+gaps AS (
+  SELECT dim, value,
+         CAST(doc_id - coalesce(lag(doc_id) OVER (
+           PARTITION BY dim, value ORDER BY doc_id
+         ), -1) AS BIGINT) AS gap
+  FROM vals
+),
+per AS (
+  SELECT dim, value, CAST(count(*) AS BIGINT) AS df,
+         CAST(sum({_vb_len('gap')}) AS BIGINT) AS postings_bytes
+  FROM gaps GROUP BY 1, 2
+)
+SELECT dim, value, df,
+       CAST((1000 * df) // n AS BIGINT) AS density_milli,
+       postings_bytes,
+       CAST((n + 7) // 8 AS BIGINT) AS bitmap_bytes,
+       CASE WHEN postings_bytes <= (n + 7) // 8
+            THEN 'postings' ELSE 'bitmap' END AS chosen
+FROM per CROSS JOIN nn
+"""
+
+
+QUERIES["filter_storage_advisor"] = (
+    filter_storage_advisor,
+    _sql_storage_advisor(),
+)

@@ -2330,3 +2330,56 @@ def test_hyperball_registers_match_python_and_track_true_balls(spark):
         true2 = len(balls[v][2])
         if true2 >= 30:
             assert abs(got[(v, 2)][3] - true2) / true2 < 0.35
+
+
+# ------------------------------------------- filter_storage_advisor
+
+
+def test_storage_advisor_matches_python_and_both_formats_win(spark):
+    from harvester_spark.operators.index_stats import filter_storage_advisor
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "lang", "source"
+    ).collect()
+    n = len(docs)
+
+    def vb(gap):
+        return 1 + sum(1 for k in range(1, 8) if gap >= 128**k)
+
+    expect = {}
+    for dim in ("lang", "source"):
+        groups = {}
+        for r in docs:
+            groups.setdefault(r[dim], []).append(r["doc_id"])
+        for v, ids in groups.items():
+            ids.sort()
+            prev = -1
+            pb = 0
+            for d in ids:
+                pb += vb(d - prev)
+                prev = d
+            bb = (n + 7) // 8
+            expect[(dim, v)] = (
+                len(ids),
+                (1000 * len(ids)) // n,
+                pb,
+                bb,
+                "postings" if pb <= bb else "bitmap",
+            )
+
+    got = {
+        (r["dim"], r["value"]): (
+            r["df"], r["density_milli"], r["postings_bytes"],
+            r["bitmap_bytes"], r["chosen"],
+        )
+        for r in filter_storage_advisor(spark, SF_DIR).collect()
+    }
+    assert got == expect
+
+    # the decision is real: both formats win somewhere, and every
+    # bitmap pick is denser than every postings pick
+    chosen = {v[4] for v in got.values()}
+    assert chosen == {"postings", "bitmap"}
+    bmin = min(v[1] for v in got.values() if v[4] == "bitmap")
+    pmax = max(v[1] for v in got.values() if v[4] == "postings")
+    assert bmin > pmax
