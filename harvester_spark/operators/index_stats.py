@@ -3322,3 +3322,134 @@ QUERIES["filter_storage_advisor"] = (
     filter_storage_advisor,
     _sql_storage_advisor(),
 )
+
+
+# ------------------------------------------ rendezvous (HRW) hashing
+
+# Thaler & Ravishankar's Highest-Random-Weight hashing — the OTHER
+# minimal-disruption placement scheme next to consistent_hash_eval's
+# virtual-node ring (real fleets choose between them: HRW needs no ring
+# state and gives per-key independence, the ring gives O(log n)
+# lookup): every doc lands on the shard maximizing md5(doc, shard), at
+# NS and again at NS+1 shards. The two defining properties are pinned:
+# (1) MINIMAL DISRUPTION — a doc moves ONLY to the newly added shard
+# (its old argmax is unchanged unless the new shard's weight beats it);
+# (2) BALANCE — per-shard load stays near n/NS without virtual nodes
+# (the ring needs CH_VNODES of them for the same spread; the balance
+# columns make the comparison readable).
+#
+# Determinism: weights are the md5-56bit integers themselves; argmax
+# ties (weight desc, shard asc) — a measure-zero tie on 56-bit hashes
+# but the total order is the contract.
+#
+# Scale shape: a docs × NS weight grid (dimension explode, map-only) +
+# one argmax window per regime + one shard agg. HRW's own cost model.
+
+HRW_N = 8
+
+
+def rendezvous_hash_eval(spark, sf_dir):
+    """(shard, n_docs_new, n_docs_old, n_moved_in, load_new_milli):
+    HRW assignment at {HRW_N + 1} shards vs {HRW_N}, per new shard."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    n_df = F.broadcast(docs.agg(F.count("*").cast("long").alias("n")))
+
+    def assign(ns: int, out: str):
+        shards = spark.range(ns).select(F.col("id").cast("long").alias("s"))
+        grid = docs.crossJoin(F.broadcast(shards)).select(
+            "doc_id",
+            "s",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|", F.lit("hrw"), F.col("doc_id").cast("string"),
+                            F.col("s").cast("string"),
+                        )
+                    ), 1, 14,
+                ), 16, 10,
+            ).cast("long").alias("w"),
+        )
+        wmax = W.partitionBy("doc_id").orderBy(
+            F.col("w").desc(), F.col("s").asc()
+        )
+        return (
+            grid.withColumn("rn", F.row_number().over(wmax))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", F.col("s").alias(out))
+        )
+
+    old = assign(HRW_N, "s_old")
+    new = assign(HRW_N + 1, "s_new")
+    both = old.join(new, "doc_id")
+    agg = both.groupBy(F.col("s_new").alias("shard")).agg(
+        F.count("*").cast("long").alias("n_docs_new"),
+        F.sum((F.col("s_old") == F.col("s_new")).cast("long"))
+        .cast("long")
+        .alias("n_stayed"),
+    )
+    old_sizes = old.groupBy(F.col("s_old").alias("shard")).agg(
+        F.count("*").cast("long").alias("n_docs_old")
+    )
+    return (
+        agg.join(old_sizes, "shard", "left")
+        .crossJoin(n_df)
+        .select(
+            "shard",
+            "n_docs_new",
+            F.coalesce("n_docs_old", F.lit(0)).cast("long").alias(
+                "n_docs_old"
+            ),
+            (F.col("n_docs_new") - F.col("n_stayed")).cast("long").alias(
+                "n_moved_in"
+            ),
+            F.expr(
+                f"CAST((1000 * {HRW_N + 1} * n_docs_new) DIV n AS BIGINT)"
+            ).alias("load_new_milli"),
+        )
+    )
+
+
+def _sql_hrw() -> str:
+    h = "CAST(('0x' || substr(md5('hrw' || '|' || CAST(doc_id AS VARCHAR) || '|' || CAST(s AS VARCHAR)), 1, 14)) AS BIGINT)"
+
+    def assign(ns, name):
+        return f"""
+{name} AS MATERIALIZED (
+  SELECT doc_id, s FROM (
+    SELECT doc_id, s,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY {h} DESC, s ASC) AS rn
+    FROM documents
+    CROSS JOIN (SELECT CAST(unnest(range({ns})) AS BIGINT) AS s)
+  ) WHERE rn = 1
+)"""
+
+    return f"""
+WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+{assign(HRW_N, 'old_a')},
+{assign(HRW_N + 1, 'new_a')},
+both_a AS (
+  SELECT o.doc_id, o.s AS s_old, w.s AS s_new
+  FROM old_a o JOIN new_a w USING (doc_id)
+),
+agg AS (
+  SELECT s_new AS shard, CAST(count(*) AS BIGINT) AS n_docs_new,
+         CAST(sum(CASE WHEN s_old = s_new THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_stayed
+  FROM both_a GROUP BY 1
+),
+old_sizes AS (
+  SELECT s AS shard, CAST(count(*) AS BIGINT) AS n_docs_old
+  FROM old_a GROUP BY 1
+)
+SELECT a.shard, a.n_docs_new,
+       CAST(coalesce(o.n_docs_old, 0) AS BIGINT) AS n_docs_old,
+       CAST(a.n_docs_new - a.n_stayed AS BIGINT) AS n_moved_in,
+       CAST((1000 * {HRW_N + 1} * a.n_docs_new) // n AS BIGINT)
+         AS load_new_milli
+FROM agg a LEFT JOIN old_sizes o USING (shard) CROSS JOIN nn
+"""
+
+
+QUERIES["rendezvous_hash_eval"] = (rendezvous_hash_eval, _sql_hrw())

@@ -2383,3 +2383,60 @@ def test_storage_advisor_matches_python_and_both_formats_win(spark):
     bmin = min(v[1] for v in got.values() if v[4] == "bitmap")
     pmax = max(v[1] for v in got.values() if v[4] == "postings")
     assert bmin > pmax
+
+
+# --------------------------------------------- rendezvous_hash_eval
+
+
+def test_hrw_minimal_disruption_and_matches_python(spark):
+    from harvester_spark.operators.index_stats import (
+        HRW_N,
+        rendezvous_hash_eval,
+    )
+
+    doc_ids = [
+        r["doc_id"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+
+    def assign(ns):
+        out = {}
+        for d in doc_ids:
+            out[d] = max(
+                range(ns), key=lambda s: (_h56(f"hrw|{d}|{s}"), -s)
+            )
+        return out
+
+    old = assign(HRW_N)
+    new = assign(HRW_N + 1)
+    n = len(doc_ids)
+    expect = {}
+    for s in range(HRW_N + 1):
+        nd_new = sum(1 for d in doc_ids if new[d] == s)
+        nd_old = sum(1 for d in doc_ids if old[d] == s)
+        stayed = sum(1 for d in doc_ids if new[d] == s and old[d] == s)
+        expect[s] = (
+            nd_new, nd_old, nd_new - stayed,
+            (1000 * (HRW_N + 1) * nd_new) // n,
+        )
+
+    got = {
+        r["shard"]: (
+            r["n_docs_new"], r["n_docs_old"], r["n_moved_in"],
+            r["load_new_milli"],
+        )
+        for r in rendezvous_hash_eval(spark, SF_DIR).collect()
+    }
+    assert got == expect
+
+    # the HRW defining property: docs move ONLY INTO the new shard
+    for s in range(HRW_N):
+        assert got[s][2] == 0
+    assert got[HRW_N][2] == got[HRW_N][0] > 0
+    # and the moved fraction is the minimal ~1/(NS+1)
+    moved = got[HRW_N][2]
+    assert abs(moved - n // (HRW_N + 1)) < n // 4
+    # balance without virtual nodes: every shard within 2x of fair share
+    assert all(300 < v[3] < 2000 for v in got.values())
