@@ -2278,3 +2278,179 @@ QUERIES["ft_fairness_exposure_eval"] = (
     ft_fairness_exposure_eval,
     _sql_fairness_exposure(),
 )
+
+
+# ---------------------------------------- result-cache containment
+
+# Semantic result-cache reuse (Fagni et al., ACM TOIS 2006 — the
+# SDC/containment family): under AND semantics, adding terms can only
+# SHRINK the result set, so a cached result for query q₁ can serve any
+# q₂ ⊇ q₁ by filtering — IF the implication actually holds in the
+# engine. This operator takes every ordered pair of registry queries
+# (plus the flagship AND query), decides reuse by the TERM-SUBSET test,
+# and then VERIFIES the set containment empirically against the exact
+# AND result sets — emitting both the plan bit and the proof bit, so a
+# violated implication (an analyzer or scoring asymmetry) would surface
+# as plan=true, verified=false. On this corpus every subset pair must
+# verify (pinned), and non-subset pairs serve as controls where
+# containment genuinely fails.
+#
+# Determinism: result sets are exact AND matches (no scores involved);
+# counts are BIGINTs.
+#
+# Scale shape: one term-filtered scan builds all per-query match sets
+# (query dimension broadcast into the token scan); pair logic runs on
+# the |Q|² dimension with two semi-join-shaped aggregates.
+
+CONT_QUERIES = {
+    "flag": ("key", "value", "table"),
+    "head": ("key", "value"),
+    "mixed": ("table", "merge"),
+    "rare": ("dup", "scan"),
+}
+
+
+def query_containment_plan(spark, sf_dir):
+    """(q_cached, q_new, subset_plan, n_cached, n_new, n_overlap,
+    containment_verified, reuse): term-subset cache-reuse decisions for
+    every ordered registry-query pair, with the set containment proven
+    against exact AND results."""
+    toks = doc_tokens(spark, sf_dir).select("doc_id", "term").distinct()
+    qt = spark.createDataFrame(
+        [(q, t) for q, ts in sorted(CONT_QUERIES.items()) for t in ts],
+        "q string, term string",
+    )
+    qlen = F.broadcast(
+        qt.groupBy("q").agg(F.count("*").cast("long").alias("qlen"))
+    )
+    matches = (
+        qt.join(toks, "term")
+        .groupBy("q", "doc_id")
+        .agg(F.count("*").cast("long").alias("hit"))
+        .join(qlen, "q")
+        .filter(F.col("hit") == F.col("qlen"))
+        .select("q", "doc_id")
+        .cache()
+    )
+    counts = matches.groupBy("q").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    # term-subset plan bit per ordered pair
+    a = qt.select(F.col("q").alias("q_cached"), "term")
+    b = qt.select(F.col("q").alias("q_new"), F.col("term").alias("t2"))
+    shared = (
+        a.join(b, a["term"] == b["t2"])
+        .groupBy("q_cached", "q_new")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    pairs = (
+        qlen.select(F.col("q").alias("q_cached"), F.col("qlen").alias("la"))
+        .crossJoin(
+            qlen.select(F.col("q").alias("q_new"), F.col("qlen").alias("lb"))
+        )
+        .filter(F.col("q_cached") != F.col("q_new"))
+        .join(shared, ["q_cached", "q_new"], "left")
+        .withColumn(
+            "subset_plan",
+            F.coalesce("n_shared", F.lit(0)) == F.col("la"),
+        )
+    )
+    ov = (
+        matches.select(F.col("q").alias("q_cached"), "doc_id")
+        .join(
+            matches.select(F.col("q").alias("q_new"), "doc_id"), "doc_id"
+        )
+        .filter(F.col("q_cached") != F.col("q_new"))
+        .groupBy("q_cached", "q_new")
+        .agg(F.count("*").cast("long").alias("n_overlap"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(
+                counts.select(
+                    F.col("q").alias("q_cached"), F.col("n_docs").alias("n_cached")
+                )
+            ),
+            "q_cached",
+        )
+        .join(
+            F.broadcast(
+                counts.select(
+                    F.col("q").alias("q_new"), F.col("n_docs").alias("n_new")
+                )
+            ),
+            "q_new",
+        )
+        .join(ov, ["q_cached", "q_new"], "left")
+        .select(
+            "q_cached",
+            "q_new",
+            "subset_plan",
+            "n_cached",
+            "n_new",
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            (
+                F.coalesce("n_overlap", F.lit(0)) == F.col("n_new")
+            ).alias("containment_verified"),
+            (
+                F.col("subset_plan")
+                & (F.coalesce("n_overlap", F.lit(0)) == F.col("n_new"))
+            ).alias("reuse"),
+        )
+    )
+
+
+def _sql_containment() -> str:
+    qvals = ", ".join(
+        f"('{q}', '{t}')" for q, ts in sorted(CONT_QUERIES.items()) for t in ts
+    )
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, term FROM ({SQL_DOC_TOKS})
+),
+qt AS (SELECT * FROM (VALUES {qvals}) v(q, term)),
+qlen AS (SELECT q, CAST(count(*) AS BIGINT) AS qlen FROM qt GROUP BY 1),
+matches AS MATERIALIZED (
+  SELECT m.q, m.doc_id
+  FROM (
+    SELECT qt.q, t.doc_id, count(*) AS hit
+    FROM qt JOIN toks t USING (term)
+    GROUP BY 1, 2
+  ) m JOIN qlen l ON l.q = m.q AND m.hit = l.qlen
+),
+counts AS (
+  SELECT q, CAST(count(*) AS BIGINT) AS n_docs FROM matches GROUP BY 1
+),
+shared AS (
+  SELECT a.q AS q_cached, b.q AS q_new, CAST(count(*) AS BIGINT) AS n_shared
+  FROM qt a JOIN qt b ON a.term = b.term
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT la.q AS q_cached, lb.q AS q_new,
+         coalesce(s.n_shared, 0) = la.qlen AS subset_plan
+  FROM qlen la CROSS JOIN qlen lb
+  LEFT JOIN shared s ON s.q_cached = la.q AND s.q_new = lb.q
+  WHERE la.q <> lb.q
+),
+ov AS (
+  SELECT a.q AS q_cached, b.q AS q_new, CAST(count(*) AS BIGINT) AS n_overlap
+  FROM matches a JOIN matches b ON a.doc_id = b.doc_id AND a.q <> b.q
+  GROUP BY 1, 2
+)
+SELECT p.q_cached, p.q_new, p.subset_plan,
+       ca.n_docs AS n_cached, cb.n_docs AS n_new,
+       CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+       coalesce(o.n_overlap, 0) = cb.n_docs AS containment_verified,
+       p.subset_plan AND coalesce(o.n_overlap, 0) = cb.n_docs AS reuse
+FROM pairs p
+JOIN counts ca ON ca.q = p.q_cached
+JOIN counts cb ON cb.q = p.q_new
+LEFT JOIN ov o ON o.q_cached = p.q_cached AND o.q_new = p.q_new
+"""
+
+
+QUERIES["query_containment_plan"] = (
+    query_containment_plan,
+    _sql_containment(),
+)

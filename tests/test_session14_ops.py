@@ -2440,3 +2440,44 @@ def test_hrw_minimal_disruption_and_matches_python(spark):
     assert abs(moved - n // (HRW_N + 1)) < n // 4
     # balance without virtual nodes: every shard within 2x of fair share
     assert all(300 < v[3] < 2000 for v in got.values())
+
+
+# --------------------------------------------- query_containment_plan
+
+
+def test_containment_implication_holds_and_matches_python(spark, corpus14):
+    from harvester_spark.operators.ranking_ext import (
+        CONT_QUERIES,
+        query_containment_plan,
+    )
+
+    match = {
+        q: {d for d, ts in corpus14.items() if set(terms) <= set(ts)}
+        for q, terms in CONT_QUERIES.items()
+    }
+    expect = {}
+    for qa, ta in CONT_QUERIES.items():
+        for qb, tb in CONT_QUERIES.items():
+            if qa == qb:
+                continue
+            plan = set(ta) <= set(tb)
+            ov = len(match[qa] & match[qb])
+            ver = ov == len(match[qb])
+            expect[(qa, qb)] = (
+                plan, len(match[qa]), len(match[qb]), ov, ver, plan and ver
+            )
+
+    got = {
+        (r["q_cached"], r["q_new"]): (
+            r["subset_plan"], r["n_cached"], r["n_new"], r["n_overlap"],
+            r["containment_verified"], r["reuse"],
+        )
+        for r in query_containment_plan(spark, SF_DIR).collect()
+    }
+    assert got == expect
+
+    # the AND-semantics implication holds wherever planned, at least one
+    # pair genuinely reuses, and the non-subset controls genuinely fail
+    assert all(v[4] for v in got.values() if v[0])
+    assert any(v[5] for v in got.values())
+    assert all(not v[4] for v in got.values() if not v[0])
