@@ -2481,3 +2481,36 @@ def test_containment_implication_holds_and_matches_python(spark, corpus14):
     assert all(v[4] for v in got.values() if v[0])
     assert any(v[5] for v in got.values())
     assert all(not v[4] for v in got.values() if not v[0])
+
+
+# --------------------------------------------------- plan-shape guards
+
+
+def test_session14_plan_shapes(spark):
+    """Structural scale claims made in session-14 docstrings, asserted
+    on the actual physical plans (the test_scale_plans discipline)."""
+    from harvester_spark.operators.es_aggs import es_frequent_item_sets
+    from harvester_spark.operators.click_models import (
+        bandit_batched_egreedy,
+        events_cascade_hourly,
+    )
+    from harvester_spark.operators.retrieval import ft_rocchio_rerank_topk
+
+    # Apriori: the L1 prune is a real semi-join in the plan (cold items
+    # never reach pair formation)
+    plan = es_frequent_item_sets(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+
+    # the bandit is pure synthesis: no parquet scan anywhere
+    plan = bandit_batched_egreedy(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" not in plan
+
+    # the cascade hourly op is ONE aggregation over a map-only explode:
+    # no join in the whole plan (the row-local synthesis claim)
+    plan = events_cascade_hourly(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+    # Rocchio: the expansion vocabulary and idf ride BROADCAST joins
+    # into the corpus scan (the bounded-dimension claim)
+    plan = ft_rocchio_rerank_topk(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
