@@ -1109,3 +1109,141 @@ FROM num
 """
 
 QUERIES["ft_dispersion_dp"] = (ft_dispersion_dp, SQL_DISPERSION_DP)
+
+
+# ---------------------------------------------- TextTiling segmentation
+
+# Hearst (1997) TextTiling — discourse/topic segmentation, the family
+# (snippets, keywords, collocations, dispersion) was missing: slide two
+# adjacent TT_W-token windows across the stream and place a boundary at
+# the lexical-cohesion VALLEY (adjacent windows sharing few tokens).
+# The word-soup corpus has flat cohesion (no real topics — segmentation
+# would be degenerate), so every doc gets a PLANTED two-topic pseudo
+# stream: TT_LEN tokens, topic A vocabulary before a hash-chosen
+# boundary b ∈ [{TT_W}, {TT_LEN - TT_W}], topic B after — the detector
+# must RECOVER b (the planted-recovery discipline; ≥ 80% of docs within
+# ±2 is the pytest pin, and the synthesis is non-degenerate because
+# both vocabularies are 8-way draws, not constants).
+#
+# Cohesion is the exact integer multiset overlap Σ_t min(c_left(t),
+# c_right(t)) (the cosine numerator without floats); detected boundary
+# = argmin over gap positions (tie: position asc) — the valley pick of
+# the simplified TextTiling (no smoothing pass; documented).
+#
+# Scale shape: the planted stream is a map-only explode; each gap's two
+# windows come from ONE band join of token positions against the gap
+# dimension (bounded: TT_LEN − 2·TT_W + 1 gaps/doc); counts and the min
+# fold are map-side-combinable; argmin is a per-doc window.
+
+TT_LEN = 48
+TT_W = 8
+TT_VOCAB = 8
+
+
+def ft_texttiling_segment(spark, sf_dir):
+    """(doc_id, planted_b, detected_b, valley_overlap, hit2): TextTiling
+    valley boundary vs the planted topic switch, per document."""
+    from harvester_spark.operators.dedup import _hash56
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    nb = TT_LEN - 2 * TT_W  # boundary span width
+    planted = docs.withColumn(
+        "planted_b",
+        (
+            TT_W
+            + _hash56(F.concat(F.lit("ttb|"), F.col("doc_id").cast("string")))
+            % (nb + 1)
+        ).cast("long"),
+    ).cache()
+    toks = planted.select(
+        "doc_id",
+        "planted_b",
+        F.explode(F.sequence(F.lit(0), F.lit(TT_LEN - 1))).alias("i"),
+    ).select(
+        "doc_id",
+        "planted_b",
+        "i",
+        F.expr(
+            f"concat(CASE WHEN i < planted_b THEN 'a' ELSE 'b' END,"
+            f" CAST(CAST(conv(substring(md5(concat('ttw|',"
+            f" CAST(doc_id AS STRING), '|', CAST(i AS STRING))),"
+            f" 1, 14), 16, 10) AS BIGINT) % {TT_VOCAB} AS STRING))"
+        ).alias("tok"),
+    )
+    gaps = spark.range(TT_W, TT_LEN - TT_W + 1).select(
+        F.col("id").cast("long").alias("g")
+    )
+    win = (
+        toks.crossJoin(F.broadcast(gaps))
+        .filter(
+            (F.col("i") >= F.col("g") - TT_W) & (F.col("i") < F.col("g") + TT_W)
+        )
+        .withColumn("side", (F.col("i") < F.col("g")).cast("int"))
+        .groupBy("doc_id", "planted_b", "g", "tok")
+        .agg(
+            F.sum(F.col("side")).cast("long").alias("cl"),
+            F.sum(1 - F.col("side")).cast("long").alias("cr"),
+        )
+    )
+    overlap = win.groupBy("doc_id", "planted_b", "g").agg(
+        F.sum(F.least("cl", "cr")).cast("long").alias("ov")
+    )
+    wmin = W.partitionBy("doc_id").orderBy(F.col("ov").asc(), F.col("g").asc())
+    return (
+        overlap.withColumn("rn", F.row_number().over(wmin))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "planted_b",
+            F.col("g").alias("detected_b"),
+            F.col("ov").alias("valley_overlap"),
+            (F.abs(F.col("g") - F.col("planted_b")) <= 2).alias("hit2"),
+        )
+    )
+
+
+def _sql_texttiling() -> str:
+    from harvester_spark.operators.dedup import _SQL_HASH56
+
+    hb = _SQL_HASH56.format(col="'ttb|' || CAST(doc_id AS VARCHAR)")
+    hw = _SQL_HASH56.format(
+        col="'ttw|' || CAST(doc_id AS VARCHAR) || '|' || CAST(i AS VARCHAR)"
+    )
+    nb = TT_LEN - 2 * TT_W
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         CAST({TT_W} + {hb} % {nb + 1} AS BIGINT) AS planted_b
+  FROM documents
+),
+toks AS MATERIALIZED (
+  SELECT doc_id, planted_b, CAST(i AS BIGINT) AS i,
+         (CASE WHEN i < planted_b THEN 'a' ELSE 'b' END)
+           || CAST({hw} % {TT_VOCAB} AS VARCHAR) AS tok
+  FROM planted CROSS JOIN (SELECT unnest(range({TT_LEN})) AS i)
+),
+win AS (
+  SELECT doc_id, planted_b, g, tok,
+         CAST(sum(CASE WHEN i < g THEN 1 ELSE 0 END) AS BIGINT) AS cl,
+         CAST(sum(CASE WHEN i >= g THEN 1 ELSE 0 END) AS BIGINT) AS cr
+  FROM toks
+  CROSS JOIN (SELECT CAST(unnest(range({TT_W}, {TT_LEN - TT_W + 1}))
+                AS BIGINT) AS g)
+  WHERE i >= g - {TT_W} AND i < g + {TT_W}
+  GROUP BY 1, 2, 3, 4
+),
+overlap AS (
+  SELECT doc_id, planted_b, g, CAST(sum(least(cl, cr)) AS BIGINT) AS ov
+  FROM win GROUP BY 1, 2, 3
+)
+SELECT doc_id, planted_b, g AS detected_b, ov AS valley_overlap,
+       abs(g - planted_b) <= 2 AS hit2
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY ov ASC, g ASC) AS rn
+  FROM overlap
+) WHERE rn = 1
+"""
+
+
+QUERIES["ft_texttiling_segment"] = (ft_texttiling_segment, _sql_texttiling())

@@ -2514,3 +2514,55 @@ def test_session14_plan_shapes(spark):
     # into the corpus scan (the bounded-dimension claim)
     plan = ft_rocchio_rerank_topk(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+# --------------------------------------------- ft_texttiling_segment
+
+
+def test_texttiling_recovers_planted_boundaries(spark):
+    from harvester_spark.operators.text_analytics import (
+        TT_LEN,
+        TT_VOCAB,
+        TT_W,
+        ft_texttiling_segment,
+    )
+
+    doc_ids = [
+        r["doc_id"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    nb = TT_LEN - 2 * TT_W
+    expect = {}
+    for d in doc_ids:
+        b = TT_W + _h56(f"ttb|{d}") % (nb + 1)
+        toks = [
+            ("a" if i < b else "b") + str(_h56(f"ttw|{d}|{i}") % TT_VOCAB)
+            for i in range(TT_LEN)
+        ]
+        best = None
+        for g in range(TT_W, TT_LEN - TT_W + 1):
+            left = Counter(toks[g - TT_W : g])
+            right = Counter(toks[g : g + TT_W])
+            ov = sum(min(left[t], right[t]) for t in left)
+            key = (ov, g)
+            if best is None or key < best:
+                best = key
+        expect[d] = (b, best[1], best[0], abs(best[1] - b) <= 2)
+
+    got = {
+        r["doc_id"]: (
+            r["planted_b"], r["detected_b"], r["valley_overlap"], r["hit2"]
+        )
+        for r in ft_texttiling_segment(spark, SF_DIR).collect()
+    }
+    assert got == expect
+
+    hits = sum(1 for v in got.values() if v[3])
+    exact = sum(1 for v in got.values() if v[0] == v[1])
+    assert hits >= 0.8 * len(got)  # valley finds the planted switch
+    assert exact >= 0.4 * len(got)
+    # the valley is a real dip: detected overlap is typically below the
+    # window max (the two vocabularies genuinely differ)
+    assert sum(v[2] for v in got.values()) < len(got) * TT_W // 2
