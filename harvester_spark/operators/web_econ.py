@@ -1819,3 +1819,147 @@ QUERIES["events_attribution_shapley"] = (
     events_attribution_shapley,
     _sql_shapley(),
 )
+
+
+# ------------------------------------------------ Hill tail index
+
+# Extreme-value theory enters the library: the Hill (1975) estimator of
+# the Pareto tail index over the top-k order statistics,
+#   α̂ = k / Σ_{i≤k} ln(x_(i) / x_(k+1)),
+# the number that decides whether a latency / revenue / degree tail has
+# finite variance (α > 2) or will wreck every mean-based SLO. The
+# event values are UNIFORM (no tail — kept as the honest control whose
+# α̂ must blow up: a bounded distribution's tail index diverges), so a
+# Pareto(α = 2) cohort is PLANTED from the same md5 uniforms via
+# inverse-CDF x = 1/√(1−u) — the estimator must recover α ≈ 2 while
+# the control reads ≫ 2 (both pinned).
+#
+# Determinism: u is an integer micro-uniform; the inverse-CDF and each
+# ln(x_i/x_thr) go through ONE shared float string on identical
+# integers with the micro-floor idiom; the order statistics use the
+# (value desc, event_id asc) total order; α̂ is a floored milli
+# division of exact integers.
+#
+# Scale shape: one rank window per cohort (at 10^11 events: the
+# token_budget_select histogram + boundary-bucket selection — only the
+# top-k tail ever ranks fully), one scalar agg each.
+
+HILL_K_DIV = 10  # k = n / 10
+
+
+def events_hill_tail_index(spark, sf_dir):
+    """(cohort, n, k, sum_ln_micro, hill_milli): Hill tail-index
+    estimates for the planted Pareto(2) cohort and the uniform
+    control."""
+    ev = load(spark, sf_dir, "events").select("event_id")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ht|"), F.col("event_id").cast("string"))),
+                1, 14,
+            ), 16, 10,
+        ).cast("long") % 1_000_000
+    )
+    base = ev.select("event_id", u.alias("u"))
+    pareto = base.select(
+        F.lit("pareto2").alias("cohort"),
+        "event_id",
+        F.expr(
+            "CAST(floor(1.0e6 / sqrt(1.0e0 - u / 1.0e6) + 0.5e0) AS BIGINT)"
+        ).alias("x_micro"),
+    )
+    ctrl = base.select(
+        F.lit("uniform").alias("cohort"),
+        "event_id",
+        (F.col("u") + 1).cast("long").alias("x_micro"),
+    )
+    both = pareto.unionByName(ctrl)
+    wr = W.partitionBy("cohort").orderBy(
+        F.col("x_micro").desc(), F.col("event_id").asc()
+    )
+    ranked = both.withColumn("rn", F.row_number().over(wr))
+    nk = F.broadcast(
+        both.groupBy("cohort").agg(
+            F.count("*").cast("long").alias("n"),
+            F.expr(f"CAST(count(*) DIV {HILL_K_DIV} AS BIGINT)").alias("k"),
+        )
+    )
+    thr = (
+        ranked.join(nk, "cohort")
+        .filter(F.col("rn") == F.col("k") + 1)
+        .select("cohort", F.col("x_micro").alias("x_thr"))
+    )
+    lns = (
+        ranked.join(nk, "cohort")
+        .filter(F.col("rn") <= F.col("k"))
+        .join(F.broadcast(thr), "cohort")
+        .select(
+            "cohort",
+            F.expr(
+                "CAST(floor(ln(CAST(x_micro AS DOUBLE)"
+                " / CAST(x_thr AS DOUBLE)) * 1.0e6 + 0.5e0) AS BIGINT)"
+            ).alias("l"),
+        )
+        .groupBy("cohort")
+        .agg(F.sum("l").cast("long").alias("sum_ln_micro"))
+    )
+    return (
+        nk.join(lns, "cohort")
+        .select(
+            "cohort",
+            "n",
+            "k",
+            "sum_ln_micro",
+            F.expr(
+                "CAST((1000 * k * 1000000) DIV sum_ln_micro AS BIGINT)"
+            ).alias("hill_milli"),
+        )
+    )
+
+
+def _sql_hill() -> str:
+    h = "CAST(('0x' || substr(md5('ht|' || CAST(event_id AS VARCHAR)), 1, 14)) AS BIGINT) % 1000000"
+    return f"""
+WITH base AS (
+  SELECT event_id, {h} AS u FROM events
+),
+both_c AS (
+  SELECT 'pareto2' AS cohort, event_id,
+         CAST(floor(1.0e6 / sqrt(1.0e0 - u / 1.0e6) + 0.5e0) AS BIGINT)
+           AS x_micro
+  FROM base
+  UNION ALL
+  SELECT 'uniform', event_id, CAST(u + 1 AS BIGINT) FROM base
+),
+ranked AS MATERIALIZED (
+  SELECT *, row_number() OVER (PARTITION BY cohort
+                               ORDER BY x_micro DESC, event_id ASC) AS rn
+  FROM both_c
+),
+nk AS (
+  SELECT cohort, CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) // {HILL_K_DIV} AS BIGINT) AS k
+  FROM both_c GROUP BY 1
+),
+thr AS (
+  SELECT r.cohort, r.x_micro AS x_thr
+  FROM ranked r JOIN nk USING (cohort)
+  WHERE r.rn = nk.k + 1
+),
+lns AS (
+  SELECT r.cohort,
+         CAST(sum(CAST(floor(ln(CAST(r.x_micro AS DOUBLE)
+              / CAST(t.x_thr AS DOUBLE)) * 1.0e6 + 0.5e0) AS BIGINT))
+              AS BIGINT) AS sum_ln_micro
+  FROM ranked r JOIN nk USING (cohort) JOIN thr t USING (cohort)
+  WHERE r.rn <= nk.k
+  GROUP BY 1
+)
+SELECT nk.cohort, nk.n, nk.k, l.sum_ln_micro,
+       CAST((1000 * nk.k * 1000000) // l.sum_ln_micro AS BIGINT)
+         AS hill_milli
+FROM nk JOIN lns l USING (cohort)
+"""
+
+
+QUERIES["events_hill_tail_index"] = (events_hill_tail_index, _sql_hill())

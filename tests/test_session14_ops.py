@@ -2566,3 +2566,50 @@ def test_texttiling_recovers_planted_boundaries(spark):
     # the valley is a real dip: detected overlap is typically below the
     # window max (the two vocabularies genuinely differ)
     assert sum(v[2] for v in got.values()) < len(got) * TT_W // 2
+
+
+# --------------------------------------------- events_hill_tail_index
+
+
+def test_hill_recovers_planted_pareto_and_control_diverges(spark):
+    from harvester_spark.operators.web_econ import (
+        HILL_K_DIV,
+        events_hill_tail_index,
+    )
+
+    eids = [
+        r["event_id"]
+        for r in spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("event_id")
+        .collect()
+    ]
+    expect = {}
+    for cohort in ("pareto2", "uniform"):
+        xs = []
+        for e in eids:
+            u = _h56(f"ht|{e}") % 1_000_000
+            if cohort == "pareto2":
+                x = math.floor(1e6 / math.sqrt(1.0 - u / 1e6) + 0.5)
+            else:
+                x = u + 1
+            xs.append((x, e))
+        xs.sort(key=lambda t: (-t[0], t[1]))
+        n = len(xs)
+        k = n // HILL_K_DIV
+        x_thr = xs[k][0]
+        s = sum(
+            math.floor(math.log(x / x_thr) * 1e6 + 0.5)
+            for x, _ in xs[:k]
+        )
+        expect[cohort] = (n, k, s, (1000 * k * 1_000_000) // s)
+
+    got = {
+        r["cohort"]: (r["n"], r["k"], r["sum_ln_micro"], r["hill_milli"])
+        for r in events_hill_tail_index(spark, SF_DIR).collect()
+    }
+    assert got == expect
+
+    # the planted Pareto(2) is recovered; the bounded uniform control's
+    # tail index diverges far above it
+    assert abs(got["pareto2"][3] - 2000) < 450
+    assert got["uniform"][3] > 4 * got["pareto2"][3]
