@@ -1247,3 +1247,191 @@ FROM (
 
 
 QUERIES["ft_texttiling_segment"] = (ft_texttiling_segment, _sql_texttiling())
+
+
+# ---------------------------------------------- Condorcet rank fusion
+
+# Montague & Aslam (CIKM 2002) Condorcet-fuse — the third fusion method
+# beside hybrid_rrf_topk (reciprocal rank) and hybrid_combmnz_topk
+# (score mass): documents are ordered by pairwise MAJORITY vote across
+# rankers, realized deterministically as the Copeland score (number of
+# pairwise wins; the paper's QuickSort-with-majority-comparator yields
+# a Condorcet-consistent order, Copeland is its set-based twin —
+# documented). The voters are three genuinely heterogeneous signals —
+# the metasearch setting the method was built for: BM25 relevance, the
+# document-length prior (the rank_feature family), and lexical
+# diversity (distinct-term count). Candidates = the union of the three
+# top-{CDC_K} lists; each voter ranks the WHOLE union (its signal is
+# total), so no missing-rank convention is needed beyond BM25's
+# score-0 floor.
+#
+# Determinism: per-voter ranks carry the (key desc, doc_id asc) total
+# order; majority is an exact integer vote count over the bounded
+# candidate-pair grid (≤ (3·K)², by construction); the fused order is
+# (copeland desc, doc_id asc).
+#
+# Scale shape: three one-agg rankers + a union-bounded pair grid —
+# nothing corpus-sized beyond the scans the rankers already make.
+
+CDC_K = 20
+
+
+def hybrid_condorcet_topk(spark, sf_dir):
+    """(rank, doc_id, copeland_wins, r_bm25, r_len, r_div): top-10 by
+    Copeland pairwise-majority fusion of BM25 / length-prior / lexical-
+    diversity rankings over the union of their top-{CDC_K} lists."""
+    from harvester_spark.operators.fulltext_queries import bm25_or_scored
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ndist = (
+        doc_tokens(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.countDistinct("term").cast("long").alias("ndist"))
+    )
+    bm = bm25_or_scored(spark, sf_dir)
+    feats = (
+        docs.join(ndist, "doc_id", "left")
+        .join(bm, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("score", F.lit(0.0)).alias("score"),
+            "n_chars",
+            F.coalesce("ndist", F.lit(0)).cast("long").alias("ndist"),
+        )
+        .cache()
+    )
+
+    def top(key_cols):
+        return (
+            feats.orderBy(*key_cols, F.col("doc_id").asc())
+            .limit(CDC_K)
+            .select("doc_id")
+        )
+
+    cand = (
+        top([F.col("score").desc()])
+        .union(top([F.col("n_chars").desc()]))
+        .union(top([F.col("ndist").desc()]))
+        .distinct()
+    )
+    cf = feats.join(cand, "doc_id", "left_semi")
+    ranks = cf.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("score").desc(), F.col("doc_id").asc()))
+        .cast("long")
+        .alias("r_bm25"),
+        F.row_number()
+        .over(W.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc()))
+        .cast("long")
+        .alias("r_len"),
+        F.row_number()
+        .over(W.orderBy(F.col("ndist").desc(), F.col("doc_id").asc()))
+        .cast("long")
+        .alias("r_div"),
+    ).cache()
+    b = ranks.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("r_bm25").alias("b1"),
+        F.col("r_len").alias("b2"),
+        F.col("r_div").alias("b3"),
+    )
+    wins = (
+        ranks.crossJoin(b)
+        .filter(F.col("doc_id") != F.col("b_id"))
+        .select(
+            "doc_id",
+            (
+                (F.col("r_bm25") < F.col("b1")).cast("int")
+                + (F.col("r_len") < F.col("b2")).cast("int")
+                + (F.col("r_div") < F.col("b3")).cast("int")
+                >= 2
+            ).cast("long").alias("win"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("win").cast("long").alias("copeland_wins"))
+    )
+    fused = wins.join(ranks, "doc_id")
+    top10 = fused.orderBy(
+        F.col("copeland_wins").desc(), F.col("doc_id").asc()
+    ).limit(10)
+    wr = W.orderBy(F.col("copeland_wins").desc(), F.col("doc_id").asc())
+    return top10.withColumn("rank", F.row_number().over(wr)).select(
+        "rank", "doc_id", "copeland_wins", "r_bm25", "r_len", "r_div"
+    )
+
+
+def _sql_condorcet() -> str:
+    terms = ", ".join(f"'{t}'" for t in ("key", "value", "table"))
+    return f"""
+WITH toks AS ({SQL_DOC_TOKS}),
+dls AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) * 1.0e0 / count(*) FROM dls) AS avgdl
+),
+qtf AS (
+  SELECT term, doc_id, count(*) AS tf FROM toks
+  WHERE term IN ({terms}) GROUP BY 1, 2
+),
+qdf AS (SELECT term, count(DISTINCT doc_id) AS df FROM qtf GROUP BY 1),
+orsc AS (
+  SELECT doc_id, round(sum(
+    ln(1.0e0 + (n - df + 0.5e0) / (df + 0.5e0))
+    * (tf * 2.2e0)
+    / (tf + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * dl / avgdl))
+  ), 6) AS score
+  FROM qtf t JOIN qdf USING (term) JOIN dls USING (doc_id)
+  CROSS JOIN stats GROUP BY doc_id
+),
+nd AS (
+  SELECT doc_id, CAST(count(DISTINCT term) AS BIGINT) AS ndist
+  FROM toks GROUP BY 1
+),
+feats AS MATERIALIZED (
+  SELECT d.doc_id, coalesce(o.score, 0.0e0) AS score, d.n_chars,
+         CAST(coalesce(nd.ndist, 0) AS BIGINT) AS ndist
+  FROM documents d
+  LEFT JOIN orsc o USING (doc_id)
+  LEFT JOIN nd USING (doc_id)
+),
+cand AS MATERIALIZED (
+  SELECT doc_id FROM (
+    SELECT doc_id FROM feats ORDER BY score DESC, doc_id ASC LIMIT {CDC_K}
+  ) UNION
+  SELECT doc_id FROM (
+    SELECT doc_id FROM feats ORDER BY n_chars DESC, doc_id ASC
+    LIMIT {CDC_K}
+  ) UNION
+  SELECT doc_id FROM (
+    SELECT doc_id FROM feats ORDER BY ndist DESC, doc_id ASC LIMIT {CDC_K}
+  )
+),
+ranks AS MATERIALIZED (
+  SELECT f.doc_id,
+         CAST(row_number() OVER (ORDER BY f.score DESC, f.doc_id ASC)
+              AS BIGINT) AS r_bm25,
+         CAST(row_number() OVER (ORDER BY f.n_chars DESC, f.doc_id ASC)
+              AS BIGINT) AS r_len,
+         CAST(row_number() OVER (ORDER BY f.ndist DESC, f.doc_id ASC)
+              AS BIGINT) AS r_div
+  FROM feats f JOIN cand USING (doc_id)
+),
+wins AS (
+  SELECT a.doc_id, CAST(sum(CASE WHEN
+           (CASE WHEN a.r_bm25 < b.r_bm25 THEN 1 ELSE 0 END
+            + CASE WHEN a.r_len < b.r_len THEN 1 ELSE 0 END
+            + CASE WHEN a.r_div < b.r_div THEN 1 ELSE 0 END) >= 2
+         THEN 1 ELSE 0 END) AS BIGINT) AS copeland_wins
+  FROM ranks a JOIN ranks b ON a.doc_id <> b.doc_id
+  GROUP BY 1
+)
+SELECT CAST(row_number() OVER (ORDER BY w.copeland_wins DESC,
+         w.doc_id ASC) AS INT) AS rank,
+       w.doc_id, w.copeland_wins, r.r_bm25, r.r_len, r.r_div
+FROM wins w JOIN ranks r USING (doc_id)
+ORDER BY w.copeland_wins DESC, w.doc_id ASC LIMIT 10
+"""
+
+
+QUERIES["hybrid_condorcet_topk"] = (hybrid_condorcet_topk, _sql_condorcet())

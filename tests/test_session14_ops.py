@@ -2613,3 +2613,83 @@ def test_hill_recovers_planted_pareto_and_control_diverges(spark):
     # tail index diverges far above it
     assert abs(got["pareto2"][3] - 2000) < 450
     assert got["uniform"][3] > 4 * got["pareto2"][3]
+
+
+# ---------------------------------------------- hybrid_condorcet_topk
+
+
+def test_condorcet_matches_python_and_fuses_all_voters(spark, corpus14):
+    from harvester_spark.operators.fulltext_queries import BM25_TERMS
+    from harvester_spark.operators.text_analytics import (
+        CDC_K,
+        hybrid_condorcet_topk,
+    )
+
+    meta = {
+        r["doc_id"]: r["n_chars"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+    nd = len(corpus14)
+    tf = {d: Counter(ts) for d, ts in corpus14.items()}
+    dls = {d: len(ts) for d, ts in corpus14.items()}
+    avgdl = sum(dls.values()) / nd
+    score = {}
+    for t in BM25_TERMS:
+        df = sum(1 for d in corpus14 if tf[d][t] > 0)
+        idf = math.log(1.0 + (nd - df + 0.5) / (df + 0.5))
+        for d in corpus14:
+            f = tf[d][t]
+            if f:
+                score[d] = score.get(d, 0.0) + idf * (f * 2.2) / (
+                    f + 1.2 * (1.0 - 0.75 + 0.75 * dls[d] / avgdl)
+                )
+    feats = {
+        d: (
+            round(score.get(d, 0.0), 6),
+            meta[d],
+            len(set(corpus14[d])),
+        )
+        for d in corpus14
+    }
+
+    def topk(ix):
+        return [
+            d for d in sorted(feats, key=lambda d: (-feats[d][ix], d))
+        ][:CDC_K]
+
+    cand = sorted(set(topk(0)) | set(topk(1)) | set(topk(2)))
+    ranks = {}
+    for ix in range(3):
+        order = sorted(cand, key=lambda d: (-feats[d][ix], d))
+        for r, d in enumerate(order, start=1):
+            ranks.setdefault(d, [0, 0, 0])[ix] = r
+    wins = {}
+    for a in cand:
+        w = 0
+        for b in cand:
+            if a == b:
+                continue
+            votes = sum(
+                1 for ix in range(3) if ranks[a][ix] < ranks[b][ix]
+            )
+            w += votes >= 2
+        wins[a] = w
+    expect = sorted(cand, key=lambda d: (-wins[d], d))[:10]
+    expect = [
+        (r, d, wins[d], *ranks[d]) for r, d in enumerate(expect, start=1)
+    ]
+
+    got = [
+        (
+            r["rank"], r["doc_id"], r["copeland_wins"], r["r_bm25"],
+            r["r_len"], r["r_div"],
+        )
+        for r in hybrid_condorcet_topk(spark, SF_DIR).orderBy("rank").collect()
+    ]
+    assert got == expect
+
+    # the fusion genuinely differs from every single voter's top-10
+    for ix in range(3):
+        assert [g[1] for g in got] != topk(ix)[:10]
