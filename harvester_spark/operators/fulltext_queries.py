@@ -2561,3 +2561,110 @@ SELECT * FROM (
 """
 
 QUERIES["ft_term_burstiness"] = (ft_term_burstiness, SQL_TERM_BURSTINESS)
+
+
+# ------------------------------------------- score-gap list truncation
+
+# Adaptive result-list truncation (Arampatzis, Kamps & Robertson,
+# SIGIR 2009 "score distribution" family): instead of a fixed k, cut
+# the ranked list at the largest SCORE GAP — the point where relevance
+# plausibly ends. Over the flagship BM25-OR top-{GAP_POOL}: scores to
+# exact micro ints, consecutive gaps g_r = s_r − s_{r+1}, cutoff =
+# argmax g_r (smallest rank on ties — truncate early when ambiguous),
+# every row emitted with its gap and a kept/cut flag. The pytest pins
+# the defining property (the gap at the cutoff is the maximum, and the
+# kept prefix is exactly ranks ≤ cutoff) plus the pure-Python
+# recompute.
+#
+# Scale shape: the pool is TakeOrdered({GAP_POOL}); gaps ride one lead
+# window over the bounded pool; the argmax is a scalar agg broadcast.
+
+GAP_POOL = 20
+
+
+def ft_score_gap_cutoff(spark, sf_dir):
+    """(rank, doc_id, s_micro, gap_micro, cutoff_rank, kept): the
+    flagship top-{GAP_POOL} with the max-score-gap truncation point."""
+    pool = (
+        bm25_or_scored(spark, sf_dir)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(GAP_POOL)
+        .select(
+            "doc_id",
+            F.expr("CAST(round(score * 1.0e6, 0) AS BIGINT)").alias("s_micro"),
+        )
+    )
+    wr = W.orderBy(F.col("s_micro").desc(), F.col("doc_id").asc())
+    ranked = pool.withColumn(
+        "rank", F.row_number().over(wr).cast("long")
+    ).withColumn(
+        "gap_micro",
+        (F.col("s_micro") - F.coalesce(
+            F.lead("s_micro").over(wr), F.col("s_micro")
+        )).cast("long"),
+    ).cache()
+    cut = F.broadcast(
+        ranked.filter(F.col("rank") < GAP_POOL)
+        .orderBy(F.col("gap_micro").desc(), F.col("rank").asc())
+        .limit(1)
+        .select(F.col("rank").alias("cutoff_rank"))
+    )
+    return ranked.crossJoin(cut).select(
+        "rank",
+        "doc_id",
+        "s_micro",
+        "gap_micro",
+        "cutoff_rank",
+        (F.col("rank") <= F.col("cutoff_rank")).alias("kept"),
+    )
+
+
+def _sql_score_gap() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return f"""
+WITH toks AS ({SQL_DOC_TOKS}),
+dls AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) * 1.0e0 / count(*) FROM dls) AS avgdl
+),
+qtf AS (
+  SELECT term, doc_id, count(*) AS tf FROM toks
+  WHERE term IN ({terms}) GROUP BY 1, 2
+),
+qdf AS (SELECT term, count(DISTINCT doc_id) AS df FROM qtf GROUP BY 1),
+orsc AS (
+  SELECT doc_id,
+         CAST(round(round(sum(
+           ln(1.0e0 + (n - df + 0.5e0) / (df + 0.5e0))
+           * (tf * 2.2e0)
+           / (tf + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * dl / avgdl))
+         ), 6) * 1.0e6, 0) AS BIGINT) AS s_micro
+  FROM qtf t JOIN qdf USING (term) JOIN dls USING (doc_id)
+  CROSS JOIN stats GROUP BY doc_id
+),
+pool AS MATERIALIZED (
+  SELECT doc_id, s_micro FROM orsc
+  ORDER BY s_micro DESC, doc_id ASC LIMIT {GAP_POOL}
+),
+ranked AS MATERIALIZED (
+  SELECT doc_id, s_micro,
+         CAST(row_number() OVER w AS BIGINT) AS rank,
+         CAST(s_micro - coalesce(lead(s_micro) OVER w, s_micro) AS BIGINT)
+           AS gap_micro
+  FROM pool
+  WINDOW w AS (ORDER BY s_micro DESC, doc_id ASC)
+),
+cut AS (
+  SELECT rank AS cutoff_rank FROM ranked
+  WHERE rank < {GAP_POOL}
+  ORDER BY gap_micro DESC, rank ASC LIMIT 1
+)
+SELECT rank, doc_id, s_micro, gap_micro,
+       (SELECT cutoff_rank FROM cut) AS cutoff_rank,
+       rank <= (SELECT cutoff_rank FROM cut) AS kept
+FROM ranked
+"""
+
+
+QUERIES["ft_score_gap_cutoff"] = (ft_score_gap_cutoff, _sql_score_gap())

@@ -2693,3 +2693,61 @@ def test_condorcet_matches_python_and_fuses_all_voters(spark, corpus14):
     # the fusion genuinely differs from every single voter's top-10
     for ix in range(3):
         assert [g[1] for g in got] != topk(ix)[:10]
+
+
+# ----------------------------------------------- ft_score_gap_cutoff
+
+
+def test_score_gap_cutoff_matches_python_and_defining_property(spark, corpus14):
+    from harvester_spark.operators.fulltext_queries import (
+        BM25_TERMS,
+        GAP_POOL,
+        ft_score_gap_cutoff,
+    )
+
+    nd = len(corpus14)
+    tf = {d: Counter(ts) for d, ts in corpus14.items()}
+    dls = {d: len(ts) for d, ts in corpus14.items()}
+    avgdl = sum(dls.values()) / nd
+    score = {}
+    for t in BM25_TERMS:
+        df = sum(1 for d in corpus14 if tf[d][t] > 0)
+        idf = math.log(1.0 + (nd - df + 0.5) / (df + 0.5))
+        for d in corpus14:
+            f = tf[d][t]
+            if f:
+                score[d] = score.get(d, 0.0) + idf * (f * 2.2) / (
+                    f + 1.2 * (1.0 - 0.75 + 0.75 * dls[d] / avgdl)
+                )
+    pool = sorted(
+        ((round(round(s, 6) * 1e6), d) for d, s in score.items()),
+        key=lambda x: (-x[0], x[1]),
+    )[:GAP_POOL]
+    gaps = [
+        pool[i][0] - (pool[i + 1][0] if i + 1 < len(pool) else pool[i][0])
+        for i in range(len(pool))
+    ]
+    cutoff = min(
+        range(1, len(pool)), key=lambda r: (-gaps[r - 1], r)
+    )
+    expect = {
+        r: (d, s, gaps[r - 1], cutoff, r <= cutoff)
+        for r, (s, d) in enumerate(pool, start=1)
+    }
+
+    got = {
+        r["rank"]: (
+            r["doc_id"], r["s_micro"], r["gap_micro"], r["cutoff_rank"],
+            r["kept"],
+        )
+        for r in ft_score_gap_cutoff(spark, SF_DIR).collect()
+    }
+    assert got == expect
+
+    # defining property: the cutoff's gap is maximal, the kept set is
+    # exactly the prefix, and truncation is non-trivial (1 <= c < pool)
+    c = got[1][3]
+    assert 1 <= c < GAP_POOL
+    cgap = got[c][2]
+    assert all(got[r][2] <= cgap for r in range(1, GAP_POOL))
+    assert all(got[r][4] == (r <= c) for r in got)
