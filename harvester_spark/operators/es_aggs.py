@@ -3960,3 +3960,114 @@ QUERIES["events_dispersion_index"] = (
     events_dispersion_index,
     SQL_DISPERSION_INDEX,
 )
+
+
+# ------------------------------------------- robust-mean contamination
+
+# The robust-statistics demonstration every metrics pipeline needs
+# before trusting a mean (Tukey; the es_mad_boxplot sibling on the
+# ESTIMATOR side): the same value stream with a planted 0.5% of
+# 1000×-inflated outliers (md5-selected — a fat-finger / bot burst), and
+# three location estimators computed on BOTH the clean and the
+# contaminated stream: the mean (breaks), the {RM_TRIM_PCT}%-trimmed
+# mean, and the median (both hold). Exact order statistics do the
+# trimming (rank window, unique (cents, event_id) tie-break); every
+# estimator is an integer milli-cent floored division; the pytest pins
+# the breakdown contrast quantitatively.
+#
+# Scale shape: one rank window per cohort (the order-statistic
+# histogram shape at scale), conditional aggregates on the same pass.
+
+RM_TRIM_PCT = 10
+RM_OUT_MOD = 200  # 1-in-200 planted outliers
+RM_OUT_MULT = 1000
+
+
+def events_robust_mean_eval(spark, sf_dir):
+    """(cohort, n, mean_mc, trimmed_mc, median_mc): mean / trimmed mean
+    / median in milli-cents on the clean and planted-contaminated value
+    streams."""
+    from harvester_spark.operators.dedup import _hash56
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", cents("value").alias("c")
+    )
+    clean = ev.select(
+        F.lit("clean").alias("cohort"), "event_id", F.col("c").alias("x")
+    )
+    contam = ev.select(
+        F.lit("contaminated").alias("cohort"),
+        "event_id",
+        F.expr(
+            f"CASE WHEN CAST(conv(substring(md5(concat('out|',"
+            f" CAST(event_id AS STRING))), 1, 14), 16, 10) AS BIGINT)"
+            f" % {RM_OUT_MOD} = 0 THEN c * {RM_OUT_MULT} ELSE c END"
+        ).cast("long").alias("x"),
+    )
+    both = clean.unionByName(contam)
+    wr = W.partitionBy("cohort").orderBy(
+        F.col("x").asc(), F.col("event_id").asc()
+    )
+    ranked = both.withColumn("rn", F.row_number().over(wr).cast("long"))
+    nn = F.broadcast(
+        both.groupBy("cohort").agg(F.count("*").cast("long").alias("n"))
+    )
+    j = ranked.join(nn, "cohort")
+    lo = F.expr(f"(n * {RM_TRIM_PCT}) DIV 100")
+    hi = F.expr(f"n - (n * {RM_TRIM_PCT}) DIV 100")
+    med_pos = F.expr("(n + 1) DIV 2")
+    agg = j.groupBy("cohort", "n").agg(
+        F.expr("CAST((1000 * sum(x)) DIV n AS BIGINT)").alias("mean_mc"),
+        F.expr(
+            f"CAST((1000 * sum(CASE WHEN rn > (n * {RM_TRIM_PCT}) DIV 100"
+            f" AND rn <= n - (n * {RM_TRIM_PCT}) DIV 100 THEN x ELSE 0 END))"
+            f" DIV (n - 2 * ((n * {RM_TRIM_PCT}) DIV 100)) AS BIGINT)"
+        ).alias("trimmed_mc"),
+        F.expr(
+            "CAST(1000 * max(CASE WHEN rn = (n + 1) DIV 2 THEN x END)"
+            " AS BIGINT)"
+        ).alias("median_mc"),
+    )
+    return agg.select("cohort", "n", "mean_mc", "trimmed_mc", "median_mc")
+
+
+def _sql_robust_mean() -> str:
+    from harvester_spark.operators.dedup import _SQL_HASH56
+
+    h = _SQL_HASH56.format(col="'out|' || CAST(event_id AS VARCHAR)")
+    return f"""
+WITH ev AS (
+  SELECT event_id, {sql_cents('value')} AS c FROM events
+),
+both_v AS (
+  SELECT 'clean' AS cohort, event_id, CAST(c AS BIGINT) AS x FROM ev
+  UNION ALL
+  SELECT 'contaminated', event_id,
+         CAST(CASE WHEN {h} % {RM_OUT_MOD} = 0
+              THEN c * {RM_OUT_MULT} ELSE c END AS BIGINT)
+  FROM ev
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY cohort
+             ORDER BY x ASC, event_id ASC) AS BIGINT) AS rn
+  FROM both_v
+),
+nn AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n FROM both_v GROUP BY 1)
+SELECT r.cohort, nn.n,
+       CAST((1000 * CAST(sum(x) AS BIGINT)) // nn.n AS BIGINT) AS mean_mc,
+       CAST((1000 * CAST(sum(CASE WHEN rn > (nn.n * {RM_TRIM_PCT}) // 100
+            AND rn <= nn.n - (nn.n * {RM_TRIM_PCT}) // 100 THEN x ELSE 0
+            END) AS BIGINT))
+            // (nn.n - 2 * ((nn.n * {RM_TRIM_PCT}) // 100)) AS BIGINT)
+         AS trimmed_mc,
+       CAST(1000 * max(CASE WHEN rn = (nn.n + 1) // 2 THEN x END)
+            AS BIGINT) AS median_mc
+FROM ranked r JOIN nn USING (cohort)
+GROUP BY r.cohort, nn.n
+"""
+
+
+QUERIES["events_robust_mean_eval"] = (
+    events_robust_mean_eval,
+    _sql_robust_mean(),
+)

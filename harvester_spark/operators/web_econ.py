@@ -1963,3 +1963,257 @@ FROM nk JOIN lns l USING (cohort)
 
 
 QUERIES["events_hill_tail_index"] = (events_hill_tail_index, _sql_hill())
+
+
+# ------------------------------------------------ log-rank test
+
+# Mantel's log-rank test — the TWO-SAMPLE companion of
+# events_survival_km (the km curve describes; log-rank DECIDES whether
+# two cohorts' hazards differ): at every death time, observed group-1
+# deaths vs the hypergeometric expectation E = d·n1/n and variance
+# V = d·(n1/n)(n2/n)(n−d)/(n−1); χ² = (Σ(O−E))²/ΣV. Subjects are
+# SIGNUP EVENTS (each signup starts a clock to the user's next purchase
+# within the KM horizon — the recurrent-event framing; USER-level
+# subjects have no power at the sandbox's 15 users, measured). Two
+# comparisons ride the same machinery:
+#   null_split — md5 parity halves of the same durations (a single
+#     χ²(1) draw under the true null — it CAN land in the 5% tail at a
+#     given sf, measured 4.2 at sf0.01; the pinned contrast is the
+#     RATIO against the planted comparison, which is tail-robust),
+#   planted_dilation — group B's durations doubled (hazard halved;
+#     χ² must flag decisively, ≫ the null draw).
+# E and V fold to MILLI integers per death time via CHAINED floored
+# divisions (each intermediate ≤ ~8e15 at 2·10⁴ subjects — the
+# documented overflow ladder; a single big product would overflow);
+# χ²_milli = (ΣO−ΣE)²·1000 DIV (1000·ΣV) on exact int64.
+#
+# Scale shape: one per-subject gap computation (the KM plan), one
+# per-(comparison, time) agg, one horizon-bounded cumsum window, two
+# scalar aggs.
+
+LR_SIG_MILLI = 3841  # chi2(1df, p=0.05) in milli
+
+
+def events_logrank_test(spark, sf_dir):
+    """(comparison, n1, n2, o_milli, e_milli, v_milli, chi2_milli,
+    significant): log-rank χ² for the null split and the planted
+    hazard dilation over signup-to-purchase durations."""
+    from harvester_spark.operators.graph import _hash56
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_timestamp("ts").cast("long").alias("se"),
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("event_id").alias("sid"), F.col("se").alias("t0")
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("se").alias("tp")
+    )
+    gaps = (
+        signups.join(purch, "user_id", "left")
+        .filter(F.col("tp").isNull() | (F.col("tp") > F.col("t0")))
+        .groupBy("sid")
+        .agg(F.min(F.col("tp") - F.col("t0")).alias("gap_s"))
+    )
+    subj = signups.select("sid").join(gaps, "sid", "left").select(
+        "sid",
+        F.expr(
+            f"CASE WHEN gap_s IS NOT NULL AND gap_s DIV 3600 < {KM_HORIZON_H}"
+            f" THEN gap_s DIV 3600 ELSE CAST({KM_HORIZON_H} AS BIGINT) END"
+        ).alias("t_raw"),
+        F.expr(
+            f"CASE WHEN gap_s IS NOT NULL AND gap_s DIV 3600 < {KM_HORIZON_H}"
+            " THEN 1 ELSE 0 END"
+        ).cast("long").alias("e_raw"),
+        (
+            _hash56(F.concat(F.lit("lr|"), F.col("sid").cast("string"))) % 2
+        ).cast("long").alias("grp"),
+    )
+    null_s = subj.select(
+        F.lit("null_split").alias("comparison"), "sid", "grp",
+        F.col("t_raw").alias("t"), F.col("e_raw").alias("e"),
+    )
+    dil = subj.select(
+        F.lit("planted_dilation").alias("comparison"), "sid", "grp",
+        F.expr(
+            f"CASE WHEN grp = 1 THEN least(2 * t_raw,"
+            f" CAST({KM_HORIZON_H} AS BIGINT)) ELSE t_raw END"
+        ).alias("t"),
+        F.expr(
+            f"CASE WHEN grp = 1 THEN CASE WHEN 2 * t_raw < {KM_HORIZON_H}"
+            " AND e_raw = 1 THEN 1 ELSE 0 END ELSE e_raw END"
+        ).cast("long").alias("e"),
+    )
+    both = null_s.unionByName(dil)
+    per_t = both.groupBy("comparison", "t").agg(
+        F.sum(F.expr("CASE WHEN grp = 0 THEN e ELSE 0 END"))
+        .cast("long").alias("d1"),
+        F.sum("e").cast("long").alias("d"),
+        F.sum(F.expr("CASE WHEN grp = 0 THEN 1 ELSE 0 END"))
+        .cast("long").alias("x1"),
+        F.count("*").cast("long").alias("x"),
+    )
+    wt = (
+        W.partitionBy("comparison")
+        .orderBy("t")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    tot = F.broadcast(
+        both.groupBy("comparison").agg(
+            F.sum(F.expr("CASE WHEN grp = 0 THEN 1 ELSE 0 END"))
+            .cast("long").alias("n1_tot"),
+            F.count("*").cast("long").alias("n_tot"),
+        )
+    )
+    risk = (
+        per_t.join(tot, "comparison")
+        .withColumn(
+            "n1",
+            (F.col("n1_tot") - F.coalesce(
+                F.sum("x1").over(wt), F.lit(0))).cast("long"),
+        )
+        .withColumn(
+            "nt",
+            (F.col("n_tot") - F.coalesce(
+                F.sum("x").over(wt), F.lit(0))).cast("long"),
+        )
+        .filter((F.col("d") > 0) & (F.col("nt") > 1))
+        .withColumn("n2", (F.col("nt") - F.col("n1")).cast("long"))
+        .withColumn("o_m", (1000 * F.col("d1")).cast("long"))
+        .withColumn(
+            "e_m", F.expr("CAST((1000 * d * n1) DIV nt AS BIGINT)")
+        )
+        .withColumn(
+            "v_m",
+            F.expr(
+                "CAST(((((1000 * d * n1) DIV nt) * n2) DIV nt"
+                " * (nt - d)) DIV (nt - 1) AS BIGINT)"
+            ),
+        )
+    )
+    agg = risk.groupBy("comparison").agg(
+        F.sum("o_m").cast("long").alias("o_milli"),
+        F.sum("e_m").cast("long").alias("e_milli"),
+        F.sum("v_m").cast("long").alias("v_milli"),
+    )
+    return (
+        agg.join(tot, "comparison")
+        .select(
+            "comparison",
+            F.col("n1_tot").alias("n1"),
+            (F.col("n_tot") - F.col("n1_tot")).cast("long").alias("n2"),
+            "o_milli",
+            "e_milli",
+            "v_milli",
+            F.expr(
+                "CAST(((o_milli - e_milli) * (o_milli - e_milli) * 1000)"
+                " DIV (1000 * v_milli) AS BIGINT)"
+            ).alias("chi2_milli"),
+            F.expr(
+                "((o_milli - e_milli) * (o_milli - e_milli) * 1000)"
+                f" DIV (1000 * v_milli) >= {LR_SIG_MILLI}"
+            ).alias("significant"),
+        )
+    )
+
+
+def _sql_logrank() -> str:
+    from harvester_spark.operators.graph import _SQL_HASH56
+
+    h = _SQL_HASH56.format(col="'lr|' || CAST(sid AS VARCHAR)")
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS se
+  FROM events
+),
+signups AS (
+  SELECT user_id, event_id AS sid, se AS t0 FROM ev
+  WHERE event_type = 'signup'
+),
+purch AS (
+  SELECT user_id, se AS tp FROM ev WHERE event_type = 'purchase'
+),
+gaps AS (
+  SELECT s.sid, CAST(min(p.tp - s.t0) AS BIGINT) AS gap_s
+  FROM signups s LEFT JOIN purch p
+    ON p.user_id = s.user_id AND p.tp > s.t0
+  GROUP BY 1
+),
+subj AS (
+  SELECT sid,
+         CASE WHEN gap_s IS NOT NULL AND gap_s // 3600 < {KM_HORIZON_H}
+              THEN gap_s // 3600
+              ELSE CAST({KM_HORIZON_H} AS BIGINT) END AS t_raw,
+         CASE WHEN gap_s IS NOT NULL AND gap_s // 3600 < {KM_HORIZON_H}
+              THEN 1 ELSE 0 END AS e_raw,
+         {h} % 2 AS grp
+  FROM gaps
+),
+both_s AS (
+  SELECT 'null_split' AS comparison, sid, grp, t_raw AS t, e_raw AS e
+  FROM subj
+  UNION ALL
+  SELECT 'planted_dilation', sid, grp,
+         CASE WHEN grp = 1
+              THEN least(2 * t_raw, CAST({KM_HORIZON_H} AS BIGINT))
+              ELSE t_raw END,
+         CASE WHEN grp = 1
+              THEN CASE WHEN 2 * t_raw < {KM_HORIZON_H} AND e_raw = 1
+                        THEN 1 ELSE 0 END
+              ELSE e_raw END
+  FROM subj
+),
+per_t AS (
+  SELECT comparison, t,
+         CAST(sum(CASE WHEN grp = 0 THEN e ELSE 0 END) AS BIGINT) AS d1,
+         CAST(sum(e) AS BIGINT) AS d,
+         CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS x1,
+         CAST(count(*) AS BIGINT) AS x
+  FROM both_s GROUP BY 1, 2
+),
+tot AS (
+  SELECT comparison,
+         CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n1_tot,
+         CAST(count(*) AS BIGINT) AS n_tot
+  FROM both_s GROUP BY 1
+),
+risk AS (
+  SELECT p.comparison, p.t, p.d1, p.d,
+         CAST(tt.n1_tot - coalesce(sum(p.x1) OVER w, 0) AS BIGINT) AS n1,
+         CAST(tt.n_tot - coalesce(sum(p.x) OVER w, 0) AS BIGINT) AS nt
+  FROM per_t p JOIN tot tt USING (comparison)
+  WINDOW w AS (PARTITION BY p.comparison ORDER BY p.t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+contrib AS (
+  SELECT comparison,
+         CAST(1000 * d1 AS BIGINT) AS o_m,
+         CAST((1000 * d * n1) // nt AS BIGINT) AS e_m,
+         CAST(((((1000 * d * n1) // nt) * (nt - n1)) // nt
+              * (nt - d)) // (nt - 1) AS BIGINT) AS v_m
+  FROM risk WHERE d > 0 AND nt > 1
+),
+agg AS (
+  SELECT comparison,
+         CAST(sum(o_m) AS BIGINT) AS o_milli,
+         CAST(sum(e_m) AS BIGINT) AS e_milli,
+         CAST(sum(v_m) AS BIGINT) AS v_milli
+  FROM contrib GROUP BY 1
+)
+SELECT a.comparison, t.n1_tot AS n1,
+       CAST(t.n_tot - t.n1_tot AS BIGINT) AS n2,
+       a.o_milli, a.e_milli, a.v_milli,
+       CAST(((a.o_milli - a.e_milli) * (a.o_milli - a.e_milli) * 1000)
+            // (1000 * a.v_milli) AS BIGINT) AS chi2_milli,
+       ((a.o_milli - a.e_milli) * (a.o_milli - a.e_milli) * 1000)
+         // (1000 * a.v_milli) >= {LR_SIG_MILLI} AS significant
+FROM agg a JOIN tot t USING (comparison)
+"""
+
+
+QUERIES["events_logrank_test"] = (events_logrank_test, _sql_logrank())

@@ -2751,3 +2751,136 @@ def test_score_gap_cutoff_matches_python_and_defining_property(spark, corpus14):
     cgap = got[c][2]
     assert all(got[r][2] <= cgap for r in range(1, GAP_POOL))
     assert all(got[r][4] == (r <= c) for r in got)
+
+
+# --------------------------------------------- events_robust_mean_eval
+
+
+def test_robust_mean_breakdown_contrast(spark):
+    from harvester_spark.operators.es_aggs import (
+        RM_OUT_MOD,
+        RM_OUT_MULT,
+        RM_TRIM_PCT,
+        events_robust_mean_eval,
+    )
+
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .selectExpr("event_id", "CAST(round(value * 100) AS LONG) AS c")
+        .collect()
+    )
+    expect = {}
+    for cohort in ("clean", "contaminated"):
+        xs = []
+        for r in rows:
+            x = r["c"]
+            if cohort == "contaminated" and _h56(
+                f"out|{r['event_id']}"
+            ) % RM_OUT_MOD == 0:
+                x *= RM_OUT_MULT
+            xs.append((x, r["event_id"]))
+        xs.sort()
+        n = len(xs)
+        lo = (n * RM_TRIM_PCT) // 100
+        mean = (1000 * sum(x for x, _ in xs)) // n
+        trimmed = (1000 * sum(x for x, _ in xs[lo : n - lo])) // (n - 2 * lo)
+        median = 1000 * xs[(n + 1) // 2 - 1][0]
+        expect[cohort] = (n, mean, trimmed, median)
+
+    got = {
+        r["cohort"]: (r["n"], r["mean_mc"], r["trimmed_mc"], r["median_mc"])
+        for r in events_robust_mean_eval(spark, SF_DIR).collect()
+    }
+    assert got == expect
+
+    # the breakdown: the mean explodes, the robust estimators hold
+    cl, co = got["clean"], got["contaminated"]
+    assert co[1] > 3 * cl[1]
+    assert abs(co[2] - cl[2]) < cl[2] // 5
+    assert abs(co[3] - cl[3]) < cl[3] // 5
+
+
+# ------------------------------------------------ events_logrank_test
+
+
+def test_logrank_planted_hazard_flagged_and_null_ratio(spark):
+    from harvester_spark.operators.web_econ import (
+        KM_HORIZON_H,
+        events_logrank_test,
+    )
+
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .selectExpr(
+            "user_id", "event_id", "event_type",
+            "CAST(unix_timestamp(ts) AS LONG) AS se",
+        )
+        .collect()
+    )
+    purch = {}
+    for r in rows:
+        if r["event_type"] == "purchase":
+            purch.setdefault(r["user_id"], []).append(r["se"])
+    subj = []
+    for r in rows:
+        if r["event_type"] != "signup":
+            continue
+        gaps = [p - r["se"] for p in purch.get(r["user_id"], []) if p > r["se"]]
+        g = min(gaps) if gaps else None
+        if g is not None and g // 3600 < KM_HORIZON_H:
+            t, e = g // 3600, 1
+        else:
+            t, e = KM_HORIZON_H, 0
+        subj.append((r["event_id"], t, e, _h56(f"lr|{r['event_id']}") % 2))
+
+    def logrank(entries):
+        times = sorted({t for _, t, _, _ in entries})
+        o = e_sum = v_sum = 0
+        removed1 = removed = 0
+        n1_tot = sum(1 for _, _, _, g in entries if g == 0)
+        n_tot = len(entries)
+        for t in times:
+            d1 = sum(1 for _, tt, ee, g in entries if tt == t and ee and g == 0)
+            d = sum(1 for _, tt, ee, _ in entries if tt == t and ee)
+            x1 = sum(1 for _, tt, _, g in entries if tt == t and g == 0)
+            x = sum(1 for _, tt, _, _ in entries if tt == t)
+            n1 = n1_tot - removed1
+            nt = n_tot - removed
+            removed1 += x1
+            removed += x
+            if d == 0 or nt <= 1:
+                continue
+            o += 1000 * d1
+            e_sum += (1000 * d * n1) // nt
+            v_sum += ((((1000 * d * n1) // nt) * (nt - n1)) // nt
+                      * (nt - d)) // (nt - 1)
+        chi2 = ((o - e_sum) ** 2 * 1000) // (1000 * v_sum)
+        return o, e_sum, v_sum, chi2
+
+    null_entries = subj
+    dil_entries = [
+        (
+            s,
+            min(2 * t, KM_HORIZON_H) if g == 1 else t,
+            (1 if (2 * t < KM_HORIZON_H and e == 1) else 0) if g == 1 else e,
+            g,
+        )
+        for s, t, e, g in subj
+    ]
+    expect = {
+        "null_split": logrank(null_entries),
+        "planted_dilation": logrank(dil_entries),
+    }
+
+    got = {
+        r["comparison"]: (
+            r["o_milli"], r["e_milli"], r["v_milli"], r["chi2_milli"]
+        )
+        for r in events_logrank_test(spark, SF_DIR).collect()
+    }
+    assert got == expect
+
+    # tail-robust contrast: the planted hazard halving dominates the
+    # null draw by an order of magnitude and clears significance
+    assert got["planted_dilation"][3] > 10 * max(got["null_split"][3], 100)
+    assert got["planted_dilation"][3] >= 3841
