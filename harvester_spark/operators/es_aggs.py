@@ -4071,3 +4071,200 @@ QUERIES["events_robust_mean_eval"] = (
     events_robust_mean_eval,
     _sql_robust_mean(),
 )
+
+
+# ------------------------------------- Simpson's paradox / CMH adjust
+
+# The confounding demonstration every metrics team eventually needs
+# (Simpson 1951; Mantel-Haenszel 1959 for the fix): a PLANTED dataset
+# where treatment genuinely helps INSIDE every stratum (+100 milli
+# success within both), but treatment assignment concentrates in the
+# hard stratum (25% vs 75%), so the MARGINAL comparison flips sign and
+# reads the treatment as harmful (≈ −100 milli). The operator emits the
+# marginal difference, the per-stratum differences, and the
+# Mantel-Haenszel stratum-weighted difference Σw_s·Δ_s / Σw_s with the
+# standard weights w_s = n_1s·n_0s/n_s — which must RECOVER the true
+# positive effect. Every quantity is an exact integer count with
+# floored milli divisions; the sign flip is the pytest pin (marginal
+# < 0 < every stratum and the CMH estimate).
+#
+# Scale shape: map-only synthesis + one (stratum, treated) groupBy +
+# constant-sized arithmetic.
+
+CMH_BASE = (600, 200)  # success milli by stratum
+CMH_EFFECT = 100  # planted within-stratum treatment lift
+
+
+def events_simpson_cmh(spark, sf_dir):
+    """(scope, n_treated, n_control, diff_milli): marginal, per-stratum
+    and Mantel-Haenszel-adjusted success-rate differences on the
+    planted Simpson's-paradox stream."""
+    from harvester_spark.operators.dedup import _hash56
+
+    ev = load(spark, sf_dir, "events").select("event_id")
+
+    def h(tag):
+        return _hash56(
+            F.concat(F.lit(tag + "|"), F.col("event_id").cast("string"))
+        )
+
+    rows = ev.select(
+        "event_id",
+        (h("st") % 2).cast("long").alias("s"),
+    ).withColumn(
+        "t",
+        F.expr(
+            "CASE WHEN s = 0 THEN CASE WHEN "
+            "CAST(conv(substring(md5(concat('tr|', CAST(event_id AS STRING))), 1, 14), 16, 10) AS BIGINT) % 4 = 0"
+            " THEN 1 ELSE 0 END"
+            " ELSE CASE WHEN "
+            "CAST(conv(substring(md5(concat('tr|', CAST(event_id AS STRING))), 1, 14), 16, 10) AS BIGINT) % 4 < 3"
+            " THEN 1 ELSE 0 END END"
+        ).cast("long"),
+    ).withColumn(
+        "y",
+        F.expr(
+            f"CASE WHEN CAST(conv(substring(md5(concat('sy|', CAST(event_id AS STRING))), 1, 14), 16, 10) AS BIGINT) % 1000"
+            f" < CASE WHEN s = 0 THEN {CMH_BASE[0]} ELSE {CMH_BASE[1]} END"
+            f" + {CMH_EFFECT} * t THEN 1 ELSE 0 END"
+        ).cast("long"),
+    )
+    cells = rows.groupBy("s", "t").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("c"),
+    ).cache()
+
+    def diff(df, scope):
+        w = df.groupBy().pivot("t", [0, 1]).agg(
+            F.first("n").alias("n"), F.first("c").alias("c")
+        )
+        return w.select(
+            F.lit(scope).alias("scope"),
+            F.col("1_n").cast("long").alias("n_treated"),
+            F.col("0_n").cast("long").alias("n_control"),
+            F.expr(
+                "CAST((1000 * `1_c`) DIV `1_n` - (1000 * `0_c`) DIV `0_n`"
+                " AS BIGINT)"
+            ).alias("diff_milli"),
+        )
+
+    marg = diff(
+        cells.groupBy("t").agg(
+            F.sum("n").alias("n"), F.sum("c").alias("c")
+        ).withColumn("t", F.col("t")),
+        "marginal",
+    )
+    s0 = diff(cells.filter(F.col("s") == 0), "stratum_0")
+    s1 = diff(cells.filter(F.col("s") == 1), "stratum_1")
+    # Mantel-Haenszel weighted difference: Σ w_s·Δ_s / Σ w_s,
+    # w_s = n1s·n0s/ns — computed as exact integers with one final
+    # floored division (w scaled by 1000 via the milli diffs)
+    per_s = (
+        cells.groupBy("s")
+        .pivot("t", [0, 1])
+        .agg(F.first("n").alias("n"), F.first("c").alias("c"))
+        .select(
+            "s",
+            F.col("1_n").cast("long").alias("n1"),
+            F.col("0_n").cast("long").alias("n0"),
+            F.col("1_c").cast("long").alias("c1"),
+            F.col("0_c").cast("long").alias("c0"),
+        )
+    )
+    cmh = per_s.select(
+        (F.col("n1") + F.col("n0")).alias("ns"),
+        "n1", "n0", "c1", "c0",
+    ).agg(
+        F.sum(
+            F.expr(
+                "(n1 * n0 * ((1000 * c1) DIV n1 - (1000 * c0) DIV n0))"
+                " DIV (n1 + n0)"
+            )
+        ).cast("long").alias("num"),
+        F.sum(F.expr("(n1 * n0) DIV (n1 + n0)")).cast("long").alias("den"),
+        F.sum("n1").cast("long").alias("n_treated"),
+        F.sum("n0").cast("long").alias("n_control"),
+    ).select(
+        F.lit("cmh_adjusted").alias("scope"),
+        "n_treated",
+        "n_control",
+        F.expr(
+            "CASE WHEN num >= 0 THEN CAST(num DIV den AS BIGINT)"
+            " ELSE CAST(-((-num) DIV den) AS BIGINT) END"
+        ).alias("diff_milli"),
+    )
+    return marg.unionByName(s0).unionByName(s1).unionByName(cmh)
+
+
+def _sql_simpson_cmh() -> str:
+    from harvester_spark.operators.dedup import _SQL_HASH56
+
+    hst = _SQL_HASH56.format(col="'st|' || CAST(event_id AS VARCHAR)")
+    htr = _SQL_HASH56.format(col="'tr|' || CAST(event_id AS VARCHAR)")
+    hsy = _SQL_HASH56.format(col="'sy|' || CAST(event_id AS VARCHAR)")
+    return f"""
+WITH rows_ AS (
+  SELECT event_id, s,
+         CASE WHEN s = 0
+              THEN CASE WHEN {htr} % 4 = 0 THEN 1 ELSE 0 END
+              ELSE CASE WHEN {htr} % 4 < 3 THEN 1 ELSE 0 END END AS t
+  FROM (SELECT event_id, {hst} % 2 AS s FROM events)
+),
+outc AS (
+  SELECT s, t,
+         CASE WHEN {hsy} % 1000
+              < CASE WHEN s = 0 THEN {CMH_BASE[0]} ELSE {CMH_BASE[1]} END
+              + {CMH_EFFECT} * t THEN 1 ELSE 0 END AS y
+  FROM rows_
+),
+cells AS MATERIALIZED (
+  SELECT s, t, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS c
+  FROM outc GROUP BY 1, 2
+),
+marg AS (
+  SELECT 'marginal' AS scope,
+         CAST(sum(CASE WHEN t = 1 THEN n END) AS BIGINT) AS n_treated,
+         CAST(sum(CASE WHEN t = 0 THEN n END) AS BIGINT) AS n_control,
+         CAST((1000 * CAST(sum(CASE WHEN t = 1 THEN c END) AS BIGINT))
+              // CAST(sum(CASE WHEN t = 1 THEN n END) AS BIGINT)
+              - (1000 * CAST(sum(CASE WHEN t = 0 THEN c END) AS BIGINT))
+              // CAST(sum(CASE WHEN t = 0 THEN n END) AS BIGINT)
+              AS BIGINT) AS diff_milli
+  FROM cells
+),
+per_s AS (
+  SELECT s,
+         CAST(sum(CASE WHEN t = 1 THEN n END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN t = 0 THEN n END) AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN t = 1 THEN c END) AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN t = 0 THEN c END) AS BIGINT) AS c0
+  FROM cells GROUP BY 1
+),
+strata AS (
+  SELECT 'stratum_' || CAST(s AS VARCHAR) AS scope,
+         n1 AS n_treated, n0 AS n_control,
+         CAST((1000 * c1) // n1 - (1000 * c0) // n0 AS BIGINT) AS diff_milli
+  FROM per_s
+),
+cmh AS (
+  SELECT 'cmh_adjusted' AS scope,
+         CAST(sum(n1) AS BIGINT) AS n_treated,
+         CAST(sum(n0) AS BIGINT) AS n_control,
+         CAST(CASE WHEN sum((n1 * n0 * ((1000 * c1) // n1
+                    - (1000 * c0) // n0)) // (n1 + n0)) >= 0
+              THEN CAST(sum((n1 * n0 * ((1000 * c1) // n1
+                   - (1000 * c0) // n0)) // (n1 + n0)) AS BIGINT)
+                   // CAST(sum((n1 * n0) // (n1 + n0)) AS BIGINT)
+              ELSE -((-CAST(sum((n1 * n0 * ((1000 * c1) // n1
+                   - (1000 * c0) // n0)) // (n1 + n0)) AS BIGINT))
+                   // CAST(sum((n1 * n0) // (n1 + n0)) AS BIGINT)) END
+              AS BIGINT) AS diff_milli
+  FROM per_s
+)
+SELECT * FROM marg
+UNION ALL SELECT * FROM strata
+UNION ALL SELECT * FROM cmh
+"""
+
+
+QUERIES["events_simpson_cmh"] = (events_simpson_cmh, _sql_simpson_cmh())

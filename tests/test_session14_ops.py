@@ -2884,3 +2884,64 @@ def test_logrank_planted_hazard_flagged_and_null_ratio(spark):
     # null draw by an order of magnitude and clears significance
     assert got["planted_dilation"][3] > 10 * max(got["null_split"][3], 100)
     assert got["planted_dilation"][3] >= 3841
+
+
+# ------------------------------------------------ events_simpson_cmh
+
+
+def test_simpson_flip_and_cmh_recovery(spark):
+    from harvester_spark.operators.es_aggs import (
+        CMH_BASE,
+        CMH_EFFECT,
+        events_simpson_cmh,
+    )
+
+    eids = [
+        r["event_id"]
+        for r in spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("event_id")
+        .collect()
+    ]
+    cells = Counter()
+    succ = Counter()
+    for e in eids:
+        s = _h56(f"st|{e}") % 2
+        tr = _h56(f"tr|{e}") % 4
+        t = (1 if tr == 0 else 0) if s == 0 else (1 if tr < 3 else 0)
+        p = CMH_BASE[s] + CMH_EFFECT * t
+        y = 1 if _h56(f"sy|{e}") % 1000 < p else 0
+        cells[(s, t)] += 1
+        succ[(s, t)] += y
+
+    def d(n1, c1, n0, c0):
+        return (1000 * c1) // n1 - (1000 * c0) // n0
+
+    marg = d(
+        cells[(0, 1)] + cells[(1, 1)], succ[(0, 1)] + succ[(1, 1)],
+        cells[(0, 0)] + cells[(1, 0)], succ[(0, 0)] + succ[(1, 0)],
+    )
+    strata = {
+        s: d(cells[(s, 1)], succ[(s, 1)], cells[(s, 0)], succ[(s, 0)])
+        for s in (0, 1)
+    }
+    num = den = 0
+    for s in (0, 1):
+        n1, n0 = cells[(s, 1)], cells[(s, 0)]
+        num += (n1 * n0 * strata[s]) // (n1 + n0)
+        den += (n1 * n0) // (n1 + n0)
+    cmh = num // den if num >= 0 else -((-num) // den)
+
+    got = {
+        r["scope"]: (r["n_treated"], r["n_control"], r["diff_milli"])
+        for r in events_simpson_cmh(spark, SF_DIR).collect()
+    }
+    assert got["marginal"][2] == marg
+    assert got["stratum_0"][2] == strata[0]
+    assert got["stratum_1"][2] == strata[1]
+    assert got["cmh_adjusted"][2] == cmh
+
+    # the paradox: marginal flips negative while every stratum and the
+    # adjusted estimate are positive, near the planted +100
+    assert got["marginal"][2] < -30
+    assert got["stratum_0"][2] > 30 and got["stratum_1"][2] > 30
+    assert abs(got["cmh_adjusted"][2] - CMH_EFFECT) < 60
