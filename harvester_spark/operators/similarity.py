@@ -3509,3 +3509,120 @@ FROM trip
 
 
 QUERIES["emb_triplet_margin_eval"] = (emb_triplet_margin_eval, _sql_triplet())
+
+
+# -------------------------------------- alignment / uniformity metrics
+
+# Wang & Isola (ICML 2020) — the two numbers that characterize a
+# contrastive embedding space, completing the representation-eval suite
+# (triplet accuracy = discrimination, CKA = cross-view structure,
+# silhouette/purity = clustering):
+#   alignment  = E ‖x − y‖²  over POSITIVE (same-label) pairs
+#   uniformity = ln E exp(−2·‖x − y‖²) over ALL pairs
+# on L2-NORMALIZED vectors, both over the bounded labeled subset
+# (vec_id < {AU_MAX_ID} — the jl_distortion_eval contract; both
+# quantities are pairwise by definition). Lower alignment = positives
+# collapse together; more-negative uniformity = the space spreads over
+# the sphere.
+#
+# Determinism: normalized components are round-6 (the cosine-kernel
+# discipline); each pair's d² is a round-6 double on identical inputs;
+# each exp(−2d²) is round-6 BEFORE the sum (identical addends, the
+# order-invariance argument of the repo's float contract); the final
+# ln and the two means go through micro-floor strings.
+#
+# Scale shape: two bounded pair joins (≤ C(50,2)) on the component
+# frame + scalar aggs — the labeled-subset quadratic baseline, with
+# the corpus-scale path being sampled pairs (documented).
+
+AU_MAX_ID = 50
+
+
+def emb_alignment_uniformity(spark, sf_dir):
+    """(n_pos_pairs, n_all_pairs, alignment_micro, uniformity_micro):
+    Wang-Isola alignment and uniformity over the bounded labeled
+    subset, L2-normalized."""
+    labels = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    comp = _components(spark, sf_dir).filter(F.col("vec_id") < AU_MAX_ID)
+    nrm = comp.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nrm")
+    )
+    unit = comp.join(nrm, "vec_id").select(
+        "vec_id", "pos", F.round(F.col("val") / F.col("nrm"), 6).alias("u")
+    )
+    a = unit.select(F.col("vec_id").alias("va"), "pos", F.col("u").alias("ua"))
+    b = unit.select(F.col("vec_id").alias("vb"), "pos", F.col("u").alias("ub"))
+    d2 = (
+        a.join(b, "pos")
+        .filter(F.col("va") < F.col("vb"))
+        .groupBy("va", "vb")
+        .agg(
+            F.round(
+                F.sum((F.col("ua") - F.col("ub")) * (F.col("ua") - F.col("ub"))),
+                6,
+            ).alias("d2")
+        )
+        .join(
+            labels.select(F.col("vec_id").alias("va"), F.col("label").alias("la")),
+            "va",
+        )
+        .join(
+            labels.select(F.col("vec_id").alias("vb"), F.col("label").alias("lb")),
+            "vb",
+        )
+        .cache()
+    )
+    return d2.agg(
+        F.sum((F.col("la") == F.col("lb")).cast("long"))
+        .cast("long")
+        .alias("n_pos_pairs"),
+        F.count("*").cast("long").alias("n_all_pairs"),
+        F.expr(
+            "CAST(floor(sum(CASE WHEN la = lb THEN d2 ELSE 0.0e0 END)"
+            " / sum(CASE WHEN la = lb THEN 1 ELSE 0 END)"
+            " * 1.0e6 + 0.5e0) AS BIGINT)"
+        ).alias("alignment_micro"),
+        F.expr(
+            "CAST(-floor(-ln(sum(round(exp(-2.0e0 * d2), 6)) / count(*))"
+            " * 1.0e6 + 0.5e0) AS BIGINT)"
+        ).alias("uniformity_micro"),
+    )
+
+
+SQL_ALIGNMENT_UNIFORMITY = f"""
+WITH comp AS ({_SQL_COMPONENTS}),
+sub AS (SELECT * FROM comp WHERE vec_id < {AU_MAX_ID}),
+nrm AS (
+  SELECT vec_id, sqrt(sum(val * val)) AS nrm FROM sub GROUP BY 1
+),
+unit AS (
+  SELECT s.vec_id, s.pos, round(s.val / n.nrm, 6) AS u
+  FROM sub s JOIN nrm n USING (vec_id)
+),
+d2 AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         round(sum((a.u - b.u) * (a.u - b.u)), 6) AS d2
+  FROM unit a JOIN unit b ON a.pos = b.pos AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+),
+lab AS (
+  SELECT d.va, d.vb, d.d2, ea.label AS la, eb.label AS lb
+  FROM d2 d
+  JOIN embeddings ea ON ea.vec_id = d.va
+  JOIN embeddings eb ON eb.vec_id = d.vb
+)
+SELECT CAST(sum(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pos_pairs,
+       CAST(count(*) AS BIGINT) AS n_all_pairs,
+       CAST(floor(sum(CASE WHEN la = lb THEN d2 ELSE 0.0e0 END)
+            / sum(CASE WHEN la = lb THEN 1 ELSE 0 END)
+            * 1.0e6 + 0.5e0) AS BIGINT) AS alignment_micro,
+       CAST(-floor(-ln(sum(round(exp(-2.0e0 * d2), 6)) / count(*))
+            * 1.0e6 + 0.5e0) AS BIGINT) AS uniformity_micro
+FROM lab
+"""
+
+QUERIES["emb_alignment_uniformity"] = (
+    emb_alignment_uniformity,
+    SQL_ALIGNMENT_UNIFORMITY,
+)

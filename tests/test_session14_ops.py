@@ -2945,3 +2945,54 @@ def test_simpson_flip_and_cmh_recovery(spark):
     assert got["marginal"][2] < -30
     assert got["stratum_0"][2] > 30 and got["stratum_1"][2] > 30
     assert abs(got["cmh_adjusted"][2] - CMH_EFFECT) < 60
+
+
+# ------------------------------------------- emb_alignment_uniformity
+
+
+def test_alignment_uniformity_matches_python_recompute(spark):
+    from harvester_spark.operators.similarity import (
+        AU_MAX_ID,
+        emb_alignment_uniformity,
+    )
+
+    rows = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    emb = {
+        r["vec_id"]: [float(v) for v in r["embedding"]]
+        for r in rows
+        if r["vec_id"] < AU_MAX_ID
+    }
+    lab = {r["vec_id"]: r["label"] for r in rows if r["vec_id"] < AU_MAX_ID}
+    unit = {}
+    for v, x in emb.items():
+        n = math.sqrt(sum(a * a for a in x))
+        unit[v] = [round(a / n, 6) for a in x]
+    ids = sorted(unit)
+    pos_d2 = []
+    all_exp = []
+    n_pos = n_all = 0
+    align_num = 0.0
+    for i, va in enumerate(ids):
+        for vb in ids[i + 1 :]:
+            d2 = round(
+                sum((a - b) ** 2 for a, b in zip(unit[va], unit[vb])), 6
+            )
+            n_all += 1
+            all_exp.append(round(math.exp(-2.0 * d2), 6))
+            if lab[va] == lab[vb]:
+                n_pos += 1
+                align_num += d2
+    alignment = math.floor(align_num / n_pos * 1e6 + 0.5)
+    uniformity = -math.floor(
+        -math.log(sum(all_exp) / n_all) * 1e6 + 0.5
+    )
+
+    row = emb_alignment_uniformity(spark, SF_DIR).collect()[0]
+    assert (
+        row["n_pos_pairs"], row["n_all_pairs"], row["alignment_micro"],
+        row["uniformity_micro"],
+    ) == (n_pos, n_all, alignment, uniformity)
+
+    # sanity: distances on the unit sphere keep both metrics in range
+    assert 0 < row["alignment_micro"] < 4_000_000
+    assert -4_000_000 < row["uniformity_micro"] < 0
