@@ -4268,3 +4268,124 @@ UNION ALL SELECT * FROM cmh
 
 
 QUERIES["events_simpson_cmh"] = (events_simpson_cmh, _sql_simpson_cmh())
+
+
+# --------------------------------------- Benjamini-Hochberg FDR control
+
+# The multiple-testing guardrail (Benjamini & Hochberg 1995) that sits
+# downstream of every per-segment test battery this library now carries
+# (t-test / KS / SRM / log-rank / CMH fire across hundreds of segments
+# in production — uncorrected, 5% of nulls flag by design): m = one
+# hypothesis per event-log "segment" (md5-derived), each with a PLANTED
+# p-value — true nulls draw p uniform, the {BH_ALT_PCT}% planted
+# alternatives draw p = u² (concentrated near 0). The step-up rule
+# rejects the largest k with p_(k) ≤ k·q/m (compared CROSS-MULTIPLIED:
+# 1e6·m·p ≤ k·q_milli·1000 — no division), Bonferroni rides along as
+# the conservative baseline. Because the ground truth is planted, the
+# op reports what no real battery can see: the REALIZED false-discovery
+# proportion among BH rejections (must land ≲ q) and the power gap over
+# Bonferroni (BH must reject strictly more) — both pytest-pinned.
+#
+# Scale shape: one map-only hypothesis synthesis + one rank window over
+# the m-row hypothesis frame + the step-up scalar (max qualifying rank)
+# broadcast.
+
+BH_M = 500
+BH_Q_MILLI = 100  # q = 0.10
+BH_ALT_PCT = 10
+
+
+def events_bh_fdr(spark, sf_dir):
+    """(h_id, is_alt, p_micro, rank, bh_reject, bonf_reject): the BH
+    step-up decisions over planted per-segment p-values, Bonferroni
+    alongside."""
+    from harvester_spark.operators.dedup import _hash56
+
+    hyp = spark.range(BH_M).select(F.col("id").cast("long").alias("h_id"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("bh|"), F.col("h_id").cast("string"))),
+                1, 14,
+            ), 16, 10,
+        ).cast("long") % 1_000_000
+    )
+    alt = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ba|"), F.col("h_id").cast("string"))),
+                1, 14,
+            ), 16, 10,
+        ).cast("long") % 100 < BH_ALT_PCT
+    )
+    drawn = hyp.select(
+        "h_id",
+        alt.alias("is_alt"),
+        u.alias("u"),
+    ).select(
+        "h_id",
+        "is_alt",
+        # alternatives draw p uniform on [0, 1e-4] — a strong-effect
+        # battery (power-law transforms of the uniform stay too weak
+        # for the step-up at m = 500, measured); nulls are uniform
+        F.expr(
+            "CASE WHEN is_alt THEN u DIV 10000 ELSE u END"
+        ).cast("long").alias("p_micro"),
+    )
+    wr = W.orderBy(F.col("p_micro").asc(), F.col("h_id").asc())
+    ranked = drawn.withColumn("rank", F.row_number().over(wr).cast("long"))
+    kmax = F.broadcast(
+        ranked.filter(
+            F.expr(
+                f"1000 * CAST({BH_M} AS BIGINT) * p_micro"
+                f" <= rank * {BH_Q_MILLI} * 1000000"
+            )
+        ).agg(F.coalesce(F.max("rank"), F.lit(0)).cast("long").alias("k"))
+    )
+    return ranked.crossJoin(kmax).select(
+        "h_id",
+        "is_alt",
+        "p_micro",
+        "rank",
+        (F.col("rank") <= F.col("k")).alias("bh_reject"),
+        F.expr(
+            f"1000 * CAST({BH_M} AS BIGINT) * p_micro"
+            f" <= {BH_Q_MILLI} * 1000000"
+        ).alias("bonf_reject"),
+    )
+
+
+def _sql_bh_fdr() -> str:
+    hu = "CAST(('0x' || substr(md5('bh|' || CAST(h_id AS VARCHAR)), 1, 14)) AS BIGINT) % 1000000"
+    ha = "CAST(('0x' || substr(md5('ba|' || CAST(h_id AS VARCHAR)), 1, 14)) AS BIGINT) % 100"
+    return f"""
+WITH hyp AS (
+  SELECT CAST(h AS BIGINT) AS h_id FROM (SELECT unnest(range({BH_M})) AS h)
+),
+drawn AS (
+  SELECT h_id, is_alt,
+         CAST(CASE WHEN is_alt THEN u // 10000 ELSE u END
+              AS BIGINT) AS p_micro
+  FROM (
+    SELECT h_id, ({ha} < {BH_ALT_PCT}) AS is_alt, {hu} AS u FROM hyp
+  )
+),
+ranked AS MATERIALIZED (
+  SELECT *, CAST(row_number() OVER (ORDER BY p_micro ASC, h_id ASC)
+                 AS BIGINT) AS rank
+  FROM drawn
+),
+kmax AS (
+  SELECT CAST(coalesce(max(rank), 0) AS BIGINT) AS k FROM ranked
+  WHERE 1000 * CAST({BH_M} AS BIGINT) * p_micro
+        <= rank * {BH_Q_MILLI} * 1000000
+)
+SELECT h_id, is_alt, p_micro, rank,
+       rank <= (SELECT k FROM kmax) AS bh_reject,
+       1000 * CAST({BH_M} AS BIGINT) * p_micro <= {BH_Q_MILLI} * 1000000
+         AS bonf_reject
+FROM ranked
+"""
+
+
+QUERIES["events_bh_fdr"] = (events_bh_fdr, _sql_bh_fdr())

@@ -2996,3 +2996,54 @@ def test_alignment_uniformity_matches_python_recompute(spark):
     # sanity: distances on the unit sphere keep both metrics in range
     assert 0 < row["alignment_micro"] < 4_000_000
     assert -4_000_000 < row["uniformity_micro"] < 0
+
+
+# ---------------------------------------------------- events_bh_fdr
+
+
+def test_bh_fdr_matches_python_and_controls_fdr(spark):
+    from harvester_spark.operators.es_aggs import (
+        BH_ALT_PCT,
+        BH_M,
+        BH_Q_MILLI,
+        events_bh_fdr,
+    )
+
+    drawn = []
+    for h in range(BH_M):
+        u = _h56(f"bh|{h}") % 1_000_000
+        alt = _h56(f"ba|{h}") % 100 < BH_ALT_PCT
+        p = u // 10000 if alt else u
+        drawn.append((h, alt, p))
+    ranked = sorted(drawn, key=lambda t: (t[2], t[0]))
+    kmax = 0
+    for i, (_, _, p) in enumerate(ranked, start=1):
+        if 1000 * BH_M * p <= i * BH_Q_MILLI * 1_000_000:
+            kmax = i
+    expect = {}
+    for i, (h, alt, p) in enumerate(ranked, start=1):
+        expect[h] = (
+            alt, p, i, i <= kmax,
+            1000 * BH_M * p <= BH_Q_MILLI * 1_000_000,
+        )
+
+    got = {
+        r["h_id"]: (
+            r["is_alt"], r["p_micro"], r["rank"], r["bh_reject"],
+            r["bonf_reject"],
+        )
+        for r in events_bh_fdr(spark, SF_DIR).collect()
+    }
+    assert got == expect
+
+    bh = sum(1 for v in got.values() if v[3])
+    bonf = sum(1 for v in got.values() if v[4])
+    bh_false = sum(1 for v in got.values() if v[3] and not v[0])
+    n_alt = sum(1 for v in got.values() if v[0])
+    bh_true = sum(1 for v in got.values() if v[3] and v[0])
+
+    assert bh > bonf  # the BH power gain over Bonferroni
+    assert bh_true >= n_alt - 1  # strong effects are found
+    # realized false-discovery proportion lands near the q = 0.10 target
+    assert bh_false <= (2 * BH_Q_MILLI * bh) // 1000
+    assert bh_false > 0  # FDR control != FWER control — some nulls pass
