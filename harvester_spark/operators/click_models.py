@@ -1133,3 +1133,113 @@ JOIN ust{r} s ON s.arm = a.arm""")
 
 
 QUERIES["bandit_ucb1"] = (bandit_ucb1, _sql_ucb1())
+
+
+# ---------------------------------------------- IPW click debiasing
+
+# Unbiased learning-to-rank (Joachims et al., WSDM 2017) — the reason
+# the click-model family exists: click COUNTS are position-confounded,
+# and the inverse-propensity estimator α̂ = (1/n_i)·Σ c/γ(pos) removes
+# the bias when the examination propensities γ are known (here: the
+# synthesis' own γ = 1/p — in production, the PBM EM estimates them;
+# click_model_pbm shows that works). The synthesis PLANTS the
+# confound the estimator exists for: each item is always shown at
+# position 1 + (item·3) % N_POS, so the naive CTR conflates an item's
+# attractiveness with its position luck, while IPW divides it back
+# out. The pytest pins both sides: IPW recovers the planted α spread
+# (high-α items beat low-α across position assignments) AND the naive
+# CTR provably misorders specific item pairs the plant scrambles.
+#
+# Determinism: γ = 1/p makes c/γ = c·p — pure integers; both
+# estimators are floored milli divisions.
+#
+# Scale shape: map-only synthesis + one item-keyed groupBy carrying
+# both estimators on the same shuffle.
+
+
+def ltr_ipw_debias_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(item, p, n_impr, n_clicks, naive_ctr_milli, ipw_alpha_milli,
+    alpha_true_milli): naive vs inverse-propensity attractiveness
+    estimates under planted position-item confounding."""
+    ev = load(spark, sf_dir, "events").select("event_id")
+    imp = ev.select(
+        "event_id",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("iw|"), F.col("event_id").cast("string"))),
+                    1, 14,
+                ), 16, 10,
+            ).cast("long") % 40
+        ).alias("item"),
+    ).withColumn(
+        "p", (1 + (F.col("item") * 3) % N_POS).cast("long")
+    ).withColumn(
+        "u",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ic|"), F.col("event_id").cast("string"))),
+                1, 14,
+            ), 16, 10,
+        ).cast("long") % _MILLI,
+    ).withColumn(
+        "c",
+        F.expr(
+            f"CASE WHEN u < ({_GAMMA_TRUE.format(div='DIV')}"
+            f" * {_ALPHA_TRUE}) DIV {_MILLI} THEN 1 ELSE 0 END"
+        ).cast("long"),
+    )
+    return (
+        imp.groupBy("item", "p")
+        .agg(
+            F.count("*").cast("long").alias("n_impr"),
+            F.sum("c").cast("long").alias("n_clicks"),
+        )
+        .select(
+            "item",
+            "p",
+            "n_impr",
+            "n_clicks",
+            F.expr(
+                f"CAST(({_MILLI} * n_clicks) DIV n_impr AS BIGINT)"
+            ).alias("naive_ctr_milli"),
+            # gamma = 1/p  =>  c/gamma = c*p, exact integers
+            F.expr(
+                f"CAST(({_MILLI} * n_clicks * p) DIV n_impr AS BIGINT)"
+            ).alias("ipw_alpha_milli"),
+            F.expr(_ALPHA_TRUE).alias("alpha_true_milli"),
+        )
+    )
+
+
+SQL_IPW_DEBIAS = f"""
+WITH imp AS (
+  SELECT event_id,
+         CAST(('0x' || substr(md5('iw|' || CAST(event_id AS VARCHAR)), 1, 14)) AS BIGINT) % 40
+           AS item
+  FROM events
+),
+pos AS (
+  SELECT event_id, item, 1 + (item * 3) % {N_POS} AS p,
+         CAST(('0x' || substr(md5('ic|' || CAST(event_id AS VARCHAR)), 1, 14)) AS BIGINT) % {_MILLI}
+           AS u
+  FROM imp
+),
+clk AS (
+  SELECT item, p,
+         CASE WHEN u < ({_GAMMA_TRUE.format(div='//')} * {_ALPHA_TRUE})
+                       // {_MILLI} THEN 1 ELSE 0 END AS c
+  FROM pos
+)
+SELECT item, CAST(p AS BIGINT) AS p,
+       CAST(count(*) AS BIGINT) AS n_impr,
+       CAST(sum(c) AS BIGINT) AS n_clicks,
+       CAST(({_MILLI} * CAST(sum(c) AS BIGINT)) // count(*) AS BIGINT)
+         AS naive_ctr_milli,
+       CAST(({_MILLI} * CAST(sum(c) AS BIGINT) * p) // count(*) AS BIGINT)
+         AS ipw_alpha_milli,
+       {_ALPHA_TRUE} AS alpha_true_milli
+FROM clk GROUP BY item, p
+"""
+
+QUERIES["ltr_ipw_debias_eval"] = (ltr_ipw_debias_eval, SQL_IPW_DEBIAS)

@@ -3047,3 +3047,64 @@ def test_bh_fdr_matches_python_and_controls_fdr(spark):
     # realized false-discovery proportion lands near the q = 0.10 target
     assert bh_false <= (2 * BH_Q_MILLI * bh) // 1000
     assert bh_false > 0  # FDR control != FWER control — some nulls pass
+
+
+# ------------------------------------------------ ltr_ipw_debias_eval
+
+
+def test_ipw_debias_matches_python_and_beats_naive(spark):
+    from itertools import combinations
+
+    from harvester_spark.operators.click_models import (
+        N_POS,
+        ltr_ipw_debias_eval,
+    )
+
+    eids = [
+        r["event_id"]
+        for r in spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("event_id")
+        .collect()
+    ]
+    cells = {}
+    for e in eids:
+        item = _h56(f"iw|{e}") % 40
+        p = 1 + (item * 3) % N_POS
+        u = _h56(f"ic|{e}") % 1000
+        gamma = 1000 // p
+        alpha = 150 + (item * 37) % 700
+        c = 1 if u < (gamma * alpha) // 1000 else 0
+        n, s = cells.get((item, p), (0, 0))
+        cells[(item, p)] = (n + 1, s + c)
+    expect = {
+        (i, p): (
+            n, s, (1000 * s) // n, (1000 * s * p) // n,
+            150 + (i * 37) % 700,
+        )
+        for (i, p), (n, s) in cells.items()
+    }
+
+    got = {
+        (r["item"], r["p"]): (
+            r["n_impr"], r["n_clicks"], r["naive_ctr_milli"],
+            r["ipw_alpha_milli"], r["alpha_true_milli"],
+        )
+        for r in ltr_ipw_debias_eval(spark, SF_DIR).collect()
+    }
+    assert got == expect
+
+    # the debiasing is measurable: IPW orders items by true alpha far
+    # better than the position-confounded naive CTR
+    rows = sorted(got.values(), key=lambda v: v[4])
+
+    def tau(ix):
+        c = d = 0
+        for a, b in combinations(rows, 2):
+            s = (a[ix] - b[ix]) * (a[4] - b[4])
+            c += s > 0
+            d += s < 0
+        return (c - d) / max(c + d, 1)
+
+    t_naive, t_ipw = tau(2), tau(3)
+    assert t_ipw > t_naive + 0.15
+    assert t_ipw > 0.5
