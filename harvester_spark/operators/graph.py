@@ -3361,3 +3361,152 @@ reg{k} AS MATERIALIZED (
 
 
 QUERIES["host_hyperball_anf"] = (host_hyperball_anf, _sql_hyperball())
+
+
+# ------------------------------------------ bipartite modularity (Q_B)
+
+# Barber (PRE 2007) bipartite modularity — the CORRECT null model for
+# this repo's host graphs, which are all hub×leaf BIPARTITE by
+# construction (every docstring from LPA to rich-club has noted it;
+# Newman's null allows impossible hub-hub edges and so systematically
+# misjudges the partition): Q_B = (1/m)·Σ_c (e_c − K_c·D_c/m) with
+# K_c / D_c the community's HUB and LEAF degree sums and e_c its intra
+# edges. Exact integer rational over the common denominator m²:
+# Q_B·m² = Σ_c (m·e_c − K_c·D_c), plus the sign-split micro quotient —
+# the host_labelprop_modularity contract with the bipartite null. The
+# pytest pins the substantive claim: Q_B ≥ the Newman Q on the same
+# partition (the unipartite null wastes probability mass on forbidden
+# hub-hub / leaf-leaf edges, deflating Q on bipartite graphs).
+#
+# Scale shape: the LPA rounds (unchanged) + one edges⋈labels join per
+# side + per-community aggs — identical to the Newman twin.
+
+
+def host_bipartite_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_edges, n_communities, qb_num, qb_den, qb_micro): Barber
+    bipartite modularity of the label-propagation partition, exact
+    integer rational."""
+    labels = host_labelprop_communities(spark, sf_dir).select(
+        "host", "label"
+    ).cache()
+    docs = load(spark, sf_dir, "documents")
+    fan = max(docs.count() // 2, 20)
+    dst = F.concat(
+        F.lit("h"),
+        (_hash56(F.col("doc_id").cast("string")) % fan).cast("string"),
+    )
+    # bipartite edge list: hub (source) side × leaf (hashed) side,
+    # deduplicated — m counts DISTINCT hub-leaf pairs
+    e0 = (
+        docs.select(F.col("source").alias("hub"), dst.alias("leaf"))
+        .filter(F.col("hub") != F.col("leaf"))
+        .distinct()
+        .cache()
+    )
+    m_df = F.broadcast(e0.agg(F.count("*").cast("long").alias("m")))
+    lh = labels.select(F.col("host").alias("hub"), F.col("label").alias("lab_h"))
+    ll = labels.select(F.col("host").alias("leaf"), F.col("label").alias("lab_l"))
+    tagged = e0.join(lh, "hub").join(ll, "leaf").cache()
+    e_c = (
+        tagged.filter(F.col("lab_h") == F.col("lab_l"))
+        .groupBy(F.col("lab_h").alias("label"))
+        .agg(F.count("*").cast("long").alias("e_c"))
+    )
+    k_c = (
+        tagged.groupBy(F.col("lab_h").alias("label"))
+        .agg(F.count("*").cast("long").alias("k_c"))
+    )
+    d_c = (
+        tagged.groupBy(F.col("lab_l").alias("label"))
+        .agg(F.count("*").cast("long").alias("d_c"))
+    )
+    per_c = (
+        k_c.join(d_c, "label", "full")
+        .join(e_c, "label", "left")
+        .select(
+            "label",
+            F.coalesce("k_c", F.lit(0)).cast("long").alias("k_c"),
+            F.coalesce("d_c", F.lit(0)).cast("long").alias("d_c"),
+            F.coalesce("e_c", F.lit(0)).cast("long").alias("e_c"),
+        )
+    )
+    agg = per_c.crossJoin(m_df).agg(
+        F.sum(
+            F.expr("m * e_c - k_c * d_c")
+        ).cast("long").alias("qb_num"),
+        F.count("*").cast("long").alias("n_communities"),
+    )
+    return agg.crossJoin(m_df).select(
+        F.col("m").alias("n_edges"),
+        "n_communities",
+        "qb_num",
+        (F.col("m") * F.col("m")).cast("long").alias("qb_den"),
+        F.expr(
+            "CASE WHEN qb_num >= 0 THEN CAST((qb_num * 1000000) DIV (m * m)"
+            " AS BIGINT)"
+            " ELSE CAST(-(((-qb_num) * 1000000) DIV (m * m)) AS BIGINT) END"
+        ).alias("qb_micro"),
+    )
+
+
+def _sql_bipartite_modularity() -> str:
+    lp_sql = _sql_labelprop("")
+    hash_doc = _SQL_HASH56.format(col="CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH lp AS MATERIALIZED ({lp_sql}),
+fanb2 AS (
+  SELECT greatest(CAST(count(*) AS BIGINT) // 2, 20) AS f FROM documents
+),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT source AS hub,
+         'h' || CAST({hash_doc} % (SELECT f FROM fanb2) AS VARCHAR) AS leaf
+  FROM documents
+  WHERE source <> 'h' || CAST({hash_doc} % (SELECT f FROM fanb2) AS VARCHAR)
+),
+ms AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e0),
+tagged AS MATERIALIZED (
+  SELECT e.hub, e.leaf, lh.label AS lab_h, ll.label AS lab_l
+  FROM e0 e
+  JOIN lp lh ON lh.host = e.hub
+  JOIN lp ll ON ll.host = e.leaf
+),
+ec AS (
+  SELECT lab_h AS label, CAST(count(*) AS BIGINT) AS e_c
+  FROM tagged WHERE lab_h = lab_l GROUP BY 1
+),
+kc AS (
+  SELECT lab_h AS label, CAST(count(*) AS BIGINT) AS k_c
+  FROM tagged GROUP BY 1
+),
+dc AS (
+  SELECT lab_l AS label, CAST(count(*) AS BIGINT) AS d_c
+  FROM tagged GROUP BY 1
+),
+per_c AS (
+  SELECT coalesce(kc.label, dc.label) AS label,
+         CAST(coalesce(kc.k_c, 0) AS BIGINT) AS k_c,
+         CAST(coalesce(dc.d_c, 0) AS BIGINT) AS d_c
+  FROM kc FULL JOIN dc USING (label)
+),
+joined AS (
+  SELECT p.label, p.k_c, p.d_c, CAST(coalesce(ec.e_c, 0) AS BIGINT) AS e_c
+  FROM per_c p LEFT JOIN ec USING (label)
+),
+agg AS (
+  SELECT CAST(sum(m * e_c - k_c * d_c) AS BIGINT) AS qb_num,
+         CAST(count(*) AS BIGINT) AS n_communities
+  FROM joined CROSS JOIN ms
+)
+SELECT m AS n_edges, n_communities, qb_num,
+       CAST(m * m AS BIGINT) AS qb_den,
+       CAST(CASE WHEN qb_num >= 0 THEN (qb_num * 1000000) // (m * m)
+                 ELSE -(((-qb_num) * 1000000) // (m * m)) END
+            AS BIGINT) AS qb_micro
+FROM agg CROSS JOIN ms
+"""
+
+
+QUERIES["host_bipartite_modularity"] = (
+    host_bipartite_modularity,
+    _sql_bipartite_modularity(),
+)

@@ -3110,3 +3110,58 @@ def test_ipw_debias_matches_python_and_beats_naive(spark):
     # level, is the robust pin (0.38 -> 0.77 at sf0.01)
     assert t_ipw > t_naive + 0.15
     assert t_ipw > 0.3
+
+
+# --------------------------------------------- host_bipartite_modularity
+
+
+def test_barber_modularity_matches_python_and_beats_newman_null(spark):
+    from harvester_spark.operators.graph import (
+        host_bipartite_modularity,
+        host_labelprop_communities,
+        host_labelprop_modularity,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "source"
+    ).collect()
+    fan = max(len(docs) // 2, 20)
+    edges = set()
+    for r in docs:
+        leaf = f"h{_h56(str(r['doc_id'])) % fan}"
+        if r["source"] != leaf:
+            edges.add((r["source"], leaf))
+    m = len(edges)
+    labels = {
+        r["host"]: r["label"]
+        for r in host_labelprop_communities(spark, SF_DIR).collect()
+    }
+    e_c = Counter()
+    k_c = Counter()
+    d_c = Counter()
+    for hub, leaf in edges:
+        k_c[labels[hub]] += 1
+        d_c[labels[leaf]] += 1
+        if labels[hub] == labels[leaf]:
+            e_c[labels[hub]] += 1
+    comms = set(k_c) | set(d_c)
+    qb_num = sum(
+        m * e_c[c] - k_c[c] * d_c[c] for c in comms
+    )
+    qb_micro = (
+        (qb_num * 1_000_000) // (m * m)
+        if qb_num >= 0
+        else -(((-qb_num) * 1_000_000) // (m * m))
+    )
+
+    row = host_bipartite_modularity(spark, SF_DIR).collect()[0]
+    assert (
+        row["n_edges"], row["n_communities"], row["qb_num"], row["qb_micro"]
+    ) == (m, len(comms), qb_num, qb_micro)
+
+    # the substantive claim: the bipartite null never deflates Q the way
+    # the unipartite null does on a bipartite graph, and the partition
+    # has real structure under the CORRECT null
+    newman = host_labelprop_modularity(spark, SF_DIR).collect()[0]["q_micro"]
+    assert row["qb_micro"] >= newman
+    assert row["qb_micro"] > 250_000
