@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W, functions as F
 
 from harvester_spark.analysis import tokens_column
-from harvester_spark.operators.common import SQL_TOKS, doc_tokens, load
+from harvester_spark.operators.common import SQL_DOC_TOKS, SQL_TOKS, doc_tokens, load
 
 SEQ_LEN = 256  # tokens per packed training sequence
 PACK_SHARD = 64  # docs per prefix-sum shard (tune ~10k at real scale)
@@ -1761,3 +1761,143 @@ FROM tok CROSS JOIN typ
 
 
 QUERIES["vocab_oov_holdout"] = (vocab_oov_holdout, _sql_vocab_oov())
+
+
+# ------------------------------------- negative-sampling table eval
+
+# The word2vec/contrastive negative-sampling distribution (Mikolov et
+# al. 2013): negatives draw ∝ cf^0.75 — the damping that keeps head
+# tokens from swamping the negatives while still favoring frequent
+# ones. This operator builds the exact integer sampling table (weights
+# w = ⌊cf^0.75·1e3⌋ via ONE shared exp/ln string, cumulative ranges by
+# a term-ordered window) and then actually DRAWS NS_DRAWS md5 uniforms
+# through the inverse CDF — a range join of draws against the
+# cumulative table, the distributed form of the alias-table lookup.
+# Output per term: expected vs realized draw shares. Pinned: realized
+# tracks expected within multinomial noise, and the 0.75 damping
+# genuinely reorders mass vs raw cf (the head term's share drops
+# relative to its raw-frequency share — the whole point of the
+# exponent).
+#
+# Scale shape: one dictionary agg + a vocabulary-bounded window for
+# the cumulative table (broadcast — the sampling table IS small by
+# design) + one range join of the draw dimension against it.
+
+NS_DRAWS = 20_000
+_NS_W = "CAST(floor(exp(0.75e0 * ln(CAST(cf AS DOUBLE))) * 1.0e3) AS BIGINT)"
+
+
+def train_negative_sampling_eval(spark, sf_dir):
+    """(term, cf, w, expected_micro, n_drawn, realized_micro): the
+    cf^0.75 negative-sampling table with realized draw shares from
+    {NS_DRAWS} md5 uniforms."""
+    from harvester_spark.operators.dedup import _hash56
+
+    cf = (
+        doc_tokens(spark, sf_dir)
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("cf"))
+        .withColumn("w", F.expr(_NS_W))
+    )
+    wt = W.orderBy("term")
+    table = cf.select(
+        "term",
+        "cf",
+        "w",
+        (
+            F.coalesce(
+                F.sum("w").over(wt.rowsBetween(W.unboundedPreceding, -1)),
+                F.lit(0),
+            )
+        ).cast("long").alias("lo"),
+        F.sum("w").over(wt.rowsBetween(W.unboundedPreceding, 0))
+        .cast("long")
+        .alias("hi"),
+    ).cache()
+    tot = F.broadcast(table.agg(F.max("hi").cast("long").alias("tw")))
+    draws = (
+        spark.range(NS_DRAWS)
+        .select(F.col("id").cast("long").alias("i"))
+        .crossJoin(tot)
+        .select(
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("ns|"), F.col("i").cast("string"))),
+                        1, 14,
+                    ), 16, 10,
+                ).cast("long") % F.col("tw")
+            ).alias("u")
+        )
+    )
+    hits = (
+        draws.join(
+            F.broadcast(table),
+            (F.col("u") >= F.col("lo")) & (F.col("u") < F.col("hi")),
+        )
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("n_drawn"))
+    )
+    return (
+        table.join(hits, "term", "left")
+        .crossJoin(tot)
+        .select(
+            "term",
+            "cf",
+            "w",
+            F.expr("CAST((1000000 * w) DIV tw AS BIGINT)").alias(
+                "expected_micro"
+            ),
+            F.coalesce("n_drawn", F.lit(0)).cast("long").alias("n_drawn"),
+            F.expr(
+                f"CAST((1000000 * coalesce(n_drawn, 0)) DIV {NS_DRAWS}"
+                " AS BIGINT)"
+            ).alias("realized_micro"),
+        )
+    )
+
+
+def _sql_negative_sampling() -> str:
+    return f"""
+WITH cf AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS cf
+  FROM ({SQL_DOC_TOKS}) GROUP BY 1
+),
+wtab AS (
+  SELECT term, cf, {_NS_W} AS w FROM cf
+),
+table_ AS MATERIALIZED (
+  SELECT term, cf, w,
+         CAST(coalesce(sum(w) OVER (ORDER BY term
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS lo,
+         CAST(sum(w) OVER (ORDER BY term
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS hi
+  FROM wtab
+),
+tot AS (SELECT CAST(max(hi) AS BIGINT) AS tw FROM table_),
+draws AS (
+  SELECT CAST(('0x' || substr(md5('ns|' || CAST(i AS VARCHAR)), 1, 14))
+              AS BIGINT) % (SELECT tw FROM tot) AS u
+  FROM (SELECT unnest(range({NS_DRAWS})) AS i)
+),
+hits AS (
+  SELECT t.term, CAST(count(*) AS BIGINT) AS n_drawn
+  FROM draws d JOIN table_ t ON d.u >= t.lo AND d.u < t.hi
+  GROUP BY 1
+)
+SELECT t.term, t.cf, t.w,
+       CAST((1000000 * t.w) // (SELECT tw FROM tot) AS BIGINT)
+         AS expected_micro,
+       CAST(coalesce(h.n_drawn, 0) AS BIGINT) AS n_drawn,
+       CAST((1000000 * coalesce(h.n_drawn, 0)) // {NS_DRAWS} AS BIGINT)
+         AS realized_micro
+FROM table_ t LEFT JOIN hits h USING (term)
+"""
+
+
+QUERIES["train_negative_sampling_eval"] = (
+    train_negative_sampling_eval,
+    _sql_negative_sampling(),
+)

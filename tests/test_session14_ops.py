@@ -3165,3 +3165,63 @@ def test_barber_modularity_matches_python_and_beats_newman_null(spark):
     newman = host_labelprop_modularity(spark, SF_DIR).collect()[0]["q_micro"]
     assert row["qb_micro"] >= newman
     assert row["qb_micro"] > 250_000
+
+
+# ----------------------------------------- train_negative_sampling_eval
+
+
+def test_negative_sampling_table_exact_and_damping_real(spark, corpus14):
+    from harvester_spark.operators.training_prep import (
+        NS_DRAWS,
+        train_negative_sampling_eval,
+    )
+
+    cf = Counter()
+    for ts in corpus14.values():
+        cf.update(ts)
+    terms = sorted(cf)
+    w = {t: math.floor(math.exp(0.75 * math.log(cf[t])) * 1e3) for t in terms}
+    lo = {}
+    acc = 0
+    for t in terms:
+        lo[t] = acc
+        acc += w[t]
+    tw = acc
+    drawn = Counter()
+    for i in range(NS_DRAWS):
+        u = _h56(f"ns|{i}") % tw
+        # find the bucket
+        for t in terms:
+            if lo[t] <= u < lo[t] + w[t]:
+                drawn[t] += 1
+                break
+    expect = {
+        t: (
+            cf[t], w[t], (1_000_000 * w[t]) // tw, drawn[t],
+            (1_000_000 * drawn[t]) // NS_DRAWS,
+        )
+        for t in terms
+    }
+
+    got = {
+        r["term"]: (
+            r["cf"], r["w"], r["expected_micro"], r["n_drawn"],
+            r["realized_micro"],
+        )
+        for r in train_negative_sampling_eval(spark, SF_DIR).collect()
+    }
+    assert got == expect
+
+    # realized tracks expected within multinomial noise
+    for t, (c, _, e, _, r) in got.items():
+        if e >= 2000:
+            assert abs(r - e) < max(e // 3, 2000)
+    # the 0.75 damping genuinely moves mass toward the tail: the rare
+    # term's damped share more than doubles its raw share, the head's
+    # damped share drops below its raw share
+    tot_cf = sum(v[0] for v in got.values())
+    rare = min(got, key=lambda t: got[t][0])
+    head = max(got, key=lambda t: got[t][0])
+    raw_share = lambda t: (1_000_000 * got[t][0]) // tot_cf
+    assert got[rare][2] > 2 * raw_share(rare)
+    assert got[head][2] < raw_share(head)
