@@ -1949,3 +1949,98 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
 
 QUERIES["q14_promo_revenue"] = (q14_promo_revenue, SQL_Q14)
 QUERIES["q19_discounted_revenue"] = (q19_discounted_revenue, SQL_Q19)
+
+
+# ------------------------------------------------- skyline / Pareto
+
+# The skyline operator (Börzsönyi, Kossmann & Stocker, ICDE 2001) — the
+# classic multi-objective relational operator the library was missing:
+# the Pareto-optimal users under (purchase count ↑ good, error count ↓
+# good). A user is dominated iff another user is at least as good on
+# BOTH objectives and strictly better on one; the skyline is the
+# anti-join against the dominance condition. Output is every user with
+# their objectives and the skyline flag (dominated rows kept — the
+# frontier is meaningful only against what it dominates).
+#
+# Determinism: objectives are exact counts; dominance is pure integer
+# comparison; ties on both objectives leave BOTH rows in the skyline
+# (the standard set semantics).
+#
+# Scale shape: one per-user agg; the dominance test is the classic
+# block-nested quadratic over the DISTINCT objective grid (not the
+# user list — users sharing an objective pair collapse first, the
+# standard pre-aggregation), with sort-filter-skyline the documented
+# big-data path.
+
+
+def events_skyline_users(spark, sf_dir):
+    """(user_id, n_purchases, n_errors, on_skyline): every user's
+    objective pair and whether it sits on the Pareto frontier."""
+    ev = load(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.sum((F.col("event_type") == "purchase").cast("long"))
+        .cast("long")
+        .alias("n_purchases"),
+        F.sum((F.col("event_type") == "error").cast("long"))
+        .cast("long")
+        .alias("n_errors"),
+    ).cache()
+    grid = per.select("n_purchases", "n_errors").distinct()
+    dominated_pairs = (
+        grid.alias("a")
+        .join(
+            grid.alias("b"),
+            F.expr(
+                "b.n_purchases >= a.n_purchases AND b.n_errors <= a.n_errors"
+                " AND (b.n_purchases > a.n_purchases"
+                " OR b.n_errors < a.n_errors)"
+            ),
+            "left_semi",
+        )
+        .select(
+            F.col("n_purchases").alias("dp"), F.col("n_errors").alias("de")
+        )
+    )
+    return (
+        per.join(
+            dominated_pairs,
+            (per["n_purchases"] == F.col("dp"))
+            & (per["n_errors"] == F.col("de")),
+            "left",
+        )
+        .select(
+            "user_id",
+            "n_purchases",
+            "n_errors",
+            F.col("dp").isNull().alias("on_skyline"),
+        )
+    )
+
+
+SQL_SKYLINE_USERS = """
+WITH per AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_purchases,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_errors
+  FROM events GROUP BY 1
+),
+grid AS (SELECT DISTINCT n_purchases, n_errors FROM per),
+dominated AS (
+  SELECT a.n_purchases AS dp, a.n_errors AS de
+  FROM grid a
+  WHERE EXISTS (
+    SELECT 1 FROM grid b
+    WHERE b.n_purchases >= a.n_purchases AND b.n_errors <= a.n_errors
+      AND (b.n_purchases > a.n_purchases OR b.n_errors < a.n_errors)
+  )
+)
+SELECT p.user_id, p.n_purchases, p.n_errors,
+       d.dp IS NULL AS on_skyline
+FROM per p
+LEFT JOIN dominated d
+  ON d.dp = p.n_purchases AND d.de = p.n_errors
+"""
+
+QUERIES["events_skyline_users"] = (events_skyline_users, SQL_SKYLINE_USERS)

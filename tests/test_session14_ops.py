@@ -3225,3 +3225,51 @@ def test_negative_sampling_table_exact_and_damping_real(spark, corpus14):
     raw_share = lambda t: (1_000_000 * got[t][0]) // tot_cf
     assert got[rare][2] > 2 * raw_share(rare)
     assert got[head][2] < raw_share(head)
+
+
+# ------------------------------------------------ events_skyline_users
+
+
+def test_skyline_matches_python_and_frontier_properties(spark):
+    from harvester_spark.operators.relational import events_skyline_users
+
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("user_id", "event_type")
+        .collect()
+    )
+    per = {}
+    for r in rows:
+        p, e = per.get(r["user_id"], (0, 0))
+        per[r["user_id"]] = (
+            p + (r["event_type"] == "purchase"),
+            e + (r["event_type"] == "error"),
+        )
+
+    def dominated(a):
+        return any(
+            b[0] >= a[0] and b[1] <= a[1] and (b[0] > a[0] or b[1] < a[1])
+            for b in per.values()
+        )
+
+    expect = {
+        u: (p, e, not dominated((p, e))) for u, (p, e) in per.items()
+    }
+    got = {
+        r["user_id"]: (r["n_purchases"], r["n_errors"], r["on_skyline"])
+        for r in events_skyline_users(spark, SF_DIR).collect()
+    }
+    assert got == expect
+
+    sky = [(p, e) for p, e, s in got.values() if s]
+    assert 0 < len(sky) < len(got)  # a real frontier, not everything
+    # frontier property: sorted by purchases desc, errors strictly
+    # increase as purchases decrease (staircase), and no skyline point
+    # dominates another
+    for a in sky:
+        for b in sky:
+            if a != b:
+                assert not (
+                    a[0] >= b[0] and a[1] <= b[1]
+                    and (a[0] > b[0] or a[1] < b[1])
+                )
