@@ -3453,3 +3453,170 @@ FROM agg a LEFT JOIN old_sizes o USING (shard) CROSS JOIN nn
 
 
 QUERIES["rendezvous_hash_eval"] = (rendezvous_hash_eval, _sql_hrw())
+
+
+# -------------------------------------------- Fagin TA stopping depth
+
+# Fagin's Threshold Algorithm (Fagin, Lotem & Naor, PODS 2001) — the
+# instance-optimal top-k over sorted score lists, the relational
+# ancestor of every block-max/WAND pruning trick this engine serves
+# with: two lists ranked descending (BM25 micro over the flagship
+# query; the n_chars rank-feature prior micro), aggregate = sum. At
+# sorted depth p the THRESHOLD is T(p) = s₁(p) + s₂(p) — no unseen
+# object can beat it — and TA stops at the first p where the k-th best
+# COMPLETE score among objects seen in either top-p reaches T(p).
+# The operator emits the full depth trace (threshold, k-th best,
+# stopped flag); the stopping depth × 2 is the sorted-access cost the
+# instance-optimality theorem bounds. Pins: TA is CORRECT (the true
+# top-k by total score are all seen by the stopping depth) and
+# actually early-terminates (stop ≪ corpus).
+#
+# Determinism: both scores are exact micro ints; list ranks carry
+# doc_id tie-breaks; the k-th best per depth is an exact order
+# statistic.
+#
+# Scale shape: two rank windows + a depth×seen-docs grid bounded by
+# TA_MAX_DEPTH (the trace is diagnostic; the SERVING implementation is
+# the cursor walk this table explains).
+
+TA_K = 10
+TA_MAX_DEPTH = 60
+
+
+def fagin_ta_cost_eval(spark, sf_dir):
+    """(p, t1_micro, t2_micro, threshold_micro, kth_best_micro,
+    stopped): the TA depth trace for top-{TA_K} over the BM25 and
+    length-prior lists."""
+    from harvester_spark.operators.fulltext_queries import bm25_or_scored
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    s1 = bm25_or_scored(spark, sf_dir).select(
+        "doc_id",
+        F.expr("CAST(round(score * 1.0e6, 0) AS BIGINT)").alias("s1"),
+    )
+    feats = (
+        docs.join(s1, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("s1", F.lit(0)).cast("long").alias("s1"),
+            F.expr(
+                "CAST((1000000 * n_chars) DIV (n_chars + 1200) AS BIGINT)"
+            ).alias("s2"),
+        )
+        .withColumn("tot", (F.col("s1") + F.col("s2")).cast("long"))
+        .withColumn(
+            "r1",
+            F.row_number()
+            .over(W.orderBy(F.col("s1").desc(), F.col("doc_id").asc()))
+            .cast("long"),
+        )
+        .withColumn(
+            "r2",
+            F.row_number()
+            .over(W.orderBy(F.col("s2").desc(), F.col("doc_id").asc()))
+            .cast("long"),
+        )
+        .cache()
+    )
+    depths = spark.range(1, TA_MAX_DEPTH + 1).select(
+        F.col("id").cast("long").alias("p")
+    )
+    t1 = feats.select(F.col("r1").alias("p"), F.col("s1").alias("t1_micro"))
+    t2 = feats.select(F.col("r2").alias("p"), F.col("s2").alias("t2_micro"))
+    seen = (
+        depths.join(
+            feats.select("doc_id", "tot", "r1", "r2"),
+            (F.col("r1") <= F.col("p")) | (F.col("r2") <= F.col("p")),
+        )
+    )
+    wk = W.partitionBy("p").orderBy(F.col("tot").desc(), F.col("doc_id").asc())
+    kth = (
+        seen.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") == TA_K)
+        .select("p", F.col("tot").alias("kth_best_micro"))
+    )
+    return (
+        depths.join(t1, "p")
+        .join(t2, "p")
+        .join(kth, "p", "left")
+        .select(
+            "p",
+            "t1_micro",
+            "t2_micro",
+            (F.col("t1_micro") + F.col("t2_micro")).cast("long").alias(
+                "threshold_micro"
+            ),
+            F.coalesce("kth_best_micro", F.lit(0)).cast("long").alias(
+                "kth_best_micro"
+            ),
+            F.expr(
+                "coalesce(kth_best_micro, 0) >= t1_micro + t2_micro"
+            ).alias("stopped"),
+        )
+    )
+
+
+def _sql_fagin_ta() -> str:
+    terms = ", ".join(f"'{t}'" for t in ("key", "value", "table"))
+    return f"""
+WITH toks AS ({SQL_DOC_TOKS}),
+dls AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) * 1.0e0 / count(*) FROM dls) AS avgdl
+),
+qtf AS (
+  SELECT term, doc_id, count(*) AS tf FROM toks
+  WHERE term IN ({terms}) GROUP BY 1, 2
+),
+qdf AS (SELECT term, count(DISTINCT doc_id) AS df FROM qtf GROUP BY 1),
+orsc AS (
+  SELECT doc_id,
+         CAST(round(round(sum(
+           ln(1.0e0 + (n - df + 0.5e0) / (df + 0.5e0))
+           * (tf * 2.2e0)
+           / (tf + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * dl / avgdl))
+         ), 6) * 1.0e6, 0) AS BIGINT) AS s1
+  FROM qtf t JOIN qdf USING (term) JOIN dls USING (doc_id)
+  CROSS JOIN stats GROUP BY doc_id
+),
+feats AS MATERIALIZED (
+  SELECT d.doc_id,
+         CAST(coalesce(o.s1, 0) AS BIGINT) AS s1,
+         CAST((1000000 * d.n_chars) // (d.n_chars + 1200) AS BIGINT) AS s2,
+         CAST(coalesce(o.s1, 0)
+              + (1000000 * d.n_chars) // (d.n_chars + 1200) AS BIGINT)
+           AS tot,
+         CAST(row_number() OVER (ORDER BY coalesce(o.s1, 0) DESC,
+              d.doc_id ASC) AS BIGINT) AS r1,
+         CAST(row_number() OVER (ORDER BY
+              (1000000 * d.n_chars) // (d.n_chars + 1200) DESC,
+              d.doc_id ASC) AS BIGINT) AS r2
+  FROM documents d LEFT JOIN orsc o USING (doc_id)
+),
+depths AS (
+  SELECT CAST(p AS BIGINT) AS p
+  FROM (SELECT unnest(range(1, {TA_MAX_DEPTH + 1})) AS p)
+),
+kth AS (
+  SELECT p, tot AS kth_best_micro FROM (
+    SELECT dp.p, f.tot, f.doc_id,
+           row_number() OVER (PARTITION BY dp.p
+                              ORDER BY f.tot DESC, f.doc_id ASC) AS rk
+    FROM depths dp JOIN feats f ON f.r1 <= dp.p OR f.r2 <= dp.p
+  ) WHERE rk = {TA_K}
+)
+SELECT dp.p,
+       t1.s1 AS t1_micro,
+       t2.s2 AS t2_micro,
+       CAST(t1.s1 + t2.s2 AS BIGINT) AS threshold_micro,
+       CAST(coalesce(k.kth_best_micro, 0) AS BIGINT) AS kth_best_micro,
+       coalesce(k.kth_best_micro, 0) >= t1.s1 + t2.s2 AS stopped
+FROM depths dp
+JOIN feats t1 ON t1.r1 = dp.p
+JOIN feats t2 ON t2.r2 = dp.p
+LEFT JOIN kth k ON k.p = dp.p
+"""
+
+
+QUERIES["fagin_ta_cost_eval"] = (fagin_ta_cost_eval, _sql_fagin_ta())

@@ -3273,3 +3273,71 @@ def test_skyline_matches_python_and_frontier_properties(spark):
                     a[0] >= b[0] and a[1] <= b[1]
                     and (a[0] > b[0] or a[1] < b[1])
                 )
+
+
+# ------------------------------------------------ fagin_ta_cost_eval
+
+
+def test_fagin_ta_trace_exact_and_instance_correct(spark, corpus14):
+    from harvester_spark.operators.fulltext_queries import BM25_TERMS
+    from harvester_spark.operators.index_stats import (
+        TA_K,
+        TA_MAX_DEPTH,
+        fagin_ta_cost_eval,
+    )
+
+    nchars = {
+        r["doc_id"]: r["n_chars"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+    nd = len(corpus14)
+    tf = {d: Counter(ts) for d, ts in corpus14.items()}
+    dls = {d: len(ts) for d, ts in corpus14.items()}
+    avgdl = sum(dls.values()) / nd
+    sc = {}
+    for t in BM25_TERMS:
+        df = sum(1 for d in corpus14 if tf[d][t] > 0)
+        idf = math.log(1.0 + (nd - df + 0.5) / (df + 0.5))
+        for d in corpus14:
+            f = tf[d][t]
+            if f:
+                sc[d] = sc.get(d, 0.0) + idf * (f * 2.2) / (
+                    f + 1.2 * (1.0 - 0.75 + 0.75 * dls[d] / avgdl)
+                )
+    s1 = {d: round(round(sc.get(d, 0.0), 6) * 1e6) for d in corpus14}
+    s2 = {
+        d: (1_000_000 * nchars[d]) // (nchars[d] + 1200) for d in corpus14
+    }
+    tot = {d: s1[d] + s2[d] for d in corpus14}
+    l1 = sorted(corpus14, key=lambda d: (-s1[d], d))
+    l2 = sorted(corpus14, key=lambda d: (-s2[d], d))
+    r1 = {d: i for i, d in enumerate(l1, start=1)}
+    r2 = {d: i for i, d in enumerate(l2, start=1)}
+    expect = {}
+    for p in range(1, TA_MAX_DEPTH + 1):
+        thr = s1[l1[p - 1]] + s2[l2[p - 1]]
+        seen = [d for d in corpus14 if r1[d] <= p or r2[d] <= p]
+        seen.sort(key=lambda d: (-tot[d], d))
+        kth = tot[seen[TA_K - 1]] if len(seen) >= TA_K else 0
+        expect[p] = (
+            s1[l1[p - 1]], s2[l2[p - 1]], thr, kth, kth >= thr
+        )
+
+    got = {
+        r["p"]: (
+            r["t1_micro"], r["t2_micro"], r["threshold_micro"],
+            r["kth_best_micro"], r["stopped"],
+        )
+        for r in fagin_ta_cost_eval(spark, SF_DIR).collect()
+    }
+    assert got == expect
+
+    stops = [p for p, v in got.items() if v[4]]
+    assert stops, "TA must terminate within the trace"
+    stop = min(stops)
+    assert stop < len(corpus14) // 4  # genuine early termination
+    # instance correctness: the true top-k by total score are all seen
+    true_topk = sorted(corpus14, key=lambda d: (-tot[d], d))[:TA_K]
+    assert all(r1[d] <= stop or r2[d] <= stop for d in true_topk)
