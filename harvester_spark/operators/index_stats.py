@@ -3620,3 +3620,119 @@ LEFT JOIN kth k ON k.p = dp.p
 
 
 QUERIES["fagin_ta_cost_eval"] = (fagin_ta_cost_eval, _sql_fagin_ta())
+
+
+# ------------------------------------------ NDV-from-sample (Chao1)
+
+# The query-optimizer statistics problem (every warehouse ANALYZE faces
+# it): estimate the number of DISTINCT values from a sample. Raw
+# sample-distinct is biased low (rare values are missed); Chao's
+# (1984) abundance estimator corrects with the frequency-of-frequency
+# tail: NDV̂ = d_s + f₁² / (2·f₂) (f₁ singletons, f₂ doubletons in the
+# sample). The natural vocabulary saturates any sample (31 types — the
+# CLAUDE.md degenerate-vocabulary trap), so the token stream is
+# EXTENDED with the planted pseudo-rare tail (the vocab_oov_holdout
+# synthesis: one planted token per doc from an n/2-sized space,
+# expected df ≈ 2) — real missable rarity for the sample to miss and
+# Chao1 to reconstruct. Pins: the raw sample NDV undercounts the truth,
+# Chao1 lands strictly closer (the correction genuinely helps), and
+# the estimator is exact integer arithmetic (f₁²·1000 DIV (2·f₂) milli
+# + d_s·1000).
+#
+# Scale shape: one planted-union token scan; sampling is an md5 filter
+# on OCCURRENCES (the ANALYZE access path); two dictionary aggs.
+
+NDV_SAMPLE_MOD = 10  # 10% occurrence sample
+
+
+def ndv_sample_chao_eval(spark, sf_dir):
+    """(true_ndv, sample_ndv, f1, f2, chao_ndv_milli): Chao1
+    sample-based distinct-count estimate vs the true type count over
+    the real+planted token stream."""
+    from harvester_spark.operators.dedup import _hash56
+
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    space = max(n_docs // 2, 20)
+    real = doc_tokens(spark, sf_dir).select("doc_id", "pos", "term")
+    planted = docs.select(
+        "doc_id",
+        F.lit(-1).alias("pos"),
+        F.concat(
+            F.lit("rare"),
+            (
+                _hash56(F.concat(F.lit("nv|"), F.col("doc_id").cast("string")))
+                % space
+            ).cast("string"),
+        ).alias("term"),
+    )
+    stream = real.unionByName(planted)
+    true_ndv = F.broadcast(
+        stream.agg(F.countDistinct("term").cast("long").alias("true_ndv"))
+    )
+    sampled = stream.filter(
+        _hash56(
+            F.concat_ws(
+                "|", F.lit("ns2"), F.col("doc_id").cast("string"),
+                F.col("pos").cast("string"), F.col("term"),
+            )
+        )
+        % NDV_SAMPLE_MOD
+        == 0
+    )
+    freq = sampled.groupBy("term").agg(F.count("*").cast("long").alias("c"))
+    fof = freq.agg(
+        F.count("*").cast("long").alias("sample_ndv"),
+        F.sum((F.col("c") == 1).cast("long")).cast("long").alias("f1"),
+        F.sum((F.col("c") == 2).cast("long")).cast("long").alias("f2"),
+    )
+    return fof.crossJoin(true_ndv).select(
+        "true_ndv",
+        "sample_ndv",
+        "f1",
+        "f2",
+        F.expr(
+            "CAST(1000 * sample_ndv"
+            " + (1000 * f1 * f1) DIV (2 * greatest(f2, 1)) AS BIGINT)"
+        ).alias("chao_ndv_milli"),
+    )
+
+
+def _sql_ndv_chao() -> str:
+    h_nv = _SQL_HASH56.format(col="'nv|' || CAST(doc_id AS VARCHAR)")
+    h_s = _SQL_HASH56.format(
+        col="'ns2' || '|' || CAST(doc_id AS VARCHAR) || '|'"
+        " || CAST(pos AS VARCHAR) || '|' || term"
+    )
+    return f"""
+WITH spc AS (
+  SELECT greatest(CAST(count(*) AS BIGINT) // 2, 20) AS space
+  FROM documents
+),
+stream AS (
+  SELECT doc_id, pos, term FROM ({SQL_DOC_TOKS})
+  UNION ALL
+  SELECT doc_id, -1 AS pos,
+         'rare' || CAST({h_nv} % (SELECT space FROM spc) AS VARCHAR)
+  FROM documents
+),
+tn AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS true_ndv FROM stream),
+sampled AS (
+  SELECT term FROM stream WHERE {h_s} % {NDV_SAMPLE_MOD} = 0
+),
+freq AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM sampled GROUP BY 1),
+fof AS (
+  SELECT CAST(count(*) AS BIGINT) AS sample_ndv,
+         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+  FROM freq
+)
+SELECT tn.true_ndv, fof.sample_ndv, fof.f1, fof.f2,
+       CAST(1000 * fof.sample_ndv
+            + (1000 * fof.f1 * fof.f1) // (2 * greatest(fof.f2, 1))
+            AS BIGINT) AS chao_ndv_milli
+FROM fof CROSS JOIN tn
+"""
+
+
+QUERIES["ndv_sample_chao_eval"] = (ndv_sample_chao_eval, _sql_ndv_chao())

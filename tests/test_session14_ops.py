@@ -3341,3 +3341,46 @@ def test_fagin_ta_trace_exact_and_instance_correct(spark, corpus14):
     # instance correctness: the true top-k by total score are all seen
     true_topk = sorted(corpus14, key=lambda d: (-tot[d], d))[:TA_K]
     assert all(r1[d] <= stop or r2[d] <= stop for d in true_topk)
+
+
+# ------------------------------------------------ ndv_sample_chao_eval
+
+
+def test_chao_ndv_matches_python_and_correction_helps(spark, corpus14):
+    from harvester_spark.operators.index_stats import (
+        NDV_SAMPLE_MOD,
+        ndv_sample_chao_eval,
+    )
+
+    n_docs = len(corpus14)
+    space = max(n_docs // 2, 20)
+    stream = []
+    for d, ts in corpus14.items():
+        for pos, t in enumerate(ts):
+            stream.append((d, pos, t))
+        stream.append((d, -1, f"rare{_h56(f'nv|{d}') % space}"))
+    true_ndv = len({t for _, _, t in stream})
+    freq = Counter(
+        t
+        for d, pos, t in stream
+        if _h56(f"ns2|{d}|{pos}|{t}") % NDV_SAMPLE_MOD == 0
+    )
+    sample_ndv = len(freq)
+    f1 = sum(1 for c in freq.values() if c == 1)
+    f2 = sum(1 for c in freq.values() if c == 2)
+    chao = 1000 * sample_ndv + (1000 * f1 * f1) // (2 * max(f2, 1))
+
+    row = ndv_sample_chao_eval(spark, SF_DIR).collect()[0]
+    assert (
+        row["true_ndv"], row["sample_ndv"], row["f1"], row["f2"],
+        row["chao_ndv_milli"],
+    ) == (true_ndv, sample_ndv, f1, f2, chao)
+
+    # the correction genuinely helps: Chao1 sits strictly closer to the
+    # truth than the raw sample count, and respects its lower-bound
+    # character
+    raw_err = abs(1000 * true_ndv - 1000 * sample_ndv)
+    chao_err = abs(1000 * true_ndv - chao)
+    assert chao_err < raw_err // 2
+    assert chao >= 1000 * sample_ndv
+    assert chao <= 1200 * true_ndv
