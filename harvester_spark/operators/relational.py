@@ -2044,3 +2044,184 @@ LEFT JOIN dominated d
 """
 
 QUERIES["events_skyline_users"] = (events_skyline_users, SQL_SKYLINE_USERS)
+
+
+# ------------------------------------- join cardinality estimation
+
+# The query-optimizer's oldest gamble (Selinger 1979 onward): estimate
+# |A ⋈ B| before running it. Two relations split from the event log
+# (md5 halves), joined on user_id; three estimators against the exact
+# join size:
+#   indep    — |A|·|B| / max(ndv_A, ndv_B)   (textbook independence)
+#   hist     — Σ_buckets a_i·b_i / max(da_i, db_i) over {JC_BUCKETS}
+#              equi-WIDTH user_id buckets (per-bucket containment)
+#   exact    — the true Σ_keys a_k·b_k
+# The histogram refines the global estimate exactly as the textbooks
+# promise. The natural log's per-user activity is near-uniform (the
+# independence estimate landed within 0.5% — measured, nothing for the
+# histogram to fix), so the side assignment carries a PLANTED
+# range-correlated skew: users in the lower id half are A-heavy (3/4),
+# the upper half B-heavy — per-key a/b anticorrelate, independence
+# overestimates by ~1/3, and the user_id-bucketed histogram (whose
+# buckets align with the planted ranges) recovers most of it — the
+# classic correlated-columns story, pinned by the pytest.
+#
+# Determinism: all counts exact BIGINTs; estimators are floored
+# divisions; errors sign-split milli.
+#
+# Scale shape: two grouped scans + a bucket-keyed agg — the ANALYZE
+# pass; the exact join is one equi-join agg (the ground truth an
+# optimizer never gets to see).
+
+JC_BUCKETS = 8
+
+
+def join_cardinality_est_eval(spark, sf_dir):
+    """(n_a, n_b, exact_join, indep_est, hist_est, indep_err_milli,
+    hist_err_milli): optimizer join-size estimates vs the true join
+    cardinality."""
+    from harvester_spark.operators.dedup import _hash56
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        (
+            _hash56(F.concat(F.lit("jc|"), F.col("event_id").cast("string")))
+            % 4
+        ).alias("h4"),
+    )
+    maxu = F.broadcast(
+        ev.agg((F.max("user_id") + 1).cast("long").alias("mu"))
+    )
+    ev = ev.crossJoin(maxu).select(
+        "event_id",
+        "user_id",
+        # planted range-correlated side bias: lower-half users A-heavy
+        F.expr(
+            "CASE WHEN 2 * user_id < mu"
+            " THEN CASE WHEN h4 < 3 THEN 0 ELSE 1 END"
+            " ELSE CASE WHEN h4 < 3 THEN 1 ELSE 0 END END"
+        ).cast("long").alias("side"),
+    ).cache()
+    per_key = (
+        ev.groupBy("user_id", "side")
+        .agg(F.count("*").cast("long").alias("c"))
+        .groupBy("user_id")
+        .pivot("side", [0, 1])
+        .agg(F.first("c"))
+        .select(
+            "user_id",
+            F.coalesce("0", F.lit(0)).cast("long").alias("a"),
+            F.coalesce("1", F.lit(0)).cast("long").alias("b"),
+        )
+        .crossJoin(maxu)
+        .withColumn(
+            "bkt", F.expr(f"(user_id * {JC_BUCKETS}) DIV mu").cast("long")
+        )
+        .cache()
+    )
+    tot = per_key.agg(
+        F.sum("a").cast("long").alias("n_a"),
+        F.sum("b").cast("long").alias("n_b"),
+        F.sum((F.col("a") > 0).cast("long")).cast("long").alias("da"),
+        F.sum((F.col("b") > 0).cast("long")).cast("long").alias("db"),
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("exact_join"),
+    )
+    hist = (
+        per_key.groupBy("bkt")
+        .agg(
+            F.sum("a").cast("long").alias("ai"),
+            F.sum("b").cast("long").alias("bi"),
+            F.sum((F.col("a") > 0).cast("long")).cast("long").alias("dai"),
+            F.sum((F.col("b") > 0).cast("long")).cast("long").alias("dbi"),
+        )
+        .agg(
+            F.sum(
+                F.expr("(ai * bi) DIV greatest(greatest(dai, dbi), 1)")
+            ).cast("long").alias("hist_est")
+        )
+    )
+    err = (
+        "CASE WHEN {est} >= exact_join"
+        " THEN CAST((1000 * ({est} - exact_join)) DIV exact_join AS BIGINT)"
+        " ELSE CAST(-((1000 * (exact_join - {est})) DIV exact_join)"
+        " AS BIGINT) END"
+    )
+    return (
+        tot.crossJoin(hist)
+        .withColumn(
+            "indep_est",
+            F.expr("(n_a * n_b) DIV greatest(da, db)").cast("long"),
+        )
+        .select(
+            "n_a",
+            "n_b",
+            "exact_join",
+            "indep_est",
+            "hist_est",
+            F.expr(err.format(est="indep_est")).alias("indep_err_milli"),
+            F.expr(err.format(est="hist_est")).alias("hist_err_milli"),
+        )
+    )
+
+
+def _sql_join_card() -> str:
+    from harvester_spark.operators.dedup import _SQL_HASH56
+
+    h = _SQL_HASH56.format(col="'jc|' || CAST(event_id AS VARCHAR)")
+    return f"""
+WITH ev0 AS (
+  SELECT event_id, user_id, {h} % 4 AS h4 FROM events
+),
+mu AS (SELECT CAST(max(user_id) + 1 AS BIGINT) AS mu FROM ev0),
+ev AS (
+  SELECT event_id, user_id,
+         CASE WHEN 2 * user_id < (SELECT mu FROM mu)
+              THEN CASE WHEN h4 < 3 THEN 0 ELSE 1 END
+              ELSE CASE WHEN h4 < 3 THEN 1 ELSE 0 END END AS side
+  FROM ev0
+),
+per_key AS MATERIALIZED (
+  SELECT user_id,
+         CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         (user_id * {JC_BUCKETS}) // (SELECT mu FROM mu) AS bkt
+  FROM ev GROUP BY user_id
+),
+tot AS (
+  SELECT CAST(sum(a) AS BIGINT) AS n_a, CAST(sum(b) AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN a > 0 THEN 1 ELSE 0 END) AS BIGINT) AS da,
+         CAST(sum(CASE WHEN b > 0 THEN 1 ELSE 0 END) AS BIGINT) AS db,
+         CAST(sum(a * b) AS BIGINT) AS exact_join
+  FROM per_key
+),
+hist AS (
+  SELECT CAST(sum((ai * bi) // greatest(greatest(dai, dbi), 1)) AS BIGINT)
+           AS hist_est
+  FROM (
+    SELECT bkt, CAST(sum(a) AS BIGINT) AS ai, CAST(sum(b) AS BIGINT) AS bi,
+           CAST(sum(CASE WHEN a > 0 THEN 1 ELSE 0 END) AS BIGINT) AS dai,
+           CAST(sum(CASE WHEN b > 0 THEN 1 ELSE 0 END) AS BIGINT) AS dbi
+    FROM per_key GROUP BY 1
+  )
+)
+SELECT n_a, n_b, exact_join,
+       CAST((n_a * n_b) // greatest(da, db) AS BIGINT) AS indep_est,
+       hist_est,
+       CASE WHEN (n_a * n_b) // greatest(da, db) >= exact_join
+            THEN CAST((1000 * ((n_a * n_b) // greatest(da, db) - exact_join))
+                 // exact_join AS BIGINT)
+            ELSE CAST(-((1000 * (exact_join - (n_a * n_b) // greatest(da, db)))
+                 // exact_join) AS BIGINT) END AS indep_err_milli,
+       CASE WHEN hist_est >= exact_join
+            THEN CAST((1000 * (hist_est - exact_join)) // exact_join AS BIGINT)
+            ELSE CAST(-((1000 * (exact_join - hist_est)) // exact_join)
+                 AS BIGINT) END AS hist_err_milli
+FROM tot CROSS JOIN hist
+"""
+
+
+QUERIES["join_cardinality_est_eval"] = (
+    join_cardinality_est_eval,
+    _sql_join_card(),
+)

@@ -3384,3 +3384,62 @@ def test_chao_ndv_matches_python_and_correction_helps(spark, corpus14):
     assert chao_err < raw_err // 2
     assert chao >= 1000 * sample_ndv
     assert chao <= 1200 * true_ndv
+
+
+# ------------------------------------------ join_cardinality_est_eval
+
+
+def test_join_cardinality_histogram_fixes_correlation(spark):
+    from harvester_spark.operators.relational import (
+        JC_BUCKETS,
+        join_cardinality_est_eval,
+    )
+
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("event_id", "user_id")
+        .collect()
+    )
+    mu = max(r["user_id"] for r in rows) + 1
+    per = {}
+    for r in rows:
+        h4 = _h56(f"jc|{r['event_id']}") % 4
+        if 2 * r["user_id"] < mu:
+            side = 0 if h4 < 3 else 1
+        else:
+            side = 1 if h4 < 3 else 0
+        a, b = per.get(r["user_id"], (0, 0))
+        per[r["user_id"]] = (a + (side == 0), b + (side == 1))
+
+    n_a = sum(a for a, _ in per.values())
+    n_b = sum(b for _, b in per.values())
+    da = sum(1 for a, _ in per.values() if a > 0)
+    db = sum(1 for _, b in per.values() if b > 0)
+    exact = sum(a * b for a, b in per.values())
+    indep = (n_a * n_b) // max(da, db)
+    hist = 0
+    buckets = {}
+    for u, (a, b) in per.items():
+        k = (u * JC_BUCKETS) // mu
+        ai, bi, dai, dbi = buckets.get(k, (0, 0, 0, 0))
+        buckets[k] = (ai + a, bi + b, dai + (a > 0), dbi + (b > 0))
+    for ai, bi, dai, dbi in buckets.values():
+        hist += (ai * bi) // max(max(dai, dbi), 1)
+
+    def err(est):
+        return (
+            (1000 * (est - exact)) // exact
+            if est >= exact
+            else -((1000 * (exact - est)) // exact)
+        )
+
+    row = join_cardinality_est_eval(spark, SF_DIR).collect()[0]
+    assert (
+        row["n_a"], row["n_b"], row["exact_join"], row["indep_est"],
+        row["hist_est"], row["indep_err_milli"], row["hist_err_milli"],
+    ) == (n_a, n_b, exact, indep, hist, err(indep), err(hist))
+
+    # the correlated-columns story: independence overestimates badly,
+    # the range-aligned histogram recovers nearly all of it
+    assert row["indep_err_milli"] > 150
+    assert abs(row["hist_err_milli"]) < row["indep_err_milli"] // 5
