@@ -3736,3 +3736,195 @@ FROM fof CROSS JOIN tn
 
 
 QUERIES["ndv_sample_chao_eval"] = (ndv_sample_chao_eval, _sql_ndv_chao())
+
+
+# -------------------------------------- Huffman merge-order scheduling
+
+# Optimal k-way-to-binary merge scheduling (Huffman 1952, applied to
+# LSM/segment merging the way tiered_merge_select applies size tiers):
+# merging N sorted segments pairwise costs the SUM OF INTERNAL NODE
+# WEIGHTS of the merge tree, and Huffman's always-merge-the-two-
+# smallest rule minimizes it. The operator synthesizes {HUF_N}
+# skewed segment sizes (md5, power-of-two-ish spread — real segment
+# distributions are geometric), unrolls the {HUF_N − 1} Huffman steps
+# as integer order-statistic picks (the bandit/k-means unrolled-
+# iteration contract), and compares the total merge IO against the
+# sequential-accumulate order (merge into a growing base — the naive
+# compactor) and the fixed balanced-binary-tree order. Huffman's
+# optimality on the instance is the pytest pin (≤ both alternatives),
+# with the full step trace emitted.
+#
+# Scale shape: the state is an N-row frame; each step is a 2-row
+# TakeOrdered + a union — scheduling cost, not data cost (the merges
+# this plans are the expensive part).
+
+HUF_N = 8
+
+
+def segment_merge_huffman_eval(spark, sf_dir):
+    """(step, merged_mb, huffman_cum_mb, seq_cum_mb, balanced_cum_mb):
+    per-step merge costs of the Huffman schedule with the sequential
+    and balanced-tree totals alongside."""
+    from harvester_spark.operators.dedup import _hash56
+
+    segs = (
+        spark.range(HUF_N)
+        .select(F.col("id").cast("long").alias("seg"))
+        .select(
+            "seg",
+            F.expr(
+                "CAST(10 * power(2, CAST(conv(substring(md5(concat('sg|',"
+                " CAST(seg AS STRING))), 1, 14), 16, 10) AS BIGINT) % 5)"
+                " AS BIGINT)"
+            ).alias("mb"),
+        )
+    )
+    sizes = [r["mb"] for r in segs.orderBy("seg").collect()]  # N rows
+
+    # Huffman: repeatedly merge the two smallest (driver loop over the
+    # N-row schedule state — inherently sequential, bounded)
+    import heapq
+
+    h = sorted(sizes)
+    heapq.heapify(h)
+    huff_steps = []
+    cum = 0
+    while len(h) > 1:
+        a = heapq.heappop(h)
+        b = heapq.heappop(h)
+        cum += a + b
+        huff_steps.append((a + b, cum))
+        heapq.heappush(h, a + b)
+    # sequential accumulate: sort ascending, fold left
+    seq = sorted(sizes)
+    acc = seq[0]
+    seq_cum = 0
+    seq_steps = []
+    for x in seq[1:]:
+        acc += x
+        seq_cum += acc
+        seq_steps.append(seq_cum)
+    # balanced binary: merge adjacent pairs of the sorted list per level
+    level = sorted(sizes)
+    bal_cum = 0
+    bal_steps = []
+    while len(level) > 1:
+        nxt = []
+        for i in range(0, len(level) - 1, 2):
+            s = level[i] + level[i + 1]
+            bal_cum += s
+            bal_steps.append(bal_cum)
+            nxt.append(s)
+        if len(level) % 2:
+            nxt.append(level[-1])
+        level = nxt
+    rows = [
+        (
+            i + 1,
+            huff_steps[i][0],
+            huff_steps[i][1],
+            seq_steps[i],
+            bal_steps[i],
+        )
+        for i in range(HUF_N - 1)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "step int, merged_mb long, huffman_cum_mb long, seq_cum_mb long,"
+        " balanced_cum_mb long",
+    )
+
+
+def _sql_huffman() -> str:
+    # the oracle recomputes the identical schedules from the identical
+    # hash-derived sizes via recursive CTE-free unrolled steps
+    h = _SQL_HASH56.format(col="'sg|' || CAST(seg AS VARCHAR)")
+    parts = [f"""
+WITH segs AS (
+  SELECT CAST(seg AS BIGINT) AS seg,
+         CAST(10 * power(2, {h} % 5) AS BIGINT) AS mb
+  FROM (SELECT unnest(range({HUF_N})) AS seg)
+),
+sorted_s AS (
+  SELECT mb, row_number() OVER (ORDER BY mb, seg) AS rn FROM segs
+),
+h0 AS (SELECT mb, rn FROM sorted_s)"""]
+    # unroll Huffman: at each step pick the two smallest of h{k-1}
+    for k in range(1, HUF_N):
+        parts.append(f""",
+pick{k} AS (
+  SELECT mb FROM h{k - 1} ORDER BY mb, rn LIMIT 2
+),
+m{k} AS (SELECT CAST(sum(mb) AS BIGINT) AS merged FROM pick{k}),
+h{k} AS (
+  SELECT mb, rn FROM (
+    SELECT mb, rn, row_number() OVER (ORDER BY mb, rn) AS rr FROM h{k - 1}
+  ) WHERE rr > 2
+  UNION ALL
+  SELECT merged AS mb, CAST(1000 + {k} AS BIGINT) AS rn FROM m{k}
+)""")
+    huff = " + ".join(f"(SELECT merged FROM m{j})" for j in range(1, HUF_N))
+    # sequential: fold ascending — cum at step i = sum of prefix sums
+    parts.append(f""",
+seq AS (
+  SELECT mb, row_number() OVER (ORDER BY mb, rn) AS i FROM sorted_s
+),
+seq_steps AS (
+  SELECT i - 1 AS step,
+         CAST(sum(pref) OVER (ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS seq_cum
+  FROM (
+    SELECT i, CAST(sum(mb) OVER (ORDER BY i
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pref
+    FROM seq
+  ) WHERE i >= 2
+)""")
+    # balanced binary for N = 8: 3 levels of adjacent pairs
+    parts.append(""",
+l0 AS (SELECT mb, row_number() OVER (ORDER BY mb, rn) AS i FROM sorted_s),
+l1 AS (
+  SELECT CAST((i + 1) // 2 AS BIGINT) AS i, CAST(sum(mb) AS BIGINT) AS mb
+  FROM l0 GROUP BY CAST((i + 1) // 2 AS BIGINT)
+),
+l2 AS (
+  SELECT CAST((i + 1) // 2 AS BIGINT) AS i, CAST(sum(mb) AS BIGINT) AS mb
+  FROM l1 GROUP BY CAST((i + 1) // 2 AS BIGINT)
+),
+l3 AS (
+  SELECT CAST(sum(mb) AS BIGINT) AS mb FROM l2
+),
+bal_list AS (
+  SELECT row_number() OVER (ORDER BY lvl, i) AS step,
+         CAST(sum(mb) OVER (ORDER BY lvl, i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS bal_cum
+  FROM (
+    SELECT 1 AS lvl, i, mb FROM l1
+    UNION ALL SELECT 2, i, mb FROM l2
+    UNION ALL SELECT 3, CAST(1 AS BIGINT), mb FROM l3
+  )
+)""")
+    merged_cases = " ".join(
+        f"WHEN {j} THEN (SELECT merged FROM m{j})" for j in range(1, HUF_N)
+    )
+    cum_cases = " ".join(
+        f"WHEN {j} THEN {' + '.join(f'(SELECT merged FROM m{i})' for i in range(1, j + 1))}"
+        for j in range(1, HUF_N)
+    )
+    parts.append(f"""
+SELECT s.step,
+       CAST(CASE s.step {merged_cases} END AS BIGINT) AS merged_mb,
+       CAST(CASE s.step {cum_cases} END AS BIGINT) AS huffman_cum_mb,
+       ss.seq_cum AS seq_cum_mb,
+       b.bal_cum AS balanced_cum_mb
+FROM (SELECT unnest(range(1, {HUF_N})) AS step) s
+JOIN seq_steps ss ON ss.step = s.step
+JOIN bal_list b ON b.step = s.step""")
+    return "".join(parts)
+
+
+QUERIES["segment_merge_huffman_eval"] = (
+    segment_merge_huffman_eval,
+    _sql_huffman(),
+)

@@ -3443,3 +3443,47 @@ def test_join_cardinality_histogram_fixes_correlation(spark):
     # the range-aligned histogram recovers nearly all of it
     assert row["indep_err_milli"] > 150
     assert abs(row["hist_err_milli"]) < row["indep_err_milli"] // 5
+
+
+# --------------------------------------- segment_merge_huffman_eval
+
+
+def test_huffman_schedule_optimal_on_instance(spark):
+    import heapq
+
+    from harvester_spark.operators.index_stats import (
+        HUF_N,
+        segment_merge_huffman_eval,
+    )
+
+    sizes = [
+        10 * 2 ** (_h56(f"sg|{s}") % 5) for s in range(HUF_N)
+    ]
+    h = sorted(sizes)
+    heapq.heapify(h)
+    cum = 0
+    huff = []
+    while len(h) > 1:
+        a, b = heapq.heappop(h), heapq.heappop(h)
+        cum += a + b
+        huff.append((a + b, cum))
+        heapq.heappush(h, a + b)
+
+    got = {
+        r["step"]: (
+            r["merged_mb"], r["huffman_cum_mb"], r["seq_cum_mb"],
+            r["balanced_cum_mb"],
+        )
+        for r in segment_merge_huffman_eval(spark, SF_DIR).collect()
+    }
+    for i, (m, c) in enumerate(huff, start=1):
+        assert got[i][:2] == (m, c)
+
+    # Huffman optimality on the instance: the final Huffman total is
+    # minimal among the three schedules (and the sizes are genuinely
+    # skewed so the schedules actually differ)
+    last = got[HUF_N - 1]
+    assert last[1] <= last[2]
+    assert last[1] <= last[3]
+    assert len(set(sizes)) > 2
+    assert last[2] != last[1] or last[3] != last[1]
