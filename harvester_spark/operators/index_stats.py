@@ -3928,3 +3928,178 @@ QUERIES["segment_merge_huffman_eval"] = (
     segment_merge_huffman_eval,
     _sql_huffman(),
 )
+
+
+# ------------------------------------------ learned-index error eval
+
+# The RMI/PGM learned-index idea (Kraska et al. 2018) reduced to its
+# measurable core: replace binary search over a sorted key array with a
+# LINEAR model pos ≈ a + b·key plus an ε-bounded local search, where ε
+# is the model's maximum prediction error — the number that decides
+# the fallback window size. Keys are planted with a CUBIC CDF
+# (k = ⌊u³/10⁶⌋ over md5 uniforms — hash-uniform keys have a linear
+# CDF and a near-zero global error, degenerate, measured), and the
+# operator fits BOTH a single global line and {LI_BUCKETS} per-bucket
+# lines with the repo's integer least-squares kernel (the
+# ft_zipf_slope _DIVROUND contract), emitting each model's max
+# absolute rank-prediction error. The learned-index claim is the pin:
+# the bucketed ε is several times smaller than the global ε on the
+# skewed CDF.
+#
+# Scale shape: one distinct-key rank (dictionary-sized; the
+# token_budget histogram selection at web scale), per-bucket integer
+# moment aggs, a broadcast model join back for the error scan.
+
+LI_BUCKETS = 8
+_LI_PRED_ERR = (
+    "CAST(abs(CASE WHEN a_micro + b_micro * key >= 0"
+    " THEN (a_micro + b_micro * key) {div} 1000000"
+    " ELSE -((-(a_micro + b_micro * key)) {div} 1000000) END - pos)"
+    " AS BIGINT)"
+)
+
+
+def learned_index_error_eval(spark, sf_dir):
+    """(model, bkt, n_keys, b_micro, max_err): per-bucket vs global
+    linear-model rank-prediction errors over the planted cubic-CDF key
+    set."""
+    from harvester_spark.operators.dedup import _hash56
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    keys = (
+        docs.select(
+            F.expr(
+                "CAST(conv(substring(md5(concat('ky|',"
+                " CAST(doc_id AS STRING))), 1, 14), 16, 10) AS BIGINT)"
+                " % 1000000"
+            ).alias("u")
+        )
+        .select(
+            F.expr("((u * u) DIV 1000000 * u) DIV 1000000").cast("long")
+            .alias("key")
+        )
+        .distinct()
+    )
+    ranked = keys.withColumn(
+        "pos", (F.row_number().over(W.orderBy("key")) - 1).cast("long")
+    ).cache()
+    n_all = F.broadcast(ranked.agg(F.count("*").cast("long").alias("n")))
+    tagged = ranked.crossJoin(n_all).select(
+        "key",
+        "pos",
+        F.expr(f"(pos * {LI_BUCKETS}) DIV n").cast("long").alias("bkt"),
+    ).cache()
+
+    def fit(df, scope):
+        mom = df.groupBy("bkt").agg(
+            F.count("*").cast("long").alias("nk"),
+            F.sum("key").cast("long").alias("sx"),
+            F.sum("pos").cast("long").alias("sy"),
+            F.sum(F.col("key") * F.col("pos")).cast("long").alias("sxy"),
+            F.sum(F.col("key") * F.col("key")).cast("long").alias("sxx"),
+        )
+        model = mom.select(
+            "bkt",
+            "nk",
+            F.expr(
+                _DIVROUND.format(
+                    num="(nk * sxy - sx * sy)",
+                    den="greatest(nk * sxx - sx * sx, 1)",
+                    div="DIV",
+                )
+            ).cast("long").alias("b_micro"),
+            "sx",
+            "sy",
+        ).withColumn(
+            "a_micro",
+            F.expr(
+                "CASE WHEN 1000000 * sy - b_micro * sx >= 0"
+                " THEN (1000000 * sy - b_micro * sx) DIV nk"
+                " ELSE -((-(1000000 * sy - b_micro * sx)) DIV nk) END"
+            ).cast("long"),
+        )
+        err = (
+            df.join(F.broadcast(model), "bkt")
+            .select(
+                "bkt",
+                "nk",
+                "b_micro",
+                F.expr(_LI_PRED_ERR.format(div="DIV")).alias("err"),
+            )
+            .groupBy("bkt", "nk", "b_micro")
+            .agg(F.max("err").cast("long").alias("max_err"))
+        )
+        return err.select(
+            F.lit(scope).alias("model"), "bkt",
+            F.col("nk").alias("n_keys"), "b_micro", "max_err",
+        )
+
+    bucketed = fit(tagged, "bucketed")
+    global_fit = fit(
+        tagged.select("key", "pos", F.lit(0).cast("long").alias("bkt")),
+        "global",
+    )
+    return bucketed.unionByName(global_fit)
+
+
+def _sql_learned_index() -> str:
+    h = _SQL_HASH56.format(col="'ky|' || CAST(doc_id AS VARCHAR)")
+    dr = _DIVROUND.format(
+        num="(nk * sxy - sx * sy)",
+        den="greatest(nk * sxx - sx * sx, 1)",
+        div="//",
+    )
+    return f"""
+WITH keys AS (
+  SELECT DISTINCT
+         ((u * u) // 1000000 * u) // 1000000 AS key
+  FROM (SELECT {h} % 1000000 AS u FROM documents)
+),
+ranked AS MATERIALIZED (
+  SELECT key,
+         CAST(row_number() OVER (ORDER BY key) - 1 AS BIGINT) AS pos
+  FROM keys
+),
+nn2 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ranked),
+tagged AS MATERIALIZED (
+  SELECT key, pos,
+         (pos * {LI_BUCKETS}) // (SELECT n FROM nn2) AS bkt
+  FROM ranked
+),
+both_t AS (
+  SELECT 'bucketed' AS model, key, pos, bkt FROM tagged
+  UNION ALL
+  SELECT 'global', key, pos, CAST(0 AS BIGINT) FROM tagged
+),
+mom AS (
+  SELECT model, bkt, CAST(count(*) AS BIGINT) AS nk,
+         CAST(sum(key) AS BIGINT) AS sx,
+         CAST(sum(pos) AS BIGINT) AS sy,
+         CAST(sum(key * pos) AS BIGINT) AS sxy,
+         CAST(sum(key * key) AS BIGINT) AS sxx
+  FROM both_t GROUP BY 1, 2
+),
+model_t AS (
+  SELECT model, bkt, nk,
+         CAST({dr} AS BIGINT) AS b_micro, sx, sy
+  FROM mom
+),
+model2 AS (
+  SELECT model, bkt, nk, b_micro,
+         CAST(CASE WHEN 1000000 * sy - b_micro * sx >= 0
+              THEN (1000000 * sy - b_micro * sx) // nk
+              ELSE -((-(1000000 * sy - b_micro * sx)) // nk) END
+              AS BIGINT) AS a_micro
+  FROM model_t
+)
+SELECT t.model, t.bkt, m.nk AS n_keys, m.b_micro,
+       CAST(max({_LI_PRED_ERR.format(div='//')}) AS BIGINT) AS max_err
+FROM both_t t JOIN model2 m ON m.model = t.model AND m.bkt = t.bkt
+GROUP BY t.model, t.bkt, m.nk, m.b_micro
+"""
+
+
+QUERIES["learned_index_error_eval"] = (
+    learned_index_error_eval,
+    _sql_learned_index(),
+)

@@ -3487,3 +3487,68 @@ def test_huffman_schedule_optimal_on_instance(spark):
     assert last[1] <= last[3]
     assert len(set(sizes)) > 2
     assert last[2] != last[1] or last[3] != last[1]
+
+
+# ----------------------------------------- learned_index_error_eval
+
+
+def test_learned_index_bucketing_shrinks_epsilon(spark):
+    from harvester_spark.operators.index_stats import (
+        LI_BUCKETS,
+        learned_index_error_eval,
+    )
+
+    doc_ids = [
+        r["doc_id"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    keys = sorted(
+        {
+            ((u * u) // 1_000_000 * u) // 1_000_000
+            for u in (_h56(f"ky|{d}") % 1_000_000 for d in doc_ids)
+        }
+    )
+    n = len(keys)
+    pts = [(k, i) for i, k in enumerate(keys)]
+
+    def fit(sub):
+        nk = len(sub)
+        sx = sum(k for k, _ in sub)
+        sy = sum(p for _, p in sub)
+        sxy = sum(k * p for k, p in sub)
+        sxx = sum(k * k for k, _ in sub)
+        num = nk * sxy - sx * sy
+        den = max(nk * sxx - sx * sx, 1)
+        b = (
+            (num * 1_000_000 + den // 2) // den
+            if num >= 0
+            else -(((-num) * 1_000_000 + den // 2) // den)
+        )
+        anum = 1_000_000 * sy - b * sx
+        a = anum // nk if anum >= 0 else -((-anum) // nk)
+        err = 0
+        for k, p in sub:
+            pr = a + b * k
+            pred = pr // 1_000_000 if pr >= 0 else -((-pr) // 1_000_000)
+            err = max(err, abs(pred - p))
+        return nk, b, err
+
+    expect = {}
+    for bkt in range(LI_BUCKETS):
+        sub = [(k, p) for k, p in pts if (p * LI_BUCKETS) // n == bkt]
+        expect[("bucketed", bkt)] = fit(sub)
+    expect[("global", 0)] = fit(pts)
+
+    got = {
+        (r["model"], r["bkt"]): (r["n_keys"], r["b_micro"], r["max_err"])
+        for r in learned_index_error_eval(spark, SF_DIR).collect()
+    }
+    assert got == expect
+
+    # the learned-index claim: on the skewed CDF, per-bucket models cut
+    # the fallback window by several times
+    g = got[("global", 0)][2]
+    bmax = max(v[2] for (m, _), v in got.items() if m == "bucketed")
+    assert g > 4 * bmax
