@@ -2217,3 +2217,142 @@ FROM agg a JOIN tot t USING (comparison)
 
 
 QUERIES["events_logrank_test"] = (events_logrank_test, _sql_logrank())
+
+
+# --------------------------------------- regression discontinuity
+
+# The last member of the causal toolkit (DiD, CUPED, CMH, Shapley,
+# log-rank, SRM, BH now have all their classic company): sharp
+# regression discontinuity (Thistlethwaite & Campbell 1960) — units
+# just above an eligibility cutoff get the treatment, and the causal
+# effect is the JUMP in outcome at the cutoff, identified because
+# nothing else changes discontinuously there. Planted synthesis: a
+# running variable x ~ md5 uniform on [0,1000), outcome
+# y = 2000 + 3·x + {RD_JUMP}·1[x ≥ {RD_CUTOFF}] + noise(±500).
+# Estimator: difference of mean outcomes in the ±{RD_BW} bandwidth
+# windows around the cutoff. Two cutoffs ride the same machinery: the
+# TRUE cutoff (must recover ≈ RD_JUMP plus the known slope·bandwidth
+# bias ≈ 3·{RD_BW}) and a PLACEBO at {RD_PLACEBO} (must read only the
+# slope bias — no jump). Both pinned.
+#
+# Determinism: x, noise are md5 integers; y is exact; local means are
+# floored milli divisions.
+#
+# Scale shape: map-only synthesis + one (cutoff, side) conditional agg.
+
+RD_CUTOFF = 500
+RD_PLACEBO = 250
+RD_BW = 50
+RD_JUMP = 3000
+
+
+def events_regression_discontinuity(spark, sf_dir):
+    """(cutoff_name, n_below, n_above, mean_below_milli,
+    mean_above_milli, jump_milli): local-mean RDD estimates at the true
+    and placebo cutoffs over the planted running variable."""
+    from harvester_spark.operators.dedup import _hash56
+
+    ev = load(spark, sf_dir, "events").select("event_id")
+    rows = ev.select(
+        "event_id",
+        (
+            _hash56(F.concat(F.lit("rx|"), F.col("event_id").cast("string")))
+            % 1000
+        ).cast("long").alias("x"),
+        (
+            _hash56(F.concat(F.lit("rn|"), F.col("event_id").cast("string")))
+            % 1001
+            - 500
+        ).cast("long").alias("noise"),
+    ).withColumn(
+        "y",
+        F.expr(
+            f"CAST(2000 + 3 * x"
+            f" + CASE WHEN x >= {RD_CUTOFF} THEN {RD_JUMP} ELSE 0 END"
+            " + noise AS BIGINT)"
+        ),
+    )
+    cuts = spark.createDataFrame(
+        [("true_cutoff", RD_CUTOFF), ("placebo", RD_PLACEBO)],
+        "cutoff_name string, c long",
+    )
+    local = (
+        rows.crossJoin(F.broadcast(cuts))
+        .filter(
+            (F.col("x") >= F.col("c") - RD_BW)
+            & (F.col("x") < F.col("c") + RD_BW)
+        )
+        .withColumn("above", (F.col("x") >= F.col("c")).cast("long"))
+    )
+    agg = local.groupBy("cutoff_name").agg(
+        F.sum(1 - F.col("above")).cast("long").alias("n_below"),
+        F.sum("above").cast("long").alias("n_above"),
+        F.sum(F.expr("CASE WHEN above = 0 THEN y ELSE 0 END"))
+        .cast("long").alias("sb"),
+        F.sum(F.expr("CASE WHEN above = 1 THEN y ELSE 0 END"))
+        .cast("long").alias("sa"),
+    )
+    return agg.select(
+        "cutoff_name",
+        "n_below",
+        "n_above",
+        F.expr("CAST((1000 * sb) DIV n_below AS BIGINT)").alias(
+            "mean_below_milli"
+        ),
+        F.expr("CAST((1000 * sa) DIV n_above AS BIGINT)").alias(
+            "mean_above_milli"
+        ),
+        F.expr(
+            "CAST((1000 * sa) DIV n_above - (1000 * sb) DIV n_below"
+            " AS BIGINT)"
+        ).alias("jump_milli"),
+    )
+
+
+def _sql_rdd() -> str:
+    from harvester_spark.operators.dedup import _SQL_HASH56
+
+    hx = _SQL_HASH56.format(col="'rx|' || CAST(event_id AS VARCHAR)")
+    hn = _SQL_HASH56.format(col="'rn|' || CAST(event_id AS VARCHAR)")
+    return f"""
+WITH rows_ AS (
+  SELECT event_id, x, noise,
+         CAST(2000 + 3 * x
+              + CASE WHEN x >= {RD_CUTOFF} THEN {RD_JUMP} ELSE 0 END
+              + noise AS BIGINT) AS y
+  FROM (
+    SELECT event_id, {hx} % 1000 AS x, {hn} % 1001 - 500 AS noise
+    FROM events
+  )
+),
+cuts AS (
+  SELECT * FROM (VALUES ('true_cutoff', {RD_CUTOFF}),
+                        ('placebo', {RD_PLACEBO})) v(cutoff_name, c)
+),
+local_w AS (
+  SELECT cutoff_name,
+         CASE WHEN x >= c THEN 1 ELSE 0 END AS above, y
+  FROM rows_ CROSS JOIN cuts
+  WHERE x >= c - {RD_BW} AND x < c + {RD_BW}
+),
+agg AS (
+  SELECT cutoff_name,
+         CAST(sum(1 - above) AS BIGINT) AS n_below,
+         CAST(sum(above) AS BIGINT) AS n_above,
+         CAST(sum(CASE WHEN above = 0 THEN y ELSE 0 END) AS BIGINT) AS sb,
+         CAST(sum(CASE WHEN above = 1 THEN y ELSE 0 END) AS BIGINT) AS sa
+  FROM local_w GROUP BY 1
+)
+SELECT cutoff_name, n_below, n_above,
+       CAST((1000 * sb) // n_below AS BIGINT) AS mean_below_milli,
+       CAST((1000 * sa) // n_above AS BIGINT) AS mean_above_milli,
+       CAST((1000 * sa) // n_above - (1000 * sb) // n_below AS BIGINT)
+         AS jump_milli
+FROM agg
+"""
+
+
+QUERIES["events_regression_discontinuity"] = (
+    events_regression_discontinuity,
+    _sql_rdd(),
+)

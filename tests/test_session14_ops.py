@@ -3552,3 +3552,61 @@ def test_learned_index_bucketing_shrinks_epsilon(spark):
     g = got[("global", 0)][2]
     bmax = max(v[2] for (m, _), v in got.items() if m == "bucketed")
     assert g > 4 * bmax
+
+
+# ------------------------------------ events_regression_discontinuity
+
+
+def test_rdd_recovers_jump_and_placebo_flat(spark):
+    from harvester_spark.operators.web_econ import (
+        RD_BW,
+        RD_CUTOFF,
+        RD_JUMP,
+        RD_PLACEBO,
+        events_regression_discontinuity,
+    )
+
+    eids = [
+        r["event_id"]
+        for r in spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("event_id")
+        .collect()
+    ]
+    expect = {}
+    for name, c in (("true_cutoff", RD_CUTOFF), ("placebo", RD_PLACEBO)):
+        nb = na = sb = sa = 0
+        for e in eids:
+            x = _h56(f"rx|{e}") % 1000
+            if not (c - RD_BW <= x < c + RD_BW):
+                continue
+            noise = _h56(f"rn|{e}") % 1001 - 500
+            y = 2000 + 3 * x + (RD_JUMP if x >= RD_CUTOFF else 0) + noise
+            if x >= c:
+                na += 1
+                sa += y
+            else:
+                nb += 1
+                sb += y
+        expect[name] = (
+            nb, na, (1000 * sb) // nb, (1000 * sa) // na,
+            (1000 * sa) // na - (1000 * sb) // nb,
+        )
+
+    got = {
+        r["cutoff_name"]: (
+            r["n_below"], r["n_above"], r["mean_below_milli"],
+            r["mean_above_milli"], r["jump_milli"],
+        )
+        for r in events_regression_discontinuity(spark, SF_DIR).collect()
+    }
+    assert got == expect
+
+    # the discontinuity is identified: the true cutoff recovers the
+    # planted jump (plus the known slope*bandwidth bias <= 3*BW), the
+    # placebo shows only the bias
+    bias = 3 * RD_BW
+    true_j = got["true_cutoff"][4]
+    plc_j = got["placebo"][4]
+    assert abs(true_j - (RD_JUMP + bias) * 1000) < 900 * 1000
+    assert abs(plc_j) < (bias + 500) * 1000
+    assert true_j > 3 * abs(plc_j)
