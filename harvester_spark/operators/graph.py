@@ -3510,3 +3510,156 @@ QUERIES["host_bipartite_modularity"] = (
     host_bipartite_modularity,
     _sql_bipartite_modularity(),
 )
+
+
+# ------------------------------------------- percolation robustness
+
+# Bond-percolation robustness of the crawl graph (Callaway et al.,
+# PRL 2000 — the question behind "how much of the link graph can we
+# lose before discovery fragments"): md5-subsample the undirected edge
+# set at retention levels {PERC_LEVELS}‰, and measure the largest
+# connected component at each level via {PERC_ROUNDS} rounds of
+# min-label propagation (the dedup connected-components contract; the
+# sparse host graph's diameter is well under the round budget, and the
+# round count is FIXED so both engines run the identical computation).
+# Output per level: nodes with any retained edge, the largest CC, and
+# its share. Pinned: the giant component's share is monotone in
+# retention and spans a real range (near-total at 750‰, genuinely
+# fragmented at 250‰).
+#
+# Scale shape per round: one edges⋈labels join + per-node min agg —
+# pagerank-family; the three levels ride ONE unioned edge frame keyed
+# by level (one job, three walks — the damping-sweep discipline).
+
+PERC_LEVELS = (250, 500, 750)
+PERC_ROUNDS = 6
+
+
+def host_percolation_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(level_permille, n_nodes, largest_cc, share_milli): giant-
+    component size under md5 edge retention at each level."""
+    docs = load(spark, sf_dir, "documents")
+    fan = max(docs.count() // 2, 20)
+    dst = F.concat(
+        F.lit("h"),
+        (_hash56(F.col("doc_id").cast("string")) % fan).cast("string"),
+    )
+    e0 = (
+        docs.select(F.col("source").alias("a"), dst.alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+    )
+    levels = spark.createDataFrame(
+        [(q,) for q in PERC_LEVELS], "level long"
+    )
+    kept = (
+        e0.crossJoin(F.broadcast(levels))
+        .filter(
+            _hash56(
+                F.concat_ws("|", F.lit("pc"), F.col("a"), F.col("b"))
+            )
+            % 1000
+            < F.col("level")
+        )
+        .cache()
+    )
+    und = kept.select("level", "a", "b").unionByName(
+        kept.select("level", F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    nodes = und.select("level", F.col("a").alias("host")).distinct()
+    labels = nodes.withColumn("lbl", F.col("host"))
+    for _ in range(PERC_ROUNDS):
+        nbr = (
+            und.join(
+                labels.select(
+                    "level", F.col("host").alias("b"), "lbl"
+                ),
+                ["level", "b"],
+            )
+            .select("level", F.col("a").alias("host"), "lbl")
+        )
+        labels = (
+            labels.unionByName(nbr)
+            .groupBy("level", "host")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+    cc = labels.groupBy("level", "lbl").agg(
+        F.count("*").cast("long").alias("sz")
+    )
+    nn = labels.groupBy("level").agg(
+        F.count("*").cast("long").alias("n_nodes")
+    )
+    big = cc.groupBy("level").agg(F.max("sz").cast("long").alias("largest_cc"))
+    return (
+        nn.join(big, "level")
+        .select(
+            F.col("level").alias("level_permille"),
+            "n_nodes",
+            "largest_cc",
+            F.expr("CAST((1000 * largest_cc) DIV n_nodes AS BIGINT)").alias(
+                "share_milli"
+            ),
+        )
+    )
+
+
+def _sql_percolation() -> str:
+    hash_doc = _SQL_HASH56.format(col="CAST(doc_id AS VARCHAR)")
+    hash_e = _SQL_HASH56.format(col="'pc' || '|' || a || '|' || b")
+    lv = ", ".join(f"({q})" for q in PERC_LEVELS)
+    parts = [f"""
+WITH fanp2 AS (
+  SELECT greatest(CAST(count(*) AS BIGINT) // 2, 20) AS f FROM documents
+),
+e0 AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM (
+    SELECT source AS src,
+           'h' || CAST({hash_doc} % (SELECT f FROM fanp2) AS VARCHAR) AS dst
+    FROM documents
+  ) WHERE src <> dst
+),
+kept AS MATERIALIZED (
+  SELECT l.level, e.a, e.b
+  FROM e0 e CROSS JOIN (SELECT * FROM (VALUES {lv}) v(level)) l
+  WHERE {hash_e} % 1000 < l.level
+),
+und AS MATERIALIZED (
+  SELECT level, a, b FROM kept
+  UNION ALL
+  SELECT level, b AS a, a AS b FROM kept
+),
+lab0 AS MATERIALIZED (
+  SELECT DISTINCT level, a AS host, a AS lbl FROM und
+)"""]
+    prev = "lab0"
+    for k in range(1, PERC_ROUNDS + 1):
+        parts.append(f""",
+lab{k} AS MATERIALIZED (
+  SELECT level, host, min(lbl) AS lbl FROM (
+    SELECT level, host, lbl FROM {prev}
+    UNION ALL
+    SELECT u.level, u.a AS host, p.lbl
+    FROM und u JOIN {prev} p ON p.level = u.level AND p.host = u.b
+  ) GROUP BY 1, 2
+)""")
+        prev = f"lab{k}"
+    parts.append(f"""
+SELECT level AS level_permille,
+       CAST(sum(sz) AS BIGINT) AS n_nodes,
+       CAST(max(sz) AS BIGINT) AS largest_cc,
+       CAST((1000 * max(sz)) // sum(sz) AS BIGINT) AS share_milli
+FROM (
+  SELECT level, lbl, CAST(count(*) AS BIGINT) AS sz
+  FROM {prev} GROUP BY 1, 2
+) x
+GROUP BY level""")
+    return "".join(parts)
+
+
+QUERIES["host_percolation_robustness"] = (
+    host_percolation_robustness,
+    _sql_percolation(),
+)

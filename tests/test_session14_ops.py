@@ -3610,3 +3610,61 @@ def test_rdd_recovers_jump_and_placebo_flat(spark):
     assert abs(true_j - (RD_JUMP + bias) * 1000) < 900 * 1000
     assert abs(plc_j) < (bias + 500) * 1000
     assert true_j > 3 * abs(plc_j)
+
+
+# ------------------------------------------ host_percolation_robustness
+
+
+def test_percolation_matches_union_find_and_transition(spark):
+    from harvester_spark.operators.graph import (
+        PERC_LEVELS,
+        host_percolation_robustness,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "source"
+    ).collect()
+    fan = max(len(docs) // 2, 20)
+    edges = set()
+    for r in docs:
+        dst = f"h{_h56(str(r['doc_id'])) % fan}"
+        if r["source"] != dst:
+            a, b = min(r["source"], dst), max(r["source"], dst)
+            edges.add((a, b))
+
+    expect = {}
+    for q in PERC_LEVELS:
+        kept = [
+            (a, b) for a, b in edges if _h56(f"pc|{a}|{b}") % 1000 < q
+        ]
+        parent = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in kept:
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        sizes = Counter(find(x) for x in parent)
+        n = len(parent)
+        big = max(sizes.values())
+        expect[q] = (n, big, (1000 * big) // n)
+
+    got = {
+        r["level_permille"]: (r["n_nodes"], r["largest_cc"], r["share_milli"])
+        for r in host_percolation_robustness(spark, SF_DIR).collect()
+    }
+    assert got == expect
+
+    # the percolation transition is real: fragmented at the lowest
+    # retention, a dominant giant component at the highest, monotone
+    shares = [got[q][2] for q in sorted(got)]
+    assert all(b >= a for a, b in zip(shares, shares[1:]))
+    assert shares[0] < 800
+    assert shares[-1] > 900
