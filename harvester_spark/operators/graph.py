@@ -3519,9 +3519,13 @@ QUERIES["host_bipartite_modularity"] = (
 # lose before discovery fragments"): md5-subsample the undirected edge
 # set at retention levels {PERC_LEVELS}‰, and measure the largest
 # connected component at each level via {PERC_ROUNDS} rounds of
-# min-label propagation (the dedup connected-components contract; the
-# sparse host graph's diameter is well under the round budget, and the
-# round count is FIXED so both engines run the identical computation).
+# min-label propagation. The round budget is FIXED at {PERC_ROUNDS}
+# so both engines run the identical computation — the measured
+# convergence on this graph family is 11 rounds at the lowest
+# retention (fragmented components have long paths; the first draft's
+# 6 rounds under-converged and the union-find pytest caught it);
+# at unbounded scale the dedup pointer-jumping CC (O(log d) rounds)
+# is the right kernel, documented.
 # Output per level: nodes with any retained edge, the largest CC, and
 # its share. Pinned: the giant component's share is monotone in
 # retention and spans a real range (near-total at 750‰, genuinely
@@ -3531,8 +3535,8 @@ QUERIES["host_bipartite_modularity"] = (
 # pagerank-family; the three levels ride ONE unioned edge frame keyed
 # by level (one job, three walks — the damping-sweep discipline).
 
-PERC_LEVELS = (250, 500, 750)
-PERC_ROUNDS = 6
+PERC_LEVELS = (100, 250, 500, 750)
+PERC_ROUNDS = 16
 
 
 def host_percolation_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -3666,5 +3666,5 @@ def test_percolation_matches_union_find_and_transition(spark):
     # retention, a dominant giant component at the highest, monotone
     shares = [got[q][2] for q in sorted(got)]
     assert all(b >= a for a, b in zip(shares, shares[1:]))
-    assert shares[0] < 800
+    assert shares[0] < 300  # 100 permille: genuinely fragmented
     assert shares[-1] > 900
