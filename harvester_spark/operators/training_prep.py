@@ -1901,3 +1901,156 @@ QUERIES["train_negative_sampling_eval"] = (
     train_negative_sampling_eval,
     _sql_negative_sampling(),
 )
+
+
+# -------------------------------------- sampling-design variance eval
+
+# The survey-sampling classic (Cochran): on a population with a TREND
+# in frame order, SYSTEMATIC sampling (every k-th element from a random
+# start) implicitly stratifies and beats Bernoulli sampling's variance
+# — the reason table-sample implementations expose both. Measured here
+# with planted trend y = doc rank (exact), {SD_REPS} md5 replicates per
+# design at 1/{SD_K} rate: each replicate estimates the population
+# total (systematic: offset = replicate hash; Bernoulli: per-element
+# membership hash), and the operator emits each design's
+# across-replicate mean and variance of the estimate (integer moments,
+# the n·s2 − s1² idiom). Pins: both designs are ~unbiased (means near
+# the true total) and systematic's variance is a small fraction of
+# Bernoulli's on the trended frame — the design effect, demonstrated.
+#
+# Scale shape: a replicate×element grid (map-only; {SD_REPS}× the
+# frame — the price of MEASURING variance, not of sampling), two
+# aggs.
+
+SD_K = 10
+SD_REPS = 16
+
+
+def sampling_design_variance_eval(spark, sf_dir):
+    """(design, n_reps, true_total, mean_est, var_num, rel_bias_milli,
+    var_ratio_milli_vs_bern): across-replicate estimator moments for
+    systematic vs Bernoulli sampling of the trended frame."""
+    from harvester_spark.operators.dedup import _hash56
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    ranked = docs.withColumn(
+        "pos",
+        (F.row_number().over(W.orderBy("doc_id")) - 1).cast("long"),
+    ).withColumn("y", F.col("pos"))  # planted trend in frame order
+    true_total = F.broadcast(
+        ranked.agg(F.sum("y").cast("long").alias("tt"))
+    )
+    reps = spark.range(SD_REPS).select(F.col("id").cast("long").alias("r"))
+    grid = ranked.crossJoin(F.broadcast(reps))
+    sys_est = (
+        grid.filter(
+            F.expr(
+                f"pos % {SD_K} = CAST(conv(substring(md5(concat('so|',"
+                f" CAST(r AS STRING))), 1, 14), 16, 10) AS BIGINT) % {SD_K}"
+            )
+        )
+        .groupBy("r")
+        .agg((F.sum("y") * SD_K).cast("long").alias("est"))
+        .withColumn("design", F.lit("systematic"))
+    )
+    bern_est = (
+        grid.filter(
+            F.expr(
+                "CAST(conv(substring(md5(concat('bm|', CAST(r AS STRING),"
+                " '|', CAST(pos AS STRING))), 1, 14), 16, 10) AS BIGINT)"
+                f" % {SD_K} = 0"
+            )
+        )
+        .groupBy("r")
+        .agg((F.sum("y") * SD_K).cast("long").alias("est"))
+        .withColumn("design", F.lit("bernoulli"))
+    )
+    ests = sys_est.unionByName(bern_est)
+    mom = ests.groupBy("design").agg(
+        F.count("*").cast("long").alias("n_reps"),
+        F.sum("est").cast("long").alias("s1"),
+        F.sum(F.col("est") * F.col("est")).cast("long").alias("s2"),
+    )
+    base = mom.crossJoin(true_total).select(
+        "design",
+        "n_reps",
+        F.col("tt").alias("true_total"),
+        F.expr("CAST(s1 DIV n_reps AS BIGINT)").alias("mean_est"),
+        F.expr("CAST(n_reps * s2 - s1 * s1 AS BIGINT)").alias("var_num"),
+        F.expr(
+            "CASE WHEN s1 DIV n_reps >= tt"
+            " THEN CAST((1000 * (s1 DIV n_reps - tt)) DIV tt AS BIGINT)"
+            " ELSE CAST(-((1000 * (tt - s1 DIV n_reps)) DIV tt) AS BIGINT)"
+            " END"
+        ).alias("rel_bias_milli"),
+    )
+    bern_var = F.broadcast(
+        base.filter(F.col("design") == "bernoulli").select(
+            F.col("var_num").alias("bv")
+        )
+    )
+    return base.crossJoin(bern_var).select(
+        "design",
+        "n_reps",
+        "true_total",
+        "mean_est",
+        "var_num",
+        "rel_bias_milli",
+        F.expr(
+            "CAST((1000 * var_num) DIV greatest(bv, 1) AS BIGINT)"
+        ).alias("var_ratio_milli_vs_bern"),
+    )
+
+
+def _sql_sampling_design() -> str:
+    hso = "CAST(('0x' || substr(md5('so|' || CAST(r AS VARCHAR)), 1, 14)) AS BIGINT)"
+    hbm = "CAST(('0x' || substr(md5('bm|' || CAST(r AS VARCHAR) || '|' || CAST(pos AS VARCHAR)), 1, 14)) AS BIGINT)"
+    return f"""
+WITH ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS pos
+  FROM documents
+),
+tt AS (SELECT CAST(sum(pos) AS BIGINT) AS tt FROM ranked),
+reps AS (SELECT CAST(unnest(range({SD_REPS})) AS BIGINT) AS r),
+ests AS (
+  SELECT 'systematic' AS design, r,
+         CAST(sum(pos) * {SD_K} AS BIGINT) AS est
+  FROM ranked CROSS JOIN reps
+  WHERE pos % {SD_K} = {hso} % {SD_K}
+  GROUP BY r
+  UNION ALL
+  SELECT 'bernoulli', r, CAST(sum(pos) * {SD_K} AS BIGINT)
+  FROM ranked CROSS JOIN reps
+  WHERE {hbm} % {SD_K} = 0
+  GROUP BY r
+),
+mom AS (
+  SELECT design, CAST(count(*) AS BIGINT) AS n_reps,
+         CAST(sum(est) AS BIGINT) AS s1,
+         CAST(sum(est * est) AS BIGINT) AS s2
+  FROM ests GROUP BY 1
+),
+base AS (
+  SELECT design, n_reps, (SELECT tt FROM tt) AS true_total,
+         CAST(s1 // n_reps AS BIGINT) AS mean_est,
+         CAST(n_reps * s2 - s1 * s1 AS BIGINT) AS var_num,
+         CAST(CASE WHEN s1 // n_reps >= (SELECT tt FROM tt)
+              THEN (1000 * (s1 // n_reps - (SELECT tt FROM tt)))
+                   // (SELECT tt FROM tt)
+              ELSE -((1000 * ((SELECT tt FROM tt) - s1 // n_reps))
+                   // (SELECT tt FROM tt)) END AS BIGINT)
+           AS rel_bias_milli
+  FROM mom
+)
+SELECT design, n_reps, true_total, mean_est, var_num, rel_bias_milli,
+       CAST((1000 * var_num) // greatest(
+         (SELECT var_num FROM base WHERE design = 'bernoulli'), 1)
+         AS BIGINT) AS var_ratio_milli_vs_bern
+FROM base
+"""
+
+
+QUERIES["sampling_design_variance_eval"] = (
+    sampling_design_variance_eval,
+    _sql_sampling_design(),
+)

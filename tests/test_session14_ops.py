@@ -3668,3 +3668,63 @@ def test_percolation_matches_union_find_and_transition(spark):
     assert all(b >= a for a, b in zip(shares, shares[1:]))
     assert shares[0] < 300  # 100 permille: genuinely fragmented
     assert shares[-1] > 900
+
+
+# ------------------------------------- sampling_design_variance_eval
+
+
+def test_sampling_design_effect_matches_python(spark):
+    from harvester_spark.operators.training_prep import (
+        SD_K,
+        SD_REPS,
+        sampling_design_variance_eval,
+    )
+
+    doc_ids = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    )
+    n = len(doc_ids)
+    tt = n * (n - 1) // 2
+    ests = {"systematic": [], "bernoulli": []}
+    for r in range(SD_REPS):
+        off = _h56(f"so|{r}") % SD_K
+        ests["systematic"].append(
+            SD_K * sum(p for p in range(n) if p % SD_K == off)
+        )
+        ests["bernoulli"].append(
+            SD_K
+            * sum(p for p in range(n) if _h56(f"bm|{r}|{p}") % SD_K == 0)
+        )
+    expect = {}
+    for d, es in ests.items():
+        s1, s2 = sum(es), sum(e * e for e in es)
+        mean = s1 // SD_REPS
+        var = SD_REPS * s2 - s1 * s1
+        bias = (
+            (1000 * (mean - tt)) // tt
+            if mean >= tt
+            else -((1000 * (tt - mean)) // tt)
+        )
+        expect[d] = (SD_REPS, tt, mean, var, bias)
+    bv = expect["bernoulli"][3]
+    full = {
+        d: (*v, (1000 * v[3]) // max(bv, 1)) for d, v in expect.items()
+    }
+
+    got = {
+        r["design"]: (
+            r["n_reps"], r["true_total"], r["mean_est"], r["var_num"],
+            r["rel_bias_milli"], r["var_ratio_milli_vs_bern"],
+        )
+        for r in sampling_design_variance_eval(spark, SF_DIR).collect()
+    }
+    assert got == full
+
+    # the design effect on a trended frame: systematic's variance is a
+    # tiny fraction of Bernoulli's, both near-unbiased
+    assert got["systematic"][5] < 100  # < 10% of Bernoulli variance
+    assert abs(got["systematic"][4]) < 50
+    assert abs(got["bernoulli"][4]) < 200
