@@ -3667,3 +3667,134 @@ QUERIES["host_percolation_robustness"] = (
     host_percolation_robustness,
     _sql_percolation(),
 )
+
+
+# ----------------------------------------- secretary-rule admission
+
+# Optimal stopping for streaming admission (the secretary problem;
+# Dynkin 1963): a crawler must commit to ONE candidate per slot (e.g.,
+# which mirror of a page to canonicalize, which snapshot to keep) as
+# candidates stream by, no revisiting. The 1/e rule — observe the
+# first ⌊K/e⌋ candidates, then take the first that beats them all —
+# achieves ≈ 37% probability of picking the overall best, against the
+# 1/K random baseline. Measured over {SEC_REPS} md5 replicate streams
+# of {SEC_K} planted qualities: per replicate, the observation-phase
+# max (one window), the first subsequent candidate beating it (one min
+# over a filtered window), success = that pick is the stream max.
+# Pins: the success RATE lands in the 1/e band and beats the random
+# baseline several-fold; exact recompute.
+#
+# Scale shape: a reps×K grid (map-only synthesis) + per-replicate
+# window aggs + one scalar rollup.
+
+SEC_K = 20
+SEC_REPS = 64
+SEC_OBS = 7  # floor(20 / e)
+
+
+def crawl_secretary_admission_eval(spark, sf_dir):
+    """(n_reps, n_success, success_milli, baseline_milli): empirical
+    success rate of the 1/e stopping rule over planted candidate
+    streams, with the random-pick baseline."""
+    from harvester_spark.operators.dedup import _hash56
+
+    grid = (
+        spark.range(SEC_REPS)
+        .select(F.col("id").cast("long").alias("rep"))
+        .crossJoin(
+            F.broadcast(
+                spark.range(SEC_K).select(F.col("id").cast("long").alias("i"))
+            )
+        )
+        .select(
+            "rep",
+            "i",
+            _hash56(
+                F.concat_ws(
+                    "|", F.lit("sq"), F.col("rep").cast("string"),
+                    F.col("i").cast("string"),
+                )
+            ).alias("q"),
+        )
+    )
+    wrep = W.partitionBy("rep")
+    obs_max = grid.filter(F.col("i") < SEC_OBS).groupBy("rep").agg(
+        F.max("q").alias("thr")
+    )
+    best = grid.groupBy("rep").agg(F.max("q").alias("best"))
+    pick = (
+        grid.filter(F.col("i") >= SEC_OBS)
+        .join(obs_max, "rep")
+        .filter(F.col("q") > F.col("thr"))
+        .groupBy("rep")
+        .agg(F.min("i").alias("pick_i"))
+    )
+    picked_q = (
+        pick.join(
+            grid.select("rep", F.col("i").alias("pick_i"), F.col("q")),
+            ["rep", "pick_i"],
+        )
+    )
+    outcomes = (
+        best.join(picked_q, "rep", "left")
+        .select(
+            "rep",
+            (F.col("q").isNotNull() & (F.col("q") == F.col("best")))
+            .cast("long")
+            .alias("success"),
+        )
+    )
+    return outcomes.agg(
+        F.count("*").cast("long").alias("n_reps"),
+        F.sum("success").cast("long").alias("n_success"),
+    ).select(
+        "n_reps",
+        "n_success",
+        F.expr("CAST((1000 * n_success) DIV n_reps AS BIGINT)").alias(
+            "success_milli"
+        ),
+        F.lit(1000 // SEC_K).cast("long").alias("baseline_milli"),
+    )
+
+
+def _sql_secretary() -> str:
+    h = _SQL_HASH56.format(
+        col="'sq' || '|' || CAST(rep AS VARCHAR) || '|' || CAST(i AS VARCHAR)"
+    )
+    return f"""
+WITH grid AS (
+  SELECT CAST(rep AS BIGINT) AS rep, CAST(i AS BIGINT) AS i, {h} AS q
+  FROM (SELECT unnest(range({SEC_REPS})) AS rep)
+  CROSS JOIN (SELECT unnest(range({SEC_K})) AS i)
+),
+obs AS (
+  SELECT rep, max(q) AS thr FROM grid WHERE i < {SEC_OBS} GROUP BY 1
+),
+best AS (SELECT rep, max(q) AS best FROM grid GROUP BY 1),
+pick AS (
+  SELECT g.rep, min(g.i) AS pick_i
+  FROM grid g JOIN obs o USING (rep)
+  WHERE g.i >= {SEC_OBS} AND g.q > o.thr
+  GROUP BY 1
+),
+outcome AS (
+  SELECT b.rep,
+         CASE WHEN gq.q IS NOT NULL AND gq.q = b.best THEN 1 ELSE 0 END
+           AS success
+  FROM best b
+  LEFT JOIN pick p USING (rep)
+  LEFT JOIN grid gq ON gq.rep = b.rep AND gq.i = p.pick_i
+)
+SELECT CAST(count(*) AS BIGINT) AS n_reps,
+       CAST(sum(success) AS BIGINT) AS n_success,
+       CAST((1000 * CAST(sum(success) AS BIGINT)) // count(*) AS BIGINT)
+         AS success_milli,
+       CAST({1000 // SEC_K} AS BIGINT) AS baseline_milli
+FROM outcome
+"""
+
+
+QUERIES["crawl_secretary_admission_eval"] = (
+    crawl_secretary_admission_eval,
+    _sql_secretary(),
+)

@@ -3728,3 +3728,30 @@ def test_sampling_design_effect_matches_python(spark):
     assert got["systematic"][5] < 100  # < 10% of Bernoulli variance
     assert abs(got["systematic"][4]) < 50
     assert abs(got["bernoulli"][4]) < 200
+
+
+# -------------------------------------- crawl_secretary_admission_eval
+
+
+def test_secretary_rule_hits_one_over_e_band(spark):
+    from harvester_spark.operators.graph import (
+        SEC_K,
+        SEC_OBS,
+        SEC_REPS,
+        crawl_secretary_admission_eval,
+    )
+
+    succ = 0
+    for rep in range(SEC_REPS):
+        qs = [_h56(f"sq|{rep}|{i}") for i in range(SEC_K)]
+        thr = max(qs[:SEC_OBS])
+        pick = next((q for q in qs[SEC_OBS:] if q > thr), None)
+        succ += pick is not None and pick == max(qs)
+
+    row = crawl_secretary_admission_eval(spark, SF_DIR).collect()[0]
+    assert (row["n_reps"], row["n_success"]) == (SEC_REPS, succ)
+    assert row["success_milli"] == (1000 * succ) // SEC_REPS
+    # the 1/e law: success rate in the optimal-stopping band, far above
+    # the random-pick baseline
+    assert 230 <= row["success_milli"] <= 500
+    assert row["success_milli"] > 4 * row["baseline_milli"]
