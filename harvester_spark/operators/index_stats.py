@@ -4103,3 +4103,102 @@ QUERIES["learned_index_error_eval"] = (
     learned_index_error_eval,
     _sql_learned_index(),
 )
+
+
+# ---------------------------------------------- ski-rental caching
+
+# The rent-or-buy decision every cache/materialization layer makes
+# (ski-rental; Karlin et al. 1988): recompute a derived artifact per
+# use (rent, cost 1) or materialize it once (buy, cost {SKI_B}) without
+# knowing how many more uses are coming. The break-even rule — buy at
+# the {SKI_B}-th use — is 2-competitive: its cost never exceeds twice
+# the hindsight optimum min(uses, B). Measured over {SKI_REPS} planted
+# usage counts (md5, skewed so both regimes occur): per replicate the
+# rule's cost, OPT, and the ratio; the 2-competitive bound holds on
+# EVERY replicate and the mean ratio sits well inside it (both
+# pinned). Completes the online-algorithms family (secretary
+# admission, bandits, LRU stack distances).
+#
+# Scale shape: a replicate dimension + pure integer arithmetic.
+
+SKI_B = 8
+SKI_REPS = 64
+
+
+def cache_ski_rental_eval(spark, sf_dir):
+    """(n_reps, n_buy_regime, worst_ratio_milli, mean_ratio_milli):
+    break-even ski-rental costs vs hindsight optimum over planted
+    usage streams."""
+    from harvester_spark.operators.dedup import _hash56
+
+    reps = spark.range(SKI_REPS).select(F.col("id").cast("long").alias("r"))
+    # skewed usage counts: 1..4 uses (rent regime) or 8..39 (buy regime)
+    rows = reps.select(
+        "r",
+        F.expr(
+            "CASE WHEN CAST(conv(substring(md5(concat('sk|',"
+            " CAST(r AS STRING))), 1, 14), 16, 10) AS BIGINT) % 2 = 0"
+            " THEN 1 + CAST(conv(substring(md5(concat('su|',"
+            " CAST(r AS STRING))), 1, 14), 16, 10) AS BIGINT) % 4"
+            " ELSE 8 + CAST(conv(substring(md5(concat('su|',"
+            " CAST(r AS STRING))), 1, 14), 16, 10) AS BIGINT) % 32 END"
+        ).cast("long").alias("uses"),
+    ).withColumn(
+        "rule_cost",
+        F.expr(
+            f"CASE WHEN uses < {SKI_B} THEN uses"
+            f" ELSE {SKI_B} - 1 + {SKI_B} END"
+        ).cast("long"),
+    ).withColumn(
+        "opt_cost", F.expr(f"least(uses, {SKI_B})").cast("long")
+    ).withColumn(
+        "ratio_milli",
+        F.expr("CAST((1000 * rule_cost) DIV opt_cost AS BIGINT)"),
+    )
+    return rows.agg(
+        F.count("*").cast("long").alias("n_reps"),
+        F.sum((F.col("uses") >= SKI_B).cast("long"))
+        .cast("long")
+        .alias("n_buy_regime"),
+        F.max("ratio_milli").cast("long").alias("worst_ratio_milli"),
+        F.expr("CAST(sum(ratio_milli) DIV count(*) AS BIGINT)").alias(
+            "mean_ratio_milli"
+        ),
+    )
+
+
+def _sql_ski_rental() -> str:
+    hsk = _SQL_HASH56.format(col="'sk|' || CAST(r AS VARCHAR)")
+    hsu = _SQL_HASH56.format(col="'su|' || CAST(r AS VARCHAR)")
+    return f"""
+WITH rows_ AS (
+  SELECT r,
+         CASE WHEN {hsk} % 2 = 0 THEN 1 + {hsu} % 4
+              ELSE 8 + {hsu} % 32 END AS uses
+  FROM (SELECT CAST(unnest(range({SKI_REPS})) AS BIGINT) AS r)
+),
+costed AS (
+  SELECT r, uses,
+         CAST(CASE WHEN uses < {SKI_B} THEN uses
+              ELSE {SKI_B} - 1 + {SKI_B} END AS BIGINT) AS rule_cost,
+         CAST(least(uses, {SKI_B}) AS BIGINT) AS opt_cost
+  FROM rows_
+),
+ratios AS (
+  SELECT *, CAST((1000 * rule_cost) // opt_cost AS BIGINT) AS ratio_milli
+  FROM costed
+)
+SELECT CAST(count(*) AS BIGINT) AS n_reps,
+       CAST(sum(CASE WHEN uses >= {SKI_B} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_buy_regime,
+       CAST(max(ratio_milli) AS BIGINT) AS worst_ratio_milli,
+       CAST(CAST(sum(ratio_milli) AS BIGINT) // count(*) AS BIGINT)
+         AS mean_ratio_milli
+FROM ratios
+"""
+
+
+QUERIES["cache_ski_rental_eval"] = (
+    cache_ski_rental_eval,
+    _sql_ski_rental(),
+)

@@ -3755,3 +3755,38 @@ def test_secretary_rule_hits_one_over_e_band(spark):
     # the random-pick baseline
     assert 230 <= row["success_milli"] <= 500
     assert row["success_milli"] > 4 * row["baseline_milli"]
+
+
+# ------------------------------------------------ cache_ski_rental_eval
+
+
+def test_ski_rental_two_competitive_bound(spark):
+    from harvester_spark.operators.index_stats import (
+        SKI_B,
+        SKI_REPS,
+        cache_ski_rental_eval,
+    )
+
+    n_buy = 0
+    ratios = []
+    for r in range(SKI_REPS):
+        if _h56(f"sk|{r}") % 2 == 0:
+            uses = 1 + _h56(f"su|{r}") % 4
+        else:
+            uses = 8 + _h56(f"su|{r}") % 32
+        rule = uses if uses < SKI_B else SKI_B - 1 + SKI_B
+        opt = min(uses, SKI_B)
+        ratios.append((1000 * rule) // opt)
+        n_buy += uses >= SKI_B
+
+    row = cache_ski_rental_eval(spark, SF_DIR).collect()[0]
+    assert (
+        row["n_reps"], row["n_buy_regime"], row["worst_ratio_milli"],
+        row["mean_ratio_milli"],
+    ) == (SKI_REPS, n_buy, max(ratios), sum(ratios) // SKI_REPS)
+
+    # the 2-competitive guarantee holds on every replicate, both
+    # regimes genuinely occur, and the average sits inside the bound
+    assert row["worst_ratio_milli"] <= 2000
+    assert 0 < row["n_buy_regime"] < SKI_REPS
+    assert 1000 <= row["mean_ratio_milli"] < 2000
