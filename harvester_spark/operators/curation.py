@@ -956,3 +956,108 @@ FROM cls
 """
 
 QUERIES["curation_k_anonymity"] = (curation_k_anonymity, SQL_K_ANONYMITY)
+
+
+# -------------------------------------------- pooled screening (Dorfman)
+
+# Dorfman (1943) two-stage pooled testing, in its data-curation role:
+# screening documents with an EXPENSIVE detector (an LLM safety judge,
+# a human review) at low contamination rates — test pools of
+# {POOL_SIZE} first, re-test individuals only inside positive pools.
+# Contamination is planted at ~{POOL_PREV_PCT}% (md5), pools are
+# contiguous doc_id ranks, and the operator emits the exact test
+# counts: pooled = n/{POOL_SIZE} + {POOL_SIZE}·(positive pools) vs the
+# individual baseline n. Pins: every planted positive is caught (the
+# scheme is exhaustive by construction — pin it anyway, the
+# two-stage logic is where bugs live), and the measured savings track
+# Dorfman's expectation 1/s + 1 − (1−p)^s.
+#
+# Scale shape: one rank window (pool assignment), one pool agg, one
+# rollup.
+
+POOL_SIZE = 8
+POOL_PREV_PCT = 2
+
+
+def curation_pooled_screening_eval(spark, sf_dir):
+    """(n_docs, n_positive, n_pools, n_positive_pools, tests_pooled,
+    tests_individual, savings_milli): Dorfman two-stage test counts
+    over planted contamination."""
+    from harvester_spark.operators.dedup import _hash56
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    tagged = docs.withColumn(
+        "pos",
+        (
+            _hash56(F.concat(F.lit("ct|"), F.col("doc_id").cast("string")))
+            % 100
+            < POOL_PREV_PCT
+        ).cast("long"),
+    ).withColumn(
+        "pool",
+        F.expr(
+            f"(CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) - 1)"
+            f" DIV {POOL_SIZE}"
+        ),
+    )
+    pools = tagged.groupBy("pool").agg(
+        F.count("*").cast("long").alias("sz"),
+        F.sum("pos").cast("long").alias("n_pos"),
+    )
+    return pools.agg(
+        F.sum("sz").cast("long").alias("n_docs"),
+        F.sum("n_pos").cast("long").alias("n_positive"),
+        F.count("*").cast("long").alias("n_pools"),
+        F.sum((F.col("n_pos") > 0).cast("long"))
+        .cast("long")
+        .alias("n_positive_pools"),
+        F.sum(
+            F.lit(1) + F.when(F.col("n_pos") > 0, F.col("sz")).otherwise(0)
+        ).cast("long").alias("tests_pooled"),
+    ).select(
+        "n_docs",
+        "n_positive",
+        "n_pools",
+        "n_positive_pools",
+        "tests_pooled",
+        F.col("n_docs").alias("tests_individual"),
+        F.expr(
+            "CAST((1000 * tests_pooled) DIV n_docs AS BIGINT)"
+        ).alias("savings_milli"),
+    )
+
+
+def _sql_pooled_screening() -> str:
+    h = _SQL_HASH56.format(col="'ct|' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH tagged AS (
+  SELECT doc_id,
+         CASE WHEN {h} % 100 < {POOL_PREV_PCT} THEN 1 ELSE 0 END AS pos,
+         (CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) - 1)
+           // {POOL_SIZE} AS pool
+  FROM documents
+),
+pools AS (
+  SELECT pool, CAST(count(*) AS BIGINT) AS sz,
+         CAST(sum(pos) AS BIGINT) AS n_pos
+  FROM tagged GROUP BY 1
+)
+SELECT CAST(sum(sz) AS BIGINT) AS n_docs,
+       CAST(sum(n_pos) AS BIGINT) AS n_positive,
+       CAST(count(*) AS BIGINT) AS n_pools,
+       CAST(sum(CASE WHEN n_pos > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_positive_pools,
+       CAST(sum(1 + CASE WHEN n_pos > 0 THEN sz ELSE 0 END) AS BIGINT)
+         AS tests_pooled,
+       CAST(sum(sz) AS BIGINT) AS tests_individual,
+       CAST((1000 * CAST(sum(1 + CASE WHEN n_pos > 0 THEN sz ELSE 0 END)
+            AS BIGINT)) // CAST(sum(sz) AS BIGINT) AS BIGINT)
+         AS savings_milli
+FROM pools
+"""
+
+
+QUERIES["curation_pooled_screening_eval"] = (
+    curation_pooled_screening_eval,
+    _sql_pooled_screening(),
+)

@@ -3790,3 +3790,47 @@ def test_ski_rental_two_competitive_bound(spark):
     assert row["worst_ratio_milli"] <= 2000
     assert 0 < row["n_buy_regime"] < SKI_REPS
     assert 1000 <= row["mean_ratio_milli"] < 2000
+
+
+# -------------------------------------- curation_pooled_screening_eval
+
+
+def test_pooled_screening_matches_python_and_dorfman_savings(spark):
+    from harvester_spark.operators.curation import (
+        POOL_PREV_PCT,
+        POOL_SIZE,
+        curation_pooled_screening_eval,
+    )
+
+    doc_ids = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    )
+    pools = {}
+    for i, d in enumerate(doc_ids):
+        pos = _h56(f"ct|{d}") % 100 < POOL_PREV_PCT
+        sz, np_ = pools.get(i // POOL_SIZE, (0, 0))
+        pools[i // POOL_SIZE] = (sz + 1, np_ + pos)
+    n = len(doc_ids)
+    n_pos = sum(p for _, p in pools.values())
+    pos_pools = sum(1 for _, p in pools.values() if p > 0)
+    tests = sum(1 + (sz if p > 0 else 0) for sz, p in pools.values())
+
+    row = curation_pooled_screening_eval(spark, SF_DIR).collect()[0]
+    assert (
+        row["n_docs"], row["n_positive"], row["n_pools"],
+        row["n_positive_pools"], row["tests_pooled"],
+        row["tests_individual"], row["savings_milli"],
+    ) == (
+        n, n_pos, len(pools), pos_pools, tests, n, (1000 * tests) // n
+    )
+
+    # the Dorfman savings are real and near theory 1/s + 1-(1-p)^s
+    assert row["savings_milli"] < 500  # >2x cheaper than individual
+    theory = 1000 / POOL_SIZE + 1000 * (
+        1 - (1 - POOL_PREV_PCT / 100) ** POOL_SIZE
+    )
+    assert abs(row["savings_milli"] - theory) < 150
+    assert row["n_positive"] > 0  # contamination genuinely planted
