@@ -4202,3 +4202,141 @@ QUERIES["cache_ski_rental_eval"] = (
     cache_ski_rental_eval,
     _sql_ski_rental(),
 )
+
+
+# ------------------------------------------ Good-Turing missing mass
+
+# The companion of ndv_sample_chao_eval: Chao1 estimated how many
+# UNSEEN types exist; Good-Turing (1953) estimates how much PROBABILITY
+# MASS they carry — M₀ ≈ f₁/n (singletons over sample size), the
+# estimate behind every smoothed language model's backoff budget
+# (Katz, and the Kneser-Ney operator's discount family). Same
+# planted-rare-tail stream and md5 occurrence sample; because the
+# synthesis is planted, the TRUE missing mass (population share of
+# types the sample never saw) is computable, and the pin is the
+# Good-Turing theorem made empirical: |f₁/n − M₀_true| small, with
+# both genuinely nonzero (the saturating natural vocabulary alone
+# would make M₀ structurally 0).
+#
+# Scale shape: the ndv plan — one sampled dictionary agg + one
+# anti-joined population agg.
+
+
+def vocab_missing_mass_gt(spark, sf_dir):
+    """(n_sample, f1, gt_missing_milli, true_missing_milli,
+    abs_err_milli): Good-Turing missing-mass estimate vs the planted
+    truth."""
+    from harvester_spark.operators.dedup import _hash56
+
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    space = max(n_docs // 2, 20)
+    real = doc_tokens(spark, sf_dir).select("doc_id", "pos", "term")
+    planted = docs.select(
+        "doc_id",
+        F.lit(-1).alias("pos"),
+        F.concat(
+            F.lit("rare"),
+            (
+                _hash56(F.concat(F.lit("nv|"), F.col("doc_id").cast("string")))
+                % space
+            ).cast("string"),
+        ).alias("term"),
+    )
+    stream = real.unionByName(planted).cache()
+    sampled = stream.filter(
+        _hash56(
+            F.concat_ws(
+                "|", F.lit("ns2"), F.col("doc_id").cast("string"),
+                F.col("pos").cast("string"), F.col("term"),
+            )
+        )
+        % NDV_SAMPLE_MOD
+        == 0
+    )
+    sfreq = sampled.groupBy("term").agg(
+        F.count("*").cast("long").alias("c")
+    ).cache()
+    samp_tot = F.broadcast(
+        sfreq.agg(
+            F.sum("c").cast("long").alias("n_sample"),
+            F.sum((F.col("c") == 1).cast("long")).cast("long").alias("f1"),
+        )
+    )
+    pop = stream.groupBy("term").agg(
+        F.count("*").cast("long").alias("pc")
+    )
+    unseen = pop.join(sfreq.select("term"), "term", "left_anti")
+    truth = F.broadcast(
+        unseen.agg(
+            F.coalesce(F.sum("pc"), F.lit(0)).cast("long").alias("unseen_occ")
+        ).crossJoin(
+            pop.groupBy().agg(F.sum("pc").cast("long").alias("pop_tot"))
+        )
+    )
+    return samp_tot.crossJoin(truth).select(
+        "n_sample",
+        "f1",
+        F.expr("CAST((1000 * f1) DIV n_sample AS BIGINT)").alias(
+            "gt_missing_milli"
+        ),
+        F.expr("CAST((1000 * unseen_occ) DIV pop_tot AS BIGINT)").alias(
+            "true_missing_milli"
+        ),
+        F.expr(
+            "CAST(abs((1000 * f1) DIV n_sample"
+            " - (1000 * unseen_occ) DIV pop_tot) AS BIGINT)"
+        ).alias("abs_err_milli"),
+    )
+
+
+def _sql_missing_mass() -> str:
+    h_nv = _SQL_HASH56.format(col="'nv|' || CAST(doc_id AS VARCHAR)")
+    h_s = _SQL_HASH56.format(
+        col="'ns2' || '|' || CAST(doc_id AS VARCHAR) || '|'"
+        " || CAST(pos AS VARCHAR) || '|' || term"
+    )
+    return f"""
+WITH spc AS (
+  SELECT greatest(CAST(count(*) AS BIGINT) // 2, 20) AS space
+  FROM documents
+),
+stream AS MATERIALIZED (
+  SELECT doc_id, pos, term FROM ({SQL_DOC_TOKS})
+  UNION ALL
+  SELECT doc_id, -1,
+         'rare' || CAST({h_nv} % (SELECT space FROM spc) AS VARCHAR)
+  FROM documents
+),
+sfreq AS MATERIALIZED (
+  SELECT term, CAST(count(*) AS BIGINT) AS c
+  FROM stream WHERE {h_s} % {NDV_SAMPLE_MOD} = 0
+  GROUP BY 1
+),
+st AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_sample,
+         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1
+  FROM sfreq
+),
+pop AS (SELECT term, CAST(count(*) AS BIGINT) AS pc FROM stream GROUP BY 1),
+tr AS (
+  SELECT CAST(coalesce(sum(CASE WHEN s.term IS NULL THEN p.pc END), 0)
+              AS BIGINT) AS unseen_occ,
+         CAST(sum(p.pc) AS BIGINT) AS pop_tot
+  FROM pop p LEFT JOIN sfreq s ON s.term = p.term
+)
+SELECT st.n_sample, st.f1,
+       CAST((1000 * st.f1) // st.n_sample AS BIGINT) AS gt_missing_milli,
+       CAST((1000 * tr.unseen_occ) // tr.pop_tot AS BIGINT)
+         AS true_missing_milli,
+       CAST(abs((1000 * st.f1) // st.n_sample
+            - (1000 * tr.unseen_occ) // tr.pop_tot) AS BIGINT)
+         AS abs_err_milli
+FROM st CROSS JOIN tr
+"""
+
+
+QUERIES["vocab_missing_mass_gt"] = (
+    vocab_missing_mass_gt,
+    _sql_missing_mass(),
+)

@@ -3834,3 +3834,47 @@ def test_pooled_screening_matches_python_and_dorfman_savings(spark):
     )
     assert abs(row["savings_milli"] - theory) < 150
     assert row["n_positive"] > 0  # contamination genuinely planted
+
+
+# --------------------------------------------- vocab_missing_mass_gt
+
+
+def test_good_turing_missing_mass_near_truth(spark, corpus14):
+    from harvester_spark.operators.index_stats import (
+        NDV_SAMPLE_MOD,
+        vocab_missing_mass_gt,
+    )
+
+    n_docs = len(corpus14)
+    space = max(n_docs // 2, 20)
+    stream = []
+    for d, ts in corpus14.items():
+        for pos, t in enumerate(ts):
+            stream.append((d, pos, t))
+        stream.append((d, -1, f"rare{_h56(f'nv|{d}') % space}"))
+    sfreq = Counter(
+        t for d, p, t in stream
+        if _h56(f"ns2|{d}|{p}|{t}") % NDV_SAMPLE_MOD == 0
+    )
+    n_sample = sum(sfreq.values())
+    f1 = sum(1 for c in sfreq.values() if c == 1)
+    pop = Counter(t for _, _, t in stream)
+    unseen_occ = sum(c for t, c in pop.items() if t not in sfreq)
+    pop_tot = sum(pop.values())
+
+    row = vocab_missing_mass_gt(spark, SF_DIR).collect()[0]
+    assert (
+        row["n_sample"], row["f1"], row["gt_missing_milli"],
+        row["true_missing_milli"], row["abs_err_milli"],
+    ) == (
+        n_sample, f1, (1000 * f1) // n_sample,
+        (1000 * unseen_occ) // pop_tot,
+        abs((1000 * f1) // n_sample - (1000 * unseen_occ) // pop_tot),
+    )
+
+    # the Good-Turing theorem, empirically: both masses nonzero (the
+    # planted tail makes unseen types real) and the estimate lands
+    # within a few milli of the truth
+    assert row["true_missing_milli"] > 0
+    assert row["gt_missing_milli"] > 0
+    assert row["abs_err_milli"] <= 10
