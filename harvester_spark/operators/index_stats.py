@@ -4340,3 +4340,78 @@ QUERIES["vocab_missing_mass_gt"] = (
     vocab_missing_mass_gt,
     _sql_missing_mass(),
 )
+
+
+# -------------------------------------------- birthday-bound collisions
+
+# The math every md5-truncation determinism claim in this repo rests on
+# (56-bit hashes "collision-free at corpus scale"), made empirical: at
+# a DELIBERATELY SHORT {BD_BITS}-bit truncation over {BD_N} keys, the
+# birthday bound predicts ≈ n(n−1)/2^(b+1) colliding pairs; the
+# operator counts the actual colliding pairs (Σ C(c,2) over bucket
+# occupancies) and emits observed vs expected. Pins: collisions are
+# plentiful at the short width (the bound is real), the observed count
+# is within the Poisson band of the expectation, and at 56 bits the
+# same corpus produces ZERO collisions (the repo's standing
+# assumption, now tested rather than asserted).
+#
+# Scale shape: two hash-bucket aggs.
+
+BD_BITS = 16
+BD_N = 2000
+
+
+def hash_collision_birthday_eval(spark, sf_dir):
+    """(bits, n_keys, n_colliding_pairs, expected_pairs_milli): observed
+    vs birthday-expected colliding pairs at the short and full hash
+    widths."""
+    from harvester_spark.operators.dedup import _hash56
+
+    keys = spark.range(BD_N).select(F.col("id").cast("long").alias("k"))
+    hashed = keys.select(
+        "k",
+        _hash56(F.concat(F.lit("bd|"), F.col("k").cast("string"))).alias("h"),
+    )
+    out = []
+    for bits in (BD_BITS, 56):
+        mod = 1 << bits
+        occ = hashed.select(
+            (F.col("h") % mod).alias("b")
+        ).groupBy("b").agg(F.count("*").cast("long").alias("c"))
+        pairs = occ.agg(
+            F.sum(F.expr("(c * (c - 1)) DIV 2")).cast("long").alias("p")
+        ).select(
+            F.lit(bits).cast("long").alias("bits"),
+            F.lit(BD_N).cast("long").alias("n_keys"),
+            F.col("p").alias("n_colliding_pairs"),
+            F.lit(
+                (1000 * BD_N * (BD_N - 1) // 2) // mod
+            ).cast("long").alias("expected_pairs_milli"),
+        )
+        out.append(pairs)
+    return out[0].unionByName(out[1])
+
+
+def _sql_birthday() -> str:
+    h = _SQL_HASH56.format(col="'bd|' || CAST(k AS VARCHAR)")
+    sel = []
+    for bits in (BD_BITS, 56):
+        mod = 1 << bits
+        exp = (1000 * BD_N * (BD_N - 1) // 2) // mod
+        sel.append(f"""
+SELECT CAST({bits} AS BIGINT) AS bits,
+       CAST({BD_N} AS BIGINT) AS n_keys,
+       CAST(sum((c * (c - 1)) // 2) AS BIGINT) AS n_colliding_pairs,
+       CAST({exp} AS BIGINT) AS expected_pairs_milli
+FROM (
+  SELECT {h} % {mod} AS b, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT CAST(unnest(range({BD_N})) AS BIGINT) AS k)
+  GROUP BY 1
+)""")
+    return "\nUNION ALL\n".join(sel)
+
+
+QUERIES["hash_collision_birthday_eval"] = (
+    hash_collision_birthday_eval,
+    _sql_birthday(),
+)

@@ -2356,3 +2356,66 @@ QUERIES["events_regression_discontinuity"] = (
     events_regression_discontinuity,
     _sql_rdd(),
 )
+
+
+# ------------------------------------------- inspection paradox eval
+
+# Length-biased sampling / the inspection paradox (Feller) — the
+# analytics trap beside Simpson's: "average activity of the user behind
+# a random EVENT" inflates over "average activity of a random USER" by
+# exactly 1 + CV² (event-sampling hits heavy users proportionally more
+# often). Both means are exact integer rationals over per-user counts
+# (event-weighted mean = Σn²/Σn, user mean = Σn/U), the inflation is a
+# cross-multiplied milli ratio, and the identity ratio = 1 + CV² is
+# pinned EXACTLY in integers (Σn²·U vs (Σn)² — the same moments). The
+# trap is real on this log (pinned > 1) even with mild skew.
+#
+# Scale shape: one per-user agg + one 3-moment rollup.
+
+
+def events_inspection_paradox_eval(spark, sf_dir):
+    """(n_users, n_events, user_mean_milli, event_mean_milli,
+    inflation_milli): user-sampled vs event-sampled mean activity and
+    the 1 + CV² inflation, exact integers."""
+    per = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    return per.agg(
+        F.count("*").cast("long").alias("u"),
+        F.sum("n").cast("long").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("s2"),
+    ).select(
+        F.col("u").alias("n_users"),
+        F.col("s1").alias("n_events"),
+        F.expr("CAST((1000 * s1) DIV u AS BIGINT)").alias("user_mean_milli"),
+        F.expr("CAST((1000 * s2) DIV s1 AS BIGINT)").alias(
+            "event_mean_milli"
+        ),
+        F.expr(
+            "CAST((1000 * s2 * u) DIV (s1 * s1) AS BIGINT)"
+        ).alias("inflation_milli"),
+    )
+
+
+SQL_INSPECTION_PARADOX = """
+WITH per AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1
+),
+mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS u, CAST(sum(n) AS BIGINT) AS s1,
+         CAST(sum(n * n) AS BIGINT) AS s2
+  FROM per
+)
+SELECT u AS n_users, s1 AS n_events,
+       CAST((1000 * s1) // u AS BIGINT) AS user_mean_milli,
+       CAST((1000 * s2) // s1 AS BIGINT) AS event_mean_milli,
+       CAST((1000 * s2 * u) // (s1 * s1) AS BIGINT) AS inflation_milli
+FROM mom
+"""
+
+QUERIES["events_inspection_paradox_eval"] = (
+    events_inspection_paradox_eval,
+    SQL_INSPECTION_PARADOX,
+)

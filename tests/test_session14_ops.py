@@ -3878,3 +3878,66 @@ def test_good_turing_missing_mass_near_truth(spark, corpus14):
     assert row["true_missing_milli"] > 0
     assert row["gt_missing_milli"] > 0
     assert row["abs_err_milli"] <= 10
+
+
+# -------------------------------------- events_inspection_paradox_eval
+
+
+def test_inspection_paradox_identity_and_inflation(spark):
+    from harvester_spark.operators.web_econ import (
+        events_inspection_paradox_eval,
+    )
+
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("user_id")
+        .collect()
+    )
+    per = Counter(r["user_id"] for r in rows)
+    u = len(per)
+    s1 = sum(per.values())
+    s2 = sum(n * n for n in per.values())
+
+    row = events_inspection_paradox_eval(spark, SF_DIR).collect()[0]
+    assert (
+        row["n_users"], row["n_events"], row["user_mean_milli"],
+        row["event_mean_milli"], row["inflation_milli"],
+    ) == (u, s1, (1000 * s1) // u, (1000 * s2) // s1,
+          (1000 * s2 * u) // (s1 * s1))
+
+    # the paradox: event-sampled mean strictly exceeds user mean
+    # (Cauchy-Schwarz is strict unless all users identical)
+    assert row["event_mean_milli"] > row["user_mean_milli"]
+    assert row["inflation_milli"] > 1000
+
+
+# -------------------------------------- hash_collision_birthday_eval
+
+
+def test_birthday_bound_and_56bit_cleanliness(spark):
+    from harvester_spark.operators.index_stats import (
+        BD_BITS,
+        BD_N,
+        hash_collision_birthday_eval,
+    )
+
+    occ = Counter(
+        _h56(f"bd|{k}") % (1 << BD_BITS) for k in range(BD_N)
+    )
+    pairs = sum(c * (c - 1) // 2 for c in occ.values())
+    occ56 = Counter(_h56(f"bd|{k}") % (1 << 56) for k in range(BD_N))
+    pairs56 = sum(c * (c - 1) // 2 for c in occ56.values())
+
+    got = {
+        r["bits"]: (r["n_colliding_pairs"], r["expected_pairs_milli"])
+        for r in hash_collision_birthday_eval(spark, SF_DIR).collect()
+    }
+    assert got[BD_BITS][0] == pairs
+    assert got[56][0] == pairs56
+
+    # the birthday bound is real at the short width (observed within
+    # the Poisson band of expectation) and 56 bits stay collision-free
+    exp = got[BD_BITS][1] / 1000
+    assert abs(got[BD_BITS][0] - exp) < 5 * max(exp, 1) ** 0.5 + 3
+    assert got[BD_BITS][0] > 5
+    assert got[56][0] == 0
