@@ -3798,3 +3798,100 @@ QUERIES["crawl_secretary_admission_eval"] = (
     crawl_secretary_admission_eval,
     _sql_secretary(),
 )
+
+
+# ------------------------------------------- coupon-collector coverage
+
+# The coupon-collector bound behind every "how many fetches until all
+# shards/hosts/mirrors are covered" estimate: drawing uniformly from
+# {CC_SPACE} coupons, full coverage needs ≈ n·H_n draws in expectation
+# (≈ {CC_SPACE}·H ≈ 72 here). Measured over {CC_REPS} planted md5 draw
+# streams: per replicate, the completion time is max over coupons of
+# the FIRST position drawing that coupon (a per-(rep, coupon) min +
+# per-rep max — fully relational, no sequential scan), with an
+# incomplete flag if the {CC_T}-draw budget never covers. Pins: the
+# mean completion sits in the n·H_n band, and the per-replicate values
+# match an exact Python recompute.
+#
+# Scale shape: one reps×draws map-only grid + two aggs.
+
+CC_SPACE = 20
+CC_T = 300
+CC_REPS = 32
+
+
+def crawl_coupon_collector_eval(spark, sf_dir):
+    """(rep, completed, completion_draws): draws until full coupon
+    coverage per planted replicate stream (NULL-free; incomplete reps
+    carry completion_draws = {CC_T} and completed = false)."""
+    from harvester_spark.operators.dedup import _hash56
+
+    grid = (
+        spark.range(CC_REPS)
+        .select(F.col("id").cast("long").alias("rep"))
+        .crossJoin(
+            F.broadcast(
+                spark.range(1, CC_T + 1).select(
+                    F.col("id").cast("long").alias("t")
+                )
+            )
+        )
+        .select(
+            "rep",
+            "t",
+            (
+                _hash56(
+                    F.concat_ws(
+                        "|", F.lit("cc"), F.col("rep").cast("string"),
+                        F.col("t").cast("string"),
+                    )
+                )
+                % CC_SPACE
+            ).alias("coupon"),
+        )
+    )
+    firsts = grid.groupBy("rep", "coupon").agg(F.min("t").alias("first_t"))
+    per_rep = firsts.groupBy("rep").agg(
+        F.count("*").cast("long").alias("n_seen"),
+        F.max("first_t").cast("long").alias("tmax"),
+    )
+    return per_rep.select(
+        "rep",
+        (F.col("n_seen") == CC_SPACE).alias("completed"),
+        F.expr(
+            f"CAST(CASE WHEN n_seen = {CC_SPACE} THEN tmax"
+            f" ELSE {CC_T} END AS BIGINT)"
+        ).alias("completion_draws"),
+    )
+
+
+def _sql_coupon() -> str:
+    h = _SQL_HASH56.format(
+        col="'cc' || '|' || CAST(rep AS VARCHAR) || '|' || CAST(t AS VARCHAR)"
+    )
+    return f"""
+WITH grid AS (
+  SELECT CAST(rep AS BIGINT) AS rep, CAST(t AS BIGINT) AS t,
+         {h} % {CC_SPACE} AS coupon
+  FROM (SELECT unnest(range({CC_REPS})) AS rep)
+  CROSS JOIN (SELECT unnest(range(1, {CC_T + 1})) AS t)
+),
+firsts AS (
+  SELECT rep, coupon, min(t) AS first_t FROM grid GROUP BY 1, 2
+),
+per_rep AS (
+  SELECT rep, CAST(count(*) AS BIGINT) AS n_seen,
+         CAST(max(first_t) AS BIGINT) AS tmax
+  FROM firsts GROUP BY 1
+)
+SELECT rep, n_seen = {CC_SPACE} AS completed,
+       CAST(CASE WHEN n_seen = {CC_SPACE} THEN tmax ELSE {CC_T} END
+            AS BIGINT) AS completion_draws
+FROM per_rep
+"""
+
+
+QUERIES["crawl_coupon_collector_eval"] = (
+    crawl_coupon_collector_eval,
+    _sql_coupon(),
+)

@@ -3941,3 +3941,36 @@ def test_birthday_bound_and_56bit_cleanliness(spark):
     assert abs(got[BD_BITS][0] - exp) < 5 * max(exp, 1) ** 0.5 + 3
     assert got[BD_BITS][0] > 5
     assert got[56][0] == 0
+
+
+# -------------------------------------- crawl_coupon_collector_eval
+
+
+def test_coupon_collector_band_and_recompute(spark):
+    from harvester_spark.operators.graph import (
+        CC_REPS,
+        CC_SPACE,
+        CC_T,
+        crawl_coupon_collector_eval,
+    )
+
+    expect = {}
+    for rep in range(CC_REPS):
+        firsts = {}
+        for t in range(1, CC_T + 1):
+            c = _h56(f"cc|{rep}|{t}") % CC_SPACE
+            firsts.setdefault(c, t)
+        done = len(firsts) == CC_SPACE
+        expect[rep] = (done, max(firsts.values()) if done else CC_T)
+
+    got = {
+        r["rep"]: (r["completed"], r["completion_draws"])
+        for r in crawl_coupon_collector_eval(spark, SF_DIR).collect()
+    }
+    assert got == expect
+
+    # the n*H_n law: the mean completion sits in the theory band
+    theory = CC_SPACE * sum(1.0 / i for i in range(1, CC_SPACE + 1))
+    mean = sum(v[1] for v in got.values()) / len(got)
+    assert abs(mean - theory) < theory * 0.35
+    assert all(v[0] for v in got.values())  # budget covers every rep
