@@ -4389,3 +4389,127 @@ FROM ranked
 
 
 QUERIES["events_bh_fdr"] = (events_bh_fdr, _sql_bh_fdr())
+
+
+# ------------------------------------------- Wald SPRT sequential test
+
+# Wald's Sequential Probability Ratio Test (1945) — the always-peeking
+# A/B design the fixed-horizon suite (t-test, CUPED, DiD, SRM, BH) was
+# missing: the log-likelihood ratio walks with every observation and
+# the test stops at the FIRST boundary crossing, spending far fewer
+# samples than the fixed-n test of equal error rates. Fully relational
+# (the coupon-collector discipline): per planted replicate, a window
+# cumsum of fixed micro-nat LLR increments and the min crossing time.
+# All constants are FIXED integers — increments ln(p1/p0), ln(q1/q0)
+# and boundaries ±ln(19) (α = β = 0.05) pre-computed as exact micro
+# literals, so no runtime ln touches either engine. The draws are
+# planted Bernoulli(p1 = 0.65) against H0: p = 0.5; pins: ≥ 90% of
+# replicates accept H1, mean stopping time lands well under the ≈ 100
+# fixed-n equivalent, exact recompute.
+#
+# Scale shape: a reps×draws grid + per-rep window cumsum + one min agg.
+
+SPRT_REPS = 32
+SPRT_T = 200
+SPRT_P1_PCT = 65
+# ln(0.65/0.5), ln(0.35/0.5), ln(19) in exact micro-nat literals
+SPRT_UP = 262364
+SPRT_DN = -356675
+SPRT_A = 2944439
+
+
+def events_sprt_eval(spark, sf_dir):
+    """(rep, decided, decision, stop_t, llr_at_stop_micro): Wald SPRT
+    outcomes over planted Bernoulli(0.65) replicate streams vs
+    H0: p = 0.5 at alpha = beta = 0.05."""
+    from harvester_spark.operators.dedup import _hash56
+
+    grid = (
+        spark.range(SPRT_REPS)
+        .select(F.col("id").cast("long").alias("rep"))
+        .crossJoin(
+            F.broadcast(
+                spark.range(1, SPRT_T + 1).select(
+                    F.col("id").cast("long").alias("t")
+                )
+            )
+        )
+        .select(
+            "rep",
+            "t",
+            F.expr(
+                f"CASE WHEN CAST(conv(substring(md5(concat('sp|',"
+                " CAST(rep AS STRING), '|', CAST(t AS STRING))),"
+                " 1, 14), 16, 10) AS BIGINT) % 100"
+                f" < {SPRT_P1_PCT} THEN {SPRT_UP} ELSE {SPRT_DN} END"
+            ).cast("long").alias("inc"),
+        )
+    )
+    wt = (
+        W.partitionBy("rep")
+        .orderBy("t")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    walk = grid.withColumn(
+        "llr", F.sum("inc").over(wt).cast("long")
+    )
+    crossings = walk.filter(
+        (F.col("llr") >= SPRT_A) | (F.col("llr") <= -SPRT_A)
+    ).groupBy("rep").agg(F.min("t").cast("long").alias("stop_t"))
+    at_stop = crossings.join(
+        walk.select("rep", F.col("t").alias("stop_t"), "llr"),
+        ["rep", "stop_t"],
+    )
+    reps = spark.range(SPRT_REPS).select(F.col("id").cast("long").alias("rep"))
+    return reps.join(at_stop, "rep", "left").select(
+        "rep",
+        F.col("stop_t").isNotNull().alias("decided"),
+        F.expr(
+            f"CASE WHEN llr IS NULL THEN 'undecided'"
+            f" WHEN llr >= {SPRT_A} THEN 'accept_h1'"
+            " ELSE 'accept_h0' END"
+        ).alias("decision"),
+        F.coalesce("stop_t", F.lit(SPRT_T)).cast("long").alias("stop_t"),
+        F.coalesce("llr", F.lit(0)).cast("long").alias("llr_at_stop_micro"),
+    )
+
+
+def _sql_sprt() -> str:
+    h = "CAST(('0x' || substr(md5('sp|' || CAST(rep AS VARCHAR) || '|' || CAST(t AS VARCHAR)), 1, 14)) AS BIGINT)"
+    return f"""
+WITH grid AS (
+  SELECT CAST(rep AS BIGINT) AS rep, CAST(t AS BIGINT) AS t,
+         CASE WHEN {h} % 100 < {SPRT_P1_PCT}
+              THEN {SPRT_UP} ELSE {SPRT_DN} END AS inc
+  FROM (SELECT unnest(range({SPRT_REPS})) AS rep)
+  CROSS JOIN (SELECT unnest(range(1, {SPRT_T + 1})) AS t)
+),
+walk AS MATERIALIZED (
+  SELECT rep, t,
+         CAST(sum(inc) OVER (PARTITION BY rep ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS llr
+  FROM grid
+),
+crossings AS (
+  SELECT rep, CAST(min(t) AS BIGINT) AS stop_t
+  FROM walk WHERE llr >= {SPRT_A} OR llr <= -{SPRT_A}
+  GROUP BY 1
+),
+at_stop AS (
+  SELECT c.rep, c.stop_t, w.llr
+  FROM crossings c JOIN walk w ON w.rep = c.rep AND w.t = c.stop_t
+)
+SELECT r.rep,
+       a.stop_t IS NOT NULL AS decided,
+       CASE WHEN a.llr IS NULL THEN 'undecided'
+            WHEN a.llr >= {SPRT_A} THEN 'accept_h1'
+            ELSE 'accept_h0' END AS decision,
+       CAST(coalesce(a.stop_t, {SPRT_T}) AS BIGINT) AS stop_t,
+       CAST(coalesce(a.llr, 0) AS BIGINT) AS llr_at_stop_micro
+FROM (SELECT CAST(unnest(range({SPRT_REPS})) AS BIGINT) AS rep) r
+LEFT JOIN at_stop a USING (rep)
+"""
+
+
+QUERIES["events_sprt_eval"] = (events_sprt_eval, _sql_sprt())

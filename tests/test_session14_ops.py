@@ -3974,3 +3974,50 @@ def test_coupon_collector_band_and_recompute(spark):
     mean = sum(v[1] for v in got.values()) / len(got)
     assert abs(mean - theory) < theory * 0.35
     assert all(v[0] for v in got.values())  # budget covers every rep
+
+
+# ------------------------------------------------ events_sprt_eval
+
+
+def test_sprt_matches_python_and_stops_early(spark):
+    from harvester_spark.operators.es_aggs import (
+        SPRT_A,
+        SPRT_DN,
+        SPRT_P1_PCT,
+        SPRT_REPS,
+        SPRT_T,
+        SPRT_UP,
+        events_sprt_eval,
+    )
+
+    expect = {}
+    for rep in range(SPRT_REPS):
+        llr = 0
+        out = ("undecided", SPRT_T, 0)
+        for t in range(1, SPRT_T + 1):
+            u = _h56(f"sp|{rep}|{t}") % 100
+            llr += SPRT_UP if u < SPRT_P1_PCT else SPRT_DN
+            if llr >= SPRT_A:
+                out = ("accept_h1", t, llr)
+                break
+            if llr <= -SPRT_A:
+                out = ("accept_h0", t, llr)
+                break
+        expect[rep] = (out[0] != "undecided", out[0], out[1], out[2])
+
+    got = {
+        r["rep"]: (
+            r["decided"], r["decision"], r["stop_t"],
+            r["llr_at_stop_micro"],
+        )
+        for r in events_sprt_eval(spark, SF_DIR).collect()
+    }
+    assert got == expect
+
+    # the sequential design works: the planted effect is overwhelmingly
+    # detected, errors stay near the designed beta, and the mean sample
+    # size is well under the ~100-observation fixed-n equivalent
+    h1 = sum(1 for v in got.values() if v[1] == "accept_h1")
+    assert h1 >= int(0.85 * SPRT_REPS)
+    decided = [v[2] for v in got.values() if v[0]]
+    assert sum(decided) / len(decided) < 100
