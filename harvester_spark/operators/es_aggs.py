@@ -4513,3 +4513,153 @@ LEFT JOIN at_stop a USING (rep)
 
 
 QUERIES["events_sprt_eval"] = (events_sprt_eval, _sql_sprt())
+
+
+# ------------------------------------- binomial CI coverage (Wilson/Wald)
+
+# Brown, Cai & DasGupta (Statist. Sci. 2001): the textbook Wald
+# interval p̂ ± z·√(p̂q̂/n) UNDERCOVERS badly at small n / extreme p,
+# while Wilson's score interval holds its nominal level — the reason
+# every serious CTR dashboard uses Wilson. Demonstrated on
+# {CI_REPS} planted Bernoulli(p = {CI_P_PCT}%) replicates of
+# n = {CI_N}: per replicate both intervals (z = 1.96 as the fixed
+# rational 196/100; the single √ per interval goes through ONE shared
+# micro-floor float string on identical integers), coverage = does the
+# interval contain the true p. Pins: Wilson's empirical coverage ≥
+# 90%, Wald's strictly lower (it collapses to zero width whenever a
+# replicate draws zero successes — counted), exact recompute.
+#
+# Scale shape: a reps×n grid + per-rep counts + map-only interval
+# arithmetic.
+
+CI_REPS = 48
+CI_N = 20
+CI_P_PCT = 3
+
+_CI_SQRT = "CAST(floor(sqrt({x}) * 1.0e6 + 0.5e0) AS BIGINT)"
+
+
+def events_ci_coverage_eval(spark, sf_dir):
+    """(method, n_reps, n_cover, coverage_milli, n_zero_width): Wald vs
+    Wilson interval coverage of the true p over planted small-sample
+    binomial replicates."""
+    from harvester_spark.operators.dedup import _hash56
+
+    grid = (
+        spark.range(CI_REPS)
+        .select(F.col("id").cast("long").alias("rep"))
+        .crossJoin(
+            F.broadcast(
+                spark.range(CI_N).select(F.col("id").cast("long").alias("i"))
+            )
+        )
+        .select(
+            "rep",
+            (
+                _hash56(
+                    F.concat_ws(
+                        "|", F.lit("ci"), F.col("rep").cast("string"),
+                        F.col("i").cast("string"),
+                    )
+                )
+                % 100
+                < CI_P_PCT
+            ).cast("long").alias("s"),
+        )
+    )
+    per = grid.groupBy("rep").agg(F.sum("s").cast("long").alias("k"))
+    n, z2 = CI_N, 0  # z = 1.96 -> z^2 = 38416/10000
+    # Wald: bounds in micro; half-width = z*sqrt(k*(n-k)/n)/n
+    wald = per.select(
+        F.lit("wald").alias("method"),
+        "rep",
+        F.expr(
+            f"CAST((1000000 * k) DIV {n} AS BIGINT)"
+        ).alias("center_micro"),
+        F.expr(
+            "CAST((196 * "
+            + _CI_SQRT.format(x=f"CAST(k * ({n} - k) AS DOUBLE) / {n}.0e0")
+            + f") DIV (100 * {n}) AS BIGINT)"
+        ).alias("half_micro"),
+        (F.col("k") == 0).cast("long").alias("zero_width"),
+    )
+    # Wilson: center (k + z^2/2)/(n + z^2), half = z*sqrt(k q /n + z^2/4)/(n+z^2)
+    # with z^2 = 38416/10000: scale through micro floats on exact ints
+    wilson = per.select(
+        F.lit("wilson").alias("method"),
+        "rep",
+        F.expr(
+            f"CAST(floor((k + 38416.0e0 / 20000.0e0)"
+            f" / ({n} + 38416.0e0 / 10000.0e0) * 1.0e6 + 0.5e0) AS BIGINT)"
+        ).alias("center_micro"),
+        F.expr(
+            "CAST(floor(1.96e0 * sqrt("
+            f"CAST(k AS DOUBLE) * ({n} - k) / {n}.0e0 + 38416.0e0 / 40000.0e0)"
+            f" / ({n} + 38416.0e0 / 10000.0e0) * 1.0e6 + 0.5e0) AS BIGINT)"
+        ).alias("half_micro"),
+        F.lit(0).cast("long").alias("zero_width"),
+    )
+    both = wald.unionByName(wilson)
+    p_micro = CI_P_PCT * 10000
+    return both.withColumn(
+        "covers",
+        (
+            (F.col("center_micro") - F.col("half_micro") <= p_micro)
+            & (p_micro <= F.col("center_micro") + F.col("half_micro"))
+        ).cast("long"),
+    ).groupBy("method").agg(
+        F.count("*").cast("long").alias("n_reps"),
+        F.sum("covers").cast("long").alias("n_cover"),
+        F.expr(
+            "CAST((1000 * sum(covers)) DIV count(*) AS BIGINT)"
+        ).alias("coverage_milli"),
+        F.sum("zero_width").cast("long").alias("n_zero_width"),
+    )
+
+
+def _sql_ci_coverage() -> str:
+    h = "CAST(('0x' || substr(md5('ci' || '|' || CAST(rep AS VARCHAR) || '|' || CAST(i AS VARCHAR)), 1, 14)) AS BIGINT)"
+    n = CI_N
+    p_micro = CI_P_PCT * 10000
+    sq_wald = _CI_SQRT.format(x=f"CAST(k * ({n} - k) AS DOUBLE) / {n}.0e0")
+    return f"""
+WITH grid AS (
+  SELECT CAST(rep AS BIGINT) AS rep,
+         CASE WHEN {h} % 100 < {CI_P_PCT} THEN 1 ELSE 0 END AS s
+  FROM (SELECT unnest(range({CI_REPS})) AS rep)
+  CROSS JOIN (SELECT unnest(range({CI_N})) AS i)
+),
+per AS (SELECT rep, CAST(sum(s) AS BIGINT) AS k FROM grid GROUP BY 1),
+both_m AS (
+  SELECT 'wald' AS method, rep,
+         CAST((1000000 * k) // {n} AS BIGINT) AS center_micro,
+         CAST((196 * {sq_wald}) // (100 * {n}) AS BIGINT) AS half_micro,
+         CASE WHEN k = 0 THEN 1 ELSE 0 END AS zero_width
+  FROM per
+  UNION ALL
+  SELECT 'wilson', rep,
+         CAST(floor((k + 38416.0e0 / 20000.0e0)
+              / ({n} + 38416.0e0 / 10000.0e0) * 1.0e6 + 0.5e0) AS BIGINT),
+         CAST(floor(1.96e0 * sqrt(
+              CAST(k AS DOUBLE) * ({n} - k) / {n}.0e0
+              + 38416.0e0 / 40000.0e0)
+              / ({n} + 38416.0e0 / 10000.0e0) * 1.0e6 + 0.5e0) AS BIGINT),
+         0
+  FROM per
+)
+SELECT method, CAST(count(*) AS BIGINT) AS n_reps,
+       CAST(sum(CASE WHEN center_micro - half_micro <= {p_micro}
+                AND {p_micro} <= center_micro + half_micro
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_cover,
+       CAST((1000 * sum(CASE WHEN center_micro - half_micro <= {p_micro}
+            AND {p_micro} <= center_micro + half_micro THEN 1 ELSE 0 END))
+            // count(*) AS BIGINT) AS coverage_milli,
+       CAST(sum(zero_width) AS BIGINT) AS n_zero_width
+FROM both_m GROUP BY 1
+"""
+
+
+QUERIES["events_ci_coverage_eval"] = (
+    events_ci_coverage_eval,
+    _sql_ci_coverage(),
+)

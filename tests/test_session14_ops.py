@@ -4021,3 +4021,59 @@ def test_sprt_matches_python_and_stops_early(spark):
     assert h1 >= int(0.85 * SPRT_REPS)
     decided = [v[2] for v in got.values() if v[0]]
     assert sum(decided) / len(decided) < 100
+
+
+# --------------------------------------------- events_ci_coverage_eval
+
+
+def test_wilson_holds_where_wald_collapses(spark):
+    from harvester_spark.operators.es_aggs import (
+        CI_N,
+        CI_P_PCT,
+        CI_REPS,
+        events_ci_coverage_eval,
+    )
+
+    p_micro = CI_P_PCT * 10000
+    cover = {"wald": 0, "wilson": 0}
+    zero_w = 0
+    for rep in range(CI_REPS):
+        k = sum(
+            1 for i in range(CI_N)
+            if _h56(f"ci|{rep}|{i}") % 100 < CI_P_PCT
+        )
+        # wald
+        cw = (1_000_000 * k) // CI_N
+        hw = (
+            196 * math.floor(
+                math.sqrt(k * (CI_N - k) / CI_N) * 1e6 + 0.5
+            )
+        ) // (100 * CI_N)
+        if cw - hw <= p_micro <= cw + hw:
+            cover["wald"] += 1
+        zero_w += k == 0
+        # wilson
+        cwl = math.floor(
+            (k + 38416.0 / 20000.0) / (CI_N + 38416.0 / 10000.0) * 1e6 + 0.5
+        )
+        hwl = math.floor(
+            1.96 * math.sqrt(
+                k * (CI_N - k) / CI_N + 38416.0 / 40000.0
+            ) / (CI_N + 38416.0 / 10000.0) * 1e6 + 0.5
+        )
+        if cwl - hwl <= p_micro <= cwl + hwl:
+            cover["wilson"] += 1
+
+    got = {
+        r["method"]: (r["n_cover"], r["coverage_milli"], r["n_zero_width"])
+        for r in events_ci_coverage_eval(spark, SF_DIR).collect()
+    }
+    assert got["wald"][0] == cover["wald"]
+    assert got["wilson"][0] == cover["wilson"]
+    assert got["wald"][2] == zero_w
+
+    # Brown-Cai-DasGupta: Wilson holds its level at small n / extreme p
+    # while Wald collapses (zero-width intervals on zero-success draws)
+    assert got["wilson"][1] >= 900
+    assert got["wald"][1] < got["wilson"][1] - 200
+    assert got["wald"][2] > CI_REPS // 4
