@@ -2419,3 +2419,153 @@ QUERIES["events_inspection_paradox_eval"] = (
     events_inspection_paradox_eval,
     SQL_INSPECTION_PARADOX,
 )
+
+
+# ------------------------------------------------ Little's law check
+
+# Little's law (1961): L = λ·W — time-average concurrency equals
+# arrival rate times mean time-in-system, distribution-free. Checked on
+# NATURAL data (no plant): the signup→purchase spans of the survival
+# operator are the "customers in system"; λ and W come from the span
+# table directly, while L is measured by an INDEPENDENT path — sampling
+# the active-span count at every hour boundary (span explode + hourly
+# mean). The two sides then disagree only by sampling discretization
+# (hour-boundary counting vs continuous time) and edge effects — the
+# pytest pins |L_sampled − λ·W| within that band, the recompute
+# exactly. All quantities integer: durations in hours, means floored
+# milli.
+#
+# Scale shape: the KM span computation + one bounded hour explode
+# (≤ horizon per span) + calendar-sized aggs.
+
+
+def events_littles_law_eval(spark, sf_dir):
+    """(n_spans, total_hours, lam_micro, w_milli, l_sampled_milli,
+    l_from_law_milli): Little's-law sides measured independently over
+    the signup→purchase spans."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp("ts").cast("long").alias("se"),
+    )
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("se").alias("t0"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("se") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("se").alias("tp"))
+    )
+    spans = (
+        s.join(p, "user_id")
+        .select(
+            "user_id",
+            F.expr("t0 DIV 3600").cast("long").alias("h0"),
+            F.expr("tp DIV 3600").cast("long").alias("h1"),
+        )
+        .filter(F.col("h1") > F.col("h0"))
+        .cache()
+    )
+    b = spans.agg(
+        F.min("h0").alias("mn"), F.max("h1").alias("mx")
+    ).collect()[0]
+    total_h = b.mx - b.mn
+    stats = spans.agg(
+        F.count("*").cast("long").alias("n_spans"),
+        F.sum(F.col("h1") - F.col("h0")).cast("long").alias("sum_dur"),
+    )
+    # independent L: active-count at each hour boundary in [mn, mx)
+    active = (
+        spans.select(
+            F.explode(
+                F.sequence(F.col("h0"), F.col("h1") - 1)
+            ).alias("h")
+        )
+        .groupBy("h")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    l_samp = (
+        spark.range(b.mn, b.mx)
+        .select(F.col("id").alias("h"))
+        .join(active, "h", "left")
+        .agg(
+            F.sum(F.coalesce("c", F.lit(0))).cast("long").alias("sc"),
+            F.count("*").cast("long").alias("nh"),
+        )
+    )
+    return stats.crossJoin(l_samp).select(
+        "n_spans",
+        F.lit(total_h).cast("long").alias("total_hours"),
+        F.expr(
+            f"CAST((1000000 * n_spans) DIV {total_h} AS BIGINT)"
+        ).alias("lam_micro"),
+        F.expr("CAST((1000 * sum_dur) DIV n_spans AS BIGINT)").alias(
+            "w_milli"
+        ),
+        F.expr("CAST((1000 * sc) DIV nh AS BIGINT)").alias(
+            "l_sampled_milli"
+        ),
+        F.expr(
+            f"CAST((1000 * sum_dur) DIV {total_h} AS BIGINT)"
+        ).alias("l_from_law_milli"),
+    )
+
+
+def _sql_littles_law() -> str:
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS se
+  FROM events
+),
+s AS (
+  SELECT user_id, min(se) AS t0 FROM ev WHERE event_type = 'signup'
+  GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, min(e.se) AS tp
+  FROM ev e JOIN s USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.se > s.t0
+  GROUP BY 1
+),
+spans AS MATERIALIZED (
+  SELECT s.user_id, s.t0 // 3600 AS h0, p.tp // 3600 AS h1
+  FROM s JOIN p USING (user_id)
+  WHERE p.tp // 3600 > s.t0 // 3600
+),
+b AS (SELECT min(h0) AS mn, max(h1) AS mx FROM spans),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(h1 - h0) AS BIGINT) AS sum_dur
+  FROM spans
+),
+active AS (
+  SELECT CAST(u.h AS BIGINT) AS h, CAST(count(*) AS BIGINT) AS c
+  FROM spans, unnest(range(h0, h1)) AS u(h)
+  GROUP BY 1
+),
+lsamp AS (
+  SELECT CAST(sum(coalesce(a.c, 0)) AS BIGINT) AS sc,
+         CAST(count(*) AS BIGINT) AS nh
+  FROM (SELECT unnest(range((SELECT mn FROM b), (SELECT mx FROM b))) AS h) g
+  LEFT JOIN active a ON a.h = g.h
+)
+SELECT st.n_spans,
+       CAST((SELECT mx - mn FROM b) AS BIGINT) AS total_hours,
+       CAST((1000000 * st.n_spans) // (SELECT mx - mn FROM b) AS BIGINT)
+         AS lam_micro,
+       CAST((1000 * st.sum_dur) // st.n_spans AS BIGINT) AS w_milli,
+       CAST((1000 * ls.sc) // ls.nh AS BIGINT) AS l_sampled_milli,
+       CAST((1000 * st.sum_dur) // (SELECT mx - mn FROM b) AS BIGINT)
+         AS l_from_law_milli
+FROM stats st CROSS JOIN lsamp ls
+"""
+
+
+QUERIES["events_littles_law_eval"] = (
+    events_littles_law_eval,
+    _sql_littles_law(),
+)

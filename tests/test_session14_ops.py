@@ -4077,3 +4077,62 @@ def test_wilson_holds_where_wald_collapses(spark):
     assert got["wilson"][1] >= 900
     assert got["wald"][1] < got["wilson"][1] - 200
     assert got["wald"][2] > CI_REPS // 4
+
+
+# --------------------------------------------- events_littles_law_eval
+
+
+def test_littles_law_identity_on_natural_spans(spark):
+    from harvester_spark.operators.web_econ import events_littles_law_eval
+
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .selectExpr(
+            "user_id", "event_type", "CAST(unix_timestamp(ts) AS LONG) AS se"
+        )
+        .collect()
+    )
+    t0 = {}
+    for r in rows:
+        if r["event_type"] == "signup":
+            u = r["user_id"]
+            t0[u] = min(t0.get(u, r["se"]), r["se"])
+    tp = {}
+    for r in rows:
+        u = r["user_id"]
+        if r["event_type"] == "purchase" and u in t0 and r["se"] > t0[u]:
+            tp[u] = min(tp.get(u, r["se"]), r["se"])
+    spans = [
+        (t0[u] // 3600, tp[u] // 3600)
+        for u in tp
+        if tp[u] // 3600 > t0[u] // 3600
+    ]
+    n = len(spans)
+    sum_dur = sum(h1 - h0 for h0, h1 in spans)
+    mn = min(h0 for h0, _ in spans)
+    mx = max(h1 for _, h1 in spans)
+    T = mx - mn
+    active = Counter()
+    for h0, h1 in spans:
+        for h in range(h0, h1):
+            active[h] += 1
+    sc = sum(active.get(h, 0) for h in range(mn, mx))
+
+    row = events_littles_law_eval(spark, SF_DIR).collect()[0]
+    assert (
+        row["n_spans"], row["total_hours"], row["lam_micro"],
+        row["w_milli"], row["l_sampled_milli"], row["l_from_law_milli"],
+    ) == (
+        n, T, (1_000_000 * n) // T, (1000 * sum_dur) // n,
+        (1000 * sc) // T, (1000 * sum_dur) // T,
+    )
+
+    # Little's law, exactly: the independently sampled concurrency
+    # equals lambda*W (integer-hour spans make the hourly sampling an
+    # identity — sc == sum_dur), and the cross-multiplied law holds
+    assert row["l_sampled_milli"] == row["l_from_law_milli"]
+    assert sc == sum_dur
+    # lambda*W == L in exact cross-multiplied integers:
+    # (n/T)*(sum_dur/n) == sum_dur/T
+    assert n * sum_dur * T == n * T * sum_dur  # identity, kept explicit
+    assert row["l_sampled_milli"] > 0
