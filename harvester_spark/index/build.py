@@ -46,7 +46,7 @@ from harvester_spark.search.bm25 import tf_norm
 
 POSTINGS_ROWS_SCHEMA = (
     "term string, lang string, doc_id long, tf int, doc_len int, "
-    "pos_list array<int>"
+    "positions binary"
 )
 POSTINGS_SCHEMA = (
     "lang string, term string, base_doc_id long, max_doc_id long, n int, "
@@ -63,17 +63,22 @@ N_SALT = 16
 def postings_rows(
     documents: DataFrame, decompound_words=None, common_gram_terms=None
 ) -> DataFrame:
-    """documents → (term, lang, doc_id, tf, doc_len, pos_list).
+    """documents → (term, lang, doc_id, tf, doc_len, positions).
 
     Vectorized tokenize + positional grouping with NO pandas groupby and NO
     per-posting Python objects: the flattened (doc, term-code, pos) triples
     are lexsorted once, group boundaries found with one comparison pass,
     tf = boundary diffs, and the per-posting ascending position lists are
-    materialized as ONE Arrow ``ListArray.from_arrays(offsets, values)`` —
-    zero-copy over the flat position buffer (``mapInArrow``; an np.split /
-    pandas-list representation costs ~0.5 s per 3k-doc batch, the ListArray
-    costs ~1 ms). Positions are the analyzer's 0-based token indices — the
-    phrase-query substrate.
+    varbyte-encoded MAP-SIDE in one vectorized pass
+    (:func:`encode_positions_per_posting`) and shipped as a ``binary``
+    column built zero-copy over the single encoded buffer. Positions cross
+    the build shuffle at ~1 byte/position instead of 4-byte int32 lists —
+    the build's heaviest exchange (round-4: cuts shuffle+sort memory
+    traffic ~4× on the positions payload, the scaling-efficiency-critical
+    stage) — and the reduce-side block encoder assembles block blobs by
+    byte slicing, byte-identical to the former reduce-side
+    ``encode_positions``. Positions are the analyzer's 0-based token
+    indices — the phrase-query substrate.
 
     ``decompound_words``: optional Dutch dictionary (iterable of words).
     When set, ``nl`` documents get dictionary sub-words APPENDED at the
@@ -115,7 +120,7 @@ def postings_rows(
             ("doc_id", pa.int64()),
             ("tf", pa.int32()),
             ("doc_len", pa.int32()),
-            ("pos_list", pa.list_(pa.int32())),
+            ("positions", pa.binary()),
         ]
     )
 
@@ -206,7 +211,14 @@ def postings_rows(
             starts = np.flatnonzero(boundary)
             tf = np.diff(np.append(starts, total))
             first = d_s[starts]
-            offsets = np.append(starts, total).astype(np.int32)
+            from harvester_spark.index.codec import encode_positions_per_posting
+
+            blob, boff = encode_positions_per_posting(p_s, tf)
+            pos_arr = pa.Array.from_buffers(
+                pa.binary(),
+                len(starts),
+                [None, pa.py_buffer(boff.astype(np.int32)), pa.py_buffer(blob)],
+            )
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(uniq[c_s[starts]], type=pa.string()),
@@ -216,7 +228,7 @@ def postings_rows(
                     pa.array(
                         pdf["doc_len"].values[first].astype(np.int32), type=pa.int32()
                     ),
-                    pa.ListArray.from_arrays(pa.array(offsets), pa.array(p_s)),
+                    pos_arr,
                 ],
                 schema=out_schema,
             )
@@ -241,6 +253,11 @@ def dictionary_from_blocks(postings: DataFrame) -> DataFrame:
         F.sum("df").alias("df"), F.sum("cf").alias("cf")
     ).select("term", F.lit(ALL_LANG).alias("lang"), "df", "cf")
     out = per_lang.select("term", "lang", "df", "cf").unionByName(all_rows)
+    # The range partitioner below SAMPLES its input to pick boundaries,
+    # which would re-run the whole block aggregation a second time;
+    # checkpoint the (vocabulary-sized) agg output so sampling + write both
+    # read the materialized rows (≈1 s of serial stage time per build).
+    out = out.localCheckpoint(eager=False)
     # Range-cluster by (lang, tlen, term) so serving probes (exact term,
     # prefix range, edit-distance length band) prune to a handful of parquet
     # row groups instead of scanning the vocabulary — the suggestion surfaces
@@ -351,12 +368,12 @@ def _encode_runs_arrays(
 ) -> pd.DataFrame:
     """Encode sorted (lang, term, doc_id) columnar arrays into block rows.
 
-    Positions stay a FLAT buffer (``pos_vals``) with per-row offsets
-    (``pos_off``, len n+1) — every block's position run is a zero-copy slice,
-    never a per-posting Python object.
+    Positions arrive PRE-ENCODED (round-4): ``pos_vals`` is the flat
+    varbyte byte buffer and ``pos_off`` (len n+1) the per-posting byte
+    boundaries — each posting's stream starts absolute, so a block's blob
+    is the pure byte slice ``pos_vals[off[bs]:off[be]]``, byte-identical to
+    what reduce-side ``encode_positions`` produced before.
     """
-    from harvester_spark.index.codec import encode_positions
-
     out = {k: [] for k in (
         "lang", "term", "base_doc_id", "max_doc_id", "n", "doc_deltas", "tfs",
         "block_max_tf", "block_sum_tf", "impact_lang", "impact_all", "positions",
@@ -380,7 +397,7 @@ def _encode_runs_arrays(
             be = min(bs + BLOCK_SIZE, len(ids))
             tf_slice = tf[bs:be]
             blk = encode_blocks(ids[bs:be], tf_slice, imp_lang[bs:be])[0]
-            flat_pos = pos_vals[pos_off[r0 + bs] : pos_off[r0 + be]]
+            pos_blob = pos_vals[pos_off[r0 + bs] : pos_off[r0 + be]]
             out["lang"].append(lg)
             out["term"].append(tm)
             out["base_doc_id"].append(blk[0])
@@ -392,7 +409,7 @@ def _encode_runs_arrays(
             out["block_sum_tf"].append(int(tf_slice.sum()))
             out["impact_lang"].append(blk[5])
             out["impact_all"].append(float(imp_all[bs:be].max()))
-            out["positions"].append(encode_positions(flat_pos, tf_slice))
+            out["positions"].append(pos_blob.tobytes())
     return pd.DataFrame(out)
 
 
@@ -457,11 +474,16 @@ def encode_postings(
     )
 
     def _unpack(rb: "pa.RecordBatch"):
-        pl = rb.column("pos_list")
-        # ListArray offsets are absolute into the shared values buffer —
-        # rebase both so row i's positions are vals[off[i]:off[i+1]], off[0]=0
-        off = pl.offsets.to_numpy().astype(np.int64)
-        vals = pl.values.to_numpy().astype(np.int32, copy=False)
+        pl = rb.column("positions")
+        # BinaryArray buffers: [validity, int32 offsets, byte data]. The
+        # offsets are absolute into the shared data buffer (and the array
+        # may itself be a slice) — rebase so row i's pre-encoded positions
+        # are vals[off[i]:off[i+1]] with off[0] = 0
+        bufs = pl.buffers()
+        off = np.frombuffer(bufs[1], dtype=np.int32)[
+            pl.offset : pl.offset + len(pl) + 1
+        ].astype(np.int64)
+        vals = np.frombuffer(bufs[2], dtype=np.uint8)
         vals = vals[off[0] : off[-1]]
         off = off - off[0]
         return (
@@ -706,6 +728,13 @@ class IndexBuilder:
             # /root/reference/harvester/core/views/document.py:42-50)
             documents = documents.filter(F.col("state") == "active")
         docs = documents.select("doc_id", "text", "lang", "doc_len")
+        # tokenize/sample parallelism is scan-split-bound: size splits to
+        # the documents table before those scans are planned (round-4 —
+        # the 16 MB static default packed a 100k-doc table into 11 splits,
+        # capping the whole tokenize stage at 11-way parallelism)
+        from harvester_spark.session import tune_file_splits
+
+        tune_file_splits(spark, documents)
 
         doc_stats = self._run_stage(
             "doc_stats", lambda: documents.select("doc_id", "lang", "doc_len"), resume

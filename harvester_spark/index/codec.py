@@ -125,6 +125,42 @@ def encode_positions(flat: np.ndarray, counts: np.ndarray) -> bytes:
     return varbyte_encode(deltas.astype(np.uint64))
 
 
+def encode_positions_per_posting(
+    flat: np.ndarray, counts: np.ndarray
+) -> tuple[bytes, np.ndarray]:
+    """:func:`encode_positions` plus per-posting byte boundaries.
+
+    Returns ``(blob, off)`` where ``blob`` equals
+    ``encode_positions(flat, counts)`` byte-for-byte and ``off`` (len
+    ``n_postings + 1``) marks each posting's byte range:
+    ``blob[off[i]:off[j]]`` IS the encoding of postings ``i..j-1`` — each
+    posting's stream starts absolute, so any contiguous slice is itself a
+    valid stream. This is the property the map-side pre-encode in
+    :func:`harvester_spark.index.build.postings_rows` relies on: positions
+    cross the build shuffle as ~1 byte/position varbyte instead of
+    4-byte int32 lists (the build's heaviest exchange, round-4), and the
+    block encoder assembles final block blobs by pure byte slicing.
+    ``counts`` must be all-positive (tf ≥ 1 by construction).
+    """
+    flat = np.asarray(flat, dtype=np.int64)
+    counts = np.asarray(counts, dtype=np.int64)
+    if flat.size == 0:
+        return b"", np.zeros(counts.size + 1, dtype=np.int64)
+    deltas = flat.copy()
+    deltas[1:] -= flat[:-1]
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    deltas[starts] = flat[starts]  # posting boundaries reset to absolute
+    u = deltas.astype(np.uint64)
+    nb = np.ones(u.size, dtype=np.int64)
+    v = u >> _U7
+    while v.any():
+        nb += (v > 0).astype(np.int64)
+        v >>= _U7
+    per_posting = np.add.reduceat(nb, starts)
+    off = np.concatenate(([0], np.cumsum(per_posting)))
+    return varbyte_encode(u), off
+
+
 def decode_positions(blob: bytes, counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Inverse of :func:`encode_positions` → (flat positions, posting starts).
 

@@ -1784,7 +1784,14 @@ QUERIES["vocab_oov_holdout"] = (vocab_oov_holdout, _sql_vocab_oov())
 # design) + one range join of the draw dimension against it.
 
 NS_DRAWS = 20_000
-_NS_W = "CAST(floor(exp(0.75e0 * ln(CAST(cf AS DOUBLE))) * 1.0e3) AS BIGINT)"
+# The +1.0e-6 guards the floor boundary: when cf is a perfect fourth power
+# (16, 81, 256, ...) cf^0.75*1e3 is an exact integer and a 1-ulp exp/ln
+# difference between JVM libm and DuckDB libm would otherwise flip the floor
+# by 1 (the floor(x*1e6+0.5) idiom's failure mode, see operators/__init__).
+_NS_W = (
+    "CAST(floor(exp(0.75e0 * ln(CAST(cf AS DOUBLE))) * 1.0e3 + 1.0e-6)"
+    " AS BIGINT)"
+)
 
 
 def train_negative_sampling_eval(spark, sf_dir):
@@ -1965,22 +1972,43 @@ def sampling_design_variance_eval(spark, sf_dir):
         .agg((F.sum("y") * SD_K).cast("long").alias("est"))
         .withColumn("design", F.lit("bernoulli"))
     )
-    ests = sys_est.unionByName(bern_est)
+    # Scale guard: est ~ tt ~ n²/2, so s1² ~ (16·tt)² would leave int64
+    # around n ≈ 2e4 docs (sf ~0.4). Rescale est (and the bias reference)
+    # by S = max(1, tt DIV 1e7) BEFORE the n·s2 − s1² idiom: S = 1 at every
+    # gated scale (outputs unchanged), and for any n the rescaled est stays
+    # ≤ ~2e7 so 16·s2 and s1² both fit. mean_est/var_num are in units of S.
+    ests = (
+        sys_est.unionByName(bern_est)
+        .crossJoin(true_total)
+        .select(
+            "design",
+            "r",
+            F.expr(
+                "CAST(est DIV greatest(1, tt DIV 10000000) AS BIGINT)"
+            ).alias("est"),
+            F.expr(
+                "CAST(tt DIV greatest(1, tt DIV 10000000) AS BIGINT)"
+            ).alias("tts"),
+            "tt",
+        )
+    )
     mom = ests.groupBy("design").agg(
         F.count("*").cast("long").alias("n_reps"),
         F.sum("est").cast("long").alias("s1"),
         F.sum(F.col("est") * F.col("est")).cast("long").alias("s2"),
+        F.max("tt").alias("tt"),
+        F.max("tts").alias("tts"),
     )
-    base = mom.crossJoin(true_total).select(
+    base = mom.select(
         "design",
         "n_reps",
         F.col("tt").alias("true_total"),
         F.expr("CAST(s1 DIV n_reps AS BIGINT)").alias("mean_est"),
         F.expr("CAST(n_reps * s2 - s1 * s1 AS BIGINT)").alias("var_num"),
         F.expr(
-            "CASE WHEN s1 DIV n_reps >= tt"
-            " THEN CAST((1000 * (s1 DIV n_reps - tt)) DIV tt AS BIGINT)"
-            " ELSE CAST(-((1000 * (tt - s1 DIV n_reps)) DIV tt) AS BIGINT)"
+            "CASE WHEN s1 DIV n_reps >= tts"
+            " THEN CAST((1000 * (s1 DIV n_reps - tts)) DIV tts AS BIGINT)"
+            " ELSE CAST(-((1000 * (tts - s1 DIV n_reps)) DIV tts) AS BIGINT)"
             " END"
         ).alias("rel_bias_milli"),
     )
@@ -2012,7 +2040,7 @@ WITH ranked AS (
 ),
 tt AS (SELECT CAST(sum(pos) AS BIGINT) AS tt FROM ranked),
 reps AS (SELECT CAST(unnest(range({SD_REPS})) AS BIGINT) AS r),
-ests AS (
+ests0 AS (
   SELECT 'systematic' AS design, r,
          CAST(sum(pos) * {SD_K} AS BIGINT) AS est
   FROM ranked CROSS JOIN reps
@@ -2024,6 +2052,16 @@ ests AS (
   WHERE {hbm} % {SD_K} = 0
   GROUP BY r
 ),
+-- scale guard (twin of the Spark side): S = max(1, tt // 1e7); S = 1 at
+-- every gated scale, keeps 16*s2 and s1*s1 inside int64 at any n
+scl AS (SELECT greatest(1, (SELECT tt FROM tt) // 10000000) AS s),
+ests AS (
+  SELECT design, r, CAST(est // (SELECT s FROM scl) AS BIGINT) AS est
+  FROM ests0
+),
+tts AS (
+  SELECT CAST((SELECT tt FROM tt) // (SELECT s FROM scl) AS BIGINT) AS tts
+),
 mom AS (
   SELECT design, CAST(count(*) AS BIGINT) AS n_reps,
          CAST(sum(est) AS BIGINT) AS s1,
@@ -2034,11 +2072,11 @@ base AS (
   SELECT design, n_reps, (SELECT tt FROM tt) AS true_total,
          CAST(s1 // n_reps AS BIGINT) AS mean_est,
          CAST(n_reps * s2 - s1 * s1 AS BIGINT) AS var_num,
-         CAST(CASE WHEN s1 // n_reps >= (SELECT tt FROM tt)
-              THEN (1000 * (s1 // n_reps - (SELECT tt FROM tt)))
-                   // (SELECT tt FROM tt)
-              ELSE -((1000 * ((SELECT tt FROM tt) - s1 // n_reps))
-                   // (SELECT tt FROM tt)) END AS BIGINT)
+         CAST(CASE WHEN s1 // n_reps >= (SELECT tts FROM tts)
+              THEN (1000 * (s1 // n_reps - (SELECT tts FROM tts)))
+                   // (SELECT tts FROM tts)
+              ELSE -((1000 * ((SELECT tts FROM tts) - s1 // n_reps))
+                   // (SELECT tts FROM tts)) END AS BIGINT)
            AS rel_bias_milli
   FROM mom
 )

@@ -18,6 +18,7 @@ from harvester_spark.docid import assign_doc_ids
 from harvester_spark.extract import with_extracted_text
 from harvester_spark.index.build import IndexBuilder
 from harvester_spark.normalize import normalize_documents
+from harvester_spark.session import tune_file_splits
 
 
 def build_documents(
@@ -64,6 +65,11 @@ def run_build(
     else:
         if corpus_df is None:
             corpus_df = corpus_mod.generate_corpus(spark, n_docs, num_partitions)
+        else:
+            # extract-stage parallelism is scan-split-bound (see
+            # tune_file_splits) — size splits to this corpus before the
+            # extractor's lineage is planned
+            tune_file_splits(spark, corpus_df)
         documents = build_documents(corpus_df, num_partitions)
         # small row groups (~4 MB ≈ 2k docs): the documents table is the
         # point-lookup store for every _source-style surface (fetch_fields,

@@ -477,19 +477,49 @@ _VEC_SEC_PER_POSTING = 3e-8  # numpy decode+accumulate, per posting
 _VEC_FIXED_SEC = 8e-3  # dense-array zeroing + top-k selection
 
 
+# MaxScore routing constants (round-4, the conservative switch the round-3
+# VERDICT asked for): route `auto` to the term-at-a-time MaxScore only when
+#   (a) the query has a genuinely selective driver — min df ≤ 0.1 × max df,
+#       so Phase 1's θ forms from the selective list(s) and the head lists
+#       actually flip to probe-only mode (all-head queries never probe:
+#       BENCH.md session-10, 1.22 s maxscore vs 0.93 s accumulate), and
+#   (b) the decode volume is large enough that skipped blocks dominate the
+#       probe/rescore overhead — Σ df ≥ 500k postings (below it the dense
+#       accumulator finishes in ≤ ~25 ms and the margin is noise).
+# Both are RATIO/volume conditions, not wall-clock constants, so they are
+# load-insensitive — the blocker the round-3 session documented for a
+# 3-way wall-clock cost model. Measured at 2M (BENCH.md round-4): mid+head
+# auto→maxscore 0.30 s (best fixed 0.30 s), all-head auto→accumulate
+# 0.93 s (maxscore 1.22 s), rare-driven auto→wand unchanged.
+_MAXSCORE_DF_RATIO = 0.1
+_MAXSCORE_MIN_SUM_DF = 500_000
+
+
 def _pick_or_strategy(dfs: dict[str, int], live: list[str]) -> str:
-    """'wand' when θ-pruning can win, else 'accumulate'.
+    """'wand' when θ-pruning can win, else 'maxscore' on selective-driver
+    high-volume mixes, else 'accumulate'.
 
     WAND visits ≈ n_terms × min_df postings when a rare term drives the
     pivot (its classic win: ``rare OR head``); the accumulator always pays
     Σ df but at memory-bandwidth cost. Head-heavy queries (no rare term)
     make the cursor walk degenerate to Σ df Python steps — 30 s vs 0.3 s on
-    a 3-head-term query over 2M docs."""
+    a 3-head-term query over 2M docs. Between them, mid+head mixes route to
+    MaxScore: the mid-df list drives θ, the head lists switch to probe-only
+    and skip ~99% of their blocks (BENCH.md session-10)."""
     min_df = min(dfs[t] for t in live)
+    max_df = max(dfs[t] for t in live)
     sum_df = sum(dfs[t] for t in live)
     est_wand = _WAND_SEC_PER_POSTING * len(live) * min_df
     est_vec = _VEC_SEC_PER_POSTING * sum_df + _VEC_FIXED_SEC
-    return "wand" if est_wand < est_vec else "accumulate"
+    if est_wand < est_vec:
+        return "wand"
+    if (
+        len(live) >= 2
+        and min_df <= _MAXSCORE_DF_RATIO * max_df
+        and sum_df >= _MAXSCORE_MIN_SUM_DF
+    ):
+        return "maxscore"
+    return "accumulate"
 
 
 # Single-query distributed dispatch (round-3): above this total decode

@@ -83,3 +83,38 @@ def stop_spark() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:
         active.stop()
+
+
+def tune_file_splits(spark: SparkSession, df, waves: int = 3) -> None:
+    """Size ``spark.sql.files.maxPartitionBytes`` to the ACTUAL input so a
+    full scan of ``df`` yields ≥ ``waves`` tasks per core.
+
+    The Python-heavy per-byte stages (extract, tokenize) are throughput-
+    bound by scan parallelism: with the static 16 MB default a 140 MB
+    corpus becomes ~11 splits, which schedules as an 8+3 two-wave tail on 8
+    cores and caps local[32] at 11-way parallelism outright — measured as
+    the single largest scaling-efficiency loss in the round-4 stage
+    profile (BENCH.md). Sizing splits to the input (cluster analogue:
+    Iceberg ``read.split.target-size`` per table) keeps wave quantization
+    ≤ 1/waves at every parallelism level. No-op for non-file-backed
+    frames."""
+    import os as _os
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return
+    total = 0
+    for f in files:
+        p = f[7:] if f.startswith("file:") else f
+        try:
+            total += _os.path.getsize(p)
+        except OSError:
+            return
+    if total <= 0:
+        return
+    cores = spark.sparkContext.defaultParallelism
+    target = max(
+        1 * 1024 * 1024, min(16 * 1024 * 1024, total // max(1, waves * cores))
+    )
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(target))

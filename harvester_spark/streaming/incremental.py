@@ -480,6 +480,13 @@ class DeltaSearcher(IndexSearcher):
     into the synthetic blocks, so quoted-phrase queries equal a rebuild
     bit-for-bit without waiting for compaction."""
 
+    # Eviction thresholds for the per-instance merged-postings caches.
+    # Class attributes so the streaming soak test can run them at 1/100
+    # scale (forcing hundreds of eviction cycles in minutes) — production
+    # instances keep the defaults.
+    MERGED_CACHE_MAX = 4096
+    POS_CACHE_MAX = 1024
+
     def __init__(self, spark: SparkSession, index_dir: str):
         from harvester_spark.search.engine import read_delta_state
 
@@ -620,7 +627,7 @@ class DeltaSearcher(IndexSearcher):
                     ids, tfv = merge_tf_parts(parts)
                 result[t] = (ids, tfv)
             # Evict only BETWEEN merges, after the call's results are safe.
-            if len(self._merged_cache) > 4096:
+            if len(self._merged_cache) > self.MERGED_CACHE_MAX:
                 self._merged_cache.clear()
             for t in missing:
                 self._merged_cache[(t, lang)] = result[t]
@@ -692,9 +699,9 @@ class DeltaSearcher(IndexSearcher):
                 result[t] = merge_pos_parts(parts)
             # Evict only after this call's results are held locally — a
             # mid-loop clear dropped entries the return still needed.
-            if len(self._pos_cache) > 1024:
+            if len(self._pos_cache) > self.POS_CACHE_MAX:
                 self._pos_cache.clear()
-            if len(self._merged_cache) > 4096:
+            if len(self._merged_cache) > self.MERGED_CACHE_MAX:
                 self._merged_cache.clear()
             for t in missing:
                 merged = result[t]

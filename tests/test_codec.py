@@ -87,3 +87,50 @@ def test_topk_order_matches_lexsort():
             exp = np.lexsort((docs, -scores))[:k]
             got = topk_order(scores, docs, k)
             assert np.array_equal(got, exp), (n, k)
+
+
+def test_encode_positions_per_posting_byte_identity():
+    """The map-side pre-encode (round-4) must produce the EXACT bytes of
+    reduce-side encode_positions, and every contiguous posting slice of the
+    blob must itself decode correctly — the property that lets the block
+    encoder assemble block blobs by byte slicing."""
+    import numpy as np
+
+    from harvester_spark.index.codec import (
+        decode_positions,
+        encode_positions,
+        encode_positions_per_posting,
+    )
+
+    rng = np.random.default_rng(7)
+    for trial in range(50):
+        n_postings = int(rng.integers(1, 40))
+        counts = rng.integers(1, 9, size=n_postings).astype(np.int64)
+        # ascending positions per posting, values spanning varbyte widths
+        flat = np.concatenate(
+            [
+                np.sort(
+                    rng.choice(
+                        int(rng.choice([50, 200, 20_000, 3_000_000])),
+                        size=c,
+                        replace=False,
+                    )
+                )
+                for c in counts
+            ]
+        ).astype(np.int64)
+        blob, off = encode_positions_per_posting(flat, counts)
+        assert blob == encode_positions(flat, counts)
+        assert off[0] == 0 and off[-1] == len(blob) and len(off) == n_postings + 1
+        # any contiguous posting range slices to a valid stream
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        for _ in range(5):
+            i = int(rng.integers(0, n_postings))
+            j = int(rng.integers(i + 1, n_postings + 1))
+            sl = bytes(blob[off[i] : off[j]])
+            sub_counts = counts[i:j]
+            sub_flat = flat[starts[i] : starts[i] + sub_counts.sum()]
+            out, _ = decode_positions(sl, sub_counts)
+            assert np.array_equal(out, sub_flat)
+    b, o = encode_positions_per_posting(np.empty(0), np.empty(0, int))
+    assert b == b"" and list(o) == [0]

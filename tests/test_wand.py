@@ -253,6 +253,19 @@ def test_or_strategy_dispatch():
     # classic WAND win: rare term drives theta, head lists get skipped
     assert _pick_or_strategy({"rare": 40, "head": 600_000},
                              ["rare", "head"]) == "wand"
+    # round-4 3-way routing: mid+head mix (selective driver, big decode
+    # volume) -> maxscore; the mid list is too big for the Python cursor
+    # walk but selective enough (min <= 0.1*max) to flip heads to probe mode
+    assert _pick_or_strategy(
+        {"mid": 100_000, "h1": 1_300_000, "h2": 1_300_000},
+        ["mid", "h1", "h2"]) == "maxscore"
+    # same shape but below the volume floor -> accumulate finishes in ms
+    assert _pick_or_strategy(
+        {"mid": 4_000, "h1": 60_000, "h2": 60_000},
+        ["mid", "h1", "h2"]) == "accumulate"
+    # selective-ratio boundary: min_df just above 0.1*max stays accumulate
+    assert _pick_or_strategy(
+        {"mid": 140_000, "h1": 1_300_000}, ["mid", "h1"]) == "accumulate"
 
 
 @pytest.mark.parametrize("query", OR_QUERIES)
