@@ -84,6 +84,14 @@ def main() -> None:
         "or_maxscore_3head": t(
             or_search, s, "w00000 w00001 w00002", 10, strategy="maxscore"
         ),
+        # round-4 3-way auto gate: auto must be within 20% of the best
+        # fixed strategy on every mix row and never lose to wand
+        # (or_wand_3head above is historical naming — it times the DEFAULT
+        # strategy, i.e. auto)
+        "or_auto_mid_head": t(or_search, s, "w01000 w00000 w00001", 10),
+        "or_accumulate_3head": t(
+            or_search, s, "w00000 w00001 w00002", 10, strategy="accumulate"
+        ),
         # MaxScore sweet spot: mid-df driver + head tails — probe-only mode
         # skips candidate-free head blocks (stats below)
         "or_accumulate_mid_head": t(
@@ -170,6 +178,14 @@ def main() -> None:
     ) and list(ms["score"]) == list(acc["score"])
     res["maxscore_blocks_skipped"] = int(ms_stats.get("blocks_skipped", 0))
     res["maxscore_blocks_decoded"] = int(ms_stats.get("blocks_decoded", 0))
+    # what the round-4 3-way auto dispatch actually picks per mix
+    for key, q in (
+        ("auto_picks_mid_head", "w01000 w00000 w00001"),
+        ("auto_picks_3head", "w00000 w00001 w00002"),
+        ("auto_picks_rare_head", "w04999 w00000"),
+    ):
+        _, st = or_search(s, q, k=10, with_stats=True)
+        res[key] = st.get("strategy")
     print(json.dumps(res))
     spark.stop()
 
