@@ -654,6 +654,30 @@ class IndexBuilder:
     def _path(self, name: str) -> str:
         return os.path.join(self.index_dir, name)
 
+    @staticmethod
+    def _footer_row_count(df: DataFrame) -> int | None:
+        """Row count of a parquet-backed frame from file footers — no Spark
+        job. Counts ALL rows (including any state-filtered ones), which is
+        exactly what the head-term sampler needs: an upper bound on doc_id
+        and the denominator of its sampling fraction (both tolerant of
+        soft-deleted rows, see :func:`sample_head_terms`)."""
+        import pyarrow.parquet as pq
+
+        try:
+            files = df.inputFiles()
+        except Exception:
+            return None
+        if not files:
+            return None
+        total = 0
+        for f in files:
+            p = f[7:] if f.startswith("file:") else f
+            try:
+                total += pq.read_metadata(p).num_rows
+            except Exception:
+                return None
+        return total or None
+
     def _record(self, stage: str, partition_id: int, n_rows: int, t0: float, status: str):
         self._lineage.append(
             (self.build_id, stage, partition_id, n_rows, t0, time.time(), status)
@@ -736,6 +760,34 @@ class IndexBuilder:
 
         tune_file_splits(spark, documents)
 
+        # Head-term dimension for the salted-shuffle merge: estimated from a
+        # seeded sample (cheap — head terms are frequent by definition), so
+        # the single full tokenize pass feeds ONLY the block encoder and the
+        # dictionary is derived from block metadata afterwards. Round-4
+        # serial-floor cut: when the documents table is parquet-backed, its
+        # row count comes from file footers (no job) and the sample job runs
+        # CONCURRENTLY with the doc_stats/corpus_stats stages from a second
+        # thread (Spark schedules jobs from multiple threads fine) — the
+        # sample was otherwise a fully serialized ~1-2 s stage per build.
+        import threading
+
+        sample_holder: dict = {}
+        sample_thread = None
+        n_footer = self._footer_row_count(documents)
+        if n_footer is not None:
+
+            def _sample_job():
+                try:
+                    est = sample_head_terms(
+                        docs, n_footer, head_df_threshold, head_chunk_target
+                    )
+                    sample_holder["rows"] = None if est is None else est.collect()
+                except BaseException as exc:  # surfaced on join
+                    sample_holder["err"] = exc
+
+            sample_thread = threading.Thread(target=_sample_job, daemon=True)
+            sample_thread.start()
+
         doc_stats = self._run_stage(
             "doc_stats", lambda: documents.select("doc_id", "lang", "doc_len"), resume
         )
@@ -748,13 +800,18 @@ class IndexBuilder:
             int(r["n_docs"]) for r in stats_rows if r["lang"] != ALL_LANG
         )
 
-        # Head-term dimension for the salted-shuffle merge: estimated from a
-        # seeded sample (cheap — head terms are frequent by definition), so
-        # the single full tokenize pass feeds ONLY the block encoder and the
-        # dictionary is derived from block metadata afterwards.
-        head_terms = sample_head_terms(
-            docs, n_docs_total, head_df_threshold, head_chunk_target
-        )
+        if sample_thread is not None:
+            sample_thread.join()
+            if "err" in sample_holder:
+                raise sample_holder["err"]
+            rows = sample_holder.get("rows")
+            head_terms = (
+                spark.createDataFrame(rows) if rows else None
+            )  # tiny (term, lang, n_splits) dim — re-created for broadcast
+        else:
+            head_terms = sample_head_terms(
+                docs, n_docs_total, head_df_threshold, head_chunk_target
+            )
         rows = postings_rows(
             docs,
             decompound_words=decompound_words,
