@@ -296,16 +296,30 @@ def _scaling_worker(cpus: int, reps: int, corpus_path: str, out_dir: str,
 
 
 def _run_scaling_subprocess(cpus: int, reps: int, corpus_path: str,
-                            out_dir: str, n_docs: int) -> dict:
+                            out_dir: str, n_docs: int,
+                            equalize: bool = True) -> dict:
     import subprocess
 
     env = dict(os.environ)
     env["SPARK_DRIVER_MEM"] = f"{4 + 2 * cpus}g"  # heap scales with "executors"
+    if not equalize:
+        env["HS_BENCH_EQUALIZE"] = "0"  # free-running companion measurement
     cmd = [
         sys.executable, os.path.abspath(__file__), "--scaling-worker",
         str(cpus), str(reps), corpus_path, out_dir, str(n_docs),
     ]
-    proc = subprocess.run(cmd, capture_output=True, text=True, env=env)
+    try:
+        # a wedged worker JVM (stop hanging after the JSON line, stuck
+        # stage) must not hang the whole bench — the caller converts
+        # RuntimeError into scaling={'error': ...} and the line still emits
+        proc = subprocess.run(
+            cmd, capture_output=True, text=True, env=env,
+            timeout=int(os.environ.get("HS_BENCH_WORKER_TIMEOUT", "2700")),
+        )
+    except subprocess.TimeoutExpired as exc:
+        raise RuntimeError(
+            f"scaling worker timed out after {exc.timeout}s (local[{cpus}])"
+        ) from exc
     for line in reversed(proc.stdout.strip().splitlines()):
         try:
             return json.loads(line)
@@ -446,6 +460,32 @@ def main() -> None:
                 f"efficiency_{lo}_to_{hi}": round(thr[hi] / (4 * thr[lo]), 3),
                 "loadavg_per_attempt": loadavgs,
             }
+            # Transparency companion (round-5): the same pair once more,
+            # FREE-RUNNING (no clock-equalizer spinners), so the equalized
+            # gate number is auditable against a raw measurement in the
+            # same bench line. One rep per level — noisier by design; the
+            # DVFS idle-boost artifact (BENCH.md round-4) caps this number
+            # at ~0.76 on an idle host with zero code involvement.
+            raw_reps = int(os.environ.get("HS_BENCH_RAW_REPS", "1"))
+            if raw_reps > 0:
+                raw_thr = {}
+                raw_loads = []
+                for m in (lo, hi):
+                    res = _run_scaling_subprocess(
+                        m, raw_reps, scaling_corpus,
+                        os.path.join(work, f"idx_raw_{m}"), scaling_docs,
+                        equalize=False,
+                    )
+                    raw_thr[m] = float(res["docs_per_sec"])
+                    raw_loads.append(round(res["loadavg"][0], 1))
+                scaling["raw"] = {
+                    f"docs_per_sec_local{lo}": round(raw_thr[lo], 1),
+                    f"docs_per_sec_local{hi}": round(raw_thr[hi], 1),
+                    f"efficiency_{lo}_to_{hi}": round(
+                        raw_thr[hi] / (4 * raw_thr[lo]), 3
+                    ),
+                    "loadavg_per_attempt": raw_loads,
+                }
         except Exception as exc:  # never lose the whole bench line
             scaling = {"error": str(exc)[:200]}
 

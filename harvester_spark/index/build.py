@@ -238,7 +238,9 @@ def postings_rows(
     )
 
 
-def dictionary_from_blocks(postings: DataFrame) -> DataFrame:
+def dictionary_from_blocks(
+    postings: DataFrame, _cp_holder: list | None = None
+) -> DataFrame:
     """(term, lang) → df, cf derived from block metadata — a JVM aggregation
     over block rows (≈ postings/128), replacing a second full shuffle of raw
     posting rows. ``df = Σ n``, ``cf = Σ block_sum_tf`` per term; combined
@@ -258,6 +260,12 @@ def dictionary_from_blocks(postings: DataFrame) -> DataFrame:
     # checkpoint the (vocabulary-sized) agg output so sampling + write both
     # read the materialized rows (≈1 s of serial stage time per build).
     out = out.localCheckpoint(eager=False)
+    if _cp_holder is not None:
+        # hand the checkpointed frame back so the caller can unpersist it
+        # after the stage writes — each build otherwise leaves a cached RDD
+        # alive until GC + ContextCleaner get to it, and repeated builds in
+        # one session (soak rebuilds) accumulate persisted RDDs
+        _cp_holder.append(out)
     # Range-cluster by (lang, tlen, term) so serving probes (exact term,
     # prefix range, edit-distance length band) prune to a handful of parquet
     # row groups instead of scanning the vocabulary — the suggestion surfaces
@@ -299,6 +307,30 @@ def build_suggest_table(documents: DataFrame) -> DataFrame:
         .repartitionByRange("term")
         .sortWithinPartitions("term")
     )
+
+
+def _persistent_rdd_ids(spark: SparkSession) -> set[int]:
+    """IDs of currently persisted RDDs (JVM-side registry)."""
+    ids: set[int] = set()
+    it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+    while it.hasNext():
+        ids.add(it.next()._1())
+    return ids
+
+
+def _unpersist_new_rdds(spark: SparkSession, before: set[int]) -> None:
+    """Unpersist every RDD persisted since ``before`` was snapshotted.
+
+    Used to reclaim ``localCheckpoint`` storage (its RDD is not reachable
+    through ``DataFrame.unpersist``). Non-blocking; best-effort."""
+    try:
+        it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+        while it.hasNext():
+            t = it.next()
+            if t._1() not in before:
+                t._2().unpersist(False)
+    except Exception:
+        pass  # cleanup only — never fail a build over it
 
 
 def sample_head_terms(
@@ -669,11 +701,12 @@ class IndexBuilder:
             return None
         if not files:
             return None
+        from harvester_spark.session import local_path
+
         total = 0
         for f in files:
-            p = f[7:] if f.startswith("file:") else f
             try:
-                total += pq.read_metadata(p).num_rows
+                total += pq.read_metadata(local_path(f)).num_rows
             except Exception:
                 return None
         return total or None
@@ -719,7 +752,20 @@ class IndexBuilder:
         except FileNotFoundError:
             pass
 
-    def build(
+    def build(self, *args, **kwargs) -> dict[str, DataFrame]:
+        """See :meth:`_build_impl`. This wrapper restores the session's
+        ``maxPartitionBytes`` after the build: ``tune_file_splits`` sizes
+        scan splits to THIS documents table, and a long-lived session
+        (SearchAPI, streaming driver) must not inherit a small corpus's
+        tiny splits on every later scan of an unrelated large table."""
+        prior = self.spark.conf.get("spark.sql.files.maxPartitionBytes", None)
+        try:
+            return self._build_impl(*args, **kwargs)
+        finally:
+            if prior is not None:
+                self.spark.conf.set("spark.sql.files.maxPartitionBytes", prior)
+
+    def _build_impl(
         self,
         documents: DataFrame,
         resume: bool = True,
@@ -805,9 +851,17 @@ class IndexBuilder:
             if "err" in sample_holder:
                 raise sample_holder["err"]
             rows = sample_holder.get("rows")
+            # tiny (term, lang, n_splits) dim — re-created for broadcast.
+            # Explicit schema: inference over an all-NULL / empty collect
+            # would silently drift the join types; an empty sample means
+            # "no head terms" exactly like the serial path's empty frame.
             head_terms = (
-                spark.createDataFrame(rows) if rows else None
-            )  # tiny (term, lang, n_splits) dim — re-created for broadcast
+                None
+                if rows is None
+                else spark.createDataFrame(
+                    rows, "term string, lang string, n_splits bigint"
+                )
+            )
         else:
             head_terms = sample_head_terms(
                 docs, n_docs_total, head_df_threshold, head_chunk_target
@@ -864,10 +918,16 @@ class IndexBuilder:
         postings = spark.read.option("basePath", postings_root).parquet(postings_root)
 
         # Dictionary: JVM aggregation over block metadata (≈1/128th of the
-        # posting rows) — no second shuffle of the raw token stream.
+        # posting rows) — no second shuffle of the raw token stream. The
+        # stage localCheckpoints its agg output (see dictionary_from_blocks);
+        # the checkpoint RDD is not reachable through DataFrame.unpersist,
+        # so sweep any persistent RDD the stage created once it has written
+        # — repeated builds in one session must not accumulate cached RDDs.
+        rdd_ids_before = _persistent_rdd_ids(spark)
         dictionary = self._run_stage(
             "dictionary", lambda: dictionary_from_blocks(postings), resume
         )
+        _unpersist_new_rdds(spark, rdd_ids_before)
 
         if suggest:
             # index-time completion-suggester table (opt-in; SearchAPI

@@ -18,7 +18,7 @@ from harvester_spark.docid import assign_doc_ids
 from harvester_spark.extract import with_extracted_text
 from harvester_spark.index.build import IndexBuilder
 from harvester_spark.normalize import normalize_documents
-from harvester_spark.session import tune_file_splits
+from harvester_spark.session import restore_file_splits, tune_file_splits
 
 
 def build_documents(
@@ -63,13 +63,16 @@ def run_build(
     if resume and os.path.exists(os.path.join(docs_path, "_SUCCESS")):
         documents = spark.read.parquet(docs_path)
     else:
+        prior_split = None
         if corpus_df is None:
             corpus_df = corpus_mod.generate_corpus(spark, n_docs, num_partitions)
         else:
             # extract-stage parallelism is scan-split-bound (see
             # tune_file_splits) — size splits to this corpus before the
-            # extractor's lineage is planned
-            tune_file_splits(spark, corpus_df)
+            # extractor's lineage is planned; restored after the documents
+            # table is written so a long-lived session's later scans of
+            # unrelated tables keep the default split size
+            prior_split = tune_file_splits(spark, corpus_df)
         documents = build_documents(corpus_df, num_partitions)
         # small row groups (~4 MB ≈ 2k docs): the documents table is the
         # point-lookup store for every _source-style surface (fetch_fields,
@@ -85,6 +88,7 @@ def run_build(
             documents.sorted_input.unpersist()
         if hasattr(documents, "normalized_input"):
             documents.normalized_input.unpersist()
+        restore_file_splits(spark, prior_split)
         documents = spark.read.parquet(docs_path)
 
     builder = IndexBuilder(spark, os.path.join(out_dir, "index"))

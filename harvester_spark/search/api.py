@@ -349,7 +349,9 @@ class SearchAPI:
 
                 import pyarrow.dataset as ds
 
-                files = [f.removeprefix("file:") for f in self.documents.inputFiles()]
+                from harvester_spark.session import local_path
+
+                files = [local_path(f) for f in self.documents.inputFiles()]
                 if files:
                     self._pa_docs = ds.dataset(
                         os.path.dirname(files[0]), format="parquet"

@@ -16,6 +16,22 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = 32
 
 
+def local_path(uri: str) -> str:
+    """Local filesystem path from a Hadoop/Spark file URI.
+
+    ``Path.toString`` renders local URIs as any of ``file:/p``,
+    ``file:///p`` or a bare ``/p`` depending on the code path — a naive
+    ``f[7:]`` slice silently yields garbage for the single-slash form (and
+    every footer-read/size-read optimization built on it no-ops). One
+    parser, shared by session/build/api."""
+    from urllib.parse import unquote, urlparse
+
+    parsed = urlparse(uri)
+    if parsed.scheme in ("", "file"):
+        return unquote(parsed.path) or uri
+    return uri
+
+
 def get_spark(
     app_name: str = "harvester_spark",
     master: str | None = None,
@@ -85,7 +101,7 @@ def stop_spark() -> None:
         active.stop()
 
 
-def tune_file_splits(spark: SparkSession, df, waves: int = 3) -> None:
+def tune_file_splits(spark: SparkSession, df, waves: int = 3) -> str | None:
     """Size ``spark.sql.files.maxPartitionBytes`` to the ACTUAL input so a
     full scan of ``df`` yields ≥ ``waves`` tasks per core.
 
@@ -97,24 +113,37 @@ def tune_file_splits(spark: SparkSession, df, waves: int = 3) -> None:
     profile (BENCH.md). Sizing splits to the input (cluster analogue:
     Iceberg ``read.split.target-size`` per table) keeps wave quantization
     ≤ 1/waves at every parallelism level. No-op for non-file-backed
-    frames."""
+    frames.
+
+    Returns the PREVIOUS ``maxPartitionBytes`` value when the conf was
+    changed (``None`` otherwise) so long-lived sessions (SearchAPI,
+    streaming drivers) can restore it after the build — a small-table
+    build would otherwise pin tiny splits on every later scan of a large
+    table."""
     import os as _os
 
     try:
         files = df.inputFiles()
     except Exception:
-        return
+        return None
     total = 0
     for f in files:
-        p = f[7:] if f.startswith("file:") else f
         try:
-            total += _os.path.getsize(p)
+            total += _os.path.getsize(local_path(f))
         except OSError:
-            return
+            return None
     if total <= 0:
-        return
+        return None
     cores = spark.sparkContext.defaultParallelism
     target = max(
         1 * 1024 * 1024, min(16 * 1024 * 1024, total // max(1, waves * cores))
     )
+    prior = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(target))
+    return prior
+
+
+def restore_file_splits(spark: SparkSession, prior: str | None) -> None:
+    """Undo :func:`tune_file_splits` (no-op when it made no change)."""
+    if prior is not None:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prior)
