@@ -49,16 +49,31 @@ def assign_doc_ids(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
+    # The count job is the build's one unavoidable serial materialization
+    # (it realizes the persisted sorted layout), so it moonlights as the
+    # corpus-stats pass: grouping by (pid, lang[, state]) costs the same
+    # tiny shuffle and hands the index builder per-language doc counts and
+    # doc_len sums for free — corpus_stats then needs NO job of its own and
+    # doc_stats can run concurrently with the postings encode
+    # (IndexBuilder._build_impl). Offsets are per-pid sums over the groups,
+    # bit-identical to the old groupBy(pid) (docID determinism invariant).
+    stats_cols = [c for c in ("lang", "state") if c in df.columns]
+    aggs = [F.count("*").alias("n")]
+    if "doc_len" in df.columns and "lang" in df.columns:
+        aggs.append(F.sum("doc_len").alias("sum_len"))
     counts = (
-        sorted_df.groupBy(F.spark_partition_id().alias("pid"))
-        .agg(F.count("*").alias("n"))
+        sorted_df.groupBy(F.spark_partition_id().alias("pid"), *stats_cols)
+        .agg(*aggs)
         .collect()
     )
+    per_pid: dict[int, int] = {}
+    for row in counts:
+        per_pid[int(row["pid"])] = per_pid.get(int(row["pid"]), 0) + int(row["n"])
     offsets = []
     acc = 0
-    for row in sorted(counts, key=lambda r: r["pid"]):
-        offsets.append((int(row["pid"]), acc))
-        acc += int(row["n"])
+    for pid in sorted(per_pid):
+        offsets.append((pid, acc))
+        acc += per_pid[pid]
     offsets_df = spark.createDataFrame(offsets or [(0, 0)], "pid int, offset long")
 
     mid = F.monotonically_increasing_id()
@@ -75,4 +90,20 @@ def assign_doc_ids(
         .drop("_mid", "_pid", "_local", "pid", "offset")
     )
     result.sorted_input = sorted_df
+    if counts and "sum_len" in counts[0].asDict():
+        # (lang, state|None) → [n, sum_len], summed over pids — consumed by
+        # IndexBuilder.build(precomputed_lang_counts=...) via run_build
+        acc_ls: dict[tuple, list[int]] = {}
+        for row in counts:
+            d = row.asDict()
+            key = (d["lang"], d.get("state"))
+            slot = acc_ls.setdefault(key, [0, 0])
+            slot[0] += int(d["n"])
+            slot[1] += int(d["sum_len"])
+        result.lang_counts = [
+            (lang, state, n, sum_len)
+            for (lang, state), (n, sum_len) in sorted(
+                acc_ls.items(), key=lambda kv: (str(kv[0][0]), str(kv[0][1]))
+            )
+        ]
     return result

@@ -59,6 +59,10 @@ LINEAGE_SCHEMA = (
 )
 N_SALT = 16
 
+# "not provided" sentinel for precomputed_head_terms (None is a valid value
+# meaning "no head terms in this corpus")
+_UNSET = object()
+
 
 def postings_rows(
     documents: DataFrame, decompound_words=None, common_gram_terms=None
@@ -238,42 +242,38 @@ def postings_rows(
     )
 
 
-def dictionary_from_blocks(
-    postings: DataFrame, _cp_holder: list | None = None
-) -> DataFrame:
+def dictionary_from_blocks(postings: DataFrame) -> DataFrame:
     """(term, lang) → df, cf derived from block metadata — a JVM aggregation
     over block rows (≈ postings/128), replacing a second full shuffle of raw
     posting rows. ``df = Σ n``, ``cf = Σ block_sum_tf`` per term; combined
     'all'-index rows are the per-language sums
     (per-language + combined index semantics,
     /root/reference/harvester/search/tasks/index.py:38-41).
+
+    Single-exchange plan (round-5): each block row is exploded into its own
+    language plus the combined '{ALL}' index, then ONE range exchange on
+    (lang, tlen, term) feeds both the aggregation (range clustering on the
+    full grouping key satisfies the group's distribution — no second
+    exchange) and the sorted, row-group-pruned layout serving probes rely
+    on (IndexSearcher.dict_probe: prefix / edit-distance-band / exact-term
+    probes stay O(probe), not O(vocabulary)). The former plan cost three
+    jobs per build (hash agg + checkpoint materialization + range-sampled
+    write of the checkpoint) and left a persisted RDD behind; this shape is
+    sample + write, nothing persisted. Shuffled volume is the block-row
+    count × 2 (~40-byte rows, 1/128th of the postings), with no map-side
+    combine — acceptable at any corpus size because block rows are already
+    the compressed representation.
     """
-    per_lang = postings.groupBy("term", "lang").agg(
-        F.sum("n").alias("df"), F.sum("block_sum_tf").alias("cf")
-    )
-    all_rows = per_lang.groupBy("term").agg(
-        F.sum("df").alias("df"), F.sum("cf").alias("cf")
-    ).select("term", F.lit(ALL_LANG).alias("lang"), "df", "cf")
-    out = per_lang.select("term", "lang", "df", "cf").unionByName(all_rows)
-    # The range partitioner below SAMPLES its input to pick boundaries,
-    # which would re-run the whole block aggregation a second time;
-    # checkpoint the (vocabulary-sized) agg output so sampling + write both
-    # read the materialized rows (≈1 s of serial stage time per build).
-    out = out.localCheckpoint(eager=False)
-    if _cp_holder is not None:
-        # hand the checkpointed frame back so the caller can unpersist it
-        # after the stage writes — each build otherwise leaves a cached RDD
-        # alive until GC + ContextCleaner get to it, and repeated builds in
-        # one session (soak rebuilds) accumulate persisted RDDs
-        _cp_holder.append(out)
-    # Range-cluster by (lang, tlen, term) so serving probes (exact term,
-    # prefix range, edit-distance length band) prune to a handful of parquet
-    # row groups instead of scanning the vocabulary — the suggestion surfaces
-    # (did_you_mean / autocomplete / fuzzy expansion) stay O(probe) at a
-    # web-scale dictionary (IndexSearcher.dict_probe).
+    src = postings.select(
+        "term",
+        F.explode(F.array(F.col("lang"), F.lit(ALL_LANG))).alias("lang"),
+        "n",
+        "block_sum_tf",
+    ).withColumn("tlen", F.length("term"))
     return (
-        out.withColumn("tlen", F.length("term"))
-        .repartitionByRange("lang", "tlen", "term")
+        src.repartitionByRange("lang", "tlen", "term")
+        .groupBy("lang", "tlen", "term")
+        .agg(F.sum("n").alias("df"), F.sum("block_sum_tf").alias("cf"))
         .sortWithinPartitions("lang", "tlen", "term")
     )
 
@@ -309,30 +309,6 @@ def build_suggest_table(documents: DataFrame) -> DataFrame:
     )
 
 
-def _persistent_rdd_ids(spark: SparkSession) -> set[int]:
-    """IDs of currently persisted RDDs (JVM-side registry)."""
-    ids: set[int] = set()
-    it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
-    while it.hasNext():
-        ids.add(it.next()._1())
-    return ids
-
-
-def _unpersist_new_rdds(spark: SparkSession, before: set[int]) -> None:
-    """Unpersist every RDD persisted since ``before`` was snapshotted.
-
-    Used to reclaim ``localCheckpoint`` storage (its RDD is not reachable
-    through ``DataFrame.unpersist``). Non-blocking; best-effort."""
-    try:
-        it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
-        while it.hasNext():
-            t = it.next()
-            if t._1() not in before:
-                t._2().unpersist(False)
-    except Exception:
-        pass  # cleanup only — never fail a build over it
-
-
 def sample_head_terms(
     documents: DataFrame,
     n_docs_total: int,
@@ -350,7 +326,21 @@ def sample_head_terms(
     if n_docs_total < threshold:
         return None
     frac = min(1.0, sample_rows / n_docs_total)
-    sampled = documents.sample(fraction=frac, seed=42)
+    if frac >= 1.0:
+        sampled = documents
+    else:
+        # Deterministic, LAYOUT-independent sample: keep rows whose doc_id
+        # hash falls below ``frac`` of the hash space. Partition-seeded
+        # Bernoulli (.sample) draws a different row set for different
+        # physical layouts, so a pre-write (cached-frame) sample and a
+        # resume-build (parquet) sample would chunk head terms differently
+        # and the two builds would not be byte-identical — the hash filter
+        # pins the sampled set to doc_id values alone.
+        space = 1 << 30
+        sampled = documents.filter(
+            F.pmod(F.xxhash64(F.col("doc_id"), F.lit(42)), F.lit(space))
+            < int(frac * space)
+        )
     est = (
         postings_rows(sampled.select("doc_id", "text", "lang", "doc_len"))
         .groupBy("term", "lang")
@@ -776,6 +766,8 @@ class IndexBuilder:
         decompound_words=None,
         common_gram_terms=None,
         suggest: bool = False,
+        precomputed_lang_counts: list[tuple] | None = None,
+        precomputed_head_terms=_UNSET,
     ) -> dict[str, DataFrame]:
         spark = self.spark
         if not resume:
@@ -819,7 +811,15 @@ class IndexBuilder:
 
         sample_holder: dict = {}
         sample_thread = None
-        n_footer = self._footer_row_count(documents)
+        n_footer = None
+        if precomputed_head_terms is not _UNSET:
+            # run_build already sampled head terms off the pre-write cached
+            # frame (overlapped with the documents write) — layout-
+            # independent hash sampling makes those rows identical to what
+            # the parquet-backed sample below would draw
+            sample_holder["rows"] = precomputed_head_terms
+        else:
+            n_footer = self._footer_row_count(documents)
         if n_footer is not None:
 
             def _sample_job():
@@ -834,22 +834,89 @@ class IndexBuilder:
             sample_thread = threading.Thread(target=_sample_job, daemon=True)
             sample_thread.start()
 
-        doc_stats = self._run_stage(
-            "doc_stats", lambda: documents.select("doc_id", "lang", "doc_len"), resume
-        )
-        corpus_stats = self._run_stage(
-            "corpus_stats", lambda: compute_corpus_stats(doc_stats), resume
-        )
-        stats_rows = corpus_stats.collect()
-        avgdl = {r["lang"]: float(r["avgdl"]) for r in stats_rows}
-        n_docs_total = sum(
-            int(r["n_docs"]) for r in stats_rows if r["lang"] != ALL_LANG
+        # Stats stages (round-5 serial-floor cut): postings encoding needs
+        # only the avgdl dict and the total doc count, not the doc_stats /
+        # corpus_stats TABLES — so both table writes run on worker threads
+        # CONCURRENTLY with the postings encode and are joined before the
+        # lineage commit. When the docID count job already collected
+        # per-(lang, state) moments (run_build passes them through), the
+        # corpus stats are pure driver arithmetic and cost zero jobs here;
+        # otherwise one aggregation job computes them from the documents
+        # table directly (same rows as the old doc_stats-derived pass).
+        stage_holder: dict = {}
+
+        def _stage_thread(key: str, df_fn, partition_by=None):
+            def _run():
+                try:
+                    stage_holder[key] = self._run_stage(
+                        key, df_fn, resume, partition_by
+                    )
+                except BaseException as exc:
+                    stage_holder[key + "_err"] = exc
+
+            t = threading.Thread(target=_run, daemon=True)
+            t.start()
+            return t
+
+        stats_threads = []
+        if precomputed_lang_counts:
+            active: dict[str, list[int]] = {}
+            for lang, state, n, sum_len in precomputed_lang_counts:
+                if state is not None and state != "active":
+                    continue
+                slot = active.setdefault(lang, [0, 0])
+                slot[0] += int(n)
+                slot[1] += int(sum_len)
+            # avgdl as double division of the exact int64 length sum — for
+            # doc_len sums < 2^53 this is bit-identical to F.avg's result,
+            # so a precomputed-stats index and a computed-stats index carry
+            # the same corpus_stats bytes (rank identity invariant).
+            srows = [
+                (lang, n, (sl / n) if n else None)
+                for lang, (n, sl) in sorted(active.items())
+            ]
+            tot_n = sum(n for _, n, _ in srows)
+            tot_sl = sum(sl for _, (n, sl) in sorted(active.items()))
+            srows.append((ALL_LANG, tot_n, (tot_sl / tot_n) if tot_n else None))
+            avgdl = {lang: float(a) for lang, _, a in srows if a is not None}
+            n_docs_total = tot_n
+            stats_threads.append(
+                _stage_thread(
+                    "corpus_stats",
+                    lambda: spark.createDataFrame(
+                        srows, "lang string, n_docs long, avgdl double"
+                    ),
+                )
+            )
+        else:
+            corpus_stats = self._run_stage(
+                "corpus_stats",
+                lambda: compute_corpus_stats(
+                    documents.select("doc_id", "lang", "doc_len")
+                ),
+                resume,
+            )
+            stats_rows = corpus_stats.collect()
+            avgdl = {
+                r["lang"]: float(r["avgdl"])
+                for r in stats_rows
+                if r["avgdl"] is not None
+            }
+            n_docs_total = sum(
+                int(r["n_docs"]) for r in stats_rows if r["lang"] != ALL_LANG
+            )
+            stage_holder["corpus_stats"] = corpus_stats
+        stats_threads.append(
+            _stage_thread(
+                "doc_stats", lambda: documents.select("doc_id", "lang", "doc_len")
+            )
         )
 
         if sample_thread is not None:
             sample_thread.join()
             if "err" in sample_holder:
                 raise sample_holder["err"]
+        if sample_thread is not None or "rows" in sample_holder:
             rows = sample_holder.get("rows")
             # tiny (term, lang, n_splits) dim — re-created for broadcast.
             # Explicit schema: inference over an all-NULL / empty collect
@@ -918,16 +985,11 @@ class IndexBuilder:
         postings = spark.read.option("basePath", postings_root).parquet(postings_root)
 
         # Dictionary: JVM aggregation over block metadata (≈1/128th of the
-        # posting rows) — no second shuffle of the raw token stream. The
-        # stage localCheckpoints its agg output (see dictionary_from_blocks);
-        # the checkpoint RDD is not reachable through DataFrame.unpersist,
-        # so sweep any persistent RDD the stage created once it has written
-        # — repeated builds in one session must not accumulate cached RDDs.
-        rdd_ids_before = _persistent_rdd_ids(spark)
+        # posting rows) — no second shuffle of the raw token stream, one
+        # range exchange total, nothing persisted (dictionary_from_blocks).
         dictionary = self._run_stage(
             "dictionary", lambda: dictionary_from_blocks(postings), resume
         )
-        _unpersist_new_rdds(spark, rdd_ids_before)
 
         if suggest:
             # index-time completion-suggester table (opt-in; SearchAPI
@@ -935,6 +997,17 @@ class IndexBuilder:
             self._run_stage(
                 "suggest", lambda: build_suggest_table(documents), resume
             )
+
+        # Join the concurrent stats-table writes before the lineage commit:
+        # the lineage must record every stage and a failed stats write must
+        # fail the build, not linger on a daemon thread.
+        for t in stats_threads:
+            t.join()
+        for key in ("doc_stats", "corpus_stats"):
+            if key + "_err" in stage_holder:
+                raise stage_holder[key + "_err"]
+        doc_stats = stage_holder["doc_stats"]
+        corpus_stats = stage_holder["corpus_stats"]
 
         # Per-partition (per output file) metrics → lineage, the north_rule's
         # lineage+metrics table (footer reads, no Spark job).

@@ -2616,6 +2616,33 @@ QUERIES["events_forecast_eval"] = (events_forecast_eval, SQL_FORECAST_EVAL)
 CUPED_SPLIT_DAY = 15
 
 
+# CUPED shared expression strings (engine + oracle twins).
+# Floored sign-split centering: d{v} = {v} − floor-div(s{v}, n).
+_CU_D = (
+    "CAST({v} - (CASE WHEN {s} >= 0 THEN {s} {div} n"
+    " ELSE -((-({s})) {div} n) END) AS BIGINT)"
+)
+# theta_micro = round-toward-zero-floor(cnum·1e6 / cden) via exact two-step
+# long division (q1·1000 + r1·1000 DIV cden with q1 = |cnum|·1000 DIV cden):
+# |cnum|·1000 and r1·1000 (< cden·1000) stay in int64 for cden ≤ 9e15.
+_CU_THETA = (
+    "CAST(CASE WHEN cnum >= 0"
+    " THEN ((cnum * 1000) {div} cden) * 1000"
+    "  + ((cnum * 1000 - ((cnum * 1000) {div} cden) * cden) * 1000)"
+    "    {div} cden"
+    " ELSE -( ((-cnum * 1000) {div} cden) * 1000"
+    "  + ((-cnum * 1000 - ((-cnum * 1000) {div} cden) * cden) * 1000)"
+    "    {div} cden )"
+    " END AS BIGINT)"
+)
+# adjusted metric in MILLI-cents: y·1000 − theta_micro·dx/1000 (sign-split
+# on the product, |th·dx| ≈ 1e6·(user cents scale) ≪ int64)
+_CU_ADJ = (
+    "CAST(y * 1000 - (CASE WHEN th * dx >= 0 THEN (th * dx) {div} 1000"
+    " ELSE -((-(th * dx)) {div} 1000) END) AS BIGINT)"
+)
+
+
 def events_cuped_abtest(spark, sf_dir):
     """(arm, n_users, mean_cents_milli, cuped_mean_cents_milli,
     var_plain_milli2, var_cuped_milli2, var_reduction_milli): per-arm
@@ -2662,29 +2689,34 @@ def events_cuped_abtest(spark, sf_dir):
             F.count("*").cast("long").alias("n"),
             F.sum("x").cast("long").alias("sx"),
             F.sum("y").cast("long").alias("sy"),
-            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
-            F.sum(F.col("x") * F.col("x")).cast("long").alias("sx2"),
         )
     )
-    # theta_micro = 1e6 * (n*sxy - sx*sy) / (n*sx2 - sx^2), sign-split
-    theta = (
-        "CAST(CASE WHEN (n * sxy - sx * sy) >= 0"
-        " THEN ((n * sxy - sx * sy) * 1000000) {div}"
-        " greatest(n * sx2 - sx * sx, CAST(1 AS BIGINT))"
-        " ELSE -((-(n * sxy - sx * sy) * 1000000) {div}"
-        " greatest(n * sx2 - sx * sx, CAST(1 AS BIGINT))) END AS BIGINT)"
+    # Centered moments with FLOORED (sign-split) means — the sf0.1 sweep
+    # caught the uncentered cross-multiplied form overflowing: the old
+    # (n·sxy − sx·sy)·1e6 slope numerator carries an extra factor of n and
+    # crossed int64 at ~1.5k users (−5.3e19 measured). Centering on
+    # sx DIV n / sy DIV n keeps |dx| at per-user scale, so cnum = Σdx·dy
+    # and cden = Σdx² grow like n·(user scale)², good to ~4e6 users; the
+    # ×1e6 slope scale is applied by EXACT two-step long division (the
+    # rbo_micro idiom), never as one product.
+    cent = (
+        u.crossJoin(mom)
+        .withColumn("dx", F.expr(_CU_D.format(v="x", s="sx", div="DIV")))
+        .withColumn("dy", F.expr(_CU_D.format(v="y", s="sy", div="DIV")))
     )
-    # adjusted metric in MILLI-cents: y*1000 - theta_micro*(x - sx/n)/1000
-    adj = (
-        "CAST(y * 1000 - (CASE WHEN (x * n - sx) >= 0"
-        " THEN (th * ((x * n - sx) {div} n)) {div} 1000"
-        " ELSE -((th * ((sx - x * n) {div} n)) {div} 1000) END) AS BIGINT)"
+    mom2 = F.broadcast(
+        cent.agg(
+            F.sum(F.col("dx") * F.col("dy")).cast("long").alias("cnum"),
+            F.greatest(
+                F.sum(F.col("dx") * F.col("dx")).cast("long"), F.lit(1)
+            ).cast("long").alias("cden"),
+        )
     )
     withadj = (
-        u.crossJoin(mom)
-        .withColumn("th", F.expr(theta.format(div="DIV")))
+        cent.crossJoin(mom2)
+        .withColumn("th", F.expr(_CU_THETA.format(div="DIV")))
         .withColumn("ym", F.expr("CAST(y * 1000 AS BIGINT)"))
-        .withColumn("ya", F.expr(adj.format(div="DIV")))
+        .withColumn("ya", F.expr(_CU_ADJ.format(div="DIV")))
         .withColumn("yc", F.expr("CAST(y AS BIGINT)"))
         .withColumn(
             "yac",
@@ -2722,18 +2754,10 @@ def events_cuped_abtest(spark, sf_dir):
 
 
 def _sql_cuped() -> str:
-    theta = (
-        "CAST(CASE WHEN (n * sxy - sx * sy) >= 0"
-        " THEN ((n * sxy - sx * sy) * 1000000) //"
-        " greatest(n * sx2 - sx * sx, 1)"
-        " ELSE -((-(n * sxy - sx * sy) * 1000000) //"
-        " greatest(n * sx2 - sx * sx, 1)) END AS BIGINT)"
-    )
-    adj = (
-        "CAST(y * 1000 - (CASE WHEN (x * n - sx) >= 0"
-        " THEN (th * ((x * n - sx) // n)) // 1000"
-        " ELSE -((th * ((sx - x * n) // n)) // 1000) END) AS BIGINT)"
-    )
+    d_x = _CU_D.format(v="x", s="sx", div="//")
+    d_y = _CU_D.format(v="y", s="sy", div="//")
+    theta = _CU_THETA.format(div="//")
+    adj = _CU_ADJ.format(div="//")
     return f"""
 WITH ev AS (
   SELECT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
@@ -2760,9 +2784,17 @@ u AS MATERIALIZED (
 ),
 mom AS (
   SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
-         CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
-         CAST(sum(x * x) AS BIGINT) AS sx2
+         CAST(sum(y) AS BIGINT) AS sy
   FROM u
+),
+cent AS MATERIALIZED (
+  SELECT arm, x, y, {d_x} AS dx, {d_y} AS dy
+  FROM u CROSS JOIN mom
+),
+mom2 AS (
+  SELECT CAST(sum(dx * dy) AS BIGINT) AS cnum,
+         CAST(greatest(sum(dx * dx), 1) AS BIGINT) AS cden
+  FROM cent
 ),
 withadj AS (
   SELECT arm, ym, ya, CAST(ym // 1000 AS BIGINT) AS yc,
@@ -2770,8 +2802,8 @@ withadj AS (
               ELSE -((-ya) // 1000) END AS BIGINT) AS yac
   FROM (
   SELECT arm, ym, {adj} AS ya FROM (
-    SELECT arm, x, y, n, sx, CAST(y * 1000 AS BIGINT) AS ym, {theta} AS th
-    FROM u CROSS JOIN mom
+    SELECT arm, dx, y, CAST(y * 1000 AS BIGINT) AS ym, {theta} AS th
+    FROM cent CROSS JOIN mom2
   ))
 ),
 per AS (

@@ -3951,6 +3951,19 @@ QUERIES["segment_merge_huffman_eval"] = (
 # moment aggs, a broadcast model join back for the error scan.
 
 LI_BUCKETS = 8
+# Key downscale keeping every moment product inside int64 at ANY corpus
+# size (the sf0.1 sweep caught nk·sxx overflowing at ~5k keys): the
+# binding constraint is the slope numerator ×1e6, |nk·sxy − sx·sy|·1e6 ≤
+# n³·K'·1e6 ≤ 9.2e18, so the key space K' must shrink like 9e12/n³, i.e.
+# S ≥ K·n³/9e12 = n³/9e6 for the 1e6 key space. Computed floor-first
+# (n² DIV 9000, ×n, DIV 1000) so no intermediate exceeds ~1e14; the +1
+# absorbs the ≤(n/1000+1) floor loss. S = 1 below n ≈ 208 keys, so tiny
+# fixtures are bit-identical to the pre-rescale behavior. n ≤ 1e6 by
+# construction (the key space), which caps S itself.
+_LI_SCALE = (
+    "greatest(CAST(1 AS BIGINT),"
+    " (({n} * {n}) {div} 9000) * {n} {div} 1000 + 1)"
+)
 _LI_PRED_ERR = (
     "CAST(abs(CASE WHEN a_micro + b_micro * key >= 0"
     " THEN (a_micro + b_micro * key) {div} 1000000"
@@ -3985,7 +3998,8 @@ def learned_index_error_eval(spark, sf_dir):
     ).cache()
     n_all = F.broadcast(ranked.agg(F.count("*").cast("long").alias("n")))
     tagged = ranked.crossJoin(n_all).select(
-        "key",
+        F.expr("key DIV " + _LI_SCALE.format(div="DIV", n="n")).cast("long")
+        .alias("key"),
         "pos",
         F.expr(f"(pos * {LI_BUCKETS}) DIV n").cast("long").alias("bkt"),
     ).cache()
@@ -4062,7 +4076,8 @@ ranked AS MATERIALIZED (
 ),
 nn2 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ranked),
 tagged AS MATERIALIZED (
-  SELECT key, pos,
+  SELECT key // {_LI_SCALE.format(div='//', n='(SELECT n FROM nn2)')} AS key,
+         pos,
          (pos * {LI_BUCKETS}) // (SELECT n FROM nn2) AS bkt
   FROM ranked
 ),

@@ -74,6 +74,43 @@ def run_build(
             # unrelated tables keep the default split size
             prior_split = tune_file_splits(spark, corpus_df)
         documents = build_documents(corpus_df, num_partitions)
+        # Serial-floor overlap (round-5): the head-term sample tokenizes a
+        # ~20k-doc sample of the (persisted) sorted frame — run it on a
+        # worker thread DURING the documents write below. The hash-based
+        # sampling in sample_head_terms is layout-independent, so these
+        # rows are identical to what an in-build (parquet-backed) sample
+        # would draw and resume builds stay byte-identical.
+        lang_counts = getattr(documents, "lang_counts", None)
+        head_holder: dict = {}
+        head_thread = None
+        if lang_counts is not None:
+            import threading
+
+            from pyspark.sql import functions as F
+
+            from harvester_spark.index.build import (
+                HEAD_CHUNK_TARGET,
+                HEAD_DF_THRESHOLD,
+                sample_head_terms,
+            )
+
+            n_all = sum(n for _lang, _state, n, _sl in lang_counts)
+            sample_src = documents
+            if "state" in documents.columns:
+                sample_src = documents.filter(F.col("state") == "active")
+            sample_src = sample_src.select("doc_id", "text", "lang", "doc_len")
+
+            def _head_sample():
+                try:
+                    est = sample_head_terms(
+                        sample_src, n_all, HEAD_DF_THRESHOLD, HEAD_CHUNK_TARGET
+                    )
+                    head_holder["rows"] = None if est is None else est.collect()
+                except BaseException as exc:  # surfaced on join
+                    head_holder["err"] = exc
+
+            head_thread = threading.Thread(target=_head_sample, daemon=True)
+            head_thread.start()
         # small row groups (~4 MB ≈ 2k docs): the documents table is the
         # point-lookup store for every _source-style surface (fetch_fields,
         # MLT, highlight, content-dedup verification) — with the 128 MB
@@ -84,12 +121,32 @@ def run_build(
         documents.write.mode("overwrite").option(
             "parquet.block.size", 4 * 1024 * 1024
         ).parquet(docs_path)
+        if head_thread is not None:
+            head_thread.join()
+            if "err" in head_holder:
+                raise head_holder["err"]
         if hasattr(documents, "sorted_input"):
             documents.sorted_input.unpersist()
         if hasattr(documents, "normalized_input"):
             documents.normalized_input.unpersist()
         restore_file_splits(spark, prior_split)
         documents = spark.read.parquet(docs_path)
+
+        builder = IndexBuilder(spark, os.path.join(out_dir, "index"))
+        tables = builder.build(
+            documents,
+            resume=resume,
+            n_shards=n_shards,
+            num_partitions=num_partitions,
+            precomputed_lang_counts=lang_counts,
+            **(
+                {"precomputed_head_terms": head_holder["rows"]}
+                if "rows" in head_holder
+                else {}
+            ),
+        )
+        tables["documents"] = documents
+        return tables
 
     builder = IndexBuilder(spark, os.path.join(out_dir, "index"))
     tables = builder.build(

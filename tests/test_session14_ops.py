@@ -3511,7 +3511,10 @@ def test_learned_index_bucketing_shrinks_epsilon(spark):
         }
     )
     n = len(keys)
-    pts = [(k, i) for i, k in enumerate(keys)]
+    # overflow-guard key downscale, mirrored from _LI_SCALE (index_stats):
+    # S = 1 below ~208 keys, grows like n^3/9e6 above
+    s = max(1, ((n * n) // 9000) * n // 1000 + 1)
+    pts = [(k // s, i) for i, k in enumerate(keys)]
 
     def fit(sub):
         nk = len(sub)

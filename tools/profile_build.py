@@ -64,26 +64,27 @@ def main() -> None:
 
     pipe.build_documents = timed_build_documents
 
+    # time IndexBuilder.build as a whole (covers the precomputed-stats /
+    # precomputed-head-terms path run_build actually takes)
+    orig_build = build_mod.IndexBuilder.build
+
+    def timed_build(self, *args, **kwargs):
+        t0 = time.time()
+        out = orig_build(self, *args, **kwargs)
+        marks.append(("IndexBuilder.build total", time.time() - t0))
+        return out
+
+    build_mod.IndexBuilder.build = timed_build
+
     out_dir = os.path.join(work, f"idx_{cpus}")
     shutil.rmtree(out_dir, ignore_errors=True)
     t_all0 = time.time()
-    # replicate run_build but with timing around the docs write
-    docs_path = os.path.join(out_dir, "documents")
-    t0 = time.time()
-    documents = timed_build_documents(corpus_df, 4 * cpus)
-    documents.write.mode("overwrite").option(
-        "parquet.block.size", 4 * 1024 * 1024).parquet(docs_path)
-    if hasattr(documents, "sorted_input"):
-        documents.sorted_input.unpersist()
-    if hasattr(documents, "normalized_input"):
-        documents.normalized_input.unpersist()
-    marks.append(("documents write (extract+norm+docid+write)", time.time() - t0))
-    t0 = time.time()
-    documents = spark.read.parquet(docs_path)
-    builder = build_mod.IndexBuilder(spark, os.path.join(out_dir, "index"))
-    tables = builder.build(documents, resume=False, num_partitions=4 * cpus)
-    marks.append(("IndexBuilder.build total", time.time() - t0))
+    run_build(spark, out_dir, corpus_df=corpus_df, resume=False,
+              num_partitions=4 * cpus)
     total = time.time() - t_all0
+    marks.append(("documents phase (total - builder)",
+                  total - next(dt for n, dt in marks
+                               if n == "IndexBuilder.build total")))
     print(f"\n=== cpus={cpus} n_docs={n_docs} total={total:.2f}s "
           f"({n_docs/total:.0f} docs/s) loadavg={os.getloadavg()}")
     for name, dt in marks:
