@@ -1,0 +1,141 @@
+"""Kill-resume identity at scale (round-5): SIGKILL a fresh 8M-doc build
+mid-flight (twice), resume it, and prove the final index is BYTE-identical
+to an uninterrupted build of the same corpus.
+
+The resume path (pending-work filter + dedup-against-processed,
+index/build.py) is pytest-proven at toy scale; this validates it where it
+matters — a multi-hundred-second build whose kill points land inside the
+heavy extract/tokenize/encode stages, with the round-4/5 concurrency
+(overlapped sample/stats jobs) active. Byte-identity holds because every
+derived artifact is deterministic given the corpus (Philox docs, global
+(set_name, srn) docIDs, layout-independent head-term sampling) — the
+content dirs must hash equal file-by-file.
+
+Usage:
+  python scripts/resume_kill_8m.py [n_docs] [work_dir]        # driver
+  python scripts/resume_kill_8m.py --worker <out_dir> <n_docs>  # internal
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+COMPARE_DIRS = [
+    "documents",
+    "index/postings",
+    "index/dictionary",
+    "index/doc_stats",
+    "index/corpus_stats",
+]
+KILL_FRACTIONS = [0.35, 0.7]  # of the uninterrupted build's wall time
+
+
+def _worker(out: str, n_docs: int) -> None:
+    os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
+    from harvester_spark.pipeline import run_build
+    from harvester_spark.session import get_spark
+
+    spark = get_spark(
+        "resume-kill", master="local[32]", shuffle_partitions=128
+    )
+    run_build(spark, out, n_docs=n_docs, resume=True, num_partitions=128)
+    spark.stop()
+
+
+def _run_worker(out: str, n_docs: int, kill_after: float | None = None) -> float:
+    """Run a build subprocess (own session group so the SIGKILL takes the
+    JVM down with it — a real node crash, not a polite shutdown). Returns
+    wall seconds; on kill, returns after the group is dead."""
+    t0 = time.time()
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--worker", out, str(n_docs)],
+        start_new_session=True,
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+    )
+    if kill_after is None:
+        rc = proc.wait()
+        if rc != 0:
+            raise RuntimeError(f"worker failed rc={rc}")
+    else:
+        time.sleep(kill_after)
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except ProcessLookupError:
+            pass  # finished early — resume run will be a no-op re-verify
+        proc.wait()
+    return time.time() - t0
+
+
+def _tree_md5(root: str) -> dict[str, str]:
+    out: dict[str, str] = {}
+    for sub in COMPARE_DIRS:
+        base = os.path.join(root, sub)
+        for dirpath, _dirs, files in os.walk(base):
+            for f in sorted(files):
+                if f.endswith(".crc") or f == "doc_lens.f8.npy":
+                    continue  # transport checksums / lazily-built sidecar
+                p = os.path.join(dirpath, f)
+                h = hashlib.md5()
+                with open(p, "rb") as fh:
+                    for chunk in iter(lambda: fh.read(1 << 20), b""):
+                        h.update(chunk)
+                out[os.path.relpath(p, root)] = h.hexdigest()
+    return out
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
+        _worker(sys.argv[2], int(sys.argv[3]))
+        return
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 8_000_000
+    work = sys.argv[2] if len(sys.argv) > 2 else "/dev/shm/hs_resume"
+    a_dir = os.path.join(work, "uninterrupted")
+    b_dir = os.path.join(work, "killed")
+    import shutil
+
+    shutil.rmtree(a_dir, ignore_errors=True)
+    shutil.rmtree(b_dir, ignore_errors=True)
+
+    t_full = _run_worker(a_dir, n_docs)
+    kills = []
+    for frac in KILL_FRACTIONS:
+        kills.append(round(_run_worker(b_dir, n_docs, kill_after=frac * t_full), 1))
+    t_resume = _run_worker(b_dir, n_docs)
+
+    ha, hb = _tree_md5(a_dir), _tree_md5(b_dir)
+    only_a = sorted(set(ha) - set(hb))[:5]
+    only_b = sorted(set(hb) - set(ha))[:5]
+    diff = sorted(k for k in set(ha) & set(hb) if ha[k] != hb[k])[:5]
+    identical = not (only_a or only_b or diff)
+    print(
+        json.dumps(
+            {
+                "metric": "resume_kill_identity",
+                "n_docs": n_docs,
+                "uninterrupted_sec": round(t_full, 1),
+                "killed_runs_sec": kills,
+                "resume_sec": round(t_resume, 1),
+                "files_compared": len(ha),
+                "byte_identical": identical,
+                "only_in_uninterrupted": only_a,
+                "only_in_resumed": only_b,
+                "hash_mismatches": diff,
+            }
+        )
+    )
+    if not identical:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
