@@ -49,6 +49,15 @@ def search_batch(
     lang: str = ALL_LANG,
 ) -> DataFrame:
     """All queries in one Spark job → DataFrame(query_id, rank, doc_id, score)."""
+    from harvester_spark.search.engine import read_delta_state
+
+    _state = read_delta_state(index_dir)
+    if _state and _state.get("deltas"):
+        raise ValueError(
+            f"index at {index_dir} has un-compacted deltas; search_batch "
+            "reads base postings/stats only — use the distributed paths on "
+            "a DeltaSearcher or compact first"
+        )
     qrows = [
         (q.query_id, t)
         for q in queries.itertuples(index=False)

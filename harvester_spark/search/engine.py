@@ -59,6 +59,29 @@ def stats_paths(index_dir: str) -> tuple[str, str]:
     return os.path.join(index_dir, "doc_stats"), os.path.join(index_dir, "corpus_stats")
 
 
+def fold_totals(state: dict | None) -> dict[str, tuple[int, int]] | None:
+    """Current per-lang (n_docs, doc_len_sum) from a patch-mode manifest.
+
+    Patch-mode deltas (streaming/incremental.py) never rewrite the
+    O(corpus) doc_stats table; instead the manifest carries exact int64
+    ``base_totals`` plus one ``totals_delta`` per delta entry. Folding is
+    driver arithmetic over <= compact_max_deltas entries — exact, so
+    avgdl (sum/count as double) is bit-identical to a rebuild's F.avg
+    over int64 doc lengths. Returns None when the manifest predates patch
+    mode (full doc_stats rewrites)."""
+    if not state or state.get("base_totals") is None:
+        return None
+    totals = {
+        lang: [int(n), int(s)] for lang, (n, s) in state["base_totals"].items()
+    }
+    for d in state.get("deltas", []):
+        for lang, (dn, ds) in (d.get("totals_delta") or {}).items():
+            t = totals.setdefault(lang, [0, 0])
+            t[0] += int(dn)
+            t[1] += int(ds)
+    return {lang: (n, s) for lang, (n, s) in totals.items() if n > 0}
+
+
 @dataclass
 class SearchResult:
     query_text: str
@@ -96,10 +119,29 @@ class IndexSearcher:
         self.dictionary = spark.read.parquet(f"{index_dir}/dictionary")
         self.has_positions = "positions" in self.postings.columns
         self._doc_stats_path, corpus_stats_path = stats_paths(index_dir)
-        self._corpus_stats = {
-            r["lang"]: (int(r["n_docs"]), float(r["avgdl"]))
-            for r in spark.read.parquet(corpus_stats_path).collect()
-        }
+        _state = read_delta_state(index_dir)
+        self._stats_patches = [
+            (os.path.join(index_dir, d["stats_patch"]), int(d["seq"]))
+            for d in (_state.get("deltas", []) if _state else [])
+            if d.get("stats_patch")
+        ]
+        self._stats_max_doc_id = (
+            int(_state["max_doc_id"])
+            if _state and _state.get("max_doc_id") is not None
+            else None
+        )
+        folded = fold_totals(_state)
+        if folded is not None:
+            # patch-mode manifest: corpus stats are exact int totals folded
+            # in the driver — no corpus_stats parquet exists past the base
+            self._corpus_stats = {
+                lang: (n, (s / n) if n else 0.0) for lang, (n, s) in folded.items()
+            }
+        else:
+            self._corpus_stats = {
+                r["lang"]: (int(r["n_docs"]), float(r["avgdl"]))
+                for r in spark.read.parquet(corpus_stats_path).collect()
+            }
         self._doc_len: np.ndarray | None = None
         self._pa_postings = self._pa_dictionary = None
         if fast_local:
@@ -141,6 +183,40 @@ class IndexSearcher:
             sidecar = os.path.join(
                 os.path.dirname(self._doc_stats_path), "doc_lens.f8.npy"
             )
+            if self._stats_patches:
+                # patch-mode deltas: fold the (batch-sized) stat patches
+                # over the base array in seq order — removals zero the slot,
+                # upserts set the new length. The folded array is private to
+                # this searcher (stats versions stay immutable on disk).
+                base = None
+                try:
+                    base = np.load(sidecar, mmap_mode="r")
+                except (FileNotFoundError, ValueError, OSError):
+                    pdf = (
+                        self.spark.read.parquet(self._doc_stats_path)
+                        .select("doc_id", "doc_len")
+                        .toPandas()
+                    )
+                    base = np.zeros(int(pdf["doc_id"].max()) + 1, dtype=np.float64)
+                    base[pdf["doc_id"].to_numpy()] = pdf["doc_len"].to_numpy()
+                hi = self._stats_max_doc_id
+                n = max(len(base), (hi + 1) if hi is not None else 0)
+                arr = np.zeros(n, dtype=np.float64)
+                arr[: len(base)] = base
+                import pyarrow.dataset as _ds
+
+                for path, _seq in sorted(self._stats_patches, key=lambda t: t[1]):
+                    p = _ds.dataset(path, format="parquet").to_table(
+                        columns=["doc_id", "doc_len", "removed"]
+                    ).to_pandas()
+                    rm = p[p["removed"]]
+                    up = p[~p["removed"]]
+                    if len(rm):
+                        arr[rm["doc_id"].to_numpy()] = 0.0
+                    if len(up):
+                        arr[up["doc_id"].to_numpy()] = up["doc_len"].to_numpy()
+                self._doc_len = arr
+                return self._doc_len
             try:
                 self._doc_len = np.load(sidecar, mmap_mode="r")
                 return self._doc_len

@@ -85,7 +85,7 @@ def append_digests(spark: SparkSession, fresh_docs: DataFrame, index_dir: str) -
 def filter_seen_content(
     spark: SparkSession,
     delta: DataFrame,
-    documents_dir: str,
+    documents_dir: str | list[str],
     index_dir: str,
 ) -> DataFrame:
     """Normalized batch (one row per srn) → batch minus content duplicates.
@@ -122,7 +122,7 @@ def _in_batch_losers(pushes: list[tuple[str, str]]) -> set[str]:
 def _seen_in_base(
     spark: SparkSession,
     pushes: set[tuple[str, str]],
-    documents_dir: str,
+    documents_dir: str | list[str],
     index_dir: str,
 ) -> set[str]:
     if not pushes:
@@ -159,32 +159,47 @@ def _seen_in_base(
     return dropped
 
 
-def _fetch_live(spark: SparkSession, documents_dir: str, doc_ids: list[int]):
+def _fetch_live(
+    spark: SparkSession, documents_dir: str | list[str], doc_ids: list[int]
+):
     """doc_id → (srn, state, text_digest) point lookups over the CURRENT
-    documents parquet (row-group statistics prune; docs are docID-ordered)."""
+    documents (row-group statistics prune; docs are docID-ordered).
+
+    ``documents_dir`` may be an overlay CHAIN (newest first, from
+    ``IndexCatalog.document_dirs``): each dir is probed in precedence
+    order and the first hit per doc_id wins — still bounded point lookups,
+    never a corpus scan."""
     import hashlib
 
-    try:
-        import pyarrow.dataset as ds
+    dirs = [documents_dir] if isinstance(documents_dir, str) else list(documents_dir)
+    out: dict[int, tuple] = {}
+    remaining = list(doc_ids)
+    for d in dirs:
+        if not remaining:
+            break
+        try:
+            import pyarrow.dataset as ds
 
-        t = ds.dataset(documents_dir, format="parquet").to_table(
-            columns=["doc_id", "srn", "state", "text"],
-            filter=ds.field("doc_id").isin(doc_ids),
-        )
-        rows = t.to_pylist()
-    except Exception:
-        rows = [
-            r.asDict()
-            for r in spark.read.parquet(documents_dir)
-            .filter(F.col("doc_id").isin(doc_ids))
-            .select("doc_id", "srn", "state", "text")
-            .collect()
-        ]
-    return {
-        int(r["doc_id"]): (
-            r["srn"],
-            r["state"],
-            hashlib.sha1((r["text"] or "").encode("utf-8")).hexdigest(),
-        )
-        for r in rows
-    }
+            t = ds.dataset(d, format="parquet").to_table(
+                columns=["doc_id", "srn", "state", "text"],
+                filter=ds.field("doc_id").isin(remaining),
+            )
+            rows = t.to_pylist()
+        except Exception:
+            rows = [
+                r.asDict()
+                for r in spark.read.parquet(d)
+                .filter(F.col("doc_id").isin(remaining))
+                .select("doc_id", "srn", "state", "text")
+                .collect()
+            ]
+        for r in rows:
+            did = int(r["doc_id"])
+            if did not in out:
+                out[did] = (
+                    r["srn"],
+                    r["state"],
+                    hashlib.sha1((r["text"] or "").encode("utf-8")).hexdigest(),
+                )
+        remaining = [i for i in remaining if i not in out]
+    return out

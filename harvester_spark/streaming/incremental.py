@@ -213,8 +213,15 @@ def normalize_delta(delta_corpus: DataFrame) -> DataFrame:
     )
 
 
-def merge_documents(base: DataFrame, delta: DataFrame) -> DataFrame:
+def merge_documents(
+    base: DataFrame, delta: DataFrame, max_doc_id: int | None = None
+) -> DataFrame:
     """Hash-guarded MERGE on srn → the new documents table.
+
+    ``max_doc_id`` is the GLOBAL docID high-water mark; pass it whenever
+    ``base`` is a pruned subset (the overlay path hands only the touched
+    srns) — inserts continue after it. Defaults to max(base.doc_id) for
+    full-table callers.
 
     - matching srn, same content_hash → keep base row untouched,
     - matching srn, new hash → take delta payload, keep base doc_id,
@@ -280,8 +287,9 @@ def merge_documents(base: DataFrame, delta: DataFrame) -> DataFrame:
         (is_update | is_delete).alias("_is_changed"),
     )
 
-    max_id = base.agg(F.max("doc_id")).collect()[0][0]
-    max_id = -1 if max_id is None else int(max_id)
+    if max_doc_id is None:
+        max_doc_id = base.agg(F.max("doc_id")).collect()[0][0]
+    max_id = -1 if max_doc_id is None else int(max_doc_id)
     inserts = merged.filter(F.col("_is_insert"))
     # dense ids for inserts: rank in (set_name, srn) order after max_id —
     # insert sets are small, a window rank is the monotonic+offset scheme
@@ -322,6 +330,8 @@ def apply_index_delta(
     tombstones: DataFrame,
     delta_name: str = "delta-1",
     decompound_words=None,
+    stats_patch: DataFrame | None = None,
+    max_doc_id: int | None = None,
 ) -> None:
     """Append delta blocks + tombstones; publish atomically via manifest.
 
@@ -350,11 +360,49 @@ def apply_index_delta(
     try:
         _apply_index_delta(
             spark, index_dir, merged_documents, fresh_docs, tombstones,
-            delta_name, decompound_words,
+            delta_name, decompound_words, stats_patch, max_doc_id,
         )
     finally:
         # one cached frame per micro-batch must not outlive the batch
         fresh_docs.unpersist()
+
+
+def _stats_patch_totals(patch_rows: list) -> dict[str, list[int]]:
+    """Exact per-lang [Δn_docs, Δdoc_len_sum] of a stats patch (int64
+    arithmetic only — removals carry the OLD row's lang/len, so the fold
+    against base_totals reproduces a full recompute bit-for-bit)."""
+    totals: dict[str, list[int]] = {}
+
+    def bump(lang: str, dn: int, ds: int) -> None:
+        t = totals.setdefault(lang, [0, 0])
+        t[0] += dn
+        t[1] += ds
+
+    for r in patch_rows:
+        sign = -1 if r["removed"] else 1
+        bump(r["lang"], sign, sign * int(r["doc_len"]))
+        bump(ALL_LANG, sign, sign * int(r["doc_len"]))
+    return totals
+
+
+def _bootstrap_base_totals(spark: SparkSession, doc_stats_path: str) -> dict:
+    """One-time exact int totals of the full doc_stats table (first patch
+    applied to an index whose manifest predates patch mode)."""
+    per_lang = (
+        spark.read.parquet(doc_stats_path)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("doc_len").cast("long").alias("s"),
+        )
+        .collect()
+    )
+    totals = {r["lang"]: [int(r["n"]), int(r["s"])] for r in per_lang}
+    totals[ALL_LANG] = [
+        sum(v[0] for k, v in totals.items() if k != ALL_LANG),
+        sum(v[1] for k, v in totals.items() if k != ALL_LANG),
+    ]
+    return totals
 
 
 def _apply_index_delta(
@@ -365,6 +413,8 @@ def _apply_index_delta(
     tombstones: DataFrame,
     delta_name: str,
     decompound_words,
+    stats_patch: DataFrame | None = None,
+    max_doc_id: int | None = None,
 ) -> None:
     import json
 
@@ -399,24 +449,77 @@ def _apply_index_delta(
         m = _re.search(r"__r(\d+)$", prev_dir)
         attempt = int(m.group(1)) + 1 if m else 1
         delta_dir = f"{delta_name}__r{attempt}"
-        stats_dir = f"stats/v{seq:06d}__r{attempt}"
+        stats_suffix = f"__r{attempt}"
     else:
         seq = int(state["seq"]) + 1
         delta_dir = delta_name
-        stats_dir = f"stats/v{seq:06d}"
+        stats_suffix = ""
 
-    active = merged_documents.filter(F.col("state") == "active")
-    active.select("doc_id", "lang", "doc_len").write.mode("overwrite").parquet(
-        f"{index_dir}/{stats_dir}/doc_stats"
-    )
-    doc_stats = spark.read.parquet(f"{index_dir}/{stats_dir}/doc_stats")
-    compute_corpus_stats(doc_stats).write.mode("overwrite").parquet(
-        f"{index_dir}/{stats_dir}/corpus_stats"
-    )
-    avgdl = {
-        r["lang"]: float(r["avgdl"])
-        for r in spark.read.parquet(f"{index_dir}/{stats_dir}/corpus_stats").collect()
-    }
+    entry_patch = entry_totals = None
+    if stats_patch is not None:
+        # PATCH MODE (the streaming default): never rewrite the O(corpus)
+        # doc_stats table per batch. The patch holds the batch's upserted
+        # (doc_id, lang, doc_len) rows plus removal markers carrying the
+        # OLD lang/len; exact int totals_delta folds against base_totals in
+        # the manifest so corpus stats (and avgdl for this delta's impact
+        # bounds) are driver arithmetic — bit-identical to a full recompute
+        # while staying O(batch) on disk and in compute.
+        stats_dir = state.get("stats_dir")  # unchanged full base
+        patch_dir = f"stats/p{seq:06d}{stats_suffix}"
+        stats_patch.select(
+            F.col("doc_id").cast("long"),
+            "lang",
+            F.col("doc_len").cast("long"),
+            "removed",
+        ).write.mode("overwrite").parquet(f"{index_dir}/{patch_dir}")
+        patch_rows = spark.read.parquet(f"{index_dir}/{patch_dir}").collect()
+        entry_totals = _stats_patch_totals(patch_rows)
+        entry_patch = patch_dir
+        if state.get("base_totals") is None:
+            from harvester_spark.search.engine import stats_paths
+
+            state["base_totals"] = _bootstrap_base_totals(
+                spark, stats_paths(index_dir)[0]
+            )
+        # fold to the post-delta totals for this delta's encode avgdl
+        folded: dict[str, list[int]] = {
+            k: list(v) for k, v in state["base_totals"].items()
+        }
+        for d in state["deltas"]:
+            if d["name"] == delta_name:
+                continue  # retry: superseded attempt's totals excluded
+            for lang, (dn, ds) in (d.get("totals_delta") or {}).items():
+                t = folded.setdefault(lang, [0, 0])
+                t[0] += int(dn)
+                t[1] += int(ds)
+        for lang, (dn, ds) in entry_totals.items():
+            t = folded.setdefault(lang, [0, 0])
+            t[0] += int(dn)
+            t[1] += int(ds)
+        avgdl = {lang: (s / n) if n else 0.0 for lang, (n, s) in folded.items()}
+    else:
+        # FULL MODE (legacy / compaction-adjacent callers): recompute the
+        # complete stats tables from the merged documents. Subsumes any
+        # prior patches — strip them so fold_totals can't double count.
+        stats_dir = f"stats/v{seq:06d}{stats_suffix}"
+        active = merged_documents.filter(F.col("state") == "active")
+        active.select("doc_id", "lang", "doc_len").write.mode("overwrite").parquet(
+            f"{index_dir}/{stats_dir}/doc_stats"
+        )
+        doc_stats = spark.read.parquet(f"{index_dir}/{stats_dir}/doc_stats")
+        compute_corpus_stats(doc_stats).write.mode("overwrite").parquet(
+            f"{index_dir}/{stats_dir}/corpus_stats"
+        )
+        avgdl = {
+            r["lang"]: float(r["avgdl"])
+            for r in spark.read.parquet(
+                f"{index_dir}/{stats_dir}/corpus_stats"
+            ).collect()
+        }
+        state["base_totals"] = None
+        for d in state["deltas"]:
+            d.pop("totals_delta", None)
+            d.pop("stats_patch", None)
     from harvester_spark.index.build import read_analyzer_markers
 
     cg_terms, analyzer = read_analyzer_markers(index_dir)
@@ -442,11 +545,18 @@ def _apply_index_delta(
         "name": delta_name, "seq": seq, "has_postings": has_postings,
         "dir": delta_dir,
     }
+    if entry_patch is not None:
+        entry["stats_patch"] = entry_patch
+        entry["totals_delta"] = entry_totals
     new_state = {
         "seq": max(int(state["seq"]), seq),
         "deltas": [d for d in state["deltas"] if d["name"] != delta_name] + [entry],
         "stats_dir": stats_dir,
+        "base_totals": state.get("base_totals"),
     }
+    _maxes = [m for m in (max_doc_id, state.get("max_doc_id")) if m is not None]
+    if _maxes:
+        new_state["max_doc_id"] = max(int(m) for m in _maxes)
     # unique staging name: a shared .tmp would let two concurrent publishers
     # interleave write/replace into a torn manifest (the catalog.promote
     # defect found by tests/test_catalog_concurrency.py) — foreachBatch

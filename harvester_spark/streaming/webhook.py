@@ -52,23 +52,45 @@ def _dir_bytes(path: str) -> int:
     return total
 
 
+def _live_delta_bytes(index_dir: str, state: dict) -> int:
+    """Bytes of the manifest-LISTED delta postings only — staged-but-
+    superseded dirs (crashed attempts, tier-merged members awaiting the
+    next base fold) are garbage and must not trip the ratio trigger."""
+    total = 0
+    for d in state.get("deltas", []):
+        if d.get("has_postings", True):
+            total += _dir_bytes(
+                os.path.join(
+                    index_dir, "postings_delta", f"delta={d.get('dir', d['name'])}"
+                )
+            )
+    return total
+
+
 def should_compact(
     index_dir: str,
     max_deltas: int = COMPACT_MAX_DELTAS,
     ratio: float = COMPACT_DELTA_RATIO,
-) -> bool:
-    """Compaction trigger over the live delta manifest + postings sizes.
-    (On a cluster both inputs come from catalog statistics, not a walk.)"""
+) -> str | None:
+    """Compaction decision over the live delta manifest + postings sizes:
+    ``'full'`` (delta mass is comparable to the base — fold everything into
+    a clean base, the LSM/lakehouse major compaction), ``'merge'`` (too
+    many small deltas — tier-merge them into one, bounding read
+    amplification without touching the base), or None. (On a cluster both
+    inputs come from catalog statistics, not a walk.)"""
     from harvester_spark.search.engine import read_delta_state
 
     state = read_delta_state(index_dir)
     if not state or not state.get("deltas"):
-        return False
-    if len(state["deltas"]) >= max_deltas:
-        return True
+        return None
     base = _dir_bytes(os.path.join(index_dir, "postings"))
-    delta = _dir_bytes(os.path.join(index_dir, "postings_delta"))
-    return base > 0 and delta / base >= ratio
+    delta = _live_delta_bytes(index_dir, state)
+    if base > 0 and delta / base >= ratio:
+        return "full"
+    if len(state["deltas"]) >= max_deltas:
+        # merging a single delta is a no-op — a 1-delta policy means fold
+        return "merge" if len(state["deltas"]) >= 2 else "full"
+    return None
 
 
 def recover_interrupted_compaction(index_dir: str) -> None:
@@ -119,7 +141,8 @@ def process_webhook_batch(
     cached_frames = []
     try:
         delta = normalize_delta(delta_corpus)
-        base = spark.read.parquet(docs_catalog.current_dir())
+        cur_name = docs_catalog.current()
+        base = docs_catalog.read_documents(spark)
         if dedup_content:
             from harvester_spark.streaming.content_dedup import (
                 ensure_digest_table,
@@ -130,34 +153,76 @@ def process_webhook_batch(
             delta = delta.cache()
             cached_frames.append(delta)
             delta = filter_seen_content(
-                spark, delta, docs_catalog.current_dir(), index_dir
+                spark, delta, docs_catalog.document_dirs(), index_dir
             )
             if delta.isEmpty():  # all pushes were duplicates: no-op batch
                 return
-        merged = merge_documents(base, delta)
-        fresh, tombstones = changed_and_deleted(base, merged)
-        if dedup_content:
-            # the digest append after promote must not recompute the merge
-            # (another base scan); fresh is batch-sized — cache it across
-            # the index apply
-            fresh = fresh.cache()
-            cached_frames.append(fresh)
+        # ---- O(batch) merge: the batch touches only its own srns, so the
+        # base side is a PRUNED scan (srn IN (...) reaches the parquet
+        # row-group statistics — documents are (set_name, srn)-ordered by
+        # the docID scheme), and the new documents version is an OVERLAY
+        # holding just the post-merge rows for those srns. A 500-doc push
+        # against a 100 TB corpus must never rewrite (or shuffle) the
+        # corpus; read amplification is bounded by the compaction policy
+        # below, exactly like the index's own delta chain.
+        delta = delta.cache()
+        cached_frames.append(delta)
+        srns = [r["srn"] for r in delta.select("srn").distinct().collect()]
+        base_touched = base.filter(F.col("srn").isin(srns))
+        max_id = docs_catalog.max_doc_id(spark, cur_name)
+        merged_touched = merge_documents(
+            base_touched, delta, max_doc_id=max_id
+        ).cache()
+        cached_frames.append(merged_touched)
+        fresh, tombstones = changed_and_deleted(base_touched, merged_touched)
+        fresh = fresh.cache()
+        cached_frames.append(fresh)
+        tombstones = tombstones.cache()
+        cached_frames.append(tombstones)
         new_version = f"v{batch_id + 1:06d}"
+        # retry after a crash BETWEEN promote and the digest append: the
+        # overlay must base on its original parent, never on itself (read
+        # the surviving meta BEFORE the overwrite below deletes it)
+        base_name = (
+            cur_name
+            if cur_name != new_version
+            else (docs_catalog.version_meta(new_version) or {}).get("base")
+        )
         # small row groups: the versioned documents table serves point
         # lookups (fetch_fields / highlight / content-dedup verification) —
         # see pipeline.run_build for the measured rationale
-        merged.write.mode("overwrite").option(
+        merged_touched.write.mode("overwrite").option(
             "parquet.block.size", 4 * 1024 * 1024
         ).parquet(docs_catalog.version_dir(new_version))
-        merged_read = spark.read.parquet(docs_catalog.version_dir(new_version))
+        row = merged_touched.agg(F.max("doc_id")).collect()[0][0]
+        new_max = max(max_id, -1 if row is None else int(row))
+        docs_catalog.write_version_meta(
+            new_version, {"base": base_name, "max_doc_id": new_max}
+        )
+        # stats patch: upserts for re-indexed actives, removal markers
+        # (carrying the OLD lang/len for the exact totals fold) for every
+        # previously-active row this batch supersedes
+        removed = (
+            base_touched.join(tombstones, "doc_id", "semi")
+            .select("doc_id", "lang", "doc_len")
+            .withColumn("removed", F.lit(True))
+        )
+        stats_patch = (
+            fresh.filter(F.col("state") == "active")
+            .select("doc_id", "lang", "doc_len")
+            .withColumn("removed", F.lit(False))
+            .unionByName(removed)
+        )
         apply_index_delta(
             spark,
             index_dir,
-            merged_read,
+            None,
             fresh,
             tombstones,
             delta_name=f"delta-{batch_id}",
             decompound_words=decompound_words,
+            stats_patch=stats_patch,
+            max_doc_id=new_max,
         )
         docs_catalog.promote(new_version)  # atomic publish, last step
         if dedup_content:
@@ -166,23 +231,49 @@ def process_webhook_batch(
             # after promote: a crash here loses digest rows (future
             # duplicates possible, false drops never); compaction heals
             append_digests(spark, fresh, index_dir)
-        if should_compact(index_dir, compact_max_deltas, compact_ratio):
+        decision = should_compact(index_dir, compact_max_deltas, compact_ratio)
+        if decision == "full":
             from harvester_spark.streaming.compaction import compact_in_place
 
             # fold deltas + tombstones into a clean base (same analyzer
-            # chain, proven == rebuild by the compaction battery), then GC
-            # superseded document versions — the catalog-expire analogue of
-            # delta GC (the swapped-out .old dir holds the old deltas and is
-            # removed by the swap itself)
+            # chain, proven == rebuild by the compaction battery) AND
+            # materialize the documents overlay chain into a clean version,
+            # then GC superseded document versions — the catalog-expire
+            # analogue of delta GC (the swapped-out .old dir holds the old
+            # deltas and is removed by the swap itself)
+            merged_read = docs_catalog.read_documents(spark, new_version)
             compact_in_place(
                 spark, index_dir, merged_read, decompound_words=decompound_words
             )
+            mat_version = new_version + "m"
+            merged_read.write.mode("overwrite").option(
+                "parquet.block.size", 4 * 1024 * 1024
+            ).parquet(docs_catalog.version_dir(mat_version))
+            docs_catalog.write_version_meta(
+                mat_version, {"max_doc_id": new_max}
+            )
+            docs_catalog.promote(mat_version)
             docs_catalog.expire(keep=keep_versions)
             if dedup_content:
                 from harvester_spark.streaming.content_dedup import build_digest_table
 
                 # GC stale sidecar rows + re-bound the file count
-                build_digest_table(spark, merged_read, index_dir)
+                build_digest_table(
+                    spark,
+                    spark.read.parquet(docs_catalog.version_dir(mat_version)),
+                    index_dir,
+                )
+        elif decision == "merge":
+            from harvester_spark.streaming.compaction import merge_deltas
+
+            # tier-merge: fold the delta chain into ONE delta (and the
+            # overlay chain into one overlay) — O(docs pushed since the
+            # last base fold), never O(corpus). Read amplification stays
+            # bounded without paying a base rewrite every few batches.
+            merge_deltas(
+                spark, index_dir, docs_catalog, decompound_words=decompound_words
+            )
+            docs_catalog.expire(keep=keep_versions)
     finally:
         delta_corpus.unpersist()
         for f in cached_frames:

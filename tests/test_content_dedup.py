@@ -48,7 +48,7 @@ def _push(spark, catalog, index_dir, bid, rows, dedup=True):
 
 
 def _docs(spark, catalog):
-    return spark.read.parquet(catalog.current_dir())
+    return catalog.read_documents(spark)
 
 
 def _has_url(spark, catalog, url) -> bool:

@@ -181,7 +181,7 @@ def test_webhook_stream(spark, tmp_root):
     q.awaitTermination(120)
 
     assert catalog.current() != "v000000"
-    docs = spark.read.parquet(catalog.current_dir())
+    docs = catalog.read_documents(spark)
     pushed = docs.filter(F.col("url").endswith("99999999")).collect()
     assert len(pushed) == 1 and "zebra" in pushed[0]["text"]
 
@@ -965,7 +965,7 @@ def test_webhook_stream_multi_batch(spark, tmp_root):
     )
     q.awaitTermination(240)
 
-    docs = spark.read.parquet(catalog.current_dir())
+    docs = catalog.read_documents(spark)
     pushed = docs.filter(F.col("url").endswith("88888888")).collect()
     assert len(pushed) == 1 and "wombat" in pushed[0]["text"]
     assert docs.filter(F.col("doc_id") == 7).first()["state"] == "deleted"
@@ -1224,7 +1224,7 @@ def test_streaming_auto_compaction(spark, tmp_root):
     shutil.copytree(f"{out}/index", index_dir)
 
     def assert_serves_like_rebuild(stage: str):
-        docs = spark.read.parquet(catalog.current_dir())
+        docs = catalog.read_documents(spark)
         rb = os.path.join(root, f"rb_{stage}")
         IndexBuilder(spark, rb).build(docs, resume=False, num_partitions=2)
         rs = IndexSearcher(spark, rb)
@@ -1250,23 +1250,43 @@ def test_streaming_auto_compaction(spark, tmp_root):
         process_webhook_batch(
             spark, bdf, bid, catalog, index_dir,
             compact_max_deltas=2, keep_versions=2,
+            # tiny pushes over a tiny base: keep the size-ratio trigger out
+            # of the way so this loop pins the COUNT-triggered tier-merge
+            compact_ratio=1e9,
         )
         state = read_delta_state(index_dir)
         n_deltas = len(state["deltas"]) if state else 0
         if bid == 0:
             assert n_deltas == 1, "before trigger: one live delta"
             assert_serves_like_rebuild("before")
-        elif bid == 1:
-            assert n_deltas == 0, "trigger batch: chain folded into the base"
-            assert not os.path.exists(os.path.join(index_dir, "postings_delta"))
-            assert_serves_like_rebuild("during")
-        elif bid == 2:
-            assert n_deltas == 1, "after: fresh delta over the compacted base"
-            assert_serves_like_rebuild("after")
         else:
-            assert n_deltas == 0, "second trigger fires the same policy"
-            assert_serves_like_rebuild("after2")
-    assert len(catalog.versions()) <= 3  # keep=2 (+ current) — versions GC'd
+            # count trigger ≥2 → tier-merge folds the chain into ONE delta
+            # (the base index is never rewritten by a count trigger)
+            assert n_deltas == 1, (bid, n_deltas)
+            assert state["deltas"][0]["name"].startswith("merged-"), bid
+            assert_serves_like_rebuild(f"merged_{bid}")
+        # the documents side folded too: overlay chain stays ≤ 2 deep
+        assert len(catalog.chain()) <= 3, catalog.chain()
+
+    # ---- ratio trigger: one push comparable to the base corpus → FULL
+    # fold (clean base index, postings_delta gone, documents materialized)
+    big = spark.createDataFrame(
+        [(f"https://example.org/push/{80000000 + i}", t0 + timedelta(days=30),
+          f"<p>bulk pushed zebra{i} corpus expansion text body {i}</p>", "en",
+          False)
+         for i in range(60)],
+        "url string, warc_ts timestamp, html string, lang string, deleted boolean",
+    )
+    process_webhook_batch(
+        spark, big, 9, catalog, index_dir,
+        compact_max_deltas=99, compact_ratio=0.5, keep_versions=2,
+    )
+    state = read_delta_state(index_dir)
+    assert not (state and state.get("deltas")), "ratio trigger folds to base"
+    assert not os.path.exists(os.path.join(index_dir, "postings_delta"))
+    assert len(catalog.chain()) == 1, "documents materialized at full fold"
+    assert_serves_like_rebuild("full_fold")
+    assert len(catalog.versions()) <= 4  # keep=2 + live chain — GC'd
 
 
 def test_recover_interrupted_compaction(tmp_root):
@@ -1355,7 +1375,7 @@ def test_did_you_mean_collation_over_deltas(spark, tmp_root):
     )
     process_webhook_batch(spark, bdf, 0, catalog, index_dir)
 
-    docs = spark.read.parquet(catalog.current_dir())
+    docs = catalog.read_documents(spark)
     api = SearchAPI(spark, index_dir, docs)
     # 'quokka' (delta-only) is present; typo 'zyq' should collate to the
     # delta-only co-occurring 'zyx'

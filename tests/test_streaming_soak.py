@@ -87,9 +87,9 @@ def _batch_df(spark, batch_ix: int):
     )
 
 
-def _assert_identity(spark, index_dir, docs_dir, rebuild_dir, lowered=True):
+def _assert_identity(spark, index_dir, catalog, rebuild_dir, lowered=True):
     """DeltaSearcher over the live chain == fresh rebuild, bit-for-bit."""
-    docs = spark.read.parquet(docs_dir)
+    docs = catalog.read_documents(spark)
     shutil.rmtree(rebuild_dir, ignore_errors=True)
     rb = IndexBuilder(spark, rebuild_dir)
     rb.build(docs, resume=False, num_partitions=4)
@@ -145,13 +145,13 @@ def test_streaming_soak_eviction_compaction_identity(spark, tmp_root):
         if b == 9:
             rss_baseline = _rss_mb()
         if (b + 1) % CHECK_EVERY == 0:
-            _assert_identity(spark, index_dir, catalog.current_dir(), rebuild_dir)
+            _assert_identity(spark, index_dir, catalog, rebuild_dir)
 
     # ---- eviction cycling at 1/100-scale thresholds over one long-lived
     # searcher: hundreds of distinct (term, lang) entries force dozens of
     # clear cycles; results must stay correct ACROSS evictions and the
     # caches must respect their bounds at every step.
-    ds = _assert_identity(spark, index_dir, catalog.current_dir(), rebuild_dir)
+    ds = _assert_identity(spark, index_dir, catalog, rebuild_dir)
     rs = IndexSearcher(spark, rebuild_dir)
     from harvester_spark.search.phrase import phrase_match_ids
 
