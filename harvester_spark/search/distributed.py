@@ -27,6 +27,24 @@ from harvester_spark.analysis import ALL_LANG, tokenize
 from harvester_spark.search.wand import _pick_or_strategy, or_accumulate_topk, wand_topk
 
 
+def _default_n_ranges(spark: SparkSession) -> int:
+    """Fan-out for a dispatched single query.
+
+    Single-tenant default: half the shuffle partitions (one wave on the
+    local scheduler, room for the reduce). A SERVING process with
+    concurrent clients sets the per-thread local property
+    ``hs.serving.n_ranges`` (inherited by every job the client thread
+    submits, pinned-thread mode) to cap how many task slots one query may
+    occupy — combined with FAIR scheduler pools per client this bounds
+    head-of-line blocking: one head∧head query costs its fair share of the
+    cluster, never the whole thing (see scripts/bench_serving_concurrent.py
+    for the measured FIFO-vs-FAIR-vs-capped contrast)."""
+    cap = spark.sparkContext.getLocalProperty("hs.serving.n_ranges")
+    if cap:
+        return max(2, int(cap))
+    return max(4, int(spark.conf.get("spark.sql.shuffle.partitions", "8")) // 2)
+
+
 def _delta_context(searcher, what: str):
     """Seq-tagged view of a possibly-delta'd index for batch fan-out.
 
@@ -180,7 +198,7 @@ def or_search_batch(
     it a lower bound (``precise[qid]=False``).
     """
     if n_ranges is None:
-        n_ranges = max(4, int(spark.conf.get("spark.sql.shuffle.partitions", "8")) // 2)
+        n_ranges = _default_n_ranges(spark)
     empty = pd.DataFrame(columns=["query_id", "rank", "doc_id", "score"])
     q_terms = {qid: sorted(set(tokenize(qtext))) for qid, qtext in queries}
     all_terms = sorted({t for ts in q_terms.values() for t in ts})
@@ -349,7 +367,7 @@ def phrase_search_batch(
     if not searcher.has_positions:
         raise ValueError("phrase_search_batch requires a positional index")
     if n_ranges is None:
-        n_ranges = max(4, int(spark.conf.get("spark.sql.shuffle.partitions", "8")) // 2)
+        n_ranges = _default_n_ranges(spark)
     empty = pd.DataFrame(columns=["query_id", "rank", "doc_id", "score"])
     cg = searcher.common_grams()
     specs: dict[str, tuple[list, int, list]] = {}
@@ -557,7 +575,7 @@ def phrase_match_ids_batch(
     if not searcher.has_positions:
         raise ValueError("phrase_match_ids_batch requires a positional index")
     if n_ranges is None:
-        n_ranges = max(4, int(spark.conf.get("spark.sql.shuffle.partitions", "8")))
+        n_ranges = 2 * _default_n_ranges(spark)
     words = tokenize(phrase_text)
     if not words:
         return np.empty(0, np.int64)
@@ -683,7 +701,7 @@ def and_search_batch(
     intersecting — equal to the delta-aware driver ranking.
     """
     if n_ranges is None:
-        n_ranges = max(4, int(spark.conf.get("spark.sql.shuffle.partitions", "8")) // 2)
+        n_ranges = _default_n_ranges(spark)
     empty = pd.DataFrame(columns=["query_id", "rank", "doc_id", "score"])
     q_terms = {qid: sorted(set(tokenize(qtext))) for qid, qtext in queries}
     all_terms = sorted({t for ts in q_terms.values() for t in ts})
