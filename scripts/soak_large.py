@@ -54,7 +54,7 @@ def _batch_rows(batch_ix: int, batch_docs: int):
     n_del = batch_docs * 5 // 100 if batch_ix > 3 else 0
     n_ins = batch_docs - n_upd - n_del
     for j in range(n_ins):
-        i = 900_000_000 + batch_ix * 10_000 + j
+        i = 90_000_000 + batch_ix * 10_000 + j
         body = (
             f"soaked pushed document w{(i * 7) % 200:05d} "
             f"w{(i * 13) % 5000:05d} marker{i} body text stream"
@@ -63,7 +63,7 @@ def _batch_rows(batch_ix: int, batch_docs: int):
             (f"https://example.org/soak/{i}", ts, f"<p>{body}</p>", "en", False)
         )
     for j in range(n_upd):
-        i = 900_000_000 + (batch_ix - 1) * 10_000 + j
+        i = 90_000_000 + (batch_ix - 1) * 10_000 + j
         rows.append(
             (
                 f"https://example.org/soak/{i}",
@@ -74,7 +74,7 @@ def _batch_rows(batch_ix: int, batch_docs: int):
             )
         )
     for j in range(n_del):
-        i = 900_000_000 + (batch_ix - 4) * 10_000 + 500 + j
+        i = 90_000_000 + (batch_ix - 4) * 10_000 + 500 + j
         rows.append((f"https://example.org/soak/{i}", ts, "<p>x</p>", "en", True))
     return rows
 
