@@ -56,16 +56,17 @@ def _run_worker(out: str, n_docs: int, kill_after: float | None = None) -> float
     JVM down with it — a real node crash, not a polite shutdown). Returns
     wall seconds; on kill, returns after the group is dead."""
     t0 = time.time()
+    log = open(f"{out}.worker.log", "ab")
     proc = subprocess.Popen(
         [sys.executable, os.path.abspath(__file__), "--worker", out, str(n_docs)],
         start_new_session=True,
-        stdout=subprocess.DEVNULL,
-        stderr=subprocess.DEVNULL,
+        stdout=log,
+        stderr=subprocess.STDOUT,
     )
     if kill_after is None:
         rc = proc.wait()
         if rc != 0:
-            raise RuntimeError(f"worker failed rc={rc}")
+            raise RuntimeError(f"worker failed rc={rc}, see {out}.worker.log")
     else:
         time.sleep(kill_after)
         try:
@@ -105,6 +106,7 @@ def main() -> None:
 
     shutil.rmtree(a_dir, ignore_errors=True)
     shutil.rmtree(b_dir, ignore_errors=True)
+    os.makedirs(work, exist_ok=True)
 
     t_full = _run_worker(a_dir, n_docs)
     kills = []
