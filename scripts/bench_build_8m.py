@@ -54,7 +54,10 @@ def _tree_rss_gb(root_pid: int) -> float:
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 8_000_000
     work = sys.argv[2] if len(sys.argv) > 2 else "/dev/shm/hs_8m"
-    os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
+    # validated 8M envelope (BENCH.md round-4): 24g heap + 4k arrow batches
+    # → 76.8 GB peak tree RSS; 48g + default batches can OOM the 125G host
+    os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
+    os.environ.setdefault("HS_ARROW_BATCH", "4000")
 
     peak = {"rss_gb": 0.0}
     stop = threading.Event()

@@ -40,7 +40,11 @@ KILL_FRACTIONS = [0.35, 0.7]  # of the uninterrupted build's wall time
 
 
 def _worker(out: str, n_docs: int) -> None:
-    os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
+    # the validated 8M envelope (BENCH.md round-4): 24g heap + 4k arrow
+    # batches → 76.8 GB peak tree RSS; a 48g heap with default batches
+    # OOMs the 125G host when anything else is resident
+    os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
+    os.environ.setdefault("HS_ARROW_BATCH", "4000")
     from harvester_spark.pipeline import run_build
     from harvester_spark.session import get_spark
 
@@ -100,8 +104,14 @@ def main() -> None:
         return
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 8_000_000
     work = sys.argv[2] if len(sys.argv) > 2 else "/dev/shm/hs_resume"
-    a_dir = os.path.join(work, "uninterrupted")
+    # the uninterrupted tree lives on disk (HS_RESUME_A_DIR) so tmpfs only
+    # ever holds ONE 8M tree + the build's shuffle spill — two trees plus
+    # the 77 GB build RSS exceed the 125 GB host (measured: global OOM)
+    a_dir = os.path.join(
+        os.environ.get("HS_RESUME_A_DIR", work), "uninterrupted"
+    )
     b_dir = os.path.join(work, "killed")
+    os.makedirs(os.path.dirname(a_dir), exist_ok=True)
     import shutil
 
     shutil.rmtree(a_dir, ignore_errors=True)
