@@ -509,6 +509,13 @@ def _pick_or_strategy(dfs: dict[str, int], live: list[str]) -> str:
     min_df = min(dfs[t] for t in live)
     max_df = max(dfs[t] for t in live)
     sum_df = sum(dfs[t] for t in live)
+    if _maxscore_carveout(dfs, live) and sum_df >= OR_BATCH_MIN_SUM_DF:
+        # batch-scale volume with a selective driver: probe-only MaxScore
+        # skips ~99% of the head blocks AND avoids both the cursor-walk
+        # risk (8M measured: wand 5.4-15.8 s on these mixes) and the batch
+        # job launch (1.5-2.7 s) — 0.85-0.97 s measured. Below batch scale
+        # the 2M-validated order (wand cost model first) stands.
+        return "maxscore"
     est_wand = _WAND_SEC_PER_POSTING * len(live) * min_df
     est_vec = _VEC_SEC_PER_POSTING * sum_df + _VEC_FIXED_SEC
     if est_wand < est_vec:
@@ -529,6 +536,24 @@ def _pick_or_strategy(dfs: dict[str, int], live: list[str]) -> str:
 # job-launch latency. Measured crossover on the 2M bench is recorded in
 # BENCH.md.
 OR_BATCH_MIN_SUM_DF = 5_000_000
+# MaxScore carve-out from the batch dispatch (round-5, validated at 8M):
+# when a selective term drives θ (min_df ≤ 0.1·max_df) AND its full decode
+# stays driver-cheap (min_df below this cap), probe-only MaxScore beats
+# the batch fan-out even at batch-scale Σdf — measured 0.85-0.97 s vs
+# batch 1.5-2.7 s on the 8M mid+head / rare+head / head+mid+rare mixes.
+# The absolute cap keeps the carve-out from re-serializing at 100× scale:
+# a driving list beyond ~1M postings is itself a batch-scale decode.
+OR_MAXSCORE_MAX_DRIVER_DF = 1_000_000
+
+
+def _maxscore_carveout(dfs: dict, live: list[str]) -> bool:
+    min_df = min(dfs[t] for t in live)
+    max_df = max(dfs[t] for t in live)
+    return (
+        len(live) >= 2
+        and min_df <= _MAXSCORE_DF_RATIO * max_df
+        and min_df <= OR_MAXSCORE_MAX_DRIVER_DF
+    )
 
 
 def _dispatch_or_batch(searcher, dfs: dict, live: list[str], allowed) -> bool:
@@ -536,6 +561,7 @@ def _dispatch_or_batch(searcher, dfs: dict, live: list[str], allowed) -> bool:
         allowed is None
         and getattr(searcher, "spark", None) is not None
         and sum(dfs[t] for t in live) >= OR_BATCH_MIN_SUM_DF
+        and not _maxscore_carveout(dfs, live)
     )
 
 
