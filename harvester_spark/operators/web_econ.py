@@ -2569,3 +2569,167 @@ QUERIES["events_littles_law_eval"] = (
     events_littles_law_eval,
     _sql_littles_law(),
 )
+
+
+# --------------------------------------- Mann-Whitney U (rank-sum) test
+
+# The nonparametric two-sample location test the A/B toolkit was missing
+# (events_did_abtest / events_cuped_abtest / es_t_test compare MEANS and
+# lean on CLT normality; the log-rank handles censoring; KS compares whole
+# CDFs without a location alternative). Mann & Whitney (1947) / Wilcoxon
+# (1945): rank all values, U_A = R_A - n_a(n_a+1)/2; under H0,
+# E[U] = n_a n_b / 2 and Var(U) = n_a n_b (n+1)/12 with the tie
+# correction - n_a n_b T / (12 n (n-1)), T = SUM_v (m_v^3 - m_v).
+#
+# Everything integer (operators/__init__.py determinism contract): ranks
+# are DOUBLED midranks (a tie group of size m after cb predecessors has
+# doubled midrank 2 cb + m + 1 — an odd integer, so no .5 ever exists),
+# u2 = 2 U_A, d = u2 - n_a n_b = 2(U - E[U]), and z^2 in milli arrives
+# through a FIXED chained floored-division ladder identical in both
+# engines (the events_logrank_test overflow-ladder discipline):
+#   z^2 = 3 d^2 n (n-1) / (n_a n_b (n^3 - n - T))
+#   z2_milli = (3000 * ((d*d) DIV (n_a n_b)) * (n-1))
+#              DIV ((n^3 - n - T) DIV n)
+# Overflow bound: |d| <= n_a n_b, so d*d needs n_a n_b <= 3e9 — events
+# rows n <= ~1.1e5 (sf0.1 = 1e5 gated; larger scales would re-ladder).
+#
+# Planted-controls discipline (events_logrank_test): the md5 event split
+# is evaluated twice — 'null_split' on the raw cents (a single chi^2(1)
+# draw: do NOT pin its absolute value; pin the planted/null RATIO) and
+# 'planted_shift' with +MW_SHIFT_CENTS on group 1 (0.4 sigma of the
+# value distribution — z^2 lands far beyond the 3.841 critical value at
+# every gated scale).
+#
+# Scale shape: one events scan, one (comparison, value)-grained groupBy,
+# one window partitioned by comparison over the DISTINCT-cents rows
+# (bounded by the cents cardinality, not the row count), one 2-row agg.
+
+MW_SHIFT_CENTS = 2000
+MW_SIG_MILLI = 3841  # chi^2(1) 0.95 critical value, milli
+
+_MW_Z2 = (
+    "(3000 * (((u2 - n_a * n_b) * (u2 - n_a * n_b)) {div} (n_a * n_b))"
+    " * (n - 1)) {div} ((n * n * n - n - tie_t) {div} n)"
+)
+
+
+def events_mannwhitney_eval(spark, sf_dir):
+    """(comparison, n_a, n_b, u2, tie_t, z2_milli, significant) — exact
+    doubled-rank Mann-Whitney U for the null md5 split and the planted
+    +MW_SHIFT_CENTS shift, tie-corrected z^2 in milli."""
+    from harvester_spark.operators.graph import _hash56
+
+    ev = load(spark, sf_dir, "events").select(
+        cents("value").alias("c"),
+        (
+            _hash56(F.concat(F.lit("mw|"), F.col("event_id").cast("string")))
+            % 2
+        ).cast("long").alias("grp"),
+    )
+    both_c = ev.select(
+        F.lit("null_split").alias("comparison"), F.col("c").alias("v"), "grp"
+    ).unionByName(
+        ev.select(
+            F.lit("planted_shift").alias("comparison"),
+            (F.col("c") + F.col("grp") * MW_SHIFT_CENTS).alias("v"),
+            "grp",
+        )
+    )
+    per = both_c.groupBy("comparison", "v").agg(
+        F.sum((F.col("grp") == 0).cast("long")).cast("long").alias("a"),
+        F.count("*").cast("long").alias("m"),
+    )
+    w = W.partitionBy("comparison").orderBy("v").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    ranked = per.select(
+        "comparison",
+        "a",
+        "m",
+        F.coalesce(F.sum("m").over(w), F.lit(0)).cast("long").alias("cb"),
+    )
+    agg = ranked.groupBy("comparison").agg(
+        F.sum(F.col("a") * (2 * F.col("cb") + F.col("m") + 1))
+        .cast("long")
+        .alias("r2a"),
+        F.sum("a").cast("long").alias("n_a"),
+        F.sum("m").cast("long").alias("n"),
+        F.sum(F.col("m") * F.col("m") * F.col("m") - F.col("m"))
+        .cast("long")
+        .alias("tie_t"),
+    )
+    z2 = _MW_Z2.format(div="DIV")
+    return (
+        agg.select(
+            "comparison",
+            "n_a",
+            (F.col("n") - F.col("n_a")).cast("long").alias("n_b"),
+            F.col("n"),
+            "tie_t",
+            (F.col("r2a") - F.col("n_a") * (F.col("n_a") + 1))
+            .cast("long")
+            .alias("u2"),
+        )
+        .select(
+            "comparison",
+            "n_a",
+            "n_b",
+            "u2",
+            "tie_t",
+            F.expr(f"CAST({z2} AS BIGINT)").alias("z2_milli"),
+            F.expr(f"{z2} >= {MW_SIG_MILLI}").alias("significant"),
+        )
+    )
+
+
+def _sql_mannwhitney() -> str:
+    from harvester_spark.operators.graph import _SQL_HASH56
+
+    h = _SQL_HASH56.format(col="'mw|' || CAST(event_id AS VARCHAR)")
+    z2 = _MW_Z2.format(div="//")
+    return f"""
+WITH ev AS (
+  SELECT {sql_cents('value')} AS c, {h} % 2 AS grp FROM events
+),
+both_c AS (
+  SELECT 'null_split' AS comparison, c AS v, grp FROM ev
+  UNION ALL
+  SELECT 'planted_shift', c + grp * {MW_SHIFT_CENTS}, grp FROM ev
+),
+per AS (
+  SELECT comparison, v,
+         CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(count(*) AS BIGINT) AS m
+  FROM both_c GROUP BY 1, 2
+),
+ranked AS (
+  SELECT comparison, a, m,
+         CAST(coalesce(sum(m) OVER (PARTITION BY comparison ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cb
+  FROM per
+),
+agg AS (
+  SELECT comparison,
+         CAST(sum(a * (2 * cb + m + 1)) AS BIGINT) AS r2a,
+         CAST(sum(a) AS BIGINT) AS n_a,
+         CAST(sum(m) AS BIGINT) AS n,
+         CAST(sum(m * m * m - m) AS BIGINT) AS tie_t
+  FROM ranked GROUP BY 1
+),
+u AS (
+  SELECT comparison, n_a, CAST(n - n_a AS BIGINT) AS n_b, n, tie_t,
+         CAST(r2a - n_a * (n_a + 1) AS BIGINT) AS u2
+  FROM agg
+)
+SELECT comparison, n_a, n_b, u2, tie_t,
+       CAST({z2} AS BIGINT) AS z2_milli,
+       {z2} >= {MW_SIG_MILLI} AS significant
+FROM u
+"""
+
+
+QUERIES["events_mannwhitney_eval"] = (
+    events_mannwhitney_eval,
+    _sql_mannwhitney(),
+)

@@ -1,0 +1,105 @@
+"""Semantics + parity guards for session-15 operators.
+
+What each test pins:
+- events_mannwhitney_eval: full pure-Python recompute of the doubled-
+  midrank U statistic, tie term, and the exact z^2 division ladder from
+  the raw parquet + the same md5 split — every output value for both
+  comparisons. Plus the planted-controls contract: the planted shift is
+  significant, and planted z^2 dominates the null draw by >= 10x (the
+  null is a single chi^2(1) draw — its absolute value is never pinned).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _h56(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:14], 16)
+
+
+# ------------------------------------------- events_mannwhitney_eval
+
+
+def test_mannwhitney_matches_pure_python_recompute(spark):
+    from harvester_spark.operators.web_econ import (
+        MW_SHIFT_CENTS,
+        MW_SIG_MILLI,
+        events_mannwhitney_eval,
+    )
+
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .selectExpr("event_id", "CAST(round(value * 100) AS LONG) AS c")
+        .collect()
+    )
+    samples = [
+        (r["c"], _h56(f"mw|{r['event_id']}") % 2) for r in rows
+    ]
+
+    def mw(vals_grps):
+        per = Counter()
+        cnt_a = Counter()
+        for v, g in vals_grps:
+            per[v] += 1
+            if g == 0:
+                cnt_a[v] += 1
+        r2a = 0
+        cb = 0
+        tie_t = 0
+        for v in sorted(per):
+            m = per[v]
+            r2a += cnt_a.get(v, 0) * (2 * cb + m + 1)
+            tie_t += m * m * m - m
+            cb += m
+        n = len(vals_grps)
+        n_a = sum(1 for _, g in vals_grps if g == 0)
+        n_b = n - n_a
+        u2 = r2a - n_a * (n_a + 1)
+        d = u2 - n_a * n_b
+        z2 = (3000 * ((d * d) // (n_a * n_b)) * (n - 1)) // (
+            (n * n * n - n - tie_t) // n
+        )
+        return {
+            "n_a": n_a,
+            "n_b": n_b,
+            "u2": u2,
+            "tie_t": tie_t,
+            "z2_milli": z2,
+            "significant": z2 >= MW_SIG_MILLI,
+        }
+
+    expect = {
+        "null_split": mw([(c, g) for c, g in samples]),
+        "planted_shift": mw(
+            [(c + g * MW_SHIFT_CENTS, g) for c, g in samples]
+        ),
+    }
+    got = {
+        r["comparison"]: r.asDict()
+        for r in events_mannwhitney_eval(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(expect)
+    for comp, e in expect.items():
+        g = got[comp]
+        for k, v in e.items():
+            assert g[k] == v, (comp, k, g[k], v)
+
+    # Planted-controls contract: the shift is detected, and it dominates
+    # the null draw (never pin the absolute null — it is one chi^2(1)
+    # sample and lands in the 5% tail 5% of the time by construction).
+    assert got["planted_shift"]["significant"] is True
+    assert (
+        got["planted_shift"]["z2_milli"]
+        >= 10 * max(1, got["null_split"]["z2_milli"])
+    )
+    # Non-degeneracy: ties exist (cents collide) but don't collapse the
+    # variance ladder: tie_t strictly between 0 and n^3 - n.
+    n = got["null_split"]["n_a"] + got["null_split"]["n_b"]
+    assert 0 < got["null_split"]["tie_t"] < n * n * n - n
