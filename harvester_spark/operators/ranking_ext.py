@@ -2454,3 +2454,223 @@ QUERIES["query_containment_plan"] = (
     query_containment_plan,
     _sql_containment(),
 )
+
+
+# ------------------------------------------- Spearman rho + footrule
+
+# The rank-correlation companion to Kendall τ-b (ranker_tau_correlation)
+# and RBO (ranker_rbo_overlap): Spearman's rho (1904) over the SAME two
+# rankers (BM25 vs Dirichlet-QL) and the SAME top-TAU_K union candidate
+# sets. Contract difference vs τ-b: rho is defined here on the two
+# DETERMINISTIC TOTAL ORDERS the engine actually serves — (score desc,
+# doc_id asc), the rank-identity tie-break of search/bm25.py — so both
+# rankings are PERMUTATIONS of 1..n and the tie-free classical formulas
+# apply exactly:
+#   rho  = 1 - 6 SUM d_i^2 / (n^3 - n)        d_i = ra_i - rb_i
+#   tau  = 1 - 4 I / (n (n-1))                I = inversions between perms
+#   D    = SUM |d_i|                          (Spearman footrule)
+# Everything integer: sum_d2, footrule, inversions are exact int64; the
+# micro metrics go through single floored divisions (identical DIV / //).
+#
+# The permutation setting buys two classical invariants the pytest pins
+# (cheap, total, and they catch any rank-extraction bug):
+#   Diaconis-Graham (1977):  I <= D <= 2 I          (exact integers)
+#   Daniels (1948):          -1 <= 3 tau - 2 rho <= 1
+# plus footrule parity: SUM d_i = 0 forces D even.
+#
+# Scale shape: identical to ranker_tau_correlation — per-query candidate
+# sets are bounded (|union| <= 2 TAU_K), the pair self-join is <= ~780
+# rows per query, and every dimension join is broadcast.
+
+
+def ranker_spearman_corr(spark, sf_dir):
+    """(q_id, n_docs, sum_d2, footrule, inversions, rho_micro,
+    tau_micro): exact Spearman rho / footrule / inversion counts between
+    the BM25 and Dirichlet-QL serving orders over the top-20 union."""
+    from harvester_spark.operators.retrieval import (
+        HN_N_QUERIES,
+        HN_Q_LEN,
+        _graded_ranking,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    toks = doc_tokens(spark, sf_dir)
+    graded = _graded_ranking(spark, sf_dir)
+
+    qdocs = docs.select("doc_id").orderBy("doc_id").limit(HN_N_QUERIES)
+    first = (
+        toks.join(F.broadcast(qdocs), "doc_id")
+        .groupBy("doc_id", "term")
+        .agg(F.min("pos").alias("p0"))
+    )
+    wsel = W.partitionBy("doc_id").orderBy(
+        F.col("p0").asc(), F.col("term").asc()
+    )
+    qsel = (
+        first.withColumn("r", F.row_number().over(wsel))
+        .filter(F.col("r") <= HN_Q_LEN)
+        .select(F.col("doc_id").alias("q_id"), "term")
+    )
+
+    qterms = qsel.select("term").distinct()
+    toksq = toks.join(F.broadcast(qterms), "term")
+    tfq = toksq.groupBy("term", "doc_id").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    cfq = toksq.groupBy("term").agg(F.count("*").cast("long").alias("cf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    ct = toks.agg(F.count("*").cast("long").alias("ct"))
+
+    dirs = (
+        graded.select("q_id", "doc_id")
+        .join(F.broadcast(qsel), "q_id")
+        .join(tfq, ["term", "doc_id"], "left")
+        .withColumn("tf", F.coalesce(F.col("tf"), F.lit(0)).cast("long"))
+        .join(F.broadcast(cfq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(ct))
+        .withColumn("lp", F.expr(_SIGN_LP))
+        .groupBy("q_id", "doc_id")
+        .agg(F.sum("lp").cast("long").alias("score_b"))
+    )
+
+    both_sc = graded.select("q_id", "doc_id", "score").join(
+        dirs, ["q_id", "doc_id"]
+    )
+    wa_ = W.partitionBy("q_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    wb_ = W.partitionBy("q_id").orderBy(
+        F.col("score_b").desc(), F.col("doc_id").asc()
+    )
+    sel = (
+        both_sc.withColumn("ra", F.row_number().over(wa_))
+        .withColumn("rb", F.row_number().over(wb_))
+        .filter((F.col("ra") <= TAU_K) | (F.col("rb") <= TAU_K))
+        .select("q_id", "doc_id", "score", "score_b")
+    )
+    # Re-rank WITHIN the union set: both orders become permutations of
+    # 1..n over the same candidates.
+    rk = sel.select(
+        "q_id",
+        "doc_id",
+        F.row_number().over(wa_).alias("ra2"),
+        F.row_number().over(wb_).alias("rb2"),
+    )
+    x, y = rk.alias("x"), rk.alias("y")
+    inv = (
+        x.join(
+            y,
+            (F.col("x.q_id") == F.col("y.q_id"))
+            & (F.col("x.ra2") < F.col("y.ra2")),
+        )
+        .groupBy(F.col("x.q_id").alias("q_id"))
+        .agg(
+            F.sum(F.expr("CAST(x.rb2 > y.rb2 AS BIGINT)"))
+            .cast("long")
+            .alias("inversions")
+        )
+    )
+    per = rk.groupBy("q_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(
+            (F.col("ra2") - F.col("rb2")) * (F.col("ra2") - F.col("rb2"))
+        )
+        .cast("long")
+        .alias("sum_d2"),
+        F.sum(F.abs(F.col("ra2") - F.col("rb2")))
+        .cast("long")
+        .alias("footrule"),
+    )
+    return (
+        per.join(inv, "q_id")
+        .filter(F.col("n_docs") >= 2)
+        .select(
+            "q_id",
+            "n_docs",
+            "sum_d2",
+            "footrule",
+            "inversions",
+            F.expr(
+                "CAST(1000000 - (6000000 * sum_d2)"
+                " DIV (n_docs * n_docs * n_docs - n_docs) AS BIGINT)"
+            ).alias("rho_micro"),
+            F.expr(
+                "CAST(1000000 - (4000000 * inversions)"
+                " DIV (n_docs * (n_docs - 1)) AS BIGINT)"
+            ).alias("tau_micro"),
+        )
+    )
+
+
+def _sql_spearman() -> str:
+    from harvester_spark.operators.retrieval import _SQL_GRADED_PREFIX
+
+    return _SQL_GRADED_PREFIX + f""",
+sp_cfq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS cf FROM toks
+  WHERE term IN (SELECT DISTINCT term FROM qsel) GROUP BY 1
+),
+sp_ctt AS (SELECT CAST(count(*) AS BIGINT) AS ct FROM toks),
+sp_dirs AS (
+  SELECT q_id, doc_id, CAST(sum({_SIGN_LP}) AS BIGINT) AS score_b
+  FROM (
+    SELECT g.q_id, g.doc_id,
+           CAST(coalesce(tf.tf, 0) AS BIGINT) AS tf,
+           c.cf, CAST(dl.dl AS BIGINT) AS dl, sp_ctt.ct
+    FROM (SELECT q_id, doc_id FROM graded) g
+    JOIN qsel q ON q.q_id = g.q_id
+    LEFT JOIN tf ON tf.term = q.term AND tf.doc_id = g.doc_id
+    JOIN sp_cfq c ON c.term = q.term
+    JOIN dl ON dl.doc_id = g.doc_id
+    CROSS JOIN sp_ctt
+  ) GROUP BY 1, 2
+),
+sp_ab AS (
+  SELECT g.q_id, g.doc_id, g.score, d.score_b
+  FROM graded g JOIN sp_dirs d
+    ON d.q_id = g.q_id AND d.doc_id = g.doc_id
+),
+sp_sel AS (
+  SELECT q_id, doc_id, score, score_b FROM (
+    SELECT *,
+           row_number() OVER (
+             PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS ra,
+           row_number() OVER (
+             PARTITION BY q_id ORDER BY score_b DESC, doc_id ASC) AS rb
+    FROM sp_ab
+  ) WHERE ra <= {TAU_K} OR rb <= {TAU_K}
+),
+sp_rk AS (
+  SELECT q_id, doc_id,
+         row_number() OVER (
+           PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS ra2,
+         row_number() OVER (
+           PARTITION BY q_id ORDER BY score_b DESC, doc_id ASC) AS rb2
+  FROM sp_sel
+),
+sp_inv AS (
+  SELECT x.q_id,
+         CAST(sum((x.rb2 > y.rb2)::INT) AS BIGINT) AS inversions
+  FROM sp_rk x JOIN sp_rk y
+    ON x.q_id = y.q_id AND x.ra2 < y.ra2
+  GROUP BY 1
+),
+sp_per AS (
+  SELECT q_id, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum((ra2 - rb2) * (ra2 - rb2)) AS BIGINT) AS sum_d2,
+         CAST(sum(abs(ra2 - rb2)) AS BIGINT) AS footrule
+  FROM sp_rk GROUP BY 1
+)
+SELECT p.q_id, p.n_docs, p.sum_d2, p.footrule, i.inversions,
+       CAST(1000000 - (6000000 * p.sum_d2)
+            // (p.n_docs * p.n_docs * p.n_docs - p.n_docs) AS BIGINT)
+         AS rho_micro,
+       CAST(1000000 - (4000000 * i.inversions)
+            // (p.n_docs * (p.n_docs - 1)) AS BIGINT) AS tau_micro
+FROM sp_per p JOIN sp_inv i USING (q_id)
+WHERE p.n_docs >= 2
+"""
+
+
+QUERIES["ranker_spearman_corr"] = (ranker_spearman_corr, _sql_spearman())

@@ -103,3 +103,54 @@ def test_mannwhitney_matches_pure_python_recompute(spark):
     # variance ladder: tie_t strictly between 0 and n^3 - n.
     n = got["null_split"]["n_a"] + got["null_split"]["n_b"]
     assert 0 < got["null_split"]["tie_t"] < n * n * n - n
+
+
+# --------------------------------------------- ranker_spearman_corr
+
+
+def test_spearman_invariants_and_cross_operator_consistency(spark):
+    from harvester_spark.operators.ranking_ext import (
+        ranker_spearman_corr,
+        ranker_tau_correlation,
+    )
+
+    rows = [r.asDict() for r in ranker_spearman_corr(spark, SF_DIR).collect()]
+    assert rows, "no queries produced"
+    saw_disagreement = False
+    for r in rows:
+        n, d2, ftr, inv = (
+            r["n_docs"],
+            r["sum_d2"],
+            r["footrule"],
+            r["inversions"],
+        )
+        # Exact integer identities for the micro metrics.
+        assert r["rho_micro"] == 1_000_000 - (6_000_000 * d2) // (
+            n * n * n - n
+        )
+        assert r["tau_micro"] == 1_000_000 - (4_000_000 * inv) // (
+            n * (n - 1)
+        )
+        # Permutation-theory invariants (exact, no slack):
+        # Diaconis-Graham: I <= D <= 2I; footrule parity: D even.
+        assert inv <= ftr <= 2 * inv, r
+        assert ftr % 2 == 0, r
+        # Daniels: -1 <= 3 tau - 2 rho <= 1 (micro units; the two
+        # floored divisions each shave < 1 micro-unit).
+        assert (
+            -1_000_010 <= 3 * r["tau_micro"] - 2 * r["rho_micro"] <= 1_000_010
+        ), r
+        # Bounds.
+        assert -1_000_000 <= r["rho_micro"] <= 1_000_000
+        assert 0 <= d2 <= (n * n * n - n) // 3
+        if d2 > 0:
+            saw_disagreement = True
+    # Non-degeneracy: the two rankers genuinely differ somewhere.
+    assert saw_disagreement
+    # Cross-operator: same queries, same union-set sizes as tau-b.
+    tau_rows = {
+        r["q_id"]: r["n_docs"]
+        for r in ranker_tau_correlation(spark, SF_DIR).collect()
+    }
+    for r in rows:
+        assert tau_rows.get(r["q_id"]) == r["n_docs"], r
