@@ -2733,3 +2733,208 @@ QUERIES["events_mannwhitney_eval"] = (
     events_mannwhitney_eval,
     _sql_mannwhitney(),
 )
+
+
+# --------------------------------------- Theil-Sen robust trend
+
+# Theil (1950) / Sen (1968): the median of all pairwise slopes
+# (y_j - y_i)/(h_j - h_i) — the robust trend estimator with a 29.3%
+# breakdown point, vs 0% for least squares (one bad hour already moves
+# OLS). The planted-contrast synthesis makes that breakdown DIFFERENCE
+# the tested contract (the events_robust_mean_eval discipline): the
+# densified hourly count series (events_acf grid, T = 720 hours at every
+# gated scale) gets a planted +TS_TREND/hour linear trend ('clean'), and
+# the 'spiked' twin additionally gets +TS_SPIKE outliers on the md5-drawn
+# 1-in-TS_SPIKE_MOD hours. Both estimators run on both series; the
+# pytest pins that spikes move OLS by an order of magnitude more than
+# they move Theil-Sen.
+#
+# Determinism: pair slopes are _DIVROUND sign-split round-half micro
+# integers (never a bare negative DIV — Spark truncates toward zero,
+# DuckDB floors); the median is the exact k = (P+1) DIV 2 order
+# statistic selected as a VALUE via per-series cumulative counts over
+# the slope-value histogram (no row tie-break needed — the k-th smallest
+# value is tie-free by construction); OLS is the ft_zipf_slope integer
+# least-squares closed form.
+#
+# Scale shape: T is span-bounded (720), so the pair self-join is
+# ~259k rows per series — constant in corpus size; the only
+# corpus-sized work is the one events scan feeding the hourly groupBy.
+# Overflow: num*1e6 for OLS <= T*Σhy*1e6 ~ 1e18 at gated scales.
+
+TS_TREND = 3  # planted per-hour trend (both series)
+TS_SPIKE = 500  # outlier magnitude (spiked series only)
+TS_SPIKE_MOD = 10  # 1-in-10 md5 hours spike
+
+
+def events_theilsen_trend(spark, sf_dir):
+    """(series, estimator, n, slope_micro): Theil-Sen median pairwise
+    slope vs integer OLS on the planted-trend hourly series, clean and
+    outlier-spiked."""
+    from harvester_spark.operators.graph import _hash56
+
+    ev = load(spark, sf_dir, "events").select(
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hour")
+    )
+    b = ev.agg(F.min("hour").alias("mn"), F.max("hour").alias("mx")).collect()[0]
+    counts = ev.groupBy("hour").agg(F.count("*").cast("long").alias("c"))
+    grid = (
+        spark.range(0, b.mx - b.mn + 1)
+        .select(F.col("id").cast("long").alias("h"))
+        .withColumn("hour", F.col("h") + F.lit(int(b.mn)))
+        .join(counts, "hour", "left")
+        .select("h", F.coalesce("c", F.lit(0)).cast("long").alias("c"))
+    )
+    spike = (
+        (
+            _hash56(F.concat(F.lit("ts|"), F.col("h").cast("string")))
+            % TS_SPIKE_MOD
+            == 0
+        ).cast("long")
+        * TS_SPIKE
+    )
+    ser = (
+        grid.select(
+            F.lit("clean").alias("series"),
+            "h",
+            (F.col("c") + TS_TREND * F.col("h")).cast("long").alias("y"),
+        )
+        .unionByName(
+            grid.select(
+                F.lit("spiked").alias("series"),
+                "h",
+                (F.col("c") + TS_TREND * F.col("h") + spike)
+                .cast("long")
+                .alias("y"),
+            )
+        )
+    )
+    a1 = ser.select("series", F.col("h").alias("h1"), F.col("y").alias("y1"))
+    a2 = ser.select("series", F.col("h").alias("h2"), F.col("y").alias("y2"))
+    slope = _DIVROUND.format(num="(y2 - y1)", den="(h2 - h1)", div="DIV")
+    sl = (
+        a1.join(a2, "series")
+        .filter(F.col("h1") < F.col("h2"))
+        .select("series", F.expr(f"CAST({slope} AS BIGINT)").alias("s"))
+    )
+    cnts = sl.groupBy("series", "s").agg(F.count("*").cast("long").alias("m"))
+    tot = cnts.groupBy("series").agg(F.sum("m").cast("long").alias("p"))
+    wcum = W.partitionBy("series").orderBy("s").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    cum = cnts.select(
+        "series", "s", F.sum("m").over(wcum).cast("long").alias("cm")
+    )
+    med = (
+        cum.join(tot, "series")
+        .filter(F.expr("cm >= (p + 1) DIV 2"))
+        .groupBy("series")
+        .agg(F.min("s").alias("slope_micro"), F.first("p").alias("p"))
+        .select(
+            "series",
+            F.lit("theil_sen").alias("estimator"),
+            F.col("p").alias("n"),
+            F.col("slope_micro").cast("long"),
+        )
+    )
+    sums = ser.groupBy("series").agg(
+        F.count("*").cast("long").alias("nh"),
+        F.sum("h").cast("long").alias("sh"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("h") * F.col("y")).cast("long").alias("shy"),
+        F.sum(F.col("h") * F.col("h")).cast("long").alias("sh2"),
+    )
+    ols_expr = _DIVROUND.format(
+        num="(nh * shy - sh * sy)", den="(nh * sh2 - sh * sh)", div="DIV"
+    )
+    ols = sums.select(
+        "series",
+        F.lit("ols").alias("estimator"),
+        F.col("nh").alias("n"),
+        F.expr(f"CAST({ols_expr} AS BIGINT)").alias("slope_micro"),
+    )
+    return med.unionByName(ols)
+
+
+def _sql_theilsen() -> str:
+    from harvester_spark.operators.graph import _SQL_HASH56
+
+    h = _SQL_HASH56.format(col="'ts|' || CAST(h AS VARCHAR)")
+    slope = _DIVROUND.format(num="(y2 - y1)", den="(h2 - h1)", div="//")
+    ols = _DIVROUND.format(
+        num="(nh * shy - sh * sy)", den="(nh * sh2 - sh * sh)", div="//"
+    )
+    return f"""
+WITH tb AS (
+  SELECT CAST(floor(epoch(min(ts))) AS BIGINT) // 3600 AS mn,
+         CAST(floor(epoch(max(ts))) AS BIGINT) // 3600 AS mx
+  FROM events
+),
+tcnt AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hour,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+tgrid AS (
+  SELECT g.hh - tb.mn AS h, CAST(coalesce(tcnt.c, 0) AS BIGINT) AS c
+  FROM (SELECT unnest(range((SELECT mn FROM tb), (SELECT mx + 1 FROM tb)))
+          AS hh) g
+  CROSS JOIN tb
+  LEFT JOIN tcnt ON tcnt.hour = g.hh
+),
+tser AS (
+  SELECT 'clean' AS series, h, CAST(c + {TS_TREND} * h AS BIGINT) AS y
+  FROM tgrid
+  UNION ALL
+  SELECT 'spiked', h,
+         CAST(c + {TS_TREND} * h
+              + CASE WHEN {h} % {TS_SPIKE_MOD} = 0
+                     THEN {TS_SPIKE} ELSE 0 END AS BIGINT)
+  FROM tgrid
+),
+tsl AS (
+  SELECT a.series, CAST({slope} AS BIGINT) AS s
+  FROM (SELECT series, h AS h1, y AS y1 FROM tser) a
+  JOIN (SELECT series, h AS h2, y AS y2 FROM tser) b2
+    ON a.series = b2.series AND a.h1 < b2.h2
+),
+tcnts AS (
+  SELECT series, s, CAST(count(*) AS BIGINT) AS m FROM tsl GROUP BY 1, 2
+),
+ttot AS (
+  SELECT series, CAST(sum(m) AS BIGINT) AS p FROM tcnts GROUP BY 1
+),
+tcum AS (
+  SELECT series, s,
+         CAST(sum(m) OVER (PARTITION BY series ORDER BY s
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cm
+  FROM tcnts
+),
+tmed AS (
+  SELECT c.series, 'theil_sen' AS estimator,
+         CAST(min(t.p) AS BIGINT) AS n,
+         CAST(min(c.s) AS BIGINT) AS slope_micro
+  FROM tcum c JOIN ttot t USING (series)
+  WHERE c.cm >= (t.p + 1) // 2
+  GROUP BY 1
+),
+tsums AS (
+  SELECT series, CAST(count(*) AS BIGINT) AS nh,
+         CAST(sum(h) AS BIGINT) AS sh, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(h * y) AS BIGINT) AS shy,
+         CAST(sum(h * h) AS BIGINT) AS sh2
+  FROM tser GROUP BY 1
+),
+tols AS (
+  SELECT series, 'ols' AS estimator, nh AS n,
+         CAST({ols} AS BIGINT) AS slope_micro
+  FROM tsums
+)
+SELECT series, estimator, n, slope_micro FROM tmed
+UNION ALL
+SELECT series, estimator, n, slope_micro FROM tols
+"""
+
+
+QUERIES["events_theilsen_trend"] = (events_theilsen_trend, _sql_theilsen())

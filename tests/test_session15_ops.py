@@ -154,3 +154,73 @@ def test_spearman_invariants_and_cross_operator_consistency(spark):
     }
     for r in rows:
         assert tau_rows.get(r["q_id"]) == r["n_docs"], r
+
+
+# --------------------------------------------- events_theilsen_trend
+
+
+def test_theilsen_matches_python_and_breakdown_contrast(spark):
+    from harvester_spark.operators.web_econ import (
+        TS_SPIKE,
+        TS_SPIKE_MOD,
+        TS_TREND,
+        events_theilsen_trend,
+    )
+
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .selectExpr("CAST(unix_timestamp(ts) AS LONG) DIV 3600 AS hour")
+        .collect()
+    )
+    hours = [r["hour"] for r in rows]
+    mn, mx = min(hours), max(hours)
+    counts = Counter(hours)
+    grid = [(h, counts.get(mn + h, 0)) for h in range(mx - mn + 1)]
+
+    def divround(num, den):
+        if num >= 0:
+            return (num * 1_000_000 + den // 2) // den
+        return -(((-num) * 1_000_000 + den // 2) // den)
+
+    def estimators(ys):
+        t = len(ys)
+        slopes = sorted(
+            divround(ys[j] - ys[i], j - i)
+            for i in range(t)
+            for j in range(i + 1, t)
+        )
+        p = len(slopes)
+        ts = slopes[(p + 1) // 2 - 1]
+        sh = sum(range(t))
+        sy = sum(ys)
+        shy = sum(h * y for h, y in enumerate(ys))
+        sh2 = sum(h * h for h in range(t))
+        ols = divround(t * shy - sh * sy, t * sh2 - sh * sh)
+        return p, ts, ols
+
+    clean = [c + TS_TREND * h for h, c in grid]
+    spiked = [
+        y + (TS_SPIKE if _h56(f"ts|{h}") % TS_SPIKE_MOD == 0 else 0)
+        for (h, _), y in zip(grid, clean)
+    ]
+    p, ts_clean, ols_clean = estimators(clean)
+    _, ts_spiked, ols_spiked = estimators(spiked)
+
+    got = {
+        (r["series"], r["estimator"]): (r["n"], r["slope_micro"])
+        for r in events_theilsen_trend(spark, SF_DIR).collect()
+    }
+    assert got[("clean", "theil_sen")] == (p, ts_clean)
+    assert got[("spiked", "theil_sen")] == (p, ts_spiked)
+    assert got[("clean", "ols")] == (len(clean), ols_clean)
+    assert got[("spiked", "ols")] == (len(clean), ols_spiked)
+
+    # Non-degenerate synthesis: spikes actually landed.
+    assert any(_h56(f"ts|{h}") % TS_SPIKE_MOD == 0 for h, _ in grid)
+    # Both estimators recover the planted trend on the clean series.
+    assert abs(ts_clean - TS_TREND * 1_000_000) < 100_000
+    assert abs(ols_clean - TS_TREND * 1_000_000) < 100_000
+    # Breakdown contrast: outliers move OLS at least 5x more than
+    # Theil-Sen (on this corpus TS does not move at all).
+    assert 5 * abs(ts_spiked - ts_clean) <= abs(ols_spiked - ols_clean)
+    assert abs(ols_spiked - ols_clean) > 5_000
