@@ -1511,3 +1511,273 @@ FROM sized
 
 
 QUERIES["amq_filter_compare"] = (amq_filter_compare, _sql_amq_compare())
+
+
+# ----------------------------------- DGIM sliding-window bit counting
+
+# Datar-Gionis-Indyk-Motwani (SODA 2002): approximate count of 1s in the
+# last-W suffix of a bit stream using O(log^2 N) exponentially-sized
+# buckets — THE classic bounded-state answer to "how many clicks in the
+# last day" that windowed_key_cms / events_hll_sliding do not cover (they
+# bound keys/distincts, not suffix bit-counts).
+#
+# The relational trick that makes a two-engine oracle possible: with
+# eager merging (merge the two oldest of a size when a third appears,
+# k = 2 buckets max per size), the bucket SIZE multiset after N1 ones is
+# the BIJECTIVE BASE-2 representation of N1 — digits d in {1, 2},
+# n = SUM d_i 2^i, which exists and is unique for every n >= 1 (digit
+# set {1,2} covers each residue mod 2 exactly once, so the greedy
+# low-digit choice is forced level by level). Closed form:
+#   L = bit_length(N1 + 1) - 1   buckets span levels 0..L-1
+#   m = N1 + 1 - 2^L             (0 <= m < 2^L)
+#   d_k = 1 + ((m >> k) & 1)     buckets of size 2^k, newest at k = 0
+# and since merges only ever combine time-adjacent buckets, bucket
+# BOUNDARIES are the cumulative sums: the b-th bucket (newest first)
+# covers a contiguous run of ones ending at reverse rank C + 1 (C = ones
+# in all newer buckets). The pytest runs the actual streaming algorithm
+# and asserts the simulated bucket list equals this closed form.
+#
+# Query answering (suffix window = the last W hours of the stream): drop
+# buckets whose newest 1 is outside the window; estimate = sum of
+# surviving sizes minus half the oldest survivor (its tail may hang out
+# of the window) — error is confined to that oldest bucket, giving the
+# classic <= 50% relative-error guarantee that the eval columns expose
+# against the exact recount.
+#
+# Scale shape (the stratified_quota_sample selection discipline): no
+# global row_number — bucket-boundary ranks (only ~2 log2 N1 of them)
+# are located via the hour histogram (span-bounded, 720 rows) + driver-
+# free cumulative window, and ONLY the <= ~30 boundary hours get an
+# intra-hour ranking window. Everything else is one events scan plus
+# small-broadcast joins.
+
+DGIM_WINDOWS = [24, 72, 168, 360]  # suffix windows, hours
+DGIM_BIT_TYPE = "click"  # the tracked bit
+
+
+def dgim_window_count_eval(spark, sf_dir):
+    """(w_hours, n1_total, exact_ones, dgim_est, n_alive, oldest_size,
+    abs_err, err_milli): DGIM suffix-count estimate vs exact recount at
+    each window, from the closed-form canonical bucket structure."""
+    ev = load(spark, sf_dir, "events").select(
+        F.col("event_id").cast("long").alias("eid"),
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hr"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.col("event_type"),
+    )
+    ones = ev.filter(F.col("event_type") == DGIM_BIT_TYPE).select(
+        "eid", "hr", "us"
+    )
+    n1df = F.broadcast(ones.agg(F.count("*").cast("long").alias("n1")))
+    mxdf = F.broadcast(ev.agg(F.max("hr").cast("long").alias("mx")))
+
+    # Canonical buckets from the bijective base-2 closed form.
+    lv = (
+        n1df.select(
+            "n1",
+            F.expr("CAST(length(bin(n1 + 1)) - 1 AS BIGINT)").alias("lmax"),
+        )
+        .select(
+            "n1",
+            F.expr(
+                "CAST(n1 + 1 - shiftleft(CAST(1 AS BIGINT), CAST(lmax AS INT))"
+                " AS BIGINT)"
+            ).alias("m"),
+            F.explode(
+                F.expr("sequence(CAST(0 AS BIGINT), lmax - 1)")
+            ).alias("k"),
+        )
+        .select(
+            F.col("k"),
+            F.expr(
+                "CAST(1 + shiftright(m, CAST(k AS INT)) % 2 AS BIGINT)"
+            ).alias("d"),
+            F.expr(
+                "CAST(shiftleft(CAST(1 AS BIGINT), CAST(k AS INT)) AS BIGINT)"
+            ).alias("sz"),
+        )
+    )
+    wc = W.orderBy("k").rowsBetween(W.unboundedPreceding, -1)
+    buckets = (
+        lv.withColumn(
+            "c0", F.coalesce(F.sum(F.col("d") * F.col("sz")).over(wc), F.lit(0))
+        )
+        .select(
+            "sz",
+            "c0",
+            F.explode(F.expr("sequence(CAST(0 AS BIGINT), d - 1)")).alias("t"),
+        )
+        .select(
+            "sz",
+            (F.col("c0") + F.col("t") * F.col("sz") + 1).cast("long").alias("j"),
+        )
+    )
+
+    # Locate each boundary rank j's hour via the ones-per-hour histogram.
+    oh = ones.groupBy("hr").agg(F.count("*").cast("long").alias("cnt"))
+    wnew = W.orderBy(F.col("hr").desc()).rowsBetween(W.unboundedPreceding, -1)
+    ohc = oh.select(
+        "hr",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(wnew), F.lit(0)).cast("long").alias("newer"),
+    )
+    tgt = F.broadcast(
+        buckets.join(
+            ohc,
+            (F.col("newer") < F.col("j"))
+            & (F.col("j") <= F.col("newer") + F.col("cnt")),
+        ).select("sz", "j", "hr", (F.col("j") - F.col("newer")).alias("loc"))
+    )
+    bhours = F.broadcast(tgt.select("hr").distinct())
+    wrk = W.partitionBy("hr").orderBy(F.col("us").desc(), F.col("eid").desc())
+    ranked = (
+        ones.join(bhours, "hr")
+        .withColumn("rn", F.row_number().over(wrk).cast("long"))
+        .select("hr", "rn")
+    )
+    bts = tgt.join(
+        ranked, (tgt["hr"] == ranked["hr"]) & (tgt["loc"] == ranked["rn"])
+    ).select("sz", "j", tgt["hr"].alias("hr_new"))
+
+    wins = spark.createDataFrame(
+        [(w,) for w in DGIM_WINDOWS], "w_hours long"
+    )
+    alive = (
+        bts.crossJoin(F.broadcast(wins))
+        .crossJoin(mxdf)
+        .filter(F.col("hr_new") > F.col("mx") - F.col("w_hours"))
+        .groupBy("w_hours")
+        .agg(
+            F.count("*").cast("long").alias("n_alive"),
+            F.sum("sz").cast("long").alias("tot_sz"),
+            F.max_by("sz", "j").cast("long").alias("oldest_size"),
+        )
+    )
+    exact = (
+        ohc.crossJoin(F.broadcast(wins))
+        .crossJoin(mxdf)
+        .filter(F.col("hr") > F.col("mx") - F.col("w_hours"))
+        .groupBy("w_hours")
+        .agg(F.sum("cnt").cast("long").alias("exact_ones"))
+    )
+    return (
+        wins.join(exact, "w_hours", "left")
+        .join(alive, "w_hours", "left")
+        .crossJoin(n1df)
+        .select(
+            "w_hours",
+            F.col("n1").alias("n1_total"),
+            F.coalesce("exact_ones", F.lit(0)).cast("long").alias("exact_ones"),
+            F.expr(
+                "CAST(coalesce(tot_sz - oldest_size DIV 2, 0) AS BIGINT)"
+            ).alias("dgim_est"),
+            F.coalesce("n_alive", F.lit(0)).cast("long").alias("n_alive"),
+            F.coalesce("oldest_size", F.lit(0)).cast("long").alias("oldest_size"),
+            F.expr(
+                "CAST(abs(coalesce(tot_sz - oldest_size DIV 2, 0)"
+                " - coalesce(exact_ones, 0)) AS BIGINT)"
+            ).alias("abs_err"),
+            F.expr(
+                "CASE WHEN coalesce(exact_ones, 0) = 0 THEN NULL"
+                " ELSE CAST((1000 * abs(coalesce(tot_sz - oldest_size DIV 2, 0)"
+                " - exact_ones)) DIV exact_ones AS BIGINT) END"
+            ).alias("err_milli"),
+        )
+    )
+
+
+def _sql_dgim() -> str:
+    wvals = ", ".join(f"({w})" for w in DGIM_WINDOWS)
+    return f"""
+WITH dev AS (
+  SELECT CAST(event_id AS BIGINT) AS eid,
+         CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hr,
+         epoch_us(ts) AS us, event_type
+  FROM events
+),
+dones AS (
+  SELECT eid, hr, us FROM dev WHERE event_type = '{DGIM_BIT_TYPE}'
+),
+dn1 AS (SELECT CAST(count(*) AS BIGINT) AS n1 FROM dones),
+dmx AS (SELECT CAST(max(hr) AS BIGINT) AS mx FROM dev),
+dlv AS (
+  SELECT k,
+         CAST(1 + ((m >> CAST(k AS INT)) & 1) AS BIGINT) AS d,
+         CAST((CAST(1 AS BIGINT) << CAST(k AS INT)) AS BIGINT) AS sz
+  FROM (
+    SELECT CAST(n1 + 1 - (CAST(1 AS BIGINT) << CAST(lmax AS INT))
+                AS BIGINT) AS m,
+           unnest(range(lmax)) AS k
+    FROM (SELECT n1, CAST(length(bin(n1 + 1)) - 1 AS BIGINT) AS lmax
+          FROM dn1)
+  )
+),
+dbuck AS (
+  SELECT sz, CAST(c0 + t * sz + 1 AS BIGINT) AS j
+  FROM (
+    SELECT sz,
+           CAST(coalesce(sum(d * sz) OVER (ORDER BY k
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS c0,
+           unnest(range(d)) AS t
+    FROM dlv
+  )
+),
+doh AS (
+  SELECT hr, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(coalesce(sum(count(*)) OVER (ORDER BY hr DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS newer
+  FROM dones GROUP BY hr
+),
+dtgt AS (
+  SELECT b.sz, b.j, o.hr, CAST(b.j - o.newer AS BIGINT) AS loc
+  FROM dbuck b JOIN doh o
+    ON o.newer < b.j AND b.j <= o.newer + o.cnt
+),
+dranked AS (
+  SELECT hr, CAST(row_number() OVER (PARTITION BY hr
+              ORDER BY us DESC, eid DESC) AS BIGINT) AS rn
+  FROM dones
+  WHERE hr IN (SELECT DISTINCT hr FROM dtgt)
+),
+dbts AS (
+  SELECT t.sz, t.j, t.hr AS hr_new
+  FROM dtgt t JOIN dranked r ON t.hr = r.hr AND t.loc = r.rn
+),
+dwins AS (SELECT CAST(w_hours AS BIGINT) AS w_hours
+          FROM (VALUES {wvals}) v(w_hours)),
+dalive AS (
+  SELECT w.w_hours,
+         CAST(count(*) AS BIGINT) AS n_alive,
+         CAST(sum(b.sz) AS BIGINT) AS tot_sz,
+         CAST(max_by(b.sz, b.j) AS BIGINT) AS oldest_size
+  FROM dbts b CROSS JOIN dwins w CROSS JOIN dmx
+  WHERE b.hr_new > dmx.mx - w.w_hours
+  GROUP BY 1
+),
+dexact AS (
+  SELECT w.w_hours, CAST(sum(o.cnt) AS BIGINT) AS exact_ones
+  FROM doh o CROSS JOIN dwins w CROSS JOIN dmx
+  WHERE o.hr > dmx.mx - w.w_hours
+  GROUP BY 1
+)
+SELECT w.w_hours, dn1.n1 AS n1_total,
+       CAST(coalesce(e.exact_ones, 0) AS BIGINT) AS exact_ones,
+       CAST(coalesce(a.tot_sz - a.oldest_size // 2, 0) AS BIGINT)
+         AS dgim_est,
+       CAST(coalesce(a.n_alive, 0) AS BIGINT) AS n_alive,
+       CAST(coalesce(a.oldest_size, 0) AS BIGINT) AS oldest_size,
+       CAST(abs(coalesce(a.tot_sz - a.oldest_size // 2, 0)
+            - coalesce(e.exact_ones, 0)) AS BIGINT) AS abs_err,
+       CASE WHEN coalesce(e.exact_ones, 0) = 0 THEN NULL
+            ELSE CAST((1000 * abs(coalesce(a.tot_sz - a.oldest_size // 2, 0)
+                 - e.exact_ones)) // e.exact_ones AS BIGINT) END AS err_milli
+FROM dwins w
+LEFT JOIN dexact e USING (w_hours)
+LEFT JOIN dalive a USING (w_hours)
+CROSS JOIN dn1
+"""
+
+
+QUERIES["dgim_window_count_eval"] = (dgim_window_count_eval, _sql_dgim())

@@ -224,3 +224,95 @@ def test_theilsen_matches_python_and_breakdown_contrast(spark):
     # Theil-Sen (on this corpus TS does not move at all).
     assert 5 * abs(ts_spiked - ts_clean) <= abs(ols_spiked - ols_clean)
     assert abs(ols_spiked - ols_clean) > 5_000
+
+
+# --------------------------------------------- dgim_window_count_eval
+
+
+def test_dgim_closed_form_equals_streaming_simulation(spark):
+    from harvester_spark.operators.sketches import (
+        DGIM_BIT_TYPE,
+        DGIM_WINDOWS,
+        dgim_window_count_eval,
+    )
+
+    ev = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .selectExpr(
+            "CAST(event_id AS LONG) AS eid",
+            "CAST(unix_timestamp(ts) AS LONG) DIV 3600 AS hr",
+            "unix_micros(CAST(ts AS TIMESTAMP)) AS us",
+            "event_type",
+        )
+        .collect()
+    )
+    mx_hr = max(r["hr"] for r in ev)
+    ones = sorted(
+        (r for r in ev if r["event_type"] == DGIM_BIT_TYPE),
+        key=lambda r: (r["us"], r["eid"]),
+    )
+
+    # The REAL streaming algorithm: newest-first bucket list, eager merge
+    # of the two oldest of a size when a third appears. Each bucket is
+    # (size, hr_of_newest_element).
+    buckets = []  # newest first
+    for r in ones:
+        buckets.insert(0, (1, r["hr"]))
+        size = 1
+        while True:
+            idx = [i for i, b in enumerate(buckets) if b[0] == size]
+            if len(idx) < 3:
+                break
+            # merge the two OLDEST of this size (largest indices);
+            # merged bucket keeps the NEWER one's newest-element time.
+            i1, i2 = idx[-2], idx[-1]
+            merged = (2 * size, buckets[i1][1])
+            buckets[i1] = merged
+            del buckets[i2]
+            size *= 2
+
+    # Closed form: bijective base-2 of N1.
+    n1 = len(ones)
+    lmax = (n1 + 1).bit_length() - 1
+    m = n1 + 1 - (1 << lmax)
+    sizes_cf = []
+    for k in range(lmax):
+        d = 1 + ((m >> k) & 1)
+        sizes_cf += [1 << k] * d
+    assert [b[0] for b in buckets] == sizes_cf, "bucket multiset mismatch"
+
+    # Boundary newest-element hours from the closed form's cumulative
+    # ranks must equal the simulation's bucket heads.
+    rev = [r["hr"] for r in reversed(ones)]  # index 0 = newest 1
+    c = 0
+    for (size, hr_sim) in buckets:
+        assert rev[c] == hr_sim, (c, size)
+        c += size
+
+    # Per-window estimates: recompute and compare to the operator.
+    got = {
+        r["w_hours"]: r.asDict()
+        for r in dgim_window_count_eval(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(DGIM_WINDOWS)
+    for w in DGIM_WINDOWS:
+        cut = mx_hr - w
+        alive = [b for b in buckets if b[1] > cut]
+        tot = sum(s for s, _ in alive)
+        oldest = alive[-1][0] if alive else 0
+        est = tot - oldest // 2 if alive else 0
+        exact = sum(1 for r in ones if r["hr"] > cut)
+        g = got[w]
+        assert g["n1_total"] == n1
+        assert g["exact_ones"] == exact
+        assert g["dgim_est"] == est
+        assert g["n_alive"] == len(alive)
+        assert g["oldest_size"] == oldest
+        assert g["abs_err"] == abs(est - exact)
+        # DGIM theory: the error lives inside the oldest alive bucket.
+        assert 2 * g["abs_err"] <= g["oldest_size"] + 1
+        # Classic <= 50% relative-error guarantee.
+        if exact:
+            assert g["err_milli"] <= 500
+        # Non-degenerate: every window actually has ones.
+        assert exact > 0
