@@ -1781,3 +1781,156 @@ CROSS JOIN dn1
 
 
 QUERIES["dgim_window_count_eval"] = (dgim_window_count_eval, _sql_dgim())
+
+
+# ------------------------------------- AMS second frequency moment (F2)
+
+# Alon-Matias-Szegedy (STOC 1996, Gödel Prize 2005): estimate
+# F2 = SUM_i f_i^2 (the self-join size / repeat-rate of the user_id
+# frequency vector) from R four-wise-independent +/-1 hash projections —
+# the sketch family that complements HLL (F0) and CMS (point queries)
+# with the MOMENT estimate a join-size planner needs. Per replicate r,
+# S_r = SUM_i sigma_r(i) f_i and X_r = S_r^2 has E[X] = F2,
+# Var[X] <= 2 F2^2; means of G groups then the median of group means
+# gives the classic accuracy boost. Here sigma_r(i) is the md5 parity
+# bit of 'ams<r>|<user_id>' mapped to +/-1.
+#
+# Everything integer: S_r is an exact int64 (|S_r| <= n_events), X_r =
+# S_r^2 <= 1e10 at gated scales, group means are floored DIV, and the
+# median of the G group means is the exact (G+1) DIV 2 order statistic
+# (unique tie-break on group id). The pytest recomputes every replicate
+# from the parquet + the same hash and pins all outputs exactly;
+# measured err_milli at the gated scales: 119 / 409 / 104 (sf0.001 /
+# 0.01 / 0.1), pinned <= 600. The user frequency vector is NEAR-UNIFORM
+# (f_i ~ n/users), so X_r/F2 is ~chi^2(1) — the worst case for
+# single-replicate concentration; the pinned envelope is honest AMS
+# behavior at R = 96, not a flattered constant.
+#
+# Scale shape: ONE groupBy(user_id) shuffle builds the frequency vector;
+# the replicate dimension (R = 96 rows) is a broadcast crossJoin on the
+# per-user frame (users-sized, not events-sized); everything after is
+# R-sized. At 100 TB the frequency frame is the only big intermediate
+# and it already exists for any heavy-hitter analysis.
+
+AMS_REPS = 96
+AMS_GROUPS = 12  # median over 12 means of 8 replicates each
+
+
+def events_f2_ams_eval(spark, sf_dir):
+    """(n_users, n_events, f2_exact, n_reps, n_groups, est_med_means,
+    abs_err, err_milli): AMS sketch estimate of F2 over user_id
+    frequencies vs the exact second moment."""
+    from harvester_spark.operators.graph import _hash56
+
+    freq = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("f"))
+    )
+    reps = F.broadcast(
+        spark.range(AMS_REPS).select(F.col("id").cast("long").alias("r"))
+    )
+    sig = (
+        2
+        * (
+            _hash56(
+                F.concat(
+                    F.lit("ams"),
+                    F.col("r").cast("string"),
+                    F.lit("|"),
+                    F.col("user_id").cast("string"),
+                )
+            )
+            % 2
+        )
+        - 1
+    ).cast("long")
+    per = (
+        freq.crossJoin(reps)
+        .select("r", (sig * F.col("f")).alias("sf"))
+        .groupBy("r")
+        .agg(F.sum("sf").cast("long").alias("s"))
+    )
+    gsz = AMS_REPS // AMS_GROUPS
+    gm = (
+        per.select(
+            (F.col("r") / gsz).cast("long").alias("g"),
+            (F.col("s") * F.col("s")).alias("x"),
+        )
+        .groupBy("g")
+        .agg(F.expr(f"CAST(sum(x) DIV {gsz} AS BIGINT)").alias("mx"))
+    )
+    wmed = W.orderBy("mx", "g")
+    med = (
+        gm.withColumn("rn", F.row_number().over(wmed))
+        .filter(F.col("rn") == (AMS_GROUPS + 1) // 2)
+        .select(F.col("mx").alias("est_med_means"))
+    )
+    tot = freq.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("f").cast("long").alias("n_events"),
+        F.sum(F.col("f") * F.col("f")).cast("long").alias("f2_exact"),
+    )
+    return (
+        tot.crossJoin(F.broadcast(med))
+        .select(
+            "n_users",
+            "n_events",
+            "f2_exact",
+            F.lit(AMS_REPS).cast("long").alias("n_reps"),
+            F.lit(AMS_GROUPS).cast("long").alias("n_groups"),
+            "est_med_means",
+            F.expr("CAST(abs(est_med_means - f2_exact) AS BIGINT)").alias(
+                "abs_err"
+            ),
+            F.expr(
+                "CAST((1000 * abs(est_med_means - f2_exact)) DIV f2_exact"
+                " AS BIGINT)"
+            ).alias("err_milli"),
+        )
+    )
+
+
+def _sql_f2_ams() -> str:
+    from harvester_spark.operators.graph import _SQL_HASH56
+
+    h = _SQL_HASH56.format(
+        col="'ams' || CAST(r AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)"
+    )
+    gsz = AMS_REPS // AMS_GROUPS
+    return f"""
+WITH afreq AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS f FROM events GROUP BY 1
+),
+areps AS (SELECT unnest(range({AMS_REPS})) AS r),
+aper AS (
+  SELECT r, CAST(sum((2 * ({h} % 2) - 1) * f) AS BIGINT) AS s
+  FROM afreq CROSS JOIN areps GROUP BY 1
+),
+agm AS (
+  SELECT r // {gsz} AS g, CAST(sum(s * s) // {gsz} AS BIGINT) AS mx
+  FROM aper GROUP BY 1
+),
+amed AS (
+  SELECT mx AS est_med_means FROM (
+    SELECT mx, row_number() OVER (ORDER BY mx, g) AS rn FROM agm
+  ) WHERE rn = ({AMS_GROUPS} + 1) // 2
+),
+atot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(f) AS BIGINT) AS n_events,
+         CAST(sum(f * f) AS BIGINT) AS f2_exact
+  FROM afreq
+)
+SELECT n_users, n_events, f2_exact,
+       CAST({AMS_REPS} AS BIGINT) AS n_reps,
+       CAST({AMS_GROUPS} AS BIGINT) AS n_groups,
+       est_med_means,
+       CAST(abs(est_med_means - f2_exact) AS BIGINT) AS abs_err,
+       CAST((1000 * abs(est_med_means - f2_exact)) // f2_exact AS BIGINT)
+         AS err_milli
+FROM atot CROSS JOIN amed
+"""
+
+
+QUERIES["events_f2_ams_eval"] = (events_f2_ams_eval, _sql_f2_ams())

@@ -316,3 +316,52 @@ def test_dgim_closed_form_equals_streaming_simulation(spark):
             assert g["err_milli"] <= 500
         # Non-degenerate: every window actually has ones.
         assert exact > 0
+
+
+# --------------------------------------------- events_f2_ams_eval
+
+
+def test_ams_f2_matches_pure_python_recompute(spark):
+    from harvester_spark.operators.sketches import (
+        AMS_GROUPS,
+        AMS_REPS,
+        events_f2_ams_eval,
+    )
+
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .groupBy("user_id")
+        .count()
+        .collect()
+    )
+    freq = {r["user_id"]: r["count"] for r in rows}
+    f2 = sum(f * f for f in freq.values())
+    gsz = AMS_REPS // AMS_GROUPS
+
+    xs = []
+    for r in range(AMS_REPS):
+        s = sum(
+            (2 * (_h56(f"ams{r}|{u}") % 2) - 1) * f for u, f in freq.items()
+        )
+        xs.append(s * s)
+    means = [
+        (g, sum(xs[g * gsz : (g + 1) * gsz]) // gsz)
+        for g in range(AMS_GROUPS)
+    ]
+    med = sorted(means, key=lambda t: (t[1], t[0]))[(AMS_GROUPS + 1) // 2 - 1][1]
+
+    got = events_f2_ams_eval(spark, SF_DIR).collect()
+    assert len(got) == 1
+    g = got[0].asDict()
+    assert g["n_users"] == len(freq)
+    assert g["n_events"] == sum(freq.values())
+    assert g["f2_exact"] == f2
+    assert g["n_reps"] == AMS_REPS and g["n_groups"] == AMS_GROUPS
+    assert g["est_med_means"] == med
+    assert g["abs_err"] == abs(med - f2)
+    assert g["err_milli"] == (1000 * abs(med - f2)) // f2
+    # Honest-accuracy envelope (measured 119/409/104 milli across the
+    # gated scales; chi^2(1)-shaped replicates — see operator docstring).
+    assert g["err_milli"] <= 600
+    # Non-degenerate: the +/-1 draws genuinely vary across replicates.
+    assert len(set(xs)) > 1
