@@ -3895,3 +3895,188 @@ QUERIES["crawl_coupon_collector_eval"] = (
     crawl_coupon_collector_eval,
     _sql_coupon(),
 )
+
+
+# --------------------------------- politeness-constrained crawl makespan
+
+# The scheduling member of the crawl-economics family (crawl_budget_
+# allocate apportions BUDGET, crawl_maxmin_fairshare splits BANDWIDTH,
+# frontier_schedule orders the QUEUE): per-host politeness delays make a
+# host's fetch queue strictly serial (one request per D_h), so a K-way
+# crawler is the classic P||Cmax machine-scheduling problem with job
+# weights w_h = pages_h * D_h. Graham (1969) LPT: sort jobs by weight
+# descending, always assign to the least-loaded machine — the textbook
+# 4/3-approximation every crawl scheduler reinvents.
+#
+# The per-host delay derives IN-ENGINE from md5 (never shipped as
+# constants): D_h = 200 + h56('pol|'||host) % 1800 ms — the corpus'
+# uniform per-host page counts would make scheduling degenerate without
+# the delay spread (the host_kcore non-degeneracy discipline).
+#
+# Determinism: the LPT pass is a bounded driver fold over the POL_H
+# top-weight rows (the interleave_team_draft_eval pattern: k-row driver
+# list == CTE unroll), tie-breaks (w desc, host asc) for job order and
+# lowest-thread-id for machine choice; the oracle re-derives the same
+# schedule as a POL_H-step unrolled CTE chain carrying the K load /
+# count / last-weight registers. The pytest pins Graham's inequality
+# K*Cmax <= total + (K-1)*w_last EXACTLY (w_last = last job assigned to
+# the makespan machine) plus the lower-bound sandwich.
+#
+# Scale shape: ONE documents scan (groupBy source); everything after is
+# POL_H rows. The corpus has exactly POL_H = 20 sources at every gated
+# scale (the operator requires >= POL_H hosts; fewer would need a
+# shorter unroll).
+
+POL_K = 4  # crawler threads
+POL_H = 20  # scheduled hosts (= corpus source count at every scale)
+POL_D_BASE = 200  # ms
+POL_D_SPREAD = 1800  # ms
+
+
+def crawl_politeness_lpt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(thread, n_hosts, load_ms, makespan_ms, lb_ms, w_last_ms,
+    ratio_milli): LPT schedule of per-host politeness-serial crawl work
+    over POL_K threads, with Graham-bound bookkeeping columns."""
+    docs = load(spark, sf_dir, "documents")
+    jobs = (
+        docs.groupBy(F.col("source").alias("host"))
+        .agg(F.count("*").cast("long").alias("pages"))
+        .select(
+            "host",
+            "pages",
+            (
+                POL_D_BASE
+                + _hash56(F.concat(F.lit("pol|"), F.col("host")))
+                % POL_D_SPREAD
+            )
+            .cast("long")
+            .alias("d_ms"),
+        )
+        .withColumn("w", (F.col("pages") * F.col("d_ms")).cast("long"))
+        .orderBy(F.col("w").desc(), F.col("host").asc())
+        .limit(POL_H)
+    )
+    rows = jobs.collect()  # bounded: POL_H rows
+    loads = [0] * POL_K
+    counts = [0] * POL_K
+    last_w = [0] * POL_K
+    for r in rows:
+        t = min(range(POL_K), key=lambda i: (loads[i], i))
+        loads[t] += r["w"]
+        counts[t] += 1
+        last_w[t] = r["w"]
+    makespan = max(loads)
+    tm = min(i for i in range(POL_K) if loads[i] == makespan)
+    total = sum(r["w"] for r in rows)
+    wmax = max(r["w"] for r in rows)
+    lb = max((total + POL_K - 1) // POL_K, wmax)
+    out = [
+        (
+            t,
+            counts[t],
+            loads[t],
+            makespan,
+            lb,
+            last_w[tm],
+            (1000 * makespan) // lb,
+        )
+        for t in range(POL_K)
+    ]
+    return spark.createDataFrame(
+        out,
+        "thread long, n_hosts long, load_ms long, makespan_ms long,"
+        " lb_ms long, w_last_ms long, ratio_milli long",
+    )
+
+
+def _sql_politeness_lpt() -> str:
+    h = _SQL_HASH56.format(col="'pol|' || host")
+    parts = [
+        f"""WITH pj AS (
+  SELECT source AS host, CAST(count(*) AS BIGINT) AS pages
+  FROM documents GROUP BY 1
+),
+pw AS (
+  SELECT host, pages,
+         CAST({POL_D_BASE} + {h} % {POL_D_SPREAD} AS BIGINT) AS d_ms,
+         CAST(pages * ({POL_D_BASE} + {h} % {POL_D_SPREAD}) AS BIGINT) AS w
+  FROM pj
+),
+pr AS (
+  SELECT host, w, row_number() OVER (ORDER BY w DESC, host ASC) AS rk
+  FROM pw QUALIFY rk <= {POL_H}
+),
+st0 AS (SELECT {", ".join(f"CAST(0 AS BIGINT) AS l{t}, CAST(0 AS BIGINT) AS c{t}, CAST(0 AS BIGINT) AS lw{t}" for t in range(POL_K))})"""
+    ]
+    for i in range(1, POL_H + 1):
+        # argmin over the K loads, lowest thread id on ties.
+        conds = []
+        for t in range(POL_K):
+            cc = " AND ".join(
+                f"l{t} <= l{u}" for u in range(POL_K) if u != t
+            )
+            conds.append(f"WHEN {cc} THEN {t}")
+        argmin = "CASE " + " ".join(conds[:-1]) + f" ELSE {POL_K - 1} END"
+        cols = []
+        for t in range(POL_K):
+            cols.append(
+                f"CAST(l{t} + CASE WHEN tm = {t} THEN wi ELSE 0 END AS BIGINT) AS l{t}"
+            )
+            cols.append(
+                f"CAST(c{t} + CASE WHEN tm = {t} THEN 1 ELSE 0 END AS BIGINT) AS c{t}"
+            )
+            cols.append(
+                f"CAST(CASE WHEN tm = {t} THEN wi ELSE lw{t} END AS BIGINT) AS lw{t}"
+            )
+        parts.append(
+            f""",
+st{i} AS (
+  SELECT {", ".join(cols)}
+  FROM (
+    SELECT s.*, (SELECT w FROM pr WHERE rk = {i}) AS wi,
+           {argmin} AS tm
+    FROM st{i - 1} s
+  )
+)"""
+        )
+    mk = "greatest(" + ", ".join(f"l{t}" for t in range(POL_K)) + ")"
+    tm_final = (
+        "CASE "
+        + " ".join(
+            f"WHEN l{t} = {mk} THEN {t}" for t in range(POL_K)
+        )
+        + " END"
+    )
+    wl = (
+        "CASE tmk "
+        + " ".join(f"WHEN {t} THEN lw{t}" for t in range(POL_K))
+        + " END"
+    )
+    parts.append(
+        f""",
+pfin AS (
+  SELECT *, {mk} AS mk, {tm_final} AS tmk FROM st{POL_H}
+),
+ptot AS (
+  SELECT CAST(sum(w) AS BIGINT) AS total, CAST(max(w) AS BIGINT) AS wmax
+  FROM pr
+),
+plb AS (
+  SELECT CAST(greatest((total + {POL_K} - 1) // {POL_K}, wmax) AS BIGINT)
+           AS lb
+  FROM ptot
+)
+SELECT CAST(th.t AS BIGINT) AS thread,
+       CAST(CASE th.t {" ".join(f"WHEN {t} THEN c{t}" for t in range(POL_K))} END AS BIGINT) AS n_hosts,
+       CAST(CASE th.t {" ".join(f"WHEN {t} THEN l{t}" for t in range(POL_K))} END AS BIGINT) AS load_ms,
+       CAST(mk AS BIGINT) AS makespan_ms,
+       CAST(lb AS BIGINT) AS lb_ms,
+       CAST({wl} AS BIGINT) AS w_last_ms,
+       CAST((1000 * mk) // lb AS BIGINT) AS ratio_milli
+FROM pfin CROSS JOIN plb
+CROSS JOIN (VALUES {", ".join(f"({t})" for t in range(POL_K))}) th(t)"""
+    )
+    return "".join(parts)
+
+
+QUERIES["crawl_politeness_lpt"] = (crawl_politeness_lpt, _sql_politeness_lpt())

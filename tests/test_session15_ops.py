@@ -365,3 +365,68 @@ def test_ams_f2_matches_pure_python_recompute(spark):
     assert g["err_milli"] <= 600
     # Non-degenerate: the +/-1 draws genuinely vary across replicates.
     assert len(set(xs)) > 1
+
+
+# --------------------------------------------- crawl_politeness_lpt
+
+
+def test_politeness_lpt_matches_python_and_graham_bound(spark):
+    from harvester_spark.operators.graph import (
+        POL_D_BASE,
+        POL_D_SPREAD,
+        POL_H,
+        POL_K,
+        crawl_politeness_lpt,
+    )
+
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .groupBy("source")
+        .count()
+        .collect()
+    )
+    jobs = sorted(
+        (
+            (
+                c["count"] * (POL_D_BASE + _h56(f"pol|{c['source']}") % POL_D_SPREAD),
+                c["source"],
+            )
+            for c in rows
+        ),
+        key=lambda t: (-t[0], t[1]),
+    )[:POL_H]
+    # Non-degenerate synthesis: delays genuinely spread the weights.
+    assert len({w for w, _ in jobs}) > POL_K
+
+    loads = [0] * POL_K
+    counts = [0] * POL_K
+    last_w = [0] * POL_K
+    for w, _ in jobs:
+        t = min(range(POL_K), key=lambda i: (loads[i], i))
+        loads[t] += w
+        counts[t] += 1
+        last_w[t] = w
+    mk = max(loads)
+    tm = min(i for i in range(POL_K) if loads[i] == mk)
+    total = sum(w for w, _ in jobs)
+    lb = max((total + POL_K - 1) // POL_K, max(w for w, _ in jobs))
+
+    got = {
+        r["thread"]: r.asDict()
+        for r in crawl_politeness_lpt(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(range(POL_K))
+    for t in range(POL_K):
+        g = got[t]
+        assert g["n_hosts"] == counts[t]
+        assert g["load_ms"] == loads[t]
+        assert g["makespan_ms"] == mk
+        assert g["lb_ms"] == lb
+        assert g["w_last_ms"] == last_w[tm]
+        assert g["ratio_milli"] == (1000 * mk) // lb
+    # Work conservation + LB sandwich.
+    assert sum(loads) == total
+    assert mk >= lb
+    # Graham's list-scheduling inequality, exact integers:
+    # K * Cmax <= total + (K - 1) * w_last.
+    assert POL_K * mk <= total + (POL_K - 1) * last_w[tm]
