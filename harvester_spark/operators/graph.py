@@ -4080,3 +4080,189 @@ CROSS JOIN (VALUES {", ".join(f"({t})" for t in range(POL_K))}) th(t)"""
 
 
 QUERIES["crawl_politeness_lpt"] = (crawl_politeness_lpt, _sql_politeness_lpt())
+
+
+# ------------------------------------ greedy max-coverage source select
+
+# Budgeted source selection as MAX-COVERAGE: pick SC_K of the corpus'
+# source hosts so their combined outlink-target sets cover as much of
+# the SC_M-slot target universe as possible — the "which feeds do I few
+# crawl first" decision (shard_select_redde/cori rank by CONTENT score;
+# this is the set-union view). Nemhauser-Wolsey-Fisher (1978): greedy
+# achieves >= 1 - (1 - 1/k)^k of OPT for max-coverage; at k = 4 that is
+# the EXACT RATIONAL 175/256, so the pin is division-free integer
+# arithmetic: 256 * greedy >= 175 * OPT.
+#
+# OPT is computed EXACTLY, not bounded: the source masks are int64
+# bitmasks over SC_M = 48 slots, and all C(20, 4) = 4845 source
+# quadruples are enumerated relationally (a 4-way self-join on the
+# 20-row mask frame) with coverage = bit_count(m1|m2|m3|m4) — the
+# subset enumeration is hosts^4-bounded, corpus-size-independent.
+#
+# Coverage-set synthesis (non-degeneracy at EVERY scale — the
+# vocab_oov_holdout lesson): raw per-source target draws saturate the
+# universe as the corpus grows (250 docs/src fill all 48 slots), so
+# each source keeps only its SC_SETSZ = 12 md5-first-ranked distinct
+# targets — 25% of the universe per source at any sf, forcing a real
+# 4-step greedy. Gain uses bit_count(mask | cov) - bit_count(cov)
+# (no bitwise NOT — portable across both engines).
+#
+# Scale shape: one documents scan -> (src, target) distinct pairs ->
+# per-src top-SC_SETSZ rank (20 partitions) -> 20 masks; greedy is a
+# bounded driver fold (interleave_team_draft_eval pattern), OPT is the
+# bounded relational enumeration; the oracle unrolls greedy as 4 CTE
+# steps.
+
+SC_K = 4  # sources to pick
+SC_M = 48  # target universe slots (bitmask fits int64)
+SC_SETSZ = 12  # per-source coverage-set cap
+
+
+def _source_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pairs = (
+        docs.select(
+            F.col("source").alias("src"),
+            (_hash56(F.concat(F.lit("cov|"), F.col("doc_id").cast("string"))) % SC_M)
+            .cast("long")
+            .alias("t"),
+        )
+        .distinct()
+    )
+    word = W.partitionBy("src").orderBy(
+        _hash56(
+            F.concat(F.lit("ord|"), F.col("src"), F.lit("|"), F.col("t").cast("string"))
+        ).asc(),
+        F.col("t").asc(),
+    )
+    return (
+        pairs.withColumn("rk", F.row_number().over(word))
+        .filter(F.col("rk") <= SC_SETSZ)
+        .groupBy("src")
+        .agg(
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(t AS INT))"))
+            .cast("long")
+            .alias("mask")
+        )
+    )
+
+
+def crawl_source_set_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(step, host, gain, covered_after, greedy_total, opt_cover,
+    bound_holds): greedy max-coverage pick of SC_K sources vs the exact
+    optimum over all source quadruples; bound_holds is the exact
+    256*greedy >= 175*OPT Nemhauser-Wolsey-Fisher check."""
+    masks = _source_masks(spark, sf_dir).cache()
+    rows = sorted(
+        ((r["src"], r["mask"]) for r in masks.collect()),
+        key=lambda t: t[0],
+    )  # bounded: one row per source host
+    cov = 0
+    picks = []
+    for step in range(1, SC_K + 1):
+        # deterministic argmax: gain desc, host asc
+        best = min(
+            (t for t in rows),
+            key=lambda t: (
+                -(bin(t[1] | cov).count("1") - bin(cov).count("1")),
+                t[0],
+            ),
+        )
+        gain = bin(best[1] | cov).count("1") - bin(cov).count("1")
+        cov |= best[1]
+        picks.append((step, best[0], gain, bin(cov).count("1")))
+    greedy_total = bin(cov).count("1")
+
+    m1, m2, m3, m4 = (masks.alias(a) for a in ("m1", "m2", "m3", "m4"))
+    opt = (
+        m1.join(m2, F.col("m1.src") < F.col("m2.src"))
+        .join(m3, F.col("m2.src") < F.col("m3.src"))
+        .join(m4, F.col("m3.src") < F.col("m4.src"))
+        .select(
+            F.expr(
+                "bit_count(m1.mask | m2.mask | m3.mask | m4.mask)"
+            ).cast("long").alias("cov")
+        )
+        .agg(F.max("cov").cast("long").alias("opt_cover"))
+    )
+    out = spark.createDataFrame(
+        picks, "step long, host string, gain long, covered_after long"
+    )
+    return (
+        out.crossJoin(F.broadcast(opt))
+        .select(
+            "step",
+            "host",
+            "gain",
+            "covered_after",
+            F.lit(greedy_total).cast("long").alias("greedy_total"),
+            "opt_cover",
+            (F.lit(256 * greedy_total) >= 175 * F.col("opt_cover")).alias(
+                "bound_holds"
+            ),
+        )
+    )
+
+
+def _sql_set_cover() -> str:
+    hcov = _SQL_HASH56.format(col="'cov|' || CAST(doc_id AS VARCHAR)")
+    hord = _SQL_HASH56.format(col="'ord|' || src || '|' || CAST(t AS VARCHAR)")
+    parts = [
+        f"""WITH scp AS (
+  SELECT DISTINCT source AS src,
+         CAST({hcov} % {SC_M} AS BIGINT) AS t
+  FROM documents
+),
+scr AS (
+  SELECT src, t,
+         row_number() OVER (PARTITION BY src ORDER BY {hord} ASC, t ASC)
+           AS rk
+  FROM scp
+),
+scm AS (
+  SELECT src, CAST(sum(CAST(1 AS BIGINT) << CAST(t AS INT)) AS BIGINT)
+           AS mask
+  FROM scr WHERE rk <= {SC_SETSZ} GROUP BY 1
+),
+g0 AS (SELECT CAST(0 AS BIGINT) AS cov)"""
+    ]
+    for i in range(1, SC_K + 1):
+        parts.append(
+            f""",
+p{i} AS (
+  SELECT m.src, m.mask,
+         CAST(bit_count(m.mask | g.cov) - bit_count(g.cov) AS BIGINT)
+           AS gain,
+         CAST(m.mask | g.cov AS BIGINT) AS newcov
+  FROM scm m CROSS JOIN g{i - 1} g
+  ORDER BY gain DESC, m.src ASC LIMIT 1
+),
+g{i} AS (SELECT newcov AS cov FROM p{i})"""
+        )
+    steps = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS step, src AS host, gain,"
+        f" CAST(bit_count(newcov) AS BIGINT) AS covered_after FROM p{i}"
+        for i in range(1, SC_K + 1)
+    )
+    parts.append(
+        f""",
+gsteps AS ({steps}),
+gtot AS (
+  SELECT CAST(bit_count(cov) AS BIGINT) AS greedy_total FROM g{SC_K}
+),
+sopt AS (
+  SELECT CAST(max(bit_count(a.mask | b.mask | c.mask | d.mask))
+              AS BIGINT) AS opt_cover
+  FROM scm a JOIN scm b ON a.src < b.src
+  JOIN scm c ON b.src < c.src
+  JOIN scm d ON c.src < d.src
+)
+SELECT s.step, s.host, s.gain, s.covered_after,
+       t.greedy_total, o.opt_cover,
+       256 * t.greedy_total >= 175 * o.opt_cover AS bound_holds
+FROM gsteps s CROSS JOIN gtot t CROSS JOIN sopt o"""
+    )
+    return "".join(parts)
+
+
+QUERIES["crawl_source_set_cover"] = (crawl_source_set_cover, _sql_set_cover())

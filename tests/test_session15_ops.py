@@ -430,3 +430,69 @@ def test_politeness_lpt_matches_python_and_graham_bound(spark):
     # Graham's list-scheduling inequality, exact integers:
     # K * Cmax <= total + (K - 1) * w_last.
     assert POL_K * mk <= total + (POL_K - 1) * last_w[tm]
+
+
+# --------------------------------------------- crawl_source_set_cover
+
+
+def test_set_cover_matches_python_and_nwf_bound(spark):
+    from itertools import combinations
+
+    from harvester_spark.operators.graph import (
+        SC_K,
+        SC_M,
+        SC_SETSZ,
+        crawl_source_set_cover,
+    )
+
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "source")
+        .collect()
+    )
+    targets = {}
+    for r in rows:
+        targets.setdefault(r["source"], set()).add(
+            _h56(f"cov|{r['doc_id']}") % SC_M
+        )
+    masks = {}
+    for src, ts in targets.items():
+        kept = sorted(ts, key=lambda t: (_h56(f"ord|{src}|{t}"), t))[:SC_SETSZ]
+        masks[src] = sum(1 << t for t in kept)
+
+    cov = 0
+    expect = []
+    for step in range(1, SC_K + 1):
+        best = min(
+            masks.items(),
+            key=lambda kv: (-(bin(kv[1] | cov).count("1") - bin(cov).count("1")), kv[0]),
+        )
+        gain = bin(best[1] | cov).count("1") - bin(cov).count("1")
+        cov |= best[1]
+        expect.append((step, best[0], gain, bin(cov).count("1")))
+    greedy_total = bin(cov).count("1")
+    opt = max(
+        bin(a | b | c | d).count("1")
+        for a, b, c, d in combinations(masks.values(), 4)
+    )
+
+    got = sorted(
+        (r.asDict() for r in crawl_source_set_cover(spark, SF_DIR).collect()),
+        key=lambda d: d["step"],
+    )
+    assert [
+        (g["step"], g["host"], g["gain"], g["covered_after"]) for g in got
+    ] == expect
+    for g in got:
+        assert g["greedy_total"] == greedy_total
+        assert g["opt_cover"] == opt
+        assert g["bound_holds"] is True
+    # Nemhauser-Wolsey-Fisher at k=4, exact rational: 1-(3/4)^4 = 175/256.
+    assert 256 * greedy_total >= 175 * opt
+    # Submodularity: greedy gains are non-increasing.
+    gains = [g["gain"] for g in got]
+    assert gains == sorted(gains, reverse=True)
+    # Non-degenerate: the capped sets force a real multi-step cover
+    # (nobody covers the universe alone, and greedy needs every pick).
+    assert got[0]["gain"] <= SC_SETSZ < greedy_total <= SC_M
+    assert all(g["gain"] > 0 for g in got)
