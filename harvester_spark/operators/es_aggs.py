@@ -4695,3 +4695,137 @@ QUERIES["events_ci_coverage_eval"] = (
     events_ci_coverage_eval,
     _sql_ci_coverage(),
 )
+
+
+# ------------------------------------------ SAX symbolic representation
+
+# Lin-Keogh-Lonardi-Chiu (DMKD 2003) Symbolic Aggregate approXimation —
+# the discretization that turns the hourly event series into words so
+# motif/novelty mining can run on STRINGS (the representation layer
+# events_matrix_profile's exact numeric profile deliberately skips).
+# Pipeline: densified hourly counts (the events_acf grid, 720 hours) ->
+# PAA frames of SAX_FRAME_H hours (SUMS, not means — same ordering, no
+# division) -> alphabet of SAX_ALPHA symbols.
+#
+# Deviation from the paper, documented: classic SAX z-normalizes and
+# cuts at Gaussian N(0,1) breakpoints (an erf table — not exactly
+# representable cross-engine). Here breakpoints are EQUI-DEPTH exact
+# order statistics of the PAA distribution itself (ranks i*F/ALPHA via
+# the cumulative value histogram, the events_theilsen_trend selection),
+# which is the standard adaptation for non-Gaussian series and keeps
+# every comparison integer-exact. Symbol id = count of breakpoints
+# strictly below the frame's PAA sum.
+#
+# Scale shape: one events scan -> hour groupBy; everything downstream is
+# frame-count-sized (span-bounded 120 rows at every gated scale).
+
+SAX_FRAME_H = 6  # hours per PAA frame
+SAX_ALPHA = 4  # alphabet size (a..d)
+
+
+def events_sax_symbolize(spark, sf_dir):
+    """(frame, day, paa_sum, symbol_id, symbol): equi-depth SAX symbol
+    stream over the densified hourly event-count series."""
+    ev = load(spark, sf_dir, "events").select(
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hour")
+    )
+    b = ev.agg(F.min("hour").alias("mn"), F.max("hour").alias("mx")).collect()[0]
+    counts = ev.groupBy("hour").agg(F.count("*").cast("long").alias("c"))
+    dens = (
+        spark.range(0, b.mx - b.mn + 1)
+        .select(F.col("id").cast("long").alias("h"))
+        .withColumn("hour", F.col("h") + F.lit(int(b.mn)))
+        .join(counts, "hour", "left")
+        .select("h", F.coalesce("c", F.lit(0)).cast("long").alias("c"))
+    )
+    paa = (
+        dens.groupBy(F.expr(f"h DIV {SAX_FRAME_H}").alias("frame"))
+        .agg(F.sum("c").cast("long").alias("paa_sum"))
+    )
+    nf = F.broadcast(paa.agg(F.count("*").cast("long").alias("nf")))
+    hist = paa.groupBy("paa_sum").agg(F.count("*").cast("long").alias("m"))
+    wcum = W.orderBy("paa_sum").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = hist.select(
+        "paa_sum", F.sum("m").over(wcum).cast("long").alias("cm")
+    )
+    ranks = F.broadcast(
+        spark.range(1, SAX_ALPHA)
+        .select(F.col("id").cast("long").alias("i"))
+        .crossJoin(nf)
+        .select("i", F.expr(f"CAST((i * nf) DIV {SAX_ALPHA} AS BIGINT)").alias("k"))
+    )
+    bps = F.broadcast(
+        cum.join(ranks, F.col("cm") >= F.col("k"))
+        .groupBy("i")
+        .agg(F.min("paa_sum").cast("long").alias("bp"))
+    )
+    sym = (
+        paa.crossJoin(bps)
+        .groupBy("frame", "paa_sum")
+        .agg(
+            F.sum(F.expr("CAST(paa_sum > bp AS BIGINT)"))
+            .cast("long")
+            .alias("symbol_id")
+        )
+    )
+    return sym.select(
+        "frame",
+        F.expr("CAST(frame DIV 4 AS BIGINT)").alias("day"),
+        "paa_sum",
+        "symbol_id",
+        F.expr("substr('abcd', CAST(symbol_id AS INT) + 1, 1)").alias("symbol"),
+    )
+
+
+def _sql_sax() -> str:
+    return f"""
+WITH xb AS (
+  SELECT CAST(floor(epoch(min(ts))) AS BIGINT) // 3600 AS mn,
+         CAST(floor(epoch(max(ts))) AS BIGINT) // 3600 AS mx
+  FROM events
+),
+xcnt AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hour,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+xdens AS (
+  SELECT g.hh - xb.mn AS h, CAST(coalesce(xcnt.c, 0) AS BIGINT) AS c
+  FROM (SELECT unnest(range((SELECT mn FROM xb), (SELECT mx + 1 FROM xb)))
+          AS hh) g
+  CROSS JOIN xb
+  LEFT JOIN xcnt ON xcnt.hour = g.hh
+),
+xpaa AS (
+  SELECT h // {SAX_FRAME_H} AS frame, CAST(sum(c) AS BIGINT) AS paa_sum
+  FROM xdens GROUP BY 1
+),
+xnf AS (SELECT CAST(count(*) AS BIGINT) AS nf FROM xpaa),
+xcum AS (
+  SELECT paa_sum,
+         CAST(sum(count(*)) OVER (ORDER BY paa_sum
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cm
+  FROM xpaa GROUP BY paa_sum
+),
+xranks AS (
+  SELECT i, CAST((i * nf) // {SAX_ALPHA} AS BIGINT) AS k
+  FROM (SELECT unnest(range(1, {SAX_ALPHA})) AS i) CROSS JOIN xnf
+),
+xbps AS (
+  SELECT i, CAST(min(paa_sum) AS BIGINT) AS bp
+  FROM xcum JOIN xranks ON cm >= k GROUP BY 1
+),
+xsym AS (
+  SELECT frame, paa_sum,
+         CAST(sum(CASE WHEN paa_sum > bp THEN 1 ELSE 0 END) AS BIGINT)
+           AS symbol_id
+  FROM xpaa CROSS JOIN xbps GROUP BY 1, 2
+)
+SELECT frame, frame // 4 AS day, paa_sum, symbol_id,
+       substr('abcd', CAST(symbol_id AS INT) + 1, 1) AS symbol
+FROM xsym
+"""
+
+
+QUERIES["events_sax_symbolize"] = (events_sax_symbolize, _sql_sax())

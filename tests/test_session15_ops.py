@@ -496,3 +496,54 @@ def test_set_cover_matches_python_and_nwf_bound(spark):
     # (nobody covers the universe alone, and greedy needs every pick).
     assert got[0]["gain"] <= SC_SETSZ < greedy_total <= SC_M
     assert all(g["gain"] > 0 for g in got)
+
+
+# --------------------------------------------- events_sax_symbolize
+
+
+def test_sax_matches_python_and_equidepth(spark):
+    from harvester_spark.operators.es_aggs import (
+        SAX_ALPHA,
+        SAX_FRAME_H,
+        events_sax_symbolize,
+    )
+
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .selectExpr("CAST(unix_timestamp(ts) AS LONG) DIV 3600 AS hour")
+        .collect()
+    )
+    hours = [r["hour"] for r in rows]
+    mn, mx = min(hours), max(hours)
+    counts = Counter(hours)
+    dens = [counts.get(mn + h, 0) for h in range(mx - mn + 1)]
+    paa = {}
+    for h, c in enumerate(dens):
+        paa[h // SAX_FRAME_H] = paa.get(h // SAX_FRAME_H, 0) + c
+    nf = len(paa)
+    svals = sorted(paa.values())
+    bps = [svals[(i * nf) // SAX_ALPHA - 1] for i in range(1, SAX_ALPHA)]
+    expect = {
+        f: (v, sum(1 for b in bps if v > b)) for f, v in paa.items()
+    }
+
+    got = {
+        r["frame"]: r.asDict()
+        for r in events_sax_symbolize(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(expect)
+    for f, (v, sid) in expect.items():
+        g = got[f]
+        assert g["paa_sum"] == v
+        assert g["symbol_id"] == sid
+        assert g["symbol"] == "abcd"[sid]
+        assert g["day"] == f // 4
+    # Equi-depth: every symbol class is populated and roughly balanced
+    # (ties can skew but never empty a class on this series).
+    byclass = Counter(g["symbol_id"] for g in got.values())
+    assert set(byclass) == set(range(SAX_ALPHA))
+    assert max(byclass.values()) <= 2 * (nf // SAX_ALPHA) + SAX_ALPHA
+    # Monotone: symbol_id is non-decreasing in paa_sum.
+    srt = sorted(got.values(), key=lambda g: g["paa_sum"])
+    for a, b in zip(srt, srt[1:]):
+        assert a["symbol_id"] <= b["symbol_id"]
