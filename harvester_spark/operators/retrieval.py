@@ -2582,3 +2582,184 @@ ORDER BY score DESC, doc_id ASC LIMIT {MAXP_K}
 
 
 QUERIES["ft_bm25_maxp_topk"] = (ft_bm25_maxp_topk, _sql_maxp())
+
+
+# ------------------------------------------------ PM-2 diversification
+
+# Dang & Croft (WSDM 2012) PM-2: diversification as PROPORTIONAL seat
+# allocation — each result position is a parliamentary seat, awarded by
+# the Sainte-Laguë method: aspect quotients qt_a = v_a / (2 s_a + 1)
+# (v_a = aspect votes = pool share, s_a = seats already held), the
+# position goes to the aspect with the largest quotient, and the doc is
+# chosen to maximize lam*qt_a*'s coverage plus (1-lam) of the others'.
+# Complements ft_xquad_topk (relevance-weighted coverage with novelty
+# decay) and ft_mmr_topk (similarity penalty) with the third classic
+# diversification family: PROPORTIONALITY.
+#
+# Integer adaptations, documented: (1) seats are INTEGER — the picked
+# doc's aspect gains one whole seat (paper: fractional p(d|a) credit);
+# Sainte-Laguë with integer seats is the original apportionment method,
+# and quotients stay micro-integers through ONE floored division
+# identical in both engines. (2) lam = 9/10, NOT 1/2: with the two-level
+# aspect-likelihood model (w = 7 for the doc's own lang, 1 otherwise,
+# the ft_xquad_topk model), the lam = 1/2 objective algebraically
+# collapses to r_d*(Q + 6*qt_lang(d)) — INDEPENDENT of the chosen
+# aspect (proof: split the sum on lang(d) = a*), so the aspect-turn
+# mechanism PM-2 exists for would be dead code; lam = 9/10 keeps it
+# live (coefficients 9/1 after scaling by 10).
+#
+# Every greedy decision compares integers: obj(d) = SUM_a coef_a * qt_a
+# * w_da * r_d <= ~6e15, tie-break doc_id asc; aspect turn tie-break
+# aspect asc. The driver loop runs over the collected XQ_C-row pool
+# (the ft_xquad_topk bounded-collect precedent); the oracle re-derives
+# the identical schedule as a PM2_K-step CTE unroll carrying the seat
+# table.
+
+PM2_K = 10  # positions (seats)
+PM2_LAM_NUM = 9  # lam = 9/10 (see collapse proof above)
+
+
+def ft_pm2_topk(spark, sf_dir):
+    """(pick, doc_id, lang, rel_norm, aspect_star, qt_star, obj): the
+    PM2_K PM-2 picks in seat order from the top-XQ_C BM25-OR pool,
+    aspects = the pool's language facet, Sainte-Laguë integer seats."""
+    from harvester_spark.operators.fulltext_queries import bm25_or_scored
+
+    langs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    cand = (
+        bm25_or_scored(spark, sf_dir)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(XQ_C)
+        .select(
+            "doc_id",
+            F.expr("CAST(round(score * 1.0e6, 0) AS BIGINT)").alias("s_micro"),
+        )
+        .join(langs, "doc_id")
+    )
+    rows = cand.collect()  # bounded: XQ_C rows
+    relmax = max(r["s_micro"] for r in rows)
+    rel = {r["doc_id"]: (1_000_000 * r["s_micro"]) // relmax for r in rows}
+    lang = {r["doc_id"]: r["lang"] for r in rows}
+    aspects = sorted(set(lang.values()))
+    votes = {a: sum(1 for d in lang if lang[d] == a) for a in aspects}
+
+    seats = {a: 0 for a in aspects}
+    picked: list = []
+    out = []
+    for k in range(1, PM2_K + 1):
+        qt = {a: (1_000_000 * votes[a]) // (2 * seats[a] + 1) for a in aspects}
+        astar = min(aspects, key=lambda a: (-qt[a], a))
+        best = None
+        for d in rel:
+            if d in picked:
+                continue
+            obj = 0
+            for a in aspects:
+                coef = PM2_LAM_NUM if a == astar else 1
+                w = 7 if lang[d] == a else 1
+                obj += coef * qt[a] * w * rel[d]
+            key = (-obj, d)
+            if best is None or key < best[0]:
+                best = (key, d, obj)
+        _, d, obj = best
+        picked.append(d)
+        seats[lang[d]] += 1
+        out.append((k, d, lang[d], rel[d], astar, qt[astar], obj))
+    return spark.createDataFrame(
+        out,
+        "pick int, doc_id long, lang string, rel_norm long,"
+        " aspect_star string, qt_star long, obj long",
+    )
+
+
+def _sql_pm2() -> str:
+    from harvester_spark.operators.fulltext_queries import BM25_TERMS
+
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    parts = [f"""
+WITH toks AS ({SQL_DOC_TOKS}),
+dls AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) * 1.0e0 / count(*) FROM dls) AS avgdl
+),
+qtf AS (
+  SELECT term, doc_id, count(*) AS tf FROM toks
+  WHERE term IN ({terms}) GROUP BY 1, 2
+),
+qdf AS (SELECT term, count(DISTINCT doc_id) AS df FROM qtf GROUP BY 1),
+orsc AS (
+  SELECT doc_id,
+         CAST(round(round(sum(
+           ln(1.0e0 + (n - df + 0.5e0) / (df + 0.5e0))
+           * (tf * 2.2e0)
+           / (tf + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * dl / avgdl))
+         ), 6) * 1.0e6, 0) AS BIGINT) AS s_micro
+  FROM qtf t JOIN qdf USING (term) JOIN dls USING (doc_id)
+  CROSS JOIN stats GROUP BY doc_id
+),
+cand AS MATERIALIZED (
+  SELECT o.doc_id, o.s_micro, d.lang
+  FROM orsc o JOIN documents d USING (doc_id)
+  ORDER BY o.s_micro DESC, o.doc_id ASC LIMIT {XQ_C}
+),
+pool AS MATERIALIZED (
+  SELECT doc_id, lang,
+         CAST((1000000 * s_micro) // (SELECT max(s_micro) FROM cand)
+              AS BIGINT) AS rel_norm
+  FROM cand
+),
+pasp AS MATERIALIZED (
+  SELECT lang AS aspect, CAST(count(*) AS BIGINT) AS v
+  FROM pool GROUP BY 1
+),
+pst0 AS (SELECT aspect, v, CAST(0 AS BIGINT) AS s FROM pasp),
+ppk0 AS MATERIALIZED (SELECT CAST(NULL AS BIGINT) AS doc_id WHERE 1 = 0)"""]
+    for k in range(1, PM2_K + 1):
+        parts.append(f""",
+pqt{k} AS MATERIALIZED (
+  SELECT aspect, v, s,
+         CAST((1000000 * v) // (2 * s + 1) AS BIGINT) AS qt
+  FROM pst{k - 1}
+),
+pas{k} AS MATERIALIZED (
+  SELECT aspect AS astar, qt AS qt_star FROM pqt{k}
+  ORDER BY qt DESC, aspect ASC LIMIT 1
+),
+pob{k} AS MATERIALIZED (
+  SELECT p.doc_id, p.lang, p.rel_norm,
+         CAST(sum(
+           (CASE WHEN q.aspect = a.astar THEN {PM2_LAM_NUM} ELSE 1 END)
+           * q.qt
+           * (CASE WHEN p.lang = q.aspect THEN 7 ELSE 1 END)
+           * p.rel_norm
+         ) AS BIGINT) AS obj
+  FROM pool p CROSS JOIN pqt{k} q CROSS JOIN pas{k} a
+  WHERE p.doc_id NOT IN (SELECT doc_id FROM ppk{k - 1})
+  GROUP BY 1, 2, 3
+),
+ppick{k} AS MATERIALIZED (
+  SELECT CAST({k} AS INT) AS pick, o.doc_id, o.lang, o.rel_norm,
+         a.astar AS aspect_star, a.qt_star, o.obj
+  FROM pob{k} o CROSS JOIN pas{k} a
+  ORDER BY o.obj DESC, o.doc_id ASC LIMIT 1
+),
+ppk{k} AS MATERIALIZED (
+  SELECT doc_id FROM ppk{k - 1} UNION ALL SELECT doc_id FROM ppick{k}
+),
+pst{k} AS MATERIALIZED (
+  SELECT t.aspect, t.v,
+         CAST(t.s + CASE WHEN t.aspect =
+              (SELECT lang FROM ppick{k}) THEN 1 ELSE 0 END AS BIGINT) AS s
+  FROM pst{k - 1} t
+)""")
+    sel = " UNION ALL ".join(
+        f"SELECT pick, doc_id, lang, rel_norm, aspect_star, qt_star, obj"
+        f" FROM ppick{k}"
+        for k in range(1, PM2_K + 1)
+    )
+    parts.append(f"\n{sel}")
+    return "".join(parts)
+
+
+QUERIES["ft_pm2_topk"] = (ft_pm2_topk, _sql_pm2())

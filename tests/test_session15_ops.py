@@ -547,3 +547,94 @@ def test_sax_matches_python_and_equidepth(spark):
     srt = sorted(got.values(), key=lambda g: g["paa_sum"])
     for a, b in zip(srt, srt[1:]):
         assert a["symbol_id"] <= b["symbol_id"]
+
+
+# --------------------------------------------------------- ft_pm2_topk
+
+
+def test_pm2_matches_python_recompute_and_proportionality(spark):
+    import pyspark.sql.functions as F
+
+    from harvester_spark.operators.fulltext_queries import bm25_or_scored
+    from harvester_spark.operators.retrieval import (
+        PM2_K,
+        PM2_LAM_NUM,
+        XQ_C,
+        ft_pm2_topk,
+    )
+
+    langs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    pool = (
+        bm25_or_scored(spark, SF_DIR)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(XQ_C)
+        .selectExpr(
+            "doc_id", "CAST(round(score * 1.0e6, 0) AS LONG) AS s_micro"
+        )
+        .join(langs, "doc_id")
+        .collect()
+    )
+    relmax = max(r["s_micro"] for r in pool)
+    rel = {r["doc_id"]: (1_000_000 * r["s_micro"]) // relmax for r in pool}
+    lang = {r["doc_id"]: r["lang"] for r in pool}
+    aspects = sorted(set(lang.values()))
+    votes = Counter(lang.values())
+
+    seats = {a: 0 for a in aspects}
+    picked = []
+    expect = []
+    for k in range(1, PM2_K + 1):
+        qt = {a: (1_000_000 * votes[a]) // (2 * seats[a] + 1) for a in aspects}
+        astar = min(aspects, key=lambda a: (-qt[a], a))
+        best = None
+        for d in rel:
+            if d in picked:
+                continue
+            obj = sum(
+                (PM2_LAM_NUM if a == astar else 1)
+                * qt[a]
+                * (7 if lang[d] == a else 1)
+                * rel[d]
+                for a in aspects
+            )
+            if best is None or (-obj, d) < best[0]:
+                best = ((-obj, d), d, obj)
+        _, d, obj = best
+        picked.append(d)
+        seats[lang[d]] += 1
+        expect.append((k, d, lang[d], rel[d], astar, qt[astar], obj))
+
+    got = sorted(
+        (r.asDict() for r in ft_pm2_topk(spark, SF_DIR).collect()),
+        key=lambda g: g["pick"],
+    )
+    assert [
+        (
+            g["pick"],
+            g["doc_id"],
+            g["lang"],
+            g["rel_norm"],
+            g["aspect_star"],
+            g["qt_star"],
+            g["obj"],
+        )
+        for g in got
+    ] == expect
+
+    # Diversification: PM-2's top-K shows at least as many languages as
+    # the pure-relevance top-K of the same pool, and covers most facets.
+    pure = sorted(pool, key=lambda r: (-r["s_micro"], r["doc_id"]))[:PM2_K]
+    pure_langs = {r["lang"] for r in pure}
+    pm2_langs = {g["lang"] for g in got}
+    assert len(pm2_langs) >= len(pure_langs)
+    assert len(pm2_langs) >= min(4, len(aspects))
+    # Proportionality: a facet with at least twice another's votes never
+    # ends with fewer seats (Sainte-Laguë monotonicity, integer seats).
+    for a in aspects:
+        for b in aspects:
+            if votes[a] >= 2 * votes[b]:
+                assert seats[a] >= seats[b], (a, b, votes, seats)
+    # Seats sum to positions.
+    assert sum(seats.values()) == PM2_K
