@@ -1061,3 +1061,153 @@ QUERIES["curation_pooled_screening_eval"] = (
     curation_pooled_screening_eval,
     _sql_pooled_screening(),
 )
+
+
+# ------------------------------------------- robots.txt rule semantics
+
+# The crawl-permission decision layer over the synthesized URL space
+# (_templated_urls): per-host allow/disallow PREFIX rules evaluated with
+# the documented robots.txt precedence — the MOST SPECIFIC (longest)
+# matching rule wins, allow wins length ties, no match defaults to
+# allow (RFC 9309 / Google's documented semantics). This is the
+# permission twin of url_path_templates' volume view: what a polite
+# fetcher may actually download.
+#
+# Rule synthesis (md5 presence bits per host — non-degenerate nesting
+# BY CONSTRUCTION): a catch-all '/' disallow on 1-in-5 hosts, section
+# disallows ('/p/', '/blog/') with LONGER allow carve-outs ('/p/1',
+# '/blog/2024/1') on hash-overlapping host subsets, plus a redundant
+# explicit '/a/' allow. The carve-outs guarantee URLs where longest-
+# match FLIPS the verdict of naive shortest-match precedence — the
+# operator counts those (n_overridden) so the test can pin that the
+# precedence order genuinely matters on this corpus, not vacuously.
+#
+# Determinism: the winning rule is max_by(allow, 2*len(prefix)+allow) —
+# longest first, allow on ties; the naive foil is min_by of the same
+# key (shortest, disallow on ties). Key collisions only occur between
+# same-length same-verdict rules, which cannot change either verdict.
+#
+# Scale shape: rules is a hosts x <=6 broadcast dim; the only
+# corpus-sized work is one urls scan -> per-(host,url) prefix-match
+# join (bounded fan-out 6) -> one groupBy. No window functions.
+
+ROB_RULES = (
+    # (prefix, allow_flag, presence: host-hash modulus, residue)
+    ("/", 0, 5, 0),
+    ("/p/", 0, 3, 1),
+    ("/p/", 0, 3, 2),  # same rule on a second host class (h%3 != 0)
+    ("/p/1", 1, 2, 0),
+    ("/blog/", 0, 4, 0),
+    ("/blog/2024/1", 1, 4, 0),
+    ("/a/", 1, 1, 0),
+)
+
+
+def _robots_rules(spark, sf_dir) -> DataFrame:
+    hosts = (
+        load(spark, sf_dir, "documents")
+        .select(F.col("source").alias("host"))
+        .distinct()
+        .withColumn(
+            "h", _hash56(F.concat(F.lit("rob|"), F.col("host"))).cast("long")
+        )
+    )
+    legs = [
+        hosts.filter(F.col("h") % F.lit(mod) == F.lit(res)).select(
+            "host",
+            F.lit(pfx).alias("prefix"),
+            F.lit(allow).cast("long").alias("allow"),
+        )
+        for (pfx, allow, mod, res) in ROB_RULES
+    ]
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.distinct()
+
+
+def robots_rules_eval(spark, sf_dir) -> DataFrame:
+    """(host, n_urls, n_allowed, n_disallowed, n_matched, n_overridden):
+    RFC 9309 longest-match allow/disallow verdicts per host over the
+    templated URL space, with the count of URLs where longest-match
+    flips naive shortest-match precedence."""
+    urls = _templated_urls(spark, sf_dir).select("host", "url")
+    rules = F.broadcast(_robots_rules(spark, sf_dir))
+    m = urls.join(rules, "host", "left").withColumn(
+        "hit",
+        F.expr("prefix IS NOT NULL AND startswith(url, prefix)"),
+    )
+    per = m.groupBy("host", "url").agg(
+        F.expr(
+            "max_by(CASE WHEN hit THEN allow END,"
+            " CASE WHEN hit THEN 2 * length(prefix) + allow END)"
+        ).alias("strict"),
+        F.expr(
+            "min_by(CASE WHEN hit THEN allow END,"
+            " CASE WHEN hit THEN 2 * length(prefix) + allow END)"
+        ).alias("naive"),
+        F.expr("CAST(max(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)").alias(
+            "matched"
+        ),
+    )
+    return per.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_urls"),
+        F.sum(F.expr("CAST(coalesce(strict, 1) = 1 AS BIGINT)"))
+        .cast("long")
+        .alias("n_allowed"),
+        F.sum(F.expr("CAST(coalesce(strict, 1) = 0 AS BIGINT)"))
+        .cast("long")
+        .alias("n_disallowed"),
+        F.sum("matched").cast("long").alias("n_matched"),
+        F.sum(
+            F.expr(
+                "CAST(matched = 1 AND strict <> naive AS BIGINT)"
+            )
+        )
+        .cast("long")
+        .alias("n_overridden"),
+    )
+
+
+def _sql_robots() -> str:
+    h = _SQL_HASH56.format(col="'rob|' || host")
+    legs = " UNION ALL ".join(
+        f"SELECT host, '{pfx}' AS prefix, CAST({allow} AS BIGINT) AS allow"
+        f" FROM rhosts WHERE h % {mod} = {res}"
+        for (pfx, allow, mod, res) in ROB_RULES
+    )
+    return f"""
+WITH rurls AS ({_SQL_TPL_URLS}),
+rhosts AS (
+  SELECT DISTINCT source AS host, {h} AS h
+  FROM documents
+),
+rrules AS (SELECT DISTINCT * FROM ({legs})),
+rm AS (
+  SELECT u.host, u.url, r.prefix, r.allow,
+         r.prefix IS NOT NULL AND starts_with(u.url, r.prefix) AS hit
+  FROM rurls u LEFT JOIN rrules r USING (host)
+),
+rper AS (
+  SELECT host, url,
+         max_by(CASE WHEN hit THEN allow END,
+                CASE WHEN hit THEN 2 * length(prefix) + allow END) AS strict,
+         min_by(CASE WHEN hit THEN allow END,
+                CASE WHEN hit THEN 2 * length(prefix) + allow END) AS naive,
+         CAST(max(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS matched
+  FROM rm GROUP BY 1, 2
+)
+SELECT host,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(sum(CASE WHEN coalesce(strict, 1) = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_allowed,
+       CAST(sum(CASE WHEN coalesce(strict, 1) = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_disallowed,
+       CAST(sum(matched) AS BIGINT) AS n_matched,
+       CAST(sum(CASE WHEN matched = 1 AND strict <> naive THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_overridden
+FROM rper GROUP BY 1
+"""
+
+
+QUERIES["robots_rules_eval"] = (robots_rules_eval, _sql_robots())

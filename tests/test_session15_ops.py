@@ -638,3 +638,69 @@ def test_pm2_matches_python_recompute_and_proportionality(spark):
                 assert seats[a] >= seats[b], (a, b, votes, seats)
     # Seats sum to positions.
     assert sum(seats.values()) == PM2_K
+
+
+# --------------------------------------------------- robots_rules_eval
+
+
+def test_robots_longest_match_matches_python_semantics(spark):
+    from harvester_spark.operators.curation import (
+        ROB_RULES,
+        _templated_urls,
+        robots_rules_eval,
+    )
+
+    urls = {}
+    for r in _templated_urls(spark, SF_DIR).select("host", "url").collect():
+        urls.setdefault(r["host"], set()).add(r["url"])
+
+    def rules_for(host):
+        h = _h56(f"rob|{host}")
+        out = set()
+        for pfx, allow, mod, res in ROB_RULES:
+            if h % mod == res:
+                out.add((pfx, allow))
+        return out
+
+    expect = {}
+    for host, us in urls.items():
+        rules = rules_for(host)
+        n_allowed = n_dis = n_matched = n_over = 0
+        for u in us:
+            hits = [(p, a) for (p, a) in rules if u.startswith(p)]
+            if hits:
+                n_matched += 1
+                # RFC 9309: longest rule wins, allow wins ties.
+                strict = max(hits, key=lambda t: (len(t[0]), t[1]))[1]
+                naive = min(hits, key=lambda t: (len(t[0]), t[1]))[1]
+                if strict != naive:
+                    n_over += 1
+            else:
+                strict = 1
+            if strict == 1:
+                n_allowed += 1
+            else:
+                n_dis += 1
+        expect[host] = (len(us), n_allowed, n_dis, n_matched, n_over)
+
+    got = {
+        r["host"]: (
+            r["n_urls"],
+            r["n_allowed"],
+            r["n_disallowed"],
+            r["n_matched"],
+            r["n_overridden"],
+        )
+        for r in robots_rules_eval(spark, SF_DIR).collect()
+    }
+    assert got == expect
+    # Non-degeneracy: precedence flips verdicts somewhere, both verdict
+    # classes occur, and some URLs fall through to the default.
+    assert sum(v[4] for v in got.values()) > 0
+    assert sum(v[2] for v in got.values()) > 0
+    assert sum(v[1] for v in got.values()) > 0
+    assert sum(v[3] for v in got.values()) < sum(v[0] for v in got.values())
+    # Conservation per host.
+    for host, (nu, na, nd, nm, _) in got.items():
+        assert na + nd == nu
+        assert nm <= nu
