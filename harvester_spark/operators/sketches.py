@@ -36,7 +36,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from harvester_spark.operators.common import SQL_TOKS, load
+from harvester_spark.operators.common import SQL_DOC_TOKS, SQL_TOKS, doc_tokens, load
 from harvester_spark.analysis import tokens_column
 
 # ------------------------------------------------------------------ hashing
@@ -1934,3 +1934,149 @@ FROM atot CROSS JOIN amed
 
 
 QUERIES["events_f2_ams_eval"] = (events_f2_ams_eval, _sql_f2_ams())
+
+
+# -------------------------------- Count-Sketch vs CMS point queries
+
+# Charikar-Chen-Farach-Colton (ICALP 2002) Count-Sketch: the SIGNED
+# cousin of Count-Min — each row hashes keys to CSK_W buckets AND
+# multiplies by a +/-1 key sign, the row estimate is sign * counter,
+# and the sketch estimate is the MEDIAN over CSK_D rows. Where CMS
+# collisions always ADD (one-sided overestimate, min-over-rows), CS
+# collisions cancel in expectation (unbiased, median-over-rows). This
+# operator materializes that contrast on the corpus term-frequency
+# vector with DELIBERATELY tiny width (31 vocabulary types into
+# CSK_W = 8 buckets — collisions by construction, the hll_error_eval
+# small-register discipline): per term, the true cf, the CMS estimate,
+# and the CS estimate from the SAME bucket hashes.
+#
+# Structural pins (test): est_cms >= cf for EVERY term (the Count-Min
+# theorem — exact, no slack); the CS median is the exact 3rd-of-5 order
+# statistic; and on this skewed vector the signed sketch's total
+# absolute error beats the one-sided sketch's (measured contrast, the
+# operator's reason to exist).
+#
+# Integer: counters are exact int64 signed sums of cf (<= corpus token
+# count); the median needs no tie-break (it is a VALUE order statistic
+# over 5 integers). Scale shape: one token scan -> term cf; everything
+# after is (vocab x CSK_D)-sized.
+
+CSK_W = 8  # buckets per row (tiny on purpose: force collisions)
+CSK_D = 5  # rows (odd: exact median)
+
+
+def countsketch_point_eval(spark, sf_dir):
+    """(term, cf_true, est_cms, est_cs, cms_err, cs_err): Count-Min vs
+    Count-Sketch point-frequency estimates per vocabulary term from
+    shared-width rows over the corpus term-frequency vector."""
+    from harvester_spark.operators.graph import _hash56
+
+    toks = doc_tokens(spark, sf_dir)
+    cf = toks.groupBy("term").agg(F.count("*").cast("long").alias("cf"))
+    rows = F.broadcast(
+        spark.range(CSK_D).select(F.col("id").cast("long").alias("rw"))
+    )
+    keyed = cf.crossJoin(rows).select(
+        "term",
+        "cf",
+        "rw",
+        (
+            _hash56(
+                F.concat(F.lit("cb"), F.col("rw").cast("string"), F.lit("|"), F.col("term"))
+            )
+            % CSK_W
+        ).cast("long").alias("bkt"),
+        (
+            2
+            * (
+                _hash56(
+                    F.concat(
+                        F.lit("cs"), F.col("rw").cast("string"), F.lit("|"), F.col("term")
+                    )
+                )
+                % 2
+            )
+            - 1
+        ).cast("long").alias("sg"),
+    )
+    counters = keyed.groupBy("rw", "bkt").agg(
+        F.sum("cf").cast("long").alias("c_cms"),
+        F.sum(F.col("sg") * F.col("cf")).cast("long").alias("c_cs"),
+    )
+    per = keyed.join(counters, ["rw", "bkt"]).select(
+        "term",
+        "cf",
+        "rw",
+        "c_cms",
+        (F.col("sg") * F.col("c_cs")).cast("long").alias("est_row"),
+    )
+    wmed = W.partitionBy("term").orderBy("est_row", "rw")
+    agg = (
+        per.withColumn("rn", F.row_number().over(wmed))
+        .groupBy("term")
+        .agg(
+            F.min("cf").cast("long").alias("cf_true"),
+            F.min("c_cms").cast("long").alias("est_cms"),
+            F.min(
+                F.when(F.col("rn") == (CSK_D + 1) // 2, F.col("est_row"))
+            )
+            .cast("long")
+            .alias("est_cs"),
+        )
+    )
+    return agg.select(
+        "term",
+        "cf_true",
+        "est_cms",
+        "est_cs",
+        (F.col("est_cms") - F.col("cf_true")).cast("long").alias("cms_err"),
+        F.expr("CAST(abs(est_cs - cf_true) AS BIGINT)").alias("cs_err"),
+    )
+
+
+def _sql_countsketch() -> str:
+    from harvester_spark.operators.graph import _SQL_HASH56
+
+    hb = _SQL_HASH56.format(col="'cb' || CAST(rw AS VARCHAR) || '|' || term")
+    hs = _SQL_HASH56.format(col="'cs' || CAST(rw AS VARCHAR) || '|' || term")
+    return f"""
+WITH kt AS ({SQL_DOC_TOKS}),
+kcf AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS cf FROM kt GROUP BY 1
+),
+krw AS (SELECT unnest(range({CSK_D})) AS rw),
+kkey AS (
+  SELECT term, cf, rw,
+         CAST({hb} % {CSK_W} AS BIGINT) AS bkt,
+         CAST(2 * ({hs} % 2) - 1 AS BIGINT) AS sg
+  FROM kcf CROSS JOIN krw
+),
+kcnt AS (
+  SELECT rw, bkt,
+         CAST(sum(cf) AS BIGINT) AS c_cms,
+         CAST(sum(sg * cf) AS BIGINT) AS c_cs
+  FROM kkey GROUP BY 1, 2
+),
+kper AS (
+  SELECT k.term, k.cf, k.rw, c.c_cms,
+         CAST(k.sg * c.c_cs AS BIGINT) AS est_row,
+         row_number() OVER (PARTITION BY k.term
+                            ORDER BY k.sg * c.c_cs, k.rw) AS rn
+  FROM kkey k JOIN kcnt c USING (rw, bkt)
+),
+kagg AS (
+  SELECT term,
+         CAST(min(cf) AS BIGINT) AS cf_true,
+         CAST(min(c_cms) AS BIGINT) AS est_cms,
+         CAST(min(CASE WHEN rn = ({CSK_D} + 1) // 2 THEN est_row END)
+              AS BIGINT) AS est_cs
+  FROM kper GROUP BY 1
+)
+SELECT term, cf_true, est_cms, est_cs,
+       CAST(est_cms - cf_true AS BIGINT) AS cms_err,
+       CAST(abs(est_cs - cf_true) AS BIGINT) AS cs_err
+FROM kagg
+"""
+
+
+QUERIES["countsketch_point_eval"] = (countsketch_point_eval, _sql_countsketch())

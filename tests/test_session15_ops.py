@@ -704,3 +704,69 @@ def test_robots_longest_match_matches_python_semantics(spark):
     for host, (nu, na, nd, nm, _) in got.items():
         assert na + nd == nu
         assert nm <= nu
+
+
+# ----------------------------------------------- countsketch_point_eval
+
+
+def test_countsketch_matches_python_and_bias_contrast(spark):
+    import re
+
+    from harvester_spark.operators.sketches import (
+        CSK_D,
+        CSK_W,
+        countsketch_point_eval,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("text").collect()
+    cf = Counter()
+    for r in docs:
+        for t in re.split(r"\W+", r["text"].lower(), flags=re.ASCII):
+            if t:
+                cf[t] += 1
+
+    cms_counters = Counter()
+    cs_counters = Counter()
+    bkt = {}
+    sg = {}
+    for term, f in cf.items():
+        for rw in range(CSK_D):
+            b = _h56(f"cb{rw}|{term}") % CSK_W
+            s = 2 * (_h56(f"cs{rw}|{term}") % 2) - 1
+            bkt[(term, rw)] = b
+            sg[(term, rw)] = s
+            cms_counters[(rw, b)] += f
+            cs_counters[(rw, b)] += s * f
+    expect = {}
+    for term, f in cf.items():
+        ests = sorted(
+            (
+                sg[(term, rw)] * cs_counters[(rw, bkt[(term, rw)])],
+                rw,
+            )
+            for rw in range(CSK_D)
+        )
+        est_cs = ests[(CSK_D + 1) // 2 - 1][0]
+        est_cms = min(
+            cms_counters[(rw, bkt[(term, rw)])] for rw in range(CSK_D)
+        )
+        expect[term] = (f, est_cms, est_cs, est_cms - f, abs(est_cs - f))
+
+    got = {
+        r["term"]: (
+            r["cf_true"],
+            r["est_cms"],
+            r["est_cs"],
+            r["cms_err"],
+            r["cs_err"],
+        )
+        for r in countsketch_point_eval(spark, SF_DIR).collect()
+    }
+    assert got == expect
+    # Count-Min theorem: never underestimates, for every key. Exact.
+    assert all(v[1] >= v[0] for v in got.values())
+    # Collisions are real (tiny width is the point) ...
+    assert any(v[3] > 0 for v in got.values())
+    # ... and the signed sketch's total error beats the one-sided one's
+    # on this vector (the operator's measured contrast).
+    assert sum(v[4] for v in got.values()) < sum(v[3] for v in got.values())
