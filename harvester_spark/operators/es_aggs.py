@@ -4829,3 +4829,197 @@ FROM xsym
 
 
 QUERIES["events_sax_symbolize"] = (events_sax_symbolize, _sql_sax())
+
+
+# ---------------------------------- binary-segmentation changepoint
+
+# The OFFLINE changepoint locator the monitoring family was missing:
+# events_cusum_changepoint detects ONLINE (sequential alarm, detection
+# delay), events_anomaly_zscore flags POINT outliers — binary
+# segmentation (Scott & Knott 1974; the AMOC case) finds the single
+# best RETROSPECTIVE split of the series mean. Statistic: the scaled
+# CUSUM deviation C_t = |T * S_t - t * S_T| (S_t = prefix sum), which
+# is T * t * (T - t) * |mean_left - mean_right| / T ... all INTEGER —
+# no division at all until reporting; argmax over t with min-t
+# tie-break (the events_ks_test c_at_max idiom).
+#
+# Planted-contrast synthesis (events_theilsen_trend discipline): the
+# densified hourly count series evaluated twice — 'null' raw, and
+# 'planted' with a level shift of max(10, mean/2) (data-derived, so
+# the contrast survives every scale) starting at cp = 2T/5. Pins:
+# planted t* lands within +/-2 hours of cp and planted C_max dominates
+# the null maximum by >= 3x.
+#
+# Scale shape: one events scan -> hour groupBy; the cumsum window and
+# argmax run on the span-bounded 720-row grid.
+
+BSEG_CP_NUM, BSEG_CP_DEN = 2, 5  # planted changepoint at 2T/5
+
+
+def events_binseg_changepoint(spark, sf_dir):
+    """(series, n_hours, cp_planted, shift, t_star, c_max): best single
+    mean-shift split of the hourly series by the integer scaled-CUSUM
+    statistic, on the raw and planted-shift series."""
+    ev = load(spark, sf_dir, "events").select(
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hour")
+    )
+    b = ev.agg(F.min("hour").alias("mn"), F.max("hour").alias("mx")).collect()[0]
+    counts = ev.groupBy("hour").agg(F.count("*").cast("long").alias("c"))
+    dens = (
+        spark.range(0, b.mx - b.mn + 1)
+        .select(F.col("id").cast("long").alias("h"))
+        .withColumn("hour", F.col("h") + F.lit(int(b.mn)))
+        .join(counts, "hour", "left")
+        .select("h", F.coalesce("c", F.lit(0)).cast("long").alias("c"))
+    )
+    tot = F.broadcast(
+        dens.agg(
+            F.count("*").cast("long").alias("t_n"),
+            F.sum("c").cast("long").alias("s_n"),
+        ).select(
+            "t_n",
+            "s_n",
+            F.expr(
+                "CAST(greatest(10, (s_n DIV t_n) DIV 2) AS BIGINT)"
+            ).alias("shift"),
+            F.expr(
+                f"CAST(({BSEG_CP_NUM} * t_n) DIV {BSEG_CP_DEN} AS BIGINT)"
+            ).alias("cp"),
+        )
+    )
+    ser = (
+        dens.crossJoin(tot)
+        .select(
+            F.lit("null").alias("series"),
+            "h",
+            F.col("c").alias("y"),
+            "t_n",
+            "cp",
+            "shift",
+        )
+        .unionByName(
+            dens.crossJoin(tot).select(
+                F.lit("planted").alias("series"),
+                "h",
+                F.expr(
+                    "CAST(c + CASE WHEN h >= cp THEN shift ELSE 0 END"
+                    " AS BIGINT)"
+                ).alias("y"),
+                "t_n",
+                "cp",
+                "shift",
+            )
+        )
+    )
+    wcum = W.partitionBy("series").orderBy("h").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    cum = ser.select(
+        "series",
+        "h",
+        "t_n",
+        "cp",
+        "shift",
+        F.sum("y").over(wcum).cast("long").alias("s_t"),
+    )
+    stot = cum.groupBy("series").agg(F.max("s_t").cast("long").alias("s_all"))
+    dev = (
+        cum.join(F.broadcast(stot), "series")
+        .filter(F.col("h") < F.col("t_n") - 1)
+        .select(
+            "series",
+            "t_n",
+            "cp",
+            "shift",
+            (F.col("h") + 1).alias("t"),
+            F.expr(
+                "CAST(abs(t_n * s_t - (h + 1) * s_all) AS BIGINT)"
+            ).alias("cdev"),
+        )
+    )
+    mx = dev.groupBy("series").agg(F.max("cdev").cast("long").alias("c_max"))
+    att = (
+        dev.join(F.broadcast(mx), "series")
+        .filter(F.col("cdev") == F.col("c_max"))
+        .groupBy("series")
+        .agg(
+            F.min("t").cast("long").alias("t_star"),
+            F.first("t_n").alias("n_hours"),
+            F.first("cp").alias("cp_planted"),
+            F.first("shift").alias("shift"),
+            F.first("c_max").alias("c_max"),
+        )
+    )
+    return att.select(
+        "series", "n_hours", "cp_planted", "shift", "t_star", "c_max"
+    )
+
+
+def _sql_binseg() -> str:
+    return f"""
+WITH bgb AS (
+  SELECT CAST(floor(epoch(min(ts))) AS BIGINT) // 3600 AS mn,
+         CAST(floor(epoch(max(ts))) AS BIGINT) // 3600 AS mx
+  FROM events
+),
+bgc AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hour,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+bgd AS (
+  SELECT g.hh - bgb.mn AS h, CAST(coalesce(bgc.c, 0) AS BIGINT) AS c
+  FROM (SELECT unnest(range((SELECT mn FROM bgb), (SELECT mx + 1 FROM bgb)))
+          AS hh) g
+  CROSS JOIN bgb
+  LEFT JOIN bgc ON bgc.hour = g.hh
+),
+bgt AS (
+  SELECT CAST(count(*) AS BIGINT) AS t_n, CAST(sum(c) AS BIGINT) AS s_n,
+         CAST(greatest(10, (sum(c) // count(*)) // 2) AS BIGINT) AS shift,
+         CAST(({BSEG_CP_NUM} * count(*)) // {BSEG_CP_DEN} AS BIGINT) AS cp
+  FROM bgd
+),
+bgs AS (
+  SELECT 'null' AS series, h, c AS y, t_n, cp, shift
+  FROM bgd CROSS JOIN bgt
+  UNION ALL
+  SELECT 'planted', h,
+         CAST(c + CASE WHEN h >= cp THEN shift ELSE 0 END AS BIGINT),
+         t_n, cp, shift
+  FROM bgd CROSS JOIN bgt
+),
+bgcum AS (
+  SELECT series, h, t_n, cp, shift,
+         CAST(sum(y) OVER (PARTITION BY series ORDER BY h
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS s_t
+  FROM bgs
+),
+bgst AS (
+  SELECT series, CAST(max(s_t) AS BIGINT) AS s_all FROM bgcum GROUP BY 1
+),
+bgdev AS (
+  SELECT c.series, c.t_n, c.cp, c.shift, CAST(c.h + 1 AS BIGINT) AS t,
+         CAST(abs(c.t_n * c.s_t - (c.h + 1) * s.s_all) AS BIGINT) AS cdev
+  FROM bgcum c JOIN bgst s USING (series)
+  WHERE c.h < c.t_n - 1
+),
+bgmx AS (
+  SELECT series, CAST(max(cdev) AS BIGINT) AS c_max FROM bgdev GROUP BY 1
+)
+SELECT d.series,
+       CAST(min(d.t_n) AS BIGINT) AS n_hours,
+       CAST(min(d.cp) AS BIGINT) AS cp_planted,
+       CAST(min(d.shift) AS BIGINT) AS shift,
+       CAST(min(d.t) AS BIGINT) AS t_star,
+       CAST(min(m.c_max) AS BIGINT) AS c_max
+FROM bgdev d JOIN bgmx m ON d.series = m.series AND d.cdev = m.c_max
+GROUP BY 1
+"""
+
+
+QUERIES["events_binseg_changepoint"] = (
+    events_binseg_changepoint,
+    _sql_binseg(),
+)

@@ -770,3 +770,63 @@ def test_countsketch_matches_python_and_bias_contrast(spark):
     # ... and the signed sketch's total error beats the one-sided one's
     # on this vector (the operator's measured contrast).
     assert sum(v[4] for v in got.values()) < sum(v[3] for v in got.values())
+
+
+# ----------------------------------------- events_binseg_changepoint
+
+
+def test_binseg_matches_python_and_recovers_planted_cp(spark):
+    from harvester_spark.operators.es_aggs import (
+        BSEG_CP_DEN,
+        BSEG_CP_NUM,
+        events_binseg_changepoint,
+    )
+
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .selectExpr("CAST(unix_timestamp(ts) AS LONG) DIV 3600 AS hour")
+        .collect()
+    )
+    hours = [r["hour"] for r in rows]
+    mn, mx = min(hours), max(hours)
+    counts = Counter(hours)
+    dens = [counts.get(mn + h, 0) for h in range(mx - mn + 1)]
+    t_n = len(dens)
+    s_n = sum(dens)
+    shift = max(10, (s_n // t_n) // 2)
+    cp = (BSEG_CP_NUM * t_n) // BSEG_CP_DEN
+
+    def binseg(ys):
+        s_all = sum(ys)
+        best = None
+        s_t = 0
+        for h, y in enumerate(ys):
+            s_t += y
+            t = h + 1
+            if t > t_n - 1:
+                break
+            cdev = abs(t_n * s_t - t * s_all)
+            if best is None or cdev > best[0] or (cdev == best[0] and t < best[1]):
+                if best is None or cdev > best[0]:
+                    best = (cdev, t)
+        return best
+
+    null_c, null_t = binseg(dens)
+    planted = [c + (shift if h >= cp else 0) for h, c in enumerate(dens)]
+    pl_c, pl_t = binseg(planted)
+
+    got = {
+        r["series"]: r.asDict()
+        for r in events_binseg_changepoint(spark, SF_DIR).collect()
+    }
+    for name, (c, t) in (("null", (null_c, null_t)), ("planted", (pl_c, pl_t))):
+        g = got[name]
+        assert g["n_hours"] == t_n
+        assert g["cp_planted"] == cp
+        assert g["shift"] == shift
+        assert g["t_star"] == t
+        assert g["c_max"] == c
+    # The planted level shift is located (within 2 hours; measured: exact
+    # at every gated scale) and dominates the null maximum deviation.
+    assert abs(got["planted"]["t_star"] - cp) <= 2
+    assert got["planted"]["c_max"] >= 3 * got["null"]["c_max"]
