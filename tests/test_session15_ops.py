@@ -830,3 +830,98 @@ def test_binseg_matches_python_and_recovers_planted_cp(spark):
     # at every gated scale) and dominates the null maximum deviation.
     assert abs(got["planted"]["t_star"] - cp) <= 2
     assert got["planted"]["c_max"] >= 3 * got["null"]["c_max"]
+
+
+# --------------------------------------------------- host_linkpred_eval
+
+
+def test_linkpred_matches_python_and_beats_random(spark):
+    from harvester_spark.operators.graph import (
+        LP_EDGES,
+        LP_GS,
+        LP_HOLD_MOD,
+        LP_INTRA_MOD,
+        LP_INTRA_THR,
+        host_linkpred_eval,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id").collect()
+    n = len(docs)
+    fan = ((max(n // 4, 24) + LP_GS - 1) // LP_GS) * LP_GS
+    nc = fan // LP_GS
+    edges = set()
+    for r in docs:
+        d = r["doc_id"]
+        for e in range(LP_EDGES):
+            aix = _h56(f"a{e}|{d}") % fan
+            if _h56(f"m{e}|{d}") % LP_INTRA_MOD < LP_INTRA_THR:
+                bix = (_h56(f"r{e}|{d}") % LP_GS) * nc + aix % nc
+            else:
+                bix = _h56(f"u{e}|{d}") % fan
+            t = tuple(sorted((f"h{aix}", f"h{bix}")))
+            if t[0] != t[1]:
+                edges.add(t)
+    held = {e for e in edges if _h56(f"lp|{e[0]}|{e[1]}") % LP_HOLD_MOD == 0}
+    train = edges - held
+    adj = {}
+    for u, v in train:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    cn = Counter()
+    aa = Counter()
+    for w, ns in adj.items():
+        mlln = math.floor(math.log(len(ns)) * 1e3 + 0.5)
+        ns_s = sorted(ns)
+        for i in range(len(ns_s)):
+            for j in range(i + 1, len(ns_s)):
+                p = (ns_s[i], ns_s[j])
+                cn[p] += 1
+                aa[p] += 10**9 // int(mlln)
+    scores = {
+        "cn": {p: c for p, c in cn.items() if p not in train},
+        "adamic_adar": {p: c for p, c in aa.items() if p not in train},
+    }
+    scores["jaccard"] = {
+        p: (1000 * c) // (len(adj[p[0]]) + len(adj[p[1]]) - c)
+        for p, c in scores["cn"].items()
+    }
+    k_at = max(1, len(held) // 2)
+    expect = {}
+    for name, sc in scores.items():
+        vals = sorted(sc.values(), reverse=True)
+        thr = vals[k_at - 1]
+        taken = [p for p, v in sc.items() if v >= thr]
+        hits = sum(1 for p in taken if p in held)
+        expect[name] = (
+            len(train),
+            len(held),
+            len(scores["cn"]),
+            k_at,
+            thr,
+            len(taken),
+            hits,
+            (1000 * hits) // len(taken),
+        )
+
+    got = {
+        r["predictor"]: (
+            r["n_train"],
+            r["n_test"],
+            r["n_cand"],
+            r["k_at"],
+            r["thr"],
+            r["n_taken"],
+            r["hits"],
+            r["precision_milli"],
+        )
+        for r in host_linkpred_eval(spark, SF_DIR).collect()
+    }
+    assert got == expect
+    # Every predictor beats the random-guess precision by >= 3x
+    # (measured ~0.90 vs ~0.14 at every gated scale).
+    for name, row in got.items():
+        rand_milli = (1000 * row[1]) // row[2]
+        assert row[7] >= 3 * rand_milli, (name, row)
+        assert row[6] > 0
+    # The holdout is non-trivial on both sides.
+    assert len(held) > 10 and len(train) > 3 * len(held) // 2
