@@ -2938,3 +2938,192 @@ SELECT series, estimator, n, slope_micro FROM tols
 
 
 QUERIES["events_theilsen_trend"] = (events_theilsen_trend, _sql_theilsen())
+
+
+# ------------------------------------------------ Qini uplift targeting
+
+# Radcliffe (2007): the targeting-policy eval the causal family was
+# missing — DiD/CUPED/IPW estimate an AVERAGE effect; uplift modeling
+# asks WHO to treat. Units are ranked by a targeting score; the Qini
+# curve plots cumulative INCREMENTAL conversions
+#   g(d) = Yt(d) - Yc(d) * Nt(d) / Nc(d)
+# against depth d, and the Qini coefficient is the area between the
+# curve and the random-targeting diagonal g(1) * d/10. (The per-capita
+# uplift formulation has a FLAT random baseline, not a diagonal — the
+# first cut used it with the diagonal and the "random" ranker scored
+# 40% of oracle; measured, fixed.)
+#
+# Units are DOC-derived (doc_id), not user-derived: the events table
+# has only 15 users at sf0.001 — deciles of 1-2 units divide by zero
+# and drown the plant (measured). Planted heterogeneous effect per
+# unit: covariate x ~ md5 U(0,100); responders (x >= QN_X_CUT) convert
+# at base+tau under treatment, everyone else at base; assignment is a
+# fair md5 coin. Rankers: 'oracle' (ranks by x) vs 'random'
+# (independent hash) on the SAME population.
+#
+# Integer: cumulative counts exact; g in milli with ONE floored
+# division (zero-control guard shared by both engines); area =
+# SUM_d (g_d - (g_full * d) DIV 10). Deciles via ntile with the
+# unit-id tie-break (events_rfm_segments discipline).
+#
+# Scale shape: one documents scan; everything downstream unit-grained
+# with a 10-row decile aggregation.
+
+QN_BASE_PM = 100  # base conversion, per-mille
+QN_TAU_PM = 500  # planted responder uplift, per-mille
+QN_X_CUT = 60  # responders: x >= 60 (40% of units)
+
+
+def events_qini_uplift_eval(spark, sf_dir):
+    """(ranker, decile, nt_cum, yt_cum, nc_cum, yc_cum, g_milli,
+    qini_area_milli): cumulative Qini table per decile for oracle-
+    covariate vs random targeting over the planted-uplift population."""
+    from harvester_spark.operators.graph import _hash56
+
+    def h(pfx):
+        return _hash56(F.concat(F.lit(pfx), F.col("unit").cast("string")))
+
+    units = (
+        load(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("unit"))
+        .select(
+            "unit",
+            (h("t|") % 2).cast("long").alias("t"),
+            (h("x|") % 100).cast("long").alias("x"),
+            (h("s|") % 1000000).cast("long").alias("rnd"),
+            (h("y|") % 1000).cast("long").alias("draw"),
+        )
+        .withColumn(
+            "y",
+            F.expr(
+                f"CAST(draw < {QN_BASE_PM} + CASE WHEN x >= {QN_X_CUT}"
+                f" AND t = 1 THEN {QN_TAU_PM} ELSE 0 END AS BIGINT)"
+            ),
+        )
+    )
+    both_r = units.select(
+        F.lit("oracle").alias("ranker"), F.col("x").alias("score"), "unit", "t", "y"
+    ).unionByName(
+        units.select(
+            F.lit("random").alias("ranker"), F.col("rnd").alias("score"), "unit", "t", "y"
+        )
+    )
+    wrk = W.partitionBy("ranker").orderBy(
+        F.col("score").desc(), F.col("unit").asc()
+    )
+    dec = both_r.withColumn("decile", F.ntile(10).over(wrk).cast("long"))
+    per = dec.groupBy("ranker", "decile").agg(
+        F.sum("t").cast("long").alias("nt"),
+        F.sum(F.col("t") * F.col("y")).cast("long").alias("yt"),
+        F.sum(1 - F.col("t")).cast("long").alias("nc"),
+        F.sum((1 - F.col("t")) * F.col("y")).cast("long").alias("yc"),
+    )
+    wcum = W.partitionBy("ranker").orderBy("decile").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    g_expr = (
+        "CASE WHEN nc_cum = 0 THEN 1000 * yt_cum"
+        " ELSE 1000 * yt_cum - (1000 * yc_cum * nt_cum) DIV nc_cum END"
+    )
+    cum = per.select(
+        "ranker",
+        "decile",
+        F.sum("nt").over(wcum).cast("long").alias("nt_cum"),
+        F.sum("yt").over(wcum).cast("long").alias("yt_cum"),
+        F.sum("nc").over(wcum).cast("long").alias("nc_cum"),
+        F.sum("yc").over(wcum).cast("long").alias("yc_cum"),
+    ).withColumn("g_milli", F.expr(f"CAST({g_expr} AS BIGINT)"))
+    final = cum.filter(F.col("decile") == 10).select(
+        "ranker", F.col("g_milli").alias("g_full")
+    )
+    area = (
+        cum.join(final, "ranker")
+        .groupBy("ranker")
+        .agg(
+            F.sum(F.expr("g_milli - (g_full * decile) DIV 10"))
+            .cast("long")
+            .alias("qini_area_milli")
+        )
+    )
+    return cum.join(area, "ranker").select(
+        "ranker",
+        "decile",
+        "nt_cum",
+        "yt_cum",
+        "nc_cum",
+        "yc_cum",
+        "g_milli",
+        "qini_area_milli",
+    )
+
+
+def _sql_qini() -> str:
+    from harvester_spark.operators.graph import _SQL_HASH56
+
+    def h(pfx):
+        return _SQL_HASH56.format(col=f"'{pfx}' || CAST(unit AS VARCHAR)")
+
+    return f"""
+WITH qu AS (
+  SELECT unit,
+         {h('t|')} % 2 AS t,
+         {h('x|')} % 100 AS x,
+         {h('s|')} % 1000000 AS rnd,
+         {h('y|')} % 1000 AS draw
+  FROM (SELECT doc_id AS unit FROM documents)
+),
+qy AS (
+  SELECT unit, t, x, rnd,
+         CAST(draw < {QN_BASE_PM} + CASE WHEN x >= {QN_X_CUT} AND t = 1
+              THEN {QN_TAU_PM} ELSE 0 END AS BIGINT) AS y
+  FROM qu
+),
+qb AS (
+  SELECT 'oracle' AS ranker, x AS score, unit, t, y FROM qy
+  UNION ALL
+  SELECT 'random', rnd, unit, t, y FROM qy
+),
+qd AS (
+  SELECT ranker, t, y,
+         CAST(ntile(10) OVER (PARTITION BY ranker
+              ORDER BY score DESC, unit ASC) AS BIGINT) AS decile
+  FROM qb
+),
+qp AS (
+  SELECT ranker, decile,
+         CAST(sum(t) AS BIGINT) AS nt,
+         CAST(sum(t * y) AS BIGINT) AS yt,
+         CAST(sum(1 - t) AS BIGINT) AS nc,
+         CAST(sum((1 - t) * y) AS BIGINT) AS yc
+  FROM qd GROUP BY 1, 2
+),
+qc AS (
+  SELECT ranker, decile,
+         CAST(sum(nt) OVER w AS BIGINT) AS nt_cum,
+         CAST(sum(yt) OVER w AS BIGINT) AS yt_cum,
+         CAST(sum(nc) OVER w AS BIGINT) AS nc_cum,
+         CAST(sum(yc) OVER w AS BIGINT) AS yc_cum
+  FROM qp
+  WINDOW w AS (PARTITION BY ranker ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+qm AS (
+  SELECT *, CAST(CASE WHEN nc_cum = 0 THEN 1000 * yt_cum
+                 ELSE 1000 * yt_cum - (1000 * yc_cum * nt_cum) // nc_cum
+                 END AS BIGINT) AS g_milli
+  FROM qc
+),
+qf AS (SELECT ranker, g_milli AS g_full FROM qm WHERE decile = 10),
+qa AS (
+  SELECT m.ranker,
+         CAST(sum(m.g_milli - (f.g_full * m.decile) // 10) AS BIGINT)
+           AS qini_area_milli
+  FROM qm m JOIN qf f USING (ranker) GROUP BY 1
+)
+SELECT m.ranker, m.decile, m.nt_cum, m.yt_cum, m.nc_cum, m.yc_cum,
+       m.g_milli, a.qini_area_milli
+FROM qm m JOIN qa a USING (ranker)
+"""
+
+
+QUERIES["events_qini_uplift_eval"] = (events_qini_uplift_eval, _sql_qini())

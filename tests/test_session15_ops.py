@@ -925,3 +925,74 @@ def test_linkpred_matches_python_and_beats_random(spark):
         assert row[6] > 0
     # The holdout is non-trivial on both sides.
     assert len(held) > 10 and len(train) > 3 * len(held) // 2
+
+
+# ------------------------------------------- events_qini_uplift_eval
+
+
+def test_qini_matches_python_and_oracle_dominates_random(spark):
+    from harvester_spark.operators.web_econ import (
+        QN_BASE_PM,
+        QN_TAU_PM,
+        QN_X_CUT,
+        events_qini_uplift_eval,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id").collect()
+    units = []
+    for r in docs:
+        u = r["doc_id"]
+        t = _h56(f"t|{u}") % 2
+        x = _h56(f"x|{u}") % 100
+        rnd = _h56(f"s|{u}") % 1000000
+        draw = _h56(f"y|{u}") % 1000
+        y = 1 if draw < QN_BASE_PM + (QN_TAU_PM if x >= QN_X_CUT and t == 1 else 0) else 0
+        units.append((u, t, x, rnd, y))
+
+    def qini(key):
+        order = sorted(units, key=lambda z: (-key(z), z[0]))
+        n = len(order)
+        rows = []
+        nt = yt = nc = yc = 0
+        # ntile(10) decile boundaries: first n%10 deciles get n//10+1.
+        sizes = [n // 10 + (1 if i < n % 10 else 0) for i in range(10)]
+        idx = 0
+        for d, sz in enumerate(sizes, start=1):
+            for _ in range(sz):
+                _, t, _, _, y = order[idx]
+                idx += 1
+                if t:
+                    nt += 1
+                    yt += y
+                else:
+                    nc += 1
+                    yc += y
+            g = 1000 * yt if nc == 0 else 1000 * yt - (1000 * yc * nt) // nc
+            rows.append((d, nt, yt, nc, yc, g))
+        g_full = rows[-1][5]
+        area = sum(g - (g_full * d) // 10 for d, _, _, _, _, g in rows)
+        return rows, area
+
+    o_rows, o_area = qini(lambda z: z[2])
+    r_rows, r_area = qini(lambda z: z[3])
+
+    got = {}
+    for r in events_qini_uplift_eval(spark, SF_DIR).collect():
+        got[(r["ranker"], r["decile"])] = r.asDict()
+    for name, (rows, area) in (("oracle", (o_rows, o_area)), ("random", (r_rows, r_area))):
+        for d, nt, yt, nc, yc, g in rows:
+            gg = got[(name, d)]
+            assert (gg["nt_cum"], gg["yt_cum"], gg["nc_cum"], gg["yc_cum"]) == (
+                nt,
+                yt,
+                nc,
+                yc,
+            ), (name, d)
+            assert gg["g_milli"] == g
+            assert gg["qini_area_milli"] == area
+    # Oracle targeting dominates random targeting (measured 3.1x at
+    # sf0.001, 15.6x at sf0.1); both curves share the same endpoint.
+    assert o_area >= 2 * max(1, r_area)
+    assert o_rows[-1][5] == r_rows[-1][5]
+    # The plant is real: responders exist in both arms.
+    assert any(z[2] >= QN_X_CUT and z[1] == 1 and z[4] for z in units)
