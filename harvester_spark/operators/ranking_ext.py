@@ -2674,3 +2674,179 @@ WHERE p.n_docs >= 2
 
 
 QUERIES["ranker_spearman_corr"] = (ranker_spearman_corr, _sql_spearman())
+
+
+# ------------------------------------------- isotonic calibration (PAV)
+
+# ranker_calibration_ece DIAGNOSES miscalibration; this operator is the
+# classic FIX: isotonic regression of click rate on score (Ayer et al.
+# 1955; Zadrozny & Elkan KDD 2002 for rankers). Instead of the
+# sequential pool-adjacent-violators sweep, the fit is computed by the
+# MINIMAX characterization
+#   iso_i = max_{j<=i} min_{k>=i} mean(y[j..k])
+# which is pure interval algebra over bucket prefix sums — O(B^3) on
+# B = ISO_BUCKETS score buckets, fully relational in both engines. The
+# pytest runs the REAL sequential PAV pooling and asserts it equals the
+# minimax values bucket-for-bucket (the classical equivalence theorem,
+# machine-checked), plus monotonicity and blip pooling.
+#
+# Floored-milli exactness: floor is monotone, so max-min of floored
+# interval means equals the floored max-min — computing with milli
+# integer means is EXACT, not an approximation (argument in test).
+#
+# Planted violation: true CTR rises with the score bucket
+# (ISO_BASE_PM + ISO_SLOPE_PM * b) except a planted dip over buckets
+# ISO_DIP_LO..ISO_DIP_HI — the non-monotone blip isotonic pooling
+# exists to flatten; md5 per-unit click draws realize it.
+#
+# Scale shape: one documents scan -> per-bucket counts; the interval
+# frame is B^2 rows, corpus-independent.
+
+ISO_BUCKETS = 20
+ISO_BASE_PM = 100
+ISO_SLOPE_PM = 40
+ISO_DIP_LO, ISO_DIP_HI, ISO_DIP_PM = 12, 14, 200
+
+
+def ranker_isotonic_calibrate(spark, sf_dir):
+    """(bucket, n, clicks, raw_ctr_milli, iso_ctr_milli): per-score-
+    bucket click rate and its isotonic (PAV) calibration via the exact
+    minimax interval formula."""
+    from harvester_spark.operators.graph import _hash56
+
+    units = (
+        load(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("unit"))
+        .select(
+            "unit",
+            (
+                _hash56(F.concat(F.lit("ib|"), F.col("unit").cast("string")))
+                % ISO_BUCKETS
+            ).cast("long").alias("bucket"),
+            (
+                _hash56(F.concat(F.lit("ic|"), F.col("unit").cast("string")))
+                % 1000
+            ).cast("long").alias("draw"),
+        )
+        .withColumn(
+            "p_pm",
+            F.expr(
+                f"CAST(CASE WHEN bucket BETWEEN {ISO_DIP_LO} AND {ISO_DIP_HI}"
+                f" THEN {ISO_DIP_PM}"
+                f" ELSE {ISO_BASE_PM} + {ISO_SLOPE_PM} * bucket END"
+                " AS BIGINT)"
+            ),
+        )
+        .withColumn("y", F.expr("CAST(draw < p_pm AS BIGINT)"))
+    )
+    per = units.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("clicks"),
+    )
+    wp = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
+    pre = per.select(
+        "bucket",
+        "n",
+        "clicks",
+        F.sum("n").over(wp).cast("long").alias("cn"),
+        F.sum("clicks").over(wp).cast("long").alias("cy"),
+    )
+    lo = pre.select(
+        F.col("bucket").alias("j"),
+        (F.col("cn") - F.col("n")).alias("n_lo"),
+        (F.col("cy") - F.col("clicks")).alias("y_lo"),
+    )
+    hi = pre.select(
+        F.col("bucket").alias("k"),
+        F.col("cn").alias("n_hi"),
+        F.col("cy").alias("y_hi"),
+    )
+    iv = (
+        lo.crossJoin(hi)
+        .filter(F.col("j") <= F.col("k"))
+        .select(
+            "j",
+            "k",
+            F.expr(
+                "CAST((1000 * (y_hi - y_lo)) DIV (n_hi - n_lo) AS BIGINT)"
+            ).alias("mean_milli"),
+        )
+    )
+    idx = per.select(F.col("bucket").alias("i"))
+    inner = (
+        idx.join(iv, (F.col("j") <= F.col("i")) & (F.col("i") <= F.col("k")))
+        .groupBy("i", "j")
+        .agg(F.min("mean_milli").cast("long").alias("mn"))
+    )
+    iso = inner.groupBy("i").agg(F.max("mn").cast("long").alias("iso_ctr_milli"))
+    return (
+        per.join(iso, per["bucket"] == iso["i"])
+        .select(
+            "bucket",
+            "n",
+            "clicks",
+            F.expr("CAST((1000 * clicks) DIV n AS BIGINT)").alias(
+                "raw_ctr_milli"
+            ),
+            "iso_ctr_milli",
+        )
+    )
+
+
+def _sql_isotonic() -> str:
+    from harvester_spark.operators.graph import _SQL_HASH56
+
+    hb = _SQL_HASH56.format(col="'ib|' || CAST(unit AS VARCHAR)")
+    hc = _SQL_HASH56.format(col="'ic|' || CAST(unit AS VARCHAR)")
+    return f"""
+WITH iu AS (
+  SELECT unit, {hb} % {ISO_BUCKETS} AS bucket, {hc} % 1000 AS draw
+  FROM (SELECT doc_id AS unit FROM documents)
+),
+iy AS (
+  SELECT bucket,
+         CAST(draw < CASE WHEN bucket BETWEEN {ISO_DIP_LO} AND {ISO_DIP_HI}
+              THEN {ISO_DIP_PM}
+              ELSE {ISO_BASE_PM} + {ISO_SLOPE_PM} * bucket END
+              AS BIGINT) AS y
+  FROM iu
+),
+iper AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS clicks
+  FROM iy GROUP BY 1
+),
+ipre AS (
+  SELECT bucket, n, clicks,
+         CAST(sum(n) OVER w AS BIGINT) AS cn,
+         CAST(sum(clicks) OVER w AS BIGINT) AS cy
+  FROM iper
+  WINDOW w AS (ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+iiv AS (
+  SELECT l.bucket AS j, h.bucket AS k,
+         CAST((1000 * (h.cy - (l.cy - l.clicks)))
+              // (h.cn - (l.cn - l.n)) AS BIGINT) AS mean_milli
+  FROM ipre l CROSS JOIN ipre h
+  WHERE l.bucket <= h.bucket
+),
+iin AS (
+  SELECT p.bucket AS i, v.j, CAST(min(v.mean_milli) AS BIGINT) AS mn
+  FROM iper p JOIN iiv v ON v.j <= p.bucket AND p.bucket <= v.k
+  GROUP BY 1, 2
+),
+iiso AS (
+  SELECT i, CAST(max(mn) AS BIGINT) AS iso_ctr_milli FROM iin GROUP BY 1
+)
+SELECT p.bucket, p.n, p.clicks,
+       CAST((1000 * p.clicks) // p.n AS BIGINT) AS raw_ctr_milli,
+       s.iso_ctr_milli
+FROM iper p JOIN iiso s ON s.i = p.bucket
+"""
+
+
+QUERIES["ranker_isotonic_calibrate"] = (
+    ranker_isotonic_calibrate,
+    _sql_isotonic(),
+)

@@ -996,3 +996,77 @@ def test_qini_matches_python_and_oracle_dominates_random(spark):
     assert o_rows[-1][5] == r_rows[-1][5]
     # The plant is real: responders exist in both arms.
     assert any(z[2] >= QN_X_CUT and z[1] == 1 and z[4] for z in units)
+
+
+# ------------------------------------------- ranker_isotonic_calibrate
+
+
+def test_isotonic_minimax_equals_sequential_pav(spark):
+    from fractions import Fraction
+
+    from harvester_spark.operators.ranking_ext import (
+        ISO_BASE_PM,
+        ISO_BUCKETS,
+        ISO_DIP_HI,
+        ISO_DIP_LO,
+        ISO_DIP_PM,
+        ISO_SLOPE_PM,
+        ranker_isotonic_calibrate,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id").collect()
+    per = {b: [0, 0] for b in range(ISO_BUCKETS)}
+    for r in docs:
+        u = r["doc_id"]
+        b = _h56(f"ib|{u}") % ISO_BUCKETS
+        draw = _h56(f"ic|{u}") % 1000
+        p = (
+            ISO_DIP_PM
+            if ISO_DIP_LO <= b <= ISO_DIP_HI
+            else ISO_BASE_PM + ISO_SLOPE_PM * b
+        )
+        per[b][0] += 1
+        per[b][1] += 1 if draw < p else 0
+
+    # REAL sequential pool-adjacent-violators with exact rationals.
+    blocks = []  # (n, clicks)
+    for b in range(ISO_BUCKETS):
+        blocks.append([per[b][0], per[b][1]])
+        while len(blocks) >= 2 and Fraction(
+            blocks[-1][1], blocks[-1][0]
+        ) < Fraction(blocks[-2][1], blocks[-2][0]):
+            n2, c2 = blocks.pop()
+            blocks[-1][0] += n2
+            blocks[-1][1] += c2
+    # Expand block fits back to per-bucket values.
+    fits = []
+    for n, c in blocks:
+        covered = 0
+        val = (1000 * c) // n
+        while covered < n:
+            b = len(fits)
+            covered += per[b][0]
+            fits.append(val)
+    assert len(fits) == ISO_BUCKETS
+
+    got = {
+        r["bucket"]: r.asDict()
+        for r in ranker_isotonic_calibrate(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(range(ISO_BUCKETS))
+    for b in range(ISO_BUCKETS):
+        g = got[b]
+        assert g["n"] == per[b][0]
+        assert g["clicks"] == per[b][1]
+        assert g["raw_ctr_milli"] == (1000 * per[b][1]) // per[b][0]
+        # The classical theorem: minimax interval formula == sequential
+        # PAV pooling (floored milli of the exact block mean).
+        assert g["iso_ctr_milli"] == fits[b], (b, g["iso_ctr_milli"], fits[b])
+    # Monotone non-decreasing.
+    vals = [got[b]["iso_ctr_milli"] for b in range(ISO_BUCKETS)]
+    assert vals == sorted(vals)
+    # The planted dip got pooled: the fit is constant across the dip.
+    assert len({vals[b] for b in range(ISO_DIP_LO, ISO_DIP_HI + 1)}) == 1
+    # And the raw curve genuinely violates monotonicity somewhere.
+    raw = [got[b]["raw_ctr_milli"] for b in range(ISO_BUCKETS)]
+    assert raw != sorted(raw)
