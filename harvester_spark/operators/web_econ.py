@@ -3127,3 +3127,200 @@ FROM qm m JOIN qa a USING (ranker)
 
 
 QUERIES["events_qini_uplift_eval"] = (events_qini_uplift_eval, _sql_qini())
+
+
+# ------------------------------------ LRU vs LFU on a skewed key trace
+
+# The policy COMPARISON the caching family was missing:
+# cache_lru_stack_distance computes exact LRU hit curves (Mattson),
+# cache_ski_rental_eval prices eviction — this operator pits RECENCY
+# (LRU) against FREQUENCY (offline static LFU: pin the top-C most
+# frequent keys, the optimal static cache under IID access) on the SAME
+# skewed trace, at every cache size. On an IID skewed reference stream
+# frequency beats recency: rare keys churn the LRU stack but never
+# enter the frequency cache — the measured gap is the operator's
+# deliverable (and the reason TinyLFU-style admission exists).
+#
+# Trace synthesis: key = trailing-zero count of the md5 draw
+# (bit_count((h & -h) - 1) — branch-free in both engines), a geometric
+# popularity law: key k carries ~2^-(k+1) of the traffic, ~18 distinct
+# keys over the events stream. LRU hits come from the Mattson
+# stack-distance pass (cache_lru_stack_distance's range-join, same
+# sd + 1 <= C convention); LFU hits are SUM over the top-C keys by
+# (frequency desc, key asc) of (f - 1) — first touch is a cold miss
+# under both policies.
+#
+# The pytest replays the trace through REAL LRU and static-LFU
+# simulators and pins both hit counts at every size, plus the
+# frequency >= recency dominance on every row.
+#
+# Scale shape: one events scan; the range join is bounded by
+# n_accesses * n_keys (the key space is ~log2(2^56) small); the LFU
+# side is a keys-sized frequency groupBy with a cumulative-count
+# ranking, no per-access state.
+
+LL_SIZES = (2, 4, 8, 16)
+
+
+def cache_lru_vs_lfu_eval(spark, sf_dir):
+    """(cache_size, n_accesses, n_keys, n_cold, lru_hits, lfu_hits,
+    lru_rate_milli, lfu_rate_milli, lfu_wins): exact LRU vs offline
+    static-LFU hit counts on the geometric-key trace."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr(
+            f"CAST(bit_count(({_H56_EID} & -{_H56_EID}) - 1) AS BIGINT)"
+        ).alias("key"),
+    )
+    wpos = W.orderBy("event_id")
+    wkey = W.partitionBy("key").orderBy("pos")
+    acc = (
+        ev.withColumn("pos", F.row_number().over(wpos).cast("long"))
+        .withColumn("prev", F.lag("pos").over(wkey))
+        .withColumn("nxt", F.lead("pos").over(wkey))
+        .cache()
+    )
+    reuse = acc.filter(F.col("prev").isNotNull()).select(
+        F.col("pos").alias("apos"), F.col("prev").alias("aprev")
+    )
+    mids = acc.select(F.col("pos").alias("mpos"), F.col("nxt").alias("mnxt"))
+    sd = (
+        reuse.join(
+            mids,
+            (F.col("mpos") > F.col("aprev"))
+            & (F.col("mpos") < F.col("apos"))
+            & (F.col("mnxt").isNull() | (F.col("mnxt") >= F.col("apos"))),
+            "left",
+        )
+        .groupBy("apos")
+        .agg(F.count("mpos").cast("long").alias("sd"))
+    )
+    sizes = spark.createDataFrame([(c,) for c in LL_SIZES], "cache_size long")
+    lru = (
+        sd.crossJoin(F.broadcast(sizes))
+        .groupBy("cache_size")
+        .agg(
+            F.sum((F.col("sd") + 1 <= F.col("cache_size")).cast("long"))
+            .cast("long")
+            .alias("lru_hits")
+        )
+    )
+    freq = acc.groupBy("key").agg(F.count("*").cast("long").alias("f"))
+    wfr = W.orderBy(F.col("f").desc(), F.col("key").asc())
+    lfu = (
+        freq.withColumn("rk", F.row_number().over(wfr).cast("long"))
+        .crossJoin(F.broadcast(sizes))
+        .filter(F.col("rk") <= F.col("cache_size"))
+        .groupBy("cache_size")
+        .agg(F.sum(F.col("f") - 1).cast("long").alias("lfu_hits"))
+    )
+    tot = F.broadcast(
+        acc.agg(
+            F.count("*").cast("long").alias("n_accesses"),
+            F.countDistinct("key").cast("long").alias("n_keys"),
+            F.sum(F.col("prev").isNull().cast("long"))
+            .cast("long")
+            .alias("n_cold"),
+        )
+    )
+    return (
+        sizes.join(lru, "cache_size", "left")
+        .join(lfu, "cache_size", "left")
+        .crossJoin(tot)
+        .select(
+            "cache_size",
+            "n_accesses",
+            "n_keys",
+            "n_cold",
+            F.coalesce("lru_hits", F.lit(0)).cast("long").alias("lru_hits"),
+            F.coalesce("lfu_hits", F.lit(0)).cast("long").alias("lfu_hits"),
+            F.expr("CAST((1000 * coalesce(lru_hits, 0)) DIV n_accesses AS BIGINT)").alias(
+                "lru_rate_milli"
+            ),
+            F.expr("CAST((1000 * coalesce(lfu_hits, 0)) DIV n_accesses AS BIGINT)").alias(
+                "lfu_rate_milli"
+            ),
+            F.expr("coalesce(lfu_hits, 0) >= coalesce(lru_hits, 0)").alias(
+                "lfu_wins"
+            ),
+        )
+    )
+
+
+_H56_EID = (
+    "CAST(conv(substring(md5(concat('ll|', CAST(event_id AS STRING))), 1, 14),"
+    " 16, 10) AS BIGINT)"
+)
+
+
+def _sql_lru_lfu() -> str:
+    from harvester_spark.operators.graph import _SQL_HASH56
+
+    h = _SQL_HASH56.format(col="'ll|' || CAST(event_id AS VARCHAR)")
+    svals = ", ".join(f"({c})" for c in LL_SIZES)
+    return f"""
+WITH lle AS (
+  SELECT event_id,
+         CAST(bit_count((h & -h) - 1) AS BIGINT) AS key
+  FROM (SELECT event_id, {h} AS h FROM events)
+),
+llacc AS MATERIALIZED (
+  SELECT event_id, key,
+         CAST(row_number() OVER (ORDER BY event_id) AS BIGINT) AS pos
+  FROM lle
+),
+llp AS MATERIALIZED (
+  SELECT pos, key,
+         lag(pos) OVER (PARTITION BY key ORDER BY pos) AS prev,
+         lead(pos) OVER (PARTITION BY key ORDER BY pos) AS nxt
+  FROM llacc
+),
+llsd AS (
+  SELECT a.pos AS apos, CAST(count(m.pos) AS BIGINT) AS sd
+  FROM (SELECT pos, prev FROM llp WHERE prev IS NOT NULL) a
+  LEFT JOIN llp m
+    ON m.pos > a.prev AND m.pos < a.pos
+   AND (m.nxt IS NULL OR m.nxt >= a.pos)
+  GROUP BY 1
+),
+llsz AS (SELECT CAST(cache_size AS BIGINT) AS cache_size
+         FROM (VALUES {svals}) v(cache_size)),
+lllru AS (
+  SELECT s.cache_size,
+         CAST(sum(CASE WHEN d.sd + 1 <= s.cache_size THEN 1 ELSE 0 END)
+              AS BIGINT) AS lru_hits
+  FROM llsd d CROSS JOIN llsz s GROUP BY 1
+),
+llfreq AS (
+  SELECT key, CAST(count(*) AS BIGINT) AS f,
+         row_number() OVER (ORDER BY count(*) DESC, key ASC) AS rk
+  FROM llacc GROUP BY key
+),
+lllfu AS (
+  SELECT s.cache_size, CAST(sum(q.f - 1) AS BIGINT) AS lfu_hits
+  FROM llfreq q CROSS JOIN llsz s
+  WHERE q.rk <= s.cache_size GROUP BY 1
+),
+lltot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_accesses,
+         CAST(count(DISTINCT key) AS BIGINT) AS n_keys,
+         CAST(sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_cold
+  FROM llp
+)
+SELECT s.cache_size, t.n_accesses, t.n_keys, t.n_cold,
+       CAST(coalesce(r.lru_hits, 0) AS BIGINT) AS lru_hits,
+       CAST(coalesce(f.lfu_hits, 0) AS BIGINT) AS lfu_hits,
+       CAST((1000 * coalesce(r.lru_hits, 0)) // t.n_accesses AS BIGINT)
+         AS lru_rate_milli,
+       CAST((1000 * coalesce(f.lfu_hits, 0)) // t.n_accesses AS BIGINT)
+         AS lfu_rate_milli,
+       coalesce(f.lfu_hits, 0) >= coalesce(r.lru_hits, 0) AS lfu_wins
+FROM llsz s
+LEFT JOIN lllru r USING (cache_size)
+LEFT JOIN lllfu f USING (cache_size)
+CROSS JOIN lltot t
+"""
+
+
+QUERIES["cache_lru_vs_lfu_eval"] = (cache_lru_vs_lfu_eval, _sql_lru_lfu())

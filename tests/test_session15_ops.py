@@ -1070,3 +1070,61 @@ def test_isotonic_minimax_equals_sequential_pav(spark):
     # And the raw curve genuinely violates monotonicity somewhere.
     raw = [got[b]["raw_ctr_milli"] for b in range(ISO_BUCKETS)]
     assert raw != sorted(raw)
+
+
+# ------------------------------------------------ cache_lru_vs_lfu_eval
+
+
+def test_lru_vs_lfu_matches_real_simulators(spark):
+    from harvester_spark.operators.web_econ import (
+        LL_SIZES,
+        cache_lru_vs_lfu_eval,
+    )
+
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("event_id")
+        .collect()
+    )
+    trace = []
+    for r in sorted(rows, key=lambda z: z["event_id"]):
+        h = _h56(f"ll|{r['event_id']}")
+        trace.append(((h & -h) - 1).bit_count())
+    n = len(trace)
+    freqs = Counter(trace)
+
+    got = {
+        r["cache_size"]: r.asDict()
+        for r in cache_lru_vs_lfu_eval(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(LL_SIZES)
+    for c in LL_SIZES:
+        # REAL LRU simulator.
+        stack = []
+        lru_hits = 0
+        for k in trace:
+            if k in stack:
+                if stack.index(k) < c:
+                    lru_hits += 1
+                stack.remove(k)
+            stack.insert(0, k)
+        # Static LFU: top-c keys by (freq desc, key asc), first touch
+        # cold.
+        cached = [
+            k
+            for k, _ in sorted(freqs.items(), key=lambda t: (-t[1], t[0]))[:c]
+        ]
+        lfu_hits = sum(freqs[k] - 1 for k in cached)
+        g = got[c]
+        assert g["n_accesses"] == n
+        assert g["n_keys"] == len(freqs)
+        assert g["n_cold"] == len(freqs)
+        assert g["lru_hits"] == lru_hits, (c, g["lru_hits"], lru_hits)
+        assert g["lfu_hits"] == lfu_hits
+        assert g["lru_rate_milli"] == (1000 * lru_hits) // n
+        assert g["lfu_rate_milli"] == (1000 * lfu_hits) // n
+        # Frequency beats recency on the IID skewed trace, every size.
+        assert g["lfu_wins"] is True and lfu_hits >= lru_hits
+    # The trace is genuinely skewed (geometric law: top key majority).
+    top = max(freqs.values())
+    assert top * 3 > n
