@@ -3626,3 +3626,191 @@ QUERIES["emb_alignment_uniformity"] = (
     emb_alignment_uniformity,
     SQL_ALIGNMENT_UNIFORMITY,
 )
+
+
+# --------------------------------------- mutual-kNN graph / hubness
+
+# Radovanović-Nanopoulos-Ivanović (JMLR 2010): in high dimensions the
+# k-NN relation becomes ASYMMETRIC — a few "hub" points appear in
+# everyone's neighbor lists while "anti-hubs" appear in none, and the
+# in-degree distribution of the kNN digraph right-skews. That skew is a
+# live retrieval concern (hubs dominate ANN result lists and distort
+# recall targets), so this operator materializes the kNN digraph
+# diagnostics next to the recall evals: mutual-edge count, max
+# in-degree, anti-hub count, exact in-degree moments, and the skewness.
+#
+# Skewness with NO mean subtraction anywhere: with T1/T2/T3 the raw
+# in-degree power sums over n nodes, A = n^2 T3 - 3n T1 T2 + 2 T1^3 and
+# B = n T2 - T1^2 give skew = A / B^(3/2) EXACTLY (the n powers cancel
+# — derivation in code comment); A and B are exact int64 and the only
+# float step is the final shared sqrt string (sign-split, the NQC milli
+# discipline). Out-degree is K for every node, so T1 == n*K is a
+# structural identity the test pins.
+#
+# Scale shape: the bounded-subset discipline (emb_silhouette) — the
+# graph is built over HUB_N = 400 vectors regardless of corpus size;
+# all-pairs cosine over the subset is 160k pairs x 64 dims, constant.
+
+HUB_N = 400  # bounded subset (corpus has >= 500 vectors at every sf)
+HUB_K = 10  # neighbors per node
+
+_HUB_SKEW = (
+    "CASE WHEN skew_a >= 0 THEN"
+    " CAST(floor(1000.0e0 * skew_a / (skew_b * sqrt(skew_b)) + 0.5e0)"
+    " AS BIGINT)"
+    " ELSE -CAST(floor(1000.0e0 * (-skew_a) / (skew_b * sqrt(skew_b))"
+    " + 0.5e0) AS BIGINT) END"
+)
+
+
+def emb_mutual_knn_hubness(spark, sf_dir):
+    """(n_nodes, k, n_edges, n_mutual, max_indeg, n_antihubs, t1, t2,
+    t3, skew_milli): kNN-digraph hubness diagnostics over the bounded
+    embedding subset."""
+    comp = _components(spark, sf_dir).filter(F.col("vec_id") < HUB_N).cache()
+    norms = comp.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nrm")
+    )
+    a = comp.select(F.col("vec_id").alias("va"), "pos", F.col("val").alias("av"))
+    dots = (
+        a.join(comp, "pos")
+        .filter(F.col("vec_id") != F.col("va"))
+        .groupBy("va", "vec_id")
+        .agg(F.sum(F.col("av") * F.col("val")).alias("dot"))
+    )
+    na = norms.select(F.col("vec_id").alias("va"), F.col("nrm").alias("na"))
+    cos = (
+        dots.join(F.broadcast(na), "va")
+        .join(F.broadcast(norms), "vec_id")
+        .withColumn("cos", F.round(F.col("dot") / (F.col("na") * F.col("nrm")), 6))
+        .select("va", F.col("vec_id").alias("vb"), "cos")
+    )
+    wk = W.partitionBy("va").orderBy(F.col("cos").desc(), F.col("vb").asc())
+    knn = (
+        cos.withColumn("rnk", F.row_number().over(wk))
+        .filter(F.col("rnk") <= HUB_K)
+        .select("va", "vb")
+        .cache()
+    )
+    rev = knn.select(F.col("vb").alias("va"), F.col("va").alias("vb"))
+    mutual = knn.join(rev, ["va", "vb"]).agg(
+        (F.count("*") / 2).cast("long").alias("n_mutual")
+    )
+    indeg = (
+        comp.select("vec_id")
+        .distinct()
+        .join(
+            knn.groupBy("vb").agg(F.count("*").cast("long").alias("d")),
+            F.col("vec_id") == F.col("vb"),
+            "left",
+        )
+        .select(F.coalesce("d", F.lit(0)).cast("long").alias("d"))
+    )
+    mom = indeg.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("d").cast("long").alias("t1"),
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("t2"),
+        F.sum(F.col("d") * F.col("d") * F.col("d")).cast("long").alias("t3"),
+        F.max("d").cast("long").alias("max_indeg"),
+        F.sum((F.col("d") == 0).cast("long")).cast("long").alias("n_antihubs"),
+    )
+    ne = knn.agg(F.count("*").cast("long").alias("n_edges"))
+    # skew = A / B^(3/2): Sum(d-mu)^3 = A/n^2, Sum(d-mu)^2 = B/n, so
+    # (A/n^3) / (B/n^2)^(3/2) = A / B^(3/2) — the n powers cancel.
+    return (
+        mom.crossJoin(F.broadcast(ne))
+        .crossJoin(F.broadcast(mutual))
+        .select(
+            F.col("n").alias("n_nodes"),
+            F.lit(HUB_K).cast("long").alias("k"),
+            "n_edges",
+            "n_mutual",
+            "max_indeg",
+            "n_antihubs",
+            "t1",
+            "t2",
+            "t3",
+            F.expr(
+                "n * n * t3 - 3 * n * t1 * t2 + 2 * t1 * t1 * t1"
+            ).alias("skew_a"),
+            F.expr("n * t2 - t1 * t1").alias("skew_b"),
+        )
+        .select(
+            "n_nodes",
+            "k",
+            "n_edges",
+            "n_mutual",
+            "max_indeg",
+            "n_antihubs",
+            "t1",
+            "t2",
+            "t3",
+            F.expr(_HUB_SKEW).alias("skew_milli"),
+        )
+    )
+
+
+SQL_MUTUAL_KNN_HUBNESS = f"""
+WITH comp AS ({_SQL_COMPONENTS}),
+hsub AS (SELECT * FROM comp WHERE vec_id < {HUB_N}),
+hnrm AS (
+  SELECT vec_id, sqrt(sum(val * val)) AS nrm FROM hsub GROUP BY 1
+),
+hdots AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb, sum(a.val * b.val) AS dot
+  FROM hsub a JOIN hsub b ON a.pos = b.pos AND a.vec_id <> b.vec_id
+  GROUP BY 1, 2
+),
+hcos AS (
+  SELECT d.va, d.vb, round(d.dot / (na.nrm * nb.nrm), 6) AS cos
+  FROM hdots d
+  JOIN hnrm na ON na.vec_id = d.va
+  JOIN hnrm nb ON nb.vec_id = d.vb
+),
+hknn AS MATERIALIZED (
+  SELECT va, vb FROM (
+    SELECT va, vb,
+           row_number() OVER (PARTITION BY va ORDER BY cos DESC, vb ASC)
+             AS rnk
+    FROM hcos
+  ) WHERE rnk <= {HUB_K}
+),
+hmut AS (
+  SELECT CAST(count(*) // 2 AS BIGINT) AS n_mutual
+  FROM hknn k1 JOIN hknn k2 ON k1.va = k2.vb AND k1.vb = k2.va
+),
+hind AS (
+  SELECT CAST(coalesce(g.d, 0) AS BIGINT) AS d
+  FROM (SELECT DISTINCT vec_id FROM hsub) v
+  LEFT JOIN (SELECT vb, CAST(count(*) AS BIGINT) AS d
+             FROM hknn GROUP BY 1) g
+    ON g.vb = v.vec_id
+),
+hmom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(d) AS BIGINT) AS t1,
+         CAST(sum(d * d) AS BIGINT) AS t2,
+         CAST(sum(d * d * d) AS BIGINT) AS t3,
+         CAST(max(d) AS BIGINT) AS max_indeg,
+         CAST(sum(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_antihubs
+  FROM hind
+),
+hne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM hknn),
+hsk AS (
+  SELECT *,
+         CAST(n * n * t3 - 3 * n * t1 * t2 + 2 * t1 * t1 * t1 AS BIGINT)
+           AS skew_a,
+         CAST(n * t2 - t1 * t1 AS BIGINT) AS skew_b
+  FROM hmom
+)
+SELECT n AS n_nodes, CAST({HUB_K} AS BIGINT) AS k, ne.n_edges,
+       m.n_mutual, max_indeg, n_antihubs, t1, t2, t3,
+       {_HUB_SKEW} AS skew_milli
+FROM hsk CROSS JOIN hne ne CROSS JOIN hmut m
+"""
+
+QUERIES["emb_mutual_knn_hubness"] = (
+    emb_mutual_knn_hubness,
+    SQL_MUTUAL_KNN_HUBNESS,
+)

@@ -1128,3 +1128,66 @@ def test_lru_vs_lfu_matches_real_simulators(spark):
     # The trace is genuinely skewed (geometric law: top key majority).
     top = max(freqs.values())
     assert top * 3 > n
+
+
+# ------------------------------------------- emb_mutual_knn_hubness
+
+
+def test_hubness_matches_python_and_identities(spark):
+    from harvester_spark.operators.similarity import (
+        HUB_K,
+        HUB_N,
+        emb_mutual_knn_hubness,
+    )
+
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .filter(f"vec_id < {HUB_N}")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in rows}
+    nrm = {v: math.sqrt(sum(x * x for x in e)) for v, e in vecs.items()}
+    knn = {}
+    for va, ea in vecs.items():
+        cands = []
+        for vb, eb in vecs.items():
+            if vb == va:
+                continue
+            dot = sum(x * y for x, y in zip(ea, eb))
+            cands.append((round(dot / (nrm[va] * nrm[vb]), 6), vb))
+        cands.sort(key=lambda t: (-t[0], t[1]))
+        knn[va] = [vb for _, vb in cands[:HUB_K]]
+    indeg = Counter()
+    for va, ns in knn.items():
+        for vb in ns:
+            indeg[vb] += 1
+    ds = [indeg.get(v, 0) for v in vecs]
+    n = len(ds)
+    t1, t2, t3 = sum(ds), sum(d * d for d in ds), sum(d**3 for d in ds)
+    mutual = sum(
+        1 for va, ns in knn.items() for vb in ns if va in knn[vb]
+    ) // 2
+    a_ = n * n * t3 - 3 * n * t1 * t2 + 2 * t1**3
+    b_ = n * t2 - t1 * t1
+    if a_ >= 0:
+        skew = math.floor(1000.0 * a_ / (b_ * math.sqrt(b_)) + 0.5)
+    else:
+        skew = -math.floor(1000.0 * (-a_) / (b_ * math.sqrt(b_)) + 0.5)
+
+    got = emb_mutual_knn_hubness(spark, SF_DIR).collect()
+    assert len(got) == 1
+    g = got[0].asDict()
+    assert g["n_nodes"] == n == HUB_N
+    assert g["k"] == HUB_K
+    # Structural identities: every node emits exactly K edges.
+    assert g["n_edges"] == g["t1"] == n * HUB_K
+    assert g["n_mutual"] == mutual
+    assert g["max_indeg"] == max(ds)
+    assert g["n_antihubs"] == sum(1 for d in ds if d == 0)
+    assert (g["t1"], g["t2"], g["t3"]) == (t1, t2, t3)
+    assert g["skew_milli"] == skew
+    # Hubness realness: the in-degree spread exists (max above mean) and
+    # mutuality is partial (the relation is genuinely asymmetric).
+    assert g["max_indeg"] > HUB_K
+    assert 0 < g["n_mutual"] < g["n_edges"] // 2
