@@ -187,6 +187,17 @@ HEADLINE = [
     "ft_bm25_maxp_topk",
     "pagerank_damping_sweep",
     "bandit_batched_egreedy",
+    # session-15: rank-sum test, robust trend, DGIM suffix counts,
+    # PM-2 proportional diversification, link-prediction holdout,
+    # Qini uplift, isotonic calibration, kNN hubness
+    "events_mannwhitney_eval",
+    "events_theilsen_trend",
+    "dgim_window_count_eval",
+    "ft_pm2_topk",
+    "host_linkpred_eval",
+    "events_qini_uplift_eval",
+    "ranker_isotonic_calibrate",
+    "emb_mutual_knn_hubness",
 ]
 WARMUP_DOCS = 2000
 
