@@ -5023,3 +5023,160 @@ QUERIES["events_binseg_changepoint"] = (
     events_binseg_changepoint,
     _sql_binseg(),
 )
+
+
+# ------------------------------------------------- Mann-Kendall trend
+
+# The nonparametric trend TEST that classically pairs with the
+# Theil-Sen slope ESTIMATE (events_theilsen_trend — Sen's 1968 paper is
+# literally the estimator for Mann-Kendall's statistic): S = SUM_{i<j}
+# sign(y_j - y_i), with tie-corrected variance
+#   Var(S) = [T(T-1)(2T+5) - SUM_t t(t-1)(2t+5)] / 18
+# and the continuity-corrected z = (|S| - 1)/sqrt(Var). Everything
+# integer: S is a count difference over the same span-bounded pair join
+# Theil-Sen uses, the variance is exact int64, and
+# z2_milli = (18000 * (|S|-1)^2) DIV denom needs only one floored
+# division (overflow: (|S|-1)^2 <= (T(T-1)/2)^2 ~ 6.7e10, x18000 ~
+# 1.2e15).
+#
+# Planted-contrast: the same densified hourly grid evaluated raw
+# ('null' — a single test draw, never pinned absolutely) and with a
+# planted +MK_TREND/hour drift ('planted' — must exceed the chi^2(1)
+# 95% critical value, and its S must be positive, agreeing with the
+# Theil-Sen slope sign: the two operators are cross-pinned).
+
+MK_TREND = 2  # planted per-hour drift
+MK_SIG_MILLI = 3841
+
+
+def events_mannkendall_test(spark, sf_dir):
+    """(series, n_hours, s_stat, tie_term, z2_milli, significant):
+    tie-corrected Mann-Kendall trend test on the raw and planted-drift
+    hourly series."""
+    ev = load(spark, sf_dir, "events").select(
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hour")
+    )
+    b = ev.agg(F.min("hour").alias("mn"), F.max("hour").alias("mx")).collect()[0]
+    counts = ev.groupBy("hour").agg(F.count("*").cast("long").alias("c"))
+    dens = (
+        spark.range(0, b.mx - b.mn + 1)
+        .select(F.col("id").cast("long").alias("h"))
+        .withColumn("hour", F.col("h") + F.lit(int(b.mn)))
+        .join(counts, "hour", "left")
+        .select("h", F.coalesce("c", F.lit(0)).cast("long").alias("c"))
+    )
+    ser = dens.select(
+        F.lit("null").alias("series"), "h", F.col("c").alias("y")
+    ).unionByName(
+        dens.select(
+            F.lit("planted").alias("series"),
+            "h",
+            (F.col("c") + MK_TREND * F.col("h")).cast("long").alias("y"),
+        )
+    )
+    p1 = ser.select("series", F.col("h").alias("h1"), F.col("y").alias("y1"))
+    p2 = ser.select("series", F.col("h").alias("h2"), F.col("y").alias("y2"))
+    s_df = (
+        p1.join(p2, "series")
+        .filter(F.col("h1") < F.col("h2"))
+        .groupBy("series")
+        .agg(
+            F.sum(F.expr("CAST(sign(y2 - y1) AS BIGINT)"))
+            .cast("long")
+            .alias("s_stat"),
+            F.count("*").cast("long").alias("n_pairs"),
+        )
+    )
+    ties = (
+        ser.groupBy("series", "y")
+        .agg(F.count("*").cast("long").alias("t"))
+        .groupBy("series")
+        .agg(
+            F.sum(F.expr("t * (t - 1) * (2 * t + 5)"))
+            .cast("long")
+            .alias("tie_term"),
+            F.count("*").cast("long").alias("n_vals"),
+        )
+    )
+    nh = ser.groupBy("series").agg(F.count("*").cast("long").alias("n_hours"))
+    z2 = (
+        "CASE WHEN n_hours * (n_hours - 1) * (2 * n_hours + 5) - tie_term"
+        " <= 0 THEN CAST(0 AS BIGINT) ELSE"
+        " CAST((18000 * (abs(s_stat) - 1) * (abs(s_stat) - 1))"
+        " DIV (n_hours * (n_hours - 1) * (2 * n_hours + 5) - tie_term)"
+        " AS BIGINT) END"
+    )
+    return (
+        s_df.join(ties, "series")
+        .join(nh, "series")
+        .select(
+            "series",
+            "n_hours",
+            "s_stat",
+            "tie_term",
+            F.expr(z2).alias("z2_milli"),
+            F.expr(f"({z2}) >= {MK_SIG_MILLI}").alias("significant"),
+        )
+    )
+
+
+def _sql_mannkendall() -> str:
+    z2 = (
+        "CASE WHEN n_hours * (n_hours - 1) * (2 * n_hours + 5) - tie_term"
+        " <= 0 THEN CAST(0 AS BIGINT) ELSE"
+        " CAST((18000 * (abs(s_stat) - 1) * (abs(s_stat) - 1))"
+        " // (n_hours * (n_hours - 1) * (2 * n_hours + 5) - tie_term)"
+        " AS BIGINT) END"
+    )
+    return f"""
+WITH mkb AS (
+  SELECT CAST(floor(epoch(min(ts))) AS BIGINT) // 3600 AS mn,
+         CAST(floor(epoch(max(ts))) AS BIGINT) // 3600 AS mx
+  FROM events
+),
+mkc AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hour,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+mkd AS (
+  SELECT g.hh - mkb.mn AS h, CAST(coalesce(mkc.c, 0) AS BIGINT) AS c
+  FROM (SELECT unnest(range((SELECT mn FROM mkb), (SELECT mx + 1 FROM mkb)))
+          AS hh) g
+  CROSS JOIN mkb
+  LEFT JOIN mkc ON mkc.hour = g.hh
+),
+mks AS (
+  SELECT 'null' AS series, h, c AS y FROM mkd
+  UNION ALL
+  SELECT 'planted', h, CAST(c + {MK_TREND} * h AS BIGINT) FROM mkd
+),
+mkst AS (
+  SELECT a.series,
+         CAST(sum(sign(b2.y2 - a.y1)) AS BIGINT) AS s_stat
+  FROM (SELECT series, h AS h1, y AS y1 FROM mks) a
+  JOIN (SELECT series, h AS h2, y AS y2 FROM mks) b2
+    ON a.series = b2.series AND a.h1 < b2.h2
+  GROUP BY 1
+),
+mkt AS (
+  SELECT series,
+         CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+  FROM (SELECT series, y, CAST(count(*) AS BIGINT) AS t
+        FROM mks GROUP BY 1, 2)
+  GROUP BY 1
+),
+mkn AS (
+  SELECT series, CAST(count(*) AS BIGINT) AS n_hours FROM mks GROUP BY 1
+)
+SELECT s.series, n.n_hours, s.s_stat, t.tie_term,
+       {z2} AS z2_milli,
+       ({z2}) >= {MK_SIG_MILLI} AS significant
+FROM mkst s JOIN mkt t USING (series) JOIN mkn n USING (series)
+"""
+
+
+QUERIES["events_mannkendall_test"] = (
+    events_mannkendall_test,
+    _sql_mannkendall(),
+)

@@ -1191,3 +1191,64 @@ def test_hubness_matches_python_and_identities(spark):
     # mutuality is partial (the relation is genuinely asymmetric).
     assert g["max_indeg"] > HUB_K
     assert 0 < g["n_mutual"] < g["n_edges"] // 2
+
+
+# --------------------------------------------- events_mannkendall_test
+
+
+def test_mannkendall_matches_python_and_detects_planted_drift(spark):
+    from harvester_spark.operators.es_aggs import (
+        MK_SIG_MILLI,
+        MK_TREND,
+        events_mannkendall_test,
+    )
+
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .selectExpr("CAST(unix_timestamp(ts) AS LONG) DIV 3600 AS hour")
+        .collect()
+    )
+    hours = [r["hour"] for r in rows]
+    mn, mx = min(hours), max(hours)
+    counts = Counter(hours)
+    dens = [counts.get(mn + h, 0) for h in range(mx - mn + 1)]
+    t_n = len(dens)
+
+    def mk(ys):
+        s = sum(
+            (ys[j] > ys[i]) - (ys[j] < ys[i])
+            for i in range(t_n)
+            for j in range(i + 1, t_n)
+        )
+        tie = sum(
+            t * (t - 1) * (2 * t + 5) for t in Counter(ys).values()
+        )
+        den = t_n * (t_n - 1) * (2 * t_n + 5) - tie
+        z2 = (
+            0
+            if den <= 0
+            else (18000 * (abs(s) - 1) * (abs(s) - 1)) // den
+        )
+        return s, tie, z2
+
+    s0, tie0, z0 = mk(dens)
+    planted = [c + MK_TREND * h for h, c in enumerate(dens)]
+    s1, tie1, z1 = mk(planted)
+
+    got = {
+        r["series"]: r.asDict()
+        for r in events_mannkendall_test(spark, SF_DIR).collect()
+    }
+    assert got["null"]["n_hours"] == got["planted"]["n_hours"] == t_n
+    assert (got["null"]["s_stat"], got["null"]["tie_term"], got["null"]["z2_milli"]) == (s0, tie0, z0)
+    assert (got["planted"]["s_stat"], got["planted"]["tie_term"], got["planted"]["z2_milli"]) == (s1, tie1, z1)
+    assert got["planted"]["significant"] is True
+    assert got["planted"]["z2_milli"] >= MK_SIG_MILLI
+    # Drift direction agrees with the Theil-Sen slope family: S > 0.
+    assert s1 > 0
+    # Planted dominates the single null draw (never pin the null
+    # absolutely).
+    assert z1 >= 10 * max(1, z0)
+    # Ties are real on the raw series (small counts collide) and nearly
+    # vanish under the planted drift.
+    assert tie0 > 100 * max(1, tie1)
