@@ -2850,3 +2850,238 @@ QUERIES["ranker_isotonic_calibrate"] = (
     ranker_isotonic_calibrate,
     _sql_isotonic(),
 )
+
+
+# ------------------------------------- paired randomization (Fisher) test
+
+# Smucker-Allan-Carterette (CIKM 2007): the randomization test is the
+# preferred significance test for paired IR evaluation — the sign test
+# (ranker_sign_test) throws away magnitudes; the permutation test keeps
+# them by re-randomizing the SIGN of each per-query delta. Same paired
+# nDCG@10 delta frame as the sign test (BM25 vs Dirichlet-QL over the
+# 16-query registry), PT_REPS md5-derived sign-flip replicates:
+#   stat_r = SUM_q flip(r, q) * delta_q,  flip in {-1, +1}
+#   p = (1 + #{r: |stat_r| >= |observed|}) / (PT_REPS + 1)
+# (the add-one Monte-Carlo convention — exact-valid for any replicate
+# count). Everything integer: deltas are micro-DCG int64, flips are
+# hash parity bits, and p arrives in micro units through one floored
+# division.
+#
+# Scale shape: the delta frame is HN_N_QUERIES rows; the replicate
+# cross is queries x PT_REPS (~4k rows). All the corpus-sized work is
+# the shared graded/Dirichlet scoring prefix.
+
+PT_REPS = 256
+
+
+def ranker_permutation_test(spark, sf_dir):
+    """(n_queries, sum_delta_micro, n_reps, n_extreme, p_micro): paired
+    sign-flip randomization test on the per-query BM25-vs-Dirichlet
+    nDCG@10 deltas."""
+    from harvester_spark.operators.graph import _hash56
+    from harvester_spark.operators.retrieval import (
+        HN_N_QUERIES,
+        HN_Q_LEN,
+        NDCG_K,
+        _NDCG_ADDEND,
+        _graded_ranking,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    toks = doc_tokens(spark, sf_dir)
+    graded = _graded_ranking(spark, sf_dir)
+
+    qdocs = docs.select("doc_id").orderBy("doc_id").limit(HN_N_QUERIES)
+    first = (
+        toks.join(F.broadcast(qdocs), "doc_id")
+        .groupBy("doc_id", "term")
+        .agg(F.min("pos").alias("p0"))
+    )
+    wsel = W.partitionBy("doc_id").orderBy(
+        F.col("p0").asc(), F.col("term").asc()
+    )
+    qsel = (
+        first.withColumn("r", F.row_number().over(wsel))
+        .filter(F.col("r") <= HN_Q_LEN)
+        .select(F.col("doc_id").alias("q_id"), "term")
+    )
+    qterms = qsel.select("term").distinct()
+    toksq = toks.join(F.broadcast(qterms), "term")
+    tfq = toksq.groupBy("term", "doc_id").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    cfq = toksq.groupBy("term").agg(F.count("*").cast("long").alias("cf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    ct = toks.agg(F.count("*").cast("long").alias("ct"))
+    dirs = (
+        graded.select("q_id", "doc_id")
+        .join(F.broadcast(qsel), "q_id")
+        .join(tfq, ["term", "doc_id"], "left")
+        .withColumn("tf", F.coalesce(F.col("tf"), F.lit(0)).cast("long"))
+        .join(F.broadcast(cfq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(ct))
+        .withColumn("lp", F.expr(_SIGN_LP))
+        .groupBy("q_id", "doc_id")
+        .agg(F.sum("lp").cast("long").alias("score_b"))
+    )
+    wa_ = W.partitionBy("q_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    dcg_a = (
+        graded.withColumn("rnk", F.row_number().over(wa_))
+        .filter(F.col("rnk") <= NDCG_K)
+        .withColumn("addend", F.expr(_NDCG_ADDEND))
+        .groupBy("q_id")
+        .agg(F.sum("addend").cast("long").alias("dcg_a"))
+    )
+    wb_ = W.partitionBy("q_id").orderBy(
+        F.col("score_b").desc(), F.col("doc_id").asc()
+    )
+    dcg_b = (
+        dirs.join(graded.select("q_id", "doc_id", "rel"), ["q_id", "doc_id"])
+        .withColumn("rnk", F.row_number().over(wb_))
+        .filter(F.col("rnk") <= NDCG_K)
+        .withColumn("addend", F.expr(_NDCG_ADDEND))
+        .groupBy("q_id")
+        .agg(F.sum("addend").cast("long").alias("dcg_b"))
+    )
+    deltas = (
+        dcg_a.join(dcg_b, "q_id")
+        .select("q_id", (F.col("dcg_a") - F.col("dcg_b")).alias("delta"))
+        .localCheckpoint()
+    )
+    obs = F.broadcast(
+        deltas.agg(
+            F.count("*").cast("long").alias("n_queries"),
+            F.sum("delta").cast("long").alias("obs"),
+        )
+    )
+    reps = F.broadcast(
+        spark.range(PT_REPS).select(F.col("id").cast("long").alias("rep"))
+    )
+    flip = (
+        2
+        * (
+            _hash56(
+                F.concat(
+                    F.lit("pt"),
+                    F.col("rep").cast("string"),
+                    F.lit("|"),
+                    F.col("q_id").cast("string"),
+                )
+            )
+            % 2
+        )
+        - 1
+    ).cast("long")
+    stats = (
+        deltas.crossJoin(reps)
+        .select("rep", (flip * F.col("delta")).alias("fd"))
+        .groupBy("rep")
+        .agg(F.sum("fd").cast("long").alias("stat"))
+    )
+    ext = (
+        stats.crossJoin(obs)
+        .agg(
+            F.sum(F.expr("CAST(abs(stat) >= abs(obs) AS BIGINT)"))
+            .cast("long")
+            .alias("n_extreme")
+        )
+    )
+    return (
+        obs.crossJoin(F.broadcast(ext))
+        .select(
+            "n_queries",
+            F.col("obs").alias("sum_delta_micro"),
+            F.lit(PT_REPS).cast("long").alias("n_reps"),
+            "n_extreme",
+            F.expr(
+                f"CAST((1000000 * (1 + n_extreme)) DIV ({PT_REPS} + 1)"
+                " AS BIGINT)"
+            ).alias("p_micro"),
+        )
+    )
+
+
+def _sql_permutation_test() -> str:
+    from harvester_spark.operators.graph import _SQL_HASH56
+    from harvester_spark.operators.retrieval import (
+        NDCG_K,
+        _NDCG_ADDEND,
+        _SQL_GRADED_PREFIX,
+    )
+
+    h = _SQL_HASH56.format(
+        col="'pt' || CAST(rep AS VARCHAR) || '|' || CAST(q_id AS VARCHAR)"
+    )
+    return _SQL_GRADED_PREFIX + f""",
+pt_cfq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS cf FROM toks
+  WHERE term IN (SELECT DISTINCT term FROM qsel) GROUP BY 1
+),
+pt_ctt AS (SELECT CAST(count(*) AS BIGINT) AS ct FROM toks),
+pt_dirs AS (
+  SELECT q_id, doc_id, CAST(sum({_SIGN_LP}) AS BIGINT) AS score_b
+  FROM (
+    SELECT g.q_id, g.doc_id,
+           CAST(coalesce(tf.tf, 0) AS BIGINT) AS tf,
+           c.cf, CAST(dl.dl AS BIGINT) AS dl, pt_ctt.ct
+    FROM (SELECT q_id, doc_id FROM graded) g
+    JOIN qsel q ON q.q_id = g.q_id
+    LEFT JOIN tf ON tf.term = q.term AND tf.doc_id = g.doc_id
+    JOIN pt_cfq c ON c.term = q.term
+    JOIN dl ON dl.doc_id = g.doc_id
+    CROSS JOIN pt_ctt
+  ) GROUP BY 1, 2
+),
+pt_dcga AS (
+  SELECT q_id, CAST(sum({_NDCG_ADDEND}) AS BIGINT) AS dcg_a
+  FROM (
+    SELECT q_id, rel,
+           row_number() OVER (PARTITION BY q_id
+             ORDER BY score DESC, doc_id ASC) AS rnk
+    FROM graded
+  ) WHERE rnk <= {NDCG_K} GROUP BY 1
+),
+pt_dcgb AS (
+  SELECT q_id, CAST(sum({_NDCG_ADDEND}) AS BIGINT) AS dcg_b
+  FROM (
+    SELECT d.q_id, g.rel,
+           row_number() OVER (PARTITION BY d.q_id
+             ORDER BY d.score_b DESC, d.doc_id ASC) AS rnk
+    FROM pt_dirs d JOIN graded g
+      ON g.q_id = d.q_id AND g.doc_id = d.doc_id
+  ) WHERE rnk <= {NDCG_K} GROUP BY 1
+),
+pt_deltas AS MATERIALIZED (
+  SELECT a.q_id, CAST(a.dcg_a - b.dcg_b AS BIGINT) AS delta
+  FROM pt_dcga a JOIN pt_dcgb b USING (q_id)
+),
+pt_obs AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         CAST(sum(delta) AS BIGINT) AS obs
+  FROM pt_deltas
+),
+pt_stats AS (
+  SELECT rep, CAST(sum((2 * ({h} % 2) - 1) * delta) AS BIGINT) AS stat
+  FROM pt_deltas CROSS JOIN (SELECT unnest(range({PT_REPS})) AS rep)
+  GROUP BY 1
+),
+pt_ext AS (
+  SELECT CAST(sum(CASE WHEN abs(s.stat) >= abs(o.obs)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme
+  FROM pt_stats s CROSS JOIN pt_obs o
+)
+SELECT o.n_queries, o.obs AS sum_delta_micro,
+       CAST({PT_REPS} AS BIGINT) AS n_reps, e.n_extreme,
+       CAST((1000000 * (1 + e.n_extreme)) // ({PT_REPS} + 1) AS BIGINT)
+         AS p_micro
+FROM pt_obs o CROSS JOIN pt_ext e
+"""
+
+
+QUERIES["ranker_permutation_test"] = (
+    ranker_permutation_test,
+    _sql_permutation_test(),
+)

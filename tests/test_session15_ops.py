@@ -1252,3 +1252,108 @@ def test_mannkendall_matches_python_and_detects_planted_drift(spark):
     # Ties are real on the raw series (small counts collide) and nearly
     # vanish under the planted drift.
     assert tie0 > 100 * max(1, tie1)
+
+
+# --------------------------------------------- ranker_permutation_test
+
+
+def test_permutation_test_matches_python_flips(spark):
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window as W
+
+    from harvester_spark.operators.common import doc_tokens, load
+    from harvester_spark.operators.ranking_ext import (
+        PT_REPS,
+        _SIGN_LP,
+        ranker_permutation_test,
+        ranker_sign_test,
+    )
+    from harvester_spark.operators.retrieval import (
+        HN_N_QUERIES,
+        HN_Q_LEN,
+        NDCG_K,
+        _NDCG_ADDEND,
+        _graded_ranking,
+    )
+
+    # Rebuild the per-query paired deltas with the sign test's own
+    # construction (independent of the operator under test), then run
+    # the sign-flip randomization in pure Python.
+    docs = load(spark, SF_DIR, "documents")
+    toks = doc_tokens(spark, SF_DIR)
+    graded = _graded_ranking(spark, SF_DIR)
+    qdocs = docs.select("doc_id").orderBy("doc_id").limit(HN_N_QUERIES)
+    first = (
+        toks.join(F.broadcast(qdocs), "doc_id")
+        .groupBy("doc_id", "term")
+        .agg(F.min("pos").alias("p0"))
+    )
+    wsel = W.partitionBy("doc_id").orderBy(F.col("p0").asc(), F.col("term").asc())
+    qsel = (
+        first.withColumn("r", F.row_number().over(wsel))
+        .filter(F.col("r") <= HN_Q_LEN)
+        .select(F.col("doc_id").alias("q_id"), "term")
+    )
+    qterms = qsel.select("term").distinct()
+    toksq = toks.join(F.broadcast(qterms), "term")
+    tfq = toksq.groupBy("term", "doc_id").agg(F.count("*").cast("long").alias("tf"))
+    cfq = toksq.groupBy("term").agg(F.count("*").cast("long").alias("cf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    ct = toks.agg(F.count("*").cast("long").alias("ct"))
+    dirs = (
+        graded.select("q_id", "doc_id")
+        .join(F.broadcast(qsel), "q_id")
+        .join(tfq, ["term", "doc_id"], "left")
+        .withColumn("tf", F.coalesce(F.col("tf"), F.lit(0)).cast("long"))
+        .join(F.broadcast(cfq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(ct))
+        .withColumn("lp", F.expr(_SIGN_LP))
+        .groupBy("q_id", "doc_id")
+        .agg(F.sum("lp").cast("long").alias("score_b"))
+    )
+    wa_ = W.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    wb_ = W.partitionBy("q_id").orderBy(F.col("score_b").desc(), F.col("doc_id").asc())
+    dcg_a = (
+        graded.withColumn("rnk", F.row_number().over(wa_))
+        .filter(F.col("rnk") <= NDCG_K)
+        .withColumn("addend", F.expr(_NDCG_ADDEND))
+        .groupBy("q_id")
+        .agg(F.sum("addend").cast("long").alias("dcg_a"))
+    )
+    dcg_b = (
+        dirs.join(graded.select("q_id", "doc_id", "rel"), ["q_id", "doc_id"])
+        .withColumn("rnk", F.row_number().over(wb_))
+        .filter(F.col("rnk") <= NDCG_K)
+        .withColumn("addend", F.expr(_NDCG_ADDEND))
+        .groupBy("q_id")
+        .agg(F.sum("addend").cast("long").alias("dcg_b"))
+    )
+    deltas = {
+        r["q_id"]: r["dcg_a"] - r["dcg_b"]
+        for r in dcg_a.join(dcg_b, "q_id").collect()
+    }
+    obs = sum(deltas.values())
+    n_extreme = 0
+    for rep in range(PT_REPS):
+        stat = sum(
+            (2 * (_h56(f"pt{rep}|{q}") % 2) - 1) * d for q, d in deltas.items()
+        )
+        if abs(stat) >= abs(obs):
+            n_extreme += 1
+    p = (1_000_000 * (1 + n_extreme)) // (PT_REPS + 1)
+
+    got = ranker_permutation_test(spark, SF_DIR).collect()
+    assert len(got) == 1
+    g = got[0].asDict()
+    assert g["n_queries"] == len(deltas)
+    assert g["sum_delta_micro"] == obs
+    assert g["n_reps"] == PT_REPS
+    assert g["n_extreme"] == n_extreme
+    assert g["p_micro"] == p
+    # Cross-operator: the sign test runs on the SAME paired deltas.
+    st = ranker_sign_test(spark, SF_DIR).collect()[0]
+    assert st["sum_delta_dcg_micro"] == g["sum_delta_micro"]
+    # Sanity: a valid Monte-Carlo p-value.
+    assert 0 < g["p_micro"] <= 1_000_000
+    assert 0 <= g["n_extreme"] <= PT_REPS
