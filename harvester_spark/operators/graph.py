@@ -4310,11 +4310,9 @@ LP_EDGES = 4  # edge draws per doc
 LP_INTRA_MOD, LP_INTRA_THR = 16, 15  # 15/16 draws stay intra-community
 
 
-def host_linkpred_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(predictor, n_train, n_test, n_cand, k_at, thr, n_taken, hits,
-    precision_milli): threshold-at-(n_test/2) holdout precision of the
-    CN / Jaccard / Adamic-Adar link predictors on the planted-community
-    host graph."""
+def _lp_und_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct undirected (u, v) edges of the planted-community host
+    graph (shared by host_linkpred_eval and host_spectral_bisection)."""
     docs = load(spark, sf_dir, "documents")
     fan = ((max(docs.count() // 4, 24) + LP_GS - 1) // LP_GS) * LP_GS
     nc = fan // LP_GS
@@ -4354,11 +4352,21 @@ def host_linkpred_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     for leg in legs[1:]:
         e0 = e0.unionByName(leg)
     e0 = e0.filter(F.col("a") != F.col("b"))
-    und = (
+    return (
         e0.select(
             F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
         )
         .distinct()
+    )
+
+
+def host_linkpred_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(predictor, n_train, n_test, n_cand, k_at, thr, n_taken, hits,
+    precision_milli): threshold-at-(n_test/2) holdout precision of the
+    CN / Jaccard / Adamic-Adar link predictors on the planted-community
+    host graph."""
+    und = (
+        _lp_und_edges(spark, sf_dir)
         .withColumn(
             "held",
             _hash56(F.concat(F.lit("lp|"), F.col("u"), F.lit("|"), F.col("v")))
@@ -4478,9 +4486,9 @@ def host_linkpred_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MILLILN_G = "CAST(floor(ln({v}) * 1.0e3 + 0.5e0) AS BIGINT)"
 
 
-def _sql_linkpred() -> str:
-    hl = _SQL_HASH56.format(col="'lp|' || u || '|' || v")
-    ml = _MILLILN_G.format(v="d")
+def _sql_lp_edge_ctes() -> str:
+    """The lpn/lpfan/lpe0/lpbase CTE fragment producing the distinct
+    undirected planted-community edges (shared oracle plumbing)."""
     draw_legs = []
     for e in range(LP_EDGES):
         ha = _SQL_HASH56.format(col=f"'a{e}|' || CAST(doc_id AS VARCHAR)")
@@ -4494,17 +4502,25 @@ def _sql_linkpred() -> str:
               ELSE {hu} % fan END AS VARCHAR) AS b
   FROM documents CROSS JOIN lpfan""")
     legs_sql = " UNION ALL ".join(draw_legs)
-    return f"""
-WITH lpn AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+    return f"""lpn AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
 lpfan AS (
   SELECT ((greatest(nd // 4, 24) + {LP_GS} - 1) // {LP_GS}) * {LP_GS} AS fan
   FROM lpn
 ),
 lpe0 AS ({legs_sql}),
+lpbase AS MATERIALIZED (
+  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+  FROM lpe0 WHERE a <> b
+)"""
+
+
+def _sql_linkpred() -> str:
+    hl = _SQL_HASH56.format(col="'lp|' || u || '|' || v")
+    ml = _MILLILN_G.format(v="d")
+    return f"""
+WITH {_sql_lp_edge_ctes()},
 lpund AS MATERIALIZED (
-  SELECT u, v, {hl} % {LP_HOLD_MOD} = 0 AS held
-  FROM (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
-        FROM lpe0 WHERE a <> b)
+  SELECT u, v, {hl} % {LP_HOLD_MOD} = 0 AS held FROM lpbase
 ),
 lptrain AS (SELECT u, v FROM lpund WHERE NOT held),
 lptest AS (SELECT u, v FROM lpund WHERE held),
@@ -4579,3 +4595,275 @@ FROM lptaken tk CROSS JOIN lpcounts c CROSS JOIN lpnc nc
 
 
 QUERIES["host_linkpred_eval"] = (host_linkpred_eval, _sql_linkpred())
+
+
+# -------------------------------------------- spectral graph bisection
+
+# Fiedler (1973) / the spectral partitioning classic: the sign pattern
+# of the Laplacian's second eigenvector cuts the graph along its
+# sparsest direction. Complements the label-propagation communities
+# (host_labelprop_*) with the eigenvector method, evaluated by
+# CONDUCTANCE against an md5 random balanced cut on the SAME graph —
+# the planted-community edge synthesis shared with host_linkpred_eval
+# (_lp_und_edges), where a real sparse direction exists to find.
+#
+# Algorithm: power iteration on M = cI - L (c = max degree + 1, so M is
+# PSD with top eigenvector all-ones); the all-ones component is
+# DEFLATED by re-centering every sweep, so iteration converges to the
+# Fiedler direction. One sweep, all integer fixed-point (UNIT = 1e6):
+#   v' = (c - deg) * v + SUM_neighbors v      (one src-keyed join)
+#   v'' = v' - truncdiv(SUM v', n)            (deflation)
+#   v  <- truncdiv(UNIT * v'', max|v''|)      (renormalization)
+# truncdiv = sign-split floored division — Spark DIV truncates toward
+# zero while DuckDB // floors, so EVERY division is sign-split (the
+# events_theilsen_trend rule); with that, SB_ITERS sweeps are
+# bit-identical in both engines. Init: md5 parity +/-UNIT per node.
+#
+# Output: cut size, side volumes and conductance for the spectral sign
+# cut AND the random cut; the pytest recomputes the whole iteration in
+# Python and pins spectral conductance strictly below random (measured
+# ~0.21 vs ~0.50).
+#
+# Scale shape: per sweep one edges-to-values equi-join + groupBy and
+# two scalar aggs (the host_pagerank plan), localCheckpoint lineage
+# cuts; the graph is the sparse derived-fanout synthesis (degree
+# bounded by construction).
+
+SB_ITERS = 16
+SB_UNIT = 10**6
+
+_SB_TDIV = "CASE WHEN {num} >= 0 THEN ({num}) {div} ({den}) ELSE -((-({num})) {div} ({den})) END"
+
+
+def host_spectral_bisection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(method, n_a, n_b, cut_edges, vol_a, vol_b, cond_milli):
+    Fiedler-sign spectral cut vs md5 random cut of the planted-
+    community host graph, with exact conductance bookkeeping."""
+    edges = _lp_und_edges(spark, sf_dir).cache()
+    adj = edges.select(F.col("u").alias("w"), F.col("v").alias("x")).union(
+        edges.select(F.col("v").alias("w"), F.col("u").alias("x"))
+    )
+    deg = adj.groupBy("w").agg(F.count("*").cast("long").alias("d")).cache()
+    c = deg.agg(F.max("d")).collect()[0][0] + 1  # bounded scalar
+    nodes = deg.select(F.col("w").alias("host"), "d")
+    v = nodes.select(
+        "host",
+        "d",
+        (
+            (
+                2
+                * (
+                    _hash56(F.concat(F.lit("sbi|"), F.col("host")))
+                    % 2
+                )
+                - 1
+            )
+            * SB_UNIT
+        ).cast("long").alias("v"),
+    ).localCheckpoint()
+    tdiv = _SB_TDIV
+    for _ in range(SB_ITERS):
+        nb = (
+            adj.join(
+                v.select(F.col("host").alias("x"), F.col("v").alias("vx")),
+                "x",
+            )
+            .groupBy("w")
+            .agg(F.sum("vx").cast("long").alias("s"))
+        )
+        upd = (
+            v.join(nb, v["host"] == nb["w"], "left")
+            .select(
+                "host",
+                "d",
+                (
+                    (F.lit(int(c)) - F.col("d")) * F.col("v")
+                    + F.coalesce(F.col("s"), F.lit(0))
+                )
+                .cast("long")
+                .alias("vp"),
+            )
+        )
+        tot = F.broadcast(
+            upd.agg(
+                F.sum("vp").cast("long").alias("sv"),
+                F.count("*").cast("long").alias("n"),
+            )
+        )
+        cen = upd.crossJoin(tot).select(
+            "host",
+            "d",
+            F.expr(
+                "CAST(vp - ("
+                + tdiv.format(num="sv", den="n", div="DIV")
+                + ") AS BIGINT)"
+            ).alias("vc"),
+        )
+        mx = F.broadcast(
+            cen.agg(F.max(F.abs(F.col("vc"))).cast("long").alias("mx"))
+        )
+        v = (
+            cen.crossJoin(mx)
+            .select(
+                "host",
+                "d",
+                F.expr(
+                    "CASE WHEN mx = 0 THEN CAST(0 AS BIGINT) ELSE CAST("
+                    + tdiv.format(num=f"{SB_UNIT} * vc", den="mx", div="DIV")
+                    + " AS BIGINT) END"
+                ).alias("v"),
+            )
+            .localCheckpoint()
+        )
+    sides = v.select(
+        "host",
+        "d",
+        (F.col("v") >= 0).cast("long").alias("spectral"),
+        (
+            _hash56(F.concat(F.lit("sb|"), F.col("host"))) % 2
+        ).cast("long").alias("random"),
+    ).cache()
+
+    out = None
+    for method in ("spectral", "random"):
+        su = sides.select(
+            F.col("host").alias("u"), F.col(method).alias("side_u")
+        )
+        sv_ = sides.select(
+            F.col("host").alias("v"), F.col(method).alias("side_v")
+        )
+        cut = (
+            edges.join(su, "u")
+            .join(sv_, "v")
+            .agg(
+                F.sum(
+                    (F.col("side_u") != F.col("side_v")).cast("long")
+                )
+                .cast("long")
+                .alias("cut_edges")
+            )
+        )
+        vols = sides.agg(
+            F.sum(F.expr(f"CAST({method} = 1 AS BIGINT)")).cast("long").alias("n_a"),
+            F.sum(F.expr(f"CAST({method} = 0 AS BIGINT)")).cast("long").alias("n_b"),
+            F.sum(F.expr(f"CASE WHEN {method} = 1 THEN d ELSE 0 END"))
+            .cast("long")
+            .alias("vol_a"),
+            F.sum(F.expr(f"CASE WHEN {method} = 0 THEN d ELSE 0 END"))
+            .cast("long")
+            .alias("vol_b"),
+        )
+        row = (
+            vols.crossJoin(F.broadcast(cut))
+            .select(
+                F.lit(method).alias("method"),
+                "n_a",
+                "n_b",
+                "cut_edges",
+                "vol_a",
+                "vol_b",
+                F.expr(
+                    "CASE WHEN least(vol_a, vol_b) = 0 THEN CAST(NULL AS BIGINT)"
+                    " ELSE CAST((1000 * cut_edges) DIV least(vol_a, vol_b)"
+                    " AS BIGINT) END"
+                ).alias("cond_milli"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _sql_spectral() -> str:
+    hsb = _SQL_HASH56.format(col="'sb|' || host")
+    hsbi = _SQL_HASH56.format(col="'sbi|' || host")
+    tdiv = _SB_TDIV
+    parts = [
+        f"""WITH {_sql_lp_edge_ctes()},
+sbadj AS MATERIALIZED (
+  SELECT u AS w, v AS x FROM lpbase
+  UNION ALL SELECT v, u FROM lpbase
+),
+sbdeg AS MATERIALIZED (
+  SELECT w AS host, CAST(count(*) AS BIGINT) AS d FROM sbadj GROUP BY 1
+),
+sbc AS (SELECT CAST(max(d) + 1 AS BIGINT) AS c FROM sbdeg),
+sbv0 AS MATERIALIZED (
+  SELECT host, d,
+         CAST((2 * ({hsbi} % 2) - 1) * {SB_UNIT} AS BIGINT) AS v
+  FROM sbdeg
+)"""
+    ]
+    for k in range(1, SB_ITERS + 1):
+        cen_div = tdiv.format(num="sv", den="n", div="//")
+        res_div = tdiv.format(num=f"{SB_UNIT} * vc", den="mx", div="//")
+        parts.append(
+            f""",
+sbn{k} AS MATERIALIZED (
+  SELECT a.w AS host, CAST(sum(p.v) AS BIGINT) AS s
+  FROM sbadj a JOIN sbv{k - 1} p ON p.host = a.x
+  GROUP BY 1
+),
+sbu{k} AS MATERIALIZED (
+  SELECT p.host, p.d,
+         CAST((sbc.c - p.d) * p.v + coalesce(n.s, 0) AS BIGINT) AS vp
+  FROM sbv{k - 1} p
+  LEFT JOIN sbn{k} n USING (host)
+  CROSS JOIN sbc
+),
+sbt{k} AS (
+  SELECT CAST(sum(vp) AS BIGINT) AS sv, CAST(count(*) AS BIGINT) AS n
+  FROM sbu{k}
+),
+sbcn{k} AS MATERIALIZED (
+  SELECT host, d, CAST(vp - ({cen_div}) AS BIGINT) AS vc
+  FROM sbu{k} CROSS JOIN sbt{k}
+),
+sbm{k} AS (SELECT CAST(max(abs(vc)) AS BIGINT) AS mx FROM sbcn{k}),
+sbv{k} AS MATERIALIZED (
+  SELECT host, d,
+         CASE WHEN mx = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST({res_div} AS BIGINT) END AS v
+  FROM sbcn{k} CROSS JOIN sbm{k}
+)"""
+        )
+    parts.append(
+        f""",
+sbsides AS MATERIALIZED (
+  SELECT host, d,
+         CAST(v >= 0 AS BIGINT) AS spectral,
+         CAST({hsb} % 2 AS BIGINT) AS random
+  FROM sbv{SB_ITERS}
+),
+sbrows AS (
+  SELECT 'spectral' AS method, spectral AS side, host, d FROM sbsides
+  UNION ALL
+  SELECT 'random', random, host, d FROM sbsides
+),
+sbcut AS (
+  SELECT m.method,
+         CAST(sum(CASE WHEN su.side <> sv2.side THEN 1 ELSE 0 END)
+              AS BIGINT) AS cut_edges
+  FROM lpbase e
+  CROSS JOIN (SELECT DISTINCT method FROM sbrows) m
+  JOIN sbrows su ON su.method = m.method AND su.host = e.u
+  JOIN sbrows sv2 ON sv2.method = m.method AND sv2.host = e.v
+  GROUP BY 1
+),
+sbvol AS (
+  SELECT method,
+         CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN side = 1 THEN d ELSE 0 END) AS BIGINT) AS vol_a,
+         CAST(sum(CASE WHEN side = 0 THEN d ELSE 0 END) AS BIGINT) AS vol_b
+  FROM sbrows GROUP BY 1
+)
+SELECT v.method, v.n_a, v.n_b, c.cut_edges, v.vol_a, v.vol_b,
+       CASE WHEN least(v.vol_a, v.vol_b) = 0 THEN CAST(NULL AS BIGINT)
+            ELSE CAST((1000 * c.cut_edges) // least(v.vol_a, v.vol_b)
+                 AS BIGINT) END AS cond_milli
+FROM sbvol v JOIN sbcut c USING (method)"""
+    )
+    return "".join(parts)
+
+
+QUERIES["host_spectral_bisection"] = (host_spectral_bisection, _sql_spectral())
