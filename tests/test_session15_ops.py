@@ -1447,3 +1447,69 @@ def test_spectral_bisection_matches_python_and_beats_random(spark):
     assert 2 * got["spectral"][5] <= got["random"][5]
     # The cut is two-sided (deflation kept both signs alive).
     assert got["spectral"][0] > 0 and got["spectral"][1] > 0
+
+
+# ----------------------------------------------- plan-shape guards
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_session15_dgim_has_no_global_rank_window(spark):
+    # DGIM's boundary location must stay histogram + boundary-hour-only
+    # ranking: no single-partition window over the whole ones stream.
+    from harvester_spark.operators.sketches import dgim_window_count_eval
+
+    plan = _plan(dgim_window_count_eval(spark, SF_DIR))
+    # Windows exist (the intra-hour ranking + 720-row cumsums) but every
+    # row_number must be partitioned (the intra-hour one by hr).
+    # Spark prints: row_number() windowspecdefinition(hr ...) — the only
+    # row_number in the plan must be the hr-partitioned intra-hour rank.
+    for line in plan.splitlines():
+        if "row_number()" in line:
+            assert "windowspecdefinition(hr" in line, line
+
+
+def test_session15_pair_joins_have_no_cartesian(spark):
+    # The Theil-Sen / Mann-Kendall pair joins key on the series column;
+    # link prediction and spectral bisection join on graph keys. None
+    # may degrade to a cartesian / broadcast-nested-loop product over
+    # corpus-sized frames (1-row scalar broadcast cross-joins are the
+    # documented idiom and are allowed).
+    from harvester_spark.operators.es_aggs import (
+        events_binseg_changepoint,
+        events_mannkendall_test,
+    )
+    from harvester_spark.operators.graph import (
+        host_linkpred_eval,
+        host_spectral_bisection,
+    )
+    from harvester_spark.operators.web_econ import (
+        events_mannwhitney_eval,
+        events_theilsen_trend,
+    )
+
+    for fn in (
+        events_theilsen_trend,
+        events_mannkendall_test,
+        events_mannwhitney_eval,
+        events_binseg_changepoint,
+    ):
+        plan = _plan(fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, fn.__name__
+    # Graph ops: allow the bounded bit-mask enumeration (20-row masks)
+    # nothing else; link-pred and spectral must be cartesian-free.
+    for fn in (host_linkpred_eval, host_spectral_bisection):
+        plan = _plan(fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, fn.__name__
+
+
+def test_session15_ams_replicates_ride_user_grain(spark):
+    # The AMS replicate fan-out must multiply the USERS frame, not the
+    # raw events: the plan has exactly one events-scan aggregation into
+    # the frequency vector before the replicate join.
+    from harvester_spark.operators.sketches import events_f2_ams_eval
+
+    plan = _plan(events_f2_ams_eval(spark, SF_DIR))
+    assert plan.count("FileScan parquet") <= 2, plan.count("FileScan parquet")
