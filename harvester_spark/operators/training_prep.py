@@ -2092,3 +2092,202 @@ QUERIES["sampling_design_variance_eval"] = (
     sampling_design_variance_eval,
     _sql_sampling_design(),
 )
+
+
+# ------------------------------- pps systematic sampling + Horvitz-Thompson
+
+# Madow (1949) systematic probability-proportional-to-size sampling +
+# the Horvitz-Thompson estimator — the size-biased companion to
+# sampling_design_variance_eval's equal-probability designs: draw
+# PPS_M thresholds u + k*step (step = S DIV m, u an md5 draw mod step)
+# along the cumulative n_chars scale; a document is selected with
+# multiplicity = #thresholds inside its interval, i.e. pi_i ~ m*s_i/S.
+# The HT total estimate SUM y_i/pi_i then weights small-probability
+# docs up.
+#
+# Two EXACT integer facts the test pins:
+#   1. #selections == m ALWAYS: f(C) = least(m, (C - u + step - 1) DIV
+#      step) counts thresholds below C (numerator provably >= 0 — no
+#      negative-DIV seam), and f(S) - f(0) telescopes to m.
+#   2. SELF-WEIGHTING identity: estimating the sizing variable itself
+#      (y = s) gives ht = (SUM mult * ((s*S) DIV s)) DIV m =
+#      (m*S) DIV m = S EXACTLY — the floor never bites. est_chars ==
+#      s_total is an exact equality, not an approximation.
+# For y = token count (strongly size-correlated) the HT error is
+# pinned below the equal-probability SRS estimate's error on the same
+# m (the design-effect contrast, measured ~0 vs ~2-5%).
+#
+# Scale shape: the cumulative scale comes from the pack_sequences
+# two-level prefix sum (shard sums -> broadcast offsets -> per-shard
+# windows; no global single-partition window); selection multiplicity
+# is a per-row closed form (no threshold join); SRS is a TakeOrdered
+# top-m. Overflow: y*S needs y <= 9e18/S — fine through sf100.
+
+PPS_M = 64  # thresholds (sample size)
+PPS_SHARD = 64  # prefix-sum shard width (doc_id DIV)
+
+
+def sampling_pps_ht_eval(spark, sf_dir):
+    """(n_docs, s_total, m, step, u, n_sel, est_chars, tokens_true,
+    ht_tokens, srs_tokens, ht_err_milli, srs_err_milli): systematic
+    pps/HT estimate vs SRS on the same sample size."""
+    from harvester_spark.operators.graph import _hash56
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("s"),
+        _n_tokens().alias("y"),
+    )
+    docs = docs.withColumn("shard", F.expr(f"doc_id DIV {PPS_SHARD}"))
+    ssum = docs.groupBy("shard").agg(F.sum("s").alias("st"))
+    w_sh = W.orderBy("shard").rowsBetween(W.unboundedPreceding, -1)
+    soff = ssum.select(
+        "shard", F.coalesce(F.sum("st").over(w_sh), F.lit(0)).alias("off")
+    )
+    w_in = W.partitionBy("shard").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    cum = (
+        docs.join(F.broadcast(soff), "shard")
+        .withColumn(
+            "c_hi", (F.col("off") + F.sum("s").over(w_in)).cast("long")
+        )
+        .withColumn("c_lo", (F.col("c_hi") - F.col("s")).cast("long"))
+    )
+    tot = F.broadcast(
+        docs.agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("s").cast("long").alias("s_total"),
+            F.sum("y").cast("long").alias("tokens_true"),
+        ).select(
+            "n_docs",
+            "s_total",
+            "tokens_true",
+            F.expr(f"CAST(s_total DIV {PPS_M} AS BIGINT)").alias("step"),
+        ).select(
+            "n_docs",
+            "s_total",
+            "tokens_true",
+            "step",
+            (
+                _hash56(F.concat(F.lit("pps|"), F.col("s_total").cast("string")))
+                % F.col("step")
+            ).cast("long").alias("u"),
+        )
+    )
+    fexpr = (
+        f"least(CAST({PPS_M} AS BIGINT), ({{c}} - u + step - 1) DIV step)"
+    )
+    sel = (
+        cum.crossJoin(tot)
+        .withColumn(
+            "mult",
+            F.expr(
+                f"CAST({fexpr.format(c='c_hi')}"
+                f" - {fexpr.format(c='c_lo')} AS BIGINT)"
+            ),
+        )
+        .filter(F.col("mult") > 0)
+    )
+    agg = sel.agg(
+        F.sum("mult").cast("long").alias("n_sel"),
+        F.sum(F.expr("mult * ((s * s_total) DIV s)")).cast("long").alias("hc"),
+        F.sum(F.expr("mult * ((y * s_total) DIV s)")).cast("long").alias("ht"),
+    )
+    srs = (
+        docs.orderBy(
+            _hash56(F.concat(F.lit("srs|"), F.col("doc_id").cast("string"))).asc(),
+            F.col("doc_id").asc(),
+        )
+        .limit(PPS_M)
+        .agg(F.sum("y").cast("long").alias("ys"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(agg))
+        .crossJoin(F.broadcast(srs))
+        .select(
+            "n_docs",
+            "s_total",
+            F.lit(PPS_M).cast("long").alias("m"),
+            "step",
+            "u",
+            "n_sel",
+            F.expr(f"CAST(hc DIV {PPS_M} AS BIGINT)").alias("est_chars"),
+            "tokens_true",
+            F.expr(f"CAST(ht DIV {PPS_M} AS BIGINT)").alias("ht_tokens"),
+            F.expr(f"CAST((n_docs * ys) DIV {PPS_M} AS BIGINT)").alias(
+                "srs_tokens"
+            ),
+            F.expr(
+                f"CAST((1000 * abs(ht DIV {PPS_M} - tokens_true))"
+                " DIV tokens_true AS BIGINT)"
+            ).alias("ht_err_milli"),
+            F.expr(
+                f"CAST((1000 * abs((n_docs * ys) DIV {PPS_M} - tokens_true))"
+                " DIV tokens_true AS BIGINT)"
+            ).alias("srs_err_milli"),
+        )
+    )
+
+
+def _sql_pps_ht() -> str:
+    from harvester_spark.operators.graph import _SQL_HASH56
+
+    hu = _SQL_HASH56.format(col="'pps|' || CAST(s_total AS VARCHAR)")
+    hs = _SQL_HASH56.format(col="'srs|' || CAST(doc_id AS VARCHAR)")
+    f_hi = f"least(CAST({PPS_M} AS BIGINT), (c_hi - u + step - 1) // step)"
+    f_lo = f"least(CAST({PPS_M} AS BIGINT), (c_lo - u + step - 1) // step)"
+    return f"""
+WITH ppd AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS s, {_SQL_N_TOKENS} AS y
+  FROM documents
+),
+ppc AS (
+  SELECT doc_id, s, y,
+         CAST(sum(s) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS c_hi
+  FROM ppd
+),
+ppt AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(s) AS BIGINT) AS s_total,
+         CAST(sum(y) AS BIGINT) AS tokens_true,
+         CAST(sum(s) // {PPS_M} AS BIGINT) AS step
+  FROM ppd
+),
+ppu AS (SELECT *, {hu} % step AS u FROM ppt),
+ppsel AS (
+  SELECT c.doc_id, c.s, c.y,
+         CAST({f_hi} - {f_lo} AS BIGINT) AS mult,
+         t.s_total
+  FROM (SELECT doc_id, s, y, c_hi, CAST(c_hi - s AS BIGINT) AS c_lo
+        FROM ppc) c
+  CROSS JOIN ppu t
+),
+ppagg AS (
+  SELECT CAST(sum(mult) AS BIGINT) AS n_sel,
+         CAST(sum(mult * ((s * s_total) // s)) AS BIGINT) AS hc,
+         CAST(sum(mult * ((y * s_total) // s)) AS BIGINT) AS ht
+  FROM ppsel WHERE mult > 0
+),
+ppsrs AS (
+  SELECT CAST(sum(y) AS BIGINT) AS ys FROM (
+    SELECT y FROM ppd ORDER BY {hs} ASC, doc_id ASC LIMIT {PPS_M}
+  )
+)
+SELECT t.n_docs, t.s_total, CAST({PPS_M} AS BIGINT) AS m, t.step, t.u,
+       a.n_sel,
+       CAST(a.hc // {PPS_M} AS BIGINT) AS est_chars,
+       t.tokens_true,
+       CAST(a.ht // {PPS_M} AS BIGINT) AS ht_tokens,
+       CAST((t.n_docs * s.ys) // {PPS_M} AS BIGINT) AS srs_tokens,
+       CAST((1000 * abs(a.ht // {PPS_M} - t.tokens_true))
+            // t.tokens_true AS BIGINT) AS ht_err_milli,
+       CAST((1000 * abs((t.n_docs * s.ys) // {PPS_M} - t.tokens_true))
+            // t.tokens_true AS BIGINT) AS srs_err_milli
+FROM ppu t CROSS JOIN ppagg a CROSS JOIN ppsrs s
+"""
+
+
+QUERIES["sampling_pps_ht_eval"] = (sampling_pps_ht_eval, _sql_pps_ht())

@@ -1513,3 +1513,69 @@ def test_session15_ams_replicates_ride_user_grain(spark):
 
     plan = _plan(events_f2_ams_eval(spark, SF_DIR))
     assert plan.count("FileScan parquet") <= 2, plan.count("FileScan parquet")
+
+
+# ------------------------------------------------ sampling_pps_ht_eval
+
+
+def test_pps_ht_matches_python_and_selfweighting_identity(spark):
+    import re
+
+    from harvester_spark.operators.training_prep import (
+        PPS_M,
+        sampling_pps_ht_eval,
+    )
+
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "n_chars", "text")
+        .collect()
+    )
+    docs = sorted(
+        (
+            (
+                r["doc_id"],
+                r["n_chars"],
+                len([t for t in re.split(r"\W+", r["text"].lower()) if t]),
+            )
+            for r in rows
+        ),
+        key=lambda t: t[0],
+    )
+    s_total = sum(s for _, s, _ in docs)
+    tokens_true = sum(y for _, _, y in docs)
+    step = s_total // PPS_M
+    u = _h56(f"pps|{s_total}") % step
+
+    def f(c):
+        return min(PPS_M, (c - u + step - 1) // step)
+
+    c = 0
+    n_sel = hc = ht = 0
+    for _, s, y in docs:
+        lo, c = c, c + s
+        mult = f(c) - f(lo)
+        if mult > 0:
+            n_sel += mult
+            hc += mult * ((s * s_total) // s)
+            ht += mult * ((y * s_total) // s)
+    srs = sorted(docs, key=lambda t: (_h56(f"srs|{t[0]}"), t[0]))[:PPS_M]
+    ys = sum(y for _, _, y in srs)
+
+    got = sampling_pps_ht_eval(spark, SF_DIR).collect()
+    assert len(got) == 1
+    g = got[0].asDict()
+    assert g["n_docs"] == len(docs)
+    assert g["s_total"] == s_total
+    assert (g["m"], g["step"], g["u"]) == (PPS_M, step, u)
+    assert g["n_sel"] == n_sel == PPS_M  # the telescoping fact
+    # Self-weighting identity: EXACT equality, the floors never bite.
+    assert g["est_chars"] == hc // PPS_M == s_total
+    assert g["tokens_true"] == tokens_true
+    assert g["ht_tokens"] == ht // PPS_M
+    assert g["srs_tokens"] == (len(docs) * ys) // PPS_M
+    assert g["ht_err_milli"] == (1000 * abs(ht // PPS_M - tokens_true)) // tokens_true
+    assert g["srs_err_milli"] == (1000 * abs((len(docs) * ys) // PPS_M - tokens_true)) // tokens_true
+    # Design effect: size-biased HT beats equal-probability SRS on the
+    # size-correlated total (measured 0 vs 20 milli at sf0.001).
+    assert g["ht_err_milli"] <= g["srs_err_milli"]
