@@ -5180,3 +5180,220 @@ QUERIES["events_mannkendall_test"] = (
     events_mannkendall_test,
     _sql_mannkendall(),
 )
+
+
+# ------------------------------------------- Haar wavelet synopsis
+
+# Matias-Vitter-Wang (SIGMOD 1998): wavelet synopses — keep the B
+# largest-energy Haar coefficients of a series and answer range/point
+# queries from the sketch. The approximation-quality question ("is a
+# wavelet synopsis worth it over an equi-width histogram at the same
+# budget?") is answered here EXACTLY on the hourly event series: with
+# UNNORMALIZED Haar details d(l,k) = S_left - S_right (pure prefix-sum
+# differences), orthogonality gives Parseval in integers —
+#   2^L * SSE(drop set D) = SUM_D d^2 * 2^(L-l)
+# — so both synopses' sum-squared-errors are exact int64 "energy
+# units" (x 2^L), no float reconstruction anywhere. The pytest
+# reconstructs the kept-coefficient series with exact Fractions and
+# machine-checks the Parseval identity, then verifies the histogram
+# SSE by brute force.
+#
+# Series: the first HAAR_T = 512 = 2^9 hours of the densified grid
+# (dyadic truncation, documented); budget HAAR_B = 32 NUMBERS — the
+# global average term plus the top B-1 details (charging the mean to
+# the budget keeps the comparison fair) — vs a 32-bucket equi-width
+# histogram (512/32 = 16-hour buckets,
+# SSE * 2^L = 2^L * SUM x^2 - 32 * SUM S_b^2 exactly).
+#
+# Scale shape: one events scan; everything downstream lives on the
+# 512-row grid / 511-coefficient frame (the prefix table is a 513-row
+# broadcast; coefficient lookups are three small equi-joins).
+
+HAAR_L = 9  # T = 2^9 = 512 hours
+HAAR_B = 32  # synopsis budget (coefficients / histogram buckets)
+
+
+def events_haar_synopsis(spark, sf_dir):
+    """(t_n, n_coeffs, budget, total_detail_units, sse_haar_units,
+    sse_hist_units, haar_wins): top-B Haar energy synopsis vs the
+    equal-budget equi-width histogram, SSEs in exact 2^L-scaled
+    units."""
+    t_n = 1 << HAAR_L
+    ev = load(spark, sf_dir, "events").select(
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hour")
+    )
+    b = ev.agg(F.min("hour").alias("mn")).collect()[0]
+    counts = ev.groupBy("hour").agg(F.count("*").cast("long").alias("c"))
+    dens = (
+        spark.range(0, t_n)
+        .select(F.col("id").cast("long").alias("h"))
+        .withColumn("hour", F.col("h") + F.lit(int(b.mn)))
+        .join(counts, "hour", "left")
+        .select("h", F.coalesce("c", F.lit(0)).cast("long").alias("x"))
+    )
+    wp = W.orderBy("h").rowsBetween(W.unboundedPreceding, W.currentRow)
+    pre = dens.select(
+        (F.col("h") + 1).alias("i"), F.sum("x").over(wp).cast("long").alias("p")
+    )
+    pre = F.broadcast(
+        pre.unionByName(
+            dens.sparkSession.range(1).select(
+                F.lit(0).cast("long").alias("i"), F.lit(0).cast("long").alias("p")
+            )
+        )
+    )
+    lv = (
+        spark.range(1, HAAR_L + 1)
+        .select(F.col("id").cast("long").alias("l"))
+        .select(
+            "l",
+            F.explode(
+                F.expr(f"sequence(CAST(0 AS BIGINT), shiftleft(1, {HAAR_L} - CAST(l AS INT)) - 1)")
+            ).alias("k"),
+        )
+        .select(
+            "l",
+            "k",
+            F.expr("k * shiftleft(1, CAST(l AS INT))").alias("i0"),
+            F.expr(
+                "k * shiftleft(1, CAST(l AS INT))"
+                " + shiftleft(1, CAST(l AS INT) - 1)"
+            ).alias("im"),
+            F.expr("(k + 1) * shiftleft(1, CAST(l AS INT))").alias("i1"),
+        )
+    )
+    p0 = pre.select(F.col("i").alias("i0"), F.col("p").alias("pa"))
+    pm = pre.select(F.col("i").alias("im"), F.col("p").alias("pb"))
+    p1 = pre.select(F.col("i").alias("i1"), F.col("p").alias("pc"))
+    co = (
+        lv.join(p0, "i0")
+        .join(pm, "im")
+        .join(p1, "i1")
+        .select(
+            "l",
+            "k",
+            F.expr("2 * pb - pa - pc").cast("long").alias("d"),
+        )
+        .select(
+            "l",
+            "k",
+            F.expr(
+                f"CAST(d * d * shiftleft(1, {HAAR_L} - CAST(l AS INT))"
+                " AS BIGINT)"
+            ).alias("eu"),
+        )
+    )
+    wt = W.orderBy(F.col("eu").desc(), F.col("l").asc(), F.col("k").asc())
+    ranked = co.withColumn("rk", F.row_number().over(wt))
+    tot = ranked.agg(
+        F.count("*").cast("long").alias("n_coeffs"),
+        F.sum("eu").cast("long").alias("total_detail_units"),
+        F.sum(
+            F.when(F.col("rk") > HAAR_B - 1, F.col("eu")).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("sse_haar_units"),
+    )
+    hist = (
+        dens.groupBy(F.expr(f"h DIV {t_n // HAAR_B}").alias("bk"))
+        .agg(F.sum("x").cast("long").alias("sb"))
+        .agg(F.sum(F.expr("sb * sb")).cast("long").alias("ssb"))
+    )
+    x2 = dens.agg(F.sum(F.expr("x * x")).cast("long").alias("sx2"))
+    return (
+        tot.crossJoin(F.broadcast(hist))
+        .crossJoin(F.broadcast(x2))
+        .select(
+            F.lit(t_n).cast("long").alias("t_n"),
+            "n_coeffs",
+            F.lit(HAAR_B).cast("long").alias("budget"),
+            "total_detail_units",
+            "sse_haar_units",
+            F.expr(
+                f"CAST({t_n} * sx2 - {t_n // (t_n // HAAR_B)} * ssb"
+                " AS BIGINT)"
+            ).alias("sse_hist_units"),
+            F.expr(
+                f"sse_haar_units <= {t_n} * sx2"
+                f" - {t_n // (t_n // HAAR_B)} * ssb"
+            ).alias("haar_wins"),
+        )
+    )
+
+
+def _sql_haar() -> str:
+    t_n = 1 << HAAR_L
+    w = t_n // HAAR_B
+    return f"""
+WITH hab AS (
+  SELECT CAST(floor(epoch(min(ts))) AS BIGINT) // 3600 AS mn FROM events
+),
+hac AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hour,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+had AS (
+  SELECT g.h, CAST(coalesce(hac.c, 0) AS BIGINT) AS x
+  FROM (SELECT unnest(range({t_n})) AS h) g
+  CROSS JOIN hab
+  LEFT JOIN hac ON hac.hour = g.h + hab.mn
+),
+hap AS (
+  SELECT h + 1 AS i,
+         CAST(sum(x) OVER (ORDER BY h
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS p
+  FROM had
+  UNION ALL SELECT 0, 0
+),
+halv AS (
+  SELECT l, unnest(range((CAST(1 AS BIGINT) << ({HAAR_L} - CAST(l AS INT)))))
+           AS k
+  FROM (SELECT unnest(range(1, {HAAR_L} + 1)) AS l)
+),
+haco AS (
+  SELECT v.l, v.k,
+         CAST((2 * pm.p - p0.p - p1.p)
+              * (2 * pm.p - p0.p - p1.p)
+              * (CAST(1 AS BIGINT) << ({HAAR_L} - CAST(v.l AS INT)))
+              AS BIGINT) AS eu
+  FROM (
+    SELECT l, k,
+           k * (CAST(1 AS BIGINT) << CAST(l AS INT)) AS i0,
+           k * (CAST(1 AS BIGINT) << CAST(l AS INT))
+             + (CAST(1 AS BIGINT) << (CAST(l AS INT) - 1)) AS im,
+           (k + 1) * (CAST(1 AS BIGINT) << CAST(l AS INT)) AS i1
+    FROM halv
+  ) v
+  JOIN hap p0 ON p0.i = v.i0
+  JOIN hap pm ON pm.i = v.im
+  JOIN hap p1 ON p1.i = v.i1
+),
+hark AS (
+  SELECT eu, row_number() OVER (ORDER BY eu DESC, l ASC, k ASC) AS rk
+  FROM haco
+),
+hatot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_coeffs,
+         CAST(sum(eu) AS BIGINT) AS total_detail_units,
+         CAST(sum(CASE WHEN rk > {HAAR_B} - 1 THEN eu ELSE 0 END) AS BIGINT)
+           AS sse_haar_units
+  FROM hark
+),
+hahist AS (
+  SELECT CAST(sum(sb * sb) AS BIGINT) AS ssb FROM (
+    SELECT CAST(sum(x) AS BIGINT) AS sb FROM had GROUP BY h // {w}
+  )
+),
+hax2 AS (SELECT CAST(sum(x * x) AS BIGINT) AS sx2 FROM had)
+SELECT CAST({t_n} AS BIGINT) AS t_n, t.n_coeffs,
+       CAST({HAAR_B} AS BIGINT) AS budget,
+       t.total_detail_units, t.sse_haar_units,
+       CAST({t_n} * x.sx2 - {HAAR_B} * h.ssb AS BIGINT) AS sse_hist_units,
+       t.sse_haar_units <= {t_n} * x.sx2 - {HAAR_B} * h.ssb AS haar_wins
+FROM hatot t CROSS JOIN hahist h CROSS JOIN hax2 x
+"""
+
+
+QUERIES["events_haar_synopsis"] = (events_haar_synopsis, _sql_haar())

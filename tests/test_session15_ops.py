@@ -1579,3 +1579,79 @@ def test_pps_ht_matches_python_and_selfweighting_identity(spark):
     # Design effect: size-biased HT beats equal-probability SRS on the
     # size-correlated total (measured 0 vs 20 milli at sf0.001).
     assert g["ht_err_milli"] <= g["srs_err_milli"]
+
+
+# --------------------------------------------------- events_haar_synopsis
+
+
+def test_haar_synopsis_parseval_machine_check(spark):
+    from fractions import Fraction
+
+    from harvester_spark.operators.es_aggs import (
+        HAAR_B,
+        HAAR_L,
+        events_haar_synopsis,
+    )
+
+    t_n = 1 << HAAR_L
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .selectExpr("CAST(unix_timestamp(ts) AS LONG) DIV 3600 AS hour")
+        .collect()
+    )
+    hours = [r["hour"] for r in rows]
+    mn = min(hours)
+    counts = Counter(hours)
+    xs = [counts.get(mn + h, 0) for h in range(t_n)]
+    pre = [0]
+    for x in xs:
+        pre.append(pre[-1] + x)
+
+    coeffs = []
+    for l in range(1, HAAR_L + 1):
+        for k in range(t_n >> l):
+            i0, im, i1 = k << l, (k << l) + (1 << (l - 1)), (k + 1) << l
+            d = 2 * pre[im] - pre[i0] - pre[i1]
+            coeffs.append((d * d * (1 << (HAAR_L - l)), l, k, d))
+    coeffs.sort(key=lambda t: (-t[0], t[1], t[2]))
+    kept = coeffs[: HAAR_B - 1]
+    dropped = coeffs[HAAR_B - 1 :]
+    total_units = sum(c[0] for c in coeffs)
+    sse_haar_units = sum(c[0] for c in dropped)
+
+    # MACHINE-CHECK PARSEVAL: reconstruct from the kept coefficients
+    # (plus the average) with exact Fractions and compare the true SSE
+    # against the dropped-energy formula.
+    recon = [Fraction(pre[t_n], t_n)] * t_n
+    for _, l, k, d in kept:
+        a = Fraction(d, 1 << l)
+        for i in range(k << l, (k + 1) << l):
+            half = 1 << (l - 1)
+            sign = 1 if i - (k << l) < half else -1
+            recon[i] += sign * a
+    sse_true = sum((Fraction(x) - r) ** 2 for x, r in zip(xs, recon))
+    assert sse_true * t_n == sse_haar_units, (sse_true, sse_haar_units)
+
+    # Histogram SSE brute force.
+    wbkt = t_n // HAAR_B
+    sse_hist = Fraction(0)
+    for b in range(HAAR_B):
+        blk = xs[b * wbkt : (b + 1) * wbkt]
+        m = Fraction(sum(blk), wbkt)
+        sse_hist += sum((Fraction(x) - m) ** 2 for x in blk)
+    sse_hist_units = sse_hist * t_n
+    assert sse_hist_units == int(sse_hist_units)
+
+    got = events_haar_synopsis(spark, SF_DIR).collect()
+    assert len(got) == 1
+    g = got[0].asDict()
+    assert g["t_n"] == t_n
+    assert g["n_coeffs"] == t_n - 1
+    assert g["budget"] == HAAR_B
+    assert g["total_detail_units"] == total_units
+    assert g["sse_haar_units"] == sse_haar_units
+    assert g["sse_hist_units"] == int(sse_hist_units)
+    assert g["haar_wins"] == (sse_haar_units <= int(sse_hist_units))
+    # On this spiky series the adaptive synopsis beats the equi-width
+    # histogram at equal budget (measured at every gated scale).
+    assert g["haar_wins"] is True
