@@ -2225,3 +2225,323 @@ QUERIES["join_cardinality_est_eval"] = (
     join_cardinality_est_eval,
     _sql_join_card(),
 )
+
+
+# ---------------------------------- Hilbert vs Z-order layout locality
+
+# The space-filling-curve upgrade question over zorder_layout: Morton
+# (Z-order) interleaving is cheap but its curve JUMPS — consecutive
+# curve positions are not always grid-adjacent, so range scans cross
+# seams. The Hilbert curve (1891; Faloutsos & Roseman PODS 1989 for
+# databases) never jumps: EVERY consecutive index pair is a unit grid
+# step. Both claims are machine-checked here exactly, per cell, on the
+# full HC_N x HC_N grid:
+#   - hilbert adj_violations == 0 and max_step_jump == 1 (the Hilbert
+#     property, all N^2-1 steps);
+#   - morton adj_violations > 0 and max_step_jump = a real seam.
+# The cost metric is Moon et al.'s (TKDE 2001) CLUSTER COUNT: the
+# number of contiguous curve runs a rectangular range query touches
+# (each run = one sequential scan range). 64 md5-planted query
+# rectangles (2..7 cells per side); runs = in-rect cells whose curve
+# predecessor lies outside the rectangle. Average |d_a - d_b| over
+# grid-adjacent pairs is NOT the right metric — Morton actually wins
+# it (measured 8.5 vs 9.9 here) while losing run counts 426 vs 260;
+# the first cut used it and the comparison inverted. mass_covered
+# (md5 doc occupancy inside the rectangles) is emitted as a
+# curve-invariant sanity column.
+#
+# The Hilbert index is the classic xy2d bit loop UNROLLED over
+# HC_BITS = 4 levels (s = 8,4,2,1) as chained CTEs carrying (x, y, d):
+# quadrant code q = (3*rx) XOR ry by CASE table, then the reflect/swap
+# rotation — integer CASE arithmetic only, identical in both engines
+# (the zorder DIV/%/x discipline; no bit intrinsics beyond & with
+# powers of two).
+#
+# Scale shape: the grid is 256 rows; the only corpus-sized work is one
+# documents scan for cell occupancy.
+
+HC_BITS = 4
+HC_N = 1 << HC_BITS  # 16 x 16 grid
+HC_RECTS = 64  # planted query rectangles
+
+
+def layout_hilbert_vs_zorder(spark, sf_dir):
+    """(curve, n_cells, adj_violations, max_step_jump, n_rects,
+    total_runs, mass_covered): exact curve-continuity and range-query
+    cluster-count comparison of Hilbert vs Morton on the 16x16 grid."""
+    from harvester_spark.operators.dedup import _hash56
+
+    cells = spark.range(HC_N * HC_N).select(
+        (F.col("id") % HC_N).cast("long").alias("x"),
+        (F.col("id") / HC_N).cast("long").alias("y"),
+    )
+    # Morton: interleave 4+4 bits via DIV/% arithmetic.
+    mort = "+".join(
+        f"((x DIV {1 << i}) % 2) * {1 << (2 * i)}"
+        f" + ((y DIV {1 << i}) % 2) * {1 << (2 * i + 1)}"
+        for i in range(HC_BITS)
+    )
+    grid = cells.withColumn("morton", F.expr(f"CAST({mort} AS BIGINT)"))
+    # Hilbert xy2d, unrolled: carry (hx, hy, d) through the levels.
+    cur = grid.select("x", "y", "morton",
+                      F.col("x").alias("hx"), F.col("y").alias("hy"),
+                      F.lit(0).cast("long").alias("d"))
+    s = HC_N // 2
+    while s > 0:
+        rx = f"(CASE WHEN (hx DIV {s}) % 2 = 1 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (hy DIV {s}) % 2 = 1 THEN 1 ELSE 0 END)"
+        q = (
+            f"(CASE WHEN {rx} = 0 AND {ry} = 0 THEN 0"
+            f" WHEN {rx} = 0 AND {ry} = 1 THEN 1"
+            f" WHEN {rx} = 1 AND {ry} = 1 THEN 2"
+            f" ELSE 3 END)"
+        )
+        cur = cur.select(
+            "x",
+            "y",
+            "morton",
+            F.expr(
+                f"CAST(CASE WHEN {ry} = 0 AND {rx} = 1"
+                f" THEN {s} - 1 - (CASE WHEN {ry} = 0 THEN hy ELSE hx END)"
+                f" WHEN {ry} = 0"
+                f" THEN (CASE WHEN {ry} = 0 THEN hy ELSE hx END)"
+                f" ELSE hx END AS BIGINT)"
+            ).alias("nhx"),
+            F.expr(
+                f"CAST(CASE WHEN {ry} = 0 AND {rx} = 1"
+                f" THEN {s} - 1 - (hx % {s})"
+                f" WHEN {ry} = 0 THEN hx % {s}"
+                f" ELSE hy END AS BIGINT)"
+            ).alias("nhy"),
+            F.expr(f"CAST(d + {s} * {s} * {q} AS BIGINT)").alias("d"),
+        ).select(
+            "x",
+            "y",
+            "morton",
+            F.expr(f"CAST(nhx % {s} AS BIGINT)").alias("hx"),
+            F.expr(f"CAST(nhy % {s} AS BIGINT)").alias("hy"),
+            "d",
+        )
+        s //= 2
+    hil = cur.select("x", "y", "morton", F.col("d").alias("hilbert"))
+    docs = load(spark, sf_dir, "documents").select(
+        (
+            _hash56(F.concat(F.lit("gx|"), F.col("doc_id").cast("string")))
+            % HC_N
+        ).cast("long").alias("x"),
+        (
+            _hash56(F.concat(F.lit("gy|"), F.col("doc_id").cast("string")))
+            % HC_N
+        ).cast("long").alias("y"),
+    )
+    w = docs.groupBy("x", "y").agg(F.count("*").cast("long").alias("w"))
+    g = F.broadcast(
+        hil.join(w, ["x", "y"], "left").select(
+            "x", "y", "morton", "hilbert",
+            F.coalesce("w", F.lit(0)).cast("long").alias("w"),
+        )
+    ).cache()
+    rects = F.broadcast(
+        spark.range(HC_RECTS).select(
+            F.col("id").cast("long").alias("ri"),
+            (2 + _hash56(F.concat(F.lit("rw|"), F.col("id").cast("string"))) % 6)
+            .cast("long").alias("rw"),
+            (2 + _hash56(F.concat(F.lit("rh|"), F.col("id").cast("string"))) % 6)
+            .cast("long").alias("rh"),
+        ).select(
+            "ri", "rw", "rh",
+            (
+                _hash56(F.concat(F.lit("rx|"), F.col("ri").cast("string")))
+                % (HC_N + 1 - F.col("rw"))
+            ).cast("long").alias("rx"),
+            (
+                _hash56(F.concat(F.lit("ry|"), F.col("ri").cast("string")))
+                % (HC_N + 1 - F.col("rh"))
+            ).cast("long").alias("ry"),
+        )
+    )
+
+    out = None
+    for curve in ("hilbert", "morton"):
+        pred = g.select(
+            (F.col(curve) + 1).alias("dn"),
+            F.col("x").alias("px"),
+            F.col("y").alias("py"),
+        )
+        cur2 = g.select(
+            "x", "y", "w", F.col(curve).alias("dn")
+        ).join(pred, "dn", "left")
+        inrect = cur2.join(
+            rects,
+            (F.col("x") >= F.col("rx"))
+            & (F.col("x") < F.col("rx") + F.col("rw"))
+            & (F.col("y") >= F.col("ry"))
+            & (F.col("y") < F.col("ry") + F.col("rh")),
+        )
+        runs = inrect.agg(
+            F.sum(
+                F.expr(
+                    "CAST(px IS NULL OR px < rx OR px >= rx + rw"
+                    " OR py < ry OR py >= ry + rh AS BIGINT)"
+                )
+            ).cast("long").alias("total_runs"),
+            F.sum("w").cast("long").alias("mass_covered"),
+        )
+        steps = (
+            g.select(F.col(curve).alias("da"), "x", "y")
+            .join(
+                g.select(
+                    (F.col(curve) - 1).alias("da"),
+                    F.col("x").alias("x2"),
+                    F.col("y").alias("y2"),
+                ),
+                "da",
+            )
+            .agg(
+                F.sum(
+                    F.expr("CAST(abs(x - x2) + abs(y - y2) <> 1 AS BIGINT)")
+                ).cast("long").alias("adj_violations"),
+                F.max(F.expr("abs(x - x2) + abs(y - y2)")).cast("long").alias(
+                    "max_step_jump"
+                ),
+            )
+        )
+        row = (
+            steps.crossJoin(F.broadcast(runs))
+            .select(
+                F.lit(curve).alias("curve"),
+                F.lit(HC_N * HC_N).cast("long").alias("n_cells"),
+                "adj_violations",
+                "max_step_jump",
+                F.lit(HC_RECTS).cast("long").alias("n_rects"),
+                "total_runs",
+                "mass_covered",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _sql_hilbert() -> str:
+    from harvester_spark.operators.dedup import _SQL_HASH56
+
+    hx = _SQL_HASH56.format(col="'gx|' || CAST(doc_id AS VARCHAR)")
+    hy = _SQL_HASH56.format(col="'gy|' || CAST(doc_id AS VARCHAR)")
+    hrw = _SQL_HASH56.format(col="'rw|' || CAST(i AS VARCHAR)")
+    hrh = _SQL_HASH56.format(col="'rh|' || CAST(i AS VARCHAR)")
+    hrx = _SQL_HASH56.format(col="'rx|' || CAST(ri AS VARCHAR)")
+    hry = _SQL_HASH56.format(col="'ry|' || CAST(ri AS VARCHAR)")
+    mort = "+".join(
+        f"((x // {1 << i}) % 2) * {1 << (2 * i)}"
+        f" + ((y // {1 << i}) % 2) * {1 << (2 * i + 1)}"
+        for i in range(HC_BITS)
+    )
+    parts = [
+        f"""WITH hc0 AS (
+  SELECT g.i % {HC_N} AS x, g.i // {HC_N} AS y,
+         CAST({mort} AS BIGINT) AS morton,
+         CAST(g.i % {HC_N} AS BIGINT) AS hx,
+         CAST(g.i // {HC_N} AS BIGINT) AS hy,
+         CAST(0 AS BIGINT) AS d
+  FROM (SELECT unnest(range({HC_N * HC_N})) AS i,
+               unnest(range({HC_N * HC_N})) % {HC_N} AS x,
+               unnest(range({HC_N * HC_N})) // {HC_N} AS y) g
+)"""
+    ]
+    s = HC_N // 2
+    k = 0
+    while s > 0:
+        k += 1
+        rx = f"(CASE WHEN (hx // {s}) % 2 = 1 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (hy // {s}) % 2 = 1 THEN 1 ELSE 0 END)"
+        q = (
+            f"(CASE WHEN {rx} = 0 AND {ry} = 0 THEN 0"
+            f" WHEN {rx} = 0 AND {ry} = 1 THEN 1"
+            f" WHEN {rx} = 1 AND {ry} = 1 THEN 2"
+            f" ELSE 3 END)"
+        )
+        parts.append(
+            f""",
+hc{k} AS (
+  SELECT x, y, morton,
+         CAST((CASE WHEN {ry} = 0 AND {rx} = 1
+               THEN {s} - 1 - (CASE WHEN {ry} = 0 THEN hy ELSE hx END)
+               WHEN {ry} = 0
+               THEN (CASE WHEN {ry} = 0 THEN hy ELSE hx END)
+               ELSE hx END) % {s} AS BIGINT) AS hx,
+         CAST((CASE WHEN {ry} = 0 AND {rx} = 1 THEN {s} - 1 - (hx % {s})
+               WHEN {ry} = 0 THEN hx % {s}
+               ELSE hy END) % {s} AS BIGINT) AS hy,
+         CAST(d + {s} * {s} * {q} AS BIGINT) AS d
+  FROM hc{k - 1}
+)"""
+        )
+        s //= 2
+    parts.append(
+        f""",
+hcg AS MATERIALIZED (
+  SELECT c.x, c.y, c.morton, c.d AS hilbert,
+         CAST(coalesce(w.w, 0) AS BIGINT) AS w
+  FROM hc{k} c
+  LEFT JOIN (
+    SELECT {hx} % {HC_N} AS x, {hy} % {HC_N} AS y,
+           CAST(count(*) AS BIGINT) AS w
+    FROM documents GROUP BY 1, 2
+  ) w USING (x, y)
+),
+hcrows AS (
+  SELECT 'hilbert' AS curve, x, y, hilbert AS d, w FROM hcg
+  UNION ALL
+  SELECT 'morton', x, y, morton, w FROM hcg
+),
+hcrects AS (
+  SELECT ri, rw, rh,
+         {hrx} % ({HC_N} + 1 - rw) AS rx,
+         {hry} % ({HC_N} + 1 - rh) AS ry
+  FROM (
+    SELECT i AS ri,
+           2 + {hrw} % 6 AS rw,
+           2 + {hrh} % 6 AS rh
+    FROM (SELECT unnest(range({HC_RECTS})) AS i)
+  )
+),
+hcpred AS (
+  SELECT c.curve, c.x, c.y, c.w, c.d, p.x AS px, p.y AS py
+  FROM hcrows c
+  LEFT JOIN hcrows p ON p.curve = c.curve AND p.d = c.d - 1
+),
+hcruns AS (
+  SELECT c.curve,
+         CAST(sum(CASE WHEN c.px IS NULL OR c.px < r.rx
+                   OR c.px >= r.rx + r.rw OR c.py < r.ry
+                   OR c.py >= r.ry + r.rh THEN 1 ELSE 0 END) AS BIGINT)
+           AS total_runs,
+         CAST(sum(c.w) AS BIGINT) AS mass_covered
+  FROM hcpred c JOIN hcrects r
+    ON c.x >= r.rx AND c.x < r.rx + r.rw
+   AND c.y >= r.ry AND c.y < r.ry + r.rh
+  GROUP BY 1
+),
+hcsteps AS (
+  SELECT a.curve,
+         CAST(sum(CASE WHEN abs(a.x - b.x) + abs(a.y - b.y) <> 1
+                  THEN 1 ELSE 0 END) AS BIGINT) AS adj_violations,
+         CAST(max(abs(a.x - b.x) + abs(a.y - b.y)) AS BIGINT)
+           AS max_step_jump
+  FROM hcrows a JOIN hcrows b
+    ON a.curve = b.curve AND b.d = a.d + 1
+  GROUP BY 1
+)
+SELECT s.curve, CAST({HC_N * HC_N} AS BIGINT) AS n_cells,
+       s.adj_violations, s.max_step_jump,
+       CAST({HC_RECTS} AS BIGINT) AS n_rects,
+       r.total_runs, r.mass_covered
+FROM hcsteps s JOIN hcruns r USING (curve)"""
+    )
+    return "".join(parts)
+
+
+QUERIES["layout_hilbert_vs_zorder"] = (
+    layout_hilbert_vs_zorder,
+    _sql_hilbert(),
+)

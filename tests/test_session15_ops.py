@@ -1655,3 +1655,98 @@ def test_haar_synopsis_parseval_machine_check(spark):
     # On this spiky series the adaptive synopsis beats the equi-width
     # histogram at equal budget (measured at every gated scale).
     assert g["haar_wins"] is True
+
+
+# --------------------------------------------- layout_hilbert_vs_zorder
+
+
+def test_hilbert_vs_zorder_matches_python_and_theorems(spark):
+    from harvester_spark.operators.relational import (
+        HC_N,
+        HC_RECTS,
+        layout_hilbert_vs_zorder,
+    )
+
+    def hilbert(x, y):
+        # The CLASSIC xy2d loop (independent of the operator's unrolled
+        # CASE arithmetic).
+        d = 0
+        s = HC_N // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    def morton(x, y):
+        d = 0
+        for i in range(4):
+            d += ((x >> i) & 1) << (2 * i)
+            d += ((y >> i) & 1) << (2 * i + 1)
+        return d
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id").collect()
+    w = Counter()
+    for r in docs:
+        w[(_h56(f"gx|{r['doc_id']}") % HC_N, _h56(f"gy|{r['doc_id']}") % HC_N)] += 1
+    rects = []
+    for i in range(HC_RECTS):
+        rw = 2 + _h56(f"rw|{i}") % 6
+        rh = 2 + _h56(f"rh|{i}") % 6
+        rx = _h56(f"rx|{i}") % (HC_N + 1 - rw)
+        ry = _h56(f"ry|{i}") % (HC_N + 1 - rh)
+        rects.append((rx, ry, rw, rh))
+
+    expect = {}
+    for name, f in (("hilbert", hilbert), ("morton", morton)):
+        idx = {(x, y): f(x, y) for x in range(HC_N) for y in range(HC_N)}
+        pos = {d: c for c, d in idx.items()}
+        assert len(pos) == HC_N * HC_N  # bijection
+        viol = 0
+        mj = 0
+        for d in range(HC_N * HC_N - 1):
+            (x1, y1), (x2, y2) = pos[d], pos[d + 1]
+            step = abs(x1 - x2) + abs(y1 - y2)
+            mj = max(mj, step)
+            if step != 1:
+                viol += 1
+        runs = 0
+        mass = 0
+        for (rx, ry, rw, rh) in rects:
+            cells = {
+                (x, y)
+                for x in range(rx, rx + rw)
+                for y in range(ry, ry + rh)
+            }
+            ds = {idx[c] for c in cells}
+            runs += sum(1 for d in ds if d - 1 not in ds)
+            mass += sum(w.get(c, 0) for c in cells)
+        expect[name] = (viol, mj, runs, mass)
+
+    got = {
+        r["curve"]: r.asDict()
+        for r in layout_hilbert_vs_zorder(spark, SF_DIR).collect()
+    }
+    for name, (viol, mj, runs, mass) in expect.items():
+        g = got[name]
+        assert g["n_cells"] == HC_N * HC_N
+        assert g["n_rects"] == HC_RECTS
+        assert g["adj_violations"] == viol
+        assert g["max_step_jump"] == mj
+        assert g["total_runs"] == runs
+        assert g["mass_covered"] == mass
+    # The Hilbert continuity theorem, exact: every step is a unit move.
+    assert got["hilbert"]["adj_violations"] == 0
+    assert got["hilbert"]["max_step_jump"] == 1
+    # Morton genuinely jumps.
+    assert got["morton"]["adj_violations"] > 0
+    assert got["morton"]["max_step_jump"] > 1
+    # Range scans: Hilbert needs fewer contiguous runs (260 vs 426).
+    assert got["hilbert"]["total_runs"] < got["morton"]["total_runs"]
+    # The mass column is curve-invariant (sanity).
+    assert got["hilbert"]["mass_covered"] == got["morton"]["mass_covered"] > 0
