@@ -2291,3 +2291,141 @@ FROM ppu t CROSS JOIN ppagg a CROSS JOIN ppsrs s
 
 
 QUERIES["sampling_pps_ht_eval"] = (sampling_pps_ht_eval, _sql_pps_ht())
+
+
+# ------------------------------- cluster-sampling design effect (ICC)
+
+# The third panel of the Cochran design triptych: sampling_design_
+# variance_eval measures systematic-vs-Bernoulli via replicates,
+# sampling_pps_ht_eval measures size-biased HT — this one computes the
+# CLUSTER-sampling penalty in closed form from the population: the
+# ANOVA intraclass correlation rho and Kish's design effect
+# deff = 1 + (M - 1) * rho for single-stage equal-size cluster samples
+# (clusters = the corpus' sources, whose per-source doc counts ARE
+# equal at every gated scale — asserted via the m_min/m_max columns).
+#
+# Exact integers all the way: with per-cluster sums S_i and squares Q,
+#   B2 = k * SUM S_i^2 - T^2        (N * (k-1) * MSB = B2 * ... )
+#   A2 = N * Q - T^2
+#   rho = [B2(N-k) - (A2-B2)(k-1)] / [B2(N-k) + (M-1)(A2-B2)(k-1)]
+# (derivation: SSB = B2/N, SSW = (A2-B2)/N since kM = N; multiply the
+# MSB/MSW ratio through by N(k-1)(N-k)). The milli step pre-divides the
+# denominator (num DIV (den DIV 1000)) because 1000*num overflows int64
+# at sf0.1 — the sf0.1-sweep class of bug, caught at authoring time.
+#
+# Planted-controls (events_mannwhitney_eval discipline): 'null' uses
+# raw n_chars (sources get no effect — a genuine near-zero-ICC
+# negative control); 'planted' adds CD_SHIFT * (md5(source) % 5) so
+# between-cluster variance is real and deff blows up.
+
+CD_SHIFT = 200
+CD_LEVELS = 5
+
+
+def sampling_cluster_deff_eval(spark, sf_dir):
+    """(series, k, m_min, m_max, n, icc_milli, deff_milli): closed-form
+    ANOVA intraclass correlation and Kish design effect for cluster
+    sampling by source, null vs planted cluster effect."""
+    from harvester_spark.operators.dedup import _hash56
+
+    docs = load(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").cast("long").alias("y0")
+    )
+    shift = (
+        _hash56(F.concat(F.lit("ce|"), F.col("source"))) % CD_LEVELS
+    ).cast("long") * CD_SHIFT
+    ser = docs.select(
+        F.lit("null").alias("series"), "source", F.col("y0").alias("y")
+    ).unionByName(
+        docs.select(
+            F.lit("planted").alias("series"),
+            "source",
+            (F.col("y0") + shift).cast("long").alias("y"),
+        )
+    )
+    per = ser.groupBy("series", "source").agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("y").cast("long").alias("s"),
+        F.sum(F.expr("y * y")).cast("long").alias("q"),
+    )
+    agg = per.groupBy("series").agg(
+        F.count("*").cast("long").alias("k"),
+        F.min("m").cast("long").alias("m_min"),
+        F.max("m").cast("long").alias("m_max"),
+        F.sum("m").cast("long").alias("n"),
+        F.sum("s").cast("long").alias("t"),
+        F.sum(F.expr("s * s")).cast("long").alias("ss2"),
+        F.sum("q").cast("long").alias("q"),
+    )
+    num = "(k * ss2 - t * t) * (n - k) - (n * q - k * ss2) * (k - 1)"
+    den = (
+        "(k * ss2 - t * t) * (n - k)"
+        " + (m_max - 1) * (n * q - k * ss2) * (k - 1)"
+    )
+    # 1000*num overflows int64 at sf0.1 (num ~ 1.2e16, measured) — pre-
+    # divide the (huge) denominator instead; relative error <= 1000/den.
+    icc = (
+        f"CASE WHEN ({num}) >= 0 THEN ({num}) DIV (({den}) DIV 1000)"
+        f" ELSE -((-({num})) DIV (({den}) DIV 1000)) END"
+    )
+    return agg.select(
+        "series",
+        "k",
+        "m_min",
+        "m_max",
+        "n",
+        F.expr(f"CAST({icc} AS BIGINT)").alias("icc_milli"),
+        F.expr(f"CAST(1000 + (m_max - 1) * ({icc}) AS BIGINT)").alias(
+            "deff_milli"
+        ),
+    )
+
+
+def _sql_cluster_deff() -> str:
+    from harvester_spark.operators.dedup import _SQL_HASH56
+
+    h = _SQL_HASH56.format(col="'ce|' || source")
+    num = "(k * ss2 - t * t) * (n - k) - (n * q - k * ss2) * (k - 1)"
+    den = (
+        "(k * ss2 - t * t) * (n - k)"
+        " + (m_max - 1) * (n * q - k * ss2) * (k - 1)"
+    )
+    icc = (
+        f"CASE WHEN ({num}) >= 0 THEN ({num}) // (({den}) // 1000)"
+        f" ELSE -((-({num})) // (({den}) // 1000)) END"
+    )
+    return f"""
+WITH cds AS (
+  SELECT 'null' AS series, source, CAST(n_chars AS BIGINT) AS y
+  FROM documents
+  UNION ALL
+  SELECT 'planted', source,
+         CAST(n_chars + ({h} % {CD_LEVELS}) * {CD_SHIFT} AS BIGINT)
+  FROM documents
+),
+cdp AS (
+  SELECT series, source, CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(y) AS BIGINT) AS s, CAST(sum(y * y) AS BIGINT) AS q
+  FROM cds GROUP BY 1, 2
+),
+cda AS (
+  SELECT series, CAST(count(*) AS BIGINT) AS k,
+         CAST(min(m) AS BIGINT) AS m_min,
+         CAST(max(m) AS BIGINT) AS m_max,
+         CAST(sum(m) AS BIGINT) AS n,
+         CAST(sum(s) AS BIGINT) AS t,
+         CAST(sum(s * s) AS BIGINT) AS ss2,
+         CAST(sum(q) AS BIGINT) AS q
+  FROM cdp GROUP BY 1
+)
+SELECT series, k, m_min, m_max, n,
+       CAST({icc} AS BIGINT) AS icc_milli,
+       CAST(1000 + (m_max - 1) * ({icc}) AS BIGINT) AS deff_milli
+FROM cda
+"""
+
+
+QUERIES["sampling_cluster_deff_eval"] = (
+    sampling_cluster_deff_eval,
+    _sql_cluster_deff(),
+)

@@ -1750,3 +1750,71 @@ def test_hilbert_vs_zorder_matches_python_and_theorems(spark):
     assert got["hilbert"]["total_runs"] < got["morton"]["total_runs"]
     # The mass column is curve-invariant (sanity).
     assert got["hilbert"]["mass_covered"] == got["morton"]["mass_covered"] > 0
+
+
+# ------------------------------------------ sampling_cluster_deff_eval
+
+
+def test_cluster_deff_matches_python_and_controls(spark):
+    from harvester_spark.operators.training_prep import (
+        CD_LEVELS,
+        CD_SHIFT,
+        sampling_cluster_deff_eval,
+    )
+
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("source", "n_chars")
+        .collect()
+    )
+
+    def stats(shifted):
+        per = {}
+        for r in rows:
+            y = r["n_chars"] + (
+                (_h56(f"ce|{r['source']}") % CD_LEVELS) * CD_SHIFT
+                if shifted
+                else 0
+            )
+            m, sN, q = per.get(r["source"], (0, 0, 0))
+            per[r["source"]] = (m + 1, sN + y, q + y * y)
+        k = len(per)
+        n = sum(m for m, _, _ in per.values())
+        t = sum(sv for _, sv, _ in per.values())
+        ss2 = sum(sv * sv for _, sv, _ in per.values())
+        q = sum(qv for _, _, qv in per.values())
+        m_max = max(m for m, _, _ in per.values())
+        m_min = min(m for m, _, _ in per.values())
+        num = (k * ss2 - t * t) * (n - k) - (n * q - k * ss2) * (k - 1)
+        den = (k * ss2 - t * t) * (n - k) + (m_max - 1) * (n * q - k * ss2) * (
+            k - 1
+        )
+        icc = (
+            num // (den // 1000)
+            if num >= 0
+            else -((-num) // (den // 1000))
+        )
+        return (k, m_min, m_max, n, icc, 1000 + (m_max - 1) * icc)
+
+    expect = {"null": stats(False), "planted": stats(True)}
+    got = {
+        r["series"]: (
+            r["k"],
+            r["m_min"],
+            r["m_max"],
+            r["n"],
+            r["icc_milli"],
+            r["deff_milli"],
+        )
+        for r in sampling_cluster_deff_eval(spark, SF_DIR).collect()
+    }
+    assert got == expect
+    # Equal-size assumption the formula needs actually holds.
+    assert got["null"][1] == got["null"][2]
+    # Negative control: natural per-source n_chars is near-uncorrelated
+    # within sources (|icc| tiny, deff ~ 1).
+    assert abs(got["null"][4]) <= 50
+    # Planted cluster effect: real ICC, deff blows past 10x.
+    assert got["planted"][4] >= 500
+    assert got["planted"][5] >= 10_000
+    assert got["planted"][4] >= 10 * max(1, abs(got["null"][4]))
