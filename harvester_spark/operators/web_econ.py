@@ -3324,3 +3324,148 @@ CROSS JOIN lltot t
 
 
 QUERIES["cache_lru_vs_lfu_eval"] = (cache_lru_vs_lfu_eval, _sql_lru_lfu())
+
+
+# --------------------------------------- instrumental variable (Wald)
+
+# The causal-toolkit member still missing after DiD / RDD / CUPED /
+# CMH / IPW / Shapley: when treatment is CONFOUNDED (units choose it,
+# and the chooser also drives the outcome), a randomized INSTRUMENT
+# that moves treatment but touches the outcome only through it
+# identifies the effect — Wald (1940):
+#   beta_IV = (E[y|z=1] - E[y|z=0]) / (E[x|z=1] - E[x|z=0]).
+# Planted structural model per md5 unit (doc-derived, the Qini lesson):
+#   confounder u ~ U(0,100); instrument z ~ Bernoulli(1/2);
+#   x = 1{draw_x < 20 + 40 z + u/3}   (z is RELEVANT, u CONFOUNDS)
+#   y = 50 x + 2 u + noise            (true effect 50, u hits y too)
+# The naive treated-minus-control difference absorbs u's bias; Wald
+# divides it out. Integer exactness: the group-mean differences share
+# the n1*n0 denominator, so it CANCELS in the ratio —
+#   wald = (Sy1*n0 - Sy0*n1) / (Sx1*n0 - Sx0*n1)
+# is a ratio of exact int64s, one sign-split round-half milli division
+# (the _DIVROUND idiom); the naive contrast keeps its own ladder.
+
+IV_BETA = 50  # planted treatment effect
+IV_GAMMA = 2  # confounder slope into the outcome
+
+
+def events_iv_wald_eval(spark, sf_dir):
+    """(n, true_beta_milli, naive_milli, wald_milli, naive_bias_milli,
+    wald_bias_milli, wald_wins): confounded-treatment recovery, naive
+    difference vs the Wald instrumental estimator."""
+    from harvester_spark.operators.dedup import _hash56
+
+    def h(pfx):
+        return _hash56(F.concat(F.lit(pfx), F.col("unit").cast("string")))
+
+    units = (
+        load(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("unit"))
+        .select(
+            "unit",
+            (h("u|") % 100).cast("long").alias("u"),
+            (h("z|") % 2).cast("long").alias("z"),
+            (h("xn|") % 100).cast("long").alias("dx"),
+            (h("yn|") % 21).cast("long").alias("dy"),
+        )
+        .withColumn(
+            "x", F.expr("CAST(dx < 20 + 40 * z + u DIV 3 AS BIGINT)")
+        )
+        .withColumn(
+            "y",
+            F.expr(
+                f"CAST({IV_BETA} * x + {IV_GAMMA} * u + dy - 10 AS BIGINT)"
+            ),
+        )
+    )
+    agg = units.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("z").cast("long").alias("n1"),
+        F.sum(F.expr("CAST(z = 0 AS BIGINT)")).cast("long").alias("n0"),
+        F.sum(F.expr("CASE WHEN z = 1 THEN y ELSE 0 END")).cast("long").alias("sy1"),
+        F.sum(F.expr("CASE WHEN z = 0 THEN y ELSE 0 END")).cast("long").alias("sy0"),
+        F.sum(F.expr("CASE WHEN z = 1 THEN x ELSE 0 END")).cast("long").alias("sx1"),
+        F.sum(F.expr("CASE WHEN z = 0 THEN x ELSE 0 END")).cast("long").alias("sx0"),
+        F.sum("x").cast("long").alias("m1"),
+        F.sum(F.expr("CASE WHEN x = 1 THEN y ELSE 0 END")).cast("long").alias("ty1"),
+        F.sum(F.expr("CASE WHEN x = 0 THEN y ELSE 0 END")).cast("long").alias("ty0"),
+    )
+    wald = _DIVROUND.format(
+        num="(sy1 * n0 - sy0 * n1)", den="(sx1 * n0 - sx0 * n1)", div="DIV"
+    )
+    naive = _DIVROUND.format(
+        num="(ty1 * (n - m1) - ty0 * m1)", den="(m1 * (n - m1))", div="DIV"
+    )
+    return agg.select(
+        "n",
+        F.lit(IV_BETA * 1000).cast("long").alias("true_beta_milli"),
+        F.expr(f"CAST(({naive}) DIV 1000 AS BIGINT)").alias("naive_milli"),
+        F.expr(f"CAST(({wald}) DIV 1000 AS BIGINT)").alias("wald_milli"),
+        F.expr(
+            f"CAST(abs(({naive}) DIV 1000 - {IV_BETA * 1000}) AS BIGINT)"
+        ).alias("naive_bias_milli"),
+        F.expr(
+            f"CAST(abs(({wald}) DIV 1000 - {IV_BETA * 1000}) AS BIGINT)"
+        ).alias("wald_bias_milli"),
+        F.expr(
+            f"abs(({wald}) DIV 1000 - {IV_BETA * 1000})"
+            f" < abs(({naive}) DIV 1000 - {IV_BETA * 1000})"
+        ).alias("wald_wins"),
+    )
+
+
+def _sql_iv_wald() -> str:
+    from harvester_spark.operators.dedup import _SQL_HASH56
+
+    def h(pfx):
+        return _SQL_HASH56.format(col=f"'{pfx}' || CAST(unit AS VARCHAR)")
+
+    wald = _DIVROUND.format(
+        num="(sy1 * n0 - sy0 * n1)", den="(sx1 * n0 - sx0 * n1)", div="//"
+    )
+    naive = _DIVROUND.format(
+        num="(ty1 * (n - m1) - ty0 * m1)", den="(m1 * (n - m1))", div="//"
+    )
+    return f"""
+WITH ivu AS (
+  SELECT unit, {h('u|')} % 100 AS u, {h('z|')} % 2 AS z,
+         {h('xn|')} % 100 AS dx, {h('yn|')} % 21 AS dy
+  FROM (SELECT doc_id AS unit FROM documents)
+),
+ivx AS (
+  SELECT unit, u, z,
+         CAST(dx < 20 + 40 * z + u // 3 AS BIGINT) AS x, dy
+  FROM ivu
+),
+ivy AS (
+  SELECT unit, u, z, x,
+         CAST({IV_BETA} * x + {IV_GAMMA} * u + dy - 10 AS BIGINT) AS y
+  FROM ivx
+),
+iva AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(z) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN z = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN z = 1 THEN y ELSE 0 END) AS BIGINT) AS sy1,
+         CAST(sum(CASE WHEN z = 0 THEN y ELSE 0 END) AS BIGINT) AS sy0,
+         CAST(sum(CASE WHEN z = 1 THEN x ELSE 0 END) AS BIGINT) AS sx1,
+         CAST(sum(CASE WHEN z = 0 THEN x ELSE 0 END) AS BIGINT) AS sx0,
+         CAST(sum(x) AS BIGINT) AS m1,
+         CAST(sum(CASE WHEN x = 1 THEN y ELSE 0 END) AS BIGINT) AS ty1,
+         CAST(sum(CASE WHEN x = 0 THEN y ELSE 0 END) AS BIGINT) AS ty0
+  FROM ivy
+)
+SELECT n, CAST({IV_BETA * 1000} AS BIGINT) AS true_beta_milli,
+       CAST(({naive}) // 1000 AS BIGINT) AS naive_milli,
+       CAST(({wald}) // 1000 AS BIGINT) AS wald_milli,
+       CAST(abs(({naive}) // 1000 - {IV_BETA * 1000}) AS BIGINT)
+         AS naive_bias_milli,
+       CAST(abs(({wald}) // 1000 - {IV_BETA * 1000}) AS BIGINT)
+         AS wald_bias_milli,
+       abs(({wald}) // 1000 - {IV_BETA * 1000})
+         < abs(({naive}) // 1000 - {IV_BETA * 1000}) AS wald_wins
+FROM iva
+"""
+
+
+QUERIES["events_iv_wald_eval"] = (events_iv_wald_eval, _sql_iv_wald())

@@ -1818,3 +1818,64 @@ def test_cluster_deff_matches_python_and_controls(spark):
     assert got["planted"][4] >= 500
     assert got["planted"][5] >= 10_000
     assert got["planted"][4] >= 10 * max(1, abs(got["null"][4]))
+
+
+# ----------------------------------------------- events_iv_wald_eval
+
+
+def test_iv_wald_matches_python_and_debias_contrast(spark):
+    from harvester_spark.operators.web_econ import (
+        IV_BETA,
+        IV_GAMMA,
+        events_iv_wald_eval,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id").collect()
+    n = n1 = n0 = sy1 = sy0 = sx1 = sx0 = m1 = ty1 = ty0 = 0
+    for r in docs:
+        unit = r["doc_id"]
+        u = _h56(f"u|{unit}") % 100
+        z = _h56(f"z|{unit}") % 2
+        dx = _h56(f"xn|{unit}") % 100
+        dy = _h56(f"yn|{unit}") % 21
+        x = 1 if dx < 20 + 40 * z + u // 3 else 0
+        y = IV_BETA * x + IV_GAMMA * u + dy - 10
+        n += 1
+        if z:
+            n1 += 1
+            sy1 += y
+            sx1 += x
+        else:
+            n0 += 1
+            sy0 += y
+            sx0 += x
+        if x:
+            m1 += 1
+            ty1 += y
+        else:
+            ty0 += y
+
+    def divround(num, den):
+        if num >= 0:
+            return (num * 1_000_000 + den // 2) // den
+        return -(((-num) * 1_000_000 + den // 2) // den)
+
+    wald = divround(sy1 * n0 - sy0 * n1, sx1 * n0 - sx0 * n1) // 1000
+    naive = divround(ty1 * (n - m1) - ty0 * m1, m1 * (n - m1)) // 1000
+
+    got = events_iv_wald_eval(spark, SF_DIR).collect()
+    assert len(got) == 1
+    g = got[0].asDict()
+    assert g["n"] == n
+    assert g["true_beta_milli"] == IV_BETA * 1000
+    assert g["naive_milli"] == naive
+    assert g["wald_milli"] == wald
+    assert g["naive_bias_milli"] == abs(naive - IV_BETA * 1000)
+    assert g["wald_bias_milli"] == abs(wald - IV_BETA * 1000)
+    assert g["wald_wins"] is True
+    # The confounding is real (naive off by ~half the true effect) and
+    # the instrument removes ~all of it (measured 24.5k vs 0.6k milli).
+    assert g["naive_bias_milli"] >= 10_000
+    assert g["wald_bias_milli"] * 10 <= g["naive_bias_milli"]
+    # Instrument relevance: z genuinely moves treatment.
+    assert sx1 * n0 - sx0 * n1 > 0
