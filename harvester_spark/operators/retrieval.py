@@ -2763,3 +2763,272 @@ pst{k} AS MATERIALIZED (
 
 
 QUERIES["ft_pm2_topk"] = (ft_pm2_topk, _sql_pm2())
+
+
+# -------------------------------------- successive-halving grid tuning
+
+# Jamieson & Talwalkar (AISTATS 2016) / Karnin et al.: evaluate many
+# configurations on a small budget, keep the best half, re-evaluate the
+# survivors on a bigger budget — the hyperparameter-search pattern that
+# makes bm25_grid_tune_eval's exhaustive sweep affordable at 4x the
+# grid. SH_GRID is a 24-point (k1, b) lattice; rounds evaluate
+# 24 configs x 4 queries -> top 12 x 8 -> top 6 x 16 -> winner, every
+# decision on integer micro-nDCG means with (mean desc, k1, b)
+# tie-breaks. The eval economics and the SELECTION QUALITY are the
+# deliverables: sh_evals = 288 (config, query) scorings vs 384
+# exhaustive, and the winner's FULL-grid mean is compared against the
+# exhaustive argmax (regret_micro — 0 when SH finds the true best).
+#
+# Scale shape: identical to bm25_grid_tune_eval — the grid is a
+# broadcast VALUES dim over ONE tf/df/dl scan; the per-(config, query)
+# nDCG table is grid x registry sized (384 rows), and the halving
+# itself is a bounded driver fold over it (the interleave_team_draft
+# pattern), re-derived in the oracle as a 3-round CTE chain.
+
+SH_GRID = [
+    (k, b)
+    for k in (600, 800, 1000, 1200, 1600, 2000)
+    for b in (0, 250, 500, 750)
+]
+SH_ROUNDS = [(24, 4), (12, 8), (6, 16)]  # (configs kept entering, queries)
+
+
+def ft_sh_tune_eval(spark, sf_dir):
+    """(round, n_configs, n_queries_used, evals_cum, lead_k1m, lead_bm,
+    lead_partial_ndcg, winner_k1m, winner_bm, winner_full_ndcg,
+    grid_best_ndcg, regret_micro, sh_evals, full_evals): successive-
+    halving trace over the 24-point BM25 grid with full-grid regret."""
+    graded = _graded_ranking(spark, sf_dir).select("q_id", "doc_id", "rel").cache()
+    docs = load(spark, sf_dir, "documents")
+    toks = doc_tokens(spark, sf_dir)
+    qdocs = docs.select("doc_id").orderBy("doc_id").limit(HN_N_QUERIES)
+    first = (
+        toks.join(F.broadcast(qdocs), "doc_id")
+        .groupBy("doc_id", "term")
+        .agg(F.min("pos").alias("p0"))
+    )
+    wsel = W.partitionBy("doc_id").orderBy(F.col("p0").asc(), F.col("term").asc())
+    qterms = (
+        first.withColumn("r", F.row_number().over(wsel))
+        .filter(F.col("r") <= HN_Q_LEN)
+        .select(F.col("doc_id").alias("q_id"), "term")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = docs.select(F.count("*").alias("n")).crossJoin(
+        dl.select((F.sum("dl") / F.count("*")).alias("avgdl"))
+    )
+    tf = (
+        toks.join(F.broadcast(qterms.select("term").distinct()), "term")
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    grid = spark.createDataFrame(SH_GRID, "k1m long, bm long")
+    scored = (
+        F.broadcast(qterms)
+        .join(tf, "term")
+        .join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(grid))
+        .withColumn("contrib", F.expr(_GRID_CONTRIB))
+        .groupBy("k1m", "bm", "q_id", "doc_id")
+        .agg(F.round(F.sum("contrib"), 6).alias("score"))
+    )
+    wr = W.partitionBy("k1m", "bm", "q_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    dcg = (
+        scored.join(graded, ["q_id", "doc_id"])
+        .withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= NDCG_K)
+        .withColumn("addend", F.expr(_NDCG_ADDEND))
+        .groupBy("k1m", "bm", "q_id")
+        .agg(F.sum("addend").cast("long").alias("dcg_micro"))
+    )
+    wi = W.partitionBy("q_id").orderBy(F.col("rel").desc(), F.col("doc_id").asc())
+    idcg = (
+        graded.withColumn("rnk", F.row_number().over(wi))
+        .filter(F.col("rnk") <= NDCG_K)
+        .withColumn("addend", F.expr(_NDCG_ADDEND))
+        .groupBy("q_id")
+        .agg(F.sum("addend").cast("long").alias("idcg_micro"))
+    )
+    perq = [
+        (r["k1m"], r["bm"], r["q_id"], r["ndcg_micro"])
+        for r in dcg.join(F.broadcast(idcg), "q_id")
+        .withColumn(
+            "ndcg_micro",
+            F.expr("CAST(dcg_micro * 1000000 DIV idcg_micro AS BIGINT)"),
+        )
+        .collect()
+    ]  # bounded: |grid| x |registry| rows
+    qids = sorted({q for _, _, q, _ in perq})
+    table = {}
+    for k, b, q, v in perq:
+        table.setdefault((k, b), {})[q] = v
+
+    def mean_over(cfg, qs):
+        vals = [table[cfg].get(q, 0) for q in qs]
+        return sum(vals) // len(vals)
+
+    alive = sorted(table)
+    out_rounds = []
+    evals = 0
+    for rnd, (n_in, nq) in enumerate(SH_ROUNDS, start=1):
+        qs = qids[:nq]
+        evals += len(alive) * len(qs)
+        ranked = sorted(
+            alive, key=lambda c: (-mean_over(c, qs), c[0], c[1])
+        )
+        lead = ranked[0]
+        out_rounds.append(
+            (rnd, len(alive), len(qs), evals, lead[0], lead[1],
+             mean_over(lead, qs))
+        )
+        alive = ranked[: max(1, len(alive) // 2)]
+    winner = out_rounds[-1][4], out_rounds[-1][5]
+    full = {c: mean_over(c, qids) for c in table}
+    best = min(full, key=lambda c: (-full[c], c[0], c[1]))
+    rows = [
+        (
+            *r,
+            winner[0],
+            winner[1],
+            full[winner],
+            full[best],
+            full[best] - full[winner],
+            evals,
+            len(table) * len(qids),
+        )
+        for r in out_rounds
+    ]
+    return spark.createDataFrame(
+        rows,
+        "round long, n_configs long, n_queries_used long, evals_cum long,"
+        " lead_k1m long, lead_bm long, lead_partial_ndcg long,"
+        " winner_k1m long, winner_bm long, winner_full_ndcg long,"
+        " grid_best_ndcg long, regret_micro long, sh_evals long,"
+        " full_evals long",
+    )
+
+
+def _sql_sh_tune() -> str:
+    gvals = ", ".join(f"({k}, {b})" for k, b in SH_GRID)
+    contrib = (
+        _GRID_CONTRIB.replace("(n - df", "(stats.n - dfq.df")
+        .replace("(df + 0.5e0)", "(dfq.df + 0.5e0)")
+        .replace("(tf *", "(tf.tf *")
+        .replace("(tf +", "(tf.tf +")
+        .replace("* dl /", "* dl.dl /")
+        .replace("/ avgdl", "/ stats.avgdl")
+    )
+    parts = [
+        _SQL_GRADED_PREFIX
+        + f""",
+shgrid AS (SELECT * FROM (VALUES {gvals}) g(k1m, bm)),
+shsc AS (
+  SELECT k1m, bm, q.q_id, tf.doc_id,
+         round(sum({contrib}), 6) AS score
+  FROM qsel q JOIN tf USING (term) JOIN dfq USING (term)
+       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats CROSS JOIN shgrid
+  GROUP BY 1, 2, 3, 4
+),
+shdcg AS (
+  SELECT k1m, bm, q_id, CAST(sum({_NDCG_ADDEND}) AS BIGINT) AS dcg_micro
+  FROM (
+    SELECT s.k1m, s.bm, s.q_id, g.rel,
+           row_number() OVER (PARTITION BY s.k1m, s.bm, s.q_id
+                              ORDER BY s.score DESC, s.doc_id ASC) AS rnk
+    FROM shsc s JOIN graded g ON g.q_id = s.q_id AND g.doc_id = s.doc_id
+  ) WHERE rnk <= {NDCG_K} GROUP BY 1, 2, 3
+),
+shidcg AS (
+  SELECT q_id, CAST(sum({_NDCG_ADDEND}) AS BIGINT) AS idcg_micro FROM (
+    SELECT q_id, rel,
+           row_number() OVER (
+             PARTITION BY q_id ORDER BY rel DESC, doc_id ASC) AS rnk
+    FROM graded
+  ) WHERE rnk <= {NDCG_K} GROUP BY q_id
+),
+shpq AS MATERIALIZED (
+  SELECT d.k1m, d.bm, d.q_id,
+         CAST(d.dcg_micro * 1000000 // i.idcg_micro AS BIGINT) AS ndcg
+  FROM shdcg d JOIN shidcg i USING (q_id)
+),
+shq AS MATERIALIZED (
+  SELECT q_id, row_number() OVER (ORDER BY q_id) AS qrk
+  FROM (SELECT DISTINCT q_id FROM shpq)
+)"""
+    ]
+    prev_alive = None
+    for rnd, (n_in, nq) in enumerate(SH_ROUNDS, start=1):
+        src = "shgrid" if prev_alive is None else prev_alive
+        parts.append(
+            f""",
+shm{rnd} AS MATERIALIZED (
+  SELECT a.k1m, a.bm,
+         CAST(sum(coalesce(p.ndcg, 0)) // count(*) AS BIGINT) AS pmean,
+         row_number() OVER (
+           ORDER BY sum(coalesce(p.ndcg, 0)) // count(*) DESC,
+                    a.k1m ASC, a.bm ASC) AS crk
+  FROM {src} a
+  CROSS JOIN (SELECT q_id FROM shq WHERE qrk <= {nq}) qq
+  LEFT JOIN shpq p
+    ON p.k1m = a.k1m AND p.bm = a.bm AND p.q_id = qq.q_id
+  GROUP BY a.k1m, a.bm
+)"""
+        )
+        prev_alive = (
+            f"(SELECT k1m, bm FROM shm{rnd} WHERE crk <= {max(1, n_in // 2)})"
+        )
+    rows_sql = " UNION ALL ".join(
+        f"SELECT CAST({rnd} AS BIGINT) AS round,"
+        f" CAST({n_in} AS BIGINT) AS n_configs,"
+        f" CAST({nq} AS BIGINT) AS n_queries_used,"
+        f" CAST({sum(SH_ROUNDS[i][0] * SH_ROUNDS[i][1] for i in range(rnd))}"
+        f" AS BIGINT) AS evals_cum,"
+        f" (SELECT k1m FROM shm{rnd} WHERE crk = 1) AS lead_k1m,"
+        f" (SELECT bm FROM shm{rnd} WHERE crk = 1) AS lead_bm,"
+        f" (SELECT pmean FROM shm{rnd} WHERE crk = 1) AS lead_partial_ndcg"
+        for rnd, (n_in, nq) in enumerate(SH_ROUNDS, start=1)
+    )
+    n_rounds = len(SH_ROUNDS)
+    sh_evals = sum(n * q for n, q in SH_ROUNDS)
+    full_evals = len(SH_GRID) * 16
+    parts.append(
+        f""",
+shfull AS MATERIALIZED (
+  SELECT g.k1m, g.bm,
+         CAST(sum(coalesce(p.ndcg, 0)) // count(*) AS BIGINT) AS fmean
+  FROM shgrid g
+  CROSS JOIN shq qq
+  LEFT JOIN shpq p
+    ON p.k1m = g.k1m AND p.bm = g.bm AND p.q_id = qq.q_id
+  GROUP BY 1, 2
+),
+shwin AS (
+  SELECT k1m AS wk, bm AS wb FROM shm{n_rounds} WHERE crk = 1
+),
+shbest AS (
+  SELECT fmean AS best_ndcg FROM shfull
+  ORDER BY fmean DESC, k1m ASC, bm ASC LIMIT 1
+),
+shrounds AS ({rows_sql})
+SELECT r.round, r.n_configs, r.n_queries_used, r.evals_cum,
+       r.lead_k1m, r.lead_bm, r.lead_partial_ndcg,
+       w.wk AS winner_k1m, w.wb AS winner_bm,
+       f.fmean AS winner_full_ndcg,
+       b.best_ndcg AS grid_best_ndcg,
+       CAST(b.best_ndcg - f.fmean AS BIGINT) AS regret_micro,
+       CAST({sh_evals} AS BIGINT) AS sh_evals,
+       CAST({full_evals} AS BIGINT) AS full_evals
+FROM shrounds r
+CROSS JOIN shwin w
+JOIN shfull f ON f.k1m = w.wk AND f.bm = w.wb
+CROSS JOIN shbest b"""
+    )
+    return "".join(parts)
+
+
+QUERIES["ft_sh_tune_eval"] = (ft_sh_tune_eval, _sql_sh_tune())

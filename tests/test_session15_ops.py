@@ -1879,3 +1879,46 @@ def test_iv_wald_matches_python_and_debias_contrast(spark):
     assert g["wald_bias_milli"] * 10 <= g["naive_bias_milli"]
     # Instrument relevance: z genuinely moves treatment.
     assert sx1 * n0 - sx0 * n1 > 0
+
+
+# ------------------------------------------------------- ft_sh_tune_eval
+
+
+def test_sh_tune_trace_and_cross_operator_consistency(spark):
+    from harvester_spark.operators.retrieval import (
+        SH_GRID,
+        SH_ROUNDS,
+        bm25_grid_tune_eval,
+        ft_sh_tune_eval,
+    )
+
+    rows = sorted(
+        (r.asDict() for r in ft_sh_tune_eval(spark, SF_DIR).collect()),
+        key=lambda g: g["round"],
+    )
+    assert [g["round"] for g in rows] == [1, 2, 3]
+    # Round structure: configs halve, budgets follow SH_ROUNDS, evals
+    # accumulate exactly.
+    evals = 0
+    for g, (n_in, nq) in zip(rows, SH_ROUNDS):
+        evals += n_in * nq
+        assert g["n_configs"] == n_in
+        assert g["n_queries_used"] == nq
+        assert g["evals_cum"] == evals
+    g = rows[-1]
+    assert g["sh_evals"] == evals < g["full_evals"] == len(SH_GRID) * 16
+    # The last round's leader IS the winner.
+    assert (g["lead_k1m"], g["lead_bm"]) == (g["winner_k1m"], g["winner_bm"])
+    # Identity + sign of the regret; on this corpus SH finds the
+    # exhaustive argmax (measured, deterministic).
+    assert g["regret_micro"] == g["grid_best_ndcg"] - g["winner_full_ndcg"]
+    assert g["regret_micro"] == 0
+    # Cross-operator: the winner lies on the exhaustive operator's grid
+    # here, and the two independent scoring paths agree on its mean.
+    full = {
+        (r["k1_milli"], r["b_milli"]): r["mean_ndcg_micro"]
+        for r in bm25_grid_tune_eval(spark, SF_DIR).collect()
+    }
+    key = (g["winner_k1m"], g["winner_bm"])
+    assert key in full
+    assert full[key] == g["winner_full_ndcg"]
