@@ -222,14 +222,31 @@ def test_single_query_or_dispatch_rank_identity(env, monkeypatch):
         monkeypatch.setattr(wand_mod, "OR_BATCH_MIN_SUM_DF", 0)
         bat, bstats = wand_mod.or_search(searcher, qtext, k=10, with_stats=True)
         monkeypatch.setattr(wand_mod, "OR_BATCH_MIN_SUM_DF", 5_000_000)
-        assert bstats["strategy"] == "batch", qtext
+        # Round-5 carve-out: a selective driver term forces MAXSCORE even
+        # at batch-scale sum-df (wand._maxscore_carveout) — the dispatch
+        # label follows it; rank identity is asserted either way.
+        from harvester_spark.analysis import tokenize
+
+        terms = sorted(set(tokenize(qtext)))
+        dfs = searcher._dfs(terms, wand_mod.ALL_LANG)
+        live = [t for t in terms if dfs[t] > 0]
+        expected = (
+            "maxscore"
+            if wand_mod._maxscore_carveout(dfs, live)
+            else "batch"
+        )
+        assert bstats["strategy"] == expected, qtext
         assert list(bat["doc_id"]) == list(drv["doc_id"]), qtext
         assert list(bat["score"]) == list(drv["score"]), qtext
-        # totals: exact when every range accumulated (the true head-heavy
-        # dispatch regime), a lower bound when a range picked WAND — same
-        # contract as the driver strategies
-        if bstats["precise"]:
-            assert bstats["scored"] == dstats["scored"], qtext
+        # totals: batch is exact when every range accumulated, a lower
+        # bound when a range picked WAND; the maxscore carve-out's
+        # survivor count is always a lower bound — same contract as the
+        # driver strategies
+        if bstats["strategy"] == "batch":
+            if bstats["precise"]:
+                assert bstats["scored"] == dstats["scored"], qtext
+            else:
+                assert 0 < bstats["scored"] <= dstats["scored"], qtext
         else:
             assert 0 < bstats["scored"] <= dstats["scored"], qtext
 
