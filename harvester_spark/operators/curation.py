@@ -1211,3 +1211,129 @@ FROM rper GROUP BY 1
 
 
 QUERIES["robots_rules_eval"] = (robots_rules_eval, _sql_robots())
+
+
+# --------------------------------- differential-privacy counts utility
+
+# The privacy family's missing half: curation_k_anonymity measures
+# SYNTACTIC privacy; Dwork et al. (TCC 2006) differential privacy is
+# the statistical one. Per-source document counts get Laplace(1/eps)
+# noise at three budgets, and the operator reports the measured
+# utility loss against the theoretical mean absolute error E|Lap(b)| =
+# b = 1/eps — the eps-vs-accuracy curve a release pipeline actually
+# consults.
+#
+# Determinism: the "noise" is the Laplace inverse CDF evaluated at an
+# md5 uniform u in (0,1):
+#   noise = -(1/eps) * sign(u - 1/2) * ln(1 - 2|u - 1/2|)
+# with w = 1e6 - 2|u_micro - 5e5| (an INTEGER in (0, 1e6]) and the ln
+# through the standard micro-floor idiom — one shared expression
+# string, bit-identical in both engines. Budgets are exact rationals
+# (eps = num/den), never floats.
+#
+# Pins (test): full Python recompute; mean absolute error MONOTONE
+# decreasing in eps across the three budgets; each budget's measured
+# mean within a [1/3, 3]x band of the b = 1/eps theory (20 draws per
+# budget — a band, not an equality; the draws are fixed md5).
+
+DP_EPS = ((1, 10), (1, 1), (10, 1))  # eps = num/den: 0.1, 1, 10
+
+
+def curation_dp_counts_eval(spark, sf_dir):
+    """(eps_num, eps_den, n_groups, mean_abs_err_milli,
+    max_abs_err_milli, theory_mean_milli): Laplace-mechanism utility on
+    per-source counts at three privacy budgets."""
+    counts = (
+        load(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    eps_df = counts.sparkSession.createDataFrame(
+        [(i, n, d) for i, (n, d) in enumerate(DP_EPS)],
+        "ei long, eps_num long, eps_den long",
+    )
+    keyed = counts.crossJoin(F.broadcast(eps_df)).select(
+        "source",
+        "c",
+        "ei",
+        "eps_num",
+        "eps_den",
+        (
+            _hash56(
+                F.concat(
+                    F.lit("dp|"),
+                    F.col("ei").cast("string"),
+                    F.lit("|"),
+                    F.col("source"),
+                )
+            )
+            % 999_999
+            + 1
+        ).cast("long").alias("u"),
+    )
+    noise = (
+        "CAST(floor((eps_den * 1.0e0 / eps_num)"
+        " * (ln(1.0e6) - ln(w)) * 1.0e3 + 0.5e0) AS BIGINT)"
+    )
+    per = keyed.withColumn(
+        "w", F.expr("CAST(1000000 - 2 * abs(u - 500000) AS BIGINT)")
+    ).withColumn("abs_noise_milli", F.expr(noise))
+    agg = per.groupBy("ei", "eps_num", "eps_den").agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.expr("CAST(sum(abs_noise_milli) DIV count(*) AS BIGINT)").alias(
+            "mean_abs_err_milli"
+        ),
+        F.max("abs_noise_milli").cast("long").alias("max_abs_err_milli"),
+    )
+    return agg.select(
+        "eps_num",
+        "eps_den",
+        "n_groups",
+        "mean_abs_err_milli",
+        "max_abs_err_milli",
+        F.expr("CAST((1000 * eps_den) DIV eps_num AS BIGINT)").alias(
+            "theory_mean_milli"
+        ),
+    )
+
+
+def _sql_dp_counts() -> str:
+    h = _SQL_HASH56.format(
+        col="'dp|' || CAST(ei AS VARCHAR) || '|' || source"
+    )
+    evals = ", ".join(
+        f"({i}, {n}, {d})" for i, (n, d) in enumerate(DP_EPS)
+    )
+    noise = (
+        "CAST(floor((eps_den * 1.0e0 / eps_num)"
+        " * (ln(1.0e6) - ln(w)) * 1.0e3 + 0.5e0) AS BIGINT)"
+    )
+    return f"""
+WITH dpc AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1
+),
+dpe AS (SELECT * FROM (VALUES {evals}) e(ei, eps_num, eps_den)),
+dpk AS (
+  SELECT source, c, ei, eps_num, eps_den,
+         CAST({h} % 999999 + 1 AS BIGINT) AS u
+  FROM dpc CROSS JOIN dpe
+),
+dpn AS (
+  SELECT *, CAST(1000000 - 2 * abs(u - 500000) AS BIGINT) AS w
+  FROM dpk
+),
+dpa AS (
+  SELECT ei, eps_num, eps_den,
+         CAST(count(*) AS BIGINT) AS n_groups,
+         CAST(sum({noise}) // count(*) AS BIGINT) AS mean_abs_err_milli,
+         CAST(max({noise}) AS BIGINT) AS max_abs_err_milli
+  FROM dpn GROUP BY 1, 2, 3
+)
+SELECT eps_num, eps_den, n_groups, mean_abs_err_milli, max_abs_err_milli,
+       CAST((1000 * eps_den) // eps_num AS BIGINT) AS theory_mean_milli
+FROM dpa
+"""
+
+
+QUERIES["curation_dp_counts_eval"] = (curation_dp_counts_eval, _sql_dp_counts())

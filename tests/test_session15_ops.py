@@ -1922,3 +1922,57 @@ def test_sh_tune_trace_and_cross_operator_consistency(spark):
     key = (g["winner_k1m"], g["winner_bm"])
     assert key in full
     assert full[key] == g["winner_full_ndcg"]
+
+
+# ---------------------------------------------- curation_dp_counts_eval
+
+
+def test_dp_counts_matches_python_and_eps_monotone(spark):
+    from harvester_spark.operators.curation import (
+        DP_EPS,
+        curation_dp_counts_eval,
+    )
+
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .groupBy("source")
+        .count()
+        .collect()
+    )
+    sources = [r["source"] for r in rows]
+    expect = {}
+    for ei, (num, den) in enumerate(DP_EPS):
+        errs = []
+        for s in sources:
+            u = _h56(f"dp|{ei}|{s}") % 999_999 + 1
+            w = 1_000_000 - 2 * abs(u - 500_000)
+            errs.append(
+                math.floor(
+                    (den / num) * (math.log(1e6) - math.log(w)) * 1e3 + 0.5
+                )
+            )
+        expect[(num, den)] = (
+            len(sources),
+            sum(errs) // len(errs),
+            max(errs),
+            (1000 * den) // num,
+        )
+
+    got = {
+        (r["eps_num"], r["eps_den"]): (
+            r["n_groups"],
+            r["mean_abs_err_milli"],
+            r["max_abs_err_milli"],
+            r["theory_mean_milli"],
+        )
+        for r in curation_dp_counts_eval(spark, SF_DIR).collect()
+    }
+    assert got == expect
+    # Utility is monotone in the privacy budget.
+    means = [got[(n, d)][1] for (n, d) in DP_EPS]
+    assert means[0] > means[1] > means[2]
+    # Each budget's measured mean sits in the [1/3, 3]x theory band
+    # (20 fixed draws — a band, not an equality).
+    for (n, d) in DP_EPS:
+        mean, theory = got[(n, d)][1], got[(n, d)][3]
+        assert theory <= 3 * mean and mean <= 3 * theory, (n, d)
