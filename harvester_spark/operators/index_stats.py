@@ -4430,3 +4430,162 @@ QUERIES["hash_collision_birthday_eval"] = (
     hash_collision_birthday_eval,
     _sql_birthday(),
 )
+
+
+# -------------------------- document- vs term-partitioned serving cost
+
+# Moffat-Webber-Zobel-Baeza-Yates (SPIRE/IR 2006-07): the two ways to
+# shard an inverted index. DOCUMENT partitioning gives every shard
+# 1/S of every posting list — per-query work is balanced by
+# construction (cost ~ ceil(sum_df / S) per shard) but every shard
+# touches every query. TERM partitioning gives whole lists to single
+# shards — only the owners work, but a query's makespan is the LARGEST
+# owned share, and skew is structural. The exact relationship
+#   termpart_makespan >= ceil(sum_df / S)
+# (a max over a partition of the load is at least its mean) is pinned
+# per query, and the measured skew ratio IS the deliverable — it is
+# why production engines document-partition (the reference's OpenSearch
+# does) and why this repo's serving ranges are docID ranges.
+#
+# Frame: the 16-query registry (HN_N_QUERIES x HN_Q_LEN terms, the
+# hard_negative_mine selection), term df over the corpus, md5 term ->
+# shard ownership with SPC_SHARDS = 8. Everything integer counts; the
+# network column contrasts term partitioning's shipped postings
+# (sum_df rows to the coordinator) with document partitioning's
+# S * k result rows.
+
+SPC_SHARDS = 8
+SPC_K = 10  # results per shard under document partitioning
+
+
+def shard_partitioning_cost_eval(spark, sf_dir):
+    """(q_id, n_terms, sum_df, docpart_makespan, termpart_makespan,
+    skew_ratio_milli, docpart_net_rows, termpart_net_rows, bound_ok):
+    per-registry-query serving cost under document vs term
+    partitioning."""
+    from harvester_spark.operators.dedup import _hash56
+    from harvester_spark.operators.retrieval import HN_N_QUERIES, HN_Q_LEN
+
+    docs = load(spark, sf_dir, "documents")
+    toks = doc_tokens(spark, sf_dir)
+    qdocs = docs.select("doc_id").orderBy("doc_id").limit(HN_N_QUERIES)
+    first = (
+        toks.join(F.broadcast(qdocs), "doc_id")
+        .groupBy("doc_id", "term")
+        .agg(F.min("pos").alias("p0"))
+    )
+    wsel = W.partitionBy("doc_id").orderBy(
+        F.col("p0").asc(), F.col("term").asc()
+    )
+    qsel = (
+        first.withColumn("r", F.row_number().over(wsel))
+        .filter(F.col("r") <= HN_Q_LEN)
+        .select(F.col("doc_id").alias("q_id"), "term")
+    )
+    df_ = (
+        toks.join(F.broadcast(qsel.select("term").distinct()), "term")
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").cast("long").alias("df"))
+        .withColumn(
+            "shard",
+            (_hash56(F.concat(F.lit("shp|"), F.col("term"))) % SPC_SHARDS)
+            .cast("long"),
+        )
+    )
+    qt = qsel.join(F.broadcast(df_), "term")
+    per_shard = qt.groupBy("q_id", "shard").agg(
+        F.sum("df").cast("long").alias("owned")
+    )
+    agg = qt.groupBy("q_id").agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.sum("df").cast("long").alias("sum_df"),
+    )
+    mk = per_shard.groupBy("q_id").agg(
+        F.max("owned").cast("long").alias("termpart_makespan")
+    )
+    return (
+        agg.join(mk, "q_id")
+        .select(
+            "q_id",
+            "n_terms",
+            "sum_df",
+            F.expr(
+                f"CAST((sum_df + {SPC_SHARDS} - 1) DIV {SPC_SHARDS}"
+                " AS BIGINT)"
+            ).alias("docpart_makespan"),
+            "termpart_makespan",
+            F.expr(
+                f"CAST((1000 * termpart_makespan)"
+                f" DIV ((sum_df + {SPC_SHARDS} - 1) DIV {SPC_SHARDS})"
+                " AS BIGINT)"
+            ).alias("skew_ratio_milli"),
+            F.lit(SPC_SHARDS * SPC_K).cast("long").alias("docpart_net_rows"),
+            F.col("sum_df").alias("termpart_net_rows"),
+            F.expr(
+                f"termpart_makespan >= (sum_df + {SPC_SHARDS} - 1)"
+                f" DIV {SPC_SHARDS}"
+            ).alias("bound_ok"),
+        )
+    )
+
+
+def _sql_shard_partitioning() -> str:
+    from harvester_spark.operators.dedup import _SQL_HASH56
+    from harvester_spark.operators.retrieval import HN_N_QUERIES, HN_Q_LEN
+
+    h = _SQL_HASH56.format(col="'shp|' || term")
+    return f"""
+WITH spt AS ({SQL_DOC_TOKS}),
+spq AS (
+  SELECT doc_id AS q_id, term FROM (
+    SELECT doc_id, term,
+           row_number() OVER (PARTITION BY doc_id
+             ORDER BY min(pos) ASC, term ASC) AS r
+    FROM spt
+    WHERE doc_id IN (SELECT doc_id FROM documents
+                     ORDER BY doc_id LIMIT {HN_N_QUERIES})
+    GROUP BY doc_id, term
+  ) WHERE r <= {HN_Q_LEN}
+),
+spdf AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+         CAST({h} % {SPC_SHARDS} AS BIGINT) AS shard
+  FROM spt WHERE term IN (SELECT DISTINCT term FROM spq)
+  GROUP BY term
+),
+spqt AS (
+  SELECT q.q_id, q.term, d.df, d.shard
+  FROM spq q JOIN spdf d USING (term)
+),
+spps AS (
+  SELECT q_id, shard, CAST(sum(df) AS BIGINT) AS owned
+  FROM spqt GROUP BY 1, 2
+),
+spagg AS (
+  SELECT q_id, CAST(count(*) AS BIGINT) AS n_terms,
+         CAST(sum(df) AS BIGINT) AS sum_df
+  FROM spqt GROUP BY 1
+),
+spmk AS (
+  SELECT q_id, CAST(max(owned) AS BIGINT) AS termpart_makespan
+  FROM spps GROUP BY 1
+)
+SELECT a.q_id, a.n_terms, a.sum_df,
+       CAST((a.sum_df + {SPC_SHARDS} - 1) // {SPC_SHARDS} AS BIGINT)
+         AS docpart_makespan,
+       m.termpart_makespan,
+       CAST((1000 * m.termpart_makespan)
+            // ((a.sum_df + {SPC_SHARDS} - 1) // {SPC_SHARDS}) AS BIGINT)
+         AS skew_ratio_milli,
+       CAST({SPC_SHARDS * SPC_K} AS BIGINT) AS docpart_net_rows,
+       a.sum_df AS termpart_net_rows,
+       m.termpart_makespan >= (a.sum_df + {SPC_SHARDS} - 1)
+         // {SPC_SHARDS} AS bound_ok
+FROM spagg a JOIN spmk m USING (q_id)
+"""
+
+
+QUERIES["shard_partitioning_cost_eval"] = (
+    shard_partitioning_cost_eval,
+    _sql_shard_partitioning(),
+)
