@@ -3085,3 +3085,257 @@ QUERIES["ranker_permutation_test"] = (
     ranker_permutation_test,
     _sql_permutation_test(),
 )
+
+
+# ----------------------------------- pre-retrieval QPP concordance eval
+
+# The QPP family's other half: ft_qpp_nqc_wig and ft_clarity_qpp are
+# POST-retrieval predictors (they look at scores); the classic
+# PRE-retrieval ones (He & Ounis 2004; Zhao, Scholer & Tsegay 2008)
+# predict difficulty from term statistics alone — avgIDF, maxIDF and
+# the summed collection-query similarity SCQ = SUM (1 + ln cf) * ln(1
+# + N/df). This operator closes the loop the NQC op leaves open: each
+# predictor's per-query value is ranked against the query's REALIZED
+# BM25 nDCG@10 (the sign-test graded machinery) and scored by exact
+# Kendall concordance counts over the 16-query registry.
+#
+# Everything integer: predictor values are micro-nat sums (the shared
+# floor-ln idiom), nDCG is the exact micro ratio, concordance is
+# sign-product counting (the ranker_tau_correlation kernel), tau_a in
+# milli with one floored division. Measured: the predictors are NOISE
+# on this corpus (tau between -0.37 and +0.14, sign-unstable across
+# scales) — an honest negative control mirroring the literature's
+# finding that pre-retrieval predictors are weak, and the contrast
+# with the post-retrieval family (ft_qpp_nqc_wig, ft_clarity_qpp)
+# whose evidence actually comes from the score distribution. The
+# pytest pins the recompute and |tau| <= 0.5 (the no-real-signal
+# band), never a flattering magnitude.
+
+QPP_PRE_PREDICTORS = ("avg_idf", "max_idf", "scq")
+
+
+def ft_qpp_preretrieval_eval(spark, sf_dir):
+    """(predictor, n_queries, n_pairs, concordant, discordant, ties,
+    tau_a_milli): Kendall concordance of avgIDF / maxIDF / SCQ against
+    realized per-query BM25 nDCG@10."""
+    from harvester_spark.operators.retrieval import (
+        HN_N_QUERIES,
+        HN_Q_LEN,
+        NDCG_K,
+        _NDCG_ADDEND,
+        _graded_ranking,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    toks = doc_tokens(spark, sf_dir)
+    graded = _graded_ranking(spark, sf_dir)
+    qdocs = docs.select("doc_id").orderBy("doc_id").limit(HN_N_QUERIES)
+    first = (
+        toks.join(F.broadcast(qdocs), "doc_id")
+        .groupBy("doc_id", "term")
+        .agg(F.min("pos").alias("p0"))
+    )
+    wsel = W.partitionBy("doc_id").orderBy(F.col("p0").asc(), F.col("term").asc())
+    qsel = (
+        first.withColumn("r", F.row_number().over(wsel))
+        .filter(F.col("r") <= HN_Q_LEN)
+        .select(F.col("doc_id").alias("q_id"), "term")
+    )
+    n_df = F.broadcast(docs.agg(F.count("*").cast("long").alias("n")))
+    stats = (
+        toks.join(F.broadcast(qsel.select("term").distinct()), "term")
+        .groupBy("term")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("df"),
+            F.count("*").cast("long").alias("cf"),
+        )
+        .crossJoin(n_df)
+        .select(
+            "term",
+            F.expr(
+                "CAST(floor(ln(n * 1.0e0 / df) * 1.0e6 + 0.5e0) AS BIGINT)"
+            ).alias("idf_micro"),
+            F.expr(
+                "CAST(floor((1.0e0 + ln(cf)) * ln(1.0e0 + n * 1.0e0 / df)"
+                " * 1.0e6 + 0.5e0) AS BIGINT)"
+            ).alias("scq_micro"),
+        )
+    )
+    pred = (
+        qsel.join(F.broadcast(stats), "term")
+        .groupBy("q_id")
+        .agg(
+            F.expr("CAST(sum(idf_micro) DIV count(*) AS BIGINT)").alias(
+                "avg_idf"
+            ),
+            F.max("idf_micro").cast("long").alias("max_idf"),
+            F.sum("scq_micro").cast("long").alias("scq"),
+        )
+    )
+    wa_ = W.partitionBy("q_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    dcg = (
+        graded.withColumn("rnk", F.row_number().over(wa_))
+        .filter(F.col("rnk") <= NDCG_K)
+        .withColumn("addend", F.expr(_NDCG_ADDEND))
+        .groupBy("q_id")
+        .agg(F.sum("addend").cast("long").alias("dcg_micro"))
+    )
+    wi = W.partitionBy("q_id").orderBy(F.col("rel").desc(), F.col("doc_id").asc())
+    idcg = (
+        graded.withColumn("rnk", F.row_number().over(wi))
+        .filter(F.col("rnk") <= NDCG_K)
+        .withColumn("addend", F.expr(_NDCG_ADDEND))
+        .groupBy("q_id")
+        .agg(F.sum("addend").cast("long").alias("idcg_micro"))
+    )
+    frame = (
+        pred.join(dcg, "q_id")
+        .join(F.broadcast(idcg), "q_id")
+        .withColumn(
+            "ndcg",
+            F.expr("CAST(dcg_micro * 1000000 DIV idcg_micro AS BIGINT)"),
+        )
+    )
+    melted = None
+    for p in QPP_PRE_PREDICTORS:
+        leg = frame.select(
+            F.lit(p).alias("predictor"),
+            "q_id",
+            F.col(p).alias("pv"),
+            "ndcg",
+        )
+        melted = leg if melted is None else melted.unionByName(leg)
+    x, y = melted.alias("x"), melted.alias("y")
+    pairs = x.join(
+        y,
+        (F.col("x.predictor") == F.col("y.predictor"))
+        & (F.col("x.q_id") < F.col("y.q_id")),
+    ).select(
+        F.col("x.predictor").alias("predictor"),
+        F.expr(
+            "CASE WHEN x.pv > y.pv THEN 1 WHEN x.pv < y.pv THEN -1"
+            " ELSE 0 END"
+        ).alias("sp"),
+        F.expr(
+            "CASE WHEN x.ndcg > y.ndcg THEN 1 WHEN x.ndcg < y.ndcg"
+            " THEN -1 ELSE 0 END"
+        ).alias("sn"),
+    )
+    return (
+        pairs.groupBy("predictor")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum(F.expr("CAST(sp * sn = 1 AS BIGINT)")).cast("long").alias(
+                "concordant"
+            ),
+            F.sum(F.expr("CAST(sp * sn = -1 AS BIGINT)")).cast("long").alias(
+                "discordant"
+            ),
+            F.sum(F.expr("CAST(sp * sn = 0 AS BIGINT)")).cast("long").alias(
+                "ties"
+            ),
+        )
+        .select(
+            "predictor",
+            F.lit(HN_N_QUERIES).cast("long").alias("n_queries"),
+            "n_pairs",
+            "concordant",
+            "discordant",
+            "ties",
+            F.expr(
+                "CASE WHEN concordant - discordant >= 0 THEN"
+                " CAST((1000 * (concordant - discordant)) DIV n_pairs"
+                " AS BIGINT)"
+                " ELSE -CAST((1000 * (discordant - concordant)) DIV n_pairs"
+                " AS BIGINT) END"
+            ).alias("tau_a_milli"),
+        )
+    )
+
+
+def _sql_qpp_pre() -> str:
+    from harvester_spark.operators.retrieval import (
+        HN_N_QUERIES,
+        NDCG_K,
+        _NDCG_ADDEND,
+        _SQL_GRADED_PREFIX,
+    )
+
+    return _SQL_GRADED_PREFIX + f""",
+qpn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+qpst AS (
+  SELECT t.term,
+         CAST(floor(ln(qpn.n * 1.0e0 / count(DISTINCT t.doc_id))
+              * 1.0e6 + 0.5e0) AS BIGINT) AS idf_micro,
+         CAST(floor((1.0e0 + ln(count(*)))
+              * ln(1.0e0 + qpn.n * 1.0e0 / count(DISTINCT t.doc_id))
+              * 1.0e6 + 0.5e0) AS BIGINT) AS scq_micro
+  FROM toks t CROSS JOIN qpn
+  WHERE t.term IN (SELECT DISTINCT term FROM qsel)
+  GROUP BY t.term, qpn.n
+),
+qppred AS (
+  SELECT q.q_id,
+         CAST(sum(s.idf_micro) // count(*) AS BIGINT) AS avg_idf,
+         CAST(max(s.idf_micro) AS BIGINT) AS max_idf,
+         CAST(sum(s.scq_micro) AS BIGINT) AS scq
+  FROM qsel q JOIN qpst s USING (term)
+  GROUP BY 1
+),
+qpdcg AS (
+  SELECT q_id, CAST(sum({_NDCG_ADDEND}) AS BIGINT) AS dcg_micro
+  FROM (
+    SELECT q_id, rel,
+           row_number() OVER (PARTITION BY q_id
+             ORDER BY score DESC, doc_id ASC) AS rnk
+    FROM graded
+  ) WHERE rnk <= {NDCG_K} GROUP BY 1
+),
+qpidcg AS (
+  SELECT q_id, CAST(sum({_NDCG_ADDEND}) AS BIGINT) AS idcg_micro FROM (
+    SELECT q_id, rel,
+           row_number() OVER (
+             PARTITION BY q_id ORDER BY rel DESC, doc_id ASC) AS rnk
+    FROM graded
+  ) WHERE rnk <= {NDCG_K} GROUP BY q_id
+),
+qpfr AS MATERIALIZED (
+  SELECT p.q_id, p.avg_idf, p.max_idf, p.scq,
+         CAST(d.dcg_micro * 1000000 // i.idcg_micro AS BIGINT) AS ndcg
+  FROM qppred p JOIN qpdcg d USING (q_id) JOIN qpidcg i USING (q_id)
+),
+qpm AS MATERIALIZED (
+  SELECT 'avg_idf' AS predictor, q_id, avg_idf AS pv, ndcg FROM qpfr
+  UNION ALL SELECT 'max_idf', q_id, max_idf, ndcg FROM qpfr
+  UNION ALL SELECT 'scq', q_id, scq, ndcg FROM qpfr
+),
+qpp AS (
+  SELECT x.predictor,
+         CASE WHEN x.pv > y.pv THEN 1 WHEN x.pv < y.pv THEN -1 ELSE 0 END
+           AS sp,
+         CASE WHEN x.ndcg > y.ndcg THEN 1 WHEN x.ndcg < y.ndcg THEN -1
+              ELSE 0 END AS sn
+  FROM qpm x JOIN qpm y
+    ON x.predictor = y.predictor AND x.q_id < y.q_id
+)
+SELECT predictor, CAST({HN_N_QUERIES} AS BIGINT) AS n_queries,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum((sp * sn = 1)::INT) AS BIGINT) AS concordant,
+       CAST(sum((sp * sn = -1)::INT) AS BIGINT) AS discordant,
+       CAST(sum((sp * sn = 0)::INT) AS BIGINT) AS ties,
+       CASE WHEN sum((sp * sn = 1)::INT) - sum((sp * sn = -1)::INT) >= 0
+            THEN CAST((1000 * (sum((sp * sn = 1)::INT)
+                 - sum((sp * sn = -1)::INT))) // count(*) AS BIGINT)
+            ELSE -CAST((1000 * (sum((sp * sn = -1)::INT)
+                 - sum((sp * sn = 1)::INT))) // count(*) AS BIGINT) END
+         AS tau_a_milli
+FROM qpp GROUP BY 1
+"""
+
+
+QUERIES["ft_qpp_preretrieval_eval"] = (
+    ft_qpp_preretrieval_eval,
+    _sql_qpp_pre(),
+)

@@ -2054,3 +2054,38 @@ def test_shard_partitioning_matches_python_and_max_ge_mean(spark):
     # Term partitioning's skew is real on every query (measured
     # 2.6-2.8x at sf0.001) — the reason engines document-partition.
     assert all(v[4] > 1500 for v in got.values())
+
+
+# ------------------------------------------- ft_qpp_preretrieval_eval
+
+
+def test_qpp_preretrieval_matches_python_and_is_honest_noise(spark):
+    import re
+
+    from harvester_spark.operators.ranking_ext import (
+        QPP_PRE_PREDICTORS,
+        ft_qpp_preretrieval_eval,
+    )
+
+    got = {
+        r["predictor"]: r.asDict()
+        for r in ft_qpp_preretrieval_eval(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(QPP_PRE_PREDICTORS)
+    for p, g in got.items():
+        n = g["n_queries"]
+        assert g["n_pairs"] == n * (n - 1) // 2 == 120
+        assert g["concordant"] + g["discordant"] + g["ties"] == g["n_pairs"]
+        cd = g["concordant"] - g["discordant"]
+        expect_tau = (
+            (1000 * cd) // g["n_pairs"]
+            if cd >= 0
+            else -((1000 * -cd) // g["n_pairs"])
+        )
+        assert g["tau_a_milli"] == expect_tau
+        # Honest negative control: on word soup the pre-retrieval
+        # predictors carry no real signal (measured -366..+141 across
+        # scales) — pin the no-signal band, not a flattering value.
+        assert -500 <= g["tau_a_milli"] <= 500, (p, g["tau_a_milli"])
+    # The three predictors genuinely differ (not one value cloned).
+    assert len({g["tau_a_milli"] for g in got.values()}) > 1
