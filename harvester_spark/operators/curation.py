@@ -1337,3 +1337,170 @@ FROM dpa
 
 
 QUERIES["curation_dp_counts_eval"] = (curation_dp_counts_eval, _sql_dp_counts())
+
+
+# ------------------------------------- quality-filter agreement (kappa)
+
+# The meta-question over the curation stack: do the quality filters
+# AGREE on which documents to drop? The literature's repeated finding
+# (e.g. the Gopher and FineWeb ablation writeups) is that heuristic
+# rule sets, classifier scores, and lexical-diversity cutoffs overlap
+# far less than assumed — agreement must be MEASURED, chance-corrected.
+# This operator composes three existing per-doc filters —
+#   gopher: gopher_rules.keep (absolute heuristic rules)
+#   classifier: quality_classifier_score.keep (logit score sign)
+#   ttr: ft_quality_score's type-token ratio above the corpus MEDIAN
+#        (exact order-statistic threshold, strictly-above)
+# — and reports every pair's raw agreement, Cohen's kappa (exact
+# integer cross-multiplication of po - pe over 1 - pe with one
+# sign-split milli division) and the Jaccard of the REMOVED sets.
+#
+# Oracle composition: the three filters' full oracle SQLs embed as
+# derived tables (WITH-inside-FROM), so the agreement oracle reuses
+# the exact single-filter semantics the driver already gates.
+#
+# Scale shape: three already-gated per-doc frames joined on doc_id
+# plus one median order statistic; the pair grid is 3 rows.
+
+FA_PAIRS = (("gopher", "classifier"), ("gopher", "ttr"), ("classifier", "ttr"))
+
+
+def curation_filter_agreement(spark, sf_dir):
+    """(filter_a, filter_b, n_docs, keep_a, keep_b, n_agree,
+    kappa_milli, removed_jaccard_milli): pairwise chance-corrected
+    agreement of the three per-doc quality filters."""
+    from harvester_spark.operators.fulltext_queries import ft_quality_score
+
+    g = gopher_rules(spark, sf_dir).select(
+        "doc_id", F.col("keep").cast("long").alias("gopher")
+    )
+    c = quality_classifier_score(spark, sf_dir).select(
+        "doc_id", F.col("keep").cast("long").alias("classifier")
+    )
+    q = ft_quality_score(spark, sf_dir).select("doc_id", "type_token_ratio")
+    nq = q.count()
+    med = (
+        q.orderBy("type_token_ratio", "doc_id")
+        .limit((nq + 1) // 2)
+        .agg(F.max("type_token_ratio").alias("med"))
+    )
+    t = q.crossJoin(F.broadcast(med)).select(
+        "doc_id",
+        (F.col("type_token_ratio") > F.col("med")).cast("long").alias("ttr"),
+    )
+    frame = g.join(c, "doc_id").join(t, "doc_id").cache()
+    out = None
+    for a, b in FA_PAIRS:
+        agg = frame.agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(a).cast("long").alias("keep_a"),
+            F.sum(b).cast("long").alias("keep_b"),
+            F.sum(F.expr(f"CAST({a} = {b} AS BIGINT)")).cast("long").alias(
+                "n_agree"
+            ),
+            F.sum(F.expr(f"CAST({a} = 0 AND {b} = 0 AS BIGINT)"))
+            .cast("long")
+            .alias("both_removed"),
+            F.sum(F.expr(f"CAST({a} = 0 OR {b} = 0 AS BIGINT)"))
+            .cast("long")
+            .alias("either_removed"),
+        )
+        kap = (
+            "(n_docs * n_agree - (keep_a * keep_b"
+            " + (n_docs - keep_a) * (n_docs - keep_b)))"
+        )
+        kden = (
+            "(n_docs * n_docs - (keep_a * keep_b"
+            " + (n_docs - keep_a) * (n_docs - keep_b)))"
+        )
+        row = agg.select(
+            F.lit(a).alias("filter_a"),
+            F.lit(b).alias("filter_b"),
+            "n_docs",
+            "keep_a",
+            "keep_b",
+            "n_agree",
+            F.expr(
+                f"CASE WHEN {kap} >= 0 THEN"
+                f" CAST((1000 * {kap}) DIV {kden} AS BIGINT)"
+                f" ELSE -CAST((1000 * -{kap}) DIV {kden} AS BIGINT) END"
+            ).alias("kappa_milli"),
+            F.expr(
+                "CASE WHEN either_removed = 0 THEN CAST(NULL AS BIGINT)"
+                " ELSE CAST((1000 * both_removed) DIV either_removed"
+                " AS BIGINT) END"
+            ).alias("removed_jaccard_milli"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _sql_filter_agreement() -> str:
+    from harvester_spark.operators.fulltext_queries import SQL_QUALITY_SCORE
+
+    legs = []
+    for a, b in FA_PAIRS:
+        kap = (
+            "(n_docs * n_agree - (keep_a * keep_b"
+            " + (n_docs - keep_a) * (n_docs - keep_b)))"
+        )
+        kden = (
+            "(n_docs * n_docs - (keep_a * keep_b"
+            " + (n_docs - keep_a) * (n_docs - keep_b)))"
+        )
+        legs.append(f"""
+SELECT '{a}' AS filter_a, '{b}' AS filter_b, n_docs, keep_a, keep_b,
+       n_agree,
+       CASE WHEN {kap} >= 0
+            THEN CAST((1000 * {kap}) // {kden} AS BIGINT)
+            ELSE -CAST((1000 * -{kap}) // {kden} AS BIGINT) END
+         AS kappa_milli,
+       CASE WHEN either_removed = 0 THEN CAST(NULL AS BIGINT)
+            ELSE CAST((1000 * both_removed) // either_removed AS BIGINT)
+            END AS removed_jaccard_milli
+FROM (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum({a}) AS BIGINT) AS keep_a,
+         CAST(sum({b}) AS BIGINT) AS keep_b,
+         CAST(sum(CASE WHEN {a} = {b} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_agree,
+         CAST(sum(CASE WHEN {a} = 0 AND {b} = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS both_removed,
+         CAST(sum(CASE WHEN {a} = 0 OR {b} = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS either_removed
+  FROM faframe
+)""")
+        # noqa: the frame CTE is shared below
+    union = " UNION ALL ".join(legs)
+    return f"""
+WITH fag AS (SELECT doc_id, CASE WHEN keep THEN 1 ELSE 0 END AS gopher
+             FROM ({SQL_GOPHER_RULES})),
+fac AS (SELECT doc_id, CASE WHEN keep THEN 1 ELSE 0 END AS classifier
+        FROM ({SQL_QUALITY_CLASSIFIER})),
+faq AS MATERIALIZED (SELECT doc_id, type_token_ratio
+                     FROM ({SQL_QUALITY_SCORE})),
+famed AS (
+  SELECT max(type_token_ratio) AS med FROM (
+    SELECT type_token_ratio FROM faq
+    ORDER BY type_token_ratio, doc_id
+    LIMIT ((SELECT count(*) FROM faq) + 1) // 2
+  )
+),
+fat AS (
+  SELECT doc_id,
+         CASE WHEN type_token_ratio > (SELECT med FROM famed)
+              THEN 1 ELSE 0 END AS ttr
+  FROM faq
+),
+faframe AS MATERIALIZED (
+  SELECT g.doc_id, g.gopher, c.classifier, t.ttr
+  FROM fag g JOIN fac c USING (doc_id) JOIN fat t USING (doc_id)
+)
+{union}
+"""
+
+
+QUERIES["curation_filter_agreement"] = (
+    curation_filter_agreement,
+    _sql_filter_agreement(),
+)

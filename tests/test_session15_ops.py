@@ -2089,3 +2089,80 @@ def test_qpp_preretrieval_matches_python_and_is_honest_noise(spark):
         assert -500 <= g["tau_a_milli"] <= 500, (p, g["tau_a_milli"])
     # The three predictors genuinely differ (not one value cloned).
     assert len({g["tau_a_milli"] for g in got.values()}) > 1
+
+
+# --------------------------------------------- curation_filter_agreement
+
+
+def test_filter_agreement_matches_python_and_filters_disagree(spark):
+    from harvester_spark.operators.curation import (
+        FA_PAIRS,
+        curation_filter_agreement,
+        gopher_rules,
+        quality_classifier_score,
+    )
+    from harvester_spark.operators.fulltext_queries import ft_quality_score
+
+    g = {
+        r["doc_id"]: int(r["keep"])
+        for r in gopher_rules(spark, SF_DIR).select("doc_id", "keep").collect()
+    }
+    c = {
+        r["doc_id"]: int(r["keep"])
+        for r in quality_classifier_score(spark, SF_DIR)
+        .select("doc_id", "keep")
+        .collect()
+    }
+    q = [
+        (r["doc_id"], r["type_token_ratio"])
+        for r in ft_quality_score(spark, SF_DIR)
+        .select("doc_id", "type_token_ratio")
+        .collect()
+    ]
+    n = len(q)
+    med = sorted(q, key=lambda t: (t[1], t[0]))[: (n + 1) // 2][-1][1]
+    t = {d: (1 if v > med else 0) for d, v in q}
+
+    sig = {"gopher": g, "classifier": c, "ttr": t}
+    docs = sorted(set(g) & set(c) & set(t))
+    expect = {}
+    for a, b in FA_PAIRS:
+        ka = sum(sig[a][d] for d in docs)
+        kb = sum(sig[b][d] for d in docs)
+        agree = sum(1 for d in docs if sig[a][d] == sig[b][d])
+        both = sum(1 for d in docs if sig[a][d] == 0 and sig[b][d] == 0)
+        either = sum(1 for d in docs if sig[a][d] == 0 or sig[b][d] == 0)
+        nn = len(docs)
+        kap_num = nn * agree - (ka * kb + (nn - ka) * (nn - kb))
+        kap_den = nn * nn - (ka * kb + (nn - ka) * (nn - kb))
+        kappa = (
+            (1000 * kap_num) // kap_den
+            if kap_num >= 0
+            else -((1000 * -kap_num) // kap_den)
+        )
+        jac = None if either == 0 else (1000 * both) // either
+        expect[(a, b)] = (nn, ka, kb, agree, kappa, jac)
+
+    got = {
+        (r["filter_a"], r["filter_b"]): (
+            r["n_docs"],
+            r["keep_a"],
+            r["keep_b"],
+            r["n_agree"],
+            r["kappa_milli"],
+            r["removed_jaccard_milli"],
+        )
+        for r in curation_filter_agreement(spark, SF_DIR).collect()
+    }
+    assert got == expect
+    # The headline finding, pinned: the heuristic rule set and the
+    # lexical-diversity cutoff systematically DISAGREE (measured
+    # kappa -0.72 — gopher's repetition gate keeps what TTR drops),
+    # while the other two pairs sit in the near-independence band.
+    assert got[("gopher", "ttr")][4] <= -300
+    assert -300 <= got[("gopher", "classifier")][4] <= 300
+    assert -300 <= got[("classifier", "ttr")][4] <= 300
+    # Marginals stay balanced (the comparison is not vacuous).
+    for (a, b), v in got.items():
+        assert 0.3 * v[0] <= v[1] <= 0.7 * v[0]
+        assert 0.3 * v[0] <= v[2] <= 0.7 * v[0]
