@@ -4867,3 +4867,261 @@ FROM sbvol v JOIN sbcut c USING (method)"""
 
 
 QUERIES["host_spectral_bisection"] = (host_spectral_bisection, _sql_spectral())
+
+
+# ------------------------------------------------- exact betweenness
+
+# Exact shortest-path betweenness centrality (Freeman 1977) via the
+# Brandes (2001) pair-dependency identity: for ordered pairs (s, t) and
+# an interior vertex v,  delta(v) = sum_{s,t} sigma_sv * sigma_vt /
+# sigma_st  over exactly those triples with d(s,v) + d(v,t) = d(s,t) —
+# no sequential dependency accumulation needed, so the whole computation
+# is |hops| BFS rounds (carrying shortest-path COUNTS, not just
+# distances) plus one self-join of the settled pair table. This closes
+# the centrality family (pagerank / HITS / SALSA / harmonic / hyperball
+# -> betweenness): betweenness is the "bridge" score crawl schedulers
+# use to find chokepoint hosts whose removal fragments the link graph
+# (host_percolation_robustness's planning twin).
+#
+# Graph synthesis (bounded, corpus-derived — the pseudo-rare-plant
+# discipline of vocab_oov_holdout): the _lp_und_edges community graph
+# SCALES with the corpus (fan = n_docs/4), and exact all-pairs
+# betweenness is Theta(n * reach^2) pair-triple rows — unbounded on a
+# growing graph in BOTH engines. Instead, a stride-sampled doc subset
+# (stride = n_docs DIV 96, i.e. ~96-192 drawing docs at EVERY scale)
+# draws edges over a FIXED 32-host universe split into 4 communities of
+# 8, with 13/16 of draws staying intra-community. Cost is
+# corpus-size-independent while the edge set stays corpus-derived and
+# deterministic; the sparse intra density (~16 distinct edges per
+# 8-host community) plus ~1 in 6 inter-community bridges guarantees
+# genuine multi-hop shortest paths and a non-flat betweenness profile
+# (pinned by tests/test_session16_ops.py against an independent
+# pure-Python Brandes recompute).
+#
+# Integer contract: sigma values are exact int64 path counts; each
+# triple contributes _DIVROUND(sigma_sv * sigma_vt, sigma_st) micro
+# units (floored-half-up long division, identical in both engines);
+# betweenness is the exact int64 sum of those per-triple micro
+# contributions. Ordered-pair convention: (s,t) and (t,s) both count,
+# i.e. exactly 2x the undirected Freeman value.
+#
+# Scale shape: the BFS is |hops| rounds of (frontier JOIN edges ->
+# groupBy-sum sigma -> anti-join settled) — at a web-scale host graph
+# this state is the HyperBall/ANF regime (host_hyperball_anf) and exact
+# betweenness is replaced by pivot-sampled approximation (Brandes &
+# Pich 2007: the same pair identity over a sampled source set, which
+# THIS implementation expresses verbatim — only the source filter
+# changes); the bounded variant here is that sampler's exact oracle
+# twin.
+
+BW_FAN = 32  # fixed host universe 'b0'..'b31'
+BW_GS = 8  # community size (4 communities)
+BW_DOCS = 96  # target drawing-doc count at every scale
+BW_INTRA_MOD, BW_INTRA_THR = 16, 13  # 13/16 draws stay intra-community
+BW_HOPS = 6  # BFS horizon (graph diameter comfortably below this)
+
+
+def _bw_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct undirected (both-direction) edges of the bounded
+    32-host betweenness graph."""
+    docs = load(spark, sf_dir, "documents")
+    stride = max(1, docs.count() // BW_DOCS)
+    draws = docs.filter((F.col("doc_id") % stride) == 0)
+    did = F.col("doc_id").cast("string")
+    u_ix = (_hash56(F.concat(F.lit("bwu|"), did)) % BW_FAN).cast("long")
+    intra = (
+        (u_ix - u_ix % BW_GS)
+        + _hash56(F.concat(F.lit("bwv|"), did)) % BW_GS
+    ).cast("long")
+    unif = (_hash56(F.concat(F.lit("bww|"), did)) % BW_FAN).cast("long")
+    mixed = (
+        _hash56(F.concat(F.lit("bwm|"), did)) % BW_INTRA_MOD < BW_INTRA_THR
+    )
+    v_ix = F.when(mixed, intra).otherwise(unif)
+    e0 = draws.select(
+        F.concat(F.lit("b"), u_ix.cast("string")).alias("a"),
+        F.concat(F.lit("b"), v_ix.cast("string")).alias("b"),
+    ).filter(F.col("a") != F.col("b"))
+    return (
+        e0.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(
+            e0.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+        .distinct()
+    )
+
+
+def host_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(host, degree, n_triples, betw_micro): exact ordered-pair
+    shortest-path betweenness within BW_HOPS hops on the bounded
+    32-host community graph, in micro units; ties (betw desc, host
+    asc). Brandes pair identity — see the module comment."""
+    edges = _bw_edges(spark, sf_dir).cache()
+    hosts = edges.select(F.col("src").alias("host")).distinct()
+    settled = hosts.select(
+        F.col("host").alias("origin"),
+        F.col("host"),
+        F.lit(0).cast("long").alias("d"),
+        F.lit(1).cast("long").alias("sigma"),
+    ).localCheckpoint()
+    frontier = settled.select("origin", "host", "sigma")
+    for k in range(1, BW_HOPS + 1):
+        cand = (
+            frontier.join(edges, frontier["host"] == edges["src"])
+            .groupBy("origin", "dst")
+            .agg(F.sum("sigma").cast("long").alias("sigma"))
+            .withColumnRenamed("dst", "host")
+        )
+        nxt = cand.join(
+            settled.select("origin", "host"), ["origin", "host"], "anti"
+        ).localCheckpoint()
+        settled = settled.unionByName(
+            nxt.withColumn("d", F.lit(k).cast("long")).select(
+                "origin", "host", "d", "sigma"
+            )
+        ).localCheckpoint()
+        frontier = nxt.select("origin", "host", "sigma")
+    pairs = settled.filter(F.col("d") > 0)
+    p_sv = pairs.select(
+        F.col("origin").alias("s"),
+        F.col("host").alias("v"),
+        F.col("d").alias("dsv"),
+        F.col("sigma").alias("s1"),
+    )
+    p_vt = pairs.select(
+        F.col("origin").alias("v"),
+        F.col("host").alias("t"),
+        F.col("d").alias("dvt"),
+        F.col("sigma").alias("s2"),
+    )
+    p_st = pairs.select(
+        F.col("origin").alias("s"),
+        F.col("host").alias("t"),
+        F.col("d").alias("dst_d"),
+        F.col("sigma").alias("s3"),
+    )
+    tri = (
+        p_sv.join(p_vt, "v")
+        .filter(F.col("s") != F.col("t"))
+        .join(p_st, ["s", "t"])
+        .filter(F.col("dsv") + F.col("dvt") == F.col("dst_d"))
+    )
+    from harvester_spark.operators.index_stats import _DIVROUND
+
+    contrib = _DIVROUND.format(num="s1 * s2", den="s3", div="DIV")
+    betw = tri.groupBy("v").agg(
+        F.count("*").cast("long").alias("n_triples"),
+        F.sum(F.expr(f"CAST({contrib} AS BIGINT)"))
+        .cast("long")
+        .alias("betw_micro"),
+    )
+    deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("degree"))
+    return (
+        hosts.join(deg, hosts["host"] == deg["src"], "left")
+        .select("host", F.coalesce("degree", F.lit(0)).cast("long").alias("degree"))
+        .join(betw, hosts["host"] == betw["v"], "left")
+        .select(
+            "host",
+            "degree",
+            F.coalesce("n_triples", F.lit(0)).cast("long").alias("n_triples"),
+            F.coalesce("betw_micro", F.lit(0)).cast("long").alias("betw_micro"),
+        )
+        .orderBy(F.col("betw_micro").desc(), F.col("host").asc())
+    )
+
+
+def _sql_betweenness() -> str:
+    from harvester_spark.operators.index_stats import _DIVROUND
+
+    did = "CAST(doc_id AS VARCHAR)"
+    hu = _SQL_HASH56.format(col=f"'bwu|' || {did}")
+    hv = _SQL_HASH56.format(col=f"'bwv|' || {did}")
+    hw = _SQL_HASH56.format(col=f"'bww|' || {did}")
+    hm = _SQL_HASH56.format(col=f"'bwm|' || {did}")
+    contrib = _DIVROUND.format(num="p1.sigma * p2.sigma", den="p3.sigma", div="//")
+    parts = [
+        f"""WITH stride AS (
+  SELECT greatest(1, count(*) // {BW_DOCS}) AS s FROM documents
+),
+draws AS (
+  SELECT {hu} % {BW_FAN} AS u_ix,
+         CASE WHEN {hm} % {BW_INTRA_MOD} < {BW_INTRA_THR}
+              THEN ({hu} % {BW_FAN}) - ({hu} % {BW_FAN}) % {BW_GS}
+                   + {hv} % {BW_GS}
+              ELSE {hw} % {BW_FAN} END AS v_ix
+  FROM documents WHERE doc_id % (SELECT s FROM stride) = 0
+),
+edges AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT 'b' || CAST(u_ix AS VARCHAR) AS src,
+           'b' || CAST(v_ix AS VARCHAR) AS dst
+    FROM draws WHERE u_ix <> v_ix
+    UNION
+    SELECT 'b' || CAST(v_ix AS VARCHAR),
+           'b' || CAST(u_ix AS VARCHAR)
+    FROM draws WHERE u_ix <> v_ix
+  )
+),
+hosts AS MATERIALIZED (SELECT DISTINCT src AS host FROM edges),
+d0 AS MATERIALIZED (
+  SELECT host AS origin, host, CAST(0 AS BIGINT) AS d,
+         CAST(1 AS BIGINT) AS sigma
+  FROM hosts
+),
+f0 AS MATERIALIZED (SELECT origin, host, sigma FROM d0)"""
+    ]
+    for k in range(1, BW_HOPS + 1):
+        parts.append(
+            f""",
+f{k} AS MATERIALIZED (
+  SELECT c.origin, c.host, c.sigma FROM (
+    SELECT f.origin, e.dst AS host, CAST(sum(f.sigma) AS BIGINT) AS sigma
+    FROM f{k - 1} f JOIN edges e ON e.src = f.host
+    GROUP BY f.origin, e.dst
+  ) c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM d{k - 1} dd
+    WHERE dd.origin = c.origin AND dd.host = c.host
+  )
+),
+d{k} AS MATERIALIZED (
+  SELECT origin, host, d, sigma FROM d{k - 1}
+  UNION ALL
+  SELECT origin, host, CAST({k} AS BIGINT), sigma FROM f{k}
+)"""
+        )
+    parts.append(
+        f""",
+pairs AS MATERIALIZED (
+  SELECT origin, host, d, sigma FROM d{BW_HOPS} WHERE d > 0
+),
+tri AS (
+  SELECT p2.origin AS v,
+         CAST({contrib} AS BIGINT) AS contrib
+  FROM pairs p1
+  JOIN pairs p2 ON p2.origin = p1.host
+  JOIN pairs p3 ON p3.origin = p1.origin AND p3.host = p2.host
+  WHERE p1.origin <> p2.host AND p1.d + p2.d = p3.d
+),
+betw AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS n_triples,
+         CAST(sum(contrib) AS BIGINT) AS betw_micro
+  FROM tri GROUP BY v
+),
+deg AS (
+  SELECT src AS host, CAST(count(*) AS BIGINT) AS degree
+  FROM edges GROUP BY src
+)
+SELECT h.host,
+       CAST(coalesce(dg.degree, 0) AS BIGINT) AS degree,
+       CAST(coalesce(b.n_triples, 0) AS BIGINT) AS n_triples,
+       CAST(coalesce(b.betw_micro, 0) AS BIGINT) AS betw_micro
+FROM hosts h
+LEFT JOIN deg dg ON dg.host = h.host
+LEFT JOIN betw b ON b.v = h.host
+ORDER BY betw_micro DESC, h.host ASC"""
+    )
+    return "".join(parts)
+
+
+QUERIES["host_betweenness"] = (host_betweenness, _sql_betweenness())

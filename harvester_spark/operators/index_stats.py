@@ -4589,3 +4589,176 @@ QUERIES["shard_partitioning_cost_eval"] = (
     shard_partitioning_cost_eval,
     _sql_shard_partitioning(),
 )
+
+
+# ------------------------------------------------- WAH bitmap codec size
+
+# Word-Aligned Hybrid bitmap compression (Wu, Otoo & Shoshani, TODS 2006
+# — the FastBit codec): the docID set is a bitmap over [0, n_docs) cut
+# into 31-bit payload words; maximal runs of all-zero words collapse to
+# one 0-fill word, maximal runs of all-one words to one 1-fill word, and
+# every mixed word is stored literally — each emitted word costs 4
+# bytes. Closes the bitmap side of the codec zoo next to
+# postings_roaring_size (container-adaptive) exactly as the literature
+# pairs them: WAH wins on long runs (the '_live' all-docs list is ONE
+# 1-fill), loses on scattered singletons (the '_sparse' every-37th list
+# alternates literal / 0-fill and can exceed the plain bitmap's cost —
+# the well-known WAH worst case, reported honestly via ratio_milli).
+# Same three docID-list regimes as roaring: the flagship BM25 terms, the
+# all-docs '_live' set, the decimated '_sparse' set.
+#
+# Convention pinned for determinism: the trailing partial word of the
+# universe (n_docs % 31 valid bits) is never a fill word — "full" means
+# exactly 31 set bits, so a fully-set tail word counts literal in BOTH
+# engines (real WAH keeps it in the uncompressed active word; byte cost
+# is identical). Fill-run lengths never exceed 2^30 words here, so one
+# fill word per run is exact.
+#
+# Scale shape: one (term, word)-grain groupBy on the postings scan plus
+# two term-partitioned lag windows (occupied words; full words) — the
+# postings_varbyte_size discipline; the universe width arrives as a
+# catalog-statistic count, never a second scan.
+
+WAH_W = 31  # payload bits per 32-bit word
+
+
+def postings_wah_size(spark, sf_dir):
+    """(term, n_set, n_literal, n_zero_fills, n_one_fills, wah_bytes,
+    bitmap_bytes, ratio_milli): exact WAH word counts per docID list."""
+    from harvester_spark.operators.fulltext_queries import BM25_TERMS
+
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    w_univ = (n_docs - 1) // WAH_W
+    post = (
+        doc_tokens(spark, sf_dir)
+        .select("term", "doc_id")
+        .filter(F.col("term").isin(BM25_TERMS))
+        .distinct()
+        .unionByName(docs.select(F.lit("_live").alias("term"), "doc_id"))
+        .unionByName(
+            docs.filter(F.expr("doc_id % 37 = 0")).select(
+                F.lit("_sparse").alias("term"), "doc_id"
+            )
+        )
+    )
+    occ = (
+        post.withColumn("w", F.expr(f"doc_id DIV {WAH_W}"))
+        .groupBy("term", "w")
+        .agg(F.count("*").cast("long").alias("bits"))
+    )
+    wl = W.partitionBy("term").orderBy("w")
+    gaps = occ.withColumn("pw", F.lag("w").over(wl)).withColumn(
+        "gap",
+        F.expr(
+            "CASE WHEN (pw IS NULL AND w > 0) OR (pw IS NOT NULL AND w > pw + 1)"
+            " THEN 1 ELSE 0 END"
+        ),
+    )
+    agg_a = gaps.groupBy("term").agg(
+        F.sum("bits").cast("long").alias("n_set"),
+        F.sum(F.expr(f"CASE WHEN bits < {WAH_W} THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("n_literal"),
+        F.sum("gap").cast("long").alias("zero_gaps"),
+        F.max("w").cast("long").alias("max_w"),
+    )
+    full = occ.filter(F.col("bits") == WAH_W).withColumn(
+        "pfw", F.lag("w").over(wl)
+    )
+    agg_b = full.groupBy("term").agg(
+        F.sum(
+            F.expr("CASE WHEN pfw IS NULL OR w > pfw + 1 THEN 1 ELSE 0 END")
+        )
+        .cast("long")
+        .alias("one_fills")
+    )
+    joined = agg_a.join(agg_b, "term", "left").select(
+        "term",
+        "n_set",
+        "n_literal",
+        (
+            F.col("zero_gaps")
+            + F.expr(f"CASE WHEN max_w < {w_univ} THEN 1 ELSE 0 END")
+        )
+        .cast("long")
+        .alias("n_zero_fills"),
+        F.coalesce("one_fills", F.lit(0)).cast("long").alias("n_one_fills"),
+    )
+    return joined.select(
+        "term",
+        "n_set",
+        "n_literal",
+        "n_zero_fills",
+        "n_one_fills",
+        (
+            4 * (F.col("n_literal") + F.col("n_zero_fills") + F.col("n_one_fills"))
+        )
+        .cast("long")
+        .alias("wah_bytes"),
+        F.lit(4 * (w_univ + 1)).cast("long").alias("bitmap_bytes"),
+        F.expr(
+            f"CAST(1000 * (4 * (n_literal + n_zero_fills + n_one_fills))"
+            f" DIV {4 * (w_univ + 1)} AS BIGINT)"
+        ).alias("ratio_milli"),
+    ).orderBy("term")
+
+
+def _sql_wah_size() -> str:
+    return f"""
+WITH nd AS (SELECT count(*) AS n, (count(*) - 1) // {WAH_W} AS wu FROM documents),
+post AS (
+  SELECT DISTINCT term, doc_id FROM ({SQL_DOC_TOKS})
+  WHERE term IN ('key', 'value', 'table')
+  UNION ALL SELECT '_live' AS term, doc_id FROM documents
+  UNION ALL SELECT '_sparse' AS term, doc_id FROM documents WHERE doc_id % 37 = 0
+),
+occ AS (
+  SELECT term, doc_id // {WAH_W} AS w, CAST(count(*) AS BIGINT) AS bits
+  FROM post GROUP BY 1, 2
+),
+gaps AS (
+  SELECT term, w, bits,
+         lag(w) OVER (PARTITION BY term ORDER BY w) AS pw
+  FROM occ
+),
+agg_a AS (
+  SELECT term,
+         CAST(sum(bits) AS BIGINT) AS n_set,
+         CAST(sum(CASE WHEN bits < {WAH_W} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_literal,
+         CAST(sum(CASE WHEN (pw IS NULL AND w > 0)
+                        OR (pw IS NOT NULL AND w > pw + 1)
+                   THEN 1 ELSE 0 END) AS BIGINT) AS zero_gaps,
+         CAST(max(w) AS BIGINT) AS max_w
+  FROM gaps GROUP BY term
+),
+fullw AS (
+  SELECT term, w,
+         lag(w) OVER (PARTITION BY term ORDER BY w) AS pfw
+  FROM occ WHERE bits = {WAH_W}
+),
+agg_b AS (
+  SELECT term,
+         CAST(sum(CASE WHEN pfw IS NULL OR w > pfw + 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS one_fills
+  FROM fullw GROUP BY term
+),
+joined AS (
+  SELECT a.term, a.n_set, a.n_literal,
+         CAST(a.zero_gaps + CASE WHEN a.max_w < (SELECT wu FROM nd)
+                                 THEN 1 ELSE 0 END AS BIGINT) AS n_zero_fills,
+         CAST(coalesce(b.one_fills, 0) AS BIGINT) AS n_one_fills
+  FROM agg_a a LEFT JOIN agg_b b USING (term)
+)
+SELECT term, n_set, n_literal, n_zero_fills, n_one_fills,
+       CAST(4 * (n_literal + n_zero_fills + n_one_fills) AS BIGINT)
+         AS wah_bytes,
+       CAST(4 * ((SELECT wu FROM nd) + 1) AS BIGINT) AS bitmap_bytes,
+       CAST(1000 * (4 * (n_literal + n_zero_fills + n_one_fills))
+            // (4 * ((SELECT wu FROM nd) + 1)) AS BIGINT) AS ratio_milli
+FROM joined ORDER BY term
+"""
+
+
+QUERIES["postings_wah_size"] = (postings_wah_size, _sql_wah_size())

@@ -2080,3 +2080,204 @@ FROM kagg
 
 
 QUERIES["countsketch_point_eval"] = (countsketch_point_eval, _sql_countsketch())
+
+
+# ------------------------------------------------ learned Bloom filter
+
+# Learned Bloom filter sizing (Kraska et al., "The Case for Learned
+# Index Structures", SIGMOD 2018 §5, with Mitzenmacher's (NeurIPS 2018)
+# corrected accounting): a score model front-ends the membership filter
+# — queries scoring >= tau are answered "present" directly, and only the
+# KEYS the model misses (score < tau) go into a small backup Bloom
+# filter. With the overall false-positive budget p = 2^-{LB_PLAIN_K}
+# split evenly, tau is set where the model's own non-key pass rate is
+# p/2 (an exact order statistic over the integer score histogram) and
+# the backup filter is sized at eps = 2^-{LB_BACKUP_K}; the learned
+# stack wins exactly when backup_bits undercuts the plain Bloom at p by
+# more than the model costs — reported as budget_bits, the break-even
+# model size (the learned_index_error_eval framing: structure quality
+# measured as the budget it buys, no float anywhere).
+#
+# Planted-model construction (the ranker_calibration_ece discipline —
+# one informative plant, one uninformative negative control): keys are
+# an md5 coin over doc_id; the 'informative' model score adds a planted
+# [LB_LIFT, 2*LB_LIFT) lift on keys (overlapping distributions — the
+# model is deliberately imperfect, so a real backup-set remains), the
+# 'uninformative' model scores keys and non-keys identically, which
+# MUST drive budget_bits negative (nearly every key falls below tau
+# while the backup runs at the tighter eps) — pinned by
+# tests/test_session16_ops.py. Both scores are pure functions of the
+# element (membership itself is md5(doc_id)), so the plant is
+# deterministic and engine-identical.
+#
+# Scale shape: one scan -> integer score histogram (score domain is
+# bounded by construction) -> one cumsum window over <= 2000 rows for
+# tau; every count/size is an exact int64 (the amq_filter_compare
+# 14427/10000 bits-per-key rational).
+
+LB_PLAIN_K = 6  # plain Bloom at p = 2^-6
+LB_BACKUP_K = 7  # backup Bloom at eps = 2^-7 (half the budget)
+LB_FPR_DEN = 128  # model non-key pass budget = n_nonkeys DIV 128
+LB_BASE = 1000  # base score domain [0, 1000)
+LB_LIFT = 400  # planted key lift: + [400, 800)
+
+
+def learned_bloom_eval(spark, sf_dir):
+    """(model, n_keys, n_nonkeys, tau, n_pass_nonkey, fpr_model_milli,
+    n_backup, backup_bits, plain_bits, budget_bits, learned_wins):
+    exact learned-vs-plain Bloom sizing for the informative and
+    uninformative planted models."""
+    ids = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("x")
+    )
+    base = ids.select(
+        "x",
+        (_hash56(F.concat(F.lit("mem|"), F.col("x"))) % 2 == 0).alias("is_key"),
+        (_hash56(F.concat(F.lit("lb|"), F.col("x"))) % LB_BASE).alias("s0"),
+        (
+            LB_LIFT + _hash56(F.concat(F.lit("ll|"), F.col("x"))) % LB_LIFT
+        ).alias("lift"),
+    )
+    scored = base.select(
+        F.lit("informative").alias("model"),
+        "is_key",
+        (F.col("s0") + F.when(F.col("is_key"), F.col("lift")).otherwise(0))
+        .cast("long")
+        .alias("s"),
+    ).unionByName(
+        base.select(
+            F.lit("uninformative").alias("model"),
+            "is_key",
+            F.col("s0").cast("long").alias("s"),
+        )
+    )
+    hist = scored.groupBy("model", "s").agg(
+        F.sum(F.when(F.col("is_key"), 1).otherwise(0)).cast("long").alias("nk"),
+        F.sum(F.when(F.col("is_key"), 0).otherwise(1)).cast("long").alias("nn"),
+    )
+    wge = (
+        W.partitionBy("model")
+        .orderBy(F.col("s").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = hist.withColumn("nn_ge", F.sum("nn").over(wge))
+    tot = scored.groupBy("model").agg(
+        F.sum(F.when(F.col("is_key"), 1).otherwise(0)).cast("long").alias("n_keys"),
+        F.sum(F.when(F.col("is_key"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_nonkeys"),
+    )
+    tau = (
+        cum.join(tot, "model")
+        .filter(F.col("nn_ge") <= F.expr(f"n_nonkeys DIV {LB_FPR_DEN}"))
+        .groupBy("model")
+        .agg(F.min("s").cast("long").alias("tau"))
+    )
+    sides = (
+        scored.join(tau, "model")
+        .groupBy("model", "tau")
+        .agg(
+            F.sum(F.when(~F.col("is_key") & (F.col("s") >= F.col("tau")), 1).otherwise(0))
+            .cast("long")
+            .alias("n_pass_nonkey"),
+            F.sum(F.when(F.col("is_key") & (F.col("s") < F.col("tau")), 1).otherwise(0))
+            .cast("long")
+            .alias("n_backup"),
+        )
+    )
+    return (
+        sides.join(tot, "model")
+        .select(
+            "model",
+            "n_keys",
+            "n_nonkeys",
+            "tau",
+            "n_pass_nonkey",
+            F.expr("CAST(1000 * n_pass_nonkey DIV n_nonkeys AS BIGINT)").alias(
+                "fpr_model_milli"
+            ),
+            "n_backup",
+            F.expr(f"CAST((n_backup * {LB_BACKUP_K} * 14427) DIV 10000 AS BIGINT)")
+            .alias("backup_bits"),
+            F.expr(f"CAST((n_keys * {LB_PLAIN_K} * 14427) DIV 10000 AS BIGINT)")
+            .alias("plain_bits"),
+        )
+        .withColumn("budget_bits", (F.col("plain_bits") - F.col("backup_bits")).cast("long"))
+        .withColumn("learned_wins", F.col("budget_bits") > 0)
+        .orderBy("model")
+    )
+
+
+def _sql_learned_bloom() -> str:
+    hm = _SQL_HASH56.format(col="'mem|' || x")
+    hb = _SQL_HASH56.format(col="'lb|' || x")
+    hl = _SQL_HASH56.format(col="'ll|' || x")
+    return f"""
+WITH ids AS (SELECT CAST(doc_id AS VARCHAR) AS x FROM documents),
+base AS (
+  SELECT x, ({hm} % 2 = 0) AS is_key,
+         {hb} % {LB_BASE} AS s0,
+         {LB_LIFT} + {hl} % {LB_LIFT} AS lift
+  FROM ids
+),
+scored AS (
+  SELECT 'informative' AS model, is_key,
+         CAST(s0 + CASE WHEN is_key THEN lift ELSE 0 END AS BIGINT) AS s
+  FROM base
+  UNION ALL
+  SELECT 'uninformative', is_key, CAST(s0 AS BIGINT) FROM base
+),
+hist AS (
+  SELECT model, s,
+         CAST(sum(CASE WHEN is_key THEN 1 ELSE 0 END) AS BIGINT) AS nk,
+         CAST(sum(CASE WHEN is_key THEN 0 ELSE 1 END) AS BIGINT) AS nn
+  FROM scored GROUP BY 1, 2
+),
+cum AS (
+  SELECT model, s, nn,
+         sum(nn) OVER (PARTITION BY model ORDER BY s DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS nn_ge
+  FROM hist
+),
+tot AS (
+  SELECT model,
+         CAST(sum(CASE WHEN is_key THEN 1 ELSE 0 END) AS BIGINT) AS n_keys,
+         CAST(sum(CASE WHEN is_key THEN 0 ELSE 1 END) AS BIGINT) AS n_nonkeys
+  FROM scored GROUP BY 1
+),
+tau AS (
+  SELECT c.model, CAST(min(c.s) AS BIGINT) AS tau
+  FROM cum c JOIN tot t USING (model)
+  WHERE c.nn_ge <= t.n_nonkeys // {LB_FPR_DEN}
+  GROUP BY 1
+),
+sides AS (
+  SELECT s.model, u.tau,
+         CAST(sum(CASE WHEN NOT s.is_key AND s.s >= u.tau THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_pass_nonkey,
+         CAST(sum(CASE WHEN s.is_key AND s.s < u.tau THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_backup
+  FROM scored s JOIN tau u USING (model)
+  GROUP BY 1, 2
+)
+SELECT d.model, t.n_keys, t.n_nonkeys, d.tau, d.n_pass_nonkey,
+       CAST(1000 * d.n_pass_nonkey // t.n_nonkeys AS BIGINT)
+         AS fpr_model_milli,
+       d.n_backup,
+       CAST((d.n_backup * {LB_BACKUP_K} * 14427) // 10000 AS BIGINT)
+         AS backup_bits,
+       CAST((t.n_keys * {LB_PLAIN_K} * 14427) // 10000 AS BIGINT)
+         AS plain_bits,
+       CAST((t.n_keys * {LB_PLAIN_K} * 14427) // 10000
+            - (d.n_backup * {LB_BACKUP_K} * 14427) // 10000 AS BIGINT)
+         AS budget_bits,
+       ((t.n_keys * {LB_PLAIN_K} * 14427) // 10000
+        - (d.n_backup * {LB_BACKUP_K} * 14427) // 10000) > 0
+         AS learned_wins
+FROM sides d JOIN tot t USING (model)
+ORDER BY d.model
+"""
+
+
+QUERIES["learned_bloom_eval"] = (learned_bloom_eval, _sql_learned_bloom())
