@@ -4762,3 +4762,232 @@ FROM joined ORDER BY term
 
 
 QUERIES["postings_wah_size"] = (postings_wah_size, _sql_wah_size())
+
+
+# -------------------------------------------- Fagin NRA stopping depth
+
+# The No-Random-Access algorithm (Fagin, Lotem & Naor, PODS 2001 §4 —
+# the sorted-access-only sibling of fagin_ta_cost_eval, i.e. the regime
+# of a distributed index where random access to the other list's score
+# is a network round trip you refuse to pay): objects seen in either
+# top-p carry a LOWER bound (sum of seen scores) and an UPPER bound
+# (seen scores + the current threshold of each unseen list); NRA stops
+# at the first depth where no object outside the current top-k by lower
+# bound — seen or unseen — can still beat the k-th lower bound. The
+# trace emits both bounds' frontier per depth; the stopping depth is
+# NRA's sorted-access cost, never earlier than TA's on the same
+# instance (TA's random accesses buy exact scores; the pytest
+# cross-pins the two traces and replays a REAL sequential NRA,
+# cache_lru_stack_distance-style, asserting the relational grid stops
+# at the same depth with the correct top-k).
+#
+# Determinism: same exact-micro feature pair as TA (BM25 OR-scored;
+# n_chars saturation prior); k-th lower bound and the rest-max upper
+# bound are exact order statistics with doc_id tie-breaks.
+#
+# Depth sampling: NRA's stopping depth GROWS with the corpus on this
+# feature pair (the length-prior list decays slowly, so rest-object
+# upper bounds stay alive long after TA would have stopped — measured
+# 298-of-500 at sf0.001, i.e. a fixed top-120 trace never records the
+# stop). The trace therefore samples NRA_SAMPLES depths evenly
+# spanning [1, n]: the round-robin access state at depth p depends
+# only on p, so evaluating the bounds at sampled depths is exact.
+#
+# Scale shape: the depth x seen-objects grid is ~2n rows per sampled
+# depth (~n * NRA_SAMPLES total — diagnostic, like TA's); the serving
+# twin is a cursor walk with a bounded candidate buffer.
+
+NRA_K = 10
+NRA_SAMPLES = 120
+
+
+def nra_cost_eval(spark, sf_dir):
+    """(p, t1_micro, t2_micro, unseen_ub_micro, kth_lb_micro,
+    max_ub_rest_micro, n_seen, stopped): the NRA depth trace for
+    top-{NRA_K} over the BM25 and length-prior lists."""
+    from harvester_spark.operators.fulltext_queries import bm25_or_scored
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    s1 = bm25_or_scored(spark, sf_dir).select(
+        "doc_id",
+        F.expr("CAST(round(score * 1.0e6, 0) AS BIGINT)").alias("s1"),
+    )
+    feats = (
+        docs.join(s1, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("s1", F.lit(0)).cast("long").alias("s1"),
+            F.expr(
+                "CAST((1000000 * n_chars) DIV (n_chars + 1200) AS BIGINT)"
+            ).alias("s2"),
+        )
+        .withColumn(
+            "r1",
+            F.row_number()
+            .over(W.orderBy(F.col("s1").desc(), F.col("doc_id").asc()))
+            .cast("long"),
+        )
+        .withColumn(
+            "r2",
+            F.row_number()
+            .over(W.orderBy(F.col("s2").desc(), F.col("doc_id").asc()))
+            .cast("long"),
+        )
+        .cache()
+    )
+    n = docs.count()
+    depths = (
+        spark.range(1, NRA_SAMPLES + 1)
+        .select(F.expr(f"CAST(id * {n} DIV {NRA_SAMPLES} AS BIGINT)").alias("p"))
+        .filter(F.col("p") >= 1)
+        .distinct()
+    )
+    t1 = feats.select(F.col("r1").alias("p"), F.col("s1").alias("t1_micro"))
+    t2 = feats.select(F.col("r2").alias("p"), F.col("s2").alias("t2_micro"))
+    grid = (
+        depths.join(
+            feats.select("doc_id", "s1", "s2", "r1", "r2"),
+            (F.col("r1") <= F.col("p")) | (F.col("r2") <= F.col("p")),
+        )
+        .join(t1, "p")
+        .join(t2, "p")
+        .withColumn(
+            "lb",
+            (
+                F.expr("CASE WHEN r1 <= p THEN s1 ELSE 0 END")
+                + F.expr("CASE WHEN r2 <= p THEN s2 ELSE 0 END")
+            ).cast("long"),
+        )
+        .withColumn(
+            "ub",
+            (
+                F.expr("CASE WHEN r1 <= p THEN s1 ELSE t1_micro END")
+                + F.expr("CASE WHEN r2 <= p THEN s2 ELSE t2_micro END")
+            ).cast("long"),
+        )
+    )
+    wlb = W.partitionBy("p").orderBy(F.col("lb").desc(), F.col("doc_id").asc())
+    agg = (
+        grid.withColumn("rk", F.row_number().over(wlb))
+        .groupBy("p")
+        .agg(
+            F.max(F.expr(f"CASE WHEN rk = {NRA_K} THEN lb END"))
+            .cast("long")
+            .alias("kth_lb_micro"),
+            F.max(F.expr(f"CASE WHEN rk > {NRA_K} THEN ub END"))
+            .cast("long")
+            .alias("max_ub_rest_micro"),
+            F.count("*").cast("long").alias("n_seen"),
+        )
+    )
+    return (
+        depths.join(t1, "p")
+        .join(t2, "p")
+        .join(agg, "p", "left")
+        .select(
+            "p",
+            "t1_micro",
+            "t2_micro",
+            (F.col("t1_micro") + F.col("t2_micro"))
+            .cast("long")
+            .alias("unseen_ub_micro"),
+            F.coalesce("kth_lb_micro", F.lit(0))
+            .cast("long")
+            .alias("kth_lb_micro"),
+            F.coalesce("max_ub_rest_micro", F.lit(0))
+            .cast("long")
+            .alias("max_ub_rest_micro"),
+            F.coalesce("n_seen", F.lit(0)).cast("long").alias("n_seen"),
+            F.expr(
+                "coalesce(kth_lb_micro, 0) >= coalesce(max_ub_rest_micro, 0)"
+                " AND coalesce(kth_lb_micro, 0) >= t1_micro + t2_micro"
+            ).alias("stopped"),
+        )
+    )
+
+
+def _sql_nra() -> str:
+    terms = ", ".join(f"'{t}'" for t in ("key", "value", "table"))
+    return f"""
+WITH toks AS ({SQL_DOC_TOKS}),
+dls AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) * 1.0e0 / count(*) FROM dls) AS avgdl
+),
+qtf AS (
+  SELECT term, doc_id, count(*) AS tf FROM toks
+  WHERE term IN ({terms}) GROUP BY 1, 2
+),
+qdf AS (SELECT term, count(DISTINCT doc_id) AS df FROM qtf GROUP BY 1),
+orsc AS (
+  SELECT doc_id,
+         CAST(round(round(sum(
+           ln(1.0e0 + (n - df + 0.5e0) / (df + 0.5e0))
+           * (tf * 2.2e0)
+           / (tf + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * dl / avgdl))
+         ), 6) * 1.0e6, 0) AS BIGINT) AS s1
+  FROM qtf t JOIN qdf USING (term) JOIN dls USING (doc_id)
+  CROSS JOIN stats GROUP BY doc_id
+),
+feats AS MATERIALIZED (
+  SELECT d.doc_id,
+         CAST(coalesce(o.s1, 0) AS BIGINT) AS s1,
+         CAST((1000000 * d.n_chars) // (d.n_chars + 1200) AS BIGINT) AS s2,
+         CAST(row_number() OVER (ORDER BY coalesce(o.s1, 0) DESC,
+              d.doc_id ASC) AS BIGINT) AS r1,
+         CAST(row_number() OVER (ORDER BY
+              (1000000 * d.n_chars) // (d.n_chars + 1200) DESC,
+              d.doc_id ASC) AS BIGINT) AS r2
+  FROM documents d LEFT JOIN orsc o USING (doc_id)
+),
+depths AS (
+  SELECT DISTINCT CAST(i * (SELECT count(*) FROM documents)
+                       // {NRA_SAMPLES} AS BIGINT) AS p
+  FROM (SELECT unnest(range(1, {NRA_SAMPLES + 1})) AS i)
+  WHERE i * (SELECT count(*) FROM documents) // {NRA_SAMPLES} >= 1
+),
+grid AS (
+  SELECT dp.p, f.doc_id,
+         CAST(CASE WHEN f.r1 <= dp.p THEN f.s1 ELSE 0 END
+              + CASE WHEN f.r2 <= dp.p THEN f.s2 ELSE 0 END AS BIGINT) AS lb,
+         CAST(CASE WHEN f.r1 <= dp.p THEN f.s1 ELSE t1.s1 END
+              + CASE WHEN f.r2 <= dp.p THEN f.s2 ELSE t2.s2 END AS BIGINT)
+           AS ub
+  FROM depths dp
+  JOIN feats f ON f.r1 <= dp.p OR f.r2 <= dp.p
+  JOIN feats t1 ON t1.r1 = dp.p
+  JOIN feats t2 ON t2.r2 = dp.p
+),
+agg AS (
+  SELECT p,
+         CAST(max(CASE WHEN rk = {NRA_K} THEN lb END) AS BIGINT)
+           AS kth_lb_micro,
+         CAST(max(CASE WHEN rk > {NRA_K} THEN ub END) AS BIGINT)
+           AS max_ub_rest_micro,
+         CAST(count(*) AS BIGINT) AS n_seen
+  FROM (
+    SELECT p, lb, ub,
+           row_number() OVER (PARTITION BY p
+                              ORDER BY lb DESC, doc_id ASC) AS rk
+    FROM grid
+  ) GROUP BY p
+)
+SELECT dp.p,
+       t1.s1 AS t1_micro,
+       t2.s2 AS t2_micro,
+       CAST(t1.s1 + t2.s2 AS BIGINT) AS unseen_ub_micro,
+       CAST(coalesce(a.kth_lb_micro, 0) AS BIGINT) AS kth_lb_micro,
+       CAST(coalesce(a.max_ub_rest_micro, 0) AS BIGINT)
+         AS max_ub_rest_micro,
+       CAST(coalesce(a.n_seen, 0) AS BIGINT) AS n_seen,
+       coalesce(a.kth_lb_micro, 0) >= coalesce(a.max_ub_rest_micro, 0)
+         AND coalesce(a.kth_lb_micro, 0) >= t1.s1 + t2.s2 AS stopped
+FROM depths dp
+JOIN feats t1 ON t1.r1 = dp.p
+JOIN feats t2 ON t2.r2 = dp.p
+LEFT JOIN agg a ON a.p = dp.p
+"""
+
+
+QUERIES["nra_cost_eval"] = (nra_cost_eval, _sql_nra())

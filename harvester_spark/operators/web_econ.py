@@ -3469,3 +3469,199 @@ FROM iva
 
 
 QUERIES["events_iv_wald_eval"] = (events_iv_wald_eval, _sql_iv_wald())
+
+
+# ---------------------------------------------- Wald-Wolfowitz runs test
+
+# The runs test for randomness (Wald & Wolfowitz 1940) on the hourly
+# event-count series — the sequence-order companion to
+# events_mannwhitney_eval (which tests LEVEL differences and is blind
+# to order): values are split above/below the exact median (median
+# ties dropped, the standard treatment), and the number of RUNS of
+# same-side values is compared against its null distribution
+#   E[R] = 1 + 2*n1*n2/N,  Var[R] = 2*n1*n2*(2*n1*n2 - N) / (N^2*(N-1)).
+# Three orderings of the SAME kept values make the operator its own
+# control battery (the events_mannwhitney discipline): 'time' (the real
+# diagnostic — is the hourly series serially random?), 'shuffled' (md5
+# order — the null draw, never pinned absolutely), and 'sorted' (all
+# below-median hours then all above: exactly 2 runs, the maximal
+# trend plant — pinned to dominate the shuffled z^2 by >= 10x in
+# tests/test_session16_ops.py, which also recomputes every row in pure
+# Python).
+#
+# Integer contract: with a = N*(R-1) - 2*n1*n2,
+#   z^2 = a^2 * (N-1) / (2*n1*n2*(2*n1*n2 - N))
+# exactly; z2_milli = 1000*a^2*(N-1) DIV v — at the calendar-bounded
+# series (N <= ~720 hours) the numerator tops out ~7e17, inside int64
+# (the events_acf overflow-bound discipline); degenerate variance
+# (n1*n2 = 0 or 2*n1*n2 = N) yields NULL.
+#
+# Scale shape: one hourly groupBy (map-side partial), a broadcast
+# median order statistic, one 3-way unioned window ordered by
+# (ordering, k1, k2) over a calendar-bounded frame.
+
+RUNS_SIG_MILLI = 3841  # chi^2(1) 0.95 critical value, milli
+
+
+def events_runs_test(spark, sf_dir):
+    """(ordering, n_kept, n1, n2, runs, z2_milli, significant): exact
+    Wald-Wolfowitz runs test of the densified hourly count series under
+    the time / shuffled / sorted orderings."""
+    from harvester_spark.operators.graph import _hash56
+
+    ev = load(spark, sf_dir, "events").select(
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hour")
+    )
+    b = ev.agg(F.min("hour").alias("mn"), F.max("hour").alias("mx")).collect()[0]
+    counts = ev.groupBy("hour").agg(F.count("*").cast("long").alias("x"))
+    dens = (
+        spark.range(b.mn, b.mx + 1)
+        .select(F.col("id").alias("hour"))
+        .join(counts, "hour", "left")
+        .select("hour", F.coalesce("x", F.lit(0)).cast("long").alias("x"))
+    )
+    wmed = W.orderBy(F.col("x").asc(), F.col("hour").asc())
+    med = F.broadcast(
+        dens.withColumn("rn", F.row_number().over(wmed))
+        .crossJoin(
+            F.broadcast(dens.agg(F.count("*").cast("long").alias("nh")))
+        )
+        .filter(F.expr("rn = (nh + 1) DIV 2"))
+        .select(F.col("x").alias("median"))
+    )
+    kept = (
+        dens.crossJoin(med)
+        .filter(F.col("x") != F.col("median"))
+        .select(
+            "hour",
+            "x",
+            (F.col("x") > F.col("median")).cast("long").alias("side"),
+        )
+    )
+    seqs = (
+        kept.select(
+            F.lit("time").alias("ordering"),
+            F.col("hour").alias("k1"),
+            F.lit(0).cast("long").alias("k2"),
+            "side",
+        )
+        .unionByName(
+            kept.select(
+                F.lit("shuffled").alias("ordering"),
+                _hash56(F.concat(F.lit("ro|"), F.col("hour").cast("string")))
+                .alias("k1"),
+                F.col("hour").alias("k2"),
+                "side",
+            )
+        )
+        .unionByName(
+            kept.select(
+                F.lit("sorted").alias("ordering"),
+                F.col("x").alias("k1"),
+                F.col("hour").alias("k2"),
+                "side",
+            )
+        )
+    )
+    wseq = W.partitionBy("ordering").orderBy("k1", "k2")
+    runs = (
+        seqs.withColumn("ps", F.lag("side").over(wseq))
+        .groupBy("ordering")
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.sum("side").cast("long").alias("n1"),
+            F.sum(
+                F.expr("CASE WHEN ps IS NULL OR side <> ps THEN 1 ELSE 0 END")
+            )
+            .cast("long")
+            .alias("runs"),
+        )
+        .withColumn("n2", (F.col("n_kept") - F.col("n1")).cast("long"))
+    )
+    z2 = (
+        "CASE WHEN 2 * n1 * n2 * (2 * n1 * n2 - n_kept) <= 0 THEN NULL "
+        "ELSE CAST(1000 * (n_kept * (runs - 1) - 2 * n1 * n2)"
+        " * (n_kept * (runs - 1) - 2 * n1 * n2) * (n_kept - 1)"
+        " {div} (2 * n1 * n2 * (2 * n1 * n2 - n_kept)) AS BIGINT) END"
+    )
+    sp = z2.format(div="DIV")
+    return runs.select(
+        "ordering",
+        "n_kept",
+        "n1",
+        "n2",
+        "runs",
+        F.expr(sp).alias("z2_milli"),
+        F.expr(f"coalesce({sp} >= {RUNS_SIG_MILLI}, false)").alias(
+            "significant"
+        ),
+    ).orderBy("ordering")
+
+
+def _sql_runs_test() -> str:
+    from harvester_spark.operators.graph import _SQL_HASH56
+
+    h = _SQL_HASH56.format(col="'ro|' || CAST(hour AS VARCHAR)")
+    z2 = (
+        "CASE WHEN 2 * n1 * n2 * (2 * n1 * n2 - n_kept) <= 0 THEN NULL "
+        "ELSE CAST(1000 * (n_kept * (runs - 1) - 2 * n1 * n2)"
+        " * (n_kept * (runs - 1) - 2 * n1 * n2) * (n_kept - 1)"
+        " // (2 * n1 * n2 * (2 * n1 * n2 - n_kept)) AS BIGINT) END"
+    )
+    return f"""
+WITH ev AS (
+  SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour FROM events
+),
+bounds AS (SELECT min(hour) AS mn, max(hour) AS mx FROM ev),
+counts AS (SELECT hour, CAST(count(*) AS BIGINT) AS x FROM ev GROUP BY 1),
+dens AS (
+  SELECT g.hour, CAST(coalesce(c.x, 0) AS BIGINT) AS x
+  FROM (SELECT unnest(range((SELECT mn FROM bounds),
+                            (SELECT mx FROM bounds) + 1)) AS hour) g
+  LEFT JOIN counts c USING (hour)
+),
+med AS (
+  SELECT x AS median FROM (
+    SELECT x, row_number() OVER (ORDER BY x ASC, hour ASC) AS rn,
+           count(*) OVER () AS nh
+    FROM dens
+  ) WHERE rn = (nh + 1) // 2
+),
+kept AS (
+  SELECT hour, x,
+         CAST(CASE WHEN x > (SELECT median FROM med) THEN 1 ELSE 0 END
+              AS BIGINT) AS side
+  FROM dens WHERE x <> (SELECT median FROM med)
+),
+seqs AS (
+  SELECT 'time' AS ordering, hour AS k1, CAST(0 AS BIGINT) AS k2, side
+  FROM kept
+  UNION ALL
+  SELECT 'shuffled', {h}, hour, side FROM kept
+  UNION ALL
+  SELECT 'sorted', x, hour, side FROM kept
+),
+runs AS (
+  SELECT ordering,
+         CAST(count(*) AS BIGINT) AS n_kept,
+         CAST(sum(side) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN ps IS NULL OR side <> ps THEN 1 ELSE 0 END)
+              AS BIGINT) AS runs
+  FROM (
+    SELECT ordering, side,
+           lag(side) OVER (PARTITION BY ordering ORDER BY k1, k2) AS ps
+    FROM seqs
+  ) GROUP BY 1
+),
+full_ AS (
+  SELECT ordering, n_kept, n1, CAST(n_kept - n1 AS BIGINT) AS n2, runs
+  FROM runs
+)
+SELECT ordering, n_kept, n1, n2, runs,
+       {z2} AS z2_milli,
+       coalesce({z2} >= {RUNS_SIG_MILLI}, false) AS significant
+FROM full_ ORDER BY ordering
+"""
+
+
+QUERIES["events_runs_test"] = (events_runs_test, _sql_runs_test())

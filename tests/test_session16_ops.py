@@ -271,3 +271,165 @@ def test_learned_bloom_controls_and_recompute(spark):
     # The informative model still misses some keys (overlapping
     # distributions) — a perfect separator would make the eval trivial.
     assert got["informative"]["n_backup"] > 0
+
+
+# ------------------------------------------------- nra_cost_eval
+
+
+def test_nra_trace_matches_sequential_algorithm(spark):
+    from harvester_spark.operators.fulltext_queries import bm25_or_scored
+    from harvester_spark.operators.index_stats import (
+        NRA_K,
+        NRA_SAMPLES,
+        fagin_ta_cost_eval,
+        nra_cost_eval,
+    )
+    import pyspark.sql.functions as F
+
+    docs = {
+        r["doc_id"]: r["n_chars"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+    s1m = {
+        r["doc_id"]: r["s1"]
+        for r in bm25_or_scored(spark, SF_DIR)
+        .select(
+            "doc_id",
+            F.expr("CAST(round(score * 1.0e6, 0) AS BIGINT)").alias("s1"),
+        )
+        .collect()
+    }
+    feats = {
+        d: (s1m.get(d, 0), (1000000 * nc) // (nc + 1200))
+        for d, nc in docs.items()
+    }
+    n = len(feats)
+    l1 = sorted(feats, key=lambda d: (-feats[d][0], d))
+    l2 = sorted(feats, key=lambda d: (-feats[d][1], d))
+    sample_depths = sorted(
+        {i * n // NRA_SAMPLES for i in range(1, NRA_SAMPLES + 1)} - {0}
+    )
+
+    # REAL sequential NRA: round-robin sorted access with bound
+    # bookkeeping; record the state at each sampled depth.
+    seen1, seen2 = {}, {}
+    states = {}
+    for p in range(1, n + 1):
+        d1, d2 = l1[p - 1], l2[p - 1]
+        seen1[d1] = feats[d1][0]
+        seen2[d2] = feats[d2][1]
+        if p not in states and p in set(sample_depths):
+            t1, t2 = feats[d1][0], feats[d2][1]
+            cand = set(seen1) | set(seen2)
+            lb = {d: seen1.get(d, 0) + seen2.get(d, 0) for d in cand}
+            ub = {d: seen1.get(d, t1) + seen2.get(d, t2) for d in cand}
+            ranked = sorted(cand, key=lambda d: (-lb[d], d))
+            topk, rest = ranked[:NRA_K], ranked[NRA_K:]
+            kth = lb[topk[-1]] if len(topk) == NRA_K else 0
+            max_rest = max((ub[d] for d in rest), default=0)
+            stopped = (
+                len(topk) == NRA_K and kth >= max_rest and kth >= t1 + t2
+            )
+            states[p] = {
+                "kth": kth,
+                "max_rest": max_rest,
+                "unseen": t1 + t2,
+                "n_seen": len(cand),
+                "stopped": stopped,
+                "topk_lb": sorted((lb[d] for d in topk), reverse=True),
+            }
+
+    trace = {r["p"]: r.asDict() for r in nra_cost_eval(spark, SF_DIR).collect()}
+    assert sorted(trace) == sample_depths
+    for p in sample_depths:
+        sim, got = states[p], trace[p]
+        assert got["kth_lb_micro"] == sim["kth"], p
+        assert got["max_ub_rest_micro"] == sim["max_rest"], p
+        assert got["unseen_ub_micro"] == sim["unseen"], p
+        assert got["n_seen"] == sim["n_seen"], p
+        assert got["stopped"] == sim["stopped"], p
+
+    # NRA must actually stop inside the trace, and at the first stopped
+    # depth its top-k by lower bound is the TRUE top-k by total score.
+    stops = [p for p in sample_depths if states[p]["stopped"]]
+    assert stops, "NRA never stopped within the sampled trace"
+    true_tot = sorted(
+        (s1 + s2 for s1, s2 in feats.values()), reverse=True
+    )[:NRA_K]
+    assert states[stops[0]]["topk_lb"] == true_tot
+
+    # Cross-pin vs TA: sorted-access-only never stops earlier than TA
+    # on the same instance/feature pair.
+    ta = {
+        r["p"]: r["stopped"] for r in fagin_ta_cost_eval(spark, SF_DIR).collect()
+    }
+    ta_stop = min(p for p, s in ta.items() if s)
+    assert stops[0] >= ta_stop
+
+
+# ------------------------------------------------- events_runs_test
+
+
+def test_runs_test_matches_pure_python_recompute(spark):
+    from collections import Counter
+
+    from harvester_spark.operators.web_econ import (
+        RUNS_SIG_MILLI,
+        events_runs_test,
+    )
+
+    hours = [
+        r["h"]
+        for r in spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .selectExpr("CAST(floor(unix_timestamp(ts) / 3600) AS LONG) AS h")
+        .collect()
+    ]
+    cnt = Counter(hours)
+    mn, mx = min(hours), max(hours)
+    dens = [(h, cnt.get(h, 0)) for h in range(mn, mx + 1)]
+    xs = sorted((x, h) for h, x in dens)
+    median = xs[(len(xs) + 1) // 2 - 1][0]
+    kept = [(h, x, 1 if x > median else 0) for h, x in dens if x != median]
+
+    def runs_of(seq):
+        r = 0
+        prev = None
+        for s in seq:
+            if prev is None or s != prev:
+                r += 1
+            prev = s
+        return r
+
+    orderings = {
+        "time": [s for _, _, s in sorted(kept)],
+        "shuffled": [
+            s
+            for _, _, s in sorted(
+                kept, key=lambda t: (_h56(f"ro|{t[0]}"), t[0])
+            )
+        ],
+        "sorted": [s for _, _, s in sorted(kept, key=lambda t: (t[1], t[0]))],
+    }
+    n = len(kept)
+    n1 = sum(s for _, _, s in kept)
+    n2 = n - n1
+    got = {r["ordering"]: r.asDict() for r in events_runs_test(spark, SF_DIR).collect()}
+    assert set(got) == set(orderings)
+    for name, seq in orderings.items():
+        g = got[name]
+        R = runs_of(seq)
+        assert (g["n_kept"], g["n1"], g["n2"], g["runs"]) == (n, n1, n2, R)
+        v = 2 * n1 * n2 * (2 * n1 * n2 - n)
+        a = n * (R - 1) - 2 * n1 * n2
+        z2 = 1000 * a * a * (n - 1) // v
+        assert g["z2_milli"] == z2
+        assert g["significant"] == (z2 >= RUNS_SIG_MILLI)
+
+    # Controls: the sorted plant is the maximal-trend sequence — exactly
+    # 2 runs and a z^2 that dominates the shuffled null draw by >= 10x
+    # (never pin the null's absolute value — it is one chi^2(1) draw).
+    assert got["sorted"]["runs"] == 2
+    assert got["sorted"]["significant"]
+    assert got["sorted"]["z2_milli"] >= 10 * max(got["shuffled"]["z2_milli"], 1)
