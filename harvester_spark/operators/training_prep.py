@@ -2429,3 +2429,205 @@ QUERIES["sampling_cluster_deff_eval"] = (
     sampling_cluster_deff_eval,
     _sql_cluster_deff(),
 )
+
+
+# ------------------------------------------- Neyman vs proportional
+
+# Optimal stratified allocation (Neyman 1934; Cochran §5.5): with a
+# fixed sample budget n over K strata, proportional allocation sends
+# n_h ~ N_h while Neyman sends n_h ~ N_h*S_h — oversampling the
+# high-variance strata — and the stratified-total variance
+#   V = sum_h N_h*(N_h - n_h)*S_h^2 / n_h
+# is minimized by Neyman (Cauchy-Schwarz). The frame plants strong
+# heteroscedasticity (stratum scale factors {NY_SCALES}: the spread
+# spans 20x, so the two allocations differ materially — equal-variance
+# strata make Neyman == proportional and the eval vacuous); both
+# designs run through the SAME largest-remainder integer seating
+# (crawl_budget_allocate's apportionment: one guaranteed seat per
+# stratum, then floor quotas, then remainder-ranked extras, so
+# sum(n_h) == {NY_BUDGET} EXACTLY for both designs).
+#
+# Integer contract: stratum population variance arrives as
+# s2 = (N_h*sum(y^2) - sum(y)^2) DIV (N_h*(N_h-1)) (floored — the
+# division is the sampling_cluster_deff pre-divide discipline, keeping
+# every later product inside int64: var terms are ~N_h^2*S^2 <= ~5e13
+# at sf0.1, headroom 1e5); the Neyman weight needs S_h itself, taken
+# as ONE shared milli-sqrt string (the ft_qpp_nqc_wig idiom) used
+# verbatim by both engines. Variance terms are floored per stratum
+# then summed — deterministic in both engines.
+#
+# Scale shape: one scan -> K-row stratum moment agg; allocation and
+# variance are windows over the K-row frame (broadcast-scale).
+
+NY_STRATA = 4
+NY_SCALES = (1, 2, 5, 20)  # planted per-stratum spread multipliers
+NY_BUDGET = 100  # total sample budget n
+_NY_SQRT_MILLI = (
+    "CAST(floor(sqrt(CAST({s2} AS DOUBLE)) * 1000 + 0.5e0) AS BIGINT)"
+)
+
+
+def sampling_neyman_allocation(spark, sf_dir):
+    """(design, stratum, big_n, s2_int, s_milli, n_alloc,
+    var_term_micro): largest-remainder Neyman vs proportional
+    allocation of NY_BUDGET draws over the planted heteroscedastic
+    strata, with exact per-stratum variance terms."""
+    from harvester_spark.operators.dedup import _hash56
+
+    scale = (
+        "CASE "
+        + " ".join(
+            f"WHEN s = {i} THEN {m}" for i, m in enumerate(NY_SCALES)
+        )
+        + " END"
+    )
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("x")
+    )
+    ys = docs.select(
+        (_hash56(F.concat(F.lit("ns|"), F.col("x"))) % NY_STRATA)
+        .cast("long")
+        .alias("s"),
+        (_hash56(F.concat(F.lit("ny|"), F.col("x"))) % 1000)
+        .cast("long")
+        .alias("b"),
+    ).select("s", F.expr(f"CAST(b * ({scale}) AS BIGINT)").alias("y"))
+    mom = ys.groupBy("s").agg(
+        F.count("*").cast("long").alias("big_n"),
+        F.sum("y").cast("long").alias("s1"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("ssq"),
+    )
+    strat = mom.select(
+        F.col("s").alias("stratum"),
+        "big_n",
+        F.expr(
+            "CAST((big_n * ssq - s1 * s1) DIV (big_n * (big_n - 1)) AS BIGINT)"
+        ).alias("s2_int"),
+    ).withColumn(
+        "s_milli", F.expr(_NY_SQRT_MILLI.format(s2="s2_int"))
+    )
+    designs = strat.select(
+        F.lit("proportional").alias("design"),
+        "stratum",
+        "big_n",
+        "s2_int",
+        "s_milli",
+        F.col("big_n").alias("w"),
+    ).unionByName(
+        strat.select(
+            F.lit("neyman").alias("design"),
+            "stratum",
+            "big_n",
+            "s2_int",
+            "s_milli",
+            (F.col("big_n") * F.col("s_milli")).cast("long").alias("w"),
+        )
+    )
+    wd = W.partitionBy("design")
+    m = NY_BUDGET - NY_STRATA
+    seated = (
+        designs.withColumn("wsum", F.sum("w").over(wd))
+        .withColumn("q", F.expr(f"CAST({m} * w DIV wsum AS BIGINT)"))
+        .withColumn("rem", F.expr(f"CAST({m} * w % wsum AS BIGINT)"))
+        .withColumn("qsum", F.sum("q").over(wd))
+        .withColumn(
+            "rrank",
+            F.row_number().over(
+                wd.orderBy(F.col("rem").desc(), F.col("stratum").asc())
+            ),
+        )
+        .withColumn(
+            "n_alloc",
+            F.expr(
+                f"CAST(1 + q + CASE WHEN rrank <= {m} - qsum"
+                " THEN 1 ELSE 0 END AS BIGINT)"
+            ),
+        )
+    )
+    return seated.select(
+        "design",
+        "stratum",
+        "big_n",
+        "s2_int",
+        "s_milli",
+        "n_alloc",
+        F.expr(
+            "CAST(big_n * (big_n - n_alloc) * s2_int DIV n_alloc AS BIGINT)"
+        ).alias("var_term_micro"),
+    ).orderBy("design", "stratum")
+
+
+def _sql_neyman() -> str:
+    from harvester_spark.operators.graph import _SQL_HASH56
+
+    hs = _SQL_HASH56.format(col="'ns|' || x")
+    hy = _SQL_HASH56.format(col="'ny|' || x")
+    scale = (
+        "CASE "
+        + " ".join(f"WHEN s = {i} THEN {m}" for i, m in enumerate(NY_SCALES))
+        + " END"
+    )
+    sqrt_m = _NY_SQRT_MILLI.format(s2="s2_int")
+    m = NY_BUDGET - NY_STRATA
+    return f"""
+WITH ids AS (SELECT CAST(doc_id AS VARCHAR) AS x FROM documents),
+ys AS (
+  SELECT s, CAST(b * ({scale}) AS BIGINT) AS y FROM (
+    SELECT {hs} % {NY_STRATA} AS s, {hy} % 1000 AS b FROM ids
+  )
+),
+mom AS (
+  SELECT s AS stratum,
+         CAST(count(*) AS BIGINT) AS big_n,
+         CAST(sum(y) AS BIGINT) AS s1,
+         CAST(sum(y * y) AS BIGINT) AS ssq
+  FROM ys GROUP BY 1
+),
+strat AS (
+  SELECT stratum, big_n,
+         CAST((big_n * ssq - s1 * s1) // (big_n * (big_n - 1)) AS BIGINT)
+           AS s2_int
+  FROM mom
+),
+strat2 AS (
+  SELECT stratum, big_n, s2_int, {sqrt_m} AS s_milli FROM strat
+),
+designs AS (
+  SELECT 'proportional' AS design, stratum, big_n, s2_int, s_milli,
+         big_n AS w
+  FROM strat2
+  UNION ALL
+  SELECT 'neyman', stratum, big_n, s2_int, s_milli,
+         CAST(big_n * s_milli AS BIGINT)
+  FROM strat2
+),
+seated AS (
+  SELECT design, stratum, big_n, s2_int, s_milli,
+         CAST({m} * w // wsum AS BIGINT) AS q,
+         CAST({m} * w % wsum AS BIGINT) AS rem,
+         CAST(sum({m} * w // wsum) OVER (PARTITION BY design) AS BIGINT)
+           AS qsum,
+         row_number() OVER (PARTITION BY design
+                            ORDER BY {m} * w % wsum DESC, stratum ASC)
+           AS rrank
+  FROM (SELECT design, stratum, big_n, s2_int, s_milli, w,
+               sum(w) OVER (PARTITION BY design) AS wsum
+        FROM designs)
+)
+SELECT design, stratum, big_n, s2_int, s_milli,
+       CAST(1 + q + CASE WHEN rrank <= {m} - qsum THEN 1 ELSE 0 END
+            AS BIGINT) AS n_alloc,
+       CAST(big_n * (big_n - (1 + q + CASE WHEN rrank <= {m} - qsum
+                                           THEN 1 ELSE 0 END))
+            * s2_int
+            // (1 + q + CASE WHEN rrank <= {m} - qsum THEN 1 ELSE 0 END)
+            AS BIGINT) AS var_term_micro
+FROM seated
+ORDER BY design, stratum
+"""
+
+
+QUERIES["sampling_neyman_allocation"] = (
+    sampling_neyman_allocation,
+    _sql_neyman(),
+)

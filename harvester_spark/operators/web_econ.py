@@ -3665,3 +3665,168 @@ FROM full_ ORDER BY ordering
 
 
 QUERIES["events_runs_test"] = (events_runs_test, _sql_runs_test())
+
+
+# ---------------------------------------------- politeness queue delay
+
+# Per-host politeness rate limiting as a Lindley queue (Lindley 1952;
+# the token-bucket regulator every crawler runs in front of a host):
+# requests arrive at a_1 <= a_2 <= ... and may START no earlier than
+# g microseconds after the previous start, so
+#   start_i = max(a_i, start_{i-1} + g),   delay_i = start_i - a_i.
+# The recursion is SEQUENTIAL but has the exact prefix closed form
+#   start_i = i*g + max_{j<=i} P_j,   P_j = a_j - j*g   (0-based j),
+# i.e. delay_i = runmax(P)_i - P_i — one running-max window, no
+# iteration (the events_cusum_changepoint prefix-extremum discipline;
+# tests/test_session16_ops.py replays the REAL sequential regulator
+# and pins every per-host aggregate).
+#
+# Two gap regimes make the operator its own control pair: 'light'
+# (g = half the host's mean inter-arrival, utilization ~0.5 — delays
+# stay incidental) and 'heavy' (g = 2x mean, utilization ~2 — the
+# queue diverges linearly and total delay explodes), both DERIVED from
+# the host's own span (derive_bloom_m discipline: regime constants are
+# ratios, not absolutes, so the contrast survives any corpus scale).
+#
+# Integer contract: arrivals are exact event-time microseconds
+# (unix_micros / epoch_us on the NTZ timestamps — parquet inputs, so
+# no JSON microsecond truncation); P, the running max, and every delay
+# are int64 (total delay <= n * span ~ 2.6e17 at sf0.1, inside
+# int64).
+#
+# Scale shape: one (host-keyed) sort window per regime over the event
+# scan — the same per-key ordered pass a real frontier scheduler
+# shards by host; per-host scalars ride a broadcast join.
+
+TB_HOSTS = 8
+TB_LIGHT_NUM, TB_LIGHT_DEN = 1, 2  # g_light = mean_gap / 2
+TB_HEAVY_NUM, TB_HEAVY_DEN = 2, 1  # g_heavy = 2 * mean_gap
+
+
+def crawl_token_bucket_delay(spark, sf_dir):
+    """(regime, host, n_req, gap_us, n_delayed, max_delay_us,
+    total_delay_us): exact Lindley waiting times of the per-host
+    politeness regulator under the light/heavy derived gap regimes."""
+    from harvester_spark.operators.graph import _hash56
+
+    ev = load(spark, sf_dir, "events").select(
+        F.concat(
+            F.lit("h"),
+            (
+                _hash56(F.concat(F.lit("tb|"), F.col("user_id").cast("string")))
+                % TB_HOSTS
+            ).cast("string"),
+        ).alias("host"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("a"),
+        "event_id",
+    )
+    scal = ev.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_req"),
+        F.min("a").cast("long").alias("amn"),
+        F.max("a").cast("long").alias("amx"),
+    )
+    gaps = scal.select(
+        "host",
+        "n_req",
+        F.expr(
+            f"CAST({TB_LIGHT_NUM} * ((amx - amn) DIV (n_req - 1))"
+            f" DIV {TB_LIGHT_DEN} AS BIGINT)"
+        ).alias("light"),
+        F.expr(
+            f"CAST({TB_HEAVY_NUM} * ((amx - amn) DIV (n_req - 1))"
+            f" DIV {TB_HEAVY_DEN} AS BIGINT)"
+        ).alias("heavy"),
+    )
+    regimes = gaps.select(
+        F.lit("light").alias("regime"), "host", F.col("light").alias("gap_us")
+    ).unionByName(
+        gaps.select(
+            F.lit("heavy").alias("regime"), "host", F.col("heavy").alias("gap_us")
+        )
+    )
+    wseq = W.partitionBy("regime", "host").orderBy("a", "event_id")
+    wrun = wseq.rowsBetween(W.unboundedPreceding, W.currentRow)
+    delays = (
+        ev.join(F.broadcast(regimes), "host")
+        .withColumn("i", (F.row_number().over(wseq) - 1).cast("long"))
+        .withColumn("p", (F.col("a") - F.col("i") * F.col("gap_us")).cast("long"))
+        .withColumn("delay", (F.max("p").over(wrun) - F.col("p")).cast("long"))
+    )
+    return (
+        delays.groupBy("regime", "host", "gap_us")
+        .agg(
+            F.count("*").cast("long").alias("n_req"),
+            F.sum(F.expr("CASE WHEN delay > 0 THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("n_delayed"),
+            F.max("delay").cast("long").alias("max_delay_us"),
+            F.sum("delay").cast("long").alias("total_delay_us"),
+        )
+        .select(
+            "regime",
+            "host",
+            "n_req",
+            "gap_us",
+            "n_delayed",
+            "max_delay_us",
+            "total_delay_us",
+        )
+        .orderBy("regime", "host")
+    )
+
+
+def _sql_token_bucket() -> str:
+    from harvester_spark.operators.graph import _SQL_HASH56
+
+    h = _SQL_HASH56.format(col="'tb|' || CAST(user_id AS VARCHAR)")
+    return f"""
+WITH ev AS (
+  SELECT 'h' || CAST({h} % {TB_HOSTS} AS VARCHAR) AS host,
+         epoch_us(ts) AS a, event_id
+  FROM events
+),
+scal AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS n_req,
+         min(a) AS amn, max(a) AS amx
+  FROM ev GROUP BY 1
+),
+regimes AS (
+  SELECT 'light' AS regime, host,
+         CAST({TB_LIGHT_NUM} * ((amx - amn) // (n_req - 1))
+              // {TB_LIGHT_DEN} AS BIGINT) AS gap_us
+  FROM scal
+  UNION ALL
+  SELECT 'heavy', host,
+         CAST({TB_HEAVY_NUM} * ((amx - amn) // (n_req - 1))
+              // {TB_HEAVY_DEN} AS BIGINT)
+  FROM scal
+),
+delays AS (
+  SELECT r.regime, e.host, r.gap_us,
+         max(e.a - (rn - 1) * r.gap_us)
+           OVER (PARTITION BY r.regime, e.host ORDER BY e.a, e.event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - (e.a - (rn - 1) * r.gap_us) AS delay
+  FROM (
+    SELECT host, a, event_id,
+           row_number() OVER (PARTITION BY host ORDER BY a, event_id) AS rn
+    FROM ev
+  ) e JOIN regimes r USING (host)
+)
+SELECT regime, host,
+       CAST(count(*) AS BIGINT) AS n_req,
+       gap_us,
+       CAST(sum(CASE WHEN delay > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_delayed,
+       CAST(max(delay) AS BIGINT) AS max_delay_us,
+       CAST(sum(delay) AS BIGINT) AS total_delay_us
+FROM delays
+GROUP BY regime, host, gap_us
+ORDER BY regime, host
+"""
+
+
+QUERIES["crawl_token_bucket_delay"] = (
+    crawl_token_bucket_delay,
+    _sql_token_bucket(),
+)

@@ -433,3 +433,166 @@ def test_runs_test_matches_pure_python_recompute(spark):
     assert got["sorted"]["runs"] == 2
     assert got["sorted"]["significant"]
     assert got["sorted"]["z2_milli"] >= 10 * max(got["shuffled"]["z2_milli"], 1)
+
+
+# ------------------------------------------- sampling_neyman_allocation
+
+
+def test_neyman_allocation_recompute_and_dominance(spark):
+    import math
+
+    from harvester_spark.operators.training_prep import (
+        NY_BUDGET,
+        NY_SCALES,
+        NY_STRATA,
+        sampling_neyman_allocation,
+    )
+
+    ids = [
+        str(r["doc_id"])
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    strata = {s: [] for s in range(NY_STRATA)}
+    for x in ids:
+        s = _h56(f"ns|{x}") % NY_STRATA
+        strata[s].append((_h56(f"ny|{x}") % 1000) * NY_SCALES[s])
+
+    stats = {}
+    for s, ys in strata.items():
+        big_n = len(ys)
+        s1 = sum(ys)
+        ssq = sum(y * y for y in ys)
+        s2 = (big_n * ssq - s1 * s1) // (big_n * (big_n - 1))
+        s_milli = math.floor(math.sqrt(s2) * 1000 + 0.5)
+        stats[s] = (big_n, s2, s_milli)
+
+    def allocate(weights):
+        m = NY_BUDGET - NY_STRATA
+        wsum = sum(weights.values())
+        q = {s: m * w // wsum for s, w in weights.items()}
+        rem = {s: m * w % wsum for s, w in weights.items()}
+        extra = m - sum(q.values())
+        order = sorted(weights, key=lambda s: (-rem[s], s))
+        return {
+            s: 1 + q[s] + (1 if order.index(s) < extra else 0)
+            for s in weights
+        }
+
+    expected = {}
+    for design, weights in (
+        ("proportional", {s: stats[s][0] for s in stats}),
+        ("neyman", {s: stats[s][0] * stats[s][2] for s in stats}),
+    ):
+        alloc = allocate(weights)
+        for s in stats:
+            big_n, s2, s_milli = stats[s]
+            n_h = alloc[s]
+            expected[(design, s)] = (
+                big_n,
+                s2,
+                s_milli,
+                n_h,
+                big_n * (big_n - n_h) * s2 // n_h,
+            )
+
+    got = {
+        (r["design"], r["stratum"]): (
+            r["big_n"],
+            r["s2_int"],
+            r["s_milli"],
+            r["n_alloc"],
+            r["var_term_micro"],
+        )
+        for r in sampling_neyman_allocation(spark, SF_DIR).collect()
+    }
+    assert got == expected
+
+    # Budget identity: both designs seat exactly NY_BUDGET draws.
+    for design in ("proportional", "neyman"):
+        assert (
+            sum(got[(design, s)][3] for s in range(NY_STRATA)) == NY_BUDGET
+        )
+
+    # Dominance: with the 20x planted spread, Neyman's total variance
+    # beats proportional by a wide margin (structural via
+    # Cauchy-Schwarz; the margin is the plant's doing).
+    v = {
+        d: sum(got[(d, s)][4] for s in range(NY_STRATA))
+        for d in ("proportional", "neyman")
+    }
+    assert v["neyman"] * 2 < v["proportional"]
+
+
+# ------------------------------------------- crawl_token_bucket_delay
+
+
+def test_token_bucket_matches_sequential_regulator(spark):
+    from collections import defaultdict
+
+    from harvester_spark.operators.web_econ import (
+        TB_HEAVY_DEN,
+        TB_HEAVY_NUM,
+        TB_HOSTS,
+        TB_LIGHT_DEN,
+        TB_LIGHT_NUM,
+        crawl_token_bucket_delay,
+    )
+
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .selectExpr(
+            "user_id", "event_id", "unix_micros(CAST(ts AS TIMESTAMP)) AS a"
+        )
+        .collect()
+    )
+    byhost = defaultdict(list)
+    for r in rows:
+        uid = r["user_id"]
+        h = f"h{_h56(f'tb|{uid}') % TB_HOSTS}"
+        byhost[h].append((r["a"], r["event_id"]))
+
+    expected = {}
+    for h, arr in byhost.items():
+        arr.sort()
+        n = len(arr)
+        mean_gap = (arr[-1][0] - arr[0][0]) // (n - 1)
+        for regime, num, den in (
+            ("light", TB_LIGHT_NUM, TB_LIGHT_DEN),
+            ("heavy", TB_HEAVY_NUM, TB_HEAVY_DEN),
+        ):
+            g = num * mean_gap // den
+            # REAL sequential regulator.
+            prev_start = None
+            delays = []
+            for a, _ in arr:
+                start = a if prev_start is None else max(a, prev_start + g)
+                delays.append(start - a)
+                prev_start = start
+            expected[(regime, h)] = (
+                n,
+                g,
+                sum(1 for d in delays if d > 0),
+                max(delays),
+                sum(delays),
+            )
+
+    got = {
+        (r["regime"], r["host"]): (
+            r["n_req"],
+            r["gap_us"],
+            r["n_delayed"],
+            r["max_delay_us"],
+            r["total_delay_us"],
+        )
+        for r in crawl_token_bucket_delay(spark, SF_DIR).collect()
+    }
+    assert got == expected
+
+    # Regime contrast: the overloaded bucket (utilization ~2) must
+    # dominate the light one on every host — total delay by >= 10x.
+    for h in byhost:
+        light, heavy = got[("light", h)], got[("heavy", h)]
+        assert heavy[4] >= 10 * max(light[4], 1), h
+        assert heavy[2] >= light[2], h
