@@ -3814,3 +3814,371 @@ QUERIES["emb_mutual_knn_hubness"] = (
     emb_mutual_knn_hubness,
     SQL_MUTUAL_KNN_HUBNESS,
 )
+
+
+# ---------------------------------------- greedy graph-ANN routing
+
+# Graph-based ANN search (the NSW/HNSW serving family — Malkov &
+# Yashunin, TPAMI 2020 — reduced to its testable core): queries route
+# GREEDILY over an exact kNN graph, hopping to whichever neighbor of
+# the current node is closest to the query until no neighbor improves.
+# This is the one ANN family the zoo was missing (LSH buckets / IVF
+# lists / PQ codes / sign-Hamming are all geometric partitions; graph
+# routing is the data-adaptive alternative every modern vector store
+# serves with), and its cost story is the point: a routed query touches
+# (moves + 1) * (k + 1) candidates instead of the whole node set.
+#
+# Bounded universe (the host_betweenness discipline): the kNN graph is
+# built over a stride-sampled ~{GG_NODES}-node subset (all-pairs kNN
+# construction is Theta(n^2 * dim) in BOTH engines — at web scale the
+# graph arrives from the ANN-build pipeline; the bounded exact variant
+# here is the router's oracle twin). The {GG_HOPS}-hop greedy walk is
+# unrolled as chained argmax frames (the bandit_batched_egreedy CTE
+# discipline) — greedy with a self-candidate is monotone, so once the
+# walk is stable it stays stable and the unroll depth only needs to
+# cover the graph's routing diameter.
+#
+# Determinism: cosines are the similarity-zoo round(.,6) doubles with
+# vec_id tie-breaks everywhere; moves/hop counts are exact ints.
+# Honest-eval note: greedy from a single fixed entry STALLS in local
+# optima on these near-isotropic 64-dim embeddings (measured 1-of-5
+# hits — the classic high-dimensional failure, and exactly why real
+# systems search with beam width > 1): the operator therefore runs
+# BOTH methods, 'greedy' (width 1, early-stop cost accounting) and
+# 'beam{GG_BEAM}' (width-{GG_BEAM} frontier, fixed-horizon cost
+# accounting). Beam's frontier provably always contains the greedy
+# chain (top-B of a superset that includes greedy's argmax), so
+# beam final_cos >= greedy final_cos is STRUCTURAL and pinned; beam
+# recall is pinned at its measured floor, never forced.
+
+GG_NODES = 400  # target graph size (stride-sampled)
+GG_K = 8  # out-degree of the kNN graph
+GG_HOPS = 10  # unrolled greedy horizon
+GG_BEAM = 4  # beam width of the second method
+
+
+def ann_graph_greedy_search_eval(spark, sf_dir):
+    """(method, qid, entry_node, final_node, final_cos, exact_node,
+    exact_cos, moves, hit, n_dist_comps, n_nodes): greedy and beam
+    kNN-graph routing vs exact NN for each query vector."""
+    emb = load(spark, sf_dir, "embeddings")
+    n_emb = emb.count()
+    stride = max(1, (n_emb - N_QUERIES) // GG_NODES)
+    comp = _components(spark, sf_dir)
+    norms = comp.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nrm")
+    )
+    node_ids = emb.select("vec_id").filter(
+        (F.col("vec_id") >= N_QUERIES)
+        & ((F.col("vec_id") - N_QUERIES) % stride == 0)
+    )
+    ncomp = comp.join(node_ids, "vec_id")
+    # node-pair cosine -> per-node top-GG_K out-edges
+    left = ncomp.select(
+        F.col("vec_id").alias("u"), "pos", F.col("val").alias("uval")
+    )
+    right = ncomp.select(
+        F.col("vec_id").alias("v"), "pos", F.col("val").alias("vval")
+    )
+    dots = (
+        left.join(right, "pos")
+        .filter(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.sum(F.col("uval") * F.col("vval")).alias("dot"))
+    )
+    un = norms.select(F.col("vec_id").alias("u"), F.col("nrm").alias("unrm"))
+    vn = norms.select(F.col("vec_id").alias("v"), F.col("nrm").alias("vnrm"))
+    pcos = dots.join(un, "u").join(vn, "v").select(
+        "u",
+        "v",
+        F.round(F.col("dot") / (F.col("unrm") * F.col("vnrm")), 6).alias("cos"),
+    )
+    wk = W.partitionBy("u").orderBy(F.col("cos").desc(), F.col("v").asc())
+    graph = (
+        pcos.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= GG_K)
+        .select(F.col("u").alias("src"), F.col("v").alias("nbr"))
+    )
+    cand = graph.unionByName(
+        node_ids.select(
+            F.col("vec_id").alias("src"), F.col("vec_id").alias("nbr")
+        )
+    ).localCheckpoint()
+    # query-to-node cosine (tiny: N_QUERIES x nodes)
+    q = comp.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), "pos", F.col("val").alias("qval")
+    )
+    qn = norms.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("nrm").alias("qnrm")
+    )
+    qcos = (
+        ncomp.join(F.broadcast(q), "pos")
+        .groupBy("qid", "vec_id")
+        .agg(F.sum(F.col("qval") * F.col("val")).alias("dot"))
+        .join(F.broadcast(qn), "qid")
+        .join(norms, "vec_id")
+        .select(
+            "qid",
+            "vec_id",
+            F.round(F.col("dot") / (F.col("qnrm") * F.col("nrm")), 6).alias(
+                "cos"
+            ),
+        )
+        .localCheckpoint()
+    )
+    entry = node_ids.agg(F.min("vec_id").cast("long").alias("e")).collect()[0].e
+    state = qcos.select("qid").distinct().select(
+        "qid",
+        F.lit(entry).cast("long").alias("cur"),
+        F.lit(0).cast("long").alias("moves"),
+    )
+    wbest = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nbr").asc())
+    for _ in range(GG_HOPS):
+        state = (
+            state.join(cand, state["cur"] == cand["src"])
+            .join(
+                qcos.withColumnRenamed("vec_id", "nbr"), ["qid", "nbr"]
+            )
+            .withColumn("rn", F.row_number().over(wbest))
+            .filter(F.col("rn") == 1)
+            .select(
+                "qid",
+                F.col("nbr").alias("cur"),
+                (
+                    F.col("moves")
+                    + F.expr("CASE WHEN nbr <> cur THEN 1 ELSE 0 END")
+                ).cast("long").alias("moves"),
+            )
+            .localCheckpoint()
+        )
+    # beam: width-GG_BEAM frontier, fixed horizon
+    bstate = qcos.select("qid").distinct().select(
+        "qid", F.lit(entry).cast("long").alias("cur")
+    )
+    for _ in range(GG_HOPS):
+        bstate = (
+            bstate.join(cand, bstate["cur"] == cand["src"])
+            .select("qid", F.col("nbr").alias("cur"))
+            .distinct()
+            .join(qcos.withColumnRenamed("vec_id", "cur"), ["qid", "cur"])
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    W.partitionBy("qid").orderBy(
+                        F.col("cos").desc(), F.col("cur").asc()
+                    )
+                ),
+            )
+            .filter(F.col("rn") <= GG_BEAM)
+            .select("qid", "cur")
+            .localCheckpoint()
+        )
+    beam_final = (
+        bstate.join(qcos.withColumnRenamed("vec_id", "cur"), ["qid", "cur"])
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("qid").orderBy(
+                    F.col("cos").desc(), F.col("cur").asc()
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            F.lit(f"beam{GG_BEAM}").alias("method"),
+            "qid",
+            "cur",
+            F.lit(GG_HOPS).cast("long").alias("moves"),
+            F.lit(GG_HOPS * GG_BEAM * (GG_K + 1)).cast("long").alias(
+                "n_dist_comps"
+            ),
+        )
+    )
+    greedy_final = state.select(
+        F.lit("greedy").alias("method"),
+        "qid",
+        "cur",
+        "moves",
+        ((F.col("moves") + 1) * (GG_K + 1)).cast("long").alias("n_dist_comps"),
+    )
+    exact = (
+        qcos.withColumn("rn", F.row_number().over(
+            W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+        ))
+        .filter(F.col("rn") == 1)
+        .select(
+            "qid",
+            F.col("vec_id").alias("exact_node"),
+            F.col("cos").alias("exact_cos"),
+        )
+    )
+    n_nodes = cand.select("src").distinct().count()
+    return (
+        greedy_final.unionByName(beam_final)
+        .join(qcos.withColumnRenamed("vec_id", "cur"), ["qid", "cur"])
+        .join(exact, "qid")
+        .select(
+            "method",
+            "qid",
+            F.lit(entry).cast("long").alias("entry_node"),
+            F.col("cur").alias("final_node"),
+            F.col("cos").alias("final_cos"),
+            "exact_node",
+            "exact_cos",
+            "moves",
+            (F.col("cur") == F.col("exact_node")).alias("hit"),
+            "n_dist_comps",
+            F.lit(n_nodes).cast("long").alias("n_nodes"),
+        )
+        .orderBy("method", "qid")
+    )
+
+
+def _sql_graph_greedy() -> str:
+    parts = [
+        f"""WITH comp AS ({_SQL_COMPONENTS}),
+nemb AS (SELECT count(*) AS n FROM embeddings),
+stridec AS (
+  SELECT greatest(1, (n - {N_QUERIES}) // {GG_NODES}) AS s FROM nemb
+),
+gnodes AS MATERIALIZED (
+  SELECT vec_id FROM embeddings
+  WHERE vec_id >= {N_QUERIES}
+    AND (vec_id - {N_QUERIES}) % (SELECT s FROM stridec) = 0
+),
+norms AS MATERIALIZED (
+  SELECT vec_id, sqrt(sum(val * val)) AS nrm FROM comp GROUP BY 1
+),
+ncomp AS MATERIALIZED (
+  SELECT c.* FROM comp c JOIN gnodes g USING (vec_id)
+),
+pdots AS (
+  SELECT a.vec_id AS u, b.vec_id AS v, sum(a.val * b.val) AS dot
+  FROM ncomp a JOIN ncomp b ON a.pos = b.pos AND a.vec_id <> b.vec_id
+  GROUP BY 1, 2
+),
+graph AS MATERIALIZED (
+  SELECT u AS src, v AS nbr FROM (
+    SELECT d.u, d.v,
+           row_number() OVER (PARTITION BY d.u ORDER BY
+             round(d.dot / (un.nrm * vn.nrm), 6) DESC, d.v ASC) AS rn
+    FROM pdots d
+    JOIN norms un ON un.vec_id = d.u
+    JOIN norms vn ON vn.vec_id = d.v
+  ) WHERE rn <= {GG_K}
+),
+cand AS MATERIALIZED (
+  SELECT src, nbr FROM graph
+  UNION ALL
+  SELECT vec_id, vec_id FROM gnodes
+),
+qcos AS MATERIALIZED (
+  SELECT q.vec_id AS qid, c.vec_id,
+         round(sum(q.val * c.val)
+               / (any_value(qn.nrm) * any_value(cn.nrm)), 6) AS cos
+  FROM comp q
+  JOIN ncomp c ON c.pos = q.pos
+  JOIN norms qn ON qn.vec_id = q.vec_id
+  JOIN norms cn ON cn.vec_id = c.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+  GROUP BY 1, 2
+),
+entry AS (SELECT min(vec_id) AS e FROM gnodes),
+s0 AS MATERIALIZED (
+  SELECT DISTINCT qid, (SELECT e FROM entry) AS cur,
+         CAST(0 AS BIGINT) AS moves
+  FROM qcos
+)"""
+    ]
+    for t in range(1, GG_HOPS + 1):
+        parts.append(
+            f""",
+s{t} AS MATERIALIZED (
+  SELECT qid, nbr AS cur,
+         CAST(moves + CASE WHEN nbr <> cur THEN 1 ELSE 0 END AS BIGINT)
+           AS moves
+  FROM (
+    SELECT s.qid, s.cur, s.moves, c.nbr, qc.cos,
+           row_number() OVER (PARTITION BY s.qid
+                              ORDER BY qc.cos DESC, c.nbr ASC) AS rn
+    FROM s{t - 1} s
+    JOIN cand c ON c.src = s.cur
+    JOIN qcos qc ON qc.qid = s.qid AND qc.vec_id = c.nbr
+  ) WHERE rn = 1
+)"""
+        )
+    parts.append(
+        f""",
+b0 AS MATERIALIZED (
+  SELECT DISTINCT qid, (SELECT e FROM entry) AS cur FROM qcos
+)"""
+    )
+    for t in range(1, GG_HOPS + 1):
+        parts.append(
+            f""",
+b{t} AS MATERIALIZED (
+  SELECT qid, cur FROM (
+    SELECT e.qid, e.cur, qc.cos,
+           row_number() OVER (PARTITION BY e.qid
+                              ORDER BY qc.cos DESC, e.cur ASC) AS rn
+    FROM (
+      SELECT DISTINCT b.qid, c.nbr AS cur
+      FROM b{t - 1} b JOIN cand c ON c.src = b.cur
+    ) e
+    JOIN qcos qc ON qc.qid = e.qid AND qc.vec_id = e.cur
+  ) WHERE rn <= {GG_BEAM}
+)"""
+        )
+    parts.append(
+        f""",
+beam_final AS (
+  SELECT 'beam{GG_BEAM}' AS method, qid, cur,
+         CAST({GG_HOPS} AS BIGINT) AS moves,
+         CAST({GG_HOPS * GG_BEAM * (GG_K + 1)} AS BIGINT) AS n_dist_comps
+  FROM (
+    SELECT b.qid, b.cur,
+           row_number() OVER (PARTITION BY b.qid
+                              ORDER BY qc.cos DESC, b.cur ASC) AS rn
+    FROM b{GG_HOPS} b
+    JOIN qcos qc ON qc.qid = b.qid AND qc.vec_id = b.cur
+  ) WHERE rn = 1
+),
+finals AS (
+  SELECT 'greedy' AS method, qid, cur, moves,
+         CAST((moves + 1) * {GG_K + 1} AS BIGINT) AS n_dist_comps
+  FROM s{GG_HOPS}
+  UNION ALL
+  SELECT method, qid, cur, moves, n_dist_comps FROM beam_final
+),
+exact AS (
+  SELECT qid, vec_id AS exact_node, cos AS exact_cos FROM (
+    SELECT qid, vec_id, cos,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY cos DESC, vec_id ASC) AS rn
+    FROM qcos
+  ) WHERE rn = 1
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM gnodes)
+SELECT s.method, s.qid,
+       CAST((SELECT e FROM entry) AS BIGINT) AS entry_node,
+       CAST(s.cur AS BIGINT) AS final_node,
+       qc.cos AS final_cos,
+       CAST(x.exact_node AS BIGINT) AS exact_node,
+       x.exact_cos,
+       s.moves,
+       s.cur = x.exact_node AS hit,
+       s.n_dist_comps,
+       nn.n_nodes
+FROM finals s
+JOIN qcos qc ON qc.qid = s.qid AND qc.vec_id = s.cur
+JOIN exact x ON x.qid = s.qid
+CROSS JOIN nn
+ORDER BY s.method, s.qid"""
+    )
+    return "".join(parts)
+
+
+QUERIES["ann_graph_greedy_search_eval"] = (
+    ann_graph_greedy_search_eval,
+    _sql_graph_greedy(),
+)

@@ -596,3 +596,104 @@ def test_token_bucket_matches_sequential_regulator(spark):
         light, heavy = got[("light", h)], got[("heavy", h)]
         assert heavy[4] >= 10 * max(light[4], 1), h
         assert heavy[2] >= light[2], h
+
+
+# --------------------------------------- ann_graph_greedy_search_eval
+
+
+def test_graph_ann_matches_python_router(spark):
+    from collections import defaultdict
+
+    from harvester_spark.operators.similarity import (
+        GG_BEAM,
+        GG_HOPS,
+        GG_K,
+        GG_NODES,
+        N_QUERIES,
+        ann_graph_greedy_search_eval,
+    )
+
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    vecs = {r["vec_id"]: [float(v) for v in r["embedding"]] for r in rows}
+    n_emb = len(vecs)
+    stride = max(1, (n_emb - N_QUERIES) // GG_NODES)
+    nodes = sorted(
+        v
+        for v in vecs
+        if v >= N_QUERIES and (v - N_QUERIES) % stride == 0
+    )
+
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(vecs[a], vecs[b]))
+        na = math.sqrt(sum(x * x for x in vecs[a]))
+        nb = math.sqrt(sum(x * x for x in vecs[b]))
+        return round(d / (na * nb), 6)
+
+    # kNN graph (top-GG_K per node, cos desc / vec_id asc).
+    graph = {}
+    for u in nodes:
+        ranked = sorted(
+            ((cos(u, v), v) for v in nodes if v != u),
+            key=lambda t: (-t[0], t[1]),
+        )
+        graph[u] = [v for _, v in ranked[:GG_K]]
+
+    entry = min(nodes)
+    qcos = {
+        q: {v: cos(q, v) for v in nodes} for q in range(N_QUERIES)
+    }
+    expected = {}
+    for q in range(N_QUERIES):
+        # greedy
+        cur, moves = entry, 0
+        for _ in range(GG_HOPS):
+            cands = graph[cur] + [cur]
+            best = min(cands, key=lambda v: (-qcos[q][v], v))
+            if best != cur:
+                moves += 1
+                cur = best
+        expected[("greedy", q)] = (cur, moves, (moves + 1) * (GG_K + 1))
+        # beam
+        frontier = {entry}
+        for _ in range(GG_HOPS):
+            exp = set()
+            for u in frontier:
+                exp.update(graph[u])
+                exp.add(u)
+            frontier = set(
+                sorted(exp, key=lambda v: (-qcos[q][v], v))[:GG_BEAM]
+            )
+        bbest = min(frontier, key=lambda v: (-qcos[q][v], v))
+        expected[(f"beam{GG_BEAM}", q)] = (
+            bbest,
+            GG_HOPS,
+            GG_HOPS * GG_BEAM * (GG_K + 1),
+        )
+
+    got = {
+        (r["method"], r["qid"]): r.asDict()
+        for r in ann_graph_greedy_search_eval(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(expected)
+    for key, (node, moves, comps) in expected.items():
+        g = got[key]
+        assert g["final_node"] == node, key
+        assert g["moves"] == moves, key
+        assert g["n_dist_comps"] == comps, key
+        exact = min(nodes, key=lambda v: (-qcos[key[1]][v], v))
+        assert g["exact_node"] == exact
+        assert g["hit"] == (node == exact)
+
+    # Structural dominance: the width-GG_BEAM frontier always contains
+    # the greedy chain, so beam's final cosine never loses to greedy's.
+    for q in range(N_QUERIES):
+        assert (
+            got[(f"beam{GG_BEAM}", q)]["final_cos"]
+            >= got[("greedy", q)]["final_cos"]
+        )
