@@ -4991,3 +4991,167 @@ LEFT JOIN agg a ON a.p = dp.p
 
 
 QUERIES["nra_cost_eval"] = (nra_cost_eval, _sql_nra())
+
+
+# ------------------------------------------------- shard rebalance plan
+
+# Minimal-movement shard rebalancing (the Elasticsearch/OpenSearch
+# disk-watermark relocation problem the reference's cluster would hand
+# to its allocator): given per-shard byte sizes and a hash placement
+# over {SR_NODES} nodes, a node above cap = ceil(total / nodes) evicts
+# shards until it fits. The policy is keep-largest-prefix (order the
+# node's shards by size desc, keep the maximal prefix with cumulative
+# size <= cap, move the rest) — the indivisible-shard analogue of
+# water-filling, one window per node, no driver loop. The plan reports
+# per-node moved bytes against the FRACTIONAL lower bound
+# excess = max(0, load - cap) (any plan moves at least the excess;
+# keep-largest overshoots by less than one marginal shard — both
+# bounds pinned by tests/test_session16_ops.py against an independent
+# recompute).
+#
+# Skew plant: shard sizes are doc n_chars sums with every
+# {SR_HEAVY_MOD}-th shard inflated {SR_HEAVY_MULT}x (hash placement
+# over near-uniform shards balances itself and the plan degenerates to
+# zero moves — measured-and-avoided, the host_kcore non-degeneracy
+# discipline).
+#
+# Scale shape: one doc scan -> shard-grain agg ({SR_SHARDS} rows);
+# everything after is windows over the shard frame (broadcast-scale).
+
+SR_SHARDS = 64
+SR_NODES = 8
+SR_HEAVY_MOD = 8  # every 8th shard ...
+SR_HEAVY_MULT = 8  # ... is 8x heavier
+
+
+def shard_rebalance_plan(spark, sf_dir):
+    """(node, n_shards, load_before, cap, n_moved_out, bytes_moved_out,
+    load_after, excess): keep-largest-prefix eviction plan per node."""
+    from harvester_spark.operators.graph import _hash56
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("x"), "n_chars"
+    )
+    shards = (
+        docs.select(
+            (_hash56(F.concat(F.lit("sh|"), F.col("x"))) % SR_SHARDS)
+            .cast("long")
+            .alias("shard"),
+            F.col("n_chars").cast("long").alias("b"),
+        )
+        .groupBy("shard")
+        .agg(F.sum("b").cast("long").alias("base"))
+        .select(
+            "shard",
+            F.expr(
+                f"CAST(base * CASE WHEN shard % {SR_HEAVY_MOD} = 0"
+                f" THEN {SR_HEAVY_MULT} ELSE 1 END AS BIGINT)"
+            ).alias("bytes"),
+            (
+                _hash56(F.concat(F.lit("pl|"), F.col("shard").cast("string")))
+                % SR_NODES
+            ).cast("long").alias("node"),
+        )
+    )
+    tot = F.broadcast(
+        shards.agg(
+            F.sum("bytes").cast("long").alias("t"),
+            F.count("*").cast("long").alias("ns"),
+        )
+    )
+    wnode = W.partitionBy("node").orderBy(
+        F.col("bytes").desc(), F.col("shard").asc()
+    )
+    planned = (
+        shards.crossJoin(tot)
+        .withColumn("cap", F.expr(f"CAST((t + {SR_NODES} - 1) DIV {SR_NODES} AS BIGINT)"))
+        .withColumn(
+            "csum",
+            F.sum("bytes").over(
+                wnode.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+        .withColumn("kept", F.col("csum") <= F.col("cap"))
+    )
+    return (
+        planned.groupBy("node", "cap")
+        .agg(
+            F.count("*").cast("long").alias("n_shards"),
+            F.sum("bytes").cast("long").alias("load_before"),
+            F.sum(F.expr("CASE WHEN kept THEN 0 ELSE 1 END"))
+            .cast("long")
+            .alias("n_moved_out"),
+            F.sum(F.expr("CASE WHEN kept THEN 0 ELSE bytes END"))
+            .cast("long")
+            .alias("bytes_moved_out"),
+        )
+        .select(
+            "node",
+            "n_shards",
+            "load_before",
+            "cap",
+            "n_moved_out",
+            "bytes_moved_out",
+            (F.col("load_before") - F.col("bytes_moved_out"))
+            .cast("long")
+            .alias("load_after"),
+            F.expr("CAST(greatest(0, load_before - cap) AS BIGINT)").alias(
+                "excess"
+            ),
+        )
+        .orderBy("node")
+    )
+
+
+def _sql_shard_rebalance() -> str:
+    from harvester_spark.operators.graph import _SQL_HASH56
+
+    hs = _SQL_HASH56.format(col="'sh|' || x")
+    hp = _SQL_HASH56.format(col="'pl|' || CAST(shard AS VARCHAR)")
+    return f"""
+WITH docs AS (
+  SELECT CAST(doc_id AS VARCHAR) AS x, n_chars FROM documents
+),
+sized AS (
+  SELECT {hs} % {SR_SHARDS} AS shard, CAST(sum(n_chars) AS BIGINT) AS base
+  FROM docs GROUP BY 1
+),
+shards AS (
+  SELECT shard,
+         CAST(base * CASE WHEN shard % {SR_HEAVY_MOD} = 0
+                          THEN {SR_HEAVY_MULT} ELSE 1 END AS BIGINT)
+           AS bytes,
+         CAST({hp} % {SR_NODES} AS BIGINT) AS node
+  FROM sized
+),
+tot AS (
+  SELECT CAST(sum(bytes) AS BIGINT) AS t FROM shards
+),
+planned AS (
+  SELECT node, shard, bytes,
+         CAST(((SELECT t FROM tot) + {SR_NODES} - 1) // {SR_NODES}
+              AS BIGINT) AS cap,
+         sum(bytes) OVER (PARTITION BY node
+                          ORDER BY bytes DESC, shard ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS csum
+  FROM shards
+)
+SELECT node,
+       CAST(count(*) AS BIGINT) AS n_shards,
+       CAST(sum(bytes) AS BIGINT) AS load_before,
+       cap,
+       CAST(sum(CASE WHEN csum <= cap THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_moved_out,
+       CAST(sum(CASE WHEN csum <= cap THEN 0 ELSE bytes END) AS BIGINT)
+         AS bytes_moved_out,
+       CAST(sum(bytes) - sum(CASE WHEN csum <= cap THEN 0 ELSE bytes END)
+            AS BIGINT) AS load_after,
+       CAST(greatest(0, sum(bytes) - cap) AS BIGINT) AS excess
+FROM planned
+GROUP BY node, cap
+ORDER BY node
+"""
+
+
+QUERIES["shard_rebalance_plan"] = (shard_rebalance_plan, _sql_shard_rebalance())

@@ -697,3 +697,170 @@ def test_graph_ann_matches_python_router(spark):
             got[(f"beam{GG_BEAM}", q)]["final_cos"]
             >= got[("greedy", q)]["final_cos"]
         )
+
+
+# ------------------------------------------------- shard_rebalance_plan
+
+
+def test_shard_rebalance_recompute_and_bounds(spark):
+    from collections import defaultdict
+
+    from harvester_spark.operators.index_stats import (
+        SR_HEAVY_MOD,
+        SR_HEAVY_MULT,
+        SR_NODES,
+        SR_SHARDS,
+        shard_rebalance_plan,
+    )
+
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "n_chars")
+        .collect()
+    )
+    base = defaultdict(int)
+    for r in rows:
+        base[_h56(f"sh|{r['doc_id']}") % SR_SHARDS] += r["n_chars"]
+    shards = {
+        s: b * (SR_HEAVY_MULT if s % SR_HEAVY_MOD == 0 else 1)
+        for s, b in base.items()
+    }
+    node_of = {s: _h56(f"pl|{s}") % SR_NODES for s in shards}
+    total = sum(shards.values())
+    cap = -(-total // SR_NODES)
+
+    expected = {}
+    for n in range(SR_NODES):
+        mine = sorted(
+            ((shards[s], s) for s in shards if node_of[s] == n),
+            key=lambda t: (-t[0], t[1]),
+        )
+        csum = 0
+        kept_b = moved_b = moved_n = 0
+        for b, s in mine:
+            csum += b
+            if csum <= cap:
+                kept_b += b
+            else:
+                moved_b += b
+                moved_n += 1
+        load = kept_b + moved_b
+        expected[n] = (
+            len(mine),
+            load,
+            cap,
+            moved_n,
+            moved_b,
+            load - moved_b,
+            max(0, load - cap),
+        )
+
+    got = {
+        r["node"]: (
+            r["n_shards"],
+            r["load_before"],
+            r["cap"],
+            r["n_moved_out"],
+            r["bytes_moved_out"],
+            r["load_after"],
+            r["excess"],
+        )
+        for r in shard_rebalance_plan(spark, SF_DIR).collect()
+    }
+    assert got == expected
+
+    # Feasibility + optimality bounds: every node lands at or under cap,
+    # moved bytes never undercut the fractional excess, and the
+    # keep-largest overshoot is less than one marginal shard.
+    for n, (_, load, c, mn, mb, after, exc) in got.items():
+        assert after <= c
+        assert mb >= exc
+        if mn:
+            max_shard = max(
+                shards[s] for s in shards if node_of[s] == n
+            )
+            assert mb - exc < max_shard
+    # The plant actually creates work (no vacuous all-balanced pass).
+    assert sum(g[6] for g in got.values()) > 0
+
+
+# ------------------------------------------------- ft_sdm_topk
+
+
+def test_sdm_matches_pure_python_recompute(spark):
+    import math
+    from collections import Counter
+
+    from harvester_spark.analysis import tokenize
+    from harvester_spark.operators.fulltext_queries import (
+        BM25_TERMS,
+        DIR_MU,
+        SDM_PAIRS,
+        SDM_UW,
+        ft_sdm_topk,
+    )
+
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    toks = {r["doc_id"]: tokenize(r["text"]) for r in rows}
+    ct = sum(len(t) for t in toks.values())
+
+    feats = {}  # (ftype, fkey, doc) -> c
+    for d, ts in toks.items():
+        pos = {q: [i for i, t in enumerate(ts) if t == q] for q in BM25_TERMS}
+        for q in BM25_TERMS:
+            if pos[q]:
+                feats[("t", q, d)] = len(pos[q])
+        for q1, q2 in SDM_PAIRS:
+            o = sum(1 for i in pos[q1] if i + 1 in set(pos[q2]))
+            if o:
+                feats[("o", f"{q1} {q2}", d)] = o
+            k1, k2 = sorted((q1, q2))
+            # unordered pairs counted once: i from k1's positions, j from
+            # k2's, |i-j| <= SDM_UW-1 (terms are distinct so i != j)
+            u = sum(
+                1
+                for i in pos[k1]
+                for j in pos[k2]
+                if abs(j - i) <= SDM_UW - 1
+            )
+            if u:
+                feats[("u", f"{k1} {k2}", d)] = u
+
+    cf = Counter()
+    for (ftype, fkey, _), c in feats.items():
+        cf[(ftype, fkey)] += c
+    live = {k for k, v in cf.items() if v > 0}
+    # Non-degeneracy: every dependence feature exists in the corpus.
+    assert any(k[0] == "o" for k in live)
+    assert any(k[0] == "u" for k in live)
+
+    dls = {d: len(ts) for d, ts in toks.items()}
+    wnum = {"t": 17, "o": 2, "u": 1}
+    scores = {}
+    for d in toks:
+        tot = 0
+        for (ftype, fkey) in live:
+            c = feats.get((ftype, fkey, d), 0)
+            lp = round(
+                1e6
+                * math.log(
+                    (c + DIR_MU * cf[(ftype, fkey)] / ct) / (dls[d] + DIR_MU)
+                )
+            )
+            tot += wnum[ftype] * lp
+        scores[d] = tot // 20
+
+    expected = sorted(scores.items(), key=lambda t: (-t[1], t[0]))[:10]
+    got = [
+        (r["doc_id"], r["sdm_micro"])
+        for r in ft_sdm_topk(spark, SF_DIR).orderBy("rank").collect()
+    ]
+    # ln is evaluated by three different libm implementations; allow a
+    # 2-micro-per-feature slack on scores but demand the same ranking.
+    assert [d for d, _ in got] == [d for d, _ in expected]
+    for (gd, gs), (ed, es) in zip(got, expected):
+        assert abs(gs - es) <= 2, (gd, gs, es)
