@@ -5397,3 +5397,141 @@ FROM hatot t CROSS JOIN hahist h CROSS JOIN hax2 x
 
 
 QUERIES["events_haar_synopsis"] = (events_haar_synopsis, _sql_haar())
+
+
+# ------------------------------------------- moving median vs moving mean
+
+# The ES ``moving_percentiles`` pipeline aggregation, reframed as the
+# windowed breakdown contrast the batch family already pins pointwise
+# (events_robust_mean_eval): over the densified hourly count series, a
+# trailing {MM_WIN}-hour window computes BOTH the exact mean (milli)
+# and the exact lower median (order statistic) — once on the clean
+# series and once with planted 1-in-{MM_OUT_MOD} spike hours inflated
+# {MM_OUT_MULT}x. The median's bounded influence is the point: spiking
+# <= 1 of {MM_WIN} window members moves the windowed median by at most
+# one order-statistic step while the windowed mean absorbs the full
+# spike mass — tests/test_session16_ops.py pins the full recompute AND
+# the contrast (total |spiked - clean| deviation of the mean dominates
+# the median's by >= 10x).
+#
+# Determinism: counts are exact ints; mean_milli = (1000 * sum) DIV n;
+# the median is the (n+1) DIV 2 order statistic with the source-hour
+# tie-break. Early hours run on their expanding prefix (win_n < MM_WIN,
+# the standard treatment, identical in both engines).
+#
+# Scale shape: one hourly groupBy, then a bounded range self-join
+# (24 rows per hour over a calendar-bounded grid) + one rank window —
+# no corpus-sized state.
+
+MM_WIN = 24
+MM_OUT_MOD = 48  # ~1 in 48 hours carries a planted spike
+MM_OUT_MULT = 20
+
+
+def events_moving_median(spark, sf_dir):
+    """(series, hour, x, win_n, mean_milli, median): trailing-window
+    mean and median of the hourly count series, clean and with planted
+    spikes."""
+    from harvester_spark.operators.dedup import _hash56
+
+    ev = load(spark, sf_dir, "events").select(
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hour")
+    )
+    b = ev.agg(F.min("hour").alias("mn"), F.max("hour").alias("mx")).collect()[0]
+    counts = ev.groupBy("hour").agg(F.count("*").cast("long").alias("x0"))
+    dens = (
+        spark.range(b.mn, b.mx + 1)
+        .select(F.col("id").alias("hour"))
+        .join(counts, "hour", "left")
+        .select("hour", F.coalesce("x0", F.lit(0)).cast("long").alias("x0"))
+        .withColumn(
+            "spiked",
+            F.expr(
+                f"CAST(CASE WHEN CAST(conv(substring(md5(concat('out|',"
+                f" CAST(hour AS STRING))), 1, 14), 16, 10) AS BIGINT)"
+                f" % {MM_OUT_MOD} = 0 THEN x0 * {MM_OUT_MULT}"
+                f" ELSE x0 END AS BIGINT)"
+            ),
+        )
+    )
+    series = dens.select(
+        F.lit("clean").alias("series"), "hour", F.col("x0").alias("x")
+    ).unionByName(
+        dens.select(
+            F.lit("spiked").alias("series"), "hour", F.col("spiked").alias("x")
+        )
+    )
+    right = series.select(
+        "series", F.col("hour").alias("h2"), F.col("x").alias("x2")
+    )
+    win = series.join(right, "series").filter(
+        (F.col("h2") >= F.col("hour") - (MM_WIN - 1))
+        & (F.col("h2") <= F.col("hour"))
+    )
+    wrank = W.partitionBy("series", "hour").orderBy("x2", "h2")
+    ranked = win.withColumn("rn", F.row_number().over(wrank)).withColumn(
+        "wn", F.count("*").over(W.partitionBy("series", "hour"))
+    )
+    agg = ranked.groupBy("series", "hour", "x").agg(
+        F.max("wn").cast("long").alias("win_n"),
+        F.expr("CAST(1000 * sum(x2) DIV max(wn) AS BIGINT)").alias(
+            "mean_milli"
+        ),
+        F.max(F.expr("CASE WHEN rn = (wn + 1) DIV 2 THEN x2 END"))
+        .cast("long")
+        .alias("median"),
+    )
+    return agg.orderBy("series", "hour")
+
+
+def _sql_moving_median() -> str:
+    h56 = "CAST(('0x' || substr(md5('out|' || CAST(hour AS VARCHAR)), 1, 14)) AS BIGINT)"
+    return f"""
+WITH ev AS (
+  SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour FROM events
+),
+bounds AS (SELECT min(hour) AS mn, max(hour) AS mx FROM ev),
+counts AS (SELECT hour, CAST(count(*) AS BIGINT) AS x0 FROM ev GROUP BY 1),
+dens AS (
+  SELECT g.hour, CAST(coalesce(c.x0, 0) AS BIGINT) AS x0
+  FROM (SELECT unnest(range((SELECT mn FROM bounds),
+                            (SELECT mx FROM bounds) + 1)) AS hour) g
+  LEFT JOIN counts c USING (hour)
+),
+spiked AS (
+  SELECT hour, x0,
+         CAST(CASE WHEN {h56} % {MM_OUT_MOD} = 0
+              THEN x0 * {MM_OUT_MULT} ELSE x0 END AS BIGINT) AS xs
+  FROM dens
+),
+series AS (
+  SELECT 'clean' AS series, hour, x0 AS x FROM spiked
+  UNION ALL
+  SELECT 'spiked', hour, xs FROM spiked
+),
+win AS (
+  SELECT s.series, s.hour, s.x, r.h2, r.x2
+  FROM series s
+  JOIN (SELECT series, hour AS h2, x AS x2 FROM series) r
+    ON r.series = s.series
+   AND r.h2 >= s.hour - {MM_WIN - 1} AND r.h2 <= s.hour
+),
+ranked AS (
+  SELECT series, hour, x, x2,
+         row_number() OVER (PARTITION BY series, hour ORDER BY x2, h2)
+           AS rn,
+         count(*) OVER (PARTITION BY series, hour) AS wn
+  FROM win
+)
+SELECT series, hour, x,
+       CAST(max(wn) AS BIGINT) AS win_n,
+       CAST(1000 * sum(x2) // max(wn) AS BIGINT) AS mean_milli,
+       CAST(max(CASE WHEN rn = (wn + 1) // 2 THEN x2 END) AS BIGINT)
+         AS median
+FROM ranked
+GROUP BY series, hour, x
+ORDER BY series, hour
+"""
+
+
+QUERIES["events_moving_median"] = (events_moving_median, _sql_moving_median())

@@ -3830,3 +3830,170 @@ QUERIES["crawl_token_bucket_delay"] = (
     crawl_token_bucket_delay,
     _sql_token_bucket(),
 )
+
+
+# ------------------------------------------ Cramer-von Mises two-sample
+
+# The two-sample Cramer-von Mises statistic (Anderson, AMS 1962) —
+# the INTEGRATED-difference companion to events_ks_test's supremum and
+# events_mannwhitney_eval's rank shift (KS sees the largest ECDF gap,
+# CvM sees the whole curve; a distribution change that spreads many
+# small gaps moves CvM before KS):
+#   omega^2 = n*m/(n+m) * integral (F_a - F_b)^2 dH_{n+m}
+# evaluated exactly on the pooled distinct-value grid (atom weight
+# m_v), which handles ties natively — no midrank convention needed.
+# Same planted-control battery as Mann-Whitney: the null md5 split of
+# the event value cents, and the same split with +{MW_SHIFT_CENTS} on
+# group 1 (pinned to dominate the null draw >= 10x; the null is one
+# draw and never pinned absolutely).
+#
+# Integer ladder (the events_mannwhitney overflow discipline): the
+# per-value ECDF gap arrives as e_v = DIVROUND(m*cumA - n*cumB, n*m)
+# in SIGNED micro (sign-split floored division); then
+#   A = sum_v m_v * e_v^2            (<= (n+m) * 1e12 ~ 1e17)
+#   t_micro = ((A DIV (n+m)) * n DIV (n+m)) * m DIV 1e6
+# — each floor loses < 1 part in 1e12 of the running value, measured
+# exact against the pure-Fraction recompute in
+# tests/test_session16_ops.py. Significance at the asymptotic 5%
+# critical value omega^2 = 0.461.
+#
+# Scale shape: one distinct-value histogram + one cumsum window (the
+# mannwhitney plan), scalar totals broadcast.
+
+CVM_SIG_MICRO = 461000  # asymptotic 5% critical value, micro
+
+
+def events_cvm_test(spark, sf_dir):
+    """(comparison, n_a, n_b, n_values, t_micro, significant): exact
+    pooled-grid two-sample Cramer-von Mises test for the null md5
+    split and the planted shift."""
+    from harvester_spark.operators.graph import _hash56
+    from harvester_spark.operators.index_stats import _DIVROUND
+
+    ev = load(spark, sf_dir, "events").select(
+        cents("value").alias("c"),
+        (
+            _hash56(F.concat(F.lit("cvm|"), F.col("event_id").cast("string")))
+            % 2
+        ).cast("long").alias("grp"),
+    )
+    both_c = ev.select(
+        F.lit("null_split").alias("comparison"), F.col("c").alias("v"), "grp"
+    ).unionByName(
+        ev.select(
+            F.lit("planted_shift").alias("comparison"),
+            (F.col("c") + F.col("grp") * MW_SHIFT_CENTS).alias("v"),
+            "grp",
+        )
+    )
+    per = both_c.groupBy("comparison", "v").agg(
+        F.sum(F.expr("CASE WHEN grp = 0 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("ca"),
+        F.sum(F.expr("CASE WHEN grp = 1 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("cb"),
+    )
+    wcum = (
+        W.partitionBy("comparison")
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    tot = both_c.groupBy("comparison").agg(
+        F.sum(F.expr("CASE WHEN grp = 0 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.expr("CASE WHEN grp = 1 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("n_b"),
+    )
+    ev_micro = _DIVROUND.format(
+        num="(n_b * cuma - n_a * cumb)", den="(n_a * n_b)", div="DIV"
+    )
+    contrib = (
+        per.withColumn("cuma", F.sum("ca").over(wcum))
+        .withColumn("cumb", F.sum("cb").over(wcum))
+        .join(F.broadcast(tot), "comparison")
+        .withColumn("e", F.expr(f"CAST({ev_micro} AS BIGINT)"))
+        .groupBy("comparison")
+        .agg(
+            F.count("*").cast("long").alias("n_values"),
+            F.sum(F.expr("(ca + cb) * e * e")).cast("long").alias("a_sum"),
+        )
+    )
+    return (
+        contrib.join(tot, "comparison")
+        .select(
+            "comparison",
+            "n_a",
+            "n_b",
+            "n_values",
+            F.expr(
+                "CAST(((a_sum DIV (n_a + n_b)) * n_a DIV (n_a + n_b))"
+                " * n_b DIV 1000000 AS BIGINT)"
+            ).alias("t_micro"),
+        )
+        .withColumn("significant", F.col("t_micro") >= CVM_SIG_MICRO)
+        .orderBy("comparison")
+    )
+
+
+def _sql_cvm() -> str:
+    from harvester_spark.operators.graph import _SQL_HASH56
+    from harvester_spark.operators.index_stats import _DIVROUND
+
+    h = _SQL_HASH56.format(col="'cvm|' || CAST(event_id AS VARCHAR)")
+    ev_micro = _DIVROUND.format(
+        num="(n_b * cuma - n_a * cumb)", den="(n_a * n_b)", div="//"
+    )
+    return f"""
+WITH ev AS (
+  SELECT {sql_cents('value')} AS c, {h} % 2 AS grp FROM events
+),
+both_c AS (
+  SELECT 'null_split' AS comparison, c AS v, grp FROM ev
+  UNION ALL
+  SELECT 'planted_shift', c + grp * {MW_SHIFT_CENTS}, grp FROM ev
+),
+per AS (
+  SELECT comparison, v,
+         CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM both_c GROUP BY 1, 2
+),
+tot AS (
+  SELECT comparison,
+         CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM both_c GROUP BY 1
+),
+cum AS (
+  SELECT comparison, v, ca, cb,
+         sum(ca) OVER (PARTITION BY comparison ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cuma,
+         sum(cb) OVER (PARTITION BY comparison ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cumb
+  FROM per
+),
+contrib AS (
+  SELECT c.comparison,
+         CAST(count(*) AS BIGINT) AS n_values,
+         CAST(sum((c.ca + c.cb)
+                  * CAST({ev_micro} AS BIGINT)
+                  * CAST({ev_micro} AS BIGINT)) AS BIGINT) AS a_sum
+  FROM cum c JOIN tot USING (comparison)
+  GROUP BY 1
+)
+SELECT comparison, n_a, n_b, n_values,
+       CAST(((a_sum // (n_a + n_b)) * n_a // (n_a + n_b)) * n_b
+            // 1000000 AS BIGINT) AS t_micro,
+       ((a_sum // (n_a + n_b)) * n_a // (n_a + n_b)) * n_b
+         // 1000000 >= {CVM_SIG_MICRO} AS significant
+FROM contrib JOIN tot USING (comparison)
+ORDER BY comparison
+"""
+
+
+QUERIES["events_cvm_test"] = (events_cvm_test, _sql_cvm())

@@ -864,3 +864,132 @@ def test_sdm_matches_pure_python_recompute(spark):
     assert [d for d, _ in got] == [d for d, _ in expected]
     for (gd, gs), (ed, es) in zip(got, expected):
         assert abs(gs - es) <= 2, (gd, gs, es)
+
+
+# ------------------------------------------------- events_cvm_test
+
+
+def test_cvm_matches_fraction_recompute(spark):
+    from collections import Counter
+    from fractions import Fraction
+
+    from harvester_spark.operators.web_econ import (
+        CVM_SIG_MICRO,
+        MW_SHIFT_CENTS,
+        events_cvm_test,
+    )
+
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .selectExpr("event_id", "CAST(round(value * 100) AS LONG) AS c")
+        .collect()
+    )
+    samples = [(r["c"], _h56(f"cvm|{r['event_id']}") % 2) for r in rows]
+
+    def divround_signed(num, den):
+        if num >= 0:
+            return (num * 1000000 + den // 2) // den
+        return -(((-num) * 1000000 + den // 2) // den)
+
+    got = {r["comparison"]: r.asDict() for r in events_cvm_test(spark, SF_DIR).collect()}
+    for comp, shift in (("null_split", 0), ("planted_shift", MW_SHIFT_CENTS)):
+        vals = [(c + g * shift, g) for c, g in samples]
+        per = Counter()
+        ca = Counter()
+        for v, g in vals:
+            per[v] += 1
+            if g == 0:
+                ca[v] += 1
+        n_a = sum(ca.values())
+        n = len(vals)
+        n_b = n - n_a
+        cuma = cumb = 0
+        a_sum = 0
+        exact = Fraction(0)
+        for v in sorted(per):
+            m_v = per[v]
+            cuma += ca.get(v, 0)
+            cumb += m_v - ca.get(v, 0)
+            e = divround_signed(n_b * cuma - n_a * cumb, n_a * n_b)
+            a_sum += m_v * e * e
+            exact += m_v * (Fraction(cuma, n_a) - Fraction(cumb, n_b)) ** 2
+        t_micro = ((a_sum // n) * n_a // n) * n_b // 10**6
+        g = got[comp]
+        assert (g["n_a"], g["n_b"], g["n_values"]) == (n_a, n_b, len(per))
+        assert g["t_micro"] == t_micro, comp
+        assert g["significant"] == (t_micro >= CVM_SIG_MICRO)
+        # The integer ladder tracks the exact Fraction omega^2 closely.
+        omega2 = Fraction(n_a * n_b, n * n) * exact
+        assert abs(t_micro - round(omega2 * 10**6)) <= 5, comp
+
+    # Planted controls: the shift is significant and dominates the
+    # null draw by >= 10x (the null is one draw, never pinned).
+    assert got["planted_shift"]["significant"]
+    assert got["planted_shift"]["t_micro"] >= 10 * max(
+        got["null_split"]["t_micro"], 1
+    )
+
+
+# ------------------------------------------------- events_moving_median
+
+
+def test_moving_median_recompute_and_breakdown(spark):
+    from collections import Counter
+
+    from harvester_spark.operators.es_aggs import (
+        MM_OUT_MOD,
+        MM_OUT_MULT,
+        MM_WIN,
+        events_moving_median,
+    )
+
+    hours = [
+        r["h"]
+        for r in spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .selectExpr("CAST(floor(unix_timestamp(ts) / 3600) AS LONG) AS h")
+        .collect()
+    ]
+    cnt = Counter(hours)
+    mn, mx = min(hours), max(hours)
+    clean = {h: cnt.get(h, 0) for h in range(mn, mx + 1)}
+    spiked = {
+        h: x * (MM_OUT_MULT if _h56(f"out|{h}") % MM_OUT_MOD == 0 else 1)
+        for h, x in clean.items()
+    }
+
+    def expected(series):
+        out = {}
+        for h in series:
+            wvals = sorted(
+                (series[h2], h2)
+                for h2 in range(max(mn, h - (MM_WIN - 1)), h + 1)
+            )
+            n = len(wvals)
+            s = sum(v for v, _ in wvals)
+            out[h] = (n, 1000 * s // n, wvals[(n + 1) // 2 - 1][0])
+        return out
+
+    exp = {"clean": expected(clean), "spiked": expected(spiked)}
+    got = {
+        (r["series"], r["hour"]): (r["win_n"], r["mean_milli"], r["median"], r["x"])
+        for r in events_moving_median(spark, SF_DIR).collect()
+    }
+    for series, vals in exp.items():
+        src = clean if series == "clean" else spiked
+        for h, (n, mean_m, med) in vals.items():
+            assert got[(series, h)] == (n, mean_m, med, src[h]), (series, h)
+
+    # Breakdown contrast: the spikes move the windowed mean far more
+    # than the windowed median (bounded influence).
+    n_spikes = sum(
+        1 for h in clean if _h56(f"out|{h}") % MM_OUT_MOD == 0 and clean[h]
+    )
+    assert n_spikes >= 1, "plant produced no spikes at this scale"
+    dev_mean = sum(
+        abs(exp["spiked"][h][1] - exp["clean"][h][1]) for h in clean
+    )
+    dev_med = sum(
+        abs(1000 * exp["spiked"][h][2] - 1000 * exp["clean"][h][2])
+        for h in clean
+    )
+    assert dev_mean >= 10 * max(dev_med, 1)
