@@ -198,6 +198,21 @@ HEADLINE = [
     "events_qini_uplift_eval",
     "ranker_isotonic_calibrate",
     "emb_mutual_knn_hubness",
+    # session-16: exact betweenness, WAH bitmaps, learned Bloom, NRA
+    # trace, runs test, Neyman allocation, Lindley politeness queue,
+    # graph-ANN routing, SDM ranker, CvM test, robust moving median
+    "host_betweenness",
+    "postings_wah_size",
+    "learned_bloom_eval",
+    "nra_cost_eval",
+    "events_runs_test",
+    "sampling_neyman_allocation",
+    "crawl_token_bucket_delay",
+    "ann_graph_greedy_search_eval",
+    "ft_sdm_topk",
+    "events_cvm_test",
+    "events_moving_median",
+    "shard_rebalance_plan",
 ]
 WARMUP_DOCS = 2000
 
