@@ -3997,3 +3997,253 @@ ORDER BY comparison
 
 
 QUERIES["events_cvm_test"] = (events_cvm_test, _sql_cvm())
+
+
+# ------------------------------------------ doubly-robust ATE (AIPW)
+
+# The augmented-IPW / doubly-robust average-treatment-effect estimator
+# (Robins, Rotnitzky & Zhao 1994; Bang & Robins 2005) — the missing
+# member of the causal family next to events_did_abtest /
+# events_cuped_abtest / events_iv_wald_eval: with a planted
+# confounder x (4 strata), treatment propensity e(x) = (1+x)/6 and
+# outcome baseline both RISING in x, the naive treated-minus-control
+# difference absorbs the confounding, while
+#   tau_AIPW = mean[ m1(x) - m0(x)
+#                    + T (y - m1(x)) / e(x)
+#                    - (1-T)(y - m0(x)) / (1 - e(x)) ]
+# recovers the planted tau if EITHER leg is right. The operator runs
+# the two half-broken variants that make double robustness a measured
+# property, not a slogan: 'dr_bad_model' (global position-blind
+# outcome means + CORRECT propensities) and 'dr_bad_prop' (stratum
+# outcome means + a flat e = 1/2; the model leg makes the correction
+# vanish in-sample, so this is exactly the stratified estimator).
+# Both recover tau; 'naive' must not (pinned with the measured
+# margins in tests/test_session16_ops.py).
+#
+# Integer contract: y is exact planted cents; every mean/weighted term
+# is a per-stratum floored milli division with PARENTHESIZED compound
+# denominators (the session's _DIVROUND precedence lesson), summed
+# int64.
+#
+# Scale shape: one scan -> 8-row (stratum x arm) moment agg;
+# everything after is arithmetic over the broadcast-scale frame.
+
+AIPW_STRATA = 4
+AIPW_TAU_CENTS = 300  # planted effect
+AIPW_NOISE = 200  # uniform noise span, cents
+AIPW_TOL_MILLI = 150000  # recovery tolerance: 150 cents, milli
+# (dr_bad_model is IPW-variance: measured err 102k milli at the n=1000
+# sf0.001 draw; naive's confounding bias is ~432k at every scale, 3x
+# above the tolerance)
+
+
+def _aipw_rows(spark, sf_dir):
+    from harvester_spark.operators.graph import _hash56
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("event_id").cast("string").alias("eid")
+    )
+    x = (_hash56(F.concat(F.lit("cx|"), F.col("eid"))) % AIPW_STRATA).cast(
+        "long"
+    )
+    t = (
+        _hash56(F.concat(F.lit("ct|"), F.col("eid"))) % 6 < (x + 1)
+    ).cast("long")
+    noise = (_hash56(F.concat(F.lit("cn|"), F.col("eid"))) % AIPW_NOISE).cast(
+        "long"
+    )
+    return ev.select(
+        x.alias("x"),
+        t.alias("t"),
+        (
+            F.lit(1000)
+            + x * 500
+            + t * AIPW_TAU_CENTS
+            + noise
+        ).cast("long").alias("y"),
+    )
+
+
+def events_aipw_ate_eval(spark, sf_dir):
+    """(estimator, n, est_milli, tau_true_milli, abs_err_milli,
+    recovered): naive vs IPW vs the two half-broken doubly-robust
+    variants on the planted confounded outcome."""
+    rows = _aipw_rows(spark, sf_dir)
+    per = rows.groupBy("x").agg(
+        F.count("*").cast("long").alias("nx"),
+        F.sum("t").cast("long").alias("n1"),
+        F.sum(F.expr("CASE WHEN t = 1 THEN y ELSE 0 END"))
+        .cast("long")
+        .alias("s1"),
+        F.sum(F.expr("CASE WHEN t = 0 THEN y ELSE 0 END"))
+        .cast("long")
+        .alias("s0"),
+    ).withColumn("n0", (F.col("nx") - F.col("n1")).cast("long"))
+    tot = per.agg(
+        F.sum("nx").cast("long").alias("n"),
+        F.sum("n1").cast("long").alias("gn1"),
+        F.sum("n0").cast("long").alias("gn0"),
+        F.sum("s1").cast("long").alias("gs1"),
+        F.sum("s0").cast("long").alias("gs0"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    # per-stratum milli means (parenthesized denominators throughout)
+    terms = j.select(
+        "x", "nx", "n1", "n0", "s1", "s0", "n", "gn1", "gn0", "gs1", "gs0",
+        F.expr("CAST((1000 * s1) DIV n1 AS BIGINT)").alias("m1x"),
+        F.expr("CAST((1000 * s0) DIV n0 AS BIGINT)").alias("m0x"),
+        F.expr("CAST((1000 * gs1) DIV gn1 AS BIGINT)").alias("g1"),
+        F.expr("CAST((1000 * gs0) DIV gn0 AS BIGINT)").alias("g0"),
+    )
+    agg = terms.agg(
+        F.max("n").alias("n"),
+        F.max("g1").alias("g1"),
+        F.max("g0").alias("g0"),
+        # naive numerators are global; stratified pieces below
+        F.sum(F.expr("nx * (m1x - m0x)")).cast("long").alias("strat_num"),
+        # IPW: sum_x [ 6*1000*s1/(1+x) - 6*1000*s0/(6-(1+x)) ]
+        F.sum(
+            F.expr(
+                "CAST((6000 * s1) DIV (1 + x) AS BIGINT)"
+                " - CAST((6000 * s0) DIV (5 - x) AS BIGINT)"
+            )
+        ).cast("long").alias("ipw_num"),
+        # dr_bad_model correction with correct e(x): residuals vs the
+        # global means, reweighted per stratum
+        F.sum(
+            F.expr(
+                "CAST(CASE WHEN 1000 * s1 - n1 * g1 >= 0"
+                " THEN (6 * (1000 * s1 - n1 * g1)) DIV (1 + x)"
+                " ELSE -((6 * (n1 * g1 - 1000 * s1)) DIV (1 + x)) END"
+                " AS BIGINT)"
+                " - CAST(CASE WHEN 1000 * s0 - n0 * g0 >= 0"
+                " THEN (6 * (1000 * s0 - n0 * g0)) DIV (5 - x)"
+                " ELSE -((6 * (n0 * g0 - 1000 * s0)) DIV (5 - x)) END"
+                " AS BIGINT)"
+            )
+        ).cast("long").alias("corr_num"),
+    )
+    trunc = (
+        "CASE WHEN {v} >= 0 THEN ({v}) DIV n ELSE -((-({v})) DIV n) END"
+    )
+    ests = agg.select(
+        F.col("n"),
+        F.expr("CAST(g1 - g0 AS BIGINT)").alias("naive"),
+        F.expr(f"CAST({trunc.format(v='ipw_num')} AS BIGINT)").alias("ipw"),
+        F.expr(
+            f"CAST((g1 - g0) + {trunc.format(v='corr_num')} AS BIGINT)"
+        ).alias("dr_bad_model"),
+        F.expr(f"CAST({trunc.format(v='strat_num')} AS BIGINT)").alias(
+            "dr_bad_prop"
+        ),
+    )
+    out = None
+    for name in ("naive", "ipw", "dr_bad_model", "dr_bad_prop"):
+        row = ests.select(
+            F.lit(name).alias("estimator"),
+            F.col("n"),
+            F.col(name).cast("long").alias("est_milli"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.select(
+        "estimator",
+        "n",
+        "est_milli",
+        F.lit(AIPW_TAU_CENTS * 1000).cast("long").alias("tau_true_milli"),
+        F.expr(f"CAST(abs(est_milli - {AIPW_TAU_CENTS * 1000}) AS BIGINT)").alias(
+            "abs_err_milli"
+        ),
+        F.expr(
+            f"abs(est_milli - {AIPW_TAU_CENTS * 1000}) <= {AIPW_TOL_MILLI}"
+        ).alias("recovered"),
+    ).orderBy("estimator")
+
+
+def _sql_aipw() -> str:
+    from harvester_spark.operators.graph import _SQL_HASH56
+
+    hx = _SQL_HASH56.format(col="'cx|' || eid")
+    ht = _SQL_HASH56.format(col="'ct|' || eid")
+    hn = _SQL_HASH56.format(col="'cn|' || eid")
+    return f"""
+WITH ev AS (SELECT CAST(event_id AS VARCHAR) AS eid FROM events),
+rows_ AS (
+  SELECT x, t,
+         CAST(1000 + x * 500 + t * {AIPW_TAU_CENTS} + noise AS BIGINT) AS y
+  FROM (
+    SELECT {hx} % {AIPW_STRATA} AS x,
+           CASE WHEN {ht} % 6 < ({hx} % {AIPW_STRATA}) + 1
+                THEN 1 ELSE 0 END AS t,
+           {hn} % {AIPW_NOISE} AS noise
+    FROM ev
+  )
+),
+per AS (
+  SELECT x, CAST(count(*) AS BIGINT) AS nx,
+         CAST(sum(t) AS BIGINT) AS n1,
+         CAST(count(*) - sum(t) AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN t = 1 THEN y ELSE 0 END) AS BIGINT) AS s1,
+         CAST(sum(CASE WHEN t = 0 THEN y ELSE 0 END) AS BIGINT) AS s0
+  FROM rows_ GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(nx) AS BIGINT) AS n,
+         CAST(sum(n1) AS BIGINT) AS gn1, CAST(sum(n0) AS BIGINT) AS gn0,
+         CAST(sum(s1) AS BIGINT) AS gs1, CAST(sum(s0) AS BIGINT) AS gs0
+  FROM per
+),
+terms AS (
+  SELECT p.*, t.n,
+         CAST((1000 * p.s1) // p.n1 AS BIGINT) AS m1x,
+         CAST((1000 * p.s0) // p.n0 AS BIGINT) AS m0x,
+         CAST((1000 * t.gs1) // t.gn1 AS BIGINT) AS g1,
+         CAST((1000 * t.gs0) // t.gn0 AS BIGINT) AS g0
+  FROM per p CROSS JOIN tot t
+),
+agg AS (
+  SELECT max(n) AS n, max(g1) AS g1, max(g0) AS g0,
+         CAST(sum(nx * (m1x - m0x)) AS BIGINT) AS strat_num,
+         CAST(sum(CAST((6000 * s1) // (1 + x) AS BIGINT)
+                  - CAST((6000 * s0) // (5 - x) AS BIGINT)) AS BIGINT)
+           AS ipw_num,
+         CAST(sum(CAST(CASE WHEN 1000 * s1 - n1 * g1 >= 0
+                       THEN (6 * (1000 * s1 - n1 * g1)) // (1 + x)
+                       ELSE -((6 * (n1 * g1 - 1000 * s1)) // (1 + x)) END
+                       AS BIGINT)
+                  - CAST(CASE WHEN 1000 * s0 - n0 * g0 >= 0
+                       THEN (6 * (1000 * s0 - n0 * g0)) // (5 - x)
+                       ELSE -((6 * (n0 * g0 - 1000 * s0)) // (5 - x)) END
+                       AS BIGINT))
+              AS BIGINT) AS corr_num
+  FROM terms
+),
+ests AS (
+  SELECT 'naive' AS estimator, n, CAST(g1 - g0 AS BIGINT) AS est_milli
+  FROM agg
+  UNION ALL
+  SELECT 'ipw', n,
+         CAST(CASE WHEN ipw_num >= 0 THEN ipw_num // n
+              ELSE -((-ipw_num) // n) END AS BIGINT)
+  FROM agg
+  UNION ALL
+  SELECT 'dr_bad_model', n,
+         CAST((g1 - g0) + CASE WHEN corr_num >= 0 THEN corr_num // n
+              ELSE -((-corr_num) // n) END AS BIGINT)
+  FROM agg
+  UNION ALL
+  SELECT 'dr_bad_prop', n,
+         CAST(CASE WHEN strat_num >= 0 THEN strat_num // n
+              ELSE -((-strat_num) // n) END AS BIGINT)
+  FROM agg
+)
+SELECT estimator, n, est_milli,
+       CAST({AIPW_TAU_CENTS * 1000} AS BIGINT) AS tau_true_milli,
+       CAST(abs(est_milli - {AIPW_TAU_CENTS * 1000}) AS BIGINT)
+         AS abs_err_milli,
+       abs(est_milli - {AIPW_TAU_CENTS * 1000}) <= {AIPW_TOL_MILLI}
+         AS recovered
+FROM ests ORDER BY estimator
+"""
+
+
+QUERIES["events_aipw_ate_eval"] = (events_aipw_ate_eval, _sql_aipw())

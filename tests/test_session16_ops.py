@@ -993,3 +993,78 @@ def test_moving_median_recompute_and_breakdown(spark):
         for h in clean
     )
     assert dev_mean >= 10 * max(dev_med, 1)
+
+
+# ------------------------------------------------- events_aipw_ate_eval
+
+
+def test_aipw_recompute_and_double_robustness(spark):
+    from harvester_spark.operators.web_econ import (
+        AIPW_NOISE,
+        AIPW_STRATA,
+        AIPW_TAU_CENTS,
+        AIPW_TOL_MILLI,
+        events_aipw_ate_eval,
+    )
+
+    eids = [
+        str(r["event_id"])
+        for r in spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("event_id")
+        .collect()
+    ]
+    per = {x: [0, 0, 0, 0] for x in range(AIPW_STRATA)}  # nx, n1, s1, s0
+    for e in eids:
+        x = _h56(f"cx|{e}") % AIPW_STRATA
+        t = 1 if _h56(f"ct|{e}") % 6 < x + 1 else 0
+        y = 1000 + x * 500 + t * AIPW_TAU_CENTS + _h56(f"cn|{e}") % AIPW_NOISE
+        per[x][0] += 1
+        per[x][1] += t
+        if t:
+            per[x][2] += y
+        else:
+            per[x][3] += y
+
+    n = sum(v[0] for v in per.values())
+    gn1 = sum(v[1] for v in per.values())
+    gn0 = n - gn1
+    gs1 = sum(v[2] for v in per.values())
+    gs0 = sum(v[3] for v in per.values())
+    g1 = 1000 * gs1 // gn1
+    g0 = 1000 * gs0 // gn0
+    def tdiv(a, b):  # truncating division (both engines' sign-split)
+        return a // b if a >= 0 else -((-a) // b)
+
+    strat_num = ipw_num = corr_num = 0
+    for x, (nx, n1, s1, s0) in per.items():
+        n0 = nx - n1
+        m1x = 1000 * s1 // n1
+        m0x = 1000 * s0 // n0
+        strat_num += nx * (m1x - m0x)
+        ipw_num += (6000 * s1) // (1 + x) - (6000 * s0) // (5 - x)
+        corr_num += tdiv(6 * (1000 * s1 - n1 * g1), 1 + x) - tdiv(
+            6 * (1000 * s0 - n0 * g0), 5 - x
+        )
+    expected = {
+        "naive": g1 - g0,
+        "ipw": tdiv(ipw_num, n),
+        "dr_bad_model": (g1 - g0) + tdiv(corr_num, n),
+        "dr_bad_prop": tdiv(strat_num, n),
+    }
+    got = {r["estimator"]: r.asDict() for r in events_aipw_ate_eval(spark, SF_DIR).collect()}
+    assert set(got) == set(expected)
+    tau = AIPW_TAU_CENTS * 1000
+    for name, est in expected.items():
+        g = got[name]
+        assert g["est_milli"] == est, name
+        assert g["n"] == n
+        assert g["abs_err_milli"] == abs(est - tau)
+        assert g["recovered"] == (abs(est - tau) <= AIPW_TOL_MILLI)
+
+    # Double robustness, measured: each half-broken DR variant and IPW
+    # recover the planted effect; the naive contrast does not — and its
+    # bias clears the tolerance by >= 2x.
+    for name in ("ipw", "dr_bad_model", "dr_bad_prop"):
+        assert got[name]["recovered"], name
+    assert not got["naive"]["recovered"]
+    assert got["naive"]["abs_err_milli"] >= 2 * AIPW_TOL_MILLI
