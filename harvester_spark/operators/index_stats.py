@@ -4998,7 +4998,7 @@ QUERIES["nra_cost_eval"] = (nra_cost_eval, _sql_nra())
 # Minimal-movement shard rebalancing (the Elasticsearch/OpenSearch
 # disk-watermark relocation problem the reference's cluster would hand
 # to its allocator): given per-shard byte sizes and a hash placement
-# over {SR_NODES} nodes, a node above cap = ceil(total / nodes) evicts
+# over {RB_NODES} nodes, a node above cap = ceil(total / nodes) evicts
 # shards until it fits. The policy is keep-largest-prefix (order the
 # node's shards by size desc, keep the maximal prefix with cumulative
 # size <= cap, move the rest) — the indivisible-shard analogue of
@@ -5010,18 +5010,18 @@ QUERIES["nra_cost_eval"] = (nra_cost_eval, _sql_nra())
 # recompute).
 #
 # Skew plant: shard sizes are doc n_chars sums with every
-# {SR_HEAVY_MOD}-th shard inflated {SR_HEAVY_MULT}x (hash placement
+# {RB_HEAVY_MOD}-th shard inflated {RB_HEAVY_MULT}x (hash placement
 # over near-uniform shards balances itself and the plan degenerates to
 # zero moves — measured-and-avoided, the host_kcore non-degeneracy
 # discipline).
 #
-# Scale shape: one doc scan -> shard-grain agg ({SR_SHARDS} rows);
+# Scale shape: one doc scan -> shard-grain agg ({RB_SHARDS} rows);
 # everything after is windows over the shard frame (broadcast-scale).
 
-SR_SHARDS = 64
-SR_NODES = 8
-SR_HEAVY_MOD = 8  # every 8th shard ...
-SR_HEAVY_MULT = 8  # ... is 8x heavier
+RB_SHARDS = 64
+RB_NODES = 8
+RB_HEAVY_MOD = 8  # every 8th shard ...
+RB_HEAVY_MULT = 8  # ... is 8x heavier
 
 
 def shard_rebalance_plan(spark, sf_dir):
@@ -5034,7 +5034,7 @@ def shard_rebalance_plan(spark, sf_dir):
     )
     shards = (
         docs.select(
-            (_hash56(F.concat(F.lit("sh|"), F.col("x"))) % SR_SHARDS)
+            (_hash56(F.concat(F.lit("sh|"), F.col("x"))) % RB_SHARDS)
             .cast("long")
             .alias("shard"),
             F.col("n_chars").cast("long").alias("b"),
@@ -5044,12 +5044,12 @@ def shard_rebalance_plan(spark, sf_dir):
         .select(
             "shard",
             F.expr(
-                f"CAST(base * CASE WHEN shard % {SR_HEAVY_MOD} = 0"
-                f" THEN {SR_HEAVY_MULT} ELSE 1 END AS BIGINT)"
+                f"CAST(base * CASE WHEN shard % {RB_HEAVY_MOD} = 0"
+                f" THEN {RB_HEAVY_MULT} ELSE 1 END AS BIGINT)"
             ).alias("bytes"),
             (
                 _hash56(F.concat(F.lit("pl|"), F.col("shard").cast("string")))
-                % SR_NODES
+                % RB_NODES
             ).cast("long").alias("node"),
         )
     )
@@ -5064,7 +5064,7 @@ def shard_rebalance_plan(spark, sf_dir):
     )
     planned = (
         shards.crossJoin(tot)
-        .withColumn("cap", F.expr(f"CAST((t + {SR_NODES} - 1) DIV {SR_NODES} AS BIGINT)"))
+        .withColumn("cap", F.expr(f"CAST((t + {RB_NODES} - 1) DIV {RB_NODES} AS BIGINT)"))
         .withColumn(
             "csum",
             F.sum("bytes").over(
@@ -5113,15 +5113,15 @@ WITH docs AS (
   SELECT CAST(doc_id AS VARCHAR) AS x, n_chars FROM documents
 ),
 sized AS (
-  SELECT {hs} % {SR_SHARDS} AS shard, CAST(sum(n_chars) AS BIGINT) AS base
+  SELECT {hs} % {RB_SHARDS} AS shard, CAST(sum(n_chars) AS BIGINT) AS base
   FROM docs GROUP BY 1
 ),
 shards AS (
   SELECT shard,
-         CAST(base * CASE WHEN shard % {SR_HEAVY_MOD} = 0
-                          THEN {SR_HEAVY_MULT} ELSE 1 END AS BIGINT)
+         CAST(base * CASE WHEN shard % {RB_HEAVY_MOD} = 0
+                          THEN {RB_HEAVY_MULT} ELSE 1 END AS BIGINT)
            AS bytes,
-         CAST({hp} % {SR_NODES} AS BIGINT) AS node
+         CAST({hp} % {RB_NODES} AS BIGINT) AS node
   FROM sized
 ),
 tot AS (
@@ -5129,7 +5129,7 @@ tot AS (
 ),
 planned AS (
   SELECT node, shard, bytes,
-         CAST(((SELECT t FROM tot) + {SR_NODES} - 1) // {SR_NODES}
+         CAST(((SELECT t FROM tot) + {RB_NODES} - 1) // {RB_NODES}
               AS BIGINT) AS cap,
          sum(bytes) OVER (PARTITION BY node
                           ORDER BY bytes DESC, shard ASC

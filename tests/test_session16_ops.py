@@ -706,10 +706,10 @@ def test_shard_rebalance_recompute_and_bounds(spark):
     from collections import defaultdict
 
     from harvester_spark.operators.index_stats import (
-        SR_HEAVY_MOD,
-        SR_HEAVY_MULT,
-        SR_NODES,
-        SR_SHARDS,
+        RB_HEAVY_MOD,
+        RB_HEAVY_MULT,
+        RB_NODES,
+        RB_SHARDS,
         shard_rebalance_plan,
     )
 
@@ -720,17 +720,17 @@ def test_shard_rebalance_recompute_and_bounds(spark):
     )
     base = defaultdict(int)
     for r in rows:
-        base[_h56(f"sh|{r['doc_id']}") % SR_SHARDS] += r["n_chars"]
+        base[_h56(f"sh|{r['doc_id']}") % RB_SHARDS] += r["n_chars"]
     shards = {
-        s: b * (SR_HEAVY_MULT if s % SR_HEAVY_MOD == 0 else 1)
+        s: b * (RB_HEAVY_MULT if s % RB_HEAVY_MOD == 0 else 1)
         for s, b in base.items()
     }
-    node_of = {s: _h56(f"pl|{s}") % SR_NODES for s in shards}
+    node_of = {s: _h56(f"pl|{s}") % RB_NODES for s in shards}
     total = sum(shards.values())
-    cap = -(-total // SR_NODES)
+    cap = -(-total // RB_NODES)
 
     expected = {}
-    for n in range(SR_NODES):
+    for n in range(RB_NODES):
         mine = sorted(
             ((shards[s], s) for s in shards if node_of[s] == n),
             key=lambda t: (-t[0], t[1]),
