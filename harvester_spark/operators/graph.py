@@ -5125,3 +5125,110 @@ ORDER BY betw_micro DESC, h.host ASC"""
 
 
 QUERIES["host_betweenness"] = (host_betweenness, _sql_betweenness())
+
+
+# ------------------------------------------------- rich-club profile
+
+# The rich-club coefficient (Zhou & Mondragon 2004; Colizza et al.
+# 2006): phi(k) = 2*E_k / (N_k*(N_k-1)) — the edge density among the
+# N_k hosts of degree > k — profiled over doubling thresholds. The
+# degree-structure companion host_assortativity was missing: an
+# assortativity coefficient is one number, the rich-club CURVE says
+# whether the hubs of the crawl graph wire to each other (a dense core
+# that a crawler should treat as one crawl-frontier equivalence class)
+# or avoid each other. Computed on the planted-community
+# link-prediction graph (_lp_und_edges — degrees are genuinely
+# heterogeneous there); the un-normalized phi is reported with the
+# whole-graph density as the k=0 baseline row (the degree-preserving
+# null-model normalization needs rewiring randomness and is out of
+# the deterministic-oracle contract, documented).
+#
+# Determinism: N_k, E_k exact counts; phi_milli = (2000 * E_k) DIV
+# (N_k * (N_k - 1)) with the compound denominator PARENTHESIZED (the
+# session's _DIVROUND lesson); N_k <= 1 yields NULL.
+#
+# Scale shape: one degree agg over the distinct-edge frame, then per
+# threshold one broadcast-able semi-join of edges against the rich
+# set — edges are scanned |levels| times but never shuffled on a new
+# key.
+
+RC_LEVELS = (0, 2, 4, 8, 16, 32)
+
+
+def host_richclub_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(k, n_rich, e_rich, phi_milli): rich-club edge density among
+    hosts of degree > k on the undirected community host graph."""
+    und = _lp_und_edges(spark, sf_dir).cache()
+    deg = (
+        und.select(F.col("u").alias("host"))
+        .union(und.select(F.col("v").alias("host")))
+        .groupBy("host")
+        .agg(F.count("*").cast("long").alias("d"))
+    ).cache()
+    out = None
+    for k in RC_LEVELS:
+        rich = deg.filter(F.col("d") > k).select("host")
+        e_k = (
+            und.join(rich.withColumnRenamed("host", "u"), "u", "semi")
+            .join(rich.withColumnRenamed("host", "v"), "v", "semi")
+            .agg(F.count("*").cast("long").alias("e_rich"))
+        )
+        n_k = rich.agg(F.count("*").cast("long").alias("n_rich"))
+        row = n_k.crossJoin(e_k).select(
+            F.lit(k).cast("long").alias("k"),
+            "n_rich",
+            "e_rich",
+            F.expr(
+                "CASE WHEN n_rich <= 1 THEN CAST(NULL AS BIGINT)"
+                " ELSE CAST((2000 * e_rich) DIV (n_rich * (n_rich - 1))"
+                " AS BIGINT) END"
+            ).alias("phi_milli"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("k")
+
+
+def _sql_richclub() -> str:
+    levels = ", ".join(str(k) for k in RC_LEVELS)
+    return f"""
+WITH {_sql_lp_edge_ctes()},
+deg AS MATERIALIZED (
+  SELECT host, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT u AS host FROM lpbase UNION ALL SELECT v FROM lpbase
+  ) GROUP BY 1
+),
+levels AS (SELECT CAST(unnest([{levels}]) AS BIGINT) AS k),
+rich AS (
+  SELECT l.k, d.host FROM levels l JOIN deg d ON d.d > l.k
+),
+nk AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n_rich FROM rich GROUP BY 1
+),
+ek AS (
+  SELECT l.k, CAST(count(*) AS BIGINT) AS e_rich
+  FROM levels l
+  JOIN lpbase e ON EXISTS (
+      SELECT 1 FROM rich r WHERE r.k = l.k AND r.host = e.u
+    ) AND EXISTS (
+      SELECT 1 FROM rich r WHERE r.k = l.k AND r.host = e.v
+    )
+  GROUP BY 1
+)
+SELECT l.k,
+       CAST(coalesce(nk.n_rich, 0) AS BIGINT) AS n_rich,
+       CAST(coalesce(ek.e_rich, 0) AS BIGINT) AS e_rich,
+       CASE WHEN coalesce(nk.n_rich, 0) <= 1 THEN CAST(NULL AS BIGINT)
+            ELSE CAST((2000 * coalesce(ek.e_rich, 0))
+                 // (nk.n_rich * (nk.n_rich - 1)) AS BIGINT) END
+         AS phi_milli
+FROM levels l
+LEFT JOIN nk ON nk.k = l.k
+LEFT JOIN ek ON ek.k = l.k
+ORDER BY l.k
+"""
+
+
+QUERIES["host_richclub_coefficient"] = (
+    host_richclub_coefficient,
+    _sql_richclub(),
+)

@@ -1068,3 +1068,126 @@ def test_aipw_recompute_and_double_robustness(spark):
         assert got[name]["recovered"], name
     assert not got["naive"]["recovered"]
     assert got["naive"]["abs_err_milli"] >= 2 * AIPW_TOL_MILLI
+
+
+# --------------------------------------------- host_richclub_coefficient
+
+
+def test_richclub_matches_pure_python_recompute(spark):
+    from collections import Counter
+
+    from harvester_spark.operators.graph import (
+        LP_EDGES,
+        LP_GS,
+        LP_INTRA_MOD,
+        LP_INTRA_THR,
+        RC_LEVELS,
+        host_richclub_coefficient,
+    )
+
+    ids = [
+        r["doc_id"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    fan = ((max(len(ids) // 4, 24) + LP_GS - 1) // LP_GS) * LP_GS
+    nc = fan // LP_GS
+    edges = set()
+    for did in ids:
+        for e in range(LP_EDGES):
+            a = _h56(f"a{e}|{did}") % fan
+            if _h56(f"m{e}|{did}") % LP_INTRA_MOD < LP_INTRA_THR:
+                b = (_h56(f"r{e}|{did}") % LP_GS) * nc + (a % fan) % nc
+            else:
+                b = _h56(f"u{e}|{did}") % fan
+            if a != b:
+                edges.add((f"h{min(a, b)}", f"h{max(a, b)}"))
+
+    deg = Counter()
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+
+    expected = {}
+    for k in RC_LEVELS:
+        rich = {h for h, d in deg.items() if d > k}
+        n_k = len(rich)
+        e_k = sum(1 for u, v in edges if u in rich and v in rich)
+        phi = (
+            (2000 * e_k) // (n_k * (n_k - 1)) if n_k > 1 else None
+        )
+        expected[k] = (n_k, e_k, phi)
+
+    got = {
+        r["k"]: (r["n_rich"], r["e_rich"], r["phi_milli"])
+        for r in host_richclub_coefficient(spark, SF_DIR).collect()
+    }
+    assert got == expected
+    # Rich sets shrink with k and the profile is non-degenerate (at
+    # least two levels keep a real club).
+    sizes = [expected[k][0] for k in RC_LEVELS]
+    assert all(a >= b for a, b in zip(sizes, sizes[1:]))
+    assert sum(1 for k in RC_LEVELS if (expected[k][2] or 0) > 0) >= 2
+
+
+# ------------------------------------------- hll_sparse_dense_switch
+
+
+def test_hll_switch_recompute_and_both_regimes(spark):
+    import math
+
+    from harvester_spark.analysis import tokenize
+    from harvester_spark.operators.sketches import (
+        HS_CUTS,
+        HS_P,
+        hll_sparse_dense_switch,
+    )
+
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    m = 1 << HS_P
+    dense_bytes = m * 6 // 8
+    expected = {}
+    for cut in HS_CUTS:
+        shingles = set()
+        for r in rows:
+            if r["doc_id"] >= cut:
+                continue
+            ts = tokenize(r["text"])
+            shingles.update(
+                f"{a} {b}" for a, b in zip(ts, ts[1:])
+            )
+        idx = {_h56(f"hs|{s}") % m for s in shingles}
+        est = round(1e6 * m * math.log(m / (m - len(idx))))
+        expected[cut] = (
+            len(shingles),
+            len(idx),
+            4 * len(idx),
+            "sparse" if 4 * len(idx) <= dense_bytes else "dense",
+            est,
+        )
+
+    got = {
+        r["cut_docs"]: (
+            r["n_items"],
+            r["n_idx"],
+            r["sparse_bytes"],
+            r["rep"],
+            r["est_lc_micro"],
+        )
+        for r in hll_sparse_dense_switch(spark, SF_DIR).collect()
+    }
+    for cut in HS_CUTS:
+        e, g = expected[cut], got[cut]
+        assert g[:4] == e[:4], cut
+        assert abs(g[4] - e[4]) <= 2, cut  # ln libm slack
+        # LinearCounting tracks truth closely at these loads (<= 12%).
+        assert abs(g[4] - e[0] * 10**6) <= e[0] * 120000, cut
+
+    # Both representations must appear across the profile.
+    reps = {got[c][3] for c in HS_CUTS}
+    assert reps == {"sparse", "dense"}
