@@ -2668,202 +2668,3 @@ FROM ranked
 
 
 QUERIES["ft_score_gap_cutoff"] = (ft_score_gap_cutoff, _sql_score_gap())
-
-
-# --------------------------------------------- sequential dependence model
-
-# The Markov-random-field sequential dependence model (Metzler & Croft,
-# SIGIR 2005) over the flagship query — the canonical term-DEPENDENCE
-# ranker the LM family (ft_lm_dirichlet_topk, ft_bigram_lm_logprob) was
-# missing: score = 17/20 * sum_q f_T + 2/20 * sum_pairs f_O
-# + 1/20 * sum_pairs f_U, the standard (0.85, 0.10, 0.05) weights as
-# exact twentieths. Features per doc: f_T = Dirichlet log-likelihood of
-# the unigram tf; f_O of the ordered-adjacent pair count (#1(q1 q2) —
-# q2 exactly at q1's position + 1, the ft_phrase_match adjacency); f_U
-# of the unordered window-8 pair count (#uw8 — both terms within 8
-# positions in either order), each smoothed against its OWN collection
-# frequency over the shared token total (the standard |C|
-# approximation). Every feature reuses the ft_lm_dirichlet micro-nat
-# string verbatim; a feature whose collection frequency is zero is
-# dropped in BOTH engines (Dirichlet mass undefined), never scored.
-#
-# Scale shape: the pair counting self-joins only the THREE query
-# terms' position lists (filter pushed below the join, gap bounded at
-# 7) — per-doc cost is O(query-term occurrences), not O(dl^2); scoring
-# is the Dirichlet grid (docs x <= 7 broadcast feature keys); top-k is
-# TakeOrdered.
-
-SDM_PAIRS = (("key", "value"), ("value", "table"))
-SDM_UW = 8  # unordered window width
-_SDM_LP = (
-    f"CAST(round(1000000.0e0 * ln((c + {DIR_MU}.0e0 * cf / ct)"
-    f" / (dl + {DIR_MU}.0e0)), 0) AS BIGINT)"
-)
-
-
-def ft_sdm_topk(spark, sf_dir):
-    """(rank, doc_id, sdm_micro): top-10 docs by the sequential
-    dependence model score of the flagship query, in micro-nats."""
-    toks = doc_tokens(spark, sf_dir)
-    docs = load(spark, sf_dir, "documents").select("doc_id")
-    dl = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
-    ct = toks.agg(F.count("*").cast("long").alias("ct"))
-    qpos = toks.filter(F.col("term").isin(BM25_TERMS)).select(
-        "doc_id", "term", "pos"
-    )
-    t_c = (
-        qpos.groupBy("doc_id", "term")
-        .agg(F.count("*").cast("long").alias("c"))
-        .select(
-            F.lit("t").alias("ftype"), F.col("term").alias("fkey"), "doc_id", "c"
-        )
-    )
-    a = qpos.select("doc_id", F.col("term").alias("t1"), F.col("pos").alias("p1"))
-    b = qpos.select("doc_id", F.col("term").alias("t2"), F.col("pos").alias("p2"))
-    pair_filter = " OR ".join(
-        f"(t1 = '{q1}' AND t2 = '{q2}')" for q1, q2 in SDM_PAIRS
-    )
-    o_c = (
-        a.join(b, "doc_id")
-        .filter(F.expr(f"({pair_filter}) AND p2 = p1 + 1"))
-        .groupBy("doc_id", "t1", "t2")
-        .agg(F.count("*").cast("long").alias("c"))
-        .select(
-            F.lit("o").alias("ftype"),
-            F.concat_ws(" ", "t1", "t2").alias("fkey"),
-            "doc_id",
-            "c",
-        )
-    )
-    upair_filter = " OR ".join(
-        f"(least(t1, t2) = least('{q1}', '{q2}')"
-        f" AND greatest(t1, t2) = greatest('{q1}', '{q2}'))"
-        for q1, q2 in SDM_PAIRS
-    )
-    u_c = (
-        a.join(b, "doc_id")
-        .filter(
-            F.expr(
-                f"({upair_filter}) AND t1 <> t2 AND p2 > p1"
-                f" AND p2 - p1 <= {SDM_UW - 1}"
-            )
-        )
-        .groupBy(
-            "doc_id",
-            F.least("t1", "t2").alias("k1"),
-            F.greatest("t1", "t2").alias("k2"),
-        )
-        .agg(F.count("*").cast("long").alias("c"))
-        .select(
-            F.lit("u").alias("ftype"),
-            F.concat_ws(" ", "k1", "k2").alias("fkey"),
-            "doc_id",
-            "c",
-        )
-    )
-    feats = t_c.unionByName(o_c).unionByName(u_c)
-    cf = (
-        feats.groupBy("ftype", "fkey")
-        .agg(F.sum("c").cast("long").alias("cf"))
-        .filter(F.col("cf") > 0)
-    )
-    scored = (
-        docs.join(dl, "doc_id", "left")
-        .crossJoin(F.broadcast(cf))
-        .join(feats, ["ftype", "fkey", "doc_id"], "left")
-        .crossJoin(F.broadcast(ct))
-        .fillna(0, ["c", "dl"])
-        .withColumn("lp", F.expr(_SDM_LP))
-        .withColumn(
-            "wnum",
-            F.expr(
-                "CASE ftype WHEN 't' THEN 17 WHEN 'o' THEN 2 ELSE 1 END"
-            ).cast("long"),
-        )
-        .groupBy("doc_id")
-        .agg(
-            F.expr("CAST(sum(wnum * lp) DIV 20 AS BIGINT)").alias("sdm_micro")
-        )
-    )
-    top = scored.orderBy(
-        F.col("sdm_micro").desc(), F.col("doc_id").asc()
-    ).limit(10)
-    w = W.orderBy(F.col("sdm_micro").desc(), F.col("doc_id").asc())
-    return top.withColumn("rank", F.row_number().over(w)).select(
-        "rank", "doc_id", "sdm_micro"
-    )
-
-
-def _sql_sdm() -> str:
-    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
-    pair_filter = " OR ".join(
-        f"(a.term = '{q1}' AND b.term = '{q2}')" for q1, q2 in SDM_PAIRS
-    )
-    upair_filter = " OR ".join(
-        f"(least(a.term, b.term) = least('{q1}', '{q2}')"
-        f" AND greatest(a.term, b.term) = greatest('{q1}', '{q2}'))"
-        for q1, q2 in SDM_PAIRS
-    )
-    return f"""
-WITH toks AS ({SQL_DOC_TOKS}),
-dls AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
-ctt AS (SELECT CAST(count(*) AS BIGINT) AS ct FROM toks),
-qpos AS MATERIALIZED (
-  SELECT doc_id, term, pos FROM toks WHERE term IN ({terms})
-),
-t_c AS (
-  SELECT 't' AS ftype, term AS fkey, doc_id,
-         CAST(count(*) AS BIGINT) AS c
-  FROM qpos GROUP BY 2, 3
-),
-o_c AS (
-  SELECT 'o' AS ftype, a.term || ' ' || b.term AS fkey, a.doc_id,
-         CAST(count(*) AS BIGINT) AS c
-  FROM qpos a JOIN qpos b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
-  WHERE {pair_filter}
-  GROUP BY 2, 3
-),
-u_c AS (
-  SELECT 'u' AS ftype,
-         least(a.term, b.term) || ' ' || greatest(a.term, b.term) AS fkey,
-         a.doc_id, CAST(count(*) AS BIGINT) AS c
-  FROM qpos a JOIN qpos b ON b.doc_id = a.doc_id
-   AND b.pos > a.pos AND b.pos - a.pos <= {SDM_UW - 1}
-   AND a.term <> b.term
-  WHERE {upair_filter}
-  GROUP BY 2, 3
-),
-feats AS MATERIALIZED (
-  SELECT * FROM t_c UNION ALL SELECT * FROM o_c UNION ALL SELECT * FROM u_c
-),
-cfs AS (
-  SELECT ftype, fkey, CAST(sum(c) AS BIGINT) AS cf
-  FROM feats GROUP BY 1, 2
-  HAVING sum(c) > 0
-),
-joined AS (
-  SELECT d.doc_id, f.ftype, f.fkey, coalesce(x.c, 0) AS c,
-         coalesce(dls.dl, 0) AS dl, f.cf, ctt.ct,
-         CASE f.ftype WHEN 't' THEN 17 WHEN 'o' THEN 2 ELSE 1 END AS wnum
-  FROM (SELECT doc_id FROM documents) d
-  LEFT JOIN dls USING (doc_id)
-  CROSS JOIN cfs f
-  LEFT JOIN feats x ON x.ftype = f.ftype AND x.fkey = f.fkey
-   AND x.doc_id = d.doc_id
-  CROSS JOIN ctt
-),
-scored AS (
-  SELECT doc_id,
-         CAST(sum(wnum * {_SDM_LP}) // 20 AS BIGINT) AS sdm_micro
-  FROM joined GROUP BY doc_id
-)
-SELECT CAST(row_number() OVER (ORDER BY sdm_micro DESC, doc_id ASC) AS INT)
-         AS rank,
-       doc_id, sdm_micro
-FROM scored
-ORDER BY sdm_micro DESC, doc_id ASC
-LIMIT 10
-"""
-
-
-QUERIES["ft_sdm_topk"] = (ft_sdm_topk, _sql_sdm())

@@ -784,88 +784,6 @@ def test_shard_rebalance_recompute_and_bounds(spark):
     assert sum(g[6] for g in got.values()) > 0
 
 
-# ------------------------------------------------- ft_sdm_topk
-
-
-def test_sdm_matches_pure_python_recompute(spark):
-    import math
-    from collections import Counter
-
-    from harvester_spark.analysis import tokenize
-    from harvester_spark.operators.fulltext_queries import (
-        BM25_TERMS,
-        DIR_MU,
-        SDM_PAIRS,
-        SDM_UW,
-        ft_sdm_topk,
-    )
-
-    rows = (
-        spark.read.parquet(f"{SF_DIR}/documents.parquet")
-        .select("doc_id", "text")
-        .collect()
-    )
-    toks = {r["doc_id"]: tokenize(r["text"]) for r in rows}
-    ct = sum(len(t) for t in toks.values())
-
-    feats = {}  # (ftype, fkey, doc) -> c
-    for d, ts in toks.items():
-        pos = {q: [i for i, t in enumerate(ts) if t == q] for q in BM25_TERMS}
-        for q in BM25_TERMS:
-            if pos[q]:
-                feats[("t", q, d)] = len(pos[q])
-        for q1, q2 in SDM_PAIRS:
-            o = sum(1 for i in pos[q1] if i + 1 in set(pos[q2]))
-            if o:
-                feats[("o", f"{q1} {q2}", d)] = o
-            k1, k2 = sorted((q1, q2))
-            # unordered pairs counted once: i from k1's positions, j from
-            # k2's, |i-j| <= SDM_UW-1 (terms are distinct so i != j)
-            u = sum(
-                1
-                for i in pos[k1]
-                for j in pos[k2]
-                if abs(j - i) <= SDM_UW - 1
-            )
-            if u:
-                feats[("u", f"{k1} {k2}", d)] = u
-
-    cf = Counter()
-    for (ftype, fkey, _), c in feats.items():
-        cf[(ftype, fkey)] += c
-    live = {k for k, v in cf.items() if v > 0}
-    # Non-degeneracy: every dependence feature exists in the corpus.
-    assert any(k[0] == "o" for k in live)
-    assert any(k[0] == "u" for k in live)
-
-    dls = {d: len(ts) for d, ts in toks.items()}
-    wnum = {"t": 17, "o": 2, "u": 1}
-    scores = {}
-    for d in toks:
-        tot = 0
-        for (ftype, fkey) in live:
-            c = feats.get((ftype, fkey, d), 0)
-            lp = round(
-                1e6
-                * math.log(
-                    (c + DIR_MU * cf[(ftype, fkey)] / ct) / (dls[d] + DIR_MU)
-                )
-            )
-            tot += wnum[ftype] * lp
-        scores[d] = tot // 20
-
-    expected = sorted(scores.items(), key=lambda t: (-t[1], t[0]))[:10]
-    got = [
-        (r["doc_id"], r["sdm_micro"])
-        for r in ft_sdm_topk(spark, SF_DIR).orderBy("rank").collect()
-    ]
-    # ln is evaluated by three different libm implementations; allow a
-    # 2-micro-per-feature slack on scores but demand the same ranking.
-    assert [d for d, _ in got] == [d for d, _ in expected]
-    for (gd, gs), (ed, es) in zip(got, expected):
-        assert abs(gs - es) <= 2, (gd, gs, es)
-
-
 # ------------------------------------------------- events_cvm_test
 
 
