@@ -4247,3 +4247,146 @@ FROM ests ORDER BY estimator
 
 
 QUERIES["events_aipw_ate_eval"] = (events_aipw_ate_eval, _sql_aipw())
+
+
+# ------------------------------------------ TOST equivalence testing
+
+# Two one-sided tests (Schuirmann 1987; Lakens 2017) — the direction
+# the significance family (events_mannwhitney_eval, ranker_sign_test,
+# events_srm_check) cannot speak to: a NON-significant difference
+# test is not evidence of equivalence; TOST certifies |mean d| < delta
+# by REJECTING both one-sided nulls mean <= -delta and mean >= +delta.
+# Planted-control pair: 'centered' (uniform +-{TOST_NOISE} cent
+# deltas, mean ~0 — must certify equivalence at delta =
+# {TOST_DELTA} while the plain two-sided t-test stays silent) and
+# 'shifted' (+{TOST_SHIFT} cents — equivalence must FAIL while the
+# t-test fires). Both directions pinned in
+# tests/test_session16_ops.py.
+#
+# Integer contract: with S = sum d, Q = sum d^2 (exact cents), the
+# one-sided condition t = (dbar -+ delta)/SE >= t_crit is evaluated
+# cross-multiplied:  m = (S +- n*delta) DIV n (milli-free floored
+# mean, the CUPED cents-scale discipline), then
+#   1000 * m^2 * n * (n-1) >= {TOST_TCRIT2_MILLI} * (n*Q - S^2)
+# plus the sign guard on (S +- n*delta). Overflow bound: n*Q ~ 1e15
+# at sf0.1 (cents-scale deltas), x2706 < 3e18 — inside int64 with
+# 3x headroom; larger scales re-ladder (documented, the
+# events_mannwhitney discipline).
+
+TOST_NOISE = 300  # centered plant: uniform [-300, 300] cents
+TOST_SHIFT = 500  # shifted plant offset, cents
+TOST_DELTA = 400  # equivalence margin, cents
+TOST_TCRIT2_MILLI = 2706  # z_{0.95}^2 = 1.645^2, milli
+TOST_T2_2SIDED_MILLI = 3841  # z_{0.975}^2, milli (plain t-test)
+
+
+def events_tost_equivalence(spark, sf_dir):
+    """(comparison, n, mean_floor_cents, s_sum, q_sum, lower_reject,
+    upper_reject, equivalent, ttest_significant): TOST equivalence vs
+    the plain difference test on the planted centered/shifted paired
+    deltas."""
+    from harvester_spark.operators.graph import _hash56
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("event_id").cast("string").alias("eid")
+    )
+    base = ev.select(
+        (
+            (_hash56(F.concat(F.lit("td|"), F.col("eid"))) % (2 * TOST_NOISE + 1))
+            - TOST_NOISE
+        ).cast("long").alias("d0")
+    )
+    both_d = base.select(
+        F.lit("centered").alias("comparison"), F.col("d0").alias("d")
+    ).unionByName(
+        base.select(
+            F.lit("shifted").alias("comparison"),
+            (F.col("d0") + TOST_SHIFT).alias("d"),
+        )
+    )
+    agg = both_d.groupBy("comparison").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("d").cast("long").alias("s_sum"),
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("q_sum"),
+    )
+    # sign-split floored means (trunc semantics, both engines)
+    mdiv = "CASE WHEN {v} >= 0 THEN ({v}) DIV n ELSE -((-({v})) DIV n) END"
+    mlo = mdiv.format(v=f"s_sum + n * {TOST_DELTA}")
+    mhi = mdiv.format(v=f"s_sum - n * {TOST_DELTA}")
+    mean_f = mdiv.format(v="s_sum")
+    var_num = "(n * q_sum - s_sum * s_sum)"
+    lower = (
+        f"(s_sum + n * {TOST_DELTA}) > 0 AND "
+        f"1000 * ({mlo}) * ({mlo}) * (n - 1) >= {TOST_TCRIT2_MILLI} * {var_num} DIV n"
+    )
+    upper = (
+        f"(s_sum - n * {TOST_DELTA}) < 0 AND "
+        f"1000 * ({mhi}) * ({mhi}) * (n - 1) >= {TOST_TCRIT2_MILLI} * {var_num} DIV n"
+    )
+    ttest = (
+        f"1000 * ({mean_f}) * ({mean_f}) * (n - 1)"
+        f" >= {TOST_T2_2SIDED_MILLI} * {var_num} DIV n"
+    )
+    return agg.select(
+        "comparison",
+        "n",
+        F.expr(f"CAST({mean_f} AS BIGINT)").alias("mean_floor_cents"),
+        "s_sum",
+        "q_sum",
+        F.expr(lower).alias("lower_reject"),
+        F.expr(upper).alias("upper_reject"),
+        F.expr(f"({lower}) AND ({upper})").alias("equivalent"),
+        F.expr(ttest).alias("ttest_significant"),
+    ).orderBy("comparison")
+
+
+def _sql_tost() -> str:
+    from harvester_spark.operators.graph import _SQL_HASH56
+
+    h = _SQL_HASH56.format(col="'td|' || eid")
+    mdiv = "CASE WHEN {v} >= 0 THEN ({v}) // n ELSE -((-({v})) // n) END"
+    mlo = mdiv.format(v=f"s_sum + n * {TOST_DELTA}")
+    mhi = mdiv.format(v=f"s_sum - n * {TOST_DELTA}")
+    mean_f = mdiv.format(v="s_sum")
+    var_num = "(n * q_sum - s_sum * s_sum)"
+    lower = (
+        f"(s_sum + n * {TOST_DELTA}) > 0 AND "
+        f"1000 * ({mlo}) * ({mlo}) * (n - 1) >= {TOST_TCRIT2_MILLI} * {var_num} // n"
+    )
+    upper = (
+        f"(s_sum - n * {TOST_DELTA}) < 0 AND "
+        f"1000 * ({mhi}) * ({mhi}) * (n - 1) >= {TOST_TCRIT2_MILLI} * {var_num} // n"
+    )
+    ttest = (
+        f"1000 * ({mean_f}) * ({mean_f}) * (n - 1)"
+        f" >= {TOST_T2_2SIDED_MILLI} * {var_num} // n"
+    )
+    return f"""
+WITH ev AS (SELECT CAST(event_id AS VARCHAR) AS eid FROM events),
+base AS (
+  SELECT CAST({h} % {2 * TOST_NOISE + 1} - {TOST_NOISE} AS BIGINT) AS d0
+  FROM ev
+),
+both_d AS (
+  SELECT 'centered' AS comparison, d0 AS d FROM base
+  UNION ALL
+  SELECT 'shifted', d0 + {TOST_SHIFT} FROM base
+),
+agg AS (
+  SELECT comparison, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(d) AS BIGINT) AS s_sum,
+         CAST(sum(d * d) AS BIGINT) AS q_sum
+  FROM both_d GROUP BY 1
+)
+SELECT comparison, n,
+       CAST({mean_f} AS BIGINT) AS mean_floor_cents,
+       s_sum, q_sum,
+       {lower} AS lower_reject,
+       {upper} AS upper_reject,
+       ({lower}) AND ({upper}) AS equivalent,
+       {ttest} AS ttest_significant
+FROM agg ORDER BY comparison
+"""
+
+
+QUERIES["events_tost_equivalence"] = (events_tost_equivalence, _sql_tost())

@@ -1109,3 +1109,66 @@ def test_hll_switch_recompute_and_both_regimes(spark):
     # Both representations must appear across the profile.
     reps = {got[c][3] for c in HS_CUTS}
     assert reps == {"sparse", "dense"}
+
+
+# ------------------------------------------- events_tost_equivalence
+
+
+def test_tost_recompute_and_direction_controls(spark):
+    from harvester_spark.operators.web_econ import (
+        TOST_DELTA,
+        TOST_NOISE,
+        TOST_SHIFT,
+        TOST_T2_2SIDED_MILLI,
+        TOST_TCRIT2_MILLI,
+        events_tost_equivalence,
+    )
+
+    eids = [
+        str(r["event_id"])
+        for r in spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("event_id")
+        .collect()
+    ]
+    d0 = [_h56(f"td|{e}") % (2 * TOST_NOISE + 1) - TOST_NOISE for e in eids]
+
+    def tdiv(a, b):
+        return a // b if a >= 0 else -((-a) // b)
+
+    got = {
+        r["comparison"]: r.asDict()
+        for r in events_tost_equivalence(spark, SF_DIR).collect()
+    }
+    for comp, shift in (("centered", 0), ("shifted", TOST_SHIFT)):
+        ds = [d + shift for d in d0]
+        n = len(ds)
+        s = sum(ds)
+        q = sum(d * d for d in ds)
+        var_num = n * q - s * s
+        mlo = tdiv(s + n * TOST_DELTA, n)
+        mhi = tdiv(s - n * TOST_DELTA, n)
+        mean_f = tdiv(s, n)
+        lower = (s + n * TOST_DELTA) > 0 and 1000 * mlo * mlo * (
+            n - 1
+        ) >= TOST_TCRIT2_MILLI * var_num // n
+        upper = (s - n * TOST_DELTA) < 0 and 1000 * mhi * mhi * (
+            n - 1
+        ) >= TOST_TCRIT2_MILLI * var_num // n
+        ttest = (
+            1000 * mean_f * mean_f * (n - 1)
+            >= TOST_T2_2SIDED_MILLI * var_num // n
+        )
+        g = got[comp]
+        assert (g["n"], g["s_sum"], g["q_sum"]) == (n, s, q)
+        assert g["mean_floor_cents"] == mean_f
+        assert (g["lower_reject"], g["upper_reject"]) == (lower, upper)
+        assert g["equivalent"] == (lower and upper)
+        assert g["ttest_significant"] == ttest
+
+    # Direction controls: only TOST certifies the centered plant
+    # (the silent t-test is NOT evidence of equivalence), and the
+    # shifted plant fails equivalence while the t-test fires.
+    assert got["centered"]["equivalent"]
+    assert not got["centered"]["ttest_significant"]
+    assert not got["shifted"]["equivalent"]
+    assert got["shifted"]["ttest_significant"]
