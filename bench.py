@@ -213,6 +213,10 @@ HEADLINE = [
     "events_cvm_test",
     "events_moving_median",
     "shard_rebalance_plan",
+    "events_aipw_ate_eval",
+    "host_richclub_coefficient",
+    "hll_sparse_dense_switch",
+    "events_tost_equivalence",
 ]
 WARMUP_DOCS = 2000
 
