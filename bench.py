@@ -217,6 +217,7 @@ HEADLINE = [
     "host_richclub_coefficient",
     "hll_sparse_dense_switch",
     "events_tost_equivalence",
+    "events_test_power_curve",
 ]
 WARMUP_DOCS = 2000
 

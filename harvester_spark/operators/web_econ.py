@@ -4390,3 +4390,252 @@ FROM agg ORDER BY comparison
 
 
 QUERIES["events_tost_equivalence"] = (events_tost_equivalence, _sql_tost())
+
+
+# ------------------------------------------ two-sample test power curve
+
+# The significance family's capstone (the curation_filter_agreement
+# meta-eval pattern applied to statistics): the SAME md5 split of the
+# event value cents is planted with every shift in {PW_SHIFTS} cents
+# and ALL FOUR two-sample tests run on each — Welch's t (es_t_test's
+# shared float string), Mann-Whitney z^2 (the _MW_Z2 doubled-midrank
+# ladder verbatim), Kolmogorov-Smirnov D (events_ks_test's
+# cross-multiplied supremum, micro-normalized), and Cramer-von Mises
+# (events_cvm_test's chained-floored ladder verbatim). The power curve
+# is the headline: each test's smallest firing shift exposes the
+# classic ordering for pure location alternatives (t and MW fire
+# first, the omnibus KS last — it spends power on shape), pinned at
+# the measured sf0.001 frontier in tests/test_session16_ops.py along
+# with a full recompute of every statistic. One histogram pass feeds
+# MW/KS/CvM; one moment pass feeds t.
+#
+# stat column units are each test's NATIVE integer (t: |micro-t|, MW:
+# milli-z^2, KS: micro-D, CvM: micro-omega^2) with per-test critical
+# values — comparable within a test across shifts, not across tests.
+
+PW_SHIFTS = (0, 250, 500, 1000, 2000, 4000)  # planted shifts, cents
+PW_T_CRIT_MICRO = 1959964  # z_{0.975}, micro
+PW_KS_C2_MICRO = 1844164  # c(0.05)^2 = 1.358^2, micro
+
+
+def events_test_power_curve(spark, sf_dir):
+    """(shift_cents, test, stat, significant): Welch t / Mann-Whitney /
+    KS / CvM decisions for every planted shift of the same md5 split."""
+    from harvester_spark.operators.graph import _hash56
+    from harvester_spark.operators.index_stats import _DIVROUND
+
+    ev = load(spark, sf_dir, "events").select(
+        cents("value").alias("c"),
+        (
+            _hash56(F.concat(F.lit("pw|"), F.col("event_id").cast("string")))
+            % 2
+        ).cast("long").alias("grp"),
+    )
+    shifts = spark.createDataFrame(
+        [(s,) for s in PW_SHIFTS], "shift_cents long"
+    )
+    base = ev.crossJoin(F.broadcast(shifts)).select(
+        "shift_cents",
+        (F.col("c") + F.col("grp") * F.col("shift_cents")).alias("v"),
+        "grp",
+    )
+    hist = base.groupBy("shift_cents", "v").agg(
+        F.sum(F.expr("CASE WHEN grp = 0 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("ca"),
+        F.sum(F.expr("CASE WHEN grp = 1 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("cb"),
+    )
+    tot = base.groupBy("shift_cents").agg(
+        F.sum(F.expr("CASE WHEN grp = 0 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.expr("CASE WHEN grp = 1 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("n_b"),
+    )
+    wcum = (
+        W.partitionBy("shift_cents")
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wprev = (
+        W.partitionBy("shift_cents")
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    e_micro = _DIVROUND.format(
+        num="(n_b * cuma - n_a * cumb)", den="(n_a * n_b)", div="DIV"
+    )
+    enriched = (
+        hist.withColumn("m", (F.col("ca") + F.col("cb")).cast("long"))
+        .withColumn("cuma", F.sum("ca").over(wcum))
+        .withColumn("cumb", F.sum("cb").over(wcum))
+        .withColumn(
+            "cbprev", F.coalesce(F.sum("m").over(wprev), F.lit(0)).cast("long")
+        )
+        .join(F.broadcast(tot), "shift_cents")
+    )
+    agg = enriched.groupBy("shift_cents").agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.sum(F.expr("ca * (2 * cbprev + m + 1)")).cast("long").alias("r2a"),
+        F.sum(F.expr("m * m * m - m")).cast("long").alias("tie_t"),
+        F.max(F.expr("abs(n_b * cuma - n_a * cumb)")).cast("long").alias(
+            "d_raw"
+        ),
+        F.sum(F.expr(f"(ca + cb) * CAST({e_micro} AS BIGINT)"
+                     f" * CAST({e_micro} AS BIGINT)"))
+        .cast("long")
+        .alias("a_sum"),
+    ).select(
+        "shift_cents", "n_a", "n_b", "r2a", "tie_t", "d_raw", "a_sum",
+        (F.col("n_a") + F.col("n_b")).cast("long").alias("n"),
+        (F.expr("r2a - n_a * (n_a + 1)")).cast("long").alias("u2"),
+    )
+    mw = _MW_Z2.format(div="DIV")
+    ks_stat = "CAST(1000000 * d_raw DIV (n_a * n_b) AS BIGINT)"
+    ks_sig = (
+        f"({ks_stat}) * ({ks_stat})"
+        f" >= ({PW_KS_C2_MICRO} * n * 1000000) DIV (n_a * n_b)"
+    )
+    cvm_stat = (
+        "CAST(((a_sum DIV n) * n_a DIV n) * n_b DIV 1000000 AS BIGINT)"
+    )
+    rows_mw = agg.select(
+        "shift_cents",
+        F.lit("mannwhitney").alias("test"),
+        F.expr(f"CAST({mw} AS BIGINT)").alias("stat"),
+        F.expr(f"{mw} >= {MW_SIG_MILLI}").alias("significant"),
+    )
+    rows_ks = agg.select(
+        "shift_cents",
+        F.lit("ks").alias("test"),
+        F.expr(ks_stat).alias("stat"),
+        F.expr(ks_sig).alias("significant"),
+    )
+    rows_cvm = agg.select(
+        "shift_cents",
+        F.lit("cvm").alias("test"),
+        F.expr(cvm_stat).alias("stat"),
+        F.expr(f"{cvm_stat} >= {CVM_SIG_MICRO}").alias("significant"),
+    )
+    mom = base.groupBy("shift_cents").agg(
+        F.sum(F.expr("CASE WHEN grp = 0 THEN 1 ELSE 0 END")).cast("long").alias("n1"),
+        F.sum(F.expr("CASE WHEN grp = 0 THEN v ELSE 0 END")).cast("long").alias("s1"),
+        F.sum(F.expr("CASE WHEN grp = 0 THEN v * v ELSE 0 END")).cast("long").alias("q1"),
+        F.sum(F.expr("CASE WHEN grp = 1 THEN 1 ELSE 0 END")).cast("long").alias("n2"),
+        F.sum(F.expr("CASE WHEN grp = 1 THEN v ELSE 0 END")).cast("long").alias("s2"),
+        F.sum(F.expr("CASE WHEN grp = 1 THEN v * v ELSE 0 END")).cast("long").alias("q2"),
+    )
+    from harvester_spark.operators.es_aggs import _TT_MICRO
+
+    rows_t = mom.select(
+        "shift_cents",
+        F.lit("welch_t").alias("test"),
+        F.expr(f"CAST(abs({_TT_MICRO}) AS BIGINT)").alias("stat"),
+        F.expr(f"abs({_TT_MICRO}) >= {PW_T_CRIT_MICRO}").alias("significant"),
+    )
+    return (
+        rows_t.unionByName(rows_mw)
+        .unionByName(rows_ks)
+        .unionByName(rows_cvm)
+        .orderBy("shift_cents", "test")
+    )
+
+
+def _sql_power_curve() -> str:
+    from harvester_spark.operators.graph import _SQL_HASH56
+    from harvester_spark.operators.index_stats import _DIVROUND
+    from harvester_spark.operators.es_aggs import _TT_MICRO
+
+    h = _SQL_HASH56.format(col="'pw|' || CAST(event_id AS VARCHAR)")
+    e_micro = _DIVROUND.format(
+        num="(n_b * cuma - n_a * cumb)", den="(n_a * n_b)", div="//"
+    )
+    mw = _MW_Z2.format(div="//")
+    ks_stat = "CAST(1000000 * d_raw // (n_a * n_b) AS BIGINT)"
+    ks_sig = (
+        f"({ks_stat}) * ({ks_stat})"
+        f" >= ({PW_KS_C2_MICRO} * n * 1000000) // (n_a * n_b)"
+    )
+    cvm_stat = "CAST(((a_sum // n) * n_a // n) * n_b // 1000000 AS BIGINT)"
+    shifts = ", ".join(str(s) for s in PW_SHIFTS)
+    return f"""
+WITH ev AS (
+  SELECT {sql_cents('value')} AS c, {h} % 2 AS grp FROM events
+),
+shifts AS (SELECT CAST(unnest([{shifts}]) AS BIGINT) AS shift_cents),
+base AS (
+  SELECT s.shift_cents, e.c + e.grp * s.shift_cents AS v, e.grp
+  FROM ev e CROSS JOIN shifts s
+),
+hist AS (
+  SELECT shift_cents, v,
+         CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM base GROUP BY 1, 2
+),
+tot AS (
+  SELECT shift_cents,
+         CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM base GROUP BY 1
+),
+enriched AS (
+  SELECT h.shift_cents, h.ca, h.cb, h.ca + h.cb AS m,
+         sum(h.ca) OVER w AS cuma,
+         sum(h.cb) OVER w AS cumb,
+         CAST(coalesce(sum(h.ca + h.cb) OVER (PARTITION BY h.shift_cents
+              ORDER BY h.v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              0) AS BIGINT) AS cbprev,
+         t.n_a, t.n_b
+  FROM hist h JOIN tot t USING (shift_cents)
+  WINDOW w AS (PARTITION BY h.shift_cents ORDER BY h.v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+agg AS (
+  SELECT shift_cents,
+         max(n_a) AS n_a, max(n_b) AS n_b,
+         max(n_a) + max(n_b) AS n,
+         CAST(sum(ca * (2 * cbprev + m + 1)) AS BIGINT)
+           - max(n_a) * (max(n_a) + 1) AS u2,
+         CAST(sum(m * m * m - m) AS BIGINT) AS tie_t,
+         CAST(max(abs(n_b * cuma - n_a * cumb)) AS BIGINT) AS d_raw,
+         CAST(sum((ca + cb) * CAST({e_micro} AS BIGINT)
+                  * CAST({e_micro} AS BIGINT)) AS BIGINT) AS a_sum
+  FROM enriched GROUP BY 1
+),
+mom AS (
+  SELECT shift_cents,
+         CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN grp = 0 THEN v ELSE 0 END) AS BIGINT) AS s1,
+         CAST(sum(CASE WHEN grp = 0 THEN v * v ELSE 0 END) AS BIGINT) AS q1,
+         CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(sum(CASE WHEN grp = 1 THEN v ELSE 0 END) AS BIGINT) AS s2,
+         CAST(sum(CASE WHEN grp = 1 THEN v * v ELSE 0 END) AS BIGINT) AS q2
+  FROM base GROUP BY 1
+)
+SELECT shift_cents, 'welch_t' AS test,
+       CAST(abs({_TT_MICRO}) AS BIGINT) AS stat,
+       abs({_TT_MICRO}) >= {PW_T_CRIT_MICRO} AS significant
+FROM mom
+UNION ALL
+SELECT shift_cents, 'mannwhitney',
+       CAST({mw} AS BIGINT), {mw} >= {MW_SIG_MILLI}
+FROM agg
+UNION ALL
+SELECT shift_cents, 'ks', {ks_stat}, {ks_sig}
+FROM agg
+UNION ALL
+SELECT shift_cents, 'cvm', {cvm_stat}, {cvm_stat} >= {CVM_SIG_MICRO}
+FROM agg
+ORDER BY shift_cents, test
+"""
+
+
+QUERIES["events_test_power_curve"] = (
+    events_test_power_curve,
+    _sql_power_curve(),
+)

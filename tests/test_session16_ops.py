@@ -1172,3 +1172,114 @@ def test_tost_recompute_and_direction_controls(spark):
     assert not got["centered"]["ttest_significant"]
     assert not got["shifted"]["equivalent"]
     assert got["shifted"]["ttest_significant"]
+
+
+# ------------------------------------------- events_test_power_curve
+
+
+def test_power_curve_recompute_and_monotone(spark):
+    import math
+    from collections import Counter
+
+    from harvester_spark.operators.web_econ import (
+        CVM_SIG_MICRO,
+        MW_SIG_MILLI,
+        PW_KS_C2_MICRO,
+        PW_SHIFTS,
+        PW_T_CRIT_MICRO,
+        events_test_power_curve,
+    )
+
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .selectExpr("event_id", "CAST(round(value * 100) AS LONG) AS c")
+        .collect()
+    )
+    samples = [(r["c"], _h56(f"pw|{r['event_id']}") % 2) for r in rows]
+
+    def divround_signed(num, den):
+        if num >= 0:
+            return (num * 1000000 + den // 2) // den
+        return -(((-num) * 1000000 + den // 2) // den)
+
+    expected = {}
+    for shift in PW_SHIFTS:
+        vals = [(c + g * shift, g) for c, g in samples]
+        per = Counter()
+        ca = Counter()
+        for v, g in vals:
+            per[v] += 1
+            if g == 0:
+                ca[v] += 1
+        n_a = sum(ca.values())
+        n = len(vals)
+        n_b = n - n_a
+        # shared sweep
+        cuma = cumb = cbprev = 0
+        r2a = tie_t = d_raw = a_sum = 0
+        s1 = q1 = s2 = q2 = 0
+        for v, g in vals:
+            if g == 0:
+                s1 += v
+                q1 += v * v
+            else:
+                s2 += v
+                q2 += v * v
+        for v in sorted(per):
+            m = per[v]
+            a = ca.get(v, 0)
+            r2a += a * (2 * cbprev + m + 1)
+            tie_t += m * m * m - m
+            cbprev += m
+            cuma += a
+            cumb += m - a
+            d_raw = max(d_raw, abs(n_b * cuma - n_a * cumb))
+            e = divround_signed(n_b * cuma - n_a * cumb, n_a * n_b)
+            a_sum += m * e * e
+        u2 = r2a - n_a * (n_a + 1)
+        mw = (
+            3000
+            * (((u2 - n_a * n_b) * (u2 - n_a * n_b)) // (n_a * n_b))
+            * (n - 1)
+        ) // ((n * n * n - n - tie_t) // n)
+        ks = 1000000 * d_raw // (n_a * n_b)
+        ks_sig = ks * ks >= (PW_KS_C2_MICRO * n * 1000000) // (n_a * n_b)
+        cvm = ((a_sum // n) * n_a // n) * n_b // 10**6
+        t = round(
+            1e6
+            * ((s1 / n_a) - (s2 / n_b))
+            / math.sqrt(
+                ((q1 - s1 * s1 / n_a) / (n_a - 1)) / n_a
+                + ((q2 - s2 * s2 / n_b) / (n_b - 1)) / n_b
+            )
+        )
+        expected[shift] = {
+            "welch_t": (abs(t), abs(t) >= PW_T_CRIT_MICRO),
+            "mannwhitney": (mw, mw >= MW_SIG_MILLI),
+            "ks": (ks, ks_sig),
+            "cvm": (cvm, cvm >= CVM_SIG_MICRO),
+        }
+
+    got = {
+        (r["shift_cents"], r["test"]): (r["stat"], r["significant"])
+        for r in events_test_power_curve(spark, SF_DIR).collect()
+    }
+    for shift in PW_SHIFTS:
+        for test, (stat, sig) in expected[shift].items():
+            gstat, gsig = got[(shift, test)]
+            if test == "welch_t":
+                assert abs(gstat - stat) <= 2, (shift, test)  # float sqrt
+            else:
+                assert gstat == stat, (shift, test)
+            assert gsig == sig, (shift, test)
+
+    # Curve contract: the null split is silent on all four tests, every
+    # planted shift fires all four, and each test's statistic grows
+    # monotonically along the shift grid.
+    tests = ("welch_t", "mannwhitney", "ks", "cvm")
+    for test in tests:
+        assert not got[(0, test)][1], test
+        for shift in PW_SHIFTS[1:]:
+            assert got[(shift, test)][1], (shift, test)
+        curve = [got[(s, test)][0] for s in PW_SHIFTS]
+        assert all(a < b for a, b in zip(curve, curve[1:])), test
